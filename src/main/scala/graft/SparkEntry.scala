@@ -1,13 +1,142 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.operators.{DataFrameUtils, Transformations}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 gets a `queries` entry exercising it on
+  * the driver testdata, plus (where SQL-expressible) a DuckDB `oracleSql`
+  * equivalent. Column names are aliased identically on both sides — the
+  * driver's comparator sorts columns by name before hashing.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A1-family aggregation (TPC-H Q1-style pricing summary) ----
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // ---- P1 renameColumns + P3 castColumns + P2 withConstants ----
+    "q_rename_cast_constants" -> ((s, dir) => {
+      val renamed = Transformations.renameColumns(
+        t(s, dir, "nation"),
+        Map("n_nationkey" -> "nation_id", "n_name" -> "nation_name"))
+      val cast = Transformations.castColumns(renamed, Map("nation_id" -> "bigint"))
+      Transformations.withConstants(cast, Seq("source_system" -> "graft"))
+    }),
+
+    // ---- F2 normalizeWhitespace over documents.text ----
+    "q_normalize_whitespace" -> ((s, dir) => {
+      Transformations
+        .normalizeWhitespace(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          Seq("text"))
+        .withColumnRenamed("text", "text_norm")
+    }),
+
+    // ---- F3/P7 splitByDateFormats over a mixed-format date string ----
+    "q_split_date_formats" -> ((s, dir) => {
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), "MM/dd/yyyy"))
+          .otherwise(concat(lit("junk-"), col("o_orderkey").cast("string")))
+          .as("d"))
+      Transformations
+        .splitByDateFormats(src, "d", Seq("yyyy-MM-dd", "MM/dd/yyyy"))
+        .df
+    }),
+
+    // ---- F5/F7 createDateDataframe calendar dimension ----
+    "q_date_dim" -> ((s, _) =>
+      DataFrameUtils.createDateDataframe(s, "2024-01-01", "2024-12-31")),
+
+    // ---- F6/F7 createTimeDataframe clock dimension ----
+    "q_time_dim" -> ((s, _) =>
+      DataFrameUtils.createTimeDataframe(s, "00:00:00", "23:59:00", 60)),
+
+    // ---- F1 deterministic row hash ----
+    "q_row_hash" -> ((s, dir) => {
+      t(s, dir, "nation").select(
+        col("n_nationkey"),
+        Hashing.rowHashOf(Seq("n_name", "n_regionkey")).as("row_hash"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_rename_cast_constants" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nation_id, n_name AS nation_name,
+        |  n_regionkey, 'graft' AS source_system
+        |FROM nation""".stripMargin,
+    "q_normalize_whitespace" ->
+      """SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS text_norm
+        |FROM documents""".stripMargin,
+    "q_split_date_formats" ->
+      """WITH src AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |         WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+        |         ELSE 'junk-' || CAST(o_orderkey AS VARCHAR) END AS d
+        |  FROM orders)
+        |SELECT o_orderkey, d,
+        |  CAST(coalesce(try_strptime(d, '%Y-%m-%d'), try_strptime(d, '%m/%d/%Y')) AS DATE)
+        |    AS d_date
+        |FROM src""".stripMargin,
+    "q_date_dim" ->
+      """SELECT CAST(d AS DATE) AS date,
+        |  CAST(year(d) AS INTEGER) AS year,
+        |  CAST(quarter(d) AS INTEGER) AS quarter,
+        |  CAST(month(d) AS INTEGER) AS month,
+        |  monthname(d) AS month_name,
+        |  CAST(weekofyear(d) AS INTEGER) AS week,
+        |  CAST(day(d) AS INTEGER) AS day,
+        |  CAST(dayofweek(d) + 1 AS INTEGER) AS day_of_week,
+        |  dayname(d) AS day_name
+        |FROM generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY) AS t(d)""".stripMargin,
+    "q_time_dim" ->
+      """SELECT CAST(s // 3600 AS INTEGER) AS hour,
+        |  CAST((s % 3600) // 60 AS INTEGER) AS minute,
+        |  CAST(s % 60 AS INTEGER) AS second,
+        |  printf('%02d:%02d:%02d', s // 3600, (s % 3600) // 60, s % 60) AS time
+        |FROM generate_series(0, 86340, 60) AS t(s)""".stripMargin,
+    "q_row_hash" ->
+      """SELECT n_nationkey,
+        |  sha256(concat_ws(chr(9247),
+        |    coalesce(CAST(n_name AS VARCHAR), ''),
+        |    coalesce(CAST(n_regionkey AS VARCHAR), ''))) AS row_hash
+        |FROM nation""".stripMargin
+  )
 }

@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic row hashing used by change tracking and dedup operators.
+  *
+  * Semantics match the reference (src/spark_fuse/utils/change_tracking.py:24-25,
+  * 272-274): each input column is cast to string with nulls normalized to the
+  * empty string, joined with the U+241F unit-separator glyph, and SHA-256
+  * hashed to lowercase hex. The delimiter + null coalescing are
+  * semantics-bearing — they make the hash stable across batches and engines.
+  *
+  * Scale note: pure codegen'd column expressions (sha2/concat_ws/coalesce) —
+  * no UDF, stays inside whole-stage codegen, safe at any scale.
+  */
+object Hashing {
+
+  /** U+241F SYMBOL FOR UNIT SEPARATOR — concatenation delimiter. */
+  val UnitSeparator = "\u241f"
+
+  private def stringify(c: Column): Column = coalesce(c.cast("string"), lit(""))
+
+  /** SHA-256 hex hash of the given columns with stable null handling. */
+  def rowHash(cols: Seq[Column]): Column =
+    sha2(concat_ws(UnitSeparator, cols.map(stringify): _*), 256)
+
+  /** Convenience: hash named columns. */
+  def rowHashOf(columnNames: Seq[String]): Column = rowHash(columnNames.map(col))
+}
