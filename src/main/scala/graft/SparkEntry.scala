@@ -81,6 +81,40 @@ object SparkEntry {
       t(s, dir, "nation").select(
         col("n_nationkey"),
         Hashing.rowHashOf(Seq("n_name", "n_regionkey")).as("row_hash"))
+    }),
+
+    // ---- C1 SCD1 current-only upsert (two batches into a parquet target) ----
+    "q_scd1_current_only" -> ((s, dir) => {
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        col("c_name").as("name"),
+        col("c_mktsegment").as("segment"))
+      val b2 = base.where(col("id") % 3 === 0)
+        .withColumn("segment", lit("UPDATED"))
+      val target = java.nio.file.Files
+        .createTempDirectory("graft_scd1_").toString + "/t"
+      ct.ChangeTracking.currentOnlyUpsert(s, base, target, Seq("id"))
+      ct.ChangeTracking.currentOnlyUpsert(s, b2, target, Seq("id"))
+      s.read.parquet(target)
+    }),
+
+    // ---- C2 SCD2 track-history upsert (bootstrap + changed-subset batch) ----
+    "q_scd2_track_history" -> ((s, dir) => {
+      val b1 = t(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+      val b2 = b1.where(col("id") % 2 === 0)
+        .withColumn("price",
+          when(col("id") % 10 === 0, (col("price") + lit(10)).cast("decimal(12,2)"))
+            .otherwise(col("price")))
+      val target = java.nio.file.Files
+        .createTempDirectory("graft_scd2_").toString + "/t"
+      ct.ChangeTracking.trackHistoryUpsert(s, b1, target, Seq("id"),
+        loadTsExpr = Some("to_timestamp('2020-01-01 00:00:00')"))
+      ct.ChangeTracking.trackHistoryUpsert(s, b2, target, Seq("id"),
+        loadTsExpr = Some("to_timestamp('2020-02-01 00:00:00')"))
+      s.read.parquet(target)
     })
   )
 
@@ -137,6 +171,52 @@ object SparkEntry {
         |  sha256(concat_ws(chr(9247),
         |    coalesce(CAST(n_name AS VARCHAR), ''),
         |    coalesce(CAST(n_regionkey AS VARCHAR), ''))) AS row_hash
-        |FROM nation""".stripMargin
+        |FROM nation""".stripMargin,
+    "q_scd1_current_only" ->
+      """WITH b1 AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
+        |  FROM customer),
+        |fin AS (
+        |  SELECT id, name,
+        |    CASE WHEN id % 3 = 0 THEN 'UPDATED' ELSE segment END AS segment
+        |  FROM b1)
+        |SELECT id, name, segment,
+        |  sha256(concat_ws(chr(9247),
+        |    coalesce(CAST(name AS VARCHAR), ''),
+        |    coalesce(CAST(segment AS VARCHAR), ''))) AS row_hash
+        |FROM fin""".stripMargin,
+    "q_scd2_track_history" ->
+      """WITH b1 AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  FROM orders),
+        |b2 AS (
+        |  SELECT id, status,
+        |    CASE WHEN id % 10 = 0 THEN CAST(price + 10 AS DECIMAL(12,2))
+        |         ELSE price END AS price
+        |  FROM b1 WHERE id % 2 = 0),
+        |h1 AS (
+        |  SELECT b1.*, sha256(concat_ws(chr(9247),
+        |    coalesce(CAST(status AS VARCHAR), ''),
+        |    coalesce(CAST(price AS VARCHAR), ''))) AS row_hash FROM b1),
+        |h2 AS (
+        |  SELECT b2.*, sha256(concat_ws(chr(9247),
+        |    coalesce(CAST(status AS VARCHAR), ''),
+        |    coalesce(CAST(price AS VARCHAR), ''))) AS row_hash FROM b2),
+        |changed AS (
+        |  SELECT h2.id FROM h2 JOIN h1 USING (id)
+        |  WHERE h2.row_hash <> h1.row_hash)
+        |SELECT h1.id, h1.status, h1.price, h1.row_hash,
+        |  TIMESTAMP '2020-01-01 00:00:00' AS effective_start_ts,
+        |  CASE WHEN c.id IS NOT NULL THEN TIMESTAMP '2020-02-01 00:00:00'
+        |       ELSE CAST(NULL AS TIMESTAMP) END AS effective_end_ts,
+        |  c.id IS NULL AS is_current,
+        |  CAST(1 AS BIGINT) AS version
+        |FROM h1 LEFT JOIN changed c USING (id)
+        |UNION ALL
+        |SELECT h2.id, h2.status, h2.price, h2.row_hash,
+        |  TIMESTAMP '2020-02-01 00:00:00', CAST(NULL AS TIMESTAMP),
+        |  TRUE, CAST(2 AS BIGINT)
+        |FROM h2 WHERE h2.id IN (SELECT id FROM changed)""".stripMargin
   )
 }

@@ -1,0 +1,62 @@
+package graft.ct
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Storage abstraction for change-tracking targets.
+  *
+  * The reference addresses Delta tables by path or catalog name
+  * (src/spark_fuse/utils/change_tracking.py:218-245). This runtime has no
+  * Delta jars, so merge semantics are emulated as a rewrite: compute the new
+  * table contents, write them to a staging location, then swap. Single-writer
+  * semantics (documented; the reference's Delta MERGE is transactional — at
+  * 100 TB you would plug a lakehouse format in behind this same trait).
+  */
+private[graft] object TableStore {
+
+  /** Path-vs-table heuristic, identical to the reference (`/` or `:/`). */
+  def isPath(identifier: String): Boolean =
+    identifier.contains("/") || identifier.contains(":/")
+
+  def exists(spark: SparkSession, target: String): Boolean =
+    if (isPath(target)) {
+      val p = new Path(target)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.exists(p)
+    } else spark.catalog.tableExists(target)
+
+  def read(spark: SparkSession, target: String): DataFrame =
+    if (isPath(target)) spark.read.parquet(target) else spark.table(target)
+
+  def append(df: DataFrame, target: String): Unit =
+    if (isPath(target)) df.write.mode("append").parquet(target)
+    else df.write.mode("append").saveAsTable(target)
+
+  /** Replace the target's contents with `df`.
+    *
+    * `df` may read from the target itself (merge-emulation reads the current
+    * snapshot), so we always materialize to a staging location first, then
+    * swap — never overwrite in place while reading.
+    */
+  def overwrite(spark: SparkSession, df: DataFrame, target: String): Unit =
+    if (isPath(target)) {
+      val dest = new Path(target)
+      val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+      val staging = new Path(target.stripSuffix("/") + "__graft_staging__")
+      fs.delete(staging, true)
+      df.write.mode("overwrite").parquet(staging.toString)
+      fs.delete(dest, true)
+      if (!fs.rename(staging, dest))
+        throw new IllegalStateException(s"Failed to move staging into place for '$target'")
+    } else {
+      val staging = Files.createTempDirectory("graft_ct_staging_").toString
+      try {
+        df.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").saveAsTable(target)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+      }
+    }
+}
