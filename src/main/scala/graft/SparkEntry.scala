@@ -115,6 +115,29 @@ object SparkEntry {
       ct.ChangeTracking.trackHistoryUpsert(s, b2, target, Seq("id"),
         loadTsExpr = Some("to_timestamp('2020-02-01 00:00:00')"))
       s.read.parquet(target)
+    }),
+
+    // ---- U3 deterministic hash embedding (pure column expressions) ----
+    "q_hash_embedding" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        posexplode(similarity.HashEmbedding.hashToVector(
+          col("text"), dims = 8, normalize = false)))
+        .withColumnRenamed("pos", "dim")
+        .withColumnRenamed("col", "val")
+    }),
+
+    // ---- M1-M6/W3-W4 similarity pipeline: KMeans + representative choice
+    // (not SQL-expressible → rows-only check; seeded for determinism) ----
+    "q_cluster_representatives" -> ((s, dir) => {
+      val pipeline = similarity.SimilarityPipeline(
+        similarity.IdentityEmbeddingGenerator(inputCol = "embedding"),
+        similarity.KMeansPartitioner(k = 8, seed = Some(42L)),
+        Some(similarity.CosineSimilarity()),
+        Some(similarity.MaxColumnChoice("label")))
+      val clustered = pipeline.run(t(s, dir, "embeddings"))
+      pipeline.selectRepresentatives(clustered)
+        .select(col("vec_id"), col("cluster_id"), col("label"))
     })
   )
 
@@ -217,6 +240,12 @@ object SparkEntry {
         |SELECT h2.id, h2.status, h2.price, h2.row_hash,
         |  TIMESTAMP '2020-02-01 00:00:00', CAST(NULL AS TIMESTAMP),
         |  TRUE, CAST(2 AS BIGINT)
-        |FROM h2 WHERE h2.id IN (SELECT id FROM changed)""".stripMargin
+        |FROM h2 WHERE h2.id IN (SELECT id FROM changed)""".stripMargin,
+    "q_hash_embedding" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS dim,
+        |  CASE WHEN text IS NULL OR text = '' THEN 0.0
+        |       ELSE ('0x' || substring(sha256(text), i * 8 + 1, 8))::BIGINT
+        |            / 4294967295.0 END AS val
+        |FROM documents, range(8) AS t(i)""".stripMargin
   )
 }

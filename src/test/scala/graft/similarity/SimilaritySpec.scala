@@ -1,0 +1,87 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hashToVector expression matches the stub encoder math") {
+    val df = Seq("hello", "", "graft").toDF("text")
+    val expr = df.select(
+      HashEmbedding.hashToVector(col("text"), dims = 16, normalize = false).as("v"))
+      .collect().map(_.getSeq[Double](0))
+    val stub = HashStubEncoder(dims = 16, normalize = false)
+      .encode(Seq("hello", "", "graft"))
+    expr.zip(stub).foreach { case (e, s) =>
+      e.zip(s).foreach { case (a, b) => assert(math.abs(a - b.toDouble) < 1e-6) }
+    }
+    // empty text → zero vector
+    assert(expr(1).forall(_ == 0.0))
+    // normalized variant has unit length
+    val normed = df.filter($"text" =!= "").select(
+      HashEmbedding.hashToVector(col("text"), 16, normalize = true).as("v"))
+      .collect().map(_.getSeq[Double](0))
+    normed.foreach(v => assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9))
+  }
+
+  test("batched encoder generator appends vectors with executor-side batching") {
+    val df = (1 to 100).map(i => (i.toLong, s"text-$i")).toDF("id", "text")
+    val gen = BatchEncoderEmbeddingGenerator(
+      () => HashStubEncoder(dims = 8), inputCol = "text", batchSize = 16)
+    val out = gen.transform(df)
+    assert(out.columns.toSeq == Seq("id", "text", "embedding"))
+    val rows = out.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(_.getSeq[Float](2).length == 8))
+    // deterministic: same text → same vector
+    val v1 = out.filter($"id" === 1).collect()(0).getSeq[Float](2)
+    val v2 = gen.transform(df).filter($"id" === 1).collect()(0).getSeq[Float](2)
+    assert(v1 == v2)
+  }
+
+  test("pipeline clusters separable blobs and picks one representative each") {
+    val pts = Seq(
+      (1L, Array(0.1f, 0.1f), 1.0), (2L, Array(0.12f, 0.09f), 3.0),
+      (3L, Array(0.11f, 0.11f), 2.0), (4L, Array(5.0f, 5.1f), 9.0),
+      (5L, Array(5.1f, 5.0f), 4.0), (6L, Array(4.9f, 5.05f), 5.0)
+    ).toDF("id", "embedding", "score")
+    val pipeline = SimilarityPipeline(
+      IdentityEmbeddingGenerator(inputCol = "embedding"),
+      KMeansPartitioner(k = 2, seed = Some(42L)),
+      similarityMetric = Some(EuclideanDistance()),
+      choiceFunction = Some(MaxColumnChoice("score")))
+    val clustered = pipeline.run(pts)
+    val byCluster = clustered.collect()
+      .groupBy(_.getAs[Int]("cluster_id"))
+      .view.mapValues(_.map(_.getAs[Long]("id")).toSet).toMap
+    assert(byCluster.values.toSet == Set(Set(1L, 2L, 3L), Set(4L, 5L, 6L)))
+    val reps = pipeline.selectRepresentatives(clustered)
+    val repIds = reps.collect().map(_.getAs[Long]("id")).toSet
+    assert(repIds == Set(2L, 4L)) // max score in each blob
+  }
+
+  test("cosine metric produces unit vectors; auto-kmeans infers k") {
+    val pts = Seq((1L, Array(3.0, 4.0)), (2L, Array(0.0, 2.0))).toDF("id", "embedding")
+    val (prepared, c) = CosineSimilarity().prepare(pts)
+    assert(c == "embedding_unit")
+    val v = prepared.select(c).collect()
+      .map(_.getAs[org.apache.spark.ml.linalg.Vector](0))
+    v.foreach(x => assert(math.abs(math.sqrt(x.toArray.map(a => a * a).sum) - 1.0) < 1e-9))
+
+    val auto = AutoKMeansPartitioner(targetPartitionSize = 2, seed = Some(1L),
+      maxPartitions = Some(3))
+    assert(auto.inferPartitionCount(0) == 1)
+    assert(auto.inferPartitionCount(5) == 3)
+    assert(auto.inferPartitionCount(100) == 3) // capped by maxPartitions
+    val manyPts = (1 to 8).map(i => (i.toLong, Array(i.toDouble, i.toDouble)))
+      .toDF("id", "embedding")
+    val clustered = auto.partition(manyPts) // k = ceil(8/2) capped at 3
+    assert(clustered.columns.contains("cluster_id"))
+    assert(clustered.select("cluster_id").distinct().count() == 3)
+    intercept[IllegalArgumentException] {
+      VectorColumns.ensureVectorColumn(pts.withColumn("bad", lit("x")), "bad", "bad")
+    }
+  }
+}
