@@ -138,6 +138,82 @@ object SparkEntry {
       val clustered = pipeline.run(t(s, dir, "embeddings"))
       pipeline.selectRepresentatives(clustered)
         .select(col("vec_id"), col("cluster_id"), col("label"))
+    }),
+
+    // ---- text analysis: token counts, ratios, language id, quality ----
+    "q_text_stats" -> ((s, dir) => {
+      val ta = operators.TextAnalysis
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        ta.tokenCount(col("text")).as("n_tok"),
+        ta.bpeishTokenCount(col("text")).as("n_bpe"),
+        round(ta.punctRatio(col("text")), 6).as("punct_ratio"),
+        ta.languageId(col("text")).as("lang_id"),
+        ta.qualityScore(col("text")).as("quality"))
+    }),
+
+    // ---- exact dedup (hash-partition + windowed survivor choice) ----
+    "q_exact_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs
+        .unionAll(docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .unionAll(docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") - 100000).as("doc_id"), col("text")))
+      operators.Dedup.exactDedup(corpus, Seq("text"), "doc_id").select("doc_id")
+    }),
+
+    // ---- MinHash signatures (16 perms, word trigram shingles) ----
+    "q_minhash_signatures" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        posexplode(operators.Dedup.minhashSignature(col("text"), 16, 3)))
+        .withColumnRenamed("pos", "perm")
+        .withColumnRenamed("col", "minhash")
+    }),
+
+    // ---- SimHash fingerprints (32 bits) ----
+    "q_simhash" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        operators.Dedup.simhash(col("text"), 32).as("simhash"))
+    }),
+
+    // ---- MinHash+LSH near-dup pairs over a corpus with planted dups ----
+    "q_lsh_dedup_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.where(col("doc_id") % 10 === 0).select(
+          (col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" extra extra")).as("text")))
+      operators.Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.5)
+    }),
+
+    // ---- n-gram Jaccard near-dup pairs (blocked by source+lang) ----
+    "q_ngram_jaccard_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.select(col("source"), col("lang"),
+        col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = docs.select(col("source"), col("lang"),
+        col("doc_id").as("id_b"), col("text").as("text_b"))
+      a.join(b, Seq("source", "lang"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("jaccard",
+          round(operators.Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 6))
+        .where(col("jaccard") >= 0.1)
+        .select("id_a", "id_b", "jaccard")
+    }),
+
+    // ---- embedding-cosine near-dup pairs (planted scaled copies) ----
+    "q_cosine_near_dup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id"), col("label"), col("embedding"))
+        .unionAll(e.where(col("vec_id") % 20 === 0).select(
+          (col("vec_id") + 100000).as("vec_id"), col("label"),
+          transform(col("embedding"), x => x * 2.0f).as("embedding")))
+      operators.Dedup.cosineNearDupPairs(corpus, "vec_id", "embedding",
+        Seq("label"), threshold = 0.99)
     })
   )
 
@@ -246,6 +322,184 @@ object SparkEntry {
         |  CASE WHEN text IS NULL OR text = '' THEN 0.0
         |       ELSE ('0x' || substring(sha256(text), i * 8 + 1, 8))::BIGINT
         |            / 4294967295.0 END AS val
-        |FROM documents, range(8) AS t(i)""".stripMargin
+        |FROM documents, range(8) AS t(i)""".stripMargin,
+    "q_text_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id, text, len(toks) AS n_tok,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+        |              * 1.0 / length(text) END AS praw,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE length(regexp_replace(text, '[^A-Z]', '', 'g'))
+        |              * 1.0 / length(text) END AS uraw,
+        |    len(list_filter(list_transform(toks, t -> lower(t)),
+        |      t -> list_contains(['the','and','of','to','in','is','that','for'], t))) AS s_en,
+        |    len(list_filter(list_transform(toks, t -> lower(t)),
+        |      t -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], t))) AS s_de,
+        |    len(list_filter(list_transform(toks, t -> lower(t)),
+        |      t -> list_contains(['le','la','les','et','est','pas','une','dans'], t))) AS s_fr,
+        |    len(list_filter(list_transform(toks, t -> lower(t)),
+        |      t -> list_contains(['el','la','los','y','es','no','una','por'], t))) AS s_es
+        |  FROM base)
+        |SELECT doc_id, n_tok, n_bpe, round(praw, 6) AS punct_ratio,
+        |  CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |       WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |       WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |       WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+        |       ELSE 'und' END AS lang_id,
+        |  round(
+        |    0.25 * least(1.0, n_tok / 50.0)
+        |    + 0.25 * (1.0 - least(1.0, praw * 4.0))
+        |    + 0.25 * (1.0 - least(1.0, uraw * 4.0))
+        |    + 0.25 * (CASE WHEN n_tok > 0
+        |        AND length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / n_tok
+        |            BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END),
+        |  6) AS quality
+        |FROM stats""".stripMargin,
+    "q_exact_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id - 100000, text FROM documents WHERE doc_id % 7 = 0),
+        |r AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY sha256(coalesce(CAST(text AS VARCHAR), ''))
+        |    ORDER BY doc_id) AS rn
+        |  FROM corpus)
+        |SELECT doc_id FROM r WHERE rn = 1""".stripMargin,
+    "q_minhash_signatures" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) = 0 THEN []
+        |         ELSE list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |                i -> array_to_string(toks[i:i+2], ' ')) END AS shingles
+        |  FROM toks)
+        |SELECT doc_id, CAST(p AS INTEGER) AS perm,
+        |  min(('0x' || substring(sha256(p::VARCHAR || ':' || s), 1, 15))::BIGINT)
+        |    AS minhash
+        |FROM sh
+        |CROSS JOIN unnest(shingles) AS u(s)
+        |CROSS JOIN range(16) AS t(p)
+        |GROUP BY doc_id, p""".stripMargin,
+    "q_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(sha256(tok), 1, 15))::BIGINT AS h
+        |  FROM toks),
+        |bitsum AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN range(32) t(b)
+        |  GROUP BY doc_id, b)
+        |SELECT d.doc_id,
+        |  coalesce(agg.sh, 0)::BIGINT AS simhash
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS sh
+        |  FROM bitsum GROUP BY doc_id) agg
+        |ON d.doc_id = agg.doc_id""".stripMargin,
+    "q_lsh_dedup_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' extra extra'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[i:i+2], ' ')) AS shingles
+        |  FROM toks WHERE len(toks) > 0),
+        |minh AS (
+        |  SELECT doc_id, CAST(p AS INTEGER) AS p,
+        |    min(('0x' || substring(sha256(p::VARCHAR || ':' || s), 1, 15))::BIGINT)
+        |      AS mh
+        |  FROM sh CROSS JOIN unnest(shingles) AS u(s) CROSS JOIN range(16) t(p)
+        |  GROUP BY doc_id, p),
+        |sig AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM minh GROUP BY doc_id),
+        |bandh AS (
+        |  SELECT doc_id, b,
+        |    ('0x' || substring(sha256(
+        |      array_to_string(sig[CAST(b AS INTEGER)*4+1 : CAST(b AS INTEGER)*4+4], ',')),
+        |      1, 15))::BIGINT AS bh
+        |  FROM sig CROSS JOIN range(4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM bandh a JOIN bandh c ON a.b = c.b AND a.bh = c.bh
+        |  WHERE a.doc_id < c.doc_id),
+        |est AS (
+        |  SELECT cand.id_a, cand.id_b,
+        |    round(len(list_filter(range(16),
+        |      i -> s1.sig[CAST(i AS INTEGER)+1] = s2.sig[CAST(i AS INTEGER)+1]))
+        |      / 16.0, 6) AS est_jaccard
+        |  FROM cand
+        |  JOIN sig s1 ON s1.doc_id = cand.id_a
+        |  JOIN sig s2 ON s2.doc_id = cand.id_b)
+        |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin,
+    "q_ngram_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, lang,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, lang,
+        |    list_distinct(CASE WHEN len(toks) = 0 THEN []
+        |      ELSE list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |             i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+        |         ELSE round(len(list_intersect(a.s, b.s)) * 1.0
+        |              / len(list_distinct(list_concat(a.s, b.s))), 6) END AS jaccard
+        |  FROM sh a JOIN sh b
+        |    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.1""".stripMargin,
+    "q_cosine_near_dup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, label, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, label,
+        |    list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |c AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)) AS va,
+        |    list_transform(b.embedding, x -> CAST(x AS DOUBLE)) AS vb
+        |  FROM corpus a JOIN corpus b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id),
+        |s AS (
+        |  SELECT id_a, id_b,
+        |    list_sum(list_transform(range(len(va)),
+        |      i -> va[CAST(i AS INTEGER)+1] * vb[CAST(i AS INTEGER)+1])) AS dot,
+        |    sqrt(list_sum(list_transform(va, x -> x * x))) AS na,
+        |    sqrt(list_sum(list_transform(vb, x -> x * x))) AS nb
+        |  FROM c)
+        |SELECT id_a, id_b,
+        |  round(CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (na * nb) END, 6)
+        |    AS cos
+        |FROM s
+        |WHERE round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |            ELSE dot / (na * nb) END, 6) >= 0.99""".stripMargin
   )
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, language ID, quality scoring, document fingerprinting.
+  *
+  * All pure column expressions (split/filter/transform/aggregate over
+  * arrays) — codegen'd, no UDFs, no shuffles; they scale linearly and stay
+  * inside whole-stage codegen. Each has an exact DuckDB-SQL equivalent used
+  * by the driver oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties removed; empty/null text → empty array. */
+  def tokens(text: Column): Column =
+    filter(split(coalesce(text, lit("")), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: word chunks and single punctuation marks counted
+    * separately (`\w+|[^\w\s]` — the usual pre-tokenizer shape).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(coalesce(text, lit("")), lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val len = length(coalesce(text, lit("")))
+    val punct = length(regexp_replace(coalesce(text, lit("")), "[^!-/:-@\\[-`{-~]", ""))
+    when(len === 0, lit(0.0)).otherwise(punct.cast("double") / len)
+  }
+
+  /** Ratio of uppercase letters to total characters (0 for empty). */
+  def upperRatio(text: Column): Column = {
+    val len = length(coalesce(text, lit("")))
+    val upper = length(regexp_replace(coalesce(text, lit("")), "[^A-Z]", ""))
+    when(len === 0, lit(0.0)).otherwise(upper.cast("double") / len)
+  }
+
+  /** Ratio of tokens that are in `stopwords` (lowercased compare). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+  }
+
+  /** Common-word sets for the language-ID heuristic. Tiny on purpose — an
+    * n-gram/stopword-hit scorer, not a real model.
+    */
+  val LanguageStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "una", "por"))
+
+  /** Per-language stopword hit count. */
+  def languageScore(text: Column, words: Seq[String]): Column = {
+    val sw = array(words.map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(sw, t)))
+  }
+
+  /** Heuristic language ID: argmax of stopword hits, first-listed language
+    * wins ties, "und" (undetermined) when no stopword hits at all.
+    */
+  def languageId(text: Column): Column = {
+    val scores = LanguageStopwords.map { case (lang, words) =>
+      lang -> languageScore(text, words)
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, score)) =>
+      when(score > 0 && score === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length documents and
+    * normal word length, penalizes punctuation/uppercase excess. The exact
+    * formula is semantics-bearing for the oracle:
+    * 0.25·min(1, tokens/50) + 0.25·(1 - min(1, punctRatio·4))
+    * + 0.25·(1 - min(1, upperRatio·4)) + 0.25·(meanWordLen in [3,12]).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenScore = least(lit(1.0), nTok.cast("double") / 50.0)
+    val punctScore = lit(1.0) - least(lit(1.0), punctRatio(text) * 4.0)
+    val upperScore = lit(1.0) - least(lit(1.0), upperRatio(text) * 4.0)
+    val meanWordLen = when(nTok === 0, lit(0.0))
+      .otherwise(length(regexp_replace(coalesce(text, lit("")), "\\s+", ""))
+        .cast("double") / nTok)
+    val wordLenScore = when(meanWordLen >= 3.0 && meanWordLen <= 12.0, lit(1.0))
+      .otherwise(lit(0.0))
+    round(lenScore * 0.25 + punctScore * 0.25 + upperScore * 0.25
+      + wordLenScore * 0.25, 6)
+  }
+
+  /** 60-bit hash of a string: first 15 hex chars of SHA-256 as a bigint.
+    * 15 hex chars keep the value inside a signed 64-bit range on every
+    * engine (16 would overflow DuckDB's signed BIGINT cast).
+    */
+  def hash60(s: Column): Column =
+    conv(substring(sha2(s, 256), 1, 15), 16, 10).cast("bigint")
+
+  /** Word n-gram shingles joined by a single space. Documents with fewer
+    * than `n` tokens yield a single shingle of the whole token sequence.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    require(n >= 1, "shingle size must be >= 1")
+    val toks = tokens(text)
+    val count = greatest(size(toks) - (n - 1), lit(1))
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), count),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Rolling-hash document fingerprint: minimum 60-bit hash over word
+    * `n`-gram shingles (a 1-permutation MinHash). Null for empty text.
+    */
+  def fingerprint(text: Column, n: Int = 5): Column = {
+    val hashes = transform(shingles(text, n), s => hash60(s))
+    when(size(hashes) === 0, lit(null).cast("bigint")).otherwise(array_min(hashes))
+  }
+}

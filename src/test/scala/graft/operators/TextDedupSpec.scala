@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TextDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("token counts, ratios, language id") {
+    val df = Seq(
+      (1L, "The cat and the dog, in a house."),
+      (2L, "el perro y el gato no es una casa"),
+      (3L, ""),
+      (4L, "zzz qqq vvv")
+    ).toDF("id", "text")
+    val out = df.select(
+      col("id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tok"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe"),
+      round(TextAnalysis.punctRatio(col("text")), 4).as("punct"),
+      TextAnalysis.languageId(col("text")).as("lang")
+    ).orderBy("id").collect()
+    assert(out(0).getAs[Int]("n_tok") == 8)
+    assert(out(0).getAs[Int]("n_bpe") == 10) // 8 words + comma + period
+    assert(out(0).getAs[String]("lang") == "en")
+    assert(out(1).getAs[String]("lang") == "es")
+    assert(out(2).getAs[Int]("n_tok") == 0)
+    assert(out(3).getAs[String]("lang") == "und")
+  }
+
+  test("quality score is in [0,1] and favors clean prose") {
+    val df = Seq(
+      (1L, ("the quick brown fox jumps over the lazy dog " * 6).trim),
+      (2L, "!!! ??? ### $$$ %%%")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.qualityScore(col("text")).as("q")).orderBy("id").collect()
+    val clean = out(0).getAs[Double]("q")
+    val junk = out(1).getAs[Double]("q")
+    assert(clean > 0.9 && clean <= 1.0)
+    assert(junk < clean - 0.3 && junk >= 0.0)
+  }
+
+  test("fingerprint is stable and shingle-based") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "totally different words here now ok")
+    ).toDF("id", "text")
+    val fp = df.select(col("id"),
+      TextAnalysis.fingerprint(col("text"), 3).as("fp")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("fp")).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("exact dedup keeps first by order col") {
+    val df = Seq((1L, "same"), (5L, "same"), (3L, "other")).toDF("id", "text")
+    val out = Dedup.exactDedup(df, Seq("text"), "id").collect()
+      .map(_.getAs[Long]("id")).toSet
+    assert(out == Set(1L, 3L))
+  }
+
+  test("minhash LSH finds near-duplicate pairs, skips distinct docs") {
+    val base = "spark fuse data pipeline with many shared tokens in common sequence order"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " extra"),                   // near-dup of 1
+      (3L, "completely unrelated content about cooking pasta with tomato sauce basil"),
+      (4L, base)                               // exact dup of 1
+    ).toDF("id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "id", "text",
+      numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs same hash, near docs small hamming distance") {
+    val df = Seq(
+      (1L, "spark is a distributed compute engine for big data workloads"),
+      (2L, "spark is a distributed compute engine for big data workloads"),
+      (3L, "spark is a distributed compute engine for huge data workloads"),
+      (4L, "bananas apples oranges pears grapes melons kiwis plums")
+    ).toDF("id", "text")
+    val sh = df.select(col("id"), Dedup.simhash(col("text")).as("sh")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("sh")).toMap
+    assert(sh(1L) == sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+    assert(ham(sh(1L), sh(3L)) <= 8)
+  }
+
+  test("ngram jaccard and cosine expressions") {
+    val df = Seq(
+      ("a b c d e", "a b c d e", Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      ("a b c d e", "v w x y z", Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      ("a b c d e", "a b c d x", Array(3.0f, 4.0f), Array(3.0f, 4.0f))
+    ).toDF("t1", "t2", "v1", "v2")
+    val out = df.select(
+      round(Dedup.ngramJaccard(col("t1"), col("t2"), 2), 4).as("j"),
+      round(Dedup.cosine(col("v1"), col("v2")), 4).as("c")).collect()
+    assert(out(0).getAs[Double]("j") == 1.0 && out(0).getAs[Double]("c") == 1.0)
+    assert(out(1).getAs[Double]("j") == 0.0 && out(1).getAs[Double]("c") == 0.0)
+    assert(out(2).getAs[Double]("j") == 0.6 && out(2).getAs[Double]("c") == 1.0) // 3 of 4 bigrams shared? -> 3/5
+  }
+
+  test("cosine near-dup pairs within blocks") {
+    val df = Seq(
+      (1L, "x", Array(1.0f, 0.0f)), (2L, "x", Array(0.99f, 0.01f)),
+      (3L, "x", Array(0.0f, 1.0f)), (4L, "y", Array(1.0f, 0.0f))
+    ).toDF("id", "blk", "vec")
+    val pairs = Dedup.cosineNearDupPairs(df, "id", "vec", Seq("blk"), 0.95)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L))) // 4 is blocked away from 1 despite identical vec
+  }
+}
