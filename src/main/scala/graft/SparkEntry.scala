@@ -214,6 +214,34 @@ object SparkEntry {
           transform(col("embedding"), x => x * 2.0f).as("embedding")))
       operators.Dedup.cosineNearDupPairs(corpus, "vec_id", "embedding",
         Seq("label"), threshold = 0.99)
+    }),
+
+    // ---- ANN baseline: brute-force cosine top-k (broadcast queries) ----
+    "q_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      operators.Ann.bruteForceTopK(
+        e, e.where(col("vec_id") < 10), "vec_id", "embedding", "vec_id", 5)
+    }),
+
+    // ---- ANN scale path: IVF probe search (KMeans quantizer → rows-only) ----
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val index = operators.Ann.Ivf.build(e, "vec_id", "embedding",
+        nlist = 16, seed = 42L)
+      operators.Ann.Ivf.search(index, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+    }),
+
+    // ---- multimodal: binary content + batched stub decode (mapPartitions) ----
+    "q_multimodal_meta" -> ((s, dir) => {
+      val withContent = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      operators.Multimodal.withDecodedMeta(withContent, "content")
+        .select(col("doc_id"),
+          col("meta.format").as("format"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.n_bytes").as("n_bytes"))
     })
   )
 
@@ -500,6 +528,46 @@ object SparkEntry {
         |    AS cos
         |FROM s
         |WHERE round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
-        |            ELSE dot / (na * nb) END, 6) >= 0.99""".stripMargin
+        |            ELSE dot / (na * nb) END, 6) >= 0.99""".stripMargin,
+    "q_ann_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT q_id, id,
+        |    list_sum(list_transform(range(len(qv)),
+        |      i -> qv[CAST(i AS INTEGER)+1] * cv[CAST(i AS INTEGER)+1])) AS dot,
+        |    sqrt(list_sum(list_transform(qv, x -> x * x))) AS na,
+        |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS nb
+        |  FROM q CROSS JOIN c),
+        |r AS (
+        |  SELECT q_id, id,
+        |    round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |          ELSE dot / (na * nb) END, 6) AS cos
+        |  FROM s),
+        |w AS (
+        |  SELECT q_id, id, cos, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, id ASC) AS rank
+        |  FROM r)
+        |SELECT q_id, id, cos, CAST(rank AS INTEGER) AS rank
+        |FROM w WHERE rank <= 5""".stripMargin,
+    "q_multimodal_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id, encode(text) AS content, sha256(text) AS dg
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ['png', 'jpg', 'webp'][(('0x' || substring(dg, 1, 2))::INTEGER % 3) + 1]
+        |    AS format,
+        |  CAST(16 + (('0x' || substring(dg, 3, 2))::INTEGER % 16) * 16 AS INTEGER)
+        |    AS width,
+        |  CAST(16 + (('0x' || substring(dg, 5, 2))::INTEGER % 16) * 16 AS INTEGER)
+        |    AS height,
+        |  CAST(octet_length(content) AS BIGINT) AS n_bytes
+        |FROM d""".stripMargin
   )
 }

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]] — the exact baseline: broadcast the (small) query
+  *    set against the streamed corpus; one pass, no corpus shuffle.
+  *  - [[Ivf]] — the scale path: a KMeans coarse quantizer (IVF); queries
+  *    probe only the `nprobe` nearest cells, so the scanned fraction is
+  *    ~nprobe/nlist of the corpus. Cell assignment is a narrow projection;
+  *    the search join shuffles on cell id only.
+  */
+object Ann {
+
+  /** Exact cosine top-k: for each query row, the `k` nearest corpus rows.
+    *
+    * Output: (q_id, id, cos, rank). Cosine is rounded to 6 decimals before
+    * ranking (ties broken by corpus id) so results are reproducible across
+    * engines. The query side is broadcast — keep it small (≤ ~100k rows);
+    * for larger query sets, block both sides instead.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("__cv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("id").asc)
+    c.join(broadcast(q))
+      .withColumn("cos", round(Dedup.cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "id", "cos", "rank")
+  }
+
+  /** IVF (inverted-file) index: corpus rows assigned to KMeans cells. */
+  final case class IvfIndex(
+      assigned: DataFrame, // corpus with __cell column
+      centroids: Array[(Int, Array[Double])],
+      idCol: String,
+      vecCol: String)
+
+  object Ivf {
+
+    /** Fit the coarse quantizer and assign every corpus row to a cell.
+      * `nlist` ≈ sqrt(corpus size) is the usual choice.
+      */
+    def build(
+        corpus: DataFrame,
+        idCol: String,
+        vecCol: String,
+        nlist: Int,
+        seed: Long = 42L,
+        maxIter: Int = 20): IvfIndex = {
+      val partitioner = graft.similarity.KMeansPartitioner(
+        k = nlist, maxIter = maxIter, seed = Some(seed), outputCol = "__cell")
+      // KMeans needs a VectorUDT column; keep the original array column too
+      val withVec = corpus.withColumn("__ivf_vec",
+        org.apache.spark.ml.functions.array_to_vector(col(vecCol)))
+      val assigned = partitioner.partition(withVec, Some("__ivf_vec"))
+      // centroids: tiny (nlist × dim) — derive per-cell means from the
+      // assignment so we don't need to thread the model object around
+      val cents = assigned
+        .groupBy(col("__cell"))
+        .agg(collect_list(col(vecCol)).as("__vs"))
+        .collect()
+        .map { r =>
+          val cell = r.getInt(0)
+          val vs = r.getSeq[scala.collection.Seq[Float]](1)
+          val dim = vs.head.length
+          val mean = Array.tabulate(dim)(d => vs.map(_(d).toDouble).sum / vs.length)
+          cell -> mean
+        }
+      IvfIndex(assigned.drop("__ivf_vec"), cents, idCol, vecCol)
+    }
+
+    /** Probe the `nprobe` nearest cells per query, exact top-k inside them.
+      * Centroids ride along as a broadcast literal (nlist × dim doubles).
+      */
+    def search(
+        index: IvfIndex,
+        queries: DataFrame,
+        qIdCol: String,
+        vecCol: String,
+        k: Int,
+        nprobe: Int): DataFrame = {
+      val centArr = index.centroids.map { case (cell, cent) =>
+        struct(lit(cell).as("cell"),
+          array(cent.map(lit).toIndexedSeq: _*).as("c"))
+      }
+      val centsLit = array(centArr.toIndexedSeq: _*)
+      // rank cells by cosine(query, centroid), keep nprobe best
+      val q = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("__qv"))
+        .withColumn("__cells",
+          slice(
+            transform(
+              array_sort(
+                transform(centsLit, c =>
+                  struct((-Dedup.cosine(col("__qv"), c.getField("c"))).as("negCos"),
+                    c.getField("cell").as("cell")))),
+              s => s.getField("cell")),
+            1, nprobe))
+        .withColumn("__cell", explode(col("__cells")))
+        .drop("__cells")
+      val c = index.assigned.select(
+        col("__cell"), col(index.idCol).as("id"), col(index.vecCol).as("__cv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("id").asc)
+      c.join(broadcast(q), Seq("__cell"))
+        .withColumn("cos", round(Dedup.cosine(col("__qv"), col("__cv")), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("q_id", "id", "cos", "rank")
+    }
+  }
+
+  /** Recall of an ANN result against the exact result: fraction of exact
+    * top-k pairs the approximate search also returned.
+    */
+  def recallAgainstExact(exact: DataFrame, approx: DataFrame): Double = {
+    val hits = exact.select("q_id", "id")
+      .join(approx.select("q_id", "id"), Seq("q_id", "id"), "left_semi").count()
+    val total = exact.count()
+    if (total == 0) 1.0 else hits.toDouble / total
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: images/audio/video as opaque `binary`
+  * columns with typed metadata, processed in batched partition iterators
+  * (the JVM analogue of `mapInPandas` batches).
+  *
+  * The actual codec work is STUBBED — this container has no image/audio
+  * libraries — behind [[StubCodec]]: a deterministic fake keyed off the
+  * content's SHA-256 so the Spark-side plumbing (schema, batching,
+  * partitioning, null handling) is real and testable, and results are
+  * oracle-able. A production deployment swaps [[Codec]] for a JNI/library
+  * implementation without touching the operator code.
+  */
+object Multimodal {
+
+  /** Decoded media metadata. */
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** The codec seam: decode bytes → (format, width, height). */
+  trait Codec extends Serializable {
+    def decode(content: Array[Byte]): (String, Int, Int)
+  }
+
+  /** STUB: deterministic fake decode derived from the content digest.
+    * format = {png,jpg,webp}[digest(0) % 3], width/height = 16 + 16·(digest
+    * byte % 16). A real codec replaces this class.
+    */
+  object StubCodec extends Codec {
+    private val formats = Array("png", "jpg", "webp")
+    def decode(content: Array[Byte]): (String, Int, Int) = {
+      val d = java.security.MessageDigest.getInstance("SHA-256").digest(content)
+      (formats(java.lang.Byte.toUnsignedInt(d(0)) % 3),
+        16 + (java.lang.Byte.toUnsignedInt(d(1)) % 16) * 16,
+        16 + (java.lang.Byte.toUnsignedInt(d(2)) % 16) * 16)
+    }
+  }
+
+  /** Append a decoded-metadata struct column for a binary content column.
+    * Batched mapPartitions (default 64 rows/batch, mirroring Arrow batch
+    * processing); null content → null meta.
+    */
+  def withDecodedMeta(
+      df: DataFrame,
+      contentCol: String,
+      metaCol: String = "meta",
+      codec: Codec = StubCodec,
+      batchSize: Int = 64): DataFrame = {
+    val idx = df.columns.indexOf(contentCol)
+    require(idx >= 0, s"content column '$contentCol' missing")
+    val outSchema = StructType(df.schema.fields :+ StructField(metaCol, MetaSchema))
+    val c = codec
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.get(idx).asInstanceOf[Array[Byte]]
+          val meta = if (bytes == null) null else {
+            val (fmt, w, h) = c.decode(bytes)
+            Row(fmt, w, h, bytes.length.toLong)
+          }
+          Row.fromSeq(r.toSeq :+ meta)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** STUB resize: deterministic fake — digest of (content ++ "WxH") — with
+    * the real operator shape (binary in, binary out, target dims).
+    */
+  def resizeStub(content: org.apache.spark.sql.Column, width: Int, height: Int)
+      : org.apache.spark.sql.Column =
+    sha2(concat(content, lit(s"${width}x$height").cast("binary")), 256).cast("binary")
+
+  /** Sample up to `n` fixed-size "frames" (chunks) from a binary payload —
+    * the video-frame-sampling operator shape. Pure expressions: substr over
+    * binary works bytewise.
+    */
+  def frameSample(content: org.apache.spark.sql.Column, n: Int, frameBytes: Int)
+      : org.apache.spark.sql.Column =
+    filter(
+      transform(sequence(lit(0), lit(n - 1)),
+        i => content.substr(i * frameBytes + 1, lit(frameBytes))),
+      f => length(f) > 0)
+}

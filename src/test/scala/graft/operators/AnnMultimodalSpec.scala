@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class AnnMultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val embeddings =
+    spark.read.parquet(sf("embeddings"))
+
+  test("brute-force top-k returns k ranked neighbors incl. self at rank 1") {
+    val queries = embeddings.filter($"vec_id" < 5)
+    val out = Ann.bruteForceTopK(embeddings, queries, "vec_id", "embedding", "vec_id", 5)
+    val rows = out.collect()
+    assert(rows.length == 25) // 5 queries × 5
+    // self-match is rank 1 with cos 1.0
+    val rank1 = rows.filter(_.getAs[Int]("rank") == 1)
+    assert(rank1.forall(r => r.getAs[Long]("q_id") == r.getAs[Long]("id")))
+    assert(rank1.forall(_.getAs[Double]("cos") == 1.0))
+    // ranks strictly ordered by cos desc within a query
+    val perQ = rows.groupBy(_.getAs[Long]("q_id"))
+    perQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      val cosSeq = sorted.map(_.getAs[Double]("cos")).toSeq
+      assert(cosSeq == cosSeq.sorted.reverse)
+    }
+  }
+
+  test("IVF search hits decent recall vs exact and scans fewer rows") {
+    val queries = embeddings.filter($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(embeddings, queries, "vec_id", "embedding", "vec_id", 5)
+    val index = Ann.Ivf.build(embeddings, "vec_id", "embedding", nlist = 8, seed = 7L)
+    val approx = Ann.Ivf.search(index, queries, "vec_id", "embedding", k = 5, nprobe = 4)
+    val recall = Ann.recallAgainstExact(exact, approx)
+    assert(recall >= 0.5, s"recall $recall too low")
+    // self-match always found (its own cell is always probed first)
+    val self = approx.filter($"q_id" === $"id")
+    assert(self.count() == 10)
+  }
+
+  test("multimodal decoded meta is deterministic and null-safe") {
+    val df = Seq(
+      (1L, "hello world".getBytes("UTF-8")),
+      (2L, "hello world".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "content")
+    val out = Multimodal.withDecodedMeta(df, "content").orderBy("id").collect()
+    val m1 = out(0).getStruct(2)
+    val m2 = out(1).getStruct(2)
+    assert(m1 == m2) // deterministic
+    assert(Set("png", "jpg", "webp").contains(m1.getString(0)))
+    assert(m1.getInt(1) >= 16 && m1.getInt(1) <= 256)
+    assert(m1.getLong(3) == 11L)
+    assert(out(2).isNullAt(2)) // null content → null meta
+  }
+
+  test("frame sampling slices binary payloads bytewise") {
+    val df = Seq((1L, "abcdefghij".getBytes("UTF-8"))).toDF("id", "content")
+    val frames = df.select(
+      Multimodal.frameSample(col("content"), n = 4, frameBytes = 3).as("f"))
+      .collect()(0).getSeq[Array[Byte]](0)
+    assert(frames.map(new String(_, "UTF-8")).toSeq == Seq("abc", "def", "ghi", "j"))
+  }
+}
