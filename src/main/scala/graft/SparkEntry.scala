@@ -141,15 +141,19 @@ object SparkEntry {
     }),
 
     // ---- text analysis: token counts, ratios, language id, quality ----
+    // tokens projected once, then every stat reads the array attribute —
+    // CollapseProject keeps the non-cheap multi-referenced alias separate
     "q_text_stats" -> ((s, dir) => {
       val ta = operators.TextAnalysis
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        ta.tokenCount(col("text")).as("n_tok"),
-        ta.bpeishTokenCount(col("text")).as("n_bpe"),
-        round(ta.punctRatio(col("text")), 6).as("punct_ratio"),
-        ta.languageId(col("text")).as("lang_id"),
-        ta.qualityScore(col("text")).as("quality"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), ta.tokens(col("text")).as("__toks"))
+        .select(
+          col("doc_id"),
+          size(col("__toks")).as("n_tok"),
+          ta.bpeishTokenCount(col("text")).as("n_bpe"),
+          round(ta.punctRatio(col("text")), 6).as("punct_ratio"),
+          ta.languageIdFromTokens(col("__toks")).as("lang_id"),
+          ta.qualityScoreFromTokens(col("text"), col("__toks")).as("quality"))
     }),
 
     // ---- exact dedup (hash-partition + windowed survivor choice) ----
@@ -165,9 +169,8 @@ object SparkEntry {
 
     // ---- MinHash signatures (16 perms, word trigram shingles) ----
     "q_minhash_signatures" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        posexplode(operators.Dedup.minhashSignature(col("text"), 16, 3)))
+      operators.Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", 16, 3)
+        .select(col("__id").as("doc_id"), posexplode(col("__sig")))
         .withColumnRenamed("pos", "perm")
         .withColumnRenamed("col", "minhash")
     }),
@@ -192,17 +195,8 @@ object SparkEntry {
 
     // ---- n-gram Jaccard near-dup pairs (blocked by source+lang) ----
     "q_ngram_jaccard_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val a = docs.select(col("source"), col("lang"),
-        col("doc_id").as("id_a"), col("text").as("text_a"))
-      val b = docs.select(col("source"), col("lang"),
-        col("doc_id").as("id_b"), col("text").as("text_b"))
-      a.join(b, Seq("source", "lang"))
-        .where(col("id_a") < col("id_b"))
-        .withColumn("jaccard",
-          round(operators.Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 6))
-        .where(col("jaccard") >= 0.1)
-        .select("id_a", "id_b", "jaccard")
+      operators.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", Seq("source", "lang"), n = 3, threshold = 0.1)
     }),
 
     // ---- embedding-cosine near-dup pairs (planted scaled copies) ----
@@ -242,6 +236,51 @@ object SparkEntry {
           col("meta.width").as("width"),
           col("meta.height").as("height"),
           col("meta.n_bytes").as("n_bytes"))
+    }),
+
+    // ---- S1/S2 DSv2 REST source vs in-process fixture server ----
+    "q_rest_read" -> ((s, _) => {
+      val base = io.DemoServers.restServer()
+      s.read.format("graft-rest")
+        .schema("id LONG, name STRING, score LONG")
+        .option("graft.rest.config",
+          s"""{"sources": "$base/items",
+             | "pagination": {"mode": "query", "param": "page",
+             |                "start": 1, "stop": 3},
+             | "records_field": "data", "parallelism": 3}""".stripMargin)
+        .load()
+    }),
+
+    // ---- S8-S9 DSv2 SPARQL source vs in-process fixture server ----
+    "q_sparql_read" -> ((s, _) => {
+      val base = io.DemoServers.sparqlServer()
+      s.read.format("graft-sparql")
+        .option("graft.sparql.config",
+          s"""{"endpoint": "$base/sparql",
+             | "queries": "SELECT ?city ?population WHERE { }"}""".stripMargin)
+        .load()
+    }),
+
+    // ---- S13-S15 DSv2 Qdrant write + scroll read round trip ----
+    "q_qdrant_roundtrip" -> ((s, dir) => {
+      val base = io.DemoServers.qdrantServer()
+      val src = t(s, dir, "embeddings").where(col("vec_id") < 6)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), x => round(x.cast("double"), 3))
+            .as("vector"),
+          concat(lit("v"), col("vec_id")).as("name"))
+      src.coalesce(1).write.format("graft-qdrant")
+        .option("graft.qdrant.config",
+          s"""{"endpoint": "$base", "collection": "demo",
+             | "payload_format": "points", "write_method": "put"}""".stripMargin)
+        .mode("append").save()
+      s.read.format("graft-qdrant")
+        .schema("id LONG, payload STRUCT<name: STRING>")
+        .option("graft.qdrant.config",
+          s"""{"endpoint": "$base", "collection": "demo",
+             | "with_vectors": false}""".stripMargin)
+        .load()
+        .select(col("id"), col("payload.name").as("name"))
     })
   )
 
@@ -412,13 +451,14 @@ object SparkEntry {
         |    CASE WHEN len(toks) = 0 THEN []
         |         ELSE list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
         |                i -> array_to_string(toks[i:i+2], ' ')) END AS shingles
-        |  FROM toks)
+        |  FROM toks),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(sha256(s), 1, 7))::BIGINT % 268435399 AS h
+        |  FROM sh CROSS JOIN unnest(shingles) AS u(s))
         |SELECT doc_id, CAST(p AS INTEGER) AS perm,
-        |  min(('0x' || substring(sha256(p::VARCHAR || ':' || s), 1, 15))::BIGINT)
-        |    AS minhash
-        |FROM sh
-        |CROSS JOIN unnest(shingles) AS u(s)
-        |CROSS JOIN range(16) AS t(p)
+        |  min((h * (2 * p + 1) + p * 7919) % 268435399) AS minhash
+        |FROM h CROSS JOIN range(16) AS t(p)
         |GROUP BY doc_id, p""".stripMargin,
     "q_simhash" ->
       """WITH toks AS (
@@ -457,11 +497,14 @@ object SparkEntry {
         |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
         |      i -> array_to_string(toks[i:i+2], ' ')) AS shingles
         |  FROM toks WHERE len(toks) > 0),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(sha256(s), 1, 7))::BIGINT % 268435399 AS h
+        |  FROM sh CROSS JOIN unnest(shingles) AS u(s)),
         |minh AS (
         |  SELECT doc_id, CAST(p AS INTEGER) AS p,
-        |    min(('0x' || substring(sha256(p::VARCHAR || ':' || s), 1, 15))::BIGINT)
-        |      AS mh
-        |  FROM sh CROSS JOIN unnest(shingles) AS u(s) CROSS JOIN range(16) t(p)
+        |    min((h * (2 * p + 1) + p * 7919) % 268435399) AS mh
+        |  FROM h CROSS JOIN range(16) t(p)
         |  GROUP BY doc_id, p),
         |sig AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM minh GROUP BY doc_id),
         |bandh AS (
@@ -568,6 +611,20 @@ object SparkEntry {
         |  CAST(16 + (('0x' || substring(dg, 5, 2))::INTEGER % 16) * 16 AS INTEGER)
         |    AS height,
         |  CAST(octet_length(content) AS BIGINT) AS n_bytes
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+    "q_rest_read" ->
+      """SELECT CAST(p * 100 + i AS BIGINT) AS id,
+        |  'item' || CAST(p * 100 + i AS VARCHAR) AS name,
+        |  CAST((p * 100 + i) % 7 AS BIGINT) AS score
+        |FROM range(1, 4) AS a(p), range(1, 4) AS b(i)""".stripMargin,
+    "q_sparql_read" ->
+      """SELECT * FROM (VALUES
+        |  ('Berlin', CAST(3700000 AS BIGINT)),
+        |  ('Paris',  CAST(2100000 AS BIGINT)),
+        |  ('Madrid', CAST(3200000 AS BIGINT)))
+        |AS t(city, population)""".stripMargin,
+    "q_qdrant_roundtrip" ->
+      """SELECT vec_id AS id, 'v' || CAST(vec_id AS VARCHAR) AS name
+        |FROM embeddings WHERE vec_id < 6""".stripMargin
   )
 }

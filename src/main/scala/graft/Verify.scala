@@ -38,5 +38,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // connector demo fixtures hold non-daemon dispatcher threads; exit hard
+    sys.exit(0)
   }
 }

@@ -30,12 +30,15 @@ object Ann {
       vecCol: String,
       qIdCol: String,
       k: Int): DataFrame = {
-    val q = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("__cv"))
+    val q = Dedup.cosineSide(queries, Nil, qIdCol, vecCol, "q")
+      .withColumnRenamed("id_q", "q_id")
+    val c = Dedup.cosineSide(corpus, Nil, idCol, vecCol, "c")
+      .withColumnRenamed("id_c", "id")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("id").asc)
     c.join(broadcast(q))
-      .withColumn("cos", round(Dedup.cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("cos", round(
+        Dedup.cosineWithNorms(col("__v_q"), col("__v_c"), col("__n_q"), col("__n_c")), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("q_id", "id", "cos", "rank")
@@ -110,12 +113,16 @@ object Ann {
             1, nprobe))
         .withColumn("__cell", explode(col("__cells")))
         .drop("__cells")
-      val c = index.assigned.select(
-        col("__cell"), col(index.idCol).as("id"), col(index.vecCol).as("__cv"))
+      val c = Dedup.cosineSide(index.assigned, Seq("__cell"), index.idCol,
+        index.vecCol, "c").withColumnRenamed("id_c", "id")
+      val qSide = Dedup.cosineSide(
+        q.withColumnRenamed("__qv", "__rawq"), Seq("__cell"), "q_id", "__rawq", "q")
+        .withColumnRenamed("id_q", "q_id")
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("id").asc)
-      c.join(broadcast(q), Seq("__cell"))
-        .withColumn("cos", round(Dedup.cosine(col("__qv"), col("__cv")), 6))
+      c.join(broadcast(qSide), Seq("__cell"))
+        .withColumn("cos", round(
+          Dedup.cosineWithNorms(col("__v_q"), col("__v_c"), col("__n_q"), col("__n_c")), 6))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
         .select("q_id", "id", "cos", "rank")

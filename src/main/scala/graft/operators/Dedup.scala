@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextAnalysis.{hash60, shingles, tokens}
+import graft.operators.TextAnalysis.{hash28, hash60, shingles, tokens, MinhashPrime}
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine near-dup.
@@ -15,6 +15,15 @@ import graft.operators.TextAnalysis.{hash60, shingles, tokens}
   * joined. Verification runs on candidates only.
   */
 object Dedup {
+
+  /** Repartition up to the cluster's parallelism when the input has fewer
+    * partitions — a CPU-bound stage over one small file must not run as a
+    * single task. No-op when the input is already well-partitioned.
+    */
+  private[operators] def spreadForCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   /** Exact dedup: keep the first row (by `orderCol`) per distinct value of
     * the dedup columns' row hash. A windowed rank, not dropDuplicates, so
@@ -27,17 +36,43 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature as an array<bigint> of length `numPerms`: permutation
-    * p's value is the minimum 60-bit hash of `p:shingle` over the document's
-    * word `shingleSize`-gram shingles. Empty docs → null signature.
+  /** MinHash signatures as a DataFrame (id, sig: array<bigint> of length
+    * `numPerms`): permutation p's value is `min((2p+1)·h + p·7919) mod P`
+    * over the 28-bit shingle hashes h of the document's word
+    * `shingleSize`-gram shingles (universal-hash permutation family,
+    * P = [[TextAnalysis.MinhashPrime]]). Documents with no tokens produce
+    * no row.
+    *
+    * Design notes for scale:
+    *  - relational formulation (explode shingles → per-perm min
+    *    aggregates); map-side partial min keeps the shuffle at P values
+    *    per document. A pure per-row column expression is a trap —
+    *    Catalyst inlines the shingle-construction subtree once per
+    *    permutation (measured 25× slower).
+    *  - ONE sha256 per shingle; permutations are two multiply-adds — not
+    *    a fresh digest per (shingle, perm).
     */
-  def minhashSignature(text: Column, numPerms: Int, shingleSize: Int): Column = {
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numPerms: Int,
+      shingleSize: Int): DataFrame = {
     require(numPerms >= 1, "numPerms must be >= 1")
-    val sh = shingles(text, shingleSize)
-    when(size(sh) === 0, lit(null).cast("array<bigint>"))
-      .otherwise(transform(sequence(lit(0), lit(numPerms - 1)),
-        p => array_min(transform(sh,
-          s => hash60(concat(p.cast("string"), lit(":"), s))))))
+    // small inputs often arrive as one file = one partition; the hashing is
+    // CPU-bound, so spread the rows across cores before the heavy stage
+    val spread = spreadForCompute(df)
+    val sh = spread
+      .select(col(idCol).as("__id"),
+        explode(shingles(col(textCol), shingleSize)).as("__s"))
+      .select(col("__id"), hash28(col("__s")).as("__h"))
+    val aggs = (0 until numPerms).map { p =>
+      min((col("__h") * (2L * p + 1) + lit(p * 7919L)) % MinhashPrime).as(s"__m$p")
+    }
+    sh.groupBy(col("__id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__id"),
+        array((0 until numPerms).map(p => col(s"__m$p")): _*).as("__sig"))
   }
 
   /** LSH band hashes: the signature is split into `bands` bands of
@@ -68,10 +103,7 @@ object Dedup {
     require(numPerms == bands * (numPerms / bands) && numPerms % bands == 0,
       "numPerms must be divisible by bands")
     val rowsPerBand = numPerms / bands
-    val sigs = df
-      .select(col(idCol).as("__id"),
-        minhashSignature(col(textCol), numPerms, shingleSize).as("__sig"))
-      .where(col("__sig").isNotNull)
+    val sigs = minhashSignatures(df, idCol, textCol, numPerms, shingleSize)
     val banded = sigs.select(col("__id"), col("__sig"),
       posexplode(lshBandHashes(col("__sig"), bands, rowsPerBand)).as(Seq("__band", "__bucket")))
     val left = banded.select(col("__band"), col("__bucket"),
@@ -114,24 +146,93 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Jaccard similarity of the two texts' distinct word n-gram shingle sets. */
-  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
-    val sa = array_distinct(shingles(a, n))
-    val sb = array_distinct(shingles(b, n))
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
+    shingleSetJaccard(array_distinct(shingles(a, n)), array_distinct(shingles(b, n)))
+
+  /** Jaccard of two precomputed distinct shingle arrays. */
+  def shingleSetJaccard(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb))
     val uni = size(array_union(sa, sb))
     when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni)
   }
 
+  /** Blocked n-gram Jaccard near-dup pairs: (id_a, id_b, jaccard) for pairs
+    * sharing `blockCols` with Jaccard >= `threshold`.
+    *
+    * Shingle sets are materialized per document BEFORE the self-join (each
+    * side's Project runs once per row) — computing them from the raw text
+    * columns after the join would redo the O(tokens·n) construction once
+    * per PAIR, which is quadratic in block size.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      n: Int = 3,
+      threshold: Double = 0.1): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are pruned)")
+    // relational formulation: explode distinct shingles once per doc, count
+    // matching shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|). Stays in
+    // codegen'd joins/aggregates; pairs with no shared shingle never
+    // materialize (array_intersect per pair is quadratic in block size)
+    val sh = spreadForCompute(df).select(blockCols.map(col) ++ Seq(
+      col(idCol).as("__id"),
+      explode(array_distinct(shingles(col(textCol), n))).as("__s")): _*)
+    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+    val a = sh.select(blockCols.map(col) ++ Seq(
+      col("__id").as("id_a"), col("__s")): _*)
+    val b = sh.select(blockCols.map(col) ++ Seq(
+      col("__id").as("id_b"), col("__s")): _*)
+    val matches = a.join(b, blockCols :+ "__s")
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__c"))
+    matches
+      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"),
+        "id_a")
+      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"),
+        "id_b")
+      .withColumn("jaccard", round(
+        col("__c").cast("double") / (col("__sza") + col("__szb") - col("__c")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Cosine similarity between two numeric array columns (summed in element
-    * order — deterministic).
+    * order — deterministic). Uses the codegen'd [[graft.functions.DotProduct]]
+    * / [[graft.functions.SumSquares]] expressions.
     */
   def cosine(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast("double"))
     val bd = transform(b, x => x.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, v) => s + v)
-    val na = sqrt(aggregate(ad, lit(0.0), (s, v) => s + v * v))
-    val nb = sqrt(aggregate(bd, lit(0.0), (s, v) => s + v * v))
+    val dot = graft.functions.VectorFunctions.dot(ad, bd)
+    val na = sqrt(graft.functions.VectorFunctions.sumSquares(ad))
+    val nb = sqrt(graft.functions.VectorFunctions.sumSquares(bd))
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Cosine from pre-cast double arrays + precomputed norms: only the dot
+    * product is per-pair work.
+    */
+  private[operators] def cosineWithNorms(
+      va: Column, vb: Column, na: Column, nb: Column): Column = {
+    val dot = graft.functions.VectorFunctions.dot(va, vb)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Per-side projection for cosine pair joins: id, double array, norm —
+    * computed once per ROW so the join only pays for the dot product per
+    * PAIR (norms recomputed per pair are quadratic waste).
+    */
+  private[operators] def cosineSide(
+      df: DataFrame, blockCols: Seq[String], idCol: String, vecCol: String,
+      suffix: String): DataFrame = {
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    df.select(blockCols.map(col) ++ Seq(
+      col(idCol).as(s"id_$suffix"), vd.as(s"__v_$suffix")): _*)
+      .withColumn(s"__n_$suffix",
+        sqrt(graft.functions.VectorFunctions.sumSquares(col(s"__v_$suffix"))))
   }
 
   /** Embedding-cosine near-duplicate pairs within blocking keys.
@@ -146,13 +247,12 @@ object Dedup {
       vecCol: String,
       blockCols: Seq[String],
       threshold: Double): DataFrame = {
-    val a = df.select(
-      blockCols.map(col) ++ Seq(col(idCol).as("id_a"), col(vecCol).as("__va")): _*)
-    val b = df.select(
-      blockCols.map(col) ++ Seq(col(idCol).as("id_b"), col(vecCol).as("__vb")): _*)
+    val a = cosineSide(df, blockCols, idCol, vecCol, "a")
+    val b = cosineSide(df, blockCols, idCol, vecCol, "b")
     a.join(b, blockCols)
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      .withColumn("cos", round(
+        cosineWithNorms(col("__v_a"), col("__v_b"), col("__n_a"), col("__n_b")), 6))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -41,11 +41,18 @@ object TextAnalysis {
   }
 
   /** Ratio of tokens that are in `stopwords` (lowercased compare). */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = tokens(lower(text))
-    val sw = array(stopwords.map(lit): _*)
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordRatioFromTokens(tokens(text), stopwords)
+
+  /** [[stopwordRatio]] over a pre-projected token array column — use this
+    * form when combining several token-based stats in one projection so the
+    * tokenizer runs once per row, not once per stat.
+    */
+  def stopwordRatioFromTokens(toks: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(w => lit(w.toLowerCase)): _*)
     when(size(toks) === 0, lit(0.0))
-      .otherwise(size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+      .otherwise(size(filter(toks, t => array_contains(sw, lower(t))))
+        .cast("double") / size(toks))
   }
 
   /** Common-word sets for the language-ID heuristic. Tiny on purpose — an
@@ -58,17 +65,26 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "es", "no", "una", "por"))
 
   /** Per-language stopword hit count. */
-  def languageScore(text: Column, words: Seq[String]): Column = {
-    val sw = array(words.map(lit): _*)
-    size(filter(tokens(lower(text)), t => array_contains(sw, t)))
+  def languageScore(text: Column, words: Seq[String]): Column =
+    languageScoreFromTokens(tokens(text), words)
+
+  def languageScoreFromTokens(toks: Column, words: Seq[String]): Column = {
+    val sw = array(words.map(w => lit(w.toLowerCase)): _*)
+    size(filter(toks, t => array_contains(sw, lower(t))))
   }
 
   /** Heuristic language ID: argmax of stopword hits, first-listed language
     * wins ties, "und" (undetermined) when no stopword hits at all.
     */
-  def languageId(text: Column): Column = {
+  def languageId(text: Column): Column = languageIdFromTokens(tokens(text))
+
+  /** [[languageId]] over a pre-projected token array column. The argmax
+    * references each score several times, so feed it a cheap attribute —
+    * with a raw text column the tokenizer would rerun per reference.
+    */
+  def languageIdFromTokens(toks: Column): Column = {
     val scores = LanguageStopwords.map { case (lang, words) =>
-      lang -> languageScore(text, words)
+      lang -> languageScoreFromTokens(toks, words)
     }
     val best = greatest(scores.map(_._2): _*)
     scores.reverse.foldLeft(lit("und")) { case (acc, (lang, score)) =>
@@ -82,8 +98,12 @@ object TextAnalysis {
     * 0.25·min(1, tokens/50) + 0.25·(1 - min(1, punctRatio·4))
     * + 0.25·(1 - min(1, upperRatio·4)) + 0.25·(meanWordLen in [3,12]).
     */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(text))
+
+  /** [[qualityScore]] with a pre-projected token array column. */
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
+    val nTok = size(toks)
     val lenScore = least(lit(1.0), nTok.cast("double") / 50.0)
     val punctScore = lit(1.0) - least(lit(1.0), punctRatio(text) * 4.0)
     val upperScore = lit(1.0) - least(lit(1.0), upperRatio(text) * 4.0)
@@ -101,18 +121,42 @@ object TextAnalysis {
     * engine (16 would overflow DuckDB's signed BIGINT cast).
     */
   def hash60(s: Column): Column =
-    conv(substring(sha2(s, 256), 1, 15), 16, 10).cast("bigint")
+    graft.functions.VectorFunctions.hexPrefixToLong(sha2(s, 256), 15)
+
+  /** 28-bit hash of a string reduced mod [[MinhashPrime]] — small enough
+    * that universal-hash mixing `(a·h + b) % p` stays in signed-64 range on
+    * any engine.
+    */
+  def hash28(s: Column): Column =
+    graft.functions.VectorFunctions.hexPrefixToLong(sha2(s, 256), 7) % MinhashPrime
+
+  /** Largest prime below 2^28 — the universal-hash modulus. */
+  val MinhashPrime = 268435399L
 
   /** Word n-gram shingles joined by a single space. Documents with fewer
     * than `n` tokens yield a single shingle of the whole token sequence.
+    *
+    * Built by zipping the token array with its own shifted copies — all
+    * higher-order-function ARGUMENTS, which Spark evaluates once per row.
+    * The obvious `transform(indices, i -> slice(toks, i, n))` form embeds
+    * `toks` inside the lambda body, and Spark re-evaluates the whole
+    * tokenize expression once per shingle (HOFs are interpreted, no
+    * common-subexpression elimination) — measured 100× slower.
     */
   def shingles(text: Column, n: Int): Column = {
     require(n >= 1, "shingle size must be >= 1")
     val toks = tokens(text)
-    val count = greatest(size(toks) - (n - 1), lit(1))
-    when(size(toks) === 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), count),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    if (n == 1) toks
+    else {
+      val len = size(toks)
+      // joined(i) = toks(i) .. toks(i+n-1), right-truncated near the end
+      // (concat_ws skips the nulls zip_with pads with)
+      val joined = (1 until n).foldLeft(toks) { (cur, k) =>
+        zip_with(cur, slice(toks, lit(k + 1), greatest(len - k, lit(0))),
+          (a, b) => concat_ws(" ", a, b))
+      }
+      slice(joined, lit(1), greatest(len - (n - 1), lit(1)))
+    }
   }
 
   /** Rolling-hash document fingerprint: minimum 60-bit hash over word

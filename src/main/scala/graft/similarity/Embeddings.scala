@@ -45,13 +45,15 @@ object HashEmbedding {
     */
   def hashToVector(text: Column, dims: Int = 16, normalize: Boolean = false): Column = {
     require(dims > 0, "dims must be positive")
-    // 64 hex chars = 32 bytes per digest; repeat enough for dims*4 bytes
+    // 64 hex chars = 32 bytes per digest; repeat enough for dims*4 bytes.
+    // Chunked via a regex-inserted separator + split so the digest is an
+    // evaluated-once HOF argument (substr-from-inside-the-lambda would
+    // recompute the sha per dimension).
     val repeats = (dims * 4 + 31) / 32
     val hexRep = concat(Seq.fill(repeats)(sha2(text, 256)): _*)
-    val raw = transform(
-      sequence(lit(0), lit(dims - 1)),
-      i => conv(hexRep.substr(i * 8 + 1, lit(8)), 16, 10)
-        .cast("double") / lit(4294967295.0))
+    val chunks = slice(split(regexp_replace(hexRep, "(.{8})", "$1,"), ","), 1, dims)
+    val raw = transform(chunks,
+      c => conv(c, 16, 10).cast("double") / lit(4294967295.0))
     val vec0 = transform(sequence(lit(0), lit(dims - 1)), _ => lit(0.0))
     val unnormalized = when(text.isNull || text === "", vec0).otherwise(raw)
     if (!normalize) unnormalized

@@ -1,0 +1,180 @@
+package graft.io
+
+import java.net.InetSocketAddress
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkTestBase
+
+/** SPARQL + Qdrant DSv2 connectors e2e against in-process HTTP fixtures
+  * (mirrors tests/io/test_sparql.py and tests/io/test_qdrant.py).
+  */
+class SparqlQdrantSpec extends SparkTestBase with BeforeAndAfterAll {
+
+  private var server: HttpServer = _
+  private var base: String = _
+  private val requests = new ConcurrentLinkedQueue[String]()
+  private val upserts = new ConcurrentLinkedQueue[String]()
+  @volatile private var collectionExists = false
+  @volatile private var createdCollection: String = null
+
+  private def respond(ex: HttpExchange, body: String, status: Int = 200): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private val selectPayload =
+    """{"head": {"vars": ["name", "population", "species"]},
+      | "results": {"bindings": [
+      |   {"name": {"type": "literal", "value": "Earth", "xml:lang": "en"},
+      |    "population": {"type": "literal", "value": "8000000000",
+      |      "datatype": "http://www.w3.org/2001/XMLSchema#integer"},
+      |    "species": {"type": "uri", "value": "http://ex/human"}},
+      |   {"name": {"type": "literal", "value": "Mars", "xml:lang": "en"},
+      |    "population": {"type": "literal", "value": "0",
+      |      "datatype": "http://www.w3.org/2001/XMLSchema#integer"},
+      |    "species": {"type": "uri", "value": "http://ex/robot"}}
+      | ]}}""".stripMargin
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+
+    server.createContext("/sparql", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      requests.add(s"${ex.getRequestMethod} /sparql auth=$auth body=$body " +
+        s"q=${Option(ex.getRequestURI.getQuery).getOrElse("")}")
+      val text = body + Option(ex.getRequestURI.getQuery).getOrElse("")
+      if (text.contains("ASK")) respond(ex, """{"boolean": true}""")
+      else respond(ex, selectPayload)
+    })
+
+    // Qdrant scroll: two pages
+    server.createContext("/collections/things/points/scroll", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      requests.add(s"scroll $body")
+      val page2 = body.contains("\"offset\"")
+      val points =
+        if (!page2)
+          """[{"id": 1, "vector": [0.1, 0.2], "payload": {"name": "a"}},
+            | {"id": 2, "vector": [0.3, 0.4], "payload": {"name": "b"}}]""".stripMargin
+        else """[{"id": 3, "vector": [0.5, 0.6], "payload": {"name": "c"}}]"""
+      val next = if (!page2) """, "next_page_offset": 3""" else ""
+      respond(ex,
+        s"""{"status": "ok", "result": {"points": $points$next}}""")
+    })
+
+    // Qdrant collection check/create + upsert for the write path
+    server.createContext("/collections/newcol", (ex: HttpExchange) => {
+      ex.getRequestURI.getPath match {
+        case "/collections/newcol/points" =>
+          val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          upserts.add(s"${ex.getRequestMethod} $body")
+          respond(ex, """{"status": "ok", "result": {}}""")
+        case "/collections/newcol" =>
+          ex.getRequestMethod match {
+            case "GET" =>
+              if (collectionExists) respond(ex, """{"status":"ok","result":{}}""")
+              else respond(ex, """{"status":{"error":"not found"}}""", 404)
+            case "PUT" =>
+              createdCollection =
+                new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+              collectionExists = true
+              respond(ex, """{"status":"ok","result":true}""")
+            case _ => respond(ex, "{}", 405)
+          }
+        case _ => respond(ex, "{}", 404)
+      }
+    })
+
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop(0)
+
+  test("SPARQL SELECT with metadata columns, coercion, POST form, basic auth") {
+    val df = spark.read.format("graft-sparql")
+      .option("graft.sparql.config",
+        s"""{"endpoint": "$base/sparql",
+           | "queries": "SELECT ?name ?population ?species WHERE { }",
+           | "include_metadata": true, "auth": ["user", "pass"]}""".stripMargin)
+      .load()
+    assert(df.schema("population").dataType.typeName == "long")
+    assert(df.schema("name__xml:lang").dataType.typeName == "string")
+    val rows = df.orderBy("name").collect()
+    assert(rows.length == 2)
+    val earth = rows.head
+    assert(earth.getAs[String]("name") == "Earth")
+    assert(earth.getAs[Long]("population") == 8000000000L)
+    assert(earth.getAs[String]("name__xml:lang") == "en")
+    assert(earth.getAs[String]("population__datatype")
+      == "http://www.w3.org/2001/XMLSchema#integer")
+    // POST form with basic auth header
+    assert(requests.asScala.exists(r => r.startsWith("POST /sparql")
+      && r.contains("auth=Basic ") && r.contains("query=SELECT")))
+  }
+
+  test("SPARQL ASK returns one boolean row; GET request mode") {
+    val df = spark.read.format("graft-sparql")
+      .option("graft.sparql.config",
+        s"""{"endpoint": "$base/sparql", "queries": "ASK { }",
+           | "request_type": "GET"}""".stripMargin)
+      .load()
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getAs[Boolean]("boolean"))
+    assert(requests.asScala.exists(r =>
+      r.startsWith("GET /sparql") && r.contains("q=query=ASK")))
+  }
+
+  test("Qdrant scroll read paginates and flattens points") {
+    val df = spark.read.format("graft-qdrant")
+      .option("graft.qdrant.config",
+        s"""{"endpoint": "$base", "collection": "things",
+           | "with_vectors": true, "api_key": "sekret"}""".stripMargin)
+      .load()
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L))
+    val payload = rows.head.getAs[org.apache.spark.sql.Row]("payload")
+    assert(payload.getAs[String]("name") == "a")
+    assert(rows.head.getSeq[Double](rows.head.fieldIndex("vector"))
+      .toSeq == Seq(0.1, 0.2))
+  }
+
+  test("Qdrant read respects client-side limit") {
+    val df = spark.read.format("graft-qdrant")
+      .schema("id LONG")
+      .option("graft.qdrant.config",
+        s"""{"endpoint": "$base", "collection": "things", "limit": 2}""")
+      .load()
+    assert(df.count() == 2)
+  }
+
+  test("Qdrant write batches points and auto-creates the collection") {
+    import spark.implicits._
+    collectionExists = false
+    upserts.clear()
+    val df = (1 to 5).map(i => (i.toLong, Array(0.1f * i, 0.2f * i), s"n$i"))
+      .toDF("id", "vector", "name").coalesce(1)
+    df.write.format("graft-qdrant")
+      .option("graft.qdrant.config",
+        s"""{"endpoint": "$base", "collection": "newcol", "batch_size": 2}""")
+      .mode("append").save()
+    // collection created with vector size derived from first point
+    assert(createdCollection != null && createdCollection.contains("\"size\":2"))
+    // 5 points in batches of 2 → 3 upsert requests
+    assert(upserts.size == 3)
+    val first = upserts.asScala.head
+    assert(first.startsWith("PUT") && first.contains("\"points\":")
+      && first.contains("\"payload\":{\"name\":\"n1\"}"))
+  }
+}
