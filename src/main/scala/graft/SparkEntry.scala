@@ -281,6 +281,25 @@ object SparkEntry {
              | "with_vectors": false}""".stripMargin)
         .load()
         .select(col("id"), col("payload.name").as("name"))
+    }),
+
+    // ---- U2 LLM column mapping (deterministic dry-run path) ----
+    "q_llm_map_dry_run" -> ((s, dir) => {
+      llm.Llm.mapColumnWithLlm(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", Seq("EN", "DE", "FR", "ES"), dryRun = true)
+        .df.select(col("doc_id"), col("lang"), col("lang_mapped"))
+    }),
+
+    // ---- U1 batched pluggable embeddings (hash stub, chunking plumbing) ----
+    "q_llm_embeddings" -> ((s, dir) => {
+      llm.Llm.withEmbeddings(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", () => llm.HashEmbeddingsClient(dims = 8, normalize = true),
+        batchSize = 16)
+        .select(col("doc_id"), posexplode(col("embedding")))
+        .withColumnRenamed("pos", "dim")
+        .withColumnRenamed("col", "val")
     })
   )
 
@@ -625,6 +644,30 @@ object SparkEntry {
         |AS t(city, population)""".stripMargin,
     "q_qdrant_roundtrip" ->
       """SELECT vec_id AS id, 'v' || CAST(vec_id AS VARCHAR) AS name
-        |FROM embeddings WHERE vec_id < 6""".stripMargin
+        |FROM embeddings WHERE vec_id < 6""".stripMargin,
+    "q_llm_map_dry_run" ->
+      """SELECT doc_id, lang,
+        |  CASE lower(coalesce(lang, ''))
+        |    WHEN 'en' THEN 'EN' WHEN 'de' THEN 'DE'
+        |    WHEN 'fr' THEN 'FR' WHEN 'es' THEN 'ES'
+        |    ELSE NULL END AS lang_mapped
+        |FROM documents""".stripMargin,
+    "q_llm_embeddings" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR text = ''
+        |         THEN list_transform(range(8), i -> 0.0)
+        |         ELSE list_transform(range(8), i ->
+        |           ('0x' || substring(sha256(text),
+        |             CAST(i AS INTEGER) * 8 + 1, 8))::BIGINT / 4294967295.0)
+        |    END AS v
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM raw)
+        |SELECT doc_id, CAST(i AS INTEGER) AS dim,
+        |  CAST(CASE WHEN nrm = 0 THEN v[CAST(i AS INTEGER) + 1]
+        |       ELSE v[CAST(i AS INTEGER) + 1] / nrm END AS FLOAT) AS val
+        |FROM n CROSS JOIN range(8) AS t(i)""".stripMargin
   )
 }
