@@ -283,6 +283,21 @@ object SparkEntry {
         .select(col("id"), col("payload.name").as("name"))
     }),
 
+    // ---- north-star: tumbling-window event aggregates (batch twin of the
+    // streaming op; epoch-second window_start for exact cross-engine compare)
+    "q_event_windows" -> ((s, dir) => {
+      streaming.StreamingOps.windowedTypeCounts(
+        streaming.StreamingOps.readEvents(s, s"$dir/events.parquet"))
+    }),
+
+    // ---- north-star: batch sessionization via window functions
+    // (µs precision on both sides: DuckDB truncates the ns parquet to µs) --
+    "q_sessionize" -> ((s, dir) => {
+      streaming.StreamingOps.sessionizeBatch(
+        streaming.StreamingOps.readEventsRaw(s, s"$dir/events.parquet")
+          .withColumn("ts_us", expr("ts_ns div 1000")))
+    }),
+
     // ---- U2 LLM column mapping (deterministic dry-run path) ----
     "q_llm_map_dry_run" -> ((s, dir) => {
       llm.Llm.mapColumnWithLlm(
@@ -645,6 +660,27 @@ object SparkEntry {
     "q_qdrant_roundtrip" ->
       """SELECT vec_id AS id, 'v' || CAST(vec_id AS VARCHAR) AS name
         |FROM embeddings WHERE vec_id < 6""".stripMargin,
+    "q_event_windows" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH d AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM d),
+        |g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM b)
+        |SELECT user_id, min(ts_us) AS session_start,
+        |  max(ts_us) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
     "q_llm_map_dry_run" ->
       """SELECT doc_id, lang,
         |  CASE lower(coalesce(lang, ''))

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Event-stream operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming surface (SURVEY §2.11); these are the
+  * beyond-reference operators a training-data pipeline needs: watermarked
+  * windowed aggregation and sessionization, each with a batch twin that
+  * shares the same plan shape (`window()` works identically on a static
+  * DataFrame), so the oracle-checked batch queries verify the streaming
+  * semantics.
+  *
+  * Scale notes: both aggregations shuffle once on their grouping keys
+  * (window+type / user_id); state per key is O(1). At 100 TB the windowed
+  * agg gets map-side partial aggregation for free, and sessionization's
+  * window functions sort within user partitions only — skew shows up only
+  * if a single user dominates, which `events` keys don't.
+  */
+object StreamingOps {
+
+  val EventSchema: StructType = StructType.fromDDL(
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
+      "value DOUBLE, props STRING")
+
+  /** The testdata `events.parquet` stores `ts` as parquet
+    * TIMESTAMP(NANOS), which Spark 4's parquet reader rejects outright
+    * (PARQUET_TYPE_ILLEGAL). The supported path is the legacy conf that
+    * surfaces nanos as a plain LONG; this reader flips it on for the
+    * session and returns `ts` as nanos-since-epoch (`ts_ns`).
+    */
+  def readEventsRaw(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path).withColumnRenamed("ts", "ts_ns")
+  }
+
+  /** Events with `ts` converted to a proper TIMESTAMP (microsecond
+    * precision — Spark's native resolution; sub-microsecond is truncated).
+    */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    readEventsRaw(spark, path)
+      // integer `div`, not `/1000`: double division loses exactness at
+      // ~1.7e15 µs magnitudes and can round up into the next microsecond
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .drop("ts_ns")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** File-based event stream (expects micro-precision parquet, e.g. staged
+    * via `readEvents(...).write.parquet`).
+    */
+  def readEventStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(EventSchema).parquet(path)
+
+  /** Tumbling-window per-type aggregates with a watermark. Works on both
+    * static and streaming frames; `window_start` is emitted as epoch
+    * seconds so results compare exactly across engines.
+    */
+  def windowedTypeCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  /** Batch sessionization: pure window functions (lag → gap flag →
+    * cumulative sum → per-session aggregate). One shuffle on user_id; the
+    * idiomatic scale path for backfills — no state store involved.
+    * Timestamps are epoch longs in the caller's unit (`tsCol`, `gap` in
+    * the same unit) so the comparison is exact.
+    */
+  def sessionizeBatch(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts_us",
+      tieBreakCol: String = "event_id",
+      valueCol: String = "value",
+      gap: Long = 30L * 60 * 1000000L): DataFrame = {
+    val order = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieBreakCol))
+    val brk = when(
+      col(tsCol) - lag(col(tsCol), 1).over(order) > gap, 1).otherwise(0)
+    events
+      .withColumn("__brk", brk)
+      .withColumn("__sid", sum(col("__brk")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("__sid"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 2).as("sum_value"))
+      .drop("__sid")
+  }
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, events: Long, sum: Double)
+  final case class SessionSummary(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Streaming sessionization: a user's session closes after `gapMs` of
+    * event-time inactivity. Event-time timeout (not processing-time) so
+    * batches fire only when data or the watermark advances — deterministic
+    * under `processAllAvailable`, and at scale the state store holds one
+    * small record per open session.
+    */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "0 seconds"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
+      else events
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionSummary(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastSeen), s.events, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var current = state.getOption
+            val closed = Seq.newBuilder[SessionSummary]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              current match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  current = Some(s.copy(lastSeen = t, events = s.events + 1,
+                    sum = s.sum + e.value))
+                case Some(s) =>
+                  closed += SessionSummary(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.lastSeen), s.events, s.sum)
+                  current = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  current = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            current.foreach { s =>
+              state.update(s)
+              // late data can put lastSeen+gap behind the watermark, which
+              // setTimeoutTimestamp rejects — clamp to just past it
+              state.setTimeoutTimestamp(
+                math.max(s.lastSeen + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+class StreamingOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("readEvents handles the nanos-timestamp parquet") {
+    val events = StreamingOps.readEvents(spark, sf("events"))
+    assert(events.schema("ts").dataType.typeName == "timestamp")
+    assert(events.count() > 0)
+  }
+
+  test("windowed type counts: streaming over event files matches batch") {
+    // stage micro-precision events as the streaming source directory
+    val dir = Files.createTempDirectory("graft_stream_").toString
+    val events = StreamingOps.readEvents(spark, sf("events"))
+    events.write.mode("overwrite").parquet(dir)
+
+    val streaming = StreamingOps.windowedTypeCounts(
+      StreamingOps.readEventStream(spark, dir))
+    val q = streaming.writeStream
+      .format("memory").queryName("win_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .orderBy("window_start", "event_type").collect()
+      val expected = StreamingOps.windowedTypeCounts(events)
+        .orderBy("window_start", "event_type").collect()
+      assert(got.length == expected.length && got.length > 0)
+      got.zip(expected).foreach { case (g, e) => assert(g == e) }
+    } finally q.stop()
+  }
+
+  test("batch sessionization splits at the inactivity gap") {
+    def usRow(id: Long, user: Long, min: Int, v: Double) =
+      (id, min * 60000000L, user, v)
+    val events = Seq(
+      usRow(1, 1, 0, 1.0), usRow(2, 1, 10, 2.0),
+      usRow(3, 1, 60, 5.0), // > 30min gap → new session
+      usRow(4, 2, 5, 7.0)
+    ).toDF("event_id", "ts_us", "user_id", "value")
+    val got = StreamingOps.sessionizeBatch(events)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 0L, 10L * 60000000L, 2L, 3.0),
+      (1L, 60L * 60000000L, 60L * 60000000L, 1L, 5.0),
+      (2L, 5L * 60000000L, 5L * 60000000L, 1L, 7.0)))
+  }
+
+  test("streaming sessionization closes sessions on gap and watermark timeout") {
+    import StreamingOps.SessionEvent
+    // offset from epoch 0: a ts equal to the initial watermark (0) would be
+    // dropped as late data
+    def ts(min: Int) = new java.sql.Timestamp((86400 + min * 60) * 1000L)
+    implicit val sqlCtx = spark.sqlContext
+    val source =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent]
+    val out = StreamingOps.sessionize(source.toDS(), gapMs = 30 * 60000L)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 opens a session (0,10min), user 2 opens one (5min)
+      source.addData(
+        SessionEvent(1L, ts(0), 1.0), SessionEvent(1L, ts(10), 2.0),
+        SessionEvent(2L, ts(5), 7.0))
+      q.processAllAvailable() // watermark advances to 10min
+      assert(spark.table("sessions").count() == 0)
+
+      // batch 2: user 1's 60-min event closes the first session in-batch
+      // and advances the watermark to 60min
+      source.addData(SessionEvent(1L, ts(60), 5.0))
+      q.processAllAvailable()
+
+      // batch 3 evaluates timeouts against the 60min watermark: user 2's
+      // session (idle since 5min, timeout at 35min) closes via event-time
+      // timeout; user 1's second session (timeout 90min) stays open
+      source.addData(SessionEvent(3L, ts(61), 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions")
+        .as[StreamingOps.SessionSummary].collect().sortBy(_.user_id)
+      assert(closed.length == 2)
+      assert(closed(0).user_id == 1L && closed(0).n_events == 2L
+        && closed(0).sum_value == 3.0
+        && closed(0).session_start == ts(0) && closed(0).session_end == ts(10))
+      assert(closed(1).user_id == 2L && closed(1).n_events == 1L
+        && closed(1).sum_value == 7.0)
+    } finally q.stop()
+  }
+}
