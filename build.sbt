@@ -27,7 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // dozens of codegen'd stages overflow the default 240m code cache,
-  // silently disabling JIT (measured 70x slowdowns on hash-heavy stages)
-  "-XX:ReservedCodeCacheSize=512m",
+  // silently disabling JIT (measured 70x slowdowns on hash-heavy stages);
+  // flushing lets cold compiled stages be evicted instead of stopping JIT
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -17,6 +17,10 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $sec%8.2f s")
+      // operators persist small intermediates (LSH signatures, KMeans fit
+      // inputs, LLM memo frames); drop them between queries so no query
+      // pays for a predecessor's cache
+      spark.catalog.clearCache()
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -214,9 +214,16 @@ object ChangeTracking {
     val shouldCache = orderBy.nonEmpty
     val cached = if (shouldCache) sourceHashed.cache() else sourceHashed
     try {
-      val maxSeqRow = cached.agg(max(col(SequenceCol))).head()
-      if (maxSeqRow.isNullAt(0)) return
-      val maxSeq = maxSeqRow.getInt(0)
+      // no orderBy → every rank is 1 by construction; a cheap empty probe on
+      // the pre-shuffle source replaces the agg(max) job over the dedup
+      val maxSeq =
+        if (orderBy.isEmpty) {
+          if (cleaned.isEmpty) return else 1
+        } else {
+          val maxSeqRow = cached.agg(max(col(SequenceCol))).head()
+          if (maxSeqRow.isNullAt(0)) return
+          maxSeqRow.getInt(0)
+        }
       var targetExists = TableStore.exists(spark, target)
       var createFlag = createIfNotExists
       (maxSeq to 1 by -1).foreach { seq =>

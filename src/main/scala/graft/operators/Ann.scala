@@ -63,25 +63,24 @@ object Ann {
         nlist: Int,
         seed: Long = 42L,
         maxIter: Int = 20): IvfIndex = {
-      val partitioner = graft.similarity.KMeansPartitioner(
-        k = nlist, maxIter = maxIter, seed = Some(seed), outputCol = "__cell")
       // KMeans needs a VectorUDT column; keep the original array column too
       val withVec = corpus.withColumn("__ivf_vec",
         org.apache.spark.ml.functions.array_to_vector(col(vecCol)))
-      val assigned = partitioner.partition(withVec, Some("__ivf_vec"))
-      // centroids: tiny (nlist × dim) — derive per-cell means from the
-      // assignment so we don't need to thread the model object around
-      val cents = assigned
-        .groupBy(col("__cell"))
-        .agg(collect_list(col(vecCol)).as("__vs"))
-        .collect()
-        .map { r =>
-          val cell = r.getInt(0)
-          val vs = r.getSeq[scala.collection.Seq[Float]](1)
-          val dim = vs.head.length
-          val mean = Array.tabulate(dim)(d => vs.map(_(d).toDouble).sum / vs.length)
-          cell -> mean
-        }
+      val estimator = new org.apache.spark.ml.clustering.KMeans()
+        .setK(nlist).setMaxIter(maxIter).setSeed(seed)
+        .setFeaturesCol("__ivf_vec").setPredictionCol("__cell")
+      val alreadyCached =
+        withVec.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      if (!alreadyCached)
+        withVec.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (assigned, cents) =
+        try {
+          val model = estimator.fit(withVec)
+          // centroids straight off the model: nlist × dim doubles on the
+          // driver — never the corpus itself
+          (model.transform(withVec),
+            model.clusterCenters.zipWithIndex.map { case (v, i) => i -> v.toArray })
+        } finally if (!alreadyCached) withVec.unpersist(blocking = false)
       IvfIndex(assigned.drop("__ivf_vec"), cents, idCol, vecCol)
     }
 

@@ -103,7 +103,11 @@ object Dedup {
     require(numPerms == bands * (numPerms / bands) && numPerms % bands == 0,
       "numPerms must be divisible by bands")
     val rowsPerBand = numPerms / bands
+    // both sides of the band-bucket self-join read the signatures; persist
+    // (id + numPerms longs per doc — small) or the whole shingle→hash→agg
+    // chain runs twice
     val sigs = minhashSignatures(df, idCol, textCol, numPerms, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("__id"), col("__sig"),
       posexplode(lshBandHashes(col("__sig"), bands, rowsPerBand)).as(Seq("__band", "__bucket")))
     val left = banded.select(col("__band"), col("__bucket"),
@@ -176,9 +180,12 @@ object Dedup {
     // matching shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|). Stays in
     // codegen'd joins/aggregates; pairs with no shared shingle never
     // materialize (array_intersect per pair is quadratic in block size)
+    // the exploded shingles feed the per-doc sizes AND both join sides;
+    // persist (disk-backed) so the tokenize→shingle chain runs once
     val sh = spreadForCompute(df).select(blockCols.map(col) ++ Seq(
       col(idCol).as("__id"),
       explode(array_distinct(shingles(col(textCol), n))).as("__s")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
     val a = sh.select(blockCols.map(col) ++ Seq(
       col("__id").as("id_a"), col("__s")): _*)

@@ -82,7 +82,24 @@ final case class KMeansPartitioner(
       .setK(k).setMaxIter(maxIter)
       .setFeaturesCol(vectorCol).setPredictionCol(outputCol)
     seed.foreach(estimator.setSeed)
-    estimator.fit(vectorized).transform(vectorized)
+    KMeansPartitioner.fitTransformCached(estimator, vectorized)
+  }
+}
+
+object KMeansPartitioner {
+  /** Persist the prepared input for the iterative fit — without it every
+    * KMeans pass (maxIter + init) recomputes the scan→vectorize→normalize
+    * chain. Unpersisted after fit; the single transform pass re-derives the
+    * input once, which is far cheaper than 20+ recomputes.
+    */
+  private[graft] def fitTransformCached(
+      estimator: KMeans, vectorized: DataFrame): DataFrame = {
+    val alreadyCached =
+      vectorized.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (!alreadyCached)
+      vectorized.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try estimator.fit(vectorized).transform(vectorized)
+    finally if (!alreadyCached) vectorized.unpersist(blocking = false)
   }
 }
 
@@ -112,13 +129,17 @@ final case class AutoKMeansPartitioner(
 
   def partition(df: DataFrame, runtimeFeatures: Option[String] = None): DataFrame = {
     val column = runtimeFeatures.orElse(featuresCol).getOrElse("embedding")
-    val (vectorized, vectorCol) = VectorColumns.ensureVectorColumn(df, column, column)
-    val k = inferPartitionCount(vectorized.count())
-    val estimator = new KMeans()
-      .setK(k).setMaxIter(maxIter)
-      .setFeaturesCol(vectorCol).setPredictionCol(outputCol)
-    seed.foreach(estimator.setSeed)
-    estimator.fit(vectorized).transform(vectorized)
+    val (vectorized0, vectorCol) = VectorColumns.ensureVectorColumn(df, column, column)
+    val vectorized =
+      vectorized0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val k = inferPartitionCount(vectorized.count())
+      val estimator = new KMeans()
+        .setK(k).setMaxIter(maxIter)
+        .setFeaturesCol(vectorCol).setPredictionCol(outputCol)
+      seed.foreach(estimator.setSeed)
+      estimator.fit(vectorized).transform(vectorized)
+    } finally vectorized.unpersist(blocking = false)
   }
 }
 
