@@ -34,6 +34,30 @@ object LogEventRecord {
     StructField("context", MapType(StringType, StringType))))
 }
 
+/** Log-verbosity helper (enable_spark_logging, progress.py:412-445):
+  * promote Spark's log level so shuffle-spill and scheduler diagnostics
+  * surface, both via the public `setLogLevel` and directly on the log4j2
+  * categories that emit them.
+  */
+object Logging {
+
+  val DefaultSparkLoggers: Seq[String] = Seq(
+    "org.apache.spark.storage", // shuffle spill diagnostics, memory store
+    "org.apache.spark.scheduler", // stage progress
+    "org.apache.spark.shuffle") // shuffle write/read details
+
+  def enableSparkLogging(
+      spark: SparkSession,
+      level: String = "INFO",
+      categories: Seq[String] = DefaultSparkLoggers): Unit = {
+    spark.sparkContext.setLogLevel(level.toUpperCase)
+    val l4jLevel = org.apache.logging.log4j.Level.toLevel(level.toUpperCase)
+    categories.foreach { name =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(name, l4jLevel)
+    }
+  }
+}
+
 trait EventSink extends AutoCloseable {
   def emit(record: LogEventRecord): Unit
   def flush(): Unit

@@ -1,0 +1,53 @@
+package graft.core
+
+import java.io.ByteArrayOutputStream
+
+import graft.SparkTestBase
+import graft.operators.DataFrameUtils
+
+class SessionsCliSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("environment detection keys off well-known env vars") {
+    assert(Sessions.detectEnvironment(Map.empty) == Sessions.Local)
+    assert(Sessions.detectEnvironment(
+      Map("DATABRICKS_RUNTIME_VERSION" -> "15.4")) == Sessions.Databricks)
+    assert(Sessions.detectEnvironment(
+      Map("FABRIC_WORKSPACE" -> "x")) == Sessions.Fabric)
+    assert(Sessions.detectEnvironment(
+      Map("SYNAPSE_POOL" -> "x")) == Sessions.Fabric)
+  }
+
+  test("ensureColumns passes through or fails with the missing names") {
+    val df = Seq((1, "a")).toDF("id", "name")
+    assert(DataFrameUtils.ensureColumns(df, Seq("id", "name")) eq df)
+    val e = intercept[IllegalArgumentException] {
+      DataFrameUtils.ensureColumns(df, Seq("id", "nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("preview returns rows and schema text") {
+    val out = DataFrameUtils.preview(Seq((1, "a"), (2, "b")).toDF("id", "name"), 1)
+    assert(out.contains("[1,a]") && out.contains("schema=struct<id:int,name:string>"))
+  }
+
+  test("enableSparkLogging sets the session log level and categories") {
+    graft.obs.Logging.enableSparkLogging(spark, "info")
+    val logger =
+      org.apache.logging.log4j.LogManager.getLogger("org.apache.spark.storage")
+    assert(logger.getLevel == org.apache.logging.log4j.Level.INFO)
+    // restore the quiet test default
+    spark.sparkContext.setLogLevel("WARN")
+    graft.obs.Logging.enableSparkLogging(spark, "WARN")
+  }
+
+  test("CLI lists the registered datasource formats") {
+    val buf = new ByteArrayOutputStream()
+    Console.withOut(buf) { graft.tools.Cli.main(Array("datasources")) }
+    val out = buf.toString
+    Seq("graft-rest", "graft-sparql", "graft-qdrant").foreach { f =>
+      assert(out.contains(f), s"missing $f in:\n$out")
+    }
+  }
+}
