@@ -431,9 +431,41 @@ class QdrantTable(tableSchema: StructType, rawConfig: String)
       TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan =
-        new QdrantScan(tableSchema, Qdrant.ReadConfig.fromJson(rawConfig))
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var config = Qdrant.ReadConfig.fromJson(rawConfig)
+      private var prunedSchema = tableSchema
+
+      /** Spark's LIMIT shrinks the scroll budget server-side: the reader
+        * stops paging once `limit` points arrived, and pages never exceed
+        * it. Exact (single sequential partition), so Spark may drop its
+        * own Limit node.
+        */
+      override def pushLimit(limit: Int): Boolean = {
+        config = config.copy(
+          limit = Some(config.limit.fold(limit)(math.min(_, limit))),
+          pageSize = math.min(config.pageSize, math.max(limit, 1)))
+        true
+      }
+
+      /** Unreferenced vector/payload columns turn off the corresponding
+        * server-side fetch — the dominant payload weight for vector
+        * collections (beyond-reference: reader.py only honors explicit
+        * config flags).
+        */
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        val required = requiredSchema.fieldNames.toSet
+        if (!required.contains("vector") && !required.contains("vectors"))
+          config = config.copy(withVectors = false, includeVectors = false)
+        if (!required.contains("payload"))
+          config = config.copy(withPayload = false, includePayload = false)
+        // the reader projects JSON onto schema field names (nested structs
+        // included), so the pruned schema is usable verbatim
+        prunedSchema = requiredSchema
+      }
+
+      override def build(): Scan = new QdrantScan(prunedSchema, config)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

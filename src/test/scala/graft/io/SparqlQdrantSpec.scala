@@ -159,6 +159,25 @@ class SparqlQdrantSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(df.count() == 2)
   }
 
+  test("Qdrant scan pushes Spark's limit and column pruning to the server") {
+    requests.clear()
+    val df = spark.read.format("graft-qdrant")
+      .schema("id LONG, vector ARRAY<DOUBLE>, payload STRUCT<name: STRING>")
+      .option("graft.qdrant.config",
+        s"""{"endpoint": "$base", "collection": "things",
+           | "with_vectors": true}""".stripMargin)
+      .load()
+    val got = df.select("id").limit(2).collect()
+    assert(got.length == 2)
+    val scrolls = requests.toArray.map(_.toString).filter(_.startsWith("scroll"))
+    assert(scrolls.length == 1, s"expected one page, got:\n${scrolls.mkString("\n")}")
+    // the pruned projection (id only) turns off both server-side fetches,
+    // and the pushed limit caps the page size
+    assert(scrolls.head.contains("\"limit\":2"))
+    assert(scrolls.head.contains("\"with_payload\":false"))
+    assert(scrolls.head.contains("\"with_vectors\":false"))
+  }
+
   test("Qdrant write batches points and auto-creates the collection") {
     import spark.implicits._
     collectionExists = false
