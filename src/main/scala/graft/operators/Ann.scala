@@ -56,6 +56,11 @@ object Ann {
     /** Fit the coarse quantizer and assign every corpus row to a cell.
       * `nlist` ≈ sqrt(corpus size) is the usual choice.
       */
+    /** Points per cell in the quantizer-training sample — the conventional
+      * IVF training budget (more adds cost, not recall).
+      */
+    val TrainPointsPerCell = 256
+
     def build(
         corpus: DataFrame,
         idCol: String,
@@ -66,23 +71,37 @@ object Ann {
       // KMeans needs a VectorUDT column; keep the original array column too
       val withVec = corpus.withColumn("__ivf_vec",
         org.apache.spark.ml.functions.array_to_vector(col(vecCol)))
+      // train the coarse quantizer on a bounded sample (the full corpus
+      // would pay maxIter+init passes over 100 TB for no recall gain),
+      // then assign every corpus row with the fitted model — one pass
+      val targetTrain = nlist.toLong * TrainPointsPerCell
+      val n = corpus.count()
+      val trainSet =
+        if (n <= targetTrain) withVec
+        else withVec.sample(withFraction(targetTrain, n), seed)
       val estimator = new org.apache.spark.ml.clustering.KMeans()
         .setK(nlist).setMaxIter(maxIter).setSeed(seed)
         .setFeaturesCol("__ivf_vec").setPredictionCol("__cell")
       val alreadyCached =
-        withVec.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+        trainSet.storageLevel != org.apache.spark.storage.StorageLevel.NONE
       if (!alreadyCached)
-        withVec.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        trainSet.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (assigned, cents) =
         try {
-          val model = estimator.fit(withVec)
+          val model = estimator.fit(trainSet)
           // centroids straight off the model: nlist × dim doubles on the
           // driver — never the corpus itself
           (model.transform(withVec),
             model.clusterCenters.zipWithIndex.map { case (v, i) => i -> v.toArray })
-        } finally if (!alreadyCached) withVec.unpersist(blocking = false)
+        } finally if (!alreadyCached) trainSet.unpersist(blocking = false)
       IvfIndex(assigned.drop("__ivf_vec"), cents, idCol, vecCol)
     }
+
+    /** Oversampled fraction so the sample almost surely reaches the target
+      * size (Bernoulli sampling undershoots at the exact fraction).
+      */
+    private def withFraction(target: Long, n: Long): Double =
+      math.min(1.0, target.toDouble * 1.1 / n)
 
     /** Probe the `nprobe` nearest cells per query, exact top-k inside them.
       * Centroids ride along as a broadcast literal (nlist × dim doubles).

@@ -1,0 +1,89 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+
+import graft.SparkTestBase
+import graft.functions.Hashing
+
+/** Property-based checks for the semantics-bearing primitives: the stable
+  * row hash (SCD change detection depends on it bit-for-bit) and batch
+  * sessionization invariants.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int = 30): Unit = {
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def sha256Hex(s: String): String =
+    MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("rowHash == sha256(U+241F-joined, null→'') for arbitrary values") {
+    val cell = Gen.oneOf(
+      Gen.const(null: String),
+      Gen.const(""),
+      Gen.alphaNumStr,
+      Gen.asciiPrintableStr,
+      // the delimiter itself inside a value must still hash stably
+      Gen.alphaStr.map(s => s + "␟" + s))
+    val rowGen = Gen.listOfN(3, cell)
+    check(Prop.forAll(Gen.listOfN(8, rowGen)) { rows =>
+      val df = rows.map { case List(a, b, c) => (a, b, c) }.toDF("a", "b", "c")
+      val got = df.select(Hashing.rowHashOf(Seq("a", "b", "c"))).as[String].collect()
+      val expected = rows.map { r =>
+        sha256Hex(r.map(Option(_).getOrElse("")).mkString("␟"))
+      }
+      got.toSeq == expected
+    }, n = 15)
+  }
+
+  test("sessionizeBatch invariants: partition, gap bounds, sums") {
+    val gap = 1000L
+    val eventGen = for {
+      user <- Gen.choose(1L, 3L)
+      ts <- Gen.choose(0L, 20000L)
+      v <- Gen.choose(1, 100)
+    } yield (user, ts, v.toDouble)
+    check(Prop.forAll(Gen.nonEmptyListOf(eventGen)) { events =>
+      val df = events.zipWithIndex
+        .map { case ((u, t, v), i) => (i.toLong, t, u, v) }
+        .toDF("event_id", "ts_us", "user_id", "value")
+      val sessions = graft.streaming.StreamingOps
+        .sessionizeBatch(df, gap = gap)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+          r.getAs[Long]("session_end"), r.getAs[Long]("n_events")))
+      val byUser = events.groupBy(_._1)
+      // every event lands in exactly one session
+      val totalEvents = sessions.map(_._4).sum
+      val p1 = totalEvents == events.length
+      // session bounds are consistent and sessions of one user don't overlap
+      // and are separated by more than the gap
+      val p2 = sessions.groupBy(_._1).forall { case (u, ss) =>
+        val sorted = ss.sortBy(_._2)
+        sorted.forall { case (_, s, e, _) => s <= e } &&
+          sorted.sliding(2).forall {
+            case Array((_, _, e1, _), (_, s2, _, _)) => s2 - e1 > gap
+            case _ => true
+          }
+      }
+      // per-user event timestamps inside a session step by <= gap
+      val p3 = sessions.forall { case (u, s, e, _) =>
+        val ts = byUser(u).map(_._2).filter(t => t >= s && t <= e).sorted
+        ts.nonEmpty &&
+          ts.sliding(2).forall {
+            case Seq(t1, t2) => t2 - t1 <= gap
+            case _ => true
+          }
+      }
+      p1 && p2 && p3
+    }, n = 15)
+  }
+}
