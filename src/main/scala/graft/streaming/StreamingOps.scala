@@ -105,6 +105,40 @@ object StreamingOps {
       .drop("__sid")
   }
 
+  /** Streaming exact dedup: drop events whose key was already seen, with
+    * state bounded by the watermark (late duplicates beyond `watermark`
+    * are the accepted trade for bounded state — the standard pattern for
+    * unbounded streams).
+    */
+  def streamingDedup(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream into an SCD target: every micro-batch runs one change-tracking
+    * upsert (mode 1 = current-only, mode 2 = track-history). Batch ids are
+    * recorded nowhere — idempotency relies on the upsert itself (replaying
+    * a batch re-merges the same rows to the same state, so at-least-once
+    * delivery is safe as long as `loadTsExpr` is stable per batch).
+    */
+  def scdSink(
+      stream: DataFrame,
+      target: String,
+      mode: Any,
+      businessKeys: Seq[String],
+      options: graft.ct.ChangeTrackingOptions = graft.ct.ChangeTrackingOptions())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ct.ChangeTracking.applyChangeTracking(
+            batch.sparkSession, batch.toDF(), target, mode, businessKeys, options)
+        }
+    }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, events: Long, sum: Double)
   final case class SessionSummary(

@@ -52,6 +52,47 @@ class StreamingOpsSpec extends SparkTestBase {
       (2L, 5L * 60000000L, 5L * 60000000L, 1L, 7.0)))
   }
 
+  test("streaming dedup drops in-watermark duplicate keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(min: Int) = new java.sql.Timestamp((86400 + min * 60) * 1000L)
+    val deduped = StreamingOps.streamingDedup(
+      source.toDS().toDF("id", "ts", "payload"), Seq("id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      source.addData((1L, ts(0), "a"), (2L, ts(1), "b"), (1L, ts(2), "a-dup"))
+      q.processAllAvailable()
+      source.addData((2L, ts(3), "b-dup"), (3L, ts(4), "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("scdSink upserts each micro-batch into a parquet SCD1 target") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val target = Files.createTempDirectory("graft_scd_sink_").toString + "/t"
+    val q = StreamingOps.scdSink(
+      source.toDS().toDF("id", "status"), target, mode = 1, Seq("id"))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_scd_ckpt_").toString)
+      .start()
+    try {
+      source.addData((1L, "new"), (2L, "new"))
+      q.processAllAvailable()
+      source.addData((2L, "updated"), (3L, "new"))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(target)
+        .select("id", "status").as[(Long, String)].collect().sortBy(_._1)
+      assert(rows.toSeq == Seq((1L, "new"), (2L, "updated"), (3L, "new")))
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and watermark timeout") {
     import StreamingOps.SessionEvent
     // offset from epoch 0: a ts equal to the initial watermark (0) would be
