@@ -238,6 +238,23 @@ object SparkEntry {
           col("meta.n_bytes").as("n_bytes"))
     }),
 
+    // ---- rolling-hash document fingerprint (1-perm MinHash, 60-bit) ----
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        operators.TextAnalysis.fingerprint(col("text"), 5).as("fp"))
+    }),
+
+    // ---- multimodal: bytewise frame sampling over binary content ----
+    "q_frame_sample" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .select(col("doc_id"),
+          posexplode(operators.Multimodal.frameSample(col("content"), 3, 16)))
+        .select(col("doc_id"), col("pos").as("frame_idx"),
+          hex(col("col")).as("frame_hex"))
+    }),
+
     // ---- S1/S2 DSv2 REST source vs in-process fixture server ----
     "q_rest_read" -> ((s, _) => {
       val base = io.DemoServers.restServer()
@@ -646,6 +663,32 @@ object SparkEntry {
         |    AS height,
         |  CAST(octet_length(content) AS BIGINT) AS n_bytes
         |FROM d""".stripMargin,
+    "q_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) = 0 THEN []
+        |         ELSE list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+        |                i -> array_to_string(toks[i:i+4], ' ')) END AS shingles
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN len(shingles) = 0 THEN NULL
+        |       ELSE list_min(list_transform(shingles,
+        |              s -> ('0x' || substring(sha256(s), 1, 15))::BIGINT))
+        |  END AS fp
+        |FROM sh""".stripMargin,
+    "q_frame_sample" ->
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+        |f AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |    substring(h, CAST(i AS INTEGER) * 32 + 1, 32) AS frame_hex
+        |  FROM d CROSS JOIN range(3) t(i))
+        |SELECT doc_id, frame_idx, frame_hex
+        |FROM f WHERE length(frame_hex) > 0""".stripMargin,
     "q_rest_read" ->
       """SELECT CAST(p * 100 + i AS BIGINT) AS id,
         |  'item' || CAST(p * 100 + i AS VARCHAR) AS name,
