@@ -267,10 +267,15 @@ object ChangeTracking {
       return
     }
 
+    // the close join, current-rows filter, and max-version agg all read the
+    // target snapshot; persist it for this batch (overwrite below is eager,
+    // so the cache is released before the method returns)
     val tgt = TableStore.read(spark, target)
-    checkSchemaEvolution(
-      batch.columns.filterNot(c => tgt.columns.contains(c)).toSeq,
-      allowSchemaEvolution, target)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      checkSchemaEvolution(
+        batch.columns.filterNot(c => tgt.columns.contains(c)).toSeq,
+        allowSchemaEvolution, target)
 
     val tMark = "__graft_t_present"
     val sMark = "__graft_s_present"
@@ -315,8 +320,9 @@ object ChangeTracking {
         (coalesce(col("__prev_version"), lit(0)).cast("bigint") + lit(1)).cast("bigint"))
       .drop("__prev_version")
 
-    val merged = updatedTarget.unionByName(toInsert, allowMissingColumns = true)
-    TableStore.overwrite(spark, merged, target)
+      val merged = updatedTarget.unionByName(toInsert, allowMissingColumns = true)
+      TableStore.overwrite(spark, merged, target)
+    } finally tgt.unpersist(blocking = false)
   }
 
   /** Unified dispatcher (apply_change_tracking, change_tracking.py:668-688). */
