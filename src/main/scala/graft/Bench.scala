@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen/shuffle-machinery warmup so the first timed query does
+    // not absorb one-time JVM startup cost
+    spark.range(200000)
+      .selectExpr("sha2(cast(id as string), 256) AS h", "id % 97 AS k")
+      .groupBy("k").agg(org.apache.spark.sql.functions.min("h")).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>

@@ -123,6 +123,20 @@ class SparqlQdrantSpec extends SparkTestBase with BeforeAndAfterAll {
       && r.contains("auth=Basic ") && r.contains("query=SELECT")))
   }
 
+  test("SPARQL multi-query list unions results, one partition per query") {
+    requests.clear()
+    val df = spark.read.format("graft-sparql")
+      .option("graft.sparql.config",
+        s"""{"endpoint": "$base/sparql",
+           | "queries": ["SELECT ?name WHERE { } # a",
+           |             "SELECT ?name WHERE { } # b"]}""".stripMargin)
+      .load()
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() == 4) // both queries return the 2 fixture rows
+    val posts = requests.asScala.count(_.startsWith("POST /sparql"))
+    assert(posts >= 2)
+  }
+
   test("SPARQL ASK returns one boolean row; GET request mode") {
     val df = spark.read.format("graft-sparql")
       .option("graft.sparql.config",
