@@ -44,6 +44,32 @@ class PropertySpec extends SparkTestBase {
     }, n = 15)
   }
 
+  test("splitByDateFormats round-trips dates through each declared format") {
+    val fmts = Seq("yyyy-MM-dd", "MM/dd/yyyy", "dd.MM.yyyy")
+    val javaFmt = fmts.map(f =>
+      f -> java.time.format.DateTimeFormatter.ofPattern(f)).toMap
+    val dateGen = Gen.choose(0L, 25000L)
+      .map(java.time.LocalDate.ofEpochDay) // 1970..2038
+    val caseGen = for {
+      d <- dateGen
+      fmt <- Gen.oneOf(fmts)
+    } yield (d, fmt)
+    check(Prop.forAll(Gen.nonEmptyListOf(caseGen)) { cases =>
+      val df = cases.zipWithIndex.map { case ((d, f), i) =>
+        (i.toLong, d.format(javaFmt(f)))
+      }.toDF("id", "d")
+      val parsed = Transformations.splitByDateFormats(df, "d", fmts).df
+        .select("id", "d_date").as[(Long, java.sql.Date)].collect().toMap
+      cases.zipWithIndex.forall { case ((d, f), i) =>
+        // first-match-wins: the parsed date must round-trip through SOME
+        // declared format back to the same string (ambiguous strings like
+        // 01/02/2001 may legally parse under an earlier format)
+        val got = parsed(i.toLong).toLocalDate
+        fmts.exists(g => javaFmt(g).format(got) == d.format(javaFmt(f)))
+      }
+    }, n = 10)
+  }
+
   test("sessionizeBatch invariants: partition, gap bounds, sums") {
     val gap = 1000L
     val eventGen = for {
