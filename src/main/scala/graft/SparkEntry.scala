@@ -238,6 +238,19 @@ object SparkEntry {
           col("meta.n_bytes").as("n_bytes"))
     }),
 
+    // ---- as-of join: events aligned to their latest per-user snapshot
+    // (union+window formulation — one shuffle, no range-join blowup) ----
+    "q_asof_join" -> ((s, dir) => {
+      val raw = streaming.StreamingOps
+        .readEventsRaw(s, s"$dir/events.parquet")
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val left = raw.select("event_id", "user_id", "ts_us")
+      val snaps = raw.where(col("event_id") % 10 === 0)
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("value")).as("snap_value"))
+      operators.AsofJoin.asofJoin(left, snaps, Seq("user_id"), "ts_us")
+    }),
+
     // ---- rolling-hash document fingerprint (1-perm MinHash, 60-bit) ----
     "q_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -663,6 +676,16 @@ object SparkEntry {
         |    AS height,
         |  CAST(octet_length(content) AS BIGINT) AS n_bytes
         |FROM d""".stripMargin,
+    "q_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |s AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS snap_value
+        |  FROM events WHERE event_id % 10 = 0
+        |  GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts_us, s.snap_value
+        |FROM e ASOF LEFT JOIN s
+        |  ON e.user_id = s.user_id AND e.ts_us >= s.ts_us""".stripMargin,
     "q_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class AsofJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asof join picks the latest right row at or before each left ts") {
+    val left = Seq(
+      (1L, "a", 5L), (2L, "a", 10L), (3L, "a", 20L),
+      (4L, "b", 7L), (5L, "b", 3L)
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      ("a", 1L, "a@1"), ("a", 10L, "a@10"), ("a", 15L, "a@15"),
+      ("b", 6L, "b@6")
+    ).toDF("k", "ts", "snap")
+
+    val got = AsofJoin.asofJoin(left, right, Seq("k"), "ts",
+      rightTsAs = Some("snap_ts"))
+      .select("event_id", "snap", "snap_ts")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .sortBy(_._1)
+
+    assert(got.toSeq == Seq(
+      (1L, "a@1", Some(1L)), // between 1 and 10
+      (2L, "a@10", Some(10L)), // tie: right at exactly left ts matches
+      (3L, "a@15", Some(15L)),
+      (4L, "b@6", Some(6L)),
+      (5L, null, None))) // before any right row → null
+  }
+
+  test("asof join preserves every left column and row") {
+    val left = Seq((1L, "a", 5L, "x")).toDF("event_id", "k", "ts", "extra")
+    val right = Seq(("a", 1L, 9.5)).toDF("k", "ts", "v")
+    val row = AsofJoin.asofJoin(left, right, Seq("k"), "ts").collect().head
+    assert(row.getAs[String]("extra") == "x")
+    assert(row.getAs[Double]("v") == 9.5)
+    assert(AsofJoin.asofJoin(left, right, Seq("k"), "ts").columns.toSeq ==
+      Seq("event_id", "k", "ts", "extra", "v"))
+  }
+}
