@@ -238,6 +238,13 @@ object SparkEntry {
           col("meta.n_bytes").as("n_bytes"))
     }),
 
+    // ---- deterministic hash split (train/val/test, engine-reproducible) --
+    "q_hash_split" -> ((s, dir) => {
+      operators.Sampling.withHashSplit(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    }),
+
     // ---- as-of join: events aligned to their latest per-user snapshot
     // (union+window formulation — one shuffle, no range-join blowup) ----
     "q_asof_join" -> ((s, dir) => {
@@ -676,6 +683,17 @@ object SparkEntry {
         |    AS height,
         |  CAST(octet_length(content) AS BIGINT) AS n_bytes
         |FROM d""".stripMargin,
+    "q_hash_split" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(sha256(CAST(doc_id AS VARCHAR) || ':graft'),
+        |        1, 7))::BIGINT % 1000000 AS b
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN b < 800000 THEN 'train'
+        |       WHEN b < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM w""".stripMargin,
     "q_asof_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),

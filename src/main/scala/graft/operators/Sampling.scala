@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting and sampling for training pipelines.
+  *
+  * Beyond-reference: at 100 TB, `randomSplit` is a trap — assignment
+  * changes across retries/partitions unless the seed plumbing is perfect,
+  * and it cannot be reproduced by another engine auditing the split.
+  * Hash-based assignment (bucket = sha256(id || salt) mod N) is stable
+  * across runs, engines, partitionings, and incremental arrivals: a row's
+  * split never changes when the dataset grows. Narrow (no shuffle).
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Uniform bucket in [0, 1e6) for a row: the first 7 hex chars of
+    * sha256(value || ":" || salt) reduced mod 1e6. Null ids hash as ''.
+    * Integer all the way — split boundaries never depend on float
+    * accumulation order, so any engine reproduces the assignment.
+    */
+  def hashBucket(idCol: Column, salt: String): Column =
+    graft.functions.VectorFunctions.hexPrefixToLong(
+      sha2(concat_ws(":", coalesce(idCol.cast("string"), lit("")), lit(salt)), 256), 7)
+      .%(Buckets)
+
+  /** Adds a split-label column ("train"/"val"/... per `fractions`, which
+    * must sum to <= 1; any remainder gets the last label).
+    */
+  def withHashSplit(
+      df: DataFrame,
+      idCol: String,
+      fractions: Seq[(String, Double)],
+      salt: String = "graft",
+      outputCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty, "fractions must be non-empty")
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val b = hashBucket(col(idCol), salt)
+    // integer cut points: round the cumulative fraction once, so 0.8+0.1
+    // becoming 0.9000000000000001 cannot flip a boundary bucket
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+      .tail.map(c => math.round(c * Buckets))
+    val labeled = fractions.map(_._1).zip(cuts).dropRight(1)
+      .foldLeft(when(lit(false), lit(null: String))) { case (c, (label, cut)) =>
+        c.when(b < cut, lit(label))
+      }
+    df.withColumn(outputCol, labeled.otherwise(lit(fractions.last._1)))
+  }
+
+  /** Deterministic fraction-sample: keep rows whose hash bucket falls
+    * under `fraction` of the bucket space. Stable under reruns and
+    * dataset growth.
+    */
+  def hashSample(
+      df: DataFrame, idCol: String, fraction: Double,
+      salt: String = "graft"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    df.where(hashBucket(col(idCol), salt) < math.round(fraction * Buckets))
+  }
+}
