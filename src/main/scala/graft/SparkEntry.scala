@@ -114,7 +114,13 @@ object SparkEntry {
         loadTsExpr = Some("to_timestamp('2020-01-01 00:00:00')"))
       ct.ChangeTracking.trackHistoryUpsert(s, b2, target, Seq("id"),
         loadTsExpr = Some("to_timestamp('2020-02-01 00:00:00')"))
-      s.read.parquet(target)
+      // timestamps → epoch µs (NULL open-row expiry → -1), like every other
+      // query here: the oracle compare is only precision-stable on integers
+      s.read.parquet(target).select(
+        col("id"), col("status"), col("price"), col("row_hash"),
+        unix_micros(col("effective_start_ts")).as("start_us"),
+        coalesce(unix_micros(col("effective_end_ts")), lit(-1L)).as("end_us"),
+        col("is_current"), col("version"))
     }),
 
     // ---- U3 deterministic hash embedding (pure column expressions) ----
@@ -444,15 +450,16 @@ object SparkEntry {
         |  SELECT h2.id FROM h2 JOIN h1 USING (id)
         |  WHERE h2.row_hash <> h1.row_hash)
         |SELECT h1.id, h1.status, h1.price, h1.row_hash,
-        |  TIMESTAMP '2020-01-01 00:00:00' AS effective_start_ts,
-        |  CASE WHEN c.id IS NOT NULL THEN TIMESTAMP '2020-02-01 00:00:00'
-        |       ELSE CAST(NULL AS TIMESTAMP) END AS effective_end_ts,
+        |  epoch_us(TIMESTAMP '2020-01-01 00:00:00') AS start_us,
+        |  CASE WHEN c.id IS NOT NULL
+        |       THEN epoch_us(TIMESTAMP '2020-02-01 00:00:00')
+        |       ELSE CAST(-1 AS BIGINT) END AS end_us,
         |  c.id IS NULL AS is_current,
         |  CAST(1 AS BIGINT) AS version
         |FROM h1 LEFT JOIN changed c USING (id)
         |UNION ALL
         |SELECT h2.id, h2.status, h2.price, h2.row_hash,
-        |  TIMESTAMP '2020-02-01 00:00:00', CAST(NULL AS TIMESTAMP),
+        |  epoch_us(TIMESTAMP '2020-02-01 00:00:00'), CAST(-1 AS BIGINT),
         |  TRUE, CAST(2 AS BIGINT)
         |FROM h2 WHERE h2.id IN (SELECT id FROM changed)""".stripMargin,
     "q_hash_embedding" ->

@@ -44,12 +44,21 @@ private[graft] object TableStore {
     if (isPath(target)) {
       val dest = new Path(target)
       val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
-      val staging = new Path(target.stripSuffix("/") + "__graft_staging__")
+      val base = target.stripSuffix("/")
+      val staging = new Path(base + "__graft_staging__")
+      val old = new Path(base + "__graft_old__")
       fs.delete(staging, true)
+      fs.delete(old, true) // leftover from a prior crashed swap
       df.write.mode("overwrite").parquet(staging.toString)
-      fs.delete(dest, true)
-      if (!fs.rename(staging, dest))
+      // Swap via rename-aside so a crash at any point leaves a recoverable
+      // snapshot (either dest or dest__graft_old__), never zero copies.
+      if (fs.exists(dest) && !fs.rename(dest, old))
+        throw new IllegalStateException(s"Failed to move '$target' aside for overwrite")
+      if (!fs.rename(staging, dest)) {
+        fs.rename(old, dest) // restore; best effort
         throw new IllegalStateException(s"Failed to move staging into place for '$target'")
+      }
+      fs.delete(old, true)
     } else {
       val staging = Files.createTempDirectory("graft_ct_staging_").toString
       try {

@@ -141,6 +141,10 @@ object RestApi {
         val maxPages = asIntOpt(pagination.get("max_pages"))
         require(stop.isDefined || maxPages.isDefined,
           "query pagination requires 'stop', 'max_pages', or explicit 'values'")
+        // step=0 with only 'stop' set would never advance toward the bound
+        // and loop forever (a step of the wrong sign terminates at once via
+        // the stop check below, yielding zero pages — harmless).
+        require(step != 0, "query pagination 'step' must be non-zero")
         val out = mutable.ArrayBuffer[Any]()
         var value = start
         var count = 0

@@ -109,7 +109,18 @@ object Llm {
               .flatMap(c => Option(c.get("message")))
               .flatMap(m => Option(m.get("content")))
               .map(_.asText.trim)
-            return content.filter(c => c.nonEmpty && c.toLowerCase != "none")
+            // Strip surrounding quotes, then accept only canonical targets
+            // (case-insensitive) — a free-form completion is "unmapped", the
+            // same as the reference's _fetch_llm_mapping (llm.py:396-413).
+            val byLower = targets.map(t => t.toLowerCase -> t).toMap
+            return content
+              .map { c =>
+                if (c.length >= 2 && c.startsWith("\"") && c.endsWith("\""))
+                  c.substring(1, c.length - 1).trim
+                else c
+              }
+              .filter(c => c.nonEmpty && c.toLowerCase != "none")
+              .flatMap(c => byLower.get(c.toLowerCase))
           }
           if (r.status == 400 && withTemp &&
             r.body.toLowerCase.contains("temperature")) {
@@ -190,9 +201,19 @@ object Llm {
     if (dropInput) out.drop(inputCol) else out
   }
 
-  /** Mapping statistics surfaced after [[mapColumnWithLlm]]. */
+  /** Mapping statistics surfaced after [[mapColumnWithLlm]].
+    *
+    * Accumulator-driven, so under task retries or speculative execution the
+    * counts are upper bounds, not exact (the reference's accumulators behave
+    * the same way). The result DataFrame is cached to guarantee the client
+    * runs once per invocation — call [[MappedColumn.unpersist]] when done
+    * with it in long-lived sessions.
+    */
   final case class MappingStats(mapped: Long, unmapped: Long, apiCalls: Long)
-  final case class MappedColumn(df: DataFrame, stats: MappingStats)
+  final case class MappedColumn(df: DataFrame, stats: MappingStats) {
+    /** Release the cached result (the frame stays usable, just recomputes). */
+    def unpersist(): DataFrame = df.unpersist()
+  }
 
   /** Normalize a column's values to a canonical target list.
     *

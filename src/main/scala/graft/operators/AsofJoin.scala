@@ -54,7 +54,11 @@ object AsofJoin {
 
     val payload = "__asof_payload"
     val side = "__asof_side" // 0 = right, 1 = left → right sorts first on ties
-    val rTagged = right.select(
+    // A null-timestamp snapshot never matches (DuckDB ASOF excludes null
+    // keys); without this filter nulls sort first ascending and their
+    // payload would carry into every row of the key. Null-ts LEFT rows are
+    // kept and get a null payload (nothing sorts at-or-before them).
+    val rTagged = right.where(col(tsCol).isNotNull).select(
       (keys.map(col) :+ col(tsCol) :+ lit(0).as(side) :+
         struct((vals.map(col) :+ col(tsCol).as("__asof_rts")): _*).as(payload)): _*)
     // capture every left column as one struct BEFORE narrowing to the

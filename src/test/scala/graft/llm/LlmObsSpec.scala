@@ -82,6 +82,40 @@ class LlmObsSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("live completions outside the target list are unmapped; quotes stripped") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/chat/completions", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      // quoted valid target / free-form hallucination / explicit none
+      val answer =
+        if (body.contains("pomme")) "\\\"apple\\\""
+        else if (body.contains("weird")) "Some creative answer"
+        else "none"
+      val resp =
+        s"""{"choices": [{"message": {"role": "assistant", "content": "$answer"}}]}"""
+      val bytes = resp.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val client = Llm.OpenAiChatClient(env = Map(
+        "OPENAI_API_KEY" -> "test-key",
+        "OPENAI_BASE_URL" -> s"http://127.0.0.1:${server.getAddress.getPort}/v1"))
+      val df = Seq("pomme", "weird", "nada").toDF("fruit").coalesce(1)
+      val result = Llm.mapColumnWithLlm(df, "fruit", Seq("Apple", "Banana"),
+        chatClient = Some(client))
+      val mapped = result.df.collect()
+        .map(r => (r.getAs[String]("fruit"), Option(r.getAs[String]("fruit_mapped"))))
+        .toMap
+      assert(mapped("pomme").contains("Apple")) // quote-stripped, canonical case
+      assert(mapped("weird").isEmpty) // hallucinated value does not leak
+      assert(mapped("nada").isEmpty)
+      assert(result.stats.mapped == 1 && result.stats.unmapped == 2)
+    } finally server.stop(0)
+  }
+
   test("progress tracker buffers events into a parquet sink") {
     val target = Files.createTempDirectory("graft_obs_").toString + "/events"
     val sink = new BufferedTableSink(spark, target, flushEvery = 3)

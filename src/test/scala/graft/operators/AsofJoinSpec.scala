@@ -41,4 +41,18 @@ class AsofJoinSpec extends SparkTestBase {
     assert(AsofJoin.asofJoin(left, right, Seq("k"), "ts").columns.toSeq ==
       Seq("event_id", "k", "ts", "extra", "v"))
   }
+
+  test("right rows with a null timestamp never match") {
+    val left = Seq((1L, "a", 5L)).toDF("event_id", "k", "ts")
+    val right = Seq(
+      ("a", Some(3L), "good"),
+      ("a", None, "null-ts-snapshot")
+    ).toDF("k", "ts", "snap")
+    val got = AsofJoin.asofJoin(left, right, Seq("k"), "ts").collect().head
+    assert(got.getAs[String]("snap") == "good")
+    // key whose ONLY right row has a null ts → no match at all
+    val right2 = Seq(("a", None: Option[Long], "null-ts")).toDF("k", "ts", "snap")
+    val got2 = AsofJoin.asofJoin(left, right2, Seq("k"), "ts").collect().head
+    assert(got2.getAs[String]("snap") == null)
+  }
 }
