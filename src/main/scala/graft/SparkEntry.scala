@@ -114,10 +114,13 @@ object SparkEntry {
         loadTsExpr = Some("to_timestamp('2020-01-01 00:00:00')"))
       ct.ChangeTracking.trackHistoryUpsert(s, b2, target, Seq("id"),
         loadTsExpr = Some("to_timestamp('2020-02-01 00:00:00')"))
-      // timestamps → epoch µs (NULL open-row expiry → -1), like every other
-      // query here: the oracle compare is only precision-stable on integers
+      // timestamps → epoch µs (NULL open-row expiry → -1) and decimal →
+      // integer cents: the oracle compare is only precision-stable on
+      // integers (a DECIMAL '100.10' read back through float prints
+      // '100.1' and breaks the value hash)
       s.read.parquet(target).select(
-        col("id"), col("status"), col("price"), col("row_hash"),
+        col("id"), col("status"),
+        (col("price") * 100).cast("long").as("price_cents"), col("row_hash"),
         unix_micros(col("effective_start_ts")).as("start_us"),
         coalesce(unix_micros(col("effective_end_ts")), lit(-1L)).as("end_us"),
         col("is_current"), col("version"))
@@ -449,7 +452,8 @@ object SparkEntry {
         |changed AS (
         |  SELECT h2.id FROM h2 JOIN h1 USING (id)
         |  WHERE h2.row_hash <> h1.row_hash)
-        |SELECT h1.id, h1.status, h1.price, h1.row_hash,
+        |SELECT h1.id, h1.status,
+        |  CAST(h1.price * 100 AS BIGINT) AS price_cents, h1.row_hash,
         |  epoch_us(TIMESTAMP '2020-01-01 00:00:00') AS start_us,
         |  CASE WHEN c.id IS NOT NULL
         |       THEN epoch_us(TIMESTAMP '2020-02-01 00:00:00')
@@ -458,7 +462,8 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS version
         |FROM h1 LEFT JOIN changed c USING (id)
         |UNION ALL
-        |SELECT h2.id, h2.status, h2.price, h2.row_hash,
+        |SELECT h2.id, h2.status,
+        |  CAST(h2.price * 100 AS BIGINT) AS price_cents, h2.row_hash,
         |  epoch_us(TIMESTAMP '2020-02-01 00:00:00'), CAST(-1 AS BIGINT),
         |  TRUE, CAST(2 AS BIGINT)
         |FROM h2 WHERE h2.id IN (SELECT id FROM changed)""".stripMargin,
