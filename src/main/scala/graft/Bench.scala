@@ -15,7 +15,12 @@ object Bench {
     spark.range(200000)
       .selectExpr("sha2(cast(id as string), 256) AS h", "id % 97 AS k")
       .groupBy("k").agg(org.apache.spark.sql.functions.min("h")).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Local-debug hook: SPARK_GRAFT_ONLY=q_a,q_b restricts the run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
@@ -24,8 +29,14 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $sec%8.2f s")
       // operators persist small intermediates (LSH signatures, KMeans fit
       // inputs, LLM memo frames); drop them between queries so no query
-      // pays for a predecessor's cache
+      // pays for a predecessor's cache. catalog.clearCache misses RDD-level
+      // persists (e.g. MLlib internals), and broadcast/shuffle state is only
+      // reclaimed when the driver GC runs the ContextCleaner — force both so
+      // each query is timed from a clean slate.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
