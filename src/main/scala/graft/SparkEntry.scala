@@ -98,6 +98,24 @@ object SparkEntry {
       s.read.parquet(target)
     }),
 
+    // ---- C1 + bucketed target: merges prune + rewrite only touched
+    // hash-buckets of the target (the 100 TB path; same logical contract)
+    "q_scd1_bucketed" -> ((s, dir) => {
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        col("c_name").as("name"),
+        col("c_mktsegment").as("segment"))
+      val b2 = base.where(col("id") % 3 === 0)
+        .withColumn("segment", lit("UPDATED"))
+      val target = java.nio.file.Files
+        .createTempDirectory("graft_scd1b_").toString + "/t"
+      ct.ChangeTracking.currentOnlyUpsert(s, base, target, Seq("id"),
+        numBuckets = Some(16))
+      ct.ChangeTracking.currentOnlyUpsert(s, b2, target, Seq("id"),
+        numBuckets = Some(16))
+      s.read.parquet(target).drop(ct.TableStore.BucketCol)
+    }),
+
     // ---- C2 SCD2 track-history upsert (bootstrap + changed-subset batch) ----
     "q_scd2_track_history" -> ((s, dir) => {
       val b1 = t(s, dir, "orders").select(
@@ -419,6 +437,20 @@ object SparkEntry {
         |    coalesce(CAST(n_regionkey AS VARCHAR), ''))) AS row_hash
         |FROM nation""".stripMargin,
     "q_scd1_current_only" ->
+      """WITH b1 AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
+        |  FROM customer),
+        |fin AS (
+        |  SELECT id, name,
+        |    CASE WHEN id % 3 = 0 THEN 'UPDATED' ELSE segment END AS segment
+        |  FROM b1)
+        |SELECT id, name, segment,
+        |  sha256(concat_ws(chr(9247),
+        |    coalesce(CAST(name AS VARCHAR), ''),
+        |    coalesce(CAST(segment AS VARCHAR), ''))) AS row_hash
+        |FROM fin""".stripMargin,
+    // identical logical contract; the bucketed layout is physical only
+    "q_scd1_bucketed" ->
       """WITH b1 AS (
         |  SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
         |  FROM customer),

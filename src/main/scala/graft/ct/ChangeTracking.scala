@@ -128,21 +128,27 @@ object ChangeTracking {
       hashCol: String = "row_hash",
       nullKeyPolicy: String = "error",
       createIfNotExists: Boolean = true,
-      allowSchemaEvolution: Boolean = false): Unit = {
+      allowSchemaEvolution: Boolean = false,
+      numBuckets: Option[Int] = None): Unit = {
     validateKeys(sourceDf, businessKeys)
     val tracked = resolveTracked(sourceDf, businessKeys, trackedColumns, Set.empty)
     val cleaned = applyNullKeyPolicy(sourceDf, businessKeys, nullKeyPolicy)
     val deduped = dedupeLatest(cleaned, dedupeKeys.getOrElse(businessKeys), orderBy)
-    val srcHashed = deduped.withColumn(hashCol, Hashing.rowHashOf(tracked))
+    // bucket id is derived AFTER the row hash, so hashes (and therefore
+    // change detection) are identical across bucketed and flat layouts
+    val srcHashed = withBucket(
+      deduped.withColumn(hashCol, Hashing.rowHashOf(tracked)),
+      businessKeys, numBuckets, target)
 
     if (!TableStore.exists(spark, target)) {
       require(createIfNotExists,
         s"Target '$target' does not exist and createIfNotExists=false")
-      TableStore.append(srcHashed, target)
+      if (numBuckets.isDefined) TableStore.appendBucketed(srcHashed, target)
+      else TableStore.append(srcHashed, target)
       return
     }
 
-    val tgt = TableStore.read(spark, target)
+    val (tgt, batchBuckets) = readPruned(spark, target, srcHashed, numBuckets)
     // Never write SCD2 metadata columns from a current-only merge
     val writeCols = srcHashed.columns.filterNot(HistoryFields.contains).toSeq
     checkSchemaEvolution(
@@ -167,7 +173,38 @@ object ChangeTracking {
       } ++ writeCols.filterNot(tgt.columns.contains).map { c =>
         when(takeSource, s(c)).as(c) // evolved columns: null for untouched rows
       }
-    TableStore.overwrite(spark, joined.select(outCols: _*), target)
+    val merged = joined.select(outCols: _*)
+    if (numBuckets.isDefined)
+      TableStore.overwriteBuckets(spark, merged, target, batchBuckets)
+    else TableStore.overwrite(spark, merged, target)
+  }
+
+  /** Add the physical bucket column for bucketed targets (no-op otherwise). */
+  private def withBucket(
+      df: DataFrame, keys: Seq[String], numBuckets: Option[Int],
+      target: String): DataFrame = numBuckets match {
+    case Some(n) =>
+      require(TableStore.isPath(target), "bucketed targets are path-addressed")
+      df.withColumn(TableStore.BucketCol, Hashing.bucketOf(keys, n))
+    case None => df
+  }
+
+  /** Read the target snapshot; for bucketed targets, prune to the buckets the
+    * source batch touches (a bounded ≤numBuckets driver-side collect — scan
+    * and rewrite then cost O(touched fraction) of the table, not O(table)).
+    */
+  private def readPruned(
+      spark: SparkSession, target: String, src: DataFrame,
+      numBuckets: Option[Int]): (DataFrame, Seq[Int]) = {
+    val all = TableStore.read(spark, target)
+    if (numBuckets.isEmpty) (all, Nil)
+    else {
+      require(all.columns.contains(TableStore.BucketCol),
+        s"numBuckets was set but existing target '$target' is not bucketed")
+      val bs = src.select(TableStore.BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      (all.where(col(TableStore.BucketCol).isin(bs: _*)), bs)
+    }
   }
 
   /** SCD Type-2: close changed current rows, insert new versions.
@@ -193,7 +230,8 @@ object ChangeTracking {
       loadTsExpr: Option[String] = None,
       nullKeyPolicy: String = "error",
       createIfNotExists: Boolean = true,
-      allowSchemaEvolution: Boolean = false): Unit = {
+      allowSchemaEvolution: Boolean = false,
+      numBuckets: Option[Int] = None): Unit = {
     validateKeys(sourceDf, businessKeys)
     val meta = Set(effectiveCol, expiryCol, currentCol, versionCol, hashCol)
     val tracked = resolveTracked(sourceDf, businessKeys, trackedColumns, meta)
@@ -208,7 +246,9 @@ object ChangeTracking {
         cleaned.withColumn(SequenceCol, row_number().over(w))
       } else cleaned.dropDuplicates(dKeys).withColumn(SequenceCol, lit(1))
 
-    val sourceHashed = ranked.withColumn(hashCol, Hashing.rowHashOf(tracked))
+    val sourceHashed = withBucket(
+      ranked.withColumn(hashCol, Hashing.rowHashOf(tracked)),
+      businessKeys, numBuckets, target)
     val tsCol = expr(loadTsExpr.getOrElse("current_timestamp()"))
 
     val shouldCache = orderBy.nonEmpty
@@ -230,7 +270,7 @@ object ChangeTracking {
         val batch = cached.where(col(SequenceCol) === seq).drop(SequenceCol)
         trackHistoryBatch(spark, batch, target, businessKeys, tracked,
           effectiveCol, expiryCol, currentCol, versionCol, hashCol, tsCol,
-          createFlag, targetExists, allowSchemaEvolution)
+          createFlag, targetExists, allowSchemaEvolution, numBuckets)
         targetExists = true
         createFlag = false
       }
@@ -253,7 +293,7 @@ object ChangeTracking {
       effectiveCol: String, expiryCol: String, currentCol: String,
       versionCol: String, hashCol: String, tsCol: Column,
       createIfNotExists: Boolean, targetExists: Boolean,
-      allowSchemaEvolution: Boolean): Unit = {
+      allowSchemaEvolution: Boolean, numBuckets: Option[Int]): Unit = {
 
     if (!targetExists) {
       require(createIfNotExists,
@@ -263,14 +303,17 @@ object ChangeTracking {
         .withColumn(expiryCol, lit(null).cast("timestamp"))
         .withColumn(currentCol, lit(true))
         .withColumn(versionCol, lit(1).cast("bigint"))
-      TableStore.append(initial, target)
+      if (numBuckets.isDefined) TableStore.appendBucketed(initial, target)
+      else TableStore.append(initial, target)
       return
     }
 
     // the close join, current-rows filter, and max-version agg all read the
-    // target snapshot; persist it for this batch (overwrite below is eager,
-    // so the cache is released before the method returns)
-    val tgt = TableStore.read(spark, target)
+    // target snapshot (pruned to the batch's buckets when bucketed); persist
+    // it for this batch (overwrite below is eager, so the cache is released
+    // before the method returns)
+    val (tgt0, batchBuckets) = readPruned(spark, target, batch, numBuckets)
+    val tgt = tgt0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       checkSchemaEvolution(
@@ -321,7 +364,9 @@ object ChangeTracking {
       .drop("__prev_version")
 
       val merged = updatedTarget.unionByName(toInsert, allowMissingColumns = true)
-      TableStore.overwrite(spark, merged, target)
+      if (numBuckets.isDefined)
+        TableStore.overwriteBuckets(spark, merged, target, batchBuckets)
+      else TableStore.overwrite(spark, merged, target)
     } finally tgt.unpersist(blocking = false)
   }
 
@@ -336,12 +381,14 @@ object ChangeTracking {
     resolveMode(mode) match {
       case CurrentOnly => currentOnlyUpsert(spark, sourceDf, target, businessKeys,
         options.trackedColumns, options.dedupeKeys, options.orderBy, options.hashCol,
-        options.nullKeyPolicy, options.createIfNotExists, options.allowSchemaEvolution)
+        options.nullKeyPolicy, options.createIfNotExists, options.allowSchemaEvolution,
+        options.numBuckets)
       case TrackHistory => trackHistoryUpsert(spark, sourceDf, target, businessKeys,
         options.trackedColumns, options.dedupeKeys, options.orderBy,
         options.effectiveCol, options.expiryCol, options.currentCol,
         options.versionCol, options.hashCol, options.loadTsExpr,
-        options.nullKeyPolicy, options.createIfNotExists, options.allowSchemaEvolution)
+        options.nullKeyPolicy, options.createIfNotExists, options.allowSchemaEvolution,
+        options.numBuckets)
     }
 }
 
@@ -358,7 +405,10 @@ final case class ChangeTrackingOptions(
     loadTsExpr: Option[String] = None,
     nullKeyPolicy: String = "error",
     createIfNotExists: Boolean = true,
-    allowSchemaEvolution: Boolean = false)
+    allowSchemaEvolution: Boolean = false,
+    /** Hash-bucket the path target by business key into this many partitions;
+      * merges then read and rewrite only the buckets a batch touches. */
+    numBuckets: Option[Int] = None)
 
 /** Fluent writer, the Scala analogue of `df.write.change_tracking`
   * (change_tracking.py:117-215 — Python monkey-patches DataFrame; Scala uses

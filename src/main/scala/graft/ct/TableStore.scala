@@ -16,6 +16,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object TableStore {
 
+  /** Physical partition column for hash-bucketed targets. Lives only in the
+    * target layout; change tracking strips it from user-facing semantics
+    * (row hashes and change detection never include it).
+    */
+  val BucketCol = "__graft_bucket"
+
   /** Path-vs-table heuristic, identical to the reference (`/` or `:/`). */
   def isPath(identifier: String): Boolean =
     identifier.contains("/") || identifier.contains(":/")
@@ -33,6 +39,54 @@ private[graft] object TableStore {
   def append(df: DataFrame, target: String): Unit =
     if (isPath(target)) df.write.mode("append").parquet(target)
     else df.write.mode("append").saveAsTable(target)
+
+  /** Append `df` (which must carry [[BucketCol]]) partitioned by bucket, so
+    * later merges can prune reads and rewrites to the touched buckets.
+    */
+  def appendBucketed(df: DataFrame, target: String): Unit = {
+    require(df.columns.contains(BucketCol), s"appendBucketed needs $BucketCol")
+    require(isPath(target), "bucketed targets are path-addressed")
+    df.write.mode("append").partitionBy(BucketCol).parquet(target)
+  }
+
+  /** Replace ONLY the given buckets of a bucketed path target with `df`'s
+    * contents (`df` must carry [[BucketCol]] and contain no rows outside
+    * `buckets`). `df` may read from the target itself: contents are staged
+    * first, then each `bucket=N` directory is swapped via rename-aside —
+    * untouched buckets are never rewritten, which at large scale turns a
+    * full-table rewrite into an O(touched fraction) one.
+    */
+  def overwriteBuckets(
+      spark: SparkSession, df: DataFrame, target: String, buckets: Seq[Int]): Unit = {
+    require(isPath(target), "bucketed targets are path-addressed")
+    if (buckets.isEmpty) return
+    val dest = new Path(target)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    val base = target.stripSuffix("/")
+    val staging = new Path(base + "__graft_staging__")
+    val old = new Path(base + "__graft_old__")
+    fs.delete(staging, true)
+    fs.delete(old, true) // leftover from a prior crashed swap
+    df.write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
+    fs.mkdirs(old)
+    buckets.foreach { b =>
+      val part = s"$BucketCol=$b"
+      val sdir = new Path(staging, part)
+      val ddir = new Path(dest, part)
+      val odir = new Path(old, part)
+      if (fs.exists(ddir) && !fs.rename(ddir, odir))
+        throw new IllegalStateException(
+          s"Failed to move bucket '$part' of '$target' aside for overwrite")
+      // a bucket absent from the staged output legitimately becomes empty
+      if (fs.exists(sdir) && !fs.rename(sdir, ddir)) {
+        fs.rename(odir, ddir) // restore; best effort
+        throw new IllegalStateException(
+          s"Failed to move staged bucket '$part' into place for '$target'")
+      }
+    }
+    fs.delete(old, true)
+    fs.delete(staging, true)
+  }
 
   /** Replace the target's contents with `df`.
     *

@@ -27,4 +27,16 @@ object Hashing {
 
   /** Convenience: hash named columns. */
   def rowHashOf(columnNames: Seq[String]): Column = rowHash(columnNames.map(col))
+
+  /** Stable bucket id in [0, numBuckets) from the given key columns.
+    *
+    * xxhash64 over the same stringified/null-coalesced concatenation as
+    * [[rowHash]], so the assignment is deterministic across batches and
+    * independent of physical layout. Codegen'd, no UDF.
+    */
+  def bucketOf(keyColumns: Seq[String], numBuckets: Int): Column = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    pmod(xxhash64(concat_ws(UnitSeparator, keyColumns.map(c => stringify(col(c))): _*)),
+      lit(numBuckets.toLong)).cast("int")
+  }
 }

@@ -119,4 +119,64 @@ class ChangeTrackingSpec extends SparkTestBase {
     }
     intercept[IllegalArgumentException] { ChangeTracking.resolveMode("bogus") }
   }
+
+  test("bucketed SCD2 matches flat results and only rewrites touched buckets") {
+    val flat = tmpTarget()
+    val bucketed = tmpTarget()
+    val n = 8
+    val b1 = (1L to 64L).map(i => (i, s"v$i", 100L)).toDF("id", "val", "ts")
+    // second batch touches a small subset of keys (and so of buckets)
+    val b2 = Seq((4L, "v4x", 200L), (12L, "v12x", 200L)).toDF("id", "val", "ts")
+    for (tgt <- Seq(flat, bucketed)) {
+      val nb = if (tgt == bucketed) Some(n) else None
+      ChangeTracking.trackHistoryUpsert(spark, b1, tgt, Seq("id"),
+        orderBy = Seq("ts"), loadTsExpr = ts1, numBuckets = nb)
+    }
+    // snapshot per-bucket file listings before the selective merge
+    def bucketFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(bucketed)
+      root.listFiles().filter(_.getName.startsWith(TableStore.BucketCol + "="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    }
+    val before = bucketFiles()
+    for (tgt <- Seq(flat, bucketed)) {
+      val nb = if (tgt == bucketed) Some(n) else None
+      ChangeTracking.trackHistoryUpsert(spark, b2, tgt, Seq("id"),
+        orderBy = Seq("ts"), loadTsExpr = ts2, numBuckets = nb)
+    }
+    val after = bucketFiles()
+    val touchedBuckets = Seq(4L, 12L).map { id =>
+      Seq(id).toDF("id").select(graft.functions.Hashing.bucketOf(Seq("id"), n))
+        .head().getInt(0)
+    }.toSet
+    before.keys.foreach { dir =>
+      val b = dir.stripPrefix(TableStore.BucketCol + "=").toInt
+      if (touchedBuckets.contains(b)) assert(before(dir) != after(dir),
+        s"touched bucket $b should have been rewritten")
+      else assert(before(dir) == after(dir),
+        s"untouched bucket $b was rewritten")
+    }
+    // logical contents identical (modulo the physical bucket column)
+    val f = readTgt(flat).orderBy("id", "version")
+      .select("id", "val", "is_current", "version")
+    val g = readTgt(bucketed).orderBy("id", "version")
+      .select("id", "val", "is_current", "version")
+    assert(f.collect().toSeq == g.collect().toSeq)
+    assert(readTgt(bucketed).filter($"id" === 4L).count() == 2)
+  }
+
+  test("bucketed SCD1 matches flat results") {
+    val flat = tmpTarget()
+    val bucketed = tmpTarget()
+    val b1 = (1L to 40L).map(i => (i, s"a$i")).toDF("id", "val")
+    val b2 = Seq((3L, "zz"), (41L, "new")).toDF("id", "val")
+    for ((tgt, nb) <- Seq((flat, None), (bucketed, Some(4)))) {
+      ChangeTracking.currentOnlyUpsert(spark, b1, tgt, Seq("id"), numBuckets = nb)
+      ChangeTracking.currentOnlyUpsert(spark, b2, tgt, Seq("id"), numBuckets = nb)
+    }
+    val f = readTgt(flat).orderBy("id").select("id", "val", "row_hash")
+    val g = readTgt(bucketed).orderBy("id").select("id", "val", "row_hash")
+    assert(f.collect().toSeq == g.collect().toSeq)
+    assert(g.count() == 41)
+  }
 }
