@@ -263,4 +263,50 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Group near-duplicate candidate pairs into clusters: returns
+    * (node, component) where component is the minimum node id reachable
+    * from the node (nodes appearing in `pairs` only; isolated documents are
+    * the caller's anti-join). This is the step that turns pairwise LSH /
+    * Jaccard / cosine output into "keep one doc per cluster".
+    *
+    * Algorithm: min-label propagation — each round every node takes the min
+    * of its own label and its neighbors', via one join + one min-aggregate
+    * (both shuffles on the node key, no driver-side graph). Converges in
+    * O(component diameter) rounds, with an early-out when a round changes
+    * nothing. Near-dup components are band-bucket cliques or tight chains,
+    * so 2–4 rounds in practice; for adversarially long path graphs raise
+    * `maxIter` (or use a large-star/small-star variant — out of scope).
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    require(maxIter > 0, "maxIter must be positive")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
+      .union(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
+      .distinct()
+      .persist(lvl)
+    try {
+      var labels = edges.select(col("s").as("node"), col("s").as("comp"))
+        .distinct().persist(lvl)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val msgs = edges
+          .join(labels, edges("s") === labels("node"))
+          .select(edges("d").as("node"), labels("comp"))
+        val next = msgs.union(labels.select(col("node"), col("comp")))
+          .groupBy("node").agg(min("comp").as("comp"))
+          .persist(lvl)
+        converged = next.as("n")
+          .join(labels.as("p"), col("n.node") === col("p.node"))
+          .where(col("n.comp") =!= col("p.comp"))
+          .isEmpty
+        labels.unpersist(blocking = false)
+        labels = next
+        iter += 1
+      }
+      labels
+    } finally edges.unpersist(blocking = false)
+  }
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SkewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // one hot key (90% of rows) plus a uniform tail
+  private lazy val facts = ((1 to 900).map(i => ("hot", i)) ++
+    (1 to 100).map(i => (s"k${i % 10}", i))).toDF("k", "v")
+  private lazy val dims = ("hot" +: (0 until 10).map(i => s"k$i"))
+    .zipWithIndex.toDF("k", "dim_val")
+
+  test("saltedJoin matches plain join for inner and left") {
+    for (jt <- Seq("inner", "left")) {
+      val expected = facts.join(dims, Seq("k"), jt)
+        .orderBy("k", "v").collect().toSeq
+      val got = Skew.saltedJoin(facts, dims, Seq("k"), saltFactor = 5, joinType = jt)
+        .orderBy("k", "v").collect().toSeq
+      assert(got == expected, s"join type $jt")
+    }
+  }
+
+  test("saltedJoin left_anti keeps only unmatched left rows") {
+    val extra = facts.union(Seq(("nokey", 1)).toDF("k", "v"))
+    val got = Skew.saltedJoin(extra, dims, Seq("k"), 4, joinType = "left_anti")
+    assert(got.collect().map(_.getString(0)).toSeq == Seq("nokey"))
+  }
+
+  test("saltedJoin rejects join types that replicate unmatched right rows") {
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(facts, dims, Seq("k"), 4, joinType = "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(facts, dims, Seq("k"), 0)
+    }
+  }
+
+  test("saltedCountDistinct matches count_distinct") {
+    val df = ((1 to 500).map(i => ("hot", i % 97)) ++
+      (1 to 50).map(i => ("cold", i % 7))).toDF("k", "v")
+    val expected = df.groupBy("k").agg(count_distinct($"v").as("distinct_count"))
+      .orderBy("k").collect().toSeq
+    val got = Skew.saltedCountDistinct(df, Seq("k"), "v", saltFactor = 8)
+      .orderBy("k").collect().toSeq
+    assert(got == expected)
+  }
+
+  test("connectedComponents labels chains, cliques, and string ids") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // 5-node chain
+      (10L, 11L), (11L, 10L), // clique w/ reversed dup
+      (20L, 21L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs, "a", "b")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    val sPairs = Seq(("b", "a"), ("b", "c")).toDF("x", "y")
+    val sGot = Dedup.connectedComponents(sPairs, "x", "y")
+      .orderBy("node").as[(String, String)].collect().toSeq
+    assert(sGot == Seq("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+}
