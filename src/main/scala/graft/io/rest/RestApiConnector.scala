@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -67,12 +67,31 @@ class RestApiTable(schema: StructType, config: RestApi.Config)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new RestScan(schema, config)
-    }
+    new RestScanBuilder(schema, config)
 }
 
-class RestScan(schema: StructType, config: RestApi.Config) extends Scan with Batch {
+/** Limit and column pruning pushdown. A pushed LIMIT caps each partition's
+  * record iterator, which stops HTTP pagination early (the page iterators
+  * are lazy end-to-end); it is per-partition, so Spark still applies the
+  * global limit (pushLimit returns false). Pruned columns are dropped
+  * before row serialization — the server still sends full JSON records
+  * (REST has no projection protocol), but the rows entering Spark carry
+  * only what the query needs.
+  */
+class RestScanBuilder(schema: StructType, config: RestApi.Config)
+    extends ScanBuilder with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
+  private var prunedSchema: StructType = schema
+  private var limit: Option[Int] = None
+
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
+  override def pruneColumns(required: StructType): Unit =
+    // keep declared field order; an empty projection (count(*)) keeps none
+    prunedSchema = StructType(schema.fields.filter(f => required.fieldNames.contains(f.name)))
+  override def build(): Scan = new RestScan(prunedSchema, config, limit)
+}
+
+class RestScan(schema: StructType, config: RestApi.Config, limit: Option[Int] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
@@ -81,27 +100,34 @@ class RestScan(schema: StructType, config: RestApi.Config) extends Scan with Bat
     else chunks.map(RestInputPartition.apply).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new RestReaderFactory(schema, config)
+    new RestReaderFactory(schema, config, limit)
+  override def description(): String =
+    s"graft-rest limit=${limit.getOrElse(-1)} cols=${schema.fieldNames.mkString(",")}"
 }
 
 final case class RestInputPartition(items: Seq[RestApi.WorkItem]) extends InputPartition
 
-class RestReaderFactory(schema: StructType, config: RestApi.Config)
+class RestReaderFactory(
+    schema: StructType, config: RestApi.Config, limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new RestPartitionReader(schema, config,
-      partition.asInstanceOf[RestInputPartition].items)
+      partition.asInstanceOf[RestInputPartition].items, limit)
 }
 
 /** Executor-side reader: one HTTP pass over the partition's work items. */
 class RestPartitionReader(
     schema: StructType,
     config: RestApi.Config,
-    items: Seq[RestApi.WorkItem]) extends PartitionReader[InternalRow] {
+    items: Seq[RestApi.WorkItem],
+    limit: Option[Int] = None) extends PartitionReader[InternalRow] {
 
   private val serializer =
     ExpressionEncoder(RowEncoder.encoderFor(schema)).createSerializer()
-  private val records = RestApi.fetchItems(config, items)
+  private val records = {
+    val it = RestApi.fetchItems(config, items)
+    limit.map(it.take).getOrElse(it)
+  }
   private var current: InternalRow = _
 
   override def next(): Boolean =

@@ -124,6 +124,24 @@ class RestApiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(ids == Set(1L, 2L, 21L, 22L, 41L))
   }
 
+  test("pushed limit stops token pagination early and prunes columns") {
+    val df = load(
+      s"""{"sources": "$base/tokened",
+         | "pagination": {"mode": "token", "param": "after",
+         |                "field": "paging.next.after"},
+         | "records_field": "results"}""".stripMargin)
+    // inference at load() pages on the driver; only count the scan's requests
+    requests.clear()
+    // limit 2 is satisfied by the first page → no ?after= requests
+    val two = df.select("id").limit(2).collect()
+    assert(two.length == 2)
+    val paged = requests.asScala.count(_.contains("after="))
+    assert(paged == 0, s"limit should stop paging, saw $paged paged requests")
+    val plan = df.select("id").limit(2).queryExecution.executedPlan.toString
+    assert(plan.contains("limit=2"), plan)
+    assert(plan.contains("cols=id"), plan)
+  }
+
   test("POST body with raw response payload column") {
     val df = load(
       s"""{"sources": "$base/search", "request_type": "POST",
