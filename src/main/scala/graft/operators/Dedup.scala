@@ -281,32 +281,33 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // localCheckpoint (not persist) on every iteration state: an iterative
+    // plan that only persists still re-ANALYZES its whole lineage per round,
+    // and the labels plan references both edges and the previous labels, so
+    // analysis cost grows exponentially with rounds (observed 100x blowup).
+    // Checkpointing truncates the logical plan to the materialized blocks.
     val edges = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
       .union(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
       .distinct()
-      .persist(lvl)
-    try {
-      var labels = edges.select(col("s").as("node"), col("s").as("comp"))
-        .distinct().persist(lvl)
-      var converged = false
-      var iter = 0
-      while (!converged && iter < maxIter) {
-        val msgs = edges
-          .join(labels, edges("s") === labels("node"))
-          .select(edges("d").as("node"), labels("comp"))
-        val next = msgs.union(labels.select(col("node"), col("comp")))
-          .groupBy("node").agg(min("comp").as("comp"))
-          .persist(lvl)
-        converged = next.as("n")
-          .join(labels.as("p"), col("n.node") === col("p.node"))
-          .where(col("n.comp") =!= col("p.comp"))
-          .isEmpty
-        labels.unpersist(blocking = false)
-        labels = next
-        iter += 1
-      }
-      labels
-    } finally edges.unpersist(blocking = false)
+      .localCheckpoint(true)
+    var labels = edges.select(col("s").as("node"), col("s").as("comp"))
+      .distinct().localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = edges
+        .join(labels, edges("s") === labels("node"))
+        .select(edges("d").as("node"), labels("comp"))
+      val next = msgs.union(labels.select(col("node"), col("comp")))
+        .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("p"), col("n.node") === col("p.node"))
+        .where(col("n.comp") =!= col("p.comp"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
   }
 }
