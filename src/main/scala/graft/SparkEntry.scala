@@ -220,6 +220,12 @@ object SparkEntry {
         numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.5)
     }),
 
+    // ---- skew-safe two-stage distinct count (salt on the value hash)
+    "q_salted_distinct" -> ((s, dir) => {
+      operators.Skew.saltedCountDistinct(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey", saltFactor = 8)
+    }),
+
     // ---- near-dup pairs → dedup clusters (min-label connected components)
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -653,6 +659,9 @@ object SparkEntry {
         |  JOIN sig s1 ON s1.doc_id = cand.id_a
         |  JOIN sig s2 ON s2.doc_id = cand.id_b)
         |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin,
+    "q_salted_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_count
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // same LSH pair derivation + transitive closure → min-reachable component
     "q_dedup_clusters" ->
       """WITH RECURSIVE corpus AS (
