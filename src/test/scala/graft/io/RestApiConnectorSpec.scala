@@ -169,6 +169,39 @@ class RestApiConnectorSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(df.rdd.getNumPartitions == 3)
   }
 
+  test("streaming read polls the endpoint one micro-batch at a time") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rest_ckpt_").toString
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"name":"id","type":"long","nullable":true,"metadata":{}},
+        |{"name":"name","type":"string","nullable":true,"metadata":{}}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val out = java.nio.file.Files.createTempDirectory("graft_rest_out_").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-rest")
+        .schema(org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .option("graft.rest.config",
+          s"""{"sources": "$base/paged",
+             | "pagination": {"mode": "query", "param": "page", "start": 1, "stop": 2},
+             | "records_field": "data", "parallelism": 2}""".stripMargin)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"))).toSet
+    assert(got == Set((11L, "r11"), (12L, "r12"), (21L, "r21"), (22L, "r22")))
+    // restart from the same checkpoint: offsets advance, one more poll runs
+    runOnce()
+    assert(spark.read.parquet(out).count() == 8)
+  }
+
   test("missing fields project to null; extra response fields dropped") {
     val df = spark.read.format("graft-rest")
       .schema("id LONG, name STRING, missing_col STRING")
