@@ -49,12 +49,115 @@ private[graft] object TableStore {
     df.write.mode("append").partitionBy(BucketCol).parquet(target)
   }
 
+  /** Marker file written into the staging dir AFTER its parquet contents are
+    * complete; holds the bucket list for bucketed swaps. Its presence means
+    * "staged data is a full, committed snapshot — a crashed swap can be
+    * rolled FORWARD from it"; its absence means the staging write itself
+    * died and staging is safe to discard.
+    */
+  private val StagedMarker = "_GRAFT_STAGED"
+
+  /** Marker payload: the full bucket list plus the subset that has no staged
+    * dir (those buckets are being intentionally emptied). Recovery needs the
+    * distinction: for an emptied bucket a leftover dest dir is pre-merge data
+    * to retire, while for a staged bucket a dest dir with no staging left
+    * means the swap already completed.
+    */
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, staging: Path,
+      buckets: Seq[Int]): Set[Int] = {
+    val emptied = buckets.filterNot(b =>
+      fs.exists(new Path(staging, s"$BucketCol=$b"))).toSet
+    val out = fs.create(new Path(staging, StagedMarker), true)
+    try out.write(
+      (buckets.mkString(",") + "\n" + emptied.mkString(",")).getBytes("UTF-8"))
+    finally out.close()
+    emptied
+  }
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      staging: Path): Option[(Seq[Int], Set[Int])] = {
+    val p = new Path(staging, StagedMarker)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.commons.io.IOUtils.copy(in, buf)
+        buf.toString("UTF-8")
+      } finally in.close()
+      val lines = text.split("\n", -1)
+      def ids(s: String) = s.split(",").filter(_.nonEmpty).map(_.toInt)
+      Some((ids(lines(0)).toSeq, ids(lines.lift(1).getOrElse("")).toSet))
+    }
+  }
+
+  /** Swap the staged bucket dirs into dest, moving replaced dirs into `old`.
+    * Idempotent: safe to re-run over a partially-completed swap (the
+    * crash-recovery path replays it) — each bucket's state is derived from
+    * which of its three dirs exist.
+    */
+  private def swapBuckets(
+      fs: org.apache.hadoop.fs.FileSystem, staging: Path, dest: Path, old: Path,
+      buckets: Seq[Int], emptied: Set[Int], target: String): Unit = {
+    fs.mkdirs(old)
+    buckets.foreach { b =>
+      val part = s"$BucketCol=$b"
+      val sdir = new Path(staging, part)
+      val ddir = new Path(dest, part)
+      val odir = new Path(old, part)
+      if (emptied(b)) {
+        // intentionally emptied: retire the pre-merge dir (odir present ⟹
+        // a prior run already did)
+        if (!fs.exists(odir) && fs.exists(ddir) && !fs.rename(ddir, odir))
+          throw new IllegalStateException(
+            s"Failed to retire emptied bucket '$part' of '$target'")
+      } else if (fs.exists(sdir)) {
+        if (fs.exists(ddir) && !fs.exists(odir) && !fs.rename(ddir, odir))
+          throw new IllegalStateException(
+            s"Failed to move bucket '$part' of '$target' aside for overwrite")
+        if (!fs.rename(sdir, ddir))
+          throw new IllegalStateException(
+            s"Failed to move staged bucket '$part' into place for '$target'")
+      }
+      // else: staged bucket already swapped in by a prior (crashed) run
+    }
+    fs.delete(old, true)
+    fs.delete(staging, true)
+  }
+
+  /** Crash recovery for bucketed swaps, run on entry to [[overwriteBuckets]].
+    * A staged marker means the staged snapshot is complete → finish the
+    * interrupted swap (roll forward). No marker → the staging write died
+    * mid-flight; staging is discardable, but a non-empty `old` without a
+    * marker is an unknown state holding the only copy of data — fail loudly
+    * rather than delete it.
+    */
+  private def recoverBuckets(
+      fs: org.apache.hadoop.fs.FileSystem, staging: Path, dest: Path, old: Path,
+      target: String): Unit = {
+    readMarker(fs, staging) match {
+      case Some((buckets, emptied)) =>
+        swapBuckets(fs, staging, dest, old, buckets, emptied, target)
+      case None =>
+        if (fs.exists(old) && fs.listStatus(old).nonEmpty)
+          throw new IllegalStateException(
+            s"'$old' exists without a staged snapshot at '$staging' — a prior " +
+              "swap crashed in an unrecognized state and this directory may " +
+              "hold the only copy of some buckets. Inspect and restore " +
+              s"manually before merging into '$target'.")
+        fs.delete(staging, true)
+        fs.delete(old, true)
+    }
+  }
+
   /** Replace ONLY the given buckets of a bucketed path target with `df`'s
     * contents (`df` must carry [[BucketCol]] and contain no rows outside
     * `buckets`). `df` may read from the target itself: contents are staged
     * first, then each `bucket=N` directory is swapped via rename-aside —
     * untouched buckets are never rewritten, which at large scale turns a
-    * full-table rewrite into an O(touched fraction) one.
+    * full-table rewrite into an O(touched fraction) one. A crash mid-swap is
+    * recovered on the next call: the staged snapshot carries a completion
+    * marker, so recovery rolls the swap forward instead of dropping buckets.
     */
   def overwriteBuckets(
       spark: SparkSession, df: DataFrame, target: String, buckets: Seq[Int]): Unit = {
@@ -65,27 +168,54 @@ private[graft] object TableStore {
     val base = target.stripSuffix("/")
     val staging = new Path(base + "__graft_staging__")
     val old = new Path(base + "__graft_old__")
-    fs.delete(staging, true)
-    fs.delete(old, true) // leftover from a prior crashed swap
+    recoverBuckets(fs, staging, dest, old, target)
     df.write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
-    fs.mkdirs(old)
-    buckets.foreach { b =>
-      val part = s"$BucketCol=$b"
-      val sdir = new Path(staging, part)
-      val ddir = new Path(dest, part)
-      val odir = new Path(old, part)
-      if (fs.exists(ddir) && !fs.rename(ddir, odir))
-        throw new IllegalStateException(
-          s"Failed to move bucket '$part' of '$target' aside for overwrite")
-      // a bucket absent from the staged output legitimately becomes empty
-      if (fs.exists(sdir) && !fs.rename(sdir, ddir)) {
-        fs.rename(odir, ddir) // restore; best effort
-        throw new IllegalStateException(
-          s"Failed to move staged bucket '$part' into place for '$target'")
+    val emptied = writeMarker(fs, staging, buckets)
+    swapBuckets(fs, staging, dest, old, buckets, emptied, target)
+  }
+
+  /** Swap a complete staged snapshot into dest via rename-aside, so a crash
+    * at any point leaves a recoverable snapshot (either dest or
+    * dest__graft_old__), never zero copies. Idempotent over a partial swap.
+    */
+  private def swapFlat(
+      fs: org.apache.hadoop.fs.FileSystem, staging: Path, dest: Path, old: Path,
+      target: String): Unit = {
+    if (fs.exists(staging)) { // absent ⟹ a prior run already renamed it in
+      if (fs.exists(dest) && !fs.exists(old) && !fs.rename(dest, old))
+        throw new IllegalStateException(s"Failed to move '$target' aside for overwrite")
+      if (!fs.rename(staging, dest)) {
+        fs.rename(old, dest) // restore; best effort
+        throw new IllegalStateException(s"Failed to move staging into place for '$target'")
       }
     }
     fs.delete(old, true)
-    fs.delete(staging, true)
+  }
+
+  /** Crash recovery for flat swaps: marker present → the staged snapshot is
+    * complete, finish the swap forward; marker absent → discard the partial
+    * staging, but never delete a non-empty `old` dir (it can hold the only
+    * copy of the table when a prior run died between its two renames).
+    */
+  private def recoverFlat(
+      fs: org.apache.hadoop.fs.FileSystem, staging: Path, dest: Path, old: Path,
+      target: String): Unit = {
+    if (readMarker(fs, staging).isDefined) swapFlat(fs, staging, dest, old, target)
+    else if (fs.exists(old) && fs.listStatus(old).nonEmpty) {
+      if (!fs.exists(dest)) {
+        // died between dest→old and staging→dest with no usable staging:
+        // restore the pre-merge snapshot
+        if (!fs.rename(old, dest))
+          throw new IllegalStateException(
+            s"Failed to restore '$old' to '$target' during crash recovery")
+        fs.delete(staging, true)
+      } else throw new IllegalStateException(
+        s"'$old' exists alongside '$target' without a staged snapshot — " +
+          "unrecognized crash state; inspect and clean up manually.")
+    } else {
+      fs.delete(staging, true)
+      fs.delete(old, true)
+    }
   }
 
   /** Replace the target's contents with `df`.
@@ -101,18 +231,10 @@ private[graft] object TableStore {
       val base = target.stripSuffix("/")
       val staging = new Path(base + "__graft_staging__")
       val old = new Path(base + "__graft_old__")
-      fs.delete(staging, true)
-      fs.delete(old, true) // leftover from a prior crashed swap
+      recoverFlat(fs, staging, dest, old, target)
       df.write.mode("overwrite").parquet(staging.toString)
-      // Swap via rename-aside so a crash at any point leaves a recoverable
-      // snapshot (either dest or dest__graft_old__), never zero copies.
-      if (fs.exists(dest) && !fs.rename(dest, old))
-        throw new IllegalStateException(s"Failed to move '$target' aside for overwrite")
-      if (!fs.rename(staging, dest)) {
-        fs.rename(old, dest) // restore; best effort
-        throw new IllegalStateException(s"Failed to move staging into place for '$target'")
-      }
-      fs.delete(old, true)
+      writeMarker(fs, staging, Nil)
+      swapFlat(fs, staging, dest, old, target)
     } else {
       val staging = Files.createTempDirectory("graft_ct_staging_").toString
       try {
