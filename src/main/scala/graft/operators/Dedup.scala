@@ -277,6 +277,14 @@ object Dedup {
     * nothing. Near-dup components are band-bucket cliques or tight chains,
     * so 2–4 rounds in practice; for adversarially long path graphs raise
     * `maxIter` (or use a large-star/small-star variant — out of scope).
+    *
+    * Convergence is detected inside the round's own aggregate: each node's
+    * previous label rides along as `min(comp) where own` (the node's own
+    * labels row is tagged, messages are not), so "did anything change" is a
+    * single cheap scan of the already-checkpointed round output — no extra
+    * join job per round. Throws [[IllegalStateException]] if `maxIter`
+    * rounds pass without convergence: returning silently would split one
+    * real cluster into several and make downstream dedup under-delete.
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
@@ -297,17 +305,23 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val msgs = edges
         .join(labels, edges("s") === labels("node"))
-        .select(edges("d").as("node"), labels("comp"))
-      val next = msgs.union(labels.select(col("node"), col("comp")))
-        .groupBy("node").agg(min("comp").as("comp"))
+        .select(edges("d").as("node"), labels("comp"), lit(false).as("own"))
+      // Every node has exactly one own=true row (labels covers all nodes),
+      // so prev is never null and comp <=> prev iff the node's label held.
+      val next = msgs
+        .union(labels.select(col("node"), col("comp"), lit(true).as("own")))
+        .groupBy("node")
+        .agg(
+          min("comp").as("comp"),
+          min(when(col("own"), col("comp"))).as("prev"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("p"), col("n.node") === col("p.node"))
-        .where(col("n.comp") =!= col("p.comp"))
-        .isEmpty
-      labels = next
+      converged = next.where(col("comp") =!= col("prev")).isEmpty
+      labels = next.select(col("node"), col("comp"))
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds; " +
+        "raise maxIter (rounds needed ~ component diameter)")
     labels
   }
 }

@@ -61,4 +61,17 @@ class SkewSpec extends SparkTestBase {
       .orderBy("node").as[(String, String)].collect().toSeq
     assert(sGot == Seq("a" -> "a", "b" -> "a", "c" -> "a"))
   }
+
+  test("connectedComponents throws when maxIter is hit unconverged") {
+    // an 8-node path needs ~4 rounds of min-label propagation; cap at 2
+    val path = (1L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, "a", "b", maxIter = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // same graph with enough rounds still collapses to one component
+    val ok = Dedup.connectedComponents(path, "a", "b", maxIter = 10)
+      .agg(count_distinct(col("comp"))).head.getLong(0)
+    assert(ok == 1L)
+  }
 }
