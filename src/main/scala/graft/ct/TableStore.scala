@@ -37,8 +37,13 @@ private[graft] object TableStore {
     if (isPath(target)) spark.read.parquet(target) else spark.table(target)
 
   def append(df: DataFrame, target: String): Unit =
-    if (isPath(target)) df.write.mode("append").parquet(target)
-    else df.write.mode("append").saveAsTable(target)
+    if (isPath(target)) {
+      // run crash recovery first: appending must not resurrect/interleave
+      // with a half-swapped layout left by a crashed overwrite
+      val (fs, dest, staging, old) = swapPaths(df.sparkSession, target)
+      recoverFlat(fs, staging, dest, old, target)
+      df.write.mode("append").parquet(target)
+    } else df.write.mode("append").saveAsTable(target)
 
   /** Append `df` (which must carry [[BucketCol]]) partitioned by bucket, so
     * later merges can prune reads and rewrites to the touched buckets.
@@ -46,7 +51,21 @@ private[graft] object TableStore {
   def appendBucketed(df: DataFrame, target: String): Unit = {
     require(df.columns.contains(BucketCol), s"appendBucketed needs $BucketCol")
     require(isPath(target), "bucketed targets are path-addressed")
+    // recover a crashed bucket swap before appending: otherwise this append
+    // can recreate a bucket dir that a pending roll-forward still wants to
+    // rename into, corrupting the partition layout
+    val (fs, dest, staging, old) = swapPaths(df.sparkSession, target)
+    recoverBuckets(fs, staging, dest, old, target)
     df.write.mode("append").partitionBy(BucketCol).parquet(target)
+  }
+
+  /** The three fixed locations a swap of `target` uses. */
+  private def swapPaths(spark: SparkSession, target: String)
+      : (org.apache.hadoop.fs.FileSystem, Path, Path, Path) = {
+    val dest = new Path(target)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    val base = target.stripSuffix("/")
+    (fs, dest, new Path(base + "__graft_staging__"), new Path(base + "__graft_old__"))
   }
 
   /** Marker file written into the staging dir AFTER its parquet contents are
@@ -63,14 +82,26 @@ private[graft] object TableStore {
     * to retire, while for a staged bucket a dest dir with no staging left
     * means the swap already completed.
     */
+  /** Trailing terminator proving the marker was written in full: a truncated
+    * bucket list like "12,34" cut to "12,3" still parses as valid ints, and
+    * rolling forward only that subset would silently commit a torn merge.
+    */
+  private val MarkerEnd = "END"
+
   private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, staging: Path,
       buckets: Seq[Int]): Set[Int] = {
     val emptied = buckets.filterNot(b =>
       fs.exists(new Path(staging, s"$BucketCol=$b"))).toSet
-    val out = fs.create(new Path(staging, StagedMarker), true)
-    try out.write(
-      (buckets.mkString(",") + "\n" + emptied.mkString(",")).getBytes("UTF-8"))
+    // write to a temp name, then rename into place: marker visibility must be
+    // atomic, or a crash mid-write leaves a truncated-but-parseable payload
+    val tmp = new Path(staging, StagedMarker + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write((buckets.mkString(",") + "\n" + emptied.mkString(",") +
+      "\n" + MarkerEnd + "\n").getBytes("UTF-8"))
     finally out.close()
+    val marker = new Path(staging, StagedMarker)
+    if (!fs.rename(tmp, marker))
+      throw new IllegalStateException(s"Failed to publish staged marker '$marker'")
     emptied
   }
 
@@ -86,8 +117,15 @@ private[graft] object TableStore {
         buf.toString("UTF-8")
       } finally in.close()
       val lines = text.split("\n", -1)
-      def ids(s: String) = s.split(",").filter(_.nonEmpty).map(_.toInt)
-      Some((ids(lines(0)).toSeq, ids(lines.lift(1).getOrElse("")).toSet))
+      def malformed() = throw new IllegalStateException(
+        s"Staged marker '$p' is corrupt (content: '${text.take(200)}') — " +
+          "refusing to roll the swap forward from it; inspect and clean up " +
+          "manually.")
+      if (lines.length < 3 || lines(2) != MarkerEnd) malformed()
+      def ids(s: String) = s.split(",").filter(_.nonEmpty).map { tok =>
+        try tok.toInt catch { case _: NumberFormatException => malformed() }
+      }
+      Some((ids(lines(0)).toSeq, ids(lines(1)).toSet))
     }
   }
 
@@ -115,6 +153,15 @@ private[graft] object TableStore {
         if (fs.exists(ddir) && !fs.exists(odir) && !fs.rename(ddir, odir))
           throw new IllegalStateException(
             s"Failed to move bucket '$part' of '$target' aside for overwrite")
+        // Hadoop rename(src, existingDir) moves src INTO dst instead of
+        // failing — if ddir survived the move-aside (e.g. it was recreated
+        // after a crash while odir still held the original), renaming would
+        // silently nest the partition dir inside itself. Fail loudly.
+        if (fs.exists(ddir))
+          throw new IllegalStateException(
+            s"Bucket '$part' of '$target' exists alongside both its staged " +
+              "and moved-aside copies — three copies is an unrecognized " +
+              "state; inspect and clean up manually.")
         if (!fs.rename(sdir, ddir))
           throw new IllegalStateException(
             s"Failed to move staged bucket '$part' into place for '$target'")
@@ -184,24 +231,44 @@ private[graft] object TableStore {
     if (fs.exists(staging)) { // absent ⟹ a prior run already renamed it in
       if (fs.exists(dest) && !fs.exists(old) && !fs.rename(dest, old))
         throw new IllegalStateException(s"Failed to move '$target' aside for overwrite")
+      // Hadoop rename(src, existingDir) nests src INSIDE dst — if dest still
+      // exists here (it was recreated while old held the original), renaming
+      // would corrupt the layout. Fail loudly instead.
+      if (fs.exists(dest))
+        throw new IllegalStateException(
+          s"'$target' exists alongside both its staged and moved-aside " +
+            "copies — three copies is an unrecognized state; inspect and " +
+            "clean up manually.")
       if (!fs.rename(staging, dest)) {
         fs.rename(old, dest) // restore; best effort
         throw new IllegalStateException(s"Failed to move staging into place for '$target'")
       }
     }
+    // the marker rode into dest with the staging rename; remove it so a
+    // completed table never advertises an in-flight swap
+    fs.delete(new Path(dest, StagedMarker), false)
     fs.delete(old, true)
   }
 
-  /** Crash recovery for flat swaps: marker present → the staged snapshot is
-    * complete, finish the swap forward; marker absent → discard the partial
-    * staging, but never delete a non-empty `old` dir (it can hold the only
-    * copy of the table when a prior run died between its two renames).
+  /** Crash recovery for flat swaps: marker present in staging → the staged
+    * snapshot is complete, finish the swap forward; marker present in DEST →
+    * the staging→dest rename already happened (the marker rode along) and
+    * only the cleanup of `old` was lost, so just finish the cleanup; marker
+    * absent → discard the partial staging, but never delete a non-empty
+    * `old` dir (it can hold the only copy of the table when a prior run died
+    * between its two renames).
     */
   private def recoverFlat(
       fs: org.apache.hadoop.fs.FileSystem, staging: Path, dest: Path, old: Path,
       target: String): Unit = {
     if (readMarker(fs, staging).isDefined) swapFlat(fs, staging, dest, old, target)
-    else if (fs.exists(old) && fs.listStatus(old).nonEmpty) {
+    else if (fs.exists(new Path(dest, StagedMarker))) {
+      // swap completed; crash hit between rename(staging, dest) and
+      // delete(old). dest is the committed snapshot — clear the leftovers.
+      fs.delete(new Path(dest, StagedMarker), false)
+      fs.delete(old, true)
+      fs.delete(staging, true)
+    } else if (fs.exists(old) && fs.listStatus(old).nonEmpty) {
       if (!fs.exists(dest)) {
         // died between dest→old and staging→dest with no usable staging:
         // restore the pre-merge snapshot
