@@ -20,18 +20,26 @@ object Bench {
       val warm = spark.range(200000)
         .selectExpr("id", "sha2(cast(id as string), 256) AS h", "id % 97 AS k")
       warm.groupBy("k").agg(min("h")).count()
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_warm_").toString + "/t"
-      warm.limit(5000).write.mode("overwrite").parquet(dir)
-      val back = spark.read.parquet(dir)
-      back.join(broadcast(back.select("k").distinct()), Seq("k"))
-        .withColumn("rn", row_number().over(w))
-        .join(back.select(col("id"), col("h").as("h2")), Seq("id"), "full_outer")
-        .count()
+      val root = java.nio.file.Files.createTempDirectory("graft_warm_")
+      try {
+        val dir = root.toString + "/t"
+        warm.limit(5000).write.mode("overwrite").parquet(dir)
+        val back = spark.read.parquet(dir)
+        back.join(broadcast(back.select("k").distinct()), Seq("k"))
+          .withColumn("rn", row_number().over(w))
+          .join(back.select(col("id"), col("h").as("h2")), Seq("id"), "full_outer")
+          .count()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
     }
     // Local-debug hook: SPARK_GRAFT_ONLY=q_a,q_b restricts the run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")} " +
+          s"(known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+    }
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

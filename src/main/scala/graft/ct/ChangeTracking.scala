@@ -148,6 +148,15 @@ object ChangeTracking {
       return
     }
 
+    // bucketed merges collect the touched bucket ids from the source and
+    // then re-read it for the join + rewrite: persist so the source plan
+    // computes once, and so a nondeterministic source cannot emit rows whose
+    // bucket falls outside the collected set (those rows would be staged but
+    // never swapped in — silently lost)
+    val bucketed = numBuckets.isDefined
+    if (bucketed)
+      srcHashed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val (tgt, batchBuckets) = readPruned(spark, target, srcHashed, numBuckets)
     // Never write SCD2 metadata columns from a current-only merge
     val writeCols = srcHashed.columns.filterNot(HistoryFields.contains).toSeq
@@ -174,9 +183,10 @@ object ChangeTracking {
         when(takeSource, s(c)).as(c) // evolved columns: null for untouched rows
       }
     val merged = joined.select(outCols: _*)
-    if (numBuckets.isDefined)
+    if (bucketed)
       TableStore.overwriteBuckets(spark, merged, target, batchBuckets)
     else TableStore.overwrite(spark, merged, target)
+    } finally if (bucketed) srcHashed.unpersist(blocking = false)
   }
 
   /** Add the physical bucket column for bucketed targets (no-op otherwise). */
@@ -251,7 +261,11 @@ object ChangeTracking {
       businessKeys, numBuckets, target)
     val tsCol = expr(loadTsExpr.getOrElse("current_timestamp()"))
 
-    val shouldCache = orderBy.nonEmpty
+    // cache when the per-rank loop re-reads the source (orderBy) OR when
+    // bucketed (each batch collects its touched bucket ids and then re-reads
+    // the source for the merge — uncached, a nondeterministic source could
+    // emit rows outside the collected buckets, which the swap would drop)
+    val shouldCache = orderBy.nonEmpty || numBuckets.isDefined
     val cached = if (shouldCache) sourceHashed.cache() else sourceHashed
     try {
       // no orderBy → every rank is 1 by construction; a cheap empty probe on

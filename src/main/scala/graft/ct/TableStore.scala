@@ -41,7 +41,7 @@ private[graft] object TableStore {
       // run crash recovery first: appending must not resurrect/interleave
       // with a half-swapped layout left by a crashed overwrite
       val (fs, dest, staging, old) = swapPaths(df.sparkSession, target)
-      recoverFlat(fs, staging, dest, old, target)
+      recover(fs, staging, dest, old, target)
       df.write.mode("append").parquet(target)
     } else df.write.mode("append").saveAsTable(target)
 
@@ -55,7 +55,7 @@ private[graft] object TableStore {
     // can recreate a bucket dir that a pending roll-forward still wants to
     // rename into, corrupting the partition layout
     val (fs, dest, staging, old) = swapPaths(df.sparkSession, target)
-    recoverBuckets(fs, staging, dest, old, target)
+    recover(fs, staging, dest, old, target)
     df.write.mode("append").partitionBy(BucketCol).parquet(target)
   }
 
@@ -121,10 +121,17 @@ private[graft] object TableStore {
         s"Staged marker '$p' is corrupt (content: '${text.take(200)}') — " +
           "refusing to roll the swap forward from it; inspect and clean up " +
           "manually.")
-      if (lines.length < 3 || lines(2) != MarkerEnd) malformed()
       def ids(s: String) = s.split(",").filter(_.nonEmpty).map { tok =>
         try tok.toInt catch { case _: NumberFormatException => malformed() }
       }
+      // current format: buckets \n emptied \n END. Legacy (pre-terminator)
+      // markers are exactly two lines; accept them when both parse cleanly,
+      // so a swap crashed under the old code still rolls forward after an
+      // upgrade. (Current markers are published by atomic rename, so a
+      // two-line file cannot be a torn current-format write.)
+      val legacy = lines.length == 2 ||
+        (lines.length == 3 && lines(2).isEmpty)
+      if (!legacy && (lines.length < 3 || lines(2) != MarkerEnd)) malformed()
       Some((ids(lines(0)).toSeq, ids(lines(1)).toSet))
     }
   }
@@ -172,28 +179,52 @@ private[graft] object TableStore {
     fs.delete(staging, true)
   }
 
-  /** Crash recovery for bucketed swaps, run on entry to [[overwriteBuckets]].
-    * A staged marker means the staged snapshot is complete → finish the
-    * interrupted swap (roll forward). No marker → the staging write died
-    * mid-flight; staging is discardable, but a non-empty `old` without a
-    * marker is an unknown state holding the only copy of data — fail loudly
-    * rather than delete it.
+  /** Crash recovery, run on entry to every write path. The marker's SHAPE
+    * picks the replay: a non-empty bucket list is a crashed bucketed swap
+    * (replaying it as a flat rename would drop every untouched bucket), an
+    * empty one a crashed flat swap (replaying it bucket-wise would no-op the
+    * swap and then delete both copies) — so recovery dispatches on the
+    * marker, not on which write API happens to run next.
+    *
+    * Marker in staging → the staged snapshot is complete, finish the swap
+    * forward. Marker in DEST → a flat staging→dest rename already happened
+    * (the marker rode along) and only the cleanup of `old` was lost — finish
+    * the cleanup, deleting the marker LAST (it is the guard that routes a
+    * re-crash back here). No marker → the staging write died mid-flight and
+    * staging is discardable; a non-empty `old` with dest missing is the
+    * between-renames crash of a flat swap (restore it), while `old`
+    * alongside a live dest is an unknown state holding what may be the only
+    * copy of data — fail loudly rather than delete it.
     */
-  private def recoverBuckets(
+  private[ct] def recover(
       fs: org.apache.hadoop.fs.FileSystem, staging: Path, dest: Path, old: Path,
       target: String): Unit = {
     readMarker(fs, staging) match {
-      case Some((buckets, emptied)) =>
+      case Some((buckets, emptied)) if buckets.nonEmpty =>
         swapBuckets(fs, staging, dest, old, buckets, emptied, target)
+      case Some(_) =>
+        swapFlat(fs, staging, dest, old, target)
       case None =>
-        if (fs.exists(old) && fs.listStatus(old).nonEmpty)
-          throw new IllegalStateException(
-            s"'$old' exists without a staged snapshot at '$staging' — a prior " +
-              "swap crashed in an unrecognized state and this directory may " +
-              "hold the only copy of some buckets. Inspect and restore " +
-              s"manually before merging into '$target'.")
-        fs.delete(staging, true)
-        fs.delete(old, true)
+        if (fs.exists(new Path(dest, StagedMarker))) {
+          fs.delete(old, true)
+          fs.delete(staging, true)
+          fs.delete(new Path(dest, StagedMarker), false)
+        } else if (fs.exists(old) && fs.listStatus(old).nonEmpty) {
+          if (!fs.exists(dest)) {
+            // died between dest→old and staging→dest with no usable staging:
+            // restore the pre-merge snapshot
+            if (!fs.rename(old, dest))
+              throw new IllegalStateException(
+                s"Failed to restore '$old' to '$target' during crash recovery")
+            fs.delete(staging, true)
+          } else throw new IllegalStateException(
+            s"'$old' exists alongside '$target' without a staged snapshot — " +
+              "unrecognized crash state; this directory may hold the only " +
+              "copy of some data. Inspect and clean up manually.")
+        } else {
+          fs.delete(staging, true)
+          fs.delete(old, true)
+        }
     }
   }
 
@@ -215,7 +246,7 @@ private[graft] object TableStore {
     val base = target.stripSuffix("/")
     val staging = new Path(base + "__graft_staging__")
     val old = new Path(base + "__graft_old__")
-    recoverBuckets(fs, staging, dest, old, target)
+    recover(fs, staging, dest, old, target)
     df.write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
     val emptied = writeMarker(fs, staging, buckets)
     swapBuckets(fs, staging, dest, old, buckets, emptied, target)
@@ -244,45 +275,14 @@ private[graft] object TableStore {
         throw new IllegalStateException(s"Failed to move staging into place for '$target'")
       }
     }
-    // the marker rode into dest with the staging rename; remove it so a
-    // completed table never advertises an in-flight swap
-    fs.delete(new Path(dest, StagedMarker), false)
+    // the marker rode into dest with the staging rename. Delete `old` FIRST,
+    // then the marker: the marker is the recovery guard, so at every crash
+    // point either it still routes recovery to the dest-marker cleanup
+    // branch, or both leftovers are already gone. (Deleting the marker first
+    // opens a window — dest committed, no marker, non-empty old — that
+    // recovery can only classify as an unrecognized crash state.)
     fs.delete(old, true)
-  }
-
-  /** Crash recovery for flat swaps: marker present in staging → the staged
-    * snapshot is complete, finish the swap forward; marker present in DEST →
-    * the staging→dest rename already happened (the marker rode along) and
-    * only the cleanup of `old` was lost, so just finish the cleanup; marker
-    * absent → discard the partial staging, but never delete a non-empty
-    * `old` dir (it can hold the only copy of the table when a prior run died
-    * between its two renames).
-    */
-  private def recoverFlat(
-      fs: org.apache.hadoop.fs.FileSystem, staging: Path, dest: Path, old: Path,
-      target: String): Unit = {
-    if (readMarker(fs, staging).isDefined) swapFlat(fs, staging, dest, old, target)
-    else if (fs.exists(new Path(dest, StagedMarker))) {
-      // swap completed; crash hit between rename(staging, dest) and
-      // delete(old). dest is the committed snapshot — clear the leftovers.
-      fs.delete(new Path(dest, StagedMarker), false)
-      fs.delete(old, true)
-      fs.delete(staging, true)
-    } else if (fs.exists(old) && fs.listStatus(old).nonEmpty) {
-      if (!fs.exists(dest)) {
-        // died between dest→old and staging→dest with no usable staging:
-        // restore the pre-merge snapshot
-        if (!fs.rename(old, dest))
-          throw new IllegalStateException(
-            s"Failed to restore '$old' to '$target' during crash recovery")
-        fs.delete(staging, true)
-      } else throw new IllegalStateException(
-        s"'$old' exists alongside '$target' without a staged snapshot — " +
-          "unrecognized crash state; inspect and clean up manually.")
-    } else {
-      fs.delete(staging, true)
-      fs.delete(old, true)
-    }
+    fs.delete(new Path(dest, StagedMarker), false)
   }
 
   /** Replace the target's contents with `df`.
@@ -298,7 +298,7 @@ private[graft] object TableStore {
       val base = target.stripSuffix("/")
       val staging = new Path(base + "__graft_staging__")
       val old = new Path(base + "__graft_old__")
-      recoverFlat(fs, staging, dest, old, target)
+      recover(fs, staging, dest, old, target)
       df.write.mode("overwrite").parquet(staging.toString)
       writeMarker(fs, staging, Nil)
       swapFlat(fs, staging, dest, old, target)

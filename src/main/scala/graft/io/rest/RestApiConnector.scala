@@ -134,8 +134,15 @@ class RestMicroBatchStream(schema: StructType, config: RestApi.Config)
     latest = math.max(System.currentTimeMillis(), latest + 1)
     RestPollOffset(latest)
   }
-  override def deserializeOffset(json: String): Offset =
-    RestPollOffset(json.trim.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val parsed = json.trim.toLong
+    // seed monotonicity from the checkpointed offset: restoring onto a
+    // machine whose clock is behind the original writer's would otherwise
+    // produce latestOffset() values <= the committed one — empty batches
+    // until wall-clock catches up
+    latest = math.max(latest, parsed)
+    RestPollOffset(parsed)
+  }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     // one poll per micro-batch regardless of how many triggers elapsed
     if (start.asInstanceOf[RestPollOffset].poll >= end.asInstanceOf[RestPollOffset].poll)

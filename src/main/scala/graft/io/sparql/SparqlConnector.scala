@@ -54,7 +54,8 @@ object Sparql {
       timeout: Double,
       maxRetries: Int,
       backoffFactor: Double,
-      parallelism: Int)
+      parallelism: Int,
+      inferMaxRecords: Int)
 
   object Config {
     def fromJson(raw: String): Config = {
@@ -92,7 +93,8 @@ object Sparql {
         maxRetries = num("max_retries", 3).toInt,
         backoffFactor = num("backoff_factor", 0.5),
         parallelism =
-          math.max(num("parallelism", math.max(queries.length, 1)).toInt, 1))
+          math.max(num("parallelism", math.max(queries.length, 1)).toInt, 1),
+        inferMaxRecords = math.max(num("infer_max_records", 1000).toInt, 1))
     }
   }
 
@@ -208,6 +210,27 @@ object Sparql {
     (rows.toSeq, columns.toSeq)
   }
 
+  /** Run queries sequentially only until `maxRecords` rows are gathered —
+    * the schema-inference fetch. The reference re-executes every query IN
+    * FULL on the driver to infer types (sparql.py:243-270), which is
+    * pathological at scale; the bound is the fix, the inference contract is
+    * kept (same REST-connector treatment, `infer_max_records`). Queries past
+    * the bound are not issued, so columns appearing only in them need an
+    * explicit schema.
+    */
+  def collectRowsBounded(config: Config, queries: Seq[String], maxRecords: Int)
+      : (Seq[Map[String, Any]], Seq[String]) = {
+    val rows = mutable.ArrayBuffer[Map[String, Any]]()
+    val columns = mutable.LinkedHashSet[String]()
+    val it = queries.iterator
+    while (it.hasNext && rows.length < maxRecords) {
+      val (qRows, qCols) = parseResults(config, performRequest(config, it.next()))
+      qCols.foreach(columns += _)
+      rows ++= qRows.take(maxRecords - rows.length)
+    }
+    (rows.toSeq, columns.toSeq)
+  }
+
   /** Column-by-column inference, priority bool > long > double > string;
     * metadata columns always string (sparql.py:243-270).
     */
@@ -271,7 +294,8 @@ class SparqlTableProvider extends TableProvider with DataSourceRegister {
       case Some(json) => DataType.fromJson(json).asInstanceOf[StructType]
       case None =>
         val config = parseConfig(options)
-        val (rows, columns) = Sparql.collectRows(config, config.queries)
+        val (rows, columns) = Sparql.collectRowsBounded(
+          config, config.queries, config.inferMaxRecords)
         Sparql.buildSchema(config, columns, rows)
     }
 

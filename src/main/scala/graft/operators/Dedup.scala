@@ -294,31 +294,56 @@ object Dedup {
     // and the labels plan references both edges and the previous labels, so
     // analysis cost grows exponentially with rounds (observed 100x blowup).
     // Checkpointing truncates the logical plan to the materialized blocks.
-    val edges = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
+    val edgesRaw = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
       .union(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("s").as("node"), col("s").as("comp"))
-      .distinct().localCheckpoint(true)
+    // Right-size the iteration's shuffle width to the EDGE data, not the
+    // session default: each round is join + aggregate over the (usually
+    // small) candidate-pair graph, and O(diameter) rounds of
+    // default-partition-count tiny tasks are pure scheduler overhead — the
+    // dominant cost of this operator on a busy cluster. ~2M edges per
+    // partition; never above the session's configured width.
+    val spark = pairs.sparkSession
+    val defaultParts = spark.sessionState.conf.numShufflePartitions
+    val edgeCount = edgesRaw.count() // cheap: counts the checkpointed blocks
+    val parts = math.max(1,
+      math.min(defaultParts, math.ceil(edgeCount / 2e6).toInt))
+    // Co-partition edges on the join key once: localCheckpoint preserves the
+    // hash partitioning, so every round's join re-shuffles only the (much
+    // smaller) labels side.
+    val edges = edgesRaw.repartition(parts, col("s")).localCheckpoint(true)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val msgs = edges
-        .join(labels, edges("s") === labels("node"))
-        .select(edges("d").as("node"), labels("comp"), lit(false).as("own"))
-      // Every node has exactly one own=true row (labels covers all nodes),
-      // so prev is never null and comp <=> prev iff the node's label held.
-      val next = msgs
-        .union(labels.select(col("node"), col("comp"), lit(true).as("own")))
-        .groupBy("node")
-        .agg(
-          min("comp").as("comp"),
-          min(when(col("own"), col("comp"))).as("prev"))
-        .localCheckpoint(true)
-      converged = next.where(col("comp") =!= col("prev")).isEmpty
-      labels = next.select(col("node"), col("comp"))
-      iter += 1
-    }
+    // session-conf override, restored on exit: the label distinct and every
+    // per-round join/aggregate must shuffle into `parts` partitions, and
+    // shuffle width is not expressible per-operator. (Callers sharing one
+    // SparkSession across threads should use session clones, per standard
+    // Spark practice.)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    var labels: DataFrame = null
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      labels = edges.select(col("s").as("node"), col("s").as("comp"))
+        .distinct().localCheckpoint(true)
+      while (!converged && iter < maxIter) {
+        val msgs = edges
+          .join(labels, edges("s") === labels("node"))
+          .select(edges("d").as("node"), labels("comp"), lit(false).as("own"))
+        // Every node has exactly one own=true row (labels covers all nodes),
+        // so prev is never null and comp <=> prev iff the node's label held.
+        val next = msgs
+          .union(labels.select(col("node"), col("comp"), lit(true).as("own")))
+          .groupBy("node")
+          .agg(
+            min("comp").as("comp"),
+            min(when(col("own"), col("comp"))).as("prev"))
+          .localCheckpoint(true)
+        converged = next.where(col("comp") =!= col("prev")).isEmpty
+        labels = next.select(col("node"), col("comp"))
+        iter += 1
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter rounds; " +
         "raise maxIter (rounds needed ~ component diameter)")

@@ -84,10 +84,10 @@ class TableStoreRecoverySpec extends SparkTestBase {
   }
 
   test("flat: truncated or malformed marker fails loudly, never rolls forward") {
-    // missing END terminator — the torn-write signature
+    // single line without terminator — neither current nor legacy format
     val t1 = tmpTarget()
     df(1).write.parquet(t1)
-    fabricateStaging(t1, df(10), markerLines = "\n")
+    fabricateStaging(t1, df(10), markerLines = "12,34")
     val e1 = intercept[IllegalStateException](TableStore.overwrite(spark, df(5), t1))
     assert(e1.getMessage.contains("corrupt"))
     assert(readVals(t1) == Set(1))
@@ -97,6 +97,72 @@ class TableStoreRecoverySpec extends SparkTestBase {
     fabricateStaging(t2, df(10), markerLines = "12,3x\n\nEND\n")
     val e2 = intercept[IllegalStateException](TableStore.overwrite(spark, df(5), t2))
     assert(e2.getMessage.contains("corrupt"))
+  }
+
+  test("flat: legacy two-line marker (no END) still rolls the swap forward") {
+    // written by the pre-terminator code, crashed before the swap finished
+    val target = tmpTarget()
+    df(1, 2).write.parquet(target)
+    fabricateStaging(target, df(10, 11), markerLines = "\n\n")
+    TableStore.append(df(99), target)
+    assert(readVals(target) == Set(10, 11, 99))
+    assert(!Files.exists(Paths.get(target + "__graft_staging__")))
+  }
+
+  /** Run crash recovery on `target` directly (as every write entry point
+    * does), without also writing data — lets cross-mode dispatch be asserted
+    * on the recovered layout alone.
+    */
+  private def runRecover(target: String): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(target)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    TableStore.recover(fs,
+      new org.apache.hadoop.fs.Path(target + "__graft_staging__"), dest,
+      new org.apache.hadoop.fs.Path(target + "__graft_old__"), target)
+  }
+
+  test("recovery dispatches on marker shape, not on the write API invoked") {
+    // a crashed BUCKETED swap must replay bucket-wise no matter which entry
+    // point runs recovery — renaming the partial-bucket staging over dest
+    // would silently drop every untouched bucket
+    val target = tmpTarget()
+    TableStore.appendBucketed(bucketDf(1 -> 0, 2 -> 1), target)
+    val staging = target + "__graft_staging__"
+    bucketDf(10 -> 0).write.mode("overwrite")
+      .partitionBy(TableStore.BucketCol).parquet(staging)
+    Files.write(Paths.get(staging, "_GRAFT_STAGED"), "0\n\nEND\n".getBytes("UTF-8"))
+    runRecover(target)
+    val got = spark.read.parquet(target)
+      .select("v", TableStore.BucketCol).as[(Int, Int)].collect().toSet
+    assert(got == Set(10 -> 0, 2 -> 1),
+      "bucket 0 rewritten, untouched bucket 1 preserved")
+    assert(!Files.exists(Paths.get(staging)))
+
+    // a crashed FLAT swap (empty bucket list) must replay as a flat rename —
+    // bucket-wise replay would no-op the swap and then delete both copies
+    val t2 = tmpTarget()
+    bucketDf(1 -> 0).write.partitionBy(TableStore.BucketCol).parquet(t2)
+    val s2 = t2 + "__graft_staging__"
+    bucketDf(10 -> 0, 20 -> 1).write.mode("overwrite")
+      .partitionBy(TableStore.BucketCol).parquet(s2)
+    Files.write(Paths.get(s2, "_GRAFT_STAGED"), "\n\nEND\n".getBytes("UTF-8"))
+    runRecover(t2)
+    val got2 = spark.read.parquet(t2)
+      .select("v", TableStore.BucketCol).as[(Int, Int)].collect().toSet
+    assert(got2 == Set(10 -> 0, 20 -> 1))
+    assert(!Files.exists(Paths.get(t2, "_GRAFT_STAGED")))
+    assert(!Files.exists(Paths.get(s2)))
+  }
+
+  test("flat: crash after old-delete but before marker-delete recovers cleanly") {
+    // the exact window the delete ordering protects: dest committed with the
+    // marker still inside, old already gone, staging gone
+    val target = tmpTarget()
+    df(10, 11).write.parquet(target)
+    Files.write(Paths.get(target, "_GRAFT_STAGED"), "\n\nEND\n".getBytes("UTF-8"))
+    TableStore.append(df(99), target)
+    assert(readVals(target) == Set(10, 11, 99))
+    assert(!Files.exists(Paths.get(target, "_GRAFT_STAGED")))
   }
 
   test("flat: successful overwrite leaves no marker and no leftover dirs") {
