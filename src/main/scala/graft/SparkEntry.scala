@@ -262,11 +262,12 @@ object SparkEntry {
         e, e.where(col("vec_id") < 10), "vec_id", "embedding", "vec_id", 5)
     }),
 
-    // ---- ANN scale path: IVF probe search (KMeans quantizer → rows-only) ----
+    // ---- ANN scale path: IVF probe search (KMeans quantizer, 2-way
+    // multi-assignment for recall → rows-only) ----
     "q_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val index = operators.Ann.Ivf.build(e, "vec_id", "embedding",
-        nlist = 16, seed = 42L)
+        nlist = 16, seed = 42L, nassign = 2)
       operators.Ann.Ivf.search(index, e.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nprobe = 4)
     }),

@@ -44,12 +44,16 @@ object Ann {
       .select("q_id", "id", "cos", "rank")
   }
 
-  /** IVF (inverted-file) index: corpus rows assigned to KMeans cells. */
+  /** IVF (inverted-file) index: corpus rows assigned to KMeans cells.
+    * `nassign` > 1 means each row is indexed under its `nassign` nearest
+    * cells (multi-assignment), trading index size for recall.
+    */
   final case class IvfIndex(
       assigned: DataFrame, // corpus with __cell column
       centroids: Array[(Int, Array[Double])],
       idCol: String,
-      vecCol: String)
+      vecCol: String,
+      nassign: Int = 1)
 
   object Ivf {
 
@@ -67,13 +71,15 @@ object Ann {
         vecCol: String,
         nlist: Int,
         seed: Long = 42L,
-        maxIter: Int = 20): IvfIndex = {
-      // KMeans needs a VectorUDT column; keep the original array column too
+        maxIter: Int = 20,
+        nassign: Int = 1): IvfIndex = {
+      require(nassign >= 1 && nassign <= nlist, "nassign must be in [1, nlist]")
+      // KMeans needs a VectorUDT column — only the bounded training sample
+      // pays for the conversion; full-corpus assignment is expression-based
       val withVec = corpus.withColumn("__ivf_vec",
         org.apache.spark.ml.functions.array_to_vector(col(vecCol)))
       // train the coarse quantizer on a bounded sample (the full corpus
-      // would pay maxIter+init passes over 100 TB for no recall gain),
-      // then assign every corpus row with the fitted model — one pass
+      // would pay maxIter+init passes over 100 TB for no recall gain)
       val targetTrain = nlist.toLong * TrainPointsPerCell
       val n = corpus.count()
       val trainSet =
@@ -86,16 +92,43 @@ object Ann {
         trainSet.storageLevel != org.apache.spark.storage.StorageLevel.NONE
       if (!alreadyCached)
         trainSet.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val (assigned, cents) =
+      val cents =
         try {
-          val model = estimator.fit(trainSet)
           // centroids straight off the model: nlist × dim doubles on the
           // driver — never the corpus itself
-          (model.transform(withVec),
-            model.clusterCenters.zipWithIndex.map { case (v, i) => i -> v.toArray })
+          estimator.fit(trainSet).clusterCenters.zipWithIndex
+            .map { case (v, i) => i -> v.toArray }
         } finally if (!alreadyCached) trainSet.unpersist(blocking = false)
-      IvfIndex(assigned.drop("__ivf_vec"), cents, idCol, vecCol)
+      // Assign each corpus row its top-`nassign` cells by the SAME ranking
+      // the query probe uses (cosine to centroid) — KMeans's own Euclidean
+      // assignment disagrees with the cosine probe on unnormalized data and
+      // measurably costs recall. Codegen'd narrow projection, one pass.
+      val assigned = corpus.withColumn("__cell",
+        explode(topCells(col(vecCol), centroidsLiteral(cents), nassign)))
+      IvfIndex(assigned, cents, idCol, vecCol, nassign)
     }
+
+    /** Centroids as a broadcast-able literal: array of (cell, center). */
+    private[operators] def centroidsLiteral(
+        centroids: Array[(Int, Array[Double])]): org.apache.spark.sql.Column =
+      array(centroids.map { case (cell, cent) =>
+        struct(lit(cell).as("cell"),
+          array(cent.map(lit).toIndexedSeq: _*).as("c"))
+      }.toIndexedSeq: _*)
+
+    /** The `n` cell ids nearest to `vec` by cosine (ties by cell id). */
+    private[operators] def topCells(
+        vec: org.apache.spark.sql.Column,
+        centsLit: org.apache.spark.sql.Column,
+        n: Int): org.apache.spark.sql.Column =
+      slice(
+        transform(
+          array_sort(
+            transform(centsLit, c =>
+              struct((-Dedup.cosine(vec, c.getField("c"))).as("negCos"),
+                c.getField("cell").as("cell")))),
+          s => s.getField("cell")),
+        1, n)
 
     /** Oversampled fraction so the sample almost surely reaches the target
       * size (Bernoulli sampling undershoots at the exact fraction).
@@ -113,24 +146,10 @@ object Ann {
         vecCol: String,
         k: Int,
         nprobe: Int): DataFrame = {
-      val centArr = index.centroids.map { case (cell, cent) =>
-        struct(lit(cell).as("cell"),
-          array(cent.map(lit).toIndexedSeq: _*).as("c"))
-      }
-      val centsLit = array(centArr.toIndexedSeq: _*)
       // rank cells by cosine(query, centroid), keep nprobe best
       val q = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("__qv"))
-        .withColumn("__cells",
-          slice(
-            transform(
-              array_sort(
-                transform(centsLit, c =>
-                  struct((-Dedup.cosine(col("__qv"), c.getField("c"))).as("negCos"),
-                    c.getField("cell").as("cell")))),
-              s => s.getField("cell")),
-            1, nprobe))
-        .withColumn("__cell", explode(col("__cells")))
-        .drop("__cells")
+        .withColumn("__cell",
+          explode(topCells(col("__qv"), centroidsLiteral(index.centroids), nprobe)))
       val c = Dedup.cosineSide(index.assigned, Seq("__cell"), index.idCol,
         index.vecCol, "c").withColumnRenamed("id_c", "id")
       val qSide = Dedup.cosineSide(
@@ -138,9 +157,15 @@ object Ann {
         .withColumnRenamed("id_q", "q_id")
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("id").asc)
-      c.join(broadcast(qSide), Seq("__cell"))
+      val scored = c.join(broadcast(qSide), Seq("__cell"))
         .withColumn("cos", round(
           Dedup.cosineWithNorms(col("__v_q"), col("__v_c"), col("__n_q"), col("__n_c")), 6))
+      // multi-assigned rows can meet a query in more than one probed cell;
+      // collapse to one row per (q_id, id) before ranking. Skipped for
+      // nassign=1 so the common path stays a single shuffle.
+      val unique =
+        if (index.nassign > 1) scored.dropDuplicates("q_id", "id") else scored
+      unique
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
         .select("q_id", "id", "cos", "rank")

@@ -28,16 +28,38 @@ class AnnMultimodalSpec extends SparkTestBase {
     }
   }
 
-  test("IVF search hits decent recall vs exact and scans fewer rows") {
+  test("IVF search hits >= 0.9 recall vs exact; full probe equals exact") {
+    // Quantifies the claimed ANN scale path on the (IVF-hostile: near-random
+    // 64-dim) fixture. Operating point nlist=16 / nassign=3 / nprobe=6:
+    // measured recall 0.96, asserted floor 0.9. Probing all cells must
+    // reproduce the exact result bit-for-bit — the machinery check.
     val queries = embeddings.filter($"vec_id" < 10)
     val exact = Ann.bruteForceTopK(embeddings, queries, "vec_id", "embedding", "vec_id", 5)
-    val index = Ann.Ivf.build(embeddings, "vec_id", "embedding", nlist = 8, seed = 7L)
-    val approx = Ann.Ivf.search(index, queries, "vec_id", "embedding", k = 5, nprobe = 4)
+    val index = Ann.Ivf.build(embeddings, "vec_id", "embedding",
+      nlist = 16, seed = 42L, nassign = 3)
+    val approx = Ann.Ivf.search(index, queries, "vec_id", "embedding", k = 5, nprobe = 6)
     val recall = Ann.recallAgainstExact(exact, approx)
-    assert(recall >= 0.5, s"recall $recall too low")
+    assert(recall >= 0.9, s"recall $recall below the 0.9 floor")
     // self-match always found (its own cell is always probed first)
     val self = approx.filter($"q_id" === $"id")
     assert(self.count() == 10)
+    val full = Ann.Ivf.search(index, queries, "vec_id", "embedding", k = 5, nprobe = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(rows(full) == rows(exact))
+  }
+
+  test("IVF multi-assignment raises recall at a fixed probe width") {
+    val queries = embeddings.filter($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(embeddings, queries, "vec_id", "embedding", "vec_id", 5)
+    val recalls = Seq(1, 2).map { nassign =>
+      val idx = Ann.Ivf.build(embeddings, "vec_id", "embedding",
+        nlist = 16, seed = 42L, nassign = nassign)
+      val a = Ann.Ivf.search(idx, queries, "vec_id", "embedding", k = 5, nprobe = 4)
+      Ann.recallAgainstExact(exact, a)
+    }
+    assert(recalls(1) > recalls.head,
+      s"nassign=2 recall ${recalls(1)} should beat nassign=1 ${recalls.head}")
   }
 
   test("multimodal decoded meta is deterministic and null-safe") {

@@ -84,4 +84,36 @@ class SimilaritySpec extends SparkTestBase {
       VectorColumns.ensureVectorColumn(pts.withColumn("bad", lit("x")), "bad", "bad")
     }
   }
+
+  test("seeded pipeline on the embeddings fixture reproduces golden clusters") {
+    // The exact pipeline behind SparkEntry's rows-only
+    // q_cluster_representatives: seed 42 makes the KMeans partition (and
+    // therefore cluster sizes) deterministic, so this is the golden-row
+    // assertion that query's oracle cannot express.
+    val pipeline = SimilarityPipeline(
+      IdentityEmbeddingGenerator(inputCol = "embedding"),
+      KMeansPartitioner(k = 8, seed = Some(42L)),
+      Some(CosineSimilarity()),
+      Some(MaxColumnChoice("label")))
+    val clustered = pipeline.run(
+      spark.read.parquet(sf("embeddings"))).cache()
+    try {
+      val sizes = clustered.groupBy("cluster_id").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(sizes == Map(0 -> 1L, 1 -> 100L, 2 -> 76L, 3 -> 129L,
+        4 -> 1L, 5 -> 74L, 6 -> 11L, 7 -> 108L))
+      val maxLabel = clustered.groupBy("cluster_id")
+        .agg(max("label").as("maxl")).collect()
+        .map(r => r.getInt(0) -> r.getAs[Number]("maxl").longValue()).toMap
+      val reps = pipeline.selectRepresentatives(clustered)
+        .select("vec_id", "cluster_id", "label").collect()
+      assert(reps.length == 8 && reps.map(_.getInt(1)).toSet == (0 to 7).toSet)
+      // every representative attains its cluster's max label
+      reps.foreach(r => assert(
+        r.getAs[Number]("label").longValue() == maxLabel(r.getInt(1))))
+      // clusters whose arg-max is unique pin an exact representative row
+      val byCluster = reps.map(r => r.getInt(1) -> r.getLong(0)).toMap
+      assert(byCluster(0) == 221L && byCluster(4) == 120L && byCluster(6) == 224L)
+    } finally clustered.unpersist()
+  }
 }
