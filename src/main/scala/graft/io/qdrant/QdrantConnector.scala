@@ -433,9 +433,31 @@ class QdrantTable(tableSchema: StructType, rawConfig: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownLimit
-      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       private var config = Qdrant.ReadConfig.fromJson(rawConfig)
       private var prunedSchema = tableSchema
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+      /** Predicates on `id` / `payload.*` become server-side `must`
+        * conditions so only matching points cross the wire. ALL filters are
+        * returned as residual — Spark re-applies them, so the server filter
+        * is purely a transfer optimization and partial translation (e.g.
+        * one side of an AND) is sound.
+        */
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        val conds = filters.toSeq.flatMap(QdrantFilters.toMustConditions)
+        if (conds.nonEmpty)
+          config = config.copy(filter =
+            Some(QdrantFilters.mergeIntoFilter(config.filter, conds)))
+        pushed = filters.filter(QdrantFilters.isPushed)
+        filters
+      }
+
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        pushed
 
       /** Spark's LIMIT shrinks the scroll budget server-side: the reader
         * stops paging once `limit` points arrived, and pages never exceed

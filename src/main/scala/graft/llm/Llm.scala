@@ -40,6 +40,91 @@ final case class CharChunkSplitter(chunkSize: Int) extends TextSplitter {
     if (text.isEmpty) Seq(text) else text.grouped(chunkSize).toSeq
 }
 
+/** Structure-aware chunker in the shape of LangChain's
+  * RecursiveCharacterTextSplitter (the reference's splitter seam,
+  * llm.py:107-128): try separators in order (paragraph → line → word),
+  * recursively re-split pieces that still exceed `chunkSize` with the
+  * remaining separators, then greedily pack adjacent pieces into chunks.
+  * Each piece keeps its trailing separator, so with `chunkOverlap` = 0 the
+  * chunks concatenate back to the exact input. `chunkOverlap` > 0 prefixes
+  * every chunk after the first with the tail of its predecessor.
+  */
+final case class RecursiveCharSplitter(
+    chunkSize: Int,
+    chunkOverlap: Int = 0,
+    separators: Seq[String] = Seq("\n\n", "\n", " ", "")) extends TextSplitter {
+  require(chunkSize > 0, "chunkSize must be positive")
+  require(chunkOverlap >= 0 && chunkOverlap < chunkSize,
+    "chunkOverlap must be in [0, chunkSize)")
+  require(separators.nonEmpty, "separators must not be empty")
+
+  def splitText(text: String): Seq[String] =
+    if (text.length <= chunkSize) Seq(text)
+    else {
+      val chunks = pack(atoms(text, separators))
+      if (chunkOverlap == 0) chunks
+      else chunks.head +: chunks.sliding(2).map {
+        case Seq(prev, cur) => prev.takeRight(chunkOverlap) + cur
+        case other => other.last
+      }.toSeq
+    }
+
+  /** Pieces no longer than `chunkSize`, separators kept on piece tails. */
+  private def atoms(text: String, seps: Seq[String]): Seq[String] =
+    if (text.length <= chunkSize) Seq(text)
+    else seps match {
+      case Seq() => text.grouped(chunkSize).toSeq
+      case sep +: rest =>
+        if (sep.isEmpty || !text.contains(sep)) atoms(text, rest)
+        else splitKeepingSep(text, sep).flatMap(p => atoms(p, rest))
+    }
+
+  private def splitKeepingSep(text: String, sep: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var from = 0
+    var at = text.indexOf(sep, from)
+    while (at >= 0) {
+      out += text.substring(from, at + sep.length)
+      from = at + sep.length
+      at = text.indexOf(sep, from)
+    }
+    if (from < text.length) out += text.substring(from)
+    out.result()
+  }
+
+  /** Greedily merge adjacent atoms into chunks of at most `chunkSize`. */
+  private def pack(pieces: Seq[String]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    pieces.foreach { p =>
+      if (cur.nonEmpty && cur.length + p.length > chunkSize) {
+        out += cur.result()
+        cur.clear()
+      }
+      cur ++= p
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.result()
+  }
+}
+
+/** Whitespace-token chunker: windows of `chunkTokens` tokens advancing by
+  * `chunkTokens - overlapTokens` — the token-count-bounded analogue for
+  * models with token (not character) context limits.
+  */
+final case class TokenChunkSplitter(chunkTokens: Int, overlapTokens: Int = 0)
+    extends TextSplitter {
+  require(chunkTokens > 0, "chunkTokens must be positive")
+  require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+    "overlapTokens must be in [0, chunkTokens)")
+  def splitText(text: String): Seq[String] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length <= chunkTokens) Seq(text)
+    else toks.sliding(chunkTokens, chunkTokens - overlapTokens)
+      .map(_.mkString(" ")).toSeq
+  }
+}
+
 object Llm {
 
   /** Chat-completion client seam for [[mapColumnWithLlm]]'s live path. */

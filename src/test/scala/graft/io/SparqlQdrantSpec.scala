@@ -192,6 +192,58 @@ class SparqlQdrantSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(scrolls.head.contains("\"with_vectors\":false"))
   }
 
+  test("Qdrant scan translates Catalyst filters into the scroll body") {
+    requests.clear()
+    val df = spark.read.format("graft-qdrant")
+      .schema("id LONG, payload STRUCT<name: STRING>")
+      .option("graft.qdrant.config",
+        s"""{"endpoint": "$base", "collection": "things"}""")
+      .load()
+    val rows = df.filter(org.apache.spark.sql.functions.col("payload.name") === "a")
+      .collect()
+    // server saw the translated condition; Spark still re-applied the
+    // predicate, so the (filter-ignoring) fixture's extra rows are dropped
+    assert(rows.length == 1 && rows.head.getAs[Long]("id") == 1L)
+    val scroll = requests.asScala.find(_.startsWith("scroll")).get
+    // the equality itself plus Spark's implied IsNotNull both reach the server
+    assert(scroll.contains("""{"key":"name","match":{"value":"a"}}"""), scroll)
+    assert(scroll.contains(""""must_not":[{"is_null":{"key":"name"}}]"""), scroll)
+  }
+
+  test("Qdrant id IN pushes has_id and merges with a config filter") {
+    requests.clear()
+    val df = spark.read.format("graft-qdrant")
+      .schema("id LONG, payload STRUCT<name: STRING>")
+      .option("graft.qdrant.config",
+        s"""{"endpoint": "$base", "collection": "things",
+           | "filter": {"must": [{"key": "kept", "match": {"value": true}}]}}"""
+          .stripMargin)
+      .load()
+    val ids = df.filter(org.apache.spark.sql.functions.col("id").isin(1L, 3L))
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(ids == Seq(1L, 3L))
+    val scroll = requests.asScala.find(_.startsWith("scroll")).get
+    // config-supplied must condition survives, pushed has_id appended
+    assert(scroll.contains(""""key":"kept""""), scroll)
+    assert(scroll.contains(""""has_id":[1,3]"""), scroll)
+  }
+
+  test("Qdrant leaves untranslatable predicates entirely Spark-side") {
+    requests.clear()
+    val df = spark.read.format("graft-qdrant")
+      .schema("id LONG, payload STRUCT<name: STRING>")
+      .option("graft.qdrant.config",
+        s"""{"endpoint": "$base", "collection": "things"}""")
+      .load()
+    // string range: Qdrant ranges are numeric-only, so the comparison stays
+    // Spark-side (only the implied IsNotNull reaches the server)
+    val rows = df.filter(org.apache.spark.sql.functions.col("payload.name") >= "b")
+      .collect()
+    assert(rows.map(_.getAs[Long]("id")).sorted.toSeq == Seq(2L, 3L))
+    val scroll = requests.asScala.find(_.startsWith("scroll")).get
+    assert(!scroll.contains(""""range""""), scroll)
+  }
+
   test("Qdrant write batches points and auto-creates the collection") {
     import spark.implicits._
     collectionExists = false

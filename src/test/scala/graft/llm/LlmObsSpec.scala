@@ -135,4 +135,50 @@ class LlmObsSpec extends SparkTestBase {
         new java.sql.Timestamp(0), "NOPE", "x", "y", Map.empty)
     }
   }
+
+  test("recursive splitter respects structure, size cap, and overlap") {
+    val s = RecursiveCharSplitter(chunkSize = 12)
+    val text = "aa bb cc\n\ndd ee\nff gg hh ii"
+    val chunks = s.splitText(text)
+    // lossless with zero overlap, every chunk within the cap
+    assert(chunks.mkString == text)
+    assert(chunks.forall(_.length <= 12))
+    // paragraph boundary survives: first chunk ends at the blank line
+    assert(chunks.head == "aa bb cc\n\n")
+    // short input passes through untouched
+    assert(s.splitText("tiny") == Seq("tiny"))
+    // a word longer than the cap falls back to hard character cuts
+    assert(RecursiveCharSplitter(chunkSize = 4).splitText("abcdefghij")
+      == Seq("abcd", "efgh", "ij"))
+    val overlapped = RecursiveCharSplitter(chunkSize = 12, chunkOverlap = 3)
+      .splitText(text)
+    overlapped.sliding(2).foreach {
+      case Seq(prev, cur) => assert(cur.startsWith(prev.takeRight(3).take(3)))
+      case _ =>
+    }
+  }
+
+  test("token splitter windows by token count with overlap") {
+    val s = TokenChunkSplitter(chunkTokens = 3, overlapTokens = 1)
+    assert(s.splitText("a b c d e") == Seq("a b c", "c d e"))
+    assert(s.splitText("a  b") == Seq("a  b")) // within budget: verbatim
+    assert(TokenChunkSplitter(2).splitText("a b c d e")
+      == Seq("a b", "c d", "e"))
+    intercept[IllegalArgumentException](TokenChunkSplitter(2, 2))
+  }
+
+  test("splitters plug into withEmbeddings chunk aggregation") {
+    import spark.implicits._
+    val df = Seq((1L, "one two three four five six")).toDF("id", "text")
+    val out = Llm.withEmbeddings(df, "text",
+      () => HashEmbeddingsClient(dims = 4),
+      textSplitter = Some(() => TokenChunkSplitter(chunkTokens = 2)),
+      aggregation = "mean")
+    val vec = out.select("embedding").as[Seq[Float]].head()
+    // mean of the three 2-token chunk embeddings
+    val enc = graft.similarity.HashStubEncoder(4, normalize = true)
+    val chunks = Seq("one two", "three four", "five six").map(c => enc.encode(Seq(c)).head)
+    val expect = (0 until 4).map(i => chunks.map(_(i)).sum / 3)
+    vec.zip(expect).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6) }
+  }
 }
