@@ -18,6 +18,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Documents plus planted near-duplicates (every 10th doc re-appears with
+    * a suffix under a shifted id) — shared corpus for the LSH pair and
+    * clustering queries.
+    */
+  private def lshCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.unionAll(
+      docs.where(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" extra extra")).as("text")))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -211,12 +223,7 @@ object SparkEntry {
 
     // ---- MinHash+LSH near-dup pairs over a corpus with planted dups ----
     "q_lsh_dedup_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val corpus = docs.unionAll(
-        docs.where(col("doc_id") % 10 === 0).select(
-          (col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" extra extra")).as("text")))
-      operators.Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      operators.Dedup.minhashLshPairs(lshCorpus(s, dir), "doc_id", "text",
         numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.5)
     }),
 
@@ -228,14 +235,18 @@ object SparkEntry {
 
     // ---- near-dup pairs → dedup clusters (min-label connected components)
     "q_dedup_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val corpus = docs.unionAll(
-        docs.where(col("doc_id") % 10 === 0).select(
-          (col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" extra extra")).as("text")))
-      val pairs = operators.Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      val pairs = operators.Dedup.minhashLshPairs(lshCorpus(s, dir), "doc_id", "text",
         numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.5)
       operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }),
+
+    // ---- same clustering via large-star/small-star — the O(log n)-round
+    // 100 TB path, checked against the identical transitive-closure oracle
+    "q_dedup_clusters_stars" -> ((s, dir) => {
+      val pairs = operators.Dedup.minhashLshPairs(lshCorpus(s, dir), "doc_id", "text",
+        numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.5)
+      operators.Dedup.connectedComponents(pairs, "id_a", "id_b",
+        algorithm = "stars")
     }),
 
     // ---- n-gram Jaccard near-dup pairs (blocked by source+lang) ----
@@ -404,6 +415,63 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** LSH pair derivation + transitive closure → min-reachable component:
+    * the one oracle both clustering algorithms (label propagation and
+    * large-star/small-star) must reproduce exactly.
+    */
+  private val dedupClustersOracle: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' extra extra'
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+      |                t -> t <> '') AS toks
+      |  FROM corpus),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |      i -> array_to_string(toks[i:i+2], ' ')) AS shingles
+      |  FROM toks WHERE len(toks) > 0),
+      |h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(sha256(s), 1, 7))::BIGINT % 268435399 AS h
+      |  FROM sh CROSS JOIN unnest(shingles) AS u(s)),
+      |minh AS (
+      |  SELECT doc_id, CAST(p AS INTEGER) AS p,
+      |    min((h * (2 * p + 1) + p * 7919) % 268435399) AS mh
+      |  FROM h CROSS JOIN range(16) t(p)
+      |  GROUP BY doc_id, p),
+      |sig AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM minh GROUP BY doc_id),
+      |bandh AS (
+      |  SELECT doc_id, b,
+      |    ('0x' || substring(sha256(
+      |      array_to_string(sig[CAST(b AS INTEGER)*4+1 : CAST(b AS INTEGER)*4+4], ',')),
+      |      1, 15))::BIGINT AS bh
+      |  FROM sig CROSS JOIN range(4) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      |  FROM bandh a JOIN bandh c ON a.b = c.b AND a.bh = c.bh
+      |  WHERE a.doc_id < c.doc_id),
+      |est AS (
+      |  SELECT cand.id_a, cand.id_b,
+      |    round(len(list_filter(range(16),
+      |      i -> s1.sig[CAST(i AS INTEGER)+1] = s2.sig[CAST(i AS INTEGER)+1]))
+      |      / 16.0, 6) AS est_jaccard
+      |  FROM cand
+      |  JOIN sig s1 ON s1.doc_id = cand.id_a
+      |  JOIN sig s2 ON s2.doc_id = cand.id_b),
+      |pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+      |e AS (SELECT id_a AS s, id_b AS d FROM pairs
+      |      UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT s, s AS d FROM (SELECT DISTINCT s FROM e)
+      |  UNION
+      |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+      |SELECT s AS node, min(d) AS comp FROM reach GROUP BY s""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -663,59 +731,10 @@ object SparkEntry {
     "q_salted_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_count
         |FROM lineitem GROUP BY 1""".stripMargin,
-    // same LSH pair derivation + transitive closure → min-reachable component
-    "q_dedup_clusters" ->
-      """WITH RECURSIVE corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' extra extra'
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM corpus),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-        |      i -> array_to_string(toks[i:i+2], ' ')) AS shingles
-        |  FROM toks WHERE len(toks) > 0),
-        |h AS (
-        |  SELECT doc_id,
-        |    ('0x' || substring(sha256(s), 1, 7))::BIGINT % 268435399 AS h
-        |  FROM sh CROSS JOIN unnest(shingles) AS u(s)),
-        |minh AS (
-        |  SELECT doc_id, CAST(p AS INTEGER) AS p,
-        |    min((h * (2 * p + 1) + p * 7919) % 268435399) AS mh
-        |  FROM h CROSS JOIN range(16) t(p)
-        |  GROUP BY doc_id, p),
-        |sig AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM minh GROUP BY doc_id),
-        |bandh AS (
-        |  SELECT doc_id, b,
-        |    ('0x' || substring(sha256(
-        |      array_to_string(sig[CAST(b AS INTEGER)*4+1 : CAST(b AS INTEGER)*4+4], ',')),
-        |      1, 15))::BIGINT AS bh
-        |  FROM sig CROSS JOIN range(4) t(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        |  FROM bandh a JOIN bandh c ON a.b = c.b AND a.bh = c.bh
-        |  WHERE a.doc_id < c.doc_id),
-        |est AS (
-        |  SELECT cand.id_a, cand.id_b,
-        |    round(len(list_filter(range(16),
-        |      i -> s1.sig[CAST(i AS INTEGER)+1] = s2.sig[CAST(i AS INTEGER)+1]))
-        |      / 16.0, 6) AS est_jaccard
-        |  FROM cand
-        |  JOIN sig s1 ON s1.doc_id = cand.id_a
-        |  JOIN sig s2 ON s2.doc_id = cand.id_b),
-        |pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
-        |e AS (SELECT id_a AS s, id_b AS d FROM pairs
-        |      UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT s, s AS d FROM (SELECT DISTINCT s FROM e)
-        |  UNION
-        |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
-        |SELECT s AS node, min(d) AS comp FROM reach GROUP BY s""".stripMargin,
+    // same LSH pair derivation + transitive closure → min-reachable
+    // component; the stars variant must reproduce it exactly
+    "q_dedup_clusters" -> dedupClustersOracle,
+    "q_dedup_clusters_stars" -> dedupClustersOracle,
     "q_ngram_jaccard_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, source, lang,

@@ -264,89 +264,184 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Above this many (undirected) candidate edges, `algorithm = "auto"`
+    * switches from label propagation to large-star/small-star: round count
+    * stops tracking component diameter exactly when full-edge shuffles get
+    * expensive.
+    */
+  val AutoStarsEdgeThreshold: Long = 10L * 1000 * 1000
+
   /** Group near-duplicate candidate pairs into clusters: returns
-    * (node, component) where component is the minimum node id reachable
-    * from the node (nodes appearing in `pairs` only; isolated documents are
-    * the caller's anti-join). This is the step that turns pairwise LSH /
+    * (node, comp) where comp is the minimum node id reachable from the
+    * node (nodes appearing in `pairs` only; isolated documents are the
+    * caller's anti-join). This is the step that turns pairwise LSH /
     * Jaccard / cosine output into "keep one doc per cluster".
     *
-    * Algorithm: min-label propagation — each round every node takes the min
-    * of its own label and its neighbors', via one join + one min-aggregate
-    * (both shuffles on the node key, no driver-side graph). Converges in
-    * O(component diameter) rounds, with an early-out when a round changes
-    * nothing. Near-dup components are band-bucket cliques or tight chains,
-    * so 2–4 rounds in practice; for adversarially long path graphs raise
-    * `maxIter` (or use a large-star/small-star variant — out of scope).
+    * `algorithm`:
+    *  - `"labelprop"` — min-label propagation: one join + one min-aggregate
+    *    per round, O(component diameter) rounds. Cheapest per round; near-
+    *    dup components are band-bucket cliques or tight chains, so 2–4
+    *    rounds in practice.
+    *  - `"stars"` — alternating large-star/small-star (Kiveris et al.,
+    *    "Connected Components in MapReduce and Beyond", SoCC'14):
+    *    O(log n) rounds regardless of diameter — the 100 TB path, where a
+    *    single adversarial chain must not turn into thousands of full-edge
+    *    shuffles.
+    *  - `"auto"` (default) — labelprop below [[AutoStarsEdgeThreshold]]
+    *    edges, stars above.
     *
-    * Convergence is detected inside the round's own aggregate: each node's
-    * previous label rides along as `min(comp) where own` (the node's own
-    * labels row is tagged, messages are not), so "did anything change" is a
-    * single cheap scan of the already-checkpointed round output — no extra
-    * join job per round. Throws [[IllegalStateException]] if `maxIter`
-    * rounds pass without convergence: returning silently would split one
+    * Both variants detect convergence from the round's own checkpointed
+    * output (no extra join job) and throw [[IllegalStateException]] if
+    * `maxIter` rounds pass without it: returning silently would split one
     * real cluster into several and make downstream dedup under-delete.
     */
   def connectedComponents(
-      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20,
+      algorithm: String = "auto"): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
+    require(Set("auto", "labelprop", "stars").contains(algorithm),
+      s"unknown algorithm '$algorithm' (auto | labelprop | stars)")
     // localCheckpoint (not persist) on every iteration state: an iterative
     // plan that only persists still re-ANALYZES its whole lineage per round,
-    // and the labels plan references both edges and the previous labels, so
-    // analysis cost grows exponentially with rounds (observed 100x blowup).
+    // and each round's plan references the previous round's, so analysis
+    // cost grows exponentially with rounds (observed 100x blowup).
     // Checkpointing truncates the logical plan to the materialized blocks.
     val edgesRaw = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
       .union(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
       .distinct()
       .localCheckpoint(true)
-    // Right-size the iteration's shuffle width to the EDGE data, not the
-    // session default: each round is join + aggregate over the (usually
-    // small) candidate-pair graph, and O(diameter) rounds of
-    // default-partition-count tiny tasks are pure scheduler overhead — the
-    // dominant cost of this operator on a busy cluster. ~2M edges per
-    // partition; never above the session's configured width.
     val spark = pairs.sparkSession
-    val defaultParts = spark.sessionState.conf.numShufflePartitions
     val edgeCount = edgesRaw.count() // cheap: counts the checkpointed blocks
+    // Right-size the iteration's shuffle width to the EDGE data, not the
+    // session default: each round shuffles the (usually small) candidate-
+    // pair graph, and many rounds of default-partition-count tiny tasks are
+    // pure scheduler overhead — the dominant cost of this operator on a
+    // busy cluster. ~2M edges per partition; never above the session width.
+    val defaultParts = spark.sessionState.conf.numShufflePartitions
     val parts = math.max(1,
       math.min(defaultParts, math.ceil(edgeCount / 2e6).toInt))
+    val useStars = algorithm == "stars" ||
+      (algorithm == "auto" && edgeCount > AutoStarsEdgeThreshold)
+    // session-conf override, restored on exit: every per-round shuffle must
+    // land in `parts` partitions, and shuffle width is not expressible
+    // per-operator. (Callers sharing one SparkSession across threads should
+    // use session clones, per standard Spark practice.)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      if (useStars) starsLoop(edgesRaw, maxIter)
+      else labelPropLoop(edgesRaw, parts, maxIter)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** Min-label propagation. Convergence is detected inside the round's own
+    * aggregate: each node's previous label rides along as
+    * `min(comp) where own` (the node's own labels row is tagged, messages
+    * are not), so "did anything change" is a single cheap scan of the
+    * already-checkpointed round output.
+    */
+  private def labelPropLoop(
+      edgesRaw: DataFrame, parts: Int, maxIter: Int): DataFrame = {
     // Co-partition edges on the join key once: localCheckpoint preserves the
     // hash partitioning, so every round's join re-shuffles only the (much
     // smaller) labels side.
     val edges = edgesRaw.repartition(parts, col("s")).localCheckpoint(true)
     var converged = false
     var iter = 0
-    // session-conf override, restored on exit: the label distinct and every
-    // per-round join/aggregate must shuffle into `parts` partitions, and
-    // shuffle width is not expressible per-operator. (Callers sharing one
-    // SparkSession across threads should use session clones, per standard
-    // Spark practice.)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    var labels: DataFrame = null
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      labels = edges.select(col("s").as("node"), col("s").as("comp"))
-        .distinct().localCheckpoint(true)
-      while (!converged && iter < maxIter) {
-        val msgs = edges
-          .join(labels, edges("s") === labels("node"))
-          .select(edges("d").as("node"), labels("comp"), lit(false).as("own"))
-        // Every node has exactly one own=true row (labels covers all nodes),
-        // so prev is never null and comp <=> prev iff the node's label held.
-        val next = msgs
-          .union(labels.select(col("node"), col("comp"), lit(true).as("own")))
-          .groupBy("node")
-          .agg(
-            min("comp").as("comp"),
-            min(when(col("own"), col("comp"))).as("prev"))
-          .localCheckpoint(true)
-        converged = next.where(col("comp") =!= col("prev")).isEmpty
-        labels = next.select(col("node"), col("comp"))
-        iter += 1
-      }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    var labels = edges.select(col("s").as("node"), col("s").as("comp"))
+      .distinct().localCheckpoint(true)
+    while (!converged && iter < maxIter) {
+      val msgs = edges
+        .join(labels, edges("s") === labels("node"))
+        .select(edges("d").as("node"), labels("comp"), lit(false).as("own"))
+      // Every node has exactly one own=true row (labels covers all nodes),
+      // so prev is never null and comp <=> prev iff the node's label held.
+      val next = msgs
+        .union(labels.select(col("node"), col("comp"), lit(true).as("own")))
+        .groupBy("node")
+        .agg(
+          min("comp").as("comp"),
+          min(when(col("own"), col("comp"))).as("prev"))
+        .localCheckpoint(true)
+      converged = next.where(col("comp") =!= col("prev")).isEmpty
+      labels = next.select(col("node"), col("comp"))
+      iter += 1
+    }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter rounds; " +
         "raise maxIter (rounds needed ~ component diameter)")
     labels
+  }
+
+  /** Alternating large-star/small-star on canonically oriented edges
+    * (u > v, i.e. child → smaller parent):
+    *
+    *  - large-star: every node's strictly-larger neighbors re-attach to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node and its smaller neighbors attach to that
+    *    minimum.
+    *
+    * The edge set converges to depth-1 stars rooted at each component's
+    * minimum id in O(log n) rounds. Fixpoint is detected by comparing a
+    * 1-row signature (count + endpoint sums + pair-hash sum) of the
+    * checkpointed round output — collisions would need equal counts, an
+    * xxhash64 xor-fold collision AND a mod-sum collision simultaneously.
+    * (xor / bounded mod-sum, not plain sums: ANSI mode would throw on a
+    * 64-bit hash-sum overflow.)
+    */
+  private def starsLoop(edgesRaw: DataFrame, maxIter: Int): DataFrame = {
+    def signature(e: DataFrame): (Long, Long, Long) = {
+      val h = xxhash64(col("u"), col("v"))
+      val r = e.agg(
+        count(lit(1)),
+        bit_xor(h),
+        sum(pmod(h, lit(1000000007L)))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    // child → parent orientation; self-loops dropped
+    var edges = edgesRaw
+      .select(greatest(col("s"), col("d")).as("u"), least(col("s"), col("d")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+    if (edges.isEmpty)
+      return edges.select(col("u").as("node"), col("v").as("comp"))
+    var sig = signature(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: symmetric view keyed on each node; m = min of closed
+      // neighborhood; larger neighbors re-attach to m
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(min(least(col("u"), col("v"))).as("m"))
+      val large = sym.where(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint(true)
+      // small-star: keyed on the larger endpoint; node and all its smaller
+      // neighbors attach to the minimum
+      val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(mins2, "u")
+        .select(col("v").as("n"), col("m"))
+        .union(mins2.select(col("u").as("n"), col("m")))
+        .where(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint(true)
+      val nextSig = signature(small)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = small
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents(stars) did not converge within $maxIter rounds")
+    edges.select(col("u").as("node"), col("v").as("comp"))
+      .union(edges.select(col("v").as("node"), col("v").as("comp")))
+      .distinct()
   }
 }

@@ -74,4 +74,37 @@ class SkewSpec extends SparkTestBase {
       .agg(count_distinct(col("comp"))).head.getLong(0)
     assert(ok == 1L)
   }
+
+  test("stars algorithm matches labelprop on mixed graphs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 10L), (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    def run(alg: String) = Dedup.connectedComponents(pairs, "a", "b", algorithm = alg)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(run("stars") == run("labelprop"))
+    // string ids traverse greatest/least the same way
+    val sPairs = Seq(("b", "a"), ("b", "c")).toDF("x", "y")
+    val sGot = Dedup.connectedComponents(sPairs, "x", "y", algorithm = "stars")
+      .orderBy("node").as[(String, String)].collect().toSeq
+    assert(sGot == Seq("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+
+  test("stars collapses a path far longer than its round budget") {
+    // a 60-node path has diameter 59: labelprop would need ~30+ rounds, but
+    // star contraction halves depth each round — well inside maxIter = 10
+    val path = (1L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(path, "a", "b",
+      maxIter = 10, algorithm = "stars")
+      .as[(Long, Long)].collect().toSeq
+    assert(labels.size == 60 && labels.forall(_._2 == 1L))
+  }
+
+  test("stars handles empty and already-star inputs") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(empty, "a", "b", algorithm = "stars")
+      .collect().isEmpty)
+    val star = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(star, "a", "b", algorithm = "stars")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
 }
