@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -264,6 +264,15 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Below this many (undirected) candidate edges, `algorithm = "auto"`
+    * solves components with a driver-side union-find: a bounded ≤ ~16 MB
+    * collect replaces O(rounds) iterative Spark jobs whose scheduler
+    * overhead dwarfs the computation (the same small-graph fallback
+    * GraphFrames ships). The distributed paths below remain the ONLY
+    * options above the threshold.
+    */
+  val LocalEdgeThreshold: Long = 1L * 1000 * 1000
+
   /** Above this many (undirected) candidate edges, `algorithm = "auto"`
     * switches from label propagation to large-star/small-star: round count
     * stops tracking component diameter exactly when full-edge shuffles get
@@ -278,17 +287,20 @@ object Dedup {
     * Jaccard / cosine output into "keep one doc per cluster".
     *
     * `algorithm`:
+    *  - `"local"` — driver union-find over a bounded edge collect: exact,
+    *    no iterative jobs. Only sound below [[LocalEdgeThreshold]] edges —
+    *    explicit use above it throws rather than OOM the driver.
     *  - `"labelprop"` — min-label propagation: one join + one min-aggregate
-    *    per round, O(component diameter) rounds. Cheapest per round; near-
-    *    dup components are band-bucket cliques or tight chains, so 2–4
-    *    rounds in practice.
+    *    per round, O(component diameter) rounds. Cheapest distributed
+    *    rounds; near-dup components are band-bucket cliques or tight
+    *    chains, so 2–4 rounds in practice.
     *  - `"stars"` — alternating large-star/small-star (Kiveris et al.,
     *    "Connected Components in MapReduce and Beyond", SoCC'14):
     *    O(log n) rounds regardless of diameter — the 100 TB path, where a
     *    single adversarial chain must not turn into thousands of full-edge
     *    shuffles.
-    *  - `"auto"` (default) — labelprop below [[AutoStarsEdgeThreshold]]
-    *    edges, stars above.
+    *  - `"auto"` (default) — local below [[LocalEdgeThreshold]], stars
+    *    above [[AutoStarsEdgeThreshold]], labelprop between.
     *
     * Both variants detect convergence from the round's own checkpointed
     * output (no extra join job) and throw [[IllegalStateException]] if
@@ -302,8 +314,8 @@ object Dedup {
       maxIter: Int = 20,
       algorithm: String = "auto"): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
-    require(Set("auto", "labelprop", "stars").contains(algorithm),
-      s"unknown algorithm '$algorithm' (auto | labelprop | stars)")
+    require(Set("auto", "local", "labelprop", "stars").contains(algorithm),
+      s"unknown algorithm '$algorithm' (auto | local | labelprop | stars)")
     // localCheckpoint (not persist) on every iteration state: an iterative
     // plan that only persists still re-ANALYZES its whole lineage per round,
     // and each round's plan references the previous round's, so analysis
@@ -323,6 +335,13 @@ object Dedup {
     val defaultParts = spark.sessionState.conf.numShufflePartitions
     val parts = math.max(1,
       math.min(defaultParts, math.ceil(edgeCount / 2e6).toInt))
+    if (algorithm == "local" && edgeCount > LocalEdgeThreshold)
+      throw new IllegalArgumentException(
+        s"algorithm='local' on $edgeCount edges exceeds LocalEdgeThreshold " +
+          s"($LocalEdgeThreshold); use 'labelprop', 'stars', or 'auto'")
+    if (algorithm == "local" ||
+      (algorithm == "auto" && edgeCount <= LocalEdgeThreshold))
+      return localUnionFind(edgesRaw)
     val useStars = algorithm == "stars" ||
       (algorithm == "auto" && edgeCount > AutoStarsEdgeThreshold)
     // session-conf override, restored on exit: every per-round shuffle must
@@ -335,6 +354,65 @@ object Dedup {
       if (useStars) starsLoop(edgesRaw, maxIter)
       else labelPropLoop(edgesRaw, parts, maxIter)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** Path-compressed, size-united union-find over the collected (bounded —
+    * see [[LocalEdgeThreshold]]) edge list; components are then relabeled
+    * to their minimum member so the contract matches the distributed
+    * variants exactly. One Spark job in, one parallelize out — no
+    * per-round scheduling at all.
+    */
+  private def localUnionFind(edgesRaw: DataFrame): DataFrame = {
+    val spark = edgesRaw.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      edgesRaw.schema.fields.head.copy(name = "node"),
+      edgesRaw.schema.fields.head.copy(name = "comp")))
+    val edges = edgesRaw.collect()
+    val parent = new java.util.HashMap[Any, Any]()
+    val size = new java.util.HashMap[Any, Int]()
+    def find(x: Any): Any = {
+      var root = x
+      while (parent.get(root) != root) root = parent.get(root)
+      var cur = x // path compression
+      while (parent.get(cur) != root) {
+        val next = parent.get(cur); parent.put(cur, root); cur = next
+      }
+      root
+    }
+    edges.foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      Seq(a, b).foreach { x =>
+        if (!parent.containsKey(x)) { parent.put(x, x); size.put(x, 1) }
+      }
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (big, small) =
+          if (size.get(ra) >= size.get(rb)) (ra, rb) else (rb, ra)
+        parent.put(small, big)
+        size.put(big, size.get(big) + size.get(small))
+      }
+    }
+    // min member per root, then node -> its root's min. Node ids come from
+    // one column, so both sides always share a runtime class; the string
+    // fallback is unreachable in practice but keeps the match total.
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Comparable[_], y) if x.getClass == y.getClass =>
+        x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      case _ => String.valueOf(a) < String.valueOf(b)
+    }
+    val minOfRoot = new java.util.HashMap[Any, Any]()
+    parent.keySet().forEach { n =>
+      val r = find(n)
+      val cur = minOfRoot.get(r)
+      if (cur == null || lt(n, cur)) minOfRoot.put(r, n)
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[Row](parent.size())
+    parent.keySet().forEach(n => rows += Row(n, minOfRoot.get(find(n))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq,
+        math.max(1, math.min(rows.length / 100000 + 1,
+          spark.sparkContext.defaultParallelism))),
+      schema)
   }
 
   /** Min-label propagation. Convergence is detected inside the round's own

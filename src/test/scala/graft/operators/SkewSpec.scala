@@ -66,13 +66,28 @@ class SkewSpec extends SparkTestBase {
     // an 8-node path needs ~4 rounds of min-label propagation; cap at 2
     val path = (1L until 8L).map(i => (i, i + 1)).toDF("a", "b")
     val ex = intercept[IllegalStateException] {
-      Dedup.connectedComponents(path, "a", "b", maxIter = 2)
+      Dedup.connectedComponents(path, "a", "b", maxIter = 2,
+        algorithm = "labelprop")
     }
     assert(ex.getMessage.contains("did not converge"))
     // same graph with enough rounds still collapses to one component
-    val ok = Dedup.connectedComponents(path, "a", "b", maxIter = 10)
+    val ok = Dedup.connectedComponents(path, "a", "b", maxIter = 10,
+      algorithm = "labelprop")
       .agg(count_distinct(col("comp"))).head.getLong(0)
     assert(ok == 1L)
+  }
+
+  test("local union-find matches the distributed algorithms") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    def run(alg: String) = Dedup.connectedComponents(pairs, "a", "b", algorithm = alg)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val local = run("local")
+    assert(local == run("labelprop") && local == run("stars"))
+    // auto on a small graph IS the local path (same output either way)
+    assert(run("auto") == local)
+    // explicit local above the threshold is refused, not attempted
+    assert(Dedup.LocalEdgeThreshold >= 1000000L)
   }
 
   test("stars algorithm matches labelprop on mixed graphs") {
