@@ -108,13 +108,19 @@ object Ann {
       IvfIndex(assigned, cents, idCol, vecCol, nassign)
     }
 
-    /** Centroids as a broadcast-able literal: array of (cell, center). */
+    /** Centroids as ONE array<struct<cell,c>> literal (`typedlit`), not an
+      * `array(struct(lit…))` expression tree: the tree form carries
+      * nlist × dim literal nodes into analysis and codegen, which blows the
+      * generated-method limits right where IVF needs to scale (large
+      * nlist). A single Literal is constant-folded and free to broadcast.
+      */
     private[operators] def centroidsLiteral(
-        centroids: Array[(Int, Array[Double])]): org.apache.spark.sql.Column =
-      array(centroids.map { case (cell, cent) =>
-        struct(lit(cell).as("cell"),
-          array(cent.map(lit).toIndexedSeq: _*).as("c"))
-      }.toIndexedSeq: _*)
+        centroids: Array[(Int, Array[Double])]): org.apache.spark.sql.Column = {
+      val data: Seq[(Int, Seq[Double])] =
+        centroids.toSeq.map { case (cell, c) => (cell, c.toSeq) }
+      typedlit(data).cast(
+        "array<struct<cell:int,c:array<double>>>")
+    }
 
     /** The `n` cell ids nearest to `vec` by cosine (ties by cell id). */
     private[operators] def topCells(

@@ -112,4 +112,33 @@ class PropertySpec extends SparkTestBase {
       p1 && p2 && p3
     }, n = 15)
   }
+
+  test("connectedComponents: every dispatch tier equals a reference closure") {
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 25L)
+      b <- Gen.chooseNum(0L, 25L)
+    } yield (a, b)
+    check(Prop.forAll(Gen.nonEmptyListOf(edgeGen)) { edges =>
+      val pairs = edges.toDF("a", "b")
+      // reference: naive closure over the undirected edge set
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val adj = edges.filter { case (a, b) => a != b }
+        .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val expected = nodes.map { n =>
+        var seen = Set(n)
+        var frontier = Set(n)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+          seen ++= frontier
+        }
+        n -> seen.min
+      }.toMap
+      Seq("local", "labelprop", "stars").forall { alg =>
+        val got = Dedup.connectedComponents(pairs, "a", "b", algorithm = alg)
+          .as[(Long, Long)].collect().toMap
+        got == expected
+      }
+    }, n = 8)
+  }
 }
