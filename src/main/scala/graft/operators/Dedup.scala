@@ -437,14 +437,18 @@ object Dedup {
         .select(edges("d").as("node"), labels("comp"), lit(false).as("own"))
       // Every node has exactly one own=true row (labels covers all nodes),
       // so prev is never null and comp <=> prev iff the node's label held.
+      // The changed-row count rides on the checkpoint's own job via
+      // observe() — convergence detection costs zero extra actions.
+      val obs = org.apache.spark.sql.Observation(s"cc_lp_$iter")
       val next = msgs
         .union(labels.select(col("node"), col("comp"), lit(true).as("own")))
         .groupBy("node")
         .agg(
           min("comp").as("comp"),
           min(when(col("own"), col("comp"))).as("prev"))
+        .observe(obs, count(when(col("comp") =!= col("prev"), 1)).as("changed"))
         .localCheckpoint(true)
-      converged = next.where(col("comp") =!= col("prev")).isEmpty
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = next.select(col("node"), col("comp"))
       iter += 1
     }
@@ -471,24 +475,34 @@ object Dedup {
     * 64-bit hash-sum overflow.)
     */
   private def starsLoop(edgesRaw: DataFrame, maxIter: Int): DataFrame = {
-    def signature(e: DataFrame): (Long, Long, Long) = {
+    val sigExprs = {
       val h = xxhash64(col("u"), col("v"))
-      val r = e.agg(
-        count(lit(1)),
-        bit_xor(h),
-        sum(pmod(h, lit(1000000007L)))).head()
-      (r.getLong(0),
-        if (r.isNullAt(1)) 0L else r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2))
+      Seq(count(lit(1)).as("n"), bit_xor(h).as("x"),
+        sum(pmod(h, lit(1000000007L))).as("s"))
     }
+    def sigOf(m: Map[String, Any]): (Long, Long, Long) = {
+      def l(k: String): Long = m(k) match {
+        case null => 0L
+        case n: java.lang.Number => n.longValue()
+      }
+      (l("n"), l("x"), l("s"))
+    }
+    // Every endpoint must come back labeled — including nodes whose only
+    // "pair" is a self-loop, which the canonical orientation drops below.
+    val allNodes = edgesRaw.select(col("s").as("node")).distinct()
+      .localCheckpoint(true)
     // child → parent orientation; self-loops dropped
     var edges = edgesRaw
       .select(greatest(col("s"), col("d")).as("u"), least(col("s"), col("d")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct().localCheckpoint(true)
     if (edges.isEmpty)
-      return edges.select(col("u").as("node"), col("v").as("comp"))
-    var sig = signature(edges)
+      return allNodes.select(col("node"), col("node").as("comp"))
+    var sig = {
+      val r = edges.agg(sigExprs.head, sigExprs.tail: _*).head()
+      sigOf(Seq("n", "x", "s").zipWithIndex
+        .map { case (k, i) => k -> r.get(i) }.toMap)
+    }
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -502,15 +516,19 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .distinct().localCheckpoint(true)
       // small-star: keyed on the larger endpoint; node and all its smaller
-      // neighbors attach to the minimum
+      // neighbors attach to the minimum. The fixpoint signature rides on
+      // the checkpoint's own job via observe() — no extra action per round.
+      val obs = org.apache.spark.sql.Observation(s"cc_stars_$iter")
       val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
       val small = large.join(mins2, "u")
         .select(col("v").as("n"), col("m"))
         .union(mins2.select(col("u").as("n"), col("m")))
         .where(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
-        .distinct().localCheckpoint(true)
-      val nextSig = signature(small)
+        .distinct()
+        .observe(obs, sigExprs.head, sigExprs.tail: _*)
+        .localCheckpoint(true)
+      val nextSig = sigOf(obs.get)
       converged = nextSig == sig
       sig = nextSig
       edges = small
@@ -518,8 +536,11 @@ object Dedup {
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents(stars) did not converge within $maxIter rounds")
-    edges.select(col("u").as("node"), col("v").as("comp"))
+    val starLabels = edges.select(col("u").as("node"), col("v").as("comp"))
       .union(edges.select(col("v").as("node"), col("v").as("comp")))
       .distinct()
+    // self-loop-only nodes label themselves
+    allNodes.join(starLabels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
   }
 }

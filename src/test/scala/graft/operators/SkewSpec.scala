@@ -121,5 +121,10 @@ class SkewSpec extends SparkTestBase {
     val got = Dedup.connectedComponents(star, "a", "b", algorithm = "stars")
       .orderBy("node").as[(Long, Long)].collect().toSeq
     assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // a node whose only pair is a self-loop still comes back labeled
+    val selfLoop = Seq((9L, 9L), (2L, 1L)).toDF("a", "b")
+    val sGot = Dedup.connectedComponents(selfLoop, "a", "b", algorithm = "stars")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(sGot == Seq(1L -> 1L, 2L -> 1L, 9L -> 9L))
   }
 }
