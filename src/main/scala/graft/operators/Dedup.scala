@@ -273,12 +273,6 @@ object Dedup {
     */
   val LocalEdgeThreshold: Long = 1L * 1000 * 1000
 
-  /** Above this many (undirected) candidate edges, `algorithm = "auto"`
-    * switches from label propagation to large-star/small-star: round count
-    * stops tracking component diameter exactly when full-edge shuffles get
-    * expensive.
-    */
-  val AutoStarsEdgeThreshold: Long = 10L * 1000 * 1000
 
   /** Group near-duplicate candidate pairs into clusters: returns
     * (node, comp) where comp is the minimum node id reachable from the
@@ -291,16 +285,17 @@ object Dedup {
     *    no iterative jobs. Only sound below [[LocalEdgeThreshold]] edges —
     *    explicit use above it throws rather than OOM the driver.
     *  - `"labelprop"` — min-label propagation: one join + one min-aggregate
-    *    per round, O(component diameter) rounds. Cheapest distributed
-    *    rounds; near-dup components are band-bucket cliques or tight
-    *    chains, so 2–4 rounds in practice.
+    *    per round, O(component diameter) rounds. Slightly cheaper rounds
+    *    than stars; the right explicit choice when the caller KNOWS
+    *    components are band-bucket cliques or tight chains (2–4 rounds).
     *  - `"stars"` — alternating large-star/small-star (Kiveris et al.,
     *    "Connected Components in MapReduce and Beyond", SoCC'14):
     *    O(log n) rounds regardless of diameter — the 100 TB path, where a
     *    single adversarial chain must not turn into thousands of full-edge
     *    shuffles.
     *  - `"auto"` (default) — local below [[LocalEdgeThreshold]], stars
-    *    above [[AutoStarsEdgeThreshold]], labelprop between.
+    *    above. Never labelprop: diameter is unknowable before traversal,
+    *    and auto must not gamble an unbounded round count on it.
     *
     * Both variants detect convergence from the round's own checkpointed
     * output (no extra join job) and throw [[IllegalStateException]] if
@@ -331,10 +326,12 @@ object Dedup {
     // session default: each round shuffles the (usually small) candidate-
     // pair graph, and many rounds of default-partition-count tiny tasks are
     // pure scheduler overhead — the dominant cost of this operator on a
-    // busy cluster. ~2M edges per partition; never above the session width.
+    // busy cluster. ~250k edges per partition keeps sub-threshold graphs at
+    // one task while letting mid-size graphs spread their per-round joins
+    // across the cluster; never above the session width.
     val defaultParts = spark.sessionState.conf.numShufflePartitions
     val parts = math.max(1,
-      math.min(defaultParts, math.ceil(edgeCount / 2e6).toInt))
+      math.min(defaultParts, math.ceil(edgeCount / 250e3).toInt))
     if (algorithm == "local" && edgeCount > LocalEdgeThreshold)
       throw new IllegalArgumentException(
         s"algorithm='local' on $edgeCount edges exceeds LocalEdgeThreshold " +
@@ -342,8 +339,7 @@ object Dedup {
     if (algorithm == "local" ||
       (algorithm == "auto" && edgeCount <= LocalEdgeThreshold))
       return localUnionFind(edgesRaw)
-    val useStars = algorithm == "stars" ||
-      (algorithm == "auto" && edgeCount > AutoStarsEdgeThreshold)
+    val useStars = algorithm == "stars" || algorithm == "auto"
     // session-conf override, restored on exit: every per-round shuffle must
     // land in `parts` partitions, and shuffle width is not expressible
     // per-operator. (Callers sharing one SparkSession across threads should
@@ -351,7 +347,7 @@ object Dedup {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      if (useStars) starsLoop(edgesRaw, maxIter)
+      if (useStars) starsLoop(edgesRaw, maxIter, edgeCount)
       else labelPropLoop(edgesRaw, parts, maxIter)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
@@ -474,7 +470,16 @@ object Dedup {
     * (xor / bounded mod-sum, not plain sums: ANSI mode would throw on a
     * 64-bit hash-sum overflow.)
     */
-  private def starsLoop(edgesRaw: DataFrame, maxIter: Int): DataFrame = {
+  private def starsLoop(
+      edgesRaw: DataFrame, maxIter: Int, edgeCount: Long): DataFrame = {
+    // Star contraction needs O(log² n) rounds in the worst case (a single
+    // long chain), so a fixed cap cannot cover every graph size: the
+    // budget self-sizes as 2·⌈log₂ edges⌉ + 8 with `maxIter` as a floor.
+    // Real near-dup graphs exit on the convergence signature in 2–5
+    // rounds; the budget only bounds adversarial topologies.
+    val logCeil =
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(edgeCount, 2L) - 1L)
+    val budget = math.max(maxIter, 2 * logCeil + 8)
     val sigExprs = {
       val h = xxhash64(col("u"), col("v"))
       Seq(count(lit(1)).as("n"), bit_xor(h).as("x"),
@@ -505,7 +510,7 @@ object Dedup {
     }
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
+    while (!converged && iter < budget) {
       // large-star: symmetric view keyed on each node; m = min of closed
       // neighborhood; larger neighbors re-attach to m
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
@@ -535,7 +540,7 @@ object Dedup {
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents(stars) did not converge within $maxIter rounds")
+      s"connectedComponents(stars) did not converge within $budget rounds")
     val starLabels = edges.select(col("u").as("node"), col("v").as("comp"))
       .union(edges.select(col("v").as("node"), col("v").as("comp")))
       .distinct()
