@@ -302,6 +302,22 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // ---- per-group quota: keep the 8 lowest-id docs per (source, lang) --
+    "q_quota_per_group" -> ((s, dir) => {
+      operators.Sampling.limitPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("lang")),
+        Seq("source", "lang"), n = 8, orderCols = Seq(col("doc_id")))
+    }),
+
+    // ---- token-budget sequence packing (cumsum bins, sharded by source) --
+    "q_pack_sequences" -> ((s, dir) => {
+      val withTok = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(operators.TextAnalysis.tokens(col("text"))).as("n_tok"))
+      operators.Packing.packSequences(withTok, "n_tok", budget = 1024L,
+        orderCols = Seq(col("doc_id")), shardCols = Seq("source"))
+    }),
+
     // ---- as-of join: events aligned to their latest per-user snapshot
     // (union+window formulation — one shuffle, no range-join blowup) ----
     "q_asof_join" -> ((s, dir) => {
@@ -832,6 +848,26 @@ object SparkEntry {
         |       WHEN b < 900000 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM w""".stripMargin,
+    "q_quota_per_group" ->
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang,
+        |    row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 8""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                    t -> t <> '')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tok AS bin_offset
+        |  FROM tok)
+        |SELECT doc_id, source, n_tok, bin_offset,
+        |  CAST(floor(bin_offset / 1024) AS BIGINT) AS bin
+        |FROM c""".stripMargin,
     "q_asof_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),

@@ -59,4 +59,26 @@ object Sampling {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
     df.where(hashBucket(col(idCol), salt) < math.round(fraction * Buckets))
   }
+
+  /** Per-group quota: keep at most `n` rows per distinct value of
+    * `groupCols`, chosen deterministically by `orderCols` (ranked
+    * ascending; prefix with a quality score descending to keep "best N").
+    * The standard "cap documents per domain/source" step of a corpus
+    * pipeline: one shuffle on the group key, counts never collected.
+    */
+  def limitPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      n: Int,
+      orderCols: Seq[Column]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(n > 0, "n must be positive")
+    require(orderCols.nonEmpty,
+      "orderCols must be non-empty (ties would make the quota nondeterministic)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__qrn", row_number().over(w))
+      .where(col("__qrn") <= n)
+      .drop("__qrn")
+  }
 }

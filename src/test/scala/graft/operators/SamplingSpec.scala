@@ -36,4 +36,53 @@ class SamplingSpec extends SparkTestBase {
     assert(math.abs(s1.count() - 1000) < 150)
     assert(s1.except(Sampling.hashSample(ids(5000), "id", 0.2)).isEmpty)
   }
+
+  test("limitPerGroup keeps the first n rows per group deterministically") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 3L, 0.1), ("a", 1L, 0.9), ("a", 2L, 0.5),
+      ("b", 7L, 0.2), ("b", 9L, 0.8),
+      ("c", 5L, 0.3)).toDF("grp", "id", "score")
+    val capped = Sampling.limitPerGroup(df, Seq("grp"), 2, Seq(col("id")))
+      .orderBy("grp", "id").as[(String, Long, Double)].collect().toSeq
+    assert(capped.map(r => (r._1, r._2)) ==
+      Seq("a" -> 1L, "a" -> 2L, "b" -> 7L, "b" -> 9L, "c" -> 5L))
+    // "best 2 by score": rank descending on score
+    val best = Sampling.limitPerGroup(df, Seq("grp"), 2,
+      Seq(col("score").desc, col("id")))
+      .orderBy("grp", "id").as[(String, Long, Double)].collect().toSeq
+    assert(best.filter(_._1 == "a").map(_._2) == Seq(1L, 2L)) // 0.9 and 0.5
+    intercept[IllegalArgumentException](
+      Sampling.limitPerGroup(df, Seq("grp"), 2, Nil))
+  }
+
+  test("packSequences bins respect budget + max-doc slack and shard isolation") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "even" else "odd", 30L + (i % 7) * 10))
+      .toDF("doc_id", "source", "n_tok")
+    val packed = Packing.packSequences(docs, "n_tok", budget = 100L,
+      orderCols = Seq(col("doc_id")), shardCols = Seq("source"))
+    val rows = packed.select("source", "doc_id", "n_tok", "bin", "bin_offset")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // offsets are exclusive running sums within each shard
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      var running = 0L
+      sorted.foreach { r =>
+        assert(r._5 == running, s"offset mismatch at ${r._2}")
+        assert(r._4 == running / 100L)
+        running += r._3
+      }
+    }
+    // bins are contiguous from 0 and every bin's span stays within
+    // budget + max token count - 1
+    val maxTok = rows.map(_._3).max
+    rows.groupBy(r => (r._1, r._4)).foreach { case ((_, bin), rs) =>
+      val span = rs.map(r => r._5 + r._3).max - (bin * 100L)
+      assert(span <= 100L + maxTok - 1)
+    }
+    intercept[IllegalArgumentException](
+      Packing.packSequences(docs, "n_tok", 100L, Seq(col("doc_id")), Nil))
+  }
 }
