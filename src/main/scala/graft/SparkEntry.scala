@@ -255,6 +255,16 @@ object SparkEntry {
         "doc_id", "text", Seq("source", "lang"), n = 3, threshold = 0.1)
     }),
 
+    // ---- eval decontamination: training docs sharing >= 3 trigram
+    // shingles with a held-out probe set (probe side broadcast) ----
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Dedup.crossCorpusOverlap(
+        docs.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
+        docs.where(col("doc_id") % 50 === 0), "doc_id", "text",
+        n = 3, minShared = 3)
+    }),
+
     // ---- embedding-cosine near-dup pairs (planted scaled copies) ----
     "q_cosine_near_dup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -848,6 +858,33 @@ object SparkEntry {
         |       WHEN b < 900000 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM w""".stripMargin,
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) = 0 THEN []
+        |      ELSE list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |             i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+        |  FROM toks),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(sha256(u.s), 1, 15))::BIGINT AS h
+        |  FROM sh CROSS JOIN unnest(sh.s) AS u(s)),
+        |c AS (SELECT doc_id AS corpus_id, h FROM h WHERE doc_id % 50 <> 0),
+        |p AS (SELECT doc_id AS probe_id, h FROM h WHERE doc_id % 50 = 0),
+        |psz AS (SELECT probe_id, count(*) AS psz FROM p GROUP BY 1),
+        |m AS (
+        |  SELECT c.corpus_id, p.probe_id, count(*) AS n_shared
+        |  FROM c JOIN p ON c.h = p.h
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 3)
+        |SELECT m.corpus_id, m.probe_id, m.n_shared,
+        |  round(m.n_shared * 1.0 / psz.psz, 6) AS probe_frac
+        |FROM m JOIN psz USING (probe_id)""".stripMargin,
     "q_quota_per_group" ->
       """SELECT doc_id, source, lang FROM (
         |  SELECT doc_id, source, lang,

@@ -206,6 +206,50 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus n-gram overlap — the eval-decontamination primitive:
+    * which training documents share word n-gram shingles with a benchmark
+    * ("probe") set, and what fraction of each probe document they cover.
+    *
+    * Output: (corpus_id, probe_id, n_shared, probe_frac) for pairs with at
+    * least `minShared` shared distinct shingles, where `probe_frac` =
+    * n_shared / |probe's distinct shingles| (1.0 = the probe document is
+    * fully contained). Decontamination policy is the caller's filter —
+    * e.g. drop corpus docs with probe_frac >= 0.5 via a left_anti join.
+    *
+    * Scale shape: both sides explode to distinct (id, shingle-hash) rows;
+    * the join key is a 60-bit shingle hash (narrow shuffle width, no raw
+    * text moved). Benchmark sets are small by construction, so the probe
+    * side is broadcast by default (`broadcastProbe = false` for the
+    * shuffled join when the probe is itself corpus-sized).
+    */
+  def crossCorpusOverlap(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusTextCol: String,
+      probe: DataFrame,
+      probeIdCol: String,
+      probeTextCol: String,
+      n: Int = 3,
+      minShared: Int = 1,
+      broadcastProbe: Boolean = true): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    def side(df: DataFrame, id: String, text: String, as: String): DataFrame =
+      df.select(col(id).as(as),
+        explode(array_distinct(shingles(col(text), n))).as("__s"))
+        .select(col(as), hash60(col("__s")).as("__h"))
+    val c = side(spreadForCompute(corpus), corpusIdCol, corpusTextCol, "corpus_id")
+    val p0 = side(probe, probeIdCol, probeTextCol, "probe_id")
+    val sizes = p0.groupBy("probe_id").agg(count(lit(1)).as("__psz"))
+    val p = if (broadcastProbe) broadcast(p0) else p0
+    c.join(p, "__h")
+      .groupBy("corpus_id", "probe_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .join(if (broadcastProbe) broadcast(sizes) else sizes, "probe_id")
+      .select(col("corpus_id"), col("probe_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("__psz"), 6).as("probe_frac"))
+  }
+
   /** Cosine similarity between two numeric array columns (summed in element
     * order — deterministic). Uses the codegen'd [[graft.functions.DotProduct]]
     * / [[graft.functions.SumSquares]] expressions.

@@ -114,4 +114,29 @@ class TextDedupSpec extends SparkTestBase {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs == Set((1L, 2L))) // 4 is blocked away from 1 despite identical vec
   }
+
+  test("crossCorpusOverlap finds contaminated docs with probe coverage") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // contains probe
+      (2L, "completely different text about spark and scala engines"),
+      (3L, "the quick brown fox sat still")) // partial overlap
+      .toDF("id", "text")
+    val probe = Seq((100L, "the quick brown fox jumps")).toDF("pid", "ptext")
+    // probe has 3 distinct trigram shingles
+    val out = Dedup.crossCorpusOverlap(corpus, "id", "text",
+      probe, "pid", "ptext", n = 3, minShared = 1)
+      .orderBy("corpus_id").collect()
+    assert(out.map(_.getAs[Long]("corpus_id")).toSeq == Seq(1L, 3L))
+    val full = out.head
+    assert(full.getAs[Long]("n_shared") == 3L)
+    assert(full.getAs[Double]("probe_frac") == 1.0) // fully contained
+    val partial = out(1) // shares "the quick brown" and "quick brown fox"
+    assert(partial.getAs[Long]("n_shared") == 2L)
+    assert(math.abs(partial.getAs[Double]("probe_frac") - 2.0 / 3) < 1e-6)
+    // minShared prunes weak overlaps; broadcastProbe=false matches
+    val strict = Dedup.crossCorpusOverlap(corpus, "id", "text",
+      probe, "pid", "ptext", n = 3, minShared = 3, broadcastProbe = false)
+      .collect()
+    assert(strict.map(_.getAs[Long]("corpus_id")).toSeq == Seq(1L))
+  }
 }
