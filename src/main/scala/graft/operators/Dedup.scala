@@ -341,10 +341,14 @@ object Dedup {
     *    above. Never labelprop: diameter is unknowable before traversal,
     *    and auto must not gamble an unbounded round count on it.
     *
-    * Both variants detect convergence from the round's own checkpointed
-    * output (no extra join job) and throw [[IllegalStateException]] if
-    * `maxIter` rounds pass without it: returning silently would split one
+    * Both distributed variants detect convergence from the round's own
+    * checkpointed output (no extra job) and throw [[IllegalStateException]]
+    * when the round budget runs out: returning silently would split one
     * real cluster into several and make downstream dedup under-delete.
+    * For labelprop the budget is `maxIter`; for stars, `maxIter` is only a
+    * floor — the effective budget self-sizes to `2·⌈log₂ edges⌉ + 8`
+    * because star contraction needs O(log² n) rounds on adversarial
+    * chains and no fixed cap covers every graph size.
     */
   def connectedComponents(
       pairs: DataFrame,
