@@ -564,10 +564,14 @@ object Dedup {
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u")
         .agg(min(least(col("u"), col("v"))).as("m"))
+      // no checkpoint on the intermediate: both consumers below read it
+      // through an identical Exchange on "u", which ReuseExchange computes
+      // once — the round stays a single job, and the round-end checkpoint
+      // of `small` keeps lineage depth constant across rounds
       val large = sym.where(col("v") > col("u"))
         .join(mins, "u")
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct().localCheckpoint(true)
+        .distinct()
       // small-star: keyed on the larger endpoint; node and all its smaller
       // neighbors attach to the minimum. The fixpoint signature rides on
       // the checkpoint's own job via observe() — no extra action per round.
