@@ -195,6 +195,19 @@ object SparkEntry {
           ta.qualityScoreFromTokens(col("text"), col("__toks")).as("quality"))
     }),
 
+    // ---- corpus hygiene: repetition fractions + URL/email density ----
+    "q_doc_hygiene" -> ((s, dir) => {
+      val ta = operators.TextAnalysis
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(ta.repetitionFrac(ta.lines(col("text"))), 6).as("dup_line_frac"),
+        round(ta.repetitionFrac(ta.tokens(col("text"))), 6).as("dup_token_frac"),
+        round(ta.repetitionFrac(ta.shingles(col("text"), 2)), 6)
+          .as("dup_bigram_frac"),
+        ta.urlCount(col("text")).as("n_urls"),
+        ta.emailCount(col("text")).as("n_emails"))
+    }),
+
     // ---- exact dedup (hash-partition + windowed survivor choice) ----
     "q_exact_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -858,6 +871,35 @@ object SparkEntry {
         |       WHEN b < 900000 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM w""".stripMargin,
+    "q_doc_hygiene" ->
+      """WITH t AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                x -> x <> '') AS toks,
+        |    list_filter(list_transform(
+        |        string_split(coalesce(text, ''), chr(10)), l -> trim(l)),
+        |      l -> l <> '') AS ls
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, text, toks, ls,
+        |    CASE WHEN len(toks) = 0 THEN []
+        |         ELSE list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+        |                i -> array_to_string(toks[i:i+1], ' ')) END AS bg
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(ls) = 0 THEN 0.0
+        |    ELSE 1.0 - len(list_distinct(ls)) * 1.0 / len(ls) END, 6)
+        |    AS dup_line_frac,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE 1.0 - len(list_distinct(toks)) * 1.0 / len(toks) END, 6)
+        |    AS dup_token_frac,
+        |  round(CASE WHEN len(bg) = 0 THEN 0.0
+        |    ELSE 1.0 - len(list_distinct(bg)) * 1.0 / len(bg) END, 6)
+        |    AS dup_bigram_frac,
+        |  len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS n_urls,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
+        |FROM b""".stripMargin,
     "q_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id,

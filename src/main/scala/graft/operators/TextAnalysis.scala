@@ -166,4 +166,36 @@ object TextAnalysis {
     val hashes = transform(shingles(text, n), s => hash60(s))
     when(size(hashes) === 0, lit(null).cast("bigint")).otherwise(array_min(hashes))
   }
+
+  /** Within-document repetition fraction over the given unit array:
+    * `1 - distinct/total` (0.0 for empty). Feed it lines, tokens, or
+    * shingles — the Gopher/RefinedWeb "duplicate line fraction" /
+    * "duplicate n-gram fraction" quality signals. Pure expression.
+    */
+  def repetitionFrac(units: Column): Column = {
+    val total = size(units)
+    when(total <= 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(units)).cast("double") / total)
+  }
+
+  /** Non-blank trimmed lines of a document (the unit for duplicate-line
+    * repetition).
+    */
+  def lines(text: Column): Column =
+    filter(transform(split(coalesce(text, lit("")), "\n"), l => trim(l)),
+      l => l =!= "")
+
+  /** Occurrences of a regex in the text (0 for null). Keep patterns to the
+    * RE2-compatible subset (no lookaround/backrefs) so other engines count
+    * identically.
+    */
+  def patternCount(text: Column, pattern: String): Column =
+    regexp_count(coalesce(text, lit("")), lit(pattern))
+
+  /** URL occurrences — corpus-hygiene signal. */
+  def urlCount(text: Column): Column = patternCount(text, "https?://[^ \\t\\n]+")
+
+  /** Email-address occurrences — corpus-hygiene / PII-density signal. */
+  def emailCount(text: Column): Column =
+    patternCount(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
 }

@@ -115,6 +115,30 @@ class TextDedupSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L))) // 4 is blocked away from 1 despite identical vec
   }
 
+  test("repetition fractions and pattern counts match hand computation") {
+    val df = Seq(
+      (1L, "a b\na b\nc d"), // 3 lines, one duplicate pair
+      (2L, "x x x y"), // 4 tokens, 2 distinct; bigrams: "x x","x x","x y" -> 2/3 distinct
+      (3L, ""),
+      (4L, "see https://a.io/x and https://b.io mail me@ex.com now"))
+      .toDF("id", "text")
+    val ta = TextAnalysis
+    val out = df.select(col("id"),
+      ta.repetitionFrac(ta.lines(col("text"))).as("dl"),
+      ta.repetitionFrac(ta.tokens(col("text"))).as("dt"),
+      ta.repetitionFrac(ta.shingles(col("text"), 2)).as("db"),
+      ta.urlCount(col("text")).as("u"),
+      ta.emailCount(col("text")).as("e"))
+      .orderBy("id").collect()
+    assert(math.abs(out(0).getAs[Double]("dl") - (1.0 - 2.0 / 3)) < 1e-9)
+    // tokens a,b,a,b,c,d -> 4 of 6 distinct
+    assert(math.abs(out(0).getAs[Double]("dt") - (1.0 - 4.0 / 6)) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("dt") - 0.5) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("db") - (1.0 - 2.0 / 3)) < 1e-9)
+    assert(out(2).getAs[Double]("dl") == 0.0 && out(2).getAs[Double]("dt") == 0.0)
+    assert(out(3).getAs[Int]("u") == 2 && out(3).getAs[Int]("e") == 1)
+  }
+
   test("crossCorpusOverlap finds contaminated docs with probe coverage") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"), // contains probe
