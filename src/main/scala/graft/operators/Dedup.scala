@@ -364,8 +364,15 @@ object Dedup {
     // and each round's plan references the previous round's, so analysis
     // cost grows exponentially with rounds (observed 100x blowup).
     // Checkpointing truncates the logical plan to the materialized blocks.
-    val edgesRaw = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
-      .union(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
+    // Checkpoint the incoming pairs BEFORE the symmetric union: both union
+    // branches reference `pairs`, and without truncation each branch
+    // re-plans AND re-executes the caller's whole candidate-generation
+    // pipeline (for LSH input that is the shingle→minhash→band-join plan —
+    // measured as the dominant cost of the operator, far above the rounds).
+    val p = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
+      .localCheckpoint(true)
+    val edgesRaw = p
+      .union(p.select(col("d").as("s"), col("s").as("d")))
       .distinct()
       .localCheckpoint(true)
     val spark = pairs.sparkSession
