@@ -30,6 +30,19 @@ object SparkEntry {
         concat(col("text"), lit(" extra extra")).as("text")))
   }
 
+  /** Documents with deterministic planted PII (URL + email + IPv4) on
+    * every 7th doc, so redaction has observable work to do.
+    */
+  private def piiCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com via https://example.org/d/"), col("doc_id"),
+          lit(" or 10.1.2.3")))
+        .otherwise(col("text")).as("text"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -208,6 +221,24 @@ object SparkEntry {
         ta.emailCount(col("text")).as("n_emails"))
     }),
 
+    // ---- PII redaction over a corpus with planted URLs/emails/IPs ----
+    "q_pii_redact" -> ((s, dir) => {
+      val ta = operators.TextAnalysis
+      val seeded = piiCorpus(s, dir)
+      seeded.select(
+        col("doc_id"),
+        ta.urlCount(col("text")).as("n_urls"),
+        ta.emailCount(col("text")).as("n_emails"),
+        ta.ipv4Count(col("text")).as("n_ips"),
+        ta.redactPii(col("text")).as("redacted"))
+    }),
+
+    // ---- per-source distinctive vocabulary (TF-IDF top terms) ----
+    "q_top_terms" -> ((s, dir) => {
+      operators.TextAnalysis.topTermsPerGroup(
+        t(s, dir, "documents"), "source", "text", k = 5)
+    }),
+
     // ---- exact dedup (hash-partition + windowed survivor choice) ----
     "q_exact_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -232,6 +263,12 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         operators.Dedup.simhash(col("text"), 32).as("simhash"))
+    }),
+
+    // ---- SimHash near-dup pairs (banded, exact for hamming < bands) ----
+    "q_simhash_near_dup" -> ((s, dir) => {
+      operators.Dedup.simhashNearDupPairs(lshCorpus(s, dir), "doc_id", "text",
+        bits = 48, bands = 4, maxHamming = 3)
     }),
 
     // ---- MinHash+LSH near-dup pairs over a corpus with planted dups ----
@@ -330,6 +367,14 @@ object SparkEntry {
       operators.Sampling.limitPerGroup(
         t(s, dir, "documents").select(col("doc_id"), col("source"), col("lang")),
         Seq("source", "lang"), n = 8, orderCols = Seq(col("doc_id")))
+    }),
+
+    // ---- deterministic global shuffle (engine-reproducible training
+    // order; global position without a single-partition window) ----
+    "q_corpus_shuffle" -> ((s, dir) => {
+      operators.Sampling.deterministicShuffle(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", seed = "epoch0")
     }),
 
     // ---- token-budget sequence packing (cumsum bins, sharded by source) --
@@ -722,6 +767,40 @@ object SparkEntry {
         |    SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS sh
         |  FROM bitsum GROUP BY doc_id) agg
         |ON d.doc_id = agg.doc_id""".stripMargin,
+    "q_simhash_near_dup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' extra extra'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS tok
+        |  FROM corpus),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(sha256(tok), 1, 15))::BIGINT AS h
+        |  FROM toks),
+        |bitsum AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN range(48) t(b)
+        |  GROUP BY doc_id, b),
+        |sh AS (
+        |  SELECT c.doc_id, coalesce(agg.v, 0)::BIGINT AS sh
+        |  FROM corpus c LEFT JOIN (
+        |    SELECT doc_id,
+        |      SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS v
+        |    FROM bitsum GROUP BY doc_id) agg
+        |  ON c.doc_id = agg.doc_id),
+        |bands AS (
+        |  SELECT doc_id, sh, b, (sh >> (CAST(b AS INTEGER) * 12)) & 4095 AS bv
+        |  FROM sh CROSS JOIN range(4) t(b))
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.sh, b.sh)) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
     "q_lsh_dedup_pairs" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -900,6 +979,45 @@ object SparkEntry {
         |  len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
         |FROM b""".stripMargin,
+    "q_pii_redact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      coalesce(text, '') || ' contact user' || doc_id
+        |        || '@example.com via https://example.org/d/' || doc_id
+        |        || ' or 10.1.2.3'
+        |    ELSE coalesce(text, '') END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS n_urls,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    'https?://[^ \t\n]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM corpus""".stripMargin,
+    "q_top_terms" ->
+      """WITH toks AS (
+        |  SELECT source AS "group", unnest(list_filter(
+        |    string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT "group", term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |gf AS (SELECT term, count(*) AS gf FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT source) AS n_groups FROM documents),
+        |scored AS (
+        |  SELECT tf."group", tf.term, tf.tf,
+        |    round(tf.tf * ln(n.n_groups * 1.0 / gf.gf), 6) AS score
+        |  FROM tf JOIN gf USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY "group" ORDER BY score DESC, term) AS "rank"
+        |  FROM scored)
+        |SELECT "group", term, tf, score, "rank" AS rank
+        |FROM ranked WHERE "rank" <= 5""".stripMargin,
     "q_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -933,6 +1051,12 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 8""".stripMargin,
+    "q_corpus_shuffle" ->
+      """SELECT doc_id, source,
+        |  row_number() OVER (
+        |    ORDER BY sha256('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    - 1 AS pos
+        |FROM documents""".stripMargin,
     "q_pack_sequences" ->
       """WITH tok AS (
         |  SELECT doc_id, source,

@@ -149,6 +149,53 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints (bit_count of xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicate pairs: (id_a, id_b, hamming) with id_a < id_b
+    * and Hamming distance <= `maxHamming` between the documents' `bits`-bit
+    * simhashes.
+    *
+    * Candidate generation is banded, like LSH: the fingerprint is split
+    * into `bands` contiguous bit-bands and the self-join runs only within
+    * equal (band index, band value) buckets. By pigeonhole this is EXACT —
+    * not approximate — whenever `maxHamming < bands`: a pair within
+    * distance maxHamming differs in at most `bands - 1` bands, so at least
+    * one band matches and the pair reaches verification. The quadratic
+    * pair space is never materialized; the one shuffle is on band keys.
+    * Verification (`bit_count(xor)`) is a per-candidate integer op.
+    */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 48,
+      bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(bands >= 1 && bits % bands == 0, "bits must be divisible by bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"maxHamming ($maxHamming) must be < bands ($bands) for the banded " +
+        "join to be exact (pigeonhole: some band must match)")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1L
+    // fingerprints are reused by both join sides; checkpoint so the
+    // token-hash aggregation runs once per document, not once per side
+    val sigs = spreadForCompute(df)
+      .select(col(idCol).as("__id"), simhash(col(textCol), bits).as("__sh"))
+      .localCheckpoint(true)
+    val banded = sigs.select(col("__id"), col("__sh"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("__sh"), b * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("__band", "__bv")))
+    val left = banded.select(col("__band"), col("__bv"),
+      col("__id").as("id_a"), col("__sh").as("__sha"))
+    val right = banded.select(col("__band"), col("__bv"),
+      col("__id").as("id_b"), col("__sh").as("__shb"))
+    left.join(right, Seq("__band", "__bv"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("__sha"), col("__shb")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Jaccard similarity of the two texts' distinct word n-gram shingle sets. */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
     shingleSetJaccard(array_distinct(shingles(a, n)), array_distinct(shingles(b, n)))

@@ -60,6 +60,48 @@ object Sampling {
     df.where(hashBucket(col(idCol), salt) < math.round(fraction * Buckets))
   }
 
+  /** Deterministic global shuffle for training-data ordering: every row
+    * gets a reproducible pseudo-random sort key `sha256(seed || ":" || id)`
+    * and `posCol` — its 0-based rank in that order, identical on any
+    * engine and any partitioning.
+    *
+    * The global index is computed WITHOUT a single-partition window:
+    * range-partition on the key, rank within each partition, then add each
+    * partition's start offset (per-partition counts are a `numPartitions`-
+    * row aggregate joined back broadcast). Same mechanics as RDD
+    * zipWithIndex, expressed relationally. Writing the result out
+    * partition-by-partition preserves the shuffled order end to end.
+    */
+  def deterministicShuffle(
+      df: DataFrame,
+      idCol: String,
+      seed: String = "graft",
+      posCol: String = "pos"): DataFrame = {
+    val skey = sha2(concat_ws(":", lit(seed),
+      coalesce(col(idCol).cast("string"), lit(""))), 256)
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val keyed = df.withColumn("__skey", skey)
+      .repartitionByRange(parts, col("__skey"), col(idCol))
+    // rank inside each range partition (partition id is the window key, so
+    // the window shuffle is on an already-clustered column and AQE keeps
+    // it narrow); sha256 collisions are broken by the id itself
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col("__skey"), col(idCol))
+    val ranked = keyed.withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(w))
+    val offsets = ranked.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          org.apache.spark.sql.expressions.Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    ranked.join(broadcast(offsets), "__pid")
+      .withColumn(posCol, col("__off") + col("__rn") - 1)
+      .drop("__pid", "__rn", "__off", "__skey")
+  }
+
+  private val Window = org.apache.spark.sql.expressions.Window
+
   /** Per-group quota: keep at most `n` rows per distinct value of
     * `groupCols`, chosen deterministically by `orderCols` (ranked
     * ascending; prefix with a quality score descending to keep "best N").

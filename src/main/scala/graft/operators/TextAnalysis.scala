@@ -193,9 +193,66 @@ object TextAnalysis {
     regexp_count(coalesce(text, lit("")), lit(pattern))
 
   /** URL occurrences — corpus-hygiene signal. */
-  def urlCount(text: Column): Column = patternCount(text, "https?://[^ \\t\\n]+")
+  def urlCount(text: Column): Column = patternCount(text, UrlPattern)
 
   /** Email-address occurrences — corpus-hygiene / PII-density signal. */
-  def emailCount(text: Column): Column =
-    patternCount(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+  def emailCount(text: Column): Column = patternCount(text, EmailPattern)
+
+  /** IPv4-address occurrences — PII-density signal. */
+  def ipv4Count(text: Column): Column = patternCount(text, Ipv4Pattern)
+
+  // RE2-compatible (no lookaround/backrefs) so Java-regex Spark and
+  // RE2-based engines match the same spans.
+  val UrlPattern = "https?://[^ \\t\\n]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Most distinctive terms per group (e.g. per source/domain) by TF-IDF:
+    * tf = term occurrences inside the group, idf = ln(#groups / #groups
+    * containing the term). The corpus-profiling step of a pipeline audit —
+    * what vocabulary distinguishes one source from the rest.
+    *
+    * Shape: explode tokens once → (group, term) counts (map-side partial
+    * agg), group-frequency per term from the same counts (second small
+    * agg), one broadcast of the 1-row group count. Top-k per group via a
+    * window over the (already small) per-group term stats. Ties break by
+    * term so the output is deterministic.
+    *
+    * Output: (group, term, tf, score, rank), rank 1..k.
+    */
+  def topTermsPerGroup(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      textCol: String,
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = df.select(col(groupCol).as("group"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("group", "term").agg(count(lit(1)).as("tf"))
+    val gf = tf.groupBy("term").agg(count(lit(1)).as("gf"))
+    val nGroups = df.select(countDistinct(col(groupCol)).as("n_groups"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group").orderBy(col("score").desc, col("term"))
+    tf.join(gf, "term")
+      .crossJoin(broadcast(nGroups))
+      .withColumn("score",
+        round(col("tf") * log(col("n_groups").cast("double") / col("gf")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("group", "term", "tf", "score", "rank")
+  }
+
+  /** PII scrubbing for training corpora: URLs, email addresses and IPv4
+    * addresses replaced with placeholder tokens, in that order (URLs first
+    * so an address embedded in a URL redacts as one URL, not URL + email).
+    * Pure codegen'd regexp_replace chain — no UDFs, no shuffle; count the
+    * spans first (urlCount/emailCount/ipv4Count) if density stats are
+    * wanted, since counting after redaction sees none.
+    */
+  def redactPii(text: Column): Column = {
+    val t0 = coalesce(text, lit(""))
+    val t1 = regexp_replace(t0, UrlPattern, "<URL>")
+    val t2 = regexp_replace(t1, EmailPattern, "<EMAIL>")
+    regexp_replace(t2, Ipv4Pattern, "<IP>")
+  }
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Specs for the round-6 corpus operators: SimHash near-dup pairs, PII
+  * redaction, deterministic global shuffle, TF-IDF top terms per group.
+  */
+class CorpusOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("simhashNearDupPairs equals brute-force hamming filter (pigeonhole exactness)") {
+    // overlapping word-salad docs so simhashes land close but not equal
+    val docs = (0L until 60L).map { i =>
+      val words = (0 until 20).map(j => s"w${(i * 7 + j * 3) % 31}")
+      (i, words.mkString(" "))
+    }.toDF("id", "text")
+    val banded = Dedup.simhashNearDupPairs(docs, "id", "text",
+      bits = 48, bands = 4, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    // brute force over the same fingerprints
+    val sigs = docs.select(col("id"), Dedup.simhash(col("text"), 48).as("sh"))
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        Dedup.hammingDistance(col("a.sh"), col("b.sh")).as("h"))
+      .where(col("h") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty, "test corpus should produce at least one close pair")
+  }
+
+  test("simhashNearDupPairs rejects maxHamming >= bands") {
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, "id", "text", bands = 4, maxHamming = 4)
+    }
+  }
+
+  test("redactPii replaces urls, emails and ipv4 addresses") {
+    val df = Seq(
+      (1L, "mail me at bob.smith+x@sub.example.co.uk or visit https://x.io/p?q=1 from 192.168.0.1"),
+      (2L, "no pii here, just 1.2 version numbers and a@b (not an email)"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.redactPii(col("text")).as("r"),
+      TextAnalysis.urlCount(col("text")).as("u"),
+      TextAnalysis.emailCount(col("text")).as("e"),
+      TextAnalysis.ipv4Count(col("text")).as("ip")).orderBy("id").collect()
+    assert(out(0).getAs[String]("r") ==
+      "mail me at <EMAIL> or visit <URL> from <IP>")
+    assert(out(0).getAs[Int]("u") == 1 && out(0).getAs[Int]("e") == 1
+      && out(0).getAs[Int]("ip") == 1)
+    assert(out(1).getAs[String]("r") ==
+      "no pii here, just 1.2 version numbers and a@b (not an email)")
+    assert(out(2).getAs[String]("r") == "")
+  }
+
+  test("deterministicShuffle assigns each row a unique stable global position") {
+    val df = spark.range(500).toDF("id")
+    val a = Sampling.deterministicShuffle(df, "id", seed = "s1")
+      .select("id", "pos").as[(Long, Long)].collect()
+    // positions are a permutation of 0..n-1
+    assert(a.map(_._2).sorted.toSeq == (0L until 500L))
+    // reproducible across runs
+    val b = Sampling.deterministicShuffle(df, "id", seed = "s1")
+      .select("id", "pos").as[(Long, Long)].collect()
+    assert(a.toSet == b.toSet)
+    // position equals the rank in (sha256(seed:id), id) order
+    val expected = a.map { case (id, _) => id }.map { id =>
+      id -> java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"s1:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }.sortBy { case (id, h) => (h, id) }.map(_._1).zipWithIndex
+      .map { case (id, i) => (id, i.toLong) }.toSet
+    assert(a.toSet == expected)
+    // a different seed produces a different order
+    val c = Sampling.deterministicShuffle(df, "id", seed = "s2")
+      .select("id", "pos").as[(Long, Long)].collect()
+    assert(c.toSet != a.toSet)
+  }
+
+  test("topTermsPerGroup ranks distinctive vocabulary by tf-idf") {
+    val df = Seq(
+      ("a", "apple apple apple shared shared"),
+      ("a", "apple shared"),
+      ("b", "banana banana shared shared shared"),
+      ("c", "cherry shared")
+    ).toDF("src", "text")
+    val out = TextAnalysis.topTermsPerGroup(df, "src", "text", k = 2)
+      .orderBy("group", "rank")
+      .select("group", "term", "tf", "rank").as[(String, String, Long, Int)]
+      .collect()
+    // 'shared' appears in every group -> idf = ln(1) = 0, never ranks first
+    assert(out.filter(_._4 == 1).map(r => (r._1, r._2)).toSeq ==
+      Seq(("a", "apple"), ("b", "banana"), ("c", "cherry")))
+    assert(out.find(r => r._1 == "a" && r._2 == "apple").get._3 == 4L)
+    // every group gets at most k rows, ranks are 1..k
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+    }
+  }
+}
