@@ -369,6 +369,15 @@ object SparkEntry {
         Seq("source", "lang"), n = 8, orderCols = Seq(col("doc_id")))
     }),
 
+    // ---- stratified hash sample (per-language keep fractions) ----
+    "q_stratified_sample" -> ((s, dir) => {
+      operators.Sampling.stratifiedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        fractions = Map("en" -> 0.5, "de" -> 0.25),
+        defaultFraction = 0.1)
+    }),
+
     // ---- deterministic global shuffle (engine-reproducible training
     // order; global position without a single-partition window) ----
     "q_corpus_shuffle" -> ((s, dir) => {
@@ -404,6 +413,13 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         operators.TextAnalysis.fingerprint(col("text"), 5).as("fp"))
+    }),
+
+    // ---- winnowing (MOSS) fingerprint sets: shared-run guarantee ----
+    "q_winnow_fingerprints" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        explode(operators.TextAnalysis.winnowingFingerprints(
+          col("text"), n = 5, w = 4)).as("fp"))
     }),
 
     // ---- multimodal: bytewise frame sampling over binary content ----
@@ -767,6 +783,31 @@ object SparkEntry {
         |    SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS sh
         |  FROM bitsum GROUP BY doc_id) agg
         |ON d.doc_id = agg.doc_id""".stripMargin,
+    "q_winnow_fingerprints" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) = 0 THEN []
+        |         ELSE list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+        |                i -> array_to_string(toks[i:i+4], ' ')) END AS shingles
+        |  FROM toks),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(shingles,
+        |      s -> ('0x' || substring(sha256(s), 1, 15))::BIGINT) AS hs
+        |  FROM sh),
+        |mins AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) = 0 THEN []
+        |         ELSE list_distinct(list_transform(
+        |                range(1, greatest(len(hs) - 3, 1) + 1),
+        |                i -> list_min(hs[i:i+3]))) END AS fps
+        |  FROM hs)
+        |SELECT doc_id, unnest(fps) AS fp FROM mins""".stripMargin,
     "q_simhash_near_dup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -1051,6 +1092,14 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 8""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substring(sha256(CAST(doc_id AS VARCHAR) || ':graft'),
+        |        1, 7))::BIGINT % 1000000 AS b
+        |  FROM documents)
+        |WHERE b < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+        |           ELSE 100000 END""".stripMargin,
     "q_corpus_shuffle" ->
       """SELECT doc_id, source,
         |  row_number() OVER (

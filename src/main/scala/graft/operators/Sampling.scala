@@ -60,6 +60,31 @@ object Sampling {
     df.where(hashBucket(col(idCol), salt) < math.round(fraction * Buckets))
   }
 
+  /** Stratified deterministic sample: per-group keep fractions (e.g.
+    * up-sample rare languages, down-sample crawl dumps), hash-assigned so
+    * the decision for a row never changes across runs, engines, or dataset
+    * growth. Groups absent from `fractions` keep `defaultFraction`.
+    * Narrow — no shuffle, no per-group counts.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      salt: String = "graft"): DataFrame = {
+    require(fractions.nonEmpty, "fractions must be non-empty")
+    (fractions.values ++ Seq(defaultFraction)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fractions must be in [0,1], got $f"))
+    // sorted for a deterministic when-chain (Map order is not contractual)
+    val cut = fractions.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0L))) { case (c, (k, f)) =>
+        c.when(col(groupCol) === k, lit(math.round(f * Buckets)))
+      }
+      .otherwise(lit(math.round(defaultFraction * Buckets)))
+    df.where(hashBucket(col(idCol), salt) < cut)
+  }
+
   /** Deterministic global shuffle for training-data ordering: every row
     * gets a reproducible pseudo-random sort key `sha256(seed || ":" || id)`
     * and `posCol` — its 0-based rank in that order, identical on any

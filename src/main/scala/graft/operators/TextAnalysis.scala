@@ -167,6 +167,32 @@ object TextAnalysis {
     when(size(hashes) === 0, lit(null).cast("bigint")).otherwise(array_min(hashes))
   }
 
+  /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS algorithm): the distinct minima of every `w`-wide sliding
+    * window over the document's word `n`-gram shingle hashes. Guarantees a
+    * shared fingerprint for any shared run of at least `w + n - 1` words,
+    * which single-min fingerprints ([[fingerprint]]) only achieve for
+    * whole-document overlap. Empty docs → empty array.
+    *
+    * Pure per-row expressions — no shuffle; like [[shingles]], the sliding
+    * minimum folds `zip_with(..., least)` over shifted copies passed as
+    * HOF ARGUMENTS (evaluated once per row), never referencing the hash
+    * array inside a lambda body (re-evaluated per element — quadratic).
+    */
+  def winnowingFingerprints(text: Column, n: Int = 5, w: Int = 4): Column = {
+    require(n >= 1, "shingle size must be >= 1")
+    require(w >= 1, "window must be >= 1")
+    val hashes = transform(shingles(text, n), s => hash60(s))
+    val m = size(hashes)
+    // mins(i) = min(hashes(i .. i+w-1)), right-truncated near the end
+    // (zip_with pads the shorter shifted copy with nulls; least skips them)
+    val mins = (1 until w).foldLeft(hashes) { (cur, k) =>
+      zip_with(cur, slice(hashes, lit(k + 1), greatest(m - k, lit(0))),
+        (a, b) => least(a, b))
+    }
+    array_distinct(slice(mins, lit(1), greatest(m - (w - 1), lit(1))))
+  }
+
   /** Within-document repetition fraction over the given unit array:
     * `1 - distinct/total` (0.0 for empty). Feed it lines, tokens, or
     * shingles — the Gopher/RefinedWeb "duplicate line fraction" /

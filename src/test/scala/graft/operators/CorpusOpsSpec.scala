@@ -83,6 +83,66 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(c.toSet != a.toSet)
   }
 
+  test("winnowing fingerprints overlap on shared runs and match a reference impl") {
+    val shared = "one two three four five six seven eight nine ten"
+    val df = Seq(
+      (1L, s"prefix words here $shared"),
+      (2L, s"$shared completely different tail text"),
+      (3L, "nothing in common with the others at all whatsoever today"),
+      (4L, "")
+    ).toDF("id", "text")
+    val fps = df.select(col("id"),
+      TextAnalysis.winnowingFingerprints(col("text"), n = 3, w = 2).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // docs 1 and 2 share a 10-word run >= w + n - 1 = 4 words -> guaranteed
+    // common fingerprint; doc 3 shares nothing; empty doc -> empty set
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+    assert(fps(1L).toSet.intersect(fps(3L).toSet).isEmpty)
+    assert(fps(4L).isEmpty)
+    // reference implementation: sliding-window min over shingle hashes
+    def ref(text: String, n: Int, w: Int): Set[Long] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) return Set.empty
+      val sh = (0 until math.max(toks.length - (n - 1), 1))
+        .map(i => toks.slice(i, i + n).mkString(" "))
+      val hs = sh.map { s =>
+        val d = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(
+          d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+      }
+      (0 until math.max(hs.length - (w - 1), 1))
+        .map(i => hs.slice(i, i + w).min).toSet
+    }
+    for (r <- Seq((1L, s"prefix words here $shared"),
+      (2L, s"$shared completely different tail text"),
+      (3L, "nothing in common with the others at all whatsoever today")))
+      assert(fps(r._1).toSet == ref(r._2, 3, 2), s"doc ${r._1}")
+  }
+
+  test("stratifiedSample keeps hash-stable per-group fractions") {
+    val df = spark.range(3000).select(col("id"),
+      when(col("id") % 3 === 0, "en").when(col("id") % 3 === 1, "de")
+        .otherwise("fr").as("lang"))
+    val out = Sampling.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.2), defaultFraction = 0.05)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // 1000 rows per group; hash-uniform so expect frac +- a loose band
+    assert(out("en") > 400 && out("en") < 600)
+    assert(out("de") > 130 && out("de") < 270)
+    assert(out.getOrElse("fr", 0L) < 110)
+    // deterministic: the same call selects the same rows
+    val a = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 0.5))
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 0.5))
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+    // and it agrees with hashSample on the matching group
+    val hs = Sampling.hashSample(df.where(col("lang") === "en"), "id", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(a == hs)
+  }
+
   test("topTermsPerGroup ranks distinctive vocabulary by tf-idf") {
     val df = Seq(
       ("a", "apple apple apple shared shared"),
