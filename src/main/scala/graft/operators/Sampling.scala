@@ -112,8 +112,12 @@ object Sampling {
     // it narrow); sha256 collisions are broken by the id itself
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__pid").orderBy(col("__skey"), col(idCol))
+    // both the output and the offsets aggregate read the ranked rows;
+    // persist or the scan + range shuffle + window run twice (the same
+    // double-computation RDD.zipWithIndex has without a cached parent)
     val ranked = keyed.withColumn("__pid", spark_partition_id())
       .withColumn("__rn", row_number().over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offsets = ranked.groupBy("__pid").agg(count(lit(1)).as("__n"))
       .withColumn("__off",
         coalesce(sum(col("__n")).over(

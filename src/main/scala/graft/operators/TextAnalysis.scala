@@ -162,10 +162,11 @@ object TextAnalysis {
   /** Rolling-hash document fingerprint: minimum 60-bit hash over word
     * `n`-gram shingles (a 1-permutation MinHash). Null for empty text.
     */
-  def fingerprint(text: Column, n: Int = 5): Column = {
-    val hashes = transform(shingles(text, n), s => hash60(s))
-    when(size(hashes) === 0, lit(null).cast("bigint")).otherwise(array_min(hashes))
-  }
+  def fingerprint(text: Column, n: Int = 5): Column =
+    // array_min of an empty array is already null — no emptiness guard,
+    // which would evaluate the whole hash array a second time (the
+    // condition and the branch each hold a copy; no CSE across them)
+    array_min(transform(shingles(text, n), s => hash60(s)))
 
   /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
     * the MOSS algorithm): the distinct minima of every `w`-wide sliding
@@ -182,16 +183,32 @@ object TextAnalysis {
   def winnowingFingerprints(text: Column, n: Int = 5, w: Int = 4): Column = {
     require(n >= 1, "shingle size must be >= 1")
     require(w >= 1, "window must be >= 1")
-    val hashes = transform(shingles(text, n), s => hash60(s))
-    val m = size(hashes)
-    // mins(i) = min(hashes(i .. i+w-1)), right-truncated near the end
-    // (zip_with pads the shorter shifted copy with nulls; least skips them)
-    val mins = (1 until w).foldLeft(hashes) { (cur, k) =>
-      zip_with(cur, slice(hashes, lit(k + 1), greatest(m - k, lit(0))),
-        (a, b) => least(a, b))
+    // let-bind the hash array: the window fold references it w times, and
+    // Catalyst does no CSE across HOF arguments — unbound, the whole
+    // shingle+sha256 array would be recomputed once per shift (measured
+    // ~4x the operator's cost at w=4)
+    bound(transform(shingles(text, n), s => hash60(s))) { hashes =>
+      val m = size(hashes)
+      // mins(i) = min(hashes(i .. i+w-1)), right-truncated near the end
+      // (zip_with pads the shorter shifted copy with nulls; least skips
+      // them)
+      val mins = (1 until w).foldLeft(hashes) { (cur, k) =>
+        zip_with(cur, slice(hashes, lit(k + 1), greatest(m - k, lit(0))),
+          (a, b) => least(a, b))
+      }
+      array_distinct(slice(mins, lit(1), greatest(m - (w - 1), lit(1))))
     }
-    array_distinct(slice(mins, lit(1), greatest(m - (w - 1), lit(1))))
   }
+
+  /** Evaluate `x` once and let `body` reference the result many times:
+    * a single-element `transform` binds `x` to a lambda variable, which
+    * body references read as a materialized value. Use whenever an
+    * expensive array expression appears multiple times in one projection
+    * (Catalyst performs no common-subexpression elimination inside
+    * higher-order-function trees).
+    */
+  private def bound(x: Column)(body: Column => Column): Column =
+    element_at(transform(array(x), v => body(v)), 1)
 
   /** Within-document repetition fraction over the given unit array:
     * `1 - distinct/total` (0.0 for empty). Feed it lines, tokens, or
@@ -254,7 +271,11 @@ object TextAnalysis {
     require(k >= 1, "k must be >= 1")
     val toks = df.select(col(groupCol).as("group"),
       explode(tokens(lower(col(textCol)))).as("term"))
+    // tf feeds both the scores and the group-frequency aggregate; persist
+    // the (group, term, count) stats — far smaller than the exploded
+    // tokens — or the tokenize+explode stage runs twice
     val tf = toks.groupBy("group", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gf = tf.groupBy("term").agg(count(lit(1)).as("gf"))
     val nGroups = df.select(countDistinct(col(groupCol)).as("n_groups"))
     val w = org.apache.spark.sql.expressions.Window
