@@ -145,9 +145,11 @@ object TextAnalysis {
     */
   def shingles(text: Column, n: Int): Column = {
     require(n >= 1, "shingle size must be >= 1")
-    val toks = tokens(text)
-    if (n == 1) toks
-    else {
+    if (n == 1) tokens(text)
+    else bound(tokens(text)) { toks =>
+      // let-bound: the fold references the token array n+1 times, and
+      // unbound each reference would re-run split+filter (no CSE across
+      // HOF arguments)
       val len = size(toks)
       // joined(i) = toks(i) .. toks(i+n-1), right-truncated near the end
       // (concat_ws skips the nulls zip_with pads with)
@@ -215,10 +217,11 @@ object TextAnalysis {
     * shingles — the Gopher/RefinedWeb "duplicate line fraction" /
     * "duplicate n-gram fraction" quality signals. Pure expression.
     */
-  def repetitionFrac(units: Column): Column = {
-    val total = size(units)
+  def repetitionFrac(units: Column): Column = bound(units) { u =>
+    // let-bound: the guard and both ratio terms reference the unit array
+    val total = size(u)
     when(total <= 0, lit(0.0)).otherwise(
-      lit(1.0) - size(array_distinct(units)).cast("double") / total)
+      lit(1.0) - size(array_distinct(u)).cast("double") / total)
   }
 
   /** Non-blank trimmed lines of a document (the unit for duplicate-line
