@@ -299,6 +299,13 @@ object SparkEntry {
         algorithm = "stars")
     }),
 
+    // ---- end-to-end dedup: pairs -> clusters -> survivors -> corpus ----
+    "q_dedup_corpus" -> ((s, dir) => {
+      operators.Dedup.dedupCorpus(lshCorpus(s, dir), "doc_id", "text",
+        numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.5)
+        .select("doc_id")
+    }),
+
     // ---- n-gram Jaccard near-dup pairs (blocked by source+lang) ----
     "q_ngram_jaccard_pairs" -> ((s, dir) => {
       operators.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
@@ -324,6 +331,17 @@ object SparkEntry {
           transform(col("embedding"), x => x * 2.0f).as("embedding")))
       operators.Dedup.cosineNearDupPairs(corpus, "vec_id", "embedding",
         Seq("label"), threshold = 0.99)
+    }),
+
+    // ---- embedding near-dup WITHOUT caller blocking: hyperplane LSH ----
+    "q_embed_near_dup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .unionAll(e.where(col("vec_id") % 20 === 0).select(
+          (col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * 2.0f).as("embedding")))
+      operators.Dedup.hyperplaneLshPairs(corpus, "vec_id", "embedding",
+        dim = 64, planesPerTable = 8, tables = 4, threshold = 0.99)
     }),
 
     // ---- ANN baseline: brute-force cosine top-k (broadcast queries) ----
@@ -569,8 +587,19 @@ object SparkEntry {
       |reach AS (
       |  SELECT s, s AS d FROM (SELECT DISTINCT s FROM e)
       |  UNION
-      |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
-      |SELECT s AS node, min(d) AS comp FROM reach GROUP BY s""".stripMargin
+      |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)""".stripMargin
+
+  private val dedupClustersSelect: String =
+    "\nSELECT s AS node, min(d) AS comp FROM reach GROUP BY s"
+
+  /** The end-to-end variant keeps the cluster-minimum doc (== the
+    * component label) plus every unclustered doc.
+    */
+  private val dedupCorpusSelect: String =
+    """
+      |, cc AS (SELECT s AS node, min(d) AS comp FROM reach GROUP BY s)
+      |SELECT c.doc_id FROM corpus c
+      |WHERE c.doc_id NOT IN (SELECT node FROM cc WHERE node <> comp)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -892,8 +921,9 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1""".stripMargin,
     // same LSH pair derivation + transitive closure → min-reachable
     // component; the stars variant must reproduce it exactly
-    "q_dedup_clusters" -> dedupClustersOracle,
-    "q_dedup_clusters_stars" -> dedupClustersOracle,
+    "q_dedup_clusters" -> (dedupClustersOracle + dedupClustersSelect),
+    "q_dedup_clusters_stars" -> (dedupClustersOracle + dedupClustersSelect),
+    "q_dedup_corpus" -> (dedupClustersOracle + dedupCorpusSelect),
     "q_ngram_jaccard_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, source, lang,
@@ -938,6 +968,56 @@ object SparkEntry {
         |  round(CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (na * nb) END, 6)
         |    AS cos
         |FROM s
+        |WHERE round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |            ELSE dot / (na * nb) END, 6) >= 0.99""".stripMargin,
+    "q_embed_near_dup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |signs AS (
+        |  SELECT t, p, d,
+        |    CASE WHEN ('0x' || substring(
+        |        sha256('hp:' || t || ':' || p || ':' || d),
+        |        1, 7))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+        |  FROM range(4) a(t) CROSS JOIN range(8) b(p)
+        |    CROSS JOIN range(64) c(d)),
+        |v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM corpus),
+        |ve AS (
+        |  SELECT vec_id, CAST(i AS INTEGER) AS d, v[CAST(i AS INTEGER) + 1] AS x
+        |  FROM v CROSS JOIN range(64) r(i)),
+        |proj AS (
+        |  SELECT vec_id, t, p, round(sum(x * s), 6) AS proj
+        |  FROM ve JOIN signs ON ve.d = signs.d
+        |  GROUP BY 1, 2, 3),
+        |sig AS (
+        |  SELECT vec_id, t,
+        |    SUM(CASE WHEN proj > 0 THEN (1::BIGINT << CAST(p AS INTEGER))
+        |        ELSE 0 END) AS sig
+        |  FROM proj GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM sig a JOIN sig b
+        |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        |pv AS (
+        |  SELECT cand.id_a, cand.id_b, va.v AS va, vb.v AS vb
+        |  FROM cand JOIN v va ON va.vec_id = cand.id_a
+        |  JOIN v vb ON vb.vec_id = cand.id_b),
+        |s2 AS (
+        |  SELECT id_a, id_b,
+        |    list_sum(list_transform(range(len(va)),
+        |      i -> va[CAST(i AS INTEGER)+1] * vb[CAST(i AS INTEGER)+1])) AS dot,
+        |    sqrt(list_sum(list_transform(va, x -> x * x))) AS na,
+        |    sqrt(list_sum(list_transform(vb, x -> x * x))) AS nb
+        |  FROM pv)
+        |SELECT id_a, id_b,
+        |  round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |        ELSE dot / (na * nb) END, 6) AS cos
+        |FROM s2
         |WHERE round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
         |            ELSE dot / (na * nb) END, 6) >= 0.99""".stripMargin,
     "q_ann_topk" ->

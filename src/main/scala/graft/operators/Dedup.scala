@@ -355,6 +355,123 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Deterministic ±1 hyperplane component for table `t`, plane `p`,
+    * dimension `d`: derived from sha256 so any engine reproduces the
+    * planes from (salt, t, p, d) alone — no RNG state to ship.
+    */
+  private def hyperplaneSign(salt: String, t: Int, p: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$salt:$t:$p:$d".getBytes("UTF-8"))
+    val prefix7 = java.lang.Long.parseLong(
+      digest.take(4).map("%02x".format(_)).mkString.take(7), 16)
+    if (prefix7 % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Embedding-cosine near-duplicate pairs WITHOUT caller-provided
+    * blocking: sign-random-projection (hyperplane) LSH generates the
+    * candidate buckets. `tables` independent hash tables of
+    * `planesPerTable` hyperplanes each: vectors collide in a table iff
+    * every plane in it agrees on sign, and a pair is a candidate if ANY
+    * table collides — the standard recall knob (more tables = higher
+    * recall, more candidates; more planes = tighter buckets).
+    *
+    * Scale shape: signatures are per-row expressions against literal ±1
+    * plane matrices (no shuffle), the single shuffle is the self-join on
+    * (table, signature), cosine verification runs per candidate with
+    * per-ROW precomputed norms. The quadratic pair space never
+    * materializes. Planes derive from sha256(salt:t:p:d) — deterministic
+    * and engine-reproducible (the DuckDB oracle rebuilds them in SQL).
+    *
+    * Output: (id_a, id_b, cos) with id_a < id_b, cos >= threshold.
+    */
+  def hyperplaneLshPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      planesPerTable: Int = 8,
+      tables: Int = 4,
+      threshold: Double = 0.9,
+      salt: String = "hp"): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    require(planesPerTable >= 1 && planesPerTable <= 62,
+      "planesPerTable must be in [1, 62] (signature packs into a long)")
+    require(tables >= 1, "tables must be >= 1")
+    val base0 = spreadForCompute(df).select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    // __v below is a projected ATTRIBUTE, so the tables*planes projection
+    // expressions all read the same materialized array (no re-evaluation)
+    val sigs = (0 until tables).map { tIdx =>
+      (0 until planesPerTable).map { p =>
+        val signs = array((0 until dim).map(d =>
+          lit(hyperplaneSign(salt, tIdx, p, d))): _*)
+        val proj = aggregate(
+          zip_with(col("__v"), signs, (v, sgn) => v * sgn),
+          lit(0.0), (acc, x) => acc + x)
+        // round before the sign test, mirroring the oracle: summation
+        // order must not decide a boundary bit
+        when(round(proj, 6) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    // signatures + norms are reused by both join sides; persist so the
+    // projection stage runs once per vector
+    val base = base0
+      .withColumn("__n", sqrt(graft.functions.VectorFunctions.sumSquares(col("__v"))))
+      .withColumn("__sigs", array(sigs: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col("__id"), col("__v"), col("__n"),
+      posexplode(col("__sigs")).as(Seq("__t", "__sig")))
+    val left = banded.select(col("__t"), col("__sig"),
+      col("__id").as("id_a"), col("__v").as("__v_a"), col("__n").as("__n_a"))
+    val right = banded.select(col("__t"), col("__sig"),
+      col("__id").as("id_b"), col("__v").as("__v_b"), col("__n").as("__n_b"))
+    left.join(right, Seq("__t", "__sig"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", round(
+        cosineWithNorms(col("__v_a"), col("__v_b"), col("__n_a"), col("__n_b")), 6))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** End-to-end corpus deduplication: MinHash+LSH candidate pairs →
+    * connected components → one survivor per cluster → the cleaned
+    * corpus (all of `df`'s columns, duplicates removed).
+    *
+    * The survivor is the cluster's minimum id by default — free, because
+    * that is exactly the component label. Pass `keepBy` to keep the best
+    * row per cluster instead (e.g. quality score descending); that costs
+    * one extra shuffle on the cluster label.
+    */
+  def dedupCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      keepBy: Seq[Column] = Nil): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, numPerms, bands,
+      shingleSize, threshold)
+    val clusters = connectedComponents(pairs, "id_a", "id_b")
+    if (keepBy.isEmpty) {
+      // survivor == component label; drop every non-label member
+      val removed = clusters.where(col("node") =!= col("comp"))
+        .select(col("node").as(idCol))
+      df.join(removed, Seq(idCol), "left_anti")
+    } else {
+      val labeled = df.join(
+        clusters.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      // un-clustered docs are their own cluster; rank inside real clusters
+      val w = Window.partitionBy(coalesce(col("comp"), col(idCol)))
+        .orderBy(keepBy :+ col(idCol): _*)
+      labeled.withColumn("__rank", row_number().over(w))
+        .where(col("__rank") === 1)
+        .drop("__rank", "comp")
+    }
+  }
+
   /** Below this many (undirected) candidate edges, `algorithm = "auto"`
     * solves components with a driver-side union-find: a bounded ≤ ~16 MB
     * collect replaces O(rounds) iterative Spark jobs whose scheduler

@@ -143,6 +143,51 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(a == hs)
   }
 
+  test("dedupCorpus removes near-duplicates, keeping the min-id survivor by default") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base), (2L, base + " extra"), (3L, base),
+      (10L, "completely different text about large scale data processing pipelines"),
+      (11L, "another unrelated document mentioning neither foxes nor dogs at all once")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // 1,2,3 cluster together -> survivor 1; 10 and 11 are untouched
+    assert(kept == Set(1L, 10L, 11L))
+    // keepBy: prefer the highest doc_id instead
+    val keptDesc = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.5,
+      keepBy = Seq(col("doc_id").desc))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptDesc == Set(3L, 10L, 11L))
+  }
+
+  test("hyperplaneLshPairs finds same-direction vectors with perfect recall") {
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    // plant exact-direction duplicates (scaled copies) of every 10th vector
+    val planted = vecs.filter(_._1 % 10 == 0)
+      .map { case (i, v) => (i + 1000L, v.map(_ * 3.0f)) }
+    val df = (vecs ++ planted).toDF("id", "vec")
+    val pairs = Dedup.hyperplaneLshPairs(df, "id", "vec", dim = dim,
+      planesPerTable = 6, tables = 6, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // scaled copies share every table signature -> always candidates, cos=1
+    val expected = planted.map { case (i, _) => (i - 1000L, i) }.toSet
+    assert(expected.subsetOf(pairs))
+    // everything reported really is >= threshold (verification step works):
+    // brute-force check of each reported pair
+    val byId = (vecs ++ planted).toMap
+    pairs.foreach { case (a, b) =>
+      val (va, vb) = (byId(a).map(_.toDouble), byId(b).map(_.toDouble))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      val cos = dot / (math.sqrt(va.map(x => x * x).sum) *
+        math.sqrt(vb.map(x => x * x).sum))
+      assert(cos >= 0.999 - 1e-6, s"pair ($a,$b) cos=$cos below threshold")
+    }
+  }
+
   test("topTermsPerGroup ranks distinctive vocabulary by tf-idf") {
     val df = Seq(
       ("a", "apple apple apple shared shared"),
