@@ -141,4 +141,33 @@ class PropertySpec extends SparkTestBase {
       }
     }, n = 8)
   }
+
+  test("winnowingFingerprints equals a reference sliding-window-min for arbitrary docs") {
+    def hash60(s: String): Long = java.lang.Long.parseLong(
+      sha256Hex(s).take(15), 16)
+    def ref(text: String, n: Int, w: Int): Set[Long] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.isEmpty) return Set.empty
+      val sh = (0 until math.max(toks.length - (n - 1), 1))
+        .map(i => toks.slice(i, i + n).mkString(" "))
+      val hs = sh.map(hash60)
+      (0 until math.max(hs.length - (w - 1), 1))
+        .map(i => hs.slice(i, i + w).min).toSet
+    }
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docGen = Gen.listOf(word).map(_.mkString(" "))
+    val params = for {
+      n <- Gen.choose(1, 4); w <- Gen.choose(1, 5)
+    } yield (n, w)
+    check(Prop.forAll(Gen.listOfN(6, docGen), params) { case (docs, (n, w)) =>
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+        .toDF("id", "text")
+      val got = df.select(col("id"),
+        TextAnalysis.winnowingFingerprints(col("text"), n, w).as("fps"))
+        .as[(Long, Seq[Long])].collect().toMap
+      docs.zipWithIndex.forall { case (d, i) =>
+        got(i.toLong).toSet == ref(d, n, w)
+      }
+    }, n = 15)
+  }
 }
