@@ -564,11 +564,20 @@ object Dedup {
     // per-operator. (Callers sharing one SparkSession across threads should
     // use session clones, per standard Spark practice.)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // AQE re-plans every stage of every round; with the shuffle width
+    // already right-sized to the edge data it buys nothing here and its
+    // per-round planning overhead is comparable to the round itself on
+    // small graphs. Scoped off for the loop, restored after.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
       if (useStars) starsLoop(edgesRaw, maxIter, edgeCount)
       else labelPropLoop(edgesRaw, parts, maxIter)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   /** Path-compressed, size-united union-find over the collected (bounded —
