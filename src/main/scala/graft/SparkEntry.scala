@@ -221,6 +221,27 @@ object SparkEntry {
         ta.emailCount(col("text")).as("n_emails"))
     }),
 
+    // ---- per-source corpus report: the daily pipeline audit query ----
+    "q_corpus_report" -> ((s, dir) => {
+      val ta = operators.TextAnalysis
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"), col("text"),
+          ta.tokens(col("text")).as("__toks"))
+        .select(col("source"), col("lang"),
+          size(col("__toks")).as("__n_tok"),
+          ta.qualityScoreFromTokens(col("text"), col("__toks")).as("__q"),
+          ta.urlCount(col("text")).as("__urls"),
+          ta.emailCount(col("text")).as("__emails"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__n_tok")).as("n_tokens"),
+          round(avg(col("__q")), 6).as("avg_quality"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("__urls")).as("n_urls"),
+          sum(col("__emails")).as("n_emails"))
+    }),
+
     // ---- PII redaction over a corpus with planted URLs/emails/IPs ----
     "q_pii_redact" -> ((s, dir) => {
       val ta = operators.TextAnalysis
@@ -1100,6 +1121,36 @@ object SparkEntry {
         |  len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
         |FROM b""".stripMargin,
+    "q_corpus_report" ->
+      """WITH base AS (
+        |  SELECT source, lang, coalesce(text, '') AS text,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT source, lang, len(toks) AS n_tok,
+        |    round(
+        |      0.25 * least(1.0, len(toks) / 50.0)
+        |      + 0.25 * (1.0 - least(1.0,
+        |          (CASE WHEN length(text) = 0 THEN 0.0
+        |           ELSE length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+        |                * 1.0 / length(text) END) * 4.0))
+        |      + 0.25 * (1.0 - least(1.0,
+        |          (CASE WHEN length(text) = 0 THEN 0.0
+        |           ELSE length(regexp_replace(text, '[^A-Z]', '', 'g'))
+        |                * 1.0 / length(text) END) * 4.0))
+        |      + 0.25 * (CASE WHEN len(toks) > 0
+        |          AND length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(toks)
+        |              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END),
+        |    6) AS q,
+        |    len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS urls,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails
+        |  FROM base)
+        |SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+        |  round(avg(q), 6) AS avg_quality, count(DISTINCT lang) AS n_langs,
+        |  sum(urls) AS n_urls, sum(emails) AS n_emails
+        |FROM q GROUP BY source""".stripMargin,
     "q_pii_redact" ->
       """WITH corpus AS (
         |  SELECT doc_id,
