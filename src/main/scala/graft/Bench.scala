@@ -61,6 +61,12 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      def cleanSlate(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
+      }
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
@@ -71,9 +77,14 @@ object Bench {
       // This box is shared: co-tenant CPU spikes have recorded 2–13×
       // swings on individual queries with unchanged plans (see round 4/5
       // post-mortems). For anything non-trivial, take the min of two runs —
-      // the min is the steady-state cost; a single contended sample is not.
+      // with caches dropped in between, so the second sample re-measures
+      // the same cold plan rather than the first run's persisted
+      // intermediates (the min de-noises contention, not cache state).
       val first = once()
-      val sec = if (first > 1.5) math.min(first, once()) else first
+      val sec = if (first > 1.5) {
+        cleanSlate()
+        math.min(first, once())
+      } else first
       System.err.println(f"[bench] $name%-28s $sec%8.2f s")
       // operators persist small intermediates (LSH signatures, KMeans fit
       // inputs, LLM memo frames); drop them between queries so no query
@@ -81,10 +92,7 @@ object Bench {
       // persists (e.g. MLlib internals), and broadcast/shuffle state is only
       // reclaimed when the driver GC runs the ContextCleaner — force both so
       // each query is timed from a clean slate.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc()
+      cleanSlate()
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

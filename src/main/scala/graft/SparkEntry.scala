@@ -35,9 +35,12 @@ object SparkEntry {
     */
   private def piiCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // coalesce BEFORE concat, mirroring the oracle's coalesce(text, ''):
+    // concat(null, ...) would null out a planted row and desync the two
     docs.select(col("doc_id"),
       when(col("doc_id") % 7 === 0,
-        concat(col("text"), lit(" contact user"), col("doc_id"),
+        concat(coalesce(col("text"), lit("")), lit(" contact user"),
+          col("doc_id"),
           lit("@example.com via https://example.org/d/"), col("doc_id"),
           lit(" or 10.1.2.3")))
         .otherwise(col("text")).as("text"))

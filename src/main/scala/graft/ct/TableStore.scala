@@ -124,14 +124,16 @@ private[graft] object TableStore {
       def ids(s: String) = s.split(",").filter(_.nonEmpty).map { tok =>
         try tok.toInt catch { case _: NumberFormatException => malformed() }
       }
-      // current format: buckets \n emptied \n END. Legacy (pre-terminator)
-      // markers are exactly two lines; accept them when both parse cleanly,
-      // so a swap crashed under the old code still rolls forward after an
-      // upgrade. (Current markers are published by atomic rename, so a
-      // two-line file cannot be a torn current-format write.)
-      val legacy = lines.length == 2 ||
-        (lines.length == 3 && lines(2).isEmpty)
-      if (!legacy && (lines.length < 3 || lines(2) != MarkerEnd)) malformed()
+      // format: buckets \n emptied \n END. Markers without the terminator
+      // are rejected — including pre-terminator "legacy" two-line markers:
+      // the old writer was non-atomic, so a two-line payload is
+      // indistinguishable from a TORN write (e.g. "12,34\n" with the
+      // emptied list lost → recovery would silently resurrect an emptied
+      // bucket's deleted rows). Rolling forward only from provably-complete
+      // markers keeps every ambiguous crash state a loud error; a genuine
+      // pre-terminator crash artifact needs one-time manual cleanup
+      // (compat break noted in the commit message).
+      if (lines.length < 3 || lines(2) != MarkerEnd) malformed()
       Some((ids(lines(0)).toSeq, ids(lines(1)).toSet))
     }
   }

@@ -19,7 +19,7 @@ import org.apache.spark.sql.sources._
   *  - `k = v` (string/bool/integral)    → `{"key": k, "match": {"value": v}}`
   *  - `k IN (…)`                        → `{"key": k, "match": {"any": [...]}}`
   *  - `k >/>=/</<= n` (numeric)         → `{"key": k, "range": {…}}`
-  *  - `k IS NULL`                       → `{"is_null": {"key": k}}`
+  *  - `k IS NULL`                       → `{"is_empty": {"key": k}}`
   *  - `k IS NOT NULL`                   → `{"must_not": [{"is_null": …}]}`
   *  - `AND`                             → both sides' conditions, concatenated
   */
@@ -47,8 +47,14 @@ object QdrantFilters {
     case GreaterThanOrEqual(a, v) => range(a, "gte", v)
     case LessThan(a, v) => range(a, "lt", v)
     case LessThanOrEqual(a, v) => range(a, "lte", v)
+    // is_empty, NOT is_null: Qdrant's is_null matches only keys PRESENT
+    // with a null value, but a Spark-null payload field is usually a
+    // MISSING key (this connector's own writer strips null values before
+    // upsert). is_empty matches missing ∪ null ∪ [] — a superset of
+    // Spark's IS NULL rows, so the residual Spark filter trims the []
+    // case; is_null would under-match and silently lose rows.
     case IsNull(a) => payloadKey(a).map(k =>
-      Map[String, Any]("is_null" -> Map("key" -> k))).toSeq
+      Map[String, Any]("is_empty" -> Map("key" -> k))).toSeq
     case IsNotNull(a) => payloadKey(a).map(k =>
       Map[String, Any]("must_not" ->
         Seq(Map("is_null" -> Map("key" -> k))))).toSeq

@@ -47,7 +47,10 @@ final case class CharChunkSplitter(chunkSize: Int) extends TextSplitter {
   * remaining separators, then greedily pack adjacent pieces into chunks.
   * Each piece keeps its trailing separator, so with `chunkOverlap` = 0 the
   * chunks concatenate back to the exact input. `chunkOverlap` > 0 prefixes
-  * every chunk after the first with the tail of its predecessor.
+  * every chunk after the first with the tail of its predecessor; fresh
+  * content is packed to `chunkSize - chunkOverlap` so no emitted chunk
+  * ever exceeds `chunkSize` INCLUDING its overlap — the LangChain contract
+  * (a downstream encoder's hard input limit must hold for every chunk).
   */
 final case class RecursiveCharSplitter(
     chunkSize: Int,
@@ -57,6 +60,8 @@ final case class RecursiveCharSplitter(
   require(chunkOverlap >= 0 && chunkOverlap < chunkSize,
     "chunkOverlap must be in [0, chunkSize)")
   require(separators.nonEmpty, "separators must not be empty")
+
+  private val budget = chunkSize - chunkOverlap
 
   def splitText(text: String): Seq[String] =
     if (text.length <= chunkSize) Seq(text)
@@ -69,11 +74,11 @@ final case class RecursiveCharSplitter(
       }.toSeq
     }
 
-  /** Pieces no longer than `chunkSize`, separators kept on piece tails. */
+  /** Pieces no longer than `budget`, separators kept on piece tails. */
   private def atoms(text: String, seps: Seq[String]): Seq[String] =
-    if (text.length <= chunkSize) Seq(text)
+    if (text.length <= budget) Seq(text)
     else seps match {
-      case Seq() => text.grouped(chunkSize).toSeq
+      case Seq() => text.grouped(budget).toSeq
       case sep +: rest =>
         if (sep.isEmpty || !text.contains(sep)) atoms(text, rest)
         else splitKeepingSep(text, sep).flatMap(p => atoms(p, rest))
@@ -92,12 +97,12 @@ final case class RecursiveCharSplitter(
     out.result()
   }
 
-  /** Greedily merge adjacent atoms into chunks of at most `chunkSize`. */
+  /** Greedily merge adjacent atoms into chunks of at most `budget`. */
   private def pack(pieces: Seq[String]): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     pieces.foreach { p =>
-      if (cur.nonEmpty && cur.length + p.length > chunkSize) {
+      if (cur.nonEmpty && cur.length + p.length > budget) {
         out += cur.result()
         cur.clear()
       }

@@ -397,8 +397,15 @@ object Dedup {
     require(planesPerTable >= 1 && planesPerTable <= 62,
       "planesPerTable must be in [1, 62] (signature packs into a long)")
     require(tables >= 1, "tables must be >= 1")
+    // fail fast on a dim mismatch: zip_with against a wrong-length plane
+    // array would null-poison every projection, making ALL signatures 0 —
+    // a silent quadratic self-join instead of an error
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val checked = when(size(vd) === dim, vd).otherwise(raise_error(concat(
+      lit(s"hyperplaneLshPairs: expected $dim-dim vectors, got "),
+      size(vd).cast("string"))))
     val base0 = spreadForCompute(df).select(col(idCol).as("__id"),
-      transform(col(vecCol), x => x.cast("double")).as("__v"))
+      checked.as("__v"))
     // __v below is a projected ATTRIBUTE, so the tables*planes projection
     // expressions all read the same materialized array (no re-evaluation)
     val sigs = (0 until tables).map { tIdx =>
@@ -509,10 +516,13 @@ object Dedup {
     * checkpointed output (no extra job) and throw [[IllegalStateException]]
     * when the round budget runs out: returning silently would split one
     * real cluster into several and make downstream dedup under-delete.
-    * For labelprop the budget is `maxIter`; for stars, `maxIter` is only a
-    * floor — the effective budget self-sizes to `2·⌈log₂ edges⌉ + 8`
-    * because star contraction needs O(log² n) rounds on adversarial
-    * chains and no fixed cap covers every graph size.
+    * For labelprop the budget is `maxIter`; for stars the budget is
+    * `max(maxIter, 2·⌈log₂ edges⌉ + 8)` — the self-sized floor covers
+    * real near-dup graphs (which converge in 2–5 rounds) at any data
+    * size, while star contraction's THEORETICAL worst case is O(log² n)
+    * rounds on adversarial chains: for such topologies pass a larger
+    * `maxIter` (it raises the stars budget too). Running out is always a
+    * loud error, never a partial answer.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -700,11 +710,14 @@ object Dedup {
     */
   private def starsLoop(
       edgesRaw: DataFrame, maxIter: Int, edgeCount: Long): DataFrame = {
-    // Star contraction needs O(log² n) rounds in the worst case (a single
-    // long chain), so a fixed cap cannot cover every graph size: the
-    // budget self-sizes as 2·⌈log₂ edges⌉ + 8 with `maxIter` as a floor.
-    // Real near-dup graphs exit on the convergence signature in 2–5
-    // rounds; the budget only bounds adversarial topologies.
+    // The budget self-sizes as 2·⌈log₂ edges⌉ + 8 with `maxIter` as a
+    // floor: enough for real near-dup graphs (which exit on the
+    // convergence signature in 2–5 rounds) at any data size, while never
+    // letting a fixed cap silently under-provision a bigger graph. Star
+    // contraction's THEORETICAL worst case is O(log² n) rounds on a long
+    // chain — beyond this budget — so an adversarial topology fails loud
+    // (IllegalStateException below) and the caller raises `maxIter`,
+    // rather than the loop gambling unbounded rounds on every input.
     val logCeil =
       64 - java.lang.Long.numberOfLeadingZeros(math.max(edgeCount, 2L) - 1L)
     val budget = math.max(maxIter, 2 * logCeil + 8)

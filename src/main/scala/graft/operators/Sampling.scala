@@ -96,6 +96,13 @@ object Sampling {
     * row aggregate joined back broadcast). Same mechanics as RDD
     * zipWithIndex, expressed relationally. Writing the result out
     * partition-by-partition preserves the shuffled order end to end.
+    *
+    * NOTE: like zipWithIndex, the two passes (offsets, output) share one
+    * materialization — the ranked input is persisted MEMORY_AND_DISK for
+    * the query's lifetime. Callers shuffling a large corpus should write
+    * the result out, then release with `spark.catalog.clearCache()` (or
+    * unpersist via `sparkContext.getPersistentRDDs`); without the persist
+    * the full scan + range shuffle + rank would run twice instead.
     */
   def deterministicShuffle(
       df: DataFrame,

@@ -99,14 +99,17 @@ class TableStoreRecoverySpec extends SparkTestBase {
     assert(e2.getMessage.contains("corrupt"))
   }
 
-  test("flat: legacy two-line marker (no END) still rolls the swap forward") {
-    // written by the pre-terminator code, crashed before the swap finished
+  test("flat: two-line marker (no END) fails loudly — torn legacy writes are ambiguous") {
+    // the pre-terminator writer was non-atomic, so a two-line payload is
+    // indistinguishable from a torn write with the emptied list lost;
+    // rolling it forward could silently resurrect an emptied bucket.
+    // Ambiguity = loud error, data untouched.
     val target = tmpTarget()
     df(1, 2).write.parquet(target)
     fabricateStaging(target, df(10, 11), markerLines = "\n\n")
-    TableStore.append(df(99), target)
-    assert(readVals(target) == Set(10, 11, 99))
-    assert(!Files.exists(Paths.get(target + "__graft_staging__")))
+    val e = intercept[IllegalStateException](TableStore.append(df(99), target))
+    assert(e.getMessage.contains("corrupt"))
+    assert(readVals(target) == Set(1, 2), "loud failure must not touch data")
   }
 
   /** Run crash recovery on `target` directly (as every write entry point

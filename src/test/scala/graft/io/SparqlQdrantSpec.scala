@@ -210,6 +210,26 @@ class SparqlQdrantSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(scroll.contains(""""must_not":[{"is_null":{"key":"name"}}]"""), scroll)
   }
 
+  test("Qdrant IS NULL pushes is_empty (is_null would drop missing-key points)") {
+    requests.clear()
+    val df = spark.read.format("graft-qdrant")
+      .schema("id LONG, payload STRUCT<name: STRING>")
+      .option("graft.qdrant.config",
+        s"""{"endpoint": "$base", "collection": "things"}""")
+      .load()
+    // Qdrant's is_null matches only keys PRESENT with a null value; this
+    // connector's writer strips nulls, so Spark-null fields are MISSING
+    // keys server-side. is_empty covers missing ∪ null ∪ [] — a superset
+    // the residual Spark filter trims; the fixture ignores filters and the
+    // residual drops every named row, proving re-application.
+    val rows = df.filter(
+      org.apache.spark.sql.functions.col("payload.name").isNull).collect()
+    assert(rows.isEmpty)
+    val scroll = requests.asScala.find(_.startsWith("scroll")).get
+    assert(scroll.contains(""""is_empty":{"key":"name"}"""), scroll)
+    assert(!scroll.contains(""""is_null":{"key":"name"}}"""), scroll)
+  }
+
   test("Qdrant id IN pushes has_id and merges with a config filter") {
     requests.clear()
     val df = spark.read.format("graft-qdrant")

@@ -156,6 +156,12 @@ class LlmObsSpec extends SparkTestBase {
       case Seq(prev, cur) => assert(cur.startsWith(prev.takeRight(3).take(3)))
       case _ =>
     }
+    // the cap INCLUDES the overlap prefix (a downstream encoder's hard
+    // input limit must hold for every chunk)
+    assert(overlapped.forall(_.length <= 12), overlapped)
+    val dense = RecursiveCharSplitter(chunkSize = 8, chunkOverlap = 4)
+      .splitText("aaaa bbbb cccc dddd eeee ffff")
+    assert(dense.forall(_.length <= 8), dense)
   }
 
   test("token splitter windows by token count with overlap") {
