@@ -118,6 +118,74 @@ object StreamingOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Per-bucket rolling state for [[streamingNearDupFilter]]: the most
+    * recent (id, simhash) entries seen in one band bucket.
+    */
+  case class NearDupBucketState(entries: List[(Long, Long)])
+
+  /** Decision row emitted by [[streamingNearDupFilter]]: `dupOf` is the
+    * id of a previously-seen near-duplicate, None for novel docs. A doc
+    * appears once per band it lands in; downstream keeps
+    * `min(dup_of)`-style any-band-flagged semantics (one groupBy).
+    */
+  case class NearDupDecision(id: Long, band: Int, dupOf: Option[Long])
+
+  /** Streaming SimHash near-dup filter: flags documents whose `bits`-bit
+    * simhash is within `maxHamming` of ANY previously seen document,
+    * across micro-batches. The streaming twin of
+    * [[graft.operators.Dedup.simhashNearDupPairs]], with the same banded
+    * candidate structure: state lives per (band, band-value) bucket, so a
+    * new document only compares against its bucket's entries — never the
+    * whole history — and the pigeonhole guarantee (exact for
+    * maxHamming < bands) carries over for every document still in state.
+    *
+    * State is bounded: each bucket keeps the most recent `maxPerBucket`
+    * fingerprints (FIFO eviction). Docs evicted from every shared bucket
+    * can no longer be matched — the standard bounded-state trade,
+    * mirroring `streamingDedup`'s watermark bound. Deterministic within a
+    * batch: entries process in id order.
+    */
+  def streamingNearDupFilter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 48,
+      bands: Int = 4,
+      maxHamming: Int = 3,
+      maxPerBucket: Int = 256): Dataset[NearDupDecision] = {
+    require(bands >= 1 && bits % bands == 0, "bits must be divisible by bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      "maxHamming must be < bands (pigeonhole exactness)")
+    require(maxPerBucket >= 1, "maxPerBucket must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1L
+    val banded = docs.select(col(idCol).cast("long").as("id"),
+      graft.operators.Dedup.simhash(col(textCol), bits).as("sh"))
+      .select(col("id"), col("sh"), posexplode(array((0 until bands).map(b =>
+        shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bv")))
+      .as[(Long, Long, Int, Long)]
+    banded.groupByKey { case (_, _, band, bv) => (band, bv) }
+      .flatMapGroupsWithState[NearDupBucketState, NearDupDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((band, _), rows, state: GroupState[NearDupBucketState]) =>
+          var entries = state.getOption.map(_.entries).getOrElse(Nil)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, sh, _, _) =>
+            val dup = entries.collectFirst {
+              case (seenId, seenSh)
+                if java.lang.Long.bitCount(seenSh ^ sh) <= maxHamming =>
+                seenId
+            }
+            entries = ((id, sh) :: entries).take(maxPerBucket)
+            NearDupDecision(id, band, dup)
+          }
+          state.update(NearDupBucketState(entries))
+          out.iterator
+      }
+  }
+
   /** Stream into an SCD target: every micro-batch runs one change-tracking
     * upsert (mode 1 = current-only, mode 2 = track-history). Batch ids are
     * recorded nowhere — idempotency relies on the upsert itself (replaying

@@ -93,6 +93,35 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingNearDupFilter flags near-duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    val other = "completely different text about large scale data processing pipelines now"
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val decisions = StreamingOps.streamingNearDupFilter(
+      source.toDS().toDF("doc_id", "text"), "doc_id", "text")
+    val q = decisions.writeStream
+      .format("memory").queryName("neardup_out").outputMode("append").start()
+    try {
+      source.addData((1L, base), (10L, other))
+      q.processAllAvailable()
+      // batch 2: a copy of doc 1 (state from batch 1 must flag it) and a
+      // doubled copy of doc 10 — token sums double, signs hold, so the
+      // simhash is identical while the text is not
+      source.addData((2L, base), (20L, other + " " + other))
+      q.processAllAvailable()
+      val out = spark.table("neardup_out")
+        .groupBy("id").agg(org.apache.spark.sql.functions.min("dupOf").as("dup_of"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(out(1L).isEmpty, "first occurrence is novel")
+      assert(out(10L).isEmpty, "unrelated doc is novel")
+      assert(out(2L).contains(1L), "identical doc flagged against batch-1 state")
+      // near-identical text: same simhash bucket, small hamming
+      assert(out(20L).contains(10L), "near-dup flagged across batches")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and watermark timeout") {
     import StreamingOps.SessionEvent
     // offset from epoch 0: a ts equal to the initial watermark (0) would be
