@@ -188,6 +188,38 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("dedupCorpus with no near-duplicates returns the corpus unchanged") {
+    val docs = Seq(
+      (1L, "completely unique first document with plenty of distinct words"),
+      (2L, "second text sharing nothing with anything else in the corpus"),
+      (3L, "third entry again entirely different from its two predecessors")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
+  test("hyperplaneLshPairs never pairs a zero vector and rejects wrong dims") {
+    val dim = 8
+    val df = Seq(
+      (1L, Seq.fill(dim)(0.0f)),
+      (2L, Seq.fill(dim)(0.0f)),
+      (3L, Seq.tabulate(dim)(_.toFloat + 1))
+    ).toDF("id", "vec")
+    // zero vectors share every signature but cos is defined as 0 -> filtered
+    val pairs = Dedup.hyperplaneLshPairs(df, "id", "vec", dim = dim,
+      planesPerTable = 4, tables = 2, threshold = 0.5)
+      .collect()
+    assert(pairs.isEmpty)
+    // a wrong-length vector fails loudly instead of degenerating the join
+    val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      Dedup.hyperplaneLshPairs(bad, "id", "vec", dim = dim).collect()
+    }
+    assert(e.getMessage.contains("expected 8-dim")
+      || Option(e.getCause).exists(_.getMessage.contains("expected 8-dim")))
+  }
+
   test("topTermsPerGroup ranks distinctive vocabulary by tf-idf") {
     val df = Seq(
       ("a", "apple apple apple shared shared"),
