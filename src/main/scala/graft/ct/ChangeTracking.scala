@@ -85,6 +85,22 @@ object ChangeTracking {
   }
 
   /** Keep-latest window dedup (change_tracking.py:430-440). */
+  /** dedupeKeys must not be broader than businessKeys: deduping by a
+    * SUPERSET (e.g. (id, region) for business key id) leaves multiple
+    * source rows per business key, and the merge join then writes several
+    * "current" rows for one key — silently breaking the SCD invariant.
+    * A subset (stronger dedup) is fine.
+    */
+  private def validateDedupeKeys(
+      businessKeys: Seq[String], dedupeKeys: Option[Seq[String]]): Unit =
+    dedupeKeys.foreach { dk =>
+      val extra = dk.toSet -- businessKeys.toSet
+      require(extra.isEmpty,
+        s"dedupeKeys must be a subset of businessKeys (exactly one source " +
+          s"row per business key must survive dedup); extra: " +
+          extra.toSeq.sorted.mkString(", "))
+    }
+
   private def dedupeLatest(
       df: DataFrame, dedupeKeys: Seq[String], orderBy: Seq[String]): DataFrame =
     if (orderBy.nonEmpty) {
@@ -131,6 +147,7 @@ object ChangeTracking {
       allowSchemaEvolution: Boolean = false,
       numBuckets: Option[Int] = None): Unit = {
     validateKeys(sourceDf, businessKeys)
+    validateDedupeKeys(businessKeys, dedupeKeys)
     val tracked = resolveTracked(sourceDf, businessKeys, trackedColumns, Set.empty)
     val cleaned = applyNullKeyPolicy(sourceDf, businessKeys, nullKeyPolicy)
     val deduped = dedupeLatest(cleaned, dedupeKeys.getOrElse(businessKeys), orderBy)
@@ -243,6 +260,7 @@ object ChangeTracking {
       allowSchemaEvolution: Boolean = false,
       numBuckets: Option[Int] = None): Unit = {
     validateKeys(sourceDf, businessKeys)
+    validateDedupeKeys(businessKeys, dedupeKeys)
     val meta = Set(effectiveCol, expiryCol, currentCol, versionCol, hashCol)
     val tracked = resolveTracked(sourceDf, businessKeys, trackedColumns, meta)
     val cleaned = applyNullKeyPolicy(sourceDf, businessKeys, nullKeyPolicy)

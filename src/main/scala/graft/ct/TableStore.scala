@@ -26,15 +26,29 @@ private[graft] object TableStore {
   def isPath(identifier: String): Boolean =
     identifier.contains("/") || identifier.contains(":/")
 
+  /** Existence AFTER resolving any crashed swap. A crash between
+    * rename(dest, old) and rename(staging, dest) leaves the target dir
+    * missing while the data lives in the moved-aside/staged copies — a
+    * bare fs.exists would say "no table" and push merge callers onto the
+    * create/append branch, duplicating every matched key on top of the
+    * subsequently recovered table. Recovery is idempotent and a no-op in
+    * the common case (one existence probe on the staging dir).
+    */
   def exists(spark: SparkSession, target: String): Boolean =
     if (isPath(target)) {
-      val p = new Path(target)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      fs.exists(p)
+      val (fs, dest, staging, old) = swapPaths(spark, target)
+      recover(fs, staging, dest, old, target)
+      fs.exists(dest)
     } else spark.catalog.tableExists(target)
 
   def read(spark: SparkSession, target: String): DataFrame =
-    if (isPath(target)) spark.read.parquet(target) else spark.table(target)
+    // mergeSchema: schema evolution on a bucketed target adds columns to
+    // only the touched buckets' files; a single sampled footer could miss
+    // them and a later merge would silently rewrite those buckets without
+    // the evolved columns (footer-only cost — data is not read twice)
+    if (isPath(target))
+      spark.read.option("mergeSchema", "true").parquet(target)
+    else spark.table(target)
 
   def append(df: DataFrame, target: String): Unit =
     if (isPath(target)) {
@@ -305,12 +319,20 @@ private[graft] object TableStore {
       writeMarker(fs, staging, Nil)
       swapFlat(fs, staging, dest, old, target)
     } else {
-      val staging = Files.createTempDirectory("graft_ct_staging_").toString
+      // stage on the WAREHOUSE filesystem, not a driver-local temp dir: on
+      // a cluster whose default FS is remote (HDFS/S3A), a java.nio temp
+      // path would be written through the default FS but deleted as a
+      // local java.io.File — leaking the staging dir every call — and with
+      // a file:// default FS on multiple nodes, executors would scatter
+      // part files across machines
+      val warehouse = new Path(spark.sessionState.conf.warehousePath)
+      val staging = new Path(warehouse,
+        s"__graft_ct_staging_${java.util.UUID.randomUUID().toString.take(8)}__")
+      val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
       try {
-        df.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").saveAsTable(target)
-      } finally {
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
-      }
+        df.write.mode("overwrite").parquet(staging.toString)
+        spark.read.parquet(staging.toString)
+          .write.mode("overwrite").saveAsTable(target)
+      } finally fs.delete(staging, true)
     }
 }

@@ -67,8 +67,17 @@ object Http {
     Result(resp.statusCode(), resp.body())
   }
 
-  /** Retrying request: 2xx → Some(body); retried on non-2xx and transport
-    * errors; None after exhausting `maxRetries + 1` attempts.
+  /** Client errors that cannot succeed on retry: 4xx except 408 (request
+    * timeout) and 429 (rate limit). Retrying a bad api_key through full
+    * exponential backoff — per page, per partition — just multiplies the
+    * time to the same failure.
+    */
+  private def isRetryable(status: Int): Boolean =
+    status < 400 || status >= 500 || status == 408 || status == 429
+
+  /** Retrying request: 2xx → Some(body); retried on 5xx/408/429 and
+    * transport errors; other 4xx fail fast; None after exhausting
+    * `maxRetries + 1` attempts (or on the first non-retryable status).
     */
   def requestWithRetry(spec: Spec): Option[String] = {
     val attempts = math.max(spec.maxRetries, 0) + 1
@@ -77,6 +86,10 @@ object Http {
       try {
         val r = requestOnce(spec)
         if (r.status >= 200 && r.status < 300) return Some(r.body)
+        if (!isRetryable(r.status)) {
+          log.error(s"Non-retryable HTTP ${r.status} from ${spec.url}; failing fast")
+          return None
+        }
         log.warn(s"Received HTTP ${r.status} from ${spec.url} " +
           s"(attempt ${attempt + 1}/$attempts)")
       } catch {

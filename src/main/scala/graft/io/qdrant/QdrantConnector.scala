@@ -269,8 +269,7 @@ object Qdrant {
   }
 
   private def coerceFloat(v: Any): Double = v match {
-    case n: java.lang.Number => n.doubleValue()
-    case d: java.math.BigDecimal => d.doubleValue()
+    case n: java.lang.Number => n.doubleValue() // includes BigDecimal
     case s: String => s.toDouble
     case other => throw new IllegalArgumentException(
       s"Cannot coerce vector entry to float: $other")
@@ -333,10 +332,17 @@ object Qdrant {
     val create = Http.requestOnce(Http.Spec("PUT", url, headers,
       Some(Json.toJson(Map("vectors" -> vectorsPayload))),
       Some("application/json"), config.timeout))
-    if (create.status < 200 || create.status >= 300)
-      throw new RuntimeException(
-        s"Failed to create Qdrant collection '${config.collection}': " +
-          s"HTTP ${create.status} ${create.body.take(500)}")
+    if (create.status < 200 || create.status >= 300) {
+      // concurrent writer tasks race to create: every partition sees the
+      // initial 404 and PUTs; treat "someone else won" as success by
+      // re-checking existence before failing the task
+      val recheck = Http.requestOnce(Http.Spec("GET", url, headers,
+        timeoutSeconds = config.timeout))
+      if (recheck.status >= 300)
+        throw new RuntimeException(
+          s"Failed to create Qdrant collection '${config.collection}': " +
+            s"HTTP ${create.status} ${create.body.take(500)}")
+    }
   }
 
   /** Send one batch with payload-format and method fallbacks
@@ -344,14 +350,14 @@ object Qdrant {
     */
   def sendPointsBatch(config: WriteConfig, batch: Seq[Map[String, Any]]): Unit = {
     val headers = baseHeaders(config.headers, config.apiKey)
-    val pointsPayload = Map("points" -> batch, "wait" -> config.waitWrites)
+    val pointsPayload = Map("points" -> batch)
     val batchInner = mutable.LinkedHashMap[String, Any](
       "ids" -> batch.map(_.getOrElse("id", null)),
       "vectors" -> batch.map(_.getOrElse("vector", null)))
     if (batch.exists(_.contains("payload")))
       batchInner += "payloads" -> batch.map(_.getOrElse("payload", null))
-    val batchPayload = Map("batch" -> batchInner.toMap, "wait" -> config.waitWrites)
-    val flatBatchPayload = batchInner.toMap + ("wait" -> config.waitWrites)
+    val batchPayload = Map("batch" -> batchInner.toMap)
+    val flatBatchPayload = batchInner.toMap
 
     val payloadAttempts: Seq[(String, Map[String, Any])] = config.payloadFormat match {
       case "points" => Seq("points" -> pointsPayload)
@@ -374,7 +380,11 @@ object Qdrant {
       val (method, (_, payload)) = it.next()
       try {
         val body = Http.requestWithRetryOrThrow(Http.Spec(
-          method, pointsUrl(config), headers, Some(Json.toJson(payload)),
+          // wait is a QUERY parameter in the Qdrant points API; a body
+          // field is ignored, silently acknowledging writes before they
+          // apply even with waitWrites=true
+          method, s"${pointsUrl(config)}?wait=${config.waitWrites}",
+          headers, Some(Json.toJson(payload)),
           Some("application/json"),
           config.timeout, config.maxRetries, config.backoffFactor))
         val response = Json.parse(body)

@@ -87,7 +87,8 @@ object RestApi {
           case _ => None
         })
       def num(key: String, default: Double): Double =
-        data.get(key).map(v => v.toString.toDouble).getOrElse(default)
+        data.get(key).filter(_ != null) // explicit JSON null -> default
+          .map(v => v.toString.toDouble).getOrElse(default)
       Config(
         sources = sources,
         params = params,
@@ -165,7 +166,11 @@ object RestApi {
   /** Work-item planning (rest_api.py:388-445). */
   def planWorkItems(config: Config): Seq[WorkItem] = {
     require(config.sources.nonEmpty, "REST connector requires at least one source URL")
-    if (config.sources.length > 1) return config.sources.map(SingleUrl.apply)
+    // multi-URL fan-out must carry config.params too — the single-source
+    // branches below all merge them, and dropping them here would send
+    // e.g. api_key-less requests that fail into empty partitions
+    if (config.sources.length > 1)
+      return config.sources.map(u => SingleUrl(Http.mergeQueryParams(u, config.params)))
     val baseUrl = config.sources.head
     config.pagination match {
       case Some(p) =>

@@ -260,7 +260,16 @@ object Sparql {
     queries.grouped(chunkSize).toSeq
   }
 
-  /** Project a parsed row map onto the schema (missing → null). */
+  /** Project a parsed row map onto the schema (missing → null).
+    *
+    * The schema is inferred from the first non-null value per column over
+    * a BOUNDED sample, so later values can disagree with the column type
+    * (a LongType column meeting "N/A", an untyped literal, an
+    * xsd:decimal). Such values are best-effort parsed into the column
+    * type and become null when unparseable — falling through with the raw
+    * object would put a String in a LongType field and crash the whole
+    * scan with ClassCastException at encode time.
+    */
   def projectRow(row: Map[String, Any], schema: StructType): org.apache.spark.sql.Row = {
     val values = schema.fields.map { f =>
       row.getOrElse(f.name, null) match {
@@ -269,10 +278,16 @@ object Sparql {
           case (StringType, x) => x.toString
           case (LongType, x: Long) => x
           case (LongType, x: Int) => x.toLong
+          case (LongType, x: Double) if x.isWhole => x.toLong
+          case (LongType, x) => x.toString.toLongOption.map(Long.box).orNull
           case (DoubleType, x: Double) => x
           case (DoubleType, x: Long) => x.toDouble
+          case (DoubleType, x: Int) => x.toDouble
+          case (DoubleType, x) => x.toString.toDoubleOption.map(Double.box).orNull
           case (BooleanType, x: Boolean) => x
-          case (_, x) => x
+          case (BooleanType, x) =>
+            x.toString.toBooleanOption.map(Boolean.box).orNull
+          case (_, x) => x.toString
         }
       }
     }

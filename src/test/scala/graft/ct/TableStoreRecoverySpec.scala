@@ -49,6 +49,33 @@ class TableStoreRecoverySpec extends SparkTestBase {
       "marker must not survive into the committed table")
   }
 
+  test("exists() recovers a crashed swap first, so merges never duplicate keys") {
+    // crash point: dest renamed aside, staging complete — a bare fs.exists
+    // would say "no table", and an SCD merge would take the create/append
+    // branch, stacking the whole batch on top of the later-recovered table
+    val target = tmpTarget()
+    fabricateStaging(target, df(10, 11))
+    df(1, 2).write.parquet(target + "__graft_old__")
+    assert(TableStore.exists(spark, target), "exists must answer post-recovery")
+    assert(readVals(target) == Set(10, 11), "recovery rolled the swap forward")
+    // end-to-end: an SCD1 merge after the crash updates, never duplicates
+    val t2 = tmpTarget()
+    import org.apache.spark.sql.functions.col
+    df(1).withColumnRenamed("v", "id").withColumn("s", col("id") * 10)
+      .write.parquet(t2 + "__graft_old__")
+    val staged = df(1, 2).withColumnRenamed("v", "id")
+      .withColumn("s", col("id") * 10)
+    fabricateStaging(t2, staged)
+    // the fabricated crash predates the merge, so the recovered table has
+    // no row_hash column yet — evolution adds it
+    ChangeTracking.currentOnlyUpsert(spark, staged, t2, Seq("id"),
+      allowSchemaEvolution = true)
+    val rows = spark.read.parquet(t2).groupBy("id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(rows.values.forall(_ == 1L),
+      s"exactly one current row per key after crash+merge, got $rows")
+  }
+
   test("flat: marker inside dest + old present finishes cleanup forward") {
     // crash point: after staging→dest rename (marker rode along), before
     // delete(old) — the swap IS complete; recovery must not reject it
