@@ -345,8 +345,13 @@ object Llm {
               if (dryRun) lookup.get(value.toLowerCase)
               else cache.getOrElseUpdate(value, {
                 callsAcc.add(1)
+                // flatMap, not getOrElse: a completion outside the
+                // canonical target set means UNMAPPED (null), matching the
+                // reference's _fetch_llm_mapping — passing the raw model
+                // text through would leak free-form sentences into a
+                // column contracted to hold only targetValues
                 client.complete(value, targets)
-                  .map(c => lookup.getOrElse(c.toLowerCase, c))
+                  .flatMap(c => lookup.get(c.toLowerCase))
               })
             if (out.isDefined) mappedAcc.add(1) else unmappedAcc.add(1)
             out

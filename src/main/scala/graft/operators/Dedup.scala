@@ -21,8 +21,22 @@ object Dedup {
     * single task. No-op when the input is already well-partitioned.
     */
   private[operators] def spreadForCompute(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.{logical => lp}
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // If the plan already contains a shuffle (join/agg/window/repartition),
+    // the input is as wide as the session allows - and, crucially, calling
+    // .rdd.getNumPartitions on it under AQE would MATERIALIZE the upstream
+    // stages just to read a count, doubling their cost. Only consult the
+    // physical partition count for shuffle-free plans (scans/unions),
+    // where it is a metadata-only question.
+    val hasShuffle = df.queryExecution.optimizedPlan.exists {
+      case _: lp.Aggregate | _: lp.Join | _: lp.Window | _: lp.Sort |
+           _: lp.RepartitionOperation | _: lp.Distinct => true
+      case _ => false
+    }
+    if (hasShuffle) df
+    else if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
   }
 
   /** Exact dedup: keep the first row (by `orderCol`) per distinct value of
@@ -30,9 +44,14 @@ object Dedup {
     * the survivor choice is deterministic.
     */
   def exactDedup(df: DataFrame, dedupCols: Seq[String], orderCol: String): DataFrame = {
+    // all-column row hash as the final tiebreak: orderCol ties (same
+    // ingest date is common) would otherwise leave the survivor to
+    // partition/scan order - the exact dropDuplicates instability this
+    // windowed rank exists to avoid
     val w = Window
       .partitionBy(graft.functions.Hashing.rowHashOf(dedupCols))
-      .orderBy(col(orderCol))
+      .orderBy(col(orderCol),
+        graft.functions.Hashing.rowHashOf(df.columns.toSeq))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
@@ -91,6 +110,11 @@ object Dedup {
     * fraction of equal signature positions → filter by `threshold`.
     *
     * Output: (id_a, id_b, est_jaccard) with id_a < id_b.
+    *
+    * Long-lived sessions: the persisted intermediate lives until the
+    * session ends or the caller releases it (`spark.catalog.clearCache()`
+    * or unpersist via `sparkContext.getPersistentRDDs`) — same lifecycle
+    * as `Sampling.deterministicShuffle`.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -149,6 +173,19 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints (bit_count of xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Band values of a `bits`-bit simhash: element b holds bit range
+    * [b·bits/bands, (b+1)·bits/bands). Shared by the batch pair join and
+    * the streaming filter — their exactness equivalence depends on
+    * byte-identical band extraction, so there is exactly one definition.
+    */
+  def simhashBands(sh: Column, bits: Int, bands: Int): Column = {
+    require(bands >= 1 && bits % bands == 0, "bits must be divisible by bands")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1L
+    array((0 until bands).map(b =>
+      shiftright(sh, b * bandBits).bitwiseAND(lit(mask))): _*)
+  }
+
   /** SimHash near-duplicate pairs: (id_a, id_b, hamming) with id_a < id_b
     * and Hamming distance <= `maxHamming` between the documents' `bits`-bit
     * simhashes.
@@ -173,16 +210,13 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < bands,
       s"maxHamming ($maxHamming) must be < bands ($bands) for the banded " +
         "join to be exact (pigeonhole: some band must match)")
-    val bandBits = bits / bands
-    val mask = (1L << bandBits) - 1L
     // fingerprints are reused by both join sides; checkpoint so the
     // token-hash aggregation runs once per document, not once per side
     val sigs = spreadForCompute(df)
       .select(col(idCol).as("__id"), simhash(col(textCol), bits).as("__sh"))
       .localCheckpoint(true)
     val banded = sigs.select(col("__id"), col("__sh"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("__sh"), b * bandBits).bitwiseAND(lit(mask))): _*))
+      posexplode(simhashBands(col("__sh"), bits, bands))
         .as(Seq("__band", "__bv")))
     val left = banded.select(col("__band"), col("__bv"),
       col("__id").as("id_a"), col("__sh").as("__sha"))
@@ -214,6 +248,11 @@ object Dedup {
     * side's Project runs once per row) — computing them from the raw text
     * columns after the join would redo the O(tokens·n) construction once
     * per PAIR, which is quadratic in block size.
+    *
+    * Long-lived sessions: the persisted intermediate lives until the
+    * session ends or the caller releases it (`spark.catalog.clearCache()`
+    * or unpersist via `sparkContext.getPersistentRDDs`) — same lifecycle
+    * as `Sampling.deterministicShuffle`.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -316,7 +355,14 @@ object Dedup {
   private[operators] def cosineWithNorms(
       va: Column, vb: Column, na: Column, nb: Column): Column = {
     val dot = graft.functions.VectorFunctions.dot(va, vb)
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+    // mixed-dimension pairs (mixed encoder versions in one corpus) must
+    // fail loudly: the dot truncates to the shorter vector while norms
+    // cover the full lengths, silently underestimating every similarity
+    when(size(va) =!= size(vb), raise_error(concat(
+      lit("cosine: mismatched vector dimensions "),
+      size(va).cast("string"), lit(" vs "), size(vb).cast("string"))))
+      .otherwise(
+        when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb)))
   }
 
   /** Per-side projection for cosine pair joins: id, double array, norm —
@@ -383,6 +429,11 @@ object Dedup {
     * and engine-reproducible (the DuckDB oracle rebuilds them in SQL).
     *
     * Output: (id_a, id_b, cos) with id_a < id_b, cos >= threshold.
+    *
+    * Long-lived sessions: the persisted intermediate lives until the
+    * session ends or the caller releases it (`spark.catalog.clearCache()`
+    * or unpersist via `sparkContext.getPersistentRDDs`) — same lifecycle
+    * as `Sampling.deterministicShuffle`.
     */
   def hyperplaneLshPairs(
       df: DataFrame,

@@ -45,8 +45,9 @@ object Multimodal {
   }
 
   /** Append a decoded-metadata struct column for a binary content column.
-    * Batched mapPartitions (default 64 rows/batch, mirroring Arrow batch
-    * processing); null content → null meta.
+    * Per-row codec invocation inside one mapPartitions pass; null
+    * content → null meta. (A real Arrow/pandas-UDF codec would take the
+    * whole batch in one call — the `Codec` seam is where that plugs in.)
     */
   def withDecodedMeta(
       df: DataFrame,
@@ -59,15 +60,15 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields :+ StructField(metaCol, MetaSchema))
     val c = codec
     df.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          val bytes = r.get(idx).asInstanceOf[Array[Byte]]
-          val meta = if (bytes == null) null else {
-            val (fmt, w, h) = c.decode(bytes)
-            Row(fmt, w, h, bytes.length.toLong)
-          }
-          Row.fromSeq(r.toSeq :+ meta)
+      // plain per-row map: grouping into batches bought nothing while the
+      // codec is invoked per row, and buffered binary payloads for free
+      rows.map { r =>
+        val bytes = r.get(idx).asInstanceOf[Array[Byte]]
+        val meta = if (bytes == null) null else {
+          val (fmt, w, h) = c.decode(bytes)
+          Row(fmt, w, h, bytes.length.toLong)
         }
+        Row.fromSeq(r.toSeq :+ meta)
       }
     }(RowEncoder.encoderFor(outSchema))
   }

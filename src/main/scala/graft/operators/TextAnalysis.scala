@@ -265,6 +265,11 @@ object TextAnalysis {
     * term so the output is deterministic.
     *
     * Output: (group, term, tf, score, rank), rank 1..k.
+    *
+    * Long-lived sessions: the persisted intermediate lives until the
+    * session ends or the caller releases it (`spark.catalog.clearCache()`
+    * or unpersist via `sparkContext.getPersistentRDDs`) — same lifecycle
+    * as `Sampling.deterministicShuffle`.
     */
   def topTermsPerGroup(
       df: org.apache.spark.sql.DataFrame,
@@ -280,7 +285,9 @@ object TextAnalysis {
     val tf = toks.groupBy("group", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gf = tf.groupBy("term").agg(count(lit(1)).as("gf"))
-    val nGroups = df.select(countDistinct(col(groupCol)).as("n_groups"))
+    // derived from the persisted tf stats, not a second full corpus scan;
+    // countDistinct's null-exclusion semantics are identical either way
+    val nGroups = tf.select(countDistinct(col("group")).as("n_groups"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("group").orderBy(col("score").desc, col("term"))
     tf.join(gf, "term")

@@ -159,13 +159,11 @@ object StreamingOps {
     require(maxPerBucket >= 1, "maxPerBucket must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    val bandBits = bits / bands
-    val mask = (1L << bandBits) - 1L
     val banded = docs.select(col(idCol).cast("long").as("id"),
       graft.operators.Dedup.simhash(col(textCol), bits).as("sh"))
-      .select(col("id"), col("sh"), posexplode(array((0 until bands).map(b =>
-        shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band", "bv")))
+      .select(col("id"), col("sh"),
+        posexplode(graft.operators.Dedup.simhashBands(col("sh"), bits, bands))
+          .as(Seq("band", "bv")))
       .as[(Long, Long, Int, Long)]
     banded.groupByKey { case (_, _, band, bv) => (band, bv) }
       .flatMapGroupsWithState[NearDupBucketState, NearDupDecision](
@@ -224,8 +222,12 @@ object StreamingOps {
       gapMs: Long = 30 * 60 * 1000L,
       watermarkDelay: String = "0 seconds"): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
+    // captured OUTSIDE the state function: in batch execution there is no
+    // watermark (getCurrentWatermarkMs throws) and timeouts never fire, so
+    // the trailing open session must be emitted at group end instead
+    val streaming = events.isStreaming
     val src =
-      if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
+      if (streaming) events.withWatermark("ts", watermarkDelay)
       else events
     src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionSummary](
@@ -244,7 +246,16 @@ object StreamingOps {
               val t = e.ts.getTime
               current match {
                 case Some(s) if t - s.lastSeen <= gapMs =>
-                  current = Some(s.copy(lastSeen = t, events = s.events + 1,
+                  // a LATE event (t below lastSeen, delivered by a later
+                  // micro-batch) merges into the open session but must
+                  // never move its bounds backward: regressing lastSeen
+                  // would shrink session_end below counted events and can
+                  // put lastSeen+gap behind the watermark, closing the
+                  // session under later on-time events
+                  current = Some(s.copy(
+                    start = math.min(s.start, t),
+                    lastSeen = math.max(s.lastSeen, t),
+                    events = s.events + 1,
                     sum = s.sum + e.value))
                 case Some(s) =>
                   closed += SessionSummary(userId, new java.sql.Timestamp(s.start),
@@ -254,14 +265,21 @@ object StreamingOps {
                   current = Some(SessionState(t, t, 1, e.value))
               }
             }
-            current.foreach { s =>
-              state.update(s)
-              // late data can put lastSeen+gap behind the watermark, which
-              // setTimeoutTimestamp rejects — clamp to just past it
-              state.setTimeoutTimestamp(
-                math.max(s.lastSeen + gapMs, state.getCurrentWatermarkMs + 1))
+            if (streaming) {
+              current.foreach { s =>
+                state.update(s)
+                // late data can put lastSeen+gap behind the watermark, which
+                // setTimeoutTimestamp rejects — clamp to just past it
+                state.setTimeoutTimestamp(
+                  math.max(s.lastSeen + gapMs, state.getCurrentWatermarkMs + 1))
+              }
+              closed.result().iterator
+            } else {
+              // batch input is complete: the trailing session closes now
+              (closed.result() ++ current.map(s =>
+                SessionSummary(userId, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.lastSeen), s.events, s.sum))).iterator
             }
-            closed.result().iterator
           }
       }
   }

@@ -93,6 +93,21 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize on a static dataset emits every session including the trailing one") {
+    import StreamingOps.SessionEvent
+    def ts(min: Int) = new java.sql.Timestamp((86400 + min * 60) * 1000L)
+    // user 1: two sessions (gap > 10 min between min 5 and min 40);
+    // user 2: one session — all of them 'open' at end-of-input
+    val events = Seq(
+      SessionEvent(1L, ts(0), 1.0), SessionEvent(1L, ts(5), 2.0),
+      SessionEvent(1L, ts(40), 3.0), SessionEvent(2L, ts(10), 4.0)
+    ).toDS()
+    val out = StreamingOps.sessionize(events, gapMs = 10 * 60 * 1000L)
+      .collect().map(s => (s.user_id, s.n_events, s.sum_value))
+      .sortBy(r => (r._1, r._3)).toSeq
+    assert(out == Seq((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
+  }
+
   test("streamingNearDupFilter flags near-duplicates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog again and again today ok"
