@@ -108,6 +108,36 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(out == Seq((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
   }
 
+  test("stateful sessionize equals window-based sessionizeBatch on the events fixture") {
+    import StreamingOps.SessionEvent
+    val gapUs = 30L * 60 * 1000000L
+    val events = StreamingOps.readEvents(spark, sf("events"))
+    // compare at millisecond precision: SessionEvent carries a Timestamp
+    // whose getTime is ms, while the window path works in exact µs — the
+    // µs remainder cannot flip a 30-minute gap decision in this fixture
+    val viaWindows = StreamingOps
+      .sessionizeBatch(events.selectExpr("event_id",
+        "CAST(unix_micros(ts) AS LONG) AS ts_us", "user_id", "value"),
+        gap = gapUs)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2 / 1000, r._3 / 1000, r._4, r._5)).toSet
+    val viaState = StreamingOps
+      .sessionize(
+        events.selectExpr("user_id", "ts", "value").as[SessionEvent],
+        gapMs = gapUs / 1000)
+      .collect().map(s => (s.user_id,
+        s.session_start.getTime, s.session_end.getTime, s.n_events,
+        BigDecimal(s.sum_value)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSet
+    assert(viaState == viaWindows,
+      s"state-based and window-based sessionization disagree: " +
+        s"only-state=${(viaState -- viaWindows).take(3)} " +
+        s"only-window=${(viaWindows -- viaState).take(3)}")
+    assert(viaState.nonEmpty)
+  }
+
   test("streamingNearDupFilter flags near-duplicates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog again and again today ok"
