@@ -245,6 +245,18 @@ object SparkEntry {
           sum(col("__emails")).as("n_emails"))
     }),
 
+    // ---- boilerplate line removal (CCNet/RefinedWeb line-dedup) over a
+    // corpus with a planted universal footer + a semi-rare promo line ----
+    "q_remove_boilerplate" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          lit("\nsubscribe to the graft newsletter"),
+          when(col("doc_id") % 3 === 0, lit("\nshared promo line"))
+            .otherwise(lit(""))).as("text"))
+      operators.TextAnalysis.removeBoilerplate(
+        corpus, "doc_id", "text", maxDocs = 200)
+    }),
+
     // ---- PII redaction over a corpus with planted URLs/emails/IPs ----
     "q_pii_redact" -> ((s, dir) => {
       val ta = operators.TextAnalysis
@@ -1154,6 +1166,31 @@ object SparkEntry {
         |  round(avg(q), 6) AS avg_quality, count(DISTINCT lang) AS n_langs,
         |  sum(urls) AS n_urls, sum(emails) AS n_emails
         |FROM q GROUP BY source""".stripMargin,
+    "q_remove_boilerplate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    coalesce(text, '') || chr(10) || 'subscribe to the graft newsletter'
+        |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'shared promo line'
+        |       ELSE '' END AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM corpus),
+        |ln AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |    trim(parts[CAST(i AS INTEGER)]) AS line
+        |  FROM ls CROSS JOIN range(1, 1000) t(i)
+        |  WHERE CAST(i AS INTEGER) <= len(parts)
+        |    AND trim(parts[CAST(i AS INTEGER)]) <> ''),
+        |freq AS (
+        |  SELECT line FROM ln GROUP BY line
+        |  HAVING count(DISTINCT doc_id) > 200),
+        |kept AS (
+        |  SELECT l.doc_id, l.pos, l.line
+        |  FROM ln l ANTI JOIN freq f ON l.line = f.line),
+        |agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, coalesce(a.text, '') AS text
+        |FROM corpus c LEFT JOIN agg a ON c.doc_id = a.doc_id""".stripMargin,
     "q_pii_redact" ->
       """WITH corpus AS (
         |  SELECT doc_id,

@@ -299,6 +299,44 @@ object TextAnalysis {
       .select("group", "term", "tf", "score", "rank")
   }
 
+  /** Cross-document boilerplate removal (the CCNet/RefinedWeb line-dedup
+    * step): drop every line that appears in more than `maxDocs` distinct
+    * documents — cookie banners, navigation, footers — and reassemble
+    * each document from its surviving lines in order. Lines are
+    * trimmed; blank lines never count as boilerplate (they are dropped by
+    * the line split). Documents whose every line is boilerplate come back
+    * with empty text, preserving corpus row count.
+    *
+    * Shape: one explode of trimmed lines with positions, one aggregate to
+    * doc-frequency per line (map-side partial), an anti-join of lines
+    * against the (small — boilerplate is by definition rare vocabulary)
+    * frequent-line set, then one groupBy to reassemble. The frequent-line
+    * side is broadcast; raw text never crosses a shuffle twice.
+    *
+    * Output: (idCol, textCol) with textCol rebuilt newline-joined.
+    */
+  def removeBoilerplate(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocs: Long): org.apache.spark.sql.DataFrame = {
+    require(maxDocs >= 1, "maxDocs must be >= 1")
+    val exploded = df.select(col(idCol),
+      posexplode(lines(col(textCol))).as(Seq("__pos", "__line")))
+    val frequent = exploded.groupBy("__line")
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .where(col("__docs") > maxDocs)
+      .select("__line")
+    val kept = exploded.join(broadcast(frequent), Seq("__line"), "left_anti")
+    df.select(col(idCol)).distinct()
+      .join(kept.groupBy(idCol)
+        .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            s => s.getField("__line"))).as("__kept")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__kept"), lit("")).as(textCol))
+  }
+
   /** PII scrubbing for training corpora: URLs, email addresses and IPv4
     * addresses replaced with placeholder tokens, in that order (URLs first
     * so an address embedded in a URL redacts as one URL, not URL + email).

@@ -220,6 +220,26 @@ class CorpusOpsSpec extends SparkTestBase {
       || Option(e.getCause).exists(_.getMessage.contains("expected 8-dim")))
   }
 
+  test("removeBoilerplate drops cross-document repeated lines, keeps order") {
+    val docs = Seq(
+      (1L, "unique first line\ncookie banner\nsecond unique line"),
+      (2L, "cookie banner\nanother document body"),
+      (3L, "cookie banner\nthird body text\ncookie banner"),
+      (4L, "cookie banner") // all-boilerplate doc -> empty text, row kept
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplate(docs, "doc_id", "text", maxDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "unique first line\nsecond unique line")
+    assert(out(2L) == "another document body")
+    assert(out(3L) == "third body text")
+    assert(out(4L) == "")
+    assert(out.size == 4)
+    // below the threshold nothing is removed (order + content intact)
+    val loose = TextAnalysis.removeBoilerplate(docs, "doc_id", "text", maxDocs = 4)
+      .as[(Long, String)].collect().toMap
+    assert(loose(1L) == "unique first line\ncookie banner\nsecond unique line")
+  }
+
   test("topTermsPerGroup ranks distinctive vocabulary by tf-idf") {
     val df = Seq(
       ("a", "apple apple apple shared shared"),
