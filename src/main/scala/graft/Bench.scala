@@ -69,10 +69,13 @@ object Bench {
       }
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0 // visible failure marker - a crash must not read as a fast run
         }
-        (System.nanoTime() - t0) / 1e9
       }
       // This box is shared: co-tenant CPU spikes have recorded 2–13×
       // swings on individual queries with unchanged plans (see round 4/5
@@ -83,7 +86,8 @@ object Bench {
       val first = once()
       val sec = if (first > 1.5) {
         cleanSlate()
-        math.min(first, once())
+        val second = once()
+        if (second < 0) first else math.min(first, second)
       } else first
       System.err.println(f"[bench] $name%-28s $sec%8.2f s")
       // operators persist small intermediates (LSH signatures, KMeans fit

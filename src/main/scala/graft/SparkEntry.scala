@@ -30,6 +30,17 @@ object SparkEntry {
         concat(col("text"), lit(" extra extra")).as("text")))
   }
 
+  /** Temp dir for a query's SCD target, deleted at JVM exit: Bench/Verify
+    * invoke these queries repeatedly (plus a re-timed second run) on a
+    * shared box, and undeleted table copies would steadily eat /tmp.
+    */
+  private def scratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
+    d.toString
+  }
+
   /** Documents with deterministic planted PII (URL + email + IPv4) on
     * every 7th doc, so redaction has observable work to do.
     */
@@ -119,8 +130,7 @@ object SparkEntry {
         col("c_mktsegment").as("segment"))
       val b2 = base.where(col("id") % 3 === 0)
         .withColumn("segment", lit("UPDATED"))
-      val target = java.nio.file.Files
-        .createTempDirectory("graft_scd1_").toString + "/t"
+      val target = scratchDir("graft_scd1_") + "/t"
       ct.ChangeTracking.currentOnlyUpsert(s, base, target, Seq("id"))
       ct.ChangeTracking.currentOnlyUpsert(s, b2, target, Seq("id"))
       s.read.parquet(target)
@@ -135,8 +145,7 @@ object SparkEntry {
         col("c_mktsegment").as("segment"))
       val b2 = base.where(col("id") % 3 === 0)
         .withColumn("segment", lit("UPDATED"))
-      val target = java.nio.file.Files
-        .createTempDirectory("graft_scd1b_").toString + "/t"
+      val target = scratchDir("graft_scd1b_") + "/t"
       ct.ChangeTracking.currentOnlyUpsert(s, base, target, Seq("id"),
         numBuckets = Some(16))
       ct.ChangeTracking.currentOnlyUpsert(s, b2, target, Seq("id"),
@@ -154,8 +163,7 @@ object SparkEntry {
         .withColumn("price",
           when(col("id") % 10 === 0, (col("price") + lit(10)).cast("decimal(12,2)"))
             .otherwise(col("price")))
-      val target = java.nio.file.Files
-        .createTempDirectory("graft_scd2_").toString + "/t"
+      val target = scratchDir("graft_scd2_") + "/t"
       ct.ChangeTracking.trackHistoryUpsert(s, b1, target, Seq("id"),
         loadTsExpr = Some("to_timestamp('2020-01-01 00:00:00')"))
       ct.ChangeTracking.trackHistoryUpsert(s, b2, target, Seq("id"),

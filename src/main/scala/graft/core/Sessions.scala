@@ -43,15 +43,22 @@ object Sessions {
     })
     resolvedMaster.foreach(builder.master)
     val shufflePartitions = Runtime.getRuntime.availableProcessors().max(2)
+    // 127.0.0.1 driver binding is a LOCAL-mode convenience (skips hostname
+    // resolution on sandboxed machines) - on a real cluster it would tell
+    // executors the driver lives on their own loopback
+    val localOnly =
+      if (envKind == Local && resolvedMaster.exists(_.startsWith("local")))
+        Map(
+          "spark.ui.enabled" -> "false",
+          "spark.driver.host" -> "127.0.0.1",
+          "spark.driver.bindAddress" -> "127.0.0.1")
+      else Map.empty[String, String]
     val defaults = Map(
       "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
-      "spark.sql.session.timeZone" -> "UTC",
-      "spark.ui.enabled" -> "false",
-      "spark.driver.host" -> "127.0.0.1",
-      "spark.driver.bindAddress" -> "127.0.0.1"
-    )
+      "spark.sql.session.timeZone" -> "UTC"
+    ) ++ localOnly
     (defaults ++ extraConfigs).foreach { case (k, v) => builder.config(k, v) }
     builder.getOrCreate()
   }
@@ -65,11 +72,7 @@ object Sessions {
       categories: Seq[String] = Seq(
         "org.apache.spark.storage",
         "org.apache.spark.scheduler",
-        "org.apache.spark.shuffle")): Unit = {
-    spark.sparkContext.setLogLevel(level)
-    val lvl = org.apache.logging.log4j.Level.toLevel(level)
-    categories.foreach { c =>
-      org.apache.logging.log4j.core.config.Configurator.setLevel(c, lvl)
-    }
-  }
+        "org.apache.spark.shuffle")): Unit =
+    // single implementation - a drifting duplicate lived here before
+    graft.obs.Logging.enableSparkLogging(spark, level, categories)
 }

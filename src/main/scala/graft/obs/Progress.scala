@@ -21,6 +21,10 @@ final case class LogEventRecord(
     context: Map[String, String]) {
   require(LogEventRecord.Levels.contains(level.toUpperCase),
     s"invalid level '$level'")
+  /** Validation is case-insensitive, so storage must be too: sinks filter
+    * on `level = 'INFO'` and a raw lowercase value would silently miss.
+    */
+  def normalized: LogEventRecord = copy(level = level.toUpperCase)
 }
 
 object LogEventRecord {
@@ -83,7 +87,7 @@ final class BufferedTableSink(
   private val buffer = mutable.ArrayBuffer[LogEventRecord]()
 
   override def emit(record: LogEventRecord): Unit = {
-    buffer += record
+    buffer += record.normalized // sinks filter on 'level = INFO'
     if (buffer.length >= flushEvery) flush()
   }
 

@@ -21,6 +21,9 @@ object ChainStress {
     // chain i -> i+1, shuffled ids so locality doesn't trivialize it:
     // node id = (i * PRIME) % n keeps the chain structure but scatters ids
     val prime = 1000003L
+    require(BigInt(n).gcd(BigInt(prime)) == 1,
+      s"n=$n shares a factor with the scrambling prime $prime - ids would " +
+        "collide and the probe's own asserts would fire on a correct result")
     val edges = spark.range(n - 1).select(
       ((col("id") * prime) % n).as("a"),
       (((col("id") + 1) * prime) % n).as("b"))
