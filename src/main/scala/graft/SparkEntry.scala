@@ -350,6 +350,23 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // ---- incremental dedup: new batch probed against a persisted
+    // signature index (batch broadcast; the index side never shuffles) ----
+    "q_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = docs.where(col("doc_id") % 3 =!= 0)
+      val batch = docs.where(col("doc_id") % 3 === 0)
+        .unionAll(base.where(col("doc_id") % 10 === 1).select(
+          (col("doc_id") + 2000000).as("doc_id"),
+          concat(coalesce(col("text"), lit("")), lit(" extra extra"))
+            .as("text")))
+      val index = operators.DedupIndex.indexRowsFor(base, "doc_id", "text",
+        numPerms = 16, bands = 4, shingleSize = 3)
+      operators.DedupIndex.dedupAgainstIndex(batch, "doc_id", "text", index,
+        numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.5)
+        .select("doc_id")
+    }),
+
     // ---- n-gram Jaccard near-dup pairs (blocked by source+lang) ----
     "q_ngram_jaccard_pairs" -> ((s, dir) => {
       operators.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
@@ -960,6 +977,59 @@ object SparkEntry {
         |  JOIN sig s1 ON s1.doc_id = cand.id_a
         |  JOIN sig s2 ON s2.doc_id = cand.id_b)
         |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin,
+    "q_incremental_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, coalesce(text, '') || ' extra extra'
+        |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 10 = 1),
+        |all_docs AS (
+        |  SELECT 'i' AS side, doc_id, text FROM base
+        |  UNION ALL SELECT 'n', doc_id, text FROM batch),
+        |toks AS (
+        |  SELECT side, doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM all_docs),
+        |sh AS (
+        |  SELECT side, doc_id,
+        |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[i:i+2], ' ')) AS shingles
+        |  FROM toks WHERE len(toks) > 0),
+        |h AS (
+        |  SELECT side, doc_id,
+        |    ('0x' || substring(sha256(s), 1, 7))::BIGINT % 268435399 AS h
+        |  FROM sh CROSS JOIN unnest(shingles) AS u(s)),
+        |minh AS (
+        |  SELECT side, doc_id, CAST(p AS INTEGER) AS p,
+        |    min((h * (2 * p + 1) + p * 7919) % 268435399) AS mh
+        |  FROM h CROSS JOIN range(16) t(p)
+        |  GROUP BY side, doc_id, p),
+        |sig AS (
+        |  SELECT side, doc_id, list(mh ORDER BY p) AS sig
+        |  FROM minh GROUP BY side, doc_id),
+        |bandh AS (
+        |  SELECT side, doc_id, b,
+        |    ('0x' || substring(sha256(
+        |      array_to_string(sig[CAST(b AS INTEGER)*4+1 : CAST(b AS INTEGER)*4+4], ',')),
+        |      1, 15))::BIGINT AS bh
+        |  FROM sig CROSS JOIN range(4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS batch_id, i.doc_id AS index_id
+        |  FROM bandh n JOIN bandh i ON n.b = i.b AND n.bh = i.bh
+        |  WHERE n.side = 'n' AND i.side = 'i'),
+        |matched AS (
+        |  SELECT DISTINCT cand.batch_id
+        |  FROM cand
+        |  JOIN sig s1 ON s1.side = 'n' AND s1.doc_id = cand.batch_id
+        |  JOIN sig s2 ON s2.side = 'i' AND s2.doc_id = cand.index_id
+        |  WHERE round(len(list_filter(range(16),
+        |      i -> s1.sig[CAST(i AS INTEGER)+1] = s2.sig[CAST(i AS INTEGER)+1]))
+        |      / 16.0, 6) >= 0.5)
+        |SELECT doc_id FROM batch
+        |WHERE doc_id NOT IN (SELECT batch_id FROM matched)""".stripMargin,
     "q_salted_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_count
         |FROM lineitem GROUP BY 1""".stripMargin,

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental MinHash+LSH dedup: dedup a NEW batch of documents against a
+  * persisted signature index of everything already ingested, without ever
+  * re-reading or re-hashing the historical corpus text.
+  *
+  * This is the shape a continuously-ingesting 100 TB pipeline actually
+  * needs: [[Dedup.minhashLshPairs]] answers "find all near-dup pairs inside
+  * one corpus snapshot" (O(corpus) re-hash per run), while this object
+  * answers "is anything in today's batch a near-dup of the last N months of
+  * ingest" at a cost proportional to the BATCH, not the corpus:
+  *
+  *  - The index stores per-document MinHash signatures exploded into LSH
+  *    band buckets — `(id, band, bucket, sig)` — numPerms longs plus a
+  *    bucket key per band per document, independent of text length.
+  *  - Probing joins the banded BATCH signatures against the index on
+  *    `(band, bucket)`. With `broadcastBatch = true` (default) the batch
+  *    side is broadcast, so the index — the big side — is streamed in
+  *    place: no index shuffle, no index re-hash, touched buckets only
+  *    after parquet row-group pruning. A daily batch joining a year of
+  *    index this way is one scan of the index and zero wide exchanges.
+  *  - Survivors are appended to the index as already-computed signature
+  *    rows ([[indexRowsFor]] output unioned by the caller, or
+  *    [[ingestBatch]] which returns them) — ingest cost stays O(batch).
+  *
+  * Parameters (`numPerms`, `bands`, `shingleSize`) must match between index
+  * build and probe — a mismatch silently empties the candidate join — so
+  * probe entry points validate the index's signature length against
+  * `numPerms` with a one-row bounded probe.
+  *
+  * Empty/whitespace-only documents produce no signature (same contract as
+  * [[Dedup.minhashSignatures]]): they are never index candidates and always
+  * survive [[dedupAgainstIndex]].
+  */
+object DedupIndex {
+
+  /** Banded signature rows for `df`: `(__id, __band, __bucket, __sig)`.
+    * This IS the index format; it is also the probe-side shape. Persist it
+    * with [[writeIndex]] (or any parquet write) and union survivors' rows
+    * to it after each batch.
+    */
+  def indexRowsFor(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    require(bands >= 1 && numPerms % bands == 0,
+      "numPerms must be divisible by bands")
+    val rowsPerBand = numPerms / bands
+    Dedup.minhashSignatures(df, idCol, textCol, numPerms, shingleSize)
+      .select(col("__id"),
+        posexplode(Dedup.lshBandHashes(col("__sig"), bands, rowsPerBand))
+          .as(Seq("__band", "__bucket")),
+        col("__sig"))
+      .select("__id", "__band", "__bucket", "__sig")
+  }
+
+  /** Write index rows laid out for cheap probing: files are partitioned by
+    * `__band`, so a probe that broadcasts the batch streams only the
+    * matching band directories' row groups. Append mode — each batch's
+    * survivor rows are added to the same layout.
+    */
+  def writeIndex(indexRows: DataFrame, path: String): Unit =
+    indexRows.write.mode("append").partitionBy("__band").parquet(path)
+
+  /** Candidate matches between a new batch and the index:
+    * `(batch_id, index_id, est_jaccard)` for every (batch doc, indexed doc)
+    * pair sharing at least one LSH band bucket with signature-estimated
+    * Jaccard >= `threshold`.
+    *
+    * `broadcastBatch = true` (the default, and the point): the banded batch
+    * is broadcast, the index side streams without a shuffle. Set it false
+    * only when the batch itself is huge — the join then shuffles both sides
+    * on `(band, bucket)`.
+    */
+  def matchesAgainstIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      broadcastBatch: Boolean = true): DataFrame = {
+    validateIndex(index, numPerms)
+    val bandedBatch0 = indexRowsFor(batch, idCol, textCol, numPerms, bands,
+      shingleSize)
+      .select(col("__band"), col("__bucket"),
+        col("__id").as("batch_id"), col("__sig").as("__sig_b"))
+    val bandedBatch =
+      if (broadcastBatch) broadcast(bandedBatch0) else bandedBatch0
+    val cand = index
+      .select(col("__band"), col("__bucket"),
+        col("__id").as("index_id"), col("__sig").as("__sig_i"))
+      .join(bandedBatch, Seq("__band", "__bucket"))
+      // a doc id may legitimately exist on both sides (re-delivered batch);
+      // its self-pair is a perfect match and correctly marks it as a dup
+      .dropDuplicates("batch_id", "index_id")
+    val est = size(filter(zip_with(col("__sig_b"), col("__sig_i"),
+      (a, b) => when(a === b, lit(1)).otherwise(lit(null))),
+      x => x.isNotNull)).cast("double") / numPerms
+    cand
+      .withColumn("est_jaccard", round(est, 6))
+      .where(col("est_jaccard") >= threshold)
+      .select("batch_id", "index_id", "est_jaccard")
+  }
+
+  /** The batch minus every document with a near-dup already in the index
+    * (anti-join on [[matchesAgainstIndex]] batch ids). Batch-INTERNAL
+    * duplicates are deliberately untouched here — compose with
+    * [[Dedup.dedupCorpus]] (or use [[ingestBatch]], which does) when the
+    * batch itself may contain dups.
+    */
+  def dedupAgainstIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val matched = matchesAgainstIndex(batch, idCol, textCol, index, numPerms,
+      bands, shingleSize, threshold, broadcastBatch)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
+  }
+
+  /** One ingest step: dedup the batch against itself
+    * ([[Dedup.dedupCorpus]], min-id survivor per cluster), then against the
+    * index, and return both the surviving rows and their already-computed
+    * index rows for the caller to append ([[writeIndex]]).
+    */
+  def ingestBatch(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      broadcastBatch: Boolean = true): (DataFrame, DataFrame) = {
+    val withinBatch = Dedup.dedupCorpus(batch, idCol, textCol, numPerms,
+      bands, shingleSize, threshold)
+    val survivors = dedupAgainstIndex(withinBatch, idCol, textCol, index,
+      numPerms, bands, shingleSize, threshold, broadcastBatch)
+    val newRows = indexRowsFor(survivors, idCol, textCol, numPerms, bands,
+      shingleSize)
+    (survivors, newRows)
+  }
+
+  /** Bounded one-row probe asserting the index's stored signature length
+    * matches `numPerms`. An empty index passes (first-ever batch). */
+  private def validateIndex(index: DataFrame, numPerms: Int): Unit = {
+    val sample = index.select(size(col("__sig")).as("n")).limit(1).collect()
+    sample.headOption.foreach { r =>
+      val n = r.getInt(0)
+      require(n == numPerms,
+        s"index signatures have length $n but numPerms=$numPerms — " +
+          "index and probe parameters must match")
+    }
+  }
+}
