@@ -321,6 +321,40 @@ object SparkEntry {
         numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.5)
     }),
 
+    // ---- clustered compaction: range+sort layout, then a pruned scan ----
+    "q_clustered_compaction" -> ((s, dir) => {
+      val scratch = scratchDir("graft_cluster_") + "/t"
+      operators.Compaction.writeClustered(
+        t(s, dir, "lineitem"), scratch, Seq("l_shipdate"), numFiles = 8)
+      s.read.parquet(scratch)
+        .where(col("l_shipdate").between("1994-01-01", "1994-12-31"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("revenue"))
+    }),
+
+    // ---- in-place compaction through the crash-recoverable swap ----
+    "q_compact_roundtrip" -> ((s, dir) => {
+      val scratch = scratchDir("graft_compact_") + "/docs"
+      t(s, dir, "documents").select(col("doc_id"), col("source"))
+        .repartition(16).write.parquet(scratch)
+      operators.Compaction.compactInPlace(s, scratch)
+      s.read.parquet(scratch).select("doc_id", "source")
+    }),
+
+    // ---- bloom-pruned join: fact side reduced at the scan by the
+    // dimension subset's key bloom before the shuffle ----
+    "q_bloom_prune_join" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      operators.RuntimeFilters.bloomPrunedJoin(
+        t(s, dir, "lineitem"), "l_orderkey", urgent, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("revenue"))
+    }),
+
     // ---- skew-safe two-stage distinct count (salt on the value hash)
     "q_salted_distinct" -> ((s, dir) => {
       operators.Skew.saltedCountDistinct(
@@ -977,6 +1011,20 @@ object SparkEntry {
         |  JOIN sig s1 ON s1.doc_id = cand.id_a
         |  JOIN sig s2 ON s2.doc_id = cand.id_b)
         |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin,
+    "q_clustered_compaction" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+        |GROUP BY 1""".stripMargin,
+    "q_compact_roundtrip" ->
+      "SELECT doc_id, source FROM documents",
+    "q_bloom_prune_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
     "q_incremental_dedup" ->
       """WITH base AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),

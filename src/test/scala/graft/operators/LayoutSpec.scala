@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Compaction / clustered-layout writers and bloom runtime filters. */
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tempDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_layout_").toString
+
+  private def cleanup(dir: String): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+
+  private def parquetFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+
+  test("writeCompacted hits the requested file count and keeps all rows") {
+    val dir = tempDir()
+    try {
+      val df = spark.range(10000).select(col("id"), rand(7).as("x"))
+      Compaction.writeCompacted(df, dir, numFiles = 4)
+      assert(parquetFiles(dir).length == 4)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == 10000)
+      assert(back.agg(sum("id")).as[Long].head() == 10000L * 9999 / 2)
+    } finally cleanup(dir)
+  }
+
+  test("targetFileCount sizes from bytes and clamps") {
+    val dir = tempDir()
+    try {
+      spark.range(20000).select(col("id"), sha2(col("id").cast("string"), 256).as("h"))
+        .coalesce(1).write.parquet(dir + "/t")
+      val scan = spark.read.parquet(dir + "/t")
+      val bytes = Compaction.estimatedBytes(scan).toLong
+      assert(bytes > 0)
+      // ~bytes/target files, never 0, never above the clamp
+      assert(Compaction.targetFileCount(scan, bytes + 1) == 1)
+      val n = Compaction.targetFileCount(scan, math.max(bytes / 7, 1))
+      assert(n >= 7 && n <= 8)
+      assert(Compaction.targetFileCount(scan, 1, maxFiles = 5) == 5)
+    } finally cleanup(dir)
+  }
+
+  test("writeClustered gives files disjoint ranges of the cluster column") {
+    val dir = tempDir()
+    try {
+      // write in scrambled order; clustering must still localize ranges
+      val df = spark.range(8000)
+        .select((col("id") * 2654435761L % 8000).as("k"), col("id").as("v"))
+      Compaction.writeClustered(df, dir, Seq("k"), numFiles = 4)
+      assert(parquetFiles(dir).length == 4)
+      val perFile = spark.read.parquet(dir)
+        .select(input_file_name().as("f"), col("k"))
+        .groupBy("f").agg(min("k").as("lo"), max("k").as("hi"))
+        .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+        .sortBy(_._1)
+      perFile.sliding(2).foreach {
+        case Array((_, hi), (lo2, _)) => assert(hi <= lo2,
+          s"file ranges overlap: hi=$hi lo2=$lo2")
+        case _ =>
+      }
+      assert(spark.read.parquet(dir).count() == 8000)
+    } finally cleanup(dir)
+  }
+
+  test("compactInPlace swaps layout atomically and preserves data") {
+    val dir = tempDir() + "/t"
+    try {
+      spark.range(5000).select(col("id"), (col("id") % 13).as("k"))
+        .repartition(24).write.parquet(dir)
+      assert(parquetFiles(dir).length == 24)
+      Compaction.compactInPlace(spark, dir, targetFileBytes = Long.MaxValue)
+      assert(parquetFiles(dir).length == 1)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == 5000)
+      assert(back.agg(sum("id")).as[Long].head() == 5000L * 4999 / 2)
+      // no staging/old leftovers
+      val parent = new java.io.File(dir).getParentFile
+      assert(!parent.listFiles().exists(_.getName.contains("__graft_")))
+    } finally cleanup(new java.io.File(dir).getParent)
+  }
+
+  test("bloomSemiFilter never drops a true match and does prune") {
+    val big = spark.range(50000).select(col("id").as("k"), (col("id") * 3).as("v"))
+    val small = spark.range(100).select((col("id") * 500).as("k"))
+    val pruned = RuntimeFilters.bloomSemiFilter(big, "k", small, "k")
+    val prunedCount = pruned.count()
+    // all 100 true matches survive
+    assert(pruned.join(small, "k").count() == 100)
+    // 1% fpp on 50k rows: expect ~100 + ~500 false positives, far below 50k
+    assert(prunedCount >= 100 && prunedCount < 5000,
+      s"prunedCount=$prunedCount")
+  }
+
+  test("bloomPrunedJoin equals the plain join; rejects unsafe join types") {
+    val big = spark.range(20000)
+      .select(col("id").as("k"), sha2(col("id").cast("string"), 256).as("pay"))
+    val small = spark.range(50).select((col("id") * 400).as("sk"), lit("d").as("tag"))
+    val expected = big.join(small, big("k") === small("sk"))
+      .select("k", "tag").as[(Long, String)].collect().toSet
+    val got = RuntimeFilters.bloomPrunedJoin(big, "k", small, "sk")
+      .select("k", "tag").as[(Long, String)].collect().toSet
+    assert(got == expected)
+    val e = intercept[IllegalArgumentException] {
+      RuntimeFilters.bloomPrunedJoin(big, "k", small, "sk", joinType = "left_outer")
+    }
+    assert(e.getMessage.contains("bloom pruning"))
+  }
+
+  test("bloom works on string keys and treats null keys as non-matching") {
+    val big = Seq(Some("a"), Some("b"), Some("zz"), None)
+      .toDF("k")
+    val small = Seq("a", "b").toDF("k")
+    val bf = RuntimeFilters.bloomOf(small, "k")
+    val kept = big.where(graft.functions.BloomFunctions.mightContain(col("k"), bf))
+      .as[Option[String]].collect().toSet
+    assert(kept.contains(Some("a")) && kept.contains(Some("b")))
+    assert(!kept.contains(None))
+  }
+}
