@@ -321,6 +321,24 @@ object SparkEntry {
         numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.5)
     }),
 
+    // ---- single-pass column profiling (quality audit before training) ----
+    "q_profile_documents" -> ((s, dir) => {
+      operators.Validation.profile(
+        t(s, dir, "documents"), Seq("doc_id", "source", "lang"))
+    }),
+
+    // ---- rule-based quality gate: one agg pass for row rules + one
+    // groupBy per uniqueness rule ----
+    "q_quality_checks" -> ((s, dir) => {
+      operators.Validation.check(t(s, dir, "lineitem"), Seq(
+        operators.Validation.NotNull("l_orderkey"),
+        operators.Validation.Satisfies("qty_in_range",
+          col("l_quantity").between(1, 50)),
+        operators.Validation.Satisfies("price_above_1000",
+          col("l_extendedprice") > 1000),
+        operators.Validation.Unique(Seq("l_orderkey", "l_linenumber"))))
+    }),
+
     // ---- clustered compaction: range+sort layout, then a pruned scan ----
     "q_clustered_compaction" -> ((s, dir) => {
       val scratch = scratchDir("graft_cluster_") + "/t"
@@ -1011,6 +1029,40 @@ object SparkEntry {
         |  JOIN sig s1 ON s1.doc_id = cand.id_a
         |  JOIN sig s2 ON s2.doc_id = cand.id_b)
         |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin,
+    "q_profile_documents" ->
+      """SELECT 'doc_id' AS "column", count(*)::BIGINT AS n_rows,
+        |  (count(*) - count(doc_id))::BIGINT AS n_null,
+        |  count(DISTINCT doc_id)::BIGINT AS n_distinct,
+        |  CAST(min(doc_id) AS VARCHAR) AS min_val,
+        |  CAST(max(doc_id) AS VARCHAR) AS max_val
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*)::BIGINT, (count(*) - count(source))::BIGINT,
+        |  count(DISTINCT source)::BIGINT,
+        |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*)::BIGINT, (count(*) - count(lang))::BIGINT,
+        |  count(DISTINCT lang)::BIGINT,
+        |  CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        |FROM documents""".stripMargin,
+    "q_quality_checks" ->
+      """SELECT 'l_orderkey_not_null' AS rule,
+        |  (count(*) FILTER (WHERE l_orderkey IS NULL))::BIGINT AS violations
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'qty_in_range', (count(*) FILTER (
+        |  WHERE NOT coalesce(l_quantity BETWEEN 1 AND 50, false)))::BIGINT
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'price_above_1000', (count(*) FILTER (
+        |  WHERE NOT coalesce(l_extendedprice > 1000, false)))::BIGINT
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_orderkey_l_linenumber_unique', coalesce(sum(c - 1), 0)::BIGINT
+        |FROM (SELECT count(*) AS c FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber) g
+        |WHERE c > 1""".stripMargin,
     "q_clustered_compaction" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS revenue

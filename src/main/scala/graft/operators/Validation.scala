@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling and rule checks — the audit step between "the
+  * pipeline wrote a table" and "training may read it".
+  *
+  * Everything is expressed as ordinary aggregates so Catalyst fuses the
+  * work into a single pass where possible:
+  *
+  *  - [[profile]] computes every column's metrics in ONE aggregation over
+  *    the table (count/nulls/exact-distinct/min/max), then unpivots
+  *    relationally — no driver-side collect, so it runs unchanged on a
+  *    100 TB table. Exact distinct over many columns expands rows
+  *    (Spark's multi-distinct rewrite); profile few columns at a time on
+  *    very wide tables.
+  *  - [[check]] folds all row-level rules into one aggregation pass (a
+  *    `sum(violates)` per rule); each uniqueness rule needs its own
+  *    groupBy pass by nature. Output is a tiny (rule, violations) report
+  *    — gate the pipeline on `violations == 0`.
+  */
+object Validation {
+
+  /** A named data-quality rule. */
+  sealed trait Rule { def name: String }
+
+  /** No NULLs in `column`. */
+  final case class NotNull(column: String) extends Rule {
+    def name: String = s"${column}_not_null"
+  }
+
+  /** `columns` form a unique key. Violations = rows beyond the first in
+    * each duplicated key group (0 when unique). */
+  final case class Unique(columns: Seq[String]) extends Rule {
+    def name: String = s"${columns.mkString("_")}_unique"
+  }
+
+  /** Row-level predicate that every row must satisfy. NULL predicate
+    * results count as violations (an unknown is not a pass). */
+  final case class Satisfies(name: String, predicate: Column) extends Rule
+
+  /** Per-column metrics in one aggregation pass:
+    * `(column, n_rows, n_null, n_distinct, min_val, max_val)` — min/max
+    * cast to string so heterogeneous columns share one report schema.
+    * `n_distinct` is exact and excludes NULL.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(
+          lit(c).as("column"),
+          col("__n").as("n_rows"),
+          (col("__n") - col(s"__nn_$c")).as("n_null"),
+          col(s"__nd_$c").as("n_distinct"),
+          col(s"__min_$c").as("min_val"),
+          col(s"__max_$c").as("max_val"))
+      }: _*)).as("p"))
+      .select("p.*")
+  }
+
+  /** Evaluate `rules` against `df`: returns `(rule, violations)` with one
+    * row per rule. All [[NotNull]]/[[Satisfies]] rules share a single
+    * aggregation pass; each [[Unique]] adds one groupBy pass.
+    */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "check needs at least one rule")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "rule names must be unique")
+    val rowLevel: Seq[(String, Column)] = rules.collect {
+      case r: NotNull => r.name -> col(r.column).isNull
+      case r: Satisfies =>
+        // NULL predicate = violation: NOT coalesce(pred, false)
+        r.name -> !coalesce(r.predicate, lit(false))
+    }
+    val rowReport: Option[DataFrame] =
+      if (rowLevel.isEmpty) None
+      else {
+        val aggs = rowLevel.map { case (n, violates) =>
+          sum(when(violates, 1L).otherwise(0L)).as(s"__v_$n")
+        }
+        Some(df.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(rowLevel.map { case (n, _) =>
+            struct(lit(n).as("rule"),
+              coalesce(col(s"__v_$n"), lit(0L)).as("violations"))
+          }: _*)).as("p"))
+          .select("p.*"))
+      }
+    val uniqueReports: Seq[DataFrame] = rules.collect {
+      case r: Unique =>
+        df.groupBy(r.columns.map(col): _*)
+          .agg(count(lit(1)).as("__c"))
+          .where(col("__c") > 1)
+          .agg(coalesce(sum(col("__c") - 1), lit(0L)).as("violations"))
+          .select(lit(r.name).as("rule"), col("violations"))
+    }
+    (rowReport.toSeq ++ uniqueReports).reduce(_.unionByName(_))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ValidationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val df = Seq(
+    (Some(1L), Some("a"), 10.0),
+    (Some(2L), None, 55.0),
+    (Some(2L), Some("b"), -1.0),
+    (None, Some("a"), 3.0)
+  ).toDF("id", "tag", "x")
+
+  test("profile computes rows/nulls/distinct/min/max per column") {
+    val p = Validation.profile(df, Seq("id", "tag"))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    val id = p("id")
+    assert(id.getAs[Long]("n_rows") == 4)
+    assert(id.getAs[Long]("n_null") == 1)
+    assert(id.getAs[Long]("n_distinct") == 2)
+    assert(id.getAs[String]("min_val") == "1")
+    assert(id.getAs[String]("max_val") == "2")
+    val tag = p("tag")
+    assert(tag.getAs[Long]("n_null") == 1)
+    assert(tag.getAs[Long]("n_distinct") == 2)
+    assert(tag.getAs[String]("max_val") == "b")
+  }
+
+  test("check counts violations per rule; null predicate = violation") {
+    val report = Validation.check(df, Seq(
+      Validation.NotNull("id"),
+      Validation.NotNull("tag"),
+      Validation.Satisfies("x_in_range", col("x").between(0.0, 50.0)),
+      Validation.Unique(Seq("id"))))
+      .collect().map(r => r.getAs[String]("rule") -> r.getAs[Long]("violations")).toMap
+    assert(report("id_not_null") == 1)
+    assert(report("tag_not_null") == 1)
+    // 55.0 and -1.0 out of range
+    assert(report("x_in_range") == 2)
+    // id=2 twice -> 1 extra row; the NULL id group is a "key" of one row.
+    // (A null key never groups with another null under SQL GROUP BY? It
+    // does — both engines group NULLs together — but there is only one.)
+    assert(report("id_unique") == 1)
+  }
+
+  test("satisfies with a null-producing predicate counts the null rows") {
+    val d = Seq((1L, Some(5.0)), (2L, None)).toDF("id", "v")
+    val report = Validation.check(d, Seq(
+      Validation.Satisfies("v_positive", col("v") > 0)))
+      .collect().map(r => r.getAs[String]("rule") -> r.getAs[Long]("violations")).toMap
+    assert(report("v_positive") == 1) // NULL > 0 is unknown -> violation
+  }
+
+  test("empty input yields zero violations, not nulls") {
+    val report = Validation.check(df.limit(0), Seq(
+      Validation.NotNull("id"), Validation.Unique(Seq("id"))))
+      .collect().map(r => r.getAs[String]("rule") -> r.getAs[Long]("violations")).toMap
+    assert(report == Map("id_not_null" -> 0L, "id_unique" -> 0L))
+  }
+
+  test("duplicate rule names are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      Validation.check(df, Seq(
+        Validation.Satisfies("r", col("x") > 0),
+        Validation.Satisfies("r", col("x") < 0)))
+    }
+    assert(e.getMessage.contains("unique"))
+  }
+}
