@@ -184,6 +184,62 @@ object StreamingOps {
       }
   }
 
+  /** Stream documents into a continuously-deduped corpus: each micro-batch
+    * dedups within itself, then against the persisted MinHash signature
+    * index at `indexPath`; survivors append to `corpusPath` and their
+    * already-computed signature rows append to the index — the streaming
+    * face of [[graft.operators.DedupIndex.ingestBatch]]. The historical
+    * corpus is never re-read or re-hashed; per-batch cost is O(batch).
+    *
+    * Delivery semantics (at-least-once, corpus-before-index): a crash
+    * between the two appends can leave a batch's survivors in the corpus
+    * but not the index, so a replay re-appends them — duplicates, which a
+    * downstream [[graft.operators.Dedup.exactDedup]] heals. The reverse
+    * order would instead silently DROP those documents on replay (the
+    * index would suppress them), so duplicate-over-loss is the chosen
+    * trade. A fully-replayed batch whose index write committed is
+    * self-suppressing: every doc matches the index, survivors are empty.
+    */
+  def dedupIngestSink(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusPath: String,
+      indexPath: String,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val fs = new org.apache.hadoop.fs.Path(indexPath)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val index =
+            if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
+              spark.read.parquet(indexPath)
+            else // first batch: empty index with the right schema
+              graft.operators.DedupIndex.indexRowsFor(
+                batch.toDF().limit(0), idCol, textCol, numPerms, bands,
+                shingleSize)
+          val (survivors0, _) = graft.operators.DedupIndex.ingestBatch(
+            batch.toDF(), idCol, textCol, index, numPerms, bands,
+            shingleSize, threshold)
+          // two actions read the survivors (corpus append + index rows);
+          // persist so the LSH chain runs once
+          val survivors = survivors0
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            survivors.write.mode("append").parquet(corpusPath)
+            graft.operators.DedupIndex.writeIndex(
+              graft.operators.DedupIndex.indexRowsFor(survivors, idCol,
+                textCol, numPerms, bands, shingleSize), indexPath)
+          } finally survivors.unpersist(false)
+        }
+    }
+
   /** Stream into an SCD target: every micro-batch runs one change-tracking
     * upsert (mode 1 = current-only, mode 2 = track-history). Batch ids are
     * recorded nowhere — idempotency relies on the upsert itself (replaying

@@ -206,4 +206,37 @@ class StreamingOpsSpec extends SparkTestBase {
         && closed(1).sum_value == 7.0)
     } finally q.stop()
   }
+
+  test("dedupIngestSink builds a corpus + index that suppress cross-batch dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val root = Files.createTempDirectory("graft_ingest_").toString
+    val corpus = root + "/corpus"
+    val index = root + "/index"
+    val q = StreamingOps.dedupIngestSink(
+      source.toDS().toDF("doc_id", "text"), "doc_id", "text", corpus, index)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      source.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "entirely different sentence about distributed query planning"))
+      q.processAllAvailable()
+      source.addData(
+        // near-dup of doc 1 from the PREVIOUS batch — must be suppressed
+        (3L, "the quick brown fox jumps over the lazy dog again and again ok"),
+        // novel
+        (4L, "completely fresh content never seen in the historical corpus"),
+        // exact re-delivery of doc 2 — suppressed by the index
+        (5L, "entirely different sentence about distributed query planning"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(corpus)
+        .select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 4L))
+      val indexed = spark.read.parquet(index)
+        .select("__id").distinct().as[Long].collect().sorted
+      assert(indexed.toSeq == Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
 }
