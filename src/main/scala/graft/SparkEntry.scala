@@ -509,6 +509,15 @@ object SparkEntry {
         defaultFraction = 0.1)
     }),
 
+    // ---- domain mixture: sample sources to 50/30/20 target proportions
+    // (largest achievable total without up-sampling) ----
+    "q_mixture_sample" -> ((s, dir) => {
+      operators.Sampling.sampleToMixture(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        weights = Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2))
+    }),
+
     // ---- deterministic global shuffle (engine-reproducible training
     // order; global position without a single-partition window) ----
     "q_corpus_shuffle" -> ((s, dir) => {
@@ -1449,6 +1458,23 @@ object SparkEntry {
         |  FROM documents)
         |WHERE b < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
         |           ELSE 100000 END""".stripMargin,
+    "q_mixture_sample" ->
+      """WITH c AS (
+        |  SELECT source, count(*)::DOUBLE AS c FROM documents
+        |  WHERE source IN ('src1', 'src2', 'src3') GROUP BY source),
+        |w AS (
+        |  SELECT source, c,
+        |    (CASE source WHEN 'src1' THEN 0.5
+        |                 WHEN 'src2' THEN 0.3 ELSE 0.2 END)::DOUBLE AS w
+        |  FROM c),
+        |n AS (SELECT floor(min(c / w)) AS n FROM w),
+        |cuts AS (
+        |  SELECT w.source, round(n.n * w.w / w.c * 1000000.0) AS cut
+        |  FROM w, n)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN cuts ON d.source = cuts.source
+        |WHERE ('0x' || substring(sha256(CAST(d.doc_id AS VARCHAR) || ':graft'),
+        |       1, 7))::BIGINT % 1000000 < cuts.cut""".stripMargin,
     "q_corpus_shuffle" ->
       """SELECT doc_id, source,
         |  row_number() OVER (

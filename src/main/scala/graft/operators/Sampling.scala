@@ -85,6 +85,52 @@ object Sampling {
     df.where(hashBucket(col(idCol), salt) < cut)
   }
 
+  /** Sample to a target group MIXTURE: the output's group proportions
+    * match `weights` (target proportions, must sum to 1), with per-row
+    * keep decisions hash-assigned (stable across runs/engines/growth).
+    * The domain-reweighting step of a training-data pipeline — "50% web,
+    * 30% code, 20% books" — expressed as one bounded count per weighted
+    * group plus a narrow filter.
+    *
+    * `totalRows = -1` (default) takes the largest total achievable
+    * without up-sampling any group: `n = floor(min_g(count_g / w_g))`.
+    * An explicit `totalRows` must not exceed that bound (no group can
+    * yield more rows than it has). Groups absent from `weights` are
+    * dropped. Proportions are exact in expectation (hash-uniform), not
+    * row-exact — the price of a narrow, deterministic plan.
+    */
+  def sampleToMixture(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      weights: Map[String, Double],
+      totalRows: Long = -1L,
+      salt: String = "graft"): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    weights.foreach { case (g, w) =>
+      require(w > 0.0, s"weight for '$g' must be positive") }
+    val sum = weights.values.sum
+    require(math.abs(sum - 1.0) <= 1e-6,
+      s"weights are target proportions and must sum to 1 (got $sum)")
+    // bounded collect: one row per weighted group
+    val counts = df
+      .where(col(groupCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    weights.keys.foreach { g =>
+      require(counts.getOrElse(g, 0L) > 0L,
+        s"target group '$g' has no rows — its proportion is unachievable") }
+    val maxN = weights.map { case (g, w) => counts(g) / w }.min
+    val n = if (totalRows >= 0) totalRows else math.floor(maxN).toLong
+    require(n <= math.floor(maxN).toLong,
+      s"totalRows=$n exceeds the achievable total ${math.floor(maxN).toLong} " +
+        "(the scarcest weighted group caps the mixture)")
+    val fractions = weights.map { case (g, w) => g -> n * w / counts(g) }
+    stratifiedSample(df, idCol, groupCol, fractions,
+      defaultFraction = 0.0, salt = salt)
+  }
+
   /** Deterministic global shuffle for training-data ordering: every row
     * gets a reproducible pseudo-random sort key `sha256(seed || ":" || id)`
     * and `posCol` — its 0-based rank in that order, identical on any

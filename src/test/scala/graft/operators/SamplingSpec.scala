@@ -85,4 +85,45 @@ class SamplingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Packing.packSequences(docs, "n_tok", 100L, Seq(col("doc_id")), Nil))
   }
+
+  test("sampleToMixture lands near the target proportions and drops others") {
+    val df = spark.range(30000).select(col("id"),
+      concat(lit("g"), (col("id") % 3).cast("string")).as("grp"))
+    // g0/g1/g2 each 10k rows; ask for 60/30/10 — g0 is the scarcest
+    // relative to its weight, so n = floor(10000/0.6) = 16666
+    val out = Sampling.sampleToMixture(df, "id", "grp",
+      Map("g0" -> 0.6, "g1" -> 0.3, "g2" -> 0.1))
+    val byGrp = out.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp.keySet == Set("g0", "g1", "g2"))
+    val total = byGrp.values.sum.toDouble
+    assert(math.abs(byGrp("g0") / total - 0.6) < 0.02)
+    assert(math.abs(byGrp("g1") / total - 0.3) < 0.02)
+    assert(math.abs(byGrp("g2") / total - 0.1) < 0.02)
+    // near the max achievable total
+    assert(math.abs(total - 16666.0) / 16666.0 < 0.05)
+    // the scarcest group is taken (almost) whole
+    assert(byGrp("g0") > 9800)
+  }
+
+  test("sampleToMixture is deterministic and validates its inputs") {
+    val df = spark.range(1000).select(col("id"),
+      when(col("id") % 4 === 0, "a").otherwise("b").as("grp"))
+    val w = Map("a" -> 0.5, "b" -> 0.5)
+    val r1 = Sampling.sampleToMixture(df, "id", "grp", w)
+      .agg(sum("id")).head().getLong(0)
+    val r2 = Sampling.sampleToMixture(df, "id", "grp", w)
+      .agg(sum("id")).head().getLong(0)
+    assert(r1 == r2)
+    // weights must sum to 1
+    intercept[IllegalArgumentException](
+      Sampling.sampleToMixture(df, "id", "grp", Map("a" -> 0.5, "b" -> 0.2)))
+    // a weighted group with no rows is unachievable
+    intercept[IllegalArgumentException](
+      Sampling.sampleToMixture(df, "id", "grp",
+        Map("a" -> 0.5, "missing" -> 0.5)))
+    // totalRows beyond the achievable bound is rejected
+    intercept[IllegalArgumentException](
+      Sampling.sampleToMixture(df, "id", "grp", w, totalRows = 1000000L))
+  }
 }
