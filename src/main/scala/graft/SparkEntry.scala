@@ -265,6 +265,17 @@ object SparkEntry {
         corpus, "doc_id", "text", maxDocs = 200)
     }),
 
+    // ---- intra-document repeated-line removal (C4-style) over a corpus
+    // where every doc repeats its own body line ----
+    "q_dedup_lines" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          lit("\n"), coalesce(col("text"), lit("")),
+          lit("\ntail "), col("doc_id").cast("string")).as("text"))
+      corpus.select(col("doc_id"),
+        operators.TextAnalysis.dedupLinesWithinDoc(col("text")).as("clean"))
+    }),
+
     // ---- PII redaction over a corpus with planted URLs/emails/IPs ----
     "q_pii_redact" -> ((s, dir) => {
       val ta = operators.TextAnalysis
@@ -1353,6 +1364,23 @@ object SparkEntry {
         |  round(avg(q), 6) AS avg_quality, count(DISTINCT lang) AS n_langs,
         |  sum(urls) AS n_urls, sum(emails) AS n_emails
         |FROM q GROUP BY source""".stripMargin,
+    "q_dedup_lines" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    coalesce(text, '') || chr(10) || coalesce(text, '')
+        |    || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM corpus),
+        |ln AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |    parts[CAST(i AS INTEGER)] AS line
+        |  FROM ls CROSS JOIN range(1, 1000) t(i)
+        |  WHERE CAST(i AS INTEGER) <= len(parts)),
+        |firsts AS (
+        |  SELECT doc_id, line, min(pos) AS pos FROM ln GROUP BY doc_id, line)
+        |SELECT doc_id,
+        |  array_to_string(list(line ORDER BY pos), chr(10)) AS clean
+        |FROM firsts GROUP BY doc_id""".stripMargin,
     "q_remove_boilerplate" ->
       """WITH corpus AS (
         |  SELECT doc_id,

@@ -299,6 +299,18 @@ object TextAnalysis {
       .select("group", "term", "tf", "score", "rank")
   }
 
+  /** Remove repeated lines WITHIN a document, keeping each first
+    * occurrence in order — the C4-style intra-document cleanup for pages
+    * that repeat their own headers/sections. Pure expressions (split →
+    * ordered distinct → rejoin): narrow, codegen'd, no shuffle — the
+    * cross-DOCUMENT twin with corpus-frequency semantics is
+    * [[removeBoilerplate]]. Exact line equality (no trim): whitespace
+    * variants are different lines here. NULL text stays NULL.
+    */
+  def dedupLinesWithinDoc(text: Column): Column =
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(concat_ws("\n", array_distinct(split(text, "\n"))))
+
   /** Cross-document boilerplate removal (the CCNet/RefinedWeb line-dedup
     * step): drop every line that appears in more than `maxDocs` distinct
     * documents — cookie banners, navigation, footers — and reassemble

@@ -240,6 +240,27 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(loose(1L) == "unique first line\ncookie banner\nsecond unique line")
   }
 
+  test("dedupLinesWithinDoc keeps first occurrences in order, per doc") {
+    val docs = Seq(
+      (1L, Some("a\nb\na\nc\nb")),
+      (2L, Some("only line")),
+      (3L, Some("x\nx\nx")),
+      (4L, None)
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.dedupLinesWithinDoc(col("text")).as("clean"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("a\nb\nc"))
+    assert(out(2L).contains("only line"))
+    assert(out(3L).contains("x"))
+    assert(out(4L).isEmpty) // NULL stays NULL
+    // exact equality: whitespace variants are distinct lines
+    val ws = Seq((5L, "a\na ")).toDF("doc_id", "text")
+      .select(TextAnalysis.dedupLinesWithinDoc(col("text")))
+      .as[String].head()
+    assert(ws == "a\na ")
+  }
+
   test("topTermsPerGroup ranks distinctive vocabulary by tf-idf") {
     val df = Seq(
       ("a", "apple apple apple shared shared"),
