@@ -1372,10 +1372,9 @@ object SparkEntry {
         |  FROM documents),
         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM corpus),
         |ln AS (
-        |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
-        |    parts[CAST(i AS INTEGER)] AS line
-        |  FROM ls CROSS JOIN range(1, 1000) t(i)
-        |  WHERE CAST(i AS INTEGER) <= len(parts)),
+        |  SELECT doc_id, generate_subscripts(parts, 1) AS pos,
+        |    unnest(parts) AS line
+        |  FROM ls),
         |firsts AS (
         |  SELECT doc_id, line, min(pos) AS pos FROM ln GROUP BY doc_id, line)
         |SELECT doc_id,
@@ -1497,7 +1496,8 @@ object SparkEntry {
         |  FROM c),
         |n AS (SELECT floor(min(c / w)) AS n FROM w),
         |cuts AS (
-        |  SELECT w.source, round(n.n * w.w / w.c * 1000000.0) AS cut
+        |  SELECT w.source,
+        |    round(least(n.n * w.w / w.c, 1.0) * 1000000.0) AS cut
         |  FROM w, n)
         |SELECT d.doc_id, d.source
         |FROM documents d JOIN cuts ON d.source = cuts.source

@@ -87,12 +87,24 @@ object DedupIndex {
       bands: Int = 4,
       shingleSize: Int = 3,
       threshold: Double = 0.5,
-      broadcastBatch: Boolean = true): DataFrame = {
+      broadcastBatch: Boolean = true): DataFrame =
+    matchesFromRows(
+      indexRowsFor(batch, idCol, textCol, numPerms, bands, shingleSize),
+      index, numPerms, threshold, broadcastBatch)
+
+  /** [[matchesAgainstIndex]] core over ALREADY-banded batch rows
+    * ([[indexRowsFor]] shape) — lets [[ingestBatch]] hash the batch once
+    * and reuse the rows for both the probe and the index delta.
+    */
+  private def matchesFromRows(
+      batchRows: DataFrame,
+      index: DataFrame,
+      numPerms: Int,
+      threshold: Double,
+      broadcastBatch: Boolean): DataFrame = {
     validateIndex(index, numPerms)
-    val bandedBatch0 = indexRowsFor(batch, idCol, textCol, numPerms, bands,
-      shingleSize)
-      .select(col("__band"), col("__bucket"),
-        col("__id").as("batch_id"), col("__sig").as("__sig_b"))
+    val bandedBatch0 = batchRows.select(col("__band"), col("__bucket"),
+      col("__id").as("batch_id"), col("__sig").as("__sig_b"))
     val bandedBatch =
       if (broadcastBatch) broadcast(bandedBatch0) else bandedBatch0
     val cand = index
@@ -135,8 +147,15 @@ object DedupIndex {
 
   /** One ingest step: dedup the batch against itself
     * ([[Dedup.dedupCorpus]], min-id survivor per cluster), then against the
-    * index, and return both the surviving rows and their already-computed
-    * index rows for the caller to append ([[writeIndex]]).
+    * index, and return both the surviving rows and their index rows for
+    * the caller to append ([[writeIndex]]).
+    *
+    * The deduped batch is hashed ONCE: its banded signature rows are
+    * persisted and serve both the probe join and the returned index delta
+    * (an anti-join on matched ids — no re-tokenize/re-hash). The persisted
+    * intermediates (signature rows + matched-id set) live until the
+    * session clears them; [[graft.streaming.StreamingOps.dedupIngestSink]]
+    * unpersists them per micro-batch.
     */
   def ingestBatch(
       batch: DataFrame,
@@ -150,10 +169,18 @@ object DedupIndex {
       broadcastBatch: Boolean = true): (DataFrame, DataFrame) = {
     val withinBatch = Dedup.dedupCorpus(batch, idCol, textCol, numPerms,
       bands, shingleSize, threshold)
-    val survivors = dedupAgainstIndex(withinBatch, idCol, textCol, index,
-      numPerms, bands, shingleSize, threshold, broadcastBatch)
-    val newRows = indexRowsFor(survivors, idCol, textCol, numPerms, bands,
-      shingleSize)
+    val batchRows = indexRowsFor(withinBatch, idCol, textCol, numPerms,
+      bands, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // small (matched ids only), read by both anti-joins below
+    val matched = matchesFromRows(batchRows, index, numPerms, threshold,
+      broadcastBatch)
+      .select(col("batch_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val survivors = withinBatch.join(
+      matched.withColumnRenamed("batch_id", idCol), Seq(idCol), "left_anti")
+    val newRows = batchRows.join(
+      matched.withColumnRenamed("batch_id", "__id"), Seq("__id"), "left_anti")
     (survivors, newRows)
   }
 

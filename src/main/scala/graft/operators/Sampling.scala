@@ -126,7 +126,11 @@ object Sampling {
     require(n <= math.floor(maxN).toLong,
       s"totalRows=$n exceeds the achievable total ${math.floor(maxN).toLong} " +
         "(the scarcest weighted group caps the mixture)")
-    val fractions = weights.map { case (g, w) => g -> n * w / counts(g) }
+    // clamp: the binding group's fraction can land one ulp above 1.0
+    // (floor(c/w) * w / c slightly exceeding 1 in floating point), which
+    // stratifiedSample's range check would reject on achievable input
+    val fractions = weights.map { case (g, w) =>
+      g -> math.min(1.0, n * w / counts(g)) }
     stratifiedSample(df, idCol, groupCol, fractions,
       defaultFraction = 0.0, salt = salt)
   }

@@ -215,28 +215,48 @@ object StreamingOps {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val fs = new org.apache.hadoop.fs.Path(indexPath)
-            .getFileSystem(spark.sessionState.newHadoopConf())
-          val index =
-            if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
-              spark.read.parquet(indexPath)
-            else // first batch: empty index with the right schema
-              graft.operators.DedupIndex.indexRowsFor(
-                batch.toDF().limit(0), idCol, textCol, numPerms, bands,
-                shingleSize)
-          val (survivors0, _) = graft.operators.DedupIndex.ingestBatch(
-            batch.toDF(), idCol, textCol, index, numPerms, bands,
-            shingleSize, threshold)
-          // two actions read the survivors (corpus append + index rows);
-          // persist so the LSH chain runs once
-          val survivors = survivors0
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val sc = spark.sparkContext
+          // the ingest chain persists per-batch intermediates (signature
+          // rows, matched ids, LSH signatures inside dedupCorpus) with
+          // session lifetime — on an unbounded stream that is one leaked
+          // cache entry per micro-batch, so release everything this batch
+          // pinned once its writes commit
+          val persistedBefore = sc.getPersistentRDDs.keySet
           try {
+            val p = new org.apache.hadoop.fs.Path(indexPath)
+            val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+            // existence alone is not readiness: a first batch of only
+            // signature-less (empty-text) docs appends ZERO index rows,
+            // leaving a parquet dir with no data files that
+            // spark.read.parquet can never infer a schema from — probe for
+            // an actual data file (early-exit iteration, not a full listing)
+            def hasIndexData: Boolean = fs.exists(p) && {
+              val it = fs.listFiles(p, true)
+              var found = false
+              while (!found && it.hasNext) {
+                val f = it.next()
+                found = f.getLen > 0 && f.getPath.getName.endsWith(".parquet")
+              }
+              found
+            }
+            val index =
+              if (hasIndexData) spark.read.parquet(indexPath)
+              else // bootstrap: empty index with the right schema
+                graft.operators.DedupIndex.indexRowsFor(
+                  batch.toDF().limit(0), idCol, textCol, numPerms, bands,
+                  shingleSize)
+            val (survivors, newRows) = graft.operators.DedupIndex.ingestBatch(
+              batch.toDF(), idCol, textCol, index, numPerms, bands,
+              shingleSize, threshold)
+            // survivors and newRows share the persisted signature rows
+            // inside ingestBatch — the batch text is hashed exactly once
             survivors.write.mode("append").parquet(corpusPath)
-            graft.operators.DedupIndex.writeIndex(
-              graft.operators.DedupIndex.indexRowsFor(survivors, idCol,
-                textCol, numPerms, bands, shingleSize), indexPath)
-          } finally survivors.unpersist(false)
+            graft.operators.DedupIndex.writeIndex(newRows, indexPath)
+          } finally {
+            val after = sc.getPersistentRDDs
+            (after.keySet -- persistedBefore).foreach(id =>
+              after.get(id).foreach(_.unpersist(false)))
+          }
         }
     }
 

@@ -126,4 +126,17 @@ class SamplingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Sampling.sampleToMixture(df, "id", "grp", w, totalRows = 1000000L))
   }
+
+  test("sampleToMixture survives the binding group's one-ulp fraction overflow") {
+    // counts a=77, b=10000 with weights 0.07/0.93: floor(77/0.07) = 1100
+    // and 1100 * 0.07 / 77 = 1.0000000000000002 — must clamp, not throw
+    val df = spark.range(10077).select(col("id"),
+      when(col("id") < 77, "a").otherwise("b").as("grp"))
+    val out = Sampling.sampleToMixture(df, "id", "grp",
+      Map("a" -> 0.07, "b" -> 0.93))
+    val byGrp = out.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp("a") == 77) // fraction clamps to 1.0: whole group kept
+    assert(byGrp("b") > 0)
+  }
 }

@@ -237,6 +237,35 @@ class StreamingOpsSpec extends SparkTestBase {
       val indexed = spark.read.parquet(index)
         .select("__id").distinct().as[Long].collect().sorted
       assert(indexed.toSeq == Seq(1L, 2L, 4L))
+      // per-batch intermediates were released — no cache leak per batch
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    } finally q.stop()
+  }
+
+  test("dedupIngestSink survives a signature-less first batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val root = Files.createTempDirectory("graft_ingest_ws_").toString
+    val q = StreamingOps.dedupIngestSink(
+      source.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      root + "/corpus", root + "/index")
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      // whitespace-only docs: survive dedup but write ZERO index rows —
+      // the index dir exists with no data files after this batch
+      source.addData((1L, "   "), (2L, ""))
+      q.processAllAvailable()
+      // the next batch must still read/bootstrap the index, not crash on
+      // schema inference over an empty parquet directory
+      source.addData((3L, "real content arrives in the second batch"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(root + "/corpus")
+        .select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+      assert(spark.read.parquet(root + "/index")
+        .select("__id").distinct().as[Long].collect().toSeq == Seq(3L))
     } finally q.stop()
   }
 }
