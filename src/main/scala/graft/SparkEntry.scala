@@ -350,6 +350,28 @@ object SparkEntry {
         operators.Validation.Unique(Seq("l_orderkey", "l_linenumber"))))
     }),
 
+    // ---- snapshot diff by business key (pipeline regression check) ----
+    "q_table_diff" -> ((s, dir) => {
+      val before = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val after = before.where(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 31 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(before.where(col("o_orderkey") % 53 === 0)
+          .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderstatus")))
+      operators.Validation.diffTables(before, after, Seq("o_orderkey"))
+    }),
+
+    // ---- n-gram LM perplexity scoring (train on 4/5, score 1/5) ----
+    "q_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.TextAnalysis.lmQualityScore(
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
+        docs.where(col("doc_id") % 5 =!= 0), "text")
+    }),
+
     // ---- clustered compaction: range+sort layout, then a pruned scan ----
     "q_clustered_compaction" -> ((s, dir) => {
       val scratch = scratchDir("graft_cluster_") + "/t"
@@ -1083,6 +1105,66 @@ object SparkEntry {
         |FROM (SELECT count(*) AS c FROM lineitem
         |      GROUP BY l_orderkey, l_linenumber) g
         |WHERE c > 1""".stripMargin,
+    "q_table_diff" ->
+      """WITH before AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |after AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM before WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+        |  FROM before WHERE o_orderkey % 53 = 0)
+        |SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+        |  CASE WHEN b.o_orderkey IS NULL THEN 'added'
+        |       WHEN a.o_orderkey IS NULL THEN 'removed'
+        |       WHEN b.o_totalprice IS DISTINCT FROM a.o_totalprice
+        |         OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+        |         THEN 'changed' END AS diff
+        |FROM before b FULL OUTER JOIN after a ON b.o_orderkey = a.o_orderkey
+        |WHERE (b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+        |  OR b.o_totalprice IS DISTINCT FROM a.o_totalprice
+        |  OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)""".stripMargin,
+    "q_lm_score" ->
+      """WITH ref AS (
+        |  SELECT text FROM documents WHERE doc_id % 5 <> 0),
+        |score_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |rt AS (
+        |  SELECT list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                     t -> t <> '') AS toks FROM ref),
+        |uni AS (
+        |  SELECT w AS w1, count(*)::BIGINT AS cu
+        |  FROM rt CROSS JOIN unnest(toks) u(w) GROUP BY w),
+        |v AS (SELECT count(*)::BIGINT AS v FROM uni),
+        |rb AS (
+        |  SELECT toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER)+1] AS bg
+        |  FROM rt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
+        |bi AS (SELECT bg, count(*)::BIGINT AS cb FROM rb GROUP BY bg),
+        |dt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks FROM score_docs),
+        |db AS (
+        |  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER)+1] AS bg
+        |  FROM dt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
+        |nll AS (
+        |  SELECT db.doc_id,
+        |    -ln((coalesce(bi.cb, 0) + 1.0) / (coalesce(uni.cu, 0) + v.v))
+        |      AS nll
+        |  FROM db LEFT JOIN bi ON db.bg = bi.bg
+        |          LEFT JOIN uni ON db.w1 = uni.w1
+        |          CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |    round(avg(nll), 6) AS avg_nll
+        |  FROM nll GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+        |  agg.avg_nll
+        |FROM score_docs d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
     "q_clustered_compaction" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS revenue

@@ -362,4 +362,64 @@ object TextAnalysis {
     val t2 = regexp_replace(t1, EmailPattern, "<EMAIL>")
     regexp_replace(t2, Ipv4Pattern, "<IP>")
   }
+
+  /** Token bigrams `(i, w1, "w1 w2")` for 1-based positions `i` in
+    * `[1, len-1]`; docs with fewer than 2 tokens produce no row. */
+  private def explodedBigrams(df: org.apache.spark.sql.DataFrame,
+      textCol: String, keep: Seq[Column]): org.apache.spark.sql.DataFrame =
+    df.select(keep :+ tokens(col(textCol)).as("__t"): _*)
+      .select(keep ++ Seq(col("__t"),
+        explode(when(size(col("__t")) >= 2,
+          sequence(lit(1), size(col("__t")) - 1))
+          .otherwise(array().cast("array<int>"))).as("__i")): _*)
+      .select(keep ++ Seq(
+        element_at(col("__t"), col("__i")).as("__w1"),
+        concat_ws(" ", element_at(col("__t"), col("__i")),
+          element_at(col("__t"), col("__i") + 1)).as("__bg")): _*)
+
+  /** CCNet-style n-gram language-model quality score: train token bigram
+    * counts on `refCorpus` (the "clean" reference — e.g. a curated subset)
+    * and score each document in `docs` by its average negative log
+    * likelihood under that model with add-one smoothing:
+    * `P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)`, V = reference vocabulary
+    * size. Lower `avg_nll` ≈ more reference-like text; filtering on a
+    * threshold (or a per-language quantile, as CCNet does) is the
+    * classic perplexity quality gate.
+    *
+    * Output: `(idCol, n_bigrams, avg_nll)` — one row per input doc;
+    * docs with fewer than 2 tokens score NULL with `n_bigrams = 0`.
+    *
+    * Scale shape: the model is two count aggregates over the reference
+    * (distinct-bigram / distinct-token sized — fits as shuffle state, no
+    * driver materialization); scoring explodes doc bigrams once and joins
+    * the bigram and unigram tables on their keys (two shuffles of the
+    * exploded stream; Spark broadcasts automatically when the model is
+    * small). No UDFs anywhere — `ln` and the smoothing arithmetic are
+    * plain expressions.
+    */
+  def lmQualityScore(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      refCorpus: org.apache.spark.sql.DataFrame,
+      refTextCol: String): org.apache.spark.sql.DataFrame = {
+    val uni = refCorpus
+      .select(explode(tokens(col(refTextCol))).as("__w1"))
+      .groupBy("__w1").agg(count(lit(1)).as("__cu"))
+    val vocab = uni.agg(count(lit(1)).as("__v"))
+    val bi = explodedBigrams(refCorpus, refTextCol, Nil)
+      .groupBy("__bg").agg(count(lit(1)).as("__cb"))
+    val scored = explodedBigrams(docs, textCol, Seq(col(idCol)))
+      .join(bi, Seq("__bg"), "left")
+      .join(uni, Seq("__w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        (-log((coalesce(col("__cb"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("__cu"), lit(0L)) + col("__v")))).as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("__nll")), 6).as("avg_nll"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nll"))
+  }
 }

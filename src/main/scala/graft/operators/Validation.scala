@@ -104,4 +104,39 @@ object Validation {
     }
     (rowReport.toSeq ++ uniqueReports).reduce(_.unionByName(_))
   }
+
+  /** Snapshot diff by business key: `(keys..., diff)` with `diff` in
+    * `added` / `removed` / `changed`; unchanged rows drop out. The
+    * regression check between two runs of a pipeline — "what did this
+    * code change do to the table" as one full-outer join.
+    *
+    * Non-key columns are compressed to a [[graft.functions.Hashing]] row
+    * hash per side (column-name-sorted, so physical column order never
+    * flips a verdict), so the join carries keys + one hash instead of
+    * full rows. Keys are assumed unique per side (assert with
+    * [[Unique]] first when in doubt); duplicate keys multiply through
+    * the join.
+    */
+  def diffTables(
+      before: DataFrame,
+      after: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diffTables needs at least one key column")
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"schemas differ: [${before.columns.sorted.mkString(",")}] vs " +
+        s"[${after.columns.sorted.mkString(",")}]")
+    val nonKey = before.columns.filterNot(keys.contains).toSeq.sorted
+    require(nonKey.nonEmpty, "need at least one non-key column to compare")
+    val b = before.select(keys.map(col) :+
+      graft.functions.Hashing.rowHashOf(nonKey).as("__hb"): _*)
+    val a = after.select(keys.map(col) :+
+      graft.functions.Hashing.rowHashOf(nonKey).as("__ha"): _*)
+    b.join(a, keys, "full_outer")
+      .withColumn("diff",
+        when(col("__hb").isNull, "added")
+          .when(col("__ha").isNull, "removed")
+          .when(col("__hb") =!= col("__ha"), "changed"))
+      .where(col("diff").isNotNull)
+      .select(keys.map(col) :+ col("diff"): _*)
+  }
 }

@@ -261,6 +261,32 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(ws == "a\na ")
   }
 
+  test("lmQualityScore scores reference-like text lower than gibberish") {
+    val ref = Seq(
+      "the cat sat on the mat",
+      "the dog sat on the rug",
+      "the cat and the dog sat"
+    ).toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),   // in-distribution
+      (2L, "zz qq vv xx yy ww"),        // out-of-distribution
+      (3L, "one"),                       // < 2 tokens -> no score
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmQualityScore(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), Option(r.getAs[java.lang.Double]("avg_nll")))).toMap
+    assert(out(1L)._1 == 5)
+    assert(out(3L) == (0L, None))
+    assert(out(4L) == (0L, None))
+    val inDist = out(1L)._2.get
+    val gibberish = out(2L)._2.get
+    assert(inDist < gibberish,
+      s"in-distribution $inDist should beat gibberish $gibberish")
+    // smoothing keeps everything finite
+    assert(!gibberish.isInfinite && !gibberish.isNaN)
+  }
+
   test("topTermsPerGroup ranks distinctive vocabulary by tf-idf") {
     val df = Seq(
       ("a", "apple apple apple shared shared"),

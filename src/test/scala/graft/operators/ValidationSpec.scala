@@ -61,6 +61,29 @@ class ValidationSpec extends SparkTestBase {
     assert(report == Map("id_not_null" -> 0L, "id_unique" -> 0L))
   }
 
+  test("diffTables classifies added/removed/changed and drops unchanged") {
+    val before = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+    ).toDF("k", "s", "v")
+    val after = Seq(
+      (1L, "a", 10.0),   // unchanged
+      (2L, "b", 99.0),   // changed
+      (4L, "D", 40.0),   // changed (other column)
+      (5L, "e", 50.0)    // added; 3 removed
+    ).toDF("k", "s", "v")
+    val out = Validation.diffTables(before, after, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed",
+      4L -> "changed", 5L -> "added"))
+    // column order must not matter: reordered after gives the same verdicts
+    val out2 = Validation.diffTables(before,
+      after.select("v", "k", "s"), Seq("k")).as[(Long, String)].collect().toMap
+    assert(out2 == out)
+    // mismatched schemas are a loud error
+    intercept[IllegalArgumentException](
+      Validation.diffTables(before, after.drop("v"), Seq("k")))
+  }
+
   test("duplicate rule names are rejected") {
     val e = intercept[IllegalArgumentException] {
       Validation.check(df, Seq(
