@@ -406,6 +406,14 @@ object SparkEntry {
           round(sum("l_extendedprice"), 2).as("revenue"))
     }),
 
+    // ---- LSH trust audit: exact n-gram Jaccard next to the estimate ----
+    "q_audit_lsh_pairs" -> ((s, dir) => {
+      val corpus = lshCorpus(s, dir)
+      val pairs = operators.Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.5)
+      operators.Dedup.auditPairs(pairs, corpus, "doc_id", "text", n = 3)
+    }),
+
     // ---- skew-safe two-stage distinct count (salt on the value hash)
     "q_salted_distinct" -> ((s, dir) => {
       operators.Skew.saltedCountDistinct(
@@ -1232,6 +1240,61 @@ object SparkEntry {
         |      / 16.0, 6) >= 0.5)
         |SELECT doc_id FROM batch
         |WHERE doc_id NOT IN (SELECT batch_id FROM matched)""".stripMargin,
+    "q_audit_lsh_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' extra extra'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[i:i+2], ' ')) AS shingles
+        |  FROM toks WHERE len(toks) > 0),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(sha256(s), 1, 7))::BIGINT % 268435399 AS h
+        |  FROM sh CROSS JOIN unnest(shingles) AS u(s)),
+        |minh AS (
+        |  SELECT doc_id, CAST(p AS INTEGER) AS p,
+        |    min((h * (2 * p + 1) + p * 7919) % 268435399) AS mh
+        |  FROM h CROSS JOIN range(16) t(p)
+        |  GROUP BY doc_id, p),
+        |sig AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM minh GROUP BY doc_id),
+        |bandh AS (
+        |  SELECT doc_id, b,
+        |    ('0x' || substring(sha256(
+        |      array_to_string(sig[CAST(b AS INTEGER)*4+1 : CAST(b AS INTEGER)*4+4], ',')),
+        |      1, 15))::BIGINT AS bh
+        |  FROM sig CROSS JOIN range(4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM bandh a JOIN bandh c ON a.b = c.b AND a.bh = c.bh
+        |  WHERE a.doc_id < c.doc_id),
+        |est AS (
+        |  SELECT cand.id_a, cand.id_b,
+        |    round(len(list_filter(range(16),
+        |      i -> s1.sig[CAST(i AS INTEGER)+1] = s2.sig[CAST(i AS INTEGER)+1]))
+        |      / 16.0, 6) AS est_jaccard
+        |  FROM cand
+        |  JOIN sig s1 ON s1.doc_id = cand.id_a
+        |  JOIN sig s2 ON s2.doc_id = cand.id_b),
+        |sets AS (SELECT doc_id, list_distinct(shingles) AS st FROM sh)
+        |SELECT e.id_a, e.id_b, e.est_jaccard,
+        |  CASE WHEN len(list_distinct(list_cat(sa.st, sb.st))) = 0 THEN 0.0
+        |       ELSE round(
+        |         len(list_filter(sa.st, x -> list_contains(sb.st, x))) * 1.0
+        |         / len(list_distinct(list_cat(sa.st, sb.st))), 6) END
+        |    AS exact_jaccard
+        |FROM est e
+        |JOIN sets sa ON sa.doc_id = e.id_a
+        |JOIN sets sb ON sb.doc_id = e.id_b
+        |WHERE e.est_jaccard >= 0.5""".stripMargin,
     "q_salted_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_count
         |FROM lineitem GROUP BY 1""".stripMargin,

@@ -91,6 +91,20 @@ object Compaction {
       path: String,
       targetFileBytes: Long = 128L << 20,
       clusterCols: Seq[String] = Nil): Unit = {
+    // a partitionBy-layout directory (col=value subdirs) must not be
+    // rewritten flat: the partition column would become a data column, and
+    // the next partitioned append would mix layouts in one directory —
+    // partition discovery then fails or misreads. Refuse loudly.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val partitioned = fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(n => n.contains("=") && !n.startsWith("."))
+      require(partitioned.isEmpty,
+        s"'$path' has partitioned layout (${partitioned.take(3).mkString(", ")}" +
+          "…) — compactInPlace would flatten it; rewrite partition-aware " +
+          "(e.g. per-partition compaction or a fresh partitionBy write) instead")
+    }
     val df = spark.read.parquet(path)
     val n = targetFileCount(df, targetFileBytes)
     val shaped =

@@ -292,6 +292,37 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Audit candidate pairs against EXACT n-gram Jaccard: join each
+    * `(id_a, id_b)` pair back to its documents' distinct shingle sets and
+    * compute the true Jaccard next to whatever estimate produced the pair.
+    * The trust check for the LSH/SimHash scale paths — run it on a sample
+    * of candidate pairs to measure estimator bias and false-positive rate
+    * before committing a threshold to a 100 TB dedup pass.
+    *
+    * Cost is proportional to the PAIR list (each side's shingle sets are
+    * built once per referenced doc, then equi-joined by id) — never to
+    * the corpus pair space.
+    *
+    * Output: `pairs`' columns plus `exact_jaccard`.
+    */
+  def auditPairs(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val sets = docs.select(col(idCol),
+      array_distinct(shingles(col(textCol), n)).as("__set"))
+    pairs
+      .join(sets.select(col(idCol).as(idA), col("__set").as("__sa")), Seq(idA))
+      .join(sets.select(col(idCol).as(idB), col("__set").as("__sb")), Seq(idB))
+      .withColumn("exact_jaccard",
+        round(shingleSetJaccard(col("__sa"), col("__sb")), 6))
+      .drop("__sa", "__sb")
+  }
+
   /** Cross-corpus n-gram overlap — the eval-decontamination primitive:
     * which training documents share word n-gram shingles with a benchmark
     * ("probe") set, and what fraction of each probe document they cover.

@@ -84,6 +84,18 @@ class LayoutSpec extends SparkTestBase {
     } finally cleanup(new java.io.File(dir).getParent)
   }
 
+  test("compactInPlace refuses a partitionBy-layout directory") {
+    val dir = tempDir() + "/t"
+    try {
+      spark.range(100).select(col("id"), (col("id") % 3).as("p"))
+        .write.partitionBy("p").parquet(dir)
+      val e = intercept[IllegalArgumentException] {
+        Compaction.compactInPlace(spark, dir)
+      }
+      assert(e.getMessage.contains("partitioned layout"))
+    } finally cleanup(new java.io.File(dir).getParent)
+  }
+
   test("bloomSemiFilter never drops a true match and does prune") {
     val big = spark.range(50000).select(col("id").as("k"), (col("id") * 3).as("v"))
     val small = spark.range(100).select((col("id") * 500).as("k"))

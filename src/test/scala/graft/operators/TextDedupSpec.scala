@@ -76,6 +76,22 @@ class TextDedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("auditPairs reports exact jaccard next to the LSH estimate") {
+    val base = "spark fuse data pipeline with many shared tokens in common sequence order"
+    val df = Seq(
+      (1L, base),
+      (2L, base),  // exact dup: exact_jaccard 1.0
+      (3L, "completely unrelated content about cooking pasta with tomato sauce basil")
+    ).toDF("id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "id", "text",
+      numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.4)
+    val audited = Dedup.auditPairs(pairs, df, "id", "text", n = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("exact_jaccard")).toMap
+    assert(audited((1L, 2L)) == 1.0)
+    assert(audited.keySet == Set((1L, 2L))) // audit adds no pairs
+  }
+
   test("simhash: identical docs same hash, near docs small hamming distance") {
     val df = Seq(
       (1L, "spark is a distributed compute engine for big data workloads"),
