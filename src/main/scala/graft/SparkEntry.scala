@@ -247,10 +247,15 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("__n_tok")).as("n_tokens"),
-          round(avg(col("__q")), 6).as("avg_quality"),
+          // integer micros, not avg(double): float summation order differs
+          // between engines/partitionings, so sum exactly and divide once
+          sum(round(col("__q") * 1e6).cast("long")).as("__q_micros"),
           countDistinct(col("lang")).as("n_langs"),
           sum(col("__urls")).as("n_urls"),
           sum(col("__emails")).as("n_emails"))
+        .withColumn("avg_quality",
+          round(col("__q_micros") / (col("n_docs") * 1e6), 6))
+        .drop("__q_micros")
     }),
 
     // ---- boilerplate line removal (CCNet/RefinedWeb line-dedup) over a
@@ -378,7 +383,7 @@ object SparkEntry {
       operators.Compaction.writeClustered(
         t(s, dir, "lineitem"), scratch, Seq("l_shipdate"), numFiles = 8)
       s.read.parquet(scratch)
-        .where(col("l_shipdate").between("1994-01-01", "1994-12-31"))
+        .where(col("l_shipdate").between("1996-01-01", "1996-12-31"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           round(sum("l_extendedprice"), 2).as("revenue"))
@@ -571,7 +576,9 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, dir) => {
       val withTok = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          size(operators.TextAnalysis.tokens(col("text"))).as("n_tok"))
+          // long, not int: DuckDB's len() is BIGINT, so agree by construction
+          size(operators.TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
       operators.Packing.packSequences(withTok, "n_tok", budget = 1024L,
         orderCols = Seq(col("doc_id")), shardCols = Seq("source"))
     }),
@@ -1177,7 +1184,7 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem
-        |WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+        |WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
         |GROUP BY 1""".stripMargin,
     "q_compact_roundtrip" ->
       "SELECT doc_id, source FROM documents",
@@ -1505,9 +1512,13 @@ object SparkEntry {
         |    len(regexp_extract_all(text,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails
         |  FROM base)
-        |SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens,
-        |  round(avg(q), 6) AS avg_quality, count(DISTINCT lang) AS n_langs,
-        |  sum(urls) AS n_urls, sum(emails) AS n_emails
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(CAST(round(q * 1000000) AS BIGINT)) AS BIGINT)
+        |        / (count(*) * 1000000.0), 6) AS avg_quality,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(urls) AS BIGINT) AS n_urls,
+        |  CAST(sum(emails) AS BIGINT) AS n_emails
         |FROM q GROUP BY source""".stripMargin,
     "q_dedup_lines" ->
       """WITH corpus AS (
@@ -1662,8 +1673,8 @@ object SparkEntry {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, source, n_tok,
-        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS UNBOUNDED PRECEDING) - n_tok AS bin_offset
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS bin_offset
         |  FROM tok)
         |SELECT doc_id, source, n_tok, bin_offset,
         |  CAST(floor(bin_offset / 1024) AS BIGINT) AS bin

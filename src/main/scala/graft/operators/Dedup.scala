@@ -112,9 +112,11 @@ object Dedup {
     * Output: (id_a, id_b, est_jaccard) with id_a < id_b.
     *
     * Long-lived sessions: the persisted intermediate lives until the
-    * session ends or the caller releases it (`spark.catalog.clearCache()`
-    * or unpersist via `sparkContext.getPersistentRDDs`) — same lifecycle
-    * as `Sampling.deterministicShuffle`.
+    * session ends or the caller releases it. For deterministic release,
+    * wrap the call in [[graft.core.Caches.collectPins]], materialize the
+    * result, then `pins.release()` — that frees exactly what this call
+    * pinned ([[graft.core.Caches]] has the contract). [[dedupCorpus]] does
+    * this internally.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -130,8 +132,8 @@ object Dedup {
     // both sides of the band-bucket self-join read the signatures; persist
     // (id + numPerms longs per doc — small) or the whole shingle→hash→agg
     // chain runs twice
-    val sigs = minhashSignatures(df, idCol, textCol, numPerms, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = graft.core.Caches.pin(
+      minhashSignatures(df, idCol, textCol, numPerms, shingleSize))
     val banded = sigs.select(col("__id"), col("__sig"),
       posexplode(lshBandHashes(col("__sig"), bands, rowsPerBand)).as(Seq("__band", "__bucket")))
     val left = banded.select(col("__band"), col("__bucket"),
@@ -215,6 +217,8 @@ object Dedup {
     val sigs = spreadForCompute(df)
       .select(col(idCol).as("__id"), simhash(col(textCol), bits).as("__sh"))
       .localCheckpoint(true)
+    // the result still reads this checkpoint — scope-register, don't free
+    graft.core.Caches.registerCheckpoint(sigs)
     val banded = sigs.select(col("__id"), col("__sh"),
       posexplode(simhashBands(col("__sh"), bits, bands))
         .as(Seq("__band", "__bv")))
@@ -250,9 +254,9 @@ object Dedup {
     * per PAIR, which is quadratic in block size.
     *
     * Long-lived sessions: the persisted intermediate lives until the
-    * session ends or the caller releases it (`spark.catalog.clearCache()`
-    * or unpersist via `sparkContext.getPersistentRDDs`) — same lifecycle
-    * as `Sampling.deterministicShuffle`.
+    * session ends or the caller releases it — for deterministic release
+    * wrap in [[graft.core.Caches.collectPins]] and `release()` after
+    * materializing, same contract as [[minhashLshPairs]].
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -268,10 +272,10 @@ object Dedup {
     // materialize (array_intersect per pair is quadratic in block size)
     // the exploded shingles feed the per-doc sizes AND both join sides;
     // persist (disk-backed) so the tokenize→shingle chain runs once
-    val sh = spreadForCompute(df).select(blockCols.map(col) ++ Seq(
-      col(idCol).as("__id"),
-      explode(array_distinct(shingles(col(textCol), n))).as("__s")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.core.Caches.pin(
+      spreadForCompute(df).select(blockCols.map(col) ++ Seq(
+        col(idCol).as("__id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("__s")): _*))
     val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
     val a = sh.select(blockCols.map(col) ++ Seq(
       col("__id").as("id_a"), col("__s")): _*)
@@ -504,10 +508,9 @@ object Dedup {
     }
     // signatures + norms are reused by both join sides; persist so the
     // projection stage runs once per vector
-    val base = base0
+    val base = graft.core.Caches.pin(base0
       .withColumn("__n", sqrt(graft.functions.VectorFunctions.sumSquares(col("__v"))))
-      .withColumn("__sigs", array(sigs: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("__sigs", array(sigs: _*)))
     val banded = base.select(col("__id"), col("__v"), col("__n"),
       posexplode(col("__sigs")).as(Seq("__t", "__sig")))
     val left = banded.select(col("__t"), col("__sig"),
@@ -541,9 +544,18 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.5,
       keepBy: Seq[Column] = Nil): DataFrame = {
-    val pairs = minhashLshPairs(df, idCol, textCol, numPerms, bands,
-      shingleSize, threshold)
+    // Scope the signature cache: connectedComponents consumes `pairs`
+    // EAGERLY (it checkpoints/collects the edge set before iterating), so
+    // the signatures pinned inside minhashLshPairs are dead the moment it
+    // returns — release them here rather than leak one cache entry per call
+    // into long-lived sessions. Neither `clusters` nor the joins below
+    // reference the pairs lineage, so this never forces a recompute.
+    val (pairs, sigPins) = graft.core.Caches.collectPins {
+      minhashLshPairs(df, idCol, textCol, numPerms, bands,
+        shingleSize, threshold)
+    }
     val clusters = connectedComponents(pairs, "id_a", "id_b")
+    sigPins.release()
     if (keepBy.isEmpty) {
       // survivor == component label; drop every non-label member
       val removed = clusters.where(col("node") =!= col("comp"))
@@ -648,8 +660,20 @@ object Dedup {
         s"algorithm='local' on $edgeCount edges exceeds LocalEdgeThreshold " +
           s"($LocalEdgeThreshold); use 'labelprop', 'stars', or 'auto'")
     if (algorithm == "local" ||
-      (algorithm == "auto" && edgeCount <= LocalEdgeThreshold))
-      return localUnionFind(edgesRaw)
+      (algorithm == "auto" && edgeCount <= LocalEdgeThreshold)) {
+      val out = localUnionFind(edgesRaw)
+      // union-find collected the edges; both input checkpoints are dead and
+      // the result (a parallelized local relation) references neither
+      graft.core.Caches.releaseCheckpoint(p)
+      graft.core.Caches.releaseCheckpoint(edgesRaw)
+      return out
+    }
+    // the loops call this once their own initial checkpoints are
+    // materialized — from then on nothing reads the raw inputs
+    val releaseInputs = () => {
+      graft.core.Caches.releaseCheckpoint(p)
+      graft.core.Caches.releaseCheckpoint(edgesRaw)
+    }
     val useStars = algorithm == "stars" || algorithm == "auto"
     // session-conf override, restored on exit: every per-round shuffle must
     // land in `parts` partitions, and shuffle width is not expressible
@@ -664,8 +688,8 @@ object Dedup {
     try {
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      if (useStars) starsLoop(edgesRaw, maxIter, edgeCount)
-      else labelPropLoop(edgesRaw, parts, maxIter)
+      if (useStars) starsLoop(edgesRaw, maxIter, edgeCount, releaseInputs)
+      else labelPropLoop(edgesRaw, parts, maxIter, releaseInputs)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
@@ -738,15 +762,18 @@ object Dedup {
     * already-checkpointed round output.
     */
   private def labelPropLoop(
-      edgesRaw: DataFrame, parts: Int, maxIter: Int): DataFrame = {
+      edgesRaw: DataFrame, parts: Int, maxIter: Int,
+      releaseInputs: () => Unit): DataFrame = {
     // Co-partition edges on the join key once: localCheckpoint preserves the
     // hash partitioning, so every round's join re-shuffles only the (much
     // smaller) labels side.
     val edges = edgesRaw.repartition(parts, col("s")).localCheckpoint(true)
     var converged = false
     var iter = 0
-    var labels = edges.select(col("s").as("node"), col("s").as("comp"))
+    var labelsCkpt = edges.select(col("s").as("node"), col("s").as("comp"))
       .distinct().localCheckpoint(true)
+    releaseInputs()
+    var labels = labelsCkpt
     while (!converged && iter < maxIter) {
       val msgs = edges
         .join(labels, edges("s") === labels("node"))
@@ -765,12 +792,21 @@ object Dedup {
         .observe(obs, count(when(col("comp") =!= col("prev"), 1)).as("changed"))
         .localCheckpoint(true)
       converged = obs.get("changed").asInstanceOf[Long] == 0L
+      // this round's output is materialized — the previous round's
+      // checkpoint is dead; free it instead of waiting on the GC cleaner
+      graft.core.Caches.releaseCheckpoint(labelsCkpt)
+      labelsCkpt = next
       labels = next.select(col("node"), col("comp"))
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter rounds; " +
         "raise maxIter (rounds needed ~ component diameter)")
+    graft.core.Caches.releaseCheckpoint(edges)
+    // the caller's result reads the final round's checkpoint: keep it
+    // pinned, but let a Caches scope (e.g. the streaming ingest sink)
+    // release it once the result is materialized
+    graft.core.Caches.registerCheckpoint(labelsCkpt)
     labels
   }
 
@@ -791,7 +827,8 @@ object Dedup {
     * 64-bit hash-sum overflow.)
     */
   private def starsLoop(
-      edgesRaw: DataFrame, maxIter: Int, edgeCount: Long): DataFrame = {
+      edgesRaw: DataFrame, maxIter: Int, edgeCount: Long,
+      releaseInputs: () => Unit): DataFrame = {
     // The budget self-sizes as 2·⌈log₂ edges⌉ + 8 with `maxIter` as a
     // floor: enough for real near-dup graphs (which exit on the
     // convergence signature in 2–5 rounds) at any data size, while never
@@ -824,8 +861,13 @@ object Dedup {
       .select(greatest(col("s"), col("d")).as("u"), least(col("s"), col("d")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct().localCheckpoint(true)
-    if (edges.isEmpty)
+    releaseInputs()
+    // both return paths below read allNodes — scope-registered, not freed
+    graft.core.Caches.registerCheckpoint(allNodes)
+    if (edges.isEmpty) {
+      graft.core.Caches.releaseCheckpoint(edges)
       return allNodes.select(col("node"), col("node").as("comp"))
+    }
     var sig = {
       val r = edges.agg(sigExprs.head, sigExprs.tail: _*).head()
       sigOf(Seq("n", "x", "s").zipWithIndex
@@ -863,11 +905,15 @@ object Dedup {
       val nextSig = sigOf(obs.get)
       converged = nextSig == sig
       sig = nextSig
+      // round output materialized — the previous round's checkpoint is dead
+      graft.core.Caches.releaseCheckpoint(edges)
       edges = small
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents(stars) did not converge within $budget rounds")
+    // the result reads the final round's edges: keep pinned, scope-register
+    graft.core.Caches.registerCheckpoint(edges)
     val starLabels = edges.select(col("u").as("node"), col("v").as("comp"))
       .union(edges.select(col("v").as("node"), col("v").as("comp")))
       .distinct()

@@ -169,14 +169,12 @@ object DedupIndex {
       broadcastBatch: Boolean = true): (DataFrame, DataFrame) = {
     val withinBatch = Dedup.dedupCorpus(batch, idCol, textCol, numPerms,
       bands, shingleSize, threshold)
-    val batchRows = indexRowsFor(withinBatch, idCol, textCol, numPerms,
-      bands, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchRows = graft.core.Caches.pin(
+      indexRowsFor(withinBatch, idCol, textCol, numPerms, bands, shingleSize))
     // small (matched ids only), read by both anti-joins below
-    val matched = matchesFromRows(batchRows, index, numPerms, threshold,
-      broadcastBatch)
-      .select(col("batch_id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val matched = graft.core.Caches.pin(
+      matchesFromRows(batchRows, index, numPerms, threshold, broadcastBatch)
+        .select(col("batch_id")).distinct())
     val survivors = withinBatch.join(
       matched.withColumnRenamed("batch_id", idCol), Seq(idCol), "left_anti")
     val newRows = batchRows.join(

@@ -150,9 +150,10 @@ object Sampling {
     * NOTE: like zipWithIndex, the two passes (offsets, output) share one
     * materialization — the ranked input is persisted MEMORY_AND_DISK for
     * the query's lifetime. Callers shuffling a large corpus should write
-    * the result out, then release with `spark.catalog.clearCache()` (or
-    * unpersist via `sparkContext.getPersistentRDDs`); without the persist
-    * the full scan + range shuffle + rank would run twice instead.
+    * the result out, then release — wrap the call in
+    * [[graft.core.Caches.collectPins]] and `release()` after the write;
+    * without the persist the full scan + range shuffle + rank would run
+    * twice instead.
     */
   def deterministicShuffle(
       df: DataFrame,
@@ -172,9 +173,9 @@ object Sampling {
     // both the output and the offsets aggregate read the ranked rows;
     // persist or the scan + range shuffle + window run twice (the same
     // double-computation RDD.zipWithIndex has without a cached parent)
-    val ranked = keyed.withColumn("__pid", spark_partition_id())
-      .withColumn("__rn", row_number().over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = graft.core.Caches.pin(
+      keyed.withColumn("__pid", spark_partition_id())
+        .withColumn("__rn", row_number().over(w)))
     val offsets = ranked.groupBy("__pid").agg(count(lit(1)).as("__n"))
       .withColumn("__off",
         coalesce(sum(col("__n")).over(

@@ -267,9 +267,9 @@ object TextAnalysis {
     * Output: (group, term, tf, score, rank), rank 1..k.
     *
     * Long-lived sessions: the persisted intermediate lives until the
-    * session ends or the caller releases it (`spark.catalog.clearCache()`
-    * or unpersist via `sparkContext.getPersistentRDDs`) — same lifecycle
-    * as `Sampling.deterministicShuffle`.
+    * session ends or the caller releases it — for deterministic release
+    * wrap in [[graft.core.Caches.collectPins]] and `release()` after
+    * materializing, same contract as `Sampling.deterministicShuffle`.
     */
   def topTermsPerGroup(
       df: org.apache.spark.sql.DataFrame,
@@ -282,8 +282,8 @@ object TextAnalysis {
     // tf feeds both the scores and the group-frequency aggregate; persist
     // the (group, term, count) stats — far smaller than the exploded
     // tokens — or the tokenize+explode stage runs twice
-    val tf = toks.groupBy("group", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = graft.core.Caches.pin(
+      toks.groupBy("group", "term").agg(count(lit(1)).as("tf")))
     val gf = tf.groupBy("term").agg(count(lit(1)).as("gf"))
     // derived from the persisted tf stats, not a second full corpus scan;
     // countDistinct's null-exclusion semantics are identical either way

@@ -215,14 +215,15 @@ object StreamingOps {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val sc = spark.sparkContext
           // the ingest chain persists per-batch intermediates (signature
-          // rows, matched ids, LSH signatures inside dedupCorpus) with
-          // session lifetime — on an unbounded stream that is one leaked
-          // cache entry per micro-batch, so release everything this batch
-          // pinned once its writes commit
-          val persistedBefore = sc.getPersistentRDDs.keySet
-          try {
+          // rows, matched ids, component checkpoints inside dedupCorpus)
+          // with session lifetime — on an unbounded stream that is one
+          // leaked cache entry per micro-batch. A Caches scope records
+          // exactly what THIS batch pins (a global getPersistentRDDs diff
+          // would also catch RDDs pinned concurrently by other queries on
+          // the shared context), and the finally releases precisely that
+          // set once the batch's writes commit.
+          val (attempt, pins) = graft.core.Caches.collectPins(scala.util.Try {
             val p = new org.apache.hadoop.fs.Path(indexPath)
             val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
             // existence alone is not readiness: a first batch of only
@@ -252,11 +253,9 @@ object StreamingOps {
             // inside ingestBatch — the batch text is hashed exactly once
             survivors.write.mode("append").parquet(corpusPath)
             graft.operators.DedupIndex.writeIndex(newRows, indexPath)
-          } finally {
-            val after = sc.getPersistentRDDs
-            (after.keySet -- persistedBefore).foreach(id =>
-              after.get(id).foreach(_.unpersist(false)))
-          }
+          })
+          pins.release()
+          attempt.get // a failed batch releases its pins, THEN propagates
         }
     }
 

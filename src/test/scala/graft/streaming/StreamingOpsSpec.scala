@@ -209,6 +209,12 @@ class StreamingOpsSpec extends SparkTestBase {
 
   test("dedupIngestSink builds a corpus + index that suppress cross-batch dups") {
     implicit val sqlCtx = spark.sqlContext
+    // snapshot, not isEmpty: getPersistentRDDs is GLOBAL to the shared
+    // SparkContext, and other suites legitimately leave session-lifetime
+    // caches (e.g. TextDedupSpec's minhashLshPairs signatures). The sink's
+    // no-leak contract is about what IT pins per batch — assert no NEW
+    // entries relative to the pre-stream snapshot.
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val source = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
     val root = Files.createTempDirectory("graft_ingest_").toString
@@ -238,7 +244,8 @@ class StreamingOpsSpec extends SparkTestBase {
         .select("__id").distinct().as[Long].collect().sorted
       assert(indexed.toSeq == Seq(1L, 2L, 4L))
       // per-batch intermediates were released — no cache leak per batch
-      assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+      assert((spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore)
+        .isEmpty)
     } finally q.stop()
   }
 
