@@ -972,14 +972,16 @@ object SparkEntry {
         |  FROM toks),
         |bitsum AS (
         |  SELECT doc_id, b,
-        |    SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |    CAST(SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
+        |             THEN 1 ELSE -1 END) AS BIGINT) AS s
         |  FROM h CROSS JOIN range(32) t(b)
         |  GROUP BY doc_id, b)
         |SELECT d.doc_id,
         |  coalesce(agg.sh, 0)::BIGINT AS simhash
         |FROM documents d LEFT JOIN (
         |  SELECT doc_id,
-        |    SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS sh
+        |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER))
+        |             ELSE 0 END) AS BIGINT) AS sh
         |  FROM bitsum GROUP BY doc_id) agg
         |ON d.doc_id = agg.doc_id""".stripMargin,
     "q_winnow_fingerprints" ->
@@ -1023,14 +1025,16 @@ object SparkEntry {
         |  FROM toks),
         |bitsum AS (
         |  SELECT doc_id, b,
-        |    SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |    CAST(SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
+        |             THEN 1 ELSE -1 END) AS BIGINT) AS s
         |  FROM h CROSS JOIN range(48) t(b)
         |  GROUP BY doc_id, b),
         |sh AS (
         |  SELECT c.doc_id, coalesce(agg.v, 0)::BIGINT AS sh
         |  FROM corpus c LEFT JOIN (
         |    SELECT doc_id,
-        |      SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS v
+        |      CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER))
+        |               ELSE 0 END) AS BIGINT) AS v
         |    FROM bitsum GROUP BY doc_id) agg
         |  ON c.doc_id = agg.doc_id),
         |bands AS (
@@ -1382,8 +1386,8 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3),
         |sig AS (
         |  SELECT vec_id, t,
-        |    SUM(CASE WHEN proj > 0 THEN (1::BIGINT << CAST(p AS INTEGER))
-        |        ELSE 0 END) AS sig
+        |    CAST(SUM(CASE WHEN proj > 0 THEN (1::BIGINT << CAST(p AS INTEGER))
+        |        ELSE 0 END) AS BIGINT) AS sig
         |  FROM proj GROUP BY 1, 2),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1743,8 +1747,9 @@ object SparkEntry {
         |      > 1800000000 THEN 1 ELSE 0 END AS brk
         |  FROM d),
         |g AS (
-        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us,
+        |    event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS sid
         |  FROM b)
         |SELECT user_id, min(ts_us) AS session_start,
         |  max(ts_us) AS session_end,

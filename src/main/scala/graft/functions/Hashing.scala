@@ -28,6 +28,18 @@ object Hashing {
   /** Convenience: hash named columns. */
   def rowHashOf(columnNames: Seq[String]): Column = rowHash(columnNames.map(col))
 
+  /** Null-DISTINGUISHING row hash: like [[rowHash]] but every column also
+    * contributes an explicit is-null flag, so NULL and `''` (and NULL vs
+    * any value) always hash apart — `IS DISTINCT FROM` comparison
+    * semantics. [[rowHash]] deliberately keeps the reference's NULL ≡ `''`
+    * contract for change tracking; use THIS where that collision would
+    * hide a real difference (e.g. snapshot diffing, where a NULL→`''`
+    * change must report as changed).
+    */
+  def nullAwareRowHash(cols: Seq[Column]): Column =
+    sha2(concat_ws(UnitSeparator, cols.flatMap(c => Seq(
+      when(c.isNull, lit("n")).otherwise(lit("v")), stringify(c))): _*), 256)
+
   /** Stable bucket id in [0, numBuckets) from the given key columns.
     *
     * xxhash64 over the same stringified/null-coalesced concatenation as

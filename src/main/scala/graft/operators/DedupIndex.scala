@@ -60,13 +60,101 @@ object DedupIndex {
       .select("__id", "__band", "__bucket", "__sig")
   }
 
+  /** Sidecar filename recording the index's build parameters — the only
+    * reliable way to catch a `bands`/`shingleSize` drift between build and
+    * probe (`numPerms` is checkable from the stored signatures, the other
+    * two are not derivable from the data without a full scan).
+    */
+  val ParamsFileName = "_graft_index_params.json"
+
   /** Write index rows laid out for cheap probing: files are partitioned by
     * `__band`, so a probe that broadcasts the batch streams only the
     * matching band directories' row groups. Append mode — each batch's
     * survivor rows are added to the same layout.
+    *
+    * The build parameters are recorded in a `_graft_index_params.json`
+    * sidecar on first write; every later append validates against it and
+    * fails loudly on drift — appending rows built with different
+    * parameters would silently empty future candidate joins. Read the
+    * index back with [[loadIndex]] to get the same check on the probe
+    * side. (Pre-sidecar indexes validate signature length only.)
     */
-  def writeIndex(indexRows: DataFrame, path: String): Unit =
+  def writeIndex(
+      indexRows: DataFrame,
+      path: String,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3): Unit = {
+    val spark = indexRows.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val sidecar = new org.apache.hadoop.fs.Path(dir, ParamsFileName)
+    readParams(fs, sidecar) match {
+      case Some(stored) =>
+        checkParams(stored, numPerms, bands, shingleSize, path)
+      case None =>
+        // temp + rename: a crash mid-write must not leave a torn sidecar
+        val tmp = new org.apache.hadoop.fs.Path(
+          dir, s".$ParamsFileName.${java.util.UUID.randomUUID()}.tmp")
+        fs.mkdirs(dir)
+        val out = fs.create(tmp, true)
+        try out.write(graft.io.Json.toJson(Map(
+          "num_perms" -> numPerms, "bands" -> bands,
+          "shingle_size" -> shingleSize))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (!fs.rename(tmp, sidecar)) {
+          // lost a create race: validate against the winner instead
+          fs.delete(tmp, false)
+          readParams(fs, sidecar).foreach(
+            checkParams(_, numPerms, bands, shingleSize, path))
+        }
+    }
     indexRows.write.mode("append").partitionBy("__band").parquet(path)
+  }
+
+  /** Read a persisted index for probing, validating its recorded build
+    * parameters against the probe's — a mismatch is a loud error instead
+    * of a silently-empty candidate join. Indexes written before the
+    * sidecar existed load with a warning-free fallback to the
+    * signature-length check performed by every probe entry point.
+    */
+  def loadIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    readParams(fs, new org.apache.hadoop.fs.Path(dir, ParamsFileName))
+      .foreach(checkParams(_, numPerms, bands, shingleSize, path))
+    spark.read.parquet(path)
+  }
+
+  private def readParams(
+      fs: org.apache.hadoop.fs.FileSystem,
+      sidecar: org.apache.hadoop.fs.Path): Option[(Int, Int, Int)] =
+    if (!fs.exists(sidecar)) None
+    else {
+      val in = fs.open(sidecar)
+      val text =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val node = graft.io.Json.parse(text)
+      Some((node.get("num_perms").asInt(), node.get("bands").asInt(),
+        node.get("shingle_size").asInt()))
+    }
+
+  private def checkParams(
+      stored: (Int, Int, Int),
+      numPerms: Int, bands: Int, shingleSize: Int, path: String): Unit =
+    require(stored == ((numPerms, bands, shingleSize)),
+      s"index at $path was built with (numPerms, bands, shingleSize) = " +
+        s"$stored but this call uses (${(numPerms, bands, shingleSize)}) — " +
+        "build and probe parameters must match or the candidate join is " +
+        "silently empty")
 
   /** Candidate matches between a new batch and the index:
     * `(batch_id, index_id, est_jaccard)` for every (batch doc, indexed doc)

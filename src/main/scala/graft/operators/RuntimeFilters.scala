@@ -45,6 +45,14 @@ object RuntimeFilters {
     * set — a bloom semi-join that supersets the exact semi-join (false
     * positives pass, matches always pass). Compose with the real join:
     * every dropped row is one that could never have matched.
+    *
+    * Small-side cost: with auto-sizing (`expectedItems < 0`) the small
+    * plan is evaluated twice here (sizing count + bloom aggregate), so it
+    * is cached for the duration of the call and released before returning
+    * — the returned filter never re-reads it. A caller passing
+    * `expectedItems` explicitly skips both the count and the cache (one
+    * evaluation; typically a side the caller knows is cheap or already
+    * cached).
     */
   def bloomSemiFilter(
       big: DataFrame,
@@ -53,14 +61,31 @@ object RuntimeFilters {
       smallKey: String,
       expectedItems: Long = -1L,
       fpp: Double = 0.01): DataFrame = {
-    val bf = bloomOf(small, smallKey, expectedItems, fpp)
-    big.where(BloomFunctions.mightContain(big(bigKey), bf))
+    val own = expectedItems < 0 &&
+      small.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val src = if (own)
+      small.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else small
+    try {
+      val bf = bloomOf(src, smallKey, expectedItems, fpp)
+      big.where(BloomFunctions.mightContain(big(bigKey), bf))
+    } finally if (own) src.unpersist(false) // bloom is built; small is dead
   }
 
   /** Bloom-pruned equi-join: prune `big` with `small`'s key bloom, then
     * join. Restricted to join types where unmatched `big` rows are dropped
     * anyway — pruning under `left`/`full` outer joins would delete rows the
     * join contract keeps.
+    *
+    * Small-side cost: the small plan feeds the sizing count, the bloom
+    * aggregate AND the join — up to three evaluations for a derived
+    * subquery. With auto-sizing (`expectedItems < 0`) it is cached via
+    * [[graft.core.Caches.pin]] so all three read one materialization; the
+    * pin lives until the session ends or an enclosing
+    * [[graft.core.Caches.collectPins]] scope releases it (the join result
+    * reads the cache lazily, so the call cannot release it itself). When
+    * `bigKey == smallKey` the join uses the USING form, so the output
+    * carries ONE key column instead of an ambiguous duplicate pair.
     */
   def bloomPrunedJoin(
       big: DataFrame,
@@ -74,7 +99,13 @@ object RuntimeFilters {
     require(ok.contains(joinType.toLowerCase.replace("_", "")),
       s"joinType '$joinType' keeps unmatched big-side rows; bloom pruning " +
         "would drop them (allowed: inner, left_semi, right_outer)")
-    val pruned = bloomSemiFilter(big, bigKey, small, smallKey, expectedItems, fpp)
-    pruned.join(small, pruned(bigKey) === small(smallKey), joinType)
+    val src = if (expectedItems < 0 &&
+      small.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      graft.core.Caches.pin(small)
+    else small
+    // src is already persisted, so the semi filter won't re-cache/release
+    val pruned = bloomSemiFilter(big, bigKey, src, smallKey, expectedItems, fpp)
+    if (bigKey == smallKey) pruned.join(src, Seq(bigKey), joinType)
+    else pruned.join(src, pruned(bigKey) === src(smallKey), joinType)
   }
 }

@@ -110,12 +110,15 @@ object Validation {
     * regression check between two runs of a pipeline — "what did this
     * code change do to the table" as one full-outer join.
     *
-    * Non-key columns are compressed to a [[graft.functions.Hashing]] row
-    * hash per side (column-name-sorted, so physical column order never
-    * flips a verdict), so the join carries keys + one hash instead of
-    * full rows. Keys are assumed unique per side (assert with
-    * [[Unique]] first when in doubt); duplicate keys multiply through
-    * the join.
+    * Non-key columns are compressed to a null-aware
+    * [[graft.functions.Hashing.nullAwareRowHash]] per side
+    * (column-name-sorted, so physical column order never flips a
+    * verdict), so the join carries keys + one hash instead of full rows.
+    * Null-aware matters: the plain change-tracking row hash coalesces
+    * NULL to `''`, which would report a NULL→`''` change as unchanged —
+    * diffing wants `IS DISTINCT FROM` semantics. Keys are assumed unique
+    * per side (assert with [[Unique]] first when in doubt); duplicate
+    * keys multiply through the join.
     */
   def diffTables(
       before: DataFrame,
@@ -128,9 +131,9 @@ object Validation {
     val nonKey = before.columns.filterNot(keys.contains).toSeq.sorted
     require(nonKey.nonEmpty, "need at least one non-key column to compare")
     val b = before.select(keys.map(col) :+
-      graft.functions.Hashing.rowHashOf(nonKey).as("__hb"): _*)
+      graft.functions.Hashing.nullAwareRowHash(nonKey.map(col)).as("__hb"): _*)
     val a = after.select(keys.map(col) :+
-      graft.functions.Hashing.rowHashOf(nonKey).as("__ha"): _*)
+      graft.functions.Hashing.nullAwareRowHash(nonKey.map(col)).as("__ha"): _*)
     b.join(a, keys, "full_outer")
       .withColumn("diff",
         when(col("__hb").isNull, "added")

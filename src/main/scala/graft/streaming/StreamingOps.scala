@@ -241,7 +241,10 @@ object StreamingOps {
               found
             }
             val index =
-              if (hasIndexData) spark.read.parquet(indexPath)
+              if (hasIndexData) // loadIndex: validates the stored build
+                // params (bands/shingleSize drift is a loud error)
+                graft.operators.DedupIndex.loadIndex(
+                  spark, indexPath, numPerms, bands, shingleSize)
               else // bootstrap: empty index with the right schema
                 graft.operators.DedupIndex.indexRowsFor(
                   batch.toDF().limit(0), idCol, textCol, numPerms, bands,
@@ -252,7 +255,8 @@ object StreamingOps {
             // survivors and newRows share the persisted signature rows
             // inside ingestBatch — the batch text is hashed exactly once
             survivors.write.mode("append").parquet(corpusPath)
-            graft.operators.DedupIndex.writeIndex(newRows, indexPath)
+            graft.operators.DedupIndex.writeIndex(newRows, indexPath,
+              numPerms, bands, shingleSize)
           })
           pins.release()
           attempt.get // a failed batch releases its pins, THEN propagates

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the oracle/engine *type* contract: DuckDB widens `sum()` over any
+  * integer column to HUGEINT (which surfaces as float64/object in the
+  * driver's comparison and hash-mismatches Spark's BIGINT), so every
+  * integer-summing aggregate in [[SparkEntry.oracleSql]] must carry an
+  * explicit cast — `CAST(sum(..) .. AS BIGINT)` or `(..sum(..)..)::BIGINT`.
+  * Sums over double-typed columns keep DOUBLE on both engines and are
+  * exempt via an explicit allowlist. This lint exists because the class of
+  * bug it catches (values identical, hashes diverging on width alone)
+  * cost two red CORRECTNESS rows before being diagnosed.
+  */
+class OracleTypeContractSpec extends AnyFunSuite {
+
+  /** Sum arguments known to be DOUBLE-typed in the test tables (TPC-H
+    * monetary/quantity columns, the events `value` column, per-doc double
+    * scores, vector components) — DuckDB sums these as DOUBLE, no cast
+    * needed. Extend CONSCIOUSLY: adding an integer column here re-opens
+    * the HUGEINT hole this spec plugs.
+    */
+  private val doubleArg =
+    ("""l_quantity|l_extendedprice|l_discount|o_totalprice|value""" +
+      """|x \* s|\d\.\d""").r
+
+  /** (start, argument, tail) for each `sum(`/top-level aggregate call —
+    * `list_sum` etc. are DuckDB list ops over doubles, excluded by the
+    * lookbehind. `tail` is the 60 chars after the balanced close, enough
+    * to see a trailing `::BIGINT` even through a `coalesce(...)` wrapper.
+    */
+  private def sums(sql: String): Seq[(Int, String, String)] = {
+    val m = """(?i)(?<![A-Za-z0-9_])sum\s*\(""".r
+    m.findAllMatchIn(sql).map { hit =>
+      val open = sql.indexOf('(', hit.start)
+      var depth = 1
+      var i = open + 1
+      while (depth > 0 && i < sql.length) {
+        sql(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      val arg = sql.substring(open + 1, i - 1)
+      val tail = sql.substring(i, math.min(sql.length, i + 60))
+      (hit.start, arg, tail)
+    }.toSeq
+  }
+
+  private def isCast(sql: String, start: Int, arg: String, tail: String): Boolean = {
+    val before = sql.substring(0, start).replaceAll("\\s+$", "").toLowerCase
+    before.endsWith("cast(") ||
+      tail.toLowerCase.replaceAll("\\s+", " ").contains("::bigint") ||
+      tail.toLowerCase.replaceAll("\\s+", " ").contains("as bigint") ||
+      // CAST(sum(..) OVER (..) .. AS BIGINT): the close lands before OVER,
+      // so look for the cast terminator through the window clause too
+      (before.contains("cast(") &&
+        tail.toLowerCase.replaceAll("\\s+", " ").contains(" as bigint"))
+  }
+
+  test("every integer sum() in oracleSql is explicitly cast to BIGINT") {
+    val violations = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) =>
+        sums(sql).collect {
+          case (start, arg, tail)
+            if doubleArg.findFirstIn(arg).isEmpty &&
+              !isCast(sql, start, arg, tail) =>
+            s"$name: sum($arg) — integer sum without an explicit BIGINT " +
+              "cast (DuckDB widens to HUGEINT and the value-hash diverges)"
+        }
+    }
+    assert(violations.isEmpty, "\n" + violations.mkString("\n"))
+  }
+
+  test("queries and oracleSql stay aligned (every oracle names a query)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql entries without a query: $orphans")
+  }
+}

@@ -104,6 +104,37 @@ class DedupIndexSpec extends SparkTestBase {
     assert(e.getMessage.contains("numPerms"))
   }
 
+  test("params sidecar: loadIndex and append both reject build/probe drift") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ddidx_sc_").toString
+    try {
+      DedupIndex.writeIndex(
+        DedupIndex.indexRowsFor(base, "doc_id", "text"), dir)
+      assert(new java.io.File(dir, DedupIndex.ParamsFileName).exists())
+      // matching params round-trip
+      assert(DedupIndex.loadIndex(spark, dir)
+        .select("__id").distinct().count() == 3)
+      // probe-side drift: bands differ — not detectable from the rows,
+      // only from the sidecar
+      val e1 = intercept[IllegalArgumentException] {
+        DedupIndex.loadIndex(spark, dir, bands = 8)
+      }
+      assert(e1.getMessage.contains("must match"))
+      // shingleSize drift is equally loud
+      intercept[IllegalArgumentException] {
+        DedupIndex.loadIndex(spark, dir, shingleSize = 5)
+      }
+      // append-side drift: writing rows built with other params is refused
+      val e2 = intercept[IllegalArgumentException] {
+        DedupIndex.writeIndex(
+          DedupIndex.indexRowsFor(base, "doc_id", "text",
+            numPerms = 8, bands = 2), dir, numPerms = 8, bands = 2)
+      }
+      assert(e2.getMessage.contains("must match"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("broadcastBatch=false matches the broadcast plan's results") {
     val index = DedupIndex.indexRowsFor(base, "doc_id", "text")
     val batch = Seq(

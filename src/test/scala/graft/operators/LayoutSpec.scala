@@ -123,6 +123,33 @@ class LayoutSpec extends SparkTestBase {
     assert(e.getMessage.contains("bloom pruning"))
   }
 
+  test("bloomPrunedJoin with same-named keys emits ONE key column") {
+    val big = spark.range(5000).select(col("id").as("k"), (col("id") % 7).as("v"))
+    val small = spark.range(20).select((col("id") * 100).as("k"), lit("d").as("tag"))
+    val out = RuntimeFilters.bloomPrunedJoin(big, "k", small, "k")
+    // USING-form join: no ambiguous duplicate pair, key selectable by name
+    assert(out.columns.count(_ == "k") == 1)
+    assert(out.select("k", "tag").as[(Long, String)].collect().toSet ==
+      big.join(small, Seq("k")).select("k", "tag")
+        .as[(Long, String)].collect().toSet)
+  }
+
+  test("bloom auto-sizing caches the small side only for the call") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val big = spark.range(1000).select(col("id").as("k"))
+    val small = spark.range(10).select((col("id") * 50).as("k"))
+    // semi filter: cache is internal and released before returning
+    RuntimeFilters.bloomSemiFilter(big, "k", small, "k").count()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+    // pruned join: the pin lives with the scope, released exactly once
+    val (out, pins) = graft.core.Caches.collectPins {
+      RuntimeFilters.bloomPrunedJoin(big, "k", small, "k")
+    }
+    assert(out.count() == 10)
+    pins.release()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("bloom works on string keys and treats null keys as non-matching") {
     val big = Seq(Some("a"), Some("b"), Some("zz"), None)
       .toDF("k")

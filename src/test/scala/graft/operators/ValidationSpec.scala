@@ -84,6 +84,19 @@ class ValidationSpec extends SparkTestBase {
       Validation.diffTables(before, after.drop("v"), Seq("k")))
   }
 
+  test("diffTables distinguishes NULL from empty string (IS DISTINCT FROM)") {
+    val before = Seq((1L, Option.empty[String]), (2L, Some("")),
+      (3L, Some("x"))).toDF("k", "s")
+    val after = Seq((1L, Some("")), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("k", "s")
+    val out = Validation.diffTables(before, after, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    // NULL→'' and ''→NULL are real changes, not hash collisions
+    assert(out == Map(1L -> "changed", 2L -> "changed", 3L -> "changed"))
+    // identical NULLs stay unchanged
+    assert(Validation.diffTables(before, before, Seq("k")).isEmpty)
+  }
+
   test("duplicate rule names are rejected") {
     val e = intercept[IllegalArgumentException] {
       Validation.check(df, Seq(
