@@ -437,8 +437,8 @@ class QdrantTable(tableSchema: StructType, rawConfig: String)
   override def name(): String = "graft-qdrant"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
@@ -516,6 +516,26 @@ class QdrantScan(schema: StructType, config: Qdrant.ReadConfig)
   // Qdrant scroll is inherently sequential → one partition (reference
   // reader.py:317-318 does the same)
   override def planInputPartitions(): Array[InputPartition] =
+    Array(QdrantInputPartition())
+  override def createReaderFactory(): PartitionReaderFactory =
+    QdrantReaderFactory(schema, config)
+  override def toMicroBatchStream(
+      checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new QdrantMicroBatchStream(schema, config)
+}
+
+/** Streaming Qdrant source: each micro-batch performs one full scroll of
+  * the collection (single sequential partition, same as the batch scan —
+  * the scroll cursor paginates within one snapshot, it is NOT a change
+  * feed). Offset/repeat semantics are [[graft.io.PollMicroBatchStream]]'s:
+  * a wall-clock poll stamp, at-least-once, points repeat across polls —
+  * compose with streaming dedup keyed on `id` for incremental reads.
+  * Filter/limit/projection options in the config apply to every poll.
+  */
+class QdrantMicroBatchStream(schema: StructType, config: Qdrant.ReadConfig)
+    extends graft.io.PollMicroBatchStream {
+  override protected def pollPartitions(): Array[InputPartition] =
     Array(QdrantInputPartition())
   override def createReaderFactory(): PartitionReaderFactory =
     QdrantReaderFactory(schema, config)

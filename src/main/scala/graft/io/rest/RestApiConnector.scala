@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -108,56 +108,22 @@ class RestScan(schema: StructType, config: RestApi.Config, limit: Option[Int] = 
     new RestMicroBatchStream(schema, config)
 }
 
-/** Poll counter offset for the streaming REST source. */
-final case class RestPollOffset(poll: Long) extends Offset {
-  override def json(): String = poll.toString
-}
-
 /** Streaming REST source: each micro-batch performs one full poll of the
   * configured endpoints (same driver-side work-item planning and
-  * executor-side fetching as the batch scan). The offset is a poll counter,
-  * not a server-side cursor — REST APIs expose no generic change feed — so
-  * records seen in consecutive polls repeat; compose with the streaming
-  * dedup operator (`StreamingOps`) keyed on a record id for incremental
-  * semantics. At-least-once; a batch replayed from checkpoint re-polls.
+  * executor-side fetching as the batch scan). Offset/repeat semantics are
+  * [[graft.io.PollMicroBatchStream]]'s — a wall-clock poll stamp,
+  * at-least-once, compose with streaming dedup for incremental reads.
   */
 class RestMicroBatchStream(schema: StructType, config: RestApi.Config)
-    extends MicroBatchStream {
-  // The offset is the poll's wall-clock stamp, not a counter: Spark compares
-  // the committed and latest offsets by serialized value before any
-  // deserializeOffset call, so a restarted stream must produce offsets that
-  // are greater than the checkpointed one without seeing it first. The
-  // max() guard keeps offsets monotonic under clock skew within a run.
-  private var latest = 0L
-  override def initialOffset(): Offset = RestPollOffset(0L)
-  override def latestOffset(): Offset = {
-    latest = math.max(System.currentTimeMillis(), latest + 1)
-    RestPollOffset(latest)
-  }
-  override def deserializeOffset(json: String): Offset = {
-    val parsed = json.trim.toLong
-    // seed monotonicity from the checkpointed offset: restoring onto a
-    // machine whose clock is behind the original writer's would otherwise
-    // produce latestOffset() values <= the committed one — empty batches
-    // until wall-clock catches up
-    latest = math.max(latest, parsed)
-    RestPollOffset(parsed)
-  }
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    // one poll per micro-batch regardless of how many triggers elapsed
-    if (start.asInstanceOf[RestPollOffset].poll >= end.asInstanceOf[RestPollOffset].poll)
-      Array.empty
-    else {
-      val chunks =
-        RestApi.chunkWorkItems(RestApi.planWorkItems(config), config.parallelism)
-      if (chunks.isEmpty) Array(RestInputPartition(Seq.empty))
-      else chunks.map(RestInputPartition.apply).toArray
-    }
+    extends graft.io.PollMicroBatchStream {
+  override protected def pollPartitions(): Array[InputPartition] = {
+    val chunks =
+      RestApi.chunkWorkItems(RestApi.planWorkItems(config), config.parallelism)
+    if (chunks.isEmpty) Array(RestInputPartition(Seq.empty))
+    else chunks.map(RestInputPartition.apply).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new RestReaderFactory(schema, config)
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 }
 
 final case class RestInputPartition(items: Seq[RestApi.WorkItem]) extends InputPartition

@@ -264,6 +264,32 @@ class SparqlQdrantSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(!scroll.contains(""""range""""), scroll)
   }
 
+  test("Qdrant streaming read performs one full scroll per micro-batch") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_qd_out_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qd_ck_").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-qdrant")
+        .schema("id LONG")
+        .option("graft.qdrant.config",
+          s"""{"endpoint": "$base", "collection": "things"}""")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    assert(spark.read.parquet(out).select("id").as[Long].collect()
+      .sorted.toSeq == Seq(1L, 2L, 3L))
+    // restart from the same checkpoint: the poll offset advances past the
+    // committed one and the second poll re-scrolls (at-least-once contract)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 6)
+  }
+
   test("Qdrant write batches points and auto-creates the collection") {
     import spark.implicits._
     collectionExists = false
