@@ -306,8 +306,20 @@ private[graft] object TableStore {
     * `df` may read from the target itself (merge-emulation reads the current
     * snapshot), so we always materialize to a staging location first, then
     * swap — never overwrite in place while reading.
+    *
+    * Path targets only: `partitionBy` writes the staged copy with a
+    * `partitionBy` directory layout (the swap itself is layout-agnostic —
+    * whole-directory renames), and `preserveFiles` copies the named
+    * top-level files of the current target (e.g. a params sidecar) into the
+    * staged copy before the swap, so metadata that lives NEXT TO the data
+    * survives the rewrite.
     */
-  def overwrite(spark: SparkSession, df: DataFrame, target: String): Unit =
+  def overwrite(
+      spark: SparkSession,
+      df: DataFrame,
+      target: String,
+      partitionBy: Seq[String] = Nil,
+      preserveFiles: Seq[String] = Nil): Unit =
     if (isPath(target)) {
       val dest = new Path(target)
       val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
@@ -315,10 +327,20 @@ private[graft] object TableStore {
       val staging = new Path(base + "__graft_staging__")
       val old = new Path(base + "__graft_old__")
       recover(fs, staging, dest, old, target)
-      df.write.mode("overwrite").parquet(staging.toString)
+      val writer = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(staging.toString)
+      preserveFiles.foreach { name =>
+        val src = new Path(dest, name)
+        if (fs.exists(src))
+          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+            new Path(staging, name), false, spark.sessionState.newHadoopConf())
+      }
       writeMarker(fs, staging, Nil)
       swapFlat(fs, staging, dest, old, target)
     } else {
+      require(partitionBy.isEmpty && preserveFiles.isEmpty,
+        "partitionBy/preserveFiles are path-target-only options")
       // stage on the WAREHOUSE filesystem, not a driver-local temp dir: on
       // a cluster whose default FS is remote (HDFS/S3A), a java.nio temp
       // path would be written through the default FS but deleted as a

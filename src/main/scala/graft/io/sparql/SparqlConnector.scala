@@ -326,7 +326,7 @@ class SparqlTable(schema: StructType, config: Sparql.Config)
   override def name(): String = s"graft-sparql(${config.endpoint})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new SparqlScan(schema, config)
@@ -337,6 +337,27 @@ class SparqlScan(schema: StructType, config: Sparql.Config) extends Scan with Ba
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
+    val chunks = Sparql.chunkQueries(config.queries, config.parallelism)
+    if (chunks.isEmpty) Array(SparqlInputPartition(Seq.empty))
+    else chunks.map(SparqlInputPartition.apply).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    SparqlReaderFactory(schema, config)
+  override def toMicroBatchStream(
+      checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SparqlMicroBatchStream(schema, config)
+}
+
+/** Streaming SPARQL source: each micro-batch re-runs the configured
+  * queries (same chunked planning as the batch scan). Offset/repeat
+  * semantics are [[graft.io.PollMicroBatchStream]]'s: wall-clock poll
+  * stamp, at-least-once, rows repeat across polls — compose with
+  * streaming dedup for incremental semantics.
+  */
+class SparqlMicroBatchStream(schema: StructType, config: Sparql.Config)
+    extends graft.io.PollMicroBatchStream {
+  override protected def pollPartitions(): Array[InputPartition] = {
     val chunks = Sparql.chunkQueries(config.queries, config.parallelism)
     if (chunks.isEmpty) Array(SparqlInputPartition(Seq.empty))
     else chunks.map(SparqlInputPartition.apply).toArray

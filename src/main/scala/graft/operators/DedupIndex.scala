@@ -113,6 +113,39 @@ object DedupIndex {
     indexRows.write.mode("append").partitionBy("__band").parquet(path)
   }
 
+  /** Compact a persisted index in place. The streaming ingest sink appends
+    * a few small files per band per micro-batch, so after thousands of
+    * batches the probe's scan cost is dominated by file listings and opens
+    * rather than bytes — the classic small-file failure mode of a
+    * long-lived table. This rewrites the whole index into
+    * ~`targetFileBytes` files:
+    *
+    *  - the `__band` partition layout is preserved (probe-side band
+    *    pruning keeps working),
+    *  - rows are range-partitioned and sorted on `(__band, __bucket)`, so
+    *    each file owns a disjoint bucket range and a probe's bucket-join
+    *    scan also prunes on parquet min/max within the band,
+    *  - the params sidecar survives the rewrite,
+    *  - the swap is atomic and crash-recoverable
+    *    ([[graft.ct.TableStore]]'s rename protocol) — a reader sees the
+    *    old layout or the new one, never a half-written directory.
+    *
+    * Run it as table maintenance (e.g. nightly) BETWEEN ingest batches:
+    * an append that commits during the rewrite window is lost to the swap.
+    */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val df = spark.read.parquet(path)
+    val n = Compaction.targetFileCount(df, targetFileBytes)
+    val shaped = df
+      .repartitionByRange(n, col("__band"), col("__bucket"))
+      .sortWithinPartitions(col("__band"), col("__bucket"))
+    graft.ct.TableStore.overwrite(spark, shaped, path,
+      partitionBy = Seq("__band"), preserveFiles = Seq(ParamsFileName))
+  }
+
   /** Read a persisted index for probing, validating its recorded build
     * parameters against the probe's — a mismatch is a loud error instead
     * of a silently-empty candidate join. Indexes written before the

@@ -264,6 +264,24 @@ class SparqlQdrantSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(!scroll.contains(""""range""""), scroll)
   }
 
+  test("SPARQL streaming read re-runs the query per micro-batch") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sp_out_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sp_ck_").toString
+    val q = spark.readStream.format("graft-sparql")
+      .schema("name STRING, population LONG, species STRING")
+      .option("graft.sparql.config",
+        s"""{"endpoint": "$base/sparql", "queries": "SELECT 1"}""")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.map(_.getAs[String]("name")).sorted.toSeq == Seq("Earth", "Mars"))
+  }
+
   test("Qdrant streaming read performs one full scroll per micro-batch") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_qd_out_").toString

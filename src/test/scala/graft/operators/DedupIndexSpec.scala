@@ -135,6 +135,39 @@ class DedupIndexSpec extends SparkTestBase {
     }
   }
 
+  test("compactIndex shrinks files, keeps layout, sidecar, and probe results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ddidx_cp_").toString
+    try {
+      // three appends of pre-spread rows → many small files per band
+      (0 until 3).foreach { i =>
+        val shard = base.select(
+          (col("doc_id") + i * 100).as("doc_id"), col("text"))
+        DedupIndex.writeIndex(
+          DedupIndex.indexRowsFor(shard, "doc_id", "text").repartition(4), dir)
+      }
+      def parquetFiles = org.apache.commons.io.FileUtils
+        .listFiles(new java.io.File(dir),
+          Array("parquet"), true).size
+      val before = spark.read.parquet(dir).orderBy("__id", "__band")
+        .collect().toSeq
+      val filesBefore = parquetFiles
+      DedupIndex.compactIndex(spark, dir)
+      // data identical, fewer files, band layout + sidecar intact
+      assert(spark.read.parquet(dir).orderBy("__id", "__band")
+        .collect().toSeq == before)
+      assert(parquetFiles < filesBefore, s"$parquetFiles vs $filesBefore")
+      assert(new java.io.File(dir).listFiles()
+        .exists(_.getName.startsWith("__band=")))
+      assert(new java.io.File(dir, DedupIndex.ParamsFileName).exists())
+      // loadIndex still validates; a dup probe still matches
+      val matched = DedupIndex.dedupAgainstIndex(
+        base, "doc_id", "text", DedupIndex.loadIndex(spark, dir))
+      assert(matched.isEmpty) // every base doc is in the index
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("broadcastBatch=false matches the broadcast plan's results") {
     val index = DedupIndex.indexRowsFor(base, "doc_id", "text")
     val batch = Seq(
