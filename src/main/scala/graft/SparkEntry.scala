@@ -520,6 +520,27 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nprobe = 4)
     }),
 
+    // ---- semantic (embedding-cluster) dedup, SemDeDup-style; rows-only:
+    // the KMeans quantizer is not SQL-expressible (same contract as
+    // q_ann_ivf); recall/behavior asserted in SelectionSpec ----
+    "q_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // plant exact duplicates so the dedup has real work to do
+      val corpus = e.unionAll(e.where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      operators.Dedup.semanticDedup(corpus, "vec_id", "embedding",
+        nclusters = 16, threshold = 0.995).select("vec_id")
+    }),
+
+    // ---- DSIR-style importance weights: score every doc against the
+    // German-language subset's hashed-unigram distribution ----
+    "q_importance_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Selection.importanceWeights(
+        docs, docs.where(col("lang") === "de"), "doc_id", "text",
+        buckets = 4096)
+    }),
+
     // ---- multimodal: binary content + batched stub decode (mapPartitions) ----
     "q_multimodal_meta" -> ((s, dir) => {
       val withContent = t(s, dir, "documents")
@@ -1146,6 +1167,42 @@ object SparkEntry {
         |WHERE (b.o_orderkey IS NULL OR a.o_orderkey IS NULL
         |  OR b.o_totalprice IS DISTINCT FROM a.o_totalprice
         |  OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)""".stripMargin,
+    // DSIR importance weights: buckets/hash/log-micro rounding mirror
+    // Selection.scala exactly (same association order inside round());
+    // integer sums everywhere after the single per-bucket rounding.
+    "q_importance_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |db AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(sha256(lower(tok) || ':graft'), 1, 7))::BIGINT
+        |      % 4096 AS bucket
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)),
+        |cr AS (SELECT bucket, count(*) AS c_r FROM db GROUP BY bucket),
+        |ct AS (
+        |  SELECT bucket, count(*) AS c_t
+        |  FROM db JOIN documents USING (doc_id)
+        |  WHERE lang = 'de' GROUP BY bucket),
+        |j AS (
+        |  SELECT coalesce(cr.bucket, ct.bucket) AS bucket,
+        |    coalesce(c_r, 0) AS c_r, coalesce(c_t, 0) AS c_t
+        |  FROM cr FULL OUTER JOIN ct ON cr.bucket = ct.bucket),
+        |tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+        |               CAST(sum(c_t) AS BIGINT) AS n_t FROM j),
+        |w AS (
+        |  SELECT bucket,
+        |    CAST(round(1000000.0 *
+        |      ((ln(c_t + 1.0) - ln(n_t + 4096.0) - ln(c_r + 1.0))
+        |        + ln(n_r + 4096.0))) AS BIGINT) AS w
+        |  FROM j, tot),
+        |dw AS (
+        |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS weight
+        |  FROM db JOIN w USING (bucket) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(dw.weight, 0) AS weight
+        |FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id""".stripMargin,
     "q_lm_score" ->
       """WITH ref AS (
         |  SELECT text FROM documents WHERE doc_id % 5 <> 0),

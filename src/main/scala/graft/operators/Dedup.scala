@@ -556,6 +556,19 @@ object Dedup {
     }
     val clusters = connectedComponents(pairs, "id_a", "id_b")
     sigPins.release()
+    keepSurvivors(df, idCol, clusters, keepBy)
+  }
+
+  /** One survivor per near-dup component: with no `keepBy`, the component
+    * label (min id) survives via a single anti-join; with `keepBy`, rank
+    * inside each component and keep rank 1 (un-clustered rows are their
+    * own singleton component).
+    */
+  private[operators] def keepSurvivors(
+      df: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      keepBy: Seq[Column]): DataFrame =
     if (keepBy.isEmpty) {
       // survivor == component label; drop every non-label member
       val removed = clusters.where(col("node") =!= col("comp"))
@@ -571,6 +584,44 @@ object Dedup {
         .where(col("__rank") === 1)
         .drop("__rank", "comp")
     }
+
+  /** Semantic (embedding-space) dedup, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the sampled
+    * KMeans coarse quantizer, compare cosine ONLY within a cluster, and
+    * keep one document per near-identical group. This catches paraphrase/
+    * re-render duplicates that text shingles miss, at clustering cost
+    * instead of all-pairs cost.
+    *
+    * Approximate by design (the paper's contract): a near-dup pair split
+    * across two clusters is not compared. More clusters = cheaper
+    * within-cluster comparison, lower recall. Exact duplicates are always
+    * caught — identical vectors land in the same cell.
+    *
+    * Scale shape: quantizer trains on a bounded sample and rides as a
+    * constant-folded literal (Ann.Ivf.build); cluster assignment is a
+    * narrow codegen'd projection; the one shuffle is the within-cell
+    * self-join; components + survivor selection reuse the audited dedup
+    * machinery. The quadratic pair space never materializes — within-cell
+    * pairs only.
+    *
+    * Not SQL-expressible (KMeans) → spec-verified (SelectionSpec) and a
+    * rows-only `q_semantic_dedup` entry, same contract as `q_ann_ivf`.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nclusters: Int,
+      threshold: Double = 0.97,
+      seed: Long = 42L,
+      keepBy: Seq[Column] = Nil): DataFrame = {
+    require(nclusters >= 1, s"nclusters must be >= 1, got $nclusters")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val assigned = Ann.Ivf.build(df, idCol, vecCol, nclusters, seed = seed).assigned
+    val pairs = cosineNearDupPairs(assigned, idCol, vecCol, Seq("__cell"), threshold)
+    val clusters = connectedComponents(pairs, "id_a", "id_b")
+    keepSurvivors(df, idCol, clusters, keepBy)
   }
 
   /** Below this many (undirected) candidate edges, `algorithm = "auto"`

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Data selection by hashed n-gram importance resampling (DSIR-style:
+  * Xie et al. 2023, "Data Selection for Language Models via Importance
+  * Resampling", arXiv:2302.03169).
+  *
+  * Beyond-reference. Given a huge RAW corpus and a small TARGET corpus
+  * that exemplifies the distribution you want (a reference Wikipedia dump,
+  * an in-domain eval set, an underrepresented language), score every raw
+  * document by how much more likely its hashed n-gram features are under
+  * the target distribution than under the raw distribution, then keep the
+  * top-k. This is the published, scale-proven alternative to training a
+  * quality classifier: two counting passes and a broadcast join.
+  *
+  * Determinism contract (same discipline as [[Sampling.hashBucket]]):
+  * features hash through sha256 so any engine reproduces the buckets, and
+  * the per-bucket log-ratio is rounded ONCE to integer log-micros so the
+  * per-document score is an exact BIGINT sum — no float accumulation
+  * order anywhere in the hot path, which is what lets the DuckDB oracle
+  * hash-match the result (`q_importance_weights`).
+  *
+  * Scale shape (100 TB raw corpus):
+  *  - the two distribution passes explode to token level but aggregate
+  *    into at most `buckets` cells with map-side partial aggregation, so
+  *    the shuffle is bounded by `buckets`, not the corpus;
+  *  - the log-ratio table is ≤ `buckets` rows and broadcast;
+  *  - per-document scoring is one shuffle (partial sums by id);
+  *  - top-k select is a TakeOrdered, never a full sort.
+  * The raw corpus is scanned twice (distribution + scoring) — inherent to
+  * the method; persist upstream if the scan itself is the bottleneck.
+  */
+object Selection {
+
+  /** Stable feature bucket for one term: first 7 hex chars of
+    * sha256(lower(term):salt) mod `buckets`. Mirrors the oracle SQL
+    * idiom exactly (see `q_importance_weights`).
+    */
+  private def termBucket(term: Column, salt: String, buckets: Int): Column =
+    VectorFunctions.hexPrefixToLong(
+      sha2(concat_ws(":", lower(term), lit(salt)), 256), 7) % buckets
+
+  /** Word n-gram features of `text`: whitespace unigrams, plus
+    * space-joined bigrams when `maxNgram` = 2 (the DSIR paper's feature
+    * set). Narrow, expression-only.
+    */
+  private[operators] def terms(text: Column, maxNgram: Int): Column = {
+    require(maxNgram == 1 || maxNgram == 2, s"maxNgram must be 1 or 2, got $maxNgram")
+    val toks = TextAnalysis.tokens(text)
+    if (maxNgram == 1) toks
+    else {
+      val m = greatest(size(toks) - 1, lit(0))
+      val bigrams = zip_with(
+        slice(toks, lit(1), m), slice(toks, lit(2), m),
+        (a, b) => concat(a, lit(" "), b))
+      concat(toks, bigrams)
+    }
+  }
+
+  /** Hashed-feature distribution of a corpus: (bucket, cnt), ≤ `buckets`
+    * rows. Token-level explode, but the aggregation is map-side combined
+    * into the bounded bucket space before any shuffle.
+    */
+  private def bucketCounts(
+      df: DataFrame, textCol: String, buckets: Int, salt: String,
+      maxNgram: Int): DataFrame =
+    df.select(explode(terms(col(textCol), maxNgram)).as("__term"))
+      .select(termBucket(col("__term"), salt, buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Per-bucket importance weight in integer log-micros:
+    * round(1e6 · ln(p_target(b) / p_raw(b))) with add-one smoothing over
+    * the `buckets`-cell space. One small table (≤ `buckets` rows); the
+    * totals ride along as a 1-row broadcast scalar. The expression is
+    * written in the exact association the oracle uses so both engines
+    * compute bit-identical doubles before the single rounding.
+    */
+  def bucketLogRatios(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      buckets: Int = 4096,
+      salt: String = "graft",
+      maxNgram: Int = 1): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val cr = bucketCounts(raw, textCol, buckets, salt, maxNgram)
+      .withColumnRenamed("cnt", "c_r")
+    val ct = bucketCounts(target, textCol, buckets, salt, maxNgram)
+      .withColumnRenamed("cnt", "c_t")
+    val joined = cr.join(ct, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("c_r"), lit(0L)).as("c_r"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"))
+    val totals = joined.agg(sum("c_r").as("n_r"), sum("c_t").as("n_t"))
+    val b = lit(buckets.toDouble)
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(lit(1000000.0) *
+          ((log(col("c_t") + lit(1.0)) - log(col("n_t") + b)
+            - log(col("c_r") + lit(1.0))) + log(col("n_r") + b)))
+          .cast("long").as("w"))
+  }
+
+  /** Importance weight of every raw document: the exact BIGINT sum of its
+    * term buckets' log-micro ratios (each occurrence counts, as in the
+    * paper's product of per-feature ratios). Documents with no tokens
+    * weigh 0. Output: (idCol, weight).
+    */
+  def importanceWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 4096,
+      salt: String = "graft",
+      maxNgram: Int = 1): DataFrame = {
+    val ratios = bucketLogRatios(raw, target, textCol, buckets, salt, maxNgram)
+    val docBuckets = raw
+      .select(col(idCol), explode(terms(col(textCol), maxNgram)).as("__term"))
+      .select(col(idCol), termBucket(col("__term"), salt, buckets).as("bucket"))
+    // every raw bucket is in `ratios` by construction → inner join is total
+    val summed = docBuckets.join(broadcast(ratios), Seq("bucket"))
+      .groupBy(idCol).agg(sum("w").as("weight"))
+    raw.select(col(idCol)).join(summed, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("weight"), lit(0L)).as("weight"))
+  }
+
+  /** Keep the `k` raw documents whose hashed-feature distribution is most
+    * target-like: top-k by (weight desc, id asc) — deterministic, and a
+    * TakeOrdered at scale, never a global sort materialization.
+    */
+  def importanceResample(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      buckets: Int = 4096,
+      salt: String = "graft",
+      maxNgram: Int = 1): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val wts = importanceWeights(raw, target, idCol, textCol, buckets, salt, maxNgram)
+    raw.join(wts, Seq(idCol))
+      .orderBy(col("weight").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SelectionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val raw = Seq(
+    (1L, "der hund läuft schnell"),
+    (2L, "the cat sits quietly here"),
+    (3L, "der hund und die katze"),
+    (4L, "machine learning at scale"),
+    (5L, ""),
+    (6L, null.asInstanceOf[String])
+  ).toDF("doc_id", "text")
+
+  // target distribution: the German-looking docs
+  private val target = raw.where(col("doc_id").isin(1L, 3L))
+
+  test("importanceWeights favors target-like docs, zero for empty docs") {
+    val w = Selection.importanceWeights(raw, target, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(w(5L) == 0L && w(6L) == 0L)
+    // German docs score strictly above the English ones
+    assert(Seq(w(1L), w(3L)).min > Seq(w(2L), w(4L)).max,
+      s"expected target-like docs to outrank: $w")
+  }
+
+  test("importanceWeights matches the hand-computed formula exactly") {
+    // replicate the contract in plain Scala: bucket = sha256 prefix mod B,
+    // w(b) = round(1e6*((ln(ct+1)-ln(nt+B)-ln(cr+1))+ln(nr+B))), doc
+    // weight = exact integer sum over token occurrences
+    val buckets = 4096
+    def bucket(term: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"${term.toLowerCase}:graft".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16) % buckets
+    }
+    def toks(t: String): Seq[String] =
+      Option(t).getOrElse("").split("\\s+").filter(_.nonEmpty).toSeq
+    val rawDocs = raw.as[(Long, String)].collect().toSeq
+    val targetIds = Set(1L, 3L)
+    val cr = rawDocs.flatMap(d => toks(d._2)).groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val ct = rawDocs.filter(d => targetIds(d._1)).flatMap(d => toks(d._2))
+      .groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val (nr, nt) = (cr.values.sum, ct.values.sum)
+    def wOf(b: Long): Long = math.round(1000000.0 *
+      ((math.log(ct.getOrElse(b, 0L) + 1.0) - math.log(nt + buckets.toDouble)
+        - math.log(cr.getOrElse(b, 0L) + 1.0)) + math.log(nr + buckets.toDouble)))
+    val expected = rawDocs.map { case (id, t) =>
+      id -> toks(t).map(tok => wOf(bucket(tok))).sum
+    }.toMap
+    val actual = Selection.importanceWeights(raw, target, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(actual == expected)
+  }
+
+  test("maxNgram=2 hashes bigrams too and changes the scores") {
+    val uni = Selection.importanceWeights(raw, target, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val bi = Selection.importanceWeights(raw, target, "doc_id", "text",
+      maxNgram = 2).as[(Long, Long)].collect().toMap
+    assert(bi.keySet == uni.keySet)
+    assert(bi(1L) != uni(1L), "bigram features should shift a multi-token doc's score")
+    assert(bi(5L) == 0L, "empty doc stays 0 with bigrams")
+    // ordering property still holds
+    assert(Seq(bi(1L), bi(3L)).min > Seq(bi(2L), bi(4L)).max)
+  }
+
+  test("importanceResample keeps top-k deterministically") {
+    val top2 = Selection.importanceResample(raw, target, "doc_id", "text", k = 2)
+    assert(top2.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    val again = Selection.importanceResample(raw, target, "doc_id", "text", k = 2)
+    assert(top2.except(again).isEmpty && again.except(top2).isEmpty)
+  }
+
+  test("semanticDedup removes planted exact duplicates, keeps distinct vectors") {
+    val e = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"), col("embedding"))
+    val planted = e.where(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val corpus = e.unionAll(planted)
+    val kept = Dedup.semanticDedup(corpus, "vec_id", "embedding",
+      nclusters = 8, threshold = 0.995)
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    // every planted copy collapses onto its original (min id survives,
+    // and the planted id is always the larger one)
+    val plantedIds = planted.select("vec_id").as[Long].collect().toSet
+    assert(plantedIds.nonEmpty && plantedIds.forall(id => !keptIds.contains(id)),
+      "planted duplicate ids must be dropped")
+    // planted copies join existing singletons/clusters → survivor count is
+    // exactly what deduping the originals alone yields
+    val baseline = Dedup.semanticDedup(e, "vec_id", "embedding",
+      nclusters = 8, threshold = 0.995).count()
+    assert(kept.count() == baseline)
+    assert(kept.columns.toSeq == corpus.columns.toSeq)
+  }
+
+  test("semanticDedup keepBy prefers the flagged survivor") {
+    // one-hot 8-dim vectors: distinct ids are exactly orthogonal, copies
+    // are exact duplicates — fully deterministic clustering input
+    val originals = (0 until 8).map { i =>
+      val v = Array.fill(8)(0.0f); v(i) = 1.0f
+      (i.toLong, v.toSeq, 1)
+    }
+    val copies = originals.map { case (id, v, _) => (id + 500L, v, 0) }
+    val corpus = (originals ++ copies).toDF("vec_id", "embedding", "pref")
+    val kept = Dedup.semanticDedup(corpus, "vec_id", "embedding",
+      nclusters = 4, threshold = 0.995, keepBy = Seq(col("pref").asc))
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    assert(keptIds == copies.map(_._1).toSet,
+      s"with keepBy on pref asc the pref=0 copy must survive, got $keptIds")
+  }
+}
