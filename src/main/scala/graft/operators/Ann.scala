@@ -72,7 +72,8 @@ object Ann {
         nlist: Int,
         seed: Long = 42L,
         maxIter: Int = 20,
-        nassign: Int = 1): IvfIndex = {
+        nassign: Int = 1,
+        initMode: String = "k-means||"): IvfIndex = {
       require(nassign >= 1 && nassign <= nlist, "nassign must be in [1, nlist]")
       // KMeans needs a VectorUDT column — only the bounded training sample
       // pays for the conversion; full-corpus assignment is expression-based
@@ -86,7 +87,7 @@ object Ann {
         if (n <= targetTrain) withVec
         else withVec.sample(withFraction(targetTrain, n), seed)
       val estimator = new org.apache.spark.ml.clustering.KMeans()
-        .setK(nlist).setMaxIter(maxIter).setSeed(seed)
+        .setK(nlist).setMaxIter(maxIter).setSeed(seed).setInitMode(initMode)
         .setFeaturesCol("__ivf_vec").setPredictionCol("__cell")
       val alreadyCached =
         trainSet.storageLevel != org.apache.spark.storage.StorageLevel.NONE

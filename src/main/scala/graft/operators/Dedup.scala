@@ -614,11 +614,16 @@ object Dedup {
       nclusters: Int,
       threshold: Double = 0.97,
       seed: Long = 42L,
-      keepBy: Seq[Column] = Nil): DataFrame = {
+      keepBy: Seq[Column] = Nil,
+      maxIter: Int = 8): DataFrame = {
     require(nclusters >= 1, s"nclusters must be >= 1, got $nclusters")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val assigned = Ann.Ivf.build(df, idCol, vecCol, nclusters, seed = seed).assigned
+    // the quantizer is only a blocking device here — a loosely converged
+    // clustering blocks almost identically, so spend fewer iterations than
+    // an ANN index would (recall depends on nclusters, not on polish)
+    val assigned = Ann.Ivf.build(df, idCol, vecCol, nclusters,
+      seed = seed, maxIter = maxIter, initMode = "random").assigned
     val pairs = cosineNearDupPairs(assigned, idCol, vecCol, Seq("__cell"), threshold)
     val clusters = connectedComponents(pairs, "id_a", "id_b")
     keepSurvivors(df, idCol, clusters, keepBy)
