@@ -29,10 +29,10 @@ class SelectionSpec extends SparkTestBase {
       s"expected target-like docs to outrank: $w")
   }
 
-  test("importanceWeights matches the hand-computed formula exactly") {
-    // replicate the contract in plain Scala: bucket = sha256 prefix mod B,
-    // w(b) = round(1e6*((ln(ct+1)-ln(nt+B)-ln(cr+1))+ln(nr+B))), doc
-    // weight = exact integer sum over token occurrences
+  // replicate the contract in plain Scala: bucket = sha256 prefix mod B,
+  // w(b) = round(1e6*((ln(ct+1)-ln(nt+B)-ln(cr+1))+ln(nr+B))), doc
+  // weight = exact integer sum over term occurrences
+  private def expectedWeights(maxNgram: Int): Map[Long, Long] = {
     val buckets = 4096
     def bucket(term: String): Long = {
       val hex = java.security.MessageDigest.getInstance("SHA-256")
@@ -40,23 +40,33 @@ class SelectionSpec extends SparkTestBase {
         .map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.take(7), 16) % buckets
     }
-    def toks(t: String): Seq[String] =
-      Option(t).getOrElse("").split("\\s+").filter(_.nonEmpty).toSeq
+    def terms(t: String): Seq[String] = {
+      val toks = Option(t).getOrElse("").split("\\s+").filter(_.nonEmpty).toSeq
+      if (maxNgram == 1) toks
+      else toks ++ toks.zip(toks.drop(1)).map { case (a, b) => s"$a $b" }
+    }
     val rawDocs = raw.as[(Long, String)].collect().toSeq
     val targetIds = Set(1L, 3L)
-    val cr = rawDocs.flatMap(d => toks(d._2)).groupBy(bucket).view.mapValues(_.size.toLong).toMap
-    val ct = rawDocs.filter(d => targetIds(d._1)).flatMap(d => toks(d._2))
+    val cr = rawDocs.flatMap(d => terms(d._2)).groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val ct = rawDocs.filter(d => targetIds(d._1)).flatMap(d => terms(d._2))
       .groupBy(bucket).view.mapValues(_.size.toLong).toMap
     val (nr, nt) = (cr.values.sum, ct.values.sum)
     def wOf(b: Long): Long = math.round(1000000.0 *
       ((math.log(ct.getOrElse(b, 0L) + 1.0) - math.log(nt + buckets.toDouble)
         - math.log(cr.getOrElse(b, 0L) + 1.0)) + math.log(nr + buckets.toDouble)))
-    val expected = rawDocs.map { case (id, t) =>
-      id -> toks(t).map(tok => wOf(bucket(tok))).sum
-    }.toMap
+    rawDocs.map { case (id, t) => id -> terms(t).map(w => wOf(bucket(w))).sum }.toMap
+  }
+
+  test("importanceWeights matches the hand-computed formula exactly") {
     val actual = Selection.importanceWeights(raw, target, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
-    assert(actual == expected)
+    assert(actual == expectedWeights(maxNgram = 1))
+  }
+
+  test("importanceWeights with bigrams matches the hand-computed formula exactly") {
+    val actual = Selection.importanceWeights(raw, target, "doc_id", "text",
+      maxNgram = 2).as[(Long, Long)].collect().toMap
+    assert(actual == expectedWeights(maxNgram = 2))
   }
 
   test("maxNgram=2 hashes bigrams too and changes the scores") {
