@@ -163,28 +163,39 @@ object Sampling {
     val skey = sha2(concat_ws(":", lit(seed),
       coalesce(col(idCol).cast("string"), lit(""))), 256)
     val parts = df.sparkSession.sparkContext.defaultParallelism
-    val keyed = df.withColumn("__skey", skey)
-      .repartitionByRange(parts, col("__skey"), col(idCol))
-    // rank inside each range partition (partition id is the window key, so
-    // the window shuffle is on an already-clustered column and AQE keeps
-    // it narrow); sha256 collisions are broken by the id itself
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid").orderBy(col("__skey"), col(idCol))
-    // both the output and the offsets aggregate read the ranked rows;
-    // persist or the scan + range shuffle + window run twice (the same
-    // double-computation RDD.zipWithIndex has without a cached parent)
-    val ranked = graft.core.Caches.pin(
-      keyed.withColumn("__pid", spark_partition_id())
-        .withColumn("__rn", row_number().over(w)))
-    val offsets = ranked.groupBy("__pid").agg(count(lit(1)).as("__n"))
+    // ONE full-corpus exchange (the range partitioning), then only narrow
+    // work: sort locally, count per partition for the offsets, and read
+    // monotonically_increasing_id's per-partition counter as the
+    // in-partition rank — its low 33 bits increment in row order within a
+    // partition, and the projection sits above the local sort so that
+    // order IS the (skey, id) order. The window-by-partition-id
+    // alternative re-shuffles the whole corpus a second time just to
+    // group by a value that already equals the physical partition.
+    val keyed = graft.core.Caches.pin(
+      df.withColumn("__skey", skey)
+        .repartitionByRange(parts, col("__skey"), col(idCol))
+        .sortWithinPartitions(col("__skey"), col(idCol))
+        .withColumn("__pid", spark_partition_id()))
+    // per-partition row counts → cumulative offsets (≤ `parts` rows);
+    // both consumers read the pinned exchange, not the scan twice
+    val counterBits = 33 // monotonically_increasing_id: id = pid·2^33 + n
+    val offsets = keyed.groupBy("__pid").agg(count(lit(1)).as("__n"))
       .withColumn("__off",
         coalesce(sum(col("__n")).over(
           org.apache.spark.sql.expressions.Window.orderBy("__pid")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__off")
-    ranked.join(broadcast(offsets), "__pid")
-      .withColumn(posCol, col("__off") + col("__rn") - 1)
-      .drop("__pid", "__rn", "__off", "__skey")
+      // a partition beyond 2^33 rows would wrap the counter — fail loud
+      // (cheap: evaluated once per partition on a ≤ `parts`-row frame)
+      .select(col("__pid"),
+        (col("__off") + coalesce(
+          assert_true(col("__n") < lit(1L << counterBits),
+            lit(s"deterministicShuffle: partition exceeds 2^$counterBits rows"))
+            .cast("long"),
+          lit(0L))).as("__off"))
+    keyed.withColumn("__mid", monotonically_increasing_id())
+      .join(broadcast(offsets), "__pid")
+      .withColumn(posCol, col("__off") + col("__mid") % lit(1L << counterBits))
+      .drop("__pid", "__mid", "__off", "__skey")
   }
 
   private val Window = org.apache.spark.sql.expressions.Window
