@@ -520,6 +520,17 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nprobe = 4)
     }),
 
+    // ---- MOSS-style span containment: distinct shared winnowing
+    // fingerprints per doc pair, boilerplate-capped ----
+    "q_shared_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" copied span marker alpha beta gamma"))
+            .as("text")))
+      operators.Dedup.sharedFingerprintPairs(corpus, "doc_id", "text")
+    }),
+
     // ---- semantic (embedding-cluster) dedup, SemDeDup-style; rows-only:
     // the KMeans quantizer is not SQL-expressible (same contract as
     // q_ann_ivf); recall/behavior asserted in SelectionSpec ----
@@ -1167,6 +1178,46 @@ object SparkEntry {
         |WHERE (b.o_orderkey IS NULL OR a.o_orderkey IS NULL
         |  OR b.o_totalprice IS DISTINCT FROM a.o_totalprice
         |  OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)""".stripMargin,
+    // MOSS shared-span pairs: the winnow CTE mirrors q_winnow_fingerprints
+    // (n=5 shingles, w=4 windows, 60-bit sha prefix), then the pair count
+    // with the [2, 50] boilerplate frequency cap.
+    "q_shared_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         text || ' copied span marker alpha beta gamma'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) = 0 THEN []
+        |         ELSE list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+        |                i -> array_to_string(toks[i:i+4], ' ')) END AS shingles
+        |  FROM toks),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(shingles,
+        |      s -> ('0x' || substring(sha256(s), 1, 15))::BIGINT) AS hs
+        |  FROM sh),
+        |mins AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) = 0 THEN []
+        |         ELSE list_distinct(list_transform(
+        |                range(1, greatest(len(hs) - 3, 1) + 1),
+        |                i -> list_min(hs[i:i+3]))) END AS fps
+        |  FROM hs),
+        |f AS (SELECT doc_id, unnest(fps) AS fp FROM mins),
+        |elig AS (SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
+        |pr AS (SELECT doc_id, fp FROM f JOIN elig USING (fp))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+        |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
     // DSIR importance weights: buckets/hash/log-micro rounding mirror
     // Selection.scala exactly (same association order inside round());
     // integer sums everywhere after the single per-bucket rounding.

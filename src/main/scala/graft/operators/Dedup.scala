@@ -296,6 +296,54 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Span-containment pairs via shared winnowing fingerprints (the MOSS
+    * detection step, Schleimer et al. 2003 — the same fingerprints
+    * [[TextAnalysis.winnowingFingerprints]] produces, whose guarantee is
+    * that any shared token run of length >= shingleSize + window - 1
+    * shares at least one fingerprint). Counts DISTINCT shared fingerprints
+    * per document pair, so a copied paragraph inside an otherwise-long
+    * document scores by absolute shared material — the case where Jaccard
+    * similarity (normalized by union size) goes quiet. This is the
+    * span-level decontamination / plagiarism sweep.
+    *
+    * `maxDocsPerFingerprint` drops boilerplate fingerprints (present in
+    * more than that many documents): they carry no pair signal and would
+    * otherwise emit O(docs²) candidates per fingerprint — the standard
+    * MOSS/LSH frequency cap, and the skew bound that makes the self-join
+    * safe at corpus scale.
+    *
+    * Output: (id_a, id_b, shared_fps) with id_a < id_b and
+    * shared_fps >= minShared.
+    */
+  def sharedFingerprintPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShared: Int = 2,
+      shingleSize: Int = 5,
+      window: Int = 4,
+      maxDocsPerFingerprint: Int = 50): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDocsPerFingerprint >= 2,
+      s"maxDocsPerFingerprint must be >= 2, got $maxDocsPerFingerprint")
+    val fps = df.select(col(idCol), explode(
+      TextAnalysis.winnowingFingerprints(col(textCol), shingleSize, window))
+      .as("fp"))
+    // fingerprints in [2, cap] docs: singletons pair with nothing, and
+    // above the cap a fingerprint is boilerplate, not evidence
+    val eligible = fps.groupBy("fp").agg(count(lit(1)).as("__docs"))
+      .where(col("__docs").between(2, maxDocsPerFingerprint))
+      .select("fp")
+    val pruned = fps.join(eligible, "fp")
+    val a = pruned.select(col("fp"), col(idCol).as("id_a"))
+    val b = pruned.select(col("fp"), col(idCol).as("id_b"))
+    // per-doc fingerprints are already distinct (winnowing array_distinct)
+    // → the pair count IS the distinct shared-fingerprint count
+    a.join(b, "fp").where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
+
   /** Audit candidate pairs against EXACT n-gram Jaccard: join each
     * `(id_a, id_b)` pair back to its documents' distinct shingle sets and
     * compute the true Jaccard next to whatever estimate produced the pair.

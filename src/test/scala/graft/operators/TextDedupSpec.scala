@@ -179,4 +179,41 @@ class TextDedupSpec extends SparkTestBase {
       .collect()
     assert(strict.map(_.getAs[Long]("corpus_id")).toSeq == Seq(1L))
   }
+
+  test("sharedFingerprintPairs finds span containment that Jaccard misses") {
+    val sharedSpan = (1 to 20).map(i => s"copied$i").mkString(" ")
+    val hostPadding = (1 to 200).map(i => s"host$i").mkString(" ")
+    val df = Seq(
+      (1L, s"short source doc $sharedSpan end"),
+      // long host: the copied span is a tiny fraction of its tokens
+      (2L, s"$hostPadding $sharedSpan"),
+      (3L, "unrelated words entirely different content here now")
+    ).toDF("id", "text")
+    val pairs = Dedup.sharedFingerprintPairs(df, "id", "text", minShared = 2)
+      .collect()
+    assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq
+      == Seq((1L, 2L)))
+    assert(pairs.head.getAs[Long]("shared_fps") >= 2,
+      "a 20-token copied run must share multiple winnowed fingerprints")
+    // the same pair is invisible to Jaccard at any useful threshold:
+    // shared trigrams / union is tiny because the host is long
+    val jac = Dedup.ngramJaccardPairs(df, "id", "text", Nil, n = 3,
+      threshold = 0.2).collect()
+    assert(jac.isEmpty, "Jaccard goes quiet on containment — the case this operator exists for")
+  }
+
+  test("sharedFingerprintPairs drops boilerplate fingerprints above the cap") {
+    // 5 identical docs: every fingerprint is in exactly 5 docs, so the
+    // frequency cap either drops all of them or none — exact semantics,
+    // no boundary-window subset sharing to reason about
+    val boiler = "standard footer text appears in every single document always and forever"
+    val df = (1L to 5L).map(i => (i, boiler)).toDF("id", "text")
+    val capped = Dedup.sharedFingerprintPairs(df, "id", "text",
+      minShared = 1, maxDocsPerFingerprint = 4).collect()
+    assert(capped.isEmpty,
+      "fingerprints present in all 5 docs exceed the cap of 4 and must not pair")
+    val uncapped = Dedup.sharedFingerprintPairs(df, "id", "text",
+      minShared = 1, maxDocsPerFingerprint = 50)
+    assert(uncapped.count() == 10, "without the cap all 5-choose-2 pairs appear")
+  }
 }
