@@ -326,9 +326,14 @@ object Dedup {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDocsPerFingerprint >= 2,
       s"maxDocsPerFingerprint must be >= 2, got $maxDocsPerFingerprint")
-    val fps = df.select(col(idCol), explode(
-      TextAnalysis.winnowingFingerprints(col(textCol), shingleSize, window))
-      .as("fp"))
+    // the frequency count and both self-join sides read the fingerprints;
+    // pin (id + fp per winnowed position — ≈ tokens/window rows) or the
+    // sha256-per-shingle chain runs 4× (same caller-scoped lifecycle as
+    // minhashLshPairs' signatures — release via graft.core.Caches scopes)
+    val fps = graft.core.Caches.pin(
+      df.select(col(idCol), explode(
+        TextAnalysis.winnowingFingerprints(col(textCol), shingleSize, window))
+        .as("fp")))
     // fingerprints in [2, cap] docs: singletons pair with nothing, and
     // above the cap a fingerprint is boilerplate, not evidence
     val eligible = fps.groupBy("fp").agg(count(lit(1)).as("__docs"))
