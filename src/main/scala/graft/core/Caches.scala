@@ -63,13 +63,23 @@ object Caches {
     * operator that manages a sub-computation's pins itself (e.g.
     * `Dedup.dedupCorpus` releasing its signature cache) keeps those pins out
     * of the caller's handle.
+    *
+    * If `body` throws, everything it pinned so far is released before the
+    * exception propagates — the caller never receives the Pins handle on
+    * that path, so holding the pins would leak them into the session on
+    * every retry of a failed computation. (Nothing downstream can be
+    * reading them: the result that would have referenced them was never
+    * returned.)
     */
   def collectPins[T](body: => T): (T, Pins) = {
     val prev = active.get
     val pins = new Pins
     active.set(pins)
-    try (body, pins)
-    finally if (prev == null) active.remove() else active.set(prev)
+    try {
+      val result = try body
+      catch { case e: Throwable => pins.release(); throw e }
+      (result, pins)
+    } finally if (prev == null) active.remove() else active.set(prev)
   }
 
   /** `persist(MEMORY_AND_DISK)` + register with the active scope, if any. */

@@ -519,9 +519,10 @@ object Dedup {
     * Output: (id_a, id_b, cos) with id_a < id_b, cos >= threshold.
     *
     * Long-lived sessions: the persisted intermediate lives until the
-    * session ends or the caller releases it (`spark.catalog.clearCache()`
-    * or unpersist via `sparkContext.getPersistentRDDs`) — same lifecycle
-    * as `Sampling.deterministicShuffle`.
+    * session ends or the caller releases it. For deterministic release,
+    * wrap the call in [[graft.core.Caches.collectPins]], materialize the
+    * result, then `pins.release()` — same lifecycle as
+    * [[minhashLshPairs]] and `Sampling.deterministicShuffle`.
     */
   def hyperplaneLshPairs(
       df: DataFrame,

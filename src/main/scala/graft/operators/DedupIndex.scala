@@ -86,6 +86,27 @@ object DedupIndex {
       bands: Int = 4,
       shingleSize: Int = 3): Unit = {
     val spark = indexRows.sparkSession
+    // The claimed params must describe the ROWS, not just match the
+    // sidecar: rows built with other (numPerms, bands) would pass the
+    // sidecar check and then silently empty future candidate joins. Both
+    // are derivable from the rows themselves — one O(batch) map-side
+    // aggregate, paid once next to an O(batch) write. (`shingleSize` is
+    // not derivable from signatures and stays caller-asserted.)
+    val stats = indexRows.agg(
+      min(col("__band")).as("min_band"), max(col("__band")).as("max_band"),
+      min(size(col("__sig"))).as("min_perms"),
+      max(size(col("__sig"))).as("max_perms")).head()
+    if (!stats.isNullAt(0)) {
+      require(stats.getAs[Int]("min_band") == 0
+          && stats.getAs[Int]("max_band") == bands - 1,
+        s"writeIndex: rows carry bands ${stats.getAs[Int]("min_band")}.." +
+          s"${stats.getAs[Int]("max_band")} but bands=$bands was claimed ($path)")
+      require(stats.getAs[Int]("min_perms") == numPerms
+          && stats.getAs[Int]("max_perms") == numPerms,
+        s"writeIndex: rows carry ${stats.getAs[Int]("min_perms")}.." +
+          s"${stats.getAs[Int]("max_perms")}-perm signatures but " +
+          s"numPerms=$numPerms was claimed ($path)")
+    }
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val sidecar = new org.apache.hadoop.fs.Path(dir, ParamsFileName)
@@ -93,6 +114,19 @@ object DedupIndex {
       case Some(stored) =>
         checkParams(stored, numPerms, bands, shingleSize, path)
       case None =>
+        // first sidecar on a PRE-SIDECAR index: the existing rows' band
+        // layout is visible as __band= partition directories (every doc
+        // writes a row per band, so a non-empty legacy index has all of
+        // them) — refuse to stamp params that contradict it
+        if (fs.exists(dir)) {
+          val legacyBands = fs.listStatus(dir).map(_.getPath.getName)
+            .filter(_.startsWith("__band="))
+            .map(_.stripPrefix("__band=").toInt)
+          require(legacyBands.isEmpty
+              || (legacyBands.min == 0 && legacyBands.max == bands - 1),
+            s"writeIndex: existing index at $path has band partitions " +
+              s"${legacyBands.sorted.mkString(",")} but bands=$bands was claimed")
+        }
         // temp + rename: a crash mid-write must not leave a torn sidecar
         val tmp = new org.apache.hadoop.fs.Path(
           dir, s".$ParamsFileName.${java.util.UUID.randomUUID()}.tmp")
@@ -103,11 +137,18 @@ object DedupIndex {
           "shingle_size" -> shingleSize))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        if (!fs.rename(tmp, sidecar)) {
-          // lost a create race: validate against the winner instead
-          fs.delete(tmp, false)
-          readParams(fs, sidecar).foreach(
-            checkParams(_, numPerms, bands, shingleSize, path))
+        if (!fs.rename(tmp, sidecar)) fs.delete(tmp, false)
+        // read back what actually committed: on HDFS rename refuses to
+        // overwrite (the !rename branch above is the lost race), but on
+        // the local FS and object stores rename CLOBBERS — a returned
+        // `true` does not prove this writer won a concurrent create race.
+        // Whatever content is committed is the winner; both racers
+        // validate against it, so exactly one parameter set survives.
+        readParams(fs, sidecar) match {
+          case Some(stored) =>
+            checkParams(stored, numPerms, bands, shingleSize, path)
+          case None => throw new IllegalStateException(
+            s"writeIndex: params sidecar missing after write at $path")
         }
     }
     indexRows.write.mode("append").partitionBy("__band").parquet(path)

@@ -3,7 +3,11 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Plan-audit tool: print the formatted physical plan of named
-  * `SparkEntry.queries` entries without executing them.
+  * `SparkEntry.queries` entries. The FINAL query is not executed, but
+  * building a query's DataFrame runs whatever preparatory jobs its
+  * operator performs eagerly (KMeans fits, compaction writes,
+  * connected-components iterations, …) — probing such queries on a large
+  * sfDir costs real time; prefer sf0.001/sf0.01 for plan shape.
   *
   * Usage: `runMain graft.tools.ExplainProbe <sfDir> <q_name>[,<q_name>...]`
   *

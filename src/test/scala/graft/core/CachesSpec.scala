@@ -102,4 +102,23 @@ class CachesSpec extends SparkTestBase {
     outerResult.collect()
     outerPins.release()
   }
+
+  test("a throwing body releases its own pins before propagating") {
+    val pinned = Seq((1L, "x")).toDF("k", "v")
+    val boom = intercept[RuntimeException] {
+      Caches.collectPins {
+        val p = Caches.pin(pinned)
+        p.count() // materialize so the unpersist has something to drop
+        throw new RuntimeException("body failed")
+      }
+    }
+    assert(boom.getMessage == "body failed")
+    assert(pinned.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "pins taken by a failed scope must not leak into the session")
+    // the outer (no-scope) state is restored: pin outside works as before
+    val again = Caches.pin(Seq(2).toDF("y"))
+    try assert(again.storageLevel.useMemory)
+    finally again.unpersist()
+  }
 }

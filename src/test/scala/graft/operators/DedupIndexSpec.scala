@@ -135,6 +135,55 @@ class DedupIndexSpec extends SparkTestBase {
     }
   }
 
+  test("writeIndex refuses claimed params that contradict the rows themselves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ddidx_rows_").toString
+    try {
+      // rows built 8-banded, claimed 4-banded: the sidecar would record 4
+      // and every later probe would silently miss — must fail loud instead
+      val rows8 = DedupIndex.indexRowsFor(base, "doc_id", "text",
+        numPerms = 16, bands = 8)
+      val e1 = intercept[IllegalArgumentException] {
+        DedupIndex.writeIndex(rows8, dir, numPerms = 16, bands = 4)
+      }
+      assert(e1.getMessage.contains("bands"))
+      // rows built with 8 perms, claimed 16
+      val rowsP8 = DedupIndex.indexRowsFor(base, "doc_id", "text",
+        numPerms = 8, bands = 4)
+      val e2 = intercept[IllegalArgumentException] {
+        DedupIndex.writeIndex(rowsP8, dir, numPerms = 16, bands = 4)
+      }
+      assert(e2.getMessage.contains("numPerms"))
+      // nothing was committed by the refused writes
+      assert(!new java.io.File(dir, DedupIndex.ParamsFileName).exists())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("first sidecar on a legacy index validates against the band layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ddidx_lg_").toString
+    try {
+      // legacy: rows written without a sidecar (plain parquet append)
+      DedupIndex.indexRowsFor(base, "doc_id", "text", numPerms = 16, bands = 8)
+        .write.mode("append").partitionBy("__band").parquet(dir)
+      assert(!new java.io.File(dir, DedupIndex.ParamsFileName).exists())
+      // stamping a sidecar with a contradicting band count is refused
+      val e = intercept[IllegalArgumentException] {
+        DedupIndex.writeIndex(
+          DedupIndex.indexRowsFor(base, "doc_id", "text",
+            numPerms = 16, bands = 4), dir, numPerms = 16, bands = 4)
+      }
+      assert(e.getMessage.contains("band partitions"))
+      // the matching appender stamps it fine
+      DedupIndex.writeIndex(
+        DedupIndex.indexRowsFor(base, "doc_id", "text",
+          numPerms = 16, bands = 8), dir, numPerms = 16, bands = 8)
+      assert(new java.io.File(dir, DedupIndex.ParamsFileName).exists())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("compactIndex shrinks files, keeps layout, sidecar, and probe results") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ddidx_cp_").toString
     try {
