@@ -40,6 +40,18 @@ object Hashing {
     sha2(concat_ws(UnitSeparator, cols.flatMap(c => Seq(
       when(c.isNull, lit("n")).otherwise(lit("v")), stringify(c))): _*), 256)
 
+  /** Engine-reproducible bucket in [0, modulus): first 7 hex chars of
+    * sha256(key:salt) as a long, mod `modulus`. The shared idiom behind
+    * `Sampling.hashBucket` (split/sample assignment) and
+    * `Selection.termBucket` (DSIR feature hashing) — the exact expression
+    * the DuckDB oracles rebuild as
+    * `('0x' || substring(sha256(key || ':salt'), 1, 7))::BIGINT % modulus`,
+    * so keep the two in lockstep when changing either.
+    */
+  def hexPrefixBucket(key: Column, salt: String, modulus: Long): Column =
+    VectorFunctions.hexPrefixToLong(
+      sha2(concat_ws(":", key, lit(salt)), 256), 7) % modulus
+
   /** Stable bucket id in [0, numBuckets) from the given key columns.
     *
     * xxhash64 over the same stringified/null-coalesced concatenation as

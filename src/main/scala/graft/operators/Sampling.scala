@@ -22,9 +22,8 @@ object Sampling {
     * accumulation order, so any engine reproduces the assignment.
     */
   def hashBucket(idCol: Column, salt: String): Column =
-    graft.functions.VectorFunctions.hexPrefixToLong(
-      sha2(concat_ws(":", coalesce(idCol.cast("string"), lit("")), lit(salt)), 256), 7)
-      .%(Buckets)
+    graft.functions.Hashing.hexPrefixBucket(
+      coalesce(idCol.cast("string"), lit("")), salt, Buckets)
 
   /** Adds a split-label column ("train"/"val"/... per `fractions`, which
     * must sum to <= 1; any remainder gets the last label).

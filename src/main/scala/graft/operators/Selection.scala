@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
-
 /** Data selection by hashed n-gram importance resampling (DSIR-style:
   * Xie et al. 2023, "Data Selection for Language Models via Importance
   * Resampling", arXiv:2302.03169).
@@ -41,8 +39,7 @@ object Selection {
     * idiom exactly (see `q_importance_weights`).
     */
   private def termBucket(term: Column, salt: String, buckets: Int): Column =
-    VectorFunctions.hexPrefixToLong(
-      sha2(concat_ws(":", lower(term), lit(salt)), 256), 7) % buckets
+    graft.functions.Hashing.hexPrefixBucket(lower(term), salt, buckets)
 
   /** Word n-gram features of `text`: whitespace unigrams, plus
     * space-joined bigrams when `maxNgram` = 2 (the DSIR paper's feature
