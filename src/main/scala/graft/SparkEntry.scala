@@ -520,6 +520,12 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nprobe = 4)
     }),
 
+    // ---- frequency-ranked vocabulary with dense deterministic ids ----
+    "q_vocab" -> ((s, dir) => {
+      operators.TextAnalysis.buildVocab(
+        t(s, dir, "documents"), "text", maxSize = 1000, minCount = 1L)
+    }),
+
     // ---- MOSS-style span containment: distinct shared winnowing
     // fingerprints per doc pair, boilerplate-capped ----
     "q_shared_spans" -> ((s, dir) => {
@@ -1178,6 +1184,23 @@ object SparkEntry {
         |WHERE (b.o_orderkey IS NULL OR a.o_orderkey IS NULL
         |  OR b.o_totalprice IS DISTINCT FROM a.o_totalprice
         |  OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)""".stripMargin,
+    // vocab: ids assigned in (cnt desc, term asc) order on both sides;
+    // row_number is BIGINT in DuckDB → ::INT to match Spark's int
+    "q_vocab" ->
+      """WITH t AS (
+        |  SELECT lower(tok) AS term
+        |  FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(coalesce(text, ''), '\s+'),
+        |      x -> x <> '')) AS tok
+        |    FROM documents)),
+        |c AS (
+        |  SELECT term, count(*) AS cnt FROM t
+        |  GROUP BY term HAVING count(*) >= 1),
+        |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 1000)
+        |SELECT term, cnt,
+        |  (row_number() OVER (ORDER BY cnt DESC, term) - 1)::INT AS token_id
+        |FROM top""".stripMargin,
     // MOSS shared-span pairs: the winnow CTE mirrors q_winnow_fingerprints
     // (n=5 shingles, w=4 windows, 60-bit sha prefix), then the pair count
     // with the [2, 50] boilerplate frequency cap.

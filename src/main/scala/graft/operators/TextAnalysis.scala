@@ -271,6 +271,42 @@ object TextAnalysis {
     * wrap in [[graft.core.Caches.collectPins]] and `release()` after
     * materializing, same contract as `Sampling.deterministicShuffle`.
     */
+  /** Frequency-ranked vocabulary of the corpus: the top `maxSize` terms
+    * with count >= `minCount`, assigned dense ids 0..V-1 in
+    * (count desc, term asc) order — deterministic across runs, engines,
+    * and partitionings, so a vocab built today and rebuilt after an
+    * append agree on every surviving term's relative order. The
+    * tokenizer-training / frequency-filtering prep step of a text
+    * pipeline.
+    *
+    * Scale shape: one explode + one map-side-combined groupBy on the term
+    * (the only corpus-sized shuffle), then `orderBy.limit` — a
+    * TakeOrderedAndProject, never a global sort materialization. The id
+    * window runs on the RESULT (≤ `maxSize` rows), so its single
+    * partition is bounded by construction, not by data.
+    *
+    * Output: (term, cnt, token_id).
+    */
+  def buildVocab(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      maxSize: Int = 65536,
+      minCount: Long = 2L,
+      lowercase: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(maxSize >= 1, s"maxSize must be >= 1, got $maxSize")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val exploded = df.select(explode(tokens(col(textCol))).as("__tok"))
+    val term = if (lowercase) lower(col("__tok")) else col("__tok")
+    val top = exploded.select(term.as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(maxSize)
+    top.withColumn("token_id",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("term").asc)) - 1)
+  }
+
   def topTermsPerGroup(
       df: org.apache.spark.sql.DataFrame,
       groupCol: String,

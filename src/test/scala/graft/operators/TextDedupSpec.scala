@@ -180,6 +180,29 @@ class TextDedupSpec extends SparkTestBase {
     assert(strict.map(_.getAs[Long]("corpus_id")).toSeq == Seq(1L))
   }
 
+  test("buildVocab ranks by frequency with deterministic tie-break ids") {
+    val df = Seq(
+      (1L, "the cat and the dog and the bird"),
+      (2L, "The DOG and a cat"),
+      (3L, "")
+    ).toDF("id", "text")
+    val vocab = TextAnalysis.buildVocab(df, "text", maxSize = 4, minCount = 2L)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("cnt"),
+        r.getAs[Int]("token_id")))
+    // counts: the=4 (The lowercased), and=3, cat=2, dog=2 (DOG lowercased);
+    // a/bird fall below minCount; cat < dog alphabetically on the tie
+    assert(vocab.sortBy(_._3).toSeq == Seq(
+      ("the", 4L, 0), ("and", 3L, 1), ("cat", 2L, 2), ("dog", 2L, 3)))
+    // maxSize truncates after ranking
+    val top2 = TextAnalysis.buildVocab(df, "text", maxSize = 2, minCount = 1L)
+    assert(top2.count() == 2)
+    // lowercase=false keeps case-distinct terms apart
+    val cased = TextAnalysis.buildVocab(df, "text", maxSize = 10,
+      minCount = 1L, lowercase = false).collect()
+      .map(_.getAs[String]("term")).toSet
+    assert(cased.contains("The") && cased.contains("the") && cased.contains("DOG"))
+  }
+
   test("sharedFingerprintPairs finds span containment that Jaccard misses") {
     val sharedSpan = (1 to 20).map(i => s"copied$i").mkString(" ")
     val hostPadding = (1 to 200).map(i => s"host$i").mkString(" ")
