@@ -526,6 +526,18 @@ object SparkEntry {
         t(s, dir, "documents"), "text", maxSize = 1000, minCount = 1L)
     }),
 
+    // ---- vocab-encode: documents as token-id sequences (OOV = -1);
+    // flattened with posexplode for the row-level oracle compare ----
+    "q_encode_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // a small vocab (top 20) leaves real OOV terms to exercise oovId
+      val vocab = operators.TextAnalysis.buildVocab(
+        docs, "text", maxSize = 20, minCount = 2L)
+      operators.TextAnalysis.encodeTokens(docs, vocab, "doc_id", "text")
+        .select(col("doc_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+    }),
+
     // ---- MOSS-style span containment: distinct shared winnowing
     // fingerprints per doc pair, boilerplate-capped ----
     "q_shared_spans" -> ((s, dir) => {
@@ -1201,6 +1213,33 @@ object SparkEntry {
         |SELECT term, cnt,
         |  (row_number() OVER (ORDER BY cnt DESC, term) - 1)::INT AS token_id
         |FROM top""".stripMargin,
+    // vocab-encode: the vocab CTE mirrors q_vocab at maxSize 20; DuckDB
+    // range() yields BIGINT and row_number BIGINT → ::INT to match Spark
+    "q_encode_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT lower(tok) AS term
+        |  FROM (SELECT unnest(toks) AS tok FROM toks)),
+        |c AS (
+        |  SELECT term, count(*) AS cnt FROM t
+        |  GROUP BY term HAVING count(*) >= 2),
+        |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 20),
+        |vocab AS (
+        |  SELECT term,
+        |    (row_number() OVER (ORDER BY cnt DESC, term) - 1)::INT AS token_id
+        |  FROM top),
+        |pt AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, len(toks)),
+        |      i -> {'pos': i, 'term': lower(toks[i + 1])})) AS u
+        |  FROM toks),
+        |flat AS (SELECT doc_id, (u.pos)::INT AS pos, u.term AS term FROM pt)
+        |SELECT f.doc_id, f.pos, coalesce(v.token_id, -1) AS token_id
+        |FROM flat f LEFT JOIN vocab v ON f.term = v.term""".stripMargin,
     // MOSS shared-span pairs: the winnow CTE mirrors q_winnow_fingerprints
     // (n=5 shingles, w=4 windows, 60-bit sha prefix), then the pair count
     // with the [2, 50] boilerplate frequency cap.

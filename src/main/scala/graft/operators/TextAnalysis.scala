@@ -307,6 +307,43 @@ object TextAnalysis {
         .orderBy(col("cnt").desc, col("term").asc)) - 1)
   }
 
+  /** Encode each document as an array of vocabulary token ids in token
+    * order (out-of-vocabulary terms → `oovId`). The natural consumer of
+    * [[buildVocab]] and producer for `Packing.packSequences` — together
+    * they are the corpus → ids → fixed-budget training sequences chain.
+    *
+    * Scale shape: the vocab (≤ maxSize rows) broadcasts to a posexplode'd
+    * token stream — narrow join, no corpus shuffle for the lookup; the one
+    * shuffle is the per-document regroup, map-side combined on the doc id.
+    * Order is restored by sorting each doc's (pos, id) pairs AFTER
+    * collect_list (whose order is partition-arbitrary) — deterministic by
+    * construction, not by accident.
+    *
+    * Output: (idCol, token_ids: array<int>); tokenless docs get [].
+    */
+  def encodeTokens(
+      df: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      oovId: Int = -1,
+      lowercase: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val term = if (lowercase) lower(col("__tok")) else col("__tok")
+    val joined = toks.select(col(idCol), col("__pos"), term.as("term"))
+      .join(broadcast(vocab.select(col("term"), col("token_id"))),
+        Seq("term"), "left")
+    val ids = joined.groupBy(idCol).agg(
+      transform(
+        array_sort(collect_list(struct(col("__pos"),
+          coalesce(col("token_id"), lit(oovId)).as("tid")))),
+        s => s("tid")).as("token_ids"))
+    df.select(col(idCol)).join(ids, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("token_ids"), array().cast("array<int>")).as("token_ids"))
+  }
+
   def topTermsPerGroup(
       df: org.apache.spark.sql.DataFrame,
       groupCol: String,

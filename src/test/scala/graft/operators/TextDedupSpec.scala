@@ -203,6 +203,21 @@ class TextDedupSpec extends SparkTestBase {
     assert(cased.contains("The") && cased.contains("the") && cased.contains("DOG"))
   }
 
+  test("encodeTokens maps to vocab ids in order, OOV to the sentinel") {
+    val df = Seq(
+      (1L, "the cat saw the dog"),
+      (2L, "aardvark the"),
+      (3L, "")
+    ).toDF("id", "text")
+    val vocab = TextAnalysis.buildVocab(df, "text", maxSize = 3, minCount = 1L)
+    // ids: the=0 (cnt 3); aardvark=1, cat=2 (cnt-1 ties, alphabetic); dog/saw cut
+    val enc = TextAnalysis.encodeTokens(df, vocab, "id", "text")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(enc(1L) == Seq(0, 2, -1, 0, -1), enc.toString)
+    assert(enc(2L) == Seq(1, 0))
+    assert(enc(3L) == Seq.empty)
+  }
+
   test("sharedFingerprintPairs finds span containment that Jaccard misses") {
     val sharedSpan = (1 to 20).map(i => s"copied$i").mkString(" ")
     val hostPadding = (1 to 200).map(i => s"host$i").mkString(" ")
