@@ -170,4 +170,23 @@ class PropertySpec extends SparkTestBase {
       }
     }, n = 15)
   }
+
+  test("sharedFingerprintPairs honors the MOSS guarantee on planted runs") {
+    // the winnowing guarantee lifted to pair level: two docs sharing a
+    // token run of length >= shingleSize + window - 1 (here 5 + 4 - 1 = 8)
+    // MUST appear as a pair with minShared = 1 and no frequency cap
+    val word = Gen.oneOf("k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8", "k9")
+    val padGen = Gen.listOfN(12, word).map(_.mkString(" "))
+    val runGen = Gen.listOfN(8, word).map(_.mkString(" "))
+    check(Prop.forAll(runGen, padGen, padGen) { (run, padA, padB) =>
+      val df = Seq(
+        (1L, s"$padA $run"),
+        (2L, s"$run $padB")
+      ).toDF("id", "text")
+      val pairs = Dedup.sharedFingerprintPairs(df, "id", "text",
+        minShared = 1, maxDocsPerFingerprint = 1000)
+        .as[(Long, Long, Long)].collect()
+      pairs.exists(p => p._1 == 1L && p._2 == 2L)
+    }, n = 12)
+  }
 }
