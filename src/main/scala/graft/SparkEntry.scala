@@ -526,6 +526,22 @@ object SparkEntry {
         t(s, dir, "documents"), "text", maxSize = 1000, minCount = 1L)
     }),
 
+    // ---- bucketized range join: events into overlapping campaign
+    // windows (533 s grid, 400-2800 s widths) without a nested loop ----
+    "q_range_join" -> ((s, dir) => {
+      val base = 1704067200L // 2024-01-01T00:00:00Z, the events epoch
+      val ev = streaming.StreamingOps.readEventsRaw(s, s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          expr("ts_ns div 1000000000").as("sec"))
+      val iv = s.range(0, 500).select(
+        col("id").as("window_id"),
+        (lit(base) + col("id") * 533).as("w_start"),
+        (lit(base) + col("id") * 533 + (col("id") % 7 + 1) * 400).as("w_end"))
+      operators.RangeJoin.pointInInterval(ev, iv,
+          "sec", "w_start", "w_end", bucketWidth = 1024L)
+        .select("event_id", "user_id", "sec", "window_id")
+    }),
+
     // ---- vocab-encode: documents as token-id sequences (OOV = -1);
     // flattened with posexplode for the row-level oracle compare ----
     "q_encode_tokens" -> ((s, dir) => {
@@ -1213,6 +1229,21 @@ object SparkEntry {
         |SELECT term, cnt,
         |  (row_number() OVER (ORDER BY cnt DESC, term) - 1)::INT AS token_id
         |FROM top""".stripMargin,
+    // range join: plain BETWEEN join — DuckDB's IEJoin handles it; the
+    // Spark side must produce the identical match set via buckets.
+    // epoch_us // 1000000 is integer floor-div, matching `div 1000000000`
+    // on the raw nanos.
+    "q_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec
+        |  FROM events),
+        |iv AS (
+        |  SELECT i AS window_id,
+        |    1704067200 + i * 533 AS w_start,
+        |    1704067200 + i * 533 + ((i % 7) + 1) * 400 AS w_end
+        |  FROM range(0, 500) t(i))
+        |SELECT event_id, user_id, sec, window_id
+        |FROM ev JOIN iv ON ev.sec >= iv.w_start AND ev.sec <= iv.w_end""".stripMargin,
     // vocab-encode: the vocab CTE mirrors q_vocab at maxSize 20; DuckDB
     // range() yields BIGINT and row_number BIGINT → ::INT to match Spark
     "q_encode_tokens" ->

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketized point-in-interval range join.
+  *
+  * Beyond-reference. Spark has no native range-join strategy: a plain
+  * `p.join(i, p("x") >= i("s") && p("x") <= i("e"))` plans as
+  * BroadcastNestedLoopJoin (or a cartesian product when neither side is
+  * broadcastable) — O(|points| · |intervals|) comparisons, the classic
+  * 100 TB cliff for "match events to campaign windows / sessions to
+  * maintenance slots / reads to genomic regions" workloads.
+  *
+  * Mechanism (the standard bucketized rewrite, same family as Databricks'
+  * range-join optimization): quantize the domain into `bucketWidth`-wide
+  * buckets; each interval fans out to the buckets it covers, each point to
+  * exactly one bucket; an equi-join on the bucket id (plus any
+  * `extraKeys`) produces candidates and the exact BETWEEN predicate
+  * verifies them. Each interval meets each matching point in exactly one
+  * bucket (the point's), so no post-join dedup is needed.
+  *
+  * Scale shape: ONE equi-shuffle on (bucket, extraKeys) instead of a
+  * nested loop; candidate count per bucket ≈ points-in-bucket ×
+  * intervals-overlapping-bucket. Pick `bucketWidth` near the typical
+  * interval length: wider buckets = fewer interval duplicates but more
+  * false candidates, narrower = the reverse. Interval fan-out is bounded
+  * loudly by `maxBucketsPerInterval` — a degenerate whole-domain interval
+  * would otherwise explode into the full bucket range (such intervals
+  * belong on a broadcast path, not in the fan-out). Bucket skew (a hot
+  * time window) is AQE skew-join territory, same as any keyed join.
+  *
+  * Columns: `points` and `intervals` must not share column names except
+  * `extraKeys` (checked). Both range columns must be numeric (cast dates/
+  * timestamps to epoch numbers upstream; integer-exact below 2^53).
+  * Output: all point columns + all interval columns, inner-join semantics
+  * on `pointCol BETWEEN startCol AND endCol` (inclusive both ends).
+  */
+object RangeJoin {
+
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long,
+      extraKeys: Seq[String] = Nil,
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval >= 1,
+      s"maxBucketsPerInterval must be >= 1, got $maxBucketsPerInterval")
+    val clash = points.columns.toSet
+      .intersect(intervals.columns.toSet) -- extraKeys
+    require(clash.isEmpty,
+      s"points and intervals share non-key columns: ${clash.mkString(", ")}")
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(c / bucketWidth).cast("long")
+    val bStart = bucketOf(col(startCol))
+    val bEnd = bucketOf(col(endCol))
+    val fanned = intervals.withColumn("__bucket", explode(sequence(
+      bStart,
+      // fail loud instead of fanning a degenerate interval across the domain
+      when(bEnd - bStart < lit(maxBucketsPerInterval.toLong), bEnd)
+        .otherwise(raise_error(concat(
+          lit(s"rangeJoin: interval spans >= $maxBucketsPerInterval buckets " +
+            s"of width $bucketWidth ("), col(startCol), lit(".."),
+          col(endCol), lit(")"))).cast("long")))))
+    val bucketed = points.withColumn("__bucket", bucketOf(col(pointCol)))
+    bucketed.join(fanned, Seq("__bucket") ++ extraKeys)
+      .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bucket")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val points = Seq(
+    (1L, 5L), (2L, 10L), (3L, 99L), (4L, 100L), (5L, 250L), (6L, -7L)
+  ).toDF("pid", "x")
+
+  private val intervals = Seq(
+    (10L, 0L, 10L),     // catches 5, 10, -? no: [0,10] → pids 1,2
+    (11L, 10L, 99L),    // inclusive both ends → pids 2,3
+    (12L, 100L, 300L),  // pids 4,5
+    (13L, -10L, -1L),   // pid 6
+    (14L, 400L, 500L)   // nothing
+  ).toDF("iid", "s", "e")
+
+  private def naive = points.join(intervals,
+    col("x") >= col("s") && col("x") <= col("e"))
+    .select("pid", "iid").as[(Long, Long)].collect().toSet
+
+  test("pointInInterval matches the naive BETWEEN join exactly") {
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = RangeJoin.pointInInterval(points, intervals,
+        "x", "s", "e", bucketWidth = w)
+        .select("pid", "iid").as[(Long, Long)].collect()
+      assert(got.toSet == naive, s"bucketWidth=$w")
+      assert(got.length == got.toSet.size, s"no duplicate matches at w=$w")
+    }
+  }
+
+  test("extraKeys restricts matches to the same key") {
+    val p = Seq((1L, 5L, "a"), (2L, 5L, "b")).toDF("pid", "x", "k")
+    val i = Seq((10L, 0L, 10L, "a")).toDF("iid", "s", "e", "k")
+    val got = RangeJoin.pointInInterval(p, i, "x", "s", "e",
+      bucketWidth = 8L, extraKeys = Seq("k"))
+      .select("pid").as[Long].collect().toSeq
+    assert(got == Seq(1L), "only the matching key joins")
+  }
+
+  test("degenerate whole-domain interval fails loud") {
+    val i = Seq((10L, 0L, 10000000L)).toDF("iid", "s", "e")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, i, "x", "s", "e",
+        bucketWidth = 16L, maxBucketsPerInterval = 100).collect()
+    }
+    assert(e.getMessage.contains("rangeJoin")
+      || e.getCause != null && e.getCause.getMessage.contains("rangeJoin"))
+  }
+
+  test("clashing non-key columns are rejected up front") {
+    val i = Seq((10L, 0L, 10L)).toDF("pid", "s", "e") // pid clashes
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, i, "x", "s", "e", bucketWidth = 8L)
+    }
+    assert(e.getMessage.contains("share"))
+  }
+}
