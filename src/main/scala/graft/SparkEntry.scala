@@ -526,6 +526,18 @@ object SparkEntry {
         t(s, dir, "documents"), "text", maxSize = 1000, minCount = 1L)
     }),
 
+    // ---- mergeable HLL distinct rollup; rows-only: DataSketches HLL is
+    // not reproducible in DuckDB (error bounds asserted in SketchesSpec,
+    // same contract as q_ann_ivf) ----
+    "q_distinct_rollup" -> ((s, dir) => {
+      val ev = streaming.StreamingOps.readEvents(s, s"$dir/events.parquet")
+        .withColumn("day", to_date(col("ts")))
+      val fine = operators.Sketches.distinctSketches(
+        ev, Seq("day", "event_type"), "user_id")
+      operators.Sketches.rollupDistinct(fine, Seq("event_type"))
+        .orderBy("event_type")
+    }),
+
     // ---- bucketized range join: events into overlapping campaign
     // windows (533 s grid, 400-2800 s widths) without a nested loop ----
     "q_range_join" -> ((s, dir) => {
