@@ -54,17 +54,24 @@ object RangeJoin {
       .intersect(intervals.columns.toSet) -- extraKeys
     require(clash.isEmpty,
       s"points and intervals share non-key columns: ${clash.mkString(", ")}")
+    require(!points.columns.contains("__bucket")
+        && !intervals.columns.contains("__bucket"),
+      "__bucket is reserved by rangeJoin")
     def bucketOf(c: org.apache.spark.sql.Column) =
       floor(c / bucketWidth).cast("long")
     val bStart = bucketOf(col(startCol))
     val bEnd = bucketOf(col(endCol))
-    val fanned = intervals.withColumn("__bucket", explode(sequence(
+    // inverted (end < start) and NULL-bounded intervals match nothing
+    // under BETWEEN — drop them here, exactly as the naive join would,
+    // instead of fanning a descending sequence / crashing on a null guard
+    val valid = intervals.where(col(startCol) <= col(endCol))
+    val fanned = valid.withColumn("__bucket", explode(sequence(
       bStart,
       // fail loud instead of fanning a degenerate interval across the domain
       when(bEnd - bStart < lit(maxBucketsPerInterval.toLong), bEnd)
         .otherwise(raise_error(concat(
-          lit(s"rangeJoin: interval spans >= $maxBucketsPerInterval buckets " +
-            s"of width $bucketWidth ("), col(startCol), lit(".."),
+          lit(s"rangeJoin: interval spans more than $maxBucketsPerInterval " +
+            s"buckets of width $bucketWidth ("), col(startCol), lit(".."),
           col(endCol), lit(")"))).cast("long")))))
     val bucketed = points.withColumn("__bucket", bucketOf(col(pointCol)))
     bucketed.join(fanned, Seq("__bucket") ++ extraKeys)

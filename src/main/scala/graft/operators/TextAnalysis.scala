@@ -328,20 +328,23 @@ object TextAnalysis {
       textCol: String,
       oovId: Int = -1,
       lowercase: Boolean = true): org.apache.spark.sql.DataFrame = {
+    // posexplode_OUTER keeps tokenless docs as one null-pos row, so the
+    // per-doc regroup below covers every document in ONE pass — no second
+    // corpus scan + rejoin just to restore empty docs
     val toks = df.select(col(idCol),
-      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      posexplode_outer(tokens(col(textCol))).as(Seq("__pos", "__tok")))
     val term = if (lowercase) lower(col("__tok")) else col("__tok")
     val joined = toks.select(col(idCol), col("__pos"), term.as("term"))
       .join(broadcast(vocab.select(col("term"), col("token_id"))),
         Seq("term"), "left")
-    val ids = joined.groupBy(idCol).agg(
+    joined.groupBy(idCol).agg(
       transform(
-        array_sort(collect_list(struct(col("__pos"),
-          coalesce(col("token_id"), lit(oovId)).as("tid")))),
+        array_sort(collect_list(
+          // null struct for the null-pos marker row → collect_list skips
+          // it → tokenless docs aggregate to an empty array, not [oovId]
+          when(col("__pos").isNotNull, struct(col("__pos"),
+            coalesce(col("token_id"), lit(oovId)).as("tid"))))),
         s => s("tid")).as("token_ids"))
-    df.select(col(idCol)).join(ids, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("token_ids"), array().cast("array<int>")).as("token_ids"))
   }
 
   def topTermsPerGroup(

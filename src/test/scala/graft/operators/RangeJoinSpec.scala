@@ -52,6 +52,26 @@ class RangeJoinSpec extends SparkTestBase {
       || e.getCause != null && e.getCause.getMessage.contains("rangeJoin"))
   }
 
+  test("inverted and null-bounded intervals match nothing, like naive BETWEEN") {
+    val i = Seq(
+      (10L, Some(10L), Some(0L)),   // inverted
+      (11L, None, Some(50L)),       // null start
+      (12L, Some(0L), None),        // null end
+      (13L, Some(0L), Some(10L))    // normal → pids 1,2
+    ).toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(points, i, "x", "s", "e",
+      bucketWidth = 8L).select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 13L), (2L, 13L)))
+  }
+
+  test("a pre-existing __bucket column is rejected, not clobbered") {
+    val p = points.withColumn("__bucket", lit(9L))
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(p, intervals, "x", "s", "e", bucketWidth = 8L)
+    }
+    assert(e.getMessage.contains("__bucket"))
+  }
+
   test("clashing non-key columns are rejected up front") {
     val i = Seq((10L, 0L, 10L)).toDF("pid", "s", "e") // pid clashes
     val e = intercept[IllegalArgumentException] {
