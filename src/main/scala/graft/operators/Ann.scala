@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -152,12 +154,25 @@ object Ann {
         qIdCol: String,
         vecCol: String,
         k: Int,
-        nprobe: Int): DataFrame = {
+        nprobe: Int,
+        pruneScan: Boolean = true): DataFrame = {
       // rank cells by cosine(query, centroid), keep nprobe best
       val q = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("__qv"))
         .withColumn("__cell",
           explode(topCells(col("__qv"), centroidsLiteral(index.centroids), nprobe)))
-      val c = Dedup.cosineSide(index.assigned, Seq("__cell"), index.idCol,
+      // restrict the index scan to the probed cells: the distinct cell set
+      // is ≤ nlist values (a tiny driver collect — queries are broadcast-
+      // small by this operator's contract), and against a [[writeIndex]]-
+      // persisted index the IN filter on the __cell partition column
+      // prunes to the probed cells' DIRECTORIES — the probe reads nprobe
+      // cells' files, not the corpus
+      val assigned =
+        if (pruneScan) {
+          val cells = q.select("__cell").distinct().collect()
+            .map(_.getAs[Int]("__cell"))
+          index.assigned.where(col("__cell").isin(cells.map(Int.box): _*))
+        } else index.assigned
+      val c = Dedup.cosineSide(assigned, Seq("__cell"), index.idCol,
         index.vecCol, "c").withColumnRenamed("id_c", "id")
       val qSide = Dedup.cosineSide(
         q.withColumnRenamed("__qv", "__rawq"), Seq("__cell"), "q_id", "__rawq", "q")
@@ -176,6 +191,74 @@ object Ann {
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
         .select("q_id", "id", "cos", "rank")
+    }
+
+    /** Sidecar recording the quantizer (centroids) and column contract of
+      * a persisted index — the index is unreadable without it, so it is
+      * written AFTER the data: a crash mid-write leaves no sidecar and
+      * [[loadIndex]] fails loud instead of probing a torn index.
+      */
+    val SidecarFileName = "_graft_ivf_index.json"
+
+    /** Persist an IVF index: assigned rows partitioned by `__cell` (so a
+      * probe's cell filter prunes whole directories) + the centroid/param
+      * sidecar. Overwrite semantics — this is the "rebuild the index
+      * nightly" maintenance shape, not a concurrent append target
+      * (signatures append incrementally via [[graft.operators.DedupIndex]]
+      * -style layouts; IVF cell assignment depends on the trained
+      * centroids, so incremental growth belongs in a rebuild).
+      */
+    def writeIndex(index: IvfIndex, path: String): Unit = {
+      val spark = index.assigned.sparkSession
+      index.assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val sidecar = new org.apache.hadoop.fs.Path(dir, SidecarFileName)
+      val tmp = new org.apache.hadoop.fs.Path(
+        dir, s".$SidecarFileName.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(graft.io.Json.toJson(Map(
+        "id_col" -> index.idCol, "vec_col" -> index.vecCol,
+        "nassign" -> index.nassign,
+        "centroids" -> index.centroids.toSeq.map { case (cell, c) =>
+          Map("cell" -> cell, "c" -> c.toSeq) }))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(sidecar, false) // overwrite: single-writer maintenance op
+      if (!fs.rename(tmp, sidecar)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"writeIndex: could not commit sidecar at $sidecar")
+      }
+    }
+
+    /** Load a persisted index. Fails loud when the sidecar is missing —
+      * an interrupted [[writeIndex]] leaves data without a sidecar, which
+      * must read as "no index", never as a silently wrong one.
+      */
+    def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val sidecar = new org.apache.hadoop.fs.Path(dir, SidecarFileName)
+      require(fs.exists(sidecar),
+        s"no IVF sidecar at $path — index missing or torn by a failed write")
+      val in = fs.open(sidecar)
+      val node =
+        try graft.io.Json.parse(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      val cents = node.get("centroids").elements().asScala.map { e =>
+        val cell = e.get("cell").asInt()
+        val c = e.get("c").elements().asScala.map(_.asDouble()).toArray
+        cell -> c
+      }.toArray
+      IvfIndex(
+        spark.read.parquet(path),
+        cents,
+        node.get("id_col").asText(),
+        node.get("vec_col").asText(),
+        node.get("nassign").asInt())
     }
   }
 

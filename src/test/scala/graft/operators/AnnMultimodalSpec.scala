@@ -49,6 +49,40 @@ class AnnMultimodalSpec extends SparkTestBase {
     assert(rows(full) == rows(exact))
   }
 
+  test("persisted IVF index round-trips and searches identically, cell-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    try {
+      val queries = embeddings.filter($"vec_id" < 10)
+      val index = Ann.Ivf.build(embeddings, "vec_id", "embedding",
+        nlist = 16, seed = 42L, nassign = 2)
+      val direct = Ann.Ivf.search(index, queries, "vec_id", "embedding",
+        k = 5, nprobe = 4)
+      Ann.Ivf.writeIndex(index, dir)
+      val loaded = Ann.Ivf.loadIndex(spark, dir)
+      assert(loaded.nassign == 2 && loaded.idCol == "vec_id"
+        && loaded.centroids.length == 16)
+      val fromDisk = Ann.Ivf.search(loaded, queries, "vec_id", "embedding",
+        k = 5, nprobe = 4)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      assert(rows(fromDisk) == rows(direct))
+      // the probe plan filters on the partition column → directory pruning
+      val plan = fromDisk.queryExecution.executedPlan.toString
+      assert(plan.contains("__cell"), "cell filter must reach the scan")
+      // pruneScan=false is the same answer (machinery check)
+      assert(rows(Ann.Ivf.search(loaded, queries, "vec_id", "embedding",
+        k = 5, nprobe = 4, pruneScan = false)) == rows(direct))
+      // torn write (no sidecar) fails loud
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(dir, Ann.Ivf.SidecarFileName), false)
+      val e = intercept[IllegalArgumentException] { Ann.Ivf.loadIndex(spark, dir) }
+      assert(e.getMessage.contains("sidecar"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("IVF multi-assignment raises recall at a fixed probe width") {
     val queries = embeddings.filter($"vec_id" < 10)
     val exact = Ann.bruteForceTopK(embeddings, queries, "vec_id", "embedding", "vec_id", 5)
