@@ -526,6 +526,17 @@ object SparkEntry {
         t(s, dir, "documents"), "text", maxSize = 1000, minCount = 1L)
     }),
 
+    // ---- int8 embedding quantization, flattened per component ----
+    "q_quantize_embeddings" -> ((s, dir) => {
+      val q = operators.Quantize.quantize(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "embedding")
+      q.select(col("vec_id"), round(col("q_scale"), 6).as("scale"),
+          posexplode(col("q_codes")).as(Seq("pos", "code")))
+        .select(col("vec_id"), col("scale"), col("pos"),
+          col("code").cast("int").as("code"))
+    }),
+
     // ---- mergeable HLL distinct rollup; rows-only: DataSketches HLL is
     // not reproducible in DuckDB (error bounds asserted in SketchesSpec,
     // same contract as q_ann_ivf) ----
@@ -1241,6 +1252,29 @@ object SparkEntry {
         |SELECT term, cnt,
         |  (row_number() OVER (ORDER BY cnt DESC, term) - 1)::INT AS token_id
         |FROM top""".stripMargin,
+    // int8 quantization: identical arithmetic order on both sides —
+    // abs/max over doubles, /127, round away-from-zero (both engines),
+    // scale rounded once to 6 decimals for the float compare
+    "q_quantize_embeddings" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) / 127.0
+        |      AS raw_scale
+        |  FROM e),
+        |f AS (
+        |  SELECT vec_id, round(raw_scale, 6) AS scale,
+        |    unnest(list_transform(range(0, len(v)),
+        |      i -> {'pos': i,
+        |            'code': CASE WHEN raw_scale = 0.0 THEN 0
+        |                         ELSE CAST(round(v[i + 1] / raw_scale) AS INT)
+        |                    END})) AS u
+        |  FROM s)
+        |SELECT vec_id, scale, (u.pos)::INT AS pos, (u.code)::INT AS code
+        |FROM f""".stripMargin,
     // range join: plain BETWEEN join — DuckDB's IEJoin handles it; the
     // Spark side must produce the identical match set via buckets.
     // epoch_us // 1000000 is integer floor-div, matching `div 1000000000`
