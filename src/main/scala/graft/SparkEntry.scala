@@ -531,9 +531,15 @@ object SparkEntry {
       val q = operators.Quantize.quantize(
         t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         "embedding")
-      q.select(col("vec_id"), round(col("q_scale"), 6).as("scale"),
+      // scale is reported as integer micros: round(x*1e6) at precision 0
+      // is cross-engine exact (half-boundaries n+0.5 are representable
+      // doubles), where round(x, 6) is not — Spark rounds the shortest
+      // decimal rep (BigDecimal HALF_UP) while DuckDB rounds the binary
+      // value, and they can disagree on a ...5-at-the-7th-decimal scale
+      q.select(col("vec_id"),
+          round(col("q_scale") * 1000000.0).cast("long").as("scale_micros"),
           posexplode(col("q_codes")).as(Seq("pos", "code")))
-        .select(col("vec_id"), col("scale"), col("pos"),
+        .select(col("vec_id"), col("scale_micros"), col("pos"),
           col("code").cast("int").as("code"))
     }),
 
@@ -1253,8 +1259,10 @@ object SparkEntry {
         |  (row_number() OVER (ORDER BY cnt DESC, term) - 1)::INT AS token_id
         |FROM top""".stripMargin,
     // int8 quantization: identical arithmetic order on both sides —
-    // abs/max over doubles, /127, round away-from-zero (both engines),
-    // scale rounded once to 6 decimals for the float compare
+    // abs/max over doubles, /127, round away-from-zero (both engines).
+    // The scale compares as integer micros: precision-0 round is
+    // cross-engine exact, precision-6 round is not (decimal-string vs
+    // binary rounding can split on a ...5 boundary).
     "q_quantize_embeddings" ->
       """WITH e AS (
         |  SELECT vec_id,
@@ -1266,14 +1274,15 @@ object SparkEntry {
         |      AS raw_scale
         |  FROM e),
         |f AS (
-        |  SELECT vec_id, round(raw_scale, 6) AS scale,
+        |  SELECT vec_id,
+        |    CAST(round(raw_scale * 1000000.0) AS BIGINT) AS scale_micros,
         |    unnest(list_transform(range(0, len(v)),
         |      i -> {'pos': i,
         |            'code': CASE WHEN raw_scale = 0.0 THEN 0
         |                         ELSE CAST(round(v[i + 1] / raw_scale) AS INT)
         |                    END})) AS u
         |  FROM s)
-        |SELECT vec_id, scale, (u.pos)::INT AS pos, (u.code)::INT AS code
+        |SELECT vec_id, scale_micros, (u.pos)::INT AS pos, (u.code)::INT AS code
         |FROM f""".stripMargin,
     // range join: plain BETWEEN join — DuckDB's IEJoin handles it; the
     // Spark side must produce the identical match set via buckets.

@@ -147,6 +147,16 @@ object Ann {
 
     /** Probe the `nprobe` nearest cells per query, exact top-k inside them.
       * Centroids ride along as a broadcast literal (nlist × dim doubles).
+      *
+      * With `pruneScan = true` (the default) this is EAGER: the probed
+      * cell set must be known as a literal for partition pruning, so the
+      * query-side cell assignment runs as a Spark job at call time. The
+      * projected query side is pinned ([[graft.core.Caches.pin]]) so that
+      * job and the final search plan read the SAME materialization — a
+      * nondeterministic `queries` lineage (sample, unordered limit) cannot
+      * probe cells the pruned scan dropped. Long-lived sessions wrap calls
+      * in `Caches.collectPins` to release the pin after materializing.
+      * `pruneScan = false` keeps the plan fully lazy (no job, no pin).
       */
     def search(
         index: IvfIndex,
@@ -157,7 +167,7 @@ object Ann {
         nprobe: Int,
         pruneScan: Boolean = true): DataFrame = {
       // rank cells by cosine(query, centroid), keep nprobe best
-      val q = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("__qv"))
+      val q0 = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("__qv"))
         .withColumn("__cell",
           explode(topCells(col("__qv"), centroidsLiteral(index.centroids), nprobe)))
       // restrict the index scan to the probed cells: the distinct cell set
@@ -166,12 +176,14 @@ object Ann {
       // persisted index the IN filter on the __cell partition column
       // prunes to the probed cells' DIRECTORIES — the probe reads nprobe
       // cells' files, not the corpus
-      val assigned =
+      val (q, assigned) =
         if (pruneScan) {
-          val cells = q.select("__cell").distinct().collect()
+          val pinned = graft.core.Caches.pin(q0)
+          val cells = pinned.select("__cell").distinct().collect()
             .map(_.getAs[Int]("__cell"))
-          index.assigned.where(col("__cell").isin(cells.map(Int.box): _*))
-        } else index.assigned
+          (pinned,
+            index.assigned.where(col("__cell").isin(cells.map(Int.box): _*)))
+        } else (q0, index.assigned)
       val c = Dedup.cosineSide(assigned, Seq("__cell"), index.idCol,
         index.vecCol, "c").withColumnRenamed("id_c", "id")
       val qSide = Dedup.cosineSide(
@@ -210,26 +222,31 @@ object Ann {
       */
     def writeIndex(index: IvfIndex, path: String): Unit = {
       val spark = index.assigned.sparkSession
-      index.assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
+      // pin STATIC overwrite: under the common partitionOverwriteMode=
+      // dynamic session setting, overwrite would keep (a) the old sidecar
+      // alive through the whole data write — a crash mid-write then reads
+      // as a VALID index mixing old centroids with partial new data — and
+      // (b) stale cell directories that this rebuild assigned no rows to,
+      // whose rows a probe would return as silently wrong neighbors
+      index.assigned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("__cell").parquet(path)
       val dir = new org.apache.hadoop.fs.Path(path)
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-      val sidecar = new org.apache.hadoop.fs.Path(dir, SidecarFileName)
-      val tmp = new org.apache.hadoop.fs.Path(
-        dir, s".$SidecarFileName.${java.util.UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(graft.io.Json.toJson(Map(
+      val json = graft.io.Json.toJson(Map(
         "id_col" -> index.idCol, "vec_col" -> index.vecCol,
         "nassign" -> index.nassign,
         "centroids" -> index.centroids.toSeq.map { case (cell, c) =>
           Map("cell" -> cell, "c" -> c.toSeq) }))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      fs.delete(sidecar, false) // overwrite: single-writer maintenance op
-      if (!fs.rename(tmp, sidecar)) {
-        fs.delete(tmp, false)
-        throw new IllegalStateException(
-          s"writeIndex: could not commit sidecar at $sidecar")
-      }
+      val committed = graft.io.Sidecar.commit(
+        fs, dir, SidecarFileName, json, overwrite = true)
+      // single-writer maintenance contract: a concurrent writer whose
+      // content won the rename race means the data files are in unknown
+      // mixed state too — fail loud rather than leave OUR centroids
+      // describing THEIR cell assignment (or vice versa)
+      if (committed != json) throw new IllegalStateException(
+        s"writeIndex: concurrent writer detected at $path — the committed " +
+          "sidecar is not this build's; rebuild the index single-writer")
     }
 
     /** Load a persisted index. Fails loud when the sidecar is missing —

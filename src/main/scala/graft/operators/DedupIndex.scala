@@ -127,29 +127,16 @@ object DedupIndex {
             s"writeIndex: existing index at $path has band partitions " +
               s"${legacyBands.sorted.mkString(",")} but bands=$bands was claimed")
         }
-        // temp + rename: a crash mid-write must not leave a torn sidecar
-        val tmp = new org.apache.hadoop.fs.Path(
-          dir, s".$ParamsFileName.${java.util.UUID.randomUUID()}.tmp")
-        fs.mkdirs(dir)
-        val out = fs.create(tmp, true)
-        try out.write(graft.io.Json.toJson(Map(
-          "num_perms" -> numPerms, "bands" -> bands,
-          "shingle_size" -> shingleSize))
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        if (!fs.rename(tmp, sidecar)) fs.delete(tmp, false)
-        // read back what actually committed: on HDFS rename refuses to
-        // overwrite (the !rename branch above is the lost race), but on
-        // the local FS and object stores rename CLOBBERS — a returned
-        // `true` does not prove this writer won a concurrent create race.
-        // Whatever content is committed is the winner; both racers
-        // validate against it, so exactly one parameter set survives.
-        readParams(fs, sidecar) match {
-          case Some(stored) =>
-            checkParams(stored, numPerms, bands, shingleSize, path)
-          case None => throw new IllegalStateException(
-            s"writeIndex: params sidecar missing after write at $path")
-        }
+        // tmp + rename + read-back ([[graft.io.Sidecar]]): a crash leaves
+        // no sidecar, and on a concurrent create race whatever content
+        // committed is the winner — both racers validate against it, so
+        // exactly one parameter set survives.
+        val committed = graft.io.Sidecar.commit(fs, dir, ParamsFileName,
+          graft.io.Json.toJson(Map(
+            "num_perms" -> numPerms, "bands" -> bands,
+            "shingle_size" -> shingleSize)),
+          overwrite = false)
+        checkParams(parseParams(committed), numPerms, bands, shingleSize, path)
     }
     indexRows.write.mode("append").partitionBy("__band").parquet(path)
   }
@@ -209,17 +196,14 @@ object DedupIndex {
   private def readParams(
       fs: org.apache.hadoop.fs.FileSystem,
       sidecar: org.apache.hadoop.fs.Path): Option[(Int, Int, Int)] =
-    if (!fs.exists(sidecar)) None
-    else {
-      val in = fs.open(sidecar)
-      val text =
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      val node = graft.io.Json.parse(text)
-      Some((node.get("num_perms").asInt(), node.get("bands").asInt(),
-        node.get("shingle_size").asInt()))
-    }
+    graft.io.Sidecar.read(fs, sidecar.getParent, sidecar.getName)
+      .map(parseParams)
+
+  private def parseParams(text: String): (Int, Int, Int) = {
+    val node = graft.io.Json.parse(text)
+    (node.get("num_perms").asInt(), node.get("bands").asInt(),
+      node.get("shingle_size").asInt())
+  }
 
   private def checkParams(
       stored: (Int, Int, Int),

@@ -66,12 +66,21 @@ class AnnMultimodalSpec extends SparkTestBase {
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
       assert(rows(fromDisk) == rows(direct))
-      // the probe plan filters on the partition column → directory pruning
+      // the probed-cell IN predicate must land in the scan's
+      // PartitionFilters — that is what turns the filter into directory
+      // pruning ("__cell" alone appears in any search plan via join keys)
+      val pruneFilter = """PartitionFilters: \[[^\]]*__cell#\d+ IN""".r
       val plan = fromDisk.queryExecution.executedPlan.toString
-      assert(plan.contains("__cell"), "cell filter must reach the scan")
-      // pruneScan=false is the same answer (machinery check)
-      assert(rows(Ann.Ivf.search(loaded, queries, "vec_id", "embedding",
-        k = 5, nprobe = 4, pruneScan = false)) == rows(direct))
+      assert(pruneFilter.findFirstIn(plan).isDefined,
+        s"cell IN filter must reach the scan's PartitionFilters:\n$plan")
+      // pruneScan=false is the same answer (machinery check) and, without
+      // the eager cell collect, carries no IN partition filter — proving
+      // the assertion above can actually fail
+      val unpruned = Ann.Ivf.search(loaded, queries, "vec_id", "embedding",
+        k = 5, nprobe = 4, pruneScan = false)
+      assert(rows(unpruned) == rows(direct))
+      assert(pruneFilter.findFirstIn(
+        unpruned.queryExecution.executedPlan.toString).isEmpty)
       // torn write (no sidecar) fails loud
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())
