@@ -111,6 +111,47 @@ object Ann {
       IvfIndex(assigned, cents, idCol, vecCol, nassign)
     }
 
+    /** Fit a SEEDED quantizer: the `nlist` corpus vectors with the
+      * smallest sha256(id:seed) become the centroids directly — no KMeans
+      * iterations, no count/sample jobs, ONE TakeOrdered job total. Cell
+      * quality is that of randomly-seeded unrefined Voronoi cells: wrong
+      * for an ANN index (recall depends on centroid polish — use
+      * [[build]]), right when the quantizer is only a BLOCKING device
+      * ([[Dedup.semanticDedup]]), where near-identical vectors land
+      * together under any centroid set and refinement buys nothing.
+      *
+      * Fully deterministic for a fixed (corpus ids, nlist, seed) — no RNG,
+      * no partition-order sensitivity, unlike KMeans's sampled init.
+      * All-zero vectors are never chosen as seeds (cosine to them is 0
+      * everywhere — every such centroid would tie for every row).
+      */
+    def buildSeeded(
+        corpus: DataFrame,
+        idCol: String,
+        vecCol: String,
+        nlist: Int,
+        seed: Long = 42L,
+        nassign: Int = 1): IvfIndex = {
+      require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+      require(nassign >= 1 && nassign <= nlist, "nassign must be in [1, nlist]")
+      val vd = transform(col(vecCol), x => x.cast("double"))
+      val cents = corpus
+        .select(col(idCol).cast("string").as("__id"), vd.as("__v"))
+        .where(graft.functions.VectorFunctions.sumSquares(col("__v")) > 0.0)
+        .withColumn("__h", sha2(concat_ws(":", col("__id"), lit(seed)), 256))
+        .orderBy(col("__h"), col("__id")) // TakeOrdered, never a full sort
+        .limit(nlist)
+        .collect() // ≤ nlist × dim doubles — never corpus-sized
+        .zipWithIndex
+        .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
+      require(cents.nonEmpty,
+        "buildSeeded: corpus has no non-zero vectors to seed from")
+      val assigned = corpus.withColumn("__cell",
+        explode(topCells(col(vecCol), centroidsLiteral(cents),
+          math.min(nassign, cents.length))))
+      IvfIndex(assigned, cents, idCol, vecCol, nassign)
+    }
+
     /** Centroids as ONE array<struct<cell,c>> literal (`typedlit`), not an
       * `array(struct(lit…))` expression tree: the tree form carries
       * nlist × dim literal nodes into analysis and codegen, which blows the

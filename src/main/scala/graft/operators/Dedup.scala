@@ -669,15 +669,28 @@ object Dedup {
       threshold: Double = 0.97,
       seed: Long = 42L,
       keepBy: Seq[Column] = Nil,
-      maxIter: Int = 8): DataFrame = {
+      maxIter: Int = 8,
+      quantizer: String = "seeded"): DataFrame = {
     require(nclusters >= 1, s"nclusters must be >= 1, got $nclusters")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    // the quantizer is only a blocking device here — a loosely converged
-    // clustering blocks almost identically, so spend fewer iterations than
-    // an ANN index would (recall depends on nclusters, not on polish)
-    val assigned = Ann.Ivf.build(df, idCol, vecCol, nclusters,
-      seed = seed, maxIter = maxIter, initMode = "random").assigned
+    // the quantizer is only a blocking device here: exact duplicates land
+    // together under ANY centroid set, and near-identical vectors under
+    // almost any, so centroid polish buys nothing. Default "seeded"
+    // (Ann.Ivf.buildSeeded) costs one TakeOrdered job where "kmeans"
+    // (the paper's choice) pays count + sample + maxIter scheduled jobs —
+    // at cluster scale that is pure scheduling overhead for identical
+    // blocking quality; keep "kmeans" when cells must be balanced for a
+    // downstream use beyond this call.
+    val assigned = quantizer match {
+      case "seeded" =>
+        Ann.Ivf.buildSeeded(df, idCol, vecCol, nclusters, seed = seed).assigned
+      case "kmeans" =>
+        Ann.Ivf.build(df, idCol, vecCol, nclusters,
+          seed = seed, maxIter = maxIter, initMode = "random").assigned
+      case other => throw new IllegalArgumentException(
+        s"quantizer must be 'seeded' or 'kmeans', got '$other'")
+    }
     val pairs = cosineNearDupPairs(assigned, idCol, vecCol, Seq("__cell"), threshold)
     val clusters = connectedComponents(pairs, "id_a", "id_b")
     keepSurvivors(df, idCol, clusters, keepBy)

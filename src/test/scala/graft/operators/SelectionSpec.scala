@@ -110,6 +110,21 @@ class SelectionSpec extends SparkTestBase {
     assert(kept.columns.toSeq == corpus.columns.toSeq)
   }
 
+  test("seeded quantizer is deterministic and cells cover the corpus") {
+    val e = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"), col("embedding"))
+    val a = Ann.Ivf.buildSeeded(e, "vec_id", "embedding", nlist = 8, seed = 7L)
+    val b = Ann.Ivf.buildSeeded(e, "vec_id", "embedding", nlist = 8, seed = 7L)
+    assert(a.centroids.map(_._2.toSeq).toSeq == b.centroids.map(_._2.toSeq).toSeq)
+    // every row gets exactly one cell; identical vectors share a cell
+    assert(a.assigned.count() == e.count())
+    val cells = a.assigned.select("__cell").distinct().count()
+    assert(cells > 1 && cells <= 8)
+    // a different seed picks different centroids (not a constant function)
+    val c = Ann.Ivf.buildSeeded(e, "vec_id", "embedding", nlist = 8, seed = 8L)
+    assert(c.centroids.map(_._2.toSeq).toSeq != a.centroids.map(_._2.toSeq).toSeq)
+  }
+
   test("semanticDedup keepBy prefers the flagged survivor") {
     // one-hot 8-dim vectors: distinct ids are exactly orthogonal, copies
     // are exact duplicates — fully deterministic clustering input
@@ -119,8 +134,11 @@ class SelectionSpec extends SparkTestBase {
     }
     val copies = originals.map { case (id, v, _) => (id + 500L, v, 0) }
     val corpus = (originals ++ copies).toDF("vec_id", "embedding", "pref")
+    // quantizer="kmeans" keeps the MLlib path exercised alongside the
+    // seeded default the other tests run
     val kept = Dedup.semanticDedup(corpus, "vec_id", "embedding",
-      nclusters = 4, threshold = 0.995, keepBy = Seq(col("pref").asc))
+      nclusters = 4, threshold = 0.995, keepBy = Seq(col("pref").asc),
+      quantizer = "kmeans")
     val keptIds = kept.select("vec_id").as[Long].collect().toSet
     assert(keptIds == copies.map(_._1).toSet,
       s"with keepBy on pref asc the pref=0 copy must survive, got $keptIds")
