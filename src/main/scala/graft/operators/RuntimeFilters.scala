@@ -77,13 +77,15 @@ object RuntimeFilters {
     * anyway — pruning under `left`/`full` outer joins would delete rows the
     * join contract keeps.
     *
-    * Small-side cost: the small plan feeds the sizing count, the bloom
-    * aggregate AND the join — up to three evaluations for a derived
-    * subquery. With auto-sizing (`expectedItems < 0`) it is cached via
-    * [[graft.core.Caches.pin]] so all three read one materialization; the
-    * pin lives until the session ends or an enclosing
-    * [[graft.core.Caches.collectPins]] scope releases it (the join result
-    * reads the cache lazily, so the call cannot release it itself). When
+    * Small-side cost: the call is SELF-CONTAINED — with auto-sizing
+    * (`expectedItems < 0`) the small plan is cached only while the sizing
+    * count and bloom aggregate run (both eager, inside this call) and
+    * released before returning; the join then re-evaluates the small
+    * lineage once when the result materializes. Two evaluations total, no
+    * state outliving the call — a long-lived session (streaming sink,
+    * daily driver loop) can call this forever without accumulating cache.
+    * Callers who want exactly one evaluation persist `small` themselves
+    * (an already-cached side is never re-cached or released here). When
     * `bigKey == smallKey` the join uses the USING form, so the output
     * carries ONE key column instead of an ambiguous duplicate pair.
     */
@@ -99,13 +101,11 @@ object RuntimeFilters {
     require(ok.contains(joinType.toLowerCase.replace("_", "")),
       s"joinType '$joinType' keeps unmatched big-side rows; bloom pruning " +
         "would drop them (allowed: inner, left_semi, right_outer)")
-    val src = if (expectedItems < 0 &&
-      small.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      graft.core.Caches.pin(small)
-    else small
-    // src is already persisted, so the semi filter won't re-cache/release
-    val pruned = bloomSemiFilter(big, bigKey, src, smallKey, expectedItems, fpp)
-    if (bigKey == smallKey) pruned.join(src, Seq(bigKey), joinType)
-    else pruned.join(src, pruned(bigKey) === src(smallKey), joinType)
+    // bloomSemiFilter owns the cache for its two eager reads and releases
+    // it before returning; the join below recomputes `small` once instead
+    // of reading a pin that would have to outlive the call
+    val pruned = bloomSemiFilter(big, bigKey, small, smallKey, expectedItems, fpp)
+    if (bigKey == smallKey) pruned.join(small, Seq(bigKey), joinType)
+    else pruned.join(small, pruned(bigKey) === small(smallKey), joinType)
   }
 }

@@ -141,12 +141,11 @@ class LayoutSpec extends SparkTestBase {
     // semi filter: cache is internal and released before returning
     RuntimeFilters.bloomSemiFilter(big, "k", small, "k").count()
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
-    // pruned join: the pin lives with the scope, released exactly once
-    val (out, pins) = graft.core.Caches.collectPins {
-      RuntimeFilters.bloomPrunedJoin(big, "k", small, "k")
-    }
+    // pruned join: self-contained too — nothing cached survives the call,
+    // even without a collectPins scope (the long-lived-session contract)
+    val out = RuntimeFilters.bloomPrunedJoin(big, "k", small, "k")
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
     assert(out.count() == 10)
-    pins.release()
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
 
