@@ -377,6 +377,30 @@ object SparkEntry {
         docs.where(col("doc_id") % 5 =!= 0), "text")
     }),
 
+    // ---- Gopher quality-filter rules (Rae et al. 2021 A1.1) ----
+    "q_gopher_rules" -> ((s, dir) => {
+      operators.TextAnalysis.withGopherRules(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("bullet_line_frac"),
+          col("ellipsis_line_frac"), col("alpha_word_frac"),
+          col("stop_hits"), col("gopher_pass"))
+    }),
+
+    // ---- CCNet-style perplexity buckets: LM-score the held-out fifth
+    // against the rest, then head/middle/tail thirds per language ----
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = operators.TextAnalysis.lmQualityScore(
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
+        docs.where(col("doc_id") % 5 =!= 0), "text")
+        .where(col("n_bigrams") > 0)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      operators.Selection.quantileBuckets(
+        scored.select(col("doc_id"), col("lang"), col("avg_nll")),
+        "avg_nll", tieBreakCols = Seq("doc_id"), groupCols = Seq("lang"))
+    }),
+
     // ---- clustered compaction: range+sort layout, then a pruned scan ----
     "q_clustered_compaction" -> ((s, dir) => {
       val scratch = scratchDir("graft_cluster_") + "/t"
@@ -1440,6 +1464,99 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
         |  agg.avg_nll
         |FROM score_docs d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+    "q_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks,
+        |    list_filter(list_transform(
+        |        string_split(coalesce(text, ''), chr(10)), l -> trim(l)),
+        |      l -> l <> '') AS ls
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id, len(toks) AS n_words,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(coalesce(
+        |             list_sum(list_transform(toks, t -> length(t))), 0)
+        |           AS BIGINT) * 1.0 / len(toks) END AS mean_len,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE (len(regexp_extract_all(text, '#'))
+        |               + len(regexp_extract_all(text, '\.\.\.')))
+        |              * 1.0 / len(toks) END AS sym,
+        |    CASE WHEN len(ls) = 0 THEN 0.0
+        |         ELSE len(list_filter(ls, l -> regexp_matches(l, '^[-•*]')))
+        |              * 1.0 / len(ls) END AS bullet,
+        |    CASE WHEN len(ls) = 0 THEN 0.0
+        |         ELSE len(list_filter(ls,
+        |                l -> regexp_matches(l, '(\.\.\.|…)$')))
+        |              * 1.0 / len(ls) END AS ellip,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+        |              * 1.0 / len(toks) END AS alpha,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      w -> list_contains(list_transform(toks, t -> lower(t)), w)))
+        |      AS stop_hits
+        |  FROM base)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(mean_len, 6) AS mean_word_len,
+        |  round(sym, 6) AS symbol_ratio,
+        |  round(bullet, 6) AS bullet_line_frac,
+        |  round(ellip, 6) AS ellipsis_line_frac,
+        |  round(alpha, 6) AS alpha_word_frac,
+        |  CAST(stop_hits AS BIGINT) AS stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND mean_len >= 3.0 AND mean_len <= 10.0
+        |   AND sym <= 0.1 AND bullet < 0.9 AND ellip < 0.3
+        |   AND alpha >= 0.8 AND stop_hits >= 2) AS gopher_pass
+        |FROM sig""".stripMargin,
+    "q_ccnet_buckets" ->
+      """WITH ref AS (
+        |  SELECT text FROM documents WHERE doc_id % 5 <> 0),
+        |score_docs AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+        |rt AS (
+        |  SELECT list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                     t -> t <> '') AS toks FROM ref),
+        |uni AS (
+        |  SELECT w AS w1, count(*)::BIGINT AS cu
+        |  FROM rt CROSS JOIN unnest(toks) u(w) GROUP BY w),
+        |v AS (SELECT count(*)::BIGINT AS v FROM uni),
+        |rb AS (
+        |  SELECT toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER)+1] AS bg
+        |  FROM rt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
+        |bi AS (SELECT bg, count(*)::BIGINT AS cb FROM rb GROUP BY bg),
+        |dt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks FROM score_docs),
+        |db AS (
+        |  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER)+1] AS bg
+        |  FROM dt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
+        |nll AS (
+        |  SELECT db.doc_id,
+        |    -ln((coalesce(bi.cb, 0) + 1.0) / (coalesce(uni.cu, 0) + v.v))
+        |      AS nll
+        |  FROM db LEFT JOIN bi ON db.bg = bi.bg
+        |          LEFT JOIN uni ON db.w1 = uni.w1
+        |          CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |    round(avg(nll), 6) AS avg_nll
+        |  FROM nll GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang, agg.avg_nll
+        |  FROM score_docs d JOIN agg ON d.doc_id = agg.doc_id
+        |  WHERE agg.n_bigrams > 0),
+        |bkt AS (
+        |  SELECT doc_id, lang, avg_nll,
+        |    CAST(ntile(3) OVER (
+        |      PARTITION BY lang ORDER BY avg_nll, doc_id) AS INTEGER)
+        |      AS bucket
+        |  FROM scored)
+        |SELECT doc_id, lang, avg_nll, bucket,
+        |  (['head','middle','tail'])[bucket] AS bucket_label
+        |FROM bkt""".stripMargin,
     "q_clustered_compaction" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS revenue

@@ -126,6 +126,75 @@ object Selection {
       .select(col(idCol), coalesce(col("weight"), lit(0L)).as("weight"))
   }
 
+  /** Per-group quantile bands over a score column — the CCNet bucketing
+    * step (Wenzek et al. 2020, arXiv:1911.00359): score every document
+    * with a reference-corpus LM ([[TextAnalysis.lmQualityScore]]), then
+    * split each language into head/middle/tail perplexity thirds and
+    * sample the mixture downstream (head-heavy for quality, tail kept for
+    * coverage).
+    *
+    * Adds `<outCol>` (ntile index, 1-based) and `<outCol>_label` (from
+    * `labels`, sized `buckets`). Ordering is (scoreCol asc, tieBreakCols)
+    * — pass a unique tie-break (the doc id) so bucket membership is
+    * deterministic under equal scores. Rows with a NULL score get bucket
+    * NULL/label NULL (unscorable ≠ worst; filter or coalesce downstream).
+    *
+    * Scale shape: one window shuffle partitioned by `groupCols` — at
+    * 100 TB the groups (languages) must be the partition key; calling
+    * with `groupCols = Nil` computes a GLOBAL ntile on a single partition
+    * and is rejected above [[MaxUngroupedBucketRows]] rows (count-guarded)
+    * rather than silently funneling a corpus through one task.
+    */
+  def quantileBuckets(
+      df: DataFrame,
+      scoreCol: String,
+      tieBreakCols: Seq[String],
+      groupCols: Seq[String] = Nil,
+      buckets: Int = 3,
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      outCol: String = "bucket"): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(labels.isEmpty || labels.length == buckets,
+      s"labels must be empty or size $buckets, got ${labels.length}")
+    require(tieBreakCols.nonEmpty,
+      "tieBreakCols must include a unique key (e.g. the doc id) — equal " +
+        "scores would otherwise land in engine-dependent buckets")
+    if (groupCols.isEmpty) {
+      val n = df.count()
+      require(n <= MaxUngroupedBucketRows,
+        s"quantileBuckets without groupCols funnels all $n rows through " +
+          s"one window partition (> $MaxUngroupedBucketRows); pass " +
+          "groupCols or pre-aggregate")
+    }
+    val w0 = if (groupCols.isEmpty)
+      org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    else org.apache.spark.sql.expressions.Window.partitionBy(
+      groupCols.map(col): _*)
+    val w = w0.orderBy(col(scoreCol).asc +: tieBreakCols.map(col(_).asc): _*)
+    // NULL-scored rows are excluded from the window entirely: masking them
+    // after ntile would still let them occupy tile slots (shifting every
+    // real row's band), and engines disagree on NULL sort order anyway
+    val scored = df.where(col(scoreCol).isNotNull)
+      .withColumn(outCol, ntile(buckets).over(w))
+    val unscored = df.where(col(scoreCol).isNull)
+      .withColumn(outCol, lit(null).cast("int"))
+    if (labels.isEmpty) scored.unionByName(unscored)
+    else {
+      // label per branch: ntile is never null, so element_at sees only a
+      // valid 1-based index (feeding it the unscored branch's null index
+      // trips a codegen nullability bug in ConvertToLocalRelation)
+      val labelCol = s"${outCol}_label"
+      scored.withColumn(labelCol,
+        element_at(array(labels.map(lit): _*), col(outCol)))
+        .unionByName(unscored.withColumn(labelCol, lit(null).cast("string")))
+    }
+  }
+
+  /** Ungrouped [[quantileBuckets]] ceiling — one window partition must
+    * stay a bounded driver-adjacent task, never a corpus funnel.
+    */
+  val MaxUngroupedBucketRows: Long = 10L * 1000 * 1000
+
   /** Keep the `k` raw documents whose hashed-feature distribution is most
     * target-like: top-k by (weight desc, id asc) — deterministic, and a
     * TakeOrdered at scale, never a global sort materialization.

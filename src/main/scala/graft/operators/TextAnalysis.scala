@@ -439,6 +439,88 @@ object TextAnalysis {
     regexp_replace(t2, Ipv4Pattern, "<IP>")
   }
 
+  /** The Gopher rule stopword list (Rae et al. 2021, arXiv:2112.11446,
+    * A1.1): a document must contain at least two of these to pass.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-filter rules (Rae et al. 2021, arXiv:2112.11446,
+    * A1.1) — the published heuristic gate for web-scraped training text.
+    * Adds the individual signals as flat columns plus the composite
+    * `gopher_pass`:
+    *
+    *  - `n_words` in [50, 100000]
+    *  - `mean_word_len` in [3, 10]
+    *  - `symbol_ratio` (# or ... per word) <= 0.1
+    *  - `bullet_line_frac` (lines starting with a bullet) < 0.9
+    *  - `ellipsis_line_frac` (lines ending with an ellipsis) < 0.3
+    *  - `alpha_word_frac` (words containing a letter) >= 0.8
+    *  - `stop_hits` (distinct [[GopherStopwords]] present) >= 2
+    *
+    * Pure narrow expressions — no shuffle, no UDF; the tokenizer and line
+    * splitter each run once per row. Ratios are single int/int divisions,
+    * so every engine computes bit-identical doubles and the thresholds
+    * cut identically (each ratio is rounded to 6 decimals AFTER the
+    * threshold compare, for reporting only).
+    */
+  def withGopherRules(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val staged = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__lines", lines(col(textCol)))
+    val nWords = size(col("__toks"))
+    val nLines = size(col("__lines"))
+    // sum of word lengths as LONG — exact, order-insensitive
+    val sumLen = aggregate(col("__toks"), lit(0L), (acc, w) => acc + length(w))
+    val meanLen = when(nWords === 0, lit(0.0))
+      .otherwise(sumLen.cast("double") / nWords)
+    val symbols = patternCount(t, "#") + patternCount(t, "\\.\\.\\.")
+    val symbolRatio = when(nWords === 0, lit(0.0))
+      .otherwise(symbols.cast("double") / nWords)
+    val bulletFrac = when(nLines === 0, lit(0.0))
+      .otherwise(size(filter(col("__lines"),
+        l => regexp_count(l, lit("^[-•*]")) > 0)).cast("double") / nLines)
+    val ellipsisFrac = when(nLines === 0, lit(0.0))
+      .otherwise(size(filter(col("__lines"),
+        l => regexp_count(l, lit("(\\.\\.\\.|…)$")) > 0)).cast("double") / nLines)
+    val alphaFrac = when(nWords === 0, lit(0.0))
+      .otherwise(size(filter(col("__toks"),
+        w => regexp_count(w, lit("[A-Za-z]")) > 0)).cast("double") / nWords)
+    val stopHits = {
+      val sw = array(GopherStopwords.map(lit): _*)
+      size(filter(sw, w => array_contains(transform(col("__toks"),
+        x => lower(x)), w)))
+    }
+    // stage each signal as an attribute so the pass predicate and the
+    // rounded report column read ONE evaluation (no CSE across refs)
+    staged
+      .withColumn("n_words", nWords.cast("long"))
+      .withColumn("__mean", meanLen)
+      .withColumn("__sym", symbolRatio)
+      .withColumn("__bullet", bulletFrac)
+      .withColumn("__ellip", ellipsisFrac)
+      .withColumn("__alpha", alphaFrac)
+      .withColumn("stop_hits", stopHits.cast("long"))
+      .withColumn("gopher_pass",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("__mean") >= 3.0 && col("__mean") <= 10.0 &&
+          col("__sym") <= 0.1 &&
+          col("__bullet") < 0.9 &&
+          col("__ellip") < 0.3 &&
+          col("__alpha") >= 0.8 &&
+          col("stop_hits") >= 2)
+      .withColumn("mean_word_len", round(col("__mean"), 6))
+      .withColumn("symbol_ratio", round(col("__sym"), 6))
+      .withColumn("bullet_line_frac", round(col("__bullet"), 6))
+      .withColumn("ellipsis_line_frac", round(col("__ellip"), 6))
+      .withColumn("alpha_word_frac", round(col("__alpha"), 6))
+      .drop("__toks", "__lines", "__mean", "__sym", "__bullet", "__ellip",
+        "__alpha")
+  }
+
   /** Token bigrams `(i, w1, "w1 w2")` for 1-based positions `i` in
     * `[1, len-1]`; docs with fewer than 2 tokens produce no row. */
   private def explodedBigrams(df: org.apache.spark.sql.DataFrame,

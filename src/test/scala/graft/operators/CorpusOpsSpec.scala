@@ -307,4 +307,48 @@ class CorpusOpsSpec extends SparkTestBase {
       assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
     }
   }
+
+  test("withGopherRules computes each signal and the composite gate") {
+    val longGood = Seq.fill(5)(
+      "the quick brown fox jumps over that lazy dog with style and grace")
+      .mkString(" ")
+    val df = Seq(
+      (1L, longGood),                                      // passes every rule
+      (2L, "the cat and dog"),                             // too short
+      (3L, "- alpha one\n- beta two\n• gamma three\n* delta four"), // bullets
+      (4L, "first line...\nsecond line…\nthird line"),     // ellipsis lines
+      (5L, "see # tag # and more... stuff..."),            // symbol-heavy
+      (6L, "12345 67890 11111 22222"),                     // no alpha words
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withGopherRules(df, "text").orderBy("doc_id")
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "stop_hits", "gopher_pass")
+      .collect()
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_words") == 65L)
+    // 13 distinct words of total length 53, repeated 5 times
+    assert(d1.getAs[Double]("mean_word_len") ==
+      math.rint(53.0 / 13.0 * 1e6) / 1e6)
+    assert(d1.getAs[Double]("alpha_word_frac") == 1.0)
+    assert(d1.getAs[Long]("stop_hits") == 4L) // the, that, with, and
+    assert(d1.getAs[Boolean]("gopher_pass"))
+    val d2 = out(1)
+    assert(d2.getAs[Long]("n_words") == 4L && !d2.getAs[Boolean]("gopher_pass"))
+    assert(d2.getAs[Long]("stop_hits") == 2L)
+    assert(out(2).getAs[Double]("bullet_line_frac") == 1.0)
+    assert(out(3).getAs[Double]("ellipsis_line_frac") ==
+      math.rint(2.0 / 3.0 * 1e6) / 1e6)
+    // 7 tokens, 2 '#' + 2 '...' occurrences
+    assert(out(4).getAs[Double]("symbol_ratio") ==
+      math.rint(4.0 / 7.0 * 1e6) / 1e6)
+    assert(out(5).getAs[Double]("alpha_word_frac") == 0.0)
+    val d7 = out(6)
+    assert(d7.getAs[Long]("n_words") == 0L
+      && d7.getAs[Double]("mean_word_len") == 0.0
+      && !d7.getAs[Boolean]("gopher_pass"))
+    // no doc except #1 passes
+    assert(out.count(_.getAs[Boolean]("gopher_pass")) == 1)
+  }
 }

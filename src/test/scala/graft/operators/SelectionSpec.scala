@@ -143,4 +143,52 @@ class SelectionSpec extends SparkTestBase {
     assert(keptIds == copies.map(_._1).toSet,
       s"with keepBy on pref asc the pref=0 copy must survive, got $keptIds")
   }
+
+  test("quantileBuckets splits each group into labeled ntile bands") {
+    val df = Seq(
+      (1L, "en", 1.0), (2L, "en", 2.0), (3L, "en", 3.0),
+      (4L, "en", 4.0), (5L, "en", 5.0), (6L, "en", 6.0),
+      (7L, "de", 10.0), (8L, "de", 20.0), (9L, "de", 30.0), (10L, "de", 40.0)
+    ).toDF("doc_id", "lang", "score")
+    val out = Selection.quantileBuckets(df, "score",
+      tieBreakCols = Seq("doc_id"), groupCols = Seq("lang"))
+      .select("doc_id", "bucket", "bucket_label")
+      .as[(Long, Int, String)].collect()
+      .map { case (id, b, l) => id -> (b, l) }.toMap
+    // en: 6 rows / 3 tiles -> 2 per band
+    assert(out(1L) == (1, "head") && out(2L) == (1, "head"))
+    assert(out(3L) == (2, "middle") && out(4L) == (2, "middle"))
+    assert(out(5L) == (3, "tail") && out(6L) == (3, "tail"))
+    // de: 4 rows -> first tile gets the extra row
+    assert(out(7L) == (1, "head") && out(8L) == (1, "head"))
+    assert(out(9L) == (2, "middle") && out(10L) == (3, "tail"))
+  }
+
+  test("quantileBuckets breaks score ties by the tie-break key, keeps NULLs out of tiles") {
+    val df = Seq[(Long, java.lang.Double)](
+      (3L, 1.0), (1L, 1.0), (2L, 1.0), (4L, null)
+    ).toDF("doc_id", "score")
+    val out = Selection.quantileBuckets(df, "score",
+      tieBreakCols = Seq("doc_id"), buckets = 3)
+      .select("doc_id", "bucket", "bucket_label").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[Integer]("bucket")), Option(r.getAs[String]("bucket_label"))))
+      .toMap
+    // equal scores: doc_id ordering decides the tile, not engine whim
+    assert(out(1L)._1.contains(1) && out(2L)._1.contains(2)
+      && out(3L)._1.contains(3))
+    // NULL score never occupies a tile slot nor shifts the others
+    assert(out(4L) == (None, None))
+  }
+
+  test("quantileBuckets rejects a missing tie-break and bad label arity") {
+    val df = Seq((1L, 1.0)).toDF("doc_id", "score")
+    intercept[IllegalArgumentException] {
+      Selection.quantileBuckets(df, "score", tieBreakCols = Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Selection.quantileBuckets(df, "score", tieBreakCols = Seq("doc_id"),
+        buckets = 4)
+    }
+  }
 }
