@@ -401,6 +401,27 @@ object SparkEntry {
         "avg_nll", tieBreakCols = Seq("doc_id"), groupCols = Seq("lang"))
     }),
 
+    // ---- C4 cleaning rules (Raffel et al. 2020 §2.2) over a synthesized
+    // multi-line corpus (the flat testdata docs have no lines/punct) ----
+    "q_c4_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.withColumn("text", concat_ws("\n",
+        concat(coalesce(col("text"), lit("")), lit(".")),
+        lit("too short."),
+        lit("this page uses javascript heavily today."),
+        lit("a perfectly reasonable sentence appears right here!"),
+        lit("another good sentence with enough words present?"),
+        when(col("doc_id") % 7 === 0,
+          lit("lorem ipsum dolor sit amet consectetur.")),
+        when(col("doc_id") % 11 === 0, lit("function f() { return 1; }")),
+        when(col("doc_id") % 13 === 0,
+          lit("do not miss this clickbait offer today."))))
+      operators.TextAnalysis.c4Clean(corpus, "text",
+        badWords = Seq("clickbait"))
+        .select(col("doc_id"), col("text_clean"), col("n_lines_kept"),
+          col("n_sentences"), col("c4_keep"))
+    }),
+
     // ---- clustered compaction: range+sort layout, then a pruned scan ----
     "q_clustered_compaction" -> ((s, dir) => {
       val scratch = scratchDir("graft_cluster_") + "/t"
@@ -1557,6 +1578,45 @@ object SparkEntry {
         |SELECT doc_id, lang, avg_nll, bucket,
         |  (['head','middle','tail'])[bucket] AS bucket_label
         |FROM bkt""".stripMargin,
+    "q_c4_clean" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    coalesce(text, '') || '.',
+        |    'too short.',
+        |    'this page uses javascript heavily today.',
+        |    'a perfectly reasonable sentence appears right here!',
+        |    'another good sentence with enough words present?',
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN 'lorem ipsum dolor sit amet consectetur.' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'function f() { return 1; }' END,
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN 'do not miss this clickbait offer today.' END) AS text
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    list_filter(list_transform(
+        |        string_split(coalesce(text, ''), chr(10)), l -> trim(l)),
+        |      l -> l <> '') AS ls
+        |  FROM corpus),
+        |k AS (
+        |  SELECT doc_id, text,
+        |    list_filter(ls, l -> regexp_matches(l, '[.!?"]$')
+        |      AND len(list_filter(string_split_regex(l, '\s+'),
+        |                          w -> w <> '')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM base),
+        |c AS (
+        |  SELECT doc_id, text, array_to_string(kept, chr(10)) AS clean,
+        |    len(kept) AS n_kept FROM k)
+        |SELECT doc_id, clean AS text_clean,
+        |  CAST(n_kept AS BIGINT) AS n_lines_kept,
+        |  CAST(len(regexp_extract_all(clean, '[.!?]+')) AS BIGINT)
+        |    AS n_sentences,
+        |  (len(regexp_extract_all(clean, '[.!?]+')) >= 3
+        |   AND NOT contains(lower(text), 'lorem ipsum')
+        |   AND NOT contains(text, '{')
+        |   AND NOT contains(lower(text), 'clickbait')) AS c4_keep
+        |FROM c""".stripMargin,
     "q_clustered_compaction" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS revenue

@@ -521,6 +521,48 @@ object TextAnalysis {
         "__alpha")
   }
 
+  /** C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2) — the
+    * published line- and page-level gate for web-scraped text. Line level,
+    * a line survives iff it ends in terminal punctuation (`.!?"`), has at
+    * least `minWordsPerLine` words, and does not mention "javascript".
+    * Page level, `c4_keep` requires ≥ 3 sentences in the retained text and
+    * no "lorem ipsum" / `{` / `badWords` hit anywhere on the page (the
+    * original, not the cleaned text — a policy hit anywhere kills the
+    * page, exactly as published; the word list itself is caller-supplied,
+    * matched as a lowercase substring).
+    *
+    * Adds `text_clean` (retained lines joined by newline), `n_lines_kept`,
+    * `n_sentences` (terminal-punctuation runs in the retained text) and
+    * the composite `c4_keep`. Pure narrow expressions — one line-split
+    * pass staged as an attribute, no shuffle, no UDF; a 100 TB corpus
+    * cleans as a pure map alongside the scan.
+    */
+  def c4Clean(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minWordsPerLine: Int = 5,
+      badWords: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val keptLines = filter(lines(col(textCol)), l =>
+      regexp_count(l, lit("[.!?\"]$")) > 0 &&
+        size(filter(split(l, "\\s+"), w => w =!= "")) >= minWordsPerLine &&
+        not(lower(l).contains("javascript")))
+    val badHit = badWords.map(w => lower(t).contains(w.toLowerCase))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    df.withColumn("__kept", keptLines)
+      .withColumn("text_clean", array_join(col("__kept"), "\n"))
+      .withColumn("n_lines_kept", size(col("__kept")).cast("long"))
+      .withColumn("n_sentences",
+        size(regexp_extract_all(col("text_clean"), lit("[.!?]+"), lit(0)))
+          .cast("long"))
+      .withColumn("c4_keep",
+        col("n_sentences") >= 3 &&
+          not(lower(t).contains("lorem ipsum")) &&
+          not(t.contains("{")) &&
+          not(badHit))
+      .drop("__kept")
+  }
+
   /** Token bigrams `(i, w1, "w1 w2")` for 1-based positions `i` in
     * `[1, len-1]`; docs with fewer than 2 tokens produce no row. */
   private def explodedBigrams(df: org.apache.spark.sql.DataFrame,

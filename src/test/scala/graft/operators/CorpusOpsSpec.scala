@@ -351,4 +351,45 @@ class CorpusOpsSpec extends SparkTestBase {
     // no doc except #1 passes
     assert(out.count(_.getAs[Boolean]("gopher_pass")) == 1)
   }
+
+  test("c4Clean keeps terminal-punctuated long lines, gates pages") {
+    val good = Seq(
+      "this first sentence has enough words to survive.",
+      "does the second line also carry its weight today?",
+      "a third decent sentence rounds out the page!").mkString("\n")
+    val df = Seq(
+      (1L, good),                                              // keep
+      (2L, good + "\nshort one."),                             // short line dropped
+      (3L, good + "\nplease enable javascript to view content."), // js line dropped
+      (4L, good + "\nlorem ipsum dolor sit amet consectetur."), // page gate
+      (5L, good + "\nvar config = { mode: 1 } and such."),      // brace gate
+      (6L, good + "\nthis gratuitous spamword line reads fine."), // badword gate
+      (7L, "only two sentences here which is sad. one more makes two!"),
+      (8L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(df, "text", badWords = Seq("SpamWord"))
+      .orderBy("doc_id")
+      .select("doc_id", "text_clean", "n_lines_kept", "n_sentences", "c4_keep")
+      .collect()
+    assert(out(0).getAs[String]("text_clean") == good)
+    assert(out(0).getAs[Long]("n_lines_kept") == 3L
+      && out(0).getAs[Long]("n_sentences") == 3L
+      && out(0).getAs[Boolean]("c4_keep"))
+    // line filters drop the offending line but the page still passes
+    assert(out(1).getAs[String]("text_clean") == good
+      && out(1).getAs[Boolean]("c4_keep"))
+    assert(out(2).getAs[String]("text_clean") == good
+      && out(2).getAs[Boolean]("c4_keep"))
+    // page gates: the kept text retains 4 lines but the page is rejected
+    assert(out(3).getAs[Long]("n_lines_kept") == 4L
+      && !out(3).getAs[Boolean]("c4_keep"))
+    assert(!out(4).getAs[Boolean]("c4_keep"))
+    assert(!out(5).getAs[Boolean]("c4_keep"), "badWords match is case-insensitive")
+    // one line, two sentence runs -> fails the 3-sentence floor
+    assert(out(6).getAs[Long]("n_sentences") == 2L
+      && !out(6).getAs[Boolean]("c4_keep"))
+    assert(out(7).getAs[String]("text_clean") == ""
+      && out(7).getAs[Long]("n_lines_kept") == 0L
+      && !out(7).getAs[Boolean]("c4_keep"))
+  }
 }
