@@ -704,6 +704,13 @@ object SparkEntry {
         weights = Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2))
     }),
 
+    // ---- temperature-smoothed language mixture (p_l ∝ n_l^0.3) ----
+    "q_alpha_mixture" -> ((s, dir) => {
+      operators.Sampling.sampleToAlphaMixture(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", alpha = 0.3)
+    }),
+
     // ---- deterministic global shuffle (engine-reproducible training
     // order; global position without a single-partition window) ----
     "q_corpus_shuffle" -> ((s, dir) => {
@@ -2094,6 +2101,24 @@ object SparkEntry {
         |  FROM w, n)
         |SELECT d.doc_id, d.source
         |FROM documents d JOIN cuts ON d.source = cuts.source
+        |WHERE ('0x' || substring(sha256(CAST(d.doc_id AS VARCHAR) || ':graft'),
+        |       1, 7))::BIGINT % 1000000 < cuts.cut""".stripMargin,
+    "q_alpha_mixture" ->
+      """WITH c AS (
+        |  SELECT lang, count(*)::BIGINT AS c FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang),
+        |p AS (
+        |  SELECT lang, c,
+        |    CAST(round(pow(c * 1.0, 0.3) * 1000000.0) AS BIGINT) AS pw
+        |  FROM c),
+        |s AS (SELECT CAST(sum(pw) AS BIGINT) AS s FROM p),
+        |w AS (SELECT lang, c * 1.0 AS c, pw * 1.0 / s.s AS w FROM p, s),
+        |n AS (SELECT floor(min(c / w)) AS n FROM w),
+        |cuts AS (
+        |  SELECT w.lang, round(least(n.n * w.w / w.c, 1.0) * 1000000.0) AS cut
+        |  FROM w, n)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN cuts ON d.lang = cuts.lang
         |WHERE ('0x' || substring(sha256(CAST(d.doc_id AS VARCHAR) || ':graft'),
         |       1, 7))::BIGINT % 1000000 < cuts.cut""".stripMargin,
     "q_corpus_shuffle" ->

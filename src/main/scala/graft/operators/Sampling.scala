@@ -134,6 +134,57 @@ object Sampling {
       defaultFraction = 0.0, salt = salt)
   }
 
+  /** Temperature-smoothed mixture weights from observed group counts —
+    * the multilingual sampling rule `p_g ∝ count_g^alpha` (Conneau &
+    * Lample 2019, arXiv:1901.07291 §3.1; mT5's exponential smoothing,
+    * arXiv:2010.11934). `alpha = 1` keeps natural proportions; smaller
+    * alpha flattens toward uniform, upweighting low-resource groups.
+    *
+    * Engine-reproducible by construction: each `pow` value is rounded
+    * once to integer micros, the normalizer is an EXACT integer sum of
+    * those micros, and the final weight is one integer/integer division —
+    * no float-accumulation-order sensitivity, and the sub-micro `pow`
+    * ulp between libm implementations is absorbed by the rounding.
+    *
+    * One bounded job: a map-side-combined count per group with the
+    * collect capped at `maxGroups` rows — mixture groups are languages or
+    * domains; a column with more distinct values than that is a key, not
+    * a mixture dimension, and is rejected loudly.
+    */
+  def alphaMixtureWeights(
+      df: DataFrame,
+      groupCol: String,
+      alpha: Double = 0.3,
+      maxGroups: Int = 10000): Map[String, Double] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val rows = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .limit(maxGroups + 1)
+      .collect()
+    require(rows.length <= maxGroups,
+      s"more than $maxGroups distinct '$groupCol' values — that column is " +
+        "a key, not a mixture dimension")
+    require(rows.nonEmpty, s"no non-null '$groupCol' values to weight")
+    val micros = rows.map(r => r.getString(0) ->
+      math.round(math.pow(r.getLong(1).toDouble, alpha) * 1e6))
+    val total = micros.map(_._2).sum
+    micros.map { case (g, pw) => g -> pw.toDouble / total.toDouble }.toMap
+  }
+
+  /** [[sampleToMixture]] with [[alphaMixtureWeights]]-derived target
+    * proportions — "flatten the language mix at alpha = 0.3" as one call.
+    */
+  def sampleToAlphaMixture(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      alpha: Double = 0.3,
+      totalRows: Long = -1L,
+      salt: String = "graft"): DataFrame =
+    sampleToMixture(df, idCol, groupCol,
+      alphaMixtureWeights(df, groupCol, alpha), totalRows, salt)
+
   /** Deterministic global shuffle for training-data ordering: every row
     * gets a reproducible pseudo-random sort key `sha256(seed || ":" || id)`
     * and `posCol` — its 0-based rank in that order, identical on any

@@ -139,4 +139,42 @@ class SamplingSpec extends SparkTestBase {
     assert(byGrp("a") == 77) // fraction clamps to 1.0: whole group kept
     assert(byGrp("b") > 0)
   }
+
+  test("alphaMixtureWeights matches the micro-rounded formula; alpha=1 is natural") {
+    val df = ((1 to 800).map(i => (i.toLong, "en"))
+      ++ (801 to 900).map(i => (i.toLong, "de"))
+      ++ (901 to 1000).map(i => (i.toLong, "fr"))).toDF("id", "lang")
+    def expected(alpha: Double): Map[String, Double] = {
+      val micros = Map("en" -> 800L, "de" -> 100L, "fr" -> 100L)
+        .map { case (g, c) => g -> math.round(math.pow(c.toDouble, alpha) * 1e6) }
+      val s = micros.values.sum
+      micros.map { case (g, pw) => g -> pw.toDouble / s.toDouble }
+    }
+    assert(Sampling.alphaMixtureWeights(df, "lang", alpha = 0.3)
+      == expected(0.3))
+    val natural = Sampling.alphaMixtureWeights(df, "lang", alpha = 1.0)
+    assert(math.abs(natural("en") - 0.8) < 1e-9)
+    // smoothing flattens: low-resource share strictly grows as alpha drops
+    assert(expected(0.3)("de") > natural("de"))
+    intercept[IllegalArgumentException] {
+      Sampling.alphaMixtureWeights(df, "lang", alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.alphaMixtureWeights(df, "id", maxGroups = 10)
+    }
+  }
+
+  test("sampleToAlphaMixture output proportions sit near the smoothed targets") {
+    val df = ((1 to 3000).map(i => (i.toLong, "en"))
+      ++ (3001 to 3500).map(i => (i.toLong, "de"))).toDF("id", "lang")
+    val w = Sampling.alphaMixtureWeights(df, "lang", alpha = 0.5)
+    val out = Sampling.sampleToAlphaMixture(df, "id", "lang", alpha = 0.5)
+    val byLang = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = byLang.values.sum.toDouble
+    // hash-uniform, so ±5pp at this size; determinism is oracle-checked
+    assert(math.abs(byLang("en") / total - w("en")) < 0.05,
+      s"got ${byLang("en") / total}, want ~${w("en")}")
+    assert(byLang("de") > 0)
+  }
 }
