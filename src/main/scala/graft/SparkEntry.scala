@@ -401,6 +401,13 @@ object SparkEntry {
         "avg_nll", tieBreakCols = Seq("doc_id"), groupCols = Seq("lang"))
     }),
 
+    // ---- lexical entropy + type-token ratio quality signal ----
+    "q_token_entropy" -> ((s, dir) => {
+      operators.TextAnalysis.tokenEntropy(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")
+    }),
+
     // ---- C4 cleaning rules (Raffel et al. 2020 §2.2) over a synthesized
     // multi-line corpus (the flat testdata docs have no lines/punct) ----
     "q_c4_clean" -> ((s, dir) => {
@@ -1585,6 +1592,32 @@ object SparkEntry {
         |SELECT doc_id, lang, avg_nll, bucket,
         |  (['head','middle','tail'])[bucket] AS bucket_label
         |FROM bkt""".stripMargin,
+    "q_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+        |pt AS (
+        |  SELECT doc_id, w, count(*)::BIGINT AS c FROM t GROUP BY doc_id, w),
+        |pd AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |    count(*)::BIGINT AS n_types,
+        |    CAST(sum(CASE WHEN c > 1
+        |      THEN CAST(round(c * ln(c) * 1000000.0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS s
+        |  FROM pt GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(pd.n_tok, 0) AS n_tok,
+        |  coalesce(pd.n_types, 0) AS n_types,
+        |  CASE WHEN coalesce(pd.n_tok, 0) > 0
+        |       THEN round(ln(pd.n_tok) - (pd.s / 1000000.0) / pd.n_tok, 6)
+        |       ELSE 0.0 END AS entropy,
+        |  CASE WHEN coalesce(pd.n_tok, 0) > 0
+        |       THEN round(pd.n_types * 1.0 / pd.n_tok, 6)
+        |       ELSE 0.0 END AS ttr
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
     "q_c4_clean" ->
       """WITH corpus AS (
         |  SELECT doc_id, concat_ws(chr(10),

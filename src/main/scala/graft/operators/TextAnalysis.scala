@@ -563,6 +563,49 @@ object TextAnalysis {
       .drop("__kept")
   }
 
+  /** Per-document token-distribution stats: Shannon entropy of the token
+    * frequency distribution and type-token ratio — the standard
+    * "templated / machine-generated text has low lexical entropy" quality
+    * signal (low H = few distinct tokens dominate; TTR = distinct/total).
+    *
+    * Output: (idCol, `n_tok`, `n_types`, `entropy`, `ttr`); empty docs get
+    * zeros. Entropy uses `H = ln n − (Σ c·ln c)/n` where the Σ is an
+    * EXACT integer sum of once-micro-rounded `c·ln c` terms (the DSIR
+    * weight idiom) — no float accumulation order, so any engine computes
+    * the same value from the same counts.
+    *
+    * Scale shape: two shuffles, both map-side combined — (doc, term)
+    * counts, then the per-doc rollup; never wider than the tokenized
+    * corpus and embarrassingly parallel by doc id.
+    */
+  def tokenEntropy(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      lowercase: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val tok =
+      if (lowercase) tokens(lower(col(textCol))) else tokens(col(textCol))
+    // explode_OUTER keeps empty docs as one null-token row, so the rollup
+    // covers every document in one pass (count ignores the null marker)
+    val perTerm = df.select(col(idCol), explode_outer(tok).as("__t"))
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(col("__t")).as("__c"))
+    val perDoc = perTerm.groupBy(col(idCol)).agg(
+      sum(col("__c")).cast("long").as("n_tok"),
+      sum(when(col("__c") > 0, 1L).otherwise(0L)).cast("long").as("n_types"),
+      sum(when(col("__c") > 1,
+        round(col("__c") * log(col("__c")) * 1e6).cast("long"))
+        .otherwise(0L)).cast("long").as("__s"))
+    perDoc.select(col(idCol),
+      col("n_tok"), col("n_types"),
+      when(col("n_tok") > 0,
+        round(log(col("n_tok")) - (col("__s") / 1e6) / col("n_tok"), 6))
+        .otherwise(lit(0.0)).as("entropy"),
+      when(col("n_tok") > 0,
+        round(col("n_types") * lit(1.0) / col("n_tok"), 6))
+        .otherwise(lit(0.0)).as("ttr"))
+  }
+
   /** Token bigrams `(i, w1, "w1 w2")` for 1-based positions `i` in
     * `[1, len-1]`; docs with fewer than 2 tokens produce no row. */
   private def explodedBigrams(df: org.apache.spark.sql.DataFrame,

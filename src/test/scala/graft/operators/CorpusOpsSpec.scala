@@ -352,6 +352,33 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out.count(_.getAs[Boolean]("gopher_pass")) == 1)
   }
 
+  test("tokenEntropy matches hand-computed H and ttr, zeros for empty docs") {
+    val df = Seq(
+      (1L, "a a b"),      // H = ln3 - round(2ln2*1e6)/1e6/3
+      (2L, "x y z"),      // uniform -> H = ln3
+      (3L, "w w w w"),    // single type -> H ~ 0 (micro-rounded)
+      (4L, "A a"),        // lowercased -> one type
+      (5L, ""),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(df, "doc_id", "text").orderBy("doc_id")
+      .select("doc_id", "n_tok", "n_types", "entropy", "ttr")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    def h(n: Long, counts: Seq[Long]): Double = {
+      val s = counts.filter(_ > 1)
+        .map(c => math.round(c * math.log(c.toDouble) * 1e6)).sum
+      math.rint((math.log(n.toDouble) - (s / 1e6) / n) * 1e6) / 1e6
+    }
+    assert(out(0) == ((1L, 3L, 2L, h(3, Seq(2L, 1L)), 0.666667)))
+    assert(out(1) == ((2L, 3L, 3L, h(3, Seq(1L, 1L, 1L)), 1.0)))
+    assert(out(2) == ((3L, 4L, 1L, 0.0, 0.25)))
+    assert(out(3) == ((4L, 2L, 1L, 0.0, 0.5)))
+    assert(out(4) == ((5L, 0L, 0L, 0.0, 0.0)))
+    assert(out(5) == ((6L, 0L, 0L, 0.0, 0.0)))
+    // ordering property: uniform beats skewed beats constant
+    assert(out(1)._4 > out(0)._4 && out(0)._4 > out(2)._4)
+  }
+
   test("c4Clean keeps terminal-punctuated long lines, gates pages") {
     val good = Seq(
       "this first sentence has enough words to survive.",
