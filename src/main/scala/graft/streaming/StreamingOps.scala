@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
 
 /** Event-stream operators over the `events` table shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -28,15 +28,27 @@ object StreamingOps {
     "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
       "value DOUBLE, props STRING")
 
-  /** The testdata `events.parquet` stores `ts` as parquet
-    * TIMESTAMP(NANOS), which Spark 4's parquet reader rejects outright
-    * (PARQUET_TYPE_ILLEGAL). The supported path is the legacy conf that
-    * surfaces nanos as a plain LONG; this reader flips it on for the
-    * session and returns `ts` as nanos-since-epoch (`ts_ns`).
+  /** Events with `ts` normalized to nanos-since-epoch (`ts_ns`, LONG),
+    * whatever physical type the parquet carries. Generators have shipped
+    * the column as TIMESTAMP(NANOS) — which Spark 4's reader only
+    * surfaces via the legacy nanos-as-LONG conf — and as plain
+    * TIMESTAMP(MICROS)/NTZ; both land here as the same `ts_ns` contract
+    * (naive micros are interpreted as UTC, matching the DuckDB oracle's
+    * `epoch_us` and the UTC session timezone set by [[graft.core.Sessions]]).
     */
   def readEventsRaw(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path).withColumnRenamed("ts", "ts_ns")
+    val raw = spark.read.parquet(path)
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumnRenamed("ts", "ts_ns")
+      case _ =>
+        val cols = raw.columns.map {
+          case "ts" =>
+            (unix_micros(col("ts").cast(TimestampType)) * 1000L).as("ts_ns")
+          case c => col(c)
+        }
+        raw.select(cols.toIndexedSeq: _*)
+    }
   }
 
   /** Events with `ts` converted to a proper TIMESTAMP (microsecond

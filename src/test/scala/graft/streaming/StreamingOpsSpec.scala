@@ -7,7 +7,7 @@ import graft.SparkTestBase
 class StreamingOpsSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("readEvents handles the nanos-timestamp parquet") {
+  test("readEvents normalizes the events timestamp column to micros") {
     val events = StreamingOps.readEvents(spark, sf("events"))
     assert(events.schema("ts").dataType.typeName == "timestamp")
     assert(events.count() > 0)
