@@ -299,6 +299,13 @@ object SparkEntry {
         t(s, dir, "documents"), "source", "text", k = 5)
     }),
 
+    // ---- BM25 lexical retrieval against a bag of query terms ----
+    "q_bm25_search" -> ((s, dir) => {
+      operators.TextAnalysis.bm25(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "merge", "shuffle"))
+    }),
+
     // ---- exact dedup (hash-partition + windowed survivor choice) ----
     "q_exact_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -2077,6 +2084,36 @@ object SparkEntry {
         |  FROM scored)
         |SELECT "group", term, tf, score, "rank" AS rank
         |FROM ranked WHERE "rank" <= 5""".stripMargin,
+    // float literals cast to DOUBLE so DuckDB's decimal arithmetic doesn't
+    // diverge from Spark's IEEE-double evaluation of the same formula
+    "q_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_transform(list_filter(
+        |    string_split_regex(coalesce(text, ''), '\s+'), t -> t <> ''),
+        |    t -> lower(t)) AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(toks)::BIGINT AS dl,
+        |    list_filter(toks,
+        |      t -> t IN ('spark', 'window', 'merge', 'shuffle')) AS hits
+        |  FROM toks),
+        |stats AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+        |post AS (
+        |  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, dl, unnest(hits) AS term FROM base
+        |        WHERE len(hits) > 0)
+        |  GROUP BY doc_id, dl, term),
+        |dfs AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term)
+        |SELECT p.doc_id, count(*)::BIGINT AS n_hits,
+        |  round(sum(
+        |    ln(1.0::DOUBLE + (s.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)) *
+        |    (p.tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |    (p.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+        |       + 0.75::DOUBLE * p.dl / s.avgdl))), 6) AS score
+        |FROM post p JOIN dfs d USING (term) CROSS JOIN stats s
+        |GROUP BY p.doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id,

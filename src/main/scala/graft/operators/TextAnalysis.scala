@@ -665,4 +665,64 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_nll"))
   }
+
+  /** Okapi BM25 relevance of every document to a bag of query terms,
+    * with Lucene's non-negative idf variant
+    * `ln(1 + (N - df + 0.5) / (df + 0.5))`. The keyword-search /
+    * lexical-retrieval primitive of a corpus pipeline (hard-negative
+    * mining, topical subset selection, eval-set retrieval).
+    *
+    * Output: `(idCol, n_hits, score)` — one row per document containing
+    * at least one query term; `n_hits` counts distinct matched terms and
+    * `score` is rounded to 6 decimals for cross-engine determinism.
+    *
+    * Scale shape: tokens are filtered to the (lowercased, deduped) query
+    * set BEFORE the explode, so the posting stream that shuffles
+    * (doc, term, tf regroup) is |matches|-sized, not corpus-sized.
+    * Per-term document frequencies come from a window over that same
+    * posting frame — not a second corpus scan — so the corpus is read
+    * exactly twice: once for postings, once for the 1-row (N, avgdl)
+    * broadcast scalar (`avgdl` from an exact long sum, so it is
+    * summation-order-independent). No UDFs; everything stays in
+    * whole-stage codegen.
+    */
+  def bm25(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val qs = queryTerms.map(_.toLowerCase).distinct
+    val toks = transform(tokens(col(textCol)), t => lower(t))
+    val base = docs.select(col(idCol), size(toks).as("__dl"),
+      filter(toks, t => t.isInCollection(qs)).as("__hits"))
+    // exact long sum / long count → avgdl is deterministic at any
+    // partitioning; avg(double) would not be
+    val stats = base.agg(count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    val postings = base
+      .where(size(col("__hits")) > 0)
+      .select(col(idCol), col("__dl"), explode(col("__hits")).as("__term"))
+      .groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+      // df(term) via a window over the postings, not a re-aggregated
+      // second corpus scan: one (doc, term) row per posting group makes
+      // a plain count() the distinct-doc count
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__term")))
+    postings
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
+            (col("__df") + lit(0.5))) *
+          (col("__tf") * (lit(k1) + lit(1.0))) /
+          (col("__tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))))
+          .as("__s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), round(sum(col("__s")), 6).as("score"))
+  }
 }

@@ -419,4 +419,36 @@ class CorpusOpsSpec extends SparkTestBase {
       && out(7).getAs[Long]("n_lines_kept") == 0L
       && !out(7).getAs[Boolean]("c4_keep"))
   }
+
+  test("bm25 matches the hand-computed Okapi/Lucene formula") {
+    val docs = Seq(
+      (1L, "a B a c"), // query-term case-insensitivity: B counts as b
+      (2L, "a d"),
+      (3L, "x y z"),   // no hits -> no output row
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "doc_id", "text", Seq("A", "b"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, h, s) => id -> ((h, s)) }.toMap
+    // N=4 docs, dl = 4,2,3,0 -> avgdl = 9/4; df(a)=2, df(b)=1
+    val avgdl = 9.0 / 4
+    def idf(df: Long) = math.log(1 + (4 - df + 0.5) / (df + 0.5))
+    def w(tf: Long, dl: Long, df: Long) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val exp1 = w(2, 4, 2) + w(1, 4, 1)
+    val exp2 = w(1, 2, 2)
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 2L && out(2L)._1 == 1L)
+    assert(math.abs(out(1L)._2 - exp1) < 1e-6)
+    assert(math.abs(out(2L)._2 - exp2) < 1e-6)
+  }
+
+  test("bm25 rejects empty query and bad params") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25(docs, "doc_id", "text", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25(docs, "doc_id", "text", Seq("a"), b = 1.5)
+    }
+  }
 }
