@@ -306,6 +306,17 @@ object SparkEntry {
         Seq("spark", "window", "merge", "shuffle"))
     }),
 
+    // ---- the same retrieval served from a standing inverted index:
+    // build once, probe from pruned index buckets with zero corpus
+    // scans; must agree with q_bm25_search to the last bit ----
+    "q_bm25_indexed" -> ((s, dir) => {
+      val idx = scratchDir("graft_search_") + "/idx"
+      operators.Search.writeIndex(
+        t(s, dir, "documents"), "doc_id", "text", idx, numBuckets = 16)
+      operators.Search.searchIndex(s, idx,
+        Seq("spark", "window", "merge", "shuffle"))
+    }),
+
     // ---- exact dedup (hash-partition + windowed survivor choice) ----
     "q_exact_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -864,6 +875,39 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** BM25 over the fixed 4-term query — shared by the ad-hoc
+    * (`q_bm25_search`) and inverted-index (`q_bm25_indexed`) paths, which
+    * must agree with it and each other to the last bit.
+    */
+  private val bm25Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_transform(list_filter(
+      |    string_split_regex(coalesce(text, ''), '\s+'), t -> t <> ''),
+      |    t -> lower(t)) AS toks
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, len(toks)::BIGINT AS dl,
+      |    list_filter(toks,
+      |      t -> t IN ('spark', 'window', 'merge', 'shuffle')) AS hits
+      |  FROM toks),
+      |stats AS (
+      |  SELECT count(*)::BIGINT AS n,
+      |    sum(dl)::BIGINT::DOUBLE / count(*) AS avgdl FROM base),
+      |post AS (
+      |  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+      |  FROM (SELECT doc_id, dl, unnest(hits) AS term FROM base
+      |        WHERE len(hits) > 0)
+      |  GROUP BY doc_id, dl, term),
+      |dfs AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term)
+      |SELECT p.doc_id, count(*)::BIGINT AS n_hits,
+      |  round(sum(
+      |    ln(1.0::DOUBLE + (s.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)) *
+      |    (p.tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+      |    (p.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+      |       + 0.75::DOUBLE * p.dl / s.avgdl))), 6) AS score
+      |FROM post p JOIN dfs d USING (term) CROSS JOIN stats s
+      |GROUP BY p.doc_id""".stripMargin
+
   /** LSH pair derivation + transitive closure → min-reachable component:
     * the one oracle both clustering algorithms (label propagation and
     * large-star/small-star) must reproduce exactly.
@@ -2085,35 +2129,10 @@ object SparkEntry {
         |SELECT "group", term, tf, score, "rank" AS rank
         |FROM ranked WHERE "rank" <= 5""".stripMargin,
     // float literals cast to DOUBLE so DuckDB's decimal arithmetic doesn't
-    // diverge from Spark's IEEE-double evaluation of the same formula
-    "q_bm25_search" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_transform(list_filter(
-        |    string_split_regex(coalesce(text, ''), '\s+'), t -> t <> ''),
-        |    t -> lower(t)) AS toks
-        |  FROM documents),
-        |base AS (
-        |  SELECT doc_id, len(toks)::BIGINT AS dl,
-        |    list_filter(toks,
-        |      t -> t IN ('spark', 'window', 'merge', 'shuffle')) AS hits
-        |  FROM toks),
-        |stats AS (
-        |  SELECT count(*)::BIGINT AS n,
-        |    sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
-        |post AS (
-        |  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
-        |  FROM (SELECT doc_id, dl, unnest(hits) AS term FROM base
-        |        WHERE len(hits) > 0)
-        |  GROUP BY doc_id, dl, term),
-        |dfs AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term)
-        |SELECT p.doc_id, count(*)::BIGINT AS n_hits,
-        |  round(sum(
-        |    ln(1.0::DOUBLE + (s.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)) *
-        |    (p.tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
-        |    (p.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
-        |       + 0.75::DOUBLE * p.dl / s.avgdl))), 6) AS score
-        |FROM post p JOIN dfs d USING (term) CROSS JOIN stats s
-        |GROUP BY p.doc_id""".stripMargin,
+    // diverge from Spark's IEEE-double evaluation of the same formula;
+    // the indexed variant must produce the identical result set
+    "q_bm25_search" -> bm25Oracle,
+    "q_bm25_indexed" -> bm25Oracle,
     "q_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Standing BM25 inverted index: build once, then answer keyword queries
+  * from index buckets alone — no corpus scan per query.
+  *
+  * [[TextAnalysis.bm25]] is the ad-hoc path (two corpus scans per query
+  * set). At 100 TB with repeated retrieval (hard-negative mining rounds,
+  * topical subset pulls, eval retrieval), the scans dominate; this object
+  * amortizes them into one posting-list build:
+  *
+  *  - The index stores one row per (doc, term): `(idCol, __dl, __term,
+  *    __tf, __tb)`, files partitioned by `__tb` — a stable sha2-prefix
+  *    bucket of the term ([[graft.functions.Hashing.hexPrefixBucket]]) —
+  *    and range-laid-out/sorted on `(__tb, __term)` so a probe prunes to
+  *    its terms' bucket DIRECTORIES and, within them, to row groups whose
+  *    term min/max straddle a query term.
+  *  - Corpus-level BM25 constants (doc count, exact long token-count sum)
+  *    are computed at build time and recorded in the params sidecar, so a
+  *    query needs zero corpus access: scores come out bit-identical to
+  *    [[TextAnalysis.bm25]] on the indexed corpus (asserted in SearchSpec).
+  *  - Query cost ∝ the query terms' posting lists: the pruned scan feeds
+  *    one matches-sized per-term window (document frequencies) and one
+  *    per-doc regroup — no broadcast of anything corpus-sized.
+  *
+  * The build is one-shot and sidecar-last: the params file is committed
+  * (tmp + rename, [[graft.io.Sidecar]]) only after every posting file is
+  * down, so a crashed build leaves a sidecar-less directory that
+  * [[searchIndex]] refuses loudly, never a silently-partial index. Rebuild
+  * into a fresh path (or delete first) as index maintenance; growth by
+  * append is deliberately unsupported — the sidecar's corpus constants
+  * could not be updated atomically with the rows.
+  */
+object Search {
+
+  /** Sidecar recording bucket layout, normalization, and the corpus BM25
+    * constants. Also the build's commit marker — see the object doc.
+    */
+  val ParamsFileName = "_graft_search_params.json"
+
+  private val BucketSalt = "graft-search-tb"
+  private val HexPrefixLen = 7
+
+  /** Driver-side twin of the column-side bucket assignment
+    * ([[graft.functions.Hashing.hexPrefixBucket]] with [[BucketSalt]]):
+    * sha2-256 of `term:salt`, first 7 hex chars as a long, mod
+    * `numBuckets`. Equality with the column implementation is what makes
+    * probe-side literal IN pruning sound; SearchSpec asserts it.
+    */
+  private[operators] def termBucketLocal(term: String, numBuckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(s"$term:$BucketSalt".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, HexPrefixLen), 16) % numBuckets
+  }
+
+  private def termBucketCol(term: Column, numBuckets: Int): Column =
+    graft.functions.Hashing.hexPrefixBucket(term, BucketSalt, numBuckets.toLong)
+
+  /** Posting rows for `docs`: `(idCol, __dl, __term, __tf, __tb)`. The
+    * only corpus-sized shuffle of the build (explode + map-side-combined
+    * regroup on (doc, term)).
+    */
+  def indexRows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int = 64,
+      lowercase: Boolean = true): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val toks0 = TextAnalysis.tokens(col(textCol))
+    val toks = if (lowercase) transform(toks0, t => lower(t)) else toks0
+    docs.select(col(idCol), size(toks).as("__dl"), explode(toks).as("__term"))
+      .groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+      .withColumn("__tb", termBucketCol(col("__term"), numBuckets))
+  }
+
+  /** Build the index at `path` (which must not already contain one).
+    * Two corpus scans — postings and the (n_docs, sum_dl) constants — then
+    * a range-partitioned, term-sorted, `__tb`-directory-partitioned write
+    * and the sidecar commit.
+    */
+  def writeIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      numBuckets: Int = 64,
+      lowercase: Boolean = true,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val spark = docs.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(new org.apache.hadoop.fs.Path(dir, ParamsFileName)),
+      s"writeIndex: $path already holds a committed index — builds are " +
+        "one-shot; rebuild into a fresh path or delete the old index first")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val stats = docs.agg(count(lit(1)).as("n"), sum(size(toks)).as("s")).head()
+    val nDocs = stats.getAs[Long]("n")
+    val sumDl = if (stats.isNullAt(1)) 0L else stats.getAs[Long]("s")
+    val postings = indexRows(docs, idCol, textCol, numBuckets, lowercase)
+    val nFiles = Compaction.targetFileCount(postings, targetFileBytes)
+    postings
+      .repartitionByRange(nFiles, col("__tb"), col("__term"))
+      .sortWithinPartitions(col("__tb"), col("__term"))
+      .write.mode("errorifexists").partitionBy("__tb").parquet(path)
+    graft.io.Sidecar.commit(fs, dir, ParamsFileName,
+      graft.io.Json.toJson(Map(
+        "num_buckets" -> numBuckets, "lowercase" -> lowercase,
+        "id_col" -> idCol, "n_docs" -> nDocs, "sum_dl" -> sumDl)),
+      overwrite = false): Unit
+  }
+
+  /** BM25 scores for `queryTerms` from the index alone: `(idCol, n_hits,
+    * score)`, one row per indexed document containing at least one query
+    * term — the same output contract, formula association, and 6-decimal
+    * rounding as [[TextAnalysis.bm25]], so results match it bit-for-bit
+    * on the indexed corpus.
+    *
+    * The scan is pruned two ways before any shuffle: a `__tb IN (...)`
+    * literal filter (directory pruning — buckets computed driver-side via
+    * [[termBucketLocal]]) and a `__term IN (...)` filter (row-group
+    * min/max pruning inside each bucket, thanks to the build's term sort).
+    */
+  def searchIndex(
+      spark: SparkSession,
+      path: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val raw = graft.io.Sidecar.read(fs, dir, ParamsFileName).getOrElse(
+      throw new IllegalStateException(
+        s"searchIndex: no $ParamsFileName at $path — not a committed " +
+          "search index (or a crashed build; rebuild it)"))
+    val node = graft.io.Json.parse(raw)
+    val numBuckets = node.get("num_buckets").asInt()
+    val lowercase = node.get("lowercase").asBoolean()
+    val idCol = node.get("id_col").asText()
+    val nDocs = node.get("n_docs").asLong()
+    val sumDl = node.get("sum_dl").asLong()
+    val qs0 = if (lowercase) queryTerms.map(_.toLowerCase) else queryTerms
+    val qs = qs0.distinct
+    val buckets = qs.map(termBucketLocal(_, numBuckets)).distinct
+    // same IEEE division as bm25's sum(long).cast(double) / count
+    val avgdl = sumDl.toDouble / nDocs
+    spark.read.parquet(path)
+      .where(col("__tb").isin(buckets: _*) && col("__term").isin(qs: _*))
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__term")))
+      .select(col(idCol),
+        (log(lit(1.0) + (lit(nDocs) - col("__df") + lit(0.5)) /
+            (col("__df") + lit(0.5))) *
+          (col("__tf") * (lit(k1) + lit(1.0))) /
+          (col("__tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("__dl") / lit(avgdl))))
+          .as("__s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), round(sum(col("__s")), 6).as("score"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Specs for the standing BM25 inverted index ([[Search]]). */
+class SearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def scratch(): String =
+    Files.createTempDirectory("graft_search_").toString + "/idx"
+
+  test("searchIndex equals ad-hoc bm25 bit-for-bit on the indexed corpus") {
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("doc_id"), col("text"))
+    val terms = Seq("spark", "window", "merge", "shuffle")
+    val dir = scratch()
+    Search.writeIndex(docs, "doc_id", "text", dir, numBuckets = 8)
+    val fromIndex = Search.searchIndex(spark, dir, terms)
+      .as[(Long, Long, Double)].collect().toSet
+    val adHoc = TextAnalysis.bm25(docs, "doc_id", "text", terms)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromIndex == adHoc)
+    assert(adHoc.nonEmpty, "corpus should match at least one query term")
+  }
+
+  test("probe prunes to the query terms' bucket directories") {
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val dir = scratch()
+    Search.writeIndex(docs, "doc_id", "text", dir, numBuckets = 16)
+    val q = Search.searchIndex(spark, dir, Seq("beta"))
+    // the __tb literal predicate must land in PartitionFilters — that is
+    // what turns the bucket filter into directory pruning (a single-term
+    // IN simplifies to equality, hence the alternation)
+    val pruneFilter = """PartitionFilters: \[[^\]]*__tb#\d+ (IN|=)""".r
+    val plan = q.queryExecution.executedPlan.toString
+    assert(pruneFilter.findFirstIn(plan).isDefined,
+      s"__tb IN filter must reach the scan's PartitionFilters:\n$plan")
+    assert(q.as[(Long, Long, Double)].collect().map(_._1).toSet == Set(1L, 2L))
+  }
+
+  test("driver-side bucket twin equals the column-side assignment") {
+    val terms = ('a' to 'z').map(c => s"term_$c") ++
+      Seq("Spark", "UPPER", "küche", "日本語", "", "x:y", "a b")
+    val fromCols = terms.toDF("t")
+      .select(col("t"), graft.functions.Hashing.hexPrefixBucket(
+        col("t"), "graft-search-tb", 16L).as("b"))
+      .as[(String, Long)].collect().toMap
+    terms.foreach { t =>
+      assert(Search.termBucketLocal(t, 16) == fromCols(t),
+        s"driver/column bucket mismatch for '$t'")
+    }
+  }
+
+  test("uncommitted or duplicate builds fail loud") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val dir = scratch()
+    Search.writeIndex(docs, "doc_id", "text", dir, numBuckets = 4)
+    // rebuild over a committed index refuses
+    intercept[IllegalArgumentException] {
+      Search.writeIndex(docs, "doc_id", "text", dir, numBuckets = 4)
+    }
+    // a sidecar-less directory (crashed build) refuses to serve queries
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir, Search.ParamsFileName), false)
+    intercept[IllegalStateException] {
+      Search.searchIndex(spark, dir, Seq("a"))
+    }
+  }
+
+  test("docs with no query terms never appear; zero-length docs only dilute avgdl") {
+    val docs = Seq((1L, "hit miss"), (2L, "miss"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val dir = scratch()
+    Search.writeIndex(docs, "doc_id", "text", dir, numBuckets = 4)
+    val out = Search.searchIndex(spark, dir, Seq("hit"))
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSet == Set(1L))
+    // N=4, avgdl=3/4: idf = ln(1+(4-1+0.5)/1.5), denom = 1+1.2*(0.25+0.75*2/(3.0/4))
+    val exp = math.log(1 + 3.5 / 1.5) * 2.2 /
+      (1 + 1.2 * (0.25 + 0.75 * 2 / (3.0 / 4)))
+    assert(math.abs(out.head._3 - exp) < 1e-6)
+  }
+}
