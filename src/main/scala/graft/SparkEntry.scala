@@ -596,6 +596,29 @@ object SparkEntry {
         t(s, dir, "documents"), "text", maxSize = 1000, minCount = 1L)
     }),
 
+    // ---- BPE tokenizer training: 24 merges learned over word types
+    // (iterative argmax — not SQL-expressible, so rows-only like the
+    // KMeans queries; BpeSpec pins the algorithm to a reference impl) ----
+    "q_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val (merges, wt) = operators.Bpe.learnMerges(
+        t(s, dir, "documents"), "text", numMerges = 24)
+      graft.core.Caches.releaseCheckpoint(wt)
+      merges.map(m => (m.rank, m.left, m.right, m.merged))
+        .toDF("rank", "left", "right", "merged")
+    }),
+
+    // ---- BPE encode of the corpus under the learned merges, flattened
+    // to (doc_id, pos, unit) — exercises the distinct-word join path ----
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (merges, wt) = operators.Bpe.learnMerges(docs, "text", numMerges = 24)
+      graft.core.Caches.releaseCheckpoint(wt)
+      operators.Bpe.encode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          posexplode(col("bpe_tokens")).as(Seq("pos", "unit")))
+    }),
+
     // ---- int8 embedding quantization, flattened per component ----
     "q_quantize_embeddings" -> ((s, dir) => {
       val q = operators.Quantize.quantize(

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding (Sennrich et al. 2016) merge learning
+  * and application — the tokenizer-TRAINING step in front of the
+  * [[TextAnalysis.buildVocab]] → [[TextAnalysis.encodeTokens]] →
+  * [[Packing.packSequences]] chain, re-expressed for Spark's execution
+  * model.
+  *
+  * The classic algorithm is inherently iterative (each merge depends on
+  * the counts AFTER the previous merge), so the shape mirrors
+  * [[Dedup.connectedComponents]]'s loop discipline rather than one
+  * declarative plan:
+  *
+  *  - The corpus is touched EXACTLY ONCE: one explode + map-side-combined
+  *    groupBy builds the word-TYPE table `(word, count, symbols)` —
+  *    classic BPE counts over types weighted by frequency, so every
+  *    iteration after that runs on vocabulary-sized data, not corpus-sized
+  *    data. At 100 TB the word-type table is millions of rows, not
+  *    billions.
+  *  - Each round is one aggregation over adjacent symbol pairs (weighted
+  *    `sum(count)`), a `TakeOrdered` argmax with a total (count desc,
+  *    pair asc) tie-break — deterministic across runs, engines, and
+  *    partitionings — and a pure-expression greedy left-to-right merge
+  *    fold (`aggregate`, no UDF) applied to the symbol arrays.
+  *  - Round state is `localCheckpoint`ed and the previous round's blocks
+  *    released, truncating the logical plan: an iterative chain that is
+  *    merely persisted re-analyzes its whole lineage every round (see the
+  *    measured blowup note in connectedComponents).
+  *
+  * Merges learn over whitespace word boundaries with the standard
+  * end-of-word sentinel, so "low" and "lower" share prefix pairs but
+  * word-final units stay distinct — the semantics HuggingFace/GPT-style
+  * BPE vocabularies expect.
+  */
+object Bpe {
+
+  /** End-of-word sentinel appended to every word's symbol sequence. */
+  val EndOfWord = "</w>"
+
+  /** One learned merge: at `rank`, adjacent symbols (`left`, `right`)
+    * rewrite to `left + right`.
+    */
+  final case class Merge(rank: Int, left: String, right: String) {
+    def merged: String = left + right
+  }
+
+  /** `(word, count, syms)` word-type table: distinct whitespace tokens,
+    * their corpus frequencies, and their initial character + [[EndOfWord]]
+    * symbol sequences. The one corpus-sized job of learn/encode.
+    */
+  def wordTypes(
+      docs: DataFrame,
+      textCol: String,
+      lowercase: Boolean = true): DataFrame = {
+    val toks0 = TextAnalysis.tokens(col(textCol))
+    val toks = if (lowercase) transform(toks0, t => lower(t)) else toks0
+    docs.select(explode(toks).as("__word"))
+      .groupBy("__word").agg(count(lit(1)).as("__n"))
+      .withColumn("__syms", initialSymbols(col("__word")))
+  }
+
+  /** Character symbols + [[EndOfWord]]; empty-safe. */
+  private def initialSymbols(word: Column): Column =
+    concat(filter(split(word, ""), s => s =!= ""), array(lit(EndOfWord)))
+
+  /** Greedy left-to-right single-merge rewrite of a symbol array: a pure
+    * `aggregate` fold, so overlapping runs merge exactly like the
+    * reference algorithm ("aaaa" + (a,a) → [aa, aa], not [aa, a, a]).
+    */
+  private def applyMergeExpr(syms: Column, m: Merge): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(m.left)
+          && x === lit(m.right),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(m.merged))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Adjacent-pair frequencies of the current word-type table:
+    * `(__l, __r, __cnt)` weighted by word count. */
+  private def pairCounts(wt: DataFrame): DataFrame =
+    wt.where(size(col("__syms")) >= 2)
+      .select(col("__n"), explode(transform(
+        sequence(lit(0), size(col("__syms")) - 2),
+        i => struct(element_at(col("__syms"), i + 1).as("l"),
+          element_at(col("__syms"), i + 2).as("r")))).as("__p"))
+      .groupBy(col("__p.l").as("__l"), col("__p.r").as("__r"))
+      .agg(sum(col("__n")).as("__cnt"))
+
+  /** Learn up to `numMerges` merges from `docs`. Stops early when the best
+    * remaining pair's weighted count falls below `minPairCount`. Returns
+    * the merges in rank order (a driver-sized list by construction —
+    * `numMerges` bounds it) plus the final word-type table
+    * `(word, count, syms)` — the learned subword segmentation of every
+    * training word, checkpointed and owned by the caller.
+    */
+  def learnMerges(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minPairCount: Long = 2L,
+      lowercase: Boolean = true): (Seq[Merge], DataFrame) = {
+    require(numMerges >= 1 && numMerges <= 4096,
+      s"numMerges must be in [1, 4096], got $numMerges")
+    require(minPairCount >= 1L, s"minPairCount must be >= 1, got $minPairCount")
+    var wt = wordTypes(docs, textCol, lowercase).localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val top = pairCounts(wt)
+        .orderBy(col("__cnt").desc, col("__l").asc, col("__r").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getAs[Long]("__cnt") < minPairCount) {
+        done = true
+      } else {
+        val m = Merge(rank, top.head.getAs[String]("__l"),
+          top.head.getAs[String]("__r"))
+        merges += m
+        val next = wt.withColumn("__syms", applyMergeExpr(col("__syms"), m))
+          .localCheckpoint(true)
+        graft.core.Caches.releaseCheckpoint(wt)
+        wt = next
+        rank += 1
+      }
+    }
+    (merges.result(), wt)
+  }
+
+  /** Apply learned merges to a NEW corpus: `(idCol, bpe_tokens)` with each
+    * document's whitespace words rewritten to their subword units in
+    * original token order.
+    *
+    * Scale shape: merges apply to the encode corpus's DISTINCT words
+    * (vocabulary-sized; same per-round checkpoint discipline as learning,
+    * batched so the fold expressions stay shallow), then the word → units
+    * map joins back to a posexploded token stream on the word key — AQE
+    * handles the zipfian skew of common words — and per-document order is
+    * restored by sorting the collected (pos, units) pairs, the same
+    * determinism-by-construction as [[TextAnalysis.encodeTokens]].
+    */
+  def encode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[Merge],
+      lowercase: Boolean = true,
+      checkpointEvery: Int = 8): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val toks0 = TextAnalysis.tokens(col(textCol))
+    val toks = if (lowercase) transform(toks0, t => lower(t)) else toks0
+    var words = docs.select(explode(toks).as("__word")).distinct()
+      .withColumn("__syms", initialSymbols(col("__word")))
+    // fold the merge list in rank order, truncating lineage every few
+    // rounds so the expression tree and analysis cost stay bounded
+    merges.sortBy(_.rank).zipWithIndex.foreach { case (m, i) =>
+      words = words.withColumn("__syms", applyMergeExpr(col("__syms"), m))
+      if ((i + 1) % checkpointEvery == 0) {
+        val next = words.localCheckpoint(true)
+        graft.core.Caches.releaseCheckpoint(words)
+        words = next
+      }
+    }
+    val stream = docs
+      .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("__pos", "__w0")))
+      .withColumn("__word", if (lowercase) lower(col("__w0")) else col("__w0"))
+      .join(words, Seq("__word"))
+    stream
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__syms")))),
+        p => p.getField("__syms"))).as("bpe_tokens"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import graft.SparkTestBase
+
+/** Specs for distributed BPE merge learning, checked against a
+  * straightforward single-node reference implementation of the Sennrich
+  * et al. algorithm with the same (count desc, pair asc) tie-break.
+  */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def refApply(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    syms.foreach { x =>
+      if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
+      else out += x
+    }
+    out.toVector
+  }
+
+  private def refSyms(word: String): Vector[String] =
+    word.map(_.toString).toVector :+ Bpe.EndOfWord
+
+  private def refLearn(
+      words: Map[String, Long],
+      numMerges: Int,
+      minCount: Long): (Seq[(String, String)], Map[String, Vector[String]]) = {
+    var wt = words.map { case (w, n) => w -> refSyms(w) } // word -> syms
+    val counts = words
+    val merges = mutable.ListBuffer[(String, String)]()
+    var stop = false
+    while (merges.size < numMerges && !stop) {
+      val pc = mutable.Map[(String, String), Long]()
+      for ((w, syms) <- wt; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        pc(k) = pc.getOrElse(k, 0L) + counts(w)
+      }
+      val best = pc.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= minCount =>
+          merges += ((l, r))
+          wt = wt.map { case (w, syms) => w -> refApply(syms, l, r) }
+        case _ => stop = true
+      }
+    }
+    (merges.toSeq, wt)
+  }
+
+  private val corpus = Seq(
+    "low low low low low lower lower newest newest newest newest newest newest",
+    "widest widest widest new new new lower lowest",
+    "low new newer wider wide widest newest")
+
+  private def wordCounts: Map[String, Long] =
+    corpus.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+
+  test("learnMerges equals the reference algorithm, merges and segmentations") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (merges, wt) = Bpe.learnMerges(docs, "text", numMerges = 12)
+    val (refMerges, refWt) = refLearn(wordCounts, 12, 2L)
+    assert(merges.map(m => (m.left, m.right)) == refMerges)
+    assert(merges.map(_.rank) == merges.indices.toSeq)
+    val gotWt = wt.as[(String, Long, Seq[String])].collect()
+      .map { case (w, _, s) => w -> s.toVector }.toMap
+    graft.core.Caches.releaseCheckpoint(wt)
+    assert(gotWt == refWt)
+    assert(merges.nonEmpty && refMerges.nonEmpty)
+  }
+
+  test("learnMerges stops early below minPairCount") {
+    val docs = Seq((1L, "ab cd")).toDF("doc_id", "text") // every pair count 1
+    val (merges, wt) = Bpe.learnMerges(docs, "text", numMerges = 5)
+    graft.core.Caches.releaseCheckpoint(wt)
+    assert(merges.isEmpty)
+  }
+
+  test("encode applies learned merges to new text, preserving token order") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (merges, wt) = Bpe.learnMerges(docs, "text", numMerges = 10)
+    graft.core.Caches.releaseCheckpoint(wt)
+    // "lowest" seen in training, "lows" and "zap" are novel words (novel
+    // chars segment to characters); checkpointEvery=2 exercises batching
+    val newDocs = Seq((7L, "lowest lows zap"), (8L, "")).toDF("doc_id", "text")
+    val out = Bpe.encode(newDocs, "doc_id", "text", merges, checkpointEvery = 2)
+      .as[(Long, Seq[String])].collect().toMap
+    val expect = Seq("lowest", "lows", "zap").flatMap { w =>
+      merges.foldLeft(refSyms(w)) { (s, m) => refApply(s, m.left, m.right) }
+    }
+    assert(out(7L) == expect)
+    // empty text -> no tokens -> no joined rows; doc absent by contract
+    assert(!out.contains(8L))
+    // each word's units concatenate back to word + sentinel (lossless)
+    assert(out(7L).mkString("").replace(Bpe.EndOfWord, " ").trim
+      == "lowest lows zap")
+  }
+
+  test("learning is deterministic across repeated runs") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (m1, wt1) = Bpe.learnMerges(docs, "text", numMerges = 8)
+    graft.core.Caches.releaseCheckpoint(wt1)
+    val (m2, wt2) = Bpe.learnMerges(docs, "text", numMerges = 8)
+    graft.core.Caches.releaseCheckpoint(wt2)
+    assert(m1 == m2)
+  }
+}
