@@ -87,6 +87,48 @@ object StreamingOps {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** Keyed interval join — the stream-stream enrichment shape ("attach to
+    * each left event the right-side events for the same key whose
+    * timestamps fall in [left.ts - lookback, left.ts + lookahead]"), e.g.
+    * click-to-impression attribution. Works identically on static frames
+    * (plain equi-join + interval filter), which is what the oracle-checked
+    * batch query and the streaming/batch equivalence spec compare.
+    *
+    * On streams BOTH sides get watermarks, which is what lets Spark expire
+    * join state: left rows are held at most `lookahead` + watermark past
+    * their event time, right rows `lookback` + watermark — bounded state
+    * on unbounded streams, the non-negotiable property at 100 TB/day.
+    * Inner join only (outer interval joins emit on watermark expiry and
+    * change result timing, not values; add when a consumer needs it).
+    *
+    * Output: left columns prefixed `l_`, right columns prefixed `r_`
+    * (both sides share the event schema, so prefixing is the collision
+    * rule), joined on equal `keyCol`.
+    *
+    * Scale shape: one shuffle per side on the join key; the interval
+    * predicate rides the same exchange (it is a post-join filter in
+    * batch, a state-pruning condition in streaming). Skewed keys are
+    * AQE-skew-join territory in batch; in streaming, key salting before
+    * the join is the standard mitigation.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String = "ts",
+      lookback: String = "10 minutes",
+      lookahead: String = "0 seconds",
+      watermark: String = "1 hour"): DataFrame = {
+    val l0 = left.select(left.columns.map(c => col(c).as(s"l_$c")).toIndexedSeq: _*)
+    val r0 = right.select(right.columns.map(c => col(c).as(s"r_$c")).toIndexedSeq: _*)
+    val l = if (left.isStreaming) l0.withWatermark(s"l_$tsCol", watermark) else l0
+    val r = if (right.isStreaming) r0.withWatermark(s"r_$tsCol", watermark) else r0
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") - expr(s"interval $lookback") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"interval $lookahead"))
+  }
+
   /** Batch sessionization: pure window functions (lag → gap flag →
     * cumulative sum → per-session aggregate). One shuffle on user_id; the
     * idiomatic scale path for backfills — no state store involved.

@@ -34,6 +34,50 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("intervalJoin matches hand-computed attribution windows on static frames") {
+    def ev(id: Long, user: Long, sec: Int) =
+      (id, new java.sql.Timestamp(sec * 1000L), user)
+    val clicks = Seq(ev(1, 1, 100), ev(2, 2, 100)).toDF("event_id", "ts", "user_id")
+    val imps = Seq(
+      ev(10, 1, 95),  // within 10s lookback -> matches click 1
+      ev(11, 1, 100), // same instant -> matches
+      ev(12, 1, 89),  // 11s before -> outside
+      ev(13, 1, 101), // after, lookahead 0 -> outside
+      ev(14, 2, 99),  // other user's window
+      ev(15, 3, 100)  // key with no left side
+    ).toDF("event_id", "ts", "user_id")
+    val got = StreamingOps.intervalJoin(clicks, imps, "user_id", "ts",
+      lookback = "10 seconds", lookahead = "0 seconds")
+      .select("l_event_id", "r_event_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 14L)))
+  }
+
+  test("stream-stream intervalJoin equals the batch twin on the events fixture") {
+    val events = StreamingOps.readEvents(spark, sf("events"))
+    val lDir = Files.createTempDirectory("graft_ij_l_").toString
+    val rDir = Files.createTempDirectory("graft_ij_r_").toString
+    events.where($"event_id" % 10 === 0).write.mode("overwrite").parquet(lDir)
+    events.where($"event_id" % 10 =!= 0).write.mode("overwrite").parquet(rDir)
+    val streaming = StreamingOps.intervalJoin(
+      StreamingOps.readEventStream(spark, lDir),
+      StreamingOps.readEventStream(spark, rDir),
+      "user_id", "ts", lookback = "10 minutes", lookahead = "1 minute")
+      .select("l_event_id", "r_event_id")
+    val q = streaming.writeStream
+      .format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ij_out").as[(Long, Long)].collect().toSet
+      val expected = StreamingOps.intervalJoin(
+        events.where($"event_id" % 10 === 0),
+        events.where($"event_id" % 10 =!= 0),
+        "user_id", "ts", lookback = "10 minutes", lookahead = "1 minute")
+        .select("l_event_id", "r_event_id").as[(Long, Long)].collect().toSet
+      assert(got == expected)
+      assert(expected.nonEmpty, "fixture should produce interval matches")
+    } finally q.stop()
+  }
+
   test("batch sessionization splits at the inactivity gap") {
     def usRow(id: Long, user: Long, min: Int, v: Double) =
       (id, min * 60000000L, user, v)
