@@ -867,6 +867,17 @@ object SparkEntry {
         streaming.StreamingOps.readEvents(s, s"$dir/events.parquet"))
     }),
 
+    // ---- keyed interval join (the stream-stream attribution shape, on
+    // its static twin): every 10th event attributed to same-user events
+    // in the preceding 10 minutes ----
+    "q_interval_join" -> ((s, dir) => {
+      val ev = streaming.StreamingOps.readEvents(s, s"$dir/events.parquet")
+      streaming.StreamingOps.intervalJoin(
+        ev.where(col("event_id") % 10 === 0), ev, "user_id", "ts",
+        lookback = "10 minutes", lookahead = "0 seconds")
+        .select(col("l_event_id"), col("r_event_id"))
+    }),
+
     // ---- north-star: batch sessionization via window functions
     // (µs precision on both sides: DuckDB truncates the ns parquet to µs) --
     "q_sessionize" -> ((s, dir) => {
@@ -2308,6 +2319,16 @@ object SparkEntry {
         |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+    "q_interval_join" ->
+      """WITH l AS (
+        |  SELECT event_id AS l_event_id, user_id, epoch_us(ts) AS l_us
+        |  FROM events WHERE event_id % 10 = 0),
+        |r AS (
+        |  SELECT event_id AS r_event_id, user_id, epoch_us(ts) AS r_us
+        |  FROM events)
+        |SELECT l_event_id, r_event_id
+        |FROM l JOIN r USING (user_id)
+        |WHERE r_us >= l_us - 600000000 AND r_us <= l_us""".stripMargin,
     "q_sessionize" ->
       """WITH d AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
