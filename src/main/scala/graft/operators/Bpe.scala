@@ -108,23 +108,33 @@ object Bpe {
     val merges = Seq.newBuilder[Merge]
     var rank = 0
     var done = false
-    while (rank < numMerges && !done) {
-      val top = pairCounts(wt)
-        .orderBy(col("__cnt").desc, col("__l").asc, col("__r").asc)
-        .limit(1).collect()
-      if (top.isEmpty || top.head.getAs[Long]("__cnt") < minPairCount) {
-        done = true
-      } else {
-        val m = Merge(rank, top.head.getAs[String]("__l"),
-          top.head.getAs[String]("__r"))
-        merges += m
-        val next = wt.withColumn("__syms", applyMergeExpr(col("__syms"), m))
-          .localCheckpoint(true)
-        graft.core.Caches.releaseCheckpoint(wt)
-        wt = next
-        rank += 1
+    try {
+      while (rank < numMerges && !done) {
+        val top = pairCounts(wt)
+          .orderBy(col("__cnt").desc, col("__l").asc, col("__r").asc)
+          .limit(1).collect()
+        if (top.isEmpty || top.head.getAs[Long]("__cnt") < minPairCount) {
+          done = true
+        } else {
+          val m = Merge(rank, top.head.getAs[String]("__l"),
+            top.head.getAs[String]("__r"))
+          merges += m
+          val next = wt.withColumn("__syms", applyMergeExpr(col("__syms"), m))
+            .localCheckpoint(true)
+          graft.core.Caches.releaseCheckpoint(wt)
+          wt = next
+          rank += 1
+        }
       }
+    } catch {
+      // mid-iteration failure: nothing escapes to the caller, so the
+      // in-flight round state must not outlive the call
+      case e: Throwable =>
+        graft.core.Caches.releaseCheckpoint(wt)
+        throw e
     }
+    // the RETURNED state is registered (not released): the caller reads it
+    graft.core.Caches.registerCheckpoint(wt)
     (merges.result(), wt)
   }
 
@@ -153,15 +163,29 @@ object Bpe {
     var words = docs.select(explode(toks).as("__word")).distinct()
       .withColumn("__syms", initialSymbols(col("__word")))
     // fold the merge list in rank order, truncating lineage every few
-    // rounds so the expression tree and analysis cost stay bounded
-    merges.sortBy(_.rank).zipWithIndex.foreach { case (m, i) =>
-      words = words.withColumn("__syms", applyMergeExpr(col("__syms"), m))
-      if ((i + 1) % checkpointEvery == 0) {
-        val next = words.localCheckpoint(true)
-        graft.core.Caches.releaseCheckpoint(words)
-        words = next
+    // rounds so the expression tree and analysis cost stay bounded.
+    // Release goes through the checkpoint-LEAF handle (`lastCkpt`), never
+    // the withColumn-derived frame — releaseCheckpoint on a derived plan
+    // is a silent no-op (Caches.checkpointRdd matches leaf plans only).
+    var lastCkpt: DataFrame = null
+    try {
+      merges.sortBy(_.rank).zipWithIndex.foreach { case (m, i) =>
+        words = words.withColumn("__syms", applyMergeExpr(col("__syms"), m))
+        if ((i + 1) % checkpointEvery == 0) {
+          val next = words.localCheckpoint(true)
+          if (lastCkpt != null) graft.core.Caches.releaseCheckpoint(lastCkpt)
+          lastCkpt = next
+          words = next
+        }
       }
+    } catch {
+      case e: Throwable =>
+        if (lastCkpt != null) graft.core.Caches.releaseCheckpoint(lastCkpt)
+        throw e
     }
+    // the returned plan still reads the final checkpoint: scope-register
+    // it (collectPins callers release it; see Dedup.connectedComponents)
+    if (lastCkpt != null) graft.core.Caches.registerCheckpoint(lastCkpt)
     val stream = docs
       .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
         .as(Seq("__pos", "__w0")))

@@ -137,7 +137,12 @@ object Search {
       graft.io.Sidecar.commit(fs, dir, ParamsFileName,
         graft.io.Json.toJson(Map(
           "num_buckets" -> numBuckets, "lowercase" -> lowercase,
-          "id_col" -> idCol, "n_docs" -> nDocs, "sum_dl" -> sumDl)),
+          "id_col" -> idCol,
+          // the id's Catalyst type, so a zero-posting index (all docs
+          // empty: no data files on disk) can still answer queries with a
+          // correctly-typed empty frame instead of a schema-inference crash
+          "id_type" -> docs.schema(idCol).dataType.json,
+          "n_docs" -> nDocs, "sum_dl" -> sumDl)),
         overwrite = false): Unit
     } finally postings.unpersist(blocking = false): Unit
   }
@@ -175,6 +180,21 @@ object Search {
     val sumDl = node.get("sum_dl").asLong()
     val qs0 = if (lowercase) queryTerms.map(_.toLowerCase) else queryTerms
     val qs = qs0.distinct
+    if (sumDl == 0L) {
+      // zero-posting index (every doc tokenless): valid, but the write
+      // produced no data files, so a parquet read would die on schema
+      // inference — answer from the sidecar's recorded id type instead
+      val idType = org.apache.spark.sql.types.DataType.fromJson(
+        node.get("id_type").asText())
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol, idType),
+          org.apache.spark.sql.types.StructField(
+            "n_hits", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(
+            "score", org.apache.spark.sql.types.DoubleType))))
+    }
     val buckets = qs.map(termBucketLocal(_, numBuckets)).distinct
     // same IEEE division as bm25's sum(long).cast(double) / count
     val avgdl = sumDl.toDouble / nDocs
@@ -183,12 +203,8 @@ object Search {
       .withColumn("__df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("__term")))
       .select(col(idCol),
-        (log(lit(1.0) + (lit(nDocs) - col("__df") + lit(0.5)) /
-            (col("__df") + lit(0.5))) *
-          (col("__tf") * (lit(k1) + lit(1.0))) /
-          (col("__tf") + lit(k1) *
-            (lit(1.0) - lit(b) + lit(b) * col("__dl") / lit(avgdl))))
-          .as("__s"))
+        TextAnalysis.bm25ScoreExpr(lit(nDocs), col("__df"), col("__tf"),
+          col("__dl"), lit(avgdl), k1, b).as("__s"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"), round(sum(col("__s")), 6).as("score"))
   }

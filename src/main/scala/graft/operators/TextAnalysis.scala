@@ -716,13 +716,22 @@ object TextAnalysis {
     postings
       .crossJoin(broadcast(stats))
       .select(col(idCol),
-        (log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
-            (col("__df") + lit(0.5))) *
-          (col("__tf") * (lit(k1) + lit(1.0))) /
-          (col("__tf") + lit(k1) *
-            (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))))
-          .as("__s"))
+        bm25ScoreExpr(col("__n"), col("__df"), col("__tf"), col("__dl"),
+          col("__avgdl"), k1, b).as("__s"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"), round(sum(col("__s")), 6).as("score"))
   }
+
+  /** The BM25 scoring kernel shared by [[bm25]] and
+    * `Search.searchIndex` — ONE definition so the documented bit-identical
+    * equivalence of the ad-hoc and indexed paths holds by construction,
+    * not by parallel-edit discipline. Operand association is part of the
+    * contract: the DuckDB oracle spells out the same tree.
+    */
+  private[operators] def bm25ScoreExpr(
+      n: Column, df: Column, tf: Column, dl: Column, avgdl: Column,
+      k1: Double, b: Double): Column =
+    log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5))) *
+      (tf * (lit(k1) + lit(1.0))) /
+      (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / avgdl))
 }

@@ -99,6 +99,22 @@ class BpeSpec extends SparkTestBase {
       == "lowest lows zap")
   }
 
+  test("learn + encode leave no persisted state once the owning scope releases") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (_, pins) = graft.core.Caches.collectPins {
+      val (merges, wt) = Bpe.learnMerges(docs, "text", numMerges = 10)
+      graft.core.Caches.releaseCheckpoint(wt)
+      // checkpointEvery=2 forces several intermediate checkpoints whose
+      // blocks must be freed inside encode; the final one is scope-owned
+      Bpe.encode(docs, "doc_id", "text", merges, checkpointEvery = 2).count()
+    }
+    pins.release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
+  }
+
   test("learning is deterministic across repeated runs") {
     val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")

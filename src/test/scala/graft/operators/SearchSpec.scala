@@ -73,6 +73,17 @@ class SearchSpec extends SparkTestBase {
     }
   }
 
+  test("a zero-posting index (all docs tokenless) serves typed empty results") {
+    val docs = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "  "))
+      .toDF("doc_id", "text")
+    val dir = scratch()
+    Search.writeIndex(docs, "doc_id", "text", dir, numBuckets = 4)
+    val out = Search.searchIndex(spark, dir, Seq("anything"))
+    assert(out.schema.map(f => (f.name, f.dataType.typeName))
+      == Seq(("doc_id", "long"), ("n_hits", "long"), ("score", "double")))
+    assert(out.count() == 0)
+  }
+
   test("docs with no query terms never appear; zero-length docs only dilute avgdl") {
     val docs = Seq((1L, "hit miss"), (2L, "miss"), (3L, ""),
       (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
