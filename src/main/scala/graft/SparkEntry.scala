@@ -460,6 +460,17 @@ object SparkEntry {
     }),
 
     // ---- in-place compaction through the crash-recoverable swap ----
+    // ---- Z-order layout: orders written Morton-interleaved on
+    // (o_custkey, o_totalprice) so min/max pruning serves predicates on
+    // EITHER column; content roundtrip is the correctness contract ----
+    "q_zorder_layout" -> ((s, dir) => {
+      val scratch = scratchDir("graft_zorder_") + "/orders"
+      operators.Compaction.writeZOrdered(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        scratch, Seq("o_custkey", "o_totalprice"), numFiles = 8)
+      s.read.parquet(scratch).select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
     "q_compact_roundtrip" -> ((s, dir) => {
       val scratch = scratchDir("graft_compact_") + "/docs"
       t(s, dir, "documents").select(col("doc_id"), col("source"))
@@ -1750,6 +1761,8 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "q_compact_roundtrip" ->
       "SELECT doc_id, source FROM documents",
+    "q_zorder_layout" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
     "q_bloom_prune_join" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS revenue

@@ -79,6 +79,78 @@ object Compaction {
       .write.mode(mode).parquet(path)
   }
 
+  /** Morton (Z-order) interleave key over 2-4 numeric/timestamp columns:
+    * each value is min-max scaled to `bits` bits (one stats aggregation
+    * over `df`, passed in as `stats`), then the bit-planes are interleaved
+    * so nearby keys are nearby in EVERY dimension at once. Pure shift/mask
+    * expressions — codegen'd, no UDF. NULLs scale to 0 (they cluster
+    * together at the low corner rather than breaking the write).
+    */
+  def zorderKey(
+      zCols: Seq[String],
+      stats: Map[String, (Double, Double)],
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    val k = zCols.size
+    require(k >= 2 && k <= 4, s"z-order needs 2-4 columns, got $k")
+    require(bits >= 1 && k * bits <= 62, s"k*bits must fit a long: $k*$bits")
+    val maxVal = (1L << bits) - 1
+    val scaled = zCols.map { c =>
+      val (lo, hi) = stats(c)
+      val span = if (hi > lo) hi - lo else 1.0
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.round(
+          (col(c).cast("double") - lo) / span * maxVal, 0).cast("long"),
+        org.apache.spark.sql.functions.lit(0L))
+    }
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftrightunsigned}
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      scaled.zipWithIndex.foldLeft(acc) { case (a, (v, ci)) =>
+        a.bitwiseOR(shiftleft(
+          shiftrightunsigned(v, i).bitwiseAND(lit(1L)), i * k + ci))
+      }
+    }
+  }
+
+  /** Write `df` Z-ORDERED on `zCols`: range-partitioned and sorted by the
+    * Morton key, so each file (and row group) covers a small hyper-
+    * rectangle in ALL `zCols` at once — min/max pruning works for
+    * predicates on ANY of them, where [[writeClustered]] is exact only for
+    * the leading column. The cost over writeClustered is one extra stats
+    * aggregation (per-column min/max to scale the key); the key itself is
+    * a codegen'd shift/mask expression and is dropped before the write.
+    *
+    * The classic use: a corpus filtered sometimes by time, sometimes by
+    * quality score, sometimes by both — one layout serves all three scans.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      targetFileBytes: Long = 128L << 20,
+      numFiles: Int = -1,
+      bits: Int = 16,
+      mode: String = "overwrite"): Unit = {
+    import org.apache.spark.sql.functions.{max, min}
+    val aggs = zCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).cast("double").as(s"min$i"),
+        max(col(c)).cast("double").as(s"max$i"))
+    }
+    val statsRow = df.agg(aggs.head, aggs.tail: _*).head()
+    val stats = zCols.zipWithIndex.map { case (c, i) =>
+      val lo = Option(statsRow.getAs[java.lang.Double](s"min$i"))
+        .map(_.toDouble).getOrElse(0.0)
+      val hi = Option(statsRow.getAs[java.lang.Double](s"max$i"))
+        .map(_.toDouble).getOrElse(0.0)
+      c -> ((lo, hi))
+    }.toMap
+    val n = if (numFiles > 0) numFiles else targetFileCount(df, targetFileBytes)
+    val withKey = df.withColumn("__z", zorderKey(zCols, stats, bits))
+    withKey.repartitionByRange(n, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
+
   /** Rewrite an existing parquet directory into ~`targetFileBytes` files,
     * atomically: the compacted copy is staged next to the original and
     * swapped in via [[graft.ct.TableStore]]'s crash-recoverable rename
