@@ -659,6 +659,15 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- mergeable frequent-items sketches: top-2 langs per source from
+    // stored per-source sketches (exact under the map size, so the DuckDB
+    // count oracle applies; the purged regime is spec-bounded) ----
+    "q_frequent_rollup" -> ((s, dir) => {
+      val fine = operators.Sketches.frequentSketches(
+        t(s, dir, "documents"), Seq("source"), "lang")
+      operators.Sketches.rollupFrequent(fine, Seq("source"), k = 2)
+    }),
+
     // ---- bucketized range join: events into overlapping campaign
     // windows (533 s grid, 400-2800 s widths) without a nested loop ----
     "q_range_join" -> ((s, dir) => {
@@ -1763,6 +1772,16 @@ object SparkEntry {
       "SELECT doc_id, source FROM documents",
     "q_zorder_layout" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+    "q_frequent_rollup" ->
+      """WITH c AS (
+        |  SELECT source, lang, count(*)::BIGINT AS cnt FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, lang, cnt, row_number() OVER (
+        |    PARTITION BY source ORDER BY cnt DESC, lang) AS rk
+        |  FROM c)
+        |SELECT source, rk::INT AS rank, lang AS item, cnt AS est
+        |FROM r WHERE rk <= 2""".stripMargin,
     "q_bloom_prune_join" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS revenue

@@ -51,4 +51,105 @@ object Sketches {
     if (rollupCols.isEmpty) sketches.agg(merged)
     else sketches.groupBy(rollupCols.map(col): _*).agg(merged)
   }
+
+  // ---- frequent items (heavy hitters), same store-fine/roll-up-coarse
+  // pattern as the HLL sketches above ----
+
+  private val StringSerDe = new org.apache.datasketches.common.ArrayOfStringsSerDe
+
+  /** One mergeable DataSketches frequent-items sketch per group:
+    * (groupCols..., fsketch binary). "Top URLs per (day, source) — and
+    * any coarser rollup — without ever recounting": the sketch is
+    * `maxMapSize` entries regardless of item cardinality, estimates carry
+    * a documented error bound, and groups whose distinct-item count stays
+    * under ~0.75·maxMapSize are EXACT (what the oracle-checked query
+    * exploits at test SF). Spark exposes no frequency-sketch aggregate, so
+    * this is a `mapGroups` over the key — one shuffle of (group, item)
+    * rows, the same exchange an exact count would pay, but the result is
+    * a stored, mergeable summary instead of a one-shot answer.
+    */
+  def frequentSketches(
+      df: DataFrame,
+      groupCols: Seq[String],
+      itemCol: String,
+      maxMapSize: Int = 1024): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+      s"maxMapSize must be a power of two >= 8, got $maxMapSize")
+    val keySchema = org.apache.spark.sql.types.StructType(
+      groupCols.map(c => df.schema(c)))
+    val outSchema = keySchema.add("fsketch",
+      org.apache.spark.sql.types.BinaryType, nullable = false)
+    val keyEnc = org.apache.spark.sql.Encoders.row(keySchema)
+    val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    val pairs = df.select(struct(groupCols.map(col): _*).as("__k"),
+      col(itemCol).cast("string").as("__v"))
+    pairs.groupByKey((r: org.apache.spark.sql.Row) => r.getStruct(0))(keyEnc)
+      .mapGroups { (k: org.apache.spark.sql.Row,
+          rows: Iterator[org.apache.spark.sql.Row]) =>
+        val sk = new org.apache.datasketches.frequencies.ItemsSketch[String](maxMapSize)
+        rows.foreach { r => if (!r.isNullAt(1)) sk.update(r.getString(1)) }
+        org.apache.spark.sql.Row.fromSeq(k.toSeq :+ sk.toByteArray(StringSerDe))
+      }(outEnc)
+  }
+
+  /** Merge stored frequency sketches up to `rollupCols` and emit the
+    * top-`k` items per rollup group: (rollupCols..., rank, item, est) with
+    * the deterministic (estimate desc, item asc) tie-break. Like
+    * [[rollupDistinct]], the input is the sketch table — raw items are
+    * never rescanned.
+    */
+  def rollupFrequent(
+      sketches: DataFrame,
+      rollupCols: Seq[String],
+      k: Int,
+      maxMapSize: Int = 1024,
+      sketchCol: String = "fsketch"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // an empty grouping is routed through a constant key (MapGroupsExec
+    // rejects a Nil clustering) and the key is dropped from the output
+    val global = rollupCols.isEmpty
+    val keyCols = if (global) Seq(lit(0).as("__g")) else rollupCols.map(col)
+    val keySchema =
+      if (global) org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "__g", org.apache.spark.sql.types.IntegerType, nullable = false)))
+      else org.apache.spark.sql.types.StructType(
+        rollupCols.map(c => sketches.schema(c)))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      (if (global) Nil else keySchema.fields.toSeq) ++ Seq(
+        org.apache.spark.sql.types.StructField(
+          "rank", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "item", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(
+          "est", org.apache.spark.sql.types.LongType, nullable = false)))
+    val keyEnc = org.apache.spark.sql.Encoders.row(keySchema)
+    val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    val pairs = sketches.select(struct(keyCols: _*).as("__k"),
+      col(sketchCol).as("__s"))
+    pairs.groupByKey((r: org.apache.spark.sql.Row) => r.getStruct(0))(keyEnc)
+      .flatMapGroups { (key: org.apache.spark.sql.Row,
+          rows: Iterator[org.apache.spark.sql.Row]) =>
+        val merged = new org.apache.datasketches.frequencies.ItemsSketch[String](maxMapSize)
+        rows.foreach { r =>
+          merged.merge(org.apache.datasketches.frequencies.ItemsSketch.getInstance(
+            org.apache.datasketches.memory.Memory.wrap(r.getAs[Array[Byte]](1)),
+            StringSerDe))
+        }
+        merged
+          .getFrequentItems(
+            org.apache.datasketches.frequencies.ErrorType.NO_FALSE_POSITIVES)
+          .toSeq
+          .map(r => (r.getItem, r.getEstimate))
+          .sortBy { case (item, est) => (-est, item) }
+          .take(k)
+          .zipWithIndex
+          .map { case ((item, est), i) =>
+            org.apache.spark.sql.Row.fromSeq(
+              (if (global) Nil else key.toSeq) ++ Seq(i + 1, item, est))
+          }
+          .iterator
+      }(outEnc)
+  }
 }
