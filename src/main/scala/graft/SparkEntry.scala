@@ -306,6 +306,21 @@ object SparkEntry {
         Seq("spark", "window", "merge", "shuffle"))
     }),
 
+    // ---- hybrid retrieval: RRF-fuse the BM25 ranking with a
+    // length-prior top-1000 ranking (no score calibration needed) ----
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kw = operators.Search.rankBy(
+        operators.TextAnalysis.bm25(docs, "doc_id", "text",
+          Seq("spark", "window", "merge", "shuffle")),
+        "doc_id", col("score").desc)
+      val len = operators.Search.rankBy(
+        docs.select(col("doc_id"), col("n_chars"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc).limit(1000),
+        "doc_id", col("n_chars").desc)
+      operators.Search.rrfFuse(Seq(kw, len), "doc_id")
+    }),
+
     // ---- the same retrieval served from a standing inverted index:
     // build once, probe from pruned index buckets with zero corpus
     // scans; must agree with q_bm25_search to the last bit ----
@@ -2199,6 +2214,24 @@ object SparkEntry {
     // the indexed variant must produce the identical result set
     "q_bm25_search" -> bm25Oracle,
     "q_bm25_indexed" -> bm25Oracle,
+    "q_hybrid_rrf" ->
+      s"""WITH b AS ($bm25Oracle),
+         |kw AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+         |  FROM b),
+         |lt AS (
+         |  SELECT doc_id, n_chars FROM documents
+         |  ORDER BY n_chars DESC, doc_id LIMIT 1000),
+         |ln AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM lt),
+         |u AS (
+         |  SELECT doc_id, 1.0::DOUBLE / (60 + rk) AS rrf_contrib FROM kw
+         |  UNION ALL
+         |  SELECT doc_id, 1.0::DOUBLE / (60 + rk) AS rrf_contrib FROM ln)
+         |SELECT doc_id, count(*)::BIGINT AS n_lists,
+         |  round(sum(rrf_contrib), 6) AS rrf_score
+         |FROM u GROUP BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -208,4 +208,38 @@ object Search {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"), round(sum(col("__s")), 6).as("score"))
   }
+
+  /** Dense 1-based rank of a BOUNDED result set (a top-k list, a scored
+    * candidate pool — never a raw corpus: the global row_number window is
+    * single-partition by design, bounded by the input's construction,
+    * same contract as `TextAnalysis.buildVocab`'s id window). Ties break
+    * on `idCol` so ranks are total and engine-reproducible.
+    */
+  def rankBy(df: DataFrame, idCol: String, orderBy: Column*): DataFrame =
+    df.select(col(idCol), row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(orderBy :+ col(idCol).asc: _*)).as("rank"))
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of ranked lists:
+    * `score(d) = Σ_lists 1/(k + rank_list(d))`, the standard way to
+    * combine heterogeneous retrieval signals (BM25, embedding similarity,
+    * quality priors) without score calibration. Inputs are [[rankBy]]
+    * outputs (or any `(idCol, rank)` frames); docs missing from a list
+    * simply contribute nothing. Output: `(idCol, n_lists, rrf_score)`,
+    * score rounded to 6 decimals.
+    *
+    * Scale shape: a unionByName of bounded ranked lists and one
+    * map-side-combined regroup on the id — nothing corpus-sized.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rankings must be non-empty")
+    require(k >= 0, s"k must be >= 0, got $k")
+    rankings
+      .map(_.select(col(idCol),
+        (lit(1.0) / (lit(k) + col("rank"))).as("__c")))
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lists"),
+        round(sum(col("__c")), 6).as("rrf_score"))
+  }
 }

@@ -22,7 +22,7 @@ class OracleTypeContractSpec extends AnyFunSuite {
     */
   private val doubleArg =
     ("""l_quantity|l_extendedprice|l_discount|o_totalprice|value""" +
-      """|x \* s|\d\.\d""").r
+      """|x \* s|\d\.\d|rrf_contrib""").r
 
   /** (start, argument, tail) for each `sum(`/top-level aggregate call —
     * `list_sum` etc. are DuckDB list ops over doubles, excluded by the

@@ -84,6 +84,25 @@ class SearchSpec extends SparkTestBase {
     assert(out.count() == 0)
   }
 
+  test("rrfFuse matches the hand-computed reciprocal-rank formula") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val b = Seq((3L, 1), (1L, 2)).toDF("id", "rank") // doc 2 absent here
+    val got = Search.rrfFuse(Seq(a, b), "id", k = 60)
+      .as[(Long, Long, Double)].collect().map { case (i, n, s) => i -> ((n, s)) }
+      .toMap
+    def r(x: Int) = 1.0 / (60 + x)
+    assert(got(1L)._1 == 2 && math.abs(got(1L)._2 - (r(1) + r(2))) < 1e-6)
+    assert(got(2L)._1 == 1 && math.abs(got(2L)._2 - r(2)) < 1e-6)
+    assert(got(3L)._1 == 2 && math.abs(got(3L)._2 - (r(3) + r(1))) < 1e-6)
+  }
+
+  test("rankBy is dense, 1-based, and tie-broken by id") {
+    val df = Seq((5L, 10.0), (3L, 10.0), (9L, 20.0)).toDF("id", "s")
+    val got = Search.rankBy(df, "id", col("s").desc)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(9L -> 1, 3L -> 2, 5L -> 3))
+  }
+
   test("docs with no query terms never appear; zero-length docs only dilute avgdl") {
     val docs = Seq((1L, "hit miss"), (2L, "miss"), (3L, ""),
       (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
