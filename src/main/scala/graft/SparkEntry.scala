@@ -306,6 +306,15 @@ object SparkEntry {
         Seq("spark", "window", "merge", "shuffle"))
     }),
 
+    // ---- Efraimidis-Spirakis weighted sampling: 20 docs per source,
+    // inclusion probability ∝ n_chars, reproducible by any engine ----
+    "q_weighted_sample" -> ((s, dir) => {
+      operators.Sampling.weightedSample(
+        t(s, dir, "documents"), Seq("source"), "doc_id", "n_chars",
+        k = 20, salt = "ws1")
+        .select("source", "doc_id", "n_chars")
+    }),
+
     // ---- hybrid retrieval: RRF-fuse the BM25 ranking with a
     // length-prior top-1000 ranking (no score calibration needed) ----
     "q_hybrid_rrf" -> ((s, dir) => {
@@ -2214,6 +2223,17 @@ object SparkEntry {
     // the indexed variant must produce the identical result set
     "q_bm25_search" -> bm25Oracle,
     "q_bm25_indexed" -> bm25Oracle,
+    "q_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT source, doc_id, n_chars,
+        |    ln((('0x' || substring(sha256(doc_id::VARCHAR || ':ws1'), 1, 7))
+        |        ::BIGINT + 1)::DOUBLE / 268435456.0) / n_chars::DOUBLE AS sk
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (
+        |  SELECT source, doc_id, n_chars, row_number() OVER (
+        |    PARTITION BY source ORDER BY sk DESC, doc_id) AS rk
+        |  FROM w)
+        |SELECT source, doc_id, n_chars FROM r WHERE rk <= 20""".stripMargin,
     "q_hybrid_rrf" ->
       s"""WITH b AS ($bm25Oracle),
          |kw AS (

@@ -271,4 +271,43 @@ object Sampling {
       .where(col("__qrn") <= n)
       .drop("__qrn")
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement, k per group
+    * (Efraimidis & Spirakis 2006): each row gets the key `ln(u) / w` with
+    * `u ∈ (0, 1]` derived from the same sha256-prefix hash as
+    * [[hashBucket]] (so the draw is reproducible across runs, engines,
+    * partitionings, and incremental arrivals — vary `salt` to redraw),
+    * and the top-k keys per group are the sample. Inclusion probability
+    * is proportional to `weightCol` — the quality-weighted /
+    * length-weighted subset selection step of a corpus pipeline, with
+    * the same audit-by-another-engine property as the uniform samplers.
+    *
+    * Rows with NULL or non-positive weight are excluded (they have zero
+    * sampling mass). One shuffle on the group key; `row_number` gets the
+    * rank-limit pushdown, so skewed groups don't flood the exchange.
+    */
+  def weightedSample(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = "graft-ws"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    // u = (hex7 + 1) / 16^7 ∈ (0, 1]; integer numerator, one exact
+    // division — any engine reproduces it bit-for-bit
+    val u = (graft.functions.VectorFunctions.hexPrefixToLong(
+      sha2(concat_ws(":", coalesce(col(idCol).cast("string"), lit("")),
+        lit(salt)), 256), 7) + lit(1L)).cast("double") / lit(268435456.0)
+    val key = log(u) / col(weightCol).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__wsk").desc, col(idCol).asc)
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__wsk", key)
+      .withColumn("__wsr", row_number().over(w))
+      .where(col("__wsr") <= k)
+      .drop("__wsk", "__wsr")
+  }
 }

@@ -177,4 +177,36 @@ class SamplingSpec extends SparkTestBase {
       s"got ${byLang("en") / total}, want ~${w("en")}")
     assert(byLang("de") > 0)
   }
+
+  test("weightedSample matches the reference E-S draw exactly and is deterministic") {
+    def u(id: Long, salt: String): Double = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s"$id:$salt".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 7), 16) + 1).toDouble / 268435456.0
+    }
+    val rows = (1L to 30L).map(i => ("g", i, (i % 5 + 1).toDouble))
+    val df = rows.toDF("grp", "id", "w")
+    val expect = rows.map { case (_, i, wt) => (i, math.log(u(i, "s1")) / wt) }
+      .sortBy { case (i, key) => (-key, i) }.take(5).map(_._1).toSet
+    def draw() = Sampling.weightedSample(df, Seq("grp"), "id", "w", 5, "s1")
+      .select("id").as[Long].collect().toSet
+    assert(draw() == expect)
+    assert(draw() == expect) // stable across runs
+  }
+
+  test("weightedSample favors heavy weights and excludes zero-mass rows") {
+    val df = Seq[(String, Long, java.lang.Double)](
+      ("g", 1L, 50.0), ("g", 2L, 1.0), ("g", 3L, 0.0), ("g", 4L, null))
+      .toDF("grp", "id", "w")
+    val wins = (0 until 40).count { s =>
+      Sampling.weightedSample(df, Seq("grp"), "id", "w", 1, s"salt$s")
+        .select("id").as[Long].head() == 1L
+    }
+    assert(wins >= 30, s"heavy item won only $wins/40 draws")
+    // zero/null weight never sampled even with k above group size
+    val all = Sampling.weightedSample(df, Seq("grp"), "id", "w", 10, "sx")
+      .select("id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L))
+  }
 }
