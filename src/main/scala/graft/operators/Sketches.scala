@@ -64,9 +64,21 @@ object Sketches {
     * a documented error bound, and groups whose distinct-item count stays
     * under ~0.75·maxMapSize are EXACT (what the oracle-checked query
     * exploits at test SF). Spark exposes no frequency-sketch aggregate, so
-    * this is a `mapGroups` over the key — one shuffle of (group, item)
-    * rows, the same exchange an exact count would pay, but the result is
-    * a stored, mergeable summary instead of a one-shot answer.
+    * the classic partial-aggregation shape is built by hand: phase 1
+    * folds each input partition into one sketch per group it sees
+    * (`mapPartitions`, no shuffle), phase 2 shuffles ONLY those partial
+    * sketches — at most partitions × groups rows of ~maxMapSize entries
+    * each — and merges them per group. At 100 TB that is the difference
+    * between exchanging the corpus and exchanging kilobytes per
+    * (partition, group); it is exactly what Spark's codegen'd aggregates
+    * get from partial/final split, recovered for a sketch type Spark
+    * doesn't ship. Exactness under ~0.75·maxMapSize distinct items per
+    * group survives the split: merging never-purged sketches just adds
+    * counts.
+    *
+    * Driver/executor memory: phase 1 holds one sketch per DISTINCT group
+    * in the partition (each bounded by maxMapSize entries) — the same
+    * working set a hash aggregate would hold.
     */
   def frequentSketches(
       df: DataFrame,
@@ -84,12 +96,35 @@ object Sketches {
     val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
     val pairs = df.select(struct(groupCols.map(col): _*).as("__k"),
       col(itemCol).cast("string").as("__v"))
-    pairs.groupByKey((r: org.apache.spark.sql.Row) => r.getStruct(0))(keyEnc)
+    // phase 1 — map-side partials: one sketch per group per partition
+    val partials = pairs.mapPartitions {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val acc = scala.collection.mutable.LinkedHashMap
+          .empty[org.apache.spark.sql.Row,
+            org.apache.datasketches.frequencies.ItemsSketch[String]]
+        rows.foreach { r =>
+          val sk = acc.getOrElseUpdate(r.getStruct(0),
+            new org.apache.datasketches.frequencies.ItemsSketch[String](maxMapSize))
+          if (!r.isNullAt(1)) sk.update(r.getString(1))
+        }
+        acc.iterator.map { case (k, sk) =>
+          org.apache.spark.sql.Row.fromSeq(k.toSeq :+ sk.toByteArray(StringSerDe))
+        }
+    }(outEnc)
+    // phase 2 — shuffle the partials (sketch bytes, not items) and merge
+    partials.groupByKey((r: org.apache.spark.sql.Row) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1)))(keyEnc)
       .mapGroups { (k: org.apache.spark.sql.Row,
           rows: Iterator[org.apache.spark.sql.Row]) =>
-        val sk = new org.apache.datasketches.frequencies.ItemsSketch[String](maxMapSize)
-        rows.foreach { r => if (!r.isNullAt(1)) sk.update(r.getString(1)) }
-        org.apache.spark.sql.Row.fromSeq(k.toSeq :+ sk.toByteArray(StringSerDe))
+        val merged = new org.apache.datasketches.frequencies.ItemsSketch[String](maxMapSize)
+        rows.foreach { r =>
+          merged.merge(
+            org.apache.datasketches.frequencies.ItemsSketch.getInstance(
+              org.apache.datasketches.memory.Memory.wrap(
+                r.getAs[Array[Byte]](r.length - 1)),
+              StringSerDe))
+        }
+        org.apache.spark.sql.Row.fromSeq(k.toSeq :+ merged.toByteArray(StringSerDe))
       }(outEnc)
   }
 

@@ -74,6 +74,47 @@ class SketchesSpec extends SparkTestBase {
       == Seq((1, "item_0", 14L)))
   }
 
+  test("frequentSketches shuffles partial sketches, not the raw item stream") {
+    val rows = for {
+      g <- Seq("a", "b"); i <- 0 until 40
+    } yield (g, s"item_${i % (if (g == "a") 5 else 7)}")
+    // every hash exchange in the plan must sit ABOVE the per-partition
+    // partial phase: what crosses the wire is (group, sketch) rows, never
+    // the raw (group, item) stream. (repartition(8) makes the input
+    // multi-partition so the merge-phase shuffle is actually planned —
+    // a single-partition input satisfies any clustering and elides it)
+    // AQE off for the probe: executedPlan then holds real Exchange nodes
+    // (sparkPlan is pre-EnsureRequirements; the adaptive wrapper hides them)
+    val plan = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try Sketches.frequentSketches(
+        rows.toDF("grp", "item").repartition(8), Seq("grp"), "item",
+        maxMapSize = 64).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    val hashExchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashExchanges.nonEmpty, "expected a hash exchange for the merge phase")
+    hashExchanges.foreach { e =>
+      assert(e.collectFirst {
+        case m: org.apache.spark.sql.execution.MapPartitionsExec => m
+      }.nonEmpty,
+        s"shuffle input must be the partial-sketch MapPartitions, got:\n$e")
+    }
+    // and the two-phase result stays exact across a many-partition input
+    // (partials from 8 partitions merge to the same counts)
+    val fine = Sketches.frequentSketches(
+      rows.toDF("grp", "item").repartition(8), Seq("grp"), "item", maxMapSize = 64)
+    val top = Sketches.rollupFrequent(fine, Seq("grp"), k = 2, maxMapSize = 64)
+      .as[(String, Int, String, Long)].collect().toSet
+    assert(top == Set(("a", 1, "item_0", 8L), ("a", 2, "item_1", 8L),
+      ("b", 1, "item_0", 6L), ("b", 2, "item_1", 6L)))
+  }
+
   test("a purged sketch still surfaces the heavy hitter with bounded error") {
     val skewed = (Seq.fill(500)("whale") ++ (0 until 400).map(i => s"m_$i"))
     val df = skewed.zipWithIndex.map { case (v, i) => (i % 4, v) }.toDF("grp", "item")
