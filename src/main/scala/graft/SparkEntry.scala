@@ -643,6 +643,19 @@ object SparkEntry {
         .toDF("rank", "left", "right", "merged")
     }),
 
+    // ---- BPE training on the production fast path: approximate
+    // compatible batching (exact=false) — same merge count, ~batchSize
+    // merges per driver round instead of ~1–2; rows-only like its exact
+    // twin, with BpeSpec pinning the mode's determinism/losslessness ----
+    "q_bpe_merges_fast" -> ((s, dir) => {
+      import s.implicits._
+      val (merges, wt) = operators.Bpe.learnMerges(
+        t(s, dir, "documents"), "text", numMerges = 24, exact = false)
+      graft.core.Caches.releaseCheckpoint(wt)
+      merges.map(m => (m.rank, m.left, m.right, m.merged))
+        .toDF("rank", "left", "right", "merged")
+    }),
+
     // ---- BPE encode of the corpus under the learned merges, flattened
     // to (doc_id, pos, unit) — exercises the distinct-word join path ----
     "q_bpe_encode" -> ((s, dir) => {

@@ -21,7 +21,8 @@ class BpeSpec extends SparkTestBase {
   }
 
   private def refSyms(word: String): Vector[String] =
-    word.map(_.toString).toVector :+ Bpe.EndOfWord
+    word.codePoints().toArray.toVector
+      .map(cp => new String(Character.toChars(cp))) :+ Bpe.EndOfWord
 
   private def refLearn(
       words: Map[String, Long],
@@ -69,6 +70,60 @@ class BpeSpec extends SparkTestBase {
     graft.core.Caches.releaseCheckpoint(wt)
     assert(gotWt == refWt)
     assert(merges.nonEmpty && refMerges.nonEmpty)
+  }
+
+  test("batched learning is bit-identical to one-merge-at-a-time learning") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (seq1, wt1) = Bpe.learnMerges(docs, "text", numMerges = 12, batchSize = 1)
+    val (seq16, wt16) = Bpe.learnMerges(docs, "text", numMerges = 12, batchSize = 16)
+    val segs1 = wt1.as[(String, Long, Seq[String])].collect().toSet
+    val segs16 = wt16.as[(String, Long, Seq[String])].collect().toSet
+    graft.core.Caches.releaseCheckpoint(wt1)
+    graft.core.Caches.releaseCheckpoint(wt16)
+    assert(seq1 == seq16)
+    assert(segs1 == segs16)
+  }
+
+  test("approximate batching: deterministic, lossless, independent within batch") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (m1, wt1) = Bpe.learnMerges(docs, "text", numMerges = 12,
+      batchSize = 8, exact = false)
+    val (m2, wt2) = Bpe.learnMerges(docs, "text", numMerges = 12,
+      batchSize = 8, exact = false)
+    assert(m1 == m2) // deterministic across runs
+    assert(m1.map(_.rank) == m1.indices.toSeq)
+    // segmentations stay lossless: units concatenate back to word+sentinel
+    val segs = wt1.as[(String, Long, Seq[String])].collect()
+    graft.core.Caches.releaseCheckpoint(wt1)
+    graft.core.Caches.releaseCheckpoint(wt2)
+    segs.foreach { case (w, _, syms) =>
+      assert(syms.mkString("") == w + Bpe.EndOfWord, s"lossy segmentation of $w")
+    }
+    // batchSize=1 degenerates to the sequential algorithm exactly
+    val (mSeq, wtSeq) = Bpe.learnMerges(docs, "text", numMerges = 12,
+      batchSize = 1, exact = false)
+    graft.core.Caches.releaseCheckpoint(wtSeq)
+    val (refMerges, _) = refLearn(wordCounts, 12, 2L)
+    assert(mSeq.map(m => (m.left, m.right)) == refMerges)
+    assert(m1.nonEmpty && m1.size == 12)
+  }
+
+  test("non-BMP characters stay whole code points, not surrogate halves") {
+    // U+1F600 GRINNING FACE is outside the BMP: a code-unit split would
+    // yield two unpaired surrogates; symbols must keep it intact
+    val docs = Seq((1L, "a😀b a😀b")).toDF("doc_id", "text")
+    val (merges, wt) = Bpe.learnMerges(docs, "text", numMerges = 1)
+    val syms = wt.as[(String, Long, Seq[String])].collect().head._3
+    graft.core.Caches.releaseCheckpoint(wt)
+    // one merge applied; the underlying pre-merge symbols were the three
+    // code points + sentinel, so the merged first pair is (a, 😀) by the
+    // lexical tie-break
+    assert(merges.nonEmpty)
+    assert(syms.mkString("") == "a😀b" + Bpe.EndOfWord)
+    assert(syms.forall(s => !s.exists(c => Character.isSurrogate(c) &&
+      s.length == 1)), s"unpaired surrogate in $syms")
   }
 
   test("learnMerges stops early below minPairCount") {
