@@ -341,6 +341,20 @@ object SparkEntry {
         Seq("spark", "window", "merge", "shuffle"))
     }),
 
+    // ---- segmented (append-grown) BM25 index: three disjoint batches
+    // appended as segments, merged on read — same oracle as the ad-hoc
+    // and monolithic paths, which it must match to the last bit ----
+    "q_bm25_segmented" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = scratchDir("graft_search_seg_") + "/idx"
+      Seq(0, 1, 2).foreach { r =>
+        operators.Search.appendSegment(docs.where(col("doc_id") % 3 === r),
+          "doc_id", "text", idx, numBuckets = 16)
+      }
+      operators.Search.searchIndex(s, idx,
+        Seq("spark", "window", "merge", "shuffle"))
+    }),
+
     // ---- exact dedup (hash-partition + windowed survivor choice) ----
     "q_exact_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -2236,6 +2250,7 @@ object SparkEntry {
     // the indexed variant must produce the identical result set
     "q_bm25_search" -> bm25Oracle,
     "q_bm25_indexed" -> bm25Oracle,
+    "q_bm25_segmented" -> bm25Oracle,
     "q_weighted_sample" ->
       """WITH w AS (
         |  SELECT source, doc_id, n_chars,

@@ -84,7 +84,13 @@ object Compaction {
     * over `df`, passed in as `stats`), then the bit-planes are interleaved
     * so nearby keys are nearby in EVERY dimension at once. Pure shift/mask
     * expressions — codegen'd, no UDF. NULLs scale to 0 (they cluster
-    * together at the low corner rather than breaking the write).
+    * together at the low corner rather than breaking the write). Scaled
+    * values are CLAMPED to [0, 2^bits-1]: with stats that don't cover the
+    * data's actual range (stale, or hand-supplied), an out-of-range value
+    * would otherwise bleed its high bits into other dimensions' interleave
+    * positions and silently scramble the layout — clamped, it just
+    * saturates at the corner ([[writeZOrdered]] computes stats from `df`
+    * itself, so clamping matters only for external callers).
     */
   def zorderKey(
       zCols: Seq[String],
@@ -97,10 +103,14 @@ object Compaction {
     val scaled = zCols.map { c =>
       val (lo, hi) = stats(c)
       val span = if (hi > lo) hi - lo else 1.0
-      org.apache.spark.sql.functions.coalesce(
-        org.apache.spark.sql.functions.round(
-          (col(c).cast("double") - lo) / span * maxVal, 0).cast("long"),
-        org.apache.spark.sql.functions.lit(0L))
+      org.apache.spark.sql.functions.greatest(
+        org.apache.spark.sql.functions.lit(0L),
+        org.apache.spark.sql.functions.least(
+          org.apache.spark.sql.functions.lit(maxVal),
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.round(
+              (col(c).cast("double") - lo) / span * maxVal, 0).cast("long"),
+            org.apache.spark.sql.functions.lit(0L))))
     }
     import org.apache.spark.sql.functions.{lit, shiftleft, shiftrightunsigned}
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>

@@ -285,6 +285,13 @@ object Sampling {
     * Rows with NULL or non-positive weight are excluded (they have zero
     * sampling mass). One shuffle on the group key; `row_number` gets the
     * rank-limit pushdown, so skewed groups don't flood the exchange.
+    *
+    * PRECONDITION: `idCol` must be unique within each group (same
+    * contract as [[hashBucket]]). The draw `u` derives from `idCol` and
+    * `salt` alone, so duplicate ids in a group would get identical keys
+    * and the id tie-break would then hide the duplication — silently
+    * skewing the Efraimidis-Spirakis inclusion probabilities. Dedup
+    * first ([[graft.operators.Dedup.exactDedup]]) when ids can repeat.
     */
   def weightedSample(
       df: DataFrame,

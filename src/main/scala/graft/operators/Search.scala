@@ -28,10 +28,24 @@ import org.apache.spark.sql.functions._
   * The build is one-shot and sidecar-last: the params file is committed
   * (tmp + rename, [[graft.io.Sidecar]]) only after every posting file is
   * down, so a crashed build leaves a sidecar-less directory that
-  * [[searchIndex]] refuses loudly, never a silently-partial index. Rebuild
-  * into a fresh path (or delete first) as index maintenance; growth by
-  * append is deliberately unsupported — the sidecar's corpus constants
-  * could not be updated atomically with the rows.
+  * [[searchIndex]] refuses loudly, never a silently-partial index.
+  *
+  * Growth: a MONOLITHIC index ([[writeIndex]]) cannot be appended to —
+  * its sidecar's corpus constants (n_docs, sum_dl) could not be updated
+  * atomically with the rows. The SEGMENTED layout ([[appendSegment]])
+  * serves the daily-ingest user instead: each batch becomes its own
+  * committed segment under `segments/` — posting files plus a sidecar
+  * carrying that batch's constants — and [[searchIndex]] merges on read,
+  * summing the per-segment (n_docs, sum_dl) into the global BM25
+  * constants and unioning the per-segment pruned scans. Scores are
+  * bit-identical to a from-scratch rebuild over the concatenated batches
+  * (asserted in SearchSpec) because every constant is an exact long sum
+  * and per-doc term contributions fold in sorted term order.
+  * [[compactSegments]] rewrites many small segments into one (the
+  * [[DedupIndex.compactIndex]] pattern) so probe cost doesn't decay into
+  * file-listing overhead after months of daily appends. Batches must be
+  * doc-disjoint — re-ingesting a doc id would double-count it, same
+  * contract as [[DedupIndex]] appends.
   */
 object Search {
 
@@ -121,39 +135,264 @@ object Search {
     require(!fs.exists(new org.apache.hadoop.fs.Path(dir, ParamsFileName)),
       s"writeIndex: $path already holds a committed index — builds are " +
         "one-shot; rebuild into a fresh path or delete the old index first")
+    buildSegment(docs, idCol, textCol, path, numBuckets, lowercase,
+      targetFileBytes)
+  }
+
+  /** One complete mini-index at `path`: postings laid out for pruning,
+    * sidecar-last with THIS batch's corpus constants. Shared by the
+    * monolithic [[writeIndex]] and the segmented [[appendSegment]] — a
+    * committed segment is itself a valid monolithic index.
+    */
+  private def buildSegment(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      numBuckets: Int,
+      lowercase: Boolean,
+      targetFileBytes: Long): Unit = {
+    val spark = docs.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val postings = graft.core.Caches.pin(
       indexRows(docs, idCol, textCol, numBuckets, lowercase))
     try {
-      val nFiles = Compaction.targetFileCount(postings, targetFileBytes)
-      postings
-        .repartitionByRange(nFiles, col("__tb"), col("__term"))
-        .sortWithinPartitions(col("__tb"), col("__term"))
-        .write.mode("errorifexists").partitionBy("__tb").parquet(path)
       // Σtf over the postings IS the corpus token count; zero-token docs
       // have no postings but contribute nothing to the sum either
       val sumRow = postings.agg(sum(col("__tf")).as("s")).head()
       val sumDl = if (sumRow.isNullAt(0)) 0L else sumRow.getAs[Long]("s")
       val nDocs = docs.select(col(idCol)).count()
-      graft.io.Sidecar.commit(fs, dir, ParamsFileName,
+      writePostings(postings, dir, fs, numBuckets, lowercase, idCol,
+        docs.schema(idCol).dataType.json, nDocs, sumDl, targetFileBytes)
+    } finally postings.unpersist(blocking = false): Unit
+  }
+
+  /** Layout + commit for already-computed posting rows: range-laid-out
+    * `__tb`-partitioned files, then the sidecar (the commit marker). */
+  private def writePostings(
+      postings: DataFrame,
+      dir: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem,
+      numBuckets: Int,
+      lowercase: Boolean,
+      idCol: String,
+      idTypeJson: String,
+      nDocs: Long,
+      sumDl: Long,
+      targetFileBytes: Long): Unit = {
+    val nFiles = Compaction.targetFileCount(postings, targetFileBytes)
+    postings
+      .repartitionByRange(nFiles, col("__tb"), col("__term"))
+      .sortWithinPartitions(col("__tb"), col("__term"))
+      .write.mode("errorifexists").partitionBy("__tb").parquet(dir.toString)
+    graft.io.Sidecar.commit(fs, dir, ParamsFileName,
+      graft.io.Json.toJson(Map(
+        "num_buckets" -> numBuckets, "lowercase" -> lowercase,
+        "id_col" -> idCol,
+        // the id's Catalyst type, so a zero-posting index (all docs
+        // empty: no data files on disk) can still answer queries with a
+        // correctly-typed empty frame instead of a schema-inference crash
+        "id_type" -> idTypeJson,
+        "n_docs" -> nDocs, "sum_dl" -> sumDl)),
+      overwrite = false): Unit
+  }
+
+  private val SegmentsDirName = "segments"
+  private val SegmentPrefix = "seg_"
+
+  /** Append `docs` as a new committed segment of the index at `path`,
+    * creating the segmented index on first call. The top-level sidecar
+    * records only the LAYOUT (num_buckets, lowercase, id column/type) —
+    * corpus constants live in each segment's own sidecar, so the append
+    * never has to update shared state: the batch is built into a hidden
+    * temp dir and committed by a single directory rename. A crashed
+    * append leaves only a `.tmp-seg-*` dir that readers never look at.
+    *
+    * Layout parameters must match the index's on every append (loud check
+    * against the top sidecar — drifting `numBuckets` would silently break
+    * probe-side bucket pruning). Single-writer, like [[DedupIndex]]
+    * maintenance; batches must be doc-disjoint (see object doc).
+    */
+  def appendSegment(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      numBuckets: Int = 64,
+      lowercase: Boolean = true,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val spark = docs.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val idTypeJson = docs.schema(idCol).dataType.json
+    graft.io.Sidecar.read(fs, dir, ParamsFileName) match {
+      case Some(raw) =>
+        val node = graft.io.Json.parse(raw)
+        require(!node.has("n_docs"),
+          s"appendSegment: $path holds a one-shot monolithic index " +
+            "(writeIndex); segmented growth needs an index created by " +
+            "appendSegment — rebuild it segmented")
+        checkLayout(node, numBuckets, lowercase, idCol, idTypeJson, path)
+      case None =>
+        val committed = graft.io.Sidecar.commit(fs, dir, ParamsFileName,
+          graft.io.Json.toJson(Map(
+            "num_buckets" -> numBuckets, "lowercase" -> lowercase,
+            "id_col" -> idCol, "id_type" -> idTypeJson)),
+          overwrite = false)
+        // a concurrent creator may have won the commit race: whatever
+        // content committed is the layout, and this call must match it
+        checkLayout(graft.io.Json.parse(committed), numBuckets, lowercase,
+          idCol, idTypeJson, path)
+    }
+    val segsDir = new org.apache.hadoop.fs.Path(dir, SegmentsDirName)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".tmp-seg-${java.util.UUID.randomUUID()}")
+    buildSegment(docs, idCol, textCol, tmp.toString, numBuckets, lowercase,
+      targetFileBytes)
+    fs.mkdirs(segsDir): Unit
+    // single rename = the commit; retry the target id on a collision
+    // (rename onto an existing dir would NEST on posix-like filesystems,
+    // so existence is checked first — single-writer makes this safe)
+    var attempts = 0
+    var renamed = false
+    while (!renamed) {
+      attempts += 1
+      require(attempts <= 1000, s"appendSegment: cannot claim a segment " +
+        s"id under $segsDir after $attempts attempts")
+      val target = new org.apache.hadoop.fs.Path(segsDir,
+        f"$SegmentPrefix${nextSegmentId(fs, segsDir)}%06d")
+      renamed = !fs.exists(target) && fs.rename(tmp, target)
+    }
+  }
+
+  private def checkLayout(
+      node: com.fasterxml.jackson.databind.JsonNode,
+      numBuckets: Int, lowercase: Boolean, idCol: String,
+      idTypeJson: String, path: String): Unit = {
+    val stored = (node.get("num_buckets").asInt(),
+      node.get("lowercase").asBoolean(), node.get("id_col").asText(),
+      node.get("id_type").asText())
+    require(stored == ((numBuckets, lowercase, idCol, idTypeJson)),
+      s"appendSegment: index at $path has layout $stored but this call " +
+        s"uses ${(numBuckets, lowercase, idCol, idTypeJson)} — layout " +
+        "must match across appends or bucket pruning silently breaks")
+  }
+
+  private def nextSegmentId(
+      fs: org.apache.hadoop.fs.FileSystem,
+      segsDir: org.apache.hadoop.fs.Path): Int = {
+    val existing =
+      if (fs.exists(segsDir))
+        fs.listStatus(segsDir).map(_.getPath.getName)
+          .filter(_.startsWith(SegmentPrefix))
+          .flatMap(n => scala.util.Try(
+            n.stripPrefix(SegmentPrefix).toInt).toOption)
+      else Array.empty[Int]
+    if (existing.isEmpty) 1 else existing.max + 1
+  }
+
+  /** Committed segments of a segmented index, name-sorted. */
+  private def listSegments(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val segsDir = new org.apache.hadoop.fs.Path(dir, SegmentsDirName)
+    if (!fs.exists(segsDir)) Seq.empty
+    else fs.listStatus(segsDir).map(_.getPath)
+      .filter(_.getName.startsWith(SegmentPrefix))
+      .sortBy(_.getName).toSeq
+  }
+
+  /** Rewrite all segments into ONE, preserving results bit-for-bit: the
+    * merged segment carries the summed (n_docs, sum_dl) and the unioned
+    * postings, so [[searchIndex]] computes identical constants and
+    * identical per-(doc, term) rows. Run BETWEEN ingests (single-writer
+    * maintenance, like [[DedupIndex.compactIndex]]): the swap is
+    * build-new-tree → rename old away → rename new in → delete old, so a
+    * reader mid-swap can see a transiently missing segments dir (it
+    * answers empty), never a half tree; a crash leaves either the old
+    * tree in place or an `.old-segments-*` dir to recover by hand.
+    */
+  def compactSegments(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val raw = graft.io.Sidecar.read(fs, dir, ParamsFileName).getOrElse(
+      throw new IllegalStateException(
+        s"compactSegments: no $ParamsFileName at $path"))
+    val node = graft.io.Json.parse(raw)
+    require(!node.has("n_docs"),
+      s"compactSegments: $path is a one-shot monolithic index — already " +
+        "one segment by construction")
+    val segs = listSegments(fs, dir)
+    if (segs.length <= 1) return // nothing to merge
+    val numBuckets = node.get("num_buckets").asInt()
+    val lowercase = node.get("lowercase").asBoolean()
+    val idCol = node.get("id_col").asText()
+    val idTypeJson = node.get("id_type").asText()
+    val stats = segs.map(p => segmentStats(fs, p))
+    val nDocs = stats.map(_._1).sum
+    val sumDl = stats.map(_._2).sum
+    val withRows = segs.zip(stats).collect { case (p, (_, s)) if s > 0 => p }
+    val tmpTree = new org.apache.hadoop.fs.Path(dir,
+      s".tmp-segments-${java.util.UUID.randomUUID()}")
+    val mergedSeg = new org.apache.hadoop.fs.Path(tmpTree,
+      f"$SegmentPrefix${1}%06d")
+    if (withRows.nonEmpty) {
+      // a parquet re-scan, not a recompute: no pin needed for the range
+      // partitioner's sampling pass
+      val postings = withRows.map(p => spark.read.parquet(p.toString))
+        .reduce(_ unionByName _)
+        .select(col(idCol), col("__dl"), col("__term"), col("__tf"),
+          col("__tb")) // normalize column order across segments
+      writePostings(postings, mergedSeg, fs, numBuckets, lowercase, idCol,
+        idTypeJson, nDocs, sumDl, targetFileBytes)
+    } else {
+      // all segments empty: a sidecar-only merged segment
+      fs.mkdirs(mergedSeg): Unit
+      graft.io.Sidecar.commit(fs, mergedSeg, ParamsFileName,
         graft.io.Json.toJson(Map(
           "num_buckets" -> numBuckets, "lowercase" -> lowercase,
-          "id_col" -> idCol,
-          // the id's Catalyst type, so a zero-posting index (all docs
-          // empty: no data files on disk) can still answer queries with a
-          // correctly-typed empty frame instead of a schema-inference crash
-          "id_type" -> docs.schema(idCol).dataType.json,
+          "id_col" -> idCol, "id_type" -> idTypeJson,
           "n_docs" -> nDocs, "sum_dl" -> sumDl)),
         overwrite = false): Unit
-    } finally postings.unpersist(blocking = false): Unit
+    }
+    val segsDir = new org.apache.hadoop.fs.Path(dir, SegmentsDirName)
+    val old = new org.apache.hadoop.fs.Path(dir,
+      s".old-segments-${java.util.UUID.randomUUID()}")
+    require(fs.rename(segsDir, old),
+      s"compactSegments: cannot move $segsDir aside")
+    require(fs.rename(tmpTree, segsDir),
+      s"compactSegments: cannot install $tmpTree as $segsDir — the old " +
+        s"tree is at $old; rename it back to recover")
+    fs.delete(old, true): Unit
+  }
+
+  /** (n_docs, sum_dl) from a segment's sidecar; loud on an uncommitted
+    * segment (should be impossible — commit is by rename). */
+  private def segmentStats(
+      fs: org.apache.hadoop.fs.FileSystem,
+      seg: org.apache.hadoop.fs.Path): (Long, Long) = {
+    val raw = graft.io.Sidecar.read(fs, seg, ParamsFileName)
+      .getOrElse(throw new IllegalStateException(
+        s"segment $seg has no $ParamsFileName — not a committed segment"))
+    val node = graft.io.Json.parse(raw)
+    (node.get("n_docs").asLong(), node.get("sum_dl").asLong())
   }
 
   /** BM25 scores for `queryTerms` from the index alone: `(idCol, n_hits,
     * score)`, one row per indexed document containing at least one query
     * term — the same output contract, formula association, and 6-decimal
     * rounding as [[TextAnalysis.bm25]], so results match it bit-for-bit
-    * on the indexed corpus.
+    * on the indexed corpus. Serves both layouts: monolithic
+    * ([[writeIndex]]) reads the path directly; segmented
+    * ([[appendSegment]]) sums the per-segment constants and unions the
+    * per-segment scans — still bit-identical to a from-scratch rebuild
+    * over the concatenated batches.
     *
-    * The scan is pruned two ways before any shuffle: a `__tb IN (...)`
+    * Every scan is pruned two ways before any shuffle: a `__tb IN (...)`
     * literal filter (directory pruning — buckets computed driver-side via
     * [[termBucketLocal]]) and a `__term IN (...)` filter (row-group
     * min/max pruning inside each bucket, thanks to the build's term sort).
@@ -176,14 +415,22 @@ object Search {
     val numBuckets = node.get("num_buckets").asInt()
     val lowercase = node.get("lowercase").asBoolean()
     val idCol = node.get("id_col").asText()
-    val nDocs = node.get("n_docs").asLong()
-    val sumDl = node.get("sum_dl").asLong()
     val qs0 = if (lowercase) queryTerms.map(_.toLowerCase) else queryTerms
     val qs = qs0.distinct
+    val (nDocs, sumDl, scanPaths) =
+      if (node.has("n_docs")) // monolithic: constants inline, one scan root
+        (node.get("n_docs").asLong(), node.get("sum_dl").asLong(), Seq(path))
+      else { // segmented: sum constants, scan each committed segment
+        val segs = listSegments(fs, dir)
+        val stats = segs.map(p => segmentStats(fs, p))
+        (stats.map(_._1).sum, stats.map(_._2).sum,
+          // zero-posting segments have no data files to scan
+          segs.zip(stats).collect { case (p, (_, s)) if s > 0 => p.toString })
+      }
     if (sumDl == 0L) {
-      // zero-posting index (every doc tokenless): valid, but the write
-      // produced no data files, so a parquet read would die on schema
-      // inference — answer from the sidecar's recorded id type instead
+      // zero postings anywhere (every doc tokenless, or no segments yet):
+      // valid, but no data files exist, so a parquet read would die on
+      // schema inference — answer from the sidecar's recorded id type
       val idType = org.apache.spark.sql.types.DataType.fromJson(
         node.get("id_type").asText())
       return spark.createDataFrame(
@@ -198,15 +445,19 @@ object Search {
     val buckets = qs.map(termBucketLocal(_, numBuckets)).distinct
     // same IEEE division as bm25's sum(long).cast(double) / count
     val avgdl = sumDl.toDouble / nDocs
-    spark.read.parquet(path)
-      .where(col("__tb").isin(buckets: _*) && col("__term").isin(qs: _*))
+    val postings = scanPaths
+      .map(p => spark.read.parquet(p)
+        .where(col("__tb").isin(buckets: _*) && col("__term").isin(qs: _*))
+        .select(col(idCol), col("__dl"), col("__term"), col("__tf")))
+      .reduce(_ unionByName _)
+    // df counts over the UNION, so cross-segment document frequencies
+    // are global — identical to a monolithic rebuild's window
+    TextAnalysis.bm25Regroup(postings
       .withColumn("__df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("__term")))
-      .select(col(idCol),
+      .select(col(idCol), col("__term"),
         TextAnalysis.bm25ScoreExpr(lit(nDocs), col("__df"), col("__tf"),
-          col("__dl"), lit(avgdl), k1, b).as("__s"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"), round(sum(col("__s")), 6).as("score"))
+          col("__dl"), lit(avgdl), k1, b).as("__s")), idCol)
   }
 
   /** Dense 1-based rank of a BOUNDED result set (a top-k list, a scored

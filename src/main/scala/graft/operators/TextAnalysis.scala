@@ -713,14 +713,29 @@ object TextAnalysis {
       // a plain count() the distinct-doc count
       .withColumn("__df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("__term")))
-    postings
+    bm25Regroup(postings
       .crossJoin(broadcast(stats))
-      .select(col(idCol),
+      .select(col(idCol), col("__term"),
         bm25ScoreExpr(col("__n"), col("__df"), col("__tf"), col("__dl"),
-          col("__avgdl"), k1, b).as("__s"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"), round(sum(col("__s")), 6).as("score"))
+          col("__avgdl"), k1, b).as("__s")), idCol)
   }
+
+  /** Per-doc regroup shared by [[bm25]] and `Search.searchIndex`:
+    * `(idCol, n_hits, score)` from per-(doc, term) scores. The term
+    * contributions are summed in TERM order via a sorted-array fold, not
+    * `sum(double)` — partial aggregation's addition order depends on
+    * partitioning, and a score near a 6-decimal rounding boundary could
+    * flip its last digit between runs/engines/scale factors. Sorting
+    * first makes the FP addition order part of the contract. Terms are
+    * unique per doc in both call sites, so the struct sort is total.
+    */
+  private[operators] def bm25Regroup(
+      scored: org.apache.spark.sql.DataFrame, idCol: String): org.apache.spark.sql.DataFrame =
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        round(aggregate(
+          array_sort(collect_list(struct(col("__term"), col("__s")))),
+          lit(0.0), (acc, x) => acc + x.getField("__s")), 6).as("score"))
 
   /** The BM25 scoring kernel shared by [[bm25]] and
     * `Search.searchIndex` — ONE definition so the documented bit-identical

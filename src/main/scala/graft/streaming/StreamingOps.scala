@@ -35,9 +35,18 @@ object StreamingOps {
     * TIMESTAMP(MICROS)/NTZ; both land here as the same `ts_ns` contract
     * (naive micros are interpreted as UTC, matching the DuckDB oracle's
     * `epoch_us` and the UTC session timezone set by [[graft.core.Sessions]]).
+    *
+    * The legacy conf is session-wide and changes how EVERY later parquet
+    * read surfaces nanos timestamps, so it is set only when a footer
+    * probe of `path` actually finds a TIMESTAMP(NANOS) `ts` — a
+    * micros-era file leaves the session untouched. (When nanos ARE
+    * present the conf must stay set for the frame's whole lifetime —
+    * the scan consults it at execution, not at construction, so a
+    * set/restore scope around this call would break the read.)
     */
   def readEventsRaw(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (tsIsNanos(spark, path))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(path)
     raw.schema("ts").dataType match {
       case LongType => raw.withColumnRenamed("ts", "ts_ns")
@@ -48,6 +57,39 @@ object StreamingOps {
           case c => col(c)
         }
         raw.select(cols.toIndexedSeq: _*)
+    }
+  }
+
+  /** Footer probe: does the first parquet file under `path` carry `ts`
+    * as TIMESTAMP(NANOS)? Reads one footer's metadata — no data pages —
+    * through the parquet-hadoop API Spark already ships.
+    */
+  private def tsIsNanos(spark: SparkSession, path: String): Boolean = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) return false
+    val file =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      else Some(root)
+    file.exists { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hconf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        schema.containsField("ts") && {
+          val t = schema.getType(schema.getFieldIndex("ts"))
+          t.isPrimitive && (t.getLogicalTypeAnnotation match {
+            case ts: org.apache.parquet.schema.LogicalTypeAnnotation
+                .TimestampLogicalTypeAnnotation =>
+              ts.getUnit ==
+                org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          })
+        }
+      } finally reader.close()
     }
   }
 

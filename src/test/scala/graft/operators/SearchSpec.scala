@@ -84,6 +84,73 @@ class SearchSpec extends SparkTestBase {
     assert(out.count() == 0)
   }
 
+  test("segmented append+query equals monolithic rebuild+query bit-for-bit") {
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("doc_id"), col("text"))
+    val terms = Seq("spark", "window", "merge", "shuffle")
+    val segDir = scratch()
+    // three disjoint daily-style batches
+    Search.appendSegment(docs.where(col("doc_id") % 3 === 0),
+      "doc_id", "text", segDir, numBuckets = 8)
+    Search.appendSegment(docs.where(col("doc_id") % 3 === 1),
+      "doc_id", "text", segDir, numBuckets = 8)
+    Search.appendSegment(docs.where(col("doc_id") % 3 === 2),
+      "doc_id", "text", segDir, numBuckets = 8)
+    val monoDir = scratch()
+    Search.writeIndex(docs, "doc_id", "text", monoDir, numBuckets = 8)
+    val segmented = Search.searchIndex(spark, segDir, terms)
+      .as[(Long, Long, Double)].collect().toSet
+    val mono = Search.searchIndex(spark, monoDir, terms)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(segmented == mono)
+    assert(segmented.nonEmpty)
+    // and compaction rewrites to ONE segment without changing a bit
+    Search.compactSegments(spark, segDir)
+    val fs = new org.apache.hadoop.fs.Path(segDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val segNames = fs.listStatus(
+      new org.apache.hadoop.fs.Path(segDir, "segments"))
+      .map(_.getPath.getName).filter(_.startsWith("seg_"))
+    assert(segNames.toSeq == Seq("seg_000001"))
+    val compacted = Search.searchIndex(spark, segDir, terms)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(compacted == mono)
+  }
+
+  test("segmented layout guards: monolithic append, layout drift, empty index") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val mono = scratch()
+    Search.writeIndex(docs, "doc_id", "text", mono, numBuckets = 4)
+    intercept[IllegalArgumentException] { // no appending a one-shot index
+      Search.appendSegment(docs, "doc_id", "text", mono, numBuckets = 4)
+    }
+    val seg = scratch()
+    Search.appendSegment(docs, "doc_id", "text", seg, numBuckets = 4)
+    intercept[IllegalArgumentException] { // numBuckets drift breaks pruning
+      Search.appendSegment(docs, "doc_id", "text", seg, numBuckets = 8)
+    }
+    // zero-posting segments still serve typed empty results
+    val empty = scratch()
+    Search.appendSegment(Seq((1L, ""), (2L, "  ")).toDF("doc_id", "text"),
+      "doc_id", "text", empty, numBuckets = 4)
+    val out = Search.searchIndex(spark, empty, Seq("anything"))
+    assert(out.schema.map(f => (f.name, f.dataType.typeName))
+      == Seq(("doc_id", "long"), ("n_hits", "long"), ("score", "double")))
+    assert(out.count() == 0)
+    // a tokenless segment next to a real one only dilutes avgdl/n_docs —
+    // same as the monolithic zero-length-doc contract
+    Search.appendSegment(Seq((3L, "hit miss"), (4L, "miss"))
+      .toDF("doc_id", "text"), "doc_id", "text", empty, numBuckets = 4)
+    val scored = Search.searchIndex(spark, empty, Seq("hit"))
+      .as[(Long, Long, Double)].collect()
+    assert(scored.map(_._1).toSet == Set(3L))
+    // N=4 docs total (two tokenless), avgdl=3/4 — identical formula to the
+    // monolithic test below
+    val exp = math.log(1 + 3.5 / 1.5) * 2.2 /
+      (1 + 1.2 * (0.25 + 0.75 * 2 / (3.0 / 4)))
+    assert(math.abs(scored.head._3 - exp) < 1e-6)
+  }
+
   test("rrfFuse matches the hand-computed reciprocal-rank formula") {
     val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
     val b = Seq((3L, 1), (1L, 2)).toDF("id", "rank") // doc 2 absent here
