@@ -260,23 +260,39 @@ object Ann {
       * (signatures append incrementally via [[graft.operators.DedupIndex]]
       * -style layouts; IVF cell assignment depends on the trained
       * centroids, so incremental growth belongs in a rebuild).
+      *
+      * `quantize = true` stores each cell's vectors as symmetric int8
+      * codes + a per-vector scale ([[Quantize]]) instead of the float
+      * array — ~4× less probe I/O, the FAISS-SQ8 shape. [[loadIndex]]
+      * dequantizes INSIDE the probe projection (a codegen'd `transform`
+      * over the scanned codes), so [[search]] is oblivious; the cost is
+      * bounded per-component reconstruction error (recall floor
+      * spec-asserted vs the exact search in AnnMultimodalSpec).
       */
-    def writeIndex(index: IvfIndex, path: String): Unit = {
+    def writeIndex(
+        index: IvfIndex, path: String, quantize: Boolean = false): Unit = {
       val spark = index.assigned.sparkSession
+      val toWrite =
+        if (!quantize) index.assigned
+        else index.assigned
+          .withColumn("__q_scale", Quantize.scaleExpr(col(index.vecCol)))
+          .withColumn("__q_codes",
+            Quantize.codesExpr(col(index.vecCol), col("__q_scale")))
+          .drop(index.vecCol)
       // pin STATIC overwrite: under the common partitionOverwriteMode=
       // dynamic session setting, overwrite would keep (a) the old sidecar
       // alive through the whole data write — a crash mid-write then reads
       // as a VALID index mixing old centroids with partial new data — and
       // (b) stale cell directories that this rebuild assigned no rows to,
       // whose rows a probe would return as silently wrong neighbors
-      index.assigned.write.mode("overwrite")
+      toWrite.write.mode("overwrite")
         .option("partitionOverwriteMode", "static")
         .partitionBy("__cell").parquet(path)
       val dir = new org.apache.hadoop.fs.Path(path)
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
       val json = graft.io.Json.toJson(Map(
         "id_col" -> index.idCol, "vec_col" -> index.vecCol,
-        "nassign" -> index.nassign,
+        "nassign" -> index.nassign, "quantized" -> quantize,
         "centroids" -> index.centroids.toSeq.map { case (cell, c) =>
           Map("cell" -> cell, "c" -> c.toSeq) }))
       val committed = graft.io.Sidecar.commit(
@@ -311,11 +327,22 @@ object Ann {
         val c = e.get("c").elements().asScala.map(_.asDouble()).toArray
         cell -> c
       }.toArray
+      val vecCol = node.get("vec_col").asText()
+      val quantized = node.has("quantized") && node.get("quantized").asBoolean()
+      val raw = spark.read.parquet(path)
+      val assigned =
+        if (!quantized) raw
+        // dequantize in the probe projection: the scan reads int8 codes
+        // (4× fewer bytes), the codegen'd transform reconstructs doubles
+        else raw
+          .withColumn(vecCol,
+            Quantize.dequantizeExpr(col("__q_codes"), col("__q_scale")))
+          .drop("__q_codes", "__q_scale")
       IvfIndex(
-        spark.read.parquet(path),
+        assigned,
         cents,
         node.get("id_col").asText(),
-        node.get("vec_col").asText(),
+        vecCol,
         node.get("nassign").asInt())
     }
   }

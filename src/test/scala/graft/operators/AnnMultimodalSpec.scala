@@ -92,6 +92,48 @@ class AnnMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("quantized IVF index: 4x smaller vectors, recall holds vs exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_q_").toString
+    try {
+      val queries = embeddings.filter($"vec_id" < 10)
+      val exact = Ann.bruteForceTopK(embeddings, queries, "vec_id",
+        "embedding", "vec_id", 5)
+      val index = Ann.Ivf.build(embeddings, "vec_id", "embedding",
+        nlist = 16, seed = 42L, nassign = 3)
+      Ann.Ivf.writeIndex(index, dir, quantize = true)
+      val loaded = Ann.Ivf.loadIndex(spark, dir)
+      // the stored rows carry int8 codes, not the float array
+      val stored = spark.read.parquet(dir)
+      assert(stored.columns.contains("__q_codes")
+        && stored.columns.contains("__q_scale")
+        && !stored.columns.contains("embedding"))
+      assert(stored.schema("__q_codes").dataType
+        == org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ByteType, containsNull = false)
+        || stored.schema("__q_codes").dataType
+        == org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ByteType, containsNull = true))
+      // searching the dequantized path keeps recall near the float path
+      // (same operating point as the float test: floor 0.85 vs its 0.9 —
+      // the headroom is the bounded scale/2-per-component reconstruction
+      // error)
+      val approx = Ann.Ivf.search(loaded, queries, "vec_id", "embedding",
+        k = 5, nprobe = 6)
+      val recall = Ann.recallAgainstExact(exact, approx)
+      assert(recall >= 0.85, s"quantized recall $recall below the 0.85 floor")
+      // self-match survives quantization (cos(dequant(v), v) stays rank 1)
+      assert(approx.filter($"q_id" === $"id").count() == 10)
+      // round-trip: a second load searches identically (determinism)
+      val again = Ann.Ivf.search(Ann.Ivf.loadIndex(spark, dir), queries,
+        "vec_id", "embedding", k = 5, nprobe = 6)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      assert(rows(again) == rows(approx))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("IVF multi-assignment raises recall at a fixed probe width") {
     val queries = embeddings.filter($"vec_id" < 10)
     val exact = Ann.bruteForceTopK(embeddings, queries, "vec_id", "embedding", "vec_id", 5)
