@@ -102,7 +102,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line gets truncated in round artifacts once the query
+    // count grows — also write the full map to its own file so
+    // round-over-round comparison never depends on prose records
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_QUERIES.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write BENCH_QUERIES.json: $e")
+    }
     spark.stop()
     // connector demo fixtures hold non-daemon dispatcher threads; exit hard
     sys.exit(0)

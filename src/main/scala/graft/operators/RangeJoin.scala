@@ -27,8 +27,15 @@ import org.apache.spark.sql.functions._
   * false candidates, narrower = the reverse. Interval fan-out is bounded
   * loudly by `maxBucketsPerInterval` — a degenerate whole-domain interval
   * would otherwise explode into the full bucket range (such intervals
-  * belong on a broadcast path, not in the fan-out). Bucket skew (a hot
-  * time window) is AQE skew-join territory, same as any keyed join.
+  * belong on a broadcast path, not in the fan-out). With
+  * `broadcastWideIntervals = true` that broadcast path actually exists:
+  * intervals spanning more buckets than the bound are split off, joined
+  * to the points by a broadcast + BETWEEN filter (no fan-out, no
+  * shuffle — each point meets each wide interval once by construction),
+  * and unioned with the bucketized result. The contract is that such
+  * intervals are FEW (global campaign windows, catch-all maintenance
+  * slots) — they are literally broadcast. Bucket skew (a hot time
+  * window) is AQE skew-join territory, same as any keyed join.
   *
   * Columns: `points` and `intervals` must not share column names except
   * `extraKeys` (checked). Both range columns must be numeric (cast dates/
@@ -46,7 +53,8 @@ object RangeJoin {
       endCol: String,
       bucketWidth: Long,
       extraKeys: Seq[String] = Nil,
-      maxBucketsPerInterval: Int = 4096): DataFrame = {
+      maxBucketsPerInterval: Int = 4096,
+      broadcastWideIntervals: Boolean = false): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     require(maxBucketsPerInterval >= 1,
       s"maxBucketsPerInterval must be >= 1, got $maxBucketsPerInterval")
@@ -65,17 +73,31 @@ object RangeJoin {
     // under BETWEEN — drop them here, exactly as the naive join would,
     // instead of fanning a descending sequence / crashing on a null guard
     val valid = intervals.where(col(startCol) <= col(endCol))
-    val fanned = valid.withColumn("__bucket", explode(sequence(
+    val isWide = bEnd - bStart >= lit(maxBucketsPerInterval.toLong)
+    val narrow = if (broadcastWideIntervals) valid.where(!isWide) else valid
+    val fanned = narrow.withColumn("__bucket", explode(sequence(
       bStart,
       // fail loud instead of fanning a degenerate interval across the domain
       when(bEnd - bStart < lit(maxBucketsPerInterval.toLong), bEnd)
         .otherwise(raise_error(concat(
           lit(s"rangeJoin: interval spans more than $maxBucketsPerInterval " +
             s"buckets of width $bucketWidth ("), col(startCol), lit(".."),
-          col(endCol), lit(")"))).cast("long")))))
+          col(endCol), lit(") — route it via broadcastWideIntervals=true"))).cast("long")))))
     val bucketed = points.withColumn("__bucket", bucketOf(col(pointCol)))
-    bucketed.join(fanned, Seq("__bucket") ++ extraKeys)
+    val fromBuckets = bucketed.join(fanned, Seq("__bucket") ++ extraKeys)
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
+    if (!broadcastWideIntervals) fromBuckets
+    else {
+      // the hot-bucket escape hatch: wide intervals skip the fan-out and
+      // meet every point via a broadcast + exact BETWEEN (an equality on
+      // extraKeys when present). Disjoint by construction from the
+      // bucketized candidates, so a plain unionByName is exact.
+      val wide = broadcast(valid.where(isWide))
+      val fromWide = (if (extraKeys.isEmpty) points.join(wide)
+        else points.join(wide, extraKeys))
+        .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      fromBuckets.unionByName(fromWide.select(fromBuckets.columns.map(col): _*))
+    }
   }
 }

@@ -52,6 +52,32 @@ class RangeJoinSpec extends SparkTestBase {
       || e.getCause != null && e.getCause.getMessage.contains("rangeJoin"))
   }
 
+  test("broadcastWideIntervals routes whole-domain intervals instead of throwing") {
+    // one degenerate catch-all window among normal ones: the default path
+    // throws (previous test); the broadcast path answers, exactly naive
+    val mixed = intervals.unionByName(
+      Seq((15L, -1000000L, 1000000L)).toDF("iid", "s", "e"))
+    val naiveMixed = points.join(mixed,
+      col("x") >= col("s") && col("x") <= col("e"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val got = RangeJoin.pointInInterval(points, mixed, "x", "s", "e",
+      bucketWidth = 16L, maxBucketsPerInterval = 100,
+      broadcastWideIntervals = true)
+      .select("pid", "iid").as[(Long, Long)].collect()
+    assert(got.toSet == naiveMixed)
+    assert(got.length == got.toSet.size, "no duplicate matches across paths")
+    // every point hits the catch-all window exactly once
+    assert(got.count(_._2 == 15L) == 6)
+    // extraKeys apply on the broadcast path too
+    val p = Seq((1L, 5L, "a"), (2L, 5L, "b")).toDF("pid", "x", "k")
+    val iw = Seq((10L, -1000000L, 1000000L, "a")).toDF("iid", "s", "e", "k")
+    val keyed = RangeJoin.pointInInterval(p, iw, "x", "s", "e",
+      bucketWidth = 8L, maxBucketsPerInterval = 10,
+      extraKeys = Seq("k"), broadcastWideIntervals = true)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(keyed == Set((1L, 10L)))
+  }
+
   test("inverted and null-bounded intervals match nothing, like naive BETWEEN") {
     val i = Seq(
       (10L, Some(10L), Some(0L)),   // inverted
