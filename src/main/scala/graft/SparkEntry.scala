@@ -719,6 +719,17 @@ object SparkEntry {
       operators.Sketches.rollupFrequent(fine, Seq("source"), k = 2)
     }),
 
+    // ---- mergeable KLL quantile sketches: doc-length distribution per
+    // source from stored sketches (exact while group n <= k=4096, so the
+    // DuckDB quantile_disc oracle applies; the compacted regime is
+    // spec-bounded by the KLL rank error) ----
+    "q_quantile_rollup" -> ((s, dir) => {
+      val fine = operators.Sketches.quantileSketches(
+        t(s, dir, "documents"), Seq("source"), "n_chars")
+      operators.Sketches.rollupQuantiles(
+        fine, Seq("source"), Seq(0.25, 0.5, 0.9, 0.99))
+    }),
+
     // ---- bucketized range join: events into overlapping campaign
     // windows (533 s grid, 400-2800 s widths) without a nested loop ----
     "q_range_join" -> ((s, dir) => {
@@ -1833,6 +1844,19 @@ object SparkEntry {
         |  FROM c)
         |SELECT source, rk::INT AS rank, lang AS item, cnt AS est
         |FROM r WHERE rk <= 2""".stripMargin,
+    "q_quantile_rollup" ->
+      """SELECT source, 0.25::DOUBLE AS prob,
+        |  quantile_disc(n_chars, 0.25)::DOUBLE AS quantile
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT source, 0.5::DOUBLE, quantile_disc(n_chars, 0.5)::DOUBLE
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT source, 0.9::DOUBLE, quantile_disc(n_chars, 0.9)::DOUBLE
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT source, 0.99::DOUBLE, quantile_disc(n_chars, 0.99)::DOUBLE
+        |FROM documents GROUP BY source""".stripMargin,
     "q_bloom_prune_join" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS revenue

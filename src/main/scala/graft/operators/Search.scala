@@ -213,6 +213,13 @@ object Search {
     * against the top sidecar — drifting `numBuckets` would silently break
     * probe-side bucket pruning). Single-writer, like [[DedupIndex]]
     * maintenance; batches must be doc-disjoint (see object doc).
+    *
+    * `segmentName` (must start with `seg_`) pins the segment's identity
+    * instead of taking the next free number — the foreachBatch
+    * idempotency hook: name segments by batch id and a replayed batch
+    * finds its segment already committed and SKIPS (returns false)
+    * instead of double-ingesting. Returns true when this call committed
+    * the segment.
     */
   def appendSegment(
       docs: DataFrame,
@@ -221,7 +228,8 @@ object Search {
       path: String,
       numBuckets: Int = 64,
       lowercase: Boolean = true,
-      targetFileBytes: Long = 128L << 20): Unit = {
+      targetFileBytes: Long = 128L << 20,
+      segmentName: Option[String] = None): Boolean = {
     val spark = docs.sparkSession
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -246,23 +254,55 @@ object Search {
           idCol, idTypeJson, path)
     }
     val segsDir = new org.apache.hadoop.fs.Path(dir, SegmentsDirName)
+    segmentName.foreach(n => require(n.startsWith(SegmentPrefix),
+      s"segmentName must start with $SegmentPrefix, got $n"))
+    // idempotent named commit: an existing segment means the batch
+    // already landed — skip without tokenizing anything
+    if (segmentName.exists(n =>
+        fs.exists(new org.apache.hadoop.fs.Path(segsDir, n)))) false
+    else appendSegmentCommit(docs, idCol, textCol, dir, fs, segsDir,
+      numBuckets, lowercase, targetFileBytes, segmentName)
+  }
+
+  private def appendSegmentCommit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem,
+      segsDir: org.apache.hadoop.fs.Path,
+      numBuckets: Int,
+      lowercase: Boolean,
+      targetFileBytes: Long,
+      segmentName: Option[String]): Boolean = {
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s".tmp-seg-${java.util.UUID.randomUUID()}")
     buildSegment(docs, idCol, textCol, tmp.toString, numBuckets, lowercase,
       targetFileBytes)
     fs.mkdirs(segsDir): Unit
-    // single rename = the commit; retry the target id on a collision
-    // (rename onto an existing dir would NEST on posix-like filesystems,
-    // so existence is checked first — single-writer makes this safe)
-    var attempts = 0
-    var renamed = false
-    while (!renamed) {
-      attempts += 1
-      require(attempts <= 1000, s"appendSegment: cannot claim a segment " +
-        s"id under $segsDir after $attempts attempts")
-      val target = new org.apache.hadoop.fs.Path(segsDir,
-        f"$SegmentPrefix${nextSegmentId(fs, segsDir)}%06d")
-      renamed = !fs.exists(target) && fs.rename(tmp, target)
+    segmentName match {
+      case Some(n) =>
+        val target = new org.apache.hadoop.fs.Path(segsDir, n)
+        // lost a race to a concurrent replay of the same batch: theirs
+        // committed, ours is redundant — clean up and report not-committed
+        if (!fs.rename(tmp, target)) { fs.delete(tmp, true): Unit; false }
+        else true
+      case None =>
+        // single rename = the commit; retry the target id on a collision
+        // (rename onto an existing dir would NEST on posix-like
+        // filesystems, so existence is checked first — single-writer
+        // makes this safe)
+        var attempts = 0
+        var renamed = false
+        while (!renamed) {
+          attempts += 1
+          require(attempts <= 1000, s"appendSegment: cannot claim a segment " +
+            s"id under $segsDir after $attempts attempts")
+          val target = new org.apache.hadoop.fs.Path(segsDir,
+            f"$SegmentPrefix${nextSegmentId(fs, segsDir)}%06d")
+          renamed = !fs.exists(target) && fs.rename(tmp, target)
+        }
+        true
     }
   }
 

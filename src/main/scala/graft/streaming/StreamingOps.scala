@@ -359,6 +359,38 @@ object StreamingOps {
         }
     }
 
+  /** Stream documents into a segmented BM25 search index: each micro-batch
+    * becomes one committed segment ([[graft.operators.Search.appendSegment]])
+    * named by its batch id, so the sink is IDEMPOTENT under foreachBatch's
+    * at-least-once replay — a replayed batch finds `seg_b<id>` already
+    * committed and skips, the standard exactly-once-by-naming pattern.
+    * Queries ([[graft.operators.Search.searchIndex]]) see every committed
+    * segment immediately; scores stay bit-identical to a from-scratch
+    * rebuild over everything ingested.
+    *
+    * Run [[graft.operators.Search.compactSegments]] as maintenance only
+    * when the stream's checkpoint has advanced past every ingested batch:
+    * compaction renames batch segments away, so a replay of a
+    * pre-compaction batch would re-append it (duplicate postings — same
+    * between-ingests caveat as [[graft.operators.DedupIndex.compactIndex]]).
+    */
+  def searchIndexSink(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      numBuckets: Int = 64,
+      lowercase: Boolean = true)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Search.appendSegment(
+            batch.toDF(), idCol, textCol, indexPath, numBuckets, lowercase,
+            segmentName = Some(f"seg_b$batchId%012d")): Unit
+        }
+    }
+
   /** Stream into an SCD target: every micro-batch runs one change-tracking
     * upsert (mode 1 = current-only, mode 2 = track-history). Batch ids are
     * recorded nowhere — idempotency relies on the upsert itself (replaying

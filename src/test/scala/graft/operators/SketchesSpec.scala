@@ -74,6 +74,59 @@ class SketchesSpec extends SparkTestBase {
       == Seq((1, "item_0", 14L)))
   }
 
+  test("quantile sketches are exact under k and match percentile_disc semantics") {
+    // reference: smallest value whose cumulative fraction >= p
+    def refQ(vals: Seq[Double], p: Double): Double = {
+      val s = vals.sorted
+      s(math.max(0, math.ceil(p * s.length).toInt - 1))
+    }
+    val rows = for {
+      g <- Seq("a", "b"); i <- 1 to 40
+    } yield (g, if (g == "a") i.toDouble else (i * 7 % 41).toDouble)
+    val df = rows.toDF("grp", "v").repartition(8) // partials must merge
+    val probs = Seq(0.25, 0.5, 0.9, 0.99)
+    val fine = Sketches.quantileSketches(df, Seq("grp"), "v", k = 64)
+    val got = Sketches.rollupQuantiles(fine, Seq("grp"), probs, k = 64)
+      .as[(String, Double, Double)].collect()
+      .map { case (g, p, q) => (g, p) -> q }.toMap
+    for (g <- Seq("a", "b"); p <- probs) {
+      val vals = rows.collect { case (`g`, _) => }.length // 40 each
+      assert(vals == 40)
+      val expect = refQ(rows.collect { case (gg, v) if gg == g => v }, p)
+      assert(got((g, p)) == expect, s"group $g p=$p: ${got((g, p))} != $expect")
+    }
+    // global rollup merges the stored sketches only
+    val all = rows.map(_._2)
+    val global = Sketches.rollupQuantiles(fine, Nil, Seq(0.5), k = 64)
+      .as[(Double, Double)].collect()
+    assert(global.toSeq == Seq((0.5, refQ(all, 0.5))))
+    // all-null groups emit nothing
+    val withNull = Seq(("c", null.asInstanceOf[java.lang.Double]))
+      .toDF("grp", "v")
+    val empty = Sketches.rollupQuantiles(
+      Sketches.quantileSketches(withNull, Seq("grp"), "v", k = 64),
+      Seq("grp"), Seq(0.5), k = 64)
+    assert(empty.count() == 0)
+  }
+
+  test("an over-capacity quantile sketch stays inside the KLL rank error bound") {
+    val n = 5000
+    val df = (1 to n).map(i => ("g", i.toDouble)).toDF("grp", "v")
+      .repartition(8)
+    val k = 64 // far under n: the sketch must compact
+    val eps = org.apache.datasketches.kll.KllSketch
+      .getNormalizedRankError(k, false)
+    val got = Sketches.rollupQuantiles(
+      Sketches.quantileSketches(df, Seq("grp"), "v", k = k),
+      Seq("grp"), Seq(0.5, 0.9), k = k)
+      .as[(String, Double, Double)].collect()
+    got.foreach { case (_, p, q) =>
+      val trueRank = q / n // values are 1..n, so rank(q) = q/n
+      assert(math.abs(trueRank - p) <= 2 * eps,
+        s"estimated p$p quantile $q has true rank $trueRank (eps=$eps)")
+    }
+  }
+
   test("frequentSketches shuffles partial sketches, not the raw item stream") {
     val rows = for {
       g <- Seq("a", "b"); i <- 0 until 40

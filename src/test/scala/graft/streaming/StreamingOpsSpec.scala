@@ -293,6 +293,54 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("searchIndexSink ingests batches as segments; equals a rebuild; idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val root = Files.createTempDirectory("graft_search_sink_").toString
+    val index = root + "/index"
+    val q = StreamingOps.searchIndexSink(
+      source.toDS().toDF("doc_id", "text"), "doc_id", "text", index,
+      numBuckets = 8)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    val docs = Seq(
+      (1L, "spark shuffles data between stages"),
+      (2L, "window functions sort within partitions"),
+      (3L, "merge statements upsert the target table"),
+      (4L, "the optimizer prunes parquet row groups"))
+    try {
+      source.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      source.addData(docs(2), docs(3))
+      q.processAllAvailable()
+      val terms = Seq("spark", "window", "merge", "shuffles")
+      val streamed = graft.operators.Search.searchIndex(spark, index, terms)
+        .as[(Long, Long, Double)].collect().toSet
+      // bit-identical to a one-shot rebuild over everything ingested
+      val monoDir = root + "/mono"
+      graft.operators.Search.writeIndex(
+        docs.toDF("doc_id", "text"), "doc_id", "text", monoDir, numBuckets = 8)
+      val rebuilt = graft.operators.Search.searchIndex(spark, monoDir, terms)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == rebuilt && streamed.nonEmpty)
+      // segments are batch-named, and a replayed batch id is a no-op
+      val fs = new org.apache.hadoop.fs.Path(index)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val segNames = fs.listStatus(
+        new org.apache.hadoop.fs.Path(index, "segments"))
+        .map(_.getPath.getName).sorted
+      assert(segNames.toSeq == Seq("seg_b000000000000", "seg_b000000000001"))
+      val replayed = graft.operators.Search.appendSegment(
+        docs.take(2).toDF("doc_id", "text"), "doc_id", "text", index,
+        numBuckets = 8, segmentName = Some("seg_b000000000000"))
+      assert(!replayed, "replay of a committed batch must be skipped")
+      val after = graft.operators.Search.searchIndex(spark, index, terms)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(after == rebuilt)
+    } finally q.stop()
+  }
+
   test("dedupIngestSink survives a signature-less first batch") {
     implicit val sqlCtx = spark.sqlContext
     val source = org.apache.spark.sql.execution.streaming.runtime
