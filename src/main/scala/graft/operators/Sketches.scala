@@ -57,6 +57,43 @@ object Sketches {
 
   private val StringSerDe = new org.apache.datasketches.common.ArrayOfStringsSerDe
 
+  /** Phase-1 partial building shared by [[frequentSketches]] and
+    * [[quantileSketches]]: fold a partition's rows into one sketch per
+    * group, FLUSHING the accumulator whenever admitting a new group would
+    * exceed `maxGroups` live sketches. Without the bound, a partition
+    * containing millions of distinct groups (100 TB reality: group by
+    * URL domain, by user, …) would hold millions of sketches in one hash
+    * map; with it, memory is ≤ maxGroups × sketch size and the merge
+    * phase simply sees a few more partials per group (`BufferedIterator`
+    * so rows of an already-live group never trigger a flush). Correctness
+    * is unaffected — phase 2 merges any number of partials per group.
+    */
+  private def partialsIterator[S](
+      rows: Iterator[org.apache.spark.sql.Row],
+      newSketch: () => S,
+      update: (S, org.apache.spark.sql.Row) => Unit,
+      toBytes: S => Array[Byte],
+      maxGroups: Int): Iterator[org.apache.spark.sql.Row] = {
+    val buf = rows.buffered
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[org.apache.spark.sql.Row, S]
+    new Iterator[Iterator[org.apache.spark.sql.Row]] {
+      def hasNext: Boolean = buf.hasNext || acc.nonEmpty
+      def next(): Iterator[org.apache.spark.sql.Row] = {
+        while (buf.hasNext && (acc.size < maxGroups
+            || acc.contains(buf.head.getStruct(0)))) {
+          val r = buf.next()
+          update(acc.getOrElseUpdate(r.getStruct(0), newSketch()), r)
+        }
+        val snap = acc.iterator.map { case (k, s) =>
+          org.apache.spark.sql.Row.fromSeq(k.toSeq :+ toBytes(s))
+        }.toVector
+        acc.clear()
+        snap.iterator
+      }
+    }.flatten
+  }
+
   /** One mergeable DataSketches frequent-items sketch per group:
     * (groupCols..., fsketch binary). "Top URLs per (day, source) — and
     * any coarser rollup — without ever recounting": the sketch is
@@ -84,10 +121,13 @@ object Sketches {
       df: DataFrame,
       groupCols: Seq[String],
       itemCol: String,
-      maxMapSize: Int = 1024): DataFrame = {
+      maxMapSize: Int = 1024,
+      flushEveryGroups: Int = 8192): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
       s"maxMapSize must be a power of two >= 8, got $maxMapSize")
+    require(flushEveryGroups >= 1,
+      s"flushEveryGroups must be >= 1, got $flushEveryGroups")
     val keySchema = org.apache.spark.sql.types.StructType(
       groupCols.map(c => df.schema(c)))
     val outSchema = keySchema.add("fsketch",
@@ -97,19 +137,15 @@ object Sketches {
     val pairs = df.select(struct(groupCols.map(col): _*).as("__k"),
       col(itemCol).cast("string").as("__v"))
     // phase 1 — map-side partials: one sketch per group per partition
+    // (bounded live set; see partialsIterator)
     val partials = pairs.mapPartitions {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val acc = scala.collection.mutable.LinkedHashMap
-          .empty[org.apache.spark.sql.Row,
-            org.apache.datasketches.frequencies.ItemsSketch[String]]
-        rows.foreach { r =>
-          val sk = acc.getOrElseUpdate(r.getStruct(0),
-            new org.apache.datasketches.frequencies.ItemsSketch[String](maxMapSize))
-          if (!r.isNullAt(1)) sk.update(r.getString(1))
-        }
-        acc.iterator.map { case (k, sk) =>
-          org.apache.spark.sql.Row.fromSeq(k.toSeq :+ sk.toByteArray(StringSerDe))
-        }
+        partialsIterator[org.apache.datasketches.frequencies.ItemsSketch[String]](
+          rows,
+          () => new org.apache.datasketches.frequencies.ItemsSketch[String](maxMapSize),
+          (sk, r) => if (!r.isNullAt(1)) sk.update(r.getString(1)),
+          _.toByteArray(StringSerDe),
+          flushEveryGroups)
     }(outEnc)
     // phase 2 — shuffle the partials (sketch bytes, not items) and merge
     partials.groupByKey((r: org.apache.spark.sql.Row) =>
@@ -150,9 +186,12 @@ object Sketches {
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
-      k: Int = 4096): DataFrame = {
+      k: Int = 4096,
+      flushEveryGroups: Int = 8192): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(k >= 8 && k <= 65535, s"k must be in [8, 65535], got $k")
+    require(flushEveryGroups >= 1,
+      s"flushEveryGroups must be >= 1, got $flushEveryGroups")
     val keySchema = org.apache.spark.sql.types.StructType(
       groupCols.map(c => df.schema(c)))
     val outSchema = keySchema.add("qsketch",
@@ -163,17 +202,12 @@ object Sketches {
       col(valueCol).cast("double").as("__v"))
     val partials = pairs.mapPartitions {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val acc = scala.collection.mutable.LinkedHashMap
-          .empty[org.apache.spark.sql.Row,
-            org.apache.datasketches.kll.KllDoublesSketch]
-        rows.foreach { r =>
-          val sk = acc.getOrElseUpdate(r.getStruct(0),
-            org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k))
-          if (!r.isNullAt(1)) sk.update(r.getDouble(1))
-        }
-        acc.iterator.map { case (key, sk) =>
-          org.apache.spark.sql.Row.fromSeq(key.toSeq :+ sk.toByteArray)
-        }
+        partialsIterator[org.apache.datasketches.kll.KllDoublesSketch](
+          rows,
+          () => org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k),
+          (sk, r) => if (!r.isNullAt(1)) sk.update(r.getDouble(1)),
+          _.toByteArray,
+          flushEveryGroups)
     }(outEnc)
     partials.groupByKey((r: org.apache.spark.sql.Row) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1)))(keyEnc)

@@ -168,6 +168,27 @@ class SketchesSpec extends SparkTestBase {
       ("b", 1, "item_0", 6L), ("b", 2, "item_1", 6L)))
   }
 
+  test("partial flushing (bounded live groups per partition) changes nothing") {
+    // 6 groups through a single partition with a flush bound of 2: phase 1
+    // must spill partials repeatedly, phase 2 must merge them exactly
+    val rows = for { g <- 'a' to 'f'; i <- 0 until 30 }
+      yield (g.toString, s"item_${i % 3}")
+    val df = rows.toDF("grp", "item").coalesce(1)
+    val top = Sketches.rollupFrequent(
+      Sketches.frequentSketches(df, Seq("grp"), "item",
+        maxMapSize = 64, flushEveryGroups = 2),
+      Seq("grp"), k = 1, maxMapSize = 64)
+      .as[(String, Int, String, Long)].collect().toSet
+    assert(top == ('a' to 'f').map(g => (g.toString, 1, "item_0", 10L)).toSet)
+    val vals = for { g <- 'a' to 'f'; i <- 1 to 20 } yield (g.toString, i.toDouble)
+    val q = Sketches.rollupQuantiles(
+      Sketches.quantileSketches(vals.toDF("grp", "v").coalesce(1),
+        Seq("grp"), "v", k = 64, flushEveryGroups = 2),
+      Seq("grp"), Seq(0.5), k = 64)
+      .as[(String, Double, Double)].collect().toSet
+    assert(q == ('a' to 'f').map(g => (g.toString, 0.5, 10.0)).toSet)
+  }
+
   test("a purged sketch still surfaces the heavy hitter with bounded error") {
     val skewed = (Seq.fill(500)("whale") ++ (0 until 400).map(i => s"m_$i"))
     val df = skewed.zipWithIndex.map { case (v, i) => (i % 4, v) }.toDF("grp", "item")
