@@ -72,16 +72,17 @@ object Bpe {
   private def initialSymbols(word: Column): Column =
     concat(filter(split(word, "(?s)(?<=.)"), s => s =!= ""), array(lit(EndOfWord)))
 
-  /** Greedy left-to-right single-merge rewrite of a symbol array: a pure
-    * `aggregate` fold, so overlapping runs merge exactly like the
-    * reference algorithm ("aaaa" + (a,a) → [aa, aa], not [aa, a, a]).
+  /** Rank-ordered greedy merge application as ONE native expression
+    * ([[graft.functions.BpeApplyMerges]]): overlapping runs merge exactly
+    * like the reference algorithm ("aaaa" + (a,a) → [aa, aa], not
+    * [aa, a, a]), and the merge-list length stays out of the PLAN — the
+    * chained-`aggregate`-fold formulation this replaced needed a lineage
+    * checkpoint every few merges and could never reach a 32k-merge
+    * production tokenizer.
     */
-  private def applyMergeExpr(syms: Column, m: Merge): Column =
-    aggregate(syms, array().cast("array<string>"), (acc, x) =>
-      when(size(acc) > 0 && element_at(acc, -1) === lit(m.left)
-          && x === lit(m.right),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(m.merged))))
-        .otherwise(concat(acc, array(x))))
+  private def applyMergesExpr(syms: Column, ms: Seq[Merge]): Column =
+    graft.functions.BpeApplyMerges(syms,
+      ms.sortBy(_.rank).map(m => (m.left, m.right)))
 
   /** Adjacent-pair frequencies of the current word-type table:
     * `(__l, __r, __cnt)` weighted by word count. */
@@ -202,17 +203,18 @@ object Bpe {
             if (exact) picked.head +: picked.tail
               .takeWhile { case (_, _, c) => c > barrier && c >= minPairCount }
             else picked.toSeq
-          // fold the batch into one derived plan; `wt` stays the
-          // checkpoint LEAF until the new one exists (releaseCheckpoint
-          // on a withColumn-derived frame is a silent no-op)
-          var derived = wt
-          safe.foreach { case (l, r, _) =>
+          val batch = safe.map { case (l, r, _) =>
             val m = Merge(rank, l, r)
-            merges += m
-            derived = derived.withColumn("__syms", applyMergeExpr(col("__syms"), m))
             rank += 1
-          }
-          val next = derived.localCheckpoint(true)
+            m
+          }.toSeq
+          merges ++= batch
+          // ONE merge-application expression for the whole batch; `wt`
+          // stays the checkpoint LEAF until the new one exists
+          // (releaseCheckpoint on a derived frame is a silent no-op)
+          val next = wt
+            .withColumn("__syms", applyMergesExpr(col("__syms"), batch))
+            .localCheckpoint(true)
           graft.core.Caches.releaseCheckpoint(wt)
           wt = next
         }
@@ -234,49 +236,29 @@ object Bpe {
     * original token order.
     *
     * Scale shape: merges apply to the encode corpus's DISTINCT words
-    * (vocabulary-sized; same per-round checkpoint discipline as learning,
-    * batched so the fold expressions stay shallow), then the word → units
-    * map joins back to a posexploded token stream on the word key — AQE
-    * handles the zipfian skew of common words — and per-document order is
-    * restored by sorting the collected (pos, units) pairs, the same
-    * determinism-by-construction as [[TextAnalysis.encodeTokens]].
+    * (vocabulary-sized) as ONE [[graft.functions.BpeApplyMerges]]
+    * expression — one plan node whatever the merge count, so a 64k-merge
+    * production tokenizer encodes in the same single pass as the
+    * 24-merge fixture (the earlier chained-fold formulation needed a
+    * lineage checkpoint every few merges and capped out far below that).
+    * The word → units map then joins back to a posexploded token stream
+    * on the word key — AQE handles the zipfian skew of common words —
+    * and per-document order is restored by sorting the collected
+    * (pos, units) pairs, the same determinism-by-construction as
+    * [[TextAnalysis.encodeTokens]]. No checkpoints, no pins — the plan
+    * is ordinary lazy Catalyst.
     */
   def encode(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       merges: Seq[Merge],
-      lowercase: Boolean = true,
-      checkpointEvery: Int = 8): DataFrame = {
-    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+      lowercase: Boolean = true): DataFrame = {
     val toks0 = TextAnalysis.tokens(col(textCol))
     val toks = if (lowercase) transform(toks0, t => lower(t)) else toks0
-    var words = docs.select(explode(toks).as("__word")).distinct()
-      .withColumn("__syms", initialSymbols(col("__word")))
-    // fold the merge list in rank order, truncating lineage every few
-    // rounds so the expression tree and analysis cost stay bounded.
-    // Release goes through the checkpoint-LEAF handle (`lastCkpt`), never
-    // the withColumn-derived frame — releaseCheckpoint on a derived plan
-    // is a silent no-op (Caches.checkpointRdd matches leaf plans only).
-    var lastCkpt: DataFrame = null
-    try {
-      merges.sortBy(_.rank).zipWithIndex.foreach { case (m, i) =>
-        words = words.withColumn("__syms", applyMergeExpr(col("__syms"), m))
-        if ((i + 1) % checkpointEvery == 0) {
-          val next = words.localCheckpoint(true)
-          if (lastCkpt != null) graft.core.Caches.releaseCheckpoint(lastCkpt)
-          lastCkpt = next
-          words = next
-        }
-      }
-    } catch {
-      case e: Throwable =>
-        if (lastCkpt != null) graft.core.Caches.releaseCheckpoint(lastCkpt)
-        throw e
-    }
-    // the returned plan still reads the final checkpoint: scope-register
-    // it (collectPins callers release it; see Dedup.connectedComponents)
-    if (lastCkpt != null) graft.core.Caches.registerCheckpoint(lastCkpt)
+    val words = docs.select(explode(toks).as("__word")).distinct()
+      .withColumn("__syms",
+        applyMergesExpr(initialSymbols(col("__word")), merges))
     val stream = docs
       .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
         .as(Seq("__pos", "__w0")))

@@ -139,9 +139,9 @@ class BpeSpec extends SparkTestBase {
     val (merges, wt) = Bpe.learnMerges(docs, "text", numMerges = 10)
     graft.core.Caches.releaseCheckpoint(wt)
     // "lowest" seen in training, "lows" and "zap" are novel words (novel
-    // chars segment to characters); checkpointEvery=2 exercises batching
+    // chars segment to characters)
     val newDocs = Seq((7L, "lowest lows zap"), (8L, "")).toDF("doc_id", "text")
-    val out = Bpe.encode(newDocs, "doc_id", "text", merges, checkpointEvery = 2)
+    val out = Bpe.encode(newDocs, "doc_id", "text", merges)
       .as[(Long, Seq[String])].collect().toMap
     val expect = Seq("lowest", "lows", "zap").flatMap { w =>
       merges.foldLeft(refSyms(w)) { (s, m) => refApply(s, m.left, m.right) }
@@ -161,9 +161,9 @@ class BpeSpec extends SparkTestBase {
     val (_, pins) = graft.core.Caches.collectPins {
       val (merges, wt) = Bpe.learnMerges(docs, "text", numMerges = 10)
       graft.core.Caches.releaseCheckpoint(wt)
-      // checkpointEvery=2 forces several intermediate checkpoints whose
-      // blocks must be freed inside encode; the final one is scope-owned
-      Bpe.encode(docs, "doc_id", "text", merges, checkpointEvery = 2).count()
+      // encode is checkpoint-free since the single-expression rewrite;
+      // this guards the contract (learnMerges' rounds stay the only pins)
+      Bpe.encode(docs, "doc_id", "text", merges).count()
     }
     pins.release()
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
