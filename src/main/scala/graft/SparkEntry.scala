@@ -730,6 +730,24 @@ object SparkEntry {
         fine, Seq("source"), Seq(0.25, 0.5, 0.9, 0.99))
     }),
 
+    // ---- theta set-operation sketches: pairwise overlap of per-source
+    // doc-length value sets from stored sketches — the contamination-
+    // estimate shape; exact under lgK at test SF so DuckDB's distinct
+    // joins are the oracle ----
+    "q_theta_overlap" -> ((s, dir) => {
+      val sk = operators.Sketches.thetaSketches(
+        t(s, dir, "documents"), Seq("source"), "n_chars")
+      val a = sk.select(col("source").as("source_a"), col("tsketch").as("__a"))
+      val b = sk.select(col("source").as("source_b"), col("tsketch").as("__b"))
+      // 20 sources → 190 pairs of kilobyte sketches: trivially broadcast
+      val pairs = a.crossJoin(broadcast(b))
+        .where(col("source_a") < col("source_b"))
+      operators.Sketches.thetaSetEstimates(pairs, "__a", "__b")
+        .select(col("source_a"), col("source_b"),
+          round(col("est_intersection")).cast("long").as("inter"),
+          round(col("est_union")).cast("long").as("uni"))
+    }),
+
     // ---- bucketized range join: events into overlapping campaign
     // windows (533 s grid, 400-2800 s widths) without a nested loop ----
     "q_range_join" -> ((s, dir) => {
@@ -1844,6 +1862,19 @@ object SparkEntry {
         |  FROM c)
         |SELECT source, rk::INT AS rank, lang AS item, cnt AS est
         |FROM r WHERE rk <= 2""".stripMargin,
+    "q_theta_overlap" ->
+      """WITH s AS (SELECT DISTINCT source, n_chars FROM documents),
+        |c AS (SELECT source, count(*)::BIGINT AS cnt FROM s GROUP BY source),
+        |i AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*)::BIGINT AS inter
+        |  FROM s a JOIN s b ON a.n_chars = b.n_chars AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT ca.source AS source_a, cb.source AS source_b,
+        |  coalesce(i.inter, 0)::BIGINT AS inter,
+        |  (ca.cnt + cb.cnt - coalesce(i.inter, 0))::BIGINT AS uni
+        |FROM c ca JOIN c cb ON ca.source < cb.source
+        |LEFT JOIN i ON i.source_a = ca.source AND i.source_b = cb.source""".stripMargin,
     "q_quantile_rollup" ->
       """SELECT source, 0.25::DOUBLE AS prob,
         |  quantile_disc(n_chars, 0.25)::DOUBLE AS quantile

@@ -164,6 +164,144 @@ object Sketches {
       }(outEnc)
   }
 
+  // ---- theta sketches: the SET-OPERATION member of the family. HLL
+  // answers "how many distinct" but cannot intersect; theta sketches
+  // support union AND intersection, so "how much does train shard A
+  // overlap eval set B" — the contamination-estimate question
+  // crossCorpusOverlap answers exactly by shuffling raw keys — becomes a
+  // join of kilobyte summaries. EXACT while a group's distinct keys fit
+  // the nominal entry count (2^lgK; default 2^14 covers the test SFs),
+  // the standard theta error envelope beyond. ----
+
+  /** One theta sketch per group: (groupCols..., tsketch binary). Same
+    * two-phase/flush-bounded shape as [[frequentSketches]].
+    */
+  def thetaSketches(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String,
+      lgK: Int = 14,
+      flushEveryGroups: Int = 8192): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(lgK >= 4 && lgK <= 26, s"lgK must be in [4, 26], got $lgK")
+    require(flushEveryGroups >= 1,
+      s"flushEveryGroups must be >= 1, got $flushEveryGroups")
+    val keySchema = org.apache.spark.sql.types.StructType(
+      groupCols.map(c => df.schema(c)))
+    val outSchema = keySchema.add("tsketch",
+      org.apache.spark.sql.types.BinaryType, nullable = false)
+    val keyEnc = org.apache.spark.sql.Encoders.row(keySchema)
+    val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    val pairs = df.select(struct(groupCols.map(col): _*).as("__k"),
+      col(keyCol).cast("string").as("__v"))
+    val partials = pairs.mapPartitions {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        partialsIterator[org.apache.datasketches.theta.UpdateSketch](
+          rows,
+          () => org.apache.datasketches.theta.UpdateSketch.builder()
+            .setLogNominalEntries(lgK).build(),
+          (sk, r) => if (!r.isNullAt(1)) { sk.update(r.getString(1)): Unit },
+          _.compact().toByteArray,
+          flushEveryGroups)
+    }(outEnc)
+    partials.groupByKey((r: org.apache.spark.sql.Row) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1)))(keyEnc)
+      .mapGroups { (key: org.apache.spark.sql.Row,
+          rows: Iterator[org.apache.spark.sql.Row]) =>
+        val union = org.apache.datasketches.theta.SetOperation.builder()
+          .setLogNominalEntries(lgK).buildUnion()
+        rows.foreach { r =>
+          union.union(org.apache.datasketches.theta.Sketches.wrapSketch(
+            org.apache.datasketches.memory.Memory.wrap(
+              r.getAs[Array[Byte]](r.length - 1))))
+        }
+        org.apache.spark.sql.Row.fromSeq(
+          key.toSeq :+ union.getResult.toByteArray)
+      }(outEnc)
+  }
+
+  /** Union stored theta sketches up to `rollupCols` and estimate:
+    * (rollupCols..., distinct_est DOUBLE). Exact-regime estimates are
+    * integral. Like every rollup here, the input is the sketch table.
+    */
+  def rollupThetaDistinct(
+      sketches: DataFrame,
+      rollupCols: Seq[String],
+      lgK: Int = 14,
+      sketchCol: String = "tsketch"): DataFrame = {
+    val global = rollupCols.isEmpty
+    val keyCols = if (global) Seq(lit(0).as("__g")) else rollupCols.map(col)
+    val keySchema =
+      if (global) org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "__g", org.apache.spark.sql.types.IntegerType, nullable = false)))
+      else org.apache.spark.sql.types.StructType(
+        rollupCols.map(c => sketches.schema(c)))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      (if (global) Nil else keySchema.fields.toSeq) :+
+        org.apache.spark.sql.types.StructField("distinct_est",
+          org.apache.spark.sql.types.DoubleType, nullable = false))
+    val keyEnc = org.apache.spark.sql.Encoders.row(keySchema)
+    val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    sketches.select(struct(keyCols: _*).as("__k"), col(sketchCol).as("__s"))
+      .groupByKey((r: org.apache.spark.sql.Row) => r.getStruct(0))(keyEnc)
+      .mapGroups { (key: org.apache.spark.sql.Row,
+          rows: Iterator[org.apache.spark.sql.Row]) =>
+        val union = org.apache.datasketches.theta.SetOperation.builder()
+          .setLogNominalEntries(lgK).buildUnion()
+        rows.foreach { r =>
+          union.union(org.apache.datasketches.theta.Sketches.wrapSketch(
+            org.apache.datasketches.memory.Memory.wrap(r.getAs[Array[Byte]](1))))
+        }
+        org.apache.spark.sql.Row.fromSeq(
+          (if (global) Nil else key.toSeq) :+ union.getResult.getEstimate)
+      }(outEnc)
+  }
+
+  /** Set estimates for every row carrying TWO theta sketches (`aCol`,
+    * `bCol`): the sketch columns are replaced by `est_a`, `est_b`,
+    * `est_intersection`, `est_union` doubles. The caller shapes the
+    * pairing — a self-join of a [[thetaSketches]] table for pairwise
+    * group overlap, a join of two different sketch stores for
+    * train-vs-eval contamination. Exact-regime estimates are integral.
+    */
+  def thetaSetEstimates(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      lgK: Int = 14): DataFrame = {
+    val keep = pairs.columns.filter(c => c != aCol && c != bCol).toSeq
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keep.map(c => pairs.schema(c)) ++ Seq("est_a", "est_b",
+        "est_intersection", "est_union").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    val projected = pairs.select((keep.map(col) ++
+      Seq(col(aCol).as("__a"), col(bCol).as("__b"))): _*)
+    projected.mapPartitions { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      rows.map { r =>
+        val a = org.apache.datasketches.theta.Sketches.wrapSketch(
+          org.apache.datasketches.memory.Memory.wrap(
+            r.getAs[Array[Byte]](keep.length)))
+        val b = org.apache.datasketches.theta.Sketches.wrapSketch(
+          org.apache.datasketches.memory.Memory.wrap(
+            r.getAs[Array[Byte]](keep.length + 1)))
+        val inter = org.apache.datasketches.theta.SetOperation.builder()
+          .setLogNominalEntries(lgK).buildIntersection()
+        inter.intersect(a)
+        inter.intersect(b)
+        val union = org.apache.datasketches.theta.SetOperation.builder()
+          .setLogNominalEntries(lgK).buildUnion()
+        union.union(a)
+        union.union(b)
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.dropRight(2) ++ Seq(a.getEstimate, b.getEstimate,
+            inter.getResult.getEstimate, union.getResult.getEstimate))
+      }
+    }(outEnc)
+  }
+
   // ---- quantiles (KLL), completing the mergeable-summary family:
   // distinct counts (HLL), heavy hitters (frequent items), and
   // distributions (quantiles) all share the store-fine/roll-up-coarse

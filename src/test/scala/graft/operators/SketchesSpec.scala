@@ -168,6 +168,39 @@ class SketchesSpec extends SparkTestBase {
       ("b", 1, "item_0", 6L), ("b", 2, "item_1", 6L)))
   }
 
+  test("theta sketches: exact set estimates under lgK, union/intersection") {
+    // two groups with a known overlap: a = {0..39}, b = {20..59}
+    val rows = (0 until 40).map(i => ("a", i.toLong)) ++
+      (20 until 60).map(i => ("b", i.toLong))
+    val sk = Sketches.thetaSketches(
+      rows.toDF("grp", "k").repartition(8), Seq("grp"), "k", lgK = 12)
+    // per-group distinct estimates are exact in the exact regime
+    val per = Sketches.rollupThetaDistinct(sk, Seq("grp"), lgK = 12)
+      .as[(String, Double)].collect().toMap
+    assert(per == Map("a" -> 40.0, "b" -> 40.0))
+    // global union from stored sketches only: |a ∪ b| = 60
+    val global = Sketches.rollupThetaDistinct(sk, Nil, lgK = 12)
+      .as[Double].collect().toSeq
+    assert(global == Seq(60.0))
+    // pairwise set estimates: |a ∩ b| = 20, |a ∪ b| = 60
+    val a = sk.where(col("grp") === "a").select(col("tsketch").as("__a"))
+    val b = sk.where(col("grp") === "b").select(col("tsketch").as("__b"))
+    val est = Sketches.thetaSetEstimates(a.crossJoin(b), "__a", "__b", lgK = 12)
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(est == ((40.0, 40.0, 20.0, 60.0)))
+  }
+
+  test("an over-capacity theta sketch estimates inside the error envelope") {
+    val n = 20000
+    val df = (1 to n).map(i => ("g", i.toLong)).toDF("grp", "k")
+      .repartition(8)
+    val est = Sketches.rollupThetaDistinct(
+      Sketches.thetaSketches(df, Seq("grp"), "k", lgK = 10), // 1024 << n
+      Seq("grp"), lgK = 10).as[(String, Double)].collect().head._2
+    // theta RSE ≈ 1/sqrt(2^lgK) ≈ 3.1%; assert a 3-sigma envelope
+    assert(math.abs(est - n) / n < 0.10, s"estimate $est vs exact $n")
+  }
+
   test("partial flushing (bounded live groups per partition) changes nothing") {
     // 6 groups through a single partition with a flush bound of 2: phase 1
     // must spill partials repeatedly, phase 2 must merge them exactly
