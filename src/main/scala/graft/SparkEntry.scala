@@ -735,8 +735,10 @@ object SparkEntry {
     // estimate shape; exact under lgK at test SF so DuckDB's distinct
     // joins are the oracle ----
     "q_theta_overlap" -> ((s, dir) => {
-      val sk = operators.Sketches.thetaSketches(
-        t(s, dir, "documents"), Seq("source"), "n_chars")
+      // pin: BOTH self-join sides read one materialization of the sketch
+      // table — unpinned, each side would re-scan and re-sketch the corpus
+      val sk = graft.core.Caches.pin(operators.Sketches.thetaSketches(
+        t(s, dir, "documents"), Seq("source"), "n_chars"))
       val a = sk.select(col("source").as("source_a"), col("tsketch").as("__a"))
       val b = sk.select(col("source").as("source_b"), col("tsketch").as("__b"))
       // 20 sources → 190 pairs of kilobyte sketches: trivially broadcast
