@@ -254,6 +254,7 @@ object Search {
           idCol, idTypeJson, path)
     }
     val segsDir = new org.apache.hadoop.fs.Path(dir, SegmentsDirName)
+    listSegments(fs, dir): Unit // refuses a crashed-compaction state loud
     segmentName.foreach(n => require(n.startsWith(SegmentPrefix),
       s"segmentName must start with $SegmentPrefix, got $n"))
     // idempotent named commit: an existing segment means the batch
@@ -332,15 +333,31 @@ object Search {
     if (existing.isEmpty) 1 else existing.max + 1
   }
 
-  /** Committed segments of a segmented index, name-sorted. */
+  /** Committed segments of a segmented index, name-sorted. REFUSES a
+    * crashed-compaction state: a missing/empty segments dir next to an
+    * `.old-segments-*` remnant means the old tree was renamed away but
+    * the new one never landed — answering "no segments" there would be a
+    * silently EMPTY result (and an append would silently orphan the old
+    * data). Recover by renaming `.old-segments-*` back to `segments`.
+    */
   private def listSegments(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
     val segsDir = new org.apache.hadoop.fs.Path(dir, SegmentsDirName)
-    if (!fs.exists(segsDir)) Seq.empty
-    else fs.listStatus(segsDir).map(_.getPath)
-      .filter(_.getName.startsWith(SegmentPrefix))
-      .sortBy(_.getName).toSeq
+    val segs =
+      if (!fs.exists(segsDir)) Seq.empty
+      else fs.listStatus(segsDir).map(_.getPath)
+        .filter(_.getName.startsWith(SegmentPrefix))
+        .sortBy(_.getName).toSeq
+    if (segs.isEmpty && fs.exists(dir)) {
+      val orphans = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith(".old-segments-"))
+      if (orphans.nonEmpty) throw new IllegalStateException(
+        s"index at $dir has no committed segments but a crashed " +
+          s"compaction left ${orphans.mkString(", ")} — rename it back to " +
+          s"'$SegmentsDirName' to recover before querying or appending")
+    }
+    segs
   }
 
   /** Rewrite all segments into ONE, preserving results bit-for-bit: the

@@ -391,6 +391,44 @@ object StreamingOps {
         }
     }
 
+  /** Stream into a mergeable-sketch STORE: each micro-batch reduces to
+    * one sketch row per group via `sketchBatch` (any of the
+    * [[graft.operators.Sketches]] builders, partially applied — distinct
+    * HLL, frequent items, KLL quantiles, theta) and appends under a
+    * `__batch_id` partition. The incremental-analytics face of the
+    * store-fine/roll-up-coarse pattern: "distinct users per (day, source)
+    * across a year of ingest" reads the sketch store and merges — history
+    * is never rescanned, and any `Sketches.rollup*` works unchanged on
+    * the store because rollups group by the sketch key columns and
+    * simply merge across `__batch_id` rows.
+    *
+    * EXACTLY-ONCE by partition overwrite: a replayed batch dynamically
+    * overwrites its own `__batch_id=<id>` partition, so at-least-once
+    * foreachBatch delivery cannot double-count (HLL/theta unions would
+    * forgive a duplicate row; frequent/KLL merges would NOT — the
+    * overwrite protects all four kinds).
+    */
+  def sketchStoreSink(
+      stream: DataFrame,
+      sketchBatch: DataFrame => DataFrame,
+      storePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          writeSketchBatch(sketchBatch(batch.toDF()), storePath, batchId)
+    }
+
+  /** One sketch-store batch commit ([[sketchStoreSink]]'s write path,
+    * factored out so replay idempotency is directly testable). */
+  private[graft] def writeSketchBatch(
+      sketches: DataFrame, storePath: String, batchId: Long): Unit =
+    sketches
+      .withColumn("__batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id").parquet(storePath)
+
   /** Stream into an SCD target: every micro-batch runs one change-tracking
     * upsert (mode 1 = current-only, mode 2 = track-history). Batch ids are
     * recorded nowhere — idempotency relies on the upsert itself (replaying

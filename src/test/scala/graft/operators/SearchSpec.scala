@@ -151,6 +151,29 @@ class SearchSpec extends SparkTestBase {
     assert(math.abs(scored.head._3 - exp) < 1e-6)
   }
 
+  test("a crashed compaction reads loud, never as an empty index") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val dir = scratch()
+    Search.appendSegment(docs, "doc_id", "text", dir, numBuckets = 4)
+    // simulate the crash window: segments renamed away, new tree never in
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val segs = new org.apache.hadoop.fs.Path(dir, "segments")
+    val old = new org.apache.hadoop.fs.Path(dir, ".old-segments-crashed")
+    assert(fs.rename(segs, old))
+    val e1 = intercept[IllegalStateException] {
+      Search.searchIndex(spark, dir, Seq("a"))
+    }
+    assert(e1.getMessage.contains("crashed"))
+    val e2 = intercept[IllegalStateException] {
+      Search.appendSegment(docs, "doc_id", "text", dir, numBuckets = 4)
+    }
+    assert(e2.getMessage.contains("crashed"))
+    // the documented recovery restores service bit-for-bit
+    assert(fs.rename(old, segs))
+    assert(Search.searchIndex(spark, dir, Seq("a")).count() == 1)
+  }
+
   test("rrfFuse matches the hand-computed reciprocal-rank formula") {
     val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
     val b = Seq((3L, 1), (1L, 2)).toDF("id", "rank") // doc 2 absent here

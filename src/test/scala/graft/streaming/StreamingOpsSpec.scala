@@ -341,6 +341,43 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sketchStoreSink: rollups over the store equal exact; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Int, Long)]
+    val root = Files.createTempDirectory("graft_sketch_store_").toString
+    val store = root + "/store"
+    val q = StreamingOps.sketchStoreSink(
+      source.toDS().toDF("day", "user"),
+      graft.operators.Sketches.distinctSketches(_, Seq("day"), "user"),
+      store)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      source.addData((1, 10L), (1, 11L), (2, 10L))
+      q.processAllAvailable()
+      source.addData((1, 10L), (1, 12L), (2, 20L)) // user 10 repeats on day 1
+      q.processAllAvailable()
+      // rollup straight over the store: merges across batches AND groups
+      val byDay = graft.operators.Sketches.rollupDistinct(
+        spark.read.parquet(store), Seq("day"))
+        .as[(Int, Long)].collect().toMap
+      assert(byDay == Map(1 -> 3L, 2 -> 2L)) // exact in HLL exact-mode range
+      // a replayed batch overwrites its own partition - nothing changes
+      val batch2 = Seq((1, 10L), (1, 12L), (2, 20L)).toDF("day", "user")
+      StreamingOps.writeSketchBatch(
+        graft.operators.Sketches.distinctSketches(batch2, Seq("day"), "user"),
+        store, batchId = 1L)
+      val after = graft.operators.Sketches.rollupDistinct(
+        spark.read.parquet(store), Seq("day"))
+        .as[(Int, Long)].collect().toMap
+      assert(after == byDay)
+      // the store really is partitioned by batch (two committed batches)
+      assert(spark.read.parquet(store).select("__batch_id")
+        .distinct().as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+    } finally q.stop()
+  }
+
   test("dedupIngestSink survives a signature-less first batch") {
     implicit val sqlCtx = spark.sqlContext
     val source = org.apache.spark.sql.execution.streaming.runtime
