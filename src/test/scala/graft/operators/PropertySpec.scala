@@ -189,4 +189,33 @@ class PropertySpec extends SparkTestBase {
       pairs.exists(p => p._1 == 1L && p._2 == 2L)
     }, n = 12)
   }
+
+  test("BpeApplyMerges equals the reference fold for arbitrary merge lists") {
+    // small alphabet so random merges actually apply, with composite
+    // symbols so later ranks can consume earlier ranks' outputs (the
+    // ordering-sensitive case) and repeated symbols so overlapping-run
+    // greediness ("aaaa" + (a,a) → [aa, aa]) is exercised
+    val sym = Gen.oneOf("a", "b", "c", "ab", "bc", "</w>")
+    val word = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, sym))
+    val merge = for { l <- sym; r <- sym } yield (l, r)
+    val gen = for {
+      words <- Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, word))
+      merges <- Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, merge))
+    } yield (words, merges)
+    def refApplyOne(syms: List[String], l: String, r: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (out, x) =>
+        if (out.nonEmpty && out.last == l && x == r)
+          out.init :+ (l + r)
+        else out :+ x
+      }
+    check(Prop.forAll(gen) { case (words, merges) =>
+      val df = words.zipWithIndex.map { case (w, i) => (i, w) }.toDF("i", "syms")
+      val got = df
+        .select(col("i"), graft.functions.BpeApplyMerges(col("syms"), merges))
+        .as[(Int, Seq[String])].collect().sortBy(_._1).map(_._2.toList).toList
+      val expect = words.map(w =>
+        merges.foldLeft(w) { case (s, (l, r)) => refApplyOne(s, l, r) })
+      got == expect
+    }, n = 40)
+  }
 }
