@@ -893,6 +893,21 @@ object SparkEntry {
       operators.AsofJoin.asofJoin(left, snaps, Seq("user_id"), "ts_us")
     }),
 
+    // ---- forward as-of: next snapshot at-or-after each event (DuckDB
+    // ASOF with l.ts <= r.ts is the oracle; `nearest` has no SQL twin
+    // and is spec-pinned in AsofJoinSpec) ----
+    "q_asof_forward" -> ((s, dir) => {
+      val raw = streaming.StreamingOps
+        .readEventsRaw(s, s"$dir/events.parquet")
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val left = raw.select("event_id", "user_id", "ts_us")
+      val snaps = raw.where(col("event_id") % 10 === 0)
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("value")).as("snap_value"))
+      operators.AsofJoin.asofJoin(left, snaps, Seq("user_id"), "ts_us",
+        direction = "forward")
+    }),
+
     // ---- rolling-hash document fingerprint (1-perm MinHash, 60-bit) ----
     "q_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -2444,6 +2459,16 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ts_us, s.snap_value
         |FROM e ASOF LEFT JOIN s
         |  ON e.user_id = s.user_id AND e.ts_us >= s.ts_us""".stripMargin,
+    "q_asof_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |s AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS snap_value
+        |  FROM events WHERE event_id % 10 = 0
+        |  GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts_us, s.snap_value
+        |FROM e ASOF LEFT JOIN s
+        |  ON e.user_id = s.user_id AND e.ts_us <= s.ts_us""".stripMargin,
     "q_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id,

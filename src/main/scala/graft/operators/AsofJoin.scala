@@ -4,16 +4,27 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of join: for every left row, attach the most recent right row whose
-  * timestamp is <= the left timestamp, per join key (the standard
-  * event-to-snapshot alignment for feature backfills).
+/** As-of join: for every left row, attach the right row nearest in time
+  * per join key — the standard event-to-snapshot alignment for feature
+  * backfills. Three directions:
+  *
+  *  - `backward` (default): most recent right row with ts <= left ts —
+  *    DuckDB `ASOF LEFT JOIN … l.ts >= r.ts` semantics (a right row at
+  *    exactly the left timestamp matches);
+  *  - `forward`: earliest right row with ts >= left ts (DuckDB ASOF with
+  *    `l.ts <= r.ts`) — "next maintenance window after the event";
+  *  - `nearest`: whichever of the two is closer in time, ties to the
+  *    BACKWARD match (pandas `merge_asof` convention). Requires a
+  *    NUMERIC ordering column (distance needs subtraction — cast
+  *    timestamps to epoch numbers upstream, same contract as
+  *    [[RangeJoin]]).
   *
   * Beyond-reference operator (the reference has no joins beyond SCD
   * merges); Spark has no native as-of join. Formulated the scalable way:
   * tag and union both sides, ONE shuffle on (key), per-key
-  * last-non-null carry-forward window — never the O(left × right) range
-  * join. Matches DuckDB `ASOF LEFT JOIN` semantics (ties: right row at
-  * exactly the left timestamp matches).
+  * last/first-non-null carry window — never the O(left × right) range
+  * join. `nearest` runs two window passes (one per direction) over the
+  * SAME exchange: one shuffle, two in-partition sorts.
   *
   * At 100 TB: the union shuffles each row once on the join keys; the
   * window sorts within key partitions only. Right-side columns ride the
@@ -24,16 +35,17 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
 
   /** @param left       probe side (keeps all rows)
-    * @param right      build side (its latest-at-or-before row is joined);
+    * @param right      build side (its matched row is joined);
     *                   must be unique per (keys, tsCol) — pre-aggregate
     *                   duplicates or the tie winner is arbitrary
     * @param keys       equi-join key columns (present on both sides)
     * @param tsCol      ordering column name (present on both sides; any
-    *                   orderable type)
+    *                   orderable type; numeric for `nearest`)
     * @param valueCols  right-side columns to attach (default: all right
     *                   columns except keys + tsCol)
     * @param rightTsAs  when set, also attach the matched right timestamp
     *                   under this name
+    * @param direction  `backward` | `forward` | `nearest` (see object doc)
     */
   def asofJoin(
       left: DataFrame,
@@ -41,8 +53,16 @@ object AsofJoin {
       keys: Seq[String],
       tsCol: String,
       valueCols: Seq[String] = Nil,
-      rightTsAs: Option[String] = None): DataFrame = {
+      rightTsAs: Option[String] = None,
+      direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asofJoin requires at least one key column")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    if (direction == "nearest")
+      require(left.schema(tsCol).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        "nearest needs a numeric ordering column (distance requires " +
+          "subtraction) — cast timestamps to epoch numbers upstream")
     val vals =
       if (valueCols.nonEmpty) valueCols
       else right.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
@@ -73,12 +93,35 @@ object AsofJoin {
       lit(null).cast(lTagged.schema("__asof_row").dataType))
 
     val unioned = rWithRow.unionByName(lTagged.select(rWithRow.columns.map(col): _*))
-    val w = Window.partitionBy(keys.map(col): _*)
+    // backward: at equal ts the right row (side 0) sorts BEFORE the left
+    // row, so at-or-before includes it; forward mirrors the trick with
+    // side DESC so at-or-after includes the same-ts right row
+    val wBack = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned
-      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
-      .where(col(side) === 1)
+    val wFwd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col(side).desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = (direction match {
+      case "backward" => unioned
+        .withColumn(payload, last(col(payload), ignoreNulls = true).over(wBack))
+      case "forward" => unioned
+        .withColumn(payload, first(col(payload), ignoreNulls = true).over(wFwd))
+      case "nearest" =>
+        val b = last(col(payload), ignoreNulls = true).over(wBack)
+        val f = first(col(payload), ignoreNulls = true).over(wFwd)
+        unioned
+          .withColumn("__asof_b", b)
+          .withColumn("__asof_f", f)
+          .withColumn(payload,
+            when(col("__asof_b").isNull, col("__asof_f"))
+              .when(col("__asof_f").isNull, col("__asof_b"))
+              // strictly closer forward wins; ties go BACKWARD
+              .when(abs(col(tsCol) - col("__asof_f.__asof_rts")) <
+                abs(col(tsCol) - col("__asof_b.__asof_rts")), col("__asof_f"))
+              .otherwise(col("__asof_b")))
+          .drop("__asof_b", "__asof_f")
+    }).where(col(side) === 1)
 
     val outCols: Seq[Column] =
       left.columns.toSeq.map(c => col(s"__asof_row.$c").as(c)) ++

@@ -42,6 +42,54 @@ class AsofJoinSpec extends SparkTestBase {
       Seq("event_id", "k", "ts", "extra", "v"))
   }
 
+  test("forward direction picks the earliest right row at or after each left ts") {
+    val left = Seq(
+      (1L, "a", 5L), (2L, "a", 10L), (3L, "a", 20L),
+      (4L, "b", 7L), (5L, "b", 3L)
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      ("a", 1L, "a@1"), ("a", 10L, "a@10"), ("a", 15L, "a@15"),
+      ("b", 6L, "b@6")
+    ).toDF("k", "ts", "snap")
+    val got = AsofJoin.asofJoin(left, right, Seq("k"), "ts",
+      rightTsAs = Some("snap_ts"), direction = "forward")
+      .select("event_id", "snap", "snap_ts")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "a@10", Some(10L)), // next at-or-after 5
+      (2L, "a@10", Some(10L)), // tie: right at exactly left ts matches
+      (3L, null, None), // after the last right row → null
+      (4L, null, None), // b@6 is before 7; nothing after
+      (5L, "b@6", Some(6L))))
+  }
+
+  test("nearest direction picks the closer side, ties to backward") {
+    val left = Seq(
+      (1L, "a", 5L),  // b=a@1 (d=4) vs f=a@10 (d=5) → backward
+      (2L, "a", 8L),  // b=a@1 (d=7) vs f=a@10 (d=2) → forward
+      (3L, "a", 12L), // b=a@10 (d=2) vs f=a@14 (d=2) → TIE → backward
+      (4L, "a", 99L), // only backward exists
+      (5L, "b", 1L)   // only forward exists
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      ("a", 1L, "a@1"), ("a", 10L, "a@10"), ("a", 14L, "a@14"),
+      ("b", 6L, "b@6")
+    ).toDF("k", "ts", "snap")
+    val got = AsofJoin.asofJoin(left, right, Seq("k"), "ts",
+      direction = "nearest")
+      .select("event_id", "snap").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "a@1"), (2L, "a@10"), (3L, "a@10"), (4L, "a@14"), (5L, "b@6")))
+    // non-numeric ordering column refuses nearest up front
+    val badLeft = Seq((1L, "a", "2024-01-01")).toDF("event_id", "k", "ts")
+    val badRight = Seq(("a", "2024-01-01", "s")).toDF("k", "ts", "snap")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(badLeft, badRight, Seq("k"), "ts", direction = "nearest")
+    }
+  }
+
   test("right rows with a null timestamp never match") {
     val left = Seq((1L, "a", 5L)).toDF("event_id", "k", "ts")
     val right = Seq(
