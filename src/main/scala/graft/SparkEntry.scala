@@ -922,6 +922,17 @@ object SparkEntry {
           col("text"), n = 5, w = 4)).as("fp"))
     }),
 
+    // ---- exact repeated-substring dedup (Lee et al. 2021 ExactSubstr) ----
+    "q_repeated_spans" -> ((s, dir) => {
+      operators.ExactSubstrings.repeatedSpans(
+        t(s, dir, "documents"), w = 10)
+    }),
+
+    "q_remove_repeated" -> ((s, dir) => {
+      operators.ExactSubstrings.removeRepeatedSpans(
+        t(s, dir, "documents"), w = 10)
+    }),
+
     // ---- multimodal: bytewise frame sampling over binary content ----
     "q_frame_sample" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1365,6 +1376,82 @@ object SparkEntry {
         |                i -> list_min(hs[i:i+3]))) END AS fps
         |  FROM hs)
         |SELECT doc_id, unnest(fps) AS fp FROM mins""".stripMargin,
+
+    // Exact repeated 10-token windows -> merged maximal spans. The window
+    // identity here is the literal window TEXT; the engine side uses a
+    // 128-bit hash pair whose collision mass is ~0 at any tested SF, so
+    // the two definitions coincide row-for-row.
+    "q_repeated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS t
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i AS pos, array_to_string(t[i:i+9], ' ') AS win
+        |  FROM toks, UNNEST(range(1, len(t) - 10 + 2)) AS u(i)
+        |  WHERE len(t) >= 10),
+        |hits AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY win) AS c
+        |    FROM wins) WHERE c >= 2),
+        |flg AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER w IS NULL
+        |              OR pos - lag(pos) OVER w > 10 THEN 1 ELSE 0 END AS f
+        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CAST(sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS g
+        |  FROM flg)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
+        |  max(pos) + 9 - min(pos) + 1 AS span_tokens
+        |FROM isl GROUP BY doc_id, g""".stripMargin,
+
+    // Same spans cut out of the token stream; kept_text is the surviving
+    // tokens joined by single spaces (both engines re-join, so whitespace
+    // normalization cancels out).
+    "q_remove_repeated" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS t
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i AS pos, array_to_string(t[i:i+9], ' ') AS win
+        |  FROM toks, UNNEST(range(1, len(t) - 10 + 2)) AS u(i)
+        |  WHERE len(t) >= 10),
+        |hits AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY win) AS c
+        |    FROM wins) WHERE c >= 2),
+        |flg AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER w IS NULL
+        |              OR pos - lag(pos) OVER w > 10 THEN 1 ELSE 0 END AS f
+        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CAST(sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS g
+        |  FROM flg),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e
+        |  FROM isl GROUP BY doc_id, g),
+        |pos AS (
+        |  SELECT doc_id, i AS pos, t[i] AS tok
+        |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+        |kept AS (
+        |  SELECT p.doc_id, p.pos, p.tok FROM pos p
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = p.doc_id AND p.pos BETWEEN s.s AND s.e)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS kept_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.kept_text, '') AS kept_text,
+        |  len(t.t) - coalesce(a.n_kept, 0) AS removed_tokens
+        |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
+
     "q_simhash_near_dup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

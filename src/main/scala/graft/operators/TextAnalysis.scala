@@ -143,10 +143,17 @@ object TextAnalysis {
     * tokenize expression once per shingle (HOFs are interpreted, no
     * common-subexpression elimination) — measured 100× slower.
     */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(text), n)
+
+  /** [[shingles]] over an already-tokenized array column — for callers
+    * that project the token array once and derive several things from it
+    * (window hashes AND token counts, say) without re-running tokenize.
+    */
+  def shinglesOfTokens(toksCol: Column, n: Int): Column = {
     require(n >= 1, "shingle size must be >= 1")
-    if (n == 1) tokens(text)
-    else bound(tokens(text)) { toks =>
+    if (n == 1) toksCol
+    else bound(toksCol) { toks =>
       // let-bound: the fold references the token array n+1 times, and
       // unbound each reference would re-run split+filter (no CSE across
       // HOF arguments)
