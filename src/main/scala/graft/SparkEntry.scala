@@ -57,6 +57,29 @@ object SparkEntry {
         .otherwise(col("text")).as("text"))
   }
 
+  /** Documents with a deterministic synthetic URL per row — five shapes
+    * cycling on doc_id covering the canonicalization surface (casing,
+    * default/explicit ports, userinfo, tracking params, two-level
+    * suffixes, and one non-URL). Mirrored verbatim in the URL oracles.
+    */
+  private def urlCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val id = col("doc_id").cast("string")
+    d.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("HTTPS://WWW."), col("source"),
+          lit(".Example.COM:443/Path/"), id, lit("?utm_source=feed&b=2&a=1#frag")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("http://"), col("source"), lit(".example.com:80/"), id))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("http://user:pw@"), col("source"),
+            lit(".example.co.uk:8080/x?z=1&y=2&gclid=abc")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("https://cdn."), col("source"),
+            lit(".example.org/a/b/?fbclid=1")))
+        .otherwise(concat(lit("not a url "), id)).as("url"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -933,6 +956,19 @@ object SparkEntry {
         t(s, dir, "documents"), w = 10)
     }),
 
+    // ---- URL hygiene: canonicalization, domains, per-domain quota ----
+    "q_url_canonical" -> ((s, dir) => {
+      urlCorpus(s, dir).select(col("doc_id"),
+        operators.Urls.canonicalizeUrl(col("url")).as("canon_url"),
+        operators.Urls.registrableDomain(col("url")).as("domain"))
+    }),
+
+    "q_domain_quota" -> ((s, dir) => {
+      operators.Urls.perDomainQuota(
+        urlCorpus(s, dir), "url", 3, Seq(col("doc_id")))
+        .select(col("doc_id"), col("domain"))
+    }),
+
     // ---- multimodal: bytewise frame sampling over binary content ----
     "q_frame_sample" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1451,6 +1487,98 @@ object SparkEntry {
         |SELECT t.doc_id, coalesce(a.kept_text, '') AS kept_text,
         |  len(t.t) - coalesce(a.n_kept, 0) AS removed_tokens
         |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
+
+    // URL canonicalization: the urls CTE mirrors urlCorpus verbatim; the
+    // rest mirrors Urls.canonicalizeUrl / registrableDomain step-by-step
+    // (anchored RE2-safe regexes, byte-wise param sort, PSL-lite domain).
+    "q_url_canonical" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 5 AS INTEGER)
+        |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/'
+        |                  || doc_id::VARCHAR || '?utm_source=feed&b=2&a=1#frag'
+        |      WHEN 1 THEN 'http://' || source || '.example.com:80/' || doc_id::VARCHAR
+        |      WHEN 2 THEN 'http://user:pw@' || source || '.example.co.uk:8080/x?z=1&y=2&gclid=abc'
+        |      WHEN 3 THEN 'https://cdn.' || source || '.example.org/a/b/?fbclid=1'
+        |      ELSE 'not a url ' || doc_id::VARCHAR END AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*', '') AS u FROM urls),
+        |parts AS (
+        |  SELECT doc_id, u,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_replace(
+        |      regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |      '^[^@]*@', '')) AS auth,
+        |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS pathq
+        |  FROM c1),
+        |hostp AS (
+        |  SELECT doc_id, u, scheme, pathq,
+        |    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+        |    regexp_replace(regexp_replace(auth, ':[0-9]+$', ''), '^www\.', '') AS barehost
+        |  FROM parts),
+        |comp AS (
+        |  SELECT doc_id, u, scheme, barehost,
+        |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |              AND NOT (scheme = 'https' AND port = '443')
+        |         THEN barehost || ':' || port ELSE barehost END AS hostpart,
+        |    CASE WHEN regexp_replace(pathq, '\?.*', '') = '' THEN '/'
+        |         ELSE regexp_replace(pathq, '\?.*', '') END AS path,
+        |    list_sort(list_filter(
+        |      string_split(regexp_extract(pathq, '\?(.*)', 1), '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$')))
+        |      AS params
+        |  FROM hostp),
+        |dom AS (
+        |  SELECT doc_id, barehost, string_split(barehost, '.') AS ls FROM comp)
+        |SELECT c.doc_id,
+        |  CASE WHEN c.scheme = '' THEN c.u
+        |       ELSE c.scheme || '://' || c.hostpart || c.path ||
+        |         CASE WHEN len(c.params) = 0 THEN ''
+        |              ELSE '?' || array_to_string(c.params, '&') END END AS canon_url,
+        |  CASE WHEN d.barehost = '' THEN NULL
+        |       WHEN len(d.ls) <= 2 THEN d.barehost
+        |       WHEN d.ls[-2] IN ('co','com','net','org','gov','ac','edu')
+        |            AND length(d.ls[-1]) <= 3
+        |         THEN d.ls[-3] || '.' || d.ls[-2] || '.' || d.ls[-1]
+        |       ELSE d.ls[-2] || '.' || d.ls[-1] END AS domain
+        |FROM comp c JOIN dom d ON c.doc_id = d.doc_id""".stripMargin,
+
+    "q_domain_quota" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 5 AS INTEGER)
+        |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/'
+        |                  || doc_id::VARCHAR || '?utm_source=feed&b=2&a=1#frag'
+        |      WHEN 1 THEN 'http://' || source || '.example.com:80/' || doc_id::VARCHAR
+        |      WHEN 2 THEN 'http://user:pw@' || source || '.example.co.uk:8080/x?z=1&y=2&gclid=abc'
+        |      WHEN 3 THEN 'https://cdn.' || source || '.example.org/a/b/?fbclid=1'
+        |      ELSE 'not a url ' || doc_id::VARCHAR END AS url
+        |  FROM documents),
+        |hostp AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_replace(
+        |        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |        '^[^@]*@', '')),
+        |      ':[0-9]+$', ''), '^www\.', '') AS barehost
+        |  FROM urls),
+        |dom AS (
+        |  SELECT doc_id, barehost, string_split(barehost, '.') AS ls FROM hostp),
+        |d2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN barehost = '' THEN NULL
+        |         WHEN len(ls) <= 2 THEN barehost
+        |         WHEN ls[-2] IN ('co','com','net','org','gov','ac','edu')
+        |              AND length(ls[-1]) <= 3
+        |           THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+        |         ELSE ls[-2] || '.' || ls[-1] END AS domain
+        |  FROM dom),
+        |ranked AS (
+        |  SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+        |  FROM d2)
+        |SELECT doc_id, domain FROM ranked WHERE rn <= 3""".stripMargin,
 
     "q_simhash_near_dup" ->
       """WITH corpus AS (

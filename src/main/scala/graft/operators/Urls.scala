@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL hygiene for web-crawl corpora: canonicalization, host/domain
+  * extraction, and per-domain quotas. Crawl dedup lives or dies on URL
+  * identity — the same page arrives as `HTTP://Example.com/a?utm_source=x`
+  * and `http://example.com/a` — so canonicalization runs BEFORE
+  * [[Dedup.exactDedup]] on the URL key, and domain extraction feeds the
+  * "cap pages per site" step ([[Sampling.limitPerGroup]]).
+  *
+  * Everything here is pure codegen'd string expressions (regexp over a
+  * handful of anchored, RE2-compatible patterns — each has an exact
+  * DuckDB twin in the oracle), no UDFs, no shuffles. The per-domain
+  * quota pays the one group-key exchange [[Sampling.limitPerGroup]]
+  * documents.
+  *
+  * Deliberate limits, documented as contract:
+  *  - inputs without a `scheme://` pass through trimmed but untouched
+  *    (canonicalizing a relative reference needs a base URL this
+  *    operator doesn't have);
+  *  - percent-encoding is NOT normalized (`%2F` vs `/` can change which
+  *    resource a server resolves — rewriting it is not safe);
+  *  - [[registrableDomain]] approximates the public-suffix list with
+  *    the dominant two-level suffixes (`co.uk`-style); the full Mozilla
+  *    PSL is a data file, not an algorithm, and callers that need exact
+  *    PSL semantics should map it in as a join table.
+  */
+object Urls {
+
+  /** Query parameters that identify a click, not a resource — the usual
+    * tracking families (utm_*, ad-click ids, mail/social share ids).
+    */
+  val TrackingParamPattern: String =
+    "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$"
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  /** Lowercased host of an absolute URL: authority minus userinfo and
+    * port, leading `www.` stripped. Empty string when the input has no
+    * `scheme://` authority.
+    */
+  def host(url: Column): Column = {
+    val auth = regexp_extract(trim(coalesce(url, lit(""))),
+      SchemeRe + "([^/?#]*)", 2)
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(auth), "^[^@]*@", ""),
+        ":[0-9]+$", ""),
+      "^www\\.", "")
+  }
+
+  /** Registrable ("site") domain of a URL: the last two host labels, or
+    * three when the penultimate label is a common second-level suffix
+    * (`example.co.uk`, `foo.com.au`). NULL when the input has no host.
+    */
+  def registrableDomain(url: Column): Column = domainOfHost(host(url))
+
+  /** [[registrableDomain]] from an already-extracted host column. */
+  def domainOfHost(h: Column): Column = {
+    val labels = split(h, "\\.")
+    val n = size(labels)
+    val sld = element_at(labels, -2)
+    val tld = element_at(labels, -1)
+    val twoLevel = sld.isin("co", "com", "net", "org", "gov", "ac", "edu") &&
+      length(tld) <= lit(3)
+    when(h === "", lit(null).cast("string"))
+      .when(n <= 2, h)
+      .when(twoLevel, concat_ws(".",
+        element_at(labels, -3), sld, tld))
+      .otherwise(concat_ws(".", sld, tld))
+  }
+
+  /** Canonical form of an absolute URL:
+    * scheme and host lowercased, userinfo and fragment dropped, default
+    * ports (`:80` http, `:443` https) and leading `www.` removed, empty
+    * path normalized to `/`, tracking parameters
+    * ([[TrackingParamPattern]]) dropped, and surviving query parameters
+    * sorted byte-wise so parameter order stops mattering. Path case and
+    * percent-encoding are preserved (see the object doc for why).
+    * Inputs without `scheme://` are returned trimmed, unchanged.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = regexp_replace(trim(coalesce(url, lit(""))), "#.*", "")
+    val scheme = lower(regexp_extract(u, SchemeRe, 1))
+    val auth = lower(regexp_replace(
+      regexp_extract(u, SchemeRe + "([^/?#]*)", 2), "^[^@]*@", ""))
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    val bareHost = regexp_replace(
+      regexp_replace(auth, ":[0-9]+$", ""), "^www\\.", "")
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val hostPart = when(keepPort, concat(bareHost, lit(":"), port))
+      .otherwise(bareHost)
+    val pathq = regexp_extract(u, SchemeRe + "[^/?#]*([^#]*)", 2)
+    val path = when(regexp_replace(pathq, "\\?.*", "") === "", lit("/"))
+      .otherwise(regexp_replace(pathq, "\\?.*", ""))
+    val params = array_sort(filter(
+      split(regexp_extract(pathq, "\\?(.*)", 1), "&"),
+      p => p =!= "" && !p.rlike(TrackingParamPattern)))
+    val qstr = when(size(params) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(params, "&")))
+    when(scheme === "", u)
+      .otherwise(concat(scheme, lit("://"), hostPart, path, qstr))
+  }
+
+  /** Keep at most `n` rows per registrable domain of `urlCol`, best
+    * first by `orderCols` — [[Sampling.limitPerGroup]] keyed on
+    * [[registrableDomain]]. Rows whose URL yields no domain share one
+    * NULL group (capped together; filter them first if that's wrong for
+    * the pipeline). Adds the `domain` column to the output.
+    */
+  def perDomainQuota(
+      df: DataFrame,
+      urlCol: String,
+      n: Int,
+      orderCols: Seq[Column]): DataFrame =
+    Sampling.limitPerGroup(
+      df.withColumn("domain", registrableDomain(col(urlCol))),
+      Seq("domain"), n, orderCols)
+}
