@@ -540,6 +540,20 @@ object SparkEntry {
       s.read.parquet(scratch).select("doc_id", "source")
     }),
 
+    // Clustered layout + write-side parquet bloom filters on the id, then
+    // point lookups against the laid-out copy: row-group stats prune the
+    // range predicate, the bloom filter prunes the equality probes.
+    "q_bloom_layout" -> ((s, dir) => {
+      val scratch = scratchDir("graft_bloomlay_") + "/docs"
+      operators.Compaction.writeClustered(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        scratch, Seq("doc_id"), numFiles = 4,
+        bloomFilters = Map("doc_id" -> 100000L))
+      s.read.parquet(scratch)
+        .where(col("doc_id") % 97 === 0 || col("doc_id") === 421)
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     // ---- bloom-pruned join: fact side reduced at the scan by the
     // dimension subset's key bloom before the shuffle ----
     "q_bloom_prune_join" -> ((s, dir) => {
@@ -2082,6 +2096,8 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "q_compact_roundtrip" ->
       "SELECT doc_id, source FROM documents",
+    "q_bloom_layout" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 97 = 0 OR doc_id = 421",
     "q_zorder_layout" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
     "q_frequent_rollup" ->

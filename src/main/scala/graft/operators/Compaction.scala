@@ -52,10 +52,34 @@ object Compaction {
       path: String,
       targetFileBytes: Long = 128L << 20,
       numFiles: Int = -1,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite",
+      bloomFilters: Map[String, Long] = Map.empty): Unit = {
     val n = if (numFiles > 0) numFiles else targetFileCount(df, targetFileBytes)
-    df.repartition(n).write.mode(mode).parquet(path)
+    withBloomOptions(df.repartition(n).write, bloomFilters)
+      .mode(mode).parquet(path)
   }
+
+  /** Parquet write-side bloom filters for the given columns (name →
+    * expected distinct values, sizing the filter's bit array). Worth it
+    * for high-cardinality POINT-LOOKUP keys — doc ids, url hashes,
+    * business keys — where min/max row-group stats prune nothing because
+    * every row group spans most of the key domain: the bloom filter lets
+    * the reader skip a row group on `key = x` with no false negatives,
+    * turning "scan the table for one document" into touching only the
+    * row groups whose filter fires (~1% false-positive rate at the
+    * default parquet sizing). Range and sort layout are unaffected;
+    * readers that ignore bloom filters (DuckDB et al.) read the file
+    * normally.
+    */
+  private def withBloomOptions(
+      w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      bloomFilters: Map[String, Long])
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    bloomFilters.foldLeft(w) { case (acc, (c, ndv)) =>
+      require(ndv > 0, s"expected NDV for $c must be positive, got $ndv")
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
 
   /** Write `df` range-partitioned and sorted by `clusterCols`: each output
     * file owns a disjoint range of the leading cluster column, so filtered
@@ -70,13 +94,16 @@ object Compaction {
       clusterCols: Seq[String],
       targetFileBytes: Long = 128L << 20,
       numFiles: Int = -1,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite",
+      bloomFilters: Map[String, Long] = Map.empty): Unit = {
     require(clusterCols.nonEmpty, "clusterCols must be non-empty")
     val n = if (numFiles > 0) numFiles else targetFileCount(df, targetFileBytes)
     val cols = clusterCols.map(col)
-    df.repartitionByRange(n, cols: _*)
-      .sortWithinPartitions(cols: _*)
-      .write.mode(mode).parquet(path)
+    withBloomOptions(
+      df.repartitionByRange(n, cols: _*)
+        .sortWithinPartitions(cols: _*)
+        .write, bloomFilters)
+      .mode(mode).parquet(path)
   }
 
   /** Morton (Z-order) interleave key over 2-4 numeric/timestamp columns:

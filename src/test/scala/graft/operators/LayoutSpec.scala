@@ -201,4 +201,56 @@ class LayoutSpec extends SparkTestBase {
       assert(bounded(c) == 0, s"x-clustered should not bound y: $c")
     } finally { cleanup(dir); cleanup(dirX) }
   }
+
+  test("write-side parquet bloom filters land in the footer and answer membership") {
+    import scala.jdk.CollectionConverters._
+    val dir = tempDir()
+    try {
+      val df = spark.range(5000).select(col("id"),
+        sha2(col("id").cast("string"), 256).as("payload"))
+      Compaction.writeCompacted(df, dir, numFiles = 1,
+        bloomFilters = Map("id" -> 5000L))
+      val file = parquetFiles(dir).head
+      val conf = spark.sessionState.newHadoopConf()
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.getAbsolutePath), conf))
+      try {
+        val rg = reader.getRowGroups.get(0)
+        val idChunk = rg.getColumns.asScala
+          .find(_.getPath.toDotString == "id").get
+        assert(idChunk.getBloomFilterOffset >= 0,
+          "id column chunk carries no bloom filter offset")
+        val payloadChunk = rg.getColumns.asScala
+          .find(_.getPath.toDotString == "payload").get
+        assert(payloadChunk.getBloomFilterOffset < 0,
+          "bloom filter leaked onto a column that didn't ask for one")
+        val bloom = reader.getBloomFilterDataReader(rg).readBloomFilter(idChunk)
+        assert(bloom != null)
+        // no false negatives on present keys...
+        (0L until 5000L by 97L).foreach { v =>
+          assert(bloom.findHash(bloom.hash(v)), s"present key $v missed")
+        }
+        // ...and absent keys overwhelmingly rejected (the pruning signal)
+        val falsePos =
+          (100000L until 101000L).count(v => bloom.findHash(bloom.hash(v)))
+        assert(falsePos < 100, s"bloom too weak to prune: $falsePos/1000 hits")
+      } finally reader.close()
+      // readers that ignore bloom filters still see every row
+      assert(spark.read.parquet(dir).count() == 5000)
+    } finally cleanup(dir)
+  }
+
+  test("writeClustered + bloom: point lookup reads the file correctly") {
+    val dir = tempDir()
+    try {
+      val df = spark.range(4000).select(col("id"),
+        (col("id") % 7).as("grp"))
+      Compaction.writeClustered(df, dir, Seq("id"), numFiles = 4,
+        bloomFilters = Map("id" -> 4000L))
+      val hit = spark.read.parquet(dir).where(col("id") === 1234L).collect()
+      assert(hit.length == 1 && hit.head.getLong(1) == 1234L % 7)
+      assert(spark.read.parquet(dir).where(col("id") === 999999L).isEmpty)
+    } finally cleanup(dir)
+  }
 }
