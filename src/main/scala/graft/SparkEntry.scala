@@ -304,6 +304,17 @@ object SparkEntry {
         operators.TextAnalysis.dedupLinesWithinDoc(col("text")).as("clean"))
     }),
 
+    // Corpus-global keep-first line dedup: a footer planted on every doc
+    // and a promo on every 4th survive only at their first occurrence.
+    "q_dedup_lines_global" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          lit("\nshared graft footer line"),
+          when(col("doc_id") % 4 === 0, lit("\npromo spring sale"))
+            .otherwise(lit(""))).as("text"))
+      operators.TextAnalysis.dedupLinesGlobal(corpus, "doc_id", "text")
+    }),
+
     // ---- PII redaction over a corpus with planted URLs/emails/IPs ----
     "q_pii_redact" -> ((s, dir) => {
       val ta = operators.TextAnalysis
@@ -2484,6 +2495,34 @@ object SparkEntry {
         |SELECT doc_id,
         |  array_to_string(list(line ORDER BY pos), chr(10)) AS clean
         |FROM firsts GROUP BY doc_id""".stripMargin,
+
+    // Global keep-first line dedup: trimmed non-blank lines ranked by
+    // (doc_id, pos) per distinct line; rank 1 survives, docs reassemble.
+    "q_dedup_lines_global" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    coalesce(text, '') || chr(10) || 'shared graft footer line'
+        |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'promo spring sale'
+        |       ELSE '' END AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM corpus),
+        |raw AS (
+        |  SELECT doc_id, generate_subscripts(parts, 1) AS pos,
+        |    trim(unnest(parts)) AS line
+        |  FROM ls),
+        |ln AS (SELECT doc_id, pos, line FROM raw WHERE line <> ''),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM (
+        |    SELECT doc_id, pos, line,
+        |      row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |    FROM ln) WHERE rn = 1),
+        |agg AS (
+        |  SELECT doc_id,
+        |    array_to_string(list(line ORDER BY pos), chr(10)) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, coalesce(a.text, '') AS text
+        |FROM corpus c LEFT JOIN agg a ON c.doc_id = a.doc_id""".stripMargin,
+
     "q_remove_boilerplate" ->
       """WITH corpus AS (
         |  SELECT doc_id,

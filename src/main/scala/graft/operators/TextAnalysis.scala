@@ -432,6 +432,42 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("__kept"), lit("")).as(textCol))
   }
 
+  /** Corpus-global line deduplication (the C4 rule applied at line
+    * granularity): every distinct trimmed non-blank line keeps exactly
+    * its FIRST occurrence — smallest (`idCol`, position) — and loses all
+    * later ones, unlike [[removeBoilerplate]] which drops frequent lines
+    * everywhere and [[dedupLinesWithinDoc]] which never looks across
+    * documents. Documents reassemble from surviving lines in order;
+    * fully-deduplicated documents come back with empty text, preserving
+    * corpus row count.
+    *
+    * Shape: one explode, ONE exchange partitioned by the line for the
+    * keep-first window (the same exchange an exact line-frequency count
+    * pays — rank and frequency ride the same shuffle), one groupBy to
+    * reassemble. First-occurrence choice is total-ordered by
+    * (`idCol`, pos), so reruns and re-partitionings pick the same
+    * survivor.
+    */
+  def dedupLinesGlobal(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val exploded = df.select(col(idCol),
+      posexplode(lines(col(textCol))).as(Seq("__pos", "__line")))
+    val first = row_number().over(
+      W.partitionBy("__line").orderBy(col(idCol), col("__pos")))
+    val kept = exploded.withColumn("__rn", first)
+      .where(col("__rn") === 1)
+    df.select(col(idCol)).distinct()
+      .join(kept.groupBy(idCol)
+        .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            s => s.getField("__line"))).as("__kept")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__kept"), lit("")).as(textCol))
+  }
+
   /** PII scrubbing for training corpora: URLs, email addresses and IPv4
     * addresses replaced with placeholder tokens, in that order (URLs first
     * so an address embedded in a URL redacts as one URL, not URL + email).

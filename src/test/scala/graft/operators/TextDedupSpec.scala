@@ -254,4 +254,21 @@ class TextDedupSpec extends SparkTestBase {
       minShared = 1, maxDocsPerFingerprint = 50)
     assert(uncapped.count() == 10, "without the cap all 5-choose-2 pairs appear")
   }
+
+  test("dedupLinesGlobal keeps exactly the first occurrence of each line") {
+    val df = Seq(
+      (1L, "alpha\nshared footer\nbeta"),
+      (2L, "shared footer\ngamma\nshared footer"),
+      (3L, "shared footer"),
+      (4L, "  \n\n")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLinesGlobal(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 4, "every document survives, even fully-deduped ones")
+    assert(out(0).getString(1) == "alpha\nshared footer\nbeta")
+    // doc 2 loses BOTH its copies (doc 1 owns the first occurrence)
+    assert(out(1).getString(1) == "gamma")
+    assert(out(2).getString(1) == "")
+    assert(out(3).getString(1) == "")
+  }
 }
