@@ -981,6 +981,22 @@ object SparkEntry {
         t(s, dir, "documents"), w = 10)
     }),
 
+    // Incremental form: even docs are "history" persisted as a window-hash
+    // index; odd docs are the arriving batch, probed against the index
+    // (plus within-batch) without re-reading history text.
+    "q_incremental_substr" -> ((s, dir) => {
+      val scratch = scratchDir("graft_substridx_") + "/idx"
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      operators.ExactSubstrings.writeSubstrIndex(
+        operators.ExactSubstrings.indexRowsFor(
+          docs.where(col("doc_id") % 2 === 0), w = 10),
+        scratch, w = 10)
+      operators.ExactSubstrings.repeatedSpansAgainstIndex(
+        docs.where(col("doc_id") % 2 === 1),
+        operators.ExactSubstrings.loadSubstrIndex(s, scratch, w = 10),
+        w = 10)
+    }),
+
     // ---- URL hygiene: canonicalization, domains, per-domain quota ----
     "q_url_canonical" -> ((s, dir) => {
       urlCorpus(s, dir).select(col("doc_id"),
@@ -1456,6 +1472,42 @@ object SparkEntry {
         |  SELECT doc_id, pos FROM (
         |    SELECT doc_id, pos, count(*) OVER (PARTITION BY win) AS c
         |    FROM wins) WHERE c >= 2),
+        |flg AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER w IS NULL
+        |              OR pos - lag(pos) OVER w > 10 THEN 1 ELSE 0 END AS f
+        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CAST(sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS g
+        |  FROM flg)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
+        |  max(pos) + 9 - min(pos) + 1 AS span_tokens
+        |FROM isl GROUP BY doc_id, g""".stripMargin,
+
+    // Incremental spans: batch (odd docs) windows that exist among history
+    // (even docs) windows, or repeat within the batch — islands merged the
+    // same way as q_repeated_spans.
+    "q_incremental_substr" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS t
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i AS pos, array_to_string(t[i:i+9], ' ') AS win
+        |  FROM toks, UNNEST(range(1, len(t) - 10 + 2)) AS u(i)
+        |  WHERE len(t) >= 10),
+        |hist AS (SELECT DISTINCT win FROM wins WHERE doc_id % 2 = 0),
+        |bw AS (SELECT doc_id, pos, win FROM wins WHERE doc_id % 2 = 1),
+        |hits1 AS (SELECT b.doc_id, b.pos FROM bw b JOIN hist h USING (win)),
+        |hits2 AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY win) AS c
+        |    FROM bw) WHERE c >= 2),
+        |hits AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT * FROM hits1 UNION ALL SELECT * FROM hits2)),
         |flg AS (
         |  SELECT doc_id, pos,
         |    CASE WHEN lag(pos) OVER w IS NULL

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   *    positions — for a mostly-clean corpus a small fraction of the
   *    stream), partitioned by document.
   *
+  * For continuous ingest there is also a PERSISTED form: the distinct
+  * window hashes of everything already accepted, written once and probed
+  * per batch ([[writeSubstrIndex]] / [[repeatedSpansAgainstIndex]] /
+  * [[ingestBatch]]) — the batch is hashed and joined against the index
+  * at O(batch) cost, the historical corpus text is never re-read. Same
+  * division of labor as [[DedupIndex]] (document-level near-dup) and the
+  * segmented BM25 index, applied at substring granularity.
+  *
   * Exactness: group identity is the 128-bit composite (xxhash64(win),
   * xxhash64(salt, win)). At 10^13 windows (≈100 TB of text) the
   * collision expectation is n²/2·2⁻¹²⁸ ≈ 10⁻¹³ — no verify-join
@@ -35,57 +43,29 @@ import org.apache.spark.sql.functions._
   */
 object ExactSubstrings {
 
-  /** Positions (1-based) of every `w`-token window whose exact token
-    * content occurs at least `minCount` times corpus-wide. Columns:
-    * `idCol`, `pos`. Documents shorter than `w` tokens contribute no
-    * windows (the [[TextAnalysis.shingles]] short-doc truncated shingle
-    * is filtered out here — a partial window is not a w-gram).
+  /** Window-hash rows for `df`: (`idCol`, `pos` 1-based, `__h1`, `__h2`).
+    * Documents shorter than `w` tokens contribute no windows (the
+    * [[TextAnalysis.shingles]] short-doc truncated shingle is filtered
+    * out — a partial window is not a w-gram).
     */
-  def repeatedWindowPositions(
-      df: DataFrame,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      w: Int = 10,
-      minCount: Int = 2,
-      salt: String = "graft-es"): DataFrame = {
+  private def windowRows(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int, salt: String): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
-    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    val toks = df
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) >= w)
-    val wins = toks
       .select(col(idCol),
         posexplode(TextAnalysis.shinglesOfTokens(col("__toks"), w))
           .as(Seq("__p0", "__win")))
       .select(col(idCol), (col("__p0") + 1).as("pos"),
         xxhash64(col("__win")).as("__h1"),
         xxhash64(lit(salt), col("__win")).as("__h2"))
-    val overHash = Window.partitionBy("__h1", "__h2")
-    wins
-      .withColumn("__c", count(lit(1)).over(overHash))
-      .where(col("__c") >= minCount)
-      .select(col(idCol), col("pos"))
   }
 
-  /** Maximal repeated token spans per document: islands of duplicated
-    * window positions merged wherever two windows overlap or touch
-    * (next start ≤ previous start + w). Columns: `idCol`, `span_start`,
-    * `span_end` (1-based token positions, inclusive), `span_tokens`.
-    *
-    * Every repeated run of ≥ w tokens is covered by one span; spans can
-    * over-extend a genuine repeat by at most w−1 tokens on each side
-    * only when two distinct repeats overlap — the same granularity
-    * trade the suffix-array formulation makes when merging repeated
-    * extents.
+  /** Merge duplicated window positions into maximal spans: islands close
+    * wherever two windows overlap or touch (next start ≤ prev + w).
     */
-  def repeatedSpans(
-      df: DataFrame,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      w: Int = 10,
-      minCount: Int = 2,
-      salt: String = "graft-es"): DataFrame = {
-    val hits = repeatedWindowPositions(df, idCol, textCol, w, minCount, salt)
+  private def mergeIslands(hits: DataFrame, idCol: String, w: Int): DataFrame = {
     val byDoc = Window.partitionBy(idCol).orderBy("pos")
     val newIsland =
       when(lag("pos", 1).over(byDoc).isNull
@@ -100,8 +80,50 @@ object ExactSubstrings {
       .drop("__isl")
   }
 
-  /** Documents with every repeated span cut out of the token stream:
-    * columns `idCol`, `kept_text` (surviving tokens joined by single
+  /** Positions (1-based) of every `w`-token window whose exact token
+    * content occurs at least `minCount` times corpus-wide. Columns:
+    * `idCol`, `pos`.
+    */
+  def repeatedWindowPositions(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      w: Int = 10,
+      minCount: Int = 2,
+      salt: String = "graft-es"): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val overHash = Window.partitionBy("__h1", "__h2")
+    windowRows(df, idCol, textCol, w, salt)
+      .withColumn("__c", count(lit(1)).over(overHash))
+      .where(col("__c") >= minCount)
+      .select(col(idCol), col("pos"))
+  }
+
+  /** Maximal repeated token spans per document: islands of duplicated
+    * window positions merged wherever two windows overlap or touch.
+    * Columns: `idCol`, `span_start`, `span_end` (1-based token
+    * positions, inclusive), `span_tokens`.
+    *
+    * Every repeated run of ≥ w tokens is covered by one span; spans can
+    * over-extend a genuine repeat by at most w−1 tokens on each side
+    * only when two distinct repeats overlap — the same granularity
+    * trade the suffix-array formulation makes when merging repeated
+    * extents.
+    */
+  def repeatedSpans(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      w: Int = 10,
+      minCount: Int = 2,
+      salt: String = "graft-es"): DataFrame =
+    mergeIslands(
+      repeatedWindowPositions(df, idCol, textCol, w, minCount, salt),
+      idCol, w)
+
+  /** Cut `spans` (a [[repeatedSpans]]-shaped frame: `idCol`,
+    * `span_start`, `span_end`) out of each document's token stream.
+    * Columns: `idCol`, `kept_text` (surviving tokens joined by single
     * spaces — whitespace runs are NOT preserved; this operator feeds a
     * tokenizer, not a renderer), `removed_tokens`. Every input document
     * appears exactly once — span-free and sub-`w`-token documents pass
@@ -112,19 +134,17 @@ object ExactSubstrings {
     * while the duplicated fraction is small and shuffle-join once it
     * isn't; both are the right plan at their respective scales.
     */
-  def removeRepeatedSpans(
+  def cutSpans(
       df: DataFrame,
+      spans: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text",
-      w: Int = 10,
-      minCount: Int = 2,
-      salt: String = "graft-es"): DataFrame = {
-    val spans = repeatedSpans(df, idCol, textCol, w, minCount, salt)
+      textCol: String = "text"): DataFrame = {
+    val spansByDoc = spans
       .groupBy(idCol)
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("__spans"))
     df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .join(spans, Seq(idCol), "left")
+      .join(spansByDoc, Seq(idCol), "left")
       .select(
         col(idCol),
         filter(col("__toks"), (t, i) =>
@@ -137,4 +157,211 @@ object ExactSubstrings {
         concat_ws(" ", col("__kept")).as("kept_text"),
         (size(col("__toks")) - size(col("__kept"))).as("removed_tokens"))
   }
+
+  /** [[repeatedSpans]] composed with [[cutSpans]]: documents with every
+    * repeated span removed from the token stream.
+    */
+  def removeRepeatedSpans(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      w: Int = 10,
+      minCount: Int = 2,
+      salt: String = "graft-es"): DataFrame =
+    cutSpans(df,
+      repeatedSpans(df, idCol, textCol, w, minCount, salt), idCol, textCol)
+
+  // ---------------------------------------------------------------------
+  // Persisted window-hash index for continuous ingest
+  // ---------------------------------------------------------------------
+
+  /** Sidecar recording (w, salt, buckets) — a probe with different
+    * parameters hashes different windows and would silently match
+    * nothing, so drift is a loud error instead.
+    */
+  val ParamsFileName = "_graft_substr_params.json"
+
+  private val IndexBuckets = 64
+
+  /** Distinct window hashes of `df` in index shape:
+    * (`__hb`, `__h1`, `__h2`) with `__hb = h1 mod buckets` as the
+    * partition-directory key — a probe joining on all three columns
+    * prunes index directories through dynamic partition pruning.
+    */
+  def indexRowsFor(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      w: Int = 10,
+      salt: String = "graft-es",
+      buckets: Int = IndexBuckets): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    windowRows(df, idCol, textCol, w, salt)
+      .select(pmod(col("__h1"), lit(buckets.toLong)).as("__hb"),
+        col("__h1"), col("__h2"))
+      .distinct()
+  }
+
+  /** Append `indexRows` ([[indexRowsFor]] shape) to the index at `path`,
+    * committing the parameter sidecar on first write and validating it on
+    * every later one. Appends may re-add hashes already present —
+    * membership semantics are unaffected (the probe is a semi-join);
+    * [[compactSubstrIndex]] re-distincts as maintenance.
+    */
+  def writeSubstrIndex(
+      indexRows: DataFrame,
+      path: String,
+      w: Int = 10,
+      salt: String = "graft-es",
+      buckets: Int = IndexBuckets): Unit = {
+    val spark = indexRows.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed = graft.io.Sidecar.commit(fs, dir, ParamsFileName,
+      graft.io.Json.toJson(Map(
+        "w" -> w, "salt" -> salt, "buckets" -> buckets)),
+      overwrite = false)
+    checkParams(parseParams(committed), w, salt, buckets, path)
+    indexRows.write.mode("append").partitionBy("__hb").parquet(path)
+  }
+
+  /** Read the index back for probing, failing loudly on parameter drift. */
+  def loadSubstrIndex(
+      spark: SparkSession,
+      path: String,
+      w: Int = 10,
+      salt: String = "graft-es",
+      buckets: Int = IndexBuckets): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val stored = graft.io.Sidecar.read(fs, dir, ParamsFileName).getOrElse(
+      throw new IllegalStateException(
+        s"no $ParamsFileName sidecar at $path — not a substring index, " +
+          "or a build crashed before committing parameters"))
+    checkParams(parseParams(stored), w, salt, buckets, path)
+    spark.read.parquet(path)
+  }
+
+  /** Rewrite the index: distinct hashes, ~`targetFileBytes` files, rows
+    * range-partitioned and sorted on (`__hb`, `__h1`) so probe scans also
+    * prune on parquet min/max within a bucket directory. Atomic swap via
+    * [[graft.ct.TableStore]]; the params sidecar survives. Run BETWEEN
+    * ingest batches — an append during the rewrite window is lost to the
+    * swap.
+    */
+  def compactSubstrIndex(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val df = spark.read.parquet(path).distinct()
+    val n = Compaction.targetFileCount(df, targetFileBytes)
+    val shaped = df
+      .repartitionByRange(n, col("__hb"), col("__h1"))
+      .sortWithinPartitions(col("__hb"), col("__h1"))
+    graft.ct.TableStore.overwrite(spark, shaped, path,
+      partitionBy = Seq("__hb"), preserveFiles = Seq(ParamsFileName))
+  }
+
+  /** Maximal spans of `batch` whose windows already exist in `index`
+    * (loaded via [[loadSubstrIndex]]) — plus, when `includeBatchInternal`
+    * (default), windows repeated WITHIN the batch itself, so a doc
+    * delivered twice in one batch still dedups. Output shape matches
+    * [[repeatedSpans]].
+    *
+    * `broadcastBatch = true` (the default, and the point): the batch's
+    * window hashes are broadcast and the index — the big side — streams
+    * in place with `__hb` directory pruning; no index shuffle, no
+    * re-hash of history. Set it false for a huge batch; the join then
+    * shuffles both sides on the hash pair.
+    */
+  def repeatedSpansAgainstIndex(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      w: Int = 10,
+      salt: String = "graft-es",
+      buckets: Int = IndexBuckets,
+      includeBatchInternal: Boolean = true,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val wins = windowRows(batch, idCol, textCol, w, salt)
+      .withColumn("__hb", pmod(col("__h1"), lit(buckets.toLong)))
+    // Index streamed, batch broadcast: Spark only builds the RIGHT side
+    // of a broadcast join (a left-semi with the batch on the left would
+    // drop the hint and shuffle the index), so stream the index as the
+    // left of an INNER join against the broadcast batch and de-dup the
+    // (id, pos) hits — duplicate index rows from repeated appends would
+    // otherwise multiply them.
+    val vsIndex = (
+      if (broadcastBatch)
+        index.join(broadcast(wins), Seq("__hb", "__h1", "__h2"))
+      else wins.join(index, Seq("__hb", "__h1", "__h2"), "left_semi"))
+      .select(col(idCol), col("pos"))
+      .distinct()
+    val hits =
+      if (includeBatchInternal)
+        vsIndex.unionByName(
+          repeatedWindowPositions(batch, idCol, textCol, w, 2, salt))
+          .distinct()
+      else vsIndex
+    mergeIslands(hits, idCol, w)
+  }
+
+  /** One ingest cycle: spans of `batch` vs the index at `path` (and
+    * within the batch) are cut out, the batch's ORIGINAL window hashes
+    * are appended to the index — so a future re-delivery of the same
+    * content dedups against it even where this batch's copy was cut —
+    * and the cleaned batch is returned. O(batch) end to end; history is
+    * never re-read.
+    */
+  def ingestBatch(
+      batch: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      w: Int = 10,
+      salt: String = "graft-es",
+      buckets: Int = IndexBuckets,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val spark = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // first batch bootstraps an empty index: within-batch dedup only
+    val spans = graft.io.Sidecar.read(fs, dir, ParamsFileName) match {
+      case Some(_) =>
+        val index = loadSubstrIndex(spark, path, w, salt, buckets)
+        repeatedSpansAgainstIndex(batch, index, idCol, textCol,
+          w, salt, buckets, includeBatchInternal = true, broadcastBatch)
+      case None =>
+        repeatedSpans(batch, idCol, textCol, w, 2, salt)
+    }
+    // Materialize the cleaned batch BEFORE appending to the index: the
+    // probe plan re-lists the index directory at execution time, so a
+    // lazily-evaluated result read after the append would see the batch's
+    // own freshly-appended hashes and cut every >= w-token document to
+    // nothing. The checkpoint is batch-sized; callers running inside
+    // [[graft.core.Caches.collectPins]] release it with the scope.
+    val cleaned = cutSpans(batch, spans, idCol, textCol)
+      .localCheckpoint(true)
+    graft.core.Caches.registerCheckpoint(cleaned)
+    writeSubstrIndex(
+      indexRowsFor(batch, idCol, textCol, w, salt, buckets),
+      path, w, salt, buckets)
+    cleaned
+  }
+
+  private def parseParams(text: String): (Int, String, Int) = {
+    val node = graft.io.Json.parse(text)
+    (node.get("w").asInt(), node.get("salt").asText(),
+      node.get("buckets").asInt())
+  }
+
+  private def checkParams(
+      stored: (Int, String, Int),
+      w: Int, salt: String, buckets: Int, path: String): Unit =
+    require(stored == ((w, salt, buckets)),
+      s"substring index at $path was built with (w, salt, buckets) = " +
+        s"$stored but this call uses (${(w, salt, buckets)}) — build and " +
+        "probe parameters must match or the membership join is silently " +
+        "empty")
 }

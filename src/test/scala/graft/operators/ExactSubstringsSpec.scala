@@ -86,4 +86,86 @@ class ExactSubstringsSpec extends SparkTestBase {
     assert(exchanges.length == 2,
       s"expected 2 hash exchanges (dup count + islands), got ${exchanges.length}:\n$plan")
   }
+
+  private def tempDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_substr_").toString
+  private def cleanup(dir: String): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit
+
+  test("ingestBatch: bootstrap, cross-batch dedup, re-delivery, param drift") {
+    val dir = tempDir() + "/idx"
+    try {
+      val phrase = "w1 w2 w3 w4 w5 w6 w7"
+      val b1 = Seq(
+        (1L, s"intro $phrase outro"),
+        (2L, "totally original first batch content here today")
+      ).toDF("doc_id", "text")
+      val c1 = ExactSubstrings.ingestBatch(b1, dir, w = 5)
+        .orderBy("doc_id").collect()
+      // bootstrap: nothing repeated within batch 1, everything survives
+      assert(c1.map(_.getInt(2)).sum == 0)
+
+      val b2 = Seq(
+        (10L, s"prefix tokens then $phrase and a tail"),
+        (11L, "completely novel second batch document nothing shared"),
+        (12L, "totally original first batch content here today")
+      ).toDF("doc_id", "text")
+      val c2 = ExactSubstrings.ingestBatch(b2, dir, w = 5)
+        .orderBy("doc_id").collect()
+      val byId = c2.map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+      // doc 10 loses exactly the 7-token phrase from batch 1
+      assert(byId(10L) == ("prefix tokens then and a tail", 7))
+      // novel doc untouched
+      assert(byId(11L)._2 == 0)
+      // re-delivered doc 2 content is fully indexed -> fully cut
+      assert(byId(12L) == ("", 7))
+
+      // parameter drift is loud, not silently empty
+      val e = intercept[IllegalArgumentException] {
+        ExactSubstrings.ingestBatch(b2, dir, w = 6)
+      }
+      assert(e.getMessage.contains("must match"))
+    } finally cleanup(new java.io.File(dir).getParent)
+  }
+
+  test("compactSubstrIndex: distincts duplicate appends, probe unchanged") {
+    val dir = tempDir() + "/idx"
+    try {
+      val b = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+      ExactSubstrings.writeSubstrIndex(
+        ExactSubstrings.indexRowsFor(b, w = 5), dir, w = 5)
+      ExactSubstrings.writeSubstrIndex(
+        ExactSubstrings.indexRowsFor(b, w = 5), dir, w = 5)
+      val before = spark.read.parquet(dir).count()
+      ExactSubstrings.compactSubstrIndex(spark, dir)
+      val after = spark.read.parquet(dir).count()
+      assert(before == 2 * after, s"double append $before should halve to $after")
+      // probe against the compacted index still finds the content
+      val probe = Seq((9L, "x y a b c d e f g h z")).toDF("doc_id", "text")
+      val spans = ExactSubstrings.repeatedSpansAgainstIndex(
+        probe, ExactSubstrings.loadSubstrIndex(spark, dir, w = 5),
+        w = 5).collect()
+      assert(spans.map(r => (r.getInt(1), r.getInt(2))).toSeq == Seq((3, 10)))
+
+      // the probe streams the index and broadcasts the BATCH (build
+      // right) — the whole point of the persisted form is no index
+      // shuffle and no history re-hash
+      val plan = {
+        val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try ExactSubstrings.repeatedSpansAgainstIndex(
+          probe, ExactSubstrings.loadSubstrIndex(spark, dir, w = 5),
+          w = 5, includeBatchInternal = false)
+          .queryExecution.executedPlan
+        finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+      }
+      val bhj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      assert(bhj.nonEmpty, s"expected a broadcast hash join:\n$plan")
+      assert(bhj.forall(_.buildSide ==
+        org.apache.spark.sql.catalyst.optimizer.BuildRight),
+        "batch must be the broadcast build side; the index streams")
+    } finally cleanup(new java.io.File(dir).getParent)
+  }
 }
