@@ -307,6 +307,48 @@ object ExactSubstrings {
     mergeIslands(hits, idCol, w)
   }
 
+  /** Spans of `batch` vs whatever index exists at `path` — including
+    * windows repeated within the batch itself. Bootstraps cleanly: no
+    * sidecar yet (first-ever batch), or a sidecar but no data files yet
+    * (every prior batch was sub-`w` tokens — `spark.read.parquet` could
+    * not infer a schema from that) both fall back to within-batch-only
+    * spans; a PRESENT sidecar still validates parameters either way.
+    */
+  def spansForBatch(
+      batch: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      w: Int = 10,
+      salt: String = "graft-es",
+      buckets: Int = IndexBuckets,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val spark = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val stored = graft.io.Sidecar.read(fs, dir, ParamsFileName)
+    stored.foreach(s => checkParams(parseParams(s), w, salt, buckets, path))
+    if (stored.isDefined && hasParquetData(fs, dir))
+      repeatedSpansAgainstIndex(batch, spark.read.parquet(path),
+        idCol, textCol, w, salt, buckets,
+        includeBatchInternal = true, broadcastBatch)
+    else
+      repeatedSpans(batch, idCol, textCol, w, 2, salt)
+  }
+
+  /** Early-exit probe for an actual non-empty parquet data file. */
+  private def hasParquetData(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean = fs.exists(dir) && {
+    val it = fs.listFiles(dir, true)
+    var found = false
+    while (!found && it.hasNext) {
+      val f = it.next()
+      found = f.getLen > 0 && f.getPath.getName.endsWith(".parquet")
+    }
+    found
+  }
+
   /** One ingest cycle: spans of `batch` vs the index at `path` (and
     * within the batch) are cut out, the batch's ORIGINAL window hashes
     * are appended to the index — so a future re-delivery of the same
@@ -323,18 +365,8 @@ object ExactSubstrings {
       salt: String = "graft-es",
       buckets: Int = IndexBuckets,
       broadcastBatch: Boolean = true): DataFrame = {
-    val spark = batch.sparkSession
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    // first batch bootstraps an empty index: within-batch dedup only
-    val spans = graft.io.Sidecar.read(fs, dir, ParamsFileName) match {
-      case Some(_) =>
-        val index = loadSubstrIndex(spark, path, w, salt, buckets)
-        repeatedSpansAgainstIndex(batch, index, idCol, textCol,
-          w, salt, buckets, includeBatchInternal = true, broadcastBatch)
-      case None =>
-        repeatedSpans(batch, idCol, textCol, w, 2, salt)
-    }
+    val spans = spansForBatch(batch, path, idCol, textCol, w, salt,
+      buckets, broadcastBatch)
     // Materialize the cleaned batch BEFORE appending to the index: the
     // probe plan re-lists the index directory at execution time, so a
     // lazily-evaluated result read after the append would see the batch's

@@ -391,6 +391,57 @@ object StreamingOps {
         }
     }
 
+  /** Stream documents through exact repeated-substring dedup: each
+    * micro-batch has spans already present in the window-hash index at
+    * `indexPath` (or repeated within the batch) CUT OUT
+    * ([[graft.operators.ExactSubstrings]]), the cleaned rows append to
+    * `corpusPath`, and the batch's original window hashes append to the
+    * index. History is never re-read; per-batch cost is O(batch).
+    *
+    * Delivery semantics (at-least-once, corpus-before-index — the same
+    * trade as [[dedupIngestSink]]): a crash between the corpus append
+    * and the index append re-cleans the batch against the PRE-batch
+    * index on replay and appends the same cleaned rows again —
+    * duplicates, healed downstream by
+    * [[graft.operators.Dedup.exactDedup]]. The reverse order would
+    * instead cut a replayed batch against its own hashes and append
+    * empty documents — silent content loss, which is why the corpus
+    * write goes first.
+    */
+  def substrIngestSink(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusPath: String,
+      indexPath: String,
+      w: Int = 10,
+      salt: String = "graft-es",
+      buckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val es = graft.operators.ExactSubstrings
+          // scope the per-batch checkpoint exactly like dedupIngestSink:
+          // one leaked pin per micro-batch is an unbounded-stream leak
+          val (attempt, pins) = graft.core.Caches.collectPins(scala.util.Try {
+            val spans = es.spansForBatch(batch.toDF(), indexPath,
+              idCol, textCol, w, salt, buckets)
+            // materialize BEFORE either append: the probe re-lists the
+            // index directory at execution time (see ingestBatch)
+            val cleaned = es.cutSpans(batch.toDF(), spans, idCol, textCol)
+              .localCheckpoint(true)
+            graft.core.Caches.registerCheckpoint(cleaned)
+            cleaned.write.mode("append").parquet(corpusPath)
+            es.writeSubstrIndex(
+              es.indexRowsFor(batch.toDF(), idCol, textCol, w, salt, buckets),
+              indexPath, w, salt, buckets)
+          })
+          pins.release()
+          attempt.get // a failed batch releases its pins, THEN propagates
+        }
+    }
+
   /** Stream into a mergeable-sketch STORE: each micro-batch reduces to
     * one sketch row per group via `sketchBatch` (any of the
     * [[graft.operators.Sketches]] builders, partially applied — distinct

@@ -404,4 +404,45 @@ class StreamingOpsSpec extends SparkTestBase {
         .select("__id").distinct().as[Long].collect().toSeq == Seq(3L))
     } finally q.stop()
   }
+
+  test("substrIngestSink cuts cross-batch repeated spans, no per-batch leak") {
+    implicit val sqlCtx = spark.sqlContext
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val root = Files.createTempDirectory("graft_substr_sink_").toString
+    val corpus = root + "/corpus"
+    val index = root + "/index"
+    val q = StreamingOps.substrIngestSink(
+      source.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      corpus, index, w = 5)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      // batch 0: short doc (no windows) + a 7-token phrase carrier
+      source.addData(
+        (1L, "tiny doc"),
+        (2L, "alpha p1 p2 p3 p4 p5 p6 p7 omega"))
+      q.processAllAvailable()
+      // batch 1: doc 3 embeds the batch-0 phrase (cut), doc 4 is novel
+      source.addData(
+        (3L, "lead in p1 p2 p3 p4 p5 p6 p7 trailing words"),
+        (4L, "completely novel follow-up content with nothing shared"))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(corpus)
+        .select("doc_id", "kept_text", "removed_tokens")
+        .as[(Long, String, Int)].collect().sortBy(_._1)
+      assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+      val byId = rows.map(r => r._1 -> (r._2, r._3)).toMap
+      assert(byId(1L) == ("tiny doc", 0))
+      assert(byId(2L)._2 == 0, "first occurrence keeps its content")
+      assert(byId(3L) == ("lead in trailing words", 7),
+        s"batch-1 copy of the phrase must be cut, got ${byId(3L)}")
+      assert(byId(4L)._2 == 0)
+      // index holds batch ORIGINAL hashes from both batches
+      assert(spark.read.parquet(index).distinct().count() > 0)
+      assert((spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore)
+        .isEmpty, "per-batch checkpoint must be released with the scope")
+    } finally q.stop()
+  }
 }
