@@ -304,6 +304,20 @@ object SparkEntry {
         operators.TextAnalysis.dedupLinesWithinDoc(col("text")).as("clean"))
     }),
 
+    // Compression-ratio quality signal (deflate/raw) — no DuckDB oracle
+    // (no deflate there); rows-only, value distribution spec-asserted in
+    // TextDedupSpec. Planted flood on every 9th doc gives the signal
+    // observable separation to detect.
+    "q_compression_signal" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          concat_ws(" ", array_repeat(lit("spam flood line"), 40)))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"))
+        .select(col("doc_id"),
+          round(operators.TextAnalysis.compressionRatio(col("text")), 6)
+            .as("compress_ratio"))
+    }),
+
     // Corpus-global keep-first line dedup: a footer planted on every doc
     // and a promo on every 4th survive only at their first occurrence.
     "q_dedup_lines_global" -> ((s, dir) => {
@@ -1010,6 +1024,15 @@ object SparkEntry {
         .select(col("doc_id"), col("domain"))
     }),
 
+    // URL-identity dedup: canonicalize, then keep the first doc per
+    // canonical URL — the crawl-side step BEFORE content dedup.
+    "q_url_dedup" -> ((s, dir) => {
+      operators.Sampling.limitPerGroup(
+        urlCorpus(s, dir).select(col("doc_id"),
+          operators.Urls.canonicalizeUrl(col("url")).as("canon_url")),
+        Seq("canon_url"), 1, Seq(col("doc_id")))
+    }),
+
     // ---- multimodal: bytewise frame sampling over binary content ----
     "q_frame_sample" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1620,6 +1643,58 @@ object SparkEntry {
         |         THEN d.ls[-3] || '.' || d.ls[-2] || '.' || d.ls[-1]
         |       ELSE d.ls[-2] || '.' || d.ls[-1] END AS domain
         |FROM comp c JOIN dom d ON c.doc_id = d.doc_id""".stripMargin,
+
+    // Canonical-URL keep-first dedup: the canon CTE chain mirrors
+    // q_url_canonical; rank 1 per canon_url by doc_id survives.
+    "q_url_dedup" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 5 AS INTEGER)
+        |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/'
+        |                  || doc_id::VARCHAR || '?utm_source=feed&b=2&a=1#frag'
+        |      WHEN 1 THEN 'http://' || source || '.example.com:80/' || doc_id::VARCHAR
+        |      WHEN 2 THEN 'http://user:pw@' || source || '.example.co.uk:8080/x?z=1&y=2&gclid=abc'
+        |      WHEN 3 THEN 'https://cdn.' || source || '.example.org/a/b/?fbclid=1'
+        |      ELSE 'not a url ' || doc_id::VARCHAR END AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*', '') AS u FROM urls),
+        |parts AS (
+        |  SELECT doc_id, u,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_replace(
+        |      regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |      '^[^@]*@', '')) AS auth,
+        |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS pathq
+        |  FROM c1),
+        |hostp AS (
+        |  SELECT doc_id, u, scheme, pathq,
+        |    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+        |    regexp_replace(regexp_replace(auth, ':[0-9]+$', ''), '^www\.', '') AS barehost
+        |  FROM parts),
+        |comp AS (
+        |  SELECT doc_id, u, scheme,
+        |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |              AND NOT (scheme = 'https' AND port = '443')
+        |         THEN barehost || ':' || port ELSE barehost END AS hostpart,
+        |    CASE WHEN regexp_replace(pathq, '\?.*', '') = '' THEN '/'
+        |         ELSE regexp_replace(pathq, '\?.*', '') END AS path,
+        |    list_sort(list_filter(
+        |      string_split(regexp_extract(pathq, '\?(.*)', 1), '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$')))
+        |      AS params
+        |  FROM hostp),
+        |canon AS (
+        |  SELECT doc_id,
+        |    CASE WHEN scheme = '' THEN u
+        |         ELSE scheme || '://' || hostpart || path ||
+        |           CASE WHEN len(params) = 0 THEN ''
+        |                ELSE '?' || array_to_string(params, '&') END END AS canon_url
+        |  FROM comp)
+        |SELECT doc_id, canon_url FROM (
+        |  SELECT doc_id, canon_url,
+        |    row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) AS rn
+        |  FROM canon) WHERE rn = 1""".stripMargin,
 
     "q_domain_quota" ->
       """WITH urls AS (

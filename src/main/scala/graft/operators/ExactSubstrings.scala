@@ -222,7 +222,12 @@ object ExactSubstrings {
         "w" -> w, "salt" -> salt, "buckets" -> buckets)),
       overwrite = false)
     checkParams(parseParams(committed), w, salt, buckets, path)
-    indexRows.write.mode("append").partitionBy("__hb").parquet(path)
+    // co-locate each bucket before the partitioned write: without this,
+    // every upstream task writes a sliver into every __hb directory —
+    // tasks × buckets files per append (measured 4× the whole query's
+    // cost at sf0.1), and the listing storm only grows with cluster size
+    indexRows.repartition(col("__hb"))
+      .write.mode("append").partitionBy("__hb").parquet(path)
   }
 
   /** Read the index back for probing, failing loudly on parameter drift. */

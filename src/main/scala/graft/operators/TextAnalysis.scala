@@ -432,6 +432,23 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("__kept"), lit("")).as(textCol))
   }
 
+  /** Compression-ratio quality signal: `deflate(text) / utf8_bytes`,
+    * clamped denominator (empty text → ratio 0.0 by convention — no
+    * information, no signal). Repetitive machine-generated text lands
+    * well below natural prose (which sits roughly in the 0.3–0.7 band at
+    * DEFLATE level 6); filter LOW ratios as boilerplate floods. Pure
+    * per-row expression ([[graft.functions.CompressFunctions]]), no
+    * shuffle; the level is part of the signal's identity — don't mix
+    * levels across a threshold.
+    */
+  def compressionRatio(text: Column, level: Int = 6): Column = {
+    val t = coalesce(text, lit(""))
+    when(octet_length(t) === 0, lit(0.0))
+      .otherwise(
+        graft.functions.CompressFunctions.deflateSize(t, level)
+          .cast("double") / octet_length(t))
+  }
+
   /** Corpus-global line deduplication (the C4 rule applied at line
     * granularity): every distinct trimmed non-blank line keeps exactly
     * its FIRST occurrence — smallest (`idCol`, position) — and loses all

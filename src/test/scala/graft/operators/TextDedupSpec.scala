@@ -255,6 +255,30 @@ class TextDedupSpec extends SparkTestBase {
     assert(uncapped.count() == 10, "without the cap all 5-choose-2 pairs appear")
   }
 
+  test("compressionRatio separates repetitive floods from prose") {
+    val prose = "The committee reviewed seventeen distinct proposals before " +
+      "lunch, rejecting most for budget reasons nobody could quite explain."
+    val df = Seq(
+      (1L, "spam spam " * 100),
+      (2L, prose),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.compressionRatio(col("text")).as("r"))
+      .orderBy("id").collect()
+    val flood = out(0).getDouble(1)
+    val clean = out(1).getDouble(1)
+    assert(flood < 0.1, s"repetitive flood should compress hard, got $flood")
+    assert(clean > 0.3 && clean < 1.0, s"prose ratio out of band: $clean")
+    assert(flood < clean / 3)
+    assert(out(2).getDouble(1) == 0.0 && out(3).getDouble(1) == 0.0)
+    // deterministic across evaluations (fixed level, fixed zlib settings)
+    val again = df.select(TextAnalysis.compressionRatio(col("text")))
+      .orderBy("text").collect().map(_.getDouble(0)).sorted
+    assert(again.toSeq == out.map(_.getDouble(1)).sorted.toSeq)
+  }
+
   test("dedupLinesGlobal keeps exactly the first occurrence of each line") {
     val df = Seq(
       (1L, "alpha\nshared footer\nbeta"),
