@@ -1011,6 +1011,19 @@ object SparkEntry {
         w = 10)
     }),
 
+    // ---- link-graph authority: PageRank over the customer<->supplier
+    // bipartite trade graph (both directions => no dangling mass) ----
+    "q_pagerank" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      operators.Graphs.pageRank(
+        pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst"))),
+        "src", "dst", iterations = 3)
+    }),
+
     // ---- URL hygiene: canonicalization, domains, per-domain quota ----
     "q_url_canonical" -> ((s, dir) => {
       urlCorpus(s, dir).select(col("doc_id"),
@@ -1587,6 +1600,49 @@ object SparkEntry {
         |SELECT t.doc_id, coalesce(a.kept_text, '') AS kept_text,
         |  len(t.t) - coalesce(a.n_kept, 0) AS removed_tokens
         |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
+
+    // PageRank, 3 unrolled power iterations. Bit-identical to the engine:
+    // per-edge contributions quantize to integer nano-units and sum as
+    // BIGINT (order-free), so both engines do the same IEEE ops on the
+    // same integers — no float-ordering flakiness to round away.
+    "q_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
+        |    's' || l_suppkey::VARCHAR AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+        |p0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS pr FROM nodes),
+        |i1 AS (
+        |  SELECT nd.node,
+        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      CAST(sum(CAST(round(p.pr / deg.d * 1e9) AS BIGINT)) AS BIGINT) AS v
+        |    FROM e JOIN p0 p ON p.node = e.src JOIN deg ON deg.src = e.src
+        |    GROUP BY e.dst) s ON s.node = nd.node),
+        |i2 AS (
+        |  SELECT nd.node,
+        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      CAST(sum(CAST(round(p.pr / deg.d * 1e9) AS BIGINT)) AS BIGINT) AS v
+        |    FROM e JOIN i1 p ON p.node = e.src JOIN deg ON deg.src = e.src
+        |    GROUP BY e.dst) s ON s.node = nd.node),
+        |i3 AS (
+        |  SELECT nd.node,
+        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      CAST(sum(CAST(round(p.pr / deg.d * 1e9) AS BIGINT)) AS BIGINT) AS v
+        |    FROM e JOIN i2 p ON p.node = e.src JOIN deg ON deg.src = e.src
+        |    GROUP BY e.dst) s ON s.node = nd.node)
+        |SELECT node, pr FROM i3""".stripMargin,
 
     // URL canonicalization: the urls CTE mirrors urlCorpus verbatim; the
     // rest mirrors Urls.canonicalizeUrl / registrableDomain step-by-step

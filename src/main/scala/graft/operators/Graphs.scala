@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames — the operator class
+  * (alongside [[Dedup.connectedComponents]]) for link-structure signals
+  * in a crawl corpus: PageRank-style authority feeds per-domain quality
+  * priors ([[Urls.registrableDomain]] gives the nodes; hyperlinks or
+  * co-citation give the edges).
+  *
+  * Design for determinism ACROSS ENGINES, not just across runs: each
+  * iteration's neighbor contributions are quantized to integer
+  * nano-units (`round(pr/deg · 1e9)` as long) and summed as longs —
+  * integer addition is order-free, so the result is bit-identical
+  * whatever the partitioning, and bit-identical in any other engine
+  * mirroring the same expressions (the DuckDB oracle unrolls the same
+  * iterations). The 1e-9 quantization per edge per iteration is far
+  * below anything a ranking consumer can observe; a double `sum()`
+  * here would instead be partition-order-dependent in the last bits —
+  * the class of float-flakiness this library eliminates everywhere
+  * (BM25's sorted fold, the SCD micros discipline).
+  *
+  * Scale shape per iteration: one broadcast-or-shuffle join of edges
+  * against the (node, pr) table, one groupBy on the destination —
+  * map-side partial sums of longs — and a left join back to the node
+  * set. Lineage is truncated with an eager localCheckpoint per
+  * iteration (released as soon as the next is materialized), so
+  * `iterations` bounds neither the plan depth nor analysis time.
+  */
+object Graphs {
+
+  /** PageRank by power iteration. `edges` is a DIRECTED edge list
+    * (duplicate edges are collapsed); rank mass flows src → dst with
+    * uniform split over each source's out-edges. Nodes = every id
+    * appearing as src or dst. Returns (`node` string, `pr` double),
+    * summing to ~1 when every node has an out-edge.
+    *
+    * Dangling nodes (no out-edges) simply leak their damped mass — the
+    * standard simplification; pass a symmetrized edge list (both
+    * directions) or add self-loops for the strict-PageRank treatment.
+    * One bounded driver scalar (the node count); everything else stays
+    * distributed.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 1000,
+      s"iterations must be in 1..1000, got $iterations")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    val e = graft.core.Caches.pin(
+      edges.select(col(srcCol).cast("string").as("__src"),
+        col(dstCol).cast("string").as("__dst"))
+        .where(col("__src").isNotNull && col("__dst").isNotNull)
+        .distinct())
+    val nodes = graft.core.Caches.pin(
+      e.select(col("__src").as("node"))
+        .unionByName(e.select(col("__dst").as("node")))
+        .distinct())
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
+    val reset = (1.0 - damping) / n
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    var prevCk: Option[DataFrame] = None
+    (1 to iterations).foreach { _ =>
+      val sums = e
+        .join(pr.withColumnRenamed("node", "__src"), "__src")
+        .join(deg, "__src")
+        .select(col("__dst").as("node"),
+          round(col("pr") / col("__deg") * lit(1e9)).cast("long").as("__nano"))
+        .groupBy("node")
+        .agg(sum(col("__nano")).as("__in"))
+      val next = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(reset) + lit(damping) *
+            (coalesce(col("__in"), lit(0L)) / lit(1e9))).as("pr"))
+        .localCheckpoint(true)
+      // the new checkpoint is materialized — the previous one has no
+      // remaining reader and holds executor storage; free it now
+      prevCk.foreach(graft.core.Caches.releaseCheckpoint(_))
+      prevCk = Some(next)
+      pr = next
+    }
+    // the final checkpoint is the RESULT — the caller owns its lifecycle
+    // (a collectPins scope releases it after materializing downstream)
+    graft.core.Caches.registerCheckpoint(pr)
+    // the edge/node pins fed only the iterations; the checkpointed
+    // result no longer references them
+    e.unpersist()
+    nodes.unpersist()
+    pr
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class GraphsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pageRank on a symmetric cycle is uniform at every iteration count") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("b", "a"), ("c", "b"), ("a", "c")).toDF("src", "dst")
+    Seq(1, 4).foreach { k =>
+      val pr = Graphs.pageRank(e, "src", "dst", iterations = k)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(pr.size == 3)
+      pr.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-6,
+        s"cycle must stay uniform, got $pr"))
+    }
+  }
+
+  test("pageRank matches a single-node reference implementation") {
+    // small directed graph with asymmetric in-degrees
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"))
+    val d = 0.85
+    val k = 3
+    // reference power iteration with the SAME nano quantization
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.length }
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    (1 to k).foreach { _ =>
+      val in = nodes.map { v =>
+        v -> edges.filter(_._2 == v).map { case (s, _) =>
+          math.round(pr(s) / out(s) * 1e9)
+        }.sum
+      }.toMap
+      pr = nodes.map(v => v -> ((1.0 - d) / n + d * (in(v) / 1e9))).toMap
+    }
+    val got = Graphs.pageRank(edges.toDF("src", "dst"), "src", "dst",
+      iterations = k, damping = d)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == pr.keySet)
+    nodes.foreach { v =>
+      assert(got(v) == pr(v), s"node $v: got ${got(v)}, want ${pr(v)}")
+    }
+    // 'c' has three in-edges and must outrank everything
+    assert(got("c") > got("a") && got("c") > got("b") && got("c") > got("d"))
+    // 'd' has no in-edges: floor + nothing
+    assert(math.abs(got("d") - (1.0 - d) / n) < 1e-12)
+  }
+
+  test("duplicate edges collapse; nulls drop; empty graph is loud") {
+    val e = Seq(("a", "b"), ("a", "b"), ("b", "a"),
+      (null.asInstanceOf[String], "x")).toDF("src", "dst")
+    val pr = Graphs.pageRank(e, "src", "dst", iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // x only appears via the null-src edge, which drops — graph is {a, b}
+    assert(pr.keySet == Set("a", "b"))
+    assert(math.abs(pr("a") - pr("b")) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Graphs.pageRank(Seq.empty[(String, String)].toDF("src", "dst"),
+        "src", "dst")
+    }
+  }
+}
