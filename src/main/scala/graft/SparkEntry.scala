@@ -304,6 +304,21 @@ object SparkEntry {
         operators.TextAnalysis.dedupLinesWithinDoc(col("text")).as("clean"))
     }),
 
+    // HTML -> text extraction over a deterministic synthetic wrapping of
+    // each document (title, style, script with a raw '<', comment,
+    // entities) — the crawl-side step before every text operator.
+    "q_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit(" &amp; friends</title><style>p { color: red; }</style>"),
+        lit("<script>var x = 1 < 2;</script></head><body><!-- nav -->"),
+        lit("<p>"), coalesce(col("text"), lit("")),
+        lit("</p><div>&quot;quoted&quot; &lt;tag&gt;</div></body></html>"))
+      t(s, dir, "documents").select(col("doc_id"),
+        operators.TextAnalysis.htmlTitle(html).as("title"),
+        operators.TextAnalysis.htmlToText(html).as("extracted"))
+    }),
+
     // Compression-ratio quality signal (deflate/raw) — no DuckDB oracle
     // (no deflate there); rows-only, value distribution spec-asserted in
     // TextDedupSpec. Planted flood on every 9th doc gives the signal
@@ -2678,6 +2693,44 @@ object SparkEntry {
         |SELECT doc_id,
         |  array_to_string(list(line ORDER BY pos), chr(10)) AS clean
         |FROM firsts GROUP BY doc_id""".stripMargin,
+
+    // HTML extraction: the html CTE mirrors the query's synthetic wrap;
+    // the strip/decode chain mirrors htmlToText step-for-step (same RE2
+    // patterns; DuckDB needs the explicit 'g' flag Spark implies).
+    "q_html_extract" ->
+      """WITH html AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id::VARCHAR
+        |    || ' &amp; friends</title><style>p { color: red; }</style>'
+        |    || '<script>var x = 1 < 2;</script></head><body><!-- nav -->'
+        |    || '<p>' || coalesce(text, '')
+        |    || '</p><div>&quot;quoted&quot; &lt;tag&gt;</div></body></html>'
+        |      AS h
+        |  FROM documents),
+        |stripped AS (
+        |  SELECT doc_id, h,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g'),
+        |          '(?is)<script\b[^>]*>.*?(</script\s*>|$)', ' ', 'g'),
+        |        '(?is)<style\b[^>]*>.*?(</style\s*>|$)', ' ', 'g'),
+        |      '(?s)<[^>]*>', ' ', 'g') AS t
+        |  FROM html),
+        |decoded AS (
+        |  SELECT doc_id, h,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |      '&#39;', '''', 'g'), '&apos;', '''', 'g'), '&nbsp;', ' ', 'g'),
+        |      '&amp;', '&', 'g') AS t
+        |  FROM stripped)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_extract(h, '(?is)<title\b[^>]*>(.*?)</title\s*>', 1),
+        |    '\s+', ' ', 'g')) AS title,
+        |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted
+        |FROM decoded""".stripMargin,
 
     // Global keep-first line dedup: trimmed non-blank lines ranked by
     // (doc_id, pos) per distinct line; rank 1 survives, docs reassemble.

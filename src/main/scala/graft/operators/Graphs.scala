@@ -52,38 +52,45 @@ object Graphs {
       s"iterations must be in 1..1000, got $iterations")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
-    val e = graft.core.Caches.pin(
-      edges.select(col(srcCol).cast("string").as("__src"),
-        col(dstCol).cast("string").as("__dst"))
-        .where(col("__src").isNotNull && col("__dst").isNotNull)
-        .distinct())
+    val e = edges.select(col(srcCol).cast("string").as("__src"),
+      col(dstCol).cast("string").as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct()
+    // out-degree is joined into the pinned edge table ONCE — an
+    // un-pinned `deg` would re-aggregate the edges in every iteration
+    val eDeg = graft.core.Caches.pin(
+      e.join(e.groupBy("__src").agg(count(lit(1)).as("__deg")), "__src"))
     val nodes = graft.core.Caches.pin(
-      e.select(col("__src").as("node"))
-        .unionByName(e.select(col("__dst").as("node")))
+      eDeg.select(col("__src").as("node"))
+        .unionByName(eDeg.select(col("__dst").as("node")))
         .distinct())
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
-    val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
     val reset = (1.0 - damping) / n
     var pr = nodes.withColumn("pr", lit(1.0 / n))
     var prevCk: Option[DataFrame] = None
-    (1 to iterations).foreach { _ =>
-      val sums = e
+    (1 to iterations).foreach { i =>
+      val sums = eDeg
         .join(pr.withColumnRenamed("node", "__src"), "__src")
-        .join(deg, "__src")
         .select(col("__dst").as("node"),
           round(col("pr") / col("__deg") * lit(1e9)).cast("long").as("__nano"))
         .groupBy("node")
         .agg(sum(col("__nano")).as("__in"))
-      val next = nodes.join(sums, Seq("node"), "left")
+      var next = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
           (lit(reset) + lit(damping) *
             (coalesce(col("__in"), lit(0L)) / lit(1e9))).as("pr"))
-        .localCheckpoint(true)
-      // the new checkpoint is materialized — the previous one has no
-      // remaining reader and holds executor storage; free it now
-      prevCk.foreach(graft.core.Caches.releaseCheckpoint(_))
-      prevCk = Some(next)
+      // Truncate lineage every few iterations and at the end — enough to
+      // keep plan depth and analysis time flat at ANY iteration count,
+      // without paying an eager materialization job for every single
+      // iteration (a 3-iteration run is ONE executed DAG this way).
+      if (i % 4 == 0 || i == iterations) {
+        next = next.localCheckpoint(true)
+        // the new checkpoint is materialized — the previous one has no
+        // remaining reader and holds executor storage; free it now
+        prevCk.foreach(graft.core.Caches.releaseCheckpoint(_))
+        prevCk = Some(next)
+      }
       pr = next
     }
     // the final checkpoint is the RESULT — the caller owns its lifecycle
@@ -91,7 +98,7 @@ object Graphs {
     graft.core.Caches.registerCheckpoint(pr)
     // the edge/node pins fed only the iterations; the checkpointed
     // result no longer references them
-    e.unpersist()
+    eDeg.unpersist()
     nodes.unpersist()
     pr
   }

@@ -499,6 +499,48 @@ object TextAnalysis {
     regexp_replace(t2, Ipv4Pattern, "<IP>")
   }
 
+  /** HTML → text extraction for crawl corpora: strips comments,
+    * `<script>`/`<style>` blocks (content included), then every
+    * remaining tag; decodes the half-dozen entities that dominate web
+    * text (`&amp; &lt; &gt; &quot; &#39; &apos; &nbsp;` — `&amp;` LAST,
+    * so `&amp;lt;` correctly yields the literal `&lt;` instead of
+    * double-decoding); collapses whitespace runs and trims. A regex
+    * extractor, deliberately: full HTML5 parsing needs a parser library,
+    * but the regex subset is what C4/CCNet-class pipelines actually ran
+    * at corpus scale, it handles the overwhelming majority of crawl
+    * text, and every pattern is RE2-safe so any engine reproduces the
+    * extraction byte-for-byte. Unclosed script/style blocks strip to
+    * end-of-document (the browser-compatible reading). Null → ''.
+    */
+  def htmlToText(html: Column): Column = {
+    val t0 = coalesce(html, lit(""))
+    val t1 = regexp_replace(t0, "(?s)<!--.*?-->", " ")
+    val t2 = regexp_replace(t1,
+      "(?is)<script\\b[^>]*>.*?(</script\\s*>|$)", " ")
+    val t3 = regexp_replace(t2,
+      "(?is)<style\\b[^>]*>.*?(</style\\s*>|$)", " ")
+    val t4 = regexp_replace(t3, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+      "&amp;" -> "&" // last: &amp;lt; -> &lt; literally, not <
+    ).foldLeft(t4) { case (c, (pat, rep)) =>
+      // entity names are regex-safe literals — no quoting layer to
+      // diverge from the oracle's identical patterns
+      regexp_replace(c, pat, rep)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** `<title>` content of an HTML document ('' when absent), whitespace
+    * collapsed — the usual metadata column next to [[htmlToText]].
+    */
+  def htmlTitle(html: Column): Column =
+    trim(regexp_replace(
+      regexp_extract(coalesce(html, lit("")),
+        "(?is)<title\\b[^>]*>(.*?)</title\\s*>", 1),
+      "\\s+", " "))
+
   /** The Gopher rule stopword list (Rae et al. 2021, arXiv:2112.11446,
     * A1.1): a document must contain at least two of these to pass.
     */

@@ -255,6 +255,28 @@ class TextDedupSpec extends SparkTestBase {
     assert(uncapped.count() == 10, "without the cap all 5-choose-2 pairs appear")
   }
 
+  test("htmlToText strips tags/script/style/comments and decodes entities") {
+    val html = """<html><head><title> My  Page </title>
+      |<style type="text/css">body { margin: 0; }</style>
+      |<script>if (1 < 2) { alert("x"); }</script></head>
+      |<body><!-- header --><h1>Hello &amp; welcome</h1>
+      |<p>A &lt;b&gt; is &quot;bold&quot;; it&#39;s &nbsp;markup.</p>
+      |<p>Escaped entity: &amp;lt; stays literal.</p></body></html>""".stripMargin
+    val out = Seq((1L, html)).toDF("id", "html").select(
+      TextAnalysis.htmlToText(col("html")).as("text"),
+      TextAnalysis.htmlTitle(col("html")).as("title")).head
+    assert(out.getString(0) == "My Page Hello & welcome " +
+      "A <b> is \"bold\"; it's markup. Escaped entity: &lt; stays literal.")
+    assert(out.getString(1) == "My Page")
+    // unclosed script strips to end-of-document; null html -> ''
+    val rows = Seq((1L, "before<script>var x = 1;"),
+      (2L, null.asInstanceOf[String])).toDF("id", "html")
+      .select(col("id"), TextAnalysis.htmlToText(col("html")))
+      .orderBy("id").collect()
+    assert(rows(0).getString(1) == "before")
+    assert(rows(1).getString(1) == "")
+  }
+
   test("compressionRatio separates repetitive floods from prose") {
     val prose = "The committee reviewed seventeen distinct proposals before " +
       "lunch, rejecting most for budget reasons nobody could quite explain."
