@@ -304,6 +304,21 @@ object SparkEntry {
         operators.TextAnalysis.dedupLinesWithinDoc(col("text")).as("clean"))
     }),
 
+    // C4 three-sentence-span global dedup: documents sentencified with a
+    // period after every 5 tokens, a shared 3-sentence span planted on
+    // every 6th doc; later occurrences lose their sentences.
+    "q_c4_span_dedup" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          regexp_replace(coalesce(col("text"), lit("")),
+            "(\\S+ \\S+ \\S+ \\S+ \\S+)", "$1."),
+          when(col("doc_id") % 6 === 0,
+            lit(" Alpha beta gamma. Delta epsilon zeta. Eta theta iota."))
+            .otherwise(lit(""))).as("text"))
+      operators.TextAnalysis.dedupSentenceSpansGlobal(
+        corpus, "doc_id", "text", k = 3)
+    }),
+
     // HTML -> text extraction over a deterministic synthetic wrapping of
     // each document (title, style, script with a raw '<', comment,
     // entities) — the crawl-side step before every text operator.
@@ -2693,6 +2708,50 @@ object SparkEntry {
         |SELECT doc_id,
         |  array_to_string(list(line ORDER BY pos), chr(10)) AS clean
         |FROM firsts GROUP BY doc_id""".stripMargin,
+
+    // C4 span dedup: sentencify (period per 5 tokens, '\1' replacement is
+    // DuckDB's '$1'), plant the shared span, rank spans by (doc, pos),
+    // remove rank>=2 occurrences' sentences, reassemble.
+    "q_c4_span_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    regexp_replace(coalesce(text, ''),
+        |      '(\S+ \S+ \S+ \S+ \S+)', '\1.', 'g')
+        |    || CASE WHEN doc_id % 6 = 0
+        |       THEN ' Alpha beta gamma. Delta epsilon zeta. Eta theta iota.'
+        |       ELSE '' END AS text
+        |  FROM documents),
+        |sent AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$'),
+        |      s -> trim(s)), s -> s <> '') AS sents
+        |  FROM corpus),
+        |sr AS (
+        |  SELECT doc_id, i AS pos, sents[i] AS s
+        |  FROM sent, UNNEST(range(1, len(sents) + 1)) u(i)),
+        |sp AS (
+        |  SELECT doc_id, i AS spos, array_to_string(sents[i:i+2], ' ') AS span
+        |  FROM sent, UNNEST(range(1, len(sents) - 3 + 2)) u(i)
+        |  WHERE len(sents) >= 3),
+        |rk AS (
+        |  SELECT doc_id, spos,
+        |    row_number() OVER (PARTITION BY span ORDER BY doc_id, spos) AS rn
+        |  FROM sp),
+        |rem AS (
+        |  SELECT DISTINCT doc_id, spos + o AS pos
+        |  FROM rk, UNNEST(range(0, 3)) t(o) WHERE rn >= 2),
+        |kept AS (
+        |  SELECT s.doc_id, s.pos, s.s
+        |  FROM sr s ANTI JOIN rem r ON r.doc_id = s.doc_id AND r.pos = s.pos),
+        |agg AS (
+        |  SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS text,
+        |    count(*) AS nk
+        |  FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, coalesce(a.text, '') AS text,
+        |  CAST(len(se.sents) - coalesce(a.nk, 0) AS INTEGER) AS removed_sentences
+        |FROM corpus c JOIN sent se ON se.doc_id = c.doc_id
+        |LEFT JOIN agg a ON a.doc_id = c.doc_id""".stripMargin,
 
     // HTML extraction: the html CTE mirrors the query's synthetic wrap;
     // the strip/decode chain mirrors htmlToText step-for-step (same RE2

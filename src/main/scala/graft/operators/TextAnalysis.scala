@@ -485,6 +485,79 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("__kept"), lit("")).as(textCol))
   }
 
+  /** Regex sentence segmentation: maximal runs ending in `.!?` (the
+    * punctuation stays with its sentence) plus a final unpunctuated
+    * fragment, trimmed, empties dropped. The RE2-safe approximation —
+    * no lookbehind, so any engine segments identically; abbreviation
+    * handling ("Dr.") is out of scope, as it was for the C4-class
+    * pipelines this feeds.
+    */
+  def sentences(text: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(coalesce(text, lit("")),
+          lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0)),
+        s => trim(s)),
+      s => s =!= "")
+
+  /** The C4 dedup rule at its ORIGINAL granularity (Raffel et al. 2020):
+    * any `k`-sentence span (default 3) occurring more than once
+    * corpus-wide keeps its first occurrence — smallest (`idCol`, span
+    * position) — and every other occurrence has its `k` sentences
+    * removed. Documents reassemble from surviving sentences in order
+    * (single-space joined); every input document appears exactly once,
+    * with `removed_sentences` counting the loss.
+    *
+    * Span identity is the same 128-bit hash pair as
+    * [[ExactSubstrings]] (collision mass ~0 at corpus scale). Shape:
+    * sentence explode (narrow), ONE exchange partitioned by span hash
+    * for the keep-first rank (WindowGroupLimit prunes map-side), an
+    * explode of the REMOVED occurrences' positions only, one anti-join
+    * + regroup to rebuild documents.
+    */
+  def dedupSentenceSpansGlobal(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      salt: String = "graft-c4"): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"span size must be >= 1, got $k")
+    val W = org.apache.spark.sql.expressions.Window
+    val sent = df.select(col(idCol), col(textCol))
+      .withColumn("__sents", sentences(col(textCol)))
+    val sentRows = sent.select(col(idCol),
+      posexplode(col("__sents")).as(Seq("__p0", "__s")))
+      .select(col(idCol), (col("__p0") + 1).as("__pos"), col("__s"))
+    val spanRows = sent
+      .where(size(col("__sents")) >= k)
+      .select(col(idCol),
+        posexplode(shinglesOfTokens(col("__sents"), k))
+          .as(Seq("__sp0", "__span")))
+      .select(col(idCol), (col("__sp0") + 1).as("__spos"),
+        xxhash64(col("__span")).as("__h1"),
+        xxhash64(lit(salt), col("__span")).as("__h2"))
+    val rank = row_number().over(
+      W.partitionBy("__h1", "__h2").orderBy(col(idCol), col("__spos")))
+    val removedPos = spanRows.withColumn("__rn", rank)
+      .where(col("__rn") >= 2)
+      .select(col(idCol),
+        explode(sequence(col("__spos"), col("__spos") + lit(k - 1)))
+          .as("__pos"))
+      .distinct()
+    val kept = sentRows.join(removedPos, Seq(idCol, "__pos"), "left_anti")
+    df.select(col(idCol), size(sentences(col(textCol))).as("__n"))
+      .join(kept.groupBy(idCol)
+        .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("__pos"), col("__s")))),
+            s => s.getField("__s"))).as("__kept"),
+          count(lit(1)).as("__nk")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__kept"), lit("")).as(textCol),
+        (col("__n") - coalesce(col("__nk"), lit(0L)))
+          .cast("int").as("removed_sentences"))
+  }
+
   /** PII scrubbing for training corpora: URLs, email addresses and IPv4
     * addresses replaced with placeholder tokens, in that order (URLs first
     * so an address embedded in a URL redacts as one URL, not URL + email).

@@ -255,6 +255,23 @@ class TextDedupSpec extends SparkTestBase {
     assert(uncapped.count() == 10, "without the cap all 5-choose-2 pairs appear")
   }
 
+  test("dedupSentenceSpansGlobal removes later occurrences of 3-sentence spans") {
+    val span = "One two. Three four. Five six."
+    val df = Seq(
+      (1L, s"Intro here. $span Outro final"),
+      (2L, s"$span Trailing bit."),
+      (3L, "Nothing shared at all. Second sentence only.")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSentenceSpansGlobal(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getString(1) ==
+      s"Intro here. $span Outro final".replaceAll("\\s+", " ")
+      && out(0).getInt(2) == 0, s"first occurrence keeps all: ${out(0)}")
+    assert(out(1).getString(1) == "Trailing bit." && out(1).getInt(2) == 3)
+    assert(out(2).getInt(2) == 0)
+  }
+
   test("htmlToText strips tags/script/style/comments and decodes entities") {
     val html = """<html><head><title> My  Page </title>
       |<style type="text/css">body { margin: 0; }</style>
