@@ -1067,6 +1067,13 @@ object SparkEntry {
         .select(col("doc_id"), col("domain"))
     }),
 
+    // Domain blocklist: drop documents whose URL host is (or lives
+    // under) a blocked domain.
+    "q_blocklist_filter" -> ((s, dir) => {
+      operators.Urls.filterBlockedDomains(
+        urlCorpus(s, dir), "url", Seq("example.co.uk", "example.org"))
+    }),
+
     // URL-identity dedup: canonicalize, then keep the first doc per
     // canonical URL — the crawl-side step BEFORE content dedup.
     "q_url_dedup" -> ((s, dir) => {
@@ -1729,6 +1736,31 @@ object SparkEntry {
         |         THEN d.ls[-3] || '.' || d.ls[-2] || '.' || d.ls[-1]
         |       ELSE d.ls[-2] || '.' || d.ls[-1] END AS domain
         |FROM comp c JOIN dom d ON c.doc_id = d.doc_id""".stripMargin,
+
+    // Blocklist: host (userinfo/port/www-stripped, lowered) equals a
+    // blocked domain or ends with '.'+domain.
+    "q_blocklist_filter" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 5 AS INTEGER)
+        |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/'
+        |                  || doc_id::VARCHAR || '?utm_source=feed&b=2&a=1#frag'
+        |      WHEN 1 THEN 'http://' || source || '.example.com:80/' || doc_id::VARCHAR
+        |      WHEN 2 THEN 'http://user:pw@' || source || '.example.co.uk:8080/x?z=1&y=2&gclid=abc'
+        |      WHEN 3 THEN 'https://cdn.' || source || '.example.org/a/b/?fbclid=1'
+        |      ELSE 'not a url ' || doc_id::VARCHAR END AS url
+        |  FROM documents),
+        |hostp AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_replace(
+        |        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |        '^[^@]*@', '')),
+        |      ':[0-9]+$', ''), '^www\.', '') AS h
+        |  FROM urls)
+        |SELECT doc_id, url FROM hostp
+        |WHERE NOT (h = 'example.co.uk' OR h LIKE '%.example.co.uk'
+        |           OR h = 'example.org' OR h LIKE '%.example.org')""".stripMargin,
 
     // Canonical-URL keep-first dedup: the canon CTE chain mirrors
     // q_url_canonical; rank 1 per canon_url by doc_id survives.

@@ -106,6 +106,29 @@ object Urls {
       .otherwise(concat(scheme, lit("://"), hostPart, path, qstr))
   }
 
+  /** Drop rows whose URL's host IS one of `blocked` or lives under one
+    * (label-boundary suffix match: blocking `example.com` blocks
+    * `a.example.com` but NOT `notexample.com`). The crawl blocklist /
+    * allowlist-complement step. `blocked` entries are hosts or domains,
+    * lowercased here; rows with no parseable host are KEPT (they are not
+    * on the list — filter them separately if non-URLs should go too).
+    * Pure per-row expressions against a literal array — list sizes in
+    * the thousands stay well inside codegen; for list sizes in the
+    * millions use an anti-join on [[registrableDomain]] instead.
+    */
+  def filterBlockedDomains(
+      df: DataFrame,
+      urlCol: String,
+      blocked: Seq[String]): DataFrame = {
+    if (blocked.isEmpty) df
+    else {
+      val list = array(blocked.map(b => lit(b.toLowerCase)): _*)
+      val h = host(col(urlCol))
+      df.where(!exists(list, b =>
+        h === b || h.endsWith(concat(lit("."), b))))
+    }
+  }
+
   /** Keep at most `n` rows per registrable domain of `urlCol`, best
     * first by `orderCols` — [[Sampling.limitPerGroup]] keyed on
     * [[registrableDomain]]. Rows whose URL yields no domain share one

@@ -35,6 +35,22 @@ class UrlsSpec extends SparkTestBase {
     assert(dom("plain text").isEmpty)
   }
 
+  test("filterBlockedDomains blocks hosts and subdomains at label boundaries") {
+    val df = Seq(
+      (1L, "https://example.com/a"),
+      (2L, "https://a.b.example.com/x"),
+      (3L, "https://notexample.com/y"),
+      (4L, "https://WWW.Example.COM/z"),
+      (5L, "plain text no host"),
+      (6L, "https://other.org/")
+    ).toDF("id", "url")
+    val kept = Urls.filterBlockedDomains(df, "url", Seq("Example.com"))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(3L, 5L, 6L))
+    // empty blocklist is the identity
+    assert(Urls.filterBlockedDomains(df, "url", Nil).count() == 6)
+  }
+
   test("perDomainQuota caps per registrable domain, best-first") {
     val df = (1 to 10).map { i =>
       (i.toLong, s"https://h$i.example.com/p")
