@@ -1695,9 +1695,10 @@ object SparkEntry {
         |      WHEN 3 THEN 'https://cdn.' || source || '.example.org/a/b/?fbclid=1'
         |      ELSE 'not a url ' || doc_id::VARCHAR END AS url
         |  FROM documents),
-        |c1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*', '') AS u FROM urls),
+        |c1 AS (SELECT doc_id, trim(url) AS raw,
+        |  regexp_replace(trim(url), '#.*', '') AS u FROM urls),
         |parts AS (
-        |  SELECT doc_id, u,
+        |  SELECT doc_id, raw, u,
         |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |    lower(regexp_replace(
         |      regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
@@ -1705,12 +1706,12 @@ object SparkEntry {
         |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS pathq
         |  FROM c1),
         |hostp AS (
-        |  SELECT doc_id, u, scheme, pathq,
+        |  SELECT doc_id, raw, scheme, pathq,
         |    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
         |    regexp_replace(regexp_replace(auth, ':[0-9]+$', ''), '^www\.', '') AS barehost
         |  FROM parts),
         |comp AS (
-        |  SELECT doc_id, u, scheme, barehost,
+        |  SELECT doc_id, raw, scheme, barehost,
         |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
         |              AND NOT (scheme = 'https' AND port = '443')
         |         THEN barehost || ':' || port ELSE barehost END AS hostpart,
@@ -1725,7 +1726,7 @@ object SparkEntry {
         |dom AS (
         |  SELECT doc_id, barehost, string_split(barehost, '.') AS ls FROM comp)
         |SELECT c.doc_id,
-        |  CASE WHEN c.scheme = '' THEN c.u
+        |  CASE WHEN c.scheme = '' THEN c.raw
         |       ELSE c.scheme || '://' || c.hostpart || c.path ||
         |         CASE WHEN len(c.params) = 0 THEN ''
         |              ELSE '?' || array_to_string(c.params, '&') END END AS canon_url,
@@ -1775,9 +1776,10 @@ object SparkEntry {
         |      WHEN 3 THEN 'https://cdn.' || source || '.example.org/a/b/?fbclid=1'
         |      ELSE 'not a url ' || doc_id::VARCHAR END AS url
         |  FROM documents),
-        |c1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*', '') AS u FROM urls),
+        |c1 AS (SELECT doc_id, trim(url) AS raw,
+        |  regexp_replace(trim(url), '#.*', '') AS u FROM urls),
         |parts AS (
-        |  SELECT doc_id, u,
+        |  SELECT doc_id, raw, u,
         |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |    lower(regexp_replace(
         |      regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
@@ -1785,12 +1787,12 @@ object SparkEntry {
         |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS pathq
         |  FROM c1),
         |hostp AS (
-        |  SELECT doc_id, u, scheme, pathq,
+        |  SELECT doc_id, raw, scheme, pathq,
         |    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
         |    regexp_replace(regexp_replace(auth, ':[0-9]+$', ''), '^www\.', '') AS barehost
         |  FROM parts),
         |comp AS (
-        |  SELECT doc_id, u, scheme,
+        |  SELECT doc_id, raw, scheme,
         |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
         |              AND NOT (scheme = 'https' AND port = '443')
         |         THEN barehost || ':' || port ELSE barehost END AS hostpart,
@@ -1804,7 +1806,7 @@ object SparkEntry {
         |  FROM hostp),
         |canon AS (
         |  SELECT doc_id,
-        |    CASE WHEN scheme = '' THEN u
+        |    CASE WHEN scheme = '' THEN raw
         |         ELSE scheme || '://' || hostpart || path ||
         |           CASE WHEN len(params) = 0 THEN ''
         |                ELSE '?' || array_to_string(params, '&') END END AS canon_url

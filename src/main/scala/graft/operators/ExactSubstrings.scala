@@ -230,7 +230,12 @@ object ExactSubstrings {
       .write.mode("append").partitionBy("__hb").parquet(path)
   }
 
-  /** Read the index back for probing, failing loudly on parameter drift. */
+  /** Read the index back for probing, failing loudly on parameter
+    * drift. A sidecar-committed index with no data files yet (every
+    * batch so far was sub-`w` tokens) is a VALID empty index and loads
+    * as an empty frame with the index schema — `spark.read.parquet`
+    * alone would die on schema inference there.
+    */
   def loadSubstrIndex(
       spark: SparkSession,
       path: String,
@@ -244,8 +249,14 @@ object ExactSubstrings {
         s"no $ParamsFileName sidecar at $path — not a substring index, " +
           "or a build crashed before committing parameters"))
     checkParams(parseParams(stored), w, salt, buckets, path)
-    spark.read.parquet(path)
+    if (hasParquetData(fs, dir)) spark.read.parquet(path)
+    else emptyIndex(spark)
   }
+
+  /** Empty frame in index shape (`__hb`, `__h1`, `__h2`). */
+  private def emptyIndex(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("__hb"),
+      col("id").as("__h1"), col("id").as("__h2"))
 
   /** Rewrite the index: distinct hashes, ~`targetFileBytes` files, rows
     * range-partitioned and sorted on (`__hb`, `__h1`) so probe scans also
@@ -258,6 +269,9 @@ object ExactSubstrings {
       spark: SparkSession,
       path: String,
       targetFileBytes: Long = 128L << 20): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!hasParquetData(fs, dir)) return // data-less index: nothing to do
     val df = spark.read.parquet(path).distinct()
     val n = Compaction.targetFileCount(df, targetFileBytes)
     val shaped = df
@@ -289,35 +303,66 @@ object ExactSubstrings {
       buckets: Int = IndexBuckets,
       includeBatchInternal: Boolean = true,
       broadcastBatch: Boolean = true): DataFrame = {
-    val wins = windowRows(batch, idCol, textCol, w, salt)
+    // pinned: the window rows feed both the index join and the
+    // within-batch duplicate scan — unpinned, the tokenize + shingle +
+    // double-hash chain would run once per consumer
+    val wins = graft.core.Caches.pin(
+      bucketedWindowRows(batch, idCol, textCol, w, salt, buckets))
+    spansFromWins(wins, Some(index), idCol, w,
+      includeBatchInternal, broadcastBatch)
+  }
+
+  /** Bucketed window-hash rows: (`idCol`, pos, __h1, __h2, __hb). */
+  private def bucketedWindowRows(
+      batch: DataFrame, idCol: String, textCol: String,
+      w: Int, salt: String, buckets: Int): DataFrame =
+    windowRows(batch, idCol, textCol, w, salt)
       .withColumn("__hb", pmod(col("__h1"), lit(buckets.toLong)))
+
+  /** Island-merged spans from ALREADY-HASHED window rows: hits against
+    * `index` (when given) unioned with within-batch duplicates (when
+    * asked) — every consumer reads the same `wins`, which the caller is
+    * expected to have pinned.
+    */
+  private def spansFromWins(
+      wins: DataFrame,
+      index: Option[DataFrame],
+      idCol: String,
+      w: Int,
+      includeBatchInternal: Boolean,
+      broadcastBatch: Boolean): DataFrame = {
     // Index streamed, batch broadcast: Spark only builds the RIGHT side
     // of a broadcast join (a left-semi with the batch on the left would
     // drop the hint and shuffle the index), so stream the index as the
     // left of an INNER join against the broadcast batch and de-dup the
     // (id, pos) hits — duplicate index rows from repeated appends would
     // otherwise multiply them.
-    val vsIndex = (
-      if (broadcastBatch)
-        index.join(broadcast(wins), Seq("__hb", "__h1", "__h2"))
-      else wins.join(index, Seq("__hb", "__h1", "__h2"), "left_semi"))
-      .select(col(idCol), col("pos"))
+    val vsIndex = index.map { ix =>
+      (if (broadcastBatch)
+        ix.join(broadcast(wins), Seq("__hb", "__h1", "__h2"))
+      else wins.join(ix, Seq("__hb", "__h1", "__h2"), "left_semi"))
+        .select(col(idCol), col("pos"))
+        .distinct()
+    }
+    val withinBatch =
+      if (includeBatchInternal || index.isEmpty) {
+        val overHash = Window.partitionBy("__h1", "__h2")
+        Some(wins.withColumn("__c", count(lit(1)).over(overHash))
+          .where(col("__c") >= 2)
+          .select(col(idCol), col("pos")))
+      } else None
+    val hits = (vsIndex.toSeq ++ withinBatch.toSeq)
+      .reduce(_.unionByName(_))
       .distinct()
-    val hits =
-      if (includeBatchInternal)
-        vsIndex.unionByName(
-          repeatedWindowPositions(batch, idCol, textCol, w, 2, salt))
-          .distinct()
-      else vsIndex
     mergeIslands(hits, idCol, w)
   }
 
   /** Spans of `batch` vs whatever index exists at `path` — including
     * windows repeated within the batch itself. Bootstraps cleanly: no
     * sidecar yet (first-ever batch), or a sidecar but no data files yet
-    * (every prior batch was sub-`w` tokens — `spark.read.parquet` could
-    * not infer a schema from that) both fall back to within-batch-only
-    * spans; a PRESENT sidecar still validates parameters either way.
+    * (every prior batch was sub-`w` tokens) both fall back to
+    * within-batch-only spans; a PRESENT sidecar still validates
+    * parameters either way.
     */
   def spansForBatch(
       batch: DataFrame,
@@ -327,18 +372,37 @@ object ExactSubstrings {
       w: Int = 10,
       salt: String = "graft-es",
       buckets: Int = IndexBuckets,
-      broadcastBatch: Boolean = true): DataFrame = {
+      broadcastBatch: Boolean = true): DataFrame =
+    winsAndSpans(batch, path, idCol, textCol, w, salt, buckets,
+      broadcastBatch)._2
+
+  /** (pinned window rows, spans vs the index at `path`): the shared core
+    * of [[spansForBatch]], [[ingestBatch]] and the streaming sink — the
+    * batch text is tokenized and hashed exactly once and the pinned rows
+    * serve the probe, the within-batch scan AND the index delta.
+    */
+  private[graft] def winsAndSpans(
+      batch: DataFrame,
+      path: String,
+      idCol: String,
+      textCol: String,
+      w: Int,
+      salt: String,
+      buckets: Int,
+      broadcastBatch: Boolean): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val stored = graft.io.Sidecar.read(fs, dir, ParamsFileName)
     stored.foreach(s => checkParams(parseParams(s), w, salt, buckets, path))
-    if (stored.isDefined && hasParquetData(fs, dir))
-      repeatedSpansAgainstIndex(batch, spark.read.parquet(path),
-        idCol, textCol, w, salt, buckets,
-        includeBatchInternal = true, broadcastBatch)
-    else
-      repeatedSpans(batch, idCol, textCol, w, 2, salt)
+    val wins = graft.core.Caches.pin(
+      bucketedWindowRows(batch, idCol, textCol, w, salt, buckets))
+    val index =
+      if (stored.isDefined && hasParquetData(fs, dir))
+        Some(spark.read.parquet(path))
+      else None
+    (wins, spansFromWins(wins, index, idCol, w,
+      includeBatchInternal = true, broadcastBatch))
   }
 
   /** Early-exit probe for an actual non-empty parquet data file. */
@@ -358,8 +422,18 @@ object ExactSubstrings {
     * within the batch) are cut out, the batch's ORIGINAL window hashes
     * are appended to the index — so a future re-delivery of the same
     * content dedups against it even where this batch's copy was cut —
-    * and the cleaned batch is returned. O(batch) end to end; history is
-    * never re-read.
+    * and the cleaned batch is returned (already materialized via an
+    * eager checkpoint). O(batch) end to end; history is never re-read.
+    *
+    * RETRY HAZARD: the index append commits before this call returns,
+    * so if the CALLER's downstream write of the cleaned batch fails and
+    * the whole cycle is re-run, the re-run probes against the batch's
+    * own hashes and cuts every ≥ w-token document to empty. A pipeline
+    * with retry boundaries should persist the cleaned output durably
+    * before anything can re-run the cycle — or use
+    * [[graft.streaming.StreamingOps.substrIngestSink]], whose
+    * corpus-BEFORE-index ordering turns a replay into duplicates
+    * (healed downstream) instead of silent loss.
     */
   def ingestBatch(
       batch: DataFrame,
@@ -370,21 +444,25 @@ object ExactSubstrings {
       salt: String = "graft-es",
       buckets: Int = IndexBuckets,
       broadcastBatch: Boolean = true): DataFrame = {
-    val spans = spansForBatch(batch, path, idCol, textCol, w, salt,
+    val (wins, spans) = winsAndSpans(batch, path, idCol, textCol, w, salt,
       buckets, broadcastBatch)
-    // Materialize the cleaned batch BEFORE appending to the index: the
-    // probe plan re-lists the index directory at execution time, so a
-    // lazily-evaluated result read after the append would see the batch's
-    // own freshly-appended hashes and cut every >= w-token document to
-    // nothing. The checkpoint is batch-sized; callers running inside
-    // [[graft.core.Caches.collectPins]] release it with the scope.
-    val cleaned = cutSpans(batch, spans, idCol, textCol)
-      .localCheckpoint(true)
-    graft.core.Caches.registerCheckpoint(cleaned)
-    writeSubstrIndex(
-      indexRowsFor(batch, idCol, textCol, w, salt, buckets),
-      path, w, salt, buckets)
-    cleaned
+    try {
+      // Materialize the cleaned batch BEFORE appending to the index: the
+      // probe plan re-lists the index directory at execution time, so a
+      // lazily-evaluated result read after the append would see the
+      // batch's own freshly-appended hashes and cut every >= w-token
+      // document to nothing. The checkpoint is batch-sized; callers
+      // running inside [[graft.core.Caches.collectPins]] release it with
+      // the scope.
+      val cleaned = cutSpans(batch, spans, idCol, textCol)
+        .localCheckpoint(true)
+      graft.core.Caches.registerCheckpoint(cleaned)
+      writeSubstrIndex(
+        wins.select("__hb", "__h1", "__h2").distinct(),
+        path, w, salt, buckets)
+      cleaned
+    } finally wins.unpersist() // cleaned is checkpointed, index written:
+    // nothing references the pinned rows — on failure paths either
   }
 
   private def parseParams(text: String): (Int, String, Int) = {

@@ -64,6 +64,19 @@ object Graphs {
       eDeg.select(col("__src").as("node"))
         .unionByName(eDeg.select(col("__dst").as("node")))
         .distinct())
+    try pageRankIterations(eDeg, nodes, iterations, damping)
+    // finally, not success-path-only: the empty-graph require and any
+    // mid-iteration failure would otherwise leak both session-lifetime
+    // pins on every retry (the result is checkpointed — nothing
+    // references the pins after return either way)
+    finally { eDeg.unpersist(); nodes.unpersist() }
+  }
+
+  private def pageRankIterations(
+      eDeg: DataFrame,
+      nodes: DataFrame,
+      iterations: Int,
+      damping: Double): DataFrame = {
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
     val reset = (1.0 - damping) / n
@@ -96,10 +109,6 @@ object Graphs {
     // the final checkpoint is the RESULT — the caller owns its lifecycle
     // (a collectPins scope releases it after materializing downstream)
     graft.core.Caches.registerCheckpoint(pr)
-    // the edge/node pins fed only the iterations; the checkpointed
-    // result no longer references them
-    eDeg.unpersist()
-    nodes.unpersist()
     pr
   }
 }

@@ -545,7 +545,10 @@ object TextAnalysis {
           .as("__pos"))
       .distinct()
     val kept = sentRows.join(removedPos, Seq(idCol, "__pos"), "left_anti")
-    df.select(col(idCol), size(sentences(col(textCol))).as("__n"))
+    // sentence count from the already-segmented array — re-running
+    // sentences() on the raw text here would be a third corpus-wide
+    // regex pass
+    sent.select(col(idCol), size(col("__sents")).as("__n"))
       .join(kept.groupBy(idCol)
         .agg(concat_ws(" ",
           transform(array_sort(collect_list(struct(col("__pos"), col("__s")))),

@@ -82,7 +82,8 @@ object Urls {
     * Inputs without `scheme://` are returned trimmed, unchanged.
     */
   def canonicalizeUrl(url: Column): Column = {
-    val u = regexp_replace(trim(coalesce(url, lit(""))), "#.*", "")
+    val raw = trim(coalesce(url, lit("")))
+    val u = regexp_replace(raw, "#.*", "")
     val scheme = lower(regexp_extract(u, SchemeRe, 1))
     val auth = lower(regexp_replace(
       regexp_extract(u, SchemeRe + "([^/?#]*)", 2), "^[^@]*@", ""))
@@ -102,7 +103,10 @@ object Urls {
       p => p =!= "" && !p.rlike(TrackingParamPattern)))
     val qstr = when(size(params) === 0, lit(""))
       .otherwise(concat(lit("?"), array_join(params, "&")))
-    when(scheme === "", u)
+    // no-scheme inputs pass through with the FRAGMENT intact too — a
+    // relative reference's '#' is still part of its identity, and the
+    // contract is "trimmed, unchanged"
+    when(scheme === "", raw)
       .otherwise(concat(scheme, lit("://"), hostPart, path, qstr))
   }
 
@@ -120,9 +124,14 @@ object Urls {
       df: DataFrame,
       urlCol: String,
       blocked: Seq[String]): DataFrame = {
-    if (blocked.isEmpty) df
+    // normalize entries the way blocklist FILES actually arrive:
+    // whitespace-padded, leading-dot (".example.com") convention, mixed
+    // case — un-normalized, such entries silently match nothing
+    val norm = blocked.map(_.trim.toLowerCase.dropWhile(_ == '.'))
+      .filter(_.nonEmpty).distinct
+    if (norm.isEmpty) df
     else {
-      val list = array(blocked.map(b => lit(b.toLowerCase)): _*)
+      val list = array(norm.map(lit(_)): _*)
       val h = host(col(urlCol))
       df.where(!exists(list, b =>
         h === b || h.endsWith(concat(lit("."), b))))

@@ -422,11 +422,14 @@ object StreamingOps {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           val es = graft.operators.ExactSubstrings
-          // scope the per-batch checkpoint exactly like dedupIngestSink:
-          // one leaked pin per micro-batch is an unbounded-stream leak
+          // scope the per-batch checkpoint + window-row pin exactly like
+          // dedupIngestSink: one leaked pin per micro-batch is an
+          // unbounded-stream leak
           val (attempt, pins) = graft.core.Caches.collectPins(scala.util.Try {
-            val spans = es.spansForBatch(batch.toDF(), indexPath,
-              idCol, textCol, w, salt, buckets)
+            // the pinned window rows serve the probe, the within-batch
+            // scan AND the index delta — the batch text hashes once
+            val (wins, spans) = es.winsAndSpans(batch.toDF(), indexPath,
+              idCol, textCol, w, salt, buckets, broadcastBatch = true)
             // materialize BEFORE either append: the probe re-lists the
             // index directory at execution time (see ingestBatch)
             val cleaned = es.cutSpans(batch.toDF(), spans, idCol, textCol)
@@ -434,7 +437,7 @@ object StreamingOps {
             graft.core.Caches.registerCheckpoint(cleaned)
             cleaned.write.mode("append").parquet(corpusPath)
             es.writeSubstrIndex(
-              es.indexRowsFor(batch.toDF(), idCol, textCol, w, salt, buckets),
+              wins.select("__hb", "__h1", "__h2").distinct(),
               indexPath, w, salt, buckets)
           })
           pins.release()

@@ -128,6 +128,27 @@ class ExactSubstringsSpec extends SparkTestBase {
     } finally cleanup(new java.io.File(dir).getParent)
   }
 
+  test("sidecar-committed but data-less index loads empty; compact no-ops") {
+    val dir = tempDir() + "/idx"
+    try {
+      // a batch of only sub-w docs appends ZERO rows but commits params
+      val b = Seq((1L, "tiny")).toDF("doc_id", "text")
+      ExactSubstrings.writeSubstrIndex(
+        ExactSubstrings.indexRowsFor(b, w = 5), dir, w = 5)
+      val ix = ExactSubstrings.loadSubstrIndex(spark, dir, w = 5)
+      assert(ix.isEmpty, "data-less index must load as a valid empty frame")
+      ExactSubstrings.compactSubstrIndex(spark, dir) // must not crash
+      // probing the empty index degrades to within-batch-only semantics
+      val probe = Seq((9L, "a b c d e f")).toDF("doc_id", "text")
+      assert(ExactSubstrings.repeatedSpansAgainstIndex(probe, ix, w = 5)
+        .count() == 0)
+      // and param drift on the data-less index is still loud
+      intercept[IllegalArgumentException] {
+        ExactSubstrings.loadSubstrIndex(spark, dir, w = 7)
+      }
+    } finally cleanup(new java.io.File(dir).getParent)
+  }
+
   test("compactSubstrIndex: distincts duplicate appends, probe unchanged") {
     val dir = tempDir() + "/idx"
     try {

@@ -23,8 +23,10 @@ class UrlsSpec extends SparkTestBase {
     assert(canon("https://example.org?fbclid=1") == "https://example.org/")
     // path case and percent-encoding preserved
     assert(canon("https://example.com/A%2Fb") == "https://example.com/A%2Fb")
-    // no scheme -> trimmed passthrough
+    // no scheme -> trimmed passthrough, FRAGMENT INCLUDED (a relative
+    // reference's '#' is part of its identity)
     assert(canon("  not a url 42 ") == "not a url 42")
+    assert(canon("page.html#section2") == "page.html#section2")
   }
 
   test("registrableDomain: two-level suffixes, subdomains, no host") {
@@ -47,8 +49,13 @@ class UrlsSpec extends SparkTestBase {
     val kept = Urls.filterBlockedDomains(df, "url", Seq("Example.com"))
       .select("id").collect().map(_.getLong(0)).sorted
     assert(kept.toSeq == Seq(3L, 5L, 6L))
-    // empty blocklist is the identity
+    // blocklist-file conventions normalize: leading dot, padding, case
+    val kept2 = Urls.filterBlockedDomains(df, "url", Seq(" .Example.COM "))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept2.toSeq == Seq(3L, 5L, 6L))
+    // empty blocklist (and all-empty entries) is the identity
     assert(Urls.filterBlockedDomains(df, "url", Nil).count() == 6)
+    assert(Urls.filterBlockedDomains(df, "url", Seq(" . ", "")).count() == 6)
   }
 
   test("perDomainQuota caps per registrable domain, best-first") {
