@@ -822,6 +822,18 @@ object SparkEntry {
         fine, Seq("source"), Seq(0.25, 0.5, 0.9, 0.99))
     }),
 
+    // ---- snapshot quantile drift: distribution gate between a corpus
+    // and its refresh (every 3rd doc 100 chars longer) ----
+    "q_quantile_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val after = docs.select(
+        (col("n_chars") + when(col("doc_id") % 3 === 0, 100).otherwise(0))
+          .as("n_chars"))
+      operators.Validation.quantileDrift(
+        docs.select(col("n_chars")), after, "n_chars",
+        Seq(0.25, 0.5, 0.9, 0.99), k = 16384)
+    }),
+
     // ---- theta set-operation sketches: pairwise overlap of per-source
     // doc-length value sets from stored sketches — the contamination-
     // estimate shape; exact under lgK at test SF so DuckDB's distinct
@@ -2394,6 +2406,37 @@ object SparkEntry {
         |UNION ALL
         |SELECT source, 0.99::DOUBLE, quantile_disc(n_chars, 0.99)::DOUBLE
         |FROM documents GROUP BY source""".stripMargin,
+    // Quantile drift: exact under k at test SF, so quantile_disc per
+    // probe on each side is the oracle; drift is a double subtraction of
+    // identical values on both engines.
+    "q_quantile_drift" ->
+      """WITH b AS (SELECT n_chars FROM documents),
+        |a AS (SELECT n_chars + CASE WHEN doc_id % 3 = 0 THEN 100 ELSE 0 END
+        |        AS n_chars FROM documents)
+        |SELECT 0.25::DOUBLE AS prob,
+        |  (SELECT quantile_disc(n_chars, 0.25) FROM b)::DOUBLE AS q_before,
+        |  (SELECT quantile_disc(n_chars, 0.25) FROM a)::DOUBLE AS q_after,
+        |  (SELECT quantile_disc(n_chars, 0.25) FROM a)::DOUBLE
+        |    - (SELECT quantile_disc(n_chars, 0.25) FROM b)::DOUBLE AS drift
+        |UNION ALL
+        |SELECT 0.5::DOUBLE,
+        |  (SELECT quantile_disc(n_chars, 0.5) FROM b)::DOUBLE,
+        |  (SELECT quantile_disc(n_chars, 0.5) FROM a)::DOUBLE,
+        |  (SELECT quantile_disc(n_chars, 0.5) FROM a)::DOUBLE
+        |    - (SELECT quantile_disc(n_chars, 0.5) FROM b)::DOUBLE
+        |UNION ALL
+        |SELECT 0.9::DOUBLE,
+        |  (SELECT quantile_disc(n_chars, 0.9) FROM b)::DOUBLE,
+        |  (SELECT quantile_disc(n_chars, 0.9) FROM a)::DOUBLE,
+        |  (SELECT quantile_disc(n_chars, 0.9) FROM a)::DOUBLE
+        |    - (SELECT quantile_disc(n_chars, 0.9) FROM b)::DOUBLE
+        |UNION ALL
+        |SELECT 0.99::DOUBLE,
+        |  (SELECT quantile_disc(n_chars, 0.99) FROM b)::DOUBLE,
+        |  (SELECT quantile_disc(n_chars, 0.99) FROM a)::DOUBLE,
+        |  (SELECT quantile_disc(n_chars, 0.99) FROM a)::DOUBLE
+        |    - (SELECT quantile_disc(n_chars, 0.99) FROM b)::DOUBLE""".stripMargin,
+
     "q_bloom_prune_join" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS revenue

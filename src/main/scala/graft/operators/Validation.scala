@@ -142,4 +142,38 @@ object Validation {
       .where(col("diff").isNotNull)
       .select(keys.map(col) :+ col("diff"): _*)
   }
+
+  /** Distribution drift between two corpus snapshots: the quantiles of
+    * `valueCol` at each probe probability on both sides, side by side
+    * with their difference — the "did this refresh shift the length /
+    * quality / score distribution" gate run before promoting a new
+    * snapshot. Columns: `prob`, `q_before`, `q_after`,
+    * `drift` (= after − before).
+    *
+    * Built on the mergeable KLL machinery ([[Sketches.quantileSketches]]
+    * → [[Sketches.rollupQuantiles]]), so each side costs one scan plus a
+    * sketch-bytes exchange, and either side can instead be a PERSISTED
+    * sketch store rolled up across months of batches — history never
+    * rescans. Exact `percentile_disc` semantics while a side holds ≤ k
+    * values; KLL rank error (~1.7/√k) beyond — size `k` to the exactness
+    * window the gate needs.
+    */
+  def quantileDrift(
+      before: DataFrame,
+      after: DataFrame,
+      valueCol: String,
+      probs: Seq[Double],
+      k: Int = 4096): DataFrame = {
+    require(probs.nonEmpty, "probs must be non-empty")
+    def side(df: DataFrame, out: String): DataFrame =
+      Sketches.rollupQuantiles(
+        Sketches.quantileSketches(
+          df.select(lit(1).as("__all"), col(valueCol)),
+          Seq("__all"), valueCol, k),
+        Nil, probs, k)
+        .select(col("prob"), col("quantile").as(out))
+    side(before, "q_before").join(side(after, "q_after"), Seq("prob"))
+      .select(col("prob"), col("q_before"), col("q_after"),
+        (col("q_after") - col("q_before")).as("drift"))
+  }
 }

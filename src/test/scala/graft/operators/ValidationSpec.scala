@@ -97,6 +97,19 @@ class ValidationSpec extends SparkTestBase {
     assert(Validation.diffTables(before, before, Seq("k")).isEmpty)
   }
 
+  test("quantileDrift reports per-probe before/after quantiles and delta") {
+    val before = (1 to 100).map(_.toLong).toDF("v")
+    // shift the top half up by 1000: low probes flat, high probes drift
+    val after = (1 to 100).map(i => if (i > 50) i + 1000L else i.toLong)
+      .toDF("v")
+    val out = Validation.quantileDrift(before, after, "v",
+      Seq(0.25, 0.9), k = 4096)
+      .collect().map(r => r.getDouble(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(0.25) == ((25.0, 25.0, 0.0)))
+    assert(out(0.9) == ((90.0, 1090.0, 1000.0)))
+  }
+
   test("duplicate rule names are rejected") {
     val e = intercept[IllegalArgumentException] {
       Validation.check(df, Seq(
