@@ -32,9 +32,15 @@ object Graphs {
 
   /** PageRank by power iteration. `edges` is a DIRECTED edge list
     * (duplicate edges are collapsed); rank mass flows src → dst with
-    * uniform split over each source's out-edges. Nodes = every id
-    * appearing as src or dst. Returns (`node` string, `pr` double),
-    * summing to ~1 when every node has an out-edge.
+    * uniform split over each source's out-edges — or, with `weightCol`,
+    * proportionally to edge weight. Nodes = every id appearing as src
+    * or dst. Returns (`node` string, `pr` double), summing to ~1 when
+    * every node has an out-edge.
+    *
+    * Engine-exact reproducibility (the nano-unit story above) holds for
+    * the unweighted form and for INTEGER-VALUED weights (counts — the
+    * common case): their double sums are exact. Fractional weights sum
+    * with ordinary FP order-sensitivity in the per-source totals.
     *
     * Dangling nodes (no out-edges) simply leak their damped mass — the
     * standard simplification; pass a symmetrized edge list (both
@@ -47,19 +53,37 @@ object Graphs {
       srcCol: String,
       dstCol: String,
       iterations: Int = 3,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 1000,
       s"iterations must be in 1..1000, got $iterations")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
-    val e = edges.select(col(srcCol).cast("string").as("__src"),
-      col(dstCol).cast("string").as("__dst"))
-      .where(col("__src").isNotNull && col("__dst").isNotNull)
-      .distinct()
-    // out-degree is joined into the pinned edge table ONCE — an
-    // un-pinned `deg` would re-aggregate the edges in every iteration
+    // Weighted form: mass splits over out-edges proportionally to the
+    // edge weight instead of uniformly — duplicate (src, dst) pairs SUM
+    // their weights (a repeated link is a stronger link), null and
+    // non-positive weights drop (no mass). The per-edge share w/Σw is
+    // precomputed once into the pinned table, so iterations stay one
+    // join + one long-sum groupBy in both forms.
+    val e = weightCol match {
+      case None =>
+        edges.select(col(srcCol).cast("string").as("__src"),
+          col(dstCol).cast("string").as("__dst"))
+          .where(col("__src").isNotNull && col("__dst").isNotNull)
+          .distinct()
+          .withColumn("__w", lit(1.0))
+      case Some(wc) =>
+        edges.select(col(srcCol).cast("string").as("__src"),
+          col(dstCol).cast("string").as("__dst"),
+          col(wc).cast("double").as("__w"))
+          .where(col("__src").isNotNull && col("__dst").isNotNull
+            && col("__w").isNotNull && col("__w") > 0)
+          .groupBy("__src", "__dst").agg(sum(col("__w")).as("__w"))
+    }
+    // per-source weight total is joined into the pinned edge table ONCE
+    // — an un-pinned aggregate would re-run in every iteration
     val eDeg = graft.core.Caches.pin(
-      e.join(e.groupBy("__src").agg(count(lit(1)).as("__deg")), "__src"))
+      e.join(e.groupBy("__src").agg(sum(col("__w")).as("__wsum")), "__src"))
     val nodes = graft.core.Caches.pin(
       eDeg.select(col("__src").as("node"))
         .unionByName(eDeg.select(col("__dst").as("node")))
@@ -83,10 +107,14 @@ object Graphs {
     var pr = nodes.withColumn("pr", lit(1.0 / n))
     var prevCk: Option[DataFrame] = None
     (1 to iterations).foreach { i =>
+      // pr·w/Σw — for the unweighted form w = 1.0, so this is exactly
+      // pr/Σw (multiplying by 1.0 is an IEEE identity; the unweighted
+      // oracle's pr/deg expression stays bit-for-bit)
       val sums = eDeg
         .join(pr.withColumnRenamed("node", "__src"), "__src")
         .select(col("__dst").as("node"),
-          round(col("pr") / col("__deg") * lit(1e9)).cast("long").as("__nano"))
+          round(col("pr") * col("__w") / col("__wsum") * lit(1e9))
+            .cast("long").as("__nano"))
         .groupBy("node")
         .agg(sum(col("__nano")).as("__in"))
       var next = nodes.join(sums, Seq("node"), "left")

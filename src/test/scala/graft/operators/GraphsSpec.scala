@@ -51,6 +51,38 @@ class GraphsSpec extends SparkTestBase {
     assert(math.abs(got("d") - (1.0 - d) / n) < 1e-12)
   }
 
+  test("weighted pageRank splits mass by weight and matches the reference") {
+    // a splits 4:3 between b and c; duplicate (a,c) edges sum (1+2)
+    val edges = Seq(
+      ("a", "b", 4L), ("a", "c", 1L), ("a", "c", 2L),
+      ("b", "a", 1L), ("c", "a", 1L), ("x", "a", 0L)) // zero weight drops
+    val d = 0.85
+    val k = 2
+    val collapsed = edges.groupBy(e => (e._1, e._2))
+      .map { case ((s, t), es) => (s, t, es.map(_._3).sum.toDouble) }
+      .toSeq.filter(_._3 > 0)
+    val nodes = collapsed.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length
+    val wsum = collapsed.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var ref = nodes.map(_ -> 1.0 / n).toMap
+    (1 to k).foreach { _ =>
+      val in = nodes.map { v =>
+        v -> collapsed.filter(_._2 == v).map { case (s, _, w) =>
+          math.round(ref(s) * w / wsum(s) * 1e9)
+        }.sum
+      }.toMap
+      ref = nodes.map(v => v -> ((1.0 - d) / n + d * (in(v) / 1e9))).toMap
+    }
+    val got = Graphs.pageRank(edges.toDF("src", "dst", "w"), "src", "dst",
+      iterations = k, damping = d, weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == ref.keySet, "x drops with its zero-weight edge")
+    nodes.foreach(v => assert(got(v) == ref(v),
+      s"node $v: got ${got(v)}, want ${ref(v)}"))
+    // the 4:3 split is the only thing distinguishing b from c
+    assert(got("b") > got("c"))
+  }
+
   test("duplicate edges collapse; nulls drop; empty graph is loud") {
     val e = Seq(("a", "b"), ("a", "b"), ("b", "a"),
       (null.asInstanceOf[String], "x")).toDF("src", "dst")
