@@ -176,4 +176,28 @@ object Validation {
       .select(col("prob"), col("q_before"), col("q_after"),
         (col("q_after") - col("q_before")).as("drift"))
   }
+
+  /** [[quantileDrift]] over ALREADY-SKETCHED sides — e.g. two windows of
+    * a [[graft.streaming.StreamingOps.sketchStoreSink]] store, or this
+    * month's store vs last month's. Each side's sketch rows merge to one
+    * global sketch (`rollupCols = Nil` semantics); nothing rescans the
+    * data that built them. Both stores must have been built with the
+    * same `k` — KLL merge degrades to the smaller k silently, which
+    * would make the drift column compare sketches of different accuracy.
+    */
+  def quantileDriftFromSketches(
+      beforeSketches: DataFrame,
+      afterSketches: DataFrame,
+      probs: Seq[Double],
+      k: Int = 4096,
+      sketchCol: String = "qsketch"): DataFrame = {
+    require(probs.nonEmpty, "probs must be non-empty")
+    def side(sk: DataFrame, out: String): DataFrame =
+      Sketches.rollupQuantiles(sk, Nil, probs, k, sketchCol)
+        .select(col("prob"), col("quantile").as(out))
+    side(beforeSketches, "q_before")
+      .join(side(afterSketches, "q_after"), Seq("prob"))
+      .select(col("prob"), col("q_before"), col("q_after"),
+        (col("q_after") - col("q_before")).as("drift"))
+  }
 }

@@ -110,6 +110,24 @@ class ValidationSpec extends SparkTestBase {
     assert(out(0.9) == ((90.0, 1090.0, 1000.0)))
   }
 
+  test("quantileDriftFromSketches equals the direct path on stored sketches") {
+    val before = (1 to 100).map(_.toLong).toDF("v")
+    val after = (1 to 100).map(i => if (i > 50) i + 1000L else i.toLong)
+      .toDF("v")
+    val probs = Seq(0.25, 0.9)
+    def store(df: org.apache.spark.sql.DataFrame) =
+      Sketches.quantileSketches(
+        df.select(lit(1).as("__all"), col("v")), Seq("__all"), "v")
+    val viaStore = Validation.quantileDriftFromSketches(
+      store(before), store(after), probs)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    val direct = Validation.quantileDrift(before, after, "v", probs)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    assert(viaStore.toSeq == direct.toSeq)
+  }
+
   test("duplicate rule names are rejected") {
     val e = intercept[IllegalArgumentException] {
       Validation.check(df, Seq(
