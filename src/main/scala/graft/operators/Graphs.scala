@@ -80,10 +80,12 @@ object Graphs {
             && col("__w").isNotNull && col("__w") > 0)
           .groupBy("__src", "__dst").agg(sum(col("__w")).as("__w"))
     }
-    // per-source weight total is joined into the pinned edge table ONCE
-    // — an un-pinned aggregate would re-run in every iteration
+    // per-source weight total rides a WINDOW over the edge table — one
+    // exchange on the source key instead of aggregate + join-back (two);
+    // pinned ONCE so no iteration re-runs it
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("__src")
     val eDeg = graft.core.Caches.pin(
-      e.join(e.groupBy("__src").agg(sum(col("__w")).as("__wsum")), "__src"))
+      e.withColumn("__wsum", sum(col("__w")).over(bySrc)))
     val nodes = graft.core.Caches.pin(
       eDeg.select(col("__src").as("node"))
         .unionByName(eDeg.select(col("__dst").as("node")))
