@@ -1066,6 +1066,22 @@ object SparkEntry {
         "src", "dst", iterations = 3)
     }),
 
+    // Weighted form: every (order, lineitem) occurrence is one unit of
+    // edge weight (pageRank sums duplicate pairs), so rank mass follows
+    // trade VOLUME, not just trade existence.
+    "q_pagerank_weighted" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"),
+          lit(1L).as("w"))
+      operators.Graphs.pageRank(
+        pairs.unionByName(pairs.select(col("dst").as("src"),
+          col("src").as("dst"), col("w"))),
+        "src", "dst", iterations = 3, weightCol = Some("w"))
+    }),
+
     // ---- URL hygiene: canonicalization, domains, per-domain quota ----
     "q_url_canonical" -> ((s, dir) => {
       urlCorpus(s, dir).select(col("doc_id"),
@@ -1690,6 +1706,53 @@ object SparkEntry {
         |    SELECT e.dst AS node,
         |      CAST(sum(CAST(round(p.pr / deg.d * 1e9) AS BIGINT)) AS BIGINT) AS v
         |    FROM e JOIN i2 p ON p.node = e.src JOIN deg ON deg.src = e.src
+        |    GROUP BY e.dst) s ON s.node = nd.node)
+        |SELECT node, pr FROM i3""".stripMargin,
+
+    // Weighted PageRank: per-pair occurrence counts as weights, the
+    // per-source total carried as a window; same nano-unit discipline
+    // (integer-valued double weights sum exactly on both engines).
+    "q_pagerank_weighted" ->
+      """WITH pairs AS (
+        |  SELECT 'c' || o_custkey::VARCHAR AS src,
+        |    's' || l_suppkey::VARCHAR AS dst,
+        |    CAST(count(*) AS BIGINT)::DOUBLE AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT src, dst, w,
+        |    sum(w) OVER (PARTITION BY src) AS ws
+        |  FROM (SELECT src, dst, w FROM pairs
+        |        UNION ALL SELECT dst, src, w FROM pairs)),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |p0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS pr FROM nodes),
+        |i1 AS (
+        |  SELECT nd.node,
+        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      CAST(sum(CAST(round(p.pr * e.w / e.ws * 1e9) AS BIGINT)) AS BIGINT) AS v
+        |    FROM e JOIN p0 p ON p.node = e.src
+        |    GROUP BY e.dst) s ON s.node = nd.node),
+        |i2 AS (
+        |  SELECT nd.node,
+        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      CAST(sum(CAST(round(p.pr * e.w / e.ws * 1e9) AS BIGINT)) AS BIGINT) AS v
+        |    FROM e JOIN i1 p ON p.node = e.src
+        |    GROUP BY e.dst) s ON s.node = nd.node),
+        |i3 AS (
+        |  SELECT nd.node,
+        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      CAST(sum(CAST(round(p.pr * e.w / e.ws * 1e9) AS BIGINT)) AS BIGINT) AS v
+        |    FROM e JOIN i2 p ON p.node = e.src
         |    GROUP BY e.dst) s ON s.node = nd.node)
         |SELECT node, pr FROM i3""".stripMargin,
 

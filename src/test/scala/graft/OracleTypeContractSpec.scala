@@ -22,7 +22,11 @@ class OracleTypeContractSpec extends AnyFunSuite {
     */
   private val doubleArg =
     ("""l_quantity|l_extendedprice|l_discount|o_totalprice|value""" +
-      """|x \* s|\d\.\d|rrf_contrib""").r
+      """|x \* s|\d\.\d|rrf_contrib""" +
+      // q_pagerank_weighted's edge weight: built as count(*)::DOUBLE in
+      // its pairs CTE, so DuckDB sums DOUBLE — anchored to the bare
+      // column so no other integer arg can ride this exemption
+      """|^w$""").r
 
   /** (start, argument, tail) for each `sum(`/top-level aggregate call —
     * `list_sum` etc. are DuckDB list ops over doubles, excluded by the
