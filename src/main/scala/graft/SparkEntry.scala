@@ -822,6 +822,15 @@ object SparkEntry {
         fine, Seq("source"), Seq(0.25, 0.5, 0.9, 0.99))
     }),
 
+    // ---- winsorize: clamp a value column to its [5%, 95%] quantiles;
+    // every 50th doc carries a planted 1000x outlier to tame ----
+    "q_clip_quantiles" -> ((s, dir) => {
+      val spiky = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 50 === 0, col("n_chars") * 1000)
+          .otherwise(col("n_chars")).as("n_chars"))
+      operators.Validation.clipToQuantiles(spiky, "n_chars", 0.05, 0.95)
+    }),
+
     // ---- snapshot quantile drift: distribution gate between a corpus
     // and its refresh (every 3rd doc 100 chars longer) ----
     "q_quantile_drift" -> ((s, dir) => {
@@ -2469,6 +2478,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT source, 0.99::DOUBLE, quantile_disc(n_chars, 0.99)::DOUBLE
         |FROM documents GROUP BY source""".stripMargin,
+    // Winsorize: the cut points are the same quantile_disc values the
+    // KLL sketch yields exactly under k; the clamp is pure arithmetic.
+    "q_clip_quantiles" ->
+      """WITH spiky AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 50 = 0 THEN n_chars * 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents),
+        |cuts AS (
+        |  SELECT quantile_disc(n_chars, 0.05)::DOUBLE AS lo,
+        |    quantile_disc(n_chars, 0.95)::DOUBLE AS hi
+        |  FROM spiky)
+        |SELECT s.doc_id, s.n_chars,
+        |  greatest(c.lo, least(c.hi, s.n_chars::DOUBLE)) AS n_chars_clipped
+        |FROM spiky s CROSS JOIN cuts c""".stripMargin,
+
     // Quantile drift: exact under k at test SF, so quantile_disc per
     // probe on each side is the oracle; drift is a double subtraction of
     // identical values on both engines.

@@ -185,6 +185,33 @@ object Validation {
     * same `k` — KLL merge degrades to the smaller k silently, which
     * would make the drift column compare sketches of different accuracy.
     */
+  /** Winsorize: clamp `valueCol` to its [loProb, hiProb] quantiles —
+    * the outlier-taming step before means/regressions that a single
+    * 10 GB document or a zero-length stub would otherwise dominate.
+    * Adds `<valueCol>_clipped`. The two cut points come from one global
+    * KLL sketch (one scan + a sketch-bytes exchange; exact
+    * `percentile_disc` under k) and are collected as TWO driver scalars
+    * — bounded by construction — then applied as a codegen'd clamp.
+    */
+  def clipToQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      loProb: Double = 0.01,
+      hiProb: Double = 0.99,
+      k: Int = 4096): DataFrame = {
+    require(loProb >= 0.0 && hiProb <= 1.0 && loProb < hiProb,
+      s"need 0 <= loProb < hiProb <= 1, got ($loProb, $hiProb)")
+    val cuts = Sketches.rollupQuantiles(
+      Sketches.quantileSketches(
+        df.select(lit(1).as("__all"), col(valueCol)),
+        Seq("__all"), valueCol, k),
+      Nil, Seq(loProb, hiProb), k)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val (lo, hi) = (cuts(loProb), cuts(hiProb))
+    df.withColumn(s"${valueCol}_clipped",
+      greatest(lit(lo), least(lit(hi), col(valueCol).cast("double"))))
+  }
+
   def quantileDriftFromSketches(
       beforeSketches: DataFrame,
       afterSketches: DataFrame,

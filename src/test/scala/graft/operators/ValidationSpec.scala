@@ -128,6 +128,20 @@ class ValidationSpec extends SparkTestBase {
     assert(viaStore.toSeq == direct.toSeq)
   }
 
+  test("clipToQuantiles clamps outliers to the exact cut points") {
+    val df = ((1 to 98).map(_.toLong) ++ Seq(100000L, -5000L)).toDF("v")
+    val out = Validation.clipToQuantiles(df, "v", 0.05, 0.95)
+      .select("v", "v_clipped").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // percentile_disc over the 100 sorted values: 5% -> 4, 95% -> 94
+    assert(out(100000L) == 94.0, "high outlier clamps to the 95% cut")
+    assert(out(-5000L) == 4.0, "low outlier clamps to the 5% cut")
+    assert(out(50L) == 50.0, "interior values pass through")
+    intercept[IllegalArgumentException] {
+      Validation.clipToQuantiles(df, "v", 0.9, 0.1)
+    }
+  }
+
   test("duplicate rule names are rejected") {
     val e = intercept[IllegalArgumentException] {
       Validation.check(df, Seq(
