@@ -404,9 +404,12 @@ object StreamingOps {
     * index on replay and appends the same cleaned rows again —
     * duplicates, healed downstream by
     * [[graft.operators.Dedup.exactDedup]]. The reverse order would
-    * instead cut a replayed batch against its own hashes and append
-    * empty documents — silent content loss, which is why the corpus
-    * write goes first.
+    * instead cut a replayed batch against its own hashes and lose its
+    * content silently, which is why the corpus write goes first. A
+    * fully-replayed batch whose index write DID commit is
+    * self-suppressing for every ≥ w-token doc (all windows match, all
+    * docs cut to empty and fully-cut docs never append); sub-`w` docs
+    * duplicate on that path, healed the same way.
     */
   def substrIngestSink(
       docs: DataFrame,
@@ -435,7 +438,18 @@ object StreamingOps {
             val cleaned = es.cutSpans(batch.toDF(), spans, idCol, textCol)
               .localCheckpoint(true)
             graft.core.Caches.registerCheckpoint(cleaned)
-            cleaned.write.mode("append").parquet(corpusPath)
+            // fully-cut documents (everything they carried was already
+            // in the corpus) are DROPPED, not appended as empty rows —
+            // which also makes a fully-replayed batch whose index write
+            // committed self-suppressing: every window matches, every
+            // doc cuts to empty, nothing re-appends (the same property
+            // dedupIngestSink gets from its survivors-only append).
+            // Sub-w-token docs have no windows to match and duplicate
+            // on such a replay — healed downstream by exactDedup, the
+            // documented at-least-once trade.
+            cleaned.where(!(col("kept_text") === "" &&
+                col("removed_tokens") > 0))
+              .write.mode("append").parquet(corpusPath)
             es.writeSubstrIndex(
               wins.select("__hb", "__h1", "__h2").distinct(),
               indexPath, w, salt, buckets)

@@ -443,6 +443,18 @@ class StreamingOpsSpec extends SparkTestBase {
       assert(spark.read.parquet(index).distinct().count() > 0)
       assert((spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore)
         .isEmpty, "per-batch checkpoint must be released with the scope")
+
+      // logical FULL REPLAY of batch 0 (its index write committed): the
+      // >= w docs self-suppress — all windows match, fully-cut docs are
+      // dropped, nothing re-appends; only the window-less tiny doc dups
+      source.addData(
+        (1L, "tiny doc"),
+        (2L, "alpha p1 p2 p3 p4 p5 p6 p7 omega"))
+      q.processAllAvailable()
+      val replayed = spark.read.parquet(corpus)
+        .select("doc_id").as[Long].collect().sorted
+      assert(replayed.toSeq == Seq(1L, 1L, 2L, 3L, 4L),
+        s"replay must only duplicate the sub-w doc, got ${replayed.toSeq}")
     } finally q.stop()
   }
 }
