@@ -682,6 +682,13 @@ object SparkEntry {
         "doc_id", "text", Seq("source", "lang"), n = 3, threshold = 0.1)
     }),
 
+    // ---- GLOBAL exact-Jaccard pairs, no blocking key: prefix-filtered
+    // self-join (PPJoin family) on the planted-near-dup corpus ----
+    "q_prefix_jaccard" -> ((s, dir) => {
+      operators.Dedup.prefixJaccardPairs(lshCorpus(s, dir),
+        "doc_id", "text", n = 3, threshold = 0.5)
+    }),
+
     // ---- eval decontamination: training docs sharing >= 3 trigram
     // shingles with a held-out probe set (probe side broadcast) ----
     "q_decontaminate" -> ((s, dir) => {
@@ -2667,6 +2674,36 @@ object SparkEntry {
         |  FROM sh a JOIN sh b
         |    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.1""".stripMargin,
+    // prefix filtering is exact (no false negatives), so the oracle is
+    // plain all-pairs Jaccard via a shared-token join — same shingles,
+    // same round-6 double division (identical int operands both sides)
+    "q_prefix_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' extra extra'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) = 0 THEN []
+        |      ELSE list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |             i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+        |  FROM toks),
+        |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS tok FROM sh),
+        |m AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS c, any_value(a.sz) AS sza, any_value(b.sz) AS szb
+        |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b, round(c * 1.0 / (sza + szb - c), 6) AS jaccard
+        |  FROM m)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin,
     "q_cosine_near_dup" ->
       """WITH corpus AS (
         |  SELECT vec_id, label, embedding FROM embeddings

@@ -296,6 +296,82 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** GLOBAL exact-Jaccard near-dup pairs via prefix filtering (the
+    * AllPairs/PPJoin family: Bayardo et al. 2007, Xiao et al. 2008) —
+    * the scale path when no natural blocking key exists.
+    *
+    * [[ngramJaccardPairs]] needs `blockCols` to bound the self-join;
+    * without one, a token-exchange self-join fans out on the most
+    * frequent shingle (O(df²) candidate rows for a boilerplate shingle
+    * shared by df documents). Prefix filtering removes that requirement
+    * EXACTLY — no false negatives: order every document's shingle set by
+    * global (frequency asc, shingle asc) and keep only the first
+    * `|S| - ceil(t·|S|) + 1` shingles as join keys. Any pair with
+    * Jaccard >= t must share a prefix token under a common total order,
+    * so the candidate set is a superset of the answer; exact
+    * verification then runs per candidate pair. Because prefixes hold
+    * each document's RAREST shingles, per-key join fan-out is bounded by
+    * the rare tail of the frequency distribution, not its boilerplate
+    * head — that inversion is what makes the global self-join safe at
+    * corpus scale.
+    *
+    * Exchanges: shingle explode feeds one frequency aggregation and one
+    * frequency join (both on the shingle key), one per-doc regroup, the
+    * prefix-key self-join, and the final per-pair regroup — all
+    * key-partitioned; nothing corpus-quadratic materializes. The sorted
+    * shingle array rides along on prefix rows so verification needs no
+    * join back to the corpus.
+    *
+    * Output: (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard >= `threshold`, identical to [[ngramJaccardPairs]] on the
+    * union of all blocks.
+    */
+  def prefixJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold (prefix length is undefined at t = 0)")
+    // one tokenize->shingle pass, pinned: it feeds the frequency count
+    // and the per-doc regroup (same contract as ngramJaccardPairs)
+    val sh = graft.core.Caches.pin(
+      spreadForCompute(df).select(col(idCol).as("__id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("__s")))
+    val freq = sh.groupBy(col("__s")).agg(count(lit(1)).as("__f"))
+    // per-doc shingle array sorted by the GLOBAL (freq, shingle) order —
+    // the order itself is the ranking, so no dense global rank table
+    // (and no single-task vocabulary sort) is ever built
+    val docs = sh.join(freq, "__s")
+      .groupBy(col("__id"))
+      .agg(transform(sort_array(collect_list(struct(col("__f"), col("__s")))),
+        x => x.getField("__s")).as("__toks"))
+      .select(col("__id"), col("__toks"), size(col("__toks")).as("__sz"))
+    // prefix length |S| - ceil(t·|S|) + 1; FP error in ceil can only
+    // round UP (longer prefix = more candidates, never a missed pair)
+    val prefLen = (col("__sz") - ceil(lit(threshold) * col("__sz")).cast("int") + 1)
+    val pref = docs.select(col("__id"), col("__toks"), col("__sz"),
+      explode(slice(col("__toks"), lit(1), prefLen)).as("__p"))
+    val a = pref.select(col("__id").as("id_a"), col("__toks").as("__ta"),
+      col("__sz").as("__sza"), col("__p"))
+    val b = pref.select(col("__id").as("id_b"), col("__toks").as("__tb"),
+      col("__sz").as("__szb"), col("__p"))
+    // a pair sharing k prefix tokens appears k times; regroup to once
+    // (first() is deterministic here - every duplicate carries the same
+    // arrays), then verify exactly from the carried sorted arrays
+    val cand = a.join(b, "__p").where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("__ta")).as("__ta"), first(col("__tb")).as("__tb"),
+        first(col("__sza")).as("__sza"), first(col("__szb")).as("__szb"))
+    cand
+      .withColumn("__c", size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("jaccard", round(
+        col("__c").cast("double") / (col("__sza") + col("__szb") - col("__c")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Span-containment pairs via shared winnowing fingerprints (the MOSS
     * detection step, Schleimer et al. 2003 — the same fingerprints
     * [[TextAnalysis.winnowingFingerprints]] produces, whose guarantee is

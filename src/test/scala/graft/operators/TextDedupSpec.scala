@@ -334,4 +334,47 @@ class TextDedupSpec extends SparkTestBase {
     assert(out(2).getString(1) == "")
     assert(out(3).getString(1) == "")
   }
+
+  test("prefixJaccardPairs equals unblocked ngramJaccardPairs exactly") {
+    // boilerplate-heavy corpus: every doc shares the frequent header
+    // tokens, so a naive token self-join would fan out on them — the
+    // prefix filter must still return the exact answer
+    val header = "terms of service apply to this site"
+    val df = Seq(
+      (1L, s"$header alpha beta gamma delta epsilon zeta"),
+      (2L, s"$header alpha beta gamma delta epsilon eta"),
+      (3L, s"$header completely different body text here now"),
+      (4L, s"$header completely different body text here now"),
+      (5L, "no shared material with anything else at all"),
+      (6L, "")
+    ).toDF("id", "text")
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).sortBy(t => (t._1, t._2)).toSeq
+    for (t <- Seq(0.3, 0.5, 0.9)) {
+      val pp = key(Dedup.prefixJaccardPairs(df, "id", "text", n = 3,
+        threshold = t).collect())
+      val ref = key(Dedup.ngramJaccardPairs(df, "id", "text", Nil, n = 3,
+        threshold = t).collect())
+      assert(pp == ref, s"threshold $t: prefix-filtered != exhaustive")
+    }
+    // sanity on content: the identical pair verifies at 1.0
+    val atHalf = Dedup.prefixJaccardPairs(df, "id", "text", n = 3, threshold = 0.5)
+      .collect()
+    assert(atHalf.exists(r => r.getAs[Long]("id_a") == 3L &&
+      r.getAs[Long]("id_b") == 4L && r.getAs[Double]("jaccard") == 1.0))
+  }
+
+  test("prefixJaccardPairs candidate pruning: prefixes hold the rare tail") {
+    // the prefix of a doc under threshold 0.8 is |S| - ceil(0.8|S|) + 1
+    // ≈ 20% of its shingles — the RAREST ones. Docs that only share
+    // universal boilerplate never meet in the join at a high threshold.
+    val boiler = "one two three four five six seven eight nine ten"
+    val df = (1L to 6L).map(i =>
+      (i, s"$boiler unique$i only$i content$i words$i here$i stuff$i pad$i more$i extra$i tail$i"))
+      .toDF("id", "text")
+    val out = Dedup.prefixJaccardPairs(df, "id", "text", n = 3, threshold = 0.8)
+    assert(out.collect().isEmpty,
+      "40%-boilerplate docs are far below jaccard 0.8 and must not pair")
+  }
 }
