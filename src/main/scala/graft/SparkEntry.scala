@@ -22,6 +22,17 @@ object SparkEntry {
     * a suffix under a shifted id) — shared corpus for the LSH pair and
     * clustering queries.
     */
+  /** Planted mixed-normalization prefix for q_unicode_fold — explicit \u
+    * escapes so the DECOMPOSED "cafe" + U+0301 stays decomposed at the
+    * source level (an editor/tool NFC pass would silently destroy the
+    * test). Precomposed É, decomposed e+acute, ligature ﬁ (must survive:
+    * compatibility-only decomposition), Devanagari Mc matra (stripped
+    * under utf8proc STRIPMARK), Å, and non-decomposable ø (survives).
+    * Shared verbatim by the Spark query and the DuckDB oracle string.
+    */
+  private val unicodePlant: String =
+    "\u00C9lan cafe\u0301 \uFB01n \u0915\u0940 \u00C5\u00F8 \u2014 "
+
   private def lshCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     docs.unionAll(
@@ -115,6 +126,20 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id"), col("text")),
           Seq("text"))
         .withColumnRenamed("text", "text_norm")
+    }),
+
+    // ---- Unicode hygiene: NFC + mark stripping over a corpus with
+    // planted mixed-normalization text (decomposed accents, precomposed
+    // accents, Indic matras, non-decomposable ø/ß) ----
+    "q_unicode_fold" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") % 25 === 0).select(
+        (col("doc_id") + 3000000).as("doc_id"),
+        concat(lit(unicodePlant), coalesce(col("text"), lit(""))).as("text"))
+      val corpus = docs.unionAll(planted)
+      corpus.select(col("doc_id"),
+        graft.functions.UnicodeFunctions.normalizeNfc(col("text")).as("nfc_text"),
+        graft.functions.UnicodeFunctions.foldMarks(col("text")).as("folded"))
     }),
 
     // ---- F3/P7 splitByDateFormats over a mixed-format date string ----
@@ -1349,6 +1374,19 @@ object SparkEntry {
     "q_normalize_whitespace" ->
       """SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS text_norm
         |FROM documents""".stripMargin,
+    // the planted prefix is interpolated from the SAME Scala constant the
+    // query uses, so both engines see byte-identical input; DuckDB's
+    // nfc_normalize/strip_accents are the utf8proc semantics StripMarks
+    // implements (NFD, drop Mn/Mc/Me, NFC)
+    "q_unicode_fold" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, '$unicodePlant' || coalesce(text, '')
+        |  FROM documents WHERE doc_id % 25 = 0)
+        |SELECT doc_id, nfc_normalize(text) AS nfc_text,
+        |  strip_accents(nfc_normalize(text)) AS folded
+        |FROM corpus""".stripMargin,
     "q_split_date_formats" ->
       """WITH src AS (
         |  SELECT o_orderkey,
