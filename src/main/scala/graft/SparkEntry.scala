@@ -1152,6 +1152,27 @@ object SparkEntry {
         Seq("canon_url"), 1, Seq(col("doc_id")))
     }),
 
+    // ---- link extraction: hrefs out of deterministic synthetic HTML,
+    // resolved against each page's base URL (absolute / protocol-relative
+    // / root-relative / directory-relative; javascript:, mailto: and
+    // fragment-only dropped) — the link-graph edge builder ----
+    "q_link_graph" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val base = urlCorpus(s, dir).where(col("doc_id") % 5 =!= 4)
+      val html = concat(
+        lit("<html><body><a href=\"https://partner.example.net/p/"), id,
+        lit("?a=1&amp;b=2\">x</a><a href='/local/"), id,
+        lit("'>y</a><A HREF=\"rel/page"), id,
+        lit(".html\">z</A><a href=\"//cdn.example.org/lib.js\">w</a>"),
+        lit("<a href=\"#frag\">f</a><a href=\"javascript:void(0)\">j</a>"),
+        lit("<a href=\"mailto:a@b.example\">m</a></body></html>"))
+      operators.Urls.extractLinks(
+        base.select(col("doc_id"), col("url"), html.as("html")),
+        "html", "url")
+        .select(col("doc_id"), col("link"),
+          operators.Urls.registrableDomain(col("link")).as("link_domain"))
+    }),
+
     // ---- multimodal: bytewise frame sampling over binary content ----
     "q_frame_sample" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1980,6 +2001,75 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
         |  FROM d2)
         |SELECT doc_id, domain FROM ranked WHERE rn <= 3""".stripMargin,
+
+    // href extraction + base-URL resolution, the same non-RFC contract
+    // resolveLink documents; double-quoted then single-quoted attrs keep
+    // extraction order identical across engines
+    "q_link_graph" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 5 AS INTEGER)
+        |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/'
+        |                  || doc_id::VARCHAR || '?utm_source=feed&b=2&a=1#frag'
+        |      WHEN 1 THEN 'http://' || source || '.example.com:80/' || doc_id::VARCHAR
+        |      WHEN 2 THEN 'http://user:pw@' || source || '.example.co.uk:8080/x?z=1&y=2&gclid=abc'
+        |      ELSE 'https://cdn.' || source || '.example.org/a/b/?fbclid=1' END AS url
+        |  FROM documents WHERE doc_id % 5 <> 4),
+        |pages AS (
+        |  SELECT doc_id, url,
+        |    '<html><body><a href="https://partner.example.net/p/' || doc_id::VARCHAR
+        |    || '?a=1&amp;b=2">x</a><a href=''/local/' || doc_id::VARCHAR
+        |    || '''>y</a><A HREF="rel/page' || doc_id::VARCHAR
+        |    || '.html">z</A><a href="//cdn.example.org/lib.js">w</a>'
+        |    || '<a href="#frag">f</a><a href="javascript:void(0)">j</a>'
+        |    || '<a href="mailto:a@b.example">m</a></body></html>' AS html
+        |  FROM urls),
+        |raws AS (
+        |  SELECT doc_id, url, unnest(
+        |    list_concat(
+        |      regexp_extract_all(html, '(?i)href\s*=\s*"([^"]*)"', 1),
+        |      regexp_extract_all(html, '(?i)href\s*=\s*''([^'']*)''', 1))) AS raw
+        |  FROM pages),
+        |basep AS (
+        |  SELECT doc_id, raw,
+        |    lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+        |    regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS bpath
+        |  FROM raws),
+        |res AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN scheme = '' OR l = ''
+        |           OR regexp_matches(l, '(?i)^(javascript|mailto|data|tel):') THEN NULL
+        |      WHEN regexp_matches(l, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN l
+        |      WHEN l LIKE '//%' THEN scheme || ':' || l
+        |      WHEN l LIKE '/%' THEN scheme || '://' || auth || l
+        |      ELSE scheme || '://' || auth ||
+        |        (CASE WHEN bpath = '' THEN '/'
+        |              ELSE regexp_replace(bpath, '[^/]*$', '') END) || l
+        |    END AS link
+        |  FROM (SELECT doc_id, scheme, auth, bpath,
+        |          regexp_replace(replace(trim(raw), '&amp;', '&'), '#.*', '') AS l
+        |        FROM basep)),
+        |links AS (SELECT doc_id, link FROM res WHERE link IS NOT NULL),
+        |hostp AS (
+        |  SELECT doc_id, link,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_replace(
+        |        regexp_extract(link, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |        '^[^@]*@', '')),
+        |      ':[0-9]+$', ''), '^www\.', '') AS barehost
+        |  FROM links),
+        |dom AS (
+        |  SELECT doc_id, link, barehost, string_split(barehost, '.') AS ls FROM hostp)
+        |SELECT doc_id, link,
+        |  CASE WHEN barehost = '' THEN NULL
+        |       WHEN len(ls) <= 2 THEN barehost
+        |       WHEN ls[-2] IN ('co','com','net','org','gov','ac','edu')
+        |            AND length(ls[-1]) <= 3
+        |         THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+        |       ELSE ls[-2] || '.' || ls[-1] END AS link_domain
+        |FROM dom""".stripMargin,
 
     "q_simhash_near_dup" ->
       """WITH corpus AS (

@@ -152,4 +152,64 @@ object Urls {
     Sampling.limitPerGroup(
       df.withColumn("domain", registrableDomain(col(urlCol))),
       Seq("domain"), n, orderCols)
+
+  /** Raw `href` attribute values of the HTML, double- then single-quoted
+    * attributes, in document order within each quoting style. Case
+    * insensitive on the attribute name; whitespace around `=` allowed.
+    */
+  def hrefs(html: Column): Column = concat(
+    regexp_extract_all(html, lit("(?i)href\\s*=\\s*\"([^\"]*)\""), lit(1)),
+    regexp_extract_all(html, lit("(?i)href\\s*=\\s*'([^']*)'"), lit(1)))
+
+  /** Resolve one href against its page's base URL — the crawl frontier /
+    * link-graph edge step. Pure codegen'd string expressions with an
+    * exact DuckDB twin; deliberately NOT full RFC 3986:
+    *  - `&amp;` is entity-decoded (the one entity that routinely appears
+    *    inside attribute values), fragments are dropped;
+    *  - empty, fragment-only, and non-navigational schemes
+    *    (javascript/mailto/data/tel) resolve to NULL;
+    *  - absolute links pass through; `//` takes the base scheme; `/`
+    *    takes scheme+authority; anything else appends to the base URL's
+    *    directory (no `..` segment folding — crawl URLs that need it are
+    *    rare enough to not be worth the expression-tree blowup);
+    *  - the base's authority is used VERBATIM (no canonicalization) —
+    *    run [[canonicalizeUrl]] on the output, exactly like any other
+    *    crawled URL. A base without `scheme://` yields NULL.
+    */
+  def resolveLink(base: Column, href: Column): Column = {
+    val l = regexp_replace(
+      replace(trim(coalesce(href, lit(""))), lit("&amp;"), lit("&")),
+      "#.*", "")
+    val b = trim(coalesce(base, lit("")))
+    val scheme = lower(regexp_extract(b, SchemeRe, 1))
+    val auth = regexp_extract(b, SchemeRe + "([^/?#]*)", 2)
+    val path = regexp_extract(b, SchemeRe + "[^/?#]*([^?#]*)", 2)
+    val dir = when(path === "", lit("/"))
+      .otherwise(regexp_replace(path, "[^/]*$", ""))
+    when(scheme === "" || l === "" ||
+        l.rlike("(?i)^(javascript|mailto|data|tel):"), lit(null).cast("string"))
+      .when(l.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), l)
+      .when(l.startsWith("//"), concat(scheme, lit(":"), l))
+      .when(l.startsWith("/"), concat(scheme, lit("://"), auth, l))
+      .otherwise(concat(scheme, lit("://"), auth, dir, l))
+  }
+
+  /** One row per resolvable link in `htmlCol`: all other columns pass
+    * through, plus `outCol` with the [[resolveLink]]-resolved URL.
+    * Dropped hrefs (NULL under [[resolveLink]]'s contract) emit no row.
+    * Feeds the link graph ([[Graphs.pageRank]] on
+    * (page domain, link domain) edges) and the crawl frontier. Narrow:
+    * one Generate over the scan, zero exchanges.
+    */
+  def extractLinks(
+      df: DataFrame,
+      htmlCol: String,
+      baseUrlCol: String,
+      outCol: String = "link"): DataFrame = {
+    val keep = df.columns.filterNot(_ == htmlCol).map(col)
+    df.select(keep :+ explode(hrefs(col(htmlCol))).as("__rawhref"): _*)
+      .withColumn(outCol, resolveLink(col(baseUrlCol), col("__rawhref")))
+      .where(col(outCol).isNotNull)
+      .drop("__rawhref")
+  }
 }

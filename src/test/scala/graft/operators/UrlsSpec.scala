@@ -69,4 +69,52 @@ class UrlsSpec extends SparkTestBase {
     assert(out.map(_.getString(2)).distinct.sorted.toSeq ==
       Seq("example.com", "example.org"))
   }
+
+  test("resolveLink: every resolution class and every drop class") {
+    val base = "https://www.site.example/docs/guide/page.html?q=1#sec"
+    val cases = Seq(
+      ("https://other.example/x", "https://other.example/x"), // absolute
+      ("HTTP://UP.example/y", "HTTP://UP.example/y"), // absolute, odd case
+      ("//cdn.example/lib.js", "https://cdn.example/lib.js"), // proto-rel
+      ("/root/a", "https://www.site.example/root/a"), // root-rel
+      ("sibling.html", "https://www.site.example/docs/guide/sibling.html"),
+      ("a/b.html", "https://www.site.example/docs/guide/a/b.html"),
+      ("x?a=1&amp;b=2", "https://www.site.example/docs/guide/x?a=1&b=2"),
+      ("x#frag", "https://www.site.example/docs/guide/x"), // fragment cut
+      ("#top", null), ("", null), ("   ", null),
+      ("javascript:void(0)", null), ("MAILTO:a@b.c", null),
+      ("data:text/plain,hi", null), ("tel:+1555", null))
+    val df = cases.zipWithIndex
+      .map { case ((href, want), i) => (i, base, href, want) }
+      .toDF("i", "base", "href", "want")
+    val got = df.select(col("i"), col("want"),
+      Urls.resolveLink(col("base"), col("href")).as("got")).collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("got") == r.getAs[String]("want"),
+        s"case ${r.getInt(0)}")
+    }
+    // base with an empty path resolves relatives against "/"
+    val rootBase = Seq((1, "https://site.example", "a.html"))
+      .toDF("i", "base", "href")
+      .select(Urls.resolveLink(col("base"), col("href"))).head().getString(0)
+    assert(rootBase == "https://site.example/a.html")
+    // a base without scheme:// cannot anchor anything
+    val noScheme = Seq((1, "not a url", "https://abs.example/x"))
+      .toDF("i", "base", "href")
+      .select(Urls.resolveLink(col("base"), col("href"))).head()
+    assert(noScheme.isNullAt(0))
+  }
+
+  test("extractLinks explodes both quoting styles and drops dead hrefs") {
+    val html = """<a href="https://a.example/1">one</a>""" +
+      """<A Href = '/two'>two</A><a href="#skip">s</a>""" +
+      """<a href='javascript:x()'>j</a>"""
+    val df = Seq((7L, "https://page.example/dir/p.html", html))
+      .toDF("id", "url", "html")
+    val out = Urls.extractLinks(df, "html", "url").orderBy("link").collect()
+    assert(out.map(_.getAs[String]("link")).toSeq ==
+      Seq("https://a.example/1", "https://page.example/two"))
+    assert(out.forall(_.getAs[Long]("id") == 7L))
+    assert(!out.head.schema.fieldNames.contains("html"))
+  }
 }
