@@ -67,4 +67,36 @@ class SrpSpec extends SparkTestBase {
       .select(VectorFunctions.srpProject(col("v"), 4, salt = 1L)).head()
     assert(z.getSeq[Double](0) == Seq(0.0, 0.0, 0.0, 0.0))
   }
+
+  test("shrink-then-pair: planted near-dups survive the 64->48 projection") {
+    // The 100 TB recipe: project BEFORE the cosine pair join so the
+    // shuffle and per-pair dot products pay for 48 dims instead of the
+    // full width, then re-verify survivors at full dim if the caller
+    // needs exact scores. Ground truth = full-dim pairs at 0.9 (the
+    // planted near-dup set); the projected pass runs at a slackened
+    // threshold sized to the K=48 distortion (std ~1/sqrt(48) = 0.144,
+    // so 0.65 sits ~1.7 std below a true-0.9 pair). Deterministic with
+    // the fixed salt.
+    // Planted near-dups must NOT be scalar multiples: SRP is linear, so
+    // parallel vectors stay parallel under projection and the test would
+    // be vacuous. Zeroing every 7th coordinate gives true cosine ~0.93
+    // with a genuinely different direction.
+    import graft.operators.Dedup
+    val base = emb.where(size(col("v")) > 0)
+    val e = base.unionAll(base.where(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          when(i % 7 === 0, lit(0.0)).otherwise(x)).as("v")))
+      .withColumn("b", lit(1))
+    def pairKey(r: org.apache.spark.sql.Row) = (r.get(0).toString, r.get(1).toString)
+    val full = Dedup.cosineNearDupPairs(e, "vec_id", "v", Seq("b"), 0.9)
+      .collect().map(pairKey).toSet
+    assert(full.nonEmpty, "fixture should contain planted near-dup pairs")
+    val proj = e.select(col("vec_id"), col("b"),
+      VectorFunctions.srpProject(col("v"), 48, salt = 7L).as("p"))
+    val shrunk = Dedup.cosineNearDupPairs(proj, "vec_id", "p", Seq("b"), 0.65)
+      .collect().map(pairKey).toSet
+    val recall = full.intersect(shrunk).size.toDouble / full.size
+    assert(recall >= 0.9, s"shrink recall too low: $recall (${full.size} true pairs)")
+  }
 }
