@@ -317,10 +317,13 @@ object Dedup {
     *
     * Exchanges: shingle explode feeds one frequency aggregation and one
     * frequency join (both on the shingle key), one per-doc regroup, the
-    * prefix-key self-join, and the final per-pair regroup — all
-    * key-partitioned; nothing corpus-quadratic materializes. The sorted
-    * shingle array rides along on prefix rows so verification needs no
-    * join back to the corpus.
+    * prefix-key self-join, the candidate-pair distinct, and two id-keyed
+    * joins back to the (pinned) per-doc table for verification — all
+    * key-partitioned; nothing corpus-quadratic materializes. Prefix rows
+    * carry ONLY (id, shingle): carrying the sorted array on every prefix
+    * row (the tempting join-free shape) materializes O(prefixLen·|S|)
+    * cells per document — quadratic in document length — and was measured
+    * 2× slower at sf0.1 before the join-back rewrite.
     *
     * Output: (id_a, id_b, jaccard) with id_a < id_b and
     * jaccard >= `threshold`, identical to [[ngramJaccardPairs]] on the
@@ -343,28 +346,35 @@ object Dedup {
     // per-doc shingle array sorted by the GLOBAL (freq, shingle) order —
     // the order itself is the ranking, so no dense global rank table
     // (and no single-task vocabulary sort) is ever built
-    val docs = sh.join(freq, "__s")
+    // pinned: feeds the prefix explode on both self-join sides AND the
+    // two verification join-backs — without the pin the regroup subtree
+    // (the heaviest exchange here) executes four times
+    val docs = graft.core.Caches.pin(sh.join(freq, "__s")
       .groupBy(col("__id"))
       .agg(transform(sort_array(collect_list(struct(col("__f"), col("__s")))),
         x => x.getField("__s")).as("__toks"))
-      .select(col("__id"), col("__toks"), size(col("__toks")).as("__sz"))
+      .select(col("__id"), col("__toks"), size(col("__toks")).as("__sz")))
     // prefix length |S| - ceil(t·|S|) + 1; FP error in ceil can only
     // round UP (longer prefix = more candidates, never a missed pair)
     val prefLen = (col("__sz") - ceil(lit(threshold) * col("__sz")).cast("int") + 1)
-    val pref = docs.select(col("__id"), col("__toks"), col("__sz"),
+    val pref = docs.select(col("__id"), col("__sz"),
       explode(slice(col("__toks"), lit(1), prefLen)).as("__p"))
-    val a = pref.select(col("__id").as("id_a"), col("__toks").as("__ta"),
-      col("__sz").as("__sza"), col("__p"))
-    val b = pref.select(col("__id").as("id_b"), col("__toks").as("__tb"),
-      col("__sz").as("__szb"), col("__p"))
-    // a pair sharing k prefix tokens appears k times; regroup to once
-    // (first() is deterministic here - every duplicate carries the same
-    // arrays), then verify exactly from the carried sorted arrays
-    val cand = a.join(b, "__p").where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("__ta")).as("__ta"), first(col("__tb")).as("__tb"),
-        first(col("__sza")).as("__sza"), first(col("__szb")).as("__szb"))
+    val a = pref.select(col("__id").as("id_a"), col("__sz").as("__la"), col("__p"))
+    val b = pref.select(col("__id").as("id_b"), col("__sz").as("__lb"), col("__p"))
+    // a pair sharing k prefix tokens appears k times; dedup to once,
+    // then fetch both sorted arrays by id for exact verification. The
+    // AllPairs length filter runs BEFORE the dedup/join-backs: J >= t
+    // forces min(|A|,|B|) >= t*max(|A|,|B|) (intersection <= min, union
+    // >= max), so length-skewed candidates drop without touching arrays
+    val cand = a.join(b, "__p").where(col("id_a") < col("id_b") &&
+        least(col("__la"), col("__lb")).cast("double") >=
+          lit(threshold) * greatest(col("__la"), col("__lb")))
+      .select("id_a", "id_b").distinct()
     cand
+      .join(docs.select(col("__id").as("id_a"), col("__toks").as("__ta"),
+        col("__sz").as("__sza")), "id_a")
+      .join(docs.select(col("__id").as("id_b"), col("__toks").as("__tb"),
+        col("__sz").as("__szb")), "id_b")
       .withColumn("__c", size(array_intersect(col("__ta"), col("__tb"))))
       .withColumn("jaccard", round(
         col("__c").cast("double") / (col("__sza") + col("__szb") - col("__c")), 6))
