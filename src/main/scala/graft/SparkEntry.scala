@@ -536,6 +536,38 @@ object SparkEntry {
         docs.where(col("doc_id") % 5 =!= 0), "text")
     }),
 
+    // ---- hashed-linear classifier scoring: exact integer logits against
+    // planted sha-derived weights (the DuckDB twin rebuilds them in SQL)
+    "q_classifier_score" -> ((s, dir) => {
+      val dim = 64
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      def h60(x: String): Long = java.lang.Long.parseLong(
+        md.digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15), 16)
+      val w = (0 until dim).map(j => h60(s"w:$j") % 2001L - 1000L)
+      operators.Classifier.TextClassifierModel(w.toArray, 0L)
+        .scoreLogit(t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text")
+        .select(col("doc_id"), col("logit_micros"),
+          col("logit_pos").as("pred"))
+    }),
+
+    // ---- classifier TRAINING end-to-end: learn a token-derivable label
+    // (docs mentioning "merge" — the `lang` tag is independent of the
+    // synthetic text, so it is unlearnable by design) and output the
+    // confusion matrix. Iterative GD is not SQL-expressible (rows-only;
+    // ClassifierSpec pins determinism and planted accuracy).
+    "q_classifier_train" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          array_contains(operators.TextAnalysis.tokens(col("text")), "merge")
+            .cast("int").as("label"))
+      val model = operators.Classifier.train(
+        docs, "text", "label", dim = 1024, iters = 10, lr = 1.0)
+      model.scoreLogit(docs, "text")
+        .groupBy(col("label"), col("logit_pos").as("pred"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // ---- Gopher quality-filter rules (Rae et al. 2021 A1.1) ----
     "q_gopher_rules" -> ((s, dir) => {
       operators.TextAnalysis.withGopherRules(
@@ -707,6 +739,21 @@ object SparkEntry {
         "doc_id", "text", Seq("source", "lang"), n = 3, threshold = 0.1)
     }),
 
+    // ---- containment (overlap-coefficient) pairs: the quote/excerpt
+    // detector Jaccard misses. Planted: every 20th doc re-enters as its
+    // first-third prefix — a high-containment, low-Jaccard pair.
+    "q_containment_pairs" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      val excerpts = base.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          col("source"), col("lang"),
+          expr("substring(text, 1, length(text) div 3)").as("text"))
+      operators.Dedup.ngramContainmentPairs(base.unionByName(excerpts),
+        "doc_id", "text", Seq("source", "lang"),
+        n = 3, threshold = 0.5, minSize = 5)
+    }),
+
     // ---- GLOBAL exact-Jaccard pairs, no blocking key: prefix-filtered
     // self-join (PPJoin family) on the planted-near-dup corpus ----
     "q_prefix_jaccard" -> ((s, dir) => {
@@ -722,6 +769,16 @@ object SparkEntry {
         docs.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
         docs.where(col("doc_id") % 50 === 0), "doc_id", "text",
         n = 3, minShared = 3)
+    }),
+
+    // ---- span-granular decontamination: cut benchmark-overlapping
+    // 8-gram islands out of the training docs, keep the documents
+    "q_decontaminate_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.ExactSubstrings.removeContaminatedSpans(
+        docs.where(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text")),
+        docs.where(col("doc_id") % 7 === 0).select(col("text")),
+        w = 8)
     }),
 
     // ---- embedding-cosine near-dup pairs (planted scaled copies) ----
@@ -1191,6 +1248,33 @@ object SparkEntry {
           posexplode(operators.Multimodal.frameSample(col("content"), 3, 16)))
         .select(col("doc_id"), col("pos").as("frame_idx"),
           hex(col("col")).as("frame_hex"))
+    }),
+
+    // ---- image perceptual hash (aHash over the stub pixel stride) -------
+    "q_image_ahash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .select(col("doc_id"),
+          operators.Multimodal.averageHash(col("content")).as("ahash"))
+    }),
+
+    // ---- image near-dup pairs: banded Hamming join over the aHash -------
+    // planted near-dups: every 10th payload re-enters with its last three
+    // characters overwritten at EQUAL length — the shape an equal-size
+    // re-encode produces (stride sampling, like real aHash, is robust to
+    // small in-place edits but not to length changes)
+    "q_image_near_dup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(expr("substring(text, 1, length(text) - 3)"), lit("xyz"))
+            .as("text"))
+      val hashed = base.unionByName(planted)
+        .select(col("doc_id"),
+          operators.Multimodal.averageHash(col("text").cast("binary"))
+            .as("ahash"))
+      operators.Dedup.hashNearDupPairs(hashed, "doc_id", "ahash",
+        bits = 60, bands = 6, maxHamming = 5)
     }),
 
     // ---- S1/S2 DSv2 REST source vs in-process fixture server ----
@@ -2412,6 +2496,25 @@ object SparkEntry {
         |  FROM db JOIN w USING (bucket) GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(dw.weight, 0) AS weight
         |FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id""".stripMargin,
+    "q_classifier_score" ->
+      """WITH w AS (
+        |  SELECT CAST(j AS BIGINT) AS bucket,
+        |    (('0x' || substring(sha256('w:' || CAST(j AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 2001) - 1000 AS wt
+        |  FROM range(64) t(j)),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(coalesce(text, ''), '\s+'),
+        |    t -> t <> '')) AS tok
+        |  FROM documents),
+        |tw AS (
+        |  SELECT doc_id, wt FROM toks JOIN w
+        |    ON (('0x' || substring(sha256(tok), 1, 15))::BIGINT % 64)
+        |       = w.bucket),
+        |lg AS (SELECT doc_id, SUM(wt) AS s FROM tw GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(lg.s, 0)::BIGINT AS logit_micros,
+        |  COALESCE(lg.s, 0) > 0 AS pred
+        |FROM documents d LEFT JOIN lg USING (doc_id)""".stripMargin,
     "q_lm_score" ->
       """WITH ref AS (
         |  SELECT text FROM documents WHERE doc_id % 5 <> 0),
@@ -2845,6 +2948,35 @@ object SparkEntry {
         |  FROM sh a JOIN sh b
         |    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.1""".stripMargin,
+    "q_containment_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, source, lang,
+        |    substring(text, 1, length(text) // 3)
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |toks AS (
+        |  SELECT doc_id, source, lang,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, source, lang,
+        |    list_distinct(CASE WHEN len(toks) = 0 THEN []
+        |      ELSE list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |             i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+        |  FROM toks),
+        |sz AS (SELECT doc_id, len(s) AS sz FROM sh WHERE len(s) >= 5),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.s, b.s)) * 1.0
+        |          / least(sa.sz, sb.sz), 6) AS containment
+        |  FROM sh a JOIN sh b
+        |    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  JOIN sz sa ON sa.doc_id = a.doc_id
+        |  JOIN sz sb ON sb.doc_id = b.doc_id)
+        |SELECT id_a, id_b, containment FROM p
+        |WHERE containment >= 0.5""".stripMargin,
     // prefix filtering is exact (no false negatives), so the oracle is
     // plain all-pairs Jaccard via a shared-token join — same shingles,
     // same round-6 double division (identical int operands both sides)
@@ -3317,6 +3449,52 @@ object SparkEntry {
         |SELECT m.corpus_id, m.probe_id, m.n_shared,
         |  round(m.n_shared * 1.0 / psz.psz, 6) AS probe_frac
         |FROM m JOIN psz USING (probe_id)""".stripMargin,
+    "q_decontaminate_spans" ->
+      """WITH ttoks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS t
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |btoks AS (
+        |  SELECT list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                     t -> t <> '') AS t
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |bwins AS (
+        |  SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS win
+        |  FROM btoks, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |twins AS (
+        |  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS win
+        |  FROM ttoks, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |hits AS (
+        |  SELECT doc_id, pos FROM twins JOIN bwins USING (win)),
+        |flg AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER w IS NULL
+        |              OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS f
+        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CAST(sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS g
+        |  FROM flg),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+        |  FROM isl GROUP BY doc_id, g),
+        |pos AS (
+        |  SELECT doc_id, i AS pos, t[i] AS tok
+        |  FROM ttoks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+        |kept AS (
+        |  SELECT p.doc_id, p.pos, p.tok FROM pos p
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = p.doc_id AND p.pos BETWEEN s.s AND s.e)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS kept_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.kept_text, '') AS kept_text,
+        |  len(t.t) - coalesce(a.n_kept, 0) AS removed_tokens
+        |FROM ttoks t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
     "q_quota_per_group" ->
       """SELECT doc_id, source, lang FROM (
         |  SELECT doc_id, source, lang,
@@ -3433,6 +3611,54 @@ object SparkEntry {
         |  FROM d CROSS JOIN range(3) t(i))
         |SELECT doc_id, frame_idx, frame_hex
         |FROM f WHERE length(frame_hex) > 0""".stripMargin,
+    "q_image_ahash" ->
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS nb FROM documents),
+        |cells AS (
+        |  SELECT doc_id, i,
+        |    COALESCE(TRY_CAST('0x' || substring(h,
+        |      CAST((i * nb) // 60 AS INTEGER) * 2 + 1, 2)
+        |      AS BIGINT), 0) AS c
+        |  FROM d CROSS JOIN range(60) t(i)),
+        |tot AS (SELECT doc_id, SUM(c) AS total FROM cells GROUP BY doc_id),
+        |bits AS (
+        |  SELECT cells.doc_id,
+        |    CAST(SUM(CASE WHEN c * 60 > total
+        |             THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END)
+        |      AS BIGINT) AS v
+        |  FROM cells JOIN tot USING (doc_id) GROUP BY cells.doc_id)
+        |SELECT d.doc_id, COALESCE(bits.v, 0)::BIGINT AS ahash
+        |FROM d LEFT JOIN bits USING (doc_id)""".stripMargin,
+    "q_image_near_dup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substring(text, 1, length(text) - 3) || 'xyz'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |d AS (SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS nb FROM corpus),
+        |cells AS (
+        |  SELECT doc_id, i,
+        |    COALESCE(TRY_CAST('0x' || substring(h,
+        |      CAST((i * nb) // 60 AS INTEGER) * 2 + 1, 2)
+        |      AS BIGINT), 0) AS c
+        |  FROM d CROSS JOIN range(60) t(i)),
+        |tot AS (SELECT doc_id, SUM(c) AS total FROM cells GROUP BY doc_id),
+        |ah AS (
+        |  SELECT cells.doc_id,
+        |    CAST(SUM(CASE WHEN c * 60 > total
+        |             THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END)
+        |      AS BIGINT) AS sh
+        |  FROM cells JOIN tot USING (doc_id) GROUP BY cells.doc_id),
+        |bands AS (
+        |  SELECT doc_id, sh, b, (sh >> (CAST(b AS INTEGER) * 10)) & 1023 AS bv
+        |  FROM ah CROSS JOIN range(6) t(b))
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.sh, b.sh)) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 5""".stripMargin,
     "q_rest_read" ->
       """SELECT CAST(p * 100 + i AS BIGINT) AS id,
         |  'item' || CAST(p * 100 + i AS VARCHAR) AS name,

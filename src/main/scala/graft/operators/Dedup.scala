@@ -207,15 +207,37 @@ object Dedup {
       textCol: String,
       bits: Int = 48,
       bands: Int = 4,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    hashNearDupPairs(
+      spreadForCompute(df)
+        .select(col(idCol).as("__id"), simhash(col(textCol), bits).as("__sh")),
+      "__id", "__sh", bits, bands, maxHamming)
+
+  /** Near-duplicate pairs by Hamming distance over ANY precomputed
+    * fingerprint column (simhash, image average-hash, audio fingerprint —
+    * anything that packs similarity into bits of a long). Same banded
+    * pigeonhole machinery as [[simhashNearDupPairs]]: EXACT whenever
+    * `maxHamming < bands`, one band-key shuffle, per-candidate
+    * `bit_count(xor)` verification, quadratic pair space never
+    * materialized.
+    *
+    * Output: (id_a, id_b, hamming) with id_a < id_b.
+    */
+  def hashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      bits: Int,
+      bands: Int,
+      maxHamming: Int): DataFrame = {
     require(bands >= 1 && bits % bands == 0, "bits must be divisible by bands")
     require(maxHamming >= 0 && maxHamming < bands,
       s"maxHamming ($maxHamming) must be < bands ($bands) for the banded " +
         "join to be exact (pigeonhole: some band must match)")
     // fingerprints are reused by both join sides; checkpoint so the
-    // token-hash aggregation runs once per document, not once per side
-    val sigs = spreadForCompute(df)
-      .select(col(idCol).as("__id"), simhash(col(textCol), bits).as("__sh"))
+    // fingerprint computation runs once per document, not once per side
+    val sigs = df
+      .select(col(idCol).as("__id"), col(hashCol).as("__sh"))
       .localCheckpoint(true)
     // the result still reads this checkpoint — scope-register, don't free
     graft.core.Caches.registerCheckpoint(sigs)
@@ -294,6 +316,63 @@ object Dedup {
         col("__c").cast("double") / (col("__sza") + col("__szb") - col("__c")), 6))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Containment near-dup pairs: |A∩B| / min(|A|, |B|) over distinct word
+    * n-gram shingle sets, within `blockCols` blocks.
+    *
+    * Jaccard misses the quote/excerpt case on purpose: a 50-shingle doc
+    * fully embedded in a 5000-shingle doc scores J ≈ 0.01 but containment
+    * 1.0. Normalizing by the SMALLER set (the overlap coefficient) makes
+    * the measure symmetric while still flagging "one side is mostly inside
+    * the other" — the standard near-dup companion to Jaccard for partial
+    * copies (Broder 1997 distinguishes resemblance from containment).
+    *
+    * Same relational machinery and cost shape as [[ngramJaccardPairs]]:
+    * explode distinct shingles once (pinned), count shared shingles per
+    * co-blocked pair, join per-doc sizes; zero-overlap pairs never
+    * materialize. `minSize` drops docs with fewer than that many shingles
+    * BEFORE pairing — tiny docs are contained in everything, and at corpus
+    * scale they otherwise dominate the pair count with noise.
+    *
+    * Output: (id_a, id_b, containment) with id_a < id_b and
+    * containment >= threshold. Same pin lifecycle as [[ngramJaccardPairs]].
+    */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      n: Int = 3,
+      threshold: Double = 0.5,
+      minSize: Int = 5): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are pruned)")
+    require(minSize >= 1, "minSize must be >= 1")
+    val sh = graft.core.Caches.pin(
+      spreadForCompute(df).select(blockCols.map(col) ++ Seq(
+        col(idCol).as("__id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("__s")): _*))
+    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+      .where(col("__sz") >= minSize)
+    val a = sh.select(blockCols.map(col) ++ Seq(
+      col("__id").as("id_a"), col("__s")): _*)
+    val b = sh.select(blockCols.map(col) ++ Seq(
+      col("__id").as("id_b"), col("__s")): _*)
+    val matches = a.join(b, blockCols :+ "__s")
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__c"))
+    // inner joins against the size-filtered doc set double as the minSize
+    // gate: a pair survives only when BOTH sides meet it
+    matches
+      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"),
+        "id_a")
+      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"),
+        "id_b")
+      .withColumn("containment", round(
+        col("__c").cast("double") / least(col("__sza"), col("__szb")), 6))
+      .where(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
   }
 
   /** GLOBAL exact-Jaccard near-dup pairs via prefix filtering (the

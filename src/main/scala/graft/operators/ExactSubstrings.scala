@@ -171,6 +171,57 @@ object ExactSubstrings {
     cutSpans(df,
       repeatedSpans(df, idCol, textCol, w, minCount, salt), idCol, textCol)
 
+  /** Benchmark-contaminated token spans per training document: maximal
+    * islands of `w`-token windows whose exact content occurs ANYWHERE in
+    * `benchmark` — span-granular decontamination, the n-gram-overlap
+    * removal GPT-3 applied to its training set (Brown 2020, Appendix C
+    * removes 13-gram collisions with eval sets; hence the default).
+    * [[Dedup.crossCorpusOverlap]] flags whole documents; this keeps the
+    * document and surrenders only the overlapping spans.
+    *
+    * Scale shape: the benchmark side reduces to DISTINCT window hashes —
+    * eval suites are tiny next to a training corpus, so the join against
+    * the corpus's window stream is broadcast-sized in practice and one
+    * equi-shuffle at worst; the corpus text dies before any exchange
+    * exactly as in [[repeatedSpans]]. Output columns: `idCol`,
+    * `span_start`, `span_end`, `span_tokens` (1-based, inclusive).
+    */
+  def contaminatedSpans(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      w: Int = 13,
+      salt: String = "graft-es"): DataFrame = {
+    val benchHashes = windowRows(
+      benchmark.select(col(benchTextCol)).withColumn("__bid", lit(0L)),
+      "__bid", benchTextCol, w, salt)
+      .select("__h1", "__h2").distinct()
+    mergeIslands(
+      windowRows(train, idCol, textCol, w, salt)
+        .join(benchHashes, Seq("__h1", "__h2"))
+        .select(col(idCol), col("pos")),
+      idCol, w)
+  }
+
+  /** [[contaminatedSpans]] composed with [[cutSpans]]: the training
+    * corpus with every benchmark-overlapping span cut out of the token
+    * stream (and every document preserved — clean and sub-`w`-token docs
+    * pass through with `removed_tokens = 0`).
+    */
+  def removeContaminatedSpans(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      benchTextCol: String = "text",
+      w: Int = 13,
+      salt: String = "graft-es"): DataFrame =
+    cutSpans(train,
+      contaminatedSpans(train, idCol, textCol, benchmark, benchTextCol, w, salt),
+      idCol, textCol)
+
   // ---------------------------------------------------------------------
   // Persisted window-hash index for continuous ingest
   // ---------------------------------------------------------------------

@@ -90,4 +90,44 @@ object Multimodal {
       transform(sequence(lit(0), lit(n - 1)),
         i => content.substr(i * frameBytes + 1, lit(frameBytes))),
       f => length(f) > 0)
+
+  /** Perceptual average-hash (aHash) of a binary payload: `cells` samples,
+    * bit i set iff sample i is strictly above the mean of all samples.
+    *
+    * The DECODE step is the stub seam, as everywhere in this module: with
+    * no codec in the container, "pixel" i is the raw byte at stride
+    * position `i·n_bytes/cells` — a real deployment feeds the decoded
+    * grayscale grid instead (classic aHash is a 64-cell 8×8 grid; the
+    * default here is 60 so the fingerprint obeys the same sign-free
+    * ≤60-bit long discipline as [[Dedup.simhash]], whose banding and
+    * Hamming machinery it shares via [[Dedup.hashNearDupPairs]]).
+    *
+    * Pure integer expressions end to end — the mean test is
+    * `cell·cells > Σcells` (exact rational compare, no division), so any
+    * engine reproduces the bits. Unlike digest-based stubs this is
+    * locality-preserving for real: payloads differing in a few bytes of
+    * equal length differ in few cells, so near-dup pairing behaves like
+    * production aHash. Empty/null payloads hash to 0.
+    */
+  def averageHash(content: org.apache.spark.sql.Column, cells: Int = 60)
+      : org.apache.spark.sql.Column = {
+    require(cells >= 1 && cells <= 60, "cells must be in [1, 60] (long-packed, sign-free)")
+    val n = length(content)
+    // evaluated-once sample array: positions stride the payload; a byte is
+    // read back as its unsigned value via hex→conv (no get_byte builtin)
+    val samples = transform(sequence(lit(0), lit(cells - 1)), i =>
+      coalesce(
+        conv(hex(content.substr(
+          (floor((i.cast("long") * n) / lit(cells)) + 1).cast("int"),
+          lit(1))), 16, 10)
+          .cast("long"),
+        lit(0L)))
+    val total = aggregate(samples, lit(0L), (a, x) => a + x)
+    val hash = aggregate(
+      zip_with(samples,
+        array((0 until cells).map(b => lit(1L << b)): _*),
+        (c, p) => when(c * cells > total, p).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+    when(content.isNull, lit(0L)).otherwise(hash)
+  }
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ClassifierSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def wordDoc(i: Int): String =
+    Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      .drop(i % 3).mkString(" ") + s" omega theta iota"
+
+  private def junkDoc(i: Int): String =
+    Seq("x9", "77", "q2q", "0z0", "##", "8y8").drop(i % 3).mkString(" ") +
+      s" 42 1337 zz9"
+
+  test("docFeatures run-length groups buckets in-row, empty docs kept") {
+    val df = Seq((1, "a b a b a"), (0, "")).toDF("y", "text")
+    val rows = Classifier.docFeatures(df, "text", "y", 16)
+      .collect().map(r => r.getAs[Int]("__y") ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(f => f.getAs[Long]("bucket") -> f.getAs[Long]("cnt")).toMap)
+      .toMap
+    val feats = rows(1)
+    assert(feats.values.sum == 5, "counts must cover every token instance")
+    assert(feats.size == 2, "two distinct tokens -> two buckets (no collision at dim 16 for a/b)")
+    assert(rows(0).isEmpty, "empty doc -> empty feature array, row kept")
+  }
+
+  test("logitMicros is the exact integer sum of bucket weights") {
+    val dim = 8
+    val w = (0 until dim).map(j => (j * 10 + 1).toLong)
+    val out = Seq(("a a b", 1)).toDF("text", "i")
+      .select(Classifier.logitMicros(col("text"), w, 7L).as("z"))
+      .head().getAs[Long]("z")
+    // recompute driver-side with the same hash
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def bucket(t: String): Int = {
+      val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) % dim).toInt
+    }
+    val want = 7L + 2 * w(bucket("a")) + w(bucket("b"))
+    assert(out == want)
+  }
+
+  test("train separates planted classes and is run-to-run deterministic") {
+    val docs = (0 until 60).map(i => (wordDoc(i), 0)) ++
+      (0 until 60).map(i => (junkDoc(i), 1))
+    val df = docs.toDF("text", "label")
+    val m1 = Classifier.train(df, "text", "label", dim = 256, iters = 15, lr = 1.0)
+    val m2 = Classifier.train(df, "text", "label", dim = 256, iters = 15, lr = 1.0)
+    assert(m1.weightsMicros.toSeq == m2.weightsMicros.toSeq &&
+      m1.biasMicros == m2.biasMicros,
+      "integer-unit training must be bit-identical across runs")
+    val scored = m1.scoreLogit(df, "text")
+    val acc = scored.where((col("logit_pos") === (col("label") === 1))).count() /
+      docs.size.toDouble
+    assert(acc >= 0.95, s"train-set accuracy $acc below 0.95")
+  }
+}

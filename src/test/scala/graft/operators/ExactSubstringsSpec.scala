@@ -42,6 +42,26 @@ class ExactSubstringsSpec extends SparkTestBase {
       Seq((1L, 1, 14), (2L, 3, 16)))
   }
 
+  test("contaminatedSpans cuts benchmark overlaps, not within-train repeats") {
+    val bench = Seq((99L, s"intro words $phrase closing words")).toDF("bid", "btext")
+    // train doc 1 carries the benchmark phrase; docs 3-5 don't (doc 3's
+    // self-repeat must NOT count — contamination is vs the benchmark only)
+    val train = fixture.where(col("doc_id") =!= 2)
+    val spans = ExactSubstrings.contaminatedSpans(
+      train, "doc_id", "text", bench, "btext", w = 10)
+      .orderBy("doc_id", "span_start").collect()
+    assert(spans.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((1L, 3, 14)))
+    val out = ExactSubstrings.removeContaminatedSpans(
+      train, bench, benchTextCol = "btext", w = 10).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getString(1), r.getInt(2))).toMap
+    assert(out.length == 4, "every training doc survives, clean or cut")
+    assert(byId(1L)._1 == "alpha beta gamma delta" && byId(1L)._2 == 12)
+    assert(byId(3L)._2 == 0, "self-repeats are not contamination")
+    assert(byId(5L) == ("short doc", 0), "sub-w docs pass through")
+  }
+
   test("removeRepeatedSpans keeps every doc once and cuts only span tokens") {
     val out = ExactSubstrings.removeRepeatedSpans(fixture, w = 10)
       .orderBy("doc_id").collect()

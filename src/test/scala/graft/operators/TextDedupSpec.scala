@@ -53,6 +53,25 @@ class TextDedupSpec extends SparkTestBase {
     assert(fp(1L) != fp(3L))
   }
 
+  test("containment pairs flag an excerpt that Jaccard misses") {
+    val big = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val excerpt = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 160).map(i => s"zzz$i").mkString(" ")
+    val tiny = "a b c" // 1 shingle — below minSize, contained in nothing here
+    val df = Seq((1L, big), (2L, excerpt), (3L, other), (4L, tiny))
+      .toDF("id", "text").withColumn("blk", lit("x"))
+    val cont = Dedup.ngramContainmentPairs(df, "id", "text", Seq("blk"),
+      n = 3, threshold = 0.5, minSize = 5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("containment")))
+    assert(cont.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(cont.head._3 == 1.0, "every excerpt shingle is in the source")
+    // the same pair is invisible to Jaccard at any useful threshold
+    val jac = Dedup.ngramJaccardPairs(df, "id", "text", Seq("blk"),
+      n = 3, threshold = 0.5).collect()
+    assert(jac.isEmpty)
+  }
+
   test("exact dedup keeps first by order col") {
     val df = Seq((1L, "same"), (5L, "same"), (3L, "other")).toDF("id", "text")
     val out = Dedup.exactDedup(df, Seq("text"), "id").collect()
