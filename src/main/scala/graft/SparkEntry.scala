@@ -1250,18 +1250,18 @@ object SparkEntry {
           hex(col("col")).as("frame_hex"))
     }),
 
-    // ---- image perceptual hash (aHash over the stub pixel stride) -------
-    "q_image_ahash" -> ((s, dir) => {
+    // ---- image perceptual hash (median-threshold over the stub stride) --
+    "q_image_phash" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("content"))
         .select(col("doc_id"),
-          operators.Multimodal.averageHash(col("content")).as("ahash"))
+          operators.Multimodal.perceptualHash(col("content")).as("phash"))
     }),
 
-    // ---- image near-dup pairs: banded Hamming join over the aHash -------
+    // ---- image near-dup pairs: banded Hamming join over the pHash -------
     // planted near-dups: every 10th payload re-enters with its last three
     // characters overwritten at EQUAL length — the shape an equal-size
-    // re-encode produces (stride sampling, like real aHash, is robust to
+    // re-encode produces (stride sampling, like real pHash, is robust to
     // small in-place edits but not to length changes)
     "q_image_near_dup" -> ((s, dir) => {
       val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -1271,9 +1271,9 @@ object SparkEntry {
             .as("text"))
       val hashed = base.unionByName(planted)
         .select(col("doc_id"),
-          operators.Multimodal.averageHash(col("text").cast("binary"))
-            .as("ahash"))
-      operators.Dedup.hashNearDupPairs(hashed, "doc_id", "ahash",
+          operators.Multimodal.perceptualHash(col("text").cast("binary"))
+            .as("phash"))
+      operators.Dedup.hashNearDupPairs(hashed, "doc_id", "phash",
         bits = 60, bands = 6, maxHamming = 5)
     }),
 
@@ -3611,7 +3611,7 @@ object SparkEntry {
         |  FROM d CROSS JOIN range(3) t(i))
         |SELECT doc_id, frame_idx, frame_hex
         |FROM f WHERE length(frame_hex) > 0""".stripMargin,
-    "q_image_ahash" ->
+    "q_image_phash" ->
       """WITH d AS (SELECT doc_id, hex(encode(text)) AS h,
         |    octet_length(encode(text)) AS nb FROM documents),
         |cells AS (
@@ -3620,14 +3620,17 @@ object SparkEntry {
         |      CAST((i * nb) // 60 AS INTEGER) * 2 + 1, 2)
         |      AS BIGINT), 0) AS c
         |  FROM d CROSS JOIN range(60) t(i)),
-        |tot AS (SELECT doc_id, SUM(c) AS total FROM cells GROUP BY doc_id),
+        |med AS (
+        |  SELECT doc_id, arr[31] AS m FROM (
+        |    SELECT doc_id, list_sort(list(c)) AS arr
+        |    FROM cells GROUP BY doc_id)),
         |bits AS (
         |  SELECT cells.doc_id,
-        |    CAST(SUM(CASE WHEN c * 60 > total
+        |    CAST(SUM(CASE WHEN c > m
         |             THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END)
         |      AS BIGINT) AS v
-        |  FROM cells JOIN tot USING (doc_id) GROUP BY cells.doc_id)
-        |SELECT d.doc_id, COALESCE(bits.v, 0)::BIGINT AS ahash
+        |  FROM cells JOIN med USING (doc_id) GROUP BY cells.doc_id)
+        |SELECT d.doc_id, COALESCE(bits.v, 0)::BIGINT AS phash
         |FROM d LEFT JOIN bits USING (doc_id)""".stripMargin,
     "q_image_near_dup" ->
       """WITH corpus AS (
@@ -3644,13 +3647,16 @@ object SparkEntry {
         |      CAST((i * nb) // 60 AS INTEGER) * 2 + 1, 2)
         |      AS BIGINT), 0) AS c
         |  FROM d CROSS JOIN range(60) t(i)),
-        |tot AS (SELECT doc_id, SUM(c) AS total FROM cells GROUP BY doc_id),
+        |med AS (
+        |  SELECT doc_id, arr[31] AS m FROM (
+        |    SELECT doc_id, list_sort(list(c)) AS arr
+        |    FROM cells GROUP BY doc_id)),
         |ah AS (
         |  SELECT cells.doc_id,
-        |    CAST(SUM(CASE WHEN c * 60 > total
+        |    CAST(SUM(CASE WHEN c > m
         |             THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END)
         |      AS BIGINT) AS sh
-        |  FROM cells JOIN tot USING (doc_id) GROUP BY cells.doc_id),
+        |  FROM cells JOIN med USING (doc_id) GROUP BY cells.doc_id),
         |bands AS (
         |  SELECT doc_id, sh, b, (sh >> (CAST(b AS INTEGER) * 10)) & 1023 AS bv
         |  FROM ah CROSS JOIN range(6) t(b))

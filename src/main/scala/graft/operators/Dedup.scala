@@ -236,7 +236,9 @@ object Dedup {
         "join to be exact (pigeonhole: some band must match)")
     // fingerprints are reused by both join sides; checkpoint so the
     // fingerprint computation runs once per document, not once per side
-    val sigs = df
+    // (spread first: the fingerprint expression is the expensive part and
+    // a single-file parquet scan would compute it on one core)
+    val sigs = spreadForCompute(df)
       .select(col(idCol).as("__id"), col(hashCol).as("__sh"))
       .localCheckpoint(true)
     // the result still reads this checkpoint — scope-register, don't free

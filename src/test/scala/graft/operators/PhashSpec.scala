@@ -10,24 +10,24 @@ class PhashSpec extends SparkTestBase {
   private def hashOf(payloads: Seq[(Long, String)]): Map[Long, Long] =
     payloads.toDF("id", "s")
       .select(col("id"),
-        Multimodal.averageHash(col("s").cast("binary")).as("h"))
+        Multimodal.perceptualHash(col("s").cast("binary")).as("h"))
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("h")).toMap
 
-  test("averageHash: deterministic, sign-free, degenerate payloads hash to 0") {
+  test("perceptualHash: deterministic, sign-free, degenerate payloads hash to 0") {
     val base = "the quick brown fox jumps over the lazy dog " * 5
     val h = hashOf(Seq(1L -> base, 2L -> base, 3L -> "", 4L -> "aaaaaaaaaa"))
     assert(h(1L) == h(2L))
     assert(h(1L) >= 0L, "60-cell hash must stay in non-negative long range")
     assert(h(3L) == 0L, "empty payload")
-    // constant payload: every cell equals the mean, strict > sets no bit
+    // constant payload: every cell equals the median, strict > sets no bit
     assert(h(4L) == 0L)
     val hNull = Seq((5L, null: String)).toDF("id", "s")
-      .select(Multimodal.averageHash(col("s").cast("binary")).as("h"))
+      .select(Multimodal.perceptualHash(col("s").cast("binary")).as("h"))
       .head().getAs[Long]("h")
     assert(hNull == 0L)
   }
 
-  test("averageHash is locality-preserving for equal-length byte edits") {
+  test("perceptualHash is locality-preserving for equal-length byte edits") {
     val base = "The cat sat on the mat while rain fell on the tin roof all day " * 4
     val mutated = base.dropRight(3) + "xyz" // same length, 3-byte tail edit
     val other = "completely unrelated content with different byte statistics!! " * 4
@@ -49,7 +49,7 @@ class PhashSpec extends SparkTestBase {
       101L -> ((s"document number 13 with some repeated filler text payload " * 3)
         .dropRight(2) + "qq"))
     val df = docs.toDF("id", "s")
-      .select(col("id"), Multimodal.averageHash(col("s").cast("binary")).as("h"))
+      .select(col("id"), Multimodal.perceptualHash(col("s").cast("binary")).as("h"))
     val got = Dedup.hashNearDupPairs(df, "id", "h", bits = 60, bands = 6, maxHamming = 5)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     val hs = df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("h"))
