@@ -1041,6 +1041,18 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // ---- token-budget mixture fill: 600 tokens per source, unbiased
+    // hash order, straddling doc kept (greedy-fill contract)
+    "q_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        operators.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tok"))
+      operators.Sampling.tokenBudgetPerGroup(docs, Seq("source"), "n_tok",
+        budget = 600L,
+        orderCols = Seq(operators.Sampling.hashBucket(col("doc_id"), "tb"),
+          col("doc_id")))
+    }),
+
     // ---- per-group quota: keep the 8 lowest-id docs per (source, lang) --
     "q_quota_per_group" -> ((s, dir) => {
       operators.Sampling.limitPerGroup(
@@ -3134,6 +3146,21 @@ object SparkEntry {
         |       WHEN b < 900000 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM w""".stripMargin,
+    "q_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                    t -> t <> ''))::BIGINT AS n_tok,
+        |    ('0x' || substring(sha256(CAST(doc_id AS VARCHAR) || ':tb'),
+        |        1, 7))::BIGINT % 1000000 AS hb
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY source
+        |      ORDER BY hb, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM d)
+        |SELECT doc_id, source, n_tok FROM c WHERE cum < 600""".stripMargin,
     "q_doc_hygiene" ->
       """WITH t AS (
         |  SELECT doc_id, coalesce(text, '') AS text,

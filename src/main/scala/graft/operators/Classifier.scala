@@ -158,4 +158,72 @@ object Classifier {
       TextClassifierModel(w, b)
     } finally feats.unpersist()
   }
+
+  /** Sidecar recording (dim, bias); committed LAST so a crashed save
+    * reads back as "no model" instead of truncated weights.
+    */
+  val ParamsFileName = "_graft_classifier_params.json"
+
+  /** Persist `model` at `path`: one (bucket, weight_micros) parquet —
+    * dim-bounded, a few MB at most — then the params sidecar through the
+    * shared tmp+rename commit ([[graft.io.Sidecar]]). Train nightly, save
+    * once, score from any later session/cluster via [[loadModel]] — the
+    * production split between the training job and the (much larger)
+    * scoring jobs.
+    */
+  def saveModel(
+      spark: org.apache.spark.sql.SparkSession,
+      model: TextClassifierModel,
+      path: String): Unit = {
+    import spark.implicits._
+    model.weightsMicros.zipWithIndex
+      .map { case (wt, bkt) => (bkt, wt) }.toSeq
+      .toDF("bucket", "weight_micros")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    graft.io.Sidecar.commit(fs, new org.apache.hadoop.fs.Path(path),
+      ParamsFileName,
+      s"""{"dim": ${model.dim}, "bias_micros": ${model.biasMicros}}""",
+      overwrite = true)
+  }
+
+  /** Load a model saved by [[saveModel]]. Fails loudly when the sidecar
+    * is missing (crashed save) or the weight rows contradict the claimed
+    * dim — scoring with truncated weights would silently mis-rank the
+    * whole corpus.
+    */
+  def loadModel(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): TextClassifierModel = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val params = graft.io.Sidecar.read(fs,
+      new org.apache.hadoop.fs.Path(path), ParamsFileName)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed classifier model at $path (missing $ParamsFileName " +
+          "— crashed save or wrong path)"))
+    val node = graft.io.Json.parse(params)
+    val dim = node.get("dim").asInt()
+    val bias = node.get("bias_micros").asLong()
+    val rows = spark.read.parquet(path)
+      .select(col("bucket"), col("weight_micros"))
+      .collect() // dim-bounded by construction
+    require(rows.length == dim,
+      s"classifier model at $path claims dim=$dim but carries " +
+        s"${rows.length} weight rows")
+    val w = Array.fill(dim)(0L)
+    val seen = new java.util.BitSet(dim)
+    rows.foreach { r =>
+      val bkt = r.getAs[Int]("bucket")
+      require(bkt >= 0 && bkt < dim,
+        s"classifier model at $path carries out-of-range bucket $bkt")
+      require(!seen.get(bkt),
+        s"classifier model at $path carries duplicate bucket $bkt")
+      seen.set(bkt)
+      w(bkt) = r.getAs[Long]("weight_micros")
+    }
+    TextClassifierModel(w, bias)
+  }
 }

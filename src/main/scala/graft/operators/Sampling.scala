@@ -27,6 +27,11 @@ object Sampling {
 
   /** Adds a split-label column ("train"/"val"/... per `fractions`, which
     * must sum to <= 1; any remainder gets the last label).
+    *
+    * Leakage-safe splits: hash a GROUP column instead of the row id
+    * (`withHashSplit(df, "domain", ...)`) and every row of a domain lands
+    * in the same split — near-duplicate documents cluster within sources,
+    * so row-keyed splits quietly leak train content into eval.
     */
   def withHashSplit(
       df: DataFrame,
@@ -270,6 +275,45 @@ object Sampling {
     df.withColumn("__qrn", row_number().over(w))
       .where(col("__qrn") <= n)
       .drop("__qrn")
+  }
+
+  /** TOKEN-budget quota per group: keep rows, in `orderCols` order, while
+    * the group's running token total has not yet reached `budget` — the
+    * mixture-construction step that fills "N tokens of domain X", where
+    * [[limitPerGroup]]'s row quota would over-sample short-document
+    * domains and under-sample long-document ones.
+    *
+    * Greedy-fill semantics: a row is kept iff the EXCLUSIVE running sum
+    * (tokens of kept rows strictly before it) is `< budget`, so the
+    * straddling document is included and each group's total lands in
+    * `[budget, budget + max_doc_tokens)` (a group with fewer total tokens
+    * keeps everything). Deterministic given `orderCols`; pass a hash
+    * order ([[hashBucket]]) for an unbiased fill, or quality-descending
+    * for a best-first fill.
+    *
+    * One group-key window exchange. Unlike the row quota, a running SUM
+    * has no rank-limit pushdown — every group row crosses the wire once;
+    * at corpus scale pre-filter obviously-excess rows first (e.g.
+    * [[limitPerGroup]] at `budget / typical_min_tokens`) if a group can
+    * be pathologically larger than its budget.
+    */
+  def tokenBudgetPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      tokenCol: String,
+      budget: Long,
+      orderCols: Seq[Column]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(budget > 0, "budget must be positive")
+    require(orderCols.nonEmpty,
+      "orderCols must be non-empty (ties would make the fill nondeterministic)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    df.withColumn("__cum", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .where(col("__cum") < budget)
+      .drop("__cum")
   }
 
   /** Deterministic weighted sampling WITHOUT replacement, k per group

@@ -44,6 +44,29 @@ class ClassifierSpec extends SparkTestBase {
     assert(out == want)
   }
 
+  test("saveModel/loadModel round-trips bit-for-bit; crashed save is loud") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_clf_").toString
+    val m = Classifier.TextClassifierModel(
+      Array.tabulate(32)(i => (i * 7 - 100).toLong), biasMicros = 42L)
+    Classifier.saveModel(spark, m, s"$dir/model")
+    val back = Classifier.loadModel(spark, s"$dir/model")
+    assert(back.weightsMicros.toSeq == m.weightsMicros.toSeq
+      && back.biasMicros == m.biasMicros)
+    val df = Seq(("alpha beta gamma", 1)).toDF("text", "i")
+    val a = m.scoreLogit(df, "text").head().getAs[Long]("logit_micros")
+    val b = back.scoreLogit(df, "text").head().getAs[Long]("logit_micros")
+    assert(a == b)
+    // parquet present but sidecar missing = crashed save -> loud
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/model/${Classifier.ParamsFileName}"), false)
+    val e = intercept[IllegalStateException] {
+      Classifier.loadModel(spark, s"$dir/model")
+    }
+    assert(e.getMessage.contains("no committed classifier model"))
+  }
+
   test("train separates planted classes and is run-to-run deterministic") {
     val docs = (0 until 60).map(i => (wordDoc(i), 0)) ++
       (0 until 60).map(i => (junkDoc(i), 1))

@@ -56,6 +56,32 @@ class SamplingSpec extends SparkTestBase {
       Sampling.limitPerGroup(df, Seq("grp"), 2, Nil))
   }
 
+  test("tokenBudgetPerGroup greedy-fills: straddler kept, short groups whole") {
+    import spark.implicits._
+    val df = Seq(
+      // group a: 40 + 40 + 40 tokens against budget 100 -> exclusive
+      // cumsums 0, 40, 80 all < 100 -> ALL kept (total 120, the
+      // straddler crosses the line); id 4 starts at 120 -> dropped
+      ("a", 1L, 40L), ("a", 2L, 40L), ("a", 3L, 40L), ("a", 4L, 40L),
+      // group b: under budget entirely
+      ("b", 5L, 30L), ("b", 6L, 30L),
+      // group c: single huge doc still kept (cumsum 0 < budget)
+      ("c", 7L, 999L)).toDF("grp", "id", "n_tok")
+    val out = Sampling.tokenBudgetPerGroup(df, Seq("grp"), "n_tok", 100L,
+      Seq(col("id"))).orderBy("id").as[(String, Long, Long)].collect()
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L, 5L, 6L, 7L))
+    // best-first fill: order by score desc changes which rows make the cut
+    val scored = Seq(
+      ("a", 1L, 60L, 0.1), ("a", 2L, 60L, 0.9), ("a", 3L, 60L, 0.5))
+      .toDF("grp", "id", "n_tok", "q")
+    val best = Sampling.tokenBudgetPerGroup(scored, Seq("grp"), "n_tok",
+      100L, Seq(col("q").desc, col("id")))
+      .as[(String, Long, Long, Double)].collect().map(_._2).toSet
+    assert(best == Set(2L, 3L), "0.9 fills first, 0.5 straddles, 0.1 out")
+    intercept[IllegalArgumentException](
+      Sampling.tokenBudgetPerGroup(df, Seq("grp"), "n_tok", 100L, Nil))
+  }
+
   test("packSequences bins respect budget + max-doc slack and shard isolation") {
     import spark.implicits._
     val docs = (1 to 40).map(i =>
