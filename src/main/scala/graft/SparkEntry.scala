@@ -18,6 +18,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Planted classifier weights for the scoring/pipeline queries: micros
+    * in [-1000, 1000] derived from sha256("w:" + j) — the DuckDB twins
+    * rebuild the identical array in SQL.
+    */
+  private def plantedWeights(dim: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def h60(x: String): Long = java.lang.Long.parseLong(
+      md.digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15), 16)
+    (0 until dim).map(j => h60(s"w:$j") % 2001L - 1000L).toArray
+  }
+
   /** Documents plus planted near-duplicates (every 10th doc re-appears with
     * a suffix under a shifted id) — shared corpus for the LSH pair and
     * clustering queries.
@@ -539,16 +550,38 @@ object SparkEntry {
     // ---- hashed-linear classifier scoring: exact integer logits against
     // planted sha-derived weights (the DuckDB twin rebuilds them in SQL)
     "q_classifier_score" -> ((s, dir) => {
-      val dim = 64
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      def h60(x: String): Long = java.lang.Long.parseLong(
-        md.digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15), 16)
-      val w = (0 until dim).map(j => h60(s"w:$j") % 2001L - 1000L)
-      operators.Classifier.TextClassifierModel(w.toArray, 0L)
+      operators.Classifier.TextClassifierModel(plantedWeights(64), 0L)
         .scoreLogit(t(s, dir, "documents").select(col("doc_id"), col("text")),
           "text")
         .select(col("doc_id"), col("logit_micros"),
           col("logit_pos").as("pred"))
+    }),
+
+    // ---- the pipeline, end to end: classifier quality gate → exact
+    // dedup → per-source token budget → sequence packing. One oracle
+    // covers the composition — every stage is engine-exact, so the
+    // integrated result hash-matches too.
+    "q_pipeline_quality_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val gated = operators.Classifier
+        .TextClassifierModel(plantedWeights(64), 0L)
+        .scoreLogit(docs, "text")
+        .where(col("logit_micros") > 0)
+      val deduped = operators.Dedup.exactDedup(gated, Seq("text"), "doc_id")
+        .select(col("doc_id"), col("source"),
+          operators.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tok"))
+      val quota = operators.Sampling.tokenBudgetPerGroup(
+        deduped, Seq("source"), "n_tok", budget = 400L,
+        Seq(operators.Sampling.hashBucket(col("doc_id"), "pp"),
+          col("doc_id")))
+      operators.Packing.packSequences(quota, "n_tok", budget = 256L,
+        orderCols = Seq(operators.Sampling.hashBucket(col("doc_id"), "pp"),
+          col("doc_id")),
+        shardCols = Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("bin"), col("bin_offset"))
     }),
 
     // ---- classifier TRAINING end-to-end: learn a token-derivable label
@@ -2527,6 +2560,52 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(lg.s, 0)::BIGINT AS logit_micros,
         |  COALESCE(lg.s, 0) > 0 AS pred
         |FROM documents d LEFT JOIN lg USING (doc_id)""".stripMargin,
+    "q_pipeline_quality_pack" ->
+      """WITH w AS (
+        |  SELECT CAST(j AS BIGINT) AS bucket,
+        |    (('0x' || substring(sha256('w:' || CAST(j AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 2001) - 1000 AS wt
+        |  FROM range(64) t(j)),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(coalesce(text, ''), '\s+'),
+        |    t -> t <> '')) AS tok
+        |  FROM documents),
+        |lg AS (
+        |  SELECT doc_id, SUM(wt) AS s
+        |  FROM toks JOIN w
+        |    ON (('0x' || substring(sha256(tok), 1, 15))::BIGINT % 64)
+        |       = w.bucket
+        |  GROUP BY doc_id),
+        |gated AS (
+        |  SELECT d.doc_id, d.source, d.text
+        |  FROM documents d JOIN lg USING (doc_id) WHERE lg.s > 0),
+        |dd AS (
+        |  SELECT doc_id, source, text,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM gated),
+        |tokd AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                    t -> t <> ''))::BIGINT AS n_tok,
+        |    ('0x' || substring(sha256(CAST(doc_id AS VARCHAR) || ':pp'),
+        |        1, 7))::BIGINT % 1000000 AS hb
+        |  FROM dd WHERE rn = 1),
+        |quota AS (
+        |  SELECT doc_id, source, n_tok, hb FROM (
+        |    SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY source
+        |      ORDER BY hb, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |    FROM tokd) WHERE cum < 400),
+        |packed AS (
+        |  SELECT doc_id, source, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY source
+        |      ORDER BY hb, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS bin_offset
+        |  FROM quota)
+        |SELECT doc_id, source, n_tok, bin_offset // 256 AS bin, bin_offset
+        |FROM packed""".stripMargin,
     "q_lm_score" ->
       """WITH ref AS (
         |  SELECT text FROM documents WHERE doc_id % 5 <> 0),
