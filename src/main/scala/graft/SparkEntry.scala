@@ -1150,6 +1150,20 @@ object SparkEntry {
       operators.AsofJoin.asofJoin(left, snaps, Seq("user_id"), "ts_us")
     }),
 
+    // ---- as-of with a staleness bound: matches older than 60s are
+    // dropped (row kept, right columns null) — merge_asof(tolerance=...)
+    "q_asof_tolerance" -> ((s, dir) => {
+      val raw = streaming.StreamingOps
+        .readEventsRaw(s, s"$dir/events.parquet")
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val left = raw.select("event_id", "user_id", "ts_us")
+      val snaps = raw.where(col("event_id") % 10 === 0)
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("value")).as("snap_value"))
+      operators.AsofJoin.asofJoin(left, snaps, Seq("user_id"), "ts_us",
+        tolerance = Some(60000000L))
+    }),
+
     // ---- forward as-of: next snapshot at-or-after each event (DuckDB
     // ASOF with l.ts <= r.ts is the oracle; `nearest` has no SQL twin
     // and is spec-pinned in AsofJoinSpec) ----
@@ -3679,6 +3693,18 @@ object SparkEntry {
         |  FROM events WHERE event_id % 10 = 0
         |  GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, e.ts_us, s.snap_value
+        |FROM e ASOF LEFT JOIN s
+        |  ON e.user_id = s.user_id AND e.ts_us >= s.ts_us""".stripMargin,
+    "q_asof_tolerance" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |s AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS snap_value
+        |  FROM events WHERE event_id % 10 = 0
+        |  GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts_us,
+        |  CASE WHEN s.ts_us IS NOT NULL AND e.ts_us - s.ts_us <= 60000000
+        |       THEN s.snap_value END AS snap_value
         |FROM e ASOF LEFT JOIN s
         |  ON e.user_id = s.user_id AND e.ts_us >= s.ts_us""".stripMargin,
     "q_asof_forward" ->

@@ -46,6 +46,14 @@ object AsofJoin {
     * @param rightTsAs  when set, also attach the matched right timestamp
     *                   under this name
     * @param direction  `backward` | `forward` | `nearest` (see object doc)
+    * @param tolerance  when set, a match farther than this from the left
+    *                   timestamp (|left.ts − right.ts| > tolerance) is
+    *                   dropped — the row keeps null right columns, pandas
+    *                   `merge_asof(tolerance=...)` semantics. A stale
+    *                   snapshot is often worse than none for a feature
+    *                   backfill. Requires a numeric ordering column (the
+    *                   distance needs subtraction), same contract as
+    *                   `nearest`.
     */
   def asofJoin(
       left: DataFrame,
@@ -54,15 +62,17 @@ object AsofJoin {
       tsCol: String,
       valueCols: Seq[String] = Nil,
       rightTsAs: Option[String] = None,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "asofJoin requires at least one key column")
     require(Set("backward", "forward", "nearest").contains(direction),
       s"direction must be backward|forward|nearest, got $direction")
-    if (direction == "nearest")
+    if (direction == "nearest" || tolerance.isDefined)
       require(left.schema(tsCol).dataType
           .isInstanceOf[org.apache.spark.sql.types.NumericType],
-        "nearest needs a numeric ordering column (distance requires " +
-          "subtraction) — cast timestamps to epoch numbers upstream")
+        "nearest/tolerance need a numeric ordering column (distance " +
+          "requires subtraction) — cast timestamps to epoch numbers upstream")
+    tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
     val vals =
       if (valueCols.nonEmpty) valueCols
       else right.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
@@ -123,10 +133,17 @@ object AsofJoin {
           .drop("__asof_b", "__asof_f")
     }).where(col(side) === 1)
 
+    // tolerance gate AFTER the carry: the nearest in-window match either
+    // qualifies or the row has no match at all — a per-row null-out, not
+    // a re-search (exactly merge_asof's contract)
+    val bounded = tolerance.fold(carried)(tol => carried.withColumn(payload,
+      when(abs(col(tsCol) - col(s"$payload.__asof_rts")) <= tol,
+        col(payload))))
+
     val outCols: Seq[Column] =
       left.columns.toSeq.map(c => col(s"__asof_row.$c").as(c)) ++
         vals.map(v => col(s"$payload.$v").as(v)) ++
         rightTsAs.map(n => col(s"$payload.__asof_rts").as(n)).toSeq
-    carried.select(outCols: _*)
+    bounded.select(outCols: _*)
   }
 }

@@ -32,6 +32,29 @@ class AsofJoinSpec extends SparkTestBase {
       (5L, null, None))) // before any right row → null
   }
 
+  test("tolerance nulls stale matches without re-searching") {
+    val left = Seq(
+      (1L, "a", 5L), (2L, "a", 50L), (3L, "a", 12L)
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(("a", 1L, "a@1"), ("a", 10L, "a@10"))
+      .toDF("k", "ts", "snap")
+    val got = AsofJoin.asofJoin(left, right, Seq("k"), "ts",
+      tolerance = Some(4L))
+      .select("event_id", "snap").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      1L -> Some("a@1"),  // |5-1| = 4 <= 4
+      2L -> None,         // nearest-backward a@10 is 40 stale -> nulled
+      3L -> Some("a@10"))) // |12-10| = 2
+    // tolerance requires a numeric ts
+    val sLeft = left.withColumn("ts", col("ts").cast("string"))
+    val sRight = right.withColumn("ts", col("ts").cast("string"))
+    intercept[IllegalArgumentException](AsofJoin.asofJoin(
+      sLeft, sRight, Seq("k"), "ts", tolerance = Some(1L)))
+    intercept[IllegalArgumentException](AsofJoin.asofJoin(
+      left, right, Seq("k"), "ts", tolerance = Some(-1L)))
+  }
+
   test("asof join preserves every left column and row") {
     val left = Seq((1L, "a", 5L, "x")).toDF("event_id", "k", "ts", "extra")
     val right = Seq(("a", 1L, 9.5)).toDF("k", "ts", "v")
