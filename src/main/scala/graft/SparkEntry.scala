@@ -2570,7 +2570,8 @@ object SparkEntry {
         |  SELECT doc_id, wt FROM toks JOIN w
         |    ON (('0x' || substring(sha256(tok), 1, 15))::BIGINT % 64)
         |       = w.bucket),
-        |lg AS (SELECT doc_id, SUM(wt) AS s FROM tw GROUP BY doc_id)
+        |lg AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS s
+        |  FROM tw GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(lg.s, 0)::BIGINT AS logit_micros,
         |  COALESCE(lg.s, 0) > 0 AS pred
         |FROM documents d LEFT JOIN lg USING (doc_id)""".stripMargin,
@@ -2586,7 +2587,7 @@ object SparkEntry {
         |    t -> t <> '')) AS tok
         |  FROM documents),
         |lg AS (
-        |  SELECT doc_id, SUM(wt) AS s
+        |  SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS s
         |  FROM toks JOIN w
         |    ON (('0x' || substring(sha256(tok), 1, 15))::BIGINT % 64)
         |       = w.bucket
@@ -2607,16 +2608,17 @@ object SparkEntry {
         |  FROM dd WHERE rn = 1),
         |quota AS (
         |  SELECT doc_id, source, n_tok, hb FROM (
-        |    SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY source
+        |    SELECT *, COALESCE(CAST(SUM(n_tok) OVER (PARTITION BY source
         |      ORDER BY hb, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum
         |    FROM tokd) WHERE cum < 400),
         |packed AS (
         |  SELECT doc_id, source, n_tok,
-        |    COALESCE(SUM(n_tok) OVER (PARTITION BY source
+        |    COALESCE(CAST(SUM(n_tok) OVER (PARTITION BY source
         |      ORDER BY hb, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS bin_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS bin_offset
         |  FROM quota)
         |SELECT doc_id, source, n_tok, bin_offset // 256 AS bin, bin_offset
         |FROM packed""".stripMargin,
@@ -3249,9 +3251,10 @@ object SparkEntry {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, source, n_tok,
-        |    COALESCE(SUM(n_tok) OVER (PARTITION BY source
+        |    COALESCE(CAST(SUM(n_tok) OVER (PARTITION BY source
         |      ORDER BY hb, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum
         |  FROM d)
         |SELECT doc_id, source, n_tok FROM c WHERE cum < 600""".stripMargin,
     "q_doc_hygiene" ->

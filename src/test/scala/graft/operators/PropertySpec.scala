@@ -218,4 +218,29 @@ class PropertySpec extends SparkTestBase {
       got == expect
     }, n = 40)
   }
+
+  test("tokenBudgetPerGroup equals the reference greedy fill for arbitrary groups") {
+    val rowGen = for {
+      grp <- Gen.oneOf("a", "b", "c")
+      tok <- Gen.chooseNum(1L, 50L)
+    } yield (grp, tok)
+    check(Prop.forAll(
+      Gen.listOfN(25, rowGen), Gen.chooseNum(10L, 120L)) { (rows0, budget) =>
+      val rows = rows0.zipWithIndex.map { case ((g, t), i) => (g, i.toLong, t) }
+      val df = rows.toDF("grp", "id", "n_tok")
+      val got = Sampling.tokenBudgetPerGroup(df, Seq("grp"), "n_tok", budget,
+        Seq(col("id"))).collect().map(_.getAs[Long]("id")).toSet
+      // reference: per group in id order, keep while exclusive cumsum < budget
+      val expect = rows.groupBy(_._1).values.flatMap { g =>
+        g.sortBy(_._2).foldLeft((0L, List.empty[Long])) {
+          case ((cum, kept), (_, id, tok)) =>
+            if (cum < budget) (cum + tok, id :: kept) else (cum, kept)
+        }._2
+      }.toSet
+      val maxTok = rows.map(_._3).max
+      val groupTotals = got.nonEmpty && rows.filter(r => got(r._2))
+        .groupBy(_._1).values.forall(_.map(_._3).sum < budget + maxTok)
+      got == expect && groupTotals
+    }, n = 40)
+  }
 }
