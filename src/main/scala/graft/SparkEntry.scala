@@ -1328,12 +1328,9 @@ object SparkEntry {
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(expr("substring(text, 1, length(text) - 3)"), lit("xyz"))
             .as("text"))
-      val hashed = base.unionByName(planted)
-        .select(col("doc_id"),
-          operators.Multimodal.perceptualHash(col("text").cast("binary"))
-            .as("phash"))
-      operators.Dedup.hashNearDupPairs(hashed, "doc_id", "phash",
-        bits = 60, bands = 6, maxHamming = 5)
+      operators.Dedup.hashNearDupPairs(base.unionByName(planted), "doc_id",
+        operators.Multimodal.perceptualHash(col("text").cast("binary")),
+        bits = 60, bands = 6, maxHamming = 5, dropZero = true)
     }),
 
     // ---- S1/S2 DSv2 REST source vs in-process fixture server ----
@@ -3794,7 +3791,8 @@ object SparkEntry {
         |  FROM cells JOIN med USING (doc_id) GROUP BY cells.doc_id),
         |bands AS (
         |  SELECT doc_id, sh, b, (sh >> (CAST(b AS INTEGER) * 10)) & 1023 AS bv
-        |  FROM ah CROSS JOIN range(6) t(b))
+        |  FROM ah CROSS JOIN range(6) t(b)
+        |  WHERE sh <> 0)
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         |  bit_count(xor(a.sh, b.sh)) AS hamming
         |FROM bands a JOIN bands b

@@ -309,17 +309,21 @@ private[graft] object TableStore {
     *
     * Path targets only: `partitionBy` writes the staged copy with a
     * `partitionBy` directory layout (the swap itself is layout-agnostic —
-    * whole-directory renames), and `preserveFiles` copies the named
-    * top-level files of the current target (e.g. a params sidecar) into the
-    * staged copy before the swap, so metadata that lives NEXT TO the data
-    * survives the rewrite.
+    * whole-directory renames), `preserveFiles` copies the named top-level
+    * files of the current target (e.g. a params sidecar) into the staged
+    * copy before the swap, so metadata that lives NEXT TO the data
+    * survives the rewrite, and `stageFiles` writes NEW small files
+    * (name → content) into the staged copy so replacement metadata rides
+    * the same atomic swap as the data — a crash leaves either the old
+    * (data + sidecar) pair or the new one, never a mix.
     */
   def overwrite(
       spark: SparkSession,
       df: DataFrame,
       target: String,
       partitionBy: Seq[String] = Nil,
-      preserveFiles: Seq[String] = Nil): Unit =
+      preserveFiles: Seq[String] = Nil,
+      stageFiles: Map[String, String] = Map.empty): Unit =
     if (isPath(target)) {
       val dest = new Path(target)
       val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
@@ -336,11 +340,17 @@ private[graft] object TableStore {
           org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
             new Path(staging, name), false, spark.sessionState.newHadoopConf())
       }
+      stageFiles.foreach { case (name, content) =>
+        val out = fs.create(new Path(staging, name), true)
+        try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
       writeMarker(fs, staging, Nil)
       swapFlat(fs, staging, dest, old, target)
     } else {
-      require(partitionBy.isEmpty && preserveFiles.isEmpty,
-        "partitionBy/preserveFiles are path-target-only options")
+      require(partitionBy.isEmpty && preserveFiles.isEmpty
+          && stageFiles.isEmpty,
+        "partitionBy/preserveFiles/stageFiles are path-target-only options")
       // stage on the WAREHOUSE filesystem, not a driver-local temp dir: on
       // a cluster whose default FS is remote (HDFS/S3A), a java.nio temp
       // path would be written through the default FS but deleted as a

@@ -113,6 +113,14 @@ object Classifier {
     * (int-castable). Weights update driver-side in exact micros. `dim` is
     * the driver-memory bound (8 bytes × dim; 2^18 buckets ≈ 2 MB — plenty
     * for a quality filter).
+    *
+    * `init` warm-starts from an existing model (same dim) — the nightly
+    * refinement loop: [[loadModel]] yesterday's weights, a few passes over
+    * the fresh labels, [[saveModel]]. Because every update is exact
+    * integer arithmetic, warm-starting is REPRODUCIBLE in the strongest
+    * sense: on the same data, `train(iters = a + b)` equals
+    * `train(iters = b, init = train(iters = a))` bit for bit
+    * (ClassifierSpec pins it).
     */
   def train(
       df: DataFrame,
@@ -120,15 +128,19 @@ object Classifier {
       labelCol: String,
       dim: Int = 4096,
       iters: Int = 20,
-      lr: Double = 0.5): TextClassifierModel = {
+      lr: Double = 0.5,
+      init: Option[TextClassifierModel] = None): TextClassifierModel = {
     require(dim >= 2 && dim <= (1 << 22), "dim must be in [2, 4M]")
     require(iters >= 1, "iters must be >= 1")
+    init.foreach(m => require(m.dim == dim,
+      s"init model dim ${m.dim} != requested dim $dim — hashed features " +
+        "are bucket-identified, so weights do not transfer across dims"))
     val feats = graft.core.Caches.pin(docFeatures(df, textCol, labelCol, dim))
     try {
       val n = feats.count()
       require(n > 0, "training set is empty")
-      val w = Array.fill(dim)(0L)
-      var b = 0L
+      val w = init.map(_.weightsMicros.clone()).getOrElse(Array.fill(dim)(0L))
+      var b = init.map(_.biasMicros).getOrElse(0L)
       for (_ <- 0 until iters) {
         val wLit = typedlit(w.toIndexedSeq)
         val z = aggregate(col("__f"), lit(b), (acc, f) =>
@@ -165,28 +177,28 @@ object Classifier {
   val ParamsFileName = "_graft_classifier_params.json"
 
   /** Persist `model` at `path`: one (bucket, weight_micros) parquet —
-    * dim-bounded, a few MB at most — then the params sidecar through the
-    * shared tmp+rename commit ([[graft.io.Sidecar]]). Train nightly, save
-    * once, score from any later session/cluster via [[loadModel]] — the
-    * production split between the training job and the (much larger)
-    * scoring jobs.
+    * dim-bounded, a few MB at most — with the params sidecar STAGED INTO
+    * the same atomic swap ([[graft.ct.TableStore.overwrite]]'s
+    * rename-aside protocol). Re-saving over an existing model is
+    * crash-safe in the strong sense: at every crash point the path holds
+    * either the previous complete (data + sidecar) model or the new one,
+    * never a sidecar-less directory and never a new-weights/old-bias mix.
+    * Train nightly, save once, score from any later session/cluster via
+    * [[loadModel]] — the production split between the training job and
+    * the (much larger) scoring jobs.
     */
   def saveModel(
       spark: org.apache.spark.sql.SparkSession,
       model: TextClassifierModel,
       path: String): Unit = {
     import spark.implicits._
-    model.weightsMicros.zipWithIndex
+    val rows = model.weightsMicros.zipWithIndex
       .map { case (wt, bkt) => (bkt, wt) }.toSeq
       .toDF("bucket", "weight_micros")
       .coalesce(1)
-      .write.mode("overwrite").parquet(path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    graft.io.Sidecar.commit(fs, new org.apache.hadoop.fs.Path(path),
-      ParamsFileName,
-      s"""{"dim": ${model.dim}, "bias_micros": ${model.biasMicros}}""",
-      overwrite = true)
+    graft.ct.TableStore.overwrite(spark, rows, path,
+      stageFiles = Map(ParamsFileName ->
+        s"""{"dim": ${model.dim}, "bias_micros": ${model.biasMicros}}"""))
   }
 
   /** Load a model saved by [[saveModel]]. Fails loudly when the sidecar

@@ -208,38 +208,49 @@ object Dedup {
       bits: Int = 48,
       bands: Int = 4,
       maxHamming: Int = 3): DataFrame =
-    hashNearDupPairs(
-      spreadForCompute(df)
-        .select(col(idCol).as("__id"), simhash(col(textCol), bits).as("__sh")),
-      "__id", "__sh", bits, bands, maxHamming)
+    hashNearDupPairs(df, idCol, simhash(col(textCol), bits),
+      bits, bands, maxHamming)
 
-  /** Near-duplicate pairs by Hamming distance over ANY precomputed
-    * fingerprint column (simhash, image average-hash, audio fingerprint —
-    * anything that packs similarity into bits of a long). Same banded
-    * pigeonhole machinery as [[simhashNearDupPairs]]: EXACT whenever
-    * `maxHamming < bands`, one band-key shuffle, per-candidate
-    * `bit_count(xor)` verification, quadratic pair space never
-    * materialized.
+  /** Near-duplicate pairs by Hamming distance over ANY long fingerprint
+    * (simhash, image perceptual hash, audio fingerprint — anything that
+    * packs similarity into bits of a long). `fingerprint` is an
+    * EXPRESSION evaluated after the input is spread across cores — pass
+    * `col("name")` for a precomputed column or the hash expression itself
+    * (so an expensive fingerprint never runs at single-file-scan
+    * parallelism). Same banded pigeonhole machinery for every fingerprint
+    * kind: EXACT whenever `maxHamming < bands`, one band-key shuffle,
+    * per-candidate `bit_count(xor)` verification, quadratic pair space
+    * never materialized.
+    *
+    * `dropZero = true` excludes rows whose fingerprint is exactly 0
+    * BEFORE pairing: degenerate payloads (null/empty/constant) typically
+    * hash to 0 by convention, and on a real corpus thousands of
+    * placeholder payloads would otherwise collide in EVERY band — a
+    * quadratic hot bucket emitting hamming-0 "near-dups" that share no
+    * content. Route degenerate payloads through [[exactDedup]] instead;
+    * the default keeps historical simhash semantics (zero fingerprints
+    * pair like any other value).
     *
     * Output: (id_a, id_b, hamming) with id_a < id_b.
     */
   def hashNearDupPairs(
       df: DataFrame,
       idCol: String,
-      hashCol: String,
+      fingerprint: Column,
       bits: Int,
       bands: Int,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int,
+      dropZero: Boolean = false): DataFrame = {
     require(bands >= 1 && bits % bands == 0, "bits must be divisible by bands")
     require(maxHamming >= 0 && maxHamming < bands,
       s"maxHamming ($maxHamming) must be < bands ($bands) for the banded " +
         "join to be exact (pigeonhole: some band must match)")
     // fingerprints are reused by both join sides; checkpoint so the
-    // fingerprint computation runs once per document, not once per side
-    // (spread first: the fingerprint expression is the expensive part and
-    // a single-file parquet scan would compute it on one core)
-    val sigs = spreadForCompute(df)
-      .select(col(idCol).as("__id"), col(hashCol).as("__sh"))
+    // fingerprint expression runs once per document, not once per side —
+    // and AFTER the spread, so it never runs at one-file parallelism
+    val sigs0 = spreadForCompute(df)
+      .select(col(idCol).as("__id"), fingerprint.as("__sh"))
+    val sigs = (if (dropZero) sigs0.where(col("__sh") =!= 0L) else sigs0)
       .localCheckpoint(true)
     // the result still reads this checkpoint — scope-register, don't free
     graft.core.Caches.registerCheckpoint(sigs)
@@ -290,34 +301,54 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.1): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are pruned)")
-    // relational formulation: explode distinct shingles once per doc, count
-    // matching shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|). Stays in
-    // codegen'd joins/aggregates; pairs with no shared shingle never
-    // materialize (array_intersect per pair is quadratic in block size)
-    // the exploded shingles feed the per-doc sizes AND both join sides;
-    // persist (disk-backed) so the tokenize→shingle chain runs once
+    blockedShinglePairCounts(df, idCol, textCol, blockCols, n, minSize = 1)
+      .withColumn("jaccard", round(
+        col("__c").cast("double") / (col("__sza") + col("__szb") - col("__c")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Shared pair-generation core of [[ngramJaccardPairs]] and
+    * [[ngramContainmentPairs]]: explode distinct shingles once per doc
+    * (pinned, so the tokenize→shingle chain runs once for sizes AND both
+    * join sides), self-join within (blockCols, shingle), count shared
+    * shingles per pair. Pairs with no shared shingle never materialize
+    * (array_intersect per pair would be quadratic in block size). With
+    * `minSize > 1`, sub-minSize docs are dropped BEFORE the self-join —
+    * tiny docs are near-everything, and pruning them after pairing would
+    * still materialize their quadratic noise pair count.
+    *
+    * Output: (id_a, id_b, __c, __sza, __szb) with id_a < id_b; callers
+    * apply their similarity formula and threshold.
+    */
+  private def blockedShinglePairCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      n: Int,
+      minSize: Int): DataFrame = {
     val sh = graft.core.Caches.pin(
       spreadForCompute(df).select(blockCols.map(col) ++ Seq(
         col(idCol).as("__id"),
         explode(array_distinct(shingles(col(textCol), n))).as("__s")): _*))
     val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
-    val a = sh.select(blockCols.map(col) ++ Seq(
+      .where(col("__sz") >= minSize)
+    val shP =
+      if (minSize <= 1) sh // every doc with >= 1 shingle qualifies
+      else sh.join(sizes.select("__id"), "__id")
+    val a = shP.select(blockCols.map(col) ++ Seq(
       col("__id").as("id_a"), col("__s")): _*)
-    val b = sh.select(blockCols.map(col) ++ Seq(
+    val b = shP.select(blockCols.map(col) ++ Seq(
       col("__id").as("id_b"), col("__s")): _*)
-    val matches = a.join(b, blockCols :+ "__s")
+    a.join(b, blockCols :+ "__s")
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("__c"))
-    matches
       .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"),
         "id_a")
       .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"),
         "id_b")
-      .withColumn("jaccard", round(
-        col("__c").cast("double") / (col("__sza") + col("__szb") - col("__c")), 6))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** Containment near-dup pairs: |A∩B| / min(|A|, |B|) over distinct word
@@ -330,12 +361,13 @@ object Dedup {
     * the other" — the standard near-dup companion to Jaccard for partial
     * copies (Broder 1997 distinguishes resemblance from containment).
     *
-    * Same relational machinery and cost shape as [[ngramJaccardPairs]]:
-    * explode distinct shingles once (pinned), count shared shingles per
-    * co-blocked pair, join per-doc sizes; zero-overlap pairs never
-    * materialize. `minSize` drops docs with fewer than that many shingles
-    * BEFORE pairing — tiny docs are contained in everything, and at corpus
-    * scale they otherwise dominate the pair count with noise.
+    * Same relational machinery and cost shape as [[ngramJaccardPairs]]
+    * (the [[blockedShinglePairCounts]] core): explode distinct shingles
+    * once (pinned), count shared shingles per co-blocked pair, join
+    * per-doc sizes; zero-overlap pairs never materialize. `minSize` drops
+    * docs with fewer than that many shingles BEFORE the self-join — tiny
+    * docs are contained in everything, and at corpus scale they otherwise
+    * dominate the pair count with noise.
     *
     * Output: (id_a, id_b, containment) with id_a < id_b and
     * containment >= threshold. Same pin lifecycle as [[ngramJaccardPairs]].
@@ -350,27 +382,7 @@ object Dedup {
       minSize: Int = 5): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are pruned)")
     require(minSize >= 1, "minSize must be >= 1")
-    val sh = graft.core.Caches.pin(
-      spreadForCompute(df).select(blockCols.map(col) ++ Seq(
-        col(idCol).as("__id"),
-        explode(array_distinct(shingles(col(textCol), n))).as("__s")): _*))
-    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
-      .where(col("__sz") >= minSize)
-    val a = sh.select(blockCols.map(col) ++ Seq(
-      col("__id").as("id_a"), col("__s")): _*)
-    val b = sh.select(blockCols.map(col) ++ Seq(
-      col("__id").as("id_b"), col("__s")): _*)
-    val matches = a.join(b, blockCols :+ "__s")
-      .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("__c"))
-    // inner joins against the size-filtered doc set double as the minSize
-    // gate: a pair survives only when BOTH sides meet it
-    matches
-      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"),
-        "id_a")
-      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"),
-        "id_b")
+    blockedShinglePairCounts(df, idCol, textCol, blockCols, n, minSize)
       .withColumn("containment", round(
         col("__c").cast("double") / least(col("__sza"), col("__szb")), 6))
       .where(col("containment") >= threshold)

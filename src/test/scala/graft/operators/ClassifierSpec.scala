@@ -44,6 +44,21 @@ class ClassifierSpec extends SparkTestBase {
     assert(out == want)
   }
 
+  test("warm start composes exactly: train(a+b) == train(b, init = train(a))") {
+    val docs = (0 until 40).map(i => (wordDoc(i), 0)) ++
+      (0 until 40).map(i => (junkDoc(i), 1))
+    val df = docs.toDF("text", "label")
+    val full = Classifier.train(df, "text", "label", dim = 128, iters = 8, lr = 1.0)
+    val half = Classifier.train(df, "text", "label", dim = 128, iters = 4, lr = 1.0)
+    val resumed = Classifier.train(df, "text", "label", dim = 128, iters = 4,
+      lr = 1.0, init = Some(half))
+    assert(resumed.weightsMicros.toSeq == full.weightsMicros.toSeq
+      && resumed.biasMicros == full.biasMicros,
+      "integer-exact GD must make warm-start composition bit-identical")
+    intercept[IllegalArgumentException](Classifier.train(
+      df, "text", "label", dim = 64, init = Some(half)))
+  }
+
   test("saveModel/loadModel round-trips bit-for-bit; crashed save is loud") {
     val dir = java.nio.file.Files.createTempDirectory("graft_clf_").toString
     val m = Classifier.TextClassifierModel(

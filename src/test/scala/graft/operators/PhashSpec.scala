@@ -50,7 +50,8 @@ class PhashSpec extends SparkTestBase {
         .dropRight(2) + "qq"))
     val df = docs.toDF("id", "s")
       .select(col("id"), Multimodal.perceptualHash(col("s").cast("binary")).as("h"))
-    val got = Dedup.hashNearDupPairs(df, "id", "h", bits = 60, bands = 6, maxHamming = 5)
+    val got = Dedup.hashNearDupPairs(df, "id", col("h"),
+      bits = 60, bands = 6, maxHamming = 5)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     val hs = df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("h"))
     val want = (for {
@@ -60,5 +61,18 @@ class PhashSpec extends SparkTestBase {
     assert(got == want, s"banded join must be exact; got=$got want=$want")
     assert(want.contains((7L, 100L)) && want.contains((13L, 101L)),
       "planted tail-edit near-dups must be within the Hamming budget")
+  }
+
+  test("dropZero keeps degenerate zero-fingerprints out of the pair space") {
+    val df = Seq((1L, ""), (2L, ""), (3L, "aaaa"), (4L, "real content here ok"))
+      .toDF("id", "s")
+      .select(col("id"), Multimodal.perceptualHash(col("s").cast("binary")).as("h"))
+    val kept = Dedup.hashNearDupPairs(df, "id", col("h"), 60, 6, 5,
+      dropZero = true).collect()
+    assert(kept.isEmpty, "empty/constant payloads must not pair as near-dups")
+    val loose = Dedup.hashNearDupPairs(df, "id", col("h"), 60, 6, 5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(loose == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      "default keeps historical zero-pairs-like-any-value semantics")
   }
 }
