@@ -1333,6 +1333,27 @@ object SparkEntry {
         bits = 60, bands = 6, maxHamming = 5, dropZero = true)
     }),
 
+    // ---- frame-level video dedup: sample frames, pHash each, pair
+    // across the corpus — near-dup VIDEOS surface as shared frames.
+    // Same planted tail-edit corpus: copies share frames 0-1 exactly
+    // (hamming 0) and differ slightly in the edited tail frame.
+    "q_frame_near_dup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(expr("substring(text, 1, length(text) - 3)"), lit("xyz"))
+            .as("text"))
+      val frames = base.unionByName(planted)
+        .select(col("doc_id"),
+          posexplode(operators.Multimodal.frameSample(
+            col("text").cast("binary"), 3, 64)).as(Seq("frame_idx", "frame")))
+        .select((col("doc_id") * 10 + col("frame_idx")).as("fid"),
+          col("frame"))
+      operators.Dedup.hashNearDupPairs(frames, "fid",
+        operators.Multimodal.perceptualHash(col("frame")),
+        bits = 60, bands = 6, maxHamming = 5, dropZero = true)
+    }),
+
     // ---- S1/S2 DSv2 REST source vs in-process fixture server ----
     "q_rest_read" -> ((s, _) => {
       val base = io.DemoServers.restServer()
@@ -3797,6 +3818,46 @@ object SparkEntry {
         |  bit_count(xor(a.sh, b.sh)) AS hamming
         |FROM bands a JOIN bands b
         |  ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 5""".stripMargin,
+    "q_frame_near_dup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substring(text, 1, length(text) - 3) || 'xyz'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |d AS (SELECT doc_id, hex(encode(text)) AS h FROM corpus),
+        |fr AS (
+        |  SELECT doc_id * 10 + i AS fid,
+        |    substring(h, CAST(i AS INTEGER) * 128 + 1, 128) AS fh
+        |  FROM d CROSS JOIN range(3) t(i)),
+        |fr2 AS (
+        |  SELECT fid, fh, length(fh) // 2 AS nb
+        |  FROM fr WHERE length(fh) > 0),
+        |cells AS (
+        |  SELECT fid, c,
+        |    COALESCE(TRY_CAST('0x' || substring(fh,
+        |      CAST((c * nb) // 60 AS INTEGER) * 2 + 1, 2)
+        |      AS BIGINT), 0) AS v
+        |  FROM fr2 CROSS JOIN range(60) t(c)),
+        |med AS (
+        |  SELECT fid, arr[31] AS m FROM (
+        |    SELECT fid, list_sort(list(v)) AS arr
+        |    FROM cells GROUP BY fid)),
+        |ah AS (
+        |  SELECT cells.fid,
+        |    CAST(SUM(CASE WHEN v > m
+        |             THEN (1::BIGINT << CAST(c AS INTEGER)) ELSE 0 END)
+        |      AS BIGINT) AS sh
+        |  FROM cells JOIN med USING (fid) GROUP BY cells.fid),
+        |bands AS (
+        |  SELECT fid, sh, b, (sh >> (CAST(b AS INTEGER) * 10)) & 1023 AS bv
+        |  FROM ah CROSS JOIN range(6) t(b)
+        |  WHERE sh <> 0)
+        |SELECT DISTINCT a.fid AS id_a, b.fid AS id_b,
+        |  bit_count(xor(a.sh, b.sh)) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.b = b.b AND a.bv = b.bv AND a.fid < b.fid
         |WHERE bit_count(xor(a.sh, b.sh)) <= 5""".stripMargin,
     "q_rest_read" ->
       """SELECT CAST(p * 100 + i AS BIGINT) AS id,
