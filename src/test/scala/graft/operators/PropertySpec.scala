@@ -219,6 +219,37 @@ class PropertySpec extends SparkTestBase {
     }, n = 40)
   }
 
+  test("ngramContainmentPairs equals a brute-force reference on arbitrary corpora") {
+    val tokGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val docGen = Gen.chooseNum(0, 12).flatMap(k =>
+      Gen.listOfN(k, tokGen).map(_.mkString(" ")))
+    check(Prop.forAll(Gen.listOfN(7, docGen)) { docs0 =>
+      val docs = docs0.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("id", "text").withColumn("blk", lit("x"))
+      val got = Dedup.ngramContainmentPairs(df, "id", "text", Seq("blk"),
+        n = 3, threshold = 0.4, minSize = 2)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Double]("containment"))).toSet
+      def sh(t: String): Set[String] = {
+        val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+        if (toks.isEmpty) Set.empty
+        else if (toks.length <= 3) Set(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val want = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        sa = sh(ta); sb = sh(tb)
+        if sa.size >= 2 && sb.size >= 2
+        c = (sa intersect sb).size
+        cont = BigDecimal(c.toDouble / math.min(sa.size, sb.size))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if cont >= 0.4
+      } yield (ia, ib, cont)).toSet
+      got == want
+    }, n = 40)
+  }
+
   test("tokenBudgetPerGroup equals the reference greedy fill for arbitrary groups") {
     val rowGen = for {
       grp <- Gen.oneOf("a", "b", "c")
