@@ -29,10 +29,6 @@ object SparkEntry {
     (0 until dim).map(j => h60(s"w:$j") % 2001L - 1000L).toArray
   }
 
-  /** Documents plus planted near-duplicates (every 10th doc re-appears with
-    * a suffix under a shifted id) — shared corpus for the LSH pair and
-    * clustering queries.
-    */
   /** Planted mixed-normalization prefix for q_unicode_fold — explicit \u
     * escapes so the DECOMPOSED "cafe" + U+0301 stays decomposed at the
     * source level (an editor/tool NFC pass would silently destroy the
@@ -44,6 +40,10 @@ object SparkEntry {
   private val unicodePlant: String =
     "\u00C9lan cafe\u0301 \uFB01n \u0915\u0940 \u00C5\u00F8 \u2014 "
 
+  /** Documents plus planted near-duplicates (every 10th doc re-appears with
+    * a suffix under a shifted id) — shared corpus for the LSH pair and
+    * clustering queries.
+    */
   private def lshCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     docs.unionAll(
@@ -960,7 +960,13 @@ object SparkEntry {
       val spiky = t(s, dir, "documents").select(col("doc_id"),
         when(col("doc_id") % 50 === 0, col("n_chars") * 1000)
           .otherwise(col("n_chars")).as("n_chars"))
-      operators.Validation.clipToQuantiles(spiky, "n_chars", 0.05, 0.95)
+      // k=16384 keeps the KLL sketch in exact mode over sf0.1's 5,000
+      // values (default 4096 retains only ~2,950 items → estimation mode,
+      // whose unseeded compaction makes the cut points run-dependent and
+      // the exact-quantile oracle intermittently red) — same fix as
+      // q_quantile_drift for the same corpus
+      operators.Validation.clipToQuantiles(spiky, "n_chars", 0.05, 0.95,
+        k = 16384)
     }),
 
     // ---- snapshot quantile drift: distribution gate between a corpus
@@ -2433,7 +2439,8 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL),
         |g AS (
         |  SELECT vec_id, v, k,
         |    list_transform(range(0, len(v)),

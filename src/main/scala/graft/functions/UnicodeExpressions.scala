@@ -131,8 +131,14 @@ object UnicodeFunctions {
   def stripMarks(text: Column): Column =
     GraftSqlBridge.column(StripMarks(GraftSqlBridge.expression(text)))
 
-  /** The usual normalization chain for dedup/vocab keys: NFC then mark
-    * stripping ("école" == "école" == "ecole").
+  /** The normalization for dedup/vocab keys ("école" == "école" ==
+    * "ecole"). Exactly [[stripMarks]]: the once-composed chain
+    * stripMarks(normalizeNfc(x)) was a redundant pass — stripMarks opens
+    * with NFD, and NFD(NFC(x)) == NFD(x) by canonical-normalization
+    * idempotence — so the inner NFC could never change the output while
+    * costing a normalization scan per row. Kept as a named entry point
+    * because "fold for keying" and "strip accents" are different intents
+    * with the same implementation.
     */
-  def foldMarks(text: Column): Column = stripMarks(normalizeNfc(text))
+  def foldMarks(text: Column): Column = stripMarks(text)
 }

@@ -154,9 +154,12 @@ case class HexPrefixToLong(child: Expression, prefixLen: Int)
 
 /** Signed random projection (Achlioptas 2003 / the JL-lemma ±1 scheme):
   * out[k] = Σ_j sgn(k,j)·v[j] over a deterministic ±1 matrix derived
-  * from closed-form integer arithmetic — no materialized matrix, no RNG
-  * state, and (crucially for the oracle) a formula DuckDB evaluates
-  * bit-identically. sgn is the parity of a 32-bit avalanche hash
+  * from closed-form integer arithmetic — no RNG state to ship, no
+  * matrix to SHIP (executors rebuild the signs from (k, j, salt) alone;
+  * a per-task bit-packed cache avoids re-hashing per row — determinism
+  * comes from the formula, not from recomputation), and (crucially for
+  * the oracle) a formula DuckDB evaluates bit-identically. sgn is the
+  * parity of a 32-bit avalanche hash
   * (two xor-shift-multiply rounds, the standard lowbias finalizer) of
   * (k·73856093 + j·19349663 + salt) masked to 32 bits; a LINEAR
   * formula mod a prime is NOT enough here — for fixed k it walks an
@@ -183,22 +186,62 @@ case class SrpProject(child: Expression, outDim: Int, salt: Long)
     org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_srp"
 
+  // The ±1 sign of cell (k, j) depends only on (k, j, salt) — ROW-
+  // INVARIANT — yet the original inline form re-ran the ~8-op avalanche
+  // hash for every cell of every row (outDim·inDim hashes per row,
+  // dominating the adds on the 1024→64 shrink path). The signs are
+  // cached as a bit-packed matrix, built lazily at the first row of each
+  // task and grown if a later row is wider (ragged inputs). Caching
+  // preserves bit-identical output: the bits ARE the same hash values.
+  // Both fields are volatile: the expression instance is shared across
+  // local-mode task threads, and an unordered (matrix, dim) read pair
+  // could otherwise return a matrix narrower than the dim check claims.
+  @volatile @transient private var signWords: Array[Array[Long]] = _
+  @volatile @transient private var signDim: Int = -1
+
+  /** Bit k×j set ⟺ cell (k, j) is NEGATED. Public: codegen calls it. */
+  def signMatrix(d: Int): Array[Array[Long]] = {
+    val dimSeen = signDim // read dim FIRST: matrix is never older than it
+    val m = signWords
+    if (m != null && d <= dimSeen) m
+    else this.synchronized {
+      if (signWords == null || d > signDim) {
+        val words = (d + 63) >>> 6
+        val fresh = Array.ofDim[Long](outDim, words)
+        var k = 0
+        while (k < outDim) {
+          val kTerm = k * 73856093L + salt
+          var j = 0
+          while (j < d) {
+            var h = (kTerm + j * 19349663L) & 0xFFFFFFFFL
+            h = ((h ^ (h >>> 16)) * 0x45d9f3bL) & 0xFFFFFFFFL
+            h = ((h ^ (h >>> 16)) * 0x45d9f3bL) & 0xFFFFFFFFL
+            h = h ^ (h >>> 16)
+            if ((h & 1L) != 0L) fresh(k)(j >>> 6) |= (1L << (j & 63))
+            j += 1
+          }
+          k += 1
+        }
+        signWords = fresh
+        signDim = d
+      }
+      signWords
+    }
+  }
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val d = x.numElements()
+    val signs = signMatrix(d)
     val out = new Array[Double](outDim)
     var k = 0
     while (k < outDim) {
-      val kTerm = k * 73856093L + salt
+      val row = signs(k)
       var s = 0.0
       var j = 0
       while (j < d) {
-        var h = (kTerm + j * 19349663L) & 0xFFFFFFFFL
-        h = ((h ^ (h >>> 16)) * 0x45d9f3bL) & 0xFFFFFFFFL
-        h = ((h ^ (h >>> 16)) * 0x45d9f3bL) & 0xFFFFFFFFL
-        h = h ^ (h >>> 16)
         val v = x.getDouble(j)
-        s += (if ((h & 1L) == 0L) v else -v)
+        s += (if (((row(j >>> 6) >>> (j & 63)) & 1L) == 0L) v else -v)
         j += 1
       }
       out(k) = s
@@ -207,35 +250,39 @@ case class SrpProject(child: Expression, outDim: Int, salt: Long)
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refExpr = ctx.addReferenceObj("graftSrp", this, classOf[SrpProject].getName)
+    val signs = ctx.addMutableState("long[][]", "graftSrpSigns")
+    val signsDim = ctx.addMutableState("int", "graftSrpSignsDim",
+      v => s"$v = -1;")
     nullSafeCodeGen(ctx, ev, x => {
       val d = ctx.freshName("d")
       val out = ctx.freshName("out")
       val k = ctx.freshName("k")
       val j = ctx.freshName("j")
-      val kt = ctx.freshName("kt")
       val s = ctx.freshName("s")
-      val h = ctx.freshName("h")
       val v = ctx.freshName("v")
+      val row = ctx.freshName("row")
       s"""
          |int $d = $x.numElements();
+         |if ($signs == null || $d > $signsDim) {
+         |  $signs = $refExpr.signMatrix($d);
+         |  $signsDim = $d;
+         |}
          |double[] $out = new double[$outDim];
          |for (int $k = 0; $k < $outDim; $k++) {
-         |  long $kt = $k * 73856093L + ${salt}L;
+         |  long[] $row = $signs[$k];
          |  double $s = 0.0;
          |  for (int $j = 0; $j < $d; $j++) {
-         |    long $h = ($kt + $j * 19349663L) & 0xFFFFFFFFL;
-         |    $h = (($h ^ ($h >>> 16)) * 0x45d9f3bL) & 0xFFFFFFFFL;
-         |    $h = (($h ^ ($h >>> 16)) * 0x45d9f3bL) & 0xFFFFFFFFL;
-         |    $h = $h ^ ($h >>> 16);
          |    double $v = $x.getDouble($j);
-         |    $s += (($h & 1L) == 0L) ? $v : -$v;
+         |    $s += ((($row[$j >>> 6] >>> ($j & 63)) & 1L) == 0L) ? $v : -$v;
          |  }
          |  $out[$k] = $s;
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin
     })
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SrpProject =
     copy(child = newChild)

@@ -447,9 +447,17 @@ object Dedup {
       .agg(transform(sort_array(collect_list(struct(col("__f"), col("__s")))),
         x => x.getField("__s")).as("__toks"))
       .select(col("__id"), col("__toks"), size(col("__toks")).as("__sz")))
-    // prefix length |S| - ceil(t·|S|) + 1; FP error in ceil can only
-    // round UP (longer prefix = more candidates, never a missed pair)
-    val prefLen = (col("__sz") - ceil(lit(threshold) * col("__sz")).cast("int") + 1)
+    // Prune with SLACK below the accept threshold: the final filter (and
+    // the ngramJaccardPairs/DuckDB twins) accept round(J, 6) >= t, which
+    // admits true J down to t − 5e-7 — pruning at exactly t could drop a
+    // boundary pair those twins emit. The 1e-6 margin also absorbs the
+    // other FP edge (double(t)·sz over-representing t can push ceil one
+    // integer UP and shorten the prefix). Candidates admitted by the
+    // slack are discarded by the exact verification; exactness is one-
+    // sided, so slack is free.
+    val tEff = math.max(threshold - 1e-6, 0.0)
+    // prefix length |S| - ceil(t·|S|) + 1
+    val prefLen = (col("__sz") - ceil(lit(tEff) * col("__sz")).cast("int") + 1)
     val pref = docs.select(col("__id"), col("__sz"),
       explode(slice(col("__toks"), lit(1), prefLen)).as("__p"))
     val a = pref.select(col("__id").as("id_a"), col("__sz").as("__la"), col("__p"))
@@ -461,7 +469,7 @@ object Dedup {
     // >= max), so length-skewed candidates drop without touching arrays
     val cand = a.join(b, "__p").where(col("id_a") < col("id_b") &&
         least(col("__la"), col("__lb")).cast("double") >=
-          lit(threshold) * greatest(col("__la"), col("__lb")))
+          lit(tEff) * greatest(col("__la"), col("__lb")))
       .select("id_a", "id_b").distinct()
     cand
       .join(docs.select(col("__id").as("id_a"), col("__toks").as("__ta"),
