@@ -133,10 +133,18 @@ object AsofJoin {
           .drop("__asof_b", "__asof_f")
     }).where(col(side) === 1)
 
+    // A NULL-ts left row must match NOTHING (the contract above, and
+    // DuckDB ASOF semantics). Backward gets this for free — nulls sort
+    // first ascending, so nothing precedes them — but the forward window
+    // [currentRow, unboundedFollowing] from a first-sorted null spans
+    // EVERY right row of the key and would attach the earliest snapshot.
+    val nullSafe = carried.withColumn(payload,
+      when(col(tsCol).isNotNull, col(payload)))
+
     // tolerance gate AFTER the carry: the nearest in-window match either
     // qualifies or the row has no match at all — a per-row null-out, not
     // a re-search (exactly merge_asof's contract)
-    val bounded = tolerance.fold(carried)(tol => carried.withColumn(payload,
+    val bounded = tolerance.fold(nullSafe)(tol => nullSafe.withColumn(payload,
       when(abs(col(tsCol) - col(s"$payload.__asof_rts")) <= tol,
         col(payload))))
 

@@ -366,9 +366,14 @@ object Search {
     * identical per-(doc, term) rows. Run BETWEEN ingests (single-writer
     * maintenance, like [[DedupIndex.compactIndex]]): the swap is
     * build-new-tree → rename old away → rename new in → delete old, so a
-    * reader mid-swap can see a transiently missing segments dir (it
-    * answers empty), never a half tree; a crash leaves either the old
-    * tree in place or an `.old-segments-*` dir to recover by hand.
+    * reader never sees a half tree. A reader landing in the mid-swap
+    * window (segments dir transiently absent next to an
+    * `.old-segments-*`) FAILS LOUDLY via `listSegments`' crashed-
+    * compaction refusal rather than answering empty — indistinguishable
+    * on disk from a crashed compaction, and a silently empty answer
+    * would be read as "no matches". Single-writer, no-concurrent-reader
+    * is the contract; a crash leaves either the old tree in place or an
+    * `.old-segments-*` dir to recover by hand.
     */
   def compactSegments(
       spark: SparkSession,

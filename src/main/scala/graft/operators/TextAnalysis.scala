@@ -523,8 +523,13 @@ object TextAnalysis {
       salt: String = "graft-c4"): org.apache.spark.sql.DataFrame = {
     require(k >= 1, s"span size must be >= 1, got $k")
     val W = org.apache.spark.sql.expressions.Window
-    val sent = df.select(col(idCol), col(textCol))
-      .withColumn("__sents", sentences(col(textCol)))
+    // pinned: the segmented frame feeds sentRows, spanRows AND the final
+    // sentence-count branch — unpinned, one call plans THREE corpus scans
+    // each re-running the regex segmentation. Pin lifecycle is the
+    // ngramJaccardPairs contract: wrap in Caches.collectPins and release
+    // after materializing for deterministic cleanup in long sessions.
+    val sent = graft.core.Caches.pin(df.select(col(idCol), col(textCol))
+      .withColumn("__sents", sentences(col(textCol))))
     val sentRows = sent.select(col(idCol),
       posexplode(col("__sents")).as(Seq("__p0", "__s")))
       .select(col(idCol), (col("__p0") + 1).as("__pos"), col("__s"))

@@ -142,16 +142,26 @@ object Urls {
     * first by `orderCols` — [[Sampling.limitPerGroup]] keyed on
     * [[registrableDomain]]. Rows whose URL yields no domain share one
     * NULL group (capped together; filter them first if that's wrong for
-    * the pipeline). Adds the `domain` column to the output.
+    * the pipeline). Adds the `domain` column to the output; an input
+    * that ALREADY carries a `domain` column is refused loudly —
+    * silently overwriting it would re-key the quota on the PSL-lite
+    * approximation while the caller's column (say, an exact-PSL join)
+    * still looks authoritative downstream. Cap on your own column with
+    * [[Sampling.limitPerGroup]] directly.
     */
   def perDomainQuota(
       df: DataFrame,
       urlCol: String,
       n: Int,
-      orderCols: Seq[Column]): DataFrame =
+      orderCols: Seq[Column]): DataFrame = {
+    require(!df.columns.contains("domain"),
+      "perDomainQuota derives and emits its own 'domain' column; the " +
+        "input already has one — rename it, or cap on it directly with " +
+        "Sampling.limitPerGroup")
     Sampling.limitPerGroup(
       df.withColumn("domain", registrableDomain(col(urlCol))),
       Seq("domain"), n, orderCols)
+  }
 
   /** Raw `href` attribute values of the HTML, double- then single-quoted
     * attributes, in document order within each quoting style. Case

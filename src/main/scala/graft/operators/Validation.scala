@@ -164,17 +164,13 @@ object Validation {
       valueCol: String,
       probs: Seq[Double],
       k: Int = 4096): DataFrame = {
-    require(probs.nonEmpty, "probs must be non-empty")
-    def side(df: DataFrame, out: String): DataFrame =
-      Sketches.rollupQuantiles(
-        Sketches.quantileSketches(
-          df.select(lit(1).as("__all"), col(valueCol)),
-          Seq("__all"), valueCol, k),
-        Nil, probs, k)
-        .select(col("prob"), col("quantile").as(out))
-    side(before, "q_before").join(side(after, "q_after"), Seq("prob"))
-      .select(col("prob"), col("q_before"), col("q_after"),
-        (col("q_after") - col("q_before")).as("drift"))
+    // sketch each side, then the join/drift projection is exactly the
+    // persisted-store path — one implementation of the comparison
+    def sketch(df: DataFrame): DataFrame =
+      Sketches.quantileSketches(
+        df.select(lit(1).as("__all"), col(valueCol)),
+        Seq("__all"), valueCol, k)
+    quantileDriftFromSketches(sketch(before), sketch(after), probs, k)
   }
 
   /** [[quantileDrift]] over ALREADY-SKETCHED sides — e.g. two windows of

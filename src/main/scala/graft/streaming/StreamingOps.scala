@@ -69,11 +69,21 @@ object StreamingOps {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
     if (!fs.exists(root)) return false
+    // RECURSIVE listing: a partitioned layout (date=…/part-*.parquet)
+    // has no direct-child parquet files, and a non-recursive probe would
+    // silently skip the conf and fail the read on nanos data
     val file =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).map(_.getPath)
-          .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
-      else Some(root)
+      if (fs.getFileStatus(root).isDirectory) {
+        val it = fs.listFiles(root, true)
+        var found: Option[org.apache.hadoop.fs.Path] = None
+        while (found.isEmpty && it.hasNext) {
+          val p = it.next().getPath
+          if (p.getName.endsWith(".parquet") && !p.getName.startsWith("_")
+              && !p.getName.startsWith("."))
+            found = Some(p)
+        }
+        found
+      } else Some(root)
     file.exists { f =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hconf))

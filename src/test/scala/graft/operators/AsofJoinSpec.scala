@@ -32,6 +32,23 @@ class AsofJoinSpec extends SparkTestBase {
       (5L, null, None))) // before any right row → null
   }
 
+  test("null-ts left rows match nothing in EVERY direction") {
+    val left = Seq((1L, "a", Some(15L)), (2L, "a", None: Option[Long]))
+      .toDF("event_id", "k", "ts")
+    val right = Seq(("a", 10L, "a@10"), ("a", 20L, "a@20"))
+      .toDF("k", "ts", "snap")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val got = AsofJoin.asofJoin(left, right, Seq("k"), "ts",
+        direction = dir)
+        .select("event_id", "snap").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got(2L).isEmpty,
+        s"direction=$dir must give the null-ts row a null payload " +
+          s"(got ${got(2L)})")
+      assert(got(1L).nonEmpty, s"direction=$dir real row still matches")
+    }
+  }
+
   test("tolerance nulls stale matches without re-searching") {
     val left = Seq(
       (1L, "a", 5L), (2L, "a", 50L), (3L, "a", 12L)
