@@ -219,6 +219,52 @@ class PropertySpec extends SparkTestBase {
     }, n = 40)
   }
 
+  test("asofJoin equals a reference merge_asof in every direction, with tolerance") {
+    val keyGen = Gen.oneOf("a", "b")
+    val leftGen = for {
+      k <- keyGen; ts <- Gen.option(Gen.chooseNum(0L, 40L))
+    } yield (k, ts)
+    val rightGen = for {
+      k <- keyGen; ts <- Gen.chooseNum(0L, 40L); v <- Gen.alphaStr.map(_.take(4))
+    } yield (k, ts, v)
+    check(Prop.forAll(
+      Gen.listOfN(10, leftGen), Gen.listOfN(8, rightGen),
+      Gen.oneOf("backward", "forward", "nearest"),
+      Gen.option(Gen.chooseNum(0L, 10L))) { (ls0, rs0, dir, tol) =>
+      val ls = ls0.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+      // right side must be unique per (key, ts) — the operator's contract
+      val rs = rs0.groupBy(r => (r._1, r._2)).values.map(_.head).toSeq
+      val left = ls.toDF("id", "k", "ts")
+      val right = rs.toDF("k", "ts", "v")
+      val got = AsofJoin.asofJoin(left, right, Seq("k"), "ts",
+        direction = dir, tolerance = tol)
+        .select("id", "v").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      val want = ls.map { case (id, k, tsOpt) =>
+        id -> (tsOpt match {
+          case None => None
+          case Some(ts) =>
+            val cands = rs.filter(_._1 == k)
+            val back = cands.filter(_._2 <= ts).sortBy(_._2).lastOption
+            val fwd = cands.filter(_._2 >= ts).sortBy(_._2).headOption
+            val m = dir match {
+              case "backward" => back
+              case "forward" => fwd
+              case "nearest" => (back, fwd) match {
+                case (Some(b), Some(f)) =>
+                  // strictly closer forward wins; ties go backward
+                  if (math.abs(ts - f._2) < math.abs(ts - b._2)) Some(f)
+                  else Some(b)
+                case (b, f) => b.orElse(f)
+              }
+            }
+            m.filter(r => tol.forall(t => math.abs(ts - r._2) <= t)).map(_._3)
+        })
+      }.toMap
+      got == want
+    }, n = 60)
+  }
+
   test("ngramContainmentPairs equals a brute-force reference on arbitrary corpora") {
     val tokGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
     val docGen = Gen.chooseNum(0, 12).flatMap(k =>
