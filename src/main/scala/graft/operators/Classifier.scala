@@ -137,8 +137,22 @@ object Classifier {
         "are bucket-identified, so weights do not transfer across dims"))
     val feats = graft.core.Caches.pin(docFeatures(df, textCol, labelCol, dim))
     try {
-      val n = feats.count()
+      // One job establishes BOTH the row count and the label contract:
+      // a label that is null (or casts to null) would make errNanos null
+      // and the doc would silently vanish from every gradient while still
+      // inflating n — diluting the learning rate. A label outside {0, 1}
+      // would silently shift the regression target. Fail loudly instead.
+      val c = feats.agg(
+        count(lit(1)).as("__n"),
+        count(when(col("__y").isNull ||
+          (col("__y") =!= 0 && col("__y") =!= 1), 1)).as("__bad")).head()
+      val n = c.getAs[Long]("__n")
+      val bad = c.getAs[Long]("__bad")
       require(n > 0, "training set is empty")
+      require(bad == 0L,
+        s"$bad row(s) have a label that is null or outside {0, 1} after " +
+          s"casting `$labelCol` to int — every doc must carry a 0/1 " +
+          "label; filter or fix labels before train()")
       val w = init.map(_.weightsMicros.clone()).getOrElse(Array.fill(dim)(0L))
       var b = init.map(_.biasMicros).getOrElse(0L)
       for (_ <- 0 until iters) {

@@ -311,7 +311,18 @@ object Sampling {
       .partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         -1)
-    df.withColumn("__cum", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+    // A null token count would be SKIPPED by the window sum — the row
+    // would ride along free whenever the prior cumulative total is under
+    // budget, contributing nothing to the fill. A negative count would
+    // corrupt the running total the same silent way. Fail loudly in-row
+    // (zero extra passes), matching the style of the other parameters.
+    val tok = when(col(tokenCol).isNotNull && col(tokenCol) >= 0,
+        col(tokenCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"tokenBudgetPerGroup: `$tokenCol` must be non-null and >= 0, got "),
+        coalesce(col(tokenCol).cast("string"), lit("NULL")),
+        lit(" — fix or filter token counts before budgeting"))).cast("long"))
+    df.withColumn("__cum", coalesce(sum(tok).over(w), lit(0L)))
       .where(col("__cum") < budget)
       .drop("__cum")
   }

@@ -96,4 +96,21 @@ class ClassifierSpec extends SparkTestBase {
       docs.size.toDouble
     assert(acc >= 0.95, s"train-set accuracy $acc below 0.95")
   }
+
+  test("train rejects null and out-of-range labels loudly") {
+    // a null label would silently drop the doc from every gradient while
+    // still inflating n; a label of 2 would silently shift the target
+    val withNull = Seq(("a b c", Some(1)), ("d e f", None))
+      .toDF("text", "label")
+    val eNull = intercept[IllegalArgumentException](
+      Classifier.train(withNull, "text", "label", dim = 64, iters = 1))
+    assert(eNull.getMessage.contains("null or outside"))
+    val uncastable = Seq(("a b c", "1"), ("d e f", "yes"))
+      .toDF("text", "label") // "yes" casts to null int
+    intercept[IllegalArgumentException](
+      Classifier.train(uncastable, "text", "label", dim = 64, iters = 1))
+    val outOfRange = Seq(("a b c", 1), ("d e f", 2)).toDF("text", "label")
+    intercept[IllegalArgumentException](
+      Classifier.train(outOfRange, "text", "label", dim = 64, iters = 1))
+  }
 }

@@ -80,6 +80,17 @@ class SamplingSpec extends SparkTestBase {
     assert(best == Set(2L, 3L), "0.9 fills first, 0.5 straddles, 0.1 out")
     intercept[IllegalArgumentException](
       Sampling.tokenBudgetPerGroup(df, Seq("grp"), "n_tok", 100L, Nil))
+    // a null/negative token count must fail loudly, not ride along free
+    val dirty = Seq(("a", 1L, Some(40L)), ("a", 2L, None))
+      .toDF("grp", "id", "n_tok")
+    val eNull = intercept[Exception](
+      Sampling.tokenBudgetPerGroup(dirty, Seq("grp"), "n_tok", 100L,
+        Seq(col("id"))).collect())
+    assert(eNull.getMessage.contains("non-null"))
+    val neg = Seq(("a", 1L, -5L)).toDF("grp", "id", "n_tok")
+    intercept[Exception](
+      Sampling.tokenBudgetPerGroup(neg, Seq("grp"), "n_tok", 100L,
+        Seq(col("id"))).collect())
   }
 
   test("packSequences bins respect budget + max-doc slack and shard isolation") {
