@@ -1234,9 +1234,14 @@ object SparkEntry {
           col("o_orderkey") === col("l_orderkey"))
         .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
           concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-      operators.Graphs.pageRank(
-        pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst"))),
-        "src", "dst", iterations = 3)
+      // symmetrize by EXPLODING both directions out of one join pass —
+      // a union of pairs + reversed pairs would execute the
+      // orders⋈lineitem join once per branch
+      val sym = pairs.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      operators.Graphs.pageRank(sym, "src", "dst", iterations = 3)
     }),
 
     // Weighted form: every (order, lineitem) occurrence is one unit of
@@ -1249,10 +1254,12 @@ object SparkEntry {
         .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
           concat(lit("s"), col("l_suppkey").cast("string")).as("dst"),
           lit(1L).as("w"))
-      operators.Graphs.pageRank(
-        pairs.unionByName(pairs.select(col("dst").as("src"),
-          col("src").as("dst"), col("w"))),
-        "src", "dst", iterations = 3, weightCol = Some("w"))
+      val sym = pairs.select(explode(array(
+          struct(col("src"), col("dst"), col("w")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("w")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+      operators.Graphs.pageRank(sym, "src", "dst", iterations = 3,
+        weightCol = Some("w"))
     }),
 
     // ---- URL hygiene: canonicalization, domains, per-domain quota ----

@@ -65,24 +65,43 @@ object Graphs {
     // non-positive weights drop (no mass). The per-edge share w/Σw is
     // precomputed once into the pinned table, so iterations stay one
     // join + one long-sum groupBy in both forms.
-    val e = weightCol match {
+    // Edge prep is ONE corpus-sized exchange, not two: repartition on
+    // `__src` up front, because hash(__src) satisfies BOTH downstream
+    // required distributions — the (src, dst) dedup aggregate's
+    // ClusteredDistribution(src, dst) (src is a subset of the keys) and
+    // the per-source window's ClusteredDistribution(src). Planning
+    // distinct-then-window instead would exchange the edge list twice
+    // (once on the pair, once on the source). The cost is losing the
+    // dedup's map-side partial aggregate — irrelevant for typical link
+    // graphs where (src, dst) duplication is low — and the same hot-src
+    // skew exposure the window stage already had (a mega-source's edges
+    // land in one partition either way; salting belongs upstream if one
+    // source can exceed a partition).
+    val raw = weightCol match {
       case None =>
         edges.select(col(srcCol).cast("string").as("__src"),
           col(dstCol).cast("string").as("__dst"))
           .where(col("__src").isNotNull && col("__dst").isNotNull)
-          .distinct()
-          .withColumn("__w", lit(1.0))
       case Some(wc) =>
         edges.select(col(srcCol).cast("string").as("__src"),
           col(dstCol).cast("string").as("__dst"),
           col(wc).cast("double").as("__w"))
           .where(col("__src").isNotNull && col("__dst").isNotNull
             && col("__w").isNotNull && col("__w") > 0)
+    }
+    val e = weightCol match {
+      case None =>
+        // duplicate edges COLLAPSE (weight stays 1.0) — count-free agg
+        raw.repartition(col("__src"))
+          .groupBy("__src", "__dst").agg(min(lit(1.0)).as("__w"))
+      case Some(_) =>
+        // duplicate (src, dst) pairs SUM their weights
+        raw.repartition(col("__src"))
           .groupBy("__src", "__dst").agg(sum(col("__w")).as("__w"))
     }
-    // per-source weight total rides a WINDOW over the edge table — one
-    // exchange on the source key instead of aggregate + join-back (two);
-    // pinned ONCE so no iteration re-runs it
+    // per-source weight total rides a WINDOW over the already-partitioned
+    // edge table (no further exchange); pinned ONCE so no iteration
+    // re-runs it
     val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("__src")
     val eDeg = graft.core.Caches.pin(
       e.withColumn("__wsum", sum(col("__w")).over(bySrc)))
