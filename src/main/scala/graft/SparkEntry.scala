@@ -685,6 +685,27 @@ object SparkEntry {
       s.read.parquet(scratch).select("doc_id", "source")
     }),
 
+    // ---- WARC ingestion (ISO 28500): export the corpus as gzipped
+    // response records, then parse it back through the streaming record
+    // reader — the Common Crawl entry-point round-trip, hash-checked
+    // against the source table ----
+    "q_warc_roundtrip" -> ((s, dir) => {
+      val scratch = scratchDir("graft_warc_") + "/corpus"
+      val docs = t(s, dir, "documents")
+        .withColumn("uri",
+          concat(lit("https://example.org/doc/"), col("doc_id")))
+        .withColumn("payload", encode(col("text"), "utf-8"))
+        .repartition(8)
+      io.warc.Warc.writeWarc(docs, scratch, "uri", "payload")
+      io.warc.Warc.readWarc(s, scratch + "/*.warc.gz")
+        .where(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("bigint").as("doc_id"),
+          decode(col("payload"), "utf-8").as("text"),
+          col("http_status").cast("bigint").as("http_status"))
+    }),
+
     // Clustered layout + write-side parquet bloom filters on the id, then
     // point lookups against the laid-out copy: row-group stats prune the
     // range predicate, the bloom filter prunes the equality probes.
@@ -2858,6 +2879,8 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "q_compact_roundtrip" ->
       "SELECT doc_id, source FROM documents",
+    "q_warc_roundtrip" ->
+      "SELECT doc_id, text, CAST(200 AS BIGINT) AS http_status FROM documents",
     "q_bloom_layout" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 97 = 0 OR doc_id = 421",
     "q_zorder_layout" ->

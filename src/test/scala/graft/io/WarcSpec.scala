@@ -1,0 +1,157 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.io.warc.Warc
+
+class WarcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
+    d.toString
+  }
+
+  private def record(
+      wtype: String,
+      uri: String,
+      content: Array[Byte],
+      ctype: String = "application/http; msgtype=response"): Array[Byte] = {
+    val hdr = (s"WARC/1.0\r\n" +
+      s"WARC-Type: $wtype\r\n" +
+      s"WARC-Record-ID: <urn:test:$wtype>\r\n" +
+      s"WARC-Date: 2026-02-03T04:05:06Z\r\n" +
+      (if (uri != null) s"WARC-Target-URI: $uri\r\n" else "") +
+      s"Content-Type: $ctype\r\n" +
+      s"Content-Length: ${content.length}\r\n\r\n").getBytes(UTF_8)
+    hdr ++ content ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  private def httpBlock(body: String, status: String = "200 OK"): Array[Byte] =
+    (s"HTTP/1.1 $status\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Length: ${body.getBytes(UTF_8).length}\r\n\r\n").getBytes(UTF_8) ++
+      body.getBytes(UTF_8)
+
+  test("parses warcinfo + request + response records with offsets and fields") {
+    val dir = tmpDir("warc_parse_")
+    val bytes =
+      record("warcinfo", null, "software: graft-test\r\n".getBytes(UTF_8),
+        ctype = "application/warc-fields") ++
+      record("request", "https://example.org/a",
+        "GET /a HTTP/1.1\r\nHost: example.org\r\n\r\n".getBytes(UTF_8),
+        ctype = "application/http; msgtype=request") ++
+      record("response", "https://example.org/a", httpBlock("<html>héllo</html>"))
+    Files.write(java.nio.file.Paths.get(dir, "f.warc"), bytes)
+    val out = Warc.readWarc(spark, s"$dir/f.warc")
+      .orderBy("record_offset").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[String]("warc_type")).toSeq ==
+      Seq("warcinfo", "request", "response"))
+    assert(out(0).getAs[Long]("record_offset") == 0L)
+    assert(out(0).getAs[String]("target_uri") == null)
+    assert(out(1).getAs[String]("content_type")
+      .contains("msgtype=request"))
+    assert(out(1).getAs[Any]("http_status") == null,
+      "request records must not claim an http status")
+    val resp = out(2)
+    assert(resp.getAs[Int]("http_status") == 200)
+    assert(resp.getAs[String]("http_content_type") == "text/html; charset=utf-8")
+    assert(new String(resp.getAs[Array[Byte]]("payload"), UTF_8) ==
+      "<html>héllo</html>", "payload must be the http BODY, utf-8 intact")
+    assert(resp.getAs[String]("record_id") == "urn:test:response",
+      "angle brackets stripped")
+    assert(resp.getAs[String]("warc_date") == "2026-02-03T04:05:06Z")
+    // offsets are cumulative byte positions in the stream
+    assert(out(2).getAs[Long]("record_offset") > out(1).getAs[Long]("record_offset"))
+  }
+
+  test("gzip: concatenated per-record members AND single-stream both parse") {
+    val dir = tmpDir("warc_gz_")
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new GZIPOutputStream(bos); g.write(b); g.close()
+      bos.toByteArray
+    }
+    val r1 = record("response", "https://e.org/1", httpBlock("one"))
+    val r2 = record("response", "https://e.org/2", httpBlock("two"))
+    // Common Crawl layout: one gzip member per record, concatenated
+    Files.write(java.nio.file.Paths.get(dir, "members.warc.gz"), gz(r1) ++ gz(r2))
+    // plain single-member stream of both records
+    Files.write(java.nio.file.Paths.get(dir, "single.warc.gz"), gz(r1 ++ r2))
+    val out = Warc.readWarc(spark, s"$dir/*.warc.gz")
+      .select(regexp_extract(col("warc_file"), "([a-z]+)\\.warc\\.gz", 1).as("f"),
+        col("target_uri"))
+      .as[(String, String)].collect().toSet
+    assert(out == Set(
+      ("members", "https://e.org/1"), ("members", "https://e.org/2"),
+      ("single", "https://e.org/1"), ("single", "https://e.org/2")))
+  }
+
+  test("truncated payload and bad terminator fail loud with file context") {
+    val dir = tmpDir("warc_bad_")
+    val good = record("response", "https://e.org/x", httpBlock("body"))
+    Files.write(java.nio.file.Paths.get(dir, "trunc.warc"),
+      good.dropRight(10)) // cut inside the terminator/payload
+    val e = intercept[Exception](
+      Warc.readWarc(spark, s"$dir/trunc.warc").count())
+    assert(e.getMessage != null)
+    // Content-Length lying about the payload => terminator check trips
+    val lying = new String(good, UTF_8).replaceFirst(
+      "Content-Length: (\\d+)\r\n\r\nHTTP", "Content-Length: 3\r\n\r\nHTTP")
+    Files.write(java.nio.file.Paths.get(dir, "lying.warc"),
+      lying.getBytes(UTF_8))
+    val e2 = intercept[Exception](
+      Warc.readWarc(spark, s"$dir/lying.warc").count())
+    assert(e2.getMessage.contains("lying.warc"),
+      s"error must carry the file name, got: ${e2.getMessage}")
+  }
+
+  test("writeWarc → readWarc round-trips payload bytes, unicode and empties") {
+    val dir = tmpDir("warc_rt_") + "/out"
+    val docs = Seq(
+      (1L, "plain ascii"),
+      (2L, "ünïcødé ☃ — em–dash"),
+      (3L, ""),
+      (4L, "line\nbreaks\r\nand\ttabs")).toDF("doc_id", "text")
+      .withColumn("uri", concat(lit("https://example.org/doc/"), col("doc_id")))
+      .withColumn("payload", encode(col("text"), "utf-8"))
+      .repartition(2)
+    Warc.writeWarc(docs, dir, "uri", "payload")
+    val fsDir = new java.io.File(dir)
+    assert(fsDir.listFiles().exists(_.getName == "_GRAFT_WARC_COMMITTED"),
+      "commit marker must exist")
+    assert(fsDir.listFiles().count(_.getName.endsWith(".warc.gz")) == 2)
+    val back = Warc.readWarc(spark, s"$dir/*.warc.gz")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        decode(col("payload"), "utf-8").as("text"),
+        col("http_status"), col("warc_type"))
+    val got = back.orderBy("doc_id")
+      .as[(Long, String, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "plain ascii", 200, "response"),
+      (2L, "ünïcødé ☃ — em–dash", 200, "response"),
+      (3L, "", 200, "response"),
+      (4L, "line\nbreaks\r\nand\ttabs", 200, "response")))
+  }
+
+  test("writeWarc output is byte-deterministic across runs") {
+    val base = tmpDir("warc_det_")
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .withColumn("uri", concat(lit("https://e.org/"), col("doc_id")))
+      .withColumn("payload", encode(col("text"), "utf-8"))
+      .coalesce(1)
+    Warc.writeWarc(docs, s"$base/a", "uri", "payload")
+    Warc.writeWarc(docs, s"$base/b", "uri", "payload")
+    val a = Files.readAllBytes(java.nio.file.Paths.get(s"$base/a/part-00000.warc.gz"))
+    val b = Files.readAllBytes(java.nio.file.Paths.get(s"$base/b/part-00000.warc.gz"))
+    assert(a.sameElements(b), "same partition content must gzip to identical bytes")
+  }
+}
