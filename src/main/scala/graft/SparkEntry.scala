@@ -1002,6 +1002,17 @@ object SparkEntry {
         Seq(0.25, 0.5, 0.9, 0.99), k = 16384)
     }),
 
+    // ---- PSI drift gate: order-value distribution before vs after a
+    // date split, explicit bin cuts, dedicated null bin ----
+    "q_psi_drift" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      operators.Validation.populationStability(
+        o.where(col("o_orderdate") < lit("1998-01-01")),
+        o.where(col("o_orderdate") >= lit("1998-01-01")),
+        "o_totalprice",
+        Seq(50000.0, 100000.0, 200000.0, 300000.0))
+    }),
+
     // ---- theta set-operation sketches: pairwise overlap of per-source
     // doc-length value sets from stored sketches — the contamination-
     // estimate shape; exact under lgK at test SF so DuckDB's distinct
@@ -2936,6 +2947,43 @@ object SparkEntry {
         |SELECT s.doc_id, s.n_chars,
         |  greatest(c.lo, least(c.hi, s.n_chars::DOUBLE)) AS n_chars_clipped
         |FROM spiky s CROSS JOIN cuts c""".stripMargin,
+
+    // PSI: identical CASE binning, fractions as long/double division,
+    // epsilon-smoothed log terms — pure double arithmetic both engines.
+    "q_psi_drift" ->
+      """WITH bins(bin, bin_lo, bin_hi) AS (VALUES
+        |  (-1, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+        |  (0, CAST(NULL AS DOUBLE), 50000.0),
+        |  (1, 50000.0, 100000.0),
+        |  (2, 100000.0, 200000.0),
+        |  (3, 200000.0, 300000.0),
+        |  (4, 300000.0, CAST(NULL AS DOUBLE))),
+        |b AS (SELECT CASE WHEN o_totalprice IS NULL THEN -1 ELSE
+        |    (o_totalprice >= 50000.0)::INT + (o_totalprice >= 100000.0)::INT +
+        |    (o_totalprice >= 200000.0)::INT + (o_totalprice >= 300000.0)::INT END AS bin
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |a AS (SELECT CASE WHEN o_totalprice IS NULL THEN -1 ELSE
+        |    (o_totalprice >= 50000.0)::INT + (o_totalprice >= 100000.0)::INT +
+        |    (o_totalprice >= 200000.0)::INT + (o_totalprice >= 300000.0)::INT END AS bin
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+        |bc AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+        |ac AS (SELECT bin, count(*) AS n FROM a GROUP BY bin),
+        |j AS (SELECT bins.bin, bins.bin_lo, bins.bin_hi,
+        |    coalesce(bc.n, 0) AS n_before, coalesce(ac.n, 0) AS n_after
+        |  FROM bins LEFT JOIN bc ON bc.bin = bins.bin
+        |  LEFT JOIN ac ON ac.bin = bins.bin),
+        |f AS (SELECT bin, bin_lo, bin_hi, n_before, n_after,
+        |    n_before / CAST((SELECT sum(n_before) FROM j) AS DOUBLE) AS frac_before,
+        |    n_after / CAST((SELECT sum(n_after) FROM j) AS DOUBLE) AS frac_after
+        |  FROM j)
+        |SELECT CAST(bin AS BIGINT) AS bin, bin_lo, bin_hi,
+        |  CAST(n_before AS BIGINT) AS n_before,
+        |  CAST(n_after AS BIGINT) AS n_after,
+        |  frac_before, frac_after,
+        |  (greatest(frac_after, 1e-6) - greatest(frac_before, 1e-6))
+        |    * ln(greatest(frac_after, 1e-6) / greatest(frac_before, 1e-6))
+        |    AS psi_term
+        |FROM f""".stripMargin,
 
     // Quantile drift: exact under k at test SF, so quantile_disc per
     // probe on each side is the oracle; drift is a double subtraction of

@@ -208,6 +208,81 @@ object Validation {
       greatest(lit(lo), least(lit(hi), col(valueCol).cast("double"))))
   }
 
+  /** Population Stability Index between two snapshots of `valueCol` —
+    * the classic score-drift gate (banking scorecards; here: quality
+    * scores, perplexity, doc lengths between corpus refreshes). The
+    * caller supplies explicit ascending bin `cuts` so the binning is an
+    * engine-reproducible codegen'd CASE, not a data-dependent quantile
+    * fit (pair with [[clipToQuantiles]]' sketch cuts when data-driven
+    * bins are wanted — freeze them from the BEFORE side so both sides
+    * bin identically).
+    *
+    * Bins: `(-inf, c0), [c0, c1), …, [c_last, +inf)` plus a dedicated
+    * NULL bin (`bin = -1`) — a drifting null-rate is drift, and folding
+    * it into a value bin would hide it. Fractions include the null bin
+    * in the denominator (the null rows ARE population mass).
+    *
+    * Per side: ONE scan → bins-sized counts; everything after is
+    * arithmetic on a (|cuts|+2)-row table (the un-partitioned window is
+    * bins-sized, not corpus-sized). Zero-count bins smooth to `epsilon`
+    * before the log — the standard PSI convention, so an emptied or
+    * newly-populated bin contributes a large-but-finite term. Gate on
+    * `sum(psi_term)`: < 0.1 stable, 0.1–0.25 moderate, > 0.25 drifted
+    * (the conventional thresholds).
+    */
+  def populationStability(
+      before: DataFrame,
+      after: DataFrame,
+      valueCol: String,
+      cuts: Seq[Double],
+      epsilon: Double = 1e-6): DataFrame = {
+    require(cuts.nonEmpty, "cuts must be non-empty")
+    require(cuts.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      s"cuts must be strictly ascending, got $cuts")
+    require(epsilon > 0.0 && epsilon < 1.0,
+      s"epsilon must be in (0, 1), got $epsilon")
+    def binExpr(c: Column): Column =
+      when(c.isNull, lit(-1)).otherwise(
+        cuts.map(x => when(c >= lit(x), 1).otherwise(0)).reduce(_ + _))
+    // an empty side makes every fraction 0/0 — PSI is undefined; loud
+    def checkedTotal(tot: Column, side: String): Column =
+      when(tot > 0, tot).otherwise(raise_error(lit(
+        s"populationStability: `$side` snapshot is empty — PSI undefined")))
+    def sideCounts(df: DataFrame, out: String): DataFrame =
+      df.select(binExpr(col(valueCol).cast("double")).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(out))
+    val sp = before.sparkSession
+    import sp.implicits._
+    val binRows = (-1, Option.empty[Double], Option.empty[Double]) +:
+      (0 to cuts.length).map { i =>
+        (i,
+          if (i == 0) Option.empty[Double] else Some(cuts(i - 1)),
+          if (i == cuts.length) Option.empty[Double] else Some(cuts(i)))
+      }
+    val allBins = binRows.toDF("bin", "bin_lo", "bin_hi")
+    val everything = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)) // bins-sized table — NOT a corpus window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val fb = greatest(col("frac_before"), lit(epsilon))
+    val fa = greatest(col("frac_after"), lit(epsilon))
+    allBins
+      .join(sideCounts(before, "__nb"), Seq("bin"), "left")
+      .join(sideCounts(after, "__na"), Seq("bin"), "left")
+      .withColumn("n_before", coalesce(col("__nb"), lit(0L)))
+      .withColumn("n_after", coalesce(col("__na"), lit(0L)))
+      .withColumn("frac_before",
+        col("n_before") / checkedTotal(
+          sum(col("n_before")).over(everything), "before"))
+      .withColumn("frac_after",
+        col("n_after") / checkedTotal(
+          sum(col("n_after")).over(everything), "after"))
+      .withColumn("psi_term", (fa - fb) * log(fa / fb))
+      .select(col("bin").cast("long").as("bin"),
+        col("bin_lo"), col("bin_hi"),
+        col("n_before"), col("n_after"),
+        col("frac_before"), col("frac_after"), col("psi_term"))
+  }
+
   def quantileDriftFromSketches(
       beforeSketches: DataFrame,
       afterSketches: DataFrame,

@@ -150,4 +150,49 @@ class ValidationSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("unique"))
   }
+
+  test("populationStability matches a hand-computed PSI, nulls get their own bin") {
+    import spark.implicits._
+    // before: 4 low, 4 high; after: 2 low, 4 high, 2 null — the null
+    // drift and the low-bin shrink must both show up
+    val before = Seq(1.0, 2.0, 3.0, 4.0, 11.0, 12.0, 13.0, 14.0)
+      .map(Option(_)).toDF("v")
+    val after = (Seq(1.0, 2.0, 11.0, 12.0, 13.0, 14.0).map(Option(_)) ++
+      Seq(None, None)).toDF("v")
+    val out = Validation.populationStability(before, after, "v", Seq(10.0))
+      .orderBy("bin").collect()
+    assert(out.map(_.getAs[Long]("bin")).toSeq == Seq(-1L, 0L, 1L))
+    val byBin = out.map(r => r.getAs[Long]("bin") -> r).toMap
+    // null bin: 0/8 before, 2/8 after
+    assert(byBin(-1L).getAs[Long]("n_before") == 0L)
+    assert(byBin(-1L).getAs[Long]("n_after") == 2L)
+    val eps = 1e-6
+    def term(fb: Double, fa: Double): Double = {
+      val (b, a) = (math.max(fb, eps), math.max(fa, eps))
+      (a - b) * math.log(a / b)
+    }
+    assert(math.abs(byBin(-1L).getAs[Double]("psi_term") -
+      term(0.0, 0.25)) < 1e-12)
+    assert(math.abs(byBin(0L).getAs[Double]("psi_term") -
+      term(0.5, 0.25)) < 1e-12)
+    assert(math.abs(byBin(1L).getAs[Double]("psi_term") -
+      term(0.5, 0.5)) < 1e-12, "unchanged bin contributes ~0")
+    // bin edges surface in the report
+    assert(byBin(0L).getAs[Any]("bin_lo") == null)
+    assert(byBin(0L).getAs[Double]("bin_hi") == 10.0)
+    assert(byBin(1L).getAs[Double]("bin_lo") == 10.0)
+  }
+
+  test("populationStability validates cuts and is loud on an empty side") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0).toDF("v")
+    intercept[IllegalArgumentException](
+      Validation.populationStability(df, df, "v", Seq(2.0, 1.0)))
+    intercept[IllegalArgumentException](
+      Validation.populationStability(df, df, "v", Nil))
+    val e = intercept[Exception](
+      Validation.populationStability(df, df.where(col("v") > 99), "v", Seq(1.5))
+        .collect())
+    assert(e.getMessage.contains("empty"))
+  }
 }
