@@ -395,6 +395,13 @@ object SparkEntry {
       operators.TextAnalysis.dedupLinesGlobal(corpus, "doc_id", "text")
     }),
 
+    // ---- n-gram novelty against earlier arrivals: planted later
+    // near-copies (lshCorpus) must score near zero novelty ----
+    "q_novelty" -> ((s, dir) => {
+      operators.TextAnalysis.noveltyFrac(
+        lshCorpus(s, dir), "doc_id", "text", col("doc_id"), shingleSize = 3)
+    }),
+
     // ---- PII redaction over a corpus with planted URLs/emails/IPs ----
     "q_pii_redact" -> ((s, dir) => {
       val ta = operators.TextAnalysis
@@ -3524,6 +3531,38 @@ object SparkEntry {
 
     // Global keep-first line dedup: trimmed non-blank lines ranked by
     // (doc_id, pos) per distinct line; rank 1 survives, docs reassemble.
+    // Novelty: identical shingling (distinct, right-truncated 3-grams),
+    // first-arrival via min(doc_id), strict-inequality seen counts.
+    "q_novelty" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' extra extra'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) = 0 THEN []
+        |    ELSE list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |           i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+        |m AS (SELECT sg, min(doc_id) AS first_ord FROM ex GROUP BY sg),
+        |agg AS (SELECT e.doc_id, count(*) AS n_shingles,
+        |    count(CASE WHEN m.first_ord < e.doc_id THEN 1 END) AS n_seen
+        |  FROM ex e JOIN m ON m.sg = e.sg GROUP BY e.doc_id)
+        |SELECT c.doc_id,
+        |  CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(a.n_seen, 0) AS BIGINT) AS n_seen,
+        |  CASE WHEN a.n_shingles IS NULL THEN NULL
+        |    ELSE 1.0 - a.n_seen / CAST(a.n_shingles AS DOUBLE) END
+        |    AS novelty_frac
+        |FROM (SELECT DISTINCT doc_id FROM corpus) c
+        |LEFT JOIN agg a ON a.doc_id = c.doc_id""".stripMargin,
+
     "q_dedup_lines_global" ->
       """WITH corpus AS (
         |  SELECT doc_id,

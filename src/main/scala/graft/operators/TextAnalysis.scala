@@ -449,6 +449,54 @@ object TextAnalysis {
           .cast("double") / octet_length(t))
   }
 
+  /** Per-document n-gram NOVELTY against everything that arrived before
+    * it: `1 − |shingles seen earlier| / |distinct shingles|` — the
+    * incremental-crawl value signal ("how much of this page is new
+    * text?") that ranks a refresh batch before dedup even runs. `orderCol`
+    * defines "earlier" (crawl timestamp, batch id, doc id); a shingle
+    * counts as seen iff some doc with STRICTLY smaller order carries it,
+    * so first arrivers (and all members of an order tie) score it novel —
+    * deterministic under reruns and re-partitionings.
+    *
+    * Output: one row per input doc — (`idCol`, `n_shingles`, `n_seen`,
+    * `novelty_frac`), with `novelty_frac` NULL for docs with no shingles
+    * (empty/null text; short docs carry one right-truncated shingle by
+    * the corpus-wide [[shingles]] convention; "novel" is undefined on no
+    * content).
+    *
+    * Shape: explode distinct shingles once; a groupBy computes each
+    * shingle's global first order (map-side partials absorb hot
+    * stop-shingles); a join back on the shingle key re-uses that
+    * exchange layout and stays AQE-skew-splittable — deliberately NOT a
+    * per-shingle window, which would pin every occurrence of a hot
+    * shingle into one unsplittable partition; a per-doc aggregate
+    * finishes. Three shingle-stream exchanges, no corpus self-join, no
+    * pair blow-up — novelty is per-doc, not per-pair.
+    */
+  def noveltyFrac(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      orderCol: Column,
+      shingleSize: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
+    val sh = df.select(col(idCol).as("__id"), orderCol.as("__ord"),
+      explode(array_distinct(shingles(col(textCol), shingleSize))).as("__s"))
+    val firstSeen = sh.groupBy("__s").agg(min(col("__ord")).as("__first"))
+    val perDoc = sh.join(firstSeen, "__s")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("__first") < col("__ord"), 1)).as("n_seen"))
+    df.select(col(idCol).as("__id")).distinct()
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        when(col("n_shingles").isNull, lit(null).cast("double"))
+          .otherwise(lit(1.0) - col("n_seen") / col("n_shingles"))
+          .as("novelty_frac"))
+  }
+
   /** Corpus-global line deduplication (the C4 rule applied at line
     * granularity): every distinct trimmed non-blank line keeps exactly
     * its FIRST occurrence — smallest (`idCol`, position) — and loses all

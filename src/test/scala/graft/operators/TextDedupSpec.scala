@@ -396,4 +396,27 @@ class TextDedupSpec extends SparkTestBase {
     assert(out.collect().isEmpty,
       "40%-boilerplate docs are far below jaccard 0.8 and must not pair")
   }
+
+  test("noveltyFrac: first arriver novel, copy borrowed, ties don't see each other") {
+    val df = Seq(
+      (1L, "a b c d"),          // shingles {abc, bcd} — first, fully novel
+      (2L, "a b c d"),          // exact copy — fully seen
+      (3L, "a b c x y z"),      // {abc, bcx, cxy, xyz}: 1 of 4 seen
+      (4L, ""),                 // empty — no shingles, novelty NULL
+      (5L, "m n o p"),          // tie pair at order 5 …
+      (5L + 1000, "m n o p")    // … ordered by id % 1000 ⇒ SAME order: neither sees the other
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyFrac(df, "doc_id", "text",
+      col("doc_id") % 1000, shingleSize = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_seen"),
+          Option(r.getAs[Any]("novelty_frac"))))).toMap
+    assert(out(1L) == ((2L, 0L, Some(1.0))))
+    assert(out(2L) == ((2L, 2L, Some(0.0))))
+    assert(out(3L) == ((4L, 1L, Some(0.75))))
+    assert(out(4L) == ((0L, 0L, None)), "no shingles -> novelty undefined")
+    assert(out(5L) == ((2L, 0L, Some(1.0))), "order tie is not 'earlier'")
+    assert(out(1005L) == ((2L, 0L, Some(1.0))))
+    assert(out.size == 6, "every input doc appears exactly once")
+  }
 }
