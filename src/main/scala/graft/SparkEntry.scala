@@ -881,6 +881,17 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nprobe = 4)
     }),
 
+    // ---- product quantization: codes-only ADC shortlist + exact
+    // refine (rows-only: KMeans codebooks are not SQL-expressible;
+    // recall floor spec-asserted in AnnMultimodalSpec) ----
+    "q_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val index = operators.Ann.Pq.build(e, "vec_id", "embedding",
+        m = 16, ksub = 64, maxIter = 10)
+      operators.Ann.Pq.searchRefined(index, e, "vec_id", "embedding",
+        e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, refine = 4)
+    }),
+
     // ---- frequency-ranked vocabulary with dense deterministic ids ----
     "q_vocab" -> ((s, dir) => {
       operators.TextAnalysis.buildVocab(

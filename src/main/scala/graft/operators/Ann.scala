@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -344,6 +344,362 @@ object Ann {
         node.get("id_col").asText(),
         vecCol,
         node.get("nassign").asInt())
+    }
+  }
+
+  /** Product-quantization model: `codebooks(j)(code)` is subspace `j`'s
+    * centroid for `code` — m × ksub × dsub doubles, driver/broadcast
+    * sized (16 × 256 × 8 = 32k doubles for a 128-dim corpus).
+    */
+  final case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def dsub: Int = codebooks.head.head.length
+    def dim: Int = m * dsub
+  }
+
+  /** A PQ-encoded corpus: (`idCol`, `__pq_codes` array<smallint>). */
+  final case class PqIndex(encoded: DataFrame, model: PqModel, idCol: String)
+
+  /** Product quantization (Jégou, Douze & Schmid, TPAMI 2011): split the
+    * (L2-normalized) vector into `m` subvectors, vector-quantize each
+    * against its own `ksub`-entry codebook, store only the m code bytes.
+    * Search is ADC (asymmetric distance computation): per query, an
+    * m × ksub lookup table of subspace distances is computed ONCE, and
+    * each corpus row's distance is m table lookups — no float vectors are
+    * read at all.
+    *
+    * Why this is the 100 TB memory-side scale path: a 1024-dim float
+    * corpus is ~4 KB/row; its m=16 PQ codes are 16 bytes — a ~250×
+    * smaller scan. The full-scan ADC here is FAISS's "PQ flat" shape;
+    * compose with [[Ivf]] (encode each cell's rows, search probed cells
+    * only) for the IVF-PQ shape.
+    *
+    * Both sides are L2-normalized before encoding/lookup, so ADC ranks by
+    * squared L2 on the unit sphere = descending cosine (adc = 2 − 2·cos);
+    * results report `cos_est = 1 − adc/2`.
+    */
+  object Pq {
+
+    /** Training points per codebook entry — the conventional budget. */
+    val TrainPointsPerCode = 256
+
+    val CodesCol = "__pq_codes"
+    val SidecarFileName = "_graft_pq_index.json"
+
+    /** L2-normalize a numeric array column (zero vectors pass through as
+      * zeros). The norm is let-bound via single-element transforms so it
+      * is computed once per ROW, not once per element.
+      */
+    private[operators] def l2normalize(vec: Column): Column = {
+      val vd = transform(vec, x => x.cast("double"))
+      element_at(transform(array(vd), v =>
+        element_at(transform(
+          array(sqrt(graft.functions.VectorFunctions.sumSquares(v))), n =>
+          when(n === 0.0, v).otherwise(transform(v, x => x / n))), 1)), 1)
+    }
+
+    /** One subspace codebook as a single constant-folded literal (the
+      * [[Ivf.centroidsLiteral]] discipline — never nlist × dim expression
+      * nodes). Entry order IS code order, so LUT position `code + 1`
+      * addresses code `code`.
+      */
+    private def codebookLiteral(cb: Array[Array[Double]]): Column =
+      typedlit(cb.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+        .cast("array<struct<code:int,c:array<double>>>")
+
+    private def sqDist(a: Column, b: Column): Column =
+      graft.functions.VectorFunctions.sumSquares(
+        zip_with(a, b, (x, y) => x - y))
+
+    /** Fit per-subspace codebooks on ONE bounded normalized sample. The
+      * sample is cached once; each subspace COLLECTS only its dsub-wide
+      * slice (≤ ksub·[[TrainPointsPerCode]] × dsub doubles — a few MB)
+      * and fits a DRIVER-LOCAL seeded k-means++. Distributed KMeans here
+      * would schedule m × (init + iters) Spark jobs over a sample that
+      * fits in one heap — measured 17 s of pure scheduler overhead at
+      * m = 16 on this box vs ~1 s local. Corpus-sized work (the sample
+      * scan, encoding, the ADC scan) stays distributed; only the
+      * bounded training sample ever touches the driver.
+      */
+    def train(
+        corpus: DataFrame,
+        vecCol: String,
+        m: Int,
+        ksub: Int = 256,
+        seed: Long = 42L,
+        maxIter: Int = 20): PqModel = {
+      require(m >= 1, s"m must be >= 1, got $m")
+      require(ksub >= 2 && ksub <= 256,
+        s"ksub must be in [2, 256] (codes are byte-ranged), got $ksub")
+      val first = corpus.select(size(col(vecCol)).as("d")).head(1)
+      require(first.nonEmpty, "Pq.train: empty corpus")
+      val dim = first(0).getInt(0)
+      require(dim % m == 0,
+        s"dim $dim must be divisible by m=$m (equal subspaces)")
+      val dsub = dim / m
+      val targetTrain = ksub.toLong * TrainPointsPerCode
+      val n = corpus.count()
+      val norm = corpus.select(l2normalize(col(vecCol)).as("__nv"))
+      val sample =
+        if (n <= targetTrain) norm
+        else norm.sample(math.min(1.0, targetTrain.toDouble * 1.1 / n), seed)
+      sample.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        sample.count() // materialize once; the m slice-collects hit cache
+        val codebooks = (0 until m).map { j =>
+          val pts = sample
+            .select(slice(col("__nv"), j * dsub + 1, dsub).as("__s"))
+            .collect().map(_.getSeq[Double](0).toArray)
+          localKMeansPlusPlus(pts, ksub, maxIter, seed + j)
+        }.toArray
+        PqModel(codebooks)
+      } finally sample.unpersist(blocking = false)
+    }
+
+    /** Driver-local Lloyd's with k-means++ seeding. Points are sorted
+      * lexicographically first, so the fit depends on the sample's
+      * CONTENT, not the partition order it was collected in. Duplicate-
+      * heavy inputs may yield fewer than k centers (every point at
+      * distance 0) — codes then range over the returned length.
+      */
+    private[operators] def localKMeansPlusPlus(
+        points: Array[Array[Double]],
+        k: Int,
+        iters: Int,
+        seed: Long): Array[Array[Double]] = {
+      require(points.nonEmpty, "localKMeans: no training points")
+      val ord = new Ordering[Array[Double]] {
+        def compare(a: Array[Double], b: Array[Double]): Int = {
+          var i = 0
+          while (i < a.length && i < b.length) {
+            val c = java.lang.Double.compare(a(i), b(i))
+            if (c != 0) return c
+            i += 1
+          }
+          a.length - b.length
+        }
+      }
+      val pts = points.sorted(ord)
+      def sq(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      }
+      val rnd = new java.util.Random(seed)
+      val centers = scala.collection.mutable.ArrayBuffer(
+        pts(rnd.nextInt(pts.length)).clone())
+      val d2 = Array.fill(pts.length)(Double.MaxValue)
+      var exhausted = false
+      while (centers.length < k && !exhausted) {
+        var total = 0.0
+        var i = 0
+        while (i < pts.length) {
+          val d = sq(pts(i), centers.last)
+          if (d < d2(i)) d2(i) = d
+          total += d2(i); i += 1
+        }
+        if (total <= 0.0) exhausted = true // every point covered exactly
+        else {
+          var r = rnd.nextDouble() * total
+          var pick = 0
+          while (pick < pts.length - 1 && r > d2(pick)) { r -= d2(pick); pick += 1 }
+          centers += pts(pick).clone()
+        }
+      }
+      val ctr = centers.toArray
+      val dsub = pts(0).length
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ctr.length, dsub)(0.0)
+        val cnts = Array.fill(ctr.length)(0L)
+        var i = 0
+        while (i < pts.length) {
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < ctr.length) {
+            val d = sq(pts(i), ctr(c))
+            if (d < bestD) { bestD = d; best = c } // ties keep lower index
+            c += 1
+          }
+          cnts(best) += 1
+          var j = 0
+          while (j < dsub) { sums(best)(j) += pts(i)(j); j += 1 }
+          i += 1
+        }
+        var c = 0
+        while (c < ctr.length) {
+          if (cnts(c) > 0) {
+            var j = 0
+            while (j < dsub) { ctr(c)(j) = sums(c)(j) / cnts(c); j += 1 }
+          } // empty cluster keeps its previous center
+          c += 1
+        }
+        it += 1
+      }
+      ctr
+    }
+
+    /** Append `__pq_codes` (array<smallint>, one code per subspace):
+      * argmin squared-L2 against each subspace codebook, ties to the
+      * smaller code — deterministic across engines and partitionings.
+      * Rows whose vector dimension disagrees with the model fail LOUD
+      * in-row (a silently truncated slice would encode garbage).
+      */
+    def encode(model: PqModel, df: DataFrame, vecCol: String): DataFrame = {
+      val dsub = model.dsub
+      val checked = when(size(col(vecCol)) === model.dim, l2normalize(col(vecCol)))
+        .otherwise(raise_error(concat(
+          lit(s"Pq.encode: vector dim "), size(col(vecCol)).cast("string"),
+          lit(s" != model dim ${model.dim}"))).cast("array<double>"))
+      val codes = model.codebooks.toIndexedSeq.zipWithIndex.map { case (cb, j) =>
+        // bind the subvector once — referenced ksub times by the argmin
+        element_at(transform(array(slice(col("__pq_nv"), j * dsub + 1, dsub)),
+          sub => element_at(
+            array_sort(transform(codebookLiteral(cb), c =>
+              struct(sqDist(sub, c.getField("c")).as("d"),
+                c.getField("code").as("code")))), 1).getField("code")), 1)
+      }
+      df.withColumn("__pq_nv", checked)
+        .withColumn(CodesCol, array(codes: _*).cast("array<smallint>"))
+        .drop("__pq_nv")
+    }
+
+    /** Train + encode + project: the one-call index build. */
+    def build(
+        corpus: DataFrame,
+        idCol: String,
+        vecCol: String,
+        m: Int,
+        ksub: Int = 256,
+        seed: Long = 42L,
+        maxIter: Int = 20): PqIndex = {
+      val model = train(corpus, vecCol, m, ksub, seed, maxIter)
+      PqIndex(
+        encode(model, corpus, vecCol).select(col(idCol).as("id"), col(CodesCol)),
+        model, "id")
+    }
+
+    /** ADC top-k: the per-query LUT (m × ksub subspace distances) is
+      * computed once on the broadcast query side; each corpus row costs
+      * m lookups over its codes. Output (q_id, id, cos_est, rank) —
+      * `cos_est` rounded to 6 decimals before ranking, ties by id, the
+      * [[bruteForceTopK]] contract. Queries are broadcast — keep the
+      * query set small (the brute-force contract); the CORPUS side
+      * streams codes only.
+      */
+    def search(
+        index: PqIndex,
+        queries: DataFrame,
+        qIdCol: String,
+        vecCol: String,
+        k: Int): DataFrame = {
+      require(k >= 1, s"k must be >= 1, got $k")
+      val model = index.model
+      val dsub = model.dsub
+      val lut = array(model.codebooks.toIndexedSeq.zipWithIndex.map {
+        case (cb, j) =>
+          element_at(transform(
+            array(slice(col("__pq_qnv"), j * dsub + 1, dsub)), sub =>
+              transform(codebookLiteral(cb), c =>
+                sqDist(sub, c.getField("c")))), 1)
+      }: _*)
+      val q = queries
+        .select(col(qIdCol).as("q_id"),
+          when(size(col(vecCol)) === model.dim, l2normalize(col(vecCol)))
+            .otherwise(raise_error(concat(
+              lit(s"Pq.search: query dim "), size(col(vecCol)).cast("string"),
+              lit(s" != model dim ${model.dim}"))).cast("array<double>"))
+            .as("__pq_qnv"))
+        .withColumn("__lut", lut)
+        .drop("__pq_qnv")
+      val adc = aggregate(
+        zip_with(col(CodesCol), col("__lut"),
+          (code, l) => element_at(l, code.cast("int") + 1)),
+        lit(0.0), (acc, x) => acc + x)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_est").desc, col("id").asc)
+      index.encoded.crossJoin(broadcast(q))
+        .withColumn("cos_est", round(lit(1.0) - adc / 2, 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("q_id"), col(index.idCol).as("id"), col("cos_est"), col("rank"))
+    }
+
+    /** ADC shortlist + exact re-rank (the paper's IVFADC+R refinement):
+      * [[search]] keeps `k × refine` candidates per query from the
+      * codes-only scan, then ONLY those rows' float vectors are re-read
+      * (broadcast semi-filter on the corpus — the corpus never shuffles)
+      * and exact cosine re-ranks to the final k. Recall becomes the
+      * shortlist's hit rate, at the cost of one filtered pass over the
+      * float column; lay the corpus out id-clustered with parquet bloom
+      * filters ([[Compaction.writeClustered]]) so that pass prunes row
+      * groups instead of reading everything.
+      */
+    def searchRefined(
+        index: PqIndex,
+        corpus: DataFrame,
+        corpusIdCol: String,
+        corpusVecCol: String,
+        queries: DataFrame,
+        qIdCol: String,
+        qVecCol: String,
+        k: Int,
+        refine: Int = 4): DataFrame = {
+      require(refine >= 1, s"refine must be >= 1, got $refine")
+      val shortlist = search(index, queries, qIdCol, qVecCol, k * refine)
+        .select(col("q_id"), col("id"))
+      val c = Dedup.cosineSide(corpus, Nil, corpusIdCol, corpusVecCol, "c")
+        .withColumnRenamed("id_c", "id")
+        .join(broadcast(shortlist), Seq("id"))
+      val q = Dedup.cosineSide(queries, Nil, qIdCol, qVecCol, "q")
+        .withColumnRenamed("id_q", "q_id")
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("id").asc)
+      c.join(broadcast(q), Seq("q_id"))
+        .withColumn("cos", round(Dedup.cosineWithNorms(
+          col("__v_q"), col("__v_c"), col("__n_q"), col("__n_c")), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("q_id", "id", "cos", "rank")
+    }
+
+    /** Persist: codes parquet + codebook sidecar, sidecar LAST with the
+      * [[Ivf.writeIndex]] single-writer torn-write discipline.
+      */
+    def writeIndex(index: PqIndex, path: String): Unit = {
+      val spark = index.encoded.sparkSession
+      index.encoded.write.mode("overwrite").parquet(path)
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val json = graft.io.Json.toJson(Map(
+        "id_col" -> index.idCol,
+        "m" -> index.model.m, "dsub" -> index.model.dsub,
+        "codebooks" -> index.model.codebooks.toSeq.map(_.toSeq.map(_.toSeq))))
+      val committed = graft.io.Sidecar.commit(
+        fs, dir, SidecarFileName, json, overwrite = true)
+      if (committed != json) throw new IllegalStateException(
+        s"Pq.writeIndex: concurrent writer detected at $path — rebuild " +
+          "the index single-writer")
+    }
+
+    /** Load a persisted PQ index; loud when the sidecar is missing. */
+    def loadIndex(spark: SparkSession, path: String): PqIndex = {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val sidecar = new org.apache.hadoop.fs.Path(dir, SidecarFileName)
+      require(fs.exists(sidecar),
+        s"no PQ sidecar at $path — index missing or torn by a failed write")
+      val in = fs.open(sidecar)
+      val node =
+        try graft.io.Json.parse(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      val codebooks = node.get("codebooks").elements().asScala.map { jb =>
+        jb.elements().asScala.map(c =>
+          c.elements().asScala.map(_.asDouble()).toArray).toArray
+      }.toArray
+      PqIndex(spark.read.parquet(path), PqModel(codebooks),
+        node.get("id_col").asText())
     }
   }
 

@@ -170,4 +170,60 @@ class AnnMultimodalSpec extends SparkTestBase {
       .collect()(0).getSeq[Array[Byte]](0)
     assert(frames.map(new String(_, "UTF-8")).toSeq == Seq("abc", "def", "ghi", "j"))
   }
+
+  test("PQ ADC search: recall floor vs exact, self found, deterministic encode") {
+    val queries = embeddings.filter($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(embeddings, queries, "vec_id", "embedding",
+      "vec_id", 5)
+    val index = Ann.Pq.build(embeddings, "vec_id", "embedding", m = 16, ksub = 64)
+    assert(index.model.m == 16 && index.model.dsub == 4)
+    val approx = Ann.Pq.search(index, queries, "vec_id", "embedding", 5)
+    val recall = Ann.recallAgainstExact(exact, approx)
+    assert(recall >= 0.6, s"PQ m=16 ksub=64 recall $recall below 0.6")
+    val refined = Ann.Pq.searchRefined(index, embeddings, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5, refine = 4)
+    val refinedRecall = Ann.recallAgainstExact(exact, refined)
+    assert(refinedRecall >= 0.85,
+      s"refined (x4 shortlist) recall $refinedRecall below 0.85")
+    assert(refinedRecall >= recall, "refine must not lose recall")
+    // a query IS in the corpus: its own row reconstructs nearest-possible
+    val selfHits = approx.where(col("q_id") === col("id")).count()
+    assert(selfHits >= 8, s"only $selfHits/10 queries found themselves in top-5")
+    // encode is a pure expression over frozen codebooks — bit-stable
+    // across independent plan executions and repartitionings
+    val enc = Ann.Pq.encode(index.model, embeddings, "embedding")
+      .select($"vec_id", col(Ann.Pq.CodesCol))
+    val run1 = enc.collect().map(_.toString).sorted.toSeq
+    val run2 = enc.repartition(7).collect().map(_.toString).sorted.toSeq
+    assert(run1 == run2)
+    // dimension drift fails loud in-row
+    val bad = Seq((999L, Array.fill(32)(0.5))).toDF("vec_id", "embedding")
+    val err = intercept[Exception](
+      Ann.Pq.encode(index.model, bad, "embedding").collect())
+    assert(err.getMessage.contains("dim"))
+  }
+
+  test("persisted PQ index round-trips; torn write (no sidecar) is loud") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_").toString
+    try {
+      val queries = embeddings.filter($"vec_id" < 10)
+      val index = Ann.Pq.build(embeddings, "vec_id", "embedding", m = 8, ksub = 16)
+      Ann.Pq.writeIndex(index, s"$root/idx")
+      val loaded = Ann.Pq.loadIndex(spark, s"$root/idx")
+      assert(loaded.model.codebooks.map(_.toSeq.map(_.toSeq)).toSeq ==
+        index.model.codebooks.map(_.toSeq.map(_.toSeq)).toSeq,
+        "codebooks must round-trip exactly")
+      val a = Ann.Pq.search(index, queries, "vec_id", "embedding", 5)
+        .collect().map(_.toString).sorted.toSeq
+      val b = Ann.Pq.search(loaded, queries, "vec_id", "embedding", 5)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == b, "loaded index must search identically")
+      // torn write: data without sidecar must not load
+      index.encoded.write.mode("overwrite").parquet(s"$root/torn")
+      val e = intercept[IllegalArgumentException](
+        Ann.Pq.loadIndex(spark, s"$root/torn"))
+      assert(e.getMessage.contains("sidecar"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root))
+  }
 }
