@@ -881,6 +881,18 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nprobe = 4)
     }),
 
+    // ---- content-defined chunking: per-doc chunk table must tile the
+    // payload bytes exactly (the oracle checks the byte totals; chunk
+    // boundary semantics are spec-pinned in AnnMultimodalSpec) ----
+    "q_cdc_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      operators.Multimodal.contentChunks(docs, "doc_id", "payload",
+          minSize = 32, avgSize = 128, maxSize = 512)
+        .groupBy("doc_id")
+        .agg(sum(col("chunk_size")).as("n_bytes"))
+    }),
+
     // ---- product quantization: codes-only ADC shortlist + exact
     // refine (rows-only: KMeans codebooks are not SQL-expressible;
     // recall floor spec-asserted in AnnMultimodalSpec) ----
@@ -2910,6 +2922,10 @@ object SparkEntry {
       "SELECT doc_id, source FROM documents",
     "q_warc_roundtrip" ->
       "SELECT doc_id, text, CAST(200 AS BIGINT) AS http_status FROM documents",
+    // CDC tiling invariant: chunk sizes per doc sum to the utf-8 byte
+    // length (strlen is BYTE length in DuckDB)
+    "q_cdc_chunks" ->
+      "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents",
     "q_bloom_layout" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 97 = 0 OR doc_id = 421",
     "q_zorder_layout" ->

@@ -150,4 +150,35 @@ object Multimodal {
     ).getItem(0)
     when(content.isNull, lit(0L)).otherwise(hash)
   }
+
+  /** Content-defined chunk table of a binary column: one row per chunk,
+    * `(idCol, chunk_idx, chunk_offset, chunk_size, chunk_hash)` — the
+    * sub-document dedup coordinate for large/multimodal payloads (two
+    * crawls of the same video differing by a prepended metadata header
+    * share every chunk after the edit window; fixed-size blocks would
+    * share none). Boundaries are Gear-CDC
+    * ([[graft.functions.GearChunks]]); null payloads produce no rows,
+    * empty payloads one zero-length marker row is NOT emitted (nothing
+    * to dedup).
+    *
+    * Shape: a codegen'd-fallback scalar expression + posexplode — one
+    * scan, no shuffle; downstream `groupBy(chunk_hash)` is where dedup
+    * pays its exchange, carrying (id, hash) pairs, never payload bytes.
+    */
+  def contentChunks(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      payloadCol: String,
+      minSize: Int = 2048,
+      avgSize: Int = 8192,
+      maxSize: Int = 65536): org.apache.spark.sql.DataFrame = {
+    df.select(col(idCol),
+        posexplode(graft.functions.CdcFunctions.gearChunks(
+          col(payloadCol), minSize, avgSize, maxSize))
+          .as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__c.offset").cast("long").as("chunk_offset"),
+        col("__c.size").cast("long").as("chunk_size"),
+        col("__c.hash").as("chunk_hash"))
+  }
 }

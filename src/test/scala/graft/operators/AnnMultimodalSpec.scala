@@ -171,6 +171,56 @@ class AnnMultimodalSpec extends SparkTestBase {
     assert(frames.map(new String(_, "UTF-8")).toSeq == Seq("abc", "def", "ghi", "j"))
   }
 
+  test("CDC chunks tile the payload within size bounds, deterministically") {
+    val rnd = new java.util.Random(7)
+    val payload = Array.fill(50000)(rnd.nextInt().toByte)
+    val df = Seq((1L, payload), (2L, payload), (3L, Array.emptyByteArray),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("id", "content")
+    val chunks = Multimodal.contentChunks(df, "id", "content",
+      minSize = 64, avgSize = 256, maxSize = 1024)
+      .orderBy("id", "chunk_idx").collect()
+    val byDoc = chunks.groupBy(_.getAs[Long]("id"))
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L),
+      "empty/null payloads produce no chunk rows")
+    val c1 = byDoc(1L)
+    // exact tiling: contiguous offsets, sizes sum to the payload
+    assert(c1.head.getAs[Long]("chunk_offset") == 0L)
+    c1.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("chunk_offset") ==
+        a.getAs[Long]("chunk_offset") + a.getAs[Long]("chunk_size"))
+      case _ => ()
+    }
+    assert(c1.map(_.getAs[Long]("chunk_size")).sum == payload.length)
+    // bounds: every chunk <= max; all but the final >= min
+    assert(c1.forall(_.getAs[Long]("chunk_size") <= 1024))
+    assert(c1.dropRight(1).forall(_.getAs[Long]("chunk_size") >= 64))
+    // the average should be in the right ballpark for random bytes
+    val avg = payload.length.toDouble / c1.length
+    assert(avg > 64 && avg < 1024, s"mean chunk $avg outside (min, max)")
+    // identical payloads chunk identically (rows 1 and 2)
+    assert(c1.map(r => (r.getAs[Long]("chunk_offset"), r.getAs[Long]("chunk_size"),
+        r.getAs[Array[Byte]]("chunk_hash").toSeq)).toSeq ==
+      byDoc(2L).map(r => (r.getAs[Long]("chunk_offset"), r.getAs[Long]("chunk_size"),
+        r.getAs[Array[Byte]]("chunk_hash").toSeq)).toSeq)
+  }
+
+  test("CDC realigns after an insertion — the anti-fixed-block property") {
+    val rnd = new java.util.Random(11)
+    val base = Array.fill(40000)(rnd.nextInt().toByte)
+    val prefix = Array.fill(137)(rnd.nextInt().toByte)
+    val df = Seq((1L, base), (2L, prefix ++ base)).toDF("id", "content")
+    val chunks = Multimodal.contentChunks(df, "id", "content",
+      minSize = 64, avgSize = 256, maxSize = 1024)
+      .select($"id", $"chunk_hash").collect()
+      .groupBy(_.getAs[Long]("id"))
+      .map { case (k, v) =>
+        k -> v.map(_.getAs[Array[Byte]]("chunk_hash").toSeq).toSet }
+    val shared = chunks(1L).intersect(chunks(2L)).size.toDouble / chunks(1L).size
+    assert(shared >= 0.9,
+      s"only ${shared * 100}%% of chunks realigned after a 137-byte insert " +
+        "(fixed-size blocking would share ~0)")
+  }
+
   test("PQ ADC search: recall floor vs exact, self found, deterministic encode") {
     val queries = embeddings.filter($"vec_id" < 10)
     val exact = Ann.bruteForceTopK(embeddings, queries, "vec_id", "embedding",
