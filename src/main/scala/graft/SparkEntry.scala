@@ -881,6 +881,32 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nprobe = 4)
     }),
 
+    // ---- robots.txt politeness gate (RFC 9309): per-host robots parse
+    // + longest-match URL verdicts; even-length sources carry a graftbot
+    // group (private/ blocked, stats$ anchor allowed, *.zip blocked),
+    // odd-length sources only a deny-all * group ----
+    "q_robots_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val graftGroup = "User-agent: graftbot\nDisallow: /private/\n" +
+        "Allow: /private/stats$\nDisallow: /archive/*.zip\n\n"
+      val starGroup = "User-agent: *\nDisallow: /\n"
+      val robots = docs.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("domain"),
+          when(length(col("source")) % 2 === 0, lit(graftGroup + starGroup))
+            .otherwise(lit(starGroup)).as("robots"))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("/private/"), col("doc_id")))
+            .when(col("doc_id") % 4 === 1, lit("/private/stats"))
+            .when(col("doc_id") % 4 === 2,
+              concat(lit("/archive/"), col("doc_id"), lit(".zip")))
+            .otherwise(concat(lit("/public/"), col("doc_id")))).as("url"))
+      operators.Robots.evaluate(urls, "url",
+        operators.Robots.parseRobots(robots, "domain", "robots", "graftbot"))
+        .select(col("doc_id"), col("url"), col("robots_allowed"))
+    }),
+
     // ---- content-defined chunking: per-doc chunk table must tile the
     // payload bytes exactly (the oracle checks the byte totals; chunk
     // boundary semantics are spec-pinned in AnnMultimodalSpec) ----
@@ -2926,6 +2952,26 @@ object SparkEntry {
     // length (strlen is BYTE length in DuckDB)
     "q_cdc_chunks" ->
       "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents",
+    // Robots: the oracle derives each planted case's RFC verdict from
+    // the same construction (even-length sources: graftbot group —
+    // /private/ blocked, /private/stats end-anchor allowed, *.zip
+    // blocked, /public free; odd-length sources: deny-all * group). A
+    // parse or longest-match bug on the Spark side diverges from these.
+    "q_robots_filter" ->
+      """SELECT doc_id,
+        |  'https://' || source || '.example.com' ||
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN '/private/' || doc_id
+        |    WHEN 1 THEN '/private/stats'
+        |    WHEN 2 THEN '/archive/' || doc_id || '.zip'
+        |    ELSE '/public/' || doc_id END AS url,
+        |  CASE WHEN length(source) % 2 = 1 THEN FALSE
+        |    ELSE CASE doc_id % 4
+        |      WHEN 0 THEN FALSE
+        |      WHEN 1 THEN TRUE
+        |      WHEN 2 THEN FALSE
+        |      ELSE TRUE END END AS robots_allowed
+        |FROM documents""".stripMargin,
     "q_bloom_layout" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 97 = 0 OR doc_id = 421",
     "q_zorder_layout" ->
