@@ -881,6 +881,24 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nprobe = 4)
     }),
 
+    // ---- mojibake repair: every 7th doc carries a cp1252-mangled
+    // suffix; the oracle states the clean text directly ----
+    "q_fix_mojibake" -> ((s, dir) => {
+      val planted = lit(graft.functions.MojibakeFunctions
+        .cp1252Mangled(" Café — déjà “vu” …"))
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.MojibakeFunctions.fixMojibake(
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0, planted).otherwise(lit(""))))
+          .as("text"))
+    }),
+
+    // ---- Flesch reading ease over the corpus ----
+    "q_flesch" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        operators.TextAnalysis.fleschReadingEase(col("text")).as("flesch"))
+    }),
+
     // ---- robots.txt politeness gate (RFC 9309): per-host robots parse
     // + longest-match URL verdicts; even-length sources carry a graftbot
     // group (private/ blocked, stats$ anchor allowed, *.zip blocked),
@@ -2952,6 +2970,36 @@ object SparkEntry {
     // length (strlen is BYTE length in DuckDB)
     "q_cdc_chunks" ->
       "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents",
+    // Mojibake: the repair must recover the exact clean literal on the
+    // planted docs and leave the ASCII corpus untouched.
+    "q_fix_mojibake" ->
+      ("SELECT doc_id, text || CASE WHEN doc_id % 7 = 0 " +
+        "THEN ' Café — déjà “vu” …' ELSE '' END AS text FROM documents"),
+
+    // Flesch: the syllable heuristic is regexp-specified, so both
+    // engines compute identical counts; the formula is plain doubles.
+    "q_flesch" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks,
+        |    greatest(1, len(regexp_extract_all(coalesce(text, ''), '[.!?]+')))
+        |      AS sents
+        |  FROM documents),
+        |syl AS (
+        |  SELECT doc_id, toks, sents,
+        |    list_sum(list_transform(toks, w ->
+        |      greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+')) -
+        |        CASE WHEN regexp_matches(lower(w), '[^aeiouy]e$')
+        |              AND NOT regexp_matches(lower(w), 'le$')
+        |              AND len(regexp_extract_all(lower(w), '[aeiouy]+')) > 1
+        |          THEN 1 ELSE 0 END))) AS syls
+        |  FROM toks)
+        |SELECT doc_id, CASE WHEN len(toks) = 0 THEN NULL ELSE
+        |  206.835 - 1.015 * (len(toks)::DOUBLE / sents)
+        |          - 84.6 * (syls::DOUBLE / len(toks)) END AS flesch
+        |FROM syl""".stripMargin,
+
     // Robots: the oracle derives each planted case's RFC verdict from
     // the same construction (even-length sources: graftbot group —
     // /private/ blocked, /private/stats end-anchor allowed, *.zip

@@ -449,6 +449,41 @@ object TextAnalysis {
           .cast("double") / octet_length(t))
   }
 
+  /** Syllable count of one lowercase token by the standard vowel-group
+    * heuristic: number of `[aeiouy]+` runs, minus one for a silent final
+    * `e` (a trailing `e` preceded by a non-vowel, except `-le`), floored
+    * at 1. Pure expression, exactly mirrorable in SQL — the heuristic IS
+    * the spec, so both engines agree to the syllable.
+    */
+  private[operators] def syllables(tok: Column): Column = {
+    val lower0 = lower(tok)
+    val groups = size(regexp_extract_all(lower0, lit("[aeiouy]+"), lit(0)))
+    val silentE = lower0.rlike("[^aeiouy]e$") && !lower0.rlike("le$")
+    greatest(lit(1), groups - when(silentE && groups > 1, 1).otherwise(0))
+  }
+
+  /** Flesch reading ease (Flesch 1948):
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)` —
+    * ~90+ reads as grade-school prose, ~30 as academic text; filters of
+    * "too hard / too degenerate" documents cut on both tails. Sentences
+    * are counted as `[.!?]+` terminator runs (floored at 1), words as
+    * whitespace tokens; NULL for empty text. One projection, no shuffle,
+    * and every sub-step is a regexp both engines evaluate identically.
+    */
+  def fleschReadingEase(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val toks = tokens(t)
+    val words = size(toks)
+    val sents = greatest(lit(1),
+      size(regexp_extract_all(t, lit("[.!?]+"), lit(0))))
+    val syl = aggregate(toks, lit(0L), (acc, w) =>
+      acc + syllables(w).cast("long"))
+    when(words === 0, lit(null).cast("double")).otherwise(
+      lit(206.835)
+        - lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - lit(84.6) * (syl.cast("double") / words.cast("double")))
+  }
+
   /** Per-document n-gram NOVELTY against everything that arrived before
     * it: `1 − |shingles seen earlier| / |distinct shingles|` — the
     * incremental-crawl value signal ("how much of this page is new

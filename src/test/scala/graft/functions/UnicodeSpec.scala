@@ -47,4 +47,37 @@ class UnicodeSpec extends SparkTestBase {
       .collect().map(_.getString(0))
     assert(r.toSeq == Seq(null, ""))
   }
+
+  // mojibake happens through the WHATWG windows-1252 decode (browsers'
+  // table, total over all 256 bytes) — Java's charset would lose 0x9D
+  private def mangle(s: String): String =
+    FixMojibake.decodeCp1252(s.getBytes("UTF-8"))
+
+  test("fixMojibake unwinds cp1252-mangled UTF-8, including double encoding") {
+    val originals = Seq("Café — déjà vu", "naïve “quotes” …", "日本語 mixed — ok")
+    val rows = originals.map(o => (o, mangle(o))) ++
+      originals.take(1).map(o => (o, mangle(mangle(o)))) // double-encoded
+    val out = rows.toDF("want", "broken")
+      .select(col("want"),
+        MojibakeFunctions.fixMojibake(col("broken")).as("got"))
+      .as[(String, String)].collect()
+    out.foreach { case (want, got) => assert(got == want, s"$got != $want") }
+  }
+
+  test("fixMojibake never touches text that is not provably mojibake") {
+    val untouched = Seq(
+      "plain ascii text.",
+      "proper unicode: é — ü ☃",
+      "SÃO PAULO em maiúsculas",   // genuine Ã: cp1252 bytes are NOT valid UTF-8
+      "â alone before 日本",        // marker but unmappable to cp1252
+      "")
+    val out = untouched.toDF("t")
+      .select(col("t"), MojibakeFunctions.fixMojibake(col("t")).as("got"))
+      .as[(String, String)].collect()
+    out.foreach { case (t, got) => assert(got == t, s"changed: $t -> $got") }
+    // null flows through
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(MojibakeFunctions.fixMojibake(col("t"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
 }

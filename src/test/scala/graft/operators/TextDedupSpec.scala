@@ -397,6 +397,21 @@ class TextDedupSpec extends SparkTestBase {
       "40%-boilerplate docs are far below jaccard 0.8 and must not pair")
   }
 
+  test("fleschReadingEase matches hand-computed scores; silent-e rule applied") {
+    def flesch(s: String): Option[Double] =
+      Option(Seq(Tuple1(s)).toDF("t")
+        .select(TextAnalysis.fleschReadingEase(col("t")).as("f"))
+        .collect()(0).getAs[Any]("f")).map(_.asInstanceOf[Double])
+    // 6 one-syllable words, 1 sentence: 206.835 - 1.015*6 - 84.6*1
+    assert(math.abs(flesch("The cat sat on the mat.").get -
+      (206.835 - 1.015 * 6 - 84.6)) < 1e-9)
+    // silent e: plate=1 syllable; -le keeps its syllable: table=2
+    // words=2 sents=1 syls=3: 206.835 - 1.015*2 - 84.6*1.5
+    assert(math.abs(flesch("plate table").get -
+      (206.835 - 1.015 * 2 - 84.6 * 1.5)) < 1e-9)
+    assert(flesch("").isEmpty, "empty text has no readability")
+  }
+
   test("noveltyFrac: first arriver novel, copy borrowed, ties don't see each other") {
     val df = Seq(
       (1L, "a b c d"),          // shingles {abc, bcd} — first, fully novel
