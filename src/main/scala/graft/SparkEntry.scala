@@ -3101,8 +3101,8 @@ object SparkEntry {
         |  FROM bins LEFT JOIN bc ON bc.bin = bins.bin
         |  LEFT JOIN ac ON ac.bin = bins.bin),
         |f AS (SELECT bin, bin_lo, bin_hi, n_before, n_after,
-        |    n_before / CAST((SELECT sum(n_before) FROM j) AS DOUBLE) AS frac_before,
-        |    n_after / CAST((SELECT sum(n_after) FROM j) AS DOUBLE) AS frac_after
+        |    n_before / (SELECT sum(n_before)::BIGINT FROM j)::DOUBLE AS frac_before,
+        |    n_after / (SELECT sum(n_after)::BIGINT FROM j)::DOUBLE AS frac_after
         |  FROM j)
         |SELECT CAST(bin AS BIGINT) AS bin, bin_lo, bin_hi,
         |  CAST(n_before AS BIGINT) AS n_before,
