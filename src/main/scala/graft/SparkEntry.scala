@@ -1368,6 +1368,25 @@ object SparkEntry {
         weightCol = Some("w"))
     }),
 
+    // Personalized variant: teleport restarts at a curated customer
+    // seed set — authority relative to trusted nodes.
+    "q_pagerank_personalized" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      val sym = pairs.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val seeds = t(s, dir, "customer")
+        .where(col("c_custkey") % 50 === 0)
+        .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+      operators.Graphs.personalizedPageRank(sym, "src", "dst",
+        seeds, "node", iterations = 3)
+    }),
+
     // ---- URL hygiene: canonicalization, domains, per-domain quota ----
     "q_url_canonical" -> ((s, dir) => {
       urlCorpus(s, dir).select(col("doc_id"),
@@ -2066,6 +2085,59 @@ object SparkEntry {
         |i3 AS (
         |  SELECT nd.node,
         |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      CAST(sum(CAST(round(p.pr / deg.d * 1e9) AS BIGINT)) AS BIGINT) AS v
+        |    FROM e JOIN i2 p ON p.node = e.src JOIN deg ON deg.src = e.src
+        |    GROUP BY e.dst) s ON s.node = nd.node)
+        |SELECT node, pr FROM i3""".stripMargin,
+
+    // Personalized PageRank: same unrolled nano-unit iterations, with
+    // teleport mass confined to the in-graph seed intersection.
+    "q_pagerank_personalized" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
+        |    's' || l_suppkey::VARCHAR AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+        |sn AS (SELECT n.node FROM nodes n
+        |  JOIN (SELECT DISTINCT 'c' || c_custkey::VARCHAR AS node
+        |        FROM customer WHERE c_custkey % 50 = 0) s ON s.node = n.node),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM sn),
+        |p0 AS (SELECT node,
+        |    CASE WHEN node IN (SELECT node FROM sn)
+        |      THEN 1.0::DOUBLE / (SELECT k FROM kk) ELSE 0.0::DOUBLE END AS pr
+        |  FROM nodes),
+        |i1 AS (
+        |  SELECT nd.node,
+        |    CASE WHEN nd.node IN (SELECT node FROM sn)
+        |      THEN (1::DOUBLE - 0.85::DOUBLE) / (SELECT k FROM kk)
+        |      ELSE 0.0::DOUBLE END
+        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      CAST(sum(CAST(round(p.pr / deg.d * 1e9) AS BIGINT)) AS BIGINT) AS v
+        |    FROM e JOIN p0 p ON p.node = e.src JOIN deg ON deg.src = e.src
+        |    GROUP BY e.dst) s ON s.node = nd.node),
+        |i2 AS (
+        |  SELECT nd.node,
+        |    CASE WHEN nd.node IN (SELECT node FROM sn)
+        |      THEN (1::DOUBLE - 0.85::DOUBLE) / (SELECT k FROM kk)
+        |      ELSE 0.0::DOUBLE END
+        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      CAST(sum(CAST(round(p.pr / deg.d * 1e9) AS BIGINT)) AS BIGINT) AS v
+        |    FROM e JOIN i1 p ON p.node = e.src JOIN deg ON deg.src = e.src
+        |    GROUP BY e.dst) s ON s.node = nd.node),
+        |i3 AS (
+        |  SELECT nd.node,
+        |    CASE WHEN nd.node IN (SELECT node FROM sn)
+        |      THEN (1::DOUBLE - 0.85::DOUBLE) / (SELECT k FROM kk)
+        |      ELSE 0.0::DOUBLE END
         |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
         |  FROM nodes nd LEFT JOIN (
         |    SELECT e.dst AS node,

@@ -59,24 +59,97 @@ object Graphs {
       s"iterations must be in 1..1000, got $iterations")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
-    // Weighted form: mass splits over out-edges proportionally to the
-    // edge weight instead of uniformly — duplicate (src, dst) pairs SUM
-    // their weights (a repeated link is a stronger link), null and
-    // non-positive weights drop (no mass). The per-edge share w/Σw is
-    // precomputed once into the pinned table, so iterations stay one
-    // join + one long-sum groupBy in both forms.
-    // Edge prep is ONE corpus-sized exchange, not two: repartition on
-    // `__src` up front, because hash(__src) satisfies BOTH downstream
-    // required distributions — the (src, dst) dedup aggregate's
-    // ClusteredDistribution(src, dst) (src is a subset of the keys) and
-    // the per-source window's ClusteredDistribution(src). Planning
-    // distinct-then-window instead would exchange the edge list twice
-    // (once on the pair, once on the source). The cost is losing the
-    // dedup's map-side partial aggregate — irrelevant for typical link
-    // graphs where (src, dst) duplication is low — and the same hot-src
-    // skew exposure the window stage already had (a mega-source's edges
-    // land in one partition either way; salting belongs upstream if one
-    // source can exceed a partition).
+    val eDeg = graft.core.Caches.pin(prepEdges(edges, srcCol, dstCol, weightCol))
+    val nodes = graft.core.Caches.pin(nodesOf(eDeg))
+    try {
+      val n = nodes.count()
+      require(n > 0, "pageRank: empty graph")
+      // uniform form: every node teleports; reset and init are the same
+      // scalar for all nodes (lit(x) and a column holding x are
+      // bit-identical doubles, so this refactor changes no value)
+      pageRankIterations(
+        eDeg,
+        nodes.withColumn("__reset", lit((1.0 - damping) / n))
+          .withColumn("__init", lit(1.0 / n)),
+        iterations, damping)
+    }
+    // finally, not success-path-only: the empty-graph require and any
+    // mid-iteration failure would otherwise leak both session-lifetime
+    // pins on every retry (the result is checkpointed — nothing
+    // references the pins after return either way)
+    finally { eDeg.unpersist(); nodes.unpersist() }
+  }
+
+  /** Personalized PageRank: teleport mass restarts at `seeds` instead of
+    * everywhere — authority RELATIVE to a trusted set (curated quality
+    * domains → a crawl-wide quality prior; a topic's hub pages → topical
+    * authority). Same nano-unit engine-exact discipline, same per-
+    * iteration shape as [[pageRank]]; only the reset/init columns
+    * differ: seeds start with `1/|seeds∩nodes|` and receive the whole
+    * `(1−d)` teleport share each step, non-seeds start at 0 and receive
+    * none. Seeds that are not graph nodes carry no mass; loud when none
+    * remain.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iterations: Int = 3,
+      damping: Double = 0.85,
+      weightCol: Option[String] = None): DataFrame = {
+    require(iterations >= 1 && iterations <= 1000,
+      s"iterations must be in 1..1000, got $iterations")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    val eDeg = graft.core.Caches.pin(prepEdges(edges, srcCol, dstCol, weightCol))
+    val seedSet = seeds
+      .select(col(seedCol).cast("string").as("node"))
+      .where(col("node").isNotNull).distinct()
+      .withColumn("__s", lit(1))
+    // seed flags ride the pinned node table so no iteration re-joins
+    val flagged = graft.core.Caches.pin(
+      nodesOf(eDeg).join(seedSet, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__s"), lit(0)).as("__s")))
+    try {
+      val k = flagged.agg(sum(col("__s")).cast("long").as("k"))
+        .head().getAs[Long]("k")
+      require(k > 0, "personalizedPageRank: no seed is a node of the graph")
+      val isSeed = col("__s") === 1
+      pageRankIterations(
+        eDeg,
+        flagged
+          .withColumn("__reset",
+            when(isSeed, lit((1.0 - damping) / k)).otherwise(lit(0.0)))
+          .withColumn("__init",
+            when(isSeed, lit(1.0 / k)).otherwise(lit(0.0)))
+          .drop("__s"),
+        iterations, damping)
+    } finally { eDeg.unpersist(); flagged.unpersist() }
+  }
+
+  /** Edge prep in ONE corpus-sized exchange: repartition on `__src` up
+    * front, because hash(__src) satisfies BOTH downstream required
+    * distributions — the (src, dst) dedup aggregate's
+    * ClusteredDistribution(src, dst) (src is a subset of the keys) and
+    * the per-source weight window's ClusteredDistribution(src). Planning
+    * distinct-then-window instead would exchange the edge list twice.
+    * The cost is losing the dedup's map-side partial aggregate —
+    * irrelevant for typical link graphs where (src, dst) duplication is
+    * low — and the same hot-src skew exposure the window stage already
+    * had (a mega-source's edges land in one partition either way;
+    * salting belongs upstream if one source can exceed a partition).
+    *
+    * Weighted form: mass splits over out-edges proportionally to edge
+    * weight — duplicate (src, dst) pairs SUM their weights (a repeated
+    * link is a stronger link); null and non-positive weights drop.
+    */
+  private def prepEdges(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: Option[String]): DataFrame = {
     val raw = weightCol match {
       case None =>
         edges.select(col(srcCol).cast("string").as("__src"),
@@ -95,37 +168,32 @@ object Graphs {
         raw.repartition(col("__src"))
           .groupBy("__src", "__dst").agg(min(lit(1.0)).as("__w"))
       case Some(_) =>
-        // duplicate (src, dst) pairs SUM their weights
         raw.repartition(col("__src"))
           .groupBy("__src", "__dst").agg(sum(col("__w")).as("__w"))
     }
     // per-source weight total rides a WINDOW over the already-partitioned
-    // edge table (no further exchange); pinned ONCE so no iteration
-    // re-runs it
+    // edge table (no further exchange); pinned ONCE by the caller so no
+    // iteration re-runs it
     val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("__src")
-    val eDeg = graft.core.Caches.pin(
-      e.withColumn("__wsum", sum(col("__w")).over(bySrc)))
-    val nodes = graft.core.Caches.pin(
-      eDeg.select(col("__src").as("node"))
-        .unionByName(eDeg.select(col("__dst").as("node")))
-        .distinct())
-    try pageRankIterations(eDeg, nodes, iterations, damping)
-    // finally, not success-path-only: the empty-graph require and any
-    // mid-iteration failure would otherwise leak both session-lifetime
-    // pins on every retry (the result is checkpointed — nothing
-    // references the pins after return either way)
-    finally { eDeg.unpersist(); nodes.unpersist() }
+    e.withColumn("__wsum", sum(col("__w")).over(bySrc))
   }
 
+  private def nodesOf(eDeg: DataFrame): DataFrame =
+    eDeg.select(col("__src").as("node"))
+      .unionByName(eDeg.select(col("__dst").as("node")))
+      .distinct()
+
+  /** One power-iteration loop over nodes carrying per-node `__reset`
+    * (teleport mass per step) and `__init` (starting rank) — the shared
+    * core of uniform [[pageRank]] and [[personalizedPageRank]].
+    */
   private def pageRankIterations(
       eDeg: DataFrame,
-      nodes: DataFrame,
+      nodesWithReset: DataFrame,
       iterations: Int,
       damping: Double): DataFrame = {
-    val n = nodes.count()
-    require(n > 0, "pageRank: empty graph")
-    val reset = (1.0 - damping) / n
-    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    val nodes = nodesWithReset
+    var pr = nodes.select(col("node"), col("__init").as("pr"))
     var prevCk: Option[DataFrame] = None
     (1 to iterations).foreach { i =>
       // pr·w/Σw — for the unweighted form w = 1.0, so this is exactly
@@ -140,7 +208,7 @@ object Graphs {
         .agg(sum(col("__nano")).as("__in"))
       var next = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
-          (lit(reset) + lit(damping) *
+          (col("__reset") + lit(damping) *
             (coalesce(col("__in"), lit(0L)) / lit(1e9))).as("pr"))
       // Truncate lineage every few iterations and at the end — enough to
       // keep plan depth and analysis time flat at ANY iteration count,

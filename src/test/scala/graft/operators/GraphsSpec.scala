@@ -96,4 +96,44 @@ class GraphsSpec extends SparkTestBase {
         "src", "dst")
     }
   }
+
+  test("personalizedPageRank matches a seed-restart reference; off-graph seeds loud") {
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"))
+    val d = 0.85
+    val k = 3
+    val seeds = Seq("a", "zzz-not-in-graph") // only 'a' binds
+    // reference: teleport mass restarts at the single in-graph seed
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.length }
+    val seedSet = seeds.toSet.intersect(nodes.toSet)
+    var pr = nodes.map(v =>
+      v -> (if (seedSet(v)) 1.0 / seedSet.size else 0.0)).toMap
+    (1 to k).foreach { _ =>
+      val in = nodes.map { v =>
+        v -> edges.filter(_._2 == v).map { case (s, _) =>
+          math.round(pr(s) / out(s) * 1e9)
+        }.sum
+      }.toMap
+      pr = nodes.map(v => v ->
+        ((if (seedSet(v)) (1.0 - d) / seedSet.size else 0.0)
+          + d * (in(v) / 1e9))).toMap
+    }
+    val got = Graphs.personalizedPageRank(edges.toDF("src", "dst"),
+      "src", "dst", seeds.toDF("node"), "node",
+      iterations = k, damping = d)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == pr.keySet)
+    nodes.foreach(v =>
+      assert(got(v) == pr(v), s"node $v: got ${got(v)}, want ${pr(v)}"))
+    // mass concentrates near the seed's neighborhood; the dangling-in
+    // node d gets exactly zero (no teleport, no in-edges)
+    assert(got("d") == 0.0)
+    assert(got("a") > got("d") && got("b") > 0.0 && got("c") > 0.0)
+    // all seeds off-graph -> loud
+    intercept[IllegalArgumentException] {
+      Graphs.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+        Seq("nope").toDF("node"), "node")
+    }
+  }
 }
