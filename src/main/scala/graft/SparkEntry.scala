@@ -948,6 +948,17 @@ object SparkEntry {
         e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, refine = 4)
     }),
 
+    // ---- IVF-PQ composition: nprobe-pruned cells × codes-only ADC ×
+    // exact refine (rows-only, recall floors spec-asserted) ----
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val index = operators.Ann.IvfPq.build(e, "vec_id", "embedding",
+        nlist = 16, m = 8, ksub = 32, nassign = 2)
+      operators.Ann.IvfPq.searchRefined(index, e, "vec_id", "embedding",
+        e.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 6, refine = 4)
+    }),
+
     // ---- frequency-ranked vocabulary with dense deterministic ids ----
     "q_vocab" -> ((s, dir) => {
       operators.TextAnalysis.buildVocab(

@@ -578,6 +578,39 @@ object Ann {
         model, "id")
     }
 
+    /** Normalized query vector with a loud dim check. */
+    private[operators] def checkedQueryVec(
+        model: PqModel, vec: Column, who: String): Column =
+      when(size(vec) === model.dim, l2normalize(vec))
+        .otherwise(raise_error(concat(
+          lit(s"$who: query dim "), size(vec).cast("string"),
+          lit(s" != model dim ${model.dim}"))).cast("array<double>"))
+
+    /** Per-query ADC lookup table over an already-normalized vector:
+      * `__lut(j)(code+1)` = squared subspace distance.
+      */
+    private[operators] def lutExpr(model: PqModel, qnv: Column): Column = {
+      val dsub = model.dsub
+      array(model.codebooks.toIndexedSeq.zipWithIndex.map {
+        case (cb, j) =>
+          element_at(transform(
+            array(slice(qnv, j * dsub + 1, dsub)), sub =>
+              transform(codebookLiteral(cb), c =>
+                sqDist(sub, c.getField("c")))), 1)
+      }: _*)
+    }
+
+    /** `cos_est` from codes + a `__lut` column (adc = 2 − 2·cos on the
+      * unit sphere), rounded to 6 decimals for engine-stable ranking.
+      */
+    private[operators] def cosEstExpr(codes: Column, lut: Column): Column = {
+      val adc = aggregate(
+        zip_with(codes, lut,
+          (code, l) => element_at(l, code.cast("int") + 1)),
+        lit(0.0), (acc, x) => acc + x)
+      round(lit(1.0) - adc / 2, 6)
+    }
+
     /** ADC top-k: the per-query LUT (m × ksub subspace distances) is
       * computed once on the broadcast query side; each corpus row costs
       * m lookups over its codes. Output (q_id, id, cos_est, rank) —
@@ -594,31 +627,15 @@ object Ann {
         k: Int): DataFrame = {
       require(k >= 1, s"k must be >= 1, got $k")
       val model = index.model
-      val dsub = model.dsub
-      val lut = array(model.codebooks.toIndexedSeq.zipWithIndex.map {
-        case (cb, j) =>
-          element_at(transform(
-            array(slice(col("__pq_qnv"), j * dsub + 1, dsub)), sub =>
-              transform(codebookLiteral(cb), c =>
-                sqDist(sub, c.getField("c")))), 1)
-      }: _*)
       val q = queries
         .select(col(qIdCol).as("q_id"),
-          when(size(col(vecCol)) === model.dim, l2normalize(col(vecCol)))
-            .otherwise(raise_error(concat(
-              lit(s"Pq.search: query dim "), size(col(vecCol)).cast("string"),
-              lit(s" != model dim ${model.dim}"))).cast("array<double>"))
-            .as("__pq_qnv"))
-        .withColumn("__lut", lut)
+          checkedQueryVec(model, col(vecCol), "Pq.search").as("__pq_qnv"))
+        .withColumn("__lut", lutExpr(model, col("__pq_qnv")))
         .drop("__pq_qnv")
-      val adc = aggregate(
-        zip_with(col(CodesCol), col("__lut"),
-          (code, l) => element_at(l, code.cast("int") + 1)),
-        lit(0.0), (acc, x) => acc + x)
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_est").desc, col("id").asc)
       index.encoded.crossJoin(broadcast(q))
-        .withColumn("cos_est", round(lit(1.0) - adc / 2, 6))
+        .withColumn("cos_est", cosEstExpr(col(CodesCol), col("__lut")))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
         .select(col("q_id"), col(index.idCol).as("id"), col("cos_est"), col("rank"))
@@ -647,6 +664,22 @@ object Ann {
       require(refine >= 1, s"refine must be >= 1, got $refine")
       val shortlist = search(index, queries, qIdCol, qVecCol, k * refine)
         .select(col("q_id"), col("id"))
+      exactRerank(shortlist, corpus, corpusIdCol, corpusVecCol,
+        queries, qIdCol, qVecCol, k)
+    }
+
+    /** Exact-cosine re-rank of an approximate (q_id, id) shortlist —
+      * shared by [[searchRefined]] and [[IvfPq.searchRefined]].
+      */
+    private[operators] def exactRerank(
+        shortlist: DataFrame,
+        corpus: DataFrame,
+        corpusIdCol: String,
+        corpusVecCol: String,
+        queries: DataFrame,
+        qIdCol: String,
+        qVecCol: String,
+        k: Int): DataFrame = {
       val c = Dedup.cosineSide(corpus, Nil, corpusIdCol, corpusVecCol, "c")
         .withColumnRenamed("id_c", "id")
         .join(broadcast(shortlist), Seq("id"))
@@ -700,6 +733,170 @@ object Ann {
       }.toArray
       PqIndex(spark.read.parquet(path), PqModel(codebooks),
         node.get("id_col").asText())
+    }
+  }
+
+  /** An IVF-PQ index: rows `(id, __cell, __pq_codes)` — coarse cell for
+    * pruning, PQ codes for the in-cell ADC scan.
+    */
+  final case class IvfPqIndex(
+      encoded: DataFrame,
+      centroids: Array[(Int, Array[Double])],
+      model: PqModel,
+      idCol: String,
+      nassign: Int)
+
+  /** IVF-PQ (Jégou 2011's IVFADC): the coarse quantizer prunes the
+    * search to `nprobe` of `nlist` cells, and WITHIN the probed cells
+    * only m-byte PQ codes are scanned — the two axes of ANN scale
+    * (fraction of corpus touched × bytes per row touched) composed.
+    * This is the canonical billion-vector architecture; with the
+    * persisted layout, a probe reads nprobe cell DIRECTORIES of
+    * codes-only parquet.
+    *
+    * Residual-free variant: codes encode the (normalized) vectors
+    * themselves, not cell residuals — simpler, re-uses [[Pq]]'s
+    * machinery verbatim, and the exact-refine stage ([[searchRefined]])
+    * recovers what residual encoding would have bought in recall.
+    */
+  object IvfPq {
+
+    val SidecarFileName = "_graft_ivfpq_index.json"
+
+    /** Coarse quantizer + per-subspace codebooks + cell-tagged codes. */
+    def build(
+        corpus: DataFrame,
+        idCol: String,
+        vecCol: String,
+        nlist: Int,
+        m: Int,
+        ksub: Int = 256,
+        seed: Long = 42L,
+        maxIter: Int = 20,
+        nassign: Int = 1): IvfPqIndex = {
+      val ivf = Ivf.build(corpus, idCol, vecCol, nlist, seed, maxIter, nassign)
+      val model = Pq.train(corpus, vecCol, m, ksub, seed)
+      val encoded = Pq.encode(model, ivf.assigned, vecCol)
+        .select(col(idCol).as("id"), col("__cell"), col(Pq.CodesCol))
+      IvfPqIndex(encoded, ivf.centroids, model, "id", nassign)
+    }
+
+    /** Probe `nprobe` cells, ADC-rank their codes. `pruneScan` mirrors
+      * [[Ivf.search]]: the probed cell set becomes an `IN` literal so a
+      * persisted index scans only those cells' directories (the query
+      * side is pinned so the pruning job and the search read the same
+      * materialization).
+      */
+    def search(
+        index: IvfPqIndex,
+        queries: DataFrame,
+        qIdCol: String,
+        vecCol: String,
+        k: Int,
+        nprobe: Int,
+        pruneScan: Boolean = true): DataFrame = {
+      require(k >= 1, s"k must be >= 1, got $k")
+      val model = index.model
+      // normalization preserves cosine order to the centroids, so the
+      // probed cells equal Ivf.search's on the raw vector
+      val q0 = queries
+        .select(col(qIdCol).as("q_id"),
+          Pq.checkedQueryVec(model, col(vecCol), "IvfPq.search").as("__pq_qnv"))
+        .withColumn("__lut", Pq.lutExpr(model, col("__pq_qnv")))
+        .withColumn("__cell",
+          explode(Ivf.topCells(col("__pq_qnv"),
+            Ivf.centroidsLiteral(index.centroids), nprobe)))
+        .drop("__pq_qnv")
+      val (q, encoded) =
+        if (pruneScan) {
+          val pinned = graft.core.Caches.pin(q0)
+          val cells = pinned.select("__cell").distinct().collect()
+            .map(_.getAs[Int]("__cell")) // bounded: ≤ nlist values
+          (pinned,
+            index.encoded.where(col("__cell").isin(cells.map(Int.box): _*)))
+        } else (q0, index.encoded)
+      val scored = encoded.join(broadcast(q), Seq("__cell"))
+        .withColumn("cos_est", Pq.cosEstExpr(col(Pq.CodesCol), col("__lut")))
+      // multi-assigned rows can meet a query in several probed cells with
+      // the same cos_est; collapse before ranking (the Ivf.search rule)
+      val unique =
+        if (index.nassign > 1) scored.dropDuplicates("q_id", "id") else scored
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_est").desc, col("id").asc)
+      unique
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("q_id"), col(index.idCol).as("id"),
+          col("cos_est"), col("rank"))
+    }
+
+    /** ADC shortlist from the probed cells, exact-cosine re-rank. */
+    def searchRefined(
+        index: IvfPqIndex,
+        corpus: DataFrame,
+        corpusIdCol: String,
+        corpusVecCol: String,
+        queries: DataFrame,
+        qIdCol: String,
+        qVecCol: String,
+        k: Int,
+        nprobe: Int,
+        refine: Int = 4): DataFrame = {
+      require(refine >= 1, s"refine must be >= 1, got $refine")
+      val shortlist =
+        search(index, queries, qIdCol, qVecCol, k * refine, nprobe)
+          .select(col("q_id"), col("id"))
+      Pq.exactRerank(shortlist, corpus, corpusIdCol, corpusVecCol,
+        queries, qIdCol, qVecCol, k)
+    }
+
+    /** Persist cell-partitioned codes + one sidecar holding BOTH
+      * quantizers, sidecar LAST ([[Ivf.writeIndex]] discipline: static
+      * overwrite, loud on a concurrent writer).
+      */
+    def writeIndex(index: IvfPqIndex, path: String): Unit = {
+      val spark = index.encoded.sparkSession
+      index.encoded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("__cell").parquet(path)
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val json = graft.io.Json.toJson(Map(
+        "id_col" -> index.idCol, "nassign" -> index.nassign,
+        "m" -> index.model.m, "dsub" -> index.model.dsub,
+        "centroids" -> index.centroids.toSeq.map { case (cell, c) =>
+          Map("cell" -> cell, "c" -> c.toSeq) },
+        "codebooks" -> index.model.codebooks.toSeq.map(_.toSeq.map(_.toSeq))))
+      val committed = graft.io.Sidecar.commit(
+        fs, dir, SidecarFileName, json, overwrite = true)
+      if (committed != json) throw new IllegalStateException(
+        s"IvfPq.writeIndex: concurrent writer detected at $path — rebuild " +
+          "the index single-writer")
+    }
+
+    /** Load a persisted IVF-PQ index; loud when the sidecar is missing. */
+    def loadIndex(spark: SparkSession, path: String): IvfPqIndex = {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val sidecar = new org.apache.hadoop.fs.Path(dir, SidecarFileName)
+      require(fs.exists(sidecar),
+        s"no IVF-PQ sidecar at $path — index missing or torn by a failed write")
+      val in = fs.open(sidecar)
+      val node =
+        try graft.io.Json.parse(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      val cents = node.get("centroids").elements().asScala.map { e =>
+        e.get("cell").asInt() ->
+          e.get("c").elements().asScala.map(_.asDouble()).toArray
+      }.toArray
+      val codebooks = node.get("codebooks").elements().asScala.map { jb =>
+        jb.elements().asScala.map(c =>
+          c.elements().asScala.map(_.asDouble()).toArray).toArray
+      }.toArray
+      IvfPqIndex(spark.read.parquet(path), cents, PqModel(codebooks),
+        node.get("id_col").asText(), node.get("nassign").asInt())
     }
   }
 

@@ -253,6 +253,50 @@ class AnnMultimodalSpec extends SparkTestBase {
     assert(err.getMessage.contains("dim"))
   }
 
+  test("IVF-PQ: probed-cell ADC + refine reaches the recall floor; full probe ≈ PQ flat") {
+    val queries = embeddings.filter($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(embeddings, queries, "vec_id", "embedding",
+      "vec_id", 5)
+    val index = Ann.IvfPq.build(embeddings, "vec_id", "embedding",
+      nlist = 16, m = 16, ksub = 64, nassign = 2)
+    val refined = Ann.IvfPq.searchRefined(index, embeddings, "vec_id",
+      "embedding", queries, "vec_id", "embedding", k = 5, nprobe = 6,
+      refine = 4)
+    val recall = Ann.recallAgainstExact(exact, refined)
+    assert(recall >= 0.7,
+      s"IVF-PQ nprobe=6/16 + x4 refine recall $recall below 0.7")
+    // probing EVERY cell must equal the flat-PQ ranking (same codes,
+    // same LUT — the coarse stage only prunes)
+    val flat = Ann.PqIndex(
+      index.encoded.select(col("id"), col(Ann.Pq.CodesCol)).dropDuplicates("id"),
+      index.model, "id")
+    val full = Ann.IvfPq.search(index, queries, "vec_id", "embedding",
+      k = 5, nprobe = 16)
+      .collect().map(_.toString).sorted.toSeq
+    val flatRes = Ann.Pq.search(flat, queries, "vec_id", "embedding", 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(full == flatRes, "nprobe = nlist must reduce to the flat ADC scan")
+  }
+
+  test("persisted IVF-PQ index round-trips and searches identically") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+    try {
+      val queries = embeddings.filter($"vec_id" < 10)
+      val index = Ann.IvfPq.build(embeddings, "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 16)
+      Ann.IvfPq.writeIndex(index, s"$root/idx")
+      val loaded = Ann.IvfPq.loadIndex(spark, s"$root/idx")
+      val a = Ann.IvfPq.search(index, queries, "vec_id", "embedding", 5, 3)
+        .collect().map(_.toString).sorted.toSeq
+      val b = Ann.IvfPq.search(loaded, queries, "vec_id", "embedding", 5, 3)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == b, "loaded IVF-PQ index must search identically")
+      intercept[IllegalArgumentException](
+        Ann.IvfPq.loadIndex(spark, s"$root/nonexistent"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root))
+  }
+
   test("persisted PQ index round-trips; torn write (no sidecar) is loud") {
     val root = java.nio.file.Files.createTempDirectory("graft_pq_").toString
     try {
