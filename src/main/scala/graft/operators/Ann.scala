@@ -67,6 +67,16 @@ object Ann {
       */
     val TrainPointsPerCell = 256
 
+    /** Training samples up to this many bytes (rows × dim × 8) fit the
+      * coarse quantizer DRIVER-LOCALLY (seeded k-means++ — zero Spark
+      * jobs per iteration) instead of via MLlib, whose init + per-iter
+      * scheduling costs seconds of pure job overhead on a sample this
+      * size. Above the bound (large nlist × large dim — the billion-
+      * vector regime where the sample itself is GBs) training stays
+      * distributed.
+      */
+    val LocalTrainMaxBytes: Long = 64L << 20
+
     def build(
         corpus: DataFrame,
         idCol: String,
@@ -77,31 +87,48 @@ object Ann {
         nassign: Int = 1,
         initMode: String = "k-means||"): IvfIndex = {
       require(nassign >= 1 && nassign <= nlist, "nassign must be in [1, nlist]")
-      // KMeans needs a VectorUDT column — only the bounded training sample
-      // pays for the conversion; full-corpus assignment is expression-based
-      val withVec = corpus.withColumn("__ivf_vec",
-        org.apache.spark.ml.functions.array_to_vector(col(vecCol)))
       // train the coarse quantizer on a bounded sample (the full corpus
       // would pay maxIter+init passes over 100 TB for no recall gain)
       val targetTrain = nlist.toLong * TrainPointsPerCell
       val n = corpus.count()
-      val trainSet =
-        if (n <= targetTrain) withVec
-        else withVec.sample(withFraction(targetTrain, n), seed)
-      val estimator = new org.apache.spark.ml.clustering.KMeans()
-        .setK(nlist).setMaxIter(maxIter).setSeed(seed).setInitMode(initMode)
-        .setFeaturesCol("__ivf_vec").setPredictionCol("__cell")
-      val alreadyCached =
-        trainSet.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-      if (!alreadyCached)
-        trainSet.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val first = corpus.select(size(col(vecCol)).as("d")).head(1)
+      require(first.nonEmpty, "Ivf.build: empty corpus")
+      val dim = first(0).getInt(0)
       val cents =
-        try {
-          // centroids straight off the model: nlist × dim doubles on the
-          // driver — never the corpus itself
-          estimator.fit(trainSet).clusterCenters.zipWithIndex
-            .map { case (v, i) => i -> v.toArray }
-        } finally if (!alreadyCached) trainSet.unpersist(blocking = false)
+        if (targetTrain * dim * 8 <= LocalTrainMaxBytes) {
+          // small-sample path: one collect (≤ LocalTrainMaxBytes), local
+          // Lloyd's — the scheduler never sees the iterations
+          val vd = corpus.select(
+            transform(col(vecCol), x => x.cast("double")).as("__v"))
+          val sampled =
+            if (n <= targetTrain) vd
+            else vd.sample(withFraction(targetTrain, n), seed)
+          val pts = sampled.collect().map(_.getSeq[Double](0).toArray)
+          Pq.localKMeansPlusPlus(pts, nlist, maxIter, seed)
+            .zipWithIndex.map { case (c, i) => i -> c }
+        } else {
+          // KMeans needs a VectorUDT column — only the bounded training
+          // sample pays for the conversion; full-corpus assignment is
+          // expression-based
+          val withVec = corpus.withColumn("__ivf_vec",
+            org.apache.spark.ml.functions.array_to_vector(col(vecCol)))
+          val trainSet =
+            if (n <= targetTrain) withVec
+            else withVec.sample(withFraction(targetTrain, n), seed)
+          val estimator = new org.apache.spark.ml.clustering.KMeans()
+            .setK(nlist).setMaxIter(maxIter).setSeed(seed).setInitMode(initMode)
+            .setFeaturesCol("__ivf_vec").setPredictionCol("__cell")
+          val alreadyCached =
+            trainSet.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+          if (!alreadyCached)
+            trainSet.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // centroids straight off the model: nlist × dim doubles on
+            // the driver — never the corpus itself
+            estimator.fit(trainSet).clusterCenters.zipWithIndex
+              .map { case (v, i) => i -> v.toArray }
+          } finally if (!alreadyCached) trainSet.unpersist(blocking = false)
+        }
       // Assign each corpus row its top-`nassign` cells by the SAME ranking
       // the query probe uses (cosine to centroid) — KMeans's own Euclidean
       // assignment disagrees with the cosine probe on unnormalized data and
@@ -551,12 +578,19 @@ object Ann {
           lit(s"Pq.encode: vector dim "), size(col(vecCol)).cast("string"),
           lit(s" != model dim ${model.dim}"))).cast("array<double>"))
       val codes = model.codebooks.toIndexedSeq.zipWithIndex.map { case (cb, j) =>
-        // bind the subvector once — referenced ksub times by the argmin
+        // bind the subvector once — referenced ksub times by the argmin —
+        // and fold for the min instead of array_sort: O(ksub) with no
+        // struct array to allocate and sort per row, and the distance is
+        // let-bound so it computes once per entry (ties keep the first =
+        // lowest code, the same winner the sort's (d, code) order picked)
         element_at(transform(array(slice(col("__pq_nv"), j * dsub + 1, dsub)),
-          sub => element_at(
-            array_sort(transform(codebookLiteral(cb), c =>
-              struct(sqDist(sub, c.getField("c")).as("d"),
-                c.getField("code").as("code")))), 1).getField("code")), 1)
+          sub => aggregate(codebookLiteral(cb),
+            struct(lit(Double.MaxValue).as("d"), lit(-1).as("code")),
+            (acc, c) => element_at(transform(array(sqDist(sub, c.getField("c"))),
+              dd => when(dd < acc.getField("d"),
+                struct(dd.as("d"), c.getField("code").as("code")))
+                .otherwise(acc)), 1))
+            .getField("code")), 1)
       }
       df.withColumn("__pq_nv", checked)
         .withColumn(CodesCol, array(codes: _*).cast("array<smallint>"))
