@@ -937,6 +937,22 @@ object SparkEntry {
         .agg(sum(col("chunk_size")).as("n_bytes"))
     }),
 
+    // ---- CDC dedup consumer: shifted copies (planted prefix) must
+    // pair by shared chunk bytes (rows-only: gear boundaries are not
+    // SQL-expressible; pair semantics spec-pinned) ----
+    "q_cdc_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      val corpus = docs.unionByName(
+        docs.where(col("doc_id") % 7 === 0).select(
+          (col("doc_id") + 3000000).as("doc_id"),
+          concat(encode(lit("prefix-edit: "), "utf-8"), col("payload"))
+            .as("payload")))
+      operators.Multimodal.chunkOverlapPairs(corpus, "doc_id", "payload",
+        threshold = 0.5, minSize = 32, avgSize = 128, maxSize = 512,
+        maxChunkFreq = 50)
+    }),
+
     // ---- product quantization: codes-only ADC shortlist + exact
     // refine (rows-only: KMeans codebooks are not SQL-expressible;
     // recall floor spec-asserted in AnnMultimodalSpec) ----

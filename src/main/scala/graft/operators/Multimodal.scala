@@ -181,4 +181,66 @@ object Multimodal {
         col("__c.size").cast("long").as("chunk_size"),
         col("__c.hash").as("chunk_hash"))
   }
+
+  /** Binary near-duplicate pairs by SHARED CHUNK BYTES: two payloads
+    * pair when the Gear-CDC chunks they have in common cover at least
+    * `threshold` of the smaller payload (containment semantics — a
+    * video re-uploaded with a new metadata header, a tarball with one
+    * member changed). Repeated chunks within a doc count ONCE (the
+    * shared set is a set of distinct chunk hashes).
+    *
+    * Scale shape: the pair space is bounded by the chunk-hash join, and
+    * chunks appearing in more than `maxChunkFreq` docs are excluded
+    * from pairing ENTIRELY (the [[graft.operators.Dedup]] boilerplate-
+    * cap discipline — a firmware blob embedded in a million archives
+    * would otherwise create a quadratic hot hash; docs pairing only
+    * through such universal chunks are not duplicates of each other).
+    * Exchanges: one per side on the hash, one on the pair key — never a
+    * payload-bytes shuffle (hashes and sizes travel, bytes don't).
+    */
+  def chunkOverlapPairs(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      payloadCol: String,
+      threshold: Double,
+      minSize: Int = 2048,
+      avgSize: Int = 8192,
+      maxSize: Int = 65536,
+      maxChunkFreq: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxChunkFreq >= 2, s"maxChunkFreq must be >= 2, got $maxChunkFreq")
+    val chunks = contentChunks(df, idCol, payloadCol, minSize, avgSize, maxSize)
+      .select(col(idCol).as("__id"), col("chunk_hash").as("__h"),
+        col("chunk_size").as("__sz"))
+    // distinct (doc, hash): repeated chunks in one doc collapse; total
+    // bytes per doc counts each distinct chunk once so frac <= 1 holds
+    val docChunks = chunks.groupBy("__id", "__h")
+      .agg(min(col("__sz")).as("__sz"))
+    val totals = docChunks.groupBy("__id")
+      .agg(sum(col("__sz")).as("__total"))
+    // boilerplate cap as groupBy + semi join, NOT a per-hash window: the
+    // window would pin a universal chunk's million rows into one
+    // unsplittable partition exactly where the cap is supposed to save
+    // us; the aggregate's map-side partials absorb the hot hash and the
+    // join stays AQE-skew-splittable (the noveltyFrac discipline)
+    val okHashes = docChunks.groupBy("__h")
+      .agg(count(lit(1)).as("__freq"))
+      .where(col("__freq") <= maxChunkFreq)
+      .select("__h")
+    val freqOk = docChunks.join(okHashes, Seq("__h"), "left_semi")
+    val a = freqOk.select(col("__id").as("id_a"), col("__h"), col("__sz"))
+    val b = freqOk.select(col("__id").as("id_b"), col("__h"))
+    val shared = a.join(b, Seq("__h"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("__sz")).as("shared_bytes"))
+    shared
+      .join(totals.select(col("__id").as("id_a"), col("__total").as("__ta")), "id_a")
+      .join(totals.select(col("__id").as("id_b"), col("__total").as("__tb")), "id_b")
+      .withColumn("overlap_frac", round(
+        col("shared_bytes") / least(col("__ta"), col("__tb")), 6))
+      .where(col("overlap_frac") >= threshold)
+      .select("id_a", "id_b", "shared_bytes", "overlap_frac")
+  }
 }

@@ -204,6 +204,35 @@ class AnnMultimodalSpec extends SparkTestBase {
         r.getAs[Array[Byte]]("chunk_hash").toSeq)).toSeq)
   }
 
+  test("chunkOverlapPairs: shifted copy pairs high, strangers don't, hot chunks capped") {
+    val rnd = new java.util.Random(13)
+    val shared = Array.fill(30000)(rnd.nextInt().toByte)
+    val prefix = Array.fill(101)(rnd.nextInt().toByte)
+    val strangerA = Array.fill(30000)(rnd.nextInt().toByte)
+    val boiler = Array.fill(3000)(rnd.nextInt().toByte) // in EVERY doc
+    val df = Seq(
+      (1L, boiler ++ shared),
+      (2L, boiler ++ prefix ++ shared),  // shifted copy of 1
+      (3L, boiler ++ strangerA),
+      (4L, boiler ++ Array.fill(30000)(rnd.nextInt().toByte))
+    ).toDF("id", "content")
+    val pairs = Multimodal.chunkOverlapPairs(df, "id", "content",
+      threshold = 0.5, minSize = 64, avgSize = 256, maxSize = 1024,
+      maxChunkFreq = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("overlap_frac")))
+    assert(pairs.length == 1 && pairs(0)._1 == 1L && pairs(0)._2 == 2L,
+      s"only the shifted copy should pair, got ${pairs.toSeq}")
+    assert(pairs(0)._3 >= 0.8, s"shifted copy overlap ${pairs(0)._3} too low")
+    // with the cap at 3, chunks in all 4 docs (the boiler block) cannot
+    // pair strangers: already asserted by pairs.length == 1. Raising the
+    // cap lets boilerplate-only pairs appear — proving the cap did work
+    val uncapped = Multimodal.chunkOverlapPairs(df, "id", "content",
+      threshold = 0.05, minSize = 64, avgSize = 256, maxSize = 1024,
+      maxChunkFreq = 100).count()
+    assert(uncapped > 1, "without the cap the universal block pairs everyone")
+  }
+
   test("CDC realigns after an insertion — the anti-fixed-block property") {
     val rnd = new java.util.Random(11)
     val base = Array.fill(40000)(rnd.nextInt().toByte)
