@@ -507,6 +507,45 @@ object StreamingOps {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch_id").parquet(storePath)
 
+  /** Continuous WARC ingestion: a stream of ARRIVED FILE PATHS (the
+    * crawl frontier's "shard landed" feed) parses each batch's archives
+    * through [[graft.io.warc.Warc.readWarc]] and commits the records
+    * under a `__batch_id` partition with dynamic partition overwrite —
+    * the [[sketchStoreSink]] exactly-once recipe: a replayed batch
+    * rewrites ITS OWN partition instead of appending duplicates.
+    *
+    * The per-batch driver collect is the batch's file-path list (names,
+    * not contents — bounded by the trigger's file cadence); record
+    * parsing and the parquet write stay distributed, one task per
+    * archive file (the WARC split unit).
+    */
+  def warcIngestSink(
+      files: DataFrame,
+      pathCol: String,
+      corpusPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    files.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) writeWarcBatch(batch.toDF(), pathCol, corpusPath, batchId)
+    }
+
+  /** One WARC-ingest batch commit (factored out so replay idempotency is
+    * directly testable). */
+  private[graft] def writeWarcBatch(
+      batch: DataFrame, pathCol: String, corpusPath: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val paths = batch
+      .select(org.apache.spark.sql.functions.col(pathCol).cast("string"))
+      .where(org.apache.spark.sql.functions.col(pathCol).isNotNull)
+      .distinct().collect().map(_.getString(0)) // bounded: file NAMES
+    if (paths.nonEmpty)
+      graft.io.warc.Warc.readWarc(spark, paths.mkString(","))
+        .withColumn("__batch_id", org.apache.spark.sql.functions.lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id").parquet(corpusPath)
+  }
+
   /** Stream into an SCD target: every micro-batch runs one change-tracking
     * upsert (mode 1 = current-only, mode 2 = track-history). Batch ids are
     * recorded nowhere — idempotency relies on the upsert itself (replaying

@@ -457,4 +457,45 @@ class StreamingOpsSpec extends SparkTestBase {
         s"replay must only duplicate the sub-w doc, got ${replayed.toSeq}")
     } finally q.stop()
   }
+
+  test("warcIngestSink parses arriving archives; batch replay is idempotent") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_warc_ingest_").toString
+    val corpus = root + "/corpus"
+    // two tiny archives on disk, arriving as two micro-batches
+    def writeArchive(name: String, ids: Seq[Int]): String = {
+      val docs = ids.map(i => (i.toLong, s"doc body $i"))
+        .toDF("doc_id", "text")
+        .withColumn("uri", concat(lit("https://e.org/"), col("doc_id")))
+        .withColumn("payload", encode(col("text"), "utf-8"))
+        .coalesce(1)
+      graft.io.warc.Warc.writeWarc(docs, s"$root/$name", "uri", "payload")
+      s"$root/$name/part-00000.warc.gz"
+    }
+    val f1 = writeArchive("a1", Seq(1, 2))
+    val f2 = writeArchive("a2", Seq(3, 4, 5))
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = StreamingOps.warcIngestSink(
+      source.toDS().toDF("path"), "path", corpus)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      source.addData(f1)
+      q.processAllAvailable()
+      source.addData(f2)
+      q.processAllAvailable()
+      def ids() = spark.read.parquet(corpus)
+        .select(regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long"))
+        .as[Long].collect().sorted.toSeq
+      assert(ids() == Seq(1L, 2L, 3L, 4L, 5L))
+      // replaying batch 1 rewrites its own partition — no duplicates
+      StreamingOps.writeWarcBatch(
+        Seq(f2).toDF("path"), "path", corpus, batchId = 1L)
+      assert(ids() == Seq(1L, 2L, 3L, 4L, 5L), "replay must be a no-op")
+      assert(spark.read.parquet(corpus).select("__batch_id")
+        .distinct().as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+    } finally q.stop()
+  }
 }
