@@ -91,14 +91,15 @@ object Ann {
       // would pay maxIter+init passes over 100 TB for no recall gain)
       val targetTrain = nlist.toLong * TrainPointsPerCell
       val n = corpus.count()
-      val first = corpus.select(size(col(vecCol)).as("d")).head(1)
+      val first = corpus.where(col(vecCol).isNotNull)
+        .select(size(col(vecCol)).as("d")).head(1)
       require(first.nonEmpty, "Ivf.build: empty corpus")
       val dim = first(0).getInt(0)
       val cents =
         if (targetTrain * dim * 8 <= LocalTrainMaxBytes) {
           // small-sample path: one collect (≤ LocalTrainMaxBytes), local
           // Lloyd's — the scheduler never sees the iterations
-          val vd = corpus.select(
+          val vd = corpus.where(col(vecCol).isNotNull).select(
             transform(col(vecCol), x => x.cast("double")).as("__v"))
           val sampled =
             if (n <= targetTrain) vd
@@ -458,7 +459,8 @@ object Ann {
       require(m >= 1, s"m must be >= 1, got $m")
       require(ksub >= 2 && ksub <= 256,
         s"ksub must be in [2, 256] (codes are byte-ranged), got $ksub")
-      val first = corpus.select(size(col(vecCol)).as("d")).head(1)
+      val first = corpus.where(col(vecCol).isNotNull)
+        .select(size(col(vecCol)).as("d")).head(1)
       require(first.nonEmpty, "Pq.train: empty corpus")
       val dim = first(0).getInt(0)
       require(dim % m == 0,
@@ -466,7 +468,10 @@ object Ann {
       val dsub = dim / m
       val targetTrain = ksub.toLong * TrainPointsPerCode
       val n = corpus.count()
-      val norm = corpus.select(l2normalize(col(vecCol)).as("__nv"))
+      // null vectors carry no training signal and would NPE the collect;
+      // they are excluded here while encode() stays LOUD on them
+      val norm = corpus.where(col(vecCol).isNotNull)
+        .select(l2normalize(col(vecCol)).as("__nv"))
       val sample =
         if (n <= targetTrain) norm
         else norm.sample(math.min(1.0, targetTrain.toDouble * 1.1 / n), seed)

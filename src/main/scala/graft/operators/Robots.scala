@@ -48,8 +48,11 @@ object Robots {
     val lines = robots.select(col(domainCol).as("__dom"),
         posexplode(split(coalesce(col(textCol), lit("")), "\r?\n"))
           .as(Seq("__ln", "__raw")))
-      // strip comments, trim; "field: value" (field names case-insensitive)
-      .withColumn("__line", trim(regexp_replace(col("__raw"), "#.*$", "")))
+      // strip a leading UTF-8 BOM (robots.txt in the wild routinely
+      // starts with one — it would glue onto the first field name),
+      // then comments; "field: value" (field names case-insensitive)
+      .withColumn("__line", trim(regexp_replace(
+        regexp_replace(col("__raw"), "^\\uFEFF", ""), "#.*$", "")))
       .withColumn("__field",
         lower(trim(regexp_extract(col("__line"), "^([A-Za-z-]+)\\s*:", 1))))
       .withColumn("__value",

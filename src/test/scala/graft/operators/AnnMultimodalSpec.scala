@@ -280,6 +280,16 @@ class AnnMultimodalSpec extends SparkTestBase {
     val err = intercept[Exception](
       Ann.Pq.encode(index.model, bad, "embedding").collect())
     assert(err.getMessage.contains("dim"))
+    // a null vector in the corpus must not NPE training (excluded from
+    // the sample) — and encode stays loud on it
+    val withNull = embeddings.select("vec_id", "embedding").unionByName(
+      embeddings.limit(1).select(lit(99999L).as("vec_id"),
+        lit(null).cast(embeddings.schema("embedding").dataType).as("embedding")))
+    val m2 = Ann.Pq.train(withNull, "embedding", m = 8, ksub = 16)
+    assert(m2.m == 8)
+    intercept[Exception](
+      Ann.Pq.encode(m2, withNull.where($"vec_id" === 99999L), "embedding")
+        .collect())
   }
 
   test("IVF-PQ: probed-cell ADC + refine reaches the recall floor; full probe ≈ PQ flat") {

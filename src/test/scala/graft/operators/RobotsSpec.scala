@@ -78,6 +78,15 @@ class RobotsSpec extends SparkTestBase {
     assert(verdict, "orphan disallow must not bind")
   }
 
+  test("a UTF-8 BOM before the first field does not break parsing") {
+    val txt = "﻿" + "User-agent: graftbot\nDisallow: /x/\n"
+    val r = Robots.parseRobots(
+      Seq(("bom.org", txt)).toDF("domain", "robots"),
+      "domain", "robots", "graftbot")
+      .select("pattern", "allow").as[(String, Boolean)].collect().toSeq
+    assert(r == Seq(("/x/", false)))
+  }
+
   test("urlPath covers query strings and bare hosts; * userAgent rejected") {
     val paths = Seq(
       ("https://a.com", "/"),
