@@ -190,7 +190,15 @@ object Warc {
       private var done = false
       private def fetch(): Unit = {
         if (nextRec == null && !done) {
-          nextRec = parseRecord(file, in)
+          // close BEFORE rethrowing a parse error: the task may survive
+          // (caller catches per-file) and the file handle must not wait
+          // for GC
+          nextRec =
+            try parseRecord(file, in)
+            catch { case e: Throwable =>
+              try in.close() catch { case _: Throwable => () }
+              throw e
+            }
           if (nextRec == null) { done = true; in.close() }
         }
       }
