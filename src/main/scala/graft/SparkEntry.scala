@@ -893,6 +893,26 @@ object SparkEntry {
           .as("text"))
     }),
 
+    // ---- sitemap extraction: per-source urlsets synthesized from the
+    // corpus, locs exploded back out with entity decode ----
+    "q_sitemap" -> ((s, dir) => {
+      val xml = t(s, dir, "documents").select(col("source"), col("doc_id"))
+        .groupBy("source").agg(
+          concat(lit("<urlset>"),
+            concat_ws("", array_sort(collect_list(
+              concat(lit("<url><loc>https://"), col("source"),
+                lit(".example.com/doc/"), col("doc_id"),
+                lit("&amp;ref=sm</loc></url>"))))),
+            lit("</urlset>")).as("xml"))
+      operators.Urls.extractSitemapUrls(xml, "xml")
+    }),
+
+    // ---- retrieval chunker: overlapping token windows ----
+    "q_chunk_text" -> ((s, dir) => {
+      operators.TextAnalysis.chunkTokens(t(s, dir, "documents"),
+        "doc_id", "text", window = 32, stride = 24)
+    }),
+
     // ---- Flesch reading ease over the corpus ----
     "q_flesch" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -3069,6 +3089,31 @@ object SparkEntry {
     // length (strlen is BYTE length in DuckDB)
     "q_cdc_chunks" ->
       "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents",
+    // Sitemap: one loc per doc, &amp; decoded back to & on extraction.
+    "q_sitemap" ->
+      ("SELECT source, 'https://' || source || '.example.com/doc/' || doc_id " +
+        "|| '&ref=sm' AS url, FALSE AS is_index FROM documents"),
+
+    // Chunker: identical window/stride arithmetic; DuckDB list slices
+    // are 1-based inclusive, matching Spark's slice(start, length).
+    "q_chunk_text" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |st AS (SELECT doc_id, toks,
+        |    CASE WHEN len(toks) = 0 THEN 0
+        |      ELSE CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS INT) + 1
+        |      END AS ns
+        |  FROM toks),
+        |ex AS (SELECT doc_id, toks, unnest(range(0, ns)) AS s FROM st)
+        |SELECT doc_id, CAST(s AS BIGINT) AS chunk_idx,
+        |  CAST(s * 24 AS BIGINT) AS chunk_start,
+        |  CAST(least(32, len(toks) - s * 24) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[s * 24 + 1 : s * 24 + 32], ' ') AS chunk_text
+        |FROM ex""".stripMargin,
+
     // Mojibake: the repair must recover the exact clean literal on the
     // planted docs and leave the ASCII corpus untouched.
     "q_fix_mojibake" ->

@@ -484,6 +484,51 @@ object TextAnalysis {
         - lit(84.6) * (syl.cast("double") / words.cast("double")))
   }
 
+  /** Sliding token-window chunking — the retrieval/embedding chunker: one
+    * row per window of `window` tokens advancing by `stride` (overlap =
+    * window − stride), `(idCol, chunk_idx, chunk_start, n_tokens,
+    * chunk_text)`. The last window right-truncates; a document shorter
+    * than one window is one chunk; empty/null text yields NO rows.
+    * `chunk_text` re-joins tokens with single spaces (token-window
+    * identity, not byte identity — the tokenizer IS the whitespace
+    * normalizer here).
+    *
+    * One projection + posexplode, no shuffle; `stride > window` is
+    * rejected loudly (it would silently DROP the tokens between
+    * windows).
+    */
+  def chunkTokens(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window] (stride > window drops tokens), got $stride")
+    val nt = size(col("__toks"))
+    // starts: 0, stride, 2·stride, …, last start < nt AND the previous
+    // window must not already cover the doc (start <= nt - window … + 1)
+    val nStarts = when(nt === 0, lit(0)).otherwise(
+      ceil((greatest(nt - window, lit(0)).cast("double")) / stride)
+        .cast("int") + 1)
+    // sequence(0, -1) would DESCEND for an empty doc (the docFeatures
+    // pitfall) — guard to an empty array so posexplode yields no rows
+    val starts = when(nStarts === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nStarts - 1))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(starts).as(Seq("chunk_idx", "__s")))
+      .select(col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("__s") * stride).cast("long").as("chunk_start"),
+        least(lit(window), size(col("__toks")) - col("__s") * stride)
+          .cast("long").as("n_tokens"),
+        concat_ws(" ",
+          slice(col("__toks"), col("__s") * stride + 1, lit(window)))
+          .as("chunk_text"))
+  }
+
   /** Per-document n-gram NOVELTY against everything that arrived before
     * it: `1 − |shingles seen earlier| / |distinct shingles|` — the
     * incremental-crawl value signal ("how much of this page is new

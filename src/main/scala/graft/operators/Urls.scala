@@ -222,4 +222,43 @@ object Urls {
       .where(col(outCol).isNotNull)
       .drop("__rawhref")
   }
+
+  /** `<loc>` values of a sitemaps.org XML document as an array — both
+    * urlset and sitemapindex entries. Handles CDATA wrappers and XML
+    * entities (`&amp;` decoded LAST, the [[TextAnalysis.htmlToText]]
+    * ordering rule — sitemap URLs legally carry `&amp;` in queries).
+    * Pure regexp chain, mirrorable in SQL.
+    */
+  def sitemapLocs(xml: Column): Column =
+    transform(
+      regexp_extract_all(coalesce(xml, lit("")),
+        lit("(?s)<loc>\\s*(.*?)\\s*</loc>"), lit(1)),
+      l => {
+        val noCdata = regexp_replace(l,
+          "(?s)^<!\\[CDATA\\[(.*)\\]\\]>$", "$1")
+        Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+          "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+          .foldLeft(noCdata) { case (c, (pat, rep)) =>
+            regexp_replace(c, pat, rep)
+          }
+      })
+
+  /** Sitemap URL table: one row per `<loc>` — `(…, url, is_index)` with
+    * `is_index` marking entries of a `<sitemapindex>` (pointers to MORE
+    * sitemaps — feed them back through the fetcher; urlset entries feed
+    * the crawl frontier). One projection + explode, no shuffle; the
+    * crawl-frontier sibling of [[extractLinks]] and
+    * [[graft.operators.Robots]].
+    */
+  def extractSitemapUrls(
+      df: DataFrame,
+      xmlCol: String,
+      outCol: String = "url"): DataFrame = {
+    val keep = df.columns.filterNot(_ == xmlCol).map(col)
+    df.select(keep ++ Seq(
+        explode(sitemapLocs(col(xmlCol))).as(outCol),
+        coalesce(col(xmlCol), lit("")).rlike("(?s)<sitemapindex[\\s>]")
+          .as("is_index")): _*)
+      .where(col(outCol) =!= "")
+  }
 }

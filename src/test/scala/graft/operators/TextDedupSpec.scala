@@ -397,6 +397,32 @@ class TextDedupSpec extends SparkTestBase {
       "40%-boilerplate docs are far below jaccard 0.8 and must not pair")
   }
 
+  test("chunkTokens windows overlap by window-stride; short docs one chunk; empty none") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than window
+      (3L, "")).toDF("id", "text")
+    val out = TextAnalysis.chunkTokens(df, "id", "text", window = 4, stride = 3)
+      .orderBy("id", "chunk_idx").collect()
+    val d1 = out.filter(_.getAs[Long]("id") == 1L)
+    // starts 0,3,6 cover to token 10; start 9 not needed (6+4 >= 10)
+    assert(d1.map(_.getAs[Long]("chunk_start")).toSeq == Seq(0L, 3L, 6L))
+    assert(d1.map(_.getAs[String]("chunk_text")).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.map(_.getAs[Long]("n_tokens")).toSeq == Seq(4L, 4L, 4L))
+    val d2 = out.filter(_.getAs[Long]("id") == 2L)
+    assert(d2.length == 1 && d2(0).getAs[String]("chunk_text") == "a b"
+      && d2(0).getAs[Long]("n_tokens") == 2L)
+    assert(!out.exists(_.getAs[Long]("id") == 3L), "empty doc -> no chunks")
+    // a doc needing a truncated tail window: 11 tokens, starts 0,3,6,9
+    val tail = TextAnalysis.chunkTokens(
+      Seq((9L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("id", "text"),
+      "id", "text", window = 4, stride = 3).orderBy("chunk_idx").collect()
+    assert(tail.map(_.getAs[Long]("n_tokens")).toSeq == Seq(4L, 4L, 4L, 2L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkTokens(df, "id", "text", window = 4, stride = 5))
+  }
+
   test("fleschReadingEase matches hand-computed scores; silent-e rule applied") {
     def flesch(s: String): Option[Double] =
       Option(Seq(Tuple1(s)).toDF("t")

@@ -117,4 +117,28 @@ class UrlsSpec extends SparkTestBase {
     assert(out.forall(_.getAs[Long]("id") == 7L))
     assert(!out.head.schema.fieldNames.contains("html"))
   }
+
+  test("extractSitemapUrls: urlset locs, index flag, CDATA and entity decode") {
+    val urlset =
+      """<?xml version="1.0"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc> https://a.example/p?x=1&amp;y=2 </loc><lastmod>2026-01-01</lastmod></url>
+        |  <url><loc><![CDATA[https://a.example/cdata?q=1&amp;r=2]]></loc></url>
+        |</urlset>""".stripMargin
+    val index =
+      """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <sitemap><loc>https://a.example/sitemap-1.xml.gz</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val df = Seq((1L, urlset), (2L, index),
+      (3L, "<urlset></urlset>"), (4L, null.asInstanceOf[String]))
+      .toDF("id", "xml")
+    val out = Urls.extractSitemapUrls(df, "xml")
+      .orderBy("id", "url")
+      .select("id", "url", "is_index")
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, "https://a.example/cdata?q=1&r=2", false),
+      (1L, "https://a.example/p?x=1&y=2", false),
+      (2L, "https://a.example/sitemap-1.xml.gz", true)))
+  }
 }
