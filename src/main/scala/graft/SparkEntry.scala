@@ -893,6 +893,18 @@ object SparkEntry {
           .as("text"))
     }),
 
+    // ---- event analytics: ordered funnel + cohort retention ----
+    "q_funnel" -> ((s, dir) => {
+      operators.Funnels.funnelCounts(t(s, dir, "events"), "user_id", "ts",
+        Seq("view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
+    }),
+    "q_retention" -> ((s, dir) => {
+      operators.Funnels.cohortRetention(t(s, dir, "events"),
+        "user_id", "ts", periodDays = 7)
+    }),
+
     // ---- sitemap extraction: per-source urlsets synthesized from the
     // corpus, locs exploded back out with entity decode ----
     "q_sitemap" -> ((s, dir) => {
@@ -3089,6 +3101,41 @@ object SparkEntry {
     // length (strlen is BYTE length in DuckDB)
     "q_cdc_chunks" ->
       "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents",
+    // Funnel: the same progressive min-reach joins, inclusive >= ties.
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s2)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s3)""".stripMargin,
+
+    // Retention: epoch-anchored integer week buckets on both engines.
+    "q_retention" ->
+      """WITH pu AS (SELECT user_id AS u,
+        |    CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      / 7.0) AS BIGINT) AS p
+        |  FROM events WHERE ts IS NOT NULL),
+        |coh AS (SELECT u, min(p) AS c FROM pu GROUP BY u),
+        |act AS (SELECT DISTINCT u, p FROM pu),
+        |sz AS (SELECT c, CAST(count(*) AS BIGINT) AS csize FROM coh GROUP BY c)
+        |SELECT coh.c AS cohort_period, act.p - coh.c AS offset,
+        |  CAST(count(DISTINCT act.u) AS BIGINT) AS n_users,
+        |  round(CAST(count(DISTINCT act.u) AS BIGINT)
+        |    / CAST(any_value(sz.csize) AS DOUBLE), 6) AS retained_frac
+        |FROM act JOIN coh ON coh.u = act.u JOIN sz ON sz.c = coh.c
+        |GROUP BY coh.c, act.p - coh.c""".stripMargin,
+
     // Sitemap: one loc per doc, &amp; decoded back to & on extraction.
     "q_sitemap" ->
       ("SELECT source, 'https://' || source || '.example.com/doc/' || doc_id " +

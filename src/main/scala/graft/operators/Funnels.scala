@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel and cohort-retention analytics over event streams —
+  * the product-analytics queries a corpus/feature pipeline runs on its
+  * interaction logs (and the shape crawl telemetry uses for
+  * fetch → parse → index progression).
+  *
+  * Both operators are compositions of per-user aggregates: no windows
+  * over the event corpus, no self-joins on time — each funnel step is
+  * one user-keyed min-aggregate + one user-keyed join, so a k-step
+  * funnel is k bounded exchanges regardless of event volume, and every
+  * aggregate gets map-side partials. Hot users (bot traffic) are
+  * absorbed by those partials rather than pinning a window partition.
+  */
+object Funnels {
+
+  /** Per-user funnel reach: for ordered `steps` (name → row predicate),
+    * the user's earliest time reaching each step WHERE the step-i event
+    * is at-or-after their step-(i−1) reach time. Returns one row per
+    * user who reached step 1: `(userCol, <name>_ts … nullable,
+    * steps_completed)` — reach is monotone, so a null at step i implies
+    * null at every later step.
+    *
+    * Equal timestamps count (`>=`): two steps satisfied by one event (or
+    * simultaneous events) both reach — the conventional inclusive
+    * funnel. Pass distinct predicates per step; a user's SAME event can
+    * legitimately satisfy consecutive steps only under inclusive
+    * semantics.
+    */
+  def funnelUsers(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.map(_._1).distinct.size == steps.size,
+      "step names must be unique")
+    val u = col(userCol)
+    var acc = df.where(steps.head._2)
+      .groupBy(u.as("__u"))
+      .agg(min(col(tsCol)).as(s"${steps.head._1}_ts"))
+    steps.zipWithIndex.tail.foreach { case ((name, pred), i) =>
+      val prevTs = s"${steps(i - 1)._1}_ts"
+      val si = df.where(pred)
+        .select(u.as("__u"), col(tsCol).as("__ts"))
+        .join(acc.select(col("__u"), col(prevTs)), "__u")
+        .where(col("__ts") >= col(prevTs))
+        .groupBy("__u")
+        .agg(min(col("__ts")).as(s"${name}_ts"))
+      acc = acc.join(si, Seq("__u"), "left")
+    }
+    val reached = steps.map { case (name, _) =>
+      when(col(s"${name}_ts").isNotNull, 1L).otherwise(0L)
+    }.reduce(_ + _)
+    acc.withColumn("steps_completed", reached)
+      .withColumnRenamed("__u", userCol)
+  }
+
+  /** Step-level funnel summary: `(step, step_name, n_users)` with step 1
+    * = everyone who ever satisfied the first predicate. Derived from
+    * [[funnelUsers]] in one extra bins-sized aggregation.
+    */
+  def funnelCounts(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      steps: Seq[(String, Column)]): DataFrame = {
+    val users = funnelUsers(df, userCol, tsCol, steps)
+    val perStep = steps.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i + 1).cast("long").as("step"), lit(name).as("step_name"),
+        when(col(s"${name}_ts").isNotNull, 1L).otherwise(0L).as("__r"))
+    }
+    users.select(explode(array(perStep: _*)).as("__s"))
+      .groupBy(col("__s.step").as("step"), col("__s.step_name").as("step_name"))
+      .agg(sum(col("__s.__r")).as("n_users"))
+  }
+
+  /** Cohort retention: users cohorted by the period of their FIRST
+    * event; one row per (cohort, periods-later offset) with the
+    * distinct users active then and the fraction of the cohort they
+    * are. `periodDays` sets the bucket (1 = daily, 7 = weekly
+    * cohorts, both anchored at the epoch-day so bucketing is a pure
+    * integer division both engines reproduce).
+    *
+    * Shape: one user-keyed aggregate for cohorts, one distinct over
+    * (user, period), one join back, one bins-sized aggregate.
+    */
+  def cohortRetention(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    val periodOf = floor(datediff(to_date(col(tsCol)), lit("1970-01-01"))
+      .cast("long") / periodDays).cast("long")
+    val perUser = df.where(col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), periodOf.as("__p"))
+    val cohorts = perUser.groupBy("__u").agg(min(col("__p")).as("__c"))
+    val active = perUser.distinct()
+    val sized = cohorts.groupBy("__c").agg(count(lit(1)).as("__csize"))
+    active.join(cohorts, "__u")
+      .groupBy(col("__c"), (col("__p") - col("__c")).as("offset"))
+      .agg(countDistinct(col("__u")).as("n_users"))
+      .join(sized, "__c")
+      .select(col("__c").as("cohort_period"), col("offset"),
+        col("n_users"),
+        round(col("n_users") / col("__csize").cast("double"), 6)
+          .as("retained_frac"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class FunnelsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    // user 1 completes the whole funnel in order
+    (1L, ts("2026-01-01 10:00:00"), "view"),
+    (1L, ts("2026-01-01 10:05:00"), "click"),
+    (1L, ts("2026-01-01 10:10:00"), "purchase"),
+    // user 2 clicks BEFORE viewing — click only counts at/after the view
+    (2L, ts("2026-01-01 09:00:00"), "click"),
+    (2L, ts("2026-01-01 09:30:00"), "view"),
+    (2L, ts("2026-01-01 09:45:00"), "purchase"),
+    // user 3 views only
+    (3L, ts("2026-01-01 08:00:00"), "view"),
+    // user 4 never views — not in the funnel at all
+    (4L, ts("2026-01-01 07:00:00"), "purchase"),
+    // user 5: simultaneous view+click (inclusive >= reaches both)
+    (5L, ts("2026-01-01 06:00:00"), "view"),
+    (5L, ts("2026-01-01 06:00:00"), "click")
+  ).toDF("user_id", "ts", "event_type")
+
+  private val steps = Seq(
+    "view" -> (col("event_type") === "view"),
+    "click" -> (col("event_type") === "click"),
+    "purchase" -> (col("event_type") === "purchase"))
+
+  test("funnelUsers: order-sensitive reach, inclusive ties, monotone nulls") {
+    val out = Funnels.funnelUsers(events, "user_id", "ts", steps)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L), "only view-ers enter")
+    assert(out(1L).getAs[Long]("steps_completed") == 3L)
+    // user 2's pre-view click does not count; no click after the view
+    assert(out(2L).getAs[Long]("steps_completed") == 1L)
+    assert(out(2L).getAs[Timestamp]("click_ts") == null)
+    assert(out(2L).getAs[Timestamp]("purchase_ts") == null,
+      "monotone: purchase can't be reached without click")
+    assert(out(3L).getAs[Long]("steps_completed") == 1L)
+    assert(out(5L).getAs[Long]("steps_completed") == 2L,
+      "simultaneous events reach inclusively")
+    // reach times are the earliest valid ones
+    assert(out(1L).getAs[Timestamp]("purchase_ts") == ts("2026-01-01 10:10:00"))
+  }
+
+  test("funnelCounts summarizes steps; validation is loud") {
+    val out = Funnels.funnelCounts(events, "user_id", "ts", steps)
+      .orderBy("step").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "view", 4L), (2L, "click", 2L), (3L, "purchase", 1L)))
+    intercept[IllegalArgumentException](
+      Funnels.funnelUsers(events, "user_id", "ts", steps.take(1)))
+    intercept[IllegalArgumentException](
+      Funnels.funnelUsers(events, "user_id", "ts",
+        Seq("a" -> lit(true), "a" -> lit(false))))
+  }
+
+  test("cohortRetention: epoch-anchored periods, fractions of cohort size") {
+    val ev = Seq(
+      // two users first active in week A; one returns next week
+      (1L, ts("2026-01-05 10:00:00")), (2L, ts("2026-01-06 10:00:00")),
+      (1L, ts("2026-01-12 10:00:00")),
+      // one user first active the following week
+      (3L, ts("2026-01-13 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Funnels.cohortRetention(ev, "user_id", "ts", periodDays = 7)
+      .orderBy("cohort_period", "offset")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val byCohort = out.groupBy(_._1)
+    assert(byCohort.size == 2)
+    val cohA = out.head._1
+    val a = byCohort(cohA).map(t => (t._2, t._3, t._4))
+    assert(a == Seq((0L, 2L, 1.0), (1L, 1L, 0.5)),
+      s"cohort A: both at offset 0, one retained at offset 1; got $a")
+    val cohB = byCohort.keys.max
+    assert(byCohort(cohB).map(t => (t._2, t._3, t._4)) == Seq((0L, 1L, 1.0)))
+  }
+}
