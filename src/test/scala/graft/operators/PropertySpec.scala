@@ -320,4 +320,65 @@ class PropertySpec extends SparkTestBase {
       got == expect && groupTotals
     }, n = 40)
   }
+
+  test("chunkTokens equals the reference sliding windows for arbitrary docs") {
+    val docGen = for {
+      n <- Gen.chooseNum(0, 30)
+      toks <- Gen.listOfN(n, Gen.alphaStr.map(s => "t" + s.take(3)))
+    } yield toks
+    val params = for {
+      window <- Gen.chooseNum(1, 8)
+      stride <- Gen.chooseNum(1, 8) if stride <= window
+    } yield (window, stride)
+    check(Prop.forAll(docGen, params) { case (toks, (window, stride)) =>
+      val df = Seq((1L, toks.mkString(" "))).toDF("id", "text")
+      val got = TextAnalysis.chunkTokens(df, "id", "text", window, stride)
+        .orderBy("chunk_idx")
+        .collect().map(r => (r.getAs[Long]("chunk_start"),
+          r.getAs[String]("chunk_text"))).toSeq
+      // reference: starts 0, stride, … until a window covers the end
+      val expect =
+        if (toks.isEmpty) Seq.empty
+        else {
+          val starts = Iterator.iterate(0)(_ + stride)
+            .takeWhile(s => s == 0 || s < toks.length && s - stride + window < toks.length)
+            .toSeq
+          starts.map(s => (s.toLong, toks.slice(s, s + window).mkString(" ")))
+        }
+      // invariants: every token covered by >= 1 chunk; concat of
+      // stride-aligned prefixes reconstructs the doc
+      val covered = got.flatMap { case (s, t) =>
+        s.toInt until (s.toInt + t.split(" ").count(_.nonEmpty)) }.toSet
+      (got == expect) && (toks.isEmpty || covered == toks.indices.toSet)
+    }, n = 60)
+  }
+
+  test("noveltyFrac equals a brute-force first-seen reference on arbitrary corpora") {
+    val tokGen = Gen.oneOf("aa", "bb", "cc", "dd")
+    val docGen = for {
+      n <- Gen.chooseNum(0, 8)
+      toks <- Gen.listOfN(n, tokGen)
+    } yield toks.mkString(" ")
+    check(Prop.forAll(Gen.listOfN(6, docGen)) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = rows.toDF("doc_id", "text")
+      val got = TextAnalysis.noveltyFrac(df, "doc_id", "text",
+        col("doc_id"), shingleSize = 2)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_seen")))).toMap
+      // reference: the same truncated-shingle convention, strict order
+      def sh(t: String): Set[String] = {
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        if (toks.isEmpty) Set.empty
+        else (0 until math.max(toks.length - 1, 1))
+          .map(i => toks.slice(i, i + 2).mkString(" ")).toSet
+      }
+      val shingles = rows.map { case (id, t) => id -> sh(t) }.toMap
+      rows.forall { case (id, _) =>
+        val mine = shingles(id)
+        val earlier = rows.filter(_._1 < id).flatMap(r => shingles(r._1)).toSet
+        got(id) == ((mine.size.toLong, mine.count(earlier).toLong))
+      }
+    }, n = 40)
+  }
 }
