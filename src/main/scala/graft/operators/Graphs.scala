@@ -145,7 +145,7 @@ object Graphs {
     * weight — duplicate (src, dst) pairs SUM their weights (a repeated
     * link is a stronger link); null and non-positive weights drop.
     */
-  private def prepEdges(
+  private[operators] def prepEdges(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,

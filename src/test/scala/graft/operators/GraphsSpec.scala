@@ -97,6 +97,21 @@ class GraphsSpec extends SparkTestBase {
     }
   }
 
+  test("edge prep plans exactly ONE shuffle (dedup + degree share a partitioning)") {
+    val e = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"))
+      .toDF("src", "dst")
+    Seq(None, Some("w")).foreach { wc =>
+      val in = wc.map(c => e.withColumn(c, lit(1L))).getOrElse(e)
+      val plan = Graphs.prepEdges(in, "src", "dst", wc)
+        .queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles == 1,
+        s"edge prep (weighted=$wc) must plan one exchange, got $shuffles:\n$plan")
+      assert(!plan.contains("Exchange rangepartitioning"),
+        "no sort-based exchange expected in edge prep")
+    }
+  }
+
   test("personalizedPageRank matches a seed-restart reference; off-graph seeds loud") {
     val edges = Seq(
       ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"))
