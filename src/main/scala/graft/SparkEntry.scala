@@ -893,6 +893,23 @@ object SparkEntry {
           .as("text"))
     }),
 
+    // ---- physical-layout audit: write a bloomed compacted copy, then
+    // the distributed footer report must account for every file, row
+    // group and row, with blooms and stats where promised ----
+    "q_layout_report" -> ((s, dir) => {
+      val scratch = scratchDir("graft_layout_") + "/docs"
+      operators.Compaction.writeCompacted(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        scratch, numFiles = 8, bloomFilters = Map("doc_id" -> 100000L))
+      operators.Compaction.layoutReport(s, scratch)
+        .where(col("column") === "doc_id")
+        .agg(countDistinct(col("file")).as("n_files"),
+          count(lit(1)).as("n_row_groups"),
+          sum(col("n_rows")).as("n_rows"),
+          min(col("has_bloom")).as("all_bloomed"),
+          min(col("has_min_max")).as("all_stats"))
+    }),
+
     // ---- event analytics: ordered funnel + cohort retention ----
     "q_funnel" -> ((s, dir) => {
       operators.Funnels.funnelCounts(t(s, dir, "events"), "user_id", "ts",
@@ -3101,6 +3118,13 @@ object SparkEntry {
     // length (strlen is BYTE length in DuckDB)
     "q_cdc_chunks" ->
       "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents",
+    // Layout report: the written layout is fully determined (8 files,
+    // one row group each at this size, blooms+stats on doc_id).
+    "q_layout_report" ->
+      ("SELECT CAST(8 AS BIGINT) AS n_files, CAST(8 AS BIGINT) AS n_row_groups, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows, " +
+        "TRUE AS all_bloomed, TRUE AS all_stats"),
+
     // Funnel: the same progressive min-reach joins, inclusive >= ties.
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

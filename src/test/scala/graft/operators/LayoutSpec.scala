@@ -202,6 +202,39 @@ class LayoutSpec extends SparkTestBase {
     } finally { cleanup(dir); cleanup(dirX) }
   }
 
+  test("layoutReport audits files, row groups, stats, blooms and dictionaries") {
+    val dir = tempDir()
+    try {
+      val df = spark.range(4000).select(col("id"),
+        (col("id") % 5).cast("string").as("cat"),
+        sha2(col("id").cast("string"), 256).as("payload"))
+      Compaction.writeCompacted(df, dir, numFiles = 2,
+        bloomFilters = Map("id" -> 4000L))
+      val rep = Compaction.layoutReport(spark, dir).collect()
+      assert(rep.map(_.getAs[String]("file")).distinct.length == 2)
+      // every row group reports every column
+      assert(rep.map(_.getAs[String]("column")).distinct.sorted.toSeq ==
+        Seq("cat", "id", "payload"))
+      // row counts per column agree and sum to the table
+      val idRows = rep.filter(_.getAs[String]("column") == "id")
+      assert(idRows.map(_.getAs[Long]("n_rows")).sum == 4000L)
+      // bloom exactly where requested
+      assert(rep.forall(r =>
+        r.getAs[Boolean]("has_bloom") == (r.getAs[String]("column") == "id")))
+      // min/max stats present everywhere; the 5-value cat column
+      // dictionary-encodes, the sha payload column may not
+      assert(rep.forall(_.getAs[Boolean]("has_min_max")))
+      assert(rep.filter(_.getAs[String]("column") == "cat")
+        .forall(_.getAs[Boolean]("has_dictionary")))
+      assert(rep.forall(r => r.getAs[Long]("compressed_bytes") > 0 &&
+        r.getAs[Long]("uncompressed_bytes") > 0))
+      // missing path fails loud (FileNotFound from the listing itself)
+      intercept[Exception](
+        Compaction.layoutReport(spark, dir + "/definitely-missing"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
+  }
+
   test("write-side parquet bloom filters land in the footer and answer membership") {
     import scala.jdk.CollectionConverters._
     val dir = tempDir()
