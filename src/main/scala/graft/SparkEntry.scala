@@ -893,6 +893,14 @@ object SparkEntry {
           .as("text"))
     }),
 
+    // ---- SQL surface: graft functions callable from spark.sql ----
+    "q_sql_surface" -> ((s, dir) => {
+      graft.sql.GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs")
+      s.sql("SELECT doc_id, graft_hex_prefix(sha2(text, 256), 7) AS hp " +
+        "FROM graft_docs")
+    }),
+
     // ---- physical-layout audit: write a bloomed compacted copy, then
     // the distributed footer report must account for every file, row
     // group and row, with blooms and stats where promised ----
@@ -3118,6 +3126,12 @@ object SparkEntry {
     // length (strlen is BYTE length in DuckDB)
     "q_cdc_chunks" ->
       "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents",
+    // SQL surface: the registered function must equal the engine-
+    // independent hex-prefix arithmetic.
+    "q_sql_surface" ->
+      ("SELECT doc_id, ('0x' || substring(sha256(text), 1, 7))::BIGINT AS hp " +
+        "FROM documents"),
+
     // Layout report: the written layout is fully determined (8 files,
     // one row group each at this size, blooms+stats on doc_id).
     "q_layout_report" ->

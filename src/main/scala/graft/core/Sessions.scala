@@ -60,7 +60,12 @@ object Sessions {
       "spark.sql.session.timeZone" -> "UTC"
     ) ++ localOnly
     (defaults ++ extraConfigs).foreach { case (k, v) => builder.config(k, v) }
-    builder.getOrCreate()
+    val spark = builder.getOrCreate()
+    // the SQL surface rides along: every graft scalar is callable from
+    // spark.sql/JDBC in sessions this factory built (cluster-wide
+    // installs use spark.sql.extensions=graft.sql.GraftExtensions)
+    graft.sql.GraftFunctions.register(spark)
+    spark
   }
 
   /** Raise Spark log verbosity for targeted categories
