@@ -239,6 +239,29 @@ object SparkEntry {
         col("is_current"), col("version"))
     }),
 
+    // ---- SCD2 time travel: the as-of snapshot between the two batches
+    // must reproduce batch 1 exactly (every key at version 1) ----
+    "q_scd2_asof" -> ((s, dir) => {
+      val b1 = t(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+      val b2 = b1.where(col("id") % 2 === 0)
+        .withColumn("price",
+          when(col("id") % 10 === 0, (col("price") + lit(10)).cast("decimal(12,2)"))
+            .otherwise(col("price")))
+      val target = scratchDir("graft_scd2asof_") + "/t"
+      ct.ChangeTracking.trackHistoryUpsert(s, b1, target, Seq("id"),
+        loadTsExpr = Some("to_timestamp('2020-01-01 00:00:00')"))
+      ct.ChangeTracking.trackHistoryUpsert(s, b2, target, Seq("id"),
+        loadTsExpr = Some("to_timestamp('2020-02-01 00:00:00')"))
+      ct.ChangeTracking.asOf(s, target,
+          to_timestamp(lit("2020-01-15 00:00:00")))
+        .select(col("id"), col("status"),
+          (col("price") * 100).cast("long").as("price_cents"),
+          col("version"))
+    }),
+
     // ---- U3 deterministic hash embedding (pure column expressions) ----
     "q_hash_embedding" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -1898,6 +1921,14 @@ object SparkEntry {
         |  epoch_us(TIMESTAMP '2020-02-01 00:00:00'), CAST(-1 AS BIGINT),
         |  TRUE, CAST(2 AS BIGINT)
         |FROM h2 WHERE h2.id IN (SELECT id FROM changed)""".stripMargin,
+    // As-of mid-history = batch 1 verbatim, all at version 1.
+    "q_scd2_asof" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS price_cents,
+        |  CAST(1 AS BIGINT) AS version
+        |FROM orders""".stripMargin,
+
     "q_hash_embedding" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS dim,
         |  CASE WHEN text IS NULL OR text = '' THEN 0.0

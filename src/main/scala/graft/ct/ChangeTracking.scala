@@ -422,6 +422,30 @@ object ChangeTracking {
         options.nullKeyPolicy, options.createIfNotExists, options.allowSchemaEvolution,
         options.numBuckets)
     }
+
+  /** Point-in-time snapshot of a track-history table: each business
+    * key's row version that was effective AT `ts` — the time-travel read
+    * the SCD2 layout exists to answer ("what did the dimension look like
+    * when this training run started?"). Interval semantics are
+    * `[effective_start_ts, effective_end_ts)`: a row expiring exactly at
+    * `ts` is already gone, its successor (starting at `ts`) is visible —
+    * so every key resolves to AT MOST ONE row for any `ts`. Keys first
+    * seen after `ts` are absent. Pure filter over the partition-prunable
+    * parquet — no shuffle, no window.
+    */
+  def asOf(
+      spark: SparkSession,
+      target: String,
+      ts: org.apache.spark.sql.Column,
+      effectiveCol: String = "effective_start_ts",
+      expiryCol: String = "effective_end_ts"): DataFrame = {
+    val df = spark.read.parquet(target)
+    require(df.columns.contains(effectiveCol) && df.columns.contains(expiryCol),
+      s"asOf: '$target' is not a track-history table " +
+        s"(missing $effectiveCol/$expiryCol)")
+    df.where(col(effectiveCol) <= ts &&
+      (col(expiryCol).isNull || ts < col(expiryCol)))
+  }
 }
 
 /** Keyword-style options bundle for the dispatcher / fluent builder. */

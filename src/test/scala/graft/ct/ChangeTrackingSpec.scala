@@ -44,6 +44,38 @@ class ChangeTrackingSpec extends SparkTestBase {
     assert(readTgt(target).count() == 4)
   }
 
+  test("asOf snapshots: boundary is [start, end), pre-history keys absent") {
+    val target = tmpTarget()
+    val b1 = Seq((1L, "a", 100L), (2L, "b", 100L)).toDF("id", "val", "ts")
+    ChangeTracking.trackHistoryUpsert(spark, b1, target, Seq("id"),
+      orderBy = Seq("ts"), loadTsExpr = ts1)
+    val b2 = Seq((1L, "a2", 200L), (3L, "c", 200L)).toDF("id", "val", "ts")
+    ChangeTracking.trackHistoryUpsert(spark, b2, target, Seq("id"),
+      orderBy = Seq("ts"), loadTsExpr = ts2)
+    def snap(t: String) = ChangeTracking.asOf(spark, target,
+      to_timestamp(lit(t)))
+      .select("id", "val").as[(Long, String)].collect().toSet
+    // mid-history: batch-1 state, id 3 not yet born
+    assert(snap("2020-01-15 00:00:00") == Set(1L -> "a", 2L -> "b"))
+    // exactly at the close boundary: the OLD id-1 row is gone, the new
+    // one (starting at ts2) is visible — [start, end) semantics
+    assert(snap("2020-02-01 00:00:00") == Set(1L -> "a2", 2L -> "b", 3L -> "c"))
+    // before any history
+    assert(snap("2019-12-31 00:00:00") == Set.empty)
+    // each key at most once at ANY instant
+    Seq("2020-01-15 00:00:00", "2020-02-01 00:00:00").foreach { t =>
+      val ids = ChangeTracking.asOf(spark, target, to_timestamp(lit(t)))
+        .groupBy("id").count().where(col("count") > 1).count()
+      assert(ids == 0L, s"duplicate key visible at $t")
+    }
+    // not-a-history-table is loud
+    val flat = tmpTarget()
+    b1.write.parquet(flat)
+    val e = intercept[IllegalArgumentException](
+      ChangeTracking.asOf(spark, flat, current_timestamp()))
+    assert(e.getMessage.contains("track-history"))
+  }
+
   test("SCD2 within-batch multi-version processes ranks oldest to newest") {
     val target = tmpTarget()
     val b = Seq((1L, "v1", 100L), (1L, "v2", 200L), (1L, "v3", 300L))
