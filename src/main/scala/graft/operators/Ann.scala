@@ -580,7 +580,8 @@ object Ann {
       val dsub = model.dsub
       val checked = when(size(col(vecCol)) === model.dim, l2normalize(col(vecCol)))
         .otherwise(raise_error(concat(
-          lit(s"Pq.encode: vector dim "), size(col(vecCol)).cast("string"),
+          lit(s"Pq.encode: vector dim "),
+          coalesce(size(col(vecCol)).cast("string"), lit("NULL")),
           lit(s" != model dim ${model.dim}"))).cast("array<double>"))
       val codes = model.codebooks.toIndexedSeq.zipWithIndex.map { case (cb, j) =>
         // bind the subvector once — referenced ksub times by the argmin —
@@ -622,7 +623,8 @@ object Ann {
         model: PqModel, vec: Column, who: String): Column =
       when(size(vec) === model.dim, l2normalize(vec))
         .otherwise(raise_error(concat(
-          lit(s"$who: query dim "), size(vec).cast("string"),
+          lit(s"$who: query dim "),
+          coalesce(size(vec).cast("string"), lit("NULL")),
           lit(s" != model dim ${model.dim}"))).cast("array<double>"))
 
     /** Per-query ADC lookup table over an already-normalized vector:

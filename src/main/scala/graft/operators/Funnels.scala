@@ -39,12 +39,16 @@ object Funnels {
     require(steps.map(_._1).distinct.size == steps.size,
       "step names must be unique")
     val u = col(userCol)
-    var acc = df.where(steps.head._2)
+    // a null-ts event cannot order against anything: it would enter a
+    // user into the funnel with a null reach time that every later
+    // comparison silently fails — drop it from consideration entirely
+    val events = df.where(col(tsCol).isNotNull)
+    var acc = events.where(steps.head._2)
       .groupBy(u.as("__u"))
       .agg(min(col(tsCol)).as(s"${steps.head._1}_ts"))
     steps.zipWithIndex.tail.foreach { case ((name, pred), i) =>
       val prevTs = s"${steps(i - 1)._1}_ts"
-      val si = df.where(pred)
+      val si = events.where(pred)
         .select(u.as("__u"), col(tsCol).as("__ts"))
         .join(acc.select(col("__u"), col(prevTs)), "__u")
         .where(col("__ts") >= col(prevTs))

@@ -538,6 +538,10 @@ object StreamingOps {
       .select(org.apache.spark.sql.functions.col(pathCol).cast("string"))
       .where(org.apache.spark.sql.functions.col(pathCol).isNotNull)
       .distinct().collect().map(_.getString(0)) // bounded: file NAMES
+    // the multi-path read joins on "," (Hadoop's list syntax) — a comma
+    // INSIDE a path would silently split into two bogus paths
+    paths.find(_.contains(",")).foreach(p => throw new IllegalArgumentException(
+      s"warcIngestSink: path contains a comma (unsupported): $p"))
     if (paths.nonEmpty)
       graft.io.warc.Warc.readWarc(spark, paths.mkString(","))
         .withColumn("__batch_id", org.apache.spark.sql.functions.lit(batchId))
