@@ -916,6 +916,13 @@ object SparkEntry {
           .as("text"))
     }),
 
+    // ---- order-free corpus digest: replication-verification in one
+    // scan, constant-size compare ----
+    "q_corpus_fingerprint" -> ((s, dir) => {
+      operators.Validation.corpusFingerprint(t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+    }),
+
     // ---- SQL surface: graft functions callable from spark.sql ----
     "q_sql_surface" -> ((s, dir) => {
       graft.sql.GraftFunctions.register(s)
@@ -3157,6 +3164,19 @@ object SparkEntry {
     // length (strlen is BYTE length in DuckDB)
     "q_cdc_chunks" ->
       "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents",
+    // Fingerprint: both engines reduce the identical 60-bit row-hash
+    // prefixes with the same commutative ops.
+    "q_corpus_fingerprint" ->
+      """WITH h AS (SELECT ('0x' || substring(sha256(concat_ws(chr(9247),
+        |    coalesce(CAST(doc_id AS VARCHAR), ''), coalesce(text, ''),
+        |    coalesce(lang, ''), coalesce(source, ''),
+        |    coalesce(CAST(n_chars AS VARCHAR), ''))), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor64,
+        |  CAST(sum(h % 4294967296)::BIGINT AS BIGINT) AS sum_lo32
+        |FROM h""".stripMargin,
+
     // SQL surface: the registered function must equal the engine-
     // independent hex-prefix arithmetic.
     "q_sql_surface" ->

@@ -208,6 +208,34 @@ object Validation {
       greatest(lit(lo), least(lit(hi), col(valueCol).cast("double"))))
   }
 
+  /** Order-free corpus fingerprint: ONE row summarizing the exact
+    * multiset of rows — `(n_rows, xor64, sum_lo32)` over the 60-bit
+    * prefix of each row's U+241F sha-256 hash
+    * ([[graft.functions.Hashing]]). XOR and sum are commutative and
+    * associative, so the digest is identical under ANY partitioning,
+    * ordering, or engine — `fingerprint(copy) == fingerprint(original)`
+    * verifies a 100 TB replication in one scan with a constant-size
+    * compare. The two independent reductions cover each other's blind
+    * spots (XOR cancels duplicate PAIRS; the bounded 32-bit sum does
+    * not), and `n_rows` pins cardinality.
+    *
+    * `sum_lo32` sums the low 32 bits as longs — exact (no wraparound)
+    * up to 2³¹ rows per digest; shard larger corpora by a split column
+    * and fingerprint per shard.
+    */
+  def corpusFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "corpusFingerprint needs at least one column")
+    val h = graft.functions.VectorFunctions.hexPrefixToLong(
+      graft.functions.Hashing.rowHashOf(cols), 15)
+    df.select(h.as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        // bit-by-bit XOR via aggregate-of-xor (Spark has no bit_xor agg
+        // pre-3.x naming consistency issues; fold through sum of signed
+        // bits would be wrong — use the dedicated aggregate)
+        expr("bit_xor(__h)").as("xor64"),
+        sum(col("__h") % lit(4294967296L)).as("sum_lo32"))
+  }
+
   /** Population Stability Index between two snapshots of `valueCol` —
     * the classic score-drift gate (banking scorecards; here: quality
     * scores, perplexity, doc lengths between corpus refreshes). The

@@ -151,6 +151,27 @@ class ValidationSpec extends SparkTestBase {
     assert(e.getMessage.contains("unique"))
   }
 
+  test("corpusFingerprint: partition/order-invariant, change-sensitive, dup-pair safe") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"text $i")).toDF("id", "t")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      Validation.corpusFingerprint(d, Seq("id", "t")).collect()(0).toSeq
+    val base = fp(df)
+    assert(fp(df.repartition(13)) == base, "partitioning must not matter")
+    assert(fp(df.orderBy(col("id").desc)) == base, "order must not matter")
+    // one changed row changes the digest
+    val changed = df.withColumn("t",
+      when(col("id") === 50L, lit("text 50!")).otherwise(col("t")))
+    assert(fp(changed) != base)
+    // a DUPLICATED pair xor-cancels — but n_rows and sum_lo32 catch it
+    val dup50 = df.unionAll(df.where(col("id") === 50L))
+      .unionAll(df.where(col("id") === 50L))
+    val d = fp(dup50)
+    assert(d(1) == base(1), "xor blind spot is real (duplicate pair cancels)")
+    assert(d != base, "…but the composite digest still differs")
+    intercept[IllegalArgumentException](Validation.corpusFingerprint(df, Nil))
+  }
+
   test("populationStability matches a hand-computed PSI, nulls get their own bin") {
     import spark.implicits._
     // before: 4 low, 4 high; after: 2 low, 4 high, 2 null — the null
