@@ -59,15 +59,27 @@ object Warc {
   def readWarc(spark: SparkSession, path: String): DataFrame = {
     val rdd = spark.sparkContext
       .binaryFiles(path)
-      .flatMap { case (file, pds) =>
-        val raw = pds.open()
-        val in: InputStream =
-          if (file.endsWith(".gz") || file.endsWith(".wgz"))
-            new GZIPInputStream(new BufferedInputStream(raw, 1 << 16), 1 << 16)
-          else new BufferedInputStream(raw, 1 << 16)
-        recordIterator(file, new CountingInputStream(in))
-      }
+      .flatMap { case (file, pds) => records(file, pds.open()) }
     spark.createDataset(rdd)(Encoders.product[WarcRecord]).toDF()
+  }
+
+  /** Record iterator over a raw (possibly gzipped, by suffix) stream —
+    * shared by [[readWarc]] and the DSv2 connector. The returned
+    * closeable aborts the stream on early termination (limit pushdown,
+    * task kill); normal exhaustion closes it automatically.
+    */
+  private[warc] def records(
+      file: String, raw: InputStream): Iterator[WarcRecord] =
+    recordsWithResource(file, raw)._1
+
+  private[warc] def recordsWithResource(
+      file: String, raw: InputStream): (Iterator[WarcRecord], java.io.Closeable) = {
+    val in: InputStream =
+      if (file.endsWith(".gz") || file.endsWith(".wgz"))
+        new GZIPInputStream(new BufferedInputStream(raw, 1 << 16), 1 << 16)
+      else new BufferedInputStream(raw, 1 << 16)
+    val counted = new CountingInputStream(in)
+    (recordIterator(file, counted), counted)
   }
 
   /** Export `df` as WARC response records — the fixture/interchange

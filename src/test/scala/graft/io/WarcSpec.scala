@@ -142,6 +142,35 @@ class WarcSpec extends SparkTestBase {
       (4L, "line\nbreaks\r\nand\ttabs", 200, "response")))
   }
 
+  test("DSv2 graft-warc format equals readWarc, prunes columns, caps on limit") {
+    val dir = tmpDir("warc_dsv2_") + "/out"
+    val docs = (1L to 20L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+      .withColumn("uri", concat(lit("https://e.org/"), col("doc_id")))
+      .withColumn("payload", encode(col("text"), "utf-8"))
+      .repartition(3)
+    Warc.writeWarc(docs, dir, "uri", "payload")
+    val viaApi = Warc.readWarc(spark, s"$dir/*.warc.gz")
+      .select("target_uri", "http_status").collect()
+      .map(_.toString).sorted.toSeq
+    val viaFormat = spark.read.format("graft-warc").load(dir)
+      .select("target_uri", "http_status").collect()
+      .map(_.toString).sorted.toSeq
+    assert(viaFormat == viaApi && viaFormat.size == 20)
+    // pruning reaches the scan description
+    val pruned = spark.read.format("graft-warc").load(dir)
+      .select("target_uri")
+    val desc = pruned.queryExecution.executedPlan.toString
+    assert(desc.contains("cols=target_uri"),
+      s"pruned scan must carry only the required column:\n$desc")
+    // limit caps per partition (3 files -> at most 3 x 2 rows reach Spark)
+    val limited = spark.read.format("graft-warc").load(dir).limit(2)
+    assert(limited.count() == 2)
+    assert(limited.queryExecution.executedPlan.toString.contains("limit=2"))
+    // missing path / no matches are loud
+    intercept[IllegalArgumentException](
+      spark.read.format("graft-warc").load(dir + "/nope").collect())
+  }
+
   test("writeWarc output is byte-deterministic across runs") {
     val base = tmpDir("warc_det_")
     val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
