@@ -736,6 +736,24 @@ object SparkEntry {
           col("http_status").cast("bigint").as("http_status"))
     }),
 
+    // ---- same round-trip through the DSv2 `graft-warc` format (the
+    // SQL/catalog access path must agree with the function API) ----
+    "q_warc_dsv2" -> ((s, dir) => {
+      val scratch = scratchDir("graft_warc2_") + "/corpus"
+      val docs = t(s, dir, "documents")
+        .withColumn("uri",
+          concat(lit("https://example.org/doc/"), col("doc_id")))
+        .withColumn("payload", encode(col("text"), "utf-8"))
+        .repartition(8)
+      io.warc.Warc.writeWarc(docs, scratch, "uri", "payload")
+      s.read.format("graft-warc").load(scratch)
+        .where(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("bigint").as("doc_id"),
+          decode(col("payload"), "utf-8").as("text"))
+    }),
+
     // Clustered layout + write-side parquet bloom filters on the id, then
     // point lookups against the laid-out copy: row-group stats prune the
     // range predicate, the bloom filter prunes the equality probes.
@@ -3160,6 +3178,8 @@ object SparkEntry {
       "SELECT doc_id, source FROM documents",
     "q_warc_roundtrip" ->
       "SELECT doc_id, text, CAST(200 AS BIGINT) AS http_status FROM documents",
+    "q_warc_dsv2" ->
+      "SELECT doc_id, text FROM documents",
     // CDC tiling invariant: chunk sizes per doc sum to the utf-8 byte
     // length (strlen is BYTE length in DuckDB)
     "q_cdc_chunks" ->

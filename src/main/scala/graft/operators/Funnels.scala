@@ -34,24 +34,35 @@ object Funnels {
       df: DataFrame,
       userCol: String,
       tsCol: String,
-      steps: Seq[(String, Column)]): DataFrame = {
+      steps: Seq[(String, Column)],
+      withinSeconds: Option[Long] = None): DataFrame = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
     require(steps.map(_._1).distinct.size == steps.size,
       "step names must be unique")
+    withinSeconds.foreach(w => require(w >= 1,
+      s"withinSeconds must be >= 1, got $w"))
     val u = col(userCol)
     // a null-ts event cannot order against anything: it would enter a
     // user into the funnel with a null reach time that every later
     // comparison silently fails — drop it from consideration entirely
     val events = df.where(col(tsCol).isNotNull)
+    val firstTs = s"${steps.head._1}_ts"
     var acc = events.where(steps.head._2)
       .groupBy(u.as("__u"))
-      .agg(min(col(tsCol)).as(s"${steps.head._1}_ts"))
+      .agg(min(col(tsCol)).as(firstTs))
     steps.zipWithIndex.tail.foreach { case ((name, pred), i) =>
       val prevTs = s"${steps(i - 1)._1}_ts"
+      // conversion-window variant: later steps only count within
+      // `withinSeconds` of the user's FIRST-step reach (the "converted
+      // within 7 days" convention — anchored at entry, not per-step)
+      val inWindow = withinSeconds
+        .map(w => col("__ts") <= col(firstTs) + expr(s"INTERVAL $w SECOND"))
+        .getOrElse(lit(true))
       val si = events.where(pred)
         .select(u.as("__u"), col(tsCol).as("__ts"))
-        .join(acc.select(col("__u"), col(prevTs)), "__u")
-        .where(col("__ts") >= col(prevTs))
+        .join(acc.select(Seq("__u", prevTs, firstTs).distinct.map(col): _*),
+          "__u")
+        .where(col("__ts") >= col(prevTs) && inWindow)
         .groupBy("__u")
         .agg(min(col("__ts")).as(s"${name}_ts"))
       acc = acc.join(si, Seq("__u"), "left")
@@ -71,8 +82,9 @@ object Funnels {
       df: DataFrame,
       userCol: String,
       tsCol: String,
-      steps: Seq[(String, Column)]): DataFrame = {
-    val users = funnelUsers(df, userCol, tsCol, steps)
+      steps: Seq[(String, Column)],
+      withinSeconds: Option[Long] = None): DataFrame = {
+    val users = funnelUsers(df, userCol, tsCol, steps, withinSeconds)
     val perStep = steps.zipWithIndex.map { case ((name, _), i) =>
       struct(lit(i + 1).cast("long").as("step"), lit(name).as("step_name"),
         when(col(s"${name}_ts").isNotNull, 1L).otherwise(0L).as("__r"))

@@ -51,6 +51,25 @@ class FunnelsSpec extends SparkTestBase {
     assert(out(1L).getAs[Timestamp]("purchase_ts") == ts("2026-01-01 10:10:00"))
   }
 
+  test("withinSeconds anchors the conversion window at funnel entry") {
+    // user 1: click +300s, purchase +600s after entry. The boundary is
+    // inclusive: a 600s window keeps the purchase, a 599s window cuts it
+    val out = Funnels.funnelUsers(events, "user_id", "ts", steps,
+      withinSeconds = Some(600L))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        r.getAs[Long]("steps_completed")).toMap
+    assert(out(1L) == 3L, "purchase at exactly +600s is INSIDE (<=)")
+    val tight = Funnels.funnelUsers(events, "user_id", "ts", steps,
+      withinSeconds = Some(599L))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        r.getAs[Long]("steps_completed")).toMap
+    assert(tight(1L) == 2L, "at a 599s window the +600s purchase is OUT")
+    // a tiny window still keeps simultaneous-entry reaches (user 5)
+    assert(tight(5L) == 2L)
+    intercept[IllegalArgumentException](
+      Funnels.funnelUsers(events, "user_id", "ts", steps, Some(0L)))
+  }
+
   test("funnelCounts summarizes steps; validation is loud") {
     val out = Funnels.funnelCounts(events, "user_id", "ts", steps)
       .orderBy("step").as[(Long, String, Long)].collect().toSeq
