@@ -68,11 +68,11 @@ object Warc {
     * closeable aborts the stream on early termination (limit pushdown,
     * task kill); normal exhaustion closes it automatically.
     */
-  private[warc] def records(
+  private[io] def records(
       file: String, raw: InputStream): Iterator[WarcRecord] =
     recordsWithResource(file, raw)._1
 
-  private[warc] def recordsWithResource(
+  private[io] def recordsWithResource(
       file: String, raw: InputStream): (Iterator[WarcRecord], java.io.Closeable) = {
     val in: InputStream =
       if (file.endsWith(".gz") || file.endsWith(".wgz"))

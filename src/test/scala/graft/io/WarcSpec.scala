@@ -171,6 +171,34 @@ class WarcSpec extends SparkTestBase {
       spark.read.format("graft-warc").load(dir + "/nope").collect())
   }
 
+  test("fuzz: arbitrary junk either parses or fails loud — never hangs or corrupts") {
+    val rnd = new java.util.Random(99)
+    (1 to 60).foreach { i =>
+      val n = rnd.nextInt(400)
+      val junk = new Array[Byte](n)
+      rnd.nextBytes(junk)
+      // make some cases LOOK like warc starts to reach deeper code paths
+      val bytes =
+        if (i % 3 == 0) "WARC/1.0\r\n".getBytes("UTF-8") ++ junk
+        else if (i % 3 == 1) junk
+        else ("WARC/1.0\r\nContent-Length: " + rnd.nextInt(1000) +
+          "\r\n\r\n").getBytes("UTF-8") ++ junk
+      val (it, res) = Warc.recordsWithResource(s"fuzz-$i",
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        // must terminate: either yields records or throws
+        val outcome = scala.util.Try { it.size }
+        outcome match {
+          case scala.util.Success(k) => assert(k >= 0)
+          case scala.util.Failure(e) =>
+            assert(e.getMessage == null || e.getMessage.contains(s"fuzz-$i") ||
+              e.isInstanceOf[java.io.EOFException],
+              s"unexpected error shape: $e")
+        }
+      } finally { scala.util.Try(res.close()): Unit }
+    }
+  }
+
   test("writeWarc output is byte-deterministic across runs") {
     val base = tmpDir("warc_det_")
     val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")

@@ -48,6 +48,16 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(row.getAs[String]("stripped") == "cafe")
   }
 
+  test("the extensions entry point injects the same function list") {
+    // the cluster-wide path shares the builders with register(); this
+    // pins that apply() wires every function without throwing
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(GraftFunctions.functions.nonEmpty)
+    assert(GraftFunctions.functions.map(_._1).distinct.size ==
+      GraftFunctions.functions.size, "function names must be unique")
+  }
+
   test("non-literal parameters fail loudly at analysis") {
     Seq(Tuple1("x")).toDF("t").createOrReplaceTempView("g2")
     val e = intercept[Exception](
