@@ -118,6 +118,31 @@ object Dedup {
     * pinned ([[graft.core.Caches]] has the contract). [[dedupCorpus]] does
     * this internally.
     */
+  /** Banded-LSH operating point advisor: for each divisor-of-`numPerms`
+    * band count, the S-curve candidate probability
+    * `P(candidate | jaccard = s) = 1 − (1 − s^r)^b` at the target
+    * threshold, plus the curve's inflection `(1/b)^(1/r)` (the
+    * similarity where the sketch "turns on"). Pick the row whose
+    * inflection sits just below your threshold: fewer bands → fewer
+    * false candidates but misses near the threshold; more bands → the
+    * opposite. Pure driver-side arithmetic — run it BEFORE committing a
+    * 100 TB corpus to one (bands, rows) choice.
+    *
+    * Output per candidate plan: (bands, rows_per_band,
+    * p_candidate_at_threshold, inflection).
+    */
+  def lshPlan(numPerms: Int, threshold: Double): Seq[(Int, Int, Double, Double)] = {
+    require(numPerms >= 2, s"numPerms must be >= 2, got $numPerms")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    (1 to numPerms).filter(numPerms % _ == 0).map { b =>
+      val r = numPerms / b
+      val p = 1.0 - math.pow(1.0 - math.pow(threshold, r), b)
+      val inflection = math.pow(1.0 / b, 1.0 / r)
+      (b, r, p, inflection)
+    }
+  }
+
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,

@@ -397,6 +397,22 @@ class TextDedupSpec extends SparkTestBase {
       "40%-boilerplate docs are far below jaccard 0.8 and must not pair")
   }
 
+  test("lshPlan matches the S-curve formula and brackets the threshold") {
+    val plans = Dedup.lshPlan(16, 0.5)
+    assert(plans.map(_._1) == Seq(1, 2, 4, 8, 16), "all divisors, ascending")
+    plans.foreach { case (b, r, p, infl) =>
+      assert(b * r == 16)
+      assert(math.abs(p - (1.0 - math.pow(1.0 - math.pow(0.5, r), b))) < 1e-12)
+      assert(math.abs(infl - math.pow(1.0 / b, 1.0 / r)) < 1e-12)
+    }
+    // more bands -> higher candidate probability at any fixed s
+    assert(plans.map(_._3) == plans.map(_._3).sorted)
+    // the default operating point (16 perms, 4 bands) turns on below 0.5
+    val four = plans.find(_._1 == 4).get
+    assert(four._4 < 0.75 && four._3 > 0.2)
+    intercept[IllegalArgumentException](Dedup.lshPlan(16, 1.0))
+  }
+
   test("chunkTokens windows overlap by window-stride; short docs one chunk; empty none") {
     val df = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
