@@ -934,6 +934,18 @@ object SparkEntry {
           .as("text"))
     }),
 
+    // ---- deterministic mean pooling: chunk embeddings → group vectors
+    // via nano-unit sums, posexploded for the oracle compare ----
+    "q_pool_embeddings" -> ((s, dir) => {
+      val pooled = similarity.Pooling.meanPool(
+        t(s, dir, "embeddings")
+          .select((col("vec_id") % 100).as("gid"), col("embedding")),
+        "gid", "embedding")
+      pooled.select(col("gid"),
+          posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("gid"), col("dim").cast("bigint").as("dim"), col("val"))
+    }),
+
     // ---- order-free corpus digest: replication-verification in one
     // scan, constant-size compare ----
     "q_corpus_fingerprint" -> ((s, dir) => {
@@ -3184,6 +3196,20 @@ object SparkEntry {
     // length (strlen is BYTE length in DuckDB)
     "q_cdc_chunks" ->
       "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents",
+    // Pooling: identical nano quantization, order-free integer sums,
+    // one exact double division at the end.
+    "q_pool_embeddings" ->
+      """WITH ex AS (
+        |  SELECT vec_id % 100 AS gid,
+        |    generate_subscripts(embedding, 1) AS pos,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e9) AS BIGINT)
+        |      AS nano
+        |  FROM embeddings)
+        |SELECT gid, CAST(pos - 1 AS BIGINT) AS dim,
+        |  (CAST(sum(nano) AS BIGINT)::DOUBLE / CAST(count(*) AS BIGINT))
+        |    / 1e9 AS val
+        |FROM ex GROUP BY gid, pos""".stripMargin,
+
     // Fingerprint: both engines reduce the identical 60-bit row-hash
     // prefixes with the same commutative ops.
     "q_corpus_fingerprint" ->

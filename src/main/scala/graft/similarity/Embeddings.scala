@@ -155,3 +155,60 @@ final case class BatchEncoderEmbeddingGenerator(
     if (dropInput) out.drop(inputCol) else out
   }
 }
+
+/** Vector aggregation across rows — chunk embeddings → document
+  * embeddings ([[graft.operators.TextAnalysis.chunkTokens]] upstream,
+  * [[graft.operators.Ann]] downstream).
+  */
+object Pooling {
+
+  /** Mean-pool `vecCol` per `idCol` group, DETERMINISTICALLY: components
+    * are quantized to integer nano-units before the cross-row sum (the
+    * PageRank discipline — long addition is order-free, so the pooled
+    * vector is bit-identical under any partitioning and in any engine
+    * mirroring the arithmetic), then divided back out as doubles.
+    * The 1e-9 per-component quantization is far below embedding noise.
+    *
+    * Shape: one explode → (id, pos)-keyed sum (map-side partials absorb
+    * the fan-out) → per-id regroup via sorted collect_list — vectors
+    * travel as components, never as whole arrays through a shuffle
+    * twice. Ragged dimensions fail LOUD per group (a silently truncated
+    * or zero-padded pool would corrupt every downstream similarity).
+    * NULL vectors are excluded from the mean (documented; a group of
+    * only nulls disappears).
+    */
+  def meanPool(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outCol: String = "embedding"): DataFrame = {
+    val exploded = df
+      .where(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), size(col(vecCol)).as("__d"),
+        posexplode(transform(col(vecCol),
+          x => round(x.cast("double") * 1e9).cast("long")))
+          .as(Seq("__pos", "__nano")))
+    val perPos = exploded
+      .groupBy("__id", "__pos")
+      .agg(sum(col("__nano")).as("__sum"), count(lit(1)).as("__n"),
+        min(col("__d")).as("__dmin"), max(col("__d")).as("__dmax"))
+    perPos
+      .groupBy("__id")
+      .agg(
+        min(col("__dmin")).as("__gdmin"), max(col("__dmax")).as("__gdmax"),
+        min(col("__n")).as("__nmin"), max(col("__n")).as("__nmax"),
+        sort_array(collect_list(struct(col("__pos"),
+          ((col("__sum").cast("double") / col("__n")) / lit(1e9)).as("__m"))))
+          .as("__parts"))
+      .select(col("__id").as(idCol),
+        when(col("__gdmin") === col("__gdmax") && col("__nmin") === col("__nmax"),
+          transform(col("__parts"), p => p.getField("__m")))
+          .otherwise(raise_error(concat(
+            lit("meanPool: ragged vector dimensions in group "),
+            col("__id").cast("string"),
+            lit(" (dims "), col("__gdmin").cast("string"),
+            lit(".."), col("__gdmax").cast("string"), lit(")")))
+            .cast("array<double>"))
+          .as(outCol))
+  }
+}

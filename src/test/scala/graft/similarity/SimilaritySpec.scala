@@ -116,4 +116,31 @@ class SimilaritySpec extends SparkTestBase {
       assert(byCluster(0) == 221L && byCluster(4) == 120L && byCluster(6) == 224L)
     } finally clustered.unpersist()
   }
+
+  test("meanPool: exact nano-unit means, partition-invariant, ragged loud") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0, 2.0, 3.0)),
+      (1L, Array(2.0, 4.0, 9.0)),
+      (2L, Array(0.5, -0.5, 0.25)),
+      (3L, null.asInstanceOf[Array[Double]]),   // null-only group vanishes
+      (2L, null.asInstanceOf[Array[Double]]))   // null excluded from mean
+      .toDF("doc_id", "vec")
+    val out = Pooling.meanPool(df, "doc_id", "vec")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Double](1)).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == Seq(1.5, 3.0, 6.0))
+    assert(out(2L) == Seq(0.5, -0.5, 0.25))
+    // partitioning must not change a bit
+    val re = Pooling.meanPool(df.repartition(7), "doc_id", "vec")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Double](1)).toMap
+    assert(re == out)
+    // ragged dims inside a group fail loud
+    val ragged = Seq((1L, Array(1.0, 2.0)), (1L, Array(1.0, 2.0, 3.0)))
+      .toDF("doc_id", "vec")
+    val e = intercept[Exception](
+      Pooling.meanPool(ragged, "doc_id", "vec").collect())
+    assert(e.getMessage.contains("ragged"))
+  }
 }
