@@ -353,6 +353,27 @@ class PropertySpec extends SparkTestBase {
     }, n = 60)
   }
 
+  test("meanPool equals the nano-exact driver reference for arbitrary groups") {
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-10.0, 10.0))
+    val rowGen = for {
+      g <- Gen.chooseNum(1, 3)
+      v <- vecGen
+    } yield (g.toLong, v.toArray)
+    check(Prop.forAll(Gen.nonEmptyListOf(rowGen).map(_.take(12))) { rows =>
+      val df = rows.toDF("gid", "vec")
+      val got = graft.similarity.Pooling.meanPool(df, "gid", "vec")
+        .collect().map(r => r.getAs[Long]("gid") -> r.getSeq[Double](1)).toMap
+      val expect = rows.groupBy(_._1).map { case (g, rs) =>
+        val nanos = rs.map(_._2.map(x => math.round(x * 1e9)))
+        val sums = nanos.transpose.map(_.sum)
+        g -> sums.map(s => (s.toDouble / rs.size) / 1e9).toSeq
+      }
+      got.keySet == expect.keySet && expect.forall { case (g, v) =>
+        got(g) == v // EXACT equality — the nano discipline's whole point
+      }
+    }, n = 40)
+  }
+
   test("noveltyFrac equals a brute-force first-seen reference on arbitrary corpora") {
     val tokGen = Gen.oneOf("aa", "bb", "cc", "dd")
     val docGen = for {
