@@ -922,6 +922,17 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nprobe = 4)
     }),
 
+    // ---- markdown code-fence extraction: every 5th doc carries a
+    // planted python fence ----
+    "q_code_blocks" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("\n```python\nprint("), col("doc_id"), lit(")\n```\n")))
+            .otherwise(lit(""))).as("text"))
+      operators.TextAnalysis.markdownCodeBlocks(planted, "doc_id", "text")
+    }),
+
     // ---- mojibake repair: every 7th doc carries a cp1252-mangled
     // suffix; the oracle states the clean text directly ----
     "q_fix_mojibake" -> ((s, dir) => {
@@ -3295,6 +3306,13 @@ object SparkEntry {
         |  CAST(least(32, len(toks) - s * 24) AS BIGINT) AS n_tokens,
         |  array_to_string(toks[s * 24 + 1 : s * 24 + 32], ' ') AS chunk_text
         |FROM ex""".stripMargin,
+
+    // Code fences: the planted block (and nothing else) extracts with
+    // its tag and trailing newline.
+    "q_code_blocks" ->
+      ("SELECT doc_id, CAST(0 AS BIGINT) AS block_idx, 'python' AS lang, " +
+        "'print(' || doc_id || ')' || chr(10) AS code " +
+        "FROM documents WHERE doc_id % 5 = 0"),
 
     // Mojibake: the repair must recover the exact clean literal on the
     // planted docs and leave the ASCII corpus untouched.

@@ -484,6 +484,42 @@ object TextAnalysis {
         - lit(84.6) * (syl.cast("double") / words.cast("double")))
   }
 
+  /** Fenced markdown code blocks, one row per block: `(idCol, block_idx,
+    * lang, code)` — the code-vs-prose separation step of a training mix
+    * (code goes to the code subset with its language tag; prose keeps
+    * flowing through the text filters, see [[stripCodeBlocks]]).
+    * Fences are ``` runs at line starts with an optional language tag;
+    * an unterminated fence swallows nothing (it is not a block).
+    * Pure regexp projection + explode, no shuffle, SQL-mirrorable.
+    */
+  def markdownCodeBlocks(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val langs = regexp_extract_all(t, lit(FenceRe), lit(1))
+    val codes = regexp_extract_all(t, lit(FenceRe), lit(2))
+    df.select(col(idCol),
+        posexplode(zip_with(langs, codes,
+          (l, c) => struct(l.as("lang"), c.as("code"))))
+          .as(Seq("block_idx", "__b")))
+      .select(col(idCol), col("block_idx").cast("long").as("block_idx"),
+        col("__b.lang").as("lang"), col("__b.code").as("code"))
+  }
+
+  /** The prose remainder: fenced blocks replaced by a single space (so
+    * the surrounding sentences don't fuse), whitespace left otherwise
+    * untouched.
+    */
+  def stripCodeBlocks(text: Column): Column =
+    regexp_replace(coalesce(text, lit("")), FenceRe, " ")
+
+  /** Fence pattern shared by extraction, stripping, and the SQL twins:
+    * line-anchored ``` with an optional word tag, lazily up to the
+    * closing line-anchored ```.
+    */
+  val FenceRe: String = "(?sm)^```(\\w*)[\\t ]*\\n(.*?)^```[\\t ]*$"
+
   /** Sliding token-window chunking — the retrieval/embedding chunker: one
     * row per window of `window` tokens advancing by `stride` (overlap =
     * window − stride), `(idCol, chunk_idx, chunk_start, n_tokens,

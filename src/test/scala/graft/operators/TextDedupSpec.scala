@@ -397,6 +397,35 @@ class TextDedupSpec extends SparkTestBase {
       "40%-boilerplate docs are far below jaccard 0.8 and must not pair")
   }
 
+  test("markdownCodeBlocks extracts fences with tags; strip leaves prose") {
+    val md =
+      """Intro prose.
+        |```scala
+        |val x = 1
+        |val y = 2
+        |```
+        |Middle words.
+        |```
+        |plain block
+        |```
+        |Trailing ``` unterminated fence
+        |""".stripMargin
+    val df = Seq((1L, md), (2L, "no code at all"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val blocks = TextAnalysis.markdownCodeBlocks(df, "id", "text")
+      .orderBy("id", "block_idx")
+      .select("id", "block_idx", "lang", "code")
+      .as[(Long, Long, String, String)].collect().toSeq
+    assert(blocks == Seq(
+      (1L, 0L, "scala", "val x = 1\nval y = 2\n"),
+      (1L, 1L, "", "plain block\n")))
+    val prose = df.where(col("id") === 1L)
+      .select(TextAnalysis.stripCodeBlocks(col("text"))).as[String].head()
+    assert(prose.contains("Intro prose.") && prose.contains("Middle words."))
+    assert(!prose.contains("val x") && !prose.contains("plain block"))
+    assert(prose.contains("unterminated"), "unterminated fence is not a block")
+  }
+
   test("lshPlan matches the S-curve formula and brackets the threshold") {
     val plans = Dedup.lshPlan(16, 0.5)
     assert(plans.map(_._1) == Seq(1, 2, 4, 8, 16), "all divisors, ascending")
