@@ -922,6 +922,50 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nprobe = 4)
     }),
 
+    // ---- crawl-tier pipeline witness: corpus → WARC export → streamed
+    // parse-back → per-host robots gate → mojibake repair → token stats,
+    // ONE integrated oracle over the final rows (T96+T101+T103 composed)
+    "q_pipeline_crawl" -> ((s, dir) => {
+      val scratch = scratchDir("graft_crawlpipe_") + "/corpus"
+      val mangled = lit(graft.functions.MojibakeFunctions
+        .cp1252Mangled(" Café — déjà “vu” …"))
+      val docs = t(s, dir, "documents")
+        .withColumn("uri",
+          concat(lit("https://"), col("source"), lit(".example.com"),
+            when(col("doc_id") % 4 === 0,
+              concat(lit("/private/"), col("doc_id")))
+              .when(col("doc_id") % 4 === 1, lit("/private/stats"))
+              .when(col("doc_id") % 4 === 2,
+                concat(lit("/archive/"), col("doc_id"), lit(".zip")))
+              .otherwise(concat(lit("/public/"), col("doc_id")))))
+        .withColumn("payload", encode(
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0, mangled).otherwise(lit(""))),
+          "utf-8"))
+        .repartition(8)
+      io.warc.Warc.writeWarc(docs, scratch, "uri", "payload")
+      val graftGroup = "User-agent: graftbot\nDisallow: /private/\n" +
+        "Allow: /private/stats$\nDisallow: /archive/*.zip\n\n"
+      val starGroup = "User-agent: *\nDisallow: /\n"
+      val robots = t(s, dir, "documents").select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("domain"),
+          when(length(col("source")) % 2 === 0, lit(graftGroup + starGroup))
+            .otherwise(lit(starGroup)).as("robots"))
+      val fetched = io.warc.Warc.readWarc(s, scratch + "/*.warc.gz")
+        .where(col("warc_type") === "response")
+        .select(col("target_uri").as("url"),
+          decode(col("payload"), "utf-8").as("raw_text"))
+      val allowed = operators.Robots.filterAllowed(fetched, "url", robots,
+        "domain", "robots", "graftbot")
+      val ta = operators.TextAnalysis
+      allowed
+        .select(col("url"),
+          graft.functions.MojibakeFunctions.fixMojibake(col("raw_text"))
+            .as("text"))
+        .select(col("url"), col("text"),
+          ta.tokenCount(col("text")).cast("bigint").as("n_tok"))
+    }),
+
     // ---- markdown code-fence extraction: every 5th doc carries a
     // planted python fence ----
     "q_code_blocks" -> ((s, dir) => {
@@ -3306,6 +3350,27 @@ object SparkEntry {
         |  CAST(least(32, len(toks) - s * 24) AS BIGINT) AS n_tokens,
         |  array_to_string(toks[s * 24 + 1 : s * 24 + 32], ' ') AS chunk_text
         |FROM ex""".stripMargin,
+
+    // Crawl pipeline witness: survivors = even-length sources (the ones
+    // with a graftbot group) at the stats/public paths; text carries the
+    // repaired clean literal on every 7th doc; token count over the
+    // final text. One divergence anywhere in the WARC/robots/mojibake
+    // chain breaks the hash.
+    "q_pipeline_crawl" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    text || CASE WHEN doc_id % 7 = 0 THEN ' Café — déjà “vu” …'
+        |      ELSE '' END AS text
+        |  FROM documents
+        |  WHERE length(source) % 2 = 0 AND doc_id % 4 IN (1, 3))
+        |SELECT
+        |  'https://' || source || '.example.com' ||
+        |    CASE WHEN doc_id % 4 = 1 THEN '/private/stats'
+        |         ELSE '/public/' || doc_id END AS url,
+        |  text,
+        |  CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |       t -> t <> '')) AS BIGINT) AS n_tok
+        |FROM base""".stripMargin,
 
     // Code fences: the planted block (and nothing else) extracts with
     // its tag and trailing newline.
