@@ -4,18 +4,29 @@ import org.apache.spark.sql.SparkSession
 
 /** Minimal CLI mirroring the reference's Typer commands
   * (src/spark_fuse/tools/cli.py): `datasources` lists the registered
-  * formats, `read` previews a connector load.
+  * formats, `read` previews a connector load — extended with the
+  * round-10 ops audits: `layout` prints the parquet layout report,
+  * `fingerprint` the order-free corpus digest (compare two tables'
+  * lines to verify a replication).
   *
   * Usage:
   *   graft.tools.Cli datasources
   *   graft.tools.Cli read --format rest|sparql|qdrant --config <json> [--n 10]
+  *   graft.tools.Cli layout --path <parquet-dir> [--n 50]
+  *   graft.tools.Cli fingerprint --path <parquet-dir> --cols a,b,c
   */
 object Cli {
 
   private val Formats = Map(
     "rest" -> ("graft-rest", graft.io.rest.RestApi.ConfigOption),
     "sparql" -> ("graft-sparql", graft.io.sparql.Sparql.ConfigOption),
-    "qdrant" -> ("graft-qdrant", graft.io.qdrant.Qdrant.ConfigOption))
+    "qdrant" -> ("graft-qdrant", graft.io.qdrant.Qdrant.ConfigOption),
+    "warc" -> ("graft-warc", "path"))
+
+  private def optMap(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("datasources") =>
@@ -25,11 +36,9 @@ object Cli {
       // scalastyle:on println
       }
     case Some("read") =>
-      val opts = args.drop(1).sliding(2, 2).collect {
-        case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
-      }.toMap
+      val opts = optMap(args.drop(1))
       val fmt = opts.getOrElse("format",
-        sys.error("--format is required (rest|sparql|qdrant)"))
+        sys.error("--format is required (rest|sparql|qdrant|warc)"))
       val (format, configOption) = Formats.getOrElse(fmt,
         sys.error(s"unknown format '$fmt'"))
       val config = opts.getOrElse("config", sys.error("--config is required"))
@@ -40,8 +49,28 @@ object Cli {
         df.show(n, truncate = false)
         df.printSchema()
       } finally spark.stop()
+    case Some("layout") =>
+      val opts = optMap(args.drop(1))
+      val path = opts.getOrElse("path", sys.error("--path is required"))
+      val n = opts.getOrElse("n", "50").toInt
+      val spark = graft.core.Sessions.createSession("graft-cli")
+      try graft.operators.Compaction.layoutReport(spark, path)
+        .orderBy("file", "row_group", "column").show(n, truncate = false)
+      finally spark.stop()
+    case Some("fingerprint") =>
+      val opts = optMap(args.drop(1))
+      val path = opts.getOrElse("path", sys.error("--path is required"))
+      val cols = opts.getOrElse("cols", sys.error("--cols is required"))
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val spark = graft.core.Sessions.createSession("graft-cli")
+      try graft.operators.Validation
+        .corpusFingerprint(spark.read.parquet(path), cols)
+        .show(truncate = false)
+      finally spark.stop()
     case _ =>
-      System.err.println("usage: graft.tools.Cli datasources | read --format f --config json [--n 10]")
+      System.err.println(
+        "usage: graft.tools.Cli datasources | read --format f --config json " +
+          "[--n 10] | layout --path p [--n 50] | fingerprint --path p --cols a,b")
       sys.exit(2)
   }
 }

@@ -46,7 +46,7 @@ class SessionsCliSpec extends SparkTestBase {
     val buf = new ByteArrayOutputStream()
     Console.withOut(buf) { graft.tools.Cli.main(Array("datasources")) }
     val out = buf.toString
-    Seq("graft-rest", "graft-sparql", "graft-qdrant").foreach { f =>
+    Seq("graft-rest", "graft-sparql", "graft-qdrant", "graft-warc").foreach { f =>
       assert(out.contains(f), s"missing $f in:\n$out")
     }
   }
