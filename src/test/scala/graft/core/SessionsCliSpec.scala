@@ -50,4 +50,11 @@ class SessionsCliSpec extends SparkTestBase {
       assert(out.contains(f), s"missing $f in:\n$out")
     }
   }
+
+  test("factory sessions carry the SQL surface") {
+    val s = Sessions.createSession("graft-test") // getOrCreate + register
+    val v = s.sql("SELECT graft_sumsq(array(3.0d, 4.0d)) AS ss")
+      .collect()(0).getDouble(0)
+    assert(v == 25.0)
+  }
 }
