@@ -1586,6 +1586,18 @@ object SparkEntry {
         seeds, "node", iterations = 3)
     }),
 
+    // ---- IDN canonicalization: planted unicode hostnames must reach
+    // their exact punycode forms; ASCII stays byte-identical ----
+    "q_idn_hosts" -> ((s, dir) => {
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("münchen"))
+          .when(col("doc_id") % 3 === 1, lit("пример"))
+          .otherwise(lit("plain")),
+        lit("."), col("source"), lit(".example.com/d/"), col("doc_id"))
+      t(s, dir, "documents").select(col("doc_id"),
+        operators.Urls.asciiHost(url).as("ascii_host"))
+    }),
+
     // ---- URL hygiene: canonicalization, domains, per-domain quota ----
     "q_url_canonical" -> ((s, dir) => {
       urlCorpus(s, dir).select(col("doc_id"),
@@ -2401,6 +2413,16 @@ object SparkEntry {
         |SELECT node, pr FROM i3""".stripMargin,
 
     // URL canonicalization: the urls CTE mirrors urlCorpus verbatim; the
+    // IDN: the punycode forms are fixed by RFC 3490/3492 — the oracle
+    // states them as literals.
+    "q_idn_hosts" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'xn--mnchen-3ya.'
+        |    WHEN 1 THEN 'xn--e1afmkfd.'
+        |    ELSE 'plain.' END || source || '.example.com' AS ascii_host
+        |FROM documents""".stripMargin,
+
     // rest mirrors Urls.canonicalizeUrl / registrableDomain step-by-step
     // (anchored RE2-safe regexes, byte-wise param sort, PSL-lite domain).
     "q_url_canonical" ->

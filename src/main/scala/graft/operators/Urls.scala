@@ -223,6 +223,15 @@ object Urls {
       .drop("__rawhref")
   }
 
+  /** ASCII (punycode) form of a URL's host
+    * ([[graft.functions.IdnFunctions.punycodeHost]] over [[host]]) —
+    * canonicalize internationalized hostnames BEFORE keying robots
+    * evaluation, per-domain quotas, or host-level dedup; `münchen.de`
+    * and `xn--mnchen-3ya.de` are the same site.
+    */
+  def asciiHost(url: Column): Column =
+    graft.functions.IdnFunctions.punycodeHost(host(url))
+
   /** `<loc>` values of a sitemaps.org XML document as an array — both
     * urlset and sitemapindex entries. Handles CDATA wrappers and XML
     * entities (`&amp;` decoded LAST, the [[TextAnalysis.htmlToText]]

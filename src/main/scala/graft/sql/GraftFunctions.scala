@@ -109,6 +109,11 @@ object GraftFunctions {
       "graft_strip_marks(text) - strip combining marks (utf8proc STRIPMARK)",
       (args: Seq[Expression]) => {
         arity("graft_strip_marks", args, 1); StripMarks(args(0))
+      }),
+    ("graft_punycode_host",
+      "graft_punycode_host(host) - ASCII (IDNA/punycode) form of a hostname",
+      (args: Seq[Expression]) => {
+        arity("graft_punycode_host", args, 1); PunycodeHost(args(0))
       }))
 
   private[sql] def info(name: String, usage: String): ExpressionInfo =

@@ -118,6 +118,24 @@ class UrlsSpec extends SparkTestBase {
     assert(!out.head.schema.fieldNames.contains("html"))
   }
 
+  test("asciiHost punycodes unicode labels, passes ASCII byte-identical") {
+    val cases = Seq(
+      ("https://münchen.de/p", "xn--mnchen-3ya.de"),
+      ("https://пример.испытание/x", "xn--e1afmkfd.xn--80akhbyknj4f"),
+      ("https://日本語.jp/", "xn--wgv71a119e.jp"),
+      ("https://sub.münchen.example.com/", "sub.xn--mnchen-3ya.example.com"),
+      ("https://plain.example.com/a", "plain.example.com"),
+      ("https://www.Mixed-Case.COM/", "mixed-case.com"))
+    val out = cases.toDF("url", "want")
+      .select(Urls.asciiHost(col("url")).as("got"), col("want"))
+      .as[(String, String)].collect()
+    out.foreach { case (got, want) => assert(got == want, s"$got != $want") }
+    // null flows through
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("url")
+      .select(Urls.asciiHost(col("url"))).collect()(0)
+    assert(n.getString(0) == "", "no-host input keeps host()'s empty result")
+  }
+
   test("extractSitemapUrls: urlset locs, index flag, CDATA and entity decode") {
     val urlset =
       """<?xml version="1.0"?>
