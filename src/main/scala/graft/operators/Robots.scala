@@ -37,15 +37,16 @@ object Robots {
     * have no applicable group) contribute NO rows — absent rows mean
     * unrestricted, exactly the RFC default.
     */
-  def parseRobots(
+  /** Parsed relevant lines: `(__dom, __ln, __field, __value)` for the
+    * fields this module understands (directive lines like `Crawl-delay`
+    * count as group members — a user-agent line after one starts a NEW
+    * group, the conventional reading).
+    */
+  private def relevantLines(
       robots: DataFrame,
       domainCol: String,
-      textCol: String,
-      userAgent: String): DataFrame = {
-    require(userAgent.nonEmpty && userAgent != "*",
-      "userAgent must be a concrete product token (the * group is the fallback)")
-    val ua = userAgent.toLowerCase
-    val lines = robots.select(col(domainCol).as("__dom"),
+      textCol: String): DataFrame =
+    robots.select(col(domainCol).as("__dom"),
         posexplode(split(coalesce(col(textCol), lit("")), "\r?\n"))
           .as(Seq("__ln", "__raw")))
       // strip a leading UTF-8 BOM (robots.txt in the wild routinely
@@ -57,11 +58,19 @@ object Robots {
         lower(trim(regexp_extract(col("__line"), "^([A-Za-z-]+)\\s*:", 1))))
       .withColumn("__value",
         trim(regexp_extract(col("__line"), "^[A-Za-z-]+\\s*:\\s*(.*)$", 1)))
-      .where(col("__field").isin("user-agent", "allow", "disallow"))
+      .where(col("__field").isin(
+        "user-agent", "allow", "disallow", "crawl-delay", "sitemap"))
+
+  /** Group lines by the RFC's consecutive-user-agent rule; `Sitemap`
+    * lines are site-wide per convention and carry NO group binding, so
+    * they are excluded here.
+    */
+  private def groupedLines(lines: DataFrame): DataFrame = {
+    val groupable = lines.where(col("__field") =!= "sitemap")
     // a group starts at a user-agent line NOT preceded by another
     // user-agent line: running count of group starts = group id
     val byDomain = Window.partitionBy("__dom").orderBy("__ln")
-    val grouped = lines
+    groupable
       .withColumn("__prevField", lag(col("__field"), 1).over(byDomain))
       .withColumn("__gstart",
         (col("__field") === "user-agent" &&
@@ -70,24 +79,43 @@ object Robots {
       .withColumn("__gid", sum(col("__gstart")).over(
         byDomain.rowsBetween(Window.unboundedPreceding, 0)))
       .where(col("__gid") >= 1) // rules before any user-agent line are orphans
-    // group → does it name us / the wildcard?
+  }
+
+  /** Applicable group ids per domain for `userAgent`: the named level
+    * beats the `*` level, and ALL groups at the winning level merge
+    * their rules (RFC 9309: "the matching groups' rules MUST be
+    * combined").
+    */
+  private def applicableGroups(grouped: DataFrame, ua: String): DataFrame = {
     val groupUa = grouped.where(col("__field") === "user-agent")
       .groupBy("__dom", "__gid")
       .agg(
         max(when(lower(col("__value")) === ua, 1).otherwise(0)).as("__named"),
         max(when(col("__value") === "*", 1).otherwise(0)).as("__star"))
-    // applicable groups per domain: the named level beats the * level,
-    // and ALL groups at the winning level merge their rules (RFC 9309:
-    // "the matching groups' rules MUST be combined")
     val domLevel = groupUa.groupBy("__dom")
       .agg(max(col("__named")).as("__useNamed"))
-    val applicable = groupUa.join(domLevel, "__dom")
+    groupUa.join(domLevel, "__dom")
       .where((col("__useNamed") === 1 && col("__named") === 1) ||
         (col("__useNamed") === 0 && col("__star") === 1))
       .select(col("__dom"), col("__gid"))
+  }
+
+  private def requireUa(userAgent: String): String = {
+    require(userAgent.nonEmpty && userAgent != "*",
+      "userAgent must be a concrete product token (the * group is the fallback)")
+    userAgent.toLowerCase
+  }
+
+  def parseRobots(
+      robots: DataFrame,
+      domainCol: String,
+      textCol: String,
+      userAgent: String): DataFrame = {
+    val ua = requireUa(userAgent)
+    val grouped = groupedLines(relevantLines(robots, domainCol, textCol))
     val rules = grouped
       .where(col("__field").isin("allow", "disallow"))
-      .join(applicable, Seq("__dom", "__gid"))
+      .join(applicableGroups(grouped, ua), Seq("__dom", "__gid"))
       // empty Disallow value = allow-all (contributes no restriction);
       // empty Allow likewise matches nothing per the RFC
       .where(col("__value") =!= "")
@@ -97,6 +125,42 @@ object Robots {
         octet_length(col("__value")).cast("long").as("pattern_len"))
     rules.withColumn("matches_re", patternToRegex(col("pattern")))
   }
+
+  /** Per-domain crawl delay for `userAgent` (the non-RFC but universal
+    * politeness directive): the MAX delay across the applicable groups
+    * — the conservative reading when merged groups disagree.
+    * Non-numeric values drop; domains without an applicable delay are
+    * absent (crawl at your default rate).
+    */
+  def crawlDelays(
+      robots: DataFrame,
+      domainCol: String,
+      textCol: String,
+      userAgent: String): DataFrame = {
+    val ua = requireUa(userAgent)
+    val grouped = groupedLines(relevantLines(robots, domainCol, textCol))
+    grouped.where(col("__field") === "crawl-delay")
+      .join(applicableGroups(grouped, ua), Seq("__dom", "__gid"))
+      // try_cast: junk values drop (ANSI cast would abort the whole job
+      // over one malformed robots line on a remote site)
+      .withColumn("__delay", expr("try_cast(__value AS double)"))
+      .where(col("__delay").isNotNull && col("__delay") >= 0)
+      .groupBy(col("__dom").as("domain"))
+      .agg(max(col("__delay")).as("crawl_delay_s"))
+  }
+
+  /** Site-wide `Sitemap:` directives — one row per (domain, sitemap
+    * URL), group-independent per the sitemaps.org convention; feed them
+    * to [[Urls.extractSitemapUrls]] after fetching.
+    */
+  def sitemapDirectives(
+      robots: DataFrame,
+      domainCol: String,
+      textCol: String): DataFrame =
+    relevantLines(robots, domainCol, textCol)
+      .where(col("__field") === "sitemap" && col("__value") =!= "")
+      .select(col("__dom").as("domain"), col("__value").as("sitemap"))
+      .distinct()
 
   /** robots path pattern → anchored Java regex: regex metacharacters
     * escaped, `*` → `.*`, one trailing `$` restored as an end anchor.

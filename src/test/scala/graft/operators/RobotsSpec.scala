@@ -98,6 +98,37 @@ class RobotsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](rules("*"))
   }
 
+  test("crawlDelays: applicable-group scope, conservative max, junk drops") {
+    val txt =
+      """Sitemap: https://example.com/sitemap.xml
+        |User-agent: graftbot
+        |Crawl-delay: 2.5
+        |Disallow: /x/
+        |
+        |User-agent: graftbot
+        |Crawl-delay: 7
+        |
+        |User-agent: *
+        |Crawl-delay: 99
+        |
+        |User-agent: otherbot
+        |Crawl-delay: not-a-number
+        |""".stripMargin
+    val robots = Seq(("example.com", txt), ("nodelay.org", "User-agent: *\nDisallow:\n"))
+      .toDF("domain", "robots")
+    val d = Robots.crawlDelays(robots, "domain", "robots", "graftbot")
+      .as[(String, Double)].collect().toMap
+    assert(d == Map("example.com" -> 7.0),
+      "merged graftbot groups take the MAX; the * group's 99 must not bind")
+    val star = Robots.crawlDelays(robots, "domain", "robots", "strangerbot")
+      .as[(String, Double)].collect().toMap
+    assert(star == Map("example.com" -> 99.0))
+    // sitemap directives are site-wide and group-independent
+    val sm = Robots.sitemapDirectives(robots, "domain", "robots")
+      .as[(String, String)].collect().toSeq
+    assert(sm == Seq(("example.com", "https://example.com/sitemap.xml")))
+  }
+
   test("filterAllowed keeps only fetchable URLs end to end") {
     val robots = Seq(("example.com", robotsTxt)).toDF("domain", "robots")
     val urls = Seq(
