@@ -915,6 +915,33 @@ object Ann {
           "the index single-writer")
     }
 
+    /** Append a batch to a persisted index with FROZEN quantizers: the
+      * sidecar's centroids assign cells, its codebooks encode — no
+      * retraining, no rebuild; new files land inside the existing cell
+      * directories and the next [[search]] sees them (nightly embedding
+      * arrivals without touching the standing corpus). The sidecar is
+      * NOT rewritten — a crash mid-append leaves a valid index plus
+      * some orphaned extra rows of the interrupted batch; delivery is
+      * at-least-once (replays re-append; dedup by id downstream or
+      * rebuild periodically — quantizer drift is the real reason to
+      * rebuild anyway, on the index's own schedule).
+      */
+    def appendBatch(
+        spark: SparkSession,
+        path: String,
+        batch: DataFrame,
+        idCol: String,
+        vecCol: String): Unit = {
+      val index = loadIndex(spark, path) // loud on missing/torn sidecar
+      val assigned = batch.withColumn("__cell",
+        explode(Ivf.topCells(col(vecCol),
+          Ivf.centroidsLiteral(index.centroids),
+          math.min(index.nassign, index.centroids.length))))
+      Pq.encode(index.model, assigned, vecCol)
+        .select(col(idCol).as(index.idCol), col("__cell"), col(Pq.CodesCol))
+        .write.mode("append").partitionBy("__cell").parquet(path)
+    }
+
     /** Load a persisted IVF-PQ index; loud when the sidecar is missing. */
     def loadIndex(spark: SparkSession, path: String): IvfPqIndex = {
       val dir = new org.apache.hadoop.fs.Path(path)

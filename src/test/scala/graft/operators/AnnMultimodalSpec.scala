@@ -336,6 +336,40 @@ class AnnMultimodalSpec extends SparkTestBase {
       new java.io.File(root))
   }
 
+  test("IVF-PQ appendBatch: frozen quantizers index new arrivals in place") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpq_app_").toString
+    try {
+      val base = embeddings.filter($"vec_id" < 400)
+      val fresh = embeddings.filter($"vec_id" >= 400)
+      val index = Ann.IvfPq.build(base, "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 16, nassign = 2)
+      Ann.IvfPq.writeIndex(index, s"$root/idx")
+      Ann.IvfPq.appendBatch(spark, s"$root/idx", fresh, "vec_id", "embedding")
+      val loaded = Ann.IvfPq.loadIndex(spark, s"$root/idx")
+      // the appended rows are searchable: querying the fresh vectors
+      // finds themselves (frozen quantizers assigned + encoded them)
+      val queries = fresh.filter($"vec_id" < 410)
+      val hits = Ann.IvfPq.search(loaded, queries, "vec_id", "embedding",
+        k = 3, nprobe = 8)
+        .where(col("q_id") === col("id")).count()
+      assert(hits == 10, s"appended vectors must find themselves, got $hits/10")
+      // codes of appended rows equal a fresh encode under the SAME model
+      // (quantizers really were frozen, not refit)
+      val stored = loaded.encoded
+        .where(col("id") >= 400).select("id", Ann.Pq.CodesCol)
+        .dropDuplicates("id").collect()
+        .map(r => r.getAs[Long]("id") -> r.getSeq[Short](1)).toMap
+      val expect = Ann.Pq.encode(index.model, fresh, "embedding")
+        .select(col("vec_id"), col(Ann.Pq.CodesCol)).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Short](1)).toMap
+      assert(stored == expect)
+      // appending to a non-index path is loud
+      intercept[IllegalArgumentException](
+        Ann.IvfPq.appendBatch(spark, s"$root/nope", fresh, "vec_id", "embedding"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root))
+  }
+
   test("persisted PQ index round-trips; torn write (no sidecar) is loud") {
     val root = java.nio.file.Files.createTempDirectory("graft_pq_").toString
     try {
