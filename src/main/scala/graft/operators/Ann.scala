@@ -456,25 +456,42 @@ object Ann {
         ksub: Int = 256,
         seed: Long = 42L,
         maxIter: Int = 20): PqModel = {
-      require(m >= 1, s"m must be >= 1, got $m")
-      require(ksub >= 2 && ksub <= 256,
-        s"ksub must be in [2, 256] (codes are byte-ranged), got $ksub")
       val first = corpus.where(col(vecCol).isNotNull)
         .select(size(col(vecCol)).as("d")).head(1)
       require(first.nonEmpty, "Pq.train: empty corpus")
       val dim = first(0).getInt(0)
-      require(dim % m == 0,
-        s"dim $dim must be divisible by m=$m (equal subspaces)")
-      val dsub = dim / m
-      val targetTrain = ksub.toLong * TrainPointsPerCode
-      val n = corpus.count()
       // null vectors carry no training signal and would NPE the collect;
       // they are excluded here while encode() stays LOUD on them
       val norm = corpus.where(col(vecCol).isNotNull)
         .select(l2normalize(col(vecCol)).as("__nv"))
+      trainOnNv(norm, dim, m, ksub, seed, maxIter)
+    }
+
+    /** Fit codebooks over a PREPARED training frame (single column `__nv`
+      * of already-normalized — or residual — vectors). The shared engine
+      * behind [[train]] and [[IvfPq]]'s residual training: the sample is
+      * bounded, cached once, and each subspace collects only its
+      * dsub-wide slice for a driver-local fit.
+      */
+    private[operators] def trainOnNv(
+        nvDf: DataFrame,
+        dim: Int,
+        m: Int,
+        ksub: Int,
+        seed: Long,
+        maxIter: Int): PqModel = {
+      require(m >= 1, s"m must be >= 1, got $m")
+      require(ksub >= 2 && ksub <= 256,
+        s"ksub must be in [2, 256] (codes are byte-ranged), got $ksub")
+      require(dim % m == 0,
+        s"dim $dim must be divisible by m=$m (equal subspaces)")
+      val dsub = dim / m
+      val targetTrain = ksub.toLong * TrainPointsPerCode
+      val n = nvDf.count()
+      require(n > 0, "Pq.train: empty training frame")
       val sample =
-        if (n <= targetTrain) norm
-        else norm.sample(math.min(1.0, targetTrain.toDouble * 1.1 / n), seed)
+        if (n <= targetTrain) nvDf
+        else nvDf.sample(math.min(1.0, targetTrain.toDouble * 1.1 / n), seed)
       sample.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         sample.count() // materialize once; the m slice-collects hit cache
@@ -577,19 +594,29 @@ object Ann {
       * in-row (a silently truncated slice would encode garbage).
       */
     def encode(model: PqModel, df: DataFrame, vecCol: String): DataFrame = {
-      val dsub = model.dsub
       val checked = when(size(col(vecCol)) === model.dim, l2normalize(col(vecCol)))
         .otherwise(raise_error(concat(
           lit(s"Pq.encode: vector dim "),
           coalesce(size(col(vecCol)).cast("string"), lit("NULL")),
           lit(s" != model dim ${model.dim}"))).cast("array<double>"))
+      encodeNv(model, df.withColumn("__pq_nv", checked), "__pq_nv")
+        .drop("__pq_nv")
+    }
+
+    /** Append `__pq_codes` from a PREPARED (normalized or residual)
+      * vector column — the caller owns normalization/checking. Shared by
+      * [[encode]] and [[IvfPq]]'s residual path.
+      */
+    private[operators] def encodeNv(
+        model: PqModel, df: DataFrame, nvCol: String): DataFrame = {
+      val dsub = model.dsub
       val codes = model.codebooks.toIndexedSeq.zipWithIndex.map { case (cb, j) =>
         // bind the subvector once — referenced ksub times by the argmin —
         // and fold for the min instead of array_sort: O(ksub) with no
         // struct array to allocate and sort per row, and the distance is
         // let-bound so it computes once per entry (ties keep the first =
         // lowest code, the same winner the sort's (d, code) order picked)
-        element_at(transform(array(slice(col("__pq_nv"), j * dsub + 1, dsub)),
+        element_at(transform(array(slice(col(nvCol), j * dsub + 1, dsub)),
           sub => aggregate(codebookLiteral(cb),
             struct(lit(Double.MaxValue).as("d"), lit(-1).as("code")),
             (acc, c) => element_at(transform(array(sqDist(sub, c.getField("c"))),
@@ -598,9 +625,7 @@ object Ann {
                 .otherwise(acc)), 1))
             .getField("code")), 1)
       }
-      df.withColumn("__pq_nv", checked)
-        .withColumn(CodesCol, array(codes: _*).cast("array<smallint>"))
-        .drop("__pq_nv")
+      df.withColumn(CodesCol, array(codes: _*).cast("array<smallint>"))
     }
 
     /** Train + encode + project: the one-call index build. */
@@ -618,12 +643,12 @@ object Ann {
         model, "id")
     }
 
-    /** Normalized query vector with a loud dim check. */
+    /** Normalized vector with a loud dim check against the model. */
     private[operators] def checkedQueryVec(
         model: PqModel, vec: Column, who: String): Column =
       when(size(vec) === model.dim, l2normalize(vec))
         .otherwise(raise_error(concat(
-          lit(s"$who: query dim "),
+          lit(s"$who: vector dim "),
           coalesce(size(vec).cast("string"), lit("NULL")),
           lit(s" != model dim ${model.dim}"))).cast("array<double>"))
 
@@ -785,7 +810,8 @@ object Ann {
       centroids: Array[(Int, Array[Double])],
       model: PqModel,
       idCol: String,
-      nassign: Int)
+      nassign: Int,
+      residual: Boolean = false)
 
   /** IVF-PQ (Jégou 2011's IVFADC): the coarse quantizer prunes the
     * search to `nprobe` of `nlist` cells, and WITHIN the probed cells
@@ -795,14 +821,34 @@ object Ann {
     * persisted layout, a probe reads nprobe cell DIRECTORIES of
     * codes-only parquet.
     *
-    * Residual-free variant: codes encode the (normalized) vectors
-    * themselves, not cell residuals — simpler, re-uses [[Pq]]'s
-    * machinery verbatim, and the exact-refine stage ([[searchRefined]])
-    * recovers what residual encoding would have bought in recall.
+    * Two encodings, chosen at [[build]] time:
+    *  - `residual = false` (default): codes encode the (normalized)
+    *    vectors themselves — simpler, re-uses [[Pq]]'s machinery
+    *    verbatim, one LUT per query.
+    *  - `residual = true` — TRUE IVFADC (Jégou 2011 §IV): codes encode
+    *    the residual `nv − centroid(cell)`. Residuals concentrate near
+    *    the origin, so the same codebook budget spends its entries on a
+    *    much smaller volume — higher recall at identical compression.
+    *    The cost: the query LUT becomes per-(query, probed cell)
+    *    (`q − centroid(cell)` against the codebooks) — nprobe LUTs per
+    *    query instead of one, still broadcast-side-only work.
     */
   object IvfPq {
 
     val SidecarFileName = "_graft_ivfpq_index.json"
+
+    /** Cell → centroid as ONE map literal (the [[Ivf.centroidsLiteral]]
+      * discipline); `element_at(map, cell)` resolves a row's centroid
+      * without an nlist-wide struct filter per row.
+      */
+    private[operators] def centroidMapLiteral(
+        cents: Array[(Int, Array[Double])]): Column =
+      typedlit(cents.map { case (k, v) => k -> v.toSeq }.toMap)
+        .cast("map<int,array<double>>")
+
+    /** `nv − centroid(__cell)` — the IVFADC residual. */
+    private def residExpr(nv: Column, mapLit: Column): Column =
+      zip_with(nv, element_at(mapLit, col("__cell")), (x, c) => x - c)
 
     /** Coarse quantizer + per-subspace codebooks + cell-tagged codes. */
     def build(
@@ -814,12 +860,36 @@ object Ann {
         ksub: Int = 256,
         seed: Long = 42L,
         maxIter: Int = 20,
-        nassign: Int = 1): IvfPqIndex = {
+        nassign: Int = 1,
+        residual: Boolean = false): IvfPqIndex = {
       val ivf = Ivf.build(corpus, idCol, vecCol, nlist, seed, maxIter, nassign)
-      val model = Pq.train(corpus, vecCol, m, ksub, seed)
-      val encoded = Pq.encode(model, ivf.assigned, vecCol)
-        .select(col(idCol).as("id"), col("__cell"), col(Pq.CodesCol))
-      IvfPqIndex(encoded, ivf.centroids, model, "id", nassign)
+      if (!residual) {
+        val model = Pq.train(corpus, vecCol, m, ksub, seed)
+        val encoded = Pq.encode(model, ivf.assigned, vecCol)
+          .select(col(idCol).as("id"), col("__cell"), col(Pq.CodesCol))
+        IvfPqIndex(encoded, ivf.centroids, model, "id", nassign)
+      } else {
+        val mapLit = centroidMapLiteral(ivf.centroids)
+        // codebooks are trained on the residuals of the ASSIGNED rows —
+        // with multi-assignment every (row, cell) copy contributes its
+        // own residual, matching what encode() will quantize
+        val first = corpus.where(col(vecCol).isNotNull)
+          .select(size(col(vecCol)).as("d")).head(1)
+        require(first.nonEmpty, "IvfPq.build: empty corpus")
+        val dim = first(0).getInt(0)
+        val residTrain = ivf.assigned.where(col(vecCol).isNotNull)
+          .select(residExpr(Pq.l2normalize(col(vecCol)), mapLit).as("__nv"))
+        val model = Pq.trainOnNv(residTrain, dim, m, ksub, seed, maxIter)
+        val checkedNv =
+          Pq.checkedQueryVec(model, col(vecCol), "IvfPq.build")
+        val encoded = Pq.encodeNv(
+          model,
+          ivf.assigned.withColumn("__pq_rv", residExpr(checkedNv, mapLit)),
+          "__pq_rv")
+          .select(col(idCol).as("id"), col("__cell"), col(Pq.CodesCol))
+        IvfPqIndex(encoded, ivf.centroids, model, "id", nassign,
+          residual = true)
+      }
     }
 
     /** Probe `nprobe` cells, ADC-rank their codes. `pruneScan` mirrors
@@ -840,14 +910,28 @@ object Ann {
       val model = index.model
       // normalization preserves cosine order to the centroids, so the
       // probed cells equal Ivf.search's on the raw vector
-      val q0 = queries
+      val qBase = queries
         .select(col(qIdCol).as("q_id"),
           Pq.checkedQueryVec(model, col(vecCol), "IvfPq.search").as("__pq_qnv"))
-        .withColumn("__lut", Pq.lutExpr(model, col("__pq_qnv")))
-        .withColumn("__cell",
-          explode(Ivf.topCells(col("__pq_qnv"),
-            Ivf.centroidsLiteral(index.centroids), nprobe)))
-        .drop("__pq_qnv")
+      val q0 =
+        if (!index.residual)
+          // one LUT per query, shared across its probed cells
+          qBase.withColumn("__lut", Pq.lutExpr(model, col("__pq_qnv")))
+            .withColumn("__cell",
+              explode(Ivf.topCells(col("__pq_qnv"),
+                Ivf.centroidsLiteral(index.centroids), nprobe)))
+            .drop("__pq_qnv")
+        else
+          // IVFADC: the LUT is per-(query, cell) — computed from the
+          // query residual against the probed cell's centroid, matching
+          // how the corpus codes were produced. Still broadcast-side
+          // work: nprobe × m × ksub doubles per query.
+          qBase.withColumn("__cell",
+            explode(Ivf.topCells(col("__pq_qnv"),
+              Ivf.centroidsLiteral(index.centroids), nprobe)))
+            .withColumn("__lut", Pq.lutExpr(model,
+              residExpr(col("__pq_qnv"), centroidMapLiteral(index.centroids))))
+            .drop("__pq_qnv")
       val (q, encoded) =
         if (pruneScan) {
           val pinned = graft.core.Caches.pin(q0)
@@ -858,10 +942,15 @@ object Ann {
         } else (q0, index.encoded)
       val scored = encoded.join(broadcast(q), Seq("__cell"))
         .withColumn("cos_est", Pq.cosEstExpr(col(Pq.CodesCol), col("__lut")))
-      // multi-assigned rows can meet a query in several probed cells with
-      // the same cos_est; collapse before ranking (the Ivf.search rule)
+      // multi-assigned rows can meet a query in several probed cells —
+      // with residual encoding each meeting carries a DIFFERENT estimate
+      // (per-cell residuals), so collapse keeps the max deterministically;
+      // for plain encoding the estimates are identical and max is a no-op
       val unique =
-        if (index.nassign > 1) scored.dropDuplicates("q_id", "id") else scored
+        if (index.nassign > 1)
+          scored.groupBy(col("q_id"), col(index.idCol))
+            .agg(max(col("cos_est")).as("cos_est"))
+        else scored
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_est").desc, col("id").asc)
       unique
@@ -904,6 +993,7 @@ object Ann {
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
       val json = graft.io.Json.toJson(Map(
         "id_col" -> index.idCol, "nassign" -> index.nassign,
+        "residual" -> index.residual,
         "m" -> index.model.m, "dsub" -> index.model.dsub,
         "centroids" -> index.centroids.toSeq.map { case (cell, c) =>
           Map("cell" -> cell, "c" -> c.toSeq) },
@@ -937,7 +1027,15 @@ object Ann {
         explode(Ivf.topCells(col(vecCol),
           Ivf.centroidsLiteral(index.centroids),
           math.min(index.nassign, index.centroids.length))))
-      Pq.encode(index.model, assigned, vecCol)
+      val encoded =
+        if (!index.residual) Pq.encode(index.model, assigned, vecCol)
+        else Pq.encodeNv(
+          index.model,
+          assigned.withColumn("__pq_rv", residExpr(
+            Pq.checkedQueryVec(index.model, col(vecCol), "IvfPq.appendBatch"),
+            centroidMapLiteral(index.centroids))),
+          "__pq_rv")
+      encoded
         .select(col(idCol).as(index.idCol), col("__cell"), col(Pq.CodesCol))
         .write.mode("append").partitionBy("__cell").parquet(path)
     }
@@ -964,7 +1062,8 @@ object Ann {
           c.elements().asScala.map(_.asDouble()).toArray).toArray
       }.toArray
       IvfPqIndex(spark.read.parquet(path), cents, PqModel(codebooks),
-        node.get("id_col").asText(), node.get("nassign").asInt())
+        node.get("id_col").asText(), node.get("nassign").asInt(),
+        residual = node.has("residual") && node.get("residual").asBoolean())
     }
   }
 

@@ -370,6 +370,68 @@ class AnnMultimodalSpec extends SparkTestBase {
       new java.io.File(root))
   }
 
+  test("IVFADC residual encoding: ADC recall >= plain codes at the same budget") {
+    // True IVFADC (residual = true) spends the codebook budget on the
+    // residual volume; at an identical (nlist, m, ksub, nprobe) operating
+    // point its codes-only recall must not fall below the plain encoding's
+    // on this fixture, and the refined path must hold the same floor.
+    val queries = embeddings.filter($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(embeddings, queries, "vec_id", "embedding",
+      "vec_id", 5)
+    val plain = Ann.IvfPq.build(embeddings, "vec_id", "embedding",
+      nlist = 16, m = 16, ksub = 64, nassign = 2)
+    val resid = Ann.IvfPq.build(embeddings, "vec_id", "embedding",
+      nlist = 16, m = 16, ksub = 64, nassign = 2, residual = true)
+    assert(resid.residual && !plain.residual)
+    def adcRecall(ix: Ann.IvfPqIndex) = Ann.recallAgainstExact(exact,
+      Ann.IvfPq.search(ix, queries, "vec_id", "embedding", k = 5, nprobe = 6))
+    val (rPlain, rResid) = (adcRecall(plain), adcRecall(resid))
+    info(s"ADC-only recall: plain=$rPlain residual=$rResid")
+    assert(rResid >= rPlain - 1e-9,
+      s"residual recall $rResid fell below plain $rPlain at the same budget")
+    val refined = Ann.IvfPq.searchRefined(resid, embeddings, "vec_id",
+      "embedding", queries, "vec_id", "embedding", k = 5, nprobe = 6,
+      refine = 4)
+    val rRef = Ann.recallAgainstExact(exact, refined)
+    assert(rRef >= 0.7, s"residual+refine recall $rRef below 0.7")
+    // multi-assign + residual: per-cell estimates differ, so the collapse
+    // must be deterministic — two independent executions agree exactly
+    val s1 = Ann.IvfPq.search(resid, queries, "vec_id", "embedding", 5, 6)
+      .collect().map(_.toString).sorted.toSeq
+    val s2 = Ann.IvfPq.search(resid, queries.repartition(3), "vec_id",
+      "embedding", 5, 6).collect().map(_.toString).sorted.toSeq
+    assert(s1 == s2, "residual multi-assign search must be deterministic")
+  }
+
+  test("persisted IVFADC index round-trips the residual flag; appendBatch encodes residuals") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfadc_").toString
+    try {
+      val base = embeddings.filter($"vec_id" < 400)
+      val fresh = embeddings.filter($"vec_id" >= 400)
+      val index = Ann.IvfPq.build(base, "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 16, residual = true)
+      Ann.IvfPq.writeIndex(index, s"$root/idx")
+      val loaded = Ann.IvfPq.loadIndex(spark, s"$root/idx")
+      assert(loaded.residual, "residual flag must survive the sidecar")
+      val queries = base.filter($"vec_id" < 10)
+      val a = Ann.IvfPq.search(index, queries, "vec_id", "embedding", 5, 3)
+        .collect().map(_.toString).sorted.toSeq
+      val b = Ann.IvfPq.search(loaded, queries, "vec_id", "embedding", 5, 3)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == b, "loaded IVFADC index must search identically")
+      // frozen-quantizer append: the new rows' RESIDUAL codes make them
+      // findable — each appended vector is its own top hit
+      Ann.IvfPq.appendBatch(spark, s"$root/idx", fresh, "vec_id", "embedding")
+      val re = Ann.IvfPq.loadIndex(spark, s"$root/idx")
+      val qf = fresh.filter($"vec_id" < 410)
+      val hits = Ann.IvfPq.search(re, qf, "vec_id", "embedding",
+        k = 3, nprobe = 8)
+        .where(col("q_id") === col("id")).count()
+      assert(hits == 10, s"appended vectors must find themselves, got $hits/10")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root))
+  }
+
   test("persisted PQ index round-trips; torn write (no sidecar) is loud") {
     val root = java.nio.file.Files.createTempDirectory("graft_pq_").toString
     try {
