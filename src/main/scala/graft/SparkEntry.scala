@@ -754,6 +754,42 @@ object SparkEntry {
           decode(col("payload"), "utf-8").as("text"))
     }),
 
+    // ---- full WARC record families (warcinfo/request/response/metadata)
+    // with the size-targeted file split, re-parsed and re-joined: each
+    // doc's response text, its synthetic GET, and its warc-fields
+    // metadata must all survive the archive round trip ----
+    "q_warc_families" -> ((s, dir) => {
+      val scratch = scratchDir("graft_warc3_") + "/corpus"
+      val docs = t(s, dir, "documents")
+        .withColumn("uri",
+          concat(lit("https://example.org/doc/"), col("doc_id")))
+        .withColumn("payload", encode(col("text"), "utf-8"))
+        .withColumn("meta",
+          concat(lit("lang: "), coalesce(col("lang"), lit("und")), lit("\r\n")))
+        .repartition(4)
+      io.warc.Warc.writeWarc(docs, scratch, "uri", "payload",
+        writeWarcinfo = true, requestRecords = true,
+        metadataCol = Some("meta"), targetFileBytes = 256L << 10)
+      val back = io.warc.Warc.readWarc(s, scratch + "/*.warc.gz")
+      val resp = back.where(col("warc_type") === "response").select(
+        col("target_uri").as("uri"),
+        decode(col("payload"), "utf-8").as("text"))
+      val req = back.where(col("warc_type") === "request").select(
+        col("target_uri").as("uri"),
+        (decode(col("payload"), "utf-8") ===
+          concat(lit("GET "), col("target_uri"),
+            lit(" HTTP/1.1\r\nHost: example.org\r\n\r\n"))).as("req_ok"))
+      val meta = back.where(col("warc_type") === "metadata").select(
+        col("target_uri").as("uri"),
+        regexp_extract(decode(col("payload"), "utf-8"),
+          "^lang: (.*)\r\n$", 1).as("meta_lang"))
+      resp.join(req, Seq("uri")).join(meta, Seq("uri"))
+        .select(
+          regexp_extract(col("uri"), "/doc/(\\d+)$", 1)
+            .cast("bigint").as("doc_id"),
+          col("text"), col("req_ok"), col("meta_lang"))
+    }),
+
     // Clustered layout + write-side parquet bloom filters on the id, then
     // point lookups against the laid-out copy: row-group stats prune the
     // range predicate, the bloom filter prunes the equality probes.
@@ -3269,6 +3305,9 @@ object SparkEntry {
       "SELECT doc_id, text, CAST(200 AS BIGINT) AS http_status FROM documents",
     "q_warc_dsv2" ->
       "SELECT doc_id, text FROM documents",
+    "q_warc_families" ->
+      """SELECT doc_id, text, TRUE AS req_ok,
+        |  coalesce(lang, 'und') AS meta_lang FROM documents""".stripMargin,
     // CDC tiling invariant: chunk sizes per doc sum to the utf-8 byte
     // length (strlen is BYTE length in DuckDB)
     "q_cdc_chunks" ->

@@ -82,21 +82,45 @@ object Warc {
     (recordIterator(file, counted), counted)
   }
 
-  /** Export `df` as WARC response records — the fixture/interchange
-    * path (a corpus handed BACK to WARC-consuming tools), and the read
-    * path's round-trip witness. One `.warc.gz` per partition of `df`
-    * (size the export with `repartition` upstream). Every byte is
-    * deterministic: record ids derive from the target URI (sha-256),
-    * `WARC-Date` is the caller's literal, and Java's gzip writes no
-    * timestamp — identical input partitions produce identical files on
-    * any engine run.
+  /** Export `df` as WARC records — the fixture/interchange path (a
+    * corpus handed BACK to WARC-consuming tools), and the read path's
+    * round-trip witness. By default one response record per row and one
+    * `.warc.gz` per partition of `df` (size the export with
+    * `repartition` upstream). Every byte is deterministic: record ids
+    * derive from the target URI (sha-256), `WARC-Date` is the caller's
+    * literal, and Java's gzip writes no timestamp — identical input
+    * partitions produce identical files on any engine run.
+    *
+    * Optional record families (all OFF by default — the minimal archive
+    * stays minimal):
+    *  - `writeWarcinfo` — each emitted file OPENS with a `warcinfo`
+    *    record carrying `WARC-Filename` (its own final name) and
+    *    `application/warc-fields` describing the writer, the way the
+    *    public crawls' archives self-describe.
+    *  - `requestRecords` — a synthetic `request` record (the GET that
+    *    would have fetched the URI) precedes each response, linked via
+    *    `WARC-Concurrent-To`.
+    *  - `metadataCol` — a STRING column of `application/warc-fields`
+    *    text emitted as a `metadata` record after its response, also
+    *    `WARC-Concurrent-To`-linked. Null skips the record for that row.
+    *
+    * `targetFileBytes > 0` rolls to a NEW file once a file's
+    * UNCOMPRESSED byte count passes the target (checked at record-group
+    * boundaries, so a row's request/response/metadata records never
+    * split across files). Uncompressed bytes make the roll decision
+    * partition-deterministic — retried attempts cut at identical
+    * boundaries. At 100 TB this is what bounds both the memory of
+    * downstream one-file-one-split readers and the skew between
+    * archive files when upstream partitions are uneven.
     *
     * Commit protocol: parts stream into `<dir>/_tmp_<marker>/`, are
     * renamed into place only after every task succeeded, and the
     * `_GRAFT_WARC_COMMITTED` marker lands LAST — a crashed export is a
     * directory without the marker, never a silently short archive.
     * (Speculative/retried tasks are safe: each attempt writes its own
-    * attempt-suffixed temp file and the rename picks exactly one.)
+    * attempt-suffixed temp files and the rename picks exactly one per
+    * (partition, sequence) — attempts agree on sequence boundaries by
+    * the determinism above.)
     */
   def writeWarc(
       df: DataFrame,
@@ -104,23 +128,54 @@ object Warc {
       uriCol: String,
       payloadCol: String,
       httpContentType: String = "text/plain; charset=utf-8",
-      warcDate: String = "2026-01-01T00:00:00Z"): Unit = {
+      warcDate: String = "2026-01-01T00:00:00Z",
+      writeWarcinfo: Boolean = false,
+      requestRecords: Boolean = false,
+      metadataCol: Option[String] = None,
+      targetFileBytes: Long = 0L): Unit = {
     require(df.schema(payloadCol).dataType ==
         org.apache.spark.sql.types.BinaryType,
       s"payloadCol `$payloadCol` must be BINARY (encode(text, 'utf-8') upstream)")
+    metadataCol.foreach { m =>
+      require(df.schema(m).dataType ==
+          org.apache.spark.sql.types.StringType,
+        s"metadataCol `$m` must be STRING (application/warc-fields text)")
+    }
+    require(targetFileBytes >= 0,
+      s"targetFileBytes must be >= 0, got $targetFileBytes")
     val spark = df.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val tmp = s"$dir/_tmp_graft_warc"
-    val rows = df.select(
+    val base = Seq(
       col(uriCol).cast("string").as("__uri"),
       col(payloadCol).as("__payload"))
+    val rows = df.select(
+      (base ++ metadataCol.map(m => col(m).as("__meta")).toSeq): _*)
+    val hasMeta = metadataCol.isDefined
     val written = rows.rdd.mapPartitionsWithIndex { (pid, it) =>
       val fs = new Path(tmp).getFileSystem(conf.value)
       val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
-      val tmpFile = new Path(tmp, f"part-$pid%05d-a$attempt.warc.gz")
-      val out = new GZIPOutputStream(fs.create(tmpFile, true), 1 << 16)
+      val files = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, Long)]
+      var seq = 0
+      var out: CountingOutputStream = null
+      var gz: GZIPOutputStream = null
       var n = 0L
+      def finalName(s: Int) =
+        if (targetFileBytes > 0L) f"part-$pid%05d-$s%04d.warc.gz"
+        else f"part-$pid%05d.warc.gz"
+      def open(): Unit = {
+        val tmpFile = new Path(tmp, s"${finalName(seq)}.a$attempt")
+        gz = new GZIPOutputStream(fs.create(tmpFile, true), 1 << 16)
+        out = new CountingOutputStream(gz)
+        files += ((pid, seq, tmpFile.toString, 0L))
+        if (writeWarcinfo) writeWarcinfoRecord(out, finalName(seq), warcDate)
+      }
+      def closeCurrent(): Unit = if (gz != null) {
+        gz.close(); gz = null
+        files(files.length - 1) = files.last.copy(_4 = n)
+      }
+      open()
       try {
         it.foreach { r =>
           val uri = r.getString(0)
@@ -128,50 +183,138 @@ object Warc {
           val body =
             Option(r.get(1)).map(_.asInstanceOf[Array[Byte]])
               .getOrElse(Array.emptyByteArray)
-          writeResponseRecord(out, uri, body, httpContentType, warcDate)
+          val responseId = recordIdFor(uri)
+          if (requestRecords)
+            writeRequestRecord(out, uri, responseId, warcDate)
+          writeResponseRecord(out, uri, responseId, body, httpContentType,
+            warcDate)
+          if (hasMeta && !r.isNullAt(2))
+            writeMetadataRecord(out, uri, responseId, r.getString(2), warcDate)
           n += 1
+          if (targetFileBytes > 0L && out.count >= targetFileBytes && it.hasNext) {
+            closeCurrent(); seq += 1; open()
+          }
         }
-      } finally out.close()
-      Iterator.single((pid, tmpFile.toString, n))
-    }.collect() // bounded: one small triple per partition
+      } finally closeCurrent()
+      files.iterator
+    }.collect() // bounded: one small tuple per emitted file
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // keep exactly one attempt per partition (first in sorted order —
-    // attempts are byte-identical by construction), then marker LAST
-    written.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (pid, atts) =>
-      val keep = atts.minBy(_._2)
-      val dst = new Path(dir, f"part-$pid%05d.warc.gz")
-      require(fs.rename(new Path(keep._2), dst),
-        s"writeWarc: commit rename failed for $dst")
+    // keep exactly one attempt per (partition, sequence) — attempts are
+    // byte-identical by construction — then marker LAST
+    written.groupBy(w => (w._1, w._2)).toSeq.sortBy(_._1).foreach {
+      case ((pid, seq), atts) =>
+        val keep = atts.minBy(_._3)
+        val name =
+          if (targetFileBytes > 0L) f"part-$pid%05d-$seq%04d.warc.gz"
+          else f"part-$pid%05d.warc.gz"
+        val dst = new Path(dir, name)
+        require(fs.rename(new Path(keep._3), dst),
+          s"writeWarc: commit rename failed for $dst")
     }
     fs.delete(new Path(tmp), true)
     val marker = fs.create(new Path(dir, "_GRAFT_WARC_COMMITTED"), true)
-    marker.write(s"parts=${written.map(_._1).distinct.length}\n".getBytes(UTF_8))
+    marker.write(
+      s"parts=${written.map(w => (w._1, w._2)).distinct.length}\n".getBytes(UTF_8))
     marker.close()
   }
 
   // ---------------------------------------------------------------- write
 
+  private def recordIdFor(key: String): String =
+    "urn:graft:sha256:" + sha256Hex(key.getBytes(UTF_8))
+
+  /** One WARC record: version line, the given headers, the block, the
+    * CRLF CRLF terminator. All byte counts flow through `out` so the
+    * size-targeted roll sees the true uncompressed position.
+    */
+  private def writeRecord(
+      out: OutputStream,
+      headers: Seq[(String, String)],
+      block: Array[Byte]): Unit = {
+    val head = new StringBuilder("WARC/1.0\r\n")
+    headers.foreach { case (k, v) => head.append(s"$k: $v\r\n") }
+    head.append(s"Content-Length: ${block.length}\r\n\r\n")
+    out.write(head.toString.getBytes(UTF_8))
+    out.write(block)
+    out.write("\r\n\r\n".getBytes(UTF_8))
+  }
+
+  private def writeWarcinfoRecord(
+      out: OutputStream, filename: String, warcDate: String): Unit = {
+    val body = ("software: graft-warc/1.0\r\n" +
+      "format: WARC File Format 1.0\r\n").getBytes(UTF_8)
+    writeRecord(out, Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> s"<${recordIdFor(s"warcinfo:$filename")}>",
+      "WARC-Date" -> warcDate,
+      "WARC-Filename" -> filename,
+      "Content-Type" -> "application/warc-fields"), body)
+  }
+
+  private def writeRequestRecord(
+      out: OutputStream,
+      uri: String,
+      responseId: String,
+      warcDate: String): Unit = {
+    // the synthetic GET this corpus row would have come from; Host is
+    // parsed best-effort (an unparseable URI still gets a valid record)
+    val host =
+      try Option(java.net.URI.create(uri).getHost).getOrElse("")
+      catch { case _: IllegalArgumentException => "" }
+    val http = (s"GET $uri HTTP/1.1\r\n" +
+      (if (host.nonEmpty) s"Host: $host\r\n" else "") +
+      "\r\n").getBytes(UTF_8)
+    writeRecord(out, Seq(
+      "WARC-Type" -> "request",
+      "WARC-Record-ID" -> s"<${recordIdFor(s"request:$uri")}>",
+      "WARC-Date" -> warcDate,
+      "WARC-Target-URI" -> uri,
+      "WARC-Concurrent-To" -> s"<$responseId>",
+      "Content-Type" -> "application/http; msgtype=request"), http)
+  }
+
   private def writeResponseRecord(
       out: OutputStream,
       uri: String,
+      recordId: String,
       body: Array[Byte],
       httpContentType: String,
       warcDate: String): Unit = {
     val http = (s"HTTP/1.1 200 OK\r\n" +
       s"Content-Type: $httpContentType\r\n" +
       s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8)
-    val recordId = "urn:graft:sha256:" + sha256Hex(uri.getBytes(UTF_8))
-    val header = (s"WARC/1.0\r\n" +
-      s"WARC-Type: response\r\n" +
-      s"WARC-Record-ID: <$recordId>\r\n" +
-      s"WARC-Date: $warcDate\r\n" +
-      s"WARC-Target-URI: $uri\r\n" +
-      s"Content-Type: application/http; msgtype=response\r\n" +
-      s"Content-Length: ${http.length + body.length}\r\n\r\n").getBytes(UTF_8)
-    out.write(header)
-    out.write(http)
-    out.write(body)
-    out.write("\r\n\r\n".getBytes(UTF_8))
+    writeRecord(out, Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> s"<$recordId>",
+      "WARC-Date" -> warcDate,
+      "WARC-Target-URI" -> uri,
+      "Content-Type" -> "application/http; msgtype=response"),
+      http ++ body)
+  }
+
+  private def writeMetadataRecord(
+      out: OutputStream,
+      uri: String,
+      responseId: String,
+      fields: String,
+      warcDate: String): Unit =
+    writeRecord(out, Seq(
+      "WARC-Type" -> "metadata",
+      "WARC-Record-ID" -> s"<${recordIdFor(s"metadata:$uri")}>",
+      "WARC-Date" -> warcDate,
+      "WARC-Target-URI" -> uri,
+      "WARC-Concurrent-To" -> s"<$responseId>",
+      "Content-Type" -> "application/warc-fields"),
+      fields.getBytes(UTF_8))
+
+  /** Counts bytes written (pre-compression — the roll coordinate). */
+  private final class CountingOutputStream(out: OutputStream)
+      extends java.io.FilterOutputStream(out) {
+    var count: Long = 0L
+    override def write(b: Int): Unit = { out.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      out.write(b, off, len); count += len
+    }
   }
 
   private def sha256Hex(b: Array[Byte]): String =

@@ -199,6 +199,85 @@ class WarcSpec extends SparkTestBase {
     }
   }
 
+  test("writeWarc record families: warcinfo opens the file, request/metadata link to their response") {
+    val dir = tmpDir("warc_fam_") + "/out"
+    val docs = Seq(
+      (1L, "alpha", "fetchTimeMs: 12\r\n"),
+      (2L, "beta", "fetchTimeMs: 34\r\n"),
+      (3L, "gamma", null),
+      (4L, "delta", "fetchTimeMs: 56\r\n")).toDF("doc_id", "text", "meta")
+      .withColumn("uri", concat(lit("https://e.org/"), col("doc_id")))
+      .withColumn("payload", encode(col("text"), "utf-8"))
+      .coalesce(1)
+    Warc.writeWarc(docs, dir, "uri", "payload",
+      writeWarcinfo = true, requestRecords = true,
+      metadataCol = Some("meta"))
+    val back = Warc.readWarc(spark, s"$dir/*.warc.gz")
+    val byType = back.groupBy("warc_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map(
+      "warcinfo" -> 1L, "request" -> 4L, "response" -> 4L,
+      "metadata" -> 3L), s"unexpected type counts: $byType")
+    // warcinfo is the FIRST record (offset 0) and names its own file
+    val info = back.where($"warc_type" === "warcinfo").collect().head
+    assert(info.getAs[Long]("record_offset") == 0L)
+    assert(new String(info.getAs[Array[Byte]]("payload"), "UTF-8")
+      .contains("software: graft-warc"))
+    // each request's payload is the GET for its own target URI
+    back.where($"warc_type" === "request").collect().foreach { r =>
+      val http = new String(r.getAs[Array[Byte]]("payload"), "UTF-8")
+      assert(http.startsWith(s"GET ${r.getAs[String]("target_uri")} HTTP/1.1\r\n"))
+      assert(http.contains("Host: e.org"))
+    }
+    // metadata payload round-trips the warc-fields text; null meta row
+    // emitted none
+    val metas = back.where($"warc_type" === "metadata")
+      .select("target_uri", "payload").collect()
+      .map(r => r.getString(0) ->
+        new String(r.getAs[Array[Byte]]("payload"), "UTF-8")).toMap
+    assert(metas == Map(
+      "https://e.org/1" -> "fetchTimeMs: 12\r\n",
+      "https://e.org/2" -> "fetchTimeMs: 34\r\n",
+      "https://e.org/4" -> "fetchTimeMs: 56\r\n"))
+    // record ids are distinct across the whole archive
+    val ids = back.select("record_id").as[String].collect()
+    assert(ids.distinct.length == ids.length)
+    // the minimal default export is unchanged by the new families
+    val minDir = tmpDir("warc_min_") + "/out"
+    Warc.writeWarc(docs, minDir, "uri", "payload")
+    val types = Warc.readWarc(spark, s"$minDir/*.warc.gz")
+      .select("warc_type").distinct().as[String].collect().toSeq
+    assert(types == Seq("response"))
+  }
+
+  test("writeWarc size-targeted split: files roll at the byte target, nothing lost, deterministic") {
+    val dir = tmpDir("warc_roll_") + "/out"
+    val docs = (1L to 50L).map(i => (i, "x" * 100)).toDF("doc_id", "text")
+      .withColumn("uri", concat(lit("https://e.org/"), col("doc_id")))
+      .withColumn("payload", encode(col("text"), "utf-8"))
+      .coalesce(1)
+    Warc.writeWarc(docs, dir, "uri", "payload", targetFileBytes = 1500L)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).map(_.getName).sorted
+    assert(files.length > 3,
+      s"~15 KB at a 1.5 KB target must roll into several files, got $files")
+    assert(files.forall(_.matches("part-00000-\\d{4}\\.warc\\.gz")),
+      s"rolled files must carry a sequence suffix: ${files.toSeq}")
+    // every record present exactly once across the rolled files
+    val back = Warc.readWarc(spark, s"$dir/*.warc.gz")
+    assert(back.count() == 50)
+    assert(back.select("target_uri").distinct().count() == 50)
+    // deterministic: a second export cuts at identical boundaries
+    val dir2 = tmpDir("warc_roll2_") + "/out"
+    Warc.writeWarc(docs, dir2, "uri", "payload", targetFileBytes = 1500L)
+    val files2 = new java.io.File(dir2).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).map(_.getName).sorted
+    assert(files2.toSeq == files.toSeq)
+    val a = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/${files.head}"))
+    val b = Files.readAllBytes(java.nio.file.Paths.get(s"$dir2/${files2.head}"))
+    assert(a.sameElements(b))
+  }
+
   test("writeWarc output is byte-deterministic across runs") {
     val base = tmpDir("warc_det_")
     val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
