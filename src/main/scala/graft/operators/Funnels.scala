@@ -35,31 +35,69 @@ object Funnels {
       userCol: String,
       tsCol: String,
       steps: Seq[(String, Column)],
-      withinSeconds: Option[Long] = None): DataFrame = {
+      withinSeconds: Option[Long] = None): DataFrame =
+    funnelUsersFromMatched(
+      matchedStepEvents(df, userCol, tsCol, steps),
+      userCol, steps.map(_._1), withinSeconds)
+
+  /** ONE pass over the events extracting `(userCol, __step, __ts)` —
+    * a row per (event, step) whose predicate the event satisfies. This
+    * is the funnel's sufficient statistic: [[funnelUsersFromMatched]]
+    * over these rows equals [[funnelUsers]] over the raw events, and
+    * because matched rows are a selective-predicate-sized SLICE of the
+    * firehose, they are what a streaming funnel persists per batch
+    * ([[graft.streaming.StreamingOps.funnelLogSink]]) — exact under any
+    * cross-batch arrival order, unlike folded per-step minima, which
+    * cannot re-order a late step-1 event against already-discarded
+    * step-2 candidates.
+    */
+  def matchedStepEvents(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      steps: Seq[(String, Column)]): DataFrame = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
     require(steps.map(_._1).distinct.size == steps.size,
       "step names must be unique")
-    withinSeconds.foreach(w => require(w >= 1,
-      s"withinSeconds must be >= 1, got $w"))
-    val u = col(userCol)
     // a null-ts event cannot order against anything: it would enter a
     // user into the funnel with a null reach time that every later
     // comparison silently fails — drop it from consideration entirely
-    val events = df.where(col(tsCol).isNotNull)
-    val firstTs = s"${steps.head._1}_ts"
-    var acc = events.where(steps.head._2)
-      .groupBy(u.as("__u"))
-      .agg(min(col(tsCol)).as(firstTs))
-    steps.zipWithIndex.tail.foreach { case ((name, pred), i) =>
-      val prevTs = s"${steps(i - 1)._1}_ts"
+    val tagged = steps.zipWithIndex.map { case ((_, pred), i) =>
+      when(pred, lit(i)).otherwise(lit(null).cast("int"))
+    }
+    df.where(col(tsCol).isNotNull)
+      .select(col(userCol), col(tsCol).as("__ts"),
+        explode(filter(array(tagged: _*), x => x.isNotNull)).as("__step"))
+      .select(col(userCol), col("__step"), col("__ts"))
+  }
+
+  /** The funnel over pre-matched `(userCol, __step, __ts)` rows — the
+    * shared engine behind [[funnelUsers]] and the streaming log twin.
+    * `stepNames` fixes order and output column names.
+    */
+  def funnelUsersFromMatched(
+      matched: DataFrame,
+      userCol: String,
+      stepNames: Seq[String],
+      withinSeconds: Option[Long] = None): DataFrame = {
+    require(stepNames.size >= 2,
+      s"a funnel needs >= 2 steps, got ${stepNames.size}")
+    withinSeconds.foreach(w => require(w >= 1,
+      s"withinSeconds must be >= 1, got $w"))
+    val firstTs = s"${stepNames.head}_ts"
+    var acc = matched.where(col("__step") === 0)
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(col("__ts")).as(firstTs))
+    stepNames.zipWithIndex.tail.foreach { case (name, i) =>
+      val prevTs = s"${stepNames(i - 1)}_ts"
       // conversion-window variant: later steps only count within
       // `withinSeconds` of the user's FIRST-step reach (the "converted
       // within 7 days" convention — anchored at entry, not per-step)
       val inWindow = withinSeconds
         .map(w => col("__ts") <= col(firstTs) + expr(s"INTERVAL $w SECOND"))
         .getOrElse(lit(true))
-      val si = events.where(pred)
-        .select(u.as("__u"), col(tsCol).as("__ts"))
+      val si = matched.where(col("__step") === i)
+        .select(col(userCol).as("__u"), col("__ts"))
         .join(acc.select(Seq("__u", prevTs, firstTs).distinct.map(col): _*),
           "__u")
         .where(col("__ts") >= col(prevTs) && inWindow)
@@ -67,7 +105,7 @@ object Funnels {
         .agg(min(col("__ts")).as(s"${name}_ts"))
       acc = acc.join(si, Seq("__u"), "left")
     }
-    val reached = steps.map { case (name, _) =>
+    val reached = stepNames.map { name =>
       when(col(s"${name}_ts").isNotNull, 1L).otherwise(0L)
     }.reduce(_ + _)
     acc.withColumn("steps_completed", reached)
@@ -108,16 +146,38 @@ object Funnels {
       df: DataFrame,
       userCol: String,
       tsCol: String,
-      periodDays: Int = 7): DataFrame = {
+      periodDays: Int = 7): DataFrame =
+    retentionFromPairs(activityPairs(df, userCol, tsCol, periodDays))
+
+  /** The `(__u, __p)` activity pairs (user, epoch-anchored period) a
+    * retention curve is computed from — retention's sufficient
+    * statistic, and EXACTLY mergeable: distinct-union of per-batch
+    * pairs equals the pairs of the concatenated batches, which is what
+    * makes the streaming twin
+    * ([[graft.streaming.StreamingOps.retentionLogSink]]) exact under
+    * any arrival order. Bounded by users × active-periods, not events.
+    */
+  def activityPairs(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      periodDays: Int): DataFrame = {
     require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
     val periodOf = floor(datediff(to_date(col(tsCol)), lit("1970-01-01"))
       .cast("long") / periodDays).cast("long")
-    val perUser = df.where(col(tsCol).isNotNull)
+    df.where(col(tsCol).isNotNull)
       .select(col(userCol).as("__u"), periodOf.as("__p"))
+      .distinct()
+  }
+
+  /** Retention curve from (possibly duplicated) activity pairs — the
+    * shared engine behind [[cohortRetention]] and the streaming twin.
+    */
+  def retentionFromPairs(pairs: DataFrame): DataFrame = {
+    val perUser = pairs.select(col("__u"), col("__p")).distinct()
     val cohorts = perUser.groupBy("__u").agg(min(col("__p")).as("__c"))
-    val active = perUser.distinct()
     val sized = cohorts.groupBy("__c").agg(count(lit(1)).as("__csize"))
-    active.join(cohorts, "__u")
+    perUser.join(cohorts, "__u")
       .groupBy(col("__c"), (col("__p") - col("__c")).as("offset"))
       .agg(countDistinct(col("__u")).as("n_users"))
       .join(sized, "__c")

@@ -571,6 +571,97 @@ object StreamingOps {
         }
     }
 
+  /** Stream events into a funnel matched-event log — the streaming twin
+    * of [[graft.operators.Funnels.funnelUsers]]. Each micro-batch keeps
+    * only its step-matching `(user, __step, __ts)` rows (the funnel's
+    * sufficient statistic — a selective-predicate-sized slice of the
+    * firehose, ONE pass over the batch) and lands them in a directory
+    * named by the batch id, so foreachBatch's at-least-once replay
+    * OVERWRITES the same bytes instead of duplicating — the
+    * [[searchIndexSink]] exactly-once-by-naming pattern.
+    * [[funnelUsersFromLog]] then equals the batch funnel over every
+    * event ever delivered, under ANY cross-batch arrival order: a late
+    * step-1 event still re-orders against retained step-2 candidates,
+    * which no folded per-step state could reproduce.
+    */
+  def funnelLogSink(
+      events: DataFrame,
+      logPath: String,
+      userCol: String,
+      tsCol: String,
+      steps: Seq[(String, org.apache.spark.sql.Column)])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          writeFunnelBatch(batch.toDF(), logPath, userCol, tsCol, steps, batchId)
+    }
+
+  private[graft] def writeFunnelBatch(
+      batch: DataFrame,
+      logPath: String,
+      userCol: String,
+      tsCol: String,
+      steps: Seq[(String, org.apache.spark.sql.Column)],
+      batchId: Long): Unit =
+    graft.operators.Funnels.matchedStepEvents(batch, userCol, tsCol, steps)
+      .write.mode("overwrite").parquet(f"$logPath/batch=b$batchId%012d")
+
+  /** The standing funnel over everything [[funnelLogSink]] ingested.
+    * Duplicate matched rows (an event delivered under two batch ids)
+    * are harmless: the funnel is min-aggregate-shaped, so duplicates
+    * change no reach time.
+    */
+  def funnelUsersFromLog(
+      spark: SparkSession,
+      logPath: String,
+      userCol: String,
+      stepNames: Seq[String],
+      withinSeconds: Option[Long] = None): DataFrame =
+    graft.operators.Funnels.funnelUsersFromMatched(
+      spark.read.parquet(logPath).drop("batch"),
+      userCol, stepNames, withinSeconds)
+
+  /** Stream events into a cohort-retention activity log — the streaming
+    * twin of [[graft.operators.Funnels.cohortRetention]]. Per batch the
+    * events reduce to distinct `(__u, __p)` (user, period) pairs —
+    * retention's sufficient statistic, bounded by users × periods, not
+    * events — landed under the batch id with the same
+    * overwrite-by-naming idempotency as [[funnelLogSink]].
+    */
+  def retentionLogSink(
+      events: DataFrame,
+      logPath: String,
+      userCol: String,
+      tsCol: String,
+      periodDays: Int = 7)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          writeRetentionBatch(batch.toDF(), logPath, userCol, tsCol,
+            periodDays, batchId)
+    }
+
+  private[graft] def writeRetentionBatch(
+      batch: DataFrame,
+      logPath: String,
+      userCol: String,
+      tsCol: String,
+      periodDays: Int,
+      batchId: Long): Unit =
+    graft.operators.Funnels.activityPairs(batch, userCol, tsCol, periodDays)
+      .write.mode("overwrite").parquet(f"$logPath/batch=b$batchId%012d")
+
+  /** The standing retention curve over everything [[retentionLogSink]]
+    * ingested — [[graft.operators.Funnels.retentionFromPairs]] distincts
+    * the union, so cross-batch duplicate pairs are exact no-ops.
+    */
+  def cohortRetentionFromLog(
+      spark: SparkSession, logPath: String): DataFrame =
+    graft.operators.Funnels.retentionFromPairs(
+      spark.read.parquet(logPath).drop("batch"))
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, events: Long, sum: Double)
   final case class SessionSummary(

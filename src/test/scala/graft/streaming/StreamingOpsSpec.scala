@@ -458,6 +458,109 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("funnelLogSink: streaming funnel equals batch twin under out-of-order cross-batch delivery") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_funnel_log_").toString
+    val log = root + "/log"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val steps = Seq(
+      "view" -> (col("event_type") === "view"),
+      "click" -> (col("event_type") === "click"),
+      "purchase" -> (col("event_type") === "purchase"))
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingOps.funnelLogSink(
+      source.toDS().toDF("user_id", "ts", "event_type"),
+      log, "user_id", "ts", steps)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      // batch 0: user 1's LATER steps arrive FIRST; user 2 views
+      source.addData((1L, ts("2026-01-01 10:05:00"), "click"),
+        (1L, ts("2026-01-01 10:10:00"), "purchase"),
+        (2L, ts("2026-01-01 09:00:00"), "view"))
+      q.processAllAvailable()
+      // batch 1: user 1's view arrives LATE — it must re-order against
+      // the click/purchase already in the log; user 3 is noise
+      source.addData((1L, ts("2026-01-01 10:00:00"), "view"),
+        (3L, ts("2026-01-01 08:00:00"), "search"))
+      q.processAllAvailable()
+      val streamed = StreamingOps.funnelUsersFromLog(spark, log,
+        "user_id", steps.map(_._1))
+        .collect().map(_.toString).sorted.toSeq
+      val allEvents = Seq(
+        (1L, ts("2026-01-01 10:05:00"), "click"),
+        (1L, ts("2026-01-01 10:10:00"), "purchase"),
+        (2L, ts("2026-01-01 09:00:00"), "view"),
+        (1L, ts("2026-01-01 10:00:00"), "view"),
+        (3L, ts("2026-01-01 08:00:00"), "search"))
+        .toDF("user_id", "ts", "event_type")
+      val batch = graft.operators.Funnels.funnelUsers(
+        allEvents, "user_id", "ts", steps)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch,
+        "log twin must equal the batch funnel over all delivered events")
+      // user 1 reached all three despite the view arriving last
+      val u1 = StreamingOps.funnelUsersFromLog(spark, log, "user_id",
+        steps.map(_._1)).where(col("user_id") === 1L).collect().head
+      assert(u1.getAs[Long]("steps_completed") == 3L)
+      // replaying a batch id overwrites its own directory — no duplicates
+      StreamingOps.writeFunnelBatch(
+        Seq((1L, ts("2026-01-01 10:00:00"), "view"),
+          (3L, ts("2026-01-01 08:00:00"), "search"))
+          .toDF("user_id", "ts", "event_type"),
+        log, "user_id", "ts", steps, batchId = 1L)
+      val replayed = StreamingOps.funnelUsersFromLog(spark, log,
+        "user_id", steps.map(_._1))
+        .collect().map(_.toString).sorted.toSeq
+      assert(replayed == batch, "batch replay must be a no-op")
+      // the log stores only MATCHED rows: user 3's non-step event is gone
+      assert(spark.read.parquet(log).where(col("user_id") === 3L).count() == 0)
+    } finally q.stop()
+  }
+
+  test("retentionLogSink: streaming retention equals batch twin; pairs dedup across batches") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_ret_log_").toString
+    val log = root + "/log"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingOps.retentionLogSink(
+      source.toDS().toDF("user_id", "ts"), log, "user_id", "ts",
+      periodDays = 7)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      // users 1,2 start in week 0; user 1 returns in weeks 1 and 2 —
+      // the week-1 activity is delivered TWICE (two batches)
+      source.addData((1L, ts("2026-01-01 10:00:00")),
+        (2L, ts("2026-01-02 10:00:00")),
+        (1L, ts("2026-01-08 10:00:00")))
+      q.processAllAvailable()
+      source.addData((1L, ts("2026-01-09 10:00:00")), // same period again
+        (1L, ts("2026-01-15 10:00:00")))
+      q.processAllAvailable()
+      val streamed = StreamingOps.cohortRetentionFromLog(spark, log)
+        .collect().map(_.toString).sorted.toSeq
+      val allEvents = Seq(
+        (1L, ts("2026-01-01 10:00:00")), (2L, ts("2026-01-02 10:00:00")),
+        (1L, ts("2026-01-08 10:00:00")), (1L, ts("2026-01-09 10:00:00")),
+        (1L, ts("2026-01-15 10:00:00"))).toDF("user_id", "ts")
+      val batch = graft.operators.Funnels.cohortRetention(
+        allEvents, "user_id", "ts", periodDays = 7)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch,
+        "log twin must equal batch cohortRetention over all events")
+      // the log is pairs-sized: user 1's duplicate week-1 events reduce
+      // to one pair per (user, period, batch) before distinct-on-read
+      val pairs = spark.read.parquet(log)
+      assert(pairs.count() <= 5, s"pairs log must be bounded, got ${pairs.count()}")
+    } finally q.stop()
+  }
+
   test("warcIngestSink parses arriving archives; batch replay is idempotent") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
