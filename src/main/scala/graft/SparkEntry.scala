@@ -1421,6 +1421,16 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // ---- balanced training shards: near-equal token totals via the
+    // two-phase global cumsum (deterministic hash order, bounded driver
+    // state) — the trainer-facing anti-straggler split ----
+    "q_shard_assign" -> ((s, dir) => {
+      operators.Packing.assignShards(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", numShards = 8, orderBuckets = 32)
+        .select(col("doc_id"), col("shard"))
+    }),
+
     // ---- token-budget mixture fill: 600 tokens per source, unbiased
     // hash order, straddling doc kept (greedy-fill contract)
     "q_token_budget" -> ((s, dir) => {
@@ -3931,6 +3941,30 @@ object SparkEntry {
         |    AS height,
         |  CAST(octet_length(content) AS BIGINT) AS n_bytes
         |FROM d""".stripMargin,
+    // Shard assignment: the oracle rebuilds the two-phase global cumsum
+    // verbatim — 60-bit order hash, order buckets, exclusive in-bucket
+    // window sums, bucket-offset prefix sums, integer-division cut.
+    "q_shard_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)
+        |        || ':graft-shard'), 1, 15))::BIGINT AS hh
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_chars, hh, hh % 32 AS ob FROM h),
+        |c AS (SELECT doc_id, ob,
+        |    COALESCE(sum(n_chars) OVER (PARTITION BY ob ORDER BY hh, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM b),
+        |t AS (SELECT ob, sum(n_chars) AS tot FROM b GROUP BY ob),
+        |o AS (SELECT ob,
+        |    COALESCE(sum(tot) OVER (ORDER BY ob
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t),
+        |g AS (SELECT (sum(n_chars) + 7) // 8 AS target FROM documents)
+        |SELECT c.doc_id,
+        |  CAST(LEAST(7, (c.cum + o.off) // (SELECT target FROM g))
+        |    AS BIGINT) AS shard
+        |FROM c JOIN o USING (ob)""".stripMargin,
     "q_hash_split" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -46,4 +46,112 @@ object Packing {
     df.withColumn("bin_offset", (cum - col(tokenCol)).cast("long"))
       .withColumn("bin", floor(col("bin_offset") / budget))
   }
+
+  /** Assign every document to one of `numShards` output shards with
+    * near-equal TOKEN totals (not row counts) — the trainer-facing
+    * split: each shard feeds one data-loader worker, so a token-skewed
+    * shard is a straggler epoch after epoch.
+    *
+    * Scale shape — a global ordered cumsum without a global sort:
+    *  1. every row gets a 60-bit order hash `h` = sha256(id:salt)
+    *     prefix; its value mod `orderBuckets` is the row's order bucket
+    *     (the deterministic global order is (bucket, h, id));
+    *  2. ONE bounded aggregate collects per-bucket token totals
+    *     (`orderBuckets` rows on the driver — never data);
+    *  3. bucket-offset prefix sums are folded back in as a map literal,
+    *     so within-bucket window cumsum + offset = the row's exclusive
+    *     GLOBAL token start, in one window exchange;
+    *  4. `shard = min(numShards − 1, global_start div ceil(total /
+    *     numShards))` — every shard's total lands within one maximum
+    *     document of the target.
+    *
+    * Deterministic for fixed (ids, salt, numShards, orderBuckets) on
+    * any engine and any partitioning; the DuckDB oracle rebuilds it
+    * verbatim. Null or negative token counts fail loud in-row (the
+    * [[graft.operators.Sampling.tokenBudgetPerGroup]] policy — a null
+    * would silently vanish from the balance).
+    */
+  def assignShards(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      numShards: Int,
+      salt: String = "graft-shard",
+      orderBuckets: Int = 256): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    require(orderBuckets >= 1, s"orderBuckets must be >= 1, got $orderBuckets")
+    val h = graft.functions.VectorFunctions.hexPrefixToLong(
+      sha2(concat_ws(":", col(idCol).cast("string"), lit(salt)), 256), 15)
+    val tok = when(col(tokenCol).isNotNull && col(tokenCol) >= 0,
+        col(tokenCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"assignShards: `$tokenCol` must be non-null and >= 0, got "),
+        coalesce(col(tokenCol).cast("string"), lit("NULL")))).cast("long"))
+    val based = df.withColumn("__h", h)
+      .withColumn("__ob", col("__h") % orderBuckets)
+    // bounded driver state: orderBuckets (bucket, token-total) pairs
+    val totals = based.groupBy("__ob").agg(sum(tok).as("__t"))
+      .collect().map(r => r.getAs[Long]("__ob") -> r.getAs[Long]("__t"))
+      .sortBy(_._1)
+    val total = totals.map(_._2).sum
+    require(total > 0, "assignShards: corpus has zero total tokens")
+    val target = (total + numShards - 1) / numShards
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val w = Window.partitionBy(col("__ob"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    based
+      .withColumn("__gc",
+        coalesce(sum(tok).over(w), lit(0L)) +
+          element_at(typedlit(offsets), col("__ob")))
+      .withColumn("shard",
+        least(lit(numShards - 1).cast("long"),
+          expr(s"__gc div ${target}L")))
+      .drop("__h", "__ob", "__gc")
+  }
+
+  /** [[assignShards]] + write: one `shard=<k>` parquet directory per
+    * shard and a manifest sidecar (per-shard rows/tokens + the
+    * assignment parameters), manifest LAST so a crashed export reads
+    * as "no manifest", never as a silently short epoch.
+    */
+  def writeShards(
+      df: DataFrame,
+      path: String,
+      idCol: String,
+      tokenCol: String,
+      numShards: Int,
+      salt: String = "graft-shard",
+      orderBuckets: Int = 256): Unit = {
+    val spark = df.sparkSession
+    val assigned = assignShards(df, idCol, tokenCol, numShards, salt,
+      orderBuckets)
+    assigned.write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("shard").parquet(path)
+    // stats from the COMMITTED files, not the plan — what landed is
+    // what the manifest certifies
+    val stats = spark.read.parquet(path)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("rows"), sum(col(tokenCol)).as("tokens"))
+      .collect().map(r => Map(
+        "shard" -> r.getAs[Number]("shard").longValue(),
+        "rows" -> r.getAs[Long]("rows"),
+        "tokens" -> r.getAs[Long]("tokens")))
+      .sortBy(_("shard").asInstanceOf[Long])
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val json = graft.io.Json.toJson(Map(
+      "num_shards" -> numShards, "salt" -> salt,
+      "order_buckets" -> orderBuckets, "token_col" -> tokenCol,
+      "id_col" -> idCol, "shards" -> stats.toSeq))
+    val committed = graft.io.Sidecar.commit(
+      fs, dir, ShardManifestFileName, json, overwrite = true)
+    if (committed != json) throw new IllegalStateException(
+      s"writeShards: concurrent writer detected at $path — re-export " +
+        "single-writer")
+  }
+
+  val ShardManifestFileName = "_graft_shards.json"
 }

@@ -232,6 +232,58 @@ class SamplingSpec extends SparkTestBase {
     assert(draw() == expect) // stable across runs
   }
 
+  test("assignShards balances token totals within one max-doc of target, deterministically") {
+    val docs = (1L to 500L).map(i => (i, 50L + (i * 37) % 400))
+      .toDF("doc_id", "n_tok")
+    val n = 8
+    val out = Packing.assignShards(docs, "doc_id", "n_tok", n,
+      orderBuckets = 16)
+    val totals = out.groupBy("shard").agg(sum("n_tok").as("t"))
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("t")).toMap
+    assert(totals.keySet == (0L until n.toLong).toSet,
+      s"all $n shards must be populated, got ${totals.keySet}")
+    val grand = docs.agg(sum("n_tok")).as[Long].head()
+    val target = (grand + n - 1) / n
+    val maxDoc = 449L
+    totals.foreach { case (s, t) =>
+      assert(t <= target + maxDoc && t >= target - maxDoc,
+        s"shard $s total $t outside target $target ± $maxDoc")
+    }
+    // deterministic across partitionings
+    val a = out.select("doc_id", "shard").collect().map(_.toString).sorted.toSeq
+    val b = Packing.assignShards(docs.repartition(7), "doc_id", "n_tok", n,
+      orderBuckets = 16).select("doc_id", "shard")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    // null token counts are loud
+    val bad = Seq((1L, java.lang.Long.valueOf(5L)), (2L, null: java.lang.Long))
+      .toDF("doc_id", "n_tok")
+    intercept[Exception](
+      Packing.assignShards(bad, "doc_id", "n_tok", 2).collect())
+  }
+
+  test("writeShards lands shard directories + manifest; torn export has no manifest") {
+    val root = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    val docs = (1L to 200L).map(i => (i, 10L + i % 90)).toDF("doc_id", "n_tok")
+    Packing.writeShards(docs, s"$root/out", "doc_id", "n_tok", numShards = 4)
+    val back = spark.read.parquet(s"$root/out")
+    assert(back.count() == 200)
+    assert(back.select("shard").distinct().count() == 4)
+    // manifest certifies what landed
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/out", Packing.ShardManifestFileName)),
+      "UTF-8")
+    assert(manifest.contains("\"num_shards\":4") ||
+      manifest.contains("\"num_shards\" : 4"))
+    val node = graft.io.Json.parse(manifest)
+    val shardTokens = {
+      import scala.jdk.CollectionConverters._
+      node.get("shards").elements().asScala.map(_.get("tokens").asLong()).toSeq
+    }
+    assert(shardTokens.sum == docs.agg(sum("n_tok")).as[Long].head(),
+      "manifest token totals must sum to the corpus total")
+  }
+
   test("weightedSample favors heavy weights and excludes zero-mass rows") {
     val df = Seq[(String, Long, java.lang.Double)](
       ("g", 1L, 50.0), ("g", 2L, 1.0), ("g", 3L, 0.0), ("g", 4L, null))
