@@ -662,6 +662,31 @@ object StreamingOps {
     graft.operators.Funnels.retentionFromPairs(
       spark.read.parquet(logPath).drop("batch"))
 
+  /** Compact a [[funnelLogSink]]/[[retentionLogSink]] log: distinct the
+    * accumulated rows into one `batch=compacted` partition via the
+    * crash-safe staging swap ([[graft.ct.TableStore.overwrite]]), erasing
+    * the per-batch directory fan-out (a year of micro-batches is ~10⁵
+    * directories of tiny files — the classic small-file decay).
+    *
+    * Safe to run at ANY time, unlike
+    * [[graft.operators.Search.compactSegments]]: both readers are
+    * duplicate-insensitive (the funnel is min-aggregate-shaped,
+    * retention distincts its pairs), so a pre-compaction batch id
+    * replayed AFTER compaction merely re-creates its directory with rows
+    * the compacted partition already holds — results unchanged.
+    */
+  def compactStatLog(
+      spark: SparkSession,
+      logPath: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val distinctRows = spark.read.parquet(logPath).drop("batch").distinct()
+    val n = graft.operators.Compaction.targetFileCount(
+      distinctRows, targetFileBytes)
+    graft.ct.TableStore.overwrite(spark,
+      distinctRows.withColumn("batch", lit("compacted")).repartition(n),
+      logPath, partitionBy = Seq("batch"))
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, events: Long, sum: Double)
   final case class SessionSummary(

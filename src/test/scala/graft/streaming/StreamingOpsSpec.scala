@@ -517,6 +517,26 @@ class StreamingOpsSpec extends SparkTestBase {
       assert(replayed == batch, "batch replay must be a no-op")
       // the log stores only MATCHED rows: user 3's non-step event is gone
       assert(spark.read.parquet(log).where(col("user_id") === 3L).count() == 0)
+      // compaction folds the batch fan-out into one partition with the
+      // SAME funnel; a post-compaction replay of an old batch id is
+      // still a no-op (duplicate-insensitive readers)
+      StreamingOps.compactStatLog(spark, log)
+      val dirs = new java.io.File(log).listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+      assert(dirs == Seq("batch=compacted"), s"unexpected dirs: $dirs")
+      val compacted = StreamingOps.funnelUsersFromLog(spark, log,
+        "user_id", steps.map(_._1))
+        .collect().map(_.toString).sorted.toSeq
+      assert(compacted == batch, "compaction must not change the funnel")
+      StreamingOps.writeFunnelBatch(
+        Seq((1L, ts("2026-01-01 10:00:00"), "view"))
+          .toDF("user_id", "ts", "event_type"),
+        log, "user_id", "ts", steps, batchId = 1L)
+      val afterReplay = StreamingOps.funnelUsersFromLog(spark, log,
+        "user_id", steps.map(_._1))
+        .collect().map(_.toString).sorted.toSeq
+      assert(afterReplay == batch,
+        "post-compaction replay must not change the funnel")
     } finally q.stop()
   }
 
