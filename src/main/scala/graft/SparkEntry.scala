@@ -1421,6 +1421,15 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // ---- k-anonymity: suppress rows whose quasi-identifier combination
+    // is rarer than k (the re-identification failure regex PII redaction
+    // cannot see); one window exchange, no self-join ----
+    "q_k_anonymity" -> ((s, dir) => {
+      operators.Validation.kAnonymity(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+        Seq("lang", "source"), k = 25L)
+    }),
+
     // ---- balanced training shards: near-equal token totals via the
     // two-phase global cumsum (deterministic hash order, bounded driver
     // state) — the trainer-facing anti-straggler split ----
@@ -3941,6 +3950,11 @@ object SparkEntry {
         |    AS height,
         |  CAST(octet_length(content) AS BIGINT) AS n_bytes
         |FROM d""".stripMargin,
+    "q_k_anonymity" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    count(*) OVER (PARTITION BY lang, source) AS c
+        |  FROM documents) WHERE c >= 25""".stripMargin,
     // Shard assignment: the oracle rebuilds the two-phase global cumsum
     // verbatim — 60-bit order hash, order buckets, exclusive in-bucket
     // window sums, bucket-offset prefix sums, integer-division cut.

@@ -311,6 +311,47 @@ object Validation {
         col("frac_before"), col("frac_after"), col("psi_term"))
   }
 
+  /** k-anonymity over quasi-identifier columns (Sweeney 2002): a row
+    * whose quasi-identifier COMBINATION occurs fewer than `k` times in
+    * the corpus re-identifies its subject by join with any external
+    * table carrying the same attributes — the privacy failure mode
+    * regex PII redaction ([[TextAnalysis.redactPii]]) cannot see,
+    * because no single field is sensitive alone.
+    *
+    *  - `mode = "drop"`: suppress the rare rows entirely.
+    *  - `mode = "mask"`: keep every row but NULL the quasi columns of
+    *    rare combinations (suppression-style generalization — row count
+    *    and non-quasi columns survive for statistics).
+    *
+    * ONE exchange: the combination count is a window count over the
+    * quasi columns (map-side partial-free but join-free; NULLs group
+    * together, the SQL partition convention both engines share), so the
+    * corpus is never joined against its own frequency table.
+    */
+  def kAnonymity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      k: Long,
+      mode: String = "drop"): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(mode == "drop" || mode == "mask",
+      s"mode must be 'drop' or 'mask', got `$mode`")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    val counted = df.withColumn("__kcnt", count(lit(1)).over(w))
+    if (mode == "drop")
+      counted.where(col("__kcnt") >= k).drop("__kcnt")
+    else {
+      val masked = quasiCols.foldLeft(counted) { (acc, c) =>
+        acc.withColumn(c,
+          when(col("__kcnt") >= k, col(c))
+            .otherwise(lit(null).cast(df.schema(c).dataType)))
+      }
+      masked.drop("__kcnt")
+    }
+  }
+
   def quantileDriftFromSketches(
       beforeSketches: DataFrame,
       afterSketches: DataFrame,

@@ -204,6 +204,39 @@ class ValidationSpec extends SparkTestBase {
     assert(byBin(1L).getAs[Double]("bin_lo") == 10.0)
   }
 
+  test("kAnonymity: drop suppresses rare combos, mask nulls them in place, NULLs group together") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "web"), (2L, "en", "web"), (3L, "en", "web"),
+      (4L, "de", "web"), (5L, "de", "web"),
+      (6L, "fr", "book"), // unique combo — re-identifying
+      (7L, null, "web"), (8L, null, "web"), (9L, null, "web")
+    ).toDF("id", "lang", "source")
+    val dropped = Validation.kAnonymity(df, Seq("lang", "source"), k = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    // (en,web)=3 and (null,web)=3 survive; (de,web)=2 and (fr,book)=1 go
+    assert(dropped == Seq(1L, 2L, 3L, 7L, 8L, 9L),
+      s"unexpected survivors: $dropped")
+    val masked = Validation.kAnonymity(df, Seq("lang", "source"), k = 3,
+      mode = "mask")
+    assert(masked.count() == 9, "mask mode keeps every row")
+    val m = masked.collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("lang"), r.getAs[String]("source"))).toMap
+    assert(m(4L) == ((null, null)) && m(6L) == ((null, null)),
+      "rare combos must be masked")
+    assert(m(1L) == (("en", "web")) && m(7L) == ((null, "web")),
+      "frequent combos keep their values (incl. the NULL group)")
+    // k=1 keeps everything verbatim
+    assert(Validation.kAnonymity(df, Seq("lang", "source"), 1).count() == 9)
+    intercept[IllegalArgumentException](
+      Validation.kAnonymity(df, Nil, 3))
+    intercept[IllegalArgumentException](
+      Validation.kAnonymity(df, Seq("lang"), 0))
+    intercept[IllegalArgumentException](
+      Validation.kAnonymity(df, Seq("lang"), 3, mode = "redact"))
+  }
+
   test("populationStability validates cuts and is loud on an empty side") {
     import spark.implicits._
     val df = Seq(1.0, 2.0).toDF("v")
