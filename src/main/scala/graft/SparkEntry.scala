@@ -1430,6 +1430,14 @@ object SparkEntry {
         Seq("lang", "source"), k = 25L)
     }),
 
+    // ---- l-diversity: drop combos whose sensitive value is homogeneous
+    // even at k-anonymous counts (the homogeneity attack) ----
+    "q_l_diversity" -> ((s, dir) => {
+      operators.Validation.lDiversity(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+        Seq("lang"), "source", l = 3L)
+    }),
+
     // ---- balanced training shards: near-equal token totals via the
     // two-phase global cumsum (deterministic hash order, bounded driver
     // state) — the trainer-facing anti-straggler split ----
@@ -3955,6 +3963,11 @@ object SparkEntry {
         |  SELECT doc_id, lang, source,
         |    count(*) OVER (PARTITION BY lang, source) AS c
         |  FROM documents) WHERE c >= 25""".stripMargin,
+    "q_l_diversity" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    count(DISTINCT source) OVER (PARTITION BY lang) AS d
+        |  FROM documents) WHERE d >= 3""".stripMargin,
     // Shard assignment: the oracle rebuilds the two-phase global cumsum
     // verbatim — 60-bit order hash, order buckets, exclusive in-bucket
     // window sums, bucket-offset prefix sums, integer-division cut.
@@ -3966,15 +3979,20 @@ object SparkEntry {
         |  FROM documents),
         |b AS (SELECT doc_id, n_chars, hh, hh % 32 AS ob FROM h),
         |c AS (SELECT doc_id, ob,
-        |    COALESCE(sum(n_chars) OVER (PARTITION BY ob ORDER BY hh, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |    COALESCE(CAST(sum(n_chars) OVER (PARTITION BY ob
+        |      ORDER BY hh, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS cum
         |  FROM b),
-        |t AS (SELECT ob, sum(n_chars) AS tot FROM b GROUP BY ob),
+        |t AS (SELECT ob, CAST(sum(n_chars) AS BIGINT) AS tot
+        |  FROM b GROUP BY ob),
         |o AS (SELECT ob,
-        |    COALESCE(sum(tot) OVER (ORDER BY ob
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |    COALESCE(CAST(sum(tot) OVER (ORDER BY ob
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS off
         |  FROM t),
-        |g AS (SELECT (sum(n_chars) + 7) // 8 AS target FROM documents)
+        |g AS (SELECT (CAST(sum(n_chars) AS BIGINT) + 7) // 8 AS target
+        |  FROM documents)
         |SELECT c.doc_id,
         |  CAST(LEAST(7, (c.cum + o.off) // (SELECT target FROM g))
         |    AS BIGINT) AS shard

@@ -352,6 +352,48 @@ object Validation {
     }
   }
 
+  /** l-diversity (Machanavajjhala 2007) — [[kAnonymity]]'s companion:
+    * a quasi-identifier combination is unsafe even at count ≥ k when
+    * everyone in it SHARES the sensitive value (the homogeneity
+    * attack: "all 40-something patients in 130xx have cancer"). Keep
+    * only rows whose combination carries at least `l` DISTINCT non-null
+    * sensitive values; `mode = "mask"` nulls the quasi columns instead
+    * of dropping.
+    *
+    * ONE exchange: `size(collect_set(sensitive))` as a window over the
+    * quasi columns — null sensitive values carry no diversity on either
+    * engine (collect_set and COUNT(DISTINCT …) both ignore them), so an
+    * all-null combination has diversity 0 and never survives l ≥ 1.
+    * The per-combo set is bounded by the sensitive column's
+    * cardinality — cap unbounded-cardinality columns (free text) by
+    * bucketing them first; diversity beyond `l` adds nothing.
+    */
+  def lDiversity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Long,
+      mode: String = "drop"): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitiveCol `$sensitiveCol` cannot also be a quasi column")
+    require(l >= 1, s"l must be >= 1, got $l")
+    require(mode == "drop" || mode == "mask",
+      s"mode must be 'drop' or 'mask', got `$mode`")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    val counted = df.withColumn("__ldiv",
+      size(collect_set(col(sensitiveCol)).over(w)))
+    if (mode == "drop")
+      counted.where(col("__ldiv") >= l).drop("__ldiv")
+    else
+      quasiCols.foldLeft(counted) { (acc, c) =>
+        acc.withColumn(c,
+          when(col("__ldiv") >= l, col(c))
+            .otherwise(lit(null).cast(df.schema(c).dataType)))
+      }.drop("__ldiv")
+  }
+
   def quantileDriftFromSketches(
       beforeSketches: DataFrame,
       afterSketches: DataFrame,

@@ -237,6 +237,34 @@ class ValidationSpec extends SparkTestBase {
       Validation.kAnonymity(df, Seq("lang"), 3, mode = "redact"))
   }
 
+  test("lDiversity: homogeneous combos fail even when k-anonymous; null sensitive adds no diversity") {
+    import spark.implicits._
+    val df = Seq(
+      // (en): 3 rows but only ONE distinct source — homogeneity attack
+      (1L, "en", "web"), (2L, "en", "web"), (3L, "en", "web"),
+      // (de): 3 rows, 3 distinct sources — diverse
+      (4L, "de", "web"), (5L, "de", "book"), (6L, "de", "wiki"),
+      // (fr): nulls carry no diversity — only 2 real values
+      (7L, "fr", "web"), (8L, "fr", null), (9L, "fr", "book")
+    ).toDF("id", "lang", "source")
+    val kept = Validation.lDiversity(df, Seq("lang"), "source", l = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(4L, 5L, 6L), s"only the diverse combo survives: $kept")
+    val l2 = Validation.lDiversity(df, Seq("lang"), "source", l = 2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(l2 == Seq(4L, 5L, 6L, 7L, 8L, 9L),
+      "fr has 2 non-null sources and passes l=2; en stays homogeneous")
+    val masked = Validation.lDiversity(df, Seq("lang"), "source", 3, "mask")
+    assert(masked.count() == 9)
+    val m = masked.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("lang")).toMap
+    assert(m(1L) == null && m(4L) == "de" && m(7L) == null)
+    intercept[IllegalArgumentException](
+      Validation.lDiversity(df, Seq("source"), "source", 2))
+    intercept[IllegalArgumentException](
+      Validation.lDiversity(df, Seq("lang"), "source", 0))
+  }
+
   test("populationStability validates cuts and is loud on an empty side") {
     import spark.implicits._
     val df = Seq(1.0, 2.0).toDF("v")
