@@ -79,6 +79,28 @@ object Packing {
       salt: String = "graft-shard",
       orderBuckets: Int = 256): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val (based, total) =
+      withGlobalTokenStart(df, idCol, tokenCol, salt, orderBuckets)
+    require(total > 0, "assignShards: corpus has zero total tokens")
+    val target = (total + numShards - 1) / numShards
+    based
+      .withColumn("shard",
+        least(lit(numShards - 1).cast("long"),
+          expr(s"__gc div ${target}L")))
+      .drop("__gc")
+  }
+
+  /** The two-phase global token cumsum shared by [[assignShards]] and
+    * [[appendToShards]]: returns (df + `__gc` exclusive global token
+    * start in the deterministic (hash-bucket, hash, id) order, grand
+    * total). Driver state is `orderBuckets` longs — never data.
+    */
+  private def withGlobalTokenStart(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      salt: String,
+      orderBuckets: Int): (DataFrame, Long) = {
     require(orderBuckets >= 1, s"orderBuckets must be >= 1, got $orderBuckets")
     val h = graft.functions.VectorFunctions.hexPrefixToLong(
       sha2(concat_ws(":", col(idCol).cast("string"), lit(salt)), 256), 15)
@@ -94,21 +116,16 @@ object Packing {
       .collect().map(r => r.getAs[Long]("__ob") -> r.getAs[Long]("__t"))
       .sortBy(_._1)
     val total = totals.map(_._2).sum
-    require(total > 0, "assignShards: corpus has zero total tokens")
-    val target = (total + numShards - 1) / numShards
     val offsets = totals.map(_._1)
       .zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap
     val w = Window.partitionBy(col("__ob"))
       .orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    based
+    (based
       .withColumn("__gc",
         coalesce(sum(tok).over(w), lit(0L)) +
           element_at(typedlit(offsets), col("__ob")))
-      .withColumn("shard",
-        least(lit(numShards - 1).cast("long"),
-          expr(s"__gc div ${target}L")))
-      .drop("__h", "__ob", "__gc")
+      .drop("__h", "__ob"), total)
   }
 
   /** [[assignShards]] + write: one `shard=<k>` parquet directory per
@@ -130,8 +147,82 @@ object Packing {
     assigned.write.mode("overwrite")
       .option("partitionOverwriteMode", "static")
       .partitionBy("shard").parquet(path)
-    // stats from the COMMITTED files, not the plan — what landed is
-    // what the manifest certifies
+    certifyManifest(spark, path, idCol, tokenCol, numShards, salt,
+      orderBuckets)
+  }
+
+  /** Append a batch into an EXISTING shard layout, deficit-targeted:
+    * new documents flow into the currently-lightest shards so the
+    * layout re-balances instead of drifting (nightly arrivals never
+    * force a full re-export). The batch's deterministic global cumsum
+    * ([[assignShards]]' machinery, parameters read from the manifest)
+    * is cut at cumulative per-shard DEFICIT boundaries — shard `i`
+    * absorbs `max(0, newTarget − currentTokens_i)` of the batch, where
+    * `newTarget = ceil((currentTotal + batchTotal) / numShards)` — so
+    * after the append every shard again sits within one maximum
+    * document of the common target.
+    *
+    * Crash contract: data files append first, the manifest recertifies
+    * LAST from the committed files; a crash mid-append leaves fresh
+    * files whose tokens the manifest does not yet certify — re-run the
+    * append job (delivery is at-least-once; dedup replayed ids
+    * downstream like every append path here).
+    */
+  def appendToShards(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifest = graft.io.Sidecar.read(fs, dir, ShardManifestFileName)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no shard manifest at $path — not a writeShards layout, or a " +
+          "torn export"))
+    val node = graft.io.Json.parse(manifest)
+    val n = node.get("num_shards").asInt()
+    val salt = node.get("salt").asText()
+    val orderBuckets = node.get("order_buckets").asInt()
+    val tokenCol = node.get("token_col").asText()
+    val idCol = node.get("id_col").asText()
+    val current = {
+      import scala.jdk.CollectionConverters._
+      node.get("shards").elements().asScala
+        .map(e => e.get("shard").asLong() -> e.get("tokens").asLong()).toMap
+    }
+    val (based, b) =
+      withGlobalTokenStart(batch, idCol, tokenCol, salt, orderBuckets)
+    require(b > 0, "appendToShards: batch has zero total tokens")
+    val grand = current.values.sum + b
+    val newTarget = (grand + n - 1) / n
+    val deficits = (0L until n.toLong)
+      .map(i => i -> math.max(0L, newTarget - current.getOrElse(i, 0L)))
+    val cum = deficits.map(_._2).scanLeft(0L)(_ + _)
+    val bounds = deficits.indices
+      .map(i => (deficits(i)._1, cum(i), cum(i + 1)))
+      .filter { case (_, lo, hi) => hi > lo }
+    // Σdeficit = n·newTarget − ΣT ≥ B > 0, so bounds is never empty and
+    // every __gc < B falls inside a boundary; the coalesce is armor
+    val bLit = typedlit(bounds)
+      .cast("array<struct<shard:bigint,lo:bigint,hi:bigint>>")
+    val assigned = based.withColumn("shard", coalesce(
+      element_at(filter(bLit, x =>
+        col("__gc") >= x.getField("lo") && col("__gc") < x.getField("hi")),
+        1).getField("shard"),
+      lit(bounds.last._1))).drop("__gc")
+    assigned.write.mode("append").partitionBy("shard").parquet(path)
+    certifyManifest(spark, path, idCol, tokenCol, n, salt, orderBuckets)
+  }
+
+  /** Manifest from the COMMITTED files, not the plan — what landed is
+    * what the manifest certifies. Column-pruned: the scan reads only
+    * the token column and the shard partition value.
+    */
+  private def certifyManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      tokenCol: String,
+      numShards: Int,
+      salt: String,
+      orderBuckets: Int): Unit = {
     val stats = spark.read.parquet(path)
       .groupBy("shard")
       .agg(count(lit(1)).as("rows"), sum(col(tokenCol)).as("tokens"))
@@ -149,8 +240,8 @@ object Packing {
     val committed = graft.io.Sidecar.commit(
       fs, dir, ShardManifestFileName, json, overwrite = true)
     if (committed != json) throw new IllegalStateException(
-      s"writeShards: concurrent writer detected at $path — re-export " +
-        "single-writer")
+      s"shard manifest: concurrent writer detected at $path — " +
+        "single-writer maintenance only")
   }
 
   val ShardManifestFileName = "_graft_shards.json"

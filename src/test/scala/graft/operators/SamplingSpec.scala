@@ -284,6 +284,39 @@ class SamplingSpec extends SparkTestBase {
       "manifest token totals must sum to the corpus total")
   }
 
+  test("appendToShards: deficit-targeted growth re-balances and recertifies the manifest") {
+    val root = java.nio.file.Files.createTempDirectory("graft_shards_app_").toString
+    val base = (1L to 300L).map(i => (i, 20L + i % 80)).toDF("doc_id", "n_tok")
+    Packing.writeShards(base, s"$root/out", "doc_id", "n_tok", numShards = 4)
+    val batch = (1000L to 1150L).map(i => (i, 30L + i % 60)).toDF("doc_id", "n_tok")
+    Packing.appendToShards(batch, s"$root/out")
+    val back = spark.read.parquet(s"$root/out")
+    assert(back.count() == 300 + 151)
+    // every shard sits within one max-doc of the common post-append target
+    val totals = back.groupBy("shard").agg(sum("n_tok").as("t"))
+      .collect().map(r => r.getAs[Number]("shard").longValue() ->
+        r.getAs[Long]("t")).toMap
+    val grand = totals.values.sum
+    val target = (grand + 3) / 4
+    val maxDoc = 99L
+    totals.foreach { case (s, t) =>
+      assert(math.abs(t - target) <= maxDoc,
+        s"shard $s total $t strays from target $target by > $maxDoc")
+    }
+    // the manifest recertified to the committed state
+    val node = graft.io.Json.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/out", Packing.ShardManifestFileName)),
+      "UTF-8"))
+    val manTokens = {
+      import scala.jdk.CollectionConverters._
+      node.get("shards").elements().asScala.map(_.get("tokens").asLong()).sum
+    }
+    assert(manTokens == grand, "manifest must certify the appended totals")
+    // appending to a non-layout path is loud
+    intercept[IllegalArgumentException](
+      Packing.appendToShards(batch, s"$root/nope"))
+  }
+
   test("weightedSample favors heavy weights and excludes zero-mass rows") {
     val df = Seq[(String, Long, java.lang.Double)](
       ("g", 1L, 50.0), ("g", 2L, 1.0), ("g", 3L, 0.0), ("g", 4L, null))
