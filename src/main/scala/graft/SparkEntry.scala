@@ -1421,6 +1421,25 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // ---- bounded BFS: minimum-hop reachability from a seed set over
+    // the symmetrized customer-supplier graph (crawl blast-radius /
+    // trusted-tier distance); oracle is a recursive CTE ----
+    "q_k_hop" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      val sym = pairs.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val seeds = t(s, dir, "orders").where(col("o_custkey") < 10)
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("seed"))
+      operators.Graphs.kHopReachability(sym, "src", "dst", seeds, "seed",
+        maxHops = 2)
+    }),
+
     // ---- k-anonymity: suppress rows whose quasi-identifier combination
     // is rarer than k (the re-identification failure regex PII redaction
     // cannot see); one window exchange, no self-join ----
@@ -3958,6 +3977,23 @@ object SparkEntry {
         |    AS height,
         |  CAST(octet_length(content) AS BIGINT) AS n_bytes
         |FROM d""".stripMargin,
+    // Bounded BFS: UNION (not UNION ALL) recursion dedups (node, hops)
+    // pairs per level, so cyclic graphs cannot blow up the path count;
+    // min(hops) collapses levels exactly like the engine's visited set.
+    "q_k_hop" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
+        |    's' || l_suppkey::VARCHAR AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+        |r(node, hops) AS (
+        |  SELECT DISTINCT 'c' || o_custkey::VARCHAR, CAST(0 AS BIGINT)
+        |  FROM orders WHERE o_custkey < 10
+        |  UNION
+        |  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node
+        |  WHERE r.hops < 2)
+        |SELECT node, CAST(min(hops) AS BIGINT) AS hops
+        |FROM r GROUP BY node""".stripMargin,
     "q_k_anonymity" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,

@@ -129,6 +129,74 @@ object Graphs {
     } finally { eDeg.unpersist(); flagged.unpersist() }
   }
 
+  /** Minimum-hop reachability from a seed set (bounded BFS): every node
+    * within `maxHops` directed hops of any seed, with its minimum hop
+    * distance — crawl-frontier scoring (distance from the trusted tier),
+    * contamination blast-radius ("everything within 2 links of the eval
+    * set"), neighborhood expansion for graph dedup.
+    *
+    * Per hop: one edge⋈frontier join (edges pinned ONCE, hash-partitioned
+    * on source, so only the frontier side exchanges), one distinct, one
+    * anti-join against the visited set — frontier-sized, not graph-sized,
+    * work after the first hop on expander-like graphs. The visited set is
+    * eagerly checkpointed per hop (released as soon as the next lands) so
+    * `maxHops` bounds neither plan depth nor analysis time, and the loop
+    * EXITS EARLY when a frontier empties. No driver state beyond the
+    * frontier-empty flag.
+    *
+    * Deterministic trivially (set semantics, no floats). Seeds are
+    * reported at hops 0 whether or not they appear in the edge list —
+    * the caller's seed set is the caller's business.
+    */
+  def kHopReachability(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 100,
+      s"maxHops must be in 1..100, got $maxHops")
+    val e = graft.core.Caches.pin(
+      edges.select(col(srcCol).cast("string").as("__s"),
+        col(dstCol).cast("string").as("__d"))
+        .where(col("__s").isNotNull && col("__d").isNotNull)
+        .repartition(col("__s"))
+        .distinct())
+    try {
+      var visited = seeds
+        .select(col(seedCol).cast("string").as("node"))
+        .where(col("node").isNotNull).distinct()
+        .withColumn("hops", lit(0L))
+        .localCheckpoint(true)
+      if (visited.limit(1).count() == 0) {
+        // release BEFORE throwing — the loud path must not leak the
+        // just-materialized seed checkpoint
+        graft.core.Caches.releaseCheckpoint(visited)
+        throw new IllegalArgumentException("kHopReachability: no seeds")
+      }
+      var h = 1
+      var exhausted = false
+      while (h <= maxHops && !exhausted) {
+        val frontier = visited.where(col("hops") === (h - 1))
+        val next = e
+          .join(frontier.select(col("node").as("__s")), "__s")
+          .select(col("__d").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .withColumn("hops", lit(h.toLong))
+        val grown = visited.unionByName(next).localCheckpoint(true)
+        // the checkpoint materialized `grown`; the previous visited
+        // checkpoint has no reader left
+        graft.core.Caches.releaseCheckpoint(visited)
+        exhausted = grown.where(col("hops") === h).limit(1).count() == 0
+        visited = grown
+        h += 1
+      }
+      graft.core.Caches.registerCheckpoint(visited)
+      visited
+    } finally e.unpersist()
+  }
+
   /** Edge prep in ONE corpus-sized exchange: repartition on `__src` up
     * front, because hash(__src) satisfies BOTH downstream required
     * distributions — the (src, dst) dedup aggregate's

@@ -151,4 +151,39 @@ class GraphsSpec extends SparkTestBase {
         Seq("nope").toDF("node"), "node")
     }
   }
+
+  test("kHopReachability: min-hop BFS with early exit, cycles, off-graph seeds") {
+    import spark.implicits._
+    // a -> b -> c -> a (cycle), c -> d, e isolated-from-seeds, plus a
+    // SHORTCUT a -> d that must win the min-hop race (1 vs 3)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("a", "d"), ("x", "e")).toDF("src", "dst")
+    val out = Graphs.kHopReachability(edges, "src", "dst",
+      Seq("a").toDF("seed"), "seed", maxHops = 5)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("hops")).toMap
+    assert(out == Map("a" -> 0L, "b" -> 1L, "d" -> 1L, "c" -> 2L),
+      s"unexpected reachability: $out")
+    // hop budget truncates: maxHops = 1 sees only direct successors
+    val one = Graphs.kHopReachability(edges, "src", "dst",
+      Seq("a").toDF("seed"), "seed", maxHops = 1)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("hops")).toMap
+    assert(one == Map("a" -> 0L, "b" -> 1L, "d" -> 1L))
+    // an off-graph seed reports itself at hops 0 and reaches nothing
+    val off = Graphs.kHopReachability(edges, "src", "dst",
+      Seq("zz").toDF("seed"), "seed", maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("hops")).toMap
+    assert(off == Map("zz" -> 0L))
+    // empty seed set is loud; checkpoints do not leak
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    intercept[IllegalArgumentException] {
+      Graphs.kHopReachability(edges, "src", "dst",
+        Seq.empty[String].toDF("seed"), "seed", 2)
+    }
+    val res = Graphs.kHopReachability(edges, "src", "dst",
+      Seq("a").toDF("seed"), "seed", 5)
+    res.collect()
+    graft.core.Caches.releaseCheckpoint(res)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "kHopReachability must not leak pins/checkpoints")
+  }
 }
