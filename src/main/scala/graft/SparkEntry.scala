@@ -1421,6 +1421,18 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // ---- waterfill budget allocation: one shared cap funds small
+    // groups fully and throttles mega-groups — proportional-fair crawl
+    // / mixture quotas in closed form ----
+    "q_waterfill" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy(concat_ws(":", coalesce(col("lang"), lit("und")),
+          col("source")).as("grp"))
+        .agg(count(lit(1)).as("n_docs"))
+      operators.Sampling.waterfillAllocations(counts, "grp", "n_docs",
+        budget = 300L)
+    }),
+
     // ---- bounded BFS: minimum-hop reachability from a seed set over
     // the symmetrized customer-supplier graph (crawl blast-radius /
     // trusted-tier distance); oracle is a recursive CTE ----
@@ -3977,6 +3989,31 @@ object SparkEntry {
         |    AS height,
         |  CAST(octet_length(content) AS BIGINT) AS n_bytes
         |FROM d""".stripMargin,
+    // Waterfill: same sorted-prefix pivot arithmetic; engines may
+    // disagree on NEGATIVE integer division (floor vs truncate) but
+    // every negative candidate fails the prev <= cand validity gate on
+    // both sides, so only the exact shared pivot survives.
+    "q_waterfill" ->
+      """WITH counts AS (
+        |  SELECT concat_ws(':', coalesce(lang, 'und'), source) AS grp,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT grp, n_docs,
+        |    CAST(row_number() OVER (ORDER BY n_docs, grp) AS BIGINT) AS k,
+        |    COALESCE(CAST(sum(n_docs) OVER (ORDER BY n_docs, grp
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS excl,
+        |    lag(n_docs, 1, 0) OVER (ORDER BY n_docs, grp) AS prev,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM counts),
+        |w AS (SELECT *, (300 - excl) // (n - k + 1) AS cand FROM r),
+        |cap AS (SELECT min(cand) AS c FROM w
+        |  WHERE prev <= cand AND cand < n_docs)
+        |SELECT grp, n_docs,
+        |  CAST(CASE WHEN (SELECT c FROM cap) IS NULL THEN n_docs
+        |    ELSE LEAST(n_docs, (SELECT c FROM cap)) END AS BIGINT) AS alloc
+        |FROM w""".stripMargin,
     // Bounded BFS: UNION (not UNION ALL) recursion dedups (node, hops)
     // pairs per level, so cyclic graphs cannot blow up the path count;
     // min(hops) collapses levels exactly like the engine's visited set.

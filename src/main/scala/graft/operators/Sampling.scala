@@ -327,6 +327,68 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Waterfill (max-min fair) budget allocation: given per-group item
+    * counts and a global `budget`, find the single cap `c*` such that
+    * funding every group at `min(count, c*)` spends at most the budget
+    * with the LARGEST possible common cap — the proportional-fair
+    * answer to "which domains do we crawl how much of today" and
+    * "how many docs per source fit this training mix". Small groups are
+    * fully funded; big groups are throttled to one shared ceiling, so
+    * no mega-domain starves the tail (the opposite failure of a naive
+    * pro-rata split).
+    *
+    * Closed form, no iteration: over counts sorted ascending, the pivot
+    * row k is the unique one where `cap = (budget − prefix_before_k)
+    * div (groups_from_k_on)` lands in `[count_{k−1}, count_k)` — ONE
+    * groups-sized sort window (this operates on per-group AGGREGATES,
+    * the vocab-ranking size class, corpus never touches it) + a
+    * 1-row cap aggregate joined back as a broadcast scalar. Integer
+    * arithmetic throughout — engine-exact.
+    *
+    * Returns (groupCol, countCol, `alloc`); Σ alloc ≤ budget always,
+    * with equality-up-to-(#capped−1) slack (the div remainder).
+    */
+  def waterfillAllocations(
+      counts: DataFrame,
+      groupCol: String,
+      countCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val c = when(col(countCol).isNotNull && col(countCol) >= 0,
+        col(countCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"waterfillAllocations: `$countCol` must be non-null and >= 0, got "),
+        coalesce(col(countCol).cast("string"), lit("NULL")))).cast("long"))
+    val byCount = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__c"), col(groupCol))
+    val rows = counts.withColumn("__c", c)
+      .withColumn("__k", row_number().over(byCount))
+      .withColumn("__excl", coalesce(sum(col("__c")).over(
+        byCount.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__prev", lag(col("__c"), 1, 0L).over(byCount))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__c"), col(groupCol))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+    val withCand = rows.withColumn("__cand",
+      expr(s"(${budget}L - __excl) div (__n - __k + 1)"))
+    // the unique pivot: rows before it fully funded (prev <= cand),
+    // itself capped (cand < its count). No pivot row means the budget
+    // funds everyone (total <= budget).
+    val capRow = withCand
+      .where(col("__prev") <= col("__cand") && col("__cand") < col("__c"))
+      .agg(min(col("__cand")).as("__cap"))
+    withCand.crossJoin(broadcast(capRow))
+      .select(col(groupCol),
+        col("__c").as(countCol),
+        when(col("__cap").isNull, col("__c"))
+          .otherwise(least(col("__c"), col("__cap"))).as("alloc"))
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement, k per group
     * (Efraimidis & Spirakis 2006): each row gets the key `ln(u) / w` with
     * `u ∈ (0, 1]` derived from the same sha256-prefix hash as

@@ -317,6 +317,31 @@ class SamplingSpec extends SparkTestBase {
       Packing.appendToShards(batch, s"$root/nope"))
   }
 
+  test("waterfillAllocations: shared cap funds small groups, throttles big ones") {
+    val counts = Seq(("a", 1L), ("b", 5L), ("c", 5L)).toDF("grp", "n")
+    val out = Sampling.waterfillAllocations(counts, "grp", "n", budget = 7L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    // cap = 3: a fully funded (1), b and c throttled to 3 — sum exactly 7
+    assert(out == Map("a" -> 1L, "b" -> 3L, "c" -> 3L), s"got $out")
+    // budget beyond the total funds everyone
+    val all = Sampling.waterfillAllocations(counts, "grp", "n", 100L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(all == Map("a" -> 1L, "b" -> 5L, "c" -> 5L))
+    // zero budget allocates zero; div-remainder slack stays under #capped
+    val zero = Sampling.waterfillAllocations(counts, "grp", "n", 0L)
+      .collect().map(_.getAs[Long]("alloc")).sum
+    assert(zero == 0L)
+    val odd = Sampling.waterfillAllocations(counts, "grp", "n", 6L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    // cap = 2: sum 5 <= 6, slack 1 < 2 capped groups
+    assert(odd == Map("a" -> 1L, "b" -> 2L, "c" -> 2L), s"got $odd")
+    // null counts are loud
+    val bad = Seq(("a", java.lang.Long.valueOf(3L)), ("b", null: java.lang.Long))
+      .toDF("grp", "n")
+    intercept[Exception](
+      Sampling.waterfillAllocations(bad, "grp", "n", 5L).collect())
+  }
+
   test("weightedSample favors heavy weights and excludes zero-mass rows") {
     val df = Seq[(String, Long, java.lang.Double)](
       ("g", 1L, 50.0), ("g", 2L, 1.0), ("g", 3L, 0.0), ("g", 4L, null))
