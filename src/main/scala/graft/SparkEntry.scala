@@ -1421,6 +1421,15 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // ---- t-closeness audit: per-combo sensitive-distribution skew vs
+    // the corpus (TVD, exact integer numerator) — the leak k-anonymity
+    // and l-diversity both miss ----
+    "q_t_closeness" -> ((s, dir) => {
+      operators.Validation.tCloseness(
+        t(s, dir, "documents").select(col("source"), col("lang")),
+        Seq("source"), "lang", t = 0.05)
+    }),
+
     // ---- waterfill budget allocation: one shared cap funds small
     // groups fully and throttles mega-groups — proportional-fair crawl
     // / mixture quotas in closed form ----
@@ -3989,6 +3998,29 @@ object SparkEntry {
         |    AS height,
         |  CAST(octet_length(content) AS BIGINT) AS n_bytes
         |FROM d""".stripMargin,
+    // t-closeness: identical integer numerator, one double division,
+    // both engines round the same quotient.
+    "q_t_closeness" ->
+      """WITH g AS (
+        |  SELECT source, lang AS v, CAST(count(*) AS BIGINT) AS cv
+        |  FROM documents GROUP BY source, lang),
+        |e AS (
+        |  SELECT source, v, cv,
+        |    CAST(sum(cv) OVER (PARTITION BY source) AS BIGINT) AS nq,
+        |    CAST(sum(cv) OVER (PARTITION BY v) AS BIGINT) AS gv,
+        |    CAST(sum(cv) OVER () AS BIGINT) AS nn
+        |  FROM g),
+        |a AS (
+        |  SELECT source, max(nq) AS n,
+        |    CAST(sum(abs(cv * nn - gv * nq)) AS BIGINT) AS s1,
+        |    max(nq) AS mnq, max(nn) AS mnn,
+        |    CAST(sum(gv) AS BIGINT) AS sgv
+        |  FROM e GROUP BY source)
+        |SELECT source, n,
+        |  round((s1 + mnq * mnn - mnq * sgv) / (2.0 * mnq * mnn), 6) AS tvd,
+        |  round((s1 + mnq * mnn - mnq * sgv) / (2.0 * mnq * mnn), 6) <= 0.05
+        |    AS pass
+        |FROM a""".stripMargin,
     // Waterfill: same sorted-prefix pivot arithmetic; engines may
     // disagree on NEGATIVE integer division (floor vs truncate) but
     // every negative candidate fails the prev <= cand validity gate on

@@ -394,6 +394,66 @@ object Validation {
       }.drop("__ldiv")
   }
 
+  /** t-closeness audit (Li 2007) — the third of the privacy trio: a
+    * combination can be k-anonymous AND l-diverse yet still leak when
+    * its sensitive-value DISTRIBUTION differs sharply from the global
+    * one ("this zip's patients are 90% cancer vs 5% overall" — skew,
+    * not homogeneity). Reports, per quasi-identifier combination, the
+    * total-variation distance between the combo's categorical sensitive
+    * distribution and the corpus-wide one, and whether it passes
+    * `tvd <= t`. Filter with a semi-join on the failing combos (a
+    * report, not a row filter, because the interesting artifact here is
+    * WHICH combos leak and by how much).
+    *
+    * TVD over only the values PRESENT in the combo (absent values fold
+    * in closed form: `Σ_absent p_global = 1 − Σ_present p_global`), so
+    * there is no domain cross join. The corpus pays ONE groupBy to
+    * (combo, value) counts; every remaining step runs on that
+    * aggregate. The numerator is pure INTEGER arithmetic
+    * (`Σ|cv·N − gv·nq| + nq·N − nq·Σgv`), one double division at the
+    * end — engine-exact; products are bounded by N², checked LOUD
+    * in-row against long overflow (corpora past ~3·10⁹ rows should
+    * audit a sample — the distances converge long before that).
+    * Null sensitive values count as their own category on both engines.
+    */
+  def tCloseness(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitiveCol `$sensitiveCol` cannot also be a quasi column")
+    require(t >= 0.0 && t <= 1.0, s"t must be in [0, 1], got $t")
+    val w = org.apache.spark.sql.expressions.Window
+    val byQuasi = w.partitionBy(quasiCols.map(col): _*)
+    val byValue = w.partitionBy(col("__v"))
+    val everything = w.partitionBy()
+    val grouped = df
+      .groupBy((quasiCols.map(col) :+ col(sensitiveCol).as("__v")): _*)
+      .agg(count(lit(1)).as("__cv"))
+      .withColumn("__nq", sum(col("__cv")).over(byQuasi))
+      .withColumn("__gv", sum(col("__cv")).over(byValue))
+      .withColumn("__N",
+        when(sum(col("__cv")).over(everything) <= 3000000000L,
+          sum(col("__cv")).over(everything))
+          .otherwise(raise_error(lit(
+            "tCloseness: corpus exceeds the exact-integer bound " +
+              "(~3e9 rows) — audit a sample"))))
+    grouped
+      .groupBy(quasiCols.map(col): _*)
+      .agg(
+        first(col("__nq")).as("n"),
+        ((sum(abs(col("__cv") * col("__N") - col("__gv") * col("__nq")))
+          + first(col("__nq")) * first(col("__N"))
+          - first(col("__nq")) * sum(col("__gv")))
+          / (lit(2.0) * first(col("__nq")) * first(col("__N"))))
+          .as("__tvd"))
+      .select((quasiCols.map(col) :+ col("n") :+
+        round(col("__tvd"), 6).as("tvd") :+
+        (round(col("__tvd"), 6) <= t).as("pass")): _*)
+  }
+
   def quantileDriftFromSketches(
       beforeSketches: DataFrame,
       afterSketches: DataFrame,

@@ -265,6 +265,43 @@ class ValidationSpec extends SparkTestBase {
       Validation.lDiversity(df, Seq("lang"), "source", 0))
   }
 
+  test("tCloseness: skewed combos fail, matching ones pass, absent values fold exactly") {
+    import spark.implicits._
+    // global: 4×A, 4×B. combo g1 mirrors it (tvd 0), combo g2 is all-A
+    // (tvd = |1 − 0.5| /2·... = 0.5)
+    val df = Seq(
+      ("g1", "A"), ("g1", "A"), ("g1", "B"), ("g1", "B"),
+      ("g2", "A"), ("g2", "A"), ("g2", "A"), ("g2", "A")
+    ).toDF("zip", "diag")
+    // global p(A) = 6/8, p(B) = 2/8
+    // g1: p(A)=1/2, p(B)=1/2 → tvd = (|.5−.75| + |.5−.25|)/2 = 0.25
+    // g2: p(A)=1, B absent → tvd = (|1−.75| + .25)/2 = 0.25
+    val out = Validation.tCloseness(df, Seq("zip"), "diag", t = 0.3)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("tvd"), r.getAs[Boolean]("pass")))
+      .toMap
+    assert(out("g1") == ((4L, 0.25, true)), s"g1: ${out("g1")}")
+    assert(out("g2") == ((4L, 0.25, true)), s"g2: ${out("g2")}")
+    val tight = Validation.tCloseness(df, Seq("zip"), "diag", t = 0.1)
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("pass")).toMap
+    assert(tight == Map("g1" -> false, "g2" -> false))
+    // a combo that exactly mirrors the global distribution scores 0
+    val mirror = Seq(("m1", "A"), ("m1", "B"), ("m2", "A"), ("m2", "B"))
+      .toDF("zip", "diag")
+    val m = Validation.tCloseness(mirror, Seq("zip"), "diag", 0.0)
+      .collect().map(r => (r.getAs[Double]("tvd"), r.getAs[Boolean]("pass")))
+    assert(m.forall(_ == ((0.0, true))), s"mirrored combos must score 0: ${m.toSeq}")
+    // null sensitive is its own category, not an error
+    val withNull = Seq(("z", "A"), ("z", null), ("y", "A"), ("y", null))
+      .toDF("zip", "diag")
+    assert(Validation.tCloseness(withNull, Seq("zip"), "diag", 0.5)
+      .collect().forall(_.getAs[Boolean]("pass")))
+    intercept[IllegalArgumentException](
+      Validation.tCloseness(df, Seq("diag"), "diag", 0.1))
+    intercept[IllegalArgumentException](
+      Validation.tCloseness(df, Seq("zip"), "diag", 1.5))
+  }
+
   test("populationStability validates cuts and is loud on an empty side") {
     import spark.implicits._
     val df = Seq(1.0, 2.0).toDF("v")
