@@ -1421,6 +1421,25 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // ---- ranking-quality eval (nDCG/MRR/recall@k) over a deterministic
+    // synthetic run + graded qrels — the measurement harness for the
+    // BM25 / RRF / ANN tier ----
+    "q_rank_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("n_chars").desc, col("doc_id"))
+      val run = docs
+        .select((col("doc_id") % 3).as("qid"), col("doc_id"), col("n_chars"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 10)
+        .select("qid", "doc_id", "rnk")
+      val qrels = docs.where(col("n_chars") % 4 === 0)
+        .select((col("doc_id") % 3).as("qid"), col("doc_id"),
+          (col("doc_id") % 3 + 1).cast("int").as("rel"))
+      operators.RankEval.rankingMetrics(run, qrels,
+        "qid", "doc_id", "rnk", "rel", k = 10)
+    }),
+
     // ---- t-closeness audit: per-combo sensitive-distribution skew vs
     // the corpus (TVD, exact integer numerator) — the leak k-anonymity
     // and l-diversity both miss ----
@@ -3998,6 +4017,52 @@ object SparkEntry {
         |    AS height,
         |  CAST(octet_length(content) AS BIGINT) AS n_bytes
         |FROM d""".stripMargin,
+    // Ranking eval: the DCG discounts are SHARED literals (log2 has no
+    // cross-libm correct-rounding guarantee); gains are integer shifts;
+    // per-rank terms nano-quantized and long-summed on both engines.
+    "q_rank_eval" -> {
+      val disc = operators.RankEval.discounts(10).zipWithIndex
+        .map { case (d, i) =>
+          s"(${i + 1}, ${java.lang.Double.toString(d)})" }
+        .mkString(", ")
+      s"""WITH disc(pos, dv) AS (VALUES $disc),
+         |run AS (
+         |  SELECT doc_id % 3 AS qid, doc_id,
+         |    row_number() OVER (PARTITION BY doc_id % 3
+         |      ORDER BY n_chars DESC, doc_id) AS rnk
+         |  FROM documents QUALIFY rnk <= 10),
+         |qrels AS (
+         |  SELECT doc_id % 3 AS qid, doc_id,
+         |    CAST(doc_id % 3 + 1 AS INTEGER) AS rel
+         |  FROM documents WHERE n_chars % 4 = 0),
+         |scored AS (
+         |  SELECT r.qid,
+         |    CAST(sum(CAST(round(((1::BIGINT << coalesce(q.rel, 0)) - 1)
+         |      ::DOUBLE * d.dv * 1e9) AS BIGINT)) AS BIGINT) AS dcgn,
+         |    CAST(count(CASE WHEN q.rel > 0 THEN 1 END) AS BIGINT) AS hits,
+         |    min(CASE WHEN q.rel > 0 THEN r.rnk END) AS frst
+         |  FROM run r
+         |  LEFT JOIN qrels q USING (qid, doc_id)
+         |  JOIN disc d ON d.pos = r.rnk
+         |  GROUP BY r.qid),
+         |ideal AS (
+         |  SELECT qid, CAST(count(*) AS BIGINT) AS n_rel,
+         |    CAST(sum(CASE WHEN i.pos <= 10 THEN
+         |      CAST(round(((1::BIGINT << rel) - 1)::DOUBLE * dv * 1e9)
+         |        AS BIGINT) ELSE 0 END) AS BIGINT) AS idcgn
+         |  FROM (SELECT qid, doc_id, rel,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY rel DESC, doc_id) AS pos
+         |    FROM qrels WHERE rel > 0) i
+         |  LEFT JOIN disc ON disc.pos = i.pos
+         |  GROUP BY qid)
+         |SELECT i.qid, i.n_rel, coalesce(s.hits, 0) AS hits,
+         |  round(coalesce(s.hits, 0) / i.n_rel::DOUBLE, 6) AS recall,
+         |  round(CASE WHEN s.frst IS NOT NULL THEN 1.0 / s.frst
+         |    ELSE 0.0 END, 6) AS rr,
+         |  round(coalesce(s.dcgn, 0) / i.idcgn::DOUBLE, 6) AS ndcg
+         |FROM ideal i LEFT JOIN scored s USING (qid)""".stripMargin
+    },
     // t-closeness: identical integer numerator, one double division,
     // both engines round the same quotient.
     "q_t_closeness" ->
