@@ -1421,6 +1421,21 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // ---- margin-based bitext mining (ratio margin): each source's
+    // best target scored relative to both neighborhoods, hub-resistant;
+    // planted scaled twins must mine as mutual pairs ----
+    "q_bitext_mine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val src = e.where(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val tgt = e.where(col("vec_id") % 20 === 0).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.5)).cast("float"))
+          .as("embedding"))
+      operators.Ann.marginBitextPairs(src, tgt, "vec_id", "embedding",
+        k = 4, threshold = 1.0)
+    }),
+
     // ---- ranking-quality eval (nDCG/MRR/recall@k) over a deterministic
     // synthetic run + graded qrels — the measurement harness for the
     // BM25 / RRF / ANN tier ----
@@ -4017,6 +4032,57 @@ object SparkEntry {
         |    AS height,
         |  CAST(octet_length(content) AS BIGINT) AS n_bytes
         |FROM d""".stripMargin,
+    // Bitext mining: cosines double-rounded to integer micros, LONG
+    // neighborhood sums, one double division — engine-exact margins.
+    "q_bitext_mine" ->
+      """WITH src AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |tgt AS (
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(CAST(x * 1.5 AS FLOAT) AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |p AS (
+        |  SELECT s.vec_id AS sid, t.vec_id AS tid,
+        |    list_sum(list_transform(range(len(s.v)),
+        |      i -> s.v[CAST(i AS INTEGER)+1] * t.v[CAST(i AS INTEGER)+1]))
+        |      AS dot,
+        |    sqrt(list_sum(list_transform(s.v, x -> x * x))) AS ns,
+        |    sqrt(list_sum(list_transform(t.v, x -> x * x))) AS nt
+        |  FROM src s CROSS JOIN tgt t),
+        |c AS (
+        |  SELECT sid, tid,
+        |    CAST(round(round(CASE WHEN ns = 0 OR nt = 0 THEN 0.0
+        |      ELSE dot / (ns * nt) END, 6) * 1e6) AS BIGINT) AS cosu
+        |  FROM p),
+        |fwd AS (SELECT sid, tid, cosu,
+        |    row_number() OVER (PARTITION BY sid ORDER BY cosu DESC, tid) AS r
+        |  FROM c QUALIFY r <= 4),
+        |rev AS (SELECT tid, cosu,
+        |    row_number() OVER (PARTITION BY tid ORDER BY cosu DESC, sid) AS r
+        |  FROM c QUALIFY r <= 4),
+        |sx AS (SELECT sid, CAST(sum(cosu) AS BIGINT) AS sx,
+        |    CAST(count(*) AS BIGINT) AS cx FROM fwd GROUP BY sid),
+        |sy AS (SELECT tid, CAST(sum(cosu) AS BIGINT) AS sy,
+        |    CAST(count(*) AS BIGINT) AS cy FROM rev GROUP BY tid),
+        |m AS (SELECT f.sid, f.tid,
+        |    round(f.cosu * 2.0 * sx.cx * sy.cy
+        |      / (sx.sx * sy.cy + sy.sy * sx.cx), 6) AS margin
+        |  FROM fwd f JOIN sx ON f.sid = sx.sid JOIN sy ON f.tid = sy.tid
+        |  WHERE sx.sx * sy.cy + sy.sy * sx.cx > 0),
+        |b AS (SELECT sid, tid, margin,
+        |    row_number() OVER (PARTITION BY sid ORDER BY margin DESC, tid)
+        |      AS rs,
+        |    row_number() OVER (PARTITION BY tid ORDER BY margin DESC, sid)
+        |      AS rt
+        |  FROM m),
+        |tb AS (SELECT tid, max(CASE WHEN rt = 1 THEN sid END) AS bsid
+        |  FROM b GROUP BY tid)
+        |SELECT b.sid AS src_id, b.tid AS tgt_id, b.margin,
+        |  (tb.bsid = b.sid) AS mutual
+        |FROM b JOIN tb ON b.tid = tb.tid
+        |WHERE b.rs = 1 AND b.margin >= 1.0""".stripMargin,
     // Ranking eval: the DCG discounts are SHARED literals (log2 has no
     // cross-libm correct-rounding guarantee); gains are integer shifts;
     // per-rank terms nano-quantized and long-summed on both engines.

@@ -1067,6 +1067,63 @@ object Ann {
     }
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019's ratio margin —
+    * the CCMatrix/LASER parallel-corpus recipe): for every source
+    * embedding, score its candidate targets by
+    * `cos(x, y) / ((avgTopK(x) + avgTopK(y)) / 2)` — cosine relative to
+    * both points' neighborhood densities, which kills the hub problem
+    * (a generic sentence that is everyone's near-neighbor scores LOW
+    * because its own neighborhood average is high). Returns each
+    * source's best-margin pair above `threshold`, flagged `mutual` when
+    * the target also picks that source back (judged within the k-NN
+    * candidate graph, the standard practice).
+    *
+    * Engine-exact: cosines quantize to integer micros, neighborhood
+    * sums are LONG sums, and the margin is ONE double division of
+    * integer products, so the DuckDB oracle reproduces it bit-for-bit.
+    * Degenerate neighborhoods (non-positive cosine mass) drop loud-ly
+    * visible: their pairs are excluded rather than scored with a
+    * sign-flipped denominator.
+    *
+    * Both sides are broadcast by the [[bruteForceTopK]] contract (keep
+    * each under ~100k rows; block both sides upstream beyond that —
+    * mining runs per language-pair bucket anyway).
+    */
+  def marginBitextPairs(
+      src: DataFrame,
+      tgt: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 4,
+      threshold: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cosu = round(col("cos") * 1e6).cast("long").as("cosu")
+    val fwd = bruteForceTopK(tgt, src, idCol, vecCol, idCol, k)
+      .select(col("q_id").as("src_id"), col("id").as("tgt_id"), cosu)
+    val rev = bruteForceTopK(src, tgt, idCol, vecCol, idCol, k)
+      .select(col("q_id").as("tgt_id"), cosu)
+    val aSrc = fwd.groupBy("src_id")
+      .agg(sum(col("cosu")).as("__sx"), count(lit(1)).as("__cx"))
+    val aTgt = rev.groupBy("tgt_id")
+      .agg(sum(col("cosu")).as("__sy"), count(lit(1)).as("__cy"))
+    val denom = col("__sx") * col("__cy") + col("__sy") * col("__cx")
+    val m = fwd.join(aSrc, "src_id").join(aTgt, "tgt_id")
+      .where(denom > 0)
+      .withColumn("margin", round(
+        col("cosu") * 2.0 * col("__cx") * col("__cy") / denom, 6))
+    val bySrc = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    val byTgt = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("margin").desc, col("src_id").asc)
+    m.withColumn("__rs", row_number().over(bySrc))
+      .withColumn("__rt", row_number().over(byTgt))
+      .withColumn("__tb", max(when(col("__rt") === 1, col("src_id"))).over(
+        Window.partitionBy(col("tgt_id"))))
+      .where(col("__rs") === 1 && col("margin") >= threshold)
+      .select(col("src_id"), col("tgt_id"), col("margin"),
+        (col("__tb") === col("src_id")).as("mutual"))
+  }
+
   /** Recall of an ANN result against the exact result: fraction of exact
     * top-k pairs the approximate search also returned.
     */

@@ -432,6 +432,35 @@ class AnnMultimodalSpec extends SparkTestBase {
       new java.io.File(root))
   }
 
+  test("marginBitextPairs: planted twins mine as mutual best pairs, hubs score low") {
+    val src = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    // targets: exact (scaled) twins of each source plus a HUB that is
+    // moderately close to everything
+    val tgt = Seq(
+      (11L, Array(2.0f, 0.0f, 0.0f)),
+      (12L, Array(0.0f, 2.0f, 0.0f)),
+      (13L, Array(0.0f, 0.0f, 2.0f)),
+      (99L, Array(1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Ann.marginBitextPairs(src, tgt, "vec_id", "embedding",
+      k = 3, threshold = 0.0)
+      .collect().map(r => r.getAs[Long]("src_id") ->
+        (r.getAs[Long]("tgt_id"), r.getAs[Boolean]("mutual"))).toMap
+    assert(out == Map(1L -> ((11L, true)), 2L -> ((12L, true)),
+      3L -> ((13L, true))),
+      s"each source must mine its twin as the mutual best: $out")
+    // the hub is nobody's best pair despite cos ~0.577 with everyone
+    assert(!out.values.exists(_._1 == 99L))
+    // threshold filters: raising it above every margin empties the result
+    val none = Ann.marginBitextPairs(src, tgt, "vec_id", "embedding",
+      k = 3, threshold = 99.0)
+    assert(none.count() == 0)
+    intercept[IllegalArgumentException](
+      Ann.marginBitextPairs(src, tgt, "vec_id", "embedding", k = 0))
+  }
+
   test("persisted PQ index round-trips; torn write (no sidecar) is loud") {
     val root = java.nio.file.Files.createTempDirectory("graft_pq_").toString
     try {
