@@ -1421,6 +1421,15 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // ---- categorical PSI: language-mix drift between two corpus
+    // halves, union categories with Laplace smoothing ----
+    "q_cat_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Validation.categoricalStability(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "lang")
+    }),
+
     // ---- margin-based bitext mining (ratio margin): each source's
     // best target scored relative to both neighborhoods, hub-resistant;
     // planted scaled twins must mine as mutual pairs ----
@@ -4032,6 +4041,28 @@ object SparkEntry {
         |    AS height,
         |  CAST(octet_length(content) AS BIGINT) AS n_bytes
         |FROM d""".stripMargin,
+    "q_cat_drift" ->
+      """WITH b AS (SELECT lang AS category, CAST(count(*) AS BIGINT) AS nb
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+        |a AS (SELECT lang AS category, CAST(count(*) AS BIGINT) AS na
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY lang),
+        |j AS (SELECT coalesce(b.category, a.category) AS category,
+        |    coalesce(nb, 0) AS n_before, coalesce(na, 0) AS n_after
+        |  FROM b FULL OUTER JOIN a
+        |    ON b.category IS NOT DISTINCT FROM a.category),
+        |t AS (SELECT *,
+        |    CAST(sum(n_before) OVER () AS BIGINT) AS tb,
+        |    CAST(sum(n_after) OVER () AS BIGINT) AS ta,
+        |    CAST(count(*) OVER () AS BIGINT) AS k
+        |  FROM j)
+        |SELECT category, n_before, n_after,
+        |  (n_before + 0.5) / (tb + 0.5 * k) AS frac_before,
+        |  (n_after + 0.5) / (ta + 0.5 * k) AS frac_after,
+        |  ((n_after + 0.5) / (ta + 0.5 * k)
+        |    - (n_before + 0.5) / (tb + 0.5 * k))
+        |  * ln(((n_after + 0.5) / (ta + 0.5 * k))
+        |    / ((n_before + 0.5) / (tb + 0.5 * k))) AS psi_term
+        |FROM t""".stripMargin,
     // Bitext mining: cosines double-rounded to integer micros, LONG
     // neighborhood sums, one double division — engine-exact margins.
     "q_bitext_mine" ->

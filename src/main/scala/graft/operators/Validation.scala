@@ -454,6 +454,45 @@ object Validation {
         (round(col("__tvd"), 6) <= t).as("pass")): _*)
   }
 
+  /** PSI over a CATEGORICAL column — [[populationStability]]'s sibling
+    * for language/source/label distributions between corpus refreshes,
+    * where numeric binning has no meaning. Categories are the UNION of
+    * both sides (full outer, null-safe — NULL is its own category);
+    * Laplace smoothing `alpha` keeps one-sided categories finite (the
+    * standard unseen-category treatment) instead of dropping or
+    * infinity-scoring them. Everything after the two per-side counts is
+    * categories-sized.
+    */
+  def categoricalStability(
+      before: DataFrame,
+      after: DataFrame,
+      valueCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    val b = before.groupBy(col(valueCol).as("category"))
+      .agg(count(lit(1)).as("__nb"))
+    val a = after.groupBy(col(valueCol).as("category"))
+      .agg(count(lit(1)).as("__na"))
+    val j = b.as("b").join(a.as("a"),
+        col("b.category") <=> col("a.category"), "full_outer")
+      .select(
+        coalesce(col("b.category"), col("a.category")).as("category"),
+        coalesce(col("__nb"), lit(0L)).as("n_before"),
+        coalesce(col("__na"), lit(0L)).as("n_after"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    def checkedTotal(tot: Column, side: String): Column =
+      when(tot > 0, tot).otherwise(raise_error(
+        lit(s"categoricalStability: $side side is empty")).cast("long"))
+    val tb = checkedTotal(sum(col("n_before")).over(w), "before")
+    val ta = checkedTotal(sum(col("n_after")).over(w), "after")
+    val k = count(lit(1)).over(w)
+    val fb = (col("n_before") + alpha) / (tb + lit(alpha) * k)
+    val fa = (col("n_after") + alpha) / (ta + lit(alpha) * k)
+    j.select(col("category"), col("n_before"), col("n_after"),
+      fb.as("frac_before"), fa.as("frac_after"),
+      ((fa - fb) * log(fa / fb)).as("psi_term"))
+  }
+
   def quantileDriftFromSketches(
       beforeSketches: DataFrame,
       afterSketches: DataFrame,

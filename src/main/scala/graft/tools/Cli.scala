@@ -67,10 +67,42 @@ object Cli {
         .corpusFingerprint(spark.read.parquet(path), cols)
         .show(truncate = false)
       finally spark.stop()
+    case Some("shards") =>
+      // balance audit of a writeShards/appendToShards layout, straight
+      // off the manifest — no Spark session, no data scan
+      val opts = optMap(args.drop(1))
+      val path = opts.getOrElse("path", sys.error("--path is required"))
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(conf)
+      val manifest = graft.io.Sidecar.read(fs, dir,
+        graft.operators.Packing.ShardManifestFileName)
+        .getOrElse(sys.error(s"no shard manifest at $path"))
+      val node = graft.io.Json.parse(manifest)
+      val shards = {
+        import scala.jdk.CollectionConverters._
+        node.get("shards").elements().asScala.map(e =>
+          (e.get("shard").asLong(), e.get("rows").asLong(),
+            e.get("tokens").asLong())).toSeq
+      }
+      // scalastyle:off println
+      println(s"num_shards=${node.get("num_shards").asInt()} " +
+        s"token_col=${node.get("token_col").asText()} " +
+        s"salt=${node.get("salt").asText()}")
+      shards.foreach { case (s, r, t) =>
+        println(f"shard=$s%-4d rows=$r%-10d tokens=$t%d")
+      }
+      if (shards.nonEmpty) {
+        val toks = shards.map(_._3)
+        println(s"total_tokens=${toks.sum} min=${toks.min} max=${toks.max} " +
+          s"spread=${toks.max - toks.min}")
+      }
+      // scalastyle:on println
     case _ =>
       System.err.println(
         "usage: graft.tools.Cli datasources | read --format f --config json " +
-          "[--n 10] | layout --path p [--n 50] | fingerprint --path p --cols a,b")
+          "[--n 10] | layout --path p [--n 50] | fingerprint --path p " +
+          "--cols a,b | shards --path p")
       sys.exit(2)
   }
 }

@@ -51,6 +51,21 @@ class SessionsCliSpec extends SparkTestBase {
     }
   }
 
+  test("CLI shards audit prints manifest balance without a data scan") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cli_sh_").toString
+    val docs = (1L to 100L).map(i => (i, 10L + i % 30)).toDF("doc_id", "n_tok")
+    graft.operators.Packing.writeShards(docs, s"$root/out", "doc_id", "n_tok",
+      numShards = 3)
+    val buf = new ByteArrayOutputStream()
+    Console.withOut(buf) {
+      graft.tools.Cli.main(Array("shards", "--path", s"$root/out"))
+    }
+    val out = buf.toString
+    assert(out.contains("num_shards=3") && out.contains("total_tokens="))
+    assert((0 to 2).forall(s => out.contains(s"shard=$s")), s"got:\n$out")
+  }
+
   test("factory sessions carry the SQL surface") {
     val s = Sessions.createSession("graft-test") // getOrCreate + register
     val v = s.sql("SELECT graft_sumsq(array(3.0d, 4.0d)) AS ss")

@@ -302,6 +302,33 @@ class ValidationSpec extends SparkTestBase {
       Validation.tCloseness(df, Seq("zip"), "diag", 1.5))
   }
 
+  test("categoricalStability: union categories, smoothing keeps one-sided finite, identical sides ~0") {
+    import spark.implicits._
+    val before = Seq("en", "en", "en", "de").toDF("lang")
+    val after = Seq("en", "de", "de", "fr").toDF("lang")
+    val out = Validation.categoricalStability(before, after, "lang")
+      .collect().map(r => r.getAs[String]("category") -> r).toMap
+    assert(out.keySet == Set("en", "de", "fr"), "union of both sides")
+    // fr exists only after; smoothing keeps its term finite and positive
+    val fr = out("fr")
+    assert(fr.getAs[Long]("n_before") == 0L && fr.getAs[Long]("n_after") == 1L)
+    assert(!fr.getAs[Double]("psi_term").isInfinite &&
+      fr.getAs[Double]("psi_term") > 0)
+    // en shrank: its term is positive too (any shift adds PSI)
+    assert(out("en").getAs[Double]("psi_term") > 0)
+    // identical sides: every term is exactly 0 (fa == fb bit-for-bit)
+    val same = Validation.categoricalStability(before, before, "lang")
+      .collect().map(_.getAs[Double]("psi_term"))
+    assert(same.forall(_ == 0.0))
+    // NULL is a category of its own
+    val withNull = Seq[(String)]("en", null).toDF("lang")
+    val n = Validation.categoricalStability(withNull, withNull, "lang")
+    assert(n.count() == 2)
+    // empty side is loud
+    intercept[Exception](Validation.categoricalStability(
+      before.where(col("lang") === "zz"), after, "lang").collect())
+  }
+
   test("populationStability validates cuts and is loud on an empty side") {
     import spark.implicits._
     val df = Seq(1.0, 2.0).toDF("v")
