@@ -687,6 +687,24 @@ object StreamingOps {
       logPath, partitionBy = Seq("batch"))
   }
 
+  /** Stream documents into a standing [[graft.operators.Packing]] shard
+    * layout: each micro-batch lands deficit-targeted
+    * ([[graft.operators.Packing.appendToShards]]) so the nightly stream
+    * keeps the shards token-balanced instead of drifting. Delivery is
+    * the appendToShards contract — at-least-once (a replayed batch
+    * re-appends; dedup by id downstream), manifest recertified after
+    * every batch so readers always see certified totals.
+    */
+  def shardIngestSink(
+      docs: DataFrame,
+      layoutPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Packing.appendToShards(batch.toDF(), layoutPath)
+    }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, events: Long, sum: Double)
   final case class SessionSummary(

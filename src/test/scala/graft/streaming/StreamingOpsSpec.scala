@@ -581,6 +581,44 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("shardIngestSink: arriving batches keep the shard layout token-balanced") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_shard_ingest_").toString
+    val layout = root + "/shards"
+    val base = (1L to 200L).map(i => (i, 20L + i % 60)).toDF("doc_id", "n_tok")
+    graft.operators.Packing.writeShards(base, layout, "doc_id", "n_tok",
+      numShards = 4)
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = StreamingOps.shardIngestSink(
+      source.toDS().toDF("doc_id", "n_tok"), layout)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      source.addData((1000L to 1080L).map(i => (i, 25L + i % 50)): _*)
+      q.processAllAvailable()
+      source.addData((2000L to 2060L).map(i => (i, 15L + i % 70)): _*)
+      q.processAllAvailable()
+      val back = spark.read.parquet(layout)
+      assert(back.count() == 200 + 81 + 61)
+      val totals = back.groupBy("shard")
+        .agg(org.apache.spark.sql.functions.sum("n_tok").as("t"))
+        .collect().map(_.getAs[Long]("t"))
+      val target = (totals.sum + 3) / 4
+      assert(totals.forall(t => math.abs(t - target) <= 100),
+        s"streamed layout must stay balanced: ${totals.toSeq} vs $target")
+      // the manifest certifies the streamed state
+      val node = graft.io.Json.parse(new String(Files.readAllBytes(
+        java.nio.file.Paths.get(layout,
+          graft.operators.Packing.ShardManifestFileName)), "UTF-8"))
+      val manTok = {
+        import scala.jdk.CollectionConverters._
+        node.get("shards").elements().asScala.map(_.get("tokens").asLong()).sum
+      }
+      assert(manTok == totals.sum)
+    } finally q.stop()
+  }
+
   test("warcIngestSink parses arriving archives; batch replay is idempotent") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
