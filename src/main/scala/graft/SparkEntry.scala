@@ -1421,6 +1421,15 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // ---- vocab coverage audit: per-doc OOV rate against a top-20
+    // vocabulary (does the tokenizer fit the corpus?) ----
+    "q_vocab_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = operators.TextAnalysis.buildVocab(
+        docs, "text", maxSize = 20, minCount = 2L)
+      operators.TextAnalysis.vocabCoverage(docs, vocab, "doc_id", "text")
+    }),
+
     // ---- categorical PSI: language-mix drift between two corpus
     // halves, union categories with Laplace smoothing ----
     "q_cat_drift" -> ((s, dir) => {
@@ -4041,6 +4050,37 @@ object SparkEntry {
         |    AS height,
         |  CAST(octet_length(content) AS BIGINT) AS n_bytes
         |FROM d""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT lower(tok) AS term
+        |  FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(coalesce(text, ''), '\s+'),
+        |      x -> x <> '')) AS tok
+        |    FROM documents)),
+        |c AS (SELECT term, count(*) AS cnt FROM t
+        |  GROUP BY term HAVING count(*) >= 2),
+        |vocab AS (SELECT term FROM c ORDER BY cnt DESC, term LIMIT 20),
+        |dt AS (
+        |  SELECT doc_id, lower(tok) AS term
+        |  FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(coalesce(text, ''), '\s+'),
+        |      x -> x <> '')) AS tok
+        |    FROM documents)),
+        |agg AS (
+        |  SELECT d.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(CASE WHEN v.term IS NULL THEN 1 END) AS BIGINT)
+        |      AS n_oov
+        |  FROM dt d LEFT JOIN vocab v ON d.term = v.term
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id,
+        |  coalesce(a.n_tokens, 0) AS n_tokens,
+        |  coalesce(a.n_oov, 0) AS n_oov,
+        |  CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+        |    ELSE round(a.n_oov / a.n_tokens::DOUBLE, 6) END AS oov_frac
+        |FROM documents LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q_cat_drift" ->
       """WITH b AS (SELECT lang AS category, CAST(count(*) AS BIGINT) AS nb
         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),

@@ -314,6 +314,38 @@ object TextAnalysis {
         .orderBy(col("cnt").desc, col("term").asc)) - 1)
   }
 
+  /** Per-document vocabulary coverage against a [[buildVocab]] table:
+    * token count, out-of-vocabulary count, and OOV fraction — the audit
+    * that says whether a tokenizer's vocab actually FITS the corpus it
+    * will train on (a domain shift shows up here first, before any
+    * model sees a batch). Tokenless documents report fraction 0.
+    *
+    * Scale shape: vocab broadcasts to the exploded token stream (no
+    * corpus shuffle for the lookup), one doc-keyed aggregate with
+    * map-side partials.
+    */
+  def vocabCoverage(
+      df: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      lowercase: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol),
+      explode_outer(tokens(col(textCol))).as("__tok"))
+    val term = if (lowercase) lower(col("__tok")) else col("__tok")
+    toks.select(col(idCol), term.as("term"))
+      .join(broadcast(vocab.select(col("term"), col("token_id"))),
+        Seq("term"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(col("term")).as("n_tokens"),
+        count(when(col("term").isNotNull && col("token_id").isNull, 1))
+          .as("n_oov"))
+      .withColumn("oov_frac",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("n_oov") / col("n_tokens").cast("double"), 6)))
+  }
+
   /** Encode each document as an array of vocabulary token ids in token
     * order (out-of-vocabulary terms → `oovId`). The natural consumer of
     * [[buildVocab]] and producer for `Packing.packSequences` — together

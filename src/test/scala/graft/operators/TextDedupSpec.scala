@@ -222,6 +222,25 @@ class TextDedupSpec extends SparkTestBase {
     assert(cased.contains("The") && cased.contains("the") && cased.contains("DOG"))
   }
 
+  test("vocabCoverage: per-doc OOV rate; tokenless docs report zero") {
+    val df = Seq(
+      (1L, "the cat and the dog and the bird"),
+      (2L, "The DOG and a cat"),
+      (3L, "")
+    ).toDF("id", "text")
+    val vocab = TextAnalysis.buildVocab(df, "text", maxSize = 4, minCount = 2L)
+    val out = TextAnalysis.vocabCoverage(df, vocab, "id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_frac"))).toMap
+    // vocab = {the, and, cat, dog}; doc 1 has 8 tokens, 1 OOV (bird);
+    // doc 2 has 5 tokens, 1 OOV (a); doc 3 is tokenless
+    assert(out(1L) == ((8L, 1L, 0.125)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((5L, 1L, 0.2)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0.0)), "tokenless doc reports zeros")
+    assert(out.size == 3, "every doc appears exactly once")
+  }
+
   test("encodeTokens maps to vocab ids in order, OOV to the sentinel") {
     val df = Seq(
       (1L, "the cat saw the dog"),
