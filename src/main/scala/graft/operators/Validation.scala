@@ -236,6 +236,23 @@ object Validation {
         sum(col("__h") % lit(4294967296L)).as("sum_lo32"))
   }
 
+  /** Merge [[corpusFingerprint]] rows from disjoint corpus parts into
+    * the fingerprint of their union: every component is mergeable by
+    * construction (count → sum, xor64 → xor, lo32 prefix sum → sum), so
+    * `fingerprint(A ∪ B) == merge(fingerprint(A), fingerprint(B))`
+    * EXACTLY — which turns replication verification into a streaming
+    * operation: fingerprint each arriving batch (corpus touched once,
+    * at arrival), merge the tiny per-batch rows at audit time
+    * ([[graft.streaming.StreamingOps.fingerprintSink]]). Parts must be
+    * DISJOINT row sets — a row counted twice shifts the sum and count
+    * (the xor alone would cancel).
+    */
+  def mergeFingerprints(parts: DataFrame): DataFrame =
+    parts.agg(
+      sum(col("n_rows")).as("n_rows"),
+      expr("bit_xor(xor64)").as("xor64"),
+      sum(col("sum_lo32")).as("sum_lo32"))
+
   /** Population Stability Index between two snapshots of `valueCol` —
     * the classic score-drift gate (banking scorecards; here: quality
     * scores, perplexity, doc lengths between corpus refreshes). The

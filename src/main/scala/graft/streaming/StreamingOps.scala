@@ -705,6 +705,51 @@ object StreamingOps {
           graft.operators.Packing.appendToShards(batch.toDF(), layoutPath)
     }
 
+  /** Stream a corpus's replication fingerprint: each micro-batch's
+    * [[graft.operators.Validation.corpusFingerprint]] (one tiny row)
+    * lands under its batch id — the [[funnelLogSink]] overwrite-by-
+    * naming idempotency — and
+    * [[graft.operators.Validation.mergeFingerprints]] over the log
+    * equals the one-shot fingerprint of everything ingested (exact
+    * merge law). The CORPUS is touched once per batch at arrival; the
+    * audit-time merge reads only batches-many fingerprint rows.
+    */
+  def fingerprintSink(
+      docs: DataFrame,
+      cols: Seq[String],
+      logPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Validation.corpusFingerprint(batch.toDF(), cols)
+            .write.mode("overwrite")
+            .parquet(f"$logPath/batch=b$batchId%012d")
+    }
+
+  /** Stream embeddings into a persisted IVF-PQ index
+    * ([[graft.operators.Ann.IvfPq.appendBatch]] per micro-batch):
+    * nightly/continuous embedding arrivals become searchable without a
+    * rebuild — frozen quantizers assign and encode, new files land in
+    * the existing cell directories. Delivery is the appendBatch
+    * contract: at-least-once (a replayed batch re-appends duplicate
+    * ids; dedup downstream or on search output), sidecar untouched, so
+    * a crash never tears the index. Rebuild on the index's own
+    * quantizer-drift schedule, not per batch.
+    */
+  def annIngestSink(
+      vectors: DataFrame,
+      indexPath: String,
+      idCol: String,
+      vecCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Ann.IvfPq.appendBatch(
+            batch.sparkSession, indexPath, batch.toDF(), idCol, vecCol)
+    }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, events: Long, sum: Double)
   final case class SessionSummary(

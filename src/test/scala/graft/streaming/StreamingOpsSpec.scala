@@ -619,6 +619,66 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("annIngestSink: streamed embeddings become searchable under frozen quantizers") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_ann_ingest_").toString
+    val embeddings = spark.read.parquet(sf("embeddings"))
+    import org.apache.spark.sql.functions.col
+    val base = embeddings.filter(col("vec_id") < 400)
+    val index = graft.operators.Ann.IvfPq.build(base, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, residual = true)
+    graft.operators.Ann.IvfPq.writeIndex(index, s"$root/idx")
+    val fresh = embeddings.filter(col("vec_id") >= 400 && col("vec_id") < 420)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long](0), r.getSeq[Float](1)))
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.annIngestSink(
+      source.toDS().toDF("vec_id", "embedding"), s"$root/idx",
+      "vec_id", "embedding")
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      source.addData(fresh.take(10): _*)
+      q.processAllAvailable()
+      source.addData(fresh.drop(10): _*)
+      q.processAllAvailable()
+      val loaded = graft.operators.Ann.IvfPq.loadIndex(spark, s"$root/idx")
+      val queries = embeddings
+        .filter(col("vec_id") >= 400 && col("vec_id") < 420)
+      val hits = graft.operators.Ann.IvfPq.search(loaded, queries,
+        "vec_id", "embedding", k = 3, nprobe = 8)
+        .where(col("q_id") === col("id")).count()
+      assert(hits == 20, s"streamed vectors must find themselves, got $hits/20")
+    } finally q.stop()
+  }
+
+  test("fingerprintSink: merged per-batch fingerprints equal the one-shot corpus fingerprint") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_fp_sink_").toString
+    val log = root + "/log"
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamingOps.fingerprintSink(
+      source.toDS().toDF("id", "text"), Seq("id", "text"), log)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      source.addData((1L, "alpha"), (2L, "beta"))
+      q.processAllAvailable()
+      source.addData((3L, "gamma"))
+      q.processAllAvailable()
+      val merged = graft.operators.Validation.mergeFingerprints(
+        spark.read.parquet(log).drop("batch")).collect().head
+      val oneShot = graft.operators.Validation.corpusFingerprint(
+        Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text"),
+        Seq("id", "text")).collect().head
+      assert(merged.toSeq == oneShot.toSeq,
+        s"merge law must hold: $merged vs $oneShot")
+    } finally q.stop()
+  }
+
   test("warcIngestSink parses arriving archives; batch replay is idempotent") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
