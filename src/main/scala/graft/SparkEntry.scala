@@ -1421,6 +1421,15 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // ---- per-node triangle counts (degree-oriented compact-forward):
+    // local clustering over a derived 97-node order graph ----
+    "q_triangles" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(
+        (col("o_orderkey") % 97).cast("string").as("x"),
+        (col("o_custkey") % 97).cast("string").as("y"))
+      operators.Graphs.triangleCounts(edges, "x", "y")
+    }),
+
     // ---- vocab coverage audit: per-doc OOV rate against a top-20
     // vocabulary (does the tokenizer fit the corpus?) ----
     "q_vocab_coverage" -> ((s, dir) => {
@@ -4050,6 +4059,26 @@ object SparkEntry {
         |    AS height,
         |  CAST(octet_length(content) AS BIGINT) AS n_bytes
         |FROM d""".stripMargin,
+    // Triangles: the oracle lists canonical u<v<w triangles (two joins
+    // over a<b edges) and attributes each to its three member nodes —
+    // the same triangle set the degree-oriented engine closes.
+    "q_triangles" ->
+      """WITH raw AS (
+        |  SELECT CAST(o_orderkey % 97 AS VARCHAR) AS x,
+        |    CAST(o_custkey % 97 AS VARCHAR) AS y
+        |  FROM orders),
+        |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |tri AS (
+        |  SELECT x.a AS u, x.b AS v, y.b AS w
+        |  FROM e x
+        |  JOIN e y ON x.b = y.a
+        |  JOIN e z ON z.a = x.a AND z.b = y.b)
+        |SELECT n AS node, CAST(count(*) AS BIGINT) AS triangles
+        |FROM (SELECT u AS n FROM tri
+        |  UNION ALL SELECT v FROM tri
+        |  UNION ALL SELECT w FROM tri)
+        |GROUP BY n""".stripMargin,
     "q_vocab_coverage" ->
       """WITH t AS (
         |  SELECT lower(tok) AS term

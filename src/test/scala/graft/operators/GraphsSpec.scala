@@ -152,6 +152,27 @@ class GraphsSpec extends SparkTestBase {
     }
   }
 
+  test("triangleCounts: hand-counted triangles, hubs without closure count zero") {
+    import spark.implicits._
+    // K4 on {a,b,c,d} = 4 triangles, each node in 3; a star center s with
+    // leaves x,y,z closes nothing; duplicate + reversed edges collapse
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("b", "a"), ("a", "b"), // dup + reverse
+      ("s", "x"), ("s", "y"), ("s", "z")).toDF("src", "dst")
+    val out = Graphs.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("triangles")).toMap
+    assert(out == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L),
+      s"K4 members close 3 each; star nodes close none: $out")
+    // total triangles = sum/3 = 4
+    assert(out.values.sum / 3 == 4L)
+    // self-loops are ignored
+    val withLoop = edges.union(Seq(("a", "a")).toDF("src", "dst"))
+    val loop = Graphs.triangleCounts(withLoop, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("triangles")).toMap
+    assert(loop == out)
+  }
+
   test("kHopReachability: min-hop BFS with early exit, cycles, off-graph seeds") {
     import spark.implicits._
     // a -> b -> c -> a (cycle), c -> d, e isolated-from-seeds, plus a
