@@ -1421,6 +1421,23 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // ---- local clustering coefficients over the derived order graph ----
+    "q_clustering" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(
+        (col("o_orderkey") % 97).cast("string").as("x"),
+        (col("o_custkey") % 97).cast("string").as("y"))
+      operators.Graphs.clusteringCoefficients(edges, "x", "y")
+    }),
+
+    // ---- percentile-rank calibration: per-language percent_rank of
+    // doc length (the step before mixing incomparable scores) ----
+    "q_pct_rank" -> ((s, dir) => {
+      operators.Selection.percentileRank(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        "n_chars", Seq("lang"))
+    }),
+
     // ---- per-node triangle counts (degree-oriented compact-forward):
     // local clustering over a derived 97-node order graph ----
     "q_triangles" -> ((s, dir) => {
@@ -4059,6 +4076,36 @@ object SparkEntry {
         |    AS height,
         |  CAST(octet_length(content) AS BIGINT) AS n_bytes
         |FROM d""".stripMargin,
+    "q_clustering" ->
+      """WITH raw AS (
+        |  SELECT CAST(o_orderkey % 97 AS VARCHAR) AS x,
+        |    CAST(o_custkey % 97 AS VARCHAR) AS y
+        |  FROM orders),
+        |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |tri AS (
+        |  SELECT x.a AS u, x.b AS v, y.b AS w
+        |  FROM e x
+        |  JOIN e y ON x.b = y.a
+        |  JOIN e z ON z.a = x.a AND z.b = y.b),
+        |tcnt AS (SELECT n AS node, CAST(count(*) AS BIGINT) AS triangles
+        |  FROM (SELECT u AS n FROM tri
+        |    UNION ALL SELECT v FROM tri
+        |    UNION ALL SELECT w FROM tri)
+        |  GROUP BY n),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node)
+        |SELECT d.node, d.degree, coalesce(t.triangles, 0) AS triangles,
+        |  CASE WHEN d.degree <= 1 THEN 0.0
+        |    ELSE round(2.0 * coalesce(t.triangles, 0)
+        |      / (d.degree * (d.degree - 1)), 6) END AS cc
+        |FROM deg d LEFT JOIN tcnt t USING (node)""".stripMargin,
+    "q_pct_rank" ->
+      """SELECT doc_id, lang, n_chars,
+        |  round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6)
+        |    AS pct
+        |FROM documents""".stripMargin,
     // Triangles: the oracle lists canonical u<v<w triangles (two joins
     // over a<b edges) and attributes each to its three member nodes —
     // the same triangle set the degree-oriented engine closes.

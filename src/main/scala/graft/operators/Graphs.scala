@@ -220,16 +220,8 @@ object Graphs {
       edges: DataFrame,
       srcCol: String,
       dstCol: String): DataFrame = {
-    val und = edges.select(
-      col(srcCol).cast("string").as("__x"),
-      col(dstCol).cast("string").as("__y"))
-      .where(col("__x").isNotNull && col("__y").isNotNull &&
-        col("__x") =!= col("__y"))
-      .select(least(col("__x"), col("__y")).as("__a"),
-        greatest(col("__x"), col("__y")).as("__b"))
-      .distinct()
-    val deg = und.select(explode(array(col("__a"), col("__b"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("__deg"))
+    val und = undirectedEdges(edges, srcCol, dstCol)
+    val deg = degreesOf(und)
     // orient low (deg, id) -> high (deg, id); struct comparison is
     // lexicographic, exactly the total order we need
     val withDeg = und
@@ -254,6 +246,48 @@ object Graphs {
     closed
       .select(explode(array(col("__w0"), col("__w1"), col("__w2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Canonical undirected simple edges (a < b, self-loops and nulls
+    * dropped, duplicates collapsed) — shared by the triangle family.
+    */
+  private def undirectedEdges(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(
+      col(srcCol).cast("string").as("__x"),
+      col(dstCol).cast("string").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull &&
+        col("__x") =!= col("__y"))
+      .select(least(col("__x"), col("__y")).as("__a"),
+        greatest(col("__x"), col("__y")).as("__b"))
+      .distinct()
+
+  private def degreesOf(und: DataFrame): DataFrame =
+    und.select(explode(array(col("__a"), col("__b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("__deg"))
+
+  /** Local clustering coefficient per node:
+    * `cc = 2·triangles / (deg · (deg − 1))` over the simple undirected
+    * graph — how much of a node's neighborhood is actually wired
+    * together. Organic communities sit well above random; a link farm's
+    * spokes sit at 0; a fully manufactured clique pegs 1.0. Degree-≤1
+    * nodes define cc = 0. One [[triangleCounts]] pass plus a node-sized
+    * left join — exact rational, one double division, round 6.
+    */
+  def clusteringCoefficients(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = undirectedEdges(edges, srcCol, dstCol)
+    val deg = degreesOf(und)
+    val tri = triangleCounts(edges, srcCol, dstCol)
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("__deg").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("__deg") <= 1, lit(0.0))
+          .otherwise(round(
+            lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+              (col("__deg") * (col("__deg") - 1)), 6)).as("cc"))
   }
 
   /** Edge prep in ONE corpus-sized exchange: repartition on `__src` up

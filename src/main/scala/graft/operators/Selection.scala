@@ -145,6 +145,33 @@ object Selection {
     * and is rejected above [[MaxUngroupedBucketRows]] rows (count-guarded)
     * rather than silently funneling a corpus through one task.
     */
+  /** Percentile rank of `scoreCol` within each group — SQL
+    * `percent_rank` semantics (`(rank − 1)/(n − 1)`, ties share a
+    * value, single-row groups score 0): the calibration step before
+    * MIXING heterogeneous quality signals (a perplexity and a
+    * classifier logit live on incomparable scales; their per-language
+    * percentile ranks do not). Null scores fail LOUD in-row — under
+    * engine-specific null ordering they would land at opposite ends of
+    * the ranking. One group-keyed window exchange; group the corpus
+    * (per language/source) so no window funnels everything.
+    */
+  def percentileRank(
+      df: DataFrame,
+      scoreCol: String,
+      groupCols: Seq[String],
+      outCol: String = "pct"): DataFrame = {
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty: an ungrouped percent_rank funnels the " +
+        "corpus through one partition; pass a bounded grouping")
+    val checked = when(col(scoreCol).isNotNull, col(scoreCol))
+      .otherwise(raise_error(lit(
+        s"percentileRank: `$scoreCol` must be non-null — null order is " +
+          "engine-specific")).cast(df.schema(scoreCol).dataType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(checked)
+    df.withColumn(outCol, round(percent_rank().over(w), 6))
+  }
+
   def quantileBuckets(
       df: DataFrame,
       scoreCol: String,

@@ -173,6 +173,25 @@ class GraphsSpec extends SparkTestBase {
     assert(loop == out)
   }
 
+  test("clusteringCoefficients: clique pegs 1, star center 0, degree-1 leaves 0") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("b", "c"), // triangle abc
+      ("c", "d"),                          // pendant
+      ("s", "x"), ("s", "y"), ("s", "z")). // star
+      toDF("src", "dst")
+    val out = Graphs.clusteringCoefficients(edges, "src", "dst")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("triangles"),
+          r.getAs[Double]("cc"))).toMap
+    assert(out("a") == ((2L, 1L, 1.0)) && out("b") == ((2L, 1L, 1.0)))
+    // c: degree 3 (a, b, d), 1 triangle -> 2·1/(3·2) = 0.333333
+    assert(out("c") == ((3L, 1L, 0.333333)))
+    assert(out("d") == ((1L, 0L, 0.0)), "degree-1 defines cc = 0")
+    assert(out("s") == ((3L, 0L, 0.0)), "star center closes nothing")
+    assert(out.size == 8)
+  }
+
   test("kHopReachability: min-hop BFS with early exit, cycles, off-graph seeds") {
     import spark.implicits._
     // a -> b -> c -> a (cycle), c -> d, e isolated-from-seeds, plus a

@@ -144,6 +144,25 @@ class SelectionSpec extends SparkTestBase {
       s"with keepBy on pref asc the pref=0 copy must survive, got $keptIds")
   }
 
+  test("percentileRank: percent_rank per group, ties share, single-row group scores 0, nulls loud") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", 1L, 10.0), ("en", 2L, 20.0), ("en", 3L, 20.0), ("en", 4L, 40.0),
+      ("de", 5L, 7.0)).toDF("lang", "id", "score")
+    val out = Selection.percentileRank(df, "score", Seq("lang"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("pct")).toMap
+    // en: ranks 1, 2, 2, 4 of n=4 -> (r-1)/3
+    assert(out(1L) == 0.0 && out(4L) == 1.0)
+    assert(out(2L) == out(3L) && out(2L) == 0.333333)
+    assert(out(5L) == 0.0, "single-row group is 0 by percent_rank definition")
+    intercept[IllegalArgumentException](
+      Selection.percentileRank(df, "score", Nil))
+    val withNull = Seq(("en", 1L, java.lang.Double.valueOf(1.0)),
+      ("en", 2L, null: java.lang.Double)).toDF("lang", "id", "score")
+    intercept[Exception](
+      Selection.percentileRank(withNull, "score", Seq("lang")).collect())
+  }
+
   test("quantileBuckets splits each group into labeled ntile bands") {
     val df = Seq(
       (1L, "en", 1.0), (2L, "en", 2.0), (3L, "en", 3.0),
