@@ -1421,6 +1421,13 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // ---- mutual information between lang and source: how much one
+    // metadata column re-encodes the other ----
+    "q_mutual_info" -> ((s, dir) => {
+      operators.Validation.mutualInformation(
+        t(s, dir, "documents"), "lang", "source")
+    }),
+
     // ---- local clustering coefficients over the derived order graph ----
     "q_clustering" -> ((s, dir) => {
       val edges = t(s, dir, "orders").select(
@@ -4076,6 +4083,20 @@ object SparkEntry {
         |    AS height,
         |  CAST(octet_length(content) AS BIGINT) AS n_bytes
         |FROM d""".stripMargin,
+    "q_mutual_info" ->
+      """WITH g AS (
+        |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS nab
+        |  FROM documents GROUP BY lang, source),
+        |e AS (SELECT a, b, nab,
+        |    CAST(sum(nab) OVER (PARTITION BY a) AS BIGINT) AS na,
+        |    CAST(sum(nab) OVER (PARTITION BY b) AS BIGINT) AS nb,
+        |    CAST(sum(nab) OVER () AS BIGINT) AS nn
+        |  FROM g)
+        |SELECT CAST(max(nn) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(round((nab::DOUBLE / nn)
+        |    * ln((nab::DOUBLE * nn) / (na::DOUBLE * nb)) * 1e9) AS BIGINT))
+        |    AS BIGINT) / 1e9, 6) AS mi_nats
+        |FROM e""".stripMargin,
     "q_clustering" ->
       """WITH raw AS (
         |  SELECT CAST(o_orderkey % 97 AS VARCHAR) AS x,

@@ -236,6 +236,39 @@ object Validation {
         sum(col("__h") % lit(4294967296L)).as("sum_lo32"))
   }
 
+  /** Mutual information (nats) between two categorical columns — the
+    * redundancy audit for pipeline signals: a quality label that
+    * carries high MI with `source` is mostly re-encoding provenance,
+    * not quality; a near-zero-MI pair of filters is worth running both.
+    * NULL is a category on both axes (the same convention as
+    * [[tCloseness]]).
+    *
+    * ONE corpus-sized groupBy to (a, b) cells; marginals and the total
+    * are window sums over that cells-sized table. Each cell's term
+    * `(n_ab/N)·ln(n_ab·N / (n_a·n_b))` is nano-quantized and summed as
+    * LONGs (order-free — a plain double sum over cells would be
+    * partition-order-dependent); operands widen to double BEFORE
+    * multiplying so no product can overflow a long.
+    */
+  def mutualInformation(
+      df: DataFrame, colA: String, colB: String): DataFrame = {
+    require(colA != colB, "colA and colB must differ")
+    val w = org.apache.spark.sql.expressions.Window
+    val cells = df
+      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__nab"))
+      .withColumn("__na", sum(col("__nab")).over(w.partitionBy(col("__a"))))
+      .withColumn("__nb", sum(col("__nab")).over(w.partitionBy(col("__b"))))
+      .withColumn("__N", sum(col("__nab")).over(w.partitionBy()))
+    val term = (col("__nab").cast("double") / col("__N")) *
+      log((col("__nab").cast("double") * col("__N")) /
+        (col("__na").cast("double") * col("__nb")))
+    cells
+      .agg(
+        max(col("__N")).as("n"),
+        round(sum(round(term * 1e9).cast("long")) / 1e9, 6).as("mi_nats"))
+  }
+
   /** Merge [[corpusFingerprint]] rows from disjoint corpus parts into
     * the fingerprint of their union: every component is mergeable by
     * construction (count → sum, xor64 → xor, lo32 prefix sum → sum), so

@@ -329,6 +329,28 @@ class ValidationSpec extends SparkTestBase {
       before.where(col("lang") === "zz"), after, "lang").collect())
   }
 
+  test("mutualInformation: ln2 for a perfect pairing, 0 under independence") {
+    import spark.implicits._
+    val dependent = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val mi = Validation.mutualInformation(dependent, "a", "b").collect().head
+    assert(mi.getAs[Long]("n") == 4L)
+    assert(mi.getAs[Double]("mi_nats") == 0.693147,
+      s"perfect 2x2 pairing is ln 2: ${mi.getAs[Double]("mi_nats")}")
+    val independent = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val zero = Validation.mutualInformation(independent, "a", "b")
+      .collect().head
+    assert(zero.getAs[Double]("mi_nats") == 0.0)
+    // NULL is a category: a null-vs-value split still carries information
+    val withNull = Seq(("x", null: String), ("x", null: String), ("y", "q"))
+      .toDF("a", "b")
+    assert(Validation.mutualInformation(withNull, "a", "b")
+      .collect().head.getAs[Double]("mi_nats") > 0.0)
+    intercept[IllegalArgumentException](
+      Validation.mutualInformation(dependent, "a", "a"))
+  }
+
   test("populationStability validates cuts and is loud on an empty side") {
     import spark.implicits._
     val df = Seq(1.0, 2.0).toDF("v")
