@@ -221,7 +221,18 @@ object Graphs {
       srcCol: String,
       dstCol: String): DataFrame = {
     val und = undirectedEdges(edges, srcCol, dstCol)
-    val deg = degreesOf(und)
+    triangleCore(und, degreesOf(und))
+  }
+
+  /** Triangle listing over prepared canonical edges + degrees. The
+    * oriented edge list is EAGERLY checkpointed: the plan reads it
+    * three times (two wedge sides + the closure probe) and Spark does
+    * not deduplicate common subplans across self-joins — without the
+    * checkpoint a 100 TB edge list pays the distinct+degree prep three
+    * times. Registered with [[graft.core.Caches]]; callers in
+    * long-lived sessions release via a `collectPins` scope.
+    */
+  private def triangleCore(und: DataFrame, deg: DataFrame): DataFrame = {
     // orient low (deg, id) -> high (deg, id); struct comparison is
     // lexicographic, exactly the total order we need
     val withDeg = und
@@ -234,6 +245,8 @@ object Graphs {
         .otherwise(struct(col("__b").as("s"), col("__a").as("t"),
           col("__da").as("dt"))).as("e"))
       .select(col("e.s").as("__s"), col("e.t").as("__t"), col("e.dt").as("__dt"))
+      .localCheckpoint(true)
+    graft.core.Caches.registerCheckpoint(oriented)
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.__s") === col("e2.__s") &&
         (struct(col("e1.__dt"), col("e1.__t")) <
@@ -278,9 +291,12 @@ object Graphs {
       edges: DataFrame,
       srcCol: String,
       dstCol: String): DataFrame = {
-    val und = undirectedEdges(edges, srcCol, dstCol)
+    // und feeds the degree output AND the orientation inside the
+    // triangle core — pinned so the distinct over the raw edge list
+    // runs once (released by the caller's collectPins scope)
+    val und = graft.core.Caches.pin(undirectedEdges(edges, srcCol, dstCol))
     val deg = degreesOf(und)
-    val tri = triangleCounts(edges, srcCol, dstCol)
+    val tri = triangleCore(und, deg)
     deg.join(tri, Seq("node"), "left")
       .select(col("node"), col("__deg").as("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),
