@@ -296,6 +296,53 @@ class PropertySpec extends SparkTestBase {
     }, n = 40)
   }
 
+  test("waterfillAllocations equals the reference waterfill for arbitrary counts") {
+    import org.scalacheck.Prop.propBoolean
+    val countsGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 50L))
+      .map(_.take(12))
+    val budgetGen = Gen.chooseNum(0L, 400L)
+    check(Prop.forAll(countsGen, budgetGen) { (counts, budget) =>
+      val df = counts.zipWithIndex
+        .map { case (c, i) => (s"g$i", c) }.toDF("grp", "n")
+      val out = Sampling.waterfillAllocations(df, "grp", "n", budget)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+      // reference: scan caps upward until the budget is exceeded
+      val total = counts.sum
+      val refCap: Long =
+        if (total <= budget) Long.MaxValue
+        else (0L to counts.max).reverse
+          .find(c => counts.map(math.min(_, c)).sum <= budget)
+          .getOrElse(0L)
+      val expect = counts.zipWithIndex
+        .map { case (c, i) => s"g$i" -> math.min(c, refCap) }.toMap
+      val alloc = out.values.sum
+      (out == expect) :| s"alloc mismatch: $out vs $expect (cap $refCap)" &&
+        (alloc <= math.max(budget, 0L) || total <= budget) :|
+          s"budget exceeded: $alloc > $budget"
+    }, n = 60)
+  }
+
+  test("assignShards balance invariant for arbitrary token distributions") {
+    import org.scalacheck.Prop.propBoolean
+    val docsGen = Gen.nonEmptyListOf(Gen.chooseNum(1L, 500L)).map(_.take(60))
+    val shardsGen = Gen.chooseNum(1, 6)
+    check(Prop.forAll(docsGen, shardsGen) { (toks, n) =>
+      val df = toks.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "n_tok")
+      val out = Packing.assignShards(df, "doc_id", "n_tok", n,
+        orderBuckets = 8)
+        .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_tok")))
+      val totals = out.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val target = (toks.sum + n - 1) / n
+      val maxDoc = toks.max
+      val inBand = totals.forall { case (_, t) =>
+        t <= target + maxDoc && t >= target - maxDoc }
+      val shardsOk = out.forall { case (s, _) => s >= 0 && s < n }
+      inBand :| s"totals $totals out of $target ± $maxDoc" &&
+        shardsOk :| s"shard id out of range in ${totals.keySet}"
+    }, n = 40)
+  }
+
   test("tokenBudgetPerGroup equals the reference greedy fill for arbitrary groups") {
     val rowGen = for {
       grp <- Gen.oneOf("a", "b", "c")
