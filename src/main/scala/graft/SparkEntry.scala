@@ -1421,6 +1421,16 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // ---- k-core extraction (iterative peeling to fixpoint — not
+    // SQL-expressible, rows-only like the KMeans family; cascade
+    // semantics pinned in GraphsSpec) ----
+    "q_k_core" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(
+        (col("o_orderkey") % 97).cast("string").as("x"),
+        (col("o_custkey") % 97).cast("string").as("y"))
+      operators.Graphs.kCore(edges, "x", "y", k = 30)
+    }),
+
     // ---- mutual information between lang and source: how much one
     // metadata column re-encodes the other ----
     "q_mutual_info" -> ((s, dir) => {

@@ -261,6 +261,48 @@ object Graphs {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
+  /** The k-core of the undirected simple graph: the maximal subgraph in
+    * which every node keeps degree ≥ k — the standard "peel away the
+    * fluff" cleanup before graph signals (a crawl graph's 2-core drops
+    * every dead-end chain; spam sprays vanish long before organic
+    * communities). Returns the surviving `(node, degree)` rows (empty
+    * when no k-core exists).
+    *
+    * Iterative peeling to the FIXPOINT: drop nodes under degree k,
+    * recompute, repeat — deletions cascade (a chain anchored to a core
+    * unravels link by link), so the loop runs until an iteration
+    * deletes nothing. Per iteration: one degree aggregate + two
+    * left-semi joins, edge list checkpointed per round (released as
+    * soon as the next lands) so iteration count bounds neither plan
+    * depth nor storage. The edge-count fixpoint test reads the fresh
+    * checkpoint — a cheap cached count, no recompute.
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = undirectedEdges(edges, srcCol, dstCol).localCheckpoint(true)
+    var n = e.count()
+    var done = n == 0L
+    while (!done) {
+      val keep = degreesOf(e).where(col("__deg") >= k).select("node")
+      val e2 = e
+        .join(keep.withColumnRenamed("node", "__a"), Seq("__a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "__b"), Seq("__b"), "left_semi")
+        .localCheckpoint(true)
+      val n2 = e2.count()
+      graft.core.Caches.releaseCheckpoint(e)
+      e = e2
+      done = n2 == n || n2 == 0L
+      n = n2
+    }
+    graft.core.Caches.registerCheckpoint(e)
+    degreesOf(e).where(col("__deg") >= k)
+      .select(col("node"), col("__deg").as("degree"))
+  }
+
   /** Canonical undirected simple edges (a < b, self-loops and nulls
     * dropped, duplicates collapsed) — shared by the triangle family.
     */

@@ -192,6 +192,25 @@ class GraphsSpec extends SparkTestBase {
     assert(out.size == 8)
   }
 
+  test("kCore: cascading peel reaches the fixpoint; chains unravel, cores survive") {
+    import spark.implicits._
+    // triangle abc anchors a 2-core; chain c-d-e must unravel in CASCADE
+    // (e first, then d — two peeling rounds)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val core2 = Graphs.kCore(edges, "src", "dst", k = 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("degree")).toMap
+    assert(core2 == Map("a" -> 2L, "b" -> 2L, "c" -> 2L),
+      s"the chain must unravel completely: $core2")
+    // no 3-core exists
+    assert(Graphs.kCore(edges, "src", "dst", k = 3).count() == 0)
+    // k=1 keeps every non-isolated node at its simple-graph degree
+    val core1 = Graphs.kCore(edges, "src", "dst", k = 1)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("degree")).toMap
+    assert(core1 == Map("a" -> 2L, "b" -> 2L, "c" -> 3L, "d" -> 2L, "e" -> 1L))
+    intercept[IllegalArgumentException](Graphs.kCore(edges, "src", "dst", 0))
+  }
+
   test("kHopReachability: min-hop BFS with early exit, cycles, off-graph seeds") {
     import spark.implicits._
     // a -> b -> c -> a (cycle), c -> d, e isolated-from-seeds, plus a
