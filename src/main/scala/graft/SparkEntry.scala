@@ -1421,6 +1421,15 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // ---- degree assortativity: hub-wiring signature of the derived
+    // order graph, pure integer sums, one division ----
+    "q_assortativity" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(
+        (col("o_orderkey") % 97).cast("string").as("x"),
+        (col("o_custkey") % 97).cast("string").as("y"))
+      operators.Graphs.degreeAssortativity(edges, "x", "y")
+    }),
+
     // ---- k-core extraction (iterative peeling to fixpoint — not
     // SQL-expressible, rows-only like the KMeans family; cascade
     // semantics pinned in GraphsSpec) ----
@@ -4093,6 +4102,30 @@ object SparkEntry {
         |    AS height,
         |  CAST(octet_length(content) AS BIGINT) AS n_bytes
         |FROM d""".stripMargin,
+    "q_assortativity" ->
+      """WITH raw AS (
+        |  SELECT CAST(o_orderkey % 97 AS VARCHAR) AS x,
+        |    CAST(o_custkey % 97 AS VARCHAR) AS y
+        |  FROM orders),
+        |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node),
+        |dir AS (SELECT a AS x, b AS y FROM e
+        |  UNION ALL SELECT b, a FROM e),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dx.d) AS BIGINT) AS sx,
+        |    CAST(sum(dx.d * dx.d) AS BIGINT) AS sxx,
+        |    CAST(sum(dx.d * dy.d) AS BIGINT) AS sxy
+        |  FROM dir
+        |  JOIN deg dx ON dir.x = dx.node
+        |  JOIN deg dy ON dir.y = dy.node)
+        |SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE round((n * sxy - sx * sx)::DOUBLE / (n * sxx - sx * sx), 6)
+        |  END AS assortativity
+        |FROM s""".stripMargin,
     "q_mutual_info" ->
       """WITH g AS (
         |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS nab

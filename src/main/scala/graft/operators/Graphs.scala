@@ -303,6 +303,49 @@ object Graphs {
       .select(col("node"), col("__deg").as("degree"))
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees across edges — one number separating social-like
+    * graphs (positive: hubs link hubs) from web/biology-like ones
+    * (negative: hubs link leaves). A crawl graph whose assortativity
+    * jumps between snapshots changed its wiring, not just its size.
+    *
+    * Each undirected edge contributes BOTH orientations (the standard
+    * treatment), so the two marginals coincide and
+    * `r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²)` — pure INTEGER sums with
+    * one double division: engine-exact. Returns `(n_edges, r)`;
+    * `r` is null for degree-regular graphs (zero variance). Exact while
+    * `Σ deg·deg` fits a long (~9·10¹⁸ — any realistic graph; sample
+    * beyond). One degree aggregate + one edges⋈degrees join.
+    */
+  def degreeAssortativity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = undirectedEdges(edges, srcCol, dstCol)
+    val deg = degreesOf(und)
+    val directed = und.select(explode(array(
+        struct(col("__a").as("x"), col("__b").as("y")),
+        struct(col("__b").as("x"), col("__a").as("y")))).as("e"))
+      .select(col("e.x"), col("e.y"))
+    val withDeg = directed
+      .join(deg.select(col("node").as("x"), col("__deg").as("__dx")), "x")
+      .join(deg.select(col("node").as("y"), col("__deg").as("__dy")), "y")
+    withDeg.agg(
+        count(lit(1)).as("__n"),
+        sum(col("__dx")).as("__sx"),
+        sum(col("__dx") * col("__dx")).as("__sxx"),
+        sum(col("__dx") * col("__dy")).as("__sxy"))
+      .select(
+        (col("__n") / 2).cast("long").as("n_edges"),
+        when(col("__n") * col("__sxx") - col("__sx") * col("__sx") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("__n") * col("__sxy") - col("__sx") * col("__sx"))
+              .cast("double") /
+              (col("__n") * col("__sxx") - col("__sx") * col("__sx")), 6))
+          .as("assortativity"))
+  }
+
   /** Canonical undirected simple edges (a < b, self-loops and nulls
     * dropped, duplicates collapsed) — shared by the triangle family.
     */

@@ -211,6 +211,21 @@ class GraphsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Graphs.kCore(edges, "src", "dst", 0))
   }
 
+  test("degreeAssortativity: star is -1, regular cycle has no variance (null)") {
+    import spark.implicits._
+    val star = Seq(("s", "x"), ("s", "y"), ("s", "z")).toDF("src", "dst")
+    val r = Graphs.degreeAssortativity(star, "src", "dst").collect().head
+    assert(r.getAs[Long]("n_edges") == 3L)
+    assert(r.getAs[Double]("assortativity") == -1.0,
+      "a star is maximally disassortative")
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val rc = Graphs.degreeAssortativity(cycle, "src", "dst").collect().head
+    assert(rc.getAs[Long]("n_edges") == 4L)
+    assert(rc.isNullAt(rc.fieldIndex("assortativity")),
+      "degree-regular graphs have zero variance -> null")
+  }
+
   test("kHopReachability: min-hop BFS with early exit, cycles, off-graph seeds") {
     import spark.implicits._
     // a -> b -> c -> a (cycle), c -> d, e isolated-from-seeds, plus a
