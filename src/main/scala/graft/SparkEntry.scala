@@ -1421,6 +1421,15 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // ---- HITS hubs/authorities over the directed order graph (2
+    // nano-exact iterations; oracle unrolls them) ----
+    "q_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(
+        (col("o_orderkey") % 97).cast("string").as("x"),
+        (col("o_custkey") % 97).cast("string").as("y"))
+      operators.Graphs.hits(edges, "x", "y", iterations = 2)
+    }),
+
     // ---- degree assortativity: hub-wiring signature of the derived
     // order graph, pure integer sums, one division ----
     "q_assortativity" -> ((s, dir) => {
@@ -4102,6 +4111,48 @@ object SparkEntry {
         |    AS height,
         |  CAST(octet_length(content) AS BIGINT) AS n_bytes
         |FROM d""".stripMargin,
+    // HITS: the oracle unrolls both iterations with the identical
+    // nano-quantized long sums and L1 normalizations.
+    "q_hits" ->
+      """WITH raw AS (
+        |  SELECT CAST(o_orderkey % 97 AS VARCHAR) AS s,
+        |    CAST(o_custkey % 97 AS VARCHAR) AS d
+        |  FROM orders),
+        |e AS (SELECT DISTINCT s, d FROM raw),
+        |nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |h0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS h
+        |  FROM nodes),
+        |a1r AS (SELECT e.d AS node,
+        |    CAST(sum(CAST(round(h0.h * 1e9) AS BIGINT)) AS BIGINT) AS r
+        |  FROM e JOIN h0 ON e.s = h0.node GROUP BY e.d),
+        |a1t AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM a1r),
+        |a1 AS (SELECT nodes.node,
+        |    coalesce(a1r.r, 0)::DOUBLE / (SELECT t FROM a1t) AS a
+        |  FROM nodes LEFT JOIN a1r USING (node)),
+        |h1r AS (SELECT e.s AS node,
+        |    CAST(sum(CAST(round(a1.a * 1e9) AS BIGINT)) AS BIGINT) AS r
+        |  FROM e JOIN a1 ON e.d = a1.node GROUP BY e.s),
+        |h1t AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM h1r),
+        |h1 AS (SELECT nodes.node,
+        |    coalesce(h1r.r, 0)::DOUBLE / (SELECT t FROM h1t) AS h
+        |  FROM nodes LEFT JOIN h1r USING (node)),
+        |a2r AS (SELECT e.d AS node,
+        |    CAST(sum(CAST(round(h1.h * 1e9) AS BIGINT)) AS BIGINT) AS r
+        |  FROM e JOIN h1 ON e.s = h1.node GROUP BY e.d),
+        |a2t AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM a2r),
+        |a2 AS (SELECT nodes.node,
+        |    coalesce(a2r.r, 0)::DOUBLE / (SELECT t FROM a2t) AS a
+        |  FROM nodes LEFT JOIN a2r USING (node)),
+        |h2r AS (SELECT e.s AS node,
+        |    CAST(sum(CAST(round(a2.a * 1e9) AS BIGINT)) AS BIGINT) AS r
+        |  FROM e JOIN a2 ON e.d = a2.node GROUP BY e.s),
+        |h2t AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM h2r),
+        |h2 AS (SELECT nodes.node,
+        |    coalesce(h2r.r, 0)::DOUBLE / (SELECT t FROM h2t) AS h
+        |  FROM nodes LEFT JOIN h2r USING (node))
+        |SELECT h2.node, round(h2.h, 6) AS hub, round(a2.a, 6) AS authority
+        |FROM h2 JOIN a2 USING (node)""".stripMargin,
     "q_assortativity" ->
       """WITH raw AS (
         |  SELECT CAST(o_orderkey % 97 AS VARCHAR) AS x,

@@ -303,6 +303,76 @@ object Graphs {
       .select(col("node"), col("__deg").as("degree"))
   }
 
+  /** HITS (Kleinberg 1999): mutually recursive hub and authority
+    * scores over a DIRECTED edge list — the [[pageRank]] sibling that
+    * separates "points at good things" (hub: a curated link list) from
+    * "is pointed at by good things" (authority: the canonical source),
+    * where PageRank's single score conflates them.
+    *
+    * Per half-iteration: one edges⋈scores join (edges pinned, hash-
+    * partitioned on source once), one destination-keyed LONG sum of
+    * nano-quantized contributions (order-free — the library's
+    * engine-exact discipline; the DuckDB oracle unrolls the identical
+    * iterations), one L1 normalization via a broadcast 1-row total.
+    * Lineage is truncated every other iteration. Duplicate edges
+    * collapse; returns `(node, hub, authority)` rounded to 6 decimals.
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 2): DataFrame = {
+    require(iterations >= 1 && iterations <= 1000,
+      s"iterations must be in 1..1000, got $iterations")
+    val e = graft.core.Caches.pin(
+      edges.select(col(srcCol).cast("string").as("__src"),
+        col(dstCol).cast("string").as("__dst"))
+        .where(col("__src").isNotNull && col("__dst").isNotNull)
+        .repartition(col("__src"))
+        .distinct())
+    val nodes = graft.core.Caches.pin(
+      e.select(col("__src").as("node"))
+        .unionByName(e.select(col("__dst").as("node"))).distinct())
+    try {
+      val n = nodes.count()
+      require(n > 0, "hits: empty graph")
+      def half(scores: DataFrame, scoreCol: String, joinOn: String,
+          outNode: String, outCol: String): DataFrame = {
+        val raw = e
+          .join(scores.withColumnRenamed("node", joinOn), joinOn)
+          .select(col(outNode).as("node"),
+            round(col(scoreCol) * 1e9).cast("long").as("__c"))
+          .groupBy("node").agg(sum(col("__c")).as("__r"))
+        val tot = raw.agg(sum(col("__r")).as("__t"))
+        nodes.join(raw, Seq("node"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("node"),
+            (coalesce(col("__r"), lit(0L)).cast("double") / col("__t"))
+              .as(outCol))
+      }
+      var h = nodes.select(col("node"), lit(1.0 / n).as("h"))
+      var a: DataFrame = null
+      var prevCk: Option[DataFrame] = None
+      (1 to iterations).foreach { i =>
+        a = half(h, "h", "__src", "__dst", "a")
+        var hNew = half(a, "a", "__dst", "__src", "h")
+        if (i % 2 == 0 && i != iterations) {
+          hNew = hNew.localCheckpoint(true)
+          prevCk.foreach(graft.core.Caches.releaseCheckpoint(_))
+          prevCk = Some(hNew)
+        }
+        h = hNew
+      }
+      val out = h.join(a.withColumnRenamed("a", "__a"), "node")
+        .select(col("node"), round(col("h"), 6).as("hub"),
+          round(col("__a"), 6).as("authority"))
+        .localCheckpoint(true)
+      prevCk.foreach(graft.core.Caches.releaseCheckpoint(_))
+      graft.core.Caches.registerCheckpoint(out)
+      out
+    } finally { e.unpersist(); nodes.unpersist() }
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees across edges — one number separating social-like
     * graphs (positive: hubs link hubs) from web/biology-like ones

@@ -211,6 +211,31 @@ class GraphsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Graphs.kCore(edges, "src", "dst", 0))
   }
 
+  test("hits: hubs and authorities separate; scores L1-normalize; no leaks") {
+    import spark.implicits._
+    // h1 points at both authorities, h2 at one; pure sources have
+    // authority 0, pure sinks have hub 0
+    val edges = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1"),
+      ("h1", "a1") /* dup collapses */).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Graphs.hits(edges, "src", "dst", iterations = 3)
+    val m = out.collect().map(r => r.getString(0) ->
+      (r.getAs[Double]("hub"), r.getAs[Double]("authority"))).toMap
+    assert(m("h1")._1 > m("h2")._1, "h1 links more authority mass")
+    assert(m("a1")._2 > m("a2")._2, "a1 is pointed at by more hub mass")
+    assert(m("a1")._1 == 0.0 && m("a2")._1 == 0.0, "sinks have hub 0")
+    assert(m("h1")._2 == 0.0 && m("h2")._2 == 0.0, "sources have authority 0")
+    val hubSum = m.values.map(_._1).sum
+    val authSum = m.values.map(_._2).sum
+    assert(math.abs(hubSum - 1.0) < 1e-5 && math.abs(authSum - 1.0) < 1e-5,
+      s"L1 normalization: $hubSum / $authSum")
+    graft.core.Caches.releaseCheckpoint(out)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "hits must not leak pins/checkpoints")
+    intercept[IllegalArgumentException](
+      Graphs.hits(edges.where($"src" === "zz"), "src", "dst"))
+  }
+
   test("degreeAssortativity: star is -1, regular cycle has no variance (null)") {
     import spark.implicits._
     val star = Seq(("s", "x"), ("s", "y"), ("s", "z")).toDF("src", "dst")
