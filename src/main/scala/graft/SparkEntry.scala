@@ -1439,6 +1439,15 @@ object SparkEntry {
       operators.Graphs.degreeAssortativity(edges, "x", "y")
     }),
 
+    // ---- full coreness decomposition (ascending peel, rows-only like
+    // q_k_core; reference-pinned in GraphsSpec/PropertySpec) ----
+    "q_coreness" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(
+        (col("o_orderkey") % 97).cast("string").as("x"),
+        (col("o_custkey") % 97).cast("string").as("y"))
+      operators.Graphs.coreness(edges, "x", "y")
+    }),
+
     // ---- k-core extraction (iterative peeling to fixpoint — not
     // SQL-expressible, rows-only like the KMeans family; cascade
     // semantics pinned in GraphsSpec) ----

@@ -283,9 +283,24 @@ object Graphs {
       dstCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    var e = undirectedEdges(edges, srcCol, dstCol).localCheckpoint(true)
+    val e0 = undirectedEdges(edges, srcCol, dstCol).localCheckpoint(true)
+    val e = peelTo(e0, k)
+    graft.core.Caches.releaseCheckpoint(e0)
+    graft.core.Caches.registerCheckpoint(e)
+    degreesOf(e).where(col("__deg") >= k)
+      .select(col("node"), col("__deg").as("degree"))
+  }
+
+  /** Peel the (checkpointed) edge set to its k-core fixpoint. Always
+    * returns a FRESH checkpoint the caller owns (never the input), with
+    * every intermediate round released as the next lands.
+    */
+  private def peelTo(e0: DataFrame, k: Int): DataFrame = {
+    var e = e0
     var n = e.count()
-    var done = n == 0L
+    var owned = false
+    if (n == 0L) return e0.limit(0).localCheckpoint(true)
+    var done = false
     while (!done) {
       val keep = degreesOf(e).where(col("__deg") >= k).select("node")
       val e2 = e
@@ -293,14 +308,58 @@ object Graphs {
         .join(keep.withColumnRenamed("node", "__b"), Seq("__b"), "left_semi")
         .localCheckpoint(true)
       val n2 = e2.count()
-      graft.core.Caches.releaseCheckpoint(e)
+      if (owned) graft.core.Caches.releaseCheckpoint(e)
+      owned = true
       e = e2
       done = n2 == n || n2 == 0L
       n = n2
     }
-    graft.core.Caches.registerCheckpoint(e)
-    degreesOf(e).where(col("__deg") >= k)
-      .select(col("node"), col("__deg").as("degree"))
+    e
+  }
+
+  /** Full coreness decomposition: every node's core NUMBER (the largest
+    * k with the node inside the k-core) — the graph-cleanup dial in one
+    * table instead of one [[kCore]] call per threshold. Ascending peel:
+    * the (k+1)-core is peeled FROM the k-core edges (never from the
+    * full graph again), nodes dropped at level k record coreness k, and
+    * the loop ends when the core empties — total rounds tracked by the
+    * graph's degeneracy, not its max degree. The accumulator is
+    * re-checkpointed per level so neither plan depth nor storage grows
+    * with k. Isolated nodes (no edges) do not appear, matching every
+    * other operator over edge lists.
+    */
+  def coreness(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    def nodesIn(e: DataFrame): DataFrame =
+      e.select(explode(array(col("__a"), col("__b"))).as("node")).distinct()
+    var e = undirectedEdges(edges, srcCol, dstCol).localCheckpoint(true)
+    var acc: DataFrame = null
+    var k = 1L
+    while (e.count() > 0L) {
+      val next = peelTo(e, (k + 1).toInt)
+      val dropped = nodesIn(e)
+        .join(nodesIn(next), Seq("node"), "left_anti")
+        .withColumn("coreness", lit(k))
+      val acc2 = (if (acc == null) dropped else acc.unionByName(dropped))
+        .localCheckpoint(true)
+      if (acc != null) graft.core.Caches.releaseCheckpoint(acc)
+      acc = acc2
+      graft.core.Caches.releaseCheckpoint(e)
+      e = next
+      k += 1
+    }
+    graft.core.Caches.releaseCheckpoint(e)
+    if (acc == null)
+      edges.sparkSession.emptyDataFrame
+        .withColumn("node", lit(null).cast("string"))
+        .withColumn("coreness", lit(null).cast("bigint"))
+        .where(lit(false))
+    else {
+      graft.core.Caches.registerCheckpoint(acc)
+      acc
+    }
   }
 
   /** HITS (Kleinberg 1999): mutually recursive hub and authority

@@ -236,6 +236,59 @@ class GraphsSpec extends SparkTestBase {
       Graphs.hits(edges.where($"src" === "zz"), "src", "dst"))
   }
 
+  test("coreness: full decomposition equals per-k membership; equals a reference peel") {
+    import spark.implicits._
+    // K4 {a,b,c,d} (coreness 3) + chain d-p-q (coreness 1) + triangle
+    // hanging off p: {p,r,t} (coreness 2)
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("d", "p"), ("p", "q"),
+      ("p", "r"), ("r", "t"), ("t", "p")).toDF("src", "dst")
+    val out = Graphs.coreness(edges, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("coreness")).toMap
+    assert(out == Map(
+      "a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L,
+      "p" -> 2L, "r" -> 2L, "t" -> 2L,
+      "q" -> 1L), s"unexpected decomposition: $out")
+    // consistency with kCore membership at every k
+    (1 to 3).foreach { k =>
+      val members = Graphs.kCore(edges, "src", "dst", k)
+        .select("node").as[String].collect().toSet
+      val expect = out.filter(_._2 >= k).keySet
+      assert(members == expect, s"k=$k: $members != $expect")
+    }
+    // reference peel (min-degree removal) on a small random graph
+    val rnd = new scala.util.Random(7)
+    val randEdges = (1 to 40).map(_ =>
+      (s"n${rnd.nextInt(12)}", s"n${rnd.nextInt(12)}"))
+      .filter(e => e._1 != e._2).distinct
+    val adj = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
+    randEdges.foreach { case (x, y) =>
+      adj.getOrElseUpdate(x, scala.collection.mutable.Set()) += y
+      adj.getOrElseUpdate(y, scala.collection.mutable.Set()) += x
+    }
+    // textbook ascending peel: at level k remove (cascading) every node
+    // of degree <= k; the removed have coreness k
+    val ref = scala.collection.mutable.Map.empty[String, Long]
+    var k = 1L
+    while (adj.nonEmpty) {
+      var changed = true
+      while (changed) {
+        val toDrop = adj.filter(_._2.size <= k).keys.toSeq
+        changed = toDrop.nonEmpty
+        toDrop.foreach { v =>
+          ref(v) = k
+          adj(v).foreach(u => adj.get(u).foreach(_ -= v))
+          adj.remove(v)
+        }
+      }
+      k += 1
+    }
+    val got = Graphs.coreness(randEdges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("coreness")).toMap
+    assert(got == ref.toMap, s"random graph: $got != $ref")
+  }
+
   test("degreeAssortativity: star is -1, regular cycle has no variance (null)") {
     import spark.implicits._
     val star = Seq(("s", "x"), ("s", "y"), ("s", "z")).toDF("src", "dst")
