@@ -727,6 +727,85 @@ object StreamingOps {
             .parquet(f"$logPath/batch=b$batchId%012d")
     }
 
+  /** Stream quasi-identifier combination counts — the k-anonymity
+    * twin's sufficient statistic: per batch, (quasi…, `__kcnt`) rows
+    * (counts are SUM-mergeable, so the log is combos-sized per batch,
+    * never events-sized) under the batch-id overwrite idempotency of
+    * [[funnelLogSink]]. [[passingCombosFromLog]] then yields exactly
+    * the combinations [[graft.operators.Validation.kAnonymity]] would
+    * keep over everything delivered — semi-join the corpus against it
+    * (null-safe on the quasi columns) to apply the gate.
+    */
+  def comboCountSink(
+      events: DataFrame,
+      quasiCols: Seq[String],
+      logPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.toDF().groupBy(quasiCols.map(col): _*)
+            .agg(count(lit(1)).as("__kcnt"))
+            .write.mode("overwrite")
+            .parquet(f"$logPath/batch=b$batchId%012d")
+    }
+  }
+
+  /** Combinations whose TOTAL delivered count reaches `k` — the
+    * standing k-anonymity pass list over a [[comboCountSink]] log.
+    */
+  def passingCombosFromLog(
+      spark: SparkSession,
+      logPath: String,
+      quasiCols: Seq[String],
+      k: Long): DataFrame =
+    spark.read.parquet(logPath).drop("batch")
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__kcnt")).as("n"))
+      .where(col("n") >= k)
+
+  /** Stream distinct (quasi…, sensitive) pairs — the l-diversity twin's
+    * sufficient statistic (distinct-union-mergeable, the
+    * [[retentionLogSink]] law); [[diverseCombosFromLog]] equals the
+    * batch [[graft.operators.Validation.lDiversity]] combo judgment
+    * over everything delivered. Null sensitive values are dropped at
+    * the sink — they carry no diversity on either engine.
+    */
+  def diversityPairSink(
+      events: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      logPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.toDF()
+            .where(col(sensitiveCol).isNotNull)
+            .select((quasiCols :+ sensitiveCol).map(col): _*)
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(f"$logPath/batch=b$batchId%012d")
+    }
+  }
+
+  /** Combinations carrying at least `l` distinct delivered sensitive
+    * values — the standing l-diversity pass list.
+    */
+  def diverseCombosFromLog(
+      spark: SparkSession,
+      logPath: String,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Long): DataFrame =
+    spark.read.parquet(logPath).drop("batch")
+      .distinct()
+      .groupBy(quasiCols.map(col): _*)
+      .agg(countDistinct(col(sensitiveCol)).as("diversity"))
+      .where(col("diversity") >= l)
+
   /** Stream embeddings into a persisted IVF-PQ index
     * ([[graft.operators.Ann.IvfPq.appendBatch]] per micro-batch):
     * nightly/continuous embedding arrivals become searchable without a

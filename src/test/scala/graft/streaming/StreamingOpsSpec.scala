@@ -679,6 +679,50 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("privacy-twin sinks: streamed combo judgments equal the batch operators") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_priv_log_").toString
+    val kLog = root + "/klog"
+    val lLog = root + "/llog"
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val qk = StreamingOps.comboCountSink(
+      src.toDS().toDF("lang", "source"), Seq("lang"), kLog)
+      .option("checkpointLocation", root + "/ck1").start()
+    val ql = StreamingOps.diversityPairSink(
+      src.toDS().toDF("lang", "source"), Seq("lang"), "source", lLog)
+      .option("checkpointLocation", root + "/ck2").start()
+    try {
+      // en reaches k=3 only ACROSS batches; de stays rare; en gets 2
+      // distinct sources, de only 1
+      src.addData(("en", "web"), ("en", "web"), ("de", "web"))
+      qk.processAllAvailable(); ql.processAllAvailable()
+      src.addData(("en", "book"), ("de", "web"))
+      qk.processAllAvailable(); ql.processAllAvailable()
+      val kPass = StreamingOps.passingCombosFromLog(spark, kLog, Seq("lang"), 3L)
+        .select("lang").as[String].collect().toSet
+      assert(kPass == Set("en"), s"k=3 pass list: $kPass")
+      // equals the batch operator's surviving combo set
+      val all = Seq(("en", "web"), ("en", "web"), ("de", "web"),
+        ("en", "book"), ("de", "web")).toDF("lang", "source")
+      val batchPass = graft.operators.Validation.kAnonymity(all, Seq("lang"), 3)
+        .select("lang").distinct().as[String].collect().toSet
+      assert(kPass == batchPass)
+      val lPass = StreamingOps.diverseCombosFromLog(spark, lLog,
+        Seq("lang"), "source", 2L)
+        .select("lang").as[String].collect().toSet
+      assert(lPass == Set("en"), s"l=2 pass list: $lPass")
+      val batchL = graft.operators.Validation.lDiversity(all, Seq("lang"),
+        "source", 2)
+        .select("lang").distinct().as[String].collect().toSet
+      assert(lPass == batchL)
+      // the logs are combos-sized, not events-sized
+      assert(spark.read.parquet(kLog).count() <= 4)
+      assert(spark.read.parquet(lLog).count() <= 4)
+    } finally { qk.stop(); ql.stop() }
+  }
+
   test("warcIngestSink parses arriving archives; batch replay is idempotent") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
