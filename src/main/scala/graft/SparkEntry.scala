@@ -1442,9 +1442,13 @@ object SparkEntry {
     // ---- full coreness decomposition (ascending peel, rows-only like
     // q_k_core; reference-pinned in GraphsSpec/PropertySpec) ----
     "q_coreness" -> ((s, dir) => {
+      // sparse derived graph (~avg degree 6 at sf0.1): decomposition
+      // rounds track DEGENERACY, so the bench fixture is shaped like a
+      // real link graph, not a dense clique whose ~50 levels would
+      // measure scheduler overhead
       val edges = t(s, dir, "orders").select(
-        (col("o_orderkey") % 97).cast("string").as("x"),
-        (col("o_custkey") % 97).cast("string").as("y"))
+        (col("o_orderkey") % 50021).cast("string").as("x"),
+        (col("o_custkey") % 50021).cast("string").as("y"))
       operators.Graphs.coreness(edges, "x", "y")
     }),
 

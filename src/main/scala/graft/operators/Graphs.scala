@@ -338,6 +338,14 @@ object Graphs {
     var acc: DataFrame = null
     var k = 1L
     while (e.count() > 0L) {
+      // jump k to the core's current minimum degree: every level in
+      // between would peel nothing (all degrees ≥ minDeg), and on dense
+      // graphs those empty levels are most of them — the min-degree
+      // aggregate on the cached core is one cheap job vs a full no-op
+      // peel round per skipped level
+      val minDeg = degreesOf(e).agg(min(col("__deg")).as("m"))
+        .head().getAs[Long]("m")
+      k = math.max(k, minDeg)
       val next = peelTo(e, (k + 1).toInt)
       val dropped = nodesIn(e)
         .join(nodesIn(next), Seq("node"), "left_anti")
@@ -411,22 +419,33 @@ object Graphs {
       }
       var h = nodes.select(col("node"), lit(1.0 / n).as("h"))
       var a: DataFrame = null
-      var prevCk: Option[DataFrame] = None
-      (1 to iterations).foreach { i =>
-        a = half(h, "h", "__src", "__dst", "a")
-        var hNew = half(a, "a", "__dst", "__src", "h")
-        if (i % 2 == 0 && i != iterations) {
-          hNew = hNew.localCheckpoint(true)
-          prevCk.foreach(graft.core.Caches.releaseCheckpoint(_))
-          prevCk = Some(hNew)
+      val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def ck(df: DataFrame): DataFrame = {
+        val c = df.localCheckpoint(true); live += c; c
+      }
+      (1 to iterations).foreach { _ =>
+        // checkpoint EVERY half: each score table is read twice (the
+        // next half AND the final join / normalization total), and the
+        // totals' scalar crossJoins would otherwise re-run the whole
+        // upstream chain per consumer — measured 15 s of recompute at 2
+        // iterations without this; node-sized tables, so the
+        // materialization is cheap
+        val prevA = a
+        a = ck(half(h, "h", "__src", "__dst", "a"))
+        if (prevA != null) {
+          live -= prevA; graft.core.Caches.releaseCheckpoint(prevA)
         }
-        h = hNew
+        val prevH = h
+        h = ck(half(a, "a", "__dst", "__src", "h"))
+        if (live.contains(prevH)) {
+          live -= prevH; graft.core.Caches.releaseCheckpoint(prevH)
+        }
       }
       val out = h.join(a.withColumnRenamed("a", "__a"), "node")
         .select(col("node"), round(col("h"), 6).as("hub"),
           round(col("__a"), 6).as("authority"))
         .localCheckpoint(true)
-      prevCk.foreach(graft.core.Caches.releaseCheckpoint(_))
+      live.foreach(graft.core.Caches.releaseCheckpoint(_))
       graft.core.Caches.registerCheckpoint(out)
       out
     } finally { e.unpersist(); nodes.unpersist() }
