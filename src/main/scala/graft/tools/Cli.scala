@@ -98,11 +98,23 @@ object Cli {
           s"spread=${toks.max - toks.min}")
       }
       // scalastyle:on println
+    case Some("compact") =>
+      val opts = optMap(args.drop(1))
+      val kind = opts.getOrElse("kind", sys.error(
+        "--kind is required (" +
+          graft.operators.Maintenance.Kinds.keys.toSeq.sorted.mkString("|") +
+          ")"))
+      val path = opts.getOrElse("path", sys.error("--path is required"))
+      val target = opts.get("target").map(_.toLong).getOrElse(128L << 20)
+      val spark = graft.core.Sessions.createSession("graft-cli")
+      try graft.operators.Maintenance.compact(spark, kind, path, target)
+      finally spark.stop()
     case _ =>
       System.err.println(
         "usage: graft.tools.Cli datasources | read --format f --config json " +
           "[--n 10] | layout --path p [--n 50] | fingerprint --path p " +
-          "--cols a,b | shards --path p")
+          "--cols a,b | shards --path p | compact --kind k --path p " +
+          "[--target bytes]")
       sys.exit(2)
   }
 }

@@ -723,6 +723,35 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally { qk.stop(); ql.stop() }
   }
 
+  test("Maintenance.compact dispatches by kind and is loud on unknown kinds") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_maint_").toString
+    val log = root + "/statlog"
+    val steps = Seq(
+      "view" -> (col("event_type") === "view"),
+      "click" -> (col("event_type") === "click"))
+    StreamingOps.writeFunnelBatch(
+      Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), "view"))
+        .toDF("user_id", "ts", "event_type"),
+      log, "user_id", "ts", steps, batchId = 0L)
+    StreamingOps.writeFunnelBatch(
+      Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:05:00"), "click"))
+        .toDF("user_id", "ts", "event_type"),
+      log, "user_id", "ts", steps, batchId = 1L)
+    graft.operators.Maintenance.compact(spark, "stat-log", log)
+    val dirs = new java.io.File(log).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(dirs == Seq("batch=compacted"), s"unexpected dirs: $dirs")
+    val u1 = StreamingOps.funnelUsersFromLog(spark, log, "user_id",
+      steps.map(_._1)).collect().head
+    assert(u1.getAs[Long]("steps_completed") == 2L)
+    intercept[RuntimeException](
+      graft.operators.Maintenance.compact(spark, "nope", log))
+    // the nightly loop stops loud on the first failure
+    intercept[Exception](graft.operators.Maintenance.compactAll(spark,
+      Seq("stat-log" -> log, "dedup-index" -> (root + "/missing"))))
+  }
+
   test("warcIngestSink parses arriving archives; batch replay is idempotent") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
