@@ -1040,6 +1040,31 @@ object Ann {
         .write.mode("append").partitionBy("__cell").parquet(path)
     }
 
+    /** Cell-balance audit of a persisted IVF or IVF-PQ layout: per-cell
+      * row counts with each cell's ratio to the mean — the "when to
+      * rebuild" dial for [[appendBatch]] growth under frozen quantizers
+      * (drifting arrivals pile into a few cells; a probe of a 10×-mean
+      * cell scans 10× the budget). Reads only the `__cell` partition
+      * column — directory-listing cheap, no vector bytes touched.
+      * Returns (cell, rows, mean_ratio) sorted by ratio descending.
+      */
+    def cellStats(spark: SparkSession, path: String): DataFrame = {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      require(
+        fs.exists(new org.apache.hadoop.fs.Path(dir, SidecarFileName)) ||
+          fs.exists(new org.apache.hadoop.fs.Path(dir, Ivf.SidecarFileName)),
+        s"no IVF/IVF-PQ sidecar at $path — not a persisted index")
+      val counts = spark.read.parquet(path)
+        .groupBy(col("__cell").as("cell"))
+        .agg(count(lit(1)).as("rows"))
+      val mean = counts.agg(avg(col("rows")).as("__m"))
+      counts.crossJoin(broadcast(mean))
+        .select(col("cell"), col("rows"),
+          round(col("rows") / col("__m"), 6).as("mean_ratio"))
+        .orderBy(col("mean_ratio").desc, col("cell"))
+    }
+
     /** Load a persisted IVF-PQ index; loud when the sidecar is missing. */
     def loadIndex(spark: SparkSession, path: String): IvfPqIndex = {
       val dir = new org.apache.hadoop.fs.Path(path)

@@ -461,6 +461,35 @@ class AnnMultimodalSpec extends SparkTestBase {
       Ann.marginBitextPairs(src, tgt, "vec_id", "embedding", k = 0))
   }
 
+  test("cellStats: balance audit flags appendBatch drift, loud off-index") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cellstats_").toString
+    try {
+      val base = embeddings.filter($"vec_id" < 400)
+      val index = Ann.IvfPq.build(base, "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 16)
+      Ann.IvfPq.writeIndex(index, s"$root/idx")
+      val before = Ann.IvfPq.cellStats(spark, s"$root/idx")
+        .collect().map(r => r.getAs[Int]("cell") -> r.getAs[Long]("rows")).toMap
+      assert(before.values.sum == 400)
+      // drift: append many copies of ONE vector — its cell balloons
+      val hot = embeddings.filter($"vec_id" === 3L)
+        .select($"embedding").collect().head.getSeq[Float](0)
+      val drift = (1000L to 1399L).map(i => (i, hot)).toDF("vec_id", "embedding")
+      Ann.IvfPq.appendBatch(spark, s"$root/idx", drift, "vec_id", "embedding")
+      val after = Ann.IvfPq.cellStats(spark, s"$root/idx").collect()
+      assert(after.map(_.getAs[Long]("rows")).sum == 800)
+      val top = after.head
+      assert(top.getAs[Double]("mean_ratio") > 2.0,
+        s"the hot cell must stand out: ${top}")
+      // rows are sorted by ratio descending
+      val ratios = after.map(_.getAs[Double]("mean_ratio")).toSeq
+      assert(ratios == ratios.sorted.reverse)
+      intercept[IllegalArgumentException](
+        Ann.IvfPq.cellStats(spark, s"$root/nope"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root))
+  }
+
   test("persisted PQ index round-trips; torn write (no sidecar) is loud") {
     val root = java.nio.file.Files.createTempDirectory("graft_pq_").toString
     try {
