@@ -169,6 +169,7 @@ object Warc {
         gz = new GZIPOutputStream(fs.create(tmpFile, true), 1 << 16)
         out = new CountingOutputStream(gz)
         files += ((pid, seq, tmpFile.toString, 0L))
+        n = 0L // per-FILE record count — the tuple reports this file alone
         if (writeWarcinfo) writeWarcinfoRecord(out, finalName(seq), warcDate)
       }
       def closeCurrent(): Unit = if (gz != null) {

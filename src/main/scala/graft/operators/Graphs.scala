@@ -177,20 +177,30 @@ object Graphs {
       }
       var h = 1
       var exhausted = false
-      while (h <= maxHops && !exhausted) {
-        val frontier = visited.where(col("hops") === (h - 1))
-        val next = e
-          .join(frontier.select(col("node").as("__s")), "__s")
-          .select(col("__d").as("node")).distinct()
-          .join(visited.select("node"), Seq("node"), "left_anti")
-          .withColumn("hops", lit(h.toLong))
-        val grown = visited.unionByName(next).localCheckpoint(true)
-        // the checkpoint materialized `grown`; the previous visited
-        // checkpoint has no reader left
-        graft.core.Caches.releaseCheckpoint(visited)
-        exhausted = grown.where(col("hops") === h).limit(1).count() == 0
-        visited = grown
-        h += 1
+      try {
+        while (h <= maxHops && !exhausted) {
+          val frontier = visited.where(col("hops") === (h - 1))
+          val next = e
+            .join(frontier.select(col("node").as("__s")), "__s")
+            .select(col("__d").as("node")).distinct()
+            .join(visited.select("node"), Seq("node"), "left_anti")
+            .withColumn("hops", lit(h.toLong))
+          val grown = visited.unionByName(next).localCheckpoint(true)
+          // the checkpoint materialized `grown`; the previous visited
+          // checkpoint has no reader left
+          graft.core.Caches.releaseCheckpoint(visited)
+          visited = grown
+          // fixpoint probe AFTER the swap, so a failure mid-count leaves
+          // exactly one live checkpoint for the catch below to release
+          exhausted = visited.where(col("hops") === h).limit(1).count() == 0
+          h += 1
+        }
+      } catch {
+        case t: Throwable =>
+          // a mid-loop failure must not leak the in-flight visited
+          // checkpoint — mirror the loud empty-seed path above
+          graft.core.Caches.releaseCheckpoint(visited)
+          throw t
       }
       graft.core.Caches.registerCheckpoint(visited)
       visited
@@ -284,8 +294,8 @@ object Graphs {
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val e0 = undirectedEdges(edges, srcCol, dstCol).localCheckpoint(true)
-    val e = peelTo(e0, k)
-    graft.core.Caches.releaseCheckpoint(e0)
+    // finally: a peel failure must release the input checkpoint too
+    val e = try peelTo(e0, k) finally graft.core.Caches.releaseCheckpoint(e0)
     graft.core.Caches.registerCheckpoint(e)
     degreesOf(e).where(col("__deg") >= k)
       .select(col("node"), col("__deg").as("degree"))
@@ -301,18 +311,26 @@ object Graphs {
     var owned = false
     if (n == 0L) return e0.limit(0).localCheckpoint(true)
     var done = false
-    while (!done) {
-      val keep = degreesOf(e).where(col("__deg") >= k).select("node")
-      val e2 = e
-        .join(keep.withColumnRenamed("node", "__a"), Seq("__a"), "left_semi")
-        .join(keep.withColumnRenamed("node", "__b"), Seq("__b"), "left_semi")
-        .localCheckpoint(true)
-      val n2 = e2.count()
-      if (owned) graft.core.Caches.releaseCheckpoint(e)
-      owned = true
-      e = e2
-      done = n2 == n || n2 == 0L
-      n = n2
+    try {
+      while (!done) {
+        val keep = degreesOf(e).where(col("__deg") >= k).select("node")
+        val e2 = e
+          .join(keep.withColumnRenamed("node", "__a"), Seq("__a"), "left_semi")
+          .join(keep.withColumnRenamed("node", "__b"), Seq("__b"), "left_semi")
+          .localCheckpoint(true)
+        if (owned) graft.core.Caches.releaseCheckpoint(e)
+        owned = true
+        e = e2
+        // count AFTER the swap (cheap — e2 is materialized) so a failure
+        // here leaves exactly one owned checkpoint for the catch
+        val n2 = e.count()
+        done = n2 == n || n2 == 0L
+        n = n2
+      }
+    } catch {
+      case t: Throwable =>
+        if (owned) graft.core.Caches.releaseCheckpoint(e)
+        throw t
     }
     e
   }
@@ -336,27 +354,40 @@ object Graphs {
       e.select(explode(array(col("__a"), col("__b"))).as("node")).distinct()
     var e = undirectedEdges(edges, srcCol, dstCol).localCheckpoint(true)
     var acc: DataFrame = null
+    var next: DataFrame = null
     var k = 1L
-    while (e.count() > 0L) {
-      // jump k to the core's current minimum degree: every level in
-      // between would peel nothing (all degrees ≥ minDeg), and on dense
-      // graphs those empty levels are most of them — the min-degree
-      // aggregate on the cached core is one cheap job vs a full no-op
-      // peel round per skipped level
-      val minDeg = degreesOf(e).agg(min(col("__deg")).as("m"))
-        .head().getAs[Long]("m")
-      k = math.max(k, minDeg)
-      val next = peelTo(e, (k + 1).toInt)
-      val dropped = nodesIn(e)
-        .join(nodesIn(next), Seq("node"), "left_anti")
-        .withColumn("coreness", lit(k))
-      val acc2 = (if (acc == null) dropped else acc.unionByName(dropped))
-        .localCheckpoint(true)
-      if (acc != null) graft.core.Caches.releaseCheckpoint(acc)
-      acc = acc2
-      graft.core.Caches.releaseCheckpoint(e)
-      e = next
-      k += 1
+    try {
+      while (e.count() > 0L) {
+        // jump k to the core's current minimum degree: every level in
+        // between would peel nothing (all degrees ≥ minDeg), and on dense
+        // graphs those empty levels are most of them — the min-degree
+        // aggregate on the cached core is one cheap job vs a full no-op
+        // peel round per skipped level
+        val minDeg = degreesOf(e).agg(min(col("__deg")).as("m"))
+          .head().getAs[Long]("m")
+        k = math.max(k, minDeg)
+        next = peelTo(e, (k + 1).toInt)
+        val dropped = nodesIn(e)
+          .join(nodesIn(next), Seq("node"), "left_anti")
+          .withColumn("coreness", lit(k))
+        val acc2 = (if (acc == null) dropped else acc.unionByName(dropped))
+          .localCheckpoint(true)
+        if (acc != null) graft.core.Caches.releaseCheckpoint(acc)
+        acc = acc2
+        graft.core.Caches.releaseCheckpoint(e)
+        e = next
+        next = null
+        k += 1
+      }
+    } catch {
+      case t: Throwable =>
+        // release every live per-level checkpoint before rethrowing:
+        // the current core, the accumulator, and a peeled-but-unswapped
+        // next core if the failure hit between peel and swap
+        graft.core.Caches.releaseCheckpoint(e)
+        if (acc != null) graft.core.Caches.releaseCheckpoint(acc)
+        if (next != null && (next ne e)) graft.core.Caches.releaseCheckpoint(next)
+        throw t
     }
     graft.core.Caches.releaseCheckpoint(e)
     if (acc == null)

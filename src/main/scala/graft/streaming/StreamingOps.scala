@@ -590,12 +590,14 @@ object StreamingOps {
       userCol: String,
       tsCol: String,
       steps: Seq[(String, org.apache.spark.sql.Column)])
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    StatLog.writeKind(events.sparkSession, logPath, "distinct")
     events.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           writeFunnelBatch(batch.toDF(), logPath, userCol, tsCol, steps, batchId)
     }
+  }
 
   private[graft] def writeFunnelBatch(
       batch: DataFrame,
@@ -619,7 +621,7 @@ object StreamingOps {
       stepNames: Seq[String],
       withinSeconds: Option[Long] = None): DataFrame =
     graft.operators.Funnels.funnelUsersFromMatched(
-      spark.read.parquet(logPath).drop("batch"),
+      StatLog.read(spark, logPath),
       userCol, stepNames, withinSeconds)
 
   /** Stream events into a cohort-retention activity log — the streaming
@@ -635,13 +637,15 @@ object StreamingOps {
       userCol: String,
       tsCol: String,
       periodDays: Int = 7)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    StatLog.writeKind(events.sparkSession, logPath, "distinct")
     events.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           writeRetentionBatch(batch.toDF(), logPath, userCol, tsCol,
             periodDays, batchId)
     }
+  }
 
   private[graft] def writeRetentionBatch(
       batch: DataFrame,
@@ -660,32 +664,30 @@ object StreamingOps {
   def cohortRetentionFromLog(
       spark: SparkSession, logPath: String): DataFrame =
     graft.operators.Funnels.retentionFromPairs(
-      spark.read.parquet(logPath).drop("batch"))
+      StatLog.read(spark, logPath))
 
-  /** Compact a [[funnelLogSink]]/[[retentionLogSink]] log: distinct the
-    * accumulated rows into one `batch=compacted` partition via the
-    * crash-safe staging swap ([[graft.ct.TableStore.overwrite]]), erasing
-    * the per-batch directory fan-out (a year of micro-batches is ~10⁵
+  /** Compact a stat log written by any of this family's sinks
+    * ([[funnelLogSink]] / [[retentionLogSink]] / [[diversityPairSink]] /
+    * [[comboCountSink]] / [[fingerprintSink]]): fold the accumulated
+    * per-batch directories into one versioned `batch=c<seq>` partition,
+    * erasing the directory fan-out (a year of micro-batches is ~10⁵
     * directories of tiny files — the classic small-file decay).
     *
-    * Safe to run at ANY time, unlike
-    * [[graft.operators.Search.compactSegments]]: both readers are
-    * duplicate-insensitive (the funnel is min-aggregate-shaped,
-    * retention distincts its pairs), so a pre-compaction batch id
-    * replayed AFTER compaction merely re-creates its directory with rows
-    * the compacted partition already holds — results unchanged.
+    * Safe to run at ANY time against a LIVE sink: the fold is additive
+    * (only an explicit snapshot of complete batch directories is folded
+    * and deleted; a micro-batch landing mid-fold is never touched), and
+    * the fold law is the one the sink recorded at construction —
+    * `distinct` for the duplicate-insensitive logs, count-sum for
+    * [[comboCountSink]], fingerprint-merge for [[fingerprintSink]] —
+    * so sum-mergeable rows are aggregated, never distinct-collapsed.
+    * See [[StatLog]] for the layout, marker, and replay-exclusion
+    * contract. Single concurrent compaction per log.
     */
   def compactStatLog(
       spark: SparkSession,
       logPath: String,
-      targetFileBytes: Long = 128L << 20): Unit = {
-    val distinctRows = spark.read.parquet(logPath).drop("batch").distinct()
-    val n = graft.operators.Compaction.targetFileCount(
-      distinctRows, targetFileBytes)
-    graft.ct.TableStore.overwrite(spark,
-      distinctRows.withColumn("batch", lit("compacted")).repartition(n),
-      logPath, partitionBy = Seq("batch"))
-  }
+      targetFileBytes: Long = 128L << 20): Unit =
+    StatLog.compact(spark, logPath, targetFileBytes)
 
   /** Stream documents into a standing [[graft.operators.Packing]] shard
     * layout: each micro-batch lands deficit-targeted
@@ -718,7 +720,8 @@ object StreamingOps {
       docs: DataFrame,
       cols: Seq[String],
       logPath: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    StatLog.writeKind(docs.sparkSession, logPath, "fingerprint")
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
@@ -726,6 +729,15 @@ object StreamingOps {
             .write.mode("overwrite")
             .parquet(f"$logPath/batch=b$batchId%012d")
     }
+  }
+
+  /** The standing replication fingerprint over everything
+    * [[fingerprintSink]] ingested — the exact merge of every delivered
+    * batch's fingerprint row (folded partitions merge identically, so
+    * this is compaction-invariant).
+    */
+  def fingerprintFromLog(spark: SparkSession, logPath: String): DataFrame =
+    graft.operators.Validation.mergeFingerprints(StatLog.read(spark, logPath))
 
   /** Stream quasi-identifier combination counts — the k-anonymity
     * twin's sufficient statistic: per batch, (quasi…, `__kcnt`) rows
@@ -742,6 +754,7 @@ object StreamingOps {
       logPath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    StatLog.writeKind(events.sparkSession, logPath, "sum")
     events.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
@@ -760,7 +773,7 @@ object StreamingOps {
       logPath: String,
       quasiCols: Seq[String],
       k: Long): DataFrame =
-    spark.read.parquet(logPath).drop("batch")
+    StatLog.read(spark, logPath)
       .groupBy(quasiCols.map(col): _*)
       .agg(sum(col("__kcnt")).as("n"))
       .where(col("n") >= k)
@@ -779,6 +792,7 @@ object StreamingOps {
       logPath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    StatLog.writeKind(events.sparkSession, logPath, "distinct")
     events.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
@@ -800,7 +814,7 @@ object StreamingOps {
       quasiCols: Seq[String],
       sensitiveCol: String,
       l: Long): DataFrame =
-    spark.read.parquet(logPath).drop("batch")
+    StatLog.read(spark, logPath)
       .distinct()
       .groupBy(quasiCols.map(col): _*)
       .agg(countDistinct(col(sensitiveCol)).as("diversity"))

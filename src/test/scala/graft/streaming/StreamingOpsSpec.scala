@@ -523,7 +523,7 @@ class StreamingOpsSpec extends SparkTestBase {
       StreamingOps.compactStatLog(spark, log)
       val dirs = new java.io.File(log).listFiles()
         .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
-      assert(dirs == Seq("batch=compacted"), s"unexpected dirs: $dirs")
+      assert(dirs == Seq("batch=c000000000000"), s"unexpected dirs: $dirs")
       val compacted = StreamingOps.funnelUsersFromLog(spark, log,
         "user_id", steps.map(_._1))
         .collect().map(_.toString).sorted.toSeq
@@ -669,13 +669,26 @@ class StreamingOpsSpec extends SparkTestBase {
       q.processAllAvailable()
       source.addData((3L, "gamma"))
       q.processAllAvailable()
-      val merged = graft.operators.Validation.mergeFingerprints(
-        spark.read.parquet(log).drop("batch")).collect().head
+      val merged = StreamingOps.fingerprintFromLog(spark, log).collect().head
       val oneShot = graft.operators.Validation.corpusFingerprint(
         Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text"),
         Seq("id", "text")).collect().head
       assert(merged.toSeq == oneShot.toSeq,
         s"merge law must hold: $merged vs $oneShot")
+      // compaction folds by MERGE (sum/xor), not distinct — the standing
+      // fingerprint is unchanged, and a replayed pre-compaction batch id
+      // (its directory re-created after being folded) cannot re-enter the
+      // merge, which would double its count/sum contribution
+      StreamingOps.compactStatLog(spark, log)
+      assert(StreamingOps.fingerprintFromLog(spark, log)
+        .collect().head.toSeq == oneShot.toSeq,
+        "fingerprint must be compaction-invariant")
+      graft.operators.Validation.corpusFingerprint(
+        Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text"), Seq("id", "text"))
+        .write.mode("overwrite").parquet(log + "/batch=b000000000000")
+      assert(StreamingOps.fingerprintFromLog(spark, log)
+        .collect().head.toSeq == oneShot.toSeq,
+        "post-compaction replay of a folded batch must be a merge no-op")
     } finally q.stop()
   }
 
@@ -720,7 +733,73 @@ class StreamingOpsSpec extends SparkTestBase {
       // the logs are combos-sized, not events-sized
       assert(spark.read.parquet(kLog).count() <= 4)
       assert(spark.read.parquet(lLog).count() <= 4)
+      // compaction folds the SUM-mergeable count log by summing (en kept
+      // its total of 3 across batches — a distinct fold would collapse
+      // the two identical ("de", 1) partial rows and undercount de, and
+      // worse, collapse nothing for en but break on the next batch)
+      StreamingOps.compactStatLog(spark, kLog)
+      StreamingOps.compactStatLog(spark, lLog)
+      assert(StreamingOps.passingCombosFromLog(spark, kLog, Seq("lang"), 3L)
+        .select("lang").as[String].collect().toSet == Set("en"))
+      assert(StreamingOps.passingCombosFromLog(spark, kLog, Seq("lang"), 2L)
+        .select("lang").as[String].collect().toSet == Set("en", "de"),
+        "de's cross-batch total of 2 must survive the fold")
+      assert(StreamingOps.diverseCombosFromLog(spark, lLog,
+        Seq("lang"), "source", 2L)
+        .select("lang").as[String].collect().toSet == Set("en"))
+      // a replayed pre-compaction batch id re-creating its folded
+      // directory must NOT double-count the sum log
+      Seq(("en", 2L), ("de", 1L)).toDF("lang", "__kcnt")
+        .write.mode("overwrite").parquet(kLog + "/batch=b000000000000")
+      assert(StreamingOps.passingCombosFromLog(spark, kLog, Seq("lang"), 4L)
+        .select("lang").as[String].collect().isEmpty,
+        "replayed folded batch must be excluded from the sum")
     } finally { qk.stop(); ql.stop() }
+  }
+
+  test("compactStatLog is additive: mid-fold batches, in-flight dirs, and crash leftovers survive") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_statlog_add_").toString
+    val log = root + "/log"
+    StatLog.writeKind(spark, log, "distinct")
+    // conflicting fold law is a loud layout error
+    intercept[IllegalStateException](StatLog.writeKind(spark, log, "sum"))
+    def writeB(id: Long, rows: Seq[Long]): Unit =
+      rows.toDF("v").write.mode("overwrite")
+        .parquet(f"$log/batch=b$id%012d")
+    writeB(0L, Seq(1L, 2L))
+    writeB(1L, Seq(2L, 3L))
+    // an in-flight batch directory (no _SUCCESS yet — exactly what a live
+    // sink's half-written micro-batch looks like to the compactor's
+    // snapshot) must be skipped by the fold and stay readable afterward
+    writeB(2L, Seq(9L))
+    assert(new java.io.File(log + "/batch=b000000000002/_SUCCESS").delete())
+    StreamingOps.compactStatLog(spark, log)
+    val names = new java.io.File(log).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq.sorted
+    assert(names == Seq("batch=b000000000002", "batch=c000000000000"),
+      s"unexpected layout: $names")
+    assert(StatLog.read(spark, log).as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 9L), "skipped in-flight batch must stay live")
+    // a batch landing AFTER the fold's snapshot (equivalently: mid-fold)
+    // is untouched; the next fold picks up both it and the skipped one
+    // (now completed — the replay restored its _SUCCESS)
+    writeB(3L, Seq(4L))
+    assert(new java.io.File(log + "/batch=b000000000002/_SUCCESS").createNewFile())
+    StreamingOps.compactStatLog(spark, log)
+    // simulate a crash between publish and deletions: re-create a folded
+    // directory. Readers exclude it (pure), the next compact deletes it.
+    writeB(1L, Seq(2L, 3L))
+    assert(StatLog.read(spark, log).as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L, 9L))
+    StreamingOps.compactStatLog(spark, log) // nothing new: deletions only
+    assert(!new java.io.File(log + "/batch=b000000000001").exists(),
+      "crash-leftover folded dir must be removed by the next compact")
+    assert(StatLog.read(spark, log).as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L, 9L))
+    val finalNames = new java.io.File(log).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq.sorted
+    assert(finalNames == Seq("batch=c000000000001"), s"layout: $finalNames")
   }
 
   test("Maintenance.compact dispatches by kind and is loud on unknown kinds") {
@@ -738,10 +817,15 @@ class StreamingOpsSpec extends SparkTestBase {
       Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:05:00"), "click"))
         .toDF("user_id", "ts", "event_type"),
       log, "user_id", "ts", steps, batchId = 1L)
+    // a pre-existing log (written outside the sink constructors) must be
+    // marked with its fold law before maintenance will touch it
+    intercept[IllegalStateException](
+      graft.operators.Maintenance.compact(spark, "stat-log", log))
+    StatLog.writeKind(spark, log, "distinct")
     graft.operators.Maintenance.compact(spark, "stat-log", log)
     val dirs = new java.io.File(log).listFiles()
       .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
-    assert(dirs == Seq("batch=compacted"), s"unexpected dirs: $dirs")
+    assert(dirs == Seq("batch=c000000000000"), s"unexpected dirs: $dirs")
     val u1 = StreamingOps.funnelUsersFromLog(spark, log, "user_id",
       steps.map(_._1)).collect().head
     assert(u1.getAs[Long]("steps_completed") == 2L)
