@@ -407,8 +407,10 @@ object Graphs {
     * "is pointed at by good things" (authority: the canonical source),
     * where PageRank's single score conflates them.
     *
-    * Per half-iteration: one edges⋈scores join (edges pinned, hash-
-    * partitioned on source once), one destination-keyed LONG sum of
+    * Per half-iteration: one edges⋈scores join (edges pinned; the
+    * dedup hashes on BOTH endpoints so a mega-hub source's edge set is
+    * never pinned into one cached partition, and each half's join is
+    * AQE-skew-splittable), one destination-keyed LONG sum of
     * nano-quantized contributions (order-free — the library's
     * engine-exact discipline; the DuckDB oracle unrolls the identical
     * iterations), one L1 normalization via a broadcast 1-row total.
@@ -426,7 +428,6 @@ object Graphs {
       edges.select(col(srcCol).cast("string").as("__src"),
         col(dstCol).cast("string").as("__dst"))
         .where(col("__src").isNotNull && col("__dst").isNotNull)
-        .repartition(col("__src"))
         .distinct())
     val nodes = graft.core.Caches.pin(
       e.select(col("__src").as("node"))
@@ -570,17 +571,31 @@ object Graphs {
               (col("__deg") * (col("__deg") - 1)), 6)).as("cc"))
   }
 
-  /** Edge prep in ONE corpus-sized exchange: repartition on `__src` up
-    * front, because hash(__src) satisfies BOTH downstream required
-    * distributions — the (src, dst) dedup aggregate's
-    * ClusteredDistribution(src, dst) (src is a subset of the keys) and
-    * the per-source weight window's ClusteredDistribution(src). Planning
-    * distinct-then-window instead would exchange the edge list twice.
-    * The cost is losing the dedup's map-side partial aggregate —
-    * irrelevant for typical link graphs where (src, dst) duplication is
-    * low — and the same hot-src skew exposure the window stage already
-    * had (a mega-source's edges land in one partition either way;
-    * salting belongs upstream if one source can exceed a partition).
+  /** Edge prep, hub-skew-safe at every stage. A web-scale graph has
+    * mega-hub sources (out-degree in the hundreds of millions), so no
+    * stage may require a source's whole edge set in ONE task — which
+    * rules out both a `repartition(__src)` and a per-source WINDOW sum
+    * (windows have no partial aggregation; every row of a partition key
+    * must colocate, and AQE cannot split them). Instead:
+    *
+    *  1. the (src, dst) dedup is a plain hash aggregate on BOTH keys —
+    *     a hub's edges spread over hash(src, dst), with map-side
+    *     partials;
+    *  2. the per-source weight total `__wsum` is a second hash
+    *     aggregate keyed on src — partial aggregation sums each task's
+    *     share locally, so the exchange carries per-task partials, not
+    *     the hub's edge list;
+    *  3. totals join back on src. This exchange is the one place a
+    *     hub's edges converge, and it is exactly the shape AQE's skew
+    *     join splits (the one-row-per-source totals side duplicates
+    *     across the splits). On unskewed graphs the join leaves the
+    *     result hash(src)-partitioned, which the per-iteration
+    *     rank-contribution joins then reuse from the pin for free.
+    *
+    * `__wsum` stays bit-identical to the window form it replaces: the
+    * unweighted total sums 1.0s and integer-valued weights sum exactly
+    * (order-free), which is the same engine-exactness contract the
+    * nano-unit iteration already relies on.
     *
     * Weighted form: mass splits over out-edges proportionally to edge
     * weight — duplicate (src, dst) pairs SUM their weights (a repeated
@@ -606,17 +621,12 @@ object Graphs {
     val e = weightCol match {
       case None =>
         // duplicate edges COLLAPSE (weight stays 1.0) — count-free agg
-        raw.repartition(col("__src"))
-          .groupBy("__src", "__dst").agg(min(lit(1.0)).as("__w"))
+        raw.groupBy("__src", "__dst").agg(min(lit(1.0)).as("__w"))
       case Some(_) =>
-        raw.repartition(col("__src"))
-          .groupBy("__src", "__dst").agg(sum(col("__w")).as("__w"))
+        raw.groupBy("__src", "__dst").agg(sum(col("__w")).as("__w"))
     }
-    // per-source weight total rides a WINDOW over the already-partitioned
-    // edge table (no further exchange); pinned ONCE by the caller so no
-    // iteration re-runs it
-    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("__src")
-    e.withColumn("__wsum", sum(col("__w")).over(bySrc))
+    val wsums = e.groupBy("__src").agg(sum(col("__w")).as("__wsum"))
+    e.join(wsums, "__src")
   }
 
   private def nodesOf(eDeg: DataFrame): DataFrame =

@@ -97,16 +97,22 @@ class GraphsSpec extends SparkTestBase {
     }
   }
 
-  test("edge prep plans exactly ONE shuffle (dedup + degree share a partitioning)") {
+  test("edge prep plans only hash-aggregate/join exchanges — every stage hub-splittable") {
     val e = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"))
       .toDF("src", "dst")
     Seq(None, Some("w")).foreach { wc =>
       val in = wc.map(c => e.withColumn(c, lit(1L))).getOrElse(e)
       val plan = Graphs.prepEdges(in, "src", "dst", wc)
         .queryExecution.executedPlan.toString
+      // dedup agg + totals agg + totals join-back: at most three
+      // exchanges, all hash-aggregate/join shapes that spread a hub
+      // over hash(src, dst) partials or AQE skew splits — never a
+      // window or src-only repartition that pins a hub to one task
       val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
-      assert(shuffles == 1,
-        s"edge prep (weighted=$wc) must plan one exchange, got $shuffles:\n$plan")
+      assert(shuffles <= 3,
+        s"edge prep (weighted=$wc) grew extra exchanges, got $shuffles:\n$plan")
+      assert(!plan.contains("Window"),
+        s"edge prep (weighted=$wc) must not window per source:\n$plan")
       assert(!plan.contains("Exchange rangepartitioning"),
         "no sort-based exchange expected in edge prep")
     }
@@ -337,5 +343,37 @@ class GraphsSpec extends SparkTestBase {
     graft.core.Caches.releaseCheckpoint(res)
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
       "kHopReachability must not leak pins/checkpoints")
+  }
+
+  test("prepEdges is hub-skew-safe: no per-source window, partial-aggregated totals, exact on a planted mega-hub") {
+    import spark.implicits._
+    // one mega-hub source fanning wide plus normal sources: at web scale
+    // a hub's out-degree is 10⁸, so no stage may demand its whole edge
+    // set in one task — that rules out repartition(__src) and a
+    // per-source WINDOW (windows have no partial aggregation and AQE
+    // cannot split them; a hash aggregate + join-back has/can)
+    val hub = (1 to 5000).map(i => ("hub", s"d$i", 2.0))
+    val rest = Seq(("a", "b", 1.0), ("a", "c", 3.0), ("b", "c", 5.0),
+      ("a", "b", 1.0)) // duplicate edge: weights SUM
+    val edges = (hub ++ rest).toDF("src", "dst", "w")
+    val prepped = Graphs.prepEdges(edges, "src", "dst", Some("w"))
+    val plan = prepped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"per-source window would pin a hub's edges to one task:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"per-source totals must carry map-side partials:\n$plan")
+    val wsums = prepped.select("__src", "__wsum").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(wsums == Map("hub" -> 10000.0, "a" -> 5.0, "b" -> 5.0),
+      s"unexpected per-source totals: $wsums")
+    val ab = prepped.where(col("__src") === "a" && col("__dst") === "b")
+      .select("__w").as[Double].collect().toSeq
+    assert(ab == Seq(2.0), "duplicate edge weights must sum in the dedup")
+    // unweighted twin: __wsum is the out-degree, same aggregate shape
+    val un = Graphs.prepEdges(edges, "src", "dst", None)
+    assert(!un.queryExecution.executedPlan.toString.contains("Window"))
+    val unsums = un.select("__src", "__wsum").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(unsums == Map("hub" -> 5000.0, "a" -> 2.0, "b" -> 1.0))
   }
 }
