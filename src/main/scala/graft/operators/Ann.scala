@@ -1040,6 +1040,158 @@ object Ann {
         .write.mode("append").partitionBy("__cell").parquet(path)
     }
 
+    /** Approximate reconstruction of the encoded (normalized or
+      * residual) vector from its PQ codes: per subspace, the codebook
+      * entry the code names, concatenated — the standard ADC-decode.
+      * One codebook literal (m × ksub × dsub doubles, broadcast as a
+      * constant), codegen'd per row.
+      */
+    private[operators] def decodeExpr(model: PqModel): Column = {
+      val cbLit = typedlit(model.codebooks.toSeq.map(_.toSeq.map(_.toSeq)))
+        .cast("array<array<array<double>>>")
+      flatten(transform(col(Pq.CodesCol), (c, i) =>
+        element_at(element_at(cbLit, i.cast("int") + 1), c.cast("int") + 1)))
+    }
+
+    /** Cell directories present in the layout but absent from the
+      * sidecar's centroid list — the footprint of a [[splitCell]] that
+      * crashed between writing the sub-cells and committing the sidecar
+      * (or between committing and deleting the split cell). Readers are
+      * immune either way ([[loadIndex]] scopes the scan to the
+      * sidecar's cells), so a torn split NEVER changes search results;
+      * this is the audit/repair surface.
+      */
+    def staleCellDirs(spark: SparkSession, path: String): Seq[Int] = {
+      val index = loadIndex(spark, path)
+      val live = index.centroids.map(_._1).toSet
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+        .collect { case s if s.startsWith("__cell=") =>
+          s.stripPrefix("__cell=").toInt }
+        .filterNot(live).sorted.toSeq
+    }
+
+    /** Split an oversized cell under FROZEN codebooks — the maintenance
+      * action [[cellStats]]' drift evidence calls for when
+      * [[appendBatch]] growth piles arrivals into a few cells (a probe
+      * of a 10×-mean cell scans 10× the budget). Only that cell's
+      * directory is touched; the rest of the layout — at 100 TB,
+      * thousands of cells of codes — is never read or rewritten.
+      *
+      * Mechanics: the cell's codes are ADC-decoded to approximate
+      * vectors ([[decodeExpr]]; plus the cell centroid for residual
+      * layouts), `nsplit` sub-centroids are trained driver-locally on a
+      * bounded sample of them, every row is re-assigned to its nearest
+      * sub-centroid, and (for residual encoding) re-encoded against it.
+      * Commit order makes every crash point safe: (1) sub-cell
+      * directories land under FRESH cell ids the sidecar does not yet
+      * list — invisible to readers; (2) the sidecar commits atomically
+      * with the split cell replaced by the sub-centroids and `version`
+      * bumped — readers atomically switch to the sub-cells; (3) the old
+      * directory is deleted — until then it is merely unlisted. A torn
+      * split is therefore never wrong, only stale bytes, surfaced by
+      * [[staleCellDirs]] and garbage-collected on entry by the next
+      * [[splitCell]]. Loud on a concurrent sidecar writer (single
+      * maintainer, like every write path here).
+      *
+      * Search semantics: sub-cell ADC estimates are bit-identical for
+      * plain encoding (codes unchanged, LUT per query unchanged — a
+      * full-probe search returns exactly the pre-split results) and
+      * re-quantized for residual encoding (the reconstruction is
+      * approximate; the AnnMultimodalSpec pins the recall floor).
+      * Returns the new cell ids.
+      */
+    def splitCell(
+        spark: SparkSession,
+        path: String,
+        cell: Int,
+        nsplit: Int = 2,
+        seed: Long = 42L,
+        maxIter: Int = 20): Seq[Int] = {
+      require(nsplit >= 2 && nsplit <= 4096,
+        s"nsplit must be in [2, 4096], got $nsplit")
+      val index = loadIndex(spark, path) // loud on missing/torn sidecar
+      val cells = index.centroids.map(_._1)
+      require(cells.contains(cell),
+        s"splitCell: cell $cell is not in the index (cells: " +
+          s"${cells.sorted.take(20).mkString(", ")}${if (cells.length > 20) ", …" else ""})")
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      // GC a torn predecessor's unlisted directories so re-using their
+      // cell ids below cannot mix two splits' rows
+      staleCellDirs(spark, path).foreach { stale =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, s"__cell=$stale"), true)
+      }
+      val rows = index.encoded.where(col("__cell") === cell)
+      val mapLit = centroidMapLiteral(index.centroids)
+      val vhat =
+        if (index.residual)
+          zip_with(decodeExpr(index.model),
+            element_at(mapLit, col("__cell")), (x, c) => x + c)
+        else decodeExpr(index.model)
+      val decoded = rows.withColumn("__vhat", vhat)
+      // bounded training sample, the Ivf.build budget per sub-cell
+      val n = decoded.count()
+      require(n > 0, s"splitCell: cell $cell is empty — nothing to split")
+      val target = nsplit.toLong * Ivf.TrainPointsPerCell
+      val sampled =
+        if (n <= target) decoded
+        else decoded.sample(math.min(1.0, target.toDouble * 1.1 / n), seed)
+      val pts = sampled.select(col("__vhat")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      val subCents = Pq.localKMeansPlusPlus(pts, nsplit, maxIter, seed)
+      require(subCents.length >= 2,
+        s"splitCell: cell $cell is degenerate (all sampled points " +
+          "identical) — splitting cannot spread it")
+      val maxCell = cells.max
+      val newCents: Array[(Int, Array[Double])] =
+        subCents.zipWithIndex.map { case (c, i) => (maxCell + 1 + i) -> c }
+      val assigned = decoded.withColumn("__cell_new",
+        element_at(
+          Ivf.topCells(col("__vhat"), Ivf.centroidsLiteral(newCents), 1), 1))
+      val out =
+        if (!index.residual)
+          assigned.select(col(index.idCol), col("__cell_new").as("__cell"),
+            col(Pq.CodesCol))
+        else {
+          val newMap = centroidMapLiteral(newCents)
+          Pq.encodeNv(
+            index.model,
+            assigned
+              .withColumn("__rv", zip_with(col("__vhat"),
+                element_at(newMap, col("__cell_new")), (x, c) => x - c))
+              // encodeNv re-creates __pq_codes from __rv
+              .drop(Pq.CodesCol),
+            "__rv")
+            .select(col(index.idCol), col("__cell_new").as("__cell"),
+              col(Pq.CodesCol))
+        }
+      out.write.mode("append").partitionBy("__cell").parquet(path)
+      // sidecar LAST, atomically swapping the split cell for its
+      // sub-cells; version records the maintenance generation
+      val version = {
+        val node = graft.io.Json.parse(
+          graft.io.Sidecar.read(fs, dir, SidecarFileName).get)
+        if (node.has("version")) node.get("version").asLong() else 0L
+      }
+      val kept = index.centroids.filterNot(_._1 == cell) ++ newCents
+      val json = graft.io.Json.toJson(Map(
+        "id_col" -> index.idCol, "nassign" -> index.nassign,
+        "residual" -> index.residual, "version" -> (version + 1),
+        "m" -> index.model.m, "dsub" -> index.model.dsub,
+        "centroids" -> kept.toSeq.map { case (c, v) =>
+          Map("cell" -> c, "c" -> v.toSeq) },
+        "codebooks" -> index.model.codebooks.toSeq.map(_.toSeq.map(_.toSeq))))
+      val committed = graft.io.Sidecar.commit(
+        fs, dir, SidecarFileName, json, overwrite = true)
+      if (committed != json) throw new IllegalStateException(
+        s"IvfPq.splitCell: concurrent writer detected at $path — " +
+          "maintenance is single-writer")
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"__cell=$cell"), true)
+      newCents.map(_._1).toSeq
+    }
+
     /** Cell-balance audit of a persisted IVF or IVF-PQ layout: per-cell
       * row counts with each cell's ratio to the mean — the "when to
       * rebuild" dial for [[appendBatch]] growth under frozen quantizers
@@ -1086,7 +1238,14 @@ object Ann {
         jb.elements().asScala.map(c =>
           c.elements().asScala.map(_.asDouble()).toArray).toArray
       }.toArray
-      IvfPqIndex(spark.read.parquet(path), cents, PqModel(codebooks),
+      // the index IS the sidecar's cells: scope the scan to them (an IN
+      // partition filter — directory pruning, no data read) so the
+      // unlisted directories of a torn splitCell are invisible to every
+      // reader instead of riding in as dead rows
+      val live = cents.map { case (c, _) => Int.box(c) }.toSeq
+      IvfPqIndex(
+        spark.read.parquet(path).where(col("__cell").isin(live: _*)),
+        cents, PqModel(codebooks),
         node.get("id_col").asText(), node.get("nassign").asInt(),
         residual = node.has("residual") && node.get("residual").asBoolean())
     }

@@ -490,6 +490,78 @@ class AnnMultimodalSpec extends SparkTestBase {
       new java.io.File(root))
   }
 
+  test("splitCell: sub-cells replace the fat cell exactly; torn splits invisible then GC'd; residual recall holds") {
+    val root = java.nio.file.Files.createTempDirectory("graft_split_").toString
+    try {
+      val queries = embeddings.filter($"vec_id" < 10)
+      def results(path: String, nprobe: Int) =
+        Ann.IvfPq.search(Ann.IvfPq.loadIndex(spark, path), queries,
+          "vec_id", "embedding", 5, nprobe)
+          .collect().map(_.toString).sorted.toSeq
+      // ---- plain encoding: codes are cell-independent, so a full-probe
+      // search must return BIT-IDENTICAL results across the split
+      val index = Ann.IvfPq.build(embeddings, "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 16)
+      Ann.IvfPq.writeIndex(index, s"$root/idx")
+      val before = results(s"$root/idx", nprobe = 8)
+      val fat = Ann.IvfPq.cellStats(spark, s"$root/idx")
+        .head().getAs[Int]("cell")
+      val newIds = Ann.IvfPq.splitCell(spark, s"$root/idx", fat, nsplit = 2)
+      assert(newIds.length == 2 && newIds.forall(_ >= 8), s"ids: $newIds")
+      val loaded = Ann.IvfPq.loadIndex(spark, s"$root/idx")
+      val liveCells = loaded.centroids.map(_._1).toSet
+      assert(!liveCells.contains(fat) && newIds.forall(liveCells) &&
+        liveCells.size == 9, s"cells after split: $liveCells")
+      assert(results(s"$root/idx", nprobe = 9) == before,
+        "plain-encoding full-probe results must survive the split bit-for-bit")
+      // row count conserved: the sub-cells hold exactly the old cell's rows
+      assert(loaded.encoded.count() == index.encoded.count())
+      // the split cell's directory is gone; version bumped in the sidecar
+      assert(!new java.io.File(s"$root/idx/__cell=$fat").exists())
+      val side = graft.io.Json.parse(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/idx", Ann.IvfPq.SidecarFileName))))
+      assert(side.get("version").asLong() == 1L)
+      // ---- torn split: an unlisted cell directory (crash between data
+      // write and sidecar commit) is invisible to readers, audited by
+      // staleCellDirs, and GC'd by the next splitCell
+      val donor = spark.read.parquet(s"$root/idx/__cell=${newIds.head}")
+      donor.write.parquet(s"$root/idx/__cell=99")
+      assert(Ann.IvfPq.staleCellDirs(spark, s"$root/idx") == Seq(99))
+      assert(results(s"$root/idx", nprobe = 9) == before,
+        "an unlisted (torn) cell directory must not change search results")
+      val fat2 = Ann.IvfPq.cellStats(spark, s"$root/idx")
+        .where(col("cell").isin(loaded.centroids.map(c => Int.box(c._1)).toSeq: _*))
+        .head().getAs[Int]("cell")
+      Ann.IvfPq.splitCell(spark, s"$root/idx", fat2, nsplit = 2)
+      assert(Ann.IvfPq.staleCellDirs(spark, s"$root/idx").isEmpty,
+        "splitCell must GC a torn predecessor's directories")
+      assert(results(s"$root/idx", nprobe = 10) == before)
+      // splitting an unknown cell is loud
+      intercept[IllegalArgumentException](
+        Ann.IvfPq.splitCell(spark, s"$root/idx", 9999))
+      // ---- residual encoding: split re-quantizes the cell against its
+      // sub-centroids (approximate reconstruction) — recall must hold
+      val exact = Ann.bruteForceTopK(embeddings, queries,
+        "vec_id", "embedding", "vec_id", 5)
+      val ridx = Ann.IvfPq.build(embeddings, "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 16, residual = true)
+      Ann.IvfPq.writeIndex(ridx, s"$root/ridx")
+      val rFat = Ann.IvfPq.cellStats(spark, s"$root/ridx")
+        .head().getAs[Int]("cell")
+      val preRecall = Ann.recallAgainstExact(exact,
+        Ann.IvfPq.search(Ann.IvfPq.loadIndex(spark, s"$root/ridx"), queries,
+          "vec_id", "embedding", 5, 8))
+      Ann.IvfPq.splitCell(spark, s"$root/ridx", rFat, nsplit = 2)
+      val rLoaded = Ann.IvfPq.loadIndex(spark, s"$root/ridx")
+      assert(rLoaded.residual, "split must preserve the residual flag")
+      val postRecall = Ann.recallAgainstExact(exact,
+        Ann.IvfPq.search(rLoaded, queries, "vec_id", "embedding", 5, 9))
+      assert(postRecall >= preRecall - 0.1,
+        s"residual split recall $postRecall fell too far below $preRecall")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root))
+  }
+
   test("persisted PQ index round-trips; torn write (no sidecar) is loud") {
     val root = java.nio.file.Files.createTempDirectory("graft_pq_").toString
     try {
