@@ -1528,6 +1528,19 @@ object SparkEntry {
         k = 4, threshold = 1.0)
     }),
 
+    // blocked CCMatrix shape: ONE multilingual corpus, mined per
+    // language pair with the broadcast contract enforced per block
+    "q_bitext_blocked" -> ((s, dir) => {
+      val corpus = t(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding"),
+        when(col("vec_id") % 3 === 0, lit("en"))
+          .when(col("vec_id") % 3 === 1, lit("fr"))
+          .otherwise(lit("de")).as("lang"))
+      operators.Ann.marginBitextPairsByLanguage(corpus,
+        "vec_id", "embedding", "lang",
+        Seq("en" -> "fr", "en" -> "de"), k = 4, threshold = 1.0)
+    }),
+
     // ---- ranking-quality eval (nDCG/MRR/recall@k) over a deterministic
     // synthetic run + graded qrels — the measurement harness for the
     // BM25 / RRF / ANN tier ----
@@ -4358,6 +4371,60 @@ object SparkEntry {
         |  (tb.bsid = b.sid) AS mutual
         |FROM b JOIN tb ON b.tid = tb.tid
         |WHERE b.rs = 1 AND b.margin >= 1.0""".stripMargin,
+
+    // blocked variant: the q_bitext_mine pipeline instantiated per
+    // language-pair block over one lang-tagged corpus, results unioned
+    "q_bitext_blocked" -> {
+      def block(lt: String) =
+        s"""SELECT * FROM (WITH corpus AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          |    CASE vec_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' ELSE 'de' END AS lang
+          |  FROM embeddings),
+          |src AS (SELECT vec_id, v FROM corpus WHERE lang = 'en'),
+          |tgt AS (SELECT vec_id, v FROM corpus WHERE lang = '$lt'),
+          |p AS (
+          |  SELECT s.vec_id AS sid, t.vec_id AS tid,
+          |    list_sum(list_transform(range(len(s.v)),
+          |      i -> s.v[CAST(i AS INTEGER)+1] * t.v[CAST(i AS INTEGER)+1]))
+          |      AS dot,
+          |    sqrt(list_sum(list_transform(s.v, x -> x * x))) AS ns,
+          |    sqrt(list_sum(list_transform(t.v, x -> x * x))) AS nt
+          |  FROM src s CROSS JOIN tgt t),
+          |c AS (
+          |  SELECT sid, tid,
+          |    CAST(round(round(CASE WHEN ns = 0 OR nt = 0 THEN 0.0
+          |      ELSE dot / (ns * nt) END, 6) * 1e6) AS BIGINT) AS cosu
+          |  FROM p),
+          |fwd AS (SELECT sid, tid, cosu,
+          |    row_number() OVER (PARTITION BY sid ORDER BY cosu DESC, tid) AS r
+          |  FROM c QUALIFY r <= 4),
+          |rev AS (SELECT tid, cosu,
+          |    row_number() OVER (PARTITION BY tid ORDER BY cosu DESC, sid) AS r
+          |  FROM c QUALIFY r <= 4),
+          |sx AS (SELECT sid, CAST(sum(cosu) AS BIGINT) AS sx,
+          |    CAST(count(*) AS BIGINT) AS cx FROM fwd GROUP BY sid),
+          |sy AS (SELECT tid, CAST(sum(cosu) AS BIGINT) AS sy,
+          |    CAST(count(*) AS BIGINT) AS cy FROM rev GROUP BY tid),
+          |m AS (SELECT f.sid, f.tid,
+          |    round(f.cosu * 2.0 * sx.cx * sy.cy
+          |      / (sx.sx * sy.cy + sy.sy * sx.cx), 6) AS margin
+          |  FROM fwd f JOIN sx ON f.sid = sx.sid JOIN sy ON f.tid = sy.tid
+          |  WHERE sx.sx * sy.cy + sy.sy * sx.cx > 0),
+          |b AS (SELECT sid, tid, margin,
+          |    row_number() OVER (PARTITION BY sid ORDER BY margin DESC, tid)
+          |      AS rs,
+          |    row_number() OVER (PARTITION BY tid ORDER BY margin DESC, sid)
+          |      AS rt
+          |  FROM m),
+          |tb AS (SELECT tid, max(CASE WHEN rt = 1 THEN sid END) AS bsid
+          |  FROM b GROUP BY tid)
+          |SELECT b.sid AS src_id, b.tid AS tgt_id, b.margin,
+          |  (tb.bsid = b.sid) AS mutual,
+          |  'en' AS src_lang, '$lt' AS tgt_lang
+          |FROM b JOIN tb ON b.tid = tb.tid
+          |WHERE b.rs = 1 AND b.margin >= 1.0) u_$lt""".stripMargin
+      block("fr") + "\nUNION ALL\n" + block("de")
+    },
     // Ranking eval: the DCG discounts are SHARED literals (log2 has no
     // cross-libm correct-rounding guarantee); gains are integer shifts;
     // per-rank terms nano-quantized and long-summed on both engines.

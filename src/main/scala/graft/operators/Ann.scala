@@ -1270,8 +1270,10 @@ object Ann {
     * sign-flipped denominator.
     *
     * Both sides are broadcast by the [[bruteForceTopK]] contract (keep
-    * each under ~100k rows; block both sides upstream beyond that —
-    * mining runs per language-pair bucket anyway).
+    * each under ~100k rows). [[marginBitextPairsByLanguage]] is the
+    * scale entry point: it blocks a multilingual corpus per language
+    * pair and ENFORCES this contract per block — call this primitive
+    * directly only with caller-sized sides.
     */
   def marginBitextPairs(
       src: DataFrame,
@@ -1306,6 +1308,70 @@ object Ann {
       .where(col("__rs") === 1 && col("margin") >= threshold)
       .select(col("src_id"), col("tgt_id"), col("margin"),
         (col("__tb") === col("src_id")).as("mutual"))
+  }
+
+  /** Margin-based bitext mining over ONE multilingual corpus, blocked
+    * per language pair — the CCMatrix shape at scale. For each
+    * requested `(src_lang, tgt_lang)` pair the two language buckets
+    * mine via [[marginBitextPairs]]; results union with `src_lang` /
+    * `tgt_lang` tags.
+    *
+    * The broadcast contract is enforced PER BLOCK, from ONE language
+    * histogram job over the corpus: any requested language whose
+    * bucket exceeds `maxBlockRows` fails loud BEFORE any mining plan
+    * runs. The failure mode this guards is silent, total, and
+    * cluster-wide — a 100-language corpus in which one language grew
+    * past the contract would otherwise broadcast a multi-GB side to
+    * every executor at once. Shard oversized languages upstream (hash
+    * split + union the mined halves) or route them through the ANN
+    * tier instead.
+    *
+    * Scale shape: one selective scan per language bucket (pair the
+    * call with a corpus partitioned/bucketed by `langCol` so each
+    * block prunes to its directories), each block's join broadcast-
+    * sized by the enforced contract, output top-1-per-source tiny.
+    * The pair loop is plan construction only — no per-pair driver
+    * jobs beyond the single histogram.
+    */
+  def marginBitextPairsByLanguage(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      langCol: String,
+      pairs: Seq[(String, String)],
+      k: Int = 4,
+      threshold: Double = 1.0,
+      maxBlockRows: Long = 100000L): DataFrame = {
+    require(pairs.nonEmpty, "marginBitextPairsByLanguage: no language pairs")
+    require(pairs.forall { case (a, b) => a != b },
+      "marginBitextPairsByLanguage: a language cannot pair with itself")
+    require(maxBlockRows >= 1, s"maxBlockRows must be >= 1, got $maxBlockRows")
+    val langs = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val counts = corpus
+      .where(col(langCol).isin(langs: _*))
+      .groupBy(col(langCol).cast("string").as("__l"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = langs.filterNot(counts.contains)
+    require(missing.isEmpty,
+      s"marginBitextPairsByLanguage: languages absent from the corpus: " +
+        missing.mkString(", "))
+    val over = langs.filter(l => counts(l) > maxBlockRows)
+    if (over.nonEmpty) throw new IllegalArgumentException(
+      "marginBitextPairsByLanguage: language bucket(s) exceed the " +
+        s"per-block broadcast contract of $maxBlockRows rows: " +
+        over.sorted.map(l => s"$l=${counts(l)}").mkString(", ") + ". " +
+        "Shard those languages upstream (hash split, mine each shard, " +
+        "union) or mine them through the IVF/IVF-PQ tier — an oversized " +
+        "broadcast side would OOM every executor at once.")
+    pairs.map { case (ls, lt) =>
+      marginBitextPairs(
+        corpus.where(col(langCol) === ls),
+        corpus.where(col(langCol) === lt),
+        idCol, vecCol, k, threshold)
+        .withColumn("src_lang", lit(ls))
+        .withColumn("tgt_lang", lit(lt))
+    }.reduce(_.unionByName(_))
   }
 
   /** Recall of an ANN result against the exact result: fraction of exact

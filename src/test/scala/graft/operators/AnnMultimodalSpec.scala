@@ -461,6 +461,49 @@ class AnnMultimodalSpec extends SparkTestBase {
       Ann.marginBitextPairs(src, tgt, "vec_id", "embedding", k = 0))
   }
 
+  test("marginBitextPairsByLanguage: blocks equal direct per-pair mining; oversized buckets fail loud before any plan runs") {
+    // one multilingual corpus: en sources, fr/de targets (fr twins of
+    // en, de twins rotated) — each language-pair block must mine
+    // exactly what a direct marginBitextPairs over its buckets mines
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), "en"),
+      (2L, Array(0.0f, 1.0f, 0.0f), "en"),
+      (11L, Array(2.0f, 0.0f, 0.0f), "fr"),
+      (12L, Array(0.0f, 2.0f, 0.0f), "fr"),
+      (13L, Array(1.0f, 1.0f, 1.0f), "fr"),
+      (21L, Array(0.9f, 0.1f, 0.0f), "de"),
+      (22L, Array(0.1f, 0.9f, 0.0f), "de"))
+      .toDF("vec_id", "embedding", "lang")
+    val out = Ann.marginBitextPairsByLanguage(corpus, "vec_id", "embedding",
+      "lang", Seq("en" -> "fr", "en" -> "de"), k = 2, threshold = 0.0)
+    val byPair = out.collect()
+      .groupBy(r => (r.getAs[String]("src_lang"), r.getAs[String]("tgt_lang")))
+      .view.mapValues(_.map(r =>
+        (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"))).toSet).toMap
+    def direct(ls: String, lt: String) = Ann.marginBitextPairs(
+      corpus.where(col("lang") === ls), corpus.where(col("lang") === lt),
+      "vec_id", "embedding", k = 2, threshold = 0.0)
+      .collect().map(r =>
+        (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"))).toSet
+    assert(byPair(("en", "fr")) == direct("en", "fr"))
+    assert(byPair(("en", "de")) == direct("en", "de"))
+    assert(byPair(("en", "fr")) == Set(1L -> 11L, 2L -> 12L))
+    // the planted oversized bucket: fr holds 3 rows; a 2-row contract
+    // must refuse loudly, naming the offender, BEFORE mining anything
+    val e = intercept[IllegalArgumentException](
+      Ann.marginBitextPairsByLanguage(corpus, "vec_id", "embedding",
+        "lang", Seq("en" -> "fr"), k = 2, maxBlockRows = 2L))
+    assert(e.getMessage.contains("fr=3"), e.getMessage)
+    // a requested language missing from the corpus is loud too
+    intercept[IllegalArgumentException](
+      Ann.marginBitextPairsByLanguage(corpus, "vec_id", "embedding",
+        "lang", Seq("en" -> "zz")))
+    // self-pairing is a caller bug
+    intercept[IllegalArgumentException](
+      Ann.marginBitextPairsByLanguage(corpus, "vec_id", "embedding",
+        "lang", Seq("en" -> "en")))
+  }
+
   test("cellStats: balance audit flags appendBatch drift, loud off-index") {
     val root = java.nio.file.Files.createTempDirectory("graft_cellstats_").toString
     try {
