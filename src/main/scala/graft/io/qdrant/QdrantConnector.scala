@@ -53,7 +53,22 @@ object Qdrant {
       filter: Option[Map[String, Any]],
       offset: Option[Any],
       inferSchema: Boolean,
-      inferMaxRecords: Int)
+      inferMaxRecords: Int,
+      /** Custom shard keys (`shard_keys` option) — when non-empty the
+        * scan plans ONE PARTITION PER KEY, each scrolling only its
+        * shard (Qdrant's `shard_key` scroll parameter, available on
+        * custom-sharded collections). The single-cursor scroll is
+        * inherently sequential; this is the one way to parallelize a
+        * collection read, so a 100×-sized collection stops being a
+        * single-threaded connector path. Empty → one partition (the
+        * reference behavior, and the only option on default-sharded
+        * collections).
+        */
+      shardKeys: Seq[Any] = Nil,
+      /** The one shard this reader instance scrolls (runtime-internal:
+        * set per input partition, never from user config).
+        */
+      shardKey: Option[Any] = None)
 
   object ReadConfig {
     def fromJson(raw: String): ReadConfig = {
@@ -115,12 +130,33 @@ object Qdrant {
         },
         offset = data.get("offset").filter(_ != null),
         inferSchema = data.getOrElse("infer_schema", true) != false,
-        inferMaxRecords = num("infer_max_records", 1000).toInt)
+        inferMaxRecords = num("infer_max_records", 1000).toInt,
+        shardKeys = data.get("shard_keys") match {
+          case Some(s: Seq[_]) =>
+            val keys = s.filter(_ != null)
+            require(keys.distinct.length == keys.length,
+              "shard_keys must be distinct — a repeated key would scroll " +
+                "its shard twice and duplicate every row in it")
+            keys
+          case Some(null) | None => Nil
+          case Some(v) => Seq(v)
+        })
     }
   }
 
   def scrollUrl(c: ReadConfig): String =
     s"${c.endpoint}/collections/${c.collection}/points/scroll"
+
+  /** One input partition per configured shard key (parallel scroll),
+    * falling back to the reference's single sequential partition.
+    */
+  def planPartitions(config: ReadConfig)
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    if (config.shardKeys.nonEmpty)
+      config.shardKeys.map(k =>
+        QdrantInputPartition(Some(k))
+          : org.apache.spark.sql.connector.read.InputPartition).toArray
+    else Array(QdrantInputPartition(None))
 
   private def baseHeaders(headers: Map[String, String], apiKey: Option[String])
       : Map[String, String] =
@@ -147,6 +183,7 @@ object Qdrant {
           "limit" -> requestLimit,
           "with_payload" -> config.withPayload,
           "with_vectors" -> config.withVectors)
+        config.shardKey.foreach(k => payload += "shard_key" -> k)
         config.filter.foreach(f => payload += "filter" -> f)
         offset.foreach(o => payload += "offset" -> o)
         val body = Http.requestWithRetryOrThrow(Http.Spec(
@@ -475,6 +512,10 @@ class QdrantTable(tableSchema: StructType, rawConfig: String)
         * own Limit node.
         */
       override def pushLimit(limit: Int): Boolean = {
+        // sharded scans run one scroll PER shard — a pushed limit would
+        // apply per partition (limit × shards rows), so decline and let
+        // Spark keep its own Limit node in that case
+        if (config.shardKeys.nonEmpty) return false
         config = config.copy(
           limit = Some(config.limit.fold(limit)(math.min(_, limit))),
           pageSize = math.min(config.pageSize, math.max(limit, 1)))
@@ -513,10 +554,12 @@ class QdrantScan(schema: StructType, config: Qdrant.ReadConfig)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  // Qdrant scroll is inherently sequential → one partition (reference
-  // reader.py:317-318 does the same)
+  // one scroll cursor is inherently sequential (reference reader.py:
+  // 317-318 scrolls one partition — kept as the fallback); configured
+  // shard_keys parallelize: one partition per shard, each with its own
+  // server-side-restricted cursor
   override def planInputPartitions(): Array[InputPartition] =
-    Array(QdrantInputPartition())
+    Qdrant.planPartitions(config)
   override def createReaderFactory(): PartitionReaderFactory =
     QdrantReaderFactory(schema, config)
   override def toMicroBatchStream(
@@ -536,17 +579,21 @@ class QdrantScan(schema: StructType, config: Qdrant.ReadConfig)
 class QdrantMicroBatchStream(schema: StructType, config: Qdrant.ReadConfig)
     extends graft.io.PollMicroBatchStream {
   override protected def pollPartitions(): Array[InputPartition] =
-    Array(QdrantInputPartition())
+    Qdrant.planPartitions(config)
   override def createReaderFactory(): PartitionReaderFactory =
     QdrantReaderFactory(schema, config)
 }
 
-final case class QdrantInputPartition() extends InputPartition
+final case class QdrantInputPartition(shardKey: Option[Any] = None)
+    extends InputPartition
 
 final case class QdrantReaderFactory(schema: StructType, config: Qdrant.ReadConfig)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new QdrantPartitionReader(schema, config)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val sk = partition.asInstanceOf[QdrantInputPartition].shardKey
+    new QdrantPartitionReader(schema,
+      if (sk.isDefined) config.copy(shardKey = sk) else config)
+  }
 }
 
 class QdrantPartitionReader(schema: StructType, config: Qdrant.ReadConfig)

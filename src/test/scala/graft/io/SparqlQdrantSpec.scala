@@ -71,6 +71,28 @@ class SparqlQdrantSpec extends SparkTestBase with BeforeAndAfterAll {
         s"""{"status": "ok", "result": {"points": $points$next}}""")
     })
 
+    // Qdrant sharded collection: per-shard scroll (s1 pages twice, s2
+    // once); an unkeyed scroll sees the union — the single-partition
+    // equivalence fixture
+    server.createContext("/collections/sharded/points/scroll", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      requests.add(s"shardscroll $body")
+      def pt(id: Int, name: String) =
+        s"""{"id": $id, "payload": {"name": "$name"}}"""
+      val resp =
+        if (body.contains("\"shard_key\":\"s1\"")) {
+          if (!body.contains("\"offset\""))
+            s"""{"status":"ok","result":{"points":[${pt(1, "a")}],
+               | "next_page_offset": 2}}""".stripMargin
+          else s"""{"status":"ok","result":{"points":[${pt(2, "b")}]}}"""
+        } else if (body.contains("\"shard_key\":\"s2\""))
+          s"""{"status":"ok","result":{"points":[${pt(3, "c")}]}}"""
+        else
+          s"""{"status":"ok","result":{"points":
+             | [${pt(1, "a")}, ${pt(2, "b")}, ${pt(3, "c")}]}}""".stripMargin
+      respond(ex, resp)
+    })
+
     // Qdrant collection check/create + upsert for the write path
     server.createContext("/collections/newcol", (ex: HttpExchange) => {
       ex.getRequestURI.getPath match {
@@ -162,6 +184,47 @@ class SparqlQdrantSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(payload.getAs[String]("name") == "a")
     assert(rows.head.getSeq[Double](rows.head.fieldIndex("vector"))
       .toSeq == Seq(0.1, 0.2))
+  }
+
+  test("Qdrant sharded scroll: one partition per shard key, rows equal the single-partition read") {
+    requests.clear()
+    val single = spark.read.format("graft-qdrant")
+      .schema("id LONG, payload STRUCT<name: STRING>")
+      .option("graft.qdrant.config",
+        s"""{"endpoint": "$base", "collection": "sharded"}""")
+      .load()
+    val sharded = spark.read.format("graft-qdrant")
+      .schema("id LONG, payload STRUCT<name: STRING>")
+      .option("graft.qdrant.config",
+        s"""{"endpoint": "$base", "collection": "sharded",
+           | "shard_keys": ["s1", "s2"]}""".stripMargin)
+      .load()
+    assert(single.rdd.getNumPartitions == 1)
+    assert(sharded.rdd.getNumPartitions == 2,
+      "one input partition per shard key")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val shardedRows = rows(sharded)
+    assert(shardedRows == rows(single),
+      "sharded read must return exactly the single-partition rows")
+    assert(shardedRows.length == 3)
+    // each shard's cursor carried its key server-side; s1 paged twice
+    val scrolls = requests.toArray.map(_.toString)
+      .filter(_.startsWith("shardscroll"))
+    assert(scrolls.count(_.contains("\"shard_key\":\"s1\"")) == 2)
+    assert(scrolls.count(_.contains("\"shard_key\":\"s2\"")) == 1)
+    // a pushed limit is declined on sharded scans (it would multiply per
+    // partition) — Spark's own Limit produces the exact row count
+    assert(sharded.limit(2).count() == 2)
+    // duplicate shard keys would duplicate rows: loud
+    intercept[Exception] {
+      spark.read.format("graft-qdrant")
+        .schema("id LONG")
+        .option("graft.qdrant.config",
+          s"""{"endpoint": "$base", "collection": "sharded",
+             | "shard_keys": ["s1", "s1"]}""".stripMargin)
+        .load().collect()
+    }
   }
 
   test("Qdrant read respects client-side limit") {
