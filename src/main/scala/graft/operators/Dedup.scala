@@ -1010,25 +1010,24 @@ object Dedup {
       graft.core.Caches.releaseCheckpoint(edgesRaw)
     }
     val useStars = algorithm == "stars" || algorithm == "auto"
-    // session-conf override, restored on exit: every per-round shuffle must
-    // land in `parts` partitions, and shuffle width is not expressible
-    // per-operator. (Callers sharing one SparkSession across threads should
-    // use session clones, per standard Spark practice.)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    // AQE re-plans every stage of every round; with the shuffle width
-    // already right-sized to the edge data it buys nothing here and its
-    // per-round planning overhead is comparable to the round itself on
-    // small graphs. Scoped off for the loop, restored after.
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      if (useStars) starsLoop(edgesRaw, maxIter, edgeCount, releaseInputs)
-      else labelPropLoop(edgesRaw, parts, maxIter, releaseInputs)
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    }
+    // Per-loop conf (every round's shuffle must land in `parts`
+    // partitions; AQE re-plans every stage of every round and buys
+    // nothing once the width is right-sized to the edge data) is scoped
+    // to a SESSION CLONE, never set on the caller's session: a
+    // concurrent query on the caller's session can therefore never
+    // observe the override, and no finally-restore can be skipped by a
+    // crash. The clone shares the SparkContext, so the checkpointed
+    // edge blocks move across for free; the loop's checkpointed result
+    // is rebound to the caller's session on the way out for the same
+    // reason (downstream consumer plans must use CALLER conf).
+    val isolated = org.apache.spark.sql.GraftSqlBridge.cloneSession(spark)
+    isolated.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    isolated.conf.set("spark.sql.adaptive.enabled", "false")
+    val edgesIso = org.apache.spark.sql.GraftSqlBridge.rebind(edgesRaw, isolated)
+    val out =
+      if (useStars) starsLoop(edgesIso, maxIter, edgeCount, releaseInputs)
+      else labelPropLoop(edgesIso, parts, maxIter, releaseInputs)
+    org.apache.spark.sql.GraftSqlBridge.rebind(out, spark)
   }
 
   /** Path-compressed, size-united union-find over the collected (bounded —

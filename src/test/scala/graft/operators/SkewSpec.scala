@@ -127,4 +127,42 @@ class SkewSpec extends SparkTestBase {
       .orderBy("node").as[(Long, Long)].collect().toSeq
     assert(sGot == Seq(1L -> 1L, 2L -> 1L, 9L -> 9L))
   }
+
+  test("connectedComponents never mutates the caller session's conf, even mid-flight") {
+    import spark.implicits._
+    // the loop's shuffle-width/AQE overrides run on a SESSION CLONE; a
+    // concurrent reader polling the caller's session during the whole
+    // run must never observe them (the old in-place override + restore
+    // was visible for the entire loop)
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val beforeAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // a long chain forces a genuine multi-round distributed loop
+    val path = (0L until 3000L).map(i => (i, i + 1)).toDF("a", "b")
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var running = true
+    val poller = new Thread(() => {
+      while (running) {
+        val v = spark.conf.get(key)
+        val a = spark.conf.get("spark.sql.adaptive.enabled")
+        if (v != before || a != beforeAqe) observed.add(s"$key=$v aqe=$a")
+        Thread.sleep(2)
+      }
+    })
+    poller.start()
+    try {
+      val labels = Dedup.connectedComponents(path, "a", "b",
+        algorithm = "stars")
+        .select("comp").distinct().count()
+      assert(labels == 1L)
+    } finally { running = false; poller.join() }
+    assert(observed.isEmpty,
+      s"caller conf observed mutated mid-flight: ${observed.toArray.mkString(", ")}")
+    assert(spark.conf.get(key) == before)
+    // the returned frame is bound to the CALLER's session (downstream
+    // plans must use caller conf, not the clone's loop sizing)
+    val out = Dedup.connectedComponents(
+      Seq((1L, 2L)).toDF("a", "b"), "a", "b", algorithm = "stars")
+    assert(out.sparkSession eq spark)
+  }
 }
