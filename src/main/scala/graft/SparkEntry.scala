@@ -537,6 +537,14 @@ object SparkEntry {
         numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.5)
     }),
 
+    // advisor-chosen operating point: threshold 0.5 at target recall
+    // 0.85 over 16 perms resolves to (bands=8, rows=2) via the S-curve
+    "q_lsh_auto" -> ((s, dir) => {
+      operators.Dedup.minhashLshPairsAtRecall(lshCorpus(s, dir),
+        "doc_id", "text", threshold = 0.5, targetRecall = 0.85,
+        numPerms = 16)
+    }),
+
     // ---- single-pass column profiling (quality audit before training) ----
     "q_profile_documents" -> ((s, dir) => {
       operators.Validation.profile(
@@ -2972,6 +2980,53 @@ object SparkEntry {
         |      array_to_string(sig[CAST(b AS INTEGER)*4+1 : CAST(b AS INTEGER)*4+4], ',')),
         |      1, 15))::BIGINT AS bh
         |  FROM sig CROSS JOIN range(4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM bandh a JOIN bandh c ON a.b = c.b AND a.bh = c.bh
+        |  WHERE a.doc_id < c.doc_id),
+        |est AS (
+        |  SELECT cand.id_a, cand.id_b,
+        |    round(len(list_filter(range(16),
+        |      i -> s1.sig[CAST(i AS INTEGER)+1] = s2.sig[CAST(i AS INTEGER)+1]))
+        |      / 16.0, 6) AS est_jaccard
+        |  FROM cand
+        |  JOIN sig s1 ON s1.doc_id = cand.id_a
+        |  JOIN sig s2 ON s2.doc_id = cand.id_b)
+        |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin,
+    // q_lsh_dedup_pairs with the ADVISOR-chosen banding: 16 perms at
+    // threshold 0.5 / target recall 0.85 -> bands=8, rows=2
+    "q_lsh_auto" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' extra extra'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[i:i+2], ' ')) AS shingles
+        |  FROM toks WHERE len(toks) > 0),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(sha256(s), 1, 7))::BIGINT % 268435399 AS h
+        |  FROM sh CROSS JOIN unnest(shingles) AS u(s)),
+        |minh AS (
+        |  SELECT doc_id, CAST(p AS INTEGER) AS p,
+        |    min((h * (2 * p + 1) + p * 7919) % 268435399) AS mh
+        |  FROM h CROSS JOIN range(16) t(p)
+        |  GROUP BY doc_id, p),
+        |sig AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM minh GROUP BY doc_id),
+        |bandh AS (
+        |  SELECT doc_id, b,
+        |    ('0x' || substring(sha256(
+        |      array_to_string(sig[CAST(b AS INTEGER)*2+1 : CAST(b AS INTEGER)*2+2], ',')),
+        |      1, 15))::BIGINT AS bh
+        |  FROM sig CROSS JOIN range(8) t(b)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
         |  FROM bandh a JOIN bandh c ON a.b = c.b AND a.bh = c.bh

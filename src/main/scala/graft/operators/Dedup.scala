@@ -143,6 +143,60 @@ object Dedup {
     }
   }
 
+  /** The (bands, rowsPerBand) operating point [[lshPlan]] recommends:
+    * the FEWEST-bands split of `numPerms` whose collision probability
+    * at `threshold` reaches `targetRecall` — fewest bands because
+    * candidate volume (and the band join's cost) grows with bands, so
+    * among the splits that meet the recall target the cheapest wins.
+    * The S-curve is monotone in similarity, so `targetRecall` at the
+    * threshold LOWER-BOUNDS the collision probability of every true
+    * pair above it. Loud when no split reaches the target (raise
+    * numPerms or lower the target). Returns (bands, rowsPerBand,
+    * collisionProbAtThreshold).
+    */
+  def chooseLshPlan(
+      numPerms: Int,
+      threshold: Double,
+      targetRecall: Double): (Int, Int, Double) = {
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    val plans = lshPlan(numPerms, threshold)
+    plans.filter(_._3 >= targetRecall).sortBy(_._1).headOption
+      .map { case (b, r, p, _) => (b, r, p) }
+      .getOrElse {
+        val best = plans.maxBy(_._3)
+        throw new IllegalArgumentException(
+          f"no (bands, rows) split of numPerms=$numPerms reaches collision " +
+            f"probability $targetRecall%.3f at threshold $threshold%.2f — " +
+            f"best is ${best._3}%.3f at bands=${best._1}; raise numPerms " +
+            "or lower targetRecall")
+      }
+  }
+
+  /** [[minhashLshPairs]] with its operating point CHOSEN from the
+    * S-curve instead of hand-picked: callers state the similarity
+    * `threshold` and the `targetRecall` they need at it, and
+    * [[chooseLshPlan]] picks the cheapest (bands, rows) split that
+    * delivers it. The chosen plan is logged (one line, driver-side) so
+    * production runs record which operating point produced their pairs.
+    */
+  def minhashLshPairsAtRecall(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      targetRecall: Double = 0.9,
+      numPerms: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    val (bands, rows, p) = chooseLshPlan(numPerms, threshold, targetRecall)
+    System.err.println(
+      f"[graft] minhashLshPairsAtRecall: numPerms=$numPerms " +
+        f"threshold=$threshold%.2f targetRecall=$targetRecall%.2f -> " +
+        f"bands=$bands rowsPerBand=$rows (collision prob at threshold " +
+        f"$p%.3f)")
+    minhashLshPairs(df, idCol, textCol, numPerms, bands, shingleSize, threshold)
+  }
+
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,

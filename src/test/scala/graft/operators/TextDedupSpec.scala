@@ -461,6 +461,36 @@ class TextDedupSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Dedup.lshPlan(16, 1.0))
   }
 
+  test("minhashLshPairsAtRecall: cheapest qualifying plan chosen; measured recall meets the target") {
+    // plan selection: fewest bands whose collision prob at the threshold
+    // reaches the target (candidate volume grows with bands)
+    val (b85, r85, p85) = Dedup.chooseLshPlan(16, 0.5, 0.85)
+    assert((b85, r85) == (8, 2) && p85 >= 0.85 && p85 < 0.9,
+      s"got ($b85, $r85, $p85)")
+    val (b90, _, p90) = Dedup.chooseLshPlan(16, 0.5, 0.9)
+    assert(b90 == 16 && p90 >= 0.9)
+    // unreachable target is loud, naming the best available point
+    val e = intercept[IllegalArgumentException](
+      Dedup.chooseLshPlan(4, 0.1, 0.99))
+    assert(e.getMessage.contains("raise numPerms"))
+    // planted corpus: 20 near-dup pairs (one-token tail) + distractors;
+    // the chosen operating point's measured recall must reach the target
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      .split(" ")
+    def doc(i: Int) = (0 until 12)
+      .map(j => words((i * 7 + j * 3) % words.length) + (i % 5))
+      .mkString(" ")
+    val planted = (0 until 20).flatMap { i =>
+      Seq((i.toLong, doc(i)), (1000L + i, doc(i) + " tail")) }
+    val distract = (2000 until 2010).map(i => (i.toLong, doc(i + 57)))
+    val df = (planted ++ distract).toDF("id", "text")
+    val out = Dedup.minhashLshPairsAtRecall(df, "id", "text",
+      threshold = 0.4, targetRecall = 0.9, numPerms = 16)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val found = (0 until 20).count(i => out.contains((i.toLong, 1000L + i)))
+    assert(found >= 18, s"measured recall ${found / 20.0} below target 0.9")
+  }
+
   test("chunkTokens windows overlap by window-stride; short docs one chunk; empty none") {
     val df = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
