@@ -1217,6 +1217,53 @@ object Ann {
         .orderBy(col("mean_ratio").desc, col("cell"))
     }
 
+    /** The evidence-driven maintenance loop over [[cellStats]] +
+      * [[splitCell]]: split every cell whose row count exceeds
+      * `ratioThreshold` × the mean (largest drift first, bounded by
+      * `maxSplits` per invocation so one nightly run cannot rewrite
+      * the whole layout). The candidate list is ONE stats snapshot
+      * taken on entry, so a split's own children are never re-split in
+      * the same run — each invocation is a BOUNDED maintenance step,
+      * not a rebalance-to-fixpoint (a genuinely tight cluster bigger
+      * than the mean stays big however it is cut; its cure is a larger
+      * probe budget or a rebuild, and repeated runs walk it down to
+      * the degenerate-skip floor rather than thrashing). Returns the
+      * cells actually split. Cheap no-op on a balanced index (the
+      * stats scan reads only the partition column), so it is safe on a
+      * nightly schedule; registered as Maintenance kind
+      * `ivfpq-balance`.
+      */
+    def splitOversizedCells(
+        spark: SparkSession,
+        path: String,
+        ratioThreshold: Double = 4.0,
+        nsplit: Int = 2,
+        maxSplits: Int = 16,
+        seed: Long = 42L): Seq[Int] = {
+      require(ratioThreshold > 1.0,
+        s"ratioThreshold must be > 1 (it multiplies the MEAN cell size), " +
+          s"got $ratioThreshold")
+      require(maxSplits >= 1, s"maxSplits must be >= 1, got $maxSplits")
+      val over = cellStats(spark, path)
+        .where(col("mean_ratio") >= ratioThreshold)
+        .orderBy(col("mean_ratio").desc, col("cell"))
+        .select("cell").collect().map(_.getAs[Int]("cell"))
+        .take(maxSplits).toSeq
+      // a cell of EXACT duplicates cannot be spread by any split — skip
+      // it with a warning instead of bricking the nightly loop (its cure
+      // is upstream dedup or a rebuild, not more splitting)
+      over.filter { c =>
+        try { splitCell(spark, path, c, nsplit, seed); true }
+        catch {
+          case e: IllegalArgumentException if e.getMessage.contains("degenerate") =>
+            System.err.println(
+              s"[graft] splitOversizedCells: skipping cell $c of $path — " +
+                e.getMessage)
+            false
+        }
+      }
+    }
+
     /** Load a persisted IVF-PQ index; loud when the sidecar is missing. */
     def loadIndex(spark: SparkSession, path: String): IvfPqIndex = {
       val dir = new org.apache.hadoop.fs.Path(path)

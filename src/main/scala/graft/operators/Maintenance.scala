@@ -26,7 +26,11 @@ object Maintenance {
     "search-index" -> ((s, p, t) => Search.compactSegments(s, p, t)),
     "substr-index" -> ((s, p, t) => ExactSubstrings.compactSubstrIndex(s, p, t)),
     "stat-log" -> ((s, p, t) =>
-      graft.streaming.StreamingOps.compactStatLog(s, p, t)))
+      graft.streaming.StreamingOps.compactStatLog(s, p, t)),
+    // cell balance, not file size: the byte target does not apply (an
+    // IVF-PQ layout's decay dial is appendBatch drift, measured by
+    // cellStats ratios); defaults split > 4x-mean cells, <= 16 a night
+    "ivfpq-balance" -> ((s, p, _) => { Ann.IvfPq.splitOversizedCells(s, p); () }))
 
   def compact(
       spark: SparkSession,

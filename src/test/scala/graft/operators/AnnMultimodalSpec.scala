@@ -514,10 +514,16 @@ class AnnMultimodalSpec extends SparkTestBase {
       val before = Ann.IvfPq.cellStats(spark, s"$root/idx")
         .collect().map(r => r.getAs[Int]("cell") -> r.getAs[Long]("rows")).toMap
       assert(before.values.sum == 400)
-      // drift: append many copies of ONE vector — its cell balloons
+      // drift: append many NEAR-copies of one vector (tiny per-row
+      // perturbation keeps them distinct, as real drift is) — the
+      // vector's cell balloons
       val hot = embeddings.filter($"vec_id" === 3L)
         .select($"embedding").collect().head.getSeq[Float](0)
-      val drift = (1000L to 1399L).map(i => (i, hot)).toDF("vec_id", "embedding")
+      val drift = (1000L to 1399L).map { i =>
+        val eps = (i % 17).toFloat * 1e-3f
+        (i, hot.zipWithIndex.map { case (x, j) =>
+          if (j == (i % hot.length).toInt) x + eps else x })
+      }.toDF("vec_id", "embedding")
       Ann.IvfPq.appendBatch(spark, s"$root/idx", drift, "vec_id", "embedding")
       val after = Ann.IvfPq.cellStats(spark, s"$root/idx").collect()
       assert(after.map(_.getAs[Long]("rows")).sum == 800)
@@ -529,6 +535,45 @@ class AnnMultimodalSpec extends SparkTestBase {
       assert(ratios == ratios.sorted.reverse)
       intercept[IllegalArgumentException](
         Ann.IvfPq.cellStats(spark, s"$root/nope"))
+      // the evidence-driven loop: split exactly the drifted cell(s) via
+      // the Maintenance dispatcher, then the layout is balanced enough
+      // that a re-run is a no-op — and every appended row still found
+      val hotCell = after.head.getAs[Int]("cell")
+      graft.operators.Maintenance.compact(spark, "ivfpq-balance", s"$root/idx")
+      val postCells = Ann.IvfPq.loadIndex(spark, s"$root/idx")
+        .centroids.map(_._1).toSet
+      assert(!postCells.contains(hotCell),
+        s"the $hotCell drift cell must have been split: $postCells")
+      // a re-run is a bounded step over fresh evidence: it may keep
+      // cutting the drift cluster's DESCENDANTS (fresh ids), but the
+      // balanced base cells are never touched
+      val second = Ann.IvfPq.splitOversizedCells(spark, s"$root/idx")
+      val baseCells = before.keySet - hotCell
+      assert(second.forall(c => !baseCells.contains(c)),
+        s"re-run must never split balanced base cells: $second")
+      val loaded = Ann.IvfPq.loadIndex(spark, s"$root/idx")
+      val probe = Seq((9999L, hot)).toDF("vec_id", "embedding")
+      val hotTop = Ann.IvfPq.search(loaded, probe, "vec_id", "embedding",
+        k = 3, nprobe = loaded.centroids.length).collect()
+      val dupIds = (1000L to 1399L).toSet + 3L
+      assert(hotTop.length == 3 &&
+        hotTop.forall(r => dupIds.contains(r.getAs[Long]("id"))),
+        s"the hot vector's duplicates must survive the split: " +
+          hotTop.map(_.getAs[Long]("id")).mkString(", "))
+      // a cell of EXACT duplicates cannot spread — the nightly loop must
+      // SKIP it (warn), not throw, and split nothing
+      val e1v = embeddings.filter($"vec_id" === 1L)
+        .select($"embedding").collect().head.getSeq[Float](0)
+      val e2v = embeddings.filter($"vec_id" === 2L)
+        .select($"embedding").collect().head.getSeq[Float](0)
+      val twoClusters = ((0L until 100L).map(i => (i, e1v)) ++
+        (100L until 120L).map(i => (i, e2v))).toDF("vec_id", "embedding")
+      val degIdx = Ann.IvfPq.build(twoClusters, "vec_id", "embedding",
+        nlist = 2, m = 8, ksub = 4)
+      Ann.IvfPq.writeIndex(degIdx, s"$root/deg")
+      assert(Ann.IvfPq.splitOversizedCells(spark, s"$root/deg",
+        ratioThreshold = 1.2).isEmpty,
+        "all-duplicate oversized cells must be skipped, not split or thrown")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(root))
   }
