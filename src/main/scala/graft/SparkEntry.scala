@@ -585,6 +585,32 @@ object SparkEntry {
         docs.where(col("doc_id") % 5 =!= 0), "text")
     }),
 
+    // ---- blocked Fellegi–Sunter record linkage: planted dirty twins
+    // (same name, shifted balance) recovered by agreement weights ----
+    "q_record_linkage" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      val dirty = c.where(col("c_custkey") % 7 === 0).select(
+        (col("c_custkey") + 10000000L).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_mktsegment"),
+        (col("c_acctbal") + 1.0).as("c_acctbal"))
+      operators.Linkage.scorePairs(c.unionByName(dirty), "c_custkey",
+        blockCols = Seq("c_nationkey", "c_mktsegment"),
+        fields = Seq(
+          operators.Linkage.FieldWeight("c_name", 0.95, 0.001),
+          operators.Linkage.FieldWeight("c_acctbal", 0.9, 0.01)),
+        threshold = 5.0)
+    }),
+
+    // ---- Kneser–Ney upgrade of the same split: continuation-mass
+    // smoothing instead of add-one ----
+    "q_kn_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.TextAnalysis.knQualityScore(
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
+        docs.where(col("doc_id") % 5 =!= 0), "text")
+    }),
+
     // ---- hashed-linear classifier scoring: exact integer logits against
     // planted sha-derived weights (the DuckDB twin rebuilds them in SQL)
     "q_classifier_score" -> ((s, dir) => {
@@ -1501,6 +1527,16 @@ object SparkEntry {
         (col("o_orderkey") % 97).cast("string").as("x"),
         (col("o_custkey") % 97).cast("string").as("y"))
       operators.Graphs.triangleCounts(edges, "x", "y")
+    }),
+
+    // ---- label-propagation communities over the same modular graph:
+    // three synchronous rounds, mode-label with min tie-break ----
+    "q_communities" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(
+        (col("o_orderkey") % 97).cast("string").as("x"),
+        (col("o_custkey") % 97).cast("string").as("y"))
+      operators.Graphs.labelPropagationCommunities(edges, "x", "y",
+        iterations = 3)
     }),
 
     // ---- vocab coverage audit: per-doc OOV rate against a top-20
@@ -3396,6 +3432,96 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
         |  agg.avg_nll
         |FROM score_docs d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+    // Record linkage: the log2 agreement weights are PRE-COMPUTED
+    // driver-side (log2 carries no cross-libm guarantee) and quantized
+    // to integer micro-bits shared by both sides — the score is an
+    // integer sum, no floating rounding anywhere (a round(double, 6)
+    // here measurably split on a decimal-vs-binary midpoint)
+    "q_record_linkage" -> {
+      val name = operators.Linkage.FieldWeight("c_name", 0.95, 0.001)
+      val bal = operators.Linkage.FieldWeight("c_acctbal", 0.9, 0.01)
+      s"""WITH base AS (
+         |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
+         |  FROM customer),
+         |dirty AS (
+         |  SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
+         |    c_mktsegment, c_acctbal + 1.0 AS c_acctbal
+         |  FROM base WHERE c_custkey % 7 = 0),
+         |all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+         |pairs AS (
+         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         |    (CASE WHEN a.c_name IS NOT DISTINCT FROM b.c_name
+         |        THEN 1 ELSE 0 END
+         |     + CASE WHEN a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
+         |        THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+         |    (CASE WHEN a.c_name IS NOT DISTINCT FROM b.c_name
+         |        THEN ${name.agreeMicros} ELSE ${name.disagreeMicros} END
+         |      + CASE WHEN a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
+         |        THEN ${bal.agreeMicros} ELSE ${bal.disagreeMicros} END
+         |      )::BIGINT AS score_micros
+         |  FROM all_rows a JOIN all_rows b
+         |    ON a.c_nationkey = b.c_nationkey
+         |      AND a.c_mktsegment = b.c_mktsegment
+         |      AND a.c_custkey < b.c_custkey)
+         |SELECT id_a, id_b, n_agree, score_micros FROM pairs
+         |WHERE score_micros >= 5000000""".stripMargin
+    },
+
+    // Kneser–Ney: identical expression ORDER to the Spark side so every
+    // IEEE op is bit-reproducible; only ln is transcendental (same
+    // empirical-agreement footing as q_lm_score)
+    "q_kn_score" ->
+      """WITH ref AS (
+        |  SELECT text FROM documents WHERE doc_id % 5 <> 0),
+        |score_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |rt AS (
+        |  SELECT list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                     t -> t <> '') AS toks FROM ref),
+        |v AS (SELECT count(DISTINCT w)::BIGINT AS v
+        |  FROM rt CROSS JOIN unnest(toks) u(w)),
+        |rb AS (
+        |  SELECT toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i AS INTEGER)+1] AS w2,
+        |    toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER)+1] AS bg
+        |  FROM rt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
+        |bi AS (SELECT bg, count(*)::BIGINT AS cb FROM rb GROUP BY bg),
+        |w1s AS (SELECT w1, count(*)::BIGINT AS c1,
+        |    count(DISTINCT w2)::BIGINT AS n1pl FROM rb GROUP BY w1),
+        |w2s AS (SELECT w2, count(DISTINCT w1)::BIGINT AS n1pr FROM rb GROUP BY w2),
+        |tot AS (SELECT count(DISTINCT bg)::BIGINT AS n1pall FROM rb),
+        |dt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks FROM score_docs),
+        |db AS (
+        |  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i AS INTEGER)+1] AS w2,
+        |    toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER)+1] AS bg
+        |  FROM dt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
+        |nll AS (
+        |  SELECT db.doc_id,
+        |    -ln(CASE WHEN coalesce(w1s.c1, 0) > 0 THEN
+        |        greatest(coalesce(bi.cb, 0)::DOUBLE - 0.75, 0.0)
+        |          / coalesce(w1s.c1, 0)::DOUBLE
+        |        + 0.75 * coalesce(w1s.n1pl, 0)::DOUBLE
+        |          / coalesce(w1s.c1, 0)::DOUBLE
+        |          * ((coalesce(w2s.n1pr, 0)::DOUBLE + 1.0)
+        |             / (tot.n1pall::DOUBLE + v.v::DOUBLE + 1.0))
+        |      ELSE (coalesce(w2s.n1pr, 0)::DOUBLE + 1.0)
+        |             / (tot.n1pall::DOUBLE + v.v::DOUBLE + 1.0)
+        |      END) AS nll
+        |  FROM db LEFT JOIN bi ON db.bg = bi.bg
+        |          LEFT JOIN w1s ON db.w1 = w1s.w1
+        |          LEFT JOIN w2s ON db.w2 = w2s.w2
+        |          CROSS JOIN tot CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |    round(avg(nll), 6) AS avg_nll
+        |  FROM nll GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+        |  agg.avg_nll
+        |FROM score_docs d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
     "q_gopher_rules" ->
       """WITH base AS (
         |  SELECT doc_id, coalesce(text, '') AS text,
@@ -4305,6 +4431,43 @@ object SparkEntry {
     // Triangles: the oracle lists canonical u<v<w triangles (two joins
     // over a<b edges) and attributes each to its three member nodes —
     // the same triangle set the degree-oriented engine closes.
+    // LPA unrolled: three synchronous mode-label rounds (count desc,
+    // label asc tie-break) over the symmetrized modular graph
+    "q_communities" ->
+      """WITH raw AS (
+        |  SELECT CAST(o_orderkey % 97 AS VARCHAR) AS s,
+        |    CAST(o_custkey % 97 AS VARCHAR) AS d
+        |  FROM orders),
+        |base AS (SELECT s, d FROM raw
+        |  WHERE s IS NOT NULL AND d IS NOT NULL AND s <> d),
+        |sym AS (SELECT DISTINCT s, d FROM (
+        |  SELECT s, d FROM base UNION ALL SELECT d AS s, s AS d FROM base)),
+        |l0 AS (SELECT DISTINCT s AS node, s AS label FROM sym),
+        |c1 AS (
+        |  SELECT sym.s AS node, l.label AS label, count(*) AS c
+        |  FROM sym JOIN l0 l ON l.node = sym.d GROUP BY 1, 2),
+        |l1 AS (
+        |  SELECT node, label FROM (
+        |    SELECT node, label,
+        |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS r
+        |    FROM c1) WHERE r = 1),
+        |c2 AS (
+        |  SELECT sym.s AS node, l.label AS label, count(*) AS c
+        |  FROM sym JOIN l1 l ON l.node = sym.d GROUP BY 1, 2),
+        |l2 AS (
+        |  SELECT node, label FROM (
+        |    SELECT node, label,
+        |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS r
+        |    FROM c2) WHERE r = 1),
+        |c3 AS (
+        |  SELECT sym.s AS node, l.label AS label, count(*) AS c
+        |  FROM sym JOIN l2 l ON l.node = sym.d GROUP BY 1, 2),
+        |l3 AS (
+        |  SELECT node, label FROM (
+        |    SELECT node, label,
+        |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS r
+        |    FROM c3) WHERE r = 1)
+        |SELECT node, label AS community FROM l3""".stripMargin,
     "q_triangles" ->
       """WITH raw AS (
         |  SELECT CAST(o_orderkey % 97 AS VARCHAR) AS x,

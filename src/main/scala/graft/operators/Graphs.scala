@@ -679,4 +679,83 @@ object Graphs {
     graft.core.Caches.registerCheckpoint(pr)
     pr
   }
+
+  /** Synchronous label-propagation community detection (Raghavan 2007's
+    * LPA, deterministic variant) — the community signal the rest of the
+    * graph tier lacks: connected components merge everything touching,
+    * PageRank ranks within the blob; LPA finds the dense regions (a
+    * crawl graph's topical clusters, a transaction graph's merchant
+    * neighborhoods) without a resolution parameter.
+    *
+    * Every node starts as its own label; each round every node adopts
+    * the MOST FREQUENT label among its neighbors' previous-round labels
+    * (ties → smallest label — a total order, so the fixed synchronous
+    * schedule is engine-reproducible where classic asynchronous LPA is
+    * visit-order-dependent). Fixed `iterations` rather than a
+    * convergence test: sync LPA can 2-cycle on bipartite-ish regions,
+    * and a bounded round count is the standard remedy. Neighborhoods
+    * are undirected (both directions of every edge); self-loops drop;
+    * isolated nodes do not appear (the edge-list convention of every
+    * operator here).
+    *
+    * Scale shapes per round: one edges⋈labels join (labels node-sized;
+    * AQE-skew-splittable — no per-source pinning, same discipline as
+    * [[pageRank]]'s prep), one (node, label) count aggregate with
+    * map-side partials, and a per-node argmax as min(struct(-count,
+    * label)) — an AGGREGATE, not a window, because round 1's count
+    * table holds one row per (hub, neighbor) and a window would pin a
+    * mega-hub's whole neighborhood in one task; the struct-min's
+    * partials spread it (struct order = count desc, label asc, the
+    * same winner a window tie-break would pick). Labels re-checkpoint
+    * per round so plan depth stays flat.
+    */
+  def labelPropagationCommunities(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in 1..50, got $iterations")
+    val raw = edges.select(
+      col(srcCol).cast("string").as("__s"),
+      col(dstCol).cast("string").as("__d"))
+      .where(col("__s").isNotNull && col("__d").isNotNull &&
+        col("__s") =!= col("__d"))
+    // both directions out of ONE pass over the input (the q_pagerank
+    // explode idiom), then distinct — each neighbor counts once
+    val sym = graft.core.Caches.pin(
+      raw.select(explode(array(
+          struct(col("__s"), col("__d")),
+          struct(col("__d").as("__s"), col("__s").as("__d")))).as("e"))
+        .select(col("e.__s").as("__s"), col("e.__d").as("__d"))
+        .distinct())
+    try {
+      var labels = sym.select(col("__s").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint(true)
+      try {
+        (1 to iterations).foreach { _ =>
+          val counts = sym
+            .join(labels.select(col("node").as("__d"),
+              col("label").as("__nl")), "__d")
+            .groupBy(col("__s").as("node"), col("__nl").as("label"))
+            .agg(count(lit(1)).as("__c"))
+          val next = counts
+            .groupBy(col("node"))
+            .agg(min(struct((-col("__c")).as("nc"),
+              col("label").as("l"))).as("__m"))
+            .select(col("node"), col("__m.l").as("label"))
+            .localCheckpoint(true)
+          graft.core.Caches.releaseCheckpoint(labels)
+          labels = next
+        }
+      } catch {
+        case t: Throwable =>
+          graft.core.Caches.releaseCheckpoint(labels)
+          throw t
+      }
+      graft.core.Caches.registerCheckpoint(labels)
+      labels.select(col("node"), col("label").as("community"))
+    } finally sym.unpersist()
+  }
 }

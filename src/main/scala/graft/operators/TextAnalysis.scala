@@ -996,6 +996,7 @@ object TextAnalysis {
           .otherwise(array().cast("array<int>"))).as("__i")): _*)
       .select(keep ++ Seq(
         element_at(col("__t"), col("__i")).as("__w1"),
+        element_at(col("__t"), col("__i") + 1).as("__w2"),
         concat_ws(" ", element_at(col("__t"), col("__i")),
           element_at(col("__t"), col("__i") + 1)).as("__bg")): _*)
 
@@ -1040,6 +1041,74 @@ object TextAnalysis {
           (coalesce(col("__cu"), lit(0L)) + col("__v")))).as("__nll"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("__nll")), 6).as("avg_nll"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nll"))
+  }
+
+  /** Interpolated Kneser–Ney bigram quality score — the modern-LM
+    * upgrade of [[lmQualityScore]]'s add-one smoothing (Kneser & Ney
+    * 1995; the smoothing every serious n-gram quality filter uses:
+    * add-one systematically over-penalizes unseen continuations of
+    * frequent histories, KN backs off to how PROMISCUOUS a word's
+    * history set is rather than how frequent the word is — "francisco"
+    * is frequent but follows only "san", so its continuation mass is
+    * tiny):
+    *
+    * `P(w2|w1) = max(c(w1w2) − D, 0)/c(w1) + D·N1+(w1·)/c(w1) · Pc(w2)`
+    * with `Pc(w2) = (N1+(·w2) + 1) / (N1+(··) + V + 1)` — the
+    * continuation distribution (distinct predecessors over distinct
+    * bigram types), add-one smoothed over the reference vocabulary so
+    * unseen words carry mass and every log is finite; unseen histories
+    * (`c(w1)=0`) back off to `Pc(w2)` entirely.
+    *
+    * Output matches [[lmQualityScore]]: `(idCol, n_bigrams, avg_nll)`,
+    * NULL score for <2-token docs.
+    *
+    * Scale shape: four count aggregates over the reference's exploded
+    * bigrams (bigram-, w1-, w2-, and scalar-sized — all map-side
+    * partial), scoring explodes doc bigrams once and joins the three
+    * model tables on their keys plus two broadcast scalars. No UDFs.
+    */
+  def knQualityScore(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      refCorpus: org.apache.spark.sql.DataFrame,
+      refTextCol: String,
+      discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val refBi = explodedBigrams(refCorpus, refTextCol, Nil)
+    val biCounts = refBi.groupBy("__bg").agg(count(lit(1)).as("__cb"))
+    val w1Stats = refBi.groupBy("__w1").agg(
+      count(lit(1)).as("__c1"),
+      countDistinct(col("__w2")).as("__n1pl"))
+    val w2Stats = refBi.groupBy("__w2")
+      .agg(countDistinct(col("__w1")).as("__n1pr"))
+    val totals = refBi.agg(countDistinct(col("__bg")).as("__n1pall"))
+    val vocab = refCorpus
+      .select(explode(tokens(col(refTextCol))).as("__w"))
+      .agg(countDistinct(col("__w")).as("__v"))
+    val c12 = coalesce(col("__cb"), lit(0L)).cast("double")
+    val c1 = coalesce(col("__c1"), lit(0L)).cast("double")
+    val n1pl = coalesce(col("__n1pl"), lit(0L)).cast("double")
+    val pc = (coalesce(col("__n1pr"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("__n1pall").cast("double") + col("__v").cast("double") + lit(1.0))
+    val p = when(c1 > 0,
+      greatest(c12 - lit(discount), lit(0.0)) / c1 +
+        lit(discount) * n1pl / c1 * pc)
+      .otherwise(pc)
+    val scored = explodedBigrams(docs, textCol, Seq(col(idCol)))
+      .join(biCounts, Seq("__bg"), "left")
+      .join(w1Stats, Seq("__w1"), "left")
+      .join(w2Stats, Seq("__w2"), "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), (-log(p)).as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__nll")), 6).as("avg_nll"))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_nll"))

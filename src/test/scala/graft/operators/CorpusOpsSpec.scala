@@ -287,6 +287,41 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(!gibberish.isInfinite && !gibberish.isNaN)
   }
 
+  test("knQualityScore: hand-computed Kneser-Ney probabilities; continuation mass beats raw frequency") {
+    // reference: "san francisco" pathology — "francisco" is FREQUENT but
+    // follows only "san"; "york" is rarer but follows two histories.
+    val ref = Seq(
+      "san francisco", "san francisco", "san francisco",
+      "new york", "old york"
+    ).toDF("text")
+    val docs = Seq(
+      (1L, "a francisco"), // unseen history "a" -> pure continuation backoff
+      (2L, "a york"),
+      (3L, "san francisco"), // seen bigram
+      (4L, "solo")           // < 2 tokens -> no score
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.knQualityScore(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"),
+          Option(r.getAs[java.lang.Double]("avg_nll")))).toMap
+    assert(out(4L) == (0L, None))
+    // model stats: bigram types {san francisco, new york, old york} = 3,
+    // V = {san, francisco, new, york, old} = 5, so Pc denominator = 9.
+    // Pc(francisco) = (1+1)/9, Pc(york) = (2+1)/9 — york carries MORE
+    // continuation mass despite "francisco" being 3x more frequent
+    def nll(p: Double) = math.round(-math.log(p) * 1e6) / 1e6
+    assert(out(1L)._2.get == nll(2.0 / 9.0), s"got ${out(1L)._2.get}")
+    assert(out(2L)._2.get == nll(3.0 / 9.0), s"got ${out(2L)._2.get}")
+    assert(out(2L)._2.get < out(1L)._2.get,
+      "promiscuous continuation (york) must out-score frequent-but-bound (francisco)")
+    // seen bigram: c(san francisco)=3, c(san)=3, N1+(san.)=1 ->
+    // P = (3-0.75)/3 + 0.75*(1/3)*(2/9)
+    val pSeen = (3.0 - 0.75) / 3.0 + 0.75 * 1.0 / 3.0 * (2.0 / 9.0)
+    assert(out(3L)._2.get == nll(pSeen), s"got ${out(3L)._2.get}")
+    intercept[IllegalArgumentException](
+      TextAnalysis.knQualityScore(docs, "doc_id", "text", ref, "text", 1.5))
+  }
+
   test("topTermsPerGroup ranks distinctive vocabulary by tf-idf") {
     val df = Seq(
       ("a", "apple apple apple shared shared"),

@@ -345,6 +345,34 @@ class GraphsSpec extends SparkTestBase {
       "kHopReachability must not leak pins/checkpoints")
   }
 
+  test("labelPropagationCommunities: two bridged cliques separate; deterministic; directed input symmetrized") {
+    import spark.implicits._
+    // {a,b,c} clique + {d,e,f} clique + one bridge c-d, each edge given
+    // in ONE direction only (the operator symmetrizes). Hand-traced
+    // three synchronous rounds: the cliques converge to separate labels
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("d", "e"), ("d", "f"), ("e", "f"), ("c", "d"),
+      ("a", "a")) // self-loop: dropped
+      .toDF("src", "dst")
+    def run() = Graphs.labelPropagationCommunities(edges, "src", "dst",
+      iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val out = run()
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "c", "e" -> "c", "f" -> "c"),
+      s"hand-traced 3-round labels: $out")
+    assert(out == run(), "fixed synchronous schedule must be deterministic")
+    // round 1 alone: every node adopts its neighborhood's min label
+    // (all neighbor labels are distinct in round 1 — pure tie-break)
+    val one = Graphs.labelPropagationCommunities(edges, "src", "dst",
+      iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(one == Map("a" -> "b", "b" -> "a", "c" -> "a",
+      "d" -> "c", "e" -> "d", "f" -> "d"), s"round-1 labels: $one")
+    intercept[IllegalArgumentException](
+      Graphs.labelPropagationCommunities(edges, "src", "dst", 0))
+  }
+
   test("prepEdges is hub-skew-safe: no per-source window, partial-aggregated totals, exact on a planted mega-hub") {
     import spark.implicits._
     // one mega-hub source fanning wide plus normal sources: at web scale
