@@ -602,6 +602,36 @@ object SparkEntry {
         threshold = 5.0)
     }),
 
+    // ---- entity resolution: linkage pairs -> connected components ->
+    // canonical (min-member) entity id per record ----
+    "q_entity_resolution" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      val dirty = c.where(col("c_custkey") % 7 === 0).select(
+        (col("c_custkey") + 10000000L).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_mktsegment"),
+        (col("c_acctbal") + 1.0).as("c_acctbal"))
+      val all = c.unionByName(dirty)
+      val pairs = operators.Linkage.scorePairs(all, "c_custkey",
+        blockCols = Seq("c_nationkey", "c_mktsegment"),
+        fields = Seq(
+          operators.Linkage.FieldWeight("c_name", 0.95, 0.001),
+          operators.Linkage.FieldWeight("c_acctbal", 0.9, 0.01)),
+        threshold = 5.0).select("id_a", "id_b")
+      val cc = operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      all.select(col("c_custkey"))
+        .join(cc.withColumnRenamed("node", "c_custkey"),
+          Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("comp"), col("c_custkey")).as("entity_id"))
+    }),
+
+    // ---- PMI bigram collocations over the documents corpus ----
+    "q_collocations" -> ((s, dir) => {
+      operators.TextAnalysis.collocations(
+        t(s, dir, "documents"), "text", minCount = 3L)
+    }),
+
     // ---- Kneser–Ney upgrade of the same split: continuation-mass
     // smoothing instead of add-one ----
     "q_kn_score" -> ((s, dir) => {
@@ -1537,6 +1567,18 @@ object SparkEntry {
         (col("o_custkey") % 97).cast("string").as("y"))
       operators.Graphs.labelPropagationCommunities(edges, "x", "y",
         iterations = 3)
+    }),
+
+    // ---- modularity of that LPA assignment: the community-quality
+    // audit, nano-quantized community terms LONG-summed ----
+    "q_modularity" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(
+        (col("o_orderkey") % 97).cast("string").as("x"),
+        (col("o_custkey") % 97).cast("string").as("y"))
+      val comms = operators.Graphs.labelPropagationCommunities(
+        edges, "x", "y", iterations = 3)
+      operators.Graphs.modularity(edges, "x", "y", comms,
+        "node", "community")
     }),
 
     // ---- vocab coverage audit: per-doc OOV rate against a top-20
@@ -3467,6 +3509,58 @@ object SparkEntry {
          |WHERE score_micros >= 5000000""".stripMargin
     },
 
+    // entity resolution over the linkage pairs: planted components are
+    // exactly (base, dirty-twin) pairs (names unique), so one-hop
+    // least(id, min(partner)) equals connected components' min label
+    "q_entity_resolution" -> {
+      val name = operators.Linkage.FieldWeight("c_name", 0.95, 0.001)
+      val bal = operators.Linkage.FieldWeight("c_acctbal", 0.9, 0.01)
+      s"""WITH base AS (
+         |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
+         |  FROM customer),
+         |dirty AS (
+         |  SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
+         |    c_mktsegment, c_acctbal + 1.0 AS c_acctbal
+         |  FROM base WHERE c_custkey % 7 = 0),
+         |all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+         |pairs AS (
+         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+         |  FROM all_rows a JOIN all_rows b
+         |    ON a.c_nationkey = b.c_nationkey
+         |      AND a.c_mktsegment = b.c_mktsegment
+         |      AND a.c_custkey < b.c_custkey
+         |  WHERE (CASE WHEN a.c_name IS NOT DISTINCT FROM b.c_name
+         |        THEN ${name.agreeMicros} ELSE ${name.disagreeMicros} END
+         |      + CASE WHEN a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
+         |        THEN ${bal.agreeMicros} ELSE ${bal.disagreeMicros} END)
+         |    >= 5000000),
+         |und AS (SELECT id_a AS id, id_b AS partner FROM pairs
+         |  UNION ALL SELECT id_b AS id, id_a AS partner FROM pairs),
+         |ent AS (SELECT id, least(id, min(partner)) AS entity_id
+         |  FROM und GROUP BY id)
+         |SELECT r.c_custkey, coalesce(ent.entity_id, r.c_custkey) AS entity_id
+         |FROM all_rows r LEFT JOIN ent ON r.c_custkey = ent.id""".stripMargin
+    },
+    // PMI collocations: marginals from the FULL bigram-types table,
+    // min-count filter applied to the output pairs only
+    "q_collocations" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                     t -> t <> '') AS toks FROM documents),
+        |rb AS (
+        |  SELECT toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i AS INTEGER)+1] AS w2
+        |  FROM toks CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
+        |bi AS (SELECT w1, w2, count(*)::BIGINT AS n12 FROM rb GROUP BY w1, w2),
+        |m1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM bi GROUP BY w1),
+        |m2 AS (SELECT w2, CAST(sum(n12) AS BIGINT) AS n2 FROM bi GROUP BY w2),
+        |tot AS (SELECT CAST(sum(n12) AS BIGINT) AS nn FROM bi)
+        |SELECT bi.w1, bi.w2, bi.n12,
+        |  round(ln((bi.n12::DOUBLE * tot.nn::DOUBLE)
+        |    / (m1.n1::DOUBLE * m2.n2::DOUBLE)), 6) AS pmi
+        |FROM bi JOIN m1 ON bi.w1 = m1.w1 JOIN m2 ON bi.w2 = m2.w2
+        |  CROSS JOIN tot
+        |WHERE bi.n12 >= 3""".stripMargin,
     // Kneser–Ney: identical expression ORDER to the Spark side so every
     // IEEE op is bit-reproducible; only ln is transcendental (same
     // empirical-agreement footing as q_lm_score)
@@ -4468,6 +4562,60 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS r
         |    FROM c3) WHERE r = 1)
         |SELECT node, label AS community FROM l3""".stripMargin,
+    // modularity of the unrolled-LPA assignment: per-community terms
+    // nano-quantized and LONG-summed (order-free), result in nanos
+    "q_modularity" ->
+      """WITH raw AS (
+        |  SELECT CAST(o_orderkey % 97 AS VARCHAR) AS s,
+        |    CAST(o_custkey % 97 AS VARCHAR) AS d
+        |  FROM orders),
+        |base AS (SELECT s, d FROM raw
+        |  WHERE s IS NOT NULL AND d IS NOT NULL AND s <> d),
+        |sym AS (SELECT DISTINCT s, d FROM (
+        |  SELECT s, d FROM base UNION ALL SELECT d AS s, s AS d FROM base)),
+        |l0 AS (SELECT DISTINCT s AS node, s AS label FROM sym),
+        |c1 AS (
+        |  SELECT sym.s AS node, l.label AS label, count(*) AS c
+        |  FROM sym JOIN l0 l ON l.node = sym.d GROUP BY 1, 2),
+        |l1 AS (
+        |  SELECT node, label FROM (
+        |    SELECT node, label,
+        |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS r
+        |    FROM c1) WHERE r = 1),
+        |c2 AS (
+        |  SELECT sym.s AS node, l.label AS label, count(*) AS c
+        |  FROM sym JOIN l1 l ON l.node = sym.d GROUP BY 1, 2),
+        |l2 AS (
+        |  SELECT node, label FROM (
+        |    SELECT node, label,
+        |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS r
+        |    FROM c2) WHERE r = 1),
+        |c3 AS (
+        |  SELECT sym.s AS node, l.label AS label, count(*) AS c
+        |  FROM sym JOIN l2 l ON l.node = sym.d GROUP BY 1, 2),
+        |l3 AS (
+        |  SELECT node, label FROM (
+        |    SELECT node, label,
+        |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS r
+        |    FROM c3) WHERE r = 1),
+        |und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM base),
+        |lab AS (
+        |  SELECT coalesce(ca.label, und.a) AS ca, coalesce(cb.label, und.b) AS cb
+        |  FROM und LEFT JOIN l3 ca ON ca.node = und.a
+        |           LEFT JOIN l3 cb ON cb.node = und.b),
+        |mm AS (SELECT count(*)::BIGINT AS m FROM lab),
+        |intra AS (SELECT ca AS c, count(*)::BIGINT AS ec
+        |  FROM lab WHERE ca = cb GROUP BY ca),
+        |degs AS (SELECT c, count(*)::BIGINT AS dc FROM (
+        |  SELECT ca AS c FROM lab UNION ALL SELECT cb AS c FROM lab) GROUP BY c),
+        |terms AS (
+        |  SELECT (coalesce(intra.ec, 0)::DOUBLE / mm.m::DOUBLE)
+        |    - (degs.dc::DOUBLE / (2.0 * mm.m)) * (degs.dc::DOUBLE / (2.0 * mm.m))
+        |    AS t
+        |  FROM degs LEFT JOIN intra ON degs.c = intra.c CROSS JOIN mm)
+        |SELECT mm.m, count(*)::BIGINT AS n_communities,
+        |  CAST(sum(CAST(round(t * 1e9) AS BIGINT)) AS BIGINT) AS modularity_nanos
+        |FROM terms CROSS JOIN mm GROUP BY mm.m""".stripMargin,
     "q_triangles" ->
       """WITH raw AS (
         |  SELECT CAST(o_orderkey % 97 AS VARCHAR) AS x,

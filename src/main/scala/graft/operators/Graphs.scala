@@ -758,4 +758,72 @@ object Graphs {
       labels.select(col("node"), col("label").as("community"))
     } finally sym.unpersist()
   }
+
+  /** Newman modularity of a community assignment over the undirected
+    * simple graph — the quality dial for
+    * [[labelPropagationCommunities]] (compare assignments, detect when
+    * a partition is no better than random):
+    * `Q = Σ_c (e_c/m − (deg_c/(2m))²)` with `m` = undirected edge
+    * count, `e_c` = intra-community edges, `deg_c` = total degree of
+    * community c. Nodes missing from `communities` form their own
+    * singleton communities (their label is the node itself) — absent
+    * rows must not silently drop edges from the sum.
+    *
+    * Engine-exact: each community's term is one fixed-order double
+    * expression over integer counts, nano-quantized and LONG-summed
+    * across communities (order-free — the library's discipline); the
+    * result stays in integer nanos (no float rounding anywhere).
+    * Returns ONE row `(m, n_communities, modularity_nanos)` —
+    * materialized eagerly (three bounded jobs) since it is a scalar
+    * audit, so the intermediate checkpoint releases before return.
+    *
+    * Scale shapes: canonical-edge dedup, two label joins
+    * (AQE-splittable), a per-community pair of count aggregates with
+    * map-side partials, one communities-sized final sum.
+    */
+  def modularity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      communities: DataFrame,
+      nodeCol: String,
+      commCol: String): DataFrame = {
+    val und = graft.core.Caches.pin(undirectedEdges(edges, srcCol, dstCol))
+    try {
+      val labels = communities.select(
+        col(nodeCol).cast("string").as("node"),
+        col(commCol).cast("string").as("__c"))
+        .where(col("node").isNotNull).distinct()
+      val labeled = und
+        .join(labels.select(col("node").as("__a"), col("__c").as("__ca")),
+          Seq("__a"), "left")
+        .join(labels.select(col("node").as("__b"), col("__c").as("__cb")),
+          Seq("__b"), "left")
+        .select(
+          coalesce(col("__ca"), col("__a")).as("__ca"),
+          coalesce(col("__cb"), col("__b")).as("__cb"))
+        .localCheckpoint(true) // read twice below (intra counts + degrees)
+      try {
+        val m = labeled.count()
+        require(m > 0, "modularity: empty graph")
+        val intra = labeled.where(col("__ca") === col("__cb"))
+          .groupBy(col("__ca").as("__c")).agg(count(lit(1)).as("__ec"))
+        val degs = labeled
+          .select(explode(array(col("__ca"), col("__cb"))).as("__c"))
+          .groupBy("__c").agg(count(lit(1)).as("__dc"))
+        val term = (coalesce(col("__ec"), lit(0L)).cast("double") /
+          lit(m.toDouble)) -
+          (col("__dc").cast("double") / lit(2.0 * m)) *
+            (col("__dc").cast("double") / lit(2.0 * m))
+        val agg = degs.join(intra, Seq("__c"), "left")
+          .agg(sum(round(term * lit(1e9)).cast("long")).as("__qn"),
+            count(lit(1)).as("__nc"))
+          .head()
+        val spark = edges.sparkSession
+        import spark.implicits._
+        Seq((m, agg.getAs[Long]("__nc"), agg.getAs[Long]("__qn")))
+          .toDF("m", "n_communities", "modularity_nanos")
+      } finally graft.core.Caches.releaseCheckpoint(labeled)
+    } finally und.unpersist()
+  }
 }

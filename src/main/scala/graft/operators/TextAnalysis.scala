@@ -1114,6 +1114,46 @@ object TextAnalysis {
         col("avg_nll"))
   }
 
+  /** Bigram collocation mining by pointwise mutual information —
+    * terminology/phrase extraction over a corpus ("new york",
+    * "machine learning" score high because they co-occur far above
+    * their parts' independent rates), the classic signal feeding
+    * tokenizer merge candidates and phrase-aware indexing:
+    * `pmi = ln(n12·N / (n1·n2))` over the corpus's bigram table, with
+    * `n1` = occurrences of w1 as a bigram's FIRST word, `n2` = w2 as a
+    * SECOND word, `N` = total bigrams (the standard positional
+    * convention). `minCount` prunes the noisy singleton tail — PMI's
+    * known pathology is maximal scores for hapax pairs.
+    *
+    * Output: `(w1, w2, n12, pmi)` for pairs with `n12 >= minCount`,
+    * pmi rounded to 6 decimals.
+    *
+    * Scale shape: one exploded-bigram count aggregate (map-side
+    * partial), two marginal aggregates over the bigram-types table
+    * (types-sized, not corpus-sized), key joins back, one broadcast
+    * 1-row total. Operands widen to double BEFORE multiplying so no
+    * count product can overflow a long.
+    */
+  def collocations(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minCount: Long = 5L): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val bi = explodedBigrams(df, textCol, Nil)
+      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__n12"))
+    val n1 = bi.groupBy("__w1").agg(sum(col("__n12")).as("__n1"))
+    val n2 = bi.groupBy("__w2").agg(sum(col("__n12")).as("__n2"))
+    val total = bi.agg(sum(col("__n12")).as("__nn"))
+    bi.where(col("__n12") >= minCount)
+      .join(n1, "__w1").join(n2, "__w2")
+      .crossJoin(broadcast(total))
+      .select(col("__w1").as("w1"), col("__w2").as("w2"),
+        col("__n12").as("n12"),
+        round(log((col("__n12").cast("double") * col("__nn").cast("double")) /
+          (col("__n1").cast("double") * col("__n2").cast("double"))), 6)
+          .as("pmi"))
+  }
+
   /** Okapi BM25 relevance of every document to a bag of query terms,
     * with Lucene's non-negative idf variant
     * `ln(1 + (N - df + 0.5) / (df + 0.5))`. The keyword-search /

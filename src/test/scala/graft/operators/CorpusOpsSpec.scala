@@ -322,6 +322,33 @@ class CorpusOpsSpec extends SparkTestBase {
       TextAnalysis.knQualityScore(docs, "doc_id", "text", ref, "text", 1.5))
   }
 
+  test("collocations: PMI separates a bound phrase from free co-occurrence; minCount prunes hapax pairs") {
+    // "new york" always together (bound phrase); "the" pairs freely
+    val docs = Seq(
+      "new york is big", "new york is old", "new york never sleeps",
+      "the cat", "the dog", "the bird", "rare pair"
+    ).toDF("text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n12"), r.getAs[Double]("pmi"))).toMap
+    // N = 13 bigrams; "new york": n12=3, n1(new)=3, n2(york)=3
+    // pmi = ln(3*13/(3*3)) = ln(13/3)
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("new", "york")) == (3L, r6(math.log(13.0 / 3.0))),
+      s"got ${out(("new", "york"))}")
+    // "york is": n12=2, n1(york)=3 ("york is" x2 + "york never"),
+    // n2(is)=2 -> ln(2*13/6)
+    assert(out(("york", "is")) == (2L, r6(math.log(2.0 * 13.0 / 6.0))))
+    // hapax pairs pruned by minCount
+    assert(!out.contains(("rare", "pair")))
+    assert(!out.contains(("the", "cat")))
+    // both surviving pairs carry positive association (ln of >1 ratios)
+    assert(out.values.forall(_._2 > 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.collocations(docs, "text", minCount = 0L))
+  }
+
   test("topTermsPerGroup ranks distinctive vocabulary by tf-idf") {
     val df = Seq(
       ("a", "apple apple apple shared shared"),

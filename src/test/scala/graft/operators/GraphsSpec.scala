@@ -373,6 +373,39 @@ class GraphsSpec extends SparkTestBase {
       Graphs.labelPropagationCommunities(edges, "src", "dst", 0))
   }
 
+  test("modularity: two cliques + bridge hand-computed; singleton fill-in for unlabeled nodes; empty loud") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("d", "e"), ("d", "f"), ("e", "f"), ("c", "d")).toDF("src", "dst")
+    val comms = Seq(("a", "x"), ("b", "x"), ("c", "x"),
+      ("d", "y"), ("e", "y"), ("f", "y")).toDF("node", "community")
+    val out = Graphs.modularity(edges, "src", "dst", comms,
+      "node", "community").collect().head
+    // m=7; per community: ec=3, deg=7 -> term = 3/7 - (7/14)^2,
+    // nanos = round(0.17857142857...e9) = 178571429, x2 communities
+    assert(out.getAs[Long]("m") == 7L)
+    assert(out.getAs[Long]("n_communities") == 2L)
+    assert(out.getAs[Long]("modularity_nanos") == 2L * 178571429L,
+      s"got ${out.getAs[Long]("modularity_nanos")}")
+    // the LPA assignment on this graph reaches the same partition, so
+    // the same score — composition the q_modularity oracle relies on
+    val lpa = Graphs.labelPropagationCommunities(edges, "src", "dst", 3)
+    val viaLpa = Graphs.modularity(edges, "src", "dst", lpa,
+      "node", "community").collect().head
+    assert(viaLpa.getAs[Long]("modularity_nanos") == 2L * 178571429L)
+    // nodes missing from the assignment become singletons: labeling
+    // only {a,b,c} leaves d,e,f as their own communities (all their
+    // edges inter-community except none — each singleton has ec=0)
+    val partial = Graphs.modularity(edges, "src", "dst",
+      comms.where(col("community") === "x"), "node", "community")
+      .collect().head
+    assert(partial.getAs[Long]("n_communities") == 4L,
+      s"x + three singletons, got ${partial.getAs[Long]("n_communities")}")
+    intercept[IllegalArgumentException](
+      Graphs.modularity(edges.where(lit(false)), "src", "dst", comms,
+        "node", "community"))
+  }
+
   test("prepEdges is hub-skew-safe: no per-source window, partial-aggregated totals, exact on a planted mega-hub") {
     import spark.implicits._
     // one mega-hub source fanning wide plus normal sources: at web scale
