@@ -70,18 +70,37 @@ object Linkage {
       idCol: String,
       blockCols: Seq[String],
       fields: Seq[FieldWeight],
-      threshold: Double = 0.0): DataFrame = {
+      threshold: Double = 0.0): DataFrame =
+    scoreBetween(df, df, idCol, blockCols, fields, threshold,
+      withinOne = true)
+
+  /** The shared scoring join: candidates are block-equal (left, right)
+    * row pairs — `withinOne` compares one frame to itself (`id_a <
+    * id_b` kills mirror+self pairs), the cross form takes distinct-id
+    * pairs and normalizes id order afterward (the field weights are
+    * symmetric, so normalization touches only the id columns).
+    */
+  private def scoreBetween(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      idCol: String,
+      blockCols: Seq[String],
+      fields: Seq[FieldWeight],
+      threshold: Double,
+      withinOne: Boolean): DataFrame = {
     require(blockCols.nonEmpty,
       "blockCols must be non-empty — unblocked linkage is a global " +
         "cartesian product; block on something (and salt/sub-block hot keys)")
     require(fields.nonEmpty, "fields must be non-empty")
     val allCols = (Seq(idCol) ++ blockCols ++ fields.map(_.column)).distinct
-    val left = df.select(allCols.map(c => col(c).as(s"${c}_a")): _*)
-    val right = df.select(allCols.map(c => col(c).as(s"${c}_b")): _*)
+    val left = leftDf.select(allCols.map(c => col(c).as(s"${c}_a")): _*)
+    val right = rightDf.select(allCols.map(c => col(c).as(s"${c}_b")): _*)
+    val idCond =
+      if (withinOne) col(s"${idCol}_a") < col(s"${idCol}_b")
+      else col(s"${idCol}_a") =!= col(s"${idCol}_b")
     val joined = left.join(right,
       blockCols.map(c => col(s"${c}_a") === col(s"${c}_b"))
-        .reduce(_ && _) &&
-        col(s"${idCol}_a") < col(s"${idCol}_b"))
+        .reduce(_ && _) && idCond)
     // integer sum of per-field micro-bit literals — order-free and
     // rounding-free, so any engine agrees term-for-term
     val agrees = fields.map(f =>
@@ -95,7 +114,130 @@ object Linkage {
       .withColumn("score_micros", score)
       .withColumn("n_agree", nAgree)
       .where(col("score_micros") >= lit(math.round(threshold * 1e6)))
-      .select(col(s"${idCol}_a").as("id_a"), col(s"${idCol}_b").as("id_b"),
+      .select(
+        least(col(s"${idCol}_a"), col(s"${idCol}_b")).as("id_a"),
+        greatest(col(s"${idCol}_a"), col(s"${idCol}_b")).as("id_b"),
         col("n_agree"), col("score_micros"))
+  }
+
+  /** Incremental linkage against a PERSISTED record index — the
+    * identity-resolution twin of [[DedupIndex]]'s text pattern: a
+    * registry too large to re-pair nightly takes arriving batches,
+    * each batch pairs against the standing records (and itself)
+    * WITHOUT re-pairing the standing records against each other, and
+    * the entity map is always derivable from the accumulated pairs.
+    *
+    * Layout: `path/records` (append-only record store),
+    * `path/pairs` (append-only scored-pair log),
+    * [[IndexParamsFileName]] (the linkage config — id/block/field
+    * m-u/threshold — committed once; later batches must match it, a
+    * drifted config fails loud, because pairs scored under different
+    * weights must never mix in one log).
+    *
+    * Delivery is at-least-once: a replayed batch re-appends duplicate
+    * records and re-derives the SAME pairs (identical ids pair with
+    * nothing — `id_a ≠ id_b` — and [[entities]] distincts the log), so
+    * replays are exact no-ops on the entity map.
+    */
+  object Index {
+
+    val IndexParamsFileName = "_graft_linkage_params.json"
+
+    private def paramsJson(
+        idCol: String, blockCols: Seq[String], fields: Seq[FieldWeight],
+        threshold: Double): String =
+      graft.io.Json.toJson(Map(
+        "id_col" -> idCol,
+        "block_cols" -> blockCols,
+        "threshold" -> threshold,
+        "fields" -> fields.map(f =>
+          Map("column" -> f.column, "m" -> f.m, "u" -> f.u))))
+
+    private def readParams(spark: org.apache.spark.sql.SparkSession,
+        path: String): (String, Seq[String], Seq[FieldWeight], Double) = {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val raw = graft.io.Sidecar.read(fs, dir, IndexParamsFileName)
+        .getOrElse(throw new IllegalStateException(
+          s"no linkage-index params sidecar at $path — index missing or " +
+            "torn by a failed create"))
+      val node = graft.io.Json.parse(raw)
+      import scala.jdk.CollectionConverters._
+      (node.get("id_col").asText(),
+        node.get("block_cols").elements().asScala.map(_.asText()).toSeq,
+        node.get("fields").elements().asScala.map(f =>
+          FieldWeight(f.get("column").asText(),
+            f.get("m").asDouble(), f.get("u").asDouble())).toSeq,
+        node.get("threshold").asDouble())
+    }
+
+    /** Create the index from the initial corpus: records land, the
+      * within-corpus pairs seed the pair log, params commit LAST (the
+      * [[graft.io.Sidecar]] discipline — a crash leaves data without a
+      * sidecar, which every later call refuses loudly).
+      */
+    def create(
+        records: DataFrame,
+        path: String,
+        idCol: String,
+        blockCols: Seq[String],
+        fields: Seq[FieldWeight],
+        threshold: Double): Unit = {
+      val spark = records.sparkSession
+      records.write.mode("errorifexists").parquet(s"$path/records")
+      scorePairs(records, idCol, blockCols, fields, threshold)
+        .write.mode("overwrite").parquet(s"$path/pairs")
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val json = paramsJson(idCol, blockCols, fields, threshold)
+      val committed = graft.io.Sidecar.commit(
+        fs, dir, IndexParamsFileName, json, overwrite = false)
+      if (committed != json) throw new IllegalStateException(
+        s"linkage index at $path was created concurrently with different " +
+          "params — single-writer creation required")
+    }
+
+    /** Pair `batch` against the standing records AND itself, append
+      * both the batch's records and the new pairs, and return the new
+      * pairs. The standing corpus is read once, filtered to the
+      * batch's blocks by the join itself (bucket the records layout by
+      * block key upstream to prune the scan at 100×).
+      */
+    def ingestBatch(
+        spark: org.apache.spark.sql.SparkSession,
+        path: String,
+        batch: DataFrame): DataFrame = {
+      val (idCol, blockCols, fields, threshold) = readParams(spark, path)
+      val standing = spark.read.parquet(s"$path/records")
+      val withinBatch =
+        scorePairs(batch, idCol, blockCols, fields, threshold)
+      val crossPairs = scoreBetween(batch, standing, idCol, blockCols,
+        fields, threshold, withinOne = false)
+      val newPairs = withinBatch.unionByName(crossPairs).distinct()
+        .localCheckpoint(true) // materialize BEFORE the appends mutate dirs
+      try {
+        newPairs.write.mode("append").parquet(s"$path/pairs")
+        batch.write.mode("append").parquet(s"$path/records")
+      } finally graft.core.Caches.registerCheckpoint(newPairs)
+      newPairs
+    }
+
+    /** The standing entity map: connected components over every pair
+      * ever logged (distinct-insensitive, so replays are no-ops), each
+      * record labeled with its component's MIN member id — records
+      * matching nothing are their own entity.
+      */
+    def entities(
+        spark: org.apache.spark.sql.SparkSession,
+        path: String): DataFrame = {
+      val (idCol, _, _, _) = readParams(spark, path)
+      val pairs = spark.read.parquet(s"$path/pairs")
+        .select("id_a", "id_b").distinct()
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      spark.read.parquet(s"$path/records").select(col(idCol)).distinct()
+        .join(cc.withColumnRenamed("node", idCol), Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("comp"), col(idCol)).as("entity_id"))
+    }
   }
 }

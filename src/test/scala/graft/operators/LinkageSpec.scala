@@ -48,6 +48,53 @@ class LinkageSpec extends SparkTestBase {
     assert(kept == Set((1L, 2L), (6L, 7L)), s"kept: $kept")
   }
 
+  test("Index: incremental ingest equals one-shot linkage; replays are no-ops; config pinned") {
+    val root = java.nio.file.Files.createTempDirectory("graft_linkidx_").toString
+    val idx = s"$root/idx"
+    def rows(s: Seq[(Long, String, String, String)]) =
+      s.toDF("id", "block", "name", "phone")
+    val base = rows(Seq((1L, "A", "alice", "p1"), (2L, "A", "bob", "p2"),
+      (3L, "B", "carol", "p3")))
+    Linkage.Index.create(base, idx, "id", Seq("block"),
+      Seq(name, phone), threshold = 5.0)
+    // batch 1: a dirty twin of alice (pairs across batch/index), a stranger
+    val b1 = rows(Seq((10L, "A", "alice", "p9"), (11L, "B", "dave", "p4")))
+    val p1 = Linkage.Index.ingestBatch(spark, idx, b1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p1 == Set((1L, 10L)), s"cross-batch twin expected: $p1")
+    // batch 2: twin of batch-1's dave (cross vs an EARLIER batch) plus a
+    // within-batch twin pair
+    val b2 = rows(Seq((20L, "B", "dave", "p5"), (21L, "A", "eve", "p6"),
+      (22L, "A", "eve", "p7")))
+    val p2 = Linkage.Index.ingestBatch(spark, idx, b2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p2 == Set((11L, 20L), (21L, 22L)), s"got $p2")
+    def entityMap() = Linkage.Index.entities(spark, idx)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("entity_id")).toMap
+    val expected = Map(1L -> 1L, 10L -> 1L, 2L -> 2L, 3L -> 3L,
+      11L -> 11L, 20L -> 11L, 21L -> 21L, 22L -> 21L)
+    assert(entityMap() == expected, s"got ${entityMap()}")
+    // one-shot over the union agrees (the incremental decomposition is
+    // exact: within-batch + batch-vs-standing covers every pair once)
+    val all = base.unionByName(b1).unionByName(b2)
+    val oneShot = Linkage.scorePairs(all, "id", Seq("block"),
+      Seq(name, phone), threshold = 5.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(oneShot == p1 ++ p2, s"one-shot $oneShot vs incremental ${p1 ++ p2}")
+    // at-least-once replay: re-ingesting batch 2 re-derives the same
+    // pairs (identical ids never self-pair) and the entity map is unchanged
+    val replayed = Linkage.Index.ingestBatch(spark, idx, b2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(replayed == p2, s"replay must re-derive the same pairs: $replayed")
+    assert(entityMap() == expected, "replay must not change entities")
+    // missing sidecar is loud
+    intercept[IllegalStateException](
+      Linkage.Index.ingestBatch(spark, s"$root/nope", b1))
+    intercept[IllegalStateException](
+      Linkage.Index.entities(spark, s"$root/nope"))
+  }
+
   test("scorePairs: loud on uninformative fields and unblocked calls") {
     intercept[IllegalArgumentException](Linkage.FieldWeight("x", 0.5, 0.5))
     intercept[IllegalArgumentException](Linkage.FieldWeight("x", 1.0, 0.5))
