@@ -843,6 +843,27 @@ object StreamingOps {
             batch.sparkSession, indexPath, batch.toDF(), idCol, vecCol)
     }
 
+  /** Stream records into a standing [[graft.operators.Linkage.Index]]:
+    * each micro-batch pairs against the accumulated registry and lands
+    * its records + new pairs (the incremental identity-resolution
+    * loop, continuous form). Delivery is the ingestBatch contract —
+    * at-least-once, replays re-derive identical pairs and
+    * [[graft.operators.Linkage.Index.entities]] distincts the log, so
+    * the standing entity map is replay-exact.
+    */
+  def linkageIngestSink(
+      records: DataFrame,
+      indexPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    records.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Linkage.Index.ingestBatch(
+            batch.sparkSession, indexPath, batch.toDF())
+          ()
+        }
+    }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, events: Long, sum: Double)
   final case class SessionSummary(

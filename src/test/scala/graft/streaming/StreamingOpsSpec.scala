@@ -757,6 +757,35 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally { qk.stop(); ql.stop() }
   }
 
+  test("linkageIngestSink: streamed batches resolve entities like the batch index") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_link_ingest_").toString
+    val idx = root + "/idx"
+    val name = graft.operators.Linkage.FieldWeight("name", 0.95, 0.001)
+    val phone = graft.operators.Linkage.FieldWeight("phone", 0.9, 0.01)
+    graft.operators.Linkage.Index.create(
+      Seq((1L, "A", "alice", "p1"), (2L, "B", "bob", "p2"))
+        .toDF("id", "block", "name", "phone"),
+      idx, "id", Seq("block"), Seq(name, phone), threshold = 5.0)
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, String)]
+    val q = StreamingOps.linkageIngestSink(
+      source.toDS().toDF("id", "block", "name", "phone"), idx)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      source.addData((10L, "A", "alice", "p9")) // twin of 1
+      q.processAllAvailable()
+      source.addData((20L, "B", "bob", "p8"), (21L, "A", "carol", "p7"))
+      q.processAllAvailable()
+      val ents = graft.operators.Linkage.Index.entities(spark, idx)
+        .collect().map(r => r.getAs[Long]("id") ->
+          r.getAs[Long]("entity_id")).toMap
+      assert(ents == Map(1L -> 1L, 10L -> 1L, 2L -> 2L, 20L -> 2L,
+        21L -> 21L), s"got $ents")
+    } finally q.stop()
+  }
+
   test("compactStatLog is additive: mid-fold batches, in-flight dirs, and crash leftovers survive") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft_statlog_add_").toString
