@@ -632,6 +632,22 @@ object SparkEntry {
         t(s, dir, "documents"), "text", minCount = 3L)
     }),
 
+    // ---- unigram-LM (SentencePiece-style) tokenizer: hard-EM training
+    // + Viterbi encoding. Likelihood-driven segmentation is not
+    // SQL-expressible -> rows-only, pinned by UnigramSpec's hand-traced
+    // EM/coverage/determinism cases ----
+    "q_unigram_vocab" -> ((s, dir) => {
+      operators.Unigram.train(t(s, dir, "documents"), "text",
+        vocabSize = 300, seedSize = 3000, iterations = 2, maxPieceLen = 6)
+    }),
+    "q_unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = operators.Unigram.train(docs, "text",
+        vocabSize = 300, seedSize = 3000, iterations = 2, maxPieceLen = 6)
+      operators.Unigram.encode(docs.where(col("doc_id") % 20 === 0),
+        "doc_id", "text", vocab, maxPieceLen = 6)
+    }),
+
     // ---- Kneser–Ney upgrade of the same split: continuation-mass
     // smoothing instead of add-one ----
     "q_kn_score" -> ((s, dir) => {
