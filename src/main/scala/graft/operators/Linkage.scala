@@ -120,61 +120,6 @@ object Linkage {
         col("n_agree"), col("score_micros"))
   }
 
-  /** Exact edit-distance self-join via FastSS deletion neighborhoods
-    * (Bocek et al. 2007) — the fuzzy-matching primitive under typo-level
-    * record linkage and query spell-joining: all pairs with
-    * `levenshtein(a, b) <= maxDist`, WITHOUT the quadratic cross
-    * product. Each string explodes into its ≤`maxDist`-deletion
-    * variants; `d(a,b) <= k` implies the variant sets intersect, so a
-    * variant-equality join yields a candidate superset and one
-    * codegen'd `levenshtein` filter makes it exact (both engines
-    * implement the same textbook DP, so a brute-force SQL oracle
-    * reproduces it row-for-row).
-    *
-    * Scale shape: the explode is ≤ `1 + L + L²/2` variants per string
-    * (k ≤ 2 enforced — the neighborhood blows up combinatorially
-    * beyond), the join shuffles on the variant hash (AQE-splittable;
-    * short common variants are the hot keys — `minLength` drops the
-    * tiny strings that generate them), and the final filter runs on
-    * candidates only. Output `(id_a, id_b, dist)` with `id_a < id_b`,
-    * deduped.
-    */
-  def editDistancePairs(
-      df: DataFrame,
-      idCol: String,
-      strCol: String,
-      maxDist: Int = 1,
-      minLength: Int = 2): DataFrame = {
-    require(maxDist >= 1 && maxDist <= 2,
-      s"maxDist must be 1 or 2 (deletion neighborhoods explode beyond), " +
-        s"got $maxDist")
-    require(minLength >= 1, s"minLength must be >= 1, got $minLength")
-    val base = df.select(col(idCol).as("__id"),
-      col(strCol).cast("string").as("__s"))
-      .where(col("__s").isNotNull && length(col("__s")) >= minLength)
-    def deletions(s: Column): Column =
-      transform(sequence(lit(1), length(s)), i =>
-        concat(substring(s, 1, i - 1),
-          substring(s, i + 1, Int.MaxValue)))
-    val d1 = array_union(array(col("__s")), deletions(col("__s")))
-    val variants =
-      if (maxDist == 1) d1
-      else array_distinct(flatten(transform(d1, v =>
-        array_union(array(v), deletions(v)))))
-    val sides = base.select(col("__id"), col("__s"),
-      explode(variants).as("__v"))
-    val left = sides.select(col("__v"), col("__id").as("id_a"),
-      col("__s").as("__sa"))
-    val right = sides.select(col("__v"), col("__id").as("id_b"),
-      col("__s").as("__sb"))
-    left.join(right, Seq("__v"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("__sa"), col("__sb")).as("dist"))
-      .where(col("dist") <= maxDist)
-      .dropDuplicates("id_a", "id_b")
-  }
-
   /** Incremental linkage against a PERSISTED record index — the
     * identity-resolution twin of [[DedupIndex]]'s text pattern: a
     * registry too large to re-pair nightly takes arriving batches,
