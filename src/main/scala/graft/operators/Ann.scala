@@ -1089,11 +1089,16 @@ object Ann {
       * list — invisible to readers; (2) the sidecar commits atomically
       * with the split cell replaced by the sub-centroids and `version`
       * bumped — readers atomically switch to the sub-cells; (3) the old
-      * directory is deleted — until then it is merely unlisted. A torn
-      * split is therefore never wrong, only stale bytes, surfaced by
-      * [[staleCellDirs]] and garbage-collected on entry by the next
-      * [[splitCell]]. Loud on a concurrent sidecar writer (single
-      * maintainer, like every write path here).
+      * directory is left in place, merely unlisted, and deleted by the
+      * NEXT splitCell's entry GC — never here, because an in-flight
+      * reader whose scan was planned against the previous sidecar still
+      * lists it in its IN partition filter, and deleting under that
+      * scan would fail it mid-query; a maintenance interval lets such
+      * scans drain. A torn OR completed split therefore never breaks a
+      * reader, only leaves stale bytes, surfaced by [[staleCellDirs]]
+      * and garbage-collected on entry by the next [[splitCell]]. Loud
+      * on a concurrent sidecar writer (single maintainer, like every
+      * write path here).
       *
       * Search semantics: sub-cell ADC estimates are bit-identical for
       * plain encoding (codes unchanged, LUT per query unchanged — a
@@ -1188,7 +1193,12 @@ object Ann {
       if (committed != json) throw new IllegalStateException(
         s"IvfPq.splitCell: concurrent writer detected at $path — " +
           "maintenance is single-writer")
-      fs.delete(new org.apache.hadoop.fs.Path(dir, s"__cell=$cell"), true)
+      // Deletion of the split cell's directory is DEFERRED to the next
+      // splitCell's entry GC (it is now unlisted — a stale dir like a
+      // torn split's). Deleting here would FileNotFoundException any
+      // in-flight reader whose scan was planned against the PREVIOUS
+      // sidecar (its IN-filter still lists this cell); one maintenance
+      // interval lets those scans drain first.
       newCents.map(_._1).toSeq
     }
 
@@ -1198,16 +1208,25 @@ object Ann {
       * (drifting arrivals pile into a few cells; a probe of a 10×-mean
       * cell scans 10× the budget). Reads only the `__cell` partition
       * column — directory-listing cheap, no vector bytes touched.
-      * Returns (cell, rows, mean_ratio) sorted by ratio descending.
+      * Scoped to the sidecar's live cell list (the same IN partition
+      * filter as [[loadIndex]]) so stale directories — a torn split's
+      * orphans, or a completed split's not-yet-GC'd old cell — never
+      * inflate the counts. Returns (cell, rows, mean_ratio) sorted by
+      * ratio descending.
       */
     def cellStats(spark: SparkSession, path: String): DataFrame = {
       val dir = new org.apache.hadoop.fs.Path(path)
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-      require(
-        fs.exists(new org.apache.hadoop.fs.Path(dir, SidecarFileName)) ||
-          fs.exists(new org.apache.hadoop.fs.Path(dir, Ivf.SidecarFileName)),
+      val side = Seq(SidecarFileName, Ivf.SidecarFileName)
+        .find(n => fs.exists(new org.apache.hadoop.fs.Path(dir, n)))
+      require(side.nonEmpty,
         s"no IVF/IVF-PQ sidecar at $path — not a persisted index")
+      val node = graft.io.Json.parse(
+        graft.io.Sidecar.read(fs, dir, side.get).get)
+      val live = node.get("centroids").elements().asScala
+        .map(e => Int.box(e.get("cell").asInt())).toSeq
       val counts = spark.read.parquet(path)
+        .where(col("__cell").isin(live: _*))
         .groupBy(col("__cell").as("cell"))
         .agg(count(lit(1)).as("rows"))
       val mean = counts.agg(avg(col("rows")).as("__m"))

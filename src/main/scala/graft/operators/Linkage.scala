@@ -202,6 +202,14 @@ object Linkage {
       * pairs. The standing corpus is read once, filtered to the
       * batch's blocks by the join itself (bucket the records layout by
       * block key upstream to prune the scan at 100×).
+      *
+      * The batch's schema is validated against the standing records
+      * BEFORE anything is appended: a drifted, extra, or retyped column
+      * would otherwise write mismatched parquet footers under
+      * `records/`, and a later non-mergeSchema read could silently
+      * adopt one footer's shape and corrupt every future cross-pair
+      * score — loud like the params sidecar, not silent. Column ORDER
+      * is normalized (select in standing order), not rejected.
       */
     def ingestBatch(
         spark: org.apache.spark.sql.SparkSession,
@@ -209,15 +217,30 @@ object Linkage {
         batch: DataFrame): DataFrame = {
       val (idCol, blockCols, fields, threshold) = readParams(spark, path)
       val standing = spark.read.parquet(s"$path/records")
+      val want = standing.schema.fields.map(f => f.name -> f.dataType)
+      val got = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+      val missing = want.collect { case (n, _) if !got.contains(n) => n }
+      val extra = batch.schema.fieldNames.filterNot(want.map(_._1).toSet)
+      val retyped = want.collect {
+        case (n, t) if got.contains(n) && got(n) != t =>
+          s"$n: ${got(n).simpleString} (standing ${t.simpleString})"
+      }
+      if (missing.nonEmpty || extra.nonEmpty || retyped.nonEmpty)
+        throw new IllegalArgumentException(
+          s"ingestBatch: batch schema drifts from the standing records " +
+            s"at $path — missing [${missing.mkString(", ")}], extra " +
+            s"[${extra.mkString(", ")}], retyped [${retyped.mkString(", ")}]; " +
+            "refusing to append a mismatched parquet footer")
+      val aligned = batch.select(want.map { case (n, _) => col(n) }: _*)
       val withinBatch =
-        scorePairs(batch, idCol, blockCols, fields, threshold)
-      val crossPairs = scoreBetween(batch, standing, idCol, blockCols,
+        scorePairs(aligned, idCol, blockCols, fields, threshold)
+      val crossPairs = scoreBetween(aligned, standing, idCol, blockCols,
         fields, threshold, withinOne = false)
       val newPairs = withinBatch.unionByName(crossPairs).distinct()
         .localCheckpoint(true) // materialize BEFORE the appends mutate dirs
       try {
         newPairs.write.mode("append").parquet(s"$path/pairs")
-        batch.write.mode("append").parquet(s"$path/records")
+        aligned.write.mode("append").parquet(s"$path/records")
       } finally graft.core.Caches.registerCheckpoint(newPairs)
       newPairs
     }

@@ -167,6 +167,20 @@ object StatLog {
   private def layout(fs: FileSystem, root: Path)
       : (Option[(Long, Path)], Set[String], Seq[Path]) = {
     val entries = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+    // A `batch=*` directory matching NEITHER live pattern (e.g. a
+    // `batch=compacted` partition from a pre-additive compactStatLog, or
+    // a hand-placed dir) would be silently EXCLUDED from every read and
+    // fold — funnel/retention/k-anonymity would undercount with no
+    // error. Fail loud instead, like the missing-kind path; history is
+    // never silently dropped.
+    val alien = entries.map(_.getName).filter(n =>
+      n.startsWith("batch=") && !BDir.matches(n) && !CDir.matches(n))
+    if (alien.nonEmpty)
+      throw new IllegalStateException(
+        s"Stat log '$root' holds unrecognized batch directories " +
+          s"[${alien.sorted.mkString(", ")}] — a legacy or foreign layout " +
+          "this reader would silently exclude; migrate or remove them " +
+          "explicitly before reading or folding")
     val cs = entries.flatMap(p => p.getName match {
       case CDir(seq) => Some((seq.toLong, p)); case _ => None
     })

@@ -604,8 +604,17 @@ class AnnMultimodalSpec extends SparkTestBase {
         "plain-encoding full-probe results must survive the split bit-for-bit")
       // row count conserved: the sub-cells hold exactly the old cell's rows
       assert(loaded.encoded.count() == index.encoded.count())
-      // the split cell's directory is gone; version bumped in the sidecar
-      assert(!new java.io.File(s"$root/idx/__cell=$fat").exists())
+      // deletion is DEFERRED: the split cell's directory survives the
+      // commit (so a scan planned on the previous sidecar can drain) but
+      // is unlisted — invisible to readers, audited as stale
+      assert(new java.io.File(s"$root/idx/__cell=$fat").exists(),
+        "splitCell must NOT delete the old cell dir at commit time")
+      assert(Ann.IvfPq.staleCellDirs(spark, s"$root/idx") == Seq(fat))
+      // stale bytes never inflate the balance audit: cellStats is scoped
+      // to the sidecar's live cells
+      assert(Ann.IvfPq.cellStats(spark, s"$root/idx")
+        .agg(sum($"rows")).head().getLong(0) == index.encoded.count(),
+        "cellStats must exclude the unlisted stale directory")
       val side = graft.io.Json.parse(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$root/idx", Ann.IvfPq.SidecarFileName))))
       assert(side.get("version").asLong() == 1L)
@@ -614,15 +623,19 @@ class AnnMultimodalSpec extends SparkTestBase {
       // staleCellDirs, and GC'd by the next splitCell
       val donor = spark.read.parquet(s"$root/idx/__cell=${newIds.head}")
       donor.write.parquet(s"$root/idx/__cell=99")
-      assert(Ann.IvfPq.staleCellDirs(spark, s"$root/idx") == Seq(99))
+      assert(Ann.IvfPq.staleCellDirs(spark, s"$root/idx") == Seq(fat, 99))
       assert(results(s"$root/idx", nprobe = 9) == before,
         "an unlisted (torn) cell directory must not change search results")
       val fat2 = Ann.IvfPq.cellStats(spark, s"$root/idx")
         .where(col("cell").isin(loaded.centroids.map(c => Int.box(c._1)).toSeq: _*))
         .head().getAs[Int]("cell")
       Ann.IvfPq.splitCell(spark, s"$root/idx", fat2, nsplit = 2)
-      assert(Ann.IvfPq.staleCellDirs(spark, s"$root/idx").isEmpty,
-        "splitCell must GC a torn predecessor's directories")
+      assert(Ann.IvfPq.staleCellDirs(spark, s"$root/idx") == Seq(fat2),
+        "splitCell must GC its predecessors' stale dirs on entry and " +
+          "leave only its own deferred old cell")
+      assert(!new java.io.File(s"$root/idx/__cell=$fat").exists() &&
+        !new java.io.File(s"$root/idx/__cell=99").exists(),
+        "entry GC must remove the prior split's old cell and torn orphans")
       assert(results(s"$root/idx", nprobe = 10) == before)
       // splitting an unknown cell is loud
       intercept[IllegalArgumentException](

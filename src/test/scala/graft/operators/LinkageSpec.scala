@@ -93,6 +93,29 @@ class LinkageSpec extends SparkTestBase {
       Linkage.Index.ingestBatch(spark, s"$root/nope", b1))
     intercept[IllegalStateException](
       Linkage.Index.entities(spark, s"$root/nope"))
+    // schema drift against the standing records is loud BEFORE any
+    // append (a mismatched parquet footer would silently corrupt later
+    // cross-pair scoring): missing, extra, and retyped columns all refuse
+    val preRecords = spark.read.parquet(s"$idx/records").count()
+    val dropped = intercept[IllegalArgumentException](
+      Linkage.Index.ingestBatch(spark, idx, b1.drop("phone")))
+    assert(dropped.getMessage.contains("missing [phone]"), dropped.getMessage)
+    val widened = intercept[IllegalArgumentException](
+      Linkage.Index.ingestBatch(spark, idx, b1.withColumn("note", lit("x"))))
+    assert(widened.getMessage.contains("extra [note]"), widened.getMessage)
+    val retyped = intercept[IllegalArgumentException](
+      Linkage.Index.ingestBatch(spark, idx,
+        b1.withColumn("id", col("id").cast("int"))))
+    assert(retyped.getMessage.contains("retyped [id"), retyped.getMessage)
+    assert(spark.read.parquet(s"$idx/records").count() == preRecords,
+      "a refused batch must append nothing")
+    // column ORDER is normalized, not rejected — a reordered replay is
+    // still the no-op it should be
+    val reordered = Linkage.Index.ingestBatch(spark, idx,
+      b2.select("phone", "name", "block", "id"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(reordered == p2, s"reordered replay: $reordered")
+    assert(entityMap() == expected, "reordered replay must not change entities")
   }
 
   test("scorePairs: loud on uninformative fields and unblocked calls") {

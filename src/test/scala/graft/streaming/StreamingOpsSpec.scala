@@ -831,6 +831,27 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(finalNames == Seq("batch=c000000000001"), s"layout: $finalNames")
   }
 
+  test("StatLog is loud on unrecognized batch directories (legacy layouts never silently excluded)") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_statlog_alien_").toString
+    val log = root + "/log"
+    StatLog.writeKind(spark, log, "distinct")
+    Seq(1L, 2L).toDF("v").write.parquet(f"$log/batch=b${0L}%012d")
+    // a pre-additive compactor wrote `batch=compacted`; reading around it
+    // would undercount every downstream stat with no error — refuse loudly
+    Seq(0L).toDF("v").write.parquet(s"$log/batch=compacted")
+    val e = intercept[IllegalStateException](StatLog.read(spark, log))
+    assert(e.getMessage.contains("batch=compacted"), e.getMessage)
+    intercept[IllegalStateException](StreamingOps.compactStatLog(spark, log))
+    // explicit migration (here: removal) restores reads; non-batch
+    // sibling dirs (checkpoints etc.) are not the log's concern
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$log/batch=compacted"))
+    Seq(3L).toDF("v").write.parquet(s"$log/_checkpoint_scratch")
+    assert(StatLog.read(spark, log).as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L), "explicit removal restores reads; non-batch dirs ignored")
+  }
+
   test("Maintenance.compact dispatches by kind and is loud on unknown kinds") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft_maint_").toString
