@@ -602,6 +602,15 @@ object SparkEntry {
         threshold = 5.0)
     }),
 
+    // ---- exact fuzzy matching: FastSS deletion-neighborhood join +
+    // levenshtein verify = every pair within edit distance 2, no cross
+    // product (the oracle IS the cross product, on a bounded slice) ----
+    "q_edit_distance" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_custkey") % 13 === 0)
+      operators.Linkage.editDistancePairs(c, "c_custkey", "c_name",
+        maxDist = 2, minLength = 2)
+    }),
+
     // ---- entity resolution: linkage pairs -> connected components ->
     // canonical (min-member) entity id per record ----
     "q_entity_resolution" -> ((s, dir) => {
@@ -3524,6 +3533,16 @@ object SparkEntry {
          |SELECT id_a, id_b, n_agree, score_micros FROM pairs
          |WHERE score_micros >= 5000000""".stripMargin
     },
+
+    // brute-force twin of the FastSS candidate join: the filtered slice
+    // is small enough that DuckDB can afford the cross product FastSS
+    // exists to avoid
+    "q_edit_distance" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey % 13 = 0 AND b.c_custkey % 13 = 0
+        |  AND levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
 
     // entity resolution over the linkage pairs: planted components are
     // exactly (base, dirty-twin) pairs (names unique), so one-hop

@@ -118,6 +118,67 @@ class LinkageSpec extends SparkTestBase {
     assert(entityMap() == expected, "reordered replay must not change entities")
   }
 
+  test("editDistancePairs: exact vs brute force at k=1 and k=2; minLength guards; loud caps") {
+    val words = Seq(
+      "alice", "alise", "alyse",      // chain: 1-apart links, ends 2 apart
+      "bob", "bobb", "blob",          // insert + substitute around bob
+      "carol", "karol",               // substitution twin
+      "dave",                         // isolated
+      "hello", "hxllo", "hell",       // sub + delete
+      "xy", "xz",                     // minimum-length pair
+      "mississippi", "mississippe")   // long-string twin
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    val df = words.toDF("id", "w")
+    def brute(k: Int, minLen: Int) = (for {
+      (ia, wa) <- words; (ib, wb) <- words
+      if ia < ib && wa.length >= minLen && wb.length >= minLen
+      d = {
+        // textbook DP Levenshtein as the independent oracle
+        val m = Array.tabulate(wa.length + 1, wb.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to wa.length; j <- 1 to wb.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (wa(i - 1) == wb(j - 1)) 0 else 1))
+        m(wa.length)(wb.length)
+      }
+      if d <= k
+    } yield (ia, ib, d)).toSet
+    def fast(k: Int, minLen: Int) =
+      Linkage.editDistancePairs(df, "id", "w", k, minLen)
+        .as[(Long, Long, Int)].collect()
+        .map { case (a, b, d) => (a, b, d) }.toSet
+    assert(fast(1, 2) == brute(1, 2), s"k=1: ${fast(1, 2)} vs ${brute(1, 2)}")
+    assert(fast(2, 2) == brute(2, 2), s"k=2: ${fast(2, 2)} vs ${brute(2, 2)}")
+    assert(brute(2, 2).size > brute(1, 2).size,
+      "fixture must exercise distance-2 pairs")
+    // minLength excludes short strings entirely (their neighborhoods
+    // collapse into the \"\" hot bucket) — both sides of the compare
+    assert(fast(2, 3) == brute(2, 3))
+    assert(!fast(2, 3).exists { case (a, b, _) => a == 12L || b == 12L },
+      "xy/xz must be gone at minLength=3")
+    // nulls never pair
+    val withNull = df.unionByName(Seq((99L, null.asInstanceOf[String]))
+      .toDF("id", "w"))
+    assert(Linkage.editDistancePairs(withNull, "id", "w", 1, 2)
+      .where($"id_a" === 99L || $"id_b" === 99L).isEmpty)
+    // long strings: the k=2 neighborhood is O(|s|²/2) wide, not
+    // exponential — a 40-char twin pair still resolves exactly
+    val longTwins = Seq(
+      (0L, "abcdefghijklmnopqrstuvwxyz0123456789abcd"),
+      (1L, "abcdefghijklmnopqrstuvwxyz0123456789abdc"),
+      (2L, "abcdefghijklmnopqrstuvwxyz0123456789zzzz")).toDF("id", "w")
+    assert(Linkage.editDistancePairs(longTwins, "id", "w", 2)
+      .as[(Long, Long, Int)].collect().toSet == Set((0L, 1L, 2)),
+      "only the transposed tail (2 substitutions) is within k=2")
+    // caps are loud
+    intercept[IllegalArgumentException](
+      Linkage.editDistancePairs(df, "id", "w", maxDist = 3))
+    intercept[IllegalArgumentException](
+      Linkage.editDistancePairs(df, "id", "w", maxDist = 0))
+    intercept[IllegalArgumentException](
+      Linkage.editDistancePairs(df, "id", "w", minLength = 0))
+  }
+
   test("scorePairs: loud on uninformative fields and unblocked calls") {
     intercept[IllegalArgumentException](Linkage.FieldWeight("x", 0.5, 0.5))
     intercept[IllegalArgumentException](Linkage.FieldWeight("x", 1.0, 0.5))
