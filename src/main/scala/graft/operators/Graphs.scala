@@ -129,16 +129,41 @@ object Graphs {
     } finally { eDeg.unpersist(); flagged.unpersist() }
   }
 
+  /** [[kHopReachability]]'s edge dedup: a hash aggregate on BOTH keys
+    * (`distinct` on the pair), so a mega-hub's edge list spreads over
+    * hash(src, dst) with map-side partials and the one exchange is
+    * AQE-splittable — never the `repartition(__s)` it replaces, which
+    * dragged the hub's whole edge list into ONE task AQE cannot split.
+    * No src layout is pre-built: each hop's frontier is orders of
+    * magnitude smaller than the graph, so AQE broadcasts it and the
+    * pinned edges never move at all; a frontier too big to broadcast
+    * takes the sort-merge path, whose exchanges AQE skew-splits.
+    */
+  private[operators] def kHopEdges(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(col(srcCol).cast("string").as("__s"),
+      col(dstCol).cast("string").as("__d"))
+      .where(col("__s").isNotNull && col("__d").isNotNull)
+      .distinct()
+
   /** Minimum-hop reachability from a seed set (bounded BFS): every node
     * within `maxHops` directed hops of any seed, with its minimum hop
     * distance — crawl-frontier scoring (distance from the trusted tier),
     * contamination blast-radius ("everything within 2 links of the eval
     * set"), neighborhood expansion for graph dedup.
     *
-    * Per hop: one edge⋈frontier join (edges pinned ONCE, hash-partitioned
-    * on source, so only the frontier side exchanges), one distinct, one
-    * anti-join against the visited set — frontier-sized, not graph-sized,
-    * work after the first hop on expander-like graphs. The visited set is
+    * Per hop: one edge⋈frontier join, one distinct, one anti-join
+    * against the visited set — frontier-sized, not graph-sized, work
+    * after the first hop on expander-like graphs. The edges are deduped
+    * ONCE by a hash aggregate on BOTH keys ([[kHopEdges]] — map-side
+    * partials, a mega-hub's edge list spread over hash(src, dst), AQE-
+    * splittable; a `repartition(src)` would pin the hub to ONE task and
+    * AQE cannot split a bare exchange) and pinned; the per-hop join
+    * shape is AQE's call — a small frontier broadcasts (the pinned
+    * edges never move at all), a huge one takes the sort-merge path
+    * whose exchange skew-split handles the hub. The visited set is
     * eagerly checkpointed per hop (released as soon as the next lands) so
     * `maxHops` bounds neither plan depth nor analysis time, and the loop
     * EXITS EARLY when a frontier empties. No driver state beyond the
@@ -157,12 +182,7 @@ object Graphs {
       maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 100,
       s"maxHops must be in 1..100, got $maxHops")
-    val e = graft.core.Caches.pin(
-      edges.select(col(srcCol).cast("string").as("__s"),
-        col(dstCol).cast("string").as("__d"))
-        .where(col("__s").isNotNull && col("__d").isNotNull)
-        .repartition(col("__s"))
-        .distinct())
+    val e = graft.core.Caches.pin(kHopEdges(edges, srcCol, dstCol))
     try {
       var visited = seeds
         .select(col(seedCol).cast("string").as("node"))

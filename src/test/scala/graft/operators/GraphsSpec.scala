@@ -345,6 +345,38 @@ class GraphsSpec extends SparkTestBase {
       "kHopReachability must not leak pins/checkpoints")
   }
 
+  test("kHopEdges is hub-skew-safe: pair-keyed hash-aggregate dedup, no src-only exchange, exact on a planted mega-hub") {
+    import spark.implicits._
+    // a 100k-out-degree hub: a repartition(__s) would drag its whole
+    // edge list into ONE task that AQE cannot split (bare exchanges are
+    // unsplittable); the pair-keyed distinct spreads it over
+    // hash(src, dst) with map-side partials
+    val hub = (1 to 100000).map(i => ("hub", s"d$i"))
+    val rest = Seq(("a", "b"), ("b", "c"), ("a", "b")) // dup collapses
+    val edges = (hub ++ rest).toDF("src", "dst")
+    val prepped = Graphs.kHopEdges(edges, "src", "dst")
+    val plan = prepped.queryExecution.executedPlan.toString
+    // no src-only exchange of any kind: the single shuffle is the
+    // pair-keyed dedup aggregate, which AQE can split
+    assert(!plan.contains("REPARTITION_BY_COL"),
+      s"bare repartition pins the hub to one unsplittable task:\n$plan")
+    val srcOnly = "hashpartitioning\\(__s#\\d+, \\d+\\)".r
+      .findAllIn(plan).length
+    assert(srcOnly == 0,
+      s"src-only exchange pins the hub to one task:\n$plan")
+    assert("hashpartitioning\\(__s#\\d+, __d#\\d+".r
+      .findFirstIn(plan).nonEmpty,
+      s"dedup must exchange on BOTH keys:\n$plan")
+    assert(plan.contains("HashAggregate") && !plan.contains("Window"),
+      s"dedup must be a hash aggregate:\n$plan")
+    assert(prepped.count() == 100002L, "dup edge must collapse")
+    // BFS across the hub stays exact
+    val out = Graphs.kHopReachability(edges, "src", "dst",
+      Seq("hub").toDF("seed"), "seed", maxHops = 1)
+    assert(out.count() == 100001L)
+    graft.core.Caches.releaseCheckpoint(out)
+  }
+
   test("labelPropagationCommunities: two bridged cliques separate; deterministic; directed input symmetrized") {
     import spark.implicits._
     // {a,b,c} clique + {d,e,f} clique + one bridge c-d, each edge given
