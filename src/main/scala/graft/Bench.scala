@@ -49,6 +49,27 @@ object Bench {
       operators.Dedup.connectedComponents(warmPairs, "id_a", "id_b",
         algorithm = "stars").count()
     }
+    // ---- absolute load canary -------------------------------------
+    // The per-query sample-disagreement flag can only see contention
+    // that STRADDLES one query's samples; a slot loaded uniformly for
+    // the whole run slips through (round 11: q_pagerank 9.7/12.3
+    // unflagged). The canary is a fixed SYNTHETIC probe — same work at
+    // every sf, no data dependence — timed after warmup, mid-run, and
+    // at the end, against a reference committed from an idle slot. Any
+    // probe drifting > 1.5× the reference marks the WHOLE run
+    // contended in the artifact, so a reviewer reads absolute slot
+    // health, not just within-query spread.
+    val canaryRefSec = 0.40 // idle-slot reference, local[32] (r12)
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(6000000L)
+        .selectExpr("sha2(cast(id as string), 256) AS h")
+        .agg(org.apache.spark.sql.functions.max("h")).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canarySamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    canaryOnce() // its own codegen/JIT warmup, untimed
+    canarySamples += canaryOnce()
     // Local-debug hook: SPARK_GRAFT_ONLY=q_a,q_b restricts the run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -58,9 +79,11 @@ object Bench {
         s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")} " +
           s"(known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
     }
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val toRun = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }.toSeq
+    val midpoint = toRun.length / 2
+    val results = toRun.zipWithIndex.map { case ((name, fn), qIdx) =>
+      if (qIdx == midpoint && qIdx > 0) canarySamples += canaryOnce()
       def cleanSlate(): Unit = {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
@@ -129,10 +152,17 @@ object Bench {
         ok.length >= 2 && ok.min > 0 && ok.max / ok.min > 1.5
       } => s"\"" + k + "\""
     }.mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    canarySamples += canaryOnce()
+    val canaryContended = canarySamples.exists(_ > canaryRefSec * 1.5)
+    if (canaryContended) System.err.println(
+      f"[bench] CANARY: slot contended — probes ${canarySamples.map(s => f"$s%.2f").mkString("/")} s vs ref $canaryRefSec%.2f s; every number in this run is suspect")
+    val canaryJson =
+      s"""{"ref_sec":$canaryRefSec,"samples":${canarySamples.mkString("[", ",", "]")},"contended":$canaryContended}"""
+    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""samples":$sampleJson,"contended":$contended,"sf":"$sfDir"}"""
+        s""""samples":$sampleJson,"contended":$contended,""" +
+        s""""canary":$canaryJson,"sf":"$sfDir"}"""
     println(line)
     // the stdout line gets truncated in round artifacts once the query
     // count grows — also write the full map to its own file so
