@@ -611,6 +611,32 @@ object SparkEntry {
         maxDist = 2, minLength = 2)
     }),
 
+    // ---- unsupervised Fellegi–Sunter EM fit: deterministic planted
+    // twins (hash-gated field perturbations at 90/60/80%) -> fitEM
+    // recovers m/u + the match prior; rows-only (driver-side EM is not
+    // SQL-expressible), planted rates pinned in LinkageSpec ----
+    "q_linkage_em" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_mktsegment"), col("c_nationkey"))
+      def agree(colName: String, tag: String, pct: Int) =
+        pmod(xxhash64(col(colName), lit(tag)), lit(100)) < pct
+      val twins = c.select(
+        (col("c_custkey") + 10000000L).as("c_custkey"),
+        when(agree("c_name", "n", 90), col("c_name"))
+          .otherwise(concat(col("c_name"), lit("~"))).as("c_name"),
+        when(agree("c_acctbal", "p", 60), col("c_acctbal"))
+          .otherwise(col("c_acctbal") + 1.0).as("c_acctbal"),
+        when(agree("c_mktsegment", "m", 80), col("c_mktsegment"))
+          .otherwise(concat(col("c_mktsegment"), lit("~"))).as("c_mktsegment"),
+        col("c_nationkey"))
+      val fit = operators.Linkage.fitEM(c.unionByName(twins), "c_custkey",
+        blockCols = Seq("c_nationkey"),
+        fieldCols = Seq("c_name", "c_acctbal", "c_mktsegment"), iters = 50)
+      fit.fields.map(f => (f.column, f.m, f.u, fit.pMatch))
+        .toDF("column", "m", "u", "p_match")
+    }),
+
     // ---- entity resolution: linkage pairs -> connected components ->
     // canonical (min-member) entity id per record ----
     "q_entity_resolution" -> ((s, dir) => {

@@ -60,6 +60,131 @@ object Linkage {
     def disagreeMicros: Long = math.round(disagreeWeight * 1e6)
   }
 
+  /** [[fitEM]]'s result: the estimated prior P(match) over blocked
+    * candidate pairs and the per-field weights ready for
+    * [[scorePairs]].
+    */
+  case class EmFit(pMatch: Double, fields: Seq[FieldWeight])
+
+  /** Unsupervised m/u estimation — the standard Fellegi–Sunter EM over
+    * agreement patterns (Winkler 1988, "Using the EM algorithm for
+    * weight computation in the Fellegi-Sunter model of record
+    * linkage"), so callers stop hand-supplying [[FieldWeight]]s.
+    *
+    * The model: each blocked candidate pair is a latent match (prior
+    * `p`) or non-match; field j agrees null-safely with probability
+    * `m_j` among matches, `u_j` among non-matches, independently
+    * across fields. EM alternates posterior match weights per
+    * AGREEMENT PATTERN (E) with count-weighted re-estimates of
+    * p/m/u (M).
+    *
+    * Scale shape: the data is touched by exactly ONE distributed
+    * aggregate — the blocked self-join's agreement patterns are
+    * bit-packed into a long and histogrammed (`groupBy(pattern)
+    * .count`, map-side partials), at most 2^|fields| rows collect to
+    * the driver, and every EM iteration is driver-local arithmetic
+    * over that histogram. 100 TB of pairs costs the same driver work
+    * as 100 MB.
+    *
+    * Deterministic: fixed seeds (p=0.1, m=0.9, u=0.1 — the standard
+    * uninformative start), the histogram folded in sorted pattern
+    * order, no data-dependent branching. Component label-switching
+    * (EM converging onto the mirrored solution) is normalized by
+    * swapping when most fields land m < u. A field the fit finds
+    * UNINFORMATIVE (m ≤ u: agreement does not separate matches) is a
+    * loud error, not a silent sign-flip — it means the field or the
+    * blocking is wrong.
+    */
+  def fitEM(
+      df: DataFrame,
+      idCol: String,
+      blockCols: Seq[String],
+      fieldCols: Seq[String],
+      iters: Int = 50): EmFit = {
+    require(blockCols.nonEmpty,
+      "blockCols must be non-empty — unblocked linkage is a global " +
+        "cartesian product; block on something (and salt/sub-block hot keys)")
+    require(fieldCols.length >= 3 && fieldCols.length <= 20,
+      s"fieldCols must be 3..20, got ${fieldCols.length}: below 3 " +
+        "fields the latent-class model is UNDER-identified (2^k - 1 " +
+        "pattern degrees of freedom vs 2k + 1 parameters needs k >= 3 " +
+        "— Winkler 1988) and EM lands on an arbitrary ridge point; " +
+        "above 20 the pattern histogram is no longer driver-bounded")
+    require(iters >= 1 && iters <= 10000,
+      s"iters must be in 1..10000, got $iters")
+    val allCols = (Seq(idCol) ++ blockCols ++ fieldCols).distinct
+    val left = df.select(allCols.map(c => col(c).as(s"${c}_a")): _*)
+    val right = df.select(allCols.map(c => col(c).as(s"${c}_b")): _*)
+    val joined = left.join(right,
+      blockCols.map(c => col(s"${c}_a") === col(s"${c}_b"))
+        .reduce(_ && _) && col(s"${idCol}_a") < col(s"${idCol}_b"))
+    val pattern = fieldCols.zipWithIndex.map { case (f, j) =>
+      when(col(s"${f}_a") <=> col(s"${f}_b"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val hist = joined.select(pattern.as("__pat"))
+      .groupBy("__pat").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(_._1) // deterministic fold order
+    require(hist.nonEmpty,
+      "fitEM: the blocking yields no candidate pairs — nothing to fit")
+    val nf = fieldCols.length
+    val total = hist.map(_._2).sum.toDouble
+    val eps = 1e-6
+    def clamp(x: Double) = math.min(1 - eps, math.max(eps, x))
+    var p = 0.1
+    var m = Array.fill(nf)(0.9)
+    var u = Array.fill(nf)(0.1)
+    for (_ <- 1 to iters) {
+      var sw = 0.0
+      var swn = 0.0
+      val swAgree = Array.fill(nf)(0.0)
+      val swnAgree = Array.fill(nf)(0.0)
+      hist.foreach { case (pat, n) =>
+        var pm = p
+        var pu = 1.0 - p
+        var j = 0
+        while (j < nf) {
+          val agree = ((pat >> j) & 1L) == 1L
+          pm *= (if (agree) m(j) else 1.0 - m(j))
+          pu *= (if (agree) u(j) else 1.0 - u(j))
+          j += 1
+        }
+        val w = pm / (pm + pu) // clamps keep pm + pu > 0
+        sw += n * w
+        swn += n * (1.0 - w)
+        j = 0
+        while (j < nf) {
+          if (((pat >> j) & 1L) == 1L) {
+            swAgree(j) += n * w
+            swnAgree(j) += n * (1.0 - w)
+          }
+          j += 1
+        }
+      }
+      p = clamp(sw / total)
+      for (j <- 0 until nf) {
+        m(j) = clamp(swAgree(j) / math.max(sw, eps))
+        u(j) = clamp(swnAgree(j) / math.max(swn, eps))
+      }
+    }
+    // label-switching normalization: the two-component likelihood is
+    // symmetric under (p, m, u) -> (1-p, u, m); pick the orientation
+    // where agreement marks MATCHES
+    if (fieldCols.indices.count(j => m(j) < u(j)) * 2 > nf) {
+      p = 1.0 - p
+      val t = m.clone(); Array.copy(u, 0, m, 0, nf); Array.copy(t, 0, u, 0, nf)
+    }
+    val fitted = fieldCols.indices.map { j =>
+      require(m(j) > u(j),
+        f"fitEM: field '${fieldCols(j)}' is uninformative under this " +
+          f"blocking (m=${m(j)}%.4f <= u=${u(j)}%.4f — agreement does " +
+          "not separate matches from non-matches); drop the field, fix " +
+          "the blocking, or supply its weights by hand")
+      FieldWeight(fieldCols(j), m(j), u(j))
+    }
+    EmFit(p, fitted)
+  }
+
   /** EXACT all-pairs fuzzy matching: every pair of rows whose string
     * column is within Levenshtein distance `maxDist` — without the
     * cross product. The fuzzy sibling of [[scorePairs]]' null-safe

@@ -118,6 +118,93 @@ class LinkageSpec extends SparkTestBase {
     assert(entityMap() == expected, "reordered replay must not change entities")
   }
 
+  test("fitEM recovers planted m/u, beats hand weights, is deterministic, loud on degenerate inputs") {
+    // planted two-record entities: name agrees between twins w.p. 0.9
+    // (pool of 400 per corpus -> cross-entity u ~ 1/400), phone w.p.
+    // 0.6 (pool 2000 -> u ~ 1/2000), city w.p. 0.75 (pool 300);
+    // blocks of ~120 records give a realistic match prior (~0.8% of
+    // candidate pairs are twins). THREE fields because the 2-class
+    // latent-class model is only identified at k >= 3 (the fitEM
+    // require) — with 2 fields EM provably lands on a ridge.
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 1500).flatMap { i =>
+      val block = i % 25
+      val name = s"n${rnd.nextInt(400)}"
+      val phone = s"p${rnd.nextInt(2000)}"
+      val city = s"c${rnd.nextInt(300)}"
+      val nameB = if (rnd.nextDouble() < 0.9) name else s"$name!"
+      val phoneB = if (rnd.nextDouble() < 0.6) phone else s"$phone!"
+      val cityB = if (rnd.nextDouble() < 0.75) city else s"$city!"
+      Seq((2L * i, block, name, phone, city),
+        (2L * i + 1, block, nameB, phoneB, cityB))
+    }
+    val df = rows.toDF("id", "block", "name", "phone", "city")
+    // empirical planted rates (what EM should recover)
+    val twins = rows.grouped(2).toSeq.map { case Seq(a, b) => (a, b) }
+    val mName = twins.count(t => t._1._3 == t._2._3).toDouble / twins.size
+    val mPhone = twins.count(t => t._1._4 == t._2._4).toDouble / twins.size
+    val mCity = twins.count(t => t._1._5 == t._2._5).toDouble / twins.size
+    val fit = Linkage.fitEM(df, "id", Seq("block"),
+      Seq("name", "phone", "city"), iters = 100)
+    val byField = fit.fields.map(f => f.column -> f).toMap
+    assert(math.abs(byField("name").m - mName) < 0.05,
+      s"m_name: fitted ${byField("name").m}, planted $mName")
+    assert(math.abs(byField("phone").m - mPhone) < 0.05,
+      s"m_phone: fitted ${byField("phone").m}, planted $mPhone")
+    assert(math.abs(byField("city").m - mCity) < 0.05,
+      s"m_city: fitted ${byField("city").m}, planted $mCity")
+    assert(byField("name").u < 0.01 && byField("phone").u < 0.01 &&
+      byField("city").u < 0.015,
+      s"u must land near the pool collision rates: ${fit.fields}")
+    val truePairs = twins.map(t => (t._1._1, t._2._1)).toSet
+    // the match prior lands within 2x of the planted twin fraction
+    val candPairs = (0 until 25).map { b =>
+      val k = rows.count(_._2 == b); k.toLong * (k - 1) / 2 }.sum
+    val planted = truePairs.size.toDouble / candPairs
+    assert(fit.pMatch > planted / 2 && fit.pMatch < planted * 2,
+      s"pMatch ${fit.pMatch} vs planted fraction $planted")
+    // fitted weights at the Fellegi-Sunter posterior-0.5 cutoff
+    // (log2((1-p)/p)) classify at least as well as the generic hand
+    // weights at the q_record_linkage convention (threshold 5.0)
+    def f1(pairs: Set[(Long, Long)]): Double = {
+      val tp = pairs.intersect(truePairs).size.toDouble
+      if (tp == 0) 0.0
+      else {
+        val prec = tp / pairs.size
+        val rec = tp / truePairs.size
+        2 * prec * rec / (prec + rec)
+      }
+    }
+    def score(fields: Seq[Linkage.FieldWeight], thr: Double) =
+      Linkage.scorePairs(df, "id", Seq("block"), fields, thr)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cutoff = math.log((1 - fit.pMatch) / fit.pMatch) / math.log(2.0)
+    val fittedF1 = f1(score(fit.fields, cutoff))
+    val handF1 = f1(score(Seq(
+      Linkage.FieldWeight("name", 0.95, 0.001),
+      Linkage.FieldWeight("phone", 0.9, 0.01),
+      Linkage.FieldWeight("city", 0.8, 0.01)), 5.0))
+    assert(fittedF1 >= handF1,
+      s"fitted F1 $fittedF1 must not lose to hand F1 $handF1")
+    assert(fittedF1 > 0.7, s"fitted F1 $fittedF1 is implausibly low")
+    // deterministic: same data, same fit, bit for bit
+    val fit2 = Linkage.fitEM(df, "id", Seq("block"),
+      Seq("name", "phone", "city"), iters = 100)
+    assert(fit2 == fit, "fitEM must be deterministic")
+    // loud: no candidates under the blocking; under-identified k < 3
+    intercept[IllegalArgumentException](
+      Linkage.fitEM(df.limit(0), "id", Seq("block"),
+        Seq("name", "phone", "city")))
+    intercept[IllegalArgumentException](
+      Linkage.fitEM(df, "id", Nil, Seq("name", "phone", "city")))
+    intercept[IllegalArgumentException](
+      Linkage.fitEM(df, "id", Seq("block"), Seq("name", "phone")))
+    // a constant field agrees on EVERY pair: m = u -> uninformative
+    intercept[IllegalArgumentException](
+      Linkage.fitEM(df.withColumn("k", lit("x")), "id", Seq("block"),
+        Seq("name", "phone", "k")))
+  }
+
   test("editDistancePairs: exact vs brute force at k=1 and k=2; minLength guards; loud caps") {
     val words = Seq(
       "alice", "alise", "alyse",      // chain: 1-apart links, ends 2 apart
