@@ -676,9 +676,13 @@ object SparkEntry {
         vocabSize = 300, seedSize = 3000, iterations = 2, maxPieceLen = 6)
     }),
     "q_unigram_encode" -> ((s, dir) => {
+      // production-shaped vocab (32k target, seed-bounded driver state)
+      // — the bench pin that encode's piece table stays
+      // operator-embedded at real tokenizer scale
       val docs = t(s, dir, "documents")
       val vocab = operators.Unigram.train(docs, "text",
-        vocabSize = 300, seedSize = 3000, iterations = 2, maxPieceLen = 6)
+        vocabSize = 32000, seedSize = 50000, iterations = 2,
+        maxPieceLen = 6)
       operators.Unigram.encode(docs.where(col("doc_id") % 20 === 0),
         "doc_id", "text", vocab, maxPieceLen = 6)
     }),

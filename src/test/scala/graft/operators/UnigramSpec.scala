@@ -63,4 +63,36 @@ class UnigramSpec extends SparkTestBase {
       Unigram.train(corpus.where(lit(false)), "text", vocabSize = 4,
         seedSize = 50))
   }
+
+  test("encode at 64k vocab: piece table stays operator-embedded, plan text bounded") {
+    // a production-shaped vocabulary: 64k synthetic multi-char pieces
+    // + the chars they decompose into. The pin: the piece table rides
+    // INSIDE UnigramViterbi (serialized once with the plan), never as
+    // a vocab-sized Literal/CreateArray — so the PLAN TEXT stays
+    // kilobytes while the model is 64k entries. A literal table would
+    // print every entry here (and bloat every task's codegen source).
+    val n = 65536
+    val pieces = (0 until n).map(i => (f"p$i%05x", -1.0 - i * 1e-6)) ++
+      Seq(("p", -20.0), ("0", -20.0), ("1", -20.0), ("2", -20.0),
+        ("3", -20.0), ("4", -20.0), ("5", -20.0), ("6", -20.0),
+        ("7", -20.0), ("8", -20.0), ("9", -20.0), ("a", -20.0),
+        ("b", -20.0), ("c", -20.0), ("d", -20.0), ("e", -20.0),
+        ("f", -20.0))
+    val vocab = pieces.zipWithIndex
+      .map { case ((p, s), i) => (p, s, i) }
+      .toDF("piece", "score", "token_id")
+    val docs = Seq((1L, "p000ff p0fff0"), (2L, "pzz")).toDF("doc_id", "text")
+    val out = Unigram.encode(docs, "doc_id", "text", vocab,
+      maxPieceLen = 6)
+    val planText = out.queryExecution.optimizedPlan.toString
+    assert(planText.length < 20000,
+      s"optimized plan text is ${planText.length} chars — a 64k piece " +
+        "table leaked into the plan as a literal")
+    // and the big-vocab encode is still CORRECT: whole-word pieces win
+    // over char decompositions, unmodeled chars fall back to unk
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getSeq[String](r.fieldIndex("pieces")).toList).toMap
+    assert(rows(1L) == List("p000ff", "p0fff0"), s"got ${rows(1L)}")
+    assert(rows(2L) == List("p", "z", "z"), s"got ${rows(2L)}")
+  }
 }
