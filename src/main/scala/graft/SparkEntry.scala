@@ -671,6 +671,22 @@ object SparkEntry {
     // + Viterbi encoding. Likelihood-driven segmentation is not
     // SQL-expressible -> rows-only, pinned by UnigramSpec's hand-traced
     // EM/coverage/determinism cases ----
+    // ---- WordPiece (BERT-family) tokenizer: likelihood-scored merge
+    // training + greedy longest-match encoding; rows-only by design
+    // (the merge loop / greedy matcher are not SQL-expressible),
+    // hand-traced score and BERT-semantics pins in WordPieceSpec ----
+    "q_wordpiece_vocab" -> ((s, dir) => {
+      operators.WordPiece.train(t(s, dir, "documents"), "text",
+        vocabSize = 2000, minPairCount = 2, batchSize = 32)
+    }),
+    "q_wordpiece_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = operators.WordPiece.train(docs, "text",
+        vocabSize = 2000, minPairCount = 2, batchSize = 32)
+      operators.WordPiece.encode(docs.where(col("doc_id") % 20 === 0),
+        "doc_id", "text", vocab)
+    }),
+
     "q_unigram_vocab" -> ((s, dir) => {
       operators.Unigram.train(t(s, dir, "documents"), "text",
         vocabSize = 300, seedSize = 3000, iterations = 2, maxPieceLen = 6)

@@ -32,14 +32,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * 32k-iteration merge loop into Janino would burst method limits for no
   * gain. Null input → null; symbols must be non-null strings (the
   * contract of `Bpe.initialSymbols`).
+  *
+  * `contPrefix` (empty for plain BPE) is the continuation marker of
+  * WordPiece-style symbol alphabets: when set, the merge PRODUCT strips
+  * the right symbol's leading marker (`"un" + "##able" → "unable"`,
+  * `"##a" + "##b" → "##ab"`) — the left symbol keeps its own marker, so
+  * word-initial and word-internal pieces stay distinct.
   */
-case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
+case class BpeApplyMerges(
+    child: Expression,
+    merges: Seq[(String, String)],
+    contPrefix: String = "")
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_bpe_apply"
 
-  @transient private lazy val mergeArr: Array[(String, String)] = merges.toArray
+  @transient private lazy val mergeArr: Array[(String, String, String)] =
+    merges.map { case (l, r) =>
+      val product =
+        if (contPrefix.nonEmpty && r.startsWith(contPrefix))
+          l + r.substring(contPrefix.length)
+        else l + r
+      (l, r, product)
+    }.toArray
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -57,6 +73,7 @@ case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
     while (m < mergeArr.length) {
       val l = mergeArr(m)._1
       val r = mergeArr(m)._2
+      val prod = mergeArr(m)._3
       // necessary condition only — stale `present` entries (symbols fully
       // consumed by earlier merges) cost a wasted pass, never wrong output
       if (syms.size > 1 && present.contains(l) && present.contains(r)) {
@@ -66,14 +83,14 @@ case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
         while (j < syms.size) {
           val x = syms.get(j)
           if (!out.isEmpty && out.get(out.size - 1) == l && x == r) {
-            out.set(out.size - 1, l + r)
+            out.set(out.size - 1, prod)
             merged = true
           } else out.add(x): Unit
           j += 1
         }
         if (merged) {
           syms = out
-          present.add(l + r): Unit
+          present.add(prod): Unit
         }
       }
       m += 1
@@ -92,4 +109,9 @@ object BpeApplyMerges {
   /** Column face: `syms` rewritten under `merges` in rank order. */
   def apply(syms: Column, merges: Seq[(String, String)]): Column =
     GraftSqlBridge.column(BpeApplyMerges(GraftSqlBridge.expression(syms), merges))
+
+  /** Column face with a WordPiece-style continuation marker. */
+  def apply(syms: Column, merges: Seq[(String, String)], contPrefix: String): Column =
+    GraftSqlBridge.column(
+      BpeApplyMerges(GraftSqlBridge.expression(syms), merges, contPrefix))
 }
