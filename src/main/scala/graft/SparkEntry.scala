@@ -1741,6 +1741,27 @@ object SparkEntry {
     // ---- bounded BFS: minimum-hop reachability from a seed set over
     // the symmetrized customer-supplier graph (crawl blast-radius /
     // trusted-tier distance); oracle is a recursive CTE ----
+    // ---- weighted shortest paths: customer↔supplier graph weighted
+    // by min line quantity; bounded frontier Bellman-Ford whose
+    // ≤k-edge-min invariant the recursive-CTE oracle replays ----
+    "q_shortest_paths" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"),
+          col("l_quantity").cast("long").as("w"))
+      val sym = pairs.select(explode(array(
+          struct(col("src"), col("dst"), col("w")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("w")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+      val seeds = t(s, dir, "orders").where(col("o_custkey") < 5)
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("seed"))
+      operators.Graphs.shortestPaths(sym, "src", "dst", "w", seeds, "seed",
+        maxRounds = 2)
+    }),
+
     "q_k_hop" -> ((s, dir) => {
       val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
@@ -4969,6 +4990,23 @@ object SparkEntry {
     // Bounded BFS: UNION (not UNION ALL) recursion dedups (node, hops)
     // pairs per level, so cyclic graphs cannot blow up the path count;
     // min(hops) collapses levels exactly like the engine's visited set.
+    "q_shortest_paths" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT 'c' || o_custkey::VARCHAR AS src,
+        |    's' || l_suppkey::VARCHAR AS dst,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |sym AS (SELECT src, dst, w FROM pairs
+        |  UNION ALL SELECT dst, src, w FROM pairs),
+        |e AS (SELECT src, dst, min(w) AS w FROM sym GROUP BY src, dst),
+        |r(node, dist, hops) AS (
+        |  SELECT DISTINCT 'c' || o_custkey::VARCHAR, CAST(0 AS BIGINT), 0
+        |  FROM orders WHERE o_custkey < 5
+        |  UNION
+        |  SELECT e.dst, r.dist + e.w, r.hops + 1 FROM r JOIN e ON e.src = r.node
+        |  WHERE r.hops < 2)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM r GROUP BY node""".stripMargin,
     "q_k_hop" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,

@@ -148,6 +148,115 @@ object Graphs {
       .where(col("__s").isNotNull && col("__d").isNotNull)
       .distinct()
 
+  /** Weighted single-source(-set) shortest paths, bounded: the minimum
+    * cost over directed paths of at most `maxRounds` edges from any
+    * seed to each reachable node — the weighted upgrade of
+    * [[kHopReachability]] (crawl-tier trust propagation where link
+    * quality matters, not just link count; cheapest-transform chains in
+    * a derivation graph).
+    *
+    * Algorithm: level-synchronous frontier Bellman–Ford. Round r
+    * relaxes only edges out of nodes IMPROVED in round r−1, so work is
+    * frontier-sized, and after round r the distance table is EXACTLY
+    * `min over paths of ≤ r edges` (the textbook invariant — which is
+    * what makes an unrolled-relaxation SQL oracle equal the operator
+    * bit-for-bit). Early exit when a round improves nothing.
+    *
+    * Weights are cast to LONG and summed exactly — no float order
+    * sensitivity (callers quantize fractional costs to integer units
+    * first: the micro/nano discipline). Negative weights are REJECTED
+    * loudly up front (one aggregate over the prepped edges):
+    * Bellman–Ford tolerates them only globally-converged, and a
+    * bounded-round result under negatives is not a shortest path.
+    *
+    * Prep follows the [[kHopEdges]] discipline: parallel edges
+    * collapse to their MIN weight by a hash aggregate on (src, dst) —
+    * map-side partials, mega-hub rows hash-spread, AQE-splittable, no
+    * layout pin. Per round: one edge⋈frontier join, one min-aggregate
+    * on dst, one join against the standing distances to keep strict
+    * improvements, and one merged+checkpointed distance table
+    * (previous checkpoint released immediately — plan depth and
+    * analysis time stay O(1) in `maxRounds`).
+    *
+    * Returns `(node, dist)`; seeds at dist 0 whether or not they
+    * appear in the edge list.
+    */
+  def shortestPaths(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 100,
+      s"maxRounds must be in 1..100, got $maxRounds")
+    val e = graft.core.Caches.pin(
+      edges.select(col(srcCol).cast("string").as("__s"),
+        col(dstCol).cast("string").as("__d"),
+        col(weightCol).cast("long").as("__w"))
+        .where(col("__s").isNotNull && col("__d").isNotNull &&
+          col("__w").isNotNull)
+        .groupBy("__s", "__d").agg(min(col("__w")).as("__w")))
+    try {
+      val minW = e.agg(min(col("__w"))).collect().head
+      if (!minW.isNullAt(0) && minW.getLong(0) < 0L)
+        throw new IllegalArgumentException(
+          s"shortestPaths: negative edge weight ${minW.getLong(0)} — " +
+            "bounded-round Bellman-Ford is only a shortest path under " +
+            "non-negative weights; shift or reject them upstream")
+      var dist = seeds
+        .select(col(seedCol).cast("string").as("node"))
+        .where(col("node").isNotNull).distinct()
+        .withColumn("dist", lit(0L))
+        .localCheckpoint(true)
+      if (dist.limit(1).count() == 0) {
+        graft.core.Caches.releaseCheckpoint(dist)
+        throw new IllegalArgumentException("shortestPaths: no seeds")
+      }
+      // round-1 frontier is the seed table itself (same checkpoint)
+      var frontier = dist
+      var r = 1
+      var exhausted = false
+      try {
+        while (r <= maxRounds && !exhausted) {
+          val improved = e
+            .join(frontier.select(col("node").as("__s"),
+              col("dist").as("__fd")), "__s")
+            .select(col("__d").as("node"), (col("__fd") + col("__w")).as("__cand"))
+            .groupBy("node").agg(min(col("__cand")).as("__cand"))
+            .join(dist.select(col("node"), col("dist").as("__old")),
+              Seq("node"), "left")
+            .where(col("__old").isNull || col("__cand") < col("__old"))
+            .select(col("node"), col("__cand").as("dist"))
+          val nextFrontier = improved.localCheckpoint(true)
+          // release order: the OLD frontier first (it may be the same
+          // checkpoint as `dist` in round 1 — release is idempotent),
+          // then merge + swap the distance table
+          if (!(frontier eq dist)) graft.core.Caches.releaseCheckpoint(frontier)
+          frontier = nextFrontier
+          exhausted = frontier.limit(1).count() == 0
+          if (!exhausted) {
+            val merged = dist.unionByName(frontier)
+              .groupBy("node").agg(min(col("dist")).as("dist"))
+              .localCheckpoint(true)
+            graft.core.Caches.releaseCheckpoint(dist)
+            dist = merged
+          }
+          r += 1
+        }
+      } catch {
+        case t: Throwable =>
+          if (!(frontier eq dist)) graft.core.Caches.releaseCheckpoint(frontier)
+          graft.core.Caches.releaseCheckpoint(dist)
+          throw t
+      }
+      if (!(frontier eq dist)) graft.core.Caches.releaseCheckpoint(frontier)
+      graft.core.Caches.registerCheckpoint(dist)
+      dist
+    } finally e.unpersist()
+  }
+
   /** Minimum-hop reachability from a seed set (bounded BFS): every node
     * within `maxHops` directed hops of any seed, with its minimum hop
     * distance — crawl-frontier scoring (distance from the trusted tier),

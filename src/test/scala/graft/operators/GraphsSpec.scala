@@ -345,6 +345,47 @@ class GraphsSpec extends SparkTestBase {
       "kHopReachability must not leak pins/checkpoints")
   }
 
+  test("shortestPaths: weighted relaxation, round bounds, min-collapsed parallel edges, loud paths") {
+    import spark.implicits._
+    // a→b(5), a→c(2), c→b(1), b→d(1), c→d(10); plus a parallel a→c(7)
+    // that the (src,dst)-min prep must collapse to 2
+    val edges = Seq(("a", "b", 5L), ("a", "c", 2L), ("c", "b", 1L),
+      ("b", "d", 1L), ("c", "d", 10L), ("a", "c", 7L)).toDF("src", "dst", "w")
+    def run(k: Int, seed: String = "a") =
+      Graphs.shortestPaths(edges, "src", "dst", "w",
+        Seq(seed).toDF("seed"), "seed", maxRounds = k)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("dist")).toMap
+    // converged: b via a→c→b (3), d via a→c→b→d (4)
+    assert(run(5) == Map("a" -> 0L, "b" -> 3L, "c" -> 2L, "d" -> 4L))
+    // round bound = min over paths of ≤ k edges, exactly
+    assert(run(1) == Map("a" -> 0L, "b" -> 5L, "c" -> 2L))
+    assert(run(2) == Map("a" -> 0L, "b" -> 3L, "c" -> 2L, "d" -> 6L))
+    // off-graph seed: itself at 0
+    assert(run(3, seed = "zz") == Map("zz" -> 0L))
+    // zero-weight cycle terminates (strict-improvement frontier drains)
+    val cyc = Seq(("a", "b", 0L), ("b", "a", 0L)).toDF("src", "dst", "w")
+    val c = Graphs.shortestPaths(cyc, "src", "dst", "w",
+      Seq("a").toDF("seed"), "seed", maxRounds = 50)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("dist")).toMap
+    assert(c == Map("a" -> 0L, "b" -> 0L))
+    // loud: negative weights, empty seeds; nothing leaks either way
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    intercept[IllegalArgumentException] {
+      Graphs.shortestPaths(Seq(("a", "b", -1L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", Seq("a").toDF("seed"), "seed", 3)
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.shortestPaths(edges, "src", "dst", "w",
+        Seq.empty[String].toDF("seed"), "seed", 3)
+    }
+    val res = Graphs.shortestPaths(edges, "src", "dst", "w",
+      Seq("a").toDF("seed"), "seed", 5)
+    res.collect()
+    graft.core.Caches.releaseCheckpoint(res)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "shortestPaths must not leak pins/checkpoints")
+  }
+
   test("kHopEdges is hub-skew-safe: pair-keyed hash-aggregate dedup, no src-only exchange, exact on a planted mega-hub") {
     import spark.implicits._
     // a 100k-out-degree hub: a repartition(__s) would drag its whole
