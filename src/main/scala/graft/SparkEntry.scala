@@ -611,6 +611,18 @@ object SparkEntry {
         maxDist = 2, minLength = 2)
     }),
 
+    // ---- confident-learning label-error detection: binary labels
+    // from lang, deterministic rational pseudo-probabilities from text
+    // length; integer cross-multiplied thresholds -> hash-exact ----
+    "q_label_errors" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        when(col("lang") === "en", "a").otherwise("b").as("given"),
+        ((length(col("text")) % 1000) / lit(1000.0)).as("p_a"))
+        .withColumn("p_b", lit(1.0) - col("p_a"))
+      operators.Selection.labelErrors(base, "doc_id", "given",
+        Seq("a" -> "p_a", "b" -> "p_b"))
+    }),
+
     // ---- unsupervised Fellegi–Sunter EM fit: deterministic planted
     // twins (hash-gated field perturbations at 90/60/80%) -> fitEM
     // recovers m/u + the match prior; rows-only (driver-side EM is not
@@ -4990,6 +5002,34 @@ object SparkEntry {
     // Bounded BFS: UNION (not UNION ALL) recursion dedups (node, hops)
     // pairs per level, so cyclic graphs cannot blow up the path count;
     // min(hops) collapses levels exactly like the engine's visited set.
+    // Confident learning: the oracle replays the same floor-micro
+    // quantization and the integer cross-multiplied threshold test, so
+    // no float division or mean round-off exists in either engine.
+    "q_label_errors" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS given,
+        |    CAST(floor((length(text) % 1000) / 1000.0 * 1000000.0) AS BIGINT) AS pa,
+        |    CAST(floor((1.0 - (length(text) % 1000) / 1000.0) * 1000000.0) AS BIGINT) AS pb
+        |  FROM documents),
+        |lf AS (
+        |  SELECT doc_id, given, 'a' AS cls, pa AS p FROM base
+        |  UNION ALL
+        |  SELECT doc_id, given, 'b' AS cls, pb AS p FROM base),
+        |thr AS (SELECT cls, sum(p) AS tsum, count(*) AS tcnt FROM lf
+        |  WHERE given = cls GROUP BY cls),
+        |win AS (
+        |  SELECT lf.doc_id, lf.given, lf.cls, lf.p,
+        |    row_number() OVER (PARTITION BY lf.doc_id
+        |      ORDER BY lf.p DESC, lf.cls ASC) AS rn
+        |  FROM lf JOIN thr ON lf.cls = thr.cls
+        |  WHERE lf.p * thr.tcnt >= thr.tsum),
+        |conf AS (SELECT doc_id, given, cls, p FROM win WHERE rn = 1),
+        |selfp AS (SELECT doc_id, p AS sp FROM lf WHERE cls = given)
+        |SELECT c.doc_id, c.given AS given_label, c.cls AS confident_label,
+        |  c.p AS confident_micros, s.sp AS self_micros,
+        |  c.cls <> c.given AS flagged
+        |FROM conf c JOIN selfp s ON c.doc_id = s.doc_id""".stripMargin,
     "q_shortest_paths" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT 'c' || o_custkey::VARCHAR AS src,

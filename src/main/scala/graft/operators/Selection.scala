@@ -241,4 +241,103 @@ object Selection {
       .orderBy(col("weight").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Confident-learning label-error detection (Northcutt, Jiang & Chuang
+    * 2021, "Confident Learning: Estimating Uncertainty in Dataset
+    * Labels", JAIR 70) — the data-centric cleaning step for labeled
+    * training corpora: given each example's NOISY label and a model's
+    * per-class predicted probabilities (e.g. [[Classifier.scoreLogit]]
+    * out-of-fold scores), find the examples whose prediction
+    * CONFIDENTLY disagrees with their given label.
+    *
+    * The method: per-class confidence threshold `t_j` = mean predicted
+    * probability of class j over examples GIVEN label j; an example
+    * counts as confidently-class-j when `p_j ≥ t_j`; its confident
+    * label is the argmax-probability class among those it qualifies
+    * for. Off-diagonal examples (confident ≠ given) are the label-error
+    * candidates; the (given, confident) count matrix ([[confidentJoint]])
+    * estimates the label-noise transition structure.
+    *
+    * Engine-exact discipline: probabilities quantize ONCE to floor
+    * micro-units, and the threshold test `p_j ≥ sum_j / count_j` is the
+    * INTEGER cross-multiplication `p_micros · count_j ≥ sum_micros_j` —
+    * no float division, no mean round-off, so a SQL oracle reproduces
+    * the flag set bit-for-bit (exact through count_j < 9.2e12 — beyond
+    * any labeled corpus). Argmax ties break by class name ascending.
+    *
+    * Scale shape: one explode to (example × class) rows — the class
+    * count is small and fixed — one class-sized threshold aggregate
+    * (broadcast back), one filter, one per-example min-struct argmax
+    * (hash aggregate, map-side partials; no window, no skew pin).
+    *
+    * Returns `(idCol, given_label, confident_label, confident_micros,
+    * self_micros, flagged)`: every example that qualified for at least
+    * one class, its argmax confident class, that class's quantized
+    * probability, the given class's quantized probability, and whether
+    * they disagree. Examples qualifying for NO class are omitted (the
+    * paper's pruning — the model is not confident enough anywhere to
+    * accuse the label). A given label outside `classProbs` is a loud
+    * error: its rows would silently skew every threshold.
+    */
+  def labelErrors(
+      df: DataFrame,
+      idCol: String,
+      labelCol: String,
+      classProbs: Seq[(String, String)]): DataFrame = {
+    require(classProbs.size >= 2,
+      s"classProbs needs >= 2 (class, probColumn) entries, got ${classProbs.size}")
+    require(classProbs.map(_._1).distinct.size == classProbs.size,
+      "classProbs has duplicate class values")
+    val classes = classProbs.map(_._1).toSet
+    val strayLabels = df.select(col(labelCol).cast("string").as("__g"))
+      .where(col("__g").isNotNull).distinct()
+      .collect().map(_.getString(0)).filterNot(classes)
+    require(strayLabels.isEmpty,
+      s"labelErrors: given labels ${strayLabels.toSeq.sorted.mkString(", ")} " +
+        "have no probability column — every class in the label column " +
+        "must appear in classProbs (thresholds would silently skew)")
+    val longDf = df.select(col(idCol),
+      col(labelCol).cast("string").as("__given"),
+      explode(array(classProbs.map { case (cls, pc) =>
+        struct(lit(cls).as("cls"),
+          floor(col(pc) * 1e6).cast("long").as("p"))
+      }: _*)).as("__e"))
+      .select(col(idCol), col("__given"),
+        col("__e.cls").as("__cls"), col("__e.p").as("__p"))
+    val thr = longDf.where(col("__given") === col("__cls"))
+      .groupBy("__cls")
+      .agg(sum(col("__p")).as("__tsum"), count(lit(1)).as("__tcnt"))
+    longDf
+      .join(broadcast(thr), Seq("__cls"))
+      .withColumn("__q", col("__p") * col("__tcnt") >= col("__tsum"))
+      .groupBy(col(idCol), col("__given"))
+      .agg(
+        // min-struct over QUALIFYING classes only (nulls skipped):
+        // argmax p, ties to the lexically smallest class
+        min(when(col("__q"),
+          struct((-col("__p")).as("np"), col("__cls").as("cls")))).as("__m"),
+        // self-confidence from the UNfiltered rows — the given class's
+        // probability whether or not it qualified
+        max(when(col("__cls") === col("__given"), col("__p"))).as("__selfq"))
+      .where(col("__m").isNotNull)
+      .select(col(idCol), col("__given").as("given_label"),
+        col("__m.cls").as("confident_label"),
+        (-col("__m.np")).as("confident_micros"),
+        col("__selfq").as("self_micros"),
+        (col("__m.cls") =!= col("__given")).as("flagged"))
+  }
+
+  /** The confident joint of [[labelErrors]]: `(given_label,
+    * confident_label, n)` — the estimated label-noise co-occurrence
+    * matrix (class-count-sized; its off-diagonal mass is the estimated
+    * error rate per (true, noisy) pair).
+    */
+  def confidentJoint(
+      df: DataFrame,
+      idCol: String,
+      labelCol: String,
+      classProbs: Seq[(String, String)]): DataFrame =
+    labelErrors(df, idCol, labelCol, classProbs)
+      .groupBy("given_label", "confident_label")
+      .agg(count(lit(1)).as("n"))
 }

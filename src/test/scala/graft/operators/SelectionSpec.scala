@@ -210,4 +210,62 @@ class SelectionSpec extends SparkTestBase {
         buckets = 4)
     }
   }
+
+  test("labelErrors: matches a single-node confident-learning reference; joint; loud paths") {
+    // (id, given, p_a); p_b = 1 - p_a. Mix of confident agreements,
+    // confident DISAGREEMENTS (the label-error candidates), borderline
+    // threshold-equality, and a nowhere-qualifying example.
+    val fixture = Seq(
+      (1L, "a", 0.95), (2L, "a", 0.20), (3L, "b", 0.10),
+      (4L, "b", 0.85), (5L, "a", 0.97), (6L, "b", 0.05),
+      (7L, "a", 0.55), (8L, "b", 0.45), (9L, "a", 0.96),
+      (10L, "b", 0.08))
+    val df = fixture.toDF("id", "given", "p_a")
+      .withColumn("p_b", lit(1.0) - col("p_a"))
+    // single-node reference with the operator's exact quantization
+    def q(x: Double): Long = math.floor(x * 1e6).toLong
+    val micros = fixture.map { case (id, g, pa) =>
+      (id, g, Map("a" -> q(pa), "b" -> q(1.0 - pa)))
+    }
+    val thr = Seq("a", "b").map { c =>
+      val own = micros.filter(_._2 == c).map(_._3(c))
+      c -> ((own.sum, own.size.toLong))
+    }.toMap
+    val expected = micros.flatMap { case (id, g, ps) =>
+      val qual = Seq("a", "b").filter(c =>
+        ps(c) * thr(c)._2 >= thr(c)._1)
+      if (qual.isEmpty) None
+      else {
+        val conf = qual.minBy(c => (-ps(c), c))
+        Some((id, g, conf, ps(conf), ps(g), conf != g))
+      }
+    }.toSet
+    val got = Selection.labelErrors(df, "id", "given",
+      Seq("a" -> "p_a", "b" -> "p_b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    // the planted disagreements are flagged, agreements are not
+    assert(got.filter(_._6).map(_._1) == expected.filter(_._6).map(_._1))
+    assert(got.exists(_._6), "fixture must produce at least one flag")
+    // the 0.55/0.45 borderline must be PRESENT (threshold equality
+    // qualifies — the >= contract) in both reference and operator
+    assert(got.exists(_._1 == 7L) == expected.exists(_._1 == 7L))
+    // confident joint equals the reference aggregation
+    val gotJoint = Selection.confidentJoint(df, "id", "given",
+      Seq("a" -> "p_a", "b" -> "p_b"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val expJoint = expected.toSeq.groupBy(e => (e._2, e._3))
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(gotJoint == expJoint, s"joint $gotJoint vs $expJoint")
+    // loud: stray given label, too few classes, duplicate class
+    intercept[IllegalArgumentException](
+      Selection.labelErrors(df.withColumn("given", lit("zz")), "id",
+        "given", Seq("a" -> "p_a", "b" -> "p_b")))
+    intercept[IllegalArgumentException](
+      Selection.labelErrors(df, "id", "given", Seq("a" -> "p_a")))
+    intercept[IllegalArgumentException](
+      Selection.labelErrors(df, "id", "given",
+        Seq("a" -> "p_a", "a" -> "p_b")))
+  }
 }
