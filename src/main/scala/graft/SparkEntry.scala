@@ -611,6 +611,21 @@ object SparkEntry {
         maxDist = 2, minLength = 2)
     }),
 
+    // ---- count-min sketch: per-language word-frequency cells over
+    // the documents token stream, point estimates for a fixed probe
+    // list; fully relational (sha256 buckets) -> FULL DuckDB twin,
+    // unlike the HLL/KLL/theta binary blobs ----
+    "q_cms_estimates" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents").select(col("lang"),
+        explode(operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      val cells = operators.Sketches.cmsSketches(toks, Seq("lang"), "tok",
+        depth = 4, width = 2048)
+      operators.Sketches.cmsPointEstimates(cells,
+        Seq("the", "data", "queue", "value", "zzz-absent").toDF("key"),
+        "key", depth = 4, width = 2048)
+    }),
+
     // ---- confident-learning label-error detection: binary labels
     // from lang, deterministic rational pseudo-probabilities from text
     // length; integer cross-multiplied thresholds -> hash-exact ----
@@ -5002,6 +5017,36 @@ object SparkEntry {
     // Bounded BFS: UNION (not UNION ALL) recursion dedups (node, hops)
     // pairs per level, so cyclic graphs cannot blow up the path count;
     // min(hops) collapses levels exactly like the engine's visited set.
+    // Count-min: the oracle rebuilds the cells with the same sha256
+    // bucket idiom and takes the same min-over-depth with absent
+    // cells as zero — integer arithmetic end to end.
+    "q_cms_estimates" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(
+        |    string_split_regex(coalesce(text, ''), '\s+'),
+        |    t -> t <> '')) AS tok
+        |  FROM documents),
+        |ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        |cells AS (
+        |  SELECT lang, d,
+        |    ('0x' || substring(sha256(tok || ':graft:' || d::VARCHAR), 1, 7))::BIGINT
+        |      % 2048 AS b,
+        |    count(*) AS cnt
+        |  FROM toks CROSS JOIN ds
+        |  GROUP BY lang, d, b),
+        |probes AS (SELECT unnest(
+        |  ['the', 'data', 'queue', 'value', 'zzz-absent']) AS key),
+        |pb AS (
+        |  SELECT key, d,
+        |    ('0x' || substring(sha256(key || ':graft:' || d::VARCHAR), 1, 7))::BIGINT
+        |      % 2048 AS b
+        |  FROM probes CROSS JOIN ds),
+        |groups AS (SELECT DISTINCT lang FROM cells)
+        |SELECT g.lang, p.key,
+        |  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS freq_est
+        |FROM groups g CROSS JOIN pb p
+        |LEFT JOIN cells c ON c.lang = g.lang AND c.d = p.d AND c.b = p.b
+        |GROUP BY g.lang, p.key""".stripMargin,
     // Confident learning: the oracle replays the same floor-micro
     // quantization and the integer cross-multiplied threshold test, so
     // no float division or mean round-off exists in either engine.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable distinct-count sketches (Apache DataSketches HLL, via
@@ -477,5 +477,93 @@ object Sketches {
           }
           .iterator
       }(outEnc)
+  }
+
+  // ---- count-min sketch (Cormode & Muthukrishnan 2005): the
+  // POINT-FREQUENCY member of the family. Frequent-items answers "what
+  // are the top keys"; count-min answers "how often did THIS key occur"
+  // for ANY key, in width×depth counters per group however many
+  // distinct keys flowed through. Kept fully RELATIONAL — cells are
+  // (group, row, bucket, cnt) ROWS, not a binary blob — which buys
+  // three things at once: rollups are a plain additive groupBy-sum
+  // (the same fold law as the combo-count stat logs — trivially
+  // sum-mergeable, batch-appendable), map-side partial aggregation
+  // bounds the shuffle at groups×depth×width cells whatever the corpus
+  // size, and the sha256 bucket idiom is reproducible in ANY engine —
+  // so unlike the HLL/KLL/theta blobs this sketch has a FULL DuckDB
+  // oracle twin, not a rows-only entry. Standard guarantees: estimates
+  // never undercount; overcount ≤ (e/width)·N with probability
+  // ≥ 1 − e^(−depth). ----
+
+  private def cmsBuckets(
+      key: Column, depth: Int, width: Int, salt: String): Column =
+    array((0 until depth).map(i =>
+      graft.functions.Hashing.hexPrefixBucket(key, s"$salt:$i", width)): _*)
+
+  /** Build count-min cells per group: `(groupCols..., __d, __b, cnt)`
+    * — at most groups × depth × width rows. `weightCol` (optional,
+    * cast to long) weights each occurrence; null keys are skipped.
+    * Persist keyed by the finest grouping (the [[distinctSketches]]
+    * write-side contract); any coarser view is [[rollupCms]].
+    */
+  def cmsSketches(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 2048,
+      salt: String = "graft",
+      weightCol: Option[String] = None): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(depth >= 1 && depth <= 16, s"depth must be in 1..16, got $depth")
+    require(width >= 16 && width <= (1 << 22),
+      s"width must be in 16..${1 << 22}, got $width")
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    df.where(col(keyCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        posexplode(cmsBuckets(col(keyCol).cast("string"), depth, width, salt))
+          .as(Seq("__d", "__b")),
+        w.as("__w")): _*)
+      .groupBy((groupCols :+ "__d" :+ "__b").map(col): _*)
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
+  /** Roll cells up to a coarser grouping (empty `rollupCols` = one
+    * global sketch): the additive fold — cells are sum-mergeable by
+    * construction, so this never touches raw keys.
+    */
+  def rollupCms(cells: DataFrame, rollupCols: Seq[String]): DataFrame =
+    cells.groupBy((rollupCols :+ "__d" :+ "__b").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimates for a probe key list against stored
+    * cells: `(groupCols..., key, freq_est)` for every (group, probe)
+    * pair — min over the depth rows, absent cells counting 0. The
+    * probe side is distinct-deduped and broadcast (probe lists are
+    * small by contract); `depth`/`width`/`salt` must match the build
+    * (cells carry no sidecar — they are a table, not a store).
+    * Integer sums and mins only: engine-exact.
+    */
+  def cmsPointEstimates(
+      cells: DataFrame,
+      keys: DataFrame,
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 2048,
+      salt: String = "graft"): DataFrame = {
+    val groupCols = cells.columns.filterNot(Set("__d", "__b", "cnt")).toSeq
+    require(groupCols.nonEmpty,
+      "cells must carry at least one group column (got only sketch columns)")
+    val probes = keys.select(col(keyCol).cast("string").as("key"))
+      .where(col("key").isNotNull).distinct()
+      .select(col("key"),
+        posexplode(cmsBuckets(col("key"), depth, width, salt))
+          .as(Seq("__d", "__b")))
+    val groups = cells.select(groupCols.map(col): _*).distinct()
+    groups.crossJoin(broadcast(probes))
+      .join(cells, groupCols ++ Seq("__d", "__b"), "left")
+      .withColumn("__c", coalesce(col("cnt"), lit(0L)))
+      .groupBy((groupCols :+ "key").map(col): _*)
+      .agg(min(col("__c")).as("freq_est"))
   }
 }

@@ -233,4 +233,59 @@ class SketchesSpec extends SparkTestBase {
     // NO_FALSE_POSITIVES estimate: true count <= est <= true + accumulated error
     assert(out.head._3 >= 500L && out.head._3 <= 900L)
   }
+
+  test("count-min: never undercounts, exact when wide, additive rollup, weighted, zero absents") {
+    // zipfian-ish keys per group
+    val rows = for {
+      g <- Seq("x", "y")
+      (k, n) <- Seq(("alpha", 40), ("beta", 20), ("gamma", 10), ("delta", 5))
+      i <- 1 to (if (g == "x") n else n * 2)
+    } yield (g, k, i)
+    val df = rows.toDF("grp", "key", "i")
+    val exact = rows.groupBy(r => (r._1, r._2)).map { case (k, v) =>
+      k -> v.size.toLong }
+    val probes = Seq("alpha", "beta", "gamma", "delta", "absent").toDF("key")
+    // narrow sketch: estimates must NEVER undercount
+    val narrow = Sketches.cmsSketches(df, Seq("grp"), "key",
+      depth = 3, width = 16)
+    val estN = Sketches.cmsPointEstimates(narrow, probes, "key",
+      depth = 3, width = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    exact.foreach { case (k, n) =>
+      assert(estN(k) >= n, s"undercount at $k: ${estN(k)} < $n")
+    }
+    // wide sketch with 5 keys: collision-free -> exact, absents 0
+    val wide = Sketches.cmsSketches(df, Seq("grp"), "key",
+      depth = 4, width = 2048)
+    val estW = Sketches.cmsPointEstimates(wide, probes, "key",
+      depth = 4, width = 2048)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    exact.foreach { case (k, n) => assert(estW(k) == n, s"$k: ${estW(k)} != $n") }
+    assert(estW(("x", "absent")) == 0L && estW(("y", "absent")) == 0L)
+    // additive rollup == building global directly (the fold law)
+    val global = Sketches.cmsSketches(
+      df.withColumn("all", lit(1)), Seq("all"), "key",
+      depth = 4, width = 2048)
+      .select("__d", "__b", "cnt")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rolled = Sketches.rollupCms(wide, Nil)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rolled == global, "rollup must equal the directly-built global cells")
+    // weighted build counts weights, not rows
+    val wdf = Seq(("x", "alpha", 7L), ("x", "alpha", 3L), ("x", "beta", 5L))
+      .toDF("grp", "key", "w")
+    val west = Sketches.cmsPointEstimates(
+      Sketches.cmsSketches(wdf, Seq("grp"), "key", depth = 4, width = 2048,
+        weightCol = Some("w")),
+      Seq("alpha", "beta").toDF("key"), "key", depth = 4, width = 2048)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(west == Map("alpha" -> 10L, "beta" -> 5L), s"got $west")
+    // loud params
+    intercept[IllegalArgumentException](
+      Sketches.cmsSketches(df, Nil, "key"))
+    intercept[IllegalArgumentException](
+      Sketches.cmsSketches(df, Seq("grp"), "key", depth = 0))
+    intercept[IllegalArgumentException](
+      Sketches.cmsSketches(df, Seq("grp"), "key", width = 8))
+  }
 }
