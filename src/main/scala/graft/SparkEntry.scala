@@ -869,6 +869,14 @@ object SparkEntry {
       s.read.parquet(scratch).select("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
+    "q_hilbert_layout" -> ((s, dir) => {
+      val scratch = scratchDir("graft_hilbert_") + "/orders"
+      operators.Compaction.writeHilbert(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        scratch, Seq("o_custkey", "o_totalprice"), numFiles = 8)
+      s.read.parquet(scratch).select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
     "q_compact_roundtrip" -> ((s, dir) => {
       val scratch = scratchDir("graft_compact_") + "/docs"
       t(s, dir, "documents").select(col("doc_id"), col("source"))
@@ -4103,6 +4111,8 @@ object SparkEntry {
     "q_bloom_layout" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 97 = 0 OR doc_id = 421",
     "q_zorder_layout" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+    "q_hilbert_layout" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
     "q_frequent_rollup" ->
       """WITH c AS (

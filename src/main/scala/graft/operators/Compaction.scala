@@ -119,15 +119,15 @@ object Compaction {
     * saturates at the corner ([[writeZOrdered]] computes stats from `df`
     * itself, so clamping matters only for external callers).
     */
-  def zorderKey(
-      zCols: Seq[String],
+  /** Shared min-max scaling for the space-filling-curve keys: each
+    * column clamped into [0, 2^bits-1] as a LONG, NULLs to 0.
+    */
+  private def curveScaled(
+      cols: Seq[String],
       stats: Map[String, (Double, Double)],
-      bits: Int = 16): org.apache.spark.sql.Column = {
-    val k = zCols.size
-    require(k >= 2 && k <= 4, s"z-order needs 2-4 columns, got $k")
-    require(bits >= 1 && k * bits <= 62, s"k*bits must fit a long: $k*$bits")
+      bits: Int): Seq[org.apache.spark.sql.Column] = {
     val maxVal = (1L << bits) - 1
-    val scaled = zCols.map { c =>
+    cols.map { c =>
       val (lo, hi) = stats(c)
       val span = if (hi > lo) hi - lo else 1.0
       org.apache.spark.sql.functions.greatest(
@@ -139,6 +139,16 @@ object Compaction {
               (col(c).cast("double") - lo) / span * maxVal, 0).cast("long"),
             org.apache.spark.sql.functions.lit(0L))))
     }
+  }
+
+  def zorderKey(
+      zCols: Seq[String],
+      stats: Map[String, (Double, Double)],
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    val k = zCols.size
+    require(k >= 2 && k <= 4, s"z-order needs 2-4 columns, got $k")
+    require(bits >= 1 && k * bits <= 62, s"k*bits must fit a long: $k*$bits")
+    val scaled = curveScaled(zCols, stats, bits)
     import org.apache.spark.sql.functions.{lit, shiftleft, shiftrightunsigned}
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       scaled.zipWithIndex.foldLeft(acc) { case (a, (v, ci)) =>
@@ -146,6 +156,24 @@ object Compaction {
           shiftrightunsigned(v, i).bitwiseAND(lit(1L)), i * k + ci))
       }
     }
+  }
+
+  /** Hilbert index key over 2-6 numeric/timestamp columns: the same
+    * clamped min-max scaling as [[zorderKey]], then the Skilling
+    * transform ([[graft.functions.HilbertKeyExpr]], codegen'd static
+    * call). Consecutive Hilbert keys always differ by ONE unit step in
+    * ONE dimension — unlike Morton, which teleports across the space at
+    * power-of-two boundaries — so range-partitioned files cover tighter
+    * hyper-rectangles and multi-column min/max pruning cuts deeper.
+    */
+  def hilbertKey(
+      hCols: Seq[String],
+      stats: Map[String, (Double, Double)],
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    val k = hCols.size
+    require(k >= 2 && k <= 6, s"hilbert needs 2-6 columns, got $k")
+    require(bits >= 1 && k * bits <= 62, s"k*bits must fit a long: $k*$bits")
+    graft.functions.HilbertKeyExpr(curveScaled(hCols, stats, bits), bits)
   }
 
   /** Write `df` Z-ORDERED on `zCols`: range-partitioned and sorted by the
@@ -159,6 +187,40 @@ object Compaction {
     * The classic use: a corpus filtered sometimes by time, sometimes by
     * quality score, sometimes by both — one layout serves all three scans.
     */
+  /** One min-max stats pass over `cols` (the curve-key scaling input). */
+  private def curveStats(
+      df: DataFrame, cols: Seq[String]): Map[String, (Double, Double)] = {
+    import org.apache.spark.sql.functions.{max, min}
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).cast("double").as(s"min$i"),
+        max(col(c)).cast("double").as(s"max$i"))
+    }
+    val statsRow = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      val lo = Option(statsRow.getAs[java.lang.Double](s"min$i"))
+        .map(_.toDouble).getOrElse(0.0)
+      val hi = Option(statsRow.getAs[java.lang.Double](s"max$i"))
+        .map(_.toDouble).getOrElse(0.0)
+      c -> ((lo, hi))
+    }.toMap
+  }
+
+  /** Range-partition + sort by a computed curve key, drop it, write. */
+  private def writeByKey(
+      df: DataFrame,
+      path: String,
+      key: org.apache.spark.sql.Column,
+      targetFileBytes: Long,
+      numFiles: Int,
+      mode: String): Unit = {
+    val n = if (numFiles > 0) numFiles else targetFileCount(df, targetFileBytes)
+    df.withColumn("__curve", key)
+      .repartitionByRange(n, col("__curve"))
+      .sortWithinPartitions(col("__curve"))
+      .drop("__curve")
+      .write.mode(mode).parquet(path)
+  }
+
   def writeZOrdered(
       df: DataFrame,
       path: String,
@@ -166,27 +228,27 @@ object Compaction {
       targetFileBytes: Long = 128L << 20,
       numFiles: Int = -1,
       bits: Int = 16,
-      mode: String = "overwrite"): Unit = {
-    import org.apache.spark.sql.functions.{max, min}
-    val aggs = zCols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(col(c)).cast("double").as(s"min$i"),
-        max(col(c)).cast("double").as(s"max$i"))
-    }
-    val statsRow = df.agg(aggs.head, aggs.tail: _*).head()
-    val stats = zCols.zipWithIndex.map { case (c, i) =>
-      val lo = Option(statsRow.getAs[java.lang.Double](s"min$i"))
-        .map(_.toDouble).getOrElse(0.0)
-      val hi = Option(statsRow.getAs[java.lang.Double](s"max$i"))
-        .map(_.toDouble).getOrElse(0.0)
-      c -> ((lo, hi))
-    }.toMap
-    val n = if (numFiles > 0) numFiles else targetFileCount(df, targetFileBytes)
-    val withKey = df.withColumn("__z", zorderKey(zCols, stats, bits))
-    withKey.repartitionByRange(n, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-      .write.mode(mode).parquet(path)
-  }
+      mode: String = "overwrite"): Unit =
+    writeByKey(df, path, zorderKey(zCols, curveStats(df, zCols), bits),
+      targetFileBytes, numFiles, mode)
+
+  /** Write `df` HILBERT-ordered on `hCols` — [[writeZOrdered]]'s
+    * tighter-locality sibling (same one extra stats pass, same dropped
+    * key): each file covers a contiguous run of the Hilbert curve,
+    * which never teleports, so per-file min/max ranges on every
+    * dimension are at least as tight as the Morton layout's and
+    * markedly tighter around power-of-two boundaries.
+    */
+  def writeHilbert(
+      df: DataFrame,
+      path: String,
+      hCols: Seq[String],
+      targetFileBytes: Long = 128L << 20,
+      numFiles: Int = -1,
+      bits: Int = 16,
+      mode: String = "overwrite"): Unit =
+    writeByKey(df, path, hilbertKey(hCols, curveStats(df, hCols), bits),
+      targetFileBytes, numFiles, mode)
 
   /** Rewrite an existing parquet directory into ~`targetFileBytes` files,
     * atomically: the compacted copy is staged next to the original and

@@ -202,6 +202,79 @@ class LayoutSpec extends SparkTestBase {
     } finally { cleanup(dir); cleanup(dirX) }
   }
 
+  test("hilbert curve: bijective, unit-step adjacent, fixed origin — across dims and bits") {
+    // the defining Hilbert property Morton lacks: SORTED BY KEY, every
+    // consecutive cell pair differs by exactly 1 in exactly one dim
+    for ((n, bits) <- Seq((2, 1), (2, 3), (3, 2))) {
+      val side = 1 << bits
+      val cells = (0 until math.pow(side, n).toInt).map { i =>
+        val coord = Array.tabulate(n)(d =>
+          ((i / math.pow(side, d).toInt) % side).toLong)
+        coord -> graft.functions.HilbertCurve.encode(coord.clone(), bits)
+      }
+      val keys = cells.map(_._2)
+      assert(keys.toSet == (0 until keys.size).map(_.toLong).toSet,
+        s"n=$n bits=$bits: not a bijection onto [0, ${keys.size})")
+      val byKey = cells.sortBy(_._2).map(_._1)
+      byKey.sliding(2).foreach { case Seq(a, b) =>
+        val diffs = a.zip(b).map { case (x, y) => math.abs(x - y) }
+        assert(diffs.sum == 1,
+          s"n=$n bits=$bits: non-unit step ${a.toList} -> ${b.toList}")
+      }
+      assert(cells.find(_._1.forall(_ == 0L)).get._2 == 0L,
+        "origin must map to key 0")
+    }
+  }
+
+  test("hilbertKey stays in whole-stage codegen and matches the static transform") {
+    val stats = Map("x" -> ((0.0, 7.0)), "y" -> ((0.0, 7.0)))
+    val df = spark.range(64)
+      .select((col("id") / 8).cast("int").as("x"),
+        (col("id") % 8).cast("int").as("y"))
+      .select(col("x"), col("y"),
+        Compaction.hilbertKey(Seq("x", "y"), stats, bits = 3).as("h"))
+    // the projection containing the key must be inside a codegen span —
+    // the compact plan form marks codegen'd operators with `*(id)`; a
+    // CodegenFallback expression would strip the star from its Project
+    val plan = df.queryExecution.executedPlan.toString
+    val keyLine = plan.linesIterator
+      .find(_.contains("graft_hilbert_key")).getOrElse("")
+    assert(keyLine.replaceFirst("^[\\s+-]*", "").startsWith("*("),
+      s"hilbert projection not codegen'd:\n$plan")
+    val got = df.as[(Int, Int, Long)].collect()
+      .map { case (x, y, h) => (x, y) -> h }.toMap
+    for (x <- 0 until 8; y <- 0 until 8)
+      assert(got((x, y)) ==
+        graft.functions.HilbertCurve.encode(Array(x.toLong, y.toLong), 3))
+  }
+
+  test("writeHilbert bounds per-file spans at least as tightly as z-order") {
+    val dirH = tempDir()
+    val dirZ = tempDir()
+    try {
+      val grid = spark.range(10000)
+        .select((col("id") / 100).cast("int").as("x"),
+          (col("id") % 100).cast("int").as("y"))
+      Compaction.writeHilbert(grid, dirH, Seq("x", "y"), numFiles = 16)
+      Compaction.writeZOrdered(grid, dirZ, Seq("x", "y"), numFiles = 16)
+      def boxes(d: String): Seq[Long] = spark.read.parquet(d)
+        .groupBy(input_file_name())
+        .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1)).as("vol"))
+        .select("vol").as[Long].collect().toSeq
+      // content identical
+      assert(spark.read.parquet(dirH).as[(Int, Int)].collect().sorted.toSeq
+        == grid.as[(Int, Int)].collect().sorted.toSeq)
+      // every hilbert file covers a bounded rectangle (the curve never
+      // teleports — no straddle exemption needed, unlike the Morton
+      // test above), and the total bounding-box volume is no worse
+      // than Morton's
+      val h = boxes(dirH)
+      val z = boxes(dirZ)
+      h.foreach(v => assert(v <= 2600, s"hilbert file box too big: $h"))
+      assert(h.sum <= z.sum, s"hilbert ${h.sum} vs z-order ${z.sum}")
+    } finally { cleanup(dirH); cleanup(dirZ) }
+  }
+
   test("layoutReport audits files, row groups, stats, blooms and dictionaries") {
     val dir = tempDir()
     try {
