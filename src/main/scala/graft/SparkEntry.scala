@@ -1118,6 +1118,18 @@ object SparkEntry {
         e, e.where(col("vec_id") < 10), "vec_id", "embedding", "vec_id", 5)
     }),
 
+    // ---- hard-negative mining (DPR/RocketQA): top-k most-similar
+    // non-gold items per query; gold = self + a planted doc ----
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.where(col("vec_id") < 10)
+      val pos = queries.select(col("vec_id").as("pos_q"))
+        .select(col("pos_q"), explode(array(col("pos_q"),
+          col("pos_q") + 20)).as("pos_id"))
+      operators.Ann.hardNegatives(e, queries, pos, "vec_id", "embedding",
+        "vec_id", "pos_q", "pos_id", k = 5)
+    }),
+
     // ---- ANN scale path: IVF probe search (KMeans quantizer, 2-way
     // multi-assignment for recall → rows-only) ----
     "q_ann_ivf" -> ((s, dir) => {
@@ -4536,6 +4548,40 @@ object SparkEntry {
         |  SELECT q_id, id, cos, row_number() OVER (
         |    PARTITION BY q_id ORDER BY cos DESC, id ASC) AS rank
         |  FROM r)
+        |SELECT q_id, id, cos, CAST(rank AS INTEGER) AS rank
+        |FROM w WHERE rank <= 5""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT q_id, id,
+        |    list_sum(list_transform(range(len(qv)),
+        |      i -> qv[CAST(i AS INTEGER)+1] * cv[CAST(i AS INTEGER)+1])) AS dot,
+        |    sqrt(list_sum(list_transform(qv, x -> x * x))) AS na,
+        |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS nb
+        |  FROM q CROSS JOIN c),
+        |r AS (
+        |  SELECT q_id, id,
+        |    round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |          ELSE dot / (na * nb) END, 6) AS cos
+        |  FROM s),
+        |pos AS (
+        |  SELECT q_id, unnest([q_id, q_id + 20]) AS id
+        |  FROM (SELECT DISTINCT q_id FROM q)),
+        |neg AS (
+        |  SELECT r.q_id, r.id, r.cos FROM r
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos
+        |    WHERE pos.q_id = r.q_id AND pos.id = r.id)),
+        |w AS (
+        |  SELECT q_id, id, cos, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, id ASC) AS rank
+        |  FROM neg)
         |SELECT q_id, id, cos, CAST(rank AS INTEGER) AS rank
         |FROM w WHERE rank <= 5""".stripMargin,
     "q_multimodal_meta" ->

@@ -46,6 +46,72 @@ object Ann {
       .select("q_id", "id", "cos", "rank")
   }
 
+  /** Hard-negative mining for embedding-model training data (the
+    * DPR/RocketQA recipe: Karpukhin et al. 2020; Qu et al. 2021): for
+    * each query, the top-`k` most-similar corpus items that are NOT its
+    * gold positives — the negatives that actually move a contrastive
+    * loss, where random negatives are trivially separable.
+    *
+    * `denoiseRatio` (optional) is RocketQA's false-negative guard: a
+    * non-gold item scoring ABOVE `ratio × (the query's best positive
+    * similarity)` is suspiciously close — likely an unlabeled true
+    * positive — and is dropped rather than trained against. Queries
+    * with no positive pair skip the guard (nothing to calibrate on).
+    *
+    * Determinism: the [[bruteForceTopK]] contract — cosines rounded
+    * once to 6 decimals, rank by (cos desc, id asc); the ratio
+    * comparison multiplies the ROUNDED positive max, so a SQL oracle
+    * reproduces the kept set exactly.
+    *
+    * Scale shape: queries and the gold-pair list are broadcast (both
+    * query-set-sized by contract); the corpus is scanned once. For
+    * corpus-scale query sets, mine per shard against the IVF index
+    * instead — this is the exact/calibration path.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      positives: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      posQCol: String,
+      posIdCol: String,
+      k: Int,
+      denoiseRatio: Double = Double.NaN): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(denoiseRatio.isNaN || (denoiseRatio > 0.0 && denoiseRatio <= 1.0),
+      s"denoiseRatio must be in (0, 1], got $denoiseRatio")
+    val q = Dedup.cosineSide(queries, Nil, qIdCol, vecCol, "q")
+      .withColumnRenamed("id_q", "q_id")
+    val c = Dedup.cosineSide(corpus, Nil, idCol, vecCol, "c")
+      .withColumnRenamed("id_c", "id")
+    // native id types (cosineSide keeps them) — the pair list must come
+    // from the same id domains as the query/corpus tables
+    val pos = positives.select(
+      col(posQCol).as("q_id"), col(posIdCol).as("id")).distinct()
+    val scored = c.join(broadcast(q))
+      .withColumn("cos", round(
+        Dedup.cosineWithNorms(col("__v_q"), col("__v_c"), col("__n_q"), col("__n_c")), 6))
+      .select("q_id", "id", "cos")
+    // best positive similarity per query — from the same rounded scores
+    val posMax = scored.join(broadcast(pos), Seq("q_id", "id"))
+      .groupBy("q_id").agg(max(col("cos")).as("__posmax"))
+    val negs = scored.join(broadcast(pos), Seq("q_id", "id"), "left_anti")
+    val guarded =
+      if (denoiseRatio.isNaN) negs
+      else negs.join(broadcast(posMax), Seq("q_id"), "left")
+        .where(col("__posmax").isNull ||
+          col("cos") <= col("__posmax") * denoiseRatio)
+        .select("q_id", "id", "cos")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("id").asc)
+    guarded
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "id", "cos", "rank")
+  }
+
   /** IVF (inverted-file) index: corpus rows assigned to KMeans cells.
     * `nassign` > 1 means each row is indexed under its `nassign` nearest
     * cells (multi-assignment), trading index size for recall.

@@ -28,6 +28,57 @@ class AnnMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("hardNegatives: gold excluded, equals exclusion-rerank of exact topk, denoise guard") {
+    val queries = embeddings.filter($"vec_id" < 4)
+    // gold pairs: self for every query + a planted doc; query 3 has NONE
+    val posPairs = Seq((0L, 0L), (0L, 17L), (1L, 1L), (2L, 2L), (2L, 40L))
+    val pos = posPairs.toDF("pos_q", "pos_id")
+    val out = Ann.hardNegatives(embeddings, queries, pos,
+      "vec_id", "embedding", "vec_id", "pos_q", "pos_id", k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("id"), r.getAs[Double]("cos"))).toMap
+    // reference: full exact ranking minus the gold set, re-ranked
+    val n = embeddings.count().toInt
+    val full = Ann.bruteForceTopK(embeddings, queries, "vec_id",
+      "embedding", "vec_id", n)
+      .collect().map(r => (r.getAs[Long]("q_id"),
+        r.getAs[Long]("id"), r.getAs[Double]("cos"), r.getAs[Int]("rank")))
+    val posSet = posPairs.toSet
+    val expected = full.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.sortBy(_._4)
+        .filterNot(r => posSet.contains((qid, r._2)))
+        .take(5).zipWithIndex
+        .map { case (r, i) => (qid, i + 1) -> ((r._2, r._3)) }
+    }.toMap
+    assert(out == expected, s"got $out\nexpected $expected")
+    // gold never appears; query 3 (no positives) still self-matches at rank 1
+    assert(!out.exists { case ((q, _), (id, _)) => posSet.contains((q, id)) })
+    assert(out((3L, 1))._1 == 3L)
+    // denoise: ratio 0 -> everything above 0×posmax survives... use a
+    // ratio that provably drops the top survivor of query 0: its best
+    // non-gold cos vs its best gold cos
+    val bestGold0 = full.filter(r => r._1 == 0L && posSet.contains((0L, r._2)))
+      .map(_._3).max
+    val bestNonGold0 = expected((0L, 1))._2
+    if (bestNonGold0 > 0 && bestGold0 > 0 && bestNonGold0 <= bestGold0) {
+      val ratio = (bestNonGold0 / bestGold0) * 0.999 // just below the top survivor
+      val denoised = Ann.hardNegatives(embeddings, queries, pos,
+        "vec_id", "embedding", "vec_id", "pos_q", "pos_id", k = 5,
+        denoiseRatio = ratio)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("id"))).toSet
+      assert(!denoised.contains((0L, expected((0L, 1))._1)),
+        "the too-similar negative must be denoised away")
+      // query 3 has no positives: guard skipped, self still present
+      assert(denoised.contains((3L, 3L)))
+    }
+    intercept[IllegalArgumentException](
+      Ann.hardNegatives(embeddings, queries, pos, "vec_id", "embedding",
+        "vec_id", "pos_q", "pos_id", k = 0))
+    intercept[IllegalArgumentException](
+      Ann.hardNegatives(embeddings, queries, pos, "vec_id", "embedding",
+        "vec_id", "pos_q", "pos_id", k = 5, denoiseRatio = 1.5))
+  }
+
   test("IVF search hits >= 0.9 recall vs exact; full probe equals exact") {
     // Quantifies the claimed ANN scale path on the (IVF-hostile: near-random
     // 64-dim) fixture. Operating point nlist=16 / nassign=3 / nprobe=6:
