@@ -820,6 +820,52 @@ object StreamingOps {
       .agg(countDistinct(col(sensitiveCol)).as("diversity"))
       .where(col("diversity") >= l)
 
+  /** Stream count-min cells into a sum-mergeable stat log: each
+    * micro-batch aggregates into its own bounded cell table
+    * ([[graft.operators.Sketches.cmsSketches]] — at most
+    * groups × depth × width rows however large the batch) under
+    * `batch=b<id>`, per-batch overwrite so replays are no-ops. The
+    * additive fold law is exactly [[comboCountSink]]'s, so
+    * [[StreamingOps.compactStatLog]] folds this log unchanged.
+    * `depth`/`width`/`salt` are frozen per log (the cells of different
+    * geometries must never merge) — pass the same values to
+    * [[cmsCellsFromLog]] and the estimate call.
+    */
+  def cmsSink(
+      events: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String,
+      logPath: String,
+      depth: Int = 4,
+      width: Int = 2048,
+      salt: String = "graft")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    StatLog.writeKind(events.sparkSession, logPath, "sum")
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Sketches.cmsSketches(batch.toDF(), groupCols,
+            keyCol, depth, width, salt)
+            .withColumnRenamed("cnt", "__kcnt")
+            .write.mode("overwrite")
+            .parquet(f"$logPath/batch=b$batchId%012d")
+    }
+  }
+
+  /** The standing cell table over everything delivered to a
+    * [[cmsSink]] log — equal to the batch
+    * [[graft.operators.Sketches.cmsSketches]] over the union of all
+    * delivered events; feed it to
+    * [[graft.operators.Sketches.cmsPointEstimates]].
+    */
+  def cmsCellsFromLog(
+      spark: SparkSession,
+      logPath: String,
+      groupCols: Seq[String]): DataFrame =
+    StatLog.read(spark, logPath)
+      .groupBy((groupCols :+ "__d" :+ "__b").map(col): _*)
+      .agg(sum(col("__kcnt")).as("cnt"))
+
   /** Stream embeddings into a persisted IVF-PQ index
     * ([[graft.operators.Ann.IvfPq.appendBatch]] per micro-batch):
     * nightly/continuous embedding arrivals become searchable without a

@@ -757,6 +757,55 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally { qk.stop(); ql.stop() }
   }
 
+  test("cmsSink: streamed cells equal the batch sketch; fold + replay are no-ops") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_cms_log_").toString
+    val log = root + "/cms"
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val q = StreamingOps.cmsSink(src.toDS().toDF("lang", "tok"),
+      Seq("lang"), "tok", log, depth = 3, width = 64)
+      .option("checkpointLocation", root + "/ck").start()
+    try {
+      src.addData(("en", "the"), ("en", "the"), ("en", "cat"), ("de", "der"))
+      q.processAllAvailable()
+      src.addData(("en", "the"), ("de", "der"), ("de", "hund"))
+      q.processAllAvailable()
+      val all = Seq(("en", "the"), ("en", "the"), ("en", "cat"),
+        ("de", "der"), ("en", "the"), ("de", "der"), ("de", "hund"))
+        .toDF("lang", "tok")
+      def cells(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))
+          -> r.getLong(3)).toMap
+      val streamed = cells(StreamingOps.cmsCellsFromLog(spark, log, Seq("lang"))
+        .select("lang", "__d", "__b", "cnt"))
+      val batch = cells(graft.operators.Sketches.cmsSketches(all,
+        Seq("lang"), "tok", depth = 3, width = 64)
+        .select("lang", "__d", "__b", "cnt"))
+      assert(streamed == batch, "log fold must equal the batch sketch")
+      // point estimates ride the shared estimate path
+      val est = graft.operators.Sketches.cmsPointEstimates(
+        StreamingOps.cmsCellsFromLog(spark, log, Seq("lang")),
+        Seq("the", "der").toDF("key"), "key", depth = 3, width = 64)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(est(("en", "the")) == 3L && est(("de", "der")) == 2L, s"got $est")
+      // compaction folds additively; estimates unchanged
+      StreamingOps.compactStatLog(spark, log)
+      assert(cells(StreamingOps.cmsCellsFromLog(spark, log, Seq("lang"))
+        .select("lang", "__d", "__b", "cnt")) == batch)
+      // a replayed folded batch id must not double-count
+      graft.operators.Sketches.cmsSketches(
+        Seq(("en", "the"), ("en", "the"), ("en", "cat"), ("de", "der"))
+          .toDF("lang", "tok"), Seq("lang"), "tok", depth = 3, width = 64)
+        .withColumnRenamed("cnt", "__kcnt")
+        .write.mode("overwrite").parquet(log + "/batch=b000000000000")
+      assert(cells(StreamingOps.cmsCellsFromLog(spark, log, Seq("lang"))
+        .select("lang", "__d", "__b", "cnt")) == batch,
+        "replayed folded batch must be excluded from the sum")
+    } finally q.stop()
+  }
+
   test("linkageIngestSink: streamed batches resolve entities like the batch index") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft_link_ingest_").toString
