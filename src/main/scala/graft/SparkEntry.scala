@@ -611,6 +611,15 @@ object SparkEntry {
         maxDist = 2, minLength = 2)
     }),
 
+    // ---- Porter stemming over the corpus (rows-only: DuckDB's stem()
+    // lives in the unavailable fts extension; the paper's per-step
+    // vectors are pinned in StemSpec) ----
+    "q_stem_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          operators.TextAnalysis.stemTokens(col("text")).as("stems"))
+    }),
+
     // ---- count-min sketch: per-language word-frequency cells over
     // the documents token stream, point estimates for a fixed probe
     // list; fully relational (sha256 buckets) -> FULL DuckDB twin,
@@ -5117,7 +5126,8 @@ object SparkEntry {
         |  SELECT doc_id, given, 'a' AS cls, pa AS p FROM base
         |  UNION ALL
         |  SELECT doc_id, given, 'b' AS cls, pb AS p FROM base),
-        |thr AS (SELECT cls, sum(p) AS tsum, count(*) AS tcnt FROM lf
+        |thr AS (SELECT cls, CAST(sum(p) AS BIGINT) AS tsum,
+        |    count(*) AS tcnt FROM lf
         |  WHERE given = cls GROUP BY cls),
         |win AS (
         |  SELECT lf.doc_id, lf.given, lf.cls, lf.p,

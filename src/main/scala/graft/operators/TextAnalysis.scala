@@ -20,6 +20,18 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Porter-stemmed whitespace tokens ([[graft.functions.PorterStem]],
+    * codegen'd per element): the recall lever for the search tier —
+    * "running"/"runs"/"run" collapse to one posting. Words the stemmer
+    * contract excludes (numbers, URLs, non-ASCII, mixed case after
+    * `lowercase = false`) pass through unchanged.
+    */
+  def stemTokens(text: Column, lowercase: Boolean = true): Column = {
+    val toks = tokens(text)
+    val lowered = if (lowercase) transform(toks, t => lower(t)) else toks
+    transform(lowered, t => graft.functions.PorterStem(t))
+  }
+
   /** BPE-ish token count: word chunks and single punctuation marks counted
     * separately (`\w+|[^\w\s]` — the usual pre-tokenizer shape).
     */

@@ -114,6 +114,17 @@ object GraftFunctions {
       "graft_punycode_host(host) - ASCII (IDNA/punycode) form of a hostname",
       (args: Seq[Expression]) => {
         arity("graft_punycode_host", args, 1); PunycodeHost(args(0))
+      }),
+    ("graft_porter_stem",
+      "graft_porter_stem(word) - Porter 1980 stem of a lowercase word",
+      (args: Seq[Expression]) => {
+        arity("graft_porter_stem", args, 1); PorterStem(args(0))
+      }),
+    ("graft_hilbert",
+      "graft_hilbert(bits, x0, x1[, ...x5]) - Hilbert index of scaled LONG coords",
+      (args: Seq[Expression]) => {
+        arity("graft_hilbert", args, 3, 4, 5, 6, 7)
+        HilbertKeyExpr(args.tail, litInt(args.head, "bits", "graft_hilbert"))
       }))
 
   private[sql] def info(name: String, usage: String): ExpressionInfo =
