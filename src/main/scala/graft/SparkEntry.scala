@@ -1549,6 +1549,26 @@ object SparkEntry {
         .select("event_id", "user_id", "sec", "window_id")
     }),
 
+    // ---- interval-OVERLAP join: order date-windows vs synthetic
+    // review windows, per key — the interval×interval sibling of
+    // q_range_join, one bucket equi-shuffle, canonical-bucket dedup ----
+    "q_interval_overlap" -> ((s, dir) => {
+      val a = t(s, dir, "orders").where(col("o_custkey") < 400)
+        .select(col("o_orderkey").cast("long").as("aid"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("a_start"),
+          (datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+            + col("o_custkey") % 20 + 1).as("a_end"),
+          (col("o_custkey") % 7).cast("long").as("k"))
+      val b = s.range(0, 600).select(col("id").as("bid"),
+        (lit(8035L) + col("id") * 4).as("b_start"),
+        (lit(8035L) + col("id") * 4 + col("id") % 9 * 3 + 2).as("b_end"),
+        (col("id") % 7).as("k"))
+      operators.RangeJoin.intervalOverlap(a, b,
+          "a_start", "a_end", "b_start", "b_end",
+          bucketWidth = 64L, extraKeys = Seq("k"))
+        .select("aid", "bid", "k")
+    }),
+
     // ---- vocab-encode: documents as token-id sequences (OOV = -1);
     // flattened with posexplode for the row-level oracle compare ----
     "q_encode_tokens" -> ((s, dir) => {
@@ -3403,6 +3423,21 @@ object SparkEntry {
     // Spark side must produce the identical match set via buckets.
     // epoch_us // 1000000 is integer floor-div, matching `div 1000000000`
     // on the raw nanos.
+    "q_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS aid,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS a_start,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      + o_custkey % 20 + 1 AS a_end,
+        |    CAST(o_custkey % 7 AS BIGINT) AS k
+        |  FROM orders WHERE o_custkey < 400),
+        |b AS (
+        |  SELECT id AS bid, 8035 + id * 4 AS b_start,
+        |    8035 + id * 4 + id % 9 * 3 + 2 AS b_end, id % 7 AS k
+        |  FROM range(0, 600) t(id))
+        |SELECT aid, CAST(bid AS BIGINT) AS bid, a.k AS k
+        |FROM a JOIN b ON a.k = b.k
+        |  AND a_start <= b_end AND b_start <= a_end""".stripMargin,
     "q_range_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec

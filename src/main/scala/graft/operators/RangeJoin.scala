@@ -100,4 +100,90 @@ object RangeJoin {
       fromBuckets.unionByName(fromWide.select(fromBuckets.columns.map(col): _*))
     }
   }
+
+  /** Bucketized interval-OVERLAP join: every (left, right) pair whose
+    * CLOSED intervals intersect — `lStart <= rEnd AND rStart <= lEnd` —
+    * the genomics/session-vs-session/window-vs-window sibling of
+    * [[pointInInterval]], which Spark would likewise plan as a nested
+    * loop.
+    *
+    * Mechanism: both sides fan out to the buckets they cover and
+    * equi-join on (bucket, extraKeys); a pair is kept only in its
+    * CANONICAL bucket — the bucket of `greatest(lStart, rStart)`, i.e.
+    * where the overlap begins, which both sides provably cover — so an
+    * overlapping pair survives exactly once and NO post-join dedup
+    * shuffle exists. The exact overlap predicate then discards bucket
+    * coincidences.
+    *
+    * Scale shape: one equi-shuffle on (bucket, extraKeys); fan-out per
+    * interval is `span/bucketWidth`, loudly capped by
+    * `maxBucketsPerInterval`. Wide RIGHT intervals (catch-all windows)
+    * route via `broadcastWideRight = true` — broadcast + exact
+    * predicate, disjoint from the bucketized candidates by
+    * construction. Wide LEFT intervals always fail loud: put the side
+    * that may carry catch-alls on the right. Inverted (end < start)
+    * and NULL-bounded intervals match nothing on either side, exactly
+    * as the naive predicate would.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      lStartCol: String,
+      lEndCol: String,
+      rStartCol: String,
+      rEndCol: String,
+      bucketWidth: Long,
+      extraKeys: Seq[String] = Nil,
+      maxBucketsPerInterval: Int = 4096,
+      broadcastWideRight: Boolean = false): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval >= 1,
+      s"maxBucketsPerInterval must be >= 1, got $maxBucketsPerInterval")
+    val clash = left.columns.toSet
+      .intersect(right.columns.toSet) -- extraKeys
+    require(clash.isEmpty,
+      s"left and right share non-key columns: ${clash.mkString(", ")}")
+    require(!left.columns.contains("__bucket")
+        && !right.columns.contains("__bucket"),
+      "__bucket is reserved by rangeJoin")
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(c / bucketWidth).cast("long")
+    def fanOut(df: DataFrame, s: String, e: String, side: String): DataFrame = {
+      val bs = bucketOf(col(s))
+      val be = bucketOf(col(e))
+      df.withColumn("__bucket", explode(sequence(
+        bs,
+        when(be - bs < lit(maxBucketsPerInterval.toLong), be)
+          .otherwise(raise_error(concat(
+            lit(s"intervalOverlap: $side interval spans more than " +
+              s"$maxBucketsPerInterval buckets of width $bucketWidth ("),
+            col(s), lit(".."), col(e),
+            lit(if (side == "right")
+              ") — route it via broadcastWideRight=true"
+            else
+              ") — wide left intervals are unsupported; swap the sides"))
+          ).cast("long")))))
+    }
+    val overlap =
+      col(lStartCol) <= col(rEndCol) && col(rStartCol) <= col(lEndCol)
+    val lValid = left.where(col(lStartCol) <= col(lEndCol))
+    val rValid = right.where(col(rStartCol) <= col(rEndCol))
+    val rWide = bucketOf(col(rEndCol)) - bucketOf(col(rStartCol)) >=
+      lit(maxBucketsPerInterval.toLong)
+    val rNarrow = if (broadcastWideRight) rValid.where(!rWide) else rValid
+    val fromBuckets = fanOut(lValid, lStartCol, lEndCol, "left")
+      .join(fanOut(rNarrow, rStartCol, rEndCol, "right"),
+        Seq("__bucket") ++ extraKeys)
+      .where(overlap &&
+        col("__bucket") === bucketOf(greatest(col(lStartCol), col(rStartCol))))
+      .drop("__bucket")
+    if (!broadcastWideRight) fromBuckets
+    else {
+      val wide = broadcast(rValid.where(rWide))
+      val fromWide = (if (extraKeys.isEmpty) lValid.join(wide)
+        else lValid.join(wide, extraKeys))
+        .where(overlap)
+      fromBuckets.unionByName(fromWide.select(fromBuckets.columns.map(col): _*))
+    }
+  }
 }

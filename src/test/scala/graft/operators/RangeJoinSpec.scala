@@ -105,4 +105,71 @@ class RangeJoinSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("share"))
   }
+
+  // ---- interval-overlap join ----
+
+  private val ivA = (0 until 60).map { i =>
+    (i.toLong, i.toLong * 13 % 200, i.toLong * 13 % 200 + i % 9 * 7)
+  }.toDF("aid", "as", "ae")
+  private val ivB = (0 until 50).map { i =>
+    (i.toLong, i.toLong * 17 % 210, i.toLong * 17 % 210 + i % 7 * 11)
+  }.toDF("bid", "bs", "be")
+
+  private def naiveOverlap = ivA.join(ivB,
+    col("as") <= col("be") && col("bs") <= col("ae"))
+    .select("aid", "bid").as[(Long, Long)].collect().toSet
+
+  test("intervalOverlap matches the naive inequality join exactly, no duplicates") {
+    for (w <- Seq(1L, 8L, 64L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(ivA, ivB, "as", "ae", "bs", "be",
+        bucketWidth = w)
+        .select("aid", "bid").as[(Long, Long)].collect()
+      assert(got.toSet == naiveOverlap, s"bucketWidth=$w")
+      assert(got.length == got.toSet.size,
+        s"canonical-bucket dedup failed at w=$w")
+    }
+  }
+
+  test("intervalOverlap: extraKeys partition the match space") {
+    val a = Seq((1L, 0L, 10L, "x"), (2L, 0L, 10L, "y")).toDF("aid", "as", "ae", "k")
+    val b = Seq((9L, 5L, 6L, "x")).toDF("bid", "bs", "be", "k")
+    val got = RangeJoin.intervalOverlap(a, b, "as", "ae", "bs", "be",
+      bucketWidth = 4L, extraKeys = Seq("k"))
+      .select("aid").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("intervalOverlap: wide right broadcasts when routed, wide left always loud") {
+    val wideB = ivB.unionByName(
+      Seq((999L, -1000000L, 1000000L)).toDF("bid", "bs", "be"))
+    intercept[Exception] {
+      RangeJoin.intervalOverlap(ivA, wideB, "as", "ae", "bs", "be",
+        bucketWidth = 8L).count()
+    }
+    val got = RangeJoin.intervalOverlap(ivA, wideB, "as", "ae", "bs", "be",
+      bucketWidth = 8L, broadcastWideRight = true)
+      .select("aid", "bid").as[(Long, Long)].collect()
+    val want = naiveOverlap ++ ivA.select("aid").as[Long].collect()
+      .map(_ -> 999L) // the catch-all overlaps every valid left interval
+    assert(got.toSet == want && got.length == got.toSet.size)
+    // wide LEFT: no escape hatch, loud either way
+    intercept[Exception] {
+      RangeJoin.intervalOverlap(wideB.select(col("bid").as("aid"),
+        col("bs").as("as"), col("be").as("ae")), ivB,
+        "as", "ae", "bs", "be", bucketWidth = 8L,
+        broadcastWideRight = true).count()
+    }
+  }
+
+  test("intervalOverlap: inverted and null-bounded intervals match nothing") {
+    val a = Seq((1L, java.lang.Long.valueOf(10L), java.lang.Long.valueOf(0L)),
+      (2L, null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(5L)),
+      (3L, java.lang.Long.valueOf(0L), java.lang.Long.valueOf(5L)))
+      .toDF("aid", "as", "ae")
+    val b = Seq((9L, 0L, 100L)).toDF("bid", "bs", "be")
+    val got = RangeJoin.intervalOverlap(a, b, "as", "ae", "bs", "be",
+      bucketWidth = 16L)
+      .select("aid").as[Long].collect().toSeq
+    assert(got == Seq(3L), s"got $got")
+  }
 }
