@@ -611,6 +611,16 @@ object SparkEntry {
         maxDist = 2, minLength = 2)
     }),
 
+    // ---- robust outlier gate: per-language median/MAD over n_chars
+    // with planted 1000x spikes; KLL exact under k -> full twin ----
+    "q_mad_outliers" -> ((s, dir) => {
+      val spiky = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 97 === 0, col("n_chars") * 1000)
+          .otherwise(col("n_chars")).as("n_chars"))
+      operators.Validation.madOutliers(spiky, "n_chars", Seq("lang"))
+        .select("doc_id", "lang", "n_chars", "median", "mad", "is_outlier")
+    }),
+
     // ---- Porter stemming over the corpus (rows-only: DuckDB's stem()
     // lives in the unavailable fts extension; the paper's per-step
     // vectors are pinned in StemSpec) ----
@@ -4208,6 +4218,25 @@ object SparkEntry {
         |FROM documents GROUP BY source""".stripMargin,
     // Winsorize: the cut points are the same quantile_disc values the
     // KLL sketch yields exactly under k; the clamp is pure arithmetic.
+    "q_mad_outliers" ->
+      """WITH spiky AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 97 = 0 THEN n_chars * 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents),
+        |med AS (
+        |  SELECT lang, quantile_disc(n_chars, 0.5)::DOUBLE AS median
+        |  FROM spiky GROUP BY lang),
+        |dev AS (
+        |  SELECT s.doc_id, s.lang, s.n_chars, m.median,
+        |    abs(s.n_chars::DOUBLE - m.median) AS d
+        |  FROM spiky s JOIN med m ON s.lang = m.lang),
+        |mad AS (
+        |  SELECT lang, quantile_disc(d, 0.5)::DOUBLE AS mad
+        |  FROM dev GROUP BY lang)
+        |SELECT v.doc_id, v.lang, v.n_chars, v.median, a.mad,
+        |  v.d > a.mad * 3.5 AS is_outlier
+        |FROM dev v JOIN mad a ON v.lang = a.lang""".stripMargin,
     "q_clip_quantiles" ->
       """WITH spiky AS (
         |  SELECT doc_id,

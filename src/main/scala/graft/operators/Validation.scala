@@ -208,6 +208,56 @@ object Validation {
       greatest(lit(lo), least(lit(hi), col(valueCol).cast("double"))))
   }
 
+  /** Robust per-group outlier gate — median/MAD (Hampel 1974; the
+    * Iglewicz & Hoaglin 1993 modified-z recipe without the 0.6745
+    * scale, which a cutoff absorbs): flag `|x − median| > cutoff ×
+    * MAD`, where MAD = median of `|x − median|`. Mean/stddev gates
+    * break on the very rows they should catch (one 10⁹-token document
+    * drags the mean toward itself); the median/MAD pair has a 50%
+    * breakdown point.
+    *
+    * Exactness: both medians come from the KLL machinery
+    * ([[Sketches.quantileSketches]]/[[Sketches.rollupQuantiles]]) —
+    * EXACT `quantile_disc` data values while a group fits `k` (the
+    * oracle-checked regime), the standard KLL rank envelope beyond.
+    * Because median and MAD are actual data values (not interpolated
+    * means), the deviation/compare arithmetic is reproducible
+    * cross-engine (the [[clipToQuantiles]] contract).
+    *
+    * Scale shape: two sketch passes (groups-sized shuffles of partial
+    * sketches, never raw values) + one broadcast-joined flag scan.
+    * Zero-MAD groups (over half the group identical): only exact
+    * equality is inlier — deviations > 0 all flag, the documented
+    * Hampel degenerate case.
+    *
+    * Output: the input plus `(median, mad, is_outlier)`.
+    */
+  def madOutliers(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      cutoff: Double = 3.5,
+      k: Int = 4096): DataFrame = {
+    require(cutoff > 0.0, s"cutoff must be positive, got $cutoff")
+    val global = groupCols.isEmpty
+    val gdf = if (global) df.withColumn("__all", lit(1)) else df
+    val groups = if (global) Seq("__all") else groupCols
+    val meds = Sketches.rollupQuantiles(
+      Sketches.quantileSketches(gdf, groups, valueCol, k),
+      groups, Seq(0.5), k)
+      .select(groups.map(col) :+ col("quantile").as("median"): _*)
+    val withMed = gdf.join(broadcast(meds), groups)
+      .withColumn("__dev", abs(col(valueCol).cast("double") - col("median")))
+    val mads = Sketches.rollupQuantiles(
+      Sketches.quantileSketches(withMed, groups, "__dev", k),
+      groups, Seq(0.5), k)
+      .select(groups.map(col) :+ col("quantile").as("mad"): _*)
+    val out = withMed.join(broadcast(mads), groups)
+      .withColumn("is_outlier", col("__dev") > col("mad") * cutoff)
+      .drop("__dev")
+    if (global) out.drop("__all") else out
+  }
+
   /** Order-free corpus fingerprint: ONE row summarizing the exact
     * multiset of rows — `(n_rows, xor64, sum_lo32)` over the 60-bit
     * prefix of each row's U+241F sha-256 hash

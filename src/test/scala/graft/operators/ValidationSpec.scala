@@ -363,4 +363,36 @@ class ValidationSpec extends SparkTestBase {
         .collect())
     assert(e.getMessage.contains("empty"))
   }
+
+  test("madOutliers: hand-computed median/MAD, zero-MAD degenerate, global grouping, loud cutoff") {
+    // group a (odd n, unambiguous): 1..6 + 100 -> med 4, devs sorted
+    // 0,1,1,2,2,3,96 -> MAD 2, threshold 3.5*2 = 7 -> only 100 flags.
+    // group b: constant-majority 5,5,5,5,9 -> MAD 0 -> only 9 flags.
+    val df = (Seq(1, 2, 3, 4, 5, 6, 100).map(("a", _)) ++
+      Seq(5, 5, 5, 5, 9).map(("b", _))).toDF("g", "v")
+    val out = Validation.madOutliers(df, "v", Seq("g"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(("a", 100)) == ((4.0, 2.0, true)), s"got ${out(("a", 100))}")
+    Seq(1, 2, 3, 4, 5, 6).foreach(v =>
+      assert(!out(("a", v))._3, s"$v must be an inlier"))
+    assert(out(("b", 9)) == ((5.0, 0.0, true)))
+    assert(!out(("b", 5))._3, "zero-MAD: exact equality stays inlier")
+    // a tame mean/σ gate would MISS 100 here if the outlier inflates σ
+    // enough — the median/MAD flags it regardless (robustness pin):
+    // with the outlier present, med/MAD are untouched by its magnitude
+    val out2 = Validation.madOutliers(
+      Seq(1, 2, 3, 4, 5, 6, 1000000).map(("a", _)).toDF("g", "v"),
+      "v", Seq("g")).where(col("is_outlier"))
+      .select("v").as[Int].collect().toSeq
+    assert(out2 == Seq(1000000), "magnitude must not shift the gate")
+    // global (ungrouped) path
+    val g = Validation.madOutliers(
+      Seq(1, 2, 3, 4, 5, 6, 100).toDF("v"), "v", Nil)
+    assert(g.columns.toSeq == Seq("v", "median", "mad", "is_outlier"))
+    assert(g.where(col("is_outlier")).select("v").as[Int].collect().toSeq
+      == Seq(100))
+    intercept[IllegalArgumentException](
+      Validation.madOutliers(df, "v", Seq("g"), cutoff = 0.0))
+  }
 }
