@@ -611,6 +611,20 @@ object SparkEntry {
         maxDist = 2, minLength = 2)
     }),
 
+    // ---- sentence-level language segmentation: periods planted every
+    // 5 words, a German sentence appended to every 4th doc -> those
+    // docs must flag mixed while doc-level language ID cannot see it ----
+    "q_lang_segments" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          regexp_replace(coalesce(col("text"), lit("")),
+            "(\\S+ \\S+ \\S+ \\S+ \\S+)", "$1."),
+          when(col("doc_id") % 4 === 0,
+            lit(" Der hund ist nicht mit der katze und das haus."))
+            .otherwise(lit(""))).as("text"))
+      operators.TextAnalysis.languageMixture(docs, "doc_id", "text")
+    }),
+
     // ---- robust outlier gate: per-language median/MAD over n_chars
     // with planted 1000x spikes; KLL exact under k -> full twin ----
     "q_mad_outliers" -> ((s, dir) => {
@@ -4218,6 +4232,57 @@ object SparkEntry {
         |FROM documents GROUP BY source""".stripMargin,
     // Winsorize: the cut points are the same quantile_disc values the
     // KLL sketch yields exactly under k; the clamp is pure arithmetic.
+    "q_lang_segments" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    regexp_replace(coalesce(text, ''),
+        |      '(\S+ \S+ \S+ \S+ \S+)', '\1.', 'g')
+        |    || CASE WHEN doc_id % 4 = 0
+        |       THEN ' Der hund ist nicht mit der katze und das haus.'
+        |       ELSE '' END AS text
+        |  FROM documents),
+        |sent AS (
+        |  SELECT doc_id, s AS sentence
+        |  FROM corpus, unnest(list_filter(list_transform(
+        |    regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$'),
+        |    x -> trim(x)), x -> x <> '')) AS t(s)),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |         WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |         WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |         WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+        |         ELSE 'und' END AS lang
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(toks,
+        |        t -> list_contains(['the','and','of','to','in','is','that','for'], t))) AS s_en,
+        |      len(list_filter(toks,
+        |        t -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], t))) AS s_de,
+        |      len(list_filter(toks,
+        |        t -> list_contains(['le','la','les','et','est','pas','une','dans'], t))) AS s_fr,
+        |      len(list_filter(toks,
+        |        t -> list_contains(['el','la','los','y','es','no','una','por'], t))) AS s_es
+        |    FROM (
+        |      SELECT doc_id, list_transform(list_filter(
+        |        string_split_regex(sentence, '\s+'), t -> t <> ''),
+        |        t -> lower(t)) AS toks
+        |      FROM sent))),
+        |counts AS (
+        |  SELECT doc_id, lang, count(*) AS c FROM scored GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_sentences,
+        |    CAST(count(CASE WHEN lang <> 'und' THEN 1 END) AS BIGINT) AS n_langs
+        |  FROM counts GROUP BY doc_id),
+        |maj AS (
+        |  SELECT doc_id, lang AS majority_lang, c FROM (
+        |    SELECT doc_id, lang, c, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY c DESC, lang ASC) AS rn
+        |    FROM counts) WHERE rn = 1)
+        |SELECT t.doc_id, t.n_sentences, t.n_langs, m.majority_lang,
+        |  m.c * 1.0 / t.n_sentences AS majority_frac,
+        |  t.n_langs >= 2 AS mixed
+        |FROM tot t JOIN maj m ON t.doc_id = m.doc_id""".stripMargin,
     "q_mad_outliers" ->
       """WITH spiky AS (
         |  SELECT doc_id, lang,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -102,6 +102,43 @@ object TextAnalysis {
     scores.reverse.foldLeft(lit("und")) { case (acc, (lang, score)) =>
       when(score > 0 && score === best, lit(lang)).otherwise(acc)
     }
+  }
+
+  /** Sentence-level language segmentation: one row per sentence
+    * ([[sentences]] boundaries) with its [[languageId]] verdict —
+    * `(idCol, sent_pos, sentence, lang)`. The cleaning signal DOC-level
+    * language ID structurally misses: a page that is 70% English
+    * boilerplate around a German article scores "en" as a document but
+    * segments as mixed here. Documents with no sentences (empty text)
+    * emit no rows.
+    */
+  def sentenceLanguages(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(sentences(col(textCol))).as(Seq("sent_pos", "sentence")))
+      .withColumn("lang", languageIdFromTokens(tokens(col("sentence"))))
+
+  /** Per-document language-mixture rollup over [[sentenceLanguages]]:
+    * `(idCol, n_sentences, n_langs, majority_lang, majority_frac,
+    * mixed)` — distinct identified (non-`und`) languages, the
+    * sentence-majority language (ties to the lexically smallest;
+    * `und` competes, so an unidentifiable document says so), its
+    * share, and the `n_langs >= 2` mixed flag. Two hash aggregates
+    * (sentence-level then doc-level), no windows over the corpus.
+    */
+  def languageMixture(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = sentenceLanguages(docs, idCol, textCol)
+      .groupBy(col(idCol), col("lang")).agg(count(lit(1)).as("__c"))
+    counts.groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_sentences"),
+        count(when(col("lang") =!= "und", lit(1))).as("n_langs"),
+        min(struct((-col("__c")).as("nc"), col("lang").as("l"))).as("__m"))
+      .select(col(idCol), col("n_sentences"), col("n_langs"),
+        col("__m.l").as("majority_lang"),
+        ((-col("__m.nc")).cast("double") / col("n_sentences"))
+          .as("majority_frac"),
+        (col("n_langs") >= 2).as("mixed"))
   }
 
   /** Composite quality score in [0,1]: rewards mid-length documents and

@@ -554,4 +554,30 @@ class TextDedupSpec extends SparkTestBase {
     assert(out(1005L) == ((2L, 0L, Some(1.0))))
     assert(out.size == 6, "every input doc appears exactly once")
   }
+
+  test("sentence language segmentation flags mixed docs that doc-level ID misses") {
+    val docs = Seq(
+      (1L, "The cat is on the mat. The dog is in the house. " +
+        "Der hund ist nicht mit der katze."), // 2 en + 1 de -> mixed, majority en
+      (2L, "Le chat est dans la maison. Le chien est dans le jardin."), // pure fr
+      (3L, "xyzzy plugh. qwerty asdf."), // unidentifiable -> und, not mixed
+      (4L, "")) // no sentences -> no row
+      .toDF("doc_id", "text")
+    val sents = TextAnalysis.sentenceLanguages(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(3)).toMap
+    assert(sents((1L, 0)) == "en" && sents((1L, 1)) == "en"
+      && sents((1L, 2)) == "de", s"got $sents")
+    val mix = TextAnalysis.languageMixture(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    assert(mix(1L) == ((3L, 2L, "en", 2.0 / 3.0, true)), s"got ${mix(1L)}")
+    assert(mix(2L) == ((2L, 1L, "fr", 1.0, false)))
+    assert(mix(3L) == ((2L, 0L, "und", 1.0, false)))
+    assert(!mix.contains(4L), "empty doc emits no mixture row")
+    // the signal doc-level ID misses: doc 1 reads as plain 'en' whole
+    val docLevel = docs.where(col("doc_id") === 1L)
+      .select(TextAnalysis.languageId(col("text"))).collect().head.getString(0)
+    assert(docLevel == "en", "doc-level ID sees only the majority language")
+  }
 }
