@@ -1862,6 +1862,25 @@ object SparkEntry {
         maxRounds = 2)
     }),
 
+    // ---- strongly connected components: a bounded customer↔supplier
+    // digraph (direction decided by line quantity, so 2-cycles exist);
+    // the oracle computes mutual transitive closure ----
+    "q_scc" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+          col("o_orderkey") === col("l_orderkey"))
+        .where(col("o_custkey") < 40 && col("l_suppkey") < 40)
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("cn"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("sn"),
+          col("l_quantity").cast("double").as("q"))
+      val e = pairs.where(col("q") < 25)
+        .select(col("cn").as("src"), col("sn").as("dst"))
+        .unionByName(pairs.where(col("q") >= 25)
+          .select(col("sn").as("src"), col("cn").as("dst")))
+      operators.Graphs.stronglyConnectedComponents(e, "src", "dst")
+    }),
+
     "q_k_hop" -> ((s, dir) => {
       val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
@@ -3447,6 +3466,27 @@ object SparkEntry {
     // Spark side must produce the identical match set via buckets.
     // epoch_us // 1000000 is integer floor-div, matching `div 1000000000`
     // on the raw nanos.
+    "q_scc" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT 'c' || o_custkey::VARCHAR AS cn,
+        |    's' || l_suppkey::VARCHAR AS sn, l_quantity AS q
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey < 40 AND l_suppkey < 40),
+        |e AS (
+        |  SELECT cn AS src, sn AS dst FROM pairs WHERE q < 25
+        |  UNION
+        |  SELECT sn AS src, cn AS dst FROM pairs WHERE q >= 25),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+        |mutual AS (
+        |  SELECT r1.a AS u, r1.b AS v
+        |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+        |SELECT n.node, least(n.node, coalesce(min(m.v), n.node)) AS scc
+        |FROM n LEFT JOIN mutual m ON m.u = n.node
+        |GROUP BY n.node""".stripMargin,
     "q_interval_overlap" ->
       """WITH a AS (
         |  SELECT CAST(o_orderkey AS BIGINT) AS aid,

@@ -838,6 +838,169 @@ object Graphs {
     * same winner a window tie-break would pick). Labels re-checkpoint
     * per round so plan depth stays flat.
     */
+  /** Min-label fixpoint: `lab(u) = min({u} ∪ {lab(v) : (v, u) edge})`
+    * iterated to convergence — labels flow `fromCol → toCol`. Loud on
+    * non-convergence within `maxIters` (a truncated fixpoint is not a
+    * reachability minimum). Returns `(node, __lab)`, checkpointed and
+    * registered; the caller releases.
+    */
+  private def minLabelFixpoint(
+      e: DataFrame,
+      nodes: DataFrame,
+      fromCol: String,
+      toCol: String,
+      maxIters: Int,
+      what: String): DataFrame = {
+    var lab = nodes.select(col("node"), col("node").as("__lab"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = true
+    try {
+      while (changed) {
+        iter += 1
+        if (iter > maxIters) {
+          graft.core.Caches.releaseCheckpoint(lab)
+          throw new IllegalStateException(
+            s"$what did not converge in $maxIters iterations — the " +
+              "reachability depth exceeds maxIters; raise it")
+        }
+        val cand = e
+          .join(lab.select(col("node").as(fromCol), col("__lab").as("__inl")),
+            fromCol)
+          .groupBy(col(toCol).as("node")).agg(min(col("__inl")).as("__cand"))
+        val merged = lab.select("node", "__lab")
+          .join(cand, Seq("node"), "left")
+          .select(col("node"),
+            least(col("__lab"), coalesce(col("__cand"), col("__lab")))
+              .as("__lab"),
+            (col("__cand").isNotNull && col("__cand") < col("__lab"))
+              .as("__chg"))
+          .localCheckpoint(true)
+        // probe AFTER the swap-material exists; release the old leaf
+        graft.core.Caches.releaseCheckpoint(lab)
+        lab = merged
+        changed = lab.where(col("__chg")).limit(1).count() > 0
+      }
+    } catch {
+      case t: Throwable =>
+        graft.core.Caches.releaseCheckpoint(lab)
+        throw t
+    }
+    graft.core.Caches.registerCheckpoint(lab)
+    lab
+  }
+
+  /** Strongly connected components of a DIRECTED graph — each node's
+    * SCC labeled by the smallest member id (string order). The
+    * dedup/crawl question the weakly-connected [[Dedup.connectedComponents]]
+    * cannot answer: mutual-link cliques, redirect cycles, citation
+    * rings — `a → b` alone must NOT merge a and b.
+    *
+    * Algorithm: iterative forward/backward min-label peeling (the
+    * coloring family — Orzan 2004's scheme with min instead of max):
+    * per phase over the still-active subgraph, `F(u)` = the smallest
+    * id that can reach u (forward min fixpoint) and `B(u)` = the
+    * smallest id u can reach (backward min fixpoint). `F(u) = B(u) = c`
+    * means `c →* u` and `u →* c`, so u sits in c's SCC — and every
+    * node of that SCC shares the pair, so the whole component settles
+    * with label c. Settled nodes peel; edges restrict to the
+    * remainder; repeat. The globally smallest active id always
+    * settles, so progress is guaranteed.
+    *
+    * Bounds, loudly enforced: each fixpoint converges within
+    * `maxIters` propagation rounds (≥ the active subgraph's
+    * reachability depth) and the peel finishes within `maxPhases`
+    * (≈ the depth of the SCC condensation along decreasing min-ids —
+    * small on web-shaped graphs with a giant SCC, O(n) on an
+    * adversarial path graph; this family of algorithms shares that
+    * bound, and a truncated answer would silently mislabel, so it
+    * throws instead).
+    *
+    * Scale shapes: the [[kHopEdges]] pair-keyed dedup once; per
+    * fixpoint round one edge⋈label join + one min hash-aggregate
+    * (map-side partials, AQE-splittable); per phase two endpoint
+    * semi-joins shrink the edge list; checkpoint rotation keeps plan
+    * depth O(1). Returns `(node, scc)` for every edge endpoint.
+    */
+  def stronglyConnectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxPhases: Int = 50,
+      maxIters: Int = 100): DataFrame = {
+    require(maxPhases >= 1 && maxPhases <= 10000,
+      s"maxPhases must be in 1..10000, got $maxPhases")
+    require(maxIters >= 1 && maxIters <= 10000,
+      s"maxIters must be in 1..10000, got $maxIters")
+    val e0 = graft.core.Caches.pin(kHopEdges(edges, srcCol, dstCol))
+    try {
+      var active = e0.select(col("__s").as("node"))
+        .unionByName(e0.select(col("__d").as("node")))
+        .distinct().localCheckpoint(true)
+      var eAct: DataFrame = e0.toDF()
+      var eActIsCheckpoint = false
+      var out: DataFrame = null
+      var phase = 0
+      try {
+        while (active.limit(1).count() > 0) {
+          phase += 1
+          if (phase > maxPhases) {
+            throw new IllegalStateException(
+              s"stronglyConnectedComponents did not finish in $maxPhases " +
+                "phases — the SCC condensation is deeper than maxPhases " +
+                "(e.g. a long path of singleton SCCs); raise it")
+          }
+          val f = minLabelFixpoint(eAct, active, "__s", "__d", maxIters,
+            s"SCC forward fixpoint (phase $phase)")
+          val b =
+            try minLabelFixpoint(eAct, active, "__d", "__s", maxIters,
+              s"SCC backward fixpoint (phase $phase)")
+            catch { case t: Throwable =>
+              graft.core.Caches.releaseCheckpoint(f); throw t }
+          val settled = f.select(col("node"), col("__lab").as("__f"))
+            .join(b.select(col("node"), col("__lab").as("__b")), "node")
+            .where(col("__f") === col("__b"))
+            .select(col("node"), col("__f").as("scc"))
+          val grown =
+            (if (out == null) settled else out.unionByName(settled))
+              .localCheckpoint(true)
+          if (out != null) graft.core.Caches.releaseCheckpoint(out)
+          out = grown
+          val remaining = active
+            .join(settled.select("node"), Seq("node"), "left_anti")
+            .localCheckpoint(true)
+          graft.core.Caches.releaseCheckpoint(active)
+          active = remaining
+          graft.core.Caches.releaseCheckpoint(f)
+          graft.core.Caches.releaseCheckpoint(b)
+          val eNext = eAct
+            .join(active.select(col("node").as("__s")), "__s")
+            .join(active.select(col("node").as("__d")), "__d")
+            .select("__s", "__d")
+            .localCheckpoint(true)
+          if (eActIsCheckpoint) graft.core.Caches.releaseCheckpoint(eAct)
+          eAct = eNext
+          eActIsCheckpoint = true
+        }
+      } catch {
+        case t: Throwable =>
+          graft.core.Caches.releaseCheckpoint(active)
+          if (eActIsCheckpoint) graft.core.Caches.releaseCheckpoint(eAct)
+          if (out != null) graft.core.Caches.releaseCheckpoint(out)
+          throw t
+      }
+      graft.core.Caches.releaseCheckpoint(active)
+      if (eActIsCheckpoint) graft.core.Caches.releaseCheckpoint(eAct)
+      if (out == null) {
+        // no edges at all — empty result with the contract schema
+        e0.select(col("__s").as("node"), col("__d").as("scc")).limit(0)
+      } else {
+        graft.core.Caches.registerCheckpoint(out)
+        out
+      }
+    } finally e0.unpersist()
+  }
+
   def labelPropagationCommunities(
       edges: DataFrame,
       srcCol: String,

@@ -386,6 +386,87 @@ class GraphsSpec extends SparkTestBase {
       "shortestPaths must not leak pins/checkpoints")
   }
 
+  test("stronglyConnectedComponents equals a Tarjan reference on planted and pseudorandom graphs") {
+    import spark.implicits._
+    // single-node Tarjan (iterative, explicit stack) as ground truth
+    def tarjan(edges: Seq[(String, String)]): Map[String, String] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        .withDefaultValue(Seq.empty)
+      val index = scala.collection.mutable.Map.empty[String, Int]
+      val low = scala.collection.mutable.Map.empty[String, Int]
+      val onStack = scala.collection.mutable.Set.empty[String]
+      val stack = scala.collection.mutable.Stack.empty[String]
+      val scc = scala.collection.mutable.Map.empty[String, String]
+      var counter = 0
+      def strongconnect(v0: String): Unit = {
+        // explicit work stack: (node, child iterator)
+        val work = scala.collection.mutable.Stack[(String, Iterator[String])]()
+        def push(v: String): Unit = {
+          index(v) = counter; low(v) = counter; counter += 1
+          stack.push(v); onStack += v
+          work.push((v, adj(v).iterator))
+        }
+        push(v0)
+        while (work.nonEmpty) {
+          val (v, it) = work.top
+          if (it.hasNext) {
+            val w = it.next()
+            if (!index.contains(w)) push(w)
+            else if (onStack(w)) low(v) = math.min(low(v), index(w))
+          } else {
+            work.pop()
+            if (work.nonEmpty)
+              low(work.top._1) = math.min(low(work.top._1), low(v))
+            if (low(v) == index(v)) {
+              val comp = scala.collection.mutable.Buffer.empty[String]
+              var w = ""
+              while ({ w = stack.pop(); onStack -= w; comp += w; w != v }) ()
+              val m = comp.min
+              comp.foreach(scc(_) = m)
+            }
+          }
+        }
+      }
+      nodes.foreach(v => if (!index.contains(v)) strongconnect(v))
+      scc.toMap
+    }
+    def run(edges: Seq[(String, String)]): Map[String, String] =
+      Graphs.stronglyConnectedComponents(edges.toDF("src", "dst"),
+        "src", "dst")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // planted: two cycles bridged one-way, a tendril, a self-loop
+    val planted = Seq(("a", "b"), ("b", "c"), ("c", "a"), // scc {a,b,c}
+      ("c", "d"), ("d", "e"), ("e", "d"),                 // scc {d,e}
+      ("e", "f"),                                          // f singleton
+      ("g", "g"),                                          // self-loop
+      ("h", "a"))                                          // h singleton into the cycle
+    assert(run(planted) == tarjan(planted))
+    // a one-way pair must NOT merge (the weakly-connected trap)
+    assert(run(Seq(("x", "y"))) == Map("x" -> "x", "y" -> "y"))
+    // pseudorandom digraphs vs Tarjan, fixed seeds
+    Seq(7, 23, 99).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val es = (1 to 60).map(_ =>
+        (s"n${rnd.nextInt(18)}", s"n${rnd.nextInt(18)}"))
+      assert(run(es) == tarjan(es), s"seed $seed diverged")
+    }
+    // nothing leaks either way
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val res = Graphs.stronglyConnectedComponents(
+      planted.toDF("src", "dst"), "src", "dst")
+    res.collect()
+    graft.core.Caches.releaseCheckpoint(res)
+    // loud phase bound: a 6-link path needs ~6 peel phases
+    intercept[IllegalStateException] {
+      Graphs.stronglyConnectedComponents(
+        (1 to 6).map(i => (s"p$i", s"p${i + 1}")).toDF("src", "dst"),
+        "src", "dst", maxPhases = 2)
+    }
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "SCC must not leak pins/checkpoints")
+  }
+
   test("kHopEdges is hub-skew-safe: pair-keyed hash-aggregate dedup, no src-only exchange, exact on a planted mega-hub") {
     import spark.implicits._
     // a 100k-out-degree hub: a repartition(__s) would drag its whole
