@@ -485,6 +485,18 @@ object SparkEntry {
         Seq("spark", "window", "merge", "shuffle"))
     }),
 
+    // ---- stemmed retrieval: the same standing index with the Porter
+    // analyzer recorded in the sidecar — query inflections collapse to
+    // index stems; rows-only (no SQL stemmer), semantics in SearchSpec ----
+    "q_bm25_stemmed" -> ((s, dir) => {
+      val idx = scratchDir("graft_stemidx_") + "/idx"
+      operators.Search.writeIndex(
+        t(s, dir, "documents"), "doc_id", "text", idx, numBuckets = 16,
+        stem = true)
+      operators.Search.searchIndex(s, idx,
+        Seq("windows", "merges", "shuffles", "partitions"))
+    }),
+
     // ---- segmented (append-grown) BM25 index: three disjoint batches
     // appended as segments, merged on read — same oracle as the ad-hoc
     // and monolithic paths, which it must match to the last bit ----

@@ -88,10 +88,15 @@ object Search {
       idCol: String,
       textCol: String,
       numBuckets: Int = 64,
-      lowercase: Boolean = true): DataFrame = {
+      lowercase: Boolean = true,
+      stem: Boolean = false): DataFrame = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     val toks0 = TextAnalysis.tokens(col(textCol))
-    val toks = if (lowercase) transform(toks0, t => lower(t)) else toks0
+    val toks1 = if (lowercase) transform(toks0, t => lower(t)) else toks0
+    // analyzer order: lowercase THEN stem (the stemmer's contract is
+    // lowercase input); recorded in the sidecar so queries match
+    val toks = if (stem)
+      transform(toks1, t => graft.functions.PorterStem(t)) else toks1
     val s = col("__s")
     val runStarts = filter(sequence(lit(0), col("__dl") - 1), i =>
       (i === 0) || element_at(s, i + 1) =!= element_at(s, i))
@@ -128,6 +133,7 @@ object Search {
       path: String,
       numBuckets: Int = 64,
       lowercase: Boolean = true,
+      stem: Boolean = false,
       targetFileBytes: Long = 128L << 20): Unit = {
     val spark = docs.sparkSession
     val dir = new org.apache.hadoop.fs.Path(path)
@@ -135,7 +141,7 @@ object Search {
     require(!fs.exists(new org.apache.hadoop.fs.Path(dir, ParamsFileName)),
       s"writeIndex: $path already holds a committed index — builds are " +
         "one-shot; rebuild into a fresh path or delete the old index first")
-    buildSegment(docs, idCol, textCol, path, numBuckets, lowercase,
+    buildSegment(docs, idCol, textCol, path, numBuckets, lowercase, stem,
       targetFileBytes)
   }
 
@@ -151,19 +157,20 @@ object Search {
       path: String,
       numBuckets: Int,
       lowercase: Boolean,
+      stem: Boolean,
       targetFileBytes: Long): Unit = {
     val spark = docs.sparkSession
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val postings = graft.core.Caches.pin(
-      indexRows(docs, idCol, textCol, numBuckets, lowercase))
+      indexRows(docs, idCol, textCol, numBuckets, lowercase, stem))
     try {
       // Σtf over the postings IS the corpus token count; zero-token docs
       // have no postings but contribute nothing to the sum either
       val sumRow = postings.agg(sum(col("__tf")).as("s")).head()
       val sumDl = if (sumRow.isNullAt(0)) 0L else sumRow.getAs[Long]("s")
       val nDocs = docs.select(col(idCol)).count()
-      writePostings(postings, dir, fs, numBuckets, lowercase, idCol,
+      writePostings(postings, dir, fs, numBuckets, lowercase, stem, idCol,
         docs.schema(idCol).dataType.json, nDocs, sumDl, targetFileBytes)
     } finally postings.unpersist(blocking = false): Unit
   }
@@ -176,6 +183,7 @@ object Search {
       fs: org.apache.hadoop.fs.FileSystem,
       numBuckets: Int,
       lowercase: Boolean,
+      stem: Boolean,
       idCol: String,
       idTypeJson: String,
       nDocs: Long,
@@ -189,6 +197,7 @@ object Search {
     graft.io.Sidecar.commit(fs, dir, ParamsFileName,
       graft.io.Json.toJson(Map(
         "num_buckets" -> numBuckets, "lowercase" -> lowercase,
+        "stem" -> stem,
         "id_col" -> idCol,
         // the id's Catalyst type, so a zero-posting index (all docs
         // empty: no data files on disk) can still answer queries with a
@@ -228,6 +237,7 @@ object Search {
       path: String,
       numBuckets: Int = 64,
       lowercase: Boolean = true,
+      stem: Boolean = false,
       targetFileBytes: Long = 128L << 20,
       segmentName: Option[String] = None): Boolean = {
     val spark = docs.sparkSession
@@ -241,17 +251,18 @@ object Search {
           s"appendSegment: $path holds a one-shot monolithic index " +
             "(writeIndex); segmented growth needs an index created by " +
             "appendSegment — rebuild it segmented")
-        checkLayout(node, numBuckets, lowercase, idCol, idTypeJson, path)
+        checkLayout(node, numBuckets, lowercase, stem, idCol, idTypeJson, path)
       case None =>
         val committed = graft.io.Sidecar.commit(fs, dir, ParamsFileName,
           graft.io.Json.toJson(Map(
             "num_buckets" -> numBuckets, "lowercase" -> lowercase,
+            "stem" -> stem,
             "id_col" -> idCol, "id_type" -> idTypeJson)),
           overwrite = false)
         // a concurrent creator may have won the commit race: whatever
         // content committed is the layout, and this call must match it
         checkLayout(graft.io.Json.parse(committed), numBuckets, lowercase,
-          idCol, idTypeJson, path)
+          stem, idCol, idTypeJson, path)
     }
     val segsDir = new org.apache.hadoop.fs.Path(dir, SegmentsDirName)
     listSegments(fs, dir): Unit // refuses a crashed-compaction state loud
@@ -262,7 +273,7 @@ object Search {
     if (segmentName.exists(n =>
         fs.exists(new org.apache.hadoop.fs.Path(segsDir, n)))) false
     else appendSegmentCommit(docs, idCol, textCol, dir, fs, segsDir,
-      numBuckets, lowercase, targetFileBytes, segmentName)
+      numBuckets, lowercase, stem, targetFileBytes, segmentName)
   }
 
   private def appendSegmentCommit(
@@ -274,12 +285,13 @@ object Search {
       segsDir: org.apache.hadoop.fs.Path,
       numBuckets: Int,
       lowercase: Boolean,
+      stem: Boolean,
       targetFileBytes: Long,
       segmentName: Option[String]): Boolean = {
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s".tmp-seg-${java.util.UUID.randomUUID()}")
     buildSegment(docs, idCol, textCol, tmp.toString, numBuckets, lowercase,
-      targetFileBytes)
+      stem, targetFileBytes)
     fs.mkdirs(segsDir): Unit
     segmentName match {
       case Some(n) =>
@@ -309,16 +321,21 @@ object Search {
 
   private def checkLayout(
       node: com.fasterxml.jackson.databind.JsonNode,
-      numBuckets: Int, lowercase: Boolean, idCol: String,
+      numBuckets: Int, lowercase: Boolean, stem: Boolean, idCol: String,
       idTypeJson: String, path: String): Unit = {
     val stored = (node.get("num_buckets").asInt(),
-      node.get("lowercase").asBoolean(), node.get("id_col").asText(),
-      node.get("id_type").asText())
-    require(stored == ((numBuckets, lowercase, idCol, idTypeJson)),
+      node.get("lowercase").asBoolean(), stemOf(node),
+      node.get("id_col").asText(), node.get("id_type").asText())
+    require(stored == ((numBuckets, lowercase, stem, idCol, idTypeJson)),
       s"appendSegment: index at $path has layout $stored but this call " +
-        s"uses ${(numBuckets, lowercase, idCol, idTypeJson)} — layout " +
-        "must match across appends or bucket pruning silently breaks")
+        s"uses ${(numBuckets, lowercase, stem, idCol, idTypeJson)} — " +
+        "layout must match across appends or bucket pruning (and the " +
+        "analyzer) silently breaks")
   }
+
+  /** `stem` from a params sidecar; pre-stemming indexes lack the key. */
+  private def stemOf(node: com.fasterxml.jackson.databind.JsonNode): Boolean =
+    node.has("stem") && node.get("stem").asBoolean()
 
   private def nextSegmentId(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -392,6 +409,7 @@ object Search {
     if (segs.length <= 1) return // nothing to merge
     val numBuckets = node.get("num_buckets").asInt()
     val lowercase = node.get("lowercase").asBoolean()
+    val stem = stemOf(node)
     val idCol = node.get("id_col").asText()
     val idTypeJson = node.get("id_type").asText()
     val stats = segs.map(p => segmentStats(fs, p))
@@ -409,14 +427,15 @@ object Search {
         .reduce(_ unionByName _)
         .select(col(idCol), col("__dl"), col("__term"), col("__tf"),
           col("__tb")) // normalize column order across segments
-      writePostings(postings, mergedSeg, fs, numBuckets, lowercase, idCol,
-        idTypeJson, nDocs, sumDl, targetFileBytes)
+      writePostings(postings, mergedSeg, fs, numBuckets, lowercase, stem,
+        idCol, idTypeJson, nDocs, sumDl, targetFileBytes)
     } else {
       // all segments empty: a sidecar-only merged segment
       fs.mkdirs(mergedSeg): Unit
       graft.io.Sidecar.commit(fs, mergedSeg, ParamsFileName,
         graft.io.Json.toJson(Map(
           "num_buckets" -> numBuckets, "lowercase" -> lowercase,
+          "stem" -> stem,
           "id_col" -> idCol, "id_type" -> idTypeJson,
           "n_docs" -> nDocs, "sum_dl" -> sumDl)),
         overwrite = false): Unit
@@ -476,9 +495,13 @@ object Search {
     val node = graft.io.Json.parse(raw)
     val numBuckets = node.get("num_buckets").asInt()
     val lowercase = node.get("lowercase").asBoolean()
+    val stem = stemOf(node)
     val idCol = node.get("id_col").asText()
+    // query terms pass through the INDEX's recorded analyzer — a
+    // stemmed index probed with unstemmed terms would silently miss
     val qs0 = if (lowercase) queryTerms.map(_.toLowerCase) else queryTerms
-    val qs = qs0.distinct
+    val qs1 = if (stem) qs0.map(graft.functions.PorterStemmer.stem) else qs0
+    val qs = qs1.distinct
     val (nDocs, sumDl, scanPaths) =
       if (node.has("n_docs")) // monolithic: constants inline, one scan root
         (node.get("n_docs").asLong(), node.get("sum_dl").asLong(), Seq(path))

@@ -206,4 +206,46 @@ class SearchSpec extends SparkTestBase {
       (1 + 1.2 * (0.25 + 0.75 * 2 / (3.0 / 4)))
     assert(math.abs(out.head._3 - exp) < 1e-6)
   }
+
+  test("stemmed index: inflections collapse at index AND query time; layout guarded; compact preserves") {
+    val docs = Seq(
+      (1L, "running runs quickly"),
+      (2L, "the runner ran the race"),   // 'ran' does not stem to 'run'
+      (3L, "walking walked walks")).toDF("doc_id", "text")
+    val stemDir = scratch()
+    val plainDir = scratch()
+    Search.writeIndex(docs, "doc_id", "text", stemDir, numBuckets = 8,
+      stem = true)
+    Search.writeIndex(docs, "doc_id", "text", plainDir, numBuckets = 8)
+    // query with ONE inflection; the stemmed index must surface every
+    // doc sharing the stem — the plain index only exact matches (none)
+    def hits(dir: String, term: String): Set[Long] =
+      Search.searchIndex(spark, dir, Seq(term))
+        .select("doc_id").as[Long].collect().toSet
+    assert(hits(stemDir, "runs") == Set(1L), s"run stem: doc 1 has run twice")
+    assert(hits(stemDir, "walked") == Set(3L))
+    assert(hits(plainDir, "walked") == Set(3L), "exact term still matches")
+    assert(hits(plainDir, "walks") == Set(3L))
+    // 'running' and 'runs' share doc 1's postings under one stem: the
+    // stemmed index scores them identically, the plain one differently
+    val a = Search.searchIndex(spark, stemDir, Seq("running"))
+      .select("score").as[Double].collect().toSeq
+    val b = Search.searchIndex(spark, stemDir, Seq("runs"))
+      .select("score").as[Double].collect().toSeq
+    assert(a == b, "inflections must be one posting under stemming")
+    // segmented: stem recorded at creation, drift is loud
+    val segDir = scratch()
+    assert(Search.appendSegment(docs, "doc_id", "text", segDir,
+      numBuckets = 8, stem = true))
+    intercept[IllegalArgumentException] {
+      Search.appendSegment(docs, "doc_id", "text", segDir,
+        numBuckets = 8, stem = false)
+    }
+    assert(Search.appendSegment(docs.withColumn("doc_id", col("doc_id") + 10),
+      "doc_id", "text", segDir, numBuckets = 8, stem = true))
+    Search.compactSegments(spark, segDir)
+    assert(Search.searchIndex(spark, segDir, Seq("runs"))
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 11L),
+      "compaction must preserve the stem analyzer")
+  }
 }
