@@ -759,6 +759,18 @@ object SparkEntry {
         "doc_id", "text", vocab)
     }),
 
+    // ---- tokenizer artifact lifecycle witness: train -> sidecar-
+    // committed save -> kind-checked load -> encode (rows-only) ----
+    "q_tokenizer_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = operators.WordPiece.train(docs, "text",
+        vocabSize = 1000, minPairCount = 2, batchSize = 32)
+      val p = scratchDir("graft_tokart_") + "/wp"
+      operators.Tokenizers.saveWordPiece(vocab, p)
+      operators.WordPiece.encode(docs.where(col("doc_id") % 50 === 0),
+        "doc_id", "text", operators.Tokenizers.loadWordPiece(s, p))
+    }),
+
     "q_unigram_vocab" -> ((s, dir) => {
       operators.Unigram.train(t(s, dir, "documents"), "text",
         vocabSize = 300, seedSize = 3000, iterations = 2, maxPieceLen = 6)
