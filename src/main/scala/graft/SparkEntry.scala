@@ -623,6 +623,16 @@ object SparkEntry {
         maxDist = 2, minLength = 2)
     }),
 
+    // ---- pre-shuffle skew diagnostics + data-driven salt plan ----
+    "q_skew_report" -> ((s, dir) => {
+      operators.Skew.skewReport(t(s, dir, "documents"),
+        Seq("lang", "source"), k = 10)
+    }),
+    "q_salt_plan" -> ((s, dir) => {
+      operators.Skew.saltPlan(t(s, dir, "lineitem"), Seq("l_suppkey"),
+        targetRowsPerTask = 400)
+    }),
+
     // ---- sentence-level language segmentation: periods planted every
     // 5 words, a German sentence appended to every 4th doc -> those
     // docs must flag mixed while doc-level language ID cannot see it ----
@@ -4296,6 +4306,24 @@ object SparkEntry {
         |FROM documents GROUP BY source""".stripMargin,
     // Winsorize: the cut points are the same quantile_disc values the
     // KLL sketch yields exactly under k; the clamp is pure arithmetic.
+    "q_skew_report" ->
+      """WITH c AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+        |r AS (
+        |  SELECT lang, source, cnt, row_number() OVER (
+        |    ORDER BY cnt DESC, lang ASC, source ASC) AS rank
+        |  FROM c)
+        |SELECT lang, source, cnt,
+        |  (cnt * 1000000) // total AS share_micros,
+        |  CAST(rank AS INTEGER) AS rank
+        |FROM r, t WHERE rank <= 10""".stripMargin,
+    "q_salt_plan" ->
+      """SELECT l_suppkey, cnt, (cnt + 399) // 400 AS salts FROM (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |WHERE cnt > 400""".stripMargin,
     "q_lang_segments" ->
       """WITH corpus AS (
         |  SELECT doc_id,

@@ -19,6 +19,56 @@ object Skew {
   private def saltCol(from: Column, n: Int): Column =
     pmod(xxhash64(from), lit(n.toLong)).cast("int")
 
+  /** Pre-shuffle skew diagnostics: the top-`k` hottest key combinations
+    * with exact counts, micro-unit shares (`cnt·10⁶ ÷ total`, integer
+    * division — engine-exact), and rank — what to run BEFORE a big
+    * keyed join/aggregate to know whether [[saltedJoin]] (or AQE alone)
+    * is enough. One hash aggregate with map-side partials + a
+    * TakeOrdered; the corpus never sorts globally. NULL keys count as a
+    * real combination (they flood a reducer like any hot key).
+    */
+  def skewReport(
+      df: DataFrame,
+      keyCols: Seq[String],
+      k: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val total = df.count()
+    require(total > 0, "skewReport: empty input — nothing to diagnose")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, struct(keyCols.map(col): _*).asc)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, struct(keyCols.map(col): _*).asc)
+      .limit(k)
+      // integer `div`, not `/` (Spark divides longs into doubles)
+      .withColumn("share_micros",
+        expr(s"(cnt * CAST(1000000 AS BIGINT)) div CAST($total AS BIGINT)"))
+      .withColumn("rank", row_number().over(w))
+  }
+
+  /** Data-driven salt plan for the keys that actually need salting:
+    * every key combination whose row count exceeds `targetRowsPerTask`
+    * gets `salts = ceil(cnt / target)` — feed the hot keys to an n-way
+    * [[saltedJoin]] (n = max salts) or route them separately, and leave
+    * the cold tail to AQE. Exact integer arithmetic; one hash
+    * aggregate + a count-threshold filter, output is hot-key-sized.
+    */
+  def saltPlan(
+      df: DataFrame,
+      keyCols: Seq[String],
+      targetRowsPerTask: Long): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(targetRowsPerTask >= 1,
+      s"targetRowsPerTask must be >= 1, got $targetRowsPerTask")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > targetRowsPerTask)
+      .withColumn("salts", expr(
+        s"(cnt + CAST(${targetRowsPerTask - 1L} AS BIGINT)) div " +
+          s"CAST($targetRowsPerTask AS BIGINT)"))
+  }
+
   /** Equi-join with an n-way salt on the (skewed) left side.
     *
     * Left rows get a deterministic salt in [0, n) derived from `saltFrom`

@@ -165,4 +165,25 @@ class SkewSpec extends SparkTestBase {
       Seq((1L, 2L)).toDF("a", "b"), "a", "b", algorithm = "stars")
     assert(out.sparkSession eq spark)
   }
+
+  test("skewReport ranks hot keys exactly; saltPlan sizes salts; nulls count") {
+    val rows = Seq.fill(60)(("hot", 1)) ++ Seq.fill(25)(("warm", 1)) ++
+      Seq.fill(10)((null: String, 1)) ++ Seq.fill(5)(("cold", 1))
+    val df = rows.toDF("k", "v")
+    val rep = Skew.skewReport(df, Seq("k"), k = 3)
+      .collect().map(r => (Option(r.getString(0)).getOrElse("NULL"),
+        r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rep.toSeq == Seq(("hot", 60L, 600000L, 1),
+      ("warm", 25L, 250000L, 2), ("NULL", 10L, 100000L, 3)), s"got ${rep.toSeq}")
+    val plan = Skew.saltPlan(df, Seq("k"), targetRowsPerTask = 20)
+      .collect().map(r => Option(r.getString(0)).getOrElse("NULL") ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(plan == Map("hot" -> ((60L, 3L)), "warm" -> ((25L, 2L))),
+      s"got $plan") // ceil(60/20)=3, ceil(25/20)=2; cold tail absent
+    intercept[IllegalArgumentException](Skew.skewReport(df, Nil))
+    intercept[IllegalArgumentException](
+      Skew.skewReport(df.limit(0), Seq("k")))
+    intercept[IllegalArgumentException](
+      Skew.saltPlan(df, Seq("k"), targetRowsPerTask = 0))
+  }
 }
