@@ -838,20 +838,23 @@ object Graphs {
     * same winner a window tie-break would pick). Labels re-checkpoint
     * per round so plan depth stays flat.
     */
-  /** Min-label fixpoint: `lab(u) = min({u} ∪ {lab(v) : (v, u) edge})`
-    * iterated to convergence — labels flow `fromCol → toCol`. Loud on
-    * non-convergence within `maxIters` (a truncated fixpoint is not a
-    * reachability minimum). Returns `(node, __lab)`, checkpointed and
-    * registered; the caller releases.
+  /** FUSED forward+backward min-label fixpoint: one loop carries both
+    * `F(u) = min{v : v →* u}` (labels flow src → dst) and
+    * `B(u) = min{v : u →* v}` (dst → src), iterating until NEITHER
+    * improves — one checkpoint and one convergence probe per round for
+    * both directions, half the driver rounds of two separate loops
+    * (iterative graph cost here is round LATENCY, not data volume).
+    * Loud on non-convergence within `maxIters` (a truncated fixpoint
+    * is not a reachability minimum). Returns `(node, __f, __b)`,
+    * checkpointed and registered; the caller releases.
     */
-  private def minLabelFixpoint(
+  private def minLabelFixpointFB(
       e: DataFrame,
       nodes: DataFrame,
-      fromCol: String,
-      toCol: String,
       maxIters: Int,
       what: String): DataFrame = {
-    var lab = nodes.select(col("node"), col("node").as("__lab"))
+    var lab = nodes.select(col("node"),
+      col("node").as("__f"), col("node").as("__b"))
       .localCheckpoint(true)
     var iter = 0
     var changed = true
@@ -864,16 +867,22 @@ object Graphs {
             s"$what did not converge in $maxIters iterations — the " +
               "reachability depth exceeds maxIters; raise it")
         }
-        val cand = e
-          .join(lab.select(col("node").as(fromCol), col("__lab").as("__inl")),
-            fromCol)
-          .groupBy(col(toCol).as("node")).agg(min(col("__inl")).as("__cand"))
-        val merged = lab.select("node", "__lab")
-          .join(cand, Seq("node"), "left")
+        val candF = e
+          .join(lab.select(col("node").as("__s"), col("__f").as("__inf")),
+            "__s")
+          .groupBy(col("__d").as("node")).agg(min(col("__inf")).as("__cf"))
+        val candB = e
+          .join(lab.select(col("node").as("__d"), col("__b").as("__inb")),
+            "__d")
+          .groupBy(col("__s").as("node")).agg(min(col("__inb")).as("__cb"))
+        val merged = lab.select("node", "__f", "__b")
+          .join(candF, Seq("node"), "left")
+          .join(candB, Seq("node"), "left")
           .select(col("node"),
-            least(col("__lab"), coalesce(col("__cand"), col("__lab")))
-              .as("__lab"),
-            (col("__cand").isNotNull && col("__cand") < col("__lab"))
+            least(col("__f"), coalesce(col("__cf"), col("__f"))).as("__f"),
+            least(col("__b"), coalesce(col("__cb"), col("__b"))).as("__b"),
+            ((col("__cf").isNotNull && col("__cf") < col("__f")) ||
+              (col("__cb").isNotNull && col("__cb") < col("__b")))
               .as("__chg"))
           .localCheckpoint(true)
         // probe AFTER the swap-material exists; release the old leaf
@@ -899,8 +908,10 @@ object Graphs {
     * Algorithm: iterative forward/backward min-label peeling (the
     * coloring family — Orzan 2004's scheme with min instead of max):
     * per phase over the still-active subgraph, `F(u)` = the smallest
-    * id that can reach u (forward min fixpoint) and `B(u)` = the
-    * smallest id u can reach (backward min fixpoint). `F(u) = B(u) = c`
+    * id that can reach u and `B(u)` = the smallest id u can reach,
+    * both carried by ONE fused fixpoint loop
+    * ([[minLabelFixpointFB]] — one checkpoint + one probe per round
+    * for both directions). `F(u) = B(u) = c`
     * means `c →* u` and `u →* c`, so u sits in c's SCC — and every
     * node of that SCC shares the pair, so the whole component settles
     * with label c. Settled nodes peel; edges restrict to the
@@ -950,15 +961,9 @@ object Graphs {
                 "phases — the SCC condensation is deeper than maxPhases " +
                 "(e.g. a long path of singleton SCCs); raise it")
           }
-          val f = minLabelFixpoint(eAct, active, "__s", "__d", maxIters,
-            s"SCC forward fixpoint (phase $phase)")
-          val b =
-            try minLabelFixpoint(eAct, active, "__d", "__s", maxIters,
-              s"SCC backward fixpoint (phase $phase)")
-            catch { case t: Throwable =>
-              graft.core.Caches.releaseCheckpoint(f); throw t }
-          val settled = f.select(col("node"), col("__lab").as("__f"))
-            .join(b.select(col("node"), col("__lab").as("__b")), "node")
+          val fb = minLabelFixpointFB(eAct, active, maxIters,
+            s"SCC fixpoint (phase $phase)")
+          val settled = fb
             .where(col("__f") === col("__b"))
             .select(col("node"), col("__f").as("scc"))
           val grown =
@@ -971,8 +976,7 @@ object Graphs {
             .localCheckpoint(true)
           graft.core.Caches.releaseCheckpoint(active)
           active = remaining
-          graft.core.Caches.releaseCheckpoint(f)
-          graft.core.Caches.releaseCheckpoint(b)
+          graft.core.Caches.releaseCheckpoint(fb)
           val eNext = eAct
             .join(active.select(col("node").as("__s")), "__s")
             .join(active.select(col("node").as("__d")), "__d")
