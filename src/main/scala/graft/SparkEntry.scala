@@ -2328,6 +2328,13 @@ object SparkEntry {
         streaming.StreamingOps.readEvents(s, s"$dir/events.parquet"))
     }),
 
+    // ---- sliding (overlapping) windows: trailing hour per 15-minute
+    // slide; every event lands in 4 windows ----
+    "q_sliding_windows" -> ((s, dir) => {
+      streaming.StreamingOps.slidingTypeCounts(
+        streaming.StreamingOps.readEvents(s, s"$dir/events.parquet"))
+    }),
+
     // ---- keyed interval join (the stream-stream attribution shape, on
     // its static twin): every 10th event attributed to same-user events
     // in the preceding 10 minutes ----
@@ -6094,6 +6101,17 @@ object SparkEntry {
         |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+    "q_sliding_windows" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        |off AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        |w AS (
+        |  SELECT ((us // 900000000) - i) * 900000000 AS ws_us,
+        |    event_type, value
+        |  FROM ev CROSS JOIN off)
+        |SELECT ws_us // 1000000 AS window_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "q_interval_join" ->
       """WITH l AS (
         |  SELECT event_id AS l_event_id, user_id, epoch_us(ts) AS l_us

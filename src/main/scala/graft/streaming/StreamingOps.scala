@@ -139,6 +139,30 @@ object StreamingOps {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** Sliding-window per-type counts — [[windowedTypeCounts]]'s
+    * overlapping sibling (`window(ts, length, slide)`): each event
+    * lands in `length/slide` windows, the freshness-vs-smoothing dial
+    * of rate dashboards ("events per trailing hour, updated every 15
+    * minutes"). Same shape batch and streaming; window starts align to
+    * epoch multiples of `slide` (Spark's contract, which the oracle's
+    * integer-division twin reproduces exactly).
+    */
+  def slidingTypeCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      slide: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLength, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
   /** Keyed interval join — the stream-stream enrichment shape ("attach to
     * each left event the right-side events for the same key whose
     * timestamps fall in [left.ts - lookback, left.ts + lookahead]"), e.g.

@@ -34,6 +34,33 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sliding type counts: every event lands in length/slide windows; streaming matches batch") {
+    val dir = Files.createTempDirectory("graft_slide_").toString
+    val events = StreamingOps.readEvents(spark, sf("events"))
+    events.write.mode("overwrite").parquet(dir)
+    val batch = StreamingOps.slidingTypeCounts(events)
+    // coverage invariant: Σ sliding n_events = 4 × event count (1h/15m)
+    val total = batch.agg(org.apache.spark.sql.functions.sum("n_events"))
+      .collect().head.getLong(0)
+    assert(total == events.count() * 4, s"each event must land in 4 windows")
+    // window starts align to 15-minute slide boundaries
+    assert(batch.where(org.apache.spark.sql.functions.expr(
+      "window_start % 900 != 0")).count() == 0)
+    val streaming = StreamingOps.slidingTypeCounts(
+      StreamingOps.readEventStream(spark, dir))
+    val q = streaming.writeStream
+      .format("memory").queryName("slide_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("slide_out")
+        .orderBy("window_start", "event_type").collect()
+      val expected = batch
+        .orderBy("window_start", "event_type").collect()
+      assert(got.length == expected.length && got.length > 0)
+      got.zip(expected).foreach { case (g, e) => assert(g == e) }
+    } finally q.stop()
+  }
+
   test("intervalJoin matches hand-computed attribution windows on static frames") {
     def ev(id: Long, user: Long, sec: Int) =
       (id, new java.sql.Timestamp(sec * 1000L), user)
