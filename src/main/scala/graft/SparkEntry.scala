@@ -681,6 +681,20 @@ object SparkEntry {
         "key", depth = 4, width = 2048)
     }),
 
+    // ---- CMS inner-product join-size estimate: size the
+    // orders⋈lineitem shuffle from two kilobyte summaries ----
+    "q_cms_join_size" -> ((s, dir) => {
+      def cells(df: org.apache.spark.sql.DataFrame) =
+        operators.Sketches.rollupCms(
+          operators.Sketches.cmsSketches(df.withColumn("all", lit(1)),
+            Seq("all"), "k", depth = 4, width = 4096), Nil)
+      operators.Sketches.cmsJoinSize(
+        cells(t(s, dir, "orders")
+          .select(col("o_orderkey").cast("string").as("k"))),
+        cells(t(s, dir, "lineitem")
+          .select(col("l_orderkey").cast("string").as("k"))))
+    }),
+
     // ---- confident-learning label-error detection: binary labels
     // from lang, deterministic rational pseudo-probabilities from text
     // length; integer cross-multiplied thresholds -> hash-exact ----
@@ -5340,6 +5354,25 @@ object SparkEntry {
         |FROM groups g CROSS JOIN pb p
         |LEFT JOIN cells c ON c.lang = g.lang AND c.d = p.d AND c.b = p.b
         |GROUP BY g.lang, p.key""".stripMargin,
+    "q_cms_join_size" ->
+      """WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        |ca AS (
+        |  SELECT d,
+        |    ('0x' || substring(sha256(o_orderkey::VARCHAR || ':graft:' || d::VARCHAR), 1, 7))::BIGINT
+        |      % 4096 AS b,
+        |    CAST(count(*) AS BIGINT) AS ca
+        |  FROM orders CROSS JOIN ds GROUP BY d, b),
+        |cb AS (
+        |  SELECT d,
+        |    ('0x' || substring(sha256(l_orderkey::VARCHAR || ':graft:' || d::VARCHAR), 1, 7))::BIGINT
+        |      % 4096 AS b,
+        |    CAST(count(*) AS BIGINT) AS cb
+        |  FROM lineitem CROSS JOIN ds GROUP BY d, b),
+        |ip AS (
+        |  SELECT ca.d, CAST(sum(ca.ca * cb.cb) AS BIGINT) AS ip
+        |  FROM ca JOIN cb ON ca.d = cb.d AND ca.b = cb.b GROUP BY ca.d)
+        |SELECT CAST(min(coalesce(ip.ip, 0)) AS BIGINT) AS join_size_est
+        |FROM ds LEFT JOIN ip ON ip.d = ds.d""".stripMargin,
     // Confident learning: the oracle replays the same floor-micro
     // quantization and the integer cross-multiplied threshold test, so
     // no float division or mean round-off exists in either engine.

@@ -536,6 +536,37 @@ object Sketches {
     cells.groupBy((rollupCols :+ "__d" :+ "__b").map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Equi-join cardinality estimate from two GLOBAL cell tables — the
+    * count-min inner product (Cormode & Muthukrishnan 2005 §4.2; the
+    * AGMS family): `est = min over rows d of Σ_b cntA(d,b)·cntB(d,b)`.
+    * Never underestimates the true join size; expected overestimate is
+    * bounded by `(e/width)·|A|·|B|`. The 100 TB use: size a shuffle
+    * join from two kilobyte summaries BEFORE launching it (route to
+    * broadcast/salt/abort on the answer), no scan of either side.
+    *
+    * Both cell tables must be global (rolled with `rollupCms(_, Nil)`)
+    * and built with the SAME depth/width/salt — cells carry no sidecar,
+    * the geometry is the caller's contract. LONG arithmetic throughout:
+    * exact while every per-cell product and the per-row sum stay under
+    * 2⁶³ (corpora into the billions of rows per side). Returns one row
+    * `(join_size_est)`.
+    */
+  def cmsJoinSize(
+      cellsA: DataFrame, cellsB: DataFrame, depth: Int = 4): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in 1..16, got $depth")
+    val a = cellsA.select(col("__d"), col("__b"), col("cnt").as("__ca"))
+    val b = cellsB.select(col("__d"), col("__b"), col("cnt").as("__cb"))
+    val ip = a.join(b, Seq("__d", "__b"))
+      .groupBy("__d").agg(sum(col("__ca") * col("__cb")).as("__ip"))
+    // a depth row with NO overlapping cells has inner product 0 — the
+    // inner join dropped it, so refill against the full 0..depth-1
+    // range (disjoint key sets must estimate 0, not min-of-the-rest)
+    cellsA.sparkSession.range(depth)
+      .select(col("id").cast("int").as("__d"))
+      .join(ip, Seq("__d"), "left")
+      .agg(min(coalesce(col("__ip"), lit(0L))).as("join_size_est"))
+  }
+
   /** Point-frequency estimates for a probe key list against stored
     * cells: `(groupCols..., key, freq_est)` for every (group, probe)
     * pair — min over the depth rows, absent cells counting 0. The

@@ -288,4 +288,27 @@ class SketchesSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Sketches.cmsSketches(df, Seq("grp"), "key", width = 8))
   }
+
+  test("cmsJoinSize: never under, exact when wide, zero on disjoint keys") {
+    def cellsOf(rows: Seq[(String, Int)], w: Int = 2048) =
+      Sketches.rollupCms(Sketches.cmsSketches(
+        rows.toDF("key", "i").withColumn("all", lit(1)),
+        Seq("all"), "key", depth = 4, width = w), Nil)
+    val left = Seq.fill(30)("x") ++ Seq.fill(10)("y") ++ Seq.fill(5)("z")
+    val right = Seq.fill(7)("x") ++ Seq.fill(3)("y") ++ Seq.fill(20)("w")
+    val exact = 30L * 7 + 10L * 3 // x and y join; z/w don't
+    def est(w: Int) = Sketches.cmsJoinSize(
+      cellsOf(left.map((_, 1)), w), cellsOf(right.map((_, 1)), w))
+      .collect().head.getLong(0)
+    assert(est(2048) == exact, s"wide sketch must be exact, got ${est(2048)}")
+    assert(est(16) >= exact, "narrow sketch must never underestimate")
+    // disjoint key sets -> 0 (the refilled-depth-row case)
+    val z = Sketches.cmsJoinSize(
+      cellsOf(Seq(("a", 1), ("b", 1))), cellsOf(Seq(("c", 1), ("d", 1))))
+      .collect().head.getLong(0)
+    assert(z == 0L, s"disjoint keys must estimate 0, got $z")
+    intercept[IllegalArgumentException](
+      Sketches.cmsJoinSize(cellsOf(Seq(("a", 1))), cellsOf(Seq(("a", 1))),
+        depth = 0))
+  }
 }
