@@ -1752,6 +1752,27 @@ object SparkEntry {
         t(s, dir, "documents"), "lang", "source")
     }),
 
+    // ---- inter-rater agreement: stored lang label vs a keyword rater ----
+    "q_cohen_kappa" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("lang_kw",
+        when(col("text").contains(" the "), lit("en")).otherwise(lit("other")))
+      operators.Validation.cohenKappa(d, "lang", "lang_kw")
+    }),
+
+    // ---- three heuristic length-raters, Fleiss agreement ----
+    "q_fleiss_kappa" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def rater(label: org.apache.spark.sql.Column): DataFrame =
+        d.select(col("doc_id"), label.as("label"))
+      val ratings = rater(
+          when(col("n_chars") >= 306, lit("long")).otherwise(lit("short")))
+        .unionByName(rater(
+          when(length(col("text")) >= 280, lit("long")).otherwise(lit("short"))))
+        .unionByName(rater(
+          when(col("n_chars") % 2 === 0, lit("long")).otherwise(lit("short"))))
+      operators.Validation.fleissKappa(ratings, "doc_id", "label")
+    }),
+
     // ---- local clustering coefficients over the derived order graph ----
     "q_clustering" -> ((s, dir) => {
       val edges = t(s, dir, "orders").select(
@@ -4928,6 +4949,54 @@ object SparkEntry {
         |    * ln((nab::DOUBLE * nn) / (na::DOUBLE * nb)) * 1e9) AS BIGINT))
         |    AS BIGINT) / 1e9, 6) AS mi_nats
         |FROM e""".stripMargin,
+    "q_cohen_kappa" ->
+      """WITH d AS (
+        |  SELECT lang AS a,
+        |    CASE WHEN text LIKE '% the %' THEN 'en' ELSE 'other' END AS b
+        |  FROM documents),
+        |g AS (SELECT a, b, CAST(count(*) AS BIGINT) AS nab FROM d GROUP BY a, b),
+        |ma AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na FROM g GROUP BY a),
+        |mb AS (SELECT b, CAST(sum(nab) AS BIGINT) AS nb FROM g GROUP BY b),
+        |pe AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS pe_num
+        |  FROM ma JOIN mb ON ma.a IS NOT DISTINCT FROM mb.b),
+        |tot AS (SELECT CAST(coalesce(sum(nab), 0) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(CASE WHEN a IS NOT DISTINCT FROM b
+        |      THEN nab ELSE 0 END), 0) AS BIGINT) AS agree
+        |  FROM g)
+        |SELECT n, agree,
+        |  round(CASE WHEN n * n - pe_num = 0 THEN NULL
+        |    ELSE CAST(n * agree - pe_num AS DOUBLE) / (n * n - pe_num)
+        |  END, 6) AS kappa
+        |FROM tot, pe""".stripMargin,
+    "q_fleiss_kappa" ->
+      """WITH r AS (
+        |  SELECT doc_id AS i,
+        |    CASE WHEN n_chars >= 306 THEN 'long' ELSE 'short' END AS j
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 280 THEN 'long' ELSE 'short' END
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars % 2 = 0 THEN 'long' ELSE 'short' END
+        |  FROM documents),
+        |cells AS (SELECT i, j, CAST(count(*) AS BIGINT) AS nij
+        |  FROM r GROUP BY i, j),
+        |per_item AS (SELECT i, CAST(sum(nij * nij) AS BIGINT) AS sq
+        |  FROM cells GROUP BY i),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(coalesce(sum(sq - 3), 0) AS BIGINT) AS aa
+        |  FROM per_item),
+        |marg AS (SELECT j, CAST(sum(nij) AS BIGINT) AS cj
+        |  FROM cells GROUP BY j),
+        |b AS (SELECT CAST(coalesce(sum(cj * cj), 0) AS BIGINT) AS bb FROM marg)
+        |SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
+        |  round(CASE WHEN 2 * (n_items * n_items * 9 - bb) = 0 THEN NULL
+        |    ELSE CAST(aa * n_items * 3 - bb * 2 AS DOUBLE)
+        |      / (2 * (n_items * n_items * 9 - bb))
+        |  END, 6) AS kappa
+        |FROM a, b""".stripMargin,
     "q_clustering" ->
       """WITH raw AS (
         |  SELECT CAST(o_orderkey % 97 AS VARCHAR) AS x,

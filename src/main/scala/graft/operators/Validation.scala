@@ -608,4 +608,118 @@ object Validation {
       .select(col("prob"), col("q_before"), col("q_after"),
         (col("q_after") - col("q_before")).as("drift"))
   }
+
+  /** Cohen's kappa (Cohen 1960) between two label columns — the
+    * chance-corrected agreement audit for a pair of annotators,
+    * heuristics, or model versions labeling the same rows: raw
+    * percent-agreement rewards a rater that spams the majority class;
+    * kappa subtracts exactly the agreement two INDEPENDENT raters with
+    * these marginals would reach by luck. Gate label-pipeline swaps on
+    * it (a "better" classifier whose kappa against the incumbent is
+    * ~1.0 learned nothing new; ~0.0 against gold labels is noise).
+    *
+    * NULL is a category on both axes (the [[mutualInformation]] /
+    * [[tCloseness]] convention) — a rater that abstains differently is
+    * a disagreement signal, not missing data.
+    *
+    * Shape: ONE corpus-sized pass (count + null-safe-equality sum +
+    * the two per-category marginal counts all derive from one
+    * `groupBy(a, b)` cells aggregate with map-side partials); the
+    * marginal self-join runs on the categories-sized cells table. All
+    * arithmetic is exact BIGINT up to the single final division —
+    *   kappa = (N·agree − Σₖ nAₖ·nBₖ) / (N² − Σₖ nAₖ·nBₖ)
+    * — so the result is bit-reproducible on any engine and any
+    * partitioning. The integer form bounds N at √(2⁶³) ≈ 3.0e9 rows;
+    * beyond that, kappa on a [[graft.operators.Sampling]] hash-sample
+    * is statistically indistinguishable — sample first.
+    *
+    * Output: one row `(n, agree, kappa)`; kappa rounded to 6 dp,
+    * NULL for the degenerate one-category-each frame (pe == 1).
+    */
+  def cohenKappa(df: DataFrame, raterA: String, raterB: String): DataFrame = {
+    require(raterA != raterB, "raterA and raterB must differ")
+    val cells = df
+      .groupBy(col(raterA).as("__a"), col(raterB).as("__b"))
+      .agg(count(lit(1)).as("__nab"))
+      .localCheckpoint(true)
+    try {
+      val margA = cells.groupBy(col("__a")).agg(sum(col("__nab")).as("__na"))
+      val margB = cells.groupBy(col("__b")).agg(sum(col("__nab")).as("__nb"))
+      val peNum = margA
+        .join(margB, col("__a") <=> col("__b"))
+        .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("__pe_num"))
+      val totals = cells.agg(
+        coalesce(sum(col("__nab")), lit(0L)).as("n"),
+        coalesce(sum(when(col("__a") <=> col("__b"), col("__nab"))
+          .otherwise(lit(0L))), lit(0L)).as("agree"))
+      val denom = col("n") * col("n") - col("__pe_num")
+      totals.crossJoin(peNum)
+        .select(col("n"), col("agree"),
+          round(when(denom === 0L, lit(null))
+            .otherwise((col("n") * col("agree") - col("__pe_num"))
+              .cast("double") / denom), 6).as("kappa"))
+        .localCheckpoint(true)
+    } finally cells.unpersist()
+  }
+
+  /** Fleiss' kappa (Fleiss 1971) over long-format ratings
+    * `(itemCol, labelCol)` — one row per individual rating — for ≥ 2
+    * interchangeable raters per item (the crowd-annotation shape:
+    * raters are anonymous and vary by item, so Cohen's pairwise model
+    * does not apply). Requires the SAME number of raters on every item
+    * and FAILS LOUDLY otherwise, naming the offending counts — Fleiss'
+    * chance model is undefined under varying n, and silently averaging
+    * would fabricate an agreement number.
+    *
+    * NULL labels are a category (abstention is signal, as in
+    * [[cohenKappa]]).
+    *
+    * Shape: `groupBy(item, label)` cells (map-side partials), an
+    * items-sized per-item rollup, and a categories-sized marginal
+    * rollup; nothing wider than the ratings table is ever shuffled.
+    * Exact-integer form with common denominators — with N items, n
+    * raters, A = Σᵢ(Σⱼ nᵢⱼ² − n) and B = Σⱼ(Σᵢ nᵢⱼ)²:
+    *   kappa = (A·N·n − B·(n−1)) / ((n−1)·(N²n² − B))
+    * — one final double division, bit-reproducible anywhere. The
+    * integer form bounds N·n ≲ 2⁶³ᐟ³ ≈ 2e6 ratings per audit (A·N·n ≤
+    * N²n³); audit agreement on a bounded sample of items beyond that
+    * (agreement is a per-item statistic — item sampling is unbiased).
+    *
+    * Output: one row `(n_items, n_raters, kappa)`; kappa rounded to
+    * 6 dp, NULL when every rating is the same single category.
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, labelCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(itemCol).as("__i"), col(labelCol).as("__j"))
+      .agg(count(lit(1)).as("__nij"))
+      .localCheckpoint(true)
+    try {
+      val perItem = cells.groupBy(col("__i")).agg(
+        sum(col("__nij")).as("__n"),
+        sum(col("__nij") * col("__nij")).as("__sq"))
+      val raterCounts = perItem.select(col("__n")).distinct().limit(3)
+        .collect().map(_.getLong(0)).sorted
+      require(raterCounts.length == 1,
+        s"fleissKappa requires a constant rater count per item; saw counts " +
+          s"${raterCounts.mkString(", ")}${if (raterCounts.length == 3) ", …" else ""} — " +
+          "Fleiss' chance model is undefined under varying n (complete or drop items first)")
+      val n = raterCounts.head
+      require(n >= 2, s"fleissKappa needs ≥ 2 raters per item; saw $n")
+      val a = perItem.agg(
+        count(lit(1)).as("n_items"),
+        coalesce(sum(col("__sq") - lit(n)), lit(0L)).as("__A"))
+      val b = cells.groupBy(col("__j")).agg(sum(col("__nij")).as("__cj"))
+        .agg(coalesce(sum(col("__cj") * col("__cj")), lit(0L)).as("__B"))
+      val denom =
+        lit(n - 1) * (col("n_items") * col("n_items") * lit(n * n) - col("__B"))
+      a.crossJoin(b)
+        .select(col("n_items"), lit(n).as("n_raters"),
+          round(when(denom === 0L, lit(null))
+            .otherwise(
+              (col("__A") * col("n_items") * lit(n) - col("__B") * lit(n - 1))
+                .cast("double") / denom),
+            6).as("kappa"))
+        .localCheckpoint(true)
+    } finally cells.unpersist()
+  }
 }

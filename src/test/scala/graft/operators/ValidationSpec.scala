@@ -395,4 +395,59 @@ class ValidationSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Validation.madOutliers(df, "v", Seq("g"), cutoff = 0.0))
   }
+
+  test("cohenKappa matches the hand-worked contingency table") {
+    // 20 a/a, 5 a/b, 10 b/a, 15 b/b: po = 0.7, marginals A(25,25)
+    // B(30,20) -> pe_num = 1250, kappa = (50*35-1250)/(2500-1250) = 0.4
+    val rows = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(15)(("b", "b"))
+    val out = Validation.cohenKappa(rows.toDF("r1", "r2"), "r1", "r2").head()
+    assert(out.getAs[Long]("n") == 50)
+    assert(out.getAs[Long]("agree") == 35)
+    assert(out.getAs[Double]("kappa") == 0.4)
+  }
+
+  test("cohenKappa: NULL is a category; degenerate frame yields NULL") {
+    // both raters abstain on the same row -> that IS an agreement
+    val withNulls = Seq(
+      (Some("a"), Some("a")), (None, None), (Some("a"), None))
+      .toDF("r1", "r2")
+    val out = Validation.cohenKappa(withNulls, "r1", "r2").head()
+    assert(out.getAs[Long]("agree") == 2)
+    // single shared constant label: pe == 1, kappa undefined -> NULL
+    val const = Seq(("x", "x"), ("x", "x")).toDF("r1", "r2")
+    assert(Validation.cohenKappa(const, "r1", "r2").head().isNullAt(2))
+    // perfect two-category agreement -> exactly 1.0
+    val perfect = Seq(("a", "a"), ("b", "b")).toDF("r1", "r2")
+    assert(Validation.cohenKappa(perfect, "r1", "r2")
+      .head().getAs[Double]("kappa") == 1.0)
+    intercept[IllegalArgumentException](
+      Validation.cohenKappa(perfect, "r1", "r1"))
+  }
+
+  test("fleissKappa matches the hand-worked 3-item 2-rater fixture") {
+    // i1: a,a  i2: a,b  i3: b,b -> P̄ = 2/3, pe = 1/2, kappa = 1/3
+    val ratings = Seq(
+      (1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"), (3L, "b"))
+      .toDF("item", "label")
+    val out = Validation.fleissKappa(ratings, "item", "label").head()
+    assert(out.getAs[Long]("n_items") == 3)
+    assert(out.getAs[Long]("n_raters") == 2)
+    assert(out.getAs[Double]("kappa") == 0.333333)
+  }
+
+  test("fleissKappa is loud on varying or single rater counts; NULL on one category") {
+    val varying = Seq((1L, "a"), (1L, "a"), (2L, "a"))
+      .toDF("item", "label")
+    val e = intercept[IllegalArgumentException](
+      Validation.fleissKappa(varying, "item", "label"))
+    assert(e.getMessage.contains("constant rater count"))
+    val single = Seq((1L, "a"), (2L, "b")).toDF("item", "label")
+    intercept[IllegalArgumentException](
+      Validation.fleissKappa(single, "item", "label"))
+    // every rating one category: pe == 1 -> NULL, not NaN
+    val const = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("item", "label")
+    assert(Validation.fleissKappa(const, "item", "label").head().isNullAt(2))
+  }
 }
