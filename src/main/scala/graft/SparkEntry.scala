@@ -2389,6 +2389,19 @@ object SparkEntry {
           .withColumn("ts_us", expr("ts_ns div 1000")))
     }),
 
+    // ---- fixed-grid resample + LOCF gap-fill over the event stream ----
+    "q_resample" -> ((s, dir) => {
+      val e = streaming.StreamingOps.readEventsRaw(s, s"$dir/events.parquet")
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select(col("event_type"), col("ts_us"), col("value"))
+      val grid = operators.Timeseries.resample(
+        e, "ts_us", "value", Seq("event_type"), stepUs = 3600000000L)
+      operators.Timeseries.locf(
+        grid.withColumn("__obs", when(col("n_events") > 0, col("value_micros"))),
+        "__obs", "bucket_us", Seq("event_type"), "locf_micros")
+        .drop("__obs")
+    }),
+
     // ---- U2 LLM column mapping (deterministic dry-run path) ----
     "q_llm_map_dry_run" -> ((s, dir) => {
       llm.Llm.mapColumnWithLlm(
@@ -6241,6 +6254,29 @@ object SparkEntry {
         |  max(ts_us) AS session_end,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    "q_resample" ->
+      """WITH e AS (
+        |  SELECT event_type AS k, epoch_us(ts) AS us, value
+        |  FROM events WHERE ts IS NOT NULL),
+        |a AS (
+        |  SELECT k, us // 3600000000 AS b, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+        |      AS value_micros
+        |  FROM e GROUP BY k, b),
+        |r AS (SELECT k, min(b) AS minb, max(b) AS maxb FROM a GROUP BY k),
+        |spine AS (
+        |  SELECT k, unnest(generate_series(minb, maxb)) AS b FROM r),
+        |j AS (
+        |  SELECT s.k, s.b, coalesce(a.n_events, 0) AS n_events,
+        |    coalesce(a.value_micros, 0) AS value_micros
+        |  FROM spine s LEFT JOIN a
+        |    ON s.k IS NOT DISTINCT FROM a.k AND s.b = a.b)
+        |SELECT k AS event_type, b * 3600000000 AS bucket_us, n_events,
+        |  value_micros,
+        |  last_value(CASE WHEN n_events > 0 THEN value_micros END IGNORE NULLS)
+        |    OVER (PARTITION BY k ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_micros
+        |FROM j""".stripMargin,
     "q_llm_map_dry_run" ->
       """SELECT doc_id, lang,
         |  CASE lower(coalesce(lang, ''))

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid time-series preparation over an irregular event stream —
+  * the step between "events landed whenever they happened" and anything
+  * that assumes a fixed cadence (rate dashboards, drift monitors over
+  * time, seasonal decomposition, feature windows for forecasting).
+  *
+  * Two composable pieces:
+  *
+  *  - [[resample]] snaps events onto a `stepUs`-wide bucket grid per key
+  *    and materializes EVERY bucket between each key's first and last
+  *    observation — gaps become explicit `n_events = 0` rows instead of
+  *    silently missing ones (a rate chart over only-observed buckets
+  *    hides exactly the outages it exists to show).
+  *  - [[locf]] carries the last observed value forward down a per-key
+  *    ordered frame (last-observation-carried-forward) — the standard
+  *    gap-fill for state-like series (a price, a queue depth, a config
+  *    version) where "no event" means "unchanged", not "zero".
+  *
+  * Determinism: buckets are integer floor-divisions of non-negative
+  * epoch-micros (negative timestamps are REJECTED loudly — integer
+  * division on negatives rounds differently across engines); the summed
+  * metric is micro-quantized per row and summed as LONGs, so results are
+  * bit-identical on any engine and partitioning.
+  *
+  * Scale shape: one `groupBy(keys, bucket)` with map-side partials (the
+  * only corpus-sized shuffle), a keys-sized min/max rollup, a spine
+  * explode bounded loudly by `maxBucketsPerKey` (a mis-set `stepUs` on a
+  * years-long key would otherwise fabricate billions of rows), one
+  * equi-shuffle join of spine to aggregates, and a per-key window for
+  * the carry-forward. Per-key spine length is bounded by construction;
+  * key skew in the window is bounded by that same spine length, not by
+  * the key's event count.
+  */
+object Timeseries {
+
+  /** Per-key fixed-grid resample of `df` — see object doc.
+    *
+    * `tsUsCol` must be LONG epoch-micros (the `unix_micros` contract
+    * used across graft; nanos callers `div 1000` first). `valueCol` is
+    * a numeric metric; it is rounded to integer micro-units per row
+    * BEFORE summing so the per-bucket totals are engine-exact.
+    *
+    * Output: key columns + `bucket_us` (bucket start, epoch-micros),
+    * `n_events`, `value_micros` (micro-unit sum; 0 in gap buckets) —
+    * one row per key per grid step between that key's first and last
+    * event, inclusive. Rows with a NULL key participate as their own
+    * key (the NULL-group convention used across the validation tier);
+    * rows with NULL `tsUsCol` are dropped (an unstamped event has no
+    * bucket — filter upstream if that should be loud).
+    */
+  def resample(
+      df: DataFrame,
+      tsUsCol: String,
+      valueCol: String,
+      keyCols: Seq[String],
+      stepUs: Long,
+      maxBucketsPerKey: Long = 10000000L): DataFrame = {
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    require(maxBucketsPerKey >= 1,
+      s"maxBucketsPerKey must be >= 1, got $maxBucketsPerKey")
+    val reserved = Seq("__b", "__minb", "__maxb", "bucket_us", "n_events",
+      "value_micros")
+    val clash = reserved.filter(df.columns.contains)
+    require(clash.isEmpty, s"reserved columns present: ${clash.mkString(", ")}")
+    val keys = keyCols.map(col)
+    val bucket = when(col(tsUsCol) < 0, raise_error(concat(
+        lit("resample: negative timestamp "), col(tsUsCol),
+        lit(" — integer bucketing is engine-portable only for ts >= 0"))))
+      .otherwise(expr(s"$tsUsCol div $stepUs"))
+    val agg = df
+      .where(col(tsUsCol).isNotNull)
+      .groupBy(keys :+ bucket.as("__b"): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col(valueCol).cast("double") * 1e6).cast("long"))
+          .as("value_micros"))
+      .localCheckpoint(true)
+    try {
+      val spine = agg
+        .groupBy(keys: _*)
+        .agg(min(col("__b")).as("__minb"), max(col("__b")).as("__maxb"))
+        .withColumn("__b", explode(sequence(
+          col("__minb"),
+          when(col("__maxb") - col("__minb") < lit(maxBucketsPerKey),
+            col("__maxb"))
+            .otherwise(raise_error(concat(
+              lit(s"resample: a key spans more than $maxBucketsPerKey " +
+                s"buckets of $stepUs us ("), col("__minb"), lit(".."),
+              lit(" "), col("__maxb"),
+              lit(") — widen stepUs or raise maxBucketsPerKey")))))))
+        .drop("__minb", "__maxb")
+      // null-safe key equality: a NULL key is its own series, and a plain
+      // equi-join would drop it (leaving its observed buckets zeroed)
+      val aggR = agg.select(
+        keyCols.map(c => col(c).as(s"__r_$c")) ++
+          Seq(col("__b").as("__rb"), col("n_events"), col("value_micros")): _*)
+      val cond = keyCols
+        .map(c => col(c) <=> col(s"__r_$c"))
+        .foldLeft(col("__b") === col("__rb"))(_ && _)
+      spine
+        .join(aggR, cond, "left")
+        .select(keys ++ Seq(
+          (col("__b") * stepUs).as("bucket_us"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("value_micros"), lit(0L)).as("value_micros")): _*)
+        .localCheckpoint(true)
+    } finally agg.unpersist()
+  }
+
+  /** Last-observation-carried-forward over a per-key ordered frame:
+    * NULLs in `valueCol` take the most recent non-NULL value at or
+    * before their `orderCol` position; leading NULLs (no prior
+    * observation) stay NULL. `orderCol` must be non-nullable in the
+    * data — NULL order keys sort differently across engines, so they
+    * are REJECTED loudly rather than silently placed.
+    *
+    * Pair with [[resample]] by first masking gap buckets to NULL (e.g.
+    * `when(n_events > 0, value_micros)`) — a state-like series carries
+    * the last observed level through outages instead of dropping to 0.
+    */
+  def locf(
+      df: DataFrame,
+      valueCol: String,
+      orderCol: String,
+      keyCols: Seq[String],
+      outCol: String = "locf_value"): DataFrame = {
+    require(!df.columns.contains(outCol), s"output column $outCol exists")
+    val guardedOrder = when(col(orderCol).isNull, raise_error(
+        lit(s"locf: NULL in order column $orderCol — null ordering is not " +
+          "engine-portable; filter or impute upstream")))
+      .otherwise(col(orderCol))
+    val w = (if (keyCols.isEmpty) Window.partitionBy()
+             else Window.partitionBy(keyCols.map(col): _*))
+      .orderBy(guardedOrder)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+}
