@@ -1515,6 +1515,22 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(col("p")).as(Seq("pos", "value")))
     }),
 
+    // ---- PCA: the distributed second-moment aggregate has a full twin ----
+    "q_pca_gram" -> ((s, dir) =>
+      similarity.Pca.gramTable(t(s, dir, "embeddings"), "embedding")),
+
+    // rows-only: the d×d eigensolve is driver math with no SQL
+    // counterpart (PcaSpec pins planted-axis recovery, orthonormality,
+    // distance preservation, and cross-partitioning bit-equality)
+    "q_pca_project" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val m = similarity.Pca.fit(e, "embedding", k = 8)
+      similarity.Pca.project(e, "embedding", m, "p")
+        .select(col("vec_id"),
+          round(aggregate(col("p"), lit(0.0), (acc, x) => acc + x * x), 6)
+            .as("norm2"))
+    }),
+
     // ---- mergeable HLL distinct rollup; rows-only: DataSketches HLL is
     // not reproducible in DuckDB (error bounds asserted in SketchesSpec,
     // same contract as q_ann_ivf) ----
@@ -3524,6 +3540,20 @@ object SparkEntry {
     // adds +v or -v (no ±1.0 multiply — DuckDB decimal literals would
     // intrude) and list_sum folds the list sequentially, so the doubles
     // match the Spark loop's ascending-j summation
+    // PCA gram cells: per-row nano-rounded products summed as BIGINTs —
+    // the float -> double widening (x::DOUBLE) is the same IEEE cast the
+    // Spark side applies before rounding
+    "q_pca_gram" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings)
+        |SELECT a.i AS i, b.i AS j,
+        |  CAST(sum(CAST(round(a.v * b.v * 1e9) AS BIGINT)) AS BIGINT)
+        |    AS gram_nanos
+        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY a.i, b.i""".stripMargin,
     "q_srp_project" ->
       """WITH e AS (
         |  SELECT vec_id,
