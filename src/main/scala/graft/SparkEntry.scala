@@ -1515,6 +1515,17 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(col("p")).as(Seq("pos", "value")))
     }),
 
+    // ---- exact ROC-AUC over a derived binary task on embeddings ----
+    "q_auc_roc" -> ((s, dir) => {
+      val d = t(s, dir, "embeddings").select(
+        (round(element_at(col("embedding"), 1).cast("double") * 1e6)
+          .cast("long") +
+         round(element_at(col("embedding"), 2).cast("double") * 1e6)
+          .cast("long")).as("score_micros"),
+        when(col("label") < 5, lit(1)).otherwise(lit(0)).as("y"))
+      operators.RankEval.aucRoc(d, "score_micros", "y")
+    }),
+
     // ---- PCA: the distributed second-moment aggregate has a full twin ----
     "q_pca_gram" -> ((s, dir) =>
       similarity.Pca.gramTable(t(s, dir, "embeddings"), "embedding")),
@@ -3540,6 +3551,27 @@ object SparkEntry {
     // adds +v or -v (no ±1.0 multiply — DuckDB decimal literals would
     // intrude) and list_sum folds the list sequentially, so the doubles
     // match the Spark loop's ascending-j summation
+    "q_auc_roc" ->
+      """WITH d AS (
+        |  SELECT CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT)
+        |    + CAST(round(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT) AS s,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings),
+        |g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(sum(1 - y) AS BIGINT) AS neg
+        |  FROM d GROUP BY s),
+        |p AS (SELECT pos, neg, coalesce(CAST(sum(neg) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    AS below
+        |  FROM g),
+        |t AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(neg) AS BIGINT) AS n_neg,
+        |    CAST(sum(pos * (2 * below + neg)) AS BIGINT) AS num2
+        |  FROM p)
+        |SELECT n_pos, n_neg,
+        |  round(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |    ELSE CAST(num2 AS DOUBLE) / (2 * n_pos * n_neg) END, 6) AS auc
+        |FROM t""".stripMargin,
     // PCA gram cells: per-row nano-rounded products summed as BIGINTs —
     // the float -> double widening (x::DOUBLE) is the same IEEE cast the
     // Spark side applies before rounding

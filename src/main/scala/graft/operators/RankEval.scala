@@ -110,4 +110,74 @@ object RankEval {
         round(coalesce(col("__dcgN"), lit(0L)) /
           col("__idcgN").cast("double"), 6).as("ndcg"))
   }
+
+  /** Exact ROC-AUC of a binary scorer — the Mann–Whitney identity
+    * `AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻)` computed from per-distinct-score
+    * counts, NOT from per-row global ranks:
+    *
+    *   2·AUC·P·N = Σₛ (2·posₛ·negBelowₛ + posₛ·negₛ)
+    *
+    * All terms are BIGINT up to the one final division, so the value is
+    * engine- and partitioning-exact (ties handled by the ½ term — the
+    * trapezoidal tie convention every library uses).
+    *
+    * Scale shape: ONE corpus-sized `groupBy(score)` with map-side
+    * partials; the neg-below prefix runs on the distinct-scores table
+    * via range-repartition + per-physical-partition window + a
+    * broadcast of per-partition offsets (the [[Sampling.deterministicShuffle]]
+    * discipline) — a plain un-partitioned window would collapse a
+    * continuous score column's distinct table into ONE task at 100×.
+    *
+    * Loud contracts: labels must be 0/1 after an int cast and scores
+    * non-NULL (a NULL score has no rank position; null ordering is not
+    * engine-portable) — violations fail with counts, never dilute.
+    * Output: one row `(n_pos, n_neg, auc)`; `auc` NULL when either
+    * class is absent (undefined, not 0 — an all-one-class eval set is
+    * a harness bug worth surfacing).
+    */
+  def aucRoc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val y = col(labelCol).cast("int")
+    val bad = df.agg(
+      count(when(y.isNull || (y =!= 0 && y =!= 1), 1)).as("__bady"),
+      count(when(col(scoreCol).isNull, 1)).as("__bads")).head()
+    require(bad.getAs[Long]("__bady") == 0L,
+      s"aucRoc: ${bad.getAs[Long]("__bady")} row(s) have a label that is " +
+        s"null or outside {0, 1} after casting `$labelCol` to int")
+    require(bad.getAs[Long]("__bads") == 0L,
+      s"aucRoc: ${bad.getAs[Long]("__bads")} row(s) have a NULL `$scoreCol`")
+    val g = graft.core.Caches.pin(df
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(sum(y.cast("long")).as("__pos"),
+        sum(lit(1L) - y.cast("long")).as("__neg"))
+      .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism,
+        col("__s"))
+      .sortWithinPartitions(col("__s"))
+      .withColumn("__pid", spark_partition_id()))
+    try {
+      val offsets = g.groupBy(col("__pid"))
+        .agg(sum(col("__neg")).as("__pn"))
+        .withColumn("__off", coalesce(
+          sum(col("__pn")).over(Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("__pid"), col("__off"))
+      val below = g
+        .withColumn("__run", coalesce(
+          sum(col("__neg")).over(Window.partitionBy(col("__pid"))
+            .orderBy(col("__s"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .join(broadcast(offsets), "__pid")
+        .select(col("__pos"), col("__neg"),
+          (col("__run") + col("__off")).as("__below"))
+      below.agg(
+          coalesce(sum(col("__pos")), lit(0L)).as("n_pos"),
+          coalesce(sum(col("__neg")), lit(0L)).as("n_neg"),
+          coalesce(sum(col("__pos") * (lit(2L) * col("__below") + col("__neg"))),
+            lit(0L)).as("__num2"))
+        .select(col("n_pos"), col("n_neg"),
+          round(when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
+            .otherwise(col("__num2").cast("double") /
+              (lit(2L) * col("n_pos") * col("n_neg"))), 6).as("auc"))
+        .localCheckpoint(true)
+    } finally g.unpersist()
+  }
 }

@@ -61,4 +61,51 @@ class RankEvalSpec extends SparkTestBase {
     assert(r.getAs[Long]("hits") == 10L)
     assert(r.getAs[Double]("rr") == 1.0)
   }
+
+  test("aucRoc matches hand pair-counting with the half-tie convention") {
+    import spark.implicits._
+    // pos scores {3, 2}, neg {1, 2}: pairs >, >, >, = -> (3 + 0.5)/4
+    val d = Seq((3L, 1), (2L, 1), (1L, 0), (2L, 0)).toDF("s", "y")
+    val out = RankEval.aucRoc(d, "s", "y").head()
+    assert(out.getAs[Long]("n_pos") == 2 && out.getAs[Long]("n_neg") == 2)
+    assert(out.getAs[Double]("auc") == 0.875)
+    // perfect / inverted / all-tied
+    val sep = Seq((10L, 1), (9L, 1), (1L, 0)).toDF("s", "y")
+    assert(RankEval.aucRoc(sep, "s", "y").head().getAs[Double]("auc") == 1.0)
+    val inv = Seq((1L, 1), (9L, 0)).toDF("s", "y")
+    assert(RankEval.aucRoc(inv, "s", "y").head().getAs[Double]("auc") == 0.0)
+    val tied = Seq((5L, 1), (5L, 1), (5L, 0)).toDF("s", "y")
+    assert(RankEval.aucRoc(tied, "s", "y").head().getAs[Double]("auc") == 0.5)
+  }
+
+  test("aucRoc equals brute force and is partitioning-invariant") {
+    import spark.implicits._
+    val rows = Seq.tabulate(300)(i =>
+      (((i * 131) % 37).toLong, if ((i * 17) % 5 < 2) 1 else 0))
+    val brute = {
+      val pos = rows.filter(_._2 == 1).map(_._1)
+      val neg = rows.filter(_._2 == 0).map(_._1)
+      val wins = (for (p <- pos; n <- neg)
+        yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+      wins.toDouble / (2L * pos.size * neg.size)
+    }
+    val a = RankEval.aucRoc(rows.toDF("s", "y").repartition(1), "s", "y")
+      .head().getAs[Double]("auc")
+    val b = RankEval.aucRoc(rows.toDF("s", "y").repartition(11), "s", "y")
+      .head().getAs[Double]("auc")
+    assert(a == b, "partitioning must not move the value at all")
+    assert(math.abs(a - brute) <= 5e-7, s"auc $a vs brute $brute")
+  }
+
+  test("aucRoc loud paths and single-class NULL") {
+    import spark.implicits._
+    val badLabel = Seq((1L, 2)).toDF("s", "y")
+    assert(intercept[IllegalArgumentException](
+      RankEval.aucRoc(badLabel, "s", "y")).getMessage.contains("outside {0, 1}"))
+    val nullScore = Seq((Option.empty[Long], 1)).toDF("s", "y")
+    assert(intercept[IllegalArgumentException](
+      RankEval.aucRoc(nullScore, "s", "y")).getMessage.contains("NULL"))
+    val oneClass = Seq((1L, 1), (2L, 1)).toDF("s", "y")
+    assert(RankEval.aucRoc(oneClass, "s", "y").head().isNullAt(2))
+  }
 }
