@@ -830,6 +830,23 @@ object SparkEntry {
           col("logit_pos").as("pred"))
     }),
 
+    // rows-only: PAV's sequential pooling has no SQL counterpart
+    // (ClassifierSpec pins the hand-worked pooling, monotonicity, and
+    // cross-partitioning bit-equality); the derived task reuses
+    // q_auc_roc's score/label so the two evals read one contract
+    "q_calibrate" -> ((s, dir) => {
+      val d = t(s, dir, "embeddings").select(
+        (round(element_at(col("embedding"), 1).cast("double") * 1e6)
+          .cast("long") +
+         round(element_at(col("embedding"), 2).cast("double") * 1e6)
+          .cast("long")).as("score_micros"),
+        when(col("label") < 5, lit(1)).otherwise(lit(0)).as("y"))
+      val m = operators.Classifier.fitIsotonic(
+        d, "score_micros", "y", maxBins = 64)
+      m.apply(d.select(col("score_micros")).distinct(), "score_micros")
+        .orderBy(col("score_micros"))
+    }),
+
     // ---- the pipeline, end to end: classifier quality gate → exact
     // dedup → per-source token budget → sequence packing. One oracle
     // covers the composition — every stage is engine-exact, so the

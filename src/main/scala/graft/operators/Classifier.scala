@@ -252,4 +252,110 @@ object Classifier {
     }
     TextClassifierModel(w, bias)
   }
+
+  /** A fitted isotonic (monotone step) calibration map from integer
+    * score bins to calibrated probability micros: bin `i` covers scores
+    * `[minScore + i·binWidth, minScore + (i+1)·binWidth)`, apply-time
+    * scores clamp into `[0, probMicrosByBin.length)`.
+    */
+  final case class IsotonicModel(
+      minScore: Long,
+      binWidth: Long,
+      probMicrosByBin: Array[Long]) {
+    require(binWidth >= 1, "binWidth must be >= 1")
+    require(probMicrosByBin.nonEmpty, "model has no bins")
+
+    /** Append `outCol` = calibrated probability micros for `scoreCol`
+      * (any integer score, e.g. [[TextClassifierModel.scoreLogit]]'s
+      * `logit_micros`). A bin-index division plus one literal-array
+      * lookup per row — narrow, codegen'd, zero shuffles.
+      */
+    def apply(df: DataFrame, scoreCol: String,
+        outCol: String = "prob_micros"): DataFrame = {
+      require(!df.columns.contains(outCol), s"output column $outCol exists")
+      val bins = probMicrosByBin.length
+      val idx = least(lit(bins - 1L), greatest(lit(0L),
+        expr(s"(($scoreCol) - ${minScore}L) div ${binWidth}L")))
+      df.withColumn(outCol,
+        element_at(typedlit(probMicrosByBin.toIndexedSeq), (idx + 1).cast("int")))
+    }
+  }
+
+  /** Isotonic calibration by pool-adjacent-violators (Ayer 1955; the
+    * sklearn `IsotonicRegression` semantics) over EQUAL-WIDTH integer
+    * score bins — the step after [[train]]: a margin classifier ranks
+    * well long before its raw score is a probability, and downstream
+    * mixture/quota samplers ([[Sampling.sampleToMixture]],
+    * [[Selection]]) want calibrated weights, not logits.
+    *
+    * Shape: one corpus-sized `groupBy(bin)` with map-side partials (the
+    * bin count is LOUDLY bounded by `maxBins`, so the collect is
+    * model-sized, never data-sized); PAV itself is O(bins) driver math
+    * over exact integer `(pos, n)` pairs — violator comparisons
+    * cross-multiply (`posₐ·n_b > pos_b·nₐ`) so no float ever decides a
+    * merge, and each pooled block's probability is rounded to micros
+    * once, at the end. Empty interior bins take the FOLLOWING block's
+    * value (either neighbor preserves monotonicity; the fill must just
+    * be deterministic and hole-free); binning is equal-width over
+    * the observed `[min, max]` — deterministic integer arithmetic, no
+    * data-dependent quantile fit (PAV pools bins anyway, so the width
+    * choice only bounds resolution, not correctness).
+    *
+    * Same loud label/score contract as [[RankEval.aucRoc]]: labels must
+    * cast to {0, 1}, scores non-NULL.
+    */
+  def fitIsotonic(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      maxBins: Int = 1024): IsotonicModel = {
+    require(maxBins >= 2 && maxBins <= (1 << 20),
+      s"maxBins must be in [2, 1M], got $maxBins")
+    val y = col(labelCol).cast("int")
+    val stats = df.agg(
+      count(lit(1)).as("__n"),
+      count(when(y.isNull || (y =!= 0 && y =!= 1), 1)).as("__bady"),
+      count(when(col(scoreCol).isNull, 1)).as("__bads"),
+      min(col(scoreCol).cast("long")).as("__min"),
+      max(col(scoreCol).cast("long")).as("__max")).head()
+    require(stats.getAs[Long]("__n") > 0, "fitIsotonic: empty input")
+    require(stats.getAs[Long]("__bady") == 0L,
+      s"fitIsotonic: ${stats.getAs[Long]("__bady")} row(s) have a label " +
+        s"that is null or outside {0, 1} after casting `$labelCol` to int")
+    require(stats.getAs[Long]("__bads") == 0L,
+      s"fitIsotonic: ${stats.getAs[Long]("__bads")} row(s) have a NULL " +
+        s"`$scoreCol`")
+    val lo = stats.getAs[Long]("__min")
+    val hi = stats.getAs[Long]("__max")
+    val width = math.max(1L, (hi - lo) / maxBins + 1L)
+    val nBins = ((hi - lo) / width + 1L).toInt
+    val binned = df
+      .groupBy(expr(s"(($scoreCol) - ${lo}L) div ${width}L").as("__bin"))
+      .agg(count(lit(1)).as("__cnt"), sum(y.cast("long")).as("__pos"))
+      .collect()
+      .map(r => r.getAs[Long]("__bin").toInt ->
+        ((r.getAs[Long]("__pos"), r.getAs[Long]("__cnt")))).toMap
+    // PAV over non-empty bins, exact-integer block means
+    final case class Block(upTo: Int, pos: Long, n: Long)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    binned.keys.toSeq.sorted.foreach { b =>
+      val (p, c) = binned(b)
+      var cur = Block(b, p, c)
+      while (stack.nonEmpty &&
+          stack.last.pos * cur.n > cur.pos * stack.last.n) {
+        val prev = stack.remove(stack.length - 1)
+        cur = Block(cur.upTo, prev.pos + cur.pos, prev.n + cur.n)
+      }
+      stack += cur
+    }
+    val values = new Array[Long](nBins)
+    var bi = 0
+    stack.foreach { blk =>
+      val v = math.round(blk.pos * 1e6 / blk.n)
+      while (bi <= blk.upTo) { values(bi) = v; bi += 1 }
+    }
+    // bins past the last observed one cannot exist by construction
+    require(bi == nBins, s"internal: filled $bi of $nBins bins")
+    IsotonicModel(lo, width, values)
+  }
 }

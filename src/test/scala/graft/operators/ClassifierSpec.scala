@@ -113,4 +113,56 @@ class ClassifierSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Classifier.train(outOfRange, "text", "label", dim = 64, iters = 1))
   }
+
+  test("fitIsotonic pools adjacent violators exactly (hand-worked)") {
+    // per-score (pos, n): rates .2 .4 0 .6 .4 1 -> PAV blocks
+    // [s1]=.2, [s2,s3]=.2, [s4,s5]=.5, [s6]=1
+    val rows = for {
+      (s, pos, n) <- Seq((1L, 1, 5), (2L, 2, 5), (3L, 0, 5),
+        (4L, 3, 5), (5L, 2, 5), (6L, 5, 5))
+      i <- 0 until n
+    } yield (s, if (i < pos) 1 else 0)
+    val m = Classifier.fitIsotonic(rows.toDF("s", "y"), "s", "y", maxBins = 16)
+    assert(m.minScore == 1L && m.binWidth == 1L)
+    assert(m.probMicrosByBin.toSeq == Seq(
+      200000L, 200000L, 200000L, 500000L, 500000L, 1000000L))
+    // apply: exact lookups, clamped outside the observed range
+    val applied = m.apply(
+      Seq(0L, 1L, 3L, 6L, 99L).toDF("s"), "s", "p")
+      .orderBy("s").select("p").as[Long].collect().toSeq
+    assert(applied == Seq(200000L, 200000L, 200000L, 1000000L, 1000000L))
+  }
+
+  test("fitIsotonic is monotone, bin-bounded, and partitioning-exact") {
+    val rows = Seq.tabulate(500)(i =>
+      (((i * 97) % 250).toLong, if ((i * 31) % 7 < 3) 1 else 0))
+    val a = Classifier.fitIsotonic(
+      rows.toDF("s", "y").repartition(1), "s", "y", maxBins = 10)
+    val b = Classifier.fitIsotonic(
+      rows.toDF("s", "y").repartition(13), "s", "y", maxBins = 10)
+    assert(a.probMicrosByBin.toSeq == b.probMicrosByBin.toSeq)
+    assert(a.binWidth == 25L, "250-wide range over 10 bins")
+    assert(a.probMicrosByBin.length <= 10)
+    assert(a.probMicrosByBin.sliding(2).forall(w =>
+      w.length < 2 || w(0) <= w(1)), "PAV output must be monotone")
+    assert(a.probMicrosByBin.forall(v => v >= 0L && v <= 1000000L))
+  }
+
+  test("fitIsotonic loud paths") {
+    val bad = Seq((1L, 3)).toDF("s", "y")
+    assert(intercept[IllegalArgumentException](
+      Classifier.fitIsotonic(bad, "s", "y")).getMessage
+      .contains("outside {0, 1}"))
+    val nullScore = Seq((Option.empty[Long], 1)).toDF("s", "y")
+    intercept[IllegalArgumentException](
+      Classifier.fitIsotonic(nullScore, "s", "y"))
+    intercept[IllegalArgumentException](
+      Classifier.fitIsotonic(bad.limit(0), "s", "y"))
+    val ok = Seq((1L, 1), (2L, 0)).toDF("s", "y")
+    intercept[IllegalArgumentException](
+      Classifier.fitIsotonic(ok, "s", "y", maxBins = 1))
+    val m = Classifier.fitIsotonic(ok, "s", "y")
+    intercept[IllegalArgumentException](
+      m.apply(ok.withColumn("p", lit(1)), "s", "p"))
+  }
 }
