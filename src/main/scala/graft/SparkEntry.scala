@@ -450,6 +450,15 @@ object SparkEntry {
         Seq("spark", "window", "merge", "shuffle"))
     }),
 
+    // ---- RM3 pseudo-relevance feedback: expand from top-5 docs, top-8
+    // terms, α = 0.5, then a weighted second pass — every step exact ----
+    "q_rm3_search" -> ((s, dir) => {
+      operators.Search.rm3Search(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "merge", "shuffle"),
+        fbDocs = 5, fbTerms = 8, alphaMicros = 500000L)
+    }),
+
     // ---- Efraimidis-Spirakis weighted sampling: 20 docs per source,
     // inclusion probability ∝ n_chars, reproducible by any engine ----
     "q_weighted_sample" -> ((s, dir) => {
@@ -5951,6 +5960,80 @@ object SparkEntry {
     "q_bm25_search" -> bm25Oracle,
     "q_bm25_indexed" -> bm25Oracle,
     "q_bm25_segmented" -> bm25Oracle,
+    // RM3: pass-1 bm25 (shared CTEs), top-5 feedback docs by (score DESC,
+    // id), per-(doc, term) contributions round((tf*smic)*1000.0/dl) summed
+    // as BIGINTs, top-8 terms by (weight DESC, term), micro-normalized,
+    // α=0.5 pico-unit interpolation, weighted pass-2 over the SAME global
+    // (n, avgdl). Association trees mirror the Spark side exactly.
+    "q_rm3_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_transform(list_filter(
+        |    string_split_regex(coalesce(text, ''), '\s+'), t -> t <> ''),
+        |    t -> lower(t)) AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(toks)::BIGINT AS dl,
+        |    list_filter(toks,
+        |      t -> t IN ('spark', 'window', 'merge', 'shuffle')) AS hits
+        |  FROM toks),
+        |stats AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(dl)::BIGINT::DOUBLE / count(*) AS avgdl FROM base),
+        |post AS (
+        |  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, dl, unnest(hits) AS term FROM base
+        |        WHERE len(hits) > 0)
+        |  GROUP BY doc_id, dl, term),
+        |dfs AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term),
+        |s1 AS (
+        |  SELECT p.doc_id, round(sum(
+        |    ln(1.0::DOUBLE + (s.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)) *
+        |    (p.tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |    (p.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+        |       + 0.75::DOUBLE * p.dl / s.avgdl))), 6) AS score
+        |  FROM post p JOIN dfs d USING (term) CROSS JOIN stats s
+        |  GROUP BY p.doc_id),
+        |fb AS (
+        |  SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS smic
+        |  FROM s1 ORDER BY score DESC, doc_id LIMIT 5),
+        |fbt AS (
+        |  SELECT t.doc_id, f.smic, len(t.toks)::BIGINT AS dl,
+        |    u.term, count(*)::BIGINT AS tf
+        |  FROM fb f JOIN toks t USING (doc_id), unnest(t.toks) AS u(term)
+        |  GROUP BY t.doc_id, f.smic, dl, u.term),
+        |rw AS (
+        |  SELECT term, CAST(sum(CAST(round(tf * smic * 1000.0 / dl)
+        |    AS BIGINT)) AS BIGINT) AS wn
+        |  FROM fbt GROUP BY term),
+        |sel AS (SELECT term, wn FROM rw ORDER BY wn DESC, term LIMIT 8),
+        |tot AS (SELECT CAST(sum(wn) AS BIGINT) AS ws FROM sel),
+        |rmw AS (
+        |  SELECT term, CAST(round(wn * 1000000.0 / ws) AS BIGINT) AS rmmic
+        |  FROM sel CROSS JOIN tot),
+        |orig AS (
+        |  SELECT unnest(['spark', 'window', 'merge', 'shuffle']) AS term,
+        |    CAST(round(1000000.0 / 4) AS BIGINT) AS omic),
+        |qw AS (
+        |  SELECT coalesce(o.term, r.term) AS term,
+        |    500000 * coalesce(o.omic, 0) + 500000 * coalesce(r.rmmic, 0) AS wp
+        |  FROM orig o FULL OUTER JOIN rmw r ON o.term = r.term),
+        |qwp AS (SELECT term, wp FROM qw WHERE wp > 0),
+        |post2 AS (
+        |  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+        |  FROM (SELECT t.doc_id, len(t.toks)::BIGINT AS dl, u.term
+        |        FROM toks t, unnest(t.toks) AS u(term)) x
+        |    JOIN qwp USING (term)
+        |  GROUP BY doc_id, dl, term),
+        |dfs2 AS (SELECT term, count(*)::BIGINT AS df FROM post2 GROUP BY term)
+        |SELECT p.doc_id, count(*)::BIGINT AS n_hits,
+        |  round(sum(
+        |    ln(1.0::DOUBLE + (s.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)) *
+        |    (p.tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |    (p.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+        |       + 0.75::DOUBLE * p.dl / s.avgdl)) * q.wp / 1e12), 6) AS score
+        |FROM post2 p JOIN dfs2 d USING (term) JOIN qwp q USING (term)
+        |  CROSS JOIN stats s
+        |GROUP BY p.doc_id""".stripMargin,
     "q_weighted_sample" ->
       """WITH w AS (
         |  SELECT source, doc_id, n_chars,

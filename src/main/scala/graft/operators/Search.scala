@@ -578,4 +578,156 @@ object Search {
       .agg(count(lit(1)).as("n_lists"),
         round(sum(col("__c")), 6).as("rrf_score"))
   }
+
+  /** RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 relevance
+    * models, the RM3 interpolation of Abdul-Jaleel et al. 2004): run the
+    * original query, treat the top `fbDocs` results as relevant, build a
+    * feedback term distribution from them, keep the top `fbTerms`, and
+    * interpolate with the uniform original-query weights at
+    * `alphaMicros/1e6`. Returns the expanded weighted query as
+    * `(term, weight_picos)` — weights in 1e-12 units so interpolation
+    * is exact long arithmetic with NO division anywhere on the Spark
+    * side that an oracle could round differently.
+    *
+    * Exactness contract (every engine must reproduce it bit-for-bit):
+    *  - pass-1 scores are [[TextAnalysis.bm25]]'s 6-dp-rounded doubles,
+    *    re-quantized to micros; feedback docs are the top `fbDocs` by
+    *    `(score DESC, id ASC)` — a total order;
+    *  - each feedback doc's term contribution is
+    *    `round((tf · score_micros) · 1000.0 / dl)` — one long product,
+    *    one double multiply, one double divide, one round — summed as
+    *    LONGs; expansion terms are the top `fbTerms` by
+    *    `(weight DESC, term ASC)`;
+    *  - normalization is `round(w · 1e6 / Σw)` per selected term, and the
+    *    RM3 mix is `α_micros·orig_micros + (1e6 − α_micros)·rm_micros`
+    *    pico-units, all exact longs.
+    *
+    * Scale shape: pass 1 is [[TextAnalysis.bm25]] (postings are
+    * matches-sized); the feedback frame is `fbDocs` documents (a
+    * broadcast-filtered slice), so the relevance-model aggregate is
+    * bounded by construction; everything collected is ≤ fbTerms + |Q|
+    * rows. The second pass ([[rm3Search]]) is one more matches-sized
+    * bm25 with weights riding a map literal — no extra corpus scan
+    * beyond bm25's own two.
+    */
+  def rm3Weights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      fbDocs: Int = 10,
+      fbTerms: Int = 10,
+      alphaMicros: Long = 500000L,
+      k1: Double = 1.2,
+      b: Double = 0.75): Seq[(String, Long)] = {
+    require(fbDocs >= 1 && fbDocs <= 1000, s"fbDocs out of [1,1000]: $fbDocs")
+    require(fbTerms >= 1 && fbTerms <= 10000,
+      s"fbTerms out of [1,10000]: $fbTerms")
+    require(alphaMicros >= 0L && alphaMicros <= 1000000L,
+      s"alphaMicros out of [0,1e6]: $alphaMicros")
+    val qs = queryTerms.map(_.toLowerCase).distinct
+    val fb = TextAnalysis.bm25(docs, idCol, textCol, qs, k1, b)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(fbDocs)
+      .select(col(idCol), round(col("score") * 1e6).cast("long").as("__smic"))
+    // feedback docs are few by construction — broadcast them onto the
+    // corpus scan, then aggregate their (term, tf/dl-weighted) counts
+    val fbToks = docs
+      .join(broadcast(fb), Seq(idCol))
+      .select(col(idCol), col("__smic"),
+        transform(TextAnalysis.tokens(col(textCol)), t => lower(t))
+          .as("__toks"))
+      .select(col(idCol), col("__smic"), size(col("__toks")).as("__dl"),
+        explode(col("__toks")).as("__term"))
+      // per (doc, term) — NOT per (smic, dl, term): two feedback docs
+      // sharing a score and length must contribute separately-rounded
+      // terms, or the oracle's per-doc grouping diverges by one ulp
+      .groupBy(col(idCol), col("__smic"), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    val rm = fbToks
+      .select(col("__term"),
+        round(col("__tf") * col("__smic") * lit(1000.0) / col("__dl"))
+          .cast("long").as("__wn"))
+      .groupBy(col("__term")).agg(sum(col("__wn")).as("__wn"))
+      .orderBy(col("__wn").desc, col("__term"))
+      .limit(fbTerms)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(rm.nonEmpty,
+      "rm3Weights: no feedback terms — the original query matched nothing")
+    val rmSum = rm.map(_._2).sum
+    val rmMic = rm.map { case (t, w) =>
+      t -> math.round(w * 1000000.0 / rmSum) }.toMap
+    val origMic = math.round(1000000.0 / qs.size)
+    (qs.toSet ++ rmMic.keySet).toSeq.sorted.map { t =>
+      val o = if (qs.contains(t)) origMic else 0L
+      val r = rmMic.getOrElse(t, 0L)
+      t -> (alphaMicros * o + (1000000L - alphaMicros) * r)
+    }.filter(_._2 > 0L)
+  }
+
+  /** One-call RM3 retrieval: [[rm3Weights]] then a weighted BM25 pass
+    * with the expanded query. Per-(doc, term) contributions are
+    * `bm25_term_score · weight_picos / 1e12`, summed in TERM order via
+    * the same sorted-fold contract as [[TextAnalysis.bm25]]; output
+    * `(idCol, n_hits, score)` with score rounded to 6 decimals.
+    */
+  def rm3Search(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      fbDocs: Int = 10,
+      fbTerms: Int = 10,
+      alphaMicros: Long = 500000L,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val weights = rm3Weights(docs, idCol, textCol, queryTerms,
+      fbDocs, fbTerms, alphaMicros, k1, b)
+    bm25WithWeights(docs, idCol, textCol, weights, k1, b)
+  }
+
+  /** Weighted-bag BM25: [[TextAnalysis.bm25]]'s exact machinery with a
+    * per-term multiplier in pico-units (1e-12). Public so a caller can
+    * persist an expanded query and re-run it without re-fitting.
+    */
+  def bm25WithWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weightedTerms: Seq[(String, Long)],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(weightedTerms.nonEmpty, "weightedTerms must be non-empty")
+    require(weightedTerms.map(_._1).distinct.size == weightedTerms.size,
+      "weightedTerms carries duplicate terms")
+    require(weightedTerms.forall(_._2 > 0L),
+      "weights must be positive picos")
+    val qs = weightedTerms.map(_._1.toLowerCase)
+    require(qs.distinct.size == qs.size,
+      "weightedTerms terms must be lowercase-distinct")
+    val wLit = typedlit(weightedTerms.map(p => p._1.toLowerCase -> p._2).toMap)
+    val toks = transform(TextAnalysis.tokens(col(textCol)), t => lower(t))
+    val base = docs.select(col(idCol), size(toks).as("__dl"),
+      filter(toks, t => t.isInCollection(qs)).as("__hits"))
+    val stats = base.agg(count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    val postings = base
+      .where(size(col("__hits")) > 0)
+      .select(col(idCol), col("__dl"), explode(col("__hits")).as("__term"))
+      .groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__term")))
+    val scored = postings
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("__term"),
+        (TextAnalysis.bm25ScoreExpr(col("__n"), col("__df"), col("__tf"),
+          col("__dl"), col("__avgdl"), k1, b) *
+          element_at(wLit, col("__term")) / lit(1e12)).as("__s"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        round(aggregate(
+          array_sort(collect_list(struct(col("__term"), col("__s")))),
+          lit(0.0), (acc, x) => acc + x.getField("__s")), 6).as("score"))
+  }
 }

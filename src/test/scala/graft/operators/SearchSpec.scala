@@ -248,4 +248,69 @@ class SearchSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 11L),
       "compaction must preserve the stem analyzer")
   }
+
+  private val rm3Corpus = Seq(
+    (1L, "apple banana banana cherry"),
+    (2L, "apple cherry cherry durian"),
+    (3L, "banana cherry elder"),
+    (4L, "durian elder fig grape"),
+    (5L, "apple apple banana")).toDF("doc_id", "text")
+
+  test("bm25WithWeights at uniform 1e12 picos IS plain bm25, bit for bit") {
+    val terms = Seq("apple", "banana")
+    val plain = TextAnalysis.bm25(rm3Corpus, "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val weighted = Search.bm25WithWeights(rm3Corpus, "doc_id", "text",
+      terms.map(_ -> 1000000000000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(plain == weighted)
+  }
+
+  test("rm3Weights expands into feedback-doc vocabulary, exact interpolation") {
+    val w = Search.rm3Weights(rm3Corpus, "doc_id", "text", Seq("apple"),
+      fbDocs = 2, fbTerms = 5, alphaMicros = 500000L).toMap
+    // original term survives with at least its interpolated floor
+    assert(w.contains("apple") && w("apple") >= 500000L * 1000000L)
+    // expansion terms come from the feedback docs only (1, 2, 5 score;
+    // top-2 selected) — "elder"/"fig"/"grape" live outside them
+    val expanded = w.keySet - "apple"
+    assert(expanded.nonEmpty)
+    assert(!expanded.contains("fig") && !expanded.contains("grape"))
+    // feedback side of the mix is normalized: rm picos sum to
+    // (1e6 - alpha) * 1e6 within per-term rounding
+    val rmPicos = w.values.sum - 500000L * 1000000L // minus orig apple share
+    assert(math.abs(rmPicos - 500000L * 1000000L) <= w.size * 500000L)
+    // determinism across partitionings
+    val w2 = Search.rm3Weights(rm3Corpus.repartition(7), "doc_id", "text",
+      Seq("apple"), fbDocs = 2, fbTerms = 5, alphaMicros = 500000L).toMap
+    assert(w == w2)
+  }
+
+  test("rm3Search retrieves expansion-only docs the raw query misses") {
+    // doc 3 has no query term; RM3's expansion ("banana"/"cherry" from
+    // the apple docs) must pull it in
+    val raw = TextAnalysis.bm25(rm3Corpus, "doc_id", "text", Seq("apple"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!raw.contains(3L))
+    val rm3 = Search.rm3Search(rm3Corpus, "doc_id", "text", Seq("apple"),
+      fbDocs = 2, fbTerms = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rm3.contains(3L), "expansion must recall beyond the raw query")
+    assert(raw.subsetOf(rm3))
+  }
+
+  test("rm3 loud paths") {
+    intercept[IllegalArgumentException](
+      Search.rm3Weights(rm3Corpus, "doc_id", "text", Seq("zzz_nomatch")))
+    intercept[IllegalArgumentException](
+      Search.bm25WithWeights(rm3Corpus, "doc_id", "text", Nil))
+    intercept[IllegalArgumentException](
+      Search.bm25WithWeights(rm3Corpus, "doc_id", "text",
+        Seq("a" -> 1L, "a" -> 2L)))
+    intercept[IllegalArgumentException](
+      Search.bm25WithWeights(rm3Corpus, "doc_id", "text", Seq("a" -> 0L)))
+    intercept[IllegalArgumentException](
+      Search.rm3Weights(rm3Corpus, "doc_id", "text", Seq("apple"),
+        alphaMicros = 2000000L))
+  }
 }
