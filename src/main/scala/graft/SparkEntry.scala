@@ -1834,6 +1834,15 @@ object SparkEntry {
       operators.Graphs.clusteringCoefficients(edges, "x", "y")
     }),
 
+    // ---- deterministic DeepWalk corpus over the derived order graph ----
+    "q_random_walks" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(
+        (col("o_orderkey") % 97).cast("string").as("x"),
+        (col("o_custkey") % 97).cast("string").as("y"))
+      operators.Graphs.randomWalks(edges, "x", "y",
+        walksPerNode = 2, walkLength = 4, seed = "rw")
+    }),
+
     // ---- percentile-rank calibration: per-language percent_rank of
     // doc length (the step before mixing incomparable scores) ----
     "q_pct_rank" -> ((s, dir) => {
@@ -5098,6 +5107,33 @@ object SparkEntry {
         |      / (2 * (n_items * n_items * 9 - bb))
         |  END, 6) AS kappa
         |FROM a, b""".stripMargin,
+    // random walks: the recursive CTE replays the per-step hash pick —
+    // same sha256 preimage "seed:origin:walk:step:node", same 7-hex-char
+    // prefix, same mod-degree 1-based index over dst-sorted neighbors
+    "q_random_walks" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT DISTINCT CAST(o_orderkey % 97 AS VARCHAR) AS src,
+        |    CAST(o_custkey % 97 AS VARCHAR) AS dst
+        |  FROM orders),
+        |ie AS (
+        |  SELECT src, dst, CAST(row_number() OVER (
+        |    PARTITION BY src ORDER BY dst) AS BIGINT) AS idx
+        |  FROM raw),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |  FROM ie GROUP BY src),
+        |walks(origin, walk, step, node) AS (
+        |  SELECT src, walk, 0, src
+        |  FROM deg CROSS JOIN (SELECT unnest([0, 1]) AS walk) w
+        |  UNION ALL
+        |  SELECT w.origin, w.walk, w.step + 1, ie.dst
+        |  FROM walks w
+        |  JOIN deg d ON d.src = w.node
+        |  JOIN ie ON ie.src = w.node AND ie.idx =
+        |    ('0x' || substring(sha256('rw' || ':' || w.origin || ':'
+        |      || w.walk::VARCHAR || ':' || w.step::VARCHAR || ':'
+        |      || w.node), 1, 7))::BIGINT % d.deg + 1
+        |  WHERE w.step < 4)
+        |SELECT origin, walk, step, node FROM walks""".stripMargin,
     "q_clustering" ->
       """WITH raw AS (
         |  SELECT CAST(o_orderkey % 97 AS VARCHAR) AS x,

@@ -1122,4 +1122,103 @@ object Graphs {
       } finally graft.core.Caches.releaseCheckpoint(labeled)
     } finally und.unpersist()
   }
+
+  /** Deterministic uniform random walks over the directed edge set — the
+    * DeepWalk/node2vec(p=q=1) corpus generator: `walksPerNode` walks of
+    * up to `walkLength` steps from every node with out-edges, emitted as
+    * `(start, walk, step, node)` trajectory rows ready for skip-gram
+    * windowing ([[graft.operators.TextAnalysis.collocations]] /
+    * embedding training downstream).
+    *
+    * "Random" is a hash, not an RNG: step `s` at node `v` picks neighbor
+    * index `sha256(seed:origin:walk:s:v)[0..7 hex] mod degree(v)` over
+    * the node's DISTINCT out-neighbors in dst order — so every engine,
+    * run, partitioning, and resumed job walks the SAME paths (the
+    * [[Sampling]] hash-randomness convention), and a DuckDB recursive
+    * CTE replays the walk exactly. Dead-end nodes terminate their walk
+    * early (standard DeepWalk behavior).
+    *
+    * Scale shape: neighbor indexing is ONE per-src window over the
+    * distinct edge list (row_number + count in the same pass) — per-key
+    * sorted like [[graft.operators.AsofJoin]], so a mega-hub bounds a
+    * task by ITS degree, not the corpus; each of the `walkLength` rounds
+    * is two equi-shuffles of the walks-sized frontier (index pick, then
+    * edge lookup), checkpoint-rotated with release-on-throw. Total
+    * output is `nodes × walksPerNode × (walkLength+1)` rows, bounded
+    * loudly.
+    */
+  def randomWalks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      walksPerNode: Int = 2,
+      walkLength: Int = 8,
+      seed: String = "graft"): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 1000,
+      s"walksPerNode must be in 1..1000, got $walksPerNode")
+    require(walkLength >= 1 && walkLength <= 64,
+      s"walkLength must be in 1..64, got $walkLength")
+    require(!seed.contains(":"),
+      "seed must not contain ':' (it delimits the hash preimage)")
+    val indexed = graft.core.Caches.pin {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__src").orderBy("__dst")
+      edges.select(col(srcCol).cast("string").as("__src"),
+          col(dstCol).cast("string").as("__dst"))
+        .where(col("__src").isNotNull && col("__dst").isNotNull)
+        .distinct()
+        .select(col("__src"), col("__dst"),
+          row_number().over(w).as("__idx"),
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("__src"))
+            .as("__deg"))
+    }
+    try {
+      val degrees = indexed.select(col("__src"), col("__deg")).distinct()
+      var frontier = degrees.select(col("__src").as("origin"))
+        .crossJoin(broadcast(spark_rangeless(walksPerNode)))
+        .select(col("origin"), col("walk"), lit(0).as("step"),
+          col("origin").as("node"))
+        .localCheckpoint(true)
+      val steps = scala.collection.mutable.ArrayBuffer(frontier)
+      try {
+        var s = 0
+        var live = true
+        while (s < walkLength && live) {
+          val pick = frontier
+            .join(degrees.select(col("__src").as("node"), col("__deg")),
+              Seq("node"))
+            .select(col("origin"), col("walk"), col("node"),
+              (graft.functions.VectorFunctions.hexPrefixToLong(
+                sha2(concat_ws(":", lit(seed), col("origin"),
+                  col("walk").cast("string"), lit(s).cast("string"),
+                  col("node")), 256), 7) % col("__deg") + lit(1L))
+                .as("__pick"))
+          val next = pick
+            .join(indexed.select(col("__src").as("node"),
+              col("__idx").cast("long").as("__pick"), col("__dst")),
+              Seq("node", "__pick"))
+            .select(col("origin"), col("walk"), lit(s + 1).as("step"),
+              col("__dst").as("node"))
+            .localCheckpoint(true)
+          steps += next
+          frontier = next
+          live = frontier.limit(1).count() > 0
+          s += 1
+        }
+        val out = steps.reduce(_ unionByName _).localCheckpoint(true)
+        graft.core.Caches.registerCheckpoint(out)
+        out
+      } finally steps.foreach(f => graft.core.Caches.releaseCheckpoint(f))
+    } finally indexed.unpersist()
+  }
+
+  /** `(walk)` column 0..n-1 as a 1-row-per-value frame (a tiny driver
+    * literal, not `spark.range` — the cross join side must broadcast).
+    */
+  private def spark_rangeless(n: Int): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    (0 until n).toDF("walk")
+  }
 }

@@ -591,4 +591,70 @@ class GraphsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(unsums == Map("hub" -> 5000.0, "a" -> 2.0, "b" -> 1.0))
   }
+
+  private def walkPick(seed: String, origin: String, walk: Int, step: Int,
+      node: String, deg: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$seed:$origin:$walk:$step:$node".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.take(7), 16) % deg).toInt
+  }
+
+  test("randomWalks replays the documented hash choices exactly") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("a", "b"))
+      .toDF("s", "d")
+    val out = Graphs.randomWalks(edges, "s", "d",
+      walksPerNode = 2, walkLength = 3, seed = "t")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    // distinct neighbors in dst order: a -> [b, c], b -> [a]; c dead-ends
+    val nbrs = Map("a" -> Vector("b", "c"), "b" -> Vector("a"))
+    val expected = scala.collection.mutable.Set.empty[(String, Int, Int, String)]
+    for (origin <- Seq("a", "b"); walk <- 0 until 2) {
+      var node = origin
+      expected += ((origin, walk, 0, node))
+      var step = 0
+      var alive = true
+      while (step < 3 && alive) {
+        nbrs.get(node) match {
+          case Some(ns) =>
+            node = ns(walkPick("t", origin, walk, step, node, ns.size))
+            expected += ((origin, walk, step + 1, node))
+            step += 1
+          case None => alive = false
+        }
+      }
+    }
+    assert(out == expected.toSet)
+    // dead ends truncate: any trajectory row AT c is that walk's last
+    val byWalk = out.groupBy(r => (r._1, r._2))
+    byWalk.values.foreach { rows =>
+      rows.filter(_._4 == "c").foreach { r =>
+        assert(rows.map(_._3).max == r._3, "no step may follow a dead end")
+      }
+    }
+  }
+
+  test("randomWalks is partitioning-invariant and loud on bad bounds") {
+    val edges = Seq.tabulate(60)(i =>
+      (s"n${i % 12}", s"n${(i * 7 + 1) % 12}")).toDF("s", "d")
+    val a = Graphs.randomWalks(edges.repartition(1), "s", "d",
+      walksPerNode = 2, walkLength = 5).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    val b = Graphs.randomWalks(edges.repartition(9), "s", "d",
+      walksPerNode = 2, walkLength = 5).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(a == b)
+    // every node has out-edges here, so no walk terminates early
+    assert(a.count(_._3 == 5) == 12 * 2)
+    intercept[IllegalArgumentException](
+      Graphs.randomWalks(edges, "s", "d", walksPerNode = 0))
+    intercept[IllegalArgumentException](
+      Graphs.randomWalks(edges, "s", "d", walkLength = 0))
+    intercept[IllegalArgumentException](
+      Graphs.randomWalks(edges, "s", "d", seed = "a:b"))
+  }
 }
