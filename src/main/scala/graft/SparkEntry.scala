@@ -1834,6 +1834,16 @@ object SparkEntry {
       operators.Graphs.clusteringCoefficients(edges, "x", "y")
     }),
 
+    // ---- skip-gram co-occurrence pairs + TextRank keywords ----
+    "q_skipgrams" -> ((s, dir) =>
+      operators.TextAnalysis.skipGramPairs(
+        t(s, dir, "documents"), "doc_id", "text", window = 2)),
+
+    "q_textrank" -> ((s, dir) =>
+      operators.TextAnalysis.textRankKeywords(
+        t(s, dir, "documents"), "doc_id", "text",
+        window = 2, iterations = 3, topK = 20)),
+
     // ---- deterministic DeepWalk corpus over the derived order graph ----
     "q_random_walks" -> ((s, dir) => {
       val edges = t(s, dir, "orders").select(
@@ -5107,6 +5117,80 @@ object SparkEntry {
         |      / (2 * (n_items * n_items * 9 - bb))
         |  END, 6) AS kappa
         |FROM a, b""".stripMargin,
+    "q_skipgrams" ->
+      """WITH s AS (
+        |  SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+        |    unnest(toks) AS tok
+        |  FROM (SELECT doc_id, list_transform(list_filter(
+        |      string_split_regex(coalesce(text, ''), '\s+'), t -> t <> ''),
+        |      t -> lower(t)) AS toks
+        |    FROM documents)),
+        |fwd AS (
+        |  SELECT a.tok AS center, b.tok AS context
+        |  FROM s a JOIN s b ON a.doc_id = b.doc_id
+        |    AND b.pos > a.pos AND b.pos <= a.pos + 2),
+        |bothdir AS (
+        |  SELECT center, context FROM fwd
+        |  UNION ALL SELECT context, center FROM fwd)
+        |SELECT center, context, CAST(count(*) AS BIGINT) AS n
+        |FROM bothdir GROUP BY center, context""".stripMargin,
+    // TextRank: the skip-gram graph above, then the weighted unrolled
+    // nano-unit PageRank (the q_pagerank_weighted contract) and a
+    // totally-ordered top-20
+    "q_textrank" ->
+      """WITH s AS (
+        |  SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+        |    unnest(toks) AS tok
+        |  FROM (SELECT doc_id, list_transform(list_filter(
+        |      string_split_regex(coalesce(text, ''), '\s+'), t -> t <> ''),
+        |      t -> lower(t)) AS toks
+        |    FROM documents)),
+        |fwd AS (
+        |  SELECT a.tok AS center, b.tok AS context
+        |  FROM s a JOIN s b ON a.doc_id = b.doc_id
+        |    AND b.pos > a.pos AND b.pos <= a.pos + 2),
+        |bothdir AS (
+        |  SELECT center, context FROM fwd
+        |  UNION ALL SELECT context, center FROM fwd),
+        |pairs AS (
+        |  SELECT center AS src, context AS dst,
+        |    CAST(count(*) AS BIGINT)::DOUBLE AS w
+        |  FROM bothdir GROUP BY center, context),
+        |e AS (
+        |  SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS ws
+        |  FROM pairs),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |p0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS pr FROM nodes),
+        |i1 AS (
+        |  SELECT nd.node,
+        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      CAST(sum(CAST(round(p.pr * e.w / e.ws * 1e9) AS BIGINT)) AS BIGINT) AS v
+        |    FROM e JOIN p0 p ON p.node = e.src
+        |    GROUP BY e.dst) s ON s.node = nd.node),
+        |i2 AS (
+        |  SELECT nd.node,
+        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      CAST(sum(CAST(round(p.pr * e.w / e.ws * 1e9) AS BIGINT)) AS BIGINT) AS v
+        |    FROM e JOIN i1 p ON p.node = e.src
+        |    GROUP BY e.dst) s ON s.node = nd.node),
+        |i3 AS (
+        |  SELECT nd.node,
+        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      CAST(sum(CAST(round(p.pr * e.w / e.ws * 1e9) AS BIGINT)) AS BIGINT) AS v
+        |    FROM e JOIN i2 p ON p.node = e.src
+        |    GROUP BY e.dst) s ON s.node = nd.node)
+        |SELECT node AS word, pr FROM i3
+        |ORDER BY pr DESC, node LIMIT 20""".stripMargin,
     // random walks: the recursive CTE replays the per-step hash pick —
     // same sha256 preimage "seed:origin:walk:step:node", same 7-hex-char
     // prefix, same mod-degree 1-based index over dst-sorted neighbors

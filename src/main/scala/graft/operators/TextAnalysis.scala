@@ -1274,6 +1274,74 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("__term"), col("__s")))),
           lit(0.0), (acc, x) => acc + x.getField("__s")), 6).as("score"))
 
+  /** Skip-gram co-occurrence pairs (the word2vec/TextRank training
+    * table): for every token at position `i` and every token within
+    * `window` positions AFTER it, emit the pair in BOTH orientations,
+    * then count globally — `(center, context, n)`. Window is positional
+    * (tokens, not characters), the standard skip-gram definition with
+    * symmetric context.
+    *
+    * Scale shape: one posexplode to the token stream, a `window`-way
+    * fan-out of positions, ONE equi-join back on `(doc, pos)` — the
+    * joined stream is `corpus_tokens × window`, never tokens² — and one
+    * map-side-combined count. Zipfian pair skew lands on a hash
+    * aggregate (AQE-splittable). Exact integer counts → any engine
+    * reproduces the table bit-for-bit.
+    */
+  def skipGramPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 2): DataFrame = {
+    require(window >= 1 && window <= 16,
+      s"window must be in 1..16, got $window")
+    val toks = transform(tokens(col(textCol)), t => lower(t))
+    val stream = df.select(col(idCol).as("__doc"),
+      posexplode(toks).as(Seq("__pos", "__tok")))
+    val fan = stream.select(col("__doc"), col("__tok").as("center"),
+      explode(sequence(col("__pos") + 1, col("__pos") + window))
+        .as("__p2"))
+    val fwd = fan.join(
+      stream.select(col("__doc"), col("__pos").as("__p2"),
+        col("__tok").as("context")),
+      Seq("__doc", "__p2"))
+      .select(col("center"), col("context"))
+    fwd.unionByName(fwd.select(col("context").as("center"),
+        col("center").as("context")))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the [[skipGramPairs]] co-occurrence graph, edge-weighted by pair
+    * count, top `topK` words by `(pr DESC, word ASC)`. Runs on the
+    * corpus as ONE graph — per-group keyword sets come from
+    * [[topTermsPerGroup]]; this is the graph-centrality alternative
+    * that rewards connectivity instead of tf-idf contrast.
+    *
+    * Exactness: integer edge weights keep [[Graphs.pageRank]]'s
+    * nano-unit iteration engine-exact (its documented integer-weight
+    * contract), and the final order is total — so even the LIMIT is
+    * deterministic. Scale: [[skipGramPairs]] + `iterations` PageRank
+    * rounds; the top-k is a TakeOrdered, not a global sort.
+    */
+  def textRankKeywords(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 2,
+      iterations: Int = 3,
+      damping: Double = 0.85,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1 && topK <= 100000, s"topK must be in 1..100k: $topK")
+    val pairs = skipGramPairs(df, idCol, textCol, window)
+    Graphs.pageRank(pairs, "center", "context", iterations, damping,
+        weightCol = Some("n"))
+      .orderBy(col("pr").desc, col("node"))
+      .limit(topK)
+      .select(col("node").as("word"), col("pr"))
+  }
+
   /** The BM25 scoring kernel shared by [[bm25]] and
     * `Search.searchIndex` — ONE definition so the documented bit-identical
     * equivalence of the ad-hoc and indexed paths holds by construction,

@@ -513,4 +513,38 @@ class CorpusOpsSpec extends SparkTestBase {
       TextAnalysis.bm25(docs, "doc_id", "text", Seq("a"), b = 1.5)
     }
   }
+
+  test("skipGramPairs: windowed, symmetric, exact counts") {
+    val d = Seq((1L, "a b c"), (2L, "x y x")).toDF("doc_id", "text")
+    val p = TextAnalysis.skipGramPairs(d, "doc_id", "text", window = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // doc1 fwd: (a,b) (a,c) (b,c); doc2 fwd: (x,y) (y,x) (x,x @dist2)
+    assert(p(("a", "b")) == 1 && p(("b", "a")) == 1)
+    assert(p(("a", "c")) == 1 && p(("c", "a")) == 1)
+    assert(p(("b", "c")) == 1 && p(("c", "b")) == 1)
+    // (x,y): fwd x@0->y@1 once, fwd y@1->x@2 gives (y,x) once; each
+    // orientation appears once forward + once mirrored = 2
+    assert(p(("x", "y")) == 2 && p(("y", "x")) == 2)
+    assert(p(("x", "x")) == 2, "self-pair at distance 2, both orientations")
+    assert(p.values.sum == 12)
+    // window 1 drops the distance-2 pairs
+    val w1 = TextAnalysis.skipGramPairs(d, "doc_id", "text", window = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(!w1.contains(("a", "c")) && !w1.contains(("x", "x")))
+    intercept[IllegalArgumentException](
+      TextAnalysis.skipGramPairs(d, "doc_id", "text", window = 0))
+  }
+
+  test("textRankKeywords ranks the connective hub word first") {
+    val d = Seq(
+      (1L, "hub alpha"), (2L, "hub beta"), (3L, "hub gamma"),
+      (4L, "hub delta"), (5L, "alpha beta")).toDF("doc_id", "text")
+    val kw = TextAnalysis.textRankKeywords(d, "doc_id", "text", topK = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(kw.head._1 == "hub", s"expected hub first, got ${kw.toSeq}")
+    assert(kw.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    assert(kw.length == 3)
+  }
 }
