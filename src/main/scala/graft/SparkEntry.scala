@@ -1805,6 +1805,12 @@ object SparkEntry {
         t(s, dir, "documents"), "lang", "source")
     }),
 
+    // ---- reproducible ε-DP count release over (lang, source) ----
+    "q_dp_counts" -> ((s, dir) =>
+      operators.Validation.noisedCounts(
+        t(s, dir, "documents"), Seq("lang", "source"),
+        epsilon = 1.0, seed = "dp")),
+
     // ---- inter-rater agreement: stored lang label vs a keyword rater ----
     "q_cohen_kappa" -> ((s, dir) => {
       val d = t(s, dir, "documents").withColumn("lang_kw",
@@ -5069,6 +5075,18 @@ object SparkEntry {
         |    * ln((nab::DOUBLE * nn) / (na::DOUBLE * nb)) * 1e9) AS BIGINT))
         |    AS BIGINT) / 1e9, 6) AS mi_nats
         |FROM e""".stripMargin,
+    // DP counts: same sha-derived uniform, same inverse-CDF Laplace tree
+    "q_dp_counts" ->
+      """WITH g AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS c,
+        |    (('0x' || substring(sha256('dp' || ':' || coalesce(lang, '')
+        |      || ':' || coalesce(source, '')), 1, 7))::BIGINT + 0.5)
+        |      / 268435456.0 AS u
+        |  FROM documents GROUP BY lang, source)
+        |SELECT lang, source,
+        |  c + CAST(round(-1.0 * sign(u - 0.5)::DOUBLE *
+        |    ln(1.0 - 2.0 * abs(u - 0.5))) AS BIGINT) AS noised_count
+        |FROM g""".stripMargin,
     "q_cohen_kappa" ->
       """WITH d AS (
         |  SELECT lang AS a,

@@ -609,6 +609,49 @@ object Validation {
         (col("q_after") - col("q_before")).as("drift"))
   }
 
+  /** Laplace-noised group counts (the ε-DP counting mechanism of Dwork
+    * et al. 2006, made REPRODUCIBLE): per group,
+    * `noised = count + round(Lap(1/ε))` with the Laplace draw derived
+    * from `sha256(seed:groupkey)` through the inverse CDF — so reruns,
+    * engines, and partitionings release the IDENTICAL table, which is
+    * what a pipeline needs to diff snapshots or replay a release.
+    *
+    * PRIVACY CAVEATS, loudly: (1) determinism trades privacy for
+    * reproducibility — anyone holding `seed` can denoise; treat the
+    * seed as a secret and ROTATE it per release. (2) ε-DP for counts
+    * assumes each protected entity contributes AT MOST ONE row per
+    * group — pre-aggregate ([[Dedup.exactDedup]] on the entity key) or
+    * the real ε is a multiple of the nominal one. This operator is the
+    * release mechanism, not the sensitivity analysis.
+    *
+    * Shape: ONE map-side-combined groupBy; the noise is a narrow
+    * expression over the groups-sized result. Negative noised counts
+    * are kept (clamping is the consumer's post-processing choice and
+    * would bias sums). NULL group values key as '' (the [[Sampling]]
+    * hash-key convention).
+    */
+  def noisedCounts(
+      df: DataFrame,
+      groupCols: Seq[String],
+      epsilon: Double,
+      seed: String): DataFrame = {
+    require(groupCols.nonEmpty, "noisedCounts needs group columns")
+    require(epsilon > 0 && epsilon <= 100, s"epsilon out of (0, 100]: $epsilon")
+    require(!seed.contains(":"), "seed must not contain ':'")
+    val keyParts = lit(seed) +:
+      groupCols.map(c => coalesce(col(c).cast("string"), lit("")))
+    val u = (graft.functions.VectorFunctions.hexPrefixToLong(
+      sha2(concat_ws(":", keyParts: _*), 256), 7) + lit(0.5)) /
+      lit(268435456.0)
+    // inverse-CDF Laplace(b = 1/ε): −b·sgn(u−½)·ln(1−2|u−½|)
+    val lap = lit(-1.0 / epsilon) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__true"))
+      .select(groupCols.map(col) :+
+        (col("__true") + round(lap).cast("long")).as("noised_count"): _*)
+  }
+
   /** Cohen's kappa (Cohen 1960) between two label columns — the
     * chance-corrected agreement audit for a pair of annotators,
     * heuristics, or model versions labeling the same rows: raw

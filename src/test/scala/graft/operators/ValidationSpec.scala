@@ -396,6 +396,37 @@ class ValidationSpec extends SparkTestBase {
       Validation.madOutliers(df, "v", Seq("g"), cutoff = 0.0))
   }
 
+  test("noisedCounts: deterministic, bounded noise, seed-sensitive") {
+    val d = Seq.tabulate(300)(i => (s"g${i % 7}", i)).toDF("g", "x")
+    def run(dd: org.apache.spark.sql.DataFrame, seed: String) =
+      Validation.noisedCounts(dd, Seq("g"), epsilon = 1.0, seed = seed)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = run(d.repartition(1), "s1")
+    val b = run(d.repartition(13), "s1")
+    assert(a == b, "noise must be partitioning-invariant")
+    // the 28-bit inverse CDF hard-bounds |noise| at ln(2^28)/ε ≈ 19.41
+    val truths = Seq.tabulate(300)(i => s"g${i % 7}")
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    a.foreach { case (g, v) =>
+      assert(math.abs(v - truths(g)) <= 20L, s"$g noise out of bound") }
+    // rotating the seed moves at least one group's release
+    val c = run(d, "s2")
+    assert(c != a)
+    // exact replay of the documented formula for one group
+    val hex = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("s1:g0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val u = (java.lang.Long.parseLong(hex.take(7), 16) + 0.5) / 268435456.0
+    val lap = -1.0 * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    val rnd = if (lap >= 0) math.floor(lap + 0.5) else math.ceil(lap - 0.5)
+    assert(a("g0") == truths("g0") + rnd.toLong)
+    intercept[IllegalArgumentException](
+      Validation.noisedCounts(d, Nil, 1.0, "s"))
+    intercept[IllegalArgumentException](
+      Validation.noisedCounts(d, Seq("g"), 0.0, "s"))
+    intercept[IllegalArgumentException](
+      Validation.noisedCounts(d, Seq("g"), 1.0, "a:b"))
+  }
+
   test("cohenKappa matches the hand-worked contingency table") {
     // 20 a/a, 5 a/b, 10 b/a, 15 b/b: po = 0.7, marginals A(25,25)
     // B(30,20) -> pe_num = 1250, kappa = (50*35-1250)/(2500-1250) = 0.4
