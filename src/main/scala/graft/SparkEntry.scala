@@ -2028,6 +2028,22 @@ object SparkEntry {
       operators.Graphs.stronglyConnectedComponents(e, "src", "dst")
     }),
 
+    // ---- sampled harmonic centrality over the same derived graph ----
+    "q_harmonic" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      val sym = pairs.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val seeds = t(s, dir, "orders").where(col("o_custkey") < 5)
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("seed"))
+      operators.Graphs.harmonicCentrality(sym, "src", "dst", seeds, "seed", 3)
+    }),
+
     "q_k_hop" -> ((s, dir) => {
       val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
@@ -5727,6 +5743,25 @@ object SparkEntry {
         |  WHERE r.hops < 2)
         |SELECT node, CAST(min(dist) AS BIGINT) AS dist
         |FROM r GROUP BY node""".stripMargin,
+    "q_harmonic" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
+        |    's' || l_suppkey::VARCHAR AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+        |r(seed, node, hops) AS (
+        |  SELECT DISTINCT 'c' || o_custkey::VARCHAR,
+        |    'c' || o_custkey::VARCHAR, CAST(0 AS BIGINT)
+        |  FROM orders WHERE o_custkey < 5
+        |  UNION
+        |  SELECT r.seed, e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node
+        |  WHERE r.hops < 3),
+        |d AS (SELECT seed, node, CAST(min(hops) AS BIGINT) AS hops
+        |  FROM r GROUP BY seed, node)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_sources,
+        |  CAST(sum(CAST(round(1000000.0 / hops) AS BIGINT)) AS BIGINT)
+        |    AS harmonic_micros
+        |FROM d WHERE hops > 0 GROUP BY node""".stripMargin,
     "q_k_hop" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,

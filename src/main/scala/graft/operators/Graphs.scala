@@ -1221,4 +1221,80 @@ object Graphs {
     import spark.implicits._
     (0 until n).toDF("walk")
   }
+
+  /** Sampled harmonic centrality (Boldi & Vigna 2014's preferred
+    * closeness variant — finite under disconnection): per node,
+    * `Σ_seeds 1/d(seed, node)` over hop distances from a SEED SAMPLE,
+    * hop-capped — the Eppstein–Wang estimation shape, exact for the
+    * given seeds (scale the micro-sum by `(n−1)/|seeds|` for the
+    * classic estimator; the raw per-seed sum is what is emitted so the
+    * caller controls the normalization and the oracle stays integral).
+    *
+    * Per-seed distances ride ONE BFS whose state is `(seed, node)` —
+    * the [[kHopReachability]] loop keyed by the pair, same checkpoint
+    * rotation and release-on-throw; state is `|seeds| × reachable`,
+    * which is why seeds are LOUDLY bounded (≤ 64): full-graph harmonic
+    * centrality at 100 TB is a different algorithm (HyperBall), not a
+    * bigger loop. Contributions quantize to micros per (seed, node)
+    * and sum as LONGs — engine-exact.
+    *
+    * Output: `(node, n_sources, harmonic_micros)` for nodes reached by
+    * ≥ 1 seed at hops ≥ 1 (a seed contributes nothing to itself).
+    */
+  def harmonicCentrality(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32,
+      s"maxHops must be in 1..32, got $maxHops")
+    val e = graft.core.Caches.pin(kHopEdges(edges, srcCol, dstCol))
+    try {
+      val seedSet = seeds
+        .select(col(seedCol).cast("string").as("seed"))
+        .where(col("seed").isNotNull).distinct()
+      val nSeeds = seedSet.count()
+      require(nSeeds > 0, "harmonicCentrality: no seeds")
+      require(nSeeds <= 64,
+        s"harmonicCentrality: $nSeeds seeds — the per-seed BFS state is " +
+          "|seeds| x reachable; sample seeds to <= 64 upstream")
+      var visited = seedSet
+        .withColumn("node", col("seed"))
+        .withColumn("hops", lit(0L))
+        .localCheckpoint(true)
+      var h = 1
+      var exhausted = false
+      try {
+        while (h <= maxHops && !exhausted) {
+          val frontier = visited.where(col("hops") === (h - 1))
+          val next = e
+            .join(frontier.select(col("seed"), col("node").as("__s")), "__s")
+            .select(col("seed"), col("__d").as("node")).distinct()
+            .join(visited.select("seed", "node"), Seq("seed", "node"),
+              "left_anti")
+            .withColumn("hops", lit(h.toLong))
+          val grown = visited.unionByName(next).localCheckpoint(true)
+          graft.core.Caches.releaseCheckpoint(visited)
+          visited = grown
+          exhausted = visited.where(col("hops") === h).limit(1).count() == 0
+          h += 1
+        }
+        val out = visited.where(col("hops") > 0L)
+          .groupBy(col("node"))
+          .agg(count(lit(1)).as("n_sources"),
+            sum(round(lit(1000000.0) / col("hops")).cast("long"))
+              .as("harmonic_micros"))
+          .localCheckpoint(true)
+        graft.core.Caches.releaseCheckpoint(visited)
+        graft.core.Caches.registerCheckpoint(out)
+        out
+      } catch {
+        case t: Throwable =>
+          graft.core.Caches.releaseCheckpoint(visited)
+          throw t
+      }
+    } finally e.unpersist()
+  }
 }

@@ -592,6 +592,34 @@ class GraphsSpec extends SparkTestBase {
     assert(unsums == Map("hub" -> 5000.0, "a" -> 2.0, "b" -> 1.0))
   }
 
+  test("harmonicCentrality sums per-seed inverse hop distances exactly") {
+    val path = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("c", "d"), ("d", "c")).toDF("s", "d")
+    val seeds = Seq("a", "d").toDF("seed")
+    val out = Graphs.harmonicCentrality(path, "s", "d", seeds, "seed", 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // a<->b<->c<->d: from a: b1 c2 d3; from d: c1 b2 a3
+    assert(out("a") == ((1L, 333333L)))
+    assert(out("b") == ((2L, 1500000L)))
+    assert(out("c") == ((2L, 1500000L)))
+    assert(out("d") == ((1L, 333333L)))
+    // hop cap drops the far endpoints but keeps middles intact
+    val capped = Graphs.harmonicCentrality(path, "s", "d", seeds, "seed", 2)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(!capped.contains("a") && !capped.contains("d"))
+    assert(capped("b") == 1500000L && capped("c") == 1500000L)
+    intercept[IllegalArgumentException](
+      Graphs.harmonicCentrality(path, "s", "d", seeds.limit(0), "seed", 2))
+    intercept[IllegalArgumentException](
+      Graphs.harmonicCentrality(path, "s", "d", seeds, "seed", 0))
+    val manySeeds = Seq.tabulate(65)(i => s"n$i").toDF("seed")
+    assert(intercept[IllegalArgumentException](
+      Graphs.harmonicCentrality(path, "s", "d", manySeeds, "seed", 2))
+      .getMessage.contains("64"))
+  }
+
   private def walkPick(seed: String, origin: String, walk: Int, step: Int,
       node: String, deg: Int): Int = {
     val hex = java.security.MessageDigest.getInstance("SHA-256")
