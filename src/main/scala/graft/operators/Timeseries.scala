@@ -59,10 +59,25 @@ object Timeseries {
       valueCol: String,
       keyCols: Seq[String],
       stepUs: Long,
-      maxBucketsPerKey: Long = 10000000L): DataFrame = {
+      maxBucketsPerKey: Long = 10000000L): DataFrame =
+    gridFromCells(cells(df, tsUsCol, valueCol, keyCols, stepUs),
+      keyCols, stepUs, maxBucketsPerKey)
+
+  /** The per-(key, bucket) partial aggregate [[resample]] grids over:
+    * `keys + (__b, n_events, value_micros)`. Cells are SUM-MERGEABLE —
+    * the cells of a union of frames equal the summed union of their
+    * cells — which is what lets
+    * [[graft.streaming.StreamingOps.resampleSink]] log per-batch cells
+    * under the stat-log sum fold law and reconstruct the exact batch
+    * grid later.
+    */
+  private[graft] def cells(
+      df: DataFrame,
+      tsUsCol: String,
+      valueCol: String,
+      keyCols: Seq[String],
+      stepUs: Long): DataFrame = {
     require(stepUs > 0, s"stepUs must be positive, got $stepUs")
-    require(maxBucketsPerKey >= 1,
-      s"maxBucketsPerKey must be >= 1, got $maxBucketsPerKey")
     val reserved = Seq("__b", "__minb", "__maxb", "bucket_us", "n_events",
       "value_micros")
     val clash = reserved.filter(df.columns.contains)
@@ -72,13 +87,30 @@ object Timeseries {
         lit("resample: negative timestamp "), col(tsUsCol),
         lit(" — integer bucketing is engine-portable only for ts >= 0"))))
       .otherwise(expr(s"$tsUsCol div $stepUs"))
-    val agg = df
-      .where(col(tsUsCol).isNotNull)
+    df.where(col(tsUsCol).isNotNull)
       .groupBy(keys :+ bucket.as("__b"): _*)
       .agg(
         count(lit(1)).as("n_events"),
         sum(round(col(valueCol).cast("double") * 1e6).cast("long"))
           .as("value_micros"))
+  }
+
+  /** Grid + gap-fill over [[cells]] rows (possibly pre-aggregated
+    * across batches — a defensive re-sum makes the call idempotent
+    * either way; it runs on the buckets-sized table, not the corpus).
+    */
+  private[graft] def gridFromCells(
+      rawCells: DataFrame,
+      keyCols: Seq[String],
+      stepUs: Long,
+      maxBucketsPerKey: Long = 10000000L): DataFrame = {
+    require(maxBucketsPerKey >= 1,
+      s"maxBucketsPerKey must be >= 1, got $maxBucketsPerKey")
+    val keys = keyCols.map(col)
+    val agg = rawCells
+      .groupBy(keys :+ col("__b"): _*)
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("value_micros")).as("value_micros"))
       .localCheckpoint(true)
     try {
       val spine = agg

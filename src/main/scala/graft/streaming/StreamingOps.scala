@@ -844,6 +844,63 @@ object StreamingOps {
       .agg(countDistinct(col(sensitiveCol)).as("diversity"))
       .where(col("diversity") >= l)
 
+  /** Stream events into a sum-mergeable RESAMPLE log: each micro-batch
+    * writes its own [[graft.operators.Timeseries.cells]] — per-(key,
+    * bucket) counts and micro-unit value sums — UNPIVOTED to
+    * `(keys…, __b, __m, __kcnt)` rows (`__m` tags the measure: 'n' =
+    * event count, 'v' = value micros) so BOTH measures ride the
+    * stat-log `sum` fold law unchanged and
+    * [[compactStatLog]] folds this log like any other. Per-batch
+    * overwrite under `batch=b<id>` makes replays no-ops.
+    * [[resampleGridFromLog]] then equals the batch
+    * [[graft.operators.Timeseries.resample]] over the union of every
+    * delivered event — the cells are sum-mergeable by construction.
+    */
+  def resampleSink(
+      events: DataFrame,
+      tsUsCol: String,
+      valueCol: String,
+      keyCols: Seq[String],
+      stepUs: Long,
+      logPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    StatLog.writeKind(events.sparkSession, logPath, "sum")
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Timeseries.cells(batch.toDF(), tsUsCol, valueCol,
+            keyCols, stepUs)
+            .select(keyCols.map(col) :+ col("__b") :+ explode(array(
+              struct(lit("n").as("__m"), col("n_events").as("__kcnt")),
+              struct(lit("v").as("__m"), col("value_micros").as("__kcnt"))))
+              .as("__mv"): _*)
+            .select(keyCols.map(col) :+ col("__b") :+
+              col("__mv.__m").as("__m") :+ col("__mv.__kcnt").as("__kcnt"): _*)
+            .write.mode("overwrite")
+            .parquet(f"$logPath/batch=b$batchId%012d")
+    }
+  }
+
+  /** The standing regular grid over everything delivered to a
+    * [[resampleSink]] log — equal to the batch
+    * [[graft.operators.Timeseries.resample]] over the union of all
+    * delivered events (gap buckets, micro-exact sums and all).
+    */
+  def resampleGridFromLog(
+      spark: SparkSession,
+      logPath: String,
+      keyCols: Seq[String],
+      stepUs: Long,
+      maxBucketsPerKey: Long = 10000000L): DataFrame = {
+    val cells = StatLog.read(spark, logPath)
+      .groupBy((keyCols :+ "__b").map(col): _*)
+      .agg(
+        sum(when(col("__m") === "n", col("__kcnt"))).as("n_events"),
+        sum(when(col("__m") === "v", col("__kcnt"))).as("value_micros"))
+    graft.operators.Timeseries.gridFromCells(cells, keyCols, stepUs,
+      maxBucketsPerKey)
+  }
+
   /** Stream count-min cells into a sum-mergeable stat log: each
     * micro-batch aggregates into its own bounded cell table
     * ([[graft.operators.Sketches.cmsSketches]] — at most

@@ -1002,4 +1002,49 @@ class StreamingOpsSpec extends SparkTestBase {
         .distinct().as[Long].collect().sorted.toSeq == Seq(0L, 1L))
     } finally q.stop()
   }
+
+  test("resampleSink: streamed grid equals the batch resample; fold + replay no-ops") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_rs_log_").toString
+    val log = root + "/rs"
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Double)]
+    val q = StreamingOps.resampleSink(src.toDS().toDF("k", "ts_us", "v"),
+      "ts_us", "v", Seq("k"), stepUs = 100L, log)
+      .option("checkpointLocation", root + "/ck").start()
+    val b1 = Seq(("a", 0L, 1.25), ("a", 10L, 2.0), ("b", 50L, 4.0))
+    val b2 = Seq(("a", 350L, 0.5), ("b", 120L, 1.0))
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      def grid(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      val streamed = grid(StreamingOps.resampleGridFromLog(
+        spark, log, Seq("k"), 100L))
+      val batch = grid(graft.operators.Timeseries.resample(
+        (b1 ++ b2).toDF("k", "ts_us", "v"), "ts_us", "v", Seq("k"), 100L))
+      assert(streamed == batch, "standing grid must equal the batch twin")
+      // the a-series gap buckets exist with zeros
+      assert(streamed(("a", 100L)) == ((0L, 0L)))
+      assert(streamed(("a", 300L)) == ((1L, 500000L)))
+      // compaction folds additively; grid unchanged
+      StreamingOps.compactStatLog(spark, log)
+      assert(grid(StreamingOps.resampleGridFromLog(
+        spark, log, Seq("k"), 100L)) == batch)
+      // replaying a folded batch id must not double-count
+      graft.operators.Timeseries.cells(
+        b1.toDF("k", "ts_us", "v"), "ts_us", "v", Seq("k"), 100L)
+        .select(col("k"), col("__b"), explode(array(
+          struct(lit("n").as("__m"), col("n_events").as("__kcnt")),
+          struct(lit("v").as("__m"), col("value_micros").as("__kcnt"))))
+          .as("__mv"))
+        .select(col("k"), col("__b"), col("__mv.__m").as("__m"),
+          col("__mv.__kcnt").as("__kcnt"))
+        .write.mode("overwrite").parquet(log + "/batch=b000000000000")
+      assert(grid(StreamingOps.resampleGridFromLog(
+        spark, log, Seq("k"), 100L)) == batch, "replay must be a no-op")
+    } finally q.stop()
+  }
 }
