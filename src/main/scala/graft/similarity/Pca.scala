@@ -65,8 +65,19 @@ object Pca {
   private def rnd(x: Double): Long =
     (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
 
-  private def moments(
-      df: DataFrame, vecCol: String, dim: Int): (Long, Array[Long], Array[Long]) = {
+  /** The raw-moment LONG cells as a `(pos, __kcnt)` frame — position 0
+    * is the row count, 1..dim the nano sums, the rest the upper-triangle
+    * gram nanos in row-major order. Every cell is an order-free LONG sum,
+    * so cells are SUM-MERGEABLE across arbitrary splits of the corpus:
+    * `cells(A ∪ B) = cells(A) +cellwise cells(B)` exactly — the property
+    * [[graft.streaming.StreamingOps.pcaMomentSink]] logs under the
+    * stat-log sum fold law, and the reason an incremental fit is
+    * bit-identical to the batch fit. Every position is present (zeros
+    * included), so `count = dim(dim+3)/2 + 1` always — validated by
+    * consumers.
+    */
+  private[graft] def momentCells(
+      df: DataFrame, vecCol: String, dim: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val pairs = dim * (dim + 1) / 2
@@ -98,16 +109,51 @@ object Pca {
         else Iterator.single((n, sums, gram))
       }
     // two-level merge: partials posexplode to (pos, val) cells, one
-    // map-side-combined groupBy — the driver sees <= pairs + dim + 1 rows
-    // no matter how many partitions the corpus has
-    val cells = partials.toDF("__n", "__s", "__g")
+    // map-side-combined groupBy — the driver (or log) sees
+    // <= pairs + dim + 1 rows no matter how many partitions the corpus
+    // has. An EMPTY frame still yields every position (a zero-row seed
+    // partial), so empty batches fold as exact zeros.
+    val seed = Seq((0L, new Array[Long](dim), new Array[Long](pairs)))
+      .toDF("__n", "__s", "__g")
+    partials.toDF("__n", "__s", "__g").unionByName(seed)
       .select(posexplode(concat(array(col("__n")), col("__s"), col("__g"))))
-      .groupBy(col("pos")).agg(sum(col("col")).as("v"))
-      .collect().map(r => r.getAs[Int]("pos") -> r.getAs[Long]("v")).toMap
-    val n = cells.getOrElse(0, 0L)
-    val sums = Array.tabulate(dim)(i => cells.getOrElse(1 + i, 0L))
-    val gram = Array.tabulate(pairs)(p => cells.getOrElse(1 + dim + p, 0L))
+      .groupBy(col("pos")).agg(sum(col("col")).as("__kcnt"))
+  }
+
+  private def moments(
+      df: DataFrame, vecCol: String, dim: Int): (Long, Array[Long], Array[Long]) = {
+    val cells = momentCells(df, vecCol, dim)
+      .collect().map(r => r.getAs[Int]("pos") -> r.getAs[Long]("__kcnt")).toMap
+    momentsOf(cells, dim)
+  }
+
+  private def momentsOf(
+      cells: Map[Int, Long], dim: Int): (Long, Array[Long], Array[Long]) = {
+    val pairs = dim * (dim + 1) / 2
+    require(cells.size == pairs + dim + 1,
+      s"moment cells carry ${cells.size} positions, expected " +
+        s"${pairs + dim + 1} for dim $dim — wrong dim or a foreign log")
+    val n = cells(0)
+    val sums = Array.tabulate(dim)(i => cells(1 + i))
+    val gram = Array.tabulate(pairs)(p => cells(1 + dim + p))
     (n, sums, gram)
+  }
+
+  /** Rebuild a [[PcaModel]] from summed moment cells (a
+    * [[graft.streaming.StreamingOps.pcaMomentSink]] log, or any
+    * cell-wise sum of [[momentCells]] outputs). `dim` must be the dim
+    * the cells were built with — validated against the cell count.
+    * Bit-identical to [[fit]] over the union of the logged frames.
+    */
+  def fitFromMomentCells(
+      cells: DataFrame, dim: Int, k: Int): PcaModel = {
+    require(dim >= 1 && dim <= 1024, s"dim $dim outside [1, 1024]")
+    require(k >= 1 && k <= dim, s"k $k outside [1, $dim]")
+    val m = cells.groupBy(col("pos")).agg(sum(col("__kcnt")).as("__kcnt"))
+      .collect().map(r => r.getAs[Int]("pos") -> r.getAs[Long]("__kcnt")).toMap
+    val (n, sums, gram) = momentsOf(m, dim)
+    require(n > 0, "fitFromMomentCells: zero logged rows")
+    fitFromRawMoments(n, sums, gram, dim, k)
   }
 
   private def vecDim(df: DataFrame, vecCol: String): Int = {
@@ -128,6 +174,12 @@ object Pca {
     require(k >= 1 && k <= dim, s"fit: k $k outside [1, $dim]")
     val (n, sums, gram) = moments(df, vecCol, dim)
     require(n > 0, "fit: empty input")
+    fitFromRawMoments(n, sums, gram, dim, k)
+  }
+
+  private def fitFromRawMoments(
+      n: Long, sums: Array[Long], gram: Array[Long],
+      dim: Int, k: Int): PcaModel = {
     val mean = sums.map(_ / 1e9 / n)
     val cov = Array.ofDim[Double](dim, dim)
     var p = 0

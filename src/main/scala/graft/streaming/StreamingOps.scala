@@ -844,6 +844,45 @@ object StreamingOps {
       .agg(countDistinct(col(sensitiveCol)).as("diversity"))
       .where(col("diversity") >= l)
 
+  /** Stream embedding batches into a sum-mergeable PCA MOMENT log: each
+    * micro-batch writes its [[graft.similarity.Pca.momentCells]] —
+    * count/sum/gram LONG cells, additive by construction — under
+    * `batch=b<id>` with per-batch overwrite (replays are no-ops) and
+    * the stat-log `sum` fold law ([[compactStatLog]] folds it
+    * unchanged). [[pcaFitFromLog]] then rebuilds a model BIT-IDENTICAL
+    * to the batch [[graft.similarity.Pca.fit]] over every delivered
+    * row — incremental PCA with zero approximation. `dim` is frozen
+    * per log (cells of different widths must never merge) — pass the
+    * same value at fit time; the cell count validates it loudly.
+    */
+  def pcaMomentSink(
+      vectors: DataFrame,
+      vecCol: String,
+      dim: Int,
+      logPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(dim >= 1 && dim <= 1024, s"dim $dim outside [1, 1024]")
+    StatLog.writeKind(vectors.sparkSession, logPath, "sum")
+    vectors.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.similarity.Pca.momentCells(batch.toDF(), vecCol, dim)
+            .write.mode("overwrite")
+            .parquet(f"$logPath/batch=b$batchId%012d")
+    }
+  }
+
+  /** Fit PCA from everything delivered to a [[pcaMomentSink]] log —
+    * equal to the batch fit over the union of all delivered vectors.
+    */
+  def pcaFitFromLog(
+      spark: SparkSession,
+      logPath: String,
+      dim: Int,
+      k: Int): graft.similarity.Pca.PcaModel =
+    graft.similarity.Pca.fitFromMomentCells(
+      StatLog.read(spark, logPath), dim, k)
+
   /** Stream events into a sum-mergeable RESAMPLE log: each micro-batch
     * writes its own [[graft.operators.Timeseries.cells]] — per-(key,
     * bucket) counts and micro-unit value sums — UNPIVOTED to

@@ -1047,4 +1047,40 @@ class StreamingOpsSpec extends SparkTestBase {
         spark, log, Seq("k"), 100L)) == batch, "replay must be a no-op")
     } finally q.stop()
   }
+
+  test("pcaMomentSink: incremental fit is bit-identical to the batch fit") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_pca_log_").toString
+    val log = root + "/pca"
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Seq[Float]]
+    val q = StreamingOps.pcaMomentSink(src.toDS().toDF("embedding"),
+      "embedding", dim = 4, log)
+      .option("checkpointLocation", root + "/ck").start()
+    val b1 = Seq.tabulate(40)(i =>
+      Seq.tabulate(4)(j => ((i * 7 + j * 3) % 11 - 5).toFloat))
+    val b2 = Seq.tabulate(25)(i =>
+      Seq.tabulate(4)(j => ((i * 13 + j * 5) % 9 - 4).toFloat))
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      val streamed = StreamingOps.pcaFitFromLog(spark, log, dim = 4, k = 3)
+      val batch = graft.similarity.Pca.fit(
+        (b1 ++ b2).toDF("embedding"), "embedding", k = 3)
+      assert(streamed.nRows == 65L && batch.nRows == 65L)
+      assert(streamed.mean.toSeq == batch.mean.toSeq)
+      assert(streamed.eigenvalues.toSeq == batch.eigenvalues.toSeq)
+      assert(streamed.components.map(_.toSeq).toSeq ==
+        batch.components.map(_.toSeq).toSeq)
+      // compaction folds the cells; the fit is unchanged
+      StreamingOps.compactStatLog(spark, log)
+      val folded = StreamingOps.pcaFitFromLog(spark, log, dim = 4, k = 3)
+      assert(folded.components.map(_.toSeq).toSeq ==
+        batch.components.map(_.toSeq).toSeq)
+      // a wrong dim is loud, not a garbage model
+      assert(intercept[IllegalArgumentException](
+        StreamingOps.pcaFitFromLog(spark, log, dim = 5, k = 2))
+        .getMessage.contains("dim"))
+    } finally q.stop()
+  }
 }
