@@ -996,6 +996,23 @@ object SparkEntry {
     // response records, then parse it back through the streaming record
     // reader — the Common Crawl entry-point round-trip, hash-checked
     // against the source table ----
+    // ---- WET export round-trip: conversion records, no HTTP envelope ----
+    "q_wet_roundtrip" -> ((s, dir) => {
+      val scratch = scratchDir("graft_wet_") + "/corpus"
+      val docs = t(s, dir, "documents")
+        .withColumn("uri",
+          concat(lit("https://example.org/doc/"), col("doc_id")))
+        .repartition(8)
+      io.warc.Warc.wetExport(docs, scratch, "uri", "text")
+      io.warc.Warc.readWarc(s, scratch + "/*.warc.gz")
+        .where(col("warc_type") === "conversion")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("bigint").as("doc_id"),
+          decode(col("payload"), "utf-8").as("text"),
+          col("content_type"))
+    }),
+
     "q_warc_roundtrip" -> ((s, dir) => {
       val scratch = scratchDir("graft_warc_") + "/corpus"
       val docs = t(s, dir, "documents")
@@ -4259,6 +4276,9 @@ object SparkEntry {
       "SELECT doc_id, source FROM documents",
     "q_warc_roundtrip" ->
       "SELECT doc_id, text, CAST(200 AS BIGINT) AS http_status FROM documents",
+    "q_wet_roundtrip" ->
+      """SELECT doc_id, coalesce(text, '') AS text,
+        |  'text/plain' AS content_type FROM documents""".stripMargin,
     "q_warc_dsv2" ->
       "SELECT doc_id, text FROM documents",
     "q_warc_families" ->

@@ -132,7 +132,11 @@ object Warc {
       writeWarcinfo: Boolean = false,
       requestRecords: Boolean = false,
       metadataCol: Option[String] = None,
-      targetFileBytes: Long = 0L): Unit = {
+      targetFileBytes: Long = 0L,
+      conversion: Boolean = false): Unit = {
+    require(!(conversion && requestRecords),
+      "writeWarc: conversion (WET) archives carry no request records — " +
+        "a conversion record derives from a response, it is not an exchange")
     require(df.schema(payloadCol).dataType ==
         org.apache.spark.sql.types.BinaryType,
       s"payloadCol `$payloadCol` must be BINARY (encode(text, 'utf-8') upstream)")
@@ -185,10 +189,14 @@ object Warc {
             Option(r.get(1)).map(_.asInstanceOf[Array[Byte]])
               .getOrElse(Array.emptyByteArray)
           val responseId = recordIdFor(uri)
-          if (requestRecords)
-            writeRequestRecord(out, uri, responseId, warcDate)
-          writeResponseRecord(out, uri, responseId, body, httpContentType,
-            warcDate)
+          if (conversion)
+            writeConversionRecord(out, uri, responseId, body, warcDate)
+          else {
+            if (requestRecords)
+              writeRequestRecord(out, uri, responseId, warcDate)
+            writeResponseRecord(out, uri, responseId, body, httpContentType,
+              warcDate)
+          }
           if (hasMeta && !r.isNullAt(2))
             writeMetadataRecord(out, uri, responseId, r.getString(2), warcDate)
           n += 1
@@ -218,6 +226,31 @@ object Warc {
       s"parts=${written.map(w => (w._1, w._2)).distinct.length}\n".getBytes(UTF_8))
     marker.close()
   }
+
+  /** Export a text corpus as a WET archive (conversion records): the
+    * Common Crawl handoff format between "crawled" and "training-ready"
+    * — pair with [[graft.operators.TextAnalysis.htmlToText]] upstream
+    * to turn a response WARC into its WET sibling. Same committed-marker
+    * / size-targeted-roll write path as [[writeWarc]]; read it back
+    * with [[readWarc]] (`warc_type = 'conversion'`, payload = the
+    * utf-8 text).
+    */
+  def wetExport(
+      df: DataFrame,
+      dir: String,
+      uriCol: String,
+      textCol: String,
+      warcDate: String = "2026-01-01T00:00:00Z",
+      writeWarcinfo: Boolean = false,
+      targetFileBytes: Long = 0L): Unit =
+    writeWarc(
+      df.withColumn("__wet_payload",
+        encode(coalesce(col(textCol), lit("")), "utf-8")),
+      dir, uriCol, "__wet_payload",
+      warcDate = warcDate,
+      writeWarcinfo = writeWarcinfo,
+      targetFileBytes = targetFileBytes,
+      conversion = true)
 
   // ---------------------------------------------------------------- write
 
@@ -292,6 +325,28 @@ object Warc {
       "Content-Type" -> "application/http; msgtype=response"),
       http ++ body)
   }
+
+  /** A WET conversion record (ISO 28500 §6.8, the Common Crawl WET
+    * shape): `WARC-Type: conversion`, plain-text block with NO HTTP
+    * envelope, `WARC-Refers-To` naming the response record the text
+    * was extracted from — this library's deterministic response id for
+    * the same URI, so a WET exported next to its WARC cross-links
+    * without any shared state.
+    */
+  private def writeConversionRecord(
+      out: OutputStream,
+      uri: String,
+      responseId: String,
+      body: Array[Byte],
+      warcDate: String): Unit =
+    writeRecord(out, Seq(
+      "WARC-Type" -> "conversion",
+      "WARC-Record-ID" -> s"<${recordIdFor(s"conversion:$uri")}>",
+      "WARC-Refers-To" -> s"<$responseId>",
+      "WARC-Date" -> warcDate,
+      "WARC-Target-URI" -> uri,
+      "Content-Type" -> "text/plain"),
+      body)
 
   private def writeMetadataRecord(
       out: OutputStream,

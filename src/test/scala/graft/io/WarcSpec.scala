@@ -290,4 +290,40 @@ class WarcSpec extends SparkTestBase {
     val b = Files.readAllBytes(java.nio.file.Paths.get(s"$base/b/part-00000.warc.gz"))
     assert(a.sameElements(b), "same partition content must gzip to identical bytes")
   }
+
+  test("wetExport writes linked conversion records that round-trip") {
+    val base = tmpDir("graft_wet_")
+    val docs = Seq(
+      ("https://example.org/a", "extracted text of a"),
+      ("https://example.org/b", "und hier text b"))
+      .toDF("uri", "text").repartition(1)
+    Warc.wetExport(docs, s"$base/wet", "uri", "text")
+    val back = Warc.readWarc(spark, s"$base/wet/*.warc.gz").collect()
+    assert(back.length == 2)
+    back.foreach { r =>
+      assert(r.getAs[String]("warc_type") == "conversion")
+      assert(r.getAs[String]("content_type") == "text/plain")
+      assert(r.isNullAt(r.fieldIndex("http_status")),
+        "a conversion record carries no HTTP envelope")
+    }
+    val texts = back.map(r => r.getAs[String]("target_uri") ->
+      new String(r.getAs[Array[Byte]]("payload"), UTF_8)).toMap
+    assert(texts("https://example.org/a") == "extracted text of a")
+    assert(texts("https://example.org/b") == "und hier text b")
+    // the Refers-To header links to the deterministic response id of
+    // the same URI (raw-bytes check — the parsed schema keeps the core
+    // fields only)
+    val gz = new java.util.zip.GZIPInputStream(
+      Files.newInputStream(java.nio.file.Paths.get(
+        s"$base/wet/part-00000.warc.gz")))
+    val raw = new String(gz.readAllBytes(), UTF_8)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("https://example.org/a".getBytes(UTF_8))
+      .map("%02x".format(_)).mkString
+    assert(raw.contains(s"WARC-Refers-To: <urn:graft:sha256:$sha>"))
+    // conversion + request records is a contradiction — loud
+    intercept[IllegalArgumentException](
+      Warc.writeWarc(docs.withColumn("p", encode(col("text"), "utf-8")),
+        s"$base/x", "uri", "p", conversion = true, requestRecords = true))
+  }
 }
