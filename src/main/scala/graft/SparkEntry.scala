@@ -1857,6 +1857,23 @@ object SparkEntry {
       operators.Graphs.clusteringCoefficients(edges, "x", "y")
     }),
 
+    // ---- license detection over a deterministically-salted corpus ----
+    "q_license_scan" -> ((s, dir) => {
+      val salted = t(s, dir, "documents").withColumn("text2",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" SPDX-License-Identifier: MIT")))
+        .when(col("doc_id") % 7 === 1,
+          concat(col("text"), lit(" Licensed under the Apache License, " +
+            "Version 2.0 terms.")))
+        .when(col("doc_id") % 7 === 2,
+          concat(col("text"), lit(" Released under the GNU General " +
+            "Public License.")))
+        .otherwise(col("text")))
+      operators.TextAnalysis.withLicenseDetection(salted, "text2")
+        .select(col("doc_id"), col("spdx_id"), col("license_guess"),
+          col("is_permissive"))
+    }),
+
     // ---- skip-gram co-occurrence pairs + TextRank keywords ----
     "q_skipgrams" -> ((s, dir) =>
       operators.TextAnalysis.skipGramPairs(
@@ -5171,6 +5188,55 @@ object SparkEntry {
         |      / (2 * (n_items * n_items * 9 - bb))
         |  END, 6) AS kappa
         |FROM a, b""".stripMargin,
+    "q_license_scan" ->
+      """WITH salted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |        THEN text || ' SPDX-License-Identifier: MIT'
+        |      WHEN doc_id % 7 = 1
+        |        THEN text || ' Licensed under the Apache License, Version 2.0 terms.'
+        |      WHEN doc_id % 7 = 2
+        |        THEN text || ' Released under the GNU General Public License.'
+        |      ELSE text END AS t2
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, coalesce(t2, '') AS t, lower(coalesce(t2, '')) AS lt
+        |  FROM salted),
+        |x AS (
+        |  SELECT doc_id, lt,
+        |    regexp_extract(t, 'SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)', 1)
+        |      AS spdx
+        |  FROM d),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN spdx <> '' THEN spdx END AS spdx_id,
+        |    coalesce(
+        |      CASE WHEN spdx <> '' THEN lower(spdx) END,
+        |      CASE WHEN contains(lt, 'apache license')
+        |        AND contains(lt, 'version 2.0') THEN 'apache-2.0' END,
+        |      CASE WHEN contains(lt,
+        |        'permission is hereby granted, free of charge') THEN 'mit' END,
+        |      CASE WHEN contains(lt, 'gnu affero general public license')
+        |        THEN 'agpl-3.0' END,
+        |      CASE WHEN contains(lt, 'gnu lesser general public license')
+        |        THEN 'lgpl-3.0' END,
+        |      CASE WHEN contains(lt, 'gnu general public license')
+        |        THEN 'gpl-3.0' END,
+        |      CASE WHEN contains(lt, 'mozilla public license')
+        |        THEN 'mpl-2.0' END,
+        |      CASE WHEN contains(lt,
+        |        'redistribution and use in source and binary forms')
+        |        THEN 'bsd-3-clause' END,
+        |      CASE WHEN contains(lt, 'creative commons') THEN 'cc' END)
+        |      AS license_guess
+        |  FROM x)
+        |SELECT doc_id, spdx_id, license_guess,
+        |  CASE WHEN license_guess IS NULL THEN NULL
+        |    ELSE (license_guess LIKE 'mit%' OR license_guess LIKE 'bsd%'
+        |      OR license_guess LIKE 'apache%' OR license_guess LIKE 'mpl%'
+        |      OR license_guess LIKE 'isc%' OR license_guess LIKE 'unlicense%'
+        |      OR license_guess LIKE 'cc0%') END AS is_permissive
+        |FROM g""".stripMargin,
     "q_skipgrams" ->
       """WITH s AS (
         |  SELECT doc_id, generate_subscripts(toks, 1) AS pos,

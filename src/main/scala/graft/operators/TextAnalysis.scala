@@ -1274,6 +1274,53 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("__term"), col("__s")))),
           lit(0.0), (acc, x) => acc + x.getField("__s")), 6).as("score"))
 
+  /** License detection for code/document corpora — the compliance gate
+    * of a training-data pipeline (exclude copyleft, keep permissive,
+    * quarantine unknown): an explicit `SPDX-License-Identifier:` tag
+    * when present (the machine-readable ground truth, regex-captured),
+    * else a phrase heuristic over the canonical license preambles.
+    * Everything is a narrow codegen'd expression — no shuffle, exact on
+    * any engine (plain substring containment, one anchored regex).
+    *
+    * Output columns: `spdx_id` (the raw tag, NULL if absent),
+    * `license_guess` (normalized lowercase id from tag-first-else-
+    * phrases, NULL when nothing matches), `is_permissive` (true for
+    * the mit/bsd/apache/mpl families, false for detected copyleft,
+    * NULL when unknown — three-valued on purpose: "no license found"
+    * must not read as "permitted").
+    */
+  def withLicenseDetection(df: DataFrame, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val lower_ = lower(t)
+    val spdx = regexp_extract(t,
+      "SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)", 1)
+    val spdxId = when(spdx =!= "", spdx)
+    val guess = coalesce(
+      when(spdx =!= "", lower(spdx)),
+      when(lower_.contains("apache license") &&
+        lower_.contains("version 2.0"), lit("apache-2.0")),
+      when(lower_.contains("permission is hereby granted, free of charge"),
+        lit("mit")),
+      when(lower_.contains("gnu affero general public license"),
+        lit("agpl-3.0")),
+      when(lower_.contains("gnu lesser general public license"),
+        lit("lgpl-3.0")),
+      when(lower_.contains("gnu general public license"), lit("gpl-3.0")),
+      when(lower_.contains("mozilla public license"), lit("mpl-2.0")),
+      when(lower_.contains("redistribution and use in source and binary " +
+        "forms"), lit("bsd-3-clause")),
+      when(lower_.contains("creative commons"), lit("cc")))
+    val permissive = when(guess.isNull, lit(null).cast("boolean"))
+      .otherwise(
+        guess.startsWith("mit") || guess.startsWith("bsd") ||
+        guess.startsWith("apache") || guess.startsWith("mpl") ||
+        guess.startsWith("isc") || guess.startsWith("unlicense") ||
+        guess.startsWith("cc0"))
+    df.withColumn("spdx_id", spdxId)
+      .withColumn("license_guess", guess)
+      .withColumn("is_permissive", permissive)
+  }
+
   /** Skip-gram co-occurrence pairs (the word2vec/TextRank training
     * table): for every token at position `i` and every token within
     * `window` positions AFTER it, emit the pair in BOTH orientations,

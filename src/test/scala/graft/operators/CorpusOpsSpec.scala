@@ -514,6 +514,33 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("withLicenseDetection: SPDX tag wins, phrases fall back, tri-state gate") {
+    val d = Seq(
+      (1L, "// SPDX-License-Identifier: MIT\nfn main() {}"),
+      (2L, "Licensed under the Apache License, Version 2.0 (the License)"),
+      (3L, "This program is free software under the GNU General Public License"),
+      (4L, "Permission is hereby granted, free of charge, to any person"),
+      (5L, "just some ordinary text"),
+      (6L, "// SPDX-License-Identifier: GPL-3.0-only\nint x;"),
+      (7L, "Redistribution and use in source and binary forms, with or without"))
+      .toDF("id", "text")
+    val out = TextAnalysis.withLicenseDetection(d, "text")
+      .collect().map { r =>
+        val pi = r.fieldIndex("is_permissive")
+        r.getLong(0) ->
+          ((Option(r.getAs[String]("spdx_id")),
+            Option(r.getAs[String]("license_guess")),
+            if (r.isNullAt(pi)) None else Some(r.getBoolean(pi))))
+      }.toMap
+    assert(out(1L) == ((Some("MIT"), Some("mit"), Some(true))))
+    assert(out(2L) == ((None, Some("apache-2.0"), Some(true))))
+    assert(out(3L) == ((None, Some("gpl-3.0"), Some(false))))
+    assert(out(4L) == ((None, Some("mit"), Some(true))))
+    assert(out(5L) == ((None, None, None)), "unknown must stay NULL, not false")
+    assert(out(6L) == ((Some("GPL-3.0-only"), Some("gpl-3.0-only"), Some(false))))
+    assert(out(7L) == ((None, Some("bsd-3-clause"), Some(true))))
+  }
+
   test("skipGramPairs: windowed, symmetric, exact counts") {
     val d = Seq((1L, "a b c"), (2L, "x y x")).toDF("doc_id", "text")
     val p = TextAnalysis.skipGramPairs(d, "doc_id", "text", window = 2)
