@@ -1478,6 +1478,21 @@ object SparkEntry {
         e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, refine = 4)
     }),
 
+    // rows-only: OPQ rotation (full-rank PCA + eigenvalue allocation)
+    // ahead of the same PQ pipeline; PcaSpec pins distance preservation
+    // and the allocation's recall effect
+    "q_opq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val basis = similarity.Pca.fit(e, "embedding", k = 64)
+      val rot = similarity.Pca.opqRotate(e, "embedding", basis, m = 16, "rv")
+        .select(col("vec_id"), col("rv").as("embedding"))
+      val index = operators.Ann.Pq.build(rot, "vec_id", "embedding",
+        m = 16, ksub = 64, maxIter = 10)
+      operators.Ann.Pq.searchRefined(index, rot, "vec_id", "embedding",
+        rot.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, refine = 4)
+    }),
+
     // ---- IVF-PQ composition: nprobe-pruned cells × codes-only ADC ×
     // exact refine (rows-only, recall floors spec-asserted) ----
     "q_ivfpq_topk" -> ((s, dir) => {

@@ -235,13 +235,96 @@ object Pca {
       df: DataFrame,
       vecCol: String,
       model: PcaModel,
-      outCol: String = "pca"): DataFrame = {
+      outCol: String = "pca"): DataFrame =
+    applyBasis(df, vecCol, model, outCol, center = true)
+
+  /** Uncentered full-rank change of basis: `out = W·x` with the
+    * complete eigenvector matrix — a pure ROTATION (orthogonal, norm-
+    * and cosine-preserving), which is the OPQ-style preprocessing for
+    * [[graft.operators.Ann.Pq]]: product quantization splits dims into
+    * independent subspaces, and rotating onto the principal axes
+    * decorrelates them so per-subspace codebooks stop wasting codes on
+    * cross-subspace correlation (Ge et al. 2013's OPQ, with the PCA
+    * rotation instead of the iterated R — the classical Eigenvalue
+    * baseline from that paper). Rotate corpus AND queries with the SAME
+    * model; distances are bit-for-bit unchanged, so exact consumers
+    * need no migration.
+    *
+    * Centering is deliberately OFF: `W·(x − μ)` shifts norms, and PQ
+    * normalizes vectors — a centered "rotation" would silently change
+    * every cosine. Requires a full-rank fit (`k == dim`), loudly.
+    */
+  def rotate(
+      df: DataFrame,
+      vecCol: String,
+      model: PcaModel,
+      outCol: String = "rotated"): DataFrame = {
+    require(model.k == model.dim,
+      s"rotate needs a full-rank basis (k == dim); fit with k = ${model.dim}")
+    applyBasis(df, vecCol, model, outCol, center = false)
+  }
+
+  /** OPQ-style rotation for [[graft.operators.Ann.Pq]] with `m`
+    * subspaces: [[rotate]]'s basis PERMUTED by eigenvalue allocation
+    * (Ge et al. 2013 §4.1, the non-parametric OPQ baseline) — principal
+    * axes are dealt greedily to the subspace with the smallest current
+    * log-variance product, so every subspace quantizes a comparable
+    * share of the energy. A plain variance-ordered rotation
+    * concentrates ALL the signal in the first subspace and hands the
+    * others noise — measurably WORSE than no rotation on balanced data
+    * (PcaSpec pins both effects); the allocation is what makes the
+    * rotation pay. Rotate corpus and queries with the same call.
+    */
+  def opqRotate(
+      df: DataFrame,
+      vecCol: String,
+      model: PcaModel,
+      m: Int,
+      outCol: String = "rotated"): DataFrame = {
+    require(model.k == model.dim,
+      s"opqRotate needs a full-rank basis (k == dim); fit with k = ${model.dim}")
+    require(m >= 1 && model.dim % m == 0,
+      s"m must divide dim ${model.dim}, got $m")
+    applyBasis(df, vecCol, model, outCol, center = false,
+      order = eigenvalueAllocation(model.eigenvalues, m))
+  }
+
+  /** Greedy balanced-log-variance assignment of components (sorted by
+    * eigenvalue descending on entry) into `m` equal buckets; returns
+    * component indices in bucket-concatenated order.
+    */
+  private[similarity] def eigenvalueAllocation(
+      eigenvalues: Array[Double], m: Int): Seq[Int] = {
+    val dsub = eigenvalues.length / m
+    val sums = Array.fill(m)(0.0)
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    eigenvalues.indices.foreach { i =>
+      val open = (0 until m).filter(b => buckets(b).length < dsub)
+      val b = open.minBy(b => (sums(b), b))
+      sums(b) += math.log(math.max(eigenvalues(i), Double.MinPositiveValue))
+      buckets(b) += i
+    }
+    buckets.toSeq.flatten
+  }
+
+  private def applyBasis(
+      df: DataFrame,
+      vecCol: String,
+      model: PcaModel,
+      outCol: String,
+      center: Boolean,
+      order: Seq[Int] = Seq.empty): DataFrame = {
     require(!df.columns.contains(outCol), s"output column $outCol exists")
-    val comps: Seq[Column] = model.components.map { w =>
-      val offset = -w.zip(model.mean).map { case (a, b) => a * b }.sum
-      VectorFunctions.dot(
+    val ordered =
+      if (order.isEmpty) model.components.toSeq
+      else order.map(model.components)
+    val comps: Seq[Column] = ordered.map { w =>
+      val base = VectorFunctions.dot(
         col(vecCol).cast("array<double>"),
-        typedlit(w.toIndexedSeq)) + lit(offset)
+        typedlit(w.toIndexedSeq))
+      if (center)
+        base + lit(-w.zip(model.mean).map { case (a, b) => a * b }.sum)
+      else base
     }.toIndexedSeq
     df.withColumn(outCol, array(comps: _*))
   }

@@ -65,6 +65,63 @@ class PcaSpec extends SparkTestBase {
     assert(math.abs(m.eigenvalues.sum - m.totalVariance) < 1e-9)
   }
 
+  test("rotate is a pure rotation and improves PQ quantization on correlated data") {
+    import graft.operators.Ann
+    // correlated pairs SPLIT ACROSS PQ subspaces: dims (x, y | x', y')
+    // with x' ~ x and y' ~ y — the worst case for independent-subspace
+    // codebooks, the exact case OPQ's rotation fixes
+    val rows = Seq.tabulate(256) { i =>
+      val x = ((i * 37) % 97 - 48) / 10.0f
+      val y = ((i * 53) % 89 - 44) / 10.0f
+      val nx = ((i * 7) % 5 - 2) / 50.0f
+      val ny = ((i * 11) % 5 - 2) / 50.0f
+      (i.toLong, Seq(x, y, x + nx, y + ny))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Pca.fit(df, "embedding", k = 4)
+    val rot = Pca.rotate(df, "embedding", m, "rv")
+    // norms and pairwise distances are preserved exactly (orthogonal W)
+    val check = rot.select("embedding", "rv")
+      .as[(Seq[Float], Seq[Double])].collect()
+    check.take(20).foreach { case (x, r) =>
+      val nx = x.map(v => v.toDouble * v).sum
+      val nr = r.map(v => v * v).sum
+      assert(math.abs(nx - nr) < 1e-9, s"norm moved: $nx vs $nr")
+    }
+    intercept[IllegalArgumentException](
+      Pca.rotate(df, "embedding", Pca.fit(df, "embedding", k = 2), "rv"))
+    // recall@5 against exact cosine: rotated codebooks must not lose to
+    // raw ones on this fixture (they concentrate variance per subspace)
+    def recallOf(frame: org.apache.spark.sql.DataFrame, vc: String): Double = {
+      val queries = frame.where(col("vec_id") % 64 === 0)
+      val approx = Ann.Pq.search(
+        Ann.Pq.build(frame, "vec_id", vc, m = 2, ksub = 16),
+        queries, "vec_id", vc, 5)
+        .select("q_id", "id").as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val exact = Ann.bruteForceTopK(frame, queries, "vec_id", vc,
+        "vec_id", 5)
+        .select("q_id", "id").as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val hits = exact.map { case (q, ids) =>
+        ids.intersect(approx.getOrElse(q, Set.empty)).size }.sum
+      hits.toDouble / exact.values.map(_.size).sum
+    }
+    val rawRecall = recallOf(df, "embedding")
+    val opq = Pca.opqRotate(df, "embedding", m, 2, "ov")
+    val opqRecall = recallOf(
+      opq.select(col("vec_id"), col("ov").as("embedding")), "embedding")
+    assert(opqRecall >= rawRecall,
+      s"allocated rotation must not hurt PQ recall: raw $rawRecall opq $opqRecall")
+    // the allocation is load-bearing: it splits the two strong axes
+    // across subspaces instead of stacking them in the first
+    val alloc = Pca.eigenvalueAllocation(m.eigenvalues, 2)
+    assert(alloc.take(2).contains(0) && alloc.drop(2).contains(1),
+      s"components 0 and 1 must land in different subspaces: $alloc")
+    intercept[IllegalArgumentException](
+      Pca.opqRotate(df, "embedding", m, 3, "x"))
+  }
+
   test("gramTable matches the hand-computed nano cells") {
     val g = Pca.gramTable(
       Seq(Seq(1.0f, 2.0f), Seq(3.0f, -1.0f)).toDF("embedding"), "embedding")
