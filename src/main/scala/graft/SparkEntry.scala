@@ -1584,6 +1584,20 @@ object SparkEntry {
       operators.RankEval.aucRoc(d, "score_micros", "y")
     }),
 
+    // ---- the same eval, sliced per source (fairness-audit form) ----
+    "q_auc_by_group" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val d = e.join(t(s, dir, "documents").select(
+          col("doc_id").as("vec_id"), col("source")), Seq("vec_id"), "left")
+        .select(coalesce(col("source"), lit("none")).as("source"),
+          (round(element_at(col("embedding"), 1).cast("double") * 1e6)
+            .cast("long") +
+           round(element_at(col("embedding"), 2).cast("double") * 1e6)
+            .cast("long")).as("score_micros"),
+          when(col("label") < 5, lit(1)).otherwise(lit(0)).as("y"))
+      operators.RankEval.aucRocByGroup(d, "score_micros", "y", Seq("source"))
+    }),
+
     // ---- PCA: the distributed second-moment aggregate has a full twin ----
     "q_pca_gram" -> ((s, dir) =>
       similarity.Pca.gramTable(t(s, dir, "embeddings"), "embedding")),
@@ -3685,6 +3699,29 @@ object SparkEntry {
         |    CAST(sum(pos * (2 * below + neg)) AS BIGINT) AS num2
         |  FROM p)
         |SELECT n_pos, n_neg,
+        |  round(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |    ELSE CAST(num2 AS DOUBLE) / (2 * n_pos * n_neg) END, 6) AS auc
+        |FROM t""".stripMargin,
+    "q_auc_by_group" ->
+      """WITH d AS (
+        |  SELECT coalesce(dd.source, 'none') AS source,
+        |    CAST(round(CAST(e.embedding[1] AS DOUBLE) * 1e6) AS BIGINT)
+        |    + CAST(round(CAST(e.embedding[2] AS DOUBLE) * 1e6) AS BIGINT) AS s,
+        |    CASE WHEN e.label < 5 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings e LEFT JOIN documents dd ON dd.doc_id = e.vec_id),
+        |g AS (SELECT source, s, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(sum(1 - y) AS BIGINT) AS neg
+        |  FROM d GROUP BY source, s),
+        |p AS (SELECT source, pos, neg,
+        |    coalesce(CAST(sum(neg) OVER (PARTITION BY source ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      AS below
+        |  FROM g),
+        |t AS (SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(neg) AS BIGINT) AS n_neg,
+        |    CAST(sum(pos * (2 * below + neg)) AS BIGINT) AS num2
+        |  FROM p GROUP BY source)
+        |SELECT source, n_pos, n_neg,
         |  round(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
         |    ELSE CAST(num2 AS DOUBLE) / (2 * n_pos * n_neg) END, 6) AS auc
         |FROM t""".stripMargin,

@@ -135,6 +135,60 @@ object RankEval {
     * class is absent (undefined, not 0 — an all-one-class eval set is
     * a harness bug worth surfacing).
     */
+  /** Per-group ROC-AUC — the sliced-evaluation / fairness-audit form
+    * of [[aucRoc]]: one AUC row per distinct value of `groupCols`
+    * (NULL is a group), same exact-integer Mann–Whitney identity, same
+    * loud label/score contracts. A model whose global AUC is strong
+    * but whose per-`source` AUC collapses on one slice is learning
+    * provenance, not quality — this is the gate that sees it.
+    *
+    * Shape: `groupBy(groups, score)` with map-side partials, then the
+    * neg-below prefix runs in a window PARTITIONED BY the groups —
+    * bounded by each group's distinct scores, no global ordering
+    * anywhere. A single giant group degrades toward the global case;
+    * use [[aucRoc]]'s range-partition discipline for that (documented
+    * trade: the grouped form assumes many modest groups).
+    *
+    * Output: groups + `(n_pos, n_neg, auc)`; `auc` NULL for
+    * single-class groups.
+    */
+  def aucRocByGroup(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "aucRocByGroup needs group columns — use aucRoc for the global form")
+    val y = col(labelCol).cast("int")
+    val bad = df.agg(
+      count(when(y.isNull || (y =!= 0 && y =!= 1), 1)).as("__bady"),
+      count(when(col(scoreCol).isNull, 1)).as("__bads")).head()
+    require(bad.getAs[Long]("__bady") == 0L,
+      s"aucRocByGroup: ${bad.getAs[Long]("__bady")} row(s) have a label " +
+        s"that is null or outside {0, 1} after casting `$labelCol` to int")
+    require(bad.getAs[Long]("__bads") == 0L,
+      s"aucRocByGroup: ${bad.getAs[Long]("__bads")} row(s) have a NULL " +
+        s"`$scoreCol`")
+    val groups = groupCols.map(col)
+    val g = df
+      .groupBy(groups :+ col(scoreCol).as("__s"): _*)
+      .agg(sum(y.cast("long")).as("__pos"),
+        sum(lit(1L) - y.cast("long")).as("__neg"))
+    val w = Window.partitionBy(groups: _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("__below", coalesce(sum(col("__neg")).over(w), lit(0L)))
+      .groupBy(groups: _*)
+      .agg(
+        sum(col("__pos")).as("n_pos"),
+        sum(col("__neg")).as("n_neg"),
+        sum(col("__pos") * (lit(2L) * col("__below") + col("__neg")))
+          .as("__num2"))
+      .select(groups ++ Seq(col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
+          .otherwise(col("__num2").cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg"))), 6).as("auc")): _*)
+  }
+
   def aucRoc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val y = col(labelCol).cast("int")
     val bad = df.agg(

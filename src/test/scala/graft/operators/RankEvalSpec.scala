@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkTestBase
 
 class RankEvalSpec extends SparkTestBase {
@@ -95,6 +97,33 @@ class RankEvalSpec extends SparkTestBase {
       .head().getAs[Double]("auc")
     assert(a == b, "partitioning must not move the value at all")
     assert(math.abs(a - brute) <= 5e-7, s"auc $a vs brute $brute")
+  }
+
+  test("aucRocByGroup slices agree with per-slice global aucRoc") {
+    import spark.implicits._
+    val rows = Seq.tabulate(400)(i =>
+      (s"g${i % 3}", ((i * 131) % 37).toLong, if ((i * 17) % 5 < 2) 1 else 0))
+    val d = rows.toDF("g", "s", "y")
+    val sliced = RankEval.aucRocByGroup(d, "s", "y", Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    Seq("g0", "g1", "g2").foreach { g =>
+      val solo = RankEval.aucRoc(d.where(col("g") === g), "s", "y").head()
+      assert(sliced(g) == ((solo.getAs[Long]("n_pos"),
+        solo.getAs[Long]("n_neg"), solo.getAs[Double]("auc"))),
+        s"slice $g must equal the global computation on its rows")
+    }
+    // single-class slice -> NULL; NULL group is a group
+    val mix = Seq((Some("a"), 1L, 1), (Some("a"), 2L, 0),
+      (Some("b"), 1L, 1), (None, 1L, 1), (None, 2L, 0))
+      .toDF("g", "s", "y")
+    val out = RankEval.aucRocByGroup(mix, "s", "y", Seq("g"))
+      .collect().map(r => Option(r.getString(0)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(Some("b")).isEmpty, "one-class slice must be NULL")
+    assert(out(None).contains(0.0), "pos scored below neg -> AUC 0")
+    intercept[IllegalArgumentException](
+      RankEval.aucRocByGroup(mix, "s", "y", Nil))
   }
 
   test("aucRoc loud paths and single-class NULL") {
