@@ -1407,6 +1407,24 @@ object SparkEntry {
         "doc_id", "text", window = 32, stride = 24)
     }),
 
+    // ---- the RAG retrieval pipeline, end to end: token-window chunking
+    // → deterministic chunk embeddings → brute-force cosine top-k per
+    // query doc. Every stage is engine-exact, so the COMPOSITION has a
+    // full oracle too (the q_pipeline_quality_pack discipline) ----
+    "q_pipeline_rag" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val chunks = operators.TextAnalysis.chunkTokens(
+          docs, "doc_id", "text", window = 32, stride = 24)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("id"),
+          similarity.HashEmbedding.hashToVector(
+            col("chunk_text"), dims = 8, normalize = false).as("emb"))
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("q_id"),
+          similarity.HashEmbedding.hashToVector(
+            col("text"), dims = 8, normalize = false).as("emb"))
+      operators.Ann.bruteForceTopK(chunks, queries, "id", "emb", "q_id", 3)
+    }),
+
     // ---- Flesch reading ease over the corpus ----
     "q_flesch" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -4439,6 +4457,54 @@ object SparkEntry {
 
     // Chunker: identical window/stride arithmetic; DuckDB list slices
     // are 1-based inclusive, matching Spark's slice(start, length).
+    "q_pipeline_rag" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |st AS (SELECT doc_id, toks,
+        |    CASE WHEN len(toks) = 0 THEN 0
+        |      ELSE CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS INT) + 1
+        |      END AS ns
+        |  FROM toks),
+        |ex AS (SELECT doc_id, toks, unnest(range(0, ns)) AS s FROM st),
+        |chunks AS (
+        |  SELECT doc_id * 1000 + CAST(s AS BIGINT) AS id,
+        |    array_to_string(toks[s * 24 + 1 : s * 24 + 32], ' ') AS ctext
+        |  FROM ex),
+        |c AS (
+        |  SELECT id, list_transform(range(8), i ->
+        |    CASE WHEN ctext IS NULL OR ctext = '' THEN 0.0
+        |      ELSE ('0x' || substring(sha256(ctext),
+        |        CAST(i AS INTEGER) * 8 + 1, 8))::BIGINT / 4294967295.0
+        |    END) AS cv
+        |  FROM chunks),
+        |q AS (
+        |  SELECT doc_id AS q_id, list_transform(range(8), i ->
+        |    CASE WHEN text IS NULL OR text = '' THEN 0.0
+        |      ELSE ('0x' || substring(sha256(text),
+        |        CAST(i AS INTEGER) * 8 + 1, 8))::BIGINT / 4294967295.0
+        |    END) AS qv
+        |  FROM documents WHERE doc_id < 5),
+        |s AS (
+        |  SELECT q_id, id,
+        |    list_sum(list_transform(range(len(qv)),
+        |      i -> qv[CAST(i AS INTEGER)+1] * cv[CAST(i AS INTEGER)+1])) AS dot,
+        |    sqrt(list_sum(list_transform(qv, x -> x * x))) AS na,
+        |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS nb
+        |  FROM q CROSS JOIN c),
+        |r AS (
+        |  SELECT q_id, id,
+        |    round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |          ELSE dot / (na * nb) END, 6) AS cos
+        |  FROM s),
+        |w AS (
+        |  SELECT q_id, id, cos, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, id ASC) AS rank
+        |  FROM r)
+        |SELECT q_id, id, cos, CAST(rank AS INTEGER) AS rank
+        |FROM w WHERE rank <= 3""".stripMargin,
     "q_chunk_text" ->
       """WITH toks AS (
         |  SELECT doc_id,
