@@ -262,6 +262,40 @@ object SparkEntry {
           col("version"))
     }),
 
+    // ---- warehouse witness: SCD2 history + as-of join = point-in-time
+    // fact enrichment. Facts straddle both dimension versions; only the
+    // ids whose hash actually changed (id % 10 = 0 price bump) may pick
+    // version 2 — the composition oracle encodes exactly that ----
+    "q_pipeline_scd_enrich" -> ((s, dir) => {
+      val b1 = t(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+      val b2 = b1.where(col("id") % 2 === 0)
+        .withColumn("price",
+          when(col("id") % 10 === 0, (col("price") + lit(10)).cast("decimal(12,2)"))
+            .otherwise(col("price")))
+      val target = scratchDir("graft_scdenrich_") + "/t"
+      ct.ChangeTracking.trackHistoryUpsert(s, b1, target, Seq("id"),
+        loadTsExpr = Some("to_timestamp('2020-01-01 00:00:00')"))
+      ct.ChangeTracking.trackHistoryUpsert(s, b2, target, Seq("id"),
+        loadTsExpr = Some("to_timestamp('2020-02-01 00:00:00')"))
+      val hist = s.read.parquet(target).select(col("id"),
+        unix_micros(col("effective_start_ts")).as("ts_us"),
+        col("version"), col("status"),
+        (col("price") * 100).cast("long").as("price_cents"))
+      val facts = t(s, dir, "orders").where(col("o_orderkey") < 500)
+        .select(col("o_orderkey").as("id"),
+          when(col("o_orderkey") % 3 === 0,
+            unix_micros(to_timestamp(lit("2020-01-15 00:00:00"))))
+            .otherwise(unix_micros(to_timestamp(lit("2020-02-15 00:00:00"))))
+            .as("ts_us"))
+      operators.AsofJoin.asofJoin(facts, hist, Seq("id"), "ts_us",
+          valueCols = Seq("version", "status", "price_cents"))
+        .select(col("id"), col("ts_us"), col("version"), col("status"),
+          col("price_cents"))
+    }),
+
     // ---- U3 deterministic hash embedding (pure column expressions) ----
     "q_hash_embedding" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -837,6 +871,13 @@ object SparkEntry {
           "text")
         .select(col("doc_id"), col("logit_micros"),
           col("logit_pos").as("pred"))
+    }),
+
+    // ---- weight-of-evidence encoding of lang vs a keyword label ----
+    "q_woe" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"),
+        when(col("text").contains(" the "), lit(1)).otherwise(lit(0)).as("y"))
+      operators.Classifier.woeTable(d, "lang", "y")
     }),
 
     // rows-only: PAV's sequential pooling has no SQL counterpart
@@ -1496,6 +1537,12 @@ object SparkEntry {
         e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, refine = 4)
     }),
 
+    // rows-only: greedy k-center is sequential in k (CoresetSpec pins
+    // the exact farthest-first traversal and partition stability)
+    "q_coreset" -> ((s, dir) =>
+      similarity.Coreset.kCenter(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 16)),
+
     // rows-only: OPQ rotation (full-rank PCA + eigenvalue allocation)
     // ahead of the same PQ pipeline; PcaSpec pins distance preservation
     // and the allocation's recall effect
@@ -1903,6 +1950,10 @@ object SparkEntry {
         (col("o_custkey") % 97).cast("string").as("y"))
       operators.Graphs.clusteringCoefficients(edges, "x", "y")
     }),
+
+    // ---- Zipf-law naturalness audit over the corpus vocabulary ----
+    "q_zipf" -> ((s, dir) =>
+      operators.TextAnalysis.zipfFit(t(s, dir, "documents"), "text")),
 
     // ---- license detection over a deterministically-salted corpus ----
     "q_license_scan" -> ((s, dir) => {
@@ -2835,6 +2886,20 @@ object SparkEntry {
         |    AS price_cents,
         |  CAST(1 AS BIGINT) AS version
         |FROM orders""".stripMargin,
+    // SCD enrich: Jan facts (id % 3 = 0) always see version 1; Feb facts
+    // see version 2 exactly when the SCD2 hash changed (id % 10 = 0)
+    "q_pipeline_scd_enrich" ->
+      """SELECT o_orderkey AS id,
+        |  CASE WHEN o_orderkey % 3 = 0
+        |    THEN epoch_us(TIMESTAMP '2020-01-15 00:00:00')
+        |    ELSE epoch_us(TIMESTAMP '2020-02-15 00:00:00') END AS ts_us,
+        |  CAST(CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 10 = 0
+        |    THEN 2 ELSE 1 END AS BIGINT) AS version,
+        |  o_orderstatus AS status,
+        |  CAST((CAST(o_totalprice AS DECIMAL(12,2))
+        |    + CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 10 = 0
+        |        THEN 10 ELSE 0 END) * 100 AS BIGINT) AS price_cents
+        |FROM orders WHERE o_orderkey < 500""".stripMargin,
 
     "q_hash_embedding" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS dim,
@@ -3719,6 +3784,23 @@ object SparkEntry {
         |SELECT n_pos, n_neg,
         |  round(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
         |    ELSE CAST(num2 AS DOUBLE) / (2 * n_pos * n_neg) END, 6) AS auc
+        |FROM t""".stripMargin,
+    "q_woe" ->
+      """WITH d AS (
+        |  SELECT lang, CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (SELECT lang AS category, CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(1 - y) AS BIGINT) AS n_neg
+        |  FROM d GROUP BY lang),
+        |t AS (SELECT category, n_pos, n_neg,
+        |    CAST(sum(n_pos) OVER () AS BIGINT) AS p,
+        |    CAST(sum(n_neg) OVER () AS BIGINT) AS n
+        |  FROM g)
+        |SELECT category, n_pos, n_neg,
+        |  round(ln(((n_pos + 0.5) / p) / ((n_neg + 0.5) / n)), 6) AS woe,
+        |  CAST(round((((n_pos + 0.5) / p) - ((n_neg + 0.5) / n))
+        |    * ln(((n_pos + 0.5) / p) / ((n_neg + 0.5) / n)) * 1e9) AS BIGINT)
+        |    AS iv_nanos
         |FROM t""".stripMargin,
     "q_auc_by_group" ->
       """WITH d AS (
@@ -5306,6 +5388,39 @@ object SparkEntry {
         |      / (2 * (n_items * n_items * 9 - bb))
         |  END, 6) AS kappa
         |FROM a, b""".stripMargin,
+    // Zipf fit: identical nano-quantized log sums, identical final
+    // double expression trees
+    "q_zipf" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_transform(list_filter(
+        |    string_split_regex(coalesce(text, ''), '\s+'), t -> t <> ''),
+        |    t -> lower(t))) AS t
+        |  FROM documents),
+        |cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+        |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, t ASC)
+        |    AS BIGINT) AS rnk
+        |  FROM cnt),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(ln(CAST(rnk AS DOUBLE)) * 1e9) AS BIGINT))
+        |      AS BIGINT) AS sx,
+        |    CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT))
+        |      AS BIGINT) AS sy,
+        |    CAST(sum(CAST(round(ln(CAST(rnk AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS sxy,
+        |    CAST(sum(CAST(round(ln(CAST(rnk AS DOUBLE))
+        |      * ln(CAST(rnk AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS sxx
+        |  FROM r),
+        |f AS (SELECT n, CAST(n AS DOUBLE) AS nd, sx / 1e9 AS sxd,
+        |    sy / 1e9 AS syd, sxy / 1e9 AS sxyd, sxx / 1e9 AS sxxd
+        |  FROM s)
+        |SELECT n AS n_terms,
+        |  round(CASE WHEN n < 2 OR nd * sxxd - sxd * sxd = 0 THEN NULL
+        |    ELSE (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) END, 6)
+        |    AS slope,
+        |  round(CASE WHEN n < 2 OR nd * sxxd - sxd * sxd = 0 THEN NULL
+        |    ELSE (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))
+        |      * sxd) / nd END, 6) AS intercept
+        |FROM f""".stripMargin,
     "q_license_scan" ->
       """WITH salted AS (
         |  SELECT doc_id,

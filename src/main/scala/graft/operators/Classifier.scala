@@ -253,6 +253,53 @@ object Classifier {
     TextClassifierModel(w, bias)
   }
 
+  /** Weight-of-evidence table of a categorical feature against a 0/1
+    * label (the scorecard-modeling standard; Siddiqi 2006): per
+    * category `woe = ln(((posₖ+½)/P) / ((negₖ+½)/N))` — Laplace-½
+    * smoothing so empty-side categories stay finite — plus the
+    * category's information-value term
+    * `iv = ((posₖ+½)/P − (negₖ+½)/N)·woe`. Gate features on total IV
+    * (< 0.02 useless, > 0.5 suspicious/leaky by the usual reading);
+    * feed `woe` back as the feature's numeric encoding.
+    *
+    * ONE map-side-combined groupBy (categories-sized result; NULL is a
+    * category); totals ride a categories-sized window. The iv term is
+    * nano-quantized so [[informationValue]]'s sum is order-free; `woe`
+    * itself is one ln of an exact-integer rational — the [[Validation.mutualInformation]]
+    * exactness recipe. Same loud 0/1-label contract as [[train]].
+    */
+  def woeTable(
+      df: DataFrame, featureCol: String, labelCol: String): DataFrame = {
+    val y = col(labelCol).cast("int")
+    val bad = df.agg(count(when(y.isNull || (y =!= 0 && y =!= 1), 1))
+      .as("__bad")).head().getAs[Long]("__bad")
+    require(bad == 0L,
+      s"woeTable: $bad row(s) have a label that is null or outside {0, 1} " +
+        s"after casting `$labelCol` to int")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val g = df.groupBy(col(featureCol).as("category"))
+      .agg(sum(y.cast("long")).as("n_pos"),
+        sum(lit(1L) - y.cast("long")).as("n_neg"))
+      .withColumn("__P", sum(col("n_pos")).over(w))
+      .withColumn("__N", sum(col("n_neg")).over(w))
+    val pr = (col("n_pos") + lit(0.5)) / col("__P")
+    val nr = (col("n_neg") + lit(0.5)) / col("__N")
+    val woe = log(pr / nr)
+    g.select(col("category"), col("n_pos"), col("n_neg"),
+      round(woe, 6).as("woe"),
+      (round((pr - nr) * woe * 1e9)).cast("long").as("iv_nanos"))
+  }
+
+  /** Total information value of `featureCol` for `labelCol`: the
+    * order-free LONG sum of [[woeTable]]'s nano terms, one row
+    * `(n_categories, iv)`.
+    */
+  def informationValue(
+      df: DataFrame, featureCol: String, labelCol: String): DataFrame =
+    woeTable(df, featureCol, labelCol)
+      .agg(count(lit(1)).as("n_categories"),
+        round(sum(col("iv_nanos")) / 1e9, 6).as("iv"))
+
   /** A fitted isotonic (monotone step) calibration map from integer
     * score bins to calibrated probability micros: bin `i` covers scores
     * `[minScore + i·binWidth, minScore + (i+1)·binWidth)`, apply-time

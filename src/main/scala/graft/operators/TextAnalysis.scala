@@ -1274,6 +1274,79 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("__term"), col("__s")))),
           lit(0.0), (acc, x) => acc + x.getField("__s")), 6).as("score"))
 
+  /** Zipf-law fit over the corpus term-frequency distribution — the
+    * corpus-naturalness audit: natural language sits near slope −1 on
+    * the log-log rank/frequency line (Zipf 1949); template spam,
+    * boilerplate floods, and synthetic corpora bend it. Gate refreshes
+    * on slope drift the way [[graft.operators.Validation.populationStability]]
+    * gates score drift.
+    *
+    * Exactness recipe: per term, `x = ln(rank)` / `y = ln(count)` and
+    * their products are nano-quantized THE MOMENT THEY ARE BORN and
+    * summed as LONGs (order-free); the closed-form least squares
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * runs on those exact integers with double arithmetic only at the
+    * very end. Ranks are `(count DESC, term ASC)` — a total order both
+    * engines reproduce — computed with the range-repartition +
+    * per-partition-window + broadcast-offsets discipline
+    * ([[RankEval.aucRoc]]): the vocab table never collapses into one
+    * task. Σ(ln r·ln c·1e9) bounds the vocab at ~1e7 terms per fit
+    * (documented LONG headroom); sample the corpus beyond that.
+    *
+    * Output: one row `(n_terms, slope, intercept)`, both rounded to
+    * 6 dp; NULL slope when fewer than 2 distinct terms.
+    */
+  def zipfFit(
+      df: DataFrame, textCol: String, minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val counts = df
+      .select(explode(transform(tokens(col(textCol)), t => lower(t)))
+        .as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minCount)
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val keyed = graft.core.Caches.pin(counts
+      .repartitionByRange(parts, col("__c").desc, col("__t"))
+      .sortWithinPartitions(col("__c").desc, col("__t"))
+      .withColumn("__pid", spark_partition_id()))
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+      val offsets = keyed.groupBy(col("__pid"))
+        .agg(count(lit(1)).as("__pn"))
+        .withColumn("__off", coalesce(
+          sum(col("__pn")).over(w.orderBy("__pid")
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .select(col("__pid"), col("__off"))
+      val ranked = keyed
+        .withColumn("__r", row_number().over(
+          w.partitionBy(col("__pid"))
+            .orderBy(col("__c").desc, col("__t"))))
+        .join(broadcast(offsets), "__pid")
+        .select((col("__off") + col("__r")).as("__rank"), col("__c"))
+      val x = log(col("__rank").cast("double"))
+      val y = log(col("__c").cast("double"))
+      val sums = ranked.agg(
+        count(lit(1)).as("__n"),
+        sum(round(x * 1e9).cast("long")).as("__sx"),
+        sum(round(y * 1e9).cast("long")).as("__sy"),
+        sum(round(x * y * 1e9).cast("long")).as("__sxy"),
+        sum(round(x * x * 1e9).cast("long")).as("__sxx"))
+      val n = col("__n").cast("double")
+      val sx = col("__sx") / 1e9
+      val sy = col("__sy") / 1e9
+      val sxy = col("__sxy") / 1e9
+      val sxx = col("__sxx") / 1e9
+      val denom = n * sxx - sx * sx
+      val slope = (n * sxy - sx * sy) / denom
+      sums.select(col("__n").as("n_terms"),
+          round(when(col("__n") < 2 || denom === 0.0, lit(null))
+            .otherwise(slope), 6).as("slope"),
+          round(when(col("__n") < 2 || denom === 0.0, lit(null))
+            .otherwise((sy - slope * sx) / n), 6).as("intercept"))
+        .localCheckpoint(true)
+    } finally keyed.unpersist()
+  }
+
   /** License detection for code/document corpora — the compliance gate
     * of a training-data pipeline (exclude copyleft, keep permissive,
     * quarantine unknown): an explicit `SPDX-License-Identifier:` tag

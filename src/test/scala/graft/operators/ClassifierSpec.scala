@@ -114,6 +114,31 @@ class ClassifierSpec extends SparkTestBase {
       Classifier.train(outOfRange, "text", "label", dim = 64, iters = 1))
   }
 
+  test("woeTable matches hand arithmetic; IV sums the nano terms") {
+    // cat a: 3 pos 1 neg; cat b: 1 pos 3 neg; P = 4, N = 4
+    val rows = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 0),
+      ("b", 1), ("b", 0), ("b", 0), ("b", 0))
+    val t = Classifier.woeTable(rows.toDF("f", "y"), "f", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val woeA = math.log((3.5 / 4.0) / (1.5 / 4.0))
+    assert(t("a")._1 == 3 && t("a")._2 == 1)
+    assert(t("a")._3 == math.rint(woeA * 1e6) / 1e6 ||
+      math.abs(t("a")._3 - woeA) < 1e-6)
+    // symmetry: b is a mirrored so woe_b = -woe_a, iv terms equal
+    assert(math.abs(t("a")._3 + t("b")._3) < 1e-9)
+    assert(t("a")._4 == t("b")._4)
+    val iv = Classifier.informationValue(rows.toDF("f", "y"), "f", "y").head()
+    assert(iv.getAs[Long]("n_categories") == 2)
+    val expIv = (3.5 / 4 - 1.5 / 4) * woeA * 2
+    assert(math.abs(iv.getAs[Double]("iv") - expIv) < 1e-6)
+    // NULL category is a category; bad labels loud
+    val withNull = Seq((Some("a"), 1), (None, 0)).toDF("f", "y")
+    assert(Classifier.woeTable(withNull, "f", "y").count() == 2)
+    intercept[IllegalArgumentException](
+      Classifier.woeTable(Seq(("a", 2)).toDF("f", "y"), "f", "y"))
+  }
+
   test("fitIsotonic pools adjacent violators exactly (hand-worked)") {
     // per-score (pos, n): rates .2 .4 0 .6 .4 1 -> PAV blocks
     // [s1]=.2, [s2,s3]=.2, [s4,s5]=.5, [s6]=1

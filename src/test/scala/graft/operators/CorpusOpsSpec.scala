@@ -514,6 +514,27 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("zipfFit recovers ~-1 on a planted Zipf corpus; exact and loud edges") {
+    // word_r appears floor(600/r) times: a textbook Zipf profile
+    val words = (1 to 40).flatMap(r => Seq.fill(600 / r)(s"w$r"))
+    val docs = words.grouped(50).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val fit = TextAnalysis.zipfFit(docs, "text").head()
+    assert(fit.getAs[Long]("n_terms") == 40)
+    val slope = fit.getAs[Double]("slope")
+    assert(slope > -1.2 && slope < -0.8, s"planted Zipf slope was $slope")
+    // partitioning cannot move a single nano
+    val fit2 = TextAnalysis.zipfFit(docs.repartition(7), "text").head()
+    assert(fit.getAs[Double]("slope") == fit2.getAs[Double]("slope"))
+    assert(fit.getAs[Double]("intercept") == fit2.getAs[Double]("intercept"))
+    // single-term corpus: undefined -> NULL, not NaN
+    val one = Seq((1L, "same same same")).toDF("doc_id", "text")
+    assert(TextAnalysis.zipfFit(one, "text").head().isNullAt(1))
+    intercept[IllegalArgumentException](
+      TextAnalysis.zipfFit(docs, "text", minCount = 0))
+  }
+
   test("withLicenseDetection: SPDX tag wins, phrases fall back, tri-state gate") {
     val d = Seq(
       (1L, "// SPDX-License-Identifier: MIT\nfn main() {}"),
