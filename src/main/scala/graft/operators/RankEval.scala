@@ -199,12 +199,24 @@ object RankEval {
         s"null or outside {0, 1} after casting `$labelCol` to int")
     require(bad.getAs[Long]("__bads") == 0L,
       s"aucRoc: ${bad.getAs[Long]("__bads")} row(s) have a NULL `$scoreCol`")
-    val g = graft.core.Caches.pin(df
+    aucFromScoreCounts(df
       .groupBy(col(scoreCol).as("__s"))
       .agg(sum(y.cast("long")).as("__pos"),
-        sum(lit(1L) - y.cast("long")).as("__neg"))
-      .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism,
-        col("__s"))
+        sum(lit(1L) - y.cast("long")).as("__neg")))
+  }
+
+  /** The AUC tail shared by [[aucRoc]] and
+    * [[graft.streaming.StreamingOps.aucFromLog]]: per-distinct-score
+    * `(__s, __pos, __neg)` counts → one exact AUC row. Counts are
+    * SUM-MERGEABLE (the Mann–Whitney statistic only reads totals per
+    * score), which is what makes the streamed eval equal the batch one.
+    */
+  private[graft] def aucFromScoreCounts(counts: DataFrame): DataFrame = {
+    val g = graft.core.Caches.pin(counts
+      .groupBy(col("__s"))
+      .agg(sum(col("__pos")).as("__pos"), sum(col("__neg")).as("__neg"))
+      .repartitionByRange(
+        counts.sparkSession.sparkContext.defaultParallelism, col("__s"))
       .sortWithinPartitions(col("__s"))
       .withColumn("__pid", spark_partition_id()))
     try {

@@ -844,6 +844,64 @@ object StreamingOps {
       .agg(countDistinct(col(sensitiveCol)).as("diversity"))
       .where(col("diversity") >= l)
 
+  /** Stream scored+labeled eval rows into a sum-mergeable AUC log: the
+    * Mann–Whitney statistic reads only per-distinct-score (pos, neg)
+    * totals, which are additive — each micro-batch writes its own
+    * score-count cells UNPIVOTED to `(__s, __m ∈ 'p'/'n', __kcnt)`
+    * rows (the [[resampleSink]] two-measure recipe) under the stat-log
+    * `sum` fold law; [[aucFromLog]] is then EQUAL to the batch
+    * [[graft.operators.RankEval.aucRoc]] over every delivered row.
+    * The continuous-eval shape: score production traffic as it lands,
+    * read the standing AUC whenever the dashboard asks. Labels are
+    * validated per batch with the batch path's loud 0/1 contract.
+    */
+  def aucLogSink(
+      events: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      logPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    StatLog.writeKind(events.sparkSession, logPath, "sum")
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val y = col(labelCol).cast("int")
+          val bad = batch.toDF().agg(
+            count(when(y.isNull || (y =!= 0 && y =!= 1), 1)).as("__bady"),
+            count(when(col(scoreCol).isNull, 1)).as("__bads")).head()
+          require(bad.getAs[Long]("__bady") == 0L && bad.getAs[Long]("__bads") == 0L,
+            s"aucLogSink batch $batchId: labels outside {0,1} or NULL scores " +
+              "delivered — fix the producer; a silently-skipped row would " +
+              "bias every later read")
+          batch.toDF()
+            .groupBy(col(scoreCol).as("__s"))
+            .agg(sum(y.cast("long")).as("__pos"),
+              sum(lit(1L) - y.cast("long")).as("__neg"))
+            .select(col("__s"), explode(array(
+              struct(lit("p").as("__m"), col("__pos").as("__kcnt")),
+              struct(lit("n").as("__m"), col("__neg").as("__kcnt"))))
+              .as("__mv"))
+            .select(col("__s"), col("__mv.__m").as("__m"),
+              col("__mv.__kcnt").as("__kcnt"))
+            .write.mode("overwrite")
+            .parquet(f"$logPath/batch=b$batchId%012d")
+        }
+    }
+  }
+
+  /** The standing exact AUC over everything delivered to an
+    * [[aucLogSink]] log — equal to the batch eval on the union.
+    */
+  def aucFromLog(spark: SparkSession, logPath: String): DataFrame =
+    graft.operators.RankEval.aucFromScoreCounts(
+      StatLog.read(spark, logPath)
+        .groupBy(col("__s"))
+        .agg(
+          coalesce(sum(when(col("__m") === "p", col("__kcnt"))), lit(0L))
+            .as("__pos"),
+          coalesce(sum(when(col("__m") === "n", col("__kcnt"))), lit(0L))
+            .as("__neg")))
+
   /** Stream embedding batches into a sum-mergeable PCA MOMENT log: each
     * micro-batch writes its [[graft.similarity.Pca.momentCells]] —
     * count/sum/gram LONG cells, additive by construction — under

@@ -1048,6 +1048,32 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("aucLogSink: standing AUC equals the batch eval; fold is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_auc_log_").toString
+    val log = root + "/auc"
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int)]
+    val q = StreamingOps.aucLogSink(src.toDS().toDF("s", "y"), "s", "y", log)
+      .option("checkpointLocation", root + "/ck").start()
+    val b1 = Seq.tabulate(120)(i => (((i * 131) % 37).toLong, if ((i * 17) % 5 < 2) 1 else 0))
+    val b2 = Seq.tabulate(90)(i => (((i * 71) % 29).toLong, if ((i * 13) % 4 < 1) 1 else 0))
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      def row(df: org.apache.spark.sql.DataFrame) = {
+        val r = df.head()
+        (r.getLong(0), r.getLong(1), r.getDouble(2))
+      }
+      val streamed = row(StreamingOps.aucFromLog(spark, log))
+      val batch = row(graft.operators.RankEval.aucRoc(
+        (b1 ++ b2).toDF("s", "y"), "s", "y"))
+      assert(streamed == batch, s"standing $streamed vs batch $batch")
+      StreamingOps.compactStatLog(spark, log)
+      assert(row(StreamingOps.aucFromLog(spark, log)) == batch)
+    } finally q.stop()
+  }
+
   test("pcaMomentSink: incremental fit is bit-identical to the batch fit") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft_pca_log_").toString
