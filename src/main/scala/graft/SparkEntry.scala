@@ -2615,6 +2615,14 @@ object SparkEntry {
           .withColumn("ts_us", expr("ts_ns div 1000")))
     }),
 
+    // ---- behavioral path n-grams over the event stream ----
+    "q_path_ngrams" -> ((s, dir) => {
+      val e = streaming.StreamingOps.readEventsRaw(s, s"$dir/events.parquet")
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      operators.Funnels.pathNgrams(
+        e, "user_id", "ts_us", "event_id", "event_type", n = 3)
+    }),
+
     // ---- fixed-grid resample + LOCF gap-fill over the event stream ----
     "q_resample" -> ((s, dir) => {
       val e = streaming.StreamingOps.readEventsRaw(s, s"$dir/events.parquet")
@@ -6908,6 +6916,19 @@ object SparkEntry {
         |  max(ts_us) AS session_end,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    "q_path_ngrams" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    coalesce(event_type, '(null)') AS t
+        |  FROM events),
+        |g AS (
+        |  SELECT t || ' > ' || lead(t, 1) OVER w || ' > '
+        |      || lead(t, 2) OVER w AS ngram,
+        |    lead(t, 1) OVER w AS l1, lead(t, 2) OVER w AS l2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM g WHERE l1 IS NOT NULL AND l2 IS NOT NULL
+        |GROUP BY ngram""".stripMargin,
     "q_resample" ->
       """WITH e AS (
         |  SELECT event_type AS k, epoch_us(ts) AS us, value

@@ -186,4 +186,51 @@ object Funnels {
         round(col("n_users") / col("__csize").cast("double"), 6)
           .as("retained_frac"))
   }
+
+  /** Behavioral path n-grams: per user, the ordered event-type stream's
+    * length-`n` consecutive sub-sequences, counted globally —
+    * `(ngram, n_occurrences)` with the path joined as `a > b > c`. The
+    * "what do users actually do around X" companion to [[funnelCounts]]:
+    * funnels test ONE hypothesized order; path n-grams surface the
+    * orders that exist.
+    *
+    * Determinism contract: ordering is `(tsUsCol, orderCol)` per user
+    * and BOTH must be non-NULL — NULL order keys sort differently
+    * across engines, so they are rejected loudly (the
+    * [[graft.operators.Timeseries.locf]] rule). NULL event types
+    * become the literal category `"(null)"` — silently skipping them
+    * would splice false adjacencies across the gap.
+    *
+    * Shape: one per-user window (lead chain — per-key sorted, the
+    * [[AsofJoin]] skew caveat), one map-side-combined count. Rows
+    * whose window runs off the user's stream end emit nothing.
+    */
+  def pathNgrams(
+      df: DataFrame,
+      userCol: String,
+      tsUsCol: String,
+      orderCol: String,
+      typeCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 2 && n <= 8, s"n must be in 2..8, got $n")
+    def guarded(c: String): Column =
+      when(col(c).isNull, raise_error(lit(
+        s"pathNgrams: NULL in order column $c — null ordering is not " +
+          "engine-portable; filter or impute upstream")))
+        .otherwise(col(c))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(guarded(tsUsCol), guarded(orderCol))
+    val t0 = coalesce(col(typeCol).cast("string"), lit("(null)"))
+    val parts = (0 until n).map {
+      case 0 => t0
+      case i => lead(t0, i).over(w)
+    }
+    val complete = parts.drop(1)
+      .foldLeft(lit(true))((acc, c) => acc && c.isNotNull)
+    df.select(when(complete, concat_ws(" > ", parts: _*)).as("__g"))
+      .where(col("__g").isNotNull)
+      .groupBy(col("__g").as("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
 }

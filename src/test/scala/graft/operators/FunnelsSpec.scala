@@ -101,4 +101,33 @@ class FunnelsSpec extends SparkTestBase {
     val cohB = byCohort.keys.max
     assert(byCohort(cohB).map(t => (t._2, t._3, t._4)) == Seq((0L, 1L, 1.0)))
   }
+
+  test("pathNgrams counts consecutive per-user sub-sequences exactly") {
+    val ev = Seq(
+      (1L, 1L, 1L, Some("A")), (1L, 2L, 2L, Some("B")),
+      (1L, 3L, 3L, Some("C")), (1L, 4L, 4L, Some("D")),
+      (2L, 1L, 5L, Some("A")), (2L, 2L, 6L, Some("B")))
+      .toDF("u", "ts", "eid", "t")
+    def counts(n: Int) = Funnels.pathNgrams(ev, "u", "ts", "eid", "t", n)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts(2) == Map("A > B" -> 2, "B > C" -> 1, "C > D" -> 1))
+    assert(counts(3) == Map("A > B > C" -> 1, "B > C > D" -> 1))
+    // equal timestamps: orderCol breaks the tie deterministically
+    val tied = Seq((1L, 5L, 1L, Some("X")), (1L, 5L, 2L, Some("Y")))
+      .toDF("u", "ts", "eid", "t")
+    assert(Funnels.pathNgrams(tied, "u", "ts", "eid", "t", 2)
+      .head().getString(0) == "X > Y")
+    // NULL type is a visible category, not a splice
+    val withNull = Seq((1L, 1L, 1L, Some("A")),
+      (1L, 2L, 2L, Option.empty[String]), (1L, 3L, 3L, Some("B")))
+      .toDF("u", "ts", "eid", "t")
+    assert(Funnels.pathNgrams(withNull, "u", "ts", "eid", "t", 2)
+      .collect().map(_.getString(0)).toSet == Set("A > (null)", "(null) > B"))
+    // NULL order key is loud
+    val badTs = Seq((1L, Option.empty[Long], 1L, "A")).toDF("u", "ts", "eid", "t")
+    intercept[Exception](
+      Funnels.pathNgrams(badTs, "u", "ts", "eid", "t", 2).collect())
+    intercept[IllegalArgumentException](
+      Funnels.pathNgrams(ev, "u", "ts", "eid", "t", 1))
+  }
 }
