@@ -253,6 +253,48 @@ object Classifier {
     TextClassifierModel(w, bias)
   }
 
+  /** Reliability (calibration-diagram) bins for a probability-micros
+    * scorer: equal-width bins over [0, 1e6], per bin the count, the
+    * positive count, the exact integer mean predicted micros
+    * (`sum div n` — floor division on non-negatives agrees across
+    * engines) and the observed rate. The table [[fitIsotonic]] fixes
+    * and the audit that shows it: a calibrated scorer has
+    * `mean_pred_micros ≈ obs_rate·1e6` per bin. ONE map-side-combined
+    * groupBy; same loud 0/1-label contract as [[train]]. Scores
+    * outside [0, 1e6] clamp into the edge bins (a probability outside
+    * [0, 1] is the scorer's bug to surface elsewhere, not this
+    * table's).
+    */
+  def reliabilityBins(
+      df: DataFrame,
+      probMicrosCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in 2..1000, got $bins")
+    val y = col(labelCol).cast("int")
+    val bad = df.agg(
+      count(when(y.isNull || (y =!= 0 && y =!= 1), 1)).as("__bady"),
+      count(when(col(probMicrosCol).isNull, 1)).as("__bads")).head()
+    require(bad.getAs[Long]("__bady") == 0L,
+      s"reliabilityBins: ${bad.getAs[Long]("__bady")} row(s) have a label " +
+        s"that is null or outside {0, 1} after casting `$labelCol` to int")
+    require(bad.getAs[Long]("__bads") == 0L,
+      s"reliabilityBins: ${bad.getAs[Long]("__bads")} row(s) have a NULL " +
+        s"`$probMicrosCol`")
+    val clamped = least(lit(1000000L),
+      greatest(lit(0L), col(probMicrosCol).cast("long")))
+    val bin = least(lit(bins - 1L), expr(
+      s"(least(1000000L, greatest(0L, cast($probMicrosCol as long))) " +
+        s"* $bins) div 1000000L"))
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(y.cast("long")).as("n_pos"),
+        sum(clamped).as("__sp"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("__sp div n").as("mean_pred_micros"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("obs_rate"))
+  }
+
   /** Weight-of-evidence table of a categorical feature against a 0/1
     * label (the scorecard-modeling standard; Siddiqi 2006): per
     * category `woe = ln(((posₖ+½)/P) / ((negₖ+½)/N))` — Laplace-½

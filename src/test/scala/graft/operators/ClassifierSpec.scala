@@ -114,6 +114,28 @@ class ClassifierSpec extends SparkTestBase {
       Classifier.train(outOfRange, "text", "label", dim = 64, iters = 1))
   }
 
+  test("reliabilityBins: exact bin mean and observed rate, edge clamping") {
+    val rows = Seq(
+      (50000L, 0), (150000L, 0), (250000L, 1),   // bins 0, 1, 2
+      (950000L, 1), (999999L, 1), (1000000L, 0), // bin 9 (1e6 clamps in)
+      (-5L, 0), (2000000L, 1))                   // clamp to bins 0 and 9
+      .toDF("p", "y")
+    val out = Classifier.reliabilityBins(rows.toDF("p", "y"), "p", "y")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(0L) == ((2L, 0L, 25000L, 0.0)))   // 50000 and clamped 0
+    assert(out(1L) == ((1L, 0L, 150000L, 0.0)))
+    assert(out(2L) == ((1L, 1L, 250000L, 1.0)))
+    // bin 9: 950000, 999999, 1000000, clamped 1000000 -> mean floor-div
+    assert(out(9L)._1 == 4L && out(9L)._2 == 3L)
+    assert(out(9L)._3 == (950000L + 999999L + 1000000L + 1000000L) / 4)
+    assert(out(9L)._4 == 0.75)
+    intercept[IllegalArgumentException](
+      Classifier.reliabilityBins(rows.toDF("p", "y"), "p", "y", bins = 1))
+    intercept[IllegalArgumentException](
+      Classifier.reliabilityBins(Seq((1L, 2)).toDF("p", "y"), "p", "y"))
+  }
+
   test("woeTable matches hand arithmetic; IV sums the nano terms") {
     // cat a: 3 pos 1 neg; cat b: 1 pos 3 neg; P = 4, N = 4
     val rows = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 0),
