@@ -1661,6 +1661,17 @@ object SparkEntry {
       operators.Classifier.reliabilityBins(d, "p_micros", "y", bins = 10)
     }),
 
+    "q_ece" -> ((s, dir) => {
+      val score = round(element_at(col("embedding"), 1).cast("double") * 1e6)
+        .cast("long") +
+        round(element_at(col("embedding"), 2).cast("double") * 1e6)
+        .cast("long")
+      val d = t(s, dir, "embeddings").select(
+        ((score % 1000001L + 1000001L) % 1000001L).as("p_micros"),
+        when(col("label") < 5, lit(1)).otherwise(lit(0)).as("y"))
+      operators.Classifier.expectedCalibrationError(d, "p_micros", "y", 10)
+    }),
+
     // ---- the same eval, sliced per source (fairness-audit form) ----
     "q_auc_by_group" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -3840,6 +3851,31 @@ object SparkEntry {
         |  CAST(sp // n AS BIGINT) AS mean_pred_micros,
         |  round(CAST(n_pos AS DOUBLE) / n, 6) AS obs_rate
         |FROM g""".stripMargin,
+    "q_ece" ->
+      """WITH d AS (
+        |  SELECT (((CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT)
+        |    + CAST(round(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT))
+        |    % 1000001) + 1000001) % 1000001 AS p,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT least(9, (least(1000000, greatest(0, p)) * 10) // 1000000)
+        |      AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(least(1000000, greatest(0, p))) AS BIGINT) AS sp
+        |  FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT n, round(CAST(n_pos AS DOUBLE) / n, 6) AS obs_rate,
+        |    CAST(sp // n AS BIGINT) AS mp
+        |  FROM g),
+        |t AS (
+        |  SELECT CAST(sum(n) OVER () AS BIGINT) AS nn, n, obs_rate, mp
+        |  FROM r)
+        |SELECT nn AS n,
+        |  round(CAST(sum(CAST(round(abs(obs_rate - CAST(mp AS DOUBLE) / 1e6)
+        |    * n / nn * 1e9) AS BIGINT)) AS BIGINT) / 1e9, 6) AS ece
+        |FROM t GROUP BY nn""".stripMargin,
     "q_auc_by_group" ->
       """WITH d AS (
         |  SELECT coalesce(dd.source, 'none') AS source,

@@ -295,6 +295,28 @@ object Classifier {
         round(col("n_pos").cast("double") / col("n"), 6).as("obs_rate"))
   }
 
+  /** Expected calibration error over [[reliabilityBins]]:
+    * `ECE = Σ_b (n_b/N)·|obs_rate_b − mean_pred_b/1e6|` (Naeini 2015's
+    * binned ECE) — the one-number summary of the reliability diagram.
+    * Per-bin terms are nano-quantized and summed as LONGs (order-free);
+    * output one row `(n, ece)`, 6 dp.
+    */
+  def expectedCalibrationError(
+      df: DataFrame,
+      probMicrosCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame = {
+    val b = reliabilityBins(df, probMicrosCol, labelCol, bins)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    b.withColumn("__N", sum(col("n")).over(w))
+      .select(col("__N"),
+        round(abs(col("obs_rate") -
+          col("mean_pred_micros").cast("double") / 1e6) *
+          col("n") / col("__N") * 1e9).cast("long").as("__t"))
+      .groupBy(col("__N").as("n"))
+      .agg(round(sum(col("__t")) / 1e9, 6).as("ece"))
+  }
+
   /** Weight-of-evidence table of a categorical feature against a 0/1
     * label (the scorecard-modeling standard; Siddiqi 2006): per
     * category `woe = ln(((posₖ+½)/P) / ((negₖ+½)/N))` — Laplace-½

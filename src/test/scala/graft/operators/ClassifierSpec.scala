@@ -134,6 +134,16 @@ class ClassifierSpec extends SparkTestBase {
       Classifier.reliabilityBins(rows.toDF("p", "y"), "p", "y", bins = 1))
     intercept[IllegalArgumentException](
       Classifier.reliabilityBins(Seq((1L, 2)).toDF("p", "y"), "p", "y"))
+    // ECE over the same fixture, hand-summed from the bins above
+    val ece = Classifier.expectedCalibrationError(
+      rows.toDF("p", "y"), "p", "y").head()
+    assert(ece.getAs[Long]("n") == 8)
+    assert(ece.getAs[Double]("ece") == 0.2375,
+      s"got ${ece.getAs[Double]("ece")}")
+    // a perfectly calibrated constant scorer has ECE ~ 0
+    val perfect = Seq((500000L, 1), (500000L, 0)).toDF("p", "y")
+    assert(Classifier.expectedCalibrationError(perfect, "p", "y")
+      .head().getAs[Double]("ece") == 0.0)
   }
 
   test("woeTable matches hand arithmetic; IV sums the nano terms") {
