@@ -2005,6 +2005,16 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         window = 2, iterations = 3, topK = 20)),
 
+    // ---- Adamic-Adar link prediction over the derived order graph ----
+    "q_adamic_adar" -> ((s, dir) => {
+      // % 997, not % 97: the denser derived graph saturates at sf0.1
+      // (every candidate pair already an edge -> an empty prediction)
+      val edges = t(s, dir, "orders").select(
+        (col("o_orderkey") % 997).cast("string").as("x"),
+        (col("o_custkey") % 997).cast("string").as("y"))
+      operators.Graphs.adamicAdar(edges, "x", "y")
+    }),
+
     // ---- deterministic DeepWalk corpus over the derived order graph ----
     "q_random_walks" -> ((s, dir) => {
       val edges = t(s, dir, "orders").select(
@@ -5618,6 +5628,34 @@ object SparkEntry {
         |    GROUP BY e.dst) s ON s.node = nd.node)
         |SELECT node AS word, pr FROM i3
         |ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+    "q_adamic_adar" ->
+      """WITH raw AS (
+        |  SELECT DISTINCT CAST(o_orderkey % 997 AS VARCHAR) AS s,
+        |    CAST(o_custkey % 997 AS VARCHAR) AS d
+        |  FROM orders),
+        |und AS (
+        |  SELECT DISTINCT s, d FROM (
+        |    SELECT s, d FROM raw UNION ALL SELECT d, s FROM raw)
+        |  WHERE s <> d),
+        |deg AS (
+        |  SELECT s AS z, CAST(count(*) AS BIGINT) AS dg
+        |  FROM und GROUP BY s HAVING count(*) BETWEEN 2 AND 10000),
+        |adj AS (SELECT und.s AS z, und.d AS n, dg
+        |  FROM und JOIN deg ON deg.z = und.s),
+        |w AS (
+        |  SELECT a.n AS node_a, b.n AS node_b, a.dg
+        |  FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n),
+        |sc AS (
+        |  SELECT node_a, node_b, CAST(count(*) AS BIGINT) AS n_common,
+        |    CAST(sum(CAST(round(1e9 / ln(CAST(dg AS DOUBLE))) AS BIGINT))
+        |      AS BIGINT) AS aa_nanos
+        |  FROM w GROUP BY node_a, node_b),
+        |ex AS (SELECT DISTINCT least(s, d) AS node_a,
+        |    greatest(s, d) AS node_b
+        |  FROM und)
+        |SELECT sc.node_a, sc.node_b, n_common, aa_nanos FROM sc
+        |WHERE NOT EXISTS (SELECT 1 FROM ex
+        |  WHERE ex.node_a = sc.node_a AND ex.node_b = sc.node_b)""".stripMargin,
     // random walks: the recursive CTE replays the per-step hash pick —
     // same sha256 preimage "seed:origin:walk:step:node", same 7-hex-char
     // prefix, same mod-degree 1-based index over dst-sorted neighbors

@@ -1222,6 +1222,64 @@ object Graphs {
     (0 until n).toDF("walk")
   }
 
+  /** Adamic–Adar link prediction (Adamic & Adar 2003): for node pairs
+    * sharing neighbors, `AA(a,b) = Σ_z 1/ln(deg z)` over common
+    * neighbors `z` — the classic "which links are missing" score
+    * (crawl frontier prioritization, related-entity suggestion, graph
+    * densification QA). Rare shared neighbors count more than hubs —
+    * which is also why the degree cap below is a SEMANTIC, not a
+    * shortcut.
+    *
+    * Wedges are enumerated through each shared neighbor, costing
+    * deg(z)² pairs — a mega-hub would square into the exchange, so
+    * neighbors with `deg > maxDegree` are EXCLUDED BY CONTRACT
+    * (documented standard practice: a million-degree hub contributes
+    * 1/ln(10⁶) ≈ 0.07 per pair of its million² pairs — noise that
+    * costs a cluster). Per-wedge contributions quantize to nanos and
+    * sum as LONGs (engine-exact); existing edges are removed when
+    * `excludeExisting` (prediction means NEW links).
+    *
+    * Output: `(node_a, node_b, n_common, aa_nanos)` with
+    * `node_a < node_b`.
+    */
+  def adamicAdar(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxDegree: Long = 10000L,
+      excludeExisting: Boolean = true): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val raw = kHopEdges(edges, srcCol, dstCol)
+    val und = graft.core.Caches.pin(
+      raw.select(col("__s"), col("__d"))
+        .unionByName(raw.select(col("__d").as("__s"), col("__s").as("__d")))
+        .where(col("__s") =!= col("__d"))
+        .distinct())
+    try {
+      val deg = und.groupBy(col("__s").as("__z"))
+        .agg(count(lit(1)).as("__deg"))
+        .where(col("__deg") >= 2 && col("__deg") <= maxDegree)
+      val adj = und.select(col("__s").as("__z"), col("__d").as("__n"))
+        .join(deg, "__z")
+      val wedges = adj.select(col("__z"), col("__deg"), col("__n").as("node_a"))
+        .join(adj.select(col("__z"), col("__n").as("node_b")), Seq("__z"))
+        .where(col("node_a") < col("node_b"))
+      val scored = wedges
+        .groupBy(col("node_a"), col("node_b"))
+        .agg(count(lit(1)).as("n_common"),
+          sum(round(lit(1e9) / log(col("__deg").cast("double"))).cast("long"))
+            .as("aa_nanos"))
+      val out = (if (!excludeExisting) scored
+        else scored.join(
+          und.select(least(col("__s"), col("__d")).as("node_a"),
+            greatest(col("__s"), col("__d")).as("node_b")).distinct(),
+          Seq("node_a", "node_b"), "left_anti"))
+        .localCheckpoint(true)
+      graft.core.Caches.registerCheckpoint(out)
+      out
+    } finally und.unpersist()
+  }
+
   /** Sampled harmonic centrality (Boldi & Vigna 2014's preferred
     * closeness variant — finite under disconnection): per node,
     * `Σ_seeds 1/d(seed, node)` over hop distances from a SEED SAMPLE,

@@ -592,6 +592,35 @@ class GraphsSpec extends SparkTestBase {
     assert(unsums == Map("hub" -> 5000.0, "a" -> 2.0, "b" -> 1.0))
   }
 
+  test("adamicAdar scores common neighbors, caps hubs, excludes existing") {
+    // z adjacent to a,b,c (deg 3); w adjacent to a,b (deg 2); a-b direct
+    val edges = Seq(("z", "a"), ("z", "b"), ("z", "c"),
+      ("w", "a"), ("w", "b"), ("a", "b")).toDF("s", "d")
+    val out = Graphs.adamicAdar(edges, "s", "d")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val via3 = math.round(1e9 / math.log(3.0)) // z's contribution
+    // a-b exists -> excluded; (a,c) and (b,c) share z only
+    assert(!out.contains(("a", "b")))
+    assert(out(("a", "c")) == ((1L, via3)))
+    assert(out(("b", "c")) == ((1L, via3)))
+    // z and w are both common neighbors of... nothing new; but (z, w)
+    // share a AND b (deg(a) = 3: z, w, b; deg(b) = 3)
+    val via3a = math.round(1e9 / math.log(3.0))
+    assert(out(("w", "z")) == ((2L, 2 * via3a)))
+    // keep existing pairs when asked
+    val withExisting = Graphs.adamicAdar(edges, "s", "d",
+      excludeExisting = false)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(withExisting.contains(("a", "b")))
+    // hub cap: z (deg 3) over the cap -> its wedges vanish
+    val capped = Graphs.adamicAdar(edges, "s", "d", maxDegree = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!capped.contains(("a", "c")) && !capped.contains(("b", "c")))
+    intercept[IllegalArgumentException](
+      Graphs.adamicAdar(edges, "s", "d", maxDegree = 1))
+  }
+
   test("harmonicCentrality sums per-seed inverse hop distances exactly") {
     val path = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
       ("c", "d"), ("d", "c")).toDF("s", "d")
