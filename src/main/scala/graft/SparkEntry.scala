@@ -5645,15 +5645,28 @@ object SparkEntry {
         |w AS (
         |  SELECT a.n AS node_a, b.n AS node_b, a.dg
         |  FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n),
-        |sc AS (
+        |sc0 AS (
         |  SELECT node_a, node_b, CAST(count(*) AS BIGINT) AS n_common,
         |    CAST(sum(CAST(round(1e9 / ln(CAST(dg AS DOUBLE))) AS BIGINT))
-        |      AS BIGINT) AS aa_nanos
+        |      AS BIGINT) AS aa_nanos,
+        |    CAST(sum(CAST(round(1e9 / dg) AS BIGINT)) AS BIGINT) AS ra_nanos
         |  FROM w GROUP BY node_a, node_b),
+        |alldeg AS (
+        |  SELECT s AS node, CAST(count(*) AS BIGINT) AS dg2
+        |  FROM und GROUP BY s),
+        |sc AS (
+        |  SELECT node_a, node_b, n_common, aa_nanos, ra_nanos,
+        |    CAST(round(n_common * 1000000.0
+        |      / (da.dg2 + db.dg2 - n_common)) AS BIGINT) AS jaccard_micros
+        |  FROM sc0
+        |  JOIN alldeg da ON da.node = sc0.node_a
+        |  JOIN alldeg db ON db.node = sc0.node_b),
         |ex AS (SELECT DISTINCT least(s, d) AS node_a,
         |    greatest(s, d) AS node_b
         |  FROM und)
-        |SELECT sc.node_a, sc.node_b, n_common, aa_nanos FROM sc
+        |SELECT sc.node_a, sc.node_b, n_common, aa_nanos, ra_nanos,
+        |  jaccard_micros
+        |FROM sc
         |WHERE NOT EXISTS (SELECT 1 FROM ex
         |  WHERE ex.node_a = sc.node_a AND ex.node_b = sc.node_b)""".stripMargin,
     // random walks: the recursive CTE replays the per-step hash pick —

@@ -1239,8 +1239,10 @@ object Graphs {
     * sum as LONGs (engine-exact); existing edges are removed when
     * `excludeExisting` (prediction means NEW links).
     *
-    * Output: `(node_a, node_b, n_common, aa_nanos)` with
-    * `node_a < node_b`.
+    * Output: `(node_a, node_b, n_common, aa_nanos, ra_nanos,
+    * jaccard_micros)` with `node_a < node_b` — common-neighbor count,
+    * Adamic-Adar, resource allocation (Zhou 2009), and neighborhood
+    * Jaccard, all from the same wedge aggregate.
     */
   def adamicAdar(
       edges: DataFrame,
@@ -1264,11 +1266,27 @@ object Graphs {
       val wedges = adj.select(col("__z"), col("__deg"), col("__n").as("node_a"))
         .join(adj.select(col("__z"), col("__n").as("node_b")), Seq("__z"))
         .where(col("node_a") < col("node_b"))
+      // all four classical scores from ONE wedge aggregate + a
+      // broadcastable endpoint-degree join-back: common neighbors,
+      // Adamic-Adar, resource allocation (Zhou 2009, Σ 1/deg), and
+      // neighborhood Jaccard |Γa∩Γb| / |Γa∪Γb|
+      val allDeg = und.groupBy(col("__s").as("__node"))
+        .agg(count(lit(1)).as("__d"))
       val scored = wedges
         .groupBy(col("node_a"), col("node_b"))
         .agg(count(lit(1)).as("n_common"),
           sum(round(lit(1e9) / log(col("__deg").cast("double"))).cast("long"))
-            .as("aa_nanos"))
+            .as("aa_nanos"),
+          sum(round(lit(1e9) / col("__deg")).cast("long")).as("ra_nanos"))
+        .join(allDeg.select(col("__node").as("node_a"), col("__d").as("__da")),
+          "node_a")
+        .join(allDeg.select(col("__node").as("node_b"), col("__d").as("__db")),
+          "node_b")
+        .select(col("node_a"), col("node_b"), col("n_common"),
+          col("aa_nanos"), col("ra_nanos"),
+          round(col("n_common") * lit(1000000.0) /
+            (col("__da") + col("__db") - col("n_common"))).cast("long")
+            .as("jaccard_micros"))
       val out = (if (!excludeExisting) scored
         else scored.join(
           und.select(least(col("__s"), col("__d")).as("node_a"),

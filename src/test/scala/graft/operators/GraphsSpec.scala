@@ -598,16 +598,20 @@ class GraphsSpec extends SparkTestBase {
       ("w", "a"), ("w", "b"), ("a", "b")).toDF("s", "d")
     val out = Graphs.adamicAdar(edges, "s", "d")
       .collect().map(r => (r.getString(0), r.getString(1)) ->
-        ((r.getLong(2), r.getLong(3)))).toMap
-    val via3 = math.round(1e9 / math.log(3.0)) // z's contribution
-    // a-b exists -> excluded; (a,c) and (b,c) share z only
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val via3 = math.round(1e9 / math.log(3.0)) // z's AA contribution
+    val ra3 = math.round(1e9 / 3.0)
+    // a-b exists -> excluded; (a,c) and (b,c) share z only.
+    // deg: a=3 (z,w,b), b=3, c=1, z=3, w=2
     assert(!out.contains(("a", "b")))
-    assert(out(("a", "c")) == ((1L, via3)))
-    assert(out(("b", "c")) == ((1L, via3)))
-    // z and w are both common neighbors of... nothing new; but (z, w)
-    // share a AND b (deg(a) = 3: z, w, b; deg(b) = 3)
-    val via3a = math.round(1e9 / math.log(3.0))
-    assert(out(("w", "z")) == ((2L, 2 * via3a)))
+    // jaccard(a,c) = 1 / (3 + 1 - 1)
+    assert(out(("a", "c")) ==
+      ((1L, via3, ra3, math.round(1000000.0 / 3))))
+    assert(out(("b", "c")) ==
+      ((1L, via3, ra3, math.round(1000000.0 / 3))))
+    // (w, z) share a AND b (both deg 3); jaccard = 2/(2 + 3 - 2)
+    assert(out(("w", "z")) ==
+      ((2L, 2 * via3, 2 * ra3, math.round(2000000.0 / 3))))
     // keep existing pairs when asked
     val withExisting = Graphs.adamicAdar(edges, "s", "d",
       excludeExisting = false)
