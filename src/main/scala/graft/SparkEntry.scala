@@ -1939,6 +1939,15 @@ object SparkEntry {
         t(s, dir, "documents"), "lang", "source")
     }),
 
+    // ---- bin-free distribution drift: KS between two event slices ----
+    "q_ks_drift" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      operators.Validation.ksStatistic(
+        e.where(col("event_type") === "view").select(col("value")),
+        e.where(col("event_type") === "click").select(col("value")),
+        "value")
+    }),
+
     // ---- reproducible ε-DP count release over (lang, source) ----
     "q_dp_counts" -> ((s, dir) =>
       operators.Validation.noisedCounts(
@@ -5412,6 +5421,39 @@ object SparkEntry {
         |    * ln((nab::DOUBLE * nn) / (na::DOUBLE * nb)) * 1e9) AS BIGINT))
         |    AS BIGINT) / 1e9, 6) AS mi_nats
         |FROM e""".stripMargin,
+    "q_ks_drift" ->
+      """WITH b AS (SELECT value AS v FROM events
+        |  WHERE event_type = 'view' AND value IS NOT NULL),
+        |a AS (SELECT value AS v FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL),
+        |tb AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM b),
+        |ta AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM a),
+        |zb AS (SELECT CAST(count(*) AS BIGINT) AS z1 FROM events
+        |  WHERE event_type = 'view' AND value IS NULL),
+        |za AS (SELECT CAST(count(*) AS BIGINT) AS z2 FROM events
+        |  WHERE event_type = 'click' AND value IS NULL),
+        |g1 AS (SELECT v, CAST(count(*) AS BIGINT) AS c1 FROM b GROUP BY v),
+        |g2 AS (SELECT v, CAST(count(*) AS BIGINT) AS c2 FROM a GROUP BY v),
+        |m AS (
+        |  SELECT coalesce(g1.v, g2.v) AS v,
+        |    coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+        |  FROM g1 FULL OUTER JOIN g2 ON g1.v = g2.v),
+        |p AS (
+        |  SELECT CAST(sum(c1) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS r1,
+        |    CAST(sum(c2) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS r2
+        |  FROM m),
+        |d AS (SELECT coalesce(CAST(max(abs(r1 * n2 - r2 * n1)) AS BIGINT), 0)
+        |    AS dn
+        |  FROM p, tb, ta)
+        |SELECT n1 AS n_before, n2 AS n_after, z1 AS null_before,
+        |  z2 AS null_after,
+        |  round(CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+        |    ELSE CAST(dn AS DOUBLE) / (n1 * n2) END, 6) AS ks
+        |FROM d, tb, ta, zb, za""".stripMargin,
     // DP counts: same sha-derived uniform, same inverse-CDF Laplace tree
     "q_dp_counts" ->
       """WITH g AS (

@@ -609,6 +609,79 @@ object Validation {
         (col("q_after") - col("q_before")).as("drift"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between snapshots of
+    * `valueCol` — the distribution-drift gate that needs NO binning
+    * choice (the [[populationStability]] complement: PSI asks "did the
+    * bins move", KS asks "did ANY quantile move", bin-free):
+    * `D = max_v |F_before(v) − F_after(v)|`.
+    *
+    * EXACT-integer form: with per-distinct-value cumulative counts
+    * `c1, c2` and totals `N1, N2`, `D·N1·N2 = max |c1·N2 − c2·N1|` —
+    * all BIGINT to one final division, engine- and partitioning-exact.
+    * (`N1·N2` bounds each side at ~3e9 rows; KS on a hash-sample is
+    * statistically identical beyond that — sample first.)
+    *
+    * Scale shape: one map-side-combined `groupBy(value)` per side, a
+    * null-safe full merge of the two distinct-value tables, then the
+    * cumulative sums via range-repartition + per-physical-partition
+    * windows + broadcast offsets (the [[RankEval.aucRoc]] prefix
+    * discipline — never a one-task global window). NULLs are dropped
+    * on BOTH sides identically (a NULL has no CDF position); the null
+    * counts are reported so a drifting null-rate still surfaces.
+    *
+    * Output: one row `(n_before, n_after, null_before, null_after,
+    * ks)`; `ks` NULL when either side is empty.
+    */
+  def ksStatistic(
+      before: DataFrame, after: DataFrame, valueCol: String): DataFrame = {
+    def side(df: DataFrame, n: String, nulls: String): (DataFrame, Long, Long) = {
+      val t = df.agg(count(lit(1)).as("__t"),
+        count(when(col(valueCol).isNull, 1)).as("__nl")).head()
+      (df.where(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).as("__v"))
+        .agg(count(lit(1)).as(n)),
+        t.getAs[Long]("__t") - t.getAs[Long]("__nl"),
+        t.getAs[Long]("__nl"))
+    }
+    val (g1, n1, nl1) = side(before, "__c1", "nb")
+    val (g2, n2, nl2) = side(after, "__c2", "na")
+    val merged = graft.core.Caches.pin(g1
+      .join(g2, Seq("__v"), "full_outer")
+      .select(col("__v"),
+        coalesce(col("__c1"), lit(0L)).as("__c1"),
+        coalesce(col("__c2"), lit(0L)).as("__c2"))
+      .repartitionByRange(
+        before.sparkSession.sparkContext.defaultParallelism, col("__v"))
+      .sortWithinPartitions(col("__v"))
+      .withColumn("__pid", spark_partition_id()))
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+      val offsets = merged.groupBy(col("__pid"))
+        .agg(sum(col("__c1")).as("__p1"), sum(col("__c2")).as("__p2"))
+        .withColumn("__o1", coalesce(sum(col("__p1")).over(
+          w.orderBy("__pid").rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .withColumn("__o2", coalesce(sum(col("__p2")).over(
+          w.orderBy("__pid").rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .select(col("__pid"), col("__o1"), col("__o2"))
+      val pw = w.partitionBy(col("__pid")).orderBy(col("__v"))
+        .rowsBetween(Long.MinValue, 0)
+      val dNum = merged
+        .withColumn("__r1", sum(col("__c1")).over(pw))
+        .withColumn("__r2", sum(col("__c2")).over(pw))
+        .join(broadcast(offsets), "__pid")
+        .select(abs((col("__r1") + col("__o1")) * lit(n2) -
+          (col("__r2") + col("__o2")) * lit(n1)).as("__d"))
+        .agg(coalesce(max(col("__d")), lit(0L)).as("__dnum"))
+      dNum.select(
+          lit(n1).as("n_before"), lit(n2).as("n_after"),
+          lit(nl1).as("null_before"), lit(nl2).as("null_after"),
+          round(when(lit(n1) === 0L || lit(n2) === 0L, lit(null))
+            .otherwise(col("__dnum").cast("double") / (lit(n1) * lit(n2))), 6)
+            .as("ks"))
+        .localCheckpoint(true)
+    } finally merged.unpersist()
+  }
+
   /** Laplace-noised group counts (the ε-DP counting mechanism of Dwork
     * et al. 2006, made REPRODUCIBLE): per group,
     * `noised = count + round(Lap(1/ε))` with the Laplace draw derived

@@ -396,6 +396,34 @@ class ValidationSpec extends SparkTestBase {
       Validation.madOutliers(df, "v", Seq("g"), cutoff = 0.0))
   }
 
+  test("ksStatistic matches the hand-walked CDF gap; exact edges") {
+    val before = Seq(1.0, 2.0, 3.0).toDF("v")
+    val after = Seq(2.0, 3.0, 4.0, 4.0).toDF("v")
+    val out = Validation.ksStatistic(before, after, "v").head()
+    assert(out.getAs[Long]("n_before") == 3 && out.getAs[Long]("n_after") == 4)
+    assert(out.getAs[Double]("ks") == 0.5) // max at v=3: |1 - 1/2|
+    // identical -> 0; disjoint -> 1
+    assert(Validation.ksStatistic(before, before, "v")
+      .head().getAs[Double]("ks") == 0.0)
+    val disjoint = Seq(10.0, 11.0).toDF("v")
+    assert(Validation.ksStatistic(before, disjoint, "v")
+      .head().getAs[Double]("ks") == 1.0)
+    // NULLs drop from the CDF but are reported; empty side -> NULL ks
+    val withNull = Seq(Some(1.0), None).toDF("v")
+    val r = Validation.ksStatistic(withNull, after, "v").head()
+    assert(r.getAs[Long]("n_before") == 1 && r.getAs[Long]("null_before") == 1)
+    val empty = Validation.ksStatistic(before.limit(0), after, "v").head()
+    assert(empty.isNullAt(empty.fieldIndex("ks")))
+    // partitioning cannot move the statistic
+    val big1 = Seq.tabulate(500)(i => ((i * 37) % 111).toDouble).toDF("v")
+    val big2 = Seq.tabulate(400)(i => ((i * 53) % 97).toDouble).toDF("v")
+    val x = Validation.ksStatistic(big1.repartition(1), big2.repartition(1), "v")
+      .head().getAs[Double]("ks")
+    val y = Validation.ksStatistic(big1.repartition(13), big2.repartition(7), "v")
+      .head().getAs[Double]("ks")
+    assert(x == y)
+  }
+
   test("noisedCounts: deterministic, bounded noise, seed-sensitive") {
     val d = Seq.tabulate(300)(i => (s"g${i % 7}", i)).toDF("g", "x")
     def run(dd: org.apache.spark.sql.DataFrame, seed: String) =
