@@ -1661,6 +1661,17 @@ object SparkEntry {
       operators.Classifier.reliabilityBins(d, "p_micros", "y", bins = 10)
     }),
 
+    // ---- split-conformal threshold over derived nonconformity scores ----
+    "q_conformal" -> ((s, dir) => {
+      val score = round(element_at(col("embedding"), 1).cast("double") * 1e6)
+        .cast("long") +
+        round(element_at(col("embedding"), 2).cast("double") * 1e6)
+        .cast("long")
+      operators.Classifier.conformalThreshold(
+        t(s, dir, "embeddings").select(abs(score).as("nc")), "nc",
+        alphaMicros = 100000L)
+    }),
+
     "q_ece" -> ((s, dir) => {
       val score = round(element_at(col("embedding"), 1).cast("double") * 1e6)
         .cast("long") +
@@ -3870,6 +3881,18 @@ object SparkEntry {
         |  CAST(sp // n AS BIGINT) AS mean_pred_micros,
         |  round(CAST(n_pos AS DOUBLE) / n, 6) AS obs_rate
         |FROM g""".stripMargin,
+    "q_conformal" ->
+      """WITH s AS (
+        |  SELECT abs(CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT)
+        |    + CAST(round(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+        |kk AS (SELECT n, ((n + 1) * 900000 + 999999) // 1000000 AS k FROM t),
+        |r AS (SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS rn
+        |  FROM s)
+        |SELECT n, k,
+        |  (SELECT min(v) FROM r, kk WHERE rn >= k) AS threshold
+        |FROM kk""".stripMargin,
     "q_ece" ->
       """WITH d AS (
         |  SELECT (((CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT)

@@ -295,6 +295,68 @@ object Classifier {
         round(col("n_pos").cast("double") / col("n"), 6).as("obs_rate"))
   }
 
+  /** Split-conformal threshold (Vovk et al. 2005; the Papadopoulos
+    * 2002 inductive form): the `⌈(n+1)(1−α)⌉`-th smallest calibration
+    * NONCONFORMITY score — keep future predictions whose score is ≤
+    * this threshold and, under exchangeability, the kept set covers
+    * the truth with probability ≥ 1−α. The distribution-free
+    * uncertainty gate for any scorer this library trains or imports.
+    *
+    * Exact: `k = ⌈(n+1)(1e6−α_micros)/1e6⌉` in integer arithmetic and
+    * the k-th order statistic via per-distinct-score counts + the
+    * range-repartition prefix discipline ([[RankEval.aucRoc]]) — no
+    * approximate percentile anywhere, engine- and partitioning-exact.
+    * NULL scores are rejected loudly (a skipped calibration row
+    * silently weakens the guarantee). When `k > n` (α too small for
+    * this calibration set: need n ≥ (1−α)/α) the threshold is NULL —
+    * "no finite threshold certifies this coverage", not +∞.
+    *
+    * Output: one row `(n, k, threshold)`.
+    */
+  def conformalThreshold(
+      df: DataFrame,
+      scoreCol: String,
+      alphaMicros: Long = 100000L): DataFrame = {
+    require(alphaMicros >= 1L && alphaMicros <= 999999L,
+      s"alphaMicros out of [1, 999999]: $alphaMicros")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = df.agg(count(lit(1)).as("__n"),
+      count(when(col(scoreCol).isNull, 1)).as("__nl")).head()
+    val n = stats.getAs[Long]("__n")
+    require(stats.getAs[Long]("__nl") == 0L,
+      s"conformalThreshold: ${stats.getAs[Long]("__nl")} NULL `$scoreCol` " +
+        "row(s) — a silently-skipped calibration row weakens the coverage " +
+        "guarantee; filter deliberately upstream")
+    require(n > 0, "conformalThreshold: empty calibration set")
+    val k = ((n + 1) * (1000000L - alphaMicros) + 999999L) / 1000000L
+    if (k > n)
+      return Seq((n, k)).toDF("n", "k")
+        .withColumn("threshold", lit(null).cast("long"))
+    val g = graft.core.Caches.pin(df
+      .groupBy(col(scoreCol).cast("long").as("__s"))
+      .agg(count(lit(1)).as("__c"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("__s"))
+      .sortWithinPartitions(col("__s"))
+      .withColumn("__pid", spark_partition_id()))
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+      val offsets = g.groupBy(col("__pid")).agg(sum(col("__c")).as("__p"))
+        .withColumn("__off", coalesce(sum(col("__p")).over(
+          w.orderBy("__pid").rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .select(col("__pid"), col("__off"))
+      val thr = g
+        .withColumn("__r", sum(col("__c")).over(
+          w.partitionBy(col("__pid")).orderBy(col("__s"))
+            .rowsBetween(Long.MinValue, 0)))
+        .join(broadcast(offsets), "__pid")
+        .where(col("__r") + col("__off") >= k)
+        .agg(min(col("__s")).as("threshold"))
+      thr.select(lit(n).as("n"), lit(k).as("k"), col("threshold"))
+        .localCheckpoint(true)
+    } finally g.unpersist()
+  }
+
   /** Expected calibration error over [[reliabilityBins]]:
     * `ECE = Σ_b (n_b/N)·|obs_rate_b − mean_pred_b/1e6|` (Naeini 2015's
     * binned ECE) — the one-number summary of the reliability diagram.

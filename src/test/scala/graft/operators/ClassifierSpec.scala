@@ -114,6 +114,38 @@ class ClassifierSpec extends SparkTestBase {
       Classifier.train(outOfRange, "text", "label", dim = 64, iters = 1))
   }
 
+  test("conformalThreshold picks the exact order statistic") {
+    // n = 9, alpha = 0.1: k = ceil(10 * 0.9) = 9 -> the 9th smallest
+    val scores = (1L to 9L).map(_ * 10L)
+    val out = Classifier.conformalThreshold(
+      scores.toDF("s"), "s", alphaMicros = 100000L).head()
+    assert(out.getAs[Long]("n") == 9 && out.getAs[Long]("k") == 9)
+    assert(out.getAs[Long]("threshold") == 90L)
+    // alpha = 0.5: k = ceil(10 * .5) = 5 -> the median-ish statistic
+    val mid = Classifier.conformalThreshold(
+      scores.toDF("s"), "s", alphaMicros = 500000L).head()
+    assert(mid.getAs[Long]("k") == 5 && mid.getAs[Long]("threshold") == 50L)
+    // ties: duplicate scores still count positions
+    val tied = Seq(10L, 10L, 10L, 20L).toDF("s")
+    val t = Classifier.conformalThreshold(tied, "s", 500000L).head()
+    assert(t.getAs[Long]("k") == 3 && t.getAs[Long]("threshold") == 10L)
+    // k > n: coverage not certifiable -> NULL threshold, not +inf
+    val tiny = Seq(1L, 2L).toDF("s")
+    val small = Classifier.conformalThreshold(tiny, "s", 100000L).head()
+    assert(small.getAs[Long]("k") == 3 && small.isNullAt(2))
+    // partitioning invariance on a bigger pool
+    val big = Seq.tabulate(500)(i => ((i * 37) % 211).toLong)
+    val a = Classifier.conformalThreshold(big.toDF("s").repartition(1), "s")
+      .head().getAs[Long]("threshold")
+    val b = Classifier.conformalThreshold(big.toDF("s").repartition(11), "s")
+      .head().getAs[Long]("threshold")
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      Classifier.conformalThreshold(tiny, "s", 0L))
+    intercept[IllegalArgumentException](Classifier.conformalThreshold(
+      Seq(Option.empty[Long]).toDF("s"), "s"))
+  }
+
   test("reliabilityBins: exact bin mean and observed rate, edge clamping") {
     val rows = Seq(
       (50000L, 0), (150000L, 0), (250000L, 1),   // bins 0, 1, 2
