@@ -1950,6 +1950,13 @@ object SparkEntry {
         t(s, dir, "documents"), "lang", "source")
     }),
 
+    // ---- Benford first-digit audit over order totals ----
+    "q_benford" -> ((s, dir) =>
+      operators.Validation.benfordAudit(
+        t(s, dir, "orders").select(
+          floor(col("o_totalprice")).cast("long").as("amount")),
+        "amount")),
+
     // ---- bin-free distribution drift: KS between two event slices ----
     "q_ks_drift" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -5443,6 +5450,36 @@ object SparkEntry {
         |  round(CAST(sum(CAST(round((nab::DOUBLE / nn)
         |    * ln((nab::DOUBLE * nn) / (na::DOUBLE * nb)) * 1e9) AS BIGINT))
         |    AS BIGINT) / 1e9, 6) AS mi_nats
+        |FROM e""".stripMargin,
+    // Benford: identical log10 double literals on both sides (log10 is
+    // not cross-libm portable); floor-then-cast so the double -> long
+    // conversion agrees (Spark casts truncate, DuckDB CAST rounds)
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN v IS NULL OR v <= 0 THEN 0
+        |    ELSE CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INT) END AS digit
+        |  FROM (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders)),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+        |t AS (SELECT digit, n,
+        |    CAST(sum(CASE WHEN digit > 0 THEN n ELSE 0 END) OVER ()
+        |      AS BIGINT) AS nn
+        |  FROM g),
+        |e AS (SELECT digit, n, nn,
+        |    CASE digit
+        |      WHEN 1 THEN 0.3010299956639812::DOUBLE
+        |      WHEN 2 THEN 0.17609125905568124::DOUBLE
+        |      WHEN 3 THEN 0.12493873660829993::DOUBLE
+        |      WHEN 4 THEN 0.09691001300805642::DOUBLE
+        |      WHEN 5 THEN 0.07918124604762482::DOUBLE
+        |      WHEN 6 THEN 0.06694678963061322::DOUBLE
+        |      WHEN 7 THEN 0.05799194697768673::DOUBLE
+        |      WHEN 8 THEN 0.05115252244738129::DOUBLE
+        |      WHEN 9 THEN 0.04575749056067514::DOUBLE END * nn AS ex
+        |  FROM t)
+        |SELECT digit, n,
+        |  CASE WHEN digit = 0 THEN NULL ELSE round(ex, 6) END AS expected,
+        |  CASE WHEN digit = 0 THEN NULL
+        |    ELSE round((n - ex) * (n - ex) / ex, 6) END AS chi2_term
         |FROM e""".stripMargin,
     "q_ks_drift" ->
       """WITH b AS (SELECT value AS v FROM events

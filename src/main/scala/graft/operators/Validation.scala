@@ -609,6 +609,48 @@ object Validation {
         (col("q_after") - col("q_before")).as("drift"))
   }
 
+  /** Benford's-law first-digit audit (Benford 1938; Nigrini's fraud
+    * screen): the distribution of leading digits of a naturally-grown
+    * magnitude column (transaction amounts, populations, file sizes)
+    * follows `P(d) = log10(1 + 1/d)`; fabricated or template-generated
+    * numbers don't. Emits the 9 digit rows with observed counts, the
+    * Benford expectation, and the χ² contribution — gate on the total
+    * the way [[populationStability]] gates PSI.
+    *
+    * Rows with value ≤ 0 or NULL have no leading digit and are counted
+    * out loudly in a separate `digit = 0` row (a silently-shrunk
+    * denominator would fake conformity). The leading digit comes from
+    * STRING formatting of the absolute integer part — engine-exact for
+    * integer-cast inputs (pass micros for decimals). χ² terms are
+    * nano-quantized; expected probabilities are embedded double
+    * literals (log10 is not portable — the [[graft.operators.RankEval]]
+    * discount-table discipline).
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    // log10(1 + 1/d) for d = 1..9, shortest-round-trip literals
+    val p = Array(0.3010299956639812, 0.17609125905568124,
+      0.12493873660829993, 0.09691001300805642, 0.07918124604762482,
+      0.06694678963061322, 0.05799194697768673, 0.05115252244738129,
+      0.04575749056067514)
+    val v = col(valueCol).cast("long")
+    val digit = when(v.isNull || v <= 0L, lit(0))
+      .otherwise(substring(v.cast("string"), 1, 1).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val counts = df.groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__N", sum(when(col("digit") > 0, col("n"))
+        .otherwise(lit(0L))).over(w))
+    val expP = element_at(typedlit(p.toIndexedSeq), col("digit"))
+    val expected = expP * col("__N")
+    counts.select(col("digit"), col("n"),
+      when(col("digit") === 0, lit(null))
+        .otherwise(round(expected, 6)).as("expected"),
+      when(col("digit") === 0, lit(null))
+        .otherwise(round(
+          (col("n") - expected) * (col("n") - expected) / expected, 6))
+        .as("chi2_term"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between snapshots of
     * `valueCol` — the distribution-drift gate that needs NO binning
     * choice (the [[populationStability]] complement: PSI asks "did the

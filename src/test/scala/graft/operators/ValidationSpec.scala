@@ -396,6 +396,31 @@ class ValidationSpec extends SparkTestBase {
       Validation.madOutliers(df, "v", Seq("g"), cutoff = 0.0))
   }
 
+  test("benfordAudit: digit counts, out-counted non-positives, chi2 terms") {
+    val rows = Seq(100L, 120L, 199L, 23L, 2L, 31L, 9L, 0L, -5L)
+      .map(Some(_)) ++ Seq(Option.empty[Long])
+    val out = Validation.benfordAudit(rows.toDF("v"), "v")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // digits: 1 x3 (100,120,199), 2 x2 (23,2), 3 x1, 9 x1; N = 7
+    assert(out(1)._1 == 3 && out(2)._1 == 2 && out(3)._1 == 1 && out(9)._1 == 1)
+    // 0, -5 and NULL land in the loud digit-0 bucket
+    assert(out(0) == ((3L, None, None)))
+    val e1 = 0.3010299956639812 * 7
+    assert(math.abs(out(1)._2.get - math.rint(e1 * 1e6) / 1e6) < 1e-6)
+    assert(out(1)._3.get > 0.0)
+    // a perfectly Benford-proportioned sample has tiny chi2
+    val benford = (1 to 9).flatMap(d =>
+      Seq.fill(math.round(1000 * math.log10(1 + 1.0 / d)).toInt)(
+        (d * 100).toLong))
+    val chi = Validation.benfordAudit(benford.toDF("v"), "v")
+      .where(col("digit") > 0)
+      .agg(sum(col("chi2_term"))).head().getDouble(0)
+    assert(chi < 1.0, s"near-Benford sample chi2 was $chi")
+  }
+
   test("ksStatistic matches the hand-walked CDF gap; exact edges") {
     val before = Seq(1.0, 2.0, 3.0).toDF("v")
     val after = Seq(2.0, 3.0, 4.0, 4.0).toDF("v")
