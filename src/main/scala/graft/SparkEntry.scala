@@ -2683,6 +2683,15 @@ object SparkEntry {
         e, "user_id", "ts_us", "event_id", "event_type", n = 3)
     }),
 
+    // ---- embedding-level decontamination: planted eval copies found ----
+    "q_semantic_decon" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val evalSet = e.where(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 900000).as("eval_id"), col("embedding"))
+      operators.Dedup.semanticDecontaminate(
+        e, "vec_id", evalSet, "eval_id", "embedding", threshold = 0.95)
+    }),
+
     // ---- fixed-grid resample + LOCF gap-fill over the event stream ----
     "q_resample" -> ((s, dir) => {
       val e = streaming.StreamingOps.readEventsRaw(s, s"$dir/events.parquet")
@@ -7135,6 +7144,27 @@ object SparkEntry {
         |  max(ts_us) AS session_end,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    "q_semantic_decon" ->
+      """WITH ev AS (
+        |  SELECT vec_id + 900000 AS eval_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |tr AS (
+        |  SELECT vec_id AS train_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vt
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT train_id, eval_id,
+        |    list_sum(list_transform(range(len(vt)),
+        |      i -> vt[CAST(i AS INTEGER)+1] * ve[CAST(i AS INTEGER)+1])) AS dot,
+        |    sqrt(list_sum(list_transform(vt, x -> x * x))) AS na,
+        |    sqrt(list_sum(list_transform(ve, x -> x * x))) AS nb
+        |  FROM tr CROSS JOIN ev)
+        |SELECT train_id, eval_id,
+        |  round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |    ELSE dot / (na * nb) END, 6) AS cos
+        |FROM s WHERE round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |  ELSE dot / (na * nb) END, 6) >= 0.95""".stripMargin,
     "q_path_ngrams" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,

@@ -755,6 +755,51 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Semantic decontamination (the embedding-level sibling of
+    * [[crossCorpusOverlap]]'s n-gram check, the SemDeDup-era eval
+    * hygiene step): every (train, eval) pair whose cosine reaches
+    * `threshold` — paraphrased or re-rendered eval items that n-gram
+    * overlap provably misses. Drop the flagged train docs before
+    * training; report the pairs for audit.
+    *
+    * Scale shape: the EVAL side is the small one by definition
+    * (benchmarks are thousands of rows, the corpus is billions) — it
+    * is BROADCAST (bounded loudly) against one narrow pass over the
+    * train embeddings; no shuffle of the corpus at all. The cosine
+    * uses the library-wide rounded-cosine contract, so the pair set is
+    * engine-exact. For an eval side too large to broadcast, shrink it
+    * or use [[hyperplaneLshPairs]] over the union with a side tag.
+    *
+    * Output: `(train_id, eval_id, cos)`.
+    */
+  def semanticDecontaminate(
+      train: DataFrame,
+      trainIdCol: String,
+      eval: DataFrame,
+      evalIdCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxEvalRows: Long = 1000000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold out of (0, 1]: $threshold")
+    require(maxEvalRows >= 1, s"maxEvalRows must be >= 1: $maxEvalRows")
+    val nEval = eval.count()
+    require(nEval <= maxEvalRows,
+      s"semanticDecontaminate: eval side has $nEval rows > $maxEvalRows — " +
+        "the eval side is broadcast; shrink it or raise maxEvalRows " +
+        "deliberately (it must fit in executor memory)")
+    val t = cosineSide(train, Nil, trainIdCol, vecCol, "t")
+      .withColumnRenamed("id_t", "train_id")
+    val e = cosineSide(eval, Nil, evalIdCol, vecCol, "e")
+      .withColumnRenamed("id_e", "eval_id")
+    t.crossJoin(broadcast(e))
+      .withColumn("cos", round(
+        cosineWithNorms(col("__v_t"), col("__v_e"),
+          col("__n_t"), col("__n_e")), 6))
+      .where(col("cos") >= threshold)
+      .select(col("train_id"), col("eval_id"), col("cos"))
+  }
+
   /** Deterministic ±1 hyperplane component for table `t`, plane `p`,
     * dimension `d`: derived from sha256 so any engine reproduces the
     * planes from (salt, t, p, d) alone — no RNG state to ship.

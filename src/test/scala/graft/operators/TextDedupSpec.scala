@@ -580,4 +580,30 @@ class TextDedupSpec extends SparkTestBase {
       .select(TextAnalysis.languageId(col("text"))).collect().head.getString(0)
     assert(docLevel == "en", "doc-level ID sees only the majority language")
   }
+
+  test("semanticDecontaminate flags planted eval copies, not the rest") {
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.7f, 0.7f)), (4L, Seq(-1.0f, 0.0f)))
+      .toDF("id", "v")
+    // eval: a scaled copy of train 1 (cos 1.0) and an orthogonal probe
+    val eval = Seq((100L, Seq(2.0f, 0.0f)), (101L, Seq(0.0f, -3.0f)))
+      .toDF("eid", "v")
+    val hits = Dedup.semanticDecontaminate(
+      train, "id", eval, "eid", "v", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.toSet == Set((1L, 100L, 1.0)),
+      s"expected only the planted copy, got ${hits.toSeq}")
+    // lowering the threshold admits the 45-degree neighbor
+    val loose = Dedup.semanticDecontaminate(
+      train, "id", eval, "eid", "v", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.contains((3L, 100L)) && loose.contains((1L, 100L)))
+    // oversized eval side is loud, never a silent executor OOM
+    assert(intercept[IllegalArgumentException](
+      Dedup.semanticDecontaminate(train, "id", eval, "eid", "v",
+        0.9, maxEvalRows = 1)).getMessage.contains("broadcast"))
+    intercept[IllegalArgumentException](
+      Dedup.semanticDecontaminate(train, "id", eval, "eid", "v", 0.0))
+  }
 }
