@@ -676,7 +676,7 @@ object Validation {
     */
   def ksStatistic(
       before: DataFrame, after: DataFrame, valueCol: String): DataFrame = {
-    def side(df: DataFrame, n: String, nulls: String): (DataFrame, Long, Long) = {
+    def side(df: DataFrame, n: String): (DataFrame, Long, Long) = {
       val t = df.agg(count(lit(1)).as("__t"),
         count(when(col(valueCol).isNull, 1)).as("__nl")).head()
       (df.where(col(valueCol).isNotNull)
@@ -685,8 +685,36 @@ object Validation {
         t.getAs[Long]("__t") - t.getAs[Long]("__nl"),
         t.getAs[Long]("__nl"))
     }
-    val (g1, n1, nl1) = side(before, "__c1", "nb")
-    val (g2, n2, nl2) = side(after, "__c2", "na")
+    val (g1, n1, nl1) = side(before, "__c1")
+    val (g2, n2, nl2) = side(after, "__c2")
+    ksCore(g1, n1, nl1, g2, n2, nl2)
+  }
+
+  /** KS from PRE-AGGREGATED per-value counts `(__v, __is_null, __c)` —
+    * the [[graft.streaming.StreamingOps.valueCountSink]] log shape;
+    * value counts are sum-mergeable, so the result EQUALS the batch
+    * [[ksStatistic]] over everything the logs delivered.
+    */
+  def ksFromValueCounts(
+      beforeCounts: DataFrame, afterCounts: DataFrame): DataFrame = {
+    def side(df: DataFrame, n: String): (DataFrame, Long, Long) = {
+      val t = df.agg(
+        coalesce(sum(when(!col("__is_null"), col("__c"))), lit(0L)).as("__n"),
+        coalesce(sum(when(col("__is_null"), col("__c"))), lit(0L)).as("__nl"))
+        .head()
+      (df.where(!col("__is_null"))
+        .groupBy(col("__v")).agg(sum(col("__c")).as(n)),
+        t.getAs[Long]("__n"), t.getAs[Long]("__nl"))
+    }
+    val (g1, n1, nl1) = side(beforeCounts, "__c1")
+    val (g2, n2, nl2) = side(afterCounts, "__c2")
+    ksCore(g1, n1, nl1, g2, n2, nl2)
+  }
+
+  private def ksCore(
+      g1: DataFrame, n1: Long, nl1: Long,
+      g2: DataFrame, n2: Long, nl2: Long): DataFrame = {
+    val before = g1
     val merged = graft.core.Caches.pin(g1
       .join(g2, Seq("__v"), "full_outer")
       .select(col("__v"),

@@ -844,6 +844,52 @@ object StreamingOps {
       .agg(countDistinct(col(sensitiveCol)).as("diversity"))
       .where(col("diversity") >= l)
 
+  /** Stream a numeric column's distinct-value counts into a
+    * sum-mergeable log — the sufficient statistic for the two-sample
+    * KS drift gate ([[graft.operators.Validation.ksStatistic]] reads
+    * only per-value counts, which are additive). Run one sink per
+    * slice (e.g. last week's traffic vs this week's) and compare the
+    * standing logs with [[ksFromLogs]] whenever the monitor asks —
+    * continuous bin-free drift detection. NULL values are logged
+    * under a reserved `__is_null` row so the null-rate survives the
+    * fold (the batch twin reports it too).
+    */
+  def valueCountSink(
+      events: DataFrame,
+      valueCol: String,
+      logPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    StatLog.writeKind(events.sparkSession, logPath, "sum")
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.toDF()
+            .groupBy(col(valueCol).cast("double").as("__v"))
+            .agg(count(lit(1)).as("__kcnt"))
+            .select(col("__v"), col("__v").isNull.as("__is_null"),
+              col("__kcnt"))
+            .write.mode("overwrite")
+            .parquet(f"$logPath/batch=b$batchId%012d")
+    }
+  }
+
+  /** The standing two-sample KS statistic between two [[valueCountSink]]
+    * logs — equal to the batch
+    * [[graft.operators.Validation.ksStatistic]] over everything each
+    * sink delivered (same output columns, same exactness).
+    */
+  def ksFromLogs(
+      spark: SparkSession,
+      beforeLog: String,
+      afterLog: String): DataFrame =
+    graft.operators.Validation.ksFromValueCounts(
+      StatLog.read(spark, beforeLog)
+        .groupBy(col("__v"), col("__is_null"))
+        .agg(sum(col("__kcnt")).as("__c")),
+      StatLog.read(spark, afterLog)
+        .groupBy(col("__v"), col("__is_null"))
+        .agg(sum(col("__kcnt")).as("__c")))
+
   /** Stream scored+labeled eval rows into a sum-mergeable AUC log: the
     * Mann–Whitney statistic reads only per-distinct-score (pos, neg)
     * totals, which are additive — each micro-batch writes its own

@@ -1048,6 +1048,37 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("valueCountSink + ksFromLogs equals the batch KS over the slices") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_ks_log_").toString
+    val (logB, logA) = (root + "/before", root + "/after")
+    val srcB = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Option[Double]]
+    val srcA = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Option[Double]]
+    val qB = StreamingOps.valueCountSink(srcB.toDS().toDF("v"), "v", logB)
+      .option("checkpointLocation", root + "/ckb").start()
+    val qA = StreamingOps.valueCountSink(srcA.toDS().toDF("v"), "v", logA)
+      .option("checkpointLocation", root + "/cka").start()
+    val b1 = Seq.tabulate(80)(i => Some(((i * 37) % 50).toDouble))
+    val b2 = Seq.tabulate(40)(i => Some(((i * 11) % 30).toDouble)) :+ None
+    val a1 = Seq.tabulate(90)(i => Some(((i * 53) % 45).toDouble))
+    try {
+      srcB.addData(b1: _*); qB.processAllAvailable()
+      srcB.addData(b2: _*); qB.processAllAvailable()
+      srcA.addData(a1: _*); qA.processAllAvailable()
+      val streamed = StreamingOps.ksFromLogs(spark, logB, logA).head()
+      val batch = graft.operators.Validation.ksStatistic(
+        (b1 ++ b2).toDF("v"), a1.toDF("v"), "v").head()
+      assert(streamed.toSeq == batch.toSeq,
+        s"standing ${streamed.toSeq} vs batch ${batch.toSeq}")
+      assert(streamed.getAs[Long]("null_before") == 1L)
+      StreamingOps.compactStatLog(spark, logB)
+      assert(StreamingOps.ksFromLogs(spark, logB, logA).head().toSeq
+        == batch.toSeq)
+    } finally { qB.stop(); qA.stop() }
+  }
+
   test("aucLogSink: standing AUC equals the batch eval; fold is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft_auc_log_").toString
