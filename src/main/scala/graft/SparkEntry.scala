@@ -2042,6 +2042,20 @@ object SparkEntry {
       operators.Graphs.adamicAdar(edges, "x", "y")
     }),
 
+    // ---- word2vec noise draws: skip-gram pairs x hash inverse-CDF ----
+    "q_neg_samples" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = operators.TextAnalysis.skipGramPairs(
+        docs, "doc_id", "text", window = 1)
+      val vocab = docs
+        .select(explode(transform(operators.TextAnalysis.tokens(col("text")),
+          t => lower(t))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("w"))
+      operators.Sampling.negativeSamples(pairs, "center", "context",
+          vocab, "t", "w", k = 2, seed = "neg")
+        .select(col("center"), col("context"), col("j"), col("neg_term"))
+    }),
+
     // ---- deterministic DeepWalk corpus over the derived order graph ----
     "q_random_walks" -> ((s, dir) => {
       val edges = t(s, dir, "orders").select(
@@ -5739,6 +5753,41 @@ object SparkEntry {
         |    GROUP BY e.dst) s ON s.node = nd.node)
         |SELECT node AS word, pr FROM i3
         |ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+    // negative sampling: the cumulative line ordered by term, the same
+    // sha-prefix mod-W draw, an inclusive BETWEEN lookup
+    "q_neg_samples" ->
+      """WITH s AS (
+        |  SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+        |    unnest(toks) AS tok
+        |  FROM (SELECT doc_id, list_transform(list_filter(
+        |      string_split_regex(coalesce(text, ''), '\s+'), t -> t <> ''),
+        |      t -> lower(t)) AS toks
+        |    FROM documents)),
+        |fwd AS (
+        |  SELECT a.tok AS center, b.tok AS context
+        |  FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |bothdir AS (
+        |  SELECT center, context FROM fwd
+        |  UNION ALL SELECT context, center FROM fwd),
+        |pairs AS (
+        |  SELECT center, context FROM bothdir GROUP BY center, context),
+        |vocab AS (
+        |  SELECT tok AS t, CAST(count(*) AS BIGINT) AS w FROM s GROUP BY tok),
+        |iv AS (
+        |  SELECT t, CAST(sum(w) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
+        |      AS hi, w
+        |  FROM vocab),
+        |iv2 AS (SELECT t, hi - w + 1 AS lo, hi FROM iv),
+        |tw AS (SELECT CAST(max(hi) AS BIGINT) + 1 AS total FROM iv2),
+        |pts AS (
+        |  SELECT center, context, j,
+        |    ('0x' || substring(sha256('neg' || ':' || center || ':'
+        |      || context || ':' || j::VARCHAR), 1, 15))::BIGINT
+        |      % (SELECT total FROM tw) AS u
+        |  FROM pairs CROSS JOIN (SELECT unnest([1, 2]) AS j) jj)
+        |SELECT center, context, CAST(j AS INTEGER) AS j, iv2.t AS neg_term
+        |FROM pts JOIN iv2 ON pts.u BETWEEN iv2.lo AND iv2.hi""".stripMargin,
     "q_adamic_adar" ->
       """WITH raw AS (
         |  SELECT DISTINCT CAST(o_orderkey % 997 AS VARCHAR) AS s,

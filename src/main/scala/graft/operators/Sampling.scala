@@ -253,6 +253,75 @@ object Sampling {
       .drop("__pid", "__mid", "__off", "__skey")
   }
 
+  /** Deterministic weighted NEGATIVE sampling (the word2vec noise draw,
+    * Mikolov 2013): `k` vocabulary terms per training pair, each drawn
+    * from the integer-weighted vocab distribution by inverse-CDF over
+    * exact cumulative weights — the companion to
+    * [[graft.operators.TextAnalysis.skipGramPairs]] that completes the
+    * embedding-training data path. (Pass `round(cnt^0.75)` weights for
+    * the classic smoothing; any positive integers work and plain
+    * counts keep the whole operator engine-exact.)
+    *
+    * "Random" is the [[graft.operators.Graphs.randomWalks]] hash
+    * convention: draw `j` for pair `(c, x)` lands at
+    * `sha256(seed:c:x:j)[0..15 hex] mod ΣW` on the cumulative line, so
+    * every engine redraws the same negatives. The line lookup is the
+    * bucketized [[graft.operators.RangeJoin.pointInInterval]] — heavy
+    * terms (wide intervals) ride its broadcast path, so a 40%-mass
+    * stopword cannot fan out. A draw may coincide with the pair's own
+    * words (word2vec keeps such draws; filter downstream if not).
+    *
+    * Scale shape: cumulative weights via one vocab-sized window ordered
+    * by term (range-partition discipline NOT needed: the interval table
+    * is the vocab, which [[graft.operators.TextAnalysis.buildVocab]]
+    * already bounds — documented ≤ ~1e7), then pairs × k points into
+    * ONE bucketized equi-join. Output: pair columns + `(j, neg_term)`.
+    */
+  def negativeSamples(
+      pairs: DataFrame,
+      centerCol: String,
+      contextCol: String,
+      vocab: DataFrame,
+      termCol: String,
+      weightCol: String,
+      k: Int,
+      seed: String = "graft"): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in 1..64, got $k")
+    require(!seed.contains(":"), "seed must not contain ':'")
+    val v = vocab
+      .select(col(termCol).cast("string").as("__t"),
+        col(weightCol).cast("long").as("__w"))
+      .where(col("__t").isNotNull && col("__w") > 0L)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intervals = v
+      .withColumn("__hi", sum(col("__w")).over(w) - lit(1L))
+      .withColumn("__lo", col("__hi") - col("__w") + lit(1L))
+      .select(col("__t").as("neg_term"), col("__lo"), col("__hi"))
+      .localCheckpoint(true)
+    try {
+      val total = intervals.agg(max(col("__hi"))).head()
+      require(!total.isNullAt(0),
+        "negativeSamples: vocab has no positive-weight terms")
+      val totalW = total.getLong(0) + 1L
+      val points = pairs
+        .withColumn("__j", explode(sequence(lit(1), lit(k))))
+        .withColumn("__u",
+          graft.functions.VectorFunctions.hexPrefixToLong(
+            sha2(concat_ws(":", lit(seed),
+              col(centerCol).cast("string"), col(contextCol).cast("string"),
+              col("__j").cast("string")), 256), 15) % lit(totalW))
+      val out = RangeJoin.pointInInterval(points, intervals, "__u", "__lo",
+          "__hi", bucketWidth = math.max(1L, totalW / 4096L),
+          broadcastWideIntervals = true)
+        .drop("__u", "__lo", "__hi")
+        .withColumnRenamed("__j", "j")
+        .localCheckpoint(true)
+      graft.core.Caches.registerCheckpoint(out)
+      out
+    } finally graft.core.Caches.releaseCheckpoint(intervals)
+  }
+
   private val Window = org.apache.spark.sql.expressions.Window
 
   /** Per-group quota: keep at most `n` rows per distinct value of

@@ -356,4 +356,52 @@ class SamplingSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSet
     assert(all == Set(1L, 2L))
   }
+
+  private def negDraw(seed: String, c: String, x: String, j: Int, w: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$seed:$c:$x:$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % w
+  }
+
+  test("negativeSamples replays the documented cumulative-line draws") {
+    val vocab = Seq(("a", 1L), ("b", 2L), ("c", 1L)).toDF("t", "w")
+    val pairs = Seq(("x", "y")).toDF("center", "context")
+    val out = Sampling.negativeSamples(pairs, "center", "context",
+      vocab, "t", "w", k = 4, seed = "s")
+      .collect().map(r => r.getAs[Int]("j") -> r.getAs[String]("neg_term"))
+      .toMap
+    // cumulative line (term order a,b,c): a=[0,0], b=[1,2], c=[3,3], W=4
+    def expected(j: Int): String = negDraw("s", "x", "y", j, 4L) match {
+      case 0 => "a"
+      case 1 | 2 => "b"
+      case 3 => "c"
+    }
+    (1 to 4).foreach(j => assert(out(j) == expected(j), s"draw $j"))
+    assert(out.size == 4, "exactly one negative per (pair, j)")
+  }
+
+  test("negativeSamples tracks the weight distribution and stays stable") {
+    val vocab = Seq(("rare", 1L), ("common", 9L)).toDF("t", "w")
+    val pairs = Seq.tabulate(300)(i => (s"c$i", s"x$i"))
+      .toDF("center", "context")
+    val draws = Sampling.negativeSamples(pairs, "center", "context",
+      vocab, "t", "w", k = 1)
+      .groupBy("neg_term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val frac = draws.getOrElse("common", 0L).toDouble / 300
+    assert(frac > 0.8 && frac < 0.98, s"9:1 weights drew common at $frac")
+    val a = Sampling.negativeSamples(pairs.repartition(1), "center",
+      "context", vocab, "t", "w", 2).collect().map(_.toString).sorted.toSeq
+    val b = Sampling.negativeSamples(pairs.repartition(7), "center",
+      "context", vocab, "t", "w", 2).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    assert(a.length == 600, "pairs x k rows, always")
+    intercept[IllegalArgumentException](Sampling.negativeSamples(
+      pairs, "center", "context", vocab, "t", "w", 0))
+    intercept[IllegalArgumentException](Sampling.negativeSamples(
+      pairs, "center", "context", vocab, "t", "w", 1, seed = "a:b"))
+    intercept[IllegalArgumentException](Sampling.negativeSamples(
+      pairs, "center", "context", vocab.where(col("w") < 0), "t", "w", 1))
+  }
 }
