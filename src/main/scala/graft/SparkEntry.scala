@@ -2042,6 +2042,11 @@ object SparkEntry {
       operators.Graphs.adamicAdar(edges, "x", "y")
     }),
 
+    // ---- word2vec frequent-word subsampling over the corpus ----
+    "q_subsample" -> ((s, dir) =>
+      operators.TextAnalysis.subsampleFrequent(
+        t(s, dir, "documents"), "doc_id", "text", t = 0.001, seed = "w2v")),
+
     // ---- word2vec noise draws: skip-gram pairs x hash inverse-CDF ----
     "q_neg_samples" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -5753,6 +5758,33 @@ object SparkEntry {
         |    GROUP BY e.dst) s ON s.node = nd.node)
         |SELECT node AS word, pr FROM i3
         |ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+    // subsampling: 0-based positions in the hash preimage (Spark
+    // posexplode convention), IEEE-exact sqrt/divide probability tree
+    "q_subsample" ->
+      """WITH s AS (
+        |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+        |    unnest(toks) AS tok
+        |  FROM (SELECT doc_id, list_transform(list_filter(
+        |      string_split_regex(coalesce(text, ''), '\s+'), t -> t <> ''),
+        |      t -> lower(t)) AS toks
+        |    FROM documents)),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY tok),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM s),
+        |k AS (
+        |  SELECT s.doc_id, s.pos, s.tok
+        |  FROM s JOIN c USING (tok)
+        |  WHERE (('0x' || substring(sha256('w2v' || ':' || s.doc_id::VARCHAR
+        |      || ':' || s.pos::VARCHAR || ':' || s.tok), 1, 7))
+        |      ::BIGINT::DOUBLE + 0.5) / 268435456.0
+        |    >= greatest(0.0::DOUBLE, 1.0::DOUBLE
+        |      - sqrt(0.001::DOUBLE / (cnt::DOUBLE
+        |        / (SELECT total FROM tot)::DOUBLE)))),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos)
+        |    AS text_subsampled
+        |  FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.text_subsampled, '') AS text_subsampled
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
     // negative sampling: the cumulative line ordered by term, the same
     // sha-prefix mod-W draw, an inclusive BETWEEN lookup
     "q_neg_samples" ->

@@ -1274,6 +1274,61 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("__term"), col("__s")))),
           lit(0.0), (acc, x) => acc + x.getField("__s")), 6).as("score"))
 
+  /** Frequent-word subsampling (word2vec's discard step, Mikolov 2013
+    * §2.3): token occurrences of word `w` with corpus frequency
+    * `f(w) = cnt(w)/total` are DROPPED with probability
+    * `max(0, 1 − sqrt(t/f))` — stopwords thin out, rare words always
+    * survive, and the skip-gram windows that follow
+    * ([[skipGramPairs]]) see proportionally more informative contexts.
+    * Run this BEFORE pair generation, as the paper does.
+    *
+    * The coin is the [[graft.operators.Validation.noisedCounts]] hash
+    * uniform per OCCURRENCE (`sha256(seed:doc:pos:token)`), and the
+    * probability uses only IEEE-exact ops (sqrt, divide — correctly
+    * rounded everywhere), so the kept set is engine- and run-exact.
+    *
+    * Shape: one token-count aggregate (map-side partials), the
+    * per-token frequency joined back onto the posexploded stream (the
+    * vocab side of that join is bounded — broadcast territory), one
+    * per-doc regroup that REASSEMBLES the surviving tokens in position
+    * order. Output: `(idCol, text_subsampled)`, empty string when
+    * nothing survives.
+    */
+  def subsampleFrequent(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      t: Double = 1e-4,
+      seed: String = "graft"): DataFrame = {
+    require(t > 0 && t <= 1, s"t out of (0, 1]: $t")
+    require(!seed.contains(":"), "seed must not contain ':'")
+    val toks = transform(tokens(col(textCol)), x => lower(x))
+    val stream = df.select(col(idCol).as("__doc"),
+      posexplode(toks).as(Seq("__pos", "__tok")))
+    val counts = stream.groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__cnt"))
+    val total = stream.count()
+    require(total > 0, "subsampleFrequent: empty corpus")
+    val u = (graft.functions.VectorFunctions.hexPrefixToLong(
+      sha2(concat_ws(":", lit(seed), col("__doc").cast("string"),
+        col("__pos").cast("string"), col("__tok")), 256), 7) + lit(0.5)) /
+      lit(268435456.0)
+    val f = col("__cnt").cast("double") / lit(total.toDouble)
+    val discardP = greatest(lit(0.0), lit(1.0) - sqrt(lit(t) / f))
+    val kept = stream.join(counts, "__tok")
+      .where(u >= discardP)
+      .groupBy(col("__doc"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+        s => s.getField("__tok"))).as("text_subsampled"))
+    // fully-discarded (or empty) docs survive as empty strings — a
+    // vanished doc id would silently break downstream doc joins
+    df.select(col(idCol))
+      .join(kept.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_subsampled"), lit("")).as("text_subsampled"))
+  }
+
   /** Zipf-law fit over the corpus term-frequency distribution — the
     * corpus-naturalness audit: natural language sits near slope −1 on
     * the log-log rank/frequency line (Zipf 1949); template spam,

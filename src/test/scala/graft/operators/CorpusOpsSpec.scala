@@ -514,6 +514,37 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("subsampleFrequent thins stopwords, keeps rare words, preserves order") {
+    // "the" dominates (f = 398/400 >> t) so ~90% of its occurrences
+    // drop; quartz/feldspar appear once each (f = 1/400 < t) so their
+    // discard probability is exactly 0
+    val docs = (Seq.tabulate(49)(i =>
+      (i.toLong, "the the the the the the the the")) :+
+      (49L, "the quartz the feldspar the the the the"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.subsampleFrequent(docs, "doc_id", "text", t = 0.01)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 50, "every doc id survives, possibly empty")
+    val allText = out.values.mkString(" ")
+    val theKept = allText.split("\\s+").count(_ == "the")
+    assert(theKept < 150, s"'the' (398 occurrences, f~1) barely thinned: $theKept")
+    // f <= t words have discard probability 0 -> always kept
+    assert(allText.split("\\s+").count(_ == "quartz") == 1)
+    assert(allText.split("\\s+").count(_ == "feldspar") == 1)
+    // order within a doc is preserved (quartz before feldspar)
+    out.values.filter(_.contains("quartz")).foreach { s =>
+      assert(s.indexOf("quartz") < s.indexOf("feldspar")) }
+    // determinism across partitionings
+    val again = TextAnalysis.subsampleFrequent(
+      docs.repartition(7), "doc_id", "text", t = 0.01)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+    intercept[IllegalArgumentException](
+      TextAnalysis.subsampleFrequent(docs, "doc_id", "text", t = 0.0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.subsampleFrequent(docs, "doc_id", "text", seed = "a:b"))
+  }
+
   test("zipfFit recovers ~-1 on a planted Zipf corpus; exact and loud edges") {
     // word_r appears floor(600/r) times: a textbook Zipf profile
     val words = (1 to 40).flatMap(r => Seq.fill(600 / r)(s"w$r"))
