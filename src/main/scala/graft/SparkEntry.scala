@@ -2047,6 +2047,23 @@ object SparkEntry {
       operators.TextAnalysis.subsampleFrequent(
         t(s, dir, "documents"), "doc_id", "text", t = 0.001, seed = "w2v")),
 
+    // ---- the word2vec data path, end to end: subsample -> skip-gram
+    // pairs -> k hash-drawn negatives per pair. Three engine-exact
+    // stages, ONE chained oracle (training triples ready to ship) ----
+    "q_pipeline_word2vec" -> ((s, dir) => {
+      val sub = operators.TextAnalysis.subsampleFrequent(
+        t(s, dir, "documents"), "doc_id", "text", t = 0.001, seed = "w2v")
+      val pairs = operators.TextAnalysis.skipGramPairs(
+        sub, "doc_id", "text_subsampled", window = 1)
+      val vocab = sub
+        .select(explode(operators.TextAnalysis.tokens(
+          col("text_subsampled"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("w"))
+      operators.Sampling.negativeSamples(pairs, "center", "context",
+          vocab, "t", "w", k = 1, seed = "neg")
+        .select(col("center"), col("context"), col("n"), col("neg_term"))
+    }),
+
     // ---- word2vec noise draws: skip-gram pairs x hash inverse-CDF ----
     "q_neg_samples" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -5758,6 +5775,59 @@ object SparkEntry {
         |    GROUP BY e.dst) s ON s.node = nd.node)
         |SELECT node AS word, pr FROM i3
         |ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+    // word2vec pipeline: the subsample CTEs, pairs over the kept stream
+    // re-ranked per doc (equivalent to pairs over the reassembled text —
+    // reassembly is order-preserving and tokens carry no whitespace),
+    // then the negative-sampling cumulative-line lookup at k = 1
+    "q_pipeline_word2vec" ->
+      """WITH s AS (
+        |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+        |    unnest(toks) AS tok
+        |  FROM (SELECT doc_id, list_transform(list_filter(
+        |      string_split_regex(coalesce(text, ''), '\s+'), t -> t <> ''),
+        |      t -> lower(t)) AS toks
+        |    FROM documents)),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY tok),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM s),
+        |k AS (
+        |  SELECT s.doc_id, s.pos, s.tok
+        |  FROM s JOIN c USING (tok)
+        |  WHERE (('0x' || substring(sha256('w2v' || ':' || s.doc_id::VARCHAR
+        |      || ':' || s.pos::VARCHAR || ':' || s.tok), 1, 7))
+        |      ::BIGINT::DOUBLE + 0.5) / 268435456.0
+        |    >= greatest(0.0::DOUBLE, 1.0::DOUBLE
+        |      - sqrt(0.001::DOUBLE / (cnt::DOUBLE
+        |        / (SELECT total FROM tot)::DOUBLE)))),
+        |r AS (
+        |  SELECT doc_id, tok, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY pos) AS np
+        |  FROM k),
+        |fwd AS (
+        |  SELECT a.tok AS center, b.tok AS context
+        |  FROM r a JOIN r b ON a.doc_id = b.doc_id AND b.np = a.np + 1),
+        |bothdir AS (
+        |  SELECT center, context FROM fwd
+        |  UNION ALL SELECT context, center FROM fwd),
+        |pairs AS (
+        |  SELECT center, context, CAST(count(*) AS BIGINT) AS n
+        |  FROM bothdir GROUP BY center, context),
+        |vocab AS (SELECT tok AS t, CAST(count(*) AS BIGINT) AS w
+        |  FROM k GROUP BY tok),
+        |iv AS (
+        |  SELECT t, CAST(sum(w) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
+        |      AS hi, w
+        |  FROM vocab),
+        |iv2 AS (SELECT t, hi - w + 1 AS lo, hi FROM iv),
+        |tw AS (SELECT CAST(max(hi) AS BIGINT) + 1 AS total FROM iv2),
+        |pts AS (
+        |  SELECT center, context, n,
+        |    ('0x' || substring(sha256('neg' || ':' || center || ':'
+        |      || context || ':' || '1'), 1, 15))::BIGINT
+        |      % (SELECT total FROM tw) AS u
+        |  FROM pairs)
+        |SELECT center, context, n, iv2.t AS neg_term
+        |FROM pts JOIN iv2 ON pts.u BETWEEN iv2.lo AND iv2.hi""".stripMargin,
     // subsampling: 0-based positions in the hash preimage (Spark
     // posexplode convention), IEEE-exact sqrt/divide probability tree
     "q_subsample" ->
