@@ -2711,6 +2711,12 @@ object SparkEntry {
           .withColumn("ts_us", expr("ts_ns div 1000")))
     }),
 
+    // ---- pairwise association rules over per-user event baskets ----
+    "q_assoc_rules" -> ((s, dir) => {
+      val e = streaming.StreamingOps.readEventsRaw(s, s"$dir/events.parquet")
+      operators.Funnels.associationRules(e, "user_id", "event_type")
+    }),
+
     // ---- behavioral path n-grams over the event stream ----
     "q_path_ngrams" -> ((s, dir) => {
       val e = streaming.StreamingOps.readEventsRaw(s, s"$dir/events.parquet")
@@ -7316,6 +7322,25 @@ object SparkEntry {
         |    ELSE dot / (na * nb) END, 6) AS cos
         |FROM s WHERE round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
         |  ELSE dot / (na * nb) END, 6) >= 0.95""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH si AS (
+        |  SELECT DISTINCT user_id AS s, event_type AS i FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |t AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n FROM si),
+        |itn AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM si GROUP BY i),
+        |p AS (
+        |  SELECT a.i AS antecedent, b.i AS consequent,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM si a JOIN si b ON a.s = b.s AND a.i <> b.i
+        |  GROUP BY 1, 2)
+        |SELECT antecedent, consequent, n AS n_sessions, n_both,
+        |  (n_both * 1000000) // n AS support_micros,
+        |  (n_both * 1000000) // na.ni AS confidence_micros,
+        |  round(CAST(n_both * n AS DOUBLE) / (na.ni * nb.ni), 6) AS lift
+        |FROM p
+        |CROSS JOIN t
+        |JOIN itn na ON na.i = p.antecedent
+        |JOIN itn nb ON nb.i = p.consequent""".stripMargin,
     "q_path_ngrams" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,

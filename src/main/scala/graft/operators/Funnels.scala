@@ -187,6 +187,66 @@ object Funnels {
           .as("retained_frac"))
   }
 
+  /** Pairwise association rules (Agrawal & Srikant 1994's
+    * support/confidence plus lift) over per-session item sets: for
+    * every ordered pair of co-occurring items `a → b`,
+    * `support = P(a,b)`, `confidence = P(b|a)`, `lift = P(a,b)/(P(a)P(b))`
+    * — the basket/behavior-mining companion to [[funnelCounts]] (which
+    * tests a FIXED order; rules surface the co-occurrences worth
+    * testing). Units: micros for support/confidence (exact one-division
+    * integer rationals), lift rounded to 6 dp with the exact integer
+    * form `n_ab·N / (n_a·n_b)`.
+    *
+    * Shape: one distinct (session, item) pass, a per-session self-join
+    * for pairs (cost = items-per-session² — bounded by basket size,
+    * not the corpus; a pathological mega-basket is the caller's
+    * filter), three map-side-combined counts. `minSupportMicros`
+    * prunes the pair tail BEFORE the join-backs. NULL items drop
+    * (no identity to associate); both directions are emitted —
+    * confidence is asymmetric.
+    *
+    * Output: `(antecedent, consequent, n_sessions, n_both,
+    * support_micros, confidence_micros, lift)`.
+    */
+  def associationRules(
+      df: DataFrame,
+      sessionCol: String,
+      itemCol: String,
+      minSupportMicros: Long = 0L): DataFrame = {
+    require(minSupportMicros >= 0L && minSupportMicros <= 1000000L,
+      s"minSupportMicros out of [0, 1e6]: $minSupportMicros")
+    val si = df
+      .where(col(sessionCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(sessionCol).as("__s"), col(itemCol).cast("string").as("__i"))
+      .distinct()
+      .localCheckpoint(true)
+    try {
+      val nSessions = si.select(col("__s")).distinct().count()
+      require(nSessions > 0, "associationRules: no sessions")
+      val itemN = si.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+      val pairs = si.select(col("__s"), col("__i").as("antecedent"))
+        .join(si.select(col("__s"), col("__i").as("consequent")), Seq("__s"))
+        .where(col("antecedent") =!= col("consequent"))
+        .groupBy(col("antecedent"), col("consequent"))
+        .agg(count(lit(1)).as("n_both"))
+        .where(col("n_both") * lit(1000000L) >= lit(minSupportMicros) * nSessions)
+      val out = pairs
+        .join(itemN.select(col("__i").as("antecedent"), col("__ni").as("__na")),
+          "antecedent")
+        .join(itemN.select(col("__i").as("consequent"), col("__ni").as("__nb")),
+          "consequent")
+        .select(col("antecedent"), col("consequent"),
+          lit(nSessions).as("n_sessions"), col("n_both"),
+          expr(s"(n_both * 1000000L) div ${nSessions}L").as("support_micros"),
+          expr("(n_both * 1000000L) div __na").as("confidence_micros"),
+          round((col("n_both") * lit(nSessions)).cast("double") /
+            (col("__na") * col("__nb")), 6).as("lift"))
+        .localCheckpoint(true)
+      graft.core.Caches.registerCheckpoint(out)
+      out
+    } finally graft.core.Caches.releaseCheckpoint(si)
+  }
+
   /** Behavioral path n-grams: per user, the ordered event-type stream's
     * length-`n` consecutive sub-sequences, counted globally —
     * `(ngram, n_occurrences)` with the path joined as `a > b > c`. The

@@ -102,6 +102,33 @@ class FunnelsSpec extends SparkTestBase {
     assert(byCohort(cohB).map(t => (t._2, t._3, t._4)) == Seq((0L, 1L, 1.0)))
   }
 
+  test("associationRules: hand-worked support/confidence/lift") {
+    // sessions: s1{A,B}, s2{A,B}, s3{A,C}, s4{B} -> N = 4
+    // n_A = 3, n_B = 3, n_C = 1, n_AB = 2, n_AC = 1
+    val ev = Seq((1L, "A"), (1L, "B"), (1L, "A"), // dup A collapses
+      (2L, "A"), (2L, "B"), (3L, "A"), (3L, "C"), (4L, "B"))
+      .toDF("s", "i")
+    val out = Funnels.associationRules(ev, "s", "i")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    // A -> B: support 2/4, confidence 2/3, lift (2*4)/(3*3)
+    assert(out(("A", "B")) ==
+      ((2L, 500000L, 666666L, math.rint(8.0 / 9 * 1e6) / 1e6)))
+    // B -> A: same support/lift, confidence 2/3 too (n_B = 3)
+    assert(out(("B", "A"))._2 == 500000L && out(("B", "A"))._3 == 666666L)
+    // A -> C: support 1/4, confidence 1/3; C -> A confidence 1/1
+    assert(out(("A", "C"))._3 == 333333L)
+    assert(out(("C", "A"))._3 == 1000000L)
+    assert(!out.contains(("B", "C")), "never co-occur")
+    // min support prunes the tail pair
+    val pruned = Funnels.associationRules(ev, "s", "i",
+      minSupportMicros = 400000L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pruned == Set(("A", "B"), ("B", "A")))
+    intercept[IllegalArgumentException](
+      Funnels.associationRules(ev, "s", "i", minSupportMicros = -1L))
+  }
+
   test("pathNgrams counts consecutive per-user sub-sequences exactly") {
     val ev = Seq(
       (1L, 1L, 1L, Some("A")), (1L, 2L, 2L, Some("B")),
