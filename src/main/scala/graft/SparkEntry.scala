@@ -1950,6 +1950,11 @@ object SparkEntry {
         t(s, dir, "documents"), "lang", "source")
     }),
 
+    // ---- Gini concentration of document lengths ----
+    "q_gini" -> ((s, dir) =>
+      operators.Validation.giniCoefficient(
+        t(s, dir, "documents").select(col("n_chars")), "n_chars")),
+
     // ---- Benford first-digit audit over order totals ----
     "q_benford" -> ((s, dir) =>
       operators.Validation.benfordAudit(
@@ -5502,6 +5507,25 @@ object SparkEntry {
         |    * ln((nab::DOUBLE * nn) / (na::DOUBLE * nb)) * 1e9) AS BIGINT))
         |    AS BIGINT) / 1e9, 6) AS mi_nats
         |FROM e""".stripMargin,
+    "q_gini" ->
+      """WITH g AS (
+        |  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |p AS (
+        |  SELECT v, c, coalesce(CAST(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    AS b
+        |  FROM g),
+        |s AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(v * c) AS BIGINT) AS sx,
+        |    CAST(sum(v * (c * b + (c * (c + 1)) // 2)) AS BIGINT) AS rs
+        |  FROM p)
+        |SELECT n,
+        |  round(CASE WHEN sx = 0 THEN NULL
+        |    ELSE 2.0::DOUBLE * rs / CAST(n * sx AS DOUBLE)
+        |      - CAST(n + 1 AS DOUBLE) / n END, 6) AS gini
+        |FROM s""".stripMargin,
     // Benford: identical log10 double literals on both sides (log10 is
     // not cross-libm portable); floor-then-cast so the double -> long
     // conversion agrees (Spark casts truncate, DuckDB CAST rounds)

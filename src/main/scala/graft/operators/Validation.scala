@@ -609,6 +609,62 @@ object Validation {
         (col("q_after") - col("q_before")).as("drift"))
   }
 
+  /** Gini coefficient of a non-negative integer measure — the
+    * concentration audit (tokens per domain, docs per source, traffic
+    * per shard): 0 = perfectly even, →1 = one holder has everything.
+    * The rank-sum identity `G = 2·Σᵢ rᵢxᵢ / (n·Σx) − (n+1)/n` with
+    * tie groups folded exactly: a value `v` with count `c` after `b`
+    * smaller items contributes rank-sum `v·(c·b + c(c+1)/2)` — all
+    * BIGINT up to the final two-term double expression, engine- and
+    * partitioning-exact.
+    *
+    * Shape: one map-side-combined `groupBy(value)`, cumulative counts
+    * by the range-repartition prefix discipline ([[RankEval.aucRoc]]),
+    * one tiny final aggregate. Negative or NULL values are REJECTED
+    * loudly (a negative weight has no Lorenz position; silently
+    * dropping rows would shift every rank).
+    *
+    * Output: one row `(n, gini)`; `gini` NULL when the total is 0.
+    */
+  def giniCoefficient(df: DataFrame, valueCol: String): DataFrame = {
+    val bad = df.agg(count(when(col(valueCol).isNull ||
+      col(valueCol) < 0, 1)).as("__bad")).head().getAs[Long]("__bad")
+    require(bad == 0L,
+      s"giniCoefficient: $bad NULL/negative `$valueCol` row(s) — filter " +
+        "deliberately upstream")
+    val g = graft.core.Caches.pin(df
+      .groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism,
+        col("__v"))
+      .sortWithinPartitions(col("__v"))
+      .withColumn("__pid", spark_partition_id()))
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+      val offsets = g.groupBy(col("__pid")).agg(sum(col("__c")).as("__p"))
+        .withColumn("__off", coalesce(sum(col("__p")).over(
+          w.orderBy("__pid").rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .select(col("__pid"), col("__off"))
+      val cells = g
+        .withColumn("__r", coalesce(sum(col("__c")).over(
+          w.partitionBy(col("__pid")).orderBy(col("__v"))
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .join(broadcast(offsets), "__pid")
+        .select(col("__v"), col("__c"), (col("__r") + col("__off")).as("__b"))
+      cells.agg(
+          coalesce(sum(col("__c")), lit(0L)).as("n"),
+          coalesce(sum(col("__v") * col("__c")), lit(0L)).as("__sx"),
+          coalesce(sum(col("__v") * (col("__c") * col("__b") +
+            expr("(__c * (__c + 1)) div 2"))), lit(0L)).as("__rs"))
+        .select(col("n"),
+          round(when(col("__sx") === 0L, lit(null))
+            .otherwise(lit(2.0) * col("__rs") /
+              (col("n") * col("__sx")).cast("double") -
+              (col("n") + lit(1L)).cast("double") / col("n")), 6).as("gini"))
+        .localCheckpoint(true)
+    } finally g.unpersist()
+  }
+
   /** Benford's-law first-digit audit (Benford 1938; Nigrini's fraud
     * screen): the distribution of leading digits of a naturally-grown
     * magnitude column (transaction amounts, populations, file sizes)

@@ -396,6 +396,27 @@ class ValidationSpec extends SparkTestBase {
       Validation.madOutliers(df, "v", Seq("g"), cutoff = 0.0))
   }
 
+  test("giniCoefficient: textbook values, ties, poles, stability") {
+    def gini(xs: Seq[Long], parts: Int = 1) = Validation.giniCoefficient(
+      xs.toDF("v").repartition(parts), "v").head()
+    // {1,2,3,4} is the textbook 0.25
+    assert(gini(Seq(1L, 2L, 3L, 4L)).getAs[Double]("gini") == 0.25)
+    // ties fold exactly: {1,1,3} = 4/15
+    assert(gini(Seq(1L, 1L, 3L)).getAs[Double]("gini") == 0.266667)
+    // poles: uniform -> 0; single holder -> (n-1)/n
+    assert(gini(Seq(7L, 7L, 7L)).getAs[Double]("gini") == 0.0)
+    assert(gini(Seq(0L, 0L, 0L, 9L)).getAs[Double]("gini") == 0.75)
+    // all-zero mass -> NULL, not NaN
+    assert(gini(Seq(0L, 0L)).isNullAt(1))
+    // partitioning invariance
+    val xs = Seq.tabulate(400)(i => ((i * 37) % 91).toLong)
+    assert(gini(xs).getAs[Double]("gini") ==
+      gini(xs, parts = 13).getAs[Double]("gini"))
+    intercept[IllegalArgumentException](gini(Seq(-1L)))
+    intercept[IllegalArgumentException](Validation.giniCoefficient(
+      Seq(Option.empty[Long]).toDF("v"), "v"))
+  }
+
   test("benfordAudit: digit counts, out-counted non-positives, chi2 terms") {
     val rows = Seq(100L, 120L, 199L, 23L, 2L, 31L, 9L, 0L, -5L)
       .map(Some(_)) ++ Seq(Option.empty[Long])
