@@ -880,9 +880,20 @@ object Validation {
     */
   def cohenKappa(df: DataFrame, raterA: String, raterB: String): DataFrame = {
     require(raterA != raterB, "raterA and raterB must differ")
-    val cells = df
+    cohenKappaFromCells(df
       .groupBy(col(raterA).as("__a"), col(raterB).as("__b"))
-      .agg(count(lit(1)).as("__nab"))
+      .agg(count(lit(1)).as("__nab")))
+  }
+
+  /** [[cohenKappa]] from PRE-AGGREGATED contingency cells
+    * `(__a, __b, __nab)` — the
+    * [[graft.streaming.StreamingOps.kappaLogSink]] log shape; cells
+    * are sum-mergeable, so the standing value equals the batch one.
+    */
+  def cohenKappaFromCells(rawCells: DataFrame): DataFrame = {
+    val cells = rawCells
+      .groupBy(col("__a"), col("__b"))
+      .agg(sum(col("__nab")).as("__nab"))
       .localCheckpoint(true)
     try {
       val margA = cells.groupBy(col("__a")).agg(sum(col("__nab")).as("__na"))

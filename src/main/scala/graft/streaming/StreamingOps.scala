@@ -844,6 +844,51 @@ object StreamingOps {
       .agg(countDistinct(col(sensitiveCol)).as("diversity"))
       .where(col("diversity") >= l)
 
+  /** Stream two-rater label pairs into a sum-mergeable AGREEMENT log:
+    * Cohen's kappa reads only the (a, b) contingency cells, which are
+    * additive — per batch one bounded cells table under the stat-log
+    * `sum` law (categories², not rows). [[kappaFromLog]] then equals
+    * the batch [[graft.operators.Validation.cohenKappa]] over every
+    * delivered pair — continuous annotator/model-agreement monitoring.
+    * NULL labels are categories (the batch convention) and survive the
+    * log under `__a_null`/`__b_null` flags.
+    */
+  def kappaLogSink(
+      events: DataFrame,
+      raterACol: String,
+      raterBCol: String,
+      logPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    StatLog.writeKind(events.sparkSession, logPath, "sum")
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.toDF()
+            .groupBy(col(raterACol).cast("string").as("__a"),
+              col(raterBCol).cast("string").as("__b"))
+            .agg(count(lit(1)).as("__kcnt"))
+            .select(col("__a"), col("__b"),
+              col("__a").isNull.as("__a_null"),
+              col("__b").isNull.as("__b_null"), col("__kcnt"))
+            .write.mode("overwrite")
+            .parquet(f"$logPath/batch=b$batchId%012d")
+    }
+  }
+
+  /** The standing Cohen's kappa over everything delivered to a
+    * [[kappaLogSink]] log — same output row as the batch operator.
+    */
+  def kappaFromLog(spark: SparkSession, logPath: String): DataFrame = {
+    val cells = StatLog.read(spark, logPath)
+      .groupBy(col("__a"), col("__b"), col("__a_null"), col("__b_null"))
+      .agg(sum(col("__kcnt")).as("__nab"))
+      .select(
+        when(col("__a_null"), lit(null)).otherwise(col("__a")).as("__a"),
+        when(col("__b_null"), lit(null)).otherwise(col("__b")).as("__b"),
+        col("__nab"))
+    graft.operators.Validation.cohenKappaFromCells(cells)
+  }
+
   /** Stream a numeric column's distinct-value counts into a
     * sum-mergeable log — the sufficient statistic for the two-sample
     * KS drift gate ([[graft.operators.Validation.ksStatistic]] reads

@@ -1048,6 +1048,34 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("kappaLogSink: standing kappa equals the batch eval incl. NULLs") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_kap_log_").toString
+    val log = root + "/kappa"
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Option[String], Option[String])]
+    val q = StreamingOps.kappaLogSink(src.toDS().toDF("r1", "r2"),
+      "r1", "r2", log)
+      .option("checkpointLocation", root + "/ck").start()
+    val b1 = Seq.fill(20)((Some("a"), Some("a"))) ++
+      Seq.fill(5)((Some("a"), Some("b"))) :+ ((None, None))
+    val b2 = Seq.fill(10)((Some("b"), Some("a"))) ++
+      Seq.fill(15)((Some("b"), Some("b")))
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      val streamed = StreamingOps.kappaFromLog(spark, log).head()
+      val batch = graft.operators.Validation.cohenKappa(
+        (b1 ++ b2).toDF("r1", "r2"), "r1", "r2").head()
+      assert(streamed.toSeq == batch.toSeq,
+        s"standing ${streamed.toSeq} vs batch ${batch.toSeq}")
+      assert(streamed.getAs[Long]("agree") == 36L, "NULL/NULL agreed")
+      StreamingOps.compactStatLog(spark, log)
+      assert(StreamingOps.kappaFromLog(spark, log).head().toSeq
+        == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("valueCountSink + ksFromLogs equals the batch KS over the slices") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft_ks_log_").toString
