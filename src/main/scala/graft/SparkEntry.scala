@@ -63,6 +63,49 @@ object SparkEntry {
     d.toString
   }
 
+  /** Reshape a tokenizer `encode` output `(id, n_tokens, token_ids,
+    * pieces)` to one scalar row per emitted piece: `(id, pos, token_id,
+    * piece)`. The driver's verify compare hashes pandas-sorted cells and
+    * crashes on array columns (`TypeError: unhashable type`), so every
+    * encode query flows through this — the exploded row count then
+    * witnesses the encoding itself.
+    */
+  private def explodeEncoded(enc: DataFrame): DataFrame = {
+    val id = enc.columns.head
+    enc.select(col(id),
+        posexplode(arrays_zip(col("token_ids"), col("pieces")))
+          .as(Seq("pos", "__tp")))
+      .select(col(id), col("pos"),
+        col("__tp.token_ids").as("token_id"), col("__tp.pieces").as("piece"))
+  }
+
+  /** Customers plus planted near-duplicate twins for the linkage tier:
+    * each twin keeps c_name / c_acctbal / c_mktsegment intact at
+    * 90/60/80% and perturbs it otherwise, gated by a sha256-derived
+    * integer on the KEY (not the value — double→string rendering is
+    * not engine-portable), so the DuckDB oracle replants the identical
+    * fixture. Shared by q_linkage_em (rows-only EM) and
+    * q_linkage_patterns (full-twin sufficient statistic).
+    */
+  private def linkageFixture(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+      col("c_acctbal"), col("c_mktsegment"), col("c_nationkey"))
+    def agree(tag: String, pct: Int) =
+      graft.functions.VectorFunctions.hexPrefixToLong(
+        sha2(concat(col("c_custkey").cast("string"), lit(":" + tag)), 256),
+        7) % 100 < pct
+    val twins = c.select(
+      (col("c_custkey") + 10000000L).as("c_custkey"),
+      when(agree("n", 90), col("c_name"))
+        .otherwise(concat(col("c_name"), lit("~"))).as("c_name"),
+      when(agree("p", 60), col("c_acctbal"))
+        .otherwise(col("c_acctbal") + 1.0).as("c_acctbal"),
+      when(agree("m", 80), col("c_mktsegment"))
+        .otherwise(concat(col("c_mktsegment"), lit("~"))).as("c_mktsegment"),
+      col("c_nationkey"))
+    c.unionByName(twins)
+  }
+
   /** Documents with deterministic planted PII (URL + email + IPv4) on
     * every 7th doc, so redaction has observable work to do.
     */
@@ -702,11 +745,15 @@ object SparkEntry {
 
     // ---- Porter stemming over the corpus (rows-only: DuckDB's stem()
     // lives in the unavailable fts extension; the paper's per-step
-    // vectors are pinned in StemSpec) ----
+    // vectors are pinned in StemSpec). Exploded to one (doc_id, pos,
+    // stem) row per token: the row count witnesses the tokenization
+    // and the driver compare stays on scalar columns (its pandas sort
+    // cannot hash array cells) ----
     "q_stem_tokens" -> ((s, dir) => {
       t(s, dir, "documents").where(col("doc_id") % 10 === 0)
         .select(col("doc_id"),
-          operators.TextAnalysis.stemTokens(col("text")).as("stems"))
+          posexplode(operators.TextAnalysis.stemTokens(col("text")))
+            .as(Seq("pos", "stem")))
     }),
 
     // ---- count-min sketch: per-language word-frequency cells over
@@ -751,30 +798,27 @@ object SparkEntry {
     }),
 
     // ---- unsupervised Fellegi–Sunter EM fit: deterministic planted
-    // twins (hash-gated field perturbations at 90/60/80%) -> fitEM
-    // recovers m/u + the match prior; rows-only (driver-side EM is not
-    // SQL-expressible), planted rates pinned in LinkageSpec ----
+    // twins (sha-gated field perturbations at 90/60/80% — the gate is
+    // engine-portable so q_linkage_patterns can twin the SAME fixture)
+    // -> fitEM recovers m/u + the match prior; rows-only (driver-side
+    // EM is not SQL-expressible), planted rates pinned in LinkageSpec ----
     "q_linkage_em" -> ((s, dir) => {
       import s.implicits._
-      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
-        col("c_acctbal"), col("c_mktsegment"), col("c_nationkey"))
-      def agree(colName: String, tag: String, pct: Int) =
-        pmod(xxhash64(col(colName), lit(tag)), lit(100)) < pct
-      val twins = c.select(
-        (col("c_custkey") + 10000000L).as("c_custkey"),
-        when(agree("c_name", "n", 90), col("c_name"))
-          .otherwise(concat(col("c_name"), lit("~"))).as("c_name"),
-        when(agree("c_acctbal", "p", 60), col("c_acctbal"))
-          .otherwise(col("c_acctbal") + 1.0).as("c_acctbal"),
-        when(agree("c_mktsegment", "m", 80), col("c_mktsegment"))
-          .otherwise(concat(col("c_mktsegment"), lit("~"))).as("c_mktsegment"),
-        col("c_nationkey"))
-      val fit = operators.Linkage.fitEM(c.unionByName(twins), "c_custkey",
+      val fit = operators.Linkage.fitEM(linkageFixture(s, dir), "c_custkey",
         blockCols = Seq("c_nationkey"),
         fieldCols = Seq("c_name", "c_acctbal", "c_mktsegment"), iters = 50)
       fit.fields.map(f => (f.column, f.m, f.u, fit.pMatch))
         .toDF("column", "m", "u", "p_match")
     }),
+
+    // ---- the EM's sufficient statistic itself: the blocked bit-packed
+    // agreement-pattern histogram over the SAME planted fixture — one
+    // self-join + groupBy, so it takes a FULL DuckDB twin even though
+    // the EM digesting it stays rows-only ----
+    "q_linkage_patterns" -> ((s, dir) =>
+      operators.Linkage.agreementPatterns(linkageFixture(s, dir),
+        "c_custkey", blockCols = Seq("c_nationkey"),
+        fieldCols = Seq("c_name", "c_acctbal", "c_mktsegment"))),
 
     // ---- entity resolution: linkage pairs -> connected components ->
     // canonical (min-member) entity id per record ----
@@ -818,12 +862,15 @@ object SparkEntry {
       operators.WordPiece.train(t(s, dir, "documents"), "text",
         vocabSize = 2000, minPairCount = 2, batchSize = 32)
     }),
+    // encode output is exploded to one (doc_id, pos, token_id, piece)
+    // row per emitted piece — scalar columns only, so the driver's
+    // pandas compare records the row count (arrays crash its sort)
     "q_wordpiece_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val vocab = operators.WordPiece.train(docs, "text",
         vocabSize = 2000, minPairCount = 2, batchSize = 32)
-      operators.WordPiece.encode(docs.where(col("doc_id") % 20 === 0),
-        "doc_id", "text", vocab)
+      explodeEncoded(operators.WordPiece.encode(
+        docs.where(col("doc_id") % 20 === 0), "doc_id", "text", vocab))
     }),
 
     // ---- tokenizer artifact lifecycle witness: train -> sidecar-
@@ -834,8 +881,9 @@ object SparkEntry {
         vocabSize = 1000, minPairCount = 2, batchSize = 32)
       val p = scratchDir("graft_tokart_") + "/wp"
       operators.Tokenizers.saveWordPiece(vocab, p)
-      operators.WordPiece.encode(docs.where(col("doc_id") % 50 === 0),
-        "doc_id", "text", operators.Tokenizers.loadWordPiece(s, p))
+      explodeEncoded(operators.WordPiece.encode(
+        docs.where(col("doc_id") % 50 === 0), "doc_id", "text",
+        operators.Tokenizers.loadWordPiece(s, p)))
     }),
 
     "q_unigram_vocab" -> ((s, dir) => {
@@ -850,8 +898,9 @@ object SparkEntry {
       val vocab = operators.Unigram.train(docs, "text",
         vocabSize = 32000, seedSize = 50000, iterations = 2,
         maxPieceLen = 6)
-      operators.Unigram.encode(docs.where(col("doc_id") % 20 === 0),
-        "doc_id", "text", vocab, maxPieceLen = 6)
+      explodeEncoded(operators.Unigram.encode(
+        docs.where(col("doc_id") % 20 === 0), "doc_id", "text", vocab,
+        maxPieceLen = 6))
     }),
 
     // ---- Kneser–Ney upgrade of the same split: continuation-mass
@@ -1920,8 +1969,9 @@ object SparkEntry {
       operators.Graphs.degreeAssortativity(edges, "x", "y")
     }),
 
-    // ---- full coreness decomposition (ascending peel, rows-only like
-    // q_k_core; reference-pinned in GraphsSpec/PropertySpec) ----
+    // ---- full coreness decomposition (ascending peel; FULL DuckDB
+    // twin — the peel is a bounded-round recursion, so the oracle
+    // replays it with a recursive CTE over incidence rows) ----
     "q_coreness" -> ((s, dir) => {
       // sparse derived graph (~avg degree 6 at sf0.1): decomposition
       // rounds track DEGENERACY, so the bench fixture is shaped like a
@@ -1933,9 +1983,9 @@ object SparkEntry {
       operators.Graphs.coreness(edges, "x", "y")
     }),
 
-    // ---- k-core extraction (iterative peeling to fixpoint — not
-    // SQL-expressible, rows-only like the KMeans family; cascade
-    // semantics pinned in GraphsSpec) ----
+    // ---- k-core extraction (iterative peeling to fixpoint; FULL
+    // DuckDB twin via the same recursive-CTE peel as q_coreness;
+    // cascade semantics also pinned in GraphsSpec) ----
     "q_k_core" -> ((s, dir) => {
       val edges = t(s, dir, "orders").select(
         (col("o_orderkey") % 97).cast("string").as("x"),
@@ -2295,11 +2345,14 @@ object SparkEntry {
 
     // ---- k-anonymity: suppress rows whose quasi-identifier combination
     // is rarer than k (the re-identification failure regex PII redaction
-    // cannot see); one window exchange, no self-join ----
+    // cannot see); one window exchange, no self-join. k=8 splits the
+    // sf0.01 fixture (combo counts 1..16) so survivors AND suppressions
+    // both flow through the hash — k=25 made this a vacuous empty-set
+    // match (round-12 verdict finding #3) ----
     "q_k_anonymity" -> ((s, dir) => {
       operators.Validation.kAnonymity(
         t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
-        Seq("lang", "source"), k = 25L)
+        Seq("lang", "source"), k = 8L)
     }),
 
     // ---- l-diversity: drop combos whose sensitive value is homogeneous
@@ -4348,6 +4401,43 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE a.c_custkey % 13 = 0 AND b.c_custkey % 13 = 0
         |  AND levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+
+    // the Fellegi–Sunter sufficient statistic: replant the sha-gated
+    // twin fixture (key-hashed gates — portable), blocked self-join on
+    // nation, bit-pack null-safe agreement (name=1, acctbal=2,
+    // mktsegment=4), histogram
+    "q_linkage_patterns" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment, c_nationkey
+        |  FROM customer),
+        |twins AS (
+        |  SELECT c_custkey + 10000000 AS c_custkey,
+        |    CASE WHEN ('0x' || substring(sha256(CAST(c_custkey AS VARCHAR)
+        |        || ':n'), 1, 7))::BIGINT % 100 < 90
+        |      THEN c_name ELSE c_name || '~' END AS c_name,
+        |    CASE WHEN ('0x' || substring(sha256(CAST(c_custkey AS VARCHAR)
+        |        || ':p'), 1, 7))::BIGINT % 100 < 60
+        |      THEN c_acctbal ELSE c_acctbal + 1.0 END AS c_acctbal,
+        |    CASE WHEN ('0x' || substring(sha256(CAST(c_custkey AS VARCHAR)
+        |        || ':m'), 1, 7))::BIGINT % 100 < 80
+        |      THEN c_mktsegment ELSE c_mktsegment || '~' END AS c_mktsegment,
+        |    c_nationkey
+        |  FROM base),
+        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+        |pairs AS (
+        |  SELECT
+        |    (CASE WHEN a.c_name IS NOT DISTINCT FROM b.c_name
+        |       THEN 1 ELSE 0 END)
+        |    + (CASE WHEN a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
+        |       THEN 2 ELSE 0 END)
+        |    + (CASE WHEN a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
+        |       THEN 4 ELSE 0 END) AS pattern
+        |  FROM allr a JOIN allr b
+        |    ON a.c_nationkey = b.c_nationkey
+        |   AND a.c_custkey < b.c_custkey)
+        |SELECT CAST(pattern AS BIGINT) AS pattern,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM pairs GROUP BY pattern""".stripMargin,
 
     // entity resolution over the linkage pairs: planted components are
     // exactly (base, dirty-twin) pairs (names unique), so one-hop
@@ -6512,11 +6602,82 @@ object SparkEntry {
         |  WHERE r.hops < 2)
         |SELECT node, CAST(min(hops) AS BIGINT) AS hops
         |FROM r GROUP BY node""".stripMargin,
+    // k-core peel as a bounded recursive CTE: the working table carries
+    // the FULL surviving incidence set per round (rows are (round, u, v),
+    // two per undirected edge so count(*) OVER (PARTITION BY u) IS the
+    // degree), one peel round per recursion step; the global min-degree
+    // window stops the recursion at the fixpoint, and the final stage
+    // re-checks min degree so an emptied core yields zero rows instead
+    // of the last pre-collapse set.
+    "q_k_core" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT
+        |    least(CAST(o_orderkey % 97 AS VARCHAR),
+        |          CAST(o_custkey % 97 AS VARCHAR)) AS a,
+        |    greatest(CAST(o_orderkey % 97 AS VARCHAR),
+        |             CAST(o_custkey % 97 AS VARCHAR)) AS b
+        |  FROM orders
+        |  WHERE CAST(o_orderkey % 97 AS VARCHAR)
+        |     <> CAST(o_custkey % 97 AS VARCHAR)),
+        |inc AS (SELECT a AS u, b AS v FROM base
+        |        UNION ALL SELECT b AS u, a AS v FROM base),
+        |r(i, u, v) AS (
+        |  SELECT 0, u, v FROM inc
+        |  UNION ALL
+        |  SELECT i + 1, u, v FROM (
+        |    SELECT i, u, v, du, dv, min(least(du, dv)) OVER () AS mind
+        |    FROM (
+        |      SELECT i, u, v,
+        |        count(*) OVER (PARTITION BY u) AS du,
+        |        count(*) OVER (PARTITION BY v) AS dv
+        |      FROM r) t1) t2
+        |  WHERE mind < 30 AND du >= 30 AND dv >= 30),
+        |last AS (SELECT u, v FROM r WHERE i = (SELECT max(i) FROM r)),
+        |degs AS (SELECT u, v,
+        |    count(*) OVER (PARTITION BY u) AS du,
+        |    count(*) OVER (PARTITION BY v) AS dv FROM last),
+        |final AS (SELECT u, v FROM degs
+        |  WHERE 30 <= (SELECT min(least(du, dv)) FROM degs))
+        |SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+        |FROM final GROUP BY u""".stripMargin,
+    // Full coreness decomposition in ONE recursion: rows carry the
+    // current confirmed core level k; a round either peels (some node
+    // under k+1 — drop its incident rows, k unchanged) or, at the
+    // fixpoint (global min degree >= k+1, i.e. the set IS the
+    // (k+1)-core), re-tags everything k+1. A node's coreness is then
+    // exactly the max k over its surviving rows: it is re-tagged up to
+    // its core number and always peeled away before the next bump.
+    "q_coreness" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT
+        |    least(CAST(o_orderkey % 50021 AS VARCHAR),
+        |          CAST(o_custkey % 50021 AS VARCHAR)) AS a,
+        |    greatest(CAST(o_orderkey % 50021 AS VARCHAR),
+        |             CAST(o_custkey % 50021 AS VARCHAR)) AS b
+        |  FROM orders
+        |  WHERE CAST(o_orderkey % 50021 AS VARCHAR)
+        |     <> CAST(o_custkey % 50021 AS VARCHAR)),
+        |inc AS (SELECT a AS u, b AS v FROM base
+        |        UNION ALL SELECT b AS u, a AS v FROM base),
+        |r(i, k, u, v) AS (
+        |  SELECT 0, CAST(1 AS BIGINT), u, v FROM inc
+        |  UNION ALL
+        |  SELECT i + 1, CASE WHEN mind >= k + 1 THEN k + 1 ELSE k END,
+        |    u, v FROM (
+        |    SELECT i, k, u, v, du, dv, min(least(du, dv)) OVER () AS mind
+        |    FROM (
+        |      SELECT i, k, u, v,
+        |        count(*) OVER (PARTITION BY u) AS du,
+        |        count(*) OVER (PARTITION BY v) AS dv
+        |      FROM r) t1) t2
+        |  WHERE mind >= k + 1 OR (du >= k + 1 AND dv >= k + 1))
+        |SELECT u AS node, CAST(max(k) AS BIGINT) AS coreness
+        |FROM r GROUP BY u""".stripMargin,
     "q_k_anonymity" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,
         |    count(*) OVER (PARTITION BY lang, source) AS c
-        |  FROM documents) WHERE c >= 25""".stripMargin,
+        |  FROM documents) WHERE c >= 8""".stripMargin,
     "q_l_diversity" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,

@@ -29,8 +29,23 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val out = fn(spark, sfDir)
+        // The driver compare pandas-sorts every column and crashes on
+        // array/map/struct cells (TypeError: unhashable) — which cost
+        // four queries their ENTIRE round-12 signal. Fail loudly here
+        // instead: explode or concat_ws the payload in SparkEntry.
+        val nested = out.schema.fields.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType |
+               _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        })
+        require(nested.isEmpty,
+          s"$name emits non-atomic columns ${nested.map(_.name).toSeq} — " +
+            "the driver compare cannot hash them; reshape to scalar rows")
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {

@@ -95,23 +95,30 @@ object Linkage {
     * loud error, not a silent sign-flip — it means the field or the
     * blocking is wrong.
     */
-  def fitEM(
+  /** The Fellegi–Sunter SUFFICIENT STATISTIC as a table: blocked
+    * candidate pairs' null-safe field-agreement patterns, bit-packed
+    * (field j agreeing sets bit j) and histogrammed — `(pattern,
+    * n_pairs)`, at most 2^|fields| rows. This is the ONE distributed
+    * aggregate [[fitEM]] consumes; exposed separately so the statistic
+    * itself is auditable (and SQL-twinnable: one blocked self-join +
+    * groupBy) even though the EM that digests it is driver-local.
+    *
+    * Scale shape: the self-join shuffles on the block keys (caller
+    * picks selective keys; mega-blocks are skew to salt), agreement is
+    * codegen'd `<=>` per field, and the groupBy is map-side-combined
+    * into ≤ 2^|fields| cells.
+    */
+  def agreementPatterns(
       df: DataFrame,
       idCol: String,
       blockCols: Seq[String],
-      fieldCols: Seq[String],
-      iters: Int = 50): EmFit = {
+      fieldCols: Seq[String]): DataFrame = {
     require(blockCols.nonEmpty,
       "blockCols must be non-empty — unblocked linkage is a global " +
         "cartesian product; block on something (and salt/sub-block hot keys)")
-    require(fieldCols.length >= 3 && fieldCols.length <= 20,
-      s"fieldCols must be 3..20, got ${fieldCols.length}: below 3 " +
-        "fields the latent-class model is UNDER-identified (2^k - 1 " +
-        "pattern degrees of freedom vs 2k + 1 parameters needs k >= 3 " +
-        "— Winkler 1988) and EM lands on an arbitrary ridge point; " +
-        "above 20 the pattern histogram is no longer driver-bounded")
-    require(iters >= 1 && iters <= 10000,
-      s"iters must be in 1..10000, got $iters")
+    require(fieldCols.nonEmpty && fieldCols.length <= 20,
+      s"fieldCols must be 1..20, got ${fieldCols.length} (beyond 20 " +
+        "the pattern histogram is no longer driver-bounded)")
     val allCols = (Seq(idCol) ++ blockCols ++ fieldCols).distinct
     val left = df.select(allCols.map(c => col(c).as(s"${c}_a")): _*)
     val right = df.select(allCols.map(c => col(c).as(s"${c}_b")): _*)
@@ -121,8 +128,25 @@ object Linkage {
     val pattern = fieldCols.zipWithIndex.map { case (f, j) =>
       when(col(s"${f}_a") <=> col(s"${f}_b"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val hist = joined.select(pattern.as("__pat"))
-      .groupBy("__pat").agg(count(lit(1)).as("__n"))
+    joined.select(pattern.as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  def fitEM(
+      df: DataFrame,
+      idCol: String,
+      blockCols: Seq[String],
+      fieldCols: Seq[String],
+      iters: Int = 50): EmFit = {
+    require(fieldCols.length >= 3 && fieldCols.length <= 20,
+      s"fieldCols must be 3..20, got ${fieldCols.length}: below 3 " +
+        "fields the latent-class model is UNDER-identified (2^k - 1 " +
+        "pattern degrees of freedom vs 2k + 1 parameters needs k >= 3 " +
+        "— Winkler 1988) and EM lands on an arbitrary ridge point; " +
+        "above 20 the pattern histogram is no longer driver-bounded")
+    require(iters >= 1 && iters <= 10000,
+      s"iters must be in 1..10000, got $iters")
+    val hist = agreementPatterns(df, idCol, blockCols, fieldCols)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
       .sortBy(_._1) // deterministic fold order
     require(hist.nonEmpty,

@@ -118,6 +118,37 @@ class LinkageSpec extends SparkTestBase {
     assert(entityMap() == expected, "reordered replay must not change entities")
   }
 
+  test("agreementPatterns: bit-packed null-safe histogram, blocking scoped, loud contracts") {
+    val rows = Seq(
+      // block A: (1,2) agree on name only -> pattern 1; (1,3)/(2,3)
+      // disagree on both -> pattern 0
+      (1L, "A", "alice", "555-01"),
+      (2L, "A", "alice", "555-99"),
+      (3L, "A", "bob", "555-02"),
+      // block B: identical missingness agrees null-safely on both
+      // fields -> pattern 3
+      (4L, "B", null.asInstanceOf[String], null.asInstanceOf[String]),
+      (5L, "B", null.asInstanceOf[String], null.asInstanceOf[String]),
+      // null block key: never pairs
+      (6L, null.asInstanceOf[String], "alice", "555-01"))
+      .toDF("id", "block", "name", "phone")
+    val hist = Linkage.agreementPatterns(rows, "id", Seq("block"),
+      Seq("name", "phone"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(0L -> 2L, 1L -> 1L, 3L -> 1L), hist.toString)
+    // field order defines the bit: phone-first flips pattern 1 -> 2
+    val flipped = Linkage.agreementPatterns(rows, "id", Seq("block"),
+      Seq("phone", "name"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flipped == Map(0L -> 2L, 2L -> 1L, 3L -> 1L), flipped.toString)
+    intercept[IllegalArgumentException] {
+      Linkage.agreementPatterns(rows, "id", Nil, Seq("name"))
+    }
+    intercept[IllegalArgumentException] {
+      Linkage.agreementPatterns(rows, "id", Seq("block"), Nil)
+    }
+  }
+
   test("fitEM recovers planted m/u, beats hand weights, is deterministic, loud on degenerate inputs") {
     // planted two-record entities: name agrees between twins w.p. 0.9
     // (pool of 400 per corpus -> cross-entity u ~ 1/400), phone w.p.
