@@ -319,6 +319,22 @@ object Classifier {
       alphaMicros: Long = 100000L): DataFrame = {
     require(alphaMicros >= 1L && alphaMicros <= 999999L,
       s"alphaMicros out of [1, 999999]: $alphaMicros")
+    // the order statistic is taken over LONG score cells — a fractional
+    // score column would be silently truncated, merging distinct
+    // nonconformity scores and shifting the advertised exact
+    // ⌈(n+1)(1−α)⌉-th rank. Integer micro-units are this library's
+    // score contract (see scoreLogit/calibrate); enforce it loudly.
+    df.schema(scoreCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"conformalThreshold: `$scoreCol` is $other — nonconformity " +
+          "scores must be INTEGRAL (quantize to micro-units upstream, " +
+          "e.g. floor(score * 1e6)); casting doubles here would " +
+          "truncate-merge distinct scores and shift the quantile")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val stats = df.agg(count(lit(1)).as("__n"),

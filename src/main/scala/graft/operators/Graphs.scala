@@ -1130,20 +1130,25 @@ object Graphs {
     * windowing ([[graft.operators.TextAnalysis.collocations]] /
     * embedding training downstream).
     *
-    * "Random" is a hash, not an RNG: step `s` at node `v` picks neighbor
-    * index `sha256(seed:origin:walk:s:v)[0..7 hex] mod degree(v)` over
-    * the node's DISTINCT out-neighbors in dst order — so every engine,
-    * run, partitioning, and resumed job walks the SAME paths (the
-    * [[Sampling]] hash-randomness convention), and a DuckDB recursive
-    * CTE replays the walk exactly. Dead-end nodes terminate their walk
-    * early (standard DeepWalk behavior).
+    * "Random" is a hash, not an RNG — RENDEZVOUS (highest-random-weight)
+    * selection: step `s` at node `v` moves to the out-neighbor `d`
+    * minimizing `sha256(seed:origin:walk:s:v:d)[0..14 hex]` (ties — a
+    * ~2⁻⁶⁰ event — break on the smaller `d`). Each neighbor's hash is an
+    * independent uniform draw keyed by the full walk state, so the
+    * argmin is a uniform pick, and every engine, run, partitioning, and
+    * resumed job walks the SAME paths (the [[Sampling]] hash-randomness
+    * convention); a DuckDB recursive CTE replays the walk exactly.
+    * Dead-end nodes terminate their walk early (standard DeepWalk
+    * behavior).
     *
-    * Scale shape: neighbor indexing is ONE per-src window over the
-    * distinct edge list (row_number + count in the same pass) — per-key
-    * sorted like [[graft.operators.AsofJoin]], so a mega-hub bounds a
-    * task by ITS degree, not the corpus; each of the `walkLength` rounds
-    * is two equi-shuffles of the walks-sized frontier (index pick, then
-    * edge lookup), checkpoint-rotated with release-on-throw. Total
+    * Scale shape: edge prep is the shared [[kHopEdges]] pair-keyed
+    * dedup; each of the `walkLength` rounds is ONE frontier⋈edges hash
+    * join (a mega-hub's fan-out spreads across tasks — AQE-splittable)
+    * plus ONE (origin, walk)-keyed min-struct hash aggregate with
+    * map-side partials, checkpoint-rotated with release-on-throw. No
+    * per-source window, no neighbor index: the previous rank-indexed
+    * pick sorted every hub's full edge list inside one window task —
+    * exactly the single-task pin a 100M-degree node turns fatal. Total
     * output is `nodes × walksPerNode × (walkLength+1)` rows, bounded
     * loudly.
     */
@@ -1160,22 +1165,9 @@ object Graphs {
       s"walkLength must be in 1..64, got $walkLength")
     require(!seed.contains(":"),
       "seed must not contain ':' (it delimits the hash preimage)")
-    val indexed = graft.core.Caches.pin {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("__src").orderBy("__dst")
-      edges.select(col(srcCol).cast("string").as("__src"),
-          col(dstCol).cast("string").as("__dst"))
-        .where(col("__src").isNotNull && col("__dst").isNotNull)
-        .distinct()
-        .select(col("__src"), col("__dst"),
-          row_number().over(w).as("__idx"),
-          count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("__src"))
-            .as("__deg"))
-    }
+    val e = graft.core.Caches.pin(kHopEdges(edges, srcCol, dstCol))
     try {
-      val degrees = indexed.select(col("__src"), col("__deg")).distinct()
-      var frontier = degrees.select(col("__src").as("origin"))
+      var frontier = e.select(col("__s").as("origin")).distinct()
         .crossJoin(broadcast(spark_rangeless(walksPerNode)))
         .select(col("origin"), col("walk"), lit(0).as("step"),
           col("origin").as("node"))
@@ -1185,21 +1177,22 @@ object Graphs {
         var s = 0
         var live = true
         while (s < walkLength && live) {
-          val pick = frontier
-            .join(degrees.select(col("__src").as("node"), col("__deg")),
-              Seq("node"))
-            .select(col("origin"), col("walk"), col("node"),
-              (graft.functions.VectorFunctions.hexPrefixToLong(
-                sha2(concat_ws(":", lit(seed), col("origin"),
-                  col("walk").cast("string"), lit(s).cast("string"),
-                  col("node")), 256), 7) % col("__deg") + lit(1L))
-                .as("__pick"))
-          val next = pick
-            .join(indexed.select(col("__src").as("node"),
-              col("__idx").cast("long").as("__pick"), col("__dst")),
-              Seq("node", "__pick"))
+          // rendezvous pick: hash every (state, neighbor) candidate,
+          // keep the per-(origin, walk) min struct — dead ends simply
+          // produce no candidates and the walk stops
+          val next = frontier
+            .join(e.select(col("__s").as("node"), col("__d")), Seq("node"))
+            .select(col("origin"), col("walk"),
+              struct(
+                graft.functions.VectorFunctions.hexPrefixToLong(
+                  sha2(concat_ws(":", lit(seed), col("origin"),
+                    col("walk").cast("string"), lit(s).cast("string"),
+                    col("node"), col("__d")), 256), 15).as("__h"),
+                col("__d")).as("__c"))
+            .groupBy(col("origin"), col("walk"))
+            .agg(min(col("__c")).as("__m"))
             .select(col("origin"), col("walk"), lit(s + 1).as("step"),
-              col("__dst").as("node"))
+              col("__m.__d").as("node"))
             .localCheckpoint(true)
           steps += next
           frontier = next
@@ -1210,7 +1203,7 @@ object Graphs {
         graft.core.Caches.registerCheckpoint(out)
         out
       } finally steps.foreach(f => graft.core.Caches.releaseCheckpoint(f))
-    } finally indexed.unpersist()
+    } finally e.unpersist()
   }
 
   /** `(walk)` column 0..n-1 as a 1-row-per-value frame (a tiny driver
@@ -1274,8 +1267,19 @@ object Graphs {
       // all four classical scores from ONE wedge aggregate + a
       // broadcastable endpoint-degree join-back: common neighbors,
       // Adamic-Adar, resource allocation (Zhou 2009, Σ 1/deg), and
-      // neighborhood Jaccard |Γa∩Γb| / |Γa∪Γb|
-      val allDeg = und.groupBy(col("__s").as("__node"))
+      // neighborhood Jaccard |Γa∩Γb| / |Γa∪Γb|. The Jaccard
+      // neighborhoods apply the SAME deg ≤ maxDegree exclusion as the
+      // wedge intersection — an excluded hub must vanish from both the
+      // numerator and the union denominator, or Jaccard is capped
+      // inconsistently relative to AA/RA's documented semantic
+      // (deg-1 neighbors stay: they are real union members that simply
+      // can never be common)
+      val nbrDeg = und.groupBy(col("__d").as("__n2"))
+        .agg(count(lit(1)).as("__nd"))
+      val allDeg = und
+        .join(nbrDeg.where(col("__nd") <= maxDegree),
+          col("__d") === col("__n2"))
+        .groupBy(col("__s").as("__node"))
         .agg(count(lit(1)).as("__d"))
       val scored = wedges
         .groupBy(col("node_a"), col("node_b"))

@@ -277,7 +277,13 @@ object Selection {
     * they disagree. Examples qualifying for NO class are omitted (the
     * paper's pruning — the model is not confident enough anywhere to
     * accuse the label). A given label outside `classProbs` is a loud
-    * error: its rows would silently skew every threshold.
+    * error: its rows would silently skew every threshold. The REVERSE
+    * direction is cleanlab's own semantics, not an error: a class
+    * listed in `classProbs` but absent from the given labels has no
+    * examples to average, hence NO threshold `t_j` — its rows drop at
+    * the threshold join, so it can never be qualified for and never
+    * becomes a `confident_label`. Supply hand thresholds upstream (or
+    * plant one labeled example) if an unseen class must be reachable.
     */
   def labelErrors(
       df: DataFrame,

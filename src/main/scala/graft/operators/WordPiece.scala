@@ -120,6 +120,14 @@ object WordPiece {
         .distinct().collect().map(_.getString(0)).sorted
       require(alphabet.nonEmpty,
         "WordPiece.train: corpus has no tokens — nothing to train on")
+      // [UNK] + the full alphabet are the coverage floor and are never
+      // evicted — a vocabSize below that floor would silently OVERSHOOT
+      // the 'up to vocabSize pieces' contract; refuse loudly instead
+      require(vocabSize >= 1 + alphabet.length,
+        s"WordPiece.train: vocabSize=$vocabSize cannot cover [UNK] + " +
+          s"the ${alphabet.length}-symbol corpus alphabet " +
+          s"(need >= ${1 + alphabet.length}); coverage floor is " +
+          "non-negotiable, so raise vocabSize")
       val budget = vocabSize - 1 - alphabet.length // [UNK] + alphabet first
       val pieces = new scala.collection.mutable.LinkedHashSet[String]
       pieces += UnkToken

@@ -499,6 +499,115 @@ class GraphsSpec extends SparkTestBase {
     graft.core.Caches.releaseCheckpoint(out)
   }
 
+  test("graph family survives a planted 100k-degree hub: scc/adamicAdar/harmonic/randomWalks exact, no hub-pinning plan shape") {
+    import spark.implicits._
+    // regression net for every kHopEdges consumer (round-11/12 additions
+    // ride the same prep): a 100k-out-degree hub must flow through
+    // hash-aggregate/join exchanges only — a per-source Window, a bare
+    // repartition(src), or a cartesian would pin its edge list into ONE
+    // unsplittable task (randomWalks' old rank-indexed pick did exactly
+    // that; this spec keeps it out)
+    val n = 100000
+    val star = spark.range(1, n + 1)
+      .selectExpr("'hub' AS src", "concat('l', id) AS dst")
+    // every executed plan during the consumer runs is captured and
+    // swept for the pin patterns
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // --- randomWalks: the hub's first step replays the rendezvous
+      // argmin over all 100k neighbors, computed independently here
+      val walks = Graphs.randomWalks(star, "src", "dst",
+        walksPerNode = 1, walkLength = 2, seed = "hubspec")
+      val hubStep1 = walks.where(col("origin") === "hub" && col("step") === 1)
+        .collect().map(_.getAs[String]("node")).toSeq
+      val nbrs = (1 to n).map(i => s"l$i")
+      assert(hubStep1 == Seq(walkPick("hubspec", "hub", 0, 0, "hub", nbrs)))
+      // leaves have no out-edges: the only walk rows are the hub's
+      // (step 0 start + step 1 pick; step 2 dead-ends at a leaf)
+      assert(walks.count() == 2L)
+      graft.core.Caches.releaseCheckpoint(walks)
+
+      // --- harmonicCentrality: hub seed reaches every leaf at hop 1
+      val harm = Graphs.harmonicCentrality(star, "src", "dst",
+        Seq("hub").toDF("seed"), "seed", maxHops = 1)
+      val stats = harm.agg(count(lit(1)), min("harmonic_micros"),
+        max("harmonic_micros"), min("n_sources"), max("n_sources")).head()
+      assert(stats.getLong(0) == n.toLong)
+      assert(stats.getLong(1) == 1000000L && stats.getLong(2) == 1000000L)
+      assert(stats.getLong(3) == 1L && stats.getLong(4) == 1L)
+      graft.core.Caches.releaseCheckpoint(harm)
+
+      // --- adamicAdar: the hub is excluded BY CONTRACT (deg > maxDegree)
+      // from wedge centers AND from the Jaccard neighborhoods, so the
+      // star contributes nothing; the planted motif (u, v sharing z1-z3,
+      // u also touching the hub) is the only prediction — and its
+      // Jaccard denominator must NOT count u's hub neighbor
+      val motif = Seq(("u", "z1"), ("u", "z2"), ("u", "z3"),
+        ("v", "z1"), ("v", "z2"), ("v", "z3"), ("u", "hub")).toDF("src", "dst")
+      val aa = Graphs.adamicAdar(star.unionByName(motif), "src", "dst",
+        maxDegree = 100L)
+      val got = aa.collect().map(r => (r.getAs[String]("node_a"),
+        r.getAs[String]("node_b")) -> ((r.getAs[Long]("n_common"),
+        r.getAs[Long]("aa_nanos"), r.getAs[Long]("ra_nanos"),
+        r.getAs[Long]("jaccard_micros")))).toMap
+      val aaU = math.round(1e9 / math.log(4.0)) // wedge center u, deg 4
+      val aaV = math.round(1e9 / math.log(3.0)) // wedge center v, deg 3
+      val aaZ = math.round(1e9 / math.log(2.0)) // wedge centers z_i, deg 2
+      // consistent cap throughout: the hub NEVER counts — not as a
+      // wedge center (deg 100001 > 100) and not in any Jaccard
+      // neighborhood (da(u) = 3, not 4, so (u,v) reads 1000000, not
+      // 750000; (hub,z_i)'s denominator is the hub's 100001 SUB-CAP
+      // leaf+u neighbors, giving round(1e6/100002) = 10)
+      val zPair = ((2L, aaU + aaV, 250000000L + 333333333L, 1000000L))
+      val hubZ = ((1L, aaU, 250000000L,
+        math.round(1000000.0 / (100001 + 2 - 1))))
+      assert(got == Map(
+        ("u", "v") -> ((3L, 3 * aaZ, 1500000000L, 1000000L)),
+        ("z1", "z2") -> zPair, ("z1", "z3") -> zPair, ("z2", "z3") -> zPair,
+        ("hub", "z1") -> hubZ, ("hub", "z2") -> hubZ, ("hub", "z3") -> hubZ),
+        got.toString)
+      graft.core.Caches.releaseCheckpoint(aa)
+
+      // --- SCC: bidirectional star = ONE 100k+1-node component (the
+      // fused F/B fixpoint crosses the hub both ways), plus a separate
+      // 3-cycle; phases stay O(components), not O(degree)
+      val bidi = star.unionByName(star.select(col("dst").as("src"),
+        col("src").as("dst")))
+      val cyc = Seq(("c1", "c2"), ("c2", "c3"), ("c3", "c1")).toDF("src", "dst")
+      val scc = Graphs.stronglyConnectedComponents(
+        bidi.unionByName(cyc), "src", "dst")
+      val comps = scc.groupBy(col("scc"))
+        .agg(count(lit(1)).as("sz")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(comps.values.toSeq.sorted == Seq(3L, (n + 1).toLong), comps.toString)
+      graft.core.Caches.releaseCheckpoint(scc)
+    } finally spark.listenerManager.unregister(listener)
+    // flush the async listener bus: wait until no new plans arrive
+    var last = -1
+    var spins = 0
+    while (plans.size() != last && spins < 20) {
+      last = plans.size(); spins += 1; Thread.sleep(250)
+    }
+    assert(plans.size() > 0, "listener captured no plans — the net is dead")
+    plans.forEach { p =>
+      assert(!p.contains("Window"),
+        s"a per-key window pins the hub to one task:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"cartesian over the hub fan-out:\n$p")
+      assert(!p.contains("REPARTITION_BY_COL"),
+        s"bare repartition is AQE-unsplittable:\n$p")
+    }
+  }
+
   test("labelPropagationCommunities: two bridged cliques separate; deterministic; directed input symmetrized") {
     import spark.implicits._
     // {a,b,c} clique + {d,e,f} clique + one bridge c-d, each edge given
@@ -653,13 +762,18 @@ class GraphsSpec extends SparkTestBase {
       .getMessage.contains("64"))
   }
 
+  /** The documented rendezvous rule: argmin over neighbors of
+    * sha256(seed:origin:walk:step:node:dst)'s first 15 hex digits,
+    * ties to the smaller dst.
+    */
   private def walkPick(seed: String, origin: String, walk: Int, step: Int,
-      node: String, deg: Int): Int = {
-    val hex = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"$seed:$origin:$walk:$step:$node".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    (java.lang.Long.parseLong(hex.take(7), 16) % deg).toInt
-  }
+      node: String, nbrs: Seq[String]): String =
+    nbrs.map { d =>
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"$seed:$origin:$walk:$step:$node:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(15), 16), d)
+    }.min._2
 
   test("randomWalks replays the documented hash choices exactly") {
     val edges = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("a", "b"))
@@ -669,7 +783,7 @@ class GraphsSpec extends SparkTestBase {
       .collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
       .toSet
-    // distinct neighbors in dst order: a -> [b, c], b -> [a]; c dead-ends
+    // distinct out-neighbors: a -> {b, c}, b -> {a}; c dead-ends
     val nbrs = Map("a" -> Vector("b", "c"), "b" -> Vector("a"))
     val expected = scala.collection.mutable.Set.empty[(String, Int, Int, String)]
     for (origin <- Seq("a", "b"); walk <- 0 until 2) {
@@ -680,7 +794,7 @@ class GraphsSpec extends SparkTestBase {
       while (step < 3 && alive) {
         nbrs.get(node) match {
           case Some(ns) =>
-            node = ns(walkPick("t", origin, walk, step, node, ns.size))
+            node = walkPick("t", origin, walk, step, node, ns)
             expected += ((origin, walk, step + 1, node))
             step += 1
           case None => alive = false
