@@ -2018,6 +2018,13 @@ object SparkEntry {
         t(s, dir, "documents"), "lang", "source")
     }),
 
+    // ---- chi-squared independence + Cramér's V on the same pair: the
+    // effect-size audit (no transcendentals — full hash-exact twin) ----
+    "q_chi_squared" -> ((s, dir) => {
+      operators.Validation.chiSquaredIndependence(
+        t(s, dir, "documents"), "lang", "source")
+    }),
+
     // ---- Gini concentration of document lengths ----
     "q_gini" -> ((s, dir) =>
       operators.Validation.giniCoefficient(
@@ -2821,6 +2828,18 @@ object SparkEntry {
         grid.withColumn("__obs", when(col("n_events") > 0, col("value_micros"))),
         "__obs", "bucket_us", Seq("event_type"), "locf_micros")
         .drop("__obs")
+    }),
+
+    // ---- CUSUM mean-shift scores per event type: sustained drift the
+    // point-outlier gates miss; prefix-window identity, full twin ----
+    "q_cusum" -> ((s, dir) => {
+      val e = streaming.StreamingOps.readEventsRaw(s, s"$dir/events.parquet")
+        .where(col("ts_ns").isNotNull && col("value").isNotNull)
+        .select(col("event_type"), expr("ts_ns div 1000").as("ts_us"),
+          round(col("value") * lit(1e6)).cast("long").as("v_micros"))
+      operators.Timeseries.cusumChangepoints(e, Seq("event_type"),
+        "ts_us", "v_micros", target = 50000000L, slack = 5000000L,
+        threshold = 500000000L)
     }),
 
     // ---- U2 LLM column mapping (deterministic dry-run path) ----
@@ -5615,6 +5634,36 @@ object SparkEntry {
         |    * ln((nab::DOUBLE * nn) / (na::DOUBLE * nb)) * 1e9) AS BIGINT))
         |    AS BIGINT) / 1e9, 6) AS mi_nats
         |FROM e""".stripMargin,
+    // chi2 via the present-cells identity N·Σ o²/(na·nb) − N; pure IEEE
+    // arithmetic from integer counts, nano-quantized cell terms
+    "q_chi_squared" ->
+      """WITH g AS (
+        |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS nab
+        |  FROM documents GROUP BY lang, source),
+        |m AS (SELECT a, b, nab,
+        |    CAST(sum(nab) OVER (PARTITION BY a) AS BIGINT) AS na,
+        |    CAST(sum(nab) OVER (PARTITION BY b) AS BIGINT) AS nb,
+        |    CAST(sum(nab) OVER () AS BIGINT) AS nn
+        |  FROM g),
+        |agg AS (
+        |  SELECT CAST(max(nn) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a)
+        |      + max(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT b)
+        |      + max(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CAST(round((nab::DOUBLE * nab) / (na::DOUBLE * nb)
+        |      * 1e9) AS BIGINT)) AS BIGINT) AS sn
+        |  FROM m),
+        |f AS (
+        |  SELECT n, r, c,
+        |    greatest(0.0, n::DOUBLE * sn / 1e9 - n::DOUBLE) AS chi2raw
+        |  FROM agg)
+        |SELECT n, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+        |  round(chi2raw, 6) AS chi2,
+        |  CASE WHEN least(r, c) <= 1 THEN NULL
+        |    ELSE round(sqrt(chi2raw / (n::DOUBLE * (least(r, c) - 1))), 6)
+        |  END AS cramers_v
+        |FROM f""".stripMargin,
     "q_gini" ->
       """WITH g AS (
         |  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
@@ -7584,6 +7633,34 @@ object SparkEntry {
         |    OVER (PARTITION BY k ORDER BY b
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_micros
         |FROM j""".stripMargin,
+    // CUSUM replay: the max(0, ·) recursion as prefix-sum minus
+    // clamped prefix-min, all BIGINT
+    "q_cusum" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 1e6) AS BIGINT) AS v_micros
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |p AS (
+        |  SELECT event_type, ts_us, v_micros,
+        |    CAST(sum(v_micros - 50000000 - 5000000) OVER (
+        |      PARTITION BY event_type ORDER BY ts_us, v_micros
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pu,
+        |    CAST(sum(50000000 - v_micros - 5000000) OVER (
+        |      PARTITION BY event_type ORDER BY ts_us, v_micros
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pd
+        |  FROM e),
+        |s AS (
+        |  SELECT event_type, ts_us, v_micros,
+        |    pu - least(CAST(min(pu) OVER (PARTITION BY event_type
+        |      ORDER BY ts_us, v_micros ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT), 0) AS cusum_pos,
+        |    pd - least(CAST(min(pd) OVER (PARTITION BY event_type
+        |      ORDER BY ts_us, v_micros ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT), 0) AS cusum_neg
+        |  FROM p)
+        |SELECT event_type, ts_us, v_micros, cusum_pos, cusum_neg,
+        |  (cusum_pos > 500000000 OR cusum_neg > 500000000) AS alarm
+        |FROM s""".stripMargin,
     "q_llm_map_dry_run" ->
       """SELECT doc_id, lang,
         |  CASE lower(coalesce(lang, ''))

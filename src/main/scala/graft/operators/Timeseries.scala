@@ -38,6 +38,84 @@ import org.apache.spark.sql.functions._
   */
 object Timeseries {
 
+  /** One-sided CUSUM changepoint scores per key over a time-ordered
+    * integer series (Page 1954) — the sequential mean-shift detector
+    * for pipeline telemetry (ingest-rate sag, quality-score drift,
+    * error-ratio jumps) where a point outlier gate like
+    * [[graft.operators.Validation.madOutliers]] misses a SUSTAINED
+    * small shift:
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + (x_t − target − slack))   (upward)
+    *   S⁻_t = max(0, S⁻_{t−1} + (target − x_t − slack))   (downward)
+    *
+    * The recursion is computed WITHOUT iteration via the
+    * prefix-extremum identity: with `P_t = Σ_{i≤t}(x_i − target −
+    * slack)`, `S⁺_t = P_t − min_{j≤t} P_j` (symmetrically for S⁻) —
+    * two prefix window sums + two prefix window extrema per key, all
+    * in LONGs, so the result is engine- and partitioning-exact and the
+    * DuckDB twin is hash-identical.
+    *
+    * Contracts: `valueCol` must be INTEGRAL (micro-quantize upstream —
+    * the [[graft.operators.Classifier.conformalThreshold]] discipline);
+    * NULL ts/value rows are REJECTED loudly (a window ordered on a
+    * nullable column sorts differently across engines); `slack ≥ 0`,
+    * `threshold > 0`. Rows order per key by `(ts, value)` — duplicate
+    * stamps stay deterministic as a multiset (equal-key rows are
+    * interchangeable).
+    *
+    * Scale shape: one per-key ordered window pass (ROWS frames, no
+    * self-join, no loop); per-key series length bounds the task — the
+    * [[resample]] per-key contract. Output: key cols + `(ts, value,
+    * cusum_pos, cusum_neg, alarm)` with `alarm` = either side above
+    * `threshold`.
+    */
+  def cusumChangepoints(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      target: Long,
+      slack: Long,
+      threshold: Long): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty — a global " +
+      "series is one window partition; key on something")
+    require(slack >= 0L, s"slack must be >= 0, got $slack")
+    require(threshold > 0L, s"threshold must be > 0, got $threshold")
+    Seq(tsCol, valueCol).foreach { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"cusumChangepoints: `$c` is $other — ts and value must be " +
+            "INTEGRAL (epoch-micros / micro-units; quantize upstream)")
+      }
+    }
+    val nulls = df.agg(
+      count(when(col(tsCol).isNull || col(valueCol).isNull, 1)).as("__nl"))
+      .head().getAs[Long]("__nl")
+    require(nulls == 0L,
+      s"cusumChangepoints: $nulls NULL `$tsCol`/`$valueCol` row(s) — " +
+        "an unstamped or unvalued point has no place in the sequence; " +
+        "filter deliberately upstream")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val up = sum(col(valueCol) - lit(target) - lit(slack)).over(w)
+    val dn = sum(lit(target) - col(valueCol) - lit(slack)).over(w)
+    df.select(keyCols.map(col) ++ Seq(col(tsCol), col(valueCol)): _*)
+      .withColumn("__pu", up)
+      .withColumn("__pd", dn)
+      .withColumn("cusum_pos",
+        col("__pu") - least(min(col("__pu")).over(w), lit(0L)))
+      .withColumn("cusum_neg",
+        col("__pd") - least(min(col("__pd")).over(w), lit(0L)))
+      .withColumn("alarm",
+        col("cusum_pos") > threshold || col("cusum_neg") > threshold)
+      .drop("__pu", "__pd")
+  }
+
   /** Per-key fixed-grid resample of `df` — see object doc.
     *
     * `tsUsCol` must be LONG epoch-micros (the `unix_micros` contract

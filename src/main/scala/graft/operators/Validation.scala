@@ -975,4 +975,66 @@ object Validation {
         .localCheckpoint(true)
     } finally cells.unpersist()
   }
+
+  /** Pearson chi-squared test of independence + Cramér's V between two
+    * categorical columns — the effect-size companion to
+    * [[mutualInformation]] for pipeline-signal audits (is the quality
+    * label re-encoding `source`? did a filter fire independently of
+    * `lang`?). V is the [0, 1] association strength a reviewer can
+    * compare across tables; the raw χ² scales with N and is reported
+    * for the test itself. NULL is a category on both axes (the
+    * [[tCloseness]]/[[mutualInformation]] convention).
+    *
+    * Zero-expected cells need no special casing: the identity
+    * `χ² = N·(Σ_observed o²/(n_a·n_b)) − N` sums over PRESENT cells
+    * only (absent cells contribute 0 to Σ o²/e, and Σe telescopes to
+    * N). Each cell term is pure IEEE multiply/divide from exact LONG
+    * counts (operands widen to double before multiplying — the
+    * [[mutualInformation]] overflow discipline), nano-quantized and
+    * LONG-summed (order-free), so the DuckDB twin is hash-exact; no
+    * transcendental anywhere. `cramers_v =
+    * sqrt(χ² / (N·(min(r,c)−1)))`, NULL when either axis has a single
+    * category (no association is definable), χ² clamped at 0 against
+    * nano-rounding underflow on exactly-independent tables.
+    *
+    * Scale shape: ONE corpus-sized groupBy to (a, b) cells (map-side
+    * partials), marginals as window sums over the CELLS-sized table,
+    * one global aggregate. Output: `(n, dof, chi2, cramers_v)`.
+    */
+  def chiSquaredIndependence(
+      df: DataFrame, colA: String, colB: String): DataFrame = {
+    require(colA != colB, "colA and colB must differ")
+    val w = org.apache.spark.sql.expressions.Window
+    val cells = df
+      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__nab"))
+      .withColumn("__na", sum(col("__nab")).over(w.partitionBy(col("__a"))))
+      .withColumn("__nb", sum(col("__nab")).over(w.partitionBy(col("__b"))))
+      .withColumn("__N", sum(col("__nab")).over(w.partitionBy()))
+    val term = (col("__nab").cast("double") * col("__nab")) /
+      (col("__na").cast("double") * col("__nb"))
+    cells
+      .agg(
+        max(col("__N")).as("__n"),
+        // countDistinct skips NULL — add the null category back in
+        // explicitly, since NULL IS a category here
+        (countDistinct(col("__a")) +
+          max(when(col("__a").isNull, 1L).otherwise(0L))).as("__r"),
+        (countDistinct(col("__b")) +
+          max(when(col("__b").isNull, 1L).otherwise(0L))).as("__c"),
+        sum(round(term * 1e9).cast("long")).as("__sn"))
+      .select(
+        col("__n").as("n"),
+        ((col("__r") - 1L) * (col("__c") - 1L)).as("dof"),
+        col("__n"), col("__r"), col("__c"), col("__sn"))
+      .withColumn("__chi2", greatest(lit(0.0),
+        col("__n").cast("double") * col("__sn") / lit(1e9) -
+          col("__n").cast("double")))
+      .select(col("n"), col("dof"),
+        round(col("__chi2"), 6).as("chi2"),
+        when(least(col("__r"), col("__c")) <= 1L, lit(null))
+          .otherwise(round(sqrt(col("__chi2") /
+            (col("__n").cast("double") * (least(col("__r"), col("__c")) - 1L))),
+            6)).as("cramers_v"))
+  }
 }

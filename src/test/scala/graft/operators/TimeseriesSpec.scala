@@ -77,4 +77,48 @@ class TimeseriesSpec extends SparkTestBase {
     assert(nullOrder.getMessage.contains("null ordering is not engine-portable")
       || nullOrder.getMessage.contains("NULL in order column"))
   }
+
+  test("cusumChangepoints equals the direct max(0,·) recursion; alarms fire on a planted shift; loud contracts") {
+    // planted upward shift: mean 10 for 20 points, then mean 14
+    val xs = (Seq.fill(10)(Seq(9L, 11L)).flatten ++
+      Seq.fill(10)(Seq(13L, 15L)).flatten).zipWithIndex
+      .map { case (v, i) => ("m", i.toLong, v) }
+    val df = xs.toDF("k", "t", "v")
+    val out = Timeseries.cusumChangepoints(df, Seq("k"), "t", "v",
+      target = 10L, slack = 1L, threshold = 20L)
+      .collect().map(r => r.getAs[Long]("t") ->
+        ((r.getAs[Long]("cusum_pos"), r.getAs[Long]("cusum_neg"),
+          r.getAs[Boolean]("alarm")))).toMap
+    // direct recursion reference
+    var sp = 0L
+    var sn = 0L
+    xs.foreach { case (_, t, v) =>
+      sp = math.max(0L, sp + (v - 10L - 1L))
+      sn = math.max(0L, sn + (10L - v - 1L))
+      assert(out(t) == ((sp, sn, sp > 20L || sn > 20L)),
+        s"t=$t got ${out(t)} want ($sp, $sn)")
+    }
+    // the shifted tail must alarm; the in-control head must not
+    assert(!out(5L)._3 && out(39L)._3)
+    // keys are independent series
+    val two = Timeseries.cusumChangepoints(
+      Seq(("a", 0L, 100L), ("b", 0L, 0L)).toDF("k", "t", "v"),
+      Seq("k"), "t", "v", target = 10L, slack = 0L, threshold = 5L)
+      .collect().map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("cusum_pos"), r.getAs[Long]("cusum_neg")))).toMap
+    assert(two("a") == ((90L, 0L)) && two("b") == ((0L, 10L)))
+    // loud: double value column, NULL rows, bad params
+    intercept[IllegalArgumentException](Timeseries.cusumChangepoints(
+      Seq(("a", 0L, 1.5)).toDF("k", "t", "v"),
+      Seq("k"), "t", "v", 0L, 0L, 1L))
+    intercept[IllegalArgumentException](Timeseries.cusumChangepoints(
+      Seq(("a", Some(0L), Option.empty[Long])).toDF("k", "t", "v"),
+      Seq("k"), "t", "v", 0L, 0L, 1L))
+    intercept[IllegalArgumentException](Timeseries.cusumChangepoints(
+      df, Nil, "t", "v", 0L, 0L, 1L))
+    intercept[IllegalArgumentException](Timeseries.cusumChangepoints(
+      df, Seq("k"), "t", "v", 0L, -1L, 1L))
+    intercept[IllegalArgumentException](Timeseries.cusumChangepoints(
+      df, Seq("k"), "t", "v", 0L, 0L, 0L))
+  }
 }

@@ -555,4 +555,42 @@ class ValidationSpec extends SparkTestBase {
       .toDF("item", "label")
     assert(Validation.fleissKappa(const, "item", "label").head().isNullAt(2))
   }
+
+  test("chiSquaredIndependence: textbook 2x2, perfect association V=1, independence ~0, NULL category, degenerate NULL V") {
+    def rows(spec: Seq[((String, String), Int)]) =
+      spec.flatMap { case (p, n) => Seq.fill(n)(p) }.toDF("a", "b")
+    // textbook 2x2 (A:10y/20n, B:30y/40n): chi2 = 50/63 = 0.793651,
+    // V = sqrt(chi2/100) = 0.089087 (hand-checked against the classic
+    // sum-over-all-cells form)
+    val t = Validation.chiSquaredIndependence(
+      rows(Seq(("A", "y") -> 10, ("A", "n") -> 20,
+        ("B", "y") -> 30, ("B", "n") -> 40)), "a", "b").head()
+    assert(t.getAs[Long]("n") == 100L && t.getAs[Long]("dof") == 1L)
+    assert(t.getAs[Double]("chi2") == 0.793651)
+    assert(t.getAs[Double]("cramers_v") == 0.089087)
+    // perfect association (diagonal 2x2): V = 1, chi2 = N
+    val p = Validation.chiSquaredIndependence(
+      rows(Seq(("A", "y") -> 7, ("B", "n") -> 5)), "a", "b").head()
+    assert(p.getAs[Double]("chi2") == 12.0)
+    assert(p.getAs[Double]("cramers_v") == 1.0)
+    // exact independence: chi2 clamps to 0 (not a tiny negative)
+    val ind = Validation.chiSquaredIndependence(
+      rows(Seq(("A", "y") -> 2, ("A", "n") -> 2,
+        ("B", "y") -> 2, ("B", "n") -> 2)), "a", "b").head()
+    assert(ind.getAs[Double]("chi2") == 0.0)
+    assert(ind.getAs[Double]("cramers_v") == 0.0)
+    // NULL is a category: a (null, *) stratum changes r and the cells
+    val withNull = Seq(("A", "y"), ("A", "n"), (null, "y"), (null, "y"))
+      .toDF("a", "b")
+    val nu = Validation.chiSquaredIndependence(withNull, "a", "b").head()
+    assert(nu.getAs[Long]("dof") == 1L) // r=2 (A, NULL), c=2
+    assert(nu.getAs[Double]("cramers_v") > 0.0)
+    // single category on one axis: dof 0, V undefined -> NULL
+    val deg = Validation.chiSquaredIndependence(
+      rows(Seq(("A", "y") -> 3, ("A", "n") -> 4)), "a", "b").head()
+    assert(deg.getAs[Long]("dof") == 0L)
+    assert(deg.isNullAt(3))
+    intercept[IllegalArgumentException](
+      Validation.chiSquaredIndependence(withNull, "a", "a"))
+  }
 }
