@@ -2122,6 +2122,18 @@ object SparkEntry {
       operators.Graphs.adamicAdar(edges, "x", "y")
     }),
 
+    // ---- sampled betweenness (Brandes, 5 seeds, hop-capped): the
+    // bridge detector; FULL DuckDB twin — both passes replay as
+    // recursive CTEs (σ-BFS forward, δ-accumulation backward) ----
+    "q_betweenness" -> ((s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "orders").select(
+        (col("o_orderkey") % 97).cast("string").as("x"),
+        (col("o_custkey") % 97).cast("string").as("y"))
+      operators.Graphs.sampledBetweenness(edges, "x", "y",
+        Seq("0", "1", "2", "3", "4").toDF("seed"), "seed", maxHops = 4)
+    }),
+
     // ---- word2vec frequent-word subsampling over the corpus ----
     "q_subsample" -> ((s, dir) =>
       operators.TextAnalysis.subsampleFrequent(
@@ -6125,6 +6137,81 @@ object SparkEntry {
     // random walks: the recursive CTE replays the per-step hash pick —
     // same sha256 preimage "seed:origin:walk:step:node", same 7-hex-char
     // prefix, same mod-degree 1-based index over dst-sorted neighbors
+    // Brandes replay in TWO recursions. Forward: the working table
+    // carries the full (seed, node, dist, sigma) state per round; a
+    // LEFT JOIN on the frontier plus a two-role unnest emits carried
+    // rows AND expansion candidates from ONE self-reference, and the
+    // window stage settles each (seed, node) at its min dist with
+    // sigma summed over that dist's candidates. Backward: state decrements
+    // a cur level per round; level-cur nodes expand to their DAG
+    // predecessors through the final forward table (a non-recursive
+    // reference), each contribution micro-rounded exactly as the
+    // engine does, and the window stage folds carried delta +
+    // contribution sum per (seed, node).
+    "q_betweenness" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT DISTINCT CAST(o_orderkey % 97 AS VARCHAR) AS src,
+        |    CAST(o_custkey % 97 AS VARCHAR) AS dst
+        |  FROM orders),
+        |seeds AS (SELECT unnest(['0','1','2','3','4']) AS seed),
+        |fw(i, seed, node, dist, sigma) AS (
+        |  SELECT 0, seed, seed, 0, 1.0::DOUBLE FROM seeds
+        |  UNION ALL
+        |  SELECT i + 1, seed, node, dist,
+        |    CASE WHEN dist = i + 1 THEN sigsum ELSE sigma END AS sigma
+        |  FROM (
+        |    SELECT t.i, t.seed, t.node, t.dist, t.sigma,
+        |      min(dist) OVER (PARTITION BY seed, node) AS mind,
+        |      sum(sigma) OVER (PARTITION BY seed, node, dist) AS sigsum,
+        |      row_number() OVER (PARTITION BY seed, node ORDER BY dist)
+        |        AS rn
+        |    FROM (
+        |      SELECT fw.i, fw.seed,
+        |        CASE WHEN role = 1 THEN e.dst ELSE fw.node END AS node,
+        |        CASE WHEN role = 1 THEN fw.i + 1 ELSE fw.dist END AS dist,
+        |        fw.sigma
+        |      FROM fw
+        |      LEFT JOIN raw e ON e.src = fw.node AND fw.dist = fw.i
+        |      CROSS JOIN (SELECT unnest([0, 1]) AS role) r
+        |      WHERE fw.i < 4 AND (role = 0 OR e.dst IS NOT NULL)) t) t2
+        |  WHERE dist = mind AND rn = 1),
+        |fwf AS (SELECT seed, node, dist, sigma FROM fw WHERE i = 4),
+        |maxd AS (SELECT max(dist) AS md FROM fwf),
+        |bw(cur, seed, node, dist, sigma, delta) AS (
+        |  SELECT (SELECT md FROM maxd), seed, node, dist, sigma,
+        |    CAST(0 AS BIGINT)
+        |  FROM fwf
+        |  UNION ALL
+        |  SELECT cur - 1, seed, node, dist, sigma,
+        |    carried + contrib AS delta
+        |  FROM (
+        |    SELECT t.cur, t.seed, t.node, t.dist, t.sigma,
+        |      max(CASE WHEN role = 0 THEN delta END)
+        |        OVER (PARTITION BY seed, node) AS carried,
+        |      coalesce(sum(CASE WHEN role = 1 THEN c END)
+        |        OVER (PARTITION BY seed, node), 0) AS contrib,
+        |      row_number() OVER (PARTITION BY seed, node ORDER BY role)
+        |        AS rn
+        |    FROM (
+        |      SELECT bw.cur, bw.seed, role,
+        |        CASE WHEN role = 1 THEN f.node ELSE bw.node END AS node,
+        |        CASE WHEN role = 1 THEN bw.cur - 1 ELSE bw.dist END AS dist,
+        |        CASE WHEN role = 1 THEN f.sigma ELSE bw.sigma END AS sigma,
+        |        bw.delta,
+        |        CASE WHEN role = 1 THEN CAST(round((f.sigma / bw.sigma)
+        |          * (1000000.0 + bw.delta)) AS BIGINT) END AS c
+        |      FROM bw
+        |      LEFT JOIN raw e ON e.dst = bw.node AND bw.dist = bw.cur
+        |      LEFT JOIN fwf f ON f.seed = bw.seed AND f.node = e.src
+        |        AND f.dist = bw.cur - 1
+        |      CROSS JOIN (SELECT unnest([0, 1]) AS role) r
+        |      WHERE bw.cur >= 1 AND (role = 0 OR f.node IS NOT NULL)) t) t2
+        |  WHERE rn = 1)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_seeds,
+        |  CAST(sum(delta) AS BIGINT) AS betweenness_micros
+        |FROM bw
+        |WHERE cur = 0 AND dist > 0
+        |GROUP BY node""".stripMargin,
     // rendezvous replay: rank each (state, neighbor) by its sha prefix
     // (fixed-width lowercase hex compares lexicographically exactly as
     // the engine's numeric prefix), keep rank 1 per (origin, walk)

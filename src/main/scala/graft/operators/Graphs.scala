@@ -1383,4 +1383,155 @@ object Graphs {
       }
     } finally e.unpersist()
   }
+
+  /** Sampled betweenness centrality (Brandes 2001, "A faster algorithm
+    * for betweenness centrality", seed-sampled à la Brandes–Pich 2007):
+    * per node, the summed pair-dependency `δ_s(v) = Σ_{w} σ_sv/σ_sw ·
+    * [v on a shortest s→w path]` over the SEED SAMPLE — the
+    * bridge/bottleneck detector (which node carries the traffic
+    * between communities) that degree/harmonic metrics cannot see.
+    * Exact for the given seeds; scale by `n/|seeds|` for the estimator.
+    *
+    * Two level-synchronous passes riding [[kHopEdges]] state shaped
+    * `|seeds| × reachable` (the [[harmonicCentrality]] loop, seeds
+    * LOUDLY ≤ 64):
+    *
+    *  - FORWARD: BFS accumulating `σ` (shortest-path counts) — a
+    *    (seed, node)-keyed hash-aggregate sum per level. σ sums
+    *    integer-valued doubles, EXACT until 2^53 — guarded loudly per
+    *    level (path counts explode combinatorially on dense DAGs; a
+    *    silent overflow would corrupt every ratio downstream).
+    *  - BACKWARD: dependency accumulation from the deepest level up,
+    *    one DAG-edge join + hash-aggregate per level. Each per-edge
+    *    contribution `(σ_u/σ_w)·(1e6 + δ_w)` is IEEE-deterministic
+    *    and rounded to micro-units BEFORE the (seed, node) LONG sum
+    *    (order-free — the engine-exact discipline); levels partition
+    *    nodes, so each node's δ lands exactly once.
+    *
+    * No window, no per-source sort — a mega-hub fans out through
+    * AQE-splittable joins and map-side-combined aggregates (pinned by
+    * the GraphsSpec mega-hub net). Output: `(node, n_seeds,
+    * betweenness_micros)` over nodes reached at hop ≥ 1, zeros
+    * included (a reached leaf IS a zero-betweenness observation);
+    * per-seed self-dependency is excluded per Brandes.
+    */
+  def sampledBetweenness(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32,
+      s"maxHops must be in 1..32, got $maxHops")
+    val e = graft.core.Caches.pin(kHopEdges(edges, srcCol, dstCol))
+    try {
+      val seedSet = seeds.select(col(seedCol).cast("string").as("seed"))
+        .where(col("seed").isNotNull).distinct().localCheckpoint(true)
+      graft.core.Caches.registerCheckpoint(seedSet)
+      try {
+        val n = seedSet.count()
+        require(n > 0, "sampledBetweenness: no seeds")
+        require(n <= 64,
+          s"sampledBetweenness: $n seeds — the per-seed state is " +
+            "|seeds| x reachable; sample seeds to <= 64 upstream")
+      } catch {
+        case t: Throwable =>
+          graft.core.Caches.releaseCheckpoint(seedSet)
+          throw t
+      }
+      var visited = seedSet
+        .withColumn("node", col("seed"))
+        .withColumn("dist", lit(0L))
+        .withColumn("sigma", lit(1.0))
+        .localCheckpoint(true)
+      graft.core.Caches.releaseCheckpoint(seedSet)
+      var maxDist = 0
+      try {
+        // ---- forward: σ-accumulating BFS ----
+        var h = 1
+        var exhausted = false
+        while (h <= maxHops && !exhausted) {
+          val frontier = visited.where(col("dist") === (h - 1))
+          val next = e
+            .join(frontier.select(col("seed"), col("node").as("__s"),
+              col("sigma")), "__s")
+            .groupBy(col("seed"), col("__d").as("node"))
+            .agg(sum(col("sigma")).as("sigma"))
+            .join(visited.select("seed", "node"), Seq("seed", "node"),
+              "left_anti")
+            .withColumn("dist", lit(h.toLong))
+            .select("seed", "node", "dist", "sigma")
+          val grown = visited.unionByName(next).localCheckpoint(true)
+          graft.core.Caches.releaseCheckpoint(visited)
+          visited = grown
+          val mx = visited.where(col("dist") === h)
+            .agg(max(col("sigma")).as("m")).head().getAs[Any]("m")
+          exhausted = mx == null
+          if (!exhausted) {
+            require(mx.asInstanceOf[Double] < 9007199254740992.0,
+              s"sampledBetweenness: σ exceeded 2^53 at hop $h — path " +
+                "counts are no longer exactly representable; lower " +
+                "maxHops or sparsify upstream")
+            maxDist = h
+          }
+          h += 1
+        }
+        // ---- backward: per-level dependency accumulation ----
+        val deltas = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        try {
+          var lvl = maxDist
+          while (lvl >= 1) {
+            // δ of the level being drained: complete by induction
+            // (contributions only flow from deeper levels)
+            val dAtLvl = deltas.lastOption match {
+              case Some(d) => d.where(col("dist") === lvl)
+              case None => visited.limit(0)
+                .select(col("seed"), col("node"), col("dist"),
+                  lit(0L).as("delta_micros"))
+            }
+            val wNodes = visited.where(col("dist") === lvl)
+              .join(dAtLvl.select(col("seed"), col("node"),
+                col("delta_micros")), Seq("seed", "node"), "left")
+              .select(col("seed"), col("node").as("__d"),
+                col("sigma").as("__sw"),
+                coalesce(col("delta_micros"), lit(0L)).as("__dw"))
+            val contrib = e
+              .join(wNodes, "__d")
+              .join(visited.where(col("dist") === (lvl - 1))
+                .select(col("seed"), col("node").as("__s"),
+                  col("sigma").as("__su"), col("dist")), Seq("seed", "__s"))
+              .select(col("seed"), col("__s").as("node"), col("dist"),
+                round((col("__su") / col("__sw")) *
+                  (lit(1000000.0) + col("__dw"))).cast("long").as("__c"))
+              .groupBy(col("seed"), col("node"), col("dist"))
+              .agg(sum(col("__c")).as("delta_micros"))
+            val merged = (deltas.lastOption match {
+              case Some(d) => d.unionByName(contrib)
+              case None => contrib
+            }).localCheckpoint(true)
+            deltas += merged
+            if (deltas.length > 1)
+              graft.core.Caches.releaseCheckpoint(deltas(deltas.length - 2))
+            lvl -= 1
+          }
+          val deltaAll = deltas.lastOption.getOrElse(
+            visited.limit(0).select(col("seed"), col("node"), col("dist"),
+              lit(0L).as("delta_micros")))
+          val out = visited.where(col("dist") > 0L)
+            .join(deltaAll.select(col("seed"), col("node"),
+              col("delta_micros")), Seq("seed", "node"), "left")
+            .groupBy(col("node"))
+            .agg(count(lit(1)).as("n_seeds"),
+              sum(coalesce(col("delta_micros"), lit(0L)))
+                .as("betweenness_micros"))
+            .localCheckpoint(true)
+          graft.core.Caches.registerCheckpoint(out)
+          out
+        } finally {
+          deltas.lastOption.foreach(d => graft.core.Caches.releaseCheckpoint(d))
+        }
+      } finally graft.core.Caches.releaseCheckpoint(visited)
+    } finally e.unpersist()
+  }
 }

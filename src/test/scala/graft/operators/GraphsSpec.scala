@@ -577,6 +577,16 @@ class GraphsSpec extends SparkTestBase {
         got.toString)
       graft.core.Caches.releaseCheckpoint(aa)
 
+      // --- sampledBetweenness: hub seed reaches 100k leaves at hop 1,
+      // all dead ends — every leaf is a zero-betweenness observation
+      val bt = Graphs.sampledBetweenness(star, "src", "dst",
+        Seq("hub").toDF("seed"), "seed", maxHops = 2)
+      val bstats = bt.agg(count(lit(1)), max("betweenness_micros"),
+        min("n_seeds"), max("n_seeds")).head()
+      assert(bstats.getLong(0) == n.toLong && bstats.getLong(1) == 0L)
+      assert(bstats.getLong(2) == 1L && bstats.getLong(3) == 1L)
+      graft.core.Caches.releaseCheckpoint(bt)
+
       // --- SCC: bidirectional star = ONE 100k+1-node component (the
       // fused F/B fixpoint crosses the hub both ways), plus a separate
       // 3-cycle; phases stay O(components), not O(degree)
@@ -760,6 +770,98 @@ class GraphsSpec extends SparkTestBase {
     assert(intercept[IllegalArgumentException](
       Graphs.harmonicCentrality(path, "s", "d", manySeeds, "seed", 2))
       .getMessage.contains("64"))
+  }
+
+  /** Single-node Brandes with the operator's exact quantization:
+    * per-edge micro-rounded dependency contributions, LONG sums.
+    */
+  private def brandesRef(edges: Seq[(String, String)], seeds: Seq[String],
+      maxHops: Int): Map[String, (Long, Long)] = {
+    val adj = edges.distinct.groupBy(_._1)
+      .view.mapValues(_.map(_._2).distinct).toMap
+      .withDefaultValue(Seq.empty)
+    val bet = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    val nSeeds = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for (s <- seeds.distinct) {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1.0)
+      val levels = scala.collection.mutable.ArrayBuffer(Seq(s))
+      var h = 1
+      var frontier = Seq(s)
+      while (frontier.nonEmpty && h <= maxHops) {
+        val contrib = scala.collection.mutable.Map.empty[String, Double]
+          .withDefaultValue(0.0)
+        for (u <- frontier; w <- adj(u) if !dist.contains(w))
+          contrib(w) += sigma(u)
+        frontier = contrib.keys.toSeq.sorted
+        frontier.foreach { w => dist(w) = h; sigma(w) = contrib(w) }
+        if (frontier.nonEmpty) levels += frontier
+        h += 1
+      }
+      val delta = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for (lvl <- (levels.length - 1) to 1 by -1;
+           w <- levels(lvl);
+           u <- levels(lvl - 1) if adj(u).contains(w))
+        delta(u) += math.round(
+          (sigma(u) / sigma(w)) * (1000000.0 + delta(w)))
+      for (v <- dist.keys if dist(v) > 0) {
+        bet(v) += delta(v)
+        nSeeds(v) += 1L
+      }
+    }
+    nSeeds.keys.map(v => v -> ((nSeeds(v), bet(v)))).toMap
+  }
+
+  test("sampledBetweenness equals the quantized Brandes reference; bridges dominate; loud contracts") {
+    def run(edges: Seq[(String, String)], seeds: Seq[String],
+        maxHops: Int = 8): Map[String, (Long, Long)] = {
+      val out = Graphs.sampledBetweenness(edges.toDF("s", "d"), "s", "d",
+        seeds.toDF("seed"), "seed", maxHops)
+      val m = out.collect().map(r => r.getAs[String]("node") ->
+        ((r.getAs[Long]("n_seeds"), r.getAs[Long]("betweenness_micros"))))
+        .toMap
+      graft.core.Caches.releaseCheckpoint(out)
+      m
+    }
+    def sym(e: Seq[(String, String)]) = e ++ e.map(_.swap)
+    // path a-b-c-d, all seeds: middles carry the traffic, ends are 0
+    val path = sym(Seq(("a", "b"), ("b", "c"), ("c", "d")))
+    val allSeeds = Seq("a", "b", "c", "d")
+    val p = run(path, allSeeds)
+    assert(p == brandesRef(path, allSeeds, 8), p.toString)
+    assert(p("a")._2 == 0L && p("d")._2 == 0L)
+    assert(p("b")._2 == p("c")._2 && p("b")._2 > 0L)
+    // star: every leaf-to-leaf geodesic crosses the hub — from 2 leaf
+    // seeds the hub accumulates 2 seeds x 3 other leaves x 1e6
+    val star = sym((1 to 4).map(i => ("hub", s"l$i")))
+    val st = run(star, Seq("l1", "l2"))
+    assert(st == brandesRef(star, Seq("l1", "l2"), 8), st.toString)
+    assert(st("hub") == ((2L, 6000000L)))
+    // diamond a->{b,c}->d (directed): split dependency, sigma_d = 2
+    val dia = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"))
+    val di = run(dia, Seq("a"))
+    assert(di == brandesRef(dia, Seq("a"), 8), di.toString)
+    assert(di("b") == ((1L, 500000L)) && di("c") == ((1L, 500000L)))
+    assert(di("d") == ((1L, 0L)))
+    // pseudorandom digraphs vs the reference, fixed seeds
+    Seq(5, 17).foreach { sd =>
+      val rnd = new scala.util.Random(sd)
+      val es = (1 to 50).map(_ =>
+        (s"n${rnd.nextInt(14)}", s"n${rnd.nextInt(14)}"))
+        .filter(e => e._1 != e._2)
+      val seeds = Seq("n0", "n1", "n2")
+      assert(run(es, seeds) == brandesRef(es, seeds, 8), s"seed $sd diverged")
+    }
+    // hop cap truncates the DAG consistently with the reference
+    assert(run(path, Seq("a"), maxHops = 2) == brandesRef(path, Seq("a"), 2))
+    // loud contracts
+    intercept[IllegalArgumentException](run(path, Nil))
+    intercept[IllegalArgumentException](run(path, allSeeds, maxHops = 0))
+    intercept[IllegalArgumentException](
+      run(path, (1 to 65).map(i => s"s$i")))
   }
 
   /** The documented rendezvous rule: argmin over neighbors of
