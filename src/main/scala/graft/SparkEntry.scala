@@ -2025,6 +2025,15 @@ object SparkEntry {
         t(s, dir, "documents"), "lang", "source")
     }),
 
+    // ---- Cliff's delta: did English docs shift the length
+    // distribution vs the rest, as an outlier-proof ordinal effect ----
+    "q_cliffs_delta" -> ((s, dir) => {
+      operators.Validation.cliffsDelta(
+        t(s, dir, "documents")
+          .select((col("lang") === "en").as("is_en"), col("n_chars")),
+        "is_en", "n_chars")
+    }),
+
     // ---- Gini concentration of document lengths ----
     "q_gini" -> ((s, dir) =>
       operators.Validation.giniCoefficient(
@@ -2852,6 +2861,18 @@ object SparkEntry {
       operators.Timeseries.cusumChangepoints(e, Seq("event_type"),
         "ts_us", "v_micros", target = 50000000L, slack = 5000000L,
         threshold = 500000000L)
+    }),
+
+    // ---- Theil–Sen slope + Mann–Kendall trend per event type over a
+    // 1/97 event subsample (the pair set is quadratic per key) ----
+    "q_theil_sen" -> ((s, dir) => {
+      val e = streaming.StreamingOps.readEventsRaw(s, s"$dir/events.parquet")
+        .where(col("event_id") % 97 === 0 && col("ts_ns").isNotNull &&
+          col("value").isNotNull)
+        .select(col("event_type"), expr("ts_ns div 1000").as("ts_us"),
+          round(col("value") * lit(1e6)).cast("long").as("v_micros"))
+      operators.Timeseries.theilSenTrend(e, Seq("event_type"),
+        "ts_us", "v_micros")
     }),
 
     // ---- U2 LLM column mapping (deterministic dry-run path) ----
@@ -7720,6 +7741,33 @@ object SparkEntry {
         |    OVER (PARTITION BY k ORDER BY b
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_micros
         |FROM j""".stripMargin,
+    // Cliff's delta from values-sized prefix sums — exact LONG
+    // win/tie/loss totals, two final portable divisions
+    "q_cliffs_delta" ->
+      """WITH g AS (
+        |  SELECT n_chars AS v,
+        |    CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS ca,
+        |    CAST(count(CASE WHEN NOT (lang = 'en') THEN 1 END) AS BIGINT)
+        |      AS cb
+        |  FROM documents GROUP BY 1),
+        |p AS (
+        |  SELECT ca, cb,
+        |    coalesce(CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS bb,
+        |    coalesce(CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS ab
+        |  FROM g),
+        |s AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(sum(ca * bb) AS BIGINT) AS wins,
+        |    CAST(sum(ca * cb) AS BIGINT) AS ties,
+        |    CAST(sum(cb * ab) AS BIGINT) AS losses
+        |  FROM p)
+        |SELECT na AS n_a, nb AS n_b, wins, ties, losses,
+        |  round((wins - losses)::DOUBLE / (na * nb), 6) AS cliffs_delta,
+        |  round((wins::DOUBLE + ties / 2.0) / (na * nb), 6) AS auc
+        |FROM s""".stripMargin,
     // CUSUM replay: the max(0, ·) recursion as prefix-sum minus
     // clamped prefix-min, all BIGINT
     "q_cusum" ->
@@ -7748,6 +7796,37 @@ object SparkEntry {
         |SELECT event_type, ts_us, v_micros, cusum_pos, cusum_neg,
         |  (cusum_pos > 500000000 OR cusum_neg > 500000000) AS alarm
         |FROM s""".stripMargin,
+    // Theil–Sen/Mann–Kendall replay: the identical pair join, slopes
+    // as one portable IEEE division each, median as order statistics
+    "q_theil_sen" ->
+      """WITH e AS (
+        |  SELECT event_type AS k, epoch_us(ts) AS t,
+        |    CAST(round(value * 1e6) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_id % 97 = 0 AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |p AS (
+        |  SELECT a.k, (b.v - a.v)::DOUBLE / (b.t - a.t) AS slope,
+        |    CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END
+        |      AS sgn
+        |  FROM e a JOIN e b ON a.k = b.k AND a.t < b.t),
+        |r AS (
+        |  SELECT k, slope, sgn,
+        |    row_number() OVER (PARTITION BY k ORDER BY slope) AS rn,
+        |    count(*) OVER (PARTITION BY k) AS cnt
+        |  FROM p),
+        |n AS (SELECT k, CAST(count(*) AS BIGINT) AS np FROM e GROUP BY k),
+        |agg AS (
+        |  SELECT k, CAST(max(cnt) AS BIGINT) AS n_pairs,
+        |    CAST(sum(sgn) AS BIGINT) AS s_statistic,
+        |    min(CASE WHEN rn = (cnt + 1) // 2 THEN slope END) AS lo,
+        |    min(CASE WHEN rn = (cnt + 2) // 2 THEN slope END) AS hi
+        |  FROM r GROUP BY k)
+        |SELECT agg.k AS event_type, n.np AS n_points, n_pairs,
+        |  s_statistic,
+        |  round(s_statistic::DOUBLE / (np * (np - 1) / 2), 6) AS tau,
+        |  (lo + hi) / 2.0 AS slope
+        |FROM agg JOIN n ON agg.k = n.k""".stripMargin,
     "q_llm_map_dry_run" ->
       """SELECT doc_id, lang,
         |  CASE lower(coalesce(lang, ''))

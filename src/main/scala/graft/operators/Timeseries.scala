@@ -116,6 +116,112 @@ object Timeseries {
       .drop("__pu", "__pd")
   }
 
+  /** Theil–Sen robust trend slope + Mann–Kendall trend test per key —
+    * "is this metric drifting, and how fast" with outlier-proof
+    * estimates (one bad scrape cannot move a median slope the way it
+    * yanks a least-squares fit): the slope is the MEDIAN of all
+    * pairwise slopes `(v_j − v_i)/(t_j − t_i)`, the Mann–Kendall `S` is
+    * `Σ_{i<j} sign(v_j − v_i)` with Kendall's `τ_a = S / (n(n−1)/2)`.
+    *
+    * Exactness: integral ts/value contract (the [[cusumChangepoints]]
+    * discipline), each pairwise slope is ONE IEEE long-difference
+    * division (portable), the median is an order statistic over those
+    * slopes (ties interchangeable; even counts average the two middle
+    * values — one portable add + halve), and `S`/`τ` are pure integer
+    * arithmetic with one final division. The DuckDB twin replays the
+    * identical pair join.
+    *
+    * Scale shape: the pair self-join is per-key QUADRATIC — that is the
+    * estimator, not an accident — so per-key series length is REFUSED
+    * loudly above `maxPoints` (one eager keys-sized aggregate — a
+    * 2-long-row driver check, never a key collect); duplicate
+    * timestamps within a key are refused too (a
+    * same-instant pair has no slope). Downsample per key upstream
+    * (e.g. [[resample]]) to fit the budget. NULL-keyed rows drop (the
+    * equality-join convention, identical on both engines). Output:
+    * key cols + `(n_points, n_pairs, s_statistic, tau, slope)`.
+    */
+  def theilSenTrend(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      maxPoints: Long = 1000L): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty — a global " +
+      "series is one quadratic pair set; key on something")
+    require(maxPoints >= 2 && maxPoints <= 100000L,
+      s"maxPoints must be in 2..100000, got $maxPoints " +
+        "(pairs are quadratic per key)")
+    Seq(tsCol, valueCol).foreach { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"theilSenTrend: `$c` is $other — ts and value must be " +
+            "INTEGRAL (epoch-micros / micro-units; quantize upstream)")
+      }
+    }
+    val nulls = df.agg(
+      count(when(col(tsCol).isNull || col(valueCol).isNull, 1)).as("__nl"))
+      .head().getAs[Long]("__nl")
+    require(nulls == 0L,
+      s"theilSenTrend: $nulls NULL `$tsCol`/`$valueCol` row(s) — " +
+        "filter deliberately upstream")
+    val keys = keyCols.map(col)
+    // eager guards (one keys-sized aggregate): in-plan raise_error is
+    // NOT reliable here — a zero-pair key makes the aggregate side
+    // empty and AQE's empty-relation propagation can elide the guarded
+    // scan entirely, silently skipping the check
+    val counts = df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(col(tsCol)).as("__ndt"))
+    val guard = counts.agg(max(col("__n")).as("__mx"),
+      count(when(col("__ndt") =!= col("__n"), 1)).as("__dups")).head()
+    require(guard.getAs[Long]("__mx") <= maxPoints,
+      s"theilSenTrend: a key has ${guard.getAs[Long]("__mx")} points " +
+        s"(> maxPoints=$maxPoints; pairs are quadratic) — downsample " +
+        "per key upstream")
+    require(guard.getAs[Long]("__dups") == 0L,
+      s"theilSenTrend: ${guard.getAs[Long]("__dups")} key(s) carry " +
+        "duplicate timestamps — a same-instant pair has no slope; " +
+        "dedup upstream")
+    val a = df.select(keys :+ col(tsCol).as("__t1") :+
+      col(valueCol).as("__v1"): _*)
+    val b = df.select(keys :+ col(tsCol).as("__t2") :+
+      col(valueCol).as("__v2"): _*)
+    val pairs = a.join(b, keyCols).where(col("__t1") < col("__t2"))
+      .select(keys :+
+        ((col("__v2") - col("__v1")).cast("double") /
+          (col("__t2") - col("__t1"))).as("__slope") :+
+        when(col("__v2") > col("__v1"), 1L)
+          .when(col("__v2") < col("__v1"), -1L)
+          .otherwise(0L).as("__sgn"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("__slope"))
+    val ranked = pairs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)))
+    val aggd = ranked.groupBy(keys: _*)
+      .agg(
+        max(col("__cnt")).as("n_pairs"),
+        sum(col("__sgn")).as("s_statistic"),
+        // the two middle order statistics (equal when odd count)
+        min(when(col("__rn") === expr("(__cnt + 1) div 2"), col("__slope")))
+          .as("__lo"),
+        min(when(col("__rn") === expr("(__cnt + 2) div 2"), col("__slope")))
+          .as("__hi"))
+    // sub-2-point keys have no pairs and drop here (nothing to trend)
+    counts.join(aggd, keyCols)
+      .select(keys ++ Seq(
+        col("__n").as("n_points"), col("n_pairs"), col("s_statistic"),
+        round(col("s_statistic").cast("double") /
+          (col("__n") * (col("__n") - 1L) / 2L), 6).as("tau"),
+        ((col("__lo") + col("__hi")) / lit(2.0)).as("slope")): _*)
+  }
+
   /** Per-key fixed-grid resample of `df` — see object doc.
     *
     * `tsUsCol` must be LONG epoch-micros (the `unix_micros` contract

@@ -976,6 +976,92 @@ object Validation {
     } finally cells.unpersist()
   }
 
+  /** Cliff's delta — the ordinal two-sample effect size for A/B audits
+    * (did the new filter SHIFT the length/quality/score distribution,
+    * and by how much, in a unit that ignores outliers and scale):
+    * `δ = (#(a > b) − #(a < b)) / (n_a·n_b)` over all cross pairs —
+    * identical to the rank-biserial correlation and to `2·AUC − 1`
+    * (the [[graft.operators.RankEval.aucRoc]] Mann–Whitney statistic
+    * viewed as an effect size; emitted alongside for convenience).
+    *
+    * No pair is ever materialized: ONE groupBy to per-distinct-value
+    * group counts, then range-repartitioned per-partition prefixes +
+    * broadcast partition offsets over that VALUES-sized table (the
+    * [[graft.operators.RankEval.aucRoc]] scale shape — no global-order
+    * window), and exact LONG win/tie/loss totals — the only doubles
+    * are two final divisions (portable IEEE), so the DuckDB twin is
+    * hash-exact. Empty groups yield NULL effect sizes.
+    * `valueCol` must be integral (micro-quantize upstream) and
+    * NULL-free in both filtered groups (a NULL has no rank; rejected
+    * loudly); groups come from a boolean `inGroupA` predicate column
+    * so callers control the split. Output: `(n_a, n_b, wins, ties,
+    * losses, cliffs_delta, auc)`.
+    */
+  def cliffsDelta(
+      df: DataFrame, groupACol: String, valueCol: String): DataFrame = {
+    df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"cliffsDelta: `$valueCol` is $other — values must be INTEGRAL " +
+          "(micro-quantize upstream; double ranks are not engine-portable)")
+    }
+    require(df.schema(groupACol).dataType ==
+      org.apache.spark.sql.types.BooleanType,
+      s"cliffsDelta: `$groupACol` must be BOOLEAN (the group-A predicate)")
+    val bad = df.agg(count(when(col(valueCol).isNull ||
+      col(groupACol).isNull, 1)).as("__nl")).head().getAs[Long]("__nl")
+    require(bad == 0L,
+      s"cliffsDelta: $bad NULL `$valueCol`/`$groupACol` row(s) — a NULL " +
+        "has no rank; filter deliberately upstream")
+    // the aucFromScoreCounts scale shape: range-repartition the
+    // values-sized count table, per-partition prefix sums, broadcast
+    // partition offsets — no global-order window anywhere
+    val w = org.apache.spark.sql.expressions.Window
+    val g = graft.core.Caches.pin(df
+      .groupBy(col(valueCol).as("__v"))
+      .agg(count(when(col(groupACol), 1)).as("__ca"),
+        count(when(!col(groupACol), 1)).as("__cb"))
+      .repartitionByRange(
+        df.sparkSession.sparkContext.defaultParallelism, col("__v"))
+      .sortWithinPartitions(col("__v"))
+      .withColumn("__pid", spark_partition_id()))
+    try {
+      val offsets = g.groupBy(col("__pid"))
+        .agg(sum(col("__ca")).as("__pa"), sum(col("__cb")).as("__pb"))
+        .withColumn("__offa", coalesce(
+          sum(col("__pa")).over(w.orderBy("__pid")
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .withColumn("__offb", coalesce(
+          sum(col("__pb")).over(w.orderBy("__pid")
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .select(col("__pid"), col("__offa"), col("__offb"))
+      val pw = w.partitionBy(col("__pid")).orderBy(col("__v"))
+        .rowsBetween(Long.MinValue, -1)
+      g.withColumn("__ra", coalesce(sum(col("__ca")).over(pw), lit(0L)))
+        .withColumn("__rb", coalesce(sum(col("__cb")).over(pw), lit(0L)))
+        .join(broadcast(offsets), "__pid")
+        .agg(
+          sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"),
+          sum(col("__ca") * (col("__rb") + col("__offb"))).as("__wins"),
+          sum(col("__ca") * col("__cb")).as("__ties"),
+          sum(col("__cb") * (col("__ra") + col("__offa"))).as("__losses"))
+        .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+          col("__wins").as("wins"), col("__ties").as("ties"),
+          col("__losses").as("losses"),
+          round(when(col("__na") === 0L || col("__nb") === 0L, lit(null))
+            .otherwise((col("__wins") - col("__losses")).cast("double") /
+              (col("__na") * col("__nb"))), 6).as("cliffs_delta"),
+          round(when(col("__na") === 0L || col("__nb") === 0L, lit(null))
+            .otherwise((col("__wins").cast("double") +
+              col("__ties") / lit(2.0)) /
+              (col("__na") * col("__nb"))), 6).as("auc"))
+        .localCheckpoint(true)
+    } finally g.unpersist()
+  }
+
   /** Pearson chi-squared test of independence + Cramér's V between two
     * categorical columns — the effect-size companion to
     * [[mutualInformation]] for pipeline-signal audits (is the quality
@@ -1004,10 +1090,22 @@ object Validation {
   def chiSquaredIndependence(
       df: DataFrame, colA: String, colB: String): DataFrame = {
     require(colA != colB, "colA and colB must differ")
-    val w = org.apache.spark.sql.expressions.Window
-    val cells = df
+    chiSquaredFromCells(df
       .groupBy(col(colA).as("__a"), col(colB).as("__b"))
-      .agg(count(lit(1)).as("__nab"))
+      .agg(count(lit(1)).as("__nab")))
+  }
+
+  /** [[chiSquaredIndependence]] from pre-aggregated contingency cells
+    * `(__a, __b, __nab)` — the SAME sum-mergeable sufficient statistic
+    * [[cohenKappaFromCells]] reads, so one streamed contingency log
+    * serves both standing statistics
+    * ([[graft.streaming.StreamingOps.chiSquaredFromLog]]).
+    */
+  def chiSquaredFromCells(rawCells: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val cells = rawCells
+      .groupBy(col("__a"), col("__b"))
+      .agg(sum(col("__nab")).as("__nab"))
       .withColumn("__na", sum(col("__nab")).over(w.partitionBy(col("__a"))))
       .withColumn("__nb", sum(col("__nab")).over(w.partitionBy(col("__b"))))
       .withColumn("__N", sum(col("__nab")).over(w.partitionBy()))

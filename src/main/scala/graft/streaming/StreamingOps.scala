@@ -875,19 +875,36 @@ object StreamingOps {
     }
   }
 
-  /** The standing Cohen's kappa over everything delivered to a
-    * [[kappaLogSink]] log — same output row as the batch operator.
+  /** The folded contingency cells of a [[kappaLogSink]] log — the
+    * shared sufficient statistic behind both standing agreement stats.
     */
-  def kappaFromLog(spark: SparkSession, logPath: String): DataFrame = {
-    val cells = StatLog.read(spark, logPath)
+  private def contingencyCellsFromLog(
+      spark: SparkSession, logPath: String): DataFrame =
+    StatLog.read(spark, logPath)
       .groupBy(col("__a"), col("__b"), col("__a_null"), col("__b_null"))
       .agg(sum(col("__kcnt")).as("__nab"))
       .select(
         when(col("__a_null"), lit(null)).otherwise(col("__a")).as("__a"),
         when(col("__b_null"), lit(null)).otherwise(col("__b")).as("__b"),
         col("__nab"))
-    graft.operators.Validation.cohenKappaFromCells(cells)
-  }
+
+  /** The standing Cohen's kappa over everything delivered to a
+    * [[kappaLogSink]] log — same output row as the batch operator.
+    */
+  def kappaFromLog(spark: SparkSession, logPath: String): DataFrame =
+    graft.operators.Validation.cohenKappaFromCells(
+      contingencyCellsFromLog(spark, logPath))
+
+  /** The standing chi-squared independence test + Cramér's V over the
+    * SAME [[kappaLogSink]] contingency log — the cells are the shared
+    * sufficient statistic, so one streamed sink serves both "do the
+    * raters agree" (kappa) and "are the two columns associated at all"
+    * (chi², effect size V); same output row as the batch
+    * [[graft.operators.Validation.chiSquaredIndependence]].
+    */
+  def chiSquaredFromLog(spark: SparkSession, logPath: String): DataFrame =
+    graft.operators.Validation.chiSquaredFromCells(
+      contingencyCellsFromLog(spark, logPath))
 
   /** Stream a numeric column's distinct-value counts into a
     * sum-mergeable log — the sufficient statistic for the two-sample

@@ -121,4 +121,51 @@ class TimeseriesSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Timeseries.cusumChangepoints(
       df, Seq("k"), "t", "v", 0L, 0L, 0L))
   }
+
+  test("theilSenTrend: hand-computed slopes/tau, outlier robustness, loud quadratic guard") {
+    def run(pts: Seq[(String, Long, Long)], maxPoints: Long = 1000L) =
+      Timeseries.theilSenTrend(pts.toDF("k", "t", "v"), Seq("k"), "t", "v",
+        maxPoints)
+        .collect().map(r => r.getAs[String]("k") ->
+          ((r.getAs[Long]("n_points"), r.getAs[Long]("n_pairs"),
+            r.getAs[Long]("s_statistic"), r.getAs[Double]("tau"),
+            r.getAs[Double]("slope")))).toMap
+    // perfect line v = 3t: every pairwise slope 3, S = n(n-1)/2, tau 1
+    val line = (0L to 4L).map(t => ("a", t, 3 * t))
+    assert(run(line)("a") == ((5L, 10L, 10L, 1.0, 3.0)))
+    // one wild outlier cannot move the median slope off ~3:
+    // points t=0..4, v=3t except v(4)=1000 — 4 contaminated pairs of
+    // 10; median slope stays 3
+    val outlier = (0L to 3L).map(t => ("b", t, 3 * t)) :+ (("b", 4L, 1000L))
+    val ob = run(outlier)("b")
+    assert(ob._5 == 3.0, ob.toString)
+    assert(ob._3 == 10L && ob._4 == 1.0) // still monotone: MK is rank-only
+    // hand case, even pair count: points (0,0),(1,2),(2,2),(3,3):
+    // slopes 2,1,1,0,0.5,1 sorted 0,0.5,1,1,1,2 -> median 1;
+    // S = 5 (one tie), tau = 5/6
+    val h = run(Seq(("c", 0L, 0L), ("c", 1L, 2L), ("c", 2L, 2L),
+      ("c", 3L, 3L)))("c")
+    assert(h == ((4L, 6L, 5L, 0.833333, 1.0)), h.toString)
+    // keys independent; descending series: negative slope, tau -1
+    val down = (0L to 3L).map(t => ("d", t, -2 * t))
+    assert(run(down)("d") == ((4L, 6L, -6L, -1.0, -2.0)))
+    // loud contracts: quadratic guard, dup timestamps, doubles, nulls
+    val big = (1L to 11L).map(t => ("e", t, t))
+    assert(intercept[IllegalArgumentException] {
+      Timeseries.theilSenTrend(big.toDF("k", "t", "v"), Seq("k"), "t", "v",
+        maxPoints = 10L)
+    }.getMessage.contains("quadratic"))
+    assert(intercept[IllegalArgumentException] {
+      Timeseries.theilSenTrend(
+        Seq(("f", 1L, 1L), ("f", 1L, 2L)).toDF("k", "t", "v"),
+        Seq("k"), "t", "v")
+    }.getMessage.contains("duplicate timestamps"))
+    intercept[IllegalArgumentException](Timeseries.theilSenTrend(
+      Seq(("g", 1L, 1.5)).toDF("k", "t", "v"), Seq("k"), "t", "v"))
+    intercept[IllegalArgumentException](Timeseries.theilSenTrend(
+      Seq(("g", Some(1L), Option.empty[Long])).toDF("k", "t", "v"),
+      Seq("k"), "t", "v"))
+    intercept[IllegalArgumentException](Timeseries.theilSenTrend(
+      Seq(("g", 1L, 1L)).toDF("k", "t", "v"), Nil, "t", "v"))
+  }
 }

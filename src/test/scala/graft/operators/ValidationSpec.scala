@@ -593,4 +593,41 @@ class ValidationSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Validation.chiSquaredIndependence(withNull, "a", "a"))
   }
+
+  test("cliffsDelta: hand-counted wins/ties/losses, poles, symmetry, loud contracts") {
+    def df(a: Seq[Long], b: Seq[Long]) =
+      (a.map((true, _)) ++ b.map((false, _))).toDF("g", "v")
+    // A = [1, 3, 3], B = [2, 3]: wins (a>b) = 2 (3>2 twice),
+    // ties = 2 (3==3 twice), losses (a<b) = 2 (1<2, 1<3)
+    val r = Validation.cliffsDelta(df(Seq(1L, 3L, 3L), Seq(2L, 3L)), "g", "v")
+      .head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("wins") == 2L && r.getAs[Long]("ties") == 2L &&
+      r.getAs[Long]("losses") == 2L)
+    assert(r.getAs[Double]("cliffs_delta") == 0.0)
+    assert(r.getAs[Double]("auc") == 0.5)
+    // complete dominance: delta 1 / -1, auc 1 / 0
+    val hi = Validation.cliffsDelta(df(Seq(10L, 11L), Seq(1L, 2L)), "g", "v")
+      .head()
+    assert(hi.getAs[Double]("cliffs_delta") == 1.0 &&
+      hi.getAs[Double]("auc") == 1.0)
+    val lo = Validation.cliffsDelta(df(Seq(1L, 2L), Seq(10L, 11L)), "g", "v")
+      .head()
+    assert(lo.getAs[Double]("cliffs_delta") == -1.0 &&
+      lo.getAs[Double]("auc") == 0.0)
+    // delta(A,B) = -delta(B,A)
+    val ab = Validation.cliffsDelta(df(Seq(1L, 5L, 9L), Seq(2L, 3L)), "g", "v")
+      .head().getAs[Double]("cliffs_delta")
+    val ba = Validation.cliffsDelta(
+      (Seq(1L, 5L, 9L).map((false, _)) ++ Seq(2L, 3L).map((true, _)))
+        .toDF("g", "v"), "g", "v").head().getAs[Double]("cliffs_delta")
+    assert(ab == 0.333333 && ba == -0.333333)
+    // loud: double values, NULLs, non-boolean group
+    intercept[IllegalArgumentException](Validation.cliffsDelta(
+      Seq((true, 1.5)).toDF("g", "v"), "g", "v"))
+    intercept[IllegalArgumentException](Validation.cliffsDelta(
+      Seq((true, Option.empty[Long])).toDF("g", "v"), "g", "v"))
+    intercept[IllegalArgumentException](Validation.cliffsDelta(
+      Seq(("x", 1L)).toDF("g", "v"), "g", "v"))
+  }
 }

@@ -1073,6 +1073,15 @@ class StreamingOpsSpec extends SparkTestBase {
       StreamingOps.compactStatLog(spark, log)
       assert(StreamingOps.kappaFromLog(spark, log).head().toSeq
         == batch.toSeq)
+      // the SAME contingency log serves the standing chi-squared +
+      // Cramér's V (shared sufficient statistic), equal to the batch
+      // operator over the union — including the NULL/NULL category
+      val chiStream = StreamingOps.chiSquaredFromLog(spark, log).head()
+      val chiBatch = graft.operators.Validation.chiSquaredIndependence(
+        (b1 ++ b2).toDF("r1", "r2"), "r1", "r2").head()
+      assert(chiStream.toSeq == chiBatch.toSeq,
+        s"standing ${chiStream.toSeq} vs batch ${chiBatch.toSeq}")
+      assert(chiStream.getAs[Long]("dof") == 4L) // 3 x 3 incl. NULLs
     } finally q.stop()
   }
 
