@@ -1350,6 +1350,31 @@ object SparkEntry {
         e, e.where(col("vec_id") < 10), "vec_id", "embedding", "vec_id", 5)
     }),
 
+    // ---- MMR diversity rerank of a retrieved set: relevance = cosine
+    // to the vec_id=0 query, greedy integer argmax; FULL twin (the
+    // oracle replays the greedy loop as a carried-state recursion) ----
+    "q_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val all = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val q = all.where(col("vec_id") === 0)
+        .select(col("v").as("qv"),
+          sqrt(graft.functions.VectorFunctions.sumSquares(col("v")))
+            .as("nq"))
+      val cand = all.where(col("vec_id") > 0)
+        .crossJoin(broadcast(q))
+        .withColumn("nc",
+          sqrt(graft.functions.VectorFunctions.sumSquares(col("v"))))
+        .select(col("vec_id"),
+          round(when(col("nc") === 0.0 || col("nq") === 0.0, lit(0.0))
+            .otherwise(graft.functions.VectorFunctions.dot(col("v"),
+              col("qv")) / (col("nc") * col("nq"))) * 1e6)
+            .cast("long").as("score_micros"),
+          col("v").as("embedding"))
+      operators.Ann.mmrRerank(cand, "vec_id", "score_micros", "embedding",
+        k = 10, lambdaMicros = 700000L)
+    }),
+
     // ---- hard-negative mining (DPR/RocketQA): top-k most-similar
     // non-gold items per query; gold = self + a planted doc ----
     "q_hard_negatives" -> ((s, dir) => {
@@ -7741,6 +7766,79 @@ object SparkEntry {
         |    OVER (PARTITION BY k ORDER BY b
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_micros
         |FROM j""".stripMargin,
+    // MMR greedy replay: carried-state recursion — the working table
+    // re-emits the selected set each round; a selected×candidates
+    // fanout computes pairwise sims once, windows settle per-candidate
+    // maxsim (floored at 0) and pick the integer-argmax row
+    "q_mmr_rerank" ->
+      """WITH RECURSIVE qv0 AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |c0 AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings WHERE vec_id > 0),
+        |cand AS (
+        |  SELECT id, cv, nc,
+        |    CAST(round(CASE WHEN nc = 0 OR nq = 0 THEN 0.0
+        |      ELSE dot / (nc * nq) END * 1e6) AS BIGINT) AS score
+        |  FROM (
+        |    SELECT id, cv,
+        |      list_sum(list_transform(range(len(cv)),
+        |        i -> cv[CAST(i AS INTEGER)+1] * qv[CAST(i AS INTEGER)+1]))
+        |        AS dot,
+        |      sqrt(list_sum(list_transform(cv, x -> x * x))) AS nc,
+        |      sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq
+        |    FROM c0 CROSS JOIN qv0)),
+        |sel(r, id, rank, score, maxsim, mmr) AS (
+        |  SELECT 1, id, 1, score, CAST(0 AS BIGINT), 700000 * score
+        |  FROM (SELECT id, score,
+        |      row_number() OVER (ORDER BY 700000 * score DESC, id) AS rn
+        |    FROM cand) t
+        |  WHERE rn = 1
+        |  UNION ALL
+        |  SELECT nr, id, rank, score, maxsim, mmr FROM (
+        |    SELECT nr, id, score,
+        |      selrank IS NOT NULL AS carried,
+        |      CASE WHEN selrank IS NOT NULL THEN selrank ELSE nr END
+        |        AS rank,
+        |      CASE WHEN selrank IS NOT NULL THEN selmaxsim
+        |        ELSE greatest(msim, 0) END AS maxsim,
+        |      CASE WHEN selrank IS NOT NULL THEN selmmr
+        |        ELSE 700000 * score - 300000 * greatest(msim, 0) END AS mmr,
+        |      row_number() OVER (ORDER BY
+        |        CASE WHEN selrank IS NULL
+        |          THEN 700000 * score - 300000 * greatest(msim, 0) END
+        |          DESC NULLS LAST,
+        |        id) AS pick_rn
+        |    FROM (
+        |      SELECT nr, id, score,
+        |        max(CASE WHEN is_sel THEN s_rank END)
+        |          OVER (PARTITION BY id) AS selrank,
+        |        max(CASE WHEN is_sel THEN s_maxsim END)
+        |          OVER (PARTITION BY id) AS selmaxsim,
+        |        max(CASE WHEN is_sel THEN s_mmr END)
+        |          OVER (PARTITION BY id) AS selmmr,
+        |        max(sim) OVER (PARTITION BY id) AS msim,
+        |        row_number() OVER (PARTITION BY id ORDER BY s_rank) AS rid
+        |      FROM (
+        |        SELECT s.r + 1 AS nr, c.id, c.score, s.rank AS s_rank,
+        |          s.maxsim AS s_maxsim, s.mmr AS s_mmr,
+        |          (c.id = s.id) AS is_sel,
+        |          CAST(round(CASE WHEN c.nc = 0 OR sc.nc = 0 THEN 0.0
+        |            ELSE list_sum(list_transform(range(len(c.cv)),
+        |              i -> c.cv[CAST(i AS INTEGER)+1]
+        |                 * sc.cv[CAST(i AS INTEGER)+1]))
+        |              / (c.nc * sc.nc) END * 1e6) AS BIGINT) AS sim
+        |        FROM sel s
+        |        JOIN cand sc ON sc.id = s.id
+        |        CROSS JOIN cand c
+        |        WHERE s.r < 10) t0) t1
+        |    WHERE rid = 1) t2
+        |  WHERE carried OR pick_rn = 1)
+        |SELECT CAST(rank AS INTEGER) AS rank, id, score AS score_micros,
+        |  maxsim AS maxsim_micros, mmr AS mmr_micros
+        |FROM sel WHERE r = (SELECT max(r) FROM sel)""".stripMargin,
     // Cliff's delta from values-sized prefix sums — exact LONG
     // win/tie/loss totals, two final portable divisions
     "q_cliffs_delta" ->

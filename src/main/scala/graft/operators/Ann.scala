@@ -46,6 +46,120 @@ object Ann {
       .select("q_id", "id", "cos", "rank")
   }
 
+  /** Maximal-marginal-relevance reranking (Carbonell & Goldstein 1998)
+    * — the diversity pass between retrieval and a RAG context window:
+    * greedily pick the candidate maximizing `λ·relevance − (1−λ)·
+    * max_sim(candidate, already-picked)`, so near-duplicate passages
+    * stop crowding out coverage.
+    *
+    * Engine-exact: relevance is integral micros BY CONTRACT, each
+    * candidate↔selected cosine is micro-rounded once, and the greedy
+    * objective `λµ·score − (1e6−λµ)·maxsim` stays in LONGs — ties
+    * break on the smaller id, so the k picks are a pure integer argmax
+    * sequence a SQL oracle replays exactly. The diversity penalty
+    * FLOORS AT ZERO (maxsim starts at 0 and only grows): an
+    * anti-correlated candidate is merely "not redundant", never
+    * bonus-boosted above its relevance.
+    *
+    * Scale shape: k driver rounds (k ≤ 256 loud), each ONE distributed
+    * top-1 reduce over the remaining candidates plus ONE narrow
+    * projection updating the running max-similarity against the
+    * just-picked vector (broadcast as a literal — selected state is
+    * k vectors, never a shuffle); the candidate frame is checkpoint-
+    * rotated so plan depth stays O(1). Candidates are the RETRIEVED
+    * set (top-N of an index scan), not a corpus — bound N upstream.
+    *
+    * Output: `(rank, id, score_micros, maxsim_micros, mmr_micros)` —
+    * pick order, each row's relevance, and its diversity penalty and
+    * objective AT PICK TIME.
+    */
+  def mmrRerank(
+      candidates: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      vecCol: String,
+      k: Int,
+      lambdaMicros: Long): DataFrame = {
+    require(k >= 1 && k <= 256, s"k must be in 1..256, got $k")
+    require(lambdaMicros >= 0L && lambdaMicros <= 1000000L,
+      s"lambdaMicros must be in [0, 1000000], got $lambdaMicros")
+    candidates.schema(scoreCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"mmrRerank: `$scoreCol` is $other — relevance must be INTEGRAL " +
+          "micros (quantize upstream; double scores are not " +
+          "engine-portable through a greedy argmax)")
+    }
+    val bad = candidates.agg(count(when(col(idCol).isNull ||
+      col(scoreCol).isNull || col(vecCol).isNull, 1)).as("__nl"))
+      .head().getAs[Long]("__nl")
+    require(bad == 0L,
+      s"mmrRerank: $bad NULL id/score/vector row(s) — filter upstream")
+    val spark = candidates.sparkSession
+    var state = candidates
+      .select(col(idCol).as("id"), col(scoreCol).cast("long")
+        .as("score_micros"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .withColumn("__n",
+        sqrt(graft.functions.VectorFunctions.sumSquares(col("__v"))))
+      .withColumn("maxsim_micros", lit(0L))
+      .localCheckpoint(true)
+    graft.core.Caches.registerCheckpoint(state)
+    var selected: DataFrame = null
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= k && !exhausted) {
+        val mmr = (lit(lambdaMicros) * col("score_micros") -
+          lit(1000000L - lambdaMicros) * col("maxsim_micros"))
+          .as("mmr_micros")
+        val pickRows = state.select(col("id"), col("score_micros"),
+            col("__v"), col("__n"), col("maxsim_micros"), mmr)
+          .orderBy(col("mmr_micros").desc, col("id").asc).limit(1)
+          .collect()
+        if (pickRows.isEmpty) exhausted = true
+        else {
+          val p = pickRows.head
+          val pickFrame = spark.range(1).select(
+            lit(r).as("rank"),
+            lit(p.get(p.fieldIndex("id"))).as("id"),
+            lit(p.getAs[Long]("score_micros")).as("score_micros"),
+            lit(p.getAs[Long]("maxsim_micros")).as("maxsim_micros"),
+            lit(p.getAs[Long]("mmr_micros")).as("mmr_micros"))
+          val grown = (if (selected == null) pickFrame
+            else selected.unionByName(pickFrame)).localCheckpoint(true)
+          if (selected != null) graft.core.Caches.releaseCheckpoint(selected)
+          selected = grown
+          val selVec = p.getSeq[Double](p.fieldIndex("__v"))
+          val selNorm = p.getAs[Double]("__n")
+          val sim = round(Dedup.cosineWithNorms(col("__v"),
+            typedLit(selVec), col("__n"), lit(selNorm)) * 1e6).cast("long")
+          val next = state
+            .where(col("id") =!= lit(p.get(p.fieldIndex("id"))))
+            .withColumn("maxsim_micros",
+              greatest(col("maxsim_micros"), sim))
+            .localCheckpoint(true)
+          graft.core.Caches.releaseCheckpoint(state)
+          state = next
+          r += 1
+        }
+      }
+      val out = (if (selected == null)
+        spark.range(0).select(lit(0).as("rank"), lit(null).as("id"),
+          lit(0L).as("score_micros"), lit(0L).as("maxsim_micros"),
+          lit(0L).as("mmr_micros"))
+      else selected).localCheckpoint(true)
+      graft.core.Caches.registerCheckpoint(out)
+      out
+    } finally {
+      graft.core.Caches.releaseCheckpoint(state)
+      if (selected != null) graft.core.Caches.releaseCheckpoint(selected)
+    }
+  }
+
   /** Hard-negative mining for embedding-model training data (the
     * DPR/RocketQA recipe: Karpukhin et al. 2020; Qu et al. 2021): for
     * each query, the top-`k` most-similar corpus items that are NOT its

@@ -28,6 +28,58 @@ class AnnMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("mmrRerank: greedy reference replay, diversity beats a redundant runner-up, lambda poles, loud contracts") {
+    // planted geometry: relevance order a > b > c, but b duplicates a
+    // exactly — MMR at lambda 0.5 must pick the diverse c second
+    val cand = Seq(
+      (1L, 900000L, Seq(1.0, 0.0)), // a: most relevant
+      (2L, 880000L, Seq(1.0, 0.0)), // b: near-tie duplicate of a
+      (3L, 500000L, Seq(0.0, 1.0))) // c: orthogonal
+      .toDF("id", "score_micros", "v")
+    val outDf = Ann.mmrRerank(cand, "id", "score_micros", "v",
+      k = 3, lambdaMicros = 500000L)
+    val out = outDf.collect().sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("id"),
+        r.getAs[Long]("maxsim_micros"), r.getAs[Long]("mmr_micros")))
+    graft.core.Caches.releaseCheckpoint(outDf)
+    // pick 1: a (pure relevance). pick 2: b's penalty is a full 1e6
+    // (identical vector) -> mmr(b) = .5*880000 - .5*1e6 < mmr(c) =
+    // .5*500000 - 0 -> c. pick 3: b with its duplicate penalty on record
+    assert(out.toSeq == Seq(
+      (1, 1L, 0L, 450000000000L),
+      (2, 3L, 0L, 250000000000L),
+      (3, 2L, 1000000L, -60000000000L)), out.mkString(", "))
+    // lambda = 1e6: pure relevance order, penalties ignored
+    val pure = Ann.mmrRerank(cand, "id", "score_micros", "v",
+      k = 3, lambdaMicros = 1000000L)
+      .collect().sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("id")).toSeq
+    assert(pure == Seq(1L, 2L, 3L))
+    // k beyond the candidate count stops early, ranks stay dense
+    val short = Ann.mmrRerank(cand, "id", "score_micros", "v",
+      k = 200, lambdaMicros = 700000L).collect()
+    assert(short.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3))
+    // anti-correlated vectors never earn a bonus: maxsim floors at 0
+    val anti = Seq(
+      (1L, 500000L, Seq(1.0, 0.0)),
+      (2L, 400000L, Seq(-1.0, 0.0)))
+      .toDF("id", "score_micros", "v")
+    val a2 = Ann.mmrRerank(anti, "id", "score_micros", "v", 2, 500000L)
+      .collect().find(_.getAs[Int]("rank") == 2).get
+    assert(a2.getAs[Long]("maxsim_micros") == 0L)
+    assert(a2.getAs[Long]("mmr_micros") == 200000000000L)
+    // loud: double scores, NULLs, bad k / lambda
+    intercept[IllegalArgumentException](Ann.mmrRerank(
+      Seq((1L, 0.5, Seq(1.0))).toDF("id", "s", "v"), "id", "s", "v",
+      1, 500000L))
+    intercept[IllegalArgumentException](Ann.mmrRerank(
+      Seq((1L, Option.empty[Long], Seq(1.0))).toDF("id", "s", "v"),
+      "id", "s", "v", 1, 500000L))
+    intercept[IllegalArgumentException](Ann.mmrRerank(
+      cand, "id", "score_micros", "v", 0, 500000L))
+    intercept[IllegalArgumentException](Ann.mmrRerank(
+      cand, "id", "score_micros", "v", 1, 1000001L))
+  }
+
   test("hardNegatives: gold excluded, equals exclusion-rerank of exact topk, denoise guard") {
     val queries = embeddings.filter($"vec_id" < 4)
     // gold pairs: self for every query + a planted doc; query 3 has NONE
