@@ -2168,6 +2168,11 @@ object SparkEntry {
         Seq("0", "1", "2", "3", "4").toDF("seed"), "seed", maxHops = 4)
     }),
 
+    // ---- Flesch reading ease + FK grade level per doc (full twin) ----
+    "q_readability" -> ((s, dir) =>
+      operators.TextAnalysis.readabilityScores(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- word2vec frequent-word subsampling over the corpus ----
     "q_subsample" -> ((s, dir) =>
       operators.TextAnalysis.subsampleFrequent(
@@ -3179,6 +3184,35 @@ object SparkEntry {
         |       ELSE ('0x' || substring(sha256(text), i * 8 + 1, 8))::BIGINT
         |            / 4294967295.0 END AS val
         |FROM documents, range(8) AS t(i)""".stripMargin,
+    // readability: identical whitespace/sentence/vowel-group counting,
+    // constants as ::DOUBLE literals (bare decimals are DECIMAL in
+    // DuckDB and overflow/diverge)
+    "q_readability" ->
+      """WITH base AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT)) AS n_sentences,
+        |    CAST(coalesce(list_sum(list_transform(toks, t ->
+        |      greatest(1, len(regexp_extract_all(t, '[aeiouyAEIOUY]+'))))),
+        |      0) AS BIGINT) AS n_syllables
+        |  FROM base)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words = 0 THEN NULL ELSE round(206.835::DOUBLE
+        |    - 1.015::DOUBLE * (n_words::DOUBLE / n_sentences)
+        |    - 84.6::DOUBLE * (n_syllables::DOUBLE / n_words), 6)
+        |  END AS fre,
+        |  CASE WHEN n_words = 0 THEN NULL ELSE round(0.39::DOUBLE
+        |    * (n_words::DOUBLE / n_sentences)
+        |    + 11.8::DOUBLE * (n_syllables::DOUBLE / n_words)
+        |    - 15.59::DOUBLE, 6)
+        |  END AS fkgl
+        |FROM c""".stripMargin,
     "q_text_stats" ->
       """WITH base AS (
         |  SELECT doc_id, coalesce(text, '') AS text,

@@ -20,6 +20,50 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Flesch Reading Ease + Flesch–Kincaid grade level per document —
+    * the classic readability gates for training-data curation (a
+    * reading-ease floor drops OCR shrapnel and keyword-stuffed spam; a
+    * grade-level band targets a difficulty mix). Counts use loudly
+    * simple, engine-portable rules: words = whitespace tokens
+    * ([[tokens]]), sentences = runs of `[.!?]` (floored at 1),
+    * syllables per word = vowel-GROUP count (`[aeiouyAEIOUY]+` runs,
+    * floored at 1 — the standard cheap approximation; no silent-e
+    * special cases, documented as the contract).
+    *
+    * `FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)`,
+    * `FKGL = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59`
+    * (Kincaid 1975). All counts are exact integers; the scores are a
+    * handful of portable IEEE ops over them with the constants as
+    * double literals, so the DuckDB twin is hash-exact. Zero-word docs
+    * yield NULL scores. One narrow projection — no shuffle, no UDF.
+    */
+  def readabilityScores(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val words = size(toks).cast("long")
+    val sentences = greatest(lit(1L),
+      size(regexp_extract_all(coalesce(col(textCol), lit("")),
+        lit("[.!?]+"), lit(0))).cast("long"))
+    val syllables = aggregate(
+      transform(toks, t => greatest(lit(1),
+        size(regexp_extract_all(t, lit("[aeiouyAEIOUY]+"), lit(0))))
+        .cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    docs.select(col(idCol), words.as("n_words"),
+        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .withColumn("fre",
+        when(col("n_words") === 0L, lit(null)).otherwise(round(
+          lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+            lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+          6)))
+      .withColumn("fkgl",
+        when(col("n_words") === 0L, lit(null)).otherwise(round(
+          lit(0.39) * (col("n_words").cast("double") / col("n_sentences")) +
+            lit(11.8) * (col("n_syllables").cast("double") / col("n_words")) -
+            lit(15.59), 6)))
+  }
+
   /** Porter-stemmed whitespace tokens ([[graft.functions.PorterStem]],
     * codegen'd per element): the recall lever for the search tier —
     * "running"/"runs"/"run" collapse to one posting. Words the stemmer

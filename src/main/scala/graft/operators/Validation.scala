@@ -683,17 +683,28 @@ object Validation {
     * discount-table discipline).
     */
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val digit = when(v.isNull || v <= 0L, lit(0))
+      .otherwise(substring(v.cast("string"), 1, 1).cast("int"))
+    benfordFromCounts(df.groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** [[benfordAudit]] from pre-aggregated first-digit counts
+    * `(digit, n)` (digit 0 = the out-counted non-positive/NULL bucket)
+    * — ten sum-mergeable cells, so a streamed digit log serves the
+    * standing audit ([[graft.streaming.StreamingOps.benfordFromLog]]).
+    */
+  def benfordFromCounts(rawCounts: DataFrame): DataFrame = {
     // log10(1 + 1/d) for d = 1..9, shortest-round-trip literals
     val p = Array(0.3010299956639812, 0.17609125905568124,
       0.12493873660829993, 0.09691001300805642, 0.07918124604762482,
       0.06694678963061322, 0.05799194697768673, 0.05115252244738129,
       0.04575749056067514)
-    val v = col(valueCol).cast("long")
-    val digit = when(v.isNull || v <= 0L, lit(0))
-      .otherwise(substring(v.cast("string"), 1, 1).cast("int"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    val counts = df.groupBy(digit.as("digit"))
-      .agg(count(lit(1)).as("n"))
+    val counts = rawCounts
+      .groupBy(col("digit"))
+      .agg(sum(col("n")).as("n"))
       .withColumn("__N", sum(when(col("digit") > 0, col("n"))
         .otherwise(lit(0L))).over(w))
     val expP = element_at(typedlit(p.toIndexedSeq), col("digit"))
@@ -1016,16 +1027,27 @@ object Validation {
     require(bad == 0L,
       s"cliffsDelta: $bad NULL `$valueCol`/`$groupACol` row(s) — a NULL " +
         "has no rank; filter deliberately upstream")
+    cliffsDeltaFromCounts(df
+      .groupBy(col(valueCol).as("__v"))
+      .agg(count(when(col(groupACol), 1)).as("__ca"),
+        count(when(!col(groupACol), 1)).as("__cb")))
+  }
+
+  /** [[cliffsDelta]] from pre-aggregated per-distinct-value group
+    * counts `(__v, __ca, __cb)` — the sum-mergeable sufficient
+    * statistic, so two streamed value-count logs can serve a STANDING
+    * effect size ([[graft.streaming.StreamingOps.cliffsDeltaFromLogs]]).
+    */
+  def cliffsDeltaFromCounts(rawCounts: DataFrame): DataFrame = {
     // the aucFromScoreCounts scale shape: range-repartition the
     // values-sized count table, per-partition prefix sums, broadcast
     // partition offsets — no global-order window anywhere
     val w = org.apache.spark.sql.expressions.Window
-    val g = graft.core.Caches.pin(df
-      .groupBy(col(valueCol).as("__v"))
-      .agg(count(when(col(groupACol), 1)).as("__ca"),
-        count(when(!col(groupACol), 1)).as("__cb"))
+    val g = graft.core.Caches.pin(rawCounts
+      .groupBy(col("__v"))
+      .agg(sum(col("__ca")).as("__ca"), sum(col("__cb")).as("__cb"))
       .repartitionByRange(
-        df.sparkSession.sparkContext.defaultParallelism, col("__v"))
+        rawCounts.sparkSession.sparkContext.defaultParallelism, col("__v"))
       .sortWithinPartitions(col("__v"))
       .withColumn("__pid", spark_partition_id()))
     try {

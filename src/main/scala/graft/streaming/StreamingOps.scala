@@ -906,6 +906,126 @@ object StreamingOps {
     graft.operators.Validation.chiSquaredFromCells(
       contingencyCellsFromLog(spark, logPath))
 
+  /** Standing Cliff's delta between two [[valueCountSink]] logs (A =
+    * treatment, B = control) — per-distinct-value counts are the
+    * effect size's sufficient statistic, so the same sinks that feed
+    * [[ksFromLogs]] serve "how BIG is the shift" next to KS's "is
+    * there one". Values must be integral (the batch contract — a
+    * fractional or NULL logged value is refused loudly; the log's
+    * doubles are exact for integers within 2^53).
+    */
+  def cliffsDeltaFromLogs(
+      spark: SparkSession,
+      logA: String,
+      logB: String): DataFrame = {
+    def side(path: String, out: String): DataFrame = {
+      val c = StatLog.read(spark, path)
+        .groupBy(col("__v"), col("__is_null"))
+        .agg(sum(col("__kcnt")).as("__c"))
+      val bad = c.agg(
+        count(when(col("__is_null") ||
+          col("__v") =!= col("__v").cast("long").cast("double"), 1))
+          .as("__b")).head().getAs[Long]("__b")
+      require(bad == 0L,
+        s"cliffsDeltaFromLogs: $path logged $bad NULL or fractional " +
+          "value row(s) — the effect size is defined over integral " +
+          "micros; quantize upstream of the sink")
+      c.select(col("__v").cast("long").as("__v"), col("__c").as(out))
+    }
+    val a = side(logA, "__ca")
+    val b = side(logB, "__cb")
+    graft.operators.Validation.cliffsDeltaFromCounts(
+      a.join(b, Seq("__v"), "full_outer")
+        .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+          coalesce(col("__cb"), lit(0L)).as("__cb")))
+  }
+
+  /** Stream first-digit counts into a sum-mergeable Benford log — ten
+    * cells per micro-batch (digits 1–9 plus the out-counted
+    * non-positive/NULL bucket), the entire sufficient statistic of
+    * [[graft.operators.Validation.benfordAudit]].
+    */
+  def benfordLogSink(
+      events: DataFrame,
+      valueCol: String,
+      logPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    StatLog.writeKind(events.sparkSession, logPath, "sum")
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val v = col(valueCol).cast("long")
+          val digit = when(v.isNull || v <= 0L, lit(0))
+            .otherwise(substring(v.cast("string"), 1, 1).cast("int"))
+          batch.toDF()
+            .groupBy(digit.as("__d"))
+            .agg(count(lit(1)).as("__kcnt"))
+            .write.mode("overwrite")
+            .parquet(f"$logPath/batch=b$batchId%012d")
+        }
+    }
+  }
+
+  /** The standing Benford first-digit audit over a [[benfordLogSink]]
+    * log — same output rows as the batch operator.
+    */
+  def benfordFromLog(spark: SparkSession, logPath: String): DataFrame =
+    graft.operators.Validation.benfordFromCounts(
+      StatLog.read(spark, logPath)
+        .groupBy(col("__d"))
+        .agg(sum(col("__kcnt")).as("n"))
+        .select(col("__d").as("digit"), col("n")))
+
+  /** Stream a keyed integer time series into a replayable point log
+    * for the standing CUSUM monitor: CUSUM is ORDER-dependent (no
+    * finite mergeable summary exists), so the log IS the points —
+    * compacted to `(key, ts, value, count)` cells per micro-batch
+    * (duplicate points fold; the stat-log `sum` law holds because
+    * replay re-expands counts). [[cusumFromLog]] then equals the batch
+    * operator over everything delivered.
+    */
+  def cusumPointSink(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      logPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    StatLog.writeKind(events.sparkSession, logPath, "sum")
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.toDF()
+            .groupBy(col(keyCol).cast("string").as("__k"),
+              col(tsCol).cast("long").as("__t"),
+              col(valueCol).cast("long").as("__x"))
+            .agg(count(lit(1)).as("__kcnt"))
+            .write.mode("overwrite")
+            .parquet(f"$logPath/batch=b$batchId%012d")
+    }
+  }
+
+  /** The standing CUSUM scores over a [[cusumPointSink]] log — the
+    * folded point cells re-expand (equal points are interchangeable in
+    * the prefix recursion, so the multiset of scores is exact) and run
+    * through the batch operator.
+    */
+  def cusumFromLog(
+      spark: SparkSession,
+      logPath: String,
+      target: Long,
+      slack: Long,
+      threshold: Long): DataFrame = {
+    val pts = StatLog.read(spark, logPath)
+      .groupBy(col("__k"), col("__t"), col("__x"))
+      .agg(sum(col("__kcnt")).as("__n"))
+      .select(col("__k"), col("__t"), col("__x"),
+        explode(expr("sequence(1, __n)")).as("__i"))
+      .drop("__i")
+    graft.operators.Timeseries.cusumChangepoints(
+      pts, Seq("__k"), "__t", "__x", target, slack, threshold)
+  }
+
   /** Stream a numeric column's distinct-value counts into a
     * sum-mergeable log — the sufficient statistic for the two-sample
     * KS drift gate ([[graft.operators.Validation.ksStatistic]] reads

@@ -626,4 +626,31 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(kw.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
     assert(kw.length == 3)
   }
+
+  test("readabilityScores: hand-computed Flesch/FKGL, vowel-group syllables, degenerate docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, "Extraordinarily complicated terminology necessitates consideration."),
+      (3L, ""),                 // zero words -> NULL scores
+      (4L, "xyz qrst"),         // no vowels: 1-syllable floor per word
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.readabilityScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    // simple prose: 6 words, 2 sentences, 6 syllables
+    assert(out(1L) == ((6L, 2L, 6L, Some(119.19), Some(-2.62))),
+      out(1L).toString)
+    // polysyllabic words sink the ease score and raise the grade
+    assert(out(2L) == ((5L, 1L, 25L, Some(-221.24), Some(45.36))),
+      out(2L).toString)
+    // empty / null text: 0 words, sentence floor 1, NULL scores
+    assert(out(3L)._1 == 0L && out(3L)._2 == 1L && out(3L)._4.isEmpty)
+    assert(out(5L)._1 == 0L && out(5L)._5.isEmpty)
+    // vowel-less words still count 1 syllable each
+    assert(out(4L)._3 == 2L)
+  }
 }

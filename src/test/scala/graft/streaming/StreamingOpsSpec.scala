@@ -1085,6 +1085,87 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("cliffsDeltaFromLogs: standing effect size equals batch; fractional/NULL logs loud") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_cd_log_").toString
+    val (logA, logB) = (root + "/a", root + "/b")
+    val srcA = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Option[Double]]
+    val srcB = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Option[Double]]
+    val qA = StreamingOps.valueCountSink(srcA.toDS().toDF("v"), "v", logA)
+      .option("checkpointLocation", root + "/cka").start()
+    val qB = StreamingOps.valueCountSink(srcB.toDS().toDF("v"), "v", logB)
+      .option("checkpointLocation", root + "/ckb").start()
+    val a1 = Seq.tabulate(30)(i => Some(((i * 7) % 20).toDouble))
+    val a2 = Seq.tabulate(20)(i => Some(((i * 3) % 25).toDouble))
+    val b1 = Seq.tabulate(40)(i => Some(((i * 11) % 15).toDouble))
+    try {
+      srcA.addData(a1: _*); qA.processAllAvailable()
+      srcA.addData(a2: _*); qA.processAllAvailable()
+      srcB.addData(b1: _*); qB.processAllAvailable()
+      val streamed = StreamingOps.cliffsDeltaFromLogs(spark, logA, logB)
+        .head()
+      val batchIn = ((a1 ++ a2).map(v => (true, v.get.toLong)) ++
+        b1.map(v => (false, v.get.toLong))).toDF("g", "v")
+      val batch = graft.operators.Validation.cliffsDelta(batchIn, "g", "v")
+        .head()
+      assert(streamed.toSeq == batch.toSeq,
+        s"standing ${streamed.toSeq} vs batch ${batch.toSeq}")
+      // a fractional logged value breaks the integral contract loudly
+      srcB.addData(Some(1.5)); qB.processAllAvailable()
+      intercept[IllegalArgumentException](
+        StreamingOps.cliffsDeltaFromLogs(spark, logA, logB))
+    } finally { qA.stop(); qB.stop() }
+  }
+
+  test("benfordLogSink + cusumPointSink: standing audits equal their batch operators") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_bc_log_").toString
+    // --- benford
+    val blog = root + "/benford"
+    val srcB = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Option[Long]]
+    val qB = StreamingOps.benfordLogSink(srcB.toDS().toDF("v"), "v", blog)
+      .option("checkpointLocation", root + "/ckb").start()
+    val b1 = Seq.tabulate(50)(i => Some((i * 137 + 1).toLong))
+    val b2 = Seq.tabulate(30)(i => Some((i * 29 + 7).toLong)) ++
+      Seq(Some(-3L), None)
+    try {
+      srcB.addData(b1: _*); qB.processAllAvailable()
+      srcB.addData(b2: _*); qB.processAllAvailable()
+      val streamed = StreamingOps.benfordFromLog(spark, blog)
+        .collect().map(r => r.getInt(0) -> r.toSeq).toMap
+      val batch = graft.operators.Validation.benfordAudit(
+        (b1 ++ b2).toDF("v"), "v")
+        .collect().map(r => r.getInt(0) -> r.toSeq).toMap
+      assert(streamed == batch, s"$streamed vs $batch")
+    } finally qB.stop()
+    // --- cusum
+    val clog = root + "/cusum"
+    val srcC = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Long)]
+    val qC = StreamingOps.cusumPointSink(srcC.toDS().toDF("k", "t", "v"),
+      "k", "t", "v", clog)
+      .option("checkpointLocation", root + "/ckc").start()
+    val c1 = (0L until 10L).map(t => ("m", t, 9L + (t % 3)))
+    val c2 = (10L until 20L).map(t => ("m", t, 14L + (t % 3))) :+
+      (("m", 5L, 9L + (5L % 3))) // duplicate point folds + re-expands
+    try {
+      srcC.addData(c1: _*); qC.processAllAvailable()
+      srcC.addData(c2: _*); qC.processAllAvailable()
+      val streamed = StreamingOps.cusumFromLog(spark, clog,
+        target = 10L, slack = 1L, threshold = 15L)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val batch = graft.operators.Timeseries.cusumChangepoints(
+        (c1 ++ c2).toDF("__k", "__t", "__x"), Seq("__k"), "__t", "__x",
+        10L, 1L, 15L)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed.nonEmpty)
+    } finally qC.stop()
+  }
+
   test("valueCountSink + ksFromLogs equals the batch KS over the slices") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft_ks_log_").toString
