@@ -2893,6 +2893,16 @@ object SparkEntry {
         threshold = 500000000L)
     }),
 
+    // ---- Kaplan–Meier survival per event type: synthetic durations
+    // with 20% right-censoring; the prefix product folds a pinned
+    // sorted array, so the DuckDB twin is hash-exact ----
+    "q_kaplan_meier" -> ((s, dir) => {
+      val subj = t(s, dir, "events").select(col("event_type"),
+        (col("event_id") % 500 + 1L).as("dur"),
+        when(col("event_id") % 5 === 0, 0L).otherwise(1L).as("ev"))
+      operators.Funnels.kaplanMeier(subj, Seq("event_type"), "dur", "ev")
+    }),
+
     // ---- Theil–Sen slope + Mann–Kendall trend per event type over a
     // 1/97 event subsample (the pair set is quadratic per key) ----
     "q_theil_sen" -> ((s, dir) => {
@@ -7928,6 +7938,44 @@ object SparkEntry {
         |SELECT event_type, ts_us, v_micros, cusum_pos, cusum_neg,
         |  (cusum_pos > 500000000 OR cusum_neg > 500000000) AS alarm
         |FROM s""".stripMargin,
+    // Kaplan–Meier replay: risk sets from prefix counts, factors
+    // list-collected in time order, survival = left-to-right
+    // list_reduce over the i-prefix (identical IEEE sequence to the
+    // engine's sorted-array fold)
+    "q_kaplan_meier" ->
+      """WITH base AS (
+        |  SELECT event_type AS k, (event_id % 500) + 1 AS t,
+        |    CASE WHEN event_id % 5 = 0 THEN 0 ELSE 1 END AS e
+        |  FROM events),
+        |tms AS (
+        |  SELECT k, t, CAST(sum(e) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY k, t),
+        |risk AS (
+        |  SELECT k, t, d,
+        |    CAST(sum(c) OVER (PARTITION BY k) AS BIGINT)
+        |      - coalesce(CAST(sum(c) OVER (PARTITION BY k ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS BIGINT), 0) AS n
+        |  FROM tms),
+        |ev AS (
+        |  SELECT k, t, d, n, 1.0::DOUBLE - d::DOUBLE / n AS f
+        |  FROM risk WHERE d > 0),
+        |arr AS (
+        |  SELECT k,
+        |    list(t ORDER BY t) AS ts, list(d ORDER BY t) AS ds,
+        |    list(n ORDER BY t) AS ns, list(f ORDER BY t) AS fs
+        |  FROM ev GROUP BY k),
+        |idx AS (
+        |  SELECT k, ts, ds, ns, fs,
+        |    unnest(range(1, len(ts) + 1)) AS i
+        |  FROM arr)
+        |SELECT k AS event_type, ts[CAST(i AS INTEGER)] AS t,
+        |  ns[CAST(i AS INTEGER)] AS n_risk,
+        |  ds[CAST(i AS INTEGER)] AS n_events,
+        |  round(list_reduce(fs[1:CAST(i AS INTEGER)], (a, b) -> a * b), 6)
+        |    AS survival
+        |FROM idx""".stripMargin,
     // Theil–Sen/Mann–Kendall replay: the identical pair join, slopes
     // as one portable IEEE division each, median as order statistics
     "q_theil_sen" ->

@@ -293,4 +293,90 @@ object Funnels {
       .groupBy(col("__g").as("ngram"))
       .agg(count(lit(1)).as("n_occurrences"))
   }
+
+  /** Kaplan–Meier product-limit survival curve (Kaplan & Meier 1958)
+    * per key — retention/lifetime estimation that [[cohortRetention]]
+    * cannot give when observation windows are RIGHT-CENSORED (a user
+    * still active at cutoff is not churned; dropping them biases the
+    * curve down): `S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)` over distinct
+    * EVENT times, `n_i` = subjects with duration ≥ t_i (censored rows
+    * leave the risk set without creating a step).
+    *
+    * Exactness: durations are integral BY CONTRACT and `eventCol` is
+    * 0/1 loudly; d/n are exact LONG counts; each factor and the
+    * LEFT-TO-RIGHT prefix product over ascending event times are
+    * portable IEEE sequences (the fold order is pinned by a sorted
+    * per-key array), so the DuckDB twin (list slice + list_reduce)
+    * is hash-exact.
+    *
+    * Scale shape: one `groupBy(key, duration)` (map-side partials),
+    * per-key windows over the DISTINCT-durations table (bounded
+    * loudly at `maxTimes` by an eager guard — the quadratic slice-fold
+    * and the per-key array both ride that bound), one collect-to-array
+    * + posexplode per key. Output: key cols + `(t, n_risk, n_events,
+    * survival)` at event times, survival rounded to 6.
+    */
+  def kaplanMeier(
+      df: DataFrame,
+      keyCols: Seq[String],
+      durationCol: String,
+      eventCol: String,
+      maxTimes: Long = 10000L): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty — a global " +
+      "curve is one array fold; key on something (or a lit constant)")
+    require(maxTimes >= 1 && maxTimes <= 1000000L,
+      s"maxTimes must be in 1..1000000, got $maxTimes")
+    df.schema(durationCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"kaplanMeier: `$durationCol` is $other — durations must be " +
+          "INTEGRAL (days/seconds/micros; quantize upstream)")
+    }
+    val badRow = df.agg(
+      count(when(col(durationCol).isNull || col(eventCol).isNull ||
+        col(durationCol) < 0L, 1)).as("__bad"),
+      count(when(col(eventCol) =!= 0L && col(eventCol) =!= 1L, 1))
+        .as("__badE")).head()
+    require(badRow.getAs[Long]("__bad") == 0L,
+      s"kaplanMeier: ${badRow.getAs[Long]("__bad")} NULL/negative " +
+        "duration or NULL event row(s) — filter deliberately upstream")
+    require(badRow.getAs[Long]("__badE") == 0L,
+      s"kaplanMeier: ${badRow.getAs[Long]("__badE")} event flag(s) " +
+        "outside {0, 1}")
+    val keys = keyCols.map(col)
+    val times = df.groupBy(keys :+ col(durationCol).as("__t"): _*)
+      .agg(sum(col(eventCol).cast("long")).as("__d"),
+        count(lit(1)).as("__c"))
+    val guard = times.groupBy(keys: _*).agg(count(lit(1)).as("__k"))
+      .agg(max(col("__k")).as("__mx")).head().getAs[Long]("__mx")
+    require(guard <= maxTimes,
+      s"kaplanMeier: a key has $guard distinct durations " +
+        s"(> maxTimes=$maxTimes) — coarsen the duration unit upstream")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("__t"))
+      .rowsBetween(Long.MinValue, -1)
+    val risk = times
+      .withColumn("__total",
+        sum(col("__c")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(keys: _*)))
+      .withColumn("__n",
+        col("__total") - coalesce(sum(col("__c")).over(w), lit(0L)))
+      .where(col("__d") > 0L)
+      .withColumn("__f",
+        lit(1.0) - col("__d").cast("double") / col("__n"))
+    risk.groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(col("__t"), col("__d"),
+        col("__n"), col("__f")))).as("__steps"))
+      .select(keys :+ col("__steps") :+
+        posexplode(col("__steps")).as(Seq("__i", "__s")): _*)
+      .select(keys ++ Seq(col("__s.__t").as("t"),
+        col("__s.__n").as("n_risk"), col("__s.__d").as("n_events"),
+        round(aggregate(
+          transform(slice(col("__steps"), lit(1), col("__i") + 1),
+            s => s.getField("__f")),
+          lit(1.0), (acc, x) => acc * x), 6).as("survival")): _*)
+  }
 }

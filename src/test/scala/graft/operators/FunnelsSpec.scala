@@ -157,4 +157,43 @@ class FunnelsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Funnels.pathNgrams(ev, "u", "ts", "eid", "t", 1))
   }
+
+  test("kaplanMeier matches the textbook product-limit curve; censoring shapes the risk set; loud contracts") {
+    // classic worked example: events at 6 (d=2, n=7), 7 (d=1, n=4),
+    // 13 (d=1, n=2); censored at 6, 10, 16
+    val subjects = Seq((6L, 1L), (6L, 1L), (6L, 0L), (7L, 1L),
+      (10L, 0L), (13L, 1L), (16L, 0L))
+      .map { case (t, e) => ("a", t, e) }.toDF("k", "t", "e")
+    val out = Funnels.kaplanMeier(subjects, Seq("k"), "t", "e")
+      .collect().map(r => r.getAs[Long]("t") ->
+        ((r.getAs[Long]("n_risk"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("survival")))).toMap
+    assert(out.keySet == Set(6L, 7L, 13L)) // event times only
+    assert(out(6L) == ((7L, 2L, 0.714286)))   // 5/7
+    assert(out(7L) == ((4L, 1L, 0.535714)))   // 5/7 * 3/4
+    assert(out(13L) == ((2L, 1L, 0.267857)))  // ... * 1/2
+    // no censoring: survival is the plain empirical tail
+    val pure = Seq(1L, 2L, 3L, 4L).map(t => ("b", t, 1L))
+      .toDF("k", "t", "e")
+    val p = Funnels.kaplanMeier(pure, Seq("k"), "t", "e")
+      .collect().map(r => r.getAs[Long]("t") ->
+        r.getAs[Double]("survival")).toMap
+    assert(p == Map(1L -> 0.75, 2L -> 0.5, 3L -> 0.25, 4L -> 0.0))
+    // keys are independent curves
+    val two = Funnels.kaplanMeier(
+      subjects.unionByName(pure), Seq("k"), "t", "e")
+    assert(two.where(col("k") === "a").count() == 3L)
+    assert(two.where(col("k") === "b").count() == 4L)
+    // loud: double durations, bad event flags, NULLs, maxTimes
+    intercept[IllegalArgumentException](Funnels.kaplanMeier(
+      Seq(("a", 1.5, 1L)).toDF("k", "t", "e"), Seq("k"), "t", "e"))
+    intercept[IllegalArgumentException](Funnels.kaplanMeier(
+      Seq(("a", 1L, 2L)).toDF("k", "t", "e"), Seq("k"), "t", "e"))
+    intercept[IllegalArgumentException](Funnels.kaplanMeier(
+      Seq(("a", -1L, 1L)).toDF("k", "t", "e"), Seq("k"), "t", "e"))
+    intercept[IllegalArgumentException](Funnels.kaplanMeier(
+      subjects, Seq("k"), "t", "e", maxTimes = 2L))
+    intercept[IllegalArgumentException](Funnels.kaplanMeier(
+      subjects, Nil, "t", "e"))
+  }
 }
