@@ -2050,6 +2050,16 @@ object SparkEntry {
         t(s, dir, "documents"), "lang", "source")
     }),
 
+    // ---- quantile matching: remap non-English doc lengths onto the
+    // English length scale (nearest-rank equating, pure BIGINT) ----
+    "q_quantile_match" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      operators.Validation.quantileMatch(
+        d.where(col("lang") === "en").select(col("n_chars")),
+        d.where(col("lang") =!= "en").select(col("n_chars")),
+        "n_chars")
+    }),
+
     // ---- Cliff's delta: did English docs shift the length
     // distribution vs the rest, as an outlier-proof ordinal effect ----
     "q_cliffs_delta" -> ((s, dir) => {
@@ -7883,6 +7893,33 @@ object SparkEntry {
         |SELECT CAST(rank AS INTEGER) AS rank, id, score AS score_micros,
         |  maxsim AS maxsim_micros, mmr AS mmr_micros
         |FROM sel WHERE r = (SELECT max(r) FROM sel)""".stripMargin,
+    // quantile matching: inclusive ranks from prefix sums, ceiling in
+    // BIGINT, matched = smallest reference value at rank >= k
+    "q_quantile_match" ->
+      """WITH ref AS (
+        |  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE lang = 'en' GROUP BY 1),
+        |refc AS (
+        |  SELECT v, CAST(coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c AS BIGINT) AS cum
+        |  FROM ref),
+        |nrt AS (SELECT CAST(count(*) AS BIGINT) AS nr
+        |  FROM documents WHERE lang = 'en'),
+        |tgt AS (
+        |  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE lang <> 'en' GROUP BY 1),
+        |tgtc AS (
+        |  SELECT v, c, CAST(coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER () AS BIGINT) AS nt
+        |  FROM tgt),
+        |probe AS (
+        |  SELECT v AS value, c AS n,
+        |    (cum * (SELECT nr FROM nrt) + nt - 1) // nt AS k
+        |  FROM tgtc)
+        |SELECT value, n,
+        |  (SELECT min(r.v) FROM refc r WHERE r.cum >= probe.k) AS matched
+        |FROM probe""".stripMargin,
     // Cliff's delta from values-sized prefix sums — exact LONG
     // win/tie/loss totals, two final portable divisions
     "q_cliffs_delta" ->

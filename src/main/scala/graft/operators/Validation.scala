@@ -1084,6 +1084,103 @@ object Validation {
     } finally g.unpersist()
   }
 
+  /** EXCLUSIVE prefix sum of `sumCol` in `orderCol` order over a
+    * values-sized count table — range-repartition + per-partition
+    * prefixes + broadcast partition offsets (the
+    * [[graft.operators.RankEval.aucRoc]] shape; never a one-task
+    * global window). Appends `outCol`; input column set is preserved.
+    */
+  private[operators] def rangePrefix(
+      counts: DataFrame, orderCol: String, sumCol: String,
+      outCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val g = graft.core.Caches.pin(counts
+      .repartitionByRange(
+        counts.sparkSession.sparkContext.defaultParallelism, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .withColumn("__rp_pid", spark_partition_id()))
+    try {
+      val offsets = g.groupBy(col("__rp_pid"))
+        .agg(sum(col(sumCol)).as("__rp_p"))
+        .withColumn("__rp_off", coalesce(
+          sum(col("__rp_p")).over(w.orderBy("__rp_pid")
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .select(col("__rp_pid"), col("__rp_off"))
+      g.withColumn("__rp_run", coalesce(
+          sum(col(sumCol)).over(w.partitionBy(col("__rp_pid"))
+            .orderBy(col(orderCol)).rowsBetween(Long.MinValue, -1)),
+          lit(0L)))
+        .join(broadcast(offsets), "__rp_pid")
+        .withColumn(outCol, col("__rp_run") + col("__rp_off"))
+        .drop("__rp_pid", "__rp_run", "__rp_off")
+        .localCheckpoint(true)
+    } finally g.unpersist()
+  }
+
+  /** Quantile matching (nearest-rank equipercentile equating): remap
+    * each TARGET value onto the REFERENCE distribution's value at the
+    * same rank fraction — the step that puts two scorers' outputs
+    * (an old and a new quality model, two teachers) on ONE scale
+    * before thresholds or mixtures are applied. For target value `v`
+    * with inclusive rank `cumT(v)` of `nT`, the match is the
+    * `⌈cumT·nR / nT⌉`-th smallest reference value.
+    *
+    * Exactness: both columns integral BY CONTRACT, ranks and the
+    * ceiling are pure BIGINT (`(cumT·nR + nT − 1) div nT` — requires
+    * `nT·nR < 2^63`, i.e. ~3e9 rows a side; sample first beyond, the
+    * [[ksStatistic]] bound), and the rank→value lookup is an as-of
+    * FORWARD join (first reference rank ≥ k). No doubles anywhere.
+    *
+    * Scale shape: one groupBy per side, two [[rangePrefix]] passes,
+    * one [[graft.operators.AsofJoin]] on the values-sized tables.
+    * NULLs are refused loudly (a NULL has no rank). Output: `(value,
+    * n, matched)` — the monotone mapping table, join it back to
+    * rescore the target corpus.
+    */
+  def quantileMatch(
+      reference: DataFrame, target: DataFrame,
+      valueCol: String): DataFrame = {
+    Seq("reference" -> reference, "target" -> target).foreach {
+      case (side, df) =>
+        df.schema(valueCol).dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => ()
+          case other => throw new IllegalArgumentException(
+            s"quantileMatch: $side `$valueCol` is $other — scores must " +
+              "be INTEGRAL (micro-quantize upstream)")
+        }
+        val nl = df.agg(count(when(col(valueCol).isNull, 1)).as("__nl"))
+          .head().getAs[Long]("__nl")
+        require(nl == 0L,
+          s"quantileMatch: $side has $nl NULL `$valueCol` row(s) — a " +
+            "NULL has no rank; filter deliberately upstream")
+    }
+    def cum(df: DataFrame): DataFrame = {
+      val c = df.groupBy(col(valueCol).cast("long").as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      rangePrefix(c, "__v", "__c", "__before")
+        .withColumn("__cum", col("__before") + col("__c"))
+        .drop("__before")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+    val refCum = cum(reference)
+      .select(lit(1).as("__g"), col("__cum").as("__k"),
+        col("__v").as("matched"))
+    val tgtCum = cum(target)
+      .withColumn("__nt", sum(col("__c")).over(w.partitionBy()))
+    val nr = refCum.count() // values-sized; also validates non-empty
+    require(nr > 0, "quantileMatch: empty reference")
+    val nrTotal = reference.count()
+    val probe = tgtCum.select(lit(1).as("__g"),
+      col("__v").as("value"), col("__c").as("n"),
+      expr(s"(__cum * ${nrTotal}L + __nt - 1) div __nt").as("__k"))
+    AsofJoin.asofJoin(probe, refCum, keys = Seq("__g"), tsCol = "__k",
+      valueCols = Seq("matched"), direction = "forward")
+      .select(col("value"), col("n"), col("matched"))
+  }
+
   /** Pearson chi-squared test of independence + Cramér's V between two
     * categorical columns — the effect-size companion to
     * [[mutualInformation]] for pipeline-signal audits (is the quality

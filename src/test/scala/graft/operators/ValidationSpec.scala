@@ -630,4 +630,27 @@ class ValidationSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Validation.cliffsDelta(
       Seq(("x", 1L)).toDF("g", "v"), "g", "v"))
   }
+
+  test("quantileMatch: nearest-rank equating, duplicates, identity, loud contracts") {
+    def run(ref: Seq[Long], tgt: Seq[Long]) =
+      Validation.quantileMatch(ref.toDF("v"), tgt.toDF("v"), "v")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    // ranks 1..3 of 3 map to ceil(4/3 * rank)-th of [10,20,30,40]
+    assert(run(Seq(10L, 20L, 30L, 40L), Seq(1L, 2L, 3L)) ==
+      Map(1L -> ((1L, 20L)), 2L -> ((1L, 30L)), 3L -> ((1L, 40L))))
+    // duplicate target values share one mapped row with n = 2
+    assert(run(Seq(100L, 200L, 300L), Seq(5L, 5L, 9L)) ==
+      Map(5L -> ((2L, 200L)), 9L -> ((1L, 300L))))
+    // equating a distribution onto itself is the identity
+    val self = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
+    assert(run(self, self).forall { case (v, (_, m)) => m == v })
+    // loud: doubles, NULLs, empty reference
+    intercept[IllegalArgumentException](Validation.quantileMatch(
+      Seq(1.5).toDF("v"), Seq(1L).toDF("v"), "v"))
+    intercept[IllegalArgumentException](Validation.quantileMatch(
+      Seq(1L).toDF("v"), Seq(Option.empty[Long]).toDF("v"), "v"))
+    intercept[IllegalArgumentException](Validation.quantileMatch(
+      Seq.empty[Long].toDF("v"), Seq(1L).toDF("v"), "v"))
+  }
 }
