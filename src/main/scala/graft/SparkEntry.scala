@@ -2050,6 +2050,19 @@ object SparkEntry {
         t(s, dir, "documents"), "lang", "source")
     }),
 
+    // ---- Wilson CI + EB-shrunken English-rate per source: the small-
+    // sample-honest ranking pair (both full twins, z/z² literals) ----
+    "q_wilson_ci" -> ((s, dir) =>
+      operators.Validation.wilsonIntervals(
+        t(s, dir, "documents")
+          .select(col("source"), (col("lang") === "en").as("is_en")),
+        Seq("source"), "is_en")),
+    "q_shrunken_rates" -> ((s, dir) =>
+      operators.Validation.shrunkenRates(
+        t(s, dir, "documents")
+          .select(col("source"), (col("lang") === "en").as("is_en")),
+        Seq("source"), "is_en")),
+
     // ---- quantile matching: remap non-English doc lengths onto the
     // English length scale (nearest-rank equating, pure BIGINT) ----
     "q_quantile_match" -> ((s, dir) => {
@@ -7893,6 +7906,70 @@ object SparkEntry {
         |SELECT CAST(rank AS INTEGER) AS rank, id, score AS score_micros,
         |  maxsim AS maxsim_micros, mmr AS mmr_micros
         |FROM sel WHERE r = (SELECT max(r) FROM sel)""".stripMargin,
+    // Wilson interval: the identical IEEE expression with z and z*z as
+    // shortest-round-trip literals (no distribution function anywhere)
+    "q_wilson_ci" ->
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT)
+        |      AS successes
+        |  FROM documents GROUP BY source),
+        |e AS (
+        |  SELECT source, n, successes,
+        |    successes::DOUBLE / n::DOUBLE AS p,
+        |    n::DOUBLE AS nd
+        |  FROM g),
+        |f AS (
+        |  SELECT source, n, successes, p,
+        |    (p + 3.8414588206941254::DOUBLE / (2.0::DOUBLE * nd))
+        |      / (1.0::DOUBLE + 3.8414588206941254::DOUBLE / nd) AS center,
+        |    (1.959963984540054::DOUBLE * sqrt(p * (1.0::DOUBLE - p) / nd
+        |      + 3.8414588206941254::DOUBLE / (4.0::DOUBLE * nd * nd)))
+        |      / (1.0::DOUBLE + 3.8414588206941254::DOUBLE / nd) AS half
+        |  FROM e)
+        |SELECT source, n, successes, round(p, 6) AS rate,
+        |  round(greatest(0.0::DOUBLE, center - half), 6) AS ci_low,
+        |  round(least(1.0::DOUBLE, center + half), 6) AS ci_high
+        |FROM f""".stripMargin,
+    // EB shrinkage: micro-LONG moment sums (order-free), beta-binomial
+    // MoM prior, portable posterior expression
+    "q_shrunken_rates" ->
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT)
+        |      AS successes
+        |  FROM documents GROUP BY source),
+        |p AS (SELECT source, n, successes,
+        |    (successes * 1000000) // n AS pm FROM g),
+        |mm AS (
+        |  SELECT source, n, successes,
+        |    CAST(count(*) OVER () AS BIGINT) AS gcnt,
+        |    CAST(sum(pm) OVER () AS BIGINT) AS s1,
+        |    CAST(sum(pm * pm) OVER () AS BIGINT) AS s2
+        |  FROM p),
+        |ab AS (
+        |  SELECT source, n, successes,
+        |    (s1 / gcnt::DOUBLE / 1e6)
+        |      * ((s1 / gcnt::DOUBLE / 1e6)
+        |          * (1.0::DOUBLE - s1 / gcnt::DOUBLE / 1e6)
+        |          / (s2 / gcnt::DOUBLE / 1e12
+        |             - (s1 / gcnt::DOUBLE / 1e6)
+        |               * (s1 / gcnt::DOUBLE / 1e6))
+        |        - 1.0::DOUBLE) AS alpha,
+        |    (1.0::DOUBLE - s1 / gcnt::DOUBLE / 1e6)
+        |      * ((s1 / gcnt::DOUBLE / 1e6)
+        |          * (1.0::DOUBLE - s1 / gcnt::DOUBLE / 1e6)
+        |          / (s2 / gcnt::DOUBLE / 1e12
+        |             - (s1 / gcnt::DOUBLE / 1e6)
+        |               * (s1 / gcnt::DOUBLE / 1e6))
+        |        - 1.0::DOUBLE) AS beta
+        |  FROM mm)
+        |SELECT source, n, successes,
+        |  round(successes::DOUBLE / n, 6) AS rate,
+        |  round((successes + alpha) / (n + alpha + beta), 6)
+        |    AS shrunk_rate,
+        |  round(alpha, 6) AS alpha, round(beta, 6) AS beta
+        |FROM ab""".stripMargin,
     // quantile matching: inclusive ranks from prefix sums, ceiling in
     // BIGINT, matched = smallest reference value at rank >= k
     "q_quantile_match" ->

@@ -1117,6 +1117,112 @@ object Validation {
     } finally g.unpersist()
   }
 
+  /** Wilson score interval per group (Wilson 1927) — the proportion CI
+    * that behaves at small n and extreme rates where the naive Wald
+    * interval collapses (a 3-success source out of 4 docs should NOT
+    * read "75% ± 42%, trust it"): for success rate `p̂ = x/n` and a
+    * z-score literal,
+    * `center = (p̂ + z²/2n) / (1 + z²/n)`,
+    * `half = z·sqrt(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)`.
+    *
+    * Exactness: x/n are exact LONG counts; the interval is a fixed
+    * portable IEEE expression over them with z embedded as a
+    * shortest-round-trip literal (default 1.959963984540054, the 95%
+    * two-sided point) — no distribution function, no transcendental.
+    * `successCol` must be BOOLEAN (the [[cliffsDelta]] convention);
+    * NULL successes are refused loudly. One map-side-combined groupBy.
+    * Output: key cols + `(n, successes, rate, ci_low, ci_high)`,
+    * rounded to 6.
+    */
+  def wilsonIntervals(
+      df: DataFrame, keyCols: Seq[String], successCol: String,
+      z: Double = 1.959963984540054): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(z > 0.0 && z <= 10.0, s"z must be in (0, 10], got $z")
+    require(df.schema(successCol).dataType ==
+      org.apache.spark.sql.types.BooleanType,
+      s"wilsonIntervals: `$successCol` must be BOOLEAN")
+    val nl = df.agg(count(when(col(successCol).isNull, 1)).as("__nl"))
+      .head().getAs[Long]("__nl")
+    require(nl == 0L, s"wilsonIntervals: $nl NULL `$successCol` row(s)")
+    val keys = keyCols.map(col)
+    val g = df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        count(when(col(successCol), 1)).as("successes"))
+    val nD = col("n").cast("double")
+    val p = col("successes").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))) / denom
+    g.select(keys ++ Seq(col("n"), col("successes"),
+      round(p, 6).as("rate"),
+      round(greatest(lit(0.0), center - half), 6).as("ci_low"),
+      round(least(lit(1.0), center + half), 6).as("ci_high")): _*)
+  }
+
+  /** Empirical-Bayes shrinkage of per-group success rates (the
+    * beta-binomial method-of-moments recipe): fit a Beta(α, β) prior
+    * to the OBSERVED spread of group rates, then report each group's
+    * posterior mean `(x + α)/(n + α + β)` — small groups pull toward
+    * the global mean, large groups keep their own rate, so a 2-doc
+    * source can no longer top a quality ranking with a lucky 2/2.
+    *
+    * Exactness: group rates quantize to micro-LONGs (`x·1e6 div n`)
+    * before the moment sums, so the mean/variance — and hence α, β —
+    * derive from order-free integer totals; the final posterior is a
+    * portable IEEE expression. Groups ≥ 2 and rate variance > 0
+    * required loudly (a single group or zero spread cannot identify a
+    * prior — report the raw rates instead). Output: key cols +
+    * `(n, successes, rate, shrunk_rate)` with the fitted
+    * `(alpha, beta)` repeated per row for auditability.
+    */
+  def shrunkenRates(
+      df: DataFrame, keyCols: Seq[String], successCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(df.schema(successCol).dataType ==
+      org.apache.spark.sql.types.BooleanType,
+      s"shrunkenRates: `$successCol` must be BOOLEAN")
+    val nl = df.agg(count(when(col(successCol).isNull, 1)).as("__nl"))
+      .head().getAs[Long]("__nl")
+    require(nl == 0L, s"shrunkenRates: $nl NULL `$successCol` row(s)")
+    val keys = keyCols.map(col)
+    val g = df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        count(when(col(successCol), 1)).as("successes"))
+      .withColumn("__pm", expr("successes * 1000000 div n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val withMoments = g
+      .withColumn("__gcnt", count(lit(1)).over(w))
+      .withColumn("__s1", sum(col("__pm")).over(w))
+      .withColumn("__s2", sum(col("__pm") * col("__pm")).over(w))
+    val gc = col("__gcnt").cast("double")
+    val m = col("__s1") / gc / lit(1e6)
+    val v = (col("__s2") / gc / lit(1e12)) -
+      (col("__s1") / gc / lit(1e6)) * (col("__s1") / gc / lit(1e6))
+    val k = m * (lit(1.0) - m) / v - lit(1.0)
+    val alpha = m * k
+    val beta = (lit(1.0) - m) * k
+    withMoments
+      .withColumn("__guard",
+        when(col("__gcnt") < 2L, raise_error(lit(
+          "shrunkenRates: fewer than 2 groups — the prior is " +
+            "unidentifiable; report raw rates instead")))
+          .when(col("__s2") * col("__gcnt") <= col("__s1") * col("__s1"),
+            raise_error(lit(
+              "shrunkenRates: zero rate variance across groups — the " +
+                "prior is unidentifiable; report raw rates instead")))
+          .otherwise(lit(0)))
+      .select(keys ++ Seq(col("n"), col("successes"),
+        round(col("successes").cast("double") / col("n") +
+          col("__guard"), 6).as("rate"),
+        round((col("successes") + alpha) /
+          (col("n") + alpha + beta), 6).as("shrunk_rate"),
+        round(alpha, 6).as("alpha"),
+        round(beta, 6).as("beta")): _*)
+  }
+
   /** Quantile matching (nearest-rank equipercentile equating): remap
     * each TARGET value onto the REFERENCE distribution's value at the
     * same rank fraction — the step that puts two scorers' outputs

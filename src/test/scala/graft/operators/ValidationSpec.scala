@@ -653,4 +653,39 @@ class ValidationSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Validation.quantileMatch(
       Seq.empty[Long].toDF("v"), Seq(1L).toDF("v"), "v"))
   }
+
+  test("wilsonIntervals + shrunkenRates: hand-checked intervals, shrinkage direction, loud guards") {
+    def flags(spec: (String, Int, Int)*) = spec.flatMap { case (k, x, n) =>
+      Seq.fill(x)((k, true)) ++ Seq.fill(n - x)((k, false))
+    }.toDF("k", "s")
+    // Wilson at 3/4 (hand-replayed), plus the boundary clamps
+    val wi = Validation.wilsonIntervals(
+      flags(("a", 3, 4), ("z", 0, 10), ("o", 10, 10)), Seq("k"), "s")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(wi("a") == ((0.75, 0.300642, 0.954413)), wi("a").toString)
+    assert(wi("z") == ((0.0, 0.0, 0.277533)))
+    assert(wi("o") == ((1.0, 0.722467, 1.0)))
+    // shrinkage: the lucky 2/2 source pulls DOWN toward the pool, the
+    // 50/100 one barely moves; values replay the MoM fit exactly
+    val sh = Validation.shrunkenRates(
+      flags(("a", 2, 2), ("b", 50, 100), ("c", 10, 100)), Seq("k"), "s")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    assert(sh("a") == ((1.0, 0.862428, 0.445902, 0.390164)),
+      sh("a").toString)
+    assert(sh("b") == ((0.5, 0.500276, 0.445902, 0.390164)))
+    assert(sh("c") == ((0.1, 0.103593, 0.445902, 0.390164)))
+    assert(sh("a")._2 < 1.0 && sh("c")._2 > 0.1)
+    // loud: one group / zero variance are unidentifiable priors
+    intercept[Exception](Validation.shrunkenRates(
+      flags(("only", 3, 5)), Seq("k"), "s").collect())
+    intercept[Exception](Validation.shrunkenRates(
+      flags(("x", 1, 2), ("y", 2, 4)), Seq("k"), "s").collect())
+    intercept[IllegalArgumentException](Validation.wilsonIntervals(
+      Seq(("a", 1L)).toDF("k", "s"), Seq("k"), "s"))
+    intercept[IllegalArgumentException](Validation.wilsonIntervals(
+      flags(("a", 1, 2)), Seq("k"), "s", z = 0.0))
+  }
 }
