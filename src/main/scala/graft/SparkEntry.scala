@@ -6301,8 +6301,8 @@ object SparkEntry {
         |    SELECT t.cur, t.seed, t.node, t.dist, t.sigma,
         |      max(CASE WHEN role = 0 THEN delta END)
         |        OVER (PARTITION BY seed, node) AS carried,
-        |      coalesce(sum(CASE WHEN role = 1 THEN c END)
-        |        OVER (PARTITION BY seed, node), 0) AS contrib,
+        |      coalesce(CAST(sum(CASE WHEN role = 1 THEN c END)
+        |        OVER (PARTITION BY seed, node) AS BIGINT), 0) AS contrib,
         |      row_number() OVER (PARTITION BY seed, node ORDER BY role)
         |        AS rn
         |    FROM (

@@ -26,7 +26,10 @@ class OracleTypeContractSpec extends AnyFunSuite {
       // q_pagerank_weighted's edge weight: built as count(*)::DOUBLE in
       // its pairs CTE, so DuckDB sums DOUBLE — anchored to the bare
       // column so no other integer arg can ride this exemption
-      """|^w$""").r
+      """|^w$""" +
+      // q_betweenness: σ path counts are DOUBLE by design (2^53-guarded
+      // integer-valued doubles) — anchored to the bare column
+      """|^sigma$""").r
 
   /** (start, argument, tail) for each `sum(`/top-level aggregate call —
     * `list_sum` etc. are DuckDB list ops over doubles, excluded by the
@@ -48,7 +51,9 @@ class OracleTypeContractSpec extends AnyFunSuite {
         i += 1
       }
       val arg = sql.substring(open + 1, i - 1)
-      val tail = sql.substring(i, math.min(sql.length, i + 60))
+      // 120 chars: enough to see the cast terminator through a full
+      // window clause (OVER (ORDER BY .. ROWS BETWEEN ..) AS BIGINT)
+      val tail = sql.substring(i, math.min(sql.length, i + 120))
       (hit.start, arg, tail)
     }.toSeq
   }
