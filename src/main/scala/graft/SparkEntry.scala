@@ -2196,6 +2196,12 @@ object SparkEntry {
       operators.TextAnalysis.readabilityScores(
         t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- slice-level mirror detection: term-count cosine between
+    // sources (full twin — integer dot/norms, one portable division) ----
+    "q_source_similarity" -> ((s, dir) =>
+      operators.TextAnalysis.sourceSimilarity(
+        t(s, dir, "documents"), "source", "text")),
+
     // ---- word2vec frequent-word subsampling over the corpus ----
     "q_subsample" -> ((s, dir) =>
       operators.TextAnalysis.subsampleFrequent(
@@ -3217,6 +3223,30 @@ object SparkEntry {
         |       ELSE ('0x' || substring(sha256(text), i * 8 + 1, 8))::BIGINT
         |            / 4294967295.0 END AS val
         |FROM documents, range(8) AS t(i)""".stripMargin,
+    // slice cosine: integer dot over the term-keyed self-join, norms
+    // as integer sums-of-squares, one portable division
+    "q_source_similarity" ->
+      """WITH toks AS (
+        |  SELECT CAST(source AS VARCHAR) AS k,
+        |    unnest(list_filter(string_split_regex(coalesce(text, ''),
+        |      '\s+'), t -> t <> '')) AS t
+        |  FROM documents WHERE source IS NOT NULL),
+        |c AS (
+        |  SELECT k, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY k, t),
+        |norms AS (
+        |  SELECT k, CAST(sum(c * c) AS BIGINT) AS ss FROM c GROUP BY k),
+        |dots AS (
+        |  SELECT a.k AS key_a, b.k AS key_b,
+        |    CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |  FROM c a JOIN c b ON a.t = b.t AND a.k < b.k
+        |  GROUP BY a.k, b.k)
+        |SELECT key_a, key_b, dot,
+        |  round(dot::DOUBLE / (sqrt(na.ss::DOUBLE) * sqrt(nb.ss::DOUBLE)),
+        |    6) AS cosine
+        |FROM dots
+        |JOIN norms na ON na.k = key_a
+        |JOIN norms nb ON nb.k = key_b""".stripMargin,
     // readability: identical whitespace/sentence/vowel-group counting,
     // constants as ::DOUBLE literals (bare decimals are DECIMAL in
     // DuckDB and overflow/diverge)

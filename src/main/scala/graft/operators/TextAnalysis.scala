@@ -20,6 +20,59 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Pairwise term-count cosine between corpus slices (sources,
+    * snapshots, shards) — "which sources are mirrors of each other"
+    * at the SLICE level, where the doc-level dedup tier sees only
+    * pairs: `cos(A,B) = Σ_t cA(t)·cB(t) / (‖cA‖·‖cB‖)` over whitespace
+    * term counts. Plain counts, deliberately not tf-idf: idf needs a
+    * data-dependent log (not engine-portable) and mirror detection
+    * wants the raw bulk overlap anyway.
+    *
+    * Exactness: the dot and squared norms are pure LONG sums
+    * (order-free); the only doubles are two sqrt and one division
+    * (portable IEEE), so the DuckDB twin is hash-exact. Token counts
+    * cap at 2^31 per (slice, term) before the dot could overflow —
+    * beyond that, sample.
+    *
+    * Scale shape: ONE corpus-sized groupBy to (slice, term) counts
+    * (map-side partials, pinned — the self-join reads it twice and
+    * Spark never dedups a common subplan), a term-keyed self-join
+    * whose fan-out per term is bounded by the SLICE count squared
+    * (slices are few by definition), slice-sized norm and final
+    * tables. Output: `(key_a, key_b, dot, cosine)` with key_a < key_b,
+    * all pairs with any overlap.
+    */
+  def sourceSimilarity(
+      df: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val counts = graft.core.Caches.pin(
+      df.where(col(keyCol).isNotNull)
+        .select(col(keyCol).cast("string").as("__k"),
+          explode(tokens(col(textCol))).as("__t"))
+        .groupBy(col("__k"), col("__t"))
+        .agg(count(lit(1)).as("__c")))
+    try {
+      val norms = counts.groupBy(col("__k"))
+        .agg(sum(col("__c") * col("__c")).as("__ss"))
+      val dots = counts.select(col("__k").as("key_a"), col("__t"),
+          col("__c").as("__ca"))
+        .join(counts.select(col("__k").as("key_b"), col("__t"),
+          col("__c").as("__cb")), Seq("__t"))
+        .where(col("key_a") < col("key_b"))
+        .groupBy(col("key_a"), col("key_b"))
+        .agg(sum(col("__ca") * col("__cb")).as("dot"))
+      dots
+        .join(broadcast(norms.select(col("__k").as("key_a"),
+          col("__ss").as("__ssa"))), "key_a")
+        .join(broadcast(norms.select(col("__k").as("key_b"),
+          col("__ss").as("__ssb"))), "key_b")
+        .select(col("key_a"), col("key_b"), col("dot"),
+          round(col("dot").cast("double") /
+            (sqrt(col("__ssa").cast("double")) *
+              sqrt(col("__ssb").cast("double"))), 6).as("cosine"))
+        .localCheckpoint(true)
+    } finally counts.unpersist()
+  }
+
   /** Flesch Reading Ease + Flesch–Kincaid grade level per document —
     * the classic readability gates for training-data curation (a
     * reading-ease floor drops OCR shrapnel and keyword-stuffed spam; a

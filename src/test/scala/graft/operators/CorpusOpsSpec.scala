@@ -653,4 +653,20 @@ class CorpusOpsSpec extends SparkTestBase {
     // vowel-less words still count 1 syllable each
     assert(out(4L)._3 == 2L)
   }
+
+  test("sourceSimilarity: hand-computed cosine, disjoint slices absent, multi-row slices fold") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "x x"), ("A", "y"),      // A folds across rows: {x:2, y:1}
+      ("B", "x y y"),                // {x:1, y:2}
+      ("C", "z z"),                  // disjoint from A and B
+      (null.asInstanceOf[String], "x y z")) // null slice drops
+      .toDF("src", "text")
+    val out = TextAnalysis.sourceSimilarity(docs, "src", "text")
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getDouble(3)))).toMap
+    graft.core.Caches.releaseCheckpoint(out)
+    // dot(A,B) = 2*1 + 1*2 = 4; norms sqrt(5) each -> cos 0.8
+    assert(rows == Map(("A", "B") -> ((4L, 0.8))), rows.toString)
+  }
 }
