@@ -93,11 +93,18 @@ object Ann {
           "micros (quantize upstream; double scores are not " +
           "engine-portable through a greedy argmax)")
     }
-    val bad = candidates.agg(count(when(col(idCol).isNull ||
-      col(scoreCol).isNull || col(vecCol).isNull, 1)).as("__nl"))
-      .head().getAs[Long]("__nl")
+    val probe = candidates.agg(count(when(col(idCol).isNull ||
+      col(scoreCol).isNull || col(vecCol).isNull, 1)).as("__nl"),
+      count(lit(1)).as("__cnt")).head()
+    val bad = probe.getAs[Long]("__nl")
     require(bad == 0L,
       s"mmrRerank: $bad NULL id/score/vector row(s) — filter upstream")
+    // k full-candidate scans is fine for a retrieval shortlist and
+    // silent death for a corpus — refuse loudly past shortlist size
+    require(probe.getAs[Long]("__cnt") <= 1000000L,
+      s"mmrRerank: ${probe.getAs[Long]("__cnt")} candidates — rerank " +
+        "a retrieval shortlist (<= 1M rows, the top-N of an index " +
+        "scan), not a corpus; shrink with bruteForceTopK/ivfTopK first")
     val spark = candidates.sparkSession
     var state = candidates
       .select(col(idCol).as("id"), col(scoreCol).cast("long")
@@ -147,8 +154,12 @@ object Ann {
           r += 1
         }
       }
+      // empty branch must carry the NORMAL path's id type — a bare
+      // null literal is NullType, which breaks parquet writes and
+      // unions with real runs
       val out = (if (selected == null)
-        spark.range(0).select(lit(0).as("rank"), lit(null).as("id"),
+        spark.range(0).select(lit(0).as("rank"),
+          lit(null).cast(candidates.schema(idCol).dataType).as("id"),
           lit(0L).as("score_micros"), lit(0L).as("maxsim_micros"),
           lit(0L).as("mmr_micros"))
       else selected).localCheckpoint(true)

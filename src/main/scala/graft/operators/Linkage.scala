@@ -106,19 +106,41 @@ object Linkage {
     * Scale shape: the self-join shuffles on the block keys (caller
     * picks selective keys; mega-blocks are skew to salt), agreement is
     * codegen'd `<=>` per field, and the groupBy is map-side-combined
-    * into ≤ 2^|fields| cells.
+    * into ≤ 2^|fields| cells. A HOT BLOCK is the unbounded term — one
+    * block of B rows yields B²/2 pairs regardless of how selective
+    * every other block is (the classic degenerate case: a NULL or
+    * empty-string block key holding half the corpus) — so the largest
+    * block is checked EAGERLY (one blocks-sized aggregate) and refused
+    * loudly above `maxBlockRows`; salt or sub-block the hot key.
     */
   def agreementPatterns(
       df: DataFrame,
       idCol: String,
       blockCols: Seq[String],
-      fieldCols: Seq[String]): DataFrame = {
+      fieldCols: Seq[String],
+      maxBlockRows: Long = 100000L): DataFrame = {
     require(blockCols.nonEmpty,
       "blockCols must be non-empty — unblocked linkage is a global " +
         "cartesian product; block on something (and salt/sub-block hot keys)")
     require(fieldCols.nonEmpty && fieldCols.length <= 20,
       s"fieldCols must be 1..20, got ${fieldCols.length} (beyond 20 " +
         "the pattern histogram is no longer driver-bounded)")
+    require(maxBlockRows >= 2L && maxBlockRows <= 10000000L,
+      s"maxBlockRows must be in 2..10000000, got $maxBlockRows")
+    // eager hot-block guard: NULL block keys join nowhere (`===` never
+    // matches NULL) so they are exempt; everything else is bounded
+    val hot = df
+      .where(blockCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__b"))
+      .agg(max(col("__b")).as("__mx")).head()
+    val mx = if (hot.isNullAt(0)) 0L else hot.getAs[Long]("__mx")
+    require(mx <= maxBlockRows,
+      s"agreementPatterns: a block holds $mx rows (> maxBlockRows=" +
+        s"$maxBlockRows) — one hot block yields mx²/2 candidate " +
+        "pairs no matter how selective the rest are; salt or " +
+        "sub-block the hot key (add a discriminating column to " +
+        "blockCols) upstream")
     val allCols = (Seq(idCol) ++ blockCols ++ fieldCols).distinct
     val left = df.select(allCols.map(c => col(c).as(s"${c}_a")): _*)
     val right = df.select(allCols.map(c => col(c).as(s"${c}_b")): _*)

@@ -38,12 +38,32 @@ object TextAnalysis {
     * (map-side partials, pinned — the self-join reads it twice and
     * Spark never dedups a common subplan), a term-keyed self-join
     * whose fan-out per term is bounded by the SLICE count squared
-    * (slices are few by definition), slice-sized norm and final
-    * tables. Output: `(key_a, key_b, dot, cosine)` with key_a < key_b,
-    * all pairs with any overlap.
+    * (slices are few by definition — and REFUSED loudly above
+    * `maxSlices`: a universal term across S slices fabricates S² join
+    * rows, so a caller passing a document-granularity key must be
+    * stopped eagerly, not discovered in a dead executor; doc-level
+    * near-dup belongs to the MinHash/SimHash dedup tier), slice-sized
+    * norm and final tables. Output: `(key_a, key_b, dot, cosine)`
+    * with key_a < key_b, all pairs with any overlap.
     */
   def sourceSimilarity(
-      df: DataFrame, keyCol: String, textCol: String): DataFrame = {
+      df: DataFrame, keyCol: String, textCol: String,
+      maxSlices: Int = 1024): DataFrame = {
+    require(maxSlices >= 2 && maxSlices <= 65536,
+      s"maxSlices must be in 2..65536, got $maxSlices")
+    // eager slice-cardinality guard: the self-join below is quadratic
+    // in slices sharing a term — fine for sources/snapshots (tens to
+    // hundreds), a silent detonation for keyCol = doc_id
+    val nSlices = df.where(col(keyCol).isNotNull)
+      .agg(countDistinct(col(keyCol)).as("__ns"))
+      .head().getAs[Long]("__ns")
+    require(nSlices <= maxSlices,
+      s"sourceSimilarity: $nSlices distinct `$keyCol` slices (> " +
+        s"maxSlices=$maxSlices) — the term-keyed self-join is " +
+        "quadratic per shared term; this operator compares corpus " +
+        "SLICES (sources/snapshots/shards), not documents — for " +
+        "doc-granularity near-dup use the dedup tier " +
+        "(minHashLsh/simHashDedup)")
     val counts = graft.core.Caches.pin(
       df.where(col(keyCol).isNotNull)
         .select(col(keyCol).cast("string").as("__k"),

@@ -170,11 +170,16 @@ object Timeseries {
       s"theilSenTrend: $nulls NULL `$tsCol`/`$valueCol` row(s) — " +
         "filter deliberately upstream")
     val keys = keyCols.map(col)
+    // NULL-keyed rows never survive the equality pair-join below, so
+    // they must not trip the guards either — an oversized NULL-key
+    // group would otherwise refuse rows that cannot participate
+    val keyed = df.where(keyCols.map(col(_).isNotNull)
+      .reduce(_ && _))
     // eager guards (one keys-sized aggregate): in-plan raise_error is
     // NOT reliable here — a zero-pair key makes the aggregate side
     // empty and AQE's empty-relation propagation can elide the guarded
     // scan entirely, silently skipping the check
-    val counts = df.groupBy(keys: _*)
+    val counts = keyed.groupBy(keys: _*)
       .agg(count(lit(1)).as("__n"),
         countDistinct(col(tsCol)).as("__ndt"))
     val guard = counts.agg(max(col("__n")).as("__mx"),
@@ -187,9 +192,9 @@ object Timeseries {
       s"theilSenTrend: ${guard.getAs[Long]("__dups")} key(s) carry " +
         "duplicate timestamps — a same-instant pair has no slope; " +
         "dedup upstream")
-    val a = df.select(keys :+ col(tsCol).as("__t1") :+
+    val a = keyed.select(keys :+ col(tsCol).as("__t1") :+
       col(valueCol).as("__v1"): _*)
-    val b = df.select(keys :+ col(tsCol).as("__t2") :+
+    val b = keyed.select(keys :+ col(tsCol).as("__t2") :+
       col(valueCol).as("__v2"): _*)
     val pairs = a.join(b, keyCols).where(col("__t1") < col("__t2"))
       .select(keys :+

@@ -1174,7 +1174,15 @@ object Validation {
     * derive from order-free integer totals; the final posterior is a
     * portable IEEE expression. Groups ≥ 2 and rate variance > 0
     * required loudly (a single group or zero spread cannot identify a
-    * prior — report the raw rates instead). Output: key cols +
+    * prior — report the raw rates instead); both guards are EAGER
+    * driver-side `require`s over the groups-sized aggregate — an
+    * in-plan raise_error never fires on an empty frame (the
+    * [[graft.operators.Timeseries.theilSenTrend]] AQE
+    * empty-relation-elision lesson), and the variance sign is judged
+    * in DOUBLE (a LONG product of micro-moment sums overflows 2^63
+    * past ~3000 groups and wraps silently under non-ANSI Spark).
+    * Group count is loudly capped at 8,000,000 so the exact LONG
+    * `Σ __pm²` moment itself cannot overflow. Output: key cols +
     * `(n, successes, rate, shrunk_rate)` with the fitted
     * `(alpha, beta)` repeated per row for auditability.
     */
@@ -1188,39 +1196,38 @@ object Validation {
       .head().getAs[Long]("__nl")
     require(nl == 0L, s"shrunkenRates: $nl NULL `$successCol` row(s)")
     val keys = keyCols.map(col)
-    val g = df.groupBy(keys: _*)
+    val g = graft.core.Caches.pin(df.groupBy(keys: _*)
       .agg(count(lit(1)).as("n"),
         count(when(col(successCol), 1)).as("successes"))
-      .withColumn("__pm", expr("successes * 1000000 div n"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    val withMoments = g
-      .withColumn("__gcnt", count(lit(1)).over(w))
-      .withColumn("__s1", sum(col("__pm")).over(w))
-      .withColumn("__s2", sum(col("__pm") * col("__pm")).over(w))
-    val gc = col("__gcnt").cast("double")
-    val m = col("__s1") / gc / lit(1e6)
-    val v = (col("__s2") / gc / lit(1e12)) -
-      (col("__s1") / gc / lit(1e6)) * (col("__s1") / gc / lit(1e6))
-    val k = m * (lit(1.0) - m) / v - lit(1.0)
-    val alpha = m * k
-    val beta = (lit(1.0) - m) * k
-    withMoments
-      .withColumn("__guard",
-        when(col("__gcnt") < 2L, raise_error(lit(
-          "shrunkenRates: fewer than 2 groups — the prior is " +
-            "unidentifiable; report raw rates instead")))
-          .when(col("__s2") * col("__gcnt") <= col("__s1") * col("__s1"),
-            raise_error(lit(
-              "shrunkenRates: zero rate variance across groups — the " +
-                "prior is unidentifiable; report raw rates instead")))
-          .otherwise(lit(0)))
-      .select(keys ++ Seq(col("n"), col("successes"),
-        round(col("successes").cast("double") / col("n") +
-          col("__guard"), 6).as("rate"),
-        round((col("successes") + alpha) /
-          (col("n") + alpha + beta), 6).as("shrunk_rate"),
-        round(alpha, 6).as("alpha"),
-        round(beta, 6).as("beta")): _*)
+      .withColumn("__pm", expr("successes * 1000000 div n")))
+    try {
+      val gcnt = g.count()
+      require(gcnt >= 2L,
+        "shrunkenRates: fewer than 2 groups — the prior is " +
+          "unidentifiable; report raw rates instead")
+      require(gcnt <= 8000000L,
+        s"shrunkenRates: $gcnt groups — the exact LONG moment " +
+          "sum Σ(micro-rate²) overflows 2^63 past 8M groups; " +
+          "shard or sample groups first")
+      val mom = g.agg(sum(col("__pm")).as("__s1"),
+        sum(col("__pm") * col("__pm")).as("__s2")).head()
+      val gc = gcnt.toDouble
+      val m = mom.getAs[Long]("__s1").toDouble / gc / 1e6
+      val v = mom.getAs[Long]("__s2").toDouble / gc / 1e12 - m * m
+      require(v > 0.0,
+        "shrunkenRates: zero rate variance across groups — the " +
+          "prior is unidentifiable; report raw rates instead")
+      val k = m * (1.0 - m) / v - 1.0
+      val alpha = m * k
+      val beta = (1.0 - m) * k
+      g.select(keys ++ Seq(col("n"), col("successes"),
+          round(col("successes").cast("double") / col("n"), 6).as("rate"),
+          round((col("successes") + lit(alpha)) /
+            (col("n") + lit(alpha) + lit(beta)), 6).as("shrunk_rate"),
+          round(lit(alpha), 6).as("alpha"),
+          round(lit(beta), 6).as("beta")): _*)
+        .localCheckpoint(true)
+    } finally g.unpersist()
   }
 
   /** Quantile matching (nearest-rank equipercentile equating): remap

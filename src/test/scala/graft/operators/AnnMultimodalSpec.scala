@@ -78,6 +78,24 @@ class AnnMultimodalSpec extends SparkTestBase {
       cand, "id", "score_micros", "v", 0, 500000L))
     intercept[IllegalArgumentException](Ann.mmrRerank(
       cand, "id", "score_micros", "v", 1, 1000001L))
+    // shortlist contract: k full-candidate scans is a shortlist tool,
+    // not a corpus tool — > 1M candidates are refused loudly
+    val corpus = spark.range(1000001L).select($"id",
+      org.apache.spark.sql.functions.lit(1L).as("s"),
+      org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.lit(1.0)).as("v"))
+    val big = intercept[IllegalArgumentException](Ann.mmrRerank(
+      corpus, "id", "s", "v", 1, 500000L))
+    assert(big.getMessage.contains("shortlist"), big.getMessage)
+    // empty candidates: the empty frame carries the NORMAL schema —
+    // id keeps the input's type (a bare null literal would be
+    // NullType, unwritable to parquet and un-unionable)
+    val empty = Ann.mmrRerank(cand.where($"id" < 0L), "id",
+      "score_micros", "v", 3, 500000L)
+    assert(empty.count() == 0L)
+    assert(empty.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType, empty.schema.treeString)
+    graft.core.Caches.releaseCheckpoint(empty)
   }
 
   test("hardNegatives: gold excluded, equals exclusion-rerank of exact topk, denoise guard") {

@@ -669,4 +669,26 @@ class CorpusOpsSpec extends SparkTestBase {
     // dot(A,B) = 2*1 + 1*2 = 4; norms sqrt(5) each -> cos 0.8
     assert(rows == Map(("A", "B") -> ((4L, 0.8))), rows.toString)
   }
+
+  test("sourceSimilarity: loud slice-cardinality guard — a doc-granularity key with a universal term is refused, not detonated") {
+    import spark.implicits._
+    // universal term "the" across every slice: the self-join fan-out
+    // for that term alone is slices² — the guard must fire EAGERLY on
+    // the distinct-key count, before any join is built
+    val docLevel = (1 to 5).map(i => (s"doc_$i", "the quick fox"))
+      .toDF("src", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.sourceSimilarity(docLevel, "src", "text",
+        maxSlices = 4)
+    }
+    assert(e.getMessage.contains("quadratic") &&
+      e.getMessage.contains("dedup tier"), e.getMessage)
+    // at exactly maxSlices the operator runs; all pairs share "the"
+    val ok = TextAnalysis.sourceSimilarity(docLevel.limit(4), "src",
+      "text", maxSlices = 4)
+    assert(ok.count() == 6L) // C(4,2) pairs, every slice identical
+    graft.core.Caches.releaseCheckpoint(ok)
+    intercept[IllegalArgumentException](TextAnalysis.sourceSimilarity(
+      docLevel, "src", "text", maxSlices = 1))
+  }
 }

@@ -147,6 +147,25 @@ class LinkageSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Linkage.agreementPatterns(rows, "id", Seq("block"), Nil)
     }
+    // planted HOT BLOCK: one block holding > maxBlockRows rows is
+    // refused eagerly (B²/2 pairs from a single degenerate key), with
+    // the salting remedy in the message
+    val hotE = intercept[IllegalArgumentException] {
+      Linkage.agreementPatterns(rows, "id", Seq("block"),
+        Seq("name", "phone"), maxBlockRows = 2L)
+    }
+    assert(hotE.getMessage.contains("salt"), hotE.getMessage)
+    // NULL block keys never pair, so a fat NULL block is exempt —
+    // the guard must not refuse rows that cannot participate
+    val nullFat = rows.unionByName(Seq(
+      (7L, null.asInstanceOf[String], "x", "y"),
+      (8L, null.asInstanceOf[String], "x", "y"),
+      (9L, null.asInstanceOf[String], "x", "y"))
+      .toDF("id", "block", "name", "phone"))
+    val nf = Linkage.agreementPatterns(nullFat, "id", Seq("block"),
+      Seq("name", "phone"), maxBlockRows = 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nf == Map(0L -> 2L, 1L -> 1L, 3L -> 1L), nf.toString)
   }
 
   test("fitEM recovers planted m/u, beats hand weights, is deterministic, loud on degenerate inputs") {

@@ -167,5 +167,13 @@ class TimeseriesSpec extends SparkTestBase {
       Seq("k"), "t", "v"))
     intercept[IllegalArgumentException](Timeseries.theilSenTrend(
       Seq(("g", 1L, 1L)).toDF("k", "t", "v"), Nil, "t", "v"))
+    // NULL-keyed rows never reach the pair-join, so an oversized or
+    // dup-stamped NULL-key group must not trip the guards either
+    val nullKeyed = (1L to 20L).map(t =>
+      (null.asInstanceOf[String], t, t)) ++
+      Seq((null.asInstanceOf[String], 1L, 99L)) ++ // dup ts, NULL key
+      (0L to 4L).map(t => ("h", t, 3 * t))
+    val nk = run(nullKeyed, maxPoints = 10L)
+    assert(nk == Map("h" -> ((5L, 10L, 10L, 1.0, 3.0))), nk.toString)
   }
 }

@@ -678,11 +678,18 @@ class ValidationSpec extends SparkTestBase {
     assert(sh("b") == ((0.5, 0.500276, 0.445902, 0.390164)))
     assert(sh("c") == ((0.1, 0.103593, 0.445902, 0.390164)))
     assert(sh("a")._2 < 1.0 && sh("c")._2 > 0.1)
-    // loud: one group / zero variance are unidentifiable priors
-    intercept[Exception](Validation.shrunkenRates(
-      flags(("only", 3, 5)), Seq("k"), "s").collect())
-    intercept[Exception](Validation.shrunkenRates(
-      flags(("x", 1, 2), ("y", 2, 4)), Seq("k"), "s").collect())
+    // loud: one group / zero variance are unidentifiable priors —
+    // and the guards are EAGER: they fire at call time, before any
+    // action on the returned frame
+    intercept[IllegalArgumentException](Validation.shrunkenRates(
+      flags(("only", 3, 5)), Seq("k"), "s"))
+    intercept[IllegalArgumentException](Validation.shrunkenRates(
+      flags(("x", 1, 2), ("y", 2, 4)), Seq("k"), "s"))
+    // empty input is ZERO groups — the in-plan raise_error an earlier
+    // draft used never evaluates on an empty frame; the eager guard
+    // must still refuse loudly
+    intercept[IllegalArgumentException](Validation.shrunkenRates(
+      flags(), Seq("k"), "s"))
     intercept[IllegalArgumentException](Validation.wilsonIntervals(
       Seq(("a", 1L)).toDF("k", "s"), Seq("k"), "s"))
     intercept[IllegalArgumentException](Validation.wilsonIntervals(
