@@ -994,8 +994,9 @@ object SparkEntry {
     // ---- classifier TRAINING end-to-end: learn a token-derivable label
     // (docs mentioning "merge" — the `lang` tag is independent of the
     // synthetic text, so it is unlearnable by design) and output the
-    // confusion matrix. Iterative GD is not SQL-expressible (rows-only;
-    // ClassifierSpec pins determinism and planted accuracy).
+    // confusion matrix. FULL DuckDB twin: the integer-exact GD loop
+    // (order-free nano gradient sums — the q_pagerank unroll property)
+    // replays as 10 materialized weight/bias CTE stages.
     "q_classifier_train" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("text"),
@@ -6772,6 +6773,270 @@ object SparkEntry {
         |  CAST(CASE WHEN (SELECT c FROM cap) IS NULL THEN n_docs
         |    ELSE LEAST(n_docs, (SELECT c FROM cap)) END AS BIGINT) AS alloc
         |FROM w""".stripMargin,
+    // Classifier training unrolled epoch-by-epoch: the GD loop is
+    // integer-exact (micro-unit weights, nano-unit gradients, one
+    // sigmoid per doc rounded to nanos at birth), so 10 epochs replay
+    // as 10 materialized CTE stages — weight/bias tables chained, the
+    // driver step's math.round as floor(x + 0.5), Spark round() as
+    // DuckDB round() (both half-away-from-zero on doubles). The
+    // confusion matrix then hash-matches end to end.
+    "q_classifier_train" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |lab AS MATERIALIZED (
+        |  SELECT d.doc_id, coalesce(l.y, 0) AS y
+        |  FROM documents d LEFT JOIN (
+        |    SELECT doc_id, 1 AS y FROM toks WHERE tok = 'merge' GROUP BY doc_id) l
+        |  USING (doc_id)),
+        |feats AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    ('0x' || substring(sha256(tok), 1, 15))::BIGINT % 1024 AS bucket,
+        |    count(*)::BIGINT AS cnt
+        |  FROM toks GROUP BY doc_id, bucket),
+        |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
+        |w0 AS MATERIALIZED (SELECT CAST(unnest(range(0, 1024)) AS BIGINT) AS bucket, 0::BIGINT AS w),
+        |bias0 AS MATERIALIZED (SELECT 0::BIGINT AS b),
+        |z1 AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias0) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w0 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |e1 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+        |  FROM z1),
+        |g1 AS MATERIALIZED (
+        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+        |  FROM feats f JOIN e1 e USING (doc_id) GROUP BY f.bucket),
+        |w1 AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+        |      + 0.5) AS BIGINT) AS w
+        |  FROM w0 w LEFT JOIN g1 g USING (bucket)),
+        |bias1 AS MATERIALIZED (
+        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e1)
+        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+        |  FROM bias0),
+        |z2 AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias1) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w1 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |e2 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+        |  FROM z2),
+        |g2 AS MATERIALIZED (
+        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+        |  FROM feats f JOIN e2 e USING (doc_id) GROUP BY f.bucket),
+        |w2 AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+        |      + 0.5) AS BIGINT) AS w
+        |  FROM w1 w LEFT JOIN g2 g USING (bucket)),
+        |bias2 AS MATERIALIZED (
+        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e2)
+        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+        |  FROM bias1),
+        |z3 AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias2) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w2 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |e3 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+        |  FROM z3),
+        |g3 AS MATERIALIZED (
+        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+        |  FROM feats f JOIN e3 e USING (doc_id) GROUP BY f.bucket),
+        |w3 AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+        |      + 0.5) AS BIGINT) AS w
+        |  FROM w2 w LEFT JOIN g3 g USING (bucket)),
+        |bias3 AS MATERIALIZED (
+        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e3)
+        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+        |  FROM bias2),
+        |z4 AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias3) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w3 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |e4 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+        |  FROM z4),
+        |g4 AS MATERIALIZED (
+        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+        |  FROM feats f JOIN e4 e USING (doc_id) GROUP BY f.bucket),
+        |w4 AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+        |      + 0.5) AS BIGINT) AS w
+        |  FROM w3 w LEFT JOIN g4 g USING (bucket)),
+        |bias4 AS MATERIALIZED (
+        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e4)
+        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+        |  FROM bias3),
+        |z5 AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias4) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w4 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |e5 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+        |  FROM z5),
+        |g5 AS MATERIALIZED (
+        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+        |  FROM feats f JOIN e5 e USING (doc_id) GROUP BY f.bucket),
+        |w5 AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+        |      + 0.5) AS BIGINT) AS w
+        |  FROM w4 w LEFT JOIN g5 g USING (bucket)),
+        |bias5 AS MATERIALIZED (
+        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e5)
+        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+        |  FROM bias4),
+        |z6 AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias5) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w5 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |e6 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+        |  FROM z6),
+        |g6 AS MATERIALIZED (
+        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+        |  FROM feats f JOIN e6 e USING (doc_id) GROUP BY f.bucket),
+        |w6 AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+        |      + 0.5) AS BIGINT) AS w
+        |  FROM w5 w LEFT JOIN g6 g USING (bucket)),
+        |bias6 AS MATERIALIZED (
+        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e6)
+        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+        |  FROM bias5),
+        |z7 AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias6) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w6 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |e7 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+        |  FROM z7),
+        |g7 AS MATERIALIZED (
+        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+        |  FROM feats f JOIN e7 e USING (doc_id) GROUP BY f.bucket),
+        |w7 AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+        |      + 0.5) AS BIGINT) AS w
+        |  FROM w6 w LEFT JOIN g7 g USING (bucket)),
+        |bias7 AS MATERIALIZED (
+        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e7)
+        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+        |  FROM bias6),
+        |z8 AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias7) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w7 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |e8 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+        |  FROM z8),
+        |g8 AS MATERIALIZED (
+        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+        |  FROM feats f JOIN e8 e USING (doc_id) GROUP BY f.bucket),
+        |w8 AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+        |      + 0.5) AS BIGINT) AS w
+        |  FROM w7 w LEFT JOIN g8 g USING (bucket)),
+        |bias8 AS MATERIALIZED (
+        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e8)
+        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+        |  FROM bias7),
+        |z9 AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias8) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w8 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |e9 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+        |  FROM z9),
+        |g9 AS MATERIALIZED (
+        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+        |  FROM feats f JOIN e9 e USING (doc_id) GROUP BY f.bucket),
+        |w9 AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+        |      + 0.5) AS BIGINT) AS w
+        |  FROM w8 w LEFT JOIN g9 g USING (bucket)),
+        |bias9 AS MATERIALIZED (
+        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e9)
+        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+        |  FROM bias8),
+        |z10 AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias9) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w9 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |e10 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+        |  FROM z10),
+        |g10 AS MATERIALIZED (
+        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+        |  FROM feats f JOIN e10 e USING (doc_id) GROUP BY f.bucket),
+        |w10 AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+        |      + 0.5) AS BIGINT) AS w
+        |  FROM w9 w LEFT JOIN g10 g USING (bucket)),
+        |bias10 AS MATERIALIZED (
+        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e10)
+        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+        |  FROM bias9),
+        |score AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias10) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w10 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id))
+        |SELECT CAST(y AS INTEGER) AS label, z > 0 AS pred, count(*)::BIGINT AS n
+        |FROM score GROUP BY label, pred""".stripMargin,
     // Porter stemmer (Porter 1980) ported rule-for-rule to DuckDB SQL:
     // the C/V pattern string is built once per intermediate word with a
     // list_reduce lambda (prefix-stable: a position's class depends only
