@@ -1048,6 +1048,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // ---- dataset cartography (Swayamdipta 2020): per-doc training
+    // dynamics over the same integer-exact GD run — confidence /
+    // variability / n_correct across the 10 epochs; the oracle replays
+    // the unrolled epochs and scores each post-epoch snapshot ----
+    "q_training_dynamics" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          array_contains(operators.TextAnalysis.tokens(col("text")), "merge")
+            .cast("int").as("label"))
+      operators.Classifier.trainingDynamics(
+        docs, "doc_id", "text", "label", dim = 1024, iters = 10, lr = 1.0)
+    }),
+
     // ---- Gopher quality-filter rules (Rae et al. 2021 A1.1) ----
     "q_gopher_rules" -> ((s, dir) => {
       operators.TextAnalysis.withGopherRules(
@@ -2103,6 +2116,41 @@ object SparkEntry {
           .select(col("source"), (col("lang") === "en").as("is_en")),
         Seq("source"), "is_en")),
 
+    // ---- Spearman rank agreement per language between two doc-level
+    // integral scores (char length vs token count): tie-averaged ranks
+    // at 2× scale, exact BIGINT moments, one portable division ----
+    "q_spearman" -> ((s, dir) =>
+      operators.Validation.spearmanCorrelation(
+        t(s, dir, "documents").select(col("lang"),
+          length(coalesce(col("text"), lit(""))).cast("long").as("len_c"),
+          operators.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("len_t")),
+        Seq("lang"), "len_c", "len_t")),
+
+    // ---- Krippendorff's alpha over a deterministic three-annotator
+    // fixture: token-count terciles, char-length terciles (correlated
+    // but not identical), and a sha-gated 1-in-7 rotation of the first
+    // — the LLM-judge-ensemble agreement gate, sha-replayable in SQL ----
+    "q_krippendorff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ntok = operators.TextAnalysis.tokenCount(col("text"))
+      val nchr = length(coalesce(col("text"), lit("")))
+      val a1v = when(ntok >= 68, "long").when(ntok >= 39, "mid")
+        .otherwise("short")
+      val a1 = docs.select(col("doc_id"), a1v.as("value"))
+      val a2 = docs.select(col("doc_id"),
+        when(nchr >= 373, "long").when(nchr >= 216, "mid")
+          .otherwise("short").as("value"))
+      val a3 = docs.select(col("doc_id"),
+        when(operators.TextAnalysis.hash60(
+            concat(lit("kripp:"), col("doc_id").cast("string"))) % 7 === 0,
+          when(a1v === "short", "mid").when(a1v === "mid", "long")
+            .otherwise("short"))
+          .otherwise(a1v).as("value"))
+      operators.Validation.krippendorffAlpha(
+        a1.unionByName(a2).unionByName(a3), "doc_id", "value")
+    }),
+
     // ---- quantile matching: remap non-English doc lengths onto the
     // English length scale (nearest-rank equating, pure BIGINT) ----
     "q_quantile_match" -> ((s, dir) => {
@@ -2240,6 +2288,12 @@ object SparkEntry {
     // sources (full twin — integer dot/norms, one portable division) ----
     "q_source_similarity" -> ((s, dir) =>
       operators.TextAnalysis.sourceSimilarity(
+        t(s, dir, "documents"), "source", "text")),
+
+    // ---- pairwise Jensen–Shannon divergence between sources' token
+    // distributions — the drift companion to the mirror cosine ----
+    "q_slice_divergence" -> ((s, dir) =>
+      operators.TextAnalysis.sliceDivergence(
         t(s, dir, "documents"), "source", "text")),
 
     // ---- word2vec frequent-word subsampling over the corpus ----
@@ -7052,6 +7106,441 @@ object SparkEntry {
         |  USING (doc_id))
         |SELECT CAST(y AS INTEGER) AS label, z > 0 AS pred, count(*)::BIGINT AS n
         |FROM score GROUP BY label, pred""".stripMargin,
+    // Cartography twin: the classifier oracle's unrolled epochs, then
+    // each post-epoch snapshot (w_k, bias_k) scores the corpus — the
+    // logit of snapshot k IS training epoch k+1's z — p_true rounded
+    // to micros at birth, confidence/variability from exact BIGINT
+    // Σp / Σp² (variance numerator n·Σp² − (Σp)² stays integral).
+    "q_training_dynamics" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |lab AS MATERIALIZED (
+        |  SELECT d.doc_id, coalesce(l.y, 0) AS y
+        |  FROM documents d LEFT JOIN (
+        |    SELECT doc_id, 1 AS y FROM toks WHERE tok = 'merge' GROUP BY doc_id) l
+        |  USING (doc_id)),
+        |feats AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    ('0x' || substring(sha256(tok), 1, 15))::BIGINT % 1024 AS bucket,
+        |    count(*)::BIGINT AS cnt
+        |  FROM toks GROUP BY doc_id, bucket),
+        |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
+        |w0 AS MATERIALIZED (SELECT CAST(unnest(range(0, 1024)) AS BIGINT) AS bucket, 0::BIGINT AS w),
+        |bias0 AS MATERIALIZED (SELECT 0::BIGINT AS b),
+        |z1 AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias0) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w0 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |e1 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+        |  FROM z1),
+        |g1 AS MATERIALIZED (
+        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+        |  FROM feats f JOIN e1 e USING (doc_id) GROUP BY f.bucket),
+        |w1 AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+        |      + 0.5) AS BIGINT) AS w
+        |  FROM w0 w LEFT JOIN g1 g USING (bucket)),
+        |bias1 AS MATERIALIZED (
+        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e1)
+        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+        |  FROM bias0),
+        |z2 AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias1) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w1 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |e2 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+        |  FROM z2),
+        |g2 AS MATERIALIZED (
+        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+        |  FROM feats f JOIN e2 e USING (doc_id) GROUP BY f.bucket),
+        |w2 AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+        |      + 0.5) AS BIGINT) AS w
+        |  FROM w1 w LEFT JOIN g2 g USING (bucket)),
+        |bias2 AS MATERIALIZED (
+        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e2)
+        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+        |  FROM bias1),
+        |z3 AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias2) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w2 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |e3 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+        |  FROM z3),
+        |g3 AS MATERIALIZED (
+        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+        |  FROM feats f JOIN e3 e USING (doc_id) GROUP BY f.bucket),
+        |w3 AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+        |      + 0.5) AS BIGINT) AS w
+        |  FROM w2 w LEFT JOIN g3 g USING (bucket)),
+        |bias3 AS MATERIALIZED (
+        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e3)
+        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+        |  FROM bias2),
+        |z4 AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias3) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w3 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |e4 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+        |  FROM z4),
+        |g4 AS MATERIALIZED (
+        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+        |  FROM feats f JOIN e4 e USING (doc_id) GROUP BY f.bucket),
+        |w4 AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+        |      + 0.5) AS BIGINT) AS w
+        |  FROM w3 w LEFT JOIN g4 g USING (bucket)),
+        |bias4 AS MATERIALIZED (
+        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e4)
+        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+        |  FROM bias3),
+        |z5 AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias4) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w4 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |e5 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+        |  FROM z5),
+        |g5 AS MATERIALIZED (
+        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+        |  FROM feats f JOIN e5 e USING (doc_id) GROUP BY f.bucket),
+        |w5 AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+        |      + 0.5) AS BIGINT) AS w
+        |  FROM w4 w LEFT JOIN g5 g USING (bucket)),
+        |bias5 AS MATERIALIZED (
+        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e5)
+        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+        |  FROM bias4),
+        |z6 AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias5) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w5 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |e6 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+        |  FROM z6),
+        |g6 AS MATERIALIZED (
+        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+        |  FROM feats f JOIN e6 e USING (doc_id) GROUP BY f.bucket),
+        |w6 AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+        |      + 0.5) AS BIGINT) AS w
+        |  FROM w5 w LEFT JOIN g6 g USING (bucket)),
+        |bias6 AS MATERIALIZED (
+        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e6)
+        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+        |  FROM bias5),
+        |z7 AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias6) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w6 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |e7 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+        |  FROM z7),
+        |g7 AS MATERIALIZED (
+        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+        |  FROM feats f JOIN e7 e USING (doc_id) GROUP BY f.bucket),
+        |w7 AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+        |      + 0.5) AS BIGINT) AS w
+        |  FROM w6 w LEFT JOIN g7 g USING (bucket)),
+        |bias7 AS MATERIALIZED (
+        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e7)
+        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+        |  FROM bias6),
+        |z8 AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias7) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w7 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |e8 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+        |  FROM z8),
+        |g8 AS MATERIALIZED (
+        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+        |  FROM feats f JOIN e8 e USING (doc_id) GROUP BY f.bucket),
+        |w8 AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+        |      + 0.5) AS BIGINT) AS w
+        |  FROM w7 w LEFT JOIN g8 g USING (bucket)),
+        |bias8 AS MATERIALIZED (
+        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e8)
+        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+        |  FROM bias7),
+        |z9 AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias8) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w8 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |e9 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+        |  FROM z9),
+        |g9 AS MATERIALIZED (
+        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+        |  FROM feats f JOIN e9 e USING (doc_id) GROUP BY f.bucket),
+        |w9 AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+        |      + 0.5) AS BIGINT) AS w
+        |  FROM w8 w LEFT JOIN g9 g USING (bucket)),
+        |bias9 AS MATERIALIZED (
+        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e9)
+        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+        |  FROM bias8),
+        |z10 AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias9) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w9 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |e10 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+        |  FROM z10),
+        |g10 AS MATERIALIZED (
+        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+        |  FROM feats f JOIN e10 e USING (doc_id) GROUP BY f.bucket),
+        |w10 AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+        |      + 0.5) AS BIGINT) AS w
+        |  FROM w9 w LEFT JOIN g10 g USING (bucket)),
+        |bias10 AS MATERIALIZED (
+        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e10)
+        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+        |  FROM bias9),
+        |zfin AS MATERIALIZED (
+        |  SELECT l.doc_id, l.y,
+        |    (SELECT b FROM bias10) + coalesce(s.zz, 0) AS z
+        |  FROM lab l LEFT JOIN (
+        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+        |    FROM feats f JOIN w10 w USING (bucket) GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |probs AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round((CASE WHEN y = 1 THEN 1.0 / (1.0 + exp(-z / 1e6))
+        |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
+        |  FROM z2
+        |  UNION ALL
+        |  SELECT doc_id, y,
+        |    CAST(round((CASE WHEN y = 1 THEN 1.0 / (1.0 + exp(-z / 1e6))
+        |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
+        |  FROM z3
+        |  UNION ALL
+        |  SELECT doc_id, y,
+        |    CAST(round((CASE WHEN y = 1 THEN 1.0 / (1.0 + exp(-z / 1e6))
+        |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
+        |  FROM z4
+        |  UNION ALL
+        |  SELECT doc_id, y,
+        |    CAST(round((CASE WHEN y = 1 THEN 1.0 / (1.0 + exp(-z / 1e6))
+        |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
+        |  FROM z5
+        |  UNION ALL
+        |  SELECT doc_id, y,
+        |    CAST(round((CASE WHEN y = 1 THEN 1.0 / (1.0 + exp(-z / 1e6))
+        |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
+        |  FROM z6
+        |  UNION ALL
+        |  SELECT doc_id, y,
+        |    CAST(round((CASE WHEN y = 1 THEN 1.0 / (1.0 + exp(-z / 1e6))
+        |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
+        |  FROM z7
+        |  UNION ALL
+        |  SELECT doc_id, y,
+        |    CAST(round((CASE WHEN y = 1 THEN 1.0 / (1.0 + exp(-z / 1e6))
+        |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
+        |  FROM z8
+        |  UNION ALL
+        |  SELECT doc_id, y,
+        |    CAST(round((CASE WHEN y = 1 THEN 1.0 / (1.0 + exp(-z / 1e6))
+        |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
+        |  FROM z9
+        |  UNION ALL
+        |  SELECT doc_id, y,
+        |    CAST(round((CASE WHEN y = 1 THEN 1.0 / (1.0 + exp(-z / 1e6))
+        |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
+        |  FROM z10
+        |  UNION ALL
+        |  SELECT doc_id, y,
+        |    CAST(round((CASE WHEN y = 1 THEN 1.0 / (1.0 + exp(-z / 1e6))
+        |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
+        |  FROM zfin)
+        |SELECT doc_id, CAST(y AS INTEGER) AS label,
+        |  round(CAST(sum(p) AS DOUBLE) / (10 * 1e6), 6) AS confidence,
+        |  round(sqrt(CAST(10 * sum(p * p) - sum(p) * sum(p) AS DOUBLE))
+        |    / (10 * 1e6), 6) AS variability,
+        |  sum(CASE WHEN p > 500000 THEN 1 ELSE 0 END)::BIGINT AS n_correct
+        |FROM probs GROUP BY doc_id, y""".stripMargin,
+    // Spearman twin: identical 2x tie-averaged ranks via a per-key
+    // lag-window over the distinct-value counts, centered on the exact
+    // mean n+1, BIGINT moments, one portable division.
+    "q_spearman" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(length(coalesce(text, '')) AS BIGINT) AS x,
+        |    CAST(len(list_filter(string_split_regex(coalesce(text, ''),
+        |      '\s+'), t -> t <> '')) AS BIGINT) AS y
+        |  FROM documents WHERE lang IS NOT NULL),
+        |cnt AS (SELECT lang, count(*)::BIGINT AS n FROM d GROUP BY lang),
+        |cx AS (SELECT lang, x, count(*)::BIGINT AS c FROM d GROUP BY lang, x),
+        |rx AS (SELECT lang, x,
+        |  2 * coalesce(sum(c) OVER (PARTITION BY lang ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+        |    AS r2 FROM cx),
+        |cy AS (SELECT lang, y, count(*)::BIGINT AS c FROM d GROUP BY lang, y),
+        |ry AS (SELECT lang, y,
+        |  2 * coalesce(sum(c) OVER (PARTITION BY lang ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+        |    AS r2 FROM cy),
+        |j AS (
+        |  SELECT d.lang, cnt.n,
+        |    rx.r2 - cnt.n - 1 AS dx, ry.r2 - cnt.n - 1 AS dy
+        |  FROM d
+        |  JOIN rx ON rx.lang = d.lang AND rx.x = d.x
+        |  JOIN ry ON ry.lang = d.lang AND ry.y = d.y
+        |  JOIN cnt ON cnt.lang = d.lang)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(dx * dy) AS BIGINT) AS sum_dxdy,
+        |  CASE WHEN sum(dx * dx) = 0 OR sum(dy * dy) = 0 THEN NULL
+        |    ELSE round(CAST(sum(dx * dy) AS DOUBLE) /
+        |      (sqrt(CAST(sum(dx * dx) AS DOUBLE)) *
+        |        sqrt(CAST(sum(dy * dy) AS DOUBLE))), 6) END AS rho
+        |FROM j GROUP BY lang""".stripMargin,
+    // JSD twin: only shared terms join (one-sided terms pay their mass
+    // times ln 2 in the closed form); per-term summands are logs of
+    // exact BIGINT rationals, nano-quantized at birth, LONG-summed.
+    "q_slice_divergence" ->
+      """WITH toks AS (
+        |  SELECT CAST(source AS VARCHAR) AS k,
+        |    unnest(list_filter(string_split_regex(coalesce(text, ''),
+        |      '\s+'), t -> t <> '')) AS t
+        |  FROM documents WHERE source IS NOT NULL),
+        |c AS (
+        |  SELECT k, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY k, t),
+        |tot AS (SELECT k, CAST(sum(c) AS BIGINT) AS nt FROM c GROUP BY k),
+        |j AS (
+        |  SELECT a.k AS key_a, b.k AS key_b, a.c AS ca, b.c AS cb,
+        |    ta.nt AS na, tb.nt AS nb
+        |  FROM c a JOIN c b ON a.t = b.t AND a.k < b.k
+        |  JOIN tot ta ON ta.k = a.k
+        |  JOIN tot tb ON tb.k = b.k),
+        |g AS (
+        |  SELECT key_a, key_b, count(*)::BIGINT AS n_common_terms,
+        |    CAST(sum(ca) AS BIGINT) AS cas, CAST(sum(cb) AS BIGINT) AS cbs,
+        |    CAST(sum(CAST(round(CAST(ca AS DOUBLE) / na *
+        |      ln(2e0 * CAST(ca * nb AS DOUBLE) / (ca * nb + cb * na)) *
+        |      1e9) AS BIGINT)) AS BIGINT) AS san,
+        |    CAST(sum(CAST(round(CAST(cb AS DOUBLE) / nb *
+        |      ln(2e0 * CAST(cb * na AS DOUBLE) / (ca * nb + cb * na)) *
+        |      1e9) AS BIGINT)) AS BIGINT) AS sbn,
+        |    max(na) AS na, max(nb) AS nb
+        |  FROM j GROUP BY key_a, key_b)
+        |SELECT key_a, key_b, n_common_terms,
+        |  round(0.5e0 * (0.6931471805599453e0 *
+        |      (1e0 - CAST(cas AS DOUBLE) / na) + CAST(san AS DOUBLE) / 1e9)
+        |    + 0.5e0 * (0.6931471805599453e0 *
+        |      (1e0 - CAST(cbs AS DOUBLE) / nb) + CAST(sbn AS DOUBLE) / 1e9),
+        |    6) AS jsd
+        |FROM g""".stripMargin,
+    // Krippendorff twin: the three sha-replayable annotators rebuilt in
+    // SQL, unit/value coincidence counts, the per-unit rational
+    // disagreement nano-quantized, integer marginals; D_e's n-1 division
+    // and alpha assembled with the same IEEE ops as the driver.
+    "q_krippendorff" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(coalesce(text, ''),
+        |      '\s+'), t -> t <> '')) AS BIGINT) AS ntok,
+        |    CAST(length(coalesce(text, '')) AS BIGINT) AS nchr
+        |  FROM documents),
+        |a1 AS (SELECT doc_id, CASE WHEN ntok >= 68 THEN 'long'
+        |  WHEN ntok >= 39 THEN 'mid' ELSE 'short' END AS value FROM base),
+        |a2 AS (SELECT doc_id, CASE WHEN nchr >= 373 THEN 'long'
+        |  WHEN nchr >= 216 THEN 'mid' ELSE 'short' END AS value FROM base),
+        |a3 AS (
+        |  SELECT a1.doc_id,
+        |    CASE WHEN ('0x' || substring(sha256('kripp:' ||
+        |        a1.doc_id::VARCHAR), 1, 15))::BIGINT % 7 = 0
+        |      THEN CASE WHEN a1.value = 'short' THEN 'mid'
+        |        WHEN a1.value = 'mid' THEN 'long' ELSE 'short' END
+        |      ELSE a1.value END AS value
+        |  FROM a1),
+        |r AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |  UNION ALL SELECT * FROM a3),
+        |uv AS (SELECT doc_id AS u, value AS v, count(*)::BIGINT AS c
+        |  FROM r GROUP BY u, v),
+        |units AS (
+        |  SELECT u, CAST(sum(c) AS BIGINT) AS m,
+        |    CAST(sum(c * (c - 1)) AS BIGINT) AS agree
+        |  FROM uv GROUP BY u HAVING sum(c) >= 2),
+        |dd AS (
+        |  SELECT CAST(sum(CAST(round(CAST(m * (m - 1) - agree AS DOUBLE)
+        |      / (m - 1) * 1e9) AS BIGINT)) AS BIGINT) AS don,
+        |    CAST(sum(m) AS BIGINT) AS n, count(*)::BIGINT AS units
+        |  FROM units),
+        |marg AS (
+        |  SELECT CAST(sum(nv * nv) AS BIGINT) AS s2 FROM (
+        |    SELECT uv.v, CAST(sum(uv.c) AS BIGINT) AS nv
+        |    FROM uv JOIN units ON units.u = uv.u GROUP BY uv.v))
+        |SELECT units AS n_units, n AS n_ratings,
+        |  round(CAST(don AS DOUBLE) / 1e9, 6) AS d_o,
+        |  round(CAST(n * n - s2 AS DOUBLE) / (n - 1), 6) AS d_e,
+        |  CASE WHEN CAST(n * n - s2 AS DOUBLE) / (n - 1) <= 0e0 THEN NULL
+        |    ELSE round(1e0 - (CAST(don AS DOUBLE) / 1e9) /
+        |      (CAST(n * n - s2 AS DOUBLE) / (n - 1)), 6) END AS alpha
+        |FROM dd CROSS JOIN marg""".stripMargin,
     // Porter stemmer (Porter 1980) ported rule-for-rule to DuckDB SQL:
     // the C/V pattern string is built once per intermediate word with a
     // list_reduce lambda (prefix-stable: a position's class depends only

@@ -80,7 +80,8 @@ object Classifier {
       df: DataFrame,
       textCol: String,
       labelCol: String,
-      dim: Int): DataFrame = {
+      dim: Int,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val bucketArr = transform(TextAnalysis.tokens(col(textCol)),
       t => tokenBucket(t, dim))
     val s = col("__s")
@@ -92,7 +93,9 @@ object Classifier {
         array(col("__nt"))),
       (a, b) => struct(element_at(s, a + 1).as("bucket"),
         (b - a).cast("long").as("cnt")))
-    df.select(col(labelCol).cast("int").as("__y"), bucketArr.as("__b"))
+    val kept = keepCols.map(col)
+    df.select(kept ++ Seq(col(labelCol).cast("int").as("__y"),
+        bucketArr.as("__b")): _*)
       .withColumn("__nt", size(col("__b")))
       .withColumn("__s", array_sort(col("__b")))
       // sequence(0, -1) would DESCEND for an empty doc; guard to []
@@ -102,10 +105,10 @@ object Classifier {
           .otherwise(runStarts))
       // the sentinel concat(starts[2:], [__nt]) is non-empty even for an
       // empty doc, and zip_with null-pads — guard the whole runs expr
-      .select(col("__y"),
+      .select(kept ++ Seq(col("__y"),
         when(col("__nt") === 0,
           array().cast("array<struct<bucket:bigint,cnt:bigint>>"))
-          .otherwise(runs).as("__f"))
+          .otherwise(runs).as("__f")): _*)
   }
 
   /** Train by full-batch gradient descent: `iters` passes, each one
@@ -153,35 +156,132 @@ object Classifier {
         s"$bad row(s) have a label that is null or outside {0, 1} after " +
           s"casting `$labelCol` to int — every doc must carry a 0/1 " +
           "label; filter or fix labels before train()")
-      val w = init.map(_.weightsMicros.clone()).getOrElse(Array.fill(dim)(0L))
-      var b = init.map(_.biasMicros).getOrElse(0L)
-      for (_ <- 0 until iters) {
-        val wLit = typedlit(w.toIndexedSeq)
-        val z = aggregate(col("__f"), lit(b), (acc, f) =>
+      trainCore(feats, n, iters, lr, init, dim)._1
+    } finally feats.unpersist()
+  }
+
+  /** The GD loop proper over a pinned feature table, returning the final
+    * model AND the post-epoch weight/bias snapshots (driver-bounded:
+    * iters × dim longs) — [[train]] discards the snapshots,
+    * [[trainingDynamics]] scores every example against each of them.
+    */
+  private def trainCore(
+      feats: DataFrame,
+      n: Long,
+      iters: Int,
+      lr: Double,
+      init: Option[TextClassifierModel],
+      dim: Int): (TextClassifierModel, IndexedSeq[TextClassifierModel]) = {
+    val w = init.map(_.weightsMicros.clone()).getOrElse(Array.fill(dim)(0L))
+    var b = init.map(_.biasMicros).getOrElse(0L)
+    val snaps = IndexedSeq.newBuilder[TextClassifierModel]
+    for (_ <- 0 until iters) {
+      val wLit = typedlit(w.toIndexedSeq)
+      val z = aggregate(col("__f"), lit(b), (acc, f) =>
+        acc + f.getField("cnt") * element_at(wLit,
+          (f.getField("bucket") + 1).cast("int")))
+      // err = σ(z) − y, rounded to nanos the moment it is born: every
+      // sum after this line is an order-free LONG sum
+      val errNanos = round((lit(1.0) / (lit(1.0) + exp(-z / lit(1e6)))
+        - col("__y")) * lit(1e9)).cast("long")
+      val perDoc = feats.select(col("__f"), errNanos.as("__e"))
+      // ONE aggregation per iteration: bucket gradients plus the bias
+      // gradient riding along under a sentinel bucket (-1), so the bias
+      // does not pay a second corpus pass
+      val grads = perDoc
+        .select(col("__e"), explode(concat(col("__f"),
+          array(struct(lit(-1L).as("bucket"), lit(1L).as("cnt"))))).as("f"))
+        .groupBy(col("f.bucket").as("__bkt"))
+        .agg(sum(col("f.cnt") * col("__e")).as("__g"))
+        .collect()
+      // driver update in exact micros: Δw = −lr · avgGradNanos / 1000
+      grads.foreach { r =>
+        val bkt = r.getAs[Long]("__bkt").toInt
+        val step = math.round(lr * r.getAs[Long]("__g") / (n * 1000.0))
+        if (bkt < 0) b -= step else w(bkt) -= step
+      }
+      snaps += TextClassifierModel(w.clone(), b)
+    }
+    (TextClassifierModel(w, b), snaps.result())
+  }
+
+  /** Dataset cartography (Swayamdipta et al. 2020, "Dataset Cartography:
+    * Mapping and Diagnosing Datasets with Training Dynamics"): train the
+    * hashed-linear classifier and, for EVERY example, record the model's
+    * probability of the TRUE class after each epoch — then summarize as
+    * `confidence` (mean over epochs), `variability` (population std) and
+    * `n_correct` (epochs where p_true > ½). The curation read: high
+    * confidence + low variability = easy (safe to downsample); low
+    * confidence = hard-to-learn (label-noise candidates); high
+    * variability = ambiguous (the examples worth keeping/inspecting).
+    *
+    * Exactness: epoch logits are the SAME exact-integer sums training
+    * uses; each epoch's p_true is rounded to MICROS at birth (micros,
+    * not nanos, so Σp² over ≤64 epochs stays far inside LONG), so
+    * confidence/variability derive from exact integer sums — the
+    * variance numerator `n·Σp² − (Σp)²` is computed in BIGINT and only
+    * the final sqrt/divide are portable IEEE. A DuckDB twin replays the
+    * unrolled epochs and matches hash-exactly.
+    *
+    * Scale shape: training is [[train]]'s loop (one dim-bounded
+    * aggregation per epoch); the dynamics pass is ONE narrow projection
+    * over the pinned feature table — per row, `iters` literal-array
+    * logit folds and an in-row sum/sum-of-squares. No extra shuffle, no
+    * per-epoch corpus materialization; snapshots are driver-bounded
+    * (iters × dim longs, ≤ 64 × 4M). `iters` ≤ 64 loudly (the snapshot
+    * scoring is iters logit folds per row).
+    */
+  def trainingDynamics(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      dim: Int = 4096,
+      iters: Int = 20,
+      lr: Double = 0.5): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 22), "dim must be in [2, 4M]")
+    require(iters >= 1 && iters <= 64,
+      s"iters must be in 1..64, got $iters (the dynamics pass folds " +
+        "one literal weight array per epoch per row)")
+    val feats = graft.core.Caches.pin(
+      docFeatures(df, textCol, labelCol, dim, keepCols = Seq(idCol)))
+    try {
+      val c = feats.agg(
+        count(lit(1)).as("__n"),
+        count(when(col("__y").isNull ||
+          (col("__y") =!= 0 && col("__y") =!= 1), 1)).as("__bad")).head()
+      val n = c.getAs[Long]("__n")
+      require(n > 0, "training set is empty")
+      require(c.getAs[Long]("__bad") == 0L,
+        s"${c.getAs[Long]("__bad")} row(s) have a label that is null or " +
+          s"outside {0, 1} after casting `$labelCol` to int")
+      val snaps = trainCore(feats, n, iters, lr, None, dim)._2
+      // one in-row fold per epoch against that epoch's literal weights:
+      // p_true in micros, exact LONG Σp and Σp² per row, stats in-row
+      val probs = snaps.map { m =>
+        val wLit = typedlit(m.weightsMicros.toIndexedSeq)
+        val z = aggregate(col("__f"), lit(m.biasMicros), (acc, f) =>
           acc + f.getField("cnt") * element_at(wLit,
             (f.getField("bucket") + 1).cast("int")))
-        // err = σ(z) − y, rounded to nanos the moment it is born: every
-        // sum after this line is an order-free LONG sum
-        val errNanos = round((lit(1.0) / (lit(1.0) + exp(-z / lit(1e6)))
-          - col("__y")) * lit(1e9)).cast("long")
-        val perDoc = feats.select(col("__f"), errNanos.as("__e"))
-        // ONE aggregation per iteration: bucket gradients plus the bias
-        // gradient riding along under a sentinel bucket (-1), so the bias
-        // does not pay a second corpus pass
-        val grads = perDoc
-          .select(col("__e"), explode(concat(col("__f"),
-            array(struct(lit(-1L).as("bucket"), lit(1L).as("cnt"))))).as("f"))
-          .groupBy(col("f.bucket").as("__bkt"))
-          .agg(sum(col("f.cnt") * col("__e")).as("__g"))
-          .collect()
-        // driver update in exact micros: Δw = −lr · avgGradNanos / 1000
-        grads.foreach { r =>
-          val bkt = r.getAs[Long]("__bkt").toInt
-          val step = math.round(lr * r.getAs[Long]("__g") / (n * 1000.0))
-          if (bkt < 0) b -= step else w(bkt) -= step
-        }
+        val sig = lit(1.0) / (lit(1.0) + exp(-z / lit(1e6)))
+        round((when(col("__y") === 1, sig).otherwise(lit(1.0) - sig)) *
+          lit(1e6)).cast("long")
       }
-      TextClassifierModel(w, b)
+      val pArr = array(probs: _*)
+      val s1 = aggregate(pArr, lit(0L), (acc, x) => acc + x)
+      val s2 = aggregate(pArr, lit(0L), (acc, x) => acc + x * x)
+      val nCorrect = aggregate(pArr, lit(0L), (acc, x) =>
+        acc + when(x > 500000L, 1L).otherwise(0L))
+      val k = lit(iters.toLong)
+      feats.select(col(idCol), col("__y").as("label"),
+          s1.as("__s1"), s2.as("__s2"), nCorrect.as("n_correct"))
+        .select(col(idCol), col("label"),
+          round(col("__s1").cast("double") / (k * lit(1e6)), 6)
+            .as("confidence"),
+          round(sqrt((k * col("__s2") - col("__s1") * col("__s1"))
+            .cast("double")) / (k * lit(1e6)), 6).as("variability"),
+          col("n_correct"))
+        .localCheckpoint(true)
     } finally feats.unpersist()
   }
 

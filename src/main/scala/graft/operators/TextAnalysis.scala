@@ -93,6 +93,87 @@ object TextAnalysis {
     } finally counts.unpersist()
   }
 
+  /** Pairwise Jensen–Shannon divergence between corpus slices' token
+    * distributions — the DISTRIBUTION-drift companion to
+    * [[sourceSimilarity]] (cosine finds mirrors; JSD measures how far
+    * two sources' language actually diverges, bounded in [0, ln 2],
+    * symmetric, finite even on disjoint support — where KL explodes).
+    * Snapshot-over-snapshot JSD is the standard corpus-drift monitor.
+    *
+    * Decomposition that keeps the pair join intersection-only:
+    * `KL(P‖M) = ln2·(1 − P∩) + Σ_{t∈A∩B} p·ln(2p/(p+q))` — terms on
+    * one side only contribute their probability mass times ln 2, so
+    * only SHARED terms are joined. Each shared-term summand is
+    * `p·ln(2·cA·NB / (cA·NB + cB·NA))` — a log of an exact BIGINT
+    * rational (products bounded by corpus-tokens², the
+    * mutualInformation overflow discipline) — nano-quantized at birth
+    * and LONG-summed (order-free), so the DuckDB twin is hash-exact.
+    *
+    * Scale shape and guard are [[sourceSimilarity]]'s: one corpus
+    * groupBy to (slice, term) counts (pinned), the term-keyed
+    * self-join bounded by the EAGER `maxSlices` refusal, slice-sized
+    * totals broadcast. Output: `(key_a, key_b, n_common_terms, jsd)`
+    * with key_a < key_b; pairs sharing NO term are absent (their JSD
+    * is exactly ln 2).
+    */
+  def sliceDivergence(
+      df: DataFrame, keyCol: String, textCol: String,
+      maxSlices: Int = 1024): DataFrame = {
+    require(maxSlices >= 2 && maxSlices <= 65536,
+      s"maxSlices must be in 2..65536, got $maxSlices")
+    val nSlices = df.where(col(keyCol).isNotNull)
+      .agg(countDistinct(col(keyCol)).as("__ns"))
+      .head().getAs[Long]("__ns")
+    require(nSlices <= maxSlices,
+      s"sliceDivergence: $nSlices distinct `$keyCol` slices (> " +
+        s"maxSlices=$maxSlices) — the term-keyed self-join is " +
+        "quadratic per shared term; this operator compares corpus " +
+        "SLICES, not documents")
+    val ln2 = lit(0.6931471805599453)
+    val counts = graft.core.Caches.pin(
+      df.where(col(keyCol).isNotNull)
+        .select(col(keyCol).cast("string").as("__k"),
+          explode(tokens(col(textCol))).as("__t"))
+        .groupBy(col("__k"), col("__t"))
+        .agg(count(lit(1)).as("__c")))
+    try {
+      val totals = counts.groupBy(col("__k"))
+        .agg(sum(col("__c")).as("__nt"))
+      val joined = counts.select(col("__k").as("key_a"), col("__t"),
+          col("__c").as("__ca"))
+        .join(counts.select(col("__k").as("key_b"), col("__t"),
+          col("__c").as("__cb")), Seq("__t"))
+        .where(col("key_a") < col("key_b"))
+        .join(broadcast(totals.select(col("__k").as("key_a"),
+          col("__nt").as("__na"))), "key_a")
+        .join(broadcast(totals.select(col("__k").as("key_b"),
+          col("__nt").as("__nb"))), "key_b")
+      // per shared term, both sides' p·ln(2p/(p+q)) in exact-rational
+      // form, nano-quantized at birth
+      val cross = col("__ca") * col("__nb") + col("__cb") * col("__na")
+      val termA = round(col("__ca").cast("double") / col("__na") *
+        log(lit(2.0) * (col("__ca") * col("__nb")).cast("double") / cross) *
+        lit(1e9)).cast("long")
+      val termB = round(col("__cb").cast("double") / col("__nb") *
+        log(lit(2.0) * (col("__cb") * col("__na")).cast("double") / cross) *
+        lit(1e9)).cast("long")
+      joined
+        .groupBy(col("key_a"), col("key_b"))
+        .agg(count(lit(1)).as("n_common_terms"),
+          sum(col("__ca")).as("__cas"), sum(col("__cb")).as("__cbs"),
+          sum(termA).as("__san"), sum(termB).as("__sbn"),
+          max(col("__na")).as("__na"), max(col("__nb")).as("__nb"))
+        .select(col("key_a"), col("key_b"), col("n_common_terms"),
+          round(lit(0.5) * (ln2 * (lit(1.0) -
+              col("__cas").cast("double") / col("__na")) +
+              col("__san").cast("double") / lit(1e9)) +
+            lit(0.5) * (ln2 * (lit(1.0) -
+              col("__cbs").cast("double") / col("__nb")) +
+              col("__sbn").cast("double") / lit(1e9)), 6).as("jsd"))
+        .localCheckpoint(true)
+    } finally counts.unpersist()
+  }
+
   /** Flesch Reading Ease + Flesch–Kincaid grade level per document —
     * the classic readability gates for training-data curation (a
     * reading-ease floor drops OCR shrapnel and keyword-stuffed spam; a

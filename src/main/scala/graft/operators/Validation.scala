@@ -1367,4 +1367,173 @@ object Validation {
             (col("__n").cast("double") * (least(col("__r"), col("__c")) - 1L))),
             6)).as("cramers_v"))
   }
+
+  /** Spearman rank correlation per key between two integral scores —
+    * the monotone-agreement audit between scorers (old vs new quality
+    * model, two teachers): Pearson over TIE-AVERAGED ranks (Spearman
+    * 1904, the tie-corrected form), rank-monotone and outlier-immune
+    * where raw Pearson is neither.
+    *
+    * Exactness: ranks are held at 2× scale so tie-averages stay
+    * INTEGER (`r2 = 2·|smaller| + |equal| + 1`); centering subtracts
+    * the exactly-known mean `n+1`, so every moment (`Σ dx·dy`, `Σ dx²`,
+    * `Σ dy²`) is an order-free LONG sum of products bounded by n³ —
+    * the `maxRows` guard (≤ 10M per key, eager) keeps n³ inside 2^63.
+    * ρ = Σdxdy / (√Σdx²·√Σdy²), two portable sqrt + one division, so
+    * the DuckDB twin is hash-exact. Zero variance on either side (all
+    * values tied) yields NULL — no monotone agreement is definable.
+    *
+    * Scale shape: two values-sized rank tables (groupBy + a per-key
+    * window over DISTINCT values, never corpus rows), two equality
+    * joins back to the rows, one map-side-combined aggregate. NULL
+    * values refused loudly (a NULL has no rank); NULL-keyed rows drop
+    * (the equality-join convention). Output: keys + `(n, sum_dxdy,
+    * rho)` — the BIGINT cross-moment rides along as the exactness
+    * witness.
+    */
+  def spearmanCorrelation(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      maxRows: Long = 10000000L): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(maxRows >= 2 && maxRows <= 10000000L,
+      s"maxRows must be in 2..10000000 (moments are bounded by n³ and " +
+        s"must stay inside 2^63), got $maxRows")
+    Seq(xCol, yCol).foreach { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"spearmanCorrelation: `$c` is $other — scores must be " +
+            "INTEGRAL (micro-quantize upstream; double ties are not " +
+            "engine-portable)")
+      }
+    }
+    val nulls = df.agg(count(when(col(xCol).isNull || col(yCol).isNull, 1))
+      .as("__nl")).head().getAs[Long]("__nl")
+    require(nulls == 0L,
+      s"spearmanCorrelation: $nulls NULL `$xCol`/`$yCol` row(s) — a NULL " +
+        "has no rank; filter deliberately upstream")
+    val keys = keyCols.map(col)
+    val keyed = df.where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(keys :+ col(xCol).cast("long").as("__x") :+
+        col(yCol).cast("long").as("__y"): _*)
+    val counts = keyed.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+    val mx = counts.agg(max(col("__n")).as("__mx")).head()
+    val biggest = if (mx.isNullAt(0)) 0L else mx.getAs[Long]("__mx")
+    require(biggest <= maxRows,
+      s"spearmanCorrelation: a key has $biggest rows (> maxRows=" +
+        s"$maxRows) — rank moments grow as n³; sample per key upstream")
+    val w = org.apache.spark.sql.expressions.Window
+    def rank2(vCol: String, out: String): DataFrame = keyed
+      .groupBy(keys :+ col(vCol): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__b", coalesce(sum(col("__c")).over(
+        w.partitionBy(keys: _*).orderBy(col(vCol))
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(keys :+ col(vCol) :+
+        (lit(2L) * col("__b") + col("__c") + 1L).as(out): _*)
+    val ranked = keyed
+      .join(rank2("__x", "__r2x"), keyCols :+ "__x")
+      .join(rank2("__y", "__r2y"), keyCols :+ "__y")
+      .join(counts, keyCols)
+      .select(keys :+
+        (col("__r2x") - col("__n") - 1L).as("__dx") :+
+        (col("__r2y") - col("__n") - 1L).as("__dy") :+ col("__n"): _*)
+    ranked.groupBy(keys: _*)
+      .agg(max(col("__n")).as("n"),
+        sum(col("__dx") * col("__dy")).as("sum_dxdy"),
+        sum(col("__dx") * col("__dx")).as("__sxx"),
+        sum(col("__dy") * col("__dy")).as("__syy"))
+      .select(keys ++ Seq(col("n"), col("sum_dxdy"),
+        when(col("__sxx") === 0L || col("__syy") === 0L, lit(null))
+          .otherwise(round(col("sum_dxdy").cast("double") /
+            (sqrt(col("__sxx").cast("double")) *
+              sqrt(col("__syy").cast("double"))), 6)).as("rho")): _*)
+  }
+
+  /** Krippendorff's alpha for NOMINAL data (Krippendorff 1970/2004) —
+    * the multi-annotator agreement statistic that, unlike Cohen's
+    * kappa, handles ANY number of raters, missing ratings, and
+    * unbalanced units: the gate for LLM-as-judge ensembles and human
+    * labeling rounds alike ("do my 5 judges agree beyond chance?").
+    *
+    * Computation (the coincidence-matrix recipe): units with fewer
+    * than 2 ratings drop (nothing to pair); within a unit of m
+    * ratings every ordered pair contributes `1/(m−1)` to its value
+    * pair's coincidence cell. Marginals then telescope to PURE
+    * integers (`n_v = Σ_u n_uv`, `n = Σ_u m_u`), so expected
+    * disagreement `D_e = Σ_{v≠v'} n_v·n_{v'} / (n(n−1))` is exact
+    * integer arithmetic; only observed disagreement carries the
+    * per-unit rational `(m_u·(m_u−1) − Σ_v n_uv(n_uv−1)) / (m_u−1)`,
+    * which is nano-quantized per unit and LONG-summed (order-free —
+    * the [[mutualInformation]] discipline). α = 1 − D_o/D_e; NULL
+    * when D_e = 0 (a single observed value — agreement is vacuous).
+    *
+    * Scale shape: one corpus-sized groupBy to (unit, value) counts
+    * (pinned — the units pass and the marginal pass both read it),
+    * one units-sized aggregate, one values-sized marginal table, one
+    * row out; the final assembly is driver arithmetic over those
+    * exact totals (eager, so "no pairable unit" is a loud error, not
+    * an empty frame). NULL ratings are refused loudly (an abstention
+    * must be an absent ROW, not a NULL value — silently counting NULL
+    * as a category would manufacture agreement between abstainers).
+    * Output: one row `(n_units, n_ratings, d_o, d_e, alpha)`, 6 dp —
+    * d_o/d_e are the ×n disagreement MASSES (their ratio is what α
+    * reads; the n cancels).
+    */
+  def krippendorffAlpha(
+      df: DataFrame, unitCol: String, valueCol: String): DataFrame = {
+    val nl = df.agg(count(when(col(valueCol).isNull || col(unitCol).isNull,
+      1)).as("__nl")).head().getAs[Long]("__nl")
+    require(nl == 0L,
+      s"krippendorffAlpha: $nl NULL `$unitCol`/`$valueCol` row(s) — an " +
+        "abstention is an absent row, not a NULL rating")
+    val uv = graft.core.Caches.pin(
+      df.groupBy(col(unitCol).as("__u"),
+          col(valueCol).cast("string").as("__v"))
+        .agg(count(lit(1)).as("__c")))
+    try {
+      val units = uv.groupBy(col("__u"))
+        .agg(sum(col("__c")).as("__m"),
+          sum(col("__c") * (col("__c") - 1L)).as("__agree"))
+        .where(col("__m") >= 2L)
+      // per-unit observed disagreement, nano-quantized once at birth:
+      // (m(m−1) − Σ c(c−1)) / (m−1), an exact rational per unit
+      val dRow = units.select(
+        round((col("__m") * (col("__m") - 1L) - col("__agree"))
+          .cast("double") / (col("__m") - 1L) * lit(1e9)).cast("long")
+          .as("__dn"),
+        col("__m"), col("__u"))
+        .agg(sum(col("__dn")).as("__don"), sum(col("__m")).as("__n"),
+          count(lit(1)).as("__units")).head()
+      val nUnits = dRow.getAs[Long]("__units")
+      require(nUnits >= 1L,
+        "krippendorffAlpha: no unit carries >= 2 ratings — nothing is " +
+          "pairable; agreement is undefined")
+      val n = dRow.getAs[Long]("__n")
+      require(n <= 3000000000L,
+        s"krippendorffAlpha: $n pairable ratings — n² must stay inside " +
+          "2^63; sample units upstream")
+      // value marginals over the SAME ≥2-rating units (pure integers)
+      val mRow = uv.join(units.select(col("__u")), Seq("__u"))
+        .groupBy(col("__v")).agg(sum(col("__c")).as("__nv"))
+        .agg(sum(col("__nv") * col("__nv")).as("__s2")).head()
+      val s2 = mRow.getAs[Long]("__s2")
+      val dO = dRow.getAs[Long]("__don").toDouble / 1e9
+      // D_e·n = (n² − Σ n_v²)/(n−1); both numerators exact BIGINT
+      val dE = (n * n - s2).toDouble / (n - 1L)
+      val spark = df.sparkSession
+      spark.range(1).select(lit(nUnits).as("n_units"),
+        lit(n).as("n_ratings"),
+        round(lit(dO), 6).as("d_o"),
+        round(lit(dE), 6).as("d_e"),
+        (if (dE <= 0.0) lit(null).cast("double")
+         else round(lit(1.0 - dO / dE), 6)).as("alpha"))
+    } finally uv.unpersist()
+  }
 }

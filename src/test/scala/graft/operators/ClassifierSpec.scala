@@ -97,6 +97,60 @@ class ClassifierSpec extends SparkTestBase {
     assert(acc >= 0.95, s"train-set accuracy $acc below 0.95")
   }
 
+  test("trainingDynamics: easy examples confident, mislabeled twin hard, stats replay the snapshots exactly") {
+    // planted geometry: two cleanly separable classes, plus ONE junk doc
+    // mislabeled as class 0 — the classic label-noise case cartography
+    // exists to surface (low confidence on its TRUE-class probability)
+    val docs = (0 until 30).map(i => (i.toLong, wordDoc(i), 0)) ++
+      (0 until 30).map(i => ((100 + i).toLong, junkDoc(i), 1)) :+
+      ((999L, junkDoc(3), 0))
+    val df = docs.toDF("id", "text", "label")
+    val dyn = Classifier.trainingDynamics(
+      df, "id", "text", "label", dim = 256, iters = 15, lr = 1.0)
+    val rows = dyn.collect().map(r => r.getAs[Long]("id") ->
+      ((r.getAs[Double]("confidence"), r.getAs[Double]("variability"),
+        r.getAs[Long]("n_correct")))).toMap
+    graft.core.Caches.releaseCheckpoint(dyn)
+    assert(rows.size == docs.size)
+    val clean = rows.filter(_._1 != 999L).values
+    val noisy = rows(999L)
+    // the mislabeled twin must sit BELOW every clean doc's confidence:
+    // the model sees 30 identical-shaped docs pulling the other way
+    assert(noisy._1 < clean.map(_._1).min,
+      s"mislabeled doc confidence ${noisy._1} not the minimum")
+    assert(noisy._3 <= 2L, s"mislabeled doc correct in ${noisy._3}/15 epochs")
+    // easy examples: confident and mostly correct
+    assert(clean.count(_._1 > 0.8) >= 50,
+      "most clean docs should be high-confidence")
+    // stats replay: confidence/variability/n_correct recompute from the
+    // per-epoch snapshot probabilities of one doc (driver replay of the
+    // exact integer pipeline via scoreLogit on each snapshot)
+    val feats = df.where(col("id") === 0L)
+    val probs = (1 to 15).map { k =>
+      val m = Classifier.train(df, "text", "label", dim = 256, iters = k,
+        lr = 1.0)
+      val z = m.scoreLogit(feats, "text").head().getAs[Long]("logit_micros")
+      math.round((1.0 / (1.0 + math.exp(-z / 1e6))) * 1e6) // y=0 doc? id 0 has label 0
+    }
+    // id 0 label is 0 -> p_true = 1 - sigmoid
+    val pTrue = probs.map(p => 1000000L - p)
+    val s1 = pTrue.sum
+    val s2 = pTrue.map(p => p * p).sum
+    val wantConf = BigDecimal(s1.toDouble / (15 * 1e6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wantVar = BigDecimal(math.sqrt((15L * s2 - s1 * s1).toDouble) /
+      (15 * 1e6)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(0L)._1 == wantConf, s"${rows(0L)._1} != $wantConf")
+    assert(rows(0L)._2 == wantVar, s"${rows(0L)._2} != $wantVar")
+    assert(rows(0L)._3 == pTrue.count(_ > 500000L))
+    // loud contracts
+    intercept[IllegalArgumentException](Classifier.trainingDynamics(
+      df, "id", "text", "label", dim = 256, iters = 65))
+    intercept[IllegalArgumentException](Classifier.trainingDynamics(
+      Seq((1L, "a", 2)).toDF("id", "text", "label"), "id", "text", "label",
+      dim = 64, iters = 2))
+  }
+
   test("train rejects null and out-of-range labels loudly") {
     // a null label would silently drop the doc from every gradient while
     // still inflating n; a label of 2 would silently shift the target

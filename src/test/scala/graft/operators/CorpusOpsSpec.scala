@@ -691,4 +691,38 @@ class CorpusOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](TextAnalysis.sourceSimilarity(
       docLevel, "src", "text", maxSlices = 1))
   }
+
+  test("sliceDivergence: identical slices at 0, hand-quantized pins, disjoint absent, loud slice guard") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String)], maxSlices: Int = 1024) = {
+      val out = TextAnalysis.sliceDivergence(rows.toDF("src", "text"),
+        "src", "text", maxSlices)
+      val m = out.collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_common_terms"), r.getAs[Double]("jsd")))).toMap
+      graft.core.Caches.releaseCheckpoint(out)
+      m
+    }
+    // identical distributions -> JSD exactly 0 (every shared-term
+    // summand is ln 1, coverage is total)
+    val same = run(Seq(("A", "x x y"), ("B", "x x y")))
+    assert(same == Map(("A", "B") -> ((2L, 0.0))), same.toString)
+    // hand-quantized pin: A = {x:2, y:1}, B = {x:1, y:2}
+    val hand = run(Seq(("A", "x x y"), ("B", "x y y")))
+    assert(hand == Map(("A", "B") -> ((2L, 0.056633))), hand.toString)
+    // partial overlap: A = {x, z}, B = {x, w} -> one shared term,
+    // half the mass on each side pays ln 2
+    val part = run(Seq(("A", "x z"), ("B", "x w")))
+    assert(part == Map(("A", "B") -> ((1L, 0.346574))), part.toString)
+    // disjoint slices share nothing and are ABSENT (JSD would be ln 2)
+    val dis = run(Seq(("A", "x"), ("B", "y"), ("C", "x y")))
+    assert(dis.keySet == Set(("A", "C"), ("B", "C")), dis.toString)
+    // multi-row slices fold before comparing
+    val folded = run(Seq(("A", "x x"), ("A", "y"), ("B", "x x y")))
+    assert(folded == Map(("A", "B") -> ((2L, 0.0))), folded.toString)
+    // loud: doc-granularity key refused eagerly
+    val e = intercept[IllegalArgumentException] {
+      run((1 to 5).map(i => (s"doc_$i", "the fox")), maxSlices = 4)
+    }
+    assert(e.getMessage.contains("quadratic"), e.getMessage)
+  }
 }

@@ -695,4 +695,78 @@ class ValidationSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Validation.wilsonIntervals(
       flags(("a", 1, 2)), Seq("k"), "s", z = 0.0))
   }
+
+  test("spearmanCorrelation: tie-averaged ranks, poles, NULL-key drop, loud guards") {
+    def run(rows: Seq[(String, Long, Long)], maxRows: Long = 10000000L) =
+      Validation.spearmanCorrelation(rows.toDF("k", "x", "y"), Seq("k"),
+        "x", "y", maxRows)
+        .collect().map(r => r.getAs[String]("k") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("sum_dxdy"),
+            Option(r.getAs[java.lang.Double]("rho")).map(_.doubleValue))))
+        .toMap
+    // perfect monotone (with a tie pair moving together): rho = 1
+    val mono = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 2L, 20L),
+      ("a", 4L, 40L))
+    assert(run(mono)("a")._3.contains(1.0))
+    // perfect reversal: rho = -1
+    val rev = Seq(("b", 1L, 30L), ("b", 2L, 20L), ("b", 3L, 10L))
+    assert(run(rev)("b")._3.contains(-1.0))
+    // hand case with a one-sided tie: x ranks 1,2,3 (2x: 2,4,6),
+    // y ranks 1.5,1.5,3 (2x: 3,3,6); d_x = -2,0,2; d_y = -1,-1,2
+    // -> sum_dxdy = 6, sxx = 8, syy = 6, rho = 6/sqrt(48) = 0.866025
+    val hand = run(Seq(("c", 1L, 1L), ("c", 2L, 1L), ("c", 3L, 2L)))("c")
+    assert(hand == ((3L, 6L, Some(0.866025))), hand.toString)
+    // zero variance on one side: rho undefined -> NULL, moments kept
+    val flat = run(Seq(("d", 1L, 7L), ("d", 2L, 7L), ("d", 3L, 7L)))("d")
+    assert(flat._3.isEmpty && flat._1 == 3L)
+    // NULL-keyed rows drop and must not trip the maxRows guard
+    val nk = run(Seq(("e", 1L, 1L), ("e", 2L, 2L), ("e", 3L, 3L)) ++
+      (1L to 50L).map(i => (null.asInstanceOf[String], i, i)),
+      maxRows = 10L)
+    assert(nk.keySet == Set("e") && nk("e")._3.contains(1.0))
+    // loud: doubles, NULL values, oversized key, empty keyCols
+    intercept[IllegalArgumentException](Validation.spearmanCorrelation(
+      Seq(("a", 1.5, 1L)).toDF("k", "x", "y"), Seq("k"), "x", "y"))
+    intercept[IllegalArgumentException](Validation.spearmanCorrelation(
+      Seq(("a", Option.empty[Long], 1L)).toDF("k", "x", "y"),
+      Seq("k"), "x", "y"))
+    intercept[IllegalArgumentException](
+      run((1L to 11L).map(i => ("f", i, i)), maxRows = 10L))
+    intercept[IllegalArgumentException](Validation.spearmanCorrelation(
+      Seq(("a", 1L, 1L)).toDF("k", "x", "y"), Nil, "x", "y"))
+  }
+
+  test("krippendorffAlpha: published 2-coder example, poles, singleton drop, loud contracts") {
+    def run(rows: Seq[(Long, String)]) =
+      Validation.krippendorffAlpha(rows.toDF("unit", "value"),
+        "unit", "value")
+        .collect().map(r => (r.getAs[Long]("n_units"),
+          r.getAs[Long]("n_ratings"), r.getAs[Double]("d_o"),
+          r.getAs[Double]("d_e"),
+          Option(r.getAs[java.lang.Double]("alpha")).map(_.doubleValue)))
+        .head
+    // Krippendorff's canonical 2-observer nominal example (alpha
+    // ~ 0.692 in the literature): coders A/B over 12 units
+    val a = "a a b b d c c c e d d a".split(" ")
+    val b = "b a b b b c c c e d d d".split(" ")
+    val ex = (0 until 12).flatMap(i =>
+      Seq((i.toLong, a(i)), (i.toLong, b(i))))
+    assert(run(ex) == ((12L, 24L, 6.0, 19.478261, Some(0.691964))),
+      run(ex).toString)
+    // a singleton unit (one rating) is unpairable and must not move
+    // anything
+    assert(run(ex :+ ((99L, "zzz"))) ==
+      ((12L, 24L, 6.0, 19.478261, Some(0.691964))))
+    // perfect agreement -> alpha 1; one observed value -> D_e = 0, NULL
+    val perfect = (0L until 4L).flatMap(u =>
+      Seq.fill(3)((u, if (u < 2) "a" else "b")))
+    assert(run(perfect) == ((4L, 12L, 0.0, 6.545455, Some(1.0))))
+    assert(run(Seq((1L, "a"), (1L, "a")))._5.isEmpty)
+    // loud: NULL ratings, nothing pairable
+    intercept[IllegalArgumentException](Validation.krippendorffAlpha(
+      Seq((1L, Option.empty[String])).toDF("unit", "value"),
+      "unit", "value"))
+    intercept[IllegalArgumentException](
+      run(Seq((1L, "a"), (2L, "b"))))
+  }
 }
