@@ -631,7 +631,7 @@ object SparkEntry {
 
     // ---- stemmed retrieval: the same standing index with the Porter
     // analyzer recorded in the sidecar — query inflections collapse to
-    // index stems; rows-only (no SQL stemmer), semantics in SearchSpec ----
+    // index stems; FULL twin since the Porter SQL port landed ----
     "q_bm25_stemmed" -> ((s, dir) => {
       val idx = scratchDir("graft_stemidx_") + "/idx"
       operators.Search.writeIndex(
@@ -7541,6 +7541,119 @@ object SparkEntry {
         |    ELSE round(1e0 - (CAST(don AS DOUBLE) / 1e9) /
         |      (CAST(n * n - s2 AS DOUBLE) / (n - 1)), 6) END AS alpha
         |FROM dd CROSS JOIN marg""".stripMargin,
+    // Stemmed BM25 twin: the Porter SQL pipeline (MATERIALIZED — the
+    // optimizer must not push the term filter into the giant CASE
+    // chain) feeds the q_bm25 scoring tail; query terms pre-stemmed
+    // to window/merg/shuffl/partit by the same verified rules.
+    "q_bm25_stemmed" ->
+      """WITH stems AS MATERIALIZED (
+        |WITH docs AS (SELECT doc_id, text FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        |         lower(arr[CAST(i AS INTEGER)]) AS w
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                      t -> t <> '') AS arr FROM docs)
+        |  CROSS JOIN unnest(range(1, len(arr) + 1)) t(i)),
+        |s0 AS (
+        |  SELECT doc_id, pos, w,
+        |         (len(w) >= 3 AND regexp_matches(w, '^[a-z]+$')) AS ok
+        |  FROM toks),
+        |s1a AS (
+        |  SELECT doc_id, pos, w, ok,
+        |    CASE WHEN ends_with(w, 'sses') THEN left(w, len(w) - 2)
+        |         WHEN ends_with(w, 'ies')  THEN left(w, len(w) - 2)
+        |         WHEN ends_with(w, 'ss')   THEN w
+        |         WHEN ends_with(w, 's')    THEN left(w, len(w) - 1)
+        |         ELSE w END AS wa
+        |  FROM s0),
+        |s1b0 AS (
+        |  SELECT doc_id, pos, w, ok, wa, substr(list_reduce(['#'] + string_split_regex(wa, ''), (acc, c) -> acc || CASE WHEN c IN ('a','e','i','o','u') THEN 'V' WHEN c = 'y' THEN (CASE WHEN acc = '#' OR right(acc, 1) = 'V' THEN 'C' ELSE 'V' END) ELSE 'C' END), 2) AS pa FROM s1a),
+        |s1b1 AS (
+        |  SELECT doc_id, pos, w, ok,
+        |    CASE WHEN ends_with(wa, 'eed') THEN
+        |           (CASE WHEN len(regexp_extract_all(left(pa, len(wa) - 3), 'VC')) > 0
+        |                 THEN left(wa, len(wa) - 1) ELSE wa END)
+        |         WHEN ends_with(wa, 'ed') AND contains(left(pa, len(wa) - 2), 'V')
+        |           THEN left(wa, len(wa) - 2)
+        |         WHEN ends_with(wa, 'ing') AND contains(left(pa, len(wa) - 3), 'V')
+        |           THEN left(wa, len(wa) - 3)
+        |         ELSE wa END AS wb0,
+        |    (NOT ends_with(wa, 'eed') AND
+        |     ((ends_with(wa, 'ed') AND contains(left(pa, len(wa) - 2), 'V')) OR
+        |      (ends_with(wa, 'ing') AND contains(left(pa, len(wa) - 3), 'V')))) AS did,
+        |    pa
+        |  FROM s1b0),
+        |s1b AS (
+        |  SELECT doc_id, pos, w, ok,
+        |    CASE WHEN NOT did THEN wb0
+        |         WHEN ends_with(wb0, 'at') OR ends_with(wb0, 'bl') OR
+        |              ends_with(wb0, 'iz') THEN wb0 || 'e'
+        |         WHEN len(wb0) >= 2 AND right(left(pa, len(wb0)), 1) = 'C' AND
+        |              substr(wb0, len(wb0), 1) = substr(wb0, len(wb0) - 1, 1) AND
+        |              right(wb0, 1) NOT IN ('l', 's', 'z')
+        |           THEN left(wb0, len(wb0) - 1)
+        |         WHEN len(regexp_extract_all(left(pa, len(wb0)), 'VC')) = 1 AND len(wb0) >= 3 AND
+        |              right(left(pa, len(wb0)), 3) = 'CVC' AND
+        |              right(wb0, 1) NOT IN ('w', 'x', 'y')
+        |           THEN wb0 || 'e'
+        |         ELSE wb0 END AS wb
+        |  FROM s1b1),
+        |s1c0 AS (SELECT doc_id, pos, w, ok, wb, substr(list_reduce(['#'] + string_split_regex(wb, ''), (acc, c) -> acc || CASE WHEN c IN ('a','e','i','o','u') THEN 'V' WHEN c = 'y' THEN (CASE WHEN acc = '#' OR right(acc, 1) = 'V' THEN 'C' ELSE 'V' END) ELSE 'C' END), 2) AS pc FROM s1b),
+        |s1c AS (
+        |  SELECT doc_id, pos, w, ok,
+        |    CASE WHEN ends_with(wb, 'y') AND contains(left(pc, len(wb) - 1), 'V')
+        |         THEN left(wb, len(wb) - 1) || 'i' ELSE wb END AS wc
+        |  FROM s1c0),
+        |s2p AS (SELECT doc_id, pos, w, ok, wc, substr(list_reduce(['#'] + string_split_regex(wc, ''), (acc, c) -> acc || CASE WHEN c IN ('a','e','i','o','u') THEN 'V' WHEN c = 'y' THEN (CASE WHEN acc = '#' OR right(acc, 1) = 'V' THEN 'C' ELSE 'V' END) ELSE 'C' END), 2) AS p2 FROM s1c),
+        |s2 AS (SELECT doc_id, pos, w, ok, CASE WHEN ends_with(wc, 'ational') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 7), 'VC')) > 0 THEN left(wc, len(wc) - 7) || 'ate' ELSE wc END) WHEN ends_with(wc, 'ization') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 7), 'VC')) > 0 THEN left(wc, len(wc) - 7) || 'ize' ELSE wc END) WHEN ends_with(wc, 'iveness') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 7), 'VC')) > 0 THEN left(wc, len(wc) - 7) || 'ive' ELSE wc END) WHEN ends_with(wc, 'fulness') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 7), 'VC')) > 0 THEN left(wc, len(wc) - 7) || 'ful' ELSE wc END) WHEN ends_with(wc, 'ousness') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 7), 'VC')) > 0 THEN left(wc, len(wc) - 7) || 'ous' ELSE wc END) WHEN ends_with(wc, 'tional') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 6), 'VC')) > 0 THEN left(wc, len(wc) - 6) || 'tion' ELSE wc END) WHEN ends_with(wc, 'biliti') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 6), 'VC')) > 0 THEN left(wc, len(wc) - 6) || 'ble' ELSE wc END) WHEN ends_with(wc, 'entli') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 5), 'VC')) > 0 THEN left(wc, len(wc) - 5) || 'ent' ELSE wc END) WHEN ends_with(wc, 'ousli') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 5), 'VC')) > 0 THEN left(wc, len(wc) - 5) || 'ous' ELSE wc END) WHEN ends_with(wc, 'ation') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 5), 'VC')) > 0 THEN left(wc, len(wc) - 5) || 'ate' ELSE wc END) WHEN ends_with(wc, 'alism') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 5), 'VC')) > 0 THEN left(wc, len(wc) - 5) || 'al' ELSE wc END) WHEN ends_with(wc, 'aliti') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 5), 'VC')) > 0 THEN left(wc, len(wc) - 5) || 'al' ELSE wc END) WHEN ends_with(wc, 'iviti') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 5), 'VC')) > 0 THEN left(wc, len(wc) - 5) || 'ive' ELSE wc END) WHEN ends_with(wc, 'enci') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 4), 'VC')) > 0 THEN left(wc, len(wc) - 4) || 'ence' ELSE wc END) WHEN ends_with(wc, 'anci') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 4), 'VC')) > 0 THEN left(wc, len(wc) - 4) || 'ance' ELSE wc END) WHEN ends_with(wc, 'izer') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 4), 'VC')) > 0 THEN left(wc, len(wc) - 4) || 'ize' ELSE wc END) WHEN ends_with(wc, 'abli') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 4), 'VC')) > 0 THEN left(wc, len(wc) - 4) || 'able' ELSE wc END) WHEN ends_with(wc, 'alli') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 4), 'VC')) > 0 THEN left(wc, len(wc) - 4) || 'al' ELSE wc END) WHEN ends_with(wc, 'ator') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 4), 'VC')) > 0 THEN left(wc, len(wc) - 4) || 'ate' ELSE wc END) WHEN ends_with(wc, 'eli') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 3), 'VC')) > 0 THEN left(wc, len(wc) - 3) || 'e' ELSE wc END) ELSE wc END AS w2 FROM s2p),
+        |s3p AS (SELECT doc_id, pos, w, ok, w2, substr(list_reduce(['#'] + string_split_regex(w2, ''), (acc, c) -> acc || CASE WHEN c IN ('a','e','i','o','u') THEN 'V' WHEN c = 'y' THEN (CASE WHEN acc = '#' OR right(acc, 1) = 'V' THEN 'C' ELSE 'V' END) ELSE 'C' END), 2) AS p3 FROM s2),
+        |s3 AS (SELECT doc_id, pos, w, ok, CASE WHEN ends_with(w2, 'icate') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 5), 'VC')) > 0 THEN left(w2, len(w2) - 5) || 'ic' ELSE w2 END) WHEN ends_with(w2, 'ative') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 5), 'VC')) > 0 THEN left(w2, len(w2) - 5) || '' ELSE w2 END) WHEN ends_with(w2, 'alize') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 5), 'VC')) > 0 THEN left(w2, len(w2) - 5) || 'al' ELSE w2 END) WHEN ends_with(w2, 'iciti') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 5), 'VC')) > 0 THEN left(w2, len(w2) - 5) || 'ic' ELSE w2 END) WHEN ends_with(w2, 'ical') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 4), 'VC')) > 0 THEN left(w2, len(w2) - 4) || 'ic' ELSE w2 END) WHEN ends_with(w2, 'ness') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 4), 'VC')) > 0 THEN left(w2, len(w2) - 4) || '' ELSE w2 END) WHEN ends_with(w2, 'ful') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 3), 'VC')) > 0 THEN left(w2, len(w2) - 3) || '' ELSE w2 END) ELSE w2 END AS w3 FROM s3p),
+        |s4p AS (SELECT doc_id, pos, w, ok, w3, substr(list_reduce(['#'] + string_split_regex(w3, ''), (acc, c) -> acc || CASE WHEN c IN ('a','e','i','o','u') THEN 'V' WHEN c = 'y' THEN (CASE WHEN acc = '#' OR right(acc, 1) = 'V' THEN 'C' ELSE 'V' END) ELSE 'C' END), 2) AS p4 FROM s3),
+        |s4 AS (SELECT doc_id, pos, w, ok, CASE WHEN ends_with(w3, 'ement') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 5), 'VC')) > 1 THEN left(w3, len(w3) - 5) ELSE w3 END) WHEN ends_with(w3, 'ance') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 4), 'VC')) > 1 THEN left(w3, len(w3) - 4) ELSE w3 END) WHEN ends_with(w3, 'ence') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 4), 'VC')) > 1 THEN left(w3, len(w3) - 4) ELSE w3 END) WHEN ends_with(w3, 'able') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 4), 'VC')) > 1 THEN left(w3, len(w3) - 4) ELSE w3 END) WHEN ends_with(w3, 'ible') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 4), 'VC')) > 1 THEN left(w3, len(w3) - 4) ELSE w3 END) WHEN ends_with(w3, 'ment') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 4), 'VC')) > 1 THEN left(w3, len(w3) - 4) ELSE w3 END) WHEN ends_with(w3, 'ant') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ent') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ion') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 AND (ends_with(left(w3, len(w3) - 3), 's') OR ends_with(left(w3, len(w3) - 3), 't')) THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ism') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ate') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'iti') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ous') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ive') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ize') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'al') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 2), 'VC')) > 1 THEN left(w3, len(w3) - 2) ELSE w3 END) WHEN ends_with(w3, 'er') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 2), 'VC')) > 1 THEN left(w3, len(w3) - 2) ELSE w3 END) WHEN ends_with(w3, 'ic') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 2), 'VC')) > 1 THEN left(w3, len(w3) - 2) ELSE w3 END) WHEN ends_with(w3, 'ou') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 2), 'VC')) > 1 THEN left(w3, len(w3) - 2) ELSE w3 END) ELSE w3 END AS w4 FROM s4p),
+        |s5p AS (SELECT doc_id, pos, w, ok, w4, substr(list_reduce(['#'] + string_split_regex(w4, ''), (acc, c) -> acc || CASE WHEN c IN ('a','e','i','o','u') THEN 'V' WHEN c = 'y' THEN (CASE WHEN acc = '#' OR right(acc, 1) = 'V' THEN 'C' ELSE 'V' END) ELSE 'C' END), 2) AS p5 FROM s4),
+        |s5a AS (
+        |  SELECT doc_id, pos, w, ok, w4, p5,
+        |    CASE WHEN ends_with(w4, 'e') AND
+        |              (len(regexp_extract_all(left(p5, len(w4) - 1), 'VC')) > 1 OR
+        |               (len(regexp_extract_all(left(p5, len(w4) - 1), 'VC')) = 1 AND NOT
+        |                (len(w4) - 1 >= 3 AND
+        |                 right(left(p5, len(w4) - 1), 3) = 'CVC' AND
+        |                 substr(w4, len(w4) - 1, 1) NOT IN ('w', 'x', 'y'))))
+        |         THEN left(w4, len(w4) - 1) ELSE w4 END AS w5
+        |  FROM s5p),
+        |s5b AS (
+        |  SELECT doc_id, pos, w, ok,
+        |    CASE WHEN len(regexp_extract_all(left(p5, len(w5)), 'VC')) > 1 AND len(w5) >= 2 AND
+        |              right(left(p5, len(w5)), 1) = 'C' AND
+        |              substr(w5, len(w5), 1) = substr(w5, len(w5) - 1, 1) AND
+        |              ends_with(w5, 'l')
+        |         THEN left(w5, len(w5) - 1) ELSE w5 END AS w6
+        |  FROM s5a)
+        |SELECT doc_id, pos, CASE WHEN ok THEN w6 ELSE w END AS stem
+        |FROM s5b
+        |),
+        |dl AS MATERIALIZED (
+        |  SELECT doc_id, CAST(len(list_filter(string_split_regex(
+        |    coalesce(text, ''), '\s+'), t -> t <> '')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(dl)::BIGINT::DOUBLE / count(*) AS avgdl FROM dl),
+        |post AS (
+        |  SELECT s.doc_id, d.dl, s.stem AS term, count(*)::BIGINT AS tf
+        |  FROM stems s JOIN dl d USING (doc_id)
+        |  WHERE s.stem IN ('window', 'merg', 'shuffl', 'partit')
+        |  GROUP BY s.doc_id, d.dl, s.stem),
+        |dfs AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term)
+        |SELECT p.doc_id, count(*)::BIGINT AS n_hits,
+        |  round(sum(
+        |    ln(1.0::DOUBLE + (s.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)) *
+        |    (p.tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |    (p.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+        |       + 0.75::DOUBLE * p.dl / s.avgdl))), 6) AS score
+        |FROM post p JOIN dfs d USING (term) CROSS JOIN stats s
+        |GROUP BY p.doc_id""".stripMargin,
     // Porter stemmer (Porter 1980) ported rule-for-rule to DuckDB SQL:
     // the C/V pattern string is built once per intermediate word with a
     // list_reduce lambda (prefix-stable: a position's class depends only
