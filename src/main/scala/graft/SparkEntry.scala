@@ -1428,6 +1428,13 @@ object SparkEntry {
         k = 10, lambdaMicros = 700000L)
     }),
 
+    // ---- alignment & uniformity of the embedding space (Wang & Isola
+    // 2020): sha-ring positive/random pairs, nano-quantized pair
+    // terms, one (alignment, uniformity) audit row ----
+    "q_align_uniformity" -> ((s, dir) =>
+      operators.Ann.alignmentUniformity(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label")),
+
     // ---- hard-negative mining (DPR/RocketQA): top-k most-similar
     // non-gold items per query; gold = self + a planted doc ----
     "q_hard_negatives" -> ((s, dir) => {
@@ -7417,8 +7424,10 @@ object SparkEntry {
         |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
         |  FROM zfin)
         |SELECT doc_id, CAST(y AS INTEGER) AS label,
-        |  round(CAST(sum(p) AS DOUBLE) / (10 * 1e6), 6) AS confidence,
-        |  round(sqrt(CAST(10 * sum(p * p) - sum(p) * sum(p) AS DOUBLE))
+        |  round(CAST(CAST(sum(p) AS BIGINT) AS DOUBLE) / (10 * 1e6), 6)
+        |    AS confidence,
+        |  round(sqrt(CAST(10 * CAST(sum(p * p) AS BIGINT)
+        |      - CAST(sum(p) AS BIGINT) * CAST(sum(p) AS BIGINT) AS DOUBLE))
         |    / (10 * 1e6), 6) AS variability,
         |  sum(CASE WHEN p > 500000 THEN 1 ELSE 0 END)::BIGINT AS n_correct
         |FROM probs GROUP BY doc_id, y""".stripMargin,
@@ -7435,14 +7444,14 @@ object SparkEntry {
         |cnt AS (SELECT lang, count(*)::BIGINT AS n FROM d GROUP BY lang),
         |cx AS (SELECT lang, x, count(*)::BIGINT AS c FROM d GROUP BY lang, x),
         |rx AS (SELECT lang, x,
-        |  2 * coalesce(sum(c) OVER (PARTITION BY lang ORDER BY x
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
-        |    AS r2 FROM cx),
+        |  2 * CAST(coalesce(sum(c) OVER (PARTITION BY lang ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) + c + 1 AS r2 FROM cx),
         |cy AS (SELECT lang, y, count(*)::BIGINT AS c FROM d GROUP BY lang, y),
         |ry AS (SELECT lang, y,
-        |  2 * coalesce(sum(c) OVER (PARTITION BY lang ORDER BY y
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
-        |    AS r2 FROM cy),
+        |  2 * CAST(coalesce(sum(c) OVER (PARTITION BY lang ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) + c + 1 AS r2 FROM cy),
         |j AS (
         |  SELECT d.lang, cnt.n,
         |    rx.r2 - cnt.n - 1 AS dx, ry.r2 - cnt.n - 1 AS dy
@@ -7452,10 +7461,12 @@ object SparkEntry {
         |  JOIN cnt ON cnt.lang = d.lang)
         |SELECT lang, CAST(max(n) AS BIGINT) AS n,
         |  CAST(sum(dx * dy) AS BIGINT) AS sum_dxdy,
-        |  CASE WHEN sum(dx * dx) = 0 OR sum(dy * dy) = 0 THEN NULL
-        |    ELSE round(CAST(sum(dx * dy) AS DOUBLE) /
-        |      (sqrt(CAST(sum(dx * dx) AS DOUBLE)) *
-        |        sqrt(CAST(sum(dy * dy) AS DOUBLE))), 6) END AS rho
+        |  CASE WHEN CAST(sum(dx * dx) AS BIGINT) = 0
+        |      OR CAST(sum(dy * dy) AS BIGINT) = 0 THEN NULL
+        |    ELSE round(CAST(CAST(sum(dx * dy) AS BIGINT) AS DOUBLE) /
+        |      (sqrt(CAST(CAST(sum(dx * dx) AS BIGINT) AS DOUBLE)) *
+        |        sqrt(CAST(CAST(sum(dy * dy) AS BIGINT) AS DOUBLE))), 6)
+        |    END AS rho
         |FROM j GROUP BY lang""".stripMargin,
     // JSD twin: only shared terms join (one-sided terms pay their mass
     // times ln 2 in the closed form); per-term summands are logs of
@@ -7524,7 +7535,7 @@ object SparkEntry {
         |units AS (
         |  SELECT u, CAST(sum(c) AS BIGINT) AS m,
         |    CAST(sum(c * (c - 1)) AS BIGINT) AS agree
-        |  FROM uv GROUP BY u HAVING sum(c) >= 2),
+        |  FROM uv GROUP BY u HAVING CAST(sum(c) AS BIGINT) >= 2),
         |dd AS (
         |  SELECT CAST(sum(CAST(round(CAST(m * (m - 1) - agree AS DOUBLE)
         |      / (m - 1) * 1e9) AS BIGINT)) AS BIGINT) AS don,
@@ -7654,6 +7665,58 @@ object SparkEntry {
         |       + 0.75::DOUBLE * p.dl / s.avgdl))), 6) AS score
         |FROM post p JOIN dfs d USING (term) CROSS JOIN stats s
         |GROUP BY p.doc_id""".stripMargin,
+    // Alignment/uniformity twin: the same sha ring (string-ordered
+    // hex keys), per-label and global consecutive pairing, normalized
+    // vectors, nano-quantized pair terms, one IEEE tail.
+    "q_align_uniformity" ->
+      """WITH e AS (
+        |  SELECT vec_id::VARCHAR AS id, label::VARCHAR AS lab,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sha256('au:' || vec_id::VARCHAR) AS skey
+        |  FROM embeddings),
+        |nrm AS (
+        |  SELECT id, lab, skey, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nn
+        |  FROM e),
+        |vn AS (
+        |  SELECT id, lab, skey,
+        |    list_transform(v, x -> x / nn) AS vn
+        |  FROM nrm),
+        |lp AS (
+        |  SELECT lab, vn, row_number() OVER (
+        |    PARTITION BY lab ORDER BY skey, id) - 1 AS r
+        |  FROM vn),
+        |pp AS (
+        |  SELECT a.vn AS va, b.vn AS vb
+        |  FROM (SELECT lab, r // 2 AS p, vn FROM lp WHERE r % 2 = 0) a
+        |  JOIN (SELECT lab, r // 2 AS p, vn FROM lp WHERE r % 2 = 1) b
+        |  USING (lab, p)),
+        |pos AS (
+        |  SELECT count(*)::BIGINT AS np,
+        |    CAST(sum(CAST(round((2e0 - 2e0 * list_sum(list_transform(
+        |      range(len(va)), i -> va[CAST(i AS INTEGER)+1] *
+        |      vb[CAST(i AS INTEGER)+1]))) * 1e9) AS BIGINT)) AS BIGINT)
+        |      AS sa
+        |  FROM pp),
+        |ring AS (
+        |  SELECT vn, row_number() OVER (ORDER BY skey, id) - 1 AS pos
+        |  FROM vn),
+        |rp AS (
+        |  SELECT a.vn AS va, b.vn AS vb
+        |  FROM (SELECT pos // 2 AS p, vn FROM ring WHERE pos % 2 = 0) a
+        |  JOIN (SELECT pos // 2 AS p, vn FROM ring WHERE pos % 2 = 1) b
+        |  USING (p)),
+        |unif AS (
+        |  SELECT count(*)::BIGINT AS nr,
+        |    CAST(sum(CAST(round(exp(-2e0 * (2e0 - 2e0 *
+        |      list_sum(list_transform(range(len(va)),
+        |      i -> va[CAST(i AS INTEGER)+1] * vb[CAST(i AS INTEGER)+1]))))
+        |      * 1e9) AS BIGINT)) AS BIGINT) AS su
+        |  FROM rp)
+        |SELECT np AS n_pos_pairs, nr AS n_rand_pairs,
+        |  round(CAST(sa AS DOUBLE) / np / 1e9, 6) AS alignment,
+        |  round(ln(CAST(su AS DOUBLE) / nr / 1e9), 6) AS uniformity
+        |FROM pos CROSS JOIN unif""".stripMargin,
     // Porter stemmer (Porter 1980) ported rule-for-rule to DuckDB SQL:
     // the C/V pattern string is built once per intermediate word with a
     // list_reduce lambda (prefix-stable: a position's class depends only

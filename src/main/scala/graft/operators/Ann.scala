@@ -1640,4 +1640,107 @@ object Ann {
     val total = exact.count()
     if (total == 0) 1.0 else hits.toDouble / total
   }
+
+  /** Alignment and uniformity of an embedding space (Wang & Isola 2020,
+    * "Understanding Contrastive Representation Learning through
+    * Alignment and Uniformity on the Hypersphere") — the two-number
+    * audit of an embedding model before its vectors drive dedup, ANN,
+    * or hard-negative mining: alignment = mean ‖x−y‖² over POSITIVE
+    * pairs (same `labelCol`; lower = positives embed together),
+    * uniformity = ln E[exp(−2‖x−y‖²)] over label-blind pairs (lower =
+    * mass spreads over the sphere; a collapsed space scores ~0).
+    *
+    * Pairing is sha-derived and deterministic, never random-random:
+    * positives pair CONSECUTIVE same-label rows in `sha256(seed:id)`
+    * order (one per-label window), uniformity pairs consecutive rows
+    * of the GLOBAL sha ring ([[Sampling.deterministicShuffle]]'s
+    * range-partitioned order — no single-partition window). Odd rows
+    * out pair with nobody and drop from the mean; both pair sets are
+    * linear in the corpus, exact on any engine.
+    *
+    * Exactness: vectors L2-normalize once (zero-norm/NULL vectors are
+    * refused loudly — they have no direction), ‖x−y‖² = 2 − 2·x·y via
+    * the codegen'd dot, each pair term nano-quantized at birth and
+    * LONG-summed (order-free), one final division/ln. The DuckDB twin
+    * replays the sha ring and the same IEEE tail. Output: one row
+    * `(n_pos_pairs, n_rand_pairs, alignment, uniformity)`, 6 dp.
+    */
+  def alignmentUniformity(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      seed: String = "au"): DataFrame = {
+    val spark = emb.sparkSession
+    val bad = emb.agg(count(when(col(idCol).isNull || col(vecCol).isNull ||
+      col(labelCol).isNull, 1)).as("__nl")).head().getAs[Long]("__nl")
+    require(bad == 0L,
+      s"alignmentUniformity: $bad NULL id/vector/label row(s) — filter " +
+        "deliberately upstream")
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val base = graft.core.Caches.pin(emb.select(
+      col(idCol).cast("string").as("__id"),
+      col(labelCol).cast("string").as("__lab"),
+      vd.as("__v"),
+      sqrt(graft.functions.VectorFunctions.sumSquares(vd)).as("__n"),
+      sha2(concat_ws(":", lit(seed), col(idCol).cast("string")), 256)
+        .as("__skey")))
+    try {
+      val zeros = base.agg(count(when(col("__n") === 0.0, 1)).as("__z"))
+        .head().getAs[Long]("__z")
+      require(zeros == 0L,
+        s"alignmentUniformity: $zeros zero-norm vector(s) — a zero " +
+          "vector has no direction on the sphere; filter upstream")
+      val normed = base.select(col("__id"), col("__lab"),
+        transform(col("__v"), x => x / col("__n")).as("__vn"),
+        col("__skey"))
+      def d2(a: Column, b: Column): Column =
+        lit(2.0) - lit(2.0) * graft.functions.VectorFunctions.dot(a, b)
+      // positives: consecutive same-label rows in sha order
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__lab")).orderBy(col("__skey"), col("__id"))
+      val lp = normed.withColumn("__r", row_number().over(wl) - 1)
+      val posPairs = lp.where(col("__r") % 2 === 0)
+        .select(col("__lab"), (col("__r") / 2).cast("long").as("__p"),
+          col("__vn").as("__va"))
+        .join(lp.where(col("__r") % 2 === 1)
+          .select(col("__lab"), (col("__r") / 2).cast("long").as("__p"),
+            col("__vn").as("__vb")), Seq("__lab", "__p"))
+      val pos = posPairs
+        .agg(count(lit(1)).as("__np"),
+          sum(round(d2(col("__va"), col("__vb")) * lit(1e9)).cast("long"))
+            .as("__sa")).head()
+      // uniformity: consecutive rows of the GLOBAL sha ring; the
+      // shuffle's internal pin (read twice by the even/odd self-join)
+      // is scoped and released once the one-row aggregate lands
+      val (unif, ringPins) = graft.core.Caches.collectPins {
+        val ring = Sampling.deterministicShuffle(
+          normed.select(col("__id"), col("__vn")), "__id", seed = seed)
+        val rp = ring.select(col("__vn"), col("pos"))
+        rp.where(col("pos") % 2 === 0)
+          .select((col("pos") / 2).cast("long").as("__p"),
+            col("__vn").as("__va"))
+          .join(rp.where(col("pos") % 2 === 1)
+            .select((col("pos") / 2).cast("long").as("__p"),
+              col("__vn").as("__vb")), Seq("__p"))
+          .agg(count(lit(1)).as("__nr"),
+            sum(round(exp(lit(-2.0) * d2(col("__va"), col("__vb"))) *
+              lit(1e9)).cast("long")).as("__su")).head()
+      }
+      ringPins.release()
+      val np = pos.getAs[Long]("__np")
+      val nr = unif.getAs[Long]("__nr")
+      require(np >= 1L, "alignmentUniformity: no positive pair — every " +
+        "label is a singleton; alignment is undefined")
+      require(nr >= 1L, "alignmentUniformity: fewer than 2 rows — " +
+        "uniformity is undefined")
+      val alignment = pos.getAs[Long]("__sa").toDouble / np / 1e9
+      val uniformity =
+        math.log(unif.getAs[Long]("__su").toDouble / nr / 1e9)
+      spark.range(1).select(lit(np).as("n_pos_pairs"),
+        lit(nr).as("n_rand_pairs"),
+        round(lit(alignment), 6).as("alignment"),
+        round(lit(uniformity), 6).as("uniformity"))
+    } finally base.unpersist()
+  }
 }

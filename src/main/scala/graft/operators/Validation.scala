@@ -1456,6 +1456,59 @@ object Validation {
               sqrt(col("__syy").cast("double"))), 6)).as("rho")): _*)
   }
 
+  /** GLOBAL (un-keyed) Spearman ρ from pre-aggregated joint cells
+    * `(__x, __y, __n)` — the SUM-MERGEABLE sufficient statistic: the
+    * joint cells of a union of batches are the summed union of their
+    * cells, so the SAME streamed contingency log that feeds the
+    * standing kappa and chi² ([[graft.streaming.StreamingOps.kappaLogSink]])
+    * also carries a standing rank correlation when both columns are
+    * integral scores. Ranks derive from the marginals, the cross
+    * moment from the cells: `Σ n·dx·dy` with the 2×-scale tie-averaged
+    * centered ranks of [[spearmanCorrelation]] — exact LONGs under the
+    * same n ≤ 10M ⇒ n³ < 2^63 loud bound (quantize or sample coarser
+    * upstream). Cell cardinality is the caller's contract (quantized
+    * scores — the cells ARE the log). Output: one row
+    * `(n, sum_dxdy, rho)`, matching the batch operator minus keys.
+    */
+  def spearmanFromCells(cells: DataFrame, maxRows: Long = 10000000L)
+      : DataFrame = {
+    require(maxRows >= 2 && maxRows <= 10000000L,
+      s"maxRows must be in 2..10000000, got $maxRows")
+    val g = graft.core.Caches.pin(cells
+      .groupBy(col("__x"), col("__y"))
+      .agg(sum(col("__n")).as("__n")))
+    try {
+      val bad = g.agg(count(when(col("__x").isNull || col("__y").isNull,
+        1)).as("__b"), sum(col("__n")).as("__t")).head()
+      require(bad.getAs[Long]("__b") == 0L,
+        s"spearmanFromCells: ${bad.getAs[Long]("__b")} NULL-valued " +
+          "cell(s) — a NULL has no rank; filter at the sink")
+      val n = if (bad.isNullAt(1)) 0L else bad.getAs[Long]("__t")
+      require(n >= 1L, "spearmanFromCells: empty cells")
+      require(n <= maxRows,
+        s"spearmanFromCells: $n observations (> maxRows=$maxRows) — " +
+          "rank moments grow as n³; sample or quantize coarser upstream")
+      val w = org.apache.spark.sql.expressions.Window
+      def rank2(vCol: String, out: String): DataFrame = g
+        .groupBy(col(vCol)).agg(sum(col("__n")).as("__c"))
+        .withColumn("__b", coalesce(sum(col("__c")).over(
+          w.orderBy(col(vCol)).rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .select(col(vCol),
+          (lit(2L) * col("__b") + col("__c") + 1L - n - 1L).as(out))
+      g.join(rank2("__x", "__dx"), Seq("__x"))
+        .join(rank2("__y", "__dy"), Seq("__y"))
+        .agg(sum(col("__n") * col("__dx") * col("__dy")).as("sum_dxdy"),
+          sum(col("__n") * col("__dx") * col("__dx")).as("__sxx"),
+          sum(col("__n") * col("__dy") * col("__dy")).as("__syy"))
+        .select(lit(n).as("n"), col("sum_dxdy"),
+          when(col("__sxx") === 0L || col("__syy") === 0L, lit(null))
+            .otherwise(round(col("sum_dxdy").cast("double") /
+              (sqrt(col("__sxx").cast("double")) *
+                sqrt(col("__syy").cast("double"))), 6)).as("rho"))
+        .localCheckpoint(true)
+    } finally g.unpersist()
+  }
+
   /** Krippendorff's alpha for NOMINAL data (Krippendorff 1970/2004) —
     * the multi-annotator agreement statistic that, unlike Cohen's
     * kappa, handles ANY number of raters, missing ratings, and
@@ -1493,10 +1546,26 @@ object Validation {
     require(nl == 0L,
       s"krippendorffAlpha: $nl NULL `$unitCol`/`$valueCol` row(s) — an " +
         "abstention is an absent row, not a NULL rating")
-    val uv = graft.core.Caches.pin(
+    krippendorffFromCounts(
       df.groupBy(col(unitCol).as("__u"),
           col(valueCol).cast("string").as("__v"))
         .agg(count(lit(1)).as("__c")))
+  }
+
+  /** [[krippendorffAlpha]] from pre-aggregated per-(unit, value) rating
+    * counts `(__u, __v, __c)` — the SUM-MERGEABLE sufficient statistic
+    * (counts of a union of batches are the summed union of their
+    * counts), which is what lets
+    * [[graft.streaming.StreamingOps.ratingLogSink]] stream rating
+    * batches into a stat log and
+    * [[graft.streaming.StreamingOps.krippendorffFromLog]] reconstruct
+    * the exact batch alpha later. Callers fold duplicates first or pass
+    * them as-is — the internal per-unit groupBy re-sums `__c`.
+    */
+  def krippendorffFromCounts(rawUv: DataFrame): DataFrame = {
+    val uv = graft.core.Caches.pin(rawUv
+      .groupBy(col("__u"), col("__v"))
+      .agg(sum(col("__c")).as("__c")))
     try {
       val units = uv.groupBy(col("__u"))
         .agg(sum(col("__c")).as("__m"),
@@ -1527,7 +1596,7 @@ object Validation {
       val dO = dRow.getAs[Long]("__don").toDouble / 1e9
       // D_e·n = (n² − Σ n_v²)/(n−1); both numerators exact BIGINT
       val dE = (n * n - s2).toDouble / (n - 1L)
-      val spark = df.sparkSession
+      val spark = uv.sparkSession
       spark.range(1).select(lit(nUnits).as("n_units"),
         lit(n).as("n_ratings"),
         round(lit(dO), 6).as("d_o"),

@@ -906,6 +906,87 @@ object StreamingOps {
     graft.operators.Validation.chiSquaredFromCells(
       contingencyCellsFromLog(spark, logPath))
 
+  /** The standing Spearman rank correlation over the SAME
+    * [[kappaLogSink]] contingency log — when the two logged columns
+    * are integral SCORES rather than categories, the joint cells are
+    * also rank correlation's sufficient statistic, so one streamed
+    * sink now serves kappa ("do they agree exactly"), chi² ("are they
+    * associated at all") and ρ ("do they agree MONOTONICALLY").
+    * Values must be integral and non-NULL (the
+    * [[cliffsDeltaFromLogs]] contract — the log's strings must cast
+    * back to longs losslessly; anything else is refused loudly).
+    * Same output row as the batch
+    * [[graft.operators.Validation.spearmanFromCells]].
+    */
+  def spearmanFromLog(spark: SparkSession, logPath: String): DataFrame = {
+    // try_cast, not cast: ANSI mode throws mid-executor on a
+    // categorical log; the contract check below refuses loudly instead
+    val cells = contingencyCellsFromLog(spark, logPath)
+      .select(col("__a"), col("__b"),
+        expr("try_cast(__a AS LONG)").as("__x"),
+        expr("try_cast(__b AS LONG)").as("__y"), col("__nab").as("__n"))
+    val bad = cells.agg(count(when(col("__a").isNull ||
+      col("__b").isNull || col("__x").isNull || col("__y").isNull ||
+      col("__x").cast("string") =!= col("__a") ||
+      col("__y").cast("string") =!= col("__b"), 1)).as("__bad"))
+      .head().getAs[Long]("__bad")
+    require(bad == 0L,
+      s"spearmanFromLog: $logPath carries $bad NULL or non-integral " +
+        "cell(s) — rank correlation needs integral scores; quantize " +
+        "before the sink")
+    graft.operators.Validation.spearmanFromCells(
+      cells.select(col("__x"), col("__y"), col("__n")))
+  }
+
+  /** Streamed per-(unit, value) rating counts — Krippendorff's alpha's
+    * SUM-MERGEABLE sufficient statistic (the coincidence recipe reads
+    * only how many times each unit received each value, and counts of
+    * a union of batches are the summed union of their counts). Late
+    * ratings for an already-seen unit fold in exactly: the unit's
+    * pairable mass is recomputed from the TOTAL counts at read time,
+    * not frozen per batch. NULL units/values are logged with flags and
+    * refused loudly at fold time (the batch operator's abstention
+    * contract — a silent NULL category would manufacture agreement).
+    */
+  def ratingLogSink(
+      events: DataFrame,
+      unitCol: String,
+      valueCol: String,
+      logPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    StatLog.writeKind(events.sparkSession, logPath, "sum")
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.toDF()
+            .groupBy(col(unitCol).cast("string").as("__u"),
+              col(valueCol).cast("string").as("__v"))
+            .agg(count(lit(1)).as("__kcnt"))
+            .select(col("__u"), col("__v"),
+              col("__u").isNull.as("__u_null"),
+              col("__v").isNull.as("__v_null"), col("__kcnt"))
+            .write.mode("overwrite")
+            .parquet(f"$logPath/batch=b$batchId%012d")
+    }
+  }
+
+  /** The standing Krippendorff's alpha over everything delivered to a
+    * [[ratingLogSink]] log — same output row as the batch
+    * [[graft.operators.Validation.krippendorffAlpha]].
+    */
+  def krippendorffFromLog(spark: SparkSession, logPath: String): DataFrame = {
+    val folded = StatLog.read(spark, logPath)
+      .groupBy(col("__u"), col("__v"), col("__u_null"), col("__v_null"))
+      .agg(sum(col("__kcnt")).as("__c"))
+    val bad = folded.agg(count(when(col("__u_null") || col("__v_null"), 1))
+      .as("__bad")).head().getAs[Long]("__bad")
+    require(bad == 0L,
+      s"krippendorffFromLog: $logPath carries $bad NULL unit/rating " +
+        "cell(s) — an abstention is an absent row, not a NULL rating")
+    graft.operators.Validation.krippendorffFromCounts(
+      folded.select(col("__u"), col("__v"), col("__c")))
+  }
+
   /** Standing Cliff's delta between two [[valueCountSink]] logs (A =
     * treatment, B = control) — per-distinct-value counts are the
     * effect size's sufficient statistic, so the same sinks that feed

@@ -98,6 +98,44 @@ class AnnMultimodalSpec extends SparkTestBase {
     graft.core.Caches.releaseCheckpoint(empty)
   }
 
+  test("alignmentUniformity: collapsed space at (0, 0), orthogonal pair pins, loud contracts") {
+    def run(rows: Seq[(Long, Seq[Double], String)]) = {
+      val r = Ann.alignmentUniformity(rows.toDF("id", "vec", "lab"),
+        "id", "vec", "lab").head()
+      (r.getAs[Long]("n_pos_pairs"), r.getAs[Long]("n_rand_pairs"),
+        r.getAs[Double]("alignment"), r.getAs[Double]("uniformity"))
+    }
+    // a COLLAPSED space (all vectors identical): alignment 0 (positives
+    // coincide) and uniformity 0 (ln E[exp(0)]) — the degenerate pole
+    // the metric exists to expose
+    val collapsed = (1L to 8L).map(i => (i, Seq(3.0, 0.0), "a"))
+    assert(run(collapsed) == ((4L, 4L, 0.0, 0.0)))
+    // two rows, same label, orthogonal: the one positive pair has
+    // ||x-y||^2 = 2 -> alignment 2; the one ring pair is the same pair
+    // -> uniformity = ln(exp(-4)) = -4 through the nano quantization
+    val ortho = Seq((1L, Seq(1.0, 0.0), "a"), (2L, Seq(0.0, 1.0), "a"))
+    assert(run(ortho) == ((1L, 1L, 2.0, -4.0)))
+    // normalization: magnitudes must not matter
+    val scaled = Seq((1L, Seq(9.0, 0.0), "a"), (2L, Seq(0.0, 0.25), "a"))
+    assert(run(scaled) == ((1L, 1L, 2.0, -4.0)))
+    // a spread space scores BELOW a collapsed one on uniformity
+    val spread = (1L to 20L).map(i =>
+      (i, if (i % 2 == 0) Seq(1.0, 0.0) else Seq(0.0, 1.0),
+        if (i % 2 == 0) "a" else "b"))
+    val sp = run(spread)
+    assert(sp._3 == 0.0, "positives within each label coincide")
+    assert(sp._4 < 0.0, s"spread uniformity ${sp._4} must be negative")
+    // loud: zero vectors, NULLs, singleton labels, single row
+    intercept[IllegalArgumentException](run(
+      Seq((1L, Seq(0.0, 0.0), "a"), (2L, Seq(1.0, 0.0), "a"))))
+    intercept[IllegalArgumentException](Ann.alignmentUniformity(
+      Seq((1L, Seq(1.0), Option.empty[String])).toDF("id", "vec", "lab"),
+      "id", "vec", "lab"))
+    intercept[IllegalArgumentException](run(
+      Seq((1L, Seq(1.0, 0.0), "a"), (2L, Seq(0.0, 1.0), "b"))))
+    intercept[IllegalArgumentException](run(Seq((1L, Seq(1.0), "a"))))
+  }
+
   test("hardNegatives: gold excluded, equals exclusion-rerank of exact topk, denoise guard") {
     val queries = embeddings.filter($"vec_id" < 4)
     // gold pairs: self for every query + a planted doc; query 3 has NONE

@@ -1082,7 +1082,83 @@ class StreamingOpsSpec extends SparkTestBase {
       assert(chiStream.toSeq == chiBatch.toSeq,
         s"standing ${chiStream.toSeq} vs batch ${chiBatch.toSeq}")
       assert(chiStream.getAs[Long]("dof") == 4L) // 3 x 3 incl. NULLs
+      // categorical strings cannot rank: the Spearman reading of the
+      // same log refuses loudly instead of string-ordering "a" < "b"
+      val se = intercept[IllegalArgumentException](
+        StreamingOps.spearmanFromLog(spark, log))
+      assert(se.getMessage.contains("integral"), se.getMessage)
     } finally q.stop()
+  }
+
+  test("spearmanFromLog: standing rho over an integral-score contingency log equals the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_sp_log_").toString
+    val log = root + "/cells"
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = StreamingOps.kappaLogSink(src.toDS().toDF("x", "y"),
+      "x", "y", log)
+      .option("checkpointLocation", root + "/ck").start()
+    // monotone-with-ties scores across two batches (ties on both axes)
+    val b1 = Seq.tabulate(25)(i => ((i % 7).toLong, ((i % 7) * 10).toLong))
+    val b2 = Seq.tabulate(25)(i => ((i % 5).toLong, ((i % 5) * 10 + (i % 2)).toLong))
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      val streamed = StreamingOps.spearmanFromLog(spark, log).head()
+      val batch = graft.operators.Validation.spearmanCorrelation(
+        (b1 ++ b2).map { case (x, y) => ("k", x, y) }.toDF("k", "x", "y"),
+        Seq("k"), "x", "y").head()
+      assert(streamed.getAs[Long]("n") == batch.getAs[Long]("n") &&
+        streamed.getAs[Long]("sum_dxdy") == batch.getAs[Long]("sum_dxdy") &&
+        streamed.getAs[Double]("rho") == batch.getAs[Double]("rho"),
+        s"standing ${streamed.toSeq} vs batch ${batch.toSeq}")
+      // fold law: compaction is a no-op
+      StreamingOps.compactStatLog(spark, log)
+      assert(StreamingOps.spearmanFromLog(spark, log).head().toSeq
+        == streamed.toSeq)
+    } finally q.stop()
+  }
+
+  test("ratingLogSink/krippendorffFromLog: standing alpha equals batch; late ratings for seen units fold; NULL loud") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_kr_log_").toString
+    val log = root + "/ratings"
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamingOps.ratingLogSink(src.toDS().toDF("unit", "value"),
+      "unit", "value", log)
+      .option("checkpointLocation", root + "/ck").start()
+    val b1 = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"))
+    // batch 2 adds a LATE third rating to unit 1 and completes unit 3:
+    // the unit's pairable mass must recompute from the total counts
+    val b2 = Seq((1L, "b"), (3L, "b"), (4L, "a"), (4L, "a"), (4L, "a"))
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      val streamed = StreamingOps.krippendorffFromLog(spark, log).head()
+      val batch = graft.operators.Validation.krippendorffAlpha(
+        (b1 ++ b2).toDF("unit", "value"), "unit", "value").head()
+      assert(streamed.toSeq == batch.toSeq,
+        s"standing ${streamed.toSeq} vs batch ${batch.toSeq}")
+      assert(streamed.getAs[Long]("n_units") == 4L)
+      StreamingOps.compactStatLog(spark, log)
+      assert(StreamingOps.krippendorffFromLog(spark, log).head().toSeq
+        == batch.toSeq)
+    } finally q.stop()
+    // NULL ratings are refused at fold time, not silently categorized
+    val root2 = Files.createTempDirectory("graft_kr_null_").toString
+    val src2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Option[String])]
+    val q2 = StreamingOps.ratingLogSink(src2.toDS().toDF("unit", "value"),
+      "unit", "value", root2 + "/r")
+      .option("checkpointLocation", root2 + "/ck").start()
+    try {
+      src2.addData((1L, Some("a")), (1L, None)); q2.processAllAvailable()
+      val e = intercept[IllegalArgumentException](
+        StreamingOps.krippendorffFromLog(spark, root2 + "/r"))
+      assert(e.getMessage.contains("abstention"), e.getMessage)
+    } finally q2.stop()
   }
 
   test("cliffsDeltaFromLogs: standing effect size equals batch; fractional/NULL logs loud") {
