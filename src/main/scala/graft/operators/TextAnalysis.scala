@@ -48,29 +48,51 @@ object TextAnalysis {
     */
   def sourceSimilarity(
       df: DataFrame, keyCol: String, textCol: String,
-      maxSlices: Int = 1024): DataFrame = {
+      maxSlices: Int = 1024): DataFrame =
+    sourceSimilarityFromCounts(sliceTermCounts(df, keyCol, textCol),
+      maxSlices)
+
+  /** The per-(slice, term) token counts `(__k, __t, __c)` both slice
+    * comparators read — SUM-MERGEABLE (counts of a union of corpora
+    * are the summed union of their counts), which is what lets
+    * [[graft.streaming.StreamingOps.termCountSink]] stream corpus
+    * batches into a stat log and the standing FromLog twins
+    * reconstruct the exact batch statistics later. NULL-keyed rows
+    * drop (the batch operators' convention).
+    */
+  private[graft] def sliceTermCounts(
+      df: DataFrame, keyCol: String, textCol: String): DataFrame =
+    df.where(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"),
+        explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("__k"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+
+  /** [[sourceSimilarity]] from pre-aggregated `(__k, __t, __c)` slice
+    * term counts (duplicates re-fold internally — log readers pass
+    * batch cells as-is). Carries the same eager `maxSlices` refusal,
+    * checked against the COUNTS' distinct keys.
+    */
+  def sourceSimilarityFromCounts(
+      rawCounts: DataFrame, maxSlices: Int = 1024): DataFrame = {
     require(maxSlices >= 2 && maxSlices <= 65536,
       s"maxSlices must be in 2..65536, got $maxSlices")
-    // eager slice-cardinality guard: the self-join below is quadratic
-    // in slices sharing a term — fine for sources/snapshots (tens to
-    // hundreds), a silent detonation for keyCol = doc_id
-    val nSlices = df.where(col(keyCol).isNotNull)
-      .agg(countDistinct(col(keyCol)).as("__ns"))
-      .head().getAs[Long]("__ns")
-    require(nSlices <= maxSlices,
-      s"sourceSimilarity: $nSlices distinct `$keyCol` slices (> " +
-        s"maxSlices=$maxSlices) — the term-keyed self-join is " +
-        "quadratic per shared term; this operator compares corpus " +
-        "SLICES (sources/snapshots/shards), not documents — for " +
-        "doc-granularity near-dup use the dedup tier " +
-        "(minHashLsh/simHashDedup)")
-    val counts = graft.core.Caches.pin(
-      df.where(col(keyCol).isNotNull)
-        .select(col(keyCol).cast("string").as("__k"),
-          explode(tokens(col(textCol))).as("__t"))
-        .groupBy(col("__k"), col("__t"))
-        .agg(count(lit(1)).as("__c")))
+    val counts = graft.core.Caches.pin(rawCounts
+      .groupBy(col("__k"), col("__t"))
+      .agg(sum(col("__c")).as("__c")))
     try {
+      // eager slice-cardinality guard: the self-join below is quadratic
+      // in slices sharing a term — fine for sources/snapshots (tens to
+      // hundreds), a silent detonation for a doc-granularity key
+      val nSlices = counts.agg(countDistinct(col("__k")).as("__ns"))
+        .head().getAs[Long]("__ns")
+      require(nSlices <= maxSlices,
+        s"sourceSimilarity: $nSlices distinct slices (> " +
+          s"maxSlices=$maxSlices) — the term-keyed self-join is " +
+          "quadratic per shared term; this operator compares corpus " +
+          "SLICES (sources/snapshots/shards), not documents — for " +
+          "doc-granularity near-dup use the dedup tier " +
+          "(minHashLsh/simHashDedup)")
       val norms = counts.groupBy(col("__k"))
         .agg(sum(col("__c") * col("__c")).as("__ss"))
       val dots = counts.select(col("__k").as("key_a"), col("__t"),
@@ -118,25 +140,31 @@ object TextAnalysis {
     */
   def sliceDivergence(
       df: DataFrame, keyCol: String, textCol: String,
-      maxSlices: Int = 1024): DataFrame = {
+      maxSlices: Int = 1024): DataFrame =
+    sliceDivergenceFromCounts(sliceTermCounts(df, keyCol, textCol),
+      maxSlices)
+
+  /** [[sliceDivergence]] from pre-aggregated `(__k, __t, __c)` slice
+    * term counts — the same sum-mergeable statistic
+    * [[sourceSimilarityFromCounts]] reads, so one streamed term-count
+    * log serves both standing slice comparisons.
+    */
+  def sliceDivergenceFromCounts(
+      rawCounts: DataFrame, maxSlices: Int = 1024): DataFrame = {
     require(maxSlices >= 2 && maxSlices <= 65536,
       s"maxSlices must be in 2..65536, got $maxSlices")
-    val nSlices = df.where(col(keyCol).isNotNull)
-      .agg(countDistinct(col(keyCol)).as("__ns"))
-      .head().getAs[Long]("__ns")
-    require(nSlices <= maxSlices,
-      s"sliceDivergence: $nSlices distinct `$keyCol` slices (> " +
-        s"maxSlices=$maxSlices) — the term-keyed self-join is " +
-        "quadratic per shared term; this operator compares corpus " +
-        "SLICES, not documents")
     val ln2 = lit(0.6931471805599453)
-    val counts = graft.core.Caches.pin(
-      df.where(col(keyCol).isNotNull)
-        .select(col(keyCol).cast("string").as("__k"),
-          explode(tokens(col(textCol))).as("__t"))
-        .groupBy(col("__k"), col("__t"))
-        .agg(count(lit(1)).as("__c")))
+    val counts = graft.core.Caches.pin(rawCounts
+      .groupBy(col("__k"), col("__t"))
+      .agg(sum(col("__c")).as("__c")))
     try {
+      val nSlices = counts.agg(countDistinct(col("__k")).as("__ns"))
+        .head().getAs[Long]("__ns")
+      require(nSlices <= maxSlices,
+        s"sliceDivergence: $nSlices distinct slices (> " +
+          s"maxSlices=$maxSlices) — the term-keyed self-join is " +
+          "quadratic per shared term; this operator compares corpus " +
+          "SLICES, not documents")
       val totals = counts.groupBy(col("__k"))
         .agg(sum(col("__c")).as("__nt"))
       val joined = counts.select(col("__k").as("key_a"), col("__t"),

@@ -970,6 +970,61 @@ object StreamingOps {
     }
   }
 
+  /** Streamed per-(slice, term) token counts — the SUM-MERGEABLE
+    * sufficient statistic behind BOTH standing slice comparators
+    * (term-count cosine mirror detection and Jensen–Shannon drift):
+    * the counts of a union of corpus batches are the summed union of
+    * their counts, so a nightly snapshot stream folds into the exact
+    * batch statistics at any point. NULL-keyed rows drop at the sink
+    * (the batch operators' convention — they can never join). Slice
+    * cardinality is the caller's contract, enforced loudly by the
+    * readers' `maxSlices` guard at fold time.
+    */
+  def termCountSink(
+      events: DataFrame,
+      keyCol: String,
+      textCol: String,
+      logPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    StatLog.writeKind(events.sparkSession, logPath, "sum")
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.TextAnalysis
+            .sliceTermCounts(batch.toDF(), keyCol, textCol)
+            // __kcnt is the StatLog fold contract's count column
+            .withColumnRenamed("__c", "__kcnt")
+            .write.mode("overwrite")
+            .parquet(f"$logPath/batch=b$batchId%012d")
+    }
+  }
+
+  private def termCountsFromLog(
+      spark: SparkSession, logPath: String): DataFrame =
+    StatLog.read(spark, logPath)
+      .groupBy(col("__k"), col("__t"))
+      .agg(sum(col("__kcnt")).as("__c"))
+
+  /** Standing slice-mirror detection (term-count cosine) over
+    * everything delivered to a [[termCountSink]] log — same output
+    * rows as the batch [[graft.operators.TextAnalysis.sourceSimilarity]].
+    */
+  def sourceSimilarityFromLog(
+      spark: SparkSession, logPath: String,
+      maxSlices: Int = 1024): DataFrame =
+    graft.operators.TextAnalysis.sourceSimilarityFromCounts(
+      termCountsFromLog(spark, logPath), maxSlices)
+
+  /** Standing Jensen–Shannon corpus drift over the SAME
+    * [[termCountSink]] log — same output rows as the batch
+    * [[graft.operators.TextAnalysis.sliceDivergence]].
+    */
+  def sliceDivergenceFromLog(
+      spark: SparkSession, logPath: String,
+      maxSlices: Int = 1024): DataFrame =
+    graft.operators.TextAnalysis.sliceDivergenceFromCounts(
+      termCountsFromLog(spark, logPath), maxSlices)
+
   /** The standing Krippendorff's alpha over everything delivered to a
     * [[ratingLogSink]] log — same output row as the batch
     * [[graft.operators.Validation.krippendorffAlpha]].

@@ -1161,6 +1161,56 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("termCountSink: standing mirror cosine AND JSD equal batch; cross-batch slice growth folds; doc-key refusal survives the log") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_tc_log_").toString
+    val log = root + "/terms"
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Option[String], String)]
+    val q = StreamingOps.termCountSink(src.toDS().toDF("src", "text"),
+      "src", "text", log)
+      .option("checkpointLocation", root + "/ck").start()
+    // slice A grows ACROSS batches (its term counts must fold before
+    // comparing); NULL slice drops at the sink
+    val b1 = Seq((Some("A"), "x x"), (Some("B"), "x y y"),
+      (None.asInstanceOf[Option[String]], "x y z"))
+    val b2 = Seq((Some("A"), "y"), (Some("C"), "z z"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.toSeq.drop(2)).toMap
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      val batchDf = (b1 ++ b2).toDF("src", "text")
+      val simS = StreamingOps.sourceSimilarityFromLog(spark, log)
+      val simB = graft.operators.TextAnalysis.sourceSimilarity(
+        batchDf, "src", "text")
+      val (simSm, simBm) = (pairs(simS), pairs(simB))
+      graft.core.Caches.releaseCheckpoint(simS)
+      graft.core.Caches.releaseCheckpoint(simB)
+      assert(simSm == simBm, s"standing $simSm vs batch $simBm")
+      // A folded to {x:2, y:1}: dot(A,B) = 2 + 2 = 4, cos = 0.8
+      assert(simSm(("A", "B")) == Seq(4L, 0.8))
+      val jsdS = StreamingOps.sliceDivergenceFromLog(spark, log)
+      val jsdB = graft.operators.TextAnalysis.sliceDivergence(
+        batchDf, "src", "text")
+      val (jsdSm, jsdBm) = (pairs(jsdS), pairs(jsdB))
+      graft.core.Caches.releaseCheckpoint(jsdS)
+      graft.core.Caches.releaseCheckpoint(jsdB)
+      assert(jsdSm == jsdBm, s"standing $jsdSm vs batch $jsdBm")
+      // fold law: compaction is a no-op
+      StreamingOps.compactStatLog(spark, log)
+      val simS2 = StreamingOps.sourceSimilarityFromLog(spark, log)
+      val simS2m = pairs(simS2)
+      graft.core.Caches.releaseCheckpoint(simS2)
+      assert(simS2m == simBm)
+      // the eager doc-granularity refusal survives the log path
+      val e = intercept[IllegalArgumentException](
+        StreamingOps.sourceSimilarityFromLog(spark, log, maxSlices = 2))
+      assert(e.getMessage.contains("quadratic"), e.getMessage)
+    } finally q.stop()
+  }
+
   test("cliffsDeltaFromLogs: standing effect size equals batch; fractional/NULL logs loud") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft_cd_log_").toString
