@@ -2054,6 +2054,38 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // ---- split-leakage audit, the chained witness for withHashSplit's
+    // leakage-safe contract: ONE near-dup pair set (the planted-twin
+    // LSH corpus of q_dedup_clusters) scored under a row-keyed AND a
+    // domain-keyed 80/20 split in a single aggregate — twins keep
+    // their source, so the domain split can never separate them while
+    // the row split scatters ~2·p·(1−p) of them across the boundary ----
+    "q_split_leakage" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val corpus = base.unionByName(base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" extra extra")).as("text"),
+          col("source")))
+      val pairs = operators.Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.5)
+      val splits = operators.Sampling.withHashSplit(
+        operators.Sampling.withHashSplit(corpus, "doc_id",
+          Seq("train" -> 0.8, "eval" -> 0.2), salt = "sl",
+          outputCol = "row_split"),
+        "source", Seq("train" -> 0.8, "eval" -> 0.2), salt = "sl",
+        outputCol = "domain_split")
+        .select(col("doc_id"), col("row_split"), col("domain_split"))
+      pairs.select("id_a", "id_b")
+        .join(splits.select(col("doc_id").as("id_a"),
+          col("row_split").as("ra"), col("domain_split").as("da")), "id_a")
+        .join(splits.select(col("doc_id").as("id_b"),
+          col("row_split").as("rb"), col("domain_split").as("db")), "id_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("ra") =!= col("rb"), 1)).as("row_cross"),
+          count(when(col("da") =!= col("db"), 1)).as("domain_cross"))
+    }),
+
     // ---- HITS hubs/authorities over the directed order graph (2
     // nano-exact iterations; oracle unrolls them) ----
     "q_hits" -> ((s, dir) => {
@@ -7717,6 +7749,71 @@ object SparkEntry {
         |  round(CAST(sa AS DOUBLE) / np / 1e9, 6) AS alignment,
         |  round(ln(CAST(su AS DOUBLE) / nr / 1e9), 6) AS uniformity
         |FROM pos CROSS JOIN unif""".stripMargin,
+    // Split-leakage twin: the dedup-clusters LSH head (same planting,
+    // same minhash/banding SQL) + the q_hash_split bucket idiom on both
+    // keys, counted in one aggregate.
+    "q_split_leakage" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' extra extra', source
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[i:i+2], ' ')) AS shingles
+        |  FROM toks WHERE len(toks) > 0),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(sha256(s), 1, 7))::BIGINT % 268435399 AS h
+        |  FROM sh CROSS JOIN unnest(shingles) AS u(s)),
+        |minh AS (
+        |  SELECT doc_id, CAST(p AS INTEGER) AS p,
+        |    min((h * (2 * p + 1) + p * 7919) % 268435399) AS mh
+        |  FROM h CROSS JOIN range(16) t(p)
+        |  GROUP BY doc_id, p),
+        |sig AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM minh GROUP BY doc_id),
+        |bandh AS (
+        |  SELECT doc_id, b,
+        |    ('0x' || substring(sha256(
+        |      array_to_string(sig[CAST(b AS INTEGER)*4+1 : CAST(b AS INTEGER)*4+4], ',')),
+        |      1, 15))::BIGINT AS bh
+        |  FROM sig CROSS JOIN range(4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM bandh a JOIN bandh c ON a.b = c.b AND a.bh = c.bh
+        |  WHERE a.doc_id < c.doc_id),
+        |est AS (
+        |  SELECT cand.id_a, cand.id_b,
+        |    round(len(list_filter(range(16),
+        |      i -> s1.sig[CAST(i AS INTEGER)+1] = s2.sig[CAST(i AS INTEGER)+1]))
+        |      / 16.0, 6) AS est_jaccard
+        |  FROM cand
+        |  JOIN sig s1 ON s1.doc_id = cand.id_a
+        |  JOIN sig s2 ON s2.doc_id = cand.id_b),
+        |pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substring(sha256(
+        |        CAST(doc_id AS VARCHAR) || ':sl'), 1, 7))::BIGINT
+        |        % 1000000 < 800000 THEN 'train' ELSE 'eval' END AS rs,
+        |    CASE WHEN ('0x' || substring(sha256(
+        |        source || ':sl'), 1, 7))::BIGINT
+        |        % 1000000 < 800000 THEN 'train' ELSE 'eval' END AS ds
+        |  FROM corpus)
+        |SELECT count(*)::BIGINT AS n_pairs,
+        |  CAST(count(CASE WHEN a.rs <> b.rs THEN 1 END) AS BIGINT)
+        |    AS row_cross,
+        |  CAST(count(CASE WHEN a.ds <> b.ds THEN 1 END) AS BIGINT)
+        |    AS domain_cross
+        |FROM pairs
+        |JOIN sp a ON a.doc_id = pairs.id_a
+        |JOIN sp b ON b.doc_id = pairs.id_b""".stripMargin,
     // Porter stemmer (Porter 1980) ported rule-for-rule to DuckDB SQL:
     // the C/V pattern string is built once per intermediate word with a
     // list_reduce lambda (prefix-stable: a position's class depends only
