@@ -105,11 +105,15 @@ object Bench {
       System.gc()
     }
     // a probe roughly every 20 queries (~0.4 s each: ≤ 2% overhead on a
-    // full-suite run) so every query window is bracketed tightly enough
-    // for the canary join to localize a load burst
+    // full-suite run) — AND whenever > 60 s passed since the last one:
+    // query-count spacing alone left a 214 s blind gap through the
+    // heavy graph tier in round 14's second attempt, inside which a
+    // co-tenant burst tripled q_adamic_adar unflagged
     val probeEvery = math.max(1, math.min(20, toRun.length / 2))
     val results = toRun.zipWithIndex.map { case ((name, fn), qIdx) =>
-      if (qIdx > 0 && qIdx % probeEvery == 0) probe()
+      if (qIdx > 0 && (qIdx % probeEvery == 0 ||
+          sinceStart() - canaryProbes.lastOption.map(_._1).getOrElse(0.0)
+            > 60.0)) probe()
       val windowStart = sinceStart()
       def once(): Double = {
         val t0 = System.nanoTime()

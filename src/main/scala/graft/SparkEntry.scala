@@ -2323,6 +2323,21 @@ object SparkEntry {
       operators.TextAnalysis.readabilityScores(
         t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- DPO-style max-margin preference pairs per source, scored by
+    // readability micros — the post-training data-construction step;
+    // ties/singletons yield no pair, margin-gated at 2 FRE points ----
+    "q_preference_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = operators.TextAnalysis.readabilityScores(
+          docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .where(col("fre").isNotNull)
+        .select(col("source"), col("doc_id"),
+          round(col("fre") * 1e6).cast("long").as("fre_micros"))
+      operators.Selection.preferencePairs(scored, "source", "doc_id",
+        "fre_micros", minMarginMicros = 2000000L)
+    }),
+
     // ---- slice-level mirror detection: term-count cosine between
     // sources (full twin — integer dot/norms, one portable division) ----
     "q_source_similarity" -> ((s, dir) =>
@@ -7814,6 +7829,51 @@ object SparkEntry {
         |FROM pairs
         |JOIN sp a ON a.doc_id = pairs.id_a
         |JOIN sp b ON b.doc_id = pairs.id_b""".stripMargin,
+    // Preference-pairs twin: the readability head scores, micro-cast,
+    // the same desc/asc rank-1 windows with id tie-breaks, margin gate.
+    "q_preference_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT)) AS n_sentences,
+        |    CAST(coalesce(list_sum(list_transform(toks, t ->
+        |      greatest(1, len(regexp_extract_all(t, '[aeiouyAEIOUY]+'))))),
+        |      0) AS BIGINT) AS n_syllables
+        |  FROM base),
+        |fre AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_words = 0 THEN NULL ELSE round(206.835::DOUBLE
+        |      - 1.015::DOUBLE * (n_words::DOUBLE / n_sentences)
+        |      - 84.6::DOUBLE * (n_syllables::DOUBLE / n_words), 6)
+        |    END AS fre
+        |  FROM c),
+        |scored AS (
+        |  SELECT d.source, f.doc_id, CAST(round(f.fre * 1e6) AS BIGINT) AS s
+        |  FROM fre f JOIN documents d USING (doc_id)
+        |  WHERE f.fre IS NOT NULL AND d.source IS NOT NULL),
+        |top AS (
+        |  SELECT source, doc_id AS chosen_id, s AS chosen_score,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY s DESC, doc_id ASC) AS r
+        |  FROM scored),
+        |bot AS (
+        |  SELECT source, doc_id AS rejected_id, s AS rejected_score,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY s ASC, doc_id ASC) AS r
+        |  FROM scored)
+        |SELECT t.source, chosen_id, rejected_id,
+        |  chosen_score, rejected_score,
+        |  chosen_score - rejected_score AS margin
+        |FROM (SELECT * FROM top WHERE r = 1) t
+        |JOIN (SELECT * FROM bot WHERE r = 1) b USING (source)
+        |WHERE chosen_id <> rejected_id
+        |  AND chosen_score - rejected_score >= 2000000""".stripMargin,
     // Porter stemmer (Porter 1980) ported rule-for-rule to DuckDB SQL:
     // the C/V pattern string is built once per intermediate word with a
     // list_reduce lambda (prefix-stable: a position's class depends only

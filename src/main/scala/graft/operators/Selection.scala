@@ -346,4 +346,72 @@ object Selection {
     labelErrors(df, idCol, labelCol, classProbs)
       .groupBy("given_label", "confident_label")
       .agg(count(lit(1)).as("n"))
+
+  /** Max-margin preference-pair construction for DPO/RLHF post-training
+    * data (Rafailov et al. 2023 consumes exactly this shape): per group
+    * (a prompt, a query, a task), pair the TOP-scored candidate
+    * (chosen) with the BOTTOM-scored one (rejected), gated on a
+    * minimum score margin — pairs below the margin carry more label
+    * noise than signal (score ties produce NO pair: both ranks land on
+    * the same row and self-pairs drop, which is the correct reading of
+    * "no preference").
+    *
+    * Determinism: integral micro scores BY CONTRACT (the scoreLogit /
+    * calibrate convention — double scores are not engine-portable
+    * through a rank), rank ties break on id, so the chosen/rejected
+    * assignment is total and the DuckDB twin hash-matches.
+    *
+    * Scale shape: two `row_number` windows partitioned by group with
+    * rank = 1 filters (Spark 3.5+ WindowGroupLimit keeps only the
+    * per-group top row BEFORE the exchange), one group-keyed join.
+    * NULL ids/scores are refused loudly; NULL-group rows drop (the
+    * equality-join convention). Output: `(group, chosen_id,
+    * rejected_id, chosen_score, rejected_score, margin)`, margin ≥
+    * `minMarginMicros`.
+    */
+  def preferencePairs(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreCol: String,
+      minMarginMicros: Long = 0L): DataFrame = {
+    require(minMarginMicros >= 0L,
+      s"minMarginMicros must be >= 0, got $minMarginMicros")
+    df.schema(scoreCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"preferencePairs: `$scoreCol` is $other — scores must be " +
+          "INTEGRAL micros (quantize upstream; double scores are not " +
+          "engine-portable through a rank)")
+    }
+    val bad = df.agg(count(when(col(idCol).isNull || col(scoreCol).isNull,
+      1)).as("__nl")).head().getAs[Long]("__nl")
+    require(bad == 0L,
+      s"preferencePairs: $bad NULL id/score row(s) — filter upstream")
+    val keyed = df.where(col(groupCol).isNotNull)
+      .select(col(groupCol), col(idCol), col(scoreCol).cast("long")
+        .as("__s"))
+    val w = org.apache.spark.sql.expressions.Window
+    val top = keyed.withColumn("__r", row_number().over(
+        w.partitionBy(col(groupCol))
+          .orderBy(col("__s").desc, col(idCol).asc)))
+      .where(col("__r") === 1)
+      .select(col(groupCol), col(idCol).as("chosen_id"),
+        col("__s").as("chosen_score"))
+    val bot = keyed.withColumn("__r", row_number().over(
+        w.partitionBy(col(groupCol))
+          .orderBy(col("__s").asc, col(idCol).asc)))
+      .where(col("__r") === 1)
+      .select(col(groupCol), col(idCol).as("rejected_id"),
+        col("__s").as("rejected_score"))
+    top.join(bot, Seq(groupCol))
+      // a single-candidate group (or an all-tied one) self-pairs: no
+      // preference signal, drop
+      .where(col("chosen_id") =!= col("rejected_id"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      .where(col("margin") >= minMarginMicros)
+  }
 }

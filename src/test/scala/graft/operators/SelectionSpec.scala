@@ -268,4 +268,38 @@ class SelectionSpec extends SparkTestBase {
       Selection.labelErrors(df, "id", "given",
         Seq("a" -> "p_a", "a" -> "p_b")))
   }
+
+  test("preferencePairs: max-margin pair per group, ties and singletons yield none, margin gate, loud contracts") {
+    val rows = Seq(
+      ("g1", 1L, 900L), ("g1", 2L, 100L), ("g1", 3L, 500L), // margin 800
+      ("g2", 4L, 700L),                                     // singleton
+      ("g3", 5L, 5L), ("g3", 6L, 5L),                       // all tied
+      ("g4", 7L, 9L), ("g4", 8L, 9L), ("g4", 9L, 1L),       // tie at top
+      ("g5", 10L, 300L), ("g5", 11L, 150L))                 // margin 150
+      .toDF("g", "id", "s")
+    def run(min: Long) = Selection.preferencePairs(rows, "g", "id", "s",
+      minMarginMicros = min)
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"),
+          r.getAs[Long]("margin")))).toMap
+    val all = run(0L)
+    assert(all == Map(
+      "g1" -> ((1L, 2L, 800L)),
+      "g4" -> ((7L, 9L, 8L)), // top tie breaks to the smaller id
+      "g5" -> ((10L, 11L, 150L))), all.toString)
+    // margin gate drops the weak pair, keeps the strong ones
+    assert(run(300L).keySet == Set("g1"))
+    // NULL group drops; NULL id/score and double scores are loud
+    val withNullG = rows.unionByName(
+      Seq((null.asInstanceOf[String], 12L, 999L)).toDF("g", "id", "s"))
+    assert(Selection.preferencePairs(withNullG, "g", "id", "s")
+      .count() == 3L)
+    intercept[IllegalArgumentException](Selection.preferencePairs(
+      Seq(("a", 1L, 0.5)).toDF("g", "id", "s"), "g", "id", "s"))
+    intercept[IllegalArgumentException](Selection.preferencePairs(
+      Seq(("a", 1L, Option.empty[Long])).toDF("g", "id", "s"),
+      "g", "id", "s"))
+    intercept[IllegalArgumentException](Selection.preferencePairs(
+      rows, "g", "id", "s", minMarginMicros = -1L))
+  }
 }
