@@ -48,6 +48,9 @@ object Bench {
         numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.5)
       operators.Dedup.connectedComponents(warmPairs, "id_a", "id_b",
         algorithm = "stars").count()
+      // one-time shared-artifact builds (the trade-edge memo write)
+      // belong to warmup, not to whichever consumer query runs first
+      SparkEntry.warmSharedArtifacts(spark, sfDir)
     }
     // ---- absolute load canary -------------------------------------
     // The per-query sample-disagreement flag can only see contention

@@ -137,6 +137,16 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Materialize the shared per-(session, corpus) artifacts up front —
+    * called by [[Bench]]'s warmup so the ONE-TIME memo builds (the
+    * trade-edge parquet write) don't land inside whichever consumer
+    * query happens to run first. The queries then time their
+    * steady-state cost: q_pagerank the full inline prep + iteration,
+    * the weighted/personalized variants a memo read + iteration.
+    */
+  private[graft] def warmSharedArtifacts(s: SparkSession, dir: String): Unit =
+    sharedTradeEdges(s, dir).count(): Unit
+
   /** Customers plus planted near-duplicate twins for the linkage tier:
     * each twin keeps c_name / c_acctbal / c_mktsegment intact at
     * 90/60/80% and perturbs it otherwise, gated by a sha256-derived
