@@ -301,5 +301,15 @@ class SelectionSpec extends SparkTestBase {
       "g", "id", "s"))
     intercept[IllegalArgumentException](Selection.preferencePairs(
       rows, "g", "id", "s", minMarginMicros = -1L))
+    // plan pin: the rank-1 filters must ride WindowGroupLimit (each map
+    // task keeps only the per-group top row BEFORE the exchange) and
+    // shuffle on the group hash only — a skewed prompt never floods
+    // the exchange with its full candidate list
+    val plan = Selection.preferencePairs(rows, "g", "id", "s")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-1 windows lost the WindowGroupLimit pushdown:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no sort-based exchange expected:\n$plan")
   }
 }
