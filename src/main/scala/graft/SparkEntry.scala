@@ -2365,6 +2365,12 @@ object SparkEntry {
       operators.TextAnalysis.subsampleFrequent(
         t(s, dir, "documents"), "doc_id", "text", t = 0.001, seed = "w2v")),
 
+    // ---- T5 span-corruption pairs (Raffel 2020 §3.1.4): block-gridded
+    // sha spans, numbered sentinels, denoising input/target per doc ----
+    "q_span_corruption" -> ((s, dir) =>
+      operators.TextAnalysis.spanCorruption(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- the word2vec data path, end to end: subsample -> skip-gram
     // pairs -> k hash-drawn negatives per pair. Three engine-exact
     // stages, ONE chained oracle (training triples ready to ship) ----
@@ -7884,6 +7890,58 @@ object SparkEntry {
         |JOIN (SELECT * FROM bot WHERE r = 1) b USING (source)
         |WHERE chosen_id <> rejected_id
         |  AND chosen_score - rejected_score >= 2000000""".stripMargin,
+    // Span-corruption twin: the same sha-derived block draws (len
+    // repeated inline — DuckDB list lambdas have no let-binding), list
+    // indexing past the spans returns NULL so the CASE falls through
+    // to the raw token exactly like the guarded Spark branches.
+    "q_span_corruption" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS t
+        |  FROM documents),
+        |s0 AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |    CASE WHEN len(t) >= 20 THEN
+        |      list_transform(range(len(t) // 20), b -> struct_pack(
+        |        s := CAST(b * 20 +
+        |          ('0x' || substring(sha256('t5:' || doc_id::VARCHAR ||
+        |            ':' || b::VARCHAR || ':off'), 1, 15))::BIGINT %
+        |          (20 - (1 + ('0x' || substring(sha256('t5:' ||
+        |            doc_id::VARCHAR || ':' || b::VARCHAR || ':len'), 1,
+        |            15))::BIGINT % 5) + 1) AS INTEGER),
+        |        e := CAST(b * 20 +
+        |          ('0x' || substring(sha256('t5:' || doc_id::VARCHAR ||
+        |            ':' || b::VARCHAR || ':off'), 1, 15))::BIGINT %
+        |          (20 - (1 + ('0x' || substring(sha256('t5:' ||
+        |            doc_id::VARCHAR || ':' || b::VARCHAR || ':len'), 1,
+        |            15))::BIGINT % 5) + 1) +
+        |          1 + ('0x' || substring(sha256('t5:' ||
+        |            doc_id::VARCHAR || ':' || b::VARCHAR || ':len'), 1,
+        |            15))::BIGINT % 5 AS INTEGER)))
+        |    ELSE [] END AS sp
+        |  FROM d)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_filter(list_transform(range(n), p ->
+        |    CASE WHEN p = sp[CAST(p // 20 AS INTEGER) + 1].s
+        |           THEN '<extra_id_' || (p // 20)::VARCHAR || '>'
+        |         WHEN p >= sp[CAST(p // 20 AS INTEGER) + 1].s AND
+        |              p < sp[CAST(p // 20 AS INTEGER) + 1].e THEN ''
+        |         ELSE t[CAST(p AS INTEGER) + 1] END),
+        |    x -> x <> ''), ' '), '') AS input_text,
+        |  coalesce(array_to_string(list_filter(list_transform(range(n), p ->
+        |    CASE WHEN p = sp[CAST(p // 20 AS INTEGER) + 1].s
+        |           THEN '<extra_id_' || (p // 20)::VARCHAR || '> ' ||
+        |             t[CAST(p AS INTEGER) + 1]
+        |         WHEN p >= sp[CAST(p // 20 AS INTEGER) + 1].s AND
+        |              p < sp[CAST(p // 20 AS INTEGER) + 1].e
+        |           THEN t[CAST(p AS INTEGER) + 1]
+        |         ELSE '' END),
+        |    x -> x <> ''), ' '), '') AS target_text,
+        |  CAST(len(sp) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(list_sum(list_transform(sp, x -> x.e - x.s)), 0)
+        |    AS BIGINT) AS n_masked
+        |FROM s0""".stripMargin,
     // Porter stemmer (Porter 1980) ported rule-for-rule to DuckDB SQL:
     // the C/V pattern string is built once per intermediate word with a
     // list_reduce lambda (prefix-stable: a position's class depends only

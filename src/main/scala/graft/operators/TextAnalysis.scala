@@ -202,6 +202,83 @@ object TextAnalysis {
     } finally counts.unpersist()
   }
 
+  /** T5-style span-corruption pairs (Raffel et al. 2020 §3.1.4 — the
+    * denoising pretraining objective): mask contiguous token spans,
+    * emit `(input_text, target_text)` where the input carries numbered
+    * sentinels in place of each span and the target lists each
+    * sentinel with its masked tokens.
+    *
+    * Span placement is BLOCK-GRIDDED for engine-exact determinism (the
+    * draw-as-you-scan scheme in the paper needs sequential RNG state —
+    * not order-free): tokens partition into consecutive blocks of
+    * `blockSize`; every FULL block is corrupted by exactly one span
+    * whose length `1 + sha(seed:id:b:len) % maxSpan` and offset
+    * `sha(seed:id:b:off) % (blockSize − len + 1)` derive from sha-256
+    * — blocks are independent, so the whole construction is one
+    * in-row array expression (no explode, no shuffle, no RNG state),
+    * and any engine replays the identical pair. The partial tail
+    * block is never corrupted. Expected corruption rate =
+    * `(1 + maxSpan)/2 / blockSize` (the defaults ≈ 15%, the paper's
+    * operating point). Sentinel `K` is the block index, so sentinels
+    * ascend left to right as the objective requires.
+    *
+    * Output: `(id, input_text, target_text, n_spans, n_masked)`;
+    * empty/short docs keep their row with empty target and zero
+    * counts — a corpus row never silently vanishes.
+    */
+  def spanCorruption(
+      docs: DataFrame, idCol: String, textCol: String,
+      blockSize: Int = 20, maxSpan: Int = 5,
+      seed: String = "t5"): DataFrame = {
+    require(blockSize >= 4 && blockSize <= 1000,
+      s"blockSize must be in 4..1000, got $blockSize")
+    require(maxSpan >= 1 && maxSpan * 2 <= blockSize,
+      s"maxSpan must be in 1..blockSize/2, got $maxSpan")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val b = lit(blockSize)
+    def h(blk: Column, tag: String): Column =
+      hash60(concat_ws(":", lit(seed), col(idCol).cast("string"),
+        blk.cast("string"), lit(tag)))
+    // one (len, start) draw per FULL block, then per-position lookups
+    val spans = transform(sequence(lit(0), floor(n / b).cast("int") - 1),
+      blk => {
+        val len = (lit(1) + h(blk, "len") % maxSpan).cast("int")
+        val off = (h(blk, "off") % (b - len + 1)).cast("int")
+        struct((blk * b + off).as("s"), (blk * b + off + len).as("e"))
+      })
+    val withSpans = docs.select(col(idCol), toks.as("__t"), n.as("__n"),
+      when(n >= b, spans).otherwise(array()
+        .cast("array<struct<s:int,e:int>>")).as("__sp"))
+    // sequence(0, -1) DESCENDS for an empty doc (the docFeatures
+    // lesson); guard to []
+    val pos = when(col("__n") === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), col("__n") - 1))
+    def spanOf(p: Column): Column = element_at(col("__sp"), (p / b + 1)
+      .cast("int"))
+    val inSpan = (p: Column) => col("__n") >= b && (p / b) < size(col("__sp")) &&
+      p >= spanOf(p).getField("s") && p < spanOf(p).getField("e")
+    val isStart = (p: Column) => col("__n") >= b && (p / b) < size(col("__sp")) &&
+      p === spanOf(p).getField("s")
+    val sentinel = (p: Column) =>
+      concat(lit("<extra_id_"), (p / b).cast("long"), lit(">"))
+    val ipieces = transform(pos, p =>
+      when(isStart(p), sentinel(p))
+        .when(inSpan(p), lit(""))
+        .otherwise(element_at(col("__t"), (p + 1).cast("int"))))
+    val tpieces = transform(pos, p =>
+      when(isStart(p), concat(sentinel(p), lit(" "),
+          element_at(col("__t"), (p + 1).cast("int"))))
+        .when(inSpan(p), element_at(col("__t"), (p + 1).cast("int")))
+        .otherwise(lit("")))
+    withSpans.select(col(idCol),
+      array_join(filter(ipieces, p => p =!= ""), " ").as("input_text"),
+      array_join(filter(tpieces, p => p =!= ""), " ").as("target_text"),
+      size(col("__sp")).cast("long").as("n_spans"),
+      aggregate(col("__sp"), lit(0L),
+        (acc, s) => acc + (s.getField("e") - s.getField("s"))).as("n_masked"))
+  }
+
   /** Flesch Reading Ease + Flesch–Kincaid grade level per document —
     * the classic readability gates for training-data curation (a
     * reading-ease floor drops OCR shrapnel and keyword-stuffed spam; a

@@ -692,6 +692,60 @@ class CorpusOpsSpec extends SparkTestBase {
       docLevel, "src", "text", maxSlices = 1))
   }
 
+  test("spanCorruption: sha-replayed spans, sentinel order, lossless reconstruction, tail/short/empty docs, loud params") {
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val n = 45
+    val toks = (0 until n).map(i => s"t$i")
+    val docs = Seq((7L, toks.mkString(" ")), (8L, "a b c"), (9L, ""),
+      (10L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = TextAnalysis.spanCorruption(docs, "id", "text",
+      blockSize = 20, maxSpan = 5, seed = "t5")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("input_text"), r.getAs[String]("target_text"),
+          r.getAs[Long]("n_spans"), r.getAs[Long]("n_masked")))).toMap
+    // driver replay of the block draws for id 7 (two full blocks;
+    // the 5-token tail is never corrupted)
+    val spans = (0 until 2).map { b =>
+      val len = (1 + h60(s"t5:7:$b:len") % 5).toInt
+      val off = (h60(s"t5:7:$b:off") % (20 - len + 1)).toInt
+      (b * 20 + off, b * 20 + off + len)
+    }
+    val input = (0 until n).flatMap { p =>
+      spans.zipWithIndex.find { case ((s, e), _) => p >= s && p < e } match {
+        case Some(((s, _), k)) if p == s => Some(s"<extra_id_$k>")
+        case Some(_) => None
+        case None => Some(toks(p))
+      }
+    }.mkString(" ")
+    val target = spans.zipWithIndex.map { case ((s, e), k) =>
+      s"<extra_id_$k> " + (s until e).map(toks).mkString(" ")
+    }.mkString(" ")
+    assert(out(7L) == ((input, target, 2L,
+      spans.map(se => se._2 - se._1).sum.toLong)), out(7L).toString)
+    // lossless: splicing each sentinel's target tokens back into the
+    // input reproduces the original document
+    var recon = input
+    spans.zipWithIndex.foreach { case ((s, e), k) =>
+      recon = recon.replace(s"<extra_id_$k>",
+        (s until e).map(toks).mkString(" "))
+    }
+    assert(recon == toks.mkString(" "), recon)
+    // short / empty / NULL docs: row kept, nothing masked
+    assert(out(8L) == (("a b c", "", 0L, 0L)))
+    assert(out(9L) == (("", "", 0L, 0L)))
+    assert(out(10L) == (("", "", 0L, 0L)))
+    // loud params
+    intercept[IllegalArgumentException](TextAnalysis.spanCorruption(
+      docs, "id", "text", blockSize = 2))
+    intercept[IllegalArgumentException](TextAnalysis.spanCorruption(
+      docs, "id", "text", blockSize = 20, maxSpan = 11))
+  }
+
   test("sliceDivergence: identical slices at 0, hand-quantized pins, disjoint absent, loud slice guard") {
     import spark.implicits._
     def run(rows: Seq[(String, String)], maxSlices: Int = 1024) = {
