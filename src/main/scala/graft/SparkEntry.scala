@@ -2365,6 +2365,12 @@ object SparkEntry {
       operators.TextAnalysis.subsampleFrequent(
         t(s, dir, "documents"), "doc_id", "text", t = 0.001, seed = "w2v")),
 
+    // ---- fill-in-the-middle transform (Bavarian 2022): sha-gated 50%
+    // of docs reordered into the PSM layout, cuts sha-derived ----
+    "q_fim" -> ((s, dir) =>
+      operators.TextAnalysis.fimTransform(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- T5 span-corruption pairs (Raffel 2020 §3.1.4): block-gridded
     // sha spans, numbered sentinels, denoising input/target per doc ----
     "q_span_corruption" -> ((s, dir) =>
@@ -7942,6 +7948,37 @@ object SparkEntry {
         |  CAST(coalesce(list_sum(list_transform(sp, x -> x.e - x.s)), 0)
         |    AS BIGINT) AS n_masked
         |FROM s0""".stripMargin,
+    // FIM twin: same sha cut points and gate, DuckDB 1-based inclusive
+    // list slices mirror Spark's slice(start, length) exactly.
+    "q_fim" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, t, len(t) AS n,
+        |    ('0x' || substring(sha256('fim:' || doc_id::VARCHAR || ':1'),
+        |      1, 15))::BIGINT % (len(t) + 1) AS h1,
+        |    ('0x' || substring(sha256('fim:' || doc_id::VARCHAR || ':2'),
+        |      1, 15))::BIGINT % (len(t) + 1) AS h2,
+        |    ('0x' || substring(sha256('fim:' || doc_id::VARCHAR ||
+        |      ':gate'), 1, 15))::BIGINT % 1000000 < 500000 AS g
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, text, t, n, g,
+        |    least(h1, h2) AS lo, greatest(h1, h2) AS hi
+        |  FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN g THEN array_to_string(
+        |    ['<fim_prefix>'] || t[1:lo] || ['<fim_suffix>'] ||
+        |    t[hi+1:n] || ['<fim_middle>'] || t[lo+1:hi], ' ')
+        |  ELSE text END AS fim_text,
+        |  g AS is_fim,
+        |  CASE WHEN g THEN CAST(lo AS BIGINT) END AS n_prefix,
+        |  CASE WHEN g THEN CAST(hi - lo AS BIGINT) END AS n_middle,
+        |  CASE WHEN g THEN CAST(n - hi AS BIGINT) END AS n_suffix
+        |FROM s""".stripMargin,
     // Porter stemmer (Porter 1980) ported rule-for-rule to DuckDB SQL:
     // the C/V pattern string is built once per intermediate word with a
     // list_reduce lambda (prefix-stable: a position's class depends only

@@ -279,6 +279,51 @@ object TextAnalysis {
         (acc, s) => acc + (s.getField("e") - s.getField("s"))).as("n_masked"))
   }
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): reorder a
+    * sha-gated fraction of documents into the PSM layout
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M` so an
+    * autoregressive model learns infilling "for free"; the rest pass
+    * through untouched (the paper's ~50% operating point).
+    *
+    * The two split points are `sha(seed:id:1) % (n+1)` and
+    * `sha(seed:id:2) % (n+1)`, ordered — uniform over ordered cut
+    * pairs, engine-exact, and trivially invertible: P+M+S re-joined in
+    * document order IS the original token stream (the spec pins the
+    * reconstruction). One in-row array expression — no explode, no
+    * shuffle, no RNG state.
+    *
+    * Output: `(id, fim_text, is_fim, n_prefix, n_middle, n_suffix)`;
+    * non-transformed docs carry the original text with NULL segment
+    * counts. Empty docs keep their row.
+    */
+  def fimTransform(
+      docs: DataFrame, idCol: String, textCol: String,
+      rateMicros: Long = 500000L, seed: String = "fim"): DataFrame = {
+    require(rateMicros >= 0L && rateMicros <= 1000000L,
+      s"rateMicros must be in [0, 1000000], got $rateMicros")
+    def h(tag: String): Column =
+      hash60(concat_ws(":", lit(seed), col(idCol).cast("string"), lit(tag)))
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val h1 = (h("1") % (n + 1)).cast("int")
+    val h2 = (h("2") % (n + 1)).cast("int")
+    val lo = least(h1, h2)
+    val hi = greatest(h1, h2)
+    val gate = h("gate") % 1000000L < rateMicros
+    val fim = array_join(concat(
+      array(lit("<fim_prefix>")), slice(toks, lit(1), lo),
+      array(lit("<fim_suffix>")), slice(toks, hi + 1, n - hi),
+      array(lit("<fim_middle>")), slice(toks, lo + 1, hi - lo)), " ")
+    docs.select(col(idCol),
+      when(gate, fim).otherwise(coalesce(col(textCol), lit("")))
+        .as("fim_text"),
+      gate.as("is_fim"),
+      when(gate, lo.cast("long")).as("n_prefix"),
+      when(gate, (hi - lo).cast("long")).as("n_middle"),
+      when(gate, (n - hi).cast("long")).as("n_suffix"))
+  }
+
   /** Flesch Reading Ease + Flesch–Kincaid grade level per document —
     * the classic readability gates for training-data curation (a
     * reading-ease floor drops OCR shrapnel and keyword-stuffed spam; a

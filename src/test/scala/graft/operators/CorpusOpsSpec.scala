@@ -746,6 +746,61 @@ class CorpusOpsSpec extends SparkTestBase {
       docs, "id", "text", blockSize = 20, maxSpan = 11))
   }
 
+  test("fimTransform: sha-replayed PSM layout, reconstruction, rate gate, degenerate docs, loud params") {
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val toks = (0 until 12).map(i => s"w$i")
+    val docs = Seq((1L, toks.mkString(" ")), (2L, toks.mkString(" ")),
+      (3L, "")).toDF("id", "text")
+    // rate 1.0: every doc transforms; replay the cuts for each id
+    val out = TextAnalysis.fimTransform(docs, "id", "text",
+      rateMicros = 1000000L, seed = "fim")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("fim_text"), r.getAs[Boolean]("is_fim"),
+          r.getAs[Long]("n_prefix"), r.getAs[Long]("n_middle"),
+          r.getAs[Long]("n_suffix")))).toMap
+    Seq(1L, 2L).foreach { id =>
+      val c1 = (h60(s"fim:$id:1") % 13).toInt
+      val c2 = (h60(s"fim:$id:2") % 13).toInt
+      val (lo, hi) = (math.min(c1, c2), math.max(c1, c2))
+      val want = (Seq("<fim_prefix>") ++ toks.slice(0, lo) ++
+        Seq("<fim_suffix>") ++ toks.slice(hi, 12) ++
+        Seq("<fim_middle>") ++ toks.slice(lo, hi)).mkString(" ")
+      assert(out(id) == ((want, true, lo.toLong, (hi - lo).toLong,
+        (12 - hi).toLong)), out(id).toString)
+      // invertible: P + M + S in document order is the original
+      val parts = out(id)._1.split(" <fim_suffix> | <fim_middle> ", -1)
+      val p = parts(0).stripPrefix("<fim_prefix>").trim
+      val sfx = parts(1).trim
+      val m = parts(2).trim
+      assert(Seq(p, m, sfx).filter(_.nonEmpty).mkString(" ")
+        == toks.mkString(" "))
+    }
+    // empty doc: transforms to the three markers, zero-token segments
+    assert(out(3L)._1 == "<fim_prefix> <fim_suffix> <fim_middle>")
+    // rate 0: everything passes through with NULL counts
+    val off = TextAnalysis.fimTransform(docs, "id", "text",
+      rateMicros = 0L)
+      .collect().map(r => (r.getAs[Boolean]("is_fim"),
+        r.getAs[String]("fim_text"), r.isNullAt(r.fieldIndex("n_prefix"))))
+    assert(off.forall(t => !t._1 && t._3))
+    assert(off.map(_._2).toSet == Set(toks.mkString(" "), ""))
+    // the gate is sha-deterministic: an intermediate rate picks a
+    // stable subset
+    val half = TextAnalysis.fimTransform(docs, "id", "text",
+      rateMicros = 500000L).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_fim")).toMap
+    val wantGate = Seq(1L, 2L, 3L).map(id =>
+      id -> (h60(s"fim:$id:gate") % 1000000L < 500000L)).toMap
+    assert(half == wantGate, half.toString)
+    intercept[IllegalArgumentException](TextAnalysis.fimTransform(
+      docs, "id", "text", rateMicros = -1L))
+  }
+
   test("sliceDivergence: identical slices at 0, hand-quantized pins, disjoint absent, loud slice guard") {
     import spark.implicits._
     def run(rows: Seq[(String, String)], maxSlices: Int = 1024) = {
