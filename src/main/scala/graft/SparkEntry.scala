@@ -2371,6 +2371,16 @@ object SparkEntry {
       operators.TextAnalysis.fimTransform(
         t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- min-K% prob membership audit (Shi 2023, n-gram proxy): the
+    // held-out fifth scored against the rest — the worst-k bigram
+    // NLL mean that exposes memorized text avg_nll washes out ----
+    "q_mink_prob" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.TextAnalysis.minKProb(
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
+        docs.where(col("doc_id") % 5 =!= 0), "text", kPercent = 20)
+    }),
+
     // ---- T5 span-corruption pairs (Raffel 2020 §3.1.4): block-gridded
     // sha spans, numbered sentinels, denoising input/target per doc ----
     "q_span_corruption" -> ((s, dir) =>
@@ -7979,6 +7989,52 @@ object SparkEntry {
         |  CASE WHEN g THEN CAST(hi - lo AS BIGINT) END AS n_middle,
         |  CASE WHEN g THEN CAST(n - hi AS BIGINT) END AS n_suffix
         |FROM s""".stripMargin,
+    // Min-K twin: the ccnet oracle's bigram-NLL head, then per doc the
+    // DESC-sorted list's top ceil(n*k/100) slice averaged.
+    "q_mink_prob" ->
+      """WITH ref AS (
+        |  SELECT text FROM documents WHERE doc_id % 5 <> 0),
+        |score_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |rt AS (
+        |  SELECT list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                     t -> t <> '') AS toks FROM ref),
+        |uni AS (
+        |  SELECT w AS w1, count(*)::BIGINT AS cu
+        |  FROM rt CROSS JOIN unnest(toks) u(w) GROUP BY w),
+        |v AS (SELECT count(*)::BIGINT AS v FROM uni),
+        |rb AS (
+        |  SELECT toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER)+1] AS bg
+        |  FROM rt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
+        |bi AS (SELECT bg, count(*)::BIGINT AS cb FROM rb GROUP BY bg),
+        |dt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks FROM score_docs),
+        |db AS (
+        |  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER)+1] AS bg
+        |  FROM dt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
+        |nll AS (
+        |  SELECT db.doc_id,
+        |    -ln((coalesce(bi.cb, 0) + 1.0) / (coalesce(uni.cu, 0) + v.v))
+        |      AS nll
+        |  FROM db LEFT JOIN bi ON db.bg = bi.bg
+        |          LEFT JOIN uni ON db.w1 = uni.w1
+        |          CROSS JOIN v),
+        |g AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |    list(nll ORDER BY nll DESC) AS s
+        |  FROM nll GROUP BY doc_id),
+        |m AS (
+        |  SELECT doc_id, n_bigrams,
+        |    round(list_sum(s[1:CAST(greatest(1,
+        |        (n_bigrams * 20 + 99) // 100) AS INTEGER)]) /
+        |      greatest(1, (n_bigrams * 20 + 99) // 100), 6) AS mink_nll
+        |  FROM g)
+        |SELECT d.doc_id, coalesce(m.n_bigrams, 0) AS n_bigrams,
+        |  m.mink_nll
+        |FROM score_docs d LEFT JOIN m USING (doc_id)""".stripMargin,
     // Porter stemmer (Porter 1980) ported rule-for-rule to DuckDB SQL:
     // the C/V pattern string is built once per intermediate word with a
     // list_reduce lambda (prefix-stable: a position's class depends only

@@ -1443,6 +1443,58 @@ object TextAnalysis {
         col("avg_nll"))
   }
 
+  /** Min-K% probability membership statistic (Shi et al. 2023,
+    * "Detecting Pretraining Data from Large Language Models") over the
+    * [[lmQualityScore]] bigram LM — the n-gram proxy of the paper's
+    * statistic: a document the reference corpus has MEMORIZED keeps
+    * even its least-likely tokens well-predicted, so the mean NLL of
+    * the top-k% highest-NLL bigrams (`mink_nll`) stays low; novel text
+    * spikes exactly there, where the full-document average
+    * ([[lmQualityScore]]'s `avg_nll`) washes the outliers out. The
+    * decontamination read: rank eval candidates by `mink_nll`
+    * ascending and audit the head.
+    *
+    * Per doc: the same add-one bigram NLLs, sorted DESCENDING (a total
+    * order on doubles — engine-exact), the top `⌈n·k/100⌉` averaged in
+    * sorted order. One reference pass, one corpus pass, one doc-keyed
+    * groupBy carrying a doc-sized array. Output: `(idCol, n_bigrams,
+    * mink_nll)`, NULL score for <2-token docs.
+    */
+  def minKProb(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      refCorpus: org.apache.spark.sql.DataFrame,
+      refTextCol: String,
+      kPercent: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(kPercent >= 1 && kPercent <= 100,
+      s"kPercent must be in 1..100, got $kPercent")
+    val uni = refCorpus
+      .select(explode(tokens(col(refTextCol))).as("__w1"))
+      .groupBy("__w1").agg(count(lit(1)).as("__cu"))
+    val vocab = uni.agg(count(lit(1)).as("__v"))
+    val bi = explodedBigrams(refCorpus, refTextCol, Nil)
+      .groupBy("__bg").agg(count(lit(1)).as("__cb"))
+    val scored = explodedBigrams(docs, textCol, Seq(col(idCol)))
+      .join(bi, Seq("__bg"), "left")
+      .join(uni, Seq("__w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        (-log((coalesce(col("__cb"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("__cu"), lit(0L)) + col("__v")))).as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(col("__nll")), asc = false).as("__s"))
+    val k = greatest(lit(1L),
+      expr(s"(n_bigrams * $kPercent + 99) div 100"))
+    val withScore = scored.select(col(idCol), col("n_bigrams"),
+      round(aggregate(slice(col("__s"), lit(1), k.cast("int")), lit(0.0),
+        (acc, x) => acc + x) / k, 6).as("mink_nll"))
+    docs.select(col(idCol)).join(withScore, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L))
+        .as("n_bigrams"), col("mink_nll"))
+  }
+
   /** Interpolated Kneser–Ney bigram quality score — the modern-LM
     * upgrade of [[lmQualityScore]]'s add-one smoothing (Kneser & Ney
     * 1995; the smoothing every serious n-gram quality filter uses:

@@ -746,6 +746,33 @@ class CorpusOpsSpec extends SparkTestBase {
       docs, "id", "text", blockSize = 20, maxSpan = 11))
   }
 
+  test("minKProb: hand-computed top-k NLL means, member vs novel separation, degenerate docs, loud k") {
+    import spark.implicits._
+    val ref = Seq("x y x y").toDF("text")
+    val docs = Seq((1L, "x y"), (2L, "z w"), (3L, "x y z"), (4L, "x"))
+      .toDF("id", "text")
+    // ref: bigrams {x y: 2, y x: 1}, cu(x)=2, cu(y)=2, V=2
+    // "x y": -ln((2+1)/(2+2)) = 0.287682; "y z": -ln(1/(2+2)) = ln 4;
+    // "z w": -ln(1/(0+2)) = ln 2
+    val out = TextAnalysis.minKProb(docs, "id", "text", ref, "text",
+      kPercent = 20)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_bigrams"),
+          Option(r.getAs[java.lang.Double]("mink_nll"))
+            .map(_.doubleValue)))).toMap
+    assert(out(1L) == ((1L, Some(0.287682))), out(1L).toString)
+    assert(out(2L) == ((1L, Some(0.693147))), out(2L).toString)
+    // top-20% of 2 bigrams = the single WORST one: ln 4, not the mean
+    assert(out(3L) == ((2L, Some(1.386294))), out(3L).toString)
+    assert(out(4L) == ((0L, None)))
+    // the member doc scores BELOW the novel one — the statistic's point
+    assert(out(1L)._2.get < out(2L)._2.get)
+    intercept[IllegalArgumentException](TextAnalysis.minKProb(
+      docs, "id", "text", ref, "text", kPercent = 0))
+    intercept[IllegalArgumentException](TextAnalysis.minKProb(
+      docs, "id", "text", ref, "text", kPercent = 101))
+  }
+
   test("fimTransform: sha-replayed PSM layout, reconstruction, rate gate, degenerate docs, loud params") {
     import spark.implicits._
     def h60(s: String): Long = {
