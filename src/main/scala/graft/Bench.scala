@@ -169,20 +169,34 @@ object Bench {
     // probe-bracketed like everything else — so artifacts carry an
     // `isolated_sec` beside each in-suite number and comparisons can
     // anchor on whichever window was quieter.
+    // Min-of-2 per isolated re-run — the same sampling discipline as the
+    // in-suite numbers they anchor against (a single isolated sample can
+    // itself land on a co-tenant burst). A failed isolated run is OMITTED
+    // from the map rather than encoded as -1.0, so downstream
+    // round-over-round arithmetic never has to special-case a sentinel.
     val isolated = results.filter(_._2._1 > 0).sortBy(-_._2._1)
-      .take(10).map { case (name, _) =>
+      .take(10).flatMap { case (name, _) =>
         probe()
-        cleanSlate()
-        val t0 = System.nanoTime()
-        val sec = try {
-          SparkEntry.queries(name)(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] isolated $name failed: ${e.getMessage}")
-          -1.0
+        def isoOnce(): Double = {
+          cleanSlate()
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(name)(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] isolated $name failed: ${e.getMessage}")
+            -1.0
+          }
         }
-        System.err.println(f"[bench] isolated $name%-28s $sec%8.2f s")
-        name -> sec
+        val ss = Seq(isoOnce(), isoOnce()).filter(_ >= 0)
+        if (ss.isEmpty) { None } else {
+          val best = ss.min
+          System.err.println(
+            f"[bench] isolated $name%-28s $best%8.2f s  " +
+              s"(${ss.map(s => f"$s%.2f").mkString(", ")})")
+          Some(name -> best)
+        }
       }
     val isolatedJson = isolated
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -240,12 +254,18 @@ object Bench {
     println(line)
     // the stdout line gets truncated in round artifacts once the query
     // count grows — also write the full map to its own file so
-    // round-over-round comparison never depends on prose records
+    // round-over-round comparison never depends on prose records.
+    // SPARK_GRAFT_BENCH_OUT redirects the artifact: smoke/loaded re-runs
+    // set it so they can never clobber the committed canonical record
+    // (the round-13/14 post-close lesson — a contended working-tree
+    // overwrite of BENCH_QUERIES.json had to be hand-restored twice).
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_QUERIES.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_QUERIES.json"),
+      java.nio.file.Paths.get(benchOut),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] could not write BENCH_QUERIES.json: $e")
+      System.err.println(s"[bench] could not write $benchOut: $e")
     }
     spark.stop()
     // connector demo fixtures hold non-daemon dispatcher threads; exit hard

@@ -227,9 +227,12 @@ object Classifier {
     * aggregation per epoch); the dynamics pass is ONE narrow projection
     * over the pinned feature table — per row, `iters` literal-array
     * logit folds and an in-row sum/sum-of-squares. No extra shuffle, no
-    * per-epoch corpus materialization; snapshots are driver-bounded
-    * (iters × dim longs, ≤ 64 × 4M). `iters` ≤ 64 loudly (the snapshot
-    * scoring is iters logit folds per row).
+    * per-epoch corpus materialization; snapshots are driver-bounded.
+    * `iters` ≤ 64 loudly (the snapshot scoring is iters logit folds per
+    * row), and the COMBINED `dim·iters ≤ 2^22` bound keeps the total
+    * plan-literal weight payload (~32 MB of longs) inside what
+    * Janino/codegen survives — the per-axis bounds alone would admit a
+    * ~2 GB plan.
     */
   def trainingDynamics(
       df: DataFrame,
@@ -243,6 +246,16 @@ object Classifier {
     require(iters >= 1 && iters <= 64,
       s"iters must be in 1..64, got $iters (the dynamics pass folds " +
         "one literal weight array per epoch per row)")
+    // the epoch snapshots ride the PLAN as literal long-arrays (one
+    // typedlit per epoch); dim·iters longs of plan literals past ~4M
+    // (~32 MB) would blow Janino/codegen long before the documented
+    // per-axis bounds do — refuse the combination loudly rather than
+    // build an unexecutable plan
+    require(dim.toLong * iters <= (1L << 22),
+      s"dim * iters = ${dim.toLong * iters} exceeds 2^22 (~4M literal " +
+        "weights): the per-epoch snapshot arrays are PLAN LITERALS and " +
+        "codegen cannot survive a multi-GB plan — lower dim or iters, " +
+        "or score snapshots from a broadcast table instead")
     val feats = graft.core.Caches.pin(
       docFeatures(df, textCol, labelCol, dim, keepCols = Seq(idCol)))
     try {

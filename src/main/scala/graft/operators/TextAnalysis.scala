@@ -127,8 +127,9 @@ object TextAnalysis {
     * one side only contribute their probability mass times ln 2, so
     * only SHARED terms are joined. Each shared-term summand is
     * `p·ln(2·cA·NB / (cA·NB + cB·NA))` — a log of an exact BIGINT
-    * rational (products bounded by corpus-tokens², the
-    * mutualInformation overflow discipline) — nano-quantized at birth
+    * rational whose LONG products are bounded by an EAGER per-slice
+    * token-total refusal (≤ 2e9 tokens per slice keeps the worst-case
+    * cross term 2·ntA·ntB inside 2^63) — nano-quantized at birth
     * and LONG-summed (order-free), so the DuckDB twin is hash-exact.
     *
     * Scale shape and guard are [[sourceSimilarity]]'s: one corpus
@@ -167,6 +168,17 @@ object TextAnalysis {
           "SLICES, not documents")
       val totals = counts.groupBy(col("__k"))
         .agg(sum(col("__c")).as("__nt"))
+      // EAGER token-total bound: the exact-rational cross term
+      // `ca·nb + cb·na` is a LONG whose worst case is 2·ntA·ntB —
+      // inside 2^63 only while every slice total stays ≤ 2e9 tokens
+      // (2·(2e9)² ≈ 8.0e18 < 9.22e18). Cheap: `totals` is slice-sized
+      // (≤ maxSlices rows) and `counts` is already pinned.
+      val maxNt = totals.agg(max(col("__nt")).as("__m")).head()
+      val biggestNt = if (maxNt.isNullAt(0)) 0L else maxNt.getAs[Long]("__m")
+      require(biggestNt <= 2000000000L,
+        s"sliceDivergence: a slice holds $biggestNt tokens (> 2e9) — " +
+          "the exact LONG cross term ca·nb + cb·na would overflow " +
+          "2^63; shard slices or sample upstream")
       val joined = counts.select(col("__k").as("key_a"), col("__t"),
           col("__c").as("__ca"))
         .join(counts.select(col("__k").as("key_b"), col("__t"),

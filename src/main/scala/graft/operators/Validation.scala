@@ -1179,8 +1179,12 @@ object Validation {
     * in-plan raise_error never fires on an empty frame (the
     * [[graft.operators.Timeseries.theilSenTrend]] AQE
     * empty-relation-elision lesson), and the variance sign is judged
-    * in DOUBLE (a LONG product of micro-moment sums overflows 2^63
-    * past ~3000 groups and wraps silently under non-ANSI Spark).
+    * EXACTLY on the driver in BigInt (`gcnt·Σpm² − (Σpm)²` — a LONG
+    * product would overflow past ~3000 groups, and the double form
+    * suffers catastrophic cancellation that can let an exactly-zero
+    * spread slip through as a tiny positive); the same exact
+    * numerator then feeds the double `v` used for the fit, so it is
+    * cancellation-free too.
     * Group count is loudly capped at 8,000,000 so the exact LONG
     * `Σ __pm²` moment itself cannot overflow. Output: key cols +
     * `(n, successes, rate, shrunk_rate)` with the fitted
@@ -1211,12 +1215,22 @@ object Validation {
           "shard or sample groups first")
       val mom = g.agg(sum(col("__pm")).as("__s1"),
         sum(col("__pm") * col("__pm")).as("__s2")).head()
-      val gc = gcnt.toDouble
-      val m = mom.getAs[Long]("__s1").toDouble / gc / 1e6
-      val v = mom.getAs[Long]("__s2").toDouble / gc / 1e12 - m * m
-      require(v > 0.0,
+      val s1 = mom.getAs[Long]("__s1")
+      val s2 = mom.getAs[Long]("__s2")
+      // Variance positivity is judged EXACTLY on the driver in BigInt
+      // (gcnt·Σpm² > (Σpm)² ⇔ v > 0): the double form below suffers
+      // catastrophic cancellation and can read a tiny positive for an
+      // exactly-zero spread, which would fit a degenerate astronomical
+      // (alpha, beta) prior. BigInt is overflow-free at any group count.
+      val vNum = BigInt(gcnt) * BigInt(s2) - BigInt(s1) * BigInt(s1)
+      require(vNum > 0,
         "shrunkenRates: zero rate variance across groups — the " +
           "prior is unidentifiable; report raw rates instead")
+      val gc = gcnt.toDouble
+      val m = s1.toDouble / gc / 1e6
+      // v from the exact BigInt numerator — cancellation-free, so a
+      // positive exact variance can never surface as a double ≤ 0.
+      val v = vNum.toDouble / (gc * gc) / 1e12
       val k = m * (1.0 - m) / v - 1.0
       val alpha = m * k
       val beta = (1.0 - m) * k
@@ -1377,8 +1391,10 @@ object Validation {
     * Exactness: ranks are held at 2× scale so tie-averages stay
     * INTEGER (`r2 = 2·|smaller| + |equal| + 1`); centering subtracts
     * the exactly-known mean `n+1`, so every moment (`Σ dx·dy`, `Σ dx²`,
-    * `Σ dy²`) is an order-free LONG sum of products bounded by n³ —
-    * the `maxRows` guard (≤ 10M per key, eager) keeps n³ inside 2^63.
+    * `Σ dy²`) is an order-free LONG sum of products whose worst case
+    * (no ties, 2×-scale centered ranks) is exactly n(n²−1)/3 — the
+    * `maxRows` guard (≤ 3M per key, eager) keeps that inside 2^63
+    * (n(n²−1)/3 ≤ 2^63 ⇔ n ≤ 3,023,000-ish; 3M is the round bound).
     * ρ = Σdxdy / (√Σdx²·√Σdy²), two portable sqrt + one division, so
     * the DuckDB twin is hash-exact. Zero variance on either side (all
     * values tied) yields NULL — no monotone agreement is definable.
@@ -1396,11 +1412,11 @@ object Validation {
       keyCols: Seq[String],
       xCol: String,
       yCol: String,
-      maxRows: Long = 10000000L): DataFrame = {
+      maxRows: Long = 3000000L): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
-    require(maxRows >= 2 && maxRows <= 10000000L,
-      s"maxRows must be in 2..10000000 (moments are bounded by n³ and " +
-        s"must stay inside 2^63), got $maxRows")
+    require(maxRows >= 2 && maxRows <= 3000000L,
+      s"maxRows must be in 2..3000000 (worst-case moment n(n²−1)/3 " +
+        s"must stay inside 2^63, which caps n at ~3.02e6), got $maxRows")
     Seq(xCol, yCol).foreach { c =>
       df.schema(c).dataType match {
         case org.apache.spark.sql.types.ByteType |
@@ -1465,15 +1481,16 @@ object Validation {
     * integral scores. Ranks derive from the marginals, the cross
     * moment from the cells: `Σ n·dx·dy` with the 2×-scale tie-averaged
     * centered ranks of [[spearmanCorrelation]] — exact LONGs under the
-    * same n ≤ 10M ⇒ n³ < 2^63 loud bound (quantize or sample coarser
-    * upstream). Cell cardinality is the caller's contract (quantized
+    * same n ≤ 3M ⇒ n(n²−1)/3 < 2^63 loud bound (quantize or sample
+    * coarser upstream). Cell cardinality is the caller's contract (quantized
     * scores — the cells ARE the log). Output: one row
     * `(n, sum_dxdy, rho)`, matching the batch operator minus keys.
     */
-  def spearmanFromCells(cells: DataFrame, maxRows: Long = 10000000L)
+  def spearmanFromCells(cells: DataFrame, maxRows: Long = 3000000L)
       : DataFrame = {
-    require(maxRows >= 2 && maxRows <= 10000000L,
-      s"maxRows must be in 2..10000000, got $maxRows")
+    require(maxRows >= 2 && maxRows <= 3000000L,
+      s"maxRows must be in 2..3000000 (worst-case moment n(n²−1)/3 " +
+        s"must stay inside 2^63, which caps n at ~3.02e6), got $maxRows")
     val g = graft.core.Caches.pin(cells
       .groupBy(col("__x"), col("__y"))
       .agg(sum(col("__n")).as("__n")))

@@ -146,6 +146,12 @@ class ClassifierSpec extends SparkTestBase {
     // loud contracts
     intercept[IllegalArgumentException](Classifier.trainingDynamics(
       df, "id", "text", "label", dim = 256, iters = 65))
+    // dim·iters > 2^22 builds a multi-GB literal plan — refused eagerly
+    // even though each axis alone is inside its bound
+    val eCombo = intercept[IllegalArgumentException](
+      Classifier.trainingDynamics(
+        df, "id", "text", "label", dim = 1 << 20, iters = 8))
+    assert(eCombo.getMessage.contains("PLAN LITERALS"), eCombo.getMessage)
     intercept[IllegalArgumentException](Classifier.trainingDynamics(
       Seq((1L, "a", 2)).toDF("id", "text", "label"), "id", "text", "label",
       dim = 64, iters = 2))

@@ -860,5 +860,14 @@ class CorpusOpsSpec extends SparkTestBase {
       run((1 to 5).map(i => (s"doc_$i", "the fox")), maxSlices = 4)
     }
     assert(e.getMessage.contains("quadratic"), e.getMessage)
+    // loud: a slice holding > 2e9 tokens would overflow the exact LONG
+    // cross term ca·nb + cb·na — refused eagerly via the pre-aggregated
+    // entry point (the only way to plant the total cheaply)
+    val big = intercept[IllegalArgumentException] {
+      TextAnalysis.sliceDivergenceFromCounts(
+        Seq(("A", "x", 3000000000L), ("B", "x", 5L))
+          .toDF("__k", "__t", "__c")).collect()
+    }
+    assert(big.getMessage.contains("2e9"), big.getMessage)
   }
 }

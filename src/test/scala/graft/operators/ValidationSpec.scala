@@ -697,7 +697,7 @@ class ValidationSpec extends SparkTestBase {
   }
 
   test("spearmanCorrelation: tie-averaged ranks, poles, NULL-key drop, loud guards") {
-    def run(rows: Seq[(String, Long, Long)], maxRows: Long = 10000000L) =
+    def run(rows: Seq[(String, Long, Long)], maxRows: Long = 3000000L) =
       Validation.spearmanCorrelation(rows.toDF("k", "x", "y"), Seq("k"),
         "x", "y", maxRows)
         .collect().map(r => r.getAs[String]("k") ->
@@ -734,6 +734,13 @@ class ValidationSpec extends SparkTestBase {
       run((1L to 11L).map(i => ("f", i, i)), maxRows = 10L))
     intercept[IllegalArgumentException](Validation.spearmanCorrelation(
       Seq(("a", 1L, 1L)).toDF("k", "x", "y"), Nil, "x", "y"))
+    // the moment-overflow cap: maxRows may not exceed 3M (n(n²−1)/3
+    // wraps 2^63 past n ≈ 3.02e6 — the r14 ADVICE finding)
+    intercept[IllegalArgumentException](Validation.spearmanCorrelation(
+      Seq(("a", 1L, 1L)).toDF("k", "x", "y"), Seq("k"), "x", "y",
+      maxRows = 10000000L))
+    intercept[IllegalArgumentException](Validation.spearmanFromCells(
+      Seq((1L, 1L, 1L)).toDF("__x", "__y", "__n"), maxRows = 10000000L))
   }
 
   test("krippendorffAlpha: published 2-coder example, poles, singleton drop, loud contracts") {
