@@ -115,3 +115,113 @@ object BpeApplyMerges {
     GraftSqlBridge.column(
       BpeApplyMerges(GraftSqlBridge.expression(syms), merges, contPrefix))
 }
+
+/** GPT-2's reversible byte↔unicode alphabet (Radford et al. 2019,
+  * `bytes_to_unicode` in the published encoder.py): every byte 0–255
+  * maps to ONE printable BMP character — visible ASCII/Latin-1 bytes
+  * map to themselves, the 68 control/whitespace bytes map to 256+n in
+  * ascending byte order (so 0x20 → U+0120 'Ġ', 0x0A → U+010A 'Ċ').
+  * Byte-level BPE runs its merges over THIS alphabet: no byte is ever
+  * out-of-vocabulary, and decode is exact byte-wise inversion.
+  */
+object ByteLevelAlphabet {
+  private val identityBytes: Set[Int] =
+    (('!'.toInt to '~'.toInt) ++ (0xA1 to 0xAC) ++ (0xAE to 0xFF)).toSet
+
+  /** byte value (0–255) → its single-character symbol */
+  val byteToChar: Array[Char] = {
+    val arr = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (identityBytes(b)) arr(b) = b.toChar
+      else { arr(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    arr
+  }
+
+  /** symbol character → byte value; the exact inverse of [[byteToChar]] */
+  val charToByte: Map[Char, Byte] =
+    byteToChar.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+}
+
+/** A pre-token string → its byte-level initial symbol array: UTF-8
+  * bytes, each mapped through [[ByteLevelAlphabet.byteToChar]] to a
+  * one-character string. The byte-level sibling of `Bpe.initialSymbols`
+  * — no end-of-word sentinel (GPT-2 encodes the word boundary as the
+  * leading-space byte 'Ġ' inside the pre-token itself).
+  *
+  * `CodegenFallback` is deliberate for the same reason as
+  * [[BpeApplyMerges]]: this evaluates over the DISTINCT pre-token
+  * table, vocabulary-sized, never corpus-sized.
+  */
+case class ByteLevelSymbols(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_byte_symbols"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val res = new Array[Any](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      res(i) = UTF8String.fromString(
+        String.valueOf(ByteLevelAlphabet.byteToChar(bytes(i) & 0xFF)))
+      i += 1
+    }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ByteLevelSymbols = copy(child = newChild)
+}
+
+object ByteLevelSymbols {
+  def apply(word: Column): Column =
+    GraftSqlBridge.column(ByteLevelSymbols(GraftSqlBridge.expression(word)))
+}
+
+/** Inverse of the byte-level encoding: an array of merged symbol strings
+  * → the original text, by mapping every character of every symbol back
+  * through [[ByteLevelAlphabet.charToByte]] and UTF-8-decoding the byte
+  * stream. A character outside the 324-point alphabet is a CONTRACT
+  * violation (the input was not produced by byte-level BPE) and throws
+  * loudly rather than decoding garbage.
+  */
+case class ByteLevelDecode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_byte_decode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i).toString
+      var j = 0
+      while (j < s.length) {
+        val c = s.charAt(j)
+        ByteLevelAlphabet.charToByte.get(c) match {
+          case Some(b) => out.write(b & 0xFF)
+          case None => throw new IllegalArgumentException(
+            s"graft_byte_decode: character U+${c.toInt.toHexString} is " +
+              "outside the byte-level alphabet — the input was not " +
+              "produced by byte-level BPE")
+        }
+        j += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ByteLevelDecode = copy(child = newChild)
+}
+
+object ByteLevelDecode {
+  def apply(syms: Column): Column =
+    GraftSqlBridge.column(ByteLevelDecode(GraftSqlBridge.expression(syms)))
+}

@@ -149,13 +149,29 @@ object Bpe {
       minPairCount: Long = 2L,
       lowercase: Boolean = true,
       batchSize: Int = 16,
-      exact: Boolean = true): (Seq[Merge], DataFrame) = {
+      exact: Boolean = true): (Seq[Merge], DataFrame) =
+    learnLoop(wordTypes(docs, textCol, lowercase), numMerges, minPairCount,
+      batchSize, exact)
+
+  /** The shared batched merge-learning loop over any `(word, count,
+    * syms)` word-type table — the whitespace/character alphabet
+    * ([[learnMerges]]) and the GPT-2 byte alphabet
+    * ([[learnByteMerges]]) differ only in how `__syms` was built; the
+    * selection rule, the barrier proof, and the checkpoint-rotation
+    * lifecycle are alphabet-agnostic.
+    */
+  private def learnLoop(
+      wordTypes0: DataFrame,
+      numMerges: Int,
+      minPairCount: Long,
+      batchSize: Int,
+      exact: Boolean): (Seq[Merge], DataFrame) = {
     require(numMerges >= 1 && numMerges <= 65536,
       s"numMerges must be in [1, 65536], got $numMerges")
     require(minPairCount >= 1L, s"minPairCount must be >= 1, got $minPairCount")
     require(batchSize >= 1 && batchSize <= 256,
       s"batchSize must be in [1, 256], got $batchSize")
-    var wt = wordTypes(docs, textCol, lowercase).localCheckpoint(true)
+    var wt = wordTypes0.localCheckpoint(true)
     val merges = Seq.newBuilder[Merge]
     var rank = 0
     var done = false
@@ -270,4 +286,94 @@ object Bpe {
         array_sort(collect_list(struct(col("__pos"), col("__syms")))),
         p => p.getField("__syms"))).as("bpe_tokens"))
   }
+
+  // ------------------------------------------------------------------
+  // Byte-level BPE (the GPT-2 family: Radford et al. 2019; the same
+  // construction tiktoken's gpt2 encoding publishes). Two differences
+  // from the word-type pipeline above, both in the ALPHABET, not the
+  // loop: (1) pre-tokenization is the published GPT-2 regex (leading
+  // spaces attach to the following word, contractions split off,
+  // letter/number/punctuation runs separate) instead of whitespace;
+  // (2) initial symbols are the 256-character reversible byte alphabet
+  // ([[graft.functions.ByteLevelAlphabet]]), so NOTHING is ever
+  // out-of-vocabulary — a byte without a merge stays a base symbol
+  // (byte fallback) and decode is exact byte-wise inversion. No
+  // end-of-word sentinel: the word boundary IS the leading-space byte
+  // 'Ġ' inside the pre-token.
+  // ------------------------------------------------------------------
+
+  /** The published GPT-2 pre-tokenizer pattern (encoder.py `pat`),
+    * expressed in Java regex (same constructs: alternation, unicode
+    * categories, the trailing-whitespace lookahead).
+    */
+  val Gpt2PreTokenPattern: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+
+  /** All GPT-2 pre-tokens of `textCol`, in order. */
+  private def preTokens(textCol: Column): Column =
+    regexp_extract_all(coalesce(textCol, lit("")),
+      lit(Gpt2PreTokenPattern), lit(0))
+
+  /** `(word, count, syms)` PRE-TOKEN-type table over the byte alphabet —
+    * the byte-level sibling of [[wordTypes]] (one corpus-sized explode +
+    * map-side-combined groupBy; every merge round after it runs on
+    * vocabulary-sized data). Case is never folded: byte-level BPE
+    * vocabularies are case-sensitive by construction.
+    */
+  def byteWordTypes(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(preTokens(col(textCol))).as("__word"))
+      .groupBy("__word").agg(count(lit(1)).as("__n"))
+      .withColumn("__syms",
+        graft.functions.ByteLevelSymbols(col("__word")))
+
+  /** Learn byte-level merges: [[learnMerges]]' loop (same batching, same
+    * exactness proof, same checkpoint lifecycle) over the GPT-2
+    * pre-token/byte-alphabet word types. Returns rank-ordered merges
+    * plus the final word-type table (checkpointed, caller-owned).
+    */
+  def learnByteMerges(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minPairCount: Long = 2L,
+      batchSize: Int = 16,
+      exact: Boolean = true): (Seq[Merge], DataFrame) =
+    learnLoop(byteWordTypes(docs, textCol), numMerges, minPairCount,
+      batchSize, exact)
+
+  /** Apply learned byte-level merges to a NEW corpus:
+    * `(idCol, bpe_tokens)` with each document's GPT-2 pre-tokens
+    * rewritten to their merged byte-symbol units in original order —
+    * [[encode]]'s scale shape exactly (distinct pre-token table, ONE
+    * BpeApplyMerges node, skew-tolerant join back to the posexploded
+    * stream, order restored by sorted collect). Because every base
+    * symbol is a byte, encode NEVER drops or OOVs a character;
+    * [[decodeBytes]] inverts it exactly.
+    */
+  def encodeBytes(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val words = docs.select(explode(preTokens(col(textCol))).as("__word"))
+      .distinct()
+      .withColumn("__syms", applyMergesExpr(
+        graft.functions.ByteLevelSymbols(col("__word")), merges))
+    val stream = docs
+      .select(col(idCol), posexplode(preTokens(col(textCol)))
+        .as(Seq("__pos", "__word")))
+      .join(words, Seq("__word"))
+    stream
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__syms")))),
+        p => p.getField("__syms"))).as("bpe_tokens"))
+  }
+
+  /** Exact inverse of [[encodeBytes]]' unit stream: a `bpe_tokens`
+    * array column → the original text (byte-wise UTF-8 inversion;
+    * loud on any symbol outside the byte alphabet).
+    */
+  def decodeBytes(units: Column): Column =
+    graft.functions.ByteLevelDecode(units)
 }

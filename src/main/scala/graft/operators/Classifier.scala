@@ -298,6 +298,127 @@ object Classifier {
     } finally feats.unpersist()
   }
 
+  /** TracIn training-data influence (Pruthi et al. 2020, "Estimating
+    * Training Data Influence by Tracing Gradient Descent"), exact for
+    * this integer-GD logistic model: for a probe example z' and train
+    * example z, influence = Σ_t η · ∇ℓ(w_t, z)·∇ℓ(w_t, z') over the
+    * checkpoints w_t the training run ACTUALLY visited (start-of-epoch
+    * weights — the "ideal" TracIn, not the sampled-checkpoint
+    * approximation, because [[trainCore]]'s snapshots are free). For
+    * logistic regression ∇ℓ(w, (x, y)) = (σ(w·x) − y)·x, so each
+    * epoch's term factors into `err_train · err_probe · (x·x')` — the
+    * sparse count-vector dot is ONE exact LONG per pair, reused across
+    * all epochs.
+    *
+    * The curation read: high-positive influencers are the training docs
+    * that taught the model a probe's prediction (proponents — audit
+    * them when the probe is mislabeled or memorized); negative ones
+    * pushed against it.
+    *
+    * Exactness: errors are the SAME nano-rounded values training used
+    * (re-derived against each start-of-epoch snapshot, bit-identical);
+    * each epoch's pair term `lr·dot·e_t·e'_t / 1e12` is rounded to
+    * MICRO influence units at birth and the epoch sum is an order-free
+    * LONG fold — the DuckDB twin replays the unrolled epochs (the
+    * q_classifier_train chain) and matches hash-exactly.
+    *
+    * Scale shape: one corpus feature pass (pinned) + the training run;
+    * the pair table is bounded by `maxProbes` (eager loud refusal) —
+    * probes explode to a BROADCAST bucket table, the corpus side joins
+    * without shuffling the corpus itself, and one groupBy(train, probe)
+    * computes the dots. Pairs sharing NO feature bucket have zero
+    * gradient overlap in every epoch and are correctly absent. Output:
+    * `(probe_id, train_id, dot, influence_micros, rank)` — the top-`k`
+    * proponents per probe by influence desc, train-id tie-break (one
+    * WindowGroupLimit window).
+    */
+  def tracinInfluence(
+      train: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      dim: Int = 4096,
+      iters: Int = 10,
+      lr: Double = 0.5,
+      topK: Int = 10,
+      maxProbes: Long = 4096L): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 22), "dim must be in [2, 4M]")
+    require(iters >= 1 && iters <= 64,
+      s"iters must be in 1..64, got $iters")
+    require(dim.toLong * iters <= (1L << 21),
+      s"dim * iters = ${dim.toLong * iters} exceeds 2^21: the train AND " +
+        "probe error projections each carry one literal weight array " +
+        "per epoch — the trainingDynamics plan-literal bound, halved")
+    require(topK >= 1 && topK <= 1024, s"topK must be in 1..1024, got $topK")
+    require(maxProbes >= 1 && maxProbes <= 65536,
+      s"maxProbes must be in 1..65536, got $maxProbes")
+    val feats = graft.core.Caches.pin(
+      docFeatures(train, textCol, labelCol, dim, keepCols = Seq(idCol)))
+    val pfeats = graft.core.Caches.pin(
+      docFeatures(probes, textCol, labelCol, dim, keepCols = Seq(idCol)))
+    try {
+      def contract(f: DataFrame, what: String): Long = {
+        val c = f.agg(count(lit(1)).as("__n"),
+          count(when(col("__y").isNull ||
+            (col("__y") =!= 0 && col("__y") =!= 1), 1)).as("__bad")).head()
+        require(c.getAs[Long]("__bad") == 0L,
+          s"tracinInfluence: ${c.getAs[Long]("__bad")} $what row(s) have " +
+            "a label that is null or outside {0, 1}")
+        c.getAs[Long]("__n")
+      }
+      val n = contract(feats, "train")
+      require(n > 0, "training set is empty")
+      val np = contract(pfeats, "probe")
+      require(np > 0, "probe set is empty")
+      require(np <= maxProbes,
+        s"tracinInfluence: $np probes (> maxProbes=$maxProbes) — the " +
+          "pair table is probes-bounded by design; probe the examples " +
+          "you are debugging, not the corpus (that is self-influence — " +
+          "run per-shard with bounded probe sets)")
+      val snaps = trainCore(feats, n, iters, lr, None, dim)._2
+      // start-of-epoch checkpoints: the weights each gradient step READ
+      val cps = TextClassifierModel(Array.fill(dim)(0L), 0L) +: snaps.init
+      def errArr: Column = array(cps.map { m =>
+        val wLit = typedlit(m.weightsMicros.toIndexedSeq)
+        val z = aggregate(col("__f"), lit(m.biasMicros), (acc, f) =>
+          acc + f.getField("cnt") * element_at(wLit,
+            (f.getField("bucket") + 1).cast("int")))
+        round((lit(1.0) / (lit(1.0) + exp(-z / lit(1e6))) - col("__y")) *
+          lit(1e9)).cast("long")
+      }: _*)
+      val trBuckets = feats.select(col(idCol).as("train_id"),
+          explode(col("__f")).as("f"))
+        .select(col("train_id"), col("f.bucket").as("__bkt"),
+          col("f.cnt").as("__ct"))
+      val prBuckets = pfeats.select(col(idCol).as("probe_id"),
+          explode(col("__f")).as("f"))
+        .select(col("probe_id"), col("f.bucket").as("__bkt"),
+          col("f.cnt").as("__cp"))
+      val dots = trBuckets.join(broadcast(prBuckets), Seq("__bkt"))
+        .groupBy(col("train_id"), col("probe_id"))
+        .agg(sum(col("__ct") * col("__cp")).as("dot"))
+      val trErr = feats.select(col(idCol).as("train_id"), errArr.as("__etr"))
+      val prErr = pfeats.select(col(idCol).as("probe_id"), errArr.as("__epr"))
+      // per-epoch term rounded to micro influence at birth, LONG-summed
+      // in-row: lr·dot·(e/1e9)·(e'/1e9)·1e6 = lr·dot·e·e'/1e12, with the
+      // multiplication order pinned left-to-right for the twin
+      val infl = aggregate(sequence(lit(0), lit(iters - 1)), lit(0L),
+        (acc, i) => acc + round(lit(lr) * col("dot").cast("double") *
+          element_at(col("__etr"), i + 1) *
+          element_at(col("__epr"), i + 1) / lit(1e12)).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id"))
+        .orderBy(col("influence_micros").desc, col("train_id"))
+      dots.join(trErr, "train_id").join(broadcast(prErr), "probe_id")
+        .select(col("probe_id"), col("train_id"), col("dot"),
+          infl.as("influence_micros"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= topK)
+        .localCheckpoint(true)
+    } finally { feats.unpersist(); pfeats.unpersist() }
+  }
+
   /** Sidecar recording (dim, bias); committed LAST so a crashed save
     * reads back as "no model" instead of truncated weights.
     */

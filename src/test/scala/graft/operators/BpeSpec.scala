@@ -2,6 +2,8 @@ package graft.operators
 
 import scala.collection.mutable
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkTestBase
 
 /** Specs for distributed BPE merge learning, checked against a
@@ -178,5 +180,123 @@ class BpeSpec extends SparkTestBase {
     val (m2, wt2) = Bpe.learnMerges(docs, "text", numMerges = 8)
     graft.core.Caches.releaseCheckpoint(wt2)
     assert(m1 == m2)
+  }
+
+  // ---- byte-level (GPT-2 family) -----------------------------------
+
+  private def refPreTokens(text: String): Vector[String] = {
+    val m = java.util.regex.Pattern.compile(Bpe.Gpt2PreTokenPattern)
+      .matcher(text)
+    val out = mutable.ArrayBuffer[String]()
+    while (m.find()) out += m.group()
+    out.toVector
+  }
+
+  private def refByteSyms(word: String): Vector[String] =
+    word.getBytes(java.nio.charset.StandardCharsets.UTF_8).toVector
+      .map(b => String.valueOf(
+        graft.functions.ByteLevelAlphabet.byteToChar(b & 0xFF)))
+
+  private def refByteLearn(
+      words: Map[String, Long],
+      numMerges: Int,
+      minCount: Long): (Seq[(String, String)], Map[String, Vector[String]]) = {
+    var wt = words.map { case (w, _) => w -> refByteSyms(w) }
+    val merges = mutable.ListBuffer[(String, String)]()
+    var stop = false
+    while (merges.size < numMerges && !stop) {
+      val pc = mutable.Map[(String, String), Long]()
+      for ((w, syms) <- wt; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        pc(k) = pc.getOrElse(k, 0L) + words(w)
+      }
+      val best = pc.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= minCount =>
+          merges += ((l, r))
+          wt = wt.map { case (w, syms) => w -> refApply(syms, l, r) }
+        case _ => stop = true
+      }
+    }
+    (merges.toSeq, wt)
+  }
+
+  test("GPT-2 pre-tokenizer: published split behavior on pinned cases") {
+    // leading space attaches to the following run; contractions split;
+    // punctuation runs separate; interior whitespace splits so that the
+    // LAST space before a word stays with the word
+    assert(refPreTokens("Hello world!") == Vector("Hello", " world", "!"))
+    assert(refPreTokens("I'm sure you're") ==
+      Vector("I", "'m", " sure", " you", "'re"))
+    assert(refPreTokens("a  b") == Vector("a", " ", " b"))
+    assert(refPreTokens("ab12 cd") == Vector("ab", "12", " cd"))
+    assert(refPreTokens("tail  ") == Vector("tail", "  "))
+    assert(refPreTokens("") == Vector())
+    // the SPARK side tokenizes identically (regexp_extract_all shares
+    // the Java regex semantics)
+    val docs = Seq((1L, "Hello world! I'm a  b ab12")).toDF("doc_id", "text")
+    val got = docs.select(explode(regexp_extract_all(col("text"),
+        lit(Bpe.Gpt2PreTokenPattern), lit(0))).as("t"))
+      .as[String].collect().toVector
+    assert(got == refPreTokens("Hello world! I'm a  b ab12"))
+  }
+
+  test("byte alphabet: reversible 256-point table with the published anchors") {
+    val a = graft.functions.ByteLevelAlphabet
+    // published anchors: space -> 'Ġ' (U+0120), newline -> 'Ċ' (U+010A),
+    // visible ASCII maps to itself
+    assert(a.byteToChar(0x20) == 'Ġ')
+    assert(a.byteToChar(0x0A) == 'Ċ')
+    assert(a.byteToChar('A'.toInt) == 'A')
+    assert(a.byteToChar('~'.toInt) == '~')
+    // bijective: 256 distinct symbols, inverse round-trips every byte
+    assert(a.byteToChar.toSet.size == 256)
+    (0 until 256).foreach { b =>
+      assert((a.charToByte(a.byteToChar(b)) & 0xFF) == b)
+    }
+  }
+
+  test("learnByteMerges equals the byte-level reference algorithm") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val preCounts = corpus.flatMap(refPreTokens)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val (merges, wt) = Bpe.learnByteMerges(docs, "text", numMerges = 12)
+    val (refMerges, refWt) = refByteLearn(preCounts, 12, 2L)
+    val gotWt = wt.as[(String, Long, Seq[String])].collect()
+      .map { case (w, _, s) => w -> s.toVector }.toMap
+    graft.core.Caches.releaseCheckpoint(wt)
+    assert(merges.map(m => (m.left, m.right)) == refMerges)
+    assert(gotWt == refWt)
+    // space-prefixed word types learn 'Ġ'-leading units — the GPT-2
+    // boundary convention (no </w> sentinel anywhere)
+    assert(gotWt.keySet.exists(_.startsWith(" ")))
+    assert(gotWt.forall { case (_, syms) => !syms.contains(Bpe.EndOfWord) })
+  }
+
+  test("encodeBytes round-trips exactly, including multi-byte and control bytes") {
+    val texts = Seq(
+      "low lower newest the the the",
+      "Héllo 🌍 world",        // é (2 bytes), 🌍 (4 bytes)
+      "tabs\tand\nnewlines  plus I'm",
+      "")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (merges, wt) = Bpe.learnByteMerges(docs, "text", numMerges = 10)
+    graft.core.Caches.releaseCheckpoint(wt)
+    val decoded = Bpe.encodeBytes(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), Bpe.decodeBytes(col("bpe_tokens")).as("t"))
+      .as[(Long, String)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      if (t.nonEmpty) assert(decoded(i.toLong) == t, s"doc $i mangled")
+      else assert(!decoded.contains(i.toLong)) // no pre-tokens -> no row
+    }
+    // decode refuses symbols outside the alphabet loudly
+    val bad = Seq((1L, Seq("☃"))).toDF("id", "units")
+    val e = intercept[Exception] { // IllegalArgumentException locally,
+      bad.select(Bpe.decodeBytes(col("units"))).collect()
+    } // SparkException-wrapped on a cluster
+    assert(e.getMessage.contains("byte-level alphabet") ||
+      e.getCause != null, e.toString)
   }
 }

@@ -314,4 +314,78 @@ class ClassifierSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       m.apply(ok.withColumn("p", lit(1)), "s", "p"))
   }
+
+  test("tracinInfluence: exact replay of epoch-summed gradient dots, top-k, absent disjoint pairs") {
+    val corpus = Seq(
+      (0L, "alpha alpha beta", 1),
+      (1L, "alpha gamma", 0),
+      (2L, "beta beta delta", 1),
+      (3L, "gamma delta", 0),
+      (4L, "alpha beta gamma delta", 1),
+      (5L, "", 0)) // empty probe: no buckets -> no pairs, absent
+    val docs = corpus.toDF("doc_id", "text", "label")
+    val dim = 64; val iters = 3; val lr = 1.0
+    val out = Classifier.tracinInfluence(docs,
+        docs.where(col("doc_id") === 0L || col("doc_id") === 5L),
+        "doc_id", "text", "label", dim = dim, iters = iters, lr = lr,
+        topK = 3)
+      .collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("train_id")) ->
+        ((r.getAs[Long]("dot"), r.getAs[Long]("influence_micros"),
+          r.getAs[Int]("rank")))).toMap
+    // ---- pure-Scala replay of the whole computation ----
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def bucket(t: String): Int = {
+      val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) % dim).toInt
+    }
+    val feats: Map[Long, Map[Int, Long]] = corpus.map { case (id, t, _) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).groupBy(bucket)
+        .map { case (b, g) => b -> g.length.toLong }
+    }.toMap
+    val labels = corpus.map { case (id, _, y) => id -> y }.toMap
+    val n = corpus.size
+    val w = Array.fill(dim)(0L); var b = 0L
+    val errs = scala.collection.mutable.Map.empty[(Long, Int), Long]
+    for (t <- 0 until iters) {
+      corpus.foreach { case (id, _, y) =>
+        val z = b + feats(id).map { case (bk, c) => c * w(bk) }.sum
+        errs((id, t)) = math.round(
+          (1.0 / (1.0 + math.exp(-z / 1e6)) - y) * 1e9)
+      }
+      val g = scala.collection.mutable.Map.empty[Int, Long]
+      var gb = 0L
+      corpus.foreach { case (id, _, _) =>
+        feats(id).foreach { case (bk, c) =>
+          g(bk) = g.getOrElse(bk, 0L) + c * errs((id, t)) }
+        gb += errs((id, t))
+      }
+      g.foreach { case (bk, gv) =>
+        w(bk) -= math.round(lr * gv / (n * 1000.0)) }
+      b -= math.round(lr * gb / (n * 1000.0))
+    }
+    val want = for {
+      pr <- Seq(0L, 5L)
+      tr <- corpus.map(_._1)
+      dot = feats(pr).keySet.intersect(feats(tr).keySet).toSeq
+        .map(bk => feats(pr)(bk) * feats(tr)(bk)).sum
+      if dot > 0
+    } yield (pr, tr) -> ((dot, (0 until iters).map(t =>
+      math.round(lr * dot.toDouble * errs((tr, t)) * errs((pr, t)) / 1e12))
+      .sum))
+    val ranked = want.groupBy(_._1._1).flatMap { case (_, ps) =>
+      ps.sortBy { case ((_, tr), (_, i)) => (-i, tr) }.take(3).zipWithIndex
+        .map { case (((pr, tr), (d, i)), k) => (pr, tr) -> ((d, i, k + 1)) }
+    }
+    assert(out == ranked, s"\ngot  $out\nwant $ranked")
+    assert(!out.keys.exists(_._1 == 5L), "empty probe must be absent")
+    // self-influence of probe 0 should top its list (it taught itself)
+    assert(out((0L, 0L))._3 == 1)
+    // loud contracts
+    intercept[IllegalArgumentException](Classifier.tracinInfluence(
+      docs, docs, "doc_id", "text", "label", maxProbes = 2L))
+    intercept[IllegalArgumentException](Classifier.tracinInfluence(
+      docs, docs.limit(1), "doc_id", "text", "label",
+      dim = 1 << 20, iters = 16))
+  }
 }
