@@ -2408,6 +2408,15 @@ object SparkEntry {
       operators.TextAnalysis.sliceDivergence(
         t(s, dir, "documents"), "source", "text")),
 
+    // ---- sliced Wasserstein-1 embedding drift between label slices:
+    // deterministic ±1 projections (the srpProject sign chain), per-
+    // (slice, direction) nearest-rank quantile grid, nano-rounded
+    // |qa − qb| terms; the oracle replays the identical hash + grid ----
+    "q_sliced_wasserstein" -> ((s, dir) =>
+      operators.Ann.slicedWasserstein(
+        t(s, dir, "embeddings").select(col("label"), col("embedding")),
+        "label", "embedding", directions = 8, grid = 32, salt = 7L)),
+
     // ---- word2vec frequent-word subsampling over the corpus ----
     "q_subsample" -> ((s, dir) =>
       operators.TextAnalysis.subsampleFrequent(
@@ -2600,6 +2609,13 @@ object SparkEntry {
       operators.Sampling.waterfillAllocations(counts, "grp", "n_docs",
         budget = 300L)
     }),
+
+    // ---- data-constrained scaling plan (Muennighoff 2023 Eq. 5):
+    // per-source epochs + effective tokens under a uniform-split token
+    // budget and the published R* = 15.39 repetition-decay fit ----
+    "q_data_constrained" -> ((s, dir) =>
+      operators.Sampling.dataConstrainedPlan(
+        t(s, dir, "documents"), "source", "text", budget = 400000L)),
 
     // ---- bounded BFS: minimum-hop reachability from a seed set over
     // the symmetrized customer-supplier graph (crawl blast-radius /
@@ -4692,6 +4708,51 @@ object SparkEntry {
         |  FROM m3)
         |SELECT vec_id, CAST(k AS INT) AS pos, CAST(value AS DOUBLE) AS value
         |FROM p""".stripMargin,
+    // sliced Wasserstein: the same srp sign chain (salt 7, 8 directions)
+    // feeding a per-(slice, direction) rank window, the pure-integer
+    // nearest-rank grid r(g) = (g·n + 32) // 33, and nano-rounded
+    // quantile-diff terms summed per slice pair
+    "q_sliced_wasserstein" ->
+      """WITH e AS (
+        |  SELECT CAST(label AS VARCHAR) AS k0,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |g0 AS (
+        |  SELECT k0, v, k,
+        |    list_transform(range(0, len(v)),
+        |      j -> (k * 73856093 + 7 + j * 19349663) & 4294967295) AS h
+        |  FROM e CROSS JOIN range(0, 8) t(k)),
+        |m1 AS (SELECT k0, v, k,
+        |  list_transform(h, x -> (xor(x, x >> 16) * 73244475) & 4294967295) AS h
+        |  FROM g0),
+        |m2 AS (SELECT k0, v, k,
+        |  list_transform(h, x -> (xor(x, x >> 16) * 73244475) & 4294967295) AS h
+        |  FROM m1),
+        |m3 AS (SELECT k0, v, k,
+        |  list_transform(h, x -> xor(x, x >> 16)) AS h FROM m2),
+        |p AS (
+        |  SELECT k0 AS key, k AS d,
+        |    coalesce(list_sum(list_transform(h,
+        |      (x, i) -> CASE WHEN (x & 1) = 0 THEN v[i] ELSE -v[i] END)),
+        |      0.0) AS val
+        |  FROM m3),
+        |r AS (
+        |  SELECT key, d, val,
+        |    row_number() OVER (PARTITION BY key, d ORDER BY val) AS rn,
+        |    count(*) OVER (PARTITION BY key, d) AS n
+        |  FROM p),
+        |q AS (
+        |  SELECT key, d, g.g, val, n
+        |  FROM r JOIN range(1, 33) g(g) ON ((g.g * n + 32) // 33) = rn),
+        |pw AS (
+        |  SELECT a.key AS key_a, b.key AS key_b, a.n AS na, b.n AS nb,
+        |    CAST(round(abs(a.val - b.val) * 1e9) AS BIGINT) AS t
+        |  FROM q a JOIN q b ON a.d = b.d AND a.g = b.g AND a.key < b.key)
+        |SELECT key_a, key_b,
+        |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |  round(CAST(sum(t) AS DOUBLE) / 256 / 1e9, 6) AS sw
+        |FROM pw GROUP BY key_a, key_b""".stripMargin,
     // range join: plain BETWEEN join — DuckDB's IEJoin handles it; the
     // Spark side must produce the identical match set via buckets.
     // epoch_us // 1000000 is integer floor-div, matching `div 1000000000`
@@ -7151,6 +7212,33 @@ object SparkEntry {
         |FROM a""".stripMargin,
     // Waterfill: same sorted-prefix pivot arithmetic; engines may
     // disagree on NEGATIVE integer division (floor vs truncate) but
+    // data-constrained plan: exact LONG token counts, integer budget
+    // split, and the Eq. 5 decay as the identical IEEE expression with
+    // the multiplication order pinned (u + (u·15.39)·(1 − e^(−r/15.39)))
+    "q_data_constrained" ->
+      """WITH c AS (
+        |  SELECT source AS domain,
+        |    CAST(sum(len(list_filter(string_split_regex(coalesce(text, ''),
+        |      '\s+'), t -> t <> ''))) AS BIGINT) AS unique_tokens
+        |  FROM documents WHERE source IS NOT NULL
+        |  GROUP BY source HAVING unique_tokens > 0),
+        |p AS (
+        |  SELECT domain, unique_tokens,
+        |    CAST(400000 // (SELECT count(*) FROM c) AS BIGINT) AS alloc
+        |  FROM c)
+        |SELECT domain, unique_tokens, alloc AS alloc_tokens,
+        |  round(CAST(alloc AS DOUBLE) / unique_tokens, 6) AS epochs,
+        |  CASE WHEN alloc <= unique_tokens THEN CAST(alloc AS DOUBLE)
+        |    ELSE round(unique_tokens + unique_tokens * 15.39 *
+        |      (1.0 - exp(-(CAST(alloc AS DOUBLE) / unique_tokens - 1.0)
+        |        / 15.39)), 6)
+        |  END AS effective_tokens,
+        |  CASE WHEN alloc <= unique_tokens THEN 1.0
+        |    ELSE round((unique_tokens + unique_tokens * 15.39 *
+        |      (1.0 - exp(-(CAST(alloc AS DOUBLE) / unique_tokens - 1.0)
+        |        / 15.39))) / CAST(alloc AS DOUBLE), 6)
+        |  END AS efficiency
+        |FROM p""".stripMargin,
     // every negative candidate fails the prev <= cand validity gate on
     // both sides, so only the exact shared pivot survives.
     "q_waterfill" ->

@@ -1743,4 +1743,94 @@ object Ann {
         round(lit(uniformity), 6).as("uniformity"))
     } finally base.unpersist()
   }
+
+  /** Pairwise sliced Wasserstein-1 distance between slices' embedding
+    * distributions (Rabin et al. 2011; Bonneel et al. 2015) — the
+    * GEOMETRY-drift companion to the term-space JSD
+    * ([[TextAnalysis.sliceDivergence]]): project every vector onto
+    * `directions` deterministic ±1 axes (the [[graft.functions.SrpProject]]
+    * sign discipline — engine-replayable, no RNG state), and average the
+    * 1-D W1 distances between slices' projected distributions. Detects
+    * an embedding-space shift between snapshots/sources/models that
+    * cosine-mean audits wash out, in O(n·D) — the full Wasserstein is a
+    * transport LP.
+    *
+    * 1-D W1 is estimated on a fixed `grid` of nearest-rank quantiles:
+    * `W1 ≈ (1/G)·Σ_g |F⁻¹_a(g/(G+1)) − F⁻¹_b(g/(G+1))|`, the quantile
+    * rank `⌈g·n/(G+1)⌉` computed in pure INTEGER arithmetic; each
+    * |qa − qb| term is nano-rounded at birth and LONG-summed (order-free
+    * — the house exactness discipline), so the DuckDB twin hash-matches.
+    * Value ties inside a slice make row_number ambiguous but harmless:
+    * tied rows carry the same VALUE, which is all the rank selects.
+    *
+    * Scale shape: one narrow projection pass (the sign matrix is
+    * row-invariant and bit-cached), ONE per-(slice, direction) sort
+    * window over the projections, a grid-sized quantile table
+    * (slices·D·G rows — driver-tiny), and the pair join runs on THAT,
+    * never on corpus rows. `maxSlices` refuses doc-granularity keys
+    * eagerly, same message discipline as sliceDivergence. NULL slice
+    * keys drop (the equality-join convention); NULL vectors are refused
+    * loudly (they have no projection). Output:
+    * `(key_a, key_b, n_a, n_b, sw)` with key_a < key_b.
+    */
+  def slicedWasserstein(
+      df: DataFrame,
+      sliceCol: String,
+      vecCol: String,
+      directions: Int = 8,
+      grid: Int = 32,
+      salt: Long = 7L,
+      maxSlices: Int = 64): DataFrame = {
+    require(directions >= 1 && directions <= 64,
+      s"directions must be in 1..64, got $directions")
+    require(grid >= 1 && grid <= 1024, s"grid must be in 1..1024, got $grid")
+    require(maxSlices >= 2 && maxSlices <= 1024,
+      s"maxSlices must be in 2..1024, got $maxSlices")
+    val nullVecs = df.where(col(sliceCol).isNotNull && col(vecCol).isNull)
+      .limit(1).count()
+    require(nullVecs == 0L,
+      s"slicedWasserstein: NULL `$vecCol` rows present — a null vector " +
+        "has no projection; filter deliberately upstream")
+    val proj = graft.core.Caches.pin(df.where(col(sliceCol).isNotNull)
+      .select(col(sliceCol).cast("string").as("__k"),
+        posexplode(graft.functions.VectorFunctions.srpProject(
+          transform(col(vecCol), x => x.cast("double")),
+          directions, salt)).as(Seq("__d", "__v"))))
+    try {
+      val nSlices = proj.agg(countDistinct(col("__k")).as("__ns"))
+        .head().getAs[Long]("__ns")
+      require(nSlices >= 2,
+        "slicedWasserstein: fewer than 2 non-null slices — nothing to compare")
+      require(nSlices <= maxSlices,
+        s"slicedWasserstein: $nSlices distinct slices (> maxSlices=" +
+          s"$maxSlices) — the quantile pair join is quadratic in slices; " +
+          "this operator compares corpus SLICES, not documents")
+      val w = Window.partitionBy(col("__k"), col("__d"))
+      val ranked = proj
+        .withColumn("__rn", row_number().over(w.orderBy(col("__v"))))
+        .withColumn("__n", count(lit(1)).over(w))
+      // nearest-rank grid: r(g) = ceil(g·n/(G+1)) = (g·n + G) DIV (G+1),
+      // pure integer arithmetic — engine-exact. The grid side is G
+      // broadcast rows, so the theta join is one linear pass ×G.
+      val quants = ranked
+        .join(broadcast(df.sparkSession.range(1, grid + 1L)
+          .select(col("id").as("__g"))), // 1..G
+          expr(s"CAST((__g * __n + $grid) DIV ${grid + 1} AS BIGINT) = __rn"))
+        .select(col("__k"), col("__d"), col("__g"), col("__v"), col("__n"))
+      val a = quants.select(col("__k").as("key_a"), col("__d"), col("__g"),
+        col("__v").as("__va"), col("__n").as("n_a"))
+      val b = quants.select(col("__k").as("key_b"), col("__d"), col("__g"),
+        col("__v").as("__vb"), col("__n").as("n_b"))
+      a.join(b, Seq("__d", "__g"))
+        .where(col("key_a") < col("key_b"))
+        .groupBy(col("key_a"), col("key_b"))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          sum(round(abs(col("__va") - col("__vb")) * lit(1e9)).cast("long"))
+            .as("__s"))
+        .select(col("key_a"), col("key_b"), col("n_a"), col("n_b"),
+          round(col("__s").cast("double") /
+            lit(directions.toLong * grid) / lit(1e9), 6).as("sw"))
+        .localCheckpoint(true)
+    } finally proj.unpersist()
+  }
 }

@@ -503,4 +503,55 @@ object Sampling {
       .where(col("__wsr") <= k)
       .drop("__wsk", "__wsr")
   }
+
+  /** Data-constrained scaling plan (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"): given each domain's UNIQUE
+    * token count and a total training-token budget split uniformly
+    * across domains, report how many epochs each domain repeats and how
+    * many EFFECTIVE tokens the repetition is worth under the paper's
+    * decay fit — `D' = U + U·R*·(1 − e^(−R/R*))` with `R = D/U − 1`
+    * repetitions and the published `R* = 15.39` (their Eq. 5 fit:
+    * repeated epochs decay in value, ~worthless past ≈ 16). The planner
+    * read: a domain whose `efficiency = D'/D` has collapsed is where
+    * the budget is being wasted — rebalance toward under-epoched
+    * domains ([[waterfillAllocations]] is the complementary mover).
+    *
+    * When a domain's allocation does not even cover one epoch
+    * (`D ≤ U`), every token is fresh: `D' = D`, efficiency 1.
+    *
+    * Exactness: unique-token counts are exact LONG aggregates, the
+    * per-domain allocation is an integer division of the budget, and
+    * the decay is one portable IEEE expression over those integers —
+    * a DuckDB twin matches hash-exactly. Output per domain:
+    * `(domain, unique_tokens, alloc_tokens, epochs, effective_tokens,
+    * efficiency)`, 6 dp.
+    */
+  def dataConstrainedPlan(
+      docs: DataFrame,
+      domainCol: String,
+      textCol: String,
+      budget: Long,
+      rStar: Double = 15.39): DataFrame = {
+    require(budget >= 1L, s"budget must be >= 1, got $budget")
+    require(rStar > 0.0, s"rStar must be > 0, got $rStar")
+    val counts = docs.where(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).as("domain"))
+      .agg(sum(size(TextAnalysis.tokens(col(textCol)))).cast("long")
+        .as("unique_tokens"))
+      .where(col("unique_tokens") > 0)
+    val k = counts.count()
+    require(k >= 1L, "dataConstrainedPlan: no non-empty domain")
+    val alloc = lit(budget / k) // uniform split, integer floor
+    val u = col("unique_tokens").cast("double")
+    val r = alloc.cast("double") / u - lit(1.0)
+    val dPrime = u + u * lit(rStar) * (lit(1.0) - exp(-r / lit(rStar)))
+    counts.select(col("domain"), col("unique_tokens"),
+      alloc.as("alloc_tokens"),
+      round(alloc.cast("double") / u, 6).as("epochs"),
+      when(alloc <= col("unique_tokens"), alloc.cast("double"))
+        .otherwise(round(dPrime, 6)).as("effective_tokens"),
+      when(alloc <= col("unique_tokens"), lit(1.0))
+        .otherwise(round(dPrime / alloc.cast("double"), 6))
+        .as("efficiency"))
+  }
 }

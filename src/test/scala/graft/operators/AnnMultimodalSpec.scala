@@ -845,4 +845,51 @@ class AnnMultimodalSpec extends SparkTestBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(root))
   }
+
+  test("slicedWasserstein: zero for identical slices, exact constant-shift replay, loud guards") {
+    def run(rows: Seq[(String, Seq[Double])], maxSlices: Int = 64) = {
+      val out = Ann.slicedWasserstein(rows.toDF("k", "vec"), "k", "vec",
+        directions = 8, grid = 32, salt = 7L, maxSlices = maxSlices)
+      val m = out.collect().map(r => (r.getAs[String]("key_a"),
+        r.getAs[String]("key_b")) -> ((r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Double]("sw")))).toMap
+      graft.core.Caches.releaseCheckpoint(out)
+      m
+    }
+    val base = (1 to 5).map(i => Seq(i.toDouble, 2.0 * i))
+    // identical distributions -> every quantile pair coincides -> sw 0
+    val same = run(base.map(("A", _)) ++ base.map(("B", _)))
+    assert(same == Map(("A", "B") -> ((5L, 5L, 0.0))), same.toString)
+    // slice B = A + (10, 10): per direction d the projections shift by
+    // 10·(s_{d,0} + s_{d,1}), so every quantile diff is that constant —
+    // replay the SrpProject sign hash and compute sw exactly
+    def sign(k: Int, j: Int): Int = {
+      var h = (k * 73856093L + 7L + j * 19349663L) & 0xFFFFFFFFL
+      h = ((h ^ (h >>> 16)) * 0x45d9f3bL) & 0xFFFFFFFFL
+      h = ((h ^ (h >>> 16)) * 0x45d9f3bL) & 0xFFFFFFFFL
+      h = h ^ (h >>> 16)
+      if ((h & 1L) != 0L) -1 else 1
+    }
+    val shifted = run(base.map(("A", _)) ++
+      base.map(v => ("B", v.map(_ + 10.0))))
+    val termSum = (0 until 8).map { d =>
+      val shift = math.abs(10.0 * (sign(d, 0) + sign(d, 1)))
+      32L * math.round(shift * 1e9)
+    }.sum
+    val want = BigDecimal(termSum.toDouble / 256L / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(shifted == Map(("A", "B") -> ((5L, 5L, want))), shifted.toString)
+    // NULL slice keys drop; a NULL vector is refused loudly
+    val nk = run(base.map(("A", _)) ++ base.map(("B", _)) :+
+      ((null.asInstanceOf[String], Seq(1.0, 1.0))))
+    assert(nk.keySet == Set(("A", "B")))
+    intercept[IllegalArgumentException](Ann.slicedWasserstein(
+      (base.map(("A", _)) :+ (("B", null.asInstanceOf[Seq[Double]])))
+        .toDF("k", "vec"), "k", "vec"))
+    // loud: < 2 slices; doc-granularity key refused eagerly
+    intercept[IllegalArgumentException](run(base.map(("A", _))))
+    val e = intercept[IllegalArgumentException](run(
+      (1 to 5).flatMap(i => base.map((s"doc_$i", _))), maxSlices = 4))
+    assert(e.getMessage.contains("SLICES"), e.getMessage)
+  }
 }

@@ -404,4 +404,34 @@ class SamplingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Sampling.negativeSamples(
       pairs, "center", "context", vocab.where(col("w") < 0), "t", "w", 1))
   }
+
+  test("dataConstrainedPlan: fresh-token domain at efficiency 1, repeated domain on the published decay") {
+    val docs = Seq(
+      ("tiny", Seq.fill(10)("a").mkString(" ")),      // U = 10
+      ("big", Seq.fill(1000)("b").mkString(" ")),     // U = 1000
+      (null.asInstanceOf[String], "dropped dropped")) // NULL domain drops
+      .toDF("src", "text")
+    val out = Sampling.dataConstrainedPlan(docs, "src", "text",
+        budget = 400L)
+      .collect().map(r => r.getAs[String]("domain") ->
+        ((r.getAs[Long]("unique_tokens"), r.getAs[Long]("alloc_tokens"),
+          r.getAs[Double]("epochs"), r.getAs[Double]("effective_tokens"),
+          r.getAs[Double]("efficiency")))).toMap
+    assert(out.keySet == Set("tiny", "big"))
+    // k = 2 -> alloc = 200 each. big: alloc <= U, every token fresh.
+    assert(out("big") == ((1000L, 200L, 0.2, 200.0, 1.0)), out("big").toString)
+    // tiny: R = 200/10 - 1 = 19 repetitions through the Eq. 5 decay
+    val dP = 10.0 + 10.0 * 15.39 * (1.0 - math.exp(-(200.0 / 10.0 - 1.0) / 15.39))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("tiny") == ((10L, 200L, 20.0, r6(dP), r6(dP / 200.0))),
+      out("tiny").toString)
+    // repetition past ~16 epochs is nearly worthless: efficiency collapses
+    assert(out("tiny")._5 < 0.6 && out("big")._5 == 1.0)
+    // loud contracts
+    intercept[IllegalArgumentException](
+      Sampling.dataConstrainedPlan(docs, "src", "text", budget = 0L))
+    intercept[IllegalArgumentException](Sampling.dataConstrainedPlan(
+      docs.where(col("src") === "nope"), "src", "text", budget = 10L))
+  }
 }
