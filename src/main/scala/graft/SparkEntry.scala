@@ -3305,7 +3305,7 @@ object SparkEntry {
     val clamp = (x: String) => s"least(1.0 - 0.000001, greatest(0.000001, $x))"
     def stage(i: Int): String = s"""
       |s$i AS MATERIALIZED (
-      |  SELECT sum(n * w) AS sw, sum(n * (1.0 - w)) AS swn,
+      |  SELECT sum(n * w * 1.0) AS sw, sum(n * (1.0 - w)) AS swn,
       |    sum(CASE WHEN pat & 1 = 1 THEN n * w ELSE 0.0 END) AS swa1,
       |    sum(CASE WHEN pat & 2 = 2 THEN n * w ELSE 0.0 END) AS swa2,
       |    sum(CASE WHEN pat & 4 = 4 THEN n * w ELSE 0.0 END) AS swa3,
