@@ -174,8 +174,15 @@ object Bench {
     // itself land on a co-tenant burst). A failed isolated run is OMITTED
     // from the map rather than encoded as -1.0, so downstream
     // round-over-round arithmetic never has to special-case a sentinel.
-    val isolated = results.filter(_._2._1 > 0).sortBy(-_._2._1)
-      .take(10).flatMap { case (name, _) =>
+    // EVERY query > 2 s gets an anchor (not just the top 10): the box has
+    // never produced a canary-green full run, so the anchor set is what
+    // round-over-round comparisons actually adjudicate with — the shared
+    // memos are warm by now, so anchors measure steady state (the
+    // tradeEdgesMemo HIT log lines are the audit trail). Capped at 40
+    // anchors (~2× the historical >2 s population) so a fully-loaded run
+    // cannot turn the anchor pass into a second suite.
+    val isolated = results.filter(_._2._1 > 2.0).sortBy(-_._2._1)
+      .take(40).flatMap { case (name, _) =>
         probe()
         def isoOnce(): Double = {
           cleanSlate()
