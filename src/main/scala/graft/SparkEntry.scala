@@ -1102,6 +1102,40 @@ object SparkEntry {
         dim = 1024, iters = 10, lr = 1.0, topK = 10)
     }),
 
+    // ---- Bradley–Terry ratings (Hunter 2004 MM) over source-vs-source
+    // matches: consecutive doc pairs play, the longer (token-count) doc's
+    // source wins, 20 MM passes; the oracle unrolls the MM stages ----
+    "q_bradley_terry" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(operators.TextAnalysis.tokens(col("text"))).cast("long")
+          .as("len"))
+      val a = d.where(col("doc_id") % 2 === 0).select(
+        expr("doc_id div 2").as("g"), col("source").as("sa"),
+        col("len").as("la"))
+      val b = d.where(col("doc_id") % 2 === 1).select(
+        expr("doc_id div 2").as("g"), col("source").as("sb"),
+        col("len").as("lb"))
+      val matches = a.join(b, "g")
+        .where(col("la") =!= col("lb") && col("sa") =!= col("sb"))
+        .select(when(col("la") > col("lb"), col("sa"))
+            .otherwise(col("sb")).as("w"),
+          when(col("la") > col("lb"), col("sb"))
+            .otherwise(col("sa")).as("l"))
+      operators.RankEval.bradleyTerry(matches, "w", "l", iters = 20)
+    }),
+
+    // ---- paired bootstrap significance (Koehn 2004) between two
+    // integral per-doc scorers (token count vs 2× distinct tokens):
+    // 1000 sha-seeded replicas, exact LONG totals ----
+    "q_paired_bootstrap" -> ((s, dir) => {
+      val toks = operators.TextAnalysis.tokens(col("text"))
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        size(toks).cast("long").as("a"),
+        (size(array_distinct(toks)) * 2).cast("long").as("b"))
+      operators.RankEval.pairedBootstrap(d, "doc_id", "a", "b",
+        replicas = 1000, seed = "graft")
+    }),
+
     // ---- Gopher quality-filter rules (Rae et al. 2021 A1.1) ----
     "q_gopher_rules" -> ((s, dir) => {
       operators.TextAnalysis.withGopherRules(
@@ -3484,9 +3518,109 @@ object SparkEntry {
       |FROM rk WHERE rank <= 10""".stripMargin
   }
 
+  /** Bradley–Terry MM unrolled (the linkageEmOracle discipline): the
+    * match construction mirrors q_bradley_terry's token-length duels,
+    * then `iters` MATERIALIZED stages replay
+    * `θ_i ← W_i / Σ (n_ij+n_ji)/(θ_i+θ_j)` with the mean-1
+    * renormalization; the MM contraction keeps unordered-double-sum
+    * noise far below the 6-dp compare.
+    */
+  private def bradleyTerryOracle: String = {
+    val iters = 20
+    def stage(i: Int): String = s"""
+      |den$i AS MATERIALIZED (
+      |  SELECT pe.item, sum(pe.n / (ti.th + tj.th) * 1.0) AS den
+      |  FROM pe
+      |  JOIN t${i - 1} ti ON ti.item = pe.i
+      |  JOIN t${i - 1} tj ON tj.item = pe.j
+      |  GROUP BY pe.item),
+      |u$i AS MATERIALIZED (
+      |  SELECT w.item, w.wins / d.den * 1.0 AS th
+      |  FROM wl w JOIN den$i d USING (item)),
+      |t$i AS MATERIALIZED (
+      |  SELECT item, th * (SELECT count(*) FROM items)
+      |    / (SELECT sum(th) FROM u$i) AS th
+      |  FROM u$i)""".stripMargin
+    """WITH d AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split_regex(coalesce(text, ''),
+      |      '\s+'), t -> t <> '')) AS BIGINT) AS len
+      |  FROM documents),
+      |m0 AS MATERIALIZED (
+      |  SELECT CASE WHEN a.len > b.len THEN a.source ELSE b.source END AS w,
+      |    CASE WHEN a.len > b.len THEN b.source ELSE a.source END AS l
+      |  FROM d a JOIN d b
+      |    ON a.doc_id // 2 = b.doc_id // 2
+      |   AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      |  WHERE a.len <> b.len AND a.source <> b.source),
+      |counts AS MATERIALIZED (
+      |  SELECT w, l, CAST(count(*) AS BIGINT) AS n FROM m0 GROUP BY w, l),
+      |items AS MATERIALIZED (
+      |  SELECT w AS item FROM counts UNION SELECT l FROM counts),
+      |wl AS MATERIALIZED (
+      |  SELECT i.item,
+      |    coalesce(ww.n, 0)::BIGINT AS wins,
+      |    coalesce(ll.n, 0)::BIGINT AS losses
+      |  FROM items i
+      |  LEFT JOIN (SELECT w, CAST(sum(n) AS BIGINT) AS n FROM counts
+      |    GROUP BY w) ww ON ww.w = i.item
+      |  LEFT JOIN (SELECT l, CAST(sum(n) AS BIGINT) AS n FROM counts
+      |    GROUP BY l) ll ON ll.l = i.item),
+      |pn AS MATERIALIZED (
+      |  SELECT least(w, l) AS i, greatest(w, l) AS j,
+      |    CAST(sum(n) AS BIGINT) AS n
+      |  FROM counts GROUP BY 1, 2),
+      |pe AS MATERIALIZED (
+      |  SELECT i AS item, i, j, n FROM pn
+      |  UNION ALL SELECT j, i, j, n FROM pn),
+      |t0 AS MATERIALIZED (SELECT item, 1.0::DOUBLE AS th FROM items)""".stripMargin +
+      "," + (1 to iters).map(stage).mkString(",") + s""",
+      |fin AS (
+      |  SELECT w.item, w.wins, w.losses, t.th,
+      |    row_number() OVER (ORDER BY t.th DESC, w.item) AS rank
+      |  FROM wl w JOIN t$iters t USING (item))
+      |SELECT item, wins, losses, round(th, 6) AS theta,
+      |  CAST(rank AS INTEGER) AS rank
+      |FROM fin""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_linkage_em" -> linkageEmOracle,
     "q_tracin" -> tracinOracle,
+    "q_bradley_terry" -> bradleyTerryOracle,
+    // paired bootstrap: the identical sha draws over ascending-string-id
+    // ranks, exact LONG replica totals, add-one-smoothed one-sided p
+    "q_paired_bootstrap" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS a,
+        |    CAST(len(list_distinct(toks)) * 2 AS BIGINT) AS b
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(
+        |    coalesce(text, ''), '\s+'), t -> t <> '') AS toks
+        |    FROM documents)),
+        |r AS MATERIALIZED (
+        |  SELECT a - b AS delta,
+        |    row_number() OVER (ORDER BY CAST(doc_id AS VARCHAR)) - 1 AS rn
+        |  FROM d),
+        |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM r),
+        |g AS MATERIALIZED (
+        |  SELECT b.b,
+        |    ('0x' || substring(sha256('graft:' || b.b || ':' || i.i),
+        |      1, 7))::BIGINT % (SELECT n FROM nn) AS rn
+        |  FROM range(0, 1000) b(b)
+        |  CROSS JOIN (SELECT unnest(range(0, (SELECT n FROM nn))) AS i) i),
+        |reps AS MATERIALIZED (
+        |  SELECT g.b, CAST(sum(r.delta) AS BIGINT) AS t
+        |  FROM g JOIN r USING (rn) GROUP BY g.b)
+        |SELECT (SELECT n FROM nn) AS n,
+        |  1000::BIGINT AS replicas,
+        |  (SELECT CAST(sum(delta) AS BIGINT) FROM r) AS sum_delta,
+        |  CAST(count(CASE WHEN t > 0 THEN 1 END) AS BIGINT) AS wins_a,
+        |  CAST(count(CASE WHEN t < 0 THEN 1 END) AS BIGINT) AS wins_b,
+        |  CAST(count(CASE WHEN t = 0 THEN 1 END) AS BIGINT) AS ties,
+        |  round((count(CASE WHEN t <= 0 THEN 1 END) + 1) * 1.0
+        |    / 1001.0, 6) AS p_value
+        |FROM reps""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -246,4 +246,178 @@ object RankEval {
         .localCheckpoint(true)
     } finally g.unpersist()
   }
+
+  /** Bradley–Terry strength ratings from pairwise preference outcomes
+    * via the MM algorithm (Hunter 2004, "MM algorithms for generalized
+    * Bradley–Terry models") — the rating model behind LLM-arena
+    * leaderboards and RLHF preference analysis (Elo is its online
+    * approximation): θ_i estimates P(i beats j) = θ_i/(θ_i+θ_j), fit by
+    * the monotone-likelihood update
+    * `θ_i ← W_i / Σ_j (n_ij + n_ji)/(θ_i + θ_j)`, renormalized to mean
+    * 1 each pass. Consumes exactly the shape
+    * [[graft.operators.Selection.preferencePairs]] emits.
+    *
+    * Deterministic: fixed `iters` passes, driver arithmetic folded in
+    * sorted item order, one portable normalization per pass — the
+    * DuckDB twin unrolls the same stages (the fitEM discipline) and the
+    * contraction keeps unordered-sum noise far below the 6-dp compare.
+    *
+    * Scale shape: ONE corpus-sized groupBy to the (winner, loser) count
+    * matrix; everything after runs on the driver over ≤ maxItems²
+    * cells (eager loud refusal — items are MODELS/SOURCES/policies,
+    * never documents). MM requires every item to have at least one win
+    * and one loss (else its θ diverges to 0/∞) — refused loudly with
+    * the item named; full strong-connectivity is the caller's contract
+    * (this guard is the cheap necessary condition). NULL items refused.
+    * Output: `(item, wins, losses, theta, rank)` — theta at 6 dp, rank
+    * 1 = strongest, ties broken by item ascending.
+    */
+  def bradleyTerry(
+      matches: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      iters: Int = 20,
+      maxItems: Int = 256): DataFrame = {
+    require(iters >= 1 && iters <= 1000, s"iters must be in 1..1000, got $iters")
+    require(maxItems >= 2 && maxItems <= 1024,
+      s"maxItems must be in 2..1024, got $maxItems")
+    val spark = matches.sparkSession
+    import spark.implicits._
+    val nulls = matches.agg(count(when(col(winnerCol).isNull ||
+      col(loserCol).isNull, 1)).as("__n")).head().getAs[Long]("__n")
+    require(nulls == 0L,
+      s"bradleyTerry: $nulls NULL `$winnerCol`/`$loserCol` row(s) — an " +
+        "anonymous outcome rates nothing; filter upstream")
+    val counts = matches
+      .groupBy(col(winnerCol).cast("string").as("__w"),
+        col(loserCol).cast("string").as("__l"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(counts.nonEmpty, "bradleyTerry: no matches")
+    val items = counts.flatMap(c => Seq(c._1, c._2)).distinct.sorted
+    require(items.length >= 2, "bradleyTerry: fewer than 2 items")
+    require(items.length <= maxItems,
+      s"bradleyTerry: ${items.length} items (> maxItems=$maxItems) — " +
+        "items are models/sources, not documents; aggregate upstream")
+    val idx = items.zipWithIndex.toMap
+    val k = items.length
+    val wins = Array.fill(k)(0L)
+    val losses = Array.fill(k)(0L)
+    // symmetric pair totals n_ij + n_ji, folded in (winner, loser) order
+    val pairN = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    counts.foreach { case (w, l, n) =>
+      val (i, j) = (idx(w), idx(l))
+      require(i != j, s"bradleyTerry: self-match on item '$w'")
+      wins(i) += n; losses(j) += n
+      val key = if (i < j) (i, j) else (j, i)
+      pairN(key) = pairN.getOrElse(key, 0L) + n
+    }
+    items.indices.foreach { i =>
+      require(wins(i) >= 1L && losses(i) >= 1L,
+        s"bradleyTerry: item '${items(i)}' has ${wins(i)} wins / " +
+          s"${losses(i)} losses — MM diverges without at least one of " +
+          "each; drop undefeated/winless items or gather more matches")
+    }
+    val pairs = pairN.toSeq.sortBy(_._1) // deterministic fold order
+    val theta = Array.fill(k)(1.0)
+    for (_ <- 1 to iters) {
+      val denom = Array.fill(k)(0.0)
+      pairs.foreach { case ((i, j), n) =>
+        val d = n.toDouble / (theta(i) + theta(j))
+        denom(i) += d; denom(j) += d
+      }
+      var sum = 0.0
+      items.indices.foreach { i =>
+        theta(i) = wins(i) / denom(i)
+        sum += theta(i)
+      }
+      items.indices.foreach(i => theta(i) = theta(i) * k / sum)
+    }
+    val ranked = items.indices.sortBy(i => (-theta(i), items(i)))
+      .zipWithIndex.map { case (i, r) => (i, r + 1) }.toMap
+    items.indices.map(i =>
+        (items(i), wins(i), losses(i),
+          BigDecimal(theta(i)).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble, ranked(i)))
+      .toDF("item", "wins", "losses", "theta", "rank")
+  }
+
+  /** Paired bootstrap significance test between two systems' per-item
+    * scores (Koehn 2004, "Statistical Significance Tests for Machine
+    * Translation Evaluation" — the eval-harness staple): resample the
+    * item set with replacement `replicas` times and count how often
+    * each system's resampled total wins. The question it answers: "is
+    * A's aggregate lead over B real, or an artifact of which items
+    * landed in the eval set?"
+    *
+    * Deterministic draws: replica b's i-th pick is item
+    * `sha256(seed:b:i) mod n` over the items in ascending-id rank
+    * order — any engine redraws the identical replicas (the
+    * [[graft.operators.Sampling.hashBucket]] discipline). Scores must
+    * be INTEGRAL (micro-quantize upstream); every replica total is an
+    * exact LONG sum, so win/tie counts — and the add-one-smoothed
+    * one-sided p-value `(#(Δ_b ≤ 0) + 1)/(B + 1)` — are engine-exact.
+    *
+    * Scale shape: one window pass to rank items, one generated
+    * `replicas × n` draw grid joined to the item deltas (the grid is
+    * the cost: `replicas·n ≤ 1e8` refused eagerly — n is an EVAL set,
+    * not a corpus), one replica-keyed aggregate, one row out. NULL
+    * ids/scores refused loudly. Output: `(n, replicas, sum_delta,
+    * wins_a, wins_b, ties, p_value)` — `sum_delta` is the observed
+    * (un-resampled) A−B total, the exactness witness.
+    */
+  def pairedBootstrap(
+      df: DataFrame,
+      idCol: String,
+      scoreACol: String,
+      scoreBCol: String,
+      replicas: Int = 1000,
+      seed: String = "boot"): DataFrame = {
+    require(replicas >= 1 && replicas <= 100000,
+      s"replicas must be in 1..100000, got $replicas")
+    Seq(scoreACol, scoreBCol).foreach { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"pairedBootstrap: `$c` is $other — scores must be INTEGRAL " +
+            "(micro-quantize upstream; float totals are not engine-exact)")
+      }
+    }
+    val spark = df.sparkSession
+    val bad = df.agg(count(when(col(idCol).isNull ||
+      col(scoreACol).isNull || col(scoreBCol).isNull, 1)).as("__b"),
+      count(lit(1)).as("__n")).head()
+    require(bad.getAs[Long]("__b") == 0L,
+      s"pairedBootstrap: ${bad.getAs[Long]("__b")} NULL id/score row(s)")
+    val n = bad.getAs[Long]("__n")
+    require(n >= 2L, s"pairedBootstrap: $n row(s) — nothing to resample")
+    require(replicas.toLong * n <= 100000000L,
+      s"pairedBootstrap: replicas × n = ${replicas.toLong * n} > 1e8 — " +
+        "the draw grid is the cost; sample the eval set or lower replicas")
+    val deltas = df.select(col(idCol).cast("string").as("__id"),
+        (col(scoreACol).cast("long") - col(scoreBCol).cast("long"))
+          .as("__d"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__id"))) - 1)
+    val grid = spark.range(replicas.toLong).select(col("id").as("__b"))
+      .select(col("__b"), explode(sequence(lit(0L), lit(n - 1))).as("__i"))
+      .withColumn("__rn", graft.functions.VectorFunctions.hexPrefixToLong(
+        sha2(concat(lit(seed), lit(":"), col("__b"), lit(":"), col("__i")),
+          256), 7) % n)
+    val reps = grid.join(deltas, "__rn")
+      .groupBy(col("__b")).agg(sum(col("__d")).as("__t"))
+    val obs = deltas.agg(sum(col("__d")).as("__s")).head().getAs[Long]("__s")
+    reps.agg(
+        count(when(col("__t") > 0L, 1)).as("wins_a"),
+        count(when(col("__t") < 0L, 1)).as("wins_b"),
+        count(when(col("__t") === 0L, 1)).as("ties"),
+        count(when(col("__t") <= 0L, 1)).as("__le"))
+      .select(lit(n).as("n"), lit(replicas.toLong).as("replicas"),
+        lit(obs).as("sum_delta"), col("wins_a"), col("wins_b"), col("ties"),
+        round((col("__le") + lit(1L)).cast("double") /
+          lit(replicas + 1.0), 6).as("p_value"))
+  }
 }

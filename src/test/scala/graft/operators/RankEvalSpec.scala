@@ -137,4 +137,103 @@ class RankEvalSpec extends SparkTestBase {
     val oneClass = Seq((1L, 1), (2L, 1)).toDF("s", "y")
     assert(RankEval.aucRoc(oneClass, "s", "y").head().isNullAt(2))
   }
+
+  test("bradleyTerry: two-item closed form, MM replay, transitive ordering, loud guards") {
+    def run(ms: Seq[(String, String)], iters: Int = 20) =
+      RankEval.bradleyTerry(ms.toDF("w", "l"), "w", "l", iters)
+        .collect().map(r => r.getAs[String]("item") ->
+          ((r.getAs[Long]("wins"), r.getAs[Long]("losses"),
+            r.getAs[Double]("theta"), r.getAs[Int]("rank")))).toMap
+    // two items, 3:1 record: closed form P(a>b) = 3/4 -> theta_a/theta_b
+    // = 3, normalized to mean 1 -> (1.5, 0.5); one MM pass already lands
+    // there and stays (fixed point)
+    val two = run(Seq(("a", "b"), ("a", "b"), ("a", "b"), ("b", "a")))
+    assert(two("a") == ((3L, 1L, 1.5, 1)) && two("b") == ((1L, 3L, 0.5, 2)),
+      two.toString)
+    // pure-Scala MM replay on a 3-item cycle-free tournament
+    val ms = Seq(("a", "b"), ("a", "b"), ("b", "c"), ("b", "c"),
+      ("a", "c"), ("c", "a"), ("b", "a"), ("c", "b"))
+    val got = run(ms, iters = 20)
+    val items = Seq("a", "b", "c")
+    val wins = Array(3L, 3L, 2L); val losses = Array(2L, 3L, 3L)
+    val pn = Map((0, 1) -> 3L, (1, 2) -> 3L, (0, 2) -> 2L)
+    val th = Array(1.0, 1.0, 1.0)
+    for (_ <- 1 to 20) {
+      val den = Array(0.0, 0.0, 0.0)
+      pn.toSeq.sortBy(_._1).foreach { case ((i, j), n) =>
+        val d = n / (th(i) + th(j)); den(i) += d; den(j) += d
+      }
+      var s = 0.0
+      (0 until 3).foreach { i => th(i) = wins(i) / den(i); s += th(i) }
+      (0 until 3).foreach(i => th(i) = th(i) * 3 / s)
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    items.zipWithIndex.foreach { case (it, i) =>
+      assert(got(it) == ((wins(i), losses(i), r6(th(i)),
+        Seq(0, 1, 2).sortBy(j => (-th(j), items(j))).indexOf(i) + 1)),
+        s"$it: ${got(it)}")
+    }
+    // dominance orders ratings: a (3-2, beat both) above c
+    assert(got("a")._3 > got("c")._3)
+    // loud: winless item, NULL item, self-match, too many items
+    val e = intercept[IllegalArgumentException](
+      run(Seq(("a", "b"), ("a", "b"))))
+    assert(e.getMessage.contains("wins"), e.getMessage)
+    intercept[IllegalArgumentException](RankEval.bradleyTerry(
+      Seq(("a", Option.empty[String])).toDF("w", "l"), "w", "l"))
+    intercept[IllegalArgumentException](
+      run(Seq(("a", "a"), ("a", "b"), ("b", "a"))))
+    intercept[IllegalArgumentException](RankEval.bradleyTerry(
+      Seq(("a", "b"), ("b", "a")).toDF("w", "l"), "w", "l", maxItems = 1))
+  }
+
+  test("pairedBootstrap: exact draw replay, dominant system at floor p, loud guards") {
+    // A beats B on every item -> every replica total is positive
+    val dom = (1L to 20L).map(i => (i, (i + 100).toInt, i.toInt))
+      .toDF("id", "a", "b")
+    val d = RankEval.pairedBootstrap(dom, "id", "a", "b", replicas = 200,
+      seed = "s").head()
+    assert(d.getAs[Long]("n") == 20L && d.getAs[Long]("wins_a") == 200L &&
+      d.getAs[Long]("ties") == 0L)
+    assert(d.getAs[Double]("p_value") ==
+      BigDecimal(1.0 / 201.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(d.getAs[Long]("sum_delta") == 2000L) // delta 100 per item
+    // exact replay of the sha draws on a tiny mixed case
+    val rows = Seq((1L, 10, 0), (2L, 0, 10), (3L, 3, 0)) // deltas 10,-10,3
+    val df = rows.toDF("id", "a", "b")
+    val out = RankEval.pairedBootstrap(df, "id", "a", "b", replicas = 50,
+      seed = "z").head()
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def draw(b: Long, i: Long): Int = {
+      val hex = md.digest(s"z:$b:$i".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString
+      (java.lang.Long.parseLong(hex.take(7), 16) % 3).toInt
+    }
+    val deltas = Seq(10L, -10L, 3L) // ascending id order
+    val totals = (0L until 50L).map(b =>
+      (0L until 3L).map(i => deltas(draw(b, i))).sum)
+    assert(out.getAs[Long]("wins_a") == totals.count(_ > 0))
+    assert(out.getAs[Long]("wins_b") == totals.count(_ < 0))
+    assert(out.getAs[Long]("ties") == totals.count(_ == 0))
+    assert(out.getAs[Long]("sum_delta") == 3L)
+    assert(out.getAs[Double]("p_value") == BigDecimal(
+      (totals.count(_ <= 0) + 1).toDouble / 51.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // loud: double scores, NULLs, single row, oversized grid
+    intercept[IllegalArgumentException](RankEval.pairedBootstrap(
+      Seq((1L, 1.5, 1.0)).toDF("id", "a", "b"), "id", "a", "b"))
+    intercept[IllegalArgumentException](RankEval.pairedBootstrap(
+      Seq((1L, Option.empty[Int], 1)).toDF("id", "a", "b"), "id", "a", "b"))
+    intercept[IllegalArgumentException](RankEval.pairedBootstrap(
+      Seq((1L, 1, 1)).toDF("id", "a", "b"), "id", "a", "b"))
+    intercept[IllegalArgumentException](RankEval.pairedBootstrap(
+      dom, "id", "a", "b", replicas = 200000))
+    // the replicas × n grid bound: 100k replicas over a 20-row set is
+    // fine (2e6), but the same replicas over a fake 10k-row set is not
+    val wide = (1L to 10000L).map(i => (i, 2, 1)).toDF("id", "a", "b")
+    intercept[IllegalArgumentException](RankEval.pairedBootstrap(
+      wide, "id", "a", "b", replicas = 100000))
+  }
 }
