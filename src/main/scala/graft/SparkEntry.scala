@@ -2472,6 +2472,22 @@ object SparkEntry {
         docs.where(col("doc_id") % 5 =!= 0), "text", kPercent = 20)
     }),
 
+    // ---- speculative-decoding acceptance (Leviathan 2023): per-context
+    // Σ min(p, q) between the full-corpus target bigram LM and a
+    // one-fifth-slice draft LM — exact split numerator sums, three
+    // divisions, the "can a small model draft for the big one" audit ----
+    "q_spec_acceptance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.TextAnalysis.speculativeAcceptance(
+        docs, docs.where(col("doc_id") % 5 === 0), "text")
+    }),
+
+    // ---- vocabulary coverage per source (Chao1 + Good–Turing): how
+    // much of each source's type inventory the crawl has seen ----
+    "q_vocab_richness" -> ((s, dir) =>
+      operators.TextAnalysis.vocabularyCoverage(
+        t(s, dir, "documents"), Seq("source"), "text")),
+
     // ---- T5 span-corruption pairs (Raffel 2020 §3.1.4): block-gridded
     // sha spans, numbered sentinels, denoising input/target per doc ----
     "q_span_corruption" -> ((s, dir) =>
@@ -8459,6 +8475,76 @@ object SparkEntry {
         |FROM s""".stripMargin,
     // Min-K twin: the ccnet oracle's bigram-NLL head, then per doc the
     // DESC-sorted list's top ceil(n*k/100) slice averaged.
+    // speculative acceptance: both LMs' count tables, the exact
+    // cross-product min test (ties to target), split numerator sums per
+    // context, three divisions with the addition order pinned
+    "q_spec_acceptance" ->
+      """WITH tt AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''),
+        |    '\s+'), t -> t <> '') AS toks FROM documents),
+        |tu AS MATERIALIZED (
+        |  SELECT w AS w1, count(*)::BIGINT AS cut
+        |  FROM tt CROSS JOIN unnest(toks) u(w) GROUP BY w),
+        |du AS MATERIALIZED (
+        |  SELECT w AS w1, count(*)::BIGINT AS cud
+        |  FROM tt CROSS JOIN unnest(toks) u(w)
+        |  WHERE doc_id % 5 = 0 GROUP BY w),
+        |v AS MATERIALIZED (SELECT count(*)::BIGINT AS v FROM (
+        |  SELECT w1 FROM tu UNION SELECT w1 FROM du)),
+        |tb AS MATERIALIZED (
+        |  SELECT toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i AS INTEGER)+1] AS w2, count(*)::BIGINT AS cbt
+        |  FROM tt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)
+        |  GROUP BY 1, 2),
+        |db AS MATERIALIZED (
+        |  SELECT toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i AS INTEGER)+1] AS w2, count(*)::BIGINT AS cbd
+        |  FROM tt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)
+        |  WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+        |seen AS MATERIALIZED (
+        |  SELECT coalesce(tb.w1, db.w1) AS w1,
+        |    coalesce(tb.cbt, 0) + 1 AS np, coalesce(db.cbd, 0) + 1 AS nq
+        |  FROM tb FULL OUTER JOIN db ON tb.w1 = db.w1 AND tb.w2 = db.w2),
+        |j AS MATERIALIZED (
+        |  SELECT s.w1, s.np, s.nq,
+        |    coalesce(tu.cut, 0) + v.v AS dp,
+        |    coalesce(du.cud, 0) + v.v AS dq, v.v AS v
+        |  FROM seen s
+        |  LEFT JOIN tu ON tu.w1 = s.w1
+        |  LEFT JOIN du ON du.w1 = s.w1
+        |  CROSS JOIN v)
+        |SELECT w1 AS context,
+        |  CAST(max(dp) - max(v) AS BIGINT) AS ctx_target,
+        |  CAST(max(dq) - max(v) AS BIGINT) AS ctx_draft,
+        |  CAST(count(*) AS BIGINT) AS n_seen,
+        |  round(
+        |    CAST(sum(CASE WHEN np * dq <= nq * dp THEN np ELSE 0 END)
+        |      AS DOUBLE) / max(dp) +
+        |    CAST(sum(CASE WHEN np * dq <= nq * dp THEN 0 ELSE nq END)
+        |      AS DOUBLE) / max(dq) +
+        |    CAST(max(v) - count(*) AS DOUBLE) / greatest(max(dp), max(dq)),
+        |    6) AS acceptance
+        |FROM j GROUP BY w1""".stripMargin,
+    // vocabulary richness: exact type/hapax/doubleton counts, the
+    // bias-corrected Chao1 and Good-Turing coverage as one division each
+    "q_vocab_richness" ->
+      """WITH tok AS (
+        |  SELECT source, w, count(*)::BIGINT AS c
+        |  FROM (SELECT source, unnest(list_filter(string_split_regex(
+        |    coalesce(text, ''), '\s+'), t -> t <> '')) AS w
+        |    FROM documents WHERE source IS NOT NULL) u
+        |  GROUP BY source, w)
+        |SELECT source,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS f1,
+        |  CAST(count(CASE WHEN c = 2 THEN 1 END) AS BIGINT) AS f2,
+        |  round(count(*) + CAST(count(CASE WHEN c = 1 THEN 1 END) *
+        |      (count(CASE WHEN c = 1 THEN 1 END) - 1) AS DOUBLE)
+        |    / (2 * (count(CASE WHEN c = 2 THEN 1 END) + 1)), 6) AS chao1,
+        |  round(1.0 - CAST(count(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
+        |    / sum(c), 6) AS coverage
+        |FROM tok GROUP BY source""".stripMargin,
     "q_mink_prob" ->
       """WITH ref AS (
         |  SELECT text FROM documents WHERE doc_id % 5 <> 0),

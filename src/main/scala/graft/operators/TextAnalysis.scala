@@ -1941,4 +1941,151 @@ object TextAnalysis {
     log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5))) *
       (tf * (lit(k1) + lit(1.0))) /
       (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / avgdl))
+
+  /** Per-context expected ACCEPTANCE RATE of speculative decoding
+    * (Leviathan et al. 2023, "Fast Inference from Transformers via
+    * Speculative Decoding"): with a draft model q proposing and a
+    * target model p verifying, the expected per-token acceptance is
+    * `Σ_w min(p(w|c), q(w|c))` — 1 means the draft is a perfect proxy
+    * for that context, and the decode speedup collapses as it falls.
+    * This estimates it over two add-one bigram LMs (the
+    * [[lmQualityScore]] model shape) trained on a TARGET corpus and a
+    * DRAFT corpus — the planning audit for "can a small model trained
+    * on slice X draft for the big one?" before any GPU is spent.
+    *
+    * Exactness: for context w1 the two denominators are CONSTANT
+    * (`d_p = c_p(w1) + V`, `d_q = c_q(w1) + V`, V = shared union
+    * vocabulary), so the seen-continuation sum splits into two exact
+    * LONG numerator sums — terms where the target side is the min
+    * (decided by the exact cross-product `num_p·d_q ≤ num_q·d_p`, ties
+    * to target) and terms where the draft side is; the unseen tail is
+    * closed-form `(V − n_seen)/max(d_p, d_q)`. Three divisions, one
+    * pinned-order addition chain — hash-exact on any engine. The eager
+    * `maxTokens` refusal (≤ 1.5e9 tokens per corpus) keeps every cross
+    * product inside 2^63.
+    *
+    * Scale shape: two bigram-count aggregates, one full-outer join on
+    * the bigram key, two context joins, one context-keyed aggregate —
+    * everything is distinct-bigram sized after the first pass; nothing
+    * is collected. Output: one row per context appearing in EITHER
+    * model's bigram table: `(context, ctx_target, ctx_draft, n_seen,
+    * acceptance)` at 6 dp.
+    */
+  def speculativeAcceptance(
+      target: org.apache.spark.sql.DataFrame,
+      draft: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      maxTokens: Long = 1500000000L): org.apache.spark.sql.DataFrame = {
+    require(maxTokens >= 1L && maxTokens <= 1500000000L,
+      s"maxTokens must be in 1..1.5e9 (cross products must stay inside " +
+        s"2^63), got $maxTokens")
+    def uni(df: org.apache.spark.sql.DataFrame, cnt: String) = df
+      .select(explode(tokens(col(textCol))).as("__w1"))
+      .groupBy("__w1").agg(count(lit(1)).as(cnt))
+    val uniT = graft.core.Caches.pin(uni(target, "__cut"))
+    val uniD = graft.core.Caches.pin(uni(draft, "__cud"))
+    try {
+      val nT = uniT.agg(coalesce(sum(col("__cut")), lit(0L))).head().getLong(0)
+      val nD = uniD.agg(coalesce(sum(col("__cud")), lit(0L))).head().getLong(0)
+      require(nT >= 2L && nD >= 2L,
+        s"speculativeAcceptance: target/draft hold $nT/$nD tokens — " +
+          "both corpora need at least one bigram")
+      require(nT <= maxTokens && nD <= maxTokens,
+        s"speculativeAcceptance: $nT/$nD tokens exceed maxTokens=" +
+          s"$maxTokens — the exact min test is a cross product of " +
+          "count+vocab terms and must stay inside 2^63")
+      val vocab = uniT.select(col("__w1"))
+        .union(uniD.select(col("__w1"))).distinct()
+        .agg(count(lit(1)).as("__v"))
+      def bi(df: org.apache.spark.sql.DataFrame, cnt: String) =
+        explodedBigrams(df, textCol, Nil)
+          .groupBy(col("__w1").as("__c1"), col("__w2"))
+          .agg(count(lit(1)).as(cnt))
+      val seen = bi(target, "__cbt").withColumnRenamed("__c1", "__w1")
+        .join(bi(draft, "__cbd").withColumnRenamed("__c1", "__w1"),
+          Seq("__w1", "__w2"), "full_outer")
+      val j = seen
+        .join(uniT, Seq("__w1"), "left")
+        .join(uniD, Seq("__w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("__w1"),
+          (coalesce(col("__cbt"), lit(0L)) + 1L).as("__np"),
+          (coalesce(col("__cbd"), lit(0L)) + 1L).as("__nq"),
+          (coalesce(col("__cut"), lit(0L)) + col("__v")).as("__dp"),
+          (coalesce(col("__cud"), lit(0L)) + col("__v")).as("__dq"),
+          col("__v"))
+      val targetWins = col("__np") * col("__dq") <= col("__nq") * col("__dp")
+      j.groupBy(col("__w1"))
+        .agg(sum(when(targetWins, col("__np")).otherwise(0L)).as("__sp"),
+          sum(when(targetWins, lit(0L)).otherwise(col("__nq"))).as("__sq"),
+          count(lit(1)).as("n_seen"),
+          max(col("__dp")).as("__dp"), max(col("__dq")).as("__dq"),
+          max(col("__v")).as("__v"))
+        .select(col("__w1").as("context"),
+          (col("__dp") - col("__v")).as("ctx_target"),
+          (col("__dq") - col("__v")).as("ctx_draft"),
+          col("n_seen"),
+          round(col("__sp").cast("double") / col("__dp") +
+            col("__sq").cast("double") / col("__dq") +
+            (col("__v") - col("n_seen")).cast("double") /
+              greatest(col("__dp"), col("__dq")), 6).as("acceptance"))
+        .localCheckpoint(true)
+    } finally { uniT.unpersist(); uniD.unpersist() }
+  }
+
+  /** Vocabulary-coverage estimators per slice — "how much of this
+    * source's vocabulary have we actually seen?", the planning audit
+    * behind tokenizer sizing and how much more of a source is worth
+    * crawling:
+    *
+    *  - **Chao1** richness (Chao 1984, the bias-corrected form
+    *    `V + f1·(f1−1)/(2·(f2+1))` — defined even with no doubletons):
+    *    a lower bound on the TRUE number of types, driven by the
+    *    singleton/doubleton ratio.
+    *  - **Good–Turing coverage** (Good 1953): `1 − f1/N` — the
+    *    probability the NEXT token is an already-seen type; its
+    *    complement is the unseen-mass estimate.
+    *
+    * Both derive from exact LONG aggregates (type counts, hapax f1,
+    * dis legomena f2, token total N) with one portable division each,
+    * so the DuckDB twin is hash-exact. NULL-keyed rows drop (the
+    * equality-join convention); empty slices produce no row. The eager
+    * per-slice vocabulary bound (≤ 1e9 types) keeps `f1·(f1−1)` inside
+    * 2^63. Scale shape: one corpus explode + (key, token) groupBy,
+    * then two slice-keyed aggregates — nothing driver-sized.
+    *
+    * Output per key: `(key…, n_tokens, vocab, f1, f2, chao1,
+    * coverage)`, 6 dp.
+    */
+  def vocabularyCoverage(
+      df: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val keys = keyCols.map(col)
+    val counts = graft.core.Caches.pin(df
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(keys :+ explode(tokens(col(textCol))).as("__w"): _*)
+      .groupBy(keys :+ col("__w"): _*).agg(count(lit(1)).as("__c")))
+    try {
+      val mx = counts.groupBy(keys: _*).agg(count(lit(1)).as("__v"))
+        .agg(max(col("__v"))).head()
+      val biggest = if (mx.isNullAt(0)) 0L else mx.getLong(0)
+      require(biggest <= 1000000000L,
+        s"vocabularyCoverage: a slice holds $biggest types (> 1e9) — " +
+          "the Chao1 numerator f1·(f1−1) would overflow 2^63")
+      counts.groupBy(keys: _*)
+        .agg(sum(col("__c")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          count(when(col("__c") === 1L, 1)).as("f1"),
+          count(when(col("__c") === 2L, 1)).as("f2"))
+        .select(keys ++ Seq(col("n_tokens"), col("vocab"), col("f1"),
+          col("f2"),
+          round(col("vocab") + (col("f1") * (col("f1") - 1L)).cast("double")
+            / (lit(2L) * (col("f2") + 1L)), 6).as("chao1"),
+          round(lit(1.0) - col("f1").cast("double") / col("n_tokens"), 6)
+            .as("coverage")): _*)
+        .localCheckpoint(true)
+    } finally counts.unpersist()
+  }
 }

@@ -870,4 +870,62 @@ class CorpusOpsSpec extends SparkTestBase {
     }
     assert(big.getMessage.contains("2e9"), big.getMessage)
   }
+
+  test("speculativeAcceptance: hand fractions, identical-corpora invariant at 1, loud token guards") {
+    import spark.implicits._
+    def run(tgt: Seq[String], drf: Seq[String]) = {
+      val out = TextAnalysis.speculativeAcceptance(
+        tgt.toDF("text"), drf.toDF("text"), "text")
+      val m = out.collect().map(r => r.getAs[String]("context") ->
+        ((r.getAs[Long]("ctx_target"), r.getAs[Long]("ctx_draft"),
+          r.getAs[Long]("n_seen"), r.getAs[Double]("acceptance")))).toMap
+      graft.core.Caches.releaseCheckpoint(out)
+      m
+    }
+    // hand case: target "a b a c", draft "a b b"; V = {a,b,c} = 3
+    //  context a: dp=5, dq=4 -> 2/5 (a b, target min) + 1/4 (a c, draft)
+    //             + 1/5 unseen tail = 0.85
+    //  context b: dp=4, dq=5 -> 1/5 (b a, draft) + 1/4 (b b, target)
+    //             + 1/5 unseen = 0.65
+    val hand = run(Seq("a b a c"), Seq("a b b"))
+    assert(hand == Map(
+      "a" -> ((2L, 1L, 2L, 0.85)), "b" -> ((1L, 2L, 2L, 0.65))),
+      hand.toString)
+    // identical corpora: Σ_w min(p, p) = Σ_w p — exactly 1 for a
+    // context that never ends a document (x: both occurrences continue),
+    // and (c_bi + V)/(c_uni + V) for one that does (y ends the doc once:
+    // (1+3)/(2+3) = 0.8 — the add-one bigram's doc-final mass deficit,
+    // a property of the LM, not of the acceptance math)
+    val same = run(Seq("x y x z y"), Seq("x y x z y"))
+    assert(same("x")._4 == 1.0 && same("z")._4 == 1.0 &&
+      same("y")._4 == 0.8, same.toString)
+    assert(same.values.forall(_._4 <= 1.0))
+    // loud: sub-bigram corpora
+    intercept[IllegalArgumentException](run(Seq("solo"), Seq("a b")))
+    intercept[IllegalArgumentException](TextAnalysis.speculativeAcceptance(
+      Seq("a b").toDF("text"), Seq("a b").toDF("text"), "text",
+      maxTokens = 0L))
+  }
+
+  test("vocabularyCoverage: hand Chao1/Good-Turing, NULL keys drop, empty slices absent") {
+    import spark.implicits._
+    val out = TextAnalysis.vocabularyCoverage(
+      Seq(("x", "a a b c"), ("y", "p p"), ("y", "q"),
+        (null.asInstanceOf[String], "dropped"))
+        .toDF("src", "text"), Seq("src"), "text")
+    val m = out.collect().map(r => r.getAs[String]("src") ->
+      ((r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
+        r.getAs[Long]("f1"), r.getAs[Long]("f2"),
+        r.getAs[Double]("chao1"), r.getAs[Double]("coverage")))).toMap
+    graft.core.Caches.releaseCheckpoint(out)
+    // x: N=4, V=3, f1=2 (b,c), f2=1 (a): chao1 = 3 + 2·1/(2·2) = 3.5,
+    // coverage = 1 − 2/4 = 0.5
+    assert(m("x") == ((4L, 3L, 2L, 1L, 3.5, 0.5)), m.toString)
+    // y (multi-row slice folds): N=3, V=2, f1=1 (q), f2=1 (p):
+    // chao1 = 2 + 0 = 2.0, coverage = 1 − 1/3
+    assert(m("y") == ((3L, 2L, 1L, 1L, 2.0, 0.666667)), m.toString)
+    assert(m.keySet == Set("x", "y"))
+    intercept[IllegalArgumentException](TextAnalysis.vocabularyCoverage(
+      Seq(("x", "a")).toDF("src", "text"), Nil, "text"))
+  }
 }
