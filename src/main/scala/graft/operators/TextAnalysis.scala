@@ -2063,10 +2063,37 @@ object TextAnalysis {
       textCol: String): org.apache.spark.sql.DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     val keys = keyCols.map(col)
-    val counts = graft.core.Caches.pin(df
+    coverageFromTokenCounts(df
       .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
       .select(keys :+ explode(tokens(col(textCol))).as("__w"): _*)
-      .groupBy(keys :+ col("__w"): _*).agg(count(lit(1)).as("__c")))
+      .groupBy(keys :+ col("__w"): _*).agg(count(lit(1)).as("__c")),
+      keys)
+  }
+
+  /** [[vocabularyCoverage]] from pre-aggregated `(__k, __t, __c)` slice
+    * term counts — the SAME sum-mergeable statistic
+    * [[sourceSimilarityFromCounts]] and [[sliceDivergenceFromCounts]]
+    * read, so one streamed term-count log also carries a STANDING
+    * richness/coverage audit (type counts fold exactly across batches:
+    * a token's merged count is the sum of its batch counts, and f1/f2
+    * derive from the folded counts). Output key column is `__k`.
+    */
+  def vocabularyCoverageFromCounts(
+      rawCounts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    coverageFromTokenCounts(rawCounts
+      .where(col("__k").isNotNull)
+      .groupBy(col("__k"), col("__t").as("__w"))
+      .agg(sum(col("__c")).as("__c")),
+      Seq(col("__k")))
+
+  /** The shared (keys…, token, count) → richness/coverage aggregate:
+    * eager per-slice type bound, then one slice-keyed pass.
+    */
+  private def coverageFromTokenCounts(
+      tokenCounts: org.apache.spark.sql.DataFrame,
+      keys: Seq[Column]): org.apache.spark.sql.DataFrame = {
+    val counts = graft.core.Caches.pin(tokenCounts)
     try {
       val mx = counts.groupBy(keys: _*).agg(count(lit(1)).as("__v"))
         .agg(max(col("__v"))).head()

@@ -1015,6 +1015,19 @@ object StreamingOps {
     graft.operators.TextAnalysis.sourceSimilarityFromCounts(
       termCountsFromLog(spark, logPath), maxSlices)
 
+  /** Standing vocabulary richness/coverage (Chao1 + Good–Turing) over
+    * the SAME [[termCountSink]] log — the third consumer of one
+    * term-count sink: same values as the batch
+    * [[graft.operators.TextAnalysis.vocabularyCoverage]] on the union
+    * of delivered batches (type counts are sum-mergeable; f1/f2 derive
+    * from the FOLDED counts, so cross-batch growth is handled exactly).
+    * Output key column is `__k`.
+    */
+  def vocabularyCoverageFromLog(
+      spark: SparkSession, logPath: String): DataFrame =
+    graft.operators.TextAnalysis.vocabularyCoverageFromCounts(
+      termCountsFromLog(spark, logPath))
+
   /** Standing Jensen–Shannon corpus drift over the SAME
     * [[termCountSink]] log — same output rows as the batch
     * [[graft.operators.TextAnalysis.sliceDivergence]].

@@ -1198,6 +1198,22 @@ class StreamingOpsSpec extends SparkTestBase {
       graft.core.Caches.releaseCheckpoint(jsdS)
       graft.core.Caches.releaseCheckpoint(jsdB)
       assert(jsdSm == jsdBm, s"standing $jsdSm vs batch $jsdBm")
+      // the THIRD consumer of the same log: standing vocabulary
+      // richness/coverage equals batch on the delivered union (the
+      // cross-batch fold matters — slice A's x:2 + y:1 merge before
+      // f1/f2 are read)
+      def cov(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      val covS = StreamingOps.vocabularyCoverageFromLog(spark, log)
+      val covB = graft.operators.TextAnalysis.vocabularyCoverage(
+        batchDf, Seq("src"), "text")
+      val (covSm, covBm) = (cov(covS), cov(covB))
+      graft.core.Caches.releaseCheckpoint(covS)
+      graft.core.Caches.releaseCheckpoint(covB)
+      assert(covSm == covBm, s"standing $covSm vs batch $covBm")
+      // A folded to {x:2, y:1}: N=3, V=2, f1=1, f2=1 -> chao1 2.0,
+      // coverage 1 - 1/3
+      assert(covSm("A") == Seq(3L, 2L, 1L, 1L, 2.0, 0.666667), covSm("A"))
       // fold law: compaction is a no-op
       StreamingOps.compactStatLog(spark, log)
       val simS2 = StreamingOps.sourceSimilarityFromLog(spark, log)
