@@ -3555,7 +3555,7 @@ object SparkEntry {
       |  FROM wl w JOIN den$i d USING (item)),
       |t$i AS MATERIALIZED (
       |  SELECT item, th * (SELECT count(*) FROM items)
-      |    / (SELECT sum(th) FROM u$i) AS th
+      |    / (SELECT sum(th * 1.0) FROM u$i) AS th
       |  FROM u$i)""".stripMargin
     """WITH d AS MATERIALIZED (
       |  SELECT doc_id, source,
@@ -8543,7 +8543,7 @@ object SparkEntry {
         |      (count(CASE WHEN c = 1 THEN 1 END) - 1) AS DOUBLE)
         |    / (2 * (count(CASE WHEN c = 2 THEN 1 END) + 1)), 6) AS chao1,
         |  round(1.0 - CAST(count(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
-        |    / sum(c), 6) AS coverage
+        |    / CAST(sum(c) AS BIGINT), 6) AS coverage
         |FROM tok GROUP BY source""".stripMargin,
     "q_mink_prob" ->
       """WITH ref AS (
