@@ -1136,6 +1136,23 @@ object SparkEntry {
         replicas = 1000, seed = "graft")
     }),
 
+    // ---- rank-biased overlap (Webber 2010) between two label-free
+    // per-source rankers (token count vs distinct-token count), top-10,
+    // p = 0.9; the oracle rebuilds the power/tail chains recursively ----
+    "q_rbo" -> ((s, dir) => {
+      val toks = operators.TextAnalysis.tokens(col("text"))
+      val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        size(toks).as("sa"), size(array_distinct(toks)).as("sb"))
+      val wA = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("sa").desc, col("doc_id"))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("sb").desc, col("doc_id"))
+      operators.RankEval.rankBiasedOverlap(
+        d.withColumn("ra", row_number().over(wA))
+          .withColumn("rb", row_number().over(wB)),
+        Seq("source"), "ra", "rb", k = 10, p = 0.9)
+    }),
+
     // ---- Gopher quality-filter rules (Rae et al. 2021 A1.1) ----
     "q_gopher_rules" -> ((s, dir) => {
       operators.TextAnalysis.withGopherRules(
@@ -8475,6 +8492,42 @@ object SparkEntry {
         |FROM s""".stripMargin,
     // Min-K twin: the ccnet oracle's bigram-NLL head, then per doc the
     // DESC-sorted list's top ceil(n*k/100) slice averaged.
+    // RBO: powers and tail sums rebuilt as the IDENTICAL iterated
+    // chains (a k-row recursive CTE each — pow() is library-specific in
+    // its last bit, the multiply chain is not), nano-rounded per-item
+    // terms, one query-keyed LONG sum
+    "q_rbo" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(toks) AS BIGINT) AS sa,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS sb
+        |  FROM (SELECT source, doc_id, list_filter(string_split_regex(
+        |    coalesce(text, ''), '\s+'), t -> t <> '') AS toks
+        |    FROM documents)),
+        |r AS (
+        |  SELECT source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY sa DESC, doc_id) AS ra,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY sb DESC, doc_id) AS rb
+        |  FROM d),
+        |pw(dd, v) AS (
+        |  SELECT 1, 1.0::DOUBLE * 0.9
+        |  UNION ALL SELECT dd + 1, v * 0.9 FROM pw WHERE dd < 10),
+        |ts(dd, t) AS (
+        |  SELECT 10, 0.0::DOUBLE + (SELECT v FROM pw WHERE dd = 10) / 10
+        |  UNION ALL
+        |  SELECT ts.dd - 1, ts.t + pw.v / (ts.dd - 1)
+        |  FROM ts JOIN pw ON pw.dd = ts.dd - 1
+        |  WHERE ts.dd > 1),
+        |terms AS (
+        |  SELECT source, CAST(round(ts.t * 1e9) AS BIGINT) AS term
+        |  FROM r JOIN ts ON ts.dd = greatest(ra, rb)
+        |  WHERE ra <= 10 AND rb <= 10)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_shared,
+        |  round((1.0 - 0.9) / 0.9 * CAST(sum(term) AS BIGINT) / 1e9, 6)
+        |    AS rbo
+        |FROM terms GROUP BY source""".stripMargin,
     // speculative acceptance: both LMs' count tables, the exact
     // cross-product min test (ties to target), split numerator sums per
     // context, three divisions with the addition order pinned

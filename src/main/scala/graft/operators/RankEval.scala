@@ -342,6 +342,78 @@ object RankEval {
       .toDF("item", "wins", "losses", "theta", "rank")
   }
 
+  /** Rank-biased overlap between two top-k rankings per query (Webber,
+    * Moffat & Zobel 2010) — the TOP-WEIGHTED ranking agreement measure:
+    * compare an old and a new ranker on live traffic with NO relevance
+    * labels, where Kendall/Spearman over-weight the tail nobody reads.
+    * `RBO_min@k = (1−p)/p · Σ_{d=1..k} p^d · X_d / d` with `X_d` the
+    * overlap of the two depth-d prefixes; persistence `p` sets how fast
+    * attention decays (0.9 ≈ top-10 focus).
+    *
+    * Distributed form: an item in both top-k lists enters every prefix
+    * from depth `m = max(rank_a, rank_b)` on, so its total contribution
+    * is the TAIL SUM `T[m] = Σ_{d=m..k} p^d/d` — precomputed once as a
+    * k-length literal whose powers come from an ITERATED multiplication
+    * chain (`pd ← pd·p`, not pow(), whose last bit is library-specific),
+    * so the DuckDB twin rebuilds bit-identical doubles via a k-row
+    * recursive CTE. Each item's term is nano-rounded at birth and
+    * LONG-summed per query (order-free); one final scale + round.
+    *
+    * Scale shape: one filter to ranks ≤ k, one map, one query-keyed
+    * aggregate — corpus-linear, no windows, no driver data beyond the
+    * k-length literal. Ranks must be INTEGRAL and ≥ 1 (a rank 0 or
+    * float rank is a caller bug — refused loudly); items absent from a
+    * list simply never pair. Output: `(qid…, n_shared, rbo)` per query,
+    * 6 dp — queries whose top-k lists share nothing emit no row (their
+    * RBO_min is exactly 0).
+    */
+  def rankBiasedOverlap(
+      df: DataFrame,
+      qidCols: Seq[String],
+      rankACol: String,
+      rankBCol: String,
+      k: Int = 10,
+      p: Double = 0.9): DataFrame = {
+    require(qidCols.nonEmpty, "qidCols must be non-empty")
+    require(k >= 1 && k <= 1000, s"k must be in 1..1000, got $k")
+    require(p > 0.0 && p < 1.0, s"p must be in (0, 1), got $p")
+    Seq(rankACol, rankBCol).foreach { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"rankBiasedOverlap: `$c` is $other — ranks must be INTEGRAL")
+      }
+    }
+    val bad = df.agg(count(when(col(rankACol).isNull ||
+      col(rankBCol).isNull || col(rankACol) < 1 || col(rankBCol) < 1, 1))
+      .as("__b")).head().getAs[Long]("__b")
+    require(bad == 0L,
+      s"rankBiasedOverlap: $bad NULL or < 1 rank(s) — ranks are " +
+        "1-based positions; fix the ranker output upstream")
+    // tail sums T[m] = Σ_{d=m..k} p^d/d, powers by iterated multiply
+    val pd = new Array[Double](k + 1)
+    var acc = 1.0
+    (1 to k).foreach { d => acc = acc * p; pd(d) = acc }
+    val tails = new Array[Double](k + 1)
+    var t = 0.0
+    (k to 1 by -1).foreach { d => t = t + pd(d) / d; tails(d) = t }
+    val tLit = typedlit(tails.toIndexedSeq.drop(1)) // index 1..k -> 0..k-1
+    val keys = qidCols.map(col)
+    df.where(col(rankACol) <= k && col(rankBCol) <= k)
+      .select(keys :+ greatest(col(rankACol).cast("int"),
+        col(rankBCol).cast("int")).as("__m"): _*)
+      .select(keys :+ round(element_at(tLit, col("__m")) * lit(1e9))
+        .cast("long").as("__t"): _*)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_shared"), sum(col("__t")).as("__s"))
+      .select(keys ++ Seq(col("n_shared"),
+        round(lit((1.0 - p) / p) * col("__s").cast("double") / lit(1e9), 6)
+          .as("rbo")): _*)
+  }
+
   /** Paired bootstrap significance test between two systems' per-item
     * scores (Koehn 2004, "Statistical Significance Tests for Machine
     * Translation Evaluation" — the eval-harness staple): resample the

@@ -188,6 +188,47 @@ class RankEvalSpec extends SparkTestBase {
       Seq(("a", "b"), ("b", "a")).toDF("w", "l"), "w", "l", maxItems = 1))
   }
 
+  test("rankBiasedOverlap: identical-ranking pole, hand tail sums, disjoint absent, loud guards") {
+    def run(rows: Seq[(String, Int, Int)], k: Int = 10, p: Double = 0.9) =
+      RankEval.rankBiasedOverlap(rows.toDF("q", "ra", "rb"),
+        Seq("q"), "ra", "rb", k, p)
+        .collect().map(r => r.getAs[String]("q") ->
+          ((r.getAs[Long]("n_shared"), r.getAs[Double]("rbo")))).toMap
+    // replicate the operator's tail sums (iterated powers, descending
+    // accumulation) for the expectations
+    def tails(k: Int, p: Double): Array[Double] = {
+      val pd = new Array[Double](k + 1); var a = 1.0
+      (1 to k).foreach { d => a = a * p; pd(d) = a }
+      val ts = new Array[Double](k + 1); var t = 0.0
+      (k to 1 by -1).foreach { d => t = t + pd(d) / d; ts(d) = t }
+      ts
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ts = tails(10, 0.9)
+    // identical top-10 rankings -> RBO_min = 1 − p^k (≈ 0.651322)
+    val ident = run((1 to 10).map(d => ("q1", d, d)))
+    val wantIdent = r6(0.1 / 0.9 *
+      (1 to 10).map(d => math.round(ts(d) * 1e9)).sum / 1e9)
+    assert(ident == Map("q1" -> ((10L, wantIdent))), ident.toString)
+    assert(math.abs(wantIdent - (1.0 - math.pow(0.9, 10))) < 1e-5)
+    // one shared item at depths (1, 3): term = T[3]
+    val one = run(Seq(("q2", 1, 3), ("q2", 11, 2), ("q2", 2, 12)))
+    val wantOne = r6(0.1 / 0.9 * math.round(ts(3) * 1e9) / 1e9)
+    assert(one == Map("q2" -> ((1L, wantOne))), one.toString)
+    // disjoint top-k lists: no row (RBO_min exactly 0)
+    assert(run(Seq(("q3", 1, 11), ("q3", 11, 1))).isEmpty)
+    // loud: float ranks, rank 0, NULL, bad k/p
+    intercept[IllegalArgumentException](RankEval.rankBiasedOverlap(
+      Seq(("q", 1.5, 1.0)).toDF("q", "ra", "rb"), Seq("q"), "ra", "rb"))
+    intercept[IllegalArgumentException](run(Seq(("q", 0, 1))))
+    intercept[IllegalArgumentException](RankEval.rankBiasedOverlap(
+      Seq(("q", Option.empty[Int], 1)).toDF("q", "ra", "rb"),
+      Seq("q"), "ra", "rb"))
+    intercept[IllegalArgumentException](run(Seq(("q", 1, 1)), k = 0))
+    intercept[IllegalArgumentException](run(Seq(("q", 1, 1)), p = 1.0))
+  }
+
   test("pairedBootstrap: exact draw replay, dominant system at floor p, loud guards") {
     // A beats B on every item -> every replica total is positive
     val dom = (1L to 20L).map(i => (i, (i + 100).toInt, i.toInt))
