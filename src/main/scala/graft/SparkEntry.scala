@@ -995,6 +995,16 @@ object SparkEntry {
         docs.where(col("doc_id") % 5 =!= 0), "text")
     }),
 
+    // ---- trigram interpolated Kneser–Ney over the same split: raw
+    // top-level counts, continuation-count middle level, the bigram
+    // operator's add-one continuation base ----
+    "q_kn3_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.TextAnalysis.kn3QualityScore(
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
+        docs.where(col("doc_id") % 5 =!= 0), "text")
+    }),
+
     // ---- hashed-linear classifier scoring: exact integer logits against
     // planted sha-derived weights (the DuckDB twin rebuilds them in SQL)
     "q_classifier_score" -> ((s, dir) => {
@@ -1486,6 +1496,20 @@ object SparkEntry {
           transform(col("embedding"), x => x * 2.0f).as("embedding")))
       operators.Dedup.hyperplaneLshPairs(corpus, "vec_id", "embedding",
         dim = 64, planesPerTable = 8, tables = 4, threshold = 0.99)
+    }),
+
+    // advisor-chosen operating point: cosine 0.99 at target recall 0.9
+    // under a 64-hash budget resolves to (tables=4, planes=16) via the
+    // angular S-curve — the hyperplane twin of q_lsh_auto
+    "q_embed_near_dup_auto" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .unionAll(e.where(col("vec_id") % 20 === 0).select(
+          (col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * 2.0f).as("embedding")))
+      operators.Dedup.hyperplaneLshPairsAtRecall(corpus, "vec_id",
+        "embedding", dim = 64, threshold = 0.99, targetRecall = 0.9,
+        budget = 64)
     }),
 
     // ---- ANN baseline: brute-force cosine top-k (broadcast queries) ----
@@ -3639,7 +3663,7 @@ object SparkEntry {
         |g AS MATERIALIZED (
         |  SELECT b.b,
         |    ('0x' || substring(sha256('graft:' || b.b || ':' || i.i),
-        |      1, 7))::BIGINT % (SELECT n FROM nn) AS rn
+        |      1, 15))::BIGINT % (SELECT n FROM nn) AS rn
         |  FROM range(0, 1000) b(b)
         |  CROSS JOIN (SELECT unnest(range(0, (SELECT n FROM nn))) AS i) i),
         |reps AS MATERIALIZED (
@@ -5368,6 +5392,86 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
         |  agg.avg_nll
         |FROM score_docs d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+    // trigram Kneser–Ney: identical expression ORDER to the Spark side
+    // (p2 materialized as a DOUBLE column — bit-preserving — so the
+    // backoff CASE is written once); same empirical-ln footing as
+    // q_kn_score
+    "q_kn3_score" ->
+      """WITH ref AS (
+        |  SELECT text FROM documents WHERE doc_id % 5 <> 0),
+        |score_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |rt AS (
+        |  SELECT list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                     t -> t <> '') AS toks FROM ref),
+        |v AS (SELECT count(DISTINCT w)::BIGINT AS v
+        |  FROM rt CROSS JOIN unnest(toks) u(w)),
+        |rb AS (
+        |  SELECT toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i AS INTEGER)+1] AS w2,
+        |    toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER)+1] AS bg
+        |  FROM rt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
+        |w3c AS (SELECT w2 AS w3, count(DISTINCT w1)::BIGINT AS n1pr
+        |  FROM rb GROUP BY w2),
+        |tot AS (SELECT count(DISTINCT bg)::BIGINT AS n1pall FROM rb),
+        |rtri AS (
+        |  SELECT toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i AS INTEGER)+1] AS w2,
+        |    toks[CAST(i AS INTEGER)+2] AS w3
+        |  FROM rt CROSS JOIN unnest(range(1, greatest(len(toks) - 2, 0) + 1)) t(i)),
+        |tri AS (SELECT w1, w2, w3, count(*)::BIGINT AS c123
+        |  FROM rtri GROUP BY w1, w2, w3),
+        |hist AS (SELECT w1, w2, count(*)::BIGINT AS c12,
+        |    count(DISTINCT w3)::BIGINT AS n1pl3 FROM rtri GROUP BY w1, w2),
+        |kn2 AS (SELECT w2, w3, count(*)::BIGINT AS kn2 FROM tri GROUP BY w2, w3),
+        |mid AS (SELECT w2, CAST(sum(kn2) AS BIGINT) AS kn2den,
+        |    count(*)::BIGINT AS n1pl2 FROM kn2 GROUP BY w2),
+        |dt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                t -> t <> '') AS toks FROM score_docs),
+        |dtri AS (
+        |  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i AS INTEGER)+1] AS w2,
+        |    toks[CAST(i AS INTEGER)+2] AS w3
+        |  FROM dt CROSS JOIN unnest(range(1, greatest(len(toks) - 2, 0) + 1)) t(i)),
+        |j AS (
+        |  SELECT dtri.doc_id,
+        |    coalesce(tri.c123, 0) AS c123, coalesce(hist.c12, 0) AS c12,
+        |    coalesce(hist.n1pl3, 0) AS n1pl3, coalesce(kn2.kn2, 0) AS kn2,
+        |    coalesce(mid.kn2den, 0) AS kn2den,
+        |    coalesce(mid.n1pl2, 0) AS n1pl2, coalesce(w3c.n1pr, 0) AS n1pr,
+        |    tot.n1pall AS n1pall, v.v AS v
+        |  FROM dtri LEFT JOIN tri ON dtri.w1 = tri.w1 AND dtri.w2 = tri.w2
+        |      AND dtri.w3 = tri.w3
+        |    LEFT JOIN hist ON dtri.w1 = hist.w1 AND dtri.w2 = hist.w2
+        |    LEFT JOIN kn2 ON dtri.w2 = kn2.w2 AND dtri.w3 = kn2.w3
+        |    LEFT JOIN mid ON dtri.w2 = mid.w2
+        |    LEFT JOIN w3c ON dtri.w3 = w3c.w3
+        |    CROSS JOIN tot CROSS JOIN v),
+        |p2t AS (
+        |  SELECT doc_id, c123, c12, n1pl3,
+        |    CASE WHEN kn2den > 0 THEN
+        |        greatest(kn2::DOUBLE - 0.75, 0.0) / kn2den::DOUBLE
+        |        + 0.75 * n1pl2::DOUBLE / kn2den::DOUBLE
+        |          * ((n1pr::DOUBLE + 1.0) / (n1pall::DOUBLE + v::DOUBLE + 1.0))
+        |      ELSE (n1pr::DOUBLE + 1.0) / (n1pall::DOUBLE + v::DOUBLE + 1.0)
+        |      END AS p2
+        |  FROM j),
+        |nll AS (
+        |  SELECT doc_id,
+        |    -ln(CASE WHEN c12 > 0 THEN
+        |        greatest(c123::DOUBLE - 0.75, 0.0) / c12::DOUBLE
+        |        + 0.75 * n1pl3::DOUBLE / c12::DOUBLE * p2
+        |      ELSE p2 END) AS nll
+        |  FROM p2t),
+        |agg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+        |    round(avg(nll), 6) AS avg_nll
+        |  FROM nll GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.n_trigrams, 0)::BIGINT AS n_trigrams,
+        |  agg.avg_nll
+        |FROM score_docs d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
     "q_gopher_rules" ->
       """WITH base AS (
         |  SELECT doc_id, coalesce(text, '') AS text,
@@ -6228,6 +6332,58 @@ object SparkEntry {
         |        sha256('hp:' || t || ':' || p || ':' || d),
         |        1, 7))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
         |  FROM range(4) a(t) CROSS JOIN range(8) b(p)
+        |    CROSS JOIN range(64) c(d)),
+        |v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM corpus),
+        |ve AS (
+        |  SELECT vec_id, CAST(i AS INTEGER) AS d, v[CAST(i AS INTEGER) + 1] AS x
+        |  FROM v CROSS JOIN range(64) r(i)),
+        |proj AS (
+        |  SELECT vec_id, t, p, round(sum(x * s), 6) AS proj
+        |  FROM ve JOIN signs ON ve.d = signs.d
+        |  GROUP BY 1, 2, 3),
+        |sig AS (
+        |  SELECT vec_id, t,
+        |    CAST(SUM(CASE WHEN proj > 0 THEN (1::BIGINT << CAST(p AS INTEGER))
+        |        ELSE 0 END) AS BIGINT) AS sig
+        |  FROM proj GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM sig a JOIN sig b
+        |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        |pv AS (
+        |  SELECT cand.id_a, cand.id_b, va.v AS va, vb.v AS vb
+        |  FROM cand JOIN v va ON va.vec_id = cand.id_a
+        |  JOIN v vb ON vb.vec_id = cand.id_b),
+        |s2 AS (
+        |  SELECT id_a, id_b,
+        |    list_sum(list_transform(range(len(va)),
+        |      i -> va[CAST(i AS INTEGER)+1] * vb[CAST(i AS INTEGER)+1])) AS dot,
+        |    sqrt(list_sum(list_transform(va, x -> x * x))) AS na,
+        |    sqrt(list_sum(list_transform(vb, x -> x * x))) AS nb
+        |  FROM pv)
+        |SELECT id_a, id_b,
+        |  round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |        ELSE dot / (na * nb) END, 6) AS cos
+        |FROM s2
+        |WHERE round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |            ELSE dot / (na * nb) END, 6) >= 0.99""".stripMargin,
+    // the ADVISOR-chosen hyperplane banding: cosine 0.99 at target
+    // recall 0.9 under a 64-hash budget -> tables=4, planes=16
+    "q_embed_near_dup_auto" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |signs AS (
+        |  SELECT t, p, d,
+        |    CASE WHEN ('0x' || substring(
+        |        sha256('hp:' || t || ':' || p || ':' || d),
+        |        1, 7))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+        |  FROM range(4) a(t) CROSS JOIN range(16) b(p)
         |    CROSS JOIN range(64) c(d)),
         |v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -1764,10 +1764,14 @@ object Ann {
     * tied rows carry the same VALUE, which is all the rank selects.
     *
     * Scale shape: one narrow projection pass (the sign matrix is
-    * row-invariant and bit-cached), ONE per-(slice, direction) sort
-    * window over the projections, a grid-sized quantile table
-    * (slices·D·G rows — driver-tiny), and the pair join runs on THAT,
-    * never on corpus rows. `maxSlices` refuses doc-granularity keys
+    * row-invariant and bit-cached), one map-side-combined value-count
+    * groupBy, per-(slice, direction) ranks via the
+    * [[graft.operators.Validation.keyedRangePrefix]] discipline
+    * (range-repartition + per-physical-partition prefixes + broadcast
+    * offsets — NO per-key sort window, so a corpus-sized slice never
+    * pins one task), a grid-sized quantile table (slices·D·G rows —
+    * driver-tiny), and the pair join runs on THAT, never on corpus
+    * rows. `maxSlices` refuses doc-granularity keys
     * eagerly, same message discipline as sliceDivergence. NULL slice
     * keys drop (the equality-join convention); NULL vectors are refused
     * loudly (they have no projection). Output:
@@ -1805,17 +1809,30 @@ object Ann {
         s"slicedWasserstein: $nSlices distinct slices (> maxSlices=" +
           s"$maxSlices) — the quantile pair join is quadratic in slices; " +
           "this operator compares corpus SLICES, not documents")
-      val w = Window.partitionBy(col("__k"), col("__d"))
-      val ranked = proj
-        .withColumn("__rn", row_number().over(w.orderBy(col("__v"))))
-        .withColumn("__n", count(lit(1)).over(w))
+      // per-(slice, direction) ranks WITHOUT a per-key sort window (a
+      // corpus-sized slice would pin one task): collapse to a
+      // value-count table (ties carry the same VALUE, which is all the
+      // rank selects), then exclusive prefix counts via the repo's
+      // keyedRangePrefix discipline — range-repartition +
+      // per-physical-partition prefixes + broadcast offsets.
+      val vc = proj.groupBy(col("__k"), col("__d"), col("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val pre = graft.operators.Validation.keyedRangePrefix(
+        vc, Seq("__k", "__d"), "__v", "__c", "__pre")
+      val totals = pre.groupBy(col("__k"), col("__d"))
+        .agg(sum(col("__c")).as("__n"))
+      val ranked = pre.join(broadcast(totals), Seq("__k", "__d"))
       // nearest-rank grid: r(g) = ceil(g·n/(G+1)) = (g·n + G) DIV (G+1),
-      // pure integer arithmetic — engine-exact. The grid side is G
-      // broadcast rows, so the theta join is one linear pass ×G.
+      // pure integer arithmetic — engine-exact; the value at rank r is
+      // the count-table row with __pre < r <= __pre + __c. The grid
+      // side is G broadcast rows, so the theta join is one linear
+      // pass ×G over the VALUES-sized table.
       val quants = ranked
         .join(broadcast(df.sparkSession.range(1, grid + 1L)
           .select(col("id").as("__g"))), // 1..G
-          expr(s"CAST((__g * __n + $grid) DIV ${grid + 1} AS BIGINT) = __rn"))
+          expr(s"CAST((__g * __n + $grid) DIV ${grid + 1} AS BIGINT) > __pre") &&
+            expr(s"CAST((__g * __n + $grid) DIV ${grid + 1} AS BIGINT) " +
+              "<= __pre + __c"))
         .select(col("__k"), col("__d"), col("__g"), col("__v"), col("__n"))
       val a = quants.select(col("__k").as("key_a"), col("__d"), col("__g"),
         col("__v").as("__va"), col("__n").as("n_a"))

@@ -304,10 +304,14 @@ object Bpe {
 
   /** The published GPT-2 pre-tokenizer pattern (encoder.py `pat`),
     * expressed in Java regex (same constructs: alternation, unicode
-    * categories, the trailing-whitespace lookahead).
+    * categories, the trailing-whitespace lookahead). The `(?U)` prefix
+    * (UNICODE_CHARACTER_CLASS) makes `\s`/`\S` match Unicode
+    * whitespace (U+00A0, U+2028, …) the way Python's `re` does for
+    * `str` patterns — without it Java's ASCII-only `\s` would diverge
+    * from the published pre-tokenizer on such text.
     */
   val Gpt2PreTokenPattern: String =
-    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+    """(?U)'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
 
   /** All GPT-2 pre-tokens of `textCol`, in order. */
   private def preTokens(textCol: Column): Column =

@@ -173,6 +173,104 @@ object Dedup {
       }
   }
 
+  /** Hyperplane-LSH operating-point table — the angular-distance
+    * sibling of [[lshPlan]] for [[hyperplaneLshPairs]]: a pair at
+    * cosine `threshold` collides in one table of `p` hyperplanes with
+    * probability `q = (1 − θ/π)^p`, θ = arccos(threshold) (Charikar
+    * 2002's SRP collision bound), so the FEWEST tables reaching
+    * `targetRecall` solve `1 − (1 − q)^t ≥ R`, i.e.
+    * `t = ⌈ln(1−R)/ln(1−q)⌉`. The false-candidate proxy reported per
+    * plan is the collision probability of an ORTHOGONAL pair
+    * (θ = π/2, per-table `0.5^p`): more planes = exponentially fewer
+    * false candidates, more tables = more recall AND more candidate
+    * volume. Pure driver-side arithmetic — run it BEFORE committing a
+    * 100 TB corpus to one (tables, planes) choice.
+    *
+    * Output per planes count 1..maxPlanes:
+    * `(planes, tablesNeeded, pAtThreshold, pOrthogonal)`.
+    */
+  def hyperplanePlan(
+      threshold: Double,
+      targetRecall: Double,
+      maxPlanes: Int = 24): Seq[(Int, Int, Double, Double)] = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    require(maxPlanes >= 1 && maxPlanes <= 62,
+      s"maxPlanes must be in [1, 62] (signature packs into a long), " +
+        s"got $maxPlanes")
+    val qPlane = 1.0 - math.acos(threshold) / math.Pi
+    (1 to maxPlanes).map { p =>
+      val q = math.pow(qPlane, p)
+      val t = math.ceil(math.log(1.0 - targetRecall) /
+        math.log(1.0 - q)).toInt.max(1)
+      val pAt = 1.0 - math.pow(1.0 - q, t)
+      val pOrth = 1.0 - math.pow(1.0 - math.pow(0.5, p), t)
+      (p, t, pAt, pOrth)
+    }
+  }
+
+  /** The (tables, planesPerTable) operating point [[hyperplanePlan]]
+    * recommends under a total hash `budget` (tables × planes ≤ budget
+    * — the budget bounds both signature compute and the banded
+    * self-join's row explosion, exactly like [[chooseLshPlan]]'s
+    * numPerms): the MOST-planes plan whose table requirement fits,
+    * because false-candidate volume falls exponentially in planes
+    * while the table count only grows slowly. Loud when even 1 plane
+    * cannot reach the recall inside the budget. Returns
+    * (tables, planesPerTable, collisionProbAtThreshold).
+    */
+  def chooseHyperplanePlan(
+      threshold: Double,
+      targetRecall: Double,
+      budget: Int = 64): (Int, Int, Double) = {
+    require(budget >= 1 && budget <= 4096,
+      s"budget must be in [1, 4096], got $budget")
+    val plans = hyperplanePlan(threshold, targetRecall,
+      maxPlanes = math.min(62, budget))
+    plans.filter { case (p, t, _, _) => t.toLong * p <= budget }
+      .sortBy(-_._1).headOption
+      .map { case (p, t, pAt, _) => (t, p, pAt) }
+      .getOrElse {
+        val best = plans.minBy { case (p, t, _, _) => t.toLong * p }
+        throw new IllegalArgumentException(
+          f"no (tables, planes) plan reaches collision probability " +
+            f"$targetRecall%.3f at cosine $threshold%.2f inside budget=" +
+            f"$budget (cheapest needs ${best._2}×${best._1} hashes); " +
+            "raise the budget or lower targetRecall")
+      }
+  }
+
+  /** [[hyperplaneLshPairs]] with its operating point CHOSEN from the
+    * angular S-curve instead of hand-picked — the embedding-side twin
+    * of [[minhashLshPairsAtRecall]]: callers state the cosine
+    * `threshold`, the `targetRecall` they need at it, and a total hash
+    * `budget`; [[chooseHyperplanePlan]] picks the most-planes
+    * (tables, planes) split that delivers it. The chosen plan is
+    * logged (one line, driver-side) so production runs record which
+    * operating point produced their pairs.
+    */
+  def hyperplaneLshPairsAtRecall(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      targetRecall: Double = 0.9,
+      budget: Int = 64,
+      salt: String = "hp"): DataFrame = {
+    val (tables, planes, p) =
+      chooseHyperplanePlan(threshold, targetRecall, budget)
+    System.err.println(
+      f"[graft] hyperplaneLshPairsAtRecall: threshold=$threshold%.2f " +
+        f"targetRecall=$targetRecall%.2f budget=$budget -> " +
+        f"tables=$tables planesPerTable=$planes (collision prob at " +
+        f"threshold $p%.3f)")
+    hyperplaneLshPairs(df, idCol, vecCol, dim, planes, tables, threshold,
+      salt)
+  }
+
   /** [[minhashLshPairs]] with its operating point CHOSEN from the
     * S-curve instead of hand-picked: callers state the similarity
     * `threshold` and the `targetRecall` they need at it, and

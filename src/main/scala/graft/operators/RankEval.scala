@@ -288,6 +288,16 @@ object RankEval {
     require(nulls == 0L,
       s"bradleyTerry: $nulls NULL `$winnerCol`/`$loserCol` row(s) — an " +
         "anonymous outcome rates nothing; filter upstream")
+    // item-count guard BEFORE the count-matrix collect: a
+    // doc-granularity input must refuse here, not OOM the driver
+    // (distinct items <= maxItems bounds the collected matrix at
+    // maxItems^2 rows)
+    val nItems = matches.select(col(winnerCol).cast("string").as("__i"))
+      .unionAll(matches.select(col(loserCol).cast("string").as("__i")))
+      .agg(countDistinct(col("__i")).as("__k")).head().getAs[Long]("__k")
+    require(nItems <= maxItems,
+      s"bradleyTerry: $nItems items (> maxItems=$maxItems) — " +
+        "items are models/sources, not documents; aggregate upstream")
     val counts = matches
       .groupBy(col(winnerCol).cast("string").as("__w"),
         col(loserCol).cast("string").as("__l"))
@@ -361,9 +371,12 @@ object RankEval {
     *
     * Scale shape: one filter to ranks ≤ k, one map, one query-keyed
     * aggregate — corpus-linear, no windows, no driver data beyond the
-    * k-length literal. Ranks must be INTEGRAL and ≥ 1 (a rank 0 or
-    * float rank is a caller bug — refused loudly); items absent from a
-    * list simply never pair. Output: `(qid…, n_shared, rbo)` per query,
+    * k-length literal. Ranks must be INTEGRAL and ≥ 1 (a rank 0, NULL,
+    * or float rank is a caller bug — refused loudly). Absence from a
+    * list is encoded by OMITTING the row, never by a NULL rank: each
+    * input row asserts "this item holds rank_a in A and rank_b in B",
+    * so items in only one list contribute nothing and must not appear.
+    * Output: `(qid…, n_shared, rbo)` per query,
     * 6 dp — queries whose top-k lists share nothing emit no row (their
     * RBO_min is exactly 0).
     */
@@ -425,12 +438,17 @@ object RankEval {
     * Deterministic draws: replica b's i-th pick is item
     * `sha256(seed:b:i) mod n` over the items in ascending-id rank
     * order — any engine redraws the identical replicas (the
-    * [[graft.operators.Sampling.hashBucket]] discipline). Scores must
-    * be INTEGRAL (micro-quantize upstream); every replica total is an
-    * exact LONG sum, so win/tie counts — and the add-one-smoothed
+    * [[graft.operators.Sampling.hashBucket]] discipline; the 15-hex
+    * 60-bit sha prefix keeps the modulo bias below 2⁻³² even at the
+    * 1e8 grid bound). Ids must be UNIQUE (a duplicated id would leave
+    * the rank→delta map tie-order-dependent — refused loudly) and
+    * scores INTEGRAL (micro-quantize upstream); every replica total is
+    * an exact LONG sum, so win/tie counts — and the add-one-smoothed
     * one-sided p-value `(#(Δ_b ≤ 0) + 1)/(B + 1)` — are engine-exact.
     *
-    * Scale shape: one window pass to rank items, one generated
+    * Scale shape: item ranks via [[graft.operators.Validation
+    * .rangePrefix]] (range-repartition + per-partition prefixes +
+    * broadcast offsets — no partition-less window), one generated
     * `replicas × n` draw grid joined to the item deltas (the grid is
     * the cost: `replicas·n ≤ 1e8` refused eagerly — n is an EVAL set,
     * not a corpus), one replica-keyed aggregate, one row out. NULL
@@ -469,16 +487,22 @@ object RankEval {
     require(replicas.toLong * n <= 100000000L,
       s"pairedBootstrap: replicas × n = ${replicas.toLong * n} > 1e8 — " +
         "the draw grid is the cost; sample the eval set or lower replicas")
-    val deltas = df.select(col(idCol).cast("string").as("__id"),
+    val nIds = df.agg(countDistinct(col(idCol).cast("string")).as("__u"))
+      .head().getAs[Long]("__u")
+    require(nIds == n,
+      s"pairedBootstrap: ${n - nIds} duplicated `$idCol` value(s) — the " +
+        "ascending-id rank that seeds the draws needs UNIQUE ids; " +
+        "aggregate or re-key upstream")
+    val deltas = Validation.rangePrefix(
+      df.select(col(idCol).cast("string").as("__id"),
         (col(scoreACol).cast("long") - col(scoreBCol).cast("long"))
-          .as("__d"))
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("__id"))) - 1)
+          .as("__d")).withColumn("__one", lit(1L)),
+      "__id", "__one", "__rn").drop("__one")
     val grid = spark.range(replicas.toLong).select(col("id").as("__b"))
       .select(col("__b"), explode(sequence(lit(0L), lit(n - 1))).as("__i"))
       .withColumn("__rn", graft.functions.VectorFunctions.hexPrefixToLong(
         sha2(concat(lit(seed), lit(":"), col("__b"), lit(":"), col("__i")),
-          256), 7) % n)
+          256), 15) % n)
     val reps = grid.join(deltas, "__rn")
       .groupBy(col("__b")).agg(sum(col("__d")).as("__t"))
     val obs = deltas.agg(sum(col("__d")).as("__s")).head().getAs[Long]("__s")

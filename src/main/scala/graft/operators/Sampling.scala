@@ -271,11 +271,13 @@ object Sampling {
     * stopword cannot fan out. A draw may coincide with the pair's own
     * words (word2vec keeps such draws; filter downstream if not).
     *
-    * Scale shape: cumulative weights via one vocab-sized window ordered
-    * by term (range-partition discipline NOT needed: the interval table
-    * is the vocab, which [[graft.operators.TextAnalysis.buildVocab]]
-    * already bounds — documented ≤ ~1e7), then pairs × k points into
-    * ONE bucketized equi-join. Output: pair columns + `(j, neg_term)`.
+    * Scale shape: cumulative weights via the
+    * [[graft.operators.Validation.rangePrefix]] discipline (range-
+    * repartition + per-physical-partition prefixes + broadcast offsets
+    * — the vocab is bounded ≤ ~1e7 by
+    * [[graft.operators.TextAnalysis.buildVocab]], but no single task
+    * ever sorts it anyway), then pairs × k points into ONE bucketized
+    * equi-join. Output: pair columns + `(j, neg_term)`.
     */
   def negativeSamples(
       pairs: DataFrame,
@@ -292,11 +294,8 @@ object Sampling {
       .select(col(termCol).cast("string").as("__t"),
         col(weightCol).cast("long").as("__w"))
       .where(col("__t").isNotNull && col("__w") > 0L)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val intervals = v
-      .withColumn("__hi", sum(col("__w")).over(w) - lit(1L))
-      .withColumn("__lo", col("__hi") - col("__w") + lit(1L))
+    val intervals = Validation.rangePrefix(v, "__t", "__w", "__lo")
+      .withColumn("__hi", col("__lo") + col("__w") - lit(1L))
       .select(col("__t").as("neg_term"), col("__lo"), col("__hi"))
       .localCheckpoint(true)
     try {

@@ -1575,6 +1575,111 @@ object TextAnalysis {
         col("avg_nll"))
   }
 
+  /** Token trigrams `(w1, w2, w3)` for 1-based positions in
+    * `[1, len-2]`; docs with fewer than 3 tokens produce no row. */
+  private def explodedTrigrams(df: org.apache.spark.sql.DataFrame,
+      textCol: String, keep: Seq[Column]): org.apache.spark.sql.DataFrame =
+    df.select(keep :+ tokens(col(textCol)).as("__t"): _*)
+      .select(keep ++ Seq(col("__t"),
+        explode(when(size(col("__t")) >= 3,
+          sequence(lit(1), size(col("__t")) - 2))
+          .otherwise(array().cast("array<int>"))).as("__i")): _*)
+      .select(keep ++ Seq(
+        element_at(col("__t"), col("__i")).as("__w1"),
+        element_at(col("__t"), col("__i") + 1).as("__w2"),
+        element_at(col("__t"), col("__i") + 2).as("__w3")): _*)
+
+  /** Interpolated Kneser–Ney TRIGRAM quality score — [[knQualityScore]]
+    * with one more backoff level (Kneser & Ney 1995; Chen & Goodman
+    * 1998's interpolated form — the ≥3-gram KenLM shape CCNet-grade
+    * perplexity filters actually deploy):
+    *
+    * `P(w3|w1w2) = max(c(w1w2w3) − D, 0)/c(w1w2)
+    *             + D·N1+(w1w2·)/c(w1w2) · P2(w3|w2)`
+    * with raw counts at the top level; the middle level uses
+    * CONTINUATION counts over distinct trigram types (how many distinct
+    * left-contexts a bigram continues, not how often):
+    * `P2(w3|w2) = max(N1+(·w2w3) − D, 0)/N1+(·w2·)
+    *            + D·N1+(w2·)/N1+(·w2·) · Pc(w3)`
+    * and the base is [[knQualityScore]]'s add-one-smoothed continuation
+    * unigram `Pc(w3) = (N1+(·w3) + 1)/(N1+(··) + V + 1)` over the
+    * reference BIGRAM types — unseen words carry mass, every log is
+    * finite. Unseen histories back off entirely (`c(w1w2)=0` →
+    * `P2`; `N1+(·w2·)=0` → `Pc`).
+    *
+    * Output: `(idCol, n_trigrams, avg_nll)`, NULL score for <3-token
+    * docs (they produce no trigram).
+    *
+    * Scale shape: one exploded-bigram pass (w3-continuation + scalar
+    * totals + vocab — shared shapes with [[knQualityScore]]) and one
+    * exploded-trigram pass (trigram counts, (w1,w2) history stats,
+    * (w2,w3)/(w2) continuation stats over the TYPES table), all
+    * map-side-combined aggregates; scoring explodes doc trigrams once
+    * and key-joins the five model tables plus two broadcast scalars.
+    * No UDFs, no windows.
+    */
+  def kn3QualityScore(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      refCorpus: org.apache.spark.sql.DataFrame,
+      refTextCol: String,
+      discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val refBi = explodedBigrams(refCorpus, refTextCol, Nil)
+    val w3Cont = refBi.groupBy(col("__w2").as("__w3"))
+      .agg(countDistinct(col("__w1")).as("__n1pr"))
+    val totals = refBi.agg(countDistinct(col("__bg")).as("__n1pall"))
+    val vocab = refCorpus
+      .select(explode(tokens(col(refTextCol))).as("__w"))
+      .agg(countDistinct(col("__w")).as("__v"))
+    val refTri = explodedTrigrams(refCorpus, refTextCol, Nil)
+    val triCounts = refTri.groupBy("__w1", "__w2", "__w3")
+      .agg(count(lit(1)).as("__c123"))
+    val histStats = refTri.groupBy("__w1", "__w2").agg(
+      count(lit(1)).as("__c12"),
+      countDistinct(col("__w3")).as("__n1pl3"))
+    // continuation stats over distinct trigram TYPES (types-sized)
+    val kn2 = triCounts.groupBy("__w2", "__w3")
+      .agg(count(lit(1)).as("__kn2"))
+    val midStats = kn2.groupBy("__w2").agg(
+      sum(col("__kn2")).as("__kn2den"),
+      count(lit(1)).as("__n1pl2"))
+    val c123 = coalesce(col("__c123"), lit(0L)).cast("double")
+    val c12 = coalesce(col("__c12"), lit(0L)).cast("double")
+    val n1pl3 = coalesce(col("__n1pl3"), lit(0L)).cast("double")
+    val ckn2 = coalesce(col("__kn2"), lit(0L)).cast("double")
+    val kn2den = coalesce(col("__kn2den"), lit(0L)).cast("double")
+    val n1pl2 = coalesce(col("__n1pl2"), lit(0L)).cast("double")
+    val pc = (coalesce(col("__n1pr"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("__n1pall").cast("double") + col("__v").cast("double") + lit(1.0))
+    val p2 = when(kn2den > 0,
+      greatest(ckn2 - lit(discount), lit(0.0)) / kn2den +
+        lit(discount) * n1pl2 / kn2den * pc)
+      .otherwise(pc)
+    val p3 = when(c12 > 0,
+      greatest(c123 - lit(discount), lit(0.0)) / c12 +
+        lit(discount) * n1pl3 / c12 * p2)
+      .otherwise(p2)
+    val scored = explodedTrigrams(docs, textCol, Seq(col(idCol)))
+      .join(triCounts, Seq("__w1", "__w2", "__w3"), "left")
+      .join(histStats, Seq("__w1", "__w2"), "left")
+      .join(kn2, Seq("__w2", "__w3"), "left")
+      .join(midStats, Seq("__w2"), "left")
+      .join(w3Cont, Seq("__w3"), "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), (-log(p3)).as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(avg(col("__nll")), 6).as("avg_nll"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("avg_nll"))
+  }
+
   /** Bigram collocation mining by pointwise mutual information —
     * terminology/phrase extraction over a corpus ("new york",
     * "machine learning" score high because they co-occur far above

@@ -1092,25 +1092,45 @@ object Validation {
     */
   private[operators] def rangePrefix(
       counts: DataFrame, orderCol: String, sumCol: String,
-      outCol: String): DataFrame = {
+      outCol: String): DataFrame =
+    keyedRangePrefix(counts, Nil, orderCol, sumCol, outCol)
+
+  /** [[rangePrefix]] WITHIN each `keyCols` group: EXCLUSIVE prefix sum
+    * of `sumCol` in `orderCol` order per key. Same discipline —
+    * range-repartition on (keys…, order), per-physical-partition
+    * running sums, per-(key, partition) offsets rolled up over the
+    * offset table and broadcast back. A key's rows span CONTIGUOUS
+    * range partitions, so the offset table holds at most
+    * (partitions + key groups) rows — tiny — and its window groups are
+    * at most partition-count long; no per-key window ever sees more
+    * than one physical partition's rows, so a corpus-sized key can
+    * never pin one task ([[graft.operators.Ann.slicedWasserstein]]'s
+    * per-(slice, direction) ranks ride this). Appends `outCol`; input
+    * column set is preserved.
+    */
+  private[operators] def keyedRangePrefix(
+      counts: DataFrame, keyCols: Seq[String], orderCol: String,
+      sumCol: String, outCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val ord = keys :+ col(orderCol)
     val g = graft.core.Caches.pin(counts
       .repartitionByRange(
-        counts.sparkSession.sparkContext.defaultParallelism, col(orderCol))
-      .sortWithinPartitions(col(orderCol))
+        counts.sparkSession.sparkContext.defaultParallelism, ord: _*)
+      .sortWithinPartitions(ord: _*)
       .withColumn("__rp_pid", spark_partition_id()))
     try {
-      val offsets = g.groupBy(col("__rp_pid"))
+      val offsets = g.groupBy(col("__rp_pid") +: keys: _*)
         .agg(sum(col(sumCol)).as("__rp_p"))
         .withColumn("__rp_off", coalesce(
-          sum(col("__rp_p")).over(w.orderBy("__rp_pid")
-            .rowsBetween(Long.MinValue, -1)), lit(0L)))
-        .select(col("__rp_pid"), col("__rp_off"))
+          sum(col("__rp_p")).over(w.partitionBy(keys: _*)
+            .orderBy("__rp_pid").rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .select(col("__rp_pid") +: keys :+ col("__rp_off"): _*)
       g.withColumn("__rp_run", coalesce(
-          sum(col(sumCol)).over(w.partitionBy(col("__rp_pid"))
+          sum(col(sumCol)).over(w.partitionBy(col("__rp_pid") +: keys: _*)
             .orderBy(col(orderCol)).rowsBetween(Long.MinValue, -1)),
           lit(0L)))
-        .join(broadcast(offsets), "__rp_pid")
+        .join(broadcast(offsets), "__rp_pid" +: keyCols)
         .withColumn(outCol, col("__rp_run") + col("__rp_off"))
         .drop("__rp_pid", "__rp_run", "__rp_off")
         .localCheckpoint(true)

@@ -892,4 +892,57 @@ class AnnMultimodalSpec extends SparkTestBase {
       (1 to 5).flatMap(i => base.map((s"doc_$i", _))), maxSlices = 4))
     assert(e.getMessage.contains("SLICES"), e.getMessage)
   }
+
+  test("slicedWasserstein: partition-invariant, no per-(slice, direction) sort window") {
+    // ranks ride keyedRangePrefix (range-repartition + per-physical-
+    // partition prefixes + broadcast offsets): a corpus-sized slice
+    // must never pin one window task. Pin 1: every executed plan's
+    // rank window carries the physical-partition id in its PARTITION
+    // spec — a window partitioned by (__k, __d) alone ordering by the
+    // projection value is the single-task shape this test keeps out.
+    // Pin 2: results are bit-identical at 1 vs 13 input partitions.
+    val rows = (1 to 40).map(i => (if (i % 2 == 0) "A" else "B",
+      Seq(i.toDouble, 3.0 * i, i / 7.0)))
+    def run(parts: Int) = {
+      val out = Ann.slicedWasserstein(
+        rows.toDF("k", "vec").repartition(parts), "k", "vec",
+        directions = 8, grid = 32, salt = 7L)
+      val m = out.collect().map(r => (r.getAs[String]("key_a"),
+        r.getAs[String]("key_b")) -> ((r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Double]("sw")))).toMap
+      graft.core.Caches.releaseCheckpoint(out)
+      m
+    }
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val one = try run(1)
+    finally spark.listenerManager.unregister(listener)
+    // flush the async listener bus: wait until no new plans arrive
+    var last = -1
+    var spins = 0
+    while (plans.size() != last && spins < 20) {
+      last = plans.size(); spins += 1; Thread.sleep(250)
+    }
+    assert(plans.size() > 0, "listener captured no plans — the net is dead")
+    // the value-ordered rank window must be sub-partition-scoped: no
+    // windowspecdefinition partitioned by exactly (__k, __d) over __v
+    val offender = """windowspecdefinition\(__k#\d+, __d#\d+, __v#""".r
+    plans.forEach { p =>
+      assert(offender.findFirstIn(p).isEmpty,
+        s"per-(slice, direction) sort window found:\n$p")
+    }
+    // and the keyedRangePrefix discipline actually ran (pid-scoped window)
+    assert(plans.toArray.exists(_.toString.contains(
+      "windowspecdefinition(__rp_pid")),
+      "expected the keyedRangePrefix pid-scoped rank window in some plan")
+    assert(one == run(13), "sliced-Wasserstein must be partition-invariant")
+  }
 }

@@ -232,6 +232,13 @@ class BpeSpec extends SparkTestBase {
     assert(refPreTokens("ab12 cd") == Vector("ab", "12", " cd"))
     assert(refPreTokens("tail  ") == Vector("tail", "  "))
     assert(refPreTokens("") == Vector())
+    // Unicode whitespace counts as \\s under the pattern's (?U) flag,
+    // matching Python re's str semantics: an NBSP or LINE SEPARATOR
+    // splits a punctuation run instead of riding inside it (Java's
+    // ASCII-only \\s would glue "!\u00A0!" into ONE run)
+    assert(refPreTokens("!\u00A0!") == Vector("!", "\u00A0", "!"))
+    assert(refPreTokens("!\u2028!") == Vector("!", "\u2028", "!"))
+    assert(refPreTokens("a\u00A0b") == Vector("a", "\u00A0", "b"))
     // the SPARK side tokenizes identically (regexp_extract_all shares
     // the Java regex semantics)
     val docs = Seq((1L, "Hello world! I'm a  b ab12")).toDF("doc_id", "text")

@@ -188,6 +188,44 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("chooseHyperplanePlan: pinned operating points, budget refusal, measured recall") {
+    // pinned plan choices (hand-derived from q = (1 − acos(s)/π)^p and
+    // t = ceil(ln(1−R)/ln(1−q))): the most-planes split inside budget
+    assert(Dedup.chooseHyperplanePlan(0.99, 0.9, 64)._1 == 4)
+    assert(Dedup.chooseHyperplanePlan(0.99, 0.9, 64)._2 == 16)
+    assert(Dedup.chooseHyperplanePlan(0.9, 0.9, 64) match {
+      case (7, 8, p) => p >= 0.9; case _ => false
+    })
+    assert(Dedup.chooseHyperplanePlan(0.8, 0.9, 32) match {
+      case (5, 4, p) => p >= 0.9; case _ => false
+    })
+    // every table row's pAtThreshold meets the recall by construction
+    Dedup.hyperplanePlan(0.95, 0.85).foreach { case (p, t, pAt, pOrth) =>
+      assert(pAt >= 0.85, s"planes=$p tables=$t pAt=$pAt")
+      assert(pOrth > 0.0 && pOrth < 1.0)
+    }
+    // loud when the budget cannot carry the recall
+    val e = intercept[IllegalArgumentException](
+      Dedup.chooseHyperplanePlan(0.5, 0.99, 2))
+    assert(e.getMessage.contains("budget"), e.getMessage)
+    // measured recall floor: planted near-duplicates of every 5th vector
+    // must surface at >= the advertised target through the AUTO path
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val planted = vecs.filter(_._1 % 5 == 0)
+      .map { case (i, v) => (i + 1000L, v.map(_ * 2.0f)) }
+    val df = (vecs ++ planted).toDF("id", "vec")
+    val pairs = Dedup.hyperplaneLshPairsAtRecall(df, "id", "vec",
+      dim = dim, threshold = 0.999, targetRecall = 0.9, budget = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = planted.map { case (i, _) => (i - 1000L, i) }.toSet
+    val recall = want.count(pairs.contains).toDouble / want.size
+    assert(recall >= 0.9,
+      s"measured recall $recall below the 0.9 target (${pairs.size} pairs)")
+  }
+
   test("dedupCorpus with no near-duplicates returns the corpus unchanged") {
     val docs = Seq(
       (1L, "completely unique first document with plenty of distinct words"),
@@ -320,6 +358,50 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(3L)._2.get == nll(pSeen), s"got ${out(3L)._2.get}")
     intercept[IllegalArgumentException](
       TextAnalysis.knQualityScore(docs, "doc_id", "text", ref, "text", 1.5))
+  }
+
+  test("kn3QualityScore: hand-computed three-level backoff chain") {
+    val ref = Seq("a b c", "a b c", "a b d", "x b c").toDF("text")
+    val docs = Seq(
+      (1L, "a b c"),  // fully seen trigram
+      (2L, "q b c"),  // unseen history (q,b) -> middle-level backoff
+      (3L, "a b z"),  // unseen continuation under a seen history
+      (4L, "q q c"),  // both upper levels unseen -> unigram continuation
+      (5L, "a b"),    // < 3 tokens -> no trigram, NULL score
+      (6L, "a b c d") // two trigrams, the second doubly backed off
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.kn3QualityScore(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_trigrams"),
+          Option(r.getAs[java.lang.Double]("avg_nll"))))).toMap
+    assert(out(5L) == ((0L, None)))
+    // model stats: V=5; bigram types {a b, b c, b d, x b} -> n1pall=4,
+    // Pc denominator 10; N1+(.c)=N1+(.d)=1, unseen word -> 1/10.
+    // trigram types {(a,b,c),(a,b,d),(x,b,c)}: hist(a,b) c12=3 n1pl3=2;
+    // mid(b) kn2den=3 n1pl2=2; kn2(b,c)=2, kn2(b,d)=1.
+    // Replicate the exact expression order (left-to-right, as built).
+    val pcC = (1.0 + 1.0) / (4.0 + 5.0 + 1.0)
+    val pcZ = (0.0 + 1.0) / (4.0 + 5.0 + 1.0)
+    val p2C = math.max(2.0 - 0.75, 0.0) / 3.0 + 0.75 * 2.0 / 3.0 * pcC
+    val p2Z = math.max(0.0 - 0.75, 0.0) / 3.0 + 0.75 * 2.0 / 3.0 * pcZ
+    val p3Seen = math.max(2.0 - 0.75, 0.0) / 3.0 + 0.75 * 2.0 / 3.0 * p2C
+    val p3Z = math.max(0.0 - 0.75, 0.0) / 3.0 + 0.75 * 2.0 / 3.0 * p2Z
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((1L, Some(r6(-math.log(p3Seen))))), out(1L).toString)
+    assert(out(2L) == ((1L, Some(r6(-math.log(p2C))))), out(2L).toString)
+    assert(out(3L) == ((1L, Some(r6(-math.log(p3Z))))), out(3L).toString)
+    assert(out(4L) == ((1L, Some(r6(-math.log(pcC))))), out(4L).toString)
+    // doc 6: seen (a,b,c) + (b,c,d) with no (b,c) history and no c-mid
+    // continuation -> falls all the way to Pc(d) = Pc(c)'s value
+    assert(out(6L) ==
+      ((2L, Some(r6((-math.log(p3Seen) + -math.log(pcC)) / 2)))),
+      out(6L).toString)
+    // backoff ordering: more of the chain seen -> higher probability
+    assert(out(1L)._2.get < out(2L)._2.get)
+    assert(out(3L)._2.get > out(2L)._2.get)
+    intercept[IllegalArgumentException](
+      TextAnalysis.kn3QualityScore(docs, "doc_id", "text", ref, "text", 1.5))
   }
 
   test("collocations: PMI separates a bound phrase from free co-occurrence; minCount prunes hapax pairs") {

@@ -250,7 +250,7 @@ class RankEvalSpec extends SparkTestBase {
     def draw(b: Long, i: Long): Int = {
       val hex = md.digest(s"z:$b:$i".getBytes("UTF-8"))
         .map(x => f"$x%02x").mkString
-      (java.lang.Long.parseLong(hex.take(7), 16) % 3).toInt
+      (java.lang.Long.parseLong(hex.take(15), 16) % 3).toInt
     }
     val deltas = Seq(10L, -10L, 3L) // ascending id order
     val totals = (0L until 50L).map(b =>
