@@ -1634,6 +1634,91 @@ object Ann {
   /** Recall of an ANN result against the exact result: fraction of exact
     * top-k pairs the approximate search also returned.
     */
+  /** ANN recall REGRESSION TABLE — one row per (index_kind, budget):
+    * build IVF, flat PQ, IVF-PQ and OPQ-rotated PQ indexes over
+    * `corpus` at fixed parameters and measure top-`k` recall of each
+    * against the exact brute-force result at every search `budget`.
+    * The budget is each family's natural knob: probed cells (`nprobe`)
+    * for `ivf`/`ivfpq`, shortlist multiplier (`refine`) for
+    * `pq`/`opq`. Every stage is deterministic (seeded kmeans,
+    * sha-derived inputs), so the emitted table is a PINNED regression
+    * artifact: a quantizer change shows up as a value diff in one
+    * diffable table, not as a scatter of flaky per-spec asserts
+    * (AnnMultimodalSpec pins the table over the deterministic hash
+    * embeddings and keeps the historical floors).
+    *
+    * Scale shape: one pinned exact top-k (queries are broadcast-small
+    * by [[bruteForceTopK]]'s contract), four index builds (each with
+    * its own bounded-training contract), `4 × budgets` searches whose
+    * hit counts are left-semi-join counts — the corpus is never
+    * collected. Output:
+    * `(index_kind, budget, k, n_queries, hits, total, recall)` with
+    * recall = hits/total rounded to 6 (exact LONG counts).
+    */
+  def recallAudit(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      budgets: Seq[Int] = Seq(1, 2, 4),
+      nlist: Int = 16,
+      m: Int = 8,
+      ksub: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1 && k <= 100, s"k must be in 1..100, got $k")
+    require(budgets.nonEmpty && budgets.forall(b => b >= 1 && b <= 1024),
+      s"budgets must be non-empty ints in 1..1024, got $budgets")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nQueries = queries.count()
+    val exact = graft.core.Caches.pin(
+      bruteForceTopK(corpus, queries, idCol, vecCol, idCol, k))
+    try {
+      val total = exact.count()
+      def measure(kind: String, budget: Int, approx: DataFrame)
+          : (String, Int, Long) = {
+        val hits = exact.select("q_id", "id")
+          .join(approx.select("q_id", "id"), Seq("q_id", "id"), "left_semi")
+          .count()
+        (kind, budget, hits)
+      }
+      val ivf = Ivf.build(corpus, idCol, vecCol, nlist, seed, nassign = 2)
+      val ivfRows = budgets.map(b => measure("ivf", b,
+        Ivf.search(ivf, queries, idCol, vecCol, k, nprobe = b)))
+      val pq = Pq.build(corpus, idCol, vecCol, m, ksub, seed, maxIter = 10)
+      val pqRows = budgets.map(b => measure("pq", b,
+        Pq.searchRefined(pq, corpus, idCol, vecCol,
+          queries, idCol, vecCol, k, refine = b)))
+      val ivfpq = IvfPq.build(corpus, idCol, vecCol, nlist, m, ksub, seed,
+        nassign = 2)
+      val ivfpqRows = budgets.map(b => measure("ivfpq", b,
+        IvfPq.searchRefined(ivfpq, corpus, idCol, vecCol,
+          queries, idCol, vecCol, k, nprobe = b, refine = 4)))
+      val dim = corpus.where(col(vecCol).isNotNull)
+        .select(size(col(vecCol)).as("d")).head().getInt(0)
+      val basis = graft.similarity.Pca.fit(corpus, vecCol, k = dim)
+      def rotate(df: DataFrame) = graft.similarity.Pca
+        .opqRotate(df, vecCol, basis, m, "__rv")
+        .select(col(idCol), col("__rv").as(vecCol))
+      val rotCorpus = rotate(corpus)
+      val opq = Pq.build(rotCorpus, idCol, vecCol, m, ksub, seed,
+        maxIter = 10)
+      val rotQueries = rotate(queries)
+      val opqRows = budgets.map(b => measure("opq", b,
+        Pq.searchRefined(opq, rotCorpus, idCol, vecCol,
+          rotQueries, idCol, vecCol, k, refine = b)))
+      (ivfRows ++ pqRows ++ ivfpqRows ++ opqRows)
+        .map { case (kind, b, hits) =>
+          (kind, b, k, nQueries, hits, total,
+            BigDecimal(if (total == 0L) 1.0 else hits.toDouble / total)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .toDF("index_kind", "budget", "k", "n_queries", "hits", "total",
+          "recall")
+    } finally exact.unpersist()
+  }
+
   def recallAgainstExact(exact: DataFrame, approx: DataFrame): Double = {
     val hits = exact.select("q_id", "id")
       .join(approx.select("q_id", "id"), Seq("q_id", "id"), "left_semi").count()
@@ -1784,70 +1869,103 @@ object Ann {
       directions: Int = 8,
       grid: Int = 32,
       salt: Long = 7L,
-      maxSlices: Int = 64): DataFrame = {
+      maxSlices: Int = 64): DataFrame =
+    swFromValueCounts(
+      swProjections(df, sliceCol, vecCol, directions, salt)
+        .groupBy(col("__k"), col("__d"), col("__v"))
+        .agg(count(lit(1)).as("__c")),
+      directions, grid, maxSlices)
+
+  /** SRP projections `(__k, __d, __v)` of the non-null-slice rows —
+    * [[slicedWasserstein]]'s front end, shared with the streaming
+    * projection-count sink
+    * ([[graft.streaming.StreamingOps.swProjectionSink]]). NULL vectors
+    * refused loudly; NULL slice keys drop.
+    */
+  private[graft] def swProjections(
+      df: DataFrame,
+      sliceCol: String,
+      vecCol: String,
+      directions: Int,
+      salt: Long): DataFrame = {
     require(directions >= 1 && directions <= 64,
       s"directions must be in 1..64, got $directions")
-    require(grid >= 1 && grid <= 1024, s"grid must be in 1..1024, got $grid")
-    require(maxSlices >= 2 && maxSlices <= 1024,
-      s"maxSlices must be in 2..1024, got $maxSlices")
     val nullVecs = df.where(col(sliceCol).isNotNull && col(vecCol).isNull)
       .limit(1).count()
     require(nullVecs == 0L,
       s"slicedWasserstein: NULL `$vecCol` rows present — a null vector " +
         "has no projection; filter deliberately upstream")
-    val proj = graft.core.Caches.pin(df.where(col(sliceCol).isNotNull)
+    df.where(col(sliceCol).isNotNull)
       .select(col(sliceCol).cast("string").as("__k"),
         posexplode(graft.functions.VectorFunctions.srpProject(
           transform(col(vecCol), x => x.cast("double")),
-          directions, salt)).as(Seq("__d", "__v"))))
+          directions, salt)).as(Seq("__d", "__v")))
+  }
+
+  /** [[slicedWasserstein]]'s back end over a per-(slice, direction)
+    * VALUE-COUNT table `(__k, __d, __v, __c)` — split out because
+    * value counts are SUM-MERGEABLE (the quantile grid is not), so the
+    * streaming sink logs exactly these cells and
+    * [[graft.streaming.StreamingOps.swFromLog]] replays this function
+    * over the folded log, equal to the batch operator on the union.
+    */
+  private[graft] def swFromValueCounts(
+      vc: DataFrame,
+      directions: Int,
+      grid: Int,
+      maxSlices: Int): DataFrame = {
+    require(grid >= 1 && grid <= 1024, s"grid must be in 1..1024, got $grid")
+    require(maxSlices >= 2 && maxSlices <= 1024,
+      s"maxSlices must be in 2..1024, got $maxSlices")
+    // per-(slice, direction) ranks WITHOUT a per-key sort window (a
+    // corpus-sized slice would pin one task): the value-count table
+    // collapses ties (tied rows carry the same VALUE, which is all the
+    // rank selects), then exclusive prefix counts via the repo's
+    // keyedRangePrefix discipline — range-repartition +
+    // per-physical-partition prefixes + broadcast offsets.
+    // pin the value-count table: the slice guard, the totals and the
+    // rank prefix all read it, and its parent is a corpus pass
+    val vcp = graft.core.Caches.pin(vc)
     try {
-      val nSlices = proj.agg(countDistinct(col("__k")).as("__ns"))
-        .head().getAs[Long]("__ns")
-      require(nSlices >= 2,
-        "slicedWasserstein: fewer than 2 non-null slices — nothing to compare")
-      require(nSlices <= maxSlices,
-        s"slicedWasserstein: $nSlices distinct slices (> maxSlices=" +
-          s"$maxSlices) — the quantile pair join is quadratic in slices; " +
-          "this operator compares corpus SLICES, not documents")
-      // per-(slice, direction) ranks WITHOUT a per-key sort window (a
-      // corpus-sized slice would pin one task): collapse to a
-      // value-count table (ties carry the same VALUE, which is all the
-      // rank selects), then exclusive prefix counts via the repo's
-      // keyedRangePrefix discipline — range-repartition +
-      // per-physical-partition prefixes + broadcast offsets.
-      val vc = proj.groupBy(col("__k"), col("__d"), col("__v"))
-        .agg(count(lit(1)).as("__c"))
-      val pre = graft.operators.Validation.keyedRangePrefix(
-        vc, Seq("__k", "__d"), "__v", "__c", "__pre")
-      val totals = pre.groupBy(col("__k"), col("__d"))
-        .agg(sum(col("__c")).as("__n"))
-      val ranked = pre.join(broadcast(totals), Seq("__k", "__d"))
-      // nearest-rank grid: r(g) = ceil(g·n/(G+1)) = (g·n + G) DIV (G+1),
-      // pure integer arithmetic — engine-exact; the value at rank r is
-      // the count-table row with __pre < r <= __pre + __c. The grid
-      // side is G broadcast rows, so the theta join is one linear
-      // pass ×G over the VALUES-sized table.
-      val quants = ranked
-        .join(broadcast(df.sparkSession.range(1, grid + 1L)
-          .select(col("id").as("__g"))), // 1..G
-          expr(s"CAST((__g * __n + $grid) DIV ${grid + 1} AS BIGINT) > __pre") &&
-            expr(s"CAST((__g * __n + $grid) DIV ${grid + 1} AS BIGINT) " +
-              "<= __pre + __c"))
-        .select(col("__k"), col("__d"), col("__g"), col("__v"), col("__n"))
-      val a = quants.select(col("__k").as("key_a"), col("__d"), col("__g"),
-        col("__v").as("__va"), col("__n").as("n_a"))
-      val b = quants.select(col("__k").as("key_b"), col("__d"), col("__g"),
-        col("__v").as("__vb"), col("__n").as("n_b"))
-      a.join(b, Seq("__d", "__g"))
-        .where(col("key_a") < col("key_b"))
-        .groupBy(col("key_a"), col("key_b"))
-        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-          sum(round(abs(col("__va") - col("__vb")) * lit(1e9)).cast("long"))
-            .as("__s"))
-        .select(col("key_a"), col("key_b"), col("n_a"), col("n_b"),
-          round(col("__s").cast("double") /
-            lit(directions.toLong * grid) / lit(1e9), 6).as("sw"))
-        .localCheckpoint(true)
-    } finally proj.unpersist()
+    val totals = vcp.groupBy(col("__k"), col("__d"))
+      .agg(sum(col("__c")).as("__n"))
+    val nSlices = totals.agg(countDistinct(col("__k")).as("__ns"))
+      .head().getAs[Long]("__ns")
+    require(nSlices >= 2,
+      "slicedWasserstein: fewer than 2 non-null slices — nothing to compare")
+    require(nSlices <= maxSlices,
+      s"slicedWasserstein: $nSlices distinct slices (> maxSlices=" +
+        s"$maxSlices) — the quantile pair join is quadratic in slices; " +
+        "this operator compares corpus SLICES, not documents")
+    val pre = graft.operators.Validation.keyedRangePrefix(
+      vcp, Seq("__k", "__d"), "__v", "__c", "__pre")
+    val ranked = pre.join(broadcast(totals), Seq("__k", "__d"))
+    // nearest-rank grid: r(g) = ceil(g·n/(G+1)) = (g·n + G) DIV (G+1),
+    // pure integer arithmetic — engine-exact; the value at rank r is
+    // the count-table row with __pre < r <= __pre + __c. The grid
+    // side is G broadcast rows, so the theta join is one linear
+    // pass ×G over the VALUES-sized table.
+    val quants = ranked
+      .join(broadcast(vc.sparkSession.range(1, grid + 1L)
+        .select(col("id").as("__g"))), // 1..G
+        expr(s"CAST((__g * __n + $grid) DIV ${grid + 1} AS BIGINT) > __pre") &&
+          expr(s"CAST((__g * __n + $grid) DIV ${grid + 1} AS BIGINT) " +
+            "<= __pre + __c"))
+      .select(col("__k"), col("__d"), col("__g"), col("__v"), col("__n"))
+    val a = quants.select(col("__k").as("key_a"), col("__d"), col("__g"),
+      col("__v").as("__va"), col("__n").as("n_a"))
+    val b = quants.select(col("__k").as("key_b"), col("__d"), col("__g"),
+      col("__v").as("__vb"), col("__n").as("n_b"))
+    a.join(b, Seq("__d", "__g"))
+      .where(col("key_a") < col("key_b"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(round(abs(col("__va") - col("__vb")) * lit(1e9)).cast("long"))
+          .as("__s"))
+      .select(col("key_a"), col("key_b"), col("n_a"), col("n_b"),
+        round(col("__s").cast("double") /
+          lit(directions.toLong * grid) / lit(1e9), 6).as("sw"))
+      .localCheckpoint(true)
+    } finally vcp.unpersist()
   }
 }

@@ -1221,6 +1221,71 @@ object StreamingOps {
         .groupBy(col("__v"), col("__is_null"))
         .agg(sum(col("__kcnt")).as("__c")))
 
+  /** Stream embedding rows into a sum-mergeable SLICED-WASSERSTEIN
+    * projection-count log: the quantile grid itself is NOT
+    * sum-mergeable, but the per-(slice, direction, projection-value)
+    * counts it is computed FROM are (the [[valueCountSink]] shape) —
+    * each micro-batch writes the SRP projection value-count cells of
+    * its rows under the stat-log `sum` fold law, and [[swFromLog]]
+    * replays the batch quantile/pair back end over the folded log,
+    * EQUAL to [[graft.operators.Ann.slicedWasserstein]] on everything
+    * delivered. The standing embedding-geometry drift monitor: stream
+    * production vectors as they land, read the pairwise slice drift
+    * whenever the dashboard asks. `directions`/`salt` are FROZEN per
+    * log (cells from different projection matrices must never merge —
+    * pass the same values at read time; [[swFromLog]] validates the
+    * direction count loudly). NULL vectors are refused per batch with
+    * the batch operator's contract; NULL slice keys drop.
+    */
+  def swProjectionSink(
+      vectors: DataFrame,
+      sliceCol: String,
+      vecCol: String,
+      logPath: String,
+      directions: Int = 8,
+      salt: Long = 7L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(directions >= 1 && directions <= 64,
+      s"directions must be in 1..64, got $directions")
+    StatLog.writeKind(vectors.sparkSession, logPath, "sum")
+    vectors.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Ann.swProjections(
+              batch.toDF(), sliceCol, vecCol, directions, salt)
+            .groupBy(col("__k"), col("__d"), col("__v"))
+            .agg(count(lit(1)).as("__kcnt"))
+            .write.mode("overwrite")
+            .parquet(f"$logPath/batch=b$batchId%012d")
+    }
+  }
+
+  /** The standing pairwise sliced-Wasserstein drift over everything
+    * delivered to a [[swProjectionSink]] log — equal to the batch
+    * [[graft.operators.Ann.slicedWasserstein]] on the union (same
+    * output columns, same integer-exact term quantization).
+    * `directions` must match the sink's frozen value — validated
+    * loudly against the logged direction ids.
+    */
+  def swFromLog(
+      spark: SparkSession,
+      logPath: String,
+      directions: Int = 8,
+      grid: Int = 32,
+      maxSlices: Int = 64): DataFrame = {
+    val vc = StatLog.read(spark, logPath)
+      .groupBy(col("__k"), col("__d"), col("__v"))
+      .agg(sum(col("__kcnt")).as("__c"))
+    val dStats = vc.agg(countDistinct(col("__d")).as("__nd"),
+      max(col("__d")).as("__maxd")).head()
+    require(dStats.getAs[Long]("__nd") == directions.toLong &&
+      dStats.getAs[Int]("__maxd") == directions - 1,
+      s"swFromLog: log carries ${dStats.getAs[Long]("__nd")} direction " +
+        s"ids (max ${dStats.get(1)}), caller asked for $directions — " +
+        "directions/salt are frozen per log; read with the sink's values")
+    graft.operators.Ann.swFromValueCounts(vc, directions, grid, maxSlices)
+  }
+
   /** Stream scored+labeled eval rows into a sum-mergeable AUC log: the
     * Mann–Whitney statistic reads only per-distinct-score (pos, neg)
     * totals, which are additive — each micro-batch writes its own

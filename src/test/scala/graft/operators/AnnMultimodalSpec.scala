@@ -893,6 +893,44 @@ class AnnMultimodalSpec extends SparkTestBase {
     assert(e.getMessage.contains("SLICES"), e.getMessage)
   }
 
+  test("recallAudit: pinned regression table across IVF/PQ/IVF-PQ/OPQ budgets") {
+    // one diffable table instead of scattered per-spec floors: every
+    // stage is deterministic, so these recalls are EXACT pins — an
+    // intentional quantizer change must update this table consciously
+    val queries = embeddings.filter($"vec_id" < 10)
+    val table = Ann.recallAudit(embeddings, queries, "vec_id", "embedding",
+      k = 5, budgets = Seq(1, 2, 4), nlist = 16, m = 8, ksub = 32)
+      .collect().map(r => (r.getAs[String]("index_kind"),
+        r.getAs[Int]("budget")) -> r.getAs[Double]("recall")).toMap
+    println("[recallAudit] " + table.toSeq.sortBy(_._1).mkString(", "))
+    // shape: 4 kinds x 3 budgets, all well-defined
+    assert(table.size == 12)
+    assert(table.values.forall(r => r >= 0.0 && r <= 1.0))
+    // budget monotonicity per family (more probes / wider shortlist
+    // never lose recall on a fixed deterministic index)
+    Seq("ivf", "pq", "ivfpq", "opq").foreach { kind =>
+      assert(table((kind, 1)) <= table((kind, 2)) + 1e-9 &&
+        table((kind, 2)) <= table((kind, 4)) + 1e-9,
+        s"$kind recall not monotone in budget: " +
+          Seq(1, 2, 4).map(b => table((kind, b))).mkString(", "))
+    }
+    // the EXACT pinned table at this audit's operating point (nlist=16,
+    // nassign=2, m=8, ksub=32, k=5 over the sf0.001 fixture). The
+    // historical per-operating-point floors stay in their own tests
+    // above (IVF nassign=3/nprobe=6 >= 0.9, PQ m=16/ksub=64 >= 0.85, …);
+    // this table is the cross-family regression record.
+    val pinned = Map(
+      ("ivf", 1) -> 0.44, ("ivf", 2) -> 0.64, ("ivf", 4) -> 0.86,
+      ("pq", 1) -> 0.42, ("pq", 2) -> 0.5, ("pq", 4) -> 0.62,
+      ("ivfpq", 1) -> 0.4, ("ivfpq", 2) -> 0.54, ("ivfpq", 4) -> 0.66,
+      ("opq", 1) -> 0.42, ("opq", 2) -> 0.54, ("opq", 4) -> 0.64)
+    assert(table == pinned,
+      s"recall table drifted:\n got $table\n want $pinned")
+    // the OPQ rotation must not lose recall vs flat PQ at the widest
+    // budget (the allocation's whole point)
+    assert(table(("opq", 4)) >= table(("pq", 4)))
+  }
+
   test("slicedWasserstein: partition-invariant, no per-(slice, direction) sort window") {
     // ranks ride keyedRangePrefix (range-repartition + per-physical-
     // partition prefixes + broadcast offsets): a corpus-sized slice

@@ -1339,6 +1339,47 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally { qB.stop(); qA.stop() }
   }
 
+  test("swProjectionSink + swFromLog equals the batch slicedWasserstein") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_sw_log_").toString
+    val log = root + "/sw"
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Seq[Double])]
+    val q = StreamingOps.swProjectionSink(src.toDS().toDF("k", "vec"),
+        "k", "vec", log, directions = 8, salt = 7L)
+      .option("checkpointLocation", root + "/ck").start()
+    def vec(i: Int) = Seq(i.toDouble, 2.0 * i, (i % 7).toDouble)
+    val b1 = (1 to 15).map(i => (if (i % 3 == 0) "A" else "B", vec(i)))
+    val b2 = (16 to 40).map(i =>
+      (if (i % 4 == 0) "C" else if (i % 2 == 0) "A" else "B", vec(i * 3)))
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = {
+        val m = df.collect().map(r => (r.getAs[String]("key_a"),
+          r.getAs[String]("key_b")) -> ((r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Double]("sw")))).toMap
+        graft.core.Caches.releaseCheckpoint(df)
+        m
+      }
+      val streamed = rows(StreamingOps.swFromLog(spark, log,
+        directions = 8, grid = 32))
+      val batch = rows(graft.operators.Ann.slicedWasserstein(
+        (b1 ++ b2).toDF("k", "vec"), "k", "vec",
+        directions = 8, grid = 32, salt = 7L))
+      assert(streamed == batch, s"standing $streamed vs batch $batch")
+      assert(streamed.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+      // the fold is a no-op for the standing read
+      StreamingOps.compactStatLog(spark, log)
+      assert(rows(StreamingOps.swFromLog(spark, log,
+        directions = 8, grid = 32)) == batch)
+      // frozen-parameter contract: a mismatched direction count refuses
+      val e = intercept[IllegalArgumentException](
+        StreamingOps.swFromLog(spark, log, directions = 4))
+      assert(e.getMessage.contains("frozen"), e.getMessage)
+    } finally q.stop()
+  }
+
   test("aucLogSink: standing AUC equals the batch eval; fold is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft_auc_log_").toString
