@@ -2529,6 +2529,51 @@ object SparkEntry {
       operators.TextAnalysis.vocabularyCoverage(
         t(s, dir, "documents"), Seq("source"), "text")),
 
+    // ---- term burstiness (Church & Gale 1995): Fisher dispersion +
+    // adaptation per vocabulary type over the whole corpus ----
+    "q_burstiness" -> ((s, dir) =>
+      operators.TextAnalysis.termBurstiness(
+        t(s, dir, "documents"), "doc_id", "text", minDocs = 5L)),
+
+    // ---- distinct-n diversity per source (Li 2016): mode-collapse
+    // audit before synthetic data enters the mix ----
+    "q_distinct_ngrams" -> ((s, dir) =>
+      operators.TextAnalysis.distinctNgrams(
+        t(s, dir, "documents"), "source", "text", maxN = 3)),
+
+    // ---- n-gram novelty vs a reference split (RAVEN-style
+    // memorization audit): every 7th doc scored against the rest ----
+    "q_ngram_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.TextAnalysis.ngramNovelty(
+        docs.where(col("doc_id") % 7 === 0), "doc_id", "text",
+        docs.where(col("doc_id") % 7 =!= 0), "text", n = 3)
+    }),
+
+    // ---- Heaps' law vocabulary-growth fit over the doc_id walk ----
+    "q_heaps" -> ((s, dir) =>
+      operators.TextAnalysis.heapsLaw(
+        t(s, dir, "documents"), "doc_id", "text", maxPoints = 256)),
+
+    // ---- corpus BLEU between consecutive-doc pairs (ref = doc,
+    // hyp = next doc): the eval-harness staple, one corpus row ----
+    "q_bleu" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = d.join(
+        d.select((col("doc_id") - 1).as("doc_id"), col("text").as("hyp")),
+        Seq("doc_id"))
+      operators.RankEval.corpusBleu(pairs, "doc_id", "text", "hyp")
+    }),
+
+    // ---- sentence-level chrF over the same consecutive-doc pairs ----
+    "q_chrf" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = d.join(
+        d.select((col("doc_id") - 1).as("doc_id"), col("text").as("hyp")),
+        Seq("doc_id"))
+      operators.RankEval.chrfScore(pairs, "doc_id", "text", "hyp")
+    }),
+
     // ---- T5 span-corruption pairs (Raffel 2020 §3.1.4): block-gridded
     // sha spans, numbered sentinels, denoising input/target per doc ----
     "q_span_corruption" -> ((s, dir) =>
@@ -5472,6 +5517,288 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(agg.n_trigrams, 0)::BIGINT AS n_trigrams,
         |  agg.avg_nll
         |FROM score_docs d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+    "q_burstiness" ->
+      """WITH dt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    coalesce(text, ''), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |dc AS (
+        |  SELECT doc_id, w, count(*)::BIGINT AS c
+        |  FROM dt CROSS JOIN unnest(toks) u(w) GROUP BY doc_id, w),
+        |st AS (
+        |  SELECT w, count(*)::BIGINT AS n_docs,
+        |    CAST(sum(c) AS BIGINT) AS total,
+        |    CAST(sum(c * c) AS BIGINT) AS s2,
+        |    count(CASE WHEN c >= 2 THEN 1 END)::BIGINT AS d2
+        |  FROM dc GROUP BY w)
+        |SELECT w AS term, n_docs, total,
+        |  round((nn.n::DOUBLE * s2::DOUBLE - total::DOUBLE * total::DOUBLE)
+        |    / (nn.n::DOUBLE * total::DOUBLE), 6) AS vmr,
+        |  round(d2::DOUBLE / n_docs::DOUBLE, 6) AS adaptation
+        |FROM st CROSS JOIN nn
+        |WHERE n_docs >= 5""".stripMargin,
+    "q_distinct_ngrams" ->
+      """WITH dt AS (
+        |  SELECT source, list_filter(string_split_regex(
+        |    coalesce(text, ''), '\s+'), t -> t <> '') AS toks
+        |  FROM documents WHERE source IS NOT NULL),
+        |g AS (
+        |  SELECT source, CAST(n AS INTEGER) AS n,
+        |    array_to_string(toks[CAST(i AS INTEGER):
+        |      CAST(i AS INTEGER) + CAST(n AS INTEGER) - 1], ' ') AS gram
+        |  FROM dt CROSS JOIN range(1, 4) t(n)
+        |  CROSS JOIN unnest(range(1,
+        |    greatest(len(toks) - CAST(n AS INTEGER) + 1, 0) + 1)) r(i))
+        |SELECT source, n, count(*)::BIGINT AS total_ngrams,
+        |  count(DISTINCT gram)::BIGINT AS distinct_ngrams,
+        |  round(count(DISTINCT gram)::DOUBLE / count(*)::DOUBLE, 6)
+        |    AS distinct_ratio
+        |FROM g GROUP BY source, n""".stripMargin,
+    "q_ngram_novelty" ->
+      """WITH sd AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    coalesce(text, ''), '\s+'), t -> t <> '') AS toks
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |rd AS (
+        |  SELECT list_filter(string_split_regex(
+        |    coalesce(text, ''), '\s+'), t -> t <> '') AS toks
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |rg AS (
+        |  SELECT DISTINCT array_to_string(
+        |    toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS g
+        |  FROM rd CROSS JOIN unnest(range(1,
+        |    greatest(len(toks) - 2, 0) + 1)) r(i)),
+        |dg AS (
+        |  SELECT doc_id, array_to_string(
+        |    toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS g
+        |  FROM sd CROSS JOIN unnest(range(1,
+        |    greatest(len(toks) - 2, 0) + 1)) r(i)),
+        |sc AS (
+        |  SELECT dg.doc_id, count(*)::BIGINT AS n_ngrams,
+        |    count(CASE WHEN rg.g IS NULL THEN 1 END)::BIGINT AS novel_ngrams
+        |  FROM dg LEFT JOIN rg ON dg.g = rg.g GROUP BY dg.doc_id)
+        |SELECT d.doc_id, coalesce(sc.n_ngrams, 0)::BIGINT AS n_ngrams,
+        |  coalesce(sc.novel_ngrams, 0)::BIGINT AS novel_ngrams,
+        |  round(sc.novel_ngrams::DOUBLE / sc.n_ngrams::DOUBLE, 6) AS novelty
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
+        |LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+    "q_heaps" ->
+      """WITH dt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    coalesce(text, ''), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |d0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok, toks
+        |  FROM dt WHERE len(toks) > 0),
+        |mint AS (
+        |  SELECT mid AS doc_id, count(*)::BIGINT AS minted FROM (
+        |    SELECT w, min(doc_id) AS mid
+        |    FROM d0 CROSS JOIN unnest(toks) u(w) GROUP BY w)
+        |  GROUP BY mid),
+        |cur AS (
+        |  SELECT d0.doc_id, ntok, coalesce(minted, 0) AS minted
+        |  FROM d0 LEFT JOIN mint ON d0.doc_id = mint.doc_id),
+        |cum AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) AS idx,
+        |    CAST(sum(ntok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS ct,
+        |    CAST(sum(minted) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cv
+        |  FROM cur),
+        |params AS (SELECT count(*)::BIGINT AS nd,
+        |  CAST((count(*) + 255) // 256 AS BIGINT) AS step FROM cur),
+        |pts AS (
+        |  SELECT CAST(round(ln(ct::DOUBLE) * 1e6) AS BIGINT) AS x,
+        |    CAST(round(ln(cv::DOUBLE) * 1e6) AS BIGINT) AS y
+        |  FROM cum CROSS JOIN params WHERE idx % step = 0),
+        |mo AS (SELECT count(*)::BIGINT AS kk, CAST(sum(x) AS BIGINT) AS sx,
+        |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx FROM pts),
+        |fit AS (
+        |  SELECT (SELECT nd FROM params) AS n_docs, kk AS n_points,
+        |    (SELECT max(ct) FROM cum) AS n_tokens,
+        |    (SELECT max(cv) FROM cum) AS n_types,
+        |    CAST(kk::HUGEINT * sxy::HUGEINT - sx::HUGEINT * sy::HUGEINT
+        |        AS DOUBLE)
+        |      / CAST(kk::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sx::HUGEINT
+        |        AS DOUBLE) AS beta,
+        |    sx, sy FROM mo)
+        |SELECT n_docs, n_points, n_tokens, n_types,
+        |  round(beta, 6) AS beta,
+        |  round(exp((sy::DOUBLE / 1e6 - beta * (sx::DOUBLE / 1e6))
+        |    / n_points::DOUBLE), 6) AS k
+        |FROM fit""".stripMargin,
+    "q_bleu" ->
+      """WITH pairs AS (
+        |  SELECT d.doc_id AS id,
+        |    list_filter(string_split_regex(coalesce(d.text, ''), '\s+'),
+        |      t -> t <> '') AS rtoks,
+        |    list_filter(string_split_regex(coalesce(h.text, ''), '\s+'),
+        |      t -> t <> '') AS htoks
+        |  FROM documents d JOIN documents h ON h.doc_id = d.doc_id + 1),
+        |hg AS (
+        |  SELECT id, CAST(n AS INTEGER) AS n,
+        |    array_to_string(htoks[CAST(i AS INTEGER):
+        |      CAST(i AS INTEGER) + CAST(n AS INTEGER) - 1], ' ') AS g,
+        |    count(*)::BIGINT AS hc
+        |  FROM pairs CROSS JOIN range(1, 5) t(n)
+        |  CROSS JOIN unnest(range(1,
+        |    greatest(len(htoks) - CAST(n AS INTEGER) + 1, 0) + 1)) r(i)
+        |  GROUP BY id, n, g),
+        |rg AS (
+        |  SELECT id, CAST(n AS INTEGER) AS n,
+        |    array_to_string(rtoks[CAST(i AS INTEGER):
+        |      CAST(i AS INTEGER) + CAST(n AS INTEGER) - 1], ' ') AS g,
+        |    count(*)::BIGINT AS rc
+        |  FROM pairs CROSS JOIN range(1, 5) t(n)
+        |  CROSS JOIN unnest(range(1,
+        |    greatest(len(rtoks) - CAST(n AS INTEGER) + 1, 0) + 1)) r(i)
+        |  GROUP BY id, n, g),
+        |mm AS (SELECT hg.n, CAST(sum(least(hc, rc)) AS BIGINT) AS m
+        |  FROM hg JOIN rg ON hg.id = rg.id AND hg.n = rg.n AND hg.g = rg.g
+        |  GROUP BY hg.n),
+        |tt AS (SELECT n, CAST(sum(hc) AS BIGINT) AS t FROM hg GROUP BY n),
+        |lens AS (SELECT
+        |  CAST(coalesce(sum(len(htoks)), 0) AS BIGINT) AS hl,
+        |  CAST(coalesce(sum(len(rtoks)), 0) AS BIGINT) AS rl FROM pairs),
+        |cells AS (SELECT
+        |  coalesce((SELECT m FROM mm WHERE n = 1), 0) AS m1,
+        |  coalesce((SELECT t FROM tt WHERE n = 1), 0) AS t1,
+        |  coalesce((SELECT m FROM mm WHERE n = 2), 0) AS m2,
+        |  coalesce((SELECT t FROM tt WHERE n = 2), 0) AS t2,
+        |  coalesce((SELECT m FROM mm WHERE n = 3), 0) AS m3,
+        |  coalesce((SELECT t FROM tt WHERE n = 3), 0) AS t3,
+        |  coalesce((SELECT m FROM mm WHERE n = 4), 0) AS m4,
+        |  coalesce((SELECT t FROM tt WHERE n = 4), 0) AS t4)
+        |SELECT hl AS hyp_tokens, rl AS ref_tokens,
+        |  m1, t1, round(CASE WHEN t1 = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE m1::DOUBLE / t1::DOUBLE END, 6) AS p1,
+        |  m2, t2, round(CASE WHEN t2 = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE m2::DOUBLE / t2::DOUBLE END, 6) AS p2,
+        |  m3, t3, round(CASE WHEN t3 = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE m3::DOUBLE / t3::DOUBLE END, 6) AS p3,
+        |  m4, t4, round(CASE WHEN t4 = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE m4::DOUBLE / t4::DOUBLE END, 6) AS p4,
+        |  round(CASE WHEN hl = 0 THEN CAST(0.0 AS DOUBLE)
+        |    WHEN hl >= rl THEN CAST(1.0 AS DOUBLE)
+        |    ELSE exp(1.0 - rl::DOUBLE / hl::DOUBLE) END, 6) AS bp,
+        |  round(CASE WHEN m1 = 0 OR t1 = 0 OR m2 = 0 OR t2 = 0 OR m3 = 0
+        |      OR t3 = 0 OR m4 = 0 OR t4 = 0 OR hl = 0
+        |    THEN CAST(0.0 AS DOUBLE)
+        |    ELSE (CASE WHEN hl >= rl THEN CAST(1.0 AS DOUBLE)
+        |        ELSE exp(1.0 - rl::DOUBLE / hl::DOUBLE) END)
+        |      * exp((ln(m1::DOUBLE / t1::DOUBLE) + ln(m2::DOUBLE / t2::DOUBLE)
+        |        + ln(m3::DOUBLE / t3::DOUBLE) + ln(m4::DOUBLE / t4::DOUBLE))
+        |        / 4.0) END, 6) AS bleu
+        |FROM cells CROSS JOIN lens""".stripMargin,
+    "q_chrf" ->
+      """WITH pairs AS (
+        |  SELECT d.doc_id AS id,
+        |    regexp_replace(coalesce(d.text, ''), '\s+', '', 'g') AS rs,
+        |    regexp_replace(coalesce(h.text, ''), '\s+', '', 'g') AS hs
+        |  FROM documents d JOIN documents h ON h.doc_id = d.doc_id + 1),
+        |hg AS (
+        |  SELECT id, CAST(n AS INTEGER) AS n,
+        |    substring(hs, CAST(i AS INTEGER), CAST(n AS INTEGER)) AS g,
+        |    count(*)::BIGINT AS hc
+        |  FROM pairs CROSS JOIN range(1, 7) t(n)
+        |  CROSS JOIN unnest(range(1,
+        |    greatest(length(hs) - CAST(n AS INTEGER) + 1, 0) + 1)) r(i)
+        |  GROUP BY id, n, g),
+        |rgg AS (
+        |  SELECT id, CAST(n AS INTEGER) AS n,
+        |    substring(rs, CAST(i AS INTEGER), CAST(n AS INTEGER)) AS g,
+        |    count(*)::BIGINT AS rc
+        |  FROM pairs CROSS JOIN range(1, 7) t(n)
+        |  CROSS JOIN unnest(range(1,
+        |    greatest(length(rs) - CAST(n AS INTEGER) + 1, 0) + 1)) r(i)
+        |  GROUP BY id, n, g),
+        |mm AS (SELECT hg.id, hg.n, CAST(sum(least(hc, rc)) AS BIGINT) AS m
+        |  FROM hg JOIN rgg ON hg.id = rgg.id AND hg.n = rgg.n
+        |    AND hg.g = rgg.g
+        |  GROUP BY hg.id, hg.n),
+        |ht AS (SELECT id, n, CAST(sum(hc) AS BIGINT) AS ht
+        |  FROM hg GROUP BY id, n),
+        |rt AS (SELECT id, n, CAST(sum(rc) AS BIGINT) AS rt
+        |  FROM rgg GROUP BY id, n),
+        |cells AS (
+        |  SELECT id, n, ht, rt, m
+        |  FROM ht FULL JOIN rt USING (id, n) LEFT JOIN mm USING (id, n)),
+        |piv AS (
+        |  SELECT id,
+        |    coalesce(CAST(sum(
+        |      CASE WHEN n = 1 THEN m END) AS BIGINT), 0) AS m1,
+        |    coalesce(CAST(sum(
+        |      CASE WHEN n = 1 THEN ht END) AS BIGINT), 0) AS ht1,
+        |    coalesce(CAST(sum(
+        |      CASE WHEN n = 1 THEN rt END) AS BIGINT), 0) AS rt1,
+        |    coalesce(CAST(sum(
+        |      CASE WHEN n = 2 THEN m END) AS BIGINT), 0) AS m2,
+        |    coalesce(CAST(sum(
+        |      CASE WHEN n = 2 THEN ht END) AS BIGINT), 0) AS ht2,
+        |    coalesce(CAST(sum(
+        |      CASE WHEN n = 2 THEN rt END) AS BIGINT), 0) AS rt2,
+        |    coalesce(CAST(sum(
+        |      CASE WHEN n = 3 THEN m END) AS BIGINT), 0) AS m3,
+        |    coalesce(CAST(sum(
+        |      CASE WHEN n = 3 THEN ht END) AS BIGINT), 0) AS ht3,
+        |    coalesce(CAST(sum(
+        |      CASE WHEN n = 3 THEN rt END) AS BIGINT), 0) AS rt3,
+        |    coalesce(CAST(sum(
+        |      CASE WHEN n = 4 THEN m END) AS BIGINT), 0) AS m4,
+        |    coalesce(CAST(sum(
+        |      CASE WHEN n = 4 THEN ht END) AS BIGINT), 0) AS ht4,
+        |    coalesce(CAST(sum(
+        |      CASE WHEN n = 4 THEN rt END) AS BIGINT), 0) AS rt4,
+        |    coalesce(CAST(sum(
+        |      CASE WHEN n = 5 THEN m END) AS BIGINT), 0) AS m5,
+        |    coalesce(CAST(sum(
+        |      CASE WHEN n = 5 THEN ht END) AS BIGINT), 0) AS ht5,
+        |    coalesce(CAST(sum(
+        |      CASE WHEN n = 5 THEN rt END) AS BIGINT), 0) AS rt5,
+        |    coalesce(CAST(sum(
+        |      CASE WHEN n = 6 THEN m END) AS BIGINT), 0) AS m6,
+        |    coalesce(CAST(sum(
+        |      CASE WHEN n = 6 THEN ht END) AS BIGINT), 0) AS ht6,
+        |    coalesce(CAST(sum(
+        |      CASE WHEN n = 6 THEN rt END) AS BIGINT), 0) AS rt6
+        |  FROM cells GROUP BY id),
+        |sc AS (
+        |  SELECT pairs.id,
+        |    (CASE WHEN coalesce(ht1, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE coalesce(m1, 0)::DOUBLE / coalesce(ht1, 0)::DOUBLE END
+        |     + CASE WHEN coalesce(ht2, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE coalesce(m2, 0)::DOUBLE / coalesce(ht2, 0)::DOUBLE END
+        |     + CASE WHEN coalesce(ht3, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE coalesce(m3, 0)::DOUBLE / coalesce(ht3, 0)::DOUBLE END
+        |     + CASE WHEN coalesce(ht4, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE coalesce(m4, 0)::DOUBLE / coalesce(ht4, 0)::DOUBLE END
+        |     + CASE WHEN coalesce(ht5, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE coalesce(m5, 0)::DOUBLE / coalesce(ht5, 0)::DOUBLE END
+        |     + CASE WHEN coalesce(ht6, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE coalesce(m6, 0)::DOUBLE / coalesce(ht6, 0)::DOUBLE END)
+        |      / 6.0 AS chrp,
+        |    (CASE WHEN coalesce(rt1, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE coalesce(m1, 0)::DOUBLE / coalesce(rt1, 0)::DOUBLE END
+        |     + CASE WHEN coalesce(rt2, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE coalesce(m2, 0)::DOUBLE / coalesce(rt2, 0)::DOUBLE END
+        |     + CASE WHEN coalesce(rt3, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE coalesce(m3, 0)::DOUBLE / coalesce(rt3, 0)::DOUBLE END
+        |     + CASE WHEN coalesce(rt4, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE coalesce(m4, 0)::DOUBLE / coalesce(rt4, 0)::DOUBLE END
+        |     + CASE WHEN coalesce(rt5, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE coalesce(m5, 0)::DOUBLE / coalesce(rt5, 0)::DOUBLE END
+        |     + CASE WHEN coalesce(rt6, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE coalesce(m6, 0)::DOUBLE / coalesce(rt6, 0)::DOUBLE END)
+        |      / 6.0 AS chrr
+        |  FROM pairs LEFT JOIN piv ON pairs.id = piv.id)
+        |SELECT id AS doc_id, round(chrp, 6) AS chrp, round(chrr, 6) AS chrr,
+        |  round(CASE WHEN chrp = 0.0 AND chrr = 0.0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE (CAST(1.0 AS DOUBLE) + 4.0) * chrp * chrr
+        |      / (4.0 * chrp + chrr) END, 6) AS chrf
+        |FROM sc""".stripMargin,
     "q_gopher_rules" ->
       """WITH base AS (
         |  SELECT doc_id, coalesce(text, '') AS text,

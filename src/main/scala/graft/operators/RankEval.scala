@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -425,6 +425,155 @@ object RankEval {
       .select(keys ++ Seq(col("n_shared"),
         round(lit((1.0 - p) / p) * col("__s").cast("double") / lit(1e9), 6)
           .as("rbo")): _*)
+  }
+
+  /** Corpus-level BLEU of a hypothesis column against a reference
+    * column (Papineni et al. 2002 — the MT/generation eval staple):
+    * modified n-gram precisions `p_n = Σ_seg clipped matches / Σ_seg
+    * hyp n-grams` for n = 1..4 (clipping per SEGMENT: a hypothesis
+    * n-gram counts at most as often as the reference holds it), the
+    * brevity penalty `BP = min(1, e^(1 − r/c))` over corpus token
+    * totals, and `BLEU = BP·exp(Σ ln p_n / 4)` — 0 when any order has
+    * zero matches (the corpus-BLEU convention; smoothing is a
+    * sentence-level concern).
+    *
+    * Exactness: match/total counts are exact LONGs; the final score is
+    * ONE fixed-order portable IEEE expression over them (`ln` on exact
+    * rationals — the q_kn_score empirical-agreement footing).
+    *
+    * Scale shape: one in-row n-gram build + explode per side, one
+    * (segment, order, gram) count join for the clipped matches, one
+    * scalar aggregate. Output ONE row: `(hyp_tokens, ref_tokens,
+    * m1, t1, p1, …, m4, t4, p4, bp, bleu)` with precisions rounded
+    * to 6 (bleu computed from the UNROUNDED rationals).
+    */
+  def corpusBleu(
+      df: DataFrame,
+      idCol: String,
+      refCol: String,
+      hypCol: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    def toks(c: Column): Column =
+      filter(split(coalesce(c, lit("")), "\\s+"), t => t =!= "")
+    def grams(t: Column, n: Int): Column = transform(
+      when(size(t) >= n, sequence(lit(1), size(t) - (n - 1)))
+        .otherwise(array().cast("array<int>")),
+      i => concat_ws(" ", slice(t, i, lit(n))))
+    def sideCounts(textCol: String, cname: String): DataFrame =
+      (1 to 4).map { n =>
+        df.select(col(idCol).as("__id"),
+            explode(grams(toks(col(textCol)), n)).as("__g"))
+          .groupBy(col("__id"), col("__g"))
+          .agg(count(lit(1)).as(cname))
+          .select(col("__id"), lit(n).as("__n"), col("__g"), col(cname))
+      }.reduce(_.unionAll(_))
+    val h = sideCounts(hypCol, "__hc")
+    val r = sideCounts(refCol, "__rc")
+    val matches = h.join(r, Seq("__id", "__n", "__g"))
+      .groupBy(col("__n"))
+      .agg(sum(least(col("__hc"), col("__rc"))).as("__m"))
+    val totals = h.groupBy(col("__n")).agg(sum(col("__hc")).as("__t"))
+    val lens = df.agg(
+      coalesce(sum(size(toks(col(hypCol)))), lit(0L)).cast("long")
+        .as("__hl"),
+      coalesce(sum(size(toks(col(refCol)))), lit(0L)).cast("long")
+        .as("__rl"))
+    val aggCols: Seq[Column] = (1 to 4).flatMap(n => Seq(
+      coalesce(sum(when(col("__n") === n, col("__m"))), lit(0L)).as(s"m$n"),
+      coalesce(sum(when(col("__n") === n, col("__t"))), lit(0L)).as(s"t$n")))
+    val cells = totals.join(matches, Seq("__n"), "left")
+      .select(col("__n"), col("__t"), coalesce(col("__m"), lit(0L)).as("__m"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val hl = col("__hl").cast("double")
+    val rl = col("__rl").cast("double")
+    def p(n: Int) = col(s"m$n").cast("double") / col(s"t$n").cast("double")
+    val bp = when(col("__hl") >= col("__rl"), lit(1.0))
+      .otherwise(exp(lit(1.0) - rl / hl))
+    val anyZero = (1 to 4).map(n =>
+      col(s"m$n") === 0L || col(s"t$n") === 0L).reduce(_ || _)
+    val bleu = when(anyZero || col("__hl") === 0L, lit(0.0))
+      .otherwise(bp * exp(
+        (log(p(1)) + log(p(2)) + log(p(3)) + log(p(4))) / lit(4.0)))
+    cells.crossJoin(lens)
+      .select(Seq(col("__hl").as("hyp_tokens"), col("__rl").as("ref_tokens"))
+        ++ (1 to 4).flatMap(n => Seq(col(s"m$n"), col(s"t$n"),
+          round(when(col(s"t$n") === 0L, lit(0.0)).otherwise(p(n)), 6)
+            .as(s"p$n")))
+        ++ Seq(round(when(col("__hl") === 0L, lit(0.0)).otherwise(bp), 6)
+            .as("bp"),
+          round(bleu, 6).as("bleu")): _*)
+  }
+
+  /** Sentence-level chrF between a hypothesis and a reference column
+    * (Popović 2015 — the character-n-gram F-score that correlates with
+    * human MT judgment at the segment level where BLEU's exact-word
+    * matching collapses, and the tokenization-free eval for
+    * morphology-rich languages): per document, character n-gram
+    * precision/recall for orders 1..6 over WHITESPACE-STRIPPED text,
+    * macro-averaged over the 6 orders (absent orders contribute 0 —
+    * the fixed-denominator convention), combined as
+    * `chrF = (1+β²)·P·R / (β²·P + R)` with β = 2 (recall-weighted).
+    *
+    * Exactness: per-order matches/totals are exact LONGs; the
+    * averages and F-score are ONE fixed-order portable IEEE chain
+    * (p1+…+p6 in literal order), rounded to 6.
+    *
+    * Scale shape: one in-row char-n-gram build + explode per side and
+    * order, one (doc, order, gram) count join for clipped matches, one
+    * doc-keyed conditional pivot (6 orders = fixed columns, never a
+    * wide shuffle), docs-sized output. Docs with both sides empty
+    * score (0, 0, 0). Output: `(idCol, chrp, chrr, chrf)`.
+    */
+  def chrfScore(
+      df: DataFrame,
+      idCol: String,
+      refCol: String,
+      hypCol: String,
+      beta: Double = 2.0): DataFrame = {
+    require(beta > 0.0 && beta <= 10.0, s"beta must be in (0, 10], got $beta")
+    def chars(c: Column): Column =
+      regexp_replace(coalesce(c, lit("")), "\\s+", "")
+    def grams(s: Column, n: Int): Column = transform(
+      when(length(s) >= n, sequence(lit(1), length(s) - (n - 1)))
+        .otherwise(array().cast("array<int>")),
+      i => s.substr(i, lit(n)))
+    def sideCounts(textCol: String, cname: String): DataFrame =
+      (1 to 6).map { n =>
+        df.select(col(idCol).as("__id"),
+            explode(grams(chars(col(textCol)), n)).as("__g"))
+          .groupBy(col("__id"), col("__g"))
+          .agg(count(lit(1)).as(cname))
+          .select(col("__id"), lit(n).as("__n"), col("__g"), col(cname))
+      }.reduce(_.unionAll(_))
+    val h = sideCounts(hypCol, "__hc")
+    val r = sideCounts(refCol, "__rc")
+    val m = h.join(r, Seq("__id", "__n", "__g"))
+      .groupBy(col("__id"), col("__n"))
+      .agg(sum(least(col("__hc"), col("__rc"))).as("__m"))
+    val ht = h.groupBy(col("__id"), col("__n")).agg(sum(col("__hc")).as("__ht"))
+    val rt = r.groupBy(col("__id"), col("__n")).agg(sum(col("__rc")).as("__rt"))
+    val cells = ht.join(rt, Seq("__id", "__n"), "full")
+      .join(m, Seq("__id", "__n"), "left")
+    val pivotCols: Seq[Column] = (1 to 6).flatMap(n => Seq(
+      coalesce(sum(when(col("__n") === n, col("__m"))), lit(0L)).as(s"m$n"),
+      coalesce(sum(when(col("__n") === n, col("__ht"))), lit(0L)).as(s"ht$n"),
+      coalesce(sum(when(col("__n") === n, col("__rt"))), lit(0L)).as(s"rt$n")))
+    val pivoted = cells.groupBy(col("__id"))
+      .agg(pivotCols.head, pivotCols.tail: _*)
+    def cl(name: String) = coalesce(col(name), lit(0L))
+    def pN(n: Int) = when(cl(s"ht$n") === 0L, lit(0.0))
+      .otherwise(cl(s"m$n").cast("double") / cl(s"ht$n").cast("double"))
+    def rN(n: Int) = when(cl(s"rt$n") === 0L, lit(0.0))
+      .otherwise(cl(s"m$n").cast("double") / cl(s"rt$n").cast("double"))
+    val chrp = (pN(1) + pN(2) + pN(3) + pN(4) + pN(5) + pN(6)) / lit(6.0)
+    val chrr = (rN(1) + rN(2) + rN(3) + rN(4) + rN(5) + rN(6)) / lit(6.0)
+    val b2 = lit(beta * beta)
+    val chrf = when(chrp === lit(0.0) && chrr === lit(0.0), lit(0.0))
+      .otherwise((lit(1.0) + b2) * chrp * chrr / (b2 * chrp + chrr))
+    df.select(col(idCol)).join(
+        pivoted.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), round(chrp, 6).as("chrp"),
+        round(chrr, 6).as("chrr"), round(chrf, 6).as("chrf"))
   }
 
   /** Paired bootstrap significance test between two systems' per-item

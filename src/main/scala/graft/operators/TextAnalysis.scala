@@ -2220,4 +2220,228 @@ object TextAnalysis {
         .localCheckpoint(true)
     } finally counts.unpersist()
   }
+
+  /** Heaps' law fit `V(N) = K·N^β` of vocabulary growth (Heaps 1978;
+    * Herdan 1960) — the "how fast does this source mint new types"
+    * audit behind tokenizer sizing, dedup health (a mirrored corpus
+    * grows vocabulary SLOWER than fresh text) and the T261 richness
+    * estimators: walk the corpus in ascending-`idCol` order, record
+    * the (cumulative tokens, cumulative distinct types) curve at up to
+    * `maxPoints` evenly-spaced document boundaries, and fit ln V =
+    * ln K + β·ln N by least squares. English prose sits near
+    * β ≈ 0.5; β drifting down across snapshots means the source is
+    * mining out.
+    *
+    * Exactness: the curve is pure INTEGER (types-minted-per-doc from
+    * one min-doc aggregate, prefix sums via [[graft.operators
+    * .Validation.rangePrefix]] — never a one-task sort); each sampled
+    * ln is micro-rounded at birth to a LONG, the five OLS moments are
+    * exact LONG sums (maxPoints ≤ 1024 keeps Σx·y inside 2^63), and
+    * the slope's 128-bit numerator/denominator are formed exactly on
+    * the driver before ONE round-to-nearest double division (the
+    * DuckDB twin does the same in HUGEINT).
+    *
+    * Scale shape: one corpus explode → (term, minDoc) aggregate, one
+    * docs-sized table with three rangePrefix passes, a ≤ maxPoints
+    * sample, one scalar aggregate. Zero-token docs are skipped (they
+    * advance nothing). Output one row:
+    * `(n_docs, n_points, n_tokens, n_types, beta, k)` rounded to 6.
+    */
+  def heapsLaw(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPoints: Int = 256): org.apache.spark.sql.DataFrame = {
+    require(maxPoints >= 2 && maxPoints <= 1024,
+      s"maxPoints must be in 2..1024, got $maxPoints")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toksDf = df.select(col(idCol).as("__id"),
+        tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) > 0)
+    val perDoc = toksDf.select(col("__id"), size(col("__t")).cast("long")
+      .as("__ntok"))
+    val minted = toksDf
+      .select(col("__id"), explode(col("__t")).as("__w"))
+      .groupBy(col("__w")).agg(min(col("__id")).as("__id"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__new"))
+    val docs0 = perDoc.join(minted, Seq("__id"), "left")
+      .select(col("__id"), col("__ntok"),
+        coalesce(col("__new"), lit(0L)).as("__new"))
+      .withColumn("__one", lit(1L))
+    val withTok = graft.operators.Validation.rangePrefix(
+      docs0, "__id", "__ntok", "__pt")
+    val withTyp = graft.operators.Validation.rangePrefix(
+      withTok, "__id", "__new", "__pv")
+    val cum = graft.operators.Validation.rangePrefix(
+      withTyp, "__id", "__one", "__pi")
+      .select((col("__pi") + 1L).as("__idx"),
+        (col("__pt") + col("__ntok")).as("__ct"),
+        (col("__pv") + col("__new")).as("__cv"))
+    val nDocs = docs0.count()
+    require(nDocs >= 2L,
+      s"heapsLaw: $nDocs non-empty doc(s) — no growth curve to fit")
+    val step = (nDocs + maxPoints - 1) / maxPoints
+    val moments = cum.where(col("__idx") % step === 0L)
+      .select(round(log(col("__ct").cast("double")) * 1e6).cast("long")
+          .as("__x"),
+        round(log(col("__cv").cast("double")) * 1e6).cast("long").as("__y"))
+      .agg(count(lit(1)).as("__k"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .head()
+    val k = moments.getAs[Long]("__k")
+    require(k >= 2L, s"heapsLaw: $k sampled point(s) — need >= 2")
+    val (sx, sy, sxy, sxx) = (moments.getAs[Long]("__sx"),
+      moments.getAs[Long]("__sy"), moments.getAs[Long]("__sxy"),
+      moments.getAs[Long]("__sxx"))
+    val num = BigInt(k) * BigInt(sxy) - BigInt(sx) * BigInt(sy)
+    val den = BigInt(k) * BigInt(sxx) - BigInt(sx) * BigInt(sx)
+    require(den != BigInt(0),
+      "heapsLaw: zero x-variance across sampled points — the curve " +
+        "degenerated (all samples at one cumulative-token value)")
+    val beta = num.toDouble / den.toDouble
+    val kD = k.toDouble
+    val intercept = (sy.toDouble / 1e6 - beta * (sx.toDouble / 1e6)) / kD
+    val bigK = math.exp(intercept)
+    val tot = cum.agg(max(col("__ct")).as("__t"), max(col("__cv")).as("__v"))
+      .head()
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((nDocs, k, tot.getAs[Long]("__t"), tot.getAs[Long]("__v"),
+        r6(beta), r6(bigK)))
+      .toDF("n_docs", "n_points", "n_tokens", "n_types", "beta", "k")
+  }
+
+  /** Term burstiness per vocabulary type (Church & Gale 1995's
+    * observation — content words are BURSTY, function words
+    * Poisson-like; tf statistics and naive LM smoothing both assume
+    * the latter): the Fisher dispersion index
+    * `VMR = (N·Σc² − (Σc)²) / (N·Σc)` of the term's per-document count
+    * over ALL `N` corpus docs (zeros included — they live entirely in
+    * the closed form), plus Church & Gale's ADAPTATION
+    * `P(c ≥ 2 | c ≥ 1) = docs₂₊/docs₁₊` — the "once it appears, does
+    * it keep appearing" repeat probability. VMR = 1 is Poisson;
+    * content words score ≫ 1. The audit feeding stopword lists, tf-idf
+    * sanity checks and topical-term mining.
+    *
+    * Exactness: Σc and Σc² are exact LONGs from one (doc, term) count
+    * table; VMR is one fixed-order portable IEEE expression over them,
+    * adaptation an exact LONG ratio — both rounded to 6.
+    *
+    * Scale shape: one corpus explode → (doc, term) map-side-combined
+    * groupBy → one types-sized aggregate; `minDocs` prunes the hapax
+    * tail where dispersion is meaningless. Output:
+    * `(term, n_docs, total, vmr, adaptation)`.
+    */
+  def termBurstiness(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Long = 5L): org.apache.spark.sql.DataFrame = {
+    require(minDocs >= 1L, s"minDocs must be >= 1, got $minDocs")
+    val n = df.count()
+    require(n >= 1L, "termBurstiness: empty corpus")
+    val nD = lit(n).cast("double")
+    val s1 = col("total").cast("double")
+    val s2 = col("__s2").cast("double")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__c")).as("total"),
+        sum(col("__c") * col("__c")).as("__s2"),
+        count(when(col("__c") >= 2L, 1)).as("__d2"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("__w").as("term"), col("n_docs"), col("total"),
+        round((nD * s2 - s1 * s1) / (nD * s1), 6).as("vmr"),
+        round(col("__d2").cast("double") / col("n_docs").cast("double"), 6)
+          .as("adaptation"))
+  }
+
+  /** Distinct-n generation-diversity audit per slice (Li et al. 2016's
+    * distinct-1/2/3 — the standard "is this synthetic/generated source
+    * collapsing onto a few phrases" check before such data enters a
+    * training mix): for each n-gram order, the corpus-level ratio of
+    * DISTINCT n-grams to total n-gram occurrences within the slice.
+    * A healthy natural-text slice keeps distinct-2/3 high; mode
+    * collapse drives them toward 0.
+    *
+    * Exactness: counts are exact LONGs, the ratio one division rounded
+    * to 6. Scale shape: one in-row n-gram build + explode per order
+    * (corpus-linear, no joins), one slice-keyed aggregate each, orders
+    * unioned. Slices with no order-n n-gram emit no row at that order
+    * (a 1-token slice has no bigrams); NULL slices drop. Output:
+    * `(sliceCol, n, total_ngrams, distinct_ngrams, distinct_ratio)`.
+    */
+  def distinctNgrams(
+      df: org.apache.spark.sql.DataFrame,
+      sliceCol: String,
+      textCol: String,
+      maxN: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in 1..8, got $maxN")
+    val base = df.where(col(sliceCol).isNotNull)
+      .select(col(sliceCol), tokens(col(textCol)).as("__t"))
+    (1 to maxN).map { n =>
+      base
+        .select(col(sliceCol), explode(transform(
+          when(size(col("__t")) >= n, sequence(lit(1),
+            size(col("__t")) - (n - 1)))
+            .otherwise(array().cast("array<int>")),
+          i => concat_ws(" ", slice(col("__t"), i, lit(n))))).as("__g"))
+        .groupBy(col(sliceCol))
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("__g")).as("distinct_ngrams"))
+        .select(col(sliceCol), lit(n).as("n"), col("total_ngrams"),
+          col("distinct_ngrams"),
+          round(col("distinct_ngrams").cast("double") /
+            col("total_ngrams").cast("double"), 6).as("distinct_ratio"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** N-gram novelty of each document against a reference corpus (the
+    * memorization/novelty audit of McCoy et al. 2021's RAVEN analysis:
+    * how much of a generated/suspect text is copied n-gram-for-n-gram
+    * from what the model saw): the fraction of the doc's n-gram
+    * OCCURRENCES whose type never appears in `refCorpus`. Low novelty
+    * at large n = verbatim regurgitation; decontamination reads the
+    * low tail, synthetic-data audits the high one.
+    *
+    * Scale shape: the reference reduces to its distinct n-gram TYPES
+    * once (map-side-combined), doc n-grams join that set on the gram
+    * key — corpus-linear, no windows. Docs with fewer than `n` tokens
+    * carry `n_ngrams = 0` and a NULL novelty. Output:
+    * `(idCol, n_ngrams, novel_ngrams, novelty)` with novelty =
+    * novel/total rounded to 6.
+    */
+  def ngramNovelty(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      refCorpus: org.apache.spark.sql.DataFrame,
+      refTextCol: String,
+      n: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && n <= 16, s"n must be in 1..16, got $n")
+    def grams(t: Column): Column = transform(
+      when(size(t) >= n, sequence(lit(1), size(t) - (n - 1)))
+        .otherwise(array().cast("array<int>")),
+      i => concat_ws(" ", slice(t, i, lit(n))))
+    val refGrams = refCorpus
+      .select(explode(grams(tokens(col(refTextCol)))).as("__g"))
+      .distinct()
+      .withColumn("__seen", lit(1))
+    val scored = docs
+      .select(col(idCol), explode(grams(tokens(col(textCol)))).as("__g"))
+      .join(refGrams, Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        count(when(col("__seen").isNull, 1)).as("novel_ngrams"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("novel_ngrams"), lit(0L)).as("novel_ngrams"),
+        round(col("novel_ngrams").cast("double") /
+          col("n_ngrams").cast("double"), 6).as("novelty"))
+  }
 }

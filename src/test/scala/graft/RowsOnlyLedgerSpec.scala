@@ -58,4 +58,29 @@ class RowsOnlyLedgerSpec extends AnyFunSuite {
     assert(orphans.isEmpty,
       s"oracle SQL without a query: ${orphans.toSeq.sorted.mkString(", ")}")
   }
+
+  test("no duplicate keys in the SparkEntry source maps") {
+    // a Scala Map literal keeps only the LAST binding for a duplicated
+    // key — a duplicate would silently shadow an existing query or
+    // oracle (round 16 nearly shipped a second q_gini this way). The
+    // runtime map cannot see the collision, so lint the source.
+    val src = {
+      val s = scala.io.Source.fromFile(
+        "src/main/scala/graft/SparkEntry.scala", "UTF-8")
+      try s.mkString finally s.close()
+    }
+    val oracleStart = src.indexOf("def oracleSql")
+    assert(oracleStart > 0)
+    val key = """"(q[0-9a-z_]+)"\s*->""".r
+    def dups(block: String): Seq[String] = {
+      val keys = key.findAllMatchIn(block).map(_.group(1)).toSeq
+      keys.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
+    }
+    val qDups = dups(src.substring(0, oracleStart))
+    val oDups = dups(src.substring(oracleStart))
+    assert(qDups.isEmpty, s"duplicate query keys (later shadows " +
+      s"earlier): ${qDups.mkString(", ")}")
+    assert(oDups.isEmpty, s"duplicate oracle keys (later shadows " +
+      s"earlier): ${oDups.mkString(", ")}")
+  }
 }

@@ -404,6 +404,99 @@ class CorpusOpsSpec extends SparkTestBase {
       TextAnalysis.kn3QualityScore(docs, "doc_id", "text", ref, "text", 1.5))
   }
 
+  test("termBurstiness: hand VMR/adaptation; bursty beats spread-out at equal totals") {
+    val docs = Seq((1L, "a a b"), (2L, "a b"), (3L, "b"), (4L, "c c c c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.termBurstiness(docs, "doc_id", "text", minDocs = 1L)
+      .collect().map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total"),
+          r.getAs[Double]("vmr"), r.getAs[Double]("adaptation")))).toMap
+    // N=4. a: counts (2,1,0,0) -> VMR=(4*5-9)/(4*3)=11/12; P(c>=2|c>=1)=1/2
+    assert(out("a") == ((2L, 3L, 0.916667, 0.5)), out("a").toString)
+    // b: (1,1,1,0) -> (12-9)/12 = 0.25 (sub-Poisson: spread out), adapt 0
+    assert(out("b") == ((3L, 3L, 0.25, 0.0)), out("b").toString)
+    // c: (0,0,0,4) -> (64-16)/16 = 3.0 (bursty), adapt 1
+    assert(out("c") == ((1L, 4L, 3.0, 1.0)), out("c").toString)
+    // same total, burstier wins
+    assert(out("c")._3 > out("b")._3)
+    // minDocs prunes
+    assert(TextAnalysis.termBurstiness(docs, "doc_id", "text", minDocs = 3L)
+      .collect().map(_.getAs[String]("term")).toSet == Set("b"))
+    intercept[IllegalArgumentException](TextAnalysis.termBurstiness(
+      spark.emptyDataFrame.selectExpr("1L as doc_id", "'x' as text")
+        .where(lit(false)), "doc_id", "text"))
+  }
+
+  test("distinctNgrams: hand ratios per order; mode collapse scores low") {
+    val docs = Seq(("A", "a b a b"), ("A", "a b"), ("B", "x"),
+      (null.asInstanceOf[String], "dropped")).toDF("src", "text")
+    val out = TextAnalysis.distinctNgrams(docs, "src", "text", maxN = 3)
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Int]("n")) ->
+        ((r.getAs[Long]("total_ngrams"), r.getAs[Long]("distinct_ngrams"),
+          r.getAs[Double]("distinct_ratio")))).toMap
+    assert(out(("A", 1)) == ((6L, 2L, 0.333333)), out.toString)
+    assert(out(("A", 2)) == ((4L, 2L, 0.5)))
+    assert(out(("A", 3)) == ((2L, 2L, 1.0)))
+    assert(out(("B", 1)) == ((1L, 1L, 1.0)))
+    // B has no bigrams/trigrams -> no rows; NULL slice dropped
+    assert(out.keySet == Set(("A", 1), ("A", 2), ("A", 3), ("B", 1)))
+    // a collapsed slice scores below a diverse one at order 2
+    val collapse = Seq(("gen", "yes yes yes yes yes")).toDF("src", "text")
+    val c = TextAnalysis.distinctNgrams(collapse, "src", "text", maxN = 2)
+      .collect().map(r => r.getAs[Int]("n") ->
+        r.getAs[Double]("distinct_ratio")).toMap
+    assert(c(2) == 0.25 && c(2) < out(("A", 2))._3)
+  }
+
+  test("ngramNovelty: copied text scores 0, fresh text 1, short docs NULL") {
+    val ref = Seq("a b c d").toDF("text")
+    val docs = Seq((1L, "a b x"), (2L, "a b c"), (3L, "z"),
+      (4L, "p q r s")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", ref, "text",
+        n = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_ngrams"), r.getAs[Long]("novel_ngrams"),
+          Option(r.getAs[java.lang.Double]("novelty"))))).toMap
+    assert(out(1L) == ((2L, 1L, Some(0.5)))) // "b x" novel, "a b" seen
+    assert(out(2L) == ((2L, 0L, Some(0.0)))) // fully copied
+    assert(out(3L) == ((0L, 0L, None)))      // too short for a bigram
+    assert(out(4L) == ((3L, 3L, Some(1.0)))) // fully novel
+  }
+
+  test("heapsLaw: exact OLS replay on a hand curve; loud degenerate guards") {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "d e f"), (4L, "   "))
+      .toDF("doc_id", "text")
+    val row = TextAnalysis.heapsLaw(docs, "doc_id", "text", maxPoints = 16)
+      .head()
+    // zero-token doc 4 skipped; curve (tokens, types): (2,2),(4,3),(7,6)
+    assert(row.getAs[Long]("n_docs") == 3L)
+    assert(row.getAs[Long]("n_points") == 3L)
+    assert(row.getAs[Long]("n_tokens") == 7L)
+    assert(row.getAs[Long]("n_types") == 6L)
+    val xs = Seq(2L, 4L, 7L).map(t => math.round(math.log(t.toDouble) * 1e6))
+    val ys = Seq(2L, 3L, 6L).map(v => math.round(math.log(v.toDouble) * 1e6))
+    val k = 3L
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val num = BigInt(k) * BigInt(sxy) - BigInt(sx) * BigInt(sy)
+    val den = BigInt(k) * BigInt(sxx) - BigInt(sx) * BigInt(sx)
+    val beta = num.toDouble / den.toDouble
+    val bigK = math.exp(
+      (sy.toDouble / 1e6 - beta * (sx.toDouble / 1e6)) / k.toDouble)
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("beta") == r6(beta), row.toString)
+    assert(row.getAs[Double]("k") == r6(bigK), row.toString)
+    // vocabulary grows sublinearly-ish but the fit is sane
+    assert(beta > 0.0 && beta < 2.0)
+    // loud: single doc (no curve), all-identical curve impossible here
+    intercept[IllegalArgumentException](TextAnalysis.heapsLaw(
+      Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text"))
+    intercept[IllegalArgumentException](TextAnalysis.heapsLaw(
+      docs, "doc_id", "text", maxPoints = 1))
+  }
+
   test("collocations: PMI separates a bound phrase from free co-occurrence; minCount prunes hapax pairs") {
     // "new york" always together (bound phrase); "the" pairs freely
     val docs = Seq(

@@ -229,6 +229,66 @@ class RankEvalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](run(Seq(("q", 1, 1)), p = 1.0))
   }
 
+  test("corpusBleu: hand clipped precisions, brevity penalty, zero-order pole") {
+    // seg1 identical, seg2 partial: totals m=(6,4,2,1), t=(7,5,3,1)
+    val df = Seq((1L, "a b c d", "a b c d"), (2L, "a b c", "a b x"))
+      .toDF("id", "ref", "hyp")
+    val r = RankEval.corpusBleu(df, "id", "ref", "hyp").head()
+    assert(r.getAs[Long]("hyp_tokens") == 7L &&
+      r.getAs[Long]("ref_tokens") == 7L)
+    assert((1 to 4).map(n => (r.getAs[Long](s"m$n"), r.getAs[Long](s"t$n")))
+      == Seq((6L, 7L), (4L, 5L), (2L, 3L), (1L, 1L)))
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("bp") == 1.0)
+    val want = 1.0 * math.exp((math.log(6.0 / 7.0) + math.log(4.0 / 5.0) +
+      math.log(2.0 / 3.0) + math.log(1.0)) / 4.0)
+    assert(r.getAs[Double]("bleu") == r6(want), r.toString)
+    assert(r.getAs[Double]("p1") == r6(6.0 / 7.0))
+    // identical corpus -> BLEU 1
+    val perfect = RankEval.corpusBleu(
+      Seq((1L, "a b c d e", "a b c d e")).toDF("id", "ref", "hyp"),
+      "id", "ref", "hyp").head()
+    assert(perfect.getAs[Double]("bleu") == 1.0)
+    // clipping: "the the the" vs "the cat" caps unigram matches at 1
+    val clipped = RankEval.corpusBleu(
+      Seq((1L, "the cat", "the the the")).toDF("id", "ref", "hyp"),
+      "id", "ref", "hyp").head()
+    assert(clipped.getAs[Long]("m1") == 1L && clipped.getAs[Long]("t1") == 3L)
+    assert(clipped.getAs[Double]("bleu") == 0.0) // no bigram match -> pole
+    // brevity penalty on a short hypothesis
+    val short = RankEval.corpusBleu(
+      Seq((1L, "a b c", "a b")).toDF("id", "ref", "hyp"),
+      "id", "ref", "hyp").head()
+    assert(short.getAs[Double]("bp") == r6(math.exp(1.0 - 3.0 / 2.0)))
+    assert(short.getAs[Double]("bleu") == 0.0) // no 3-gram in a 2-token hyp
+  }
+
+  test("chrfScore: identical/partial/disjoint/empty poles with hand averages") {
+    val df = Seq(
+      (1L, "abcd", "abcd"),   // identical, 4 chars: orders 1-4 perfect
+      (2L, "ab c", "abc"),    // whitespace-stripped identical, 3 chars
+      (3L, "abc", "xyz"),     // disjoint
+      (4L, "", "")            // empty pair
+    ).toDF("id", "ref", "hyp")
+    val out = RankEval.chrfScore(df, "id", "ref", "hyp")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("chrp"), r.getAs[Double]("chrr"),
+          r.getAs[Double]("chrf")))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 4 perfect orders of 6: P=R=4/6; F=(1+4)PR/(4P+R)=P
+    val p4 = (1.0 + 1.0 + 1.0 + 1.0 + 0.0 + 0.0) / 6.0
+    assert(out(1L) == ((r6(p4), r6(p4),
+      r6(5.0 * p4 * p4 / (4.0 * p4 + p4)))), out(1L).toString)
+    val p3 = (1.0 + 1.0 + 1.0 + 0.0 + 0.0 + 0.0) / 6.0
+    assert(out(2L)._1 == r6(p3), out(2L).toString)
+    assert(out(3L) == ((0.0, 0.0, 0.0)))
+    assert(out(4L) == ((0.0, 0.0, 0.0)))
+    intercept[IllegalArgumentException](
+      RankEval.chrfScore(df, "id", "ref", "hyp", beta = 0.0))
+  }
+
   test("pairedBootstrap: exact draw replay, dominant system at floor p, loud guards") {
     // A beats B on every item -> every replica total is positive
     val dom = (1L to 20L).map(i => (i, (i + 100).toInt, i.toInt))
