@@ -2574,6 +2574,37 @@ object SparkEntry {
       operators.RankEval.chrfScore(pairs, "doc_id", "text", "hyp")
     }),
 
+    // ---- per-class report of a hand rule-classifier vs order status ----
+    "q_class_report" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val pred = when(col("o_totalprice") < 100000.0, lit("F"))
+        .otherwise(when(col("o_custkey") % 2 === 0, lit("O"))
+          .otherwise(lit("P")))
+      operators.RankEval.classificationReport(
+        o.withColumn("pred", pred), "o_orderstatus", "pred")
+    }),
+
+    // ---- SQuAD-style token F1 over the consecutive-doc pairs ----
+    "q_token_f1" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = d.join(
+        d.select((col("doc_id") - 1).as("doc_id"), col("text").as("hyp")),
+        Seq("doc_id"))
+      operators.RankEval.tokenF1(pairs, "doc_id", "text", "hyp")
+    }),
+
+    // ---- normalized edit similarity over 400-char prefixes of the
+    // consecutive-doc pairs (short-string contract) ----
+    "q_edit_sim" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 400).as("a"))
+      val pairs = d.join(
+        d.select((col("doc_id") - 1).as("doc_id"), col("a").as("b")),
+        Seq("doc_id"))
+      operators.RankEval.editSimilarity(pairs, "doc_id", "a", "b",
+        maxChars = 400)
+    }),
+
     // ---- T5 span-corruption pairs (Raffel 2020 §3.1.4): block-gridded
     // sha spans, numbered sentinels, denoising input/target per doc ----
     "q_span_corruption" -> ((s, dir) =>
@@ -5799,6 +5830,80 @@ object SparkEntry {
         |    ELSE (CAST(1.0 AS DOUBLE) + 4.0) * chrp * chrr
         |      / (4.0 * chrp + chrr) END, 6) AS chrf
         |FROM sc""".stripMargin,
+    "q_class_report" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderstatus AS VARCHAR) AS l,
+        |    CASE WHEN o_totalprice < 100000.0 THEN 'F'
+        |         WHEN o_custkey % 2 = 0 THEN 'O' ELSE 'P' END AS p
+        |  FROM orders),
+        |tp AS (SELECT l AS clazz, count(*)::BIGINT AS tp
+        |  FROM base WHERE l = p GROUP BY l),
+        |sup AS (SELECT l AS clazz, count(*)::BIGINT AS support
+        |  FROM base GROUP BY l),
+        |pt AS (SELECT p AS clazz, count(*)::BIGINT AS pt
+        |  FROM base GROUP BY p)
+        |SELECT clazz, coalesce(support, 0)::BIGINT AS support,
+        |  coalesce(tp.tp, 0)::BIGINT AS tp,
+        |  (coalesce(pt.pt, 0) - coalesce(tp.tp, 0))::BIGINT AS fp,
+        |  (coalesce(support, 0) - coalesce(tp.tp, 0))::BIGINT AS fn,
+        |  round(CASE WHEN coalesce(pt.pt, 0) = 0 THEN NULL
+        |    ELSE coalesce(tp.tp, 0)::DOUBLE / coalesce(pt.pt, 0)::DOUBLE
+        |    END, 6) AS "precision",
+        |  round(CASE WHEN coalesce(support, 0) = 0 THEN NULL
+        |    ELSE coalesce(tp.tp, 0)::DOUBLE / coalesce(support, 0)::DOUBLE
+        |    END, 6) AS recall,
+        |  round(CASE WHEN 2 * coalesce(tp.tp, 0)
+        |      + (coalesce(pt.pt, 0) - coalesce(tp.tp, 0))
+        |      + (coalesce(support, 0) - coalesce(tp.tp, 0)) = 0 THEN NULL
+        |    ELSE (2 * coalesce(tp.tp, 0))::DOUBLE
+        |      / (2 * coalesce(tp.tp, 0)
+        |        + (coalesce(pt.pt, 0) - coalesce(tp.tp, 0))
+        |        + (coalesce(support, 0) - coalesce(tp.tp, 0)))::DOUBLE
+        |    END, 6) AS f1
+        |FROM sup FULL JOIN pt USING (clazz) LEFT JOIN tp USING (clazz)""".stripMargin,
+    "q_token_f1" ->
+      """WITH pairs AS (
+        |  SELECT d.doc_id,
+        |    list_filter(string_split_regex(coalesce(d.text, ''), '\s+'),
+        |      t -> t <> '') AS rt,
+        |    list_filter(string_split_regex(coalesce(h.text, ''), '\s+'),
+        |      t -> t <> '') AS ht
+        |  FROM documents d JOIN documents h ON h.doc_id = d.doc_id + 1),
+        |rc AS (SELECT doc_id, t, count(*)::BIGINT AS rc
+        |  FROM pairs CROSS JOIN unnest(rt) u(t) GROUP BY doc_id, t),
+        |hc AS (SELECT doc_id, t, count(*)::BIGINT AS hc
+        |  FROM pairs CROSS JOIN unnest(ht) u(t) GROUP BY doc_id, t),
+        |ov AS (SELECT rc.doc_id, CAST(sum(least(rc.rc, hc.hc)) AS BIGINT)
+        |    AS ov
+        |  FROM rc JOIN hc ON rc.doc_id = hc.doc_id AND rc.t = hc.t
+        |  GROUP BY rc.doc_id)
+        |SELECT p.doc_id, CAST(len(rt) AS BIGINT) AS ref_tokens,
+        |  CAST(len(ht) AS BIGINT) AS hyp_tokens,
+        |  coalesce(ov.ov, 0)::BIGINT AS overlap,
+        |  round(CASE WHEN len(ht) = 0 THEN NULL
+        |    ELSE coalesce(ov.ov, 0)::DOUBLE / len(ht)::DOUBLE END, 6)
+        |    AS "precision",
+        |  round(CASE WHEN len(rt) = 0 THEN NULL
+        |    ELSE coalesce(ov.ov, 0)::DOUBLE / len(rt)::DOUBLE END, 6)
+        |    AS recall,
+        |  round(CASE WHEN len(rt) + len(ht) = 0 THEN NULL
+        |    ELSE (2 * coalesce(ov.ov, 0))::DOUBLE
+        |      / (len(rt) + len(ht))::DOUBLE END, 6) AS f1,
+        |  rt = ht AS exact_match
+        |FROM pairs p LEFT JOIN ov ON p.doc_id = ov.doc_id""".stripMargin,
+    "q_edit_sim" ->
+      """WITH pairs AS (
+        |  SELECT d.doc_id, substring(coalesce(d.text, ''), 1, 400) AS a,
+        |    substring(coalesce(h.text, ''), 1, 400) AS b
+        |  FROM documents d JOIN documents h ON h.doc_id = d.doc_id + 1)
+        |SELECT doc_id, CAST(length(a) AS BIGINT) AS len_a,
+        |  CAST(length(b) AS BIGINT) AS len_b,
+        |  CAST(levenshtein(a, b) AS BIGINT) AS edit_distance,
+        |  round(CASE WHEN greatest(length(a), length(b)) = 0
+        |    THEN CAST(1.0 AS DOUBLE)
+        |    ELSE CAST(1.0 AS DOUBLE) - levenshtein(a, b)::DOUBLE
+        |      / greatest(length(a), length(b))::DOUBLE END, 6) AS similarity
+        |FROM pairs""".stripMargin,
     "q_gopher_rules" ->
       """WITH base AS (
         |  SELECT doc_id, coalesce(text, '') AS text,

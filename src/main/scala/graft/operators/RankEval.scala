@@ -576,6 +576,153 @@ object RankEval {
         round(chrr, 6).as("chrr"), round(chrf, 6).as("chrf"))
   }
 
+  /** Per-class classification report (the sklearn
+    * `classification_report` shape — the first table anyone reads off
+    * a quality-classifier or langid gate before trusting it to filter
+    * a corpus): for every class seen as a LABEL or a PREDICTION, the
+    * exact tp/fp/fn/support counts and precision / recall / F1.
+    *
+    * Exactness: counts are exact LONGs; each metric is ONE exact
+    * rational (F1 via the identity `2·tp/(2·tp+fp+fn)` — never
+    * composed from already-divided P and R), rounded to 6; a
+    * zero-denominator metric is NULL (undefined, not 0 — a class never
+    * predicted has no precision). NULL labels/predictions are refused
+    * loudly.
+    *
+    * Scale shape: three map-side-combined groupBys over a two-column
+    * projection, joined on the classes-sized table. Output:
+    * `(clazz, support, tp, fp, fn, precision, recall, f1)`.
+    */
+  def classificationReport(
+      df: DataFrame,
+      labelCol: String,
+      predCol: String): DataFrame = {
+    val bad = df.agg(count(when(col(labelCol).isNull ||
+      col(predCol).isNull, 1)).as("__b")).head().getAs[Long]("__b")
+    require(bad == 0L,
+      s"classificationReport: $bad NULL label/prediction row(s) — an " +
+        "unlabeled row scores nothing; filter upstream")
+    val base = df.select(col(labelCol).cast("string").as("__l"),
+      col(predCol).cast("string").as("__p"))
+    val tp = base.where(col("__l") === col("__p"))
+      .groupBy(col("__l").as("clazz")).agg(count(lit(1)).as("__tp"))
+    val sup = base.groupBy(col("__l").as("clazz"))
+      .agg(count(lit(1)).as("support"))
+    val pt = base.groupBy(col("__p").as("clazz"))
+      .agg(count(lit(1)).as("__pt"))
+    val tp0 = coalesce(col("__tp"), lit(0L))
+    val sup0 = coalesce(col("support"), lit(0L))
+    val pt0 = coalesce(col("__pt"), lit(0L))
+    val fp = pt0 - tp0
+    val fn = sup0 - tp0
+    sup.join(pt, Seq("clazz"), "full").join(tp, Seq("clazz"), "left")
+      .select(col("clazz"), sup0.as("support"), tp0.as("tp"), fp.as("fp"),
+        fn.as("fn"),
+        round(when(pt0 === 0L, lit(null).cast("double"))
+          .otherwise(tp0.cast("double") / pt0.cast("double")), 6)
+          .as("precision"),
+        round(when(sup0 === 0L, lit(null).cast("double"))
+          .otherwise(tp0.cast("double") / sup0.cast("double")), 6)
+          .as("recall"),
+        round(when(lit(2L) * tp0 + fp + fn === 0L,
+            lit(null).cast("double"))
+          .otherwise((lit(2L) * tp0).cast("double") /
+            (lit(2L) * tp0 + fp + fn).cast("double")), 6).as("f1"))
+  }
+
+  /** Token-level F1 + exact match per (reference, hypothesis) pair —
+    * the SQuAD-style answer-evaluation pair (Rajpurkar 2016) and the
+    * standard harness metric wherever BLEU's 4-gram demand is too
+    * strict (short answers, extraction): bag-of-token overlap
+    * `Σ_tok min(count_ref, count_hyp)` gives precision = overlap/|hyp|
+    * and recall = overlap/|ref|, whose harmonic mean collapses to the
+    * EXACT rational `F1 = 2·overlap/(|ref| + |hyp|)`; `exact_match`
+    * is whole-token-sequence equality. (No lowercase/punctuation
+    * normalization — normalize upstream deliberately.)
+    *
+    * Exactness: all counts exact LONGs, each metric one rational
+    * rounded to 6; an empty-vs-empty pair carries NULL metrics
+    * (signal-free) but `exact_match = true`. Scale shape: one explode
+    * + count per side, one (id, token) join, doc-keyed aggregates —
+    * corpus-linear. Output: `(idCol, ref_tokens, hyp_tokens, overlap,
+    * precision, recall, f1, exact_match)`.
+    */
+  def tokenF1(
+      df: DataFrame,
+      idCol: String,
+      refCol: String,
+      hypCol: String): DataFrame = {
+    def toks(c: Column): Column =
+      filter(split(coalesce(c, lit("")), "\\s+"), t => t =!= "")
+    def counts(textCol: String, cname: String): DataFrame =
+      df.select(col(idCol).as("__id"),
+          explode(toks(col(textCol))).as("__t"))
+        .groupBy(col("__id"), col("__t")).agg(count(lit(1)).as(cname))
+    val ov = counts(refCol, "__rc").join(counts(hypCol, "__hc"),
+        Seq("__id", "__t"))
+      .groupBy(col("__id"))
+      .agg(sum(least(col("__rc"), col("__hc"))).as("__ov"))
+    val rl = col("ref_tokens")
+    val hl = col("hyp_tokens")
+    val o = coalesce(col("__ov"), lit(0L))
+    df.select(col(idCol),
+        size(toks(col(refCol))).cast("long").as("ref_tokens"),
+        size(toks(col(hypCol))).cast("long").as("hyp_tokens"),
+        (toks(col(refCol)) === toks(col(hypCol))).as("exact_match"))
+      .join(ov.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), rl, hl, o.as("overlap"),
+        round(when(hl === 0L, lit(null).cast("double"))
+          .otherwise(o.cast("double") / hl.cast("double")), 6)
+          .as("precision"),
+        round(when(rl === 0L, lit(null).cast("double"))
+          .otherwise(o.cast("double") / rl.cast("double")), 6)
+          .as("recall"),
+        round(when(rl + hl === 0L, lit(null).cast("double"))
+          .otherwise((lit(2L) * o).cast("double") /
+            (rl + hl).cast("double")), 6).as("f1"),
+        col("exact_match"))
+  }
+
+  /** Normalized edit similarity per pair — classic Levenshtein over
+    * code points, `1 − d/max(|a|, |b|)`: the character-granular
+    * near-dup/correction metric where token overlap is too coarse
+    * (OCR artifacts, diacritic drift, small edits). Both engines ship
+    * the identical DP distance, so the integer `edit_distance` is
+    * engine-exact and the similarity one rounded division.
+    *
+    * The DP is O(|a|·|b|) PER PAIR — this is a short-string operator
+    * by contract: any side longer than `maxChars` is refused loudly
+    * (truncate upstream deliberately; a corpus-length document pair
+    * does not belong here). NULL strings read as ''. Output:
+    * `(idCol, len_a, len_b, edit_distance, similarity)` — similarity
+    * 1.0 for two empty strings.
+    */
+  def editSimilarity(
+      df: DataFrame,
+      idCol: String,
+      aCol: String,
+      bCol: String,
+      maxChars: Int = 2000): DataFrame = {
+    require(maxChars >= 1 && maxChars <= 10000,
+      s"maxChars must be in 1..10000, got $maxChars")
+    val a = coalesce(col(aCol), lit(""))
+    val b = coalesce(col(bCol), lit(""))
+    val over = df.agg(count(when(length(a) > maxChars ||
+      length(b) > maxChars, 1)).as("__o")).head().getAs[Long]("__o")
+    require(over == 0L,
+      s"editSimilarity: $over row(s) exceed maxChars=$maxChars — the " +
+        "DP is quadratic per pair; truncate upstream or raise maxChars " +
+        "deliberately")
+    val la = length(a).cast("long")
+    val lb = length(b).cast("long")
+    val d = levenshtein(a, b).cast("long")
+    df.select(col(idCol), la.as("len_a"), lb.as("len_b"),
+      d.as("edit_distance"),
+      round(when(greatest(la, lb) === 0L, lit(1.0))
+        .otherwise(lit(1.0) - d.cast("double") /
+          greatest(la, lb).cast("double")), 6).as("similarity"))
+  }
+
   /** Paired bootstrap significance test between two systems' per-item
     * scores (Koehn 2004, "Statistical Significance Tests for Machine
     * Translation Evaluation" — the eval-harness staple): resample the

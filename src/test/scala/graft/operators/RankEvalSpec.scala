@@ -229,6 +229,73 @@ class RankEvalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](run(Seq(("q", 1, 1)), p = 1.0))
   }
 
+  test("classificationReport: hand multi-class counts, never-predicted/never-labeled classes") {
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),  // a: tp=2 fn=1
+      ("b", "a"), ("b", "b"),              // b: tp=1 fn=1; a gains fp=1
+      ("c", "d")                           // c never predicted; d never labeled
+    ).toDF("y", "yhat")
+    val out = RankEval.classificationReport(df, "y", "yhat")
+      .collect().map(r => r.getAs[String]("clazz") ->
+        ((r.getAs[Long]("support"), r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+          r.getAs[Long]("fn"), Option(r.getAs[java.lang.Double]("precision")),
+          Option(r.getAs[java.lang.Double]("recall")),
+          Option(r.getAs[java.lang.Double]("f1"))))).toMap
+    assert(out("a") == ((3L, 2L, 1L, 1L, Some(0.666667), Some(0.666667),
+      Some(0.666667))), out("a").toString)
+    assert(out("b") == ((2L, 1L, 1L, 1L, Some(0.5), Some(0.5), Some(0.5))))
+    // never predicted: precision undefined (NULL), recall 0
+    assert(out("c") == ((1L, 0L, 0L, 1L, None, Some(0.0), Some(0.0))))
+    // never labeled: support 0, recall undefined, precision 0
+    assert(out("d") == ((0L, 0L, 1L, 0L, Some(0.0), None, Some(0.0))))
+    intercept[IllegalArgumentException](RankEval.classificationReport(
+      Seq((Option.empty[String], "a")).toDF("y", "yhat"), "y", "yhat"))
+  }
+
+  test("tokenF1: SQuAD-style overlap, exact match, empty poles") {
+    val df = Seq(
+      (1L, "the quick brown fox", "the quick brown fox"), // identical
+      (2L, "a b c d", "a b x"),  // overlap 2: P=2/3 R=2/4 F1=4/7
+      (3L, "a a b", "a a a"),    // clipped: min counts -> overlap 2
+      (4L, "x y", "p q"),        // disjoint
+      (5L, "", "")               // empty pair
+    ).toDF("id", "ref", "hyp")
+    val out = RankEval.tokenF1(df, "id", "ref", "hyp")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("overlap"), Option(r.getAs[java.lang.Double]("f1")),
+          r.getAs[Boolean]("exact_match")))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((4L, Some(1.0), true)))
+    assert(out(2L) == ((2L, Some(r6(4.0 / 7.0)), false)), out(2L).toString)
+    assert(out(3L) == ((2L, Some(r6(4.0 / 6.0)), false)))
+    assert(out(4L) == ((0L, Some(0.0), false)))
+    assert(out(5L) == ((0L, None, true))) // both empty: EM true, F1 NULL
+  }
+
+  test("editSimilarity: textbook distances, empty pole, loud length bound") {
+    val df = Seq(
+      (1L, "kitten", "sitting"),  // classic d=3
+      (2L, "abc", "abc"),
+      (3L, "abc", ""),
+      (4L, "", "")
+    ).toDF("id", "a", "b")
+    val out = RankEval.editSimilarity(df, "id", "a", "b")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("edit_distance"), r.getAs[Double]("similarity"))))
+      .toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((3L, r6(1.0 - 3.0 / 7.0))), out(1L).toString)
+    assert(out(2L) == ((0L, 1.0)))
+    assert(out(3L) == ((3L, 0.0)))
+    assert(out(4L) == ((0L, 1.0))) // empty-vs-empty: identical
+    val e = intercept[IllegalArgumentException](RankEval.editSimilarity(
+      Seq((1L, "x" * 50, "y")).toDF("id", "a", "b"), "id", "a", "b",
+      maxChars = 10))
+    assert(e.getMessage.contains("quadratic"), e.getMessage)
+  }
+
   test("corpusBleu: hand clipped precisions, brevity penalty, zero-order pole") {
     // seg1 identical, seg2 partial: totals m=(6,4,2,1), t=(7,5,3,1)
     val df = Seq((1L, "a b c d", "a b c d"), (2L, "a b c", "a b x"))
