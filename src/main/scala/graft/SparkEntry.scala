@@ -2574,6 +2574,26 @@ object SparkEntry {
       operators.RankEval.chrfScore(pairs, "doc_id", "text", "hyp")
     }),
 
+
+    // ---- MATTR lexical diversity (Covington 2010): length-independent
+    // windowed TTR per document ----
+    "q_mattr" -> ((s, dir) =>
+      operators.TextAnalysis.mattr(
+        t(s, dir, "documents"), "doc_id", "text", window = 50)),
+
+    // ---- corpus bigram entropy rate: template/boilerplate corpora
+    // score low, healthy prose high ----
+    "q_entropy_rate" -> ((s, dir) =>
+      operators.TextAnalysis.bigramEntropyRate(
+        t(s, dir, "documents"), "text")),
+
+    // ---- 10%-trimmed mean price per return flag: the robust central
+    // tendency via keyedRangePrefix ranks (never a per-group sort) ----
+    "q_trimmed_mean" -> ((s, dir) =>
+      operators.Validation.trimmedMean(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+        trim = 0.1)),
+
     // ---- per-class report of a hand rule-classifier vs order status ----
     "q_class_report" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -5904,6 +5924,77 @@ object SparkEntry {
         |    ELSE CAST(1.0 AS DOUBLE) - levenshtein(a, b)::DOUBLE
         |      / greatest(length(a), length(b))::DOUBLE END, 6) AS similarity
         |FROM pairs""".stripMargin,
+    "q_mattr" ->
+      """WITH dt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    coalesce(text, ''), '\s+'), t -> t <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(greatest(len(toks) - 49, 0) AS BIGINT) AS n_windows,
+        |  round(CASE WHEN len(toks) = 0 THEN NULL
+        |    WHEN len(toks) < 50 THEN
+        |      len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE
+        |    ELSE CAST(coalesce(list_sum(list_transform(
+        |        range(1, len(toks) - 49 + 1),
+        |        i -> len(list_distinct(
+        |          toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+49])))), 0)
+        |        AS DOUBLE)
+        |      / (greatest(len(toks) - 49, 0) * 50)::DOUBLE END, 6) AS mattr
+        |FROM dt""".stripMargin,
+    "q_entropy_rate" ->
+      """WITH rt AS (
+        |  SELECT list_filter(string_split_regex(
+        |    coalesce(text, ''), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |rb AS (
+        |  SELECT toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i AS INTEGER)+1] AS w2
+        |  FROM rt CROSS JOIN unnest(range(1,
+        |    greatest(len(toks) - 1, 0) + 1)) t(i)),
+        |cnt AS (SELECT w1, w2, count(*)::BIGINT AS c12
+        |  FROM rb GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+        |  FROM cnt GROUP BY w1),
+        |mo AS (SELECT CAST(coalesce(sum(c12), 0) AS BIGINT) AS n,
+        |  count(*)::BIGINT AS types,
+        |  CAST(coalesce(sum(c12 * CAST(round(
+        |    ln(c12::DOUBLE / c1::DOUBLE) * 1e9) AS BIGINT)), 0) AS BIGINT)
+        |    AS s
+        |  FROM cnt JOIN ctx USING (w1)),
+        |nc AS (SELECT count(*)::BIGINT AS nctx FROM ctx)
+        |SELECT mo.n AS n_bigrams, mo.types AS n_bigram_types,
+        |  nc.nctx AS n_contexts,
+        |  round(CASE WHEN mo.n = 0 THEN NULL
+        |    ELSE mo.s::DOUBLE / (mo.n::DOUBLE * 1e9)
+        |      * CAST(-1.0 AS DOUBLE) END, 6) AS entropy_rate
+        |FROM mo CROSS JOIN nc""".stripMargin,
+    "q_trimmed_mean" ->
+      """WITH vc AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 1e6) AS BIGINT) AS v,
+        |    count(*)::BIGINT AS c
+        |  FROM lineitem GROUP BY g, v),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM vc GROUP BY g),
+        |pre AS (
+        |  SELECT g, v, c, CAST(coalesce(sum(c) OVER (PARTITION BY g
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS pre
+        |  FROM vc),
+        |j AS (
+        |  SELECT pre.g, v, c, pre.pre, tot.n,
+        |    CAST(floor(tot.n::DOUBLE * CAST(0.1 AS DOUBLE)) AS BIGINT) AS k
+        |  FROM pre JOIN tot USING (g)),
+        |kept AS (
+        |  SELECT g, n, v,
+        |    greatest(least(pre + c, n - k) - greatest(pre, k), 0) AS kc
+        |  FROM j)
+        |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(kc) AS BIGINT) AS n_kept,
+        |  round(CASE WHEN sum(kc) = 0 THEN NULL
+        |    ELSE CAST(sum(v * kc) AS BIGINT)::DOUBLE
+        |      / CAST(sum(kc) AS BIGINT)::DOUBLE / 1e6 END, 6)
+        |    AS trimmed_mean
+        |FROM kept GROUP BY g""".stripMargin,
     "q_gopher_rules" ->
       """WITH base AS (
         |  SELECT doc_id, coalesce(text, '') AS text,

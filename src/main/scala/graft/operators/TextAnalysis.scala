@@ -2314,6 +2314,95 @@ object TextAnalysis {
       .toDF("n_docs", "n_points", "n_tokens", "n_types", "beta", "k")
   }
 
+  /** Moving-average type-token ratio per document (MATTR, Covington &
+    * McFall 2010) — the length-INDEPENDENT lexical-diversity gate
+    * (plain TTR collapses as documents grow, so a TTR threshold
+    * silently passes long spam and fails long prose): average the TTR
+    * of every length-`window` sliding token window. Because each
+    * window's denominator is the SAME `window`, the average collapses
+    * to ONE exact rational `Σᵢ distinctᵢ / (n_windows · window)` —
+    * integer until a single rounded division.
+    *
+    * Docs shorter than `window` fall back to plain TTR over the whole
+    * doc (the published convention), carried with `n_windows = 0`;
+    * empty docs score NULL. Scale shape: one in-row array expression
+    * per doc (O(len·window) local work, no explode, no shuffle).
+    * Output: `(idCol, n_tokens, n_windows, mattr)`.
+    */
+  def mattr(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 50): org.apache.spark.sql.DataFrame = {
+    require(window >= 2 && window <= 1000,
+      s"window must be in 2..1000, got $window")
+    val t = tokens(col(textCol))
+    val n = size(t)
+    val nWin = greatest(n - (window - 1), lit(0))
+    val distinctSum = aggregate(
+      transform(
+        when(n >= window, sequence(lit(1), n - (window - 1)))
+          .otherwise(array().cast("array<int>")),
+        i => size(array_distinct(slice(t, i, lit(window)))).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    df.select(col(idCol), n.cast("long").as("n_tokens"),
+      nWin.cast("long").as("n_windows"),
+      round(when(n === 0, lit(null).cast("double"))
+        .when(n < window,
+          size(array_distinct(t)).cast("double") / n.cast("double"))
+        .otherwise(distinctSum.cast("double") /
+          (nWin.cast("long") * window).cast("double")), 6).as("mattr"))
+  }
+
+  /** Corpus bigram entropy rate `H = −Σ p(w1w2)·ln p(w2|w1)`
+    * (Shannon's conditional entropy of the next token under the
+    * empirical bigram model) — the redundancy audit: boilerplate-heavy
+    * or template-generated corpora score LOW (the next token is
+    * predictable), healthy prose sits near the language's ~6–8
+    * bits/word. Computed as `−(1/N)·Σ_types c12·ln(c12/c1)` over the
+    * bigram-type table.
+    *
+    * Exactness: each type's `ln(c12/c1)` is nano-rounded at birth and
+    * multiplied by the exact LONG `c12`, so the sum is order-free
+    * integer; one final division. The eager `N ≤ 4e8` refusal keeps
+    * `N·ln(N)·1e9` inside 2^63 — slice a 100 TB corpus upstream (the
+    * rate is per-slice diagnostic anyway).
+    *
+    * Scale shape: one exploded-bigram pass (map-side-combined), one
+    * types-sized context rollup + join, one scalar aggregate. Output
+    * one row: `(n_bigrams, n_bigram_types, n_contexts, entropy_rate)`
+    * in nats, rounded to 6; NULL rate when the corpus has no bigram.
+    */
+  def bigramEntropyRate(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = explodedBigrams(df, textCol, Nil)
+      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+    val ctx = counts.groupBy("__w1").agg(sum(col("__c12")).as("__c1"),
+      count(lit(1)).as("__nt"))
+    val term = col("__c12") *
+      round(log(col("__c12").cast("double") / col("__c1").cast("double"))
+        * 1e9).cast("long")
+    val head = counts.join(ctx.select(col("__w1"), col("__c1")), "__w1")
+      .agg(sum(col("__c12")).as("__n"), count(lit(1)).as("__types"),
+        sum(term).as("__s"))
+      .head()
+    val n = if (head.isNullAt(0)) 0L else head.getAs[Long]("__n")
+    require(n <= 400000000L,
+      s"bigramEntropyRate: $n bigrams (> 4e8) — the nano-ln·count " +
+        "terms would overflow 2^63; slice the corpus upstream")
+    val types = head.getAs[Long]("__types")
+    val s = if (head.isNullAt(2)) 0L else head.getAs[Long]("__s")
+    val nCtx = ctx.count()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rate: Option[Double] = if (n == 0L) None
+    else Some(BigDecimal(s.toDouble / (n.toDouble * 1e9) * -1.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    Seq((n, types, nCtx, rate))
+      .toDF("n_bigrams", "n_bigram_types", "n_contexts", "entropy_rate")
+  }
+
   /** Term burstiness per vocabulary type (Church & Gale 1995's
     * observation — content words are BURSTY, function words
     * Poisson-like; tf statistics and naive LM smoothing both assume

@@ -1137,6 +1137,72 @@ object Validation {
     } finally g.unpersist()
   }
 
+  /** Trimmed mean per group — the robust central tendency a latency /
+    * score / length dashboard should report instead of the plain mean
+    * (one 10⁶-token outlier document drags a source's mean length
+    * anywhere; the 10%-trimmed mean ignores the extreme `⌊trim·n⌋`
+    * rows on EACH side by value rank): values micro-quantize at birth,
+    * ranks come from [[keyedRangePrefix]] over the per-(group, value)
+    * count table (never a per-group sort window — a corpus-sized group
+    * can never pin one task), and each count row contributes the exact
+    * overlap of its rank interval `[pre, pre+c)` with the kept band
+    * `[k, n−k)`.
+    *
+    * Exactness: kept counts and the micro-value·count sum are exact
+    * LONGs (the eager `max(n·|v|) ≤ 4e18` refusal keeps the per-group
+    * weighted sum inside 2^63); one division + one 1e-6 descale at the
+    * end. NULL values refused loudly; NULL group keys are a group.
+    * Output: `(keyCols…, n, n_kept, trimmed_mean)` rounded to 6.
+    */
+  def trimmedMean(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      trim: Double = 0.1): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(trim >= 0.0 && trim < 0.5, s"trim must be in [0, 0.5), got $trim")
+    val nulls = df.agg(count(when(col(valueCol).isNull, 1)).as("__b"))
+      .head().getAs[Long]("__b")
+    require(nulls == 0L,
+      s"trimmedMean: $nulls NULL `$valueCol` row(s) — a NULL has no " +
+        "rank; filter deliberately upstream")
+    val keys = keyCols.map(col)
+    val vc = df
+      .select(keys :+ round(col(valueCol).cast("double") * 1e6)
+        .cast("long").as("__v"): _*)
+      .groupBy(keys :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val vcp = graft.core.Caches.pin(vc)
+    try {
+      val totals = vcp.groupBy(keys: _*)
+        .agg(sum(col("__c")).as("__n"), max(abs(col("__v"))).as("__mx"))
+      val worst = totals
+        .agg(max(col("__n") * col("__mx")).as("__w")).head()
+      val w = if (worst.isNullAt(0)) 0L else worst.getAs[Long]("__w")
+      require(w <= 4000000000000000000L,
+        s"trimmedMean: max group n·|v_micro| = $w exceeds 4e18 — the " +
+          "exact weighted sum would overflow 2^63; rescale the value " +
+          "or pre-aggregate")
+      val pre = keyedRangePrefix(vcp, keyCols, "__v", "__c", "__pre")
+      val k = floor(col("__n").cast("double") * lit(trim)).cast("long")
+      val lo = greatest(col("__pre"), k)
+      val hi = least(col("__pre") + col("__c"), col("__n") - k)
+      val kept = greatest(hi - lo, lit(0L))
+      // groups-sized totals: a plain key join (groups can number in the
+      // millions at corpus scale — too big to assume broadcastable; AQE
+      // will still broadcast a small side on its own)
+      pre.join(totals.select(keys :+ col("__n"): _*), keyCols)
+        .groupBy(keys: _*)
+        .agg(max(col("__n")).as("n"), sum(kept).as("n_kept"),
+          sum(col("__v") * kept).as("__s"))
+        .select(keys ++ Seq(col("n"), col("n_kept"),
+          round(when(col("n_kept") === 0L, lit(null).cast("double"))
+            .otherwise(col("__s").cast("double") /
+              col("n_kept").cast("double") / lit(1e6)), 6)
+            .as("trimmed_mean")): _*)
+    } finally vcp.unpersist()
+  }
+
   /** Wilson score interval per group (Wilson 1927) — the proportion CI
     * that behaves at small n and extreme rates where the naive Wald
     * interval collapses (a 3-success source out of 4 docs should NOT

@@ -404,6 +404,53 @@ class CorpusOpsSpec extends SparkTestBase {
       TextAnalysis.kn3QualityScore(docs, "doc_id", "text", ref, "text", 1.5))
   }
 
+  test("mattr: hand window averages, short-doc TTR fallback, empty NULL") {
+    val docs = Seq((1L, "a b a b a"), (2L, "a b c d"), (3L, "a b"),
+      (4L, "a a"), (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.mattr(docs, "doc_id", "text", window = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_windows"),
+          Option(r.getAs[java.lang.Double]("mattr"))))).toMap
+    // windows of 3 over "a b a b a": distinct counts 2,2,2 -> 6/(3*3)
+    assert(out(1L) == ((5L, 3L, Some(0.666667))), out(1L).toString)
+    assert(out(2L) == ((4L, 2L, Some(1.0))))
+    // shorter than the window: plain TTR, n_windows 0
+    assert(out(3L) == ((2L, 0L, Some(1.0))))
+    assert(out(4L) == ((2L, 0L, Some(0.5))))
+    assert(out(5L) == ((0L, 0L, None)))
+    // length independence: repeated text keeps its MATTR while its
+    // plain TTR would collapse
+    val rep = Seq((1L, Seq.fill(40)("x y z w v").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.mattr(rep, "doc_id", "text", window = 5)
+      .head().getAs[Double]("mattr")
+    assert(m == 1.0, s"periodic 5-token text at window 5 is all-distinct: $m")
+    intercept[IllegalArgumentException](
+      TextAnalysis.mattr(docs, "doc_id", "text", window = 1))
+  }
+
+  test("bigramEntropyRate: hand nano-ln terms, zero-entropy pole, empty corpus") {
+    val docs = Seq("a b", "a b", "a c").toDF("text")
+    val r = TextAnalysis.bigramEntropyRate(docs, "text").head()
+    assert(r.getAs[Long]("n_bigrams") == 3L)
+    assert(r.getAs[Long]("n_bigram_types") == 2L)
+    assert(r.getAs[Long]("n_contexts") == 1L)
+    val s = 2L * math.round(math.log(2.0 / 3.0) * 1e9) +
+      1L * math.round(math.log(1.0 / 3.0) * 1e9)
+    val want = BigDecimal(s.toDouble / (3.0 * 1e9) * -1.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("entropy_rate") == want, r.toString)
+    // fully predictable corpus: next token always determined -> 0
+    val pole = TextAnalysis.bigramEntropyRate(
+      Seq("a a a a").toDF("text"), "text").head()
+    assert(pole.getAs[Double]("entropy_rate") == 0.0)
+    // no bigrams -> NULL rate
+    val empty = TextAnalysis.bigramEntropyRate(
+      Seq("solo").toDF("text"), "text").head()
+    assert(empty.getAs[Long]("n_bigrams") == 0L &&
+      empty.isNullAt(empty.fieldIndex("entropy_rate")))
+  }
+
   test("termBurstiness: hand VMR/adaptation; bursty beats spread-out at equal totals") {
     val docs = Seq((1L, "a a b"), (2L, "a b"), (3L, "b"), (4L, "c c c c"))
       .toDF("doc_id", "text")

@@ -654,6 +654,41 @@ class ValidationSpec extends SparkTestBase {
       Seq.empty[Long].toDF("v"), Seq(1L).toDF("v"), "v"))
   }
 
+  test("trimmedMean: hand trim bands, outlier robustness, tie overlap, loud guards") {
+    import spark.implicits._
+    val df = Seq(("A", 0.0), ("A", 10.0), ("A", 10.0), ("A", 20.0),
+      ("A", 1000.0), ("B", 5.0)).toDF("g", "v")
+    val out = Validation.trimmedMean(df, Seq("g"), "v", trim = 0.2)
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_kept"),
+          r.getAs[Double]("trimmed_mean")))).toMap
+    // A: n=5, k=1 -> keep ranks 1..3 = {10, 10, 20} -> 40/3
+    assert(out("A") == ((5L, 3L, 13.333333)), out("A").toString)
+    // B: n=1, k=0 -> the value itself
+    assert(out("B") == ((1L, 1L, 5.0)))
+    // trim 0 = plain mean; the outlier dominates it
+    val plain = Validation.trimmedMean(df, Seq("g"), "v", trim = 0.0)
+      .collect().map(r => r.getAs[String]("g") ->
+        r.getAs[Double]("trimmed_mean")).toMap
+    assert(plain("A") == 208.0)
+    assert(out("A")._3 < plain("A"), "trimming must defeat the outlier")
+    // partition invariance (keyedRangePrefix rank discipline)
+    val shuffled = Validation.trimmedMean(df.repartition(7), Seq("g"), "v",
+      trim = 0.2).collect().map(r => r.getAs[String]("g") ->
+        r.getAs[Double]("trimmed_mean")).toMap
+    assert(shuffled("A") == 13.333333)
+    // ties spanning the cut: [1,1,1,1] trim 0.25 -> k=1, keep 2 ones
+    val ties = Validation.trimmedMean(
+      Seq(("T", 1.0), ("T", 1.0), ("T", 1.0), ("T", 1.0)).toDF("g", "v"),
+      Seq("g"), "v", trim = 0.25).head()
+    assert(ties.getAs[Long]("n_kept") == 2L &&
+      ties.getAs[Double]("trimmed_mean") == 1.0)
+    intercept[IllegalArgumentException](
+      Validation.trimmedMean(df, Seq("g"), "v", trim = 0.5))
+    intercept[IllegalArgumentException](Validation.trimmedMean(
+      Seq(("A", Option.empty[Double])).toDF("g", "v"), Seq("g"), "v"))
+  }
+
   test("wilsonIntervals + shrunkenRates: hand-checked intervals, shrinkage direction, loud guards") {
     def flags(spec: (String, Int, Int)*) = spec.flatMap { case (k, x, n) =>
       Seq.fill(x)((k, true)) ++ Seq.fill(n - x)((k, false))
