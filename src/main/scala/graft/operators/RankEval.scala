@@ -459,25 +459,28 @@ object RankEval {
       when(size(t) >= n, sequence(lit(1), size(t) - (n - 1)))
         .otherwise(array().cast("array<int>")),
       i => concat_ws(" ", slice(t, i, lit(n))))
-    def sideCounts(textCol: String, cname: String): DataFrame =
+    // tokenize once and pin: the four orders × two sides plus the
+    // length scalars all read this narrow projection (9 passes)
+    val base = graft.core.Caches.pin(df.select(col(idCol).as("__id"),
+      toks(col(refCol)).as("__rt"), toks(col(hypCol)).as("__ht")))
+    try {
+    def sideCounts(arrCol: String, cname: String): DataFrame =
       (1 to 4).map { n =>
-        df.select(col(idCol).as("__id"),
-            explode(grams(toks(col(textCol)), n)).as("__g"))
+        base.select(col("__id"),
+            explode(grams(col(arrCol), n)).as("__g"))
           .groupBy(col("__id"), col("__g"))
           .agg(count(lit(1)).as(cname))
           .select(col("__id"), lit(n).as("__n"), col("__g"), col(cname))
       }.reduce(_.unionAll(_))
-    val h = sideCounts(hypCol, "__hc")
-    val r = sideCounts(refCol, "__rc")
+    val h = sideCounts("__ht", "__hc")
+    val r = sideCounts("__rt", "__rc")
     val matches = h.join(r, Seq("__id", "__n", "__g"))
       .groupBy(col("__n"))
       .agg(sum(least(col("__hc"), col("__rc"))).as("__m"))
     val totals = h.groupBy(col("__n")).agg(sum(col("__hc")).as("__t"))
-    val lens = df.agg(
-      coalesce(sum(size(toks(col(hypCol)))), lit(0L)).cast("long")
-        .as("__hl"),
-      coalesce(sum(size(toks(col(refCol)))), lit(0L)).cast("long")
-        .as("__rl"))
+    val lens = base.agg(
+      coalesce(sum(size(col("__ht"))), lit(0L)).cast("long").as("__hl"),
+      coalesce(sum(size(col("__rt"))), lit(0L)).cast("long").as("__rl"))
     val aggCols: Seq[Column] = (1 to 4).flatMap(n => Seq(
       coalesce(sum(when(col("__n") === n, col("__m"))), lit(0L)).as(s"m$n"),
       coalesce(sum(when(col("__n") === n, col("__t"))), lit(0L)).as(s"t$n")))
@@ -502,6 +505,8 @@ object RankEval {
         ++ Seq(round(when(col("__hl") === 0L, lit(0.0)).otherwise(bp), 6)
             .as("bp"),
           round(bleu, 6).as("bleu")): _*)
+        .localCheckpoint(true)
+    } finally base.unpersist()
   }
 
   /** Sentence-level chrF between a hypothesis and a reference column
