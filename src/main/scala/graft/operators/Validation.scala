@@ -1126,11 +1126,18 @@ object Validation {
           sum(col("__rp_p")).over(w.partitionBy(keys: _*)
             .orderBy("__rp_pid").rowsBetween(Long.MinValue, -1)), lit(0L)))
         .select(col("__rp_pid") +: keys :+ col("__rp_off"): _*)
-      g.withColumn("__rp_run", coalesce(
+      // the offsets table is (partitions + key groups)-sized: with no
+      // keys that is partitions-sized — always broadcast; with keys the
+      // group count is the caller's (trimmedMean's domains can number
+      // in the millions), so use a plain join on the already-partitioned
+      // data and let AQE broadcast a small side on its own
+      val withOff =
+        if (keyCols.isEmpty) g.join(broadcast(offsets), Seq("__rp_pid"))
+        else g.join(offsets, "__rp_pid" +: keyCols)
+      withOff.withColumn("__rp_run", coalesce(
           sum(col(sumCol)).over(w.partitionBy(col("__rp_pid") +: keys: _*)
             .orderBy(col(orderCol)).rowsBetween(Long.MinValue, -1)),
           lit(0L)))
-        .join(broadcast(offsets), "__rp_pid" +: keyCols)
         .withColumn(outCol, col("__rp_run") + col("__rp_off"))
         .drop("__rp_pid", "__rp_run", "__rp_off")
         .localCheckpoint(true)
