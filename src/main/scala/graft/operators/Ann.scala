@@ -1676,6 +1676,10 @@ object Ann {
       bruteForceTopK(corpus, queries, idCol, vecCol, idCol, k))
     try {
       val total = exact.count()
+      require(total > 0L,
+        "recallAudit: exact top-k baseline is EMPTY (empty corpus or " +
+          "query set) — nothing to audit; a defaulted recall of 1.0 " +
+          "would pin a degenerate setup as perfect")
       def measure(kind: String, budget: Int, approx: DataFrame)
           : (String, Int, Long) = {
         val hits = exact.select("q_id", "id")
@@ -1711,7 +1715,7 @@ object Ann {
       (ivfRows ++ pqRows ++ ivfpqRows ++ opqRows)
         .map { case (kind, b, hits) =>
           (kind, b, k, nQueries, hits, total,
-            BigDecimal(if (total == 0L) 1.0 else hits.toDouble / total)
+            BigDecimal(hits.toDouble / total)
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
         }
         .toDF("index_kind", "budget", "k", "n_queries", "hits", "total",

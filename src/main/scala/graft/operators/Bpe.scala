@@ -305,13 +305,17 @@ object Bpe {
   /** The published GPT-2 pre-tokenizer pattern (encoder.py `pat`),
     * expressed in Java regex (same constructs: alternation, unicode
     * categories, the trailing-whitespace lookahead). The `(?U)` prefix
-    * (UNICODE_CHARACTER_CLASS) makes `\s`/`\S` match Unicode
-    * whitespace (U+00A0, U+2028, …) the way Python's `re` does for
-    * `str` patterns — without it Java's ASCII-only `\s` would diverge
-    * from the published pre-tokenizer on such text.
+    * (UNICODE_CHARACTER_CLASS) makes `\s` match Unicode whitespace
+    * (U+00A0, U+2028, …) the way Python's `re` does for `str`
+    * patterns — and the whitespace class is additionally widened to
+    * `[\s\x1C-\x1F]` because Python's `str` `\s` also matches the
+    * FILE/GROUP/RECORD/UNIT SEPARATOR control characters U+001C–U+001F
+    * (they satisfy `str.isspace()`), which Unicode does NOT give the
+    * White_Space property; without the widening those four bytes would
+    * ride inside punctuation runs instead of splitting them.
     */
   val Gpt2PreTokenPattern: String =
-    """(?U)'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+    """(?U)'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\x1C-\x1F\p{L}\p{N}]+|[\s\x1C-\x1F]+(?![^\s\x1C-\x1F])|[\s\x1C-\x1F]+"""
 
   /** All GPT-2 pre-tokens of `textCol`, in order. */
   private def preTokens(textCol: Column): Column =

@@ -203,10 +203,13 @@ object Dedup {
     val qPlane = 1.0 - math.acos(threshold) / math.Pi
     (1 to maxPlanes).map { p =>
       val q = math.pow(qPlane, p)
-      val t = math.ceil(math.log(1.0 - targetRecall) /
-        math.log(1.0 - q)).toInt.max(1)
-      val pAt = 1.0 - math.pow(1.0 - q, t)
-      val pOrth = 1.0 - math.pow(1.0 - math.pow(0.5, p), t)
+      // log1p/expm1 keep the S-curve exact when q underflows 1.0−q
+      // (q < ~5.6e-17 at high plane counts would otherwise read
+      // ln(1−q) = 0 and collapse the table count to 1 with pAt = 0)
+      val lq = math.log1p(-q)
+      val t = math.ceil(math.log1p(-targetRecall) / lq).toInt.max(1)
+      val pAt = -math.expm1(t * lq)
+      val pOrth = -math.expm1(t * math.log1p(-math.pow(0.5, p)))
       (p, t, pAt, pOrth)
     }
   }
@@ -229,7 +232,11 @@ object Dedup {
       s"budget must be in [1, 4096], got $budget")
     val plans = hyperplanePlan(threshold, targetRecall,
       maxPlanes = math.min(62, budget))
-    plans.filter { case (p, t, _, _) => t.toLong * p <= budget }
+    // re-validate pAt >= targetRecall (mirroring chooseLshPlan): the
+    // ceil guarantees it mathematically, but a clamped/overflowed table
+    // count must never slip through as a near-zero-recall plan
+    plans.filter { case (p, t, pAt, _) =>
+        t.toLong * p <= budget && pAt >= targetRecall }
       .sortBy(-_._1).headOption
       .map { case (p, t, pAt, _) => (t, p, pAt) }
       .getOrElse {

@@ -2376,24 +2376,29 @@ object TextAnalysis {
   def bigramEntropyRate(
       df: org.apache.spark.sql.DataFrame,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val counts = explodedBigrams(df, textCol, Nil)
-      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
-    val ctx = counts.groupBy("__w1").agg(sum(col("__c12")).as("__c1"),
-      count(lit(1)).as("__nt"))
-    val term = col("__c12") *
-      round(log(col("__c12").cast("double") / col("__c1").cast("double"))
-        * 1e9).cast("long")
-    val head = counts.join(ctx.select(col("__w1"), col("__c1")), "__w1")
-      .agg(sum(col("__c12")).as("__n"), count(lit(1)).as("__types"),
-        sum(term).as("__s"))
-      .head()
-    val n = if (head.isNullAt(0)) 0L else head.getAs[Long]("__n")
-    require(n <= 400000000L,
-      s"bigramEntropyRate: $n bigrams (> 4e8) — the nano-ln·count " +
-        "terms would overflow 2^63; slice the corpus upstream")
-    val types = head.getAs[Long]("__types")
-    val s = if (head.isNullAt(2)) 0L else head.getAs[Long]("__s")
-    val nCtx = ctx.count()
+    val counts = graft.core.Caches.pin(
+      explodedBigrams(df, textCol, Nil)
+        .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12")))
+    val (n, types, s, nCtx) = try {
+      // EAGER guard: count N in a cheap first aggregate and refuse
+      // BEFORE the nano-ln·count weighted sum ever runs — the overflow
+      // being refused must not be computable while computing the refusal
+      val nHead = counts
+        .agg(sum(col("__c12")).as("__n"), count(lit(1)).as("__types"))
+        .head()
+      val n = if (nHead.isNullAt(0)) 0L else nHead.getAs[Long]("__n")
+      require(n <= 400000000L,
+        s"bigramEntropyRate: $n bigrams (> 4e8) — the nano-ln·count " +
+          "terms would overflow 2^63; slice the corpus upstream")
+      val types = nHead.getAs[Long]("__types")
+      val ctx = counts.groupBy("__w1").agg(sum(col("__c12")).as("__c1"))
+      val term = col("__c12") *
+        round(log(col("__c12").cast("double") / col("__c1").cast("double"))
+          * 1e9).cast("long")
+      val sHead = counts.join(ctx, "__w1").agg(sum(term).as("__s")).head()
+      val s = if (sHead.isNullAt(0)) 0L else sHead.getAs[Long]("__s")
+      (n, types, s, ctx.count())
+    } finally counts.unpersist()
     val spark = df.sparkSession
     import spark.implicits._
     val rate: Option[Double] = if (n == 0L) None

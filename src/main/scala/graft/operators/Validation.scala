@@ -1130,10 +1130,22 @@ object Validation {
       // keys that is partitions-sized — always broadcast; with keys the
       // group count is the caller's (trimmedMean's domains can number
       // in the millions), so use a plain join on the already-partitioned
-      // data and let AQE broadcast a small side on its own
+      // data and let AQE broadcast a small side on its own. Key equality
+      // must be NULL-SAFE: repartitionByRange, groupBy and the offset
+      // window all treat a NULL key as a group, so a plain using-columns
+      // join here would silently drop exactly those rows.
       val withOff =
         if (keyCols.isEmpty) g.join(broadcast(offsets), Seq("__rp_pid"))
-        else g.join(offsets, "__rp_pid" +: keyCols)
+        else {
+          val o = keyCols.foldLeft(
+            offsets.withColumnRenamed("__rp_pid", "__rp_pid_o")) {
+            (d, k) => d.withColumnRenamed(k, "__rp_o_" + k) }
+          val cond = keyCols.foldLeft(
+            g("__rp_pid") === o("__rp_pid_o")) { (c, k) =>
+            c && (g(k) <=> o("__rp_o_" + k)) }
+          g.join(o, cond).drop("__rp_pid_o")
+            .drop(keyCols.map("__rp_o_" + _): _*)
+        }
       withOff.withColumn("__rp_run", coalesce(
           sum(col(sumCol)).over(w.partitionBy(col("__rp_pid") +: keys: _*)
             .orderBy(col(orderCol)).rowsBetween(Long.MinValue, -1)),
@@ -1197,8 +1209,14 @@ object Validation {
       val kept = greatest(hi - lo, lit(0L))
       // groups-sized totals: a plain key join (groups can number in the
       // millions at corpus scale — too big to assume broadcastable; AQE
-      // will still broadcast a small side on its own)
-      pre.join(totals.select(keys :+ col("__n"): _*), keyCols)
+      // will still broadcast a small side on its own). NULL-SAFE per key:
+      // "NULL group keys are a group" is the documented contract, and a
+      // using-columns join would silently drop that group.
+      val tn = keyCols.foldLeft(totals.select(keys :+ col("__n"): _*)) {
+        (d, k) => d.withColumnRenamed(k, "__tm_o_" + k) }
+      val tmCond = keyCols.map(k => pre(k) <=> tn("__tm_o_" + k))
+        .reduce(_ && _)
+      pre.join(tn, tmCond).drop(keyCols.map("__tm_o_" + _): _*)
         .groupBy(keys: _*)
         .agg(max(col("__n")).as("n"), sum(kept).as("n_kept"),
           sum(col("__v") * kept).as("__s"))

@@ -898,6 +898,10 @@ class AnnMultimodalSpec extends SparkTestBase {
     // stage is deterministic, so these recalls are EXACT pins — an
     // intentional quantizer change must update this table consciously
     val queries = embeddings.filter($"vec_id" < 10)
+    // degenerate setup refuses loudly instead of pinning recall = 1.0
+    val eEmpty = intercept[IllegalArgumentException](Ann.recallAudit(
+      embeddings, embeddings.filter($"vec_id" < 0), "vec_id", "embedding"))
+    assert(eEmpty.getMessage.contains("nothing to audit"), eEmpty.getMessage)
     val table = Ann.recallAudit(embeddings, queries, "vec_id", "embedding",
       k = 5, budgets = Seq(1, 2, 4), nlist = 16, m = 8, ksub = 32)
       .collect().map(r => (r.getAs[String]("index_kind"),

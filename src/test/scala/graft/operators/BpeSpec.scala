@@ -239,6 +239,16 @@ class BpeSpec extends SparkTestBase {
     assert(refPreTokens("!\u00A0!") == Vector("!", "\u00A0", "!"))
     assert(refPreTokens("!\u2028!") == Vector("!", "\u2028", "!"))
     assert(refPreTokens("a\u00A0b") == Vector("a", "\u00A0", "b"))
+    // Python str \s ALSO matches U+001C-U+001F (file/group/record/unit
+    // separators: str.isspace() is true for them though Unicode gives
+    // them no White_Space property); the widened [\s\x1C-\x1F] class
+    // keeps exact parity: they split runs like any whitespace instead
+    // of riding inside the punctuation branch
+    assert(refPreTokens("!\u001C!") == Vector("!", "\u001C", "!"))
+    assert(refPreTokens("a\u001Fb") == Vector("a", "\u001F", "b"))
+    assert(refPreTokens("tail\u001C\u001D") ==
+      Vector("tail", "\u001C\u001D"))
+    assert(refPreTokens("x \u001C y") == Vector("x", " \u001C", " y"))
     // the SPARK side tokenizes identically (regexp_extract_all shares
     // the Java regex semantics)
     val docs = Seq((1L, "Hello world! I'm a  b ab12")).toDF("doc_id", "text")

@@ -208,6 +208,19 @@ class CorpusOpsSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](
       Dedup.chooseHyperplanePlan(0.5, 0.99, 2))
     assert(e.getMessage.contains("budget"), e.getMessage)
+    // tiny-q regime (ADVICE r16): at threshold 0.12 the per-table
+    // collision prob underflows 1.0−q at high plane counts; the old
+    // ln(1−q)=0 path collapsed the table count to 1 and the chooser
+    // picked planes=62 with ~zero actual recall. log1p keeps the
+    // S-curve exact and the chooser re-validates pAt >= targetRecall.
+    val (tTiny, pTiny, pAtTiny) = Dedup.chooseHyperplanePlan(0.12, 0.9, 4096)
+    assert(pAtTiny >= 0.9,
+      s"tables=$tTiny planes=$pTiny pAt=$pAtTiny below target")
+    assert(tTiny.toLong * pTiny <= 4096)
+    // and the raw table's high-plane rows report astronomically many
+    // tables needed (saturated), never a silent t=1 with pAt=0
+    val tail = Dedup.hyperplanePlan(0.12, 0.9, maxPlanes = 62).last
+    assert(tail._2 > 1000000, s"p=62 tables=${tail._2} should saturate")
     // measured recall floor: planted near-duplicates of every 5th vector
     // must surface at >= the advertised target through the AUTO path
     val dim = 16

@@ -687,6 +687,20 @@ class ValidationSpec extends SparkTestBase {
       Validation.trimmedMean(df, Seq("g"), "v", trim = 0.5))
     intercept[IllegalArgumentException](Validation.trimmedMean(
       Seq(("A", Option.empty[Double])).toDF("g", "v"), Seq("g"), "v"))
+    // NULL group keys are a group (contract pin): the offsets/totals
+    // joins are null-safe per key, so the NULL group survives with the
+    // same trim band as any other — values {2,4,6,8,100}, k=1 keeps
+    // {4,6,8} -> 6.0
+    val withNull = Validation.trimmedMean(
+      Seq((Option("A"), 1.0), (Option.empty[String], 2.0),
+        (Option.empty[String], 4.0), (Option.empty[String], 6.0),
+        (Option.empty[String], 8.0), (Option.empty[String], 100.0))
+        .toDF("g", "v"), Seq("g"), "v", trim = 0.2)
+    assert(withNull.count() == 2L, "NULL-key group must not be dropped")
+    val nullRow = withNull.where(col("g").isNull).head()
+    assert(nullRow.getAs[Long]("n") == 5L &&
+      nullRow.getAs[Long]("n_kept") == 3L &&
+      nullRow.getAs[Double]("trimmed_mean") == 6.0)
   }
 
   test("wilsonIntervals + shrunkenRates: hand-checked intervals, shrinkage direction, loud guards") {
