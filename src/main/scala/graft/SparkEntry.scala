@@ -1,10 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
-import graft.functions.Hashing
-import graft.operators.{DataFrameUtils, Transformations}
+import graft.entries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,10868 +10,35 @@ import graft.operators.{DataFrameUtils, Transformations}
   * the driver testdata, plus (where SQL-expressible) a DuckDB `oracleSql`
   * equivalent. Column names are aliased identically on both sides — the
   * driver's comparator sorts columns by name before hashing.
+  *
+  * The entries themselves live in per-domain objects under
+  * [[graft.entries]] (ReferenceEntries, TextEntries, DedupEntries,
+  * AnnEntries, EvalEntries, GraphEntries, StatsEntries,
+  * PipelineEntries) — this object composes their maps. Duplicate keys
+  * across files would shadow silently under `++`, so
+  * RowsOnlyLedgerSpec lints the sources for global key uniqueness.
   */
 object SparkEntry {
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
-  /** Planted classifier weights for the scoring/pipeline queries: micros
-    * in [-1000, 1000] derived from sha256("w:" + j) — the DuckDB twins
-    * rebuild the identical array in SQL.
-    */
-  private def plantedWeights(dim: Int): Array[Long] = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    def h60(x: String): Long = java.lang.Long.parseLong(
-      md.digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15), 16)
-    (0 until dim).map(j => h60(s"w:$j") % 2001L - 1000L).toArray
-  }
-
-  /** Planted mixed-normalization prefix for q_unicode_fold — explicit \u
-    * escapes so the DECOMPOSED "cafe" + U+0301 stays decomposed at the
-    * source level (an editor/tool NFC pass would silently destroy the
-    * test). Precomposed É, decomposed e+acute, ligature ﬁ (must survive:
-    * compatibility-only decomposition), Devanagari Mc matra (stripped
-    * under utf8proc STRIPMARK), Å, and non-decomposable ø (survives).
-    * Shared verbatim by the Spark query and the DuckDB oracle string.
-    */
-  private val unicodePlant: String =
-    "\u00C9lan cafe\u0301 \uFB01n \u0915\u0940 \u00C5\u00F8 \u2014 "
-
-  /** Documents plus planted near-duplicates (every 10th doc re-appears with
-    * a suffix under a shifted id) — shared corpus for the LSH pair and
-    * clustering queries.
-    */
-  private def lshCorpus(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    docs.unionAll(
-      docs.where(col("doc_id") % 10 === 0).select(
-        (col("doc_id") + 1000000).as("doc_id"),
-        concat(col("text"), lit(" extra extra")).as("text")))
-  }
-
-  /** Temp dir for a query's SCD target, deleted at JVM exit: Bench/Verify
-    * invoke these queries repeatedly (plus a re-timed second run) on a
-    * shared box, and undeleted table copies would steadily eat /tmp.
-    */
-  private def scratchDir(prefix: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
-    d.toString
-  }
-
-  /** Reshape a tokenizer `encode` output `(id, n_tokens, token_ids,
-    * pieces)` to one scalar row per emitted piece: `(id, pos, token_id,
-    * piece)`. The driver's verify compare hashes pandas-sorted cells and
-    * crashes on array columns (`TypeError: unhashable type`), so every
-    * encode query flows through this — the exploded row count then
-    * witnesses the encoding itself.
-    */
-  private def explodeEncoded(enc: DataFrame): DataFrame = {
-    val id = enc.columns.head
-    enc.select(col(id),
-        posexplode(arrays_zip(col("token_ids"), col("pieces")))
-          .as(Seq("pos", "__tp")))
-      .select(col(id), col("pos"),
-        col("__tp.token_ids").as("token_id"), col("__tp.pieces").as("piece"))
-  }
-
-  /** One WordPiece training per (session, corpus) — the artifact the
-    * encode-side queries share. Training is the expensive leg
-    * (driver-round-batched merge learning); re-learning an IDENTICAL
-    * vocabulary inside every encode query benchmarked only repetition
-    * (~15 s of round-12's bench was triple-training). q_wordpiece_vocab
-    * keeps calling train() directly so the TRAINING cost stays a
-    * first-class benchmarked number; q_wordpiece_encode and
-    * q_tokenizer_roundtrip reuse this memo and so time ENCODING — the
-    * real production shape (train once, encode forever). The trained
-    * vocab is a driver-local ≤2000-row frame, so memoizing it holds no
-    * executor state and survives Bench's between-query cache wipes.
-    */
-  private val wpVocabMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private def sharedWordpieceVocab(s: SparkSession, dir: String): DataFrame =
-    wpVocabMemo.computeIfAbsent((s, dir), _ =>
-      operators.WordPiece.train(t(s, dir, "documents"), "text",
-        vocabSize = 2000, minPairCount = 2, batchSize = 32))
-
-  /** The customer<->supplier symmetric trade-edge table the pageRank
-    * family iterates on: one orders⋈lineitem pass, both directions
-    * exploded out of it (a union of pairs + reversed pairs would run
-    * the join once per branch).
-    */
-  private def tradeEdgesInline(s: SparkSession, dir: String): DataFrame = {
-    val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-    pairs.select(explode(array(
-        struct(col("src"), col("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-  }
-
-  /** One trade-edge build per (application, corpus), MATERIALIZED to a
-    * session scratch parquet — the [[sharedWordpieceVocab]] discipline
-    * for the pageRank family: q_pagerank keeps building edges inline so
-    * the prep itself stays a first-class benchmarked number, while the
-    * weighted and personalized variants read this table and so time
-    * ITERATION — the production shape (an edge table is persisted once;
-    * every graph job reads it). A parquet scratch (not a cached frame)
-    * survives Bench's between-query cache/RDD wipes and holds no
-    * executor state; a parquet round-trip of two string columns is
-    * value-exact, so the oracle hashes are unchanged.
-    */
-  private val tradeEdgesMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
-  private def sharedTradeEdges(s: SparkSession, dir: String): DataFrame = {
-    // Keyed by (applicationId, dir) — plain strings, so no SparkSession
-    // reference is pinned across session cycling; the edge table's
-    // content depends only on the corpus dir, so sessions sharing one
-    // context legitimately share the memo. `compute` (not
-    // computeIfAbsent) re-checks the scratch path on every hit and
-    // rebuilds if a /tmp reaper took it mid-session; the hit/build log
-    // line makes memo steady state auditable in bench stderr.
-    val key = (s.sparkContext.applicationId, dir)
-    val path = tradeEdgesMemo.compute(key, (_, prev) => {
-      if (prev != null && new java.io.File(prev).isDirectory) {
-        System.err.println(s"[graft] tradeEdgesMemo HIT $prev")
-        prev
-      } else {
-        val p = scratchDir("graft_trade_edges_") + "/edges"
-        tradeEdgesInline(s, dir).write.mode("overwrite").parquet(p)
-        System.err.println(
-          s"[graft] tradeEdgesMemo BUILD $p (prev=${String.valueOf(prev)})")
-        p
-      }
-    })
-    s.read.parquet(path)
-  }
-
-  /** Materialize the shared per-(session, corpus) artifacts up front —
-    * called by [[Bench]]'s warmup so the ONE-TIME memo builds (the
-    * trade-edge parquet write) don't land inside whichever consumer
-    * query happens to run first. The queries then time their
-    * steady-state cost: q_pagerank the full inline prep + iteration,
-    * the weighted/personalized variants a memo read + iteration.
-    */
-  private[graft] def warmSharedArtifacts(s: SparkSession, dir: String): Unit =
-    sharedTradeEdges(s, dir).count(): Unit
-
-  /** Customers plus planted near-duplicate twins for the linkage tier:
-    * each twin keeps c_name / c_acctbal / c_mktsegment intact at
-    * 90/60/80% and perturbs it otherwise, gated by a sha256-derived
-    * integer on the KEY (not the value — double→string rendering is
-    * not engine-portable), so the DuckDB oracle replants the identical
-    * fixture. Shared by q_linkage_em (rows-only EM) and
-    * q_linkage_patterns (full-twin sufficient statistic).
-    */
-  private def linkageFixture(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
-      col("c_acctbal"), col("c_mktsegment"), col("c_nationkey"))
-    def agree(tag: String, pct: Int) =
-      graft.functions.VectorFunctions.hexPrefixToLong(
-        sha2(concat(col("c_custkey").cast("string"), lit(":" + tag)), 256),
-        7) % 100 < pct
-    val twins = c.select(
-      (col("c_custkey") + 10000000L).as("c_custkey"),
-      when(agree("n", 90), col("c_name"))
-        .otherwise(concat(col("c_name"), lit("~"))).as("c_name"),
-      when(agree("p", 60), col("c_acctbal"))
-        .otherwise(col("c_acctbal") + 1.0).as("c_acctbal"),
-      when(agree("m", 80), col("c_mktsegment"))
-        .otherwise(concat(col("c_mktsegment"), lit("~"))).as("c_mktsegment"),
-      col("c_nationkey"))
-    c.unionByName(twins)
-  }
-
-  /** Documents with deterministic planted PII (URL + email + IPv4) on
-    * every 7th doc, so redaction has observable work to do.
-    */
-  private def piiCorpus(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    // coalesce BEFORE concat, mirroring the oracle's coalesce(text, ''):
-    // concat(null, ...) would null out a planted row and desync the two
-    docs.select(col("doc_id"),
-      when(col("doc_id") % 7 === 0,
-        concat(coalesce(col("text"), lit("")), lit(" contact user"),
-          col("doc_id"),
-          lit("@example.com via https://example.org/d/"), col("doc_id"),
-          lit(" or 10.1.2.3")))
-        .otherwise(col("text")).as("text"))
-  }
-
-  /** Documents with a deterministic synthetic URL per row — five shapes
-    * cycling on doc_id covering the canonicalization surface (casing,
-    * default/explicit ports, userinfo, tracking params, two-level
-    * suffixes, and one non-URL). Mirrored verbatim in the URL oracles.
-    */
-  private def urlCorpus(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
-    val id = col("doc_id").cast("string")
-    d.select(col("doc_id"),
-      when(col("doc_id") % 5 === 0,
-        concat(lit("HTTPS://WWW."), col("source"),
-          lit(".Example.COM:443/Path/"), id, lit("?utm_source=feed&b=2&a=1#frag")))
-        .when(col("doc_id") % 5 === 1,
-          concat(lit("http://"), col("source"), lit(".example.com:80/"), id))
-        .when(col("doc_id") % 5 === 2,
-          concat(lit("http://user:pw@"), col("source"),
-            lit(".example.co.uk:8080/x?z=1&y=2&gclid=abc")))
-        .when(col("doc_id") % 5 === 3,
-          concat(lit("https://cdn."), col("source"),
-            lit(".example.org/a/b/?fbclid=1")))
-        .otherwise(concat(lit("not a url "), id)).as("url"))
-  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  private[graft] def warmSharedArtifacts(s: SparkSession, dir: String): Unit =
+    EntryHelpers.warmSharedArtifacts(s, dir)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- A1-family aggregation (TPC-H Q1-style pricing summary) ----
-    "q1_pricing_summary" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
-          count(lit(1)).as("count_order"))
-    }),
-
-    // ---- P1 renameColumns + P3 castColumns + P2 withConstants ----
-    "q_rename_cast_constants" -> ((s, dir) => {
-      val renamed = Transformations.renameColumns(
-        t(s, dir, "nation"),
-        Map("n_nationkey" -> "nation_id", "n_name" -> "nation_name"))
-      val cast = Transformations.castColumns(renamed, Map("nation_id" -> "bigint"))
-      Transformations.withConstants(cast, Seq("source_system" -> "graft"))
-    }),
-
-    // ---- F2 normalizeWhitespace over documents.text ----
-    "q_normalize_whitespace" -> ((s, dir) => {
-      Transformations
-        .normalizeWhitespace(
-          t(s, dir, "documents").select(col("doc_id"), col("text")),
-          Seq("text"))
-        .withColumnRenamed("text", "text_norm")
-    }),
-
-    // ---- Unicode hygiene: NFC + mark stripping over a corpus with
-    // planted mixed-normalization text (decomposed accents, precomposed
-    // accents, Indic matras, non-decomposable ø/ß) ----
-    "q_unicode_fold" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val planted = docs.where(col("doc_id") % 25 === 0).select(
-        (col("doc_id") + 3000000).as("doc_id"),
-        concat(lit(unicodePlant), coalesce(col("text"), lit(""))).as("text"))
-      val corpus = docs.unionAll(planted)
-      corpus.select(col("doc_id"),
-        graft.functions.UnicodeFunctions.normalizeNfc(col("text")).as("nfc_text"),
-        graft.functions.UnicodeFunctions.foldMarks(col("text")).as("folded"))
-    }),
-
-    // ---- F3/P7 splitByDateFormats over a mixed-format date string ----
-    "q_split_date_formats" -> ((s, dir) => {
-      val src = t(s, dir, "orders").select(
-        col("o_orderkey"),
-        when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
-          .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), "MM/dd/yyyy"))
-          .otherwise(concat(lit("junk-"), col("o_orderkey").cast("string")))
-          .as("d"))
-      Transformations
-        .splitByDateFormats(src, "d", Seq("yyyy-MM-dd", "MM/dd/yyyy"))
-        .df
-    }),
-
-    // ---- F5/F7 createDateDataframe calendar dimension ----
-    "q_date_dim" -> ((s, _) =>
-      DataFrameUtils.createDateDataframe(s, "2024-01-01", "2024-12-31")),
-
-    // ---- F6/F7 createTimeDataframe clock dimension ----
-    "q_time_dim" -> ((s, _) =>
-      DataFrameUtils.createTimeDataframe(s, "00:00:00", "23:59:00", 60)),
-
-    // ---- F1 deterministic row hash ----
-    "q_row_hash" -> ((s, dir) => {
-      t(s, dir, "nation").select(
-        col("n_nationkey"),
-        Hashing.rowHashOf(Seq("n_name", "n_regionkey")).as("row_hash"))
-    }),
-
-    // ---- C1 SCD1 current-only upsert (two batches into a parquet target) ----
-    "q_scd1_current_only" -> ((s, dir) => {
-      val base = t(s, dir, "customer").select(
-        col("c_custkey").as("id"),
-        col("c_name").as("name"),
-        col("c_mktsegment").as("segment"))
-      val b2 = base.where(col("id") % 3 === 0)
-        .withColumn("segment", lit("UPDATED"))
-      val target = scratchDir("graft_scd1_") + "/t"
-      ct.ChangeTracking.currentOnlyUpsert(s, base, target, Seq("id"))
-      ct.ChangeTracking.currentOnlyUpsert(s, b2, target, Seq("id"))
-      s.read.parquet(target)
-    }),
-
-    // ---- C1 + bucketed target: merges prune + rewrite only touched
-    // hash-buckets of the target (the 100 TB path; same logical contract)
-    "q_scd1_bucketed" -> ((s, dir) => {
-      val base = t(s, dir, "customer").select(
-        col("c_custkey").as("id"),
-        col("c_name").as("name"),
-        col("c_mktsegment").as("segment"))
-      val b2 = base.where(col("id") % 3 === 0)
-        .withColumn("segment", lit("UPDATED"))
-      val target = scratchDir("graft_scd1b_") + "/t"
-      ct.ChangeTracking.currentOnlyUpsert(s, base, target, Seq("id"),
-        numBuckets = Some(16))
-      ct.ChangeTracking.currentOnlyUpsert(s, b2, target, Seq("id"),
-        numBuckets = Some(16))
-      s.read.parquet(target).drop(ct.TableStore.BucketCol)
-    }),
-
-    // ---- C2 SCD2 track-history upsert (bootstrap + changed-subset batch) ----
-    "q_scd2_track_history" -> ((s, dir) => {
-      val b1 = t(s, dir, "orders").select(
-        col("o_orderkey").as("id"),
-        col("o_orderstatus").as("status"),
-        col("o_totalprice").cast("decimal(12,2)").as("price"))
-      val b2 = b1.where(col("id") % 2 === 0)
-        .withColumn("price",
-          when(col("id") % 10 === 0, (col("price") + lit(10)).cast("decimal(12,2)"))
-            .otherwise(col("price")))
-      val target = scratchDir("graft_scd2_") + "/t"
-      ct.ChangeTracking.trackHistoryUpsert(s, b1, target, Seq("id"),
-        loadTsExpr = Some("to_timestamp('2020-01-01 00:00:00')"))
-      ct.ChangeTracking.trackHistoryUpsert(s, b2, target, Seq("id"),
-        loadTsExpr = Some("to_timestamp('2020-02-01 00:00:00')"))
-      // timestamps → epoch µs (NULL open-row expiry → -1) and decimal →
-      // integer cents: the oracle compare is only precision-stable on
-      // integers (a DECIMAL '100.10' read back through float prints
-      // '100.1' and breaks the value hash)
-      s.read.parquet(target).select(
-        col("id"), col("status"),
-        (col("price") * 100).cast("long").as("price_cents"), col("row_hash"),
-        unix_micros(col("effective_start_ts")).as("start_us"),
-        coalesce(unix_micros(col("effective_end_ts")), lit(-1L)).as("end_us"),
-        col("is_current"), col("version"))
-    }),
-
-    // ---- SCD2 time travel: the as-of snapshot between the two batches
-    // must reproduce batch 1 exactly (every key at version 1) ----
-    "q_scd2_asof" -> ((s, dir) => {
-      val b1 = t(s, dir, "orders").select(
-        col("o_orderkey").as("id"),
-        col("o_orderstatus").as("status"),
-        col("o_totalprice").cast("decimal(12,2)").as("price"))
-      val b2 = b1.where(col("id") % 2 === 0)
-        .withColumn("price",
-          when(col("id") % 10 === 0, (col("price") + lit(10)).cast("decimal(12,2)"))
-            .otherwise(col("price")))
-      val target = scratchDir("graft_scd2asof_") + "/t"
-      ct.ChangeTracking.trackHistoryUpsert(s, b1, target, Seq("id"),
-        loadTsExpr = Some("to_timestamp('2020-01-01 00:00:00')"))
-      ct.ChangeTracking.trackHistoryUpsert(s, b2, target, Seq("id"),
-        loadTsExpr = Some("to_timestamp('2020-02-01 00:00:00')"))
-      ct.ChangeTracking.asOf(s, target,
-          to_timestamp(lit("2020-01-15 00:00:00")))
-        .select(col("id"), col("status"),
-          (col("price") * 100).cast("long").as("price_cents"),
-          col("version"))
-    }),
-
-    // ---- warehouse witness: SCD2 history + as-of join = point-in-time
-    // fact enrichment. Facts straddle both dimension versions; only the
-    // ids whose hash actually changed (id % 10 = 0 price bump) may pick
-    // version 2 — the composition oracle encodes exactly that ----
-    "q_pipeline_scd_enrich" -> ((s, dir) => {
-      val b1 = t(s, dir, "orders").select(
-        col("o_orderkey").as("id"),
-        col("o_orderstatus").as("status"),
-        col("o_totalprice").cast("decimal(12,2)").as("price"))
-      val b2 = b1.where(col("id") % 2 === 0)
-        .withColumn("price",
-          when(col("id") % 10 === 0, (col("price") + lit(10)).cast("decimal(12,2)"))
-            .otherwise(col("price")))
-      val target = scratchDir("graft_scdenrich_") + "/t"
-      ct.ChangeTracking.trackHistoryUpsert(s, b1, target, Seq("id"),
-        loadTsExpr = Some("to_timestamp('2020-01-01 00:00:00')"))
-      ct.ChangeTracking.trackHistoryUpsert(s, b2, target, Seq("id"),
-        loadTsExpr = Some("to_timestamp('2020-02-01 00:00:00')"))
-      val hist = s.read.parquet(target).select(col("id"),
-        unix_micros(col("effective_start_ts")).as("ts_us"),
-        col("version"), col("status"),
-        (col("price") * 100).cast("long").as("price_cents"))
-      val facts = t(s, dir, "orders").where(col("o_orderkey") < 500)
-        .select(col("o_orderkey").as("id"),
-          when(col("o_orderkey") % 3 === 0,
-            unix_micros(to_timestamp(lit("2020-01-15 00:00:00"))))
-            .otherwise(unix_micros(to_timestamp(lit("2020-02-15 00:00:00"))))
-            .as("ts_us"))
-      operators.AsofJoin.asofJoin(facts, hist, Seq("id"), "ts_us",
-          valueCols = Seq("version", "status", "price_cents"))
-        .select(col("id"), col("ts_us"), col("version"), col("status"),
-          col("price_cents"))
-    }),
-
-    // ---- U3 deterministic hash embedding (pure column expressions) ----
-    "q_hash_embedding" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        posexplode(similarity.HashEmbedding.hashToVector(
-          col("text"), dims = 8, normalize = false)))
-        .withColumnRenamed("pos", "dim")
-        .withColumnRenamed("col", "val")
-    }),
-
-    // ---- M1-M6/W3-W4 similarity pipeline: KMeans + representative choice
-    // (not SQL-expressible → rows-only check; seeded for determinism) ----
-    "q_cluster_representatives" -> ((s, dir) => {
-      val pipeline = similarity.SimilarityPipeline(
-        similarity.IdentityEmbeddingGenerator(inputCol = "embedding"),
-        similarity.KMeansPartitioner(k = 8, seed = Some(42L)),
-        Some(similarity.CosineSimilarity()),
-        Some(similarity.MaxColumnChoice("label")))
-      val clustered = pipeline.run(t(s, dir, "embeddings"))
-      pipeline.selectRepresentatives(clustered)
-        .select(col("vec_id"), col("cluster_id"), col("label"))
-    }),
-
-    // ---- text analysis: token counts, ratios, language id, quality ----
-    // tokens projected once, then every stat reads the array attribute —
-    // CollapseProject keeps the non-cheap multi-referenced alias separate
-    "q_text_stats" -> ((s, dir) => {
-      val ta = operators.TextAnalysis
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("text"), ta.tokens(col("text")).as("__toks"))
-        .select(
-          col("doc_id"),
-          size(col("__toks")).as("n_tok"),
-          ta.bpeishTokenCount(col("text")).as("n_bpe"),
-          round(ta.punctRatio(col("text")), 6).as("punct_ratio"),
-          ta.languageIdFromTokens(col("__toks")).as("lang_id"),
-          ta.qualityScoreFromTokens(col("text"), col("__toks")).as("quality"))
-    }),
-
-    // ---- corpus hygiene: repetition fractions + URL/email density ----
-    "q_doc_hygiene" -> ((s, dir) => {
-      val ta = operators.TextAnalysis
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        round(ta.repetitionFrac(ta.lines(col("text"))), 6).as("dup_line_frac"),
-        round(ta.repetitionFrac(ta.tokens(col("text"))), 6).as("dup_token_frac"),
-        round(ta.repetitionFrac(ta.shingles(col("text"), 2)), 6)
-          .as("dup_bigram_frac"),
-        ta.urlCount(col("text")).as("n_urls"),
-        ta.emailCount(col("text")).as("n_emails"))
-    }),
-
-    // ---- per-source corpus report: the daily pipeline audit query ----
-    "q_corpus_report" -> ((s, dir) => {
-      val ta = operators.TextAnalysis
-      t(s, dir, "documents")
-        .select(col("source"), col("lang"), col("text"),
-          ta.tokens(col("text")).as("__toks"))
-        .select(col("source"), col("lang"),
-          size(col("__toks")).as("__n_tok"),
-          ta.qualityScoreFromTokens(col("text"), col("__toks")).as("__q"),
-          ta.urlCount(col("text")).as("__urls"),
-          ta.emailCount(col("text")).as("__emails"))
-        .groupBy("source")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("__n_tok")).as("n_tokens"),
-          // integer micros, not avg(double): float summation order differs
-          // between engines/partitionings, so sum exactly and divide once
-          sum(round(col("__q") * 1e6).cast("long")).as("__q_micros"),
-          countDistinct(col("lang")).as("n_langs"),
-          sum(col("__urls")).as("n_urls"),
-          sum(col("__emails")).as("n_emails"))
-        .withColumn("avg_quality",
-          round(col("__q_micros") / (col("n_docs") * 1e6), 6))
-        .drop("__q_micros")
-    }),
-
-    // ---- boilerplate line removal (CCNet/RefinedWeb line-dedup) over a
-    // corpus with a planted universal footer + a semi-rare promo line ----
-    "q_remove_boilerplate" -> ((s, dir) => {
-      val corpus = t(s, dir, "documents").select(col("doc_id"),
-        concat(coalesce(col("text"), lit("")),
-          lit("\nsubscribe to the graft newsletter"),
-          when(col("doc_id") % 3 === 0, lit("\nshared promo line"))
-            .otherwise(lit(""))).as("text"))
-      operators.TextAnalysis.removeBoilerplate(
-        corpus, "doc_id", "text", maxDocs = 200)
-    }),
-
-    // ---- intra-document repeated-line removal (C4-style) over a corpus
-    // where every doc repeats its own body line ----
-    "q_dedup_lines" -> ((s, dir) => {
-      val corpus = t(s, dir, "documents").select(col("doc_id"),
-        concat(coalesce(col("text"), lit("")),
-          lit("\n"), coalesce(col("text"), lit("")),
-          lit("\ntail "), col("doc_id").cast("string")).as("text"))
-      corpus.select(col("doc_id"),
-        operators.TextAnalysis.dedupLinesWithinDoc(col("text")).as("clean"))
-    }),
-
-    // C4 three-sentence-span global dedup: documents sentencified with a
-    // period after every 5 tokens, a shared 3-sentence span planted on
-    // every 6th doc; later occurrences lose their sentences.
-    "q_c4_span_dedup" -> ((s, dir) => {
-      val corpus = t(s, dir, "documents").select(col("doc_id"),
-        concat(
-          regexp_replace(coalesce(col("text"), lit("")),
-            "(\\S+ \\S+ \\S+ \\S+ \\S+)", "$1."),
-          when(col("doc_id") % 6 === 0,
-            lit(" Alpha beta gamma. Delta epsilon zeta. Eta theta iota."))
-            .otherwise(lit(""))).as("text"))
-      operators.TextAnalysis.dedupSentenceSpansGlobal(
-        corpus, "doc_id", "text", k = 3)
-    }),
-
-    // HTML -> text extraction over a deterministic synthetic wrapping of
-    // each document (title, style, script with a raw '<', comment,
-    // entities) — the crawl-side step before every text operator.
-    "q_html_extract" -> ((s, dir) => {
-      val html = concat(
-        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-        lit(" &amp; friends</title><style>p { color: red; }</style>"),
-        lit("<script>var x = 1 < 2;</script></head><body><!-- nav -->"),
-        lit("<p>"), coalesce(col("text"), lit("")),
-        lit("</p><div>&quot;quoted&quot; &lt;tag&gt;</div></body></html>"))
-      t(s, dir, "documents").select(col("doc_id"),
-        operators.TextAnalysis.htmlTitle(html).as("title"),
-        operators.TextAnalysis.htmlToText(html).as("extracted"))
-    }),
-
-    // Compression-ratio quality signal (deflate/raw) — no DuckDB oracle
-    // (no deflate there); rows-only, value distribution spec-asserted in
-    // TextDedupSpec. Planted flood on every 9th doc gives the signal
-    // observable separation to detect.
-    "q_compression_signal" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"),
-        when(col("doc_id") % 9 === 0,
-          concat_ws(" ", array_repeat(lit("spam flood line"), 40)))
-          .otherwise(coalesce(col("text"), lit(""))).as("text"))
-        .select(col("doc_id"),
-          round(operators.TextAnalysis.compressionRatio(col("text")), 6)
-            .as("compress_ratio"))
-    }),
-
-    // Corpus-global keep-first line dedup: a footer planted on every doc
-    // and a promo on every 4th survive only at their first occurrence.
-    "q_dedup_lines_global" -> ((s, dir) => {
-      val corpus = t(s, dir, "documents").select(col("doc_id"),
-        concat(coalesce(col("text"), lit("")),
-          lit("\nshared graft footer line"),
-          when(col("doc_id") % 4 === 0, lit("\npromo spring sale"))
-            .otherwise(lit(""))).as("text"))
-      operators.TextAnalysis.dedupLinesGlobal(corpus, "doc_id", "text")
-    }),
-
-    // ---- n-gram novelty against earlier arrivals: planted later
-    // near-copies (lshCorpus) must score near zero novelty ----
-    "q_novelty" -> ((s, dir) => {
-      operators.TextAnalysis.noveltyFrac(
-        lshCorpus(s, dir), "doc_id", "text", col("doc_id"), shingleSize = 3)
-    }),
-
-    // ---- PII redaction over a corpus with planted URLs/emails/IPs ----
-    "q_pii_redact" -> ((s, dir) => {
-      val ta = operators.TextAnalysis
-      val seeded = piiCorpus(s, dir)
-      seeded.select(
-        col("doc_id"),
-        ta.urlCount(col("text")).as("n_urls"),
-        ta.emailCount(col("text")).as("n_emails"),
-        ta.ipv4Count(col("text")).as("n_ips"),
-        ta.redactPii(col("text")).as("redacted"))
-    }),
-
-    // ---- per-source distinctive vocabulary (TF-IDF top terms) ----
-    "q_top_terms" -> ((s, dir) => {
-      operators.TextAnalysis.topTermsPerGroup(
-        t(s, dir, "documents"), "source", "text", k = 5)
-    }),
-
-    // ---- BM25 lexical retrieval against a bag of query terms ----
-    "q_bm25_search" -> ((s, dir) => {
-      operators.TextAnalysis.bm25(
-        t(s, dir, "documents"), "doc_id", "text",
-        Seq("spark", "window", "merge", "shuffle"))
-    }),
-
-    // ---- RM3 pseudo-relevance feedback: expand from top-5 docs, top-8
-    // terms, α = 0.5, then a weighted second pass — every step exact ----
-    "q_rm3_search" -> ((s, dir) => {
-      operators.Search.rm3Search(
-        t(s, dir, "documents"), "doc_id", "text",
-        Seq("spark", "window", "merge", "shuffle"),
-        fbDocs = 5, fbTerms = 8, alphaMicros = 500000L)
-    }),
-
-    // ---- Efraimidis-Spirakis weighted sampling: 20 docs per source,
-    // inclusion probability ∝ n_chars, reproducible by any engine ----
-    "q_weighted_sample" -> ((s, dir) => {
-      operators.Sampling.weightedSample(
-        t(s, dir, "documents"), Seq("source"), "doc_id", "n_chars",
-        k = 20, salt = "ws1")
-        .select("source", "doc_id", "n_chars")
-    }),
-
-    // ---- hybrid retrieval: RRF-fuse the BM25 ranking with a
-    // length-prior top-1000 ranking (no score calibration needed) ----
-    "q_hybrid_rrf" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val kw = operators.Search.rankBy(
-        operators.TextAnalysis.bm25(docs, "doc_id", "text",
-          Seq("spark", "window", "merge", "shuffle")),
-        "doc_id", col("score").desc)
-      val len = operators.Search.rankBy(
-        docs.select(col("doc_id"), col("n_chars"))
-          .orderBy(col("n_chars").desc, col("doc_id").asc).limit(1000),
-        "doc_id", col("n_chars").desc)
-      operators.Search.rrfFuse(Seq(kw, len), "doc_id")
-    }),
-
-    // ---- the same retrieval served from a standing inverted index:
-    // build once, probe from pruned index buckets with zero corpus
-    // scans; must agree with q_bm25_search to the last bit ----
-    "q_bm25_indexed" -> ((s, dir) => {
-      val idx = scratchDir("graft_search_") + "/idx"
-      operators.Search.writeIndex(
-        t(s, dir, "documents"), "doc_id", "text", idx, numBuckets = 16)
-      operators.Search.searchIndex(s, idx,
-        Seq("spark", "window", "merge", "shuffle"))
-    }),
-
-    // ---- stemmed retrieval: the same standing index with the Porter
-    // analyzer recorded in the sidecar — query inflections collapse to
-    // index stems; FULL twin since the Porter SQL port landed ----
-    "q_bm25_stemmed" -> ((s, dir) => {
-      val idx = scratchDir("graft_stemidx_") + "/idx"
-      operators.Search.writeIndex(
-        t(s, dir, "documents"), "doc_id", "text", idx, numBuckets = 16,
-        stem = true)
-      operators.Search.searchIndex(s, idx,
-        Seq("windows", "merges", "shuffles", "partitions"))
-    }),
-
-    // ---- segmented (append-grown) BM25 index: three disjoint batches
-    // appended as segments, merged on read — same oracle as the ad-hoc
-    // and monolithic paths, which it must match to the last bit ----
-    "q_bm25_segmented" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val idx = scratchDir("graft_search_seg_") + "/idx"
-      Seq(0, 1, 2).foreach { r =>
-        operators.Search.appendSegment(docs.where(col("doc_id") % 3 === r),
-          "doc_id", "text", idx, numBuckets = 16)
-      }
-      operators.Search.searchIndex(s, idx,
-        Seq("spark", "window", "merge", "shuffle"))
-    }),
-
-    // ---- exact dedup (hash-partition + windowed survivor choice) ----
-    "q_exact_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val corpus = docs
-        .unionAll(docs.where(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-        .unionAll(docs.where(col("doc_id") % 7 === 0)
-          .select((col("doc_id") - 100000).as("doc_id"), col("text")))
-      operators.Dedup.exactDedup(corpus, Seq("text"), "doc_id").select("doc_id")
-    }),
-
-    // ---- MinHash signatures (16 perms, word trigram shingles) ----
-    "q_minhash_signatures" -> ((s, dir) => {
-      operators.Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", 16, 3)
-        .select(col("__id").as("doc_id"), posexplode(col("__sig")))
-        .withColumnRenamed("pos", "perm")
-        .withColumnRenamed("col", "minhash")
-    }),
-
-    // ---- SimHash fingerprints (32 bits) ----
-    "q_simhash" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        operators.Dedup.simhash(col("text"), 32).as("simhash"))
-    }),
-
-    // ---- SimHash near-dup pairs (banded, exact for hamming < bands) ----
-    "q_simhash_near_dup" -> ((s, dir) => {
-      operators.Dedup.simhashNearDupPairs(lshCorpus(s, dir), "doc_id", "text",
-        bits = 48, bands = 4, maxHamming = 3)
-    }),
-
-    // ---- MinHash+LSH near-dup pairs over a corpus with planted dups ----
-    "q_lsh_dedup_pairs" -> ((s, dir) => {
-      operators.Dedup.minhashLshPairs(lshCorpus(s, dir), "doc_id", "text",
-        numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.5)
-    }),
-
-    // advisor-chosen operating point: threshold 0.5 at target recall
-    // 0.85 over 16 perms resolves to (bands=8, rows=2) via the S-curve
-    "q_lsh_auto" -> ((s, dir) => {
-      operators.Dedup.minhashLshPairsAtRecall(lshCorpus(s, dir),
-        "doc_id", "text", threshold = 0.5, targetRecall = 0.85,
-        numPerms = 16)
-    }),
-
-    // ---- single-pass column profiling (quality audit before training) ----
-    "q_profile_documents" -> ((s, dir) => {
-      operators.Validation.profile(
-        t(s, dir, "documents"), Seq("doc_id", "source", "lang"))
-    }),
-
-    // ---- rule-based quality gate: one agg pass for row rules + one
-    // groupBy per uniqueness rule ----
-    "q_quality_checks" -> ((s, dir) => {
-      operators.Validation.check(t(s, dir, "lineitem"), Seq(
-        operators.Validation.NotNull("l_orderkey"),
-        operators.Validation.Satisfies("qty_in_range",
-          col("l_quantity").between(1, 50)),
-        operators.Validation.Satisfies("price_above_1000",
-          col("l_extendedprice") > 1000),
-        operators.Validation.Unique(Seq("l_orderkey", "l_linenumber"))))
-    }),
-
-    // ---- snapshot diff by business key (pipeline regression check) ----
-    "q_table_diff" -> ((s, dir) => {
-      val before = t(s, dir, "orders")
-        .select("o_orderkey", "o_totalprice", "o_orderstatus")
-      val after = before.where(col("o_orderkey") % 97 =!= 0)
-        .withColumn("o_totalprice",
-          when(col("o_orderkey") % 31 === 0, col("o_totalprice") + 1.0)
-            .otherwise(col("o_totalprice")))
-        .unionByName(before.where(col("o_orderkey") % 53 === 0)
-          .select((col("o_orderkey") + 10000000).as("o_orderkey"),
-            col("o_totalprice"), col("o_orderstatus")))
-      operators.Validation.diffTables(before, after, Seq("o_orderkey"))
-    }),
-
-    // ---- n-gram LM perplexity scoring (train on 4/5, score 1/5) ----
-    "q_lm_score" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      operators.TextAnalysis.lmQualityScore(
-        docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
-        docs.where(col("doc_id") % 5 =!= 0), "text")
-    }),
-
-    // ---- blocked Fellegi–Sunter record linkage: planted dirty twins
-    // (same name, shifted balance) recovered by agreement weights ----
-    "q_record_linkage" -> ((s, dir) => {
-      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
-        col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
-      val dirty = c.where(col("c_custkey") % 7 === 0).select(
-        (col("c_custkey") + 10000000L).as("c_custkey"),
-        col("c_name"), col("c_nationkey"), col("c_mktsegment"),
-        (col("c_acctbal") + 1.0).as("c_acctbal"))
-      operators.Linkage.scorePairs(c.unionByName(dirty), "c_custkey",
-        blockCols = Seq("c_nationkey", "c_mktsegment"),
-        fields = Seq(
-          operators.Linkage.FieldWeight("c_name", 0.95, 0.001),
-          operators.Linkage.FieldWeight("c_acctbal", 0.9, 0.01)),
-        threshold = 5.0)
-    }),
-
-    // ---- exact fuzzy matching: FastSS deletion-neighborhood join +
-    // levenshtein verify = every pair within edit distance 2, no cross
-    // product (the oracle IS the cross product, on a bounded slice) ----
-    "q_edit_distance" -> ((s, dir) => {
-      val c = t(s, dir, "customer").where(col("c_custkey") % 13 === 0)
-      operators.Linkage.editDistancePairs(c, "c_custkey", "c_name",
-        maxDist = 2, minLength = 2)
-    }),
-
-    // ---- pre-shuffle skew diagnostics + data-driven salt plan ----
-    "q_skew_report" -> ((s, dir) => {
-      operators.Skew.skewReport(t(s, dir, "documents"),
-        Seq("lang", "source"), k = 10)
-    }),
-    "q_salt_plan" -> ((s, dir) => {
-      operators.Skew.saltPlan(t(s, dir, "lineitem"), Seq("l_suppkey"),
-        targetRowsPerTask = 400)
-    }),
-
-    // ---- sentence-level language segmentation: periods planted every
-    // 5 words, a German sentence appended to every 4th doc -> those
-    // docs must flag mixed while doc-level language ID cannot see it ----
-    "q_lang_segments" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"),
-        concat(
-          regexp_replace(coalesce(col("text"), lit("")),
-            "(\\S+ \\S+ \\S+ \\S+ \\S+)", "$1."),
-          when(col("doc_id") % 4 === 0,
-            lit(" Der hund ist nicht mit der katze und das haus."))
-            .otherwise(lit(""))).as("text"))
-      operators.TextAnalysis.languageMixture(docs, "doc_id", "text")
-    }),
-
-    // ---- robust outlier gate: per-language median/MAD over n_chars
-    // with planted 1000x spikes; KLL exact under k -> full twin ----
-    "q_mad_outliers" -> ((s, dir) => {
-      val spiky = t(s, dir, "documents").select(col("doc_id"), col("lang"),
-        when(col("doc_id") % 97 === 0, col("n_chars") * 1000)
-          .otherwise(col("n_chars")).as("n_chars"))
-      operators.Validation.madOutliers(spiky, "n_chars", Seq("lang"))
-        .select("doc_id", "lang", "n_chars", "median", "mad", "is_outlier")
-    }),
-
-    // ---- Porter stemming over the corpus — FULL DuckDB twin: the
-    // oracle ports the paper's rules to SQL (C/V pattern via
-    // list_reduce, measure as 'VC' count, longest-match CASE per
-    // step), fuzz-verified against the Scala stemmer on 22,818
-    // adversarial words. Exploded to one (doc_id, pos, stem) row per
-    // token so the driver compare stays on scalar columns ----
-    "q_stem_tokens" -> ((s, dir) => {
-      t(s, dir, "documents").where(col("doc_id") % 10 === 0)
-        .select(col("doc_id"),
-          posexplode(operators.TextAnalysis.stemTokens(col("text")))
-            .as(Seq("pos", "stem")))
-    }),
-
-    // ---- count-min sketch: per-language word-frequency cells over
-    // the documents token stream, point estimates for a fixed probe
-    // list; fully relational (sha256 buckets) -> FULL DuckDB twin,
-    // unlike the HLL/KLL/theta binary blobs ----
-    "q_cms_estimates" -> ((s, dir) => {
-      import s.implicits._
-      val toks = t(s, dir, "documents").select(col("lang"),
-        explode(operators.TextAnalysis.tokens(col("text"))).as("tok"))
-      val cells = operators.Sketches.cmsSketches(toks, Seq("lang"), "tok",
-        depth = 4, width = 2048)
-      operators.Sketches.cmsPointEstimates(cells,
-        Seq("the", "data", "queue", "value", "zzz-absent").toDF("key"),
-        "key", depth = 4, width = 2048)
-    }),
-
-    // ---- CMS inner-product join-size estimate: size the
-    // orders⋈lineitem shuffle from two kilobyte summaries ----
-    "q_cms_join_size" -> ((s, dir) => {
-      def cells(df: org.apache.spark.sql.DataFrame) =
-        operators.Sketches.rollupCms(
-          operators.Sketches.cmsSketches(df.withColumn("all", lit(1)),
-            Seq("all"), "k", depth = 4, width = 4096), Nil)
-      operators.Sketches.cmsJoinSize(
-        cells(t(s, dir, "orders")
-          .select(col("o_orderkey").cast("string").as("k"))),
-        cells(t(s, dir, "lineitem")
-          .select(col("l_orderkey").cast("string").as("k"))))
-    }),
-
-    // ---- confident-learning label-error detection: binary labels
-    // from lang, deterministic rational pseudo-probabilities from text
-    // length; integer cross-multiplied thresholds -> hash-exact ----
-    "q_label_errors" -> ((s, dir) => {
-      val base = t(s, dir, "documents").select(col("doc_id"),
-        when(col("lang") === "en", "a").otherwise("b").as("given"),
-        ((length(col("text")) % 1000) / lit(1000.0)).as("p_a"))
-        .withColumn("p_b", lit(1.0) - col("p_a"))
-      operators.Selection.labelErrors(base, "doc_id", "given",
-        Seq("a" -> "p_a", "b" -> "p_b"))
-    }),
-
-    // ---- unsupervised Fellegi–Sunter EM fit: deterministic planted
-    // twins (sha-gated field perturbations at 90/60/80% — the gate is
-    // engine-portable so q_linkage_patterns can twin the SAME fixture)
-    // -> fitEM recovers m/u + the match prior; FULL twin (the oracle
-    // unrolls the 50 deterministic EM iterations over the 8-cell
-    // histogram as materialized CTE stages — linkageEmOracle) ----
-    "q_linkage_em" -> ((s, dir) => {
-      import s.implicits._
-      val fit = operators.Linkage.fitEM(linkageFixture(s, dir), "c_custkey",
-        blockCols = Seq("c_nationkey"),
-        fieldCols = Seq("c_name", "c_acctbal", "c_mktsegment"), iters = 50)
-      fit.fields.map(f => (f.column, f.m, f.u, fit.pMatch))
-        .toDF("column", "m", "u", "p_match")
-    }),
-
-    // ---- the EM's sufficient statistic itself: the blocked bit-packed
-    // agreement-pattern histogram over the SAME planted fixture — one
-    // self-join + groupBy, so it takes a FULL DuckDB twin even though
-    // the EM digesting it stays rows-only ----
-    "q_linkage_patterns" -> ((s, dir) =>
-      operators.Linkage.agreementPatterns(linkageFixture(s, dir),
-        "c_custkey", blockCols = Seq("c_nationkey"),
-        fieldCols = Seq("c_name", "c_acctbal", "c_mktsegment"))),
-
-    // ---- entity resolution: linkage pairs -> connected components ->
-    // canonical (min-member) entity id per record ----
-    "q_entity_resolution" -> ((s, dir) => {
-      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
-        col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
-      val dirty = c.where(col("c_custkey") % 7 === 0).select(
-        (col("c_custkey") + 10000000L).as("c_custkey"),
-        col("c_name"), col("c_nationkey"), col("c_mktsegment"),
-        (col("c_acctbal") + 1.0).as("c_acctbal"))
-      val all = c.unionByName(dirty)
-      val pairs = operators.Linkage.scorePairs(all, "c_custkey",
-        blockCols = Seq("c_nationkey", "c_mktsegment"),
-        fields = Seq(
-          operators.Linkage.FieldWeight("c_name", 0.95, 0.001),
-          operators.Linkage.FieldWeight("c_acctbal", 0.9, 0.01)),
-        threshold = 5.0).select("id_a", "id_b")
-      val cc = operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
-      all.select(col("c_custkey"))
-        .join(cc.withColumnRenamed("node", "c_custkey"),
-          Seq("c_custkey"), "left")
-        .select(col("c_custkey"),
-          coalesce(col("comp"), col("c_custkey")).as("entity_id"))
-    }),
-
-    // ---- PMI bigram collocations over the documents corpus ----
-    "q_collocations" -> ((s, dir) => {
-      operators.TextAnalysis.collocations(
-        t(s, dir, "documents"), "text", minCount = 3L)
-    }),
-
-    // ---- unigram-LM (SentencePiece-style) tokenizer: hard-EM training
-    // + Viterbi encoding. Likelihood-driven segmentation is not
-    // SQL-expressible -> rows-only, pinned by UnigramSpec's hand-traced
-    // EM/coverage/determinism cases ----
-    // ---- WordPiece (BERT-family) tokenizer: likelihood-scored merge
-    // training + greedy longest-match encoding; rows-only by design
-    // (the merge loop / greedy matcher are not SQL-expressible),
-    // hand-traced score and BERT-semantics pins in WordPieceSpec ----
-    "q_wordpiece_vocab" -> ((s, dir) => {
-      operators.WordPiece.train(t(s, dir, "documents"), "text",
-        vocabSize = 2000, minPairCount = 2, batchSize = 32)
-    }),
-    // encode output is exploded to one (doc_id, pos, token_id, piece)
-    // row per emitted piece — scalar columns only, so the driver's
-    // pandas compare records the row count (arrays crash its sort);
-    // the vocab comes from the session-shared memo, so this times the
-    // ENCODE path, not a redundant re-train
-    "q_wordpiece_encode" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      explodeEncoded(operators.WordPiece.encode(
-        docs.where(col("doc_id") % 20 === 0), "doc_id", "text",
-        sharedWordpieceVocab(s, dir)))
-    }),
-
-    // ---- tokenizer artifact lifecycle witness: (shared) train ->
-    // sidecar-committed save -> kind-checked load -> encode (rows-only) ----
-    "q_tokenizer_roundtrip" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val p = scratchDir("graft_tokart_") + "/wp"
-      operators.Tokenizers.saveWordPiece(sharedWordpieceVocab(s, dir), p)
-      explodeEncoded(operators.WordPiece.encode(
-        docs.where(col("doc_id") % 50 === 0), "doc_id", "text",
-        operators.Tokenizers.loadWordPiece(s, p)))
-    }),
-
-    "q_unigram_vocab" -> ((s, dir) => {
-      operators.Unigram.train(t(s, dir, "documents"), "text",
-        vocabSize = 300, seedSize = 3000, iterations = 2, maxPieceLen = 6)
-    }),
-    "q_unigram_encode" -> ((s, dir) => {
-      // production-shaped vocab (32k target, seed-bounded driver state)
-      // — the bench pin that encode's piece table stays
-      // operator-embedded at real tokenizer scale
-      val docs = t(s, dir, "documents")
-      val vocab = operators.Unigram.train(docs, "text",
-        vocabSize = 32000, seedSize = 50000, iterations = 2,
-        maxPieceLen = 6)
-      explodeEncoded(operators.Unigram.encode(
-        docs.where(col("doc_id") % 20 === 0), "doc_id", "text", vocab,
-        maxPieceLen = 6))
-    }),
-
-    // ---- Kneser–Ney upgrade of the same split: continuation-mass
-    // smoothing instead of add-one ----
-    "q_kn_score" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      operators.TextAnalysis.knQualityScore(
-        docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
-        docs.where(col("doc_id") % 5 =!= 0), "text")
-    }),
-
-    // ---- trigram interpolated Kneser–Ney over the same split: raw
-    // top-level counts, continuation-count middle level, the bigram
-    // operator's add-one continuation base ----
-    "q_kn3_score" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      operators.TextAnalysis.kn3QualityScore(
-        docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
-        docs.where(col("doc_id") % 5 =!= 0), "text")
-    }),
-
-    // ---- hashed-linear classifier scoring: exact integer logits against
-    // planted sha-derived weights (the DuckDB twin rebuilds them in SQL)
-    "q_classifier_score" -> ((s, dir) => {
-      operators.Classifier.TextClassifierModel(plantedWeights(64), 0L)
-        .scoreLogit(t(s, dir, "documents").select(col("doc_id"), col("text")),
-          "text")
-        .select(col("doc_id"), col("logit_micros"),
-          col("logit_pos").as("pred"))
-    }),
-
-    // ---- weight-of-evidence encoding of lang vs a keyword label ----
-    "q_woe" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("lang"),
-        when(col("text").contains(" the "), lit(1)).otherwise(lit(0)).as("y"))
-      operators.Classifier.woeTable(d, "lang", "y")
-    }),
-
-    // rows-only: PAV's sequential pooling has no SQL counterpart
-    // (ClassifierSpec pins the hand-worked pooling, monotonicity, and
-    // cross-partitioning bit-equality); the derived task reuses
-    // q_auc_roc's score/label so the two evals read one contract
-    "q_calibrate" -> ((s, dir) => {
-      val d = t(s, dir, "embeddings").select(
-        (round(element_at(col("embedding"), 1).cast("double") * 1e6)
-          .cast("long") +
-         round(element_at(col("embedding"), 2).cast("double") * 1e6)
-          .cast("long")).as("score_micros"),
-        when(col("label") < 5, lit(1)).otherwise(lit(0)).as("y"))
-      val m = operators.Classifier.fitIsotonic(
-        d, "score_micros", "y", maxBins = 64)
-      m.apply(d.select(col("score_micros")).distinct(), "score_micros")
-        .orderBy(col("score_micros"))
-    }),
-
-    // ---- the pipeline, end to end: classifier quality gate → exact
-    // dedup → per-source token budget → sequence packing. One oracle
-    // covers the composition — every stage is engine-exact, so the
-    // integrated result hash-matches too.
-    "q_pipeline_quality_pack" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("text"))
-      val gated = operators.Classifier
-        .TextClassifierModel(plantedWeights(64), 0L)
-        .scoreLogit(docs, "text")
-        .where(col("logit_micros") > 0)
-      val deduped = operators.Dedup.exactDedup(gated, Seq("text"), "doc_id")
-        .select(col("doc_id"), col("source"),
-          operators.TextAnalysis.tokenCount(col("text")).cast("long")
-            .as("n_tok"))
-      val quota = operators.Sampling.tokenBudgetPerGroup(
-        deduped, Seq("source"), "n_tok", budget = 400L,
-        Seq(operators.Sampling.hashBucket(col("doc_id"), "pp"),
-          col("doc_id")))
-      operators.Packing.packSequences(quota, "n_tok", budget = 256L,
-        orderCols = Seq(operators.Sampling.hashBucket(col("doc_id"), "pp"),
-          col("doc_id")),
-        shardCols = Seq("source"))
-        .select(col("doc_id"), col("source"), col("n_tok"),
-          col("bin"), col("bin_offset"))
-    }),
-
-    // ---- classifier TRAINING end-to-end: learn a token-derivable label
-    // (docs mentioning "merge" — the `lang` tag is independent of the
-    // synthetic text, so it is unlearnable by design) and output the
-    // confusion matrix. FULL DuckDB twin: the integer-exact GD loop
-    // (order-free nano gradient sums — the q_pagerank unroll property)
-    // replays as 10 materialized weight/bias CTE stages.
-    "q_classifier_train" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          array_contains(operators.TextAnalysis.tokens(col("text")), "merge")
-            .cast("int").as("label"))
-      val model = operators.Classifier.train(
-        docs, "text", "label", dim = 1024, iters = 10, lr = 1.0)
-      model.scoreLogit(docs, "text")
-        .groupBy(col("label"), col("logit_pos").as("pred"))
-        .agg(count(lit(1)).as("n"))
-    }),
-
-    // ---- dataset cartography (Swayamdipta 2020): per-doc training
-    // dynamics over the same integer-exact GD run — confidence /
-    // variability / n_correct across the 10 epochs; the oracle replays
-    // the unrolled epochs and scores each post-epoch snapshot ----
-    "q_training_dynamics" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          array_contains(operators.TextAnalysis.tokens(col("text")), "merge")
-            .cast("int").as("label"))
-      operators.Classifier.trainingDynamics(
-        docs, "doc_id", "text", "label", dim = 1024, iters = 10, lr = 1.0)
-    }),
-
-    // ---- TracIn training-data influence (Pruthi 2020) over the same
-    // integer-exact GD run as q_classifier_train: top-10 proponents per
-    // probe (doc_id < 5) by the exact epoch-summed gradient-dot
-    // influence; the oracle replays the unrolled epoch chain and the
-    // bucket-join dots ----
-    "q_tracin" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          array_contains(operators.TextAnalysis.tokens(col("text")), "merge")
-            .cast("int").as("label"))
-      operators.Classifier.tracinInfluence(
-        docs, docs.where(col("doc_id") < 5), "doc_id", "text", "label",
-        dim = 1024, iters = 10, lr = 1.0, topK = 10)
-    }),
-
-    // ---- Bradley–Terry ratings (Hunter 2004 MM) over source-vs-source
-    // matches: consecutive doc pairs play, the longer (token-count) doc's
-    // source wins, 20 MM passes; the oracle unrolls the MM stages ----
-    "q_bradley_terry" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        size(operators.TextAnalysis.tokens(col("text"))).cast("long")
-          .as("len"))
-      val a = d.where(col("doc_id") % 2 === 0).select(
-        expr("doc_id div 2").as("g"), col("source").as("sa"),
-        col("len").as("la"))
-      val b = d.where(col("doc_id") % 2 === 1).select(
-        expr("doc_id div 2").as("g"), col("source").as("sb"),
-        col("len").as("lb"))
-      val matches = a.join(b, "g")
-        .where(col("la") =!= col("lb") && col("sa") =!= col("sb"))
-        .select(when(col("la") > col("lb"), col("sa"))
-            .otherwise(col("sb")).as("w"),
-          when(col("la") > col("lb"), col("sb"))
-            .otherwise(col("sa")).as("l"))
-      operators.RankEval.bradleyTerry(matches, "w", "l", iters = 20)
-    }),
-
-    // ---- paired bootstrap significance (Koehn 2004) between two
-    // integral per-doc scorers (token count vs 2× distinct tokens):
-    // 1000 sha-seeded replicas, exact LONG totals ----
-    "q_paired_bootstrap" -> ((s, dir) => {
-      val toks = operators.TextAnalysis.tokens(col("text"))
-      val d = t(s, dir, "documents").select(col("doc_id"),
-        size(toks).cast("long").as("a"),
-        (size(array_distinct(toks)) * 2).cast("long").as("b"))
-      operators.RankEval.pairedBootstrap(d, "doc_id", "a", "b",
-        replicas = 1000, seed = "graft")
-    }),
-
-    // ---- rank-biased overlap (Webber 2010) between two label-free
-    // per-source rankers (token count vs distinct-token count), top-10,
-    // p = 0.9; the oracle rebuilds the power/tail chains recursively ----
-    "q_rbo" -> ((s, dir) => {
-      val toks = operators.TextAnalysis.tokens(col("text"))
-      val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
-        size(toks).as("sa"), size(array_distinct(toks)).as("sb"))
-      val wA = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("sa").desc, col("doc_id"))
-      val wB = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("sb").desc, col("doc_id"))
-      operators.RankEval.rankBiasedOverlap(
-        d.withColumn("ra", row_number().over(wA))
-          .withColumn("rb", row_number().over(wB)),
-        Seq("source"), "ra", "rb", k = 10, p = 0.9)
-    }),
-
-    // ---- Gopher quality-filter rules (Rae et al. 2021 A1.1) ----
-    "q_gopher_rules" -> ((s, dir) => {
-      operators.TextAnalysis.withGopherRules(
-        t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
-        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
-          col("symbol_ratio"), col("bullet_line_frac"),
-          col("ellipsis_line_frac"), col("alpha_word_frac"),
-          col("stop_hits"), col("gopher_pass"))
-    }),
-
-    // ---- CCNet-style perplexity buckets: LM-score the held-out fifth
-    // against the rest, then head/middle/tail thirds per language ----
-    "q_ccnet_buckets" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val scored = operators.TextAnalysis.lmQualityScore(
-        docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
-        docs.where(col("doc_id") % 5 =!= 0), "text")
-        .where(col("n_bigrams") > 0)
-        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      operators.Selection.quantileBuckets(
-        scored.select(col("doc_id"), col("lang"), col("avg_nll")),
-        "avg_nll", tieBreakCols = Seq("doc_id"), groupCols = Seq("lang"))
-    }),
-
-    // ---- lexical entropy + type-token ratio quality signal ----
-    "q_token_entropy" -> ((s, dir) => {
-      operators.TextAnalysis.tokenEntropy(
-        t(s, dir, "documents").select(col("doc_id"), col("text")),
-        "doc_id", "text")
-    }),
-
-    // ---- C4 cleaning rules (Raffel et al. 2020 §2.2) over a synthesized
-    // multi-line corpus (the flat testdata docs have no lines/punct) ----
-    "q_c4_clean" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val corpus = docs.withColumn("text", concat_ws("\n",
-        concat(coalesce(col("text"), lit("")), lit(".")),
-        lit("too short."),
-        lit("this page uses javascript heavily today."),
-        lit("a perfectly reasonable sentence appears right here!"),
-        lit("another good sentence with enough words present?"),
-        when(col("doc_id") % 7 === 0,
-          lit("lorem ipsum dolor sit amet consectetur.")),
-        when(col("doc_id") % 11 === 0, lit("function f() { return 1; }")),
-        when(col("doc_id") % 13 === 0,
-          lit("do not miss this clickbait offer today."))))
-      operators.TextAnalysis.c4Clean(corpus, "text",
-        badWords = Seq("clickbait"))
-        .select(col("doc_id"), col("text_clean"), col("n_lines_kept"),
-          col("n_sentences"), col("c4_keep"))
-    }),
-
-    // ---- clustered compaction: range+sort layout, then a pruned scan ----
-    "q_clustered_compaction" -> ((s, dir) => {
-      val scratch = scratchDir("graft_cluster_") + "/t"
-      operators.Compaction.writeClustered(
-        t(s, dir, "lineitem"), scratch, Seq("l_shipdate"), numFiles = 8)
-      s.read.parquet(scratch)
-        .where(col("l_shipdate").between("1996-01-01", "1996-12-31"))
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          round(sum("l_extendedprice"), 2).as("revenue"))
-    }),
-
-    // ---- in-place compaction through the crash-recoverable swap ----
-    // ---- Z-order layout: orders written Morton-interleaved on
-    // (o_custkey, o_totalprice) so min/max pruning serves predicates on
-    // EITHER column; content roundtrip is the correctness contract ----
-    "q_zorder_layout" -> ((s, dir) => {
-      val scratch = scratchDir("graft_zorder_") + "/orders"
-      operators.Compaction.writeZOrdered(
-        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
-        scratch, Seq("o_custkey", "o_totalprice"), numFiles = 8)
-      s.read.parquet(scratch).select("o_orderkey", "o_custkey", "o_totalprice")
-    }),
-
-    "q_hilbert_layout" -> ((s, dir) => {
-      val scratch = scratchDir("graft_hilbert_") + "/orders"
-      operators.Compaction.writeHilbert(
-        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
-        scratch, Seq("o_custkey", "o_totalprice"), numFiles = 8)
-      s.read.parquet(scratch).select("o_orderkey", "o_custkey", "o_totalprice")
-    }),
-
-    "q_compact_roundtrip" -> ((s, dir) => {
-      val scratch = scratchDir("graft_compact_") + "/docs"
-      t(s, dir, "documents").select(col("doc_id"), col("source"))
-        .repartition(16).write.parquet(scratch)
-      operators.Compaction.compactInPlace(s, scratch)
-      s.read.parquet(scratch).select("doc_id", "source")
-    }),
-
-    // ---- WARC ingestion (ISO 28500): export the corpus as gzipped
-    // response records, then parse it back through the streaming record
-    // reader — the Common Crawl entry-point round-trip, hash-checked
-    // against the source table ----
-    // ---- WET export round-trip: conversion records, no HTTP envelope ----
-    "q_wet_roundtrip" -> ((s, dir) => {
-      val scratch = scratchDir("graft_wet_") + "/corpus"
-      val docs = t(s, dir, "documents")
-        .withColumn("uri",
-          concat(lit("https://example.org/doc/"), col("doc_id")))
-        .repartition(8)
-      io.warc.Warc.wetExport(docs, scratch, "uri", "text")
-      io.warc.Warc.readWarc(s, scratch + "/*.warc.gz")
-        .where(col("warc_type") === "conversion")
-        .select(
-          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
-            .cast("bigint").as("doc_id"),
-          decode(col("payload"), "utf-8").as("text"),
-          col("content_type"))
-    }),
-
-    "q_warc_roundtrip" -> ((s, dir) => {
-      val scratch = scratchDir("graft_warc_") + "/corpus"
-      val docs = t(s, dir, "documents")
-        .withColumn("uri",
-          concat(lit("https://example.org/doc/"), col("doc_id")))
-        .withColumn("payload", encode(col("text"), "utf-8"))
-        .repartition(8)
-      io.warc.Warc.writeWarc(docs, scratch, "uri", "payload")
-      io.warc.Warc.readWarc(s, scratch + "/*.warc.gz")
-        .where(col("warc_type") === "response")
-        .select(
-          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
-            .cast("bigint").as("doc_id"),
-          decode(col("payload"), "utf-8").as("text"),
-          col("http_status").cast("bigint").as("http_status"))
-    }),
-
-    // ---- same round-trip through the DSv2 `graft-warc` format (the
-    // SQL/catalog access path must agree with the function API) ----
-    "q_warc_dsv2" -> ((s, dir) => {
-      val scratch = scratchDir("graft_warc2_") + "/corpus"
-      val docs = t(s, dir, "documents")
-        .withColumn("uri",
-          concat(lit("https://example.org/doc/"), col("doc_id")))
-        .withColumn("payload", encode(col("text"), "utf-8"))
-        .repartition(8)
-      io.warc.Warc.writeWarc(docs, scratch, "uri", "payload")
-      s.read.format("graft-warc").load(scratch)
-        .where(col("warc_type") === "response")
-        .select(
-          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
-            .cast("bigint").as("doc_id"),
-          decode(col("payload"), "utf-8").as("text"))
-    }),
-
-    // ---- full WARC record families (warcinfo/request/response/metadata)
-    // with the size-targeted file split, re-parsed and re-joined: each
-    // doc's response text, its synthetic GET, and its warc-fields
-    // metadata must all survive the archive round trip ----
-    "q_warc_families" -> ((s, dir) => {
-      val scratch = scratchDir("graft_warc3_") + "/corpus"
-      val docs = t(s, dir, "documents")
-        .withColumn("uri",
-          concat(lit("https://example.org/doc/"), col("doc_id")))
-        .withColumn("payload", encode(col("text"), "utf-8"))
-        .withColumn("meta",
-          concat(lit("lang: "), coalesce(col("lang"), lit("und")), lit("\r\n")))
-        .repartition(4)
-      io.warc.Warc.writeWarc(docs, scratch, "uri", "payload",
-        writeWarcinfo = true, requestRecords = true,
-        metadataCol = Some("meta"), targetFileBytes = 256L << 10)
-      val back = io.warc.Warc.readWarc(s, scratch + "/*.warc.gz")
-      val resp = back.where(col("warc_type") === "response").select(
-        col("target_uri").as("uri"),
-        decode(col("payload"), "utf-8").as("text"))
-      val req = back.where(col("warc_type") === "request").select(
-        col("target_uri").as("uri"),
-        (decode(col("payload"), "utf-8") ===
-          concat(lit("GET "), col("target_uri"),
-            lit(" HTTP/1.1\r\nHost: example.org\r\n\r\n"))).as("req_ok"))
-      val meta = back.where(col("warc_type") === "metadata").select(
-        col("target_uri").as("uri"),
-        regexp_extract(decode(col("payload"), "utf-8"),
-          "^lang: (.*)\r\n$", 1).as("meta_lang"))
-      resp.join(req, Seq("uri")).join(meta, Seq("uri"))
-        .select(
-          regexp_extract(col("uri"), "/doc/(\\d+)$", 1)
-            .cast("bigint").as("doc_id"),
-          col("text"), col("req_ok"), col("meta_lang"))
-    }),
-
-    // Clustered layout + write-side parquet bloom filters on the id, then
-    // point lookups against the laid-out copy: row-group stats prune the
-    // range predicate, the bloom filter prunes the equality probes.
-    "q_bloom_layout" -> ((s, dir) => {
-      val scratch = scratchDir("graft_bloomlay_") + "/docs"
-      operators.Compaction.writeClustered(
-        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
-        scratch, Seq("doc_id"), numFiles = 4,
-        bloomFilters = Map("doc_id" -> 100000L))
-      s.read.parquet(scratch)
-        .where(col("doc_id") % 97 === 0 || col("doc_id") === 421)
-        .select("doc_id", "lang", "n_chars")
-    }),
-
-    // ---- bloom-pruned join: fact side reduced at the scan by the
-    // dimension subset's key bloom before the shuffle ----
-    "q_bloom_prune_join" -> ((s, dir) => {
-      val urgent = t(s, dir, "orders")
-        .where(col("o_orderpriority") === "1-URGENT")
-        .select("o_orderkey", "o_orderpriority")
-      operators.RuntimeFilters.bloomPrunedJoin(
-        t(s, dir, "lineitem"), "l_orderkey", urgent, "o_orderkey")
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"),
-          round(sum("l_extendedprice"), 2).as("revenue"))
-    }),
-
-    // ---- LSH trust audit: exact n-gram Jaccard next to the estimate ----
-    "q_audit_lsh_pairs" -> ((s, dir) => {
-      val corpus = lshCorpus(s, dir)
-      val pairs = operators.Dedup.minhashLshPairs(corpus, "doc_id", "text",
-        numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.5)
-      operators.Dedup.auditPairs(pairs, corpus, "doc_id", "text", n = 3)
-    }),
-
-    // ---- skew-safe two-stage distinct count (salt on the value hash)
-    "q_salted_distinct" -> ((s, dir) => {
-      operators.Skew.saltedCountDistinct(
-        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey", saltFactor = 8)
-    }),
-
-    // ---- near-dup pairs → dedup clusters (min-label connected components)
-    "q_dedup_clusters" -> ((s, dir) => {
-      val pairs = operators.Dedup.minhashLshPairs(lshCorpus(s, dir), "doc_id", "text",
-        numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.5)
-      operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
-    }),
-
-    // ---- same clustering via large-star/small-star — the O(log n)-round
-    // 100 TB path, checked against the identical transitive-closure oracle
-    "q_dedup_clusters_stars" -> ((s, dir) => {
-      val pairs = operators.Dedup.minhashLshPairs(lshCorpus(s, dir), "doc_id", "text",
-        numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.5)
-      operators.Dedup.connectedComponents(pairs, "id_a", "id_b",
-        algorithm = "stars")
-    }),
-
-    // ---- end-to-end dedup: pairs -> clusters -> survivors -> corpus ----
-    "q_dedup_corpus" -> ((s, dir) => {
-      operators.Dedup.dedupCorpus(lshCorpus(s, dir), "doc_id", "text",
-        numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.5)
-        .select("doc_id")
-    }),
-
-    // ---- incremental dedup: new batch probed against a persisted
-    // signature index (batch broadcast; the index side never shuffles) ----
-    "q_incremental_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val base = docs.where(col("doc_id") % 3 =!= 0)
-      val batch = docs.where(col("doc_id") % 3 === 0)
-        .unionAll(base.where(col("doc_id") % 10 === 1).select(
-          (col("doc_id") + 2000000).as("doc_id"),
-          concat(coalesce(col("text"), lit("")), lit(" extra extra"))
-            .as("text")))
-      val index = operators.DedupIndex.indexRowsFor(base, "doc_id", "text",
-        numPerms = 16, bands = 4, shingleSize = 3)
-      operators.DedupIndex.dedupAgainstIndex(batch, "doc_id", "text", index,
-        numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.5)
-        .select("doc_id")
-    }),
-
-    // ---- n-gram Jaccard near-dup pairs (blocked by source+lang) ----
-    "q_ngram_jaccard_pairs" -> ((s, dir) => {
-      operators.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
-        "doc_id", "text", Seq("source", "lang"), n = 3, threshold = 0.1)
-    }),
-
-    // ---- containment (overlap-coefficient) pairs: the quote/excerpt
-    // detector Jaccard misses. Planted: every 20th doc re-enters as its
-    // first-third prefix — a high-containment, low-Jaccard pair.
-    "q_containment_pairs" -> ((s, dir) => {
-      val base = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("lang"), col("text"))
-      val excerpts = base.where(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          col("source"), col("lang"),
-          expr("substring(text, 1, length(text) div 3)").as("text"))
-      operators.Dedup.ngramContainmentPairs(base.unionByName(excerpts),
-        "doc_id", "text", Seq("source", "lang"),
-        n = 3, threshold = 0.5, minSize = 5)
-    }),
-
-    // ---- GLOBAL exact-Jaccard pairs, no blocking key: prefix-filtered
-    // self-join (PPJoin family) on the planted-near-dup corpus ----
-    "q_prefix_jaccard" -> ((s, dir) => {
-      operators.Dedup.prefixJaccardPairs(lshCorpus(s, dir),
-        "doc_id", "text", n = 3, threshold = 0.5)
-    }),
-
-    // ---- eval decontamination: training docs sharing >= 3 trigram
-    // shingles with a held-out probe set (probe side broadcast) ----
-    "q_decontaminate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      operators.Dedup.crossCorpusOverlap(
-        docs.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
-        docs.where(col("doc_id") % 50 === 0), "doc_id", "text",
-        n = 3, minShared = 3)
-    }),
-
-    // ---- span-granular decontamination: cut benchmark-overlapping
-    // 8-gram islands out of the training docs, keep the documents
-    "q_decontaminate_spans" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      operators.ExactSubstrings.removeContaminatedSpans(
-        docs.where(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text")),
-        docs.where(col("doc_id") % 7 === 0).select(col("text")),
-        w = 8)
-    }),
-
-    // ---- embedding-cosine near-dup pairs (planted scaled copies) ----
-    "q_cosine_near_dup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val corpus = e.select(col("vec_id"), col("label"), col("embedding"))
-        .unionAll(e.where(col("vec_id") % 20 === 0).select(
-          (col("vec_id") + 100000).as("vec_id"), col("label"),
-          transform(col("embedding"), x => x * 2.0f).as("embedding")))
-      operators.Dedup.cosineNearDupPairs(corpus, "vec_id", "embedding",
-        Seq("label"), threshold = 0.99)
-    }),
-
-    // ---- embedding near-dup WITHOUT caller blocking: hyperplane LSH ----
-    "q_embed_near_dup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val corpus = e.select(col("vec_id"), col("embedding"))
-        .unionAll(e.where(col("vec_id") % 20 === 0).select(
-          (col("vec_id") + 100000).as("vec_id"),
-          transform(col("embedding"), x => x * 2.0f).as("embedding")))
-      operators.Dedup.hyperplaneLshPairs(corpus, "vec_id", "embedding",
-        dim = 64, planesPerTable = 8, tables = 4, threshold = 0.99)
-    }),
-
-    // advisor-chosen operating point: cosine 0.99 at target recall 0.9
-    // under a 64-hash budget resolves to (tables=4, planes=16) via the
-    // angular S-curve — the hyperplane twin of q_lsh_auto
-    "q_embed_near_dup_auto" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val corpus = e.select(col("vec_id"), col("embedding"))
-        .unionAll(e.where(col("vec_id") % 20 === 0).select(
-          (col("vec_id") + 100000).as("vec_id"),
-          transform(col("embedding"), x => x * 2.0f).as("embedding")))
-      operators.Dedup.hyperplaneLshPairsAtRecall(corpus, "vec_id",
-        "embedding", dim = 64, threshold = 0.99, targetRecall = 0.9,
-        budget = 64)
-    }),
-
-    // ---- ANN baseline: brute-force cosine top-k (broadcast queries) ----
-    "q_ann_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      operators.Ann.bruteForceTopK(
-        e, e.where(col("vec_id") < 10), "vec_id", "embedding", "vec_id", 5)
-    }),
-
-    // ---- MMR diversity rerank of a retrieved set: relevance = cosine
-    // to the vec_id=0 query, greedy integer argmax; FULL twin (the
-    // oracle replays the greedy loop as a carried-state recursion) ----
-    "q_mmr_rerank" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val all = e.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      val q = all.where(col("vec_id") === 0)
-        .select(col("v").as("qv"),
-          sqrt(graft.functions.VectorFunctions.sumSquares(col("v")))
-            .as("nq"))
-      val cand = all.where(col("vec_id") > 0)
-        .crossJoin(broadcast(q))
-        .withColumn("nc",
-          sqrt(graft.functions.VectorFunctions.sumSquares(col("v"))))
-        .select(col("vec_id"),
-          round(when(col("nc") === 0.0 || col("nq") === 0.0, lit(0.0))
-            .otherwise(graft.functions.VectorFunctions.dot(col("v"),
-              col("qv")) / (col("nc") * col("nq"))) * 1e6)
-            .cast("long").as("score_micros"),
-          col("v").as("embedding"))
-      operators.Ann.mmrRerank(cand, "vec_id", "score_micros", "embedding",
-        k = 10, lambdaMicros = 700000L)
-    }),
-
-    // ---- alignment & uniformity of the embedding space (Wang & Isola
-    // 2020): sha-ring positive/random pairs, nano-quantized pair
-    // terms, one (alignment, uniformity) audit row ----
-    "q_align_uniformity" -> ((s, dir) =>
-      operators.Ann.alignmentUniformity(
-        t(s, dir, "embeddings"), "vec_id", "embedding", "label")),
-
-    // ---- hard-negative mining (DPR/RocketQA): top-k most-similar
-    // non-gold items per query; gold = self + a planted doc ----
-    "q_hard_negatives" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val queries = e.where(col("vec_id") < 10)
-      val pos = queries.select(col("vec_id").as("pos_q"))
-        .select(col("pos_q"), explode(array(col("pos_q"),
-          col("pos_q") + 20)).as("pos_id"))
-      operators.Ann.hardNegatives(e, queries, pos, "vec_id", "embedding",
-        "vec_id", "pos_q", "pos_id", k = 5)
-    }),
-
-    // ---- ANN scale path: IVF probe search (KMeans quantizer, 2-way
-    // multi-assignment for recall → rows-only) ----
-    "q_ann_ivf" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val index = operators.Ann.Ivf.build(e, "vec_id", "embedding",
-        nlist = 16, seed = 42L, nassign = 2)
-      operators.Ann.Ivf.search(index, e.where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nprobe = 4)
-    }),
-
-    // ---- crawl-tier pipeline witness: corpus → WARC export → streamed
-    // parse-back → per-host robots gate → mojibake repair → token stats,
-    // ONE integrated oracle over the final rows (T96+T101+T103 composed)
-    "q_pipeline_crawl" -> ((s, dir) => {
-      val scratch = scratchDir("graft_crawlpipe_") + "/corpus"
-      val mangled = lit(graft.functions.MojibakeFunctions
-        .cp1252Mangled(" Café — déjà “vu” …"))
-      val docs = t(s, dir, "documents")
-        .withColumn("uri",
-          concat(lit("https://"), col("source"), lit(".example.com"),
-            when(col("doc_id") % 4 === 0,
-              concat(lit("/private/"), col("doc_id")))
-              .when(col("doc_id") % 4 === 1, lit("/private/stats"))
-              .when(col("doc_id") % 4 === 2,
-                concat(lit("/archive/"), col("doc_id"), lit(".zip")))
-              .otherwise(concat(lit("/public/"), col("doc_id")))))
-        .withColumn("payload", encode(
-          concat(col("text"),
-            when(col("doc_id") % 7 === 0, mangled).otherwise(lit(""))),
-          "utf-8"))
-        .repartition(8)
-      io.warc.Warc.writeWarc(docs, scratch, "uri", "payload")
-      val graftGroup = "User-agent: graftbot\nDisallow: /private/\n" +
-        "Allow: /private/stats$\nDisallow: /archive/*.zip\n\n"
-      val starGroup = "User-agent: *\nDisallow: /\n"
-      val robots = t(s, dir, "documents").select(col("source")).distinct()
-        .select(concat(col("source"), lit(".example.com")).as("domain"),
-          when(length(col("source")) % 2 === 0, lit(graftGroup + starGroup))
-            .otherwise(lit(starGroup)).as("robots"))
-      val fetched = io.warc.Warc.readWarc(s, scratch + "/*.warc.gz")
-        .where(col("warc_type") === "response")
-        .select(col("target_uri").as("url"),
-          decode(col("payload"), "utf-8").as("raw_text"))
-      val allowed = operators.Robots.filterAllowed(fetched, "url", robots,
-        "domain", "robots", "graftbot")
-      val ta = operators.TextAnalysis
-      allowed
-        .select(col("url"),
-          graft.functions.MojibakeFunctions.fixMojibake(col("raw_text"))
-            .as("text"))
-        .select(col("url"), col("text"),
-          ta.tokenCount(col("text")).cast("bigint").as("n_tok"))
-    }),
-
-    // ---- markdown code-fence extraction: every 5th doc carries a
-    // planted python fence ----
-    "q_code_blocks" -> ((s, dir) => {
-      val planted = t(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 5 === 0,
-            concat(lit("\n```python\nprint("), col("doc_id"), lit(")\n```\n")))
-            .otherwise(lit(""))).as("text"))
-      operators.TextAnalysis.markdownCodeBlocks(planted, "doc_id", "text")
-    }),
-
-    // ---- mojibake repair: every 7th doc carries a cp1252-mangled
-    // suffix; the oracle states the clean text directly ----
-    "q_fix_mojibake" -> ((s, dir) => {
-      val planted = lit(graft.functions.MojibakeFunctions
-        .cp1252Mangled(" Café — déjà “vu” …"))
-      t(s, dir, "documents").select(col("doc_id"),
-        graft.functions.MojibakeFunctions.fixMojibake(
-          concat(col("text"),
-            when(col("doc_id") % 7 === 0, planted).otherwise(lit(""))))
-          .as("text"))
-    }),
-
-    // ---- deterministic mean pooling: chunk embeddings → group vectors
-    // via nano-unit sums, posexploded for the oracle compare ----
-    "q_pool_embeddings" -> ((s, dir) => {
-      val pooled = similarity.Pooling.meanPool(
-        t(s, dir, "embeddings")
-          .select((col("vec_id") % 100).as("gid"), col("embedding")),
-        "gid", "embedding")
-      pooled.select(col("gid"),
-          posexplode(col("embedding")).as(Seq("dim", "val")))
-        .select(col("gid"), col("dim").cast("bigint").as("dim"), col("val"))
-    }),
-
-    // ---- order-free corpus digest: replication-verification in one
-    // scan, constant-size compare ----
-    "q_corpus_fingerprint" -> ((s, dir) => {
-      operators.Validation.corpusFingerprint(t(s, dir, "documents"),
-        Seq("doc_id", "text", "lang", "source", "n_chars"))
-    }),
-
-    // ---- SQL surface: graft functions callable from spark.sql ----
-    "q_sql_surface" -> ((s, dir) => {
-      graft.sql.GraftFunctions.register(s)
-      t(s, dir, "documents").createOrReplaceTempView("graft_docs")
-      s.sql("SELECT doc_id, graft_hex_prefix(sha2(text, 256), 7) AS hp " +
-        "FROM graft_docs")
-    }),
-
-    // ---- physical-layout audit: write a bloomed compacted copy, then
-    // the distributed footer report must account for every file, row
-    // group and row, with blooms and stats where promised ----
-    "q_layout_report" -> ((s, dir) => {
-      val scratch = scratchDir("graft_layout_") + "/docs"
-      operators.Compaction.writeCompacted(
-        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
-        scratch, numFiles = 8, bloomFilters = Map("doc_id" -> 100000L))
-      operators.Compaction.layoutReport(s, scratch)
-        .where(col("column") === "doc_id")
-        .agg(countDistinct(col("file")).as("n_files"),
-          count(lit(1)).as("n_row_groups"),
-          sum(col("n_rows")).as("n_rows"),
-          min(col("has_bloom")).as("all_bloomed"),
-          min(col("has_min_max")).as("all_stats"))
-    }),
-
-    // ---- event analytics: ordered funnel + cohort retention ----
-    "q_funnel" -> ((s, dir) => {
-      operators.Funnels.funnelCounts(t(s, dir, "events"), "user_id", "ts",
-        Seq("view" -> (col("event_type") === "view"),
-          "click" -> (col("event_type") === "click"),
-          "purchase" -> (col("event_type") === "purchase")))
-    }),
-    "q_retention" -> ((s, dir) => {
-      operators.Funnels.cohortRetention(t(s, dir, "events"),
-        "user_id", "ts", periodDays = 7)
-    }),
-
-    // ---- sitemap extraction: per-source urlsets synthesized from the
-    // corpus, locs exploded back out with entity decode ----
-    "q_sitemap" -> ((s, dir) => {
-      val xml = t(s, dir, "documents").select(col("source"), col("doc_id"))
-        .groupBy("source").agg(
-          concat(lit("<urlset>"),
-            concat_ws("", array_sort(collect_list(
-              concat(lit("<url><loc>https://"), col("source"),
-                lit(".example.com/doc/"), col("doc_id"),
-                lit("&amp;ref=sm</loc></url>"))))),
-            lit("</urlset>")).as("xml"))
-      operators.Urls.extractSitemapUrls(xml, "xml")
-    }),
-
-    // ---- retrieval chunker: overlapping token windows ----
-    "q_chunk_text" -> ((s, dir) => {
-      operators.TextAnalysis.chunkTokens(t(s, dir, "documents"),
-        "doc_id", "text", window = 32, stride = 24)
-    }),
-
-    // ---- the RAG retrieval pipeline, end to end: token-window chunking
-    // → deterministic chunk embeddings → brute-force cosine top-k per
-    // query doc. Every stage is engine-exact, so the COMPOSITION has a
-    // full oracle too (the q_pipeline_quality_pack discipline) ----
-    "q_pipeline_rag" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val chunks = operators.TextAnalysis.chunkTokens(
-          docs, "doc_id", "text", window = 32, stride = 24)
-        .select((col("doc_id") * 1000 + col("chunk_idx")).as("id"),
-          similarity.HashEmbedding.hashToVector(
-            col("chunk_text"), dims = 8, normalize = false).as("emb"))
-      val queries = docs.where(col("doc_id") < 5)
-        .select(col("doc_id").as("q_id"),
-          similarity.HashEmbedding.hashToVector(
-            col("text"), dims = 8, normalize = false).as("emb"))
-      operators.Ann.bruteForceTopK(chunks, queries, "id", "emb", "q_id", 3)
-    }),
-
-    // ---- Flesch reading ease over the corpus ----
-    "q_flesch" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"),
-        operators.TextAnalysis.fleschReadingEase(col("text")).as("flesch"))
-    }),
-
-    // ---- robots.txt politeness gate (RFC 9309): per-host robots parse
-    // + longest-match URL verdicts; even-length sources carry a graftbot
-    // group (private/ blocked, stats$ anchor allowed, *.zip blocked),
-    // odd-length sources only a deny-all * group ----
-    "q_robots_filter" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      val graftGroup = "User-agent: graftbot\nDisallow: /private/\n" +
-        "Allow: /private/stats$\nDisallow: /archive/*.zip\n\n"
-      val starGroup = "User-agent: *\nDisallow: /\n"
-      val robots = docs.select(col("source")).distinct()
-        .select(concat(col("source"), lit(".example.com")).as("domain"),
-          when(length(col("source")) % 2 === 0, lit(graftGroup + starGroup))
-            .otherwise(lit(starGroup)).as("robots"))
-      val urls = docs.select(col("doc_id"),
-        concat(lit("https://"), col("source"), lit(".example.com"),
-          when(col("doc_id") % 4 === 0,
-            concat(lit("/private/"), col("doc_id")))
-            .when(col("doc_id") % 4 === 1, lit("/private/stats"))
-            .when(col("doc_id") % 4 === 2,
-              concat(lit("/archive/"), col("doc_id"), lit(".zip")))
-            .otherwise(concat(lit("/public/"), col("doc_id")))).as("url"))
-      operators.Robots.evaluate(urls, "url",
-        operators.Robots.parseRobots(robots, "domain", "robots", "graftbot"))
-        .select(col("doc_id"), col("url"), col("robots_allowed"))
-    }),
-
-    // ---- content-defined chunking: per-doc chunk table must tile the
-    // payload bytes exactly (the oracle checks the byte totals; chunk
-    // boundary semantics are spec-pinned in AnnMultimodalSpec) ----
-    "q_cdc_chunks" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-      operators.Multimodal.contentChunks(docs, "doc_id", "payload",
-          minSize = 32, avgSize = 128, maxSize = 512)
-        .groupBy("doc_id")
-        .agg(sum(col("chunk_size")).as("n_bytes"))
-    }),
-
-    // ---- CDC dedup consumer: shifted copies (planted prefix) must
-    // pair by shared chunk bytes (rows-only: gear boundaries are not
-    // SQL-expressible; pair semantics spec-pinned) ----
-    "q_cdc_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-      val corpus = docs.unionByName(
-        docs.where(col("doc_id") % 7 === 0).select(
-          (col("doc_id") + 3000000).as("doc_id"),
-          concat(encode(lit("prefix-edit: "), "utf-8"), col("payload"))
-            .as("payload")))
-      operators.Multimodal.chunkOverlapPairs(corpus, "doc_id", "payload",
-        threshold = 0.5, minSize = 32, avgSize = 128, maxSize = 512,
-        maxChunkFreq = 50)
-    }),
-
-    // ---- product quantization: codes-only ADC shortlist + exact
-    // refine (rows-only: KMeans codebooks are not SQL-expressible;
-    // recall floor spec-asserted in AnnMultimodalSpec) ----
-    "q_pq_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val index = operators.Ann.Pq.build(e, "vec_id", "embedding",
-        m = 16, ksub = 64, maxIter = 10)
-      operators.Ann.Pq.searchRefined(index, e, "vec_id", "embedding",
-        e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, refine = 4)
-    }),
-
-    // greedy k-center coreset; FULL twin (the oracle replays the
-    // farthest-first traversal as a carried-state recursion — per
-    // level the candidate min-distances ride the state, the argmax
-    // pick and its vector come from one window scan)
-    "q_coreset" -> ((s, dir) =>
-      similarity.Coreset.kCenter(
-        t(s, dir, "embeddings"), "vec_id", "embedding", k = 16)),
-
-    // rows-only: OPQ rotation (full-rank PCA + eigenvalue allocation)
-    // ahead of the same PQ pipeline; PcaSpec pins distance preservation
-    // and the allocation's recall effect
-    "q_opq_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val basis = similarity.Pca.fit(e, "embedding", k = 64)
-      val rot = similarity.Pca.opqRotate(e, "embedding", basis, m = 16, "rv")
-        .select(col("vec_id"), col("rv").as("embedding"))
-      val index = operators.Ann.Pq.build(rot, "vec_id", "embedding",
-        m = 16, ksub = 64, maxIter = 10)
-      operators.Ann.Pq.searchRefined(index, rot, "vec_id", "embedding",
-        rot.where(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, refine = 4)
-    }),
-
-    // ---- IVF-PQ composition: nprobe-pruned cells × codes-only ADC ×
-    // exact refine (rows-only, recall floors spec-asserted) ----
-    "q_ivfpq_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val index = operators.Ann.IvfPq.build(e, "vec_id", "embedding",
-        nlist = 16, m = 8, ksub = 32, nassign = 2)
-      operators.Ann.IvfPq.searchRefined(index, e, "vec_id", "embedding",
-        e.where(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nprobe = 6, refine = 4)
-    }),
-
-    // ---- frequency-ranked vocabulary with dense deterministic ids ----
-    "q_vocab" -> ((s, dir) => {
-      operators.TextAnalysis.buildVocab(
-        t(s, dir, "documents"), "text", maxSize = 1000, minCount = 1L)
-    }),
-
-    // ---- BPE tokenizer training: 24 merges learned over word types
-    // (iterative argmax — not SQL-expressible, so rows-only like the
-    // KMeans queries; BpeSpec pins the algorithm to a reference impl) ----
-    "q_bpe_merges" -> ((s, dir) => {
-      import s.implicits._
-      val (merges, wt) = operators.Bpe.learnMerges(
-        t(s, dir, "documents"), "text", numMerges = 24)
-      graft.core.Caches.releaseCheckpoint(wt)
-      merges.map(m => (m.rank, m.left, m.right, m.merged))
-        .toDF("rank", "left", "right", "merged")
-    }),
-
-    // ---- BPE training on the production fast path: approximate
-    // compatible batching (exact=false) — same merge count, ~batchSize
-    // merges per driver round instead of ~1–2; rows-only like its exact
-    // twin, with BpeSpec pinning the mode's determinism/losslessness ----
-    "q_bpe_merges_fast" -> ((s, dir) => {
-      import s.implicits._
-      val (merges, wt) = operators.Bpe.learnMerges(
-        t(s, dir, "documents"), "text", numMerges = 24, exact = false)
-      graft.core.Caches.releaseCheckpoint(wt)
-      merges.map(m => (m.rank, m.left, m.right, m.merged))
-        .toDF("rank", "left", "right", "merged")
-    }),
-
-    // ---- byte-level (GPT-2 family) BPE: published regex pre-tokenizer
-    // + reversible 256-point byte alphabet, merges learned by the SAME
-    // exact batched loop; rows-only like the rest of the tokenizer
-    // family (the iterative argmax is not SQL-expressible) — BpeSpec
-    // pins the merge sequence against a single-node reference and the
-    // exact encode/decode round-trip incl. multi-byte UTF-8 ----
-    "q_bpe_bytes" -> ((s, dir) => {
-      import s.implicits._
-      val (merges, wt) = operators.Bpe.learnByteMerges(
-        t(s, dir, "documents"), "text", numMerges = 24)
-      graft.core.Caches.releaseCheckpoint(wt)
-      merges.map(m => (m.rank, m.left, m.right, m.merged))
-        .toDF("rank", "left", "right", "merged")
-    }),
-
-    // ---- BPE encode of the corpus under the learned merges, flattened
-    // to (doc_id, pos, unit) — exercises the distinct-word join path ----
-    "q_bpe_encode" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val (merges, wt) = operators.Bpe.learnMerges(docs, "text", numMerges = 24)
-      graft.core.Caches.releaseCheckpoint(wt)
-      operators.Bpe.encode(docs, "doc_id", "text", merges)
-        .select(col("doc_id"),
-          posexplode(col("bpe_tokens")).as(Seq("pos", "unit")))
-    }),
-
-    // ---- int8 embedding quantization, flattened per component ----
-    "q_quantize_embeddings" -> ((s, dir) => {
-      val q = operators.Quantize.quantize(
-        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
-        "embedding")
-      // scale is reported as integer micros: round(x*1e6) at precision 0
-      // is cross-engine exact (half-boundaries n+0.5 are representable
-      // doubles), where round(x, 6) is not — Spark rounds the shortest
-      // decimal rep (BigDecimal HALF_UP) while DuckDB rounds the binary
-      // value, and they can disagree on a ...5-at-the-7th-decimal scale
-      q.select(col("vec_id"),
-          round(col("q_scale") * 1000000.0).cast("long").as("scale_micros"),
-          posexplode(col("q_codes")).as(Seq("pos", "code")))
-        .select(col("vec_id"), col("scale_micros"), col("pos"),
-          col("code").cast("int").as("code"))
-    }),
-
-    // ---- JL shrink step: deterministic ±1 signed random projection of
-    // the embeddings (64 -> 16 dims), flattened per component. Raw
-    // doubles hash-match the oracle: ascending-j summation both sides ----
-    "q_srp_project" -> ((s, dir) => {
-      val v = transform(col("embedding"), x => x.cast("double"))
-      t(s, dir, "embeddings").select(col("vec_id"),
-          graft.functions.VectorFunctions.srpProject(v, 16, 7L).as("p"))
-        .select(col("vec_id"), posexplode(col("p")).as(Seq("pos", "value")))
-    }),
-
-    // ---- exact ROC-AUC over a derived binary task on embeddings ----
-    "q_auc_roc" -> ((s, dir) => {
-      val d = t(s, dir, "embeddings").select(
-        (round(element_at(col("embedding"), 1).cast("double") * 1e6)
-          .cast("long") +
-         round(element_at(col("embedding"), 2).cast("double") * 1e6)
-          .cast("long")).as("score_micros"),
-        when(col("label") < 5, lit(1)).otherwise(lit(0)).as("y"))
-      operators.RankEval.aucRoc(d, "score_micros", "y")
-    }),
-
-    // ---- calibration diagram over a derived probability column ----
-    "q_reliability" -> ((s, dir) => {
-      val score = round(element_at(col("embedding"), 1).cast("double") * 1e6)
-        .cast("long") +
-        round(element_at(col("embedding"), 2).cast("double") * 1e6)
-        .cast("long")
-      val d = t(s, dir, "embeddings").select(
-        ((score % 1000001L + 1000001L) % 1000001L).as("p_micros"),
-        when(col("label") < 5, lit(1)).otherwise(lit(0)).as("y"))
-      operators.Classifier.reliabilityBins(d, "p_micros", "y", bins = 10)
-    }),
-
-    // ---- split-conformal threshold over derived nonconformity scores ----
-    "q_conformal" -> ((s, dir) => {
-      val score = round(element_at(col("embedding"), 1).cast("double") * 1e6)
-        .cast("long") +
-        round(element_at(col("embedding"), 2).cast("double") * 1e6)
-        .cast("long")
-      operators.Classifier.conformalThreshold(
-        t(s, dir, "embeddings").select(abs(score).as("nc")), "nc",
-        alphaMicros = 100000L)
-    }),
-
-    "q_ece" -> ((s, dir) => {
-      val score = round(element_at(col("embedding"), 1).cast("double") * 1e6)
-        .cast("long") +
-        round(element_at(col("embedding"), 2).cast("double") * 1e6)
-        .cast("long")
-      val d = t(s, dir, "embeddings").select(
-        ((score % 1000001L + 1000001L) % 1000001L).as("p_micros"),
-        when(col("label") < 5, lit(1)).otherwise(lit(0)).as("y"))
-      operators.Classifier.expectedCalibrationError(d, "p_micros", "y", 10)
-    }),
-
-    // ---- the same eval, sliced per source (fairness-audit form) ----
-    "q_auc_by_group" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val d = e.join(t(s, dir, "documents").select(
-          col("doc_id").as("vec_id"), col("source")), Seq("vec_id"), "left")
-        .select(coalesce(col("source"), lit("none")).as("source"),
-          (round(element_at(col("embedding"), 1).cast("double") * 1e6)
-            .cast("long") +
-           round(element_at(col("embedding"), 2).cast("double") * 1e6)
-            .cast("long")).as("score_micros"),
-          when(col("label") < 5, lit(1)).otherwise(lit(0)).as("y"))
-      operators.RankEval.aucRocByGroup(d, "score_micros", "y", Seq("source"))
-    }),
-
-    // ---- PCA: the distributed second-moment aggregate has a full twin ----
-    "q_pca_gram" -> ((s, dir) =>
-      similarity.Pca.gramTable(t(s, dir, "embeddings"), "embedding")),
-
-    // rows-only: the d×d eigensolve is driver math with no SQL
-    // counterpart (PcaSpec pins planted-axis recovery, orthonormality,
-    // distance preservation, and cross-partitioning bit-equality)
-    "q_pca_project" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val m = similarity.Pca.fit(e, "embedding", k = 8)
-      similarity.Pca.project(e, "embedding", m, "p")
-        .select(col("vec_id"),
-          round(aggregate(col("p"), lit(0.0), (acc, x) => acc + x * x), 6)
-            .as("norm2"))
-    }),
-
-    // ---- mergeable HLL distinct rollup; rows-only: DataSketches HLL is
-    // not reproducible in DuckDB (error bounds asserted in SketchesSpec,
-    // same contract as q_ann_ivf) ----
-    "q_distinct_rollup" -> ((s, dir) => {
-      val ev = streaming.StreamingOps.readEvents(s, s"$dir/events.parquet")
-        .withColumn("day", to_date(col("ts")))
-      val fine = operators.Sketches.distinctSketches(
-        ev, Seq("day", "event_type"), "user_id")
-      operators.Sketches.rollupDistinct(fine, Seq("event_type"))
-        .orderBy("event_type")
-    }),
-
-    // ---- mergeable frequent-items sketches: top-2 langs per source from
-    // stored per-source sketches (exact under the map size, so the DuckDB
-    // count oracle applies; the purged regime is spec-bounded) ----
-    "q_frequent_rollup" -> ((s, dir) => {
-      val fine = operators.Sketches.frequentSketches(
-        t(s, dir, "documents"), Seq("source"), "lang")
-      operators.Sketches.rollupFrequent(fine, Seq("source"), k = 2)
-    }),
-
-    // ---- mergeable KLL quantile sketches: doc-length distribution per
-    // source from stored sketches (exact while group n <= k=4096, so the
-    // DuckDB quantile_disc oracle applies; the compacted regime is
-    // spec-bounded by the KLL rank error) ----
-    "q_quantile_rollup" -> ((s, dir) => {
-      val fine = operators.Sketches.quantileSketches(
-        t(s, dir, "documents"), Seq("source"), "n_chars")
-      operators.Sketches.rollupQuantiles(
-        fine, Seq("source"), Seq(0.25, 0.5, 0.9, 0.99))
-    }),
-
-    // ---- winsorize: clamp a value column to its [5%, 95%] quantiles;
-    // every 50th doc carries a planted 1000x outlier to tame ----
-    "q_clip_quantiles" -> ((s, dir) => {
-      val spiky = t(s, dir, "documents").select(col("doc_id"),
-        when(col("doc_id") % 50 === 0, col("n_chars") * 1000)
-          .otherwise(col("n_chars")).as("n_chars"))
-      // k=16384 keeps the KLL sketch in exact mode over sf0.1's 5,000
-      // values (default 4096 retains only ~2,950 items → estimation mode,
-      // whose unseeded compaction makes the cut points run-dependent and
-      // the exact-quantile oracle intermittently red) — same fix as
-      // q_quantile_drift for the same corpus
-      operators.Validation.clipToQuantiles(spiky, "n_chars", 0.05, 0.95,
-        k = 16384)
-    }),
-
-    // ---- snapshot quantile drift: distribution gate between a corpus
-    // and its refresh (every 3rd doc 100 chars longer) ----
-    "q_quantile_drift" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val after = docs.select(
-        (col("n_chars") + when(col("doc_id") % 3 === 0, 100).otherwise(0))
-          .as("n_chars"))
-      operators.Validation.quantileDrift(
-        docs.select(col("n_chars")), after, "n_chars",
-        Seq(0.25, 0.5, 0.9, 0.99), k = 16384)
-    }),
-
-    // ---- PSI drift gate: order-value distribution before vs after a
-    // date split, explicit bin cuts, dedicated null bin ----
-    "q_psi_drift" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      operators.Validation.populationStability(
-        o.where(col("o_orderdate") < lit("1998-01-01")),
-        o.where(col("o_orderdate") >= lit("1998-01-01")),
-        "o_totalprice",
-        Seq(50000.0, 100000.0, 200000.0, 300000.0))
-    }),
-
-    // ---- theta set-operation sketches: pairwise overlap of per-source
-    // doc-length value sets from stored sketches — the contamination-
-    // estimate shape; exact under lgK at test SF so DuckDB's distinct
-    // joins are the oracle ----
-    "q_theta_overlap" -> ((s, dir) => {
-      // pin: BOTH self-join sides read one materialization of the sketch
-      // table — unpinned, each side would re-scan and re-sketch the corpus
-      val sk = graft.core.Caches.pin(operators.Sketches.thetaSketches(
-        t(s, dir, "documents"), Seq("source"), "n_chars"))
-      val a = sk.select(col("source").as("source_a"), col("tsketch").as("__a"))
-      val b = sk.select(col("source").as("source_b"), col("tsketch").as("__b"))
-      // 20 sources → 190 pairs of kilobyte sketches: trivially broadcast
-      val pairs = a.crossJoin(broadcast(b))
-        .where(col("source_a") < col("source_b"))
-      operators.Sketches.thetaSetEstimates(pairs, "__a", "__b")
-        .select(col("source_a"), col("source_b"),
-          round(col("est_intersection")).cast("long").as("inter"),
-          round(col("est_union")).cast("long").as("uni"))
-    }),
-
-    // ---- bucketized range join: events into overlapping campaign
-    // windows (533 s grid, 400-2800 s widths) without a nested loop ----
-    "q_range_join" -> ((s, dir) => {
-      val base = 1704067200L // 2024-01-01T00:00:00Z, the events epoch
-      val ev = streaming.StreamingOps.readEventsRaw(s, s"$dir/events.parquet")
-        .select(col("event_id"), col("user_id"),
-          expr("ts_ns div 1000000000").as("sec"))
-      val iv = s.range(0, 500).select(
-        col("id").as("window_id"),
-        (lit(base) + col("id") * 533).as("w_start"),
-        (lit(base) + col("id") * 533 + (col("id") % 7 + 1) * 400).as("w_end"))
-      operators.RangeJoin.pointInInterval(ev, iv,
-          "sec", "w_start", "w_end", bucketWidth = 1024L)
-        .select("event_id", "user_id", "sec", "window_id")
-    }),
-
-    // ---- interval-OVERLAP join: order date-windows vs synthetic
-    // review windows, per key — the interval×interval sibling of
-    // q_range_join, one bucket equi-shuffle, canonical-bucket dedup ----
-    "q_interval_overlap" -> ((s, dir) => {
-      val a = t(s, dir, "orders").where(col("o_custkey") < 400)
-        .select(col("o_orderkey").cast("long").as("aid"),
-          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("a_start"),
-          (datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
-            + col("o_custkey") % 20 + 1).as("a_end"),
-          (col("o_custkey") % 7).cast("long").as("k"))
-      val b = s.range(0, 600).select(col("id").as("bid"),
-        (lit(8035L) + col("id") * 4).as("b_start"),
-        (lit(8035L) + col("id") * 4 + col("id") % 9 * 3 + 2).as("b_end"),
-        (col("id") % 7).as("k"))
-      operators.RangeJoin.intervalOverlap(a, b,
-          "a_start", "a_end", "b_start", "b_end",
-          bucketWidth = 64L, extraKeys = Seq("k"))
-        .select("aid", "bid", "k")
-    }),
-
-    // ---- vocab-encode: documents as token-id sequences (OOV = -1);
-    // flattened with posexplode for the row-level oracle compare ----
-    "q_encode_tokens" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      // a small vocab (top 20) leaves real OOV terms to exercise oovId
-      val vocab = operators.TextAnalysis.buildVocab(
-        docs, "text", maxSize = 20, minCount = 2L)
-      operators.TextAnalysis.encodeTokens(docs, vocab, "doc_id", "text")
-        .select(col("doc_id"),
-          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
-    }),
-
-    // ---- MOSS-style span containment: distinct shared winnowing
-    // fingerprints per doc pair, boilerplate-capped ----
-    "q_shared_spans" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val corpus = docs.unionAll(docs.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" copied span marker alpha beta gamma"))
-            .as("text")))
-      operators.Dedup.sharedFingerprintPairs(corpus, "doc_id", "text")
-    }),
-
-    // ---- semantic (embedding-cluster) dedup, SemDeDup-style; rows-only:
-    // the KMeans quantizer is not SQL-expressible (same contract as
-    // q_ann_ivf); recall/behavior asserted in SelectionSpec ----
-    "q_semantic_dedup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      // plant exact duplicates so the dedup has real work to do
-      val corpus = e.unionAll(e.where(col("vec_id") % 5 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-      operators.Dedup.semanticDedup(corpus, "vec_id", "embedding",
-        nclusters = 16, threshold = 0.995).select("vec_id")
-    }),
-
-    // ---- DSIR-style importance weights: score every doc against the
-    // German-language subset's hashed-unigram distribution ----
-    "q_importance_weights" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      operators.Selection.importanceWeights(
-        docs, docs.where(col("lang") === "de"), "doc_id", "text",
-        buckets = 4096)
-    }),
-
-    // ---- multimodal: binary content + batched stub decode (mapPartitions) ----
-    "q_multimodal_meta" -> ((s, dir) => {
-      val withContent = t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("content"))
-      operators.Multimodal.withDecodedMeta(withContent, "content")
-        .select(col("doc_id"),
-          col("meta.format").as("format"),
-          col("meta.width").as("width"),
-          col("meta.height").as("height"),
-          col("meta.n_bytes").as("n_bytes"))
-    }),
-
-    // ---- deterministic hash split (train/val/test, engine-reproducible) --
-    "q_hash_split" -> ((s, dir) => {
-      operators.Sampling.withHashSplit(
-        t(s, dir, "documents").select(col("doc_id")),
-        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-    }),
-
-    // ---- split-leakage audit, the chained witness for withHashSplit's
-    // leakage-safe contract: ONE near-dup pair set (the planted-twin
-    // LSH corpus of q_dedup_clusters) scored under a row-keyed AND a
-    // domain-keyed 80/20 split in a single aggregate — twins keep
-    // their source, so the domain split can never separate them while
-    // the row split scatters ~2·p·(1−p) of them across the boundary ----
-    "q_split_leakage" -> ((s, dir) => {
-      val base = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"), col("source"))
-      val corpus = base.unionByName(base.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(col("text"), lit(" extra extra")).as("text"),
-          col("source")))
-      val pairs = operators.Dedup.minhashLshPairs(corpus, "doc_id", "text",
-        numPerms = 16, bands = 4, shingleSize = 3, threshold = 0.5)
-      val splits = operators.Sampling.withHashSplit(
-        operators.Sampling.withHashSplit(corpus, "doc_id",
-          Seq("train" -> 0.8, "eval" -> 0.2), salt = "sl",
-          outputCol = "row_split"),
-        "source", Seq("train" -> 0.8, "eval" -> 0.2), salt = "sl",
-        outputCol = "domain_split")
-        .select(col("doc_id"), col("row_split"), col("domain_split"))
-      pairs.select("id_a", "id_b")
-        .join(splits.select(col("doc_id").as("id_a"),
-          col("row_split").as("ra"), col("domain_split").as("da")), "id_a")
-        .join(splits.select(col("doc_id").as("id_b"),
-          col("row_split").as("rb"), col("domain_split").as("db")), "id_b")
-        .agg(count(lit(1)).as("n_pairs"),
-          count(when(col("ra") =!= col("rb"), 1)).as("row_cross"),
-          count(when(col("da") =!= col("db"), 1)).as("domain_cross"))
-    }),
-
-    // ---- HITS hubs/authorities over the directed order graph (2
-    // nano-exact iterations; oracle unrolls them) ----
-    "q_hits" -> ((s, dir) => {
-      val edges = t(s, dir, "orders").select(
-        (col("o_orderkey") % 97).cast("string").as("x"),
-        (col("o_custkey") % 97).cast("string").as("y"))
-      operators.Graphs.hits(edges, "x", "y", iterations = 2)
-    }),
-
-    // ---- degree assortativity: hub-wiring signature of the derived
-    // order graph, pure integer sums, one division ----
-    "q_assortativity" -> ((s, dir) => {
-      val edges = t(s, dir, "orders").select(
-        (col("o_orderkey") % 97).cast("string").as("x"),
-        (col("o_custkey") % 97).cast("string").as("y"))
-      operators.Graphs.degreeAssortativity(edges, "x", "y")
-    }),
-
-    // ---- full coreness decomposition (ascending peel; FULL DuckDB
-    // twin — the peel is a bounded-round recursion, so the oracle
-    // replays it with a recursive CTE over incidence rows) ----
-    "q_coreness" -> ((s, dir) => {
-      // sparse derived graph (~avg degree 6 at sf0.1): decomposition
-      // rounds track DEGENERACY, so the bench fixture is shaped like a
-      // real link graph, not a dense clique whose ~50 levels would
-      // measure scheduler overhead
-      val edges = t(s, dir, "orders").select(
-        (col("o_orderkey") % 50021).cast("string").as("x"),
-        (col("o_custkey") % 50021).cast("string").as("y"))
-      operators.Graphs.coreness(edges, "x", "y")
-    }),
-
-    // ---- k-core extraction (iterative peeling to fixpoint; FULL
-    // DuckDB twin via the same recursive-CTE peel as q_coreness;
-    // cascade semantics also pinned in GraphsSpec) ----
-    "q_k_core" -> ((s, dir) => {
-      val edges = t(s, dir, "orders").select(
-        (col("o_orderkey") % 97).cast("string").as("x"),
-        (col("o_custkey") % 97).cast("string").as("y"))
-      operators.Graphs.kCore(edges, "x", "y", k = 30)
-    }),
-
-    // ---- mutual information between lang and source: how much one
-    // metadata column re-encodes the other ----
-    "q_mutual_info" -> ((s, dir) => {
-      operators.Validation.mutualInformation(
-        t(s, dir, "documents"), "lang", "source")
-    }),
-
-    // ---- chi-squared independence + Cramér's V on the same pair: the
-    // effect-size audit (no transcendentals — full hash-exact twin) ----
-    "q_chi_squared" -> ((s, dir) => {
-      operators.Validation.chiSquaredIndependence(
-        t(s, dir, "documents"), "lang", "source")
-    }),
-
-    // ---- Wilson CI + EB-shrunken English-rate per source: the small-
-    // sample-honest ranking pair (both full twins, z/z² literals) ----
-    "q_wilson_ci" -> ((s, dir) =>
-      operators.Validation.wilsonIntervals(
-        t(s, dir, "documents")
-          .select(col("source"), (col("lang") === "en").as("is_en")),
-        Seq("source"), "is_en")),
-    "q_shrunken_rates" -> ((s, dir) =>
-      operators.Validation.shrunkenRates(
-        t(s, dir, "documents")
-          .select(col("source"), (col("lang") === "en").as("is_en")),
-        Seq("source"), "is_en")),
-
-    // ---- Spearman rank agreement per language between two doc-level
-    // integral scores (char length vs token count): tie-averaged ranks
-    // at 2× scale, exact BIGINT moments, one portable division ----
-    "q_spearman" -> ((s, dir) =>
-      operators.Validation.spearmanCorrelation(
-        t(s, dir, "documents").select(col("lang"),
-          length(coalesce(col("text"), lit(""))).cast("long").as("len_c"),
-          operators.TextAnalysis.tokenCount(col("text")).cast("long")
-            .as("len_t")),
-        Seq("lang"), "len_c", "len_t")),
-
-    // ---- Krippendorff's alpha over a deterministic three-annotator
-    // fixture: token-count terciles, char-length terciles (correlated
-    // but not identical), and a sha-gated 1-in-7 rotation of the first
-    // — the LLM-judge-ensemble agreement gate, sha-replayable in SQL ----
-    "q_krippendorff" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val ntok = operators.TextAnalysis.tokenCount(col("text"))
-      val nchr = length(coalesce(col("text"), lit("")))
-      val a1v = when(ntok >= 68, "long").when(ntok >= 39, "mid")
-        .otherwise("short")
-      val a1 = docs.select(col("doc_id"), a1v.as("value"))
-      val a2 = docs.select(col("doc_id"),
-        when(nchr >= 373, "long").when(nchr >= 216, "mid")
-          .otherwise("short").as("value"))
-      val a3 = docs.select(col("doc_id"),
-        when(operators.TextAnalysis.hash60(
-            concat(lit("kripp:"), col("doc_id").cast("string"))) % 7 === 0,
-          when(a1v === "short", "mid").when(a1v === "mid", "long")
-            .otherwise("short"))
-          .otherwise(a1v).as("value"))
-      operators.Validation.krippendorffAlpha(
-        a1.unionByName(a2).unionByName(a3), "doc_id", "value")
-    }),
-
-    // ---- quantile matching: remap non-English doc lengths onto the
-    // English length scale (nearest-rank equating, pure BIGINT) ----
-    "q_quantile_match" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      operators.Validation.quantileMatch(
-        d.where(col("lang") === "en").select(col("n_chars")),
-        d.where(col("lang") =!= "en").select(col("n_chars")),
-        "n_chars")
-    }),
-
-    // ---- Cliff's delta: did English docs shift the length
-    // distribution vs the rest, as an outlier-proof ordinal effect ----
-    "q_cliffs_delta" -> ((s, dir) => {
-      operators.Validation.cliffsDelta(
-        t(s, dir, "documents")
-          .select((col("lang") === "en").as("is_en"), col("n_chars")),
-        "is_en", "n_chars")
-    }),
-
-    // ---- Gini concentration of document lengths ----
-    "q_gini" -> ((s, dir) =>
-      operators.Validation.giniCoefficient(
-        t(s, dir, "documents").select(col("n_chars")), "n_chars")),
-
-    // ---- Benford first-digit audit over order totals ----
-    "q_benford" -> ((s, dir) =>
-      operators.Validation.benfordAudit(
-        t(s, dir, "orders").select(
-          floor(col("o_totalprice")).cast("long").as("amount")),
-        "amount")),
-
-    // ---- bin-free distribution drift: KS between two event slices ----
-    "q_ks_drift" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-      operators.Validation.ksStatistic(
-        e.where(col("event_type") === "view").select(col("value")),
-        e.where(col("event_type") === "click").select(col("value")),
-        "value")
-    }),
-
-    // ---- reproducible ε-DP count release over (lang, source) ----
-    "q_dp_counts" -> ((s, dir) =>
-      operators.Validation.noisedCounts(
-        t(s, dir, "documents"), Seq("lang", "source"),
-        epsilon = 1.0, seed = "dp")),
-
-    // ---- inter-rater agreement: stored lang label vs a keyword rater ----
-    "q_cohen_kappa" -> ((s, dir) => {
-      val d = t(s, dir, "documents").withColumn("lang_kw",
-        when(col("text").contains(" the "), lit("en")).otherwise(lit("other")))
-      operators.Validation.cohenKappa(d, "lang", "lang_kw")
-    }),
-
-    // ---- three heuristic length-raters, Fleiss agreement ----
-    "q_fleiss_kappa" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      def rater(label: org.apache.spark.sql.Column): DataFrame =
-        d.select(col("doc_id"), label.as("label"))
-      val ratings = rater(
-          when(col("n_chars") >= 306, lit("long")).otherwise(lit("short")))
-        .unionByName(rater(
-          when(length(col("text")) >= 280, lit("long")).otherwise(lit("short"))))
-        .unionByName(rater(
-          when(col("n_chars") % 2 === 0, lit("long")).otherwise(lit("short"))))
-      operators.Validation.fleissKappa(ratings, "doc_id", "label")
-    }),
-
-    // ---- local clustering coefficients over the derived order graph ----
-    "q_clustering" -> ((s, dir) => {
-      val edges = t(s, dir, "orders").select(
-        (col("o_orderkey") % 97).cast("string").as("x"),
-        (col("o_custkey") % 97).cast("string").as("y"))
-      operators.Graphs.clusteringCoefficients(edges, "x", "y")
-    }),
-
-    // ---- Zipf-law naturalness audit over the corpus vocabulary ----
-    "q_zipf" -> ((s, dir) =>
-      operators.TextAnalysis.zipfFit(t(s, dir, "documents"), "text")),
-
-    // ---- license detection over a deterministically-salted corpus ----
-    "q_license_scan" -> ((s, dir) => {
-      val salted = t(s, dir, "documents").withColumn("text2",
-        when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" SPDX-License-Identifier: MIT")))
-        .when(col("doc_id") % 7 === 1,
-          concat(col("text"), lit(" Licensed under the Apache License, " +
-            "Version 2.0 terms.")))
-        .when(col("doc_id") % 7 === 2,
-          concat(col("text"), lit(" Released under the GNU General " +
-            "Public License.")))
-        .otherwise(col("text")))
-      operators.TextAnalysis.withLicenseDetection(salted, "text2")
-        .select(col("doc_id"), col("spdx_id"), col("license_guess"),
-          col("is_permissive"))
-    }),
-
-    // ---- skip-gram co-occurrence pairs + TextRank keywords ----
-    "q_skipgrams" -> ((s, dir) =>
-      operators.TextAnalysis.skipGramPairs(
-        t(s, dir, "documents"), "doc_id", "text", window = 2)),
-
-    "q_textrank" -> ((s, dir) =>
-      operators.TextAnalysis.textRankKeywords(
-        t(s, dir, "documents"), "doc_id", "text",
-        window = 2, iterations = 3, topK = 20)),
-
-    // ---- Adamic-Adar link prediction over the derived order graph ----
-    "q_adamic_adar" -> ((s, dir) => {
-      // % 997, not % 97: the denser derived graph saturates at sf0.1
-      // (every candidate pair already an edge -> an empty prediction)
-      val edges = t(s, dir, "orders").select(
-        (col("o_orderkey") % 997).cast("string").as("x"),
-        (col("o_custkey") % 997).cast("string").as("y"))
-      operators.Graphs.adamicAdar(edges, "x", "y")
-    }),
-
-    // ---- sampled betweenness (Brandes, 5 seeds, hop-capped): the
-    // bridge detector; FULL DuckDB twin — both passes replay as
-    // recursive CTEs (σ-BFS forward, δ-accumulation backward) ----
-    "q_betweenness" -> ((s, dir) => {
-      import s.implicits._
-      val edges = t(s, dir, "orders").select(
-        (col("o_orderkey") % 97).cast("string").as("x"),
-        (col("o_custkey") % 97).cast("string").as("y"))
-      operators.Graphs.sampledBetweenness(edges, "x", "y",
-        Seq("0", "1", "2", "3", "4").toDF("seed"), "seed", maxHops = 4)
-    }),
-
-    // ---- Flesch reading ease + FK grade level per doc (full twin) ----
-    "q_readability" -> ((s, dir) =>
-      operators.TextAnalysis.readabilityScores(
-        t(s, dir, "documents"), "doc_id", "text")),
-
-    // ---- DPO-style max-margin preference pairs per source, scored by
-    // readability micros — the post-training data-construction step;
-    // ties/singletons yield no pair, margin-gated at 2 FRE points ----
-    "q_preference_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val scored = operators.TextAnalysis.readabilityScores(
-          docs, "doc_id", "text")
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .where(col("fre").isNotNull)
-        .select(col("source"), col("doc_id"),
-          round(col("fre") * 1e6).cast("long").as("fre_micros"))
-      operators.Selection.preferencePairs(scored, "source", "doc_id",
-        "fre_micros", minMarginMicros = 2000000L)
-    }),
-
-    // ---- slice-level mirror detection: term-count cosine between
-    // sources (full twin — integer dot/norms, one portable division) ----
-    "q_source_similarity" -> ((s, dir) =>
-      operators.TextAnalysis.sourceSimilarity(
-        t(s, dir, "documents"), "source", "text")),
-
-    // ---- pairwise Jensen–Shannon divergence between sources' token
-    // distributions — the drift companion to the mirror cosine ----
-    "q_slice_divergence" -> ((s, dir) =>
-      operators.TextAnalysis.sliceDivergence(
-        t(s, dir, "documents"), "source", "text")),
-
-    // ---- sliced Wasserstein-1 embedding drift between label slices:
-    // deterministic ±1 projections (the srpProject sign chain), per-
-    // (slice, direction) nearest-rank quantile grid, nano-rounded
-    // |qa − qb| terms; the oracle replays the identical hash + grid ----
-    "q_sliced_wasserstein" -> ((s, dir) =>
-      operators.Ann.slicedWasserstein(
-        t(s, dir, "embeddings").select(col("label"), col("embedding")),
-        "label", "embedding", directions = 8, grid = 32, salt = 7L)),
-
-    // ---- word2vec frequent-word subsampling over the corpus ----
-    "q_subsample" -> ((s, dir) =>
-      operators.TextAnalysis.subsampleFrequent(
-        t(s, dir, "documents"), "doc_id", "text", t = 0.001, seed = "w2v")),
-
-    // ---- fill-in-the-middle transform (Bavarian 2022): sha-gated 50%
-    // of docs reordered into the PSM layout, cuts sha-derived ----
-    "q_fim" -> ((s, dir) =>
-      operators.TextAnalysis.fimTransform(
-        t(s, dir, "documents"), "doc_id", "text")),
-
-    // ---- min-K% prob membership audit (Shi 2023, n-gram proxy): the
-    // held-out fifth scored against the rest — the worst-k bigram
-    // NLL mean that exposes memorized text avg_nll washes out ----
-    "q_mink_prob" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      operators.TextAnalysis.minKProb(
-        docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
-        docs.where(col("doc_id") % 5 =!= 0), "text", kPercent = 20)
-    }),
-
-    // ---- speculative-decoding acceptance (Leviathan 2023): per-context
-    // Σ min(p, q) between the full-corpus target bigram LM and a
-    // one-fifth-slice draft LM — exact split numerator sums, three
-    // divisions, the "can a small model draft for the big one" audit ----
-    "q_spec_acceptance" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      operators.TextAnalysis.speculativeAcceptance(
-        docs, docs.where(col("doc_id") % 5 === 0), "text")
-    }),
-
-    // ---- vocabulary coverage per source (Chao1 + Good–Turing): how
-    // much of each source's type inventory the crawl has seen ----
-    "q_vocab_richness" -> ((s, dir) =>
-      operators.TextAnalysis.vocabularyCoverage(
-        t(s, dir, "documents"), Seq("source"), "text")),
-
-    // ---- term burstiness (Church & Gale 1995): Fisher dispersion +
-    // adaptation per vocabulary type over the whole corpus ----
-    "q_burstiness" -> ((s, dir) =>
-      operators.TextAnalysis.termBurstiness(
-        t(s, dir, "documents"), "doc_id", "text", minDocs = 5L)),
-
-    // ---- distinct-n diversity per source (Li 2016): mode-collapse
-    // audit before synthetic data enters the mix ----
-    "q_distinct_ngrams" -> ((s, dir) =>
-      operators.TextAnalysis.distinctNgrams(
-        t(s, dir, "documents"), "source", "text", maxN = 3)),
-
-    // ---- n-gram novelty vs a reference split (RAVEN-style
-    // memorization audit): every 7th doc scored against the rest ----
-    "q_ngram_novelty" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      operators.TextAnalysis.ngramNovelty(
-        docs.where(col("doc_id") % 7 === 0), "doc_id", "text",
-        docs.where(col("doc_id") % 7 =!= 0), "text", n = 3)
-    }),
-
-    // ---- Heaps' law vocabulary-growth fit over the doc_id walk ----
-    "q_heaps" -> ((s, dir) =>
-      operators.TextAnalysis.heapsLaw(
-        t(s, dir, "documents"), "doc_id", "text", maxPoints = 256)),
-
-    // ---- corpus BLEU between consecutive-doc pairs (ref = doc,
-    // hyp = next doc): the eval-harness staple, one corpus row ----
-    "q_bleu" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val pairs = d.join(
-        d.select((col("doc_id") - 1).as("doc_id"), col("text").as("hyp")),
-        Seq("doc_id"))
-      operators.RankEval.corpusBleu(pairs, "doc_id", "text", "hyp")
-    }),
-
-    // ---- sentence-level chrF over the same consecutive-doc pairs ----
-    "q_chrf" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val pairs = d.join(
-        d.select((col("doc_id") - 1).as("doc_id"), col("text").as("hyp")),
-        Seq("doc_id"))
-      operators.RankEval.chrfScore(pairs, "doc_id", "text", "hyp")
-    }),
-
-
-    // ---- MATTR lexical diversity (Covington 2010): length-independent
-    // windowed TTR per document ----
-    "q_mattr" -> ((s, dir) =>
-      operators.TextAnalysis.mattr(
-        t(s, dir, "documents"), "doc_id", "text", window = 50)),
-
-    // ---- corpus bigram entropy rate: template/boilerplate corpora
-    // score low, healthy prose high ----
-    "q_entropy_rate" -> ((s, dir) =>
-      operators.TextAnalysis.bigramEntropyRate(
-        t(s, dir, "documents"), "text")),
-
-    // ---- 10%-trimmed mean price per return flag: the robust central
-    // tendency via keyedRangePrefix ranks (never a per-group sort) ----
-    "q_trimmed_mean" -> ((s, dir) =>
-      operators.Validation.trimmedMean(
-        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
-        trim = 0.1)),
-
-    // ---- per-class report of a hand rule-classifier vs order status ----
-    "q_class_report" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val pred = when(col("o_totalprice") < 100000.0, lit("F"))
-        .otherwise(when(col("o_custkey") % 2 === 0, lit("O"))
-          .otherwise(lit("P")))
-      operators.RankEval.classificationReport(
-        o.withColumn("pred", pred), "o_orderstatus", "pred")
-    }),
-
-    // ---- SQuAD-style token F1 over the consecutive-doc pairs ----
-    "q_token_f1" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val pairs = d.join(
-        d.select((col("doc_id") - 1).as("doc_id"), col("text").as("hyp")),
-        Seq("doc_id"))
-      operators.RankEval.tokenF1(pairs, "doc_id", "text", "hyp")
-    }),
-
-    // ---- normalized edit similarity over 400-char prefixes of the
-    // consecutive-doc pairs (short-string contract) ----
-    "q_edit_sim" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), substring(col("text"), 1, 400).as("a"))
-      val pairs = d.join(
-        d.select((col("doc_id") - 1).as("doc_id"), col("a").as("b")),
-        Seq("doc_id"))
-      operators.RankEval.editSimilarity(pairs, "doc_id", "a", "b",
-        maxChars = 400)
-    }),
-
-    // ---- T5 span-corruption pairs (Raffel 2020 §3.1.4): block-gridded
-    // sha spans, numbered sentinels, denoising input/target per doc ----
-    "q_span_corruption" -> ((s, dir) =>
-      operators.TextAnalysis.spanCorruption(
-        t(s, dir, "documents"), "doc_id", "text")),
-
-    // ---- the word2vec data path, end to end: subsample -> skip-gram
-    // pairs -> k hash-drawn negatives per pair. Three engine-exact
-    // stages, ONE chained oracle (training triples ready to ship) ----
-    "q_pipeline_word2vec" -> ((s, dir) => {
-      val sub = operators.TextAnalysis.subsampleFrequent(
-        t(s, dir, "documents"), "doc_id", "text", t = 0.001, seed = "w2v")
-      val pairs = operators.TextAnalysis.skipGramPairs(
-        sub, "doc_id", "text_subsampled", window = 1)
-      val vocab = sub
-        .select(explode(operators.TextAnalysis.tokens(
-          col("text_subsampled"))).as("t"))
-        .groupBy("t").agg(count(lit(1)).as("w"))
-      operators.Sampling.negativeSamples(pairs, "center", "context",
-          vocab, "t", "w", k = 1, seed = "neg")
-        .select(col("center"), col("context"), col("n"), col("neg_term"))
-    }),
-
-    // ---- word2vec noise draws: skip-gram pairs x hash inverse-CDF ----
-    "q_neg_samples" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = operators.TextAnalysis.skipGramPairs(
-        docs, "doc_id", "text", window = 1)
-      val vocab = docs
-        .select(explode(transform(operators.TextAnalysis.tokens(col("text")),
-          t => lower(t))).as("t"))
-        .groupBy("t").agg(count(lit(1)).as("w"))
-      operators.Sampling.negativeSamples(pairs, "center", "context",
-          vocab, "t", "w", k = 2, seed = "neg")
-        .select(col("center"), col("context"), col("j"), col("neg_term"))
-    }),
-
-    // ---- deterministic DeepWalk corpus over the derived order graph ----
-    "q_random_walks" -> ((s, dir) => {
-      val edges = t(s, dir, "orders").select(
-        (col("o_orderkey") % 97).cast("string").as("x"),
-        (col("o_custkey") % 97).cast("string").as("y"))
-      operators.Graphs.randomWalks(edges, "x", "y",
-        walksPerNode = 2, walkLength = 4, seed = "rw")
-    }),
-
-    // ---- percentile-rank calibration: per-language percent_rank of
-    // doc length (the step before mixing incomparable scores) ----
-    "q_pct_rank" -> ((s, dir) => {
-      operators.Selection.percentileRank(
-        t(s, dir, "documents").select(col("doc_id"), col("lang"),
-          col("n_chars")),
-        "n_chars", Seq("lang"))
-    }),
-
-    // ---- per-node triangle counts (degree-oriented compact-forward):
-    // local clustering over a derived 97-node order graph ----
-    "q_triangles" -> ((s, dir) => {
-      val edges = t(s, dir, "orders").select(
-        (col("o_orderkey") % 97).cast("string").as("x"),
-        (col("o_custkey") % 97).cast("string").as("y"))
-      operators.Graphs.triangleCounts(edges, "x", "y")
-    }),
-
-    // ---- label-propagation communities over the same modular graph:
-    // three synchronous rounds, mode-label with min tie-break ----
-    "q_communities" -> ((s, dir) => {
-      val edges = t(s, dir, "orders").select(
-        (col("o_orderkey") % 97).cast("string").as("x"),
-        (col("o_custkey") % 97).cast("string").as("y"))
-      operators.Graphs.labelPropagationCommunities(edges, "x", "y",
-        iterations = 3)
-    }),
-
-    // ---- modularity of that LPA assignment: the community-quality
-    // audit, nano-quantized community terms LONG-summed ----
-    "q_modularity" -> ((s, dir) => {
-      val edges = t(s, dir, "orders").select(
-        (col("o_orderkey") % 97).cast("string").as("x"),
-        (col("o_custkey") % 97).cast("string").as("y"))
-      val comms = operators.Graphs.labelPropagationCommunities(
-        edges, "x", "y", iterations = 3)
-      operators.Graphs.modularity(edges, "x", "y", comms,
-        "node", "community")
-    }),
-
-    // ---- vocab coverage audit: per-doc OOV rate against a top-20
-    // vocabulary (does the tokenizer fit the corpus?) ----
-    "q_vocab_coverage" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val vocab = operators.TextAnalysis.buildVocab(
-        docs, "text", maxSize = 20, minCount = 2L)
-      operators.TextAnalysis.vocabCoverage(docs, vocab, "doc_id", "text")
-    }),
-
-    // ---- categorical PSI: language-mix drift between two corpus
-    // halves, union categories with Laplace smoothing ----
-    "q_cat_drift" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      operators.Validation.categoricalStability(
-        docs.where(col("doc_id") % 2 === 0),
-        docs.where(col("doc_id") % 2 === 1), "lang")
-    }),
-
-    // ---- margin-based bitext mining (ratio margin): each source's
-    // best target scored relative to both neighborhoods, hub-resistant;
-    // planted scaled twins must mine as mutual pairs ----
-    "q_bitext_mine" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val src = e.where(col("vec_id") % 10 === 0)
-        .select(col("vec_id"), col("embedding"))
-      val tgt = e.where(col("vec_id") % 20 === 0).select(
-        (col("vec_id") + 100000).as("vec_id"),
-        transform(col("embedding"), x => (x * lit(1.5)).cast("float"))
-          .as("embedding"))
-      operators.Ann.marginBitextPairs(src, tgt, "vec_id", "embedding",
-        k = 4, threshold = 1.0)
-    }),
-
-    // blocked CCMatrix shape: ONE multilingual corpus, mined per
-    // language pair with the broadcast contract enforced per block
-    "q_bitext_blocked" -> ((s, dir) => {
-      val corpus = t(s, dir, "embeddings").select(
-        col("vec_id"), col("embedding"),
-        when(col("vec_id") % 3 === 0, lit("en"))
-          .when(col("vec_id") % 3 === 1, lit("fr"))
-          .otherwise(lit("de")).as("lang"))
-      operators.Ann.marginBitextPairsByLanguage(corpus,
-        "vec_id", "embedding", "lang",
-        Seq("en" -> "fr", "en" -> "de"), k = 4, threshold = 1.0)
-    }),
-
-    // ---- ranking-quality eval (nDCG/MRR/recall@k) over a deterministic
-    // synthetic run + graded qrels — the measurement harness for the
-    // BM25 / RRF / ANN tier ----
-    "q_rank_eval" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("n_chars").desc, col("doc_id"))
-      val run = docs
-        .select((col("doc_id") % 3).as("qid"), col("doc_id"), col("n_chars"))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 10)
-        .select("qid", "doc_id", "rnk")
-      val qrels = docs.where(col("n_chars") % 4 === 0)
-        .select((col("doc_id") % 3).as("qid"), col("doc_id"),
-          (col("doc_id") % 3 + 1).cast("int").as("rel"))
-      operators.RankEval.rankingMetrics(run, qrels,
-        "qid", "doc_id", "rnk", "rel", k = 10)
-    }),
-
-    // ---- t-closeness audit: per-combo sensitive-distribution skew vs
-    // the corpus (TVD, exact integer numerator) — the leak k-anonymity
-    // and l-diversity both miss ----
-    "q_t_closeness" -> ((s, dir) => {
-      operators.Validation.tCloseness(
-        t(s, dir, "documents").select(col("source"), col("lang")),
-        Seq("source"), "lang", t = 0.05)
-    }),
-
-    // ---- waterfill budget allocation: one shared cap funds small
-    // groups fully and throttles mega-groups — proportional-fair crawl
-    // / mixture quotas in closed form ----
-    "q_waterfill" -> ((s, dir) => {
-      val counts = t(s, dir, "documents")
-        .groupBy(concat_ws(":", coalesce(col("lang"), lit("und")),
-          col("source")).as("grp"))
-        .agg(count(lit(1)).as("n_docs"))
-      operators.Sampling.waterfillAllocations(counts, "grp", "n_docs",
-        budget = 300L)
-    }),
-
-    // ---- data-constrained scaling plan (Muennighoff 2023 Eq. 5):
-    // per-source epochs + effective tokens under a uniform-split token
-    // budget and the published R* = 15.39 repetition-decay fit ----
-    "q_data_constrained" -> ((s, dir) =>
-      operators.Sampling.dataConstrainedPlan(
-        t(s, dir, "documents"), "source", "text", budget = 400000L)),
-
-    // ---- bounded BFS: minimum-hop reachability from a seed set over
-    // the symmetrized customer-supplier graph (crawl blast-radius /
-    // trusted-tier distance); oracle is a recursive CTE ----
-    // ---- weighted shortest paths: customer↔supplier graph weighted
-    // by min line quantity; bounded frontier Bellman-Ford whose
-    // ≤k-edge-min invariant the recursive-CTE oracle replays ----
-    "q_shortest_paths" -> ((s, dir) => {
-      val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"),
-          col("l_quantity").cast("long").as("w"))
-      val sym = pairs.select(explode(array(
-          struct(col("src"), col("dst"), col("w")),
-          struct(col("dst").as("src"), col("src").as("dst"), col("w")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
-      val seeds = t(s, dir, "orders").where(col("o_custkey") < 5)
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("seed"))
-      operators.Graphs.shortestPaths(sym, "src", "dst", "w", seeds, "seed",
-        maxRounds = 2)
-    }),
-
-    // ---- strongly connected components: a bounded customer↔supplier
-    // digraph (direction decided by line quantity, so 2-cycles exist);
-    // the oracle computes mutual transitive closure ----
-    "q_scc" -> ((s, dir) => {
-      val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
-          col("o_orderkey") === col("l_orderkey"))
-        .where(col("o_custkey") < 40 && col("l_suppkey") < 40)
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("cn"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("sn"),
-          col("l_quantity").cast("double").as("q"))
-      val e = pairs.where(col("q") < 25)
-        .select(col("cn").as("src"), col("sn").as("dst"))
-        .unionByName(pairs.where(col("q") >= 25)
-          .select(col("sn").as("src"), col("cn").as("dst")))
-      operators.Graphs.stronglyConnectedComponents(e, "src", "dst")
-    }),
-
-    // ---- sampled harmonic centrality over the same derived graph ----
-    "q_harmonic" -> ((s, dir) => {
-      val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-      val sym = pairs.select(explode(array(
-          struct(col("src"), col("dst")),
-          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      val seeds = t(s, dir, "orders").where(col("o_custkey") < 5)
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("seed"))
-      operators.Graphs.harmonicCentrality(sym, "src", "dst", seeds, "seed", 3)
-    }),
-
-    "q_k_hop" -> ((s, dir) => {
-      val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-      val sym = pairs.select(explode(array(
-          struct(col("src"), col("dst")),
-          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      val seeds = t(s, dir, "orders").where(col("o_custkey") < 10)
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("seed"))
-      operators.Graphs.kHopReachability(sym, "src", "dst", seeds, "seed",
-        maxHops = 2)
-    }),
-
-    // ---- k-anonymity: suppress rows whose quasi-identifier combination
-    // is rarer than k (the re-identification failure regex PII redaction
-    // cannot see); one window exchange, no self-join. k=8 splits the
-    // sf0.01 fixture (combo counts 1..16) so survivors AND suppressions
-    // both flow through the hash — k=25 made this a vacuous empty-set
-    // match (round-12 verdict finding #3) ----
-    "q_k_anonymity" -> ((s, dir) => {
-      operators.Validation.kAnonymity(
-        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
-        Seq("lang", "source"), k = 8L)
-    }),
-
-    // ---- l-diversity: drop combos whose sensitive value is homogeneous
-    // even at k-anonymous counts (the homogeneity attack) ----
-    "q_l_diversity" -> ((s, dir) => {
-      operators.Validation.lDiversity(
-        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
-        Seq("lang"), "source", l = 3L)
-    }),
-
-    // ---- balanced training shards: near-equal token totals via the
-    // two-phase global cumsum (deterministic hash order, bounded driver
-    // state) — the trainer-facing anti-straggler split ----
-    "q_shard_assign" -> ((s, dir) => {
-      operators.Packing.assignShards(
-        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
-        "doc_id", "n_chars", numShards = 8, orderBuckets = 32)
-        .select(col("doc_id"), col("shard"))
-    }),
-
-    // ---- token-budget mixture fill: 600 tokens per source, unbiased
-    // hash order, straddling doc kept (greedy-fill contract)
-    "q_token_budget" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        operators.TextAnalysis.tokenCount(col("text")).cast("long")
-          .as("n_tok"))
-      operators.Sampling.tokenBudgetPerGroup(docs, Seq("source"), "n_tok",
-        budget = 600L,
-        orderCols = Seq(operators.Sampling.hashBucket(col("doc_id"), "tb"),
-          col("doc_id")))
-    }),
-
-    // ---- per-group quota: keep the 8 lowest-id docs per (source, lang) --
-    "q_quota_per_group" -> ((s, dir) => {
-      operators.Sampling.limitPerGroup(
-        t(s, dir, "documents").select(col("doc_id"), col("source"), col("lang")),
-        Seq("source", "lang"), n = 8, orderCols = Seq(col("doc_id")))
-    }),
-
-    // ---- stratified hash sample (per-language keep fractions) ----
-    "q_stratified_sample" -> ((s, dir) => {
-      operators.Sampling.stratifiedSample(
-        t(s, dir, "documents").select(col("doc_id"), col("lang")),
-        "doc_id", "lang",
-        fractions = Map("en" -> 0.5, "de" -> 0.25),
-        defaultFraction = 0.1)
-    }),
-
-    // ---- domain mixture: sample sources to 50/30/20 target proportions
-    // (largest achievable total without up-sampling) ----
-    "q_mixture_sample" -> ((s, dir) => {
-      operators.Sampling.sampleToMixture(
-        t(s, dir, "documents").select(col("doc_id"), col("source")),
-        "doc_id", "source",
-        weights = Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2))
-    }),
-
-    // ---- temperature-smoothed language mixture (p_l ∝ n_l^0.3) ----
-    "q_alpha_mixture" -> ((s, dir) => {
-      operators.Sampling.sampleToAlphaMixture(
-        t(s, dir, "documents").select(col("doc_id"), col("lang")),
-        "doc_id", "lang", alpha = 0.3)
-    }),
-
-    // ---- deterministic global shuffle (engine-reproducible training
-    // order; global position without a single-partition window) ----
-    "q_corpus_shuffle" -> ((s, dir) => {
-      operators.Sampling.deterministicShuffle(
-        t(s, dir, "documents").select(col("doc_id"), col("source")),
-        "doc_id", seed = "epoch0")
-    }),
-
-    // ---- token-budget sequence packing (cumsum bins, sharded by source) --
-    "q_pack_sequences" -> ((s, dir) => {
-      val withTok = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          // long, not int: DuckDB's len() is BIGINT, so agree by construction
-          size(operators.TextAnalysis.tokens(col("text"))).cast("long")
-            .as("n_tok"))
-      operators.Packing.packSequences(withTok, "n_tok", budget = 1024L,
-        orderCols = Seq(col("doc_id")), shardCols = Seq("source"))
-    }),
-
-    // ---- as-of join: events aligned to their latest per-user snapshot
-    // (union+window formulation — one shuffle, no range-join blowup) ----
-    "q_asof_join" -> ((s, dir) => {
-      val raw = streaming.StreamingOps
-        .readEventsRaw(s, s"$dir/events.parquet")
-        .withColumn("ts_us", expr("ts_ns div 1000"))
-      val left = raw.select("event_id", "user_id", "ts_us")
-      val snaps = raw.where(col("event_id") % 10 === 0)
-        .groupBy(col("user_id"), col("ts_us"))
-        .agg(max(col("value")).as("snap_value"))
-      operators.AsofJoin.asofJoin(left, snaps, Seq("user_id"), "ts_us")
-    }),
-
-    // ---- as-of with a staleness bound: matches older than 60s are
-    // dropped (row kept, right columns null) — merge_asof(tolerance=...)
-    "q_asof_tolerance" -> ((s, dir) => {
-      val raw = streaming.StreamingOps
-        .readEventsRaw(s, s"$dir/events.parquet")
-        .withColumn("ts_us", expr("ts_ns div 1000"))
-      val left = raw.select("event_id", "user_id", "ts_us")
-      val snaps = raw.where(col("event_id") % 10 === 0)
-        .groupBy(col("user_id"), col("ts_us"))
-        .agg(max(col("value")).as("snap_value"))
-      operators.AsofJoin.asofJoin(left, snaps, Seq("user_id"), "ts_us",
-        tolerance = Some(60000000L))
-    }),
-
-    // ---- forward as-of: next snapshot at-or-after each event (DuckDB
-    // ASOF with l.ts <= r.ts is the oracle; `nearest` has no SQL twin
-    // and is spec-pinned in AsofJoinSpec) ----
-    "q_asof_forward" -> ((s, dir) => {
-      val raw = streaming.StreamingOps
-        .readEventsRaw(s, s"$dir/events.parquet")
-        .withColumn("ts_us", expr("ts_ns div 1000"))
-      val left = raw.select("event_id", "user_id", "ts_us")
-      val snaps = raw.where(col("event_id") % 10 === 0)
-        .groupBy(col("user_id"), col("ts_us"))
-        .agg(max(col("value")).as("snap_value"))
-      operators.AsofJoin.asofJoin(left, snaps, Seq("user_id"), "ts_us",
-        direction = "forward")
-    }),
-
-    // ---- rolling-hash document fingerprint (1-perm MinHash, 60-bit) ----
-    "q_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        operators.TextAnalysis.fingerprint(col("text"), 5).as("fp"))
-    }),
-
-    // ---- winnowing (MOSS) fingerprint sets: shared-run guarantee ----
-    "q_winnow_fingerprints" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"),
-        explode(operators.TextAnalysis.winnowingFingerprints(
-          col("text"), n = 5, w = 4)).as("fp"))
-    }),
-
-    // ---- exact repeated-substring dedup (Lee et al. 2021 ExactSubstr) ----
-    "q_repeated_spans" -> ((s, dir) => {
-      operators.ExactSubstrings.repeatedSpans(
-        t(s, dir, "documents"), w = 10)
-    }),
-
-    "q_remove_repeated" -> ((s, dir) => {
-      operators.ExactSubstrings.removeRepeatedSpans(
-        t(s, dir, "documents"), w = 10)
-    }),
-
-    // Incremental form: even docs are "history" persisted as a window-hash
-    // index; odd docs are the arriving batch, probed against the index
-    // (plus within-batch) without re-reading history text.
-    "q_incremental_substr" -> ((s, dir) => {
-      val scratch = scratchDir("graft_substridx_") + "/idx"
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      operators.ExactSubstrings.writeSubstrIndex(
-        operators.ExactSubstrings.indexRowsFor(
-          docs.where(col("doc_id") % 2 === 0), w = 10),
-        scratch, w = 10)
-      operators.ExactSubstrings.repeatedSpansAgainstIndex(
-        docs.where(col("doc_id") % 2 === 1),
-        operators.ExactSubstrings.loadSubstrIndex(s, scratch, w = 10),
-        w = 10)
-    }),
-
-    // ---- link-graph authority: PageRank over the customer<->supplier
-    // bipartite trade graph (both directions => no dangling mass).
-    // The base query builds edges inline so the prep stays a
-    // first-class benchmarked number; the weighted and personalized
-    // variants read the SHARED materialized edge table
-    // ([[sharedTradeEdges]]) — the production shape (persist the
-    // adjacency once, iterate on it forever), and the bench then
-    // times iteration instead of the identical join three times ----
-    "q_pagerank" -> ((s, dir) =>
-      operators.Graphs.pageRank(tradeEdgesInline(s, dir), "src", "dst",
-        iterations = 3)),
-
-    // Weighted form: every (order, lineitem) occurrence is one unit of
-    // edge weight (pageRank sums duplicate pairs), so rank mass follows
-    // trade VOLUME, not just trade existence.
-    "q_pagerank_weighted" -> ((s, dir) => {
-      val sym = sharedTradeEdges(s, dir).withColumn("w", lit(1L))
-      operators.Graphs.pageRank(sym, "src", "dst", iterations = 3,
-        weightCol = Some("w"))
-    }),
-
-    // Personalized variant: teleport restarts at a curated customer
-    // seed set — authority relative to trusted nodes.
-    "q_pagerank_personalized" -> ((s, dir) => {
-      val seeds = t(s, dir, "customer")
-        .where(col("c_custkey") % 50 === 0)
-        .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
-      operators.Graphs.personalizedPageRank(sharedTradeEdges(s, dir),
-        "src", "dst", seeds, "node", iterations = 3)
-    }),
-
-    // ---- IDN canonicalization: planted unicode hostnames must reach
-    // their exact punycode forms; ASCII stays byte-identical ----
-    "q_idn_hosts" -> ((s, dir) => {
-      val url = concat(lit("https://"),
-        when(col("doc_id") % 3 === 0, lit("münchen"))
-          .when(col("doc_id") % 3 === 1, lit("пример"))
-          .otherwise(lit("plain")),
-        lit("."), col("source"), lit(".example.com/d/"), col("doc_id"))
-      t(s, dir, "documents").select(col("doc_id"),
-        operators.Urls.asciiHost(url).as("ascii_host"))
-    }),
-
-    // ---- URL hygiene: canonicalization, domains, per-domain quota ----
-    "q_url_canonical" -> ((s, dir) => {
-      urlCorpus(s, dir).select(col("doc_id"),
-        operators.Urls.canonicalizeUrl(col("url")).as("canon_url"),
-        operators.Urls.registrableDomain(col("url")).as("domain"))
-    }),
-
-    "q_domain_quota" -> ((s, dir) => {
-      operators.Urls.perDomainQuota(
-        urlCorpus(s, dir), "url", 3, Seq(col("doc_id")))
-        .select(col("doc_id"), col("domain"))
-    }),
-
-    // Domain blocklist: drop documents whose URL host is (or lives
-    // under) a blocked domain.
-    "q_blocklist_filter" -> ((s, dir) => {
-      operators.Urls.filterBlockedDomains(
-        urlCorpus(s, dir), "url", Seq("example.co.uk", "example.org"))
-    }),
-
-    // URL-identity dedup: canonicalize, then keep the first doc per
-    // canonical URL — the crawl-side step BEFORE content dedup.
-    "q_url_dedup" -> ((s, dir) => {
-      operators.Sampling.limitPerGroup(
-        urlCorpus(s, dir).select(col("doc_id"),
-          operators.Urls.canonicalizeUrl(col("url")).as("canon_url")),
-        Seq("canon_url"), 1, Seq(col("doc_id")))
-    }),
-
-    // ---- link extraction: hrefs out of deterministic synthetic HTML,
-    // resolved against each page's base URL (absolute / protocol-relative
-    // / root-relative / directory-relative; javascript:, mailto: and
-    // fragment-only dropped) — the link-graph edge builder ----
-    "q_link_graph" -> ((s, dir) => {
-      val id = col("doc_id").cast("string")
-      val base = urlCorpus(s, dir).where(col("doc_id") % 5 =!= 4)
-      val html = concat(
-        lit("<html><body><a href=\"https://partner.example.net/p/"), id,
-        lit("?a=1&amp;b=2\">x</a><a href='/local/"), id,
-        lit("'>y</a><A HREF=\"rel/page"), id,
-        lit(".html\">z</A><a href=\"//cdn.example.org/lib.js\">w</a>"),
-        lit("<a href=\"#frag\">f</a><a href=\"javascript:void(0)\">j</a>"),
-        lit("<a href=\"mailto:a@b.example\">m</a></body></html>"))
-      operators.Urls.extractLinks(
-        base.select(col("doc_id"), col("url"), html.as("html")),
-        "html", "url")
-        .select(col("doc_id"), col("link"),
-          operators.Urls.registrableDomain(col("link")).as("link_domain"))
-    }),
-
-    // ---- multimodal: bytewise frame sampling over binary content ----
-    "q_frame_sample" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("content"))
-        .select(col("doc_id"),
-          posexplode(operators.Multimodal.frameSample(col("content"), 3, 16)))
-        .select(col("doc_id"), col("pos").as("frame_idx"),
-          hex(col("col")).as("frame_hex"))
-    }),
-
-    // ---- image perceptual hash (median-threshold over the stub stride) --
-    "q_image_phash" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("content"))
-        .select(col("doc_id"),
-          operators.Multimodal.perceptualHash(col("content")).as("phash"))
-    }),
-
-    // ---- image near-dup pairs: banded Hamming join over the pHash -------
-    // planted near-dups: every 10th payload re-enters with its last three
-    // characters overwritten at EQUAL length — the shape an equal-size
-    // re-encode produces (stride sampling, like real pHash, is robust to
-    // small in-place edits but not to length changes)
-    "q_image_near_dup" -> ((s, dir) => {
-      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val planted = base.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(expr("substring(text, 1, length(text) - 3)"), lit("xyz"))
-            .as("text"))
-      operators.Dedup.hashNearDupPairs(base.unionByName(planted), "doc_id",
-        operators.Multimodal.perceptualHash(col("text").cast("binary")),
-        bits = 60, bands = 6, maxHamming = 5, dropZero = true)
-    }),
-
-    // ---- frame-level video dedup: sample frames, pHash each, pair
-    // across the corpus — near-dup VIDEOS surface as shared frames.
-    // Same planted tail-edit corpus: copies share frames 0-1 exactly
-    // (hamming 0) and differ slightly in the edited tail frame.
-    "q_frame_near_dup" -> ((s, dir) => {
-      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val planted = base.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(expr("substring(text, 1, length(text) - 3)"), lit("xyz"))
-            .as("text"))
-      val frames = base.unionByName(planted)
-        .select(col("doc_id"),
-          posexplode(operators.Multimodal.frameSample(
-            col("text").cast("binary"), 3, 64)).as(Seq("frame_idx", "frame")))
-        .select((col("doc_id") * 10 + col("frame_idx")).as("fid"),
-          col("frame"))
-      operators.Dedup.hashNearDupPairs(frames, "fid",
-        operators.Multimodal.perceptualHash(col("frame")),
-        bits = 60, bands = 6, maxHamming = 5, dropZero = true)
-    }),
-
-    // ---- S1/S2 DSv2 REST source vs in-process fixture server ----
-    "q_rest_read" -> ((s, _) => {
-      val base = io.DemoServers.restServer()
-      s.read.format("graft-rest")
-        .schema("id LONG, name STRING, score LONG")
-        .option("graft.rest.config",
-          s"""{"sources": "$base/items",
-             | "pagination": {"mode": "query", "param": "page",
-             |                "start": 1, "stop": 3},
-             | "records_field": "data", "parallelism": 3}""".stripMargin)
-        .load()
-    }),
-
-    // ---- S8-S9 DSv2 SPARQL source vs in-process fixture server ----
-    "q_sparql_read" -> ((s, _) => {
-      val base = io.DemoServers.sparqlServer()
-      s.read.format("graft-sparql")
-        .option("graft.sparql.config",
-          s"""{"endpoint": "$base/sparql",
-             | "queries": "SELECT ?city ?population WHERE { }"}""".stripMargin)
-        .load()
-    }),
-
-    // ---- S13-S15 DSv2 Qdrant write + scroll read round trip ----
-    "q_qdrant_roundtrip" -> ((s, dir) => {
-      val base = io.DemoServers.qdrantServer()
-      val src = t(s, dir, "embeddings").where(col("vec_id") < 6)
-        .select(col("vec_id").as("id"),
-          transform(col("embedding"), x => round(x.cast("double"), 3))
-            .as("vector"),
-          concat(lit("v"), col("vec_id")).as("name"))
-      src.coalesce(1).write.format("graft-qdrant")
-        .option("graft.qdrant.config",
-          s"""{"endpoint": "$base", "collection": "demo",
-             | "payload_format": "points", "write_method": "put"}""".stripMargin)
-        .mode("append").save()
-      s.read.format("graft-qdrant")
-        .schema("id LONG, payload STRUCT<name: STRING>")
-        .option("graft.qdrant.config",
-          s"""{"endpoint": "$base", "collection": "demo",
-             | "with_vectors": false}""".stripMargin)
-        .load()
-        .select(col("id"), col("payload.name").as("name"))
-    }),
-
-    // ---- north-star: tumbling-window event aggregates (batch twin of the
-    // streaming op; epoch-second window_start for exact cross-engine compare)
-    "q_event_windows" -> ((s, dir) => {
-      streaming.StreamingOps.windowedTypeCounts(
-        streaming.StreamingOps.readEvents(s, s"$dir/events.parquet"))
-    }),
-
-    // ---- sliding (overlapping) windows: trailing hour per 15-minute
-    // slide; every event lands in 4 windows ----
-    "q_sliding_windows" -> ((s, dir) => {
-      streaming.StreamingOps.slidingTypeCounts(
-        streaming.StreamingOps.readEvents(s, s"$dir/events.parquet"))
-    }),
-
-    // ---- keyed interval join (the stream-stream attribution shape, on
-    // its static twin): every 10th event attributed to same-user events
-    // in the preceding 10 minutes ----
-    "q_interval_join" -> ((s, dir) => {
-      val ev = streaming.StreamingOps.readEvents(s, s"$dir/events.parquet")
-      streaming.StreamingOps.intervalJoin(
-        ev.where(col("event_id") % 10 === 0), ev, "user_id", "ts",
-        lookback = "10 minutes", lookahead = "0 seconds")
-        .select(col("l_event_id"), col("r_event_id"))
-    }),
-
-    // ---- north-star: batch sessionization via window functions
-    // (µs precision on both sides: DuckDB truncates the ns parquet to µs) --
-    "q_sessionize" -> ((s, dir) => {
-      streaming.StreamingOps.sessionizeBatch(
-        streaming.StreamingOps.readEventsRaw(s, s"$dir/events.parquet")
-          .withColumn("ts_us", expr("ts_ns div 1000")))
-    }),
-
-    // ---- pairwise association rules over per-user event baskets ----
-    "q_assoc_rules" -> ((s, dir) => {
-      val e = streaming.StreamingOps.readEventsRaw(s, s"$dir/events.parquet")
-      operators.Funnels.associationRules(e, "user_id", "event_type")
-    }),
-
-    // ---- behavioral path n-grams over the event stream ----
-    "q_path_ngrams" -> ((s, dir) => {
-      val e = streaming.StreamingOps.readEventsRaw(s, s"$dir/events.parquet")
-        .withColumn("ts_us", expr("ts_ns div 1000"))
-      operators.Funnels.pathNgrams(
-        e, "user_id", "ts_us", "event_id", "event_type", n = 3)
-    }),
-
-    // ---- embedding-level decontamination: planted eval copies found ----
-    "q_semantic_decon" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val evalSet = e.where(col("vec_id") % 50 === 0)
-        .select((col("vec_id") + 900000).as("eval_id"), col("embedding"))
-      operators.Dedup.semanticDecontaminate(
-        e, "vec_id", evalSet, "eval_id", "embedding", threshold = 0.95)
-    }),
-
-    // ---- fixed-grid resample + LOCF gap-fill over the event stream ----
-    "q_resample" -> ((s, dir) => {
-      val e = streaming.StreamingOps.readEventsRaw(s, s"$dir/events.parquet")
-        .withColumn("ts_us", expr("ts_ns div 1000"))
-        .select(col("event_type"), col("ts_us"), col("value"))
-      val grid = operators.Timeseries.resample(
-        e, "ts_us", "value", Seq("event_type"), stepUs = 3600000000L)
-      operators.Timeseries.locf(
-        grid.withColumn("__obs", when(col("n_events") > 0, col("value_micros"))),
-        "__obs", "bucket_us", Seq("event_type"), "locf_micros")
-        .drop("__obs")
-    }),
-
-    // ---- CUSUM mean-shift scores per event type: sustained drift the
-    // point-outlier gates miss; prefix-window identity, full twin ----
-    "q_cusum" -> ((s, dir) => {
-      val e = streaming.StreamingOps.readEventsRaw(s, s"$dir/events.parquet")
-        .where(col("ts_ns").isNotNull && col("value").isNotNull)
-        .select(col("event_type"), expr("ts_ns div 1000").as("ts_us"),
-          round(col("value") * lit(1e6)).cast("long").as("v_micros"))
-      operators.Timeseries.cusumChangepoints(e, Seq("event_type"),
-        "ts_us", "v_micros", target = 50000000L, slack = 5000000L,
-        threshold = 500000000L)
-    }),
-
-    // ---- Kaplan–Meier survival per event type: synthetic durations
-    // with 20% right-censoring; the prefix product folds a pinned
-    // sorted array, so the DuckDB twin is hash-exact ----
-    "q_kaplan_meier" -> ((s, dir) => {
-      val subj = t(s, dir, "events").select(col("event_type"),
-        (col("event_id") % 500 + 1L).as("dur"),
-        when(col("event_id") % 5 === 0, 0L).otherwise(1L).as("ev"))
-      operators.Funnels.kaplanMeier(subj, Seq("event_type"), "dur", "ev")
-    }),
-
-    // ---- Theil–Sen slope + Mann–Kendall trend per event type over a
-    // 1/97 event subsample (the pair set is quadratic per key) ----
-    "q_theil_sen" -> ((s, dir) => {
-      val e = streaming.StreamingOps.readEventsRaw(s, s"$dir/events.parquet")
-        .where(col("event_id") % 97 === 0 && col("ts_ns").isNotNull &&
-          col("value").isNotNull)
-        .select(col("event_type"), expr("ts_ns div 1000").as("ts_us"),
-          round(col("value") * lit(1e6)).cast("long").as("v_micros"))
-      operators.Timeseries.theilSenTrend(e, Seq("event_type"),
-        "ts_us", "v_micros")
-    }),
-
-    // ---- U2 LLM column mapping (deterministic dry-run path) ----
-    "q_llm_map_dry_run" -> ((s, dir) => {
-      llm.Llm.mapColumnWithLlm(
-        t(s, dir, "documents").select(col("doc_id"), col("lang")),
-        "lang", Seq("EN", "DE", "FR", "ES"), dryRun = true)
-        .df.select(col("doc_id"), col("lang"), col("lang_mapped"))
-    }),
-
-    // ---- U1 batched pluggable embeddings (hash stub, chunking plumbing) ----
-    "q_llm_embeddings" -> ((s, dir) => {
-      llm.Llm.withEmbeddings(
-        t(s, dir, "documents").select(col("doc_id"), col("text")),
-        "text", () => llm.HashEmbeddingsClient(dims = 8, normalize = true),
-        batchSize = 16)
-        .select(col("doc_id"), posexplode(col("embedding")))
-        .withColumnRenamed("pos", "dim")
-        .withColumnRenamed("col", "val")
-    })
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ReferenceEntries.queries ++ TextEntries.queries ++
+      DedupEntries.queries ++ AnnEntries.queries ++ EvalEntries.queries ++
+      GraphEntries.queries ++ StatsEntries.queries ++ PipelineEntries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  /** BM25 over the fixed 4-term query — shared by the ad-hoc
-    * (`q_bm25_search`) and inverted-index (`q_bm25_indexed`) paths, which
-    * must agree with it and each other to the last bit.
-    */
-  private val bm25Oracle: String =
-    """WITH toks AS (
-      |  SELECT doc_id, list_transform(list_filter(
-      |    string_split_regex(coalesce(text, ''), '\s+'), t -> t <> ''),
-      |    t -> lower(t)) AS toks
-      |  FROM documents),
-      |base AS (
-      |  SELECT doc_id, len(toks)::BIGINT AS dl,
-      |    list_filter(toks,
-      |      t -> t IN ('spark', 'window', 'merge', 'shuffle')) AS hits
-      |  FROM toks),
-      |stats AS (
-      |  SELECT count(*)::BIGINT AS n,
-      |    sum(dl)::BIGINT::DOUBLE / count(*) AS avgdl FROM base),
-      |post AS (
-      |  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
-      |  FROM (SELECT doc_id, dl, unnest(hits) AS term FROM base
-      |        WHERE len(hits) > 0)
-      |  GROUP BY doc_id, dl, term),
-      |dfs AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term)
-      |SELECT p.doc_id, count(*)::BIGINT AS n_hits,
-      |  round(sum(
-      |    ln(1.0::DOUBLE + (s.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)) *
-      |    (p.tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
-      |    (p.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
-      |       + 0.75::DOUBLE * p.dl / s.avgdl))), 6) AS score
-      |FROM post p JOIN dfs d USING (term) CROSS JOIN stats s
-      |GROUP BY p.doc_id""".stripMargin
-
-  /** LSH pair derivation + transitive closure → min-reachable component:
-    * the one oracle both clustering algorithms (label propagation and
-    * large-star/small-star) must reproduce exactly.
-    */
-  private val dedupClustersOracle: String =
-    """WITH RECURSIVE corpus AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 1000000, text || ' extra extra'
-      |  FROM documents WHERE doc_id % 10 = 0),
-      |toks AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-      |                t -> t <> '') AS toks
-      |  FROM corpus),
-      |sh AS (
-      |  SELECT doc_id,
-      |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-      |      i -> array_to_string(toks[i:i+2], ' ')) AS shingles
-      |  FROM toks WHERE len(toks) > 0),
-      |h AS (
-      |  SELECT doc_id,
-      |    ('0x' || substring(sha256(s), 1, 7))::BIGINT % 268435399 AS h
-      |  FROM sh CROSS JOIN unnest(shingles) AS u(s)),
-      |minh AS (
-      |  SELECT doc_id, CAST(p AS INTEGER) AS p,
-      |    min((h * (2 * p + 1) + p * 7919) % 268435399) AS mh
-      |  FROM h CROSS JOIN range(16) t(p)
-      |  GROUP BY doc_id, p),
-      |sig AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM minh GROUP BY doc_id),
-      |bandh AS (
-      |  SELECT doc_id, b,
-      |    ('0x' || substring(sha256(
-      |      array_to_string(sig[CAST(b AS INTEGER)*4+1 : CAST(b AS INTEGER)*4+4], ',')),
-      |      1, 15))::BIGINT AS bh
-      |  FROM sig CROSS JOIN range(4) t(b)),
-      |cand AS (
-      |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-      |  FROM bandh a JOIN bandh c ON a.b = c.b AND a.bh = c.bh
-      |  WHERE a.doc_id < c.doc_id),
-      |est AS (
-      |  SELECT cand.id_a, cand.id_b,
-      |    round(len(list_filter(range(16),
-      |      i -> s1.sig[CAST(i AS INTEGER)+1] = s2.sig[CAST(i AS INTEGER)+1]))
-      |      / 16.0, 6) AS est_jaccard
-      |  FROM cand
-      |  JOIN sig s1 ON s1.doc_id = cand.id_a
-      |  JOIN sig s2 ON s2.doc_id = cand.id_b),
-      |pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
-      |e AS (SELECT id_a AS s, id_b AS d FROM pairs
-      |      UNION SELECT id_b, id_a FROM pairs),
-      |reach AS (
-      |  SELECT s, s AS d FROM (SELECT DISTINCT s FROM e)
-      |  UNION
-      |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)""".stripMargin
-
-  private val dedupClustersSelect: String =
-    "\nSELECT s AS node, min(d) AS comp FROM reach GROUP BY s"
-
-  /** The end-to-end variant keeps the cluster-minimum doc (== the
-    * component label) plus every unclustered doc.
-    */
-  private val dedupCorpusSelect: String =
-    """
-      |, cc AS (SELECT s AS node, min(d) AS comp FROM reach GROUP BY s)
-      |SELECT c.doc_id FROM corpus c
-      |WHERE c.doc_id NOT IN (SELECT node FROM cc WHERE node <> comp)""".stripMargin
-
-  /** The Fellegi–Sunter EM fit unrolled as 50 materialized CTE stages
-    * over the 8-cell agreement-pattern histogram — the
-    * q_classifier_train discipline applied to EM: the E step (per-cell
-    * posterior `w = pm/(pm+pu)`) and M step (clamped ratio updates)
-    * are closed-form DOUBLE arithmetic whose operand order matches
-    * [[graft.operators.Linkage.fitEM]]'s left-to-right folds; the only
-    * order-unspecified ops are 8-term double sums, whose last-bit
-    * noise the EM contraction keeps far below the 6-sig-fig compare.
-    * MATERIALIZED is load-bearing: un-materialized stages inline
-    * exponentially across 50 iterations. The histogram CTE is the
-    * proven q_linkage_patterns twin verbatim; the tail replays the
-    * label-switch normalization and emits one row per field.
-    */
-  private def linkageEmOracle: String = {
-    val clamp = (x: String) => s"least(1.0 - 0.000001, greatest(0.000001, $x))"
-    def stage(i: Int): String = s"""
-      |s$i AS MATERIALIZED (
-      |  SELECT sum(n * w * 1.0) AS sw, sum(n * (1.0 - w)) AS swn,
-      |    sum(CASE WHEN pat & 1 = 1 THEN n * w ELSE 0.0 END) AS swa1,
-      |    sum(CASE WHEN pat & 2 = 2 THEN n * w ELSE 0.0 END) AS swa2,
-      |    sum(CASE WHEN pat & 4 = 4 THEN n * w ELSE 0.0 END) AS swa3,
-      |    sum(CASE WHEN pat & 1 = 1 THEN n * (1.0 - w) ELSE 0.0 END) AS swna1,
-      |    sum(CASE WHEN pat & 2 = 2 THEN n * (1.0 - w) ELSE 0.0 END) AS swna2,
-      |    sum(CASE WHEN pat & 4 = 4 THEN n * (1.0 - w) ELSE 0.0 END) AS swna3
-      |  FROM (
-      |    SELECT pat, n, pm / (pm + pu) AS w FROM (
-      |      SELECT h.pat, h.n,
-      |        q.p * (CASE WHEN h.pat & 1 = 1 THEN q.m1 ELSE 1.0 - q.m1 END)
-      |            * (CASE WHEN h.pat & 2 = 2 THEN q.m2 ELSE 1.0 - q.m2 END)
-      |            * (CASE WHEN h.pat & 4 = 4 THEN q.m3 ELSE 1.0 - q.m3 END)
-      |          AS pm,
-      |        (1.0 - q.p)
-      |            * (CASE WHEN h.pat & 1 = 1 THEN q.u1 ELSE 1.0 - q.u1 END)
-      |            * (CASE WHEN h.pat & 2 = 2 THEN q.u2 ELSE 1.0 - q.u2 END)
-      |            * (CASE WHEN h.pat & 4 = 4 THEN q.u3 ELSE 1.0 - q.u3 END)
-      |          AS pu
-      |      FROM hist h CROSS JOIN p${i - 1} q) x) y),
-      |p$i AS MATERIALIZED (
-      |  SELECT
-      |    ${clamp("sw / (SELECT total FROM tot)")} AS p,
-      |    ${clamp("swa1 / greatest(sw, 0.000001)")} AS m1,
-      |    ${clamp("swa2 / greatest(sw, 0.000001)")} AS m2,
-      |    ${clamp("swa3 / greatest(sw, 0.000001)")} AS m3,
-      |    ${clamp("swna1 / greatest(swn, 0.000001)")} AS u1,
-      |    ${clamp("swna2 / greatest(swn, 0.000001)")} AS u2,
-      |    ${clamp("swna3 / greatest(swn, 0.000001)")} AS u3
-      |  FROM s$i)""".stripMargin
-    val iters = 50
-    val head = """WITH hist AS MATERIALIZED (
-      |  WITH base AS (
-      |    SELECT c_custkey, c_name, c_acctbal, c_mktsegment, c_nationkey
-      |    FROM customer),
-      |  twins AS (
-      |    SELECT c_custkey + 10000000 AS c_custkey,
-      |      CASE WHEN ('0x' || substring(sha256(CAST(c_custkey AS VARCHAR)
-      |          || ':n'), 1, 7))::BIGINT % 100 < 90
-      |        THEN c_name ELSE c_name || '~' END AS c_name,
-      |      CASE WHEN ('0x' || substring(sha256(CAST(c_custkey AS VARCHAR)
-      |          || ':p'), 1, 7))::BIGINT % 100 < 60
-      |        THEN c_acctbal ELSE c_acctbal + 1.0 END AS c_acctbal,
-      |      CASE WHEN ('0x' || substring(sha256(CAST(c_custkey AS VARCHAR)
-      |          || ':m'), 1, 7))::BIGINT % 100 < 80
-      |        THEN c_mktsegment ELSE c_mktsegment || '~' END AS c_mktsegment,
-      |      c_nationkey
-      |    FROM base),
-      |  allr AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
-      |  pairs AS (
-      |    SELECT
-      |      (CASE WHEN a.c_name IS NOT DISTINCT FROM b.c_name
-      |         THEN 1 ELSE 0 END)
-      |      + (CASE WHEN a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
-      |         THEN 2 ELSE 0 END)
-      |      + (CASE WHEN a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
-      |         THEN 4 ELSE 0 END) AS pattern
-      |    FROM allr a JOIN allr b
-      |      ON a.c_nationkey = b.c_nationkey
-      |     AND a.c_custkey < b.c_custkey)
-      |  SELECT CAST(pattern AS BIGINT) AS pat,
-      |    CAST(count(*) AS BIGINT) AS n
-      |  FROM pairs GROUP BY pattern),
-      |tot AS MATERIALIZED (SELECT CAST(sum(n) AS DOUBLE) AS total FROM hist),
-      |p0 AS MATERIALIZED (SELECT 0.1::DOUBLE AS p,
-      |  0.9::DOUBLE AS m1, 0.9::DOUBLE AS m2, 0.9::DOUBLE AS m3,
-      |  0.1::DOUBLE AS u1, 0.1::DOUBLE AS u2, 0.1::DOUBLE AS u3)""".stripMargin
-    val tail = s"""
-      |fl AS MATERIALIZED (
-      |  SELECT *,
-      |    (CASE WHEN m1 < u1 THEN 1 ELSE 0 END +
-      |     CASE WHEN m2 < u2 THEN 1 ELSE 0 END +
-      |     CASE WHEN m3 < u3 THEN 1 ELSE 0 END) * 2 > 3 AS flip
-      |  FROM p$iters),
-      |fin AS MATERIALIZED (
-      |  SELECT CASE WHEN flip THEN 1.0 - p ELSE p END AS p,
-      |    CASE WHEN flip THEN u1 ELSE m1 END AS m1,
-      |    CASE WHEN flip THEN u2 ELSE m2 END AS m2,
-      |    CASE WHEN flip THEN u3 ELSE m3 END AS m3,
-      |    CASE WHEN flip THEN m1 ELSE u1 END AS u1,
-      |    CASE WHEN flip THEN m2 ELSE u2 END AS u2,
-      |    CASE WHEN flip THEN m3 ELSE u3 END AS u3
-      |  FROM fl)
-      |SELECT c AS "column", m, u, p AS p_match FROM (
-      |  SELECT 'c_name' AS c, m1 AS m, u1 AS u, p FROM fin
-      |  UNION ALL SELECT 'c_acctbal', m2, u2, p FROM fin
-      |  UNION ALL SELECT 'c_mktsegment', m3, u3, p FROM fin) z""".stripMargin
-    head + "," + (1 to iters).map(stage).mkString(",") + "," + tail
-  }
-
-  /** The integer-exact GD epoch chain shared by the classifier-family
-    * oracles, generated instead of hand-unrolled: toks → labels →
-    * hashed features → per-epoch (z, e, g, w, bias) MATERIALIZED
-    * stages, textually equivalent to the proven q_classifier_train
-    * literal (dim 1024, lr 1.0 folded into the `/ (n * 1000.0)` step).
-    */
-  private def classifierEpochChain(iters: Int): String = {
-    def epoch(i: Int): String = s"""
-      |z$i AS MATERIALIZED (
-      |  SELECT l.doc_id, l.y,
-      |    (SELECT b FROM bias${i - 1}) + coalesce(s.zz, 0) AS z
-      |  FROM lab l LEFT JOIN (
-      |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-      |    FROM feats f JOIN w${i - 1} w USING (bucket) GROUP BY f.doc_id) s
-      |  USING (doc_id)),
-      |e$i AS MATERIALIZED (
-      |  SELECT doc_id, y,
-      |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-      |  FROM z$i),
-      |g$i AS MATERIALIZED (
-      |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-      |  FROM feats f JOIN e$i e USING (doc_id) GROUP BY f.bucket),
-      |w$i AS MATERIALIZED (
-      |  SELECT w.bucket,
-      |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-      |      + 0.5) AS BIGINT) AS w
-      |  FROM w${i - 1} w LEFT JOIN g$i g USING (bucket)),
-      |bias$i AS MATERIALIZED (
-      |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e$i)
-      |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-      |  FROM bias${i - 1})""".stripMargin
-    """WITH toks AS MATERIALIZED (
-      |  SELECT doc_id, unnest(list_filter(
-      |    string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS tok
-      |  FROM documents),
-      |lab AS MATERIALIZED (
-      |  SELECT d.doc_id, coalesce(l.y, 0) AS y
-      |  FROM documents d LEFT JOIN (
-      |    SELECT doc_id, 1 AS y FROM toks WHERE tok = 'merge' GROUP BY doc_id) l
-      |  USING (doc_id)),
-      |feats AS MATERIALIZED (
-      |  SELECT doc_id,
-      |    ('0x' || substring(sha256(tok), 1, 15))::BIGINT % 1024 AS bucket,
-      |    count(*)::BIGINT AS cnt
-      |  FROM toks GROUP BY doc_id, bucket),
-      |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
-      |w0 AS MATERIALIZED (SELECT CAST(unnest(range(0, 1024)) AS BIGINT) AS bucket, 0::BIGINT AS w),
-      |bias0 AS MATERIALIZED (SELECT 0::BIGINT AS b)""".stripMargin +
-      "," + (1 to iters).map(epoch).mkString(",")
-  }
-
-  /** TracIn over the GD chain: per-epoch errors come straight from the
-    * chain's e1..eN tables (the start-of-epoch-weights errors — exactly
-    * the gradients each step read), the pair dot is one bucket join,
-    * the per-epoch term is rounded to micro influence at birth with the
-    * multiplication order pinned to the Scala expression
-    * (((lr·dot)·e)·e')/1e12, and the rank window mirrors the
-    * WindowGroupLimit top-k.
-    */
-  private def tracinOracle: String = {
-    val iters = 10
-    val errsUnion = (1 to iters)
-      .map(i => s"SELECT doc_id, $i AS t, e FROM e$i")
-      .mkString("\n  UNION ALL ")
-    classifierEpochChain(iters) + s""",
-      |errs AS MATERIALIZED (
-      |  $errsUnion),
-      |dots AS MATERIALIZED (
-      |  SELECT a.doc_id AS train_id, b.doc_id AS probe_id,
-      |    sum(a.cnt * b.cnt)::BIGINT AS dot
-      |  FROM feats a JOIN feats b ON a.bucket = b.bucket AND b.doc_id < 5
-      |  GROUP BY train_id, probe_id),
-      |pair AS MATERIALIZED (
-      |  SELECT d.probe_id, d.train_id, d.dot,
-      |    sum(CAST(round(1.0 * d.dot * a.e * b.e / 1e12) AS BIGINT))::BIGINT
-      |      AS influence_micros
-      |  FROM dots d
-      |  JOIN errs a ON a.doc_id = d.train_id
-      |  JOIN errs b ON b.doc_id = d.probe_id AND b.t = a.t
-      |  GROUP BY d.probe_id, d.train_id, d.dot),
-      |rk AS (
-      |  SELECT *, row_number() OVER (PARTITION BY probe_id
-      |    ORDER BY influence_micros DESC, train_id) AS rank
-      |  FROM pair)
-      |SELECT probe_id, train_id, dot, influence_micros,
-      |  CAST(rank AS INTEGER) AS rank
-      |FROM rk WHERE rank <= 10""".stripMargin
-  }
-
-  /** Bradley–Terry MM unrolled (the linkageEmOracle discipline): the
-    * match construction mirrors q_bradley_terry's token-length duels,
-    * then `iters` MATERIALIZED stages replay
-    * `θ_i ← W_i / Σ (n_ij+n_ji)/(θ_i+θ_j)` with the mean-1
-    * renormalization; the MM contraction keeps unordered-double-sum
-    * noise far below the 6-dp compare.
-    */
-  private def bradleyTerryOracle: String = {
-    val iters = 20
-    def stage(i: Int): String = s"""
-      |den$i AS MATERIALIZED (
-      |  SELECT pe.item, sum(pe.n / (ti.th + tj.th) * 1.0) AS den
-      |  FROM pe
-      |  JOIN t${i - 1} ti ON ti.item = pe.i
-      |  JOIN t${i - 1} tj ON tj.item = pe.j
-      |  GROUP BY pe.item),
-      |u$i AS MATERIALIZED (
-      |  SELECT w.item, w.wins / d.den * 1.0 AS th
-      |  FROM wl w JOIN den$i d USING (item)),
-      |t$i AS MATERIALIZED (
-      |  SELECT item, th * (SELECT count(*) FROM items)
-      |    / (SELECT sum(th * 1.0) FROM u$i) AS th
-      |  FROM u$i)""".stripMargin
-    """WITH d AS MATERIALIZED (
-      |  SELECT doc_id, source,
-      |    CAST(len(list_filter(string_split_regex(coalesce(text, ''),
-      |      '\s+'), t -> t <> '')) AS BIGINT) AS len
-      |  FROM documents),
-      |m0 AS MATERIALIZED (
-      |  SELECT CASE WHEN a.len > b.len THEN a.source ELSE b.source END AS w,
-      |    CASE WHEN a.len > b.len THEN b.source ELSE a.source END AS l
-      |  FROM d a JOIN d b
-      |    ON a.doc_id // 2 = b.doc_id // 2
-      |   AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
-      |  WHERE a.len <> b.len AND a.source <> b.source),
-      |counts AS MATERIALIZED (
-      |  SELECT w, l, CAST(count(*) AS BIGINT) AS n FROM m0 GROUP BY w, l),
-      |items AS MATERIALIZED (
-      |  SELECT w AS item FROM counts UNION SELECT l FROM counts),
-      |wl AS MATERIALIZED (
-      |  SELECT i.item,
-      |    coalesce(ww.n, 0)::BIGINT AS wins,
-      |    coalesce(ll.n, 0)::BIGINT AS losses
-      |  FROM items i
-      |  LEFT JOIN (SELECT w, CAST(sum(n) AS BIGINT) AS n FROM counts
-      |    GROUP BY w) ww ON ww.w = i.item
-      |  LEFT JOIN (SELECT l, CAST(sum(n) AS BIGINT) AS n FROM counts
-      |    GROUP BY l) ll ON ll.l = i.item),
-      |pn AS MATERIALIZED (
-      |  SELECT least(w, l) AS i, greatest(w, l) AS j,
-      |    CAST(sum(n) AS BIGINT) AS n
-      |  FROM counts GROUP BY 1, 2),
-      |pe AS MATERIALIZED (
-      |  SELECT i AS item, i, j, n FROM pn
-      |  UNION ALL SELECT j, i, j, n FROM pn),
-      |t0 AS MATERIALIZED (SELECT item, 1.0::DOUBLE AS th FROM items)""".stripMargin +
-      "," + (1 to iters).map(stage).mkString(",") + s""",
-      |fin AS (
-      |  SELECT w.item, w.wins, w.losses, t.th,
-      |    row_number() OVER (ORDER BY t.th DESC, w.item) AS rank
-      |  FROM wl w JOIN t$iters t USING (item))
-      |SELECT item, wins, losses, round(th, 6) AS theta,
-      |  CAST(rank AS INTEGER) AS rank
-      |FROM fin""".stripMargin
-  }
-
-  def oracleSql: Map[String, String] = Map(
-    "q_linkage_em" -> linkageEmOracle,
-    "q_tracin" -> tracinOracle,
-    "q_bradley_terry" -> bradleyTerryOracle,
-    // paired bootstrap: the identical sha draws over ascending-string-id
-    // ranks, exact LONG replica totals, add-one-smoothed one-sided p
-    "q_paired_bootstrap" ->
-      """WITH d AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    CAST(len(toks) AS BIGINT) AS a,
-        |    CAST(len(list_distinct(toks)) * 2 AS BIGINT) AS b
-        |  FROM (SELECT doc_id, list_filter(string_split_regex(
-        |    coalesce(text, ''), '\s+'), t -> t <> '') AS toks
-        |    FROM documents)),
-        |r AS MATERIALIZED (
-        |  SELECT a - b AS delta,
-        |    row_number() OVER (ORDER BY CAST(doc_id AS VARCHAR)) - 1 AS rn
-        |  FROM d),
-        |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM r),
-        |g AS MATERIALIZED (
-        |  SELECT b.b,
-        |    ('0x' || substring(sha256('graft:' || b.b || ':' || i.i),
-        |      1, 15))::BIGINT % (SELECT n FROM nn) AS rn
-        |  FROM range(0, 1000) b(b)
-        |  CROSS JOIN (SELECT unnest(range(0, (SELECT n FROM nn))) AS i) i),
-        |reps AS MATERIALIZED (
-        |  SELECT g.b, CAST(sum(r.delta) AS BIGINT) AS t
-        |  FROM g JOIN r USING (rn) GROUP BY g.b)
-        |SELECT (SELECT n FROM nn) AS n,
-        |  1000::BIGINT AS replicas,
-        |  (SELECT CAST(sum(delta) AS BIGINT) FROM r) AS sum_delta,
-        |  CAST(count(CASE WHEN t > 0 THEN 1 END) AS BIGINT) AS wins_a,
-        |  CAST(count(CASE WHEN t < 0 THEN 1 END) AS BIGINT) AS wins_b,
-        |  CAST(count(CASE WHEN t = 0 THEN 1 END) AS BIGINT) AS ties,
-        |  round((count(CASE WHEN t <= 0 THEN 1 END) + 1) * 1.0
-        |    / 1001.0, 6) AS p_value
-        |FROM reps""".stripMargin,
-    "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
-    "q_rename_cast_constants" ->
-      """SELECT CAST(n_nationkey AS BIGINT) AS nation_id, n_name AS nation_name,
-        |  n_regionkey, 'graft' AS source_system
-        |FROM nation""".stripMargin,
-    "q_normalize_whitespace" ->
-      """SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS text_norm
-        |FROM documents""".stripMargin,
-    // the planted prefix is interpolated from the SAME Scala constant the
-    // query uses, so both engines see byte-identical input; DuckDB's
-    // nfc_normalize/strip_accents are the utf8proc semantics StripMarks
-    // implements (NFD, drop Mn/Mc/Me, NFC)
-    "q_unicode_fold" ->
-      s"""WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 3000000, '$unicodePlant' || coalesce(text, '')
-        |  FROM documents WHERE doc_id % 25 = 0)
-        |SELECT doc_id, nfc_normalize(text) AS nfc_text,
-        |  strip_accents(nfc_normalize(text)) AS folded
-        |FROM corpus""".stripMargin,
-    "q_split_date_formats" ->
-      """WITH src AS (
-        |  SELECT o_orderkey,
-        |    CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
-        |         WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%m/%d/%Y')
-        |         ELSE 'junk-' || CAST(o_orderkey AS VARCHAR) END AS d
-        |  FROM orders)
-        |SELECT o_orderkey, d,
-        |  CAST(coalesce(try_strptime(d, '%Y-%m-%d'), try_strptime(d, '%m/%d/%Y')) AS DATE)
-        |    AS d_date
-        |FROM src""".stripMargin,
-    "q_date_dim" ->
-      """SELECT CAST(d AS DATE) AS date,
-        |  CAST(year(d) AS INTEGER) AS year,
-        |  CAST(quarter(d) AS INTEGER) AS quarter,
-        |  CAST(month(d) AS INTEGER) AS month,
-        |  monthname(d) AS month_name,
-        |  CAST(weekofyear(d) AS INTEGER) AS week,
-        |  CAST(day(d) AS INTEGER) AS day,
-        |  CAST(dayofweek(d) + 1 AS INTEGER) AS day_of_week,
-        |  dayname(d) AS day_name
-        |FROM generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY) AS t(d)""".stripMargin,
-    "q_time_dim" ->
-      """SELECT CAST(s // 3600 AS INTEGER) AS hour,
-        |  CAST((s % 3600) // 60 AS INTEGER) AS minute,
-        |  CAST(s % 60 AS INTEGER) AS second,
-        |  printf('%02d:%02d:%02d', s // 3600, (s % 3600) // 60, s % 60) AS time
-        |FROM generate_series(0, 86340, 60) AS t(s)""".stripMargin,
-    "q_row_hash" ->
-      """SELECT n_nationkey,
-        |  sha256(concat_ws(chr(9247),
-        |    coalesce(CAST(n_name AS VARCHAR), ''),
-        |    coalesce(CAST(n_regionkey AS VARCHAR), ''))) AS row_hash
-        |FROM nation""".stripMargin,
-    "q_scd1_current_only" ->
-      """WITH b1 AS (
-        |  SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
-        |  FROM customer),
-        |fin AS (
-        |  SELECT id, name,
-        |    CASE WHEN id % 3 = 0 THEN 'UPDATED' ELSE segment END AS segment
-        |  FROM b1)
-        |SELECT id, name, segment,
-        |  sha256(concat_ws(chr(9247),
-        |    coalesce(CAST(name AS VARCHAR), ''),
-        |    coalesce(CAST(segment AS VARCHAR), ''))) AS row_hash
-        |FROM fin""".stripMargin,
-    // identical logical contract; the bucketed layout is physical only
-    "q_scd1_bucketed" ->
-      """WITH b1 AS (
-        |  SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
-        |  FROM customer),
-        |fin AS (
-        |  SELECT id, name,
-        |    CASE WHEN id % 3 = 0 THEN 'UPDATED' ELSE segment END AS segment
-        |  FROM b1)
-        |SELECT id, name, segment,
-        |  sha256(concat_ws(chr(9247),
-        |    coalesce(CAST(name AS VARCHAR), ''),
-        |    coalesce(CAST(segment AS VARCHAR), ''))) AS row_hash
-        |FROM fin""".stripMargin,
-    "q_scd2_track_history" ->
-      """WITH b1 AS (
-        |  SELECT o_orderkey AS id, o_orderstatus AS status,
-        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
-        |  FROM orders),
-        |b2 AS (
-        |  SELECT id, status,
-        |    CASE WHEN id % 10 = 0 THEN CAST(price + 10 AS DECIMAL(12,2))
-        |         ELSE price END AS price
-        |  FROM b1 WHERE id % 2 = 0),
-        |h1 AS (
-        |  SELECT b1.*, sha256(concat_ws(chr(9247),
-        |    coalesce(CAST(status AS VARCHAR), ''),
-        |    coalesce(CAST(price AS VARCHAR), ''))) AS row_hash FROM b1),
-        |h2 AS (
-        |  SELECT b2.*, sha256(concat_ws(chr(9247),
-        |    coalesce(CAST(status AS VARCHAR), ''),
-        |    coalesce(CAST(price AS VARCHAR), ''))) AS row_hash FROM b2),
-        |changed AS (
-        |  SELECT h2.id FROM h2 JOIN h1 USING (id)
-        |  WHERE h2.row_hash <> h1.row_hash)
-        |SELECT h1.id, h1.status,
-        |  CAST(h1.price * 100 AS BIGINT) AS price_cents, h1.row_hash,
-        |  epoch_us(TIMESTAMP '2020-01-01 00:00:00') AS start_us,
-        |  CASE WHEN c.id IS NOT NULL
-        |       THEN epoch_us(TIMESTAMP '2020-02-01 00:00:00')
-        |       ELSE CAST(-1 AS BIGINT) END AS end_us,
-        |  c.id IS NULL AS is_current,
-        |  CAST(1 AS BIGINT) AS version
-        |FROM h1 LEFT JOIN changed c USING (id)
-        |UNION ALL
-        |SELECT h2.id, h2.status,
-        |  CAST(h2.price * 100 AS BIGINT) AS price_cents, h2.row_hash,
-        |  epoch_us(TIMESTAMP '2020-02-01 00:00:00'), CAST(-1 AS BIGINT),
-        |  TRUE, CAST(2 AS BIGINT)
-        |FROM h2 WHERE h2.id IN (SELECT id FROM changed)""".stripMargin,
-    // As-of mid-history = batch 1 verbatim, all at version 1.
-    "q_scd2_asof" ->
-      """SELECT o_orderkey AS id, o_orderstatus AS status,
-        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-        |    AS price_cents,
-        |  CAST(1 AS BIGINT) AS version
-        |FROM orders""".stripMargin,
-    // SCD enrich: Jan facts (id % 3 = 0) always see version 1; Feb facts
-    // see version 2 exactly when the SCD2 hash changed (id % 10 = 0)
-    "q_pipeline_scd_enrich" ->
-      """SELECT o_orderkey AS id,
-        |  CASE WHEN o_orderkey % 3 = 0
-        |    THEN epoch_us(TIMESTAMP '2020-01-15 00:00:00')
-        |    ELSE epoch_us(TIMESTAMP '2020-02-15 00:00:00') END AS ts_us,
-        |  CAST(CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 10 = 0
-        |    THEN 2 ELSE 1 END AS BIGINT) AS version,
-        |  o_orderstatus AS status,
-        |  CAST((CAST(o_totalprice AS DECIMAL(12,2))
-        |    + CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 10 = 0
-        |        THEN 10 ELSE 0 END) * 100 AS BIGINT) AS price_cents
-        |FROM orders WHERE o_orderkey < 500""".stripMargin,
-
-    "q_hash_embedding" ->
-      """SELECT doc_id, CAST(i AS INTEGER) AS dim,
-        |  CASE WHEN text IS NULL OR text = '' THEN 0.0
-        |       ELSE ('0x' || substring(sha256(text), i * 8 + 1, 8))::BIGINT
-        |            / 4294967295.0 END AS val
-        |FROM documents, range(8) AS t(i)""".stripMargin,
-    // slice cosine: integer dot over the term-keyed self-join, norms
-    // as integer sums-of-squares, one portable division
-    "q_source_similarity" ->
-      """WITH toks AS (
-        |  SELECT CAST(source AS VARCHAR) AS k,
-        |    unnest(list_filter(string_split_regex(coalesce(text, ''),
-        |      '\s+'), t -> t <> '')) AS t
-        |  FROM documents WHERE source IS NOT NULL),
-        |c AS (
-        |  SELECT k, t, CAST(count(*) AS BIGINT) AS c
-        |  FROM toks GROUP BY k, t),
-        |norms AS (
-        |  SELECT k, CAST(sum(c * c) AS BIGINT) AS ss FROM c GROUP BY k),
-        |dots AS (
-        |  SELECT a.k AS key_a, b.k AS key_b,
-        |    CAST(sum(a.c * b.c) AS BIGINT) AS dot
-        |  FROM c a JOIN c b ON a.t = b.t AND a.k < b.k
-        |  GROUP BY a.k, b.k)
-        |SELECT key_a, key_b, dot,
-        |  round(dot::DOUBLE / (sqrt(na.ss::DOUBLE) * sqrt(nb.ss::DOUBLE)),
-        |    6) AS cosine
-        |FROM dots
-        |JOIN norms na ON na.k = key_a
-        |JOIN norms nb ON nb.k = key_b""".stripMargin,
-    // readability: identical whitespace/sentence/vowel-group counting,
-    // constants as ::DOUBLE literals (bare decimals are DECIMAL in
-    // DuckDB and overflow/diverge)
-    "q_readability" ->
-      """WITH base AS (
-        |  SELECT doc_id, coalesce(text, '') AS text,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id,
-        |    CAST(len(toks) AS BIGINT) AS n_words,
-        |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
-        |      AS BIGINT)) AS n_sentences,
-        |    CAST(coalesce(list_sum(list_transform(toks, t ->
-        |      greatest(1, len(regexp_extract_all(t, '[aeiouyAEIOUY]+'))))),
-        |      0) AS BIGINT) AS n_syllables
-        |  FROM base)
-        |SELECT doc_id, n_words, n_sentences, n_syllables,
-        |  CASE WHEN n_words = 0 THEN NULL ELSE round(206.835::DOUBLE
-        |    - 1.015::DOUBLE * (n_words::DOUBLE / n_sentences)
-        |    - 84.6::DOUBLE * (n_syllables::DOUBLE / n_words), 6)
-        |  END AS fre,
-        |  CASE WHEN n_words = 0 THEN NULL ELSE round(0.39::DOUBLE
-        |    * (n_words::DOUBLE / n_sentences)
-        |    + 11.8::DOUBLE * (n_syllables::DOUBLE / n_words)
-        |    - 15.59::DOUBLE, 6)
-        |  END AS fkgl
-        |FROM c""".stripMargin,
-    "q_text_stats" ->
-      """WITH base AS (
-        |  SELECT doc_id, coalesce(text, '') AS text,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM documents),
-        |stats AS (
-        |  SELECT doc_id, text, len(toks) AS n_tok,
-        |    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe,
-        |    CASE WHEN length(text) = 0 THEN 0.0
-        |         ELSE length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
-        |              * 1.0 / length(text) END AS praw,
-        |    CASE WHEN length(text) = 0 THEN 0.0
-        |         ELSE length(regexp_replace(text, '[^A-Z]', '', 'g'))
-        |              * 1.0 / length(text) END AS uraw,
-        |    len(list_filter(list_transform(toks, t -> lower(t)),
-        |      t -> list_contains(['the','and','of','to','in','is','that','for'], t))) AS s_en,
-        |    len(list_filter(list_transform(toks, t -> lower(t)),
-        |      t -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], t))) AS s_de,
-        |    len(list_filter(list_transform(toks, t -> lower(t)),
-        |      t -> list_contains(['le','la','les','et','est','pas','une','dans'], t))) AS s_fr,
-        |    len(list_filter(list_transform(toks, t -> lower(t)),
-        |      t -> list_contains(['el','la','los','y','es','no','una','por'], t))) AS s_es
-        |  FROM base)
-        |SELECT doc_id, n_tok, n_bpe, round(praw, 6) AS punct_ratio,
-        |  CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-        |       WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
-        |       WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
-        |       WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
-        |       ELSE 'und' END AS lang_id,
-        |  round(
-        |    0.25 * least(1.0, n_tok / 50.0)
-        |    + 0.25 * (1.0 - least(1.0, praw * 4.0))
-        |    + 0.25 * (1.0 - least(1.0, uraw * 4.0))
-        |    + 0.25 * (CASE WHEN n_tok > 0
-        |        AND length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / n_tok
-        |            BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END),
-        |  6) AS quality
-        |FROM stats""".stripMargin,
-    "q_exact_dedup" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
-        |  UNION ALL SELECT doc_id - 100000, text FROM documents WHERE doc_id % 7 = 0),
-        |r AS (
-        |  SELECT doc_id, row_number() OVER (
-        |    PARTITION BY sha256(coalesce(CAST(text AS VARCHAR), ''))
-        |    ORDER BY doc_id) AS rn
-        |  FROM corpus)
-        |SELECT doc_id FROM r WHERE rn = 1""".stripMargin,
-    "q_minhash_signatures" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) = 0 THEN []
-        |         ELSE list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-        |                i -> array_to_string(toks[i:i+2], ' ')) END AS shingles
-        |  FROM toks),
-        |h AS (
-        |  SELECT doc_id,
-        |    ('0x' || substring(sha256(s), 1, 7))::BIGINT % 268435399 AS h
-        |  FROM sh CROSS JOIN unnest(shingles) AS u(s))
-        |SELECT doc_id, CAST(p AS INTEGER) AS perm,
-        |  min((h * (2 * p + 1) + p * 7919) % 268435399) AS minhash
-        |FROM h CROSS JOIN range(16) AS t(p)
-        |GROUP BY doc_id, p""".stripMargin,
-    "q_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(list_filter(
-        |    string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS tok
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id,
-        |    ('0x' || substring(sha256(tok), 1, 15))::BIGINT AS h
-        |  FROM toks),
-        |bitsum AS (
-        |  SELECT doc_id, b,
-        |    CAST(SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
-        |             THEN 1 ELSE -1 END) AS BIGINT) AS s
-        |  FROM h CROSS JOIN range(32) t(b)
-        |  GROUP BY doc_id, b)
-        |SELECT d.doc_id,
-        |  coalesce(agg.sh, 0)::BIGINT AS simhash
-        |FROM documents d LEFT JOIN (
-        |  SELECT doc_id,
-        |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER))
-        |             ELSE 0 END) AS BIGINT) AS sh
-        |  FROM bitsum GROUP BY doc_id) agg
-        |ON d.doc_id = agg.doc_id""".stripMargin,
-    "q_winnow_fingerprints" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) = 0 THEN []
-        |         ELSE list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
-        |                i -> array_to_string(toks[i:i+4], ' ')) END AS shingles
-        |  FROM toks),
-        |hs AS (
-        |  SELECT doc_id,
-        |    list_transform(shingles,
-        |      s -> ('0x' || substring(sha256(s), 1, 15))::BIGINT) AS hs
-        |  FROM sh),
-        |mins AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(hs) = 0 THEN []
-        |         ELSE list_distinct(list_transform(
-        |                range(1, greatest(len(hs) - 3, 1) + 1),
-        |                i -> list_min(hs[i:i+3]))) END AS fps
-        |  FROM hs)
-        |SELECT doc_id, unnest(fps) AS fp FROM mins""".stripMargin,
-
-    // Exact repeated 10-token windows -> merged maximal spans. The window
-    // identity here is the literal window TEXT; the engine side uses a
-    // 128-bit hash pair whose collision mass is ~0 at any tested SF, so
-    // the two definitions coincide row-for-row.
-    "q_repeated_spans" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS t
-        |  FROM documents),
-        |wins AS (
-        |  SELECT doc_id, i AS pos, array_to_string(t[i:i+9], ' ') AS win
-        |  FROM toks, UNNEST(range(1, len(t) - 10 + 2)) AS u(i)
-        |  WHERE len(t) >= 10),
-        |hits AS (
-        |  SELECT doc_id, pos FROM (
-        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY win) AS c
-        |    FROM wins) WHERE c >= 2),
-        |flg AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN lag(pos) OVER w IS NULL
-        |              OR pos - lag(pos) OVER w > 10 THEN 1 ELSE 0 END AS f
-        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    CAST(sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS g
-        |  FROM flg)
-        |SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
-        |  max(pos) + 9 - min(pos) + 1 AS span_tokens
-        |FROM isl GROUP BY doc_id, g""".stripMargin,
-
-    // Incremental spans: batch (odd docs) windows that exist among history
-    // (even docs) windows, or repeat within the batch — islands merged the
-    // same way as q_repeated_spans.
-    "q_incremental_substr" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS t
-        |  FROM documents),
-        |wins AS (
-        |  SELECT doc_id, i AS pos, array_to_string(t[i:i+9], ' ') AS win
-        |  FROM toks, UNNEST(range(1, len(t) - 10 + 2)) AS u(i)
-        |  WHERE len(t) >= 10),
-        |hist AS (SELECT DISTINCT win FROM wins WHERE doc_id % 2 = 0),
-        |bw AS (SELECT doc_id, pos, win FROM wins WHERE doc_id % 2 = 1),
-        |hits1 AS (SELECT b.doc_id, b.pos FROM bw b JOIN hist h USING (win)),
-        |hits2 AS (
-        |  SELECT doc_id, pos FROM (
-        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY win) AS c
-        |    FROM bw) WHERE c >= 2),
-        |hits AS (
-        |  SELECT DISTINCT doc_id, pos FROM (
-        |    SELECT * FROM hits1 UNION ALL SELECT * FROM hits2)),
-        |flg AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN lag(pos) OVER w IS NULL
-        |              OR pos - lag(pos) OVER w > 10 THEN 1 ELSE 0 END AS f
-        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    CAST(sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS g
-        |  FROM flg)
-        |SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
-        |  max(pos) + 9 - min(pos) + 1 AS span_tokens
-        |FROM isl GROUP BY doc_id, g""".stripMargin,
-
-    // Same spans cut out of the token stream; kept_text is the surviving
-    // tokens joined by single spaces (both engines re-join, so whitespace
-    // normalization cancels out).
-    "q_remove_repeated" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS t
-        |  FROM documents),
-        |wins AS (
-        |  SELECT doc_id, i AS pos, array_to_string(t[i:i+9], ' ') AS win
-        |  FROM toks, UNNEST(range(1, len(t) - 10 + 2)) AS u(i)
-        |  WHERE len(t) >= 10),
-        |hits AS (
-        |  SELECT doc_id, pos FROM (
-        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY win) AS c
-        |    FROM wins) WHERE c >= 2),
-        |flg AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN lag(pos) OVER w IS NULL
-        |              OR pos - lag(pos) OVER w > 10 THEN 1 ELSE 0 END AS f
-        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    CAST(sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS g
-        |  FROM flg),
-        |spans AS (
-        |  SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e
-        |  FROM isl GROUP BY doc_id, g),
-        |pos AS (
-        |  SELECT doc_id, i AS pos, t[i] AS tok
-        |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
-        |kept AS (
-        |  SELECT p.doc_id, p.pos, p.tok FROM pos p
-        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
-        |    WHERE s.doc_id = p.doc_id AND p.pos BETWEEN s.s AND s.e)),
-        |agg AS (
-        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS kept_text,
-        |    count(*) AS n_kept
-        |  FROM kept GROUP BY doc_id)
-        |SELECT t.doc_id, coalesce(a.kept_text, '') AS kept_text,
-        |  len(t.t) - coalesce(a.n_kept, 0) AS removed_tokens
-        |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
-
-    // PageRank, 3 unrolled power iterations. Bit-identical to the engine:
-    // per-edge contributions quantize to integer nano-units and sum as
-    // BIGINT (order-free), so both engines do the same IEEE ops on the
-    // same integers — no float-ordering flakiness to round away.
-    "q_pagerank" ->
-      """WITH pairs AS (
-        |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
-        |    's' || l_suppkey::VARCHAR AS dst
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |e AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
-        |p0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS pr FROM nodes),
-        |i1 AS (
-        |  SELECT nd.node,
-        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
-        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
-        |  FROM nodes nd LEFT JOIN (
-        |    SELECT e.dst AS node,
-        |      CAST(sum(CAST(round(p.pr / deg.d * 1e9) AS BIGINT)) AS BIGINT) AS v
-        |    FROM e JOIN p0 p ON p.node = e.src JOIN deg ON deg.src = e.src
-        |    GROUP BY e.dst) s ON s.node = nd.node),
-        |i2 AS (
-        |  SELECT nd.node,
-        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
-        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
-        |  FROM nodes nd LEFT JOIN (
-        |    SELECT e.dst AS node,
-        |      CAST(sum(CAST(round(p.pr / deg.d * 1e9) AS BIGINT)) AS BIGINT) AS v
-        |    FROM e JOIN i1 p ON p.node = e.src JOIN deg ON deg.src = e.src
-        |    GROUP BY e.dst) s ON s.node = nd.node),
-        |i3 AS (
-        |  SELECT nd.node,
-        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
-        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
-        |  FROM nodes nd LEFT JOIN (
-        |    SELECT e.dst AS node,
-        |      CAST(sum(CAST(round(p.pr / deg.d * 1e9) AS BIGINT)) AS BIGINT) AS v
-        |    FROM e JOIN i2 p ON p.node = e.src JOIN deg ON deg.src = e.src
-        |    GROUP BY e.dst) s ON s.node = nd.node)
-        |SELECT node, pr FROM i3""".stripMargin,
-
-    // Personalized PageRank: same unrolled nano-unit iterations, with
-    // teleport mass confined to the in-graph seed intersection.
-    "q_pagerank_personalized" ->
-      """WITH pairs AS (
-        |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
-        |    's' || l_suppkey::VARCHAR AS dst
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |e AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
-        |sn AS (SELECT n.node FROM nodes n
-        |  JOIN (SELECT DISTINCT 'c' || c_custkey::VARCHAR AS node
-        |        FROM customer WHERE c_custkey % 50 = 0) s ON s.node = n.node),
-        |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM sn),
-        |p0 AS (SELECT node,
-        |    CASE WHEN node IN (SELECT node FROM sn)
-        |      THEN 1.0::DOUBLE / (SELECT k FROM kk) ELSE 0.0::DOUBLE END AS pr
-        |  FROM nodes),
-        |i1 AS (
-        |  SELECT nd.node,
-        |    CASE WHEN nd.node IN (SELECT node FROM sn)
-        |      THEN (1::DOUBLE - 0.85::DOUBLE) / (SELECT k FROM kk)
-        |      ELSE 0.0::DOUBLE END
-        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
-        |  FROM nodes nd LEFT JOIN (
-        |    SELECT e.dst AS node,
-        |      CAST(sum(CAST(round(p.pr / deg.d * 1e9) AS BIGINT)) AS BIGINT) AS v
-        |    FROM e JOIN p0 p ON p.node = e.src JOIN deg ON deg.src = e.src
-        |    GROUP BY e.dst) s ON s.node = nd.node),
-        |i2 AS (
-        |  SELECT nd.node,
-        |    CASE WHEN nd.node IN (SELECT node FROM sn)
-        |      THEN (1::DOUBLE - 0.85::DOUBLE) / (SELECT k FROM kk)
-        |      ELSE 0.0::DOUBLE END
-        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
-        |  FROM nodes nd LEFT JOIN (
-        |    SELECT e.dst AS node,
-        |      CAST(sum(CAST(round(p.pr / deg.d * 1e9) AS BIGINT)) AS BIGINT) AS v
-        |    FROM e JOIN i1 p ON p.node = e.src JOIN deg ON deg.src = e.src
-        |    GROUP BY e.dst) s ON s.node = nd.node),
-        |i3 AS (
-        |  SELECT nd.node,
-        |    CASE WHEN nd.node IN (SELECT node FROM sn)
-        |      THEN (1::DOUBLE - 0.85::DOUBLE) / (SELECT k FROM kk)
-        |      ELSE 0.0::DOUBLE END
-        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
-        |  FROM nodes nd LEFT JOIN (
-        |    SELECT e.dst AS node,
-        |      CAST(sum(CAST(round(p.pr / deg.d * 1e9) AS BIGINT)) AS BIGINT) AS v
-        |    FROM e JOIN i2 p ON p.node = e.src JOIN deg ON deg.src = e.src
-        |    GROUP BY e.dst) s ON s.node = nd.node)
-        |SELECT node, pr FROM i3""".stripMargin,
-
-    // Weighted PageRank: per-pair occurrence counts as weights, the
-    // per-source total carried as a window; same nano-unit discipline
-    // (integer-valued double weights sum exactly on both engines).
-    "q_pagerank_weighted" ->
-      """WITH pairs AS (
-        |  SELECT 'c' || o_custkey::VARCHAR AS src,
-        |    's' || l_suppkey::VARCHAR AS dst,
-        |    CAST(count(*) AS BIGINT)::DOUBLE AS w
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |  GROUP BY 1, 2),
-        |e AS (
-        |  SELECT src, dst, w,
-        |    sum(w) OVER (PARTITION BY src) AS ws
-        |  FROM (SELECT src, dst, w FROM pairs
-        |        UNION ALL SELECT dst, src, w FROM pairs)),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-        |p0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS pr FROM nodes),
-        |i1 AS (
-        |  SELECT nd.node,
-        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
-        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
-        |  FROM nodes nd LEFT JOIN (
-        |    SELECT e.dst AS node,
-        |      CAST(sum(CAST(round(p.pr * e.w / e.ws * 1e9) AS BIGINT)) AS BIGINT) AS v
-        |    FROM e JOIN p0 p ON p.node = e.src
-        |    GROUP BY e.dst) s ON s.node = nd.node),
-        |i2 AS (
-        |  SELECT nd.node,
-        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
-        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
-        |  FROM nodes nd LEFT JOIN (
-        |    SELECT e.dst AS node,
-        |      CAST(sum(CAST(round(p.pr * e.w / e.ws * 1e9) AS BIGINT)) AS BIGINT) AS v
-        |    FROM e JOIN i1 p ON p.node = e.src
-        |    GROUP BY e.dst) s ON s.node = nd.node),
-        |i3 AS (
-        |  SELECT nd.node,
-        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
-        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
-        |  FROM nodes nd LEFT JOIN (
-        |    SELECT e.dst AS node,
-        |      CAST(sum(CAST(round(p.pr * e.w / e.ws * 1e9) AS BIGINT)) AS BIGINT) AS v
-        |    FROM e JOIN i2 p ON p.node = e.src
-        |    GROUP BY e.dst) s ON s.node = nd.node)
-        |SELECT node, pr FROM i3""".stripMargin,
-
-    // URL canonicalization: the urls CTE mirrors urlCorpus verbatim; the
-    // IDN: the punycode forms are fixed by RFC 3490/3492 — the oracle
-    // states them as literals.
-    "q_idn_hosts" ->
-      """SELECT doc_id,
-        |  CASE doc_id % 3
-        |    WHEN 0 THEN 'xn--mnchen-3ya.'
-        |    WHEN 1 THEN 'xn--e1afmkfd.'
-        |    ELSE 'plain.' END || source || '.example.com' AS ascii_host
-        |FROM documents""".stripMargin,
-
-    // rest mirrors Urls.canonicalizeUrl / registrableDomain step-by-step
-    // (anchored RE2-safe regexes, byte-wise param sort, PSL-lite domain).
-    "q_url_canonical" ->
-      """WITH urls AS (
-        |  SELECT doc_id,
-        |    CASE CAST(doc_id % 5 AS INTEGER)
-        |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/'
-        |                  || doc_id::VARCHAR || '?utm_source=feed&b=2&a=1#frag'
-        |      WHEN 1 THEN 'http://' || source || '.example.com:80/' || doc_id::VARCHAR
-        |      WHEN 2 THEN 'http://user:pw@' || source || '.example.co.uk:8080/x?z=1&y=2&gclid=abc'
-        |      WHEN 3 THEN 'https://cdn.' || source || '.example.org/a/b/?fbclid=1'
-        |      ELSE 'not a url ' || doc_id::VARCHAR END AS url
-        |  FROM documents),
-        |c1 AS (SELECT doc_id, trim(url) AS raw,
-        |  regexp_replace(trim(url), '#.*', '') AS u FROM urls),
-        |parts AS (
-        |  SELECT doc_id, raw, u,
-        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    lower(regexp_replace(
-        |      regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
-        |      '^[^@]*@', '')) AS auth,
-        |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS pathq
-        |  FROM c1),
-        |hostp AS (
-        |  SELECT doc_id, raw, scheme, pathq,
-        |    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
-        |    regexp_replace(regexp_replace(auth, ':[0-9]+$', ''), '^www\.', '') AS barehost
-        |  FROM parts),
-        |comp AS (
-        |  SELECT doc_id, raw, scheme, barehost,
-        |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
-        |              AND NOT (scheme = 'https' AND port = '443')
-        |         THEN barehost || ':' || port ELSE barehost END AS hostpart,
-        |    CASE WHEN regexp_replace(pathq, '\?.*', '') = '' THEN '/'
-        |         ELSE regexp_replace(pathq, '\?.*', '') END AS path,
-        |    list_sort(list_filter(
-        |      string_split(regexp_extract(pathq, '\?(.*)', 1), '&'),
-        |      p -> p <> '' AND NOT regexp_matches(p,
-        |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$')))
-        |      AS params
-        |  FROM hostp),
-        |dom AS (
-        |  SELECT doc_id, barehost, string_split(barehost, '.') AS ls FROM comp)
-        |SELECT c.doc_id,
-        |  CASE WHEN c.scheme = '' THEN c.raw
-        |       ELSE c.scheme || '://' || c.hostpart || c.path ||
-        |         CASE WHEN len(c.params) = 0 THEN ''
-        |              ELSE '?' || array_to_string(c.params, '&') END END AS canon_url,
-        |  CASE WHEN d.barehost = '' THEN NULL
-        |       WHEN len(d.ls) <= 2 THEN d.barehost
-        |       WHEN d.ls[-2] IN ('co','com','net','org','gov','ac','edu')
-        |            AND length(d.ls[-1]) <= 3
-        |         THEN d.ls[-3] || '.' || d.ls[-2] || '.' || d.ls[-1]
-        |       ELSE d.ls[-2] || '.' || d.ls[-1] END AS domain
-        |FROM comp c JOIN dom d ON c.doc_id = d.doc_id""".stripMargin,
-
-    // Blocklist: host (userinfo/port/www-stripped, lowered) equals a
-    // blocked domain or ends with '.'+domain.
-    "q_blocklist_filter" ->
-      """WITH urls AS (
-        |  SELECT doc_id,
-        |    CASE CAST(doc_id % 5 AS INTEGER)
-        |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/'
-        |                  || doc_id::VARCHAR || '?utm_source=feed&b=2&a=1#frag'
-        |      WHEN 1 THEN 'http://' || source || '.example.com:80/' || doc_id::VARCHAR
-        |      WHEN 2 THEN 'http://user:pw@' || source || '.example.co.uk:8080/x?z=1&y=2&gclid=abc'
-        |      WHEN 3 THEN 'https://cdn.' || source || '.example.org/a/b/?fbclid=1'
-        |      ELSE 'not a url ' || doc_id::VARCHAR END AS url
-        |  FROM documents),
-        |hostp AS (
-        |  SELECT doc_id, url,
-        |    regexp_replace(regexp_replace(
-        |      lower(regexp_replace(
-        |        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
-        |        '^[^@]*@', '')),
-        |      ':[0-9]+$', ''), '^www\.', '') AS h
-        |  FROM urls)
-        |SELECT doc_id, url FROM hostp
-        |WHERE NOT (h = 'example.co.uk' OR h LIKE '%.example.co.uk'
-        |           OR h = 'example.org' OR h LIKE '%.example.org')""".stripMargin,
-
-    // Canonical-URL keep-first dedup: the canon CTE chain mirrors
-    // q_url_canonical; rank 1 per canon_url by doc_id survives.
-    "q_url_dedup" ->
-      """WITH urls AS (
-        |  SELECT doc_id,
-        |    CASE CAST(doc_id % 5 AS INTEGER)
-        |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/'
-        |                  || doc_id::VARCHAR || '?utm_source=feed&b=2&a=1#frag'
-        |      WHEN 1 THEN 'http://' || source || '.example.com:80/' || doc_id::VARCHAR
-        |      WHEN 2 THEN 'http://user:pw@' || source || '.example.co.uk:8080/x?z=1&y=2&gclid=abc'
-        |      WHEN 3 THEN 'https://cdn.' || source || '.example.org/a/b/?fbclid=1'
-        |      ELSE 'not a url ' || doc_id::VARCHAR END AS url
-        |  FROM documents),
-        |c1 AS (SELECT doc_id, trim(url) AS raw,
-        |  regexp_replace(trim(url), '#.*', '') AS u FROM urls),
-        |parts AS (
-        |  SELECT doc_id, raw, u,
-        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    lower(regexp_replace(
-        |      regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
-        |      '^[^@]*@', '')) AS auth,
-        |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS pathq
-        |  FROM c1),
-        |hostp AS (
-        |  SELECT doc_id, raw, scheme, pathq,
-        |    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
-        |    regexp_replace(regexp_replace(auth, ':[0-9]+$', ''), '^www\.', '') AS barehost
-        |  FROM parts),
-        |comp AS (
-        |  SELECT doc_id, raw, scheme,
-        |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
-        |              AND NOT (scheme = 'https' AND port = '443')
-        |         THEN barehost || ':' || port ELSE barehost END AS hostpart,
-        |    CASE WHEN regexp_replace(pathq, '\?.*', '') = '' THEN '/'
-        |         ELSE regexp_replace(pathq, '\?.*', '') END AS path,
-        |    list_sort(list_filter(
-        |      string_split(regexp_extract(pathq, '\?(.*)', 1), '&'),
-        |      p -> p <> '' AND NOT regexp_matches(p,
-        |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$')))
-        |      AS params
-        |  FROM hostp),
-        |canon AS (
-        |  SELECT doc_id,
-        |    CASE WHEN scheme = '' THEN raw
-        |         ELSE scheme || '://' || hostpart || path ||
-        |           CASE WHEN len(params) = 0 THEN ''
-        |                ELSE '?' || array_to_string(params, '&') END END AS canon_url
-        |  FROM comp)
-        |SELECT doc_id, canon_url FROM (
-        |  SELECT doc_id, canon_url,
-        |    row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) AS rn
-        |  FROM canon) WHERE rn = 1""".stripMargin,
-
-    "q_domain_quota" ->
-      """WITH urls AS (
-        |  SELECT doc_id,
-        |    CASE CAST(doc_id % 5 AS INTEGER)
-        |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/'
-        |                  || doc_id::VARCHAR || '?utm_source=feed&b=2&a=1#frag'
-        |      WHEN 1 THEN 'http://' || source || '.example.com:80/' || doc_id::VARCHAR
-        |      WHEN 2 THEN 'http://user:pw@' || source || '.example.co.uk:8080/x?z=1&y=2&gclid=abc'
-        |      WHEN 3 THEN 'https://cdn.' || source || '.example.org/a/b/?fbclid=1'
-        |      ELSE 'not a url ' || doc_id::VARCHAR END AS url
-        |  FROM documents),
-        |hostp AS (
-        |  SELECT doc_id,
-        |    regexp_replace(regexp_replace(
-        |      lower(regexp_replace(
-        |        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
-        |        '^[^@]*@', '')),
-        |      ':[0-9]+$', ''), '^www\.', '') AS barehost
-        |  FROM urls),
-        |dom AS (
-        |  SELECT doc_id, barehost, string_split(barehost, '.') AS ls FROM hostp),
-        |d2 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN barehost = '' THEN NULL
-        |         WHEN len(ls) <= 2 THEN barehost
-        |         WHEN ls[-2] IN ('co','com','net','org','gov','ac','edu')
-        |              AND length(ls[-1]) <= 3
-        |           THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
-        |         ELSE ls[-2] || '.' || ls[-1] END AS domain
-        |  FROM dom),
-        |ranked AS (
-        |  SELECT doc_id, domain,
-        |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
-        |  FROM d2)
-        |SELECT doc_id, domain FROM ranked WHERE rn <= 3""".stripMargin,
-
-    // href extraction + base-URL resolution, the same non-RFC contract
-    // resolveLink documents; double-quoted then single-quoted attrs keep
-    // extraction order identical across engines
-    "q_link_graph" ->
-      """WITH urls AS (
-        |  SELECT doc_id,
-        |    CASE CAST(doc_id % 5 AS INTEGER)
-        |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/'
-        |                  || doc_id::VARCHAR || '?utm_source=feed&b=2&a=1#frag'
-        |      WHEN 1 THEN 'http://' || source || '.example.com:80/' || doc_id::VARCHAR
-        |      WHEN 2 THEN 'http://user:pw@' || source || '.example.co.uk:8080/x?z=1&y=2&gclid=abc'
-        |      ELSE 'https://cdn.' || source || '.example.org/a/b/?fbclid=1' END AS url
-        |  FROM documents WHERE doc_id % 5 <> 4),
-        |pages AS (
-        |  SELECT doc_id, url,
-        |    '<html><body><a href="https://partner.example.net/p/' || doc_id::VARCHAR
-        |    || '?a=1&amp;b=2">x</a><a href=''/local/' || doc_id::VARCHAR
-        |    || '''>y</a><A HREF="rel/page' || doc_id::VARCHAR
-        |    || '.html">z</A><a href="//cdn.example.org/lib.js">w</a>'
-        |    || '<a href="#frag">f</a><a href="javascript:void(0)">j</a>'
-        |    || '<a href="mailto:a@b.example">m</a></body></html>' AS html
-        |  FROM urls),
-        |raws AS (
-        |  SELECT doc_id, url, unnest(
-        |    list_concat(
-        |      regexp_extract_all(html, '(?i)href\s*=\s*"([^"]*)"', 1),
-        |      regexp_extract_all(html, '(?i)href\s*=\s*''([^'']*)''', 1))) AS raw
-        |  FROM pages),
-        |basep AS (
-        |  SELECT doc_id, raw,
-        |    lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
-        |    regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS bpath
-        |  FROM raws),
-        |res AS (
-        |  SELECT doc_id,
-        |    CASE
-        |      WHEN scheme = '' OR l = ''
-        |           OR regexp_matches(l, '(?i)^(javascript|mailto|data|tel):') THEN NULL
-        |      WHEN regexp_matches(l, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN l
-        |      WHEN l LIKE '//%' THEN scheme || ':' || l
-        |      WHEN l LIKE '/%' THEN scheme || '://' || auth || l
-        |      ELSE scheme || '://' || auth ||
-        |        (CASE WHEN bpath = '' THEN '/'
-        |              ELSE regexp_replace(bpath, '[^/]*$', '') END) || l
-        |    END AS link
-        |  FROM (SELECT doc_id, scheme, auth, bpath,
-        |          regexp_replace(replace(trim(raw), '&amp;', '&'), '#.*', '') AS l
-        |        FROM basep)),
-        |links AS (SELECT doc_id, link FROM res WHERE link IS NOT NULL),
-        |hostp AS (
-        |  SELECT doc_id, link,
-        |    regexp_replace(regexp_replace(
-        |      lower(regexp_replace(
-        |        regexp_extract(link, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
-        |        '^[^@]*@', '')),
-        |      ':[0-9]+$', ''), '^www\.', '') AS barehost
-        |  FROM links),
-        |dom AS (
-        |  SELECT doc_id, link, barehost, string_split(barehost, '.') AS ls FROM hostp)
-        |SELECT doc_id, link,
-        |  CASE WHEN barehost = '' THEN NULL
-        |       WHEN len(ls) <= 2 THEN barehost
-        |       WHEN ls[-2] IN ('co','com','net','org','gov','ac','edu')
-        |            AND length(ls[-1]) <= 3
-        |         THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
-        |       ELSE ls[-2] || '.' || ls[-1] END AS link_domain
-        |FROM dom""".stripMargin,
-
-    "q_simhash_near_dup" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' extra extra'
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |toks AS (
-        |  SELECT doc_id, unnest(list_filter(
-        |    string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS tok
-        |  FROM corpus),
-        |h AS (
-        |  SELECT doc_id,
-        |    ('0x' || substring(sha256(tok), 1, 15))::BIGINT AS h
-        |  FROM toks),
-        |bitsum AS (
-        |  SELECT doc_id, b,
-        |    CAST(SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
-        |             THEN 1 ELSE -1 END) AS BIGINT) AS s
-        |  FROM h CROSS JOIN range(48) t(b)
-        |  GROUP BY doc_id, b),
-        |sh AS (
-        |  SELECT c.doc_id, coalesce(agg.v, 0)::BIGINT AS sh
-        |  FROM corpus c LEFT JOIN (
-        |    SELECT doc_id,
-        |      CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER))
-        |               ELSE 0 END) AS BIGINT) AS v
-        |    FROM bitsum GROUP BY doc_id) agg
-        |  ON c.doc_id = agg.doc_id),
-        |bands AS (
-        |  SELECT doc_id, sh, b, (sh >> (CAST(b AS INTEGER) * 12)) & 4095 AS bv
-        |  FROM sh CROSS JOIN range(4) t(b))
-        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  bit_count(xor(a.sh, b.sh)) AS hamming
-        |FROM bands a JOIN bands b
-        |  ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
-    "q_lsh_dedup_pairs" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' extra extra'
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM corpus),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-        |      i -> array_to_string(toks[i:i+2], ' ')) AS shingles
-        |  FROM toks WHERE len(toks) > 0),
-        |h AS (
-        |  SELECT doc_id,
-        |    ('0x' || substring(sha256(s), 1, 7))::BIGINT % 268435399 AS h
-        |  FROM sh CROSS JOIN unnest(shingles) AS u(s)),
-        |minh AS (
-        |  SELECT doc_id, CAST(p AS INTEGER) AS p,
-        |    min((h * (2 * p + 1) + p * 7919) % 268435399) AS mh
-        |  FROM h CROSS JOIN range(16) t(p)
-        |  GROUP BY doc_id, p),
-        |sig AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM minh GROUP BY doc_id),
-        |bandh AS (
-        |  SELECT doc_id, b,
-        |    ('0x' || substring(sha256(
-        |      array_to_string(sig[CAST(b AS INTEGER)*4+1 : CAST(b AS INTEGER)*4+4], ',')),
-        |      1, 15))::BIGINT AS bh
-        |  FROM sig CROSS JOIN range(4) t(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        |  FROM bandh a JOIN bandh c ON a.b = c.b AND a.bh = c.bh
-        |  WHERE a.doc_id < c.doc_id),
-        |est AS (
-        |  SELECT cand.id_a, cand.id_b,
-        |    round(len(list_filter(range(16),
-        |      i -> s1.sig[CAST(i AS INTEGER)+1] = s2.sig[CAST(i AS INTEGER)+1]))
-        |      / 16.0, 6) AS est_jaccard
-        |  FROM cand
-        |  JOIN sig s1 ON s1.doc_id = cand.id_a
-        |  JOIN sig s2 ON s2.doc_id = cand.id_b)
-        |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin,
-    // q_lsh_dedup_pairs with the ADVISOR-chosen banding: 16 perms at
-    // threshold 0.5 / target recall 0.85 -> bands=8, rows=2
-    "q_lsh_auto" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' extra extra'
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM corpus),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-        |      i -> array_to_string(toks[i:i+2], ' ')) AS shingles
-        |  FROM toks WHERE len(toks) > 0),
-        |h AS (
-        |  SELECT doc_id,
-        |    ('0x' || substring(sha256(s), 1, 7))::BIGINT % 268435399 AS h
-        |  FROM sh CROSS JOIN unnest(shingles) AS u(s)),
-        |minh AS (
-        |  SELECT doc_id, CAST(p AS INTEGER) AS p,
-        |    min((h * (2 * p + 1) + p * 7919) % 268435399) AS mh
-        |  FROM h CROSS JOIN range(16) t(p)
-        |  GROUP BY doc_id, p),
-        |sig AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM minh GROUP BY doc_id),
-        |bandh AS (
-        |  SELECT doc_id, b,
-        |    ('0x' || substring(sha256(
-        |      array_to_string(sig[CAST(b AS INTEGER)*2+1 : CAST(b AS INTEGER)*2+2], ',')),
-        |      1, 15))::BIGINT AS bh
-        |  FROM sig CROSS JOIN range(8) t(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        |  FROM bandh a JOIN bandh c ON a.b = c.b AND a.bh = c.bh
-        |  WHERE a.doc_id < c.doc_id),
-        |est AS (
-        |  SELECT cand.id_a, cand.id_b,
-        |    round(len(list_filter(range(16),
-        |      i -> s1.sig[CAST(i AS INTEGER)+1] = s2.sig[CAST(i AS INTEGER)+1]))
-        |      / 16.0, 6) AS est_jaccard
-        |  FROM cand
-        |  JOIN sig s1 ON s1.doc_id = cand.id_a
-        |  JOIN sig s2 ON s2.doc_id = cand.id_b)
-        |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin,
-    "q_profile_documents" ->
-      """SELECT 'doc_id' AS "column", count(*)::BIGINT AS n_rows,
-        |  (count(*) - count(doc_id))::BIGINT AS n_null,
-        |  count(DISTINCT doc_id)::BIGINT AS n_distinct,
-        |  CAST(min(doc_id) AS VARCHAR) AS min_val,
-        |  CAST(max(doc_id) AS VARCHAR) AS max_val
-        |FROM documents
-        |UNION ALL
-        |SELECT 'source', count(*)::BIGINT, (count(*) - count(source))::BIGINT,
-        |  count(DISTINCT source)::BIGINT,
-        |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
-        |FROM documents
-        |UNION ALL
-        |SELECT 'lang', count(*)::BIGINT, (count(*) - count(lang))::BIGINT,
-        |  count(DISTINCT lang)::BIGINT,
-        |  CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
-        |FROM documents""".stripMargin,
-    "q_quality_checks" ->
-      """SELECT 'l_orderkey_not_null' AS rule,
-        |  (count(*) FILTER (WHERE l_orderkey IS NULL))::BIGINT AS violations
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'qty_in_range', (count(*) FILTER (
-        |  WHERE NOT coalesce(l_quantity BETWEEN 1 AND 50, false)))::BIGINT
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'price_above_1000', (count(*) FILTER (
-        |  WHERE NOT coalesce(l_extendedprice > 1000, false)))::BIGINT
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'l_orderkey_l_linenumber_unique', coalesce(sum(c - 1), 0)::BIGINT
-        |FROM (SELECT count(*) AS c FROM lineitem
-        |      GROUP BY l_orderkey, l_linenumber) g
-        |WHERE c > 1""".stripMargin,
-    "q_table_diff" ->
-      """WITH before AS (
-        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
-        |after AS (
-        |  SELECT o_orderkey,
-        |    CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1.0
-        |         ELSE o_totalprice END AS o_totalprice,
-        |    o_orderstatus
-        |  FROM before WHERE o_orderkey % 97 <> 0
-        |  UNION ALL
-        |  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
-        |  FROM before WHERE o_orderkey % 53 = 0)
-        |SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
-        |  CASE WHEN b.o_orderkey IS NULL THEN 'added'
-        |       WHEN a.o_orderkey IS NULL THEN 'removed'
-        |       WHEN b.o_totalprice IS DISTINCT FROM a.o_totalprice
-        |         OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
-        |         THEN 'changed' END AS diff
-        |FROM before b FULL OUTER JOIN after a ON b.o_orderkey = a.o_orderkey
-        |WHERE (b.o_orderkey IS NULL OR a.o_orderkey IS NULL
-        |  OR b.o_totalprice IS DISTINCT FROM a.o_totalprice
-        |  OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)""".stripMargin,
-    // vocab: ids assigned in (cnt desc, term asc) order on both sides;
-    // row_number is BIGINT in DuckDB → ::INT to match Spark's int
-    "q_vocab" ->
-      """WITH t AS (
-        |  SELECT lower(tok) AS term
-        |  FROM (
-        |    SELECT unnest(list_filter(
-        |      string_split_regex(coalesce(text, ''), '\s+'),
-        |      x -> x <> '')) AS tok
-        |    FROM documents)),
-        |c AS (
-        |  SELECT term, count(*) AS cnt FROM t
-        |  GROUP BY term HAVING count(*) >= 1),
-        |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 1000)
-        |SELECT term, cnt,
-        |  (row_number() OVER (ORDER BY cnt DESC, term) - 1)::INT AS token_id
-        |FROM top""".stripMargin,
-    // int8 quantization: identical arithmetic order on both sides —
-    // abs/max over doubles, /127, round away-from-zero (both engines).
-    // The scale compares as integer micros: precision-0 round is
-    // cross-engine exact, precision-6 round is not (decimal-string vs
-    // binary rounding can split on a ...5 boundary).
-    "q_quantize_embeddings" ->
-      """WITH e AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |s AS (
-        |  SELECT vec_id, v,
-        |    coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) / 127.0
-        |      AS raw_scale
-        |  FROM e),
-        |f AS (
-        |  SELECT vec_id,
-        |    CAST(round(raw_scale * 1000000.0) AS BIGINT) AS scale_micros,
-        |    unnest(list_transform(range(0, len(v)),
-        |      i -> {'pos': i,
-        |            'code': CASE WHEN raw_scale = 0.0 THEN 0
-        |                         ELSE CAST(round(v[i + 1] / raw_scale) AS INT)
-        |                    END})) AS u
-        |  FROM s)
-        |SELECT vec_id, scale_micros, (u.pos)::INT AS pos, (u.code)::INT AS code
-        |FROM f""".stripMargin,
-    // SRP: the sign is the low bit of a 2-round xor-shift-multiply
-    // avalanche hash — pure int64 arithmetic both engines compute
-    // exactly (max intermediate 2^32·0x45d9f3b < 2^59). The hash chain
-    // is staged through CTEs as list columns; the final indexed lambda
-    // adds +v or -v (no ±1.0 multiply — DuckDB decimal literals would
-    // intrude) and list_sum folds the list sequentially, so the doubles
-    // match the Spark loop's ascending-j summation
-    "q_auc_roc" ->
-      """WITH d AS (
-        |  SELECT CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT)
-        |    + CAST(round(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT) AS s,
-        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
-        |  FROM embeddings),
-        |g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos,
-        |    CAST(sum(1 - y) AS BIGINT) AS neg
-        |  FROM d GROUP BY s),
-        |p AS (SELECT pos, neg, coalesce(CAST(sum(neg) OVER (ORDER BY s
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
-        |    AS below
-        |  FROM g),
-        |t AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
-        |    CAST(sum(neg) AS BIGINT) AS n_neg,
-        |    CAST(sum(pos * (2 * below + neg)) AS BIGINT) AS num2
-        |  FROM p)
-        |SELECT n_pos, n_neg,
-        |  round(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
-        |    ELSE CAST(num2 AS DOUBLE) / (2 * n_pos * n_neg) END, 6) AS auc
-        |FROM t""".stripMargin,
-    "q_woe" ->
-      """WITH d AS (
-        |  SELECT lang, CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END AS y
-        |  FROM documents),
-        |g AS (SELECT lang AS category, CAST(sum(y) AS BIGINT) AS n_pos,
-        |    CAST(sum(1 - y) AS BIGINT) AS n_neg
-        |  FROM d GROUP BY lang),
-        |t AS (SELECT category, n_pos, n_neg,
-        |    CAST(sum(n_pos) OVER () AS BIGINT) AS p,
-        |    CAST(sum(n_neg) OVER () AS BIGINT) AS n
-        |  FROM g)
-        |SELECT category, n_pos, n_neg,
-        |  round(ln(((n_pos + 0.5) / p) / ((n_neg + 0.5) / n)), 6) AS woe,
-        |  CAST(round((((n_pos + 0.5) / p) - ((n_neg + 0.5) / n))
-        |    * ln(((n_pos + 0.5) / p) / ((n_neg + 0.5) / n)) * 1e9) AS BIGINT)
-        |    AS iv_nanos
-        |FROM t""".stripMargin,
-    "q_reliability" ->
-      """WITH d AS (
-        |  SELECT (((CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT)
-        |    + CAST(round(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT))
-        |    % 1000001) + 1000001) % 1000001 AS p,
-        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
-        |  FROM embeddings),
-        |g AS (
-        |  SELECT least(9, (least(1000000, greatest(0, p)) * 10) // 1000000)
-        |      AS bin,
-        |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(y) AS BIGINT) AS n_pos,
-        |    CAST(sum(least(1000000, greatest(0, p))) AS BIGINT) AS sp
-        |  FROM d GROUP BY 1)
-        |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
-        |  CAST(sp // n AS BIGINT) AS mean_pred_micros,
-        |  round(CAST(n_pos AS DOUBLE) / n, 6) AS obs_rate
-        |FROM g""".stripMargin,
-    "q_conformal" ->
-      """WITH s AS (
-        |  SELECT abs(CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT)
-        |    + CAST(round(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT)) AS v
-        |  FROM embeddings),
-        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
-        |kk AS (SELECT n, ((n + 1) * 900000 + 999999) // 1000000 AS k FROM t),
-        |r AS (SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS rn
-        |  FROM s)
-        |SELECT n, k,
-        |  (SELECT min(v) FROM r, kk WHERE rn >= k) AS threshold
-        |FROM kk""".stripMargin,
-    "q_ece" ->
-      """WITH d AS (
-        |  SELECT (((CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT)
-        |    + CAST(round(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT))
-        |    % 1000001) + 1000001) % 1000001 AS p,
-        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
-        |  FROM embeddings),
-        |g AS (
-        |  SELECT least(9, (least(1000000, greatest(0, p)) * 10) // 1000000)
-        |      AS bin,
-        |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(y) AS BIGINT) AS n_pos,
-        |    CAST(sum(least(1000000, greatest(0, p))) AS BIGINT) AS sp
-        |  FROM d GROUP BY 1),
-        |r AS (
-        |  SELECT n, round(CAST(n_pos AS DOUBLE) / n, 6) AS obs_rate,
-        |    CAST(sp // n AS BIGINT) AS mp
-        |  FROM g),
-        |t AS (
-        |  SELECT CAST(sum(n) OVER () AS BIGINT) AS nn, n, obs_rate, mp
-        |  FROM r)
-        |SELECT nn AS n,
-        |  round(CAST(sum(CAST(round(abs(obs_rate - CAST(mp AS DOUBLE) / 1e6)
-        |    * n / nn * 1e9) AS BIGINT)) AS BIGINT) / 1e9, 6) AS ece
-        |FROM t GROUP BY nn""".stripMargin,
-    "q_auc_by_group" ->
-      """WITH d AS (
-        |  SELECT coalesce(dd.source, 'none') AS source,
-        |    CAST(round(CAST(e.embedding[1] AS DOUBLE) * 1e6) AS BIGINT)
-        |    + CAST(round(CAST(e.embedding[2] AS DOUBLE) * 1e6) AS BIGINT) AS s,
-        |    CASE WHEN e.label < 5 THEN 1 ELSE 0 END AS y
-        |  FROM embeddings e LEFT JOIN documents dd ON dd.doc_id = e.vec_id),
-        |g AS (SELECT source, s, CAST(sum(y) AS BIGINT) AS pos,
-        |    CAST(sum(1 - y) AS BIGINT) AS neg
-        |  FROM d GROUP BY source, s),
-        |p AS (SELECT source, pos, neg,
-        |    coalesce(CAST(sum(neg) OVER (PARTITION BY source ORDER BY s
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
-        |      AS below
-        |  FROM g),
-        |t AS (SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
-        |    CAST(sum(neg) AS BIGINT) AS n_neg,
-        |    CAST(sum(pos * (2 * below + neg)) AS BIGINT) AS num2
-        |  FROM p GROUP BY source)
-        |SELECT source, n_pos, n_neg,
-        |  round(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
-        |    ELSE CAST(num2 AS DOUBLE) / (2 * n_pos * n_neg) END, 6) AS auc
-        |FROM t""".stripMargin,
-    // PCA gram cells: per-row nano-rounded products summed as BIGINTs —
-    // the float -> double widening (x::DOUBLE) is the same IEEE cast the
-    // Spark side applies before rounding
-    "q_pca_gram" ->
-      """WITH x AS (
-        |  SELECT vec_id,
-        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
-        |    CAST(unnest(embedding) AS DOUBLE) AS v
-        |  FROM embeddings)
-        |SELECT a.i AS i, b.i AS j,
-        |  CAST(sum(CAST(round(a.v * b.v * 1e9) AS BIGINT)) AS BIGINT)
-        |    AS gram_nanos
-        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-        |GROUP BY a.i, b.i""".stripMargin,
-    "q_srp_project" ->
-      """WITH e AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |  WHERE embedding IS NOT NULL),
-        |g AS (
-        |  SELECT vec_id, v, k,
-        |    list_transform(range(0, len(v)),
-        |      j -> (k * 73856093 + 7 + j * 19349663) & 4294967295) AS h
-        |  FROM e CROSS JOIN range(0, 16) t(k)),
-        |m1 AS (SELECT vec_id, v, k,
-        |  list_transform(h, x -> (xor(x, x >> 16) * 73244475) & 4294967295) AS h
-        |  FROM g),
-        |m2 AS (SELECT vec_id, v, k,
-        |  list_transform(h, x -> (xor(x, x >> 16) * 73244475) & 4294967295) AS h
-        |  FROM m1),
-        |m3 AS (SELECT vec_id, v, k,
-        |  list_transform(h, x -> xor(x, x >> 16)) AS h FROM m2),
-        |p AS (
-        |  SELECT vec_id, k,
-        |    coalesce(list_sum(list_transform(h,
-        |      (x, i) -> CASE WHEN (x & 1) = 0 THEN v[i] ELSE -v[i] END)),
-        |      0.0) AS value
-        |  FROM m3)
-        |SELECT vec_id, CAST(k AS INT) AS pos, CAST(value AS DOUBLE) AS value
-        |FROM p""".stripMargin,
-    // sliced Wasserstein: the same srp sign chain (salt 7, 8 directions)
-    // feeding a per-(slice, direction) rank window, the pure-integer
-    // nearest-rank grid r(g) = (g·n + 32) // 33, and nano-rounded
-    // quantile-diff terms summed per slice pair
-    "q_sliced_wasserstein" ->
-      """WITH e AS (
-        |  SELECT CAST(label AS VARCHAR) AS k0,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
-        |g0 AS (
-        |  SELECT k0, v, k,
-        |    list_transform(range(0, len(v)),
-        |      j -> (k * 73856093 + 7 + j * 19349663) & 4294967295) AS h
-        |  FROM e CROSS JOIN range(0, 8) t(k)),
-        |m1 AS (SELECT k0, v, k,
-        |  list_transform(h, x -> (xor(x, x >> 16) * 73244475) & 4294967295) AS h
-        |  FROM g0),
-        |m2 AS (SELECT k0, v, k,
-        |  list_transform(h, x -> (xor(x, x >> 16) * 73244475) & 4294967295) AS h
-        |  FROM m1),
-        |m3 AS (SELECT k0, v, k,
-        |  list_transform(h, x -> xor(x, x >> 16)) AS h FROM m2),
-        |p AS (
-        |  SELECT k0 AS key, k AS d,
-        |    coalesce(list_sum(list_transform(h,
-        |      (x, i) -> CASE WHEN (x & 1) = 0 THEN v[i] ELSE -v[i] END)),
-        |      0.0) AS val
-        |  FROM m3),
-        |r AS (
-        |  SELECT key, d, val,
-        |    row_number() OVER (PARTITION BY key, d ORDER BY val) AS rn,
-        |    count(*) OVER (PARTITION BY key, d) AS n
-        |  FROM p),
-        |q AS (
-        |  SELECT key, d, g.g, val, n
-        |  FROM r JOIN range(1, 33) g(g) ON ((g.g * n + 32) // 33) = rn),
-        |pw AS (
-        |  SELECT a.key AS key_a, b.key AS key_b, a.n AS na, b.n AS nb,
-        |    CAST(round(abs(a.val - b.val) * 1e9) AS BIGINT) AS t
-        |  FROM q a JOIN q b ON a.d = b.d AND a.g = b.g AND a.key < b.key)
-        |SELECT key_a, key_b,
-        |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
-        |  round(CAST(sum(t) AS DOUBLE) / 256 / 1e9, 6) AS sw
-        |FROM pw GROUP BY key_a, key_b""".stripMargin,
-    // range join: plain BETWEEN join — DuckDB's IEJoin handles it; the
-    // Spark side must produce the identical match set via buckets.
-    // epoch_us // 1000000 is integer floor-div, matching `div 1000000000`
-    // on the raw nanos.
-    "q_scc" ->
-      """WITH RECURSIVE pairs AS (
-        |  SELECT 'c' || o_custkey::VARCHAR AS cn,
-        |    's' || l_suppkey::VARCHAR AS sn, l_quantity AS q
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |  WHERE o_custkey < 40 AND l_suppkey < 40),
-        |e AS (
-        |  SELECT cn AS src, sn AS dst FROM pairs WHERE q < 25
-        |  UNION
-        |  SELECT sn AS src, cn AS dst FROM pairs WHERE q >= 25),
-        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |reach(a, b) AS (
-        |  SELECT src, dst FROM e
-        |  UNION
-        |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
-        |mutual AS (
-        |  SELECT r1.a AS u, r1.b AS v
-        |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
-        |SELECT n.node, least(n.node, coalesce(min(m.v), n.node)) AS scc
-        |FROM n LEFT JOIN mutual m ON m.u = n.node
-        |GROUP BY n.node""".stripMargin,
-    "q_interval_overlap" ->
-      """WITH a AS (
-        |  SELECT CAST(o_orderkey AS BIGINT) AS aid,
-        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS a_start,
-        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
-        |      + o_custkey % 20 + 1 AS a_end,
-        |    CAST(o_custkey % 7 AS BIGINT) AS k
-        |  FROM orders WHERE o_custkey < 400),
-        |b AS (
-        |  SELECT id AS bid, 8035 + id * 4 AS b_start,
-        |    8035 + id * 4 + id % 9 * 3 + 2 AS b_end, id % 7 AS k
-        |  FROM range(0, 600) t(id))
-        |SELECT aid, CAST(bid AS BIGINT) AS bid, a.k AS k
-        |FROM a JOIN b ON a.k = b.k
-        |  AND a_start <= b_end AND b_start <= a_end""".stripMargin,
-    "q_range_join" ->
-      """WITH ev AS (
-        |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec
-        |  FROM events),
-        |iv AS (
-        |  SELECT i AS window_id,
-        |    1704067200 + i * 533 AS w_start,
-        |    1704067200 + i * 533 + ((i % 7) + 1) * 400 AS w_end
-        |  FROM range(0, 500) t(i))
-        |SELECT event_id, user_id, sec, window_id
-        |FROM ev JOIN iv ON ev.sec >= iv.w_start AND ev.sec <= iv.w_end""".stripMargin,
-    // vocab-encode: the vocab CTE mirrors q_vocab at maxSize 20; DuckDB
-    // range() yields BIGINT and row_number BIGINT → ::INT to match Spark
-    "q_encode_tokens" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                x -> x <> '') AS toks
-        |  FROM documents),
-        |t AS (
-        |  SELECT lower(tok) AS term
-        |  FROM (SELECT unnest(toks) AS tok FROM toks)),
-        |c AS (
-        |  SELECT term, count(*) AS cnt FROM t
-        |  GROUP BY term HAVING count(*) >= 2),
-        |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 20),
-        |vocab AS (
-        |  SELECT term,
-        |    (row_number() OVER (ORDER BY cnt DESC, term) - 1)::INT AS token_id
-        |  FROM top),
-        |pt AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(0, len(toks)),
-        |      i -> {'pos': i, 'term': lower(toks[i + 1])})) AS u
-        |  FROM toks),
-        |flat AS (SELECT doc_id, (u.pos)::INT AS pos, u.term AS term FROM pt)
-        |SELECT f.doc_id, f.pos, coalesce(v.token_id, -1) AS token_id
-        |FROM flat f LEFT JOIN vocab v ON f.term = v.term""".stripMargin,
-    // MOSS shared-span pairs: the winnow CTE mirrors q_winnow_fingerprints
-    // (n=5 shingles, w=4 windows, 60-bit sha prefix), then the pair count
-    // with the [2, 50] boilerplate frequency cap.
-    "q_shared_spans" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000,
-        |         text || ' copied span marker alpha beta gamma'
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM corpus),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) = 0 THEN []
-        |         ELSE list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
-        |                i -> array_to_string(toks[i:i+4], ' ')) END AS shingles
-        |  FROM toks),
-        |hs AS (
-        |  SELECT doc_id,
-        |    list_transform(shingles,
-        |      s -> ('0x' || substring(sha256(s), 1, 15))::BIGINT) AS hs
-        |  FROM sh),
-        |mins AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(hs) = 0 THEN []
-        |         ELSE list_distinct(list_transform(
-        |                range(1, greatest(len(hs) - 3, 1) + 1),
-        |                i -> list_min(hs[i:i+3]))) END AS fps
-        |  FROM hs),
-        |f AS (SELECT doc_id, unnest(fps) AS fp FROM mins),
-        |elig AS (SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
-        |pr AS (SELECT doc_id, fp FROM f JOIN elig USING (fp))
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
-        |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2
-        |HAVING count(*) >= 2""".stripMargin,
-    // DSIR importance weights: buckets/hash/log-micro rounding mirror
-    // Selection.scala exactly (same association order inside round());
-    // integer sums everywhere after the single per-bucket rounding.
-    "q_importance_weights" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM documents),
-        |db AS (
-        |  SELECT doc_id,
-        |    ('0x' || substring(sha256(lower(tok) || ':graft'), 1, 7))::BIGINT
-        |      % 4096 AS bucket
-        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)),
-        |cr AS (SELECT bucket, count(*) AS c_r FROM db GROUP BY bucket),
-        |ct AS (
-        |  SELECT bucket, count(*) AS c_t
-        |  FROM db JOIN documents USING (doc_id)
-        |  WHERE lang = 'de' GROUP BY bucket),
-        |j AS (
-        |  SELECT coalesce(cr.bucket, ct.bucket) AS bucket,
-        |    coalesce(c_r, 0) AS c_r, coalesce(c_t, 0) AS c_t
-        |  FROM cr FULL OUTER JOIN ct ON cr.bucket = ct.bucket),
-        |tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
-        |               CAST(sum(c_t) AS BIGINT) AS n_t FROM j),
-        |w AS (
-        |  SELECT bucket,
-        |    CAST(round(1000000.0 *
-        |      ((ln(c_t + 1.0) - ln(n_t + 4096.0) - ln(c_r + 1.0))
-        |        + ln(n_r + 4096.0))) AS BIGINT) AS w
-        |  FROM j, tot),
-        |dw AS (
-        |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS weight
-        |  FROM db JOIN w USING (bucket) GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(dw.weight, 0) AS weight
-        |FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id""".stripMargin,
-    "q_classifier_score" ->
-      """WITH w AS (
-        |  SELECT CAST(j AS BIGINT) AS bucket,
-        |    (('0x' || substring(sha256('w:' || CAST(j AS VARCHAR)), 1, 15))
-        |      ::BIGINT % 2001) - 1000 AS wt
-        |  FROM range(64) t(j)),
-        |toks AS (
-        |  SELECT doc_id, unnest(list_filter(
-        |    string_split_regex(coalesce(text, ''), '\s+'),
-        |    t -> t <> '')) AS tok
-        |  FROM documents),
-        |tw AS (
-        |  SELECT doc_id, wt FROM toks JOIN w
-        |    ON (('0x' || substring(sha256(tok), 1, 15))::BIGINT % 64)
-        |       = w.bucket),
-        |lg AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS s
-        |  FROM tw GROUP BY doc_id)
-        |SELECT d.doc_id, COALESCE(lg.s, 0)::BIGINT AS logit_micros,
-        |  COALESCE(lg.s, 0) > 0 AS pred
-        |FROM documents d LEFT JOIN lg USING (doc_id)""".stripMargin,
-    "q_pipeline_quality_pack" ->
-      """WITH w AS (
-        |  SELECT CAST(j AS BIGINT) AS bucket,
-        |    (('0x' || substring(sha256('w:' || CAST(j AS VARCHAR)), 1, 15))
-        |      ::BIGINT % 2001) - 1000 AS wt
-        |  FROM range(64) t(j)),
-        |toks AS (
-        |  SELECT doc_id, unnest(list_filter(
-        |    string_split_regex(coalesce(text, ''), '\s+'),
-        |    t -> t <> '')) AS tok
-        |  FROM documents),
-        |lg AS (
-        |  SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS s
-        |  FROM toks JOIN w
-        |    ON (('0x' || substring(sha256(tok), 1, 15))::BIGINT % 64)
-        |       = w.bucket
-        |  GROUP BY doc_id),
-        |gated AS (
-        |  SELECT d.doc_id, d.source, d.text
-        |  FROM documents d JOIN lg USING (doc_id) WHERE lg.s > 0),
-        |dd AS (
-        |  SELECT doc_id, source, text,
-        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-        |  FROM gated),
-        |tokd AS (
-        |  SELECT doc_id, source,
-        |    len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                    t -> t <> ''))::BIGINT AS n_tok,
-        |    ('0x' || substring(sha256(CAST(doc_id AS VARCHAR) || ':pp'),
-        |        1, 7))::BIGINT % 1000000 AS hb
-        |  FROM dd WHERE rn = 1),
-        |quota AS (
-        |  SELECT doc_id, source, n_tok, hb FROM (
-        |    SELECT *, COALESCE(CAST(SUM(n_tok) OVER (PARTITION BY source
-        |      ORDER BY hb, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |      AS BIGINT), 0) AS cum
-        |    FROM tokd) WHERE cum < 400),
-        |packed AS (
-        |  SELECT doc_id, source, n_tok,
-        |    COALESCE(CAST(SUM(n_tok) OVER (PARTITION BY source
-        |      ORDER BY hb, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |      AS BIGINT), 0) AS bin_offset
-        |  FROM quota)
-        |SELECT doc_id, source, n_tok, bin_offset // 256 AS bin, bin_offset
-        |FROM packed""".stripMargin,
-    "q_lm_score" ->
-      """WITH ref AS (
-        |  SELECT text FROM documents WHERE doc_id % 5 <> 0),
-        |score_docs AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-        |rt AS (
-        |  SELECT list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                     t -> t <> '') AS toks FROM ref),
-        |uni AS (
-        |  SELECT w AS w1, count(*)::BIGINT AS cu
-        |  FROM rt CROSS JOIN unnest(toks) u(w) GROUP BY w),
-        |v AS (SELECT count(*)::BIGINT AS v FROM uni),
-        |rb AS (
-        |  SELECT toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER)+1] AS bg
-        |  FROM rt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
-        |bi AS (SELECT bg, count(*)::BIGINT AS cb FROM rb GROUP BY bg),
-        |dt AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks FROM score_docs),
-        |db AS (
-        |  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
-        |    toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER)+1] AS bg
-        |  FROM dt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
-        |nll AS (
-        |  SELECT db.doc_id,
-        |    -ln((coalesce(bi.cb, 0) + 1.0) / (coalesce(uni.cu, 0) + v.v))
-        |      AS nll
-        |  FROM db LEFT JOIN bi ON db.bg = bi.bg
-        |          LEFT JOIN uni ON db.w1 = uni.w1
-        |          CROSS JOIN v),
-        |agg AS (
-        |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-        |    round(avg(nll), 6) AS avg_nll
-        |  FROM nll GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
-        |  agg.avg_nll
-        |FROM score_docs d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
-    // Record linkage: the log2 agreement weights are PRE-COMPUTED
-    // driver-side (log2 carries no cross-libm guarantee) and quantized
-    // to integer micro-bits shared by both sides — the score is an
-    // integer sum, no floating rounding anywhere (a round(double, 6)
-    // here measurably split on a decimal-vs-binary midpoint)
-    "q_record_linkage" -> {
-      val name = operators.Linkage.FieldWeight("c_name", 0.95, 0.001)
-      val bal = operators.Linkage.FieldWeight("c_acctbal", 0.9, 0.01)
-      s"""WITH base AS (
-         |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
-         |  FROM customer),
-         |dirty AS (
-         |  SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
-         |    c_mktsegment, c_acctbal + 1.0 AS c_acctbal
-         |  FROM base WHERE c_custkey % 7 = 0),
-         |all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
-         |pairs AS (
-         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-         |    (CASE WHEN a.c_name IS NOT DISTINCT FROM b.c_name
-         |        THEN 1 ELSE 0 END
-         |     + CASE WHEN a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
-         |        THEN 1 ELSE 0 END)::BIGINT AS n_agree,
-         |    (CASE WHEN a.c_name IS NOT DISTINCT FROM b.c_name
-         |        THEN ${name.agreeMicros} ELSE ${name.disagreeMicros} END
-         |      + CASE WHEN a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
-         |        THEN ${bal.agreeMicros} ELSE ${bal.disagreeMicros} END
-         |      )::BIGINT AS score_micros
-         |  FROM all_rows a JOIN all_rows b
-         |    ON a.c_nationkey = b.c_nationkey
-         |      AND a.c_mktsegment = b.c_mktsegment
-         |      AND a.c_custkey < b.c_custkey)
-         |SELECT id_a, id_b, n_agree, score_micros FROM pairs
-         |WHERE score_micros >= 5000000""".stripMargin
-    },
-
-    // brute-force twin of the FastSS candidate join: the filtered slice
-    // is small enough that DuckDB can afford the cross product FastSS
-    // exists to avoid
-    "q_edit_distance" ->
-      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
-        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-        |WHERE a.c_custkey % 13 = 0 AND b.c_custkey % 13 = 0
-        |  AND levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
-
-    // the Fellegi–Sunter sufficient statistic: replant the sha-gated
-    // twin fixture (key-hashed gates — portable), blocked self-join on
-    // nation, bit-pack null-safe agreement (name=1, acctbal=2,
-    // mktsegment=4), histogram
-    "q_linkage_patterns" ->
-      """WITH base AS (
-        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment, c_nationkey
-        |  FROM customer),
-        |twins AS (
-        |  SELECT c_custkey + 10000000 AS c_custkey,
-        |    CASE WHEN ('0x' || substring(sha256(CAST(c_custkey AS VARCHAR)
-        |        || ':n'), 1, 7))::BIGINT % 100 < 90
-        |      THEN c_name ELSE c_name || '~' END AS c_name,
-        |    CASE WHEN ('0x' || substring(sha256(CAST(c_custkey AS VARCHAR)
-        |        || ':p'), 1, 7))::BIGINT % 100 < 60
-        |      THEN c_acctbal ELSE c_acctbal + 1.0 END AS c_acctbal,
-        |    CASE WHEN ('0x' || substring(sha256(CAST(c_custkey AS VARCHAR)
-        |        || ':m'), 1, 7))::BIGINT % 100 < 80
-        |      THEN c_mktsegment ELSE c_mktsegment || '~' END AS c_mktsegment,
-        |    c_nationkey
-        |  FROM base),
-        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
-        |pairs AS (
-        |  SELECT
-        |    (CASE WHEN a.c_name IS NOT DISTINCT FROM b.c_name
-        |       THEN 1 ELSE 0 END)
-        |    + (CASE WHEN a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
-        |       THEN 2 ELSE 0 END)
-        |    + (CASE WHEN a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
-        |       THEN 4 ELSE 0 END) AS pattern
-        |  FROM allr a JOIN allr b
-        |    ON a.c_nationkey = b.c_nationkey
-        |   AND a.c_custkey < b.c_custkey)
-        |SELECT CAST(pattern AS BIGINT) AS pattern,
-        |  CAST(count(*) AS BIGINT) AS n_pairs
-        |FROM pairs GROUP BY pattern""".stripMargin,
-
-    // entity resolution over the linkage pairs: planted components are
-    // exactly (base, dirty-twin) pairs (names unique), so one-hop
-    // least(id, min(partner)) equals connected components' min label
-    "q_entity_resolution" -> {
-      val name = operators.Linkage.FieldWeight("c_name", 0.95, 0.001)
-      val bal = operators.Linkage.FieldWeight("c_acctbal", 0.9, 0.01)
-      s"""WITH base AS (
-         |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
-         |  FROM customer),
-         |dirty AS (
-         |  SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
-         |    c_mktsegment, c_acctbal + 1.0 AS c_acctbal
-         |  FROM base WHERE c_custkey % 7 = 0),
-         |all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
-         |pairs AS (
-         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
-         |  FROM all_rows a JOIN all_rows b
-         |    ON a.c_nationkey = b.c_nationkey
-         |      AND a.c_mktsegment = b.c_mktsegment
-         |      AND a.c_custkey < b.c_custkey
-         |  WHERE (CASE WHEN a.c_name IS NOT DISTINCT FROM b.c_name
-         |        THEN ${name.agreeMicros} ELSE ${name.disagreeMicros} END
-         |      + CASE WHEN a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
-         |        THEN ${bal.agreeMicros} ELSE ${bal.disagreeMicros} END)
-         |    >= 5000000),
-         |und AS (SELECT id_a AS id, id_b AS partner FROM pairs
-         |  UNION ALL SELECT id_b AS id, id_a AS partner FROM pairs),
-         |ent AS (SELECT id, least(id, min(partner)) AS entity_id
-         |  FROM und GROUP BY id)
-         |SELECT r.c_custkey, coalesce(ent.entity_id, r.c_custkey) AS entity_id
-         |FROM all_rows r LEFT JOIN ent ON r.c_custkey = ent.id""".stripMargin
-    },
-    // PMI collocations: marginals from the FULL bigram-types table,
-    // min-count filter applied to the output pairs only
-    "q_collocations" ->
-      """WITH toks AS (
-        |  SELECT list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                     t -> t <> '') AS toks FROM documents),
-        |rb AS (
-        |  SELECT toks[CAST(i AS INTEGER)] AS w1,
-        |    toks[CAST(i AS INTEGER)+1] AS w2
-        |  FROM toks CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
-        |bi AS (SELECT w1, w2, count(*)::BIGINT AS n12 FROM rb GROUP BY w1, w2),
-        |m1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM bi GROUP BY w1),
-        |m2 AS (SELECT w2, CAST(sum(n12) AS BIGINT) AS n2 FROM bi GROUP BY w2),
-        |tot AS (SELECT CAST(sum(n12) AS BIGINT) AS nn FROM bi)
-        |SELECT bi.w1, bi.w2, bi.n12,
-        |  round(ln((bi.n12::DOUBLE * tot.nn::DOUBLE)
-        |    / (m1.n1::DOUBLE * m2.n2::DOUBLE)), 6) AS pmi
-        |FROM bi JOIN m1 ON bi.w1 = m1.w1 JOIN m2 ON bi.w2 = m2.w2
-        |  CROSS JOIN tot
-        |WHERE bi.n12 >= 3""".stripMargin,
-    // Kneser–Ney: identical expression ORDER to the Spark side so every
-    // IEEE op is bit-reproducible; only ln is transcendental (same
-    // empirical-agreement footing as q_lm_score)
-    "q_kn_score" ->
-      """WITH ref AS (
-        |  SELECT text FROM documents WHERE doc_id % 5 <> 0),
-        |score_docs AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-        |rt AS (
-        |  SELECT list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                     t -> t <> '') AS toks FROM ref),
-        |v AS (SELECT count(DISTINCT w)::BIGINT AS v
-        |  FROM rt CROSS JOIN unnest(toks) u(w)),
-        |rb AS (
-        |  SELECT toks[CAST(i AS INTEGER)] AS w1,
-        |    toks[CAST(i AS INTEGER)+1] AS w2,
-        |    toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER)+1] AS bg
-        |  FROM rt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
-        |bi AS (SELECT bg, count(*)::BIGINT AS cb FROM rb GROUP BY bg),
-        |w1s AS (SELECT w1, count(*)::BIGINT AS c1,
-        |    count(DISTINCT w2)::BIGINT AS n1pl FROM rb GROUP BY w1),
-        |w2s AS (SELECT w2, count(DISTINCT w1)::BIGINT AS n1pr FROM rb GROUP BY w2),
-        |tot AS (SELECT count(DISTINCT bg)::BIGINT AS n1pall FROM rb),
-        |dt AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks FROM score_docs),
-        |db AS (
-        |  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
-        |    toks[CAST(i AS INTEGER)+1] AS w2,
-        |    toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER)+1] AS bg
-        |  FROM dt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
-        |nll AS (
-        |  SELECT db.doc_id,
-        |    -ln(CASE WHEN coalesce(w1s.c1, 0) > 0 THEN
-        |        greatest(coalesce(bi.cb, 0)::DOUBLE - 0.75, 0.0)
-        |          / coalesce(w1s.c1, 0)::DOUBLE
-        |        + 0.75 * coalesce(w1s.n1pl, 0)::DOUBLE
-        |          / coalesce(w1s.c1, 0)::DOUBLE
-        |          * ((coalesce(w2s.n1pr, 0)::DOUBLE + 1.0)
-        |             / (tot.n1pall::DOUBLE + v.v::DOUBLE + 1.0))
-        |      ELSE (coalesce(w2s.n1pr, 0)::DOUBLE + 1.0)
-        |             / (tot.n1pall::DOUBLE + v.v::DOUBLE + 1.0)
-        |      END) AS nll
-        |  FROM db LEFT JOIN bi ON db.bg = bi.bg
-        |          LEFT JOIN w1s ON db.w1 = w1s.w1
-        |          LEFT JOIN w2s ON db.w2 = w2s.w2
-        |          CROSS JOIN tot CROSS JOIN v),
-        |agg AS (
-        |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-        |    round(avg(nll), 6) AS avg_nll
-        |  FROM nll GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
-        |  agg.avg_nll
-        |FROM score_docs d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
-    // trigram Kneser–Ney: identical expression ORDER to the Spark side
-    // (p2 materialized as a DOUBLE column — bit-preserving — so the
-    // backoff CASE is written once); same empirical-ln footing as
-    // q_kn_score
-    "q_kn3_score" ->
-      """WITH ref AS (
-        |  SELECT text FROM documents WHERE doc_id % 5 <> 0),
-        |score_docs AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-        |rt AS (
-        |  SELECT list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                     t -> t <> '') AS toks FROM ref),
-        |v AS (SELECT count(DISTINCT w)::BIGINT AS v
-        |  FROM rt CROSS JOIN unnest(toks) u(w)),
-        |rb AS (
-        |  SELECT toks[CAST(i AS INTEGER)] AS w1,
-        |    toks[CAST(i AS INTEGER)+1] AS w2,
-        |    toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER)+1] AS bg
-        |  FROM rt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
-        |w3c AS (SELECT w2 AS w3, count(DISTINCT w1)::BIGINT AS n1pr
-        |  FROM rb GROUP BY w2),
-        |tot AS (SELECT count(DISTINCT bg)::BIGINT AS n1pall FROM rb),
-        |rtri AS (
-        |  SELECT toks[CAST(i AS INTEGER)] AS w1,
-        |    toks[CAST(i AS INTEGER)+1] AS w2,
-        |    toks[CAST(i AS INTEGER)+2] AS w3
-        |  FROM rt CROSS JOIN unnest(range(1, greatest(len(toks) - 2, 0) + 1)) t(i)),
-        |tri AS (SELECT w1, w2, w3, count(*)::BIGINT AS c123
-        |  FROM rtri GROUP BY w1, w2, w3),
-        |hist AS (SELECT w1, w2, count(*)::BIGINT AS c12,
-        |    count(DISTINCT w3)::BIGINT AS n1pl3 FROM rtri GROUP BY w1, w2),
-        |kn2 AS (SELECT w2, w3, count(*)::BIGINT AS kn2 FROM tri GROUP BY w2, w3),
-        |mid AS (SELECT w2, CAST(sum(kn2) AS BIGINT) AS kn2den,
-        |    count(*)::BIGINT AS n1pl2 FROM kn2 GROUP BY w2),
-        |dt AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks FROM score_docs),
-        |dtri AS (
-        |  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
-        |    toks[CAST(i AS INTEGER)+1] AS w2,
-        |    toks[CAST(i AS INTEGER)+2] AS w3
-        |  FROM dt CROSS JOIN unnest(range(1, greatest(len(toks) - 2, 0) + 1)) t(i)),
-        |j AS (
-        |  SELECT dtri.doc_id,
-        |    coalesce(tri.c123, 0) AS c123, coalesce(hist.c12, 0) AS c12,
-        |    coalesce(hist.n1pl3, 0) AS n1pl3, coalesce(kn2.kn2, 0) AS kn2,
-        |    coalesce(mid.kn2den, 0) AS kn2den,
-        |    coalesce(mid.n1pl2, 0) AS n1pl2, coalesce(w3c.n1pr, 0) AS n1pr,
-        |    tot.n1pall AS n1pall, v.v AS v
-        |  FROM dtri LEFT JOIN tri ON dtri.w1 = tri.w1 AND dtri.w2 = tri.w2
-        |      AND dtri.w3 = tri.w3
-        |    LEFT JOIN hist ON dtri.w1 = hist.w1 AND dtri.w2 = hist.w2
-        |    LEFT JOIN kn2 ON dtri.w2 = kn2.w2 AND dtri.w3 = kn2.w3
-        |    LEFT JOIN mid ON dtri.w2 = mid.w2
-        |    LEFT JOIN w3c ON dtri.w3 = w3c.w3
-        |    CROSS JOIN tot CROSS JOIN v),
-        |p2t AS (
-        |  SELECT doc_id, c123, c12, n1pl3,
-        |    CASE WHEN kn2den > 0 THEN
-        |        greatest(kn2::DOUBLE - 0.75, 0.0) / kn2den::DOUBLE
-        |        + 0.75 * n1pl2::DOUBLE / kn2den::DOUBLE
-        |          * ((n1pr::DOUBLE + 1.0) / (n1pall::DOUBLE + v::DOUBLE + 1.0))
-        |      ELSE (n1pr::DOUBLE + 1.0) / (n1pall::DOUBLE + v::DOUBLE + 1.0)
-        |      END AS p2
-        |  FROM j),
-        |nll AS (
-        |  SELECT doc_id,
-        |    -ln(CASE WHEN c12 > 0 THEN
-        |        greatest(c123::DOUBLE - 0.75, 0.0) / c12::DOUBLE
-        |        + 0.75 * n1pl3::DOUBLE / c12::DOUBLE * p2
-        |      ELSE p2 END) AS nll
-        |  FROM p2t),
-        |agg AS (
-        |  SELECT doc_id, count(*)::BIGINT AS n_trigrams,
-        |    round(avg(nll), 6) AS avg_nll
-        |  FROM nll GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(agg.n_trigrams, 0)::BIGINT AS n_trigrams,
-        |  agg.avg_nll
-        |FROM score_docs d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
-    "q_burstiness" ->
-      """WITH dt AS (
-        |  SELECT doc_id, list_filter(string_split_regex(
-        |    coalesce(text, ''), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
-        |dc AS (
-        |  SELECT doc_id, w, count(*)::BIGINT AS c
-        |  FROM dt CROSS JOIN unnest(toks) u(w) GROUP BY doc_id, w),
-        |st AS (
-        |  SELECT w, count(*)::BIGINT AS n_docs,
-        |    CAST(sum(c) AS BIGINT) AS total,
-        |    CAST(sum(c * c) AS BIGINT) AS s2,
-        |    count(CASE WHEN c >= 2 THEN 1 END)::BIGINT AS d2
-        |  FROM dc GROUP BY w)
-        |SELECT w AS term, n_docs, total,
-        |  round((nn.n::DOUBLE * s2::DOUBLE - total::DOUBLE * total::DOUBLE)
-        |    / (nn.n::DOUBLE * total::DOUBLE), 6) AS vmr,
-        |  round(d2::DOUBLE / n_docs::DOUBLE, 6) AS adaptation
-        |FROM st CROSS JOIN nn
-        |WHERE n_docs >= 5""".stripMargin,
-    "q_distinct_ngrams" ->
-      """WITH dt AS (
-        |  SELECT source, list_filter(string_split_regex(
-        |    coalesce(text, ''), '\s+'), t -> t <> '') AS toks
-        |  FROM documents WHERE source IS NOT NULL),
-        |g AS (
-        |  SELECT source, CAST(n AS INTEGER) AS n,
-        |    array_to_string(toks[CAST(i AS INTEGER):
-        |      CAST(i AS INTEGER) + CAST(n AS INTEGER) - 1], ' ') AS gram
-        |  FROM dt CROSS JOIN range(1, 4) t(n)
-        |  CROSS JOIN unnest(range(1,
-        |    greatest(len(toks) - CAST(n AS INTEGER) + 1, 0) + 1)) r(i))
-        |SELECT source, n, count(*)::BIGINT AS total_ngrams,
-        |  count(DISTINCT gram)::BIGINT AS distinct_ngrams,
-        |  round(count(DISTINCT gram)::DOUBLE / count(*)::DOUBLE, 6)
-        |    AS distinct_ratio
-        |FROM g GROUP BY source, n""".stripMargin,
-    "q_ngram_novelty" ->
-      """WITH sd AS (
-        |  SELECT doc_id, list_filter(string_split_regex(
-        |    coalesce(text, ''), '\s+'), t -> t <> '') AS toks
-        |  FROM documents WHERE doc_id % 7 = 0),
-        |rd AS (
-        |  SELECT list_filter(string_split_regex(
-        |    coalesce(text, ''), '\s+'), t -> t <> '') AS toks
-        |  FROM documents WHERE doc_id % 7 <> 0),
-        |rg AS (
-        |  SELECT DISTINCT array_to_string(
-        |    toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS g
-        |  FROM rd CROSS JOIN unnest(range(1,
-        |    greatest(len(toks) - 2, 0) + 1)) r(i)),
-        |dg AS (
-        |  SELECT doc_id, array_to_string(
-        |    toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS g
-        |  FROM sd CROSS JOIN unnest(range(1,
-        |    greatest(len(toks) - 2, 0) + 1)) r(i)),
-        |sc AS (
-        |  SELECT dg.doc_id, count(*)::BIGINT AS n_ngrams,
-        |    count(CASE WHEN rg.g IS NULL THEN 1 END)::BIGINT AS novel_ngrams
-        |  FROM dg LEFT JOIN rg ON dg.g = rg.g GROUP BY dg.doc_id)
-        |SELECT d.doc_id, coalesce(sc.n_ngrams, 0)::BIGINT AS n_ngrams,
-        |  coalesce(sc.novel_ngrams, 0)::BIGINT AS novel_ngrams,
-        |  round(sc.novel_ngrams::DOUBLE / sc.n_ngrams::DOUBLE, 6) AS novelty
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
-        |LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
-    "q_heaps" ->
-      """WITH dt AS (
-        |  SELECT doc_id, list_filter(string_split_regex(
-        |    coalesce(text, ''), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |d0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok, toks
-        |  FROM dt WHERE len(toks) > 0),
-        |mint AS (
-        |  SELECT mid AS doc_id, count(*)::BIGINT AS minted FROM (
-        |    SELECT w, min(doc_id) AS mid
-        |    FROM d0 CROSS JOIN unnest(toks) u(w) GROUP BY w)
-        |  GROUP BY mid),
-        |cur AS (
-        |  SELECT d0.doc_id, ntok, coalesce(minted, 0) AS minted
-        |  FROM d0 LEFT JOIN mint ON d0.doc_id = mint.doc_id),
-        |cum AS (
-        |  SELECT row_number() OVER (ORDER BY doc_id) AS idx,
-        |    CAST(sum(ntok) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      AS ct,
-        |    CAST(sum(minted) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      AS cv
-        |  FROM cur),
-        |params AS (SELECT count(*)::BIGINT AS nd,
-        |  CAST((count(*) + 255) // 256 AS BIGINT) AS step FROM cur),
-        |pts AS (
-        |  SELECT CAST(round(ln(ct::DOUBLE) * 1e6) AS BIGINT) AS x,
-        |    CAST(round(ln(cv::DOUBLE) * 1e6) AS BIGINT) AS y
-        |  FROM cum CROSS JOIN params WHERE idx % step = 0),
-        |mo AS (SELECT count(*)::BIGINT AS kk, CAST(sum(x) AS BIGINT) AS sx,
-        |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
-        |  CAST(sum(x * x) AS BIGINT) AS sxx FROM pts),
-        |fit AS (
-        |  SELECT (SELECT nd FROM params) AS n_docs, kk AS n_points,
-        |    (SELECT max(ct) FROM cum) AS n_tokens,
-        |    (SELECT max(cv) FROM cum) AS n_types,
-        |    CAST(kk::HUGEINT * sxy::HUGEINT - sx::HUGEINT * sy::HUGEINT
-        |        AS DOUBLE)
-        |      / CAST(kk::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sx::HUGEINT
-        |        AS DOUBLE) AS beta,
-        |    sx, sy FROM mo)
-        |SELECT n_docs, n_points, n_tokens, n_types,
-        |  round(beta, 6) AS beta,
-        |  round(exp((sy::DOUBLE / 1e6 - beta * (sx::DOUBLE / 1e6))
-        |    / n_points::DOUBLE), 6) AS k
-        |FROM fit""".stripMargin,
-    "q_bleu" ->
-      """WITH pairs AS (
-        |  SELECT d.doc_id AS id,
-        |    list_filter(string_split_regex(coalesce(d.text, ''), '\s+'),
-        |      t -> t <> '') AS rtoks,
-        |    list_filter(string_split_regex(coalesce(h.text, ''), '\s+'),
-        |      t -> t <> '') AS htoks
-        |  FROM documents d JOIN documents h ON h.doc_id = d.doc_id + 1),
-        |hg AS (
-        |  SELECT id, CAST(n AS INTEGER) AS n,
-        |    array_to_string(htoks[CAST(i AS INTEGER):
-        |      CAST(i AS INTEGER) + CAST(n AS INTEGER) - 1], ' ') AS g,
-        |    count(*)::BIGINT AS hc
-        |  FROM pairs CROSS JOIN range(1, 5) t(n)
-        |  CROSS JOIN unnest(range(1,
-        |    greatest(len(htoks) - CAST(n AS INTEGER) + 1, 0) + 1)) r(i)
-        |  GROUP BY id, n, g),
-        |rg AS (
-        |  SELECT id, CAST(n AS INTEGER) AS n,
-        |    array_to_string(rtoks[CAST(i AS INTEGER):
-        |      CAST(i AS INTEGER) + CAST(n AS INTEGER) - 1], ' ') AS g,
-        |    count(*)::BIGINT AS rc
-        |  FROM pairs CROSS JOIN range(1, 5) t(n)
-        |  CROSS JOIN unnest(range(1,
-        |    greatest(len(rtoks) - CAST(n AS INTEGER) + 1, 0) + 1)) r(i)
-        |  GROUP BY id, n, g),
-        |mm AS (SELECT hg.n, CAST(sum(least(hc, rc)) AS BIGINT) AS m
-        |  FROM hg JOIN rg ON hg.id = rg.id AND hg.n = rg.n AND hg.g = rg.g
-        |  GROUP BY hg.n),
-        |tt AS (SELECT n, CAST(sum(hc) AS BIGINT) AS t FROM hg GROUP BY n),
-        |lens AS (SELECT
-        |  CAST(coalesce(sum(len(htoks)), 0) AS BIGINT) AS hl,
-        |  CAST(coalesce(sum(len(rtoks)), 0) AS BIGINT) AS rl FROM pairs),
-        |cells AS (SELECT
-        |  coalesce((SELECT m FROM mm WHERE n = 1), 0) AS m1,
-        |  coalesce((SELECT t FROM tt WHERE n = 1), 0) AS t1,
-        |  coalesce((SELECT m FROM mm WHERE n = 2), 0) AS m2,
-        |  coalesce((SELECT t FROM tt WHERE n = 2), 0) AS t2,
-        |  coalesce((SELECT m FROM mm WHERE n = 3), 0) AS m3,
-        |  coalesce((SELECT t FROM tt WHERE n = 3), 0) AS t3,
-        |  coalesce((SELECT m FROM mm WHERE n = 4), 0) AS m4,
-        |  coalesce((SELECT t FROM tt WHERE n = 4), 0) AS t4)
-        |SELECT hl AS hyp_tokens, rl AS ref_tokens,
-        |  m1, t1, round(CASE WHEN t1 = 0 THEN CAST(0.0 AS DOUBLE)
-        |    ELSE m1::DOUBLE / t1::DOUBLE END, 6) AS p1,
-        |  m2, t2, round(CASE WHEN t2 = 0 THEN CAST(0.0 AS DOUBLE)
-        |    ELSE m2::DOUBLE / t2::DOUBLE END, 6) AS p2,
-        |  m3, t3, round(CASE WHEN t3 = 0 THEN CAST(0.0 AS DOUBLE)
-        |    ELSE m3::DOUBLE / t3::DOUBLE END, 6) AS p3,
-        |  m4, t4, round(CASE WHEN t4 = 0 THEN CAST(0.0 AS DOUBLE)
-        |    ELSE m4::DOUBLE / t4::DOUBLE END, 6) AS p4,
-        |  round(CASE WHEN hl = 0 THEN CAST(0.0 AS DOUBLE)
-        |    WHEN hl >= rl THEN CAST(1.0 AS DOUBLE)
-        |    ELSE exp(1.0 - rl::DOUBLE / hl::DOUBLE) END, 6) AS bp,
-        |  round(CASE WHEN m1 = 0 OR t1 = 0 OR m2 = 0 OR t2 = 0 OR m3 = 0
-        |      OR t3 = 0 OR m4 = 0 OR t4 = 0 OR hl = 0
-        |    THEN CAST(0.0 AS DOUBLE)
-        |    ELSE (CASE WHEN hl >= rl THEN CAST(1.0 AS DOUBLE)
-        |        ELSE exp(1.0 - rl::DOUBLE / hl::DOUBLE) END)
-        |      * exp((ln(m1::DOUBLE / t1::DOUBLE) + ln(m2::DOUBLE / t2::DOUBLE)
-        |        + ln(m3::DOUBLE / t3::DOUBLE) + ln(m4::DOUBLE / t4::DOUBLE))
-        |        / 4.0) END, 6) AS bleu
-        |FROM cells CROSS JOIN lens""".stripMargin,
-    "q_chrf" ->
-      """WITH pairs AS (
-        |  SELECT d.doc_id AS id,
-        |    regexp_replace(coalesce(d.text, ''), '\s+', '', 'g') AS rs,
-        |    regexp_replace(coalesce(h.text, ''), '\s+', '', 'g') AS hs
-        |  FROM documents d JOIN documents h ON h.doc_id = d.doc_id + 1),
-        |hg AS (
-        |  SELECT id, CAST(n AS INTEGER) AS n,
-        |    substring(hs, CAST(i AS INTEGER), CAST(n AS INTEGER)) AS g,
-        |    count(*)::BIGINT AS hc
-        |  FROM pairs CROSS JOIN range(1, 7) t(n)
-        |  CROSS JOIN unnest(range(1,
-        |    greatest(length(hs) - CAST(n AS INTEGER) + 1, 0) + 1)) r(i)
-        |  GROUP BY id, n, g),
-        |rgg AS (
-        |  SELECT id, CAST(n AS INTEGER) AS n,
-        |    substring(rs, CAST(i AS INTEGER), CAST(n AS INTEGER)) AS g,
-        |    count(*)::BIGINT AS rc
-        |  FROM pairs CROSS JOIN range(1, 7) t(n)
-        |  CROSS JOIN unnest(range(1,
-        |    greatest(length(rs) - CAST(n AS INTEGER) + 1, 0) + 1)) r(i)
-        |  GROUP BY id, n, g),
-        |mm AS (SELECT hg.id, hg.n, CAST(sum(least(hc, rc)) AS BIGINT) AS m
-        |  FROM hg JOIN rgg ON hg.id = rgg.id AND hg.n = rgg.n
-        |    AND hg.g = rgg.g
-        |  GROUP BY hg.id, hg.n),
-        |ht AS (SELECT id, n, CAST(sum(hc) AS BIGINT) AS ht
-        |  FROM hg GROUP BY id, n),
-        |rt AS (SELECT id, n, CAST(sum(rc) AS BIGINT) AS rt
-        |  FROM rgg GROUP BY id, n),
-        |cells AS (
-        |  SELECT id, n, ht, rt, m
-        |  FROM ht FULL JOIN rt USING (id, n) LEFT JOIN mm USING (id, n)),
-        |piv AS (
-        |  SELECT id,
-        |    coalesce(CAST(sum(
-        |      CASE WHEN n = 1 THEN m END) AS BIGINT), 0) AS m1,
-        |    coalesce(CAST(sum(
-        |      CASE WHEN n = 1 THEN ht END) AS BIGINT), 0) AS ht1,
-        |    coalesce(CAST(sum(
-        |      CASE WHEN n = 1 THEN rt END) AS BIGINT), 0) AS rt1,
-        |    coalesce(CAST(sum(
-        |      CASE WHEN n = 2 THEN m END) AS BIGINT), 0) AS m2,
-        |    coalesce(CAST(sum(
-        |      CASE WHEN n = 2 THEN ht END) AS BIGINT), 0) AS ht2,
-        |    coalesce(CAST(sum(
-        |      CASE WHEN n = 2 THEN rt END) AS BIGINT), 0) AS rt2,
-        |    coalesce(CAST(sum(
-        |      CASE WHEN n = 3 THEN m END) AS BIGINT), 0) AS m3,
-        |    coalesce(CAST(sum(
-        |      CASE WHEN n = 3 THEN ht END) AS BIGINT), 0) AS ht3,
-        |    coalesce(CAST(sum(
-        |      CASE WHEN n = 3 THEN rt END) AS BIGINT), 0) AS rt3,
-        |    coalesce(CAST(sum(
-        |      CASE WHEN n = 4 THEN m END) AS BIGINT), 0) AS m4,
-        |    coalesce(CAST(sum(
-        |      CASE WHEN n = 4 THEN ht END) AS BIGINT), 0) AS ht4,
-        |    coalesce(CAST(sum(
-        |      CASE WHEN n = 4 THEN rt END) AS BIGINT), 0) AS rt4,
-        |    coalesce(CAST(sum(
-        |      CASE WHEN n = 5 THEN m END) AS BIGINT), 0) AS m5,
-        |    coalesce(CAST(sum(
-        |      CASE WHEN n = 5 THEN ht END) AS BIGINT), 0) AS ht5,
-        |    coalesce(CAST(sum(
-        |      CASE WHEN n = 5 THEN rt END) AS BIGINT), 0) AS rt5,
-        |    coalesce(CAST(sum(
-        |      CASE WHEN n = 6 THEN m END) AS BIGINT), 0) AS m6,
-        |    coalesce(CAST(sum(
-        |      CASE WHEN n = 6 THEN ht END) AS BIGINT), 0) AS ht6,
-        |    coalesce(CAST(sum(
-        |      CASE WHEN n = 6 THEN rt END) AS BIGINT), 0) AS rt6
-        |  FROM cells GROUP BY id),
-        |sc AS (
-        |  SELECT pairs.id,
-        |    (CASE WHEN coalesce(ht1, 0) = 0 THEN CAST(0.0 AS DOUBLE)
-        |       ELSE coalesce(m1, 0)::DOUBLE / coalesce(ht1, 0)::DOUBLE END
-        |     + CASE WHEN coalesce(ht2, 0) = 0 THEN CAST(0.0 AS DOUBLE)
-        |       ELSE coalesce(m2, 0)::DOUBLE / coalesce(ht2, 0)::DOUBLE END
-        |     + CASE WHEN coalesce(ht3, 0) = 0 THEN CAST(0.0 AS DOUBLE)
-        |       ELSE coalesce(m3, 0)::DOUBLE / coalesce(ht3, 0)::DOUBLE END
-        |     + CASE WHEN coalesce(ht4, 0) = 0 THEN CAST(0.0 AS DOUBLE)
-        |       ELSE coalesce(m4, 0)::DOUBLE / coalesce(ht4, 0)::DOUBLE END
-        |     + CASE WHEN coalesce(ht5, 0) = 0 THEN CAST(0.0 AS DOUBLE)
-        |       ELSE coalesce(m5, 0)::DOUBLE / coalesce(ht5, 0)::DOUBLE END
-        |     + CASE WHEN coalesce(ht6, 0) = 0 THEN CAST(0.0 AS DOUBLE)
-        |       ELSE coalesce(m6, 0)::DOUBLE / coalesce(ht6, 0)::DOUBLE END)
-        |      / 6.0 AS chrp,
-        |    (CASE WHEN coalesce(rt1, 0) = 0 THEN CAST(0.0 AS DOUBLE)
-        |       ELSE coalesce(m1, 0)::DOUBLE / coalesce(rt1, 0)::DOUBLE END
-        |     + CASE WHEN coalesce(rt2, 0) = 0 THEN CAST(0.0 AS DOUBLE)
-        |       ELSE coalesce(m2, 0)::DOUBLE / coalesce(rt2, 0)::DOUBLE END
-        |     + CASE WHEN coalesce(rt3, 0) = 0 THEN CAST(0.0 AS DOUBLE)
-        |       ELSE coalesce(m3, 0)::DOUBLE / coalesce(rt3, 0)::DOUBLE END
-        |     + CASE WHEN coalesce(rt4, 0) = 0 THEN CAST(0.0 AS DOUBLE)
-        |       ELSE coalesce(m4, 0)::DOUBLE / coalesce(rt4, 0)::DOUBLE END
-        |     + CASE WHEN coalesce(rt5, 0) = 0 THEN CAST(0.0 AS DOUBLE)
-        |       ELSE coalesce(m5, 0)::DOUBLE / coalesce(rt5, 0)::DOUBLE END
-        |     + CASE WHEN coalesce(rt6, 0) = 0 THEN CAST(0.0 AS DOUBLE)
-        |       ELSE coalesce(m6, 0)::DOUBLE / coalesce(rt6, 0)::DOUBLE END)
-        |      / 6.0 AS chrr
-        |  FROM pairs LEFT JOIN piv ON pairs.id = piv.id)
-        |SELECT id AS doc_id, round(chrp, 6) AS chrp, round(chrr, 6) AS chrr,
-        |  round(CASE WHEN chrp = 0.0 AND chrr = 0.0 THEN CAST(0.0 AS DOUBLE)
-        |    ELSE (CAST(1.0 AS DOUBLE) + 4.0) * chrp * chrr
-        |      / (4.0 * chrp + chrr) END, 6) AS chrf
-        |FROM sc""".stripMargin,
-    "q_class_report" ->
-      """WITH base AS (
-        |  SELECT CAST(o_orderstatus AS VARCHAR) AS l,
-        |    CASE WHEN o_totalprice < 100000.0 THEN 'F'
-        |         WHEN o_custkey % 2 = 0 THEN 'O' ELSE 'P' END AS p
-        |  FROM orders),
-        |tp AS (SELECT l AS clazz, count(*)::BIGINT AS tp
-        |  FROM base WHERE l = p GROUP BY l),
-        |sup AS (SELECT l AS clazz, count(*)::BIGINT AS support
-        |  FROM base GROUP BY l),
-        |pt AS (SELECT p AS clazz, count(*)::BIGINT AS pt
-        |  FROM base GROUP BY p)
-        |SELECT clazz, coalesce(support, 0)::BIGINT AS support,
-        |  coalesce(tp.tp, 0)::BIGINT AS tp,
-        |  (coalesce(pt.pt, 0) - coalesce(tp.tp, 0))::BIGINT AS fp,
-        |  (coalesce(support, 0) - coalesce(tp.tp, 0))::BIGINT AS fn,
-        |  round(CASE WHEN coalesce(pt.pt, 0) = 0 THEN NULL
-        |    ELSE coalesce(tp.tp, 0)::DOUBLE / coalesce(pt.pt, 0)::DOUBLE
-        |    END, 6) AS "precision",
-        |  round(CASE WHEN coalesce(support, 0) = 0 THEN NULL
-        |    ELSE coalesce(tp.tp, 0)::DOUBLE / coalesce(support, 0)::DOUBLE
-        |    END, 6) AS recall,
-        |  round(CASE WHEN 2 * coalesce(tp.tp, 0)
-        |      + (coalesce(pt.pt, 0) - coalesce(tp.tp, 0))
-        |      + (coalesce(support, 0) - coalesce(tp.tp, 0)) = 0 THEN NULL
-        |    ELSE (2 * coalesce(tp.tp, 0))::DOUBLE
-        |      / (2 * coalesce(tp.tp, 0)
-        |        + (coalesce(pt.pt, 0) - coalesce(tp.tp, 0))
-        |        + (coalesce(support, 0) - coalesce(tp.tp, 0)))::DOUBLE
-        |    END, 6) AS f1
-        |FROM sup FULL JOIN pt USING (clazz) LEFT JOIN tp USING (clazz)""".stripMargin,
-    "q_token_f1" ->
-      """WITH pairs AS (
-        |  SELECT d.doc_id,
-        |    list_filter(string_split_regex(coalesce(d.text, ''), '\s+'),
-        |      t -> t <> '') AS rt,
-        |    list_filter(string_split_regex(coalesce(h.text, ''), '\s+'),
-        |      t -> t <> '') AS ht
-        |  FROM documents d JOIN documents h ON h.doc_id = d.doc_id + 1),
-        |rc AS (SELECT doc_id, t, count(*)::BIGINT AS rc
-        |  FROM pairs CROSS JOIN unnest(rt) u(t) GROUP BY doc_id, t),
-        |hc AS (SELECT doc_id, t, count(*)::BIGINT AS hc
-        |  FROM pairs CROSS JOIN unnest(ht) u(t) GROUP BY doc_id, t),
-        |ov AS (SELECT rc.doc_id, CAST(sum(least(rc.rc, hc.hc)) AS BIGINT)
-        |    AS ov
-        |  FROM rc JOIN hc ON rc.doc_id = hc.doc_id AND rc.t = hc.t
-        |  GROUP BY rc.doc_id)
-        |SELECT p.doc_id, CAST(len(rt) AS BIGINT) AS ref_tokens,
-        |  CAST(len(ht) AS BIGINT) AS hyp_tokens,
-        |  coalesce(ov.ov, 0)::BIGINT AS overlap,
-        |  round(CASE WHEN len(ht) = 0 THEN NULL
-        |    ELSE coalesce(ov.ov, 0)::DOUBLE / len(ht)::DOUBLE END, 6)
-        |    AS "precision",
-        |  round(CASE WHEN len(rt) = 0 THEN NULL
-        |    ELSE coalesce(ov.ov, 0)::DOUBLE / len(rt)::DOUBLE END, 6)
-        |    AS recall,
-        |  round(CASE WHEN len(rt) + len(ht) = 0 THEN NULL
-        |    ELSE (2 * coalesce(ov.ov, 0))::DOUBLE
-        |      / (len(rt) + len(ht))::DOUBLE END, 6) AS f1,
-        |  rt = ht AS exact_match
-        |FROM pairs p LEFT JOIN ov ON p.doc_id = ov.doc_id""".stripMargin,
-    "q_edit_sim" ->
-      """WITH pairs AS (
-        |  SELECT d.doc_id, substring(coalesce(d.text, ''), 1, 400) AS a,
-        |    substring(coalesce(h.text, ''), 1, 400) AS b
-        |  FROM documents d JOIN documents h ON h.doc_id = d.doc_id + 1)
-        |SELECT doc_id, CAST(length(a) AS BIGINT) AS len_a,
-        |  CAST(length(b) AS BIGINT) AS len_b,
-        |  CAST(levenshtein(a, b) AS BIGINT) AS edit_distance,
-        |  round(CASE WHEN greatest(length(a), length(b)) = 0
-        |    THEN CAST(1.0 AS DOUBLE)
-        |    ELSE CAST(1.0 AS DOUBLE) - levenshtein(a, b)::DOUBLE
-        |      / greatest(length(a), length(b))::DOUBLE END, 6) AS similarity
-        |FROM pairs""".stripMargin,
-    "q_mattr" ->
-      """WITH dt AS (
-        |  SELECT doc_id, list_filter(string_split_regex(
-        |    coalesce(text, ''), '\s+'), t -> t <> '') AS toks
-        |  FROM documents)
-        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-        |  CAST(greatest(len(toks) - 49, 0) AS BIGINT) AS n_windows,
-        |  round(CASE WHEN len(toks) = 0 THEN NULL
-        |    WHEN len(toks) < 50 THEN
-        |      len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE
-        |    ELSE CAST(coalesce(list_sum(list_transform(
-        |        range(1, len(toks) - 49 + 1),
-        |        i -> len(list_distinct(
-        |          toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+49])))), 0)
-        |        AS DOUBLE)
-        |      / (greatest(len(toks) - 49, 0) * 50)::DOUBLE END, 6) AS mattr
-        |FROM dt""".stripMargin,
-    "q_entropy_rate" ->
-      """WITH rt AS (
-        |  SELECT list_filter(string_split_regex(
-        |    coalesce(text, ''), '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |rb AS (
-        |  SELECT toks[CAST(i AS INTEGER)] AS w1,
-        |    toks[CAST(i AS INTEGER)+1] AS w2
-        |  FROM rt CROSS JOIN unnest(range(1,
-        |    greatest(len(toks) - 1, 0) + 1)) t(i)),
-        |cnt AS (SELECT w1, w2, count(*)::BIGINT AS c12
-        |  FROM rb GROUP BY w1, w2),
-        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
-        |  FROM cnt GROUP BY w1),
-        |mo AS (SELECT CAST(coalesce(sum(c12), 0) AS BIGINT) AS n,
-        |  count(*)::BIGINT AS types,
-        |  CAST(coalesce(sum(c12 * CAST(round(
-        |    ln(c12::DOUBLE / c1::DOUBLE) * 1e9) AS BIGINT)), 0) AS BIGINT)
-        |    AS s
-        |  FROM cnt JOIN ctx USING (w1)),
-        |nc AS (SELECT count(*)::BIGINT AS nctx FROM ctx)
-        |SELECT mo.n AS n_bigrams, mo.types AS n_bigram_types,
-        |  nc.nctx AS n_contexts,
-        |  round(CASE WHEN mo.n = 0 THEN NULL
-        |    ELSE mo.s::DOUBLE / (mo.n::DOUBLE * 1e9)
-        |      * CAST(-1.0 AS DOUBLE) END, 6) AS entropy_rate
-        |FROM mo CROSS JOIN nc""".stripMargin,
-    "q_trimmed_mean" ->
-      """WITH vc AS (
-        |  SELECT l_returnflag AS g,
-        |    CAST(round(l_extendedprice * 1e6) AS BIGINT) AS v,
-        |    count(*)::BIGINT AS c
-        |  FROM lineitem GROUP BY g, v),
-        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM vc GROUP BY g),
-        |pre AS (
-        |  SELECT g, v, c, CAST(coalesce(sum(c) OVER (PARTITION BY g
-        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |    0) AS BIGINT) AS pre
-        |  FROM vc),
-        |j AS (
-        |  SELECT pre.g, v, c, pre.pre, tot.n,
-        |    CAST(floor(tot.n::DOUBLE * CAST(0.1 AS DOUBLE)) AS BIGINT) AS k
-        |  FROM pre JOIN tot USING (g)),
-        |kept AS (
-        |  SELECT g, n, v,
-        |    greatest(least(pre + c, n - k) - greatest(pre, k), 0) AS kc
-        |  FROM j)
-        |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
-        |  CAST(sum(kc) AS BIGINT) AS n_kept,
-        |  round(CASE WHEN sum(kc) = 0 THEN NULL
-        |    ELSE CAST(sum(v * kc) AS BIGINT)::DOUBLE
-        |      / CAST(sum(kc) AS BIGINT)::DOUBLE / 1e6 END, 6)
-        |    AS trimmed_mean
-        |FROM kept GROUP BY g""".stripMargin,
-    "q_gopher_rules" ->
-      """WITH base AS (
-        |  SELECT doc_id, coalesce(text, '') AS text,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks,
-        |    list_filter(list_transform(
-        |        string_split(coalesce(text, ''), chr(10)), l -> trim(l)),
-        |      l -> l <> '') AS ls
-        |  FROM documents),
-        |sig AS (
-        |  SELECT doc_id, len(toks) AS n_words,
-        |    CASE WHEN len(toks) = 0 THEN 0.0
-        |         ELSE CAST(coalesce(
-        |             list_sum(list_transform(toks, t -> length(t))), 0)
-        |           AS BIGINT) * 1.0 / len(toks) END AS mean_len,
-        |    CASE WHEN len(toks) = 0 THEN 0.0
-        |         ELSE (len(regexp_extract_all(text, '#'))
-        |               + len(regexp_extract_all(text, '\.\.\.')))
-        |              * 1.0 / len(toks) END AS sym,
-        |    CASE WHEN len(ls) = 0 THEN 0.0
-        |         ELSE len(list_filter(ls, l -> regexp_matches(l, '^[-•*]')))
-        |              * 1.0 / len(ls) END AS bullet,
-        |    CASE WHEN len(ls) = 0 THEN 0.0
-        |         ELSE len(list_filter(ls,
-        |                l -> regexp_matches(l, '(\.\.\.|…)$')))
-        |              * 1.0 / len(ls) END AS ellip,
-        |    CASE WHEN len(toks) = 0 THEN 0.0
-        |         ELSE len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
-        |              * 1.0 / len(toks) END AS alpha,
-        |    len(list_filter(['the','be','to','of','and','that','have','with'],
-        |      w -> list_contains(list_transform(toks, t -> lower(t)), w)))
-        |      AS stop_hits
-        |  FROM base)
-        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-        |  round(mean_len, 6) AS mean_word_len,
-        |  round(sym, 6) AS symbol_ratio,
-        |  round(bullet, 6) AS bullet_line_frac,
-        |  round(ellip, 6) AS ellipsis_line_frac,
-        |  round(alpha, 6) AS alpha_word_frac,
-        |  CAST(stop_hits AS BIGINT) AS stop_hits,
-        |  (n_words >= 50 AND n_words <= 100000
-        |   AND mean_len >= 3.0 AND mean_len <= 10.0
-        |   AND sym <= 0.1 AND bullet < 0.9 AND ellip < 0.3
-        |   AND alpha >= 0.8 AND stop_hits >= 2) AS gopher_pass
-        |FROM sig""".stripMargin,
-    "q_ccnet_buckets" ->
-      """WITH ref AS (
-        |  SELECT text FROM documents WHERE doc_id % 5 <> 0),
-        |score_docs AS (
-        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
-        |rt AS (
-        |  SELECT list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                     t -> t <> '') AS toks FROM ref),
-        |uni AS (
-        |  SELECT w AS w1, count(*)::BIGINT AS cu
-        |  FROM rt CROSS JOIN unnest(toks) u(w) GROUP BY w),
-        |v AS (SELECT count(*)::BIGINT AS v FROM uni),
-        |rb AS (
-        |  SELECT toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER)+1] AS bg
-        |  FROM rt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
-        |bi AS (SELECT bg, count(*)::BIGINT AS cb FROM rb GROUP BY bg),
-        |dt AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks FROM score_docs),
-        |db AS (
-        |  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
-        |    toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER)+1] AS bg
-        |  FROM dt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
-        |nll AS (
-        |  SELECT db.doc_id,
-        |    -ln((coalesce(bi.cb, 0) + 1.0) / (coalesce(uni.cu, 0) + v.v))
-        |      AS nll
-        |  FROM db LEFT JOIN bi ON db.bg = bi.bg
-        |          LEFT JOIN uni ON db.w1 = uni.w1
-        |          CROSS JOIN v),
-        |agg AS (
-        |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-        |    round(avg(nll), 6) AS avg_nll
-        |  FROM nll GROUP BY doc_id),
-        |scored AS (
-        |  SELECT d.doc_id, d.lang, agg.avg_nll
-        |  FROM score_docs d JOIN agg ON d.doc_id = agg.doc_id
-        |  WHERE agg.n_bigrams > 0),
-        |bkt AS (
-        |  SELECT doc_id, lang, avg_nll,
-        |    CAST(ntile(3) OVER (
-        |      PARTITION BY lang ORDER BY avg_nll, doc_id) AS INTEGER)
-        |      AS bucket
-        |  FROM scored)
-        |SELECT doc_id, lang, avg_nll, bucket,
-        |  (['head','middle','tail'])[bucket] AS bucket_label
-        |FROM bkt""".stripMargin,
-    "q_token_entropy" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM documents),
-        |t AS (SELECT doc_id, unnest(toks) AS w FROM toks),
-        |pt AS (
-        |  SELECT doc_id, w, count(*)::BIGINT AS c FROM t GROUP BY doc_id, w),
-        |pd AS (
-        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
-        |    count(*)::BIGINT AS n_types,
-        |    CAST(sum(CASE WHEN c > 1
-        |      THEN CAST(round(c * ln(c) * 1000000.0) AS BIGINT)
-        |      ELSE 0 END) AS BIGINT) AS s
-        |  FROM pt GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |  coalesce(pd.n_tok, 0) AS n_tok,
-        |  coalesce(pd.n_types, 0) AS n_types,
-        |  CASE WHEN coalesce(pd.n_tok, 0) > 0
-        |       THEN round(ln(pd.n_tok) - (pd.s / 1000000.0) / pd.n_tok, 6)
-        |       ELSE 0.0 END AS entropy,
-        |  CASE WHEN coalesce(pd.n_tok, 0) > 0
-        |       THEN round(pd.n_types * 1.0 / pd.n_tok, 6)
-        |       ELSE 0.0 END AS ttr
-        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
-    "q_c4_clean" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, concat_ws(chr(10),
-        |    coalesce(text, '') || '.',
-        |    'too short.',
-        |    'this page uses javascript heavily today.',
-        |    'a perfectly reasonable sentence appears right here!',
-        |    'another good sentence with enough words present?',
-        |    CASE WHEN doc_id % 7 = 0
-        |         THEN 'lorem ipsum dolor sit amet consectetur.' END,
-        |    CASE WHEN doc_id % 11 = 0 THEN 'function f() { return 1; }' END,
-        |    CASE WHEN doc_id % 13 = 0
-        |         THEN 'do not miss this clickbait offer today.' END) AS text
-        |  FROM documents),
-        |base AS (
-        |  SELECT doc_id, coalesce(text, '') AS text,
-        |    list_filter(list_transform(
-        |        string_split(coalesce(text, ''), chr(10)), l -> trim(l)),
-        |      l -> l <> '') AS ls
-        |  FROM corpus),
-        |k AS (
-        |  SELECT doc_id, text,
-        |    list_filter(ls, l -> regexp_matches(l, '[.!?"]$')
-        |      AND len(list_filter(string_split_regex(l, '\s+'),
-        |                          w -> w <> '')) >= 5
-        |      AND NOT contains(lower(l), 'javascript')) AS kept
-        |  FROM base),
-        |c AS (
-        |  SELECT doc_id, text, array_to_string(kept, chr(10)) AS clean,
-        |    len(kept) AS n_kept FROM k)
-        |SELECT doc_id, clean AS text_clean,
-        |  CAST(n_kept AS BIGINT) AS n_lines_kept,
-        |  CAST(len(regexp_extract_all(clean, '[.!?]+')) AS BIGINT)
-        |    AS n_sentences,
-        |  (len(regexp_extract_all(clean, '[.!?]+')) >= 3
-        |   AND NOT contains(lower(text), 'lorem ipsum')
-        |   AND NOT contains(text, '{')
-        |   AND NOT contains(lower(text), 'clickbait')) AS c4_keep
-        |FROM c""".stripMargin,
-    "q_clustered_compaction" ->
-      """SELECT l_returnflag, count(*) AS n,
-        |  round(sum(l_extendedprice), 2) AS revenue
-        |FROM lineitem
-        |WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
-        |GROUP BY 1""".stripMargin,
-    "q_compact_roundtrip" ->
-      "SELECT doc_id, source FROM documents",
-    "q_warc_roundtrip" ->
-      "SELECT doc_id, text, CAST(200 AS BIGINT) AS http_status FROM documents",
-    "q_wet_roundtrip" ->
-      """SELECT doc_id, coalesce(text, '') AS text,
-        |  'text/plain' AS content_type FROM documents""".stripMargin,
-    "q_warc_dsv2" ->
-      "SELECT doc_id, text FROM documents",
-    "q_warc_families" ->
-      """SELECT doc_id, text, TRUE AS req_ok,
-        |  coalesce(lang, 'und') AS meta_lang FROM documents""".stripMargin,
-    // CDC tiling invariant: chunk sizes per doc sum to the utf-8 byte
-    // length (strlen is BYTE length in DuckDB)
-    "q_cdc_chunks" ->
-      "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents",
-    // Pooling: identical nano quantization, order-free integer sums,
-    // one exact double division at the end.
-    "q_pool_embeddings" ->
-      """WITH ex AS (
-        |  SELECT vec_id % 100 AS gid,
-        |    generate_subscripts(embedding, 1) AS pos,
-        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e9) AS BIGINT)
-        |      AS nano
-        |  FROM embeddings)
-        |SELECT gid, CAST(pos - 1 AS BIGINT) AS dim,
-        |  (CAST(sum(nano) AS BIGINT)::DOUBLE / CAST(count(*) AS BIGINT))
-        |    / 1e9 AS val
-        |FROM ex GROUP BY gid, pos""".stripMargin,
-
-    // Fingerprint: both engines reduce the identical 60-bit row-hash
-    // prefixes with the same commutative ops.
-    "q_corpus_fingerprint" ->
-      """WITH h AS (SELECT ('0x' || substring(sha256(concat_ws(chr(9247),
-        |    coalesce(CAST(doc_id AS VARCHAR), ''), coalesce(text, ''),
-        |    coalesce(lang, ''), coalesce(source, ''),
-        |    coalesce(CAST(n_chars AS VARCHAR), ''))), 1, 15))::BIGINT AS h
-        |  FROM documents)
-        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(bit_xor(h) AS BIGINT) AS xor64,
-        |  CAST(sum(h % 4294967296)::BIGINT AS BIGINT) AS sum_lo32
-        |FROM h""".stripMargin,
-
-    // SQL surface: the registered function must equal the engine-
-    // independent hex-prefix arithmetic.
-    "q_sql_surface" ->
-      ("SELECT doc_id, ('0x' || substring(sha256(text), 1, 7))::BIGINT AS hp " +
-        "FROM documents"),
-
-    // Layout report: the written layout is fully determined (8 files,
-    // one row group each at this size, blooms+stats on doc_id).
-    "q_layout_report" ->
-      ("SELECT CAST(8 AS BIGINT) AS n_files, CAST(8 AS BIGINT) AS n_row_groups, " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows, " +
-        "TRUE AS all_bloomed, TRUE AS all_stats"),
-
-    // Funnel: the same progressive min-reach joins, inclusive >= ties.
-    "q_funnel" ->
-      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-        |  WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
-        |  JOIN s1 ON s1.user_id = e.user_id
-        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id),
-        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
-        |  JOIN s2 ON s2.user_id = e.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id)
-        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
-        |UNION ALL
-        |SELECT CAST(2 AS BIGINT), 'click',
-        |  (SELECT CAST(count(*) AS BIGINT) FROM s2)
-        |UNION ALL
-        |SELECT CAST(3 AS BIGINT), 'purchase',
-        |  (SELECT CAST(count(*) AS BIGINT) FROM s3)""".stripMargin,
-
-    // Retention: epoch-anchored integer week buckets on both engines.
-    "q_retention" ->
-      """WITH pu AS (SELECT user_id AS u,
-        |    CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-        |      / 7.0) AS BIGINT) AS p
-        |  FROM events WHERE ts IS NOT NULL),
-        |coh AS (SELECT u, min(p) AS c FROM pu GROUP BY u),
-        |act AS (SELECT DISTINCT u, p FROM pu),
-        |sz AS (SELECT c, CAST(count(*) AS BIGINT) AS csize FROM coh GROUP BY c)
-        |SELECT coh.c AS cohort_period, act.p - coh.c AS offset,
-        |  CAST(count(DISTINCT act.u) AS BIGINT) AS n_users,
-        |  round(CAST(count(DISTINCT act.u) AS BIGINT)
-        |    / CAST(any_value(sz.csize) AS DOUBLE), 6) AS retained_frac
-        |FROM act JOIN coh ON coh.u = act.u JOIN sz ON sz.c = coh.c
-        |GROUP BY coh.c, act.p - coh.c""".stripMargin,
-
-    // Sitemap: one loc per doc, &amp; decoded back to & on extraction.
-    "q_sitemap" ->
-      ("SELECT source, 'https://' || source || '.example.com/doc/' || doc_id " +
-        "|| '&ref=sm' AS url, FALSE AS is_index FROM documents"),
-
-    // Chunker: identical window/stride arithmetic; DuckDB list slices
-    // are 1-based inclusive, matching Spark's slice(start, length).
-    "q_pipeline_rag" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM documents),
-        |st AS (SELECT doc_id, toks,
-        |    CASE WHEN len(toks) = 0 THEN 0
-        |      ELSE CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS INT) + 1
-        |      END AS ns
-        |  FROM toks),
-        |ex AS (SELECT doc_id, toks, unnest(range(0, ns)) AS s FROM st),
-        |chunks AS (
-        |  SELECT doc_id * 1000 + CAST(s AS BIGINT) AS id,
-        |    array_to_string(toks[s * 24 + 1 : s * 24 + 32], ' ') AS ctext
-        |  FROM ex),
-        |c AS (
-        |  SELECT id, list_transform(range(8), i ->
-        |    CASE WHEN ctext IS NULL OR ctext = '' THEN 0.0
-        |      ELSE ('0x' || substring(sha256(ctext),
-        |        CAST(i AS INTEGER) * 8 + 1, 8))::BIGINT / 4294967295.0
-        |    END) AS cv
-        |  FROM chunks),
-        |q AS (
-        |  SELECT doc_id AS q_id, list_transform(range(8), i ->
-        |    CASE WHEN text IS NULL OR text = '' THEN 0.0
-        |      ELSE ('0x' || substring(sha256(text),
-        |        CAST(i AS INTEGER) * 8 + 1, 8))::BIGINT / 4294967295.0
-        |    END) AS qv
-        |  FROM documents WHERE doc_id < 5),
-        |s AS (
-        |  SELECT q_id, id,
-        |    list_sum(list_transform(range(len(qv)),
-        |      i -> qv[CAST(i AS INTEGER)+1] * cv[CAST(i AS INTEGER)+1])) AS dot,
-        |    sqrt(list_sum(list_transform(qv, x -> x * x))) AS na,
-        |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS nb
-        |  FROM q CROSS JOIN c),
-        |r AS (
-        |  SELECT q_id, id,
-        |    round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
-        |          ELSE dot / (na * nb) END, 6) AS cos
-        |  FROM s),
-        |w AS (
-        |  SELECT q_id, id, cos, row_number() OVER (
-        |    PARTITION BY q_id ORDER BY cos DESC, id ASC) AS rank
-        |  FROM r)
-        |SELECT q_id, id, cos, CAST(rank AS INTEGER) AS rank
-        |FROM w WHERE rank <= 3""".stripMargin,
-    "q_chunk_text" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM documents),
-        |st AS (SELECT doc_id, toks,
-        |    CASE WHEN len(toks) = 0 THEN 0
-        |      ELSE CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS INT) + 1
-        |      END AS ns
-        |  FROM toks),
-        |ex AS (SELECT doc_id, toks, unnest(range(0, ns)) AS s FROM st)
-        |SELECT doc_id, CAST(s AS BIGINT) AS chunk_idx,
-        |  CAST(s * 24 AS BIGINT) AS chunk_start,
-        |  CAST(least(32, len(toks) - s * 24) AS BIGINT) AS n_tokens,
-        |  array_to_string(toks[s * 24 + 1 : s * 24 + 32], ' ') AS chunk_text
-        |FROM ex""".stripMargin,
-
-    // Crawl pipeline witness: survivors = even-length sources (the ones
-    // with a graftbot group) at the stats/public paths; text carries the
-    // repaired clean literal on every 7th doc; token count over the
-    // final text. One divergence anywhere in the WARC/robots/mojibake
-    // chain breaks the hash.
-    "q_pipeline_crawl" ->
-      """WITH base AS (
-        |  SELECT doc_id, source,
-        |    text || CASE WHEN doc_id % 7 = 0 THEN ' Café — déjà “vu” …'
-        |      ELSE '' END AS text
-        |  FROM documents
-        |  WHERE length(source) % 2 = 0 AND doc_id % 4 IN (1, 3))
-        |SELECT
-        |  'https://' || source || '.example.com' ||
-        |    CASE WHEN doc_id % 4 = 1 THEN '/private/stats'
-        |         ELSE '/public/' || doc_id END AS url,
-        |  text,
-        |  CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |       t -> t <> '')) AS BIGINT) AS n_tok
-        |FROM base""".stripMargin,
-
-    // Code fences: the planted block (and nothing else) extracts with
-    // its tag and trailing newline.
-    "q_code_blocks" ->
-      ("SELECT doc_id, CAST(0 AS BIGINT) AS block_idx, 'python' AS lang, " +
-        "'print(' || doc_id || ')' || chr(10) AS code " +
-        "FROM documents WHERE doc_id % 5 = 0"),
-
-    // Mojibake: the repair must recover the exact clean literal on the
-    // planted docs and leave the ASCII corpus untouched.
-    "q_fix_mojibake" ->
-      ("SELECT doc_id, text || CASE WHEN doc_id % 7 = 0 " +
-        "THEN ' Café — déjà “vu” …' ELSE '' END AS text FROM documents"),
-
-    // Flesch: the syllable heuristic is regexp-specified, so both
-    // engines compute identical counts; the formula is plain doubles.
-    "q_flesch" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks,
-        |    greatest(1, len(regexp_extract_all(coalesce(text, ''), '[.!?]+')))
-        |      AS sents
-        |  FROM documents),
-        |syl AS (
-        |  SELECT doc_id, toks, sents,
-        |    list_sum(list_transform(toks, w ->
-        |      greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+')) -
-        |        CASE WHEN regexp_matches(lower(w), '[^aeiouy]e$')
-        |              AND NOT regexp_matches(lower(w), 'le$')
-        |              AND len(regexp_extract_all(lower(w), '[aeiouy]+')) > 1
-        |          THEN 1 ELSE 0 END))) AS syls
-        |  FROM toks)
-        |SELECT doc_id, CASE WHEN len(toks) = 0 THEN NULL ELSE
-        |  206.835 - 1.015 * (len(toks)::DOUBLE / sents)
-        |          - 84.6 * (syls::DOUBLE / len(toks)) END AS flesch
-        |FROM syl""".stripMargin,
-
-    // Robots: the oracle derives each planted case's RFC verdict from
-    // the same construction (even-length sources: graftbot group —
-    // /private/ blocked, /private/stats end-anchor allowed, *.zip
-    // blocked, /public free; odd-length sources: deny-all * group). A
-    // parse or longest-match bug on the Spark side diverges from these.
-    "q_robots_filter" ->
-      """SELECT doc_id,
-        |  'https://' || source || '.example.com' ||
-        |  CASE doc_id % 4
-        |    WHEN 0 THEN '/private/' || doc_id
-        |    WHEN 1 THEN '/private/stats'
-        |    WHEN 2 THEN '/archive/' || doc_id || '.zip'
-        |    ELSE '/public/' || doc_id END AS url,
-        |  CASE WHEN length(source) % 2 = 1 THEN FALSE
-        |    ELSE CASE doc_id % 4
-        |      WHEN 0 THEN FALSE
-        |      WHEN 1 THEN TRUE
-        |      WHEN 2 THEN FALSE
-        |      ELSE TRUE END END AS robots_allowed
-        |FROM documents""".stripMargin,
-    "q_bloom_layout" ->
-      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 97 = 0 OR doc_id = 421",
-    "q_zorder_layout" ->
-      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
-    "q_hilbert_layout" ->
-      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
-    "q_frequent_rollup" ->
-      """WITH c AS (
-        |  SELECT source, lang, count(*)::BIGINT AS cnt FROM documents
-        |  WHERE lang IS NOT NULL GROUP BY 1, 2),
-        |r AS (
-        |  SELECT source, lang, cnt, row_number() OVER (
-        |    PARTITION BY source ORDER BY cnt DESC, lang) AS rk
-        |  FROM c)
-        |SELECT source, rk::INT AS rank, lang AS item, cnt AS est
-        |FROM r WHERE rk <= 2""".stripMargin,
-    "q_theta_overlap" ->
-      """WITH s AS (SELECT DISTINCT source, n_chars FROM documents),
-        |c AS (SELECT source, count(*)::BIGINT AS cnt FROM s GROUP BY source),
-        |i AS (
-        |  SELECT a.source AS source_a, b.source AS source_b,
-        |    count(*)::BIGINT AS inter
-        |  FROM s a JOIN s b ON a.n_chars = b.n_chars AND a.source < b.source
-        |  GROUP BY 1, 2)
-        |SELECT ca.source AS source_a, cb.source AS source_b,
-        |  coalesce(i.inter, 0)::BIGINT AS inter,
-        |  (ca.cnt + cb.cnt - coalesce(i.inter, 0))::BIGINT AS uni
-        |FROM c ca JOIN c cb ON ca.source < cb.source
-        |LEFT JOIN i ON i.source_a = ca.source AND i.source_b = cb.source""".stripMargin,
-    "q_quantile_rollup" ->
-      """SELECT source, 0.25::DOUBLE AS prob,
-        |  quantile_disc(n_chars, 0.25)::DOUBLE AS quantile
-        |FROM documents GROUP BY source
-        |UNION ALL
-        |SELECT source, 0.5::DOUBLE, quantile_disc(n_chars, 0.5)::DOUBLE
-        |FROM documents GROUP BY source
-        |UNION ALL
-        |SELECT source, 0.9::DOUBLE, quantile_disc(n_chars, 0.9)::DOUBLE
-        |FROM documents GROUP BY source
-        |UNION ALL
-        |SELECT source, 0.99::DOUBLE, quantile_disc(n_chars, 0.99)::DOUBLE
-        |FROM documents GROUP BY source""".stripMargin,
-    // Winsorize: the cut points are the same quantile_disc values the
-    // KLL sketch yields exactly under k; the clamp is pure arithmetic.
-    "q_skew_report" ->
-      """WITH c AS (
-        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM documents GROUP BY 1, 2),
-        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
-        |r AS (
-        |  SELECT lang, source, cnt, row_number() OVER (
-        |    ORDER BY cnt DESC, lang ASC, source ASC) AS rank
-        |  FROM c)
-        |SELECT lang, source, cnt,
-        |  (cnt * 1000000) // total AS share_micros,
-        |  CAST(rank AS INTEGER) AS rank
-        |FROM r, t WHERE rank <= 10""".stripMargin,
-    "q_salt_plan" ->
-      """SELECT l_suppkey, cnt, (cnt + 399) // 400 AS salts FROM (
-        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM lineitem GROUP BY 1)
-        |WHERE cnt > 400""".stripMargin,
-    "q_lang_segments" ->
-      """WITH corpus AS (
-        |  SELECT doc_id,
-        |    regexp_replace(coalesce(text, ''),
-        |      '(\S+ \S+ \S+ \S+ \S+)', '\1.', 'g')
-        |    || CASE WHEN doc_id % 4 = 0
-        |       THEN ' Der hund ist nicht mit der katze und das haus.'
-        |       ELSE '' END AS text
-        |  FROM documents),
-        |sent AS (
-        |  SELECT doc_id, s AS sentence
-        |  FROM corpus, unnest(list_filter(list_transform(
-        |    regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$'),
-        |    x -> trim(x)), x -> x <> '')) AS t(s)),
-        |scored AS (
-        |  SELECT doc_id,
-        |    CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-        |         WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
-        |         WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
-        |         WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
-        |         ELSE 'und' END AS lang
-        |  FROM (
-        |    SELECT doc_id,
-        |      len(list_filter(toks,
-        |        t -> list_contains(['the','and','of','to','in','is','that','for'], t))) AS s_en,
-        |      len(list_filter(toks,
-        |        t -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], t))) AS s_de,
-        |      len(list_filter(toks,
-        |        t -> list_contains(['le','la','les','et','est','pas','une','dans'], t))) AS s_fr,
-        |      len(list_filter(toks,
-        |        t -> list_contains(['el','la','los','y','es','no','una','por'], t))) AS s_es
-        |    FROM (
-        |      SELECT doc_id, list_transform(list_filter(
-        |        string_split_regex(sentence, '\s+'), t -> t <> ''),
-        |        t -> lower(t)) AS toks
-        |      FROM sent))),
-        |counts AS (
-        |  SELECT doc_id, lang, count(*) AS c FROM scored GROUP BY 1, 2),
-        |tot AS (
-        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_sentences,
-        |    CAST(count(CASE WHEN lang <> 'und' THEN 1 END) AS BIGINT) AS n_langs
-        |  FROM counts GROUP BY doc_id),
-        |maj AS (
-        |  SELECT doc_id, lang AS majority_lang, c FROM (
-        |    SELECT doc_id, lang, c, row_number() OVER (
-        |      PARTITION BY doc_id ORDER BY c DESC, lang ASC) AS rn
-        |    FROM counts) WHERE rn = 1)
-        |SELECT t.doc_id, t.n_sentences, t.n_langs, m.majority_lang,
-        |  m.c * 1.0 / t.n_sentences AS majority_frac,
-        |  t.n_langs >= 2 AS mixed
-        |FROM tot t JOIN maj m ON t.doc_id = m.doc_id""".stripMargin,
-    "q_mad_outliers" ->
-      """WITH spiky AS (
-        |  SELECT doc_id, lang,
-        |    CASE WHEN doc_id % 97 = 0 THEN n_chars * 1000
-        |         ELSE n_chars END AS n_chars
-        |  FROM documents),
-        |med AS (
-        |  SELECT lang, quantile_disc(n_chars, 0.5)::DOUBLE AS median
-        |  FROM spiky GROUP BY lang),
-        |dev AS (
-        |  SELECT s.doc_id, s.lang, s.n_chars, m.median,
-        |    abs(s.n_chars::DOUBLE - m.median) AS d
-        |  FROM spiky s JOIN med m ON s.lang = m.lang),
-        |mad AS (
-        |  SELECT lang, quantile_disc(d, 0.5)::DOUBLE AS mad
-        |  FROM dev GROUP BY lang)
-        |SELECT v.doc_id, v.lang, v.n_chars, v.median, a.mad,
-        |  v.d > a.mad * 3.5 AS is_outlier
-        |FROM dev v JOIN mad a ON v.lang = a.lang""".stripMargin,
-    "q_clip_quantiles" ->
-      """WITH spiky AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 50 = 0 THEN n_chars * 1000
-        |         ELSE n_chars END AS n_chars
-        |  FROM documents),
-        |cuts AS (
-        |  SELECT quantile_disc(n_chars, 0.05)::DOUBLE AS lo,
-        |    quantile_disc(n_chars, 0.95)::DOUBLE AS hi
-        |  FROM spiky)
-        |SELECT s.doc_id, s.n_chars,
-        |  greatest(c.lo, least(c.hi, s.n_chars::DOUBLE)) AS n_chars_clipped
-        |FROM spiky s CROSS JOIN cuts c""".stripMargin,
-
-    // PSI: identical CASE binning, fractions as long/double division,
-    // epsilon-smoothed log terms — pure double arithmetic both engines.
-    "q_psi_drift" ->
-      """WITH bins(bin, bin_lo, bin_hi) AS (VALUES
-        |  (-1, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
-        |  (0, CAST(NULL AS DOUBLE), 50000.0),
-        |  (1, 50000.0, 100000.0),
-        |  (2, 100000.0, 200000.0),
-        |  (3, 200000.0, 300000.0),
-        |  (4, 300000.0, CAST(NULL AS DOUBLE))),
-        |b AS (SELECT CASE WHEN o_totalprice IS NULL THEN -1 ELSE
-        |    (o_totalprice >= 50000.0)::INT + (o_totalprice >= 100000.0)::INT +
-        |    (o_totalprice >= 200000.0)::INT + (o_totalprice >= 300000.0)::INT END AS bin
-        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
-        |a AS (SELECT CASE WHEN o_totalprice IS NULL THEN -1 ELSE
-        |    (o_totalprice >= 50000.0)::INT + (o_totalprice >= 100000.0)::INT +
-        |    (o_totalprice >= 200000.0)::INT + (o_totalprice >= 300000.0)::INT END AS bin
-        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
-        |bc AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
-        |ac AS (SELECT bin, count(*) AS n FROM a GROUP BY bin),
-        |j AS (SELECT bins.bin, bins.bin_lo, bins.bin_hi,
-        |    coalesce(bc.n, 0) AS n_before, coalesce(ac.n, 0) AS n_after
-        |  FROM bins LEFT JOIN bc ON bc.bin = bins.bin
-        |  LEFT JOIN ac ON ac.bin = bins.bin),
-        |f AS (SELECT bin, bin_lo, bin_hi, n_before, n_after,
-        |    n_before / (SELECT sum(n_before)::BIGINT FROM j)::DOUBLE AS frac_before,
-        |    n_after / (SELECT sum(n_after)::BIGINT FROM j)::DOUBLE AS frac_after
-        |  FROM j)
-        |SELECT CAST(bin AS BIGINT) AS bin, bin_lo, bin_hi,
-        |  CAST(n_before AS BIGINT) AS n_before,
-        |  CAST(n_after AS BIGINT) AS n_after,
-        |  frac_before, frac_after,
-        |  (greatest(frac_after, 1e-6) - greatest(frac_before, 1e-6))
-        |    * ln(greatest(frac_after, 1e-6) / greatest(frac_before, 1e-6))
-        |    AS psi_term
-        |FROM f""".stripMargin,
-
-    // Quantile drift: exact under k at test SF, so quantile_disc per
-    // probe on each side is the oracle; drift is a double subtraction of
-    // identical values on both engines.
-    "q_quantile_drift" ->
-      """WITH b AS (SELECT n_chars FROM documents),
-        |a AS (SELECT n_chars + CASE WHEN doc_id % 3 = 0 THEN 100 ELSE 0 END
-        |        AS n_chars FROM documents)
-        |SELECT 0.25::DOUBLE AS prob,
-        |  (SELECT quantile_disc(n_chars, 0.25) FROM b)::DOUBLE AS q_before,
-        |  (SELECT quantile_disc(n_chars, 0.25) FROM a)::DOUBLE AS q_after,
-        |  (SELECT quantile_disc(n_chars, 0.25) FROM a)::DOUBLE
-        |    - (SELECT quantile_disc(n_chars, 0.25) FROM b)::DOUBLE AS drift
-        |UNION ALL
-        |SELECT 0.5::DOUBLE,
-        |  (SELECT quantile_disc(n_chars, 0.5) FROM b)::DOUBLE,
-        |  (SELECT quantile_disc(n_chars, 0.5) FROM a)::DOUBLE,
-        |  (SELECT quantile_disc(n_chars, 0.5) FROM a)::DOUBLE
-        |    - (SELECT quantile_disc(n_chars, 0.5) FROM b)::DOUBLE
-        |UNION ALL
-        |SELECT 0.9::DOUBLE,
-        |  (SELECT quantile_disc(n_chars, 0.9) FROM b)::DOUBLE,
-        |  (SELECT quantile_disc(n_chars, 0.9) FROM a)::DOUBLE,
-        |  (SELECT quantile_disc(n_chars, 0.9) FROM a)::DOUBLE
-        |    - (SELECT quantile_disc(n_chars, 0.9) FROM b)::DOUBLE
-        |UNION ALL
-        |SELECT 0.99::DOUBLE,
-        |  (SELECT quantile_disc(n_chars, 0.99) FROM b)::DOUBLE,
-        |  (SELECT quantile_disc(n_chars, 0.99) FROM a)::DOUBLE,
-        |  (SELECT quantile_disc(n_chars, 0.99) FROM a)::DOUBLE
-        |    - (SELECT quantile_disc(n_chars, 0.99) FROM b)::DOUBLE""".stripMargin,
-
-    "q_bloom_prune_join" ->
-      """SELECT o_orderpriority, count(*) AS n,
-        |  round(sum(l_extendedprice), 2) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE o_orderpriority = '1-URGENT'
-        |GROUP BY 1""".stripMargin,
-    "q_incremental_dedup" ->
-      """WITH base AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
-        |batch AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, coalesce(text, '') || ' extra extra'
-        |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 10 = 1),
-        |all_docs AS (
-        |  SELECT 'i' AS side, doc_id, text FROM base
-        |  UNION ALL SELECT 'n', doc_id, text FROM batch),
-        |toks AS (
-        |  SELECT side, doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM all_docs),
-        |sh AS (
-        |  SELECT side, doc_id,
-        |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-        |      i -> array_to_string(toks[i:i+2], ' ')) AS shingles
-        |  FROM toks WHERE len(toks) > 0),
-        |h AS (
-        |  SELECT side, doc_id,
-        |    ('0x' || substring(sha256(s), 1, 7))::BIGINT % 268435399 AS h
-        |  FROM sh CROSS JOIN unnest(shingles) AS u(s)),
-        |minh AS (
-        |  SELECT side, doc_id, CAST(p AS INTEGER) AS p,
-        |    min((h * (2 * p + 1) + p * 7919) % 268435399) AS mh
-        |  FROM h CROSS JOIN range(16) t(p)
-        |  GROUP BY side, doc_id, p),
-        |sig AS (
-        |  SELECT side, doc_id, list(mh ORDER BY p) AS sig
-        |  FROM minh GROUP BY side, doc_id),
-        |bandh AS (
-        |  SELECT side, doc_id, b,
-        |    ('0x' || substring(sha256(
-        |      array_to_string(sig[CAST(b AS INTEGER)*4+1 : CAST(b AS INTEGER)*4+4], ',')),
-        |      1, 15))::BIGINT AS bh
-        |  FROM sig CROSS JOIN range(4) t(b)),
-        |cand AS (
-        |  SELECT DISTINCT n.doc_id AS batch_id, i.doc_id AS index_id
-        |  FROM bandh n JOIN bandh i ON n.b = i.b AND n.bh = i.bh
-        |  WHERE n.side = 'n' AND i.side = 'i'),
-        |matched AS (
-        |  SELECT DISTINCT cand.batch_id
-        |  FROM cand
-        |  JOIN sig s1 ON s1.side = 'n' AND s1.doc_id = cand.batch_id
-        |  JOIN sig s2 ON s2.side = 'i' AND s2.doc_id = cand.index_id
-        |  WHERE round(len(list_filter(range(16),
-        |      i -> s1.sig[CAST(i AS INTEGER)+1] = s2.sig[CAST(i AS INTEGER)+1]))
-        |      / 16.0, 6) >= 0.5)
-        |SELECT doc_id FROM batch
-        |WHERE doc_id NOT IN (SELECT batch_id FROM matched)""".stripMargin,
-    "q_audit_lsh_pairs" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' extra extra'
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM corpus),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-        |      i -> array_to_string(toks[i:i+2], ' ')) AS shingles
-        |  FROM toks WHERE len(toks) > 0),
-        |h AS (
-        |  SELECT doc_id,
-        |    ('0x' || substring(sha256(s), 1, 7))::BIGINT % 268435399 AS h
-        |  FROM sh CROSS JOIN unnest(shingles) AS u(s)),
-        |minh AS (
-        |  SELECT doc_id, CAST(p AS INTEGER) AS p,
-        |    min((h * (2 * p + 1) + p * 7919) % 268435399) AS mh
-        |  FROM h CROSS JOIN range(16) t(p)
-        |  GROUP BY doc_id, p),
-        |sig AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM minh GROUP BY doc_id),
-        |bandh AS (
-        |  SELECT doc_id, b,
-        |    ('0x' || substring(sha256(
-        |      array_to_string(sig[CAST(b AS INTEGER)*4+1 : CAST(b AS INTEGER)*4+4], ',')),
-        |      1, 15))::BIGINT AS bh
-        |  FROM sig CROSS JOIN range(4) t(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        |  FROM bandh a JOIN bandh c ON a.b = c.b AND a.bh = c.bh
-        |  WHERE a.doc_id < c.doc_id),
-        |est AS (
-        |  SELECT cand.id_a, cand.id_b,
-        |    round(len(list_filter(range(16),
-        |      i -> s1.sig[CAST(i AS INTEGER)+1] = s2.sig[CAST(i AS INTEGER)+1]))
-        |      / 16.0, 6) AS est_jaccard
-        |  FROM cand
-        |  JOIN sig s1 ON s1.doc_id = cand.id_a
-        |  JOIN sig s2 ON s2.doc_id = cand.id_b),
-        |sets AS (SELECT doc_id, list_distinct(shingles) AS st FROM sh)
-        |SELECT e.id_a, e.id_b, e.est_jaccard,
-        |  CASE WHEN len(list_distinct(list_cat(sa.st, sb.st))) = 0 THEN 0.0
-        |       ELSE round(
-        |         len(list_filter(sa.st, x -> list_contains(sb.st, x))) * 1.0
-        |         / len(list_distinct(list_cat(sa.st, sb.st))), 6) END
-        |    AS exact_jaccard
-        |FROM est e
-        |JOIN sets sa ON sa.doc_id = e.id_a
-        |JOIN sets sb ON sb.doc_id = e.id_b
-        |WHERE e.est_jaccard >= 0.5""".stripMargin,
-    "q_salted_distinct" ->
-      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_count
-        |FROM lineitem GROUP BY 1""".stripMargin,
-    // same LSH pair derivation + transitive closure → min-reachable
-    // component; the stars variant must reproduce it exactly
-    "q_dedup_clusters" -> (dedupClustersOracle + dedupClustersSelect),
-    "q_dedup_clusters_stars" -> (dedupClustersOracle + dedupClustersSelect),
-    "q_dedup_corpus" -> (dedupClustersOracle + dedupCorpusSelect),
-    "q_ngram_jaccard_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source, lang,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, source, lang,
-        |    list_distinct(CASE WHEN len(toks) = 0 THEN []
-        |      ELSE list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-        |             i -> array_to_string(toks[i:i+2], ' ')) END) AS s
-        |  FROM toks),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
-        |         ELSE round(len(list_intersect(a.s, b.s)) * 1.0
-        |              / len(list_distinct(list_concat(a.s, b.s))), 6) END AS jaccard
-        |  FROM sh a JOIN sh b
-        |    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.1""".stripMargin,
-    "q_containment_pairs" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, source, lang, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, source, lang,
-        |    substring(text, 1, length(text) // 3)
-        |  FROM documents WHERE doc_id % 20 = 0),
-        |toks AS (
-        |  SELECT doc_id, source, lang,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM corpus),
-        |sh AS (
-        |  SELECT doc_id, source, lang,
-        |    list_distinct(CASE WHEN len(toks) = 0 THEN []
-        |      ELSE list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-        |             i -> array_to_string(toks[i:i+2], ' ')) END) AS s
-        |  FROM toks),
-        |sz AS (SELECT doc_id, len(s) AS sz FROM sh WHERE len(s) >= 5),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    round(len(list_intersect(a.s, b.s)) * 1.0
-        |          / least(sa.sz, sb.sz), 6) AS containment
-        |  FROM sh a JOIN sh b
-        |    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |  JOIN sz sa ON sa.doc_id = a.doc_id
-        |  JOIN sz sb ON sb.doc_id = b.doc_id)
-        |SELECT id_a, id_b, containment FROM p
-        |WHERE containment >= 0.5""".stripMargin,
-    // prefix filtering is exact (no false negatives), so the oracle is
-    // plain all-pairs Jaccard via a shared-token join — same shingles,
-    // same round-6 double division (identical int operands both sides)
-    "q_prefix_jaccard" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' extra extra'
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM corpus),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(toks) = 0 THEN []
-        |      ELSE list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-        |             i -> array_to_string(toks[i:i+2], ' ')) END) AS s
-        |  FROM toks),
-        |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS tok FROM sh),
-        |m AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    count(*) AS c, any_value(a.sz) AS sza, any_value(b.sz) AS szb
-        |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |p AS (
-        |  SELECT id_a, id_b, round(c * 1.0 / (sza + szb - c), 6) AS jaccard
-        |  FROM m)
-        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin,
-    "q_cosine_near_dup" ->
-      """WITH corpus AS (
-        |  SELECT vec_id, label, embedding FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 100000, label,
-        |    list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
-        |  FROM embeddings WHERE vec_id % 20 = 0),
-        |c AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)) AS va,
-        |    list_transform(b.embedding, x -> CAST(x AS DOUBLE)) AS vb
-        |  FROM corpus a JOIN corpus b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id),
-        |s AS (
-        |  SELECT id_a, id_b,
-        |    list_sum(list_transform(range(len(va)),
-        |      i -> va[CAST(i AS INTEGER)+1] * vb[CAST(i AS INTEGER)+1])) AS dot,
-        |    sqrt(list_sum(list_transform(va, x -> x * x))) AS na,
-        |    sqrt(list_sum(list_transform(vb, x -> x * x))) AS nb
-        |  FROM c)
-        |SELECT id_a, id_b,
-        |  round(CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (na * nb) END, 6)
-        |    AS cos
-        |FROM s
-        |WHERE round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
-        |            ELSE dot / (na * nb) END, 6) >= 0.99""".stripMargin,
-    "q_embed_near_dup" ->
-      """WITH corpus AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 100000,
-        |    list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
-        |  FROM embeddings WHERE vec_id % 20 = 0),
-        |signs AS (
-        |  SELECT t, p, d,
-        |    CASE WHEN ('0x' || substring(
-        |        sha256('hp:' || t || ':' || p || ':' || d),
-        |        1, 7))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
-        |  FROM range(4) a(t) CROSS JOIN range(8) b(p)
-        |    CROSS JOIN range(64) c(d)),
-        |v AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM corpus),
-        |ve AS (
-        |  SELECT vec_id, CAST(i AS INTEGER) AS d, v[CAST(i AS INTEGER) + 1] AS x
-        |  FROM v CROSS JOIN range(64) r(i)),
-        |proj AS (
-        |  SELECT vec_id, t, p, round(sum(x * s), 6) AS proj
-        |  FROM ve JOIN signs ON ve.d = signs.d
-        |  GROUP BY 1, 2, 3),
-        |sig AS (
-        |  SELECT vec_id, t,
-        |    CAST(SUM(CASE WHEN proj > 0 THEN (1::BIGINT << CAST(p AS INTEGER))
-        |        ELSE 0 END) AS BIGINT) AS sig
-        |  FROM proj GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM sig a JOIN sig b
-        |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
-        |pv AS (
-        |  SELECT cand.id_a, cand.id_b, va.v AS va, vb.v AS vb
-        |  FROM cand JOIN v va ON va.vec_id = cand.id_a
-        |  JOIN v vb ON vb.vec_id = cand.id_b),
-        |s2 AS (
-        |  SELECT id_a, id_b,
-        |    list_sum(list_transform(range(len(va)),
-        |      i -> va[CAST(i AS INTEGER)+1] * vb[CAST(i AS INTEGER)+1])) AS dot,
-        |    sqrt(list_sum(list_transform(va, x -> x * x))) AS na,
-        |    sqrt(list_sum(list_transform(vb, x -> x * x))) AS nb
-        |  FROM pv)
-        |SELECT id_a, id_b,
-        |  round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
-        |        ELSE dot / (na * nb) END, 6) AS cos
-        |FROM s2
-        |WHERE round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
-        |            ELSE dot / (na * nb) END, 6) >= 0.99""".stripMargin,
-    // the ADVISOR-chosen hyperplane banding: cosine 0.99 at target
-    // recall 0.9 under a 64-hash budget -> tables=4, planes=16
-    "q_embed_near_dup_auto" ->
-      """WITH corpus AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 100000,
-        |    list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
-        |  FROM embeddings WHERE vec_id % 20 = 0),
-        |signs AS (
-        |  SELECT t, p, d,
-        |    CASE WHEN ('0x' || substring(
-        |        sha256('hp:' || t || ':' || p || ':' || d),
-        |        1, 7))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
-        |  FROM range(4) a(t) CROSS JOIN range(16) b(p)
-        |    CROSS JOIN range(64) c(d)),
-        |v AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM corpus),
-        |ve AS (
-        |  SELECT vec_id, CAST(i AS INTEGER) AS d, v[CAST(i AS INTEGER) + 1] AS x
-        |  FROM v CROSS JOIN range(64) r(i)),
-        |proj AS (
-        |  SELECT vec_id, t, p, round(sum(x * s), 6) AS proj
-        |  FROM ve JOIN signs ON ve.d = signs.d
-        |  GROUP BY 1, 2, 3),
-        |sig AS (
-        |  SELECT vec_id, t,
-        |    CAST(SUM(CASE WHEN proj > 0 THEN (1::BIGINT << CAST(p AS INTEGER))
-        |        ELSE 0 END) AS BIGINT) AS sig
-        |  FROM proj GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM sig a JOIN sig b
-        |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
-        |pv AS (
-        |  SELECT cand.id_a, cand.id_b, va.v AS va, vb.v AS vb
-        |  FROM cand JOIN v va ON va.vec_id = cand.id_a
-        |  JOIN v vb ON vb.vec_id = cand.id_b),
-        |s2 AS (
-        |  SELECT id_a, id_b,
-        |    list_sum(list_transform(range(len(va)),
-        |      i -> va[CAST(i AS INTEGER)+1] * vb[CAST(i AS INTEGER)+1])) AS dot,
-        |    sqrt(list_sum(list_transform(va, x -> x * x))) AS na,
-        |    sqrt(list_sum(list_transform(vb, x -> x * x))) AS nb
-        |  FROM pv)
-        |SELECT id_a, id_b,
-        |  round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
-        |        ELSE dot / (na * nb) END, 6) AS cos
-        |FROM s2
-        |WHERE round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
-        |            ELSE dot / (na * nb) END, 6) >= 0.99""".stripMargin,
-    "q_ann_topk" ->
-      """WITH q AS (
-        |  SELECT vec_id AS q_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-        |  FROM embeddings WHERE vec_id < 10),
-        |c AS (
-        |  SELECT vec_id AS id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-        |  FROM embeddings),
-        |s AS (
-        |  SELECT q_id, id,
-        |    list_sum(list_transform(range(len(qv)),
-        |      i -> qv[CAST(i AS INTEGER)+1] * cv[CAST(i AS INTEGER)+1])) AS dot,
-        |    sqrt(list_sum(list_transform(qv, x -> x * x))) AS na,
-        |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS nb
-        |  FROM q CROSS JOIN c),
-        |r AS (
-        |  SELECT q_id, id,
-        |    round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
-        |          ELSE dot / (na * nb) END, 6) AS cos
-        |  FROM s),
-        |w AS (
-        |  SELECT q_id, id, cos, row_number() OVER (
-        |    PARTITION BY q_id ORDER BY cos DESC, id ASC) AS rank
-        |  FROM r)
-        |SELECT q_id, id, cos, CAST(rank AS INTEGER) AS rank
-        |FROM w WHERE rank <= 5""".stripMargin,
-    "q_hard_negatives" ->
-      """WITH q AS (
-        |  SELECT vec_id AS q_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-        |  FROM embeddings WHERE vec_id < 10),
-        |c AS (
-        |  SELECT vec_id AS id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-        |  FROM embeddings),
-        |s AS (
-        |  SELECT q_id, id,
-        |    list_sum(list_transform(range(len(qv)),
-        |      i -> qv[CAST(i AS INTEGER)+1] * cv[CAST(i AS INTEGER)+1])) AS dot,
-        |    sqrt(list_sum(list_transform(qv, x -> x * x))) AS na,
-        |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS nb
-        |  FROM q CROSS JOIN c),
-        |r AS (
-        |  SELECT q_id, id,
-        |    round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
-        |          ELSE dot / (na * nb) END, 6) AS cos
-        |  FROM s),
-        |pos AS (
-        |  SELECT q_id, unnest([q_id, q_id + 20]) AS id
-        |  FROM (SELECT DISTINCT q_id FROM q)),
-        |neg AS (
-        |  SELECT r.q_id, r.id, r.cos FROM r
-        |  WHERE NOT EXISTS (SELECT 1 FROM pos
-        |    WHERE pos.q_id = r.q_id AND pos.id = r.id)),
-        |w AS (
-        |  SELECT q_id, id, cos, row_number() OVER (
-        |    PARTITION BY q_id ORDER BY cos DESC, id ASC) AS rank
-        |  FROM neg)
-        |SELECT q_id, id, cos, CAST(rank AS INTEGER) AS rank
-        |FROM w WHERE rank <= 5""".stripMargin,
-    "q_multimodal_meta" ->
-      """WITH d AS (
-        |  SELECT doc_id, encode(text) AS content, sha256(text) AS dg
-        |  FROM documents)
-        |SELECT doc_id,
-        |  ['png', 'jpg', 'webp'][(('0x' || substring(dg, 1, 2))::INTEGER % 3) + 1]
-        |    AS format,
-        |  CAST(16 + (('0x' || substring(dg, 3, 2))::INTEGER % 16) * 16 AS INTEGER)
-        |    AS width,
-        |  CAST(16 + (('0x' || substring(dg, 5, 2))::INTEGER % 16) * 16 AS INTEGER)
-        |    AS height,
-        |  CAST(octet_length(content) AS BIGINT) AS n_bytes
-        |FROM d""".stripMargin,
-    // HITS: the oracle unrolls both iterations with the identical
-    // nano-quantized long sums and L1 normalizations.
-    "q_hits" ->
-      """WITH raw AS (
-        |  SELECT CAST(o_orderkey % 97 AS VARCHAR) AS s,
-        |    CAST(o_custkey % 97 AS VARCHAR) AS d
-        |  FROM orders),
-        |e AS (SELECT DISTINCT s, d FROM raw),
-        |nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-        |h0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS h
-        |  FROM nodes),
-        |a1r AS (SELECT e.d AS node,
-        |    CAST(sum(CAST(round(h0.h * 1e9) AS BIGINT)) AS BIGINT) AS r
-        |  FROM e JOIN h0 ON e.s = h0.node GROUP BY e.d),
-        |a1t AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM a1r),
-        |a1 AS (SELECT nodes.node,
-        |    coalesce(a1r.r, 0)::DOUBLE / (SELECT t FROM a1t) AS a
-        |  FROM nodes LEFT JOIN a1r USING (node)),
-        |h1r AS (SELECT e.s AS node,
-        |    CAST(sum(CAST(round(a1.a * 1e9) AS BIGINT)) AS BIGINT) AS r
-        |  FROM e JOIN a1 ON e.d = a1.node GROUP BY e.s),
-        |h1t AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM h1r),
-        |h1 AS (SELECT nodes.node,
-        |    coalesce(h1r.r, 0)::DOUBLE / (SELECT t FROM h1t) AS h
-        |  FROM nodes LEFT JOIN h1r USING (node)),
-        |a2r AS (SELECT e.d AS node,
-        |    CAST(sum(CAST(round(h1.h * 1e9) AS BIGINT)) AS BIGINT) AS r
-        |  FROM e JOIN h1 ON e.s = h1.node GROUP BY e.d),
-        |a2t AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM a2r),
-        |a2 AS (SELECT nodes.node,
-        |    coalesce(a2r.r, 0)::DOUBLE / (SELECT t FROM a2t) AS a
-        |  FROM nodes LEFT JOIN a2r USING (node)),
-        |h2r AS (SELECT e.s AS node,
-        |    CAST(sum(CAST(round(a2.a * 1e9) AS BIGINT)) AS BIGINT) AS r
-        |  FROM e JOIN a2 ON e.d = a2.node GROUP BY e.s),
-        |h2t AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM h2r),
-        |h2 AS (SELECT nodes.node,
-        |    coalesce(h2r.r, 0)::DOUBLE / (SELECT t FROM h2t) AS h
-        |  FROM nodes LEFT JOIN h2r USING (node))
-        |SELECT h2.node, round(h2.h, 6) AS hub, round(a2.a, 6) AS authority
-        |FROM h2 JOIN a2 USING (node)""".stripMargin,
-    "q_assortativity" ->
-      """WITH raw AS (
-        |  SELECT CAST(o_orderkey % 97 AS VARCHAR) AS x,
-        |    CAST(o_custkey % 97 AS VARCHAR) AS y
-        |  FROM orders),
-        |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
-        |  FROM raw WHERE x <> y),
-        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
-        |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
-        |  GROUP BY node),
-        |dir AS (SELECT a AS x, b AS y FROM e
-        |  UNION ALL SELECT b, a FROM e),
-        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(dx.d) AS BIGINT) AS sx,
-        |    CAST(sum(dx.d * dx.d) AS BIGINT) AS sxx,
-        |    CAST(sum(dx.d * dy.d) AS BIGINT) AS sxy
-        |  FROM dir
-        |  JOIN deg dx ON dir.x = dx.node
-        |  JOIN deg dy ON dir.y = dy.node)
-        |SELECT CAST(n / 2 AS BIGINT) AS n_edges,
-        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-        |    ELSE round((n * sxy - sx * sx)::DOUBLE / (n * sxx - sx * sx), 6)
-        |  END AS assortativity
-        |FROM s""".stripMargin,
-    "q_mutual_info" ->
-      """WITH g AS (
-        |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS nab
-        |  FROM documents GROUP BY lang, source),
-        |e AS (SELECT a, b, nab,
-        |    CAST(sum(nab) OVER (PARTITION BY a) AS BIGINT) AS na,
-        |    CAST(sum(nab) OVER (PARTITION BY b) AS BIGINT) AS nb,
-        |    CAST(sum(nab) OVER () AS BIGINT) AS nn
-        |  FROM g)
-        |SELECT CAST(max(nn) AS BIGINT) AS n,
-        |  round(CAST(sum(CAST(round((nab::DOUBLE / nn)
-        |    * ln((nab::DOUBLE * nn) / (na::DOUBLE * nb)) * 1e9) AS BIGINT))
-        |    AS BIGINT) / 1e9, 6) AS mi_nats
-        |FROM e""".stripMargin,
-    // chi2 via the present-cells identity N·Σ o²/(na·nb) − N; pure IEEE
-    // arithmetic from integer counts, nano-quantized cell terms
-    "q_chi_squared" ->
-      """WITH g AS (
-        |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS nab
-        |  FROM documents GROUP BY lang, source),
-        |m AS (SELECT a, b, nab,
-        |    CAST(sum(nab) OVER (PARTITION BY a) AS BIGINT) AS na,
-        |    CAST(sum(nab) OVER (PARTITION BY b) AS BIGINT) AS nb,
-        |    CAST(sum(nab) OVER () AS BIGINT) AS nn
-        |  FROM g),
-        |agg AS (
-        |  SELECT CAST(max(nn) AS BIGINT) AS n,
-        |    CAST(count(DISTINCT a)
-        |      + max(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r,
-        |    CAST(count(DISTINCT b)
-        |      + max(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c,
-        |    CAST(sum(CAST(round((nab::DOUBLE * nab) / (na::DOUBLE * nb)
-        |      * 1e9) AS BIGINT)) AS BIGINT) AS sn
-        |  FROM m),
-        |f AS (
-        |  SELECT n, r, c,
-        |    greatest(0.0, n::DOUBLE * sn / 1e9 - n::DOUBLE) AS chi2raw
-        |  FROM agg)
-        |SELECT n, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
-        |  round(chi2raw, 6) AS chi2,
-        |  CASE WHEN least(r, c) <= 1 THEN NULL
-        |    ELSE round(sqrt(chi2raw / (n::DOUBLE * (least(r, c) - 1))), 6)
-        |  END AS cramers_v
-        |FROM f""".stripMargin,
-    "q_gini" ->
-      """WITH g AS (
-        |  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
-        |  FROM documents GROUP BY 1),
-        |p AS (
-        |  SELECT v, c, coalesce(CAST(sum(c) OVER (ORDER BY v
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
-        |    AS b
-        |  FROM g),
-        |s AS (
-        |  SELECT CAST(sum(c) AS BIGINT) AS n,
-        |    CAST(sum(v * c) AS BIGINT) AS sx,
-        |    CAST(sum(v * (c * b + (c * (c + 1)) // 2)) AS BIGINT) AS rs
-        |  FROM p)
-        |SELECT n,
-        |  round(CASE WHEN sx = 0 THEN NULL
-        |    ELSE 2.0::DOUBLE * rs / CAST(n * sx AS DOUBLE)
-        |      - CAST(n + 1 AS DOUBLE) / n END, 6) AS gini
-        |FROM s""".stripMargin,
-    // Benford: identical log10 double literals on both sides (log10 is
-    // not cross-libm portable); floor-then-cast so the double -> long
-    // conversion agrees (Spark casts truncate, DuckDB CAST rounds)
-    "q_benford" ->
-      """WITH d AS (
-        |  SELECT CASE WHEN v IS NULL OR v <= 0 THEN 0
-        |    ELSE CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INT) END AS digit
-        |  FROM (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders)),
-        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
-        |t AS (SELECT digit, n,
-        |    CAST(sum(CASE WHEN digit > 0 THEN n ELSE 0 END) OVER ()
-        |      AS BIGINT) AS nn
-        |  FROM g),
-        |e AS (SELECT digit, n, nn,
-        |    CASE digit
-        |      WHEN 1 THEN 0.3010299956639812::DOUBLE
-        |      WHEN 2 THEN 0.17609125905568124::DOUBLE
-        |      WHEN 3 THEN 0.12493873660829993::DOUBLE
-        |      WHEN 4 THEN 0.09691001300805642::DOUBLE
-        |      WHEN 5 THEN 0.07918124604762482::DOUBLE
-        |      WHEN 6 THEN 0.06694678963061322::DOUBLE
-        |      WHEN 7 THEN 0.05799194697768673::DOUBLE
-        |      WHEN 8 THEN 0.05115252244738129::DOUBLE
-        |      WHEN 9 THEN 0.04575749056067514::DOUBLE END * nn AS ex
-        |  FROM t)
-        |SELECT digit, n,
-        |  CASE WHEN digit = 0 THEN NULL ELSE round(ex, 6) END AS expected,
-        |  CASE WHEN digit = 0 THEN NULL
-        |    ELSE round((n - ex) * (n - ex) / ex, 6) END AS chi2_term
-        |FROM e""".stripMargin,
-    "q_ks_drift" ->
-      """WITH b AS (SELECT value AS v FROM events
-        |  WHERE event_type = 'view' AND value IS NOT NULL),
-        |a AS (SELECT value AS v FROM events
-        |  WHERE event_type = 'click' AND value IS NOT NULL),
-        |tb AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM b),
-        |ta AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM a),
-        |zb AS (SELECT CAST(count(*) AS BIGINT) AS z1 FROM events
-        |  WHERE event_type = 'view' AND value IS NULL),
-        |za AS (SELECT CAST(count(*) AS BIGINT) AS z2 FROM events
-        |  WHERE event_type = 'click' AND value IS NULL),
-        |g1 AS (SELECT v, CAST(count(*) AS BIGINT) AS c1 FROM b GROUP BY v),
-        |g2 AS (SELECT v, CAST(count(*) AS BIGINT) AS c2 FROM a GROUP BY v),
-        |m AS (
-        |  SELECT coalesce(g1.v, g2.v) AS v,
-        |    coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
-        |  FROM g1 FULL OUTER JOIN g2 ON g1.v = g2.v),
-        |p AS (
-        |  SELECT CAST(sum(c1) OVER (ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      AS r1,
-        |    CAST(sum(c2) OVER (ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      AS r2
-        |  FROM m),
-        |d AS (SELECT coalesce(CAST(max(abs(r1 * n2 - r2 * n1)) AS BIGINT), 0)
-        |    AS dn
-        |  FROM p, tb, ta)
-        |SELECT n1 AS n_before, n2 AS n_after, z1 AS null_before,
-        |  z2 AS null_after,
-        |  round(CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
-        |    ELSE CAST(dn AS DOUBLE) / (n1 * n2) END, 6) AS ks
-        |FROM d, tb, ta, zb, za""".stripMargin,
-    // DP counts: same sha-derived uniform, same inverse-CDF Laplace tree
-    "q_dp_counts" ->
-      """WITH g AS (
-        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS c,
-        |    (('0x' || substring(sha256('dp' || ':' || coalesce(lang, '')
-        |      || ':' || coalesce(source, '')), 1, 7))::BIGINT + 0.5)
-        |      / 268435456.0 AS u
-        |  FROM documents GROUP BY lang, source)
-        |SELECT lang, source,
-        |  c + CAST(round(-1.0 * sign(u - 0.5)::DOUBLE *
-        |    ln(1.0 - 2.0 * abs(u - 0.5))) AS BIGINT) AS noised_count
-        |FROM g""".stripMargin,
-    "q_cohen_kappa" ->
-      """WITH d AS (
-        |  SELECT lang AS a,
-        |    CASE WHEN text LIKE '% the %' THEN 'en' ELSE 'other' END AS b
-        |  FROM documents),
-        |g AS (SELECT a, b, CAST(count(*) AS BIGINT) AS nab FROM d GROUP BY a, b),
-        |ma AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na FROM g GROUP BY a),
-        |mb AS (SELECT b, CAST(sum(nab) AS BIGINT) AS nb FROM g GROUP BY b),
-        |pe AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS pe_num
-        |  FROM ma JOIN mb ON ma.a IS NOT DISTINCT FROM mb.b),
-        |tot AS (SELECT CAST(coalesce(sum(nab), 0) AS BIGINT) AS n,
-        |    CAST(coalesce(sum(CASE WHEN a IS NOT DISTINCT FROM b
-        |      THEN nab ELSE 0 END), 0) AS BIGINT) AS agree
-        |  FROM g)
-        |SELECT n, agree,
-        |  round(CASE WHEN n * n - pe_num = 0 THEN NULL
-        |    ELSE CAST(n * agree - pe_num AS DOUBLE) / (n * n - pe_num)
-        |  END, 6) AS kappa
-        |FROM tot, pe""".stripMargin,
-    "q_fleiss_kappa" ->
-      """WITH r AS (
-        |  SELECT doc_id AS i,
-        |    CASE WHEN n_chars >= 306 THEN 'long' ELSE 'short' END AS j
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT doc_id,
-        |    CASE WHEN length(text) >= 280 THEN 'long' ELSE 'short' END
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT doc_id,
-        |    CASE WHEN n_chars % 2 = 0 THEN 'long' ELSE 'short' END
-        |  FROM documents),
-        |cells AS (SELECT i, j, CAST(count(*) AS BIGINT) AS nij
-        |  FROM r GROUP BY i, j),
-        |per_item AS (SELECT i, CAST(sum(nij * nij) AS BIGINT) AS sq
-        |  FROM cells GROUP BY i),
-        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
-        |    CAST(coalesce(sum(sq - 3), 0) AS BIGINT) AS aa
-        |  FROM per_item),
-        |marg AS (SELECT j, CAST(sum(nij) AS BIGINT) AS cj
-        |  FROM cells GROUP BY j),
-        |b AS (SELECT CAST(coalesce(sum(cj * cj), 0) AS BIGINT) AS bb FROM marg)
-        |SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
-        |  round(CASE WHEN 2 * (n_items * n_items * 9 - bb) = 0 THEN NULL
-        |    ELSE CAST(aa * n_items * 3 - bb * 2 AS DOUBLE)
-        |      / (2 * (n_items * n_items * 9 - bb))
-        |  END, 6) AS kappa
-        |FROM a, b""".stripMargin,
-    // Zipf fit: identical nano-quantized log sums, identical final
-    // double expression trees
-    "q_zipf" ->
-      """WITH tok AS (
-        |  SELECT unnest(list_transform(list_filter(
-        |    string_split_regex(coalesce(text, ''), '\s+'), t -> t <> ''),
-        |    t -> lower(t))) AS t
-        |  FROM documents),
-        |cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
-        |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, t ASC)
-        |    AS BIGINT) AS rnk
-        |  FROM cnt),
-        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CAST(round(ln(CAST(rnk AS DOUBLE)) * 1e9) AS BIGINT))
-        |      AS BIGINT) AS sx,
-        |    CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT))
-        |      AS BIGINT) AS sy,
-        |    CAST(sum(CAST(round(ln(CAST(rnk AS DOUBLE))
-        |      * ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS sxy,
-        |    CAST(sum(CAST(round(ln(CAST(rnk AS DOUBLE))
-        |      * ln(CAST(rnk AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS sxx
-        |  FROM r),
-        |f AS (SELECT n, CAST(n AS DOUBLE) AS nd, sx / 1e9 AS sxd,
-        |    sy / 1e9 AS syd, sxy / 1e9 AS sxyd, sxx / 1e9 AS sxxd
-        |  FROM s)
-        |SELECT n AS n_terms,
-        |  round(CASE WHEN n < 2 OR nd * sxxd - sxd * sxd = 0 THEN NULL
-        |    ELSE (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) END, 6)
-        |    AS slope,
-        |  round(CASE WHEN n < 2 OR nd * sxxd - sxd * sxd = 0 THEN NULL
-        |    ELSE (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))
-        |      * sxd) / nd END, 6) AS intercept
-        |FROM f""".stripMargin,
-    "q_license_scan" ->
-      """WITH salted AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 7 = 0
-        |        THEN text || ' SPDX-License-Identifier: MIT'
-        |      WHEN doc_id % 7 = 1
-        |        THEN text || ' Licensed under the Apache License, Version 2.0 terms.'
-        |      WHEN doc_id % 7 = 2
-        |        THEN text || ' Released under the GNU General Public License.'
-        |      ELSE text END AS t2
-        |  FROM documents),
-        |d AS (
-        |  SELECT doc_id, coalesce(t2, '') AS t, lower(coalesce(t2, '')) AS lt
-        |  FROM salted),
-        |x AS (
-        |  SELECT doc_id, lt,
-        |    regexp_extract(t, 'SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)', 1)
-        |      AS spdx
-        |  FROM d),
-        |g AS (
-        |  SELECT doc_id,
-        |    CASE WHEN spdx <> '' THEN spdx END AS spdx_id,
-        |    coalesce(
-        |      CASE WHEN spdx <> '' THEN lower(spdx) END,
-        |      CASE WHEN contains(lt, 'apache license')
-        |        AND contains(lt, 'version 2.0') THEN 'apache-2.0' END,
-        |      CASE WHEN contains(lt,
-        |        'permission is hereby granted, free of charge') THEN 'mit' END,
-        |      CASE WHEN contains(lt, 'gnu affero general public license')
-        |        THEN 'agpl-3.0' END,
-        |      CASE WHEN contains(lt, 'gnu lesser general public license')
-        |        THEN 'lgpl-3.0' END,
-        |      CASE WHEN contains(lt, 'gnu general public license')
-        |        THEN 'gpl-3.0' END,
-        |      CASE WHEN contains(lt, 'mozilla public license')
-        |        THEN 'mpl-2.0' END,
-        |      CASE WHEN contains(lt,
-        |        'redistribution and use in source and binary forms')
-        |        THEN 'bsd-3-clause' END,
-        |      CASE WHEN contains(lt, 'creative commons') THEN 'cc' END)
-        |      AS license_guess
-        |  FROM x)
-        |SELECT doc_id, spdx_id, license_guess,
-        |  CASE WHEN license_guess IS NULL THEN NULL
-        |    ELSE (license_guess LIKE 'mit%' OR license_guess LIKE 'bsd%'
-        |      OR license_guess LIKE 'apache%' OR license_guess LIKE 'mpl%'
-        |      OR license_guess LIKE 'isc%' OR license_guess LIKE 'unlicense%'
-        |      OR license_guess LIKE 'cc0%') END AS is_permissive
-        |FROM g""".stripMargin,
-    "q_skipgrams" ->
-      """WITH s AS (
-        |  SELECT doc_id, generate_subscripts(toks, 1) AS pos,
-        |    unnest(toks) AS tok
-        |  FROM (SELECT doc_id, list_transform(list_filter(
-        |      string_split_regex(coalesce(text, ''), '\s+'), t -> t <> ''),
-        |      t -> lower(t)) AS toks
-        |    FROM documents)),
-        |fwd AS (
-        |  SELECT a.tok AS center, b.tok AS context
-        |  FROM s a JOIN s b ON a.doc_id = b.doc_id
-        |    AND b.pos > a.pos AND b.pos <= a.pos + 2),
-        |bothdir AS (
-        |  SELECT center, context FROM fwd
-        |  UNION ALL SELECT context, center FROM fwd)
-        |SELECT center, context, CAST(count(*) AS BIGINT) AS n
-        |FROM bothdir GROUP BY center, context""".stripMargin,
-    // TextRank: the skip-gram graph above, then the weighted unrolled
-    // nano-unit PageRank (the q_pagerank_weighted contract) and a
-    // totally-ordered top-20
-    "q_textrank" ->
-      """WITH s AS (
-        |  SELECT doc_id, generate_subscripts(toks, 1) AS pos,
-        |    unnest(toks) AS tok
-        |  FROM (SELECT doc_id, list_transform(list_filter(
-        |      string_split_regex(coalesce(text, ''), '\s+'), t -> t <> ''),
-        |      t -> lower(t)) AS toks
-        |    FROM documents)),
-        |fwd AS (
-        |  SELECT a.tok AS center, b.tok AS context
-        |  FROM s a JOIN s b ON a.doc_id = b.doc_id
-        |    AND b.pos > a.pos AND b.pos <= a.pos + 2),
-        |bothdir AS (
-        |  SELECT center, context FROM fwd
-        |  UNION ALL SELECT context, center FROM fwd),
-        |pairs AS (
-        |  SELECT center AS src, context AS dst,
-        |    CAST(count(*) AS BIGINT)::DOUBLE AS w
-        |  FROM bothdir GROUP BY center, context),
-        |e AS (
-        |  SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS ws
-        |  FROM pairs),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-        |p0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS pr FROM nodes),
-        |i1 AS (
-        |  SELECT nd.node,
-        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
-        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
-        |  FROM nodes nd LEFT JOIN (
-        |    SELECT e.dst AS node,
-        |      CAST(sum(CAST(round(p.pr * e.w / e.ws * 1e9) AS BIGINT)) AS BIGINT) AS v
-        |    FROM e JOIN p0 p ON p.node = e.src
-        |    GROUP BY e.dst) s ON s.node = nd.node),
-        |i2 AS (
-        |  SELECT nd.node,
-        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
-        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
-        |  FROM nodes nd LEFT JOIN (
-        |    SELECT e.dst AS node,
-        |      CAST(sum(CAST(round(p.pr * e.w / e.ws * 1e9) AS BIGINT)) AS BIGINT) AS v
-        |    FROM e JOIN i1 p ON p.node = e.src
-        |    GROUP BY e.dst) s ON s.node = nd.node),
-        |i3 AS (
-        |  SELECT nd.node,
-        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
-        |      + 0.85::DOUBLE * (coalesce(s.v, 0) / 1e9) AS pr
-        |  FROM nodes nd LEFT JOIN (
-        |    SELECT e.dst AS node,
-        |      CAST(sum(CAST(round(p.pr * e.w / e.ws * 1e9) AS BIGINT)) AS BIGINT) AS v
-        |    FROM e JOIN i2 p ON p.node = e.src
-        |    GROUP BY e.dst) s ON s.node = nd.node)
-        |SELECT node AS word, pr FROM i3
-        |ORDER BY pr DESC, node LIMIT 20""".stripMargin,
-    // word2vec pipeline: the subsample CTEs, pairs over the kept stream
-    // re-ranked per doc (equivalent to pairs over the reassembled text —
-    // reassembly is order-preserving and tokens carry no whitespace),
-    // then the negative-sampling cumulative-line lookup at k = 1
-    "q_pipeline_word2vec" ->
-      """WITH s AS (
-        |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
-        |    unnest(toks) AS tok
-        |  FROM (SELECT doc_id, list_transform(list_filter(
-        |      string_split_regex(coalesce(text, ''), '\s+'), t -> t <> ''),
-        |      t -> lower(t)) AS toks
-        |    FROM documents)),
-        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY tok),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM s),
-        |k AS (
-        |  SELECT s.doc_id, s.pos, s.tok
-        |  FROM s JOIN c USING (tok)
-        |  WHERE (('0x' || substring(sha256('w2v' || ':' || s.doc_id::VARCHAR
-        |      || ':' || s.pos::VARCHAR || ':' || s.tok), 1, 7))
-        |      ::BIGINT::DOUBLE + 0.5) / 268435456.0
-        |    >= greatest(0.0::DOUBLE, 1.0::DOUBLE
-        |      - sqrt(0.001::DOUBLE / (cnt::DOUBLE
-        |        / (SELECT total FROM tot)::DOUBLE)))),
-        |r AS (
-        |  SELECT doc_id, tok, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY pos) AS np
-        |  FROM k),
-        |fwd AS (
-        |  SELECT a.tok AS center, b.tok AS context
-        |  FROM r a JOIN r b ON a.doc_id = b.doc_id AND b.np = a.np + 1),
-        |bothdir AS (
-        |  SELECT center, context FROM fwd
-        |  UNION ALL SELECT context, center FROM fwd),
-        |pairs AS (
-        |  SELECT center, context, CAST(count(*) AS BIGINT) AS n
-        |  FROM bothdir GROUP BY center, context),
-        |vocab AS (SELECT tok AS t, CAST(count(*) AS BIGINT) AS w
-        |  FROM k GROUP BY tok),
-        |iv AS (
-        |  SELECT t, CAST(sum(w) OVER (ORDER BY t
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
-        |      AS hi, w
-        |  FROM vocab),
-        |iv2 AS (SELECT t, hi - w + 1 AS lo, hi FROM iv),
-        |tw AS (SELECT CAST(max(hi) AS BIGINT) + 1 AS total FROM iv2),
-        |pts AS (
-        |  SELECT center, context, n,
-        |    ('0x' || substring(sha256('neg' || ':' || center || ':'
-        |      || context || ':' || '1'), 1, 15))::BIGINT
-        |      % (SELECT total FROM tw) AS u
-        |  FROM pairs)
-        |SELECT center, context, n, iv2.t AS neg_term
-        |FROM pts JOIN iv2 ON pts.u BETWEEN iv2.lo AND iv2.hi""".stripMargin,
-    // subsampling: 0-based positions in the hash preimage (Spark
-    // posexplode convention), IEEE-exact sqrt/divide probability tree
-    "q_subsample" ->
-      """WITH s AS (
-        |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
-        |    unnest(toks) AS tok
-        |  FROM (SELECT doc_id, list_transform(list_filter(
-        |      string_split_regex(coalesce(text, ''), '\s+'), t -> t <> ''),
-        |      t -> lower(t)) AS toks
-        |    FROM documents)),
-        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY tok),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM s),
-        |k AS (
-        |  SELECT s.doc_id, s.pos, s.tok
-        |  FROM s JOIN c USING (tok)
-        |  WHERE (('0x' || substring(sha256('w2v' || ':' || s.doc_id::VARCHAR
-        |      || ':' || s.pos::VARCHAR || ':' || s.tok), 1, 7))
-        |      ::BIGINT::DOUBLE + 0.5) / 268435456.0
-        |    >= greatest(0.0::DOUBLE, 1.0::DOUBLE
-        |      - sqrt(0.001::DOUBLE / (cnt::DOUBLE
-        |        / (SELECT total FROM tot)::DOUBLE)))),
-        |agg AS (
-        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos)
-        |    AS text_subsampled
-        |  FROM k GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(a.text_subsampled, '') AS text_subsampled
-        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
-    // negative sampling: the cumulative line ordered by term, the same
-    // sha-prefix mod-W draw, an inclusive BETWEEN lookup
-    "q_neg_samples" ->
-      """WITH s AS (
-        |  SELECT doc_id, generate_subscripts(toks, 1) AS pos,
-        |    unnest(toks) AS tok
-        |  FROM (SELECT doc_id, list_transform(list_filter(
-        |      string_split_regex(coalesce(text, ''), '\s+'), t -> t <> ''),
-        |      t -> lower(t)) AS toks
-        |    FROM documents)),
-        |fwd AS (
-        |  SELECT a.tok AS center, b.tok AS context
-        |  FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
-        |bothdir AS (
-        |  SELECT center, context FROM fwd
-        |  UNION ALL SELECT context, center FROM fwd),
-        |pairs AS (
-        |  SELECT center, context FROM bothdir GROUP BY center, context),
-        |vocab AS (
-        |  SELECT tok AS t, CAST(count(*) AS BIGINT) AS w FROM s GROUP BY tok),
-        |iv AS (
-        |  SELECT t, CAST(sum(w) OVER (ORDER BY t
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
-        |      AS hi, w
-        |  FROM vocab),
-        |iv2 AS (SELECT t, hi - w + 1 AS lo, hi FROM iv),
-        |tw AS (SELECT CAST(max(hi) AS BIGINT) + 1 AS total FROM iv2),
-        |pts AS (
-        |  SELECT center, context, j,
-        |    ('0x' || substring(sha256('neg' || ':' || center || ':'
-        |      || context || ':' || j::VARCHAR), 1, 15))::BIGINT
-        |      % (SELECT total FROM tw) AS u
-        |  FROM pairs CROSS JOIN (SELECT unnest([1, 2]) AS j) jj)
-        |SELECT center, context, CAST(j AS INTEGER) AS j, iv2.t AS neg_term
-        |FROM pts JOIN iv2 ON pts.u BETWEEN iv2.lo AND iv2.hi""".stripMargin,
-    "q_adamic_adar" ->
-      """WITH raw AS (
-        |  SELECT DISTINCT CAST(o_orderkey % 997 AS VARCHAR) AS s,
-        |    CAST(o_custkey % 997 AS VARCHAR) AS d
-        |  FROM orders),
-        |und AS (
-        |  SELECT DISTINCT s, d FROM (
-        |    SELECT s, d FROM raw UNION ALL SELECT d, s FROM raw)
-        |  WHERE s <> d),
-        |deg AS (
-        |  SELECT s AS z, CAST(count(*) AS BIGINT) AS dg
-        |  FROM und GROUP BY s HAVING count(*) BETWEEN 2 AND 10000),
-        |adj AS (SELECT und.s AS z, und.d AS n, dg
-        |  FROM und JOIN deg ON deg.z = und.s),
-        |w AS (
-        |  SELECT a.n AS node_a, b.n AS node_b, a.dg
-        |  FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n),
-        |sc0 AS (
-        |  SELECT node_a, node_b, CAST(count(*) AS BIGINT) AS n_common,
-        |    CAST(sum(CAST(round(1e9 / ln(CAST(dg AS DOUBLE))) AS BIGINT))
-        |      AS BIGINT) AS aa_nanos,
-        |    CAST(sum(CAST(round(1e9 / dg) AS BIGINT)) AS BIGINT) AS ra_nanos
-        |  FROM w GROUP BY node_a, node_b),
-        |nbrdeg AS (
-        |  SELECT d AS n2, count(*) AS nd FROM und GROUP BY d),
-        |alldeg AS (
-        |  SELECT u.s AS node, CAST(count(*) AS BIGINT) AS dg2
-        |  FROM und u JOIN nbrdeg ON u.d = nbrdeg.n2
-        |  WHERE nbrdeg.nd <= 10000
-        |  GROUP BY u.s),
-        |sc AS (
-        |  SELECT node_a, node_b, n_common, aa_nanos, ra_nanos,
-        |    CAST(round(n_common * 1000000.0
-        |      / (da.dg2 + db.dg2 - n_common)) AS BIGINT) AS jaccard_micros
-        |  FROM sc0
-        |  JOIN alldeg da ON da.node = sc0.node_a
-        |  JOIN alldeg db ON db.node = sc0.node_b),
-        |ex AS (SELECT DISTINCT least(s, d) AS node_a,
-        |    greatest(s, d) AS node_b
-        |  FROM und)
-        |SELECT sc.node_a, sc.node_b, n_common, aa_nanos, ra_nanos,
-        |  jaccard_micros
-        |FROM sc
-        |WHERE NOT EXISTS (SELECT 1 FROM ex
-        |  WHERE ex.node_a = sc.node_a AND ex.node_b = sc.node_b)""".stripMargin,
-    // random walks: the recursive CTE replays the per-step hash pick —
-    // same sha256 preimage "seed:origin:walk:step:node", same 7-hex-char
-    // prefix, same mod-degree 1-based index over dst-sorted neighbors
-    // Brandes replay in TWO recursions. Forward: the working table
-    // carries the full (seed, node, dist, sigma) state per round; a
-    // LEFT JOIN on the frontier plus a two-role unnest emits carried
-    // rows AND expansion candidates from ONE self-reference, and the
-    // window stage settles each (seed, node) at its min dist with
-    // sigma summed over that dist's candidates. Backward: state decrements
-    // a cur level per round; level-cur nodes expand to their DAG
-    // predecessors through the final forward table (a non-recursive
-    // reference), each contribution micro-rounded exactly as the
-    // engine does, and the window stage folds carried delta +
-    // contribution sum per (seed, node).
-    "q_betweenness" ->
-      """WITH RECURSIVE raw AS (
-        |  SELECT DISTINCT CAST(o_orderkey % 97 AS VARCHAR) AS src,
-        |    CAST(o_custkey % 97 AS VARCHAR) AS dst
-        |  FROM orders),
-        |seeds AS (SELECT unnest(['0','1','2','3','4']) AS seed),
-        |fw(i, seed, node, dist, sigma) AS (
-        |  SELECT 0, seed, seed, 0, 1.0::DOUBLE FROM seeds
-        |  UNION ALL
-        |  SELECT i + 1, seed, node, dist,
-        |    CASE WHEN dist = i + 1 THEN sigsum ELSE sigma END AS sigma
-        |  FROM (
-        |    SELECT t.i, t.seed, t.node, t.dist, t.sigma,
-        |      min(dist) OVER (PARTITION BY seed, node) AS mind,
-        |      sum(sigma) OVER (PARTITION BY seed, node, dist) AS sigsum,
-        |      row_number() OVER (PARTITION BY seed, node ORDER BY dist)
-        |        AS rn
-        |    FROM (
-        |      SELECT fw.i, fw.seed,
-        |        CASE WHEN role = 1 THEN e.dst ELSE fw.node END AS node,
-        |        CASE WHEN role = 1 THEN fw.i + 1 ELSE fw.dist END AS dist,
-        |        fw.sigma
-        |      FROM fw
-        |      LEFT JOIN raw e ON e.src = fw.node AND fw.dist = fw.i
-        |      CROSS JOIN (SELECT unnest([0, 1]) AS role) r
-        |      WHERE fw.i < 4 AND (role = 0 OR e.dst IS NOT NULL)) t) t2
-        |  WHERE dist = mind AND rn = 1),
-        |fwf AS (SELECT seed, node, dist, sigma FROM fw WHERE i = 4),
-        |maxd AS (SELECT max(dist) AS md FROM fwf),
-        |bw(cur, seed, node, dist, sigma, delta) AS (
-        |  SELECT (SELECT md FROM maxd), seed, node, dist, sigma,
-        |    CAST(0 AS BIGINT)
-        |  FROM fwf
-        |  UNION ALL
-        |  SELECT cur - 1, seed, node, dist, sigma,
-        |    carried + contrib AS delta
-        |  FROM (
-        |    SELECT t.cur, t.seed, t.node, t.dist, t.sigma,
-        |      max(CASE WHEN role = 0 THEN delta END)
-        |        OVER (PARTITION BY seed, node) AS carried,
-        |      coalesce(CAST(sum(CASE WHEN role = 1 THEN c END)
-        |        OVER (PARTITION BY seed, node) AS BIGINT), 0) AS contrib,
-        |      row_number() OVER (PARTITION BY seed, node ORDER BY role)
-        |        AS rn
-        |    FROM (
-        |      SELECT bw.cur, bw.seed, role,
-        |        CASE WHEN role = 1 THEN f.node ELSE bw.node END AS node,
-        |        CASE WHEN role = 1 THEN bw.cur - 1 ELSE bw.dist END AS dist,
-        |        CASE WHEN role = 1 THEN f.sigma ELSE bw.sigma END AS sigma,
-        |        bw.delta,
-        |        CASE WHEN role = 1 THEN CAST(round((f.sigma / bw.sigma)
-        |          * (1000000.0 + bw.delta)) AS BIGINT) END AS c
-        |      FROM bw
-        |      LEFT JOIN raw e ON e.dst = bw.node AND bw.dist = bw.cur
-        |      LEFT JOIN fwf f ON f.seed = bw.seed AND f.node = e.src
-        |        AND f.dist = bw.cur - 1
-        |      CROSS JOIN (SELECT unnest([0, 1]) AS role) r
-        |      WHERE bw.cur >= 1 AND (role = 0 OR f.node IS NOT NULL)) t) t2
-        |  WHERE rn = 1)
-        |SELECT node, CAST(count(*) AS BIGINT) AS n_seeds,
-        |  CAST(sum(delta) AS BIGINT) AS betweenness_micros
-        |FROM bw
-        |WHERE cur = 0 AND dist > 0
-        |GROUP BY node""".stripMargin,
-    // rendezvous replay: rank each (state, neighbor) by its sha prefix
-    // (fixed-width lowercase hex compares lexicographically exactly as
-    // the engine's numeric prefix), keep rank 1 per (origin, walk)
-    "q_random_walks" ->
-      """WITH RECURSIVE raw AS (
-        |  SELECT DISTINCT CAST(o_orderkey % 97 AS VARCHAR) AS src,
-        |    CAST(o_custkey % 97 AS VARCHAR) AS dst
-        |  FROM orders),
-        |walks(origin, walk, step, node) AS (
-        |  SELECT src, walk, 0, src
-        |  FROM (SELECT DISTINCT src FROM raw) s
-        |  CROSS JOIN (SELECT unnest([0, 1]) AS walk) w
-        |  UNION ALL
-        |  SELECT origin, walk, step + 1, dst FROM (
-        |    SELECT w.origin, w.walk, w.step, e.dst,
-        |      row_number() OVER (PARTITION BY w.origin, w.walk ORDER BY
-        |        substring(sha256('rw' || ':' || w.origin || ':'
-        |          || w.walk::VARCHAR || ':' || w.step::VARCHAR || ':'
-        |          || w.node || ':' || e.dst), 1, 15),
-        |        e.dst) AS rn
-        |    FROM walks w JOIN raw e ON e.src = w.node
-        |    WHERE w.step < 4) t
-        |  WHERE rn = 1)
-        |SELECT origin, walk, step, node FROM walks""".stripMargin,
-    "q_clustering" ->
-      """WITH raw AS (
-        |  SELECT CAST(o_orderkey % 97 AS VARCHAR) AS x,
-        |    CAST(o_custkey % 97 AS VARCHAR) AS y
-        |  FROM orders),
-        |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
-        |  FROM raw WHERE x <> y),
-        |tri AS (
-        |  SELECT x.a AS u, x.b AS v, y.b AS w
-        |  FROM e x
-        |  JOIN e y ON x.b = y.a
-        |  JOIN e z ON z.a = x.a AND z.b = y.b),
-        |tcnt AS (SELECT n AS node, CAST(count(*) AS BIGINT) AS triangles
-        |  FROM (SELECT u AS n FROM tri
-        |    UNION ALL SELECT v FROM tri
-        |    UNION ALL SELECT w FROM tri)
-        |  GROUP BY n),
-        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
-        |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
-        |  GROUP BY node)
-        |SELECT d.node, d.degree, coalesce(t.triangles, 0) AS triangles,
-        |  CASE WHEN d.degree <= 1 THEN 0.0
-        |    ELSE round(2.0 * coalesce(t.triangles, 0)
-        |      / (d.degree * (d.degree - 1)), 6) END AS cc
-        |FROM deg d LEFT JOIN tcnt t USING (node)""".stripMargin,
-    "q_pct_rank" ->
-      """SELECT doc_id, lang, n_chars,
-        |  round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6)
-        |    AS pct
-        |FROM documents""".stripMargin,
-    // Triangles: the oracle lists canonical u<v<w triangles (two joins
-    // over a<b edges) and attributes each to its three member nodes —
-    // the same triangle set the degree-oriented engine closes.
-    // LPA unrolled: three synchronous mode-label rounds (count desc,
-    // label asc tie-break) over the symmetrized modular graph
-    "q_communities" ->
-      """WITH raw AS (
-        |  SELECT CAST(o_orderkey % 97 AS VARCHAR) AS s,
-        |    CAST(o_custkey % 97 AS VARCHAR) AS d
-        |  FROM orders),
-        |base AS (SELECT s, d FROM raw
-        |  WHERE s IS NOT NULL AND d IS NOT NULL AND s <> d),
-        |sym AS (SELECT DISTINCT s, d FROM (
-        |  SELECT s, d FROM base UNION ALL SELECT d AS s, s AS d FROM base)),
-        |l0 AS (SELECT DISTINCT s AS node, s AS label FROM sym),
-        |c1 AS (
-        |  SELECT sym.s AS node, l.label AS label, count(*) AS c
-        |  FROM sym JOIN l0 l ON l.node = sym.d GROUP BY 1, 2),
-        |l1 AS (
-        |  SELECT node, label FROM (
-        |    SELECT node, label,
-        |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS r
-        |    FROM c1) WHERE r = 1),
-        |c2 AS (
-        |  SELECT sym.s AS node, l.label AS label, count(*) AS c
-        |  FROM sym JOIN l1 l ON l.node = sym.d GROUP BY 1, 2),
-        |l2 AS (
-        |  SELECT node, label FROM (
-        |    SELECT node, label,
-        |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS r
-        |    FROM c2) WHERE r = 1),
-        |c3 AS (
-        |  SELECT sym.s AS node, l.label AS label, count(*) AS c
-        |  FROM sym JOIN l2 l ON l.node = sym.d GROUP BY 1, 2),
-        |l3 AS (
-        |  SELECT node, label FROM (
-        |    SELECT node, label,
-        |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS r
-        |    FROM c3) WHERE r = 1)
-        |SELECT node, label AS community FROM l3""".stripMargin,
-    // modularity of the unrolled-LPA assignment: per-community terms
-    // nano-quantized and LONG-summed (order-free), result in nanos
-    "q_modularity" ->
-      """WITH raw AS (
-        |  SELECT CAST(o_orderkey % 97 AS VARCHAR) AS s,
-        |    CAST(o_custkey % 97 AS VARCHAR) AS d
-        |  FROM orders),
-        |base AS (SELECT s, d FROM raw
-        |  WHERE s IS NOT NULL AND d IS NOT NULL AND s <> d),
-        |sym AS (SELECT DISTINCT s, d FROM (
-        |  SELECT s, d FROM base UNION ALL SELECT d AS s, s AS d FROM base)),
-        |l0 AS (SELECT DISTINCT s AS node, s AS label FROM sym),
-        |c1 AS (
-        |  SELECT sym.s AS node, l.label AS label, count(*) AS c
-        |  FROM sym JOIN l0 l ON l.node = sym.d GROUP BY 1, 2),
-        |l1 AS (
-        |  SELECT node, label FROM (
-        |    SELECT node, label,
-        |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS r
-        |    FROM c1) WHERE r = 1),
-        |c2 AS (
-        |  SELECT sym.s AS node, l.label AS label, count(*) AS c
-        |  FROM sym JOIN l1 l ON l.node = sym.d GROUP BY 1, 2),
-        |l2 AS (
-        |  SELECT node, label FROM (
-        |    SELECT node, label,
-        |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS r
-        |    FROM c2) WHERE r = 1),
-        |c3 AS (
-        |  SELECT sym.s AS node, l.label AS label, count(*) AS c
-        |  FROM sym JOIN l2 l ON l.node = sym.d GROUP BY 1, 2),
-        |l3 AS (
-        |  SELECT node, label FROM (
-        |    SELECT node, label,
-        |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS r
-        |    FROM c3) WHERE r = 1),
-        |und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM base),
-        |lab AS (
-        |  SELECT coalesce(ca.label, und.a) AS ca, coalesce(cb.label, und.b) AS cb
-        |  FROM und LEFT JOIN l3 ca ON ca.node = und.a
-        |           LEFT JOIN l3 cb ON cb.node = und.b),
-        |mm AS (SELECT count(*)::BIGINT AS m FROM lab),
-        |intra AS (SELECT ca AS c, count(*)::BIGINT AS ec
-        |  FROM lab WHERE ca = cb GROUP BY ca),
-        |degs AS (SELECT c, count(*)::BIGINT AS dc FROM (
-        |  SELECT ca AS c FROM lab UNION ALL SELECT cb AS c FROM lab) GROUP BY c),
-        |terms AS (
-        |  SELECT (coalesce(intra.ec, 0)::DOUBLE / mm.m::DOUBLE)
-        |    - (degs.dc::DOUBLE / (2.0 * mm.m)) * (degs.dc::DOUBLE / (2.0 * mm.m))
-        |    AS t
-        |  FROM degs LEFT JOIN intra ON degs.c = intra.c CROSS JOIN mm)
-        |SELECT mm.m, count(*)::BIGINT AS n_communities,
-        |  CAST(sum(CAST(round(t * 1e9) AS BIGINT)) AS BIGINT) AS modularity_nanos
-        |FROM terms CROSS JOIN mm GROUP BY mm.m""".stripMargin,
-    "q_triangles" ->
-      """WITH raw AS (
-        |  SELECT CAST(o_orderkey % 97 AS VARCHAR) AS x,
-        |    CAST(o_custkey % 97 AS VARCHAR) AS y
-        |  FROM orders),
-        |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
-        |  FROM raw WHERE x <> y),
-        |tri AS (
-        |  SELECT x.a AS u, x.b AS v, y.b AS w
-        |  FROM e x
-        |  JOIN e y ON x.b = y.a
-        |  JOIN e z ON z.a = x.a AND z.b = y.b)
-        |SELECT n AS node, CAST(count(*) AS BIGINT) AS triangles
-        |FROM (SELECT u AS n FROM tri
-        |  UNION ALL SELECT v FROM tri
-        |  UNION ALL SELECT w FROM tri)
-        |GROUP BY n""".stripMargin,
-    "q_vocab_coverage" ->
-      """WITH t AS (
-        |  SELECT lower(tok) AS term
-        |  FROM (
-        |    SELECT unnest(list_filter(
-        |      string_split_regex(coalesce(text, ''), '\s+'),
-        |      x -> x <> '')) AS tok
-        |    FROM documents)),
-        |c AS (SELECT term, count(*) AS cnt FROM t
-        |  GROUP BY term HAVING count(*) >= 2),
-        |vocab AS (SELECT term FROM c ORDER BY cnt DESC, term LIMIT 20),
-        |dt AS (
-        |  SELECT doc_id, lower(tok) AS term
-        |  FROM (
-        |    SELECT doc_id, unnest(list_filter(
-        |      string_split_regex(coalesce(text, ''), '\s+'),
-        |      x -> x <> '')) AS tok
-        |    FROM documents)),
-        |agg AS (
-        |  SELECT d.doc_id,
-        |    CAST(count(*) AS BIGINT) AS n_tokens,
-        |    CAST(count(CASE WHEN v.term IS NULL THEN 1 END) AS BIGINT)
-        |      AS n_oov
-        |  FROM dt d LEFT JOIN vocab v ON d.term = v.term
-        |  GROUP BY d.doc_id)
-        |SELECT doc_id,
-        |  coalesce(a.n_tokens, 0) AS n_tokens,
-        |  coalesce(a.n_oov, 0) AS n_oov,
-        |  CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
-        |    ELSE round(a.n_oov / a.n_tokens::DOUBLE, 6) END AS oov_frac
-        |FROM documents LEFT JOIN agg a USING (doc_id)""".stripMargin,
-    "q_cat_drift" ->
-      """WITH b AS (SELECT lang AS category, CAST(count(*) AS BIGINT) AS nb
-        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
-        |a AS (SELECT lang AS category, CAST(count(*) AS BIGINT) AS na
-        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY lang),
-        |j AS (SELECT coalesce(b.category, a.category) AS category,
-        |    coalesce(nb, 0) AS n_before, coalesce(na, 0) AS n_after
-        |  FROM b FULL OUTER JOIN a
-        |    ON b.category IS NOT DISTINCT FROM a.category),
-        |t AS (SELECT *,
-        |    CAST(sum(n_before) OVER () AS BIGINT) AS tb,
-        |    CAST(sum(n_after) OVER () AS BIGINT) AS ta,
-        |    CAST(count(*) OVER () AS BIGINT) AS k
-        |  FROM j)
-        |SELECT category, n_before, n_after,
-        |  (n_before + 0.5) / (tb + 0.5 * k) AS frac_before,
-        |  (n_after + 0.5) / (ta + 0.5 * k) AS frac_after,
-        |  ((n_after + 0.5) / (ta + 0.5 * k)
-        |    - (n_before + 0.5) / (tb + 0.5 * k))
-        |  * ln(((n_after + 0.5) / (ta + 0.5 * k))
-        |    / ((n_before + 0.5) / (tb + 0.5 * k))) AS psi_term
-        |FROM t""".stripMargin,
-    // Bitext mining: cosines double-rounded to integer micros, LONG
-    // neighborhood sums, one double division — engine-exact margins.
-    "q_bitext_mine" ->
-      """WITH src AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings WHERE vec_id % 10 = 0),
-        |tgt AS (
-        |  SELECT vec_id + 100000 AS vec_id,
-        |    list_transform(embedding,
-        |      x -> CAST(CAST(x * 1.5 AS FLOAT) AS DOUBLE)) AS v
-        |  FROM embeddings WHERE vec_id % 20 = 0),
-        |p AS (
-        |  SELECT s.vec_id AS sid, t.vec_id AS tid,
-        |    list_sum(list_transform(range(len(s.v)),
-        |      i -> s.v[CAST(i AS INTEGER)+1] * t.v[CAST(i AS INTEGER)+1]))
-        |      AS dot,
-        |    sqrt(list_sum(list_transform(s.v, x -> x * x))) AS ns,
-        |    sqrt(list_sum(list_transform(t.v, x -> x * x))) AS nt
-        |  FROM src s CROSS JOIN tgt t),
-        |c AS (
-        |  SELECT sid, tid,
-        |    CAST(round(round(CASE WHEN ns = 0 OR nt = 0 THEN 0.0
-        |      ELSE dot / (ns * nt) END, 6) * 1e6) AS BIGINT) AS cosu
-        |  FROM p),
-        |fwd AS (SELECT sid, tid, cosu,
-        |    row_number() OVER (PARTITION BY sid ORDER BY cosu DESC, tid) AS r
-        |  FROM c QUALIFY r <= 4),
-        |rev AS (SELECT tid, cosu,
-        |    row_number() OVER (PARTITION BY tid ORDER BY cosu DESC, sid) AS r
-        |  FROM c QUALIFY r <= 4),
-        |sx AS (SELECT sid, CAST(sum(cosu) AS BIGINT) AS sx,
-        |    CAST(count(*) AS BIGINT) AS cx FROM fwd GROUP BY sid),
-        |sy AS (SELECT tid, CAST(sum(cosu) AS BIGINT) AS sy,
-        |    CAST(count(*) AS BIGINT) AS cy FROM rev GROUP BY tid),
-        |m AS (SELECT f.sid, f.tid,
-        |    round(f.cosu * 2.0 * sx.cx * sy.cy
-        |      / (sx.sx * sy.cy + sy.sy * sx.cx), 6) AS margin
-        |  FROM fwd f JOIN sx ON f.sid = sx.sid JOIN sy ON f.tid = sy.tid
-        |  WHERE sx.sx * sy.cy + sy.sy * sx.cx > 0),
-        |b AS (SELECT sid, tid, margin,
-        |    row_number() OVER (PARTITION BY sid ORDER BY margin DESC, tid)
-        |      AS rs,
-        |    row_number() OVER (PARTITION BY tid ORDER BY margin DESC, sid)
-        |      AS rt
-        |  FROM m),
-        |tb AS (SELECT tid, max(CASE WHEN rt = 1 THEN sid END) AS bsid
-        |  FROM b GROUP BY tid)
-        |SELECT b.sid AS src_id, b.tid AS tgt_id, b.margin,
-        |  (tb.bsid = b.sid) AS mutual
-        |FROM b JOIN tb ON b.tid = tb.tid
-        |WHERE b.rs = 1 AND b.margin >= 1.0""".stripMargin,
-
-    // blocked variant: the q_bitext_mine pipeline instantiated per
-    // language-pair block over one lang-tagged corpus, results unioned
-    "q_bitext_blocked" -> {
-      def block(lt: String) =
-        s"""SELECT * FROM (WITH corpus AS (
-          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-          |    CASE vec_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' ELSE 'de' END AS lang
-          |  FROM embeddings),
-          |src AS (SELECT vec_id, v FROM corpus WHERE lang = 'en'),
-          |tgt AS (SELECT vec_id, v FROM corpus WHERE lang = '$lt'),
-          |p AS (
-          |  SELECT s.vec_id AS sid, t.vec_id AS tid,
-          |    list_sum(list_transform(range(len(s.v)),
-          |      i -> s.v[CAST(i AS INTEGER)+1] * t.v[CAST(i AS INTEGER)+1]))
-          |      AS dot,
-          |    sqrt(list_sum(list_transform(s.v, x -> x * x))) AS ns,
-          |    sqrt(list_sum(list_transform(t.v, x -> x * x))) AS nt
-          |  FROM src s CROSS JOIN tgt t),
-          |c AS (
-          |  SELECT sid, tid,
-          |    CAST(round(round(CASE WHEN ns = 0 OR nt = 0 THEN 0.0
-          |      ELSE dot / (ns * nt) END, 6) * 1e6) AS BIGINT) AS cosu
-          |  FROM p),
-          |fwd AS (SELECT sid, tid, cosu,
-          |    row_number() OVER (PARTITION BY sid ORDER BY cosu DESC, tid) AS r
-          |  FROM c QUALIFY r <= 4),
-          |rev AS (SELECT tid, cosu,
-          |    row_number() OVER (PARTITION BY tid ORDER BY cosu DESC, sid) AS r
-          |  FROM c QUALIFY r <= 4),
-          |sx AS (SELECT sid, CAST(sum(cosu) AS BIGINT) AS sx,
-          |    CAST(count(*) AS BIGINT) AS cx FROM fwd GROUP BY sid),
-          |sy AS (SELECT tid, CAST(sum(cosu) AS BIGINT) AS sy,
-          |    CAST(count(*) AS BIGINT) AS cy FROM rev GROUP BY tid),
-          |m AS (SELECT f.sid, f.tid,
-          |    round(f.cosu * 2.0 * sx.cx * sy.cy
-          |      / (sx.sx * sy.cy + sy.sy * sx.cx), 6) AS margin
-          |  FROM fwd f JOIN sx ON f.sid = sx.sid JOIN sy ON f.tid = sy.tid
-          |  WHERE sx.sx * sy.cy + sy.sy * sx.cx > 0),
-          |b AS (SELECT sid, tid, margin,
-          |    row_number() OVER (PARTITION BY sid ORDER BY margin DESC, tid)
-          |      AS rs,
-          |    row_number() OVER (PARTITION BY tid ORDER BY margin DESC, sid)
-          |      AS rt
-          |  FROM m),
-          |tb AS (SELECT tid, max(CASE WHEN rt = 1 THEN sid END) AS bsid
-          |  FROM b GROUP BY tid)
-          |SELECT b.sid AS src_id, b.tid AS tgt_id, b.margin,
-          |  (tb.bsid = b.sid) AS mutual,
-          |  'en' AS src_lang, '$lt' AS tgt_lang
-          |FROM b JOIN tb ON b.tid = tb.tid
-          |WHERE b.rs = 1 AND b.margin >= 1.0) u_$lt""".stripMargin
-      block("fr") + "\nUNION ALL\n" + block("de")
-    },
-    // Ranking eval: the DCG discounts are SHARED literals (log2 has no
-    // cross-libm correct-rounding guarantee); gains are integer shifts;
-    // per-rank terms nano-quantized and long-summed on both engines.
-    "q_rank_eval" -> {
-      val disc = operators.RankEval.discounts(10).zipWithIndex
-        .map { case (d, i) =>
-          s"(${i + 1}, ${java.lang.Double.toString(d)})" }
-        .mkString(", ")
-      s"""WITH disc(pos, dv) AS (VALUES $disc),
-         |run AS (
-         |  SELECT doc_id % 3 AS qid, doc_id,
-         |    row_number() OVER (PARTITION BY doc_id % 3
-         |      ORDER BY n_chars DESC, doc_id) AS rnk
-         |  FROM documents QUALIFY rnk <= 10),
-         |qrels AS (
-         |  SELECT doc_id % 3 AS qid, doc_id,
-         |    CAST(doc_id % 3 + 1 AS INTEGER) AS rel
-         |  FROM documents WHERE n_chars % 4 = 0),
-         |scored AS (
-         |  SELECT r.qid,
-         |    CAST(sum(CAST(round(((1::BIGINT << coalesce(q.rel, 0)) - 1)
-         |      ::DOUBLE * d.dv * 1e9) AS BIGINT)) AS BIGINT) AS dcgn,
-         |    CAST(count(CASE WHEN q.rel > 0 THEN 1 END) AS BIGINT) AS hits,
-         |    min(CASE WHEN q.rel > 0 THEN r.rnk END) AS frst
-         |  FROM run r
-         |  LEFT JOIN qrels q USING (qid, doc_id)
-         |  JOIN disc d ON d.pos = r.rnk
-         |  GROUP BY r.qid),
-         |ideal AS (
-         |  SELECT qid, CAST(count(*) AS BIGINT) AS n_rel,
-         |    CAST(sum(CASE WHEN i.pos <= 10 THEN
-         |      CAST(round(((1::BIGINT << rel) - 1)::DOUBLE * dv * 1e9)
-         |        AS BIGINT) ELSE 0 END) AS BIGINT) AS idcgn
-         |  FROM (SELECT qid, doc_id, rel,
-         |      row_number() OVER (PARTITION BY qid
-         |        ORDER BY rel DESC, doc_id) AS pos
-         |    FROM qrels WHERE rel > 0) i
-         |  LEFT JOIN disc ON disc.pos = i.pos
-         |  GROUP BY qid)
-         |SELECT i.qid, i.n_rel, coalesce(s.hits, 0) AS hits,
-         |  round(coalesce(s.hits, 0) / i.n_rel::DOUBLE, 6) AS recall,
-         |  round(CASE WHEN s.frst IS NOT NULL THEN 1.0 / s.frst
-         |    ELSE 0.0 END, 6) AS rr,
-         |  round(coalesce(s.dcgn, 0) / i.idcgn::DOUBLE, 6) AS ndcg
-         |FROM ideal i LEFT JOIN scored s USING (qid)""".stripMargin
-    },
-    // t-closeness: identical integer numerator, one double division,
-    // both engines round the same quotient.
-    "q_t_closeness" ->
-      """WITH g AS (
-        |  SELECT source, lang AS v, CAST(count(*) AS BIGINT) AS cv
-        |  FROM documents GROUP BY source, lang),
-        |e AS (
-        |  SELECT source, v, cv,
-        |    CAST(sum(cv) OVER (PARTITION BY source) AS BIGINT) AS nq,
-        |    CAST(sum(cv) OVER (PARTITION BY v) AS BIGINT) AS gv,
-        |    CAST(sum(cv) OVER () AS BIGINT) AS nn
-        |  FROM g),
-        |a AS (
-        |  SELECT source, max(nq) AS n,
-        |    CAST(sum(abs(cv * nn - gv * nq)) AS BIGINT) AS s1,
-        |    max(nq) AS mnq, max(nn) AS mnn,
-        |    CAST(sum(gv) AS BIGINT) AS sgv
-        |  FROM e GROUP BY source)
-        |SELECT source, n,
-        |  round((s1 + mnq * mnn - mnq * sgv) / (2.0 * mnq * mnn), 6) AS tvd,
-        |  round((s1 + mnq * mnn - mnq * sgv) / (2.0 * mnq * mnn), 6) <= 0.05
-        |    AS pass
-        |FROM a""".stripMargin,
-    // Waterfill: same sorted-prefix pivot arithmetic; engines may
-    // disagree on NEGATIVE integer division (floor vs truncate) but
-    // data-constrained plan: exact LONG token counts, integer budget
-    // split, and the Eq. 5 decay as the identical IEEE expression with
-    // the multiplication order pinned (u + (u·15.39)·(1 − e^(−r/15.39)))
-    "q_data_constrained" ->
-      """WITH c AS (
-        |  SELECT source AS domain,
-        |    CAST(sum(len(list_filter(string_split_regex(coalesce(text, ''),
-        |      '\s+'), t -> t <> ''))) AS BIGINT) AS unique_tokens
-        |  FROM documents WHERE source IS NOT NULL
-        |  GROUP BY source HAVING unique_tokens > 0),
-        |p AS (
-        |  SELECT domain, unique_tokens,
-        |    CAST(400000 // (SELECT count(*) FROM c) AS BIGINT) AS alloc
-        |  FROM c)
-        |SELECT domain, unique_tokens, alloc AS alloc_tokens,
-        |  round(CAST(alloc AS DOUBLE) / unique_tokens, 6) AS epochs,
-        |  CASE WHEN alloc <= unique_tokens THEN CAST(alloc AS DOUBLE)
-        |    ELSE round(unique_tokens + unique_tokens * 15.39 *
-        |      (1.0 - exp(-(CAST(alloc AS DOUBLE) / unique_tokens - 1.0)
-        |        / 15.39)), 6)
-        |  END AS effective_tokens,
-        |  CASE WHEN alloc <= unique_tokens THEN 1.0
-        |    ELSE round((unique_tokens + unique_tokens * 15.39 *
-        |      (1.0 - exp(-(CAST(alloc AS DOUBLE) / unique_tokens - 1.0)
-        |        / 15.39))) / CAST(alloc AS DOUBLE), 6)
-        |  END AS efficiency
-        |FROM p""".stripMargin,
-    // every negative candidate fails the prev <= cand validity gate on
-    // both sides, so only the exact shared pivot survives.
-    "q_waterfill" ->
-      """WITH counts AS (
-        |  SELECT concat_ws(':', coalesce(lang, 'und'), source) AS grp,
-        |    CAST(count(*) AS BIGINT) AS n_docs
-        |  FROM documents GROUP BY 1),
-        |r AS (
-        |  SELECT grp, n_docs,
-        |    CAST(row_number() OVER (ORDER BY n_docs, grp) AS BIGINT) AS k,
-        |    COALESCE(CAST(sum(n_docs) OVER (ORDER BY n_docs, grp
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-        |      0) AS excl,
-        |    lag(n_docs, 1, 0) OVER (ORDER BY n_docs, grp) AS prev,
-        |    CAST(count(*) OVER () AS BIGINT) AS n
-        |  FROM counts),
-        |w AS (SELECT *, (300 - excl) // (n - k + 1) AS cand FROM r),
-        |cap AS (SELECT min(cand) AS c FROM w
-        |  WHERE prev <= cand AND cand < n_docs)
-        |SELECT grp, n_docs,
-        |  CAST(CASE WHEN (SELECT c FROM cap) IS NULL THEN n_docs
-        |    ELSE LEAST(n_docs, (SELECT c FROM cap)) END AS BIGINT) AS alloc
-        |FROM w""".stripMargin,
-    // Classifier training unrolled epoch-by-epoch: the GD loop is
-    // integer-exact (micro-unit weights, nano-unit gradients, one
-    // sigmoid per doc rounded to nanos at birth), so 10 epochs replay
-    // as 10 materialized CTE stages — weight/bias tables chained, the
-    // driver step's math.round as floor(x + 0.5), Spark round() as
-    // DuckDB round() (both half-away-from-zero on doubles). The
-    // confusion matrix then hash-matches end to end.
-    "q_classifier_train" ->
-      """WITH toks AS MATERIALIZED (
-        |  SELECT doc_id, unnest(list_filter(
-        |    string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS tok
-        |  FROM documents),
-        |lab AS MATERIALIZED (
-        |  SELECT d.doc_id, coalesce(l.y, 0) AS y
-        |  FROM documents d LEFT JOIN (
-        |    SELECT doc_id, 1 AS y FROM toks WHERE tok = 'merge' GROUP BY doc_id) l
-        |  USING (doc_id)),
-        |feats AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    ('0x' || substring(sha256(tok), 1, 15))::BIGINT % 1024 AS bucket,
-        |    count(*)::BIGINT AS cnt
-        |  FROM toks GROUP BY doc_id, bucket),
-        |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
-        |w0 AS MATERIALIZED (SELECT CAST(unnest(range(0, 1024)) AS BIGINT) AS bucket, 0::BIGINT AS w),
-        |bias0 AS MATERIALIZED (SELECT 0::BIGINT AS b),
-        |z1 AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias0) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w0 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |e1 AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-        |  FROM z1),
-        |g1 AS MATERIALIZED (
-        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-        |  FROM feats f JOIN e1 e USING (doc_id) GROUP BY f.bucket),
-        |w1 AS MATERIALIZED (
-        |  SELECT w.bucket,
-        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-        |      + 0.5) AS BIGINT) AS w
-        |  FROM w0 w LEFT JOIN g1 g USING (bucket)),
-        |bias1 AS MATERIALIZED (
-        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e1)
-        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-        |  FROM bias0),
-        |z2 AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias1) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w1 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |e2 AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-        |  FROM z2),
-        |g2 AS MATERIALIZED (
-        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-        |  FROM feats f JOIN e2 e USING (doc_id) GROUP BY f.bucket),
-        |w2 AS MATERIALIZED (
-        |  SELECT w.bucket,
-        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-        |      + 0.5) AS BIGINT) AS w
-        |  FROM w1 w LEFT JOIN g2 g USING (bucket)),
-        |bias2 AS MATERIALIZED (
-        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e2)
-        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-        |  FROM bias1),
-        |z3 AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias2) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w2 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |e3 AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-        |  FROM z3),
-        |g3 AS MATERIALIZED (
-        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-        |  FROM feats f JOIN e3 e USING (doc_id) GROUP BY f.bucket),
-        |w3 AS MATERIALIZED (
-        |  SELECT w.bucket,
-        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-        |      + 0.5) AS BIGINT) AS w
-        |  FROM w2 w LEFT JOIN g3 g USING (bucket)),
-        |bias3 AS MATERIALIZED (
-        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e3)
-        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-        |  FROM bias2),
-        |z4 AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias3) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w3 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |e4 AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-        |  FROM z4),
-        |g4 AS MATERIALIZED (
-        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-        |  FROM feats f JOIN e4 e USING (doc_id) GROUP BY f.bucket),
-        |w4 AS MATERIALIZED (
-        |  SELECT w.bucket,
-        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-        |      + 0.5) AS BIGINT) AS w
-        |  FROM w3 w LEFT JOIN g4 g USING (bucket)),
-        |bias4 AS MATERIALIZED (
-        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e4)
-        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-        |  FROM bias3),
-        |z5 AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias4) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w4 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |e5 AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-        |  FROM z5),
-        |g5 AS MATERIALIZED (
-        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-        |  FROM feats f JOIN e5 e USING (doc_id) GROUP BY f.bucket),
-        |w5 AS MATERIALIZED (
-        |  SELECT w.bucket,
-        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-        |      + 0.5) AS BIGINT) AS w
-        |  FROM w4 w LEFT JOIN g5 g USING (bucket)),
-        |bias5 AS MATERIALIZED (
-        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e5)
-        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-        |  FROM bias4),
-        |z6 AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias5) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w5 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |e6 AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-        |  FROM z6),
-        |g6 AS MATERIALIZED (
-        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-        |  FROM feats f JOIN e6 e USING (doc_id) GROUP BY f.bucket),
-        |w6 AS MATERIALIZED (
-        |  SELECT w.bucket,
-        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-        |      + 0.5) AS BIGINT) AS w
-        |  FROM w5 w LEFT JOIN g6 g USING (bucket)),
-        |bias6 AS MATERIALIZED (
-        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e6)
-        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-        |  FROM bias5),
-        |z7 AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias6) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w6 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |e7 AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-        |  FROM z7),
-        |g7 AS MATERIALIZED (
-        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-        |  FROM feats f JOIN e7 e USING (doc_id) GROUP BY f.bucket),
-        |w7 AS MATERIALIZED (
-        |  SELECT w.bucket,
-        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-        |      + 0.5) AS BIGINT) AS w
-        |  FROM w6 w LEFT JOIN g7 g USING (bucket)),
-        |bias7 AS MATERIALIZED (
-        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e7)
-        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-        |  FROM bias6),
-        |z8 AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias7) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w7 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |e8 AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-        |  FROM z8),
-        |g8 AS MATERIALIZED (
-        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-        |  FROM feats f JOIN e8 e USING (doc_id) GROUP BY f.bucket),
-        |w8 AS MATERIALIZED (
-        |  SELECT w.bucket,
-        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-        |      + 0.5) AS BIGINT) AS w
-        |  FROM w7 w LEFT JOIN g8 g USING (bucket)),
-        |bias8 AS MATERIALIZED (
-        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e8)
-        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-        |  FROM bias7),
-        |z9 AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias8) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w8 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |e9 AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-        |  FROM z9),
-        |g9 AS MATERIALIZED (
-        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-        |  FROM feats f JOIN e9 e USING (doc_id) GROUP BY f.bucket),
-        |w9 AS MATERIALIZED (
-        |  SELECT w.bucket,
-        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-        |      + 0.5) AS BIGINT) AS w
-        |  FROM w8 w LEFT JOIN g9 g USING (bucket)),
-        |bias9 AS MATERIALIZED (
-        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e9)
-        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-        |  FROM bias8),
-        |z10 AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias9) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w9 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |e10 AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-        |  FROM z10),
-        |g10 AS MATERIALIZED (
-        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-        |  FROM feats f JOIN e10 e USING (doc_id) GROUP BY f.bucket),
-        |w10 AS MATERIALIZED (
-        |  SELECT w.bucket,
-        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-        |      + 0.5) AS BIGINT) AS w
-        |  FROM w9 w LEFT JOIN g10 g USING (bucket)),
-        |bias10 AS MATERIALIZED (
-        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e10)
-        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-        |  FROM bias9),
-        |score AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias10) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w10 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id))
-        |SELECT CAST(y AS INTEGER) AS label, z > 0 AS pred, count(*)::BIGINT AS n
-        |FROM score GROUP BY label, pred""".stripMargin,
-    // Cartography twin: the classifier oracle's unrolled epochs, then
-    // each post-epoch snapshot (w_k, bias_k) scores the corpus — the
-    // logit of snapshot k IS training epoch k+1's z — p_true rounded
-    // to micros at birth, confidence/variability from exact BIGINT
-    // Σp / Σp² (variance numerator n·Σp² − (Σp)² stays integral).
-    "q_training_dynamics" ->
-      """WITH toks AS MATERIALIZED (
-        |  SELECT doc_id, unnest(list_filter(
-        |    string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS tok
-        |  FROM documents),
-        |lab AS MATERIALIZED (
-        |  SELECT d.doc_id, coalesce(l.y, 0) AS y
-        |  FROM documents d LEFT JOIN (
-        |    SELECT doc_id, 1 AS y FROM toks WHERE tok = 'merge' GROUP BY doc_id) l
-        |  USING (doc_id)),
-        |feats AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    ('0x' || substring(sha256(tok), 1, 15))::BIGINT % 1024 AS bucket,
-        |    count(*)::BIGINT AS cnt
-        |  FROM toks GROUP BY doc_id, bucket),
-        |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
-        |w0 AS MATERIALIZED (SELECT CAST(unnest(range(0, 1024)) AS BIGINT) AS bucket, 0::BIGINT AS w),
-        |bias0 AS MATERIALIZED (SELECT 0::BIGINT AS b),
-        |z1 AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias0) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w0 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |e1 AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-        |  FROM z1),
-        |g1 AS MATERIALIZED (
-        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-        |  FROM feats f JOIN e1 e USING (doc_id) GROUP BY f.bucket),
-        |w1 AS MATERIALIZED (
-        |  SELECT w.bucket,
-        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-        |      + 0.5) AS BIGINT) AS w
-        |  FROM w0 w LEFT JOIN g1 g USING (bucket)),
-        |bias1 AS MATERIALIZED (
-        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e1)
-        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-        |  FROM bias0),
-        |z2 AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias1) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w1 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |e2 AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-        |  FROM z2),
-        |g2 AS MATERIALIZED (
-        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-        |  FROM feats f JOIN e2 e USING (doc_id) GROUP BY f.bucket),
-        |w2 AS MATERIALIZED (
-        |  SELECT w.bucket,
-        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-        |      + 0.5) AS BIGINT) AS w
-        |  FROM w1 w LEFT JOIN g2 g USING (bucket)),
-        |bias2 AS MATERIALIZED (
-        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e2)
-        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-        |  FROM bias1),
-        |z3 AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias2) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w2 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |e3 AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-        |  FROM z3),
-        |g3 AS MATERIALIZED (
-        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-        |  FROM feats f JOIN e3 e USING (doc_id) GROUP BY f.bucket),
-        |w3 AS MATERIALIZED (
-        |  SELECT w.bucket,
-        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-        |      + 0.5) AS BIGINT) AS w
-        |  FROM w2 w LEFT JOIN g3 g USING (bucket)),
-        |bias3 AS MATERIALIZED (
-        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e3)
-        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-        |  FROM bias2),
-        |z4 AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias3) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w3 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |e4 AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-        |  FROM z4),
-        |g4 AS MATERIALIZED (
-        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-        |  FROM feats f JOIN e4 e USING (doc_id) GROUP BY f.bucket),
-        |w4 AS MATERIALIZED (
-        |  SELECT w.bucket,
-        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-        |      + 0.5) AS BIGINT) AS w
-        |  FROM w3 w LEFT JOIN g4 g USING (bucket)),
-        |bias4 AS MATERIALIZED (
-        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e4)
-        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-        |  FROM bias3),
-        |z5 AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias4) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w4 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |e5 AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-        |  FROM z5),
-        |g5 AS MATERIALIZED (
-        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-        |  FROM feats f JOIN e5 e USING (doc_id) GROUP BY f.bucket),
-        |w5 AS MATERIALIZED (
-        |  SELECT w.bucket,
-        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-        |      + 0.5) AS BIGINT) AS w
-        |  FROM w4 w LEFT JOIN g5 g USING (bucket)),
-        |bias5 AS MATERIALIZED (
-        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e5)
-        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-        |  FROM bias4),
-        |z6 AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias5) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w5 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |e6 AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-        |  FROM z6),
-        |g6 AS MATERIALIZED (
-        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-        |  FROM feats f JOIN e6 e USING (doc_id) GROUP BY f.bucket),
-        |w6 AS MATERIALIZED (
-        |  SELECT w.bucket,
-        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-        |      + 0.5) AS BIGINT) AS w
-        |  FROM w5 w LEFT JOIN g6 g USING (bucket)),
-        |bias6 AS MATERIALIZED (
-        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e6)
-        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-        |  FROM bias5),
-        |z7 AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias6) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w6 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |e7 AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-        |  FROM z7),
-        |g7 AS MATERIALIZED (
-        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-        |  FROM feats f JOIN e7 e USING (doc_id) GROUP BY f.bucket),
-        |w7 AS MATERIALIZED (
-        |  SELECT w.bucket,
-        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-        |      + 0.5) AS BIGINT) AS w
-        |  FROM w6 w LEFT JOIN g7 g USING (bucket)),
-        |bias7 AS MATERIALIZED (
-        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e7)
-        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-        |  FROM bias6),
-        |z8 AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias7) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w7 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |e8 AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-        |  FROM z8),
-        |g8 AS MATERIALIZED (
-        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-        |  FROM feats f JOIN e8 e USING (doc_id) GROUP BY f.bucket),
-        |w8 AS MATERIALIZED (
-        |  SELECT w.bucket,
-        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-        |      + 0.5) AS BIGINT) AS w
-        |  FROM w7 w LEFT JOIN g8 g USING (bucket)),
-        |bias8 AS MATERIALIZED (
-        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e8)
-        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-        |  FROM bias7),
-        |z9 AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias8) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w8 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |e9 AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-        |  FROM z9),
-        |g9 AS MATERIALIZED (
-        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-        |  FROM feats f JOIN e9 e USING (doc_id) GROUP BY f.bucket),
-        |w9 AS MATERIALIZED (
-        |  SELECT w.bucket,
-        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-        |      + 0.5) AS BIGINT) AS w
-        |  FROM w8 w LEFT JOIN g9 g USING (bucket)),
-        |bias9 AS MATERIALIZED (
-        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e9)
-        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-        |  FROM bias8),
-        |z10 AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias9) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w9 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |e10 AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
-        |  FROM z10),
-        |g10 AS MATERIALIZED (
-        |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
-        |  FROM feats f JOIN e10 e USING (doc_id) GROUP BY f.bucket),
-        |w10 AS MATERIALIZED (
-        |  SELECT w.bucket,
-        |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
-        |      + 0.5) AS BIGINT) AS w
-        |  FROM w9 w LEFT JOIN g10 g USING (bucket)),
-        |bias10 AS MATERIALIZED (
-        |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e10)
-        |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
-        |  FROM bias9),
-        |zfin AS MATERIALIZED (
-        |  SELECT l.doc_id, l.y,
-        |    (SELECT b FROM bias10) + coalesce(s.zz, 0) AS z
-        |  FROM lab l LEFT JOIN (
-        |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
-        |    FROM feats f JOIN w10 w USING (bucket) GROUP BY f.doc_id) s
-        |  USING (doc_id)),
-        |probs AS MATERIALIZED (
-        |  SELECT doc_id, y,
-        |    CAST(round((CASE WHEN y = 1 THEN 1.0 / (1.0 + exp(-z / 1e6))
-        |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
-        |  FROM z2
-        |  UNION ALL
-        |  SELECT doc_id, y,
-        |    CAST(round((CASE WHEN y = 1 THEN 1.0 / (1.0 + exp(-z / 1e6))
-        |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
-        |  FROM z3
-        |  UNION ALL
-        |  SELECT doc_id, y,
-        |    CAST(round((CASE WHEN y = 1 THEN 1.0 / (1.0 + exp(-z / 1e6))
-        |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
-        |  FROM z4
-        |  UNION ALL
-        |  SELECT doc_id, y,
-        |    CAST(round((CASE WHEN y = 1 THEN 1.0 / (1.0 + exp(-z / 1e6))
-        |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
-        |  FROM z5
-        |  UNION ALL
-        |  SELECT doc_id, y,
-        |    CAST(round((CASE WHEN y = 1 THEN 1.0 / (1.0 + exp(-z / 1e6))
-        |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
-        |  FROM z6
-        |  UNION ALL
-        |  SELECT doc_id, y,
-        |    CAST(round((CASE WHEN y = 1 THEN 1.0 / (1.0 + exp(-z / 1e6))
-        |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
-        |  FROM z7
-        |  UNION ALL
-        |  SELECT doc_id, y,
-        |    CAST(round((CASE WHEN y = 1 THEN 1.0 / (1.0 + exp(-z / 1e6))
-        |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
-        |  FROM z8
-        |  UNION ALL
-        |  SELECT doc_id, y,
-        |    CAST(round((CASE WHEN y = 1 THEN 1.0 / (1.0 + exp(-z / 1e6))
-        |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
-        |  FROM z9
-        |  UNION ALL
-        |  SELECT doc_id, y,
-        |    CAST(round((CASE WHEN y = 1 THEN 1.0 / (1.0 + exp(-z / 1e6))
-        |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
-        |  FROM z10
-        |  UNION ALL
-        |  SELECT doc_id, y,
-        |    CAST(round((CASE WHEN y = 1 THEN 1.0 / (1.0 + exp(-z / 1e6))
-        |      ELSE 1.0 - 1.0 / (1.0 + exp(-z / 1e6)) END) * 1e6) AS BIGINT) AS p
-        |  FROM zfin)
-        |SELECT doc_id, CAST(y AS INTEGER) AS label,
-        |  round(CAST(CAST(sum(p) AS BIGINT) AS DOUBLE) / (10 * 1e6), 6)
-        |    AS confidence,
-        |  round(sqrt(CAST(10 * CAST(sum(p * p) AS BIGINT)
-        |      - CAST(sum(p) AS BIGINT) * CAST(sum(p) AS BIGINT) AS DOUBLE))
-        |    / (10 * 1e6), 6) AS variability,
-        |  sum(CASE WHEN p > 500000 THEN 1 ELSE 0 END)::BIGINT AS n_correct
-        |FROM probs GROUP BY doc_id, y""".stripMargin,
-    // Spearman twin: identical 2x tie-averaged ranks via a per-key
-    // lag-window over the distinct-value counts, centered on the exact
-    // mean n+1, BIGINT moments, one portable division.
-    "q_spearman" ->
-      """WITH d AS (
-        |  SELECT lang,
-        |    CAST(length(coalesce(text, '')) AS BIGINT) AS x,
-        |    CAST(len(list_filter(string_split_regex(coalesce(text, ''),
-        |      '\s+'), t -> t <> '')) AS BIGINT) AS y
-        |  FROM documents WHERE lang IS NOT NULL),
-        |cnt AS (SELECT lang, count(*)::BIGINT AS n FROM d GROUP BY lang),
-        |cx AS (SELECT lang, x, count(*)::BIGINT AS c FROM d GROUP BY lang, x),
-        |rx AS (SELECT lang, x,
-        |  2 * CAST(coalesce(sum(c) OVER (PARTITION BY lang ORDER BY x
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    AS BIGINT) + c + 1 AS r2 FROM cx),
-        |cy AS (SELECT lang, y, count(*)::BIGINT AS c FROM d GROUP BY lang, y),
-        |ry AS (SELECT lang, y,
-        |  2 * CAST(coalesce(sum(c) OVER (PARTITION BY lang ORDER BY y
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    AS BIGINT) + c + 1 AS r2 FROM cy),
-        |j AS (
-        |  SELECT d.lang, cnt.n,
-        |    rx.r2 - cnt.n - 1 AS dx, ry.r2 - cnt.n - 1 AS dy
-        |  FROM d
-        |  JOIN rx ON rx.lang = d.lang AND rx.x = d.x
-        |  JOIN ry ON ry.lang = d.lang AND ry.y = d.y
-        |  JOIN cnt ON cnt.lang = d.lang)
-        |SELECT lang, CAST(max(n) AS BIGINT) AS n,
-        |  CAST(sum(dx * dy) AS BIGINT) AS sum_dxdy,
-        |  CASE WHEN CAST(sum(dx * dx) AS BIGINT) = 0
-        |      OR CAST(sum(dy * dy) AS BIGINT) = 0 THEN NULL
-        |    ELSE round(CAST(CAST(sum(dx * dy) AS BIGINT) AS DOUBLE) /
-        |      (sqrt(CAST(CAST(sum(dx * dx) AS BIGINT) AS DOUBLE)) *
-        |        sqrt(CAST(CAST(sum(dy * dy) AS BIGINT) AS DOUBLE))), 6)
-        |    END AS rho
-        |FROM j GROUP BY lang""".stripMargin,
-    // JSD twin: only shared terms join (one-sided terms pay their mass
-    // times ln 2 in the closed form); per-term summands are logs of
-    // exact BIGINT rationals, nano-quantized at birth, LONG-summed.
-    "q_slice_divergence" ->
-      """WITH toks AS (
-        |  SELECT CAST(source AS VARCHAR) AS k,
-        |    unnest(list_filter(string_split_regex(coalesce(text, ''),
-        |      '\s+'), t -> t <> '')) AS t
-        |  FROM documents WHERE source IS NOT NULL),
-        |c AS (
-        |  SELECT k, t, CAST(count(*) AS BIGINT) AS c
-        |  FROM toks GROUP BY k, t),
-        |tot AS (SELECT k, CAST(sum(c) AS BIGINT) AS nt FROM c GROUP BY k),
-        |j AS (
-        |  SELECT a.k AS key_a, b.k AS key_b, a.c AS ca, b.c AS cb,
-        |    ta.nt AS na, tb.nt AS nb
-        |  FROM c a JOIN c b ON a.t = b.t AND a.k < b.k
-        |  JOIN tot ta ON ta.k = a.k
-        |  JOIN tot tb ON tb.k = b.k),
-        |g AS (
-        |  SELECT key_a, key_b, count(*)::BIGINT AS n_common_terms,
-        |    CAST(sum(ca) AS BIGINT) AS cas, CAST(sum(cb) AS BIGINT) AS cbs,
-        |    CAST(sum(CAST(round(CAST(ca AS DOUBLE) / na *
-        |      ln(2e0 * CAST(ca * nb AS DOUBLE) / (ca * nb + cb * na)) *
-        |      1e9) AS BIGINT)) AS BIGINT) AS san,
-        |    CAST(sum(CAST(round(CAST(cb AS DOUBLE) / nb *
-        |      ln(2e0 * CAST(cb * na AS DOUBLE) / (ca * nb + cb * na)) *
-        |      1e9) AS BIGINT)) AS BIGINT) AS sbn,
-        |    max(na) AS na, max(nb) AS nb
-        |  FROM j GROUP BY key_a, key_b)
-        |SELECT key_a, key_b, n_common_terms,
-        |  round(0.5e0 * (0.6931471805599453e0 *
-        |      (1e0 - CAST(cas AS DOUBLE) / na) + CAST(san AS DOUBLE) / 1e9)
-        |    + 0.5e0 * (0.6931471805599453e0 *
-        |      (1e0 - CAST(cbs AS DOUBLE) / nb) + CAST(sbn AS DOUBLE) / 1e9),
-        |    6) AS jsd
-        |FROM g""".stripMargin,
-    // Krippendorff twin: the three sha-replayable annotators rebuilt in
-    // SQL, unit/value coincidence counts, the per-unit rational
-    // disagreement nano-quantized, integer marginals; D_e's n-1 division
-    // and alpha assembled with the same IEEE ops as the driver.
-    "q_krippendorff" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(string_split_regex(coalesce(text, ''),
-        |      '\s+'), t -> t <> '')) AS BIGINT) AS ntok,
-        |    CAST(length(coalesce(text, '')) AS BIGINT) AS nchr
-        |  FROM documents),
-        |a1 AS (SELECT doc_id, CASE WHEN ntok >= 68 THEN 'long'
-        |  WHEN ntok >= 39 THEN 'mid' ELSE 'short' END AS value FROM base),
-        |a2 AS (SELECT doc_id, CASE WHEN nchr >= 373 THEN 'long'
-        |  WHEN nchr >= 216 THEN 'mid' ELSE 'short' END AS value FROM base),
-        |a3 AS (
-        |  SELECT a1.doc_id,
-        |    CASE WHEN ('0x' || substring(sha256('kripp:' ||
-        |        a1.doc_id::VARCHAR), 1, 15))::BIGINT % 7 = 0
-        |      THEN CASE WHEN a1.value = 'short' THEN 'mid'
-        |        WHEN a1.value = 'mid' THEN 'long' ELSE 'short' END
-        |      ELSE a1.value END AS value
-        |  FROM a1),
-        |r AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
-        |  UNION ALL SELECT * FROM a3),
-        |uv AS (SELECT doc_id AS u, value AS v, count(*)::BIGINT AS c
-        |  FROM r GROUP BY u, v),
-        |units AS (
-        |  SELECT u, CAST(sum(c) AS BIGINT) AS m,
-        |    CAST(sum(c * (c - 1)) AS BIGINT) AS agree
-        |  FROM uv GROUP BY u HAVING CAST(sum(c) AS BIGINT) >= 2),
-        |dd AS (
-        |  SELECT CAST(sum(CAST(round(CAST(m * (m - 1) - agree AS DOUBLE)
-        |      / (m - 1) * 1e9) AS BIGINT)) AS BIGINT) AS don,
-        |    CAST(sum(m) AS BIGINT) AS n, count(*)::BIGINT AS units
-        |  FROM units),
-        |marg AS (
-        |  SELECT CAST(sum(nv * nv) AS BIGINT) AS s2 FROM (
-        |    SELECT uv.v, CAST(sum(uv.c) AS BIGINT) AS nv
-        |    FROM uv JOIN units ON units.u = uv.u GROUP BY uv.v))
-        |SELECT units AS n_units, n AS n_ratings,
-        |  round(CAST(don AS DOUBLE) / 1e9, 6) AS d_o,
-        |  round(CAST(n * n - s2 AS DOUBLE) / (n - 1), 6) AS d_e,
-        |  CASE WHEN CAST(n * n - s2 AS DOUBLE) / (n - 1) <= 0e0 THEN NULL
-        |    ELSE round(1e0 - (CAST(don AS DOUBLE) / 1e9) /
-        |      (CAST(n * n - s2 AS DOUBLE) / (n - 1)), 6) END AS alpha
-        |FROM dd CROSS JOIN marg""".stripMargin,
-    // Stemmed BM25 twin: the Porter SQL pipeline (MATERIALIZED — the
-    // optimizer must not push the term filter into the giant CASE
-    // chain) feeds the q_bm25 scoring tail; query terms pre-stemmed
-    // to window/merg/shuffl/partit by the same verified rules.
-    "q_bm25_stemmed" ->
-      """WITH stems AS MATERIALIZED (
-        |WITH docs AS (SELECT doc_id, text FROM documents),
-        |toks AS (
-        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
-        |         lower(arr[CAST(i AS INTEGER)]) AS w
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                      t -> t <> '') AS arr FROM docs)
-        |  CROSS JOIN unnest(range(1, len(arr) + 1)) t(i)),
-        |s0 AS (
-        |  SELECT doc_id, pos, w,
-        |         (len(w) >= 3 AND regexp_matches(w, '^[a-z]+$')) AS ok
-        |  FROM toks),
-        |s1a AS (
-        |  SELECT doc_id, pos, w, ok,
-        |    CASE WHEN ends_with(w, 'sses') THEN left(w, len(w) - 2)
-        |         WHEN ends_with(w, 'ies')  THEN left(w, len(w) - 2)
-        |         WHEN ends_with(w, 'ss')   THEN w
-        |         WHEN ends_with(w, 's')    THEN left(w, len(w) - 1)
-        |         ELSE w END AS wa
-        |  FROM s0),
-        |s1b0 AS (
-        |  SELECT doc_id, pos, w, ok, wa, substr(list_reduce(['#'] + string_split_regex(wa, ''), (acc, c) -> acc || CASE WHEN c IN ('a','e','i','o','u') THEN 'V' WHEN c = 'y' THEN (CASE WHEN acc = '#' OR right(acc, 1) = 'V' THEN 'C' ELSE 'V' END) ELSE 'C' END), 2) AS pa FROM s1a),
-        |s1b1 AS (
-        |  SELECT doc_id, pos, w, ok,
-        |    CASE WHEN ends_with(wa, 'eed') THEN
-        |           (CASE WHEN len(regexp_extract_all(left(pa, len(wa) - 3), 'VC')) > 0
-        |                 THEN left(wa, len(wa) - 1) ELSE wa END)
-        |         WHEN ends_with(wa, 'ed') AND contains(left(pa, len(wa) - 2), 'V')
-        |           THEN left(wa, len(wa) - 2)
-        |         WHEN ends_with(wa, 'ing') AND contains(left(pa, len(wa) - 3), 'V')
-        |           THEN left(wa, len(wa) - 3)
-        |         ELSE wa END AS wb0,
-        |    (NOT ends_with(wa, 'eed') AND
-        |     ((ends_with(wa, 'ed') AND contains(left(pa, len(wa) - 2), 'V')) OR
-        |      (ends_with(wa, 'ing') AND contains(left(pa, len(wa) - 3), 'V')))) AS did,
-        |    pa
-        |  FROM s1b0),
-        |s1b AS (
-        |  SELECT doc_id, pos, w, ok,
-        |    CASE WHEN NOT did THEN wb0
-        |         WHEN ends_with(wb0, 'at') OR ends_with(wb0, 'bl') OR
-        |              ends_with(wb0, 'iz') THEN wb0 || 'e'
-        |         WHEN len(wb0) >= 2 AND right(left(pa, len(wb0)), 1) = 'C' AND
-        |              substr(wb0, len(wb0), 1) = substr(wb0, len(wb0) - 1, 1) AND
-        |              right(wb0, 1) NOT IN ('l', 's', 'z')
-        |           THEN left(wb0, len(wb0) - 1)
-        |         WHEN len(regexp_extract_all(left(pa, len(wb0)), 'VC')) = 1 AND len(wb0) >= 3 AND
-        |              right(left(pa, len(wb0)), 3) = 'CVC' AND
-        |              right(wb0, 1) NOT IN ('w', 'x', 'y')
-        |           THEN wb0 || 'e'
-        |         ELSE wb0 END AS wb
-        |  FROM s1b1),
-        |s1c0 AS (SELECT doc_id, pos, w, ok, wb, substr(list_reduce(['#'] + string_split_regex(wb, ''), (acc, c) -> acc || CASE WHEN c IN ('a','e','i','o','u') THEN 'V' WHEN c = 'y' THEN (CASE WHEN acc = '#' OR right(acc, 1) = 'V' THEN 'C' ELSE 'V' END) ELSE 'C' END), 2) AS pc FROM s1b),
-        |s1c AS (
-        |  SELECT doc_id, pos, w, ok,
-        |    CASE WHEN ends_with(wb, 'y') AND contains(left(pc, len(wb) - 1), 'V')
-        |         THEN left(wb, len(wb) - 1) || 'i' ELSE wb END AS wc
-        |  FROM s1c0),
-        |s2p AS (SELECT doc_id, pos, w, ok, wc, substr(list_reduce(['#'] + string_split_regex(wc, ''), (acc, c) -> acc || CASE WHEN c IN ('a','e','i','o','u') THEN 'V' WHEN c = 'y' THEN (CASE WHEN acc = '#' OR right(acc, 1) = 'V' THEN 'C' ELSE 'V' END) ELSE 'C' END), 2) AS p2 FROM s1c),
-        |s2 AS (SELECT doc_id, pos, w, ok, CASE WHEN ends_with(wc, 'ational') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 7), 'VC')) > 0 THEN left(wc, len(wc) - 7) || 'ate' ELSE wc END) WHEN ends_with(wc, 'ization') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 7), 'VC')) > 0 THEN left(wc, len(wc) - 7) || 'ize' ELSE wc END) WHEN ends_with(wc, 'iveness') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 7), 'VC')) > 0 THEN left(wc, len(wc) - 7) || 'ive' ELSE wc END) WHEN ends_with(wc, 'fulness') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 7), 'VC')) > 0 THEN left(wc, len(wc) - 7) || 'ful' ELSE wc END) WHEN ends_with(wc, 'ousness') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 7), 'VC')) > 0 THEN left(wc, len(wc) - 7) || 'ous' ELSE wc END) WHEN ends_with(wc, 'tional') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 6), 'VC')) > 0 THEN left(wc, len(wc) - 6) || 'tion' ELSE wc END) WHEN ends_with(wc, 'biliti') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 6), 'VC')) > 0 THEN left(wc, len(wc) - 6) || 'ble' ELSE wc END) WHEN ends_with(wc, 'entli') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 5), 'VC')) > 0 THEN left(wc, len(wc) - 5) || 'ent' ELSE wc END) WHEN ends_with(wc, 'ousli') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 5), 'VC')) > 0 THEN left(wc, len(wc) - 5) || 'ous' ELSE wc END) WHEN ends_with(wc, 'ation') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 5), 'VC')) > 0 THEN left(wc, len(wc) - 5) || 'ate' ELSE wc END) WHEN ends_with(wc, 'alism') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 5), 'VC')) > 0 THEN left(wc, len(wc) - 5) || 'al' ELSE wc END) WHEN ends_with(wc, 'aliti') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 5), 'VC')) > 0 THEN left(wc, len(wc) - 5) || 'al' ELSE wc END) WHEN ends_with(wc, 'iviti') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 5), 'VC')) > 0 THEN left(wc, len(wc) - 5) || 'ive' ELSE wc END) WHEN ends_with(wc, 'enci') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 4), 'VC')) > 0 THEN left(wc, len(wc) - 4) || 'ence' ELSE wc END) WHEN ends_with(wc, 'anci') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 4), 'VC')) > 0 THEN left(wc, len(wc) - 4) || 'ance' ELSE wc END) WHEN ends_with(wc, 'izer') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 4), 'VC')) > 0 THEN left(wc, len(wc) - 4) || 'ize' ELSE wc END) WHEN ends_with(wc, 'abli') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 4), 'VC')) > 0 THEN left(wc, len(wc) - 4) || 'able' ELSE wc END) WHEN ends_with(wc, 'alli') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 4), 'VC')) > 0 THEN left(wc, len(wc) - 4) || 'al' ELSE wc END) WHEN ends_with(wc, 'ator') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 4), 'VC')) > 0 THEN left(wc, len(wc) - 4) || 'ate' ELSE wc END) WHEN ends_with(wc, 'eli') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 3), 'VC')) > 0 THEN left(wc, len(wc) - 3) || 'e' ELSE wc END) ELSE wc END AS w2 FROM s2p),
-        |s3p AS (SELECT doc_id, pos, w, ok, w2, substr(list_reduce(['#'] + string_split_regex(w2, ''), (acc, c) -> acc || CASE WHEN c IN ('a','e','i','o','u') THEN 'V' WHEN c = 'y' THEN (CASE WHEN acc = '#' OR right(acc, 1) = 'V' THEN 'C' ELSE 'V' END) ELSE 'C' END), 2) AS p3 FROM s2),
-        |s3 AS (SELECT doc_id, pos, w, ok, CASE WHEN ends_with(w2, 'icate') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 5), 'VC')) > 0 THEN left(w2, len(w2) - 5) || 'ic' ELSE w2 END) WHEN ends_with(w2, 'ative') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 5), 'VC')) > 0 THEN left(w2, len(w2) - 5) || '' ELSE w2 END) WHEN ends_with(w2, 'alize') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 5), 'VC')) > 0 THEN left(w2, len(w2) - 5) || 'al' ELSE w2 END) WHEN ends_with(w2, 'iciti') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 5), 'VC')) > 0 THEN left(w2, len(w2) - 5) || 'ic' ELSE w2 END) WHEN ends_with(w2, 'ical') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 4), 'VC')) > 0 THEN left(w2, len(w2) - 4) || 'ic' ELSE w2 END) WHEN ends_with(w2, 'ness') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 4), 'VC')) > 0 THEN left(w2, len(w2) - 4) || '' ELSE w2 END) WHEN ends_with(w2, 'ful') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 3), 'VC')) > 0 THEN left(w2, len(w2) - 3) || '' ELSE w2 END) ELSE w2 END AS w3 FROM s3p),
-        |s4p AS (SELECT doc_id, pos, w, ok, w3, substr(list_reduce(['#'] + string_split_regex(w3, ''), (acc, c) -> acc || CASE WHEN c IN ('a','e','i','o','u') THEN 'V' WHEN c = 'y' THEN (CASE WHEN acc = '#' OR right(acc, 1) = 'V' THEN 'C' ELSE 'V' END) ELSE 'C' END), 2) AS p4 FROM s3),
-        |s4 AS (SELECT doc_id, pos, w, ok, CASE WHEN ends_with(w3, 'ement') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 5), 'VC')) > 1 THEN left(w3, len(w3) - 5) ELSE w3 END) WHEN ends_with(w3, 'ance') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 4), 'VC')) > 1 THEN left(w3, len(w3) - 4) ELSE w3 END) WHEN ends_with(w3, 'ence') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 4), 'VC')) > 1 THEN left(w3, len(w3) - 4) ELSE w3 END) WHEN ends_with(w3, 'able') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 4), 'VC')) > 1 THEN left(w3, len(w3) - 4) ELSE w3 END) WHEN ends_with(w3, 'ible') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 4), 'VC')) > 1 THEN left(w3, len(w3) - 4) ELSE w3 END) WHEN ends_with(w3, 'ment') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 4), 'VC')) > 1 THEN left(w3, len(w3) - 4) ELSE w3 END) WHEN ends_with(w3, 'ant') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ent') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ion') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 AND (ends_with(left(w3, len(w3) - 3), 's') OR ends_with(left(w3, len(w3) - 3), 't')) THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ism') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ate') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'iti') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ous') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ive') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ize') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'al') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 2), 'VC')) > 1 THEN left(w3, len(w3) - 2) ELSE w3 END) WHEN ends_with(w3, 'er') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 2), 'VC')) > 1 THEN left(w3, len(w3) - 2) ELSE w3 END) WHEN ends_with(w3, 'ic') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 2), 'VC')) > 1 THEN left(w3, len(w3) - 2) ELSE w3 END) WHEN ends_with(w3, 'ou') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 2), 'VC')) > 1 THEN left(w3, len(w3) - 2) ELSE w3 END) ELSE w3 END AS w4 FROM s4p),
-        |s5p AS (SELECT doc_id, pos, w, ok, w4, substr(list_reduce(['#'] + string_split_regex(w4, ''), (acc, c) -> acc || CASE WHEN c IN ('a','e','i','o','u') THEN 'V' WHEN c = 'y' THEN (CASE WHEN acc = '#' OR right(acc, 1) = 'V' THEN 'C' ELSE 'V' END) ELSE 'C' END), 2) AS p5 FROM s4),
-        |s5a AS (
-        |  SELECT doc_id, pos, w, ok, w4, p5,
-        |    CASE WHEN ends_with(w4, 'e') AND
-        |              (len(regexp_extract_all(left(p5, len(w4) - 1), 'VC')) > 1 OR
-        |               (len(regexp_extract_all(left(p5, len(w4) - 1), 'VC')) = 1 AND NOT
-        |                (len(w4) - 1 >= 3 AND
-        |                 right(left(p5, len(w4) - 1), 3) = 'CVC' AND
-        |                 substr(w4, len(w4) - 1, 1) NOT IN ('w', 'x', 'y'))))
-        |         THEN left(w4, len(w4) - 1) ELSE w4 END AS w5
-        |  FROM s5p),
-        |s5b AS (
-        |  SELECT doc_id, pos, w, ok,
-        |    CASE WHEN len(regexp_extract_all(left(p5, len(w5)), 'VC')) > 1 AND len(w5) >= 2 AND
-        |              right(left(p5, len(w5)), 1) = 'C' AND
-        |              substr(w5, len(w5), 1) = substr(w5, len(w5) - 1, 1) AND
-        |              ends_with(w5, 'l')
-        |         THEN left(w5, len(w5) - 1) ELSE w5 END AS w6
-        |  FROM s5a)
-        |SELECT doc_id, pos, CASE WHEN ok THEN w6 ELSE w END AS stem
-        |FROM s5b
-        |),
-        |dl AS MATERIALIZED (
-        |  SELECT doc_id, CAST(len(list_filter(string_split_regex(
-        |    coalesce(text, ''), '\s+'), t -> t <> '')) AS BIGINT) AS dl
-        |  FROM documents),
-        |stats AS (
-        |  SELECT count(*)::BIGINT AS n,
-        |    sum(dl)::BIGINT::DOUBLE / count(*) AS avgdl FROM dl),
-        |post AS (
-        |  SELECT s.doc_id, d.dl, s.stem AS term, count(*)::BIGINT AS tf
-        |  FROM stems s JOIN dl d USING (doc_id)
-        |  WHERE s.stem IN ('window', 'merg', 'shuffl', 'partit')
-        |  GROUP BY s.doc_id, d.dl, s.stem),
-        |dfs AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term)
-        |SELECT p.doc_id, count(*)::BIGINT AS n_hits,
-        |  round(sum(
-        |    ln(1.0::DOUBLE + (s.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)) *
-        |    (p.tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
-        |    (p.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
-        |       + 0.75::DOUBLE * p.dl / s.avgdl))), 6) AS score
-        |FROM post p JOIN dfs d USING (term) CROSS JOIN stats s
-        |GROUP BY p.doc_id""".stripMargin,
-    // Alignment/uniformity twin: the same sha ring (string-ordered
-    // hex keys), per-label and global consecutive pairing, normalized
-    // vectors, nano-quantized pair terms, one IEEE tail.
-    "q_align_uniformity" ->
-      """WITH e AS (
-        |  SELECT vec_id::VARCHAR AS id, label::VARCHAR AS lab,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-        |    sha256('au:' || vec_id::VARCHAR) AS skey
-        |  FROM embeddings),
-        |nrm AS (
-        |  SELECT id, lab, skey, v,
-        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nn
-        |  FROM e),
-        |vn AS (
-        |  SELECT id, lab, skey,
-        |    list_transform(v, x -> x / nn) AS vn
-        |  FROM nrm),
-        |lp AS (
-        |  SELECT lab, vn, row_number() OVER (
-        |    PARTITION BY lab ORDER BY skey, id) - 1 AS r
-        |  FROM vn),
-        |pp AS (
-        |  SELECT a.vn AS va, b.vn AS vb
-        |  FROM (SELECT lab, r // 2 AS p, vn FROM lp WHERE r % 2 = 0) a
-        |  JOIN (SELECT lab, r // 2 AS p, vn FROM lp WHERE r % 2 = 1) b
-        |  USING (lab, p)),
-        |pos AS (
-        |  SELECT count(*)::BIGINT AS np,
-        |    CAST(sum(CAST(round((2e0 - 2e0 * list_sum(list_transform(
-        |      range(len(va)), i -> va[CAST(i AS INTEGER)+1] *
-        |      vb[CAST(i AS INTEGER)+1]))) * 1e9) AS BIGINT)) AS BIGINT)
-        |      AS sa
-        |  FROM pp),
-        |ring AS (
-        |  SELECT vn, row_number() OVER (ORDER BY skey, id) - 1 AS pos
-        |  FROM vn),
-        |rp AS (
-        |  SELECT a.vn AS va, b.vn AS vb
-        |  FROM (SELECT pos // 2 AS p, vn FROM ring WHERE pos % 2 = 0) a
-        |  JOIN (SELECT pos // 2 AS p, vn FROM ring WHERE pos % 2 = 1) b
-        |  USING (p)),
-        |unif AS (
-        |  SELECT count(*)::BIGINT AS nr,
-        |    CAST(sum(CAST(round(exp(-2e0 * (2e0 - 2e0 *
-        |      list_sum(list_transform(range(len(va)),
-        |      i -> va[CAST(i AS INTEGER)+1] * vb[CAST(i AS INTEGER)+1]))))
-        |      * 1e9) AS BIGINT)) AS BIGINT) AS su
-        |  FROM rp)
-        |SELECT np AS n_pos_pairs, nr AS n_rand_pairs,
-        |  round(CAST(sa AS DOUBLE) / np / 1e9, 6) AS alignment,
-        |  round(ln(CAST(su AS DOUBLE) / nr / 1e9), 6) AS uniformity
-        |FROM pos CROSS JOIN unif""".stripMargin,
-    // Split-leakage twin: the dedup-clusters LSH head (same planting,
-    // same minhash/banding SQL) + the q_hash_split bucket idiom on both
-    // keys, counted in one aggregate.
-    "q_split_leakage" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text, source FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' extra extra', source
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM corpus),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-        |      i -> array_to_string(toks[i:i+2], ' ')) AS shingles
-        |  FROM toks WHERE len(toks) > 0),
-        |h AS (
-        |  SELECT doc_id,
-        |    ('0x' || substring(sha256(s), 1, 7))::BIGINT % 268435399 AS h
-        |  FROM sh CROSS JOIN unnest(shingles) AS u(s)),
-        |minh AS (
-        |  SELECT doc_id, CAST(p AS INTEGER) AS p,
-        |    min((h * (2 * p + 1) + p * 7919) % 268435399) AS mh
-        |  FROM h CROSS JOIN range(16) t(p)
-        |  GROUP BY doc_id, p),
-        |sig AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM minh GROUP BY doc_id),
-        |bandh AS (
-        |  SELECT doc_id, b,
-        |    ('0x' || substring(sha256(
-        |      array_to_string(sig[CAST(b AS INTEGER)*4+1 : CAST(b AS INTEGER)*4+4], ',')),
-        |      1, 15))::BIGINT AS bh
-        |  FROM sig CROSS JOIN range(4) t(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        |  FROM bandh a JOIN bandh c ON a.b = c.b AND a.bh = c.bh
-        |  WHERE a.doc_id < c.doc_id),
-        |est AS (
-        |  SELECT cand.id_a, cand.id_b,
-        |    round(len(list_filter(range(16),
-        |      i -> s1.sig[CAST(i AS INTEGER)+1] = s2.sig[CAST(i AS INTEGER)+1]))
-        |      / 16.0, 6) AS est_jaccard
-        |  FROM cand
-        |  JOIN sig s1 ON s1.doc_id = cand.id_a
-        |  JOIN sig s2 ON s2.doc_id = cand.id_b),
-        |pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
-        |sp AS (
-        |  SELECT doc_id,
-        |    CASE WHEN ('0x' || substring(sha256(
-        |        CAST(doc_id AS VARCHAR) || ':sl'), 1, 7))::BIGINT
-        |        % 1000000 < 800000 THEN 'train' ELSE 'eval' END AS rs,
-        |    CASE WHEN ('0x' || substring(sha256(
-        |        source || ':sl'), 1, 7))::BIGINT
-        |        % 1000000 < 800000 THEN 'train' ELSE 'eval' END AS ds
-        |  FROM corpus)
-        |SELECT count(*)::BIGINT AS n_pairs,
-        |  CAST(count(CASE WHEN a.rs <> b.rs THEN 1 END) AS BIGINT)
-        |    AS row_cross,
-        |  CAST(count(CASE WHEN a.ds <> b.ds THEN 1 END) AS BIGINT)
-        |    AS domain_cross
-        |FROM pairs
-        |JOIN sp a ON a.doc_id = pairs.id_a
-        |JOIN sp b ON b.doc_id = pairs.id_b""".stripMargin,
-    // Preference-pairs twin: the readability head scores, micro-cast,
-    // the same desc/asc rank-1 windows with id tie-breaks, margin gate.
-    "q_preference_pairs" ->
-      """WITH base AS (
-        |  SELECT doc_id, coalesce(text, '') AS text,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id,
-        |    CAST(len(toks) AS BIGINT) AS n_words,
-        |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
-        |      AS BIGINT)) AS n_sentences,
-        |    CAST(coalesce(list_sum(list_transform(toks, t ->
-        |      greatest(1, len(regexp_extract_all(t, '[aeiouyAEIOUY]+'))))),
-        |      0) AS BIGINT) AS n_syllables
-        |  FROM base),
-        |fre AS (
-        |  SELECT doc_id,
-        |    CASE WHEN n_words = 0 THEN NULL ELSE round(206.835::DOUBLE
-        |      - 1.015::DOUBLE * (n_words::DOUBLE / n_sentences)
-        |      - 84.6::DOUBLE * (n_syllables::DOUBLE / n_words), 6)
-        |    END AS fre
-        |  FROM c),
-        |scored AS (
-        |  SELECT d.source, f.doc_id, CAST(round(f.fre * 1e6) AS BIGINT) AS s
-        |  FROM fre f JOIN documents d USING (doc_id)
-        |  WHERE f.fre IS NOT NULL AND d.source IS NOT NULL),
-        |top AS (
-        |  SELECT source, doc_id AS chosen_id, s AS chosen_score,
-        |    row_number() OVER (PARTITION BY source
-        |      ORDER BY s DESC, doc_id ASC) AS r
-        |  FROM scored),
-        |bot AS (
-        |  SELECT source, doc_id AS rejected_id, s AS rejected_score,
-        |    row_number() OVER (PARTITION BY source
-        |      ORDER BY s ASC, doc_id ASC) AS r
-        |  FROM scored)
-        |SELECT t.source, chosen_id, rejected_id,
-        |  chosen_score, rejected_score,
-        |  chosen_score - rejected_score AS margin
-        |FROM (SELECT * FROM top WHERE r = 1) t
-        |JOIN (SELECT * FROM bot WHERE r = 1) b USING (source)
-        |WHERE chosen_id <> rejected_id
-        |  AND chosen_score - rejected_score >= 2000000""".stripMargin,
-    // Span-corruption twin: the same sha-derived block draws (len
-    // repeated inline — DuckDB list lambdas have no let-binding), list
-    // indexing past the spans returns NULL so the CASE falls through
-    // to the raw token exactly like the guarded Spark branches.
-    "q_span_corruption" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS t
-        |  FROM documents),
-        |s0 AS (
-        |  SELECT doc_id, t, len(t) AS n,
-        |    CASE WHEN len(t) >= 20 THEN
-        |      list_transform(range(len(t) // 20), b -> struct_pack(
-        |        s := CAST(b * 20 +
-        |          ('0x' || substring(sha256('t5:' || doc_id::VARCHAR ||
-        |            ':' || b::VARCHAR || ':off'), 1, 15))::BIGINT %
-        |          (20 - (1 + ('0x' || substring(sha256('t5:' ||
-        |            doc_id::VARCHAR || ':' || b::VARCHAR || ':len'), 1,
-        |            15))::BIGINT % 5) + 1) AS INTEGER),
-        |        e := CAST(b * 20 +
-        |          ('0x' || substring(sha256('t5:' || doc_id::VARCHAR ||
-        |            ':' || b::VARCHAR || ':off'), 1, 15))::BIGINT %
-        |          (20 - (1 + ('0x' || substring(sha256('t5:' ||
-        |            doc_id::VARCHAR || ':' || b::VARCHAR || ':len'), 1,
-        |            15))::BIGINT % 5) + 1) +
-        |          1 + ('0x' || substring(sha256('t5:' ||
-        |            doc_id::VARCHAR || ':' || b::VARCHAR || ':len'), 1,
-        |            15))::BIGINT % 5 AS INTEGER)))
-        |    ELSE [] END AS sp
-        |  FROM d)
-        |SELECT doc_id,
-        |  coalesce(array_to_string(list_filter(list_transform(range(n), p ->
-        |    CASE WHEN p = sp[CAST(p // 20 AS INTEGER) + 1].s
-        |           THEN '<extra_id_' || (p // 20)::VARCHAR || '>'
-        |         WHEN p >= sp[CAST(p // 20 AS INTEGER) + 1].s AND
-        |              p < sp[CAST(p // 20 AS INTEGER) + 1].e THEN ''
-        |         ELSE t[CAST(p AS INTEGER) + 1] END),
-        |    x -> x <> ''), ' '), '') AS input_text,
-        |  coalesce(array_to_string(list_filter(list_transform(range(n), p ->
-        |    CASE WHEN p = sp[CAST(p // 20 AS INTEGER) + 1].s
-        |           THEN '<extra_id_' || (p // 20)::VARCHAR || '> ' ||
-        |             t[CAST(p AS INTEGER) + 1]
-        |         WHEN p >= sp[CAST(p // 20 AS INTEGER) + 1].s AND
-        |              p < sp[CAST(p // 20 AS INTEGER) + 1].e
-        |           THEN t[CAST(p AS INTEGER) + 1]
-        |         ELSE '' END),
-        |    x -> x <> ''), ' '), '') AS target_text,
-        |  CAST(len(sp) AS BIGINT) AS n_spans,
-        |  CAST(coalesce(list_sum(list_transform(sp, x -> x.e - x.s)), 0)
-        |    AS BIGINT) AS n_masked
-        |FROM s0""".stripMargin,
-    // FIM twin: same sha cut points and gate, DuckDB 1-based inclusive
-    // list slices mirror Spark's slice(start, length) exactly.
-    "q_fim" ->
-      """WITH d AS (
-        |  SELECT doc_id, coalesce(text, '') AS text,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS t
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, text, t, len(t) AS n,
-        |    ('0x' || substring(sha256('fim:' || doc_id::VARCHAR || ':1'),
-        |      1, 15))::BIGINT % (len(t) + 1) AS h1,
-        |    ('0x' || substring(sha256('fim:' || doc_id::VARCHAR || ':2'),
-        |      1, 15))::BIGINT % (len(t) + 1) AS h2,
-        |    ('0x' || substring(sha256('fim:' || doc_id::VARCHAR ||
-        |      ':gate'), 1, 15))::BIGINT % 1000000 < 500000 AS g
-        |  FROM d),
-        |s AS (
-        |  SELECT doc_id, text, t, n, g,
-        |    least(h1, h2) AS lo, greatest(h1, h2) AS hi
-        |  FROM c)
-        |SELECT doc_id,
-        |  CASE WHEN g THEN array_to_string(
-        |    ['<fim_prefix>'] || t[1:lo] || ['<fim_suffix>'] ||
-        |    t[hi+1:n] || ['<fim_middle>'] || t[lo+1:hi], ' ')
-        |  ELSE text END AS fim_text,
-        |  g AS is_fim,
-        |  CASE WHEN g THEN CAST(lo AS BIGINT) END AS n_prefix,
-        |  CASE WHEN g THEN CAST(hi - lo AS BIGINT) END AS n_middle,
-        |  CASE WHEN g THEN CAST(n - hi AS BIGINT) END AS n_suffix
-        |FROM s""".stripMargin,
-    // Min-K twin: the ccnet oracle's bigram-NLL head, then per doc the
-    // DESC-sorted list's top ceil(n*k/100) slice averaged.
-    // RBO: powers and tail sums rebuilt as the IDENTICAL iterated
-    // chains (a k-row recursive CTE each — pow() is library-specific in
-    // its last bit, the multiply chain is not), nano-rounded per-item
-    // terms, one query-keyed LONG sum
-    "q_rbo" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT source, doc_id,
-        |    CAST(len(toks) AS BIGINT) AS sa,
-        |    CAST(len(list_distinct(toks)) AS BIGINT) AS sb
-        |  FROM (SELECT source, doc_id, list_filter(string_split_regex(
-        |    coalesce(text, ''), '\s+'), t -> t <> '') AS toks
-        |    FROM documents)),
-        |r AS (
-        |  SELECT source,
-        |    row_number() OVER (PARTITION BY source
-        |      ORDER BY sa DESC, doc_id) AS ra,
-        |    row_number() OVER (PARTITION BY source
-        |      ORDER BY sb DESC, doc_id) AS rb
-        |  FROM d),
-        |pw(dd, v) AS (
-        |  SELECT 1, 1.0::DOUBLE * 0.9
-        |  UNION ALL SELECT dd + 1, v * 0.9 FROM pw WHERE dd < 10),
-        |ts(dd, t) AS (
-        |  SELECT 10, 0.0::DOUBLE + (SELECT v FROM pw WHERE dd = 10) / 10
-        |  UNION ALL
-        |  SELECT ts.dd - 1, ts.t + pw.v / (ts.dd - 1)
-        |  FROM ts JOIN pw ON pw.dd = ts.dd - 1
-        |  WHERE ts.dd > 1),
-        |terms AS (
-        |  SELECT source, CAST(round(ts.t * 1e9) AS BIGINT) AS term
-        |  FROM r JOIN ts ON ts.dd = greatest(ra, rb)
-        |  WHERE ra <= 10 AND rb <= 10)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_shared,
-        |  round((1.0 - 0.9) / 0.9 * CAST(sum(term) AS BIGINT) / 1e9, 6)
-        |    AS rbo
-        |FROM terms GROUP BY source""".stripMargin,
-    // speculative acceptance: both LMs' count tables, the exact
-    // cross-product min test (ties to target), split numerator sums per
-    // context, three divisions with the addition order pinned
-    "q_spec_acceptance" ->
-      """WITH tt AS MATERIALIZED (
-        |  SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''),
-        |    '\s+'), t -> t <> '') AS toks FROM documents),
-        |tu AS MATERIALIZED (
-        |  SELECT w AS w1, count(*)::BIGINT AS cut
-        |  FROM tt CROSS JOIN unnest(toks) u(w) GROUP BY w),
-        |du AS MATERIALIZED (
-        |  SELECT w AS w1, count(*)::BIGINT AS cud
-        |  FROM tt CROSS JOIN unnest(toks) u(w)
-        |  WHERE doc_id % 5 = 0 GROUP BY w),
-        |v AS MATERIALIZED (SELECT count(*)::BIGINT AS v FROM (
-        |  SELECT w1 FROM tu UNION SELECT w1 FROM du)),
-        |tb AS MATERIALIZED (
-        |  SELECT toks[CAST(i AS INTEGER)] AS w1,
-        |    toks[CAST(i AS INTEGER)+1] AS w2, count(*)::BIGINT AS cbt
-        |  FROM tt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)
-        |  GROUP BY 1, 2),
-        |db AS MATERIALIZED (
-        |  SELECT toks[CAST(i AS INTEGER)] AS w1,
-        |    toks[CAST(i AS INTEGER)+1] AS w2, count(*)::BIGINT AS cbd
-        |  FROM tt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)
-        |  WHERE doc_id % 5 = 0 GROUP BY 1, 2),
-        |seen AS MATERIALIZED (
-        |  SELECT coalesce(tb.w1, db.w1) AS w1,
-        |    coalesce(tb.cbt, 0) + 1 AS np, coalesce(db.cbd, 0) + 1 AS nq
-        |  FROM tb FULL OUTER JOIN db ON tb.w1 = db.w1 AND tb.w2 = db.w2),
-        |j AS MATERIALIZED (
-        |  SELECT s.w1, s.np, s.nq,
-        |    coalesce(tu.cut, 0) + v.v AS dp,
-        |    coalesce(du.cud, 0) + v.v AS dq, v.v AS v
-        |  FROM seen s
-        |  LEFT JOIN tu ON tu.w1 = s.w1
-        |  LEFT JOIN du ON du.w1 = s.w1
-        |  CROSS JOIN v)
-        |SELECT w1 AS context,
-        |  CAST(max(dp) - max(v) AS BIGINT) AS ctx_target,
-        |  CAST(max(dq) - max(v) AS BIGINT) AS ctx_draft,
-        |  CAST(count(*) AS BIGINT) AS n_seen,
-        |  round(
-        |    CAST(sum(CASE WHEN np * dq <= nq * dp THEN np ELSE 0 END)
-        |      AS DOUBLE) / max(dp) +
-        |    CAST(sum(CASE WHEN np * dq <= nq * dp THEN 0 ELSE nq END)
-        |      AS DOUBLE) / max(dq) +
-        |    CAST(max(v) - count(*) AS DOUBLE) / greatest(max(dp), max(dq)),
-        |    6) AS acceptance
-        |FROM j GROUP BY w1""".stripMargin,
-    // vocabulary richness: exact type/hapax/doubleton counts, the
-    // bias-corrected Chao1 and Good-Turing coverage as one division each
-    "q_vocab_richness" ->
-      """WITH tok AS (
-        |  SELECT source, w, count(*)::BIGINT AS c
-        |  FROM (SELECT source, unnest(list_filter(string_split_regex(
-        |    coalesce(text, ''), '\s+'), t -> t <> '')) AS w
-        |    FROM documents WHERE source IS NOT NULL) u
-        |  GROUP BY source, w)
-        |SELECT source,
-        |  CAST(sum(c) AS BIGINT) AS n_tokens,
-        |  CAST(count(*) AS BIGINT) AS vocab,
-        |  CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS f1,
-        |  CAST(count(CASE WHEN c = 2 THEN 1 END) AS BIGINT) AS f2,
-        |  round(count(*) + CAST(count(CASE WHEN c = 1 THEN 1 END) *
-        |      (count(CASE WHEN c = 1 THEN 1 END) - 1) AS DOUBLE)
-        |    / (2 * (count(CASE WHEN c = 2 THEN 1 END) + 1)), 6) AS chao1,
-        |  round(1.0 - CAST(count(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
-        |    / CAST(sum(c) AS BIGINT), 6) AS coverage
-        |FROM tok GROUP BY source""".stripMargin,
-    "q_mink_prob" ->
-      """WITH ref AS (
-        |  SELECT text FROM documents WHERE doc_id % 5 <> 0),
-        |score_docs AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-        |rt AS (
-        |  SELECT list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                     t -> t <> '') AS toks FROM ref),
-        |uni AS (
-        |  SELECT w AS w1, count(*)::BIGINT AS cu
-        |  FROM rt CROSS JOIN unnest(toks) u(w) GROUP BY w),
-        |v AS (SELECT count(*)::BIGINT AS v FROM uni),
-        |rb AS (
-        |  SELECT toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER)+1] AS bg
-        |  FROM rt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
-        |bi AS (SELECT bg, count(*)::BIGINT AS cb FROM rb GROUP BY bg),
-        |dt AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks FROM score_docs),
-        |db AS (
-        |  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
-        |    toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER)+1] AS bg
-        |  FROM dt CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
-        |nll AS (
-        |  SELECT db.doc_id,
-        |    -ln((coalesce(bi.cb, 0) + 1.0) / (coalesce(uni.cu, 0) + v.v))
-        |      AS nll
-        |  FROM db LEFT JOIN bi ON db.bg = bi.bg
-        |          LEFT JOIN uni ON db.w1 = uni.w1
-        |          CROSS JOIN v),
-        |g AS (
-        |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-        |    list(nll ORDER BY nll DESC) AS s
-        |  FROM nll GROUP BY doc_id),
-        |m AS (
-        |  SELECT doc_id, n_bigrams,
-        |    round(list_sum(s[1:CAST(greatest(1,
-        |        (n_bigrams * 20 + 99) // 100) AS INTEGER)]) /
-        |      greatest(1, (n_bigrams * 20 + 99) // 100), 6) AS mink_nll
-        |  FROM g)
-        |SELECT d.doc_id, coalesce(m.n_bigrams, 0) AS n_bigrams,
-        |  m.mink_nll
-        |FROM score_docs d LEFT JOIN m USING (doc_id)""".stripMargin,
-    // Porter stemmer (Porter 1980) ported rule-for-rule to DuckDB SQL:
-    // the C/V pattern string is built once per intermediate word with a
-    // list_reduce lambda (prefix-stable: a position's class depends only
-    // on earlier chars, so stem conditions read pattern PREFIXES), measure
-    // m = count of 'VC' in the pattern, and each step is a longest-match
-    // CASE ordered by suffix length — verified equal to the Scala
-    // PorterStemmer on 22,818 adversarial fuzz words (y-chains, double
-    // consonants, every suffix x stem product) plus the corpus itself.
-    "q_stem_tokens" ->
-      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-        |toks AS (
-        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
-        |         lower(arr[CAST(i AS INTEGER)]) AS w
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                      t -> t <> '') AS arr FROM docs)
-        |  CROSS JOIN unnest(range(1, len(arr) + 1)) t(i)),
-        |s0 AS (
-        |  SELECT doc_id, pos, w,
-        |         (len(w) >= 3 AND regexp_matches(w, '^[a-z]+$')) AS ok
-        |  FROM toks),
-        |s1a AS (
-        |  SELECT doc_id, pos, w, ok,
-        |    CASE WHEN ends_with(w, 'sses') THEN left(w, len(w) - 2)
-        |         WHEN ends_with(w, 'ies')  THEN left(w, len(w) - 2)
-        |         WHEN ends_with(w, 'ss')   THEN w
-        |         WHEN ends_with(w, 's')    THEN left(w, len(w) - 1)
-        |         ELSE w END AS wa
-        |  FROM s0),
-        |s1b0 AS (
-        |  SELECT doc_id, pos, w, ok, wa, substr(list_reduce(['#'] + string_split_regex(wa, ''), (acc, c) -> acc || CASE WHEN c IN ('a','e','i','o','u') THEN 'V' WHEN c = 'y' THEN (CASE WHEN acc = '#' OR right(acc, 1) = 'V' THEN 'C' ELSE 'V' END) ELSE 'C' END), 2) AS pa FROM s1a),
-        |s1b1 AS (
-        |  SELECT doc_id, pos, w, ok,
-        |    CASE WHEN ends_with(wa, 'eed') THEN
-        |           (CASE WHEN len(regexp_extract_all(left(pa, len(wa) - 3), 'VC')) > 0
-        |                 THEN left(wa, len(wa) - 1) ELSE wa END)
-        |         WHEN ends_with(wa, 'ed') AND contains(left(pa, len(wa) - 2), 'V')
-        |           THEN left(wa, len(wa) - 2)
-        |         WHEN ends_with(wa, 'ing') AND contains(left(pa, len(wa) - 3), 'V')
-        |           THEN left(wa, len(wa) - 3)
-        |         ELSE wa END AS wb0,
-        |    (NOT ends_with(wa, 'eed') AND
-        |     ((ends_with(wa, 'ed') AND contains(left(pa, len(wa) - 2), 'V')) OR
-        |      (ends_with(wa, 'ing') AND contains(left(pa, len(wa) - 3), 'V')))) AS did,
-        |    pa
-        |  FROM s1b0),
-        |s1b AS (
-        |  SELECT doc_id, pos, w, ok,
-        |    CASE WHEN NOT did THEN wb0
-        |         WHEN ends_with(wb0, 'at') OR ends_with(wb0, 'bl') OR
-        |              ends_with(wb0, 'iz') THEN wb0 || 'e'
-        |         WHEN len(wb0) >= 2 AND right(left(pa, len(wb0)), 1) = 'C' AND
-        |              substr(wb0, len(wb0), 1) = substr(wb0, len(wb0) - 1, 1) AND
-        |              right(wb0, 1) NOT IN ('l', 's', 'z')
-        |           THEN left(wb0, len(wb0) - 1)
-        |         WHEN len(regexp_extract_all(left(pa, len(wb0)), 'VC')) = 1 AND len(wb0) >= 3 AND
-        |              right(left(pa, len(wb0)), 3) = 'CVC' AND
-        |              right(wb0, 1) NOT IN ('w', 'x', 'y')
-        |           THEN wb0 || 'e'
-        |         ELSE wb0 END AS wb
-        |  FROM s1b1),
-        |s1c0 AS (SELECT doc_id, pos, w, ok, wb, substr(list_reduce(['#'] + string_split_regex(wb, ''), (acc, c) -> acc || CASE WHEN c IN ('a','e','i','o','u') THEN 'V' WHEN c = 'y' THEN (CASE WHEN acc = '#' OR right(acc, 1) = 'V' THEN 'C' ELSE 'V' END) ELSE 'C' END), 2) AS pc FROM s1b),
-        |s1c AS (
-        |  SELECT doc_id, pos, w, ok,
-        |    CASE WHEN ends_with(wb, 'y') AND contains(left(pc, len(wb) - 1), 'V')
-        |         THEN left(wb, len(wb) - 1) || 'i' ELSE wb END AS wc
-        |  FROM s1c0),
-        |s2p AS (SELECT doc_id, pos, w, ok, wc, substr(list_reduce(['#'] + string_split_regex(wc, ''), (acc, c) -> acc || CASE WHEN c IN ('a','e','i','o','u') THEN 'V' WHEN c = 'y' THEN (CASE WHEN acc = '#' OR right(acc, 1) = 'V' THEN 'C' ELSE 'V' END) ELSE 'C' END), 2) AS p2 FROM s1c),
-        |s2 AS (SELECT doc_id, pos, w, ok, CASE WHEN ends_with(wc, 'ational') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 7), 'VC')) > 0 THEN left(wc, len(wc) - 7) || 'ate' ELSE wc END) WHEN ends_with(wc, 'ization') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 7), 'VC')) > 0 THEN left(wc, len(wc) - 7) || 'ize' ELSE wc END) WHEN ends_with(wc, 'iveness') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 7), 'VC')) > 0 THEN left(wc, len(wc) - 7) || 'ive' ELSE wc END) WHEN ends_with(wc, 'fulness') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 7), 'VC')) > 0 THEN left(wc, len(wc) - 7) || 'ful' ELSE wc END) WHEN ends_with(wc, 'ousness') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 7), 'VC')) > 0 THEN left(wc, len(wc) - 7) || 'ous' ELSE wc END) WHEN ends_with(wc, 'tional') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 6), 'VC')) > 0 THEN left(wc, len(wc) - 6) || 'tion' ELSE wc END) WHEN ends_with(wc, 'biliti') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 6), 'VC')) > 0 THEN left(wc, len(wc) - 6) || 'ble' ELSE wc END) WHEN ends_with(wc, 'entli') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 5), 'VC')) > 0 THEN left(wc, len(wc) - 5) || 'ent' ELSE wc END) WHEN ends_with(wc, 'ousli') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 5), 'VC')) > 0 THEN left(wc, len(wc) - 5) || 'ous' ELSE wc END) WHEN ends_with(wc, 'ation') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 5), 'VC')) > 0 THEN left(wc, len(wc) - 5) || 'ate' ELSE wc END) WHEN ends_with(wc, 'alism') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 5), 'VC')) > 0 THEN left(wc, len(wc) - 5) || 'al' ELSE wc END) WHEN ends_with(wc, 'aliti') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 5), 'VC')) > 0 THEN left(wc, len(wc) - 5) || 'al' ELSE wc END) WHEN ends_with(wc, 'iviti') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 5), 'VC')) > 0 THEN left(wc, len(wc) - 5) || 'ive' ELSE wc END) WHEN ends_with(wc, 'enci') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 4), 'VC')) > 0 THEN left(wc, len(wc) - 4) || 'ence' ELSE wc END) WHEN ends_with(wc, 'anci') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 4), 'VC')) > 0 THEN left(wc, len(wc) - 4) || 'ance' ELSE wc END) WHEN ends_with(wc, 'izer') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 4), 'VC')) > 0 THEN left(wc, len(wc) - 4) || 'ize' ELSE wc END) WHEN ends_with(wc, 'abli') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 4), 'VC')) > 0 THEN left(wc, len(wc) - 4) || 'able' ELSE wc END) WHEN ends_with(wc, 'alli') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 4), 'VC')) > 0 THEN left(wc, len(wc) - 4) || 'al' ELSE wc END) WHEN ends_with(wc, 'ator') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 4), 'VC')) > 0 THEN left(wc, len(wc) - 4) || 'ate' ELSE wc END) WHEN ends_with(wc, 'eli') THEN (CASE WHEN len(regexp_extract_all(left(p2, len(wc) - 3), 'VC')) > 0 THEN left(wc, len(wc) - 3) || 'e' ELSE wc END) ELSE wc END AS w2 FROM s2p),
-        |s3p AS (SELECT doc_id, pos, w, ok, w2, substr(list_reduce(['#'] + string_split_regex(w2, ''), (acc, c) -> acc || CASE WHEN c IN ('a','e','i','o','u') THEN 'V' WHEN c = 'y' THEN (CASE WHEN acc = '#' OR right(acc, 1) = 'V' THEN 'C' ELSE 'V' END) ELSE 'C' END), 2) AS p3 FROM s2),
-        |s3 AS (SELECT doc_id, pos, w, ok, CASE WHEN ends_with(w2, 'icate') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 5), 'VC')) > 0 THEN left(w2, len(w2) - 5) || 'ic' ELSE w2 END) WHEN ends_with(w2, 'ative') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 5), 'VC')) > 0 THEN left(w2, len(w2) - 5) || '' ELSE w2 END) WHEN ends_with(w2, 'alize') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 5), 'VC')) > 0 THEN left(w2, len(w2) - 5) || 'al' ELSE w2 END) WHEN ends_with(w2, 'iciti') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 5), 'VC')) > 0 THEN left(w2, len(w2) - 5) || 'ic' ELSE w2 END) WHEN ends_with(w2, 'ical') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 4), 'VC')) > 0 THEN left(w2, len(w2) - 4) || 'ic' ELSE w2 END) WHEN ends_with(w2, 'ness') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 4), 'VC')) > 0 THEN left(w2, len(w2) - 4) || '' ELSE w2 END) WHEN ends_with(w2, 'ful') THEN (CASE WHEN len(regexp_extract_all(left(p3, len(w2) - 3), 'VC')) > 0 THEN left(w2, len(w2) - 3) || '' ELSE w2 END) ELSE w2 END AS w3 FROM s3p),
-        |s4p AS (SELECT doc_id, pos, w, ok, w3, substr(list_reduce(['#'] + string_split_regex(w3, ''), (acc, c) -> acc || CASE WHEN c IN ('a','e','i','o','u') THEN 'V' WHEN c = 'y' THEN (CASE WHEN acc = '#' OR right(acc, 1) = 'V' THEN 'C' ELSE 'V' END) ELSE 'C' END), 2) AS p4 FROM s3),
-        |s4 AS (SELECT doc_id, pos, w, ok, CASE WHEN ends_with(w3, 'ement') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 5), 'VC')) > 1 THEN left(w3, len(w3) - 5) ELSE w3 END) WHEN ends_with(w3, 'ance') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 4), 'VC')) > 1 THEN left(w3, len(w3) - 4) ELSE w3 END) WHEN ends_with(w3, 'ence') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 4), 'VC')) > 1 THEN left(w3, len(w3) - 4) ELSE w3 END) WHEN ends_with(w3, 'able') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 4), 'VC')) > 1 THEN left(w3, len(w3) - 4) ELSE w3 END) WHEN ends_with(w3, 'ible') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 4), 'VC')) > 1 THEN left(w3, len(w3) - 4) ELSE w3 END) WHEN ends_with(w3, 'ment') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 4), 'VC')) > 1 THEN left(w3, len(w3) - 4) ELSE w3 END) WHEN ends_with(w3, 'ant') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ent') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ion') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 AND (ends_with(left(w3, len(w3) - 3), 's') OR ends_with(left(w3, len(w3) - 3), 't')) THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ism') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ate') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'iti') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ous') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ive') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'ize') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 3), 'VC')) > 1 THEN left(w3, len(w3) - 3) ELSE w3 END) WHEN ends_with(w3, 'al') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 2), 'VC')) > 1 THEN left(w3, len(w3) - 2) ELSE w3 END) WHEN ends_with(w3, 'er') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 2), 'VC')) > 1 THEN left(w3, len(w3) - 2) ELSE w3 END) WHEN ends_with(w3, 'ic') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 2), 'VC')) > 1 THEN left(w3, len(w3) - 2) ELSE w3 END) WHEN ends_with(w3, 'ou') THEN (CASE WHEN len(regexp_extract_all(left(p4, len(w3) - 2), 'VC')) > 1 THEN left(w3, len(w3) - 2) ELSE w3 END) ELSE w3 END AS w4 FROM s4p),
-        |s5p AS (SELECT doc_id, pos, w, ok, w4, substr(list_reduce(['#'] + string_split_regex(w4, ''), (acc, c) -> acc || CASE WHEN c IN ('a','e','i','o','u') THEN 'V' WHEN c = 'y' THEN (CASE WHEN acc = '#' OR right(acc, 1) = 'V' THEN 'C' ELSE 'V' END) ELSE 'C' END), 2) AS p5 FROM s4),
-        |s5a AS (
-        |  SELECT doc_id, pos, w, ok, w4, p5,
-        |    CASE WHEN ends_with(w4, 'e') AND
-        |              (len(regexp_extract_all(left(p5, len(w4) - 1), 'VC')) > 1 OR
-        |               (len(regexp_extract_all(left(p5, len(w4) - 1), 'VC')) = 1 AND NOT
-        |                (len(w4) - 1 >= 3 AND
-        |                 right(left(p5, len(w4) - 1), 3) = 'CVC' AND
-        |                 substr(w4, len(w4) - 1, 1) NOT IN ('w', 'x', 'y'))))
-        |         THEN left(w4, len(w4) - 1) ELSE w4 END AS w5
-        |  FROM s5p),
-        |s5b AS (
-        |  SELECT doc_id, pos, w, ok,
-        |    CASE WHEN len(regexp_extract_all(left(p5, len(w5)), 'VC')) > 1 AND len(w5) >= 2 AND
-        |              right(left(p5, len(w5)), 1) = 'C' AND
-        |              substr(w5, len(w5), 1) = substr(w5, len(w5) - 1, 1) AND
-        |              ends_with(w5, 'l')
-        |         THEN left(w5, len(w5) - 1) ELSE w5 END AS w6
-        |  FROM s5a)
-        |SELECT doc_id, pos, CASE WHEN ok THEN w6 ELSE w END AS stem
-        |FROM s5b""".stripMargin,
-    // Bounded BFS: UNION (not UNION ALL) recursion dedups (node, hops)
-    // pairs per level, so cyclic graphs cannot blow up the path count;
-    // min(hops) collapses levels exactly like the engine's visited set.
-    // Count-min: the oracle rebuilds the cells with the same sha256
-    // bucket idiom and takes the same min-over-depth with absent
-    // cells as zero — integer arithmetic end to end.
-    "q_cms_estimates" ->
-      """WITH toks AS (
-        |  SELECT lang, unnest(list_filter(
-        |    string_split_regex(coalesce(text, ''), '\s+'),
-        |    t -> t <> '')) AS tok
-        |  FROM documents),
-        |ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
-        |cells AS (
-        |  SELECT lang, d,
-        |    ('0x' || substring(sha256(tok || ':graft:' || d::VARCHAR), 1, 7))::BIGINT
-        |      % 2048 AS b,
-        |    count(*) AS cnt
-        |  FROM toks CROSS JOIN ds
-        |  GROUP BY lang, d, b),
-        |probes AS (SELECT unnest(
-        |  ['the', 'data', 'queue', 'value', 'zzz-absent']) AS key),
-        |pb AS (
-        |  SELECT key, d,
-        |    ('0x' || substring(sha256(key || ':graft:' || d::VARCHAR), 1, 7))::BIGINT
-        |      % 2048 AS b
-        |  FROM probes CROSS JOIN ds),
-        |groups AS (SELECT DISTINCT lang FROM cells)
-        |SELECT g.lang, p.key,
-        |  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS freq_est
-        |FROM groups g CROSS JOIN pb p
-        |LEFT JOIN cells c ON c.lang = g.lang AND c.d = p.d AND c.b = p.b
-        |GROUP BY g.lang, p.key""".stripMargin,
-    "q_cms_join_size" ->
-      """WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
-        |ca AS (
-        |  SELECT d,
-        |    ('0x' || substring(sha256(o_orderkey::VARCHAR || ':graft:' || d::VARCHAR), 1, 7))::BIGINT
-        |      % 4096 AS b,
-        |    CAST(count(*) AS BIGINT) AS ca
-        |  FROM orders CROSS JOIN ds GROUP BY d, b),
-        |cb AS (
-        |  SELECT d,
-        |    ('0x' || substring(sha256(l_orderkey::VARCHAR || ':graft:' || d::VARCHAR), 1, 7))::BIGINT
-        |      % 4096 AS b,
-        |    CAST(count(*) AS BIGINT) AS cb
-        |  FROM lineitem CROSS JOIN ds GROUP BY d, b),
-        |ip AS (
-        |  SELECT ca.d, CAST(sum(ca.ca * cb.cb) AS BIGINT) AS ip
-        |  FROM ca JOIN cb ON ca.d = cb.d AND ca.b = cb.b GROUP BY ca.d)
-        |SELECT CAST(min(coalesce(ip.ip, 0)) AS BIGINT) AS join_size_est
-        |FROM ds LEFT JOIN ip ON ip.d = ds.d""".stripMargin,
-    // Confident learning: the oracle replays the same floor-micro
-    // quantization and the integer cross-multiplied threshold test, so
-    // no float division or mean round-off exists in either engine.
-    "q_label_errors" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |    CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS given,
-        |    CAST(floor((length(text) % 1000) / 1000.0 * 1000000.0) AS BIGINT) AS pa,
-        |    CAST(floor((1.0 - (length(text) % 1000) / 1000.0) * 1000000.0) AS BIGINT) AS pb
-        |  FROM documents),
-        |lf AS (
-        |  SELECT doc_id, given, 'a' AS cls, pa AS p FROM base
-        |  UNION ALL
-        |  SELECT doc_id, given, 'b' AS cls, pb AS p FROM base),
-        |thr AS (SELECT cls, CAST(sum(p) AS BIGINT) AS tsum,
-        |    count(*) AS tcnt FROM lf
-        |  WHERE given = cls GROUP BY cls),
-        |win AS (
-        |  SELECT lf.doc_id, lf.given, lf.cls, lf.p,
-        |    row_number() OVER (PARTITION BY lf.doc_id
-        |      ORDER BY lf.p DESC, lf.cls ASC) AS rn
-        |  FROM lf JOIN thr ON lf.cls = thr.cls
-        |  WHERE lf.p * thr.tcnt >= thr.tsum),
-        |conf AS (SELECT doc_id, given, cls, p FROM win WHERE rn = 1),
-        |selfp AS (SELECT doc_id, p AS sp FROM lf WHERE cls = given)
-        |SELECT c.doc_id, c.given AS given_label, c.cls AS confident_label,
-        |  c.p AS confident_micros, s.sp AS self_micros,
-        |  c.cls <> c.given AS flagged
-        |FROM conf c JOIN selfp s ON c.doc_id = s.doc_id""".stripMargin,
-    "q_shortest_paths" ->
-      """WITH RECURSIVE pairs AS (
-        |  SELECT 'c' || o_custkey::VARCHAR AS src,
-        |    's' || l_suppkey::VARCHAR AS dst,
-        |    CAST(l_quantity AS BIGINT) AS w
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |sym AS (SELECT src, dst, w FROM pairs
-        |  UNION ALL SELECT dst, src, w FROM pairs),
-        |e AS (SELECT src, dst, min(w) AS w FROM sym GROUP BY src, dst),
-        |r(node, dist, hops) AS (
-        |  SELECT DISTINCT 'c' || o_custkey::VARCHAR, CAST(0 AS BIGINT), 0
-        |  FROM orders WHERE o_custkey < 5
-        |  UNION
-        |  SELECT e.dst, r.dist + e.w, r.hops + 1 FROM r JOIN e ON e.src = r.node
-        |  WHERE r.hops < 2)
-        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
-        |FROM r GROUP BY node""".stripMargin,
-    "q_harmonic" ->
-      """WITH RECURSIVE pairs AS (
-        |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
-        |    's' || l_suppkey::VARCHAR AS dst
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |e AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
-        |r(seed, node, hops) AS (
-        |  SELECT DISTINCT 'c' || o_custkey::VARCHAR,
-        |    'c' || o_custkey::VARCHAR, CAST(0 AS BIGINT)
-        |  FROM orders WHERE o_custkey < 5
-        |  UNION
-        |  SELECT r.seed, e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node
-        |  WHERE r.hops < 3),
-        |d AS (SELECT seed, node, CAST(min(hops) AS BIGINT) AS hops
-        |  FROM r GROUP BY seed, node)
-        |SELECT node, CAST(count(*) AS BIGINT) AS n_sources,
-        |  CAST(sum(CAST(round(1000000.0 / hops) AS BIGINT)) AS BIGINT)
-        |    AS harmonic_micros
-        |FROM d WHERE hops > 0 GROUP BY node""".stripMargin,
-    "q_k_hop" ->
-      """WITH RECURSIVE pairs AS (
-        |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
-        |    's' || l_suppkey::VARCHAR AS dst
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |e AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
-        |r(node, hops) AS (
-        |  SELECT DISTINCT 'c' || o_custkey::VARCHAR, CAST(0 AS BIGINT)
-        |  FROM orders WHERE o_custkey < 10
-        |  UNION
-        |  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node
-        |  WHERE r.hops < 2)
-        |SELECT node, CAST(min(hops) AS BIGINT) AS hops
-        |FROM r GROUP BY node""".stripMargin,
-    // k-core peel as a bounded recursive CTE: the working table carries
-    // the FULL surviving incidence set per round (rows are (round, u, v),
-    // two per undirected edge so count(*) OVER (PARTITION BY u) IS the
-    // degree), one peel round per recursion step; the global min-degree
-    // window stops the recursion at the fixpoint, and the final stage
-    // re-checks min degree so an emptied core yields zero rows instead
-    // of the last pre-collapse set.
-    "q_k_core" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT DISTINCT
-        |    least(CAST(o_orderkey % 97 AS VARCHAR),
-        |          CAST(o_custkey % 97 AS VARCHAR)) AS a,
-        |    greatest(CAST(o_orderkey % 97 AS VARCHAR),
-        |             CAST(o_custkey % 97 AS VARCHAR)) AS b
-        |  FROM orders
-        |  WHERE CAST(o_orderkey % 97 AS VARCHAR)
-        |     <> CAST(o_custkey % 97 AS VARCHAR)),
-        |inc AS (SELECT a AS u, b AS v FROM base
-        |        UNION ALL SELECT b AS u, a AS v FROM base),
-        |r(i, u, v) AS (
-        |  SELECT 0, u, v FROM inc
-        |  UNION ALL
-        |  SELECT i + 1, u, v FROM (
-        |    SELECT i, u, v, du, dv, min(least(du, dv)) OVER () AS mind
-        |    FROM (
-        |      SELECT i, u, v,
-        |        count(*) OVER (PARTITION BY u) AS du,
-        |        count(*) OVER (PARTITION BY v) AS dv
-        |      FROM r) t1) t2
-        |  WHERE mind < 30 AND du >= 30 AND dv >= 30),
-        |last AS (SELECT u, v FROM r WHERE i = (SELECT max(i) FROM r)),
-        |degs AS (SELECT u, v,
-        |    count(*) OVER (PARTITION BY u) AS du,
-        |    count(*) OVER (PARTITION BY v) AS dv FROM last),
-        |final AS (SELECT u, v FROM degs
-        |  WHERE 30 <= (SELECT min(least(du, dv)) FROM degs))
-        |SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
-        |FROM final GROUP BY u""".stripMargin,
-    // Full coreness decomposition in ONE recursion: rows carry the
-    // current confirmed core level k; a round either peels (some node
-    // under k+1 — drop its incident rows, k unchanged) or, at the
-    // fixpoint (global min degree >= k+1, i.e. the set IS the
-    // (k+1)-core), re-tags everything k+1. A node's coreness is then
-    // exactly the max k over its surviving rows: it is re-tagged up to
-    // its core number and always peeled away before the next bump.
-    "q_coreness" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT DISTINCT
-        |    least(CAST(o_orderkey % 50021 AS VARCHAR),
-        |          CAST(o_custkey % 50021 AS VARCHAR)) AS a,
-        |    greatest(CAST(o_orderkey % 50021 AS VARCHAR),
-        |             CAST(o_custkey % 50021 AS VARCHAR)) AS b
-        |  FROM orders
-        |  WHERE CAST(o_orderkey % 50021 AS VARCHAR)
-        |     <> CAST(o_custkey % 50021 AS VARCHAR)),
-        |inc AS (SELECT a AS u, b AS v FROM base
-        |        UNION ALL SELECT b AS u, a AS v FROM base),
-        |r(i, k, u, v) AS (
-        |  SELECT 0, CAST(1 AS BIGINT), u, v FROM inc
-        |  UNION ALL
-        |  SELECT i + 1, CASE WHEN mind >= k + 1 THEN k + 1 ELSE k END,
-        |    u, v FROM (
-        |    SELECT i, k, u, v, du, dv, min(least(du, dv)) OVER () AS mind
-        |    FROM (
-        |      SELECT i, k, u, v,
-        |        count(*) OVER (PARTITION BY u) AS du,
-        |        count(*) OVER (PARTITION BY v) AS dv
-        |      FROM r) t1) t2
-        |  WHERE mind >= k + 1 OR (du >= k + 1 AND dv >= k + 1))
-        |SELECT u AS node, CAST(max(k) AS BIGINT) AS coreness
-        |FROM r GROUP BY u""".stripMargin,
-    "q_k_anonymity" ->
-      """SELECT doc_id, lang, source FROM (
-        |  SELECT doc_id, lang, source,
-        |    count(*) OVER (PARTITION BY lang, source) AS c
-        |  FROM documents) WHERE c >= 8""".stripMargin,
-    "q_l_diversity" ->
-      """SELECT doc_id, lang, source FROM (
-        |  SELECT doc_id, lang, source,
-        |    count(DISTINCT source) OVER (PARTITION BY lang) AS d
-        |  FROM documents) WHERE d >= 3""".stripMargin,
-    // Shard assignment: the oracle rebuilds the two-phase global cumsum
-    // verbatim — 60-bit order hash, order buckets, exclusive in-bucket
-    // window sums, bucket-offset prefix sums, integer-division cut.
-    "q_shard_assign" ->
-      """WITH h AS (
-        |  SELECT doc_id, n_chars,
-        |    ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)
-        |        || ':graft-shard'), 1, 15))::BIGINT AS hh
-        |  FROM documents),
-        |b AS (SELECT doc_id, n_chars, hh, hh % 32 AS ob FROM h),
-        |c AS (SELECT doc_id, ob,
-        |    COALESCE(CAST(sum(n_chars) OVER (PARTITION BY ob
-        |      ORDER BY hh, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-        |      0) AS cum
-        |  FROM b),
-        |t AS (SELECT ob, CAST(sum(n_chars) AS BIGINT) AS tot
-        |  FROM b GROUP BY ob),
-        |o AS (SELECT ob,
-        |    COALESCE(CAST(sum(tot) OVER (ORDER BY ob
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-        |      0) AS off
-        |  FROM t),
-        |g AS (SELECT (CAST(sum(n_chars) AS BIGINT) + 7) // 8 AS target
-        |  FROM documents)
-        |SELECT c.doc_id,
-        |  CAST(LEAST(7, (c.cum + o.off) // (SELECT target FROM g))
-        |    AS BIGINT) AS shard
-        |FROM c JOIN o USING (ob)""".stripMargin,
-    "q_hash_split" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    ('0x' || substring(sha256(CAST(doc_id AS VARCHAR) || ':graft'),
-        |        1, 7))::BIGINT % 1000000 AS b
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CASE WHEN b < 800000 THEN 'train'
-        |       WHEN b < 900000 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM w""".stripMargin,
-    "q_token_budget" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                    t -> t <> ''))::BIGINT AS n_tok,
-        |    ('0x' || substring(sha256(CAST(doc_id AS VARCHAR) || ':tb'),
-        |        1, 7))::BIGINT % 1000000 AS hb
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, source, n_tok,
-        |    COALESCE(CAST(SUM(n_tok) OVER (PARTITION BY source
-        |      ORDER BY hb, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |      AS BIGINT), 0) AS cum
-        |  FROM d)
-        |SELECT doc_id, source, n_tok FROM c WHERE cum < 600""".stripMargin,
-    "q_doc_hygiene" ->
-      """WITH t AS (
-        |  SELECT doc_id, coalesce(text, '') AS text,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                x -> x <> '') AS toks,
-        |    list_filter(list_transform(
-        |        string_split(coalesce(text, ''), chr(10)), l -> trim(l)),
-        |      l -> l <> '') AS ls
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, text, toks, ls,
-        |    CASE WHEN len(toks) = 0 THEN []
-        |         ELSE list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
-        |                i -> array_to_string(toks[i:i+1], ' ')) END AS bg
-        |  FROM t)
-        |SELECT doc_id,
-        |  round(CASE WHEN len(ls) = 0 THEN 0.0
-        |    ELSE 1.0 - len(list_distinct(ls)) * 1.0 / len(ls) END, 6)
-        |    AS dup_line_frac,
-        |  round(CASE WHEN len(toks) = 0 THEN 0.0
-        |    ELSE 1.0 - len(list_distinct(toks)) * 1.0 / len(toks) END, 6)
-        |    AS dup_token_frac,
-        |  round(CASE WHEN len(bg) = 0 THEN 0.0
-        |    ELSE 1.0 - len(list_distinct(bg)) * 1.0 / len(bg) END, 6)
-        |    AS dup_bigram_frac,
-        |  len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS n_urls,
-        |  len(regexp_extract_all(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
-        |FROM b""".stripMargin,
-    "q_corpus_report" ->
-      """WITH base AS (
-        |  SELECT source, lang, coalesce(text, '') AS text,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM documents),
-        |q AS (
-        |  SELECT source, lang, len(toks) AS n_tok,
-        |    round(
-        |      0.25 * least(1.0, len(toks) / 50.0)
-        |      + 0.25 * (1.0 - least(1.0,
-        |          (CASE WHEN length(text) = 0 THEN 0.0
-        |           ELSE length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
-        |                * 1.0 / length(text) END) * 4.0))
-        |      + 0.25 * (1.0 - least(1.0,
-        |          (CASE WHEN length(text) = 0 THEN 0.0
-        |           ELSE length(regexp_replace(text, '[^A-Z]', '', 'g'))
-        |                * 1.0 / length(text) END) * 4.0))
-        |      + 0.25 * (CASE WHEN len(toks) > 0
-        |          AND length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(toks)
-        |              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END),
-        |    6) AS q,
-        |    len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS urls,
-        |    len(regexp_extract_all(text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails
-        |  FROM base)
-        |SELECT source, count(*) AS n_docs,
-        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-        |  round(CAST(sum(CAST(round(q * 1000000) AS BIGINT)) AS BIGINT)
-        |        / (count(*) * 1000000.0), 6) AS avg_quality,
-        |  count(DISTINCT lang) AS n_langs,
-        |  CAST(sum(urls) AS BIGINT) AS n_urls,
-        |  CAST(sum(emails) AS BIGINT) AS n_emails
-        |FROM q GROUP BY source""".stripMargin,
-    "q_dedup_lines" ->
-      """WITH corpus AS (
-        |  SELECT doc_id,
-        |    coalesce(text, '') || chr(10) || coalesce(text, '')
-        |    || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR) AS text
-        |  FROM documents),
-        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM corpus),
-        |ln AS (
-        |  SELECT doc_id, generate_subscripts(parts, 1) AS pos,
-        |    unnest(parts) AS line
-        |  FROM ls),
-        |firsts AS (
-        |  SELECT doc_id, line, min(pos) AS pos FROM ln GROUP BY doc_id, line)
-        |SELECT doc_id,
-        |  array_to_string(list(line ORDER BY pos), chr(10)) AS clean
-        |FROM firsts GROUP BY doc_id""".stripMargin,
-
-    // C4 span dedup: sentencify (period per 5 tokens, '\1' replacement is
-    // DuckDB's '$1'), plant the shared span, rank spans by (doc, pos),
-    // remove rank>=2 occurrences' sentences, reassemble.
-    "q_c4_span_dedup" ->
-      """WITH corpus AS (
-        |  SELECT doc_id,
-        |    regexp_replace(coalesce(text, ''),
-        |      '(\S+ \S+ \S+ \S+ \S+)', '\1.', 'g')
-        |    || CASE WHEN doc_id % 6 = 0
-        |       THEN ' Alpha beta gamma. Delta epsilon zeta. Eta theta iota.'
-        |       ELSE '' END AS text
-        |  FROM documents),
-        |sent AS (
-        |  SELECT doc_id,
-        |    list_filter(list_transform(
-        |      regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$'),
-        |      s -> trim(s)), s -> s <> '') AS sents
-        |  FROM corpus),
-        |sr AS (
-        |  SELECT doc_id, i AS pos, sents[i] AS s
-        |  FROM sent, UNNEST(range(1, len(sents) + 1)) u(i)),
-        |sp AS (
-        |  SELECT doc_id, i AS spos, array_to_string(sents[i:i+2], ' ') AS span
-        |  FROM sent, UNNEST(range(1, len(sents) - 3 + 2)) u(i)
-        |  WHERE len(sents) >= 3),
-        |rk AS (
-        |  SELECT doc_id, spos,
-        |    row_number() OVER (PARTITION BY span ORDER BY doc_id, spos) AS rn
-        |  FROM sp),
-        |rem AS (
-        |  SELECT DISTINCT doc_id, spos + o AS pos
-        |  FROM rk, UNNEST(range(0, 3)) t(o) WHERE rn >= 2),
-        |kept AS (
-        |  SELECT s.doc_id, s.pos, s.s
-        |  FROM sr s ANTI JOIN rem r ON r.doc_id = s.doc_id AND r.pos = s.pos),
-        |agg AS (
-        |  SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS text,
-        |    count(*) AS nk
-        |  FROM kept GROUP BY doc_id)
-        |SELECT c.doc_id, coalesce(a.text, '') AS text,
-        |  CAST(len(se.sents) - coalesce(a.nk, 0) AS INTEGER) AS removed_sentences
-        |FROM corpus c JOIN sent se ON se.doc_id = c.doc_id
-        |LEFT JOIN agg a ON a.doc_id = c.doc_id""".stripMargin,
-
-    // HTML extraction: the html CTE mirrors the query's synthetic wrap;
-    // the strip/decode chain mirrors htmlToText step-for-step (same RE2
-    // patterns; DuckDB needs the explicit 'g' flag Spark implies).
-    "q_html_extract" ->
-      """WITH html AS (
-        |  SELECT doc_id,
-        |    '<html><head><title>Doc ' || doc_id::VARCHAR
-        |    || ' &amp; friends</title><style>p { color: red; }</style>'
-        |    || '<script>var x = 1 < 2;</script></head><body><!-- nav -->'
-        |    || '<p>' || coalesce(text, '')
-        |    || '</p><div>&quot;quoted&quot; &lt;tag&gt;</div></body></html>'
-        |      AS h
-        |  FROM documents),
-        |stripped AS (
-        |  SELECT doc_id, h,
-        |    regexp_replace(
-        |      regexp_replace(
-        |        regexp_replace(
-        |          regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g'),
-        |          '(?is)<script\b[^>]*>.*?(</script\s*>|$)', ' ', 'g'),
-        |        '(?is)<style\b[^>]*>.*?(</style\s*>|$)', ' ', 'g'),
-        |      '(?s)<[^>]*>', ' ', 'g') AS t
-        |  FROM html),
-        |decoded AS (
-        |  SELECT doc_id, h,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |    regexp_replace(regexp_replace(regexp_replace(t,
-        |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
-        |      '&#39;', '''', 'g'), '&apos;', '''', 'g'), '&nbsp;', ' ', 'g'),
-        |      '&amp;', '&', 'g') AS t
-        |  FROM stripped)
-        |SELECT doc_id,
-        |  trim(regexp_replace(
-        |    regexp_extract(h, '(?is)<title\b[^>]*>(.*?)</title\s*>', 1),
-        |    '\s+', ' ', 'g')) AS title,
-        |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted
-        |FROM decoded""".stripMargin,
-
-    // Global keep-first line dedup: trimmed non-blank lines ranked by
-    // (doc_id, pos) per distinct line; rank 1 survives, docs reassemble.
-    // Novelty: identical shingling (distinct, right-truncated 3-grams),
-    // first-arrival via min(doc_id), strict-inequality seen counts.
-    "q_novelty" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' extra extra'
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM corpus),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) = 0 THEN []
-        |    ELSE list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-        |           i -> array_to_string(toks[i:i+2], ' ')) END) AS s
-        |  FROM toks),
-        |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-        |m AS (SELECT sg, min(doc_id) AS first_ord FROM ex GROUP BY sg),
-        |agg AS (SELECT e.doc_id, count(*) AS n_shingles,
-        |    count(CASE WHEN m.first_ord < e.doc_id THEN 1 END) AS n_seen
-        |  FROM ex e JOIN m ON m.sg = e.sg GROUP BY e.doc_id)
-        |SELECT c.doc_id,
-        |  CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
-        |  CAST(coalesce(a.n_seen, 0) AS BIGINT) AS n_seen,
-        |  CASE WHEN a.n_shingles IS NULL THEN NULL
-        |    ELSE 1.0 - a.n_seen / CAST(a.n_shingles AS DOUBLE) END
-        |    AS novelty_frac
-        |FROM (SELECT DISTINCT doc_id FROM corpus) c
-        |LEFT JOIN agg a ON a.doc_id = c.doc_id""".stripMargin,
-
-    "q_dedup_lines_global" ->
-      """WITH corpus AS (
-        |  SELECT doc_id,
-        |    coalesce(text, '') || chr(10) || 'shared graft footer line'
-        |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'promo spring sale'
-        |       ELSE '' END AS text
-        |  FROM documents),
-        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM corpus),
-        |raw AS (
-        |  SELECT doc_id, generate_subscripts(parts, 1) AS pos,
-        |    trim(unnest(parts)) AS line
-        |  FROM ls),
-        |ln AS (SELECT doc_id, pos, line FROM raw WHERE line <> ''),
-        |kept AS (
-        |  SELECT doc_id, pos, line FROM (
-        |    SELECT doc_id, pos, line,
-        |      row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
-        |    FROM ln) WHERE rn = 1),
-        |agg AS (
-        |  SELECT doc_id,
-        |    array_to_string(list(line ORDER BY pos), chr(10)) AS text
-        |  FROM kept GROUP BY doc_id)
-        |SELECT c.doc_id, coalesce(a.text, '') AS text
-        |FROM corpus c LEFT JOIN agg a ON c.doc_id = a.doc_id""".stripMargin,
-
-    "q_remove_boilerplate" ->
-      """WITH corpus AS (
-        |  SELECT doc_id,
-        |    coalesce(text, '') || chr(10) || 'subscribe to the graft newsletter'
-        |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'shared promo line'
-        |       ELSE '' END AS text
-        |  FROM documents),
-        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM corpus),
-        |ln AS (
-        |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
-        |    trim(parts[CAST(i AS INTEGER)]) AS line
-        |  FROM ls CROSS JOIN range(1, 1000) t(i)
-        |  WHERE CAST(i AS INTEGER) <= len(parts)
-        |    AND trim(parts[CAST(i AS INTEGER)]) <> ''),
-        |freq AS (
-        |  SELECT line FROM ln GROUP BY line
-        |  HAVING count(DISTINCT doc_id) > 200),
-        |kept AS (
-        |  SELECT l.doc_id, l.pos, l.line
-        |  FROM ln l ANTI JOIN freq f ON l.line = f.line),
-        |agg AS (
-        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
-        |  FROM kept GROUP BY doc_id)
-        |SELECT c.doc_id, coalesce(a.text, '') AS text
-        |FROM corpus c LEFT JOIN agg a ON c.doc_id = a.doc_id""".stripMargin,
-    "q_pii_redact" ->
-      """WITH corpus AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 7 = 0 THEN
-        |      coalesce(text, '') || ' contact user' || doc_id
-        |        || '@example.com via https://example.org/d/' || doc_id
-        |        || ' or 10.1.2.3'
-        |    ELSE coalesce(text, '') END AS text
-        |  FROM documents)
-        |SELECT doc_id,
-        |  len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS n_urls,
-        |  len(regexp_extract_all(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        |  len(regexp_extract_all(text,
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
-        |    'https?://[^ \t\n]+', '<URL>', 'g'),
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
-        |FROM corpus""".stripMargin,
-    "q_top_terms" ->
-      """WITH toks AS (
-        |  SELECT source AS "group", unnest(list_filter(
-        |    string_split_regex(lower(coalesce(text, '')), '\s+'),
-        |    t -> t <> '')) AS term
-        |  FROM documents),
-        |tf AS (SELECT "group", term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |gf AS (SELECT term, count(*) AS gf FROM tf GROUP BY 1),
-        |n AS (SELECT count(DISTINCT source) AS n_groups FROM documents),
-        |scored AS (
-        |  SELECT tf."group", tf.term, tf.tf,
-        |    round(tf.tf * ln(n.n_groups * 1.0 / gf.gf), 6) AS score
-        |  FROM tf JOIN gf USING (term) CROSS JOIN n),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY "group" ORDER BY score DESC, term) AS "rank"
-        |  FROM scored)
-        |SELECT "group", term, tf, score, "rank" AS rank
-        |FROM ranked WHERE "rank" <= 5""".stripMargin,
-    // float literals cast to DOUBLE so DuckDB's decimal arithmetic doesn't
-    // diverge from Spark's IEEE-double evaluation of the same formula;
-    // the indexed variant must produce the identical result set
-    "q_bm25_search" -> bm25Oracle,
-    "q_bm25_indexed" -> bm25Oracle,
-    "q_bm25_segmented" -> bm25Oracle,
-    // RM3: pass-1 bm25 (shared CTEs), top-5 feedback docs by (score DESC,
-    // id), per-(doc, term) contributions round((tf*smic)*1000.0/dl) summed
-    // as BIGINTs, top-8 terms by (weight DESC, term), micro-normalized,
-    // α=0.5 pico-unit interpolation, weighted pass-2 over the SAME global
-    // (n, avgdl). Association trees mirror the Spark side exactly.
-    "q_rm3_search" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_transform(list_filter(
-        |    string_split_regex(coalesce(text, ''), '\s+'), t -> t <> ''),
-        |    t -> lower(t)) AS toks
-        |  FROM documents),
-        |base AS (
-        |  SELECT doc_id, len(toks)::BIGINT AS dl,
-        |    list_filter(toks,
-        |      t -> t IN ('spark', 'window', 'merge', 'shuffle')) AS hits
-        |  FROM toks),
-        |stats AS (
-        |  SELECT count(*)::BIGINT AS n,
-        |    sum(dl)::BIGINT::DOUBLE / count(*) AS avgdl FROM base),
-        |post AS (
-        |  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
-        |  FROM (SELECT doc_id, dl, unnest(hits) AS term FROM base
-        |        WHERE len(hits) > 0)
-        |  GROUP BY doc_id, dl, term),
-        |dfs AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term),
-        |s1 AS (
-        |  SELECT p.doc_id, round(sum(
-        |    ln(1.0::DOUBLE + (s.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)) *
-        |    (p.tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
-        |    (p.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
-        |       + 0.75::DOUBLE * p.dl / s.avgdl))), 6) AS score
-        |  FROM post p JOIN dfs d USING (term) CROSS JOIN stats s
-        |  GROUP BY p.doc_id),
-        |fb AS (
-        |  SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS smic
-        |  FROM s1 ORDER BY score DESC, doc_id LIMIT 5),
-        |fbt AS (
-        |  SELECT t.doc_id, f.smic, len(t.toks)::BIGINT AS dl,
-        |    u.term, count(*)::BIGINT AS tf
-        |  FROM fb f JOIN toks t USING (doc_id), unnest(t.toks) AS u(term)
-        |  GROUP BY t.doc_id, f.smic, dl, u.term),
-        |rw AS (
-        |  SELECT term, CAST(sum(CAST(round(tf * smic * 1000.0 / dl)
-        |    AS BIGINT)) AS BIGINT) AS wn
-        |  FROM fbt GROUP BY term),
-        |sel AS (SELECT term, wn FROM rw ORDER BY wn DESC, term LIMIT 8),
-        |tot AS (SELECT CAST(sum(wn) AS BIGINT) AS ws FROM sel),
-        |rmw AS (
-        |  SELECT term, CAST(round(wn * 1000000.0 / ws) AS BIGINT) AS rmmic
-        |  FROM sel CROSS JOIN tot),
-        |orig AS (
-        |  SELECT unnest(['spark', 'window', 'merge', 'shuffle']) AS term,
-        |    CAST(round(1000000.0 / 4) AS BIGINT) AS omic),
-        |qw AS (
-        |  SELECT coalesce(o.term, r.term) AS term,
-        |    500000 * coalesce(o.omic, 0) + 500000 * coalesce(r.rmmic, 0) AS wp
-        |  FROM orig o FULL OUTER JOIN rmw r ON o.term = r.term),
-        |qwp AS (SELECT term, wp FROM qw WHERE wp > 0),
-        |post2 AS (
-        |  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
-        |  FROM (SELECT t.doc_id, len(t.toks)::BIGINT AS dl, u.term
-        |        FROM toks t, unnest(t.toks) AS u(term)) x
-        |    JOIN qwp USING (term)
-        |  GROUP BY doc_id, dl, term),
-        |dfs2 AS (SELECT term, count(*)::BIGINT AS df FROM post2 GROUP BY term)
-        |SELECT p.doc_id, count(*)::BIGINT AS n_hits,
-        |  round(sum(
-        |    ln(1.0::DOUBLE + (s.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)) *
-        |    (p.tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
-        |    (p.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
-        |       + 0.75::DOUBLE * p.dl / s.avgdl)) * q.wp / 1e12), 6) AS score
-        |FROM post2 p JOIN dfs2 d USING (term) JOIN qwp q USING (term)
-        |  CROSS JOIN stats s
-        |GROUP BY p.doc_id""".stripMargin,
-    "q_weighted_sample" ->
-      """WITH w AS (
-        |  SELECT source, doc_id, n_chars,
-        |    ln((('0x' || substring(sha256(doc_id::VARCHAR || ':ws1'), 1, 7))
-        |        ::BIGINT + 1)::DOUBLE / 268435456.0) / n_chars::DOUBLE AS sk
-        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
-        |r AS (
-        |  SELECT source, doc_id, n_chars, row_number() OVER (
-        |    PARTITION BY source ORDER BY sk DESC, doc_id) AS rk
-        |  FROM w)
-        |SELECT source, doc_id, n_chars FROM r WHERE rk <= 20""".stripMargin,
-    "q_hybrid_rrf" ->
-      s"""WITH b AS ($bm25Oracle),
-         |kw AS (
-         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
-         |  FROM b),
-         |lt AS (
-         |  SELECT doc_id, n_chars FROM documents
-         |  ORDER BY n_chars DESC, doc_id LIMIT 1000),
-         |ln AS (
-         |  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
-         |  FROM lt),
-         |u AS (
-         |  SELECT doc_id, 1.0::DOUBLE / (60 + rk) AS rrf_contrib FROM kw
-         |  UNION ALL
-         |  SELECT doc_id, 1.0::DOUBLE / (60 + rk) AS rrf_contrib FROM ln)
-         |SELECT doc_id, count(*)::BIGINT AS n_lists,
-         |  round(sum(rrf_contrib), 6) AS rrf_score
-         |FROM u GROUP BY doc_id""".stripMargin,
-    "q_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(toks) = 0 THEN []
-        |      ELSE list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-        |             i -> array_to_string(toks[i:i+2], ' ')) END) AS s
-        |  FROM toks),
-        |h AS (
-        |  SELECT doc_id,
-        |    ('0x' || substring(sha256(u.s), 1, 15))::BIGINT AS h
-        |  FROM sh CROSS JOIN unnest(sh.s) AS u(s)),
-        |c AS (SELECT doc_id AS corpus_id, h FROM h WHERE doc_id % 50 <> 0),
-        |p AS (SELECT doc_id AS probe_id, h FROM h WHERE doc_id % 50 = 0),
-        |psz AS (SELECT probe_id, count(*) AS psz FROM p GROUP BY 1),
-        |m AS (
-        |  SELECT c.corpus_id, p.probe_id, count(*) AS n_shared
-        |  FROM c JOIN p ON c.h = p.h
-        |  GROUP BY 1, 2
-        |  HAVING count(*) >= 3)
-        |SELECT m.corpus_id, m.probe_id, m.n_shared,
-        |  round(m.n_shared * 1.0 / psz.psz, 6) AS probe_frac
-        |FROM m JOIN psz USING (probe_id)""".stripMargin,
-    "q_decontaminate_spans" ->
-      """WITH ttoks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS t
-        |  FROM documents WHERE doc_id % 7 <> 0),
-        |btoks AS (
-        |  SELECT list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                     t -> t <> '') AS t
-        |  FROM documents WHERE doc_id % 7 = 0),
-        |bwins AS (
-        |  SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS win
-        |  FROM btoks, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
-        |  WHERE len(t) >= 8),
-        |twins AS (
-        |  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS win
-        |  FROM ttoks, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
-        |  WHERE len(t) >= 8),
-        |hits AS (
-        |  SELECT doc_id, pos FROM twins JOIN bwins USING (win)),
-        |flg AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN lag(pos) OVER w IS NULL
-        |              OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS f
-        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    CAST(sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS g
-        |  FROM flg),
-        |spans AS (
-        |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
-        |  FROM isl GROUP BY doc_id, g),
-        |pos AS (
-        |  SELECT doc_id, i AS pos, t[i] AS tok
-        |  FROM ttoks, UNNEST(range(1, len(t) + 1)) AS u(i)),
-        |kept AS (
-        |  SELECT p.doc_id, p.pos, p.tok FROM pos p
-        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
-        |    WHERE s.doc_id = p.doc_id AND p.pos BETWEEN s.s AND s.e)),
-        |agg AS (
-        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS kept_text,
-        |    count(*) AS n_kept
-        |  FROM kept GROUP BY doc_id)
-        |SELECT t.doc_id, coalesce(a.kept_text, '') AS kept_text,
-        |  len(t.t) - coalesce(a.n_kept, 0) AS removed_tokens
-        |FROM ttoks t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
-    "q_quota_per_group" ->
-      """SELECT doc_id, source, lang FROM (
-        |  SELECT doc_id, source, lang,
-        |    row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
-        |  FROM documents)
-        |WHERE rn <= 8""".stripMargin,
-    "q_stratified_sample" ->
-      """SELECT doc_id, lang FROM (
-        |  SELECT doc_id, lang,
-        |    ('0x' || substring(sha256(CAST(doc_id AS VARCHAR) || ':graft'),
-        |        1, 7))::BIGINT % 1000000 AS b
-        |  FROM documents)
-        |WHERE b < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
-        |           ELSE 100000 END""".stripMargin,
-    "q_mixture_sample" ->
-      """WITH c AS (
-        |  SELECT source, count(*)::DOUBLE AS c FROM documents
-        |  WHERE source IN ('src1', 'src2', 'src3') GROUP BY source),
-        |w AS (
-        |  SELECT source, c,
-        |    (CASE source WHEN 'src1' THEN 0.5
-        |                 WHEN 'src2' THEN 0.3 ELSE 0.2 END)::DOUBLE AS w
-        |  FROM c),
-        |n AS (SELECT floor(min(c / w)) AS n FROM w),
-        |cuts AS (
-        |  SELECT w.source,
-        |    round(least(n.n * w.w / w.c, 1.0) * 1000000.0) AS cut
-        |  FROM w, n)
-        |SELECT d.doc_id, d.source
-        |FROM documents d JOIN cuts ON d.source = cuts.source
-        |WHERE ('0x' || substring(sha256(CAST(d.doc_id AS VARCHAR) || ':graft'),
-        |       1, 7))::BIGINT % 1000000 < cuts.cut""".stripMargin,
-    "q_alpha_mixture" ->
-      """WITH c AS (
-        |  SELECT lang, count(*)::BIGINT AS c FROM documents
-        |  WHERE lang IS NOT NULL GROUP BY lang),
-        |p AS (
-        |  SELECT lang, c,
-        |    CAST(round(pow(c * 1.0, 0.3) * 1000000.0) AS BIGINT) AS pw
-        |  FROM c),
-        |s AS (SELECT CAST(sum(pw) AS BIGINT) AS s FROM p),
-        |w AS (SELECT lang, c * 1.0 AS c, pw * 1.0 / s.s AS w FROM p, s),
-        |n AS (SELECT floor(min(c / w)) AS n FROM w),
-        |cuts AS (
-        |  SELECT w.lang, round(least(n.n * w.w / w.c, 1.0) * 1000000.0) AS cut
-        |  FROM w, n)
-        |SELECT d.doc_id, d.lang
-        |FROM documents d JOIN cuts ON d.lang = cuts.lang
-        |WHERE ('0x' || substring(sha256(CAST(d.doc_id AS VARCHAR) || ':graft'),
-        |       1, 7))::BIGINT % 1000000 < cuts.cut""".stripMargin,
-    "q_corpus_shuffle" ->
-      """SELECT doc_id, source,
-        |  row_number() OVER (
-        |    ORDER BY sha256('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id)
-        |    - 1 AS pos
-        |FROM documents""".stripMargin,
-    "q_pack_sequences" ->
-      """WITH tok AS (
-        |  SELECT doc_id, source,
-        |    len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                    t -> t <> '')) AS n_tok
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, source, n_tok,
-        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS bin_offset
-        |  FROM tok)
-        |SELECT doc_id, source, n_tok, bin_offset,
-        |  CAST(floor(bin_offset / 1024) AS BIGINT) AS bin
-        |FROM c""".stripMargin,
-    "q_asof_join" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
-        |s AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS snap_value
-        |  FROM events WHERE event_id % 10 = 0
-        |  GROUP BY 1, 2)
-        |SELECT e.event_id, e.user_id, e.ts_us, s.snap_value
-        |FROM e ASOF LEFT JOIN s
-        |  ON e.user_id = s.user_id AND e.ts_us >= s.ts_us""".stripMargin,
-    "q_asof_tolerance" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
-        |s AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS snap_value
-        |  FROM events WHERE event_id % 10 = 0
-        |  GROUP BY 1, 2)
-        |SELECT e.event_id, e.user_id, e.ts_us,
-        |  CASE WHEN s.ts_us IS NOT NULL AND e.ts_us - s.ts_us <= 60000000
-        |       THEN s.snap_value END AS snap_value
-        |FROM e ASOF LEFT JOIN s
-        |  ON e.user_id = s.user_id AND e.ts_us >= s.ts_us""".stripMargin,
-    "q_asof_forward" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
-        |s AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS snap_value
-        |  FROM events WHERE event_id % 10 = 0
-        |  GROUP BY 1, 2)
-        |SELECT e.event_id, e.user_id, e.ts_us, s.snap_value
-        |FROM e ASOF LEFT JOIN s
-        |  ON e.user_id = s.user_id AND e.ts_us <= s.ts_us""".stripMargin,
-    "q_fingerprint" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                t -> t <> '') AS toks
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) = 0 THEN []
-        |         ELSE list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
-        |                i -> array_to_string(toks[i:i+4], ' ')) END AS shingles
-        |  FROM toks)
-        |SELECT doc_id,
-        |  CASE WHEN len(shingles) = 0 THEN NULL
-        |       ELSE list_min(list_transform(shingles,
-        |              s -> ('0x' || substring(sha256(s), 1, 15))::BIGINT))
-        |  END AS fp
-        |FROM sh""".stripMargin,
-    "q_frame_sample" ->
-      """WITH d AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
-        |f AS (
-        |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
-        |    substring(h, CAST(i AS INTEGER) * 32 + 1, 32) AS frame_hex
-        |  FROM d CROSS JOIN range(3) t(i))
-        |SELECT doc_id, frame_idx, frame_hex
-        |FROM f WHERE length(frame_hex) > 0""".stripMargin,
-    "q_image_phash" ->
-      """WITH d AS (SELECT doc_id, hex(encode(text)) AS h,
-        |    octet_length(encode(text)) AS nb FROM documents),
-        |cells AS (
-        |  SELECT doc_id, i,
-        |    COALESCE(TRY_CAST('0x' || substring(h,
-        |      CAST((i * nb) // 60 AS INTEGER) * 2 + 1, 2)
-        |      AS BIGINT), 0) AS c
-        |  FROM d CROSS JOIN range(60) t(i)),
-        |med AS (
-        |  SELECT doc_id, arr[31] AS m FROM (
-        |    SELECT doc_id, list_sort(list(c)) AS arr
-        |    FROM cells GROUP BY doc_id)),
-        |bits AS (
-        |  SELECT cells.doc_id,
-        |    CAST(SUM(CASE WHEN c > m
-        |             THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END)
-        |      AS BIGINT) AS v
-        |  FROM cells JOIN med USING (doc_id) GROUP BY cells.doc_id)
-        |SELECT d.doc_id, COALESCE(bits.v, 0)::BIGINT AS phash
-        |FROM d LEFT JOIN bits USING (doc_id)""".stripMargin,
-    "q_image_near_dup" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000,
-        |    substring(text, 1, length(text) - 3) || 'xyz'
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |d AS (SELECT doc_id, hex(encode(text)) AS h,
-        |    octet_length(encode(text)) AS nb FROM corpus),
-        |cells AS (
-        |  SELECT doc_id, i,
-        |    COALESCE(TRY_CAST('0x' || substring(h,
-        |      CAST((i * nb) // 60 AS INTEGER) * 2 + 1, 2)
-        |      AS BIGINT), 0) AS c
-        |  FROM d CROSS JOIN range(60) t(i)),
-        |med AS (
-        |  SELECT doc_id, arr[31] AS m FROM (
-        |    SELECT doc_id, list_sort(list(c)) AS arr
-        |    FROM cells GROUP BY doc_id)),
-        |ah AS (
-        |  SELECT cells.doc_id,
-        |    CAST(SUM(CASE WHEN c > m
-        |             THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END)
-        |      AS BIGINT) AS sh
-        |  FROM cells JOIN med USING (doc_id) GROUP BY cells.doc_id),
-        |bands AS (
-        |  SELECT doc_id, sh, b, (sh >> (CAST(b AS INTEGER) * 10)) & 1023 AS bv
-        |  FROM ah CROSS JOIN range(6) t(b)
-        |  WHERE sh <> 0)
-        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  bit_count(xor(a.sh, b.sh)) AS hamming
-        |FROM bands a JOIN bands b
-        |  ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sh, b.sh)) <= 5""".stripMargin,
-    "q_frame_near_dup" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000,
-        |    substring(text, 1, length(text) - 3) || 'xyz'
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |d AS (SELECT doc_id, hex(encode(text)) AS h FROM corpus),
-        |fr AS (
-        |  SELECT doc_id * 10 + i AS fid,
-        |    substring(h, CAST(i AS INTEGER) * 128 + 1, 128) AS fh
-        |  FROM d CROSS JOIN range(3) t(i)),
-        |fr2 AS (
-        |  SELECT fid, fh, length(fh) // 2 AS nb
-        |  FROM fr WHERE length(fh) > 0),
-        |cells AS (
-        |  SELECT fid, c,
-        |    COALESCE(TRY_CAST('0x' || substring(fh,
-        |      CAST((c * nb) // 60 AS INTEGER) * 2 + 1, 2)
-        |      AS BIGINT), 0) AS v
-        |  FROM fr2 CROSS JOIN range(60) t(c)),
-        |med AS (
-        |  SELECT fid, arr[31] AS m FROM (
-        |    SELECT fid, list_sort(list(v)) AS arr
-        |    FROM cells GROUP BY fid)),
-        |ah AS (
-        |  SELECT cells.fid,
-        |    CAST(SUM(CASE WHEN v > m
-        |             THEN (1::BIGINT << CAST(c AS INTEGER)) ELSE 0 END)
-        |      AS BIGINT) AS sh
-        |  FROM cells JOIN med USING (fid) GROUP BY cells.fid),
-        |bands AS (
-        |  SELECT fid, sh, b, (sh >> (CAST(b AS INTEGER) * 10)) & 1023 AS bv
-        |  FROM ah CROSS JOIN range(6) t(b)
-        |  WHERE sh <> 0)
-        |SELECT DISTINCT a.fid AS id_a, b.fid AS id_b,
-        |  bit_count(xor(a.sh, b.sh)) AS hamming
-        |FROM bands a JOIN bands b
-        |  ON a.b = b.b AND a.bv = b.bv AND a.fid < b.fid
-        |WHERE bit_count(xor(a.sh, b.sh)) <= 5""".stripMargin,
-    "q_rest_read" ->
-      """SELECT CAST(p * 100 + i AS BIGINT) AS id,
-        |  'item' || CAST(p * 100 + i AS VARCHAR) AS name,
-        |  CAST((p * 100 + i) % 7 AS BIGINT) AS score
-        |FROM range(1, 4) AS a(p), range(1, 4) AS b(i)""".stripMargin,
-    "q_sparql_read" ->
-      """SELECT * FROM (VALUES
-        |  ('Berlin', CAST(3700000 AS BIGINT)),
-        |  ('Paris',  CAST(2100000 AS BIGINT)),
-        |  ('Madrid', CAST(3200000 AS BIGINT)))
-        |AS t(city, population)""".stripMargin,
-    "q_qdrant_roundtrip" ->
-      """SELECT vec_id AS id, 'v' || CAST(vec_id AS VARCHAR) AS name
-        |FROM embeddings WHERE vec_id < 6""".stripMargin,
-    "q_event_windows" ->
-      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
-        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM events
-        |GROUP BY 1, 2""".stripMargin,
-    "q_sliding_windows" ->
-      """WITH ev AS (
-        |  SELECT epoch_us(ts) AS us, event_type, value FROM events),
-        |off AS (SELECT unnest([0, 1, 2, 3]) AS i),
-        |w AS (
-        |  SELECT ((us // 900000000) - i) * 900000000 AS ws_us,
-        |    event_type, value
-        |  FROM ev CROSS JOIN off)
-        |SELECT ws_us // 1000000 AS window_start, event_type,
-        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM w GROUP BY 1, 2""".stripMargin,
-    "q_interval_join" ->
-      """WITH l AS (
-        |  SELECT event_id AS l_event_id, user_id, epoch_us(ts) AS l_us
-        |  FROM events WHERE event_id % 10 = 0),
-        |r AS (
-        |  SELECT event_id AS r_event_id, user_id, epoch_us(ts) AS r_us
-        |  FROM events)
-        |SELECT l_event_id, r_event_id
-        |FROM l JOIN r USING (user_id)
-        |WHERE r_us >= l_us - 600000000 AND r_us <= l_us""".stripMargin,
-    "q_sessionize" ->
-      """WITH d AS (
-        |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
-        |b AS (
-        |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER
-        |      (PARTITION BY user_id ORDER BY ts_us, event_id)
-        |      > 1800000000 THEN 1 ELSE 0 END AS brk
-        |  FROM d),
-        |g AS (
-        |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us,
-        |    event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS BIGINT) AS sid
-        |  FROM b)
-        |SELECT user_id, min(ts_us) AS session_start,
-        |  max(ts_us) AS session_end,
-        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM g GROUP BY user_id, sid""".stripMargin,
-    "q_semantic_decon" ->
-      """WITH ev AS (
-        |  SELECT vec_id + 900000 AS eval_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-        |  FROM embeddings WHERE vec_id % 50 = 0),
-        |tr AS (
-        |  SELECT vec_id AS train_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vt
-        |  FROM embeddings),
-        |s AS (
-        |  SELECT train_id, eval_id,
-        |    list_sum(list_transform(range(len(vt)),
-        |      i -> vt[CAST(i AS INTEGER)+1] * ve[CAST(i AS INTEGER)+1])) AS dot,
-        |    sqrt(list_sum(list_transform(vt, x -> x * x))) AS na,
-        |    sqrt(list_sum(list_transform(ve, x -> x * x))) AS nb
-        |  FROM tr CROSS JOIN ev)
-        |SELECT train_id, eval_id,
-        |  round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
-        |    ELSE dot / (na * nb) END, 6) AS cos
-        |FROM s WHERE round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
-        |  ELSE dot / (na * nb) END, 6) >= 0.95""".stripMargin,
-    "q_assoc_rules" ->
-      """WITH si AS (
-        |  SELECT DISTINCT user_id AS s, event_type AS i FROM events
-        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
-        |t AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n FROM si),
-        |itn AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM si GROUP BY i),
-        |p AS (
-        |  SELECT a.i AS antecedent, b.i AS consequent,
-        |    CAST(count(*) AS BIGINT) AS n_both
-        |  FROM si a JOIN si b ON a.s = b.s AND a.i <> b.i
-        |  GROUP BY 1, 2)
-        |SELECT antecedent, consequent, n AS n_sessions, n_both,
-        |  (n_both * 1000000) // n AS support_micros,
-        |  (n_both * 1000000) // na.ni AS confidence_micros,
-        |  round(CAST(n_both * n AS DOUBLE) / (na.ni * nb.ni), 6) AS lift
-        |FROM p
-        |CROSS JOIN t
-        |JOIN itn na ON na.i = p.antecedent
-        |JOIN itn nb ON nb.i = p.consequent""".stripMargin,
-    "q_path_ngrams" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS us, event_id,
-        |    coalesce(event_type, '(null)') AS t
-        |  FROM events),
-        |g AS (
-        |  SELECT t || ' > ' || lead(t, 1) OVER w || ' > '
-        |      || lead(t, 2) OVER w AS ngram,
-        |    lead(t, 1) OVER w AS l1, lead(t, 2) OVER w AS l2
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
-        |SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
-        |FROM g WHERE l1 IS NOT NULL AND l2 IS NOT NULL
-        |GROUP BY ngram""".stripMargin,
-    "q_resample" ->
-      """WITH e AS (
-        |  SELECT event_type AS k, epoch_us(ts) AS us, value
-        |  FROM events WHERE ts IS NOT NULL),
-        |a AS (
-        |  SELECT k, us // 3600000000 AS b, CAST(count(*) AS BIGINT) AS n_events,
-        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
-        |      AS value_micros
-        |  FROM e GROUP BY k, b),
-        |r AS (SELECT k, min(b) AS minb, max(b) AS maxb FROM a GROUP BY k),
-        |spine AS (
-        |  SELECT k, unnest(generate_series(minb, maxb)) AS b FROM r),
-        |j AS (
-        |  SELECT s.k, s.b, coalesce(a.n_events, 0) AS n_events,
-        |    coalesce(a.value_micros, 0) AS value_micros
-        |  FROM spine s LEFT JOIN a
-        |    ON s.k IS NOT DISTINCT FROM a.k AND s.b = a.b)
-        |SELECT k AS event_type, b * 3600000000 AS bucket_us, n_events,
-        |  value_micros,
-        |  last_value(CASE WHEN n_events > 0 THEN value_micros END IGNORE NULLS)
-        |    OVER (PARTITION BY k ORDER BY b
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_micros
-        |FROM j""".stripMargin,
-    // MMR greedy replay: carried-state recursion — the working table
-    // re-emits the selected set each round; a selected×candidates
-    // fanout computes pairwise sims once, windows settle per-candidate
-    // maxsim (floored at 0) and pick the integer-argmax row
-    "q_mmr_rerank" ->
-      """WITH RECURSIVE qv0 AS (
-        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-        |  FROM embeddings WHERE vec_id = 0),
-        |c0 AS (
-        |  SELECT vec_id AS id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-        |  FROM embeddings WHERE vec_id > 0),
-        |cand AS (
-        |  SELECT id, cv, nc,
-        |    CAST(round(CASE WHEN nc = 0 OR nq = 0 THEN 0.0
-        |      ELSE dot / (nc * nq) END * 1e6) AS BIGINT) AS score
-        |  FROM (
-        |    SELECT id, cv,
-        |      list_sum(list_transform(range(len(cv)),
-        |        i -> cv[CAST(i AS INTEGER)+1] * qv[CAST(i AS INTEGER)+1]))
-        |        AS dot,
-        |      sqrt(list_sum(list_transform(cv, x -> x * x))) AS nc,
-        |      sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq
-        |    FROM c0 CROSS JOIN qv0)),
-        |sel(r, id, rank, score, maxsim, mmr) AS (
-        |  SELECT 1, id, 1, score, CAST(0 AS BIGINT), 700000 * score
-        |  FROM (SELECT id, score,
-        |      row_number() OVER (ORDER BY 700000 * score DESC, id) AS rn
-        |    FROM cand) t
-        |  WHERE rn = 1
-        |  UNION ALL
-        |  SELECT nr, id, rank, score, maxsim, mmr FROM (
-        |    SELECT nr, id, score,
-        |      selrank IS NOT NULL AS carried,
-        |      CASE WHEN selrank IS NOT NULL THEN selrank ELSE nr END
-        |        AS rank,
-        |      CASE WHEN selrank IS NOT NULL THEN selmaxsim
-        |        ELSE greatest(msim, 0) END AS maxsim,
-        |      CASE WHEN selrank IS NOT NULL THEN selmmr
-        |        ELSE 700000 * score - 300000 * greatest(msim, 0) END AS mmr,
-        |      row_number() OVER (ORDER BY
-        |        CASE WHEN selrank IS NULL
-        |          THEN 700000 * score - 300000 * greatest(msim, 0) END
-        |          DESC NULLS LAST,
-        |        id) AS pick_rn
-        |    FROM (
-        |      SELECT nr, id, score,
-        |        max(CASE WHEN is_sel THEN s_rank END)
-        |          OVER (PARTITION BY id) AS selrank,
-        |        max(CASE WHEN is_sel THEN s_maxsim END)
-        |          OVER (PARTITION BY id) AS selmaxsim,
-        |        max(CASE WHEN is_sel THEN s_mmr END)
-        |          OVER (PARTITION BY id) AS selmmr,
-        |        max(sim) OVER (PARTITION BY id) AS msim,
-        |        row_number() OVER (PARTITION BY id ORDER BY s_rank) AS rid
-        |      FROM (
-        |        SELECT s.r + 1 AS nr, c.id, c.score, s.rank AS s_rank,
-        |          s.maxsim AS s_maxsim, s.mmr AS s_mmr,
-        |          (c.id = s.id) AS is_sel,
-        |          CAST(round(CASE WHEN c.nc = 0 OR sc.nc = 0 THEN 0.0
-        |            ELSE list_sum(list_transform(range(len(c.cv)),
-        |              i -> c.cv[CAST(i AS INTEGER)+1]
-        |                 * sc.cv[CAST(i AS INTEGER)+1]))
-        |              / (c.nc * sc.nc) END * 1e6) AS BIGINT) AS sim
-        |        FROM sel s
-        |        JOIN cand sc ON sc.id = s.id
-        |        CROSS JOIN cand c
-        |        WHERE s.r < 10) t0) t1
-        |    WHERE rid = 1) t2
-        |  WHERE carried OR pick_rn = 1)
-        |SELECT CAST(rank AS INTEGER) AS rank, id, score AS score_micros,
-        |  maxsim AS maxsim_micros, mmr AS mmr_micros
-        |FROM sel WHERE r = (SELECT max(r) FROM sel)""".stripMargin,
-    // k-center coreset: the greedy farthest-first traversal replayed as
-    // a carried-state recursion (the q_mmr_rerank discipline). Each
-    // level's state is the per-candidate running min squared-L2 distance
-    // plus carried pick markers; the argmax pick, its vector, and the
-    // early-stop max all come from ONE window scan (DuckDB's recursive
-    // term may reference the CTE once). Distances are the identical
-    // left-to-right IEEE folds (ss(v) − 2·dot(v,c) + ss(c)), so the
-    // selection and the coverage radii match hash-exactly; picked
-    // candidates leave the pool, which is equivalent to the Scala
-    // d→0 retention because a zero distance can only win the argmax
-    // when dmax = 0 — exactly the early-stop case both sides share.
-    "q_coreset" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT CAST(vec_id AS VARCHAR) AS id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |seed AS (SELECT id, v FROM base ORDER BY id LIMIT 1),
-        |st(r, id, v, d, is_pick, pick_rank, pick_d) AS (
-        |  SELECT 1, u.id, u.v, u.d, u.is_pick, u.pick_rank, u.pick_d
-        |  FROM (
-        |    SELECT b.id, b.v,
-        |      list_sum(list_transform(b.v, x -> x * x))
-        |        - 2.0 * list_sum(list_transform(range(len(b.v)),
-        |            i -> b.v[CAST(i AS INTEGER)+1] * s.v[CAST(i AS INTEGER)+1]))
-        |        + list_sum(list_transform(s.v, x -> x * x)) AS d,
-        |      (b.id = s.id) AS is_pick,
-        |      CASE WHEN b.id = s.id THEN 0 END AS pick_rank,
-        |      CASE WHEN b.id = s.id THEN CAST(0.0 AS DOUBLE) END AS pick_d
-        |    FROM base b CROSS JOIN seed s) u
-        |  UNION ALL
-        |  SELECT r + 1, id, v,
-        |    CASE WHEN is_pick OR will_pick THEN NULL
-        |         ELSE least(d, list_sum(list_transform(v, x -> x * x))
-        |           - 2.0 * list_sum(list_transform(range(len(v)),
-        |               i -> v[CAST(i AS INTEGER)+1] * pv[CAST(i AS INTEGER)+1]))
-        |           + list_sum(list_transform(pv, x -> x * x))) END AS d,
-        |    is_pick OR will_pick AS is_pick,
-        |    CASE WHEN is_pick THEN pick_rank WHEN will_pick THEN r END
-        |      AS pick_rank,
-        |    CASE WHEN is_pick THEN pick_d WHEN will_pick THEN d END
-        |      AS pick_d
-        |  FROM (
-        |    SELECT *,
-        |      (NOT is_pick) AND row_number() OVER (ORDER BY
-        |        CASE WHEN NOT is_pick THEN d END DESC NULLS LAST, id) = 1
-        |        AS will_pick,
-        |      first_value(v) OVER (ORDER BY
-        |        CASE WHEN NOT is_pick THEN d END DESC NULLS LAST, id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |        AS pv,
-        |      max(CASE WHEN NOT is_pick THEN d END) OVER () AS dmax
-        |    FROM st WHERE r < 16) t
-        |  WHERE dmax > 0)
-        |SELECT CAST(pick_rank AS INTEGER) AS center_rank, id AS vec_id,
-        |  pick_d AS dist
-        |FROM st
-        |WHERE r = (SELECT max(r) FROM st) AND is_pick""".stripMargin,
-    // Wilson interval: the identical IEEE expression with z and z*z as
-    // shortest-round-trip literals (no distribution function anywhere)
-    "q_wilson_ci" ->
-      """WITH g AS (
-        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT)
-        |      AS successes
-        |  FROM documents GROUP BY source),
-        |e AS (
-        |  SELECT source, n, successes,
-        |    successes::DOUBLE / n::DOUBLE AS p,
-        |    n::DOUBLE AS nd
-        |  FROM g),
-        |f AS (
-        |  SELECT source, n, successes, p,
-        |    (p + 3.8414588206941254::DOUBLE / (2.0::DOUBLE * nd))
-        |      / (1.0::DOUBLE + 3.8414588206941254::DOUBLE / nd) AS center,
-        |    (1.959963984540054::DOUBLE * sqrt(p * (1.0::DOUBLE - p) / nd
-        |      + 3.8414588206941254::DOUBLE / (4.0::DOUBLE * nd * nd)))
-        |      / (1.0::DOUBLE + 3.8414588206941254::DOUBLE / nd) AS half
-        |  FROM e)
-        |SELECT source, n, successes, round(p, 6) AS rate,
-        |  round(greatest(0.0::DOUBLE, center - half), 6) AS ci_low,
-        |  round(least(1.0::DOUBLE, center + half), 6) AS ci_high
-        |FROM f""".stripMargin,
-    // EB shrinkage: micro-LONG moment sums (order-free), beta-binomial
-    // MoM prior, portable posterior expression
-    "q_shrunken_rates" ->
-      """WITH g AS (
-        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT)
-        |      AS successes
-        |  FROM documents GROUP BY source),
-        |p AS (SELECT source, n, successes,
-        |    (successes * 1000000) // n AS pm FROM g),
-        |mm AS (
-        |  SELECT source, n, successes,
-        |    CAST(count(*) OVER () AS BIGINT) AS gcnt,
-        |    CAST(sum(pm) OVER () AS BIGINT) AS s1,
-        |    CAST(sum(pm * pm) OVER () AS BIGINT) AS s2
-        |  FROM p),
-        |ab AS (
-        |  SELECT source, n, successes,
-        |    (s1 / gcnt::DOUBLE / 1e6)
-        |      * ((s1 / gcnt::DOUBLE / 1e6)
-        |          * (1.0::DOUBLE - s1 / gcnt::DOUBLE / 1e6)
-        |          / (s2 / gcnt::DOUBLE / 1e12
-        |             - (s1 / gcnt::DOUBLE / 1e6)
-        |               * (s1 / gcnt::DOUBLE / 1e6))
-        |        - 1.0::DOUBLE) AS alpha,
-        |    (1.0::DOUBLE - s1 / gcnt::DOUBLE / 1e6)
-        |      * ((s1 / gcnt::DOUBLE / 1e6)
-        |          * (1.0::DOUBLE - s1 / gcnt::DOUBLE / 1e6)
-        |          / (s2 / gcnt::DOUBLE / 1e12
-        |             - (s1 / gcnt::DOUBLE / 1e6)
-        |               * (s1 / gcnt::DOUBLE / 1e6))
-        |        - 1.0::DOUBLE) AS beta
-        |  FROM mm)
-        |SELECT source, n, successes,
-        |  round(successes::DOUBLE / n, 6) AS rate,
-        |  round((successes + alpha) / (n + alpha + beta), 6)
-        |    AS shrunk_rate,
-        |  round(alpha, 6) AS alpha, round(beta, 6) AS beta
-        |FROM ab""".stripMargin,
-    // quantile matching: inclusive ranks from prefix sums, ceiling in
-    // BIGINT, matched = smallest reference value at rank >= k
-    "q_quantile_match" ->
-      """WITH ref AS (
-        |  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
-        |  FROM documents WHERE lang = 'en' GROUP BY 1),
-        |refc AS (
-        |  SELECT v, CAST(coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN
-        |    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c AS BIGINT) AS cum
-        |  FROM ref),
-        |nrt AS (SELECT CAST(count(*) AS BIGINT) AS nr
-        |  FROM documents WHERE lang = 'en'),
-        |tgt AS (
-        |  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
-        |  FROM documents WHERE lang <> 'en' GROUP BY 1),
-        |tgtc AS (
-        |  SELECT v, c, CAST(coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN
-        |    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c AS BIGINT) AS cum,
-        |    CAST(sum(c) OVER () AS BIGINT) AS nt
-        |  FROM tgt),
-        |probe AS (
-        |  SELECT v AS value, c AS n,
-        |    (cum * (SELECT nr FROM nrt) + nt - 1) // nt AS k
-        |  FROM tgtc)
-        |SELECT value, n,
-        |  (SELECT min(r.v) FROM refc r WHERE r.cum >= probe.k) AS matched
-        |FROM probe""".stripMargin,
-    // Cliff's delta from values-sized prefix sums — exact LONG
-    // win/tie/loss totals, two final portable divisions
-    "q_cliffs_delta" ->
-      """WITH g AS (
-        |  SELECT n_chars AS v,
-        |    CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS ca,
-        |    CAST(count(CASE WHEN NOT (lang = 'en') THEN 1 END) AS BIGINT)
-        |      AS cb
-        |  FROM documents GROUP BY 1),
-        |p AS (
-        |  SELECT ca, cb,
-        |    coalesce(CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
-        |      PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS bb,
-        |    coalesce(CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
-        |      PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS ab
-        |  FROM g),
-        |s AS (
-        |  SELECT CAST(sum(ca) AS BIGINT) AS na,
-        |    CAST(sum(cb) AS BIGINT) AS nb,
-        |    CAST(sum(ca * bb) AS BIGINT) AS wins,
-        |    CAST(sum(ca * cb) AS BIGINT) AS ties,
-        |    CAST(sum(cb * ab) AS BIGINT) AS losses
-        |  FROM p)
-        |SELECT na AS n_a, nb AS n_b, wins, ties, losses,
-        |  round((wins - losses)::DOUBLE / (na * nb), 6) AS cliffs_delta,
-        |  round((wins::DOUBLE + ties / 2.0) / (na * nb), 6) AS auc
-        |FROM s""".stripMargin,
-    // CUSUM replay: the max(0, ·) recursion as prefix-sum minus
-    // clamped prefix-min, all BIGINT
-    "q_cusum" ->
-      """WITH e AS (
-        |  SELECT event_type, epoch_us(ts) AS ts_us,
-        |    CAST(round(value * 1e6) AS BIGINT) AS v_micros
-        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
-        |p AS (
-        |  SELECT event_type, ts_us, v_micros,
-        |    CAST(sum(v_micros - 50000000 - 5000000) OVER (
-        |      PARTITION BY event_type ORDER BY ts_us, v_micros
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pu,
-        |    CAST(sum(50000000 - v_micros - 5000000) OVER (
-        |      PARTITION BY event_type ORDER BY ts_us, v_micros
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pd
-        |  FROM e),
-        |s AS (
-        |  SELECT event_type, ts_us, v_micros,
-        |    pu - least(CAST(min(pu) OVER (PARTITION BY event_type
-        |      ORDER BY ts_us, v_micros ROWS UNBOUNDED PRECEDING)
-        |      AS BIGINT), 0) AS cusum_pos,
-        |    pd - least(CAST(min(pd) OVER (PARTITION BY event_type
-        |      ORDER BY ts_us, v_micros ROWS UNBOUNDED PRECEDING)
-        |      AS BIGINT), 0) AS cusum_neg
-        |  FROM p)
-        |SELECT event_type, ts_us, v_micros, cusum_pos, cusum_neg,
-        |  (cusum_pos > 500000000 OR cusum_neg > 500000000) AS alarm
-        |FROM s""".stripMargin,
-    // Kaplan–Meier replay: risk sets from prefix counts, factors
-    // list-collected in time order, survival = left-to-right
-    // list_reduce over the i-prefix (identical IEEE sequence to the
-    // engine's sorted-array fold)
-    "q_kaplan_meier" ->
-      """WITH base AS (
-        |  SELECT event_type AS k, (event_id % 500) + 1 AS t,
-        |    CASE WHEN event_id % 5 = 0 THEN 0 ELSE 1 END AS e
-        |  FROM events),
-        |tms AS (
-        |  SELECT k, t, CAST(sum(e) AS BIGINT) AS d,
-        |    CAST(count(*) AS BIGINT) AS c
-        |  FROM base GROUP BY k, t),
-        |risk AS (
-        |  SELECT k, t, d,
-        |    CAST(sum(c) OVER (PARTITION BY k) AS BIGINT)
-        |      - coalesce(CAST(sum(c) OVER (PARTITION BY k ORDER BY t
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |          AS BIGINT), 0) AS n
-        |  FROM tms),
-        |ev AS (
-        |  SELECT k, t, d, n, 1.0::DOUBLE - d::DOUBLE / n AS f
-        |  FROM risk WHERE d > 0),
-        |arr AS (
-        |  SELECT k,
-        |    list(t ORDER BY t) AS ts, list(d ORDER BY t) AS ds,
-        |    list(n ORDER BY t) AS ns, list(f ORDER BY t) AS fs
-        |  FROM ev GROUP BY k),
-        |idx AS (
-        |  SELECT k, ts, ds, ns, fs,
-        |    unnest(range(1, len(ts) + 1)) AS i
-        |  FROM arr)
-        |SELECT k AS event_type, ts[CAST(i AS INTEGER)] AS t,
-        |  ns[CAST(i AS INTEGER)] AS n_risk,
-        |  ds[CAST(i AS INTEGER)] AS n_events,
-        |  round(list_reduce(fs[1:CAST(i AS INTEGER)], (a, b) -> a * b), 6)
-        |    AS survival
-        |FROM idx""".stripMargin,
-    // Theil–Sen/Mann–Kendall replay: the identical pair join, slopes
-    // as one portable IEEE division each, median as order statistics
-    "q_theil_sen" ->
-      """WITH e AS (
-        |  SELECT event_type AS k, epoch_us(ts) AS t,
-        |    CAST(round(value * 1e6) AS BIGINT) AS v
-        |  FROM events
-        |  WHERE event_id % 97 = 0 AND ts IS NOT NULL
-        |    AND value IS NOT NULL),
-        |p AS (
-        |  SELECT a.k, (b.v - a.v)::DOUBLE / (b.t - a.t) AS slope,
-        |    CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END
-        |      AS sgn
-        |  FROM e a JOIN e b ON a.k = b.k AND a.t < b.t),
-        |r AS (
-        |  SELECT k, slope, sgn,
-        |    row_number() OVER (PARTITION BY k ORDER BY slope) AS rn,
-        |    count(*) OVER (PARTITION BY k) AS cnt
-        |  FROM p),
-        |n AS (SELECT k, CAST(count(*) AS BIGINT) AS np FROM e GROUP BY k),
-        |agg AS (
-        |  SELECT k, CAST(max(cnt) AS BIGINT) AS n_pairs,
-        |    CAST(sum(sgn) AS BIGINT) AS s_statistic,
-        |    min(CASE WHEN rn = (cnt + 1) // 2 THEN slope END) AS lo,
-        |    min(CASE WHEN rn = (cnt + 2) // 2 THEN slope END) AS hi
-        |  FROM r GROUP BY k)
-        |SELECT agg.k AS event_type, n.np AS n_points, n_pairs,
-        |  s_statistic,
-        |  round(s_statistic::DOUBLE / (np * (np - 1) / 2), 6) AS tau,
-        |  (lo + hi) / 2.0 AS slope
-        |FROM agg JOIN n ON agg.k = n.k""".stripMargin,
-    "q_llm_map_dry_run" ->
-      """SELECT doc_id, lang,
-        |  CASE lower(coalesce(lang, ''))
-        |    WHEN 'en' THEN 'EN' WHEN 'de' THEN 'DE'
-        |    WHEN 'fr' THEN 'FR' WHEN 'es' THEN 'ES'
-        |    ELSE NULL END AS lang_mapped
-        |FROM documents""".stripMargin,
-    "q_llm_embeddings" ->
-      """WITH raw AS (
-        |  SELECT doc_id,
-        |    CASE WHEN text IS NULL OR text = ''
-        |         THEN list_transform(range(8), i -> 0.0)
-        |         ELSE list_transform(range(8), i ->
-        |           ('0x' || substring(sha256(text),
-        |             CAST(i AS INTEGER) * 8 + 1, 8))::BIGINT / 4294967295.0)
-        |    END AS v
-        |  FROM documents),
-        |n AS (
-        |  SELECT doc_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-        |  FROM raw)
-        |SELECT doc_id, CAST(i AS INTEGER) AS dim,
-        |  CAST(CASE WHEN nrm = 0 THEN v[CAST(i AS INTEGER) + 1]
-        |       ELSE v[CAST(i AS INTEGER) + 1] / nrm END AS FLOAT) AS val
-        |FROM n CROSS JOIN range(8) AS t(i)""".stripMargin
-  )
+  def oracleSql: Map[String, String] =
+    ReferenceEntries.oracleSql ++ TextEntries.oracleSql ++
+      DedupEntries.oracleSql ++ AnnEntries.oracleSql ++
+      EvalEntries.oracleSql ++ GraphEntries.oracleSql ++
+      StatsEntries.oracleSql ++ PipelineEntries.oracleSql
 }

@@ -133,10 +133,14 @@ object Warc {
       requestRecords: Boolean = false,
       metadataCol: Option[String] = None,
       targetFileBytes: Long = 0L,
-      conversion: Boolean = false): Unit = {
+      conversion: Boolean = false,
+      wat: Boolean = false): Unit = {
     require(!(conversion && requestRecords),
       "writeWarc: conversion (WET) archives carry no request records — " +
         "a conversion record derives from a response, it is not an exchange")
+    require(!(wat && (conversion || requestRecords || metadataCol.isDefined)),
+      "writeWarc: a WAT archive is metadata records ONLY — no " +
+        "conversion/request/extra-metadata families")
     require(df.schema(payloadCol).dataType ==
         org.apache.spark.sql.types.BinaryType,
       s"payloadCol `$payloadCol` must be BINARY (encode(text, 'utf-8') upstream)")
@@ -189,7 +193,9 @@ object Warc {
             Option(r.get(1)).map(_.asInstanceOf[Array[Byte]])
               .getOrElse(Array.emptyByteArray)
           val responseId = recordIdFor(uri)
-          if (conversion)
+          if (wat)
+            writeWatRecord(out, uri, responseId, body, warcDate)
+          else if (conversion)
             writeConversionRecord(out, uri, responseId, body, warcDate)
           else {
             if (requestRecords)
@@ -251,6 +257,74 @@ object Warc {
       writeWarcinfo = writeWarcinfo,
       targetFileBytes = targetFileBytes,
       conversion = true)
+
+  /** Export a response corpus as a WAT archive — Common Crawl's third
+    * format (next to WARC and WET): one `metadata` record per response,
+    * whose payload is a JSON envelope describing the record it refers
+    * to — target URI, date, type, the deterministic response record id,
+    * the payload byte count, and the page's OUTLINKS. A WAT is what a
+    * link-graph / frontier job reads when it must not pay for the full
+    * HTML archive (~1/5 the bytes).
+    *
+    * The link list IS [[graft.operators.Urls.extractLinks]] over the
+    * same responses by construction — the identical `hrefs` +
+    * `resolveLink` expression chain runs per row (document order within
+    * quoting style, dropped hrefs absent), so a WAT exported next to a
+    * link-graph job agrees with it edge for edge. The envelope is
+    * `to_json` of a fixed struct — field order, entity decoding and
+    * link order are all deterministic, so exports are byte-identical
+    * across runs/engines (the [[writeWarc]] determinism contract:
+    * sha-derived record ids, caller-literal date, timestamp-free gzip).
+    *
+    * `WARC-Refers-To` carries the response id [[writeWarc]] derives for
+    * the same URI — a WAT exported next to its WARC cross-links with no
+    * shared state. Same committed-marker / size-targeted-roll write
+    * path; read it back with [[readWarc]] (`warc_type = 'metadata'`,
+    * payload = the JSON envelope).
+    */
+  def watExport(
+      df: DataFrame,
+      dir: String,
+      uriCol: String,
+      htmlCol: String,
+      warcDate: String = "2026-01-01T00:00:00Z",
+      writeWarcinfo: Boolean = false,
+      targetFileBytes: Long = 0L): Unit = {
+    require(df.schema(htmlCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"watExport: htmlCol `$htmlCol` must be STRING (decode a binary " +
+        "response payload upstream)")
+    val uri = col(uriCol).cast("string")
+    val html = coalesce(col(htmlCol), lit(""))
+    val links = filter(
+      transform(graft.operators.Urls.hrefs(html),
+        h => graft.operators.Urls.resolveLink(uri, h)),
+      l => l.isNotNull)
+    val envelope = to_json(struct(
+      struct(
+        struct(
+          uri.as("WARC-Target-URI"),
+          lit(warcDate).as("WARC-Date"),
+          lit("response").as("WARC-Type"),
+          concat(lit("<"), lit("urn:graft:sha256:"),
+            sha2(uri.cast("binary"), 256), lit(">"))
+            .as("WARC-Record-ID")).as("WARC-Header-Metadata"),
+        struct(
+          length(encode(html, "utf-8")).cast("long")
+            .as("Actual-Content-Length"),
+          struct(
+            struct(
+              transform(links, l => struct(l.as("url"))).as("Links"))
+              .as("HTML-Metadata")).as("HTTP-Response-Metadata"))
+          .as("Payload-Metadata")).as("Envelope")))
+    writeWarc(
+      df.withColumn("__wat_payload", encode(envelope, "utf-8")),
+      dir, uriCol, "__wat_payload",
+      warcDate = warcDate,
+      writeWarcinfo = writeWarcinfo,
+      targetFileBytes = targetFileBytes,
+      wat = true)
+  }
 
   // ---------------------------------------------------------------- write
 
@@ -347,6 +421,27 @@ object Warc {
       "WARC-Target-URI" -> uri,
       "Content-Type" -> "text/plain"),
       body)
+
+  /** A WAT metadata record ([[watExport]]): `WARC-Type: metadata`, JSON
+    * envelope block, `WARC-Refers-To` naming the response record the
+    * envelope describes — the same deterministic response id
+    * [[writeWarc]] derives for the URI, so WAT and WARC cross-link
+    * without shared state.
+    */
+  private def writeWatRecord(
+      out: OutputStream,
+      uri: String,
+      responseId: String,
+      envelope: Array[Byte],
+      warcDate: String): Unit =
+    writeRecord(out, Seq(
+      "WARC-Type" -> "metadata",
+      "WARC-Record-ID" -> s"<${recordIdFor(s"wat:$uri")}>",
+      "WARC-Refers-To" -> s"<$responseId>",
+      "WARC-Date" -> warcDate,
+      "WARC-Target-URI" -> uri,
+      "Content-Type" -> "application/json"),
+      envelope)
 
   private def writeMetadataRecord(
       out: OutputStream,

@@ -728,6 +728,67 @@ object RankEval {
           greatest(la, lb).cast("double")), 6).as("similarity"))
   }
 
+  /** ROUGE-L per (reference, hypothesis) pair (Lin 2004, "ROUGE: A
+    * Package for Automatic Evaluation of Summaries") — the
+    * summarization staple the BLEU/chrF/token-F1 family was missing:
+    * longest-common-subsequence recall/precision over whitespace
+    * tokens, with the β=1 F-measure `2·lcs/(ref_tokens+hyp_tokens)`
+    * (the rouge-score default). LCS rewards in-order coverage that
+    * bag-of-token F1 cannot see and n-gram BLEU penalizes too hard.
+    *
+    * Exactness: the LCS length is an exact integer from the classic
+    * two-row DP ([[graft.functions.LcsLength]], a Catalyst expression
+    * — no UDF); the DuckDB twin replays the identical row recurrence
+    * as a recursive CTE (prefix-max reformulation), so `lcs` is
+    * engine-exact and P/R/F one rounded division each. NULL text reads
+    * as '' (zero tokens → NULL metric, the [[tokenF1]] convention).
+    *
+    * The DP is O(m·n) PER PAIR — a short-sequence operator by
+    * contract: any side with more than `maxTokens` tokens is refused
+    * loudly (truncate upstream deliberately; a corpus-length document
+    * pair does not belong here). Scale shape: one scan, the DP rides
+    * the projection row-local — no shuffle, no window, nothing
+    * collected. Output: `(idCol, ref_tokens, hyp_tokens, lcs,
+    * precision, recall, f1)`, rounded to 6.
+    */
+  def rougeL(
+      df: DataFrame,
+      idCol: String,
+      refCol: String,
+      hypCol: String,
+      maxTokens: Int = 400): DataFrame = {
+    require(maxTokens >= 1 && maxTokens <= 5000,
+      s"maxTokens must be in 1..5000, got $maxTokens")
+    def toks(c: Column): Column =
+      filter(split(coalesce(c, lit("")), "\\s+"), t => t =!= "")
+    val over = df.agg(count(when(
+      size(toks(col(refCol))) > maxTokens ||
+        size(toks(col(hypCol))) > maxTokens, 1)).as("__o"))
+      .head().getAs[Long]("__o")
+    require(over == 0L,
+      s"rougeL: $over row(s) exceed maxTokens=$maxTokens — the LCS DP " +
+        "is quadratic per pair; truncate upstream or raise maxTokens " +
+        "deliberately")
+    val rl = col("ref_tokens")
+    val hl = col("hyp_tokens")
+    val l = col("lcs")
+    df.select(col(idCol),
+        size(toks(col(refCol))).cast("long").as("ref_tokens"),
+        size(toks(col(hypCol))).cast("long").as("hyp_tokens"),
+        graft.functions.LcsFunctions.lcsLength(
+          toks(col(refCol)), toks(col(hypCol))).cast("long").as("lcs"))
+      .select(col(idCol), rl, hl, l,
+        round(when(hl === 0L, lit(null).cast("double"))
+          .otherwise(l.cast("double") / hl.cast("double")), 6)
+          .as("precision"),
+        round(when(rl === 0L, lit(null).cast("double"))
+          .otherwise(l.cast("double") / rl.cast("double")), 6)
+          .as("recall"),
+        round(when(rl + hl === 0L, lit(null).cast("double"))
+          .otherwise((lit(2L) * l).cast("double") /
+            (rl + hl).cast("double")), 6).as("f1"))
+  }
+
   /** Paired bootstrap significance test between two systems' per-item
     * scores (Koehn 2004, "Statistical Significance Tests for Machine
     * Translation Evaluation" — the eval-harness staple): resample the

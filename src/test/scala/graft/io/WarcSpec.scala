@@ -326,4 +326,70 @@ class WarcSpec extends SparkTestBase {
       Warc.writeWarc(docs.withColumn("p", encode(col("text"), "utf-8")),
         s"$base/x", "uri", "p", conversion = true, requestRecords = true))
   }
+
+  test("watExport: metadata records whose link lists equal extractLinks, deterministic bytes") {
+    val base = tmpDir("graft_wat_")
+    val html =
+      """<html><body><a href="https://other.example.net/x?a=1&amp;b=2">x</a>
+        |<a href='/local/p'>y</a><a href="rel/q.html">z</a>
+        |<a href="#frag">f</a><a href="mailto:m@e.x">m</a></body></html>"""
+        .stripMargin
+    val docs = Seq(
+      ("https://example.org/dir/page", html),
+      ("https://example.org/plain", "<html><body>no links</body></html>"))
+      .toDF("uri", "html").repartition(1)
+    Warc.watExport(docs, s"$base/wat", "uri", "html")
+    val back = Warc.readWarc(spark, s"$base/wat/*.warc.gz").collect()
+    assert(back.length == 2)
+    back.foreach { r =>
+      assert(r.getAs[String]("warc_type") == "metadata")
+      assert(r.getAs[String]("content_type") == "application/json")
+      assert(r.isNullAt(r.fieldIndex("http_status")))
+    }
+    // the envelope's link list equals extractLinks over the same rows,
+    // in the same order (the operator IS the link source by contract)
+    val envs = back.map { r =>
+      r.getAs[String]("target_uri") ->
+        new String(r.getAs[Array[Byte]]("payload"), UTF_8)
+    }.toMap
+    val urlRe = """"url":"([^"]+)"""".r
+    val watLinks = envs("https://example.org/dir/page")
+    val gotLinks = urlRe.findAllMatchIn(watLinks).map(_.group(1)).toVector
+    val opLinks = graft.operators.Urls.extractLinks(
+        docs.where($"uri" === "https://example.org/dir/page"),
+        "html", "uri")
+      .select("link").as[String].collect().toVector
+    assert(gotLinks == opLinks, s"wat $gotLinks vs operator $opLinks")
+    assert(gotLinks == Vector(
+      "https://other.example.net/x?a=1&b=2",
+      "https://example.org/dir/rel/q.html",
+      "https://example.org/local/p"))
+    // linkless page: an explicit empty Links list, never a missing field
+    assert(envs("https://example.org/plain").contains(""""Links":[]"""))
+    // envelope carries the byte count and the response cross-link id
+    assert(watLinks.contains(
+      s""""Actual-Content-Length":${html.getBytes(UTF_8).length}"""))
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("https://example.org/dir/page".getBytes(UTF_8))
+      .map("%02x".format(_)).mkString
+    assert(watLinks.contains(s"urn:graft:sha256:$sha"))
+    // WARC-Refers-To names the same deterministic response id (raw bytes)
+    val gz = new java.util.zip.GZIPInputStream(
+      Files.newInputStream(java.nio.file.Paths.get(
+        s"$base/wat/part-00000.warc.gz")))
+    val raw = new String(gz.readAllBytes(), UTF_8)
+    assert(raw.contains(s"WARC-Refers-To: <urn:graft:sha256:$sha>"))
+    // byte-determinism: a second export produces identical archives
+    Warc.watExport(docs, s"$base/wat2", "uri", "html")
+    val b1 = Files.readAllBytes(java.nio.file.Paths.get(
+      s"$base/wat/part-00000.warc.gz"))
+    val b2 = Files.readAllBytes(java.nio.file.Paths.get(
+      s"$base/wat2/part-00000.warc.gz"))
+    assert(java.util.Arrays.equals(b1, b2), "wat export must be " +
+      "byte-deterministic across runs")
+    // a WAT is metadata records only — extra families are a contradiction
+    intercept[IllegalArgumentException](
+      Warc.writeWarc(docs.withColumn("p", encode(col("html"), "utf-8")),
+        s"$base/x", "uri", "p", wat = true, requestRecords = true))
+  }
 }

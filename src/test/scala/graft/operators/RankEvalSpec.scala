@@ -296,6 +296,41 @@ class RankEvalSpec extends SparkTestBase {
     assert(e.getMessage.contains("quadratic"), e.getMessage)
   }
 
+  test("rougeL: hand LCS cases, order sensitivity, empty poles, loud token bound") {
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = Seq(
+      (1L, "the cat sat on the mat", "the cat on mat"), // lcs 4
+      (2L, "a b c d", "d c b a"),                       // reorder -> lcs 1
+      (3L, "a a b a", "a b a a"),                       // repeats -> lcs 3
+      (4L, "a b c d", ""),                              // empty hyp
+      (5L, "", "")                                      // both empty
+    ).toDF("id", "ref", "hyp")
+    val out = RankEval.rougeL(df, "id", "ref", "hyp")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("ref_tokens"), r.getAs[Long]("hyp_tokens"),
+          r.getAs[Long]("lcs"), Option(r.getAs[java.lang.Double]("precision")),
+          Option(r.getAs[java.lang.Double]("recall")),
+          Option(r.getAs[java.lang.Double]("f1"))))).toMap
+    assert(out(1L) == ((6L, 4L, 4L, Some(1.0), Some(r6(4.0 / 6.0)),
+      Some(0.8))), out(1L).toString)
+    assert(out(2L) == ((4L, 4L, 1L, Some(0.25), Some(0.25), Some(0.25))))
+    assert(out(3L) == ((4L, 4L, 3L, Some(0.75), Some(0.75), Some(0.75))))
+    // empty hyp: precision undefined (NULL), recall/f1 zero
+    assert(out(4L) == ((4L, 0L, 0L, None, Some(0.0), Some(0.0))))
+    // both empty: everything undefined
+    assert(out(5L) == ((0L, 0L, 0L, None, None, None)))
+    // bag-equality blindness check: tokenF1 sees identical bags for the
+    // reorder case (f1 = 1), ROUGE-L's order sensitivity is the point
+    val bag = RankEval.tokenF1(df.where($"id" === 2L), "id", "ref", "hyp")
+      .head().getAs[Double]("f1")
+    assert(bag == 1.0 && out(2L)._6.get < 1.0)
+    val e = intercept[IllegalArgumentException](RankEval.rougeL(
+      Seq((1L, ("x " * 50).trim, "y")).toDF("id", "ref", "hyp"),
+      "id", "ref", "hyp", maxTokens = 10))
+    assert(e.getMessage.contains("quadratic"), e.getMessage)
+  }
+
   test("corpusBleu: hand clipped precisions, brevity penalty, zero-order pole") {
     // seg1 identical, seg2 partial: totals m=(6,4,2,1), t=(7,5,3,1)
     val df = Seq((1L, "a b c d", "a b c d"), (2L, "a b c", "a b x"))
