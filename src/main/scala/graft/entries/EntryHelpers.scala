@@ -489,6 +489,167 @@ private[graft] object EntryHelpers {
       "," + (1 to iters).map(epoch).mkString(",")
   }
 
+  /** The q_louvain twin: every parity-alternated local-move phase of
+    * [[graft.operators.Graphs.louvainCommunities]] unrolled as
+    * materialized CTE stages over the mod-97 orders graph. Per phase:
+    * community degree totals, per-node neighbor-community counts, the
+    * exact 2m²-scaled integer gain
+    * `2m(k_iB − k_iA') − k_i(Σ_B − Σ_A')`, argmax with (gain DESC,
+    * community ASC) — bit-identical to the Scala (-gain, label)
+    * struct-min — and moves applied only where gain > 0 and the node's
+    * sha-parity matches the phase.
+    */
+  private[graft] def louvainOracle(rounds: Int): String = {
+    def phase(p: Int): String = {
+      val q = p - 1
+      val parity = (p - 1) % 2
+      s"""
+      |cd$p AS MATERIALIZED (
+      |  SELECT l.c, sum(g.k)::BIGINT AS tot, count(*)::BIGINT AS sz
+      |  FROM l$q l JOIN degs g USING (node) GROUP BY l.c),
+      |kic$p AS MATERIALIZED (
+      |  SELECT e.s AS node, l.c AS nc, count(*)::BIGINT AS kic
+      |  FROM sym e JOIN l$q l ON l.node = e.d GROUP BY e.s, l.c),
+      |mv$p AS MATERIALIZED (
+      |  SELECT node, nc AS newc FROM (
+      |    SELECT g.*, row_number() OVER (PARTITION BY node
+      |      ORDER BY gain DESC, nc ASC) AS rk FROM (
+      |      SELECT cur.node, k2.nc,
+      |        2 * (SELECT m FROM mm) * (k2.kic - coalesce(ka.kic, 0))
+      |          - cur.k * (cdb.tot - (cda.tot - cur.k)) AS gain
+      |      FROM (
+      |        SELECT l.node, l.c, g.k FROM l$q l JOIN degs g USING (node)
+      |        WHERE ('0x' || substring(sha256(l.node), 1, 15))::BIGINT % 2
+      |          = $parity) cur
+      |      JOIN cd$p cda ON cda.c = cur.c
+      |      JOIN kic$p k2 ON k2.node = cur.node AND k2.nc <> cur.c
+      |      JOIN cd$p cdb ON cdb.c = k2.nc
+      |      LEFT JOIN kic$p ka ON ka.node = cur.node AND ka.nc = cur.c
+      |      WHERE NOT (cda.sz = 1 AND cdb.sz = 1 AND k2.nc > cur.c)
+      |    ) g WHERE gain > 0) WHERE rk = 1),
+      |l$p AS MATERIALIZED (
+      |  SELECT l.node, coalesce(m.newc, l.c) AS c
+      |  FROM l$q l LEFT JOIN mv$p m USING (node))""".stripMargin
+    }
+    s"""WITH base AS MATERIALIZED (
+      |  SELECT CAST(o_orderkey % 97 AS VARCHAR) AS s,
+      |    CAST(o_custkey % 97 AS VARCHAR) AS d
+      |  FROM orders
+      |  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL),
+      |sym AS MATERIALIZED (
+      |  SELECT DISTINCT s, d FROM (
+      |    SELECT s, d FROM base WHERE s <> d
+      |    UNION ALL
+      |    SELECT d AS s, s AS d FROM base WHERE s <> d)),
+      |degs AS MATERIALIZED (
+      |  SELECT s AS node, count(*)::BIGINT AS k FROM sym GROUP BY s),
+      |mm AS MATERIALIZED (SELECT (count(*) / 2)::BIGINT AS m FROM sym),
+      |l0 AS MATERIALIZED (SELECT node, node AS c FROM degs),""".stripMargin +
+      (1 to rounds * 2).map(phase).mkString(",") + s"""
+      |SELECT node, c AS community FROM l${rounds * 2}""".stripMargin
+  }
+
+  /** The q_langid_model twin: four one-vs-rest binary GD chains (the
+    * [[classifierEpochChain]] recipe verbatim, CTE names suffixed per
+    * language) over shared char-3-gram features of the planted
+    * 4-language fixture, then an exact-integer argmax (z DESC, lang ASC
+    * — the Scala side's (-logit, lang) struct-min) into a confusion
+    * matrix. Training reads the doc_id % 5 != 0 slice; scoring reads
+    * every doc.
+    */
+  private[graft] def langIdOracle: String = {
+    val iters = 6
+    val dim = 512
+    val langs = Seq("de", "en", "es", "fr")
+    def epoch(l: String, i: Int): String = s"""
+      |z_${l}_$i AS MATERIALIZED (
+      |  SELECT l.doc_id, l.y,
+      |    (SELECT b FROM bias_${l}_${i - 1}) + coalesce(s.zz, 0) AS z
+      |  FROM lab_$l l LEFT JOIN (
+      |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+      |    FROM feats f JOIN w_${l}_${i - 1} w USING (bucket)
+      |    GROUP BY f.doc_id) s
+      |  USING (doc_id)),
+      |e_${l}_$i AS MATERIALIZED (
+      |  SELECT doc_id, y,
+      |    CAST(round((1.0 / (1.0 + exp(-z / 1e6)) - y) * 1e9) AS BIGINT) AS e
+      |  FROM z_${l}_$i),
+      |g_${l}_$i AS MATERIALIZED (
+      |  SELECT f.bucket, sum(f.cnt * e.e)::BIGINT AS g
+      |  FROM feats f JOIN e_${l}_$i e USING (doc_id) GROUP BY f.bucket),
+      |w_${l}_$i AS MATERIALIZED (
+      |  SELECT w.bucket,
+      |    w.w - CAST(floor(coalesce(g.g, 0) / ((SELECT n FROM nn) * 1000.0)
+      |      + 0.5) AS BIGINT) AS w
+      |  FROM w_${l}_${i - 1} w LEFT JOIN g_${l}_$i g USING (bucket)),
+      |bias_${l}_$i AS MATERIALIZED (
+      |  SELECT b - CAST(floor((SELECT sum(e)::BIGINT FROM e_${l}_$i)
+      |    / ((SELECT n FROM nn) * 1000.0) + 0.5) AS BIGINT) AS b
+      |  FROM bias_${l}_${i - 1})""".stripMargin
+    def perLang(l: String): String = s"""
+      |lab_$l AS MATERIALIZED (
+      |  SELECT doc_id, CASE WHEN lang_true = '$l' THEN 1 ELSE 0 END AS y
+      |  FROM docs WHERE doc_id % 5 <> 0),
+      |w_${l}_0 AS MATERIALIZED (
+      |  SELECT CAST(unnest(range(0, $dim)) AS BIGINT) AS bucket,
+      |    0::BIGINT AS w),
+      |bias_${l}_0 AS MATERIALIZED (SELECT 0::BIGINT AS b)""".stripMargin +
+      "," + (1 to iters).map(epoch(l, _)).mkString(",")
+    val score = langs.map { l => s"""
+      |  SELECT d.doc_id, d.lang_true, '$l' AS lang,
+      |    (SELECT b FROM bias_${l}_$iters) + coalesce(s.zz, 0) AS z
+      |  FROM docs d LEFT JOIN (
+      |    SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS zz
+      |    FROM feats_all f JOIN w_${l}_$iters w USING (bucket)
+      |    GROUP BY f.doc_id) s
+      |  USING (doc_id)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH docs AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INTEGER)
+      |      WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+      |      ELSE 'es' END AS lang_true,
+      |    CASE CAST(doc_id % 4 AS INTEGER)
+      |      WHEN 0 THEN 'the house and the garden is of stone to the end'
+      |      WHEN 1 THEN 'der hund und die katze ist nicht ein mit haus'
+      |      WHEN 2 THEN 'le chien et la maison est pas une dans les arbres'
+      |      ELSE 'el perro y la casa es no una por los arboles' END
+      |    || ' ' || lower(substring(coalesce(text, ''), 1, 40)) || ' ' ||
+      |    CASE CAST(doc_id % 4 AS INTEGER)
+      |      WHEN 0 THEN 'the house and the garden is of stone to the end'
+      |      WHEN 1 THEN 'der hund und die katze ist nicht ein mit haus'
+      |      WHEN 2 THEN 'le chien et la maison est pas une dans les arbres'
+      |      ELSE 'el perro y la casa es no una por los arboles' END AS txt
+      |  FROM documents),
+      |norms AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    '_' || regexp_replace(lower(txt), '\\s+', '_', 'g') || '_' AS nm
+      |  FROM docs),
+      |toks AS MATERIALIZED (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(len(nm) - 3, 0) + 2),
+      |    i -> substring(nm, CAST(i AS INTEGER), 3))) AS tok
+      |  FROM norms WHERE len(nm) >= 3),
+      |feats_all AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    ('0x' || substring(sha256(tok), 1, 15))::BIGINT % $dim AS bucket,
+      |    count(*)::BIGINT AS cnt
+      |  FROM toks GROUP BY doc_id, bucket),
+      |feats AS MATERIALIZED (
+      |  SELECT * FROM feats_all WHERE doc_id % 5 <> 0),
+      |nn AS MATERIALIZED (
+      |  SELECT count(*)::BIGINT AS n FROM docs WHERE doc_id % 5 <> 0),""".stripMargin +
+      langs.map(perLang).mkString(",") + s""",
+      |sc AS (${score}),
+      |pick AS (
+      |  SELECT doc_id, lang_true, lang,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY z DESC, lang ASC) AS rk
+      |  FROM sc)
+      |SELECT lang_true, lang AS lang_pred, count(*)::BIGINT AS n
+      |FROM pick WHERE rk = 1 GROUP BY lang_true, lang""".stripMargin
+  }
+
   /** TracIn over the GD chain: per-epoch errors come straight from the
     * chain's e1..eN tables (the start-of-epoch-weights errors — exactly
     * the gradients each step read), the pair dot is one bucket join,

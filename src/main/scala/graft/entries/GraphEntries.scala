@@ -123,6 +123,17 @@ private[graft] object GraphEntries {
         "node", "community")
     }),
 
+    // ---- one-level Louvain local moves on the same mod-97 graph: every
+    // move is an exact 2m²-scaled integer gain, parity-alternated phases
+    // (sha(node) % 2) keep parallel sweeps deterministic; the twin
+    // unrolls all 6 phases as materialized CTE stages ----
+    "q_louvain" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(
+        (col("o_orderkey") % 97).cast("string").as("x"),
+        (col("o_custkey") % 97).cast("string").as("y"))
+      operators.Graphs.louvainCommunities(edges, "x", "y", rounds = 3)
+    }),
+
     // ---- bounded BFS: minimum-hop reachability from a seed set over
     // the symmetrized customer-supplier graph (crawl blast-radius /
     // trusted-tier distance); oracle is a recursive CTE ----
@@ -742,6 +753,11 @@ private[graft] object GraphEntries {
         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS r
         |    FROM c3) WHERE r = 1)
         |SELECT node, label AS community FROM l3""".stripMargin,
+    // One-level Louvain: all six parity-alternated local-move phases
+    // unrolled by EntryHelpers.louvainOracle — exact integer gains, so
+    // every move (and therefore every final label) is engine-identical.
+    "q_louvain" -> louvainOracle(3),
+
     // modularity of the unrolled-LPA assignment: per-community terms
     // nano-quantized and LONG-summed (order-free), result in nanos
     "q_modularity" ->

@@ -217,6 +217,33 @@ private[graft] object TextEntries {
       operators.TextAnalysis.languageMixture(docs, "doc_id", "text")
     }),
 
+    // ---- trained char-3-gram language ID (one-vs-rest hashed-BoW GD,
+    // the T91 integer-exact chain per language): planted 4-language
+    // fixture, train on the doc_id % 5 != 0 slice, confusion matrix
+    // over ALL docs; the twin replays every epoch of all four binary
+    // models as materialized CTE chains ----
+    "q_langid_model" -> ((s, dir) => {
+      val langsArr = array(lit("en"), lit("de"), lit("fr"), lit("es"))
+      val sigArr = array(
+        lit("the house and the garden is of stone to the end"),
+        lit("der hund und die katze ist nicht ein mit haus"),
+        lit("le chien et la maison est pas une dans les arbres"),
+        lit("el perro y la casa es no una por los arboles"))
+      val idx = (col("doc_id") % 4 + 1).cast("int")
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        element_at(langsArr, idx).as("lang_true"),
+        concat(element_at(sigArr, idx), lit(" "),
+          lower(substring(coalesce(col("text"), lit("")), 1, 40)),
+          lit(" "), element_at(sigArr, idx)).as("txt"))
+      val model = operators.TextAnalysis.trainLangId(
+        docs.where(col("doc_id") % 5 =!= 0), "txt", "lang_true",
+        dim = 512, iters = 6, lr = 1.0, ns = Seq(3))
+      model.predict(docs, "txt")
+        .groupBy(col("lang_true"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // ---- Porter stemming over the corpus — FULL DuckDB twin: the
     // oracle ports the paper's rules to SQL (C/V pattern via
     // list_reduce, measure as 'VC' count, longest-match CASE per
@@ -1301,6 +1328,11 @@ private[graft] object TextEntries {
         |  206.835 - 1.015 * (len(toks)::DOUBLE / sents)
         |          - 84.6 * (syls::DOUBLE / len(toks)) END AS flesch
         |FROM syl""".stripMargin,
+    // Trained langid: the four one-vs-rest GD chains + integer argmax
+    // generated by EntryHelpers.langIdOracle (classifierEpochChain
+    // recipe per language over shared char-3-gram features).
+    "q_langid_model" -> langIdOracle,
+
     "q_lang_segments" ->
       """WITH corpus AS (
         |  SELECT doc_id,

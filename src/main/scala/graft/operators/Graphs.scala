@@ -1123,6 +1123,132 @@ object Graphs {
     } finally und.unpersist()
   }
 
+  /** One-level Louvain community detection (Blondel et al. 2008's
+    * local-move phase) — the modularity-OPTIMIZING upgrade of
+    * [[labelPropagationCommunities]] (LPA propagates majorities with no
+    * objective; these moves each provably raise Newman modularity, the
+    * [[modularity]] dial): every node starts in its own community, and
+    * each round every node considers joining a NEIGHBOR's community,
+    * taking the move with the largest modularity gain when positive.
+    *
+    * Exact integer gains: moving node `i` (degree `k_i`) from community
+    * `A` to `B` changes `Q` by `(k_iB − k_iA')/m − k_i(Σ_B − Σ_A')/2m²`
+    * with `Σ` = community total degree and the primes excluding `i`;
+    * scaled by the positive constant `2m²` that is
+    * `2m(k_iB − k_iA') − k_i(Σ_B − Σ_A')` — pure LONGs (loud `m ≤ 7e8`
+    * bound keeps `4m²` inside 2^63), so the argmax (ties → smallest
+    * community label) is engine-exact and a DuckDB twin replays every
+    * move. Parallel local moves are made deterministic AND
+    * oscillation-free by TWO guards from the distributed-Louvain
+    * literature: parity alternation (each round runs two phases; only
+    * nodes with `sha-hash(node) % 2 == phase parity` move, so the
+    * frozen half anchors the objective and symmetric cliques cannot
+    * swap labels across parities), and the Grappolo minimum-label rule
+    * (Lu, Halappanavar & Kalyanaraman 2015) — a node in a SINGLETON
+    * community may move to another singleton only when the target
+    * label is smaller, which kills the two-singleton swap cycle that
+    * equal gains would otherwise sustain within one parity class.
+    *
+    * Scale shape ([[labelPropagationCommunities]]'s): per phase ONE
+    * neighbor-community count aggregate (map-side partials, no
+    * per-node window), communities-sized degree rollups joined back,
+    * checkpoint-rotated labels with release-on-throw. Output:
+    * `(node, community)` — labels are node ids of members, as in LPA.
+    */
+  def louvainCommunities(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"rounds must be in 1..20, got $rounds")
+    val raw = edges.select(
+      col(srcCol).cast("string").as("__s"),
+      col(dstCol).cast("string").as("__d"))
+      .where(col("__s").isNotNull && col("__d").isNotNull &&
+        col("__s") =!= col("__d"))
+    val sym = graft.core.Caches.pin(
+      raw.select(explode(array(
+          struct(col("__s"), col("__d")),
+          struct(col("__d").as("__s"), col("__s").as("__d")))).as("e"))
+        .select(col("e.__s").as("__s"), col("e.__d").as("__d"))
+        .distinct())
+    try {
+      val m2 = sym.count()
+      require(m2 > 0L, "louvainCommunities: empty graph")
+      val m = m2 / 2
+      require(m <= 700000000L,
+        s"louvainCommunities: $m undirected edges — the exact 2m²-scaled " +
+          "gains would overflow 2^63 beyond 7e8 edges; partition the " +
+          "graph or coarsen upstream")
+      val degs = graft.core.Caches.pin(
+        sym.groupBy(col("__s").as("node")).agg(count(lit(1)).as("__k")))
+      try {
+        var labels = degs.select(col("node"))
+          .withColumn("__c", col("node"))
+          .localCheckpoint(true)
+        try {
+          (0 until rounds * 2).foreach { phase =>
+            val parity = phase % 2
+            val commDeg = labels
+              .join(degs, "node")
+              .groupBy(col("__c"))
+              .agg(sum(col("__k")).as("__tot"), count(lit(1)).as("__sz"))
+            val kic = sym
+              .join(labels.select(col("node").as("__d"),
+                col("__c").as("__nc")), "__d")
+              .groupBy(col("__s").as("node"), col("__nc"))
+              .agg(count(lit(1)).as("__kic"))
+            val cur = labels
+              .join(degs, "node")
+              .join(commDeg.select(col("__c"), col("__tot").as("__tota"),
+                col("__sz").as("__sza")), "__c")
+              .where(pmod(TextAnalysis.hash60(col("node")), lit(2L))
+                === parity)
+              .select(col("node"), col("__c").as("__ca"), col("__k"),
+                (col("__tota") - col("__k")).as("__dega"), col("__sza"))
+            val withA = cur.join(
+              kic.select(col("node"), col("__nc").as("__ca"),
+                col("__kic").as("__kia")),
+              Seq("node", "__ca"), "left")
+            val cand = withA
+              .join(kic, "node")
+              .where(col("__nc") =!= col("__ca"))
+              .join(commDeg.select(col("__c").as("__nc"),
+                col("__tot").as("__degb"), col("__sz").as("__szb")),
+                "__nc")
+              // Grappolo minimum-label rule: singleton -> singleton only
+              // toward a smaller label (breaks same-parity swap cycles)
+              .where(!(col("__sza") === 1L && col("__szb") === 1L &&
+                col("__nc") > col("__ca")))
+              .select(col("node"), col("__nc"),
+                (lit(2L * m) * (col("__kic") -
+                  coalesce(col("__kia"), lit(0L))) -
+                  col("__k") * (col("__degb") - col("__dega")))
+                  .as("__gain"))
+            val moves = cand.where(col("__gain") > 0L)
+              .groupBy(col("node"))
+              .agg(min(struct((-col("__gain")).as("g"),
+                col("__nc").as("c"))).as("__m"))
+              .select(col("node"), col("__m.c").as("__newc"))
+            val next = labels.join(moves, Seq("node"), "left")
+              .select(col("node"),
+                coalesce(col("__newc"), col("__c")).as("__c"))
+              .localCheckpoint(true)
+            graft.core.Caches.releaseCheckpoint(labels)
+            labels = next
+          }
+        } catch {
+          case t: Throwable =>
+            graft.core.Caches.releaseCheckpoint(labels)
+            throw t
+        }
+        graft.core.Caches.registerCheckpoint(labels)
+        labels.select(col("node"), col("__c").as("community"))
+      } finally degs.unpersist()
+    } finally sym.unpersist()
+  }
+
   /** Deterministic uniform random walks over the directed edge set — the
     * DeepWalk/node2vec(p=q=1) corpus generator: `walksPerNode` walks of
     * up to `walkLength` steps from every node with out-edges, emitted as

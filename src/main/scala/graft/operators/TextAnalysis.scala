@@ -501,6 +501,110 @@ object TextAnalysis {
         (col("n_langs") >= 2).as("mixed"))
   }
 
+  /** Char n-gram pseudo-tokens for language identification (Cavnar &
+    * Trenkle 1994's character-profile idea, the fastText langid feature
+    * set — Joulin 2016): the text lowercases, whitespace runs collapse
+    * to `_`, one `_` sentinel lands on each side, and every `n`-gram of
+    * the normalized string for each `n` in `ns` becomes one token —
+    * `"the cat"` → `_th`, `the`, `he_`, `e_c`, … Word-boundary
+    * information survives in the sentinel, and no pseudo-token ever
+    * contains a literal space, so `array_join(…, " ")` round-trips
+    * through the whitespace tokenizer — [[Classifier]]'s hashed-BoW
+    * train/score path consumes the n-grams UNCHANGED, integer-exact
+    * discipline included. Pure codegen'd expressions, one pass.
+    */
+  def charNgramTokens(text: Column, ns: Seq[Int] = Seq(3, 4, 5)): Column = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 8),
+      s"ns must be non-empty n-gram sizes in 1..8, got $ns")
+    val norm = concat(lit("_"),
+      regexp_replace(lower(coalesce(text, lit(""))), "\\s+", "_"),
+      lit("_"))
+    val arrays = ns.map { n =>
+      when(length(norm) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(norm) - n + 1),
+          i => norm.substr(i, lit(n))))
+    }
+    if (arrays.size == 1) arrays.head else concat(arrays: _*)
+  }
+
+  /** A trained language-ID model: one one-vs-rest [[Classifier]] binary
+    * model per language over [[charNgramTokens]] features, languages in
+    * sorted order. Integer micro-unit logits end to end, so prediction
+    * is an exact-integer argmax — engine-reproducible bit for bit.
+    */
+  final case class LangIdModel(
+      langs: Seq[String],
+      models: Seq[Classifier.TextClassifierModel],
+      ns: Seq[Int]) {
+
+    /** Append one exact-integer logit per language
+      * (`<outCol>_<lang>_micros`) and the argmax language `outCol`
+      * (ties break to the lexically smallest language — a pure integer
+      * comparison, unlike [[languageId]]'s list-order tie). Zero
+      * shuffles: the whole path is per-row expressions.
+      */
+    def predict(df: DataFrame, textCol: String,
+        outCol: String = "lang_pred"): DataFrame = {
+      val scored = langs.zip(models).foldLeft(
+        df.withColumn("__cng",
+          array_join(charNgramTokens(col(textCol), ns), " "))) {
+        case (d, (l, m)) =>
+          m.scoreLogit(d, "__cng", s"${outCol}_$l")
+            .drop(s"${outCol}_${l}_pos")
+      }
+      val picks = array(langs.map(l => struct(
+        (-col(s"${outCol}_${l}_micros")).as("n"), lit(l).as("l"))): _*)
+      scored.withColumn(outCol, array_min(picks).getField("l"))
+        .drop("__cng")
+    }
+  }
+
+  /** Train a character-n-gram language classifier from a labeled corpus
+    * — the TRAINED upgrade of the [[languageId]] stopword heuristic
+    * (which only knows its hardcoded list's languages and ties on
+    * shared stopwords like fr/es `la`): one-vs-rest [[Classifier.train]]
+    * runs per distinct label over the SHARED pinned pseudo-token
+    * projection, so the n-gram pass is paid once, not per language.
+    * Everything downstream inherits the T91 discipline — exact
+    * integer-micro GD (identical on any engine), hashed buckets,
+    * driver-bounded weights (langs × dim longs).
+    *
+    * Labels must be non-null; 2..32 distinct languages (a langid label
+    * set, not an open vocabulary — the per-language scoring expressions
+    * multiply per row). Returns the [[LangIdModel]]; persist the parts
+    * with [[Classifier.saveModel]] per language if needed.
+    */
+  def trainLangId(
+      df: DataFrame,
+      textCol: String,
+      langCol: String,
+      dim: Int = 1024,
+      iters: Int = 10,
+      lr: Double = 1.0,
+      ns: Seq[Int] = Seq(3, 4, 5)): LangIdModel = {
+    val nulls = df.agg(count(when(col(langCol).isNull, 1)).as("__n"))
+      .head().getAs[Long]("__n")
+    require(nulls == 0L,
+      s"trainLangId: $nulls NULL `$langCol` row(s) — every training doc " +
+        "needs a language label; filter deliberately upstream")
+    val langs = df.select(col(langCol).cast("string").as("__l"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    require(langs.size >= 2 && langs.size <= 32,
+      s"trainLangId: ${langs.size} distinct language label(s) — need " +
+        "2..32 (one-vs-rest scoring multiplies per language)")
+    val base = graft.core.Caches.pin(df.select(
+      array_join(charNgramTokens(col(textCol), ns), " ").as("__cng"),
+      col(langCol).cast("string").as("__lang")))
+    try {
+      val models = langs.map { l =>
+        Classifier.train(
+          base.withColumn("__y", (col("__lang") === l).cast("int")),
+          "__cng", "__y", dim = dim, iters = iters, lr = lr)
+      }
+      LangIdModel(langs, models, ns)
+    } finally base.unpersist()
+  }
+
   /** Composite quality score in [0,1]: rewards mid-length documents and
     * normal word length, penalizes punctuation/uppercase excess. The exact
     * formula is semantics-bearing for the oracle:

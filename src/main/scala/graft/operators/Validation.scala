@@ -1179,18 +1179,35 @@ object Validation {
       valueCol: String,
       trim: Double = 0.1): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
-    require(trim >= 0.0 && trim < 0.5, s"trim must be in [0, 0.5), got $trim")
     val nulls = df.agg(count(when(col(valueCol).isNull, 1)).as("__b"))
       .head().getAs[Long]("__b")
     require(nulls == 0L,
       s"trimmedMean: $nulls NULL `$valueCol` row(s) — a NULL has no " +
         "rank; filter deliberately upstream")
     val keys = keyCols.map(col)
-    val vc = df
-      .select(keys :+ round(col(valueCol).cast("double") * 1e6)
-        .cast("long").as("__v"): _*)
-      .groupBy(keys :+ col("__v"): _*)
-      .agg(count(lit(1)).as("__c"))
+    trimmedMeanFromValueCounts(
+      df.select(keys :+ round(col(valueCol).cast("double") * 1e6)
+          .cast("long").as("__v"): _*)
+        .groupBy(keys :+ col("__v"): _*)
+        .agg(count(lit(1)).as("__c")),
+      keyCols, trim)
+  }
+
+  /** [[trimmedMean]] from its per-(group, micro-value) count cells —
+    * the sum-mergeable table the operator is computed FROM (columns
+    * `keyCols… , __v` LONG micros, `__c` LONG counts). Shared by the
+    * batch operator and the standing streaming log
+    * ([[graft.streaming.StreamingOps.trimmedMeanFromLog]]), so
+    * streamed-then-folded cells produce the IDENTICAL result as the
+    * batch operator over the delivered union by construction.
+    */
+  private[graft] def trimmedMeanFromValueCounts(
+      vc: DataFrame,
+      keyCols: Seq[String],
+      trim: Double): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(trim >= 0.0 && trim < 0.5, s"trim must be in [0, 0.5), got $trim")
+    val keys = keyCols.map(col)
     val vcp = graft.core.Caches.pin(vc)
     try {
       val totals = vcp.groupBy(keys: _*)

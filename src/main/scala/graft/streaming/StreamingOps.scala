@@ -1221,6 +1221,64 @@ object StreamingOps {
         .groupBy(col("__v"), col("__is_null"))
         .agg(sum(col("__kcnt")).as("__c")))
 
+  /** Stream rows into a KEYED per-(group, micro-value) count log — the
+    * sum-mergeable cells [[graft.operators.Validation.trimmedMean]] is
+    * computed FROM (the [[valueCountSink]] shape with group keys):
+    * each micro-batch writes its `(keyCols…, __v, __kcnt)` partial
+    * counts under the stat-log `sum` fold law, values micro-quantized
+    * at birth exactly as the batch operator quantizes them.
+    * [[trimmedMeanFromLog]] replays the batch rank/band back end over
+    * the folded log, EQUAL to the batch operator over everything
+    * delivered — the standing robust-central-tendency monitor (per-
+    * source latency/score/length dashboards) with no raw-row retention.
+    * NULL values are refused per batch (the batch operator's loud
+    * contract); NULL group keys are a group, as in batch.
+    */
+  def trimmedMeanSink(
+      events: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      logPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    StatLog.writeKind(events.sparkSession, logPath, "sum")
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val nulls = batch.toDF()
+            .agg(count(when(col(valueCol).isNull, 1)).as("__b"))
+            .head().getAs[Long]("__b")
+          require(nulls == 0L,
+            s"trimmedMeanSink: $nulls NULL `$valueCol` row(s) in batch " +
+              s"$batchId — a NULL has no rank; filter upstream")
+          batch.toDF()
+            .groupBy(keyCols.map(col) :+
+              round(col(valueCol).cast("double") * 1e6).cast("long")
+                .as("__v"): _*)
+            .agg(count(lit(1)).as("__kcnt"))
+            .write.mode("overwrite")
+            .parquet(f"$logPath/batch=b$batchId%012d")
+        }
+    }
+  }
+
+  /** The standing per-group trimmed mean over a [[trimmedMeanSink]] log
+    * — equal to the batch [[graft.operators.Validation.trimmedMean]]
+    * over everything the sink delivered (same output columns, same
+    * exactness: both ride the shared value-counts core, so the
+    * equality is by construction, not by parallel implementation).
+    */
+  def trimmedMeanFromLog(
+      spark: SparkSession,
+      logPath: String,
+      keyCols: Seq[String],
+      trim: Double = 0.1): DataFrame =
+    graft.operators.Validation.trimmedMeanFromValueCounts(
+      StatLog.read(spark, logPath)
+        .groupBy(keyCols.map(col) :+ col("__v"): _*)
+        .agg(sum(col("__kcnt")).as("__c")),
+      keyCols, trim)
+
   /** Stream embedding rows into a sum-mergeable SLICED-WASSERSTEIN
     * projection-count log: the quantile grid itself is NOT
     * sum-mergeable, but the per-(slice, direction, projection-value)

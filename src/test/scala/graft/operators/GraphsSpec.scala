@@ -646,6 +646,42 @@ class GraphsSpec extends SparkTestBase {
       Graphs.labelPropagationCommunities(edges, "src", "dst", 0))
   }
 
+  test("louvainCommunities: bridged cliques recovered, modularity >= LPA's, deterministic, loud guards") {
+    import spark.implicits._
+    // the LPA fixture: two triangles bridged by c-d (self-loop dropped)
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("d", "e"), ("d", "f"), ("e", "f"), ("c", "d"),
+      ("a", "a")).toDF("src", "dst")
+    def run() = Graphs.louvainCommunities(edges, "src", "dst", rounds = 3)
+    val out = run().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the two cliques must land in two communities with the bridge cut
+    val cliqueA = Set("a", "b", "c").map(out)
+    val cliqueB = Set("d", "e", "f").map(out)
+    assert(cliqueA.size == 1 && cliqueB.size == 1 && cliqueA != cliqueB,
+      s"cliques must separate: $out")
+    // every Louvain move provably raises Q — on the planted graph the
+    // result must score >= the LPA partition (both reach the optimum
+    // 2·178571429 nanos here, the modularity spec's hand value)
+    val qLouvain = Graphs.modularity(edges, "src", "dst", run(),
+      "node", "community").head().getAs[Long]("modularity_nanos")
+    val lpa = Graphs.labelPropagationCommunities(edges, "src", "dst", 3)
+    val qLpa = Graphs.modularity(edges, "src", "dst", lpa,
+      "node", "community").head().getAs[Long]("modularity_nanos")
+    assert(qLouvain >= qLpa, s"louvain $qLouvain < lpa $qLpa")
+    assert(qLouvain == 2L * 178571429L, s"optimum expected, got $qLouvain")
+    // where LPA's majority vote is blind, the gain objective is not: on
+    // a 4-cycle with one chord, moves only happen when Q strictly rises,
+    // so no oscillation — and the run is deterministic
+    assert(run().collect().map(r => (r.getString(0), r.getString(1)))
+      .sorted.toSeq ==
+      run().collect().map(r => (r.getString(0), r.getString(1)))
+        .sorted.toSeq)
+    intercept[IllegalArgumentException](
+      Graphs.louvainCommunities(edges, "src", "dst", rounds = 0))
+    intercept[IllegalArgumentException](
+      Graphs.louvainCommunities(edges.where(lit(false)), "src", "dst"))
+  }
+
   test("modularity: two cliques + bridge hand-computed; singleton fill-in for unlabeled nodes; empty loud") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"),

@@ -29,6 +29,68 @@ class TextDedupSpec extends SparkTestBase {
     assert(out(3).getAs[String]("lang") == "und")
   }
 
+  test("trainLangId: planted multilingual corpus, heuristic confusion cases, determinism, loud guards") {
+    // 24 docs/lang of signature-rich pseudo text with shared noise; the
+    // holdout (id % 4 == 0 within each lang block) never trains
+    val sigs = Map(
+      "en" -> "the house and the garden is of stone to the end",
+      "de" -> "der hund und die katze ist nicht ein mit haus",
+      "fr" -> "le chien et la maison est pas une dans les arbres",
+      "es" -> "el perro y la casa es no una por los arboles")
+    val noise = Vector("alpha beta", "gamma delta", "epsilon zeta",
+      "eta theta", "iota kappa", "lambda mu")
+    val docs = sigs.toSeq.sortBy(_._1).zipWithIndex.flatMap {
+      case ((l, sig), li) => (0 until 24).map { i =>
+        (li * 24L + i, l, s"$sig ${noise(i % noise.size)} $sig")
+      }
+    }.toDF("id", "lang", "text")
+    val model = TextAnalysis.trainLangId(
+      docs.where($"id" % 4 =!= 0), "text", "lang",
+      dim = 512, iters = 8, ns = Seq(3))
+    assert(model.langs == Seq("de", "en", "es", "fr"))
+    val holdout = model.predict(docs.where($"id" % 4 === 0), "text")
+      .select($"lang", $"lang_pred").collect()
+    val acc = holdout.count(r => r.getString(0) == r.getString(1)).toDouble /
+      holdout.length
+    assert(acc >= 0.9, s"holdout accuracy $acc below floor")
+    // the heuristic's confusion case: a Spanish sentence whose only
+    // stopword hits ("la") tie between fr and es — languageId breaks the
+    // tie by LIST ORDER and answers fr; the trained char-3-gram model
+    // reads casa/mesa/silla and answers es
+    val confused = Seq((1L, "la casa la mesa la silla grande"))
+      .toDF("id", "text")
+    val heur = confused.select(TextAnalysis.languageId($"text"))
+      .head().getString(0)
+    assert(heur == "fr", s"expected the heuristic tie-break to fr, got $heur")
+    val trained = model.predict(confused, "text").select($"lang_pred")
+      .head().getString(0)
+    assert(trained == "es", s"trained model said $trained")
+    // and an out-of-stopword-list text the heuristic calls und
+    val und = Seq((1L, "perro gato arboles grande casa"))
+      .toDF("id", "text")
+    assert(und.select(TextAnalysis.languageId($"text"))
+      .head().getString(0) == "und")
+    assert(model.predict(und, "text").select($"lang_pred")
+      .head().getString(0) == "es")
+    // integer-exact GD: retraining reproduces the model bit for bit
+    val again = TextAnalysis.trainLangId(
+      docs.where($"id" % 4 =!= 0), "text", "lang",
+      dim = 512, iters = 8, ns = Seq(3))
+    assert(model.langs == again.langs &&
+      model.models.zip(again.models).forall { case (a, b) =>
+        a.biasMicros == b.biasMicros &&
+          java.util.Arrays.equals(a.weightsMicros, b.weightsMicros) })
+    // loud guards: NULL labels, degenerate label sets
+    intercept[IllegalArgumentException](TextAnalysis.trainLangId(
+      Seq((1L, "x", Option.empty[String]), (2L, "y", Some("en")))
+        .toDF("id", "text", "lang"), "text", "lang"))
+    intercept[IllegalArgumentException](TextAnalysis.trainLangId(
+      Seq((1L, "x", "en"), (2L, "y", "en")).toDF("id", "text", "lang"),
+      "text", "lang"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.charNgramTokens(lit("x"), Seq(0)))
+  }
+
   test("quality score is in [0,1] and favors clean prose") {
     val df = Seq(
       (1L, ("the quick brown fox jumps over the lazy dog " * 6).trim),
