@@ -275,6 +275,20 @@ private[graft] object EvalEntries {
       operators.Classifier.expectedCalibrationError(d, "p_micros", "y", 10)
     }),
 
+    // ---- Murphy decomposition of the Brier score over the same
+    // deterministic forecast fixture: reliability / resolution /
+    // uncertainty next to q_ece's single calibration number ----
+    "q_brier" -> ((s, dir) => {
+      val score = round(element_at(col("embedding"), 1).cast("double") * 1e6)
+        .cast("long") +
+        round(element_at(col("embedding"), 2).cast("double") * 1e6)
+        .cast("long")
+      val d = t(s, dir, "embeddings").select(
+        ((score % 1000001L + 1000001L) % 1000001L).as("p_micros"),
+        when(col("label") < 5, lit(1)).otherwise(lit(0)).as("y"))
+      operators.Classifier.brierDecomposition(d, "p_micros", "y", 10)
+    }),
+
     // ---- the same eval, sliced per source (fairness-audit form) ----
     "q_auc_by_group" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -543,6 +557,49 @@ private[graft] object EvalEntries {
         |  round(CAST(sum(CAST(round(abs(obs_rate - CAST(mp AS DOUBLE) / 1e6)
         |    * n / nn * 1e9) AS BIGINT)) AS BIGINT) / 1e9, 6) AS ece
         |FROM t GROUP BY nn""".stripMargin,
+
+    // Murphy decomposition: per-bin REL/RES terms in the Scala side's
+    // exact multiplication order, nano-rounded and BIGINT-summed across
+    // bins; the Brier numerator is the HUGEINT-exact sum of squared
+    // micro differences.
+    "q_brier" ->
+      """WITH d AS (
+        |  SELECT (((CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT)
+        |    + CAST(round(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT))
+        |    % 1000001) + 1000001) % 1000001 AS p,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT least(9, (least(1000000, greatest(0, p)) * 10) // 1000000)
+        |      AS bin,
+        |    count(*)::BIGINT AS nk,
+        |    CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(sum(least(1000000, greatest(0, p))) AS BIGINT) AS sp,
+        |    sum((least(1000000, greatest(0, p)) - y * 1000000)
+        |      * (least(1000000, greatest(0, p)) - y * 1000000)) AS sq
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(nk) AS BIGINT) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS post, sum(sq) AS sqt FROM g),
+        |terms AS (
+        |  SELECT g.nk, t.n, t.post, t.sqt,
+        |    CAST(round(nk::DOUBLE
+        |      * (sp::DOUBLE / (nk::DOUBLE * 1e6) - pos::DOUBLE / nk::DOUBLE)
+        |      * (sp::DOUBLE / (nk::DOUBLE * 1e6) - pos::DOUBLE / nk::DOUBLE)
+        |      * 1e9) AS BIGINT) AS relt,
+        |    CAST(round(nk::DOUBLE
+        |      * (pos::DOUBLE / nk::DOUBLE - post::DOUBLE / n::DOUBLE)
+        |      * (pos::DOUBLE / nk::DOUBLE - post::DOUBLE / n::DOUBLE)
+        |      * 1e9) AS BIGINT) AS rest
+        |  FROM g CROSS JOIN t)
+        |SELECT max(n) AS n, count(*)::BIGINT AS bins,
+        |  round(max(sqt)::DOUBLE / (max(n)::DOUBLE * 1e12), 6) AS brier,
+        |  round(CAST(sum(relt) AS BIGINT)::DOUBLE / (max(n)::DOUBLE * 1e9), 6)
+        |    AS reliability,
+        |  round(CAST(sum(rest) AS BIGINT)::DOUBLE / (max(n)::DOUBLE * 1e9), 6)
+        |    AS resolution,
+        |  round((max(post)::DOUBLE / max(n)::DOUBLE)
+        |    * (1.0 - max(post)::DOUBLE / max(n)::DOUBLE), 6) AS uncertainty
+        |FROM terms""".stripMargin,
     "q_auc_by_group" ->
       """WITH d AS (
         |  SELECT coalesce(dd.source, 'none') AS source,

@@ -294,6 +294,15 @@ private[graft] object StatsEntries {
         t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
         trim = 0.1)),
 
+    // ---- exact per-group nearest-rank quantiles (p50/p90/p99 table,
+    // no sketch): keyedRangePrefix ranks, ⌈p·n⌉ selection ----
+    "q_grouped_quantiles" -> ((s, dir) =>
+      operators.Validation.groupedQuantiles(
+        t(s, dir, "lineitem").select(
+          (col("l_suppkey") % 97).cast("string").as("k"),
+          col("l_extendedprice").as("v")),
+        Seq("k"), "v", Seq(0.5, 0.9, 0.99))),
+
     // ---- percentile-rank calibration: per-language percent_rank of
     // doc length (the step before mixing incomparable scores) ----
     "q_pct_rank" -> ((s, dir) => {
@@ -441,6 +450,28 @@ private[graft] object StatsEntries {
         |      / CAST(sum(kc) AS BIGINT)::DOUBLE / 1e6 END, 6)
         |    AS trimmed_mean
         |FROM kept GROUP BY g""".stripMargin,
+
+    // Exact grouped quantiles: same micro-quantized count-table +
+    // running-count discipline as q_trimmed_mean, ⌈p·n⌉ nearest-rank
+    // containment (the same IEEE multiply/ceil as the Scala side).
+    "q_grouped_quantiles" ->
+      """WITH vals AS (
+        |  SELECT CAST(l_suppkey % 97 AS VARCHAR) AS k,
+        |    CAST(round(l_extendedprice * 1e6) AS BIGINT) AS v
+        |  FROM lineitem),
+        |vc AS (SELECT k, v, count(*)::BIGINT AS c FROM vals GROUP BY k, v),
+        |tot AS (SELECT k, CAST(sum(c) AS BIGINT) AS n FROM vc GROUP BY k),
+        |run AS (
+        |  SELECT k, v, c, CAST(coalesce(sum(c) OVER (PARTITION BY k
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS pre
+        |  FROM vc),
+        |probs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |  CAST(0.99 AS DOUBLE)]) AS p)
+        |SELECT r.k, p, n, round(v::DOUBLE / 1e6, 6) AS value
+        |FROM run r JOIN tot USING (k) CROSS JOIN probs
+        |WHERE pre < CAST(ceil(p * n::DOUBLE) AS BIGINT)
+        |  AND pre + c >= CAST(ceil(p * n::DOUBLE) AS BIGINT)""".stripMargin,
     "q_frequent_rollup" ->
       """WITH c AS (
         |  SELECT source, lang, count(*)::BIGINT AS cnt FROM documents

@@ -263,6 +263,13 @@ private[graft] object TextEntries {
         t(s, dir, "documents"), "text", minCount = 3L)
     }),
 
+    // ---- Dunning G² collocations: the χ²-calibrated low-count-robust
+    // sibling of PMI, 2×2 cells from the same bigram tables ----
+    "q_dunning" -> ((s, dir) => {
+      operators.TextAnalysis.dunningCollocations(
+        t(s, dir, "documents"), "text", minCount = 3L)
+    }),
+
     // ---- unigram-LM (SentencePiece-style) tokenizer: hard-EM training
     // + Viterbi encoding. Likelihood-driven segmentation is not
     // SQL-expressible -> rows-only, pinned by UnigramSpec's hand-traced
@@ -793,6 +800,41 @@ private[graft] object TextEntries {
         |FROM score_docs d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
     // PMI collocations: marginals from the FULL bigram-types table,
     // min-count filter applied to the output pairs only
+    // Dunning G²: same bigram/marginal tables as q_collocations, the
+    // 4-cell log-likelihood ratio in the Scala side's exact term order
+    // (o11, o12, o21, o22 left to right — every IEEE op lines up).
+    "q_dunning" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                     t -> t <> '') AS toks FROM documents),
+        |rb AS (
+        |  SELECT toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i AS INTEGER)+1] AS w2
+        |  FROM toks CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 0) + 1)) t(i)),
+        |bi AS (SELECT w1, w2, count(*)::BIGINT AS n12 FROM rb GROUP BY w1, w2),
+        |m1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM bi GROUP BY w1),
+        |m2 AS (SELECT w2, CAST(sum(n12) AS BIGINT) AS n2 FROM bi GROUP BY w2),
+        |tot AS (SELECT CAST(sum(n12) AS BIGINT) AS nn FROM bi),
+        |cells AS (
+        |  SELECT bi.w1, bi.w2, bi.n12, m1.n1, m2.n2, tot.nn,
+        |    bi.n12 AS o11, m1.n1 - bi.n12 AS o12, m2.n2 - bi.n12 AS o21,
+        |    tot.nn - m1.n1 - m2.n2 + bi.n12 AS o22
+        |  FROM bi JOIN m1 ON bi.w1 = m1.w1 JOIN m2 ON bi.w2 = m2.w2
+        |    CROSS JOIN tot
+        |  WHERE bi.n12 >= 3)
+        |SELECT w1, w2, n12, n1, n2,
+        |  round(2.0 * (
+        |    (CASE WHEN o11 = 0 THEN 0.0 ELSE o11::DOUBLE *
+        |      ln(o11::DOUBLE / (n1::DOUBLE * n2::DOUBLE / nn::DOUBLE)) END) +
+        |    (CASE WHEN o12 = 0 THEN 0.0 ELSE o12::DOUBLE *
+        |      ln(o12::DOUBLE / (n1::DOUBLE * (nn - n2)::DOUBLE / nn::DOUBLE)) END) +
+        |    (CASE WHEN o21 = 0 THEN 0.0 ELSE o21::DOUBLE *
+        |      ln(o21::DOUBLE / ((nn - n1)::DOUBLE * n2::DOUBLE / nn::DOUBLE)) END) +
+        |    (CASE WHEN o22 = 0 THEN 0.0 ELSE o22::DOUBLE *
+        |      ln(o22::DOUBLE / ((nn - n1)::DOUBLE * (nn - n2)::DOUBLE / nn::DOUBLE)) END)
+        |  ), 6) AS g2
+        |FROM cells""".stripMargin,
+
     "q_collocations" ->
       """WITH toks AS (
         |  SELECT list_filter(string_split_regex(coalesce(text, ''), '\s+'),

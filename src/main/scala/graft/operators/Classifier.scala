@@ -529,6 +529,87 @@ object Classifier {
         round(col("n_pos").cast("double") / col("n"), 6).as("obs_rate"))
   }
 
+  /** Brier score with the Murphy (1973) reliability / resolution /
+    * uncertainty decomposition — the calibration audit that says not
+    * just "how wrong" ([[expectedCalibrationError]]'s territory) but
+    * WHY: reliability = how far bin forecasts sit from bin event rates
+    * (lower better), resolution = how much the bins separate outcomes
+    * from the base rate (higher better), uncertainty = the base rate's
+    * own variance floor. Equal-width bins over [0, 1], the
+    * [[reliabilityBins]] binning exactly.
+    *
+    * Exactness: forecasts are integer micros by contract (clamped to
+    * [0, 1e6] like [[reliabilityBins]]), so `Σ(p − y)²` sums exact
+    * integer squares (as DECIMAL(38,0) — a LONG would overflow past
+    * ~9M rows; DuckDB's BIGINT sum is HUGEINT-exact the same way);
+    * per-bin REL/RES terms are fixed-order doubles nano-rounded at
+    * birth and LONG-summed across bins (order-free — bins number ≤
+    * 1000 so the nano sum cannot overflow). Note the binned identity
+    * `brier = rel − res + unc` holds only up to within-bin forecast
+    * variance — all four are reported, the residual is the caller's
+    * diagnostic. Output: one row
+    * `(n, bins, brier, reliability, resolution, uncertainty)`,
+    * rounded to 6.
+    */
+  def brierDecomposition(
+      df: DataFrame,
+      probMicrosCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in 2..1000, got $bins")
+    val y = col(labelCol).cast("int")
+    val bad = df.agg(
+      count(when(y.isNull || (y =!= 0 && y =!= 1), 1)).as("__bady"),
+      count(when(col(probMicrosCol).isNull, 1)).as("__bads"),
+      count(lit(1)).as("__n")).head()
+    require(bad.getAs[Long]("__bady") == 0L,
+      s"brierDecomposition: ${bad.getAs[Long]("__bady")} row(s) have a " +
+        s"label that is null or outside {0, 1} after casting `$labelCol`")
+    require(bad.getAs[Long]("__bads") == 0L,
+      s"brierDecomposition: ${bad.getAs[Long]("__bads")} row(s) have a " +
+        s"NULL `$probMicrosCol`")
+    val n = bad.getAs[Long]("__n")
+    require(n > 0L, "brierDecomposition: empty input")
+    val clamped = least(lit(1000000L),
+      greatest(lit(0L), col(probMicrosCol).cast("long")))
+    val bin = least(lit(bins - 1L), expr(
+      s"(least(1000000L, greatest(0L, cast($probMicrosCol as long))) " +
+        s"* $bins) div 1000000L"))
+    val d = clamped - y.cast("long") * lit(1000000L)
+    val perBin = df.groupBy(bin.as("__bin"))
+      .agg(count(lit(1)).as("__nk"),
+        sum(y.cast("long")).as("__pos"),
+        sum(clamped).as("__sp"),
+        sum((d * d).cast("decimal(38,0)")).as("__sq"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val oBar = col("__posT").cast("double") / col("__nT").cast("double")
+    val pBark = col("__sp").cast("double") /
+      (col("__nk").cast("double") * 1e6)
+    val oBark = col("__pos").cast("double") / col("__nk").cast("double")
+    val relTerm = round(col("__nk").cast("double") *
+      (pBark - oBark) * (pBark - oBark) * 1e9).cast("long")
+    val resTerm = round(col("__nk").cast("double") *
+      (oBark - oBar) * (oBark - oBar) * 1e9).cast("long")
+    val totals = perBin.agg(sum(col("__nk")).as("__nT"),
+      sum(col("__pos")).as("__posT"),
+      sum(col("__sq")).as("__sqT"))
+    perBin.crossJoin(broadcast(totals))
+      .agg(max(col("__nT")).as("__n"), count(lit(1)).as("__bins"),
+        max(col("__sqT")).as("__sqAll"), max(col("__posT")).as("__posAll"),
+        sum(relTerm).as("__rel"), sum(resTerm).as("__res"))
+      .select(col("__n").as("n"), col("__bins").as("bins"),
+        round(col("__sqAll").cast("double") /
+          (col("__n").cast("double") * 1e12), 6).as("brier"),
+        round(col("__rel").cast("double") /
+          (col("__n").cast("double") * 1e9), 6).as("reliability"),
+        round(col("__res").cast("double") /
+          (col("__n").cast("double") * 1e9), 6).as("resolution"),
+        round((col("__posAll").cast("double") / col("__n").cast("double")) *
+          (lit(1.0) - col("__posAll").cast("double") /
+            col("__n").cast("double")), 6).as("uncertainty"))
+  }
+
   /** Split-conformal threshold (Vovk et al. 2005; the Papadopoulos
     * 2002 inductive form): the `⌈(n+1)(1−α)⌉`-th smallest calibration
     * NONCONFORMITY score — keep future predictions whose score is ≤

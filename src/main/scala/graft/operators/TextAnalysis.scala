@@ -1824,6 +1824,58 @@ object TextAnalysis {
           .as("pmi"))
   }
 
+  /** Dunning log-likelihood-ratio collocations (Dunning 1993,
+    * "Accurate Methods for the Statistics of Surprise and
+    * Coincidence") — the LOW-COUNT-ROBUST sibling of [[collocations]]'
+    * PMI (PMI explodes for rare pairs; G² is χ²-calibrated, so one
+    * threshold works across frequency bands): for each adjacent bigram
+    * the 2×2 contingency `O₁₁=n₁₂, O₁₂=n₁−n₁₂, O₂₁=n₂−n₁₂,
+    * O₂₂=N−n₁−n₂+n₁₂` scores `G² = 2·Σ Oᵢⱼ·ln(Oᵢⱼ/Eᵢⱼ)` with
+    * `Eᵢⱼ = rowᵢ·colⱼ/N`; zero cells contribute 0 by the standard
+    * x·ln(x) → 0 limit.
+    *
+    * Engine-exact: all four cells are exact LONGs from one bigram
+    * count pass, and G² is ONE fixed-order portable IEEE expression
+    * over them (terms added O₁₁, O₁₂, O₂₁, O₂₂ left to right — the
+    * twin adds in the same order), rounded to 6. `minCount` prunes the
+    * hapax tail exactly like [[collocations]]. Scale shape: identical
+    * — one exploded-bigram map-side-combined groupBy, two marginal
+    * rollups, one broadcast total. Output:
+    * `(w1, w2, n12, n1, n2, g2)`.
+    */
+  def dunningCollocations(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minCount: Long = 5L): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val bi = explodedBigrams(df, textCol, Nil)
+      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__n12"))
+    val n1 = bi.groupBy("__w1").agg(sum(col("__n12")).as("__n1"))
+    val n2 = bi.groupBy("__w2").agg(sum(col("__n12")).as("__n2"))
+    val total = bi.agg(sum(col("__n12")).as("__nn"))
+    def term(o: Column, rowM: Column, colM: Column, nn: Column): Column = {
+      val e = rowM.cast("double") * colM.cast("double") / nn.cast("double")
+      when(o === 0L, lit(0.0))
+        .otherwise(o.cast("double") * log(o.cast("double") / e))
+    }
+    val o11 = col("__n12")
+    val o12 = col("__n1") - col("__n12")
+    val o21 = col("__n2") - col("__n12")
+    val o22 = col("__nn") - col("__n1") - col("__n2") + col("__n12")
+    val nn = col("__nn")
+    val g2 = lit(2.0) * (
+      term(o11, col("__n1"), col("__n2"), nn) +
+        term(o12, col("__n1"), nn - col("__n2"), nn) +
+        term(o21, nn - col("__n1"), col("__n2"), nn) +
+        term(o22, nn - col("__n1"), nn - col("__n2"), nn))
+    bi.where(col("__n12") >= minCount)
+      .join(n1, "__w1").join(n2, "__w2")
+      .crossJoin(broadcast(total))
+      .select(col("__w1").as("w1"), col("__w2").as("w2"),
+        col("__n12").as("n12"), col("__n1").as("n1"), col("__n2").as("n2"),
+        round(g2, 6).as("g2"))
+  }
+
   /** Okapi BM25 relevance of every document to a bag of query terms,
     * with Lucene's non-negative idf variant
     * `ln(1 + (N - df + 0.5) / (df + 0.5))`. The keyword-search /

@@ -1245,6 +1245,66 @@ object Validation {
     } finally vcp.unpersist()
   }
 
+  /** EXACT nearest-rank quantiles per group — the dashboard p50/p95/p99
+    * table with no sketch error bar ([[quantileDrift]] compares two
+    * samples globally and the rollup tier is approximate-by-design;
+    * this is the exact per-key answer): for each probability `p` the
+    * value at rank `⌈p·n⌉` of the group's sorted values. Values
+    * micro-quantize at birth (the [[trimmedMean]] discipline — the
+    * returned `value` is the micro-descaled quantile), ranks come from
+    * [[keyedRangePrefix]] over the per-(group, value) count table —
+    * never a per-group sort window, so a corpus-sized group can never
+    * pin one task — and each probability selects the unique count row
+    * whose rank interval `(pre, pre+c]` contains `⌈p·n⌉`.
+    *
+    * Engine-exact: `⌈p·n⌉` is the same IEEE multiply + ceil on both
+    * engines (p a shared literal), the containment test pure integer.
+    * NULL values refused loudly (a NULL has no rank). Output:
+    * `(keyCols…, p, n, value)` — one row per (group, probability),
+    * value rounded to 6.
+    */
+  def groupedQuantiles(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      probs: Seq[Double] = Seq(0.5, 0.9, 0.95, 0.99)): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"probs must be non-empty probabilities in (0, 1], got $probs")
+    require(probs.distinct.size == probs.size,
+      s"probs must be distinct, got $probs")
+    val nulls = df.agg(count(when(col(valueCol).isNull, 1)).as("__b"))
+      .head().getAs[Long]("__b")
+    require(nulls == 0L,
+      s"groupedQuantiles: $nulls NULL `$valueCol` row(s) — a NULL has " +
+        "no rank; filter deliberately upstream")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = keyCols.map(col)
+    val vc = df
+      .select(keys :+ round(col(valueCol).cast("double") * 1e6)
+        .cast("long").as("__v"): _*)
+      .groupBy(keys :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val vcp = graft.core.Caches.pin(vc)
+    try {
+      val totals = vcp.groupBy(keys: _*).agg(sum(col("__c")).as("__n"))
+      val pre = keyedRangePrefix(vcp, keyCols, "__v", "__c", "__pre")
+      // groups-sized totals: null-safe key join (NULL keys are a group)
+      val tn = keyCols.foldLeft(totals) {
+        (d, k) => d.withColumnRenamed(k, "__gq_o_" + k) }
+      val cond = keyCols.map(k => pre(k) <=> tn("__gq_o_" + k))
+        .reduce(_ && _)
+      val probsDf = probs.toDF("p")
+      val r = ceil(col("p") * col("__n").cast("double")).cast("long")
+      pre.join(tn, cond).drop(keyCols.map("__gq_o_" + _): _*)
+        .join(broadcast(probsDf))
+        .where(col("__pre") < r && col("__pre") + col("__c") >= r)
+        .select(keys ++ Seq(col("p"), col("__n").as("n"),
+          round(col("__v").cast("double") / 1e6, 6).as("value")): _*)
+    } finally vcp.unpersist()
+  }
+
   /** Wilson score interval per group (Wilson 1927) — the proportion CI
     * that behaves at small n and extreme rates where the naive Wald
     * interval collapses (a 3-success source out of 4 docs should NOT

@@ -238,6 +238,31 @@ class ClassifierSpec extends SparkTestBase {
       .head().getAs[Double]("ece") == 0.0)
   }
 
+  test("brierDecomposition: hand Murphy terms on the three textbook poles, loud guards") {
+    def run(rows: Seq[(Long, Int)]) =
+      Classifier.brierDecomposition(rows.toDF("p", "y"), "p", "y").head()
+    def vals(r: org.apache.spark.sql.Row) =
+      (r.getAs[Double]("brier"), r.getAs[Double]("reliability"),
+        r.getAs[Double]("resolution"), r.getAs[Double]("uncertainty"))
+    // perfect sharp forecasts: brier 0, fully resolved (res = unc)
+    val sharp = run(Seq((1000000L, 1), (1000000L, 1), (0L, 0), (0L, 0)))
+    assert(vals(sharp) == ((0.0, 0.0, 0.25, 0.25)), sharp.toString)
+    assert(sharp.getAs[Long]("n") == 4L && sharp.getAs[Long]("bins") == 2L)
+    // constant base-rate forecast: calibrated but zero resolution —
+    // brier equals the uncertainty floor
+    val flat = run(Seq((500000L, 1), (500000L, 0)))
+    assert(vals(flat) == ((0.25, 0.0, 0.0, 0.25)), flat.toString)
+    // miscalibrated constant forecast: p̄=0.25 vs ō=0.5 in one bin —
+    // rel = (0.25−0.5)² = 0.0625, brier = rel + unc (within-bin var 0)
+    val off = run(Seq((250000L, 0), (250000L, 1)))
+    assert(vals(off) == ((0.3125, 0.0625, 0.0, 0.25)), off.toString)
+    intercept[IllegalArgumentException](run(Seq((100000L, 2))))
+    intercept[IllegalArgumentException](
+      Classifier.brierDecomposition(
+        Seq((Option.empty[Long], 1)).toDF("p", "y"), "p", "y"))
+    intercept[IllegalArgumentException](run(Seq.empty))
+  }
+
   test("woeTable matches hand arithmetic; IV sums the nano terms") {
     // cat a: 3 pos 1 neg; cat b: 1 pos 3 neg; P = 4, N = 4
     val rows = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 0),

@@ -584,6 +584,37 @@ class CorpusOpsSpec extends SparkTestBase {
       TextAnalysis.collocations(docs, "text", minCount = 0L))
   }
 
+  test("dunningCollocations: hand 2x2 G², bound phrase dominates, zero cells fold to 0, minCount prunes") {
+    val docs = Seq(
+      "new york is big", "new york is old", "new york never sleeps",
+      "the cat", "the dog", "the bird", "rare pair"
+    ).toDF("text")
+    val out = TextAnalysis.dunningCollocations(docs, "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n12"), r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+          r.getAs[Double]("g2")))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // hand 2x2 for "new york": N=13, o11=3, o12=0, o21=0, o22=10 —
+    // the two zero cells contribute 0 by the x·ln(x) limit
+    def t(o: Double, row: Double, colM: Double, nn: Double) =
+      if (o == 0.0) 0.0 else o * math.log(o / (row * colM / nn))
+    val g2ny = 2.0 * (t(3, 3, 3, 13) + t(0, 3, 10, 13) +
+      t(0, 10, 3, 13) + t(10, 10, 10, 13))
+    assert(out(("new", "york")) == ((3L, 3L, 3L, r6(g2ny))),
+      s"got ${out(("new", "york"))}")
+    // "york is": o11=2, o12=1, o21=0, o22=10 — one zero cell
+    val g2yi = 2.0 * (t(2, 3, 2, 13) + t(1, 3, 11, 13) +
+      t(0, 10, 2, 13) + t(10, 10, 11, 13))
+    assert(out(("york", "is")) == ((2L, 3L, 2L, r6(g2yi))))
+    // the always-bound phrase scores strictly above the partial one
+    assert(out(("new", "york"))._4 > out(("york", "is"))._4)
+    // hapax pairs pruned by minCount
+    assert(!out.contains(("rare", "pair")) && !out.contains(("the", "cat")))
+    intercept[IllegalArgumentException](
+      TextAnalysis.dunningCollocations(docs, "text", minCount = 0L))
+  }
+
   test("topTermsPerGroup ranks distinctive vocabulary by tf-idf") {
     val df = Seq(
       ("a", "apple apple apple shared shared"),

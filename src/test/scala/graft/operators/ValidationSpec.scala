@@ -703,6 +703,44 @@ class ValidationSpec extends SparkTestBase {
       nullRow.getAs[Double]("trimmed_mean") == 6.0)
   }
 
+  test("groupedQuantiles: hand nearest-rank picks, ties, NULL-key group, partition invariance, loud guards") {
+    import spark.implicits._
+    val a = (1 to 10).map(i => ("A", i.toDouble))
+    val b = Seq(("B", 5.0), ("B", 5.0), ("B", 7.0))
+    val df = (a ++ b).toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Validation.groupedQuantiles(d, Seq("g"), "v",
+        Seq(0.1, 0.5, 0.9, 1.0))
+        .collect().map(r => (r.getAs[String]("g"), r.getAs[Double]("p")) ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("value")))).toMap
+    val out = run(df)
+    // A = 1..10: ceil(p·10) ranks 1, 5, 9, 10
+    assert(out(("A", 0.1)) == ((10L, 1.0)))
+    assert(out(("A", 0.5)) == ((10L, 5.0)))
+    assert(out(("A", 0.9)) == ((10L, 9.0)))
+    assert(out(("A", 1.0)) == ((10L, 10.0)))
+    // B = {5, 5, 7}: ranks 1, 2 hit the tied 5; ranks 3 -> 7
+    assert(out(("B", 0.1)) == ((3L, 5.0)) && out(("B", 0.5)) == ((3L, 5.0)))
+    assert(out(("B", 0.9)) == ((3L, 7.0)) && out(("B", 1.0)) == ((3L, 7.0)))
+    // exactly one row per (group, p)
+    assert(out.size == 8)
+    // partition invariance (keyedRangePrefix rank discipline)
+    assert(run(df.repartition(7)) == out)
+    // NULL group keys are a group
+    val withNull = Validation.groupedQuantiles(
+      Seq((Option("A"), 1.0), (Option.empty[String], 2.0),
+        (Option.empty[String], 4.0)).toDF("g", "v"),
+      Seq("g"), "v", Seq(0.5))
+    assert(withNull.where(col("g").isNull).head()
+      .getAs[Double]("value") == 2.0)
+    intercept[IllegalArgumentException](Validation.groupedQuantiles(
+      df, Seq("g"), "v", Seq(0.0)))
+    intercept[IllegalArgumentException](Validation.groupedQuantiles(
+      df, Seq("g"), "v", Seq(0.5, 0.5)))
+    intercept[IllegalArgumentException](Validation.groupedQuantiles(
+      Seq(("A", Option.empty[Double])).toDF("g", "v"), Seq("g"), "v"))
+  }
+
   test("wilsonIntervals + shrunkenRates: hand-checked intervals, shrinkage direction, loud guards") {
     def flags(spec: (String, Int, Int)*) = spec.flatMap { case (k, x, n) =>
       Seq.fill(x)((k, true)) ++ Seq.fill(n - x)((k, false))
