@@ -385,6 +385,15 @@ private[graft] object StatsEntries {
       operators.Funnels.kaplanMeier(subj, Seq("event_type"), "dur", "ev")
     }),
 
+    // ---- Nelson–Aalen cumulative hazard over the same censored
+    // fixture: additive nano-summed d/n steps, no product fold ----
+    "q_nelson_aalen" -> ((s, dir) => {
+      val subj = t(s, dir, "events").select(col("event_type"),
+        (col("event_id") % 500 + 1L).as("dur"),
+        when(col("event_id") % 5 === 0, 0L).otherwise(1L).as("ev"))
+      operators.Funnels.nelsonAalen(subj, Seq("event_type"), "dur", "ev")
+    }),
+
     // ---- Theil–Sen slope + Mann–Kendall trend per event type over a
     // 1/97 event subsample (the pair set is quadratic per key) ----
     "q_theil_sen" -> ((s, dir) => {
@@ -1266,6 +1275,40 @@ private[graft] object StatsEntries {
         |  round(list_reduce(fs[1:CAST(i AS INTEGER)], (a, b) -> a * b), 6)
         |    AS survival
         |FROM idx""".stripMargin,
+
+    // Nelson–Aalen: same risk sets, nano-rounded d/n steps summed as
+    // BIGINTs over an inclusive window — order-free, no fold pinning.
+    "q_nelson_aalen" ->
+      """WITH base AS (
+        |  SELECT event_type AS k, (event_id % 500) + 1 AS t,
+        |    CASE WHEN event_id % 5 = 0 THEN 0 ELSE 1 END AS e
+        |  FROM events),
+        |tms AS (
+        |  SELECT k, t, CAST(sum(e) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY k, t),
+        |risk AS (
+        |  SELECT k, t, d,
+        |    CAST(sum(c) OVER (PARTITION BY k) AS BIGINT)
+        |      - coalesce(CAST(sum(c) OVER (PARTITION BY k ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS BIGINT), 0) AS n
+        |  FROM tms),
+        |steps AS (
+        |  SELECT k, t, d, n,
+        |    CASE WHEN d > 0
+        |      THEN CAST(round(d::DOUBLE / n * 1e9) AS BIGINT)
+        |      ELSE 0 END AS hn
+        |  FROM risk),
+        |cum AS (
+        |  SELECT k, t, d, n,
+        |    CAST(sum(hn) OVER (PARTITION BY k ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS hh
+        |  FROM steps)
+        |SELECT k AS event_type, t, n AS n_risk, d AS n_events,
+        |  round(((hh + 500) // 1000)::DOUBLE / 1e6, 6) AS cum_hazard
+        |FROM cum WHERE d > 0""".stripMargin,
     // Theil–Sen/Mann–Kendall replay: the identical pair join, slopes
     // as one portable IEEE division each, median as order statistics
     "q_theil_sen" ->

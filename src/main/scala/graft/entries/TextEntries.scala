@@ -270,6 +270,12 @@ private[graft] object TextEntries {
         t(s, dir, "documents"), "text", minCount = 3L)
     }),
 
+    // ---- Good–Turing frequency-of-frequencies table: N_r decay +
+    // raw Turing r* with loud NULLs at frequency gaps ----
+    "q_good_turing" -> ((s, dir) =>
+      operators.TextAnalysis.goodTuringCounts(
+        t(s, dir, "documents"), "text")),
+
     // ---- unigram-LM (SentencePiece-style) tokenizer: hard-EM training
     // + Viterbi encoding. Likelihood-driven segmentation is not
     // SQL-expressible -> rows-only, pinned by UnigramSpec's hand-traced
@@ -800,6 +806,19 @@ private[graft] object TextEntries {
         |FROM score_docs d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
     // PMI collocations: marginals from the FULL bigram-types table,
     // min-count filter applied to the output pairs only
+    // Good–Turing: exact count-of-counts + one left self-join on r+1.
+    "q_good_turing" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(
+        |    coalesce(text, ''), '\s+'), t -> t <> '')) AS w
+        |  FROM documents),
+        |freq AS (
+        |  SELECT w, count(*)::BIGINT AS r FROM toks GROUP BY w),
+        |nr AS (SELECT r, count(*)::BIGINT AS n_r FROM freq GROUP BY r)
+        |SELECT a.r, a.n_r,
+        |  round(((a.r + 1) * b.n_r)::DOUBLE / a.n_r::DOUBLE, 6) AS r_star
+        |FROM nr a LEFT JOIN nr b ON a.r + 1 = b.r""".stripMargin,
+
     // Dunning G²: same bigram/marginal tables as q_collocations, the
     // 4-cell log-likelihood ratio in the Scala side's exact term order
     // (o11, o12, o21, o22 left to right — every IEEE op lines up).

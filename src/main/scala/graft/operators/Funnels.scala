@@ -379,4 +379,91 @@ object Funnels {
             s => s.getField("__f")),
           lit(1.0), (acc, x) => acc * x), 6).as("survival")): _*)
   }
+
+  /** Nelson–Aalen cumulative hazard (Nelson 1972, Aalen 1978) per key —
+    * [[kaplanMeier]]'s additive sibling: `H(t) = Σ_{t_i ≤ t} d_i/n_i`
+    * over distinct event times with the SAME right-censoring-aware risk
+    * sets. Where KM answers "what fraction survives to t", the hazard
+    * answers "how fast are they failing around t" — near-linear H(t)
+    * means a constant churn rate, a bend is a regime change; and
+    * `exp(−H)` is the Fleming–Harrington survival alternative that
+    * behaves better at small risk sets.
+    *
+    * Exactness: identical input contracts to [[kaplanMeier]] (integral
+    * durations, 0/1 events, loud NULL/negative refusal, the same
+    * `maxTimes` eager guard); each step's `d/n` is one double from
+    * exact LONGs, nano-rounded at birth, and the cumulative sum is a
+    * pure LONG prefix — order-free, so the DuckDB twin is hash-exact
+    * with no fold-order pinning at all (simpler than KM's product).
+    *
+    * Scale shape: one `groupBy(key, duration)` with map-side partials,
+    * per-key windows over the DISTINCT-durations table (bounded by the
+    * `maxTimes` guard), no collect, no array fold. Output: key cols +
+    * `(t, n_risk, n_events, cum_hazard)` at event times, rounded to 6.
+    */
+  def nelsonAalen(
+      df: DataFrame,
+      keyCols: Seq[String],
+      durationCol: String,
+      eventCol: String,
+      maxTimes: Long = 10000L): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty — a global " +
+      "curve is one prefix sum; key on something (or a lit constant)")
+    require(maxTimes >= 1 && maxTimes <= 1000000L,
+      s"maxTimes must be in 1..1000000, got $maxTimes")
+    df.schema(durationCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"nelsonAalen: `$durationCol` is $other — durations must be " +
+          "INTEGRAL (days/seconds/micros; quantize upstream)")
+    }
+    val badRow = df.agg(
+      count(when(col(durationCol).isNull || col(eventCol).isNull ||
+        col(durationCol) < 0L, 1)).as("__bad"),
+      count(when(col(eventCol) =!= 0L && col(eventCol) =!= 1L, 1))
+        .as("__badE")).head()
+    require(badRow.getAs[Long]("__bad") == 0L,
+      s"nelsonAalen: ${badRow.getAs[Long]("__bad")} NULL/negative " +
+        "duration or NULL event row(s) — filter deliberately upstream")
+    require(badRow.getAs[Long]("__badE") == 0L,
+      s"nelsonAalen: ${badRow.getAs[Long]("__badE")} event flag(s) " +
+        "outside {0, 1}")
+    val keys = keyCols.map(col)
+    val times = df.groupBy(keys :+ col(durationCol).as("__t"): _*)
+      .agg(sum(col(eventCol).cast("long")).as("__d"),
+        count(lit(1)).as("__c"))
+    val guard = times.groupBy(keys: _*).agg(count(lit(1)).as("__k"))
+      .agg(max(col("__k")).as("__mx")).head().getAs[Long]("__mx")
+    require(guard <= maxTimes,
+      s"nelsonAalen: a key has $guard distinct durations " +
+        s"(> maxTimes=$maxTimes) — coarsen the duration unit upstream")
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("__t"))
+      .rowsBetween(Long.MinValue, -1)
+    val wIncl = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("__t"))
+      .rowsBetween(Long.MinValue, 0)
+    times
+      .withColumn("__total",
+        sum(col("__c")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(keys: _*)))
+      .withColumn("__n",
+        col("__total") - coalesce(sum(col("__c")).over(wPrev), lit(0L)))
+      .withColumn("__hn", when(col("__d") > 0L,
+        round(col("__d").cast("double") / col("__n") * 1e9).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("__H", sum(col("__hn")).over(wIncl))
+      .where(col("__d") > 0L)
+      // nanos → micros in INTEGER space (HALF_UP; H ≥ 0): a float
+      // round of hh/1e9 at 6 dp ties on …500 nano sums and the two
+      // engines break such ties differently — the integer collapse
+      // cannot tie
+      .select(keys ++ Seq(col("__t").as("t"), col("__n").as("n_risk"),
+        col("__d").as("n_events"),
+        round(floor((col("__H") + 500L) / 1000L).cast("double") / 1e6, 6)
+          .as("cum_hazard")): _*)
+  }
 }

@@ -1876,6 +1876,37 @@ object TextAnalysis {
         round(g2, 6).as("g2"))
   }
 
+  /** Good–Turing frequency-of-frequencies table (Good 1953; the raw
+    * Turing estimates Gale & Sampson 1995's SGT smooths): for each
+    * observed frequency `r`, the type count `N_r` and the adjusted
+    * count `r* = (r+1)·N_{r+1}/N_r` — the backbone of classical LM
+    * smoothing and the quickest corpus-health read of the rare-word
+    * regime (a natural corpus shows a smooth N_r decay; template/
+    * synthetic text shows spikes and gaps). `r*` is NULL where
+    * `N_{r+1} = 0` (a frequency gap — the raw estimate is undefined
+    * there; that loud NULL is the signal SGT exists to smooth, not a
+    * value to invent). [[vocabularyCoverage]] already reports the
+    * derived unseen-mass/coverage scalars; this is the full table.
+    *
+    * Exactness: `N_r` are exact LONGs from one word-count pass +
+    * count-of-counts rollup; `r*` is one rounded division of exact
+    * LONGs. Scale shape: corpus explode → vocab-sized type counts →
+    * frequencies-sized table (tiny), one self left-join on `r+1`.
+    * Output: `(r, n_r, r_star)` rounded to 6.
+    */
+  def goodTuringCounts(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val freq = df.select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__r"))
+      .groupBy(col("__r").as("r")).agg(count(lit(1)).as("n_r"))
+    val next = freq.select(col("r").as("__r1"), col("n_r").as("__n1"))
+    freq.join(next, col("r") + 1L === col("__r1"), "left")
+      .select(col("r"), col("n_r"),
+        round(((col("r") + 1L) * col("__n1")).cast("double") /
+          col("n_r").cast("double"), 6).as("r_star"))
+  }
+
   /** Okapi BM25 relevance of every document to a bag of query terms,
     * with Lucene's non-negative idf variant
     * `ln(1 + (N - df + 0.5) / (df + 0.5))`. The keyword-search /

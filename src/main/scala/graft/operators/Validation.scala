@@ -1278,14 +1278,33 @@ object Validation {
     require(nulls == 0L,
       s"groupedQuantiles: $nulls NULL `$valueCol` row(s) — a NULL has " +
         "no rank; filter deliberately upstream")
-    val spark = df.sparkSession
+    val keys = keyCols.map(col)
+    groupedQuantilesFromValueCounts(
+      df.select(keys :+ round(col(valueCol).cast("double") * 1e6)
+          .cast("long").as("__v"): _*)
+        .groupBy(keys :+ col("__v"): _*)
+        .agg(count(lit(1)).as("__c")),
+      keyCols, probs)
+  }
+
+  /** [[groupedQuantiles]] from its per-(group, micro-value) count cells
+    * (the [[trimmedMeanFromValueCounts]] table shape — the SAME
+    * sum-mergeable cells, so one streaming log serves both standing
+    * statistics). Shared by the batch operator and
+    * [[graft.streaming.StreamingOps.groupedQuantilesFromLog]].
+    */
+  private[graft] def groupedQuantilesFromValueCounts(
+      vc: DataFrame,
+      keyCols: Seq[String],
+      probs: Seq[Double]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"probs must be non-empty probabilities in (0, 1], got $probs")
+    require(probs.distinct.size == probs.size,
+      s"probs must be distinct, got $probs")
+    val spark = vc.sparkSession
     import spark.implicits._
     val keys = keyCols.map(col)
-    val vc = df
-      .select(keys :+ round(col(valueCol).cast("double") * 1e6)
-        .cast("long").as("__v"): _*)
-      .groupBy(keys :+ col("__v"): _*)
-      .agg(count(lit(1)).as("__c"))
     val vcp = graft.core.Caches.pin(vc)
     try {
       val totals = vcp.groupBy(keys: _*).agg(sum(col("__c")).as("__n"))

@@ -1279,6 +1279,23 @@ object StreamingOps {
         .agg(sum(col("__kcnt")).as("__c")),
       keyCols, trim)
 
+  /** Standing EXACT per-group quantiles over a [[trimmedMeanSink]] log
+    * — the same keyed value-count cells serve BOTH standing statistics
+    * (one sink, two readbacks): equal to the batch
+    * [[graft.operators.Validation.groupedQuantiles]] over everything
+    * the sink delivered, by the shared value-counts core.
+    */
+  def groupedQuantilesFromLog(
+      spark: SparkSession,
+      logPath: String,
+      keyCols: Seq[String],
+      probs: Seq[Double] = Seq(0.5, 0.9, 0.95, 0.99)): DataFrame =
+    graft.operators.Validation.groupedQuantilesFromValueCounts(
+      StatLog.read(spark, logPath)
+        .groupBy(keyCols.map(col) :+ col("__v"): _*)
+        .agg(sum(col("__kcnt")).as("__c")),
+      keyCols, probs)
+
   /** Stream embedding rows into a sum-mergeable SLICED-WASSERSTEIN
     * projection-count log: the quantile grid itself is NOT
     * sum-mergeable, but the per-(slice, direction, projection-value)

@@ -615,6 +615,27 @@ class CorpusOpsSpec extends SparkTestBase {
       TextAnalysis.dunningCollocations(docs, "text", minCount = 0L))
   }
 
+  test("goodTuringCounts: hand count-of-counts, Turing r*, loud NULL at frequency gaps") {
+    // "a a a b b c d": freqs a:3 b:2 c:1 d:1 -> N1=2, N2=1, N3=1
+    val docs = Seq("a a a b b", "c d").toDF("text")
+    val out = TextAnalysis.goodTuringCounts(docs, "text")
+      .collect().map(r => r.getAs[Long]("r") ->
+        ((r.getAs[Long]("n_r"),
+          Option(r.getAs[java.lang.Double]("r_star"))))).toMap
+    // r*=1: 2·N2/N1 = 1.0 (the hapax discount — rare words are
+    // over-counted); r*=2: 3·N3/N2 = 3.0; r=3 has no N4 -> NULL gap
+    assert(out == Map(
+      1L -> ((2L, Some(1.0))),
+      2L -> ((1L, Some(3.0))),
+      3L -> ((1L, None))), out.toString)
+    // a smooth Zipf-ish corpus: every r* defined until the top gap
+    val zipf = Seq((1 to 12).flatMap(i =>
+      Seq.fill(13 - i)(s"w$i")).mkString(" ")).toDF("text")
+    val z = TextAnalysis.goodTuringCounts(zipf, "text").collect()
+    assert(z.length == 12 &&
+      z.count(_.isNullAt(2)) == 1, z.mkString(", "))
+  }
+
   test("topTermsPerGroup ranks distinctive vocabulary by tf-idf") {
     val df = Seq(
       ("a", "apple apple apple shared shared"),

@@ -196,4 +196,40 @@ class FunnelsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Funnels.kaplanMeier(
       subjects, Nil, "t", "e"))
   }
+
+  test("nelsonAalen: textbook cumulative hazard on the KM fixture, exp(-H) bounds survival, loud contracts") {
+    // same worked example as the KM spec: events at 6 (d=2, n=7),
+    // 7 (d=1, n=4), 13 (d=1, n=2) with censoring at 6, 10, 16
+    val subjects = Seq((6L, 1L), (6L, 1L), (6L, 0L), (7L, 1L),
+      (10L, 0L), (13L, 1L), (16L, 0L))
+      .map { case (t, e) => ("a", t, e) }.toDF("k", "t", "e")
+    val out = Funnels.nelsonAalen(subjects, Seq("k"), "t", "e")
+      .collect().map(r => r.getAs[Long]("t") ->
+        ((r.getAs[Long]("n_risk"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("cum_hazard")))).toMap
+    assert(out.keySet == Set(6L, 7L, 13L))
+    assert(out(6L) == ((7L, 2L, 0.285714)))            // 2/7
+    assert(out(7L) == ((4L, 1L, 0.535714)))            // + 1/4
+    assert(out(13L) == ((2L, 1L, 1.035714)))           // + 1/2
+    // Fleming–Harrington: exp(−H) dominates the KM survival pointwise
+    val km = Funnels.kaplanMeier(subjects, Seq("k"), "t", "e")
+      .collect().map(r => r.getAs[Long]("t") ->
+        r.getAs[Double]("survival")).toMap
+    out.foreach { case (t, (_, _, h)) =>
+      assert(math.exp(-h) >= km(t) - 1e-9, s"t=$t exp(-H) < KM") }
+    // partition invariance (window over bounded distinct-times table)
+    val shuffled = Funnels.nelsonAalen(subjects.repartition(5),
+      Seq("k"), "t", "e")
+      .collect().map(r => r.getAs[Long]("t") ->
+        r.getAs[Double]("cum_hazard")).toMap
+    assert(shuffled == out.map { case (t, (_, _, h)) => t -> h })
+    intercept[IllegalArgumentException](Funnels.nelsonAalen(
+      Seq(("a", 1.5, 1L)).toDF("k", "t", "e"), Seq("k"), "t", "e"))
+    intercept[IllegalArgumentException](Funnels.nelsonAalen(
+      Seq(("a", 1L, 2L)).toDF("k", "t", "e"), Seq("k"), "t", "e"))
+    intercept[IllegalArgumentException](Funnels.nelsonAalen(
+      subjects, Seq("k"), "t", "e", maxTimes = 2L))
+    intercept[IllegalArgumentException](Funnels.nelsonAalen(
+      subjects, Nil, "t", "e"))
+  }
 }

@@ -1366,6 +1366,16 @@ class StreamingOpsSpec extends SparkTestBase {
       val batch = rows(graft.operators.Validation.trimmedMean(
         (b1 ++ b2).toDF("g", "v"), Seq("g"), "v", trim = 0.1))
       assert(streamed == batch, s"standing $streamed vs batch $batch")
+      // the SAME log serves standing exact quantiles (one sink, two
+      // readbacks) — equal to the batch operator over the union
+      def qrows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[String]("g"), r.getAs[Double]("p")) ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("value")))).toMap
+      val qStreamed = qrows(StreamingOps.groupedQuantilesFromLog(
+        spark, log, Seq("g"), Seq(0.5, 0.9)))
+      val qBatch = qrows(graft.operators.Validation.groupedQuantiles(
+        (b1 ++ b2).toDF("g", "v"), Seq("g"), "v", Seq(0.5, 0.9)))
+      assert(qStreamed == qBatch, s"standing $qStreamed vs batch $qBatch")
       // the trim must have defeated the planted outliers
       assert(math.abs(streamed("A")._3) < 11.0 &&
         math.abs(streamed("B")._3) < 11.0)
