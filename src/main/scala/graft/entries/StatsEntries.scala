@@ -294,6 +294,20 @@ private[graft] object StatsEntries {
         t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
         trim = 0.1)),
 
+    // ---- Benjamini–Hochberg FDR over one sha-derived p-value per
+    // (source, lang) slice (a seventh of them planted small):
+    // rangePrefix ranks + rangeSuffixMin step-up, integer α compare ----
+    "q_bh" -> ((s, dir) => {
+      val h = functions.VectorFunctions.hexPrefixToLong(
+        sha2(concat(col("source"), lit(":"),
+          coalesce(col("lang"), lit("und"))), 256), 15)
+      val tests = t(s, dir, "documents")
+        .select(col("source"), col("lang")).distinct()
+        .select(when(h % 7 === 0, (h % 1000001L).cast("double") / 1e9)
+          .otherwise((h % 1000001L).cast("double") / 1e6).as("p"))
+      operators.Validation.bhAdjust(tests, "p", alpha = 0.05)
+    }),
+
     // ---- exact per-group nearest-rank quantiles (p50/p90/p99 table,
     // no sketch): keyedRangePrefix ranks, ⌈p·n⌉ selection ----
     "q_grouped_quantiles" -> ((s, dir) =>
@@ -459,6 +473,43 @@ private[graft] object StatsEntries {
         |      / CAST(sum(kc) AS BIGINT)::DOUBLE / 1e6 END, 6)
         |    AS trimmed_mean
         |FROM kept GROUP BY g""".stripMargin,
+
+    // BH step-up: same sha-derived p fixture, ranks by running count,
+    // candidate terms in the Scala side's exact IEEE order
+    // (((p·m)/rank)·1e9), suffix min + integer micro collapse.
+    "q_bh" ->
+      """WITH tests AS (
+        |  SELECT DISTINCT source, lang FROM documents),
+        |hp AS (
+        |  SELECT ('0x' || substring(sha256(
+        |    source || ':' || coalesce(lang, 'und')), 1, 15))::BIGINT AS h
+        |  FROM tests),
+        |ps AS (
+        |  SELECT CASE WHEN h % 7 = 0 THEN (h % 1000001)::DOUBLE / 1e9
+        |    ELSE (h % 1000001)::DOUBLE / 1e6 END AS p FROM hp),
+        |dp AS (SELECT p, count(*)::BIGINT AS c FROM ps GROUP BY p),
+        |rk AS (
+        |  SELECT p, c,
+        |    CAST(sum(c) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS rank,
+        |    (SELECT count(*) FROM ps) AS m
+        |  FROM dp),
+        |tm AS (
+        |  SELECT p, c, rank,
+        |    CAST(round(p * m::DOUBLE / rank::DOUBLE * 1e9) AS BIGINT) AS t
+        |  FROM rk),
+        |sf AS (
+        |  SELECT p, c, rank,
+        |    CAST(min(t) OVER (ORDER BY p DESC ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS q
+        |  FROM tm),
+        |qq AS (
+        |  SELECT p, c, rank,
+        |    CAST((least(q, 1000000000) + 500) // 1000 AS BIGINT) AS qm
+        |  FROM sf)
+        |SELECT p, c AS n_tests, rank,
+        |  round(qm::DOUBLE / 1e6, 6) AS q_value, qm <= 50000 AS reject
+        |FROM qq""".stripMargin,
 
     // Exact grouped quantiles: same micro-quantized count-table +
     // running-count discipline as q_trimmed_mean, ⌈p·n⌉ nearest-rank

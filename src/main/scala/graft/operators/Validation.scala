@@ -1095,6 +1095,43 @@ object Validation {
       outCol: String): DataFrame =
     keyedRangePrefix(counts, Nil, orderCol, sumCol, outCol)
 
+  /** INCLUSIVE suffix MIN of `minCol` in `orderCol` order over a
+    * values-sized table — the MIN sibling of [[rangePrefix]], same
+    * discipline (range-repartition + per-partition running mins +
+    * broadcast per-partition offsets; never a one-task global window).
+    * Row i's output is `min(minCol_j : orderCol_j >= orderCol_i)` —
+    * the [[bhAdjust]] step-up scan. Appends `outCol`; input column set
+    * is preserved. `minCol` must be LONG-typed (quantize upstream).
+    */
+  private[operators] def rangeSuffixMin(
+      counts: DataFrame, orderCol: String, minCol: String,
+      outCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val g = graft.core.Caches.pin(counts
+      .repartitionByRange(
+        counts.sparkSession.sparkContext.defaultParallelism, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .withColumn("__sm_pid", spark_partition_id()))
+    try {
+      // per-partition mins, then the min over all HIGHER partitions —
+      // partitions-sized, always broadcast
+      val offsets = g.groupBy(col("__sm_pid"))
+        .agg(min(col(minCol)).as("__sm_p"))
+        .withColumn("__sm_off",
+          min(col("__sm_p")).over(w.orderBy(col("__sm_pid").desc)
+            .rowsBetween(Long.MinValue, -1)))
+        .select(col("__sm_pid"), col("__sm_off"))
+      val local = min(col(minCol)).over(
+        w.partitionBy(col("__sm_pid")).orderBy(col(orderCol).desc)
+          .rowsBetween(Long.MinValue, 0))
+      g.join(broadcast(offsets), Seq("__sm_pid"))
+        .withColumn(outCol,
+          least(local, coalesce(col("__sm_off"), lit(Long.MaxValue))))
+        .drop("__sm_pid", "__sm_off")
+        .localCheckpoint(true)
+    } finally g.unpersist()
+  }
+
   /** [[rangePrefix]] WITHIN each `keyCols` group: EXCLUSIVE prefix sum
     * of `sumCol` in `orderCol` order per key. Same discipline —
     * range-repartition on (keys…, order), per-physical-partition
@@ -1322,6 +1359,62 @@ object Validation {
         .select(keys ++ Seq(col("p"), col("__n").as("n"),
           round(col("__v").cast("double") / 1e6, 6).as("value")): _*)
     } finally vcp.unpersist()
+  }
+
+  /** Benjamini–Hochberg step-up FDR adjustment (Benjamini & Hochberg
+    * 1995) over a p-value column — the multiplicity gate for this
+    * library's test families: run [[ksStatistic]]/[[sliceDivergence]]/
+    * drift tests over a THOUSAND slices and some "significant" results
+    * are guaranteed noise; BH controls the expected false-discovery
+    * fraction instead of Bonferroni's everything-or-nothing bar. The
+    * adjusted value is `q(p) = min_{p' ≥ p} (p'·m / rank(p'))` clamped
+    * to 1 (rank = 1-based ascending position among the m tests, ties
+    * at their LARGEST index — which is where the minimum over a tie
+    * lands anyway); reject iff `q ≤ α`.
+    *
+    * Engine-exact: ranks come from [[rangePrefix]] over the
+    * per-distinct-p count table and the step-up scan from
+    * [[rangeSuffixMin]] (no partition-less window anywhere — a
+    * million-test audit never pins one task); each candidate
+    * `(p·m)/rank` is one fixed-order IEEE double nano-rounded at
+    * birth, the suffix min and the α comparison are pure integer
+    * (nano→micro collapse, so the 6-dp round cannot tie). NULL or
+    * out-of-[0,1] p-values refused loudly. Output: one row per
+    * DISTINCT p — `(p, n_tests, rank, q_value, reject)`; join back on
+    * `p` to tag the original tests.
+    */
+  def bhAdjust(
+      df: DataFrame,
+      pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0, 1), got $alpha")
+    val bad = df.agg(
+      count(when(col(pCol).isNull, 1)).as("__null"),
+      count(when(col(pCol) < 0.0 || col(pCol) > 1.0, 1)).as("__oob"),
+      count(lit(1)).as("__m")).head()
+    require(bad.getAs[Long]("__null") == 0L,
+      s"bhAdjust: ${bad.getAs[Long]("__null")} NULL `$pCol` row(s) — a " +
+        "test without a p-value cannot enter the ranking")
+    require(bad.getAs[Long]("__oob") == 0L,
+      s"bhAdjust: ${bad.getAs[Long]("__oob")} `$pCol` value(s) outside " +
+        "[0, 1]")
+    val m = bad.getAs[Long]("__m")
+    require(m > 0L, "bhAdjust: no tests")
+    val alphaMicros = math.round(alpha * 1e6)
+    val dp = df.select(col(pCol).cast("double").as("__p"))
+      .groupBy(col("__p")).agg(count(lit(1)).as("__c"))
+    val ranked = rangePrefix(dp, "__p", "__c", "__pre")
+      .withColumn("__rank", col("__pre") + col("__c"))
+      .withColumn("__t", round(col("__p") * lit(m.toDouble) /
+        col("__rank").cast("double") * 1e9).cast("long"))
+    val qMicro = floor((least(col("__q"), lit(1000000000L)) + 500L) /
+      1000L).cast("long")
+    rangeSuffixMin(ranked, "__p", "__t", "__q")
+      .withColumn("__qm", qMicro)
+      .select(col("__p").as("p"), col("__c").as("n_tests"),
+        col("__rank").as("rank"),
+        round(col("__qm").cast("double") / 1e6, 6).as("q_value"),
+        (col("__qm") <= alphaMicros).as("reject"))
   }
 
   /** Wilson score interval per group (Wilson 1927) — the proportion CI

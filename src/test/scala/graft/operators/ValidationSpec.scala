@@ -741,6 +741,40 @@ class ValidationSpec extends SparkTestBase {
       Seq(("A", Option.empty[Double])).toDF("g", "v"), Seq("g"), "v"))
   }
 
+  test("bhAdjust: textbook step-up q-values, ties at largest index, partition invariance, loud guards") {
+    import spark.implicits._
+    // classic worked example (m = 5, α = 0.05): candidate terms
+    // 0.025, 0.0275, 0.033333, 0.05, 0.13 — step-up min leaves the
+    // first four under α, including p=0.04 whose own term EQUALS α
+    val ps = Seq(0.005, 0.011, 0.02, 0.04, 0.13).toDF("p")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Validation.bhAdjust(df, "p", alpha = 0.05)
+        .collect().map(r => r.getAs[Double]("p") ->
+          ((r.getAs[Long]("rank"), r.getAs[Double]("q_value"),
+            r.getAs[Boolean]("reject")))).toMap
+    val out = run(ps)
+    assert(out(0.005) == ((1L, 0.025, true)), out(0.005).toString)
+    assert(out(0.011) == ((2L, 0.0275, true)))
+    assert(out(0.02) == ((3L, 0.033333, true)))
+    assert(out(0.04) == ((4L, 0.05, true)))
+    assert(out(0.13) == ((5L, 0.13, false)))
+    // ties rank at their largest index: two tests at 0.01 among 3 ->
+    // rank 2, q = 0.01·3/2 = 0.015 for BOTH
+    val tied = run(Seq(0.01, 0.01, 0.5).toDF("p"))
+    assert(tied(0.01) == ((2L, 0.015, true)) && tied(0.5)._1 == 3L)
+    // the step-up matters: a non-monotone raw sequence gets flattened
+    // (q is non-decreasing in p by construction)
+    val sorted = run(ps.repartition(7)).toSeq.sortBy(_._1).map(_._2._2)
+    assert(sorted == sorted.sorted, s"q not monotone: $sorted")
+    assert(run(ps.repartition(7)) == out, "partition invariance")
+    intercept[IllegalArgumentException](
+      Validation.bhAdjust(Seq(Option.empty[Double]).toDF("p"), "p"))
+    intercept[IllegalArgumentException](
+      Validation.bhAdjust(Seq(1.5).toDF("p"), "p"))
+    intercept[IllegalArgumentException](
+      Validation.bhAdjust(ps, "p", alpha = 0.0))
+  }
+
   test("wilsonIntervals + shrunkenRates: hand-checked intervals, shrinkage direction, loud guards") {
     def flags(spec: (String, Int, Int)*) = spec.flatMap { case (k, x, n) =>
       Seq.fill(x)((k, true)) ++ Seq.fill(n - x)((k, false))
