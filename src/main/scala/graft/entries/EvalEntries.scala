@@ -575,11 +575,13 @@ private[graft] object EvalEntries {
         |    count(*)::BIGINT AS nk,
         |    CAST(sum(y) AS BIGINT) AS pos,
         |    CAST(sum(least(1000000, greatest(0, p))) AS BIGINT) AS sp,
-        |    sum((least(1000000, greatest(0, p)) - y * 1000000)
-        |      * (least(1000000, greatest(0, p)) - y * 1000000)) AS sq
+        |    CAST(sum((least(1000000, greatest(0, p)) - y * 1000000)
+        |      * (least(1000000, greatest(0, p)) - y * 1000000)) AS HUGEINT)
+        |      AS sq
         |  FROM d GROUP BY 1),
         |t AS (SELECT CAST(sum(nk) AS BIGINT) AS n,
-        |  CAST(sum(pos) AS BIGINT) AS post, sum(sq) AS sqt FROM g),
+        |  CAST(sum(pos) AS BIGINT) AS post,
+        |  CAST(sum(sq) AS HUGEINT) AS sqt FROM g),
         |terms AS (
         |  SELECT g.nk, t.n, t.post, t.sqt,
         |    CAST(round(nk::DOUBLE

@@ -60,13 +60,18 @@ class OracleTypeContractSpec extends AnyFunSuite {
 
   private def isCast(sql: String, start: Int, arg: String, tail: String): Boolean = {
     val before = sql.substring(0, start).replaceAll("\\s+$", "").toLowerCase
+    val t = tail.toLowerCase.replaceAll("\\s+", " ")
     before.endsWith("cast(") ||
-      tail.toLowerCase.replaceAll("\\s+", " ").contains("::bigint") ||
-      tail.toLowerCase.replaceAll("\\s+", " ").contains("as bigint") ||
+      t.contains("::bigint") || t.contains("as bigint") ||
+      // an explicit HUGEINT cast marks a DELIBERATE decimal(38,0) twin —
+      // the Spark side sums decimal(38,0) (q_brier's squared-micros
+      // numerator), so the widths agree by construction; the cast makes
+      // the intent grep-able instead of riding DuckDB's silent widening
+      t.contains("::hugeint") || t.contains("as hugeint") ||
       // CAST(sum(..) OVER (..) .. AS BIGINT): the close lands before OVER,
       // so look for the cast terminator through the window clause too
       (before.contains("cast(") &&
-        tail.toLowerCase.replaceAll("\\s+", " ").contains(" as bigint"))
+        (t.contains(" as bigint") || t.contains(" as hugeint")))
   }
 
   test("every integer sum() in oracleSql is explicitly cast to BIGINT") {
