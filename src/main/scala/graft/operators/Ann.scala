@@ -936,15 +936,28 @@ object Ann {
         queries: DataFrame,
         qIdCol: String,
         qVecCol: String,
+        k: Int): DataFrame =
+      exactRerankPrepped(shortlist,
+        Dedup.cosineSide(corpus, Nil, corpusIdCol, corpusVecCol, "c")
+          .withColumnRenamed("id_c", "id"),
+        Dedup.cosineSide(queries, Nil, qIdCol, qVecCol, "q")
+          .withColumnRenamed("id_q", "q_id"),
+        k)
+
+    /** [[exactRerank]] over pre-projected cosine sides (id/vector/norm
+      * already extracted) — callers issuing MANY reranks against one
+      * corpus (the recall audit's 12 budget measurements) pin the
+      * prepped side once instead of re-projecting it per call.
+      */
+    private[operators] def exactRerankPrepped(
+        shortlist: DataFrame,
+        corpusPrepped: DataFrame,
+        queriesPrepped: DataFrame,
         k: Int): DataFrame = {
-      val c = Dedup.cosineSide(corpus, Nil, corpusIdCol, corpusVecCol, "c")
-        .withColumnRenamed("id_c", "id")
-        .join(broadcast(shortlist), Seq("id"))
-      val q = Dedup.cosineSide(queries, Nil, qIdCol, qVecCol, "q")
-        .withColumnRenamed("id_q", "q_id")
+      val c = corpusPrepped.join(broadcast(shortlist), Seq("id"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("id").asc)
-      c.join(broadcast(q), Seq("q_id"))
+      c.join(broadcast(queriesPrepped), Seq("q_id"))
         .withColumn("cos", round(Dedup.cosineWithNorms(
           col("__v_q"), col("__v_c"), col("__n_q"), col("__n_c")), 6))
         .withColumn("rank", row_number().over(w))
@@ -1052,8 +1065,27 @@ object Ann {
         seed: Long = 42L,
         maxIter: Int = 20,
         nassign: Int = 1,
-        residual: Boolean = false): IvfPqIndex = {
-      val ivf = Ivf.build(corpus, idCol, vecCol, nlist, seed, maxIter, nassign)
+        residual: Boolean = false): IvfPqIndex =
+      buildWithIvf(
+        Ivf.build(corpus, idCol, vecCol, nlist, seed, maxIter, nassign),
+        corpus, idCol, vecCol, m, ksub, seed, maxIter, nassign, residual)
+
+    /** [[build]] over an ALREADY-built coarse quantizer — for callers
+      * that also need the plain IVF index over the same corpus at the
+      * same parameters (the recall audit), so the coarse kmeans runs
+      * once, not twice.
+      */
+    private[operators] def buildWithIvf(
+        ivf: IvfIndex,
+        corpus: DataFrame,
+        idCol: String,
+        vecCol: String,
+        m: Int,
+        ksub: Int,
+        seed: Long,
+        maxIter: Int,
+        nassign: Int,
+        residual: Boolean): IvfPqIndex = {
       if (!residual) {
         val model = Pq.train(corpus, vecCol, m, ksub, seed)
         val encoded = Pq.encode(model, ivf.assigned, vecCol)
@@ -1680,38 +1712,151 @@ object Ann {
         "recallAudit: exact top-k baseline is EMPTY (empty corpus or " +
           "query set) — nothing to audit; a defaulted recall of 1.0 " +
           "would pin a degenerate setup as perfect")
-      def measure(kind: String, budget: Int, approx: DataFrame)
-          : (String, Int, Long) = {
-        val hits = exact.select("q_id", "id")
-          .join(approx.select("q_id", "id"), Seq("q_id", "id"), "left_semi")
-          .count()
-        (kind, budget, hits)
+      // Shared-scan, single-action budgets: each family's per-budget
+      // search differs ONLY in where it cuts one deterministic ranking
+      // ([[Ivf.topCells]]' top-b cells are a PREFIX of its top-maxB
+      // array; [[Pq.search]]'s `rank <= k·b` is a filter of the same
+      // (cos_est desc, id asc) window at k·maxB). The original shape
+      // paid |budgets| identical codes/cell scans per family plus one
+      // join+count action per (family, budget); instead each family
+      // runs its scan ONCE at the largest budget, derives every budget
+      // by exploding a budget key over the shared candidates (filter +
+      // per-(budget, query) window — bit-identical by the prefix/filter
+      // property, same scores, same deterministic order), and all of a
+      // family's hit counts come back in ONE aggregate action.
+      val maxB = budgets.max
+      val budgetCol = explode(typedlit(budgets)).as("__budget")
+      // |exact ∩ topk| per budget: both sides are (q_id, id)-unique, so
+      // the semi-join count equals the original exact-side semi count
+      def hitsPerBudget(kind: String, topk: DataFrame)
+          : Seq[(String, Int, Long)] = {
+        val counts = topk
+          .join(exact.select("q_id", "id"), Seq("q_id", "id"), "left_semi")
+          .groupBy("__budget").agg(count(lit(1)).as("__hits"))
+          .collect()
+          .map(r => r.getAs[Int]("__budget") -> r.getAs[Long]("__hits"))
+          .toMap
+        budgets.map(b => (kind, b, counts.getOrElse(b, 0L)))
       }
+      def prepC(df: DataFrame) =
+        Dedup.cosineSide(df, Nil, idCol, vecCol, "c")
+          .withColumnRenamed("id_c", "id")
+      def prepQ(df: DataFrame) =
+        Dedup.cosineSide(df, Nil, idCol, vecCol, "q")
+          .withColumnRenamed("id_q", "q_id")
+      // exact-cosine re-rank of (__budget, q_id, id) candidates — the
+      // budget-keyed [[Pq.exactRerankPrepped]] (same expressions, same
+      // (cos desc, id asc) order within each (budget, query) group)
+      def rerankTopK(cand: DataFrame, corpusPrepped: DataFrame,
+          queriesPrepped: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("__budget"), col("q_id"))
+          .orderBy(col("cos").desc, col("id").asc)
+        corpusPrepped.join(broadcast(cand), Seq("id"))
+          .join(broadcast(queriesPrepped), Seq("q_id"))
+          .withColumn("cos", round(Dedup.cosineWithNorms(
+            col("__v_q"), col("__v_c"), col("__n_q"), col("__n_c")), 6))
+          .withColumn("__rk", row_number().over(w))
+          .where(col("__rk") <= k)
+          .select("__budget", "q_id", "id")
+      }
+      // ---- IVF: one probe assignment at maxB, cell preference kept ----
       val ivf = Ivf.build(corpus, idCol, vecCol, nlist, seed, nassign = 2)
-      val ivfRows = budgets.map(b => measure("ivf", b,
-        Ivf.search(ivf, queries, idCol, vecCol, k, nprobe = b)))
+      val ivfRows = {
+        val q0 = queries
+          .select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+          .select(col("q_id"), col("__qv"),
+            posexplode(Ivf.topCells(col("__qv"),
+              Ivf.centroidsLiteral(ivf.centroids), maxB))
+              .as(Seq("__pos", "__cell")))
+        val c = Dedup.cosineSide(ivf.assigned, Seq("__cell"), ivf.idCol,
+          ivf.vecCol, "c").withColumnRenamed("id_c", "id")
+        val qSide = Dedup.cosineSide(
+          q0.withColumnRenamed("__qv", "__rawq"),
+          Seq("__cell", "__pos"), "q_id", "__rawq", "q")
+          .withColumnRenamed("id_q", "q_id")
+        val w = Window.partitionBy(col("__budget"), col("q_id"))
+          .orderBy(col("cos").desc, col("id").asc)
+        hitsPerBudget("ivf",
+          c.join(broadcast(qSide), Seq("__cell"))
+            .withColumn("cos", round(Dedup.cosineWithNorms(
+              col("__v_q"), col("__v_c"), col("__n_q"), col("__n_c")), 6))
+            .select(col("q_id"), col("__pos"), col("id"), col("cos"),
+              budgetCol)
+            .where(col("__pos") < col("__budget"))
+            .dropDuplicates("__budget", "q_id", "id")
+            .withColumn("__rk", row_number().over(w))
+            .where(col("__rk") <= k)
+            .select("__budget", "q_id", "id"))
+      }
+      // ---- PQ / OPQ: budget b's shortlist is `rank <= k·b` of ONE ADC
+      // ranking, then the exact re-rank searchRefined would have run ----
+      def refinedRows(kind: String, ranked: DataFrame,
+          corpusPrepped: DataFrame,
+          queriesPrepped: DataFrame): Seq[(String, Int, Long)] = {
+        val cand = ranked.select(col("q_id"), col("id"), col("rank"))
+          .select(col("q_id"), col("id"), col("rank"), budgetCol)
+          .where(col("rank") <= col("__budget") * k)
+          .select("__budget", "q_id", "id")
+        hitsPerBudget(kind, rerankTopK(cand, corpusPrepped, queriesPrepped))
+      }
+      val cPrep = prepC(corpus)
+      val qPrep = prepQ(queries)
       val pq = Pq.build(corpus, idCol, vecCol, m, ksub, seed, maxIter = 10)
-      val pqRows = budgets.map(b => measure("pq", b,
-        Pq.searchRefined(pq, corpus, idCol, vecCol,
-          queries, idCol, vecCol, k, refine = b)))
-      val ivfpq = IvfPq.build(corpus, idCol, vecCol, nlist, m, ksub, seed,
-        nassign = 2)
-      val ivfpqRows = budgets.map(b => measure("ivfpq", b,
-        IvfPq.searchRefined(ivfpq, corpus, idCol, vecCol,
-          queries, idCol, vecCol, k, nprobe = b, refine = 4)))
+      val pqRows = refinedRows("pq",
+        Pq.search(pq, queries, idCol, vecCol, k * maxB), cPrep, qPrep)
+      // the coarse quantizer the ivf section built is EXACTLY the one
+      // IvfPq.build would retrain (same corpus, nlist, seed, maxIter,
+      // nassign) — reuse it instead of running the kmeans twice
+      val ivfpq = IvfPq.buildWithIvf(ivf, corpus, idCol, vecCol, m, ksub,
+        seed, maxIter = 20, nassign = 2, residual = false)
+      // IVF-PQ's budget is nprobe with refine FIXED at 4: the per-budget
+      // ADC shortlist is the __pos < b prefix of one maxB-probed scan
+      // (estimates collapse by max across multi-assigned meetings, as in
+      // [[IvfPq.search]]), then the shared exact re-rank
+      val ivfpqRows = {
+        val model = ivfpq.model
+        val qBase = queries.select(col(idCol).as("q_id"),
+          Pq.checkedQueryVec(model, col(vecCol), "IvfPq.search")
+            .as("__pq_qnv"))
+        val q0 = qBase
+          .withColumn("__lut", Pq.lutExpr(model, col("__pq_qnv")))
+          .select(col("q_id"), col("__lut"),
+            posexplode(Ivf.topCells(col("__pq_qnv"),
+              Ivf.centroidsLiteral(ivfpq.centroids), maxB))
+              .as(Seq("__pos", "__cell")))
+        val wEst = Window.partitionBy(col("__budget"), col("q_id"))
+          .orderBy(col("cos_est").desc, col("id").asc)
+        val shortlist = ivfpq.encoded.join(broadcast(q0), Seq("__cell"))
+          .withColumn("cos_est",
+            Pq.cosEstExpr(col(Pq.CodesCol), col("__lut")))
+          .select(col("q_id"), col("__pos"),
+            col(ivfpq.idCol).as("id"), col("cos_est"), budgetCol)
+          .where(col("__pos") < col("__budget"))
+          .groupBy(col("__budget"), col("q_id"), col("id"))
+          .agg(max(col("cos_est")).as("cos_est"))
+          .withColumn("__rk", row_number().over(wEst))
+          .where(col("__rk") <= k * 4)
+          .select("__budget", "q_id", "id")
+        hitsPerBudget("ivfpq", rerankTopK(shortlist, cPrep, qPrep))
+      }
       val dim = corpus.where(col(vecCol).isNotNull)
         .select(size(col(vecCol)).as("d")).head().getInt(0)
       val basis = graft.similarity.Pca.fit(corpus, vecCol, k = dim)
       def rotate(df: DataFrame) = graft.similarity.Pca
         .opqRotate(df, vecCol, basis, m, "__rv")
         .select(col(idCol), col("__rv").as(vecCol))
-      val rotCorpus = rotate(corpus)
-      val opq = Pq.build(rotCorpus, idCol, vecCol, m, ksub, seed,
-        maxIter = 10)
-      val rotQueries = rotate(queries)
-      val opqRows = budgets.map(b => measure("opq", b,
-        Pq.searchRefined(opq, rotCorpus, idCol, vecCol,
-          rotQueries, idCol, vecCol, k, refine = b)))
+      // the rotation is re-read by the OPQ build, the ADC scan and the
+      // budget re-ranks — pin it so the 64×64 rotation expression runs
+      // once over the corpus, not once per consumer
+      val rotCorpus = graft.core.Caches.pin(rotate(corpus))
+      val opqRows = try {
+        val opq = Pq.build(rotCorpus, idCol, vecCol, m, ksub, seed,
+          maxIter = 10)
+        val rotQueries = rotate(queries)
+        refinedRows("opq",
+          Pq.search(opq, rotQueries, idCol, vecCol, k * maxB),
+          prepC(rotCorpus), prepQ(rotQueries))
+      } finally rotCorpus.unpersist()
       (ivfRows ++ pqRows ++ ivfpqRows ++ opqRows)
         .map { case (kind, b, hits) =>
           (kind, b, k, nQueries, hits, total,
