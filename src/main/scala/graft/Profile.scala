@@ -24,20 +24,23 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     // per-job wall clock: iterative operators split into many jobs whose
     // cost the final plan's metrics cannot see — log each as it ends
-    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          jobStart.put(js.jobId, System.nanoTime()): Unit
+          val site = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .getOrElse("")
+          jobStart.put(js.jobId, (System.nanoTime(), site)): Unit
         }
         override def onJobEnd(
             je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          val t0 = jobStart.remove(je.jobId)
-          if (t0 != 0L) {
-            val sec = (System.nanoTime() - t0) / 1e9
+          val v = jobStart.remove(je.jobId)
+          if (v != null) {
+            val sec = (System.nanoTime() - v._1) / 1e9
             if (sec > 0.05)
-              println(f"  [job ${je.jobId}%4d] $sec%7.3f s")
+              println(f"  [job ${je.jobId}%4d] $sec%7.3f s  ${v._2}")
           }
         }
       })

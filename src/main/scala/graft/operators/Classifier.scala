@@ -51,6 +51,22 @@ object Classifier {
       (acc, t) => acc + element_at(w, (tokenBucket(t, dim) + 1).cast("int")))
   }
 
+  /** [[logitMicros]] over an already-bucketed token array — callers
+    * scoring SEVERAL models against the same text (one-vs-rest language
+    * ID) hash every token once and share the bucket array, instead of
+    * re-tokenizing and re-hashing per model. Same exact integer sum.
+    */
+  def logitMicrosFromBuckets(
+      buckets: Column,
+      weightsMicros: Seq[Long],
+      biasMicros: Long): Column = {
+    val dim = weightsMicros.size
+    require(dim >= 1, "weights must be non-empty")
+    val w = typedlit(weightsMicros)
+    aggregate(buckets, lit(biasMicros),
+      (acc, bk) => acc + element_at(w, (bk + 1).cast("int")))
+  }
+
   /** A trained model: integer micro-unit weights, scored with
     * [[logitMicros]] via [[TextClassifierModel.scoreLogit]].
     */
@@ -203,6 +219,77 @@ object Classifier {
       snaps += TextClassifierModel(w.clone(), b)
     }
     (TextClassifierModel(w, b), snaps.result())
+  }
+
+  /** One-vs-rest [[train]] over ONE shared feature pass: the per-label
+    * GD loops run in lockstep — every iteration computes EVERY label's
+    * per-doc error and collects all |labels| bucket-gradient columns in
+    * ONE aggregation job, instead of |labels| separate loops over
+    * |labels| separately-materialized feature tables (the tokenize +
+    * hash pass is the expensive leg; it runs once here). Weights are
+    * bit-identical to sequential per-label `train()` calls: each
+    * label's z/err/gradient/step expressions are unchanged, its
+    * per-bucket gradient stays an independent order-free LONG sum, and
+    * the driver update is the same exact-micros arithmetic. Labels must
+    * be non-null (checked); `labels` lists the one-vs-rest targets.
+    */
+  private[operators] def trainOneVsRest(
+      df: DataFrame,
+      textCol: String,
+      labelCol: String,
+      labels: Seq[String],
+      dim: Int,
+      iters: Int,
+      lr: Double): Seq[TextClassifierModel] = {
+    require(dim >= 2 && dim <= (1 << 22), "dim must be in [2, 4M]")
+    require(iters >= 1, "iters must be >= 1")
+    require(labels.nonEmpty && labels.distinct == labels,
+      s"labels must be non-empty and distinct, got $labels")
+    val feats = graft.core.Caches.pin(
+      docFeatures(df.withColumn("__ovr0", lit(0)), textCol, "__ovr0",
+        dim, keepCols = Seq(labelCol))
+        .select(col(labelCol).cast("string").as("__l"), col("__f")))
+    try {
+      val c = feats.agg(count(lit(1)).as("__n"),
+        count(when(col("__l").isNull, 1)).as("__bad")).head()
+      val n = c.getAs[Long]("__n")
+      require(n > 0, "training set is empty")
+      require(c.getAs[Long]("__bad") == 0L,
+        s"${c.getAs[Long]("__bad")} row(s) have a NULL `$labelCol` — " +
+          "every doc must carry a label; filter upstream")
+      val w = Array.fill(labels.length)(Array.fill(dim)(0L))
+      val b = Array.fill(labels.length)(0L)
+      for (_ <- 0 until iters) {
+        val errCols = labels.zipWithIndex.map { case (l, i) =>
+          val wLit = typedlit(w(i).toIndexedSeq)
+          val z = aggregate(col("__f"), lit(b(i)), (acc, f) =>
+            acc + f.getField("cnt") * element_at(wLit,
+              (f.getField("bucket") + 1).cast("int")))
+          val y = (col("__l") === l).cast("int")
+          round((lit(1.0) / (lit(1.0) + exp(-z / lit(1e6))) - y) * lit(1e9))
+            .cast("long").as(s"__e$i")
+        }
+        val perDoc = feats.select(col("__f") +: errCols: _*)
+        val exploded = perDoc.select(
+          explode(concat(col("__f"),
+            array(struct(lit(-1L).as("bucket"), lit(1L).as("cnt"))))).as("f")
+            +: labels.indices.map(i => col(s"__e$i")): _*)
+        val gradCols = labels.indices.map(i =>
+          sum(col("f.cnt") * col(s"__e$i")).as(s"__g$i"))
+        val grads = exploded
+          .groupBy(col("f.bucket").as("__bkt"))
+          .agg(gradCols.head, gradCols.tail: _*)
+          .collect()
+        grads.foreach { r =>
+          val bkt = r.getAs[Long]("__bkt").toInt
+          labels.indices.foreach { i =>
+            val step = math.round(lr * r.getAs[Long](s"__g$i") / (n * 1000.0))
+            if (bkt < 0) b(i) -= step else w(i)(bkt) -= step
+          }
+        }
+      }
+      labels.indices.map(i => TextClassifierModel(w(i), b(i)))
+    } finally feats.unpersist()
   }
 
   /** Dataset cartography (Swayamdipta et al. 2020, "Dataset Cartography:

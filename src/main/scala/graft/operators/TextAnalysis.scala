@@ -541,21 +541,31 @@ object TextAnalysis {
       * (`<outCol>_<lang>_micros`) and the argmax language `outCol`
       * (ties break to the lexically smallest language — a pure integer
       * comparison, unlike [[languageId]]'s list-order tie). Zero
-      * shuffles: the whole path is per-row expressions.
+      * shuffles: the whole path is per-row expressions. The n-gram
+      * hash runs ONCE per row — every language's logit reads the same
+      * bucket array ([[Classifier.logitMicrosFromBuckets]]) instead of
+      * re-tokenizing and re-hashing per model; n-grams never contain
+      * whitespace and are already lowercase, so bucketing them directly
+      * equals bucketing `tokens(array_join(grams, " "))` term for term.
       */
     def predict(df: DataFrame, textCol: String,
         outCol: String = "lang_pred"): DataFrame = {
+      val dim = models.head.dim
+      require(models.forall(_.dim == dim),
+        "LangIdModel: per-language models disagree on dim")
       val scored = langs.zip(models).foldLeft(
-        df.withColumn("__cng",
-          array_join(charNgramTokens(col(textCol), ns), " "))) {
+        df.withColumn("__bkts",
+          transform(charNgramTokens(col(textCol), ns),
+            g => Classifier.tokenBucket(g, dim)))) {
         case (d, (l, m)) =>
-          m.scoreLogit(d, "__cng", s"${outCol}_$l")
-            .drop(s"${outCol}_${l}_pos")
+          d.withColumn(s"${outCol}_${l}_micros",
+            Classifier.logitMicrosFromBuckets(col("__bkts"),
+              m.weightsMicros.toIndexedSeq, m.biasMicros))
       }
       val picks = array(langs.map(l => struct(
         (-col(s"${outCol}_${l}_micros")).as("n"), lit(l).as("l"))): _*)
       scored.withColumn(outCol, array_min(picks).getField("l"))
-        .drop("__cng")
+        .drop("__bkts")
     }
   }
 
@@ -592,17 +602,17 @@ object TextAnalysis {
     require(langs.size >= 2 && langs.size <= 32,
       s"trainLangId: ${langs.size} distinct language label(s) — need " +
         "2..32 (one-vs-rest scoring multiplies per language)")
-    val base = graft.core.Caches.pin(df.select(
+    // one shared feature pass + lockstep per-language GD: bit-identical
+    // to per-language Classifier.train over the same n-gram text, but
+    // the tokenize+hash pass runs once and each iteration is ONE
+    // gradient job carrying every language's error column
+    val base = df.select(
       array_join(charNgramTokens(col(textCol), ns), " ").as("__cng"),
-      col(langCol).cast("string").as("__lang")))
-    try {
-      val models = langs.map { l =>
-        Classifier.train(
-          base.withColumn("__y", (col("__lang") === l).cast("int")),
-          "__cng", "__y", dim = dim, iters = iters, lr = lr)
-      }
-      LangIdModel(langs, models, ns)
-    } finally base.unpersist()
+      col(langCol).cast("string").as("__lang"))
+    LangIdModel(langs,
+      Classifier.trainOneVsRest(base, "__cng", "__lang", langs,
+        dim = dim, iters = iters, lr = lr),
+      ns)
   }
 
   /** Composite quality score in [0,1]: rewards mid-length documents and

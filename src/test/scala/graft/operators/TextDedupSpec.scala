@@ -91,6 +91,52 @@ class TextDedupSpec extends SparkTestBase {
       TextAnalysis.charNgramTokens(lit("x"), Seq(0)))
   }
 
+  test("trainLangId: fused one-vs-rest GD and shared-bucket predict " +
+      "equal the per-language train/score path bit for bit") {
+    val docs = Seq(
+      (1L, "en", "the house and the stone end the house"),
+      (2L, "de", "der hund und die katze mit haus der hund"),
+      (3L, "en", "the garden is of stone to the end"),
+      (4L, "de", "die katze ist nicht ein mit haus"),
+      (5L, "en", "the end of the house and the garden"),
+      (6L, "de", "der haus und der hund ist nicht ein")
+    ).toDF("id", "lang", "text")
+    val fused = TextAnalysis.trainLangId(
+      docs, "text", "lang", dim = 128, iters = 5, ns = Seq(3))
+    // the sequential reference: one Classifier.train per language over
+    // the identical joined n-gram text
+    val base = docs.select(
+      array_join(TextAnalysis.charNgramTokens(col("text"), Seq(3)), " ")
+        .as("__cng"),
+      col("lang").as("__lang"))
+    val seqModels = Seq("de", "en").map { l =>
+      Classifier.train(
+        base.withColumn("__y", (col("__lang") === l).cast("int")),
+        "__cng", "__y", dim = 128, iters = 5, lr = 1.0)
+    }
+    fused.models.zip(seqModels).foreach { case (a, b) =>
+      assert(a.biasMicros == b.biasMicros)
+      assert(java.util.Arrays.equals(a.weightsMicros, b.weightsMicros))
+    }
+    // shared-bucket predict equals per-language scoreLogit on __cng
+    val viaScore = seqModels.zip(Seq("de", "en")).foldLeft(
+      docs.withColumn("__cng", array_join(
+        TextAnalysis.charNgramTokens(col("text"), Seq(3)), " "))) {
+      case (d, (m, l)) => m.scoreLogit(d, "__cng", s"ref_$l")
+    }.select(col("id"), col("ref_de_micros"), col("ref_en_micros"))
+    val viaPredict = fused.predict(docs, "text")
+      .select(col("id"), col("lang_pred_de_micros"),
+        col("lang_pred_en_micros"))
+    val joined = viaPredict.join(viaScore, "id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("lang_pred_de_micros") ==
+        r.getAs[Long]("ref_de_micros"))
+      assert(r.getAs[Long]("lang_pred_en_micros") ==
+        r.getAs[Long]("ref_en_micros"))
+    }
+  }
+
   test("quality score is in [0,1] and favors clean prose") {
     val df = Seq(
       (1L, ("the quick brown fox jumps over the lazy dog " * 6).trim),
