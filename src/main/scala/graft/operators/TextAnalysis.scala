@@ -2170,12 +2170,18 @@ object TextAnalysis {
     * (tokens, not characters), the standard skip-gram definition with
     * symmetric context.
     *
-    * Scale shape: one posexplode to the token stream, a `window`-way
-    * fan-out of positions, ONE equi-join back on `(doc, pos)` — the
-    * joined stream is `corpus_tokens × window`, never tokens² — and one
-    * map-side-combined count. Zipfian pair skew lands on a hash
-    * aggregate (AQE-splittable). Exact integer counts → any engine
-    * reproduces the table bit-for-bit.
+    * Scale shape: the `window`-way pairing happens IN-ROW — each
+    * offset k pairs the token array with its own k-shifted copy
+    * ([[shinglesOfTokens]]' zip discipline: shifted copies are HOF
+    * *arguments*, evaluated once per row) — so the only exchange in
+    * the whole operator is the final map-side-combined count. The
+    * previous shape (posexplode to a token stream, window-way position
+    * fan-out, equi-join back on `(doc, pos)`) shuffled
+    * `corpus_tokens × window` rows TWICE before ever counting; the
+    * pair multiset is identical, so the counted table is bit-for-bit
+    * unchanged. Zipfian pair skew still lands on a hash aggregate
+    * (AQE-splittable). Exact integer counts → any engine reproduces
+    * the table bit-for-bit.
     */
   def skipGramPairs(
       df: DataFrame,
@@ -2185,18 +2191,28 @@ object TextAnalysis {
     require(window >= 1 && window <= 16,
       s"window must be in 1..16, got $window")
     val toks = transform(tokens(col(textCol)), t => lower(t))
-    val stream = df.select(col(idCol).as("__doc"),
-      posexplode(toks).as(Seq("__pos", "__tok")))
-    val fan = stream.select(col("__doc"), col("__tok").as("center"),
-      explode(sequence(col("__pos") + 1, col("__pos") + window))
-        .as("__p2"))
-    val fwd = fan.join(
-      stream.select(col("__doc"), col("__pos").as("__p2"),
-        col("__tok").as("context")),
-      Seq("__doc", "__p2"))
-      .select(col("center"), col("context"))
-    fwd.unionByName(fwd.select(col("context").as("center"),
-        col("center").as("context")))
+    // BOTH orientations ride the same in-row arrays, so one corpus scan
+    // feeds the count (the union-of-flipped form would run the whole
+    // pairing pipeline once per branch)
+    val pairsCol = bound(toks) { tk =>
+      val len = size(tk)
+      val perOffset = (1 to window).flatMap { k =>
+        // zip_with pads the shorter (shifted) side with nulls — the
+        // tail pairs with null context/center drop in the filter below
+        val shifted = slice(tk, lit(k + 1), greatest(len - k, lit(0)))
+        Seq(
+          zip_with(tk, shifted,
+            (a, b) => struct(a.as("center"), b.as("context"))),
+          zip_with(tk, shifted,
+            (a, b) => struct(b.as("center"), a.as("context"))))
+      }
+      filter(
+        if (perOffset.size == 1) perOffset.head else concat(perOffset: _*),
+        p => p.getField("context").isNotNull && p.getField("center").isNotNull)
+    }
+    df.select(explode(pairsCol).as("__pr"))
+      .select(col("__pr.center").as("center"),
+        col("__pr.context").as("context"))
       .groupBy(col("center"), col("context"))
       .agg(count(lit(1)).as("n"))
   }
