@@ -167,8 +167,12 @@ private[graft] object AnnEntries {
     "q_opq_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val basis = similarity.Pca.fit(e, "embedding", k = 64)
-      val rot = similarity.Pca.opqRotate(e, "embedding", basis, m = 16, "rv")
-        .select(col("vec_id"), col("rv").as("embedding"))
+      // pinned: the 64×64 per-row rotation is re-read by the PQ build's
+      // training sample, the ADC scan's encode, and both exact-rerank
+      // sides — one materialization instead of four rotation passes
+      val rot = graft.core.Caches.pin(
+        similarity.Pca.opqRotate(e, "embedding", basis, m = 16, "rv")
+          .select(col("vec_id"), col("rv").as("embedding")))
       val index = operators.Ann.Pq.build(rot, "vec_id", "embedding",
         m = 16, ksub = 64, maxIter = 10)
       operators.Ann.Pq.searchRefined(index, rot, "vec_id", "embedding",

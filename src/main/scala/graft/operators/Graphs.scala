@@ -30,6 +30,43 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Session clone whose shuffle width is right-sized to an iterative
+    * loop's data — [[Dedup.connectedComponents]]' discipline extended to
+    * the whole graph tier: each round of these loops shuffles the
+    * (often small relative to the cluster) edge/state tables, and many
+    * rounds of default-width tiny tasks are pure scheduler overhead,
+    * measured as the DOMINANT cost of the iterative queries at bench
+    * scale (~220 sub-50 ms jobs per query at 32-way width over
+    * sub-million-row graphs). ~250k rows per partition, never above the
+    * session width — so at cluster scale with large graphs the width is
+    * UNCHANGED and only the pathological small-input case collapses.
+    * AQE is off inside the loop for the connectedComponents reason:
+    * it re-plans every stage of every round and buys nothing once the
+    * width is right-sized. Conf overrides live on the CLONE only —
+    * concurrent queries on the caller's session can never observe them
+    * — and results rebind to the caller's session on the way out.
+    */
+  private def loopSession(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Long,
+      keepAqe: Boolean = false): org.apache.spark.sql.SparkSession = {
+    val defaultParts = spark.sessionState.conf.numShufflePartitions
+    val parts = math.max(1,
+      math.min(defaultParts, math.ceil(rows / 250e3).toInt))
+    val iso = org.apache.spark.sql.GraftSqlBridge.cloneSession(spark)
+    iso.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // the frontier-driven BFS loops RELY on AQE's runtime broadcast
+    // re-planning (a small frontier broadcasts and the pinned edges
+    // never move); the label/peel loops have no such shape and AQE's
+    // per-stage re-planning is pure overhead once the width is right
+    if (!keepAqe) iso.conf.set("spark.sql.adaptive.enabled", "false")
+    iso
+  }
+
+  private def rebind(
+      df: DataFrame, s: org.apache.spark.sql.SparkSession): DataFrame =
+    org.apache.spark.sql.GraftSqlBridge.rebind(df, s)
+
   /** PageRank by power iteration. `edges` is a DIRECTED edge list
     * (duplicate edges are collapsed); rank mass flows src → dst with
     * uniform split over each source's out-edges — or, with `weightCol`,
@@ -423,11 +460,13 @@ object Graphs {
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val e0 = undirectedEdges(edges, srcCol, dstCol).localCheckpoint(true)
+    // peel rounds run loop-width on a session clone ([[loopSession]])
+    val e0i = rebind(e0, loopSession(edges.sparkSession, e0.count()))
     // finally: a peel failure must release the input checkpoint too
-    val e = try peelTo(e0, k) finally graft.core.Caches.releaseCheckpoint(e0)
+    val e = try peelTo(e0i, k) finally graft.core.Caches.releaseCheckpoint(e0)
     graft.core.Caches.registerCheckpoint(e)
-    degreesOf(e).where(col("__deg") >= k)
-      .select(col("node"), col("__deg").as("degree"))
+    rebind(degreesOf(e).where(col("__deg") >= k)
+      .select(col("node"), col("__deg").as("degree")), edges.sparkSession)
   }
 
   /** Peel the (checkpointed) edge set to its k-core fixpoint. Always
@@ -482,6 +521,9 @@ object Graphs {
     def nodesIn(e: DataFrame): DataFrame =
       e.select(explode(array(col("__a"), col("__b"))).as("node")).distinct()
     var e = undirectedEdges(edges, srcCol, dstCol).localCheckpoint(true)
+    // peel rounds run loop-width on a session clone ([[loopSession]]);
+    // the checkpointed edges rebind for free, the result rebinds back
+    e = rebind(e, loopSession(edges.sparkSession, e.count()))
     var acc: DataFrame = null
     var next: DataFrame = null
     var k = 1L
@@ -526,7 +568,7 @@ object Graphs {
         .where(lit(false))
     else {
       graft.core.Caches.registerCheckpoint(acc)
-      acc
+      rebind(acc, edges.sparkSession)
     }
   }
 
@@ -945,10 +987,15 @@ object Graphs {
       s"maxIters must be in 1..10000, got $maxIters")
     val e0 = graft.core.Caches.pin(kHopEdges(edges, srcCol, dstCol))
     try {
-      var active = e0.select(col("__s").as("node"))
-        .unionByName(e0.select(col("__d").as("node")))
+      // the peel's many per-round jobs run loop-width on a session clone
+      // ([[loopSession]]); the pinned edges move across for free (shared
+      // cache manager) and the result rebinds to the caller at the end
+      val iso = loopSession(edges.sparkSession, e0.count())
+      val e0i = rebind(e0, iso)
+      var active = e0i.select(col("__s").as("node"))
+        .unionByName(e0i.select(col("__d").as("node")))
         .distinct().localCheckpoint(true)
-      var eAct: DataFrame = e0.toDF()
+      var eAct: DataFrame = e0i.toDF()
       var eActIsCheckpoint = false
       var out: DataFrame = null
       var phase = 0
@@ -1000,7 +1047,7 @@ object Graphs {
         e0.select(col("__s").as("node"), col("__d").as("scc")).limit(0)
       } else {
         graft.core.Caches.registerCheckpoint(out)
-        out
+        rebind(out, edges.sparkSession)
       }
     } finally e0.unpersist()
   }
@@ -1019,13 +1066,16 @@ object Graphs {
         col("__s") =!= col("__d"))
     // both directions out of ONE pass over the input (the q_pagerank
     // explode idiom), then distinct — each neighbor counts once
-    val sym = graft.core.Caches.pin(
+    val sym0 = graft.core.Caches.pin(
       raw.select(explode(array(
           struct(col("__s"), col("__d")),
           struct(col("__d").as("__s"), col("__s").as("__d")))).as("e"))
         .select(col("e.__s").as("__s"), col("e.__d").as("__d"))
         .distinct())
     try {
+      // label rounds run loop-width on a session clone ([[loopSession]])
+      val iso = loopSession(edges.sparkSession, sym0.count())
+      val sym = rebind(sym0, iso)
       var labels = sym.select(col("__s").as("node")).distinct()
         .withColumn("label", col("node"))
         .localCheckpoint(true)
@@ -1051,8 +1101,9 @@ object Graphs {
           throw t
       }
       graft.core.Caches.registerCheckpoint(labels)
-      labels.select(col("node"), col("label").as("community"))
-    } finally sym.unpersist()
+      rebind(labels.select(col("node"), col("label").as("community")),
+        edges.sparkSession)
+    } finally sym0.unpersist()
   }
 
   /** Newman modularity of a community assignment over the undirected
@@ -1167,15 +1218,17 @@ object Graphs {
       col(dstCol).cast("string").as("__d"))
       .where(col("__s").isNotNull && col("__d").isNotNull &&
         col("__s") =!= col("__d"))
-    val sym = graft.core.Caches.pin(
+    val sym0 = graft.core.Caches.pin(
       raw.select(explode(array(
           struct(col("__s"), col("__d")),
           struct(col("__d").as("__s"), col("__s").as("__d")))).as("e"))
         .select(col("e.__s").as("__s"), col("e.__d").as("__d"))
         .distinct())
     try {
-      val m2 = sym.count()
+      val m2 = sym0.count()
       require(m2 > 0L, "louvainCommunities: empty graph")
+      // local-move phases run loop-width on a session clone
+      val sym = rebind(sym0, loopSession(edges.sparkSession, m2))
       val m = m2 / 2
       require(m <= 700000000L,
         s"louvainCommunities: $m undirected edges — the exact 2m²-scaled " +
@@ -1244,9 +1297,10 @@ object Graphs {
             throw t
         }
         graft.core.Caches.registerCheckpoint(labels)
-        labels.select(col("node"), col("__c").as("community"))
+        rebind(labels.select(col("node"), col("__c").as("community")),
+          edges.sparkSession)
       } finally degs.unpersist()
-    } finally sym.unpersist()
+    } finally sym0.unpersist()
   }
 
   /** Deterministic uniform random walks over the directed edge set — the
@@ -1377,9 +1431,18 @@ object Graphs {
         .where(col("__s") =!= col("__d"))
         .distinct())
     try {
+      // the per-wedge AA/RA contributions depend only on the shared
+      // neighbor's degree — compute them HERE, once per node, instead of
+      // per wedge row: round() on a double allocates a BigDecimal per
+      // evaluation, and paying log+divide+round on every one of the
+      // deg² wedge rows (tens of millions) instead of once per node was
+      // the wedge stage's dominant cost. The summed longs are identical.
       val deg = und.groupBy(col("__s").as("__z"))
         .agg(count(lit(1)).as("__deg"))
         .where(col("__deg") >= 2 && col("__deg") <= maxDegree)
+        .withColumn("__aa",
+          round(lit(1e9) / log(col("__deg").cast("double"))).cast("long"))
+        .withColumn("__ra", round(lit(1e9) / col("__deg")).cast("long"))
       // the self-join below reads adj TWICE and Spark never dedups a
       // common subplan across a self-join — materialize it once
       // (measured 64 s -> seconds at sf0.1 without this)
@@ -1387,7 +1450,8 @@ object Graphs {
         und.select(col("__s").as("__z"), col("__d").as("__n"))
           .join(deg, "__z"))
       try {
-      val wedges = adj.select(col("__z"), col("__deg"), col("__n").as("node_a"))
+      val wedges = adj
+        .select(col("__z"), col("__aa"), col("__ra"), col("__n").as("node_a"))
         .join(adj.select(col("__z"), col("__n").as("node_b")), Seq("__z"))
         .where(col("node_a") < col("node_b"))
       // all four classical scores from ONE wedge aggregate + a
@@ -1410,9 +1474,8 @@ object Graphs {
       val scored = wedges
         .groupBy(col("node_a"), col("node_b"))
         .agg(count(lit(1)).as("n_common"),
-          sum(round(lit(1e9) / log(col("__deg").cast("double"))).cast("long"))
-            .as("aa_nanos"),
-          sum(round(lit(1e9) / col("__deg")).cast("long")).as("ra_nanos"))
+          sum(col("__aa")).as("aa_nanos"),
+          sum(col("__ra")).as("ra_nanos"))
         .join(allDeg.select(col("__node").as("node_a"), col("__d").as("__da")),
           "node_a")
         .join(allDeg.select(col("__node").as("node_b"), col("__d").as("__db")),
