@@ -595,11 +595,15 @@ object Graphs {
       iterations: Int = 2): DataFrame = {
     require(iterations >= 1 && iterations <= 1000,
       s"iterations must be in 1..1000, got $iterations")
-    val e = graft.core.Caches.pin(
+    val e0 = graft.core.Caches.pin(
       edges.select(col(srcCol).cast("string").as("__src"),
         col(dstCol).cast("string").as("__dst"))
         .where(col("__src").isNotNull && col("__dst").isNotNull)
         .distinct())
+    // half-iterations checkpoint node-sized tables per step — run them
+    // loop-width on a session clone ([[loopSession]]; the scores side is
+    // a broadcast either way, so no AQE-dependent join shape is lost)
+    val e = rebind(e0, loopSession(edges.sparkSession, e0.count()))
     val nodes = graft.core.Caches.pin(
       e.select(col("__src").as("node"))
         .unionByName(e.select(col("__dst").as("node"))).distinct())
@@ -650,8 +654,8 @@ object Graphs {
         .localCheckpoint(true)
       live.foreach(graft.core.Caches.releaseCheckpoint(_))
       graft.core.Caches.registerCheckpoint(out)
-      out
-    } finally { e.unpersist(); nodes.unpersist() }
+      rebind(out, edges.sparkSession)
+    } finally { e0.unpersist(); nodes.unpersist() }
   }
 
   /** Degree assortativity (Newman 2002): the Pearson correlation of
